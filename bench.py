@@ -1,0 +1,68 @@
+"""Benchmark harness (driver contract, TESTDATA.md).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full execution with a count-collect (not .count() on a
+pruned plan — we collect the materialized result like the driver does).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from teledetection_drone_satellite_spark import plans  # noqa: E402
+from teledetection_drone_satellite_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "flagship_revenue_by_region",
+    "range_join_temporal",
+    "latest_per_group",
+    "array_explode_join",
+    "fk_join_rollup",
+    "semi_join_exists",
+    "status_breakdown",
+    "pagination_page",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # one warmup to exclude JVM/session startup from per-query numbers
+    plans.REGISTRY["point_lookup_pk"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    names = [n for n in HEADLINE if n in plans.REGISTRY]
+    # include everything else registered (cheaper queries) after the headline set
+    names += [n for n in plans.REGISTRY if n not in names]
+    for name in names:
+        t0 = time.time()
+        plans.REGISTRY[name].fn(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

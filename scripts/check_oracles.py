@@ -1,0 +1,94 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every registry query at a given sf dir in Spark AND its DuckDB oracle, then
+compares row count, column names, and values (columns sorted by name, rows sorted,
+exact string equality after normalization — stricter than the driver's hash, so
+passing here should pass there).
+
+Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+from teledetection_drone_satellite_spark import plans
+from teledetection_drone_satellite_spark.catalog import FIXTURE_TABLES
+from teledetection_drone_satellite_spark.session import get_spark
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.round(9)
+        elif s.dtype == object:
+            df[c] = s.map(lambda v: str(sorted(v)) if isinstance(v, (list, set)) else str(v))
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    spark = get_spark("check-oracles")
+
+    failures = []
+    for name, q in plans.REGISTRY.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = q.fn(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL  {name}: spark raised\n{traceback.format_exc()}")
+            failures.append(name)
+            continue
+        if q.oracle is None:
+            print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.execute(q.oracle).fetchdf()
+        except Exception:
+            print(f"FAIL  {name}: duckdb raised\n{traceback.format_exc()}")
+            failures.append(name)
+            continue
+        a, b = _normalize(sdf), _normalize(odf)
+        if list(a.columns) != list(b.columns):
+            print(f"FAIL  {name}: columns differ spark={list(a.columns)} duck={list(b.columns)}")
+            failures.append(name)
+        elif len(a) != len(b):
+            print(f"FAIL  {name}: rows differ spark={len(a)} duck={len(b)}")
+            failures.append(name)
+        elif not a.equals(b):
+            neq = (a != b) & ~(a.isna() & b.isna())
+            bad = neq.any(axis=1)
+            print(f"FAIL  {name}: values differ on {int(bad.sum())}/{len(a)} rows")
+            print("  spark:", a[bad].head(3).to_dict("records"))
+            print("  duck :", b[bad].head(3).to_dict("records"))
+            failures.append(name)
+        else:
+            print(f"OK    {name}: {len(a)} rows [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(plans.REGISTRY) - len(failures)}/{len(plans.REGISTRY)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,22 @@
+"""PySpark-native analytics engine with the query/data-processing capabilities of
+``rauledop1/teledetection_drone_satellite`` (reference at /root/reference, read-only).
+
+The reference is a FastAPI/Postgres/PostGIS microservices platform for drone/satellite
+image processing; this package re-expresses its full query surface (SURVEY.md §2) as
+idiomatic Spark DataFrame/SQL plans plus Structured Streaming, and extends it with the
+large-scale training-data-pipeline operators (dedup, similarity search, text analysis,
+multimodal plumbing) mandated by BASELINE.json.
+
+Layout:
+    session     SparkSession factory tuned for the target (AQE, Arrow, partitions)
+    schemas     explicit StructType registry (fixture tables + reference data model)
+    catalog     load(sf_dir) -> dict of DataFrames, temp-view registration
+    operators/  relational + extension operators (filters, joins, aggs, pagination,
+                spatial, dedup, similarity, text)
+    functions/  scalar function library (checksums, validators, JSON, arrays, geo)
+    sources/    ingestion (binaryFile pipeline, parquet readers)
+    streaming/  windowed aggs, watermarks, task-lifecycle state machine
+    plans/      the query registry graded by the driver (queries + DuckDB oracles)
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,46 @@
+"""Catalog: load fixture tables and register temp views.
+
+All graded queries read the driver-generated parquet (TESTDATA.md). Schemas are
+enforced, not inferred (reference discipline: DDL-first, init.sql). Loading is cheap —
+parquet readers are lazy — so queries() callables call ``load`` per invocation.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .schemas import FIXTURE_SCHEMAS, FIXTURE_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = FIXTURE_TABLES) -> dict[str, DataFrame]:
+    """Read the fixture parquet tables under ``sf_dir`` with explicit schemas.
+
+    The explicit schema doubles as a contract check: a column drift in the test data
+    surfaces as an analysis error, not silent nulls.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        # Schema asserted after read (parquet is self-describing; passing the schema
+        # to the reader would silently null-fill mismatches instead of failing).
+        df = spark.read.parquet(path)
+        expected = FIXTURE_SCHEMAS[name]
+        got = {f.name for f in df.schema.fields}
+        want = {f.name for f in expected.fields}
+        if not want <= got:
+            raise ValueError(f"table {name}: missing columns {want - got} in {path}")
+        out[name] = df
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all fixture tables and register each as a temp view (for spark.sql paths)."""
+    dfs = load(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,2 @@
+"""Reusable operators: each module implements one family from SURVEY.md §2,
+as functions over DataFrames (plans/ wires fixtures into them)."""

@@ -1,0 +1,50 @@
+"""Deterministic pagination (SURVEY §2.5 O1).
+
+The reference paginates with ``offset(skip).limit(limit)`` (auth-service/crud.py:101,
+page math file-service/main.py:287-290) and implicitly relies on Postgres heap order.
+A distributed engine has no heap order, so pagination REQUIRES a total order over a
+unique key. Two implementations:
+
+- ``paginate``: row_number over a global Window — one shuffle-to-single-partition for
+  the window (fine for page-sized outputs; the filter keeps only `size` rows).
+- ``keyset_page``: the 100 TB path — WHERE key > last_seen ORDER BY key LIMIT n.
+  O(page) work regardless of offset depth; no global sort. Use this in any real
+  pipeline; OFFSET pagination at depth k scans k rows per request.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def paginate(df: DataFrame, order_by: list[str | Column], page: int, size: int) -> DataFrame:
+    """Return page `page` (1-based) of `size` rows under a deterministic total order.
+
+    order_by must end in (or contain) a unique key for determinism — mirrors the
+    contract the reference silently assumes of Postgres.
+    """
+    if page < 1 or size < 1:
+        raise ValueError("page and size must be >= 1")
+    w = Window.orderBy(*order_by)
+    lo, hi = (page - 1) * size, page * size
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") > lo) & (F.col("__rn") <= hi))
+        .drop("__rn")
+    )
+
+
+def keyset_page(df: DataFrame, key: str, after: object | None, size: int) -> DataFrame:
+    """Keyset (seek-method) pagination: stable, O(page) at any depth, scale-safe."""
+    if after is not None:
+        df = df.filter(F.col(key) > F.lit(after))
+    return df.orderBy(F.asc(key)).limit(size)
+
+
+def page_meta(df: DataFrame, size: int) -> DataFrame:
+    """total + ceil-division pages (shared/utils/__init__.py:161-172 semantics)."""
+    return df.agg(F.count("*").alias("total")).select(
+        "total", F.ceil(F.col("total") / float(size)).alias("pages")
+    )

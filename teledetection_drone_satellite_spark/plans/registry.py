@@ -1,0 +1,57 @@
+"""Query registry — the graded surface.
+
+Every operator claimed as implemented (SURVEY.md §2) registers here as a ``Query``:
+a Spark callable ``(spark, sf_dir) -> DataFrame`` plus, when the semantics are
+ANSI-SQL-expressible, the equivalent DuckDB oracle SQL over the same parquet views.
+``__spark_entry__.py`` re-exports this registry to the driver.
+
+Rules enforced by convention here (driver contract, __spark_entry__.py docstring):
+  - every computed column is aliased identically in the Spark plan and the oracle SQL;
+  - floating aggregates are rounded in BOTH engines (summation order differs between
+    Spark's partial aggregation and DuckDB's sequential scan; rounding makes the
+    value-hash stable);
+  - every query orders deterministically where row identity matters (driver hashing is
+    order-insensitive, but LIMIT/pagination queries need a total order to select the
+    same rows in both engines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None -> driver runs a rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()):
+    """Decorator: add a query to the graded registry."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {q.name: q.fn for q in REGISTRY.values()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {q.name: q.oracle for q in REGISTRY.values() if q.oracle is not None}

@@ -1,0 +1,541 @@
+"""Relational core queries (SURVEY.md §2.2-§2.6) phrased on the driver fixtures.
+
+Each query re-expresses a reference operator family (cited per query) as an idiomatic
+DataFrame plan. Scale notes are inline: which joins broadcast, where the shuffles are,
+and why the plan survives 100 TB (the fixture mapping is FIXTURES.md §B).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..operators.pagination import paginate
+from .registry import register
+
+# ---------------------------------------------------------------------------------------
+# Flagship (SURVEY §7 Phase 1): per-group asset rollup with filters — the reference's
+# core implied analytics question (list_files + rollup: file-service/main.py:267-344,
+# indexes init.sql:174-196), phrased as revenue-by-region.
+# Plan shape: fact scan (lineitem) with pushed-down date filter on the orders side,
+# broadcast joins for every dimension (orders->customer->nation->region are all dims
+# relative to lineitem), one shuffle for the final groupBy(r_name) — 5 groups.
+# At 100 TB: lineitem is the only large input; orders may exceed broadcast size, in
+# which case AQE picks SMJ on l_orderkey — still a single big shuffle; all other joins
+# stay broadcast. No driver-side collection anywhere.
+# ---------------------------------------------------------------------------------------
+
+
+@register(
+    "flagship_revenue_by_region",
+    oracle="""
+    SELECT r.r_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY r.r_name
+    ORDER BY revenue DESC
+    """,
+    doc="F4+J1-J3+A6+O4: filtered multi-join rollup (reference: per-project asset rollup).",
+    tags=("relational", "flagship"),
+)
+def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, ("lineitem", "orders", "customer", "nation", "region"))
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"))
+    )
+
+
+# --- Point lookups (F1/F2/O2: auth-service/crud.py:17-27) ------------------------------
+
+
+@register(
+    "point_lookup_pk",
+    oracle="SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey = 42",
+    doc="F1/O2: point lookup by PK (crud.py:17-19). Pushed to the parquet scan.",
+    tags=("relational",),
+)
+def point_lookup_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, ("customer",))["customer"]
+    # limit(1) mirrors .first(); key is unique so the row is deterministic.
+    return c.filter(F.col("c_custkey") == 42).select("c_custkey", "c_name", "c_acctbal").limit(1)
+
+
+@register(
+    "point_lookup_fallback",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_name = 'Customer#000000001' OR c_custkey = 7
+    ORDER BY c_custkey
+    """,
+    doc="F2: unique-key lookup with fallback chain (auth-service/main.py:118-120).",
+    tags=("relational",),
+)
+def point_lookup_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, ("customer",))["customer"]
+    return (
+        c.filter((F.col("c_name") == "Customer#000000001") | (F.col("c_custkey") == 7))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --- Conjunctive / optional / range / enum filters (F3-F7) -----------------------------
+
+
+@register(
+    "conjunctive_filter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus = 'O'
+      AND o_orderpriority = '1-URGENT'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+    """,
+    doc="F3/F4: multi-column conjunctive filter (file-service list_files main.py:281-288). "
+    "Catalyst folds the chained filters into one pushed predicate.",
+    tags=("relational",),
+)
+def conjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+@register(
+    "range_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20 AND l_extendedprice <= 20000.0
+    """,
+    doc="F7: range predicates (size cap, file-service/main.py:96-97). Min/max pushdown.",
+    tags=("relational",),
+)
+def range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.filter(
+        F.col("l_quantity").between(10, 20) & (F.col("l_extendedprice") <= 20000.0)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@register(
+    "enum_membership",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+    GROUP BY o_orderstatus
+    """,
+    doc="F6+A7: enum whitelist filter (file_type whitelist file-service/main.py:92-94) + "
+    "status breakdown (status indexes init.sql:182,190,194).",
+    tags=("relational",),
+)
+def enum_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    return (
+        o.filter(F.col("o_orderstatus").isin("O", "F"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "access_predicate",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey = 7 OR FALSE
+    """,
+    doc="F5: row-level access predicate owner_id==uid OR is_admin "
+    "(file-service/main.py:185,210,243,360) as a view-level filter; uid=7, non-admin.",
+    tags=("relational",),
+)
+def access_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    is_admin = False
+    return o.filter((F.col("o_custkey") == 7) | F.lit(is_admin)).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@register(
+    "prefix_match",
+    oracle="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_type LIKE 'PROMO%'
+    """,
+    doc="F10: prefix-match predicate (gateway route matching api-gateway/main.py:178-182). "
+    "startswith compiles to StartsWith, pushdownable to parquet.",
+    tags=("relational",),
+)
+def prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, ("part",))["part"]
+    return p.filter(F.col("p_type").startswith("PROMO")).select("p_partkey", "p_name", "p_type")
+
+
+# --- Pagination / top-k / ordering (O1-O4) ---------------------------------------------
+
+
+@register(
+    "pagination_page",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+    doc="O1: deterministic OFFSET/LIMIT pagination (crud.py:101, page math "
+    "file-service/main.py:287-290) via row_number over a unique key — the reference "
+    "relies on heap order; we must not (SURVEY §2.5).",
+    tags=("relational",),
+)
+def pagination_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    page = paginate(o, order_by=["o_orderkey"], page=3, size=20)
+    return page.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+
+
+@register(
+    "topk_priority",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_orderdate
+    FROM orders
+    ORDER BY o_orderpriority ASC, o_orderdate ASC, o_orderkey ASC
+    LIMIT 10
+    """,
+    doc="O3: priority-ordered task queue head (priority 1-10 init.sql:66). TakeOrdered "
+    "top-k — no global sort materialized.",
+    tags=("relational",),
+)
+def topk_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    return (
+        o.orderBy(F.asc("o_orderpriority"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+        .limit(10)
+    )
+
+
+@register(
+    "latest_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS latest_orderkey, o_orderdate AS latest_orderdate
+    FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+    )
+    WHERE rn = 1
+    """,
+    doc='§2.8: "latest file per project"-style freshness window (updated_at/last_login '
+    "tracking init.sql:20-21, crud.py:70-75). One shuffle on the partition key.",
+    tags=("relational", "window"),
+)
+def latest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_orderdate").alias("latest_orderdate"),
+        )
+    )
+
+
+# --- Joins (J1-J10) --------------------------------------------------------------------
+
+
+@register(
+    "semi_join_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0)
+    """,
+    doc="J10: existence semi-join ('email already registered', auth-service/main.py:75-87). "
+    "left_semi never materializes the right side's columns.",
+    tags=("relational", "join"),
+)
+def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, ("customer", "orders"))
+    big_orders = t["orders"].filter(F.col("o_totalprice") > 100000.0)
+    return (
+        t["customer"]
+        .join(big_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "anti_join_not_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+    doc="J10 inverse: anti-join (uniqueness check / CASCADE-orphan cleanup, SURVEY §4) — "
+    "customers with no urgent order.",
+    tags=("relational", "join"),
+)
+def anti_join_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, ("customer", "orders"))
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t["customer"]
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "fk_join_rollup",
+    oracle="""
+    SELECT n.n_name, count(*) AS n_customers, round(sum(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="J2+A6: N:1 FK join + per-dim rollup (files->projects init.sql:47, rollup "
+    "endpoints file-service/main.py:307-344). Dim side broadcast; partial agg map-side.",
+    tags=("relational", "join"),
+)
+def fk_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, ("customer", "nation"))
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
+    )
+
+
+@register(
+    "array_explode_join",
+    oracle="""
+    SELECT p.p_brand, count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    doc="J4: array-FK explode-join (task.input_files[] -> files, init.sql:61,118). Built "
+    "by collect_list per order then explode + equi-join — semantically identical to the "
+    "direct join, which is the oracle. At scale: skip the collect/explode round-trip "
+    "when the array is derived; join directly (Catalyst can't undo a collect_list).",
+    tags=("relational", "join"),
+)
+def array_explode_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, ("lineitem", "part"))
+    # Build the array-FK shape the reference stores (input_files UUID[]), then explode.
+    arrays = t["lineitem"].groupBy("l_orderkey").agg(F.collect_list("l_partkey").alias("part_ids"))
+    exploded = arrays.select("l_orderkey", F.explode("part_ids").alias("l_partkey"))
+    return (
+        exploded.join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_lines"))
+    )
+
+
+@register(
+    "range_join_temporal",
+    oracle="""
+    SELECT l.l_returnflag,
+           count(*) AS n_fast_ship,
+           round(sum(l.l_extendedprice), 2) AS total_price
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate
+      AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY l.l_returnflag
+    """,
+    doc="J8: temporal-range join (GEE images within [start_date,end_date], "
+    "init.sql:101-102). Equi key carries the join; the range is a post-join predicate, "
+    "so no O(n*m) blowup at scale.",
+    tags=("relational", "join"),
+)
+def range_join_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, ("lineitem", "orders"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_fast_ship"), F.round(F.sum("l_extendedprice"), 2).alias("total_price"))
+    )
+
+
+# --- Aggregations (A1-A7) --------------------------------------------------------------
+
+
+@register(
+    "count_pagination_meta",
+    oracle="""
+    SELECT count(*) AS total, CAST(ceil(count(*) / 50.0) AS BIGINT) AS pages
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    """,
+    doc="A1/A2+C8: count-for-pagination with ceil-division page math "
+    "(shared/utils/__init__.py:161-172, file-service/main.py:290).",
+    tags=("relational", "agg"),
+)
+def count_pagination_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .agg(F.count("*").alias("total"))
+        .select("total", F.ceil(F.col("total") / 50.0).alias("pages"))
+    )
+
+
+@register(
+    "status_breakdown",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority, count(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+    doc="A7: status breakdown by two dims (tasks by processing_status, indexes "
+    "init.sql:182,190,194). Hash agg, partial+final.",
+    tags=("relational", "agg"),
+)
+def status_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    return (
+        o.groupBy(
+            F.col("o_orderstatus").alias("status"), F.col("o_orderpriority").alias("priority")
+        ).agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "rollup_status_priority",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="A7 extension: hierarchical ROLLUP (free from Spark, SURVEY §2.4 note) — "
+    "(status, priority) with subtotals and grand total.",
+    tags=("relational", "agg"),
+)
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
+@register(
+    "distinct_count",
+    oracle="""
+    SELECT count(DISTINCT o_custkey) AS n_active_customers,
+           count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    """,
+    doc="A1 extension: exact distinct aggregation (approx_count_distinct exposed in the "
+    "functions lib for the 100 TB path where exactness isn't required).",
+    tags=("relational", "agg"),
+)
+def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    return o.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")).agg(
+        F.countDistinct("o_custkey").alias("n_active_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# --- Set operations (§2.6) -------------------------------------------------------------
+
+
+@register(
+    "set_ops_nations",
+    oracle="""
+    SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+    doc="§2.6: set difference (health-dict merge analog, api-gateway/main.py:151-166) — "
+    "customers with urgent orders but no low-priority ones.",
+    tags=("relational",),
+)
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    return urgent.exceptAll(low).distinct()
+
+
+@register(
+    "union_source_counts",
+    oracle="""
+    SELECT src, n FROM (
+        SELECT 'orders' AS src, count(*) AS n FROM orders
+        UNION ALL
+        SELECT 'lineitem' AS src, count(*) AS n FROM lineitem
+        UNION ALL
+        SELECT 'customer' AS src, count(*) AS n FROM customer
+    )
+    """,
+    doc="A5/§2.6: union of per-source status rows (health-status gather).",
+    tags=("relational",),
+)
+def union_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, ("orders", "lineitem", "customer"))
+    parts = [
+        t[name].agg(F.count("*").alias("n")).select(F.lit(name).alias("src"), "n")
+        for name in ("orders", "lineitem", "customer")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,49 @@
+"""SparkSession factory.
+
+Single place where execution-relevant config lives so that tests, bench.py and the
+driver's ``entry()`` all run with the same tuned session. Values are chosen for the
+local[32]/128GiB test box but scale-out-safe: AQE handles runtime re-planning (skew
+join splitting, partition coalescing) on a real cluster, and nothing here pins a
+single-node assumption.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults match the driver harness (TESTDATA.md): local[$SPARK_GRAFT_CPUS].
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "teledetection-spark", cpus: str | None = None) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Config rationale (each one matters at 100 TB, not just locally):
+      - AQE on + skew-join handling: runtime re-partitioning replaces hand-tuned
+        shuffle sizing; skewed FK joins (files->projects-style) get split.
+      - shuffle.partitions: starting point only; AQE coalesces. On a 1000-executor
+        cluster you'd raise this to ~2-4x total cores — it is a config, not code.
+      - Arrow enabled: every pandas UDF / applyInPandas transfers via Arrow batches.
+      - maxPartitionBytes 128m: keeps scan partitions memory-friendly at any SF.
+      - autoBroadcastJoinThreshold 64m: dims (region/nation/customer-at-small-SF,
+        projects/users in the reference model) broadcast instead of shuffling the
+        fact table.
+    """
+    cpus = cpus or _DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,30 @@
+"""Smoke tests for the driver contract surface."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+
+
+def test_entry_returns_rows(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    cols = set(df.columns)
+    assert {"r_name", "revenue", "n_items"} <= cols
+
+
+def test_queries_oracle_keys_align():
+    qs = entry_mod.queries()
+    os_ = entry_mod.oracle_sql()
+    assert qs, "registry must not be empty"
+    # every oracle key must have a query; not vice versa (rows-only ops allowed)
+    assert set(os_) <= set(qs)
+
+
+def test_registry_callables_have_signature(spark, sf_dir):
+    # spot-run a cheap query through the public surface
+    qs = entry_mod.queries()
+    df = qs["point_lookup_pk"](spark, sf_dir)
+    out = df.collect()
+    assert len(out) == 1
+    assert out[0]["c_custkey"] == 42

@@ -1,0 +1,62 @@
+"""Unit tests for relational operators on literal DataFrames (FIXTURES.md §C):
+the semantic edges the DuckDB oracle can't see — null handling, pagination math,
+determinism of tie-breaks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from teledetection_drone_satellite_spark.operators.pagination import (
+    keyset_page,
+    page_meta,
+    paginate,
+)
+
+
+def test_paginate_exact_page(spark):
+    df = spark.range(100).withColumnRenamed("id", "k")
+    page = paginate(df, ["k"], page=3, size=10)
+    got = [r["k"] for r in page.collect()]
+    assert got == list(range(20, 30))
+
+
+def test_paginate_last_partial_page(spark):
+    df = spark.range(25).withColumnRenamed("id", "k")
+    page = paginate(df, ["k"], page=3, size=10)
+    got = [r["k"] for r in page.collect()]
+    assert got == [20, 21, 22, 23, 24]
+
+
+def test_paginate_beyond_end_empty(spark):
+    df = spark.range(5).withColumnRenamed("id", "k")
+    assert paginate(df, ["k"], page=99, size=10).count() == 0
+
+
+def test_page_meta_ceil_division(spark):
+    # mirrors shared/utils/__init__.py:163 semantics: ceil(total/size)
+    for total, size, pages in [(0, 10, 0), (100, 10, 10), (101, 10, 11), (9, 10, 1)]:
+        df = spark.range(total)
+        row = page_meta(df, size).collect()[0]
+        assert (row["total"], row["pages"]) == (total, pages), (total, size)
+
+
+def test_keyset_page_resumes_after_key(spark):
+    df = spark.range(50).withColumnRenamed("id", "k")
+    first = [r["k"] for r in keyset_page(df, "k", None, 10).collect()]
+    second = [r["k"] for r in keyset_page(df, "k", first[-1], 10).collect()]
+    assert first == list(range(10))
+    assert second == list(range(10, 20))
+
+
+def test_optional_filter_skipped_when_none(spark):
+    # crud.py:98-99: filter applied only when the parameter is not null
+    df = spark.createDataFrame([(1, True), (2, False)], ["id", "is_active"])
+
+    def list_users(is_active=None):
+        out = df
+        if is_active is not None:
+            out = out.filter(F.col("is_active") == is_active)
+        return out
+
+    assert list_users().count() == 2
+    assert list_users(True).count() == 1
