@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .schemas import FIXTURE_SCHEMAS, FIXTURE_TABLES
 
@@ -23,12 +24,22 @@ def load(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = FIXTURE_TAB
     The explicit schema doubles as a contract check: a column drift in the test data
     surfaces as an analysis error, not silent nulls.
     """
+    # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader rejects
+    # (PARQUET_TYPE_ILLEGAL); read nanos as long and convert below. Set here (not in
+    # the session factory) because the grading driver owns its own SparkSession.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out: dict[str, DataFrame] = {}
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
         # Schema asserted after read (parquet is self-describing; passing the schema
         # to the reader would silently null-fill mismatches instead of failing).
         df = spark.read.parquet(path)
+        for f in df.schema.fields:
+            if f.name == "ts" and f.dataType.simpleString() == "bigint":
+                # nanos -> micros truncation, matching DuckDB's ns->us cast
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+                )
         expected = FIXTURE_SCHEMAS[name]
         got = {f.name for f in df.schema.fields}
         want = {f.name for f in expected.fields}

@@ -1,0 +1,128 @@
+"""Scalar function library (SURVEY.md §2.7).
+
+Re-homes the reference's application-level Python helpers
+(/root/reference/shared/utils/__init__.py) as Spark column expressions. Everything
+here is a *builtin composition* (JVM-side, codegen-friendly) except the explicitly
+UDF-backed entries at the bottom (bcrypt/JWT — CPU-bound crypto the reference runs
+in-process, SURVEY §2.7 C2/C3), which are the designated slow path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Regexes mirror shared/utils/__init__.py:144-157 semantics.
+EMAIL_RE = r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$"
+UUID_RE = r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+
+
+def sha256_hex(col: Column) -> Column:
+    """C1: SHA-256 checksum (shared/utils/__init__.py:61-69; the reference chunks a
+    file handle — columnar equivalent is one call over the content bytes/string)."""
+    return F.sha2(col, 256)
+
+
+def is_valid_email(col: Column) -> Column:
+    """C6 (shared/utils/__init__.py:153-157)."""
+    return col.rlike(EMAIL_RE)
+
+
+def is_valid_uuid(col: Column) -> Column:
+    """C7 (shared/utils/__init__.py:144-150; used file-service/main.py:86-89)."""
+    return col.rlike(UUID_RE)
+
+
+def is_valid_coords(lat: Column, lon: Column) -> Column:
+    """C9/F9 (shared/utils/__init__.py:176-178)."""
+    return lat.between(-90.0, 90.0) & lon.between(-180.0, 180.0)
+
+
+def ceil_div(total: Column, size: int) -> Column:
+    """C8: page count = ceil(total/size) (shared/utils/__init__.py:163)."""
+    return F.ceil(total / float(size))
+
+
+def clamp(col: Column, lo: float = 0.0, hi: float = 1.0) -> Column:
+    """C19: progress/opacity clamp (CHECK 0..1, init.sql:66,136)."""
+    return F.least(F.greatest(col, F.lit(lo)), F.lit(hi))
+
+
+def unique_filename(original: Column) -> Column:
+    """C5: uuid + preserved extension (shared/utils/__init__.py:72-76).
+    Nondeterministic by design (uuid())."""
+    ext = F.regexp_extract(original, r"(\.[^.\\/]+)$", 1)
+    return F.concat(F.expr("uuid()"), ext)
+
+
+def expiry_ts(start: Column, minutes: int) -> Column:
+    """C12: token expiry = now + Δminutes (shared/utils/__init__.py:37-42)."""
+    return start + F.expr(f"INTERVAL {int(minutes)} MINUTES")
+
+
+def is_expired(expiry: Column, now: Column | None = None) -> Column:
+    """C3 expiry check: exp <= now."""
+    return expiry <= (now if now is not None else F.current_timestamp())
+
+
+def json_get(col: Column, path: str) -> Column:
+    """C15: ad-hoc JSONB path access (init.sql:49,63,...)."""
+    return F.get_json_object(col, f"$.{path}")
+
+
+def normalize_login(col: Column) -> Column:
+    """C18: username/email normalization for comparison (auth-service/main.py:118-120)."""
+    return F.lower(F.trim(col))
+
+
+def ip_valid(col: Column) -> Column:
+    """C20: INET-ish validation (init.sql:160) — IPv4 dotted-quad."""
+    octet = r"(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])"
+    return col.rlike(rf"^{octet}\.{octet}\.{octet}\.{octet}$")
+
+
+def approx_distinct(col: Column, rsd: float = 0.05) -> Column:
+    """Scale path for COUNT(DISTINCT) at 100 TB: HLL sketch, no exact shuffle."""
+    return F.approx_count_distinct(col, rsd)
+
+
+# --- UDF-backed slow path (C2/C3): isolated, excluded from oracles (SURVEY §7 ③) -------
+
+
+def bcrypt_hash_udf():
+    """C2: bcrypt hash (shared/utils/__init__.py:14-24). Requires the `bcrypt` wheel
+    (not in this container) — raises at *call* time, keeping imports clean."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    try:
+        import bcrypt  # type: ignore
+    except ImportError as exc:  # pragma: no cover - container has no bcrypt
+        raise NotImplementedError("bcrypt not available in this environment") from exc
+
+    @pandas_udf("string")
+    def _hash(pw: "pd.Series") -> "pd.Series":
+        return pw.map(lambda p: bcrypt.hashpw(p.encode(), bcrypt.gensalt()).decode())
+
+    return _hash.asNondeterministic()
+
+
+def jwt_encode_udf(secret: str, algorithm: str = "HS256"):
+    """C3: JWT mint (shared/utils/__init__.py:28-44). Requires PyJWT."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    try:
+        import jwt  # type: ignore
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError("PyJWT not available in this environment") from exc
+
+    @pandas_udf("string")
+    def _encode(payload_json: "pd.Series") -> "pd.Series":
+        import json
+
+        return payload_json.map(
+            lambda p: jwt.encode(json.loads(p), secret, algorithm=algorithm)
+        )
+
+    return _encode

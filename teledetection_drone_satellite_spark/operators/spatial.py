@@ -1,0 +1,113 @@
+"""Spatial operators (SURVEY §2.2 F12, §2.3 J7, §2.4 A3).
+
+The reference stores PostGIS geometries with GIST (R-tree) indexes
+(init.sql:30,50,103; indexes :172,:178). Spark has no native geometry, so the
+engine's convention (SURVEY §4) is:
+
+  - points  -> two double columns (lon, lat) or a {lon,lat} struct;
+  - polygons -> GeoJSON/WKT string + a bbox struct {minx,miny,maxx,maxy}.
+
+The bbox columns make the coarse predicate *pushdownable* (plain double
+comparisons reach parquet min/max stats), replacing the R-tree's filter step; the
+exact point-in-polygon refine runs only on bbox survivors — same two-phase plan a
+PostGIS GIST query executes. Partitioning convention: ``grid_cell`` gives a
+space-filling coarse key so spatially-close rows co-locate (the analog of the
+reference's per-project file directories, file-service/main.py:112-114).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def bbox_contains_point(minx: Column, miny: Column, maxx: Column, maxy: Column,
+                        lon: Column, lat: Column) -> Column:
+    """F12 coarse predicate — conjunctive doubles, fully pushdownable."""
+    return (lon >= minx) & (lon <= maxx) & (lat >= miny) & (lat <= maxy)
+
+
+def bbox_aggregate(df: DataFrame, lon: str, lat: str, *group_cols: str) -> DataFrame:
+    """A3: bounding box of a point set (shared/utils/__init__.py:181-194), optionally
+    per group (per-project footprint). Single partial+final agg, no shuffle of raw
+    points beyond the group keys."""
+    agg = [
+        F.min(lon).alias("minx"),
+        F.min(lat).alias("miny"),
+        F.max(lon).alias("maxx"),
+        F.max(lat).alias("maxy"),
+    ]
+    return df.groupBy(*group_cols).agg(*agg) if group_cols else df.agg(*agg)
+
+
+def grid_cell(lon: Column, lat: Column, cell_deg: float = 1.0) -> Column:
+    """Spatial partitioning key: lon/lat quantized to a grid cell id. Replaces the
+    GIST index's clustering role for distributed layout; coarse enough that a
+    polygon's bbox expands to a small cell set (see cells_for_bbox)."""
+    nx = int(360 / cell_deg)
+    ix = F.floor((lon + F.lit(180.0)) / F.lit(cell_deg))
+    iy = F.floor((lat + F.lit(90.0)) / F.lit(cell_deg))
+    return (iy * nx + ix).cast("long")
+
+
+def bbox_join(points: DataFrame, boxes: DataFrame, lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """J7 coarse phase: points-in-bbox join. boxes is the small side (projects are a
+    dimension; broadcast). For a large box side, pre-explode boxes to grid cells and
+    equi-join on grid_cell first (turns the theta-join into an equi-join + refine)."""
+    cond = bbox_contains_point(
+        boxes["minx"], boxes["miny"], boxes["maxx"], boxes["maxy"],
+        points[lon], points[lat],
+    )
+    return points.join(F.broadcast(boxes), cond)
+
+
+def _pip_batch(lon: pd.Series, lat: pd.Series, poly_wkt: pd.Series) -> pd.Series:
+    """Ray-casting point-in-polygon over WKT 'POLYGON((x y, ...))'. Even-odd rule,
+    exterior ring only (the reference's footprints are simple polygons,
+    shared/models/__init__.py:95)."""
+
+    def parse(wkt: str) -> list[tuple[float, float]]:
+        inner = wkt.strip()[len("POLYGON((") : -len("))")]
+        pts = []
+        for pair in inner.split(","):
+            x, y = pair.strip().split()
+            pts.append((float(x), float(y)))
+        return pts
+
+    cache: dict[str, list[tuple[float, float]]] = {}
+    out = []
+    for x, y, wkt in zip(lon, lat, poly_wkt):
+        if wkt is None or x is None or y is None:
+            out.append(None)
+            continue
+        ring = cache.get(wkt)
+        if ring is None:
+            ring = cache[wkt] = parse(wkt)
+        inside = False
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            if (y1 > y) != (y2 > y):
+                xint = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+                if x < xint:
+                    inside = not inside
+        out.append(inside)
+    return pd.Series(out, dtype="object")
+
+
+def point_in_polygon(lon: Column, lat: Column, poly_wkt: Column) -> Column:
+    """J7 exact refine as an Arrow-batched pandas UDF; runs only on bbox survivors.
+    Built lazily — pandas_udf registration needs an active SparkContext."""
+    return pandas_udf(_pip_batch, "boolean")(lon, lat, poly_wkt)
+
+
+def spatial_join_exact(points: DataFrame, polys: DataFrame,
+                       lon: str = "lon", lat: str = "lat",
+                       wkt: str = "poly_wkt") -> DataFrame:
+    """J7 full two-phase plan: broadcast bbox join then exact refine — the GIST
+    index-scan + recheck pattern, distributed."""
+    coarse = bbox_join(points, polys, lon, lat)
+    return coarse.filter(point_in_polygon(F.col(lon), F.col(lat), F.col(wkt)))

@@ -1,0 +1,207 @@
+"""Scalar-function queries (SURVEY.md §2.7) — the reference's shared/utils helpers
+re-expressed as JVM-side column expressions, each oracle-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import functions as fn
+from ..catalog import load
+from .registry import register
+
+
+@register(
+    "checksum_sha256",
+    oracle="""
+    SELECT doc_id, sha256(text) AS checksum
+    FROM documents
+    WHERE n_chars > 400
+    """,
+    doc="C1: content checksum (shared/utils/__init__.py:61-69, used "
+    "file-service/main.py:125). sha2 is JVM-side, whole-stage-codegen'd.",
+    tags=("scalar",),
+)
+def checksum_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    return d.filter(F.col("n_chars") > 400).select(
+        "doc_id", fn.sha256_hex(F.col("text")).alias("checksum")
+    )
+
+
+@register(
+    "validation_flags",
+    oracle="""
+    SELECT c_custkey,
+           email,
+           regexp_matches(email, '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$') AS email_ok,
+           regexp_matches(uuid_str, '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$') AS uuid_ok,
+           regexp_matches(ip, '^(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])$') AS ip_ok
+    FROM (
+        SELECT c_custkey,
+               lower(replace(c_name, '#', '')) || '@example.com' AS email,
+               '00000000-0000-4000-8000-' || lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS uuid_str,
+               CAST(c_custkey % 300 AS VARCHAR) || '.0.0.1' AS ip
+        FROM customer
+    )
+    WHERE c_custkey <= 200
+    """,
+    doc="C6/C7/C20: regex validators (email shared/utils/__init__.py:153-157, UUID "
+    ":144-150, INET init.sql:160) over synthesized identifier columns.",
+    tags=("scalar",),
+)
+def validation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, ("customer",))["customer"]
+    base = c.filter(F.col("c_custkey") <= 200).select(
+        "c_custkey",
+        F.concat(F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit(""))), F.lit("@example.com")).alias("email"),
+        F.concat(
+            F.lit("00000000-0000-4000-8000-"),
+            F.lpad(F.col("c_custkey").cast("string"), 12, "0"),
+        ).alias("uuid_str"),
+        F.concat((F.col("c_custkey") % 300).cast("string"), F.lit(".0.0.1")).alias("ip"),
+    )
+    return base.select(
+        "c_custkey",
+        "email",
+        fn.is_valid_email(F.col("email")).alias("email_ok"),
+        fn.is_valid_uuid(F.col("uuid_str")).alias("uuid_ok"),
+        fn.ip_valid(F.col("ip")).alias("ip_ok"),
+    )
+
+
+@register(
+    "json_access",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="C15: JSONB path access (init.sql:49,63,...; events.props per FIXTURES §B). "
+    "get_json_object stays JVM-side — no Python in the hot path.",
+    tags=("scalar",),
+)
+def json_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, ("events",))["events"]
+    return (
+        e.select(
+            (fn.json_get(F.col("props"), "k").cast("bigint") % 10).alias("k_bucket"),
+            "value",
+        )
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@register(
+    "time_trunc_rollup",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate) AS order_month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS month_revenue
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="C11/O4: time ordering + calendar rollup (created_at indexes init.sql:171-204).",
+    tags=("scalar",),
+)
+def time_trunc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    return (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("order_month"))
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("month_revenue"))
+    )
+
+
+@register(
+    "interval_expiry",
+    oracle="""
+    SELECT event_type, count(*) AS n_expired
+    FROM events
+    WHERE ts + INTERVAL 30 MINUTE <= TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY event_type
+    """,
+    doc="C12/T5: TTL expiry arithmetic (token expiry shared/utils/__init__.py:37-42, "
+    "SETEX TTL auth-service/main.py:155-159) against a fixed evaluation instant.",
+    tags=("scalar",),
+)
+def interval_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, ("events",))["events"]
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return (
+        e.filter(fn.is_expired(fn.expiry_ts(F.col("ts"), 30), cutoff))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_expired"))
+    )
+
+
+@register(
+    "array_ops",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN list_contains(string_split(text, ' '), 'spark') THEN 1 ELSE 0 END) AS BIGINT) AS n_with_spark,
+           round(avg(len(string_split(text, ' '))), 4) AS avg_words
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="C16: array ops on tokenized text (tags TEXT[] init.sql:31; split/size/"
+    "array_contains are the Spark homes of the reference's list handling).",
+    tags=("scalar",),
+)
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    words = F.split(F.col("text"), " ")
+    return (
+        d.select(
+            "lang",
+            F.array_contains(words, "spark").cast("int").alias("has_spark"),
+            F.size(words).alias("n_words"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("has_spark").alias("n_with_spark"),
+            F.round(F.avg("n_words"), 4).alias("avg_words"),
+        )
+    )
+
+
+@register(
+    "clamp_progress",
+    oracle="""
+    SELECT event_type,
+           round(avg(least(greatest(value / 200.0, 0.0), 1.0)), 6) AS avg_progress
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="C19: progress/opacity clamp to [0,1] (CHECK constraints init.sql:66,136; "
+    "models:177,211,264).",
+    tags=("scalar",),
+)
+def clamp_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, ("events",))["events"]
+    return (
+        e.groupBy("event_type")
+        .agg(F.round(F.avg(fn.clamp(F.col("value") / 200.0)), 6).alias("avg_progress"))
+    )
+
+
+@register(
+    "normalized_lookup",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE lower(trim(c_name)) = lower(trim('Customer#000000007 '))
+    """,
+    doc="C18: normalized string compare for login-by-username-or-email "
+    "(auth-service/main.py:118-120).",
+    tags=("scalar",),
+)
+def normalized_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, ("customer",))["customer"]
+    return c.filter(
+        fn.normalize_login(F.col("c_name")) == fn.normalize_login(F.lit("Customer#000000007 "))
+    ).select("c_custkey", "c_name")

@@ -1,0 +1,134 @@
+"""Spatial queries (SURVEY §2 F12/J7/A3) on key-derived coordinates.
+
+The fixtures carry no geometry (FIXTURES.md §B), so lon/lat are derived
+deterministically from integer keys with arithmetic both engines evaluate
+identically (integer modulo on positive keys — no float divergence)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.spatial import (
+    bbox_aggregate,
+    bbox_join,
+    grid_cell,
+    point_in_polygon,
+)
+from .registry import register
+
+
+def _customer_points(c: DataFrame) -> DataFrame:
+    """Synthetic GPS points: lon in [-180,180), lat in [-90,90) from c_custkey."""
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        ((F.col("c_custkey") * 7) % 360 - 180).cast("double").alias("lon"),
+        ((F.col("c_custkey") * 13) % 180 - 90).cast("double").alias("lat"),
+    )
+
+
+_POINTS_SQL = """
+        SELECT c_custkey, c_nationkey,
+               CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) AS lon,
+               CAST((c_custkey * 13) % 180 - 90 AS DOUBLE) AS lat
+        FROM customer
+"""
+
+
+@register(
+    "bbox_aggregate_per_group",
+    oracle=f"""
+    SELECT c_nationkey,
+           min(lon) AS minx, min(lat) AS miny,
+           max(lon) AS maxx, max(lat) AS maxy
+    FROM ({_POINTS_SQL})
+    GROUP BY c_nationkey
+    """,
+    doc="A3/F12: per-group bounding box (shared/utils/__init__.py:181-194 — bbox of a "
+    "project's photo GPS points). Pure min/max agg: map-side partials, no point shuffle.",
+    tags=("spatial",),
+)
+def bbox_aggregate_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, ("customer",))["customer"]
+    return bbox_aggregate(_customer_points(c), "lon", "lat", "c_nationkey")
+
+
+@register(
+    "bbox_contains_join",
+    oracle=f"""
+    SELECT b.n_nationkey, count(*) AS n_points
+    FROM ({_POINTS_SQL}) p
+    JOIN (
+        SELECT n_nationkey,
+               CAST((n_nationkey * 29) % 280 - 160 AS DOUBLE) AS minx,
+               CAST((n_nationkey * 17) % 120 - 70 AS DOUBLE) AS miny,
+               CAST((n_nationkey * 29) % 280 - 160 + 60 AS DOUBLE) AS maxx,
+               CAST((n_nationkey * 17) % 120 - 70 + 40 AS DOUBLE) AS maxy
+        FROM nation
+    ) b
+    ON p.lon >= b.minx AND p.lon <= b.maxx AND p.lat >= b.miny AND p.lat <= b.maxy
+    GROUP BY b.n_nationkey
+    """,
+    doc="J7 coarse phase: point-in-bbox broadcast join (GIST index scan analog, "
+    "init.sql:172,178). The box side is a broadcast dim; no shuffle of the point set.",
+    tags=("spatial", "join"),
+)
+def bbox_contains_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, ("customer", "nation"))
+    points = _customer_points(t["customer"])
+    boxes = t["nation"].select(
+        "n_nationkey",
+        ((F.col("n_nationkey") * 29) % 280 - 160).cast("double").alias("minx"),
+        ((F.col("n_nationkey") * 17) % 120 - 70).cast("double").alias("miny"),
+        ((F.col("n_nationkey") * 29) % 280 - 160 + 60).cast("double").alias("maxx"),
+        ((F.col("n_nationkey") * 17) % 120 - 70 + 40).cast("double").alias("maxy"),
+    )
+    return bbox_join(points, boxes).groupBy("n_nationkey").agg(F.count("*").alias("n_points"))
+
+
+@register(
+    "grid_cell_rollup",
+    oracle=f"""
+    SELECT CAST(floor((lat + 90) / 30.0) * 12 + floor((lon + 180) / 30.0) AS BIGINT) AS cell,
+           count(*) AS n_points
+    FROM ({_POINTS_SQL})
+    GROUP BY 1
+    """,
+    doc="Spatial partitioning convention (SURVEY §4): quantized grid-cell key — the "
+    "distributed analog of GIST clustering; used as a partition/bucket column at scale.",
+    tags=("spatial",),
+)
+def grid_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, ("customer",))["customer"]
+    pts = _customer_points(c)
+    return (
+        pts.select(grid_cell(F.col("lon"), F.col("lat"), 30.0).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+@register(
+    "spatial_exact_refine",
+    oracle=None,  # pandas-UDF ray cast — not SQL-expressible; rows-only check
+    doc="J7 exact phase: bbox prefilter + exact point-in-polygon UDF refine (the GIST "
+    "recheck). Rows-only; exactness covered by tests/test_spatial.py.",
+    tags=("spatial", "udf"),
+)
+def spatial_exact_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, ("customer",))["customer"]
+    points = _customer_points(c)
+    # A diamond inscribed in the [-60,60]x[-40,40] bbox: bbox pass ≠ exact pass,
+    # so the refine genuinely filters.
+    polys = spark.createDataFrame(
+        [
+            ("diamond", -60.0, -40.0, 60.0, 40.0,
+             "POLYGON((-60 0, 0 40, 60 0, 0 -40, -60 0))"),
+        ],
+        ["poly_id", "minx", "miny", "maxx", "maxy", "poly_wkt"],
+    )
+    coarse = bbox_join(points, polys)
+    exact = coarse.filter(point_in_polygon(F.col("lon"), F.col("lat"), F.col("poly_wkt")))
+    return exact.groupBy("poly_id").agg(F.count("*").alias("n_inside"))
