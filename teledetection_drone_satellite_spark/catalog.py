@@ -36,10 +36,10 @@ def load(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = FIXTURE_TAB
         df = spark.read.parquet(path)
         for f in df.schema.fields:
             if f.name == "ts" and f.dataType.simpleString() == "bigint":
-                # nanos -> micros truncation, matching DuckDB's ns->us cast
-                df = df.withColumn(
-                    "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-                )
+                # nanos -> micros truncation, matching DuckDB's ns->us cast.
+                # Integer `div`, NOT float division: ns epoch values exceed 2^53,
+                # so a double round-trip silently perturbs the last microsecond.
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         expected = FIXTURE_SCHEMAS[name]
         got = {f.name for f in df.schema.fields}
         want = {f.name for f in expected.fields}

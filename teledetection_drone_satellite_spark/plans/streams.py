@@ -1,0 +1,46 @@
+"""Streaming queries registered for the driver (rows-only: stateful/streaming
+semantics aren't ANSI-SQL-expressible in DuckDB; batch-equivalence is asserted in
+tests/test_streaming.py against the oracle-checked batch twins instead)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.lifecycle import stream_lifecycle_state
+from ..streaming.windows import (
+    stream_session_window,
+    stream_tumbling_hourly,
+)
+from .registry import register
+
+
+@register(
+    "stream_tumbling_hourly",
+    oracle=None,
+    doc="T4 streaming: watermarked tumbling-window metrics, availableNow + memory "
+    "sink. Batch twin (oracle-checked): tumbling_hourly.",
+    tags=("streaming",),
+)
+def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_tumbling_hourly(spark, sf_dir)
+
+
+@register(
+    "stream_session_window",
+    oracle=None,
+    doc="T5 streaming: native session_window (30-min gap). Batch twin: session_count.",
+    tags=("streaming",),
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_session_window(spark, sf_dir)
+
+
+@register(
+    "stream_lifecycle_state",
+    oracle=None,
+    doc="T2 streaming: applyInPandasWithState task-lifecycle state machine. Batch "
+    "twin: lifecycle_summary.",
+    tags=("streaming",),
+)
+def q_stream_lifecycle_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_lifecycle_state(spark, sf_dir)

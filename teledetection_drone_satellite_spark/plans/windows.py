@@ -1,0 +1,184 @@
+"""Event-time window queries (SURVEY §2.8-§2.9) — batch plans over `events`.
+
+The reference has no event-time processing at all (SURVEY §2.9 note): its streams are
+a Celery task queue, an append-only audit table and running request metrics
+(api-gateway/middleware.py:68-95). These queries are the idiomatic Spark superset on
+the driver's `events` fixture; the true Structured Streaming versions live in
+``streaming/`` and are checked for batch-equivalence in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from .registry import register
+
+
+@register(
+    "tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="T4: tumbling-window metrics (running request metrics middleware.py:68-95, "
+    "audit analytics init.sql:153-163). Streaming twin: streaming/windows.py.",
+    tags=("window", "events"),
+)
+def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, ("events",))["events"]
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+@register(
+    "sliding_2h_1h",
+    oracle="""
+    SELECT window_start, count(*) AS n
+    FROM (
+        SELECT date_trunc('hour', ts) - h * INTERVAL 1 HOUR AS window_start
+        FROM events
+        CROSS JOIN (SELECT unnest([0, 1]) AS h)
+    )
+    GROUP BY 1
+    """,
+    doc="§2.9 superset: sliding window (2h length, 1h slide) — each event lands in "
+    "exactly two windows; the oracle materializes that membership explicitly.",
+    tags=("window", "events"),
+)
+def sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, ("events",))["events"]
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+@register(
+    "session_count",
+    oracle="""
+    SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS is_new
+            FROM events
+        )
+    )
+    GROUP BY user_id
+    """,
+    doc="T5 analog: sessionization with a 30-min inactivity gap, batch formulation "
+    "(lag + running sum). Streaming twin uses session_window() — streaming/windows.py. "
+    "One shuffle on user_id; both window specs reuse the same partitioning.",
+    tags=("window", "events"),
+)
+def session_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, ("events",))["events"]
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(by_user).cast("long")
+    is_new = F.when(gap <= 30 * 60, 0).otherwise(1)
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        e.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(running))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "running_metrics",
+    oracle="""
+    SELECT event_id, event_type,
+           count(*) OVER w AS running_count,
+           round(sum(value_cents) OVER w / 100.0 / count(*) OVER w, 6) AS running_avg
+    FROM (
+        SELECT event_id, event_type, ts,
+               CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+        FROM events
+    )
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="A4/T4: running count + running mean per request class "
+    "(api-gateway/middleware.py:68-95), as an analytic window. The mean accumulates "
+    "exact integer cents (value has 2 decimals) — float running sums differ in the "
+    "last ulp across engines and flip the rounded digit.",
+    tags=("window", "events"),
+)
+def running_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, ("events",))["events"]
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        e.withColumn("value_cents", cents)
+        .select(
+            "event_id",
+            "event_type",
+            F.count("*").over(w).alias("running_count"),
+            F.round(
+                F.sum("value_cents").over(w) / 100.0 / F.count("*").over(w), 6
+            ).alias("running_avg"),
+        )
+    )
+
+
+@register(
+    "lifecycle_summary",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ),
+    agg AS (
+        SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts, count(*) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT a.user_id, a.first_ts, a.last_ts, a.n_events, r.event_type AS last_event_type
+    FROM agg a JOIN ranked r ON a.user_id = r.user_id AND r.rn = 1
+    """,
+    doc="T2: task-lifecycle summary (pending->...->completed state machine, "
+    "init.sql:7,64-70) projected onto events: per-entity first/last/current state. "
+    "Stateful streaming twin: streaming/lifecycle.py.",
+    tags=("window", "events"),
+)
+def lifecycle_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    last_events = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("last_event_type"))
+    )
+    agg = e.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("n_events"),
+    )
+    return agg.join(last_events, "user_id").select(
+        "user_id", "first_ts", "last_ts", "n_events", "last_event_type"
+    )

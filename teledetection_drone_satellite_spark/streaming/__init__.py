@@ -1,0 +1,10 @@
+"""Structured Streaming layer (SURVEY §2.9).
+
+The reference's streaming surface is a Celery task queue over Redis (T1/T2), an
+append-only audit table (T3), running request metrics (T4) and TTL'd session state
+(T5). Here those become Structured Streaming jobs over the `events` fixture:
+file-source streams with watermarks, windowed aggregations, session windows, and an
+applyInPandasWithState task-lifecycle state machine. ``trigger(availableNow=True)``
+gives batch parity so results are comparable against the batch plans in
+plans/windows.py (asserted in tests/test_streaming.py).
+"""

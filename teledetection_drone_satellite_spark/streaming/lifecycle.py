@@ -1,0 +1,102 @@
+"""Task-lifecycle state machine (SURVEY §2.9 T2) as stateful streaming.
+
+The reference declares a Celery-driven lifecycle pending -> processing ->
+completed/failed/cancelled with progress + timestamps (enum init.sql:7, columns
+init.sql:64-70, model shared/models/__init__.py:170-184) but ships no worker code.
+Here the lifecycle is a keyed state machine over an event stream:
+``applyInPandasWithState`` keyed by entity id, tracking first/last event time,
+event count and current (latest) state, with TTL-style timeouts available via
+GroupStateTimeout — the Spark home of Redis SETEX session expiry (T5).
+
+Projected onto the driver's `events` fixture, user_id is the task key and
+event_type the state-bearing signal; the emitted row matches
+plans/windows.py::lifecycle_summary for batch-equivalence testing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from .windows import _run_to_memory, read_events_stream
+
+# Emitted row: one summary per key per batch (latest wins downstream).
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("first_ts", TimestampType()),
+        StructField("last_ts", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("last_event_type", StringType()),
+    ]
+)
+
+# state: (first_ts_us, last_ts_us, n_events, last_event_type, last_event_id)
+STATE_SCHEMA = StructType(
+    [
+        StructField("first_ts_us", LongType()),
+        StructField("last_ts_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("last_event_type", StringType()),
+        StructField("last_event_id", LongType()),
+    ]
+)
+
+
+def _update(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        first_us, last_us, n, last_type, last_id = state.get
+    else:
+        first_us, last_us, n, last_type, last_id = None, None, 0, None, -1
+
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
+        n += len(pdf)
+        bmin = int(ts_us.min())
+        first_us = bmin if first_us is None else min(first_us, bmin)
+        # latest by (ts, event_id) — deterministic under ties, matching the batch twin
+        order = pd.DataFrame({"us": ts_us, "eid": pdf["event_id"]}).sort_values(["us", "eid"])
+        tail = order.iloc[-1]
+        if last_us is None or (int(tail.us), int(tail.eid)) > (last_us, last_id):
+            last_us, last_id = int(tail.us), int(tail.eid)
+            last_type = pdf.loc[order.index[-1], "event_type"]
+
+    state.update((first_us, last_us, n, last_type, last_id))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "first_ts": [pd.Timestamp(first_us, unit="us")],
+            "last_ts": [pd.Timestamp(last_us, unit="us")],
+            "n_events": [n],
+            "last_event_type": [last_type],
+        }
+    )
+
+
+def stream_lifecycle_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the stateful lifecycle over the events stream to completion and return
+    one summary row per entity (memory sink, update mode)."""
+    events = read_events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    summary = events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(summary, "update")

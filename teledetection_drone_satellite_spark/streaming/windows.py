@@ -1,0 +1,120 @@
+"""Streaming windowed aggregations over the events stream (T3/T4/T5).
+
+Each runner starts a file-source stream, processes all available data
+(availableNow), materializes to an in-memory sink and returns the result as a
+DataFrame — the batch-parity harness the driver's rows-only check can execute.
+In production the same plans run unbounded with a real sink; nothing here assumes
+finite input except the ``availableNow`` trigger itself.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+# File-source schema: ts read as long (TIMESTAMP(NANOS) parquet, see catalog.py).
+_EVENTS_RAW = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4-source analog: the events table as an append-only file stream."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def _run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
+    """Execute a streaming plan to completion (availableNow) into a memory sink."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark_ = result.sparkSession
+    return spark_.table(name)
+
+
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 streaming twin of plans/windows.py::tumbling_hourly — watermarked
+    tumbling-window counts. Complete mode so the memory sink holds every window."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: native session windows (30-min inactivity gap) — the streaming-state twin
+    of the batch lag/cumsum sessionization (plans/windows.py::session_count)."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def stream_late_data_policy(spark: SparkSession, sf_dir: str, watermark: str = "15 minutes") -> DataFrame:
+    """Late-data policy demonstration: append mode + watermark — only windows the
+    watermark has passed are emitted (closed); the tail windows stay open. The
+    difference vs complete mode IS the late-data contract."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    return _run_to_memory(agg, "append")
+
+
+def audit_append_sink(result: DataFrame, dest_dir: str, checkpoint_dir: str):
+    """S4/T3: append-only audit sink — exactly-once parquet append via checkpointing.
+    Returns the started query (caller awaits/stops). The production shape of the
+    reference's audit_logs insert-only table (init.sql:153-163)."""
+    return (
+        result.writeStream.format("parquet")
+        .option("path", dest_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
