@@ -1,0 +1,190 @@
+"""Deduplication operators (BASELINE.json north star; SURVEY §2.11).
+
+Five dedup families over a `documents`-shaped table, each with an explicit scale
+story for the 100 TB case:
+
+  exact        sha2 key -> one shuffle on the hash, min-id winner. Content never
+               shuffles (hash first, group on the 64-hex key).
+  normalized   same, after lower/whitespace-collapse normalization.
+  n-gram       exact Jaccard via shingle inverted index (explode -> self-join on
+               shingle -> count). The self-join is bounded by a shingle
+               document-frequency cap: a shingle appearing in >max_df docs is
+               dropped from candidate generation (standard inverted-index
+               pruning; such shingles are boilerplate and generate quadratic
+               pairs while carrying no discriminative signal).
+  MinHash+LSH  MLlib MinHashLSH over a binary shingle vector: candidates from
+               band-bucket collisions, exact Jaccard re-check by
+               approxSimilarityJoin. Sub-quadratic; the production path.
+  SimHash      64-bit sign-of-weighted-word-hash signature; Hamming-ball pairs
+               via 4x16-bit band join (pigeonhole: hamming<=3 pairs share >=1 of
+               4 bands). Signature is one number per doc -> band join is 4 cheap
+               equi-joins.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .text import shingles
+
+
+def exact_dedup_key(text: Column) -> Column:
+    """Exact dedup key (C1 reuse): sha2-256 of the raw content."""
+    return F.sha2(text, 256)
+
+
+def normalize_text(text: Column) -> Column:
+    """lower + collapse all whitespace runs to single spaces + trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                normalized: bool = False) -> DataFrame:
+    """Keep the min-id representative per content hash. Returns (id, key, group size)."""
+    content = normalize_text(F.col(text_col)) if normalized else F.col(text_col)
+    return (
+        df.select(F.col(id_col), exact_dedup_key(content).alias("content_key"))
+        .groupBy("content_key")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingle_index(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3) -> DataFrame:
+    """Inverted index rows: (doc_id, shingle), distinct per doc."""
+    words = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(words, n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
+                        max_df: int = 1000) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (d1 < d2, jaccard >= threshold)."""
+    idx = shingle_index(df, n=n)
+    sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # df-cap: prune boilerplate shingles BEFORE the quadratic candidate join
+    rare = idx.join(
+        idx.groupBy("shingle").agg(F.count("*").alias("df_"))
+        .filter(F.col("df_") <= max_df)
+        .select("shingle"),
+        "shingle",
+    )
+    a = rare.select(F.col("doc_id").alias("d1"), "shingle")
+    b = rare.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, threshold: float, n: int = 3,
+                      num_hash_tables: int = 8, vocab_size: int = 1 << 18) -> DataFrame:
+    """MinHash+LSH near-dup pairs: shingle -> binary vector -> banded MinHash.
+
+    approxSimilarityJoin re-checks exact Jaccard distance on candidates, so
+    precision is exact; only recall is probabilistic (grows with hash tables).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = df.select("doc_id", F.split(F.col("text"), " ").alias("words"))
+    docs = docs.withColumn("sh", shingles(F.col("words"), n)).filter(F.size("sh") > 0)
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=vocab_size, binary=True)
+    feats = tf.transform(docs).select("doc_id", "features")
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="jdist")
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("d1"),
+            F.col("datasetB.doc_id").alias("d2"),
+            F.round(1.0 - F.col("jdist"), 6).alias("jaccard"),
+        )
+        .filter(F.col("d1") < F.col("d2"))
+    )
+
+
+def _simhash64_batch(words: pd.Series) -> pd.Series:
+    """64-bit SimHash over a word array: sign of per-bit sum of +-1 word hashes.
+    Deterministic (blake2b-seeded word hashes), Arrow-batched, numpy-vectorized."""
+    import hashlib
+
+    import numpy as np
+
+    cache: dict[str, int] = {}
+
+    def h64(w: str) -> int:
+        v = cache.get(w)
+        if v is None:
+            v = cache[w] = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+        return v
+
+    out = []
+    bits = np.arange(64, dtype=np.uint64)
+    for ws in words:
+        if ws is None or len(ws) == 0:
+            out.append(0)
+            continue
+        hs = np.fromiter((h64(w) for w in ws), dtype=np.uint64, count=len(ws))
+        onebits = ((hs[:, None] >> bits) & 1).astype(np.int64)  # (n_words, 64)
+        acc = (2 * onebits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for b in range(64):
+            if acc[b] > 0:
+                sig |= np.uint64(1) << np.uint64(b)
+        out.append(int(sig.astype(np.int64)))  # two's complement into BIGINT
+    return pd.Series(out)
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+    # pandas_udf built lazily: registration needs an active SparkContext
+    simhash64 = pandas_udf(_simhash64_batch, "long")
+    words = F.split(F.col(text_col), " ")
+    return df.select("doc_id", simhash64(words).alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming via 4x16-bit band join.
+
+    Pigeonhole: <=3 differing bits cannot touch all 4 bands, so every true pair
+    collides on at least one band. Exact popcount re-check after the band join.
+    """
+    sig = simhash_signatures(df).cache()
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"b{i}")
+            for i in range(4)
+        ],
+    )
+    candidates = None
+    for i in range(4):
+        a = bands.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("s1"), F.col(f"b{i}").alias("band"))
+        b = bands.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("s2"), F.col(f"b{i}").alias("band"))
+        cand = a.join(b, "band").filter(F.col("d1") < F.col("d2")).select("d1", "d2", "s1", "s2")
+        candidates = cand if candidates is None else candidates.unionByName(cand)
+    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (
+        candidates.dropDuplicates(["d1", "d2"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )

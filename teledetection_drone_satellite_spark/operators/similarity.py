@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (BASELINE.json north star; SURVEY §2.11).
+
+Three tiers over an `embeddings`-shaped table (vec_id, embedding array<float>):
+
+  brute-force   exact cosine top-k for a query set. The query side is tiny by
+                construction (a top-k request), so it BROADCASTS and the base
+                table streams through one projection — no shuffle of the base
+                vectors, no crossJoin materialization. Arrow-batched numpy
+                matmul in mapInPandas: ~2 GFLOP/s/core beats per-row JVM folds
+                by orders of magnitude at 64+ dims.
+  exact fold    same semantics via zip_with/aggregate (pure JVM) — used by the
+                oracle-checked plans where bit-exact cross-engine math matters.
+  IVF / LSH     the 100 TB path: partition the base table by a coarse quantizer
+                (KMeans centroids) or random-hyperplane LSH buckets; probe only
+                the closest partitions. Recall measured against brute force in
+                tests (rows-only for the driver).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Exact cosine as a sequential JVM fold — deterministic op order (matches a
+    scalar SQL engine's loop), bit-reproducible across runs."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def brute_force_topk(base: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """Exact top-k neighbors per query vector (numpy path).
+
+    queries: (query_id long, embedding array<float>) — small; collected to a
+    broadcast numpy matrix. Base vectors never leave their partitions; the only
+    shuffle is the final per-query top-k (k rows per partition per query).
+    """
+    q_rows = queries.select("query_id", "embedding").collect()
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    sc = base.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_norm))
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("vec_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qn = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ qn.T  # (n_base, n_queries)
+            # per-partition pre-prune to k per query before the shuffle
+            for j, qid in enumerate(ids):
+                col = sims[:, j]
+                top = np.argsort(-col, kind="stable")[:k]
+                yield pd.DataFrame(
+                    {"query_id": qid, "vec_id": pdf["vec_id"].values[top], "cosine": col[top]}
+                )
+
+    partial = base.select("vec_id", "embedding").mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    # cosine stays raw here — callers must rank on the unrounded value and round
+    # only in their final projection (rounding first would reorder near-ties)
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def cosine_near_dup_pairs(df: DataFrame, threshold: float) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= threshold, v1 < v2), exact.
+
+    Blocked all-pairs: the full matrix broadcasts (n x d floats — fine to ~1M
+    rows x 64d = 256 MB; beyond that, switch to lsh_bucketed_pairs) and each
+    partition multiplies its block against it. O(n^2 d) FLOPs but fully
+    distributed and vectorized, zero shuffle of vectors.
+    """
+    rows = df.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sc = df.sparkSession.sparkContext
+    ball = sc.broadcast((ids, mat))
+
+    out_schema = StructType(
+        [
+            StructField("v1", LongType()),
+            StructField("v2", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = ball.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            my_ids = pdf["vec_id"].values.astype(np.int64)
+            my_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            my_mat = my_mat / np.linalg.norm(my_mat, axis=1, keepdims=True)
+            sims = my_mat @ all_mat.T
+            ii, jj = np.nonzero((sims >= threshold) & (my_ids[:, None] < all_ids[None, :]))
+            if len(ii):
+                yield pd.DataFrame(
+                    {"v1": my_ids[ii], "v2": all_ids[jj], "cosine": sims[ii, jj]}
+                )
+
+    return (
+        df.select("vec_id", "embedding")
+        .mapInPandas(block, out_schema)
+        .select("v1", "v2", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def ivf_topk(base: DataFrame, queries: DataFrame, k: int = 10, n_centroids: int = 16,
+             n_probe: int = 4, seed: int = 42) -> DataFrame:
+    """IVF-style ANN: KMeans coarse quantizer, probe the n_probe closest cells.
+
+    The scale path: base vectors are written partitioned by centroid id; a query
+    touches n_probe/n_centroids of the data. Recall vs brute force is measured in
+    tests (sub-1.0 by design — approximate)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = base.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select("vec_id", "embedding", "cell")
+
+    centroids = np.array(model.clusterCenters())
+    q_rows = queries.select("query_id", "embedding").collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.array(r["embedding"], dtype=np.float64)
+        d = np.linalg.norm(centroids - qv, axis=1)
+        for cell in np.argsort(d, kind="stable")[:n_probe]:
+            probe_rows.append((r["query_id"], int(cell), list(map(float, qv))))
+    spark = base.sparkSession
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int, q_embedding array<double>")
+
+    joined = assigned.join(F.broadcast(probes), "cell")
+    sim = cosine_expr(
+        F.col("embedding").cast("array<double>"), F.col("q_embedding")
+    ).alias("cosine")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        joined.select("query_id", "vec_id", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
+    )

@@ -1,0 +1,115 @@
+"""Text-analysis operators (BASELINE.json north star; SURVEY §2.11).
+
+Large-scale training-data pipeline text ops over a `documents`-shaped table
+(doc_id, text, ...). Everything here is built from JVM-side string/array/regex
+functions — no Python in the hot path — so the plans whole-stage-codegen and
+scale linearly with input splits (no shuffle except final aggregations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny high-frequency marker lists per language (n-gram heuristic langid).
+# Markers are matched as whole words; the heuristic is the classic
+# stopword-profile approach (McNamee 2005-style), deterministic and cheap.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "und", "die", "nicht", "das"],
+    "en": ["the", "and", "is", "of", "to"],
+    "es": ["el", "los", "que", "y", "en"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol —
+# the shape GPT-2-style byte-pair pre-tokenization produces before merges.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS_EN = ["the", "a", "and", "is", "of", "to", "in", "that", "it", "on"]
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE))
+
+
+def marker_hits(text: Column, words: list[str]) -> Column:
+    """Whole-word occurrence count of any marker word."""
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(text, F.lit(pat))
+
+
+def predict_lang(text: Column) -> Column:
+    """Arg-max over per-language marker hit counts, ties broken by language code
+    (lexicographic — iteration order below is sorted). Pure expression: a CASE
+    chain Catalyst folds into one projection."""
+    langs = sorted(LANG_MARKERS)
+    hits = {lang: marker_hits(text, LANG_MARKERS[lang]) for lang in langs}
+    best = None
+    for lang in langs:
+        if best is None:
+            best = F.lit(lang)
+            best_hits = hits[lang]
+        else:
+            cond = hits[lang] > best_hits
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_hits = F.when(cond, hits[lang]).otherwise(best_hits)
+    return best
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: length, word stats, punctuation + stopword ratios,
+    and a composite [0,1] score (heuristics in the Gopher/C4 filtering family)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = whitespace_token_count(t)
+    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    n_stop = marker_hits(t, STOPWORDS_EN)
+    punct_ratio = F.round(n_punct / n_chars.cast("double"), 6)
+    stop_ratio = F.round(n_stop / n_words.cast("double"), 6)
+    avg_word_len = F.round(n_chars / n_words.cast("double"), 6)
+    # score: in-range word length (3..12), some stopwords, low punctuation
+    score = (
+        F.when((avg_word_len >= 3) & (avg_word_len <= 12), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio > 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio < 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    # lengths cast to long: DuckDB len() yields BIGINT and the driver compares schemas
+    return df.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars_m"),
+        n_words.cast("long").alias("n_words"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        avg_word_len.alias("avg_word_len"),
+        F.round(score, 1).alias("quality_score"),
+    )
+
+
+def shingles(words: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct), via higher-order functions — stays JVM-side.
+    Short docs (< n words) yield an empty array (sequence would otherwise count down)."""
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(empty)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Document fingerprint: lexicographic-min MD5 over word n-gram shingles — a
+    1-permutation MinHash; equal fingerprints => high shingle overlap candidates.
+    (Rolling-hash winnowing reduces to this under a single global window.)"""
+    words = F.split(F.col(text_col), " ")
+    sh = F.explode(shingles(words, n)).alias("shingle")
+    return (
+        df.select("doc_id", sh)
+        .groupBy("doc_id")
+        .agg(F.min(F.md5(F.col("shingle"))).alias("fingerprint"))
+    )

@@ -1,0 +1,297 @@
+"""North-star extension queries (SURVEY §2.11; BASELINE.json): dedup, similarity
+search, and text analysis over the `documents` / `embeddings` fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..operators import dedup, similarity, text
+from .registry import register
+
+# --- Deduplication ---------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS content_key, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup: sha2 content key, min-id winner. One shuffle on the 64-hex key; "
+    "content itself never shuffles.",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    return dedup.exact_dedup(d)
+
+
+@register(
+    "dedup_normalized",
+    oracle="""
+    SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_key,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup after lower/whitespace-collapse normalization — catches "
+    "trivially-reformatted copies exact hashing misses.",
+    tags=("dedup",),
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    return dedup.exact_dedup(d, normalized=True)
+
+
+_SHINGLE_SQL = """
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             LATERAL unnest(range(1, len(w) - 1)) t(i)
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    rare AS (
+        SELECT doc_id, shingle FROM sh
+        WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000)
+    ),
+    inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2, round(i * 1.0 / (s1.n_sh + s2.n_sh - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE i * 1.0 / (s1.n_sh + s2.n_sh - i) >= 0.6
+    """,
+    doc="Exact word-trigram Jaccard near-dup pairs (threshold 0.6) via shingle "
+    "inverted index with document-frequency cap 1000 (prunes boilerplate shingles "
+    "before the quadratic candidate join — the standard scale bound).",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    return dedup.ngram_jaccard_pairs(d, threshold=0.6, n=3, max_df=1000)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # LSH recall is probabilistic; precision is exact (re-checked)
+    doc="MinHash+LSH near-dup pairs (threshold 0.6): shingle->binary vector->banded "
+    "MinHash candidates, exact Jaccard re-check. Sub-quadratic scale path; recall "
+    "vs exact pairs asserted in tests/test_dedup.py.",
+    tags=("dedup", "approx"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    return dedup.minhash_lsh_pairs(d, threshold=0.6)
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # signature is hash-function-defined, not SQL-expressible
+    doc="SimHash near-dup pairs (hamming<=3 of 64 bits) via 4x16-bit band join — "
+    "pigeonhole-complete candidate generation, exact popcount re-check.",
+    tags=("dedup", "approx"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    return dedup.simhash_pairs(d, max_hamming=3)
+
+
+@register(
+    "embedding_near_dup",
+    oracle="""
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    """,
+    doc="Embedding-cosine near-dup pairs (cosine>=0.4), exact blocked matmul: full "
+    "matrix broadcasts, each partition multiplies its block — no vector shuffle.",
+    tags=("dedup", "similarity"),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.cosine_near_dup_pairs(e, threshold=0.4)
+
+
+# --- Similarity search -----------------------------------------------------------------
+
+
+@register(
+    "similarity_topk",
+    oracle="""
+    SELECT query_id, vec_id, round(cosine, 4) AS cosine, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+               list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                            b.vec_id ASC
+               ) AS rank
+        FROM embeddings q
+        JOIN embeddings b ON b.vec_id != q.vec_id
+        WHERE q.vec_id < 5
+    )
+    WHERE rank <= 10
+    """,
+    doc="Brute-force exact cosine top-10 for 5 query vectors: query side broadcasts, "
+    "base streams through one Arrow-batched matmul, per-partition top-k pre-prune "
+    "before the final k-row shuffle.",
+    tags=("similarity",),
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # k=11 then drop self-matches per query (a query row may still be another
+    # query's neighbor), re-rank to a clean 1..10
+    out = similarity.brute_force_topk(e, queries, k=11)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        out.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
+    )
+
+
+@register(
+    "similarity_ivf",
+    oracle=None,  # approximate by design; recall vs brute force asserted in tests
+    doc="IVF ANN: KMeans coarse quantizer (16 cells), probe 4 closest cells per "
+    "query — the 100 TB path where a query touches ~25% (tunable) of partitions.",
+    tags=("similarity", "approx"),
+)
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(e, queries, k=10)
+
+
+# --- Text analysis ---------------------------------------------------------------------
+
+
+@register(
+    "text_token_counts",
+    oracle="""
+    SELECT source,
+           CAST(sum(len(regexp_extract_all(trim(text), '\\S+'))) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_tokens,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Token counting per source: whitespace tokens + BPE-ish pre-tokenizer regex "
+    "(letter runs | digit runs | single symbols). Pure regexp_count — codegen'd.",
+    tags=("text",),
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    return d.groupBy("source").agg(
+        F.sum(text.whitespace_token_count(F.col("text")).cast("long")).alias("ws_tokens"),
+        F.sum(text.bpe_token_count(F.col("text")).cast("long")).alias("bpe_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           len(text) AS n_chars_m,
+           len(regexp_extract_all(trim(text), '\\S+')) AS n_words,
+           round(len(regexp_extract_all(text, '[^a-zA-Z0-9_ \\t\\n\\r]')) / CAST(len(text) AS DOUBLE), 6) AS punct_ratio,
+           round(len(regexp_extract_all(text, '\\b(the|a|and|is|of|to|in|that|it|on)\\b'))
+                 / CAST(len(regexp_extract_all(trim(text), '\\S+')) AS DOUBLE), 6) AS stop_ratio,
+           round(len(text) / CAST(len(regexp_extract_all(trim(text), '\\S+')) AS DOUBLE), 6) AS avg_word_len,
+           round(
+             (CASE WHEN len(text) / CAST(len(regexp_extract_all(trim(text), '\\S+')) AS DOUBLE)
+                        BETWEEN 3 AND 12 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN len(regexp_extract_all(text, '\\b(the|a|and|is|of|to|in|that|it|on)\\b'))
+                          / CAST(len(regexp_extract_all(trim(text), '\\S+')) AS DOUBLE) > 0.05
+                     THEN 0.3 ELSE 0.0 END)
+             + (CASE WHEN len(regexp_extract_all(text, '[^a-zA-Z0-9_ \\t\\n\\r]'))
+                          / CAST(len(text) AS DOUBLE) < 0.1
+                     THEN 0.3 ELSE 0.0 END), 1) AS quality_score
+    FROM documents
+    WHERE doc_id < 200
+    """,
+    doc="Quality scoring (Gopher/C4-style heuristics): word-length band, stopword "
+    "presence, punctuation ratio -> composite [0,1] score.",
+    tags=("text",),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    return text.quality_features(d.filter(F.col("doc_id") < 200))
+
+
+@register(
+    "text_language_id",
+    oracle="""
+    SELECT lang, predicted, count(*) AS n
+    FROM (
+        SELECT lang,
+               CASE
+                 WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+                 WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+                 WHEN es >= fr AND es >= zh THEN 'es'
+                 WHEN fr >= zh THEN 'fr'
+                 ELSE 'zh'
+               END AS predicted
+        FROM (
+            SELECT lang,
+                   len(regexp_extract_all(text, '\\b(der|und|die|nicht|das)\\b')) AS de,
+                   len(regexp_extract_all(text, '\\b(the|and|is|of|to)\\b')) AS en,
+                   len(regexp_extract_all(text, '\\b(el|los|que|y|en)\\b')) AS es,
+                   len(regexp_extract_all(text, '\\b(le|la|et|les|des)\\b')) AS fr,
+                   len(regexp_extract_all(text, '\\b(的|是|了|在|我)\\b')) AS zh
+            FROM documents
+        )
+    )
+    GROUP BY lang, predicted
+    """,
+    doc="Language-ID heuristic: per-language stopword-marker hit counts, arg-max "
+    "with lexicographic tie-break (confusion matrix vs the labeled lang column).",
+    tags=("text",),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    return (
+        d.select("lang", text.predict_lang(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL})
+    SELECT doc_id, min(md5(shingle)) AS fingerprint
+    FROM sh
+    GROUP BY doc_id
+    """,
+    doc="Document fingerprinting: lexicographic-min MD5 over word-trigram shingles "
+    "(1-permutation MinHash); equal fingerprints => near-dup candidates.",
+    tags=("text", "dedup"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    return text.fingerprint(d)

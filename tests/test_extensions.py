@@ -1,0 +1,186 @@
+"""Tests for the north-star extension operators (SURVEY §2.11):
+dedup families, similarity search, text analysis.
+
+Approximate operators (MinHash-LSH, SimHash bands, IVF) are checked for recall
+against their exact counterparts computed in-Spark on the sf0.001 fixture —
+the self-check strategy SURVEY §5 mandates for non-SQL-expressible ops.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from teledetection_drone_satellite_spark.catalog import load
+from teledetection_drone_satellite_spark.operators import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def documents(spark, sf_dir):
+    return load(spark, sf_dir, ("documents",))["documents"].cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return load(spark, sf_dir, ("embeddings",))["embeddings"].cache()
+
+
+# --- exact dedup -----------------------------------------------------------------------
+
+
+def test_exact_dedup_literal(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "  Hello   World "), (4, "bye")],
+        "doc_id long, text string",
+    )
+    out = {r["keep_id"]: r["n_copies"] for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1, 4: 1}
+    norm = {r["keep_id"]: r["n_copies"] for r in dedup.exact_dedup(df, normalized=True).collect()}
+    assert norm == {1: 3, 4: 1}
+
+
+# --- n-gram jaccard / minhash recall ---------------------------------------------------
+
+
+def _pair_set(df):
+    return {(r["d1"], r["d2"]) for r in df.collect()}
+
+
+def test_minhash_lsh_recall(documents):
+    exact = _pair_set(dedup.ngram_jaccard_pairs(documents, threshold=0.6))
+    approx = _pair_set(dedup.minhash_lsh_pairs(documents, threshold=0.6))
+    assert exact, "fixture should contain near-dup pairs"
+    # precision is exact by construction (approxSimilarityJoin re-checks distance)
+    assert approx <= exact | approx  # sanity
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"MinHash-LSH recall {recall:.2f} < 0.8 vs exact trigram Jaccard"
+
+
+def test_simhash_band_join_complete(spark):
+    """Pigeonhole completeness: band join must find every pair with hamming<=3.
+    Construct signatures differing in exactly 3 bits inside ONE band and verify
+    brute-force hamming pairs == band-join pairs."""
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "a completely different document about satellite imagery processing"),
+        (4, "the quick brown fox jumps over the lazy dog again and again today"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(df).collect()}
+    expected = {
+        (a, b)
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = _pair_set(dedup.simhash_pairs(df, max_hamming=3))
+    assert got == expected
+    assert (1, 4) in got  # identical text -> identical signature
+
+
+def test_simhash_deterministic(documents):
+    s1 = dedup.simhash_signatures(documents.limit(20)).collect()
+    s2 = dedup.simhash_signatures(documents.limit(20)).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+
+
+# --- similarity ------------------------------------------------------------------------
+
+
+def _topk_sets(df):
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return out
+
+
+def test_brute_force_topk_matches_jvm_fold(spark, embeddings):
+    """numpy mapInPandas path must agree with the exact JVM fold on neighbor sets."""
+    queries = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    fast = similarity.brute_force_topk(embeddings, queries, k=5)
+    q = queries.select("query_id", F.col("embedding").alias("q_emb"))
+    slow = (
+        embeddings.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "vec_id",
+            similarity.cosine_expr(
+                F.col("embedding").cast("array<double>"), F.col("q_emb").cast("array<double>")
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    slow = slow.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+    assert _topk_sets(fast) == _topk_sets(slow)
+
+
+def test_ivf_recall(embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = _topk_sets(similarity.brute_force_topk(embeddings, queries, k=10))
+    approx = _topk_sets(similarity.ivf_topk(embeddings, queries, k=10))
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.5, f"IVF mean recall {mean_recall:.2f} < 0.5 (probe 4/16 cells)"
+
+
+def test_cosine_near_dup_symmetric_threshold(embeddings):
+    pairs = similarity.cosine_near_dup_pairs(embeddings, threshold=0.4).collect()
+    assert all(r["v1"] < r["v2"] for r in pairs)
+    assert all(r["cosine"] >= 0.4 for r in pairs)
+
+
+# --- text ------------------------------------------------------------------------------
+
+
+def test_predict_lang_literal(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is of no use to anyone"),
+            (2, "der Hund und die Katze sind nicht das Problem"),
+            (3, "el perro y los gatos que viven en la casa"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dict(
+        df.select("doc_id", text.predict_lang(F.col("text")).alias("p")).collect()
+    )
+    assert out == {1: "en", 2: "de", 3: "es"}
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "one two"), (2, "one two three four")], "doc_id long, text string")
+    out = dict(
+        df.select(
+            "doc_id", text.shingles(F.split(F.col("text"), " "), 3).alias("sh")
+        ).collect()
+    )
+    assert out[1] == []
+    assert out[2] == ["one two three", "two three four"]
+
+
+def test_token_counts_literal(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 42 cats.")], "doc_id long, text string")
+    row = df.select(
+        text.whitespace_token_count(F.col("text")).alias("ws"),
+        text.bpe_token_count(F.col("text")).alias("bpe"),
+    ).first()
+    assert row["ws"] == 4
+    # Hello , world ! 42 cats .  -> 7 BPE-ish tokens
+    assert row["bpe"] == 7
+
+
+def test_fingerprint_equal_for_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "totally different words here now ok")],
+        "doc_id long, text string",
+    )
+    out = dict(text.fingerprint(df).collect())
+    assert out[1] == out[2]
+    assert out[1] != out[3]
