@@ -55,3 +55,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def fan_out(df: DataFrame, min_fill: float = 0.5) -> DataFrame:
+    """Repartition a narrow input up to cluster parallelism for CPU-heavy operators.
+
+    Small parquet files scan as one partition (size < maxPartitionBytes), which
+    would serialize per-row-expensive work (hashing, shingling, matmul UDFs) on a
+    single core regardless of cluster size. At production scale inputs arrive
+    pre-split and this is a no-op (the partition count already exceeds the
+    threshold) — the round-robin shuffle only pays for itself when upstream
+    parallelism is a small fraction of the cores available.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, int(target * min_fill)):
+        return df.repartition(target)
+    return df

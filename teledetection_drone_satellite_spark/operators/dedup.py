@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ..catalog import fan_out
 from .text import shingles
 
 
@@ -52,41 +53,54 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
-def shingle_index(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  n: int = 3) -> DataFrame:
-    """Inverted index rows: (doc_id, shingle), distinct per doc."""
-    words = F.split(F.col(text_col), " ")
-    return df.select(
-        F.col(id_col).alias("doc_id"), F.explode(shingles(words, n)).alias("shingle")
-    )
-
-
 def ngram_jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
                         max_df: int = 1000) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (d1 < d2, jaccard >= threshold)."""
-    idx = shingle_index(df, n=n)
-    sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    # df-cap: prune boilerplate shingles BEFORE the quadratic candidate join
-    rare = idx.join(
-        idx.groupBy("shingle").agg(F.count("*").alias("df_"))
-        .filter(F.col("df_") <= max_df)
-        .select("shingle"),
-        "shingle",
+    """Exact n-gram Jaccard near-dup pairs (d1 < d2, jaccard >= threshold).
+
+    Postings-list plan — one explode, two shuffles total:
+      1. explode shingles carrying (doc_id, shingle-count) -> groupBy shingle
+         collecting the postings list; lists longer than max_df are dropped
+         (inverted-index DF-cap: boilerplate shingles generate quadratic pairs
+         with no discriminative signal).
+      2. ordered pairs are generated JVM-side from each postings list via
+         higher-order functions (no self-join of the exploded index), then one
+         groupBy (d1,d2) counts the intersection. Sizes ride along inside the
+         postings structs, so no join back against a per-doc size table.
+    """
+    words = F.split(F.col("text"), " ")
+    docs = fan_out(df).select(
+        F.col("doc_id"), shingles(words, n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    postings = (
+        docs.select(
+            F.struct(F.col("doc_id").alias("id"), F.size("sh").alias("n")).alias("d"),
+            F.explode("sh").alias("shingle"),
+        )
+        .groupBy("shingle")
+        .agg(F.collect_list("d").alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_df))
     )
-    a = rare.select(F.col("doc_id").alias("d1"), "shingle")
-    b = rare.select(F.col("doc_id").alias("d2"), "shingle")
+    # all ordered pairs within a postings list; ordering by id value, not list
+    # position, so the result is invariant to collect_list's arrival order
+    pair_arrays = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda a: F.transform(
+                F.filter(F.col("ds"), lambda b: b["id"] > a["id"]),
+                lambda b: F.struct(
+                    a["id"].alias("d1"), b["id"].alias("d2"),
+                    a["n"].alias("n1"), b["n"].alias("n2"),
+                ),
+            ),
+        )
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
+        postings.select(F.explode(pair_arrays).alias("p"))
+        .groupBy("p.d1", "p.d2", "p.n1", "p.n2")
         .agg(F.count("*").alias("inter"))
     )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
     return (
-        inter.join(s1, "d1")
-        .join(s2, "d2")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6),
         )
@@ -104,7 +118,7 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float, n: int = 3,
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    docs = df.select("doc_id", F.split(F.col("text"), " ").alias("words"))
+    docs = fan_out(df).select("doc_id", F.split(F.col("text"), " ").alias("words"))
     docs = docs.withColumn("sh", shingles(F.col("words"), n)).filter(F.size("sh") > 0)
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=vocab_size, binary=True)
     feats = tf.transform(docs).select("doc_id", "features")
@@ -123,41 +137,55 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float, n: int = 3,
 
 def _simhash64_batch(words: pd.Series) -> pd.Series:
     """64-bit SimHash over a word array: sign of per-bit sum of +-1 word hashes.
-    Deterministic (blake2b-seeded word hashes), Arrow-batched, numpy-vectorized."""
+    Deterministic (blake2b-seeded word hashes), Arrow-batched, numpy-vectorized.
+
+    Whole-batch vectorization: factorize every word in the batch, hash each
+    UNIQUE word exactly once, then segment-sum the +-1 bit matrix per document
+    with add.reduceat — no per-document Python loop."""
     import hashlib
 
     import numpy as np
 
-    cache: dict[str, int] = {}
-
-    def h64(w: str) -> int:
-        v = cache.get(w)
-        if v is None:
-            v = cache[w] = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-        return v
-
-    out = []
-    bits = np.arange(64, dtype=np.uint64)
+    n_docs = len(words)
+    lengths = np.fromiter(
+        (0 if ws is None else len(ws) for ws in words), dtype=np.int64, count=n_docs
+    )
+    flat: list[str] = []
     for ws in words:
-        if ws is None or len(ws) == 0:
-            out.append(0)
-            continue
-        hs = np.fromiter((h64(w) for w in ws), dtype=np.uint64, count=len(ws))
-        onebits = ((hs[:, None] >> bits) & 1).astype(np.int64)  # (n_words, 64)
-        acc = (2 * onebits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for b in range(64):
-            if acc[b] > 0:
-                sig |= np.uint64(1) << np.uint64(b)
-        out.append(int(sig.astype(np.int64)))  # two's complement into BIGINT
-    return pd.Series(out)
+        if ws is not None:
+            flat.extend(ws)
+    if not flat:
+        return pd.Series(np.zeros(n_docs, dtype=np.int64))
+
+    codes, uniques = pd.factorize(pd.Series(flat, dtype=object))
+    uh = np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+            for w in uniques
+        ),
+        dtype=np.uint64,
+        count=len(uniques),
+    )
+    bits = np.arange(64, dtype=np.uint64)
+    signs = (((uh[:, None] >> bits) & 1).astype(np.int32) * 2 - 1)  # (n_unique, 64)
+    word_signs = signs[codes]  # (n_words_total, 64)
+
+    offsets = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    # reduceat needs strictly valid segment starts; empty docs share the next
+    # doc's start and are zeroed afterwards
+    starts = np.minimum(offsets, max(len(flat) - 1, 0))
+    acc = np.add.reduceat(word_signs, starts, axis=0)
+    sig = ((acc > 0).astype(np.uint64) << bits).sum(axis=1, dtype=np.uint64)
+    sig[lengths == 0] = 0
+    return pd.Series(sig.view(np.int64))  # two's complement into BIGINT
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     # pandas_udf built lazily: registration needs an active SparkContext
     simhash64 = pandas_udf(_simhash64_batch, "long")
     words = F.split(F.col(text_col), " ")
-    return df.select("doc_id", simhash64(words).alias("simhash"))
+    return fan_out(df).select("doc_id", simhash64(words).alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -166,25 +194,32 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
     Pigeonhole: <=3 differing bits cannot touch all 4 bands, so every true pair
     collides on at least one band. Exact popcount re-check after the band join.
     """
+    # signatures cached: both join sides (and every band) reuse one UDF pass
     sig = simhash_signatures(df).cache()
-    bands = sig.select(
-        "doc_id",
-        "simhash",
+    # one exploded (band_idx, band_val) key -> ONE self-equi-join instead of four
+    # unioned joins (4x fewer scans of the signature set; signatures are computed
+    # once because the explode happens after the UDF projection)
+    band_structs = F.array(
         *[
-            F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"b{i}")
+            F.struct(
+                F.lit(i).alias("bi"),
+                F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("bv"),
+            )
             for i in range(4)
-        ],
+        ]
     )
-    candidates = None
-    for i in range(4):
-        a = bands.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("s1"), F.col(f"b{i}").alias("band"))
-        b = bands.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("s2"), F.col(f"b{i}").alias("band"))
-        cand = a.join(b, "band").filter(F.col("d1") < F.col("d2")).select("d1", "d2", "s1", "s2")
-        candidates = cand if candidates is None else candidates.unionByName(cand)
+    bands = sig.select("doc_id", "simhash", F.explode(band_structs).alias("band"))
+    a = bands.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("s1"), "band")
+    b = bands.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("s2"), "band")
     hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
     return (
-        candidates.dropDuplicates(["d1", "d2"])
+        a.join(b, "band")
+        .filter(F.col("d1") < F.col("d2"))
+        # popcount BEFORE dedup: cheaper than shuffling every multi-band collision
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["d1", "d2"])
         .select("d1", "d2", "hamming")
     )

@@ -32,6 +32,8 @@ from pyspark.sql.types import (
 )
 from pyspark.sql.window import Window
 
+from ..catalog import fan_out
+
 
 def cosine_expr(a: Column, b: Column) -> Column:
     """Exact cosine as a sequential JVM fold — deterministic op order (matches a
@@ -80,7 +82,7 @@ def brute_force_topk(base: DataFrame, queries: DataFrame, k: int = 10) -> DataFr
                     {"query_id": qid, "vec_id": pdf["vec_id"].values[top], "cosine": col[top]}
                 )
 
-    partial = base.select("vec_id", "embedding").mapInPandas(score, out_schema)
+    partial = fan_out(base.select("vec_id", "embedding")).mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     # cosine stays raw here — callers must rank on the unrounded value and round
     # only in their final projection (rounding first would reorder near-ties)
@@ -130,7 +132,7 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float) -> DataFrame:
                 )
 
     return (
-        df.select("vec_id", "embedding")
+        fan_out(df.select("vec_id", "embedding"))
         .mapInPandas(block, out_schema)
         .select("v1", "v2", F.round("cosine", 4).alias("cosine"))
     )
@@ -147,7 +149,8 @@ def ivf_topk(base: DataFrame, queries: DataFrame, k: int = 10, n_centroids: int 
     from pyspark.ml.functions import array_to_vector
 
     vecs = base.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="features", predictionCol="cell")
+    # coarse quantizer only needs rough cells, not convergence — cap iterations
+    km = KMeans(k=n_centroids, seed=seed, maxIter=8, featuresCol="features", predictionCol="cell")
     model = km.fit(vecs)
     assigned = model.transform(vecs).select("vec_id", "embedding", "cell")
 

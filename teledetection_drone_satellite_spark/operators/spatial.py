@@ -63,39 +63,42 @@ def bbox_join(points: DataFrame, boxes: DataFrame, lon: str = "lon", lat: str = 
     return points.join(F.broadcast(boxes), cond)
 
 
+def _parse_wkt_ring(wkt: str) -> "np.ndarray":
+    """Exterior ring of 'POLYGON((x y, ...))' as an (n,2) float array."""
+    import numpy as np
+
+    inner = wkt.strip()[len("POLYGON((") : -len("))")]
+    return np.array(
+        [[float(v) for v in pair.strip().split()] for pair in inner.split(",")],
+        dtype=np.float64,
+    )
+
+
 def _pip_batch(lon: pd.Series, lat: pd.Series, poly_wkt: pd.Series) -> pd.Series:
     """Ray-casting point-in-polygon over WKT 'POLYGON((x y, ...))'. Even-odd rule,
     exterior ring only (the reference's footprints are simple polygons,
-    shared/models/__init__.py:95)."""
+    shared/models/__init__.py:95).
 
-    def parse(wkt: str) -> list[tuple[float, float]]:
-        inner = wkt.strip()[len("POLYGON((") : -len("))")]
-        pts = []
-        for pair in inner.split(","):
-            x, y = pair.strip().split()
-            pts.append((float(x), float(y)))
-        return pts
+    Vectorized: points are grouped by polygon (a batch after a bbox join holds
+    few distinct polygons), then one (n_points x n_edges) numpy crossing test per
+    polygon — no per-point Python loop."""
+    import numpy as np
 
-    cache: dict[str, list[tuple[float, float]]] = {}
-    out = []
-    for x, y, wkt in zip(lon, lat, poly_wkt):
-        if wkt is None or x is None or y is None:
-            out.append(None)
-            continue
-        ring = cache.get(wkt)
-        if ring is None:
-            ring = cache[wkt] = parse(wkt)
-        inside = False
-        n = len(ring)
-        for i in range(n):
-            x1, y1 = ring[i]
-            x2, y2 = ring[(i + 1) % n]
-            if (y1 > y) != (y2 > y):
-                xint = (x2 - x1) * (y - y1) / (y2 - y1) + x1
-                if x < xint:
-                    inside = not inside
-        out.append(inside)
-    return pd.Series(out, dtype="object")
+    out = pd.Series(np.zeros(len(lon), dtype=object), index=lon.index)
+    valid = poly_wkt.notna() & lon.notna() & lat.notna()
+    out[~valid] = None
+    for wkt, idx in poly_wkt[valid].groupby(poly_wkt[valid]).groups.items():
+        ring = _parse_wkt_ring(wkt)
+        x1, y1 = ring[:-1, 0], ring[:-1, 1]  # edge starts (WKT rings close themselves)
+        x2, y2 = ring[1:, 0], ring[1:, 1]
+        px = lon[idx].to_numpy(dtype=np.float64)[:, None]
+        py = lat[idx].to_numpy(dtype=np.float64)[:, None]
+        crosses = (y1 > py) != (y2 > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+        inside = ((crosses & (px < xint)).sum(axis=1) % 2).astype(bool)
+        out[idx] = inside
+    return out
 
 
 def point_in_polygon(lon: Column, lat: Column, poly_wkt: Column) -> Column:

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..catalog import fan_out
+
 # Tiny high-frequency marker lists per language (n-gram heuristic langid).
 # Markers are matched as whole words; the heuristic is the classic
 # stopword-profile approach (McNamee 2005-style), deterministic and cheap.
@@ -105,11 +107,13 @@ def shingles(words: Column, n: int = 3) -> Column:
 def fingerprint(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Document fingerprint: lexicographic-min MD5 over word n-gram shingles — a
     1-permutation MinHash; equal fingerprints => high shingle overlap candidates.
-    (Rolling-hash winnowing reduces to this under a single global window.)"""
+    (Rolling-hash winnowing reduces to this under a single global window.)
+
+    The min folds over the shingle array in-row (array_min over transform) —
+    zero shuffle, one narrow stage; never explode+groupBy what a higher-order
+    function can fold where the row already lives."""
     words = F.split(F.col(text_col), " ")
-    sh = F.explode(shingles(words, n)).alias("shingle")
-    return (
-        df.select("doc_id", sh)
-        .groupBy("doc_id")
-        .agg(F.min(F.md5(F.col("shingle"))).alias("fingerprint"))
-    )
+    hashes = F.transform(shingles(words, n), lambda s: F.md5(s))
+    return fan_out(df).select(
+        "doc_id", F.array_min(hashes).alias("fingerprint")
+    ).filter(F.col("fingerprint").isNotNull())

@@ -11,6 +11,15 @@ from __future__ import annotations
 
 import os
 
+# Pin BLAS/OpenMP pools to one thread BEFORE numpy loads anywhere (driver or
+# Python UDF workers). Spark already parallelizes across worker processes, so
+# nested math-library threading only adds oversubscription — and on this VM the
+# OpenMP pool spin-up makes the FIRST large numpy op in each process take tens
+# of seconds (measured: np.take 17s cold vs 0.05s single-threaded).
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+           "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 from pyspark.sql import SparkSession
 
 # Defaults match the driver harness (TESTDATA.md): local[$SPARK_GRAFT_CPUS].
