@@ -1,0 +1,150 @@
+"""Ingestion + multimodal queries (SURVEY §2.1 S2/S7, §2.7 C13/C14, lifecycle E3).
+
+The fixture tables carry no real binary assets, so the ingest pipeline runs over
+``documents`` with ``text`` encoded to UTF-8 bytes — the pipeline itself (MIME
+sniff, checksum, validation flags, dedupe-by-checksum, metadata decode, frame
+fan-out) is exactly what a binaryFile landing scan feeds at production scale
+(sources/binary.py, sources/multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import fan_out, load
+from ..sources import binary, multimodal
+from .registry import register
+
+
+def _docs_as_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> binaryFile-shaped rows (path, content) for the ingest chain."""
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    return d.select(
+        "doc_id",
+        F.concat(F.lit("landing/doc_"), F.col("doc_id"), F.lit(".txt")).alias("path"),
+        F.to_binary(F.col("text"), F.lit("utf-8")).alias("content"),
+    )
+
+
+@register(
+    "binary_ingest",
+    oracle="""
+    SELECT doc_id,
+           'doc_' || doc_id || '.txt' AS filename,
+           'txt' AS ext,
+           octet_length(encode(text)) AS size,
+           'text/plain' AS mime,
+           sha256(text) AS checksum,
+           true AS is_valid
+    FROM documents
+    """,
+    doc="S2/E3 ingest pipeline: binaryFile-shaped scan -> ext/size validation -> "
+    "magic-byte MIME sniff -> sha256 checksum -> validity flags. One narrow "
+    "codegen stage, no shuffle; the corpus is NUL-free ASCII so the sniff "
+    "resolves text/plain and every row passes the reference's upload checks "
+    "(file-service/main.py:75-169).",
+    tags=("ingest",),
+)
+def binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = _docs_as_files(spark, sf_dir)
+    out = binary.ingest(files)
+    # stored_name is uuid()-nondeterministic by design (C5) — excluded from the
+    # graded projection; reject_reason is all-NULL here and DuckDB can't hash a
+    # typed NULL column identically, so assert validity via is_valid instead.
+    return out.select("doc_id", "filename", "ext", "size", "mime", "checksum", "is_valid")
+
+
+@register(
+    "ingest_dedupe",
+    oracle="""
+    SELECT sha256(text) AS checksum,
+           min('doc_' || doc_id || '.txt') AS filename,
+           count(*) AS n_copies,
+           min(octet_length(encode(text))) AS size
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Idempotent-append support: one row per content checksum (min filename "
+    "wins). Shuffles only the 64-hex key + tiny metadata, never content.",
+    tags=("ingest", "dedup"),
+)
+def ingest_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = _docs_as_files(spark, sf_dir)
+    out = binary.ingest(files)
+    return out.groupBy("checksum").agg(
+        F.min("filename").alias("filename"),
+        F.count("*").alias("n_copies"),
+        # min == first within a checksum group (identical content ⇒ identical size),
+        # but min keeps the plan deterministic under partial aggregation.
+        F.min("size").alias("size"),
+    )
+
+
+@register(
+    "multimodal_image_meta",
+    oracle=None,  # stub decoder (sha256-derived dims) is not SQL-expressible
+    doc="C14/S7 decode stage: binary -> typed image metadata (width/height/"
+    "channels/format) via Arrow-batched mapInPandas; decoder is a deterministic "
+    "stub (no codec libs in container), plumbing is the production shape. "
+    "Aggregated per format so the check is size-stable.",
+    tags=("ingest", "multimodal"),
+)
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = fan_out(_docs_as_files(spark, sf_dir))
+    meta = multimodal.decode_image_meta(files).drop("content", "path")
+    return (
+        meta.groupBy("format", "channels")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.min("width").alias("min_width"),
+            F.max("width").alias("max_width"),
+            F.round(F.avg("height"), 2).alias("avg_height"),
+        )
+        .orderBy("format", "channels")
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=None,  # frame fan-out count comes from the stub decoder
+    doc="S7 frame-sample stage: each 'video' row fans out to one row per sampled "
+    "frame (mapInPandas UDTF shape, every_n=8). Returns per-video frame counts — "
+    "validates the fan-out cardinality without hashing stub bytes.",
+    tags=("ingest", "multimodal"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = fan_out(_docs_as_files(spark, sf_dir))
+    frames = multimodal.sample_frames(files, every_n=8)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("n_frames").alias("n_frames"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "multimodal_features_topk",
+    oracle=None,  # stub feature extractor
+    doc="S7 feature-extract -> similarity handoff: binary -> fixed-width float "
+    "vector (mapInPandas) -> exact cosine top-5 neighbors for one probe row via "
+    "the similarity operator stack. Demonstrates the multimodal -> ANN pipeline.",
+    tags=("ingest", "multimodal", "similarity"),
+)
+def multimodal_features_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+
+    files = fan_out(_docs_as_files(spark, sf_dir))
+    feats = multimodal.extract_features(files).select(
+        F.col("doc_id").alias("vec_id"), F.col("features").alias("embedding")
+    )
+    queries = feats.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(feats, queries, k=6)
+    return out.filter(F.col("vec_id") != F.col("query_id")).select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine")
+    )

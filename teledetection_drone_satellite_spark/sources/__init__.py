@@ -1,0 +1,11 @@
+"""Sources & ingestion (SURVEY.md §2.1).
+
+- ``binary``: binaryFile-shaped ingest pipeline — the columnar restatement of the
+  reference's upload endpoint (S2/E3: services/file-service/main.py:75-169).
+- ``multimodal``: image/audio/video as opaque binary columns with typed metadata
+  structs; decode/resize/frame-sample as Arrow-batched ``mapInPandas`` stages
+  (decode stubbed deterministically — the real codec libs are not in this
+  container; the Spark-side plumbing is real).
+"""
+
+from . import binary, multimodal  # noqa: F401

@@ -1,0 +1,161 @@
+"""Binary ingest pipeline (SURVEY §2.1 S2, §2.7 C13, lifecycle §3 E3).
+
+Columnar restatement of the reference's upload endpoint
+(/root/reference/services/file-service/main.py:75-169): validate -> sniff MIME ->
+checksum -> unique stored name -> metadata row. The per-request transaction becomes
+an idempotent batch append over a ``binaryFile`` scan of a landing directory;
+failed rows are not dropped but flagged (`is_valid`, `reject_reason`) so a
+downstream writer can route them to a quarantine sink — at 100 TB you never
+re-scan the landing zone to find out *why* something was skipped.
+
+Everything here is JVM-side (substring/hex/when chains over the binary column) —
+no Python in the hot path; the scan parallelizes by file with
+``spark.sql.files.maxPartitionBytes`` governing split packing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Magic-byte table (offset, hex-prefix, mime). Mirrors what python-magic would
+# return for the reference's whitelist (file-service/main.py:100-107;
+# shared/config/__init__.py:36-39) plus the multimodal formats the north star needs.
+MAGIC_MIME: list[tuple[int, str, str]] = [
+    (0, "89504E470D0A1A0A", "image/png"),
+    (0, "FFD8FF", "image/jpeg"),
+    (0, "474946383761", "image/gif"),
+    (0, "474946383961", "image/gif"),
+    (0, "49492A00", "image/tiff"),
+    (0, "4D4D002A", "image/tiff"),
+    (0, "25504446", "application/pdf"),
+    (0, "504B0304", "application/zip"),
+    (0, "1F8B", "application/gzip"),
+    (0, "494433", "audio/mpeg"),
+    (0, "FFFB", "audio/mpeg"),
+    (0, "4F676753", "audio/ogg"),
+    (0, "664C6143", "audio/flac"),
+    (0, "1A45DFA3", "video/webm"),
+    (4, "66747970", "video/mp4"),  # ....ftyp
+    (0, "52494646", "audio/x-riff"),  # WAV/AVI container; refined below
+]
+
+# Reference upload constraints (shared/config/__init__.py:35-39).
+DEFAULT_MAX_SIZE = 1 << 30  # 1 GiB
+DEFAULT_ALLOWED_EXT = (
+    "jpg", "jpeg", "png", "gif", "tif", "tiff", "pdf", "zip", "txt", "csv", "json",
+    "mp3", "ogg", "flac", "wav", "mp4", "webm", "avi", "las", "laz",
+)
+
+
+def read_landing(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """S2 scan: binaryFile source over a landing directory.
+
+    Yields (path, modificationTime, length, content). At scale, set
+    ``pathGlobFilter`` instead of a post-filter so the listing itself prunes.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def sniff_mime(content: Column) -> Column:
+    """C13: MIME from magic bytes — a when-chain over hex prefixes of the first
+    bytes. JVM-side equivalent of python-magic for the formats the platform
+    stores; unknown binary falls back to text/plain when the head has no NUL
+    byte (printable heuristic), else application/octet-stream."""
+    head = F.hex(F.substring(content, 1, 16))  # hex of first 16 bytes, even-pair aligned
+    expr: Column | None = None
+    for offset, magic, mime in MAGIC_MIME:
+        cond = F.substring(head, 2 * offset + 1, len(magic)) == F.lit(magic)
+        if mime == "audio/x-riff":
+            # RIFF container: bytes 8-11 say WAVE vs AVI
+            riff_kind = F.substring(head, 17, 8)
+            refined = (
+                F.when(riff_kind == "57415645", F.lit("audio/wav"))  # WAVE
+                .when(riff_kind == "41564920", F.lit("video/avi"))  # "AVI "
+                .otherwise(F.lit("application/octet-stream"))
+            )
+            expr = expr.when(cond, refined) if expr is not None else F.when(cond, refined)
+        else:
+            expr = expr.when(cond, F.lit(mime)) if expr is not None else F.when(cond, F.lit(mime))
+    # NUL-free head => treat as text. Anchor on even pair boundaries so a byte
+    # sequence like 0x30 0x0F (hex "300F") can't false-match "00".
+    looks_text = ~head.rlike("^(..)*00")
+    assert expr is not None
+    return expr.otherwise(
+        F.when(looks_text, F.lit("text/plain")).otherwise(F.lit("application/octet-stream"))
+    )
+
+
+def file_ext(name: Column) -> Column:
+    """Lower-cased extension without the dot ('' when none)."""
+    return F.lower(F.regexp_extract(name, r"\.([^.\\/]+)$", 1))
+
+
+def ingest(
+    files: DataFrame,
+    *,
+    content_col: str = "content",
+    name_col: str = "path",
+    max_size: int = DEFAULT_MAX_SIZE,
+    allowed_ext: tuple[str, ...] = DEFAULT_ALLOWED_EXT,
+) -> DataFrame:
+    """E3 pipeline: validations -> MIME sniff -> SHA-256 -> uuid stored name.
+
+    Input: any DataFrame with a binary ``content_col`` and a string ``name_col``
+    (the binaryFile source shape). Output adds:
+      filename, ext, size, mime, checksum, stored_name, is_valid, reject_reason.
+
+    Rejects are flagged, not dropped (compensating-delete analog of
+    file-service/main.py:158-168 becomes a quarantine routing predicate).
+    One narrow stage — no shuffle; checksum and sniff are per-row expressions.
+    """
+    content = F.col(content_col)
+    filename = F.element_at(F.split(F.col(name_col), "/"), -1)
+    ext = file_ext(filename)
+    size = F.length(content).cast("long")
+    reject = (
+        F.when(size > max_size, F.lit("too_large"))  # F7 size cap (config:35)
+        .when(~ext.isin(list(allowed_ext)), F.lit("bad_extension"))  # F6 whitelist
+        .when(size == 0, F.lit("empty"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        files.withColumn("filename", filename)
+        .withColumn("ext", ext)
+        .withColumn("size", size)
+        .withColumn("mime", sniff_mime(content))
+        .withColumn("checksum", F.sha2(content, 256))  # C1 (utils:61-69)
+        # C5 uuid + preserved suffix (utils:72-76); nondeterministic by design
+        .withColumn("stored_name", F.concat(F.expr("uuid()"), F.lit("."), F.col("ext")))
+        .withColumn("reject_reason", reject)
+        .withColumn("is_valid", reject.isNull())
+    )
+
+
+def dedupe_by_checksum(ingested: DataFrame) -> DataFrame:
+    """Idempotent-append support: keep one row per content checksum (min path wins,
+    deterministic). The shuffle key is the 64-hex checksum — content never moves."""
+    return (
+        ingested.groupBy("checksum")
+        .agg(
+            F.min("filename").alias("filename"),
+            F.count("*").alias("n_copies"),
+            F.first("size").alias("size"),
+            F.first("mime").alias("mime"),
+        )
+    )
+
+
+def write_partitioned(ingested: DataFrame, path: str, partition_col: str = "mime") -> None:
+    """Sink: parquet partitioned by a low-cardinality routing column. The content
+    column stays out of the metadata table at scale (reference stores bytes on a
+    volume, init.sql keeps only storage_path — same discipline)."""
+    (
+        ingested.drop("content")
+        .write.mode("append")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

@@ -1,0 +1,217 @@
+"""Multimodal columns (north star; SURVEY §2.1 S7, §2.7 C14).
+
+Image/audio/video are opaque ``binary`` columns plus typed metadata structs —
+the reference keeps bytes on a volume and metadata in the DB (init.sql:38-53);
+we keep bytes in a binary column (or a path) and metadata in sibling columns.
+
+Decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages: one narrow stage per op, batch size governed by
+``spark.sql.execution.arrow.maxRecordsPerBatch``, no shuffle. The actual codec
+work is STUBBED — Pillow/librosa/ffmpeg are not in this container — with a
+clearly-marked deterministic fake keyed on the content's SHA-256, so the
+Spark-side plumbing (schemas, UDF signatures, batch shapes, fan-out of
+frame-sampling) is real and testable. Swapping in a real decoder changes only
+the ``_fake_*`` functions below.
+
+Scale notes: at 100 TB the binary column dominates partition sizing — keep
+``spark.sql.files.maxPartitionBytes`` at/below executor-memory/cores, never
+collect content to the driver, and drop the content column before any shuffle
+(decode early, shuffle metadata only).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:  # pandas only needed executor-side
+    import pandas as pd
+
+IMAGE_META_FIELDS = [
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("format", StringType()),
+]
+AUDIO_META_FIELDS = [
+    StructField("sample_rate", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("duration_s", DoubleType()),
+]
+N_FEATURES = 8  # fixed feature-vector width (stand-in for a real encoder dim)
+
+_FORMATS = ["png", "jpeg", "tiff", "webp"]
+_RATES = [8000, 16000, 22050, 44100, 48000]
+
+
+def _digest(content: bytes) -> bytes:
+    return hashlib.sha256(content).digest()
+
+
+# --- deterministic fakes (STUBS — replace with PIL/librosa/ffmpeg in production) -------
+
+
+def _fake_image_meta(content: bytes) -> tuple[int, int, int, str]:
+    """STUB decoder: dims derived from the content hash. Deterministic; a real
+    implementation returns PIL.Image.open(BytesIO(content)) properties."""
+    h = _digest(content)
+    width = 64 + int.from_bytes(h[0:2], "big") % 1985  # 64..2048
+    height = 64 + int.from_bytes(h[2:4], "big") % 1985
+    channels = (1, 3, 4)[h[4] % 3]
+    fmt = _FORMATS[h[5] % len(_FORMATS)]
+    return width, height, channels, fmt
+
+
+def _fake_audio_meta(content: bytes) -> tuple[int, int, float]:
+    h = _digest(content)
+    rate = _RATES[h[6] % len(_RATES)]
+    n_samples = 1000 + int.from_bytes(h[7:10], "big") % 10_000_000
+    return rate, n_samples, round(n_samples / rate, 6)
+
+
+def _fake_features(content: bytes) -> list[float]:
+    """STUB feature extractor: N_FEATURES floats in [0,1) from the hash bytes."""
+    h = _digest(content)
+    return [round(b / 255.0, 6) for b in h[:N_FEATURES]]
+
+
+def _fake_frame(content: bytes, idx: int) -> bytes:
+    """STUB frame decode: deterministic bytes per (video, frame index)."""
+    return hashlib.sha256(content + idx.to_bytes(4, "big")).digest()
+
+
+def _fake_n_frames(content: bytes) -> int:
+    return 8 + _digest(content)[11] % 56  # 8..63 frames
+
+
+# --- mapInPandas stages -----------------------------------------------------------------
+
+
+def decode_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Decode stage: binary -> typed image metadata columns appended to the row.
+
+    One Arrow-batched narrow stage; at scale run this immediately after the scan
+    and drop `content` before anything that shuffles."""
+    out_schema = StructType(list(df.schema.fields) + IMAGE_META_FIELDS)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            metas = [_fake_image_meta(bytes(b)) for b in pdf[content_col]]
+            pdf = pdf.copy()
+            pdf["width"] = [m[0] for m in metas]
+            pdf["height"] = [m[1] for m in metas]
+            pdf["channels"] = [m[2] for m in metas]
+            pdf["format"] = [m[3] for m in metas]
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def decode_audio_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+    out_schema = StructType(list(df.schema.fields) + AUDIO_META_FIELDS)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            metas = [_fake_audio_meta(bytes(b)) for b in pdf[content_col]]
+            pdf = pdf.copy()
+            pdf["sample_rate"] = [m[0] for m in metas]
+            pdf["n_samples"] = [m[1] for m in metas]
+            pdf["duration_s"] = [m[2] for m in metas]
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def extract_features(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Feature-extract stage: binary -> fixed-width float vector column
+    ``features`` (array<float>, N_FEATURES wide) — the shape a real image/audio
+    encoder produces, ready for the similarity operators."""
+    from pyspark.sql.types import ArrayType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("features", ArrayType(FloatType()))]
+    )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["features"] = [_fake_features(bytes(b)) for b in pdf[content_col]]
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def resize_images(df: DataFrame, width: int, height: int, content_col: str = "content") -> DataFrame:
+    """Resize stage: binary -> binary thumbnail + its dims. STUB emits a
+    deterministic placeholder payload; a real implementation is
+    ``Image.open(...).resize((width, height)).save(buf, 'JPEG')``."""
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("thumb", BinaryType()),
+            StructField("thumb_width", IntegerType()),
+            StructField("thumb_height", IntegerType()),
+        ]
+    )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["thumb"] = [
+                hashlib.sha256(bytes(b) + f"{width}x{height}".encode()).digest()
+                for b in pdf[content_col]
+            ]
+            pdf["thumb_width"] = width
+            pdf["thumb_height"] = height
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def sample_frames(
+    df: DataFrame, every_n: int = 8, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """Frame-sample stage: each video row fans out to one row per sampled frame
+    (UDTF shape — mapInPandas emitting more rows than it receives). Output:
+    (id, frame_idx, n_frames, frame bytes). At scale, repartition the input by
+    id first so fan-out skew spreads across executors."""
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("frame_idx", IntegerType()),
+            StructField("n_frames", IntegerType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, totals, frames = [], [], [], []
+            for vid, content in zip(pdf[id_col], pdf[content_col]):
+                raw = bytes(content)
+                n = _fake_n_frames(raw)
+                for i in range(0, n, every_n):
+                    ids.append(vid)
+                    idxs.append(i)
+                    totals.append(n)
+                    frames.append(_fake_frame(raw, i))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "n_frames": totals, "frame": frames}
+            )
+
+    return df.mapInPandas(gen, out_schema)

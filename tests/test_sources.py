@@ -1,0 +1,136 @@
+"""sources/: binary ingest pipeline + multimodal mapInPandas plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from teledetection_drone_satellite_spark.sources import binary, multimodal
+
+PNG = b"\x89PNG\r\n\x1a\n" + b"\x00" * 24
+JPEG = b"\xff\xd8\xff\xe0" + b"fakejpegbytes"
+MP4 = b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 8
+WAV = b"RIFF\x24\x00\x00\x00WAVEfmt " + b"\x00" * 8
+TEXT = b"plain ascii text, no magic"
+
+
+def _files(spark, rows):
+    return spark.createDataFrame(rows, "path string, content binary")
+
+
+def test_sniff_mime(spark):
+    df = _files(
+        spark,
+        [
+            ("a.png", PNG),
+            ("b.jpg", JPEG),
+            ("c.mp4", MP4),
+            ("d.wav", WAV),
+            ("e.txt", TEXT),
+            ("f.bin", b"\x00\x01\x02opaque"),
+        ],
+    )
+    got = dict(
+        df.select("path", binary.sniff_mime(F.col("content")).alias("mime")).collect()
+    )
+    assert got == {
+        "a.png": "image/png",
+        "b.jpg": "image/jpeg",
+        "c.mp4": "video/mp4",
+        "d.wav": "audio/wav",
+        "e.txt": "text/plain",
+        "f.bin": "application/octet-stream",
+    }
+
+
+def test_ingest_validations(spark):
+    df = _files(
+        spark,
+        [
+            ("ok.png", PNG),
+            ("big.png", PNG * 20),  # > max_size below
+            ("bad.exe", TEXT),
+            ("empty.txt", b""),
+        ],
+    )
+    out = binary.ingest(df, max_size=100).select("filename", "is_valid", "reject_reason")
+    got = {r["filename"]: (r["is_valid"], r["reject_reason"]) for r in out.collect()}
+    assert got["ok.png"] == (True, None)
+    assert got["big.png"] == (False, "too_large")
+    assert got["bad.exe"] == (False, "bad_extension")
+    assert got["empty.txt"] == (False, "empty")
+
+
+def test_ingest_checksum_and_dedupe(spark):
+    df = _files(spark, [("a.txt", TEXT), ("b.txt", TEXT), ("c.png", PNG)])
+    out = binary.ingest(df)
+    # same content => same checksum; uuid stored names unique
+    rows = out.collect()
+    by_name = {r["filename"]: r for r in rows}
+    assert by_name["a.txt"]["checksum"] == by_name["b.txt"]["checksum"]
+    assert len({r["stored_name"] for r in rows}) == 3
+    dd = binary.dedupe_by_checksum(out).collect()
+    copies = {r["filename"]: r["n_copies"] for r in dd}
+    assert copies == {"a.txt": 2, "c.png": 1}
+
+
+def test_image_meta_deterministic_and_bounded(spark):
+    df = _files(spark, [(f"{i}.png", PNG + bytes([i])) for i in range(10)])
+    out1 = sorted(multimodal.decode_image_meta(df).drop("content").collect())
+    out2 = sorted(multimodal.decode_image_meta(df).drop("content").collect())
+    assert out1 == out2  # stub decode is deterministic
+    for r in out1:
+        assert 64 <= r["width"] <= 2048 and 64 <= r["height"] <= 2048
+        assert r["channels"] in (1, 3, 4)
+        assert r["format"] in ("png", "jpeg", "tiff", "webp")
+
+
+def test_audio_meta_shape(spark):
+    df = _files(spark, [("a.wav", WAV), ("b.wav", WAV + b"x")])
+    rows = multimodal.decode_audio_meta(df).collect()
+    for r in rows:
+        assert r["sample_rate"] in (8000, 16000, 22050, 44100, 48000)
+        assert r["duration_s"] == pytest.approx(r["n_samples"] / r["sample_rate"], abs=1e-5)
+
+
+def test_extract_features_width(spark):
+    df = _files(spark, [("a.png", PNG), ("b.png", JPEG)])
+    rows = multimodal.extract_features(df).collect()
+    for r in rows:
+        assert len(r["features"]) == multimodal.N_FEATURES
+        assert all(0.0 <= v < 1.0 for v in r["features"])
+
+
+def test_resize_stub_plumbing(spark):
+    df = _files(spark, [("a.png", PNG)])
+    r = multimodal.resize_images(df, 128, 96).collect()[0]
+    assert (r["thumb_width"], r["thumb_height"]) == (128, 96)
+    assert isinstance(r["thumb"], (bytes, bytearray)) and len(r["thumb"]) > 0
+
+
+def test_sample_frames_fanout(spark):
+    df = spark.createDataFrame(
+        [(1, b"videoA"), (2, b"videoB" * 3)], "doc_id long, content binary"
+    )
+    frames = multimodal.sample_frames(df, every_n=4)
+    rows = frames.collect()
+    # every video emits ceil(n_frames / every_n) rows, indices stepped by every_n
+    by_vid: dict[int, list] = {}
+    for r in rows:
+        by_vid.setdefault(r["doc_id"], []).append(r)
+    assert set(by_vid) == {1, 2}
+    for vid, rs in by_vid.items():
+        n = rs[0]["n_frames"]
+        assert sorted(r["frame_idx"] for r in rs) == list(range(0, n, 4))
+        assert len({bytes(r["frame"]) for r in rs}) == len(rs)  # distinct frame bytes
+
+
+def test_mapinpandas_batching(spark):
+    # plumbing survives multiple Arrow batches (maxRecordsPerBatch < row count)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        df = _files(spark, [(f"{i}.png", PNG + bytes([i])) for i in range(17)]).coalesce(1)
+        assert multimodal.decode_image_meta(df).count() == 17
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
