@@ -295,3 +295,39 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, ("documents",))["documents"]
     return text.fingerprint(d)
+
+
+@register(
+    "cardinality_sketch",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           true AS approx_ok
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="§2.11 cardinality sketch: HyperLogLog++ (approx_count_distinct, rsd=2%) "
+    "next to the exact distinct. The graded column asserts the sketch lands within "
+    "5% of truth — if the approximation drifts, the oracle hash fails. At 100 TB "
+    "the sketch is the only viable path: partial HLL registers merge map-side, so "
+    "the shuffle carries fixed-size sketches instead of the full key set.",
+    tags=("extension", "sketch"),
+)
+def cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, ("events",))["events"]
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("approx_ok"),
+        )
+    )

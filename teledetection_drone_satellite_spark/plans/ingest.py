@@ -138,8 +138,15 @@ def multimodal_features_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity
 
     files = fan_out(_docs_as_files(spark, sf_dir))
-    feats = multimodal.extract_features(files).select(
-        F.col("doc_id").alias("vec_id"), F.col("features").alias("embedding")
+    # The plan references the feature table twice (corpus side + probe side);
+    # without a cache the mapInPandas extract stage — the only Python stage in
+    # the query — would run twice. The materialized features are tiny (one
+    # fixed-width vector per doc), so caching trades MBs of storage for halving
+    # the UDF work; at production scale this is "write features once, then ANN".
+    feats = (
+        multimodal.extract_features(files)
+        .select(F.col("doc_id").alias("vec_id"), F.col("features").alias("embedding"))
+        .cache()
     )
     queries = feats.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"

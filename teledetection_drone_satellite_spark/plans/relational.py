@@ -539,3 +539,37 @@ def union_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "prefix_theta_join",
+    oracle="""
+    SELECT r.prefix, r.service, count(*) AS n_events
+    FROM events e
+    JOIN (VALUES ('cl', 'click-svc'), ('vi', 'view-svc'), ('pu', 'purchase-svc'),
+                 ('si', 'signup-svc'), ('xx', 'unused-svc')) AS r(prefix, service)
+      ON e.event_type LIKE r.prefix || '%'
+    GROUP BY r.prefix, r.service
+    ORDER BY r.prefix
+    """,
+    doc="J9: prefix theta-join — request path vs route table "
+    "(api-gateway/main.py:71-79,178-182 SERVICE_ROUTES first-prefix-match). The "
+    "route table is literal-tiny, so Spark picks BroadcastNestedLoopJoin: the fact "
+    "side streams once with no shuffle; the only shuffle is the 5-group rollup. At "
+    "100 TB the build side is still bytes — NLJ on a broadcast is the right plan "
+    "for a non-equi prefix predicate.",
+    tags=("relational", "join"),
+)
+def prefix_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, ("events",))["events"]
+    routes = spark.createDataFrame(
+        [("cl", "click-svc"), ("vi", "view-svc"), ("pu", "purchase-svc"),
+         ("si", "signup-svc"), ("xx", "unused-svc")],
+        "prefix string, service string",
+    )
+    return (
+        e.join(F.broadcast(routes), F.col("event_type").startswith(F.col("prefix")))
+        .groupBy("prefix", "service")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("prefix")
+    )

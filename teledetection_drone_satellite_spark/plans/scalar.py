@@ -205,3 +205,37 @@ def normalized_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.filter(
         fn.normalize_login(F.col("c_name")) == fn.normalize_login(F.lit("Customer#000000007 "))
     ).select("c_custkey", "c_name")
+
+
+@register(
+    "token_mint_expiry",
+    oracle="""
+    SELECT o_orderkey,
+           base64(encode(o_orderkey || '.' || o_custkey)) AS payload,
+           sha256('fixture-secret.' || base64(encode(o_orderkey || '.' || o_custkey))) AS sig,
+           o_orderdate + INTERVAL 1440 MINUTE AS expires_at,
+           o_orderdate + INTERVAL 1440 MINUTE < TIMESTAMP '1997-01-01' AS is_expired
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+    doc="C3+C12: token mint/verify re-expressed deterministically — JWT-shaped "
+    "base64 payload, keyed sha256 signature, TTL-1440-min expiry claim checked "
+    "against a fixed reference instant (shared/utils/__init__.py:28-57, "
+    "config:27, auth-service/main.py:143-149). The real HS256/bcrypt UDFs are "
+    "nondeterministic/secret-bearing and live outside the oracle surface "
+    "(SURVEY §7 hard spot ③); this query grades the pipeline around them: "
+    "encode -> sign -> expiry predicate, all JVM-side codegen, zero shuffle.",
+    tags=("scalar", "auth"),
+)
+def token_mint_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, ("orders",))["orders"].filter(F.col("o_orderkey") < 1000)
+    payload = F.base64(F.concat_ws(".", "o_orderkey", "o_custkey").cast("binary"))
+    sig = F.sha2(F.concat(F.lit("fixture-secret."), payload), 256)
+    expires = F.col("o_orderdate") + F.expr("INTERVAL 1440 MINUTES")
+    return o.select(
+        "o_orderkey",
+        payload.alias("payload"),
+        sig.alias("sig"),
+        expires.alias("expires_at"),
+        (expires < F.lit("1997-01-01").cast("timestamp")).alias("is_expired"),
+    )

@@ -182,3 +182,33 @@ def lifecycle_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.join(last_events, "user_id").select(
         "user_id", "first_ts", "last_ts", "n_events", "last_event_type"
     )
+
+
+@register(
+    "analytic_lag_cumsum",
+    oracle="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 4) AS running_value,
+           epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS gap_ms
+    FROM events
+    WHERE user_id < 50
+    """,
+    doc="§2.8 analytic windows: lag + running sum per entity ordered by event time "
+    "(freshness tracking implied by updated_at/last_login, init.sql:20-21, "
+    "crud.py:70-75). One shuffle on user_id; within-partition sort only — the "
+    "window never widens past a key, so the plan scales linearly with keys.",
+    tags=("window", "events"),
+)
+def analytic_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, ("events",))["events"].filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4).alias(
+            "running_value"
+        ),
+        (F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w)).alias("gap_ms"),
+    )
