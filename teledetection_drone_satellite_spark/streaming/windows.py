@@ -47,44 +47,47 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
-    """Execute a streaming plan to completion (availableNow) into a memory sink.
+def stream_session(spark: SparkSession) -> SparkSession:
+    """Clone the session for a streaming run (shared SparkContext, ISOLATED SQL
+    conf) and pin the state-partition count there.
 
     Stateful streaming allocates one state store per shuffle partition, and each
     store pays per-batch snapshot/commit I/O regardless of how many keys it holds
     (measured here: 32 stores ~2x slower end-to-end than 8 for the same single
-    availableNow batch). The state-partition count is pinned per-query at first
-    start via the conf below — 8 suits a one-shot local run; an unbounded
-    production deployment sizes it to throughput instead (it is a config, not
-    code, and is restored after the run so batch plans keep the session's
-    parallelism)."""
-    spark_ = result.sparkSession
-    prev = spark_.conf.get("spark.sql.shuffle.partitions")
-    spark_.conf.set(
+    availableNow batch). Setting the conf on a clone means concurrent batch
+    queries on the main session never observe the streaming value, and
+    interleaved streaming runs cannot race on a save/restore of shared state —
+    each run owns its conf. 8 suits a one-shot local run; an unbounded
+    production deployment sizes it to throughput instead."""
+    s = spark.newSession()
+    s.conf.set(
         "spark.sql.shuffle.partitions",
         os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"),
     )
-    try:
-        name = f"mem_{uuid.uuid4().hex[:12]}"
-        q = (
-            result.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        # The micro-batch thread reads session confs asynchronously after
-        # start(); restore only once the run has fully terminated.
-        q.awaitTermination()
-    finally:
-        spark_.conf.set("spark.sql.shuffle.partitions", prev)
+    return s
+
+
+def _run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
+    """Execute a streaming plan to completion (availableNow) into a memory sink.
+    The plan should be built on a ``stream_session`` clone so conf overrides are
+    scoped to it; the sink table registers in that same session's catalog."""
+    spark_ = result.sparkSession
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return spark_.table(name)
 
 
 def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 streaming twin of plans/windows.py::tumbling_hourly — watermarked
     tumbling-window counts. Complete mode so the memory sink holds every window."""
-    events = read_events_stream(spark, sf_dir)
+    events = read_events_stream(stream_session(spark), sf_dir)
     agg = (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -97,7 +100,7 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5: native session windows (30-min inactivity gap) — the streaming-state twin
     of the batch lag/cumsum sessionization (plans/windows.py::session_count)."""
-    events = read_events_stream(spark, sf_dir)
+    events = read_events_stream(stream_session(spark), sf_dir)
     agg = (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
@@ -116,7 +119,7 @@ def stream_late_data_policy(spark: SparkSession, sf_dir: str, watermark: str = "
     """Late-data policy demonstration: append mode + watermark — only windows the
     watermark has passed are emitted (closed); the tail windows stay open. The
     difference vs complete mode IS the late-data contract."""
-    events = read_events_stream(spark, sf_dir)
+    events = read_events_stream(stream_session(spark), sf_dir)
     agg = (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"))
