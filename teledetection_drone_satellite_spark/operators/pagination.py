@@ -5,8 +5,10 @@ page math file-service/main.py:287-290) and implicitly relies on Postgres heap o
 A distributed engine has no heap order, so pagination REQUIRES a total order over a
 unique key. Two implementations:
 
-- ``paginate``: row_number over a global Window — one shuffle-to-single-partition for
-  the window (fine for page-sized outputs; the filter keeps only `size` rows).
+- ``paginate``: two-phase distributed OFFSET — range-partition on the order key,
+  per-partition row_number + partition-count offsets. NO single-partition global
+  window: the only single-task step is a window over the per-partition COUNTS
+  (metadata-sized: one row per partition).
 - ``keyset_page``: the 100 TB path — WHERE key > last_seen ORDER BY key LIMIT n.
   O(page) work regardless of offset depth; no global sort. Use this in any real
   pipeline; OFFSET pagination at depth k scans k rows per request.
@@ -24,15 +26,44 @@ def paginate(df: DataFrame, order_by: list[str | Column], page: int, size: int) 
 
     order_by must end in (or contain) a unique key for determinism — mirrors the
     contract the reference silently assumes of Postgres.
+
+    Plan (global row_number WITHOUT a global sort):
+      1. range-repartition on the order keys — contiguous key ranges per
+         partition, so per-partition local ranks + an offset equal global ranks;
+      2. per-partition counts -> running-sum offsets. This window orders one row
+         PER PARTITION (metadata-sized), not per data row; the exchange feeding
+         it carries #partitions rows;
+      3. offsets prune to the partitions overlapping the page, broadcast back,
+         local row_number + offset, filter to the page.
+    The range exchange is computed once and reused across the count and data
+    branches (ReusedExchange). Every data-carrying exchange is multi-partition.
     """
     if page < 1 or size < 1:
         raise ValueError("page and size must be >= 1")
-    w = Window.orderBy(*order_by)
     lo, hi = (page - 1) * size, page * size
+
+    # Explicit partition count: a bare repartitionByRange is an AQE coalescing
+    # candidate, and the count branch and data branch MUST observe identical
+    # spark_partition_id values — pin the count so the reused exchange cannot be
+    # re-coalesced differently per consumer.
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(n_parts, *order_by).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        counts.withColumn("__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)))
+        # partition-prune to the page: ranks (__off, __off+__cnt] ∩ (lo, hi] != ∅
+        .filter((F.col("__off") < hi) & (F.col("__off") + F.col("__cnt") > lo))
+        .select("__pid", "__off")
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order_by)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn("__rn", F.row_number().over(w_local) + F.col("__off"))
         .filter((F.col("__rn") > lo) & (F.col("__rn") <= hi))
-        .drop("__rn")
+        .drop("__pid", "__off", "__rn")
     )
 
 

@@ -63,6 +63,41 @@ def bbox_join(points: DataFrame, boxes: DataFrame, lon: str = "lon", lat: str = 
     return points.join(F.broadcast(boxes), cond)
 
 
+# --- GeoJSON ⇄ geometry (C17) + array-bbox (C10) ---------------------------------------
+# The reference's API layer speaks GeoJSON dicts (shared/models/__init__.py:95,220)
+# while storage is PostGIS geometry; here both directions are JVM expressions.
+
+GEOJSON_POLYGON_SCHEMA = "type STRING, coordinates ARRAY<ARRAY<ARRAY<DOUBLE>>>"
+
+
+def to_geojson_point(x: Column, y: Column) -> Column:
+    """C17 emit direction: (x, y) -> GeoJSON Point string. Integer-valued inputs
+    should be cast to int first for stable text formatting across engines."""
+    return F.format_string('{"type":"Point","coordinates":[%s,%s]}', x, y)
+
+
+def parse_geojson_polygon(geojson: Column) -> Column:
+    """C17 parse direction: GeoJSON Polygon string -> typed struct via from_json
+    (PERMISSIVE: malformed geometry yields NULL, not a failed job). Returns the
+    struct; `.coordinates[0]` is the exterior ring as array<array<double>>."""
+    return F.from_json(geojson, GEOJSON_POLYGON_SCHEMA)
+
+
+def ring_bbox(ring: Column) -> Column:
+    """C10: bounding box of a coordinate array via higher-order functions — the
+    Spark home of shared/utils/__init__.py:181-194's bbox-of-point-list, computed
+    per ROW over an array column (vs bbox_aggregate's per-GROUP variant). All
+    JVM-side: transform + array_min/array_max, no UDF, no explode."""
+    xs = F.transform(ring, lambda p: F.element_at(p, 1))
+    ys = F.transform(ring, lambda p: F.element_at(p, 2))
+    return F.struct(
+        F.array_min(xs).alias("minx"),
+        F.array_min(ys).alias("miny"),
+        F.array_max(xs).alias("maxx"),
+        F.array_max(ys).alias("maxy"),
+    )
+
+
 def _parse_wkt_ring(wkt: str) -> "np.ndarray":
     """Exterior ring of 'POLYGON((x y, ...))' as an (n,2) float array."""
     import numpy as np

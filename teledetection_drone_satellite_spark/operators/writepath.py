@@ -1,0 +1,63 @@
+"""Write-path operators (SURVEY §2.7 C11, §2.1 S3).
+
+C11 — the reference's ``updated_at`` trigger (init.sql:207-219 fires
+``NEW.updated_at = CURRENT_TIMESTAMP`` on every UPDATE) has no row-level-trigger
+analog in a columnar engine; the Spark home is (a) a computed column stamped at
+write time and (b) a latest-wins merge when an updated batch lands next to the
+current table — the MERGE INTO / upsert-compaction pattern every lakehouse write
+path uses.
+
+S3 — the reference's single-file download (file-service/main.py:238-265) maps to
+a single-file export: the engine computes in parallel and only the final write
+funnels to one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def touch_updated_at(df: DataFrame, ts_col: str = "updated_at", at: str | None = None) -> DataFrame:
+    """C11 stamp: add/overwrite the audit timestamp on a batch being written.
+    ``at=None`` stamps current_timestamp() (production, nondeterministic);
+    pass a literal for oracle-checkable plans and tests."""
+    value = F.current_timestamp() if at is None else F.lit(at).cast("timestamp")
+    return df.withColumn(ts_col, value)
+
+
+def merge_latest_wins(
+    current: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "updated_at",
+) -> DataFrame:
+    """C11 merge: one surviving row per key — greatest ``ts_col`` wins, updates
+    beat current on exact-tie (the UPDATE overwrote the row in the reference).
+
+    Plan: union + one shuffle on the key for a per-key row_number. At 100 TB this
+    is the standard upsert compaction: the shuffle carries each key's candidate
+    rows only, and writing the result partitioned by the key range makes the next
+    merge's shuffle a co-located no-op (bucketed MERGE).
+    """
+    cur = current.withColumn("__src", F.lit(0))
+    upd = updates.withColumn("__src", F.lit(1))
+    unioned = cur.unionByName(upd)
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(ts_col), F.desc("__src"))
+    return (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+
+
+def export_single_file(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite") -> None:
+    """S3: export a (bounded) result as ONE file under ``path``.
+
+    repartition(1), NOT coalesce(1): coalesce folds the final stage into a single
+    task, serializing all upstream compute; repartition inserts a shuffle so the
+    plan stays parallel until the one-task write. Only sane for bounded exports —
+    the reference's download endpoint serves one file, which is exactly this
+    contract."""
+    df.repartition(1).write.format(fmt).mode(mode).save(path)

@@ -101,6 +101,32 @@ def ingest_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "export_manifest",
+    oracle="""
+    SELECT doc_id,
+           'doc_' || doc_id || '.txt' AS filename,
+           octet_length(encode(text)) AS size,
+           sha256(text) AS checksum,
+           octet_length(encode(text)) > 0 AS download_ok
+    FROM documents
+    WHERE doc_id IN (7, 42, 99)
+    """,
+    doc="S3: single-file download manifest — the metadata row the reference's "
+    "download endpoint serves (file-service/main.py:238-265: filename, size, "
+    "checksum). A point lookup through the ingest chain; the companion operator "
+    "writepath.export_single_file writes the selected rows as ONE file "
+    "(repartition(1) so compute stays parallel; tests/test_writepath.py).",
+    tags=("ingest", "export"),
+)
+def export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = _docs_as_files(spark, sf_dir)
+    out = binary.ingest(files)
+    return out.filter(F.col("doc_id").isin(7, 42, 99)).select(
+        "doc_id", "filename", "size", "checksum", F.col("is_valid").alias("download_ok")
+    )
+
+
+@register(
     "multimodal_image_meta",
     oracle=None,  # stub decoder (sha256-derived dims) is not SQL-expressible
     doc="C14/S7 decode stage: binary -> typed image metadata (width/height/"

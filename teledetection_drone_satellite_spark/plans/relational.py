@@ -301,6 +301,45 @@ def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "left_outer_orphans",
+    oracle="""
+    SELECT o.o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           count(c.c_name) AS n_with_parent,
+           round(sum(CASE WHEN c.c_custkey IS NULL THEN o.o_totalprice ELSE 0 END), 2) AS orphan_revenue
+    FROM orders o
+    LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000.0) c
+      ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_orderstatus
+    """,
+    doc="J6: null-preserving parent join — audit_logs ⋈ users with ON DELETE SET "
+    "NULL (init.sql:155): children must survive a missing parent as NULLs, not "
+    "drop. Modeled as orders LEFT JOIN a filtered customer dim (the filter "
+    "manufactures 'deleted' parents); the dim side broadcasts so the fact table "
+    "never shuffles for the join, and COUNT(col) vs COUNT(*) exercises the "
+    "null-parent semantics downstream aggregates rely on.",
+    tags=("relational", "join"),
+)
+def left_outer_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, ("customer", "orders"))
+    rich = t["customer"].filter(F.col("c_acctbal") > 5000.0)
+    return (
+        t["orders"]
+        .join(F.broadcast(rich), F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("c_custkey").isNull().cast("bigint")).alias("n_orphans"),
+            F.count("c_name").alias("n_with_parent"),
+            F.round(
+                F.sum(F.when(F.col("c_custkey").isNull(), F.col("o_totalprice")).otherwise(0.0)), 2
+            ).alias("orphan_revenue"),
+        )
+    )
+
+
+@register(
     "anti_join_not_exists",
     oracle="""
     SELECT c_custkey, c_name

@@ -96,6 +96,88 @@ def json_access(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_typed_parse",
+    oracle="""
+    WITH p AS (
+        SELECT event_type,
+               CASE WHEN event_id % 20 = 0
+                    THEN substr(props, 1, length(props) - 1)
+                    ELSE props END AS pj
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN json_valid(pj) THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt,
+           CAST(sum(CASE WHEN json_valid(pj)
+                         THEN CAST(json_extract_string(pj, '$.k') AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS k_total
+    FROM p
+    GROUP BY event_type
+    """,
+    doc="S8/C15: TYPED JSONB parse — from_json with an explicit struct schema in "
+    "PERMISSIVE mode and a corrupt-record column (SURVEY §1.1's promised JSON "
+    "codec; JSONB columns init.sql:49,63,104-105,119-120,133-134,159). Every "
+    "20th record is truncated mid-object to exercise the corrupt path: malformed "
+    "input lands in _corrupt instead of failing the job — the only sane contract "
+    "at 100 TB where some JSON is always broken. Typed extraction beats "
+    "get_json_object when several fields are read: one parse, not one per path.",
+    tags=("scalar", "json"),
+)
+def json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, ("events",))["events"]
+    pj = F.when(
+        F.col("event_id") % 20 == 0,
+        F.expr("substring(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    parsed = e.select(
+        "event_type",
+        F.from_json(
+            pj,
+            "k INT, _corrupt STRING",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("j"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("j._corrupt").isNotNull().cast("bigint")).alias("n_corrupt"),
+        F.sum(F.coalesce(F.col("j.k").cast("bigint"), F.lit(0))).alias("k_total"),
+    )
+
+
+@register(
+    "coord_validation",
+    oracle="""
+    SELECT c_nationkey,
+           count(*) AS n_points,
+           CAST(sum(CASE WHEN lat BETWEEN -90 AND 90 AND lon BETWEEN -180 AND 180
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+    FROM (
+        SELECT c_nationkey,
+               CAST((c_custkey * 7) % 500 - 250 AS DOUBLE) AS lon,
+               CAST((c_custkey * 13) % 260 - 130 AS DOUBLE) AS lat
+        FROM customer
+    )
+    GROUP BY c_nationkey
+    """,
+    doc="C9/F9: coordinate-range validation (shared/utils/__init__.py:176-178; "
+    "lat/lon CHECK bounds) — synthetic points deliberately overflow the valid "
+    "ranges so the predicate genuinely partitions the data.",
+    tags=("scalar", "spatial"),
+)
+def coord_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, ("customer",))["customer"]
+    pts = c.select(
+        "c_nationkey",
+        ((F.col("c_custkey") * 7) % 500 - 250).cast("double").alias("lon"),
+        ((F.col("c_custkey") * 13) % 260 - 130).cast("double").alias("lat"),
+    )
+    return pts.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_points"),
+        F.sum(fn.is_valid_coords(F.col("lat"), F.col("lon")).cast("bigint")).alias("n_valid"),
+    )
+
+
+@register(
     "time_trunc_rollup",
     oracle="""
     SELECT date_trunc('month', o_orderdate) AS order_month,
@@ -205,6 +287,60 @@ def normalized_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.filter(
         fn.normalize_login(F.col("c_name")) == fn.normalize_login(F.lit("Customer#000000007 "))
     ).select("c_custkey", "c_name")
+
+
+@register(
+    "updated_at_merge",
+    oracle="""
+    WITH cur AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               TIMESTAMP '2024-01-01 00:00:00' AS updated_at, 0 AS src
+        FROM customer
+    ),
+    upd AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal + 100.0 AS c_acctbal,
+               TIMESTAMP '2024-02-01 00:00:00' AS updated_at, 1 AS src
+        FROM customer WHERE c_custkey % 10 = 0
+    ),
+    merged AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY c_custkey ORDER BY updated_at DESC, src DESC
+        ) AS rn
+        FROM (SELECT * FROM cur UNION ALL SELECT * FROM upd)
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_rows,
+           round(sum(c_acctbal), 2) AS total_bal,
+           max(updated_at) AS last_touch
+    FROM merged WHERE rn = 1
+    GROUP BY c_mktsegment
+    """,
+    doc="C11: updated_at write-path — batches stamped with touch_updated_at at "
+    "fixed instants, then merge_latest_wins keeps one row per key (greatest "
+    "updated_at, updates beat current on tie). The columnar re-expression of the "
+    "reference's row trigger init.sql:207-219: the trigger becomes a write-time "
+    "computed column + upsert compaction. One shuffle on the merge key.",
+    tags=("scalar", "writepath"),
+)
+def updated_at_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.writepath import merge_latest_wins, touch_updated_at
+
+    c = load(spark, sf_dir, ("customer",))["customer"].select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    current = touch_updated_at(c, at="2024-01-01 00:00:00")
+    updates = touch_updated_at(
+        c.filter(F.col("c_custkey") % 10 == 0).withColumn(
+            "c_acctbal", F.col("c_acctbal") + 100.0
+        ),
+        at="2024-02-01 00:00:00",
+    )
+    merged = merge_latest_wins(current, updates, ["c_custkey"], "updated_at")
+    return merged.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        F.max("updated_at").alias("last_touch"),
+    )
 
 
 @register(

@@ -111,6 +111,52 @@ def grid_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "geojson_roundtrip",
+    oracle="""
+    SELECT n_nationkey,
+           CAST((n_nationkey * 29) % 280 - 160 AS DOUBLE) AS minx,
+           CAST((n_nationkey * 17) % 120 - 70 AS DOUBLE) AS miny,
+           CAST((n_nationkey * 29) % 280 - 160 + 60 AS DOUBLE) AS maxx,
+           CAST((n_nationkey * 17) % 120 - 70 + 40 AS DOUBLE) AS maxy,
+           '{"type":"Point","coordinates":[' || ((n_nationkey * 29) % 280 - 160 + 30)
+               || ',' || ((n_nationkey * 17) % 120 - 70 + 20) || ']}' AS centroid_geojson
+    FROM nation
+    """,
+    doc="C17+C10: GeoJSON both directions — polygon strings built from key "
+    "arithmetic, parsed back with from_json into a typed ring, per-row bbox via "
+    "higher-order transform/array_min (C10's bbox-of-coordinate-array), centroid "
+    "re-emitted as a GeoJSON Point string (the API-facing shape, "
+    "shared/models/__init__.py:95,220). All JVM expressions — no UDF; the oracle "
+    "recomputes the bbox analytically, so the parse path is verified against "
+    "ground truth, not against itself.",
+    tags=("spatial", "json"),
+)
+def geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spatial import parse_geojson_polygon, ring_bbox, to_geojson_point
+
+    n = load(spark, sf_dir, ("nation",))["nation"]
+    x0 = ((F.col("n_nationkey") * 29) % 280 - 160).cast("int")
+    y0 = ((F.col("n_nationkey") * 17) % 120 - 70).cast("int")
+    gj = F.format_string(
+        '{"type":"Polygon","coordinates":[[[%d,%d],[%d,%d],[%d,%d],[%d,%d],[%d,%d]]]}',
+        x0, y0, x0 + 60, y0, x0 + 60, y0 + 40, x0, y0 + 40, x0, y0,
+    )
+    parsed = n.select(
+        "n_nationkey", parse_geojson_polygon(gj).alias("geom")
+    ).select("n_nationkey", ring_bbox(F.col("geom.coordinates")[0]).alias("bb"))
+    cx = ((F.col("bb.minx") + F.col("bb.maxx")) / 2).cast("int")
+    cy = ((F.col("bb.miny") + F.col("bb.maxy")) / 2).cast("int")
+    return parsed.select(
+        "n_nationkey",
+        F.col("bb.minx").alias("minx"),
+        F.col("bb.miny").alias("miny"),
+        F.col("bb.maxx").alias("maxx"),
+        F.col("bb.maxy").alias("maxy"),
+        to_geojson_point(cx.cast("string"), cy.cast("string")).alias("centroid_geojson"),
+    )
+
+
+@register(
     "spatial_exact_refine",
     oracle=None,  # pandas-UDF ray cast — not SQL-expressible; rows-only check
     doc="J7 exact phase: bbox prefilter + exact point-in-polygon UDF refine (the GIST "

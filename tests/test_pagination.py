@@ -1,0 +1,57 @@
+"""Scale-safe OFFSET pagination (SURVEY §2.5 O1): the two-phase plan must match
+the semantics of a global-sort OFFSET/LIMIT while keeping every data-carrying
+exchange multi-partition."""
+
+from __future__ import annotations
+
+from teledetection_drone_satellite_spark.catalog import load
+from teledetection_drone_satellite_spark.operators.pagination import keyset_page, paginate
+
+
+def _keys(df):
+    return [r["o_orderkey"] for r in df.collect()]
+
+
+def test_paginate_matches_global_sort(spark, sf_dir):
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    expect = _keys(o.orderBy("o_orderkey").limit(60))[40:60]
+    got = sorted(_keys(paginate(o, ["o_orderkey"], page=3, size=20)))
+    assert got == expect
+
+
+def test_paginate_page_boundaries(spark, sf_dir):
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    all_keys = _keys(o.orderBy("o_orderkey"))
+    seen: list[int] = []
+    size = len(all_keys) // 3 + 1
+    for page in (1, 2, 3, 4):
+        seen += sorted(_keys(paginate(o, ["o_orderkey"], page=page, size=size)))
+    assert seen == all_keys  # pages tile the table exactly, no gaps/overlap
+    assert paginate(o, ["o_orderkey"], page=9999, size=20).count() == 0
+
+
+def test_paginate_no_global_data_window(spark, sf_dir):
+    """The row_number window must hash-partition on the range-partition id; the
+    ONLY single-partition exchange allowed is the metadata window over the
+    per-partition counts (one row per partition)."""
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    plan = (
+        paginate(o, ["o_orderkey"], page=3, size=20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(__pid" in plan
+    assert plan.count("SinglePartition") <= 1
+
+
+def test_keyset_page_walk(spark, sf_dir):
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    expect = _keys(o.orderBy("o_orderkey").limit(30))
+    walked: list[int] = []
+    after = None
+    for _ in range(3):
+        batch = _keys(keyset_page(o, "o_orderkey", after, 10))
+        walked += batch
+        after = batch[-1]
+    assert walked == expect

@@ -1,0 +1,56 @@
+"""Write-path operators (C11 updated_at touch + latest-wins merge, S3 single-file
+export)."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from teledetection_drone_satellite_spark.operators.writepath import (
+    export_single_file,
+    merge_latest_wins,
+    touch_updated_at,
+)
+
+
+def test_touch_stamps_fixed_instant(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    out = touch_updated_at(df, at="2024-03-01 12:00:00").first()
+    assert str(out["updated_at"]) == "2024-03-01 12:00:00"
+
+
+def test_touch_defaults_to_now(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    out = touch_updated_at(df).first()
+    assert out["updated_at"] is not None
+
+
+def test_merge_latest_wins(spark):
+    current = touch_updated_at(
+        spark.createDataFrame([(1, "old"), (2, "keep")], "id long, v string"),
+        at="2024-01-01 00:00:00",
+    )
+    updates = touch_updated_at(
+        spark.createDataFrame([(1, "new"), (3, "ins")], "id long, v string"),
+        at="2024-02-01 00:00:00",
+    )
+    out = {r["id"]: r["v"] for r in merge_latest_wins(current, updates, ["id"]).collect()}
+    assert out == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_merge_tie_updates_win(spark):
+    ts = "2024-01-01 00:00:00"
+    current = touch_updated_at(spark.createDataFrame([(1, "old")], "id long, v string"), at=ts)
+    updates = touch_updated_at(spark.createDataFrame([(1, "new")], "id long, v string"), at=ts)
+    out = merge_latest_wins(current, updates, ["id"]).collect()
+    assert len(out) == 1 and out[0]["v"] == "new"
+
+
+def test_export_single_file(spark, sf_dir, tmp_path):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(F.col("o_orderkey") < 100)
+    dest = str(tmp_path / "export")
+    export_single_file(df, dest)
+    parts = glob.glob(f"{dest}/part-*.parquet")
+    assert len(parts) == 1, f"expected exactly one data file, got {parts}"
+    assert spark.read.parquet(dest).count() == df.count()
