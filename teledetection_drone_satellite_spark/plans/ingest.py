@@ -101,6 +101,35 @@ def ingest_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "partition_pruned_scan",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+    GROUP BY event_type
+    """,
+    doc="S6: the GEE collection date-range scan (init.sql:97-110) against a "
+    "date-PARTITIONED layout — the filter lands in PartitionFilters, so the scan "
+    "lists 3 day-directories instead of reading the whole table (at 100 TB: 3 "
+    "days vs 7 years). Layout materialized once per sf dir "
+    "(sources/partitioned.py); pruning asserted in tests/test_partitioned.py.",
+    tags=("ingest", "scan"),
+)
+def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.partitioned import materialize_date_partitioned, read_date_partitioned
+
+    path = materialize_date_partitioned(spark, sf_dir)
+    e = read_date_partitioned(spark, path)
+    return (
+        e.filter(
+            F.col("event_date").between(F.lit("2024-01-10"), F.lit("2024-01-12"))
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+@register(
     "export_manifest",
     oracle="""
     SELECT doc_id,

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.lifecycle import stream_lifecycle_state
+from ..streaming.ttl import stream_session_ttl
 from ..streaming.windows import (
     stream_session_window,
     stream_tumbling_hourly,
@@ -33,6 +34,22 @@ def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_session_window(spark, sf_dir)
+
+
+@register(
+    "stream_session_ttl",
+    oracle=None,
+    doc="T5/S5 streaming state TTL: applyInPandasWithState + EventTimeTimeout — "
+    "the Redis SETEX session expiry (auth-service/main.py:154-159). Every write "
+    "re-arms the key's timeout at last_ts+TTL; when the watermark passes it the "
+    "key emits its expiry record and is REMOVED (bounded state). Multi-batch "
+    "replay via time-sliced files + maxFilesPerTrigger=1 so the watermark "
+    "genuinely advances. Batch-equivalence (expired == keys with last_ts+TTL <= "
+    "max event time) asserted in tests/test_streaming.py.",
+    tags=("streaming", "state"),
+)
+def q_stream_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_session_ttl(spark, sf_dir)
 
 
 @register(

@@ -1,0 +1,59 @@
+"""Date-partitioned table layout (SURVEY §2.1 S6 — the GEE collection scan).
+
+The reference's one genuinely scan-heavy workload is the GEE export-task query:
+collection + date range + bounds (init.sql:97-110, indexed on dates). At 100 TB
+the date predicate must prune at the DIRECTORY level — `partitionBy(date)` on
+write, so a 3-day filter lists 3 partitions instead of scanning 7 years. This
+module materializes that layout for the fixture `events` table and exposes the
+pruned read; tests assert the scan's PartitionFilters actually prune.
+
+Why a materialized copy: partition pruning is a property of the WRITTEN layout,
+not the query — demonstrating it requires owning the layout. The copy is cached
+under the system tmp dir keyed by (sf dir, layout version) and written once.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+
+_LAYOUT_VERSION = "v1"
+
+
+def date_partitioned_path(sf_dir: str, table: str = "events") -> str:
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_partitioned_{_LAYOUT_VERSION}", sf_name, table
+    )
+
+
+def materialize_date_partitioned(
+    spark: SparkSession, sf_dir: str, table: str = "events", date_col: str = "event_date"
+) -> str:
+    """Write (once) the events table partitioned by event date; returns the path.
+
+    The write itself is the S6 ingest shape: derive the partition column from the
+    event timestamp, `partitionBy` it, let the committer lay out one directory
+    per day. Idempotent via the _SUCCESS marker."""
+    path = date_partitioned_path(sf_dir, table)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        df = load(spark, sf_dir, (table,))[table]
+        (
+            df.withColumn(date_col, F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy(date_col)
+            .parquet(path)
+        )
+    return path
+
+
+def read_date_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Plain parquet read of the partitioned layout — the partition column comes
+    back from directory names, and filters on it become PartitionFilters (pruned
+    at file listing, before any I/O)."""
+    return spark.read.parquet(path)

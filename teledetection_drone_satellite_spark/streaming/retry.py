@@ -1,0 +1,69 @@
+"""Retry with exponential backoff (SURVEY §2.9 T6).
+
+The reference ships a generic async retry helper — N attempts, delay doubling
+per attempt (/root/reference/shared/utils/__init__.py:255-272) — used around
+flaky service calls. In a Spark pipeline the equivalent seam is the foreachBatch
+sink: the ONE place user code touches external systems, and therefore the one
+place transient failures (throttled object store, flaky JDBC endpoint) should be
+absorbed without killing the stream.
+
+Contract notes that matter at scale:
+  - the wrapper retries the WRITE FUNCTION, not the stream: the micro-batch's
+    input is stable across attempts, so a retry re-writes the same data;
+  - exactly-once therefore remains the writer's job — key idempotent writes on
+    ``batch_id`` (overwrite-by-batch-id, MERGE on key, transactional sink), and
+    a retried batch lands once no matter how many attempts it took;
+  - backoff sleeps happen on the driver's micro-batch thread — safe: no
+    executor, lock, or state-store resource is held across the sleep.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+
+def with_retry(
+    write_fn: Callable[[DataFrame, int], Any],
+    max_attempts: int = 4,
+    base_delay: float = 0.1,
+    backoff: float = 2.0,
+    retry_on: tuple[type[BaseException], ...] = (Exception,),
+    sleeper: Callable[[float], None] = time.sleep,
+) -> Callable[[DataFrame, int], Any]:
+    """Wrap a foreachBatch writer with exponential-backoff retry.
+
+    Delays are base_delay * backoff^(attempt-1); the final failure re-raises so
+    the stream still fails (and checkpoint-replays the batch) when the sink is
+    genuinely down — retries absorb transience, they must not mask outage.
+    ``sleeper`` is injectable for tests.
+    """
+    if max_attempts < 1:
+        raise ValueError("max_attempts must be >= 1")
+
+    def wrapped(batch_df: DataFrame, batch_id: int) -> Any:
+        delay = base_delay
+        for attempt in range(1, max_attempts + 1):
+            try:
+                return write_fn(batch_df, batch_id)
+            except retry_on:
+                if attempt == max_attempts:
+                    raise
+                sleeper(delay)
+                delay *= backoff
+
+    return wrapped
+
+
+def idempotent_parquet_writer(dest_dir: str) -> Callable[[DataFrame, int], None]:
+    """Reference idempotent sink for with_retry: one directory per batch_id,
+    overwrite mode — an attempt that failed mid-write is fully replaced by the
+    next attempt, so (batch_id, data) lands exactly once."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{dest_dir}/batch_id={batch_id}")
+
+    return write

@@ -1,0 +1,168 @@
+"""Keyed state with TTL expiry (SURVEY §2.9 T5 / §2.1 S5).
+
+The reference stores session tokens in Redis with ``SETEX`` — a key that expires
+TTL seconds after its last write (auth-service/main.py:154-159). The Structured
+Streaming home of that contract is ``applyInPandasWithState`` with
+``GroupStateTimeout.EventTimeTimeout``: every update re-arms the key's timeout at
+(last event time + TTL); when the watermark passes it, the state times out, the
+handler emits the expiry record and REMOVES the state — bounded state growth, the
+property lifecycle.py's NoTimeout variant deliberately lacks.
+
+Keys here are (user_id, week) "weekly session tokens" over the fixture events
+stream: each week's session dies TTL after its last event, so a multi-batch run
+expires almost every key while the final week's sessions stay live — exactly
+Redis's behavior at any snapshot instant. (Weekly, not daily, buckets: the
+stateful operator pays a Python invocation PER KEY PER BATCH, so key cardinality
+— not row count — is its cost driver; see the scale note on stream_session_ttl.)
+
+The events parquet is re-sliced into time-ordered files (once per sf dir) and
+streamed with maxFilesPerTrigger=1, so availableNow runs one micro-batch per
+slice and the watermark genuinely advances between batches — a single-batch run
+would never fire an event-time timeout.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    DateType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from .windows import _run_to_memory, stream_session
+
+TTL_MINUTES_DEFAULT = 120
+_SLICE_VERSION = "v1"
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("bucket_date", DateType()),
+        StructField("n_events", LongType()),
+        StructField("last_ts", TimestampType()),
+        StructField("expired", BooleanType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+
+
+def sliced_events_path(sf_dir: str, n_slices: int) -> str:
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_slices_{_SLICE_VERSION}", f"{sf_name}_{n_slices}"
+    )
+
+
+def materialize_time_slices(spark: SparkSession, sf_dir: str, n_slices: int = 4) -> str:
+    """Split events into n_slices time-ordered parquet files (one per range) so a
+    maxFilesPerTrigger=1 stream replays them as an in-order micro-batch sequence.
+
+    One repartitionByRange(ts) write: each output part file is a contiguous time
+    range and file NAMES sort in time order (part-00000 is the earliest range).
+    File mtimes are then stamped strictly increasing so the file-stream source's
+    (mtime, path) ordering replays them oldest-first deterministically.
+    Idempotent via the _DONE marker."""
+    path = sliced_events_path(sf_dir, n_slices)
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        from ..catalog import load
+
+        e = load(spark, sf_dir, ("events",))["events"]
+        (
+            e.repartitionByRange(n_slices, "ts", "event_id")
+            .sortWithinPartitions("ts", "event_id")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        parts = sorted(f for f in os.listdir(path) if f.startswith("part-"))
+        base = int(os.path.getmtime(os.path.join(path, parts[0])))
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(path, f), (base + i, base + i))
+        open(done, "w").close()
+    return path
+
+
+def _ttl_update_factory(ttl_minutes: int):
+    ttl_us = ttl_minutes * 60 * 1_000_000
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        user_id, bucket_date = key
+        if state.hasTimedOut:
+            n, last_us = state.get
+            state.remove()  # SETEX expiry: the key is GONE, state stays bounded
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "bucket_date": [bucket_date],
+                    "n_events": [n],
+                    "last_ts": [pd.Timestamp(last_us, unit="us")],
+                    "expired": [True],
+                }
+            )
+            return
+        n, last_us = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            ts_us = pdf["ts"].astype("int64") // 1000
+            n += len(pdf)
+            last_us = max(last_us, int(ts_us.max()))
+        state.update((n, last_us))
+        # re-arm: key dies TTL after its latest write (SETEX semantics)
+        state.setTimeoutTimestamp(last_us // 1000 + ttl_us // 1000)
+        return
+        yield  # pragma: no cover — generator form required by the API
+
+    return update
+
+
+def stream_session_ttl(
+    spark: SparkSession, sf_dir: str, ttl_minutes: int = TTL_MINUTES_DEFAULT, n_slices: int = 4
+) -> DataFrame:
+    """Run the TTL state machine over the sliced events stream; returns the
+    EXPIRED session records (update-mode memory sink holds only expiry emissions
+    — live keys produce no output, exactly like Redis keys that still exist)."""
+    spark = stream_session(spark)
+    path = materialize_time_slices(spark, sf_dir, n_slices)
+    # The slices are OUR write (catalog.load already normalized ts to timestamp),
+    # so the stream schema declares it directly — no nanos conversion here.
+    raw_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    events = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .option("pathGlobFilter", "part-*")
+        .parquet(path)
+        .select("ts", "user_id", F.to_date(F.date_trunc("week", "ts")).alias("bucket_date"))
+    )
+    expired = (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("user_id", "bucket_date")
+        .applyInPandasWithState(
+            _ttl_update_factory(ttl_minutes),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return _run_to_memory(expired, "update")

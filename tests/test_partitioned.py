@@ -1,0 +1,56 @@
+"""S6 date-partitioned layout: the date filter must prune at the partition level
+(PartitionFilters in the scan), not merely row-filter after reading."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from teledetection_drone_satellite_spark.catalog import load
+from teledetection_drone_satellite_spark.sources.partitioned import (
+    materialize_date_partitioned,
+    read_date_partitioned,
+)
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, ("events",))["events"]
+    path = str(tmp_path / "events_by_date")
+    (
+        src.withColumn("event_date", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+    day_dirs = glob.glob(os.path.join(path, "event_date=*"))
+    assert len(day_dirs) > 3, "fixture must span more days than the filter keeps"
+
+    e = read_date_partitioned(spark, path)
+    q = e.filter(F.col("event_date").between(F.lit("2024-01-10"), F.lit("2024-01-12")))
+
+    # 1. the filter must reach the scan as a PARTITION filter (listing-time prune)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan_lines and "PartitionFilters: [" in scan_lines[0]
+    assert "event_date" in scan_lines[0].split("PartitionFilters:")[1].split("]")[0]
+
+    # 2. functional parity: the pruned read equals reading exactly the 3 day dirs
+    direct = sum(
+        spark.read.parquet(os.path.join(path, f"event_date=2024-01-{d}")).count()
+        for d in ("10", "11", "12")
+        if os.path.exists(os.path.join(path, f"event_date=2024-01-{d}"))
+    )
+    assert q.count() == direct > 0
+
+    # 3. and equals the unpartitioned row filter (semantics unchanged by layout)
+    assert direct == src.filter(F.to_date("ts").between("2024-01-10", "2024-01-12")).count()
+
+
+def test_materialize_idempotent(spark, sf_dir):
+    p1 = materialize_date_partitioned(spark, sf_dir)
+    marker = os.path.getmtime(os.path.join(p1, "_SUCCESS"))
+    p2 = materialize_date_partitioned(spark, sf_dir)
+    assert p1 == p2
+    assert os.path.getmtime(os.path.join(p2, "_SUCCESS")) == marker  # not rewritten

@@ -4,9 +4,16 @@ its oracle-checked batch twin (trigger(availableNow) parity, SURVEY §2.9)."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
+from pyspark.sql import functions as F
 
 from teledetection_drone_satellite_spark.plans import REGISTRY
 from teledetection_drone_satellite_spark.streaming.lifecycle import stream_lifecycle_state
+from teledetection_drone_satellite_spark.streaming.retry import (
+    idempotent_parquet_writer,
+    with_retry,
+)
+from teledetection_drone_satellite_spark.streaming.ttl import stream_session_ttl
 from teledetection_drone_satellite_spark.streaming.windows import (
     audit_append_sink,
     read_events_stream,
@@ -58,6 +65,74 @@ def test_late_data_policy_closes_only_watermarked_windows(spark, sf_dir):
     batch_totals = complete.groupby("window_start")["n"].sum()
     for _, row in appended.iterrows():
         assert batch_totals[row["window_start"]] == row["n"]
+
+
+def test_stream_session_ttl_matches_setex_semantics(spark, sf_dir):
+    """Expired keys must be EXACTLY those whose last write + TTL precedes the
+    final watermark (= max event time): the batch restatement of Redis SETEX.
+    Live keys (touched within TTL of the stream's end) must NOT be emitted."""
+    got = stream_session_ttl(spark, sf_dir, ttl_minutes=120).toPandas()
+    assert got["expired"].all()
+    assert len(got) == len(got[["user_id", "bucket_date"]].drop_duplicates())
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"), "user_id"
+    )
+    keys = (
+        events.groupBy(
+            "user_id", F.to_date(F.date_trunc("week", "ts")).alias("bucket_date")
+        )
+        .agg(F.max("ts").alias("last_ts"), F.count("*").alias("n_events"))
+    )
+    max_ts = events.agg(F.max("ts")).first()[0]
+    expected = keys.filter(
+        F.col("last_ts") + F.expr("INTERVAL 120 MINUTES") <= F.lit(max_ts)
+    ).toPandas()
+    assert len(expected) > 0, "fixture must contain expirable sessions"
+
+    got_keys = set(map(tuple, got[["user_id", "bucket_date"]].itertuples(index=False)))
+    want_keys = set(map(tuple, expected[["user_id", "bucket_date"]].itertuples(index=False)))
+    assert got_keys == want_keys
+    # per-key counts carried in state must match the batch aggregate
+    gm = got.set_index(["user_id", "bucket_date"])["n_events"].sort_index()
+    wm = expected.set_index(["user_id", "bucket_date"])["n_events"].sort_index()
+    pd.testing.assert_series_equal(gm, wm, check_names=False, check_dtype=False)
+
+
+def test_retry_transient_failures_then_success(spark, sf_dir, tmp_path):
+    """T6: two transient sink failures absorbed with exponential delays; output
+    lands exactly once; a permanent failure re-raises after max_attempts."""
+    calls = {"n": 0}
+    delays: list[float] = []
+    dest = str(tmp_path / "out")
+    inner = idempotent_parquet_writer(dest)
+
+    def flaky(batch_df, batch_id):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise IOError("transient")
+        inner(batch_df, batch_id)
+
+    wrapped = with_retry(flaky, max_attempts=4, base_delay=0.1, sleeper=delays.append)
+    src = read_events_stream(spark, sf_dir)
+    q = (
+        src.writeStream.foreachBatch(wrapped)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert calls["n"] == 3
+    assert delays == [0.1, 0.2]
+    got = spark.read.parquet(dest).count()
+    assert got == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    def always_down(batch_df, batch_id):
+        raise IOError("hard down")
+
+    hard = with_retry(always_down, max_attempts=3, base_delay=0.0, sleeper=lambda d: None)
+    with pytest.raises(Exception):
+        hard(spark.range(1), 0)
 
 
 def test_audit_append_sink_exactly_once(spark, sf_dir, tmp_path):
