@@ -94,12 +94,17 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def shingles(words: Column, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct), via higher-order functions — stays JVM-side.
-    Short docs (< n words) yield an empty array (sequence would otherwise count down)."""
-    idx = F.sequence(F.lit(0), F.size(words) - n)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]),
-    )
+    Short docs (< n words) yield an empty array.
+
+    Shape matters: ``arrays_zip`` over n shifted slices, NOT per-index
+    element_at. The index formulation re-embeds the ``words`` expression inside
+    the lambda, and after Catalyst collapses projections that inlines the
+    upstream split(text) into EVERY element access — O(len^2) work per document
+    (measured 7x slower at sf0.1). The zip form evaluates the slices once per
+    row and streams them pairwise."""
+    m = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(words, j + 1, m) for j in range(n)])
+    grams = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]))
     empty = F.array().cast("array<string>")
     return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(empty)
 

@@ -1,0 +1,71 @@
+"""Periodic health-poll fan-out (SURVEY §2.9 T7).
+
+The reference's gateway polls every downstream service on a timer and gathers
+{service: status} (api-gateway health fan-out). The streaming home is a RATE
+source — the timer — with each tick fanned out to one probe row per endpoint
+(explode over the endpoint dim) under a processingTime trigger. The probe itself
+is pluggable; the default here is a deterministic simulator (no network in this
+container), so tests can assert the cadence and fan-out shape exactly.
+
+This is the one operator family whose trigger is WALL-CLOCK, not data arrival —
+availableNow cannot express it, hence the bounded run helper that stops the
+query after N ticks instead of draining a finite source.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .windows import stream_session
+
+
+def simulated_probe(endpoint: Column, tick: Column) -> Column:
+    """Deterministic stand-in for an HTTP health probe: a keyed hash of
+    (endpoint, tick) fails ~1 in 8 probes — enough signal to exercise the
+    degraded-status rollup without a network."""
+    return (F.pmod(F.xxhash64(endpoint, tick), F.lit(8)) != 0).alias("healthy")
+
+
+def health_poll_stream(spark: SparkSession, endpoints: list[str],
+                       interval: str = "1 seconds") -> DataFrame:
+    """Unbounded plan: rate-source ticks -> per-endpoint probe fan-out ->
+    per-tick health gather (the reference's {service: up|down} dict as rows)."""
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )  # (timestamp, value) — value is the monotone tick number
+    probes = rate.select(
+        F.col("value").alias("tick"),
+        F.col("timestamp").alias("polled_at"),
+        F.explode(F.array(*[F.lit(e) for e in endpoints])).alias("endpoint"),
+    )
+    return probes.withColumn("healthy", simulated_probe(F.col("endpoint"), F.col("tick")))
+
+
+def run_health_poll(spark: SparkSession, endpoints: list[str], n_ticks: int = 3,
+                    interval: str = "1 seconds", timeout_s: float = 60.0) -> DataFrame:
+    """Run the poll under a processingTime trigger until n_ticks ticks landed in
+    the sink, then stop and return the gathered probe rows."""
+    spark = stream_session(spark)
+    plan = health_poll_stream(spark, endpoints, interval)
+    name = f"health_{abs(hash((tuple(endpoints), n_ticks))) % 10**8:08d}"
+    q = (
+        plan.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime=interval)
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            n = spark.table(name).select("tick").distinct().count()
+            if n >= n_ticks:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name)

@@ -135,6 +135,21 @@ def test_retry_transient_failures_then_success(spark, sf_dir, tmp_path):
         hard(spark.range(1), 0)
 
 
+def test_health_poll_periodic_fanout(spark):
+    """T7: every rate tick must fan out to exactly one probe per endpoint, and
+    the run must span multiple wall-clock ticks (periodic trigger, not a drain)."""
+    from teledetection_drone_satellite_spark.streaming.healthpoll import run_health_poll
+
+    endpoints = ["auth", "files", "processing"]
+    got = run_health_poll(spark, endpoints, n_ticks=2).toPandas()
+    assert got["tick"].nunique() >= 2
+    per_tick = got.groupby("tick")["endpoint"].agg(["nunique", "count"])
+    assert (per_tick["nunique"] == len(endpoints)).all()
+    assert (per_tick["count"] == len(endpoints)).all()
+    assert set(got["endpoint"]) == set(endpoints)
+    assert got["healthy"].notna().all()
+
+
 def test_audit_append_sink_exactly_once(spark, sf_dir, tmp_path):
     dest, ckpt = str(tmp_path / "audit"), str(tmp_path / "ckpt")
     events = read_events_stream(spark, sf_dir)
