@@ -251,16 +251,36 @@ def lsh_bucketed_pairs(
         .dropDuplicates(["v1", "v2"])
     )
     # candidate re-check: two key-joins fetch the vectors (Catalyst broadcasts
-    # whichever side is small — candidates at high threshold, dims at small SF)
-    e1 = base.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("emb1"))
-    e2 = base.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("emb2"))
+    # whichever side is small — candidates at high threshold, dims at small SF).
+    # Norms ride in the vector projections: computed once per VECTOR on the join
+    # build side, so each candidate row pays one dot-product fold, not the
+    # dot+two-norm triple (3x less JVM fold work on the O(candidates) path).
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding").cast("array<double>"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    e1 = base.select(
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").cast("array<double>").alias("emb1"),
+        norm.alias("n1"),
+    )
+    e2 = base.select(
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").cast("array<double>").alias("emb2"),
+        norm.alias("n2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("emb1"), F.col("emb2"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     checked = (
         cands.join(e1, "v1")
         .join(e2, "v2")
-        .withColumn(
-            "cosine",
-            cosine_expr(F.col("emb1").cast("array<double>"), F.col("emb2").cast("array<double>")),
-        )
+        .withColumn("cosine", dot / (F.col("n1") * F.col("n2")))
         .filter(F.col("cosine") >= threshold)
     )
     return checked.select("v1", "v2", F.round("cosine", 4).alias("cosine"))
