@@ -1,0 +1,44 @@
+"""Skew mitigation: salted equi-join (SURVEY §4 physical design).
+
+AQE's skew-join splitting (enabled in session.py) handles most runtime skew, but
+it only rewrites SORT-MERGE joins whose skew is visible in shuffle stats — it
+cannot help when the skew explodes inside a single key's build/probe (e.g. a
+hot FK shared by most of a 100 TB fact table, the reference's files->projects
+shape where one project owns most assets). The manual pattern is SALTING:
+
+  fact side:  salt = hash(row-unique cols) % n_salts  -> key becomes (key, salt)
+  dim side:   each row replicates n_salts times       -> all (key, 0..n-1)
+
+The hot key's rows now spread across n_salts reducers; the dim side grows by a
+factor of n_salts — cheap when the dim is the small-but-not-broadcastable side.
+Semantics are exactly the inner equi-join's (every fact row still meets its dim
+row exactly once, in exactly one salt bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_cols: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Inner/left equi-join with the fact side salted on `salt_cols` (must be
+    row-identifying for an even spread; determinism comes from hashing real
+    columns, never rand()). Result columns = fact columns + dim columns."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner and left joins")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salts)).cast("int")
+    salted_fact = fact.withColumn("__salt_f", salt)
+    replicated_dim = dim.withColumn(
+        "__salt_d", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
+    )
+    cond = (F.col(fact_key) == F.col(dim_key)) & (F.col("__salt_f") == F.col("__salt_d"))
+    return salted_fact.join(replicated_dim, cond, how).drop("__salt_f", "__salt_d")

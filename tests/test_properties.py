@@ -1,0 +1,94 @@
+"""Property-based checks (hypothesis) for operator algebra: each property is the
+operator's CONTRACT, verified against a plain-Python reference on arbitrary
+inputs — the SURVEY §5 self-check strategy for logic the fixtures only sample.
+Example counts are small: every example is a real Spark round-trip."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from teledetection_drone_satellite_spark.operators.dedup import exact_dedup
+from teledetection_drone_satellite_spark.operators.pagination import paginate
+from teledetection_drone_satellite_spark.operators.text import shingles
+from teledetection_drone_satellite_spark.operators.writepath import (
+    merge_latest_wins,
+    touch_updated_at,
+)
+
+_settings = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_word = st.text(alphabet="abcdef", min_size=1, max_size=4)
+
+
+@_settings
+@given(
+    keys=st.lists(st.integers(0, 10**6), min_size=1, max_size=40, unique=True),
+    size=st.integers(1, 7),
+)
+def test_paginate_tiles_any_table(spark, keys, size):
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    want = sorted(keys)
+    got: list[int] = []
+    page = 1
+    while True:
+        rows = sorted(r["k"] for r in paginate(df, ["k"], page, size).collect())
+        if not rows:
+            break
+        got += rows
+        page += 1
+    assert got == want
+
+
+@_settings
+@given(words=st.lists(_word, min_size=0, max_size=12))
+def test_shingles_match_python_reference(spark, words):
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(shingles(F.split(F.col("text"), " "), 3).alias("sh")).first()["sh"]
+    toks = text.split(" ")
+    ref: list[str] = []
+    if len(toks) >= 3:
+        for i in range(len(toks) - 2):
+            g = " ".join(toks[i : i + 3])
+            if g not in ref:
+                ref.append(g)
+    assert got == ref
+
+
+@_settings
+@given(texts=st.lists(_word, min_size=1, max_size=25))
+def test_exact_dedup_group_sizes(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["keep_id"]: r["n_copies"] for r in exact_dedup(df).collect()}
+    ref: dict[str, list[int]] = {}
+    for i, t in enumerate(texts):
+        ref.setdefault(t, []).append(i)
+    want = {min(ids): len(ids) for ids in ref.values()}
+    assert got == want
+
+
+@_settings
+@given(
+    base=st.dictionaries(st.integers(0, 8), st.integers(0, 100), min_size=1, max_size=8),
+    upd=st.dictionaries(st.integers(0, 8), st.integers(0, 100), max_size=8),
+)
+def test_merge_latest_wins_is_an_upsert(spark, base, upd):
+    cur = touch_updated_at(
+        spark.createDataFrame(list(base.items()), "id long, v long"), at="2024-01-01 00:00:00"
+    )
+    if upd:
+        updates = touch_updated_at(
+            spark.createDataFrame(list(upd.items()), "id long, v long"),
+            at="2024-02-01 00:00:00",
+        )
+    else:
+        updates = cur.filter(F.lit(False))
+    got = {r["id"]: r["v"] for r in merge_latest_wins(cur, updates, ["id"]).collect()}
+    assert got == {**base, **upd}

@@ -1,0 +1,67 @@
+"""Salted skew join (SURVEY §4): identical semantics to the plain equi-join, and
+the salt must genuinely spread the hot key across salt buckets."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from teledetection_drone_satellite_spark.catalog import load
+from teledetection_drone_satellite_spark.operators.skew import salted_join
+
+
+def _skewed(spark, sf_dir):
+    t = load(spark, sf_dir, ("lineitem", "supplier"))
+    fact = t["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 4 != 0, F.lit(1))
+        .otherwise(F.col("l_suppkey") % 50 + 1)
+        .cast("long")
+        .alias("hot_supp"),
+    )
+    dim = t["supplier"].filter(F.col("s_suppkey") <= 50).select("s_suppkey", "s_name")
+    return fact, dim
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    fact, dim = _skewed(spark, sf_dir)
+    salted = (
+        salted_join(fact, dim, "hot_supp", "s_suppkey", ["l_orderkey", "l_linenumber"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+    )
+    plain = (
+        fact.join(dim, F.col("hot_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salt_spreads_hot_key(spark, sf_dir):
+    fact, _ = _skewed(spark, sf_dir)
+    n_salts = 8
+    salts = (
+        fact.filter(F.col("hot_supp") == 1)
+        .select(
+            F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salts)).alias("s")
+        )
+        .groupBy("s")
+        .count()
+        .collect()
+    )
+    assert len(salts) == n_salts, "hot key must occupy every salt bucket"
+    counts = [r["count"] for r in salts]
+    assert max(counts) < 2 * min(counts), "salt spread must be roughly even"
+
+
+def test_salted_left_join_preserves_orphans(spark):
+    fact = spark.createDataFrame(
+        [(1, 10, "a"), (2, 99, "b")], "id long, k long, v string"
+    )
+    dim = spark.createDataFrame([(10, "dim10")], "dk long, dv string")
+    out = salted_join(fact, dim, "k", "dk", ["id"], n_salts=4, how="left").collect()
+    by_id = {r["id"]: r["dv"] for r in out}
+    assert by_id == {1: "dim10", 2: None}
+    assert len(out) == 2
