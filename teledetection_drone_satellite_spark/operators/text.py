@@ -109,6 +109,45 @@ def shingles(words: Column, n: int = 3) -> Column:
     return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(empty)
 
 
+def tfidf_top_terms(df: DataFrame, k: int = 3, doc_col: str = "source",
+                    text_col: str = "text") -> DataFrame:
+    """TF-IDF top-k terms per document group (SURVEY §7 Phase-7 'TF-IDF text
+    analytics'): tf = term count within the group, idf = ln(N_groups/df).
+
+    Plan: one explode -> two aggregations (tf on (group, word) and df on word —
+    both map-side combined) -> equi-join on word -> per-group top-k window.
+    The N_groups scalar rides in via a broadcast 1-row cross join. Shuffle keys
+    are (group, word) and word — the text itself never shuffles. At 100 TB the
+    word-level df table is the big intermediate; it is itself an aggregate
+    (bounded by vocabulary), far smaller than the corpus."""
+    from pyspark.sql.window import Window
+
+    words = (
+        fan_out(df)
+        .select(F.col(doc_col).alias("grp"), F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    tf = words.groupBy("grp", "word").agg(F.count("*").alias("tf"))
+    idf = words.groupBy("word").agg(F.countDistinct("grp").alias("df"))
+    n_groups = df.select(F.countDistinct(doc_col).alias("ns"))
+    scored = (
+        tf.join(idf, "word")
+        .crossJoin(F.broadcast(n_groups))
+        .withColumn("tfidf_raw", F.col("tf") * F.log(F.col("ns") / F.col("df")))
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("tfidf_raw"), F.asc("word"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("grp").alias(doc_col),
+            "word",
+            F.round("tfidf_raw", 6).alias("tfidf"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Document fingerprint: lexicographic-min MD5 over word n-gram shingles — a
     1-permutation MinHash; equal fingerprints => high shingle overlap candidates.

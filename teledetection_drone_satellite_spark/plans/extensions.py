@@ -316,6 +316,74 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH w AS (
+        SELECT source, word
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word != ''
+    ),
+    tf AS (SELECT source, word, count(*) AS tf FROM w GROUP BY 1, 2),
+    idf AS (SELECT word, count(DISTINCT source) AS df FROM w GROUP BY 1),
+    n AS (SELECT count(DISTINCT source) AS ns FROM documents),
+    scored AS (
+        SELECT tf.source, tf.word,
+               tf.tf * ln(ns * 1.0 / idf.df) AS tfidf_raw,
+               row_number() OVER (
+                   PARTITION BY tf.source
+                   ORDER BY tf.tf * ln(ns * 1.0 / idf.df) DESC, tf.word ASC
+               ) AS rnk
+        FROM tf JOIN idf USING (word) CROSS JOIN n
+    )
+    SELECT source, word, round(tfidf_raw, 6) AS tfidf, CAST(rnk AS INT) AS rnk
+    FROM scored WHERE rnk <= 3
+    """,
+    doc="§2.11 text analytics: TF-IDF top-3 discriminative terms per source "
+    "(SURVEY §7 Phase 7). One explode, two map-side-combined aggregations, one "
+    "word-key join, per-group top-k window — text never shuffles; the df table "
+    "is vocabulary-bounded.",
+    tags=("text",),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    return text.tfidf_top_terms(d, k=3)
+
+
+@register(
+    "quantile_sketch",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS exact_p50,
+           round(quantile_cont(value, 0.95), 4) AS exact_p95,
+           true AS approx_ok
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="§2.11 quantile sketch next to exact percentiles: percentile_approx "
+    "(a mergeable KLL-style sketch) vs the exact interpolated percentile; the "
+    "graded boolean asserts the sketch lands within 5% of truth for p50 AND "
+    "p95. At 100 TB the sketch is the only viable path — fixed-size partials "
+    "merge map-side, where exact percentile must shuffle every value.",
+    tags=("extension", "sketch"),
+)
+def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, ("events",))["events"]
+    agg = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("ep50"),
+        F.expr("percentile(value, 0.95)").alias("ep95"),
+        F.expr("percentile_approx(value, 0.5, 2000)").alias("ap50"),
+        F.expr("percentile_approx(value, 0.95, 2000)").alias("ap95"),
+    )
+    tol = lambda a, b: F.abs(F.col(a) - F.col(b)) / F.greatest(F.abs(F.col(b)), F.lit(1e-9)) <= 0.05  # noqa: E731
+    return agg.select(
+        "event_type",
+        F.round("ep50", 4).alias("exact_p50"),
+        F.round("ep95", 4).alias("exact_p95"),
+        (tol("ap50", "ep50") & tol("ap95", "ep95")).alias("approx_ok"),
+    )
+
+
+@register(
     "cardinality_sketch",
     oracle="""
     SELECT event_type,

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..streaming.lifecycle import stream_lifecycle_state
 from ..streaming.ttl import stream_session_ttl
 from ..streaming.windows import (
+    stream_dedupe_events,
     stream_session_window,
     stream_tumbling_hourly,
 )
@@ -50,6 +51,18 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_session_ttl(spark, sf_dir)
+
+
+@register(
+    "stream_dedupe_events",
+    oracle=None,
+    doc="§2.11 streaming dedup: dropDuplicatesWithinWatermark — first-arrival "
+    "wins, dedup state expires with the watermark (bounded state). Batch twin "
+    "equality asserted in tests/test_streaming.py.",
+    tags=("streaming", "dedup"),
+)
+def q_stream_dedupe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_dedupe_events(spark, sf_dir)
 
 
 @register(

@@ -129,6 +129,31 @@ def stream_late_data_policy(spark: SparkSession, sf_dir: str, watermark: str = "
     return _run_to_memory(agg, "append")
 
 
+def stream_dedupe_events(spark: SparkSession, sf_dir: str, key_mod: int = 997) -> DataFrame:
+    """Streaming exactly-once deduplication (§2.11 dedup, streaming form):
+    dropDuplicatesWithinWatermark keeps each key's first arrival and expires its
+    dedup state once the watermark passes — bounded state, unlike an unbounded
+    dropDuplicates. Duplicates are manufactured by folding event_id mod key_mod
+    (the fixture's ids are unique); the surviving count per event_type equals
+    the batch COUNT(DISTINCT) twin (asserted in tests/test_streaming.py) — the
+    equality is exact here because availableNow drains the single fixture file
+    in one micro-batch; in continuous operation it holds per watermark horizon,
+    which is the operator's contract (a duplicate a week late is a new record).
+
+    At 100 TB this is the ingest-dedupe front door: the state store holds one
+    entry per key within the watermark horizon, not one per key ever seen."""
+    events = read_events_stream(stream_session(spark), sf_dir)
+    deduped = (
+        events.select(
+            "ts", "event_type", F.pmod(F.col("event_id"), F.lit(key_mod)).alias("k")
+        )
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_type", "k"])
+    )
+    counts = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+    return _run_to_memory(counts, "complete")
+
+
 def audit_append_sink(result: DataFrame, dest_dir: str, checkpoint_dir: str):
     """S4/T3: append-only audit sink — exactly-once parquet append via checkpointing.
     Returns the started query (caller awaits/stops). The production shape of the

@@ -135,6 +135,22 @@ def test_retry_transient_failures_then_success(spark, sf_dir, tmp_path):
         hard(spark.range(1), 0)
 
 
+def test_stream_dedupe_matches_batch_distinct(spark, sf_dir):
+    from teledetection_drone_satellite_spark.streaming.windows import stream_dedupe_events
+
+    got = stream_dedupe_events(spark, sf_dir, key_mod=97).toPandas()
+    want = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", (F.col("event_id") % 97).alias("k"))
+        .groupBy("event_type")
+        .agg(F.countDistinct("k").alias("n_unique"))
+        .toPandas()
+    )
+    gm = got.set_index("event_type")["n_unique"].sort_index()
+    wm = want.set_index("event_type")["n_unique"].sort_index()
+    pd.testing.assert_series_equal(gm, wm, check_names=False, check_dtype=False)
+
+
 def test_health_poll_periodic_fanout(spark):
     """T7: every rate tick must fan out to exactly one probe per endpoint, and
     the run must span multiple wall-clock ticks (periodic trigger, not a drain)."""
