@@ -59,9 +59,15 @@ def _docs_as_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="S2/E3 ingest pipeline: binaryFile-shaped scan -> ext/size validation -> "
     "magic-byte MIME sniff -> sha256 checksum -> validity flags. One narrow "
     "codegen stage, no shuffle. The oracle MIRRORS the sniff/validation logic "
-    "(printable-magic prefixes, NUL heuristic, empty->invalid) rather than "
-    "hardcoding fixture properties, so regenerated fixtures with empty or "
-    "magic-prefixed documents still compare equal "
+    "(magic prefixes, NUL heuristic, empty->invalid) rather than hardcoding "
+    "fixture properties, so regenerated fixtures with empty or magic-prefixed "
+    "documents still compare equal. The mirror is COMPLETE over this input: "
+    "content is UTF-8-encoded text, and every sniffed magic the oracle omits "
+    "(PNG 89.., JPEG FFD8.., gzip 1F8B, webm 1A45.., mp3 FFFB) requires a "
+    "UTF-8 lead/continuation byte at a position valid UTF-8 cannot produce, so "
+    "those branches are unreachable here; all ASCII-only magics (GIF/TIFF/PDF/"
+    "ZIP/ID3/OggS/fLaC/ftyp/RIFF) are mirrored. True-binary sniffing of those "
+    "formats is covered by tests/test_multimodal_headers.py and test_sources.py "
     "(file-service/main.py:75-169).",
     tags=("ingest",),
 )
@@ -155,18 +161,66 @@ def export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_as_assets(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """documents -> rows carrying REAL synthesized binary assets.
+
+    Content is spec-correct PNG/JPEG/GIF/WAV bytes whose metadata is
+    closed-form in doc_id (sources/multimodal.py synth_image/synth_audio), so
+    the real header parsers execute under a plain-SQL oracle. One Arrow-batched
+    narrow stage, same shape a binaryFile landing scan produces."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    synth = multimodal.synth_image if kind == "image" else multimodal.synth_audio
+    ids = fan_out(load(spark, sf_dir, ("documents",))["documents"].select("doc_id"))
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [synth(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    return ids.mapInPandas(gen, "doc_id long, content binary")
+
+
 @register(
     "multimodal_image_meta",
-    oracle=None,  # stub decoder (sha256-derived dims) is not SQL-expressible
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+             CAST(64 + doc_id % 1024 AS INTEGER) AS width,
+             CAST(64 + (doc_id * 7) % 1024 AS INTEGER) AS height,
+             CASE
+               WHEN doc_id % 3 = 0 THEN
+                 CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 4 END
+               WHEN doc_id % 3 = 1 THEN CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END
+               ELSE 1
+             END AS channels
+      FROM documents
+    )
+    SELECT format, channels, count(*) AS n_images,
+           min(width) AS min_width, max(width) AS max_width,
+           round(avg(height), 2) AS avg_height
+    FROM m GROUP BY format, channels ORDER BY format, channels
+    """,
     doc="C14/S7 decode stage: binary -> typed image metadata (width/height/"
-    "channels/format) via Arrow-batched mapInPandas; decoder is a deterministic "
-    "stub (no codec libs in container), plumbing is the production shape. "
-    "Aggregated per format so the check is size-stable.",
+    "channels/format) via Arrow-batched mapInPandas. The decoder is a REAL "
+    "pure-stdlib header parser (PNG IHDR / JPEG SOF / GIF screen descriptor, "
+    "sources/multimodal.py:parse_image_header); inputs are spec-correct "
+    "synthesized assets whose metadata is closed-form in doc_id, so the oracle "
+    "predicts exactly what the parser must decode. Aggregated per format so "
+    "the check is size-stable (file-service/main.py:128 metadata_extractor "
+    "intent; shared/models/__init__.py:122-128 metadata shape).",
     tags=("ingest", "multimodal"),
 )
 def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    files = fan_out(_docs_as_files(spark, sf_dir))
-    meta = multimodal.decode_image_meta(files).drop("content", "path")
+    files = _docs_as_assets(spark, sf_dir, "image")
+    meta = multimodal.decode_image_meta(files).drop("content")
     return (
         meta.groupBy("format", "channels")
         .agg(
@@ -177,6 +231,29 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("format", "channels")
     )
+
+
+@register(
+    "multimodal_audio_meta",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+                           WHEN 3 THEN 44100 ELSE 48000 END AS sample_rate,
+           1000 + (doc_id * 37) % 100000 AS n_samples
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="C14/S7 audio decode: binary -> (sample_rate, n_samples) via the REAL "
+    "RIFF/WAVE chunk walker (sources/multimodal.py:parse_wav_header) over "
+    "synthesized spec-correct WAV headers; oracle is the closed-form contract. "
+    "duration_s is excluded from grading (float rounding ties differ between "
+    "Python banker's and SQL half-up) — covered by the golden unit tests.",
+    tags=("ingest", "multimodal"),
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = _docs_as_assets(spark, sf_dir, "audio")
+    meta = multimodal.decode_audio_meta(files).drop("content")
+    return meta.select("doc_id", "sample_rate", "n_samples").orderBy("doc_id")
 
 
 @register(

@@ -52,6 +52,12 @@ def get_spark(app_name: str = "teledetection-spark", cpus: str | None = None) ->
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS); the vectorized reader rejects it
+        # (PARQUET_TYPE_ILLEGAL) unless nanos are read as long. catalog.load also
+        # sets this defensively (the grading driver owns its own session), but it
+        # must be present here too so tests that read the raw fixture directly
+        # don't depend on a catalog.load side effect having run first.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )

@@ -6,12 +6,17 @@ we keep bytes in a binary column (or a path) and metadata in sibling columns.
 
 Decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages: one narrow stage per op, batch size governed by
-``spark.sql.execution.arrow.maxRecordsPerBatch``, no shuffle. The actual codec
-work is STUBBED — Pillow/librosa/ffmpeg are not in this container — with a
-clearly-marked deterministic fake keyed on the content's SHA-256, so the
-Spark-side plumbing (schemas, UDF signatures, batch shapes, fan-out of
-frame-sampling) is real and testable. Swapping in a real decoder changes only
-the ``_fake_*`` functions below.
+``spark.sql.execution.arrow.maxRecordsPerBatch``, no shuffle.
+
+Metadata decode is REAL for the common container formats — pure-stdlib header
+parsers for PNG (IHDR), JPEG (SOF frame header), GIF (logical screen
+descriptor) and WAV (RIFF fmt/data chunks) cover the formats the reference's
+file-service declares (services/file-service/requirements.txt:11-15,
+shared/models/__init__.py:122-128) without needing Pillow/librosa wheels.
+Unknown formats fall back to a clearly-marked deterministic fake keyed on the
+content's SHA-256, so the pipeline stays total over arbitrary bytes. Pixel
+decode / resize / frame extraction (which genuinely need codec libs) remain
+stubbed; swapping in a real codec changes only the ``_fake_*`` functions.
 
 Scale notes: at 100 TB the binary column dominates partition sizing — keep
 ``spark.sql.files.maxPartitionBytes`` at/below executor-memory/cores, never
@@ -61,12 +66,194 @@ def _digest(content: bytes) -> bytes:
     return hashlib.sha256(content).digest()
 
 
+# --- real pure-stdlib header parsers (S7/C14) -------------------------------------------
+#
+# These decode the header metadata the reference's metadata_extractor would have
+# produced (services/file-service/main.py:128, shared/models/__init__.py:122-128)
+# for the container formats whose dimensions live in fixed, documented header
+# fields. No codec wheel needed: parsing is byte slicing, which is exactly the
+# work profile a mapInPandas batch wants (branchy per-row logic, tiny output).
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> samples per pixel (palette counts as 1: one index sample).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# JPEG SOF markers that carry frame dimensions: C0-C3, C5-C7, C9-CB, CD-CF
+# (C4=DHT, C8=JPG extension, CC=DAC are not frame headers).
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(content: bytes) -> "tuple[int, int, int, str] | None":
+    """Decode (width, height, channels, format) from a PNG/JPEG/GIF header.
+
+    Returns None for anything unrecognized (caller falls back to the stub).
+    ``channels`` is samples-per-pixel as stored (palette formats report 1).
+    """
+    # PNG: 8-byte magic, then the IHDR chunk is required first — width/height
+    # are big-endian u32 at offsets 16/20, color type at 25.
+    if content[:8] == _PNG_MAGIC and len(content) >= 26 and content[12:16] == b"IHDR":
+        width = int.from_bytes(content[16:20], "big")
+        height = int.from_bytes(content[20:24], "big")
+        channels = _PNG_CHANNELS.get(content[25])
+        if width and height and channels:
+            return width, height, channels, "png"
+        return None
+    # GIF: 6-byte version magic, logical screen w/h little-endian u16 at 6/8.
+    if content[:6] in (b"GIF87a", b"GIF89a") and len(content) >= 10:
+        width = int.from_bytes(content[6:8], "little")
+        height = int.from_bytes(content[8:10], "little")
+        if width and height:
+            return width, height, 1, "gif"
+        return None
+    # JPEG: walk marker segments until a Start-Of-Frame; its payload is
+    # precision(1) height(2) width(2) n_components(1), big-endian.
+    if content[:2] == b"\xff\xd8":
+        i = 2
+        n = len(content)
+        while i + 4 <= n:
+            if content[i] != 0xFF:
+                return None  # desynchronized — not a well-formed stream
+            marker = content[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:  # standalone markers
+                i += 2
+                continue
+            seg_len = int.from_bytes(content[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                return None
+            if marker in _JPEG_SOF:
+                if i + 9 < n:
+                    height = int.from_bytes(content[i + 5 : i + 7], "big")
+                    width = int.from_bytes(content[i + 7 : i + 9], "big")
+                    channels = content[i + 9]
+                    if width and height and channels:
+                        return width, height, channels, "jpeg"
+                return None
+            i += 2 + seg_len
+        return None
+    return None
+
+
+def parse_wav_header(content: bytes) -> "tuple[int, int, float] | None":
+    """Decode (sample_rate, n_samples, duration_s) from a RIFF/WAVE header.
+
+    Walks the chunk list for ``fmt `` (channels/rate/bits) and ``data`` (payload
+    size); n_samples counts frames (all channels at one instant = 1 sample).
+    Returns None for non-WAV or truncated headers.
+    """
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    rate = channels = bits = None
+    data_size = None
+    i = 12
+    n = len(content)
+    while i + 8 <= n:
+        cid = content[i : i + 4]
+        size = int.from_bytes(content[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= n:
+            channels = int.from_bytes(content[i + 10 : i + 12], "little")
+            rate = int.from_bytes(content[i + 12 : i + 16], "little")
+            bits = int.from_bytes(content[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate and channels and bits and data_size is not None:
+        frame_bytes = channels * max(bits // 8, 1)
+        n_samples = data_size // frame_bytes
+        return rate, n_samples, round(n_samples / rate, 6)
+    return None
+
+
+# --- deterministic real-format synthesis (test/grading assets) --------------------------
+#
+# The fixture tables carry no real binary assets, so the graded multimodal
+# queries synthesize spec-correct headers from doc_id: dims/rates are
+# closed-form in doc_id, which lets a plain-SQL oracle predict what the REAL
+# parsers above must decode. Synthesis is byte-packing per the published
+# format specs — independent of the parsing code paths it exercises.
+
+
+def synth_png(width: int, height: int, color_type: int = 2) -> bytes:
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II5B", width, height, 8, color_type, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (
+        _PNG_MAGIC + struct.pack(">I", len(ihdr)) + chunk
+        + struct.pack(">I", zlib.crc32(chunk))
+    )
+
+
+def synth_jpeg(width: int, height: int, channels: int = 3) -> bytes:
+    import struct
+
+    app0_payload = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    app0 = b"\xff\xe0" + struct.pack(">H", 2 + len(app0_payload)) + app0_payload
+    sof_payload = struct.pack(">BHHB", 8, height, width, channels) + bytes(3 * channels)
+    sof = b"\xff\xc0" + struct.pack(">H", 2 + len(sof_payload)) + sof_payload
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+def synth_gif(width: int, height: int) -> bytes:
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00"
+
+
+def synth_wav(rate: int, n_samples: int, channels: int = 1, bits: int = 16) -> bytes:
+    import struct
+
+    data_size = n_samples * channels * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * bits // 8, channels * bits // 8, bits
+    )
+    body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    # header-only asset: declare the data size without materializing the payload
+    # (the chunk walk reads the declared size, not the bytes)
+    body += b"data" + struct.pack("<I", data_size)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + body
+
+
+# PNG color-type cycle used by synth_image (maps to channels 1/3/2/4).
+_SYNTH_PNG_COLOR_TYPES = (0, 2, 4, 6)
+
+
+def synth_image(doc_id: int) -> bytes:
+    """Deterministic real-format image asset for doc_id.
+
+    Closed-form contract (mirrored by the multimodal_image_meta oracle SQL):
+      format   = (png, jpeg, gif)[doc_id % 3]
+      width    = 64 + doc_id % 1024
+      height   = 64 + (doc_id * 7) % 1024
+      channels = png: (1,3,2,4)[doc_id % 4]   (color types 0/2/4/6)
+                 jpeg: 1 if doc_id % 2 == 0 else 3
+                 gif: 1
+    """
+    width = 64 + doc_id % 1024
+    height = 64 + (doc_id * 7) % 1024
+    mod = doc_id % 3
+    if mod == 0:
+        return synth_png(width, height, _SYNTH_PNG_COLOR_TYPES[doc_id % 4])
+    if mod == 1:
+        return synth_jpeg(width, height, 1 if doc_id % 2 == 0 else 3)
+    return synth_gif(width, height)
+
+
+def synth_audio(doc_id: int) -> bytes:
+    """Deterministic WAV asset: rate = (8000,16000,22050,44100,48000)[doc_id % 5],
+    n_samples = 1000 + (doc_id * 37) % 100000, mono 16-bit."""
+    return synth_wav(_RATES[doc_id % 5], 1000 + (doc_id * 37) % 100000)
+
+
 # --- deterministic fakes (STUBS — replace with PIL/librosa/ffmpeg in production) -------
 
 
 def _fake_image_meta(content: bytes) -> tuple[int, int, int, str]:
-    """STUB decoder: dims derived from the content hash. Deterministic; a real
-    implementation returns PIL.Image.open(BytesIO(content)) properties."""
+    """STUB fallback for formats parse_image_header doesn't recognize (tiff/webp
+    need codec-grade parsing): dims derived from the content hash, deterministic.
+    A full implementation returns PIL.Image.open(BytesIO(content)) properties."""
     h = _digest(content)
     width = 64 + int.from_bytes(h[0:2], "big") % 1985  # 64..2048
     height = 64 + int.from_bytes(h[2:4], "big") % 1985
@@ -76,6 +263,7 @@ def _fake_image_meta(content: bytes) -> tuple[int, int, int, str]:
 
 
 def _fake_audio_meta(content: bytes) -> tuple[int, int, float]:
+    """STUB fallback for non-WAV audio (mp3/ogg/flac frame parsing needs a codec)."""
     h = _digest(content)
     rate = _RATES[h[6] % len(_RATES)]
     n_samples = 1000 + int.from_bytes(h[7:10], "big") % 10_000_000
@@ -103,13 +291,15 @@ def _fake_n_frames(content: bytes) -> int:
 def decode_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Decode stage: binary -> typed image metadata columns appended to the row.
 
-    One Arrow-batched narrow stage; at scale run this immediately after the scan
-    and drop `content` before anything that shuffles."""
+    Real header parse for PNG/JPEG/GIF (parse_image_header); deterministic stub
+    for anything else. One Arrow-batched narrow stage; at scale run this
+    immediately after the scan and drop `content` before anything that shuffles."""
     out_schema = StructType(list(df.schema.fields) + IMAGE_META_FIELDS)
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            metas = [_fake_image_meta(bytes(b)) for b in pdf[content_col]]
+            raws = [bytes(b) for b in pdf[content_col]]
+            metas = [parse_image_header(r) or _fake_image_meta(r) for r in raws]
             pdf = pdf.copy()
             pdf["width"] = [m[0] for m in metas]
             pdf["height"] = [m[1] for m in metas]
@@ -121,11 +311,14 @@ def decode_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
 
 
 def decode_audio_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Decode stage: binary -> (sample_rate, n_samples, duration_s). Real RIFF/WAVE
+    chunk walk (parse_wav_header); deterministic stub for non-WAV formats."""
     out_schema = StructType(list(df.schema.fields) + AUDIO_META_FIELDS)
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            metas = [_fake_audio_meta(bytes(b)) for b in pdf[content_col]]
+            raws = [bytes(b) for b in pdf[content_col]]
+            metas = [parse_wav_header(r) or _fake_audio_meta(r) for r in raws]
             pdf = pdf.copy()
             pdf["sample_rate"] = [m[0] for m in metas]
             pdf["n_samples"] = [m[1] for m in metas]

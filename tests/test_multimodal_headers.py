@@ -1,0 +1,152 @@
+"""Golden tests for the pure-stdlib multimodal header parsers (S7/C14).
+
+Headers are synthesized byte-for-byte from the format specs (PNG IHDR, JPEG
+SOF, GIF logical screen descriptor, RIFF/WAVE chunks), so these lock the
+parsers to the published layouts — no codec library involved on either side.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from pyspark.sql import functions as F
+
+from teledetection_drone_satellite_spark.sources import multimodal
+from teledetection_drone_satellite_spark.sources.multimodal import (
+    parse_image_header,
+    parse_wav_header,
+)
+
+
+def make_png(width: int, height: int, color_type: int = 2, bit_depth: int = 8) -> bytes:
+    ihdr = struct.pack(">II5B", width, height, bit_depth, color_type, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk))
+    )
+
+
+def make_jpeg(width: int, height: int, channels: int = 3, sof: int = 0xC0) -> bytes:
+    # SOI, APP0 (JFIF), DQT (dummy), SOF, EOI — enough structure to force the
+    # parser to actually walk segments before hitting the frame header.
+    app0_payload = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    app0 = b"\xff\xe0" + struct.pack(">H", 2 + len(app0_payload)) + app0_payload
+    dqt = b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes(65)
+    sof_payload = struct.pack(">BHHB", 8, height, width, channels) + bytes(3 * channels)
+    sof_seg = bytes([0xFF, sof]) + struct.pack(">H", 2 + len(sof_payload)) + sof_payload
+    return b"\xff\xd8" + app0 + dqt + sof_seg + b"\xff\xd9"
+
+
+def make_gif(width: int, height: int, version: bytes = b"89a") -> bytes:
+    return b"GIF" + version + struct.pack("<HH", width, height) + b"\x00\x00\x00"
+
+
+def make_wav(
+    rate: int, n_samples: int, channels: int = 2, bits: int = 16, extra_chunk: bool = False
+) -> bytes:
+    data_size = n_samples * channels * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * bits // 8, channels * bits // 8, bits
+    )
+    body = b"WAVE"
+    if extra_chunk:  # a LIST chunk before fmt — the walk must skip it
+        body += b"LIST" + struct.pack("<I", 4) + b"INFO"
+    body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", data_size) + bytes(min(data_size, 8))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + body
+
+
+# --- pure-function goldens ---------------------------------------------------------------
+
+
+def test_png_header_golden():
+    assert parse_image_header(make_png(640, 480, color_type=2)) == (640, 480, 3, "png")
+    assert parse_image_header(make_png(1, 1, color_type=0)) == (1, 1, 1, "png")
+    assert parse_image_header(make_png(12, 34, color_type=6)) == (12, 34, 4, "png")
+    assert parse_image_header(make_png(7, 9, color_type=3)) == (7, 9, 1, "png")  # palette
+    assert parse_image_header(make_png(5, 5, color_type=4)) == (5, 5, 2, "png")  # gray+a
+
+
+def test_jpeg_header_golden():
+    assert parse_image_header(make_jpeg(1920, 1080)) == (1920, 1080, 3, "jpeg")
+    # progressive (SOF2) and grayscale single-component
+    assert parse_image_header(make_jpeg(800, 600, sof=0xC2)) == (800, 600, 3, "jpeg")
+    assert parse_image_header(make_jpeg(32, 16, channels=1)) == (32, 16, 1, "jpeg")
+    # DHT (C4) before the SOF must NOT be mistaken for a frame header
+    dht = b"\xff\xc4" + struct.pack(">H", 2 + 17) + bytes(17)
+    img = make_jpeg(100, 50)
+    with_dht = img[:2] + dht + img[2:]
+    assert parse_image_header(with_dht) == (100, 50, 3, "jpeg")
+
+
+def test_gif_header_golden():
+    assert parse_image_header(make_gif(320, 200)) == (320, 200, 1, "gif")
+    assert parse_image_header(make_gif(65535, 1, version=b"87a")) == (65535, 1, 1, "gif")
+
+
+def test_wav_header_golden():
+    assert parse_wav_header(make_wav(44100, 44100)) == (44100, 44100, 1.0)
+    assert parse_wav_header(make_wav(16000, 8000, channels=1, bits=8)) == (16000, 8000, 0.5)
+    # chunk walk must skip unknown chunks preceding fmt
+    assert parse_wav_header(make_wav(48000, 24000, extra_chunk=True)) == (48000, 24000, 0.5)
+
+
+def test_unknown_bytes_fall_through():
+    for junk in (b"", b"plain text document", b"\x00\x01\x02\x03", b"RIFF1234AVI "):
+        assert parse_image_header(junk) is None
+        assert parse_wav_header(junk) is None
+    # truncated real headers must not crash, just decline
+    assert parse_image_header(make_png(640, 480)[:20]) is None
+    assert parse_image_header(b"\xff\xd8\xff") is None
+    assert parse_wav_header(make_wav(44100, 10)[:16]) is None
+
+
+# --- through the Spark decode stages -----------------------------------------------------
+
+
+def test_decode_image_meta_real_headers(spark):
+    rows = [
+        (1, make_png(640, 480)),
+        (2, make_jpeg(1920, 1080)),
+        (3, make_gif(320, 200)),
+        (4, b"not an image at all"),  # stub fallback
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, content binary")
+    out = {
+        r["doc_id"]: (r["width"], r["height"], r["channels"], r["format"])
+        for r in multimodal.decode_image_meta(df).collect()
+    }
+    assert out[1] == (640, 480, 3, "png")
+    assert out[2] == (1920, 1080, 3, "jpeg")
+    assert out[3] == (320, 200, 1, "gif")
+    # unknown bytes deterministically hit the stub (same result both calls)
+    assert out[4] == multimodal._fake_image_meta(b"not an image at all")
+
+
+def test_decode_audio_meta_real_headers(spark):
+    rows = [(1, make_wav(44100, 22050)), (2, b"\x00mystery codec")]
+    df = spark.createDataFrame(rows, "doc_id int, content binary")
+    out = {
+        r["doc_id"]: (r["sample_rate"], r["n_samples"], r["duration_s"])
+        for r in multimodal.decode_audio_meta(df).collect()
+    }
+    assert out[1] == (44100, 22050, 0.5)
+    assert out[2] == multimodal._fake_audio_meta(b"\x00mystery codec")
+
+
+def test_sniff_and_decode_agree_on_png(spark):
+    """The ingest MIME sniff and the metadata decode must agree: a PNG payload
+    sniffs image/png AND header-decodes as png."""
+    from teledetection_drone_satellite_spark.sources import binary
+
+    df = spark.createDataFrame(
+        [(1, "landing/a.png", make_png(8, 8))], "doc_id int, path string, content binary"
+    )
+    ing = binary.ingest(df).select("doc_id", "mime").collect()[0]
+    assert ing["mime"] == "image/png"
+    meta = multimodal.decode_image_meta(df).select("format").collect()[0]
+    assert meta["format"] == "png"
