@@ -9,6 +9,7 @@ in-process, SURVEY §2.7 C2/C3), which are the designated slow path.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -87,12 +88,184 @@ def approx_distinct(col: Column, rsd: float = 0.05) -> Column:
 
 
 # --- UDF-backed slow path (C2/C3): isolated, excluded from oracles (SURVEY §7 ③) -------
+#
+# C3 (JWT HS256) is REAL and pure-stdlib: RFC 7515/7519 compact serialization is
+# base64url + HMAC-SHA256, which `base64`/`hmac`/`hashlib` implement exactly —
+# no PyJWT wheel needed. C2 (bcrypt) genuinely needs a compiled wheel; it stays
+# guarded, with a passlib-format-compatible PBKDF2-SHA256 scheme as the
+# stdlib-runnable password-hashing path.
+
+
+def _b64url_encode(data: bytes) -> str:
+    import base64
+
+    return base64.urlsafe_b64encode(data).rstrip(b"=").decode("ascii")
+
+
+def _b64url_decode(segment: str) -> bytes:
+    import base64
+
+    return base64.urlsafe_b64decode(segment + "=" * (-len(segment) % 4))
+
+
+def jwt_hs256_encode(payload: dict, secret: str) -> str:
+    """C3 mint (shared/utils/__init__.py:28-44 create_access_token): RFC 7519
+    compact JWS, HS256. Deterministic for a fixed payload (header and payload
+    JSON use canonical separators; payload keys sorted), so tokens are
+    oracle-stable and any standard JWT library verifies them."""
+    import hashlib
+    import hmac
+    import json
+
+    header = _b64url_encode(json.dumps({"alg": "HS256", "typ": "JWT"}, separators=(",", ":")).encode())
+    body = _b64url_encode(json.dumps(payload, separators=(",", ":"), sort_keys=True).encode())
+    signing_input = f"{header}.{body}".encode("ascii")
+    sig = hmac.new(secret.encode(), signing_input, hashlib.sha256).digest()
+    return f"{header}.{body}.{_b64url_encode(sig)}"
+
+
+def jwt_hs256_decode(token: str, secret: str, now: float | None = None) -> dict | None:
+    """C3 verify (shared/utils/__init__.py:47-57 verify_token): returns the
+    payload dict, or None on malformed token / wrong algorithm / bad signature /
+    expired `exp` claim (PyJWT raises; the reference catches and returns None —
+    same contract here). `now` is injectable for deterministic grading; the
+    default uses wall-clock like the reference."""
+    import hashlib
+    import hmac
+    import json
+    import time
+
+    try:
+        header_b64, body_b64, sig_b64 = token.split(".")
+        signing_input = f"{header_b64}.{body_b64}".encode("ascii")
+        expected = hmac.new(secret.encode(), signing_input, hashlib.sha256).digest()
+        if not hmac.compare_digest(expected, _b64url_decode(sig_b64)):
+            return None
+        if json.loads(_b64url_decode(header_b64)).get("alg") != "HS256":
+            return None
+        payload = json.loads(_b64url_decode(body_b64))
+    except (ValueError, TypeError):
+        return None
+    if not isinstance(payload, dict):
+        return None
+    exp = payload.get("exp")
+    if exp is not None:
+        if not isinstance(exp, (int, float)):
+            return None
+        if exp <= (time.time() if now is None else now):
+            return None
+    return payload
+
+
+def jwt_encode_udf(secret: str):
+    """C3: mint a token per row from a JSON payload column. Arrow-batched; the
+    HMAC work is pure CPU per row, so this scales linearly with partitions and
+    holds no state — safe at any fan-out."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _encode(payload_json: pd.Series) -> pd.Series:
+        import json
+
+        return payload_json.map(lambda p: jwt_hs256_encode(json.loads(p), secret))
+
+    return _encode
+
+
+def jwt_decode_udf(secret: str, now: float | None = None):
+    """C3: verify+decode a token column -> payload JSON string (null when the
+    token is invalid or expired, mirroring verify_token's Optional)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _decode(tokens: pd.Series) -> pd.Series:
+        import json
+
+        def one(t: str) -> str | None:
+            payload = jwt_hs256_decode(t, secret, now=now)
+            return None if payload is None else json.dumps(payload, sort_keys=True)
+
+        return tokens.map(one)
+
+    return _decode
+
+
+def _ab64_encode(data: bytes) -> str:
+    """passlib's 'adapted base64': standard b64 with '+'->'.' and no padding."""
+    import base64
+
+    return base64.b64encode(data).rstrip(b"=").decode("ascii").replace("+", ".")
+
+
+def _ab64_decode(segment: str) -> bytes:
+    import base64
+
+    s = segment.replace(".", "+")
+    return base64.b64decode(s + "=" * (-len(s) % 4))
+
+
+PBKDF2_ROUNDS = 29_000  # passlib's default for pbkdf2_sha256
+
+
+def pbkdf2_sha256_hash(password: str, salt: bytes | None = None, rounds: int = PBKDF2_ROUNDS) -> str:
+    """C2 stdlib path: passlib-modular-crypt-format PBKDF2-SHA256
+    (``$pbkdf2-sha256$rounds$salt$checksum``, ab64 alphabet). The reference's
+    CryptContext(schemes=["bcrypt"]) needs a compiled wheel; this is the scheme
+    a passlib context verifies interchangeably, computable with
+    hashlib.pbkdf2_hmac alone (shared/utils/__init__.py:14-24 contract:
+    hash(password) -> opaque string verifiable by verify(password, hash))."""
+    import hashlib
+    import os
+
+    salt = os.urandom(16) if salt is None else salt
+    dk = hashlib.pbkdf2_hmac("sha256", password.encode(), salt, rounds)
+    return f"$pbkdf2-sha256${rounds}${_ab64_encode(salt)}${_ab64_encode(dk)}"
+
+
+def pbkdf2_sha256_verify(password: str, hashed: str) -> bool:
+    """C2 verify: constant-time compare against a stored MCF hash."""
+    import hashlib
+    import hmac
+
+    try:
+        _, scheme, rounds_s, salt_b64, dk_b64 = hashed.split("$")
+        if scheme != "pbkdf2-sha256":
+            return False
+        salt, expected = _ab64_decode(salt_b64), _ab64_decode(dk_b64)
+        dk = hashlib.pbkdf2_hmac("sha256", password.encode(), salt, int(rounds_s))
+        return hmac.compare_digest(dk, expected)
+    except (ValueError, TypeError):
+        return False
+
+
+def password_hash_udf(rounds: int = PBKDF2_ROUNDS):
+    """C2: per-row password hashing (salted => nondeterministic by design)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _hash(pw: pd.Series) -> pd.Series:
+        return pw.map(lambda p: pbkdf2_sha256_hash(p, rounds=rounds))
+
+    return _hash.asNondeterministic()
+
+
+def password_verify_udf():
+    """C2: verify (password, stored_hash) -> boolean."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _verify(pw: pd.Series, hashed: pd.Series) -> pd.Series:
+        return pd.Series(
+            [pbkdf2_sha256_verify(p, h) for p, h in zip(pw, hashed)], dtype="boolean"
+        )
+
+    return _verify
 
 
 def bcrypt_hash_udf():
-    """C2: bcrypt hash (shared/utils/__init__.py:14-24). Requires the `bcrypt` wheel
-    (not in this container) — raises at *call* time, keeping imports clean."""
-    import pandas as pd  # noqa: F401
+    """C2: bcrypt proper (shared/utils/__init__.py:14-24). Requires the `bcrypt`
+    wheel (not in this container) — raises at *call* time, keeping imports clean.
+    Use password_hash_udf/password_verify_udf for the stdlib-runnable scheme."""
     from pyspark.sql.functions import pandas_udf
 
     try:
@@ -101,28 +274,7 @@ def bcrypt_hash_udf():
         raise NotImplementedError("bcrypt not available in this environment") from exc
 
     @pandas_udf("string")
-    def _hash(pw: "pd.Series") -> "pd.Series":
+    def _hash(pw: pd.Series) -> pd.Series:
         return pw.map(lambda p: bcrypt.hashpw(p.encode(), bcrypt.gensalt()).decode())
 
     return _hash.asNondeterministic()
-
-
-def jwt_encode_udf(secret: str, algorithm: str = "HS256"):
-    """C3: JWT mint (shared/utils/__init__.py:28-44). Requires PyJWT."""
-    import pandas as pd  # noqa: F401
-    from pyspark.sql.functions import pandas_udf
-
-    try:
-        import jwt  # type: ignore
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError("PyJWT not available in this environment") from exc
-
-    @pandas_udf("string")
-    def _encode(payload_json: "pd.Series") -> "pd.Series":
-        import json
-
-        return payload_json.map(
-            lambda p: jwt.encode(json.loads(p), secret, algorithm=algorithm)
-        )
-
-    return _encode

@@ -375,3 +375,58 @@ def token_mint_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
         expires.alias("expires_at"),
         (expires < F.lit("1997-01-01").cast("timestamp")).alias("is_expired"),
     )
+
+
+# Fixed verification instant for jwt_roundtrip: epoch seconds of 1997-01-01 UTC.
+_JWT_NOW = 852076800
+# base64url of the canonical HS256 header {"alg":"HS256","typ":"JWT"} — a constant
+# of the compact serialization (RFC 7515 §3.1), embedded in the oracle verbatim.
+_JWT_HEADER_B64 = "eyJhbGciOiJIUzI1NiIsInR5cCI6IkpXVCJ9"
+
+
+@register(
+    "jwt_roundtrip",
+    oracle=f"""
+    WITH p AS (
+      SELECT o_orderkey,
+             CAST(o_custkey AS BIGINT) AS o_custkey,
+             CAST(epoch(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 1440 MINUTE) AS BIGINT) AS exp_s
+      FROM orders WHERE o_orderkey < 1000
+    )
+    SELECT o_orderkey,
+           '{_JWT_HEADER_B64}' || '.' ||
+             rtrim(replace(replace(to_base64(encode(
+               '{{"exp":' || exp_s || ',"sub":' || o_custkey || '}}'
+             )), '+', '-'), '/', '_'), '=') AS token_head,
+           exp_s > {_JWT_NOW} AS valid,
+           CASE WHEN exp_s > {_JWT_NOW} THEN o_custkey END AS sub,
+           CASE WHEN exp_s > {_JWT_NOW} THEN exp_s END AS exp
+    FROM p
+    """,
+    doc="C3 for real: mint an RFC 7519 HS256 token per order with the pure-stdlib "
+    "JWT UDF (functions.jwt_hs256_encode), then verify+decode it with "
+    "functions.jwt_hs256_decode at a fixed instant (shared/utils/__init__.py:28-57 "
+    "create_access_token/verify_token; exp = orderdate + 1440 min, config:27). "
+    "The oracle predicts the header.payload prefix byte-for-byte (base64url is "
+    "SQL-expressible; DuckDB 1.0 lacks blob HMAC so the signature segment is "
+    "excluded) and the decoded claims — which only match if the HMAC round-trip "
+    "actually verifies, since decode returns NULL on any signature/expiry "
+    "failure. Signature bytes themselves are locked by the jwt.io golden vector "
+    "in tests/test_functions.py. Arrow-batched UDF pair, no shuffle.",
+    tags=("scalar", "auth"),
+)
+def jwt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, ("orders",))["orders"].filter(F.col("o_orderkey") < 1000)
+    exp_s = F.unix_timestamp(F.col("o_orderdate").cast("timestamp")) + F.lit(86400)
+    payload_json = F.concat(
+        F.lit('{"exp":'), exp_s, F.lit(',"sub":'), F.col("o_custkey").cast("long"), F.lit("}")
+    )
+    token = fn.jwt_encode_udf("fixture-secret")(payload_json)
+    decoded = fn.jwt_decode_udf("fixture-secret", now=float(_JWT_NOW))(token)
+    return o.select(
+        "o_orderkey",
+        F.substring_index(token, ".", 2).alias("token_head"),
+        decoded.isNotNull().alias("valid"),
+        F.get_json_object(decoded, "$.sub").cast("long").alias("sub"),
+        F.get_json_object(decoded, "$.exp").cast("long").alias("exp"),
+    )

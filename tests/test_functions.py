@@ -1,0 +1,134 @@
+"""Tests for the UDF-backed crypto path (SURVEY §2.7 C2/C3).
+
+The HS256 JWT implementation is locked to EXTERNAL truth, not itself:
+- the canonical jwt.io example token (secret "your-256-bit-secret") must
+  verify and decode byte-for-byte, and
+- RFC 4231 test case 2 pins the underlying HMAC-SHA256.
+Round-trip, tamper, expiry, and algorithm-confusion cases cover the
+verify_token contract (reference shared/utils/__init__.py:28-57).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+
+from pyspark.sql import functions as F
+
+from teledetection_drone_satellite_spark import functions as fn
+
+# The jwt.io default example: header {"alg":"HS256","typ":"JWT"},
+# payload {"sub":"1234567890","name":"John Doe","iat":1516239022},
+# secret "your-256-bit-secret".
+JWT_IO_TOKEN = (
+    "eyJhbGciOiJIUzI1NiIsInR5cCI6IkpXVCJ9"
+    ".eyJzdWIiOiIxMjM0NTY3ODkwIiwibmFtZSI6IkpvaG4gRG9lIiwiaWF0IjoxNTE2MjM5MDIyfQ"
+    ".SflKxwRJSMeKKF2QT4fwpMeJf36POk6yJV_adQssw5c"
+)
+JWT_IO_SECRET = "your-256-bit-secret"
+
+
+def test_rfc4231_hmac_sha256_vector():
+    # RFC 4231 §4.3 test case 2 — pins stdlib hmac the JWT path builds on.
+    digest = hmac.new(b"Jefe", b"what do ya want for nothing?", hashlib.sha256).hexdigest()
+    assert digest == "5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843"
+
+
+def test_jwt_io_golden_vector_decodes():
+    payload = fn.jwt_hs256_decode(JWT_IO_TOKEN, JWT_IO_SECRET)
+    assert payload == {"sub": "1234567890", "name": "John Doe", "iat": 1516239022}
+
+
+def test_jwt_io_golden_vector_rejects_wrong_secret():
+    assert fn.jwt_hs256_decode(JWT_IO_TOKEN, "not-the-secret") is None
+
+
+def test_jwt_roundtrip_and_signature_stability():
+    payload = {"sub": 42, "exp": 2_000_000_000, "role": "pilot"}
+    token = fn.jwt_hs256_encode(payload, "s3cr3t")
+    assert token.count(".") == 2
+    # deterministic: same payload -> same token (oracle-stability contract)
+    assert token == fn.jwt_hs256_encode(dict(reversed(list(payload.items()))), "s3cr3t")
+    assert fn.jwt_hs256_decode(token, "s3cr3t", now=1_999_999_999.0) == payload
+
+
+def test_jwt_tamper_rejection():
+    token = fn.jwt_hs256_encode({"sub": 1}, "k")
+    head, body, sig = token.split(".")
+    # flip a payload byte, keep the old signature
+    bad_body = ("A" if body[0] != "A" else "B") + body[1:]
+    assert fn.jwt_hs256_decode(f"{head}.{bad_body}.{sig}", "k") is None
+    # truncate / garbage
+    assert fn.jwt_hs256_decode(f"{head}.{body}", "k") is None
+    assert fn.jwt_hs256_decode("not a token", "k") is None
+    assert fn.jwt_hs256_decode("", "k") is None
+
+
+def test_jwt_alg_confusion_rejected():
+    # A token whose header claims alg=none with an HS256-valid signature shape
+    # must still be rejected: decode only accepts HS256.
+    none_hdr = fn._b64url_encode(b'{"alg":"none","typ":"JWT"}')
+    body = fn._b64url_encode(b'{"sub":1}')
+    si = f"{none_hdr}.{body}".encode("ascii")
+    sig = fn._b64url_encode(hmac.new(b"k", si, hashlib.sha256).digest())
+    assert fn.jwt_hs256_decode(f"{none_hdr}.{body}.{sig}", "k") is None
+
+
+def test_jwt_expiry_semantics():
+    token = fn.jwt_hs256_encode({"sub": 1, "exp": 1000}, "k")
+    assert fn.jwt_hs256_decode(token, "k", now=999.0) is not None
+    assert fn.jwt_hs256_decode(token, "k", now=1000.0) is None  # exp <= now expires
+    assert fn.jwt_hs256_decode(token, "k", now=1001.0) is None
+    # no exp claim -> never expires
+    eternal = fn.jwt_hs256_encode({"sub": 1}, "k")
+    assert fn.jwt_hs256_decode(eternal, "k", now=1e12) == {"sub": 1}
+    # malformed exp -> rejected
+    weird = fn.jwt_hs256_encode({"sub": 1, "exp": "tomorrow"}, "k")
+    assert fn.jwt_hs256_decode(weird, "k") is None
+
+
+def test_jwt_udfs_roundtrip(spark):
+    df = spark.range(5).select(
+        F.concat(F.lit('{"exp":9999999999,"sub":'), F.col("id"), F.lit("}")).alias("pj")
+    )
+    token = fn.jwt_encode_udf("udf-secret")(F.col("pj"))
+    decoded = fn.jwt_decode_udf("udf-secret", now=0.0)(token)
+    rows = df.select(
+        F.get_json_object(decoded, "$.sub").cast("long").alias("sub")
+    ).collect()
+    assert sorted(r["sub"] for r in rows) == [0, 1, 2, 3, 4]
+    # wrong-secret decode yields all nulls
+    bad = df.select(fn.jwt_decode_udf("other")(fn.jwt_encode_udf("udf-secret")(F.col("pj"))).alias("d"))
+    assert all(r["d"] is None for r in bad.collect())
+
+
+def test_pbkdf2_mcf_roundtrip():
+    h = fn.pbkdf2_sha256_hash("hunter2", rounds=1000)
+    assert h.startswith("$pbkdf2-sha256$1000$")
+    assert fn.pbkdf2_sha256_verify("hunter2", h)
+    assert not fn.pbkdf2_sha256_verify("hunter3", h)
+    assert not fn.pbkdf2_sha256_verify("hunter2", "$pbkdf2-sha256$garbage")
+    assert not fn.pbkdf2_sha256_verify("hunter2", "")
+    # salted: two hashes of the same password differ but both verify
+    h2 = fn.pbkdf2_sha256_hash("hunter2", rounds=1000)
+    assert h != h2 and fn.pbkdf2_sha256_verify("hunter2", h2)
+
+
+def test_pbkdf2_known_vector():
+    # RFC 6070-style check computed from the PBKDF2 definition with P="password",
+    # S="salt", c=1, PRF=HMAC-SHA256 (published value, e.g. RFC 7914 §11):
+    import hashlib
+
+    dk = hashlib.pbkdf2_hmac("sha256", b"password", b"salt", 1)
+    assert dk.hex() == "120fb6cffcf8b32c43e7225256c4f837a86548c92ccc35480805987cb70be17b"
+    # and the MCF encoding round-trips through our ab64 helpers
+    assert fn._ab64_decode(fn._ab64_encode(dk)) == dk
+
+
+def test_password_udfs(spark):
+    df = spark.createDataFrame([("alice", "pw1"), ("bob", "pw2")], "user string, pw string")
+    hashed = df.withColumn("h", fn.password_hash_udf(rounds=500)(F.col("pw")))
+    ok = hashed.withColumn("ok", fn.password_verify_udf()(F.col("pw"), F.col("h")))
+    bad = hashed.withColumn("ok", fn.password_verify_udf()(F.lit("wrong"), F.col("h")))
+    assert all(r["ok"] for r in ok.collect())
+    assert not any(r["ok"] for r in bad.collect())
