@@ -5,49 +5,61 @@ page math file-service/main.py:287-290) and implicitly relies on Postgres heap o
 A distributed engine has no heap order, so pagination REQUIRES a total order over a
 unique key. Two implementations:
 
-- ``paginate``: two-phase distributed OFFSET — range-partition on the order key,
-  per-partition row_number + partition-count offsets. NO single-partition global
-  window: the only single-task step is a window over the per-partition COUNTS
-  (metadata-sized: one row per partition).
+- ``paginate``: two-phase distributed OFFSET over a KEYS-ONLY projection, then a
+  broadcast semi-join fetch of the full rows. Full rows never shuffle; no
+  single-partition global sort.
 - ``keyset_page``: the 100 TB path — WHERE key > last_seen ORDER BY key LIMIT n.
   O(page) work regardless of offset depth; no global sort. Use this in any real
-  pipeline; OFFSET pagination at depth k scans k rows per request.
+  pipeline; OFFSET pagination at depth k ranks k rows per request.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def paginate(df: DataFrame, order_by: list[str | Column], page: int, size: int) -> DataFrame:
+def paginate(df: DataFrame, order_by: list[str], page: int, size: int) -> DataFrame:
     """Return page `page` (1-based) of `size` rows under a deterministic total order.
 
-    order_by must end in (or contain) a unique key for determinism — mirrors the
-    contract the reference silently assumes of Postgres.
+    order_by must end in (or contain) a unique key — both for rank determinism
+    (the contract the reference silently assumes of Postgres) and because the
+    fetch join brings back exactly the rows whose key tuple ranks in the page.
 
-    Plan (global row_number WITHOUT a global sort):
-      1. range-repartition on the order keys — contiguous key ranges per
-         partition, so per-partition local ranks + an offset equal global ranks;
-      2. per-partition counts -> running-sum offsets. This window orders one row
-         PER PARTITION (metadata-sized), not per data row; the exchange feeding
-         it carries #partitions rows;
-      3. offsets prune to the partitions overlapping the page, broadcast back,
-         local row_number + offset, filter to the page.
-    The range exchange is computed once and reused across the count and data
-    branches (ReusedExchange). Every data-carrying exchange is multi-partition.
+    Plan (global row_number with NEITHER a global sort NOR a full-row shuffle):
+      1. project to the order-by columns only — the parquet scan is column-pruned,
+         so the expensive steps below move keys (bytes/row), never rows;
+      2. range-repartition the keys — contiguous key ranges per partition, so
+         per-partition local ranks + an offset equal global ranks;
+      3. per-partition counts -> running-sum offsets. This window orders one row
+         PER PARTITION (metadata-sized); offsets prune to the partitions
+         overlapping the page, broadcast back, local row_number + offset,
+         filter to the page's `size` key tuples;
+      4. broadcast those keys into a LEFT SEMI join against the original df —
+         one more narrow scan, zero shuffle of data rows.
+
+    The keys branch feeds two consumers (counts and ranks). Spark does NOT
+    reuse the range exchange across them (measured: two rangepartitioning
+    exchanges even with AQE; exchange reuse never fires for this shape), which
+    is exactly why the branch must carry keys only — paying a key-column
+    shuffle twice is noise, paying a full-row shuffle twice was the round-2
+    `pagination_page` regression. Correctness does not depend on the two
+    exchanges agreeing on boundaries: RangePartitioner samples with a
+    deterministic seed over identical input, so both branches observe identical
+    partitioning (asserted by tests/test_pagination.py page-tiling).
     """
     if page < 1 or size < 1:
         raise ValueError("page and size must be >= 1")
     lo, hi = (page - 1) * size, page * size
 
     # Explicit partition count: a bare repartitionByRange is an AQE coalescing
-    # candidate, and the count branch and data branch MUST observe identical
-    # spark_partition_id values — pin the count so the reused exchange cannot be
-    # re-coalesced differently per consumer.
+    # candidate, and the count branch and rank branch MUST observe identical
+    # spark_partition_id values — pin the count so the two exchanges cannot be
+    # coalesced differently per consumer.
     n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    ranged = df.repartitionByRange(n_parts, *order_by).withColumn(
+    keys = df.select(*order_by)
+    ranged = keys.repartitionByRange(n_parts, *order_by).withColumn(
         "__pid", F.spark_partition_id()
     )
     counts = ranged.groupBy("__pid").agg(F.count("*").alias("__cnt"))
@@ -59,16 +71,21 @@ def paginate(df: DataFrame, order_by: list[str | Column], page: int, size: int) 
         .select("__pid", "__off")
     )
     w_local = Window.partitionBy("__pid").orderBy(*order_by)
-    return (
+    page_keys = (
         ranged.join(F.broadcast(offsets), "__pid")
         .withColumn("__rn", F.row_number().over(w_local) + F.col("__off"))
         .filter((F.col("__rn") > lo) & (F.col("__rn") <= hi))
-        .drop("__pid", "__off", "__rn")
+        .select(*order_by)
     )
+    return df.join(F.broadcast(page_keys), on=order_by, how="left_semi")
 
 
 def keyset_page(df: DataFrame, key: str, after: object | None, size: int) -> DataFrame:
-    """Keyset (seek-method) pagination: stable, O(page) at any depth, scale-safe."""
+    """Keyset (seek-method) pagination: stable, O(page) at any depth, scale-safe.
+
+    The filter pushes to the scan (PushedFilters: GreaterThan) and the sort+limit
+    plans as TakeOrderedAndProject — per-partition top-`size` heaps, no global
+    sort ever materializes. This is the variant a 100 TB pipeline must use."""
     if after is not None:
         df = df.filter(F.col(key) > F.lit(after))
     return df.orderBy(F.asc(key)).limit(size)

@@ -225,6 +225,32 @@ def pagination_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pagination_keyset",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_orderkey > 1000
+    ORDER BY o_orderkey
+    LIMIT 20
+    """,
+    doc="O1 at depth — the 100 TB pagination path (operators/pagination.py "
+    "keyset_page): WHERE key > last_seen ORDER BY key LIMIT n. The predicate "
+    "pushes to the parquet scan (PushedFilters: GreaterThan) and the sort+limit "
+    "plans as TakeOrderedAndProject (per-partition top-n heaps, no global "
+    "sort), so a page at offset 10^9 costs the same as page 1 — the property "
+    "OFFSET pagination cannot have (crud.py:101 contract, re-expressed "
+    "seek-style).",
+    tags=("relational",),
+)
+def pagination_keyset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pagination import keyset_page
+
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    page = keyset_page(o, "o_orderkey", after=1000, size=20)
+    return page.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+
+
+@register(
     "topk_priority",
     oracle="""
     SELECT o_orderkey, o_orderpriority, o_orderdate

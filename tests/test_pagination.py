@@ -45,6 +45,25 @@ def test_paginate_no_global_data_window(spark, sf_dir):
     assert plan.count("SinglePartition") <= 1
 
 
+def test_paginate_full_rows_never_shuffle(spark, sf_dir):
+    """Keys-only two-phase + broadcast fetch: every shuffle exchange in the plan
+    must carry ONLY order-key (+helper) columns, and the full-row side reaches
+    the result through a broadcast semi join, not an exchange. Guards against
+    regressing to the round-2 plan that range-shuffled full rows twice."""
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    plan = (
+        paginate(o, ["o_orderkey"], page=3, size=20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan and "BroadcastExchange" in plan
+    wide_cols = ("o_custkey", "o_totalprice", "o_orderdate", "o_comment")
+    for line in plan.splitlines():
+        if "Exchange" in line and "BroadcastExchange" not in line:
+            assert not any(c in line for c in wide_cols), f"full row shuffled: {line}"
+
+
 def test_keyset_page_walk(spark, sf_dir):
     o = load(spark, sf_dir, ("orders",))["orders"]
     expect = _keys(o.orderBy("o_orderkey").limit(30))
@@ -55,3 +74,14 @@ def test_keyset_page_walk(spark, sf_dir):
         walked += batch
         after = batch[-1]
     assert walked == expect
+
+
+def test_keyset_page_plan_is_scale_safe(spark, sf_dir):
+    """The keyset filter must reach the parquet scan and the sort+limit must be
+    a TakeOrderedAndProject (per-partition heaps), not a global Sort."""
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    qe = keyset_page(o, "o_orderkey", after=1000, size=20)._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no full sort operator
+    assert "PushedFilters: [IsNotNull(o_orderkey), GreaterThan(o_orderkey,1000)" in plan
