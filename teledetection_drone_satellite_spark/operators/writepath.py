@@ -52,6 +52,70 @@ def merge_latest_wins(
     )
 
 
+def cascade_survivors(
+    child: DataFrame, fk_map: list[tuple[str, DataFrame, str]]
+) -> DataFrame:
+    """FK ON DELETE CASCADE as a maintenance op (init.sql:29,47-48: every child
+    table declares ``REFERENCES parent(id) ON DELETE CASCADE``; Postgres enforces
+    it per-row — a columnar lake enforces it as a periodic anti-orphan sweep).
+
+    A child row survives iff EVERY fk in ``fk_map`` (child_col, parent_df,
+    parent_col) still has a parent. Each check is a LEFT SEMI join against the
+    parent's projected+distinct key column — at 100 TB only parent keys move;
+    dimension-sized parents broadcast (AQE picks), and chained semi joins on the
+    same child key reuse one shuffle. Cascades compose transitively: pass the
+    survivors of one level as the parent of the next.
+    """
+    for child_col, parent, parent_col in fk_map:
+        keys = parent.select(F.col(parent_col).alias(child_col)).distinct()
+        child = child.join(keys, on=child_col, how="left_semi")
+    return child
+
+
+def cascade_orphans(
+    child: DataFrame, fk_map: list[tuple[str, DataFrame, str]]
+) -> DataFrame:
+    """The rows a CASCADE delete removes: children with AT LEAST ONE missing
+    parent. Per-fk LEFT ANTI joins unioned then de-duplicated on the child's
+    full row is wasteful; instead anti-join against each parent sequentially and
+    union the drops — each row is dropped by the FIRST broken fk that catches
+    it, so the union is disjoint by construction and needs no dedup."""
+    orphans = None
+    remaining = child
+    for child_col, parent, parent_col in fk_map:
+        keys = parent.select(F.col(parent_col).alias(child_col)).distinct()
+        broken = remaining.join(keys, on=child_col, how="left_anti")
+        orphans = broken if orphans is None else orphans.unionByName(broken)
+        remaining = remaining.join(keys, on=child_col, how="left_semi")
+    if orphans is None:
+        raise ValueError("fk_map must not be empty")
+    return orphans
+
+
+def cascade_delete_rewrite(
+    spark,
+    child_path: str,
+    fk_map: list[tuple[str, DataFrame, str]],
+    out_path: str | None = None,
+) -> None:
+    """The write-path half of the sweep: rewrite the child table to survivors
+    only (the maintenance-job analog of Postgres firing the cascade).
+
+    Writes to ``<child_path>.__compact`` then swaps, so a failed job never
+    leaves a half-deleted table — readers see the old table until the rename.
+    On a real object store the swap is the table-format commit (Iceberg/Delta
+    REPLACE); plain-parquet rename is the test-scale stand-in."""
+    import shutil
+
+    child = spark.read.parquet(child_path)
+    survivors = cascade_survivors(child, fk_map)
+    tmp = (out_path or child_path) + ".__compact"
+    survivors.write.mode("overwrite").parquet(tmp)
+    dest = out_path or child_path
+    shutil.rmtree(dest, ignore_errors=True)
+    shutil.move(tmp, dest)
+
+
 def export_single_file(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite") -> None:
     """S3: export a (bounded) result as ONE file under ``path``.
 

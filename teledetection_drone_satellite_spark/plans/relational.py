@@ -730,3 +730,52 @@ def prefix_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .orderBy("prefix")
     )
+
+
+@register(
+    "orphan_cleanup_count",
+    oracle="""
+    WITH live_c AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 0),
+    so AS (SELECT o_orderkey FROM orders
+           WHERE o_custkey IN (SELECT c_custkey FROM live_c)),
+    sl AS (SELECT l_orderkey FROM lineitem
+           WHERE l_orderkey IN (SELECT o_orderkey FROM so))
+    SELECT 'orders' AS tbl,
+           (SELECT count(*) FROM so) AS n_survivors,
+           (SELECT count(*) FROM orders) - (SELECT count(*) FROM so) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT count(*) FROM sl),
+           (SELECT count(*) FROM lineitem) - (SELECT count(*) FROM sl)
+    """,
+    doc="FK ON DELETE CASCADE maintenance sweep (init.sql:29,47-48: every child "
+    "declares REFERENCES parent ON DELETE CASCADE; the columnar analog is a "
+    "periodic anti-orphan sweep, operators/writepath.py cascade_survivors/"
+    "cascade_orphans/cascade_delete_rewrite). Simulates deleting 10% of "
+    "customers, cascades TRANSITIVELY through orders into lineitem, and counts "
+    "survivors/orphans per level. Each level is a semi join against the "
+    "parent's distinct KEY column only — at 100 TB parent keys move, child "
+    "rows never shuffle for dimension-sized parents (broadcast).",
+    tags=("relational", "maintenance"),
+)
+def orphan_cleanup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.writepath import cascade_survivors
+
+    t = load(spark, sf_dir, ("customer", "orders", "lineitem"))
+    live_c = t["customer"].filter(F.col("c_custkey") % 10 != 0)
+    orders, items = t["orders"], t["lineitem"]
+    so = cascade_survivors(orders, [("o_custkey", live_c, "c_custkey")])
+    sl = cascade_survivors(items, [("l_orderkey", so, "o_orderkey")])
+
+    def level(name: str, full: DataFrame, surv: DataFrame) -> DataFrame:
+        return (
+            surv.agg(F.count("*").alias("n_survivors"))
+            .crossJoin(full.agg(F.count("*").alias("n_total")))
+            .select(
+                F.lit(name).alias("tbl"),
+                "n_survivors",
+                (F.col("n_total") - F.col("n_survivors")).alias("n_orphans"),
+            )
+        )
+
+    return level("orders", orders, so).unionByName(level("lineitem", items, sl))

@@ -54,3 +54,62 @@ def test_export_single_file(spark, sf_dir, tmp_path):
     parts = glob.glob(f"{dest}/part-*.parquet")
     assert len(parts) == 1, f"expected exactly one data file, got {parts}"
     assert spark.read.parquet(dest).count() == df.count()
+
+
+def test_cascade_survivors_and_orphans_partition_child(spark):
+    from teledetection_drone_satellite_spark.operators.writepath import (
+        cascade_orphans,
+        cascade_survivors,
+    )
+
+    parent = spark.createDataFrame([(1,), (2,)], "pid long")
+    child = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3), (13, None)], "cid long, fk long"
+    )
+    fk = [("fk", parent, "pid")]
+    surv = {r["cid"] for r in cascade_survivors(child, fk).collect()}
+    orph = {r["cid"] for r in cascade_orphans(child, fk).collect()}
+    assert surv == {10, 11}
+    assert orph == {12, 13}  # missing parent AND null fk both cascade away
+    assert surv | orph == {10, 11, 12, 13} and not (surv & orph)
+
+
+def test_cascade_multi_fk_requires_all_parents(spark):
+    from teledetection_drone_satellite_spark.operators.writepath import (
+        cascade_orphans,
+        cascade_survivors,
+    )
+
+    users = spark.createDataFrame([(1,), (2,)], "uid long")
+    projects = spark.createDataFrame([(100,)], "prid long")
+    # tasks reference BOTH a user and a project (init.sql:47-48 shape)
+    tasks = spark.createDataFrame(
+        [(1000, 1, 100), (1001, 2, 999), (1002, 9, 100)], "tid long, owner long, proj long"
+    )
+    fk = [("owner", users, "uid"), ("proj", projects, "prid")]
+    assert {r["tid"] for r in cascade_survivors(tasks, fk).collect()} == {1000}
+    orph = cascade_orphans(tasks, fk).collect()
+    assert {r["tid"] for r in orph} == {1001, 1002}
+    assert len(orph) == 2  # disjoint by construction, no double-drop
+
+
+def test_cascade_delete_rewrite(spark, tmp_path):
+    from teledetection_drone_satellite_spark.operators.writepath import (
+        cascade_delete_rewrite,
+    )
+
+    path = str(tmp_path / "child")
+    child = spark.createDataFrame(
+        [(i, i % 5, f"v{i}") for i in range(50)], "cid long, fk long, v string"
+    )
+    child.write.parquet(path)
+    before = {r["cid"]: r["v"] for r in spark.read.parquet(path).collect()}
+    live_parents = spark.createDataFrame([(0,), (1,), (2,)], "pid long")  # 3 and 4 deleted
+    cascade_delete_rewrite(spark, path, [("fk", live_parents, "pid")])
+    after = spark.read.parquet(path).collect()
+    assert {r["cid"] for r in after} == {i for i in range(50) if i % 5 in (0, 1, 2)}
+    # survivors byte-identical: every kept row carries its original payload
+    assert all(before[r["cid"]] == r["v"] for r in after)
+    import glob as _glob
+
+    assert not _glob.glob(path + ".__compact")  # tmp dir swapped away
