@@ -47,14 +47,34 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
-def brute_force_topk(base: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+# Driver-side query-set collects are bounded BY CONTRACT (a top-k request, not a
+# table); this enforces the contract instead of assuming it — exceeding it means
+# the caller passed a table where a query set belongs.
+MAX_QUERY_SET = 4096
+
+
+def _collect_queries(queries: DataFrame, max_queries: int) -> list:
+    rows = queries.select("query_id", "embedding").limit(max_queries + 1).collect()
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"query set exceeds the driver-collect bound ({max_queries}); "
+            "a query set is a top-k request, not a table — for table-vs-table "
+            "scoring use cosine_near_dup_pairs/lsh_bucketed_pairs"
+        )
+    return rows
+
+
+def brute_force_topk(
+    base: DataFrame, queries: DataFrame, k: int = 10, max_queries: int = MAX_QUERY_SET
+) -> DataFrame:
     """Exact top-k neighbors per query vector (numpy path).
 
     queries: (query_id long, embedding array<float>) — small; collected to a
-    broadcast numpy matrix. Base vectors never leave their partitions; the only
-    shuffle is the final per-query top-k (k rows per partition per query).
+    broadcast numpy matrix (bounded: raises beyond `max_queries`). Base vectors
+    never leave their partitions; the only shuffle is the final per-query top-k
+    (k rows per partition per query).
     """
-    q_rows = queries.select("query_id", "embedding").collect()
+    q_rows = _collect_queries(queries, max_queries)
     q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -249,7 +269,15 @@ def lsh_bucketed_pairs(
         .filter(F.col("v1") < F.col("v2"))
         .select("v1", "v2")
         .dropDuplicates(["v1", "v2"])
+        # eagerly pin the candidate ID pairs (tiny: two longs/row) and release
+        # the band cache — otherwise every call leaks executor storage for the
+        # session's lifetime. localCheckpoint truncates lineage, which is the
+        # point: the re-check below must not re-trigger the band join. At 100 TB
+        # a production pipeline writes candidates to parquet instead (reliable
+        # storage; localCheckpoint blocks die with their executor).
+        .localCheckpoint(eager=True)
     )
+    bands.unpersist(blocking=False)
     # candidate re-check: two key-joins fetch the vectors (Catalyst broadcasts
     # whichever side is small — candidates at high threshold, dims at small SF).
     # Norms ride in the vector projections: computed once per VECTOR on the join
@@ -288,8 +316,26 @@ def lsh_bucketed_pairs(
 
 # --- IVF: index build split from search (the production shape) ---------------------------
 
-# (session id, sf-dir-or-table id, params) -> (centroids ndarray, assigned DataFrame)
-_IVF_CACHE: dict[tuple, tuple] = {}
+# (applicationId, sf-dir-or-table id, params) -> (centroids ndarray, assigned DataFrame).
+# Keyed on sparkContext.applicationId — unique per session lifetime, unlike
+# id(sparkSession), which the allocator can recycle after a stopped session is
+# GC'd (a recycled id would serve an index whose persisted DataFrame is bound to
+# a dead context). Bounded LRU: eviction unpersists the cached assignment so
+# executor storage cannot accrue across repeated builds.
+from collections import OrderedDict
+
+_IVF_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
+_IVF_CACHE_MAX = 4
+
+
+def _ivf_cache_put(key: tuple, value: tuple) -> None:
+    while len(_IVF_CACHE) >= _IVF_CACHE_MAX:
+        _, (_cents, stale) = _IVF_CACHE.popitem(last=False)
+        try:
+            stale.unpersist(blocking=False)
+        except Exception:  # a dead session's DataFrame: nothing to release
+            pass
+    _IVF_CACHE[key] = value
 
 
 def _kmeans_numpy(sample: np.ndarray, k: int, n_iter: int = 15, seed: int = 42) -> np.ndarray:
@@ -336,8 +382,11 @@ def build_ivf_index(
     cache_key returns the already-built index (module-level cache) — the graded
     query path, so repeated searches never re-fit.
     """
-    key = cache_key and (id(base.sparkSession),) + cache_key + (n_centroids, seed)
+    key = cache_key and (
+        (base.sparkSession.sparkContext.applicationId,) + cache_key + (n_centroids, seed)
+    )
     if key and key in _IVF_CACHE:
+        _IVF_CACHE.move_to_end(key)
         return _IVF_CACHE[key]
 
     sample_rows = (
@@ -386,7 +435,7 @@ def build_ivf_index(
     )
     result = (centroids, assigned)
     if key:
-        _IVF_CACHE[key] = result
+        _ivf_cache_put(key, result)
     return result
 
 
@@ -395,15 +444,17 @@ def ivf_search(
     queries: DataFrame,
     k: int = 10,
     n_probe: int = 4,
+    max_queries: int = MAX_QUERY_SET,
 ) -> DataFrame:
     """Search a built IVF index: probe the n_probe closest cells per query.
 
-    The query set is tiny by contract (a top-k request) — probes broadcast; the
-    assigned table is filtered to probed cells (partition pruning when the
-    assignment is written partitioned by cell) and scored with the exact JVM
-    cosine; per-query top-k closes the plan."""
+    The query set is tiny by contract (a top-k request; enforced — raises
+    beyond `max_queries`) — probes broadcast; the assigned table is filtered to
+    probed cells (partition pruning when the assignment is written partitioned
+    by cell) and scored with the exact JVM cosine; per-query top-k closes the
+    plan."""
     centroids, assigned = index
-    q_rows = queries.select("query_id", "embedding").collect()
+    q_rows = _collect_queries(queries, max_queries)
     probe_rows = []
     for r in q_rows:
         qv = np.array(r["embedding"], dtype=np.float64)
