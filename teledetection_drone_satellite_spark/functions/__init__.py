@@ -250,13 +250,22 @@ def password_hash_udf(rounds: int = PBKDF2_ROUNDS):
 
 
 def password_verify_udf():
-    """C2: verify (password, stored_hash) -> boolean."""
+    """C2: verify (password, stored_hash) -> boolean.
+
+    NULL in either input yields NULL (SQL three-valued logic, matching
+    jwt_decode_udf's invalid->NULL convention) instead of crashing the task:
+    a None password would hit ``password.encode()`` inside the verifier,
+    which its (ValueError, TypeError) guard does not catch."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("boolean")
     def _verify(pw: pd.Series, hashed: pd.Series) -> pd.Series:
         return pd.Series(
-            [pbkdf2_sha256_verify(p, h) for p, h in zip(pw, hashed)], dtype="boolean"
+            [
+                None if p is None or h is None else pbkdf2_sha256_verify(p, h)
+                for p, h in zip(pw, hashed)
+            ],
+            dtype="boolean",
         )
 
     return _verify

@@ -15,6 +15,8 @@ unique key. Two implementations:
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -44,10 +46,18 @@ def paginate(df: DataFrame, order_by: list[str], page: int, size: int) -> DataFr
     exchanges even with AQE; exchange reuse never fires for this shape), which
     is exactly why the branch must carry keys only — paying a key-column
     shuffle twice is noise, paying a full-row shuffle twice was the round-2
-    `pagination_page` regression. Correctness does not depend on the two
-    exchanges agreeing on boundaries: RangePartitioner samples with a
-    deterministic seed over identical input, so both branches observe identical
-    partitioning (asserted by tests/test_pagination.py page-tiling).
+    `pagination_page` regression. The two exchanges must agree on boundaries;
+    RangePartitioner's sampling seed is deterministic, but that only helps if
+    both branches sample IDENTICAL input — a nondeterministic upstream
+    (round-robin repartition, sample(), nondeterministic UDF) would feed each
+    exchange different rows and silently misnumber. The lazy localCheckpoint
+    below pins the keys once (persisted executor blocks, computed on first
+    touch, reused by both exchanges) so determinism holds for any input
+    (asserted by tests/test_pagination.py page-tiling).
+
+    NULL order-key values are ranked like any other value (Spark sorts nulls
+    first) and survive the fetch: the semi-join matches null-safely (<=>), so
+    a page whose keys include NULLs returns its full `size` rows.
     """
     if page < 1 or size < 1:
         raise ValueError("page and size must be >= 1")
@@ -58,7 +68,10 @@ def paginate(df: DataFrame, order_by: list[str], page: int, size: int) -> DataFr
     # spark_partition_id values — pin the count so the two exchanges cannot be
     # coalesced differently per consumer.
     n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    keys = df.select(*order_by)
+    # Lazy localCheckpoint: keys-only (bytes/row), persisted to executor
+    # storage on first compute and reused by both exchanges — no extra job up
+    # front, and nondeterministic sources can no longer diverge the branches.
+    keys = df.select(*order_by).localCheckpoint(eager=False)
     ranged = keys.repartitionByRange(n_parts, *order_by).withColumn(
         "__pid", F.spark_partition_id()
     )
@@ -77,7 +90,18 @@ def paginate(df: DataFrame, order_by: list[str], page: int, size: int) -> DataFr
         .filter((F.col("__rn") > lo) & (F.col("__rn") <= hi))
         .select(*order_by)
     )
-    return df.join(F.broadcast(page_keys), on=order_by, how="left_semi")
+    # Null-safe fetch: plain `on=order_by` equality would silently drop rows
+    # whose key tuple contains a NULL (ranked in phase 1, unmatched here).
+    # EqualNullSafe is still extracted as a hash-join key, so this stays a
+    # BroadcastHashJoin, not a nested loop.
+    fetch_keys = F.broadcast(
+        page_keys.select(*[F.col(c).alias(f"__k_{c}") for c in order_by])
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [df[c].eqNullSafe(F.col(f"__k_{c}")) for c in order_by],
+    )
+    return df.join(fetch_keys, on=cond, how="left_semi")
 
 
 def keyset_page(df: DataFrame, key: str, after: object | None, size: int) -> DataFrame:

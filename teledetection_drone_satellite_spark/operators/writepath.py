@@ -101,10 +101,13 @@ def cascade_delete_rewrite(
     """The write-path half of the sweep: rewrite the child table to survivors
     only (the maintenance-job analog of Postgres firing the cascade).
 
-    Writes to ``<child_path>.__compact`` then swaps, so a failed job never
-    leaves a half-deleted table — readers see the old table until the rename.
-    On a real object store the swap is the table-format commit (Iceberg/Delta
-    REPLACE); plain-parquet rename is the test-scale stand-in."""
+    Writes to ``<child_path>.__compact`` then swaps via two renames (old dir
+    aside first, then tmp into place), so a failed job never leaves a
+    half-deleted table and no crash window leaves ``dest`` absent — the worst
+    crash outcome is both the old copy (at ``.__old``) and the new one on
+    disk. On a real object store the swap is the table-format commit
+    (Iceberg/Delta REPLACE); plain-parquet rename is the test-scale stand-in."""
+    import os
     import shutil
 
     child = spark.read.parquet(child_path)
@@ -112,8 +115,12 @@ def cascade_delete_rewrite(
     tmp = (out_path or child_path) + ".__compact"
     survivors.write.mode("overwrite").parquet(tmp)
     dest = out_path or child_path
-    shutil.rmtree(dest, ignore_errors=True)
-    shutil.move(tmp, dest)
+    old = dest + ".__old"
+    shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+    if os.path.exists(dest):
+        os.rename(dest, old)  # atomic: readers switch from old to new...
+    os.rename(tmp, dest)  # ...with dest never absent in between
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def export_single_file(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite") -> None:

@@ -17,8 +17,11 @@ Rules enforced by convention here (driver contract, __spark_entry__.py docstring
 
 from __future__ import annotations
 
+import json
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -49,9 +52,43 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
     return deco
 
 
+def _last_graded_names() -> frozenset[str]:
+    """Query names graded in the most recent driver CORRECTNESS_r{N}.json, if any.
+
+    The driver grades only the first 50 registry entries per round, so with 80+
+    registered queries a fixed registration order starves the tail of grading
+    evidence forever.  Reading back the latest round's graded set lets
+    ``queries()`` rotate it to the back, so coverage cycles: every query lands
+    inside the driver's 50-query window at least every other round.
+    """
+    root = Path(__file__).resolve().parents[2]
+    latest, latest_n = None, -1
+    for p in root.glob("CORRECTNESS_r*.json"):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
+        if m and int(m.group(1)) > latest_n:
+            latest, latest_n = p, int(m.group(1))
+    if latest is None:
+        return frozenset()
+    try:
+        return frozenset(json.loads(latest.read_text()))
+    except (OSError, ValueError):
+        return frozenset()
+
+
+def _rotated() -> list[Query]:
+    """Registry entries, last round's graded names rotated to the back.
+
+    Relative registration order is preserved within each group, so the
+    rotation is deterministic and the full cycle period is two rounds.
+    """
+    graded = _last_graded_names()
+    entries = list(REGISTRY.values())
+    return [q for q in entries if q.name not in graded] + [q for q in entries if q.name in graded]
+
+
 def queries() -> dict[str, QueryFn]:
-    return {q.name: q.fn for q in REGISTRY.values()}
+    return {q.name: q.fn for q in _rotated()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {q.name: q.oracle for q in REGISTRY.values() if q.oracle is not None}
+    return {q.name: q.oracle for q in _rotated() if q.oracle is not None}

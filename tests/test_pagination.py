@@ -64,6 +64,57 @@ def test_paginate_full_rows_never_shuffle(spark, sf_dir):
             assert not any(c in line for c in wide_cols), f"full row shuffled: {line}"
 
 
+def test_paginate_null_order_keys_survive_fetch(spark, sf_dir):
+    """NULLs in an order-by column are ranked first by the phase-1 sort and must
+    come back from the phase-2 fetch: the semi-join matches null-safely (<=>),
+    so pages covering null keys return their full `size` rows instead of
+    silently shrinking and shifting every later page."""
+    from pyspark.sql import functions as F
+
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    # Null out o_orderpriority on ~1/7 of rows; order by (priority, key) so the
+    # first page lands squarely on the null-priority range.
+    df = o.withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 7 == 0, None).otherwise(F.col("o_orderpriority")),
+    )
+    n_null = df.filter(F.col("o_orderpriority").isNull()).count()
+    assert n_null > 25, "fixture too small to exercise null pages"
+    order = ["o_orderpriority", "o_orderkey"]
+    expect = [
+        (r["o_orderpriority"], r["o_orderkey"])
+        for r in df.orderBy(*order).limit(25).collect()
+    ]
+    got = sorted(
+        ((r["o_orderpriority"], r["o_orderkey"]) for r in paginate(df, order, 1, 25).collect()),
+        key=lambda t: (t[0] is not None, t[0] or "", t[1]),
+    )
+    assert got == expect
+    assert all(p is None for p, _ in got)  # page 1 is entirely null-priority rows
+
+
+def test_paginate_tiling_property(spark, sf_dir):
+    """Pages must tile the table exactly (no gaps/overlap) regardless of the
+    shuffle-partition count the two range exchanges plan with — locks the
+    determinism argument in paginate()'s docstring across AQE variations."""
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    all_keys = _keys(o.orderBy("o_orderkey"))
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n_parts, size in ((1, 17), (5, 23), (64, 41)):
+            spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+            seen: list[int] = []
+            page = 1
+            while len(seen) < len(all_keys):
+                batch = sorted(_keys(paginate(o, ["o_orderkey"], page, size)))
+                assert len(batch) == min(size, len(all_keys) - len(seen))
+                seen += batch
+                page += 1
+            assert seen == all_keys, f"tiling broke at shuffle.partitions={n_parts}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
 def test_keyset_page_walk(spark, sf_dir):
     o = load(spark, sf_dir, ("orders",))["orders"]
     expect = _keys(o.orderBy("o_orderkey").limit(30))
