@@ -172,7 +172,11 @@ def _docs_as_assets(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
 
     import pandas as pd
 
-    synth = multimodal.synth_image if kind == "image" else multimodal.synth_audio
+    synth = {
+        "image": multimodal.synth_image,
+        "audio": multimodal.synth_audio,
+        "exif": multimodal.synth_image_exif,
+    }[kind]
     ids = fan_out(load(spark, sf_dir, ("documents",))["documents"].select("doc_id"))
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -254,6 +258,36 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = _docs_as_assets(spark, sf_dir, "audio")
     meta = multimodal.decode_audio_meta(files).drop("content")
     return meta.select("doc_id", "sample_rate", "n_samples").orderBy("doc_id")
+
+
+@register(
+    "multimodal_exif_gps",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+           (CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE -1.0 END)
+             * (doc_id % 90 + ((doc_id * 3) % 60) / 60.0
+                + ((doc_id * 7) % 60) / 3600.0) AS gps_lat,
+           (CASE WHEN doc_id % 3 = 0 THEN -1.0 ELSE 1.0 END)
+             * (doc_id % 180 + ((doc_id * 5) % 60) / 60.0
+                + ((doc_id * 11) % 60) / 3600.0) AS gps_lon
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="C14 tail: EXIF APP1/GPS decode — binary JPEG -> (orientation, gps_lat, "
+    "gps_lon) via the REAL pure-stdlib TIFF/GPS-IFD walker "
+    "(sources/multimodal.py:parse_exif_gps) over synthesized spec-correct APP1 "
+    "blobs whose tags are closed-form in doc_id. Matches the reference's EXIF "
+    "metadata shape (shared/models/__init__.py:122-128; files.gps_coordinates "
+    "init.sql:178). Decimal degrees are sign*(d + m/60 + s/3600) with integral "
+    "d/m/s on both engines — operation-for-operation identical IEEE doubles, "
+    "so the value hash is exact, no rounding needed.",
+    tags=("ingest", "multimodal"),
+)
+def multimodal_exif_gps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = _docs_as_assets(spark, sf_dir, "exif")
+    meta = multimodal.decode_exif_gps(files).drop("content")
+    return meta.select("doc_id", "orientation", "gps_lat", "gps_lon").orderBy("doc_id")
 
 
 @register(

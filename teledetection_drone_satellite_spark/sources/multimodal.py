@@ -135,6 +135,131 @@ def parse_image_header(content: bytes) -> "tuple[int, int, int, str] | None":
     return None
 
 
+
+# EXIF tag ids (public EXIF 2.3 spec) used by the APP1 walker below.
+_EXIF_TAG_ORIENTATION = 0x0112
+_EXIF_TAG_GPS_IFD = 0x8825
+_GPS_TAG_LAT_REF = 0x0001
+_GPS_TAG_LAT = 0x0002
+_GPS_TAG_LON_REF = 0x0003
+_GPS_TAG_LON = 0x0004
+
+
+def _ifd_entries(tiff: bytes, off: int, bo: str) -> "dict[int, tuple[int, int, bytes]]":
+    """Parse one TIFF IFD at `off` -> {tag: (type, count, raw 4-byte value field)}.
+
+    Offsets inside the value field are relative to the TIFF block start, per
+    the spec; the caller resolves them against `tiff`. Returns {} on truncation.
+    """
+    if off + 2 > len(tiff):
+        return {}
+    n = int.from_bytes(tiff[off : off + 2], bo)
+    out: dict[int, tuple[int, int, bytes]] = {}
+    for k in range(n):
+        e = off + 2 + 12 * k
+        if e + 12 > len(tiff):
+            break
+        tag = int.from_bytes(tiff[e : e + 2], bo)
+        typ = int.from_bytes(tiff[e + 2 : e + 4], bo)
+        cnt = int.from_bytes(tiff[e + 4 : e + 8], bo)
+        out[tag] = (typ, cnt, tiff[e + 8 : e + 12])
+    return out
+
+
+def _gps_rational3(tiff: bytes, value: bytes, bo: str) -> "tuple[float, float, float] | None":
+    """Resolve a count-3 RATIONAL value field -> (deg, min, sec) floats."""
+    p = int.from_bytes(value, bo)
+    if p + 24 > len(tiff):
+        return None
+    vals = []
+    for k in range(3):
+        num = int.from_bytes(tiff[p + 8 * k : p + 8 * k + 4], bo)
+        den = int.from_bytes(tiff[p + 8 * k + 4 : p + 8 * k + 8], bo)
+        if den == 0:
+            return None
+        vals.append(num / den)
+    return vals[0], vals[1], vals[2]
+
+
+def parse_exif_gps(content: bytes) -> "tuple[int | None, float | None, float | None] | None":
+    """C14 tail: decode (orientation, gps_lat, gps_lon) from a JPEG APP1 EXIF block.
+
+    Pure-stdlib walk per the public EXIF 2.3 / TIFF 6.0 specs: scan JPEG marker
+    segments for APP1 with the ``Exif\\0\\0`` preamble, read the TIFF byte-order
+    mark (II little / MM big endian), walk IFD0 for the orientation SHORT
+    (0x0112) and the GPS sub-IFD pointer (0x8825), then the GPS IFD for
+    lat/lon refs (ASCII N/S/E/W) and the 3-RATIONAL deg/min/sec arrays.
+    Decimal degrees are ``deg + min/60 + sec/3600``, negated for S/W — the
+    lat/lon shape the reference stores (shared/models/__init__.py:122-128,
+    ``files.gps_coordinates`` init.sql:178).
+
+    Returns None when there is no well-formed APP1 EXIF segment; individual
+    tuple slots are None when that tag is absent. Only orientation present is
+    still a successful parse (GPS-less cameras are the common case).
+    """
+    if content[:2] != b"\xff\xd8":
+        return None
+    i, n = 2, len(content)
+    tiff = None
+    while i + 4 <= n:
+        if content[i] != 0xFF:
+            return None
+        marker = content[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            i += 2
+            continue
+        seg_len = int.from_bytes(content[i + 2 : i + 4], "big")
+        if seg_len < 2:
+            return None
+        if marker == 0xE1 and content[i + 4 : i + 10] == b"Exif\x00\x00":
+            tiff = content[i + 10 : i + 2 + seg_len]
+            break
+        if marker == 0xDA:  # start-of-scan: no APP1 will follow
+            return None
+        i += 2 + seg_len
+    if tiff is None or len(tiff) < 8:
+        return None
+    if tiff[:2] == b"II":
+        bo = "little"
+    elif tiff[:2] == b"MM":
+        bo = "big"
+    else:
+        return None
+    if int.from_bytes(tiff[2:4], bo) != 42:
+        return None
+    ifd0 = _ifd_entries(tiff, int.from_bytes(tiff[4:8], bo), bo)
+    if not ifd0:
+        return None
+
+    orientation = None
+    if _EXIF_TAG_ORIENTATION in ifd0:
+        typ, cnt, raw = ifd0[_EXIF_TAG_ORIENTATION]
+        if typ == 3 and cnt == 1:  # SHORT, inline in the first 2 bytes
+            orientation = int.from_bytes(raw[:2], bo)
+
+    lat = lon = None
+    if _EXIF_TAG_GPS_IFD in ifd0:
+        gps = _ifd_entries(tiff, int.from_bytes(ifd0[_EXIF_TAG_GPS_IFD][2], bo), bo)
+
+        def _coord(ref_tag: int, dms_tag: int, neg_refs: bytes) -> "float | None":
+            if ref_tag not in gps or dms_tag not in gps:
+                return None
+            ref = gps[ref_tag][2][:1]  # ASCII count-2 values are inline
+            dms = _gps_rational3(tiff, gps[dms_tag][2], bo)
+            if dms is None:
+                return None
+            d, m, s = dms
+            val = d + m / 60.0 + s / 3600.0
+            return -val if ref in (neg_refs[0:1], neg_refs[1:2]) else val
+
+        lat = _coord(_GPS_TAG_LAT_REF, _GPS_TAG_LAT, b"Ss")
+        lon = _coord(_GPS_TAG_LON_REF, _GPS_TAG_LON, b"Ww")
+    return orientation, lat, lon
+
+
 def parse_wav_header(content: bytes) -> "tuple[int, int, float] | None":
     """Decode (sample_rate, n_samples, duration_s) from a RIFF/WAVE header.
 
@@ -196,6 +321,59 @@ def synth_jpeg(width: int, height: int, channels: int = 3) -> bytes:
     return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
 
 
+def synth_exif_app1(
+    orientation: int,
+    lat_ref: str,
+    lat_dms: "tuple[int, int, int]",
+    lon_ref: str,
+    lon_dms: "tuple[int, int, int]",
+) -> bytes:
+    """Build a spec-correct APP1 EXIF segment (little-endian TIFF block).
+
+    Layout: TIFF header (8) -> IFD0 {orientation, GPS pointer} (30) ->
+    GPS IFD {lat ref, lat, lon ref, lon} (54) -> two 3-RATIONAL arrays (48).
+    All offsets are relative to the TIFF block start, per TIFF 6.0. Byte
+    packing only — independent of the parser it exercises.
+    """
+    import struct
+
+    def entry(tag: int, typ: int, cnt: int, value: bytes) -> bytes:
+        return struct.pack("<HHI", tag, typ, cnt) + value.ljust(4, b"\x00")
+
+    gps_off = 8 + 30  # TIFF header + IFD0 (count + 2 entries + next ptr)
+    data_off = gps_off + 54  # + GPS IFD (count + 4 entries + next ptr)
+    ifd0 = struct.pack("<H", 2)
+    ifd0 += entry(_EXIF_TAG_ORIENTATION, 3, 1, struct.pack("<H", orientation))
+    ifd0 += entry(_EXIF_TAG_GPS_IFD, 4, 1, struct.pack("<I", gps_off))
+    ifd0 += struct.pack("<I", 0)
+    gps = struct.pack("<H", 4)
+    gps += entry(_GPS_TAG_LAT_REF, 2, 2, lat_ref.encode() + b"\x00")
+    gps += entry(_GPS_TAG_LAT, 5, 3, struct.pack("<I", data_off))
+    gps += entry(_GPS_TAG_LON_REF, 2, 2, lon_ref.encode() + b"\x00")
+    gps += entry(_GPS_TAG_LON, 5, 3, struct.pack("<I", data_off + 24))
+    gps += struct.pack("<I", 0)
+    rats = b"".join(struct.pack("<II", v, 1) for v in (*lat_dms, *lon_dms))
+    tiff = b"II" + struct.pack("<HI", 42, 8) + ifd0 + gps + rats
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", 2 + len(payload)) + payload
+
+
+def synth_jpeg_exif(
+    width: int,
+    height: int,
+    orientation: int,
+    lat_ref: str,
+    lat_dms: "tuple[int, int, int]",
+    lon_ref: str,
+    lon_dms: "tuple[int, int, int]",
+    channels: int = 3,
+) -> bytes:
+    """JPEG with an APP1 EXIF segment between SOI and the frame header."""
+    base = synth_jpeg(width, height, channels)
+    app1 = synth_exif_app1(orientation, lat_ref, lat_dms, lon_ref, lon_dms)
+    return base[:2] + app1 + base[2:]
+
+
 def synth_gif(width: int, height: int) -> bytes:
     import struct
 
@@ -239,6 +417,27 @@ def synth_image(doc_id: int) -> bytes:
     if mod == 1:
         return synth_jpeg(width, height, 1 if doc_id % 2 == 0 else 3)
     return synth_gif(width, height)
+
+
+def synth_image_exif(doc_id: int) -> bytes:
+    """Deterministic EXIF-tagged JPEG asset for doc_id.
+
+    Closed-form contract (mirrored by the multimodal_exif_gps oracle SQL):
+      orientation = 1 + doc_id % 8
+      lat: ref = N if doc_id even else S; dms = (doc_id % 90, (doc_id*3) % 60, (doc_id*7) % 60)
+      lon: ref = W if doc_id % 3 == 0 else E; dms = (doc_id % 180, (doc_id*5) % 60, (doc_id*11) % 60)
+    Decimal degrees are sign * (d + m/60 + s/3600) with integral d/m/s, so the
+    oracle's double arithmetic is operation-for-operation identical to the
+    parser's."""
+    return synth_jpeg_exif(
+        64 + doc_id % 1024,
+        64 + (doc_id * 7) % 1024,
+        1 + doc_id % 8,
+        "N" if doc_id % 2 == 0 else "S",
+        (doc_id % 90, (doc_id * 3) % 60, (doc_id * 7) % 60),
+        "W" if doc_id % 3 == 0 else "E",
+        (doc_id % 180, (doc_id * 5) % 60, (doc_id * 11) % 60),
+    )
 
 
 def synth_audio(doc_id: int) -> bytes:
@@ -305,6 +504,37 @@ def decode_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
             pdf["height"] = [m[1] for m in metas]
             pdf["channels"] = [m[2] for m in metas]
             pdf["format"] = [m[3] for m in metas]
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+EXIF_META_FIELDS = [
+    StructField("orientation", IntegerType()),
+    StructField("gps_lat", DoubleType()),
+    StructField("gps_lon", DoubleType()),
+]
+
+
+def decode_exif_gps(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Decode stage: JPEG binary -> (orientation, gps_lat, gps_lon) columns.
+
+    Real APP1/TIFF/GPS-IFD walk (parse_exif_gps) — no stub fallback: rows
+    without a well-formed EXIF block get NULLs, which is what the reference
+    stores for GPS-less uploads (files.gps_coordinates is nullable,
+    init.sql:178). Same one-narrow-Arrow-stage discipline as the other
+    decoders; drop `content` before anything that shuffles."""
+    out_schema = StructType(list(df.schema.fields) + EXIF_META_FIELDS)
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            metas = [
+                parse_exif_gps(bytes(b)) or (None, None, None) for b in pdf[content_col]
+            ]
+            pdf = pdf.copy()
+            pdf["orientation"] = [m[0] for m in metas]
+            pdf["gps_lat"] = [m[1] for m in metas]
+            pdf["gps_lon"] = [m[2] for m in metas]
             yield pdf
 
     return df.mapInPandas(gen, out_schema)

@@ -105,6 +105,97 @@ def test_unknown_bytes_fall_through():
     assert parse_wav_header(make_wav(44100, 10)[:16]) is None
 
 
+# --- EXIF APP1/GPS goldens ---------------------------------------------------------------
+
+
+def make_exif_mm(orientation: int, lat_dms, lon_dms, lat_ref=b"N", lon_ref=b"E") -> bytes:
+    """Hand-built BIG-endian (MM) APP1 EXIF JPEG — the byte order the library
+    synthesizer does not emit, so the parser's endianness handling is locked
+    from the test side."""
+
+    def entry(tag, typ, cnt, value4):
+        return struct.pack(">HHI", tag, typ, cnt) + value4.ljust(4, b"\x00")
+
+    gps_off, data_off = 38, 92
+    ifd0 = struct.pack(">H", 2)
+    ifd0 += entry(0x0112, 3, 1, struct.pack(">H", orientation))
+    ifd0 += entry(0x8825, 4, 1, struct.pack(">I", gps_off))
+    ifd0 += struct.pack(">I", 0)
+    gps = struct.pack(">H", 4)
+    gps += entry(0x0001, 2, 2, lat_ref + b"\x00")
+    gps += entry(0x0002, 5, 3, struct.pack(">I", data_off))
+    gps += entry(0x0003, 2, 2, lon_ref + b"\x00")
+    gps += entry(0x0004, 5, 3, struct.pack(">I", data_off + 24))
+    gps += struct.pack(">I", 0)
+    rats = b"".join(struct.pack(">II", v, 1) for v in (*lat_dms, *lon_dms))
+    tiff = b"MM" + struct.pack(">HI", 42, 8) + ifd0 + gps + rats
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", 2 + len(payload)) + payload
+    base = make_jpeg(10, 10)
+    return base[:2] + app1 + base[2:]
+
+
+def test_exif_gps_little_endian_golden():
+    img = multimodal.synth_jpeg_exif(
+        640, 480, 6, "N", (37, 46, 30), "W", (122, 25, 10)
+    )
+    got = multimodal.parse_exif_gps(img)
+    assert got is not None
+    orientation, lat, lon = got
+    assert orientation == 6
+    assert lat == 37 + 46 / 60.0 + 30 / 3600.0
+    assert lon == -(122 + 25 / 60.0 + 10 / 3600.0)
+    # the EXIF segment must not break the plain dimension parser
+    assert parse_image_header(img) == (640, 480, 3, "jpeg")
+
+
+def test_exif_gps_big_endian_golden():
+    img = make_exif_mm(3, (51, 30, 0), (0, 7, 39), lat_ref=b"N", lon_ref=b"W")
+    assert multimodal.parse_exif_gps(img) == (
+        3,
+        51 + 30 / 60.0,
+        -(0 + 7 / 60.0 + 39 / 3600.0),
+    )
+
+
+def test_exif_gps_southern_hemisphere():
+    img = multimodal.synth_jpeg_exif(8, 8, 1, "S", (33, 52, 4), "E", (151, 12, 36))
+    _, lat, lon = multimodal.parse_exif_gps(img)
+    assert lat == -(33 + 52 / 60.0 + 4 / 3600.0)
+    assert lon == 151 + 12 / 60.0 + 36 / 3600.0
+
+
+def test_exif_gps_absent_or_malformed():
+    # plain JPEG without APP1: no EXIF at all
+    assert multimodal.parse_exif_gps(make_jpeg(10, 10)) is None
+    # non-JPEG bytes
+    assert multimodal.parse_exif_gps(b"not a jpeg") is None
+    assert multimodal.parse_exif_gps(make_png(4, 4)) is None
+    # truncated APP1 (TIFF block cut mid-IFD) must decline, not crash
+    img = multimodal.synth_jpeg_exif(8, 8, 1, "N", (1, 2, 3), "E", (4, 5, 6))
+    truncated = img[:20]
+    assert multimodal.parse_exif_gps(truncated) is None
+    # bad byte-order mark
+    bad = bytearray(img)
+    app1_at = img.index(b"Exif\x00\x00") + 6
+    bad[app1_at : app1_at + 2] = b"XX"
+    assert multimodal.parse_exif_gps(bytes(bad)) is None
+
+
+def test_exif_zero_denominator_declines():
+    img = bytearray(
+        multimodal.synth_jpeg_exif(8, 8, 1, "N", (1, 2, 3), "E", (4, 5, 6))
+    )
+    # zero out the first rational's denominator (lat deg): lat -> None
+    tiff_at = img.index(b"Exif\x00\x00") + 6
+    den_at = tiff_at + 92 + 4
+    img[den_at : den_at + 4] = b"\x00\x00\x00\x00"
+    orientation, lat, lon = multimodal.parse_exif_gps(bytes(img))
+    assert orientation == 1
+    assert lat is None
+    assert lon == 4 + 5 / 60.0 + 6 / 3600.0
+
+
 # --- through the Spark decode stages -----------------------------------------------------
 
 
@@ -136,6 +227,42 @@ def test_decode_audio_meta_real_headers(spark):
     }
     assert out[1] == (44100, 22050, 0.5)
     assert out[2] == multimodal._fake_audio_meta(b"\x00mystery codec")
+
+
+def test_decode_exif_gps_stage(spark):
+    rows = [
+        (1, multimodal.synth_jpeg_exif(64, 64, 6, "N", (37, 46, 30), "W", (122, 25, 10))),
+        (2, make_jpeg(10, 10)),  # no EXIF -> NULLs
+        (3, b"not an image"),  # not even a JPEG -> NULLs
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, content binary")
+    out = {
+        r["doc_id"]: (r["orientation"], r["gps_lat"], r["gps_lon"])
+        for r in multimodal.decode_exif_gps(df).collect()
+    }
+    assert out[1] == (
+        6,
+        37 + 46 / 60.0 + 30 / 3600.0,
+        -(122 + 25 / 60.0 + 10 / 3600.0),
+    )
+    assert out[2] == (None, None, None)
+    assert out[3] == (None, None, None)
+
+
+def test_synth_image_exif_contract():
+    """The closed-form doc_id contract the oracle SQL mirrors."""
+    for doc_id in (0, 1, 7, 42, 89, 360):
+        got = multimodal.parse_exif_gps(multimodal.synth_image_exif(doc_id))
+        orientation, lat, lon = got
+        assert orientation == 1 + doc_id % 8
+        lat_sign = 1.0 if doc_id % 2 == 0 else -1.0
+        lon_sign = -1.0 if doc_id % 3 == 0 else 1.0
+        assert lat == lat_sign * (
+            doc_id % 90 + ((doc_id * 3) % 60) / 60.0 + ((doc_id * 7) % 60) / 3600.0
+        )
+        assert lon == lon_sign * (
+            doc_id % 180 + ((doc_id * 5) % 60) / 60.0 + ((doc_id * 11) % 60) / 3600.0
+        )
 
 
 def test_sniff_and_decode_agree_on_png(spark):
