@@ -40,6 +40,14 @@ def load(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = FIXTURE_TAB
                 # Integer `div`, NOT float division: ns epoch values exceed 2^53,
                 # so a double round-trip silently perturbs the last microsecond.
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif f.name == "ts" and f.dataType.simpleString() == "timestamp_ntz":
+                # Fixture generators have also shipped ts as TIMESTAMP(MICROS)
+                # with isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ.
+                # Normalize to TIMESTAMP (LTZ): watermarks and epoch casts require
+                # it, and the cast is value-preserving under the session's pinned
+                # UTC timeZone (session.py) — downstream plans see ONE ts type
+                # regardless of which writer produced the fixture.
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         expected = FIXTURE_SCHEMAS[name]
         got = {f.name for f in df.schema.fields}
         want = {f.name for f in expected.fields}
@@ -66,6 +74,12 @@ def fan_out(df: DataFrame, min_fill: float = 0.5) -> DataFrame:
     pre-split and this is a no-op (the partition count already exceeds the
     threshold) — the round-robin shuffle only pays for itself when upstream
     parallelism is a small fraction of the cores available.
+
+    Contract: call this on a SINGLE-relation plan (one table scan), directly
+    after the scan. ``inputFiles()`` counts files across the WHOLE plan, so on
+    a multi-relation plan (post-join/union) it overcounts upstream parallelism
+    and may skip a repartition the narrow side needed; every registry call site
+    applies it to one freshly-loaded table before any join.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     # Plan-metadata heuristic, NOT df.rdd.getNumPartitions(): the RDD conversion

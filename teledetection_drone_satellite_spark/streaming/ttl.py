@@ -65,8 +65,20 @@ STATE_SCHEMA = StructType(
 
 def sliced_events_path(sf_dir: str, n_slices: int) -> str:
     sf_name = os.path.basename(os.path.normpath(sf_dir))
+    # Key the cache on the source file's (size, mtime) fingerprint too: the
+    # fixture generator rewrites events.parquet in place between rounds, and a
+    # name-only key would keep serving slices of the OLD data past a _DONE
+    # marker (stale-cache correctness bug, not just a perf miss).
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}_{int(st.st_mtime)}"
+    except OSError:
+        fp = "nosrc"
     return os.path.join(
-        tempfile.gettempdir(), f"spark_graft_slices_{_SLICE_VERSION}", f"{sf_name}_{n_slices}"
+        tempfile.gettempdir(),
+        f"spark_graft_slices_{_SLICE_VERSION}",
+        f"{sf_name}_{n_slices}_{fp}",
     )
 
 
@@ -134,11 +146,18 @@ def _ttl_update_factory(ttl_minutes: int):
 
 
 def stream_session_ttl(
-    spark: SparkSession, sf_dir: str, ttl_minutes: int = TTL_MINUTES_DEFAULT, n_slices: int = 4
+    spark: SparkSession, sf_dir: str, ttl_minutes: int = TTL_MINUTES_DEFAULT, n_slices: int = 2
 ) -> DataFrame:
     """Run the TTL state machine over the sliced events stream; returns the
     EXPIRED session records (update-mode memory sink holds only expiry emissions
-    — live keys produce no output, exactly like Redis keys that still exist)."""
+    — live keys produce no output, exactly like Redis keys that still exist).
+
+    n_slices=2 is the minimum that genuinely advances the watermark mid-stream
+    (write state in batch 1, fire EventTimeTimeouts at the batch-2 watermark);
+    each extra slice adds a full state-store snapshot/commit cycle per state
+    partition for one more intermediate expiry checkpoint. The 4-slice replay
+    (richer write->expire->rewrite interleavings) stays covered by
+    tests/test_streaming.py, which pins n_slices=4 explicitly."""
     spark = stream_session(spark)
     path = materialize_time_slices(spark, sf_dir, n_slices)
     # The slices are OUR write (catalog.load already normalized ts to timestamp),

@@ -16,30 +16,49 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
 
-# File-source schema: ts read as long (TIMESTAMP(NANOS) parquet, see catalog.py).
-_EVENTS_RAW = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_raw(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4-source analog: the events table as an append-only file stream."""
+    """S4-source analog: the events table as an append-only file stream.
+
+    File streams need an explicit schema, and the fixture generator has shipped
+    ``ts`` both as TIMESTAMP(NANOS) (which Spark's vectorized reader only
+    accepts as long via nanosAsLong) and as plain TIMESTAMP(MICROS) — so sniff
+    the footer with a batch read (driver-side metadata only, no data scan,
+    mirroring catalog.py:38) and convert only when the nanos path is in play.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = (
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).schema
+    )
+    nanos = probe["ts"].dataType.simpleString() == "bigint"
     raw = (
-        spark.readStream.schema(_EVENTS_RAW)
+        spark.readStream.schema(_events_raw(LongType() if nanos else probe["ts"].dataType))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    # Watermarks demand TIMESTAMP (LTZ); micros fixtures arrive as TIMESTAMP_NTZ.
+    # The cast is value-preserving because the session timeZone is pinned to UTC
+    # (session.py:54) — same instant, watermark-capable type.
+    ts = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if nanos
+        else F.col("ts").cast("timestamp")
+    )
     return raw.select(
         "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        ts.alias("ts"),
         "user_id",
         "event_type",
         "value",

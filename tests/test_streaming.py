@@ -71,13 +71,13 @@ def test_stream_session_ttl_matches_setex_semantics(spark, sf_dir):
     """Expired keys must be EXACTLY those whose last write + TTL precedes the
     final watermark (= max event time): the batch restatement of Redis SETEX.
     Live keys (touched within TTL of the stream's end) must NOT be emitted."""
-    got = stream_session_ttl(spark, sf_dir, ttl_minutes=120).toPandas()
+    got = stream_session_ttl(spark, sf_dir, ttl_minutes=120, n_slices=4).toPandas()
     assert got["expired"].all()
     assert len(got) == len(got[["user_id", "bucket_date"]].drop_duplicates())
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"), "user_id"
-    )
+    from teledetection_drone_satellite_spark.catalog import load
+
+    events = load(spark, sf_dir, ("events",))["events"].select("ts", "user_id")
     keys = (
         events.groupBy(
             "user_id", F.to_date(F.date_trunc("week", "ts")).alias("bucket_date")
