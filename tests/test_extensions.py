@@ -46,6 +46,73 @@ def _pair_set(df):
     return {(r["d1"], r["d2"]) for r in df.collect()}
 
 
+def test_ngram_dfcap_binds_and_matches_oracle(spark):
+    """The inverted-index df-cap must actually DROP pairs when it binds, and
+    Spark must agree with the DuckDB oracle formulation (the HAVING count(*) <=
+    max_df mirror in plans/extensions.py) on the capped result. At fixture
+    scale no shingle reaches the production cap of 1000, so this pins the
+    behavior with max_df=3 over a corpus built to exceed it: 6 docs share one
+    boilerplate tail (df=6 > 3 -> pruned), two docs are identical otherwise."""
+    import duckdb
+
+    boiler = "click here to subscribe now"
+    rows = [
+        (1, f"orange cats sleep peacefully {boiler}"),
+        (2, f"orange cats sleep peacefully {boiler}"),
+        (3, f"three {boiler}"),
+        (4, f"four {boiler}"),
+        (5, f"five {boiler}"),
+        (6, f"six {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.3, max_df=3).collect()
+    }
+    uncapped = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.3, max_df=10**6).collect()
+    }
+    # cap binds: boilerplate-only pairs (e.g. docs 3..6) survive only uncapped,
+    # and the shared-boilerplate inflation of the (1,2) jaccard is gone
+    assert (3, 4) in uncapped and (3, 4) not in capped
+    assert uncapped[(1, 2)] == 1.0
+    # docs 1/2: 7 shingles each, 3 boilerplate pruned (df=6), junction shingle
+    # 'peacefully click here' has df=2 <= 3 so it survives -> inter=4, union=10
+    assert capped == {(1, 2): 0.4}
+
+    # DuckDB twin of the registered oracle with the same max_df/threshold
+    import pandas as pd  # noqa: F401  (duckdb reads the local frame by name)
+
+    docs_pd = pd.DataFrame(rows, columns=["doc_id", "text"])
+    oracle = duckdb.sql(
+        """
+        WITH sh AS (
+          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs_pd),
+               LATERAL unnest(range(1, len(w) - 1)) t(i)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        rare AS (
+          SELECT doc_id, shingle FROM sh
+          WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 3)
+        ),
+        inter AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+          FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT d1, d2, round(i * 1.0 / (s1.n_sh + s2.n_sh - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes s1 ON d1 = s1.doc_id
+        JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE i * 1.0 / (s1.n_sh + s2.n_sh - i) >= 0.3
+        """
+    ).df()
+    want = {(r.d1, r.d2): r.jaccard for r in oracle.itertuples()}
+    assert capped == want
+
+
 def test_minhash_lsh_recall(documents):
     exact = _pair_set(dedup.ngram_jaccard_pairs(documents, threshold=0.6))
     approx = _pair_set(dedup.minhash_lsh_pairs(documents, threshold=0.6))
