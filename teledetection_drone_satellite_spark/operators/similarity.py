@@ -25,6 +25,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -208,6 +209,11 @@ def _sign_lsh_signature(dim: int, n_planes: int, seed: int):
     return sig
 
 
+# applicationId -> the live candidate checkpoint of the most recent
+# lsh_bucketed_pairs call; the next call releases it (one generation live).
+_LSH_CKPT_BY_APP: dict = {}
+
+
 def lsh_bucketed_pairs(
     df: DataFrame,
     threshold: float,
@@ -235,6 +241,11 @@ def lsh_bucketed_pairs(
 
     Scale: signatures are one int64 per row; the band join shuffles b rows per
     vector of (band, id); vectors shuffle only for the candidate set.
+
+    Lifecycle: each call releases the PREVIOUS call's candidate checkpoint, so
+    execute (collect/write) a returned DataFrame before calling this again in
+    the same session — the one-generation policy is what keeps repeated calls
+    from accumulating executor storage.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -271,13 +282,30 @@ def lsh_bucketed_pairs(
         .dropDuplicates(["v1", "v2"])
         # eagerly pin the candidate ID pairs (tiny: two longs/row) and release
         # the band cache — otherwise every call leaks executor storage for the
-        # session's lifetime. localCheckpoint truncates lineage, which is the
-        # point: the re-check below must not re-trigger the band join. At 100 TB
-        # a production pipeline writes candidates to parquet instead (reliable
-        # storage; localCheckpoint blocks die with their executor).
-        .localCheckpoint(eager=True)
+        # session's lifetime. persist-then-count, NOT localCheckpoint: the
+        # re-check below reads the materialized blocks so the band join never
+        # re-triggers, the blocks recompute from lineage if an executor dies
+        # (checkpoint blocks fail the job permanently), and — decisive here —
+        # persist is releasable through the cache manager, where
+        # DataFrame.unpersist on a localCheckpoint is a silent no-op and every
+        # call grew sc.getPersistentRDDs() by one for the session's lifetime.
+        # At 100 TB a production pipeline writes candidates to parquet instead.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    cands.count()  # materialize while the band cache is still hot
     bands.unpersist(blocking=False)
+    # The candidate blocks outlive the call (the returned DataFrame reads
+    # them), so release the PREVIOUS call's generation here: one generation
+    # live at a time.
+    app = df.sparkSession.sparkContext.applicationId
+    prev = _LSH_CKPT_BY_APP.get(app)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=True)
+        except Exception:
+            pass  # session torn down between calls — nothing to release
+    _LSH_CKPT_BY_APP.clear()  # drop refs from dead sessions (their blocks died with them)
+    _LSH_CKPT_BY_APP[app] = cands
     # candidate re-check: two key-joins fetch the vectors (Catalyst broadcasts
     # whichever side is small — candidates at high threshold, dims at small SF).
     # Norms ride in the vector projections: computed once per VECTOR on the join

@@ -262,6 +262,23 @@ def test_lsh_planted_high_cosine_regime(spark):
     assert found >= 8, f"only {found}/10 planted near-dups recovered"
 
 
+def test_lsh_repeated_calls_release_storage(spark):
+    """One-generation checkpoint policy: repeated lsh_bucketed_pairs calls must
+    not accumulate persistent RDDs (each call releases the previous call's
+    candidate checkpoint) — the leak showed up as every bench/driver run adding
+    one live block generation for the session's lifetime."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(rng.standard_normal((80, 16)))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    counts = []
+    for _ in range(3):
+        similarity.lsh_bucketed_pairs(df, threshold=0.9).collect()
+        counts.append(spark.sparkContext._jsc.getPersistentRDDs().size())
+    assert counts[-1] <= counts[0], f"persistent RDDs grew across calls: {counts}"
+
+
 def test_ivf_build_search_split(embeddings):
     """The index builds once; searches against the same built index are
     deterministic and the cache returns the identical index object."""
