@@ -71,17 +71,21 @@ def stream_session(spark: SparkSession) -> SparkSession:
     conf) and pin the state-partition count there.
 
     Stateful streaming allocates one state store per shuffle partition, and each
-    store pays per-batch snapshot/commit I/O regardless of how many keys it holds
-    (measured here: 32 stores ~2x slower end-to-end than 8 for the same single
-    availableNow batch). Setting the conf on a clone means concurrent batch
-    queries on the main session never observe the streaming value, and
-    interleaved streaming runs cannot race on a save/restore of shared state —
-    each run owns its conf. 8 suits a one-shot local run; an unbounded
-    production deployment sizes it to throughput instead."""
+    store pays per-batch snapshot/commit I/O regardless of how many keys it holds,
+    while the per-group Python work in applyInPandasWithState parallelizes with
+    the partition count — so the optimum moves with data volume. Measured on the
+    TTL stream: at a tiny single batch 32 stores ran ~2x slower than 8
+    (commit-dominated); at sf0.1 with 50k-row batches 16 beats both 8 (8.5s ->
+    6.9s, Python-dominated) and 32 (7.6s, commits creep back). Setting the conf
+    on a clone means concurrent batch queries on the main session never observe
+    the streaming value, and interleaved streaming runs cannot race on a
+    save/restore of shared state — each run owns its conf. 16 suits a one-shot
+    local run at bench scale; an unbounded production deployment sizes it to
+    throughput instead."""
     s = spark.newSession()
     s.conf.set(
         "spark.sql.shuffle.partitions",
-        os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"),
+        os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "16"),
     )
     return s
 
