@@ -292,10 +292,24 @@ def multimodal_exif_gps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_sample",
-    oracle=None,  # frame fan-out count comes from the stub decoder
+    oracle="""
+    WITH lut AS (SELECT i, lower(lpad(to_hex(i), 2, '0')) AS h FROM range(256) t(i)),
+    m AS (
+      SELECT doc_id, 8 + lut.i % 56 AS n_frames
+      FROM documents JOIN lut ON substr(sha256(text), 23, 2) = lut.h
+    )
+    SELECT doc_id,
+           CAST((n_frames + 7) // 8 AS BIGINT) AS n_sampled,
+           CAST(n_frames AS INTEGER) AS n_frames
+    FROM m ORDER BY doc_id
+    """,
     doc="S7 frame-sample stage: each 'video' row fans out to one row per sampled "
-    "frame (mapInPandas UDTF shape, every_n=8). Returns per-video frame counts — "
-    "validates the fan-out cardinality without hashing stub bytes.",
+    "frame (mapInPandas UDTF shape, every_n=8). Returns per-video frame counts. "
+    "ORACLE-graded even though the frame decoder is a stub: the stub's frame "
+    "count is 8 + sha256(content)[11] % 56, and byte 11 of the digest is "
+    "SQL-expressible as a hex-pair lookup against a 256-row to_hex table — so "
+    "the fan-out cardinality (ceil(n_frames/8) sampled rows per video) is "
+    "checked end-to-end; only the frame BYTES stay ungraded (codec-blocked).",
     tags=("ingest", "multimodal"),
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,6 +322,43 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_frames").alias("n_frames"),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    WITH lut AS (SELECT i, lower(lpad(to_hex(i), 2, '0')) AS h FROM range(256) t(i)),
+    e AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+    b AS (
+      SELECT doc_id, j, substr(hx, CAST(2*j+1 AS INTEGER), 2) AS hp
+      FROM e, LATERAL unnest(range(8)) t(j)
+    )
+    SELECT b.doc_id, CAST(b.j AS INTEGER) AS j, round(lut.i / 255.0, 6) AS feature
+    FROM b JOIN lut ON b.hp = lut.h
+    ORDER BY doc_id, j
+    """,
+    doc="S7 feature-extract stage, ORACLE-graded end-to-end: the stub encoder's "
+    "vector is round(sha256(content)[j]/255, 6) for j<8, and digest bytes are "
+    "SQL-expressible as hex-pair lookups — so the whole mapInPandas extract "
+    "path (Arrow batching, schema, vector width) is value-checked against "
+    "DuckDB. Values re-rounded to 6 after the float32 array round-trip "
+    "(storage noise ~1e-8 is far below the rounding quantum, so the original "
+    "float64 value is recovered exactly). Swapping in a real encoder later "
+    "changes only the oracle-ability, not the plumbing being graded here.",
+    tags=("ingest", "multimodal"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = fan_out(_docs_as_files(spark, sf_dir))
+    feats = multimodal.extract_features(files)
+    return (
+        feats.select("doc_id", F.posexplode("features").alias("j", "v"))
+        .select(
+            "doc_id",
+            F.col("j").cast("int").alias("j"),
+            F.round(F.col("v").cast("double"), 6).alias("feature"),
+        )
+        .orderBy("doc_id", "j")
     )
 
 
