@@ -92,3 +92,36 @@ def test_merge_latest_wins_is_an_upsert(spark, base, upd):
         updates = cur.filter(F.lit(False))
     got = {r["id"]: r["v"] for r in merge_latest_wins(cur, updates, ["id"]).collect()}
     assert got == {**base, **upd}
+
+
+_pure_settings = settings(max_examples=200, deadline=None)
+
+
+@_pure_settings
+@given(
+    orientation=st.integers(1, 8),
+    lat_ref=st.sampled_from("NS"),
+    lon_ref=st.sampled_from("EW"),
+    lat=st.tuples(st.integers(0, 89), st.integers(0, 59), st.integers(0, 59)),
+    lon=st.tuples(st.integers(0, 179), st.integers(0, 59), st.integers(0, 59)),
+    width=st.integers(1, 65535),
+    height=st.integers(1, 65535),
+)
+def test_exif_gps_roundtrip_property(orientation, lat_ref, lon_ref, lat, lon, width, height):
+    """parse(synth(x)) == x for every valid APP1/GPS tag combination — and the
+    EXIF segment never perturbs the plain dimension parse (pure functions, no
+    Spark: hypothesis can afford full example counts)."""
+    from teledetection_drone_satellite_spark.sources.multimodal import (
+        parse_exif_gps,
+        parse_image_header,
+        synth_jpeg_exif,
+    )
+
+    img = synth_jpeg_exif(width, height, orientation, lat_ref, lat, lon_ref, lon)
+    got_o, got_lat, got_lon = parse_exif_gps(img)
+    want_lat = lat[0] + lat[1] / 60.0 + lat[2] / 3600.0
+    want_lon = lon[0] + lon[1] / 60.0 + lon[2] / 3600.0
+    assert got_o == orientation
+    assert got_lat == (-want_lat if lat_ref == "S" else want_lat)
+    assert got_lon == (-want_lon if lon_ref == "W" else want_lon)
+    assert parse_image_header(img) == (width, height, 3, "jpeg")
