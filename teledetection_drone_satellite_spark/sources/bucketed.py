@@ -26,9 +26,21 @@ from ..catalog import load
 _LAYOUT_VERSION = "v1"
 
 
+def _source_fingerprint(sf_dir: str, table: str) -> str:
+    """(size, mtime) tag of the source parquet: the fixture generator rewrites
+    files in place between grading rounds, so a name-only cache key would keep
+    serving a STALE bucketed layout past its _SUCCESS marker (same hazard as
+    the sliced-events cache, streaming/ttl.py::sliced_events_path)."""
+    try:
+        st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+        return f"{st.st_size}_{int(st.st_mtime)}"
+    except OSError:
+        return "nosrc"
+
+
 def bucketed_table_name(sf_dir: str, table: str) -> str:
     sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_").replace("-", "_")
-    return f"bkt_{_LAYOUT_VERSION}_{sf_tag}_{table}"
+    return f"bkt_{_LAYOUT_VERSION}_{sf_tag}_{table}_{_source_fingerprint(sf_dir, table)}"
 
 
 def write_bucketed(
@@ -69,7 +81,9 @@ def materialize_bucketed_pair(
     names = {}
     for table, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         name = bucketed_table_name(sf_dir, table)
-        loc = os.path.join(base, table)
+        # location carries the fingerprint too, so a regenerated fixture can
+        # never find a _SUCCESS marker left by the previous data version
+        loc = os.path.join(base, f"{table}_{_source_fingerprint(sf_dir, table)}")
         if not spark.catalog.tableExists(name) or not os.path.exists(
             os.path.join(loc, "_SUCCESS")
         ):
