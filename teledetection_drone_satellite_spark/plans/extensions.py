@@ -196,11 +196,21 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "approx"),
 )
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     e = load(spark, sf_dir, ("embeddings",))["embeddings"]
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivf_topk(e, queries, k=10, cache_key=(sf_dir,))
+    # cache key carries the source fingerprint so a regenerated fixture can
+    # never hit an index built from the previous data version (same pattern as
+    # the sliced-events and bucketed-layout caches)
+    try:
+        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+        fp = (st.st_size, int(st.st_mtime))
+    except OSError:
+        fp = ()
+    return similarity.ivf_topk(e, queries, k=10, cache_key=(sf_dir, *fp))
 
 
 # --- Text analysis ---------------------------------------------------------------------
