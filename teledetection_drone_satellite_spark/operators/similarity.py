@@ -209,8 +209,9 @@ def _sign_lsh_signature(dim: int, n_planes: int, seed: int):
     return sig
 
 
-# applicationId -> the live candidate checkpoint of the most recent
-# lsh_bucketed_pairs call; the next call releases it (one generation live).
+# applicationId -> the live persisted candidate set of the most recent
+# lsh_bucketed_pairs call in that session; the next call releases it
+# (one generation live per session).
 _LSH_CKPT_BY_APP: dict = {}
 
 
@@ -242,10 +243,10 @@ def lsh_bucketed_pairs(
     Scale: signatures are one int64 per row; the band join shuffles b rows per
     vector of (band, id); vectors shuffle only for the candidate set.
 
-    Lifecycle: each call releases the PREVIOUS call's candidate checkpoint, so
-    execute (collect/write) a returned DataFrame before calling this again in
-    the same session — the one-generation policy is what keeps repeated calls
-    from accumulating executor storage.
+    Lifecycle: each call releases the PREVIOUS call's persisted candidate set,
+    so execute (collect/write) a returned DataFrame before calling this again
+    in the same session — the one-generation policy is what keeps repeated
+    calls from accumulating executor storage.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -304,7 +305,11 @@ def lsh_bucketed_pairs(
             prev.unpersist(blocking=True)
         except Exception:
             pass  # session torn down between calls — nothing to release
-    _LSH_CKPT_BY_APP.clear()  # drop refs from dead sessions (their blocks died with them)
+    # No wholesale clear: with two LIVE sessions interleaving calls, dropping
+    # the other app's entry would orphan its generation un-unpersisted. The
+    # dict is naturally bounded at one entry per applicationId ever seen in
+    # this process (dead apps' blocks died with their executors; the stale
+    # DataFrame ref costs only driver memory).
     _LSH_CKPT_BY_APP[app] = cands
     # candidate re-check: two key-joins fetch the vectors (Catalyst broadcasts
     # whichever side is small — candidates at high threshold, dims at small SF).
