@@ -17,9 +17,15 @@ from __future__ import annotations
 
 from functools import reduce
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# applicationId -> the live persisted keys projection of the most recent
+# paginate() call in that session; the next call releases it (one generation
+# live per session — page walks execute each page before requesting the next).
+_KEYS_GEN_BY_APP: dict = {}
 
 
 def paginate(df: DataFrame, order_by: list[str], page: int, size: int) -> DataFrame:
@@ -50,10 +56,14 @@ def paginate(df: DataFrame, order_by: list[str], page: int, size: int) -> DataFr
     RangePartitioner's sampling seed is deterministic, but that only helps if
     both branches sample IDENTICAL input — a nondeterministic upstream
     (round-robin repartition, sample(), nondeterministic UDF) would feed each
-    exchange different rows and silently misnumber. The lazy localCheckpoint
-    below pins the keys once (persisted executor blocks, computed on first
-    touch, reused by both exchanges) so determinism holds for any input
-    (asserted by tests/test_pagination.py page-tiling).
+    exchange different rows and silently misnumber. The eager keys persist
+    below pins the keys once (materialized executor blocks, reused by both
+    exchanges) so determinism holds for any input (asserted by
+    tests/test_pagination.py page-tiling). Each call releases the previous
+    call's keys generation — execute a returned page before requesting the
+    next one (page walks naturally do), else the stale page recomputes its
+    keys per consumer and the determinism guarantee narrows back to
+    deterministic inputs.
 
     NULL order-key values are ranked like any other value (Spark sorts nulls
     first) and survive the fetch: the semi-join matches null-safely (<=>), so
@@ -68,10 +78,26 @@ def paginate(df: DataFrame, order_by: list[str], page: int, size: int) -> DataFr
     # spark_partition_id values — pin the count so the two exchanges cannot be
     # coalesced differently per consumer.
     n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    # Lazy localCheckpoint: keys-only (bytes/row), persisted to executor
-    # storage on first compute and reused by both exchanges — no extra job up
-    # front, and nondeterministic sources can no longer diverge the branches.
-    keys = df.select(*order_by).localCheckpoint(eager=False)
+    # Eager keys persist: keys-only (bytes/row), materialized once and reused
+    # by both exchanges, so nondeterministic sources cannot diverge the
+    # branches. persist, NOT localCheckpoint: DataFrame.unpersist on a
+    # localCheckpoint is a silent no-op, so every call leaked one persistent
+    # RDD for the session's lifetime (measured: +1 per call in
+    # getPersistentRDDs); cache-manager storage is releasable, and in the
+    # MEMORY_AND_DISK tier blocks survive memory pressure by spilling, not
+    # dropping. The count() materializes now so the one-generation release
+    # below can never strip an unmaterialized plan back to per-consumer
+    # recompute.
+    keys = df.select(*order_by).persist(StorageLevel.MEMORY_AND_DISK)
+    keys.count()
+    app = df.sparkSession.sparkContext.applicationId
+    prev = _KEYS_GEN_BY_APP.get(app)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # session torn down between calls — nothing to release
+    _KEYS_GEN_BY_APP[app] = keys
     ranged = keys.repartitionByRange(n_parts, *order_by).withColumn(
         "__pid", F.spark_partition_id()
     )

@@ -136,3 +136,14 @@ def test_keyset_page_plan_is_scale_safe(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan  # no full sort operator
     assert "PushedFilters: [IsNotNull(o_orderkey), GreaterThan(o_orderkey,1000)" in plan
+
+
+def test_paginate_repeated_calls_release_storage(spark, sf_dir):
+    """One-generation keys policy: a page walk must not accumulate persistent
+    RDDs (each call releases the previous page's pinned keys projection)."""
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    counts = []
+    for page in (1, 2, 3):
+        paginate(o, ["o_orderkey"], page, 20).collect()
+        counts.append(spark.sparkContext._jsc.getPersistentRDDs().size())
+    assert counts[-1] <= counts[0], f"persistent RDDs grew across pages: {counts}"
