@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..catalog import fan_out
+from .pinning import pin_one_generation
 from .text import shingles
+
+# applicationId -> live pinned simhash signature set (see operators/pinning.py)
+_SIMHASH_GEN_BY_APP: dict = {}
 
 
 def exact_dedup_key(text: Column) -> Column:
@@ -194,8 +198,10 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
     Pigeonhole: <=3 differing bits cannot touch all 4 bands, so every true pair
     collides on at least one band. Exact popcount re-check after the band join.
     """
-    # signatures cached: both join sides (and every band) reuse one UDF pass
-    sig = simhash_signatures(df).cache()
+    # signatures pinned: both join sides (and every band) reuse one UDF pass;
+    # one generation live per session (release policy: operators/pinning.py —
+    # a bare .cache() leaked one persistent RDD per call)
+    sig = pin_one_generation(simhash_signatures(df), _SIMHASH_GEN_BY_APP)
     # one exploded (band_idx, band_val) key -> ONE self-equi-join instead of four
     # unioned joins (4x fewer scans of the signature set; signatures are computed
     # once because the explode happens after the UDF projection)

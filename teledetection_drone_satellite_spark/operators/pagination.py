@@ -17,12 +17,13 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-# applicationId -> the live persisted keys projection of the most recent
+from .pinning import pin_one_generation
+
+# applicationId -> the live pinned keys projection of the most recent
 # paginate() call in that session; the next call releases it (one generation
 # live per session — page walks execute each page before requesting the next).
 _KEYS_GEN_BY_APP: dict = {}
@@ -78,26 +79,10 @@ def paginate(df: DataFrame, order_by: list[str], page: int, size: int) -> DataFr
     # spark_partition_id values — pin the count so the two exchanges cannot be
     # coalesced differently per consumer.
     n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    # Eager keys persist: keys-only (bytes/row), materialized once and reused
-    # by both exchanges, so nondeterministic sources cannot diverge the
-    # branches. persist, NOT localCheckpoint: DataFrame.unpersist on a
-    # localCheckpoint is a silent no-op, so every call leaked one persistent
-    # RDD for the session's lifetime (measured: +1 per call in
-    # getPersistentRDDs); cache-manager storage is releasable, and in the
-    # MEMORY_AND_DISK tier blocks survive memory pressure by spilling, not
-    # dropping. The count() materializes now so the one-generation release
-    # below can never strip an unmaterialized plan back to per-consumer
-    # recompute.
-    keys = df.select(*order_by).persist(StorageLevel.MEMORY_AND_DISK)
-    keys.count()
-    app = df.sparkSession.sparkContext.applicationId
-    prev = _KEYS_GEN_BY_APP.get(app)
-    if prev is not None:
-        try:
-            prev.unpersist(blocking=False)
-        except Exception:
-            pass  # session torn down between calls — nothing to release
-    _KEYS_GEN_BY_APP[app] = keys
+    # Eager keys pin: keys-only (bytes/row), materialized once and reused by
+    # both exchanges, so nondeterministic sources cannot diverge the branches
+    # (rationale + release policy: operators/pinning.py).
+    keys = pin_one_generation(df.select(*order_by), _KEYS_GEN_BY_APP)
     ranged = keys.repartitionByRange(n_parts, *order_by).withColumn(
         "__pid", F.spark_partition_id()
     )

@@ -1,0 +1,47 @@
+"""One-generation DataFrame pinning.
+
+Several operators materialize a small intermediate (candidate pairs, signature
+sets, key projections) that multiple consumers inside the returned plan must
+read from ONE execution — both for cost (one UDF pass) and, for pagination,
+for determinism (both range exchanges must sample identical input).
+
+``DataFrame.unpersist`` on a ``localCheckpoint`` is a silent no-op, so the
+original checkpoint-based pinning leaked one persistent RDD per call for the
+session's lifetime (measured +1/call in ``sc.getPersistentRDDs``). The pattern
+here instead:
+
+- persist MEMORY_AND_DISK (blocks spill under memory pressure, never silently
+  drop while the executor lives; on executor loss they recompute from lineage,
+  where checkpoint blocks would fail the job permanently);
+- materialize eagerly (``count()``), so a later release can never strip an
+  unmaterialized plan back to per-consumer recomputation;
+- release the PREVIOUS call's generation, keyed by applicationId: one live
+  generation per session per operator. Callers must execute (collect/write) a
+  returned DataFrame before invoking the same operator again in that session —
+  every registry query and page walk does.
+
+At 100 TB the equivalent is writing the intermediate to reliable storage
+(parquet/Delta) once and reading it everywhere; cache-manager persist is the
+in-session form of the same discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+
+def pin_one_generation(df: DataFrame, registry: dict) -> DataFrame:
+    """Persist + materialize ``df``; release the previous generation held in
+    ``registry`` (one dict per operator, keyed by applicationId)."""
+    pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
+    pinned.count()
+    app = df.sparkSession.sparkContext.applicationId
+    prev = registry.get(app)
+    if prev is not None:
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # that session is gone — its blocks died with it
+    registry[app] = pinned
+    return pinned

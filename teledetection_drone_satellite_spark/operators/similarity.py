@@ -25,7 +25,6 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -37,6 +36,7 @@ from pyspark.sql.types import (
 from pyspark.sql.window import Window
 
 from ..catalog import fan_out
+from .pinning import pin_one_generation
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
@@ -281,36 +281,13 @@ def lsh_bucketed_pairs(
         .filter(F.col("v1") < F.col("v2"))
         .select("v1", "v2")
         .dropDuplicates(["v1", "v2"])
-        # eagerly pin the candidate ID pairs (tiny: two longs/row) and release
-        # the band cache — otherwise every call leaks executor storage for the
-        # session's lifetime. persist-then-count, NOT localCheckpoint: the
-        # re-check below reads the materialized blocks so the band join never
-        # re-triggers, the blocks recompute from lineage if an executor dies
-        # (checkpoint blocks fail the job permanently), and — decisive here —
-        # persist is releasable through the cache manager, where
-        # DataFrame.unpersist on a localCheckpoint is a silent no-op and every
-        # call grew sc.getPersistentRDDs() by one for the session's lifetime.
-        # At 100 TB a production pipeline writes candidates to parquet instead.
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cands.count()  # materialize while the band cache is still hot
+    # eagerly pin the candidate ID pairs (tiny: two longs/row) while the band
+    # cache is still hot, then release the band cache — the re-check below
+    # reads the pinned blocks, so the band join never re-triggers and repeated
+    # calls cannot accrue executor storage (policy: operators/pinning.py).
+    cands = pin_one_generation(cands, _LSH_CKPT_BY_APP)
     bands.unpersist(blocking=False)
-    # The candidate blocks outlive the call (the returned DataFrame reads
-    # them), so release the PREVIOUS call's generation here: one generation
-    # live at a time.
-    app = df.sparkSession.sparkContext.applicationId
-    prev = _LSH_CKPT_BY_APP.get(app)
-    if prev is not None:
-        try:
-            prev.unpersist(blocking=True)
-        except Exception:
-            pass  # session torn down between calls — nothing to release
-    # No wholesale clear: with two LIVE sessions interleaving calls, dropping
-    # the other app's entry would orphan its generation un-unpersisted. The
-    # dict is naturally bounded at one entry per applicationId ever seen in
-    # this process (dead apps' blocks died with their executors; the stale
-    # DataFrame ref costs only driver memory).
-    _LSH_CKPT_BY_APP[app] = cands
     # candidate re-check: two key-joins fetch the vectors (Catalyst broadcasts
     # whichever side is small — candidates at high threshold, dims at small SF).
     # Norms ride in the vector projections: computed once per VECTOR on the join

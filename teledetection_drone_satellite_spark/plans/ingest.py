@@ -16,6 +16,10 @@ from ..catalog import fan_out, load
 from ..sources import binary, multimodal
 from .registry import register
 
+# applicationId -> live pinned feature table for multimodal_features_topk
+# (one-generation release policy: operators/pinning.py)
+_FEATS_GEN_BY_APP: dict = {}
+
 
 def _docs_as_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> binaryFile-shaped rows (path, content) for the ingest chain."""
@@ -379,10 +383,13 @@ def multimodal_features_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the query — would run twice. The materialized features are tiny (one
     # fixed-width vector per doc), so caching trades MBs of storage for halving
     # the UDF work; at production scale this is "write features once, then ANN".
-    feats = (
-        multimodal.extract_features(files)
-        .select(F.col("doc_id").alias("vec_id"), F.col("features").alias("embedding"))
-        .cache()
+    from ..operators.pinning import pin_one_generation
+
+    feats = pin_one_generation(
+        multimodal.extract_features(files).select(
+            F.col("doc_id").alias("vec_id"), F.col("features").alias("embedding")
+        ),
+        _FEATS_GEN_BY_APP,
     )
     queries = feats.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
