@@ -15,10 +15,18 @@ here instead:
   where checkpoint blocks would fail the job permanently);
 - materialize eagerly (``count()``), so a later release can never strip an
   unmaterialized plan back to per-consumer recomputation;
-- release the PREVIOUS call's generation, keyed by applicationId: one live
-  generation per session per operator. Callers must execute (collect/write) a
-  returned DataFrame before invoking the same operator again in that session —
-  every registry query and page walk does.
+- release the PREVIOUS call's generation, keyed by (applicationId,
+  id(sparkSession)): one live generation per SQL-session per operator. Callers
+  must execute (collect/write) a returned DataFrame before invoking the same
+  operator again in that session — every registry query and page walk does.
+
+Same-plan hazard: Spark's CacheManager keys entries by CANONICALIZED plan, so
+two pins of the same logical plan (a page walk re-pinning ``df.select(keys)``
+every page) share ONE cache entry — ``persist()`` on the second is a no-op and
+unpersisting the first would kill the shared entry, leaving the "new" pin
+uncached at execution time. ``_same_cache_entry`` detects that case via
+``sameResult`` and skips the release: the previous generation IS the current
+one.
 
 At 100 TB the equivalent is writing the intermediate to reliable storage
 (parquet/Delta) once and reading it everywhere; cache-manager persist is the
@@ -27,21 +35,47 @@ in-session form of the same discipline.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
+
+# One lock for every registry: pinning is driver-side bookkeeping (persist call
+# + dict update, no job execution inside the critical section except count()
+# which stays outside), so a single lock cannot contend meaningfully while it
+# closes the unpersist race between concurrent sessions sharing one registry.
+_PIN_LOCK = threading.Lock()
+
+
+def _same_cache_entry(a: DataFrame, b: DataFrame) -> bool:
+    """True when the two frames canonicalize to the same plan — i.e. they share
+    one CacheManager entry and unpersisting either drops both."""
+    try:
+        return bool(
+            a._jdf.queryExecution().analyzed().sameResult(b._jdf.queryExecution().analyzed())
+        )
+    except Exception:
+        return False  # cross-context / dead-session plans can't share an entry
 
 
 def pin_one_generation(df: DataFrame, registry: dict) -> DataFrame:
     """Persist + materialize ``df``; release the previous generation held in
-    ``registry`` (one dict per operator, keyed by applicationId)."""
+    ``registry`` (one dict per operator, keyed by (applicationId, session))."""
+    spark = df.sparkSession
     pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
     pinned.count()
-    app = df.sparkSession.sparkContext.applicationId
-    prev = registry.get(app)
-    if prev is not None:
+    app = spark.sparkContext.applicationId
+    key = (app, id(spark))
+    with _PIN_LOCK:
+        prev = registry.pop(key, None)
+        # Entries for other applications are dead weight (their context is gone
+        # — blocks died with it); drop the references so the dict stays bounded.
+        for stale in [k for k in registry if k[0] != app]:
+            registry.pop(stale, None)
+        registry[key] = pinned
+    if prev is not None and not _same_cache_entry(prev, pinned):
         try:
             prev.unpersist(blocking=False)
         except Exception:
             pass  # that session is gone — its blocks died with it
-    registry[app] = pinned
     return pinned

@@ -1,0 +1,50 @@
+"""One-generation pinning: release policy must never drop the LIVE generation.
+
+Spark's CacheManager keys entries by canonicalized plan, so re-pinning the same
+logical plan (a page walk pinning ``df.select(keys)`` every page) makes
+``persist()`` a no-op on the SHARED entry — releasing the "previous" generation
+would kill the new one. These tests lock the sameResult guard and the
+per-session registry keying.
+"""
+
+from __future__ import annotations
+
+from teledetection_drone_satellite_spark.operators.pinning import pin_one_generation
+
+
+def _cached(df) -> bool:
+    lvl = df.storageLevel
+    return lvl.useMemory or lvl.useDisk
+
+
+def test_same_plan_repin_stays_cached(spark):
+    reg: dict = {}
+    pin_one_generation(spark.range(100).select("id"), reg)
+    g2 = pin_one_generation(spark.range(100).select("id"), reg)
+    assert _cached(g2), "same-plan re-pin was unpersisted by the generation release"
+    plan = g2._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, "re-pinned plan does not execute from cache"
+    g2.unpersist(blocking=True)
+
+
+def test_distinct_plan_repin_releases_previous(spark):
+    reg: dict = {}
+    g1 = pin_one_generation(spark.range(50).select("id"), reg)
+    g2 = pin_one_generation(spark.range(60).select("id"), reg)
+    assert not _cached(g1), "previous generation must be released"
+    assert _cached(g2)
+    g2.unpersist(blocking=True)
+
+
+def test_cross_session_pins_do_not_collide(spark):
+    """Sessions share one application (and one registry dict per operator); a pin
+    from a cloned session must not release the main session's live generation."""
+    reg: dict = {}
+    g1 = pin_one_generation(spark.range(70).select("id"), reg)
+    s2 = spark.newSession()
+    g2 = pin_one_generation(s2.range(80).select("id"), reg)
+    assert _cached(g1), "another session's pin released this session's generation"
+    assert _cached(g2)
+    assert len(reg) == 2
+    g1.unpersist(blocking=True)
+    g2.unpersist(blocking=True)
