@@ -79,8 +79,18 @@ def fan_out(df: DataFrame, min_fill: float = 0.5) -> DataFrame:
     after the scan. ``inputFiles()`` counts files across the WHOLE plan, so on
     a multi-relation plan (post-join/union) it overcounts upstream parallelism
     and may skip a repartition the narrow side needed; every registry call site
-    applies it to one freshly-loaded table before any join.
+    applies it to one freshly-loaded table before any join. ENFORCED: a plan
+    with more than one leaf relation raises instead of silently mis-sizing.
     """
+    try:
+        n_leaves = df._jdf.queryExecution().analyzed().collectLeaves().size()
+    except Exception:
+        n_leaves = 1  # plan introspection unavailable — fall back to the heuristic
+    if n_leaves > 1:
+        raise ValueError(
+            f"fan_out requires a single-relation plan (one table scan); got {n_leaves} "
+            "leaf relations — apply fan_out to each input BEFORE joining/unioning"
+        )
     target = df.sparkSession.sparkContext.defaultParallelism
     # Plan-metadata heuristic, NOT df.rdd.getNumPartitions(): the RDD conversion
     # forces a full driver-side physical planning pass per call and breaks

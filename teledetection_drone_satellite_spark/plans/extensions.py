@@ -207,7 +207,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sliced-events and bucketed-layout caches)
     try:
         st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-        fp = (st.st_size, int(st.st_mtime))
+        fp = (st.st_size, st.st_mtime_ns)
     except OSError:
         fp = ()
     return similarity.ivf_topk(e, queries, k=10, cache_key=(sf_dir, *fp))

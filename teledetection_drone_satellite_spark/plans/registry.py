@@ -52,14 +52,18 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
     return deco
 
 
-def _last_graded_names() -> frozenset[str]:
-    """Query names graded in the most recent driver CORRECTNESS_r{N}.json, if any.
+def _last_graded_passes() -> frozenset[str]:
+    """Query names graded GREEN in the most recent driver CORRECTNESS_r{N}.json.
 
     The driver grades only the first 50 registry entries per round, so with 80+
     registered queries a fixed registration order starves the tail of grading
     evidence forever.  Reading back the latest round's graded set lets
     ``queries()`` rotate it to the back, so coverage cycles: every query lands
     inside the driver's 50-query window at least every other round.
+
+    Only PASSED names rotate out: a query that failed (or errored) last round
+    stays at the FRONT of the order so the very next round re-grades it —
+    rotating failures back would delay regression confirmation a full cycle.
     """
     root = Path(__file__).resolve().parents[2]
     latest, latest_n = None, -1
@@ -70,18 +74,34 @@ def _last_graded_names() -> frozenset[str]:
     if latest is None:
         return frozenset()
     try:
-        return frozenset(json.loads(latest.read_text()))
+        graded = json.loads(latest.read_text())
     except (OSError, ValueError):
         return frozenset()
+    if not isinstance(graded, dict):
+        return frozenset(graded)  # legacy shape: a bare name list — treat all as passed
+
+    def passed(row) -> bool:
+        if not isinstance(row, dict):
+            return True
+        # 'no_oracle' marks a rows-only check that RAN (by design) — that row
+        # was graded as deeply as it can be, so it rotates like a pass; any
+        # other err is a real failure and stays at the front.
+        if row.get("err") not in (None, "no_oracle"):
+            return False
+        # rows-only checks carry no *_match keys; any present must be true
+        return all(v for k, v in row.items() if k.endswith("_match") and v is not None)
+
+    return frozenset(name for name, row in graded.items() if passed(row))
 
 
 def _rotated() -> list[Query]:
-    """Registry entries, last round's graded names rotated to the back.
+    """Registry entries, last round's PASSED names rotated to the back.
 
     Relative registration order is preserved within each group, so the
-    rotation is deterministic and the full cycle period is two rounds.
+    rotation is deterministic and the full cycle period is two rounds;
+    last round's failures (never rotated) stay inside the next graded window.
     """
-    graded = _last_graded_names()
+    graded = _last_graded_passes()
     entries = list(REGISTRY.values())
     return [q for q in entries if q.name not in graded] + [q for q in entries if q.name in graded]
 

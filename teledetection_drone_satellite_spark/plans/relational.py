@@ -665,11 +665,13 @@ def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, ("orders",))["orders"]
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
         F.col("o_custkey").alias("custkey")
-    ).distinct()
+    )
     low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
         F.col("o_custkey").alias("custkey")
-    ).distinct()
-    return urgent.exceptAll(low).distinct()
+    )
+    # subtract IS EXCEPT DISTINCT — one plan node (left-anti + aggregate)
+    # instead of the distinct -> exceptAll -> distinct triple.
+    return urgent.subtract(low)
 
 
 @register(

@@ -33,7 +33,7 @@ def _source_fingerprint(sf_dir: str, table: str) -> str:
     the sliced-events cache, streaming/ttl.py::sliced_events_path)."""
     try:
         st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
-        return f"{st.st_size}_{int(st.st_mtime)}"
+        return f"{st.st_size}_{st.st_mtime_ns}"
     except OSError:
         return "nosrc"
 

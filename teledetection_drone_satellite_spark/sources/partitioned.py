@@ -33,7 +33,7 @@ def date_partitioned_path(sf_dir: str, table: str = "events") -> str:
     # (same pattern as streaming/ttl.py::sliced_events_path).
     try:
         st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
-        fp = f"{st.st_size}_{int(st.st_mtime)}"
+        fp = f"{st.st_size}_{st.st_mtime_ns}"
     except OSError:
         fp = "nosrc"
     return os.path.join(

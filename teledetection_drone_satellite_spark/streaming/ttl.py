@@ -72,7 +72,7 @@ def sliced_events_path(sf_dir: str, n_slices: int) -> str:
     src = os.path.join(sf_dir, "events.parquet")
     try:
         st = os.stat(src)
-        fp = f"{st.st_size}_{int(st.st_mtime)}"
+        fp = f"{st.st_size}_{st.st_mtime_ns}"
     except OSError:
         fp = "nosrc"
     return os.path.join(

@@ -67,3 +67,19 @@ def test_events_stream_normalizes_ts(spark, tmp_path, unit):
     ).orderBy("event_id")
     got = [r["ts"] for r in out.collect()]
     assert got == _TS
+
+
+def test_fan_out_rejects_multi_relation_plans(spark, sf_dir):
+    """fan_out's single-relation contract is enforced, not docstring-only: a
+    post-join plan would make inputFiles() overcount upstream parallelism and
+    silently mis-size the repartition."""
+    import pytest as _pytest
+
+    from teledetection_drone_satellite_spark.catalog import fan_out, load
+
+    t = load(spark, sf_dir, ("orders", "customer"))
+    joined = t["orders"].join(t["customer"], t["orders"].o_custkey == t["customer"].c_custkey)
+    with _pytest.raises(ValueError, match="single-relation"):
+        fan_out(joined)
+    # single-relation plans still pass through
+    assert fan_out(t["orders"].select("o_orderkey")) is not None
