@@ -4,6 +4,16 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) 
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+Driver-parseability contract (BENCH_r01-r04 all recorded "parsed": null):
+the driver captures only the LAST 2000 characters of stdout, so the result
+line must fit that budget or it truncates mid-line and never parses. Hence:
+  - everything except the final JSON line goes to stderr;
+  - the printed line carries the headline queries plus the slowest of the
+    rest, trimmed to a hard length budget; the FULL per-query map is written
+    to BENCH_DETAIL.json next to this script;
+  - the line is round-tripped through json.loads before printing — a bench
+    run that would emit an unparseable line fails loudly here instead.
+
 Each query is forced to full execution with a count-collect (not .count() on a
 pruned plan — we collect the materialized result like the driver does).
 """
@@ -31,6 +41,36 @@ HEADLINE = [
     "pagination_page",
 ]
 
+# The driver keeps the last 2000 stdout chars; stay safely under it.
+LINE_BUDGET = 1800
+
+
+def _compact_line(total: float, timings: dict[str, float], sf: str) -> str:
+    """The stdout JSON line: headline queries first, then the slowest others,
+    greedily packed under LINE_BUDGET; the rest are summarized by count."""
+    ordered = [n for n in HEADLINE if n in timings]
+    ordered += sorted(
+        (n for n in timings if n not in ordered), key=lambda n: -timings[n]
+    )
+    payload = {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "detail": "BENCH_DETAIL.json",
+        "queries": {},
+    }
+    for name in ordered:
+        payload["queries"][name] = timings[name]
+        if len(json.dumps(payload)) > LINE_BUDGET:
+            del payload["queries"][name]
+            break
+    line = json.dumps(payload)
+    assert len(line) <= LINE_BUDGET, f"bench line {len(line)} chars > {LINE_BUDGET}"
+    json.loads(line)  # self-verify parseability before it reaches the driver
+    return line
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -41,41 +81,43 @@ def main() -> None:
     # one warmup to exclude JVM/session startup from per-query numbers
     plans.REGISTRY["point_lookup_pk"].fn(spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
     names = [n for n in HEADLINE if n in plans.REGISTRY]
-    # include everything else registered (cheaper queries) after the headline set
     names += [n for n in plans.REGISTRY if n not in names]
-    for name in names:
-        q = plans.REGISTRY[name]
-        # Two executions, report the MIN. The first pays JIT/codegen
-        # compilation, page-cache fill, and one-time materializations (sliced
-        # replay files, bucketed layouts), which round-over-round showed up as
-        # phantom 2-4x "regressions" on untouched queries; the second is the
-        # steady-state plan cost but can still catch a GC pause or host-noise
-        # spike. min(two runs) is the standard noise-robust point estimate and
-        # costs nothing extra over warm-then-measure. Streaming included:
-        # state-store commit cost per micro-batch is fully present in both
-        # replays, so the min still carries the inherent streaming cost, just
-        # not the one-time setup.
-        best = float("inf")
-        for _ in range(2):
+    # Two INTERLEAVED passes, report the per-query MIN. The first pass pays
+    # JIT/codegen, page-cache fill, and one-time materializations (sliced
+    # replay files, bucketed layouts); interleaving (all queries once, then
+    # all again) separates the two samples of each query by the full sweep
+    # (~minutes), so one noisy host window — GC pause, Python-worker fork
+    # storm — cannot inflate BOTH samples of one query the way back-to-back
+    # runs did in rounds 3-4 (phantom 2-4x "regressions" on untouched plans).
+    timings: dict[str, float] = {}
+    for pass_i in range(2):
+        for name in names:
+            q = plans.REGISTRY[name]
             t0 = time.time()
             q.fn(spark, sf_dir).collect()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            dt = time.time() - t0
+            prev = timings.get(name, float("inf"))
+            timings[name] = round(min(prev, dt), 3)
+        print(f"pass {pass_i + 1}/2 done", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "total_query_wall_time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
-            }
+                "queries": dict(sorted(timings.items())),
+            },
+            f,
+            indent=1,
+            sort_keys=True,
         )
-    )
+        f.write("\n")
+    print(_compact_line(total, timings, sf), flush=True)
 
 
 if __name__ == "__main__":
