@@ -27,15 +27,21 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ §2.11 extensions).
 
-    Iteration order rotates: names graded in the latest CORRECTNESS_r{N}.json
-    move to the back (plans/registry.py::_rotated), so a driver that samples
-    the first 50 of 80+ queries cycles full coverage every two rounds instead
-    of starving a fixed tail. scripts/check_oracles.py (committed per round as
+    Iteration order rotates: names whose latest CORRECTNESS_r{N}.json row
+    PASSED (incl. by-design rows-only rows) move to the back
+    (plans/registry.py::_rotated); failures stay at the front so the next
+    round re-grades them immediately. A driver that samples the first 50 of
+    80+ queries thus cycles full coverage every two rounds instead of starving
+    a fixed tail. scripts/check_oracles.py (committed per round as
     ORACLES_r{N}.txt) still checks every query every round."""
     return plans.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query; non-expressible ops
-    (LSH/MinHash near-dup, stateful streaming) are omitted -> rows-only check."""
+    """DuckDB-equivalent SQL for every SQL-expressible query. Streaming runs are
+    graded directly (their availableNow-drained results equal a batch
+    restatement); approximate ops (LSH/MinHash/SimHash/IVF) are graded via
+    recall/completeness-invariant companion queries (quantile_sketch pattern).
+    The only remaining rows-only entry is multimodal_features_topk (stub
+    feature extractor; no independent exact twin to bound it against)."""
     return plans.oracle_sql()

@@ -54,9 +54,7 @@ _SHINGLE_SQL = """
 """
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+_NGRAM_JACCARD_SQL = f"""
     WITH sh AS ({_SHINGLE_SQL}),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     rare AS (
@@ -73,7 +71,12 @@ _SHINGLE_SQL = """
     JOIN sizes s1 ON d1 = s1.doc_id
     JOIN sizes s2 ON d2 = s2.doc_id
     WHERE i * 1.0 / (s1.n_sh + s2.n_sh - i) >= 0.6
-    """,
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_NGRAM_JACCARD_SQL,
     doc="Exact word-trigram Jaccard near-dup pairs (threshold 0.6) via shingle "
     "inverted index with document-frequency cap 1000 (prunes boilerplate shingles "
     "before the quadratic candidate join — the standard scale bound).",
@@ -425,5 +428,175 @@ def cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("exact_users")
                 <= 0.05
             ).alias("approx_ok"),
+        )
+    )
+
+
+# --- Graded invariants for the approximate operators -----------------------------------
+# The quantile_sketch/cardinality_sketch pattern, applied to recall: each
+# approximate operator gets a companion query that computes its recall against
+# the exact twin INSIDE Spark and emits (exact-side count, invariant booleans).
+# The oracle computes the exact side in DuckDB and predicts the booleans — so
+# the driver's value-hash grades both the exact twin's agreement across engines
+# AND the approximate operator's quality bound in one row.
+
+
+@register(
+    "dedup_minhash_recall",
+    oracle=f"""
+    SELECT count(*) AS n_exact, true AS recall_ok
+    FROM ({_NGRAM_JACCARD_SQL})
+    """,
+    doc="Graded recall invariant for dedup_minhash_lsh: the exact trigram-Jaccard "
+    "pairs (threshold 0.6) are recomputed, the MinHash+LSH pairs left-joined "
+    "against them, and the emitted boolean asserts recall >= 0.75 (measured 1.0 "
+    "at sf0.01/sf0.1; 8 hash tables). The oracle recomputes the exact side and "
+    "predicts the bound — a recall regression flips the hash. Subset-ness is NOT "
+    "asserted: HashingTF bucket collisions can admit a rare off-threshold pair.",
+    tags=("dedup", "approx", "graded-invariant"),
+)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    exact = dedup.ngram_jaccard_pairs(d, threshold=0.6, n=3, max_df=1000).select("d1", "d2")
+    approx = (
+        dedup.minhash_lsh_pairs(d, threshold=0.6)
+        .select("d1", "d2")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["d1", "d2"], "left")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
+        )
+        .select(
+            "n_exact",
+            (F.col("n_hit") >= 0.75 * F.col("n_exact")).alias("recall_ok"),
+        )
+    )
+
+
+@register(
+    "dedup_simhash_exhaustive",
+    oracle="""
+    SELECT count(*) AS n_docs, true AS complete_ok, true AS exact_ok
+    FROM documents
+    """,
+    doc="Graded completeness invariant for dedup_simhash: the banded candidate "
+    "join is pigeonhole-COMPLETE for hamming<=3 (4x16-bit bands) with an exact "
+    "popcount re-check, so its pair set must EQUAL the brute-force all-pairs "
+    "hamming ball. Both sides are computed from one pinned signature pass "
+    "(CacheManager serves the same canonicalized plan); the brute side is an "
+    "explicitly quadratic verification join — n_docs^2 JVM popcounts, fine at "
+    "verification scale and clearly not the production path. complete_ok: no "
+    "brute pair missing from the bands; exact_ok: no band pair outside the ball. "
+    "The signature itself is hash-defined (blake2b) so only the booleans are "
+    "SQL-predictable; n_docs anchors the row to the data.",
+    tags=("dedup", "approx", "graded-invariant"),
+)
+def dedup_simhash_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    banded = dedup.simhash_pairs(d, max_hamming=3).select("d1", "d2")
+    sig = dedup.simhash_signatures(d)  # same plan as the pinned pass -> cache hit
+    s1 = sig.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"))
+    s2 = sig.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"))
+    brute = (
+        s1.join(s2, F.col("d1") < F.col("d2"))
+        .filter(F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))) <= 3)
+        .select("d1", "d2")
+    )
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    n_miss = brute.join(banded, ["d1", "d2"], "left_anti").agg(F.count("*").alias("n_miss"))
+    n_extra = banded.join(brute, ["d1", "d2"], "left_anti").agg(F.count("*").alias("n_extra"))
+    return (
+        n_docs.crossJoin(n_miss)
+        .crossJoin(n_extra)
+        .select(
+            "n_docs",
+            (F.col("n_miss") == 0).alias("complete_ok"),
+            (F.col("n_extra") == 0).alias("exact_ok"),
+        )
+    )
+
+
+@register(
+    "embedding_lsh_recall",
+    oracle="""
+    SELECT count(*) AS n_exact, true AS subset_ok, true AS recall_ok
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+    """,
+    doc="Graded recall invariant for embedding_near_dup_lsh: exact block-pair "
+    "cosine pairs (threshold 0.45) recomputed in Spark, the sign-LSH pairs "
+    "joined against them. subset_ok holds STRUCTURALLY (the LSH path re-checks "
+    "exact cosine, so its output can never exceed the exact set); recall_ok "
+    "asserts >= 0.75 (measured 1.0 at sf0.01, 0.94 at sf0.1 with 4-bit bands; "
+    "Goemans-Williamson analysis in operators/similarity.py).",
+    tags=("dedup", "similarity", "approx", "graded-invariant"),
+)
+def embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, ("embeddings",))["embeddings"]
+    exact = similarity.cosine_near_dup_pairs(e, threshold=0.45).select("v1", "v2")
+    approx = similarity.lsh_bucketed_pairs(e, threshold=0.45, band_bits=4).select("v1", "v2")
+    hits = approx.withColumn("hit", F.lit(1))
+    joined = exact.join(hits, ["v1", "v2"], "left").agg(
+        F.count("*").alias("n_exact"),
+        F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
+    )
+    outside = approx.join(exact, ["v1", "v2"], "left_anti").agg(
+        F.count("*").alias("n_outside")
+    )
+    return joined.crossJoin(outside).select(
+        "n_exact",
+        (F.col("n_outside") == 0).alias("subset_ok"),
+        (F.col("n_hit") >= 0.75 * F.col("n_exact")).alias("recall_ok"),
+    )
+
+
+@register(
+    "ivf_recall",
+    oracle="""
+    SELECT count(*) AS n_queries, true AS recall_ok
+    FROM embeddings
+    WHERE vec_id < 5
+    """,
+    doc="Graded recall invariant for similarity_ivf: brute-force exact top-10 "
+    "(including self — both sides rank the full base) vs the IVF probe of 4/16 "
+    "cells, same 5 query vectors. recall_ok asserts mean recall@10 >= 0.3 — a "
+    "conservative floor under fixture regeneration (measured 0.46 at sf0.01, "
+    "0.58 at sf0.1; the deliberately-coarse quantizer trades recall for probing "
+    "1/4 of the data, the 100 TB scan-pruning shape). The IVF index comes from "
+    "the same fingerprinted cache similarity_ivf uses, so grading never re-fits.",
+    tags=("similarity", "approx", "graded-invariant"),
+)
+def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    e = load(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    try:
+        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+        fp = (st.st_size, st.st_mtime_ns)
+    except OSError:
+        fp = ()
+    exact = similarity.brute_force_topk(e, queries, k=10).select("query_id", "vec_id")
+    approx = (
+        similarity.ivf_topk(e, queries, k=10, cache_key=(sf_dir, *fp))
+        .select("query_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "vec_id"], "left")
+        .agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count("*").alias("n_exact"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
+        )
+        .select(
+            "n_queries",
+            (F.col("n_hit") >= 0.3 * F.col("n_exact")).alias("recall_ok"),
         )
     )

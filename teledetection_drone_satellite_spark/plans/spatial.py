@@ -158,9 +158,32 @@ def geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "spatial_exact_refine",
-    oracle=None,  # pandas-UDF ray cast — not SQL-expressible; rows-only check
+    # The oracle replicates the UDF's even-odd ray cast LITERALLY for the fixed
+    # diamond ring (-60,0)->(0,40)->(60,0)->(0,-40): per edge, crosses iff
+    # (y1 > lat) != (y2 > lat), and the ray hits iff lon < x-intercept
+    # (x2-x1)*(lat-y1)/(y2-y1)+x1 — the same double arithmetic numpy evaluates
+    # (every intercept here is lat*1.5-shaped: exact in binary floating point
+    # for the integer-valued fixture coords, so the engines cannot diverge).
+    # The bbox prefilter is restated too: the UDF only ever sees bbox survivors.
+    oracle=f"""
+    SELECT 'diamond' AS poly_id, count(*) AS n_inside
+    FROM ({_POINTS_SQL})
+    WHERE lon >= -60 AND lon <= 60 AND lat >= -40 AND lat <= 40
+      AND ((
+          (CASE WHEN ((0 > lat) <> (40 > lat))
+                 AND lon < (0 - (-60)) * (lat - 0) / (40 - 0) + (-60) THEN 1 ELSE 0 END)
+        + (CASE WHEN ((40 > lat) <> (0 > lat))
+                 AND lon < (60 - 0) * (lat - 40) / (0 - 40) + 0 THEN 1 ELSE 0 END)
+        + (CASE WHEN ((0 > lat) <> (-40 > lat))
+                 AND lon < (0 - 60) * (lat - 0) / (-40 - 0) + 60 THEN 1 ELSE 0 END)
+        + (CASE WHEN ((-40 > lat) <> (0 > lat))
+                 AND lon < (-60 - 0) * (lat - (-40)) / (0 - (-40)) + 0 THEN 1 ELSE 0 END)
+      ) % 2) = 1
+    """,
     doc="J7 exact phase: bbox prefilter + exact point-in-polygon UDF refine (the GIST "
-    "recheck). Rows-only; exactness covered by tests/test_spatial.py.",
+    "recheck). The oracle evaluates the identical even-odd ray cast in SQL for the "
+    "fixed convex test polygon, so the UDF path is hash-graded against ground "
+    "truth; arbitrary-polygon exactness additionally covered in tests.",
     tags=("spatial", "udf"),
 )
 def spatial_exact_refine(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,13 +1,30 @@
-"""Streaming queries registered for the driver (rows-only: stateful/streaming
-semantics aren't ANSI-SQL-expressible in DuckDB; batch-equivalence is asserted in
-tests/test_streaming.py against the oracle-checked batch twins instead)."""
+"""Streaming queries registered for the driver.
+
+Four of the five runs are DETERMINISTIC functions of the fixture under
+availableNow draining — their memory-sink results equal a batch restatement —
+so they carry real DuckDB oracles (driver hash-graded), not rows-only checks:
+
+  stream_tumbling_hourly   complete-mode windowed agg == batch tumbling agg
+  stream_session_window    native session_window == gap sessionization SQL
+  stream_dedupe_events     dropDuplicatesWithinWatermark == COUNT(DISTINCT key)
+  stream_lifecycle_state   stateful summary == lag/rownum batch restatement
+  stream_session_ttl       EventTimeTimeout expiry == keys whose last write +
+                           TTL precedes the final watermark (= max event time) —
+                           the batch restatement of Redis SETEX expiry
+
+The one caveat each docstring carries: equality holds because availableNow
+drains the finite fixture, which is exactly the semantics of grading a stream
+at a snapshot instant; the unbounded production run has no "final" answer to
+hash. Batch-equivalence across multi-batch replays (where watermarks advance
+mid-stream) is additionally asserted in tests/test_streaming.py.
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.lifecycle import stream_lifecycle_state
-from ..streaming.ttl import stream_session_ttl
+from ..streaming.ttl import TTL_MINUTES_DEFAULT, stream_session_ttl
 from ..streaming.windows import (
     stream_dedupe_events,
     stream_session_window,
@@ -18,9 +35,16 @@ from .registry import register
 
 @register(
     "stream_tumbling_hourly",
-    oracle=None,
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
     doc="T4 streaming: watermarked tumbling-window metrics, availableNow + memory "
-    "sink. Batch twin (oracle-checked): tumbling_hourly.",
+    "sink, complete mode. Complete mode holds EVERY window, so the drained stream "
+    "equals the batch tumbling aggregation — the same oracle grades both (batch "
+    "twin: tumbling_hourly; multi-batch equivalence in tests/test_streaming.py).",
     tags=("streaming",),
 )
 def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -29,8 +53,28 @@ def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_session_window",
-    oracle=None,
-    doc="T5 streaming: native session_window (30-min gap). Batch twin: session_count.",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS is_new
+        FROM events
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    doc="T5 streaming: native session_window (30-min gap). Spark merges an event "
+    "into a session only while its ts is STRICTLY inside [start, last+gap) — the "
+    "oracle's gap test is therefore `<`, not `<=` (an event exactly at session "
+    "end opens a new session); session_end = last event + gap. Batch twin: "
+    "session_count (same sessionization, per-user rollup).",
     tags=("streaming",),
 )
 def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,14 +83,27 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_session_ttl",
-    oracle=None,
+    oracle=f"""
+    WITH k AS (
+        SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS bucket_date,
+               count(*) AS n_events, max(ts) AS last_ts
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT user_id, bucket_date, n_events, last_ts, true AS expired
+    FROM k
+    WHERE last_ts + INTERVAL {TTL_MINUTES_DEFAULT} MINUTE <= (SELECT max(ts) FROM events)
+    """,
     doc="T5/S5 streaming state TTL: applyInPandasWithState + EventTimeTimeout — "
     "the Redis SETEX session expiry (auth-service/main.py:154-159). Every write "
     "re-arms the key's timeout at last_ts+TTL; when the watermark passes it the "
     "key emits its expiry record and is REMOVED (bounded state). Multi-batch "
     "replay via time-sliced files + maxFilesPerTrigger=1 so the watermark "
-    "genuinely advances. Batch-equivalence (expired == keys with last_ts+TTL <= "
-    "max event time) asserted in tests/test_streaming.py.",
+    "genuinely advances. The drained result is the SETEX batch restatement the "
+    "oracle states directly: expired == keys whose last write + TTL precedes the "
+    "final watermark (= max event time, 0s delay); per-key n_events/last_ts come "
+    "from the accumulated state. Tested across 4-slice replays in "
+    "tests/test_streaming.py.",
     tags=("streaming", "state"),
 )
 def q_stream_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,10 +112,17 @@ def q_stream_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_dedupe_events",
-    oracle=None,
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT event_id % 997) AS BIGINT) AS n_unique
+    FROM events
+    GROUP BY event_type
+    """,
     doc="§2.11 streaming dedup: dropDuplicatesWithinWatermark — first-arrival "
-    "wins, dedup state expires with the watermark (bounded state). Batch twin "
-    "equality asserted in tests/test_streaming.py.",
+    "wins, dedup state expires with the watermark (bounded state). Keys are "
+    "event_id mod 997 (manufactured duplicates — fixture ids are unique), so the "
+    "surviving count per event_type is exactly COUNT(DISTINCT key): the oracle "
+    "grades the drained stream directly. Within-watermark semantics across "
+    "batches covered in tests/test_streaming.py.",
     tags=("streaming", "dedup"),
 )
 def q_stream_dedupe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,9 +131,23 @@ def q_stream_dedupe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_lifecycle_state",
-    oracle=None,
-    doc="T2 streaming: applyInPandasWithState task-lifecycle state machine. Batch "
-    "twin: lifecycle_summary.",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ),
+    agg AS (
+        SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts, count(*) AS n_events
+        FROM events GROUP BY user_id
+    )
+    SELECT a.user_id, a.first_ts, a.last_ts, a.n_events, r.event_type AS last_event_type
+    FROM agg a JOIN ranked r ON a.user_id = r.user_id AND r.rn = 1
+    """,
+    doc="T2 streaming: applyInPandasWithState task-lifecycle state machine, keyed "
+    "by entity; each key's LATEST summary (max n_events) is kept, so the drained "
+    "result equals the batch first/last/count/last-state restatement — the same "
+    "oracle that grades the batch twin lifecycle_summary grades this.",
     tags=("streaming",),
 )
 def q_stream_lifecycle_state(spark: SparkSession, sf_dir: str) -> DataFrame:
