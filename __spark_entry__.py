@@ -38,10 +38,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query. Streaming runs are
-    graded directly (their availableNow-drained results equal a batch
-    restatement); approximate ops (LSH/MinHash/SimHash/IVF) are graded via
-    recall/completeness-invariant companion queries (quantile_sketch pattern).
-    The only remaining rows-only entry is multimodal_features_topk (stub
-    feature extractor; no independent exact twin to bound it against)."""
+    """DuckDB-equivalent SQL for EVERY registered query — zero rows-only
+    entries. Streaming runs are graded directly (their availableNow-drained
+    results equal a batch restatement); approximate ops (LSH/MinHash/SimHash/
+    IVF) are graded via recall/completeness-invariant companion queries
+    (quantile_sketch pattern); the stub multimodal encoder is sha256-byte
+    arithmetic DuckDB replicates exactly."""
     return plans.oracle_sql()

@@ -368,10 +368,40 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features_topk",
-    oracle=None,  # stub feature extractor
+    # Feature vectors are the SQL-expressible sha256-byte lookups of
+    # multimodal_features, assembled per doc into a list; cosine + rank then
+    # replicate brute_force_topk's total order (cosine DESC, vec_id ASC).
+    oracle="""
+    WITH lut AS (SELECT i, lower(lpad(to_hex(i), 2, '0')) AS h FROM range(256) t(i)),
+    e AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+    b AS (
+      SELECT doc_id, j, substr(hx, CAST(2*j+1 AS INTEGER), 2) AS hp
+      FROM e, LATERAL unnest(range(8)) t(j)
+    ),
+    f AS (
+      SELECT b.doc_id, list(round(lut.i / 255.0, 6) ORDER BY b.j) AS vec
+      FROM b JOIN lut ON b.hp = lut.h
+      GROUP BY b.doc_id
+    ),
+    probe AS (SELECT vec FROM f WHERE doc_id = 0),
+    scored AS (
+      SELECT f.doc_id AS vec_id,
+             list_cosine_similarity(f.vec, probe.vec) AS cos,
+             row_number() OVER (
+                 ORDER BY list_cosine_similarity(f.vec, probe.vec) DESC, f.doc_id ASC
+             ) AS rnk
+      FROM f, probe
+    )
+    SELECT CAST(0 AS BIGINT) AS query_id, vec_id, round(cos, 4) AS cosine
+    FROM scored WHERE rnk <= 6 AND vec_id != 0
+    """,
     doc="S7 feature-extract -> similarity handoff: binary -> fixed-width float "
     "vector (mapInPandas) -> exact cosine top-5 neighbors for one probe row via "
-    "the similarity operator stack. Demonstrates the multimodal -> ANN pipeline.",
+    "the similarity operator stack. ORACLE-graded end-to-end: the stub encoder "
+    "is sha256-byte arithmetic DuckDB replicates exactly, and the float32 "
+    "storage round-trip is undone below (re-round to the 6-dp grid the encoder "
+    "emits), so both engines rank IDENTICAL double vectors — the ~1e-8 float32 "
+    "noise would otherwise flip 4-dp cosine roundings at boundaries.",
     tags=("ingest", "multimodal", "similarity"),
 )
 def multimodal_features_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -385,9 +415,13 @@ def multimodal_features_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the UDF work; at production scale this is "write features once, then ANN".
     from ..operators.pinning import pin_one_generation
 
+    # cast float32 -> double and re-round to the encoder's 6-dp grid: recovers
+    # the exact rational values the oracle computes (float32 quantization is
+    # ~1e-8, far below the 5e-7 rounding quantum, so recovery is lossless)
+    exact_vec = F.transform(F.col("features"), lambda v: F.round(v.cast("double"), 6))
     feats = pin_one_generation(
         multimodal.extract_features(files).select(
-            F.col("doc_id").alias("vec_id"), F.col("features").alias("embedding")
+            F.col("doc_id").alias("vec_id"), exact_vec.alias("embedding")
         ),
         _FEATS_GEN_BY_APP,
     )
