@@ -66,26 +66,28 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stream_session(spark: SparkSession) -> SparkSession:
+def stream_session(spark: SparkSession, n_partitions: int = 16) -> SparkSession:
     """Clone the session for a streaming run (shared SparkContext, ISOLATED SQL
     conf) and pin the state-partition count there.
 
     Stateful streaming allocates one state store per shuffle partition, and each
     store pays per-batch snapshot/commit I/O regardless of how many keys it holds,
     while the per-group Python work in applyInPandasWithState parallelizes with
-    the partition count — so the optimum moves with data volume. Measured on the
-    TTL stream: at a tiny single batch 32 stores ran ~2x slower than 8
-    (commit-dominated); at sf0.1 with 50k-row batches 16 beats both 8 (8.5s ->
-    6.9s, Python-dominated) and 32 (7.6s, commits creep back). Setting the conf
-    on a clone means concurrent batch queries on the main session never observe
-    the streaming value, and interleaved streaming runs cannot race on a
-    save/restore of shared state — each run owns its conf. 16 suits a one-shot
-    local run at bench scale; an unbounded production deployment sizes it to
-    throughput instead."""
+    the partition count — so the optimum is PER OPERATOR: measured at sf0.1,
+    the Python-per-key TTL/lifecycle state machines want 16 stores (TTL: 10.2 s
+    at 4 -> 4.7 s at 16, flat at 32), while the JVM-only commit-dominated
+    dedup/tumbling streams want 4 (dedupe 2.4 s at 16 -> 1.3 s at 4). Each
+    runner passes its measured value; SPARK_GRAFT_STREAM_STATE_PARTITIONS
+    overrides globally for experiments. Setting the conf on a clone means
+    concurrent batch queries on the main session never observe the streaming
+    value, and interleaved streaming runs cannot race on a save/restore of
+    shared state — each run owns its conf. These numbers suit a one-shot local
+    run at bench scale; an unbounded production deployment sizes to throughput
+    instead."""
     s = spark.newSession()
     s.conf.set(
         "spark.sql.shuffle.partitions",
-        os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "16"),
+        os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", str(n_partitions)),
     )
     return s
 
@@ -109,8 +111,9 @@ def _run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
 
 def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 streaming twin of plans/windows.py::tumbling_hourly — watermarked
-    tumbling-window counts. Complete mode so the memory sink holds every window."""
-    events = read_events_stream(stream_session(spark), sf_dir)
+    tumbling-window counts. Complete mode so the memory sink holds every window.
+    4 state partitions: JVM-only agg, commit-dominated (see stream_session)."""
+    events = read_events_stream(stream_session(spark, n_partitions=4), sf_dir)
     agg = (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -122,8 +125,9 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5: native session windows (30-min inactivity gap) — the streaming-state twin
-    of the batch lag/cumsum sessionization (plans/windows.py::session_count)."""
-    events = read_events_stream(stream_session(spark), sf_dir)
+    of the batch lag/cumsum sessionization (plans/windows.py::session_count).
+    8 state partitions: JVM session-merge state, commit/Python balanced."""
+    events = read_events_stream(stream_session(spark, n_partitions=8), sf_dir)
     agg = (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
@@ -164,8 +168,9 @@ def stream_dedupe_events(spark: SparkSession, sf_dir: str, key_mod: int = 997) -
     which is the operator's contract (a duplicate a week late is a new record).
 
     At 100 TB this is the ingest-dedupe front door: the state store holds one
-    entry per key within the watermark horizon, not one per key ever seen."""
-    events = read_events_stream(stream_session(spark), sf_dir)
+    entry per key within the watermark horizon, not one per key ever seen.
+    4 state partitions: JVM-only dedup state, commit-dominated."""
+    events = read_events_stream(stream_session(spark, n_partitions=4), sf_dir)
     deduped = (
         events.select(
             "ts", "event_type", F.pmod(F.col("event_id"), F.lit(key_mod)).alias("k")
