@@ -1,0 +1,50 @@
+"""Driver-contract regressions: bench stdout parseability + registry rotation.
+
+The grading driver keeps only the last 2000 chars of bench stdout and samples
+the first 50 registry entries for CORRECTNESS grading — both contracts broke
+silently in earlier rounds (BENCH_r01-r04 all parsed:null; failures could
+rotate out of the graded window). These tests pin the fixes.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+from teledetection_drone_satellite_spark.plans import registry
+
+
+def test_bench_line_fits_driver_tail_buffer():
+    timings = {f"some_quite_long_query_name_{i:03d}": i / 7.0 for i in range(120)}
+    line = bench._compact_line(123.456, timings, "0.1")
+    assert len(line) <= bench.LINE_BUDGET < 2000
+    d = json.loads(line)
+    assert d["value"] == 123.456 and d["n_queries"] == 120
+    # headline queries win line slots when present
+    timings.update({n: 1.0 for n in bench.HEADLINE})
+    line2 = json.loads(bench._compact_line(1.0, timings, "0.1"))
+    assert all(n in line2["queries"] for n in bench.HEADLINE)
+
+
+def test_rotation_keeps_failures_at_front(tmp_path, monkeypatch):
+    graded = {
+        "point_lookup_pk": {"err": None, "rows_match": True, "hash_match": True},
+        "range_filter": {"err": None, "rows_match": False, "hash_match": False},
+        "dedup_exact": {"err": "boom"},
+        "dedup_simhash": {"err": "no_oracle", "rows_match": None},
+    }
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(graded))
+    real_glob = registry.Path.glob
+    monkeypatch.setattr(
+        registry.Path,
+        "glob",
+        lambda self, pat: real_glob(tmp_path, pat) if pat.startswith("CORRECTNESS") else real_glob(self, pat),
+    )
+    passed = registry._last_graded_passes()
+    assert "point_lookup_pk" in passed  # clean pass rotates back
+    assert "dedup_simhash" in passed  # rows-only by design rotates back
+    assert "range_filter" not in passed  # hash failure stays at front
+    assert "dedup_exact" not in passed  # hard error stays at front
+    order = [q.name for q in registry._rotated()]
+    assert order.index("range_filter") < order.index("point_lookup_pk")
+    assert order.index("dedup_exact") < order.index("dedup_simhash")
