@@ -181,7 +181,15 @@ def _docs_as_assets(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
         "audio": multimodal.synth_audio,
         "exif": multimodal.synth_image_exif,
     }[kind]
-    ids = fan_out(load(spark, sf_dir, ("documents",))["documents"].select("doc_id"))
+    # NO fan_out here: header synth+parse is ~µs/row, so the round-robin
+    # shuffle + per-partition Arrow batching cost MORE than single-core
+    # execution at any verification SF (measured at sf0.1: 1.18 s fanned vs
+    # 0.53 s unfanned, and 4/8/16-way repartitions are flat at ~0.55 s — the
+    # Python work is too light to amortize parallelism overhead). At
+    # production scale the scan splits at maxPartitionBytes and mapInPandas
+    # parallelism follows the scan; fan_out stays reserved for the HEAVY
+    # per-row kernels (shingling, simhash, matmul) where it measurably wins.
+    ids = load(spark, sf_dir, ("documents",))["documents"].select("doc_id")
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -317,7 +325,8 @@ def multimodal_exif_gps(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ingest", "multimodal"),
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    files = fan_out(_docs_as_files(spark, sf_dir))
+    # unfanned: sha256/frame-hash per row is light (see _docs_as_assets note)
+    files = _docs_as_files(spark, sf_dir)
     frames = multimodal.sample_frames(files, every_n=8)
     return (
         frames.groupBy("doc_id")
@@ -353,7 +362,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ingest", "multimodal"),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    files = fan_out(_docs_as_files(spark, sf_dir))
+    # unfanned: sha256/frame-hash per row is light (see _docs_as_assets note)
+    files = _docs_as_files(spark, sf_dir)
     feats = multimodal.extract_features(files)
     return (
         feats.select("doc_id", F.posexplode("features").alias("j", "v"))
@@ -407,7 +417,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity
 
-    files = fan_out(_docs_as_files(spark, sf_dir))
+    # unfanned: sha256/frame-hash per row is light (see _docs_as_assets note)
+    files = _docs_as_files(spark, sf_dir)
     # The plan references the feature table twice (corpus side + probe side);
     # without a cache the mapInPandas extract stage — the only Python stage in
     # the query — would run twice. The materialized features are tiny (one
