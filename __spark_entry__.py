@@ -38,10 +38,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for EVERY registered query — zero rows-only
-    entries. Streaming runs are graded directly (their availableNow-drained
-    results equal a batch restatement); approximate ops (LSH/MinHash/SimHash/
-    IVF) are graded via recall/completeness-invariant companion queries
-    (quantile_sketch pattern); the stub multimodal encoder is sha256-byte
-    arithmetic DuckDB replicates exactly."""
+    """DuckDB-equivalent SQL for every SQL-expressible query. Streaming runs
+    are graded directly (their availableNow-drained results equal a batch
+    restatement); the stub multimodal encoder is sha256-byte arithmetic DuckDB
+    replicates exactly. The four approximate originals (dedup_minhash_lsh,
+    dedup_simhash, embedding_near_dup_lsh, similarity_ivf) stay rows-only BY
+    NATURE (hash-defined signatures / probabilistic recall) — their quality
+    bounds are hash-graded through the *_recall / *_exhaustive companion
+    queries (quantile_sketch invariant pattern), so every OPERATOR has graded
+    evidence even where the raw pair list itself cannot be predicted."""
     return plans.oracle_sql()

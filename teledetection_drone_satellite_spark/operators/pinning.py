@@ -58,6 +58,25 @@ def _same_cache_entry(a: DataFrame, b: DataFrame) -> bool:
         return False  # cross-context / dead-session plans can't share an entry
 
 
+# Same-application sessions share one CacheManager but get separate registry
+# keys; a session that stops pinning (short-lived clone, abandoned test
+# session) would otherwise hold its last generation forever. Cap live
+# generations per application; eviction releases oldest-first.
+_MAX_LIVE_PER_APP = 4
+
+
+def _release(df: DataFrame | None, live: list) -> None:
+    """Unpersist ``df`` UNLESS its canonicalized plan backs any still-live
+    generation — CacheManager entries are shared across sessions/frames with
+    the same plan, so unpersisting would kill the live pin too."""
+    if df is None or any(_same_cache_entry(df, other) for other in live):
+        return
+    try:
+        df.unpersist(blocking=False)
+    except Exception:
+        pass  # that session is gone — its blocks died with it
+
+
 def pin_one_generation(df: DataFrame, registry: dict) -> DataFrame:
     """Persist + materialize ``df``; release the previous generation held in
     ``registry`` (one dict per operator, keyed by (applicationId, session))."""
@@ -72,10 +91,13 @@ def pin_one_generation(df: DataFrame, registry: dict) -> DataFrame:
         # — blocks died with it); drop the references so the dict stays bounded.
         for stale in [k for k in registry if k[0] != app]:
             registry.pop(stale, None)
-        registry[key] = pinned
-    if prev is not None and not _same_cache_entry(prev, pinned):
-        try:
-            prev.unpersist(blocking=False)
-        except Exception:
-            pass  # that session is gone — its blocks died with it
+        registry[key] = pinned  # re-insert puts the current session last (LRU order)
+        evicted = []
+        same_app = [k for k in registry if k[0] == app]
+        while len(same_app) > _MAX_LIVE_PER_APP:
+            evicted.append(registry.pop(same_app.pop(0)))
+        live = list(registry.values())
+    _release(prev, live)
+    for old in evicted:
+        _release(old, live)
     return pinned

@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load
+from ..catalog import load, source_fingerprint
 from ..operators import dedup, similarity, text
 from .registry import register
 
@@ -199,8 +199,6 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "approx"),
 )
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     e = load(spark, sf_dir, ("embeddings",))["embeddings"]
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -208,11 +206,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache key carries the source fingerprint so a regenerated fixture can
     # never hit an index built from the previous data version (same pattern as
     # the sliced-events and bucketed-layout caches)
-    try:
-        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-        fp = (st.st_size, st.st_mtime_ns)
-    except OSError:
-        fp = ()
+    fp = (source_fingerprint(sf_dir, "embeddings"),)
     return similarity.ivf_topk(e, queries, k=10, cache_key=(sf_dir, *fp))
 
 
@@ -571,17 +565,11 @@ def embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "approx", "graded-invariant"),
 )
 def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     e = load(spark, sf_dir, ("embeddings",))["embeddings"]
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    try:
-        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-        fp = (st.st_size, st.st_mtime_ns)
-    except OSError:
-        fp = ()
+    fp = (source_fingerprint(sf_dir, "embeddings"),)
     exact = similarity.brute_force_topk(e, queries, k=10).select("query_id", "vec_id")
     approx = (
         similarity.ivf_topk(e, queries, k=10, cache_key=(sf_dir, *fp))

@@ -83,6 +83,13 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_session_ttl",
+    # Expiry boundary measured empirically (engineered boundary fixture,
+    # tests/test_streaming.py::test_ttl_expiry_boundary_semantics): Spark arms
+    # the timeout at floor_ms(last_ts) + TTL_ms and fires it when the
+    # ms-resolution watermark STRICTLY exceeds it — a key whose last write is
+    # exactly TTL before the stream's max event time does NOT expire. The SQL
+    # states that same ms-floor strict comparison, not a µs-inclusive
+    # approximation of it.
     oracle=f"""
     WITH k AS (
         SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS bucket_date,
@@ -92,7 +99,8 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, bucket_date, n_events, last_ts, true AS expired
     FROM k
-    WHERE last_ts + INTERVAL {TTL_MINUTES_DEFAULT} MINUTE <= (SELECT max(ts) FROM events)
+    WHERE epoch_ms(last_ts) + {TTL_MINUTES_DEFAULT} * 60 * 1000
+          < epoch_ms((SELECT max(ts) FROM events))
     """,
     doc="T5/S5 streaming state TTL: applyInPandasWithState + EventTimeTimeout — "
     "the Redis SETEX session expiry (auth-service/main.py:154-159). Every write "
@@ -100,9 +108,10 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "key emits its expiry record and is REMOVED (bounded state). Multi-batch "
     "replay via time-sliced files + maxFilesPerTrigger=1 so the watermark "
     "genuinely advances. The drained result is the SETEX batch restatement the "
-    "oracle states directly: expired == keys whose last write + TTL precedes the "
-    "final watermark (= max event time, 0s delay); per-key n_events/last_ts come "
-    "from the accumulated state. Tested across 4-slice replays in "
+    "oracle states directly: expired == keys whose ms-floored last write + TTL "
+    "STRICTLY precedes the ms-resolution final watermark (= max event time, 0s "
+    "delay); per-key n_events/last_ts come from the accumulated state. Boundary "
+    "semantics pinned by an engineered fixture and 4-slice replays in "
     "tests/test_streaming.py.",
     tags=("streaming", "state"),
 )

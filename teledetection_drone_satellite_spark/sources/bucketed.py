@@ -21,26 +21,17 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..catalog import load
+from ..catalog import load, source_fingerprint
 
 _LAYOUT_VERSION = "v1"
 
 
-def _source_fingerprint(sf_dir: str, table: str) -> str:
-    """(size, mtime) tag of the source parquet: the fixture generator rewrites
-    files in place between grading rounds, so a name-only cache key would keep
-    serving a STALE bucketed layout past its _SUCCESS marker (same hazard as
-    the sliced-events cache, streaming/ttl.py::sliced_events_path)."""
-    try:
-        st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
-        return f"{st.st_size}_{st.st_mtime_ns}"
-    except OSError:
-        return "nosrc"
+
 
 
 def bucketed_table_name(sf_dir: str, table: str) -> str:
     sf_tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_").replace("-", "_")
-    return f"bkt_{_LAYOUT_VERSION}_{sf_tag}_{table}_{_source_fingerprint(sf_dir, table)}"
+    return f"bkt_{_LAYOUT_VERSION}_{sf_tag}_{table}_{source_fingerprint(sf_dir, table)}"
 
 
 def write_bucketed(
@@ -83,7 +74,7 @@ def materialize_bucketed_pair(
         name = bucketed_table_name(sf_dir, table)
         # location carries the fingerprint too, so a regenerated fixture can
         # never find a _SUCCESS marker left by the previous data version
-        loc = os.path.join(base, f"{table}_{_source_fingerprint(sf_dir, table)}")
+        loc = os.path.join(base, f"{table}_{source_fingerprint(sf_dir, table)}")
         if not spark.catalog.tableExists(name) or not os.path.exists(
             os.path.join(loc, "_SUCCESS")
         ):

@@ -20,22 +20,14 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, source_fingerprint
 
 _LAYOUT_VERSION = "v1"
 
 
 def date_partitioned_path(sf_dir: str, table: str = "events") -> str:
     sf_name = os.path.basename(os.path.normpath(sf_dir))
-    # (size, mtime) fingerprint of the source file: the fixture generator
-    # rewrites parquet in place between rounds, and a name-only key would keep
-    # serving the previous data version's layout past its _SUCCESS marker
-    # (same pattern as streaming/ttl.py::sliced_events_path).
-    try:
-        st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
-        fp = f"{st.st_size}_{st.st_mtime_ns}"
-    except OSError:
-        fp = "nosrc"
+    fp = source_fingerprint(sf_dir, table)  # staleness rationale: catalog.py
     return os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_partitioned_{_LAYOUT_VERSION}",

@@ -40,6 +40,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from ..catalog import source_fingerprint
 from .windows import _run_to_memory, stream_session
 
 TTL_MINUTES_DEFAULT = 120
@@ -65,16 +66,8 @@ STATE_SCHEMA = StructType(
 
 def sliced_events_path(sf_dir: str, n_slices: int) -> str:
     sf_name = os.path.basename(os.path.normpath(sf_dir))
-    # Key the cache on the source file's (size, mtime) fingerprint too: the
-    # fixture generator rewrites events.parquet in place between rounds, and a
-    # name-only key would keep serving slices of the OLD data past a _DONE
-    # marker (stale-cache correctness bug, not just a perf miss).
-    src = os.path.join(sf_dir, "events.parquet")
-    try:
-        st = os.stat(src)
-        fp = f"{st.st_size}_{st.st_mtime_ns}"
-    except OSError:
-        fp = "nosrc"
+    # keyed on the shared source fingerprint (staleness rationale: catalog.py)
+    fp = source_fingerprint(sf_dir, "events")
     return os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_slices_{_SLICE_VERSION}",

@@ -48,3 +48,34 @@ def test_cross_session_pins_do_not_collide(spark):
     assert len(reg) == 2
     g1.unpersist(blocking=True)
     g2.unpersist(blocking=True)
+
+
+def test_cross_session_same_plan_release_spares_shared_entry(spark):
+    """s1 and s2 pin the SAME canonicalized plan (one shared cache entry) under
+    different session keys; s1 moving to a new plan must not unpersist the
+    entry s2 still holds."""
+    reg: dict = {}
+    s2 = spark.newSession()
+    pin_one_generation(spark.range(90).select("id"), reg)
+    g2 = pin_one_generation(s2.range(90).select("id"), reg)  # same plan, own key
+    g1b = pin_one_generation(spark.range(91).select("id"), reg)  # s1 moves on
+    assert _cached(g2), "s1's generation release killed s2's live same-plan pin"
+    g2.unpersist(blocking=True)
+    g1b.unpersist(blocking=True)
+
+
+def test_same_app_generations_bounded(spark):
+    """Abandoned same-app sessions can't accumulate unbounded live generations:
+    beyond _MAX_LIVE_PER_APP the oldest is evicted and released."""
+    from teledetection_drone_satellite_spark.operators import pinning
+
+    reg: dict = {}
+    frames = []
+    for i in range(pinning._MAX_LIVE_PER_APP + 2):
+        s = spark.newSession()
+        frames.append(pin_one_generation(s.range(200 + i).select("id"), reg))
+    assert len(reg) == pinning._MAX_LIVE_PER_APP
+    assert not _cached(frames[0]), "evicted oldest generation must be released"
+    assert _cached(frames[-1])
+    for f in frames:
+        f.unpersist(blocking=True)

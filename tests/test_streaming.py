@@ -177,3 +177,38 @@ def test_audit_append_sink_exactly_once(spark, sf_dir, tmp_path):
     q2 = audit_append_sink(read_events_stream(spark, sf_dir), dest, ckpt)
     q2.awaitTermination()
     assert spark.read.parquet(dest).count() == first
+
+
+def test_ttl_expiry_boundary_semantics(spark, tmp_path):
+    """Pin the EventTimeTimeout boundary the stream_session_ttl oracle states:
+    a key expires iff floor_ms(last_ts) + TTL_ms < floor_ms(max event ts) —
+    STRICT at millisecond floors. An engineered fixture places keys exactly ON
+    the boundary (must NOT expire), 1 ms / 500 µs before (must expire: the µs
+    component floors away), and 1 ms / 500 µs after (must not)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2024-03-06 00:00:00")  # mid-week: one bucket for all keys
+    ttl = pd.Timedelta(minutes=120)
+    max_ts = base + pd.Timedelta(hours=10)
+    rows = [(1, base, 99, "t", 1.0, "{}"), (2, max_ts, 99, "t", 1.0, "{}")]
+    cases = {
+        10: max_ts - ttl,                                   # exactly on the boundary
+        11: max_ts - ttl - pd.Timedelta(milliseconds=1),
+        12: max_ts - ttl + pd.Timedelta(milliseconds=1),
+        13: max_ts - ttl - pd.Timedelta(microseconds=500),  # same ms, earlier µs
+        14: max_ts - ttl + pd.Timedelta(microseconds=500),  # same ms, later µs
+        15: max_ts - ttl - pd.Timedelta(minutes=30),
+    }
+    rows += [(100 + u, t, u, "t", 1.0, "{}") for u, t in cases.items()]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    sf_dir = str(tmp_path / "boundary")
+    os.makedirs(sf_dir)
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), f"{sf_dir}/events.parquet")
+
+    out = stream_session_ttl(spark, sf_dir, ttl_minutes=120, n_slices=2).toPandas()
+    assert sorted(out["user_id"].tolist()) == [11, 13, 15]
