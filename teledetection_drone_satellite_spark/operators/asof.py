@@ -1,0 +1,84 @@
+"""As-of (most-recent-at-or-before) join — the telemetry/time-series join the
+reference's drone/satellite event tables imply (SURVEY §2.5 temporal family;
+the range join's point-lookup sibling).
+
+Spark has no ASOF JOIN operator (DuckDB and kdb do); the naive translation —
+inequality join + per-left-row top-1 — builds an O(left x right-per-key)
+intermediate before the window prunes it. The union-window formulation here
+never forms that blow-up:
+
+    1. tag left rows 1 and right rows 0, union them into one stream;
+    2. one shuffle, partitioned by the join keys, sorted by
+       (ts, side, tie-break) — right rows sort BEFORE left rows at equal ts so
+       "at or before" includes same-timestamp right rows;
+    3. ``last(right-payload, ignorenulls=True)`` over the running window
+       carries the latest right row forward onto every subsequent left row;
+    4. keep the left rows.
+
+Cost: ONE exchange of left+right (no join node at all), running-window state is
+a single struct per partition. At 100 TB this is the shape that survives: the
+inequality-join plan's intermediate is quadratic in per-key density, this one
+is linear in input. Ties inside the right side resolve by the caller's
+tie-break column (largest wins), so results are deterministic and
+engine-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    right_payload: list[str] = (),
+    tie_col: str | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest ``ts_col`` <=
+    the left row's, matching on ``keys`` (LEFT semantics: unmatched left rows
+    keep NULL payload). Right-side ties on ts resolve to the largest
+    ``tie_col``. Payload columns arrive prefixed (``asof_ts``, ``asof_value``...).
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    payload_struct = F.struct(
+        F.col(ts_col).alias(f"{prefix}{ts_col}"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_payload],
+    )
+    payload_type = StructType(
+        [StructField(f"{prefix}{ts_col}", right.schema[ts_col].dataType)]
+        + [StructField(f"{prefix}{c}", right.schema[c].dataType) for c in right_payload]
+    )
+    l_tagged = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_tie"),
+        F.lit(None).cast(payload_type).alias("_payload"),
+    )
+    tie = F.col(tie_col).cast("long") if tie_col else F.lit(0).cast("long")
+    r_tagged = right.select(
+        *[F.col(k) for k in keys],
+        F.col(ts_col),
+        *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes if c not in keys and c != ts_col],
+        F.lit(0).alias("_side"),
+        tie.alias("_tie"),
+        payload_struct.alias("_payload"),
+    ).select(*[F.col(c) for c in l_tagged.columns])  # align column order
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_tie").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last("_payload", ignorenulls=True).over(w)
+    return (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("_carried", carried)
+        .filter(F.col("_side") == 1)
+        .select(*left.columns, F.col(f"_carried.{prefix}{ts_col}"),
+                *[F.col(f"_carried.{prefix}{c}") for c in right_payload])
+    )

@@ -1,0 +1,171 @@
+"""Corpus-curation operators: dup-cluster resolution, benchmark decontamination,
+deterministic stratified sampling (SURVEY §2.11 training-data pipeline family).
+
+Pair-producing dedup (operators/dedup.py) answers "which documents are near
+copies of each other"; a curation pipeline then needs the CLUSTERS those pairs
+imply (keep one representative per group, not one per pair), needs training
+data scrubbed of evaluation-benchmark overlap, and needs per-stratum sampling
+that is reproducible across runs and engines. Each operator here is built for
+the 100 TB case: connected components is the iterative O(diameter) label
+propagation whose per-round cost is one equi-join + one map-side-combined
+aggregation on (node) — never an all-pairs structure; decontamination
+broadcasts the (small) benchmark shingle set so the training corpus never
+shuffles; sampling is a map-only filter on a content-derived hash, no shuffle
+and no RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .pinning import pin_one_generation
+from .text import shingles
+
+# applicationId -> live pinned generation (see operators/pinning.py); edges and
+# labels pin through SEPARATE registries — one shared dict would release the
+# edge pin the moment the first label generation lands
+_CC_GEN_BY_APP: dict = {}
+_CC_EDGES_BY_APP: dict = {}
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components of an undirected edge list -> (node, component),
+    component = the minimum node id in the cluster.
+
+    Min-label propagation: every node starts labeled with itself; each round a
+    node takes the min of its own label and its neighbors' labels. Converges in
+    O(graph diameter) rounds — for near-dup clusters (dense, small-diameter
+    cliques glued by chains) that is single digits. Per round the work is ONE
+    hash equi-join (messages along edges) and ONE map-side-combined min
+    aggregation keyed by node; nothing quadratic, nothing driver-side. The
+    alternating large-star/small-star variant (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") drops rounds to O(log n) for
+    pathological chain graphs at the cost of rewriting the edge set each round;
+    dup graphs don't have such chains, so the cheaper-per-round form wins here.
+
+    Convergence detection: labels are monotonically non-increasing (each round
+    takes a min over a set containing the current label), so the label SUM is
+    strictly decreasing until the fixed point — one scalar aggregate per round
+    replaces a join-based diff. Each generation is pinned (operators/pinning.py)
+    so the convergence probe and the next round's join read one materialization,
+    and lineage cannot grow unboundedly across rounds (the persisted blocks cut
+    recomputation; at 100 TB the equivalent is writing each generation to a
+    scratch table, which is the same discipline).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    # pin the edge list once: every round's message join (and the node seed)
+    # reads it, and the upstream pair-producing plan (a full dedup pass) must
+    # execute exactly once, not once per round
+    sym = pin_one_generation(sym, _CC_EDGES_BY_APP)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    labels = pin_one_generation(labels, _CC_GEN_BY_APP)
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym["b"] == labels["node"]).select(
+            F.col("a").alias("node"), "component"
+        )
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        labels = pin_one_generation(labels, _CC_GEN_BY_APP)
+        new_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if new_sum == prev_sum:
+            return labels
+        prev_sum = new_sum
+    raise RuntimeError(f"connected_components: no fixed point after {max_iter} rounds")
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per training document, the number of distinct
+    word n-gram shingles it shares with ANY benchmark document -> (id, n_shared).
+    Documents sharing >= 1 n-gram with the eval set are contamination suspects
+    (the GPT-3/PaLM n-gram-overlap decontamination rule, applied symmetrically).
+
+    Scale shape: the benchmark side is small by definition (eval suites are
+    thousands of documents, not billions), so its DISTINCT shingle set is
+    broadcast — the training corpus is scanned once, shingled in-row, and
+    filtered against the broadcast set with a map-side semi-join-then-count;
+    training text itself never shuffles, and the only exchange is the final
+    per-doc count aggregation keyed by document id.
+    """
+    bench_sh = (
+        bench.select(F.explode(shingles(F.split(F.col(text_col), " "), n)).alias("shingle"))
+        .distinct()
+    )
+    train_sh = train.select(
+        F.col(id_col), F.explode(shingles(F.split(F.col(text_col), " "), n)).alias("shingle")
+    )
+    return (
+        train_sh.join(F.broadcast(bench_sh), "shingle")
+        # shingles() emits DISTINCT grams per doc, so a plain count per doc is
+        # already the distinct shared-shingle count — no second distinct pass
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def sample_bucket(key: Column, digits: int = 4) -> Column:
+    """Deterministic [0, 16^digits) sampling bucket: the first ``digits`` hex
+    chars of md5(key-as-string). Content-derived, so the sample is identical
+    across runs, engines, partitionings, and cluster sizes — the property that
+    makes a training-mix reproducible. Kept as the LEXICOGRAPHIC hex string:
+    fixed-width lowercase hex orders identically to its numeric value, so rate
+    thresholds compare as strings and the expression needs no hex->int
+    conversion (which ANSI engines spell differently)."""
+    return F.substring(F.md5(key.cast("string")), 1, digits)
+
+
+def rate_threshold(rate: float, digits: int = 4) -> str:
+    """The hex-string threshold under which a ``sample_bucket`` value is kept
+    to sample approximately ``rate`` of rows. rate >= 1.0 returns "g", which
+    sorts above every hex string, so the filter keeps ALL rows (a numeric clamp
+    to 0xffff would drop the one-in-65536 max bucket)."""
+    if rate >= 1.0:
+        return "g"
+    space = 16 ** digits
+    return format(max(int(rate * space), 0), f"0{digits}x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (training-data mixing): keep a row iff
+    its md5-derived bucket falls under its stratum's rate threshold. Strata
+    missing from ``rates`` are dropped (rate 0).
+
+    Map-only: the rate lookup folds into a CASE chain, the filter runs at the
+    scan, and nothing shuffles — at 100 TB this is the only acceptable shape
+    for a sampling pass. Versus rand()-based sampling: no seed plumbing, no
+    partition-order sensitivity, and re-runs (or a different engine) select the
+    SAME rows, so downstream caches and dedup joins stay stable.
+    """
+    bucket = sample_bucket(F.col(id_col))
+    thresh = F.lit("0000")  # unknown stratum -> rate 0 (no bucket sorts below "0000")
+    for stratum in sorted(rates):
+        thresh = F.when(
+            F.col(stratum_col) == stratum, F.lit(rate_threshold(rates[stratum]))
+        ).otherwise(thresh)
+    return df.withColumn("bucket", bucket).filter(F.col("bucket") < thresh)

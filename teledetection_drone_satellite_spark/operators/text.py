@@ -92,9 +92,9 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingles(words: Column, n: int = 3) -> Column:
-    """Word n-gram shingle array (distinct), via higher-order functions — stays JVM-side.
-    Short docs (< n words) yield an empty array.
+def raw_shingles(words: Column, n: int = 3) -> Column:
+    """Word n-gram array WITH duplicates (positional grams), via higher-order
+    functions — stays JVM-side. Short docs (< n words) yield an empty array.
 
     Shape matters: ``arrays_zip`` over n shifted slices, NOT per-index
     element_at. The index formulation re-embeds the ``words`` expression inside
@@ -106,7 +106,88 @@ def shingles(words: Column, n: int = 3) -> Column:
     zipped = F.arrays_zip(*[F.slice(words, j + 1, m) for j in range(n)])
     grams = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]))
     empty = F.array().cast("array<string>")
-    return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(empty)
+    return F.when(F.size(words) >= n, grams).otherwise(empty)
+
+
+def shingles(words: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingle set (see ``raw_shingles`` for the plan shape)."""
+    return F.array_distinct(raw_shingles(words, n))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals (the Gopher repetition filters, applied
+    at word granularity): per document, the duplicate word-bigram fraction
+    (1 - distinct/total bigrams) and the top-word mass fraction (count of the
+    most frequent word / total words). High values mark boilerplate, keyword
+    stuffing, and generation loops.
+
+    Fully IN-ROW — zero shuffle, one narrow map stage: bigram stats fold via
+    raw_shingles + array_distinct, and the top-word count is the longest equal
+    run in the SORTED word array (max multiplicity == max run length), computed
+    with one ``aggregate`` fold over array_sort. The explode-then-groupBy
+    formulation is deliberately avoided: a per-doc expression projected next to
+    an explode is re-evaluated once per EXPLODED row (O(len^2) per doc —
+    measured 40x slower at sf0.1), and the (doc, word) shuffle it needs is pure
+    overhead against an in-row fold.
+    """
+    words = F.split(F.col(text_col), " ")
+    grams = raw_shingles(words, 2)
+    n_grams = F.size(grams)
+    dup_frac = F.when(
+        n_grams > 0,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / n_grams.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    zero = F.lit(0).cast("long")
+    run_of = lambda acc, w: F.when(w == acc["prev"], acc["run"] + 1).otherwise(  # noqa: E731
+        F.lit(1).cast("long")
+    )
+    top_count = F.aggregate(
+        F.array_sort(words),
+        F.struct(F.lit(None).cast("string").alias("prev"), zero.alias("run"), zero.alias("best")),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            run_of(acc, w).alias("run"),
+            F.greatest(acc["best"], run_of(acc, w)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_words = F.size(words).cast("long")
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        dup_frac.alias("dup_bigram_frac"),
+        F.round(top_count / n_words.cast("double"), 6).alias("top_word_ratio"),
+    )
+
+
+# PII patterns, constrained to the regex subset Java (Spark) and RE2 (DuckDB)
+# interpret identically: no backrefs, no lookaround, ASCII word boundaries.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b555-\d{4}\b"
+
+
+def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction over a text column: per-doc counts of email /
+    IPv4 / phone-shaped spans and the sha-256 of the text with every span
+    replaced by a typed placeholder. Counts drive corpus-level PII-rate
+    reporting; the redacted hash proves the scrub is deterministic (two engines
+    or two runs must produce byte-identical redacted text).
+
+    Pure regexp_count/regexp_replace — codegen'd, map-only, no shuffle; the
+    redacted text itself is hashed in-row and never materialized past the scan.
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    redacted = F.regexp_replace(redacted, PII_IPV4_RE, "<IP>")
+    redacted = F.regexp_replace(redacted, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.sha2(redacted, 256).alias("redacted_sha"),
+    )
 
 
 def tfidf_top_terms(df: DataFrame, k: int = 3, doc_col: str = "source",

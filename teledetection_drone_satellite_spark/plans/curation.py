@@ -1,0 +1,249 @@
+"""Corpus-curation queries: dup-cluster resolution, decontamination, PII scrub,
+repetition quality, deterministic mixing sample, and the as-of telemetry join
+(SURVEY §2.11 training-data pipeline family, second tier above the pairwise
+dedup/similarity operators in plans/extensions.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators import curation, dedup, text
+from ..operators.asof import asof_join
+from .extensions import _NGRAM_JACCARD_SQL, _SHINGLE_SQL
+from .registry import register
+
+# --- Dup-cluster resolution ------------------------------------------------------------
+
+
+@register(
+    "dup_cluster_assign",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_SQL}),
+    edges AS (
+        SELECT d1 AS a, d2 AS b FROM pairs
+        UNION
+        SELECT d2, d1 FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS component
+    FROM reach
+    GROUP BY a
+    """,
+    doc="Near-dup CLUSTER assignment: trigram-Jaccard pairs (>=0.6) resolved to "
+    "connected components via iterative min-label propagation (O(diameter) "
+    "rounds, one equi-join + one min-agg per round, each generation pinned). "
+    "Pairwise dedup says who matches whom; curation needs one representative "
+    "per transitive group — the component id IS that representative (min "
+    "doc_id). Oracle: DuckDB recursive-CTE reachability closure.",
+    tags=("dedup", "curation"),
+)
+def dup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.6, n=3, max_df=1000)
+    return curation.connected_components(pairs, "d1", "d2").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
+# --- Benchmark decontamination ---------------------------------------------------------
+
+
+@register(
+    "decontamination_overlap",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0)
+    SELECT doc_id, count(*) AS n_shared
+    FROM sh JOIN bench USING (shingle)
+    WHERE doc_id % 50 != 0
+    GROUP BY doc_id
+    """,
+    doc="Benchmark decontamination (GPT-3/PaLM n-gram-overlap rule): training "
+    "docs sharing any word-trigram with the held-out benchmark slice "
+    "(doc_id % 50 = 0 stands in for the eval suite) and their shared-shingle "
+    "counts. Benchmark shingle set broadcasts; training text never shuffles.",
+    tags=("text", "curation"),
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    return curation.decontaminate(train, bench, n=3)
+
+
+# --- PII scrub -------------------------------------------------------------------------
+
+# The fixture text is synthetic and carries no PII, so the query plants
+# deterministic spans (keyed off doc_id, identically in both engines) and then
+# detects + redacts them — the operator under grade is the scan/redact, the
+# planting just gives it ground truth to find.
+_PII_PLANT_SQL = """
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact u' || doc_id || '@example.com' ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) ELSE '' END
+               || CASE WHEN doc_id % 13 = 0
+                       THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+               AS text
+        FROM documents
+"""
+
+_EMAIL = text.PII_EMAIL_RE
+_IPV4 = text.PII_IPV4_RE
+_PHONE = text.PII_PHONE_RE
+
+
+@register(
+    "pii_scan",
+    oracle=f"""
+    WITH planted AS ({_PII_PLANT_SQL})
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_IPV4}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(text, '{_PHONE}')) AS BIGINT) AS n_phones,
+           sha256(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '{_EMAIL}', '<EMAIL>', 'g'),
+                 '{_IPV4}', '<IP>', 'g'),
+               '{_PHONE}', '<PHONE>', 'g')
+           ) AS redacted_sha
+    FROM planted
+    """,
+    doc="PII detection + redaction: per-doc email/IPv4/phone span counts and the "
+    "sha-256 of the redacted text (proves the scrub is deterministic and "
+    "byte-identical across engines). Patterns constrained to the Java-regex / "
+    "RE2 common subset. Map-only, codegen'd, no shuffle.",
+    tags=("text", "curation"),
+)
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    did = F.col("doc_id")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 7 == 0, F.concat(F.lit(" contact u"), did.cast("string"), F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(did % 11 == 0, F.concat(F.lit(" from 10."), (did % 256).cast("string"), F.lit(".0."), (did % 100).cast("string"))).otherwise(F.lit("")),
+            F.when(did % 13 == 0, F.concat(F.lit(" call 555-"), F.lpad((did % 10000).cast("string"), 4, "0"))).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return text.pii_scan(planted)
+
+
+# --- Repetition quality ----------------------------------------------------------------
+
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    words AS (SELECT doc_id, unnest(w) AS word FROM base),
+    wc AS (SELECT doc_id, word, count(*) AS c FROM words GROUP BY 1, 2),
+    top AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+               round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_word_ratio
+        FROM wc GROUP BY 1
+    ),
+    grams AS (
+        SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+        FROM base, LATERAL unnest(range(1, len(w))) t(i)
+    ),
+    gstats AS (
+        SELECT doc_id,
+               round(1.0 - count(DISTINCT g) / CAST(count(*) AS DOUBLE), 6) AS dup_bigram_frac
+        FROM grams GROUP BY 1
+    )
+    SELECT doc_id, n_words,
+           coalesce(dup_bigram_frac, 0.0) AS dup_bigram_frac,
+           top_word_ratio
+    FROM top LEFT JOIN gstats USING (doc_id)
+    """,
+    doc="Repetition quality signals (Gopher repetition filters): duplicate "
+    "word-bigram fraction (in-row higher-order fold, no shuffle for grams) and "
+    "top-word mass fraction (one explode, two map-side-combined aggs). "
+    "Boilerplate / keyword stuffing / generation loops score high.",
+    tags=("text", "curation"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    return text.repetition_features(d)
+
+
+# --- Deterministic stratified sampling --------------------------------------------------
+
+# Training-mix rates per language stratum; thresholds are 4-hex-digit strings
+# derived once here so the Spark plan and the oracle compare IDENTICAL constants.
+MIX_RATES: dict[str, float] = {"de": 0.15, "en": 0.5, "es": 0.3, "fr": 0.4, "zh": 0.1}
+
+_RATE_CASE = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN '{curation.rate_threshold(rate)}'"
+    for lang, rate in sorted(MIX_RATES.items())
+) + " ELSE '0000' END"
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < {_RATE_CASE}
+    """,
+    doc="Deterministic per-stratum sampling for training-data mixing: keep a row "
+    "iff its md5(doc_id) hex bucket falls under the stratum's rate threshold. "
+    "Content-derived, so the sample is identical across runs, engines, and "
+    "partitionings — no RNG seed plumbing, no partition-order sensitivity. "
+    "Map-only filter at the scan; zero shuffle.",
+    tags=("curation",),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    return curation.stratified_sample(d, MIX_RATES, "lang").select("doc_id", "lang", "bucket")
+
+
+# --- As-of telemetry join --------------------------------------------------------------
+
+
+@register(
+    "asof_join_latest_purchase",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS asof_ts, p.event_id AS asof_event_id,
+           round(p.value, 4) AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    QUALIFY row_number() OVER (
+        PARTITION BY c.event_id ORDER BY p.ts DESC, p.event_id DESC
+    ) = 1
+    """,
+    doc="As-of join (most recent at-or-before): every click event annotated with "
+    "the user's latest purchase at or before it, LEFT semantics, ties to the "
+    "largest event_id. Union-window formulation: tag both sides, ONE shuffle on "
+    "user_id, last(payload, ignorenulls) over a running window — no join node, "
+    "no quadratic inequality-join intermediate (operators/asof.py). Oracle uses "
+    "the inequality-join + QUALIFY top-1 form, fine at oracle scale.",
+    tags=("temporal", "curation"),
+)
+def asof_join_latest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, ("events",))["events"]
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, purchases, keys=["user_id"], ts_col="ts",
+        right_payload=["event_id", "value"], tie_col="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "asof_ts", "asof_event_id",
+        F.round("asof_value", 4).alias("asof_value"),
+    )
