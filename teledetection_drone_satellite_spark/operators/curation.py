@@ -169,3 +169,49 @@ def stratified_sample(
             F.col(stratum_col) == stratum, F.lit(rate_threshold(rates[stratum]))
         ).otherwise(thresh)
     return df.withColumn("bucket", bucket).filter(F.col("bucket") < thresh)
+
+
+def sequence_packing(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing (the GPT-style pretraining layout):
+    within each shard, documents are laid out in ``id_col`` order into one
+    token stream that is cut every ``budget`` tokens. Returns per doc its
+    stream offset, the training sequence it starts in (``seq_id``), and
+    whether it straddles a sequence boundary (the rows an attention-mask
+    builder must split).
+
+    Scale shape: the running offset is a window cumsum partitioned BY SHARD —
+    never a global ordering, which would funnel the corpus through one
+    partition. Packing within shards is also what real pipelines do: shards
+    are the unit of data loading, so cross-shard packing would serialize
+    ingestion. Deterministic (pure function of ids + token counts), so two
+    runs or two engines lay out identical sequences.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tokens = F.col(token_col).cast("long")
+    offset = (F.sum(tokens).over(w) - tokens).alias("offset")
+    return df.select(F.col(shard_col), F.col(id_col), tokens.alias("n_tokens"), offset).select(
+        shard_col,
+        id_col,
+        "n_tokens",
+        "offset",
+        F.floor(F.col("offset") / budget).alias("seq_id"),
+        (
+            (F.col("n_tokens") > 0)
+            & (
+                F.floor(F.col("offset") / budget)
+                != F.floor((F.col("offset") + F.col("n_tokens") - 1) / budget)
+            )
+        ).alias("straddles"),
+    )

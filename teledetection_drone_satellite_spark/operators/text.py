@@ -190,6 +190,33 @@ def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# URL shape, Java/RE2 common subset (non-capturing path group so group-0
+# extraction behaves identically in both engines)
+URL_RE = r"https?://[A-Za-z0-9.-]+(?:/[^\s]*)?"
+DOMAIN_RE = r"https?://([^/]+)"
+
+
+def url_domain_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Web-corpus domain statistics: extract every URL, reduce to its lowercased
+    host, and aggregate (n_docs, n_urls) per domain — the input to domain-level
+    allow/deny-listing and per-domain mixing weights in web-crawl curation.
+
+    One extract-explode (no text shuffle — only the short URL strings leave the
+    scan), then a map-side-combined aggregation keyed by domain; domain
+    cardinality is web-host-bounded, far below corpus cardinality.
+    """
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0)
+    return (
+        df.select("doc_id", F.explode(urls).alias("url"))
+        .select("doc_id", F.lower(F.regexp_extract("url", DOMAIN_RE, 1)).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_urls"),
+        )
+    )
+
+
 def tfidf_top_terms(df: DataFrame, k: int = 3, doc_col: str = "source",
                     text_col: str = "text") -> DataFrame:
     """TF-IDF top-k terms per document group (SURVEY §7 Phase-7 'TF-IDF text

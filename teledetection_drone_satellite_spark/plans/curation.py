@@ -209,6 +209,96 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.stratified_sample(d, MIX_RATES, "lang").select("doc_id", "lang", "bucket")
 
 
+# --- Sequence packing ------------------------------------------------------------------
+
+_PACK_BUDGET = 512
+_BPE_LEN_SQL = "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+    SELECT source, doc_id, n_tokens, "offset",
+           CAST(floor("offset" / {_PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+           n_tokens > 0 AND floor("offset" / {_PACK_BUDGET}.0)
+                          != floor(("offset" + n_tokens - 1) / {_PACK_BUDGET}.0) AS straddles
+    FROM (
+        SELECT source, doc_id,
+               CAST({_BPE_LEN_SQL} AS BIGINT) AS n_tokens,
+               CAST(sum({_BPE_LEN_SQL}) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - {_BPE_LEN_SQL} AS BIGINT) AS "offset"
+        FROM documents
+    )
+    """,
+    doc="Concat-then-chunk sequence packing (GPT-style pretraining layout): per "
+    "shard (source), docs in doc_id order form one token stream cut every 512 "
+    "BPE-ish tokens; emits each doc's stream offset, starting sequence id, and "
+    "whether it straddles a cut. Window cumsum partitioned BY SHARD — no global "
+    "ordering, so no single-partition funnel; deterministic across engines.",
+    tags=("text", "curation"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    with_tokens = d.select(
+        "source", "doc_id", text.bpe_token_count(F.col("text")).alias("bpe_tokens")
+    )
+    return curation.sequence_packing(
+        with_tokens, budget=_PACK_BUDGET, token_col="bpe_tokens"
+    )
+
+
+# --- URL / domain statistics -----------------------------------------------------------
+
+# Fixture text carries no URLs; plant deterministic ones (same trick as pii_scan)
+# so the extract/aggregate path has ground truth.
+_URL_PLANT_SQL = """
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' see https://example' || (doc_id % 10) || '.org/p/' || doc_id ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' via http://cdn.example.net' ELSE '' END
+               AS text
+        FROM documents
+"""
+
+
+@register(
+    "url_domain_stats",
+    oracle=f"""
+    WITH planted AS ({_URL_PLANT_SQL}),
+    urls AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '{text.URL_RE}')) AS url
+        FROM planted
+    )
+    SELECT lower(regexp_extract(url, '{text.DOMAIN_RE}', 1)) AS domain,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_urls
+    FROM urls
+    GROUP BY 1
+    """,
+    doc="Web-corpus domain statistics: URL extraction -> lowercased host -> "
+    "(n_docs, n_urls) per domain, the input to domain allow/deny-listing and "
+    "per-domain mixing weights. Only the short URL strings leave the scan; the "
+    "aggregation key space is web-host-bounded.",
+    tags=("text", "curation"),
+)
+def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    did = F.col("doc_id")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 3 == 0, F.concat(F.lit(" see https://example"), (did % 10).cast("string"), F.lit(".org/p/"), did.cast("string"))).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.lit(" via http://cdn.example.net")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return text.url_domain_stats(planted)
+
+
 # --- As-of telemetry join --------------------------------------------------------------
 
 

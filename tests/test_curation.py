@@ -93,6 +93,52 @@ def test_stratified_sample_deterministic(spark):
     assert a == expect
 
 
+# --- sequence packing ------------------------------------------------------------------
+
+
+def test_sequence_packing_layout(spark):
+    # shard A: 60+50+30 tokens, budget 100 -> offsets 0,60,110; doc 2 straddles
+    # the 100 cut (60..109); doc 3 starts in seq 1
+    df = spark.createDataFrame(
+        [("A", 1, 60), ("A", 2, 50), ("A", 3, 30), ("B", 9, 250)],
+        ["source", "doc_id", "tok"],
+    )
+    rows = {
+        (r["source"], r["doc_id"]): r
+        for r in curation.sequence_packing(df, budget=100, token_col="tok").collect()
+    }
+    assert rows[("A", 1)]["offset"] == 0 and rows[("A", 1)]["seq_id"] == 0
+    assert not rows[("A", 1)]["straddles"]
+    assert rows[("A", 2)]["offset"] == 60 and rows[("A", 2)]["seq_id"] == 0
+    assert rows[("A", 2)]["straddles"]
+    assert rows[("A", 3)]["offset"] == 110 and rows[("A", 3)]["seq_id"] == 1
+    assert not rows[("A", 3)]["straddles"]
+    # shard B independent: offset restarts; 250 tokens straddle cuts 100 and 200
+    assert rows[("B", 9)]["offset"] == 0 and rows[("B", 9)]["straddles"]
+
+
+def test_sequence_packing_zero_token_doc(spark):
+    df = spark.createDataFrame([("A", 1, 0), ("A", 2, 10)], ["source", "doc_id", "tok"])
+    rows = {r["doc_id"]: r for r in curation.sequence_packing(df, 100, "tok").collect()}
+    assert not rows[1]["straddles"] and rows[2]["offset"] == 0
+
+
+# --- URL extraction --------------------------------------------------------------------
+
+
+def test_url_domain_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "read https://Docs.Example.org/a and https://docs.example.org/b today"),
+            (2, "mirror at http://docs.example.org no-url-here"),
+            (3, "nothing to see"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["domain"]: (r["n_docs"], r["n_urls"]) for r in text.url_domain_stats(df).collect()}
+    assert got == {"docs.example.org": (2, 3)}  # host lowercased, path stripped
+
+
 # --- as-of join ------------------------------------------------------------------------
 
 
