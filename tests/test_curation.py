@@ -223,3 +223,22 @@ def test_repetition_features(spark):
     assert rows[3]["n_words"] == 1
     assert rows[3]["dup_bigram_frac"] == 0.0
     assert rows[3]["top_word_ratio"] == pytest.approx(1.0)
+
+
+# --- table profiling -------------------------------------------------------------------
+
+
+def test_profile_table(spark):
+    from teledetection_drone_satellite_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", None), (3, None, 2.5), (3, "b", 2.5)],
+        ["k", "s", "v"],
+    )
+    rows = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert rows["k"]["n_rows"] == 4 and rows["k"]["n_nulls"] == 0
+    assert rows["k"]["n_distinct"] == 3 and rows["k"]["approx_ok"]
+    assert rows["k"]["min_v"] == 1.0 and rows["k"]["max_v"] == 3.0
+    assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
+    assert rows["s"]["min_v"] is None and rows["s"]["max_v"] is None  # non-numeric
+    assert rows["v"]["n_nulls"] == 1 and rows["v"]["min_v"] == 1.5 and rows["v"]["max_v"] == 2.5
