@@ -1,0 +1,72 @@
+"""Physical-plan contracts for the curation operators.
+
+These pin the SHAPE that makes each operator scale — the property the docstrings
+claim — so a refactor that silently degrades the plan (adds a join node, a
+global exchange, a row-Python UDF) fails here, not at 100 TB.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from teledetection_drone_satellite_spark.operators import curation, text
+from teledetection_drone_satellite_spark.operators.asof import asof_join
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_asof_join_plan_has_no_join_node(spark):
+    left = spark.createDataFrame(
+        [(1, 1, datetime(2024, 1, 1, 10))], ["event_id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(2, 1, datetime(2024, 1, 1, 9), 1.0)], ["event_id", "user_id", "ts", "value"]
+    )
+    plan = _plan(asof_join(left, right, keys=["user_id"], ts_col="ts",
+                           right_payload=["event_id", "value"], tie_col="event_id"))
+    # the whole point of the union-window formulation: ONE key exchange, zero joins
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_sequence_packing_plan_is_shard_partitioned(spark):
+    df = spark.createDataFrame([("A", 1, 10)], ["source", "doc_id", "tok"])
+    plan = _plan(curation.sequence_packing(df, 100, "tok"))
+    # cumsum windows BY SHARD — a global ordering would show SinglePartition
+    assert "Exchange SinglePartition" not in plan
+    assert "Exchange hashpartitioning(source" in plan
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    bench = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    train = spark.createDataFrame([(2, "a b c e")], ["doc_id", "text"])
+    plan = _plan(curation.decontaminate(train, bench))
+    # training corpus must never sort-merge against the (small) benchmark side
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_map_only_operators_have_no_exchange(spark):
+    df = spark.createDataFrame([(1, "hello world", "en")], ["doc_id", "text", "lang"])
+    for op in (
+        lambda: curation.stratified_sample(df, {"en": 0.5}, "lang"),
+        lambda: text.pii_scan(df),
+        lambda: text.repetition_features(df),
+    ):
+        plan = _plan(op())
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+
+
+def test_connected_components_rounds_are_join_plus_partial_agg(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["d1", "d2"])
+    labels = curation.connected_components(edges)
+    plan = _plan(labels)
+    # the returned generation is pinned — consumers read the materialized
+    # blocks, not a replay of every propagation round
+    assert "InMemoryTableScan" in plan
