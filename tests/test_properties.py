@@ -94,6 +94,63 @@ def test_merge_latest_wins_is_an_upsert(spark, base, upd):
     assert got == {**base, **upd}
 
 
+@_settings
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    from teledetection_drone_satellite_spark.operators.curation import connected_components
+
+    df = spark.createDataFrame(edges, "d1 long, d2 long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    # plain union-find reference
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    want = {n: min(m for m in parent if find(m) == find(n)) for n in parent}
+    assert got == want
+
+
+@_settings
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=12),
+    rights=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=0, max_size=12),
+)
+def test_asof_join_matches_python_reference(spark, lefts, rights):
+    from datetime import datetime, timedelta
+
+    from teledetection_drone_satellite_spark.operators.asof import asof_join
+
+    base = datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(i, k, base + timedelta(minutes=t)) for i, (k, t) in enumerate(lefts)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(100 + i, k, base + timedelta(minutes=t), float(i)) for i, (k, t) in enumerate(rights)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = asof_join(ldf, rdf, keys=["user_id"], ts_col="ts",
+                    right_payload=["event_id", "value"], tie_col="event_id")
+    got = {r["event_id"]: r["asof_event_id"] for r in out.collect()}
+    want = {}
+    for i, (k, t) in enumerate(lefts):
+        cands = [(rt, 100 + j) for j, (rk, rt) in enumerate(rights) if rk == k and rt <= t]
+        want[i] = max(cands)[1] if cands else None  # greatest (ts, event_id)
+    assert got == want
+
+
 _pure_settings = settings(max_examples=200, deadline=None)
 
 
