@@ -12,7 +12,7 @@ from ..catalog import load
 from ..operators import curation, dedup, text
 from ..operators.asof import asof_join
 from ..operators.profile import profile_table
-from .extensions import _NGRAM_JACCARD_SQL, _SHINGLE_SQL
+from .extensions import _NGRAM_JACCARD_SQL, _QUALITY_SCORE_SQL, _SHINGLE_SQL
 from .registry import register
 
 # --- Dup-cluster resolution ------------------------------------------------------------
@@ -49,6 +49,69 @@ def dup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(d, threshold=0.6, n=3, max_df=1000)
     return curation.connected_components(pairs, "d1", "d2").select(
         F.col("node").alias("doc_id"), "component"
+    )
+
+
+@register(
+    "dup_cluster_representatives",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_SQL}),
+    edges AS (
+        SELECT d1 AS a, d2 AS b FROM pairs
+        UNION
+        SELECT d2, d1 FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    cc AS (
+        SELECT a AS doc_id, least(a, min(b)) AS component
+        FROM reach GROUP BY a
+    ),
+    scored AS (
+        SELECT component, cc.doc_id,
+               {_QUALITY_SCORE_SQL} AS quality_score,
+               count(*) OVER (PARTITION BY component) AS n_members
+        FROM cc JOIN documents USING (doc_id)
+    )
+    SELECT component, doc_id AS rep_id, n_members, quality_score AS rep_score
+    FROM scored
+    QUALIFY row_number() OVER (
+        PARTITION BY component ORDER BY quality_score DESC, doc_id ASC
+    ) = 1
+    """,
+    doc="The end-to-end curation decision: near-dup clusters resolved (connected "
+    "components over trigram-Jaccard pairs), then ONE representative kept per "
+    "cluster — the member with the best quality score (ties to lowest doc_id). "
+    "Composes dup_cluster_assign with text_quality's score (shared SQL "
+    "fragment, one definition of quality across both oracles).",
+    tags=("dedup", "curation"),
+)
+def dup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.6, n=3, max_df=1000)
+    cc = curation.connected_components(pairs, "d1", "d2").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    scored = cc.join(text.quality_features(d), "doc_id").withColumn(
+        "n_members", F.count("*").over(Window.partitionBy("component"))
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("rep_id"),
+            "n_members",
+            F.col("quality_score").alias("rep_score"),
+        )
     )
 
 

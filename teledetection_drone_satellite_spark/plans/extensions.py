@@ -236,17 +236,9 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_quality",
-    oracle="""
-    SELECT doc_id,
-           len(text) AS n_chars_m,
-           len(regexp_extract_all(trim(text), '\\S+')) AS n_words,
-           round(len(regexp_extract_all(text, '[^a-zA-Z0-9_ \\t\\n\\r]')) / CAST(len(text) AS DOUBLE), 6) AS punct_ratio,
-           round(len(regexp_extract_all(text, '\\b(the|a|and|is|of|to|in|that|it|on)\\b'))
-                 / CAST(len(regexp_extract_all(trim(text), '\\S+')) AS DOUBLE), 6) AS stop_ratio,
-           round(len(text) / CAST(len(regexp_extract_all(trim(text), '\\S+')) AS DOUBLE), 6) AS avg_word_len,
-           round(
+# The composite-score expression, shared with plans/curation.py's
+# dup_cluster_representatives oracle so both grade ONE definition of quality.
+_QUALITY_SCORE_SQL = """round(
              (CASE WHEN len(text) / CAST(len(regexp_extract_all(trim(text), '\\S+')) AS DOUBLE)
                         BETWEEN 3 AND 12 THEN 0.4 ELSE 0.0 END)
              + (CASE WHEN len(regexp_extract_all(text, '\\b(the|a|and|is|of|to|in|that|it|on)\\b'))
@@ -254,7 +246,20 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                      THEN 0.3 ELSE 0.0 END)
              + (CASE WHEN len(regexp_extract_all(text, '[^a-zA-Z0-9_ \\t\\n\\r]'))
                           / CAST(len(text) AS DOUBLE) < 0.1
-                     THEN 0.3 ELSE 0.0 END), 1) AS quality_score
+                     THEN 0.3 ELSE 0.0 END), 1)"""
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           len(text) AS n_chars_m,
+           len(regexp_extract_all(trim(text), '\\S+')) AS n_words,
+           round(len(regexp_extract_all(text, '[^a-zA-Z0-9_ \\t\\n\\r]')) / CAST(len(text) AS DOUBLE), 6) AS punct_ratio,
+           round(len(regexp_extract_all(text, '\\b(the|a|and|is|of|to|in|that|it|on)\\b'))
+                 / CAST(len(regexp_extract_all(trim(text), '\\S+')) AS DOUBLE), 6) AS stop_ratio,
+           round(len(text) / CAST(len(regexp_extract_all(trim(text), '\\S+')) AS DOUBLE), 6) AS avg_word_len,
+           {_QUALITY_SCORE_SQL} AS quality_score
     FROM documents
     WHERE doc_id < 200
     """,
