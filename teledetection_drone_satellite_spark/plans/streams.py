@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..streaming.asof import stream_asof_enrich
 from ..streaming.lifecycle import stream_lifecycle_state
 from ..streaming.ttl import TTL_MINUTES_DEFAULT, stream_session_ttl
 from ..streaming.windows import (
@@ -136,6 +137,30 @@ def q_stream_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_dedupe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedupe_events(spark, sf_dir)
+
+
+@register(
+    "stream_asof_enrich",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS asof_ts, p.event_id AS asof_event_id,
+           round(p.value, 4) AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    QUALIFY row_number() OVER (
+        PARTITION BY c.event_id ORDER BY p.ts DESC, p.event_id DESC
+    ) = 1
+    """,
+    doc="Streaming as-of enrichment: clicks annotated in-flight with the user's "
+    "latest at-or-before purchase via applyInPandasWithState (one record of "
+    "state per user — O(keys), not O(stream)). Time-sliced replay keeps batches "
+    "in ts order, so the drained result equals the batch as-of join — the SAME "
+    "oracle grades both this and asof_join_latest_purchase (streaming/asof.py).",
+    tags=("streaming", "temporal"),
+)
+def q_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_asof_enrich(spark, sf_dir)
 
 
 @register(

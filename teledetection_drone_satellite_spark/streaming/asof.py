@@ -1,0 +1,136 @@
+"""Streaming as-of enrichment (SURVEY §2.9 + §2.5 temporal family).
+
+The streaming twin of ``operators/asof.py``: a click stream enriched, as it
+flows, with the user's latest purchase at or before each click. State per user
+is ONE record — the best (ts, event_id) purchase seen so far — so state size is
+O(keys), independent of stream length; ``applyInPandasWithState`` with
+NoTimeout (the enrichment dictionary never expires; a production deployment
+would add EventTimeTimeout to retire dormant users, exactly as ttl.py does).
+
+Correctness under replay: the time-sliced source (ttl.py's
+``materialize_time_slices``) replays micro-batches in ts order and rows are
+sorted (ts, side, event_id) inside each batch with purchases before clicks at
+equal ts — so every purchase at-or-before a click is applied before that click
+emits, and the drained result equals the batch as-of join (one caveat: a
+same-user click and purchase with IDENTICAL ts split across slice boundaries
+could order differently, but fixture (user_id, ts) pairs are unique; the batch
+twin's tie-break documents the semantics).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from .ttl import materialize_time_slices
+from .windows import _run_to_memory, stream_session
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("asof_ts", TimestampType()),
+        StructField("asof_event_id", LongType()),
+        StructField("asof_value", DoubleType()),
+    ]
+)
+
+# latest purchase: (ts_us, event_id, value); ts_us < 0 means "none yet"
+STATE_SCHEMA = StructType(
+    [
+        StructField("p_us", LongType()),
+        StructField("p_eid", LongType()),
+        StructField("p_val", DoubleType()),
+    ]
+)
+
+
+def _asof_update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    (user_id,) = key
+    p_us, p_eid, p_val = state.get if state.exists else (-1, -1, float("nan"))
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if pdf.empty:
+        return
+    # purchases sort BEFORE clicks at equal ts (side 0 < 1); among equal-ts
+    # purchases the larger event_id wins via ffill taking the LAST prior row
+    pdf["side"] = (pdf["event_type"] != "purchase").astype("int64")
+    pdf = pdf.sort_values(["ts", "side", "event_id"], kind="mergesort").reset_index(drop=True)
+    is_p = pdf["side"] == 0
+    ts_us = pdf["ts"].astype("int64") // 1000
+    # forward-fill the prevailing purchase onto every row, seeded by the state
+    cur = pd.DataFrame(
+        {
+            "c_us": ts_us.where(is_p),
+            "c_eid": pdf["event_id"].where(is_p),
+            "c_val": pdf["value"].where(is_p),
+        }
+    ).ffill()
+    # subset frames share pdf's index — reset BOTH before assembling the output,
+    # or the dict-of-Series constructor aligns on index and pads phantom NaN rows
+    clicks = pdf[~is_p].reset_index(drop=True)
+    if not clicks.empty:
+        filled = cur[~is_p].reset_index(drop=True)
+        have_seed = p_us >= 0
+        out_us = filled["c_us"].fillna(p_us if have_seed else pd.NA)
+        yield pd.DataFrame(
+            {
+                "event_id": clicks["event_id"].astype("int64"),
+                "user_id": pd.Series([user_id] * len(clicks), dtype="int64"),
+                "ts": clicks["ts"],
+                "asof_ts": pd.to_datetime(out_us, unit="us", errors="coerce"),
+                "asof_event_id": filled["c_eid"].fillna(p_eid if have_seed else pd.NA).astype("Int64"),
+                "asof_value": filled["c_val"].fillna(p_val if have_seed else pd.NA).astype("float64"),
+            }
+        )
+    if is_p.any():
+        last = pdf[is_p].iloc[-1]
+        state.update((int(ts_us[is_p].iloc[-1]), int(last["event_id"]), float(last["value"])))
+
+
+def stream_asof_enrich(spark: SparkSession, sf_dir: str, n_slices: int = 2) -> DataFrame:
+    """Drain the sliced events stream through the as-of enrichment state machine;
+    returns every click annotated with the latest at-or-before purchase.
+    16 state partitions: Python-per-key work dominates (see stream_session)."""
+    spark = stream_session(spark, n_partitions=16)
+    path = materialize_time_slices(spark, sf_dir, n_slices)
+    raw_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    events = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .option("pathGlobFilter", "part-*")
+        .parquet(path)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    enriched = (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _asof_update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = _run_to_memory(enriched, "append")
+    # float agg discipline (registry rules): round in both engines
+    return out.select(
+        "event_id", "user_id", "ts", "asof_ts", "asof_event_id",
+        F.round("asof_value", 4).alias("asof_value"),
+    )

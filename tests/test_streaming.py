@@ -212,3 +212,31 @@ def test_ttl_expiry_boundary_semantics(spark, tmp_path):
 
     out = stream_session_ttl(spark, sf_dir, ttl_minutes=120, n_slices=2).toPandas()
     assert sorted(out["user_id"].tolist()) == [11, 13, 15]
+
+
+def test_stream_asof_matches_batch_asof(spark, sf_dir):
+    """4-slice replay (watermark advances three times mid-stream, state seeds
+    carry across batches) must equal the batch union-window as-of join."""
+    from pyspark.sql import functions as F
+
+    from teledetection_drone_satellite_spark.catalog import load
+    from teledetection_drone_satellite_spark.operators.asof import asof_join
+    from teledetection_drone_satellite_spark.streaming.asof import stream_asof_enrich
+
+    got = stream_asof_enrich(spark, sf_dir, n_slices=4).toPandas()
+    e = load(spark, sf_dir, ("events",))["events"]
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    want = asof_join(
+        clicks, purchases, keys=["user_id"], ts_col="ts",
+        right_payload=["event_id", "value"], tie_col="event_id",
+    ).select("event_id", "user_id", "ts", "asof_ts", "asof_event_id",
+             F.round("asof_value", 4).alias("asof_value")).toPandas()
+    got = got.sort_values("event_id").reset_index(drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    for c in ["event_id", "user_id", "ts", "asof_ts", "asof_event_id", "asof_value"]:
+        a, b = got[c], want[c]
+        assert ((a == b) | (a.isna() & b.isna())).all(), c
