@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import exact_dedup_key, ngram_jaccard_pairs
 from .pinning import pin_one_generation
 from .text import shingles
 
@@ -169,6 +170,81 @@ def stratified_sample(
             F.col(stratum_col) == stratum, F.lit(rate_threshold(rates[stratum]))
         ).otherwise(thresh)
     return df.withColumn("bucket", bucket).filter(F.col("bucket") < thresh)
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.6,
+    n: int = 3,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Admit a NEW batch of documents against an existing corpus (the daily-crawl
+    shape: the corpus is the accumulated index, the batch is today's data).
+    Per batch doc -> (doc_id, status, match_id, jaccard):
+
+      exact   its content hash already exists in the corpus (match = min such id)
+      near    trigram Jaccard >= threshold against some corpus doc
+              (match = highest-jaccard corpus doc, ties to min id)
+      novel   neither -> admit
+
+    Scale shape: the exact probe joins 64-hex keys only (content never
+    shuffles); the near probe reuses the df-capped postings plan over
+    corpus+batch and keeps ONLY cross-side pairs. At 100 TB the corpus key/
+    shingle tables are precomputed artifacts and the batch (small by
+    definition) broadcasts against them; here both sides derive from one
+    fixture so the plan computes them in line.
+    """
+    ckeys = (
+        corpus.select(exact_dedup_key(F.col("text")).alias("content_key"),
+                      F.col("doc_id").alias("corpus_id"))
+        .groupBy("content_key")
+        .agg(F.min("corpus_id").alias("exact_match"))
+    )
+    bkeys = batch.select("doc_id", exact_dedup_key(F.col("text")).alias("content_key"))
+    exact = bkeys.join(ckeys, "content_key", "left").select("doc_id", "exact_match")
+
+    union = corpus.select("doc_id", "text").unionByName(batch.select("doc_id", "text"))
+    # the union has two leaf relations, so fan_out's single-scan contract
+    # rejects it — shape the parallelism here and tell the postings plan so
+    union = union.repartition(union.sparkSession.sparkContext.defaultParallelism)
+    pairs = ngram_jaccard_pairs(
+        union, threshold=threshold, n=n, max_df=max_df, pre_scaled=True
+    )
+    b_ids = batch.select(F.col("doc_id").alias("bid"))
+    # orient pairs: keep those with EXACTLY one side in the batch
+    oriented = (
+        pairs.join(F.broadcast(b_ids).withColumnRenamed("bid", "b1"),
+                   F.col("d1") == F.col("b1"), "left")
+        .join(F.broadcast(b_ids).withColumnRenamed("bid", "b2"),
+              F.col("d2") == F.col("b2"), "left")
+        .filter(F.col("b1").isNull() != F.col("b2").isNull())
+        .select(
+            F.when(F.col("b1").isNotNull(), F.col("d1")).otherwise(F.col("d2")).alias("bdoc"),
+            F.when(F.col("b1").isNotNull(), F.col("d2")).otherwise(F.col("d1")).alias("cdoc"),
+            "jaccard",
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("bdoc").orderBy(F.desc("jaccard"), F.asc("cdoc"))
+    best = (
+        oriented.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("bdoc").alias("doc_id"), F.col("cdoc").alias("near_match"), "jaccard")
+    )
+    return (
+        exact.join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact"))
+            .when(F.col("near_match").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+            F.coalesce("exact_match", "near_match").alias("match_id"),
+            F.when(F.col("exact_match").isNull(), F.col("jaccard")).alias("jaccard"),
+        )
+    )
 
 
 def sequence_packing(

@@ -58,7 +58,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
-                        max_df: int = 1000) -> DataFrame:
+                        max_df: int = 1000, pre_scaled: bool = False) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (d1 < d2, jaccard >= threshold).
 
     Postings-list plan — one explode, two shuffles total:
@@ -72,7 +72,10 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
          postings structs, so no join back against a per-doc size table.
     """
     words = F.split(F.col("text"), " ")
-    docs = fan_out(df).select(
+    # pre_scaled: the caller already shaped parallelism (e.g. a multi-relation
+    # union, which fan_out's single-scan contract rejects); skip the internal fan-out
+    base = df if pre_scaled else fan_out(df)
+    docs = base.select(
         F.col("doc_id"), shingles(words, n).alias("sh")
     ).filter(F.size("sh") > 0)
     postings = (

@@ -115,6 +115,48 @@ def dup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "incremental_dedup",
+    oracle=f"""
+    WITH pairs AS ({_NGRAM_JACCARD_SQL}),
+    cross_near AS (
+        SELECT CASE WHEN d1 >= 400 THEN d1 ELSE d2 END AS bdoc,
+               CASE WHEN d1 >= 400 THEN d2 ELSE d1 END AS cdoc, jaccard
+        FROM pairs WHERE (d1 >= 400) != (d2 >= 400)
+    ),
+    best AS (
+        SELECT bdoc, cdoc, jaccard FROM cross_near
+        QUALIFY row_number() OVER (PARTITION BY bdoc ORDER BY jaccard DESC, cdoc ASC) = 1
+    ),
+    ckeys AS (
+        SELECT sha256(text) AS content_key, min(doc_id) AS exact_match
+        FROM documents WHERE doc_id < 400 GROUP BY 1
+    ),
+    b AS (SELECT doc_id, sha256(text) AS content_key FROM documents WHERE doc_id >= 400)
+    SELECT b.doc_id,
+           CASE WHEN ck.exact_match IS NOT NULL THEN 'exact'
+                WHEN best.cdoc IS NOT NULL THEN 'near'
+                ELSE 'novel' END AS status,
+           coalesce(ck.exact_match, best.cdoc) AS match_id,
+           CASE WHEN ck.exact_match IS NULL THEN best.jaccard END AS jaccard
+    FROM b
+    LEFT JOIN ckeys ck USING (content_key)
+    LEFT JOIN best ON b.doc_id = best.bdoc
+    """,
+    doc="Incremental admission dedup (the daily-crawl shape): docs >= 400 are "
+    "the new batch, the rest the accumulated corpus; each batch doc is marked "
+    "exact (content hash already indexed), near (cross-side trigram Jaccard "
+    ">= 0.6, best corpus match), or novel. Exact probe joins 64-hex keys only; "
+    "near probe keeps only cross-side pairs of the df-capped postings plan.",
+    tags=("dedup", "curation"),
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    corpus = d.filter(F.col("doc_id") < 400)
+    batch = d.filter(F.col("doc_id") >= 400)
+    return curation.incremental_dedup(corpus, batch, threshold=0.6)
+
+
 # --- Benchmark decontamination ---------------------------------------------------------
 
 

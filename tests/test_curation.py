@@ -242,3 +242,32 @@ def test_profile_table(spark):
     assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
     assert rows["s"]["min_v"] is None and rows["s"]["max_v"] is None  # non-numeric
     assert rows["v"]["n_nulls"] == 1 and rows["v"]["min_v"] == 1.5 and rows["v"]["max_v"] == 2.5
+
+
+# --- incremental dedup -----------------------------------------------------------------
+
+
+def test_incremental_dedup_statuses(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "one two three four five six"),
+            (3, "totally unrelated corpus content here"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),   # exact copy of 1
+            (11, "one two three four five seven"),    # near-dup of 2 (4/8 shingles... jaccard 0.6)
+            (12, "fresh novel words appear only here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in
+            curation.incremental_dedup(corpus, batch, threshold=0.5).collect()}
+    assert rows[10]["status"] == "exact" and rows[10]["match_id"] == 1
+    assert rows[10]["jaccard"] is None
+    assert rows[11]["status"] == "near" and rows[11]["match_id"] == 2
+    assert rows[11]["jaccard"] is not None and rows[11]["jaccard"] >= 0.5
+    assert rows[12]["status"] == "novel" and rows[12]["match_id"] is None
