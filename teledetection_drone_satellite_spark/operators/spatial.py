@@ -149,3 +149,29 @@ def spatial_join_exact(points: DataFrame, polys: DataFrame,
     index-scan + recheck pattern, distributed."""
     coarse = bbox_join(points, polys, lon, lat)
     return coarse.filter(point_in_polygon(F.col(lon), F.col(lat), F.col(wkt)))
+
+
+def zorder_key(cell_x: Column, cell_y: Column, bits: int = 8) -> Column:
+    """Morton (Z-order) interleave of two cell indices in [0, 2^bits): bit i of
+    x lands at position 2i, bit i of y at 2i+1. Rows sorted/bucketed by this key
+    are spatially co-located in BOTH axes — the layout that makes a bbox query
+    touch O(perimeter) data files instead of full lat-stripes (the write-side
+    complement of grid_cell's partitioning role; Delta/Iceberg OPTIMIZE ZORDER
+    computes exactly this curve).
+
+    A fixed 2*bits-term bit expression — codegen'd, no UDF, no loop at runtime."""
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out.bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(cell_x.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(cell_y.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return out
+
+
+def morton_sql(x_expr: str, y_expr: str, bits: int = 8) -> str:
+    """The ANSI-SQL spelling of ``zorder_key`` (same bit layout), for oracles."""
+    terms = [f"((({x_expr} >> {i}) & 1) << {2 * i})" for i in range(bits)]
+    terms += [f"((({y_expr} >> {i}) & 1) << {2 * i + 1})" for i in range(bits)]
+    return " | ".join(terms)

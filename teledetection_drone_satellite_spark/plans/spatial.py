@@ -201,3 +201,45 @@ def spatial_exact_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse = bbox_join(points, polys)
     exact = coarse.filter(point_in_polygon(F.col("lon"), F.col("lat"), F.col("poly_wkt")))
     return exact.groupBy("poly_id").agg(F.count("*").alias("n_inside"))
+
+
+from ..operators.spatial import morton_sql, zorder_key  # noqa: E402
+
+_CELLS_SQL = """
+        SELECT c_custkey,
+               ((c_custkey * 7) % 360) * 256 // 360 AS cell_x,
+               ((c_custkey * 13) % 180) * 256 // 180 AS cell_y
+        FROM customer
+"""
+
+
+@register(
+    "zorder_layout",
+    oracle=f"""
+    SELECT c_custkey, cell_x, cell_y, zkey, zkey >> 12 AS bucket
+    FROM (
+        SELECT c_custkey, cell_x, cell_y,
+               {morton_sql("cell_x", "cell_y", 8)} AS zkey
+        FROM ({_CELLS_SQL})
+    )
+    """,
+    doc="Z-order (Morton) layout key: lon/lat cells interleaved bitwise so "
+    "sorting/bucketing by zkey co-locates rows in BOTH spatial axes — the "
+    "write-side layout (Delta/Iceberg OPTIMIZE ZORDER) that lets a bbox scan "
+    "touch O(perimeter) files instead of full coordinate stripes. bucket = top "
+    "4 bits = the 16-way file assignment. Pure bit expression, map-only, "
+    "codegen'd; identical arithmetic in both engines (operators/spatial.py).",
+    tags=("spatial", "layout"),
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, ("customer",))["customer"]
+    cells = c.selectExpr(
+        "c_custkey",
+        "((c_custkey * 7) % 360) * 256 div 360 AS cell_x",
+        "((c_custkey * 13) % 180) * 256 div 180 AS cell_y",
+    )
+    zkey = zorder_key(F.col("cell_x"), F.col("cell_y"), 8)
+    return cells.select(
+        "c_custkey", "cell_x", "cell_y", zkey.alias("zkey"),
+        F.shiftrightunsigned(zkey, 12).alias("bucket"),
+    )

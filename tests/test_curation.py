@@ -271,3 +271,24 @@ def test_incremental_dedup_statuses(spark):
     assert rows[11]["status"] == "near" and rows[11]["match_id"] == 2
     assert rows[11]["jaccard"] is not None and rows[11]["jaccard"] >= 0.5
     assert rows[12]["status"] == "novel" and rows[12]["match_id"] is None
+
+
+# --- z-order layout --------------------------------------------------------------------
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    from teledetection_drone_satellite_spark.operators.spatial import zorder_key
+
+    def morton(x: int, y: int, bits: int = 8) -> int:
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    cells = [(0, 0), (255, 255), (1, 0), (0, 1), (170, 85), (83, 201)]
+    df = spark.createDataFrame(cells, ["x", "y"])
+    got = {(r["x"], r["y"]): r["z"] for r in
+           df.select("x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")).collect()}
+    assert got == {(x, y): morton(x, y) for x, y in cells}
+    # locality: adjacent cells differ in few key bits -> small key distance
+    assert abs(morton(100, 100) - morton(101, 100)) <= 3
