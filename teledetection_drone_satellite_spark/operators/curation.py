@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..catalog import fan_out
 from .dedup import exact_dedup_key, ngram_jaccard_pairs
 from .pinning import pin_one_generation
 from .text import shingles
@@ -244,6 +245,149 @@ def incremental_dedup(
             F.coalesce("exact_match", "near_match").alias("match_id"),
             F.when(F.col("exact_match").isNull(), F.col("jaccard")).alias("jaccard"),
         )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk: int = 200,
+    stride: int = 150,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping fixed-width character chunking (the RAG / context-window
+    shaping pass): chunks start at offsets 1, 1+stride, 1+2*stride, ... while
+    the offset is inside the document; the final chunk clips at the text end.
+    Returns ``(doc_id, chunk_idx, start, chunk_len, chunk_hash)`` — the hash
+    (16-hex md5 prefix) stands in for the chunk body so downstream joins and
+    dedup ride 16 bytes, not text; the (doc_id, start, chunk_len) triple
+    reconstructs the body from the source document on demand.
+
+    Map-only: offsets come from one JVM-side ``sequence``+``transform`` per row
+    and there is NO shuffle at all — the one shape a 100 TB chunking pass can
+    afford. Deterministic (pure function of text), so re-runs and other engines
+    produce identical chunk ids.
+    """
+    c, s = int(chunk), int(stride)
+    chunks = F.when(
+        F.length(F.col(text_col)) > 0,
+        F.expr(
+            f"transform(sequence(1, length({text_col}), {s}), "
+            f"st -> struct(st AS start, "
+            f"length(substring({text_col}, st, {c})) AS chunk_len, "
+            f"substring(md5(substring({text_col}, st, {c})), 1, 16) AS chunk_hash))"
+        ),
+    ).otherwise(F.expr("array()").cast(
+        "array<struct<start:int,chunk_len:int,chunk_hash:string>>"
+    ))
+    return fan_out(df).select(F.col(id_col), F.explode(chunks).alias("ch")).select(
+        id_col,
+        ((F.col("ch.start") - 1) / s).cast("long").alias("chunk_idx"),
+        F.col("ch.start").cast("long").alias("start"),
+        F.col("ch.chunk_len").cast("long").alias("chunk_len"),
+        "ch.chunk_hash",
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Importance weights for data selection — the DSIR shape (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"): documents
+    are featurized as HASHED unigram buckets (the first 2 hex chars of md5, 256
+    buckets — the ``sample_bucket`` lexicographic-hex discipline, so any ANSI
+    engine reproduces the bucketing); bucket distributions are estimated on the
+    ``target`` slice vs the full corpus (source), add-one smoothed; each doc
+    gets ``log_weight = sum over its tokens of ln p_target(b) - ln p_source(b)``.
+    High log-weight documents look like the target distribution — sampling
+    proportionally tilts the training mix toward it. Returns
+    ``(doc_id, n_tokens, log_weight)``; empty docs weigh NULL.
+
+    Plan shape: the bucket model is 256 rows — broadcast by construction, so
+    scoring is scan + broadcast-join + one per-doc aggregation. The token
+    stream is scanned twice (model fit, scoring); at 100 TB the target model
+    fits on a small curated slice and only the scoring pass touches the corpus.
+    """
+    toks = fan_out(df).select(
+        F.col(id_col),
+        target.alias("is_target"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).withColumn("bucket", F.substring(F.md5(F.col("w")), 1, 2))
+    src = toks.groupBy("bucket").agg(F.count("*").alias("c_s"))
+    tgt = toks.filter(F.col("is_target")).groupBy("bucket").agg(F.count("*").alias("c_t"))
+    totals = toks.agg(
+        F.count("*").alias("n_s"),
+        F.sum(F.col("is_target").cast("long")).alias("n_t"),
+    )
+    model = (
+        src.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce("c_t", F.lit(0)) + 1.0) / (F.col("n_t") + 256.0))
+                - F.log((F.col("c_s") + 1.0) / (F.col("n_s") + 256.0))
+            ).alias("log_ratio"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(model), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("log_ratio"), 4).alias("log_weight"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "log_weight",
+        )
+    )
+
+
+def training_order(
+    df: DataFrame,
+    n_shards: int = 16,
+    seed: str = "epoch0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle for training-data layout: every document is
+    assigned a shard and a position within it by a seeded content hash —
+    ``h = md5(seed || doc_id)``; the shard is the first hex chars of ``h`` and
+    the position is the rank of ``h`` within the shard. A new ``seed`` re-deals
+    the entire order (the per-epoch reshuffle); the same seed reproduces it
+    bit-for-bit on any engine or cluster size — the property `ORDER BY rand()`
+    can never give.
+
+    Scale shape: shard assignment is map-only; the within-shard rank is a
+    window sort PARTITIONED BY SHARD, so each shard sorts independently
+    (n_shards parallel sorts of n/n_shards rows) — never one global sort. At
+    100 TB this is exactly `repartitionByRange(shard, h)` + per-partition
+    ordinal, the layout writers feed tfrecord/parquet training shards from.
+
+    ``n_shards`` must be a power of 16 divisor of the hex space here (16 or
+    256): one or two leading hex chars — keeps the shard key a lexicographic
+    string every engine derives identically.
+    """
+    if n_shards not in (16, 256):
+        raise ValueError(f"n_shards must be 16 or 256, got {n_shards}")
+    digits = 1 if n_shards == 16 else 2
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    keyed = df.select(F.col(id_col), h.alias("h")).withColumn(
+        "shard", F.substring("h", 1, digits)
+    )
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return keyed.select(
+        id_col, "shard", F.row_number().over(w).cast("long").alias("pos")
     )
 
 

@@ -116,6 +116,76 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
     )
 
 
+def duplicated_spans(df: DataFrame, window: int = 40, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicated-substring detection — the suffix-array training-data
+    dedup semantics (Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better") re-expressed as a distributed window-fingerprint
+    plan: a character window of length ``window`` is DUPLICATED when the
+    byte-identical substring also occurs in another document. Returns per doc
+    ``(doc_id, n_windows, n_dup_windows, dup_fraction)`` — the fraction of a
+    document covered by cross-document exact repeats, the signal a substring-
+    level scrubber cuts on.
+
+    Why not a literal suffix array: a single global suffix array serializes the
+    corpus through one sort of O(total_chars) suffixes and is the canonical
+    SINGLE-NODE structure. The equivalent distributed shape fingerprints every
+    length-``window`` position (one JVM-side transform+explode, no Python),
+    ships 16-hex digests — never text — through the shuffle, and finds repeats
+    with one groupBy. Any duplicated span of length >= window contains a
+    duplicated window at every offset inside it, so span recall is exact for
+    spans >= window; spans shorter than ``window`` are below the scrub
+    threshold by definition.
+
+    Plan shape: the digest stream shuffles once for the cross-doc frequency
+    count; the membership pass then joins the (small — duplicated digests are
+    the minority) dup set BROADCAST against a fresh digest stream, so the
+    probe side never shuffles at all. When the dup set outgrows the broadcast
+    threshold, AQE falls back to a digest-keyed shuffle join — still 16
+    bytes/window, never text. Per-doc totals aggregate on ``id_col``. At
+    100 TB the probe side can additionally stride its window positions if the
+    scrubber tolerates window-quantized span boundaries.
+    """
+    w = int(window)
+    # sequence(1, 0) counts DOWN in Spark, so guard short docs explicitly
+    hashes = F.when(
+        F.length(F.col(text_col)) >= w,
+        F.expr(
+            f"transform(sequence(1, length({text_col}) - {w - 1}), "
+            f"i -> substring(md5(substring({text_col}, i, {w})), 1, 16))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    win = fan_out(df).select(F.col(id_col), F.explode(hashes).alias("wh"))
+    dup = (
+        win.groupBy("wh")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("wh", F.lit(1).alias("dup"))
+    )
+    per = (
+        win.join(dup, "wh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.coalesce(F.sum("dup"), F.lit(0)).alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_fraction", F.round(F.col("n_dup_windows") / F.col("n_windows"), 6)
+        )
+    )
+    # docs shorter than the window have no positions; keep them with 0/0/NULL
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            "dup_fraction",
+        )
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, threshold: float, n: int = 3,
                       num_hash_tables: int = 8, vocab_size: int = 1 << 18) -> DataFrame:
     """MinHash+LSH near-dup pairs: shingle -> binary vector -> banded MinHash.

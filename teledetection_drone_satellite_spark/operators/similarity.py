@@ -487,6 +487,109 @@ def ivf_search(
     )
 
 
+def semantic_dup_pairs(
+    base: DataFrame,
+    threshold: float = 0.45,
+    n_centroids: int = 16,
+    n_assign: int = 2,
+    seed: int = 42,
+    cache_key: tuple | None = None,
+) -> DataFrame:
+    """Semantic deduplication — the SemDeDup shape (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): k-means cluster the embedding space, then compare pairs
+    ONLY within a cluster with exact cosine; pairs at/above ``threshold`` are
+    semantic duplicates (keep the lower id, drop the higher). Returns
+    ``(v1, v2, cosine, cell)`` with v1 < v2, ``cell`` = the lowest cluster
+    that produced the pair.
+
+    Reuses the IVF coarse quantizer (``build_ivf_index`` — same sample-fit
+    k-means, same fingerprint cache), because it IS the same structure:
+    SemDeDup's clusters are an IVF index used for pruning pair generation
+    instead of query probing. Each vector is routed to its ``n_assign``
+    nearest cells (multi-assignment — the pair-generation analogue of IVF
+    multi-probe): single assignment misses near-dup pairs that straddle a
+    Voronoi boundary (measured coverage of the exact pair set at threshold
+    0.45: 0.32 at sf0.1 with 1 cell/vector vs 0.69 with 2; 0.57 vs 0.86 at
+    sf0.01). Cost is sum over cells of |cell|^2*d with |cell| ~ n_assign*n/k —
+    still a ~k/n_assign^2 reduction over the exact plan's n^2 d — and a final
+    (v1,v2) aggregation dedups pairs that co-quantize in both probes.
+
+    Precision is exact by construction: candidates are re-scored with true
+    cosine inside the cell, so every emitted pair genuinely clears the
+    threshold — only recall is approximate, exactly like lsh_bucketed_pairs.
+    """
+    centroids, _ = build_ivf_index(
+        base, n_centroids=n_centroids, seed=seed, cache_key=cache_key
+    )
+    bcent = base.sparkSession.sparkContext.broadcast(centroids)
+    na = int(n_assign)
+
+    route_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", base.schema["embedding"].dataType, True),
+            StructField("cell", LongType()),
+        ]
+    )
+
+    def route(batches):
+        cents = bcent.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            d2 = (cents**2).sum(axis=1)[None, :] - 2.0 * (mat @ cents.T)
+            near = np.argsort(d2, axis=1, kind="stable")[:, :na]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].values, na),
+                    "embedding": pdf["embedding"].values.repeat(na),
+                    "cell": near.reshape(-1).astype(np.int64),
+                }
+            )
+
+    routed = fan_out(base.select("vec_id", "embedding")).mapInPandas(
+        route, route_schema
+    )
+
+    out_schema = StructType(
+        [
+            StructField("v1", LongType()),
+            StructField("v2", LongType()),
+            StructField("cosine", DoubleType()),
+            StructField("cell", LongType()),
+        ]
+    )
+
+    def cell_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        (cell,) = key
+        ids = pdf["vec_id"].values.astype(np.int64)
+        mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        ii, jj = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {
+                "v1": ids[ii],
+                "v2": ids[jj],
+                "cosine": sims[ii, jj],
+                "cell": np.full(len(ii), cell, dtype=np.int64),
+            }
+        )
+
+    return (
+        routed.groupBy("cell")
+        .applyInPandas(cell_pairs, out_schema)
+        # a pair whose two members co-quantize in BOTH probed cells appears
+        # twice; cosine is identical, keep the lowest producing cell
+        .groupBy("v1", "v2")
+        .agg(F.round(F.max("cosine"), 4).alias("cosine"), F.min("cell").alias("cell"))
+    )
+
+
 def ivf_topk(
     base: DataFrame,
     queries: DataFrame,

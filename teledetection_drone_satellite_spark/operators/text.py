@@ -114,6 +114,62 @@ def shingles(words: Column, n: int = 3) -> Column:
     return F.array_distinct(raw_shingles(words, n))
 
 
+def bigram_lm_score(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Statistical-LM quality scoring — the CCNet/KenLM perplexity-filter shape
+    (Wenzek et al. 2020) with the reference model trained on the corpus itself:
+    an add-one-smoothed word-bigram model, each document scored by the mean log
+    probability of its bigrams, ``p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V)``.
+    Returns ``(doc_id, n_bigrams, avg_logp)``; low ``avg_logp`` = text whose
+    word transitions the corpus has never seen — the gibberish/boilerplate tail
+    a perplexity filter cuts. Docs under 2 words score NULL.
+
+    Plan shape: bigram extraction is the ``raw_shingles`` zip form (JVM-side,
+    evaluated once per row — see that docstring for why NOT per-index
+    element_at). The corpus scan runs twice (once for counts, once for
+    scoring); the model tables are vocabulary-bounded — c(w1,w2) distinct
+    bigrams, c(w1) distinct unigrams — and broadcast, so the scoring pass adds
+    NO shuffle beyond the final per-doc aggregation. At 100 TB the model is a
+    precomputed artifact: fit once, broadcast to every scoring job (or
+    shuffle-join when the bigram table outgrows the broadcast threshold).
+    """
+    words = F.split(F.col(text_col), " ")
+    m = F.greatest(F.size(words) - F.lit(1), F.lit(0))
+    zipped = F.arrays_zip(F.slice(words, 1, m), F.slice(words, 2, m))
+    big = (
+        fan_out(df)
+        .select(F.col(id_col), F.explode(zipped).alias("bg"))
+        .select(F.col(id_col), F.col("bg")["0"].alias("w1"), F.col("bg")["1"].alias("w2"))
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    pc = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        df.select(F.explode(words).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    scored = (
+        big.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(pc), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))), 4
+            ).alias("avg_logp"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "avg_logp",
+        )
+    )
+
+
 def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Repetition-based quality signals (the Gopher repetition filters, applied
     at word granularity): per document, the duplicate word-bigram fraction

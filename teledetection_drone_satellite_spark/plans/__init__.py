@@ -1,6 +1,6 @@
 """Graded query plans. Importing this package populates the registry."""
 
-from . import curation, extensions, ingest, relational, scalar, spatial, streams, windows  # noqa: F401
+from . import corpus, curation, extensions, ingest, relational, scalar, spatial, streams, windows  # noqa: F401
 from .registry import REGISTRY, oracle_sql, queries
 
 __all__ = ["REGISTRY", "queries", "oracle_sql"]

@@ -1,0 +1,166 @@
+"""Corpus-preparation operators: substring-level dedup, bigram LM scoring,
+DSIR importance weights, chunking, training-order shuffle, semantic dedup."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from teledetection_drone_satellite_spark.operators import curation, dedup, similarity, text
+
+# --- duplicated_spans ------------------------------------------------------------------
+
+
+def test_duplicated_spans_shared_and_unique(spark):
+    shared = "x" * 25 + "SHARED-SPAN-MARKER-" + "y" * 25  # 69 chars, repeated verbatim
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail one unique aaaa"),
+            (2, "head two unique bbbb " + shared),
+            (3, "entirely different text with no overlap at all, long enough for windows"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in dedup.duplicated_spans(docs, window=40).collect()}
+    # every position inside the 69-char shared run yields a duplicated window
+    assert got[1]["n_dup_windows"] == 69 - 39
+    assert got[2]["n_dup_windows"] == 69 - 39
+    assert got[3]["n_dup_windows"] == 0
+    for i in (1, 2, 3):
+        assert got[i]["n_windows"] == len(docs.filter(F.col("doc_id") == i).first()["text"]) - 39
+    assert got[3]["dup_fraction"] == 0.0
+    assert 0 < got[1]["dup_fraction"] < 1
+
+
+def test_duplicated_spans_short_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "a" * 50), (3, "a" * 50)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in dedup.duplicated_spans(docs, window=40).collect()}
+    assert got[1]["n_windows"] == 0 and got[1]["n_dup_windows"] == 0
+    assert got[1]["dup_fraction"] is None
+    # identical 50-char docs: all 11 windows duplicated
+    assert got[2]["n_dup_windows"] == 11 and got[2]["dup_fraction"] == 1.0
+
+
+def test_duplicated_spans_within_doc_repeat_not_counted(spark):
+    # the same span twice in ONE doc is not cross-document duplication
+    span = "z" * 45
+    docs = spark.createDataFrame(
+        [(1, span + " middle filler words " + span), (2, "unrelated other text " + "q" * 40)],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in dedup.duplicated_spans(docs, window=40).collect()}
+    assert got[1]["n_dup_windows"] == 0
+
+
+# --- bigram_lm_score -------------------------------------------------------------------
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in text.bigram_lm_score(docs).collect()}
+    # corpus bigrams: doc1 {ab, ba, ab}, doc2 {ab, bc} -> c(a,b)=3, c(b,a)=1, c(b,c)=1
+    # prefixes: c(a)=3, c(b)=2; vocab = {a,b,c,x} -> V=4
+    p_ab = (3 + 1) / (3 + 4)
+    p_ba = (1 + 1) / (2 + 4)
+    p_bc = (1 + 1) / (2 + 4)
+    exp1 = round((2 * math.log(p_ab) + math.log(p_ba)) / 3, 4)
+    exp2 = round((math.log(p_ab) + math.log(p_bc)) / 2, 4)
+    assert got[1]["n_bigrams"] == 3 and got[1]["avg_logp"] == exp1
+    assert got[2]["n_bigrams"] == 2 and got[2]["avg_logp"] == exp2
+    assert got[3]["n_bigrams"] == 0 and got[3]["avg_logp"] is None
+
+
+def test_bigram_lm_score_ranks_unseen_transitions_lower(spark):
+    common = [(i, "the cat sat on the mat") for i in range(1, 6)]
+    docs = spark.createDataFrame(common + [(9, "mat the on sat cat the")], ["doc_id", "text"])
+    got = {r["doc_id"]: r["avg_logp"] for r in text.bigram_lm_score(docs).collect()}
+    assert got[9] < got[1]  # scrambled word order = unseen transitions
+
+
+# --- chunk_documents -------------------------------------------------------------------
+
+
+def test_chunk_documents_offsets_and_clip(spark):
+    t = "abcdefghij" * 50  # 500 chars; chunk 200 stride 150 -> starts 1,151,301,451
+    docs = spark.createDataFrame([(1, t), (2, "")], ["doc_id", "text"])
+    rows = sorted(
+        curation.chunk_documents(docs, chunk=200, stride=150).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    assert [r["doc_id"] for r in rows] == [1, 1, 1, 1]  # empty doc -> no chunks
+    assert [r["start"] for r in rows] == [1, 151, 301, 451]
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2, 3]
+    assert [r["chunk_len"] for r in rows] == [200, 200, 200, 50]  # last clips
+    import hashlib
+
+    exp = hashlib.md5(t[150:350].encode()).hexdigest()[:16]
+    assert rows[1]["chunk_hash"] == exp
+
+
+# --- dsir_importance -------------------------------------------------------------------
+
+
+def test_dsir_importance_tilts_toward_target(spark):
+    rows = [(i, "alpha beta gamma delta", "en") for i in range(5)]
+    rows += [(i + 10, "uno dos tres cuatro", "es") for i in range(5)]
+    rows += [(20, "alpha beta gamma delta", "es"), (21, "uno dos tres cuatro", "en")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        r["doc_id"]: r
+        for r in curation.dsir_importance(docs, target=F.col("lang") == "en").collect()
+    }
+    # doc 20 has target-looking text -> must outweigh doc 21's source-looking text
+    assert got[20]["log_weight"] > got[21]["log_weight"]
+    assert got[20]["n_tokens"] == 4
+    # weights depend only on content: same text = same weight regardless of lang
+    assert got[20]["log_weight"] == got[0]["log_weight"]
+
+
+# --- training_order --------------------------------------------------------------------
+
+
+def test_training_order_deterministic_and_dense(spark):
+    docs = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    a = curation.training_order(docs, n_shards=16, seed="epoch0").collect()
+    b = curation.training_order(docs, n_shards=16, seed="epoch0").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # bit-reproducible
+    by_shard: dict[str, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense ranks per shard
+    c = curation.training_order(docs, n_shards=16, seed="epoch1").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))  # reseeding re-deals
+
+
+def test_training_order_rejects_bad_shard_count(spark):
+    docs = spark.createDataFrame([(1,)], ["doc_id"])
+    import pytest
+
+    with pytest.raises(ValueError, match="16 or 256"):
+        curation.training_order(docs, n_shards=10)
+
+
+# --- semantic_dup_pairs ----------------------------------------------------------------
+
+
+def test_semantic_dup_pairs_subset_of_exact_and_finds_twins(spark, sf_dir):
+    from teledetection_drone_satellite_spark.catalog import load
+
+    e = load(spark, sf_dir, ("embeddings",))["embeddings"]
+    sem = similarity.semantic_dup_pairs(e, threshold=0.45).collect()
+    exact = {
+        (r["v1"], r["v2"])
+        for r in similarity.cosine_near_dup_pairs(e, threshold=0.45).collect()
+    }
+    assert exact, "fixture should contain at least one near-dup pair"
+    got = {(r["v1"], r["v2"]) for r in sem}
+    assert got <= exact  # precision exact by construction
+    assert len(got) >= 0.5 * len(exact)  # the graded coverage floor
+    for r in sem:
+        assert r["cosine"] >= 0.45
