@@ -248,6 +248,44 @@ def incremental_dedup(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    test_rate: float = 0.2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup-aware train/test split: documents are split by the CONNECTED
+    COMPONENT of the near-dup graph, not individually, so no near-duplicate
+    pair ever straddles the train/test boundary — the eval-set leakage a
+    per-document random split silently causes (a test doc whose near-copy sits
+    in train is a free answer). Singletons are their own component. Returns
+    ``(doc_id, component, split)`` with split in {'train','test'}.
+
+    Deterministic: the component id is hashed with the same ``sample_bucket``
+    lexicographic-hex discipline as ``stratified_sample``, so the split is
+    reproducible across runs, engines, and cluster sizes, and adding documents
+    never flips existing components' assignment (their min-id anchor and hash
+    are unchanged unless the new docs bridge two components).
+    """
+    cc = connected_components(pairs, "d1", "d2")
+    labeled = (
+        df.select(id_col)
+        .join(cc, df[id_col] == cc["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )
+    bucket = sample_bucket(F.col("component"))
+    return labeled.select(
+        id_col,
+        "component",
+        F.when(bucket < F.lit(rate_threshold(test_rate)), F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk: int = 200,

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load, source_fingerprint
 from ..operators import curation, dedup, similarity, text
+from .extensions import _NGRAM_JACCARD_SQL
 from .registry import register
 
 # --- Substring-level exact dedup -------------------------------------------------------
@@ -183,6 +184,114 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, ("documents",))["documents"]
     return curation.training_order(d, n_shards=16, seed="epoch0")
+
+
+# --- Product quantization --------------------------------------------------------------
+
+
+@register(
+    "embedding_pq_topk",
+    oracle=None,  # ADC scores are codebook-defined (k-means geometry); quality
+    # is graded by pq_recall below
+    doc="PQ-compressed ANN (Jegou et al. 2011): unit vectors split into 8 "
+    "subspaces, k-means-coded to 256 centroids each — 8 bytes/vector vs 256 "
+    "(32x) — then the production two-stage search: ADC shortlist of 50 per "
+    "query (per-query LUT broadcast, codes stream through one Arrow pass "
+    "with per-partition pre-prune) + exact cosine re-rank of the shortlist's "
+    "full vectors only. The canonical IVF+PQ billion-scale deployment shape.",
+    tags=("similarity", "approx", "corpus"),
+)
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    fp = source_fingerprint(sf_dir, "embeddings")
+    return similarity.pq_topk(
+        e, queries, k=10, rerank=50, cache_key=(sf_dir, fp)
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "pq_recall",
+    oracle="""
+    SELECT count(*) AS n_queries, true AS recall_ok
+    FROM embeddings
+    WHERE vec_id < 5
+    """,
+    doc="Graded recall invariant for embedding_pq_topk: exact brute-force "
+    "top-10 vs the two-stage PQ search (ADC shortlist 50 + exact re-rank) "
+    "over the 8x256 codes, same 5 query vectors. recall_ok asserts mean "
+    "recall@10 >= 0.7 (measured 1.0 at sf0.01, 0.86 at sf0.1; pure ADC "
+    "without the re-rank stage measures 0.68/0.52 — the near-random fixture "
+    "has razor-thin top-10 margins, the hard case for subspace rounding). "
+    "The PQ index comes from the same fingerprinted cache, so grading never "
+    "re-fits.",
+    tags=("similarity", "approx", "graded-invariant", "corpus"),
+)
+def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    fp = source_fingerprint(sf_dir, "embeddings")
+    exact = similarity.brute_force_topk(e, queries, k=10).select("query_id", "vec_id")
+    approx = (
+        similarity.pq_topk(e, queries, k=10, rerank=50, cache_key=(sf_dir, fp))
+        .select("query_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "vec_id"], "left")
+        .agg(
+            F.count_distinct("query_id").alias("n_queries"),
+            F.count("*").alias("n_exact"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
+        )
+        .select(
+            "n_queries",
+            (F.col("n_hit") >= 0.7 * F.col("n_exact")).alias("recall_ok"),
+        )
+    )
+
+
+# --- Leakage-safe train/test split -----------------------------------------------------
+
+
+@register(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_SQL}),
+    edges AS (
+        SELECT d1 AS a, d2 AS b FROM pairs
+        UNION
+        SELECT d2, d1 FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    cc AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a)
+    SELECT d.doc_id,
+           coalesce(cc.component, d.doc_id) AS component,
+           CASE WHEN substr(md5(CAST(coalesce(cc.component, d.doc_id) AS VARCHAR)), 1, 4)
+                     < '3333'
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+    """,
+    doc="Near-dup-aware train/test split: split by CONNECTED COMPONENT of the "
+    "trigram-Jaccard graph (threshold 0.6), never by document, so no "
+    "near-duplicate pair straddles the eval boundary. Component assignment "
+    "hashes with the stratified_sample md5 discipline (threshold '3333' = "
+    "rate 0.2 over the 16^4 hex space) — reproducible across engines. "
+    "Oracle: recursive-CTE reachability + the same hex-threshold CASE.",
+    tags=("curation", "corpus"),
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.6, n=3, max_df=1000)
+    return curation.leakage_safe_split(d, pairs, test_rate=0.2)
 
 
 # --- Semantic dedup (SemDeDup) ---------------------------------------------------------

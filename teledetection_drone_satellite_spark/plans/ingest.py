@@ -165,6 +165,40 @@ def export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "jsonl_roundtrip",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           count(DISTINCT sha256(text)) AS n_unique_texts,
+           CAST(0 AS BIGINT) AS n_corrupt
+    FROM documents
+    GROUP BY source
+    """,
+    doc="JSONL source/sink round trip (the LLM-pipeline interchange format, "
+    "sources/jsonl.py): documents exported as sharded JSONL (to_json + text "
+    "writer, JVM-side, fingerprint-cached per fixture version) and read back "
+    "schema-first with PERMISSIVE corrupt-record capture. The per-source "
+    "content digest (doc counts, char sums, distinct text sha256, corrupt "
+    "rows = 0) must equal the parquet original — any escaping/typing loss in "
+    "either direction flips the hash. At 100 TB schema-first matters: "
+    "inference is a full extra scan of the corpus.",
+    tags=("ingest", "source", "corpus"),
+)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import jsonl
+
+    path = jsonl.materialize_documents_jsonl(spark, sf_dir)
+    back = jsonl.read_jsonl(spark, path, "documents")
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.count_distinct(F.sha2("text", 256)).alias("n_unique_texts"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+    )
+
+
 def _docs_as_assets(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     """documents -> rows carrying REAL synthesized binary assets.
 

@@ -1,0 +1,82 @@
+"""JSONL (newline-delimited JSON) source + sink.
+
+JSONL is the de-facto interchange format of LLM training-data pipelines (crawl
+dumps, instruction sets, eval suites all ship as .jsonl shards); an engine that
+only speaks parquet can't sit at the front of one. This module gives the
+`documents` table a JSONL round trip built on Spark's native distributed json
+reader/writer — no Python in the data path:
+
+  write   one JSON object per line via ``to_json(struct(...))`` + the text
+          writer, one shard file per partition (the layout training loaders
+          stream); never a single-file coalesce.
+  read    schema-FIRST (``spark.read.schema(...).json``): at 100 TB schema
+          inference is a full extra scan, so the typed schema is declared and
+          a ``_corrupt_record`` column captures rows that don't conform (the
+          PERMISSIVE contract), instead of failing the job mid-read.
+
+The materialized shard set is fingerprint-cached per fixture version exactly
+like the bucketed layout (sources/bucketed.py): the cache key embeds
+(size, mtime_ns) of the source parquet, so a regenerated fixture can never be
+served stale shards.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..catalog import load, source_fingerprint
+from ..schemas import FIXTURE_SCHEMAS
+
+_LAYOUT_VERSION = "v1"
+
+
+def documents_jsonl_path(sf_dir: str) -> str:
+    """Fingerprint-keyed shard directory for the documents JSONL export."""
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_jsonl_{_LAYOUT_VERSION}",
+        os.path.basename(os.path.normpath(sf_dir)),
+        f"documents_{source_fingerprint(sf_dir, 'documents')}",
+    )
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """Write one JSON object per line, one shard per partition. ``to_json``
+    runs JVM-side (codegen'd Jackson), so the sink adds zero Python cost."""
+    df.select(F.to_json(F.struct(*df.columns)).alias("value")).write.mode(
+        "overwrite"
+    ).text(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, table: str = "documents") -> DataFrame:
+    """Schema-first JSONL read with PERMISSIVE corrupt-record capture. The
+    declared schema (schemas.py) skips the inference scan; malformed lines
+    land in ``_corrupt_record`` with every typed column NULL, so callers can
+    quarantine them (filter on the column) rather than lose the batch."""
+    # a COPY of the registry schema — StructType.add mutates in place, and the
+    # shared SCHEMAS entry must never grow a _corrupt_record field
+    schema = StructType(
+        list(FIXTURE_SCHEMAS[table].fields) + [StructField("_corrupt_record", StringType())]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def materialize_documents_jsonl(spark: SparkSession, sf_dir: str) -> str:
+    """Export (once per fixture version) the documents table as JSONL shards;
+    returns the shard directory. The _SUCCESS marker lives under the
+    fingerprinted path, so a stale layout is structurally unreachable."""
+    path = documents_jsonl_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_jsonl(load(spark, sf_dir, ("documents",))["documents"], path)
+    return path
