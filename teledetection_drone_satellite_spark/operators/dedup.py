@@ -131,17 +131,20 @@ def duplicated_spans(df: DataFrame, window: int = 40, text_col: str = "text",
     corpus through one sort of O(total_chars) suffixes and is the canonical
     SINGLE-NODE structure. The equivalent distributed shape fingerprints every
     length-``window`` position (one JVM-side transform+explode, no Python),
-    ships 16-hex digests — never text — through the shuffle, and finds repeats
-    with one groupBy. Any duplicated span of length >= window contains a
-    duplicated window at every offset inside it, so span recall is exact for
-    spans >= window; spans shorter than ``window`` are below the scrub
-    threshold by definition.
+    ships 8-byte xxhash64 digests — never text — through the shuffle, and
+    finds repeats with one groupBy. The emitted COUNTS are hash-function-
+    invariant (any injective-in-practice digest yields them; collision odds
+    n^2/2^64), which is what lets the DuckDB oracle verify them through md5
+    instead. Any duplicated span of length >= window contains a duplicated
+    window at every offset inside it, so span recall is exact for spans >=
+    window; spans shorter than ``window`` are below the scrub threshold by
+    definition.
 
     Plan shape: the digest stream shuffles once for the cross-doc frequency
     count; the membership pass then joins the (small — duplicated digests are
     the minority) dup set BROADCAST against a fresh digest stream, so the
     probe side never shuffles at all. When the dup set outgrows the broadcast
-    threshold, AQE falls back to a digest-keyed shuffle join — still 16
+    threshold, AQE falls back to a digest-keyed shuffle join — still 8
     bytes/window, never text. Per-doc totals aggregate on ``id_col``. At
     100 TB the probe side can additionally stride its window positions if the
     scrubber tolerates window-quantized span boundaries.
@@ -152,9 +155,9 @@ def duplicated_spans(df: DataFrame, window: int = 40, text_col: str = "text",
         F.length(F.col(text_col)) >= w,
         F.expr(
             f"transform(sequence(1, length({text_col}) - {w - 1}), "
-            f"i -> substring(md5(substring({text_col}, i, {w})), 1, 16))"
+            f"i -> xxhash64(substring({text_col}, i, {w})))"
         ),
-    ).otherwise(F.expr("array()").cast("array<string>"))
+    ).otherwise(F.expr("array()").cast("array<bigint>"))
     win = fan_out(df).select(F.col(id_col), F.explode(hashes).alias("wh"))
     dup = (
         win.groupBy("wh")

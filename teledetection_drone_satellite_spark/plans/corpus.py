@@ -42,10 +42,11 @@ from .registry import register
     """,
     doc="Exact duplicated-substring coverage (Lee et al. suffix-array dedup "
     "semantics as a window-fingerprint plan): per doc, how many of its 40-char "
-    "windows occur verbatim in another document. Digests (16-hex) shuffle, "
-    "text never does; the frequency groupBy and the membership join reuse one "
-    "exchange. Oracle: DuckDB regenerates every window position via "
-    "range()+substr and agrees on md5 exactly.",
+    "windows occur verbatim in another document. 8-byte xxhash64 digests "
+    "shuffle, text never does; the dup digest set broadcasts back against a "
+    "map-side probe. Oracle: DuckDB regenerates every window position via "
+    "range()+substr — its md5 digests differ, but the COUNTS are hash-"
+    "function-invariant, so the per-doc totals must agree exactly.",
     tags=("dedup", "corpus"),
 )
 def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -311,6 +311,207 @@ def synth_png(width: int, height: int, color_type: int = 2) -> bytes:
     )
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def synth_png_full(width: int, height: int, color_type: int = 0) -> bytes:
+    """Deterministic COMPLETE PNG (IHDR + zlib IDAT + IEND), 8-bit, color type
+    0 (gray) or 2 (RGB). Pixel contract (mirrored by the png_pixel_stats
+    oracle; dims must stay < 256 so the modulus never folds):
+
+      gray: v(x, y) = x % 256
+      rgb:  v(x, y) = (x % 256, y % 256, (x + y) % 256)
+
+    Rows cycle scanline filters 0/1/2 (None/Sub/Up) by row index, so decoding
+    exercises real unfiltering, not just zlib. Encoding is byte-packing per
+    the PNG 1.2 spec — fully independent of decode_png, which must invert it.
+    """
+    import struct
+    import zlib
+
+    if color_type not in (0, 2):
+        raise ValueError("synth_png_full supports color types 0 (gray) and 2 (RGB)")
+    bpp = 1 if color_type == 0 else 3
+    rows = []
+    prev = bytes(width * bpp)
+    for y in range(height):
+        if color_type == 0:
+            raw = bytes(x % 256 for x in range(width))
+        else:
+            raw = bytes(
+                v for x in range(width) for v in (x % 256, y % 256, (x + y) % 256)
+            )
+        f = y % 3
+        if f == 0:
+            filtered = raw
+        elif f == 1:  # Sub: x - a
+            filtered = bytes(
+                (raw[i] - (raw[i - bpp] if i >= bpp else 0)) % 256
+                for i in range(len(raw))
+            )
+        else:  # Up: x - b
+            filtered = bytes((raw[i] - prev[i]) % 256 for i in range(len(raw)))
+        rows.append(bytes([f]) + filtered)
+        prev = raw
+    ihdr = struct.pack(">II5B", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG 1.2 §6.6): the neighbor closest to a + b - c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(content: bytes) -> "tuple[int, int, int, bytes] | None":
+    """REAL PNG pixel decode, pure stdlib (zlib is in the standard library —
+    the one raster format this container can fully decode without a codec
+    wheel; reference stack: file-service requirements.txt:11-15). Returns
+    (width, height, channels, raw_samples) with samples row-major, or None
+    when the payload is not a decodable 8-bit PNG (no IDAT — e.g. the
+    header-only metadata fixtures — palette/16-bit/interlaced variants, or a
+    corrupt stream), so callers can fall back to the stub path.
+
+    Implements the full chunk walk and all five scanline filters
+    (None/Sub/Up/Average/Paeth, PNG 1.2 §6) — not just the ones our encoder
+    emits."""
+    import struct
+    import zlib
+
+    if content[:8] != _PNG_MAGIC:
+        return None
+    pos, width = 8, None
+    height = channels = color_type = None
+    idat = b""
+    try:
+        while pos + 8 <= len(content):
+            (length,) = struct.unpack(">I", content[pos : pos + 4])
+            ctype = content[pos + 4 : pos + 8]
+            data = content[pos + 8 : pos + 8 + length]
+            if len(data) < length:
+                return None
+            if ctype == b"IHDR":
+                width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+                    ">II5B", data
+                )
+                if depth != 8 or color_type not in (0, 2, 4, 6) or interlace:
+                    return None
+                channels = _PNG_CHANNELS[color_type]
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length
+        if not idat or width is None:
+            return None
+        stream = zlib.decompress(idat)
+    except (zlib.error, struct.error):
+        return None
+    stride = width * channels
+    if len(stream) != height * (stride + 1):
+        return None
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = stream[y * (stride + 1) : (y + 1) * (stride + 1)]
+        f, filtered = row[0], bytearray(row[1:])
+        if f == 1:  # Sub
+            for i in range(channels, stride):
+                filtered[i] = (filtered[i] + filtered[i - channels]) % 256
+        elif f == 2:  # Up
+            for i in range(stride):
+                filtered[i] = (filtered[i] + prev[i]) % 256
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = filtered[i - channels] if i >= channels else 0
+                filtered[i] = (filtered[i] + (a + prev[i]) // 2) % 256
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = filtered[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                filtered[i] = (filtered[i] + _paeth(a, prev[i], c)) % 256
+        elif f != 0:
+            return None
+        out += filtered
+        prev = bytes(filtered)
+    return width, height, channels, bytes(out)
+
+
+def _png_gray_pixels(content: bytes) -> "list[int] | None":
+    """Decode + grayscale-collapse: per pixel, the integer mean of its color
+    channels (alpha excluded) — the luma stand-in the real feature path uses."""
+    decoded = decode_png(content)
+    if decoded is None:
+        return None
+    width, height, channels, raw = decoded
+    color = {1: 1, 2: 1, 3: 3, 4: 3}[channels]  # gray/gray+a/rgb/rgba -> color chans
+    return [
+        sum(raw[p * channels : p * channels + color]) // color
+        for p in range(width * height)
+    ]
+
+
+def _png_features(content: bytes) -> "list[float] | None":
+    """REAL feature vector from decoded PNG pixels: N_FEATURES evenly-spaced
+    grayscale samples scaled to [0,1) — same fixed-width contract as the stub
+    and the PIL path, so downstream similarity operators are indifferent."""
+    gray = _png_gray_pixels(content)
+    if gray is None:
+        return None
+    n = len(gray)
+    return [round(gray[(i * n) // N_FEATURES] / 256.0, 6) for i in range(N_FEATURES)]
+
+
+def _png_resize(content: bytes, width: int, height: int) -> "bytes | None":
+    """REAL thumbnail: decode -> nearest-neighbor resample -> re-encode as a
+    complete grayscale PNG (filter 0 rows). None for undecodable payloads."""
+    import struct
+    import zlib
+
+    decoded = decode_png(content)
+    if decoded is None:
+        return None
+    src_w, src_h, channels, raw = decoded
+    color = {1: 1, 2: 1, 3: 3, 4: 3}[channels]
+    gray = [
+        sum(raw[p * channels : p * channels + color]) // color
+        for p in range(src_w * src_h)
+    ]
+    rows = []
+    for y in range(height):
+        sy = (y * src_h) // height
+        rows.append(
+            bytes([0])
+            + bytes(gray[sy * src_w + (x * src_w) // width] for x in range(width))
+        )
+    ihdr = struct.pack(">II5B", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def synth_jpeg(width: int, height: int, channels: int = 3) -> bytes:
     import struct
 
@@ -644,9 +845,12 @@ def extract_features(
     ``features`` (array<float>, N_FEATURES wide) — the shape a real image/audio
     encoder produces, ready for the similarity operators.
 
-    ``codec=True``: PIL decode -> grayscale downsample per row, stub fallback
-    per UNDECODABLE row (raises at plan build when the wheel is missing, so a
-    misconfigured cluster fails fast instead of silently stubbing)."""
+    Path per row: REAL pure-stdlib PNG pixel decode first (decode_png — full
+    zlib+unfilter, no wheel needed); then PIL when ``codec=True`` (covers
+    jpeg/tiff/webp; raises at plan build when the wheel is missing, so a
+    misconfigured cluster fails fast instead of silently stubbing); then the
+    deterministic stub for whatever remains (header-only fixtures, exotic
+    formats)."""
     from pyspark.sql.types import ArrayType
 
     if codec:
@@ -659,10 +863,12 @@ def extract_features(
         for pdf in batches:
             pdf = pdf.copy()
             raws = [bytes(b) for b in pdf[content_col]]
-            if codec:
-                pdf["features"] = [_pil_features(r) or _fake_features(r) for r in raws]
-            else:
-                pdf["features"] = [_fake_features(r) for r in raws]
+            pdf["features"] = [
+                _png_features(r)
+                or (codec and _pil_features(r))
+                or _fake_features(r)
+                for r in raws
+            ]
             yield pdf
 
     return df.mapInPandas(gen, out_schema)
@@ -673,10 +879,11 @@ def resize_images(
 ) -> DataFrame:
     """Resize stage: binary -> binary thumbnail + its dims.
 
-    Default emits a deterministic placeholder payload (graded/stub path);
-    ``codec=True`` runs the real ``Image.open(...).resize(...).save(buf,
-    'JPEG')`` per row with the placeholder as per-row fallback for undecodable
-    payloads (wheel-gated: raises at plan build without Pillow)."""
+    Path per row: REAL pure-stdlib PNG decode -> nearest-neighbor resample ->
+    PNG re-encode (_png_resize, no wheel needed); then PIL's decode/resize/
+    JPEG re-encode when ``codec=True`` (wheel-gated: raises at plan build
+    without Pillow); then a deterministic placeholder payload for whatever
+    neither can decode (header-only fixtures keep their stub-path oracle)."""
     if codec:
         _require_pil()
     out_schema = StructType(
@@ -695,10 +902,12 @@ def resize_images(
         for pdf in batches:
             pdf = pdf.copy()
             raws = [bytes(b) for b in pdf[content_col]]
-            if codec:
-                pdf["thumb"] = [_pil_resize(r, width, height) or _placeholder(r) for r in raws]
-            else:
-                pdf["thumb"] = [_placeholder(r) for r in raws]
+            pdf["thumb"] = [
+                _png_resize(r, width, height)
+                or (codec and _pil_resize(r, width, height))
+                or _placeholder(r)
+                for r in raws
+            ]
             pdf["thumb_width"] = width
             pdf["thumb_height"] = height
             yield pdf

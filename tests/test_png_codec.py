@@ -1,0 +1,149 @@
+"""Pure-stdlib PNG codec: full-PNG synthesis, chunk walk + zlib + unfilter
+decode (all five scanline filters), grayscale features, nearest resize."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from teledetection_drone_satellite_spark.sources import multimodal as mm
+
+
+def _expected_pixels(width, height, color_type):
+    if color_type == 0:
+        return bytes(x % 256 for y in range(height) for x in range(width))
+    return bytes(
+        v for y in range(height) for x in range(width)
+        for v in (x % 256, y % 256, (x + y) % 256)
+    )
+
+
+# --- synth -> decode round trip --------------------------------------------------------
+
+
+def test_roundtrip_gray_and_rgb():
+    for color_type, channels in ((0, 1), (2, 3)):
+        content = mm.synth_png_full(37, 23, color_type)
+        w, h, c, raw = mm.decode_png(content)
+        assert (w, h, c) == (37, 23, channels)
+        assert raw == _expected_pixels(37, 23, color_type)
+
+
+def test_roundtrip_exercises_multiple_filters():
+    # >= 3 rows means filters 0, 1 AND 2 are all present in the stream
+    content = mm.synth_png_full(8, 9, 2)
+    stream = None
+    pos = 8
+    idat = b""
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        if content[pos + 4 : pos + 8] == b"IDAT":
+            idat += content[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+    stream = zlib.decompress(idat)
+    stride = 8 * 3 + 1
+    filters = {stream[y * stride] for y in range(9)}
+    assert filters == {0, 1, 2}
+
+
+# --- the two filters our encoder never emits (Average, Paeth) --------------------------
+
+
+def _encode_with_filter(width, height, channels, raw_rows, ftype):
+    """Hand-build a PNG whose every row uses filter ``ftype`` (forward filter
+    per PNG 1.2 §6), independently of synth_png_full."""
+    stride = width * channels
+    prev = bytes(stride)
+    out = []
+    for raw in raw_rows:
+        filtered = bytearray(raw)
+        if ftype == 3:  # Average: x - floor((a+b)/2)
+            for i in reversed(range(stride)):
+                a = raw[i - channels] if i >= channels else 0
+                filtered[i] = (raw[i] - (a + prev[i]) // 2) % 256
+        elif ftype == 4:  # Paeth: x - paeth(a, b, c)
+            for i in reversed(range(stride)):
+                a = raw[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                filtered[i] = (raw[i] - mm._paeth(a, prev[i], c)) % 256
+        out.append(bytes([ftype]) + bytes(filtered))
+        prev = raw
+    color_type = {1: 0, 3: 2}[channels]
+    ihdr = struct.pack(">II5B", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(b"".join(out)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+
+
+def test_decode_average_and_paeth_filters():
+    width, height, channels = 11, 5, 3
+    raw_rows = [
+        bytes((x * 31 + y * 17 + ch * 7) % 256 for x in range(width) for ch in range(channels))
+        for y in range(height)
+    ]
+    for ftype in (3, 4):
+        content = _encode_with_filter(width, height, channels, raw_rows, ftype)
+        w, h, c, raw = mm.decode_png(content)
+        assert (w, h, c) == (width, height, channels)
+        assert raw == b"".join(raw_rows)
+
+
+# --- fallback contract -----------------------------------------------------------------
+
+
+def test_header_only_png_returns_none():
+    assert mm.decode_png(mm.synth_png(100, 50, 2)) is None  # no IDAT
+
+
+def test_non_png_and_corrupt_return_none():
+    assert mm.decode_png(b"not a png at all") is None
+    full = bytearray(mm.synth_png_full(16, 16, 0))
+    full[40] ^= 0xFF  # corrupt inside the IDAT zlib stream
+    got = mm.decode_png(bytes(full))  # must not raise: None or garbage pixels
+    assert got is None or len(got) == 4
+    # 16-bit depth is out of scope -> None, not an exception
+    ihdr = struct.pack(">II5B", 4, 4, 16, 0, 0, 0, 0)
+    deep = (
+        b"\x89PNG\r\n\x1a\n" + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(bytes(4 * (4 * 2 + 1))))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    assert mm.decode_png(deep) is None
+
+
+# --- features + resize real paths ------------------------------------------------------
+
+
+def test_png_features_evenly_spaced_gray_samples():
+    content = mm.synth_png_full(64, 4, 0)  # gray: pixel p -> (p % 64)
+    feats = mm._png_features(content)
+    n = 64 * 4
+    expected = [round(((i * n) // mm.N_FEATURES % 64) / 256.0, 6) for i in range(mm.N_FEATURES)]
+    assert feats == expected
+
+
+def test_png_resize_nearest_neighbor_exact():
+    content = mm.synth_png_full(32, 32, 0)
+    thumb = mm._png_resize(content, 8, 8)
+    w, h, c, raw = mm.decode_png(thumb)
+    assert (w, h, c) == (8, 8, 1)
+    # nearest-neighbor of the horizontal gradient: out[x] = src[(x*32)//8]
+    expected_row = bytes(((x * 32) // 8) % 256 for x in range(8))
+    assert raw == expected_row * 8
+
+
+def test_extract_features_uses_real_path_for_full_png(spark):
+    full = mm.synth_png_full(24, 6, 2)
+    header_only = mm.synth_png(24, 6, 2)
+    df = spark.createDataFrame(
+        [(1, bytearray(full)), (2, bytearray(header_only))],
+        "doc_id long, content binary",
+    )
+    rows = {r["doc_id"]: r["features"] for r in mm.extract_features(df).collect()}
+    exp_real = [round(v, 6) for v in mm._png_features(full)]
+    exp_stub = [round(v, 6) for v in mm._fake_features(header_only)]
+    assert [round(v, 6) for v in rows[1]] == exp_real
+    assert [round(v, 6) for v in rows[2]] == exp_stub
