@@ -266,6 +266,90 @@ def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "wav_sample_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+                    WHEN 3 THEN 44100 ELSE 48000 END AS sample_rate,
+               1000 + (doc_id * 37) % 4000 AS n
+        FROM documents WHERE doc_id < 200
+    ),
+    s AS (
+        SELECT doc_id, sample_rate, n, (i % 512) - 256 AS v
+        FROM spec, LATERAL unnest(range(0, n)) t(i)
+    )
+    SELECT doc_id,
+           CAST(sample_rate AS INT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           round(avg(v), 6) AS mean_sample,
+           round(sqrt(avg(v * v)), 4) AS rms,
+           CAST(max(abs(v)) AS BIGINT) AS peak
+    FROM s
+    GROUP BY doc_id, sample_rate, n
+    """,
+    doc="REAL PCM sample decode, graded (the audio half of the S7 pixel tail; "
+    "PCM16 needs no codec — raw little-endian int16): complete mono WAVs are "
+    "synthesized per doc (signed sawtooth, closed-form length/rate), "
+    "decode_wav_samples walks the RIFF chunks (word-aligned) and reads the "
+    "actual payload, and the measured waveform statistics (mean/RMS/peak) "
+    "must equal the oracle's regeneration of the sawtooth in SQL — an "
+    "endianness or sign error flips every stat. Compressed audio (mp3/ogg/"
+    "flac) stays wheel-gated like jpeg pixels.",
+    tags=("ingest", "multimodal"),
+)
+def wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+    )
+    rates = (8000, 16000, 22050, 44100, 48000)
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 1000 + (i * 37) % 4000
+                content = multimodal.synth_wav_full(rates[i % 5], n)
+                rate, samples = multimodal.decode_wav_samples(content)
+                s = samples.astype("int64")
+                ssum, ssq = int(s.sum()), int((s * s).sum())
+                rows.append(
+                    (
+                        i,
+                        rate,
+                        len(s),
+                        ssum / len(s),
+                        math.sqrt(ssq / len(s)),
+                        int(abs(s).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_samples", "mean_s", "rms_s", "peak"],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, sample_rate int, n_samples long, mean_s double, rms_s double, peak long",
+    )
+    return out.select(
+        "doc_id", "sample_rate", "n_samples",
+        F.round("mean_s", 6).alias("mean_sample"),
+        F.round("rms_s", 4).alias("rms"),
+        "peak",
+    )
+
+
 def _docs_as_assets(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     """documents -> rows carrying REAL synthesized binary assets.
 

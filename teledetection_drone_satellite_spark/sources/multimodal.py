@@ -595,8 +595,78 @@ def synth_wav(rate: int, n_samples: int, channels: int = 1, bits: int = 16) -> b
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + body
 
 
+def synth_wav_full(rate: int, n_samples: int) -> bytes:
+    """Deterministic COMPLETE mono 16-bit PCM WAV. Sample contract (mirrored
+    by the wav_sample_stats oracle): s(i) = (i % 512) - 256 — a signed
+    sawtooth, so decode must get endianness AND two's complement right."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    data = b"".join(
+        struct.pack("<h", (i % 512) - 256) for i in range(n_samples)
+    )
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + body
+
+
+def decode_wav_samples(content: bytes) -> "tuple[int, 'object'] | None":
+    """REAL PCM sample decode, pure stdlib+numpy (PCM is raw little-endian
+    int16 in the data chunk — the one audio format that needs no codec; the
+    compressed formats stay wheel-gated like jpeg pixels). Returns
+    (sample_rate, int16 numpy array) for mono 16-bit PCM, None for anything
+    else — header-only assets (empty data chunk), multi-channel, or
+    compressed codecs — so callers can fall back to the stub path."""
+    import struct
+
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    pos, rate, ok_fmt, data = 12, None, False, None
+    while pos + 8 <= len(content):
+        ctype = content[pos : pos + 4]
+        (length,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        payload = content[pos + 8 : pos + 8 + length]
+        if ctype == b"fmt " and len(payload) >= 16:
+            audio_fmt, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", payload[:16]
+            )
+            ok_fmt = audio_fmt == 1 and channels == 1 and bits == 16
+        elif ctype == b"data":
+            data = payload
+        pos += 8 + length + (length & 1)  # RIFF chunks are word-aligned
+    if not ok_fmt or rate is None or not data or len(data) % 2:
+        return None
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
 # PNG color-type cycle used by synth_image (maps to channels 1/3/2/4).
 _SYNTH_PNG_COLOR_TYPES = (0, 2, 4, 6)
+
+
+def _wav_features(content: bytes) -> "list[float] | None":
+    """REAL feature vector from decoded PCM: per-segment RMS over N_FEATURES
+    equal slices, scaled to [0,1) by full scale (32768) — the energy-envelope
+    shape a real audio encoder's first layer sees. Same fixed-width contract
+    as the image/stub paths. None for anything decode_wav_samples rejects."""
+    import numpy as np
+
+    decoded = decode_wav_samples(content)
+    if decoded is None:
+        return None
+    _, s = decoded
+    n = len(s)
+    feats = []
+    for k in range(N_FEATURES):
+        seg = s[(k * n) // N_FEATURES : ((k + 1) * n) // N_FEATURES].astype(np.float64)
+        if not len(seg):
+            feats.append(0.0)
+        else:
+            feats.append(round(float(np.sqrt((seg * seg).mean())) / 32768.0, 6))
+    return feats
 
 
 def synth_image(doc_id: int) -> bytes:
@@ -845,12 +915,12 @@ def extract_features(
     ``features`` (array<float>, N_FEATURES wide) — the shape a real image/audio
     encoder produces, ready for the similarity operators.
 
-    Path per row: REAL pure-stdlib PNG pixel decode first (decode_png — full
-    zlib+unfilter, no wheel needed); then PIL when ``codec=True`` (covers
-    jpeg/tiff/webp; raises at plan build when the wheel is missing, so a
-    misconfigured cluster fails fast instead of silently stubbing); then the
-    deterministic stub for whatever remains (header-only fixtures, exotic
-    formats)."""
+    Path per row: REAL pure-stdlib decodes first — PNG pixels (decode_png,
+    full zlib+unfilter) and PCM WAV segment-RMS (decode_wav_samples), neither
+    needing a wheel; then PIL when ``codec=True`` (covers jpeg/tiff/webp;
+    raises at plan build when the wheel is missing, so a misconfigured
+    cluster fails fast instead of silently stubbing); then the deterministic
+    stub for whatever remains (header-only fixtures, exotic formats)."""
     from pyspark.sql.types import ArrayType
 
     if codec:
@@ -865,6 +935,7 @@ def extract_features(
             raws = [bytes(b) for b in pdf[content_col]]
             pdf["features"] = [
                 _png_features(r)
+                or _wav_features(r)
                 or (codec and _pil_features(r))
                 or _fake_features(r)
                 for r in raws
