@@ -1,0 +1,153 @@
+"""Property-based checks (hypothesis) for the corpus-prep operators and
+stdlib codecs: each property verifies the operator against a plain-Python
+reference on arbitrary inputs — same contract-testing strategy as
+test_properties.py, split out so the corpus tier's properties live with it."""
+
+from __future__ import annotations
+
+import zlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.operators.curation import (
+    chunk_documents,
+    training_order,
+)
+from teledetection_drone_satellite_spark.operators.dedup import duplicated_spans
+from teledetection_drone_satellite_spark.sources import multimodal as mm
+
+_settings = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_text = st.text(alphabet="abcXYZ ", min_size=0, max_size=120)
+
+
+@_settings
+@given(texts=st.lists(_text, min_size=1, max_size=8), window=st.integers(5, 30))
+def test_duplicated_spans_matches_python_reference(spark, texts, window):
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in duplicated_spans(docs, window=window).collect()}
+    # reference: window -> set of docs containing it
+    owners: dict[str, set[int]] = {}
+    for i, t in enumerate(texts):
+        for p in range(len(t) - window + 1):
+            owners.setdefault(t[p : p + window], set()).add(i)
+    for i, t in enumerate(texts):
+        n_win = max(len(t) - window + 1, 0)
+        n_dup = sum(
+            1 for p in range(n_win) if len(owners[t[p : p + window]]) > 1
+        )
+        assert got[i]["n_windows"] == n_win
+        assert got[i]["n_dup_windows"] == n_dup
+
+
+@_settings
+@given(
+    lengths=st.lists(st.integers(0, 300), min_size=1, max_size=6),
+    chunk=st.integers(2, 60),
+    stride=st.integers(1, 60),
+)
+def test_chunk_documents_tiles_every_document(spark, lengths, chunk, stride):
+    texts = ["x" * n for n in lengths]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = chunk_documents(docs, chunk=chunk, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_idx"])
+        if not t:
+            assert chunks == []
+            continue
+        # starts are exactly 1, 1+stride, ... <= len(t)
+        assert [c["start"] for c in chunks] == list(range(1, len(t) + 1, stride))
+        # chunks jointly cover the document with no gap before the last start
+        covered = max(c["start"] + c["chunk_len"] - 1 for c in chunks)
+        assert covered == len(t) if chunk >= stride else covered <= len(t)
+        for c in chunks:
+            assert c["chunk_len"] == min(chunk, len(t) - c["start"] + 1)
+
+
+@_settings
+@given(ids=st.lists(st.integers(0, 10**6), min_size=1, max_size=60, unique=True))
+def test_training_order_is_a_permutation(spark, ids):
+    docs = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    rows = training_order(docs, n_shards=16, seed="s").collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(ids)  # bijective
+    seen = set()
+    for r in rows:
+        assert (r["shard"], r["pos"]) not in seen  # (shard, pos) unique
+        seen.add((r["shard"], r["pos"]))
+
+
+# --- codec properties (no Spark round-trip needed: pure functions) ---------------------
+
+_cset = settings(max_examples=25, deadline=None)
+
+
+@_cset
+@given(
+    width=st.integers(1, 40),
+    height=st.integers(1, 20),
+    color_type=st.sampled_from([0, 2]),
+)
+def test_png_synth_decode_roundtrip_property(width, height, color_type):
+    content = mm.synth_png_full(width, height, color_type)
+    w, h, c, raw = mm.decode_png(content)
+    assert (w, h) == (width, height)
+    bpp = 1 if color_type == 0 else 3
+    assert len(raw) == width * height * bpp
+    if color_type == 0:
+        assert raw == bytes(x % 256 for y in range(height) for x in range(width))
+
+
+@_cset
+@given(
+    pixels=st.lists(st.integers(0, 255), min_size=1, max_size=64),
+    ftype=st.sampled_from([0, 1, 2, 3, 4]),
+)
+def test_png_all_filters_invert_property(pixels, ftype):
+    # single-row gray image, every filter type: decode must invert the
+    # forward filter exactly (prev row = zeros for row 0)
+    import struct
+
+    width = len(pixels)
+    raw = bytes(pixels)
+    filtered = bytearray(raw)
+    prev = bytes(width)
+    if ftype == 1:
+        for i in reversed(range(width)):
+            a = raw[i - 1] if i >= 1 else 0
+            filtered[i] = (raw[i] - a) % 256
+    elif ftype == 2:
+        for i in range(width):
+            filtered[i] = (raw[i] - prev[i]) % 256
+    elif ftype == 3:
+        for i in reversed(range(width)):
+            a = raw[i - 1] if i >= 1 else 0
+            filtered[i] = (raw[i] - (a + prev[i]) // 2) % 256
+    elif ftype == 4:
+        for i in reversed(range(width)):
+            a = raw[i - 1] if i >= 1 else 0
+            filtered[i] = (raw[i] - mm._paeth(a, prev[i], 0 if i < 1 else prev[i - 1])) % 256
+    ihdr = struct.pack(">II5B", width, 1, 8, 0, 0, 0, 0)
+    content = (
+        b"\x89PNG\r\n\x1a\n"
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(bytes([ftype]) + bytes(filtered)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    assert mm.decode_png(content) == (width, 1, 1, raw)
+
+
+@_cset
+@given(rate=st.sampled_from([8000, 44100]), n=st.integers(1, 3000))
+def test_wav_synth_decode_roundtrip_property(rate, n):
+    content = mm.synth_wav_full(rate, n)
+    got_rate, s = mm.decode_wav_samples(content)
+    assert got_rate == rate and len(s) == n
+    assert all(int(s[i]) == (i % 512) - 256 for i in range(min(n, 600)))
