@@ -170,6 +170,38 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
     )
 
 
+def bpe_merge_candidates(df: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+    """The counting step of BPE tokenizer training (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units"): frequency
+    of every ADJACENT CHARACTER PAIR across all word occurrences — the
+    statistic whose argmax becomes the next merge rule. Returns the top ``k``
+    ``(pair, n)`` rows (count desc, pair asc — the deterministic tie-break a
+    reproducible tokenizer build needs).
+
+    One full BPE train iterates this ~vocab-size times with re-tokenization
+    between rounds (a driver loop of corpus scans, the connected-components
+    shape); the per-round statistic here is the part that must be distributed
+    and is pure JVM: transform+explode pair generation, one count shuffle on
+    2-char keys, TakeOrdered top-k. At 100 TB one round is one corpus scan +
+    one tiny-key aggregation — the only shape that survives.
+    """
+    words = F.explode(F.split(F.col(text_col), " ")).alias("w")
+    pairs = F.expr(
+        "CASE WHEN length(w) >= 2 THEN "
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2)) "
+        "ELSE array() END"
+    )
+    return (
+        fan_out(df)
+        .select(words)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(k)
+    )
+
+
 def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Repetition-based quality signals (the Gopher repetition filters, applied
     at word granularity): per document, the duplicate word-bigram fraction

@@ -92,6 +92,36 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_lm_score(d)
 
 
+# --- BPE merge counting ----------------------------------------------------------------
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle="""
+    WITH pairs AS (
+        SELECT substr(w, CAST(i AS INT), 2) AS pair
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+             LATERAL unnest(range(1, len(w))) t(i)
+        WHERE len(w) >= 2
+    )
+    SELECT pair, count(*) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair ASC
+    LIMIT 20
+    """,
+    doc="BPE tokenizer-training counting step (Sennrich et al. 2016): "
+    "adjacent-character-pair frequencies across all word occurrences, top 20 "
+    "with a deterministic tie-break — the statistic whose argmax becomes the "
+    "next merge rule. Pure JVM pair generation, one count shuffle on 2-char "
+    "keys, TakeOrdered. Oracle: DuckDB regenerates pairs via range()+substr.",
+    tags=("text", "corpus"),
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    return text.bpe_merge_candidates(d, k=20)
+
+
 # --- DSIR importance weighting ---------------------------------------------------------
 
 

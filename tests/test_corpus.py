@@ -82,6 +82,20 @@ def test_bigram_lm_score_ranks_unseen_transitions_lower(spark):
     assert got[9] < got[1]  # scrambled word order = unseen transitions
 
 
+# --- bpe_merge_candidates --------------------------------------------------------------
+
+
+def test_bpe_merge_candidates_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "new newest")], ["doc_id", "text"]
+    )
+    rows = text.bpe_merge_candidates(docs, k=3).collect()
+    # pair counts: lo 3, ow 3; ne/ew/we 2; er/es/st 1
+    assert [(r["pair"], r["n"]) for r in rows[:2]] == [("lo", 3), ("ow", 3)]
+    # deterministic tie-break: 'ew'/'ne'/'we' tie at 2, 'ew' sorts first
+    assert (rows[2]["pair"], rows[2]["n"]) == ("ew", 2)
+
+
 # --- chunk_documents -------------------------------------------------------------------
 
 
