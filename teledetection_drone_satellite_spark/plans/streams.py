@@ -28,10 +28,36 @@ from ..streaming.lifecycle import stream_lifecycle_state
 from ..streaming.ttl import TTL_MINUTES_DEFAULT, stream_session_ttl
 from ..streaming.windows import (
     stream_dedupe_events,
+    stream_late_data_policy,
     stream_session_window,
     stream_tumbling_hourly,
 )
 from .registry import register
+
+
+@register(
+    "stream_late_data",
+    oracle="""
+    WITH w AS (
+        SELECT date_trunc('hour', ts) AS window_start, count(*) AS n
+        FROM events GROUP BY 1
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 15 MINUTE AS horizon FROM events)
+    SELECT window_start, n
+    FROM w, wm
+    WHERE window_start + INTERVAL 1 HOUR <= horizon
+    """,
+    doc="T4 streaming, the APPEND-mode half of the late-data contract: "
+    "watermarked hourly counts where only windows the final watermark "
+    "(max event time - 15 min) has passed are emitted — the tail windows "
+    "stay open awaiting late data. The oracle restates exactly that horizon "
+    "predicate over the batch aggregation (window end <= watermark; "
+    "Spark closes a window once the watermark reaches its end). "
+    "Complete-mode twin: stream_tumbling_hourly.",
+    tags=("streaming",),
+)
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_late_data_policy(spark, sf_dir)
 
 
 @register(
