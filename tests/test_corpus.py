@@ -254,6 +254,32 @@ def test_pq_topk_recall_against_exact(spark, sf_dir):
         assert top1 and top1[0]["vec_id"] == q
 
 
+# --- exact_k_sample / mixture_rebalance ------------------------------------------------
+
+
+def test_exact_k_sample_is_exact_and_seeded(spark):
+    docs = spark.createDataFrame([(i,) for i in range(100)], ["doc_id"])
+    a = curation.exact_k_sample(docs, k=10, seed="s1").collect()
+    assert len(a) == 10
+    b = curation.exact_k_sample(docs, k=10, seed="s1").collect()
+    assert {r["doc_id"] for r in a} == {r["doc_id"] for r in b}  # reproducible
+    c = curation.exact_k_sample(docs, k=10, seed="s2").collect()
+    assert {r["doc_id"] for r in a} != {r["doc_id"] for r in c}  # reseed redraws
+    # k > n degrades to the full table, never an error
+    assert len(curation.exact_k_sample(docs, k=500).collect()) == 100
+
+
+def test_mixture_rebalance_levels_strata(spark):
+    rows = [(i, "big") for i in range(400)] + [(i + 1000, "small") for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "stratum"])
+    got = {r["stratum"]: r for r in curation.mixture_rebalance(docs, "stratum").collect()}
+    assert got["small"]["target_rate"] == 1.0
+    assert got["small"]["n_sampled"] == 40  # rate 1.0 keeps everything
+    assert got["big"]["target_rate"] == 0.1
+    # hash-bucket granularity: close to the 40-doc target, never exact by fiat
+    assert 20 <= got["big"]["n_sampled"] <= 60
+
+
 # --- jsonl source/sink -----------------------------------------------------------------
 
 
