@@ -425,22 +425,20 @@ def dsir_importance(
         target.alias("is_target"),
         F.explode(F.split(F.col(text_col), " ")).alias("w"),
     ).withColumn("bucket", F.substring(F.md5(F.col("w")), 1, 2))
-    src = toks.groupBy("bucket").agg(F.count("*").alias("c_s"))
-    tgt = toks.filter(F.col("is_target")).groupBy("bucket").agg(F.count("*").alias("c_t"))
-    totals = toks.agg(
-        F.count("*").alias("n_s"),
-        F.sum(F.col("is_target").cast("long")).alias("n_t"),
+    # ONE aggregation pass fits both distributions (source count + target
+    # count per bucket); the totals then derive from the 256-row frame itself
+    # instead of re-scanning the corpus
+    model_counts = toks.groupBy("bucket").agg(
+        F.count("*").alias("c_s"),
+        F.sum(F.col("is_target").cast("long")).alias("c_t"),
     )
-    model = (
-        src.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "bucket",
-            (
-                F.log((F.coalesce("c_t", F.lit(0)) + 1.0) / (F.col("n_t") + 256.0))
-                - F.log((F.col("c_s") + 1.0) / (F.col("n_s") + 256.0))
-            ).alias("log_ratio"),
-        )
+    totals = model_counts.agg(F.sum("c_s").alias("n_s"), F.sum("c_t").alias("n_t"))
+    model = model_counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("c_t") + 1.0) / (F.col("n_t") + 256.0))
+            - F.log((F.col("c_s") + 1.0) / (F.col("n_s") + 256.0))
+        ).alias("log_ratio"),
     )
     scored = (
         toks.join(F.broadcast(model), "bucket")

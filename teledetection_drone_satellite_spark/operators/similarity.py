@@ -335,17 +335,36 @@ def lsh_bucketed_pairs(
 from collections import OrderedDict
 
 _IVF_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
-_IVF_CACHE_MAX = 4
 
 
-def _ivf_cache_put(key: tuple, value: tuple) -> None:
-    while len(_IVF_CACHE) >= _IVF_CACHE_MAX:
-        _, (_cents, stale) = _IVF_CACHE.popitem(last=False)
+def _index_cache_key(base: DataFrame, cache_key: tuple | None, extra: tuple):
+    """applicationId-scoped cache key, or None when the caller opted out."""
+    if not cache_key:
+        return None
+    return (base.sparkSession.sparkContext.applicationId,) + cache_key + extra
+
+
+def _index_cache_get(cache: "OrderedDict", key):
+    if key and key in cache:
+        cache.move_to_end(key)
+        return cache[key]
+    return None
+
+
+def _index_cache_put(cache: "OrderedDict", key, value: tuple, max_size: int = 4) -> None:
+    """Bounded-LRU insert shared by the IVF and PQ index caches (one
+    discipline, one implementation): eviction unpersists the DataFrame half
+    of the cached (model, frame) tuple so executor storage cannot accrue
+    across repeated builds."""
+    if not key:
+        return
+    while len(cache) >= max_size:
+        _, (_model, stale) = cache.popitem(last=False)
         try:
             stale.unpersist(blocking=False)
         except Exception:  # a dead session's DataFrame: nothing to release
             pass
-    _IVF_CACHE[key] = value
+    cache[key] = value
 
 
 def _kmeans_numpy(sample: np.ndarray, k: int, n_iter: int = 15, seed: int = 42) -> np.ndarray:
@@ -392,12 +411,10 @@ def build_ivf_index(
     cache_key returns the already-built index (module-level cache) — the graded
     query path, so repeated searches never re-fit.
     """
-    key = cache_key and (
-        (base.sparkSession.sparkContext.applicationId,) + cache_key + (n_centroids, seed)
-    )
-    if key and key in _IVF_CACHE:
-        _IVF_CACHE.move_to_end(key)
-        return _IVF_CACHE[key]
+    key = _index_cache_key(base, cache_key, (n_centroids, seed))
+    cached = _index_cache_get(_IVF_CACHE, key)
+    if cached is not None:
+        return cached
 
     sample_rows = (
         base.select("vec_id", "embedding")
@@ -444,8 +461,7 @@ def build_ivf_index(
         .persist()
     )
     result = (centroids, assigned)
-    if key:
-        _ivf_cache_put(key, result)
+    _index_cache_put(_IVF_CACHE, key, result)
     return result
 
 
@@ -488,19 +504,9 @@ def ivf_search(
 
 
 # PQ codebook/code cache: same applicationId-keyed bounded-LRU discipline as
-# _IVF_CACHE (rationale above); eviction unpersists the cached code table.
+# _IVF_CACHE (rationale above, one shared _index_cache_* implementation);
+# eviction unpersists the cached code table.
 _PQ_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
-_PQ_CACHE_MAX = 4
-
-
-def _pq_cache_put(key: tuple, value: tuple) -> None:
-    while len(_PQ_CACHE) >= _PQ_CACHE_MAX:
-        _, (_books, stale) = _PQ_CACHE.popitem(last=False)
-        try:
-            stale.unpersist(blocking=False)
-        except Exception:
-            pass
-    _PQ_CACHE[key] = value
 
 
 def build_pq_index(
@@ -528,12 +534,10 @@ def build_pq_index(
     parquet of the vector store). Same fingerprint cache as IVF — repeated
     searches and graded queries never re-fit.
     """
-    key = cache_key and (
-        (base.sparkSession.sparkContext.applicationId,) + cache_key + (m, n_codes, seed)
-    )
-    if key and key in _PQ_CACHE:
-        _PQ_CACHE.move_to_end(key)
-        return _PQ_CACHE[key]
+    key = _index_cache_key(base, cache_key, (m, n_codes, seed))
+    cached = _index_cache_get(_PQ_CACHE, key)
+    if cached is not None:
+        return cached
 
     sample_rows = (
         base.select("vec_id", "embedding")
@@ -580,8 +584,7 @@ def build_pq_index(
         .persist()
     )
     result = (codebooks, codes_df)
-    if key:
-        _pq_cache_put(key, result)
+    _index_cache_put(_PQ_CACHE, key, result)
     return result
 
 
@@ -758,7 +761,6 @@ def semantic_dup_pairs(
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
             d2 = (cents**2).sum(axis=1)[None, :] - 2.0 * (mat @ cents.T)
             near = np.argsort(d2, axis=1, kind="stable")[:, :na]
-            n = len(pdf)
             yield pd.DataFrame(
                 {
                     "vec_id": np.repeat(pdf["vec_id"].values, na),

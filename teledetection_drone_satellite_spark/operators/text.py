@@ -128,10 +128,12 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
     evaluated once per row — see that docstring for why NOT per-index
     element_at). The corpus scan runs twice (once for counts, once for
     scoring); the model tables are vocabulary-bounded — c(w1,w2) distinct
-    bigrams, c(w1) distinct unigrams — and broadcast, so the scoring pass adds
-    NO shuffle beyond the final per-doc aggregation. At 100 TB the model is a
-    precomputed artifact: fit once, broadcast to every scoring job (or
-    shuffle-join when the bigram table outgrows the broadcast threshold).
+    bigrams, c(w1) distinct unigrams. The scoring joins carry NO broadcast
+    hint on them: AQE picks broadcast while the model fits the threshold and
+    falls back to a shuffle join when it doesn't (a forced hint would pin the
+    O(distinct-bigrams) table into memory regardless of corpus size). At
+    100 TB the model is a precomputed artifact: fit once, then join it
+    however its size dictates.
     """
     words = F.split(F.col(text_col), " ")
     m = F.greatest(F.size(words) - F.lit(1), F.lit(0))
@@ -148,8 +150,8 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
         .agg(F.count_distinct("w").alias("v"))
     )
     scored = (
-        big.join(F.broadcast(bc), ["w1", "w2"])
-        .join(F.broadcast(pc), "w1")
+        big.join(bc, ["w1", "w2"])
+        .join(pc, "w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(

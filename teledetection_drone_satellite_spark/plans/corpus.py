@@ -352,41 +352,44 @@ def eval_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mixture_rebalance",
     oracle="""
     WITH counts AS (
-        SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+        SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
     ),
     m AS (SELECT min(n_docs) AS min_n FROM counts),
     th AS (
-        SELECT source, n_docs,
+        SELECT lang, n_docs,
                round(min_n * 1.0 / n_docs, 6) AS target_rate,
                CASE WHEN round(min_n * 1.0 / n_docs, 6) >= 1.0 THEN 'g'
-                    ELSE lpad(to_hex(CAST(greatest(floor(round(min_n * 1.0 / n_docs, 6)
-                                                         * 65536), 0) AS INT)), 4, '0')
+                    ELSE lower(lpad(to_hex(CAST(greatest(floor(round(min_n * 1.0 / n_docs, 6)
+                                                         * 65536), 0) AS INT)), 4, '0'))
                END AS thresh
         FROM counts, m
     ),
     sampled AS (
-        SELECT d.source, count(*) AS n_sampled
-        FROM documents d JOIN th USING (source)
+        SELECT d.lang, count(*) AS n_sampled
+        FROM documents d JOIN th USING (lang)
         WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < th.thresh
         GROUP BY 1
     )
-    SELECT th.source,
+    SELECT th.lang,
            CAST(th.n_docs AS BIGINT) AS n_docs,
            th.target_rate,
            CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled
-    FROM th LEFT JOIN sampled s ON th.source = s.source
+    FROM th LEFT JOIN sampled s ON th.lang = s.lang
     """,
     doc="Equal-share mixture rebalancing: per-stratum rates leveling every "
-    "source to the smallest one, applied with the deterministic md5-bucket "
-    "filter. The rate table (|strata| rows) broadcasts over one corpus scan; "
-    "n_sampled's hash-granularity deviation from n_docs*rate is reproduced "
-    "exactly by the oracle — graded, not hidden. Composes sample_bucket/"
-    "rate_threshold with an in-plan, data-derived threshold.",
+    "language to the smallest one, applied with the deterministic md5-bucket "
+    "filter. Stratified by LANG (imbalanced in the fixture: en is ~3x fr), so "
+    "the sub-1.0 hex-threshold branch is actually exercised under grading — "
+    "per-source strata are balanced and would only ever hit the keep-all "
+    "branch. Both engines lowercase the hex threshold (Spark conv() and "
+    "DuckDB to_hex() disagree on case). n_sampled's hash-granularity "
+    "deviation from n_docs*rate is reproduced exactly by the oracle — "
+    "graded, not hidden.",
     tags=("curation", "corpus"),
 )
 def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, ("documents",))["documents"]
-    return curation.mixture_rebalance(d, "source")
+    return curation.mixture_rebalance(d, "lang")
 
 
 # --- Semantic dedup (SemDeDup) ---------------------------------------------------------
@@ -440,11 +443,20 @@ def semdedup_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("v1", "v2")
         .withColumn("hit", F.lit(1))
     )
+    # subset is checked against an epsilon-WIDENED exact set: both sides
+    # compute cosine in float64 but with different summation orders (cell
+    # matmul vs block matmul), so a pair whose true cosine sits within one
+    # ulp of the threshold could pass one and fail the other — widening by
+    # 1e-9 makes subset_ok immune to that last-bit disagreement while still
+    # catching any real off-threshold emission.
+    exact_eps = similarity.cosine_near_dup_pairs(e, threshold=0.45 - 1e-9).select(
+        "v1", "v2"
+    )
     joined = exact.join(sem, ["v1", "v2"], "left").agg(
         F.count("*").alias("n_exact"),
         F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
     )
-    outside = sem.join(exact, ["v1", "v2"], "left_anti").agg(
+    outside = sem.join(exact_eps, ["v1", "v2"], "left_anti").agg(
         F.count("*").alias("n_outside")
     )
     return joined.crossJoin(outside).select(

@@ -630,6 +630,8 @@ def decode_wav_samples(content: bytes) -> "tuple[int, 'object'] | None":
         ctype = content[pos : pos + 4]
         (length,) = struct.unpack("<I", content[pos + 4 : pos + 8])
         payload = content[pos + 8 : pos + 8 + length]
+        if len(payload) < length:
+            return None  # truncated chunk: refuse, never silently short-read
         if ctype == b"fmt " and len(payload) >= 16:
             audio_fmt, channels, rate, _, _, bits = struct.unpack(
                 "<HHIIHH", payload[:16]
