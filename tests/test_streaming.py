@@ -240,3 +240,73 @@ def test_stream_asof_matches_batch_asof(spark, sf_dir):
     for c in ["event_id", "user_id", "ts", "asof_ts", "asof_event_id", "asof_value"]:
         a, b = got[c], want[c]
         assert ((a == b) | (a.isna() & b.isna())).all(), c
+
+
+def test_checkpoint_resume_equals_single_uninterrupted_run(spark, sf_dir, tmp_path):
+    """Exactly-once across restart (the production crash/redeploy path): a
+    watermarked append-mode aggregation drained over HALF its input, stopped,
+    then RESUMED from the same checkpoint after the rest arrives must emit
+    exactly what one uninterrupted run over the full input emits — offsets,
+    watermark, and emitted-window state all recover from the checkpoint, so
+    no window is duplicated or lost across the restart boundary."""
+    import os
+    import shutil
+
+    from teledetection_drone_satellite_spark.schemas import FIXTURE_SCHEMAS
+    from teledetection_drone_satellite_spark.streaming.ttl import (
+        materialize_time_slices,
+    )
+
+    slices = materialize_time_slices(spark, sf_dir, n_slices=4)
+    parts = sorted(f for f in os.listdir(slices) if f.startswith("part-"))
+    assert len(parts) == 4
+
+    def run(in_dir: str, out_dir: str, ckpt: str) -> None:
+        src = (
+            spark.readStream.schema(FIXTURE_SCHEMAS["events"])
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        agg = (
+            src.withWatermark("ts", "15 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # interrupted path: two slices, drain, then the rest arrive, resume
+    in_split = str(tmp_path / "in_split")
+    os.makedirs(in_split)
+    for f in parts[:2]:
+        shutil.copy2(os.path.join(slices, f), os.path.join(in_split, f))
+    out_split, ck_split = str(tmp_path / "out_split"), str(tmp_path / "ck_split")
+    run(in_split, out_split, ck_split)
+    mid = pd.read_parquet(out_split)
+    for f in parts[2:]:
+        shutil.copy2(os.path.join(slices, f), os.path.join(in_split, f))
+    run(in_split, out_split, ck_split)  # SAME checkpoint + sink: a restart
+
+    # uninterrupted reference: all four slices, fresh checkpoint
+    in_full = str(tmp_path / "in_full")
+    os.makedirs(in_full)
+    for f in parts:
+        shutil.copy2(os.path.join(slices, f), os.path.join(in_full, f))
+    out_full, ck_full = str(tmp_path / "out_full"), str(tmp_path / "ck_full")
+    run(in_full, out_full, ck_full)
+
+    got = pd.read_parquet(out_split)
+    want = pd.read_parquet(out_full)
+    assert len(mid) > 0  # the first run really emitted closed windows
+    assert len(got) > len(mid)  # the resumed run emitted MORE, not a no-op
+    pd.testing.assert_frame_equal(_norm(got), _norm(want))
+    # exactly-once: no window emitted twice across the restart boundary
+    assert got["window_start"].is_unique
