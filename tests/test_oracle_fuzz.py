@@ -1,0 +1,97 @@
+"""Oracle-parity fuzzing: registry queries run against RANDOMLY GENERATED
+documents tables and must match their DuckDB oracles there too — not just on
+the driver fixtures. This is the check that catches fixture-masked latent
+divergences (e.g. a branch the balanced fixture never exercises: the
+mixture_rebalance hex-threshold case bug was exactly this class).
+
+Strategy: hypothesis draws small corpora with the hostile shapes the fixtures
+lack — empty texts, unicode, verbatim duplicate documents, heavily imbalanced
+languages — writes them as a documents.parquet, and runs Spark query vs
+DuckDB oracle side by side with the check_oracles normalization.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.plans import REGISTRY
+
+# documents-only queries from the corpus tier + the dedup/text core
+FUZZED_QUERIES = [
+    "substring_dup_spans",
+    "lm_bigram_score",
+    "dsir_importance",
+    "document_chunks",
+    "training_order_shuffle",
+    "bpe_merge_candidates",
+    "eval_sample_exact_k",
+    "mixture_rebalance",
+    "dedup_exact",
+    "dedup_normalized",
+]
+
+_settings = settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_word = st.sampled_from(["ab", "cde", "f", "gh", "知识", "データ", "x y"])  # incl. unicode + a space-bearing token
+_text = st.lists(_word, min_size=0, max_size=25).map(" ".join)
+
+
+@st.composite
+def _corpus(draw):
+    n = draw(st.integers(1, 14))
+    texts = [draw(_text) for _ in range(n)]
+    # force verbatim duplicates sometimes (substring/exact-dedup paths)
+    if n >= 3 and draw(st.booleans()):
+        texts[1] = texts[0]
+        texts[2] = texts[0] + " tail"
+    langs = [draw(st.sampled_from(["en", "en", "en", "fr", "zh"])) for _ in range(n)]
+    sources = [draw(st.sampled_from(["s0", "s1"])) for _ in range(n)]
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array(range(n), dtype="int64"),
+            "text": texts,
+            "lang": langs,
+            "source": sources,
+            "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+        }
+    )
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            df[c] = s.round(9)
+        elif s.dtype == object:
+            df[c] = s.map(str)
+        else:
+            df[c] = s.astype("float64") if pd.api.types.is_numeric_dtype(s) else s
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@_settings
+@given(docs=_corpus())
+def test_corpus_queries_match_oracle_on_random_tables(spark, tmp_path_factory, docs):
+    d = str(tmp_path_factory.mktemp("fuzz"))
+    docs.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    for name in FUZZED_QUERIES:
+        q = REGISTRY[name]
+        got = _normalize(q.fn(spark, d).toPandas())
+        want = _normalize(con.execute(q.oracle).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
