@@ -32,7 +32,11 @@ STOPWORDS_EN = ["the", "a", "and", "is", "of", "to", "in", "that", "it", "on"]
 
 
 def whitespace_token_count(text: Column) -> Column:
-    return F.size(F.split(F.trim(text), r"\s+"))
+    """Count of \\S+ runs. regexp_count, NOT size(split(...)): the split form
+    returns 1 for empty/whitespace-only text (split('') yields ['']) — found
+    by oracle-parity fuzzing (tests/test_oracle_fuzz.py), masked by fixtures
+    whose documents are never empty."""
+    return F.regexp_count(text, F.lit(r"\S+"))
 
 
 def bpe_token_count(text: Column) -> Column:
@@ -71,9 +75,12 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_words = whitespace_token_count(t)
     n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
     n_stop = marker_hits(t, STOPWORDS_EN)
-    punct_ratio = F.round(n_punct / n_chars.cast("double"), 6)
-    stop_ratio = F.round(n_stop / n_words.cast("double"), 6)
-    avg_word_len = F.round(n_chars / n_words.cast("double"), 6)
+    # nullif on the denominators: empty/whitespace-only docs have 0 chars or
+    # 0 words, and under ANSI mode a bare /0 ABORTS THE JOB instead of
+    # yielding NULL — ratios are explicitly NULL there (oracle: same nullif)
+    punct_ratio = F.round(n_punct / F.nullif(n_chars.cast("double"), F.lit(0.0)), 6)
+    stop_ratio = F.round(n_stop / F.nullif(n_words.cast("double"), F.lit(0.0)), 6)
+    avg_word_len = F.round(n_chars / F.nullif(n_words.cast("double"), F.lit(0.0)), 6)
     # score: in-range word length (3..12), some stopwords, low punctuation
     score = (
         F.when((avg_word_len >= 3) & (avg_word_len <= 12), F.lit(0.4)).otherwise(F.lit(0.0))

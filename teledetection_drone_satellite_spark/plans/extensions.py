@@ -239,13 +239,13 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The composite-score expression, shared with plans/curation.py's
 # dup_cluster_representatives oracle so both grade ONE definition of quality.
 _QUALITY_SCORE_SQL = """round(
-             (CASE WHEN len(text) / CAST(len(regexp_extract_all(trim(text), '\\S+')) AS DOUBLE)
+             (CASE WHEN len(text) / nullif(CAST(len(regexp_extract_all(trim(text), '\\S+')) AS DOUBLE), 0)
                         BETWEEN 3 AND 12 THEN 0.4 ELSE 0.0 END)
              + (CASE WHEN len(regexp_extract_all(text, '\\b(the|a|and|is|of|to|in|that|it|on)\\b'))
-                          / CAST(len(regexp_extract_all(trim(text), '\\S+')) AS DOUBLE) > 0.05
+                          / nullif(CAST(len(regexp_extract_all(trim(text), '\\S+')) AS DOUBLE), 0) > 0.05
                      THEN 0.3 ELSE 0.0 END)
              + (CASE WHEN len(regexp_extract_all(text, '[^a-zA-Z0-9_ \\t\\n\\r]'))
-                          / CAST(len(text) AS DOUBLE) < 0.1
+                          / nullif(CAST(len(text) AS DOUBLE), 0) < 0.1
                      THEN 0.3 ELSE 0.0 END), 1)"""
 
 
@@ -255,10 +255,10 @@ _QUALITY_SCORE_SQL = """round(
     SELECT doc_id,
            len(text) AS n_chars_m,
            len(regexp_extract_all(trim(text), '\\S+')) AS n_words,
-           round(len(regexp_extract_all(text, '[^a-zA-Z0-9_ \\t\\n\\r]')) / CAST(len(text) AS DOUBLE), 6) AS punct_ratio,
+           round(len(regexp_extract_all(text, '[^a-zA-Z0-9_ \\t\\n\\r]')) / nullif(CAST(len(text) AS DOUBLE), 0), 6) AS punct_ratio,
            round(len(regexp_extract_all(text, '\\b(the|a|and|is|of|to|in|that|it|on)\\b'))
-                 / CAST(len(regexp_extract_all(trim(text), '\\S+')) AS DOUBLE), 6) AS stop_ratio,
-           round(len(text) / CAST(len(regexp_extract_all(trim(text), '\\S+')) AS DOUBLE), 6) AS avg_word_len,
+                 / nullif(CAST(len(regexp_extract_all(trim(text), '\\S+')) AS DOUBLE), 0), 6) AS stop_ratio,
+           round(len(text) / nullif(CAST(len(regexp_extract_all(trim(text), '\\S+')) AS DOUBLE), 0), 6) AS avg_word_len,
            {_QUALITY_SCORE_SQL} AS quality_score
     FROM documents
     WHERE doc_id < 200

@@ -33,6 +33,10 @@ FUZZED_QUERIES = [
     "mixture_rebalance",
     "dedup_exact",
     "dedup_normalized",
+    "dedup_ngram_jaccard",
+    "text_token_counts",
+    "text_quality",
+    "doc_fingerprint",
 ]
 
 _settings = settings(
