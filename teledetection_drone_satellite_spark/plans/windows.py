@@ -89,8 +89,12 @@ def sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 def session_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, ("events",))["events"]
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(by_user).cast("long")
-    is_new = F.when(gap <= 30 * 60, 0).otherwise(1)
+    # unix_micros, NOT cast("long"): the cast truncates to whole seconds, so a
+    # gap of 30min + 1us would wrongly read as exactly 30min and keep the
+    # session open — found by oracle-parity fuzzing on boundary timestamps
+    # (the oracle's interval comparison is full-precision)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(by_user)
+    is_new = F.when(gap <= 30 * 60 * 1_000_000, 0).otherwise(1)
     running = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

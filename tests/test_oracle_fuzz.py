@@ -74,13 +74,83 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
-        if pd.api.types.is_float_dtype(s):
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(s):
             df[c] = s.round(9)
         elif s.dtype == object:
             df[c] = s.map(str)
         else:
             df[c] = s.astype("float64") if pd.api.types.is_numeric_dtype(s) else s
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+# events-only window/analytic queries — timestamp semantics (truncation,
+# interval windows, gap sessionization, lag ordering) are the classic
+# cross-engine divergence surface
+FUZZED_EVENT_QUERIES = [
+    "tumbling_hourly",
+    "sliding_2h_1h",
+    "session_count",
+    "running_metrics",
+    "lifecycle_summary",
+    "analytic_lag_cumsum",
+]
+
+_event_types = ["click", "view", "signup", "purchase", "error"]
+
+
+@st.composite
+def _events(draw):
+    n = draw(st.integers(1, 40))
+    base = pd.Timestamp("2024-03-01")
+    # offsets cluster around hour/window boundaries on purpose: exact-boundary
+    # timestamps are where window/gap semantics can disagree between engines
+    offs_s = [
+        draw(
+            st.one_of(
+                st.integers(0, 3 * 86400),                 # anywhere in 3 days
+                st.integers(0, 72).map(lambda h: h * 3600),  # exactly on an hour
+                st.integers(0, 71).map(lambda h: h * 3600 + 1800),  # half past
+            )
+        )
+        for _ in range(n)
+    ]
+    micros = [draw(st.integers(0, 999_999)) for _ in range(n)]
+    return pd.DataFrame(
+        {
+            "event_id": pd.array(range(n), dtype="int64"),
+            "ts": [
+                base + pd.Timedelta(seconds=s, microseconds=us)
+                for s, us in zip(offs_s, micros)
+            ],
+            "user_id": pd.array(
+                [draw(st.integers(0, 5)) for _ in range(n)], dtype="int64"
+            ),
+            "event_type": [draw(st.sampled_from(_event_types)) for _ in range(n)],
+            "value": [round(draw(st.integers(0, 10_000)) / 100.0, 2) for _ in range(n)],
+            "props": ['{"k": 1}'] * n,
+        }
+    )
+
+
+@_settings
+@given(events=_events())
+def test_window_queries_match_oracle_on_random_events(spark, tmp_path_factory, events):
+    d = str(tmp_path_factory.mktemp("fuzz_ev"))
+    events["ts"] = events["ts"].astype("datetime64[us]")
+    events.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    for name in FUZZED_EVENT_QUERIES:
+        q = REGISTRY[name]
+        got = _normalize(q.fn(spark, d).toPandas())
+        want = _normalize(con.execute(q.oracle).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
 
 
 @_settings
