@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 import duckdb
+import numpy as np
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -145,6 +146,48 @@ def test_window_queries_match_oracle_on_random_events(spark, tmp_path_factory, e
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
     )
     for name in FUZZED_EVENT_QUERIES:
+        q = REGISTRY[name]
+        got = _normalize(q.fn(spark, d).toPandas())
+        want = _normalize(con.execute(q.oracle).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
+
+
+@st.composite
+def _embeddings(draw):
+    n = draw(st.integers(6, 20))
+    dim = 16
+    vecs = []
+    for i in range(n):
+        v = [draw(st.integers(1, 100)) / 50.0 - 1.0 for _ in range(dim)]
+        if all(abs(x) < 1e-9 for x in v):
+            v[0] = 1.0  # cosine of a zero vector is undefined in both engines
+        vecs.append(v)
+    # force one true near-duplicate pair so the threshold path is exercised
+    if draw(st.booleans()):
+        vecs[1] = [x * 1.01 for x in vecs[0]]
+    return pd.DataFrame(
+        {
+            "vec_id": pd.array(range(n), dtype="int64"),
+            "embedding": [np.array(v, dtype=np.float32) for v in vecs],
+            "label": pd.array([i % 3 for i in range(n)], dtype="int32"),
+        }
+    )
+
+
+@_settings
+@given(emb=_embeddings())
+def test_similarity_queries_match_oracle_on_random_embeddings(
+    spark, tmp_path_factory, emb
+):
+    d = str(tmp_path_factory.mktemp("fuzz_emb"))
+    emb.to_parquet(os.path.join(d, "embeddings.parquet"), index=False)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d}/embeddings.parquet')"
+    )
+    for name in ("similarity_topk", "embedding_near_dup"):
         q = REGISTRY[name]
         got = _normalize(q.fn(spark, d).toPandas())
         want = _normalize(con.execute(q.oracle).fetchdf())
