@@ -96,6 +96,7 @@ FUZZED_EVENT_QUERIES = [
     "running_metrics",
     "lifecycle_summary",
     "analytic_lag_cumsum",
+    "interval_expiry",  # events straddle its fixed 2024-01-15 cutoff below
 ]
 
 _event_types = ["click", "view", "signup", "purchase", "error"]
@@ -104,7 +105,7 @@ _event_types = ["click", "view", "signup", "purchase", "error"]
 @st.composite
 def _events(draw):
     n = draw(st.integers(1, 40))
-    base = pd.Timestamp("2024-03-01")
+    base = pd.Timestamp("2024-01-14")  # 3-day span straddles interval_expiry's cutoff
     # offsets cluster around hour/window boundaries on purpose: exact-boundary
     # timestamps are where window/gap semantics can disagree between engines
     offs_s = [
