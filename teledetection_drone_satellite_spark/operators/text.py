@@ -78,14 +78,20 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     # nullif on the denominators: empty/whitespace-only docs have 0 chars or
     # 0 words, and under ANSI mode a bare /0 ABORTS THE JOB instead of
     # yielding NULL — ratios are explicitly NULL there (oracle: same nullif)
-    punct_ratio = F.round(n_punct / F.nullif(n_chars.cast("double"), F.lit(0.0)), 6)
-    stop_ratio = F.round(n_stop / F.nullif(n_words.cast("double"), F.lit(0.0)), 6)
-    avg_word_len = F.round(n_chars / F.nullif(n_words.cast("double"), F.lit(0.0)), 6)
-    # score: in-range word length (3..12), some stopwords, low punctuation
+    punct_raw = n_punct / F.nullif(n_chars.cast("double"), F.lit(0.0))
+    stop_raw = n_stop / F.nullif(n_words.cast("double"), F.lit(0.0))
+    awl_raw = n_chars / F.nullif(n_words.cast("double"), F.lit(0.0))
+    punct_ratio = F.round(punct_raw, 6)
+    stop_ratio = F.round(stop_raw, 6)
+    avg_word_len = F.round(awl_raw, 6)
+    # score: in-range word length (3..12), some stopwords, low punctuation.
+    # Thresholds test the UNROUNDED ratios — the oracle's CASE expressions do
+    # (rounding first would flip a ratio sitting inside the 5e-7 rounding
+    # band of a threshold, a fixture-masked parity divergence)
     score = (
-        F.when((avg_word_len >= 3) & (avg_word_len <= 12), F.lit(0.4)).otherwise(F.lit(0.0))
-        + F.when(stop_ratio > 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
-        + F.when(punct_ratio < 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
+        F.when((awl_raw >= 3) & (awl_raw <= 12), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(stop_raw > 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(punct_raw < 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
     )
     # lengths cast to long: DuckDB len() yields BIGINT and the driver compares schemas
     return df.select(

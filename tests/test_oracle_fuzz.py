@@ -13,6 +13,7 @@ DuckDB oracle side by side with the check_oracles normalization.
 from __future__ import annotations
 
 import os
+import sys
 
 import duckdb
 import numpy as np
@@ -21,6 +22,14 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from teledetection_drone_satellite_spark.plans import REGISTRY
+
+# THE normalization is the grading gate's — one definition of oracle parity,
+# not a drifting copy (check_oracles handles datetimes, float rounding, and
+# order-insensitive list rendering identically to the driver's hash)
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts")
+)
+from check_oracles import _normalize as _gate_normalize  # noqa: E402
 
 # documents-only queries from the corpus tier + the dedup/text core
 FUZZED_QUERIES = [
@@ -71,19 +80,21 @@ def _corpus(draw):
     )
 
 
-def _normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        s = df[c]
-        if pd.api.types.is_datetime64_any_dtype(s):
-            df[c] = s.astype("datetime64[us]").astype(str)
-        elif pd.api.types.is_float_dtype(s):
-            df[c] = s.round(9)
-        elif s.dtype == object:
-            df[c] = s.map(str)
-        else:
-            df[c] = s.astype("float64") if pd.api.types.is_numeric_dtype(s) else s
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+def _assert_parity(spark, data_dir: str, table: str, query_names) -> None:
+    """Write-side tables already sit in ``data_dir``; run each registry query
+    in Spark AND its DuckDB oracle over the same parquet and compare with the
+    grading gate's own normalization."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {table} AS SELECT * FROM read_parquet('{data_dir}/{table}.parquet')"
+    )
+    for name in query_names:
+        q = REGISTRY[name]
+        got = _gate_normalize(q.fn(spark, data_dir).toPandas())
+        want = _gate_normalize(con.execute(q.oracle).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
 
 
 # events-only window/analytic queries — timestamp semantics (truncation,
@@ -118,7 +129,12 @@ def _events(draw):
         )
         for _ in range(n)
     ]
-    micros = [draw(st.integers(0, 999_999)) for _ in range(n)]
+    # half the draws force micros == 0 so the hour/half-past branches land
+    # EXACTLY on a boundary (the == cases of window/gap/expiry comparisons);
+    # the rest add a random sub-second component (the 1us-past cases)
+    micros = [
+        draw(st.one_of(st.just(0), st.integers(0, 999_999))) for _ in range(n)
+    ]
     return pd.DataFrame(
         {
             "event_id": pd.array(range(n), dtype="int64"),
@@ -142,17 +158,7 @@ def test_window_queries_match_oracle_on_random_events(spark, tmp_path_factory, e
     d = str(tmp_path_factory.mktemp("fuzz_ev"))
     events["ts"] = events["ts"].astype("datetime64[us]")
     events.to_parquet(os.path.join(d, "events.parquet"), index=False)
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
-    )
-    for name in FUZZED_EVENT_QUERIES:
-        q = REGISTRY[name]
-        got = _normalize(q.fn(spark, d).toPandas())
-        want = _normalize(con.execute(q.oracle).fetchdf())
-        assert list(got.columns) == list(want.columns), name
-        assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
-        pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
+    _assert_parity(spark, d, "events", FUZZED_EVENT_QUERIES)
 
 
 @st.composite
@@ -184,17 +190,7 @@ def test_similarity_queries_match_oracle_on_random_embeddings(
 ):
     d = str(tmp_path_factory.mktemp("fuzz_emb"))
     emb.to_parquet(os.path.join(d, "embeddings.parquet"), index=False)
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d}/embeddings.parquet')"
-    )
-    for name in ("similarity_topk", "embedding_near_dup"):
-        q = REGISTRY[name]
-        got = _normalize(q.fn(spark, d).toPandas())
-        want = _normalize(con.execute(q.oracle).fetchdf())
-        assert list(got.columns) == list(want.columns), name
-        assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
-        pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
+    _assert_parity(spark, d, "embeddings", ("similarity_topk", "embedding_near_dup"))
 
 
 @_settings
@@ -202,14 +198,4 @@ def test_similarity_queries_match_oracle_on_random_embeddings(
 def test_corpus_queries_match_oracle_on_random_tables(spark, tmp_path_factory, docs):
     d = str(tmp_path_factory.mktemp("fuzz"))
     docs.to_parquet(os.path.join(d, "documents.parquet"), index=False)
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
-    )
-    for name in FUZZED_QUERIES:
-        q = REGISTRY[name]
-        got = _normalize(q.fn(spark, d).toPandas())
-        want = _normalize(con.execute(q.oracle).fetchdf())
-        assert list(got.columns) == list(want.columns), name
-        assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
-        pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
+    _assert_parity(spark, d, "documents", FUZZED_QUERIES)
