@@ -109,7 +109,7 @@ def json_access(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events,
            CAST(sum(CASE WHEN json_valid(pj) THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt,
            CAST(sum(CASE WHEN json_valid(pj)
-                         THEN CAST(json_extract_string(pj, '$.k') AS BIGINT)
+                         THEN coalesce(CAST(json_extract_string(pj, '$.k') AS BIGINT), 0)
                          ELSE 0 END) AS BIGINT) AS k_total
     FROM p
     GROUP BY event_type

@@ -108,7 +108,18 @@ FUZZED_EVENT_QUERIES = [
     "lifecycle_summary",
     "analytic_lag_cumsum",
     "interval_expiry",  # events straddle its fixed 2024-01-15 cutoff below
+    "json_access",
+    "json_typed_parse",
 ]
+
+# props within the FIXTURES contract ({"k": int} / empty object), with
+# whitespace and sign/magnitude variation — k extraction, NULL-key grouping,
+# and the corrupt-record truncation path all get exercised
+_props = st.one_of(
+    st.integers(-1_000_000, 1_000_000).map(lambda k: f'{{"k": {k}}}'),
+    st.integers(0, 99).map(lambda k: f'{{ "k" : {k} }}'),
+    st.just("{}"),
+)
 
 _event_types = ["click", "view", "signup", "purchase", "error"]
 
@@ -147,7 +158,7 @@ def _events(draw):
             ),
             "event_type": [draw(st.sampled_from(_event_types)) for _ in range(n)],
             "value": [round(draw(st.integers(0, 10_000)) / 100.0, 2) for _ in range(n)],
-            "props": ['{"k": 1}'] * n,
+            "props": [draw(_props) for _ in range(n)],
         }
     )
 
