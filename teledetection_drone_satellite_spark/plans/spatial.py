@@ -200,7 +200,15 @@ def spatial_exact_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     coarse = bbox_join(points, polys)
     exact = coarse.filter(point_in_polygon(F.col("lon"), F.col("lat"), F.col("poly_wkt")))
-    return exact.groupBy("poly_id").agg(F.count("*").alias("n_inside"))
+    # one row PER POLYGON even when nothing lands inside (the oracle's
+    # constant-projection count has that shape; a bare groupBy would emit
+    # ZERO rows on an empty refine — fixture-masked, caught by fuzzing)
+    counts = exact.groupBy("poly_id").agg(F.count("*").alias("n_inside"))
+    return (
+        polys.select("poly_id")
+        .join(counts, "poly_id", "left")
+        .select("poly_id", F.coalesce("n_inside", F.lit(0)).alias("n_inside"))
+    )
 
 
 from ..operators.spatial import morton_sql, zorder_key  # noqa: E402

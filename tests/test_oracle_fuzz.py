@@ -204,6 +204,89 @@ def test_similarity_queries_match_oracle_on_random_embeddings(
     _assert_parity(spark, d, "embeddings", ("similarity_topk", "embedding_near_dup"))
 
 
+# customer(+nation)-based scalar/spatial queries — Java-vs-DuckDB regex
+# semantics, lpad truncation, modulo point synthesis, bbox/grid arithmetic
+FUZZED_CUSTOMER_QUERIES = [
+    "point_lookup_pk",
+    "point_lookup_fallback",
+    "fk_join_rollup",
+    "validation_flags",
+    "coord_validation",
+    "normalized_lookup",
+    "updated_at_merge",
+    "bbox_aggregate_per_group",
+    "bbox_contains_join",
+    "grid_cell_rollup",
+    "spatial_exact_refine",
+    "zorder_layout",
+]
+
+_name_piece = st.sampled_from(
+    ["Customer#", "ACME ", "ümlaut", "#42#", "a.b+c", "知", "", "X_%"]
+)
+
+
+@st.composite
+def _customers(draw):
+    n = draw(st.integers(1, 30))
+    # sparse keys incl. huge ones: lpad(cast(key as string), 12) must truncate
+    # identically in both engines when the key exceeds 12 digits
+    keys = sorted(
+        draw(
+            st.sets(
+                st.one_of(st.integers(0, 300), st.integers(10**12, 10**14)),
+                min_size=n,
+                max_size=n,
+            )
+        )
+    )
+    nat = pd.DataFrame(
+        {
+            "n_nationkey": pd.array(range(25), dtype="int32"),
+            "n_name": [f"NATION_{i}" for i in range(25)],
+            "n_regionkey": pd.array([i % 5 for i in range(25)], dtype="int32"),
+        }
+    )
+    cust = pd.DataFrame(
+        {
+            "c_custkey": pd.array(keys, dtype="int64"),
+            "c_name": [
+                draw(_name_piece) + draw(_name_piece) + str(k) for k in keys
+            ],
+            "c_nationkey": pd.array(
+                [draw(st.integers(0, 24)) for _ in keys], dtype="int32"
+            ),
+            "c_acctbal": [round(draw(st.integers(-999999, 999999)) / 100.0, 2) for _ in keys],
+            "c_mktsegment": [
+                draw(st.sampled_from(["BUILDING", "MACHINERY", "HOUSEHOLD"]))
+                for _ in keys
+            ],
+        }
+    )
+    return cust, nat
+
+
+@_settings
+@given(data=_customers())
+def test_customer_queries_match_oracle_on_random_tables(spark, tmp_path_factory, data):
+    cust, nat = data
+    d = str(tmp_path_factory.mktemp("fuzz_cust"))
+    cust.to_parquet(os.path.join(d, "customer.parquet"), index=False)
+    nat.to_parquet(os.path.join(d, "nation.parquet"), index=False)
+    con = duckdb.connect()
+    for t in ("customer", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    for name in FUZZED_CUSTOMER_QUERIES:
+        q = REGISTRY[name]
+        got = _gate_normalize(q.fn(spark, d).toPandas())
+        want = _gate_normalize(con.execute(q.oracle).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
+
+
 @_settings
 @given(docs=_corpus())
 def test_corpus_queries_match_oracle_on_random_tables(spark, tmp_path_factory, docs):
