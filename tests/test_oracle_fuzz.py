@@ -287,6 +287,60 @@ def test_customer_queries_match_oracle_on_random_tables(spark, tmp_path_factory,
         pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
 
 
+# orders-only relational queries — pagination/top-k tie-breaks, ROLLUP null
+# markers, set ops, enum/date predicates. Heavy duplication in every sort key
+# is the point: ties are where LIMIT-bearing queries diverge.
+FUZZED_ORDERS_QUERIES = [
+    "conjunctive_filter",
+    "enum_membership",
+    "access_predicate",
+    "pagination_page",
+    "pagination_keyset",
+    "topk_priority",
+    "latest_per_group",
+    "count_pagination_meta",
+    "status_breakdown",
+    "rollup_status_priority",
+    "distinct_count",
+    "set_ops_nations",
+    "time_trunc_rollup",
+]
+
+_priorities = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@st.composite
+def _orders(draw):
+    n = draw(st.integers(1, 60))
+    keys = sorted(draw(st.sets(st.integers(0, 10**6), min_size=n, max_size=n)))
+    # few distinct dates/prices -> massive ties in every ordering key
+    dates = [
+        pd.Timestamp("1996-01-01")
+        + pd.Timedelta(days=draw(st.integers(0, 3)) * 31)
+        for _ in keys
+    ]
+    return pd.DataFrame(
+        {
+            "o_orderkey": pd.array(keys, dtype="int64"),
+            "o_custkey": pd.array(
+                [draw(st.integers(0, 8)) for _ in keys], dtype="int64"
+            ),
+            "o_orderstatus": [draw(st.sampled_from(["P", "F", "O"])) for _ in keys],
+            "o_totalprice": [draw(st.sampled_from([100.0, 250.5, 999.99])) for _ in keys],
+            "o_orderdate": pd.Series(dates, dtype="datetime64[us]"),
+            "o_orderpriority": [draw(st.sampled_from(_priorities)) for _ in keys],
+        }
+    )
+
+
+@_settings
+@given(orders=_orders())
+def test_orders_queries_match_oracle_on_random_tables(spark, tmp_path_factory, orders):
+    d = str(tmp_path_factory.mktemp("fuzz_ord"))
+    orders.to_parquet(os.path.join(d, "orders.parquet"), index=False)
+    _assert_parity(spark, d, "orders", FUZZED_ORDERS_QUERIES)
+
+
 @_settings
 @given(docs=_corpus())
 def test_corpus_queries_match_oracle_on_random_tables(spark, tmp_path_factory, docs):
