@@ -341,6 +341,62 @@ def test_orders_queries_match_oracle_on_random_tables(spark, tmp_path_factory, o
     _assert_parity(spark, d, "orders", FUZZED_ORDERS_QUERIES)
 
 
+@st.composite
+def _lineitems(draw, order_keys):
+    n = draw(st.integers(1, 50))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                draw(st.sampled_from(order_keys)),
+                draw(st.integers(0, 100)),
+                draw(st.integers(0, 20)),
+                i % 7 + 1,
+                float(draw(st.integers(1, 50))),
+                draw(st.sampled_from([100.0, 2500.25, 90000.5])),
+                draw(st.sampled_from([0.0, 0.05, 0.1])),
+                draw(st.sampled_from([0.0, 0.08])),
+                draw(st.sampled_from(["A", "N", "R"])),
+                draw(st.sampled_from(["O", "F"])),
+                pd.Timestamp("1996-01-01")
+                + pd.Timedelta(days=draw(st.integers(0, 400))),
+            )
+        )
+    df = pd.DataFrame(
+        rows,
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+            "l_linestatus", "l_shipdate",
+        ],
+    )
+    df["l_linenumber"] = df["l_linenumber"].astype("int32")
+    df["l_shipdate"] = df["l_shipdate"].astype("datetime64[us]")
+    return df
+
+
+@_settings
+@given(data=st.data())
+def test_lineitem_queries_match_oracle_on_random_tables(spark, tmp_path_factory, data):
+    orders = data.draw(_orders())
+    line = data.draw(_lineitems(order_keys=list(orders["o_orderkey"])))
+    d = str(tmp_path_factory.mktemp("fuzz_li"))
+    orders.to_parquet(os.path.join(d, "orders.parquet"), index=False)
+    line.to_parquet(os.path.join(d, "lineitem.parquet"), index=False)
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    for name in ("range_filter", "bucketed_colocated_join", "range_join_temporal"):
+        q = REGISTRY[name]
+        got = _gate_normalize(q.fn(spark, d).toPandas())
+        want = _gate_normalize(con.execute(q.oracle).fetchdf())
+        assert list(got.columns) == list(want.columns), name
+        assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
+
+
 @_settings
 @given(docs=_corpus())
 def test_corpus_queries_match_oracle_on_random_tables(spark, tmp_path_factory, docs):
