@@ -73,14 +73,22 @@ def validation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "json_access",
     oracle="""
-    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
-           count(*) AS n,
-           round(avg(value), 4) AS avg_value
-    FROM events
-    GROUP BY 1
+    SELECT k_bucket, n,
+           ((csum * 200 + n) // (2 * n)) / 10000.0 AS avg_value
+    FROM (
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+               count(*) AS n,
+               sum(CAST(round(value * 100, 0) AS BIGINT)) AS csum
+        FROM events
+        GROUP BY 1
+    )
     """,
     doc="C15: JSONB path access (init.sql:49,63,...; events.props per FIXTURES §B). "
-    "get_json_object stays JVM-side — no Python in the hot path.",
+    "get_json_object stays JVM-side — no Python in the hot path. The 4-decimal "
+    "mean accumulates exact integer cents and rounds via the (2a+b) div (2b) "
+    "half-up identity (round(avg(double),4) of a cents ratio can land on an "
+    "unrepresentable decimal half where the engines' round() disagree — the "
+    "running_metrics divergence class).",
     tags=("scalar",),
 )
 def json_access(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,10 +96,15 @@ def json_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.select(
             (fn.json_get(F.col("props"), "k").cast("bigint") % 10).alias("k_bucket"),
-            "value",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
         )
         .groupBy("k_bucket")
-        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("csum"))
+        .select(
+            "k_bucket",
+            "n",
+            (F.expr("(csum * 200 + n) div (2 * n)") / 10000.0).alias("avg_value"),
+        )
     )
 
 
@@ -222,15 +235,24 @@ def interval_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "array_ops",
     oracle="""
-    SELECT lang,
-           count(*) AS n_docs,
-           CAST(sum(CASE WHEN list_contains(string_split(text, ' '), 'spark') THEN 1 ELSE 0 END) AS BIGINT) AS n_with_spark,
-           round(avg(len(string_split(text, ' '))), 4) AS avg_words
-    FROM documents
-    GROUP BY lang
+    SELECT lang, n_docs, n_with_spark,
+           ((2 * wsum * 10000 + n_docs) // (2 * n_docs)) / 10000.0 AS avg_words
+    FROM (
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN list_contains(string_split(text, ' '), 'spark') THEN 1 ELSE 0 END) AS BIGINT) AS n_with_spark,
+               sum(len(string_split(text, ' '))) AS wsum
+        FROM documents
+        GROUP BY lang
+    )
     """,
     doc="C16: array ops on tokenized text (tags TEXT[] init.sql:31; split/size/"
-    "array_contains are the Spark homes of the reference's list handling).",
+    "array_contains are the Spark homes of the reference's list handling). The "
+    "4-decimal mean stays in exact integer arithmetic through rounding — "
+    "half-up(S*1e4/n) via the (2*S*1e4+n) div (2n) identity — because "
+    "round(avg(...), 4) of an integer ratio can land on an unrepresentable "
+    "decimal half where the engines' round() disagree (the running_metrics "
+    "divergence class, observed at sf0.1).",
     tags=("scalar",),
 )
 def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,7 +268,15 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("has_spark").alias("n_with_spark"),
-            F.round(F.avg("n_words"), 4).alias("avg_words"),
+            F.sum("n_words").alias("wsum"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_with_spark",
+            (
+                F.expr("(2 * wsum * 10000 + n_docs) div (2 * n_docs)") / 10000.0
+            ).alias("avg_words"),
         )
     )
 

@@ -112,21 +112,31 @@ def session_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "running_metrics",
     oracle="""
-    SELECT event_id, event_type,
-           count(*) OVER w AS running_count,
-           round(sum(value_cents) OVER w / 100.0 / count(*) OVER w, 6) AS running_avg
+    SELECT event_id, event_type, running_count,
+           ((rsum * 20000 + running_count) // (2 * running_count)) / 1000000.0
+               AS running_avg
     FROM (
-        SELECT event_id, event_type, ts,
-               CAST(round(value * 100, 0) AS BIGINT) AS value_cents
-        FROM events
+        SELECT event_id, event_type,
+               count(*) OVER w AS running_count,
+               sum(value_cents) OVER w AS rsum
+        FROM (
+            SELECT event_id, event_type, ts,
+                   CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+            FROM events
+        )
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
-    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
     doc="A4/T4: running count + running mean per request class "
-    "(api-gateway/middleware.py:68-95), as an analytic window. The mean accumulates "
-    "exact integer cents (value has 2 decimals) — float running sums differ in the "
-    "last ulp across engines and flip the rounded digit.",
+    "(api-gateway/middleware.py:68-95), as an analytic window. The mean stays in "
+    "EXACT integer arithmetic all the way through the 6-decimal rounding: "
+    "half-up(S*1e4/n) = (2*S*1e4 + n) div (2n) in integer micro-units, then one "
+    "exact /1e6. round(S/100.0/n, 6) instead lands on an UNREPRESENTABLE "
+    "decimal half for some (S, n) — e.g. S=9124154, n=1856 -> exactly "
+    "...03125 — and the engines round the nearest double differently "
+    "(observed: 1 row in 100k at sf0.1). Nonnegative sums by data contract "
+    "(value >= 0); the floor identity is half-TOWARD-+inf for negatives.",
     tags=("window", "events"),
 )
 def running_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,8 +153,15 @@ def running_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "event_type",
             F.count("*").over(w).alias("running_count"),
-            F.round(
-                F.sum("value_cents").over(w) / 100.0 / F.count("*").over(w), 6
+            F.sum("value_cents").over(w).alias("rsum"),
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "running_count",
+            (
+                F.expr("(rsum * 20000 + running_count) div (2 * running_count)")
+                / 1000000.0
             ).alias("running_avg"),
         )
     )
