@@ -27,12 +27,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ §2.11 extensions).
 
-    Iteration order rotates: names whose latest CORRECTNESS_r{N}.json row
-    PASSED (incl. by-design rows-only rows) move to the back
-    (plans/registry.py::_rotated); failures stay at the front so the next
-    round re-grades them immediately. A driver that samples the first 50 of
-    80+ queries thus cycles full coverage every two rounds instead of starving
-    a fixed tail. scripts/check_oracles.py (committed per round as
+    Iteration order prioritizes stale grading evidence
+    (plans/registry.py::_rotated): last round's failures first, then queries
+    never yet graded at full depth (new registrations and newly-oracled
+    names), then everything else stalest-first by last fully-graded round.
+    A driver that samples the first 50 queries thus cycles full coverage
+    every ceil(N/50) rounds (3 at the current registry size) instead of
+    starving a fixed tail. scripts/check_oracles.py (committed per round as
     ORACLES_r{N}.txt) still checks every query every round."""
     return plans.queries()
 

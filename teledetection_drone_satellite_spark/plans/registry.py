@@ -52,58 +52,83 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
     return deco
 
 
-def _last_graded_passes() -> frozenset[str]:
-    """Query names graded GREEN in the most recent driver CORRECTNESS_r{N}.json.
+def _grading_history() -> tuple[frozenset[str], dict[str, int]]:
+    """Scan ALL driver CORRECTNESS_r{N}.json files for per-query grading depth.
 
-    The driver grades only the first 50 registry entries per round, so with 80+
-    registered queries a fixed registration order starves the tail of grading
-    evidence forever.  Reading back the latest round's graded set lets
-    ``queries()`` rotate it to the back, so coverage cycles: every query lands
-    inside the driver's 50-query window at least every other round.
+    Returns ``(latest_failures, last_full_grade)`` where ``latest_failures``
+    is the set of names that FAILED in the most recent round, and
+    ``last_full_grade[name]`` is the most recent round in which the query
+    achieved its maximum gradeable depth:
 
-    Only PASSED names rotate out: a query that failed (or errored) last round
-    stays at the FRONT of the order so the very next round re-grades it —
-    rotating failures back would delay regression confirmation a full cycle.
+      - oracle-bearing query: an oracle row with ``hash_match`` true;
+      - rows-only-by-nature query (no oracle registered): a ``no_oracle``
+        row that ran.  A ``no_oracle`` row for a query that NOW has an
+        oracle does NOT count — the query was graded before its oracle
+        existed and must re-enter the window for hash-graded evidence.
     """
     root = Path(__file__).resolve().parents[2]
-    latest, latest_n = None, -1
+    rounds: list[tuple[int, Path]] = []
     for p in root.glob("CORRECTNESS_r*.json"):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
-        if m and int(m.group(1)) > latest_n:
-            latest, latest_n = p, int(m.group(1))
-    if latest is None:
-        return frozenset()
-    try:
-        graded = json.loads(latest.read_text())
-    except (OSError, ValueError):
-        return frozenset()
-    if not isinstance(graded, dict):
-        return frozenset(graded)  # legacy shape: a bare name list — treat all as passed
-
-    def passed(row) -> bool:
-        if not isinstance(row, dict):
-            return True
-        # 'no_oracle' marks a rows-only check that RAN (by design) — that row
-        # was graded as deeply as it can be, so it rotates like a pass; any
-        # other err is a real failure and stays at the front.
-        if row.get("err") not in (None, "no_oracle"):
-            return False
-        # rows-only checks carry no *_match keys; any present must be true
-        return all(v for k, v in row.items() if k.endswith("_match") and v is not None)
-
-    return frozenset(name for name, row in graded.items() if passed(row))
+        if m:
+            rounds.append((int(m.group(1)), p))
+    rounds.sort()
+    last_full: dict[str, int] = {}
+    latest_fail: frozenset[str] = frozenset()
+    for n, p in rounds:
+        try:
+            graded = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(graded, dict):  # legacy shape: bare name list
+            for name in graded:
+                last_full[name] = n
+            continue
+        fails: set[str] = set()
+        for name, row in graded.items():
+            if not isinstance(row, dict):
+                last_full[name] = n
+                continue
+            err = row.get("err")
+            ok = err in (None, "no_oracle") and all(
+                v for k, v in row.items() if k.endswith("_match") and v is not None
+            )
+            if not ok:
+                fails.add(name)
+                continue
+            q = REGISTRY.get(name)
+            has_oracle = q is not None and q.oracle is not None
+            if has_oracle and row.get("hash_match") is True:
+                last_full[name] = n
+            elif not has_oracle and err == "no_oracle":
+                last_full[name] = n
+        latest_fail = frozenset(fails)  # loop ends on the most recent round
+    return latest_fail, last_full
 
 
 def _rotated() -> list[Query]:
-    """Registry entries, last round's PASSED names rotated to the back.
+    """Registry entries ordered by grading priority (stalest evidence first).
 
-    Relative registration order is preserved within each group, so the
-    rotation is deterministic and the full cycle period is two rounds;
-    last round's failures (never rotated) stay inside the next graded window.
+    The driver grades only the first 50 registry entries per round, so with
+    100+ registered queries a fixed order starves the tail of grading
+    evidence.  Order: (1) last round's FAILURES — re-graded immediately;
+    (2) queries that have never reached full grading depth (new
+    registrations, and queries whose oracle was added after their last
+    driver look) — registration order; (3) everything else by ascending
+    last-fully-graded round, so the full coverage cycle period is
+    ceil(N/50) rounds (3 rounds at the current registry size) and no name
+    can go longer than that without a fresh driver row.
     """
-    graded = _last_graded_passes()
+    latest_fail, last_full = _grading_history()
     entries = list(REGISTRY.values())
-    return [q for q in entries if q.name not in graded] + [q for q in entries if q.name in graded]
+
+    def key(idx_q: tuple[int, Query]) -> tuple[int, int, int]:
+        i, q = idx_q
+        if q.name in latest_fail:
+            return (0, 0, i)
+        return (1, last_full.get(q.name, -1), i)
+
+    return [q for _, q in sorted(enumerate(entries), key=key)]
 
 
 def queries() -> dict[str, QueryFn]:

@@ -26,25 +26,40 @@ def test_bench_line_fits_driver_tail_buffer():
     assert all(n in line2["queries"] for n in bench.HEADLINE)
 
 
-def test_rotation_keeps_failures_at_front(tmp_path, monkeypatch):
-    graded = {
+def test_rotation_prioritizes_stale_grading_evidence(tmp_path, monkeypatch):
+    # Two synthetic rounds: r98 hash-greens range_filter; r99 hash-greens
+    # point_lookup_pk, fails dedup_exact, and grades stream_session_ttl
+    # rows-only (it has an oracle NOW, so that row must not count as full
+    # depth — the newly-oracled re-entry rule).
+    r98 = {"range_filter": {"err": None, "rows_match": True, "hash_match": True}}
+    r99 = {
         "point_lookup_pk": {"err": None, "rows_match": True, "hash_match": True},
-        "range_filter": {"err": None, "rows_match": False, "hash_match": False},
         "dedup_exact": {"err": "boom"},
         "dedup_simhash": {"err": "no_oracle", "rows_match": None},
+        "stream_session_ttl": {"err": "no_oracle", "rows_match": None},
     }
-    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(graded))
+    (tmp_path / "CORRECTNESS_r98.json").write_text(json.dumps(r98))
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(r99))
     real_glob = registry.Path.glob
     monkeypatch.setattr(
         registry.Path,
         "glob",
         lambda self, pat: real_glob(tmp_path, pat) if pat.startswith("CORRECTNESS") else real_glob(self, pat),
     )
-    passed = registry._last_graded_passes()
-    assert "point_lookup_pk" in passed  # clean pass rotates back
-    assert "dedup_simhash" in passed  # rows-only by design rotates back
-    assert "range_filter" not in passed  # hash failure stays at front
-    assert "dedup_exact" not in passed  # hard error stays at front
+    latest_fail, last_full = registry._grading_history()
+    assert latest_fail == {"dedup_exact"}  # hard error in the latest round
+    assert last_full["point_lookup_pk"] == 99
+    assert last_full["range_filter"] == 98
+    assert last_full["dedup_simhash"] == 99  # rows-only by nature: full depth
+    # stream_session_ttl has an oracle registered now, so its old rows-only
+    # row does NOT count — it must re-enter the window for hash evidence.
+    assert registry.REGISTRY["stream_session_ttl"].oracle is not None
+    assert "stream_session_ttl" not in last_full
+
     order = [q.name for q in registry._rotated()]
+    # failures first, then never-full-graded, then stalest-first
+    assert order.index("dedup_exact") < order.index("stream_session_ttl")
+    assert order.index("stream_session_ttl") < order.index("range_filter")
     assert order.index("range_filter") < order.index("point_lookup_pk")
-    assert order.index("dedup_exact") < order.index("dedup_simhash")
+    # dedup_simhash (fully graded r99) sorts with the freshest group
+    assert order.index("range_filter") < order.index("dedup_simhash")
