@@ -172,8 +172,14 @@ def duplicated_spans(df: DataFrame, window: int = 40, text_col: str = "text",
             F.count("*").alias("n_windows"),
             F.coalesce(F.sum("dup"), F.lit(0)).alias("n_dup_windows"),
         )
+        # exact-integer half-up at 6 decimals via (2a*10^6+b) div (2b): round()
+        # of a double integer-ratio can land on an unrepresentable decimal half
+        # where Spark and DuckDB round the SAME double differently (see
+        # plans/windows.py running_metrics for the original incident)
         .withColumn(
-            "dup_fraction", F.round(F.col("n_dup_windows") / F.col("n_windows"), 6)
+            "dup_fraction",
+            F.expr("(2 * n_dup_windows * 1000000 + n_windows) div (2 * n_windows)")
+            / 1000000.0,
         )
     )
     # docs shorter than the window have no positions; keep them with 0/0/NULL

@@ -48,6 +48,15 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def _unit(mat: np.ndarray) -> np.ndarray:
+    """Row-normalize with a zero-norm clamp: an all-zero embedding stays the
+    zero vector (cosine 0 against everything) instead of silently becoming
+    NaN codes/scores downstream."""
+    if mat.ndim == 1:
+        return mat / max(float(np.linalg.norm(mat)), 1e-12)
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
 # Driver-side query-set collects are bounded BY CONTRACT (a top-k request, not a
 # table); this enforces the contract instead of assuming it — exceeding it means
 # the caller passed a table where a query set belongs.
@@ -65,6 +74,15 @@ def _collect_queries(queries: DataFrame, max_queries: int) -> list:
     return rows
 
 
+def _empty_topk(df: DataFrame, score_col: str) -> DataFrame:
+    """Typed empty (query_id, vec_id, <score>, rank) frame — the top-k result
+    of an empty query set (part of the public contract; np.stack on an empty
+    LUT list would otherwise raise deep inside the operator)."""
+    return df.sparkSession.createDataFrame(
+        [], f"query_id long, vec_id long, {score_col} double, rank int"
+    )
+
+
 def brute_force_topk(
     base: DataFrame, queries: DataFrame, k: int = 10, max_queries: int = MAX_QUERY_SET
 ) -> DataFrame:
@@ -76,9 +94,11 @@ def brute_force_topk(
     (k rows per partition per query).
     """
     q_rows = _collect_queries(queries, max_queries)
+    if not q_rows:
+        return _empty_topk(base, "cosine")
     q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
-    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norm = _unit(q_mat)
     sc = base.sparkSession.sparkContext
     bq = sc.broadcast((q_ids, q_norm))
 
@@ -96,7 +116,7 @@ def brute_force_topk(
             if pdf.empty:
                 continue
             mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = _unit(mat)
             vids = pdf["vec_id"].values.astype(np.int64)
             sims = mat @ qn.T  # (n_base, n_queries)
             # per-partition pre-prune to k per query before the shuffle.
@@ -169,7 +189,7 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float, n_blocks: int = 8) ->
         b1, b2 = key
         ids = pdf["vec_id"].values.astype(np.int64)
         mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = _unit(mat)
         if b1 == b2:
             sims = mat @ mat.T
             ii, jj = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
@@ -379,7 +399,14 @@ def _kmeans_numpy(sample: np.ndarray, k: int, n_iter: int = 15, seed: int = 42) 
     centroids[0] = sample[rng.integers(len(sample))]
     d2 = ((sample - centroids[0]) ** 2).sum(axis=1)
     for c in range(1, k):
-        centroids[c] = sample[rng.choice(len(sample), p=d2 / d2.sum())]
+        tot = d2.sum()
+        if tot <= 0.0:
+            # all remaining points coincide with a chosen centroid (e.g. a PQ
+            # subspace where every vector has the same segment) — any centroid
+            # placement is equivalent; 0/0 would NaN-poison rng.choice
+            centroids[c:] = centroids[0]
+            break
+        centroids[c] = sample[rng.choice(len(sample), p=d2 / tot)]
         d2 = np.minimum(d2, ((sample - centroids[c]) ** 2).sum(axis=1))
     for _ in range(n_iter):
         d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
@@ -426,7 +453,7 @@ def build_ivf_index(
     # cluster UNIT vectors: searches rank by cosine, and Euclidean distance on
     # the unit sphere is monotone in cosine — cells then partition by the same
     # metric the search uses (raw-vector cells would split by magnitude too)
-    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    sample = _unit(sample)
     centroids = _kmeans_numpy(sample, k=n_centroids, seed=seed)
     bcent = base.sparkSession.sparkContext.broadcast(centroids)
 
@@ -444,7 +471,7 @@ def build_ivf_index(
             if pdf.empty:
                 continue
             mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = _unit(mat)
             # argmin ||x-c||^2 = argmin (||c||^2 - 2 x.c) — one matmul per batch
             d2 = (cents**2).sum(axis=1)[None, :] - 2.0 * (mat @ cents.T)
             yield pd.DataFrame(
@@ -484,7 +511,7 @@ def ivf_search(
     probe_rows = []
     for r in q_rows:
         qv = np.array(r["embedding"], dtype=np.float64)
-        d = np.linalg.norm(centroids - qv / np.linalg.norm(qv), axis=1)
+        d = np.linalg.norm(centroids - _unit(qv), axis=1)
         for cell in np.argsort(d, kind="stable")[:n_probe]:
             probe_rows.append((r["query_id"], int(cell), list(map(float, qv))))
     spark = assigned.sparkSession
@@ -546,7 +573,7 @@ def build_pq_index(
         .collect()
     )
     sample = np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
-    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    sample = _unit(sample)
     d = sample.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m} subspaces")
@@ -566,7 +593,7 @@ def build_pq_index(
             if pdf.empty:
                 continue
             mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = _unit(mat)
             codes = np.empty((len(mat), mm), dtype=np.int32)
             for j in range(mm):
                 seg = mat[:, j * ss : (j + 1) * ss]
@@ -626,11 +653,13 @@ def pq_topk(
         base, m=m, n_codes=n_codes, seed=seed, cache_key=cache_key
     )
     q_rows = _collect_queries(queries, max_queries)
+    if not q_rows:
+        return _empty_topk(base, "cosine" if rerank else "adc_score")
     mm, nk, ss = codebooks.shape
     luts, qids = [], []
     for r in q_rows:
         qv = np.array(r["embedding"], dtype=np.float64)
-        qv = qv / np.linalg.norm(qv)
+        qv = _unit(qv)
         luts.append(
             np.stack([codebooks[j] @ qv[j * ss : (j + 1) * ss] for j in range(mm)])
         )
@@ -758,7 +787,7 @@ def semantic_dup_pairs(
             if pdf.empty:
                 continue
             mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = _unit(mat)
             d2 = (cents**2).sum(axis=1)[None, :] - 2.0 * (mat @ cents.T)
             near = np.argsort(d2, axis=1, kind="stable")[:, :na]
             yield pd.DataFrame(
@@ -786,7 +815,7 @@ def semantic_dup_pairs(
         (cell,) = key
         ids = pdf["vec_id"].values.astype(np.int64)
         mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = _unit(mat)
         sims = mat @ mat.T
         ii, jj = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
         return pd.DataFrame(

@@ -37,7 +37,8 @@ from .registry import register
     SELECT d.doc_id,
            CAST(coalesce(per.n_windows, 0) AS BIGINT) AS n_windows,
            CAST(coalesce(per.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
-           round(per.n_dup_windows * 1.0 / per.n_windows, 6) AS dup_fraction
+           ((2 * per.n_dup_windows * 1000000 + per.n_windows)
+            // (2 * per.n_windows)) / 1000000.0 AS dup_fraction
     FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
     """,
     doc="Exact duplicated-substring coverage (Lee et al. suffix-array dedup "

@@ -421,7 +421,10 @@ def decode_png(content: bytes) -> "tuple[int, int, int, bytes] | None":
             elif ctype == b"IEND":
                 break
             pos += 12 + length
-        if not idat or width is None:
+        if not idat or not width or not height:
+            # 0x0/0-width streams decode "successfully" to zero pixels, but
+            # gray[0] downstream would IndexError in the executor — honor the
+            # documented None-fallback contract for degenerate geometry too
             return None
         stream = zlib.decompress(idat)
     except (zlib.error, struct.error):

@@ -351,3 +351,36 @@ def test_semantic_dup_pairs_subset_of_exact_and_finds_twins(spark, sf_dir):
     assert len(got) >= 0.5 * len(exact)  # the graded coverage floor
     for r in sem:
         assert r["cosine"] >= 0.45
+
+
+# --- degenerate-input guards (public operator surface, ADVICE r5) -----------------------
+
+
+def test_topk_empty_query_set_returns_typed_empty_frame(spark, sf_dir):
+    from teledetection_drone_satellite_spark.catalog import load
+
+    e = load(spark, sf_dir, ("embeddings",))["embeddings"]
+    empty_q = e.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for fn, score_col in (
+        (lambda: similarity.pq_topk(e, empty_q, k=5), "adc_score"),
+        (lambda: similarity.pq_topk(e, empty_q, k=5, rerank=20), "cosine"),
+        (lambda: similarity.brute_force_topk(e, empty_q, k=5), "cosine"),
+    ):
+        out = fn()
+        assert out.columns == ["query_id", "vec_id", score_col, "rank"]
+        assert out.count() == 0
+
+
+def test_zero_norm_embedding_yields_finite_scores(spark):
+    import math as _math
+
+    rows = [(i, [float(i == j) for j in range(16)]) for i in range(8)]
+    rows.append((99, [0.0] * 16))  # the zero vector: must not NaN-poison codes
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = e.filter(F.col("vec_id") < 2).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = similarity.pq_topk(e, q, k=9, m=8, n_codes=4).collect()
+    assert got and all(_math.isfinite(r["adc_score"]) for r in got)
+    bf = similarity.brute_force_topk(e, q, k=9).collect()
+    assert all(_math.isfinite(r["cosine"]) for r in bf)

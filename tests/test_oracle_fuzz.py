@@ -94,7 +94,19 @@ def _assert_parity(spark, data_dir: str, table: str, query_names) -> None:
         want = _gate_normalize(con.execute(q.oracle).fetchdf())
         assert list(got.columns) == list(want.columns), name
         assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
-        pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
+        pd.testing.assert_frame_equal(
+            got, want, check_dtype=False, obj=name,
+            rtol=1e-5, atol=_FUZZ_ATOL.get(name, 1e-8),
+        )
+
+
+# avg_logp / log_weight round a float log-sum at 4 decimals in BOTH engines
+# while summation order differs (acknowledged in bigram_lm_score's docstring);
+# unlike the integer-ratio averages this cannot be made exact, so on an
+# adversarial corpus the 4th decimal can legitimately differ by one half-step.
+# Absorb exactly that (1e-4 + slack) here so the fuzz tier stays deterministic;
+# the fixed-fixture grading gate still compares exactly.
+_FUZZ_ATOL = {"lm_bigram_score": 1.02e-4, "dsir_importance": 1.02e-4}
 
 
 # events-only window/analytic queries — timestamp semantics (truncation,

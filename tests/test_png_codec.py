@@ -147,3 +147,17 @@ def test_extract_features_uses_real_path_for_full_png(spark):
     exp_stub = [round(v, 6) for v in mm._fake_features(header_only)]
     assert [round(v, 6) for v in rows[1]] == exp_real
     assert [round(v, 6) for v in rows[2]] == exp_stub
+
+
+def test_zero_dimension_png_returns_none_not_indexerror():
+    # a syntactically valid 0x0 / 0-width PNG decodes to zero pixels; the
+    # contract is None-fallback, not an IndexError inside _png_features
+    for w, h in ((0, 0), (0, 4), (4, 0)):
+        ihdr = struct.pack(">II5B", w, h, 8, 0, 0, 0, 0)
+        content = (
+            b"\x89PNG\r\n\x1a\n" + mm._png_chunk(b"IHDR", ihdr)
+            + mm._png_chunk(b"IDAT", zlib.compress(bytes(h * (w + 1))))
+            + mm._png_chunk(b"IEND", b"")
+        )
+        assert mm.decode_png(content) is None
+        assert mm._png_features(content) is None
