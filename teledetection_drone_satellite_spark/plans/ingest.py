@@ -267,6 +267,95 @@ def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tiff_pixel_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + (doc_id * 3) % 64 AS INT) AS width,
+           CAST(16 + (doc_id * 5) % 64 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+           CAST(CASE WHEN doc_id % 4 = 3 THEN 1
+                     ELSE (16 + (doc_id * 5) % 64 + doc_id % 9)
+                          // (1 + doc_id % 9) END AS INT) AS n_strips,
+           CAST((16 + (doc_id * 3) % 64) * (16 + (doc_id * 5) % 64) AS BIGINT)
+               AS n_pixels,
+           round(CASE WHEN doc_id % 2 = 0
+                      THEN (16 + (doc_id * 3) % 64 - 1) / 2.0
+                      ELSE ((16 + (doc_id * 3) % 64 - 1)
+                            + (16 + (doc_id * 5) % 64 - 1)) / 3.0
+                 END, 6) AS mean_intensity
+    FROM documents
+    WHERE doc_id < 200
+    """,
+    doc="REAL uncompressed-TIFF pixel decode, graded (the second raster "
+    "format pure stdlib can fully decode — baseline strips are raw bytes; "
+    "reference stack: GDAL/rasterio, file-service requirements.txt:11-15): "
+    "complete TIFFs are synthesized per doc (8-bit gray/RGB gradient, "
+    "MULTI-strip layout with doc-varying RowsPerStrip, alternating II/MM "
+    "byte order; sources/multimodal.py::synth_tiff_full), then decode_tiff "
+    "walks the IFD (the EXIF parser's _ifd_entries — EXIF is a TIFF block) "
+    "and reads StripOffsets/StripByteCounts raw strips distributively. The "
+    "oracle predicts dims, strip count CEIL(h/rps) = (h + rps - 1) DIV rps, "
+    "pixel count and gradient mean in closed form — a decoder that misreads "
+    "one strip offset or flips endianness on MM files breaks the stats. "
+    "doc_id % 4 == 3 rows use a single strip (inline offset tag), the rest "
+    "multi-strip (out-of-line LONG arrays): both IFD value encodings are "
+    "always exercised. LZW/JPEG-in-TIFF stay wheel-gated like jpeg pixels.",
+    tags=("ingest", "multimodal"),
+)
+def tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                height = 16 + (i * 5) % 64
+                rps = None if i % 4 == 3 else 1 + i % 9
+                content = multimodal.synth_tiff_full(
+                    16 + (i * 3) % 64,
+                    height,
+                    (1, 3)[i % 2],
+                    rows_per_strip=rps,
+                    byteorder="big" if i % 3 == 0 else "little",
+                )
+                width, height, channels, raw = multimodal.decode_tiff(content)
+                n_strips = 1 if rps is None else -(-height // rps)
+                rows.append(
+                    (
+                        i, width, height, channels, n_strips,
+                        width * height, sum(raw) / len(raw),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels", "n_strips",
+                    "n_pixels", "mean_raw",
+                ],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, width int, height int, channels int, n_strips int, "
+        "n_pixels long, mean_raw double",
+    )
+    return out.select(
+        "doc_id", "width", "height", "channels", "n_strips", "n_pixels",
+        F.round("mean_raw", 6).alias("mean_intensity"),
+    )
+
+
+@register(
     "wav_sample_stats",
     oracle="""
     WITH spec AS (

@@ -83,11 +83,24 @@ _JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 
 
 def parse_image_header(content: bytes) -> "tuple[int, int, int, str] | None":
-    """Decode (width, height, channels, format) from a PNG/JPEG/GIF header.
+    """Decode (width, height, channels, format) from a PNG/JPEG/GIF/TIFF header.
 
     Returns None for anything unrecognized (caller falls back to the stub).
     ``channels`` is samples-per-pixel as stored (palette formats report 1).
     """
+    # TIFF: II/MM byte-order mark + 42, dims in IFD0 tags 256/257 (walked by
+    # the same _ifd_entries the EXIF path uses — EXIF is a TIFF block).
+    if content[:2] in (b"II", b"MM") and len(content) >= 8:
+        bo = "little" if content[:2] == b"II" else "big"
+        if int.from_bytes(content[2:4], bo) != 42:
+            return None
+        ifd = _ifd_entries(content, int.from_bytes(content[4:8], bo), bo)
+        w = _tiff_tag_values(content, ifd, _TIFF_TAG_WIDTH, bo)
+        h = _tiff_tag_values(content, ifd, _TIFF_TAG_HEIGHT, bo)
+        spp = _tiff_tag_values(content, ifd, _TIFF_TAG_SPP, bo)
+        if w and h and w[0] and h[0]:
+            return w[0], h[0], spp[0] if spp else 1, "tiff"
+        return None
     # PNG: 8-byte magic, then the IHDR chunk is required first — width/height
     # are big-endian u32 at offsets 16/20, color type at 25.
     if content[:8] == _PNG_MAGIC and len(content) >= 26 and content[12:16] == b"IHDR":
@@ -461,8 +474,11 @@ def decode_png(content: bytes) -> "tuple[int, int, int, bytes] | None":
 
 def _png_gray_pixels(content: bytes) -> "list[int] | None":
     """Decode + grayscale-collapse: per pixel, the integer mean of its color
-    channels (alpha excluded) — the luma stand-in the real feature path uses."""
-    decoded = decode_png(content)
+    channels (alpha excluded) — the luma stand-in the real feature path uses.
+    Accepts both pure-stdlib raster decoders (PNG, uncompressed TIFF — their
+    magic checks are disjoint, so the chain is format dispatch, not guessing);
+    the helper keeps its original name because PNG remains the primary path."""
+    decoded = decode_png(content) or decode_tiff(content)
     if decoded is None:
         return None
     width, height, channels, raw = decoded
@@ -490,7 +506,9 @@ def _png_resize(content: bytes, width: int, height: int) -> "bytes | None":
     import struct
     import zlib
 
-    decoded = decode_png(content)
+    # same two-decoder dispatch as _png_gray_pixels (disjoint magics); the
+    # thumbnail re-encodes as PNG whichever raster format came in
+    decoded = decode_png(content) or decode_tiff(content)
     if decoded is None:
         return None
     src_w, src_h, channels, raw = decoded
@@ -646,6 +664,186 @@ def decode_wav_samples(content: bytes) -> "tuple[int, 'object'] | None":
     if not ok_fmt or rate is None or not data or len(data) % 2:
         return None
     return rate, np.frombuffer(data, dtype="<i2")
+
+
+# --- TIFF (uncompressed baseline) -------------------------------------------------------
+# TIFF 6.0 tag ids used by the strip reader below (public spec §8).
+_TIFF_TAG_WIDTH = 256
+_TIFF_TAG_HEIGHT = 257
+_TIFF_TAG_BITS = 258
+_TIFF_TAG_COMPRESSION = 259
+_TIFF_TAG_PHOTOMETRIC = 262
+_TIFF_TAG_STRIP_OFFSETS = 273
+_TIFF_TAG_SPP = 277
+_TIFF_TAG_ROWS_PER_STRIP = 278
+_TIFF_TAG_STRIP_COUNTS = 279
+_TIFF_INT_SIZES = {1: 1, 3: 2, 4: 4}  # BYTE / SHORT / LONG
+
+
+def _tiff_tag_values(
+    content: bytes, ifd: "dict[int, tuple[int, int, bytes]]", tag: int, bo: str
+) -> "list[int] | None":
+    """Resolve one integer-typed IFD entry to its value list (inline when the
+    total fits the 4-byte value field, offset-resolved otherwise — TIFF 6.0
+    §2). None for absent tags, non-integer types, or out-of-bounds offsets."""
+    if tag not in ifd:
+        return None
+    typ, cnt, raw = ifd[tag]
+    size = _TIFF_INT_SIZES.get(typ)
+    if size is None or cnt == 0:
+        return None
+    total = size * cnt
+    if total <= 4:
+        buf = raw[:total]
+    else:
+        p = int.from_bytes(raw, bo)
+        if p + total > len(content):
+            return None
+        buf = content[p : p + total]
+    return [int.from_bytes(buf[j * size : (j + 1) * size], bo) for j in range(cnt)]
+
+
+def synth_tiff_full(
+    width: int,
+    height: int,
+    channels: int = 1,
+    rows_per_strip: "int | None" = None,
+    byteorder: str = "little",
+) -> bytes:
+    """Deterministic COMPLETE uncompressed TIFF (TIFF 6.0 baseline: header,
+    one IFD with the required tags in ascending order, raw strips). Pixel
+    contract is the synth_png_full gradient (mirrored by the tiff_pixel_stats
+    oracle; dims must stay < 256 so the modulus never folds):
+
+      gray: v(x, y) = x % 256
+      rgb:  v(x, y) = (x % 256, y % 256, (x + y) % 256)
+
+    ``rows_per_strip`` < height yields a multi-strip layout (out-of-line
+    StripOffsets/StripByteCounts LONG arrays), so decoding exercises the real
+    strip walk, not just a single contiguous read; ``byteorder`` emits II or
+    MM files so both endiannesses are covered. Encoding is byte-packing per
+    the published spec — fully independent of decode_tiff, which must invert
+    it."""
+    if channels not in (1, 3):
+        raise ValueError("synth_tiff_full supports 1 (gray) or 3 (RGB) samples/pixel")
+    bo = byteorder
+    rps = min(rows_per_strip or height, height) or 1
+    strips = []
+    for y0 in range(0, height, rps):
+        buf = bytearray()
+        for y in range(y0, min(y0 + rps, height)):
+            if channels == 1:
+                buf += bytes(x % 256 for x in range(width))
+            else:
+                buf += bytes(
+                    v for x in range(width) for v in (x % 256, y % 256, (x + y) % 256)
+                )
+        strips.append(bytes(buf))
+    n_strips = len(strips)
+
+    # layout: header(8) | IFD (2 + 12*9 + 4) | aux value area | strip data
+    n_tags = 9
+    aux_off = 8 + 2 + 12 * n_tags + 4
+    bits_bytes = 6 if channels == 3 else 0  # 3 SHORTs never fit inline
+    arr_bytes = 0 if n_strips == 1 else 4 * n_strips
+    data_off = aux_off + bits_bytes + 2 * arr_bytes
+    offsets = []
+    pos = data_off
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+
+    aux = bytearray()
+
+    def entry(tag: int, typ: int, values: "list[int]") -> bytes:
+        size = _TIFF_INT_SIZES[typ]
+        packed = b"".join(int(v).to_bytes(size, bo) for v in values)
+        head = (
+            tag.to_bytes(2, bo) + typ.to_bytes(2, bo) + len(values).to_bytes(4, bo)
+        )
+        if len(packed) <= 4:  # spec: values that fit go inline
+            return head + packed.ljust(4, b"\0")
+        off = aux_off + len(aux)
+        aux.extend(packed)
+        return head + off.to_bytes(4, bo)
+
+    entries = b"".join(
+        [
+            entry(_TIFF_TAG_WIDTH, 4, [width]),
+            entry(_TIFF_TAG_HEIGHT, 4, [height]),
+            entry(_TIFF_TAG_BITS, 3, [8] * channels),
+            entry(_TIFF_TAG_COMPRESSION, 3, [1]),
+            entry(_TIFF_TAG_PHOTOMETRIC, 3, [1 if channels == 1 else 2]),
+            entry(_TIFF_TAG_STRIP_OFFSETS, 4, offsets),
+            entry(_TIFF_TAG_SPP, 3, [channels]),
+            entry(_TIFF_TAG_ROWS_PER_STRIP, 4, [rps]),
+            entry(_TIFF_TAG_STRIP_COUNTS, 4, [len(s) for s in strips]),
+        ]
+    )
+    header = (
+        (b"II" if bo == "little" else b"MM")
+        + (42).to_bytes(2, bo)
+        + (8).to_bytes(4, bo)
+    )
+    ifd = n_tags.to_bytes(2, bo) + entries + (0).to_bytes(4, bo)
+    assert len(aux) == bits_bytes + 2 * arr_bytes
+    return header + ifd + bytes(aux) + b"".join(strips)
+
+
+def decode_tiff(content: bytes) -> "tuple[int, int, int, bytes] | None":
+    """REAL uncompressed-TIFF pixel decode, pure stdlib — the raster tail the
+    reference's GDAL/rasterio stack covers (file-service requirements.txt:
+    11-15) that needs no codec wheel: baseline TIFF strips are raw bytes, so
+    decode is a header walk plus bounded reads. Reuses the EXIF path's IFD
+    parser (_ifd_entries — it IS the same structure; EXIF is a TIFF block).
+
+    Returns (width, height, samples_per_pixel, raw_samples) row-major, or
+    None for anything outside scope — compressed variants (LZW/JPEG-in-TIFF),
+    non-8-bit depths, tiled layouts, planar configuration 2, or truncated
+    strips — so callers fall back to the stub/PIL path, same contract as
+    decode_png."""
+    if len(content) < 8:
+        return None
+    if content[:2] == b"II":
+        bo = "little"
+    elif content[:2] == b"MM":
+        bo = "big"
+    else:
+        return None
+    if int.from_bytes(content[2:4], bo) != 42:
+        return None
+    ifd = _ifd_entries(content, int.from_bytes(content[4:8], bo), bo)
+    if not ifd:
+        return None
+
+    def values(tag: int) -> "list[int] | None":
+        return _tiff_tag_values(content, ifd, tag, bo)
+
+    def one(tag: int, default: "int | None" = None) -> "int | None":
+        v = values(tag)
+        return v[0] if v else default
+
+    width, height = one(_TIFF_TAG_WIDTH), one(_TIFF_TAG_HEIGHT)
+    if not width or not height:
+        return None
+    if one(_TIFF_TAG_COMPRESSION, 1) != 1:
+        return None  # only uncompressed baseline in scope
+    spp = one(_TIFF_TAG_SPP, 1)
+    bits = values(_TIFF_TAG_BITS) or [1]  # spec default is 1 bit
+    if not spp or any(b != 8 for b in bits):
+        return None
+    offsets = values(_TIFF_TAG_STRIP_OFFSETS)
+    counts = values(_TIFF_TAG_STRIP_COUNTS)
+    if not offsets or not counts or len(offsets) != len(counts):
+        return None
+    out = bytearray()
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(content):
+            return None  # truncated strip: refuse, never silently short-read
+        out += content[off : off + cnt]
+    if len(out) != width * height * spp:
+        return None
+    return width, height, spp, bytes(out)
 
 
 # PNG color-type cycle used by synth_image (maps to channels 1/3/2/4).
@@ -836,7 +1034,7 @@ def decode_image_meta(
 ) -> DataFrame:
     """Decode stage: binary -> typed image metadata columns appended to the row.
 
-    Real header parse for PNG/JPEG/GIF (parse_image_header); deterministic stub
+    Real header parse for PNG/JPEG/GIF/TIFF (parse_image_header); deterministic stub
     for anything else. ``codec=True`` inserts PIL's lazy header open between the
     two (covers tiff/webp/bmp without a full decode; wheel-gated). One
     Arrow-batched narrow stage; at scale run this immediately after the scan
@@ -921,8 +1119,9 @@ def extract_features(
     encoder produces, ready for the similarity operators.
 
     Path per row: REAL pure-stdlib decodes first — PNG pixels (decode_png,
-    full zlib+unfilter) and PCM WAV segment-RMS (decode_wav_samples), neither
-    needing a wheel; then PIL when ``codec=True`` (covers jpeg/tiff/webp;
+    full zlib+unfilter), uncompressed-TIFF strips (decode_tiff, via the same
+    gray-collapse helper) and PCM WAV segment-RMS (decode_wav_samples), none
+    needing a wheel; then PIL when ``codec=True`` (covers jpeg/compressed-tiff/webp;
     raises at plan build when the wheel is missing, so a misconfigured
     cluster fails fast instead of silently stubbing); then the deterministic
     stub for whatever remains (header-only fixtures, exotic formats)."""

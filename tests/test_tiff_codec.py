@@ -1,0 +1,67 @@
+"""decode_tiff round-trips synth_tiff_full and honors the None-fallback
+contract for everything outside baseline-uncompressed scope (the decode_png
+test strategy; reference raster stack: GDAL/rasterio, file-service
+requirements.txt:11-15)."""
+
+from __future__ import annotations
+
+from teledetection_drone_satellite_spark.sources import multimodal as mm
+
+
+def _gradient(width: int, height: int, channels: int) -> bytes:
+    if channels == 1:
+        return bytes(x % 256 for y in range(height) for x in range(width))
+    return bytes(
+        v
+        for y in range(height)
+        for x in range(width)
+        for v in (x % 256, y % 256, (x + y) % 256)
+    )
+
+
+def test_roundtrip_gray_and_rgb_both_byteorders():
+    for channels in (1, 3):
+        for bo in ("little", "big"):
+            content = mm.synth_tiff_full(21, 13, channels, byteorder=bo)
+            w, h, c, raw = mm.decode_tiff(content)
+            assert (w, h, c) == (21, 13, channels)
+            assert raw == _gradient(21, 13, channels)
+
+
+def test_multi_strip_layout_equals_single_strip_pixels():
+    single = mm.decode_tiff(mm.synth_tiff_full(33, 17, 3))
+    for rps in (1, 2, 5, 16, 17, 100):
+        multi = mm.decode_tiff(mm.synth_tiff_full(33, 17, 3, rows_per_strip=rps))
+        assert multi == single
+
+
+def test_out_of_scope_variants_return_none():
+    content = bytearray(mm.synth_tiff_full(8, 8, 1))
+    assert mm.decode_tiff(bytes(content)) is not None
+    # wrong magic / byte-order mark
+    assert mm.decode_tiff(b"ZZ" + bytes(content[2:])) is None
+    assert mm.decode_tiff(b"II\x00\x00" + bytes(content[4:])) is None  # not 42
+    assert mm.decode_tiff(b"") is None
+    # LZW compression (tag 259 value 5): find the compression entry and patch it.
+    # IFD starts at 8: entry k sits at 10 + 12k; tag order is ascending and
+    # compression is the 4th tag (index 3) -> value field at 10 + 36 + 8
+    lzw = bytearray(content)
+    assert int.from_bytes(lzw[10 + 36 : 10 + 38], "little") == 259
+    lzw[10 + 36 + 8] = 5
+    assert mm.decode_tiff(bytes(lzw)) is None
+    # truncated strip data: cut the last pixel row
+    assert mm.decode_tiff(bytes(content[:-8])) is None
+
+
+def test_16bit_depth_returns_none():
+    deep = bytearray(mm.synth_tiff_full(8, 8, 1))
+    # BitsPerSample is the 3rd tag (index 2): value field at 10 + 24 + 8
+    assert int.from_bytes(deep[10 + 24 : 10 + 26], "little") == 258
+    deep[10 + 24 + 8] = 16
+    assert mm.decode_tiff(bytes(deep)) is None
+
+
+def test_exif_jpeg_is_not_a_tiff():
+    # an EXIF APP1 block CONTAINS a TIFF block but the file itself is a JPEG —
+    # decode_tiff must reject it at the magic check
+    assert mm.decode_tiff(mm.synth_image_exif(7)) is None
