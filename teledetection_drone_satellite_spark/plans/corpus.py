@@ -402,10 +402,13 @@ def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # semdedup_consistency (subset + coverage invariants) below
     doc="SemDeDup (Abbas et al. 2023): k-means clusters over the embedding "
     "space (the IVF coarse quantizer, shared fingerprint cache — clustering "
-    "never re-fits), each vector routed to its 2 nearest cells (multi-assign; "
-    "see operators/similarity.py for the measured coverage win), exact cosine "
-    "within each cell, pairs >= 0.45 are semantic duplicates. Cost is "
-    "sum(|cell|^2 d) vs the exact plan's n^2 d.",
+    "never re-fits), cell count scaling with the data (k = round(n^(1/3)), "
+    "so the quantizer geometry is a function of the corpus, not a constant), "
+    "each vector routed to its 3 nearest cells (multi-assign; see "
+    "operators/similarity.py::semantic_dup_pairs for the measured "
+    "coverage-vs-k curve), exact cosine within each cell, pairs >= 0.45 are "
+    "semantic duplicates. Candidate work is O(n^(5/3) d) vs the exact "
+    "plan's n^2 d.",
     tags=("dedup", "similarity", "approx", "corpus"),
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,11 +431,14 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact cosine pair set (threshold 0.45). subset_ok holds structurally "
     "(within-cell scoring is exact cosine, so no pair can be off-threshold); "
     "coverage_ok asserts the within-cluster pair set captures >= 0.5 of all "
-    "exact pairs (measured with 16 cells and 2-assign: 0.86 at sf0.01, 0.69 "
-    "at sf0.1; single assignment measured 0.57/0.32 — the reason the "
-    "operator multi-assigns). The residual miss rate IS SemDeDup's "
-    "documented cross-cluster blind spot. The oracle recomputes the exact "
-    "side and predicts both booleans.",
+    "exact pairs. The 0.5 bar is scale-robust because the operator's cell "
+    "count scales with the data (k = round(n^(1/3)), 3-assign): measured "
+    "coverage 1.000 at n=500 (sf0.01), 0.965 at n=2000 (sf0.1), 0.730 on an "
+    "adversarial 10x isotropic-noise slice (n=20000) — margins over the bar "
+    "stay >= 0.23 across two decades, vs the earlier fixed-16-cell 2-assign "
+    "geometry whose margin decayed 0.86 -> 0.69 per decade toward the bar. "
+    "The residual miss rate IS SemDeDup's documented cross-cluster blind "
+    "spot. The oracle recomputes the exact side and predicts both booleans.",
     tags=("dedup", "similarity", "approx", "graded-invariant", "corpus"),
 )
 def semdedup_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
