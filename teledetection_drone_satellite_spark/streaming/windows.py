@@ -92,6 +92,37 @@ def stream_session(spark: SparkSession, n_partitions: int = 16) -> SparkSession:
     return s
 
 
+# Rolling audit trail of the most recent drained runs: (sink_name, summary).
+# scripts/audit_plans.py reads the latest entry after invoking each streaming
+# query to emit per-stream state-store metrics (state rows, commits, shuffle
+# partitions) — the runtime facts a batch EXPLAIN cannot show. Bounded so a
+# long-lived session (bench loops) never accumulates.
+RECENT_STREAM_RUNS: "list[tuple[str, dict]]" = []
+_RECENT_MAX = 32
+
+
+def _progress_summary(q) -> dict:
+    """Condense a finished StreamingQuery's recentProgress into the scale-relevant
+    state-store numbers: micro-batches run, input rows, state rows at the end,
+    total state updates, and the state-store partition count."""
+    progresses = [p for p in q.recentProgress if p]
+    ops = [op for p in progresses for op in p.get("stateOperators", [])]
+    return {
+        "micro_batches": len(progresses),
+        "input_rows": sum(int(p.get("numInputRows", 0)) for p in progresses),
+        "state_rows_final": (
+            sum(int(op.get("numRowsTotal", 0)) for op in progresses[-1].get("stateOperators", []))
+            if progresses
+            else 0
+        ),
+        "state_updates": sum(int(op.get("numRowsUpdated", 0)) for op in ops),
+        "state_partitions": max(
+            (int(op.get("numShufflePartitions", 0)) for op in ops), default=0
+        ),
+        "has_state": bool(ops),
+    }
+
+
 def _run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
     """Execute a streaming plan to completion (availableNow) into a memory sink.
     The plan should be built on a ``stream_session`` clone so conf overrides are
@@ -106,6 +137,8 @@ def _run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    RECENT_STREAM_RUNS.append((name, _progress_summary(q)))
+    del RECENT_STREAM_RUNS[:-_RECENT_MAX]
     return spark_.table(name)
 
 
