@@ -60,6 +60,7 @@ def connected_components(
     recomputation; at 100 TB the equivalent is writing each generation to a
     scratch table, which is the same discipline).
     """
+    LAST_CC_STATS.clear()
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
@@ -74,7 +75,7 @@ def connected_components(
     )
     labels = pin_one_generation(labels, _CC_GEN_BY_APP)
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
-    for _ in range(max_iter):
+    for it in range(max_iter):
         msgs = sym.join(labels, sym["b"] == labels["node"]).select(
             F.col("a").alias("node"), "component"
         )
@@ -86,9 +87,17 @@ def connected_components(
         labels = pin_one_generation(labels, _CC_GEN_BY_APP)
         new_sum = labels.agg(F.sum("component")).collect()[0][0]
         if new_sum == prev_sum:
+            # rounds = propagation rounds run INCLUDING the fixed-point
+            # confirmation pass; read by scale spot-checks (BASELINE.md) to
+            # verify the O(diameter) claim — scaling data 10x must not move it
+            LAST_CC_STATS["rounds"] = it + 1
             return labels
         prev_sum = new_sum
     raise RuntimeError(f"connected_components: no fixed point after {max_iter} rounds")
+
+
+# Diagnostics from the most recent connected_components run (cleared at entry).
+LAST_CC_STATS: dict = {}
 
 
 def decontaminate(
