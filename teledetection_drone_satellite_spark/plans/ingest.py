@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import fan_out, load
 from ..sources import binary, multimodal
+from ..sources import jpeg as jpegcodec
 from .registry import register
 
 # applicationId -> live pinned feature table for multimodal_features_topk
@@ -352,6 +353,89 @@ def tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "width", "height", "channels", "n_strips", "n_pixels",
         F.round("mean_raw", 6).alias("mean_intensity"),
+    )
+
+
+@register(
+    "jpeg_pixel_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               10 + doc_id % 50 AS w,
+               10 + (doc_id * 3) % 50 AS h
+        FROM documents WHERE doc_id < 200
+    ),
+    blocks AS (
+        SELECT doc_id, w, h,
+               (doc_id + 16 * bx.i + 40 * byy.i) % 256 AS v,
+               LEAST(8, w - 8 * bx.i) * LEAST(8, h - 8 * byy.i) AS npx
+        FROM spec,
+             LATERAL unnest(range(0, (w + 7) // 8)) bx(i),
+             LATERAL unnest(range(0, (h + 7) // 8)) byy(i)
+    )
+    SELECT doc_id,
+           CAST(min(w) AS INT) AS width,
+           CAST(min(h) AS INT) AS height,
+           CAST(count(*) AS INT) AS n_blocks,
+           ((2 * CAST(sum(v * npx) AS BIGINT) * 1000000 + min(w) * min(h))
+            // (2 * min(w) * min(h))) / 1000000.0 AS mean_intensity
+    FROM blocks GROUP BY doc_id
+    """,
+    doc="REAL baseline JPEG pixel decode, graded (the Huffman+IDCT tail of "
+    "S7 — no codec wheel needed: entropy decode is bit arithmetic and the "
+    "IDCT an 8x8 matrix product; reference stack Pillow/GDAL, file-service "
+    "requirements.txt:11-15): complete grayscale baseline JPEGs are "
+    "synthesized per doc (constant 8x8 blocks, closed-form value per block "
+    "coordinate, all-ones quant table so the DC-only transform round-trips "
+    "bit-exactly; sources/jpeg.py::synth_jpeg_gray_full packs the T.81 byte "
+    "layout directly, independent of the decoder), then decode_jpeg runs "
+    "the full marker walk + canonical-Huffman entropy decode (DC "
+    "prediction, AC run-length/ZRL/EOB, byte unstuffing) + dequant + float "
+    "IDCT distributively. The oracle predicts dims, block count and the "
+    "pixel-weighted block-value mean in closed form (exact-integer half-up "
+    "at 6 decimals) — one wrong Huffman bit or a mis-predicted DC "
+    "desynchronizes every following block and flips the mean. Progressive/"
+    "chroma scans stay out of scope (decoder returns None -> stub path).",
+    tags=("ingest", "multimodal"),
+)
+def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w_px, h_px = 10 + i % 50, 10 + (i * 3) % 50
+                content = jpegcodec.synth_jpeg_gray_full(
+                    w_px, h_px, lambda bx, by, i=i: (i + 16 * bx + 40 * by) % 256
+                )
+                width, height, _, raw = jpegcodec.decode_jpeg(content)
+                n_blocks = ((width + 7) // 8) * ((height + 7) // 8)
+                rows.append((i, width, height, n_blocks, sum(raw), len(raw)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_blocks", "psum", "npx"],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, width int, height int, n_blocks int, psum long, npx long",
+    )
+    return out.select(
+        "doc_id", "width", "height", "n_blocks",
+        (F.expr("(2 * psum * 1000000 + npx) div (2 * npx)") / 1000000.0).alias(
+            "mean_intensity"
+        ),
     )
 
 

@@ -1,0 +1,402 @@
+"""Baseline JPEG codec, pure stdlib + numpy — the Huffman+IDCT half of the S7
+raster tail (reference stack: Pillow/GDAL, services/file-service/
+requirements.txt:11-15, call site main.py:128; those wheels are absent here,
+and baseline JFIF needs no codec library: entropy decode is bit arithmetic,
+the IDCT is an 8x8 matrix product).
+
+Scope — honest and explicit, same contract as decode_png/decode_tiff:
+
+  decode_jpeg   REAL decoder for baseline sequential DCT, single-component
+                (grayscale) scans: full marker walk, DQT (8-bit), DHT
+                (canonical Huffman build), SOF0, DRI/RSTn restart handling,
+                byte-unstuffed entropy decode (DC prediction + AC
+                run-length/ZRL/EOB), dequantize, dezigzag, float IDCT,
+                level shift, edge-block crop. Returns (width, height, 1,
+                gray_bytes) or None for anything outside that scope
+                (progressive SOF2, multi-component color scans, 12-bit) —
+                callers fall back to the stub/PIL path.
+
+  synth_jpeg_gray_full  REAL encoder for the same profile, used to grade the
+                decoder: arbitrary quantized-coefficient blocks in, spec-
+                correct JFIF stream out (tables embedded in the file, so
+                encoder and decoder are self-consistent by construction; the
+                closed-form graded query uses constant blocks, whose DC-only
+                transform round-trips bit-exactly — see jpeg_pixel_stats).
+
+Everything here is from the published ITU T.81 spec; the Huffman tables the
+encoder embeds follow Annex K's BITS/HUFFVAL layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# zigzag scan order: ZIGZAG[k] = natural (row-major) index of the k-th
+# zigzag-ordered coefficient (T.81 figure 5)
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# standard luminance Huffman tables (T.81 Annex K.3.3) — embedded by the
+# encoder; the decoder always builds from the DHT segment in the file, so
+# these are a convenience, not an assumption.
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# 8x8 DCT basis: C[u, x] = 0.5 * c(u) * cos((2x+1) u pi / 16), c(0)=1/sqrt(2).
+# Forward F = C f C^T, inverse f = C^T F C (T.81 A.3.3 normalization).
+_C = np.array(
+    [
+        [
+            0.5 * (1.0 / np.sqrt(2.0) if u == 0 else 1.0)
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _build_huffman(bits: "list[int]", vals: "list[int]") -> "dict[tuple[int, int], int]":
+    """Canonical Huffman table per T.81 C.2: {(code_length, code): symbol}."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _Truncated(Exception):
+    pass
+
+
+class _BitReader:
+    """MSB-first bit reader over an entropy-coded segment with 0xFF00 byte
+    unstuffing; RSTn markers are consumed by ``restart()``, any other marker
+    mid-stream raises (malformed for our single-scan profile)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.cur = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise _Truncated
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise _Truncated  # marker where entropy bits were expected
+            self.cur = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def receive_extend(self, s: int) -> int:
+        if s == 0:
+            return 0
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | self.read_bit()
+        if v < (1 << (s - 1)):  # T.81 F.2.2.1 EXTEND: negative branch
+            v -= (1 << s) - 1
+        return v
+
+    def decode_symbol(self, table: "dict[tuple[int, int], int]") -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise _Truncated  # no code of length <= 16 matched
+
+    def restart(self) -> None:
+        """Consume an RSTn marker at a restart interval boundary: discard
+        partial bits, expect FF D0-D7."""
+        self.nbits = 0
+        if self.pos + 2 > len(self.data):
+            raise _Truncated
+        if self.data[self.pos] != 0xFF or not (0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            raise _Truncated
+        self.pos += 2
+
+
+def decode_jpeg(content: bytes) -> "tuple[int, int, int, bytes] | None":
+    """Decode a baseline sequential single-component (grayscale) JPEG to
+    (width, height, 1, gray_bytes) row-major, or None outside that scope."""
+    if content[:2] != b"\xff\xd8":
+        return None
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}  # (class, id)
+    width = height = None
+    comp_q = dc_id = ac_id = None
+    dri = 0
+    i, n = 2, len(content)
+    try:
+        while i + 4 <= n:
+            if content[i] != 0xFF:
+                return None
+            marker = content[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                i += 2
+                continue
+            seg_len = int.from_bytes(content[i + 2 : i + 4], "big")
+            if seg_len < 2 or i + 2 + seg_len > n:
+                return None
+            seg = content[i + 4 : i + 2 + seg_len]
+            if marker == 0xDB:  # DQT
+                p = 0
+                while p < len(seg):
+                    prec, tid = seg[p] >> 4, seg[p] & 15
+                    if prec != 0:  # 16-bit tables: out of baseline-8 scope
+                        return None
+                    if p + 65 > len(seg):
+                        return None
+                    qtables[tid] = list(seg[p + 1 : p + 65])
+                    p += 65
+            elif marker == 0xC4:  # DHT
+                p = 0
+                while p + 17 <= len(seg):
+                    tc, th = seg[p] >> 4, seg[p] & 15
+                    bits = list(seg[p + 1 : p + 17])
+                    nv = sum(bits)
+                    if p + 17 + nv > len(seg):
+                        return None
+                    vals = list(seg[p + 17 : p + 17 + nv])
+                    huff[(tc, th)] = _build_huffman(bits, vals)
+                    p += 17 + nv
+            elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline profiles
+                if len(seg) < 8 or seg[0] != 8:
+                    return None
+                height = int.from_bytes(seg[1:3], "big")
+                width = int.from_bytes(seg[3:5], "big")
+                if seg[5] != 1:  # single-component (grayscale) scans only
+                    return None
+                if seg[7] != 0x11:  # 1x1 sampling
+                    return None
+                comp_q = seg[8]
+            elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return None  # progressive/arithmetic/lossless: out of scope
+            elif marker == 0xDD:  # DRI
+                dri = int.from_bytes(seg[:2], "big")
+            elif marker == 0xDA:  # SOS — entropy data follows
+                if len(seg) < 4 or seg[0] != 1:
+                    return None
+                dc_id, ac_id = seg[2] >> 4, seg[2] & 15
+                i = i + 2 + seg_len
+                break
+            i += 2 + seg_len
+        else:
+            return None
+        if (
+            width is None
+            or not width
+            or not height
+            or comp_q not in qtables
+            or (0, dc_id) not in huff
+            or (1, ac_id) not in huff
+        ):
+            return None
+
+        qt = qtables[comp_q]
+        dc_table, ac_table = huff[(0, dc_id)], huff[(1, ac_id)]
+        bw, bh = (width + 7) // 8, (height + 7) // 8
+        reader = _BitReader(content, i)
+        out = np.empty((bh * 8, bw * 8), dtype=np.uint8)
+        dc_pred = 0
+        mcu = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if dri and mcu and mcu % dri == 0:
+                    reader.restart()
+                    dc_pred = 0
+                mcu += 1
+                coef = np.zeros(64, dtype=np.float64)
+                s = reader.decode_symbol(dc_table)
+                if s > 11:
+                    return None
+                dc_pred += reader.receive_extend(s)
+                coef[0] = dc_pred * qt[0]
+                k = 1
+                while k < 64:
+                    rs = reader.decode_symbol(ac_table)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:  # ZRL: sixteen zeros
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        return None
+                    coef[ZIGZAG[k]] = reader.receive_extend(s) * qt[k]
+                    k += 1
+                block = _C.T @ coef.reshape(8, 8) @ _C
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.round(block + 128.0), 0, 255
+                ).astype(np.uint8)
+    except _Truncated:
+        return None
+    return width, height, 1, out[:height, :width].tobytes()
+
+
+class _BitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing; flush pads with 1s."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _encode_value(w: _BitWriter, table: "dict[int, tuple[int, int]]", prefix_sym: int, v: int) -> None:
+    """Huffman symbol + magnitude bits for one coefficient value."""
+    code, ln = table[prefix_sym]
+    w.write(code, ln)
+    s = prefix_sym & 15
+    if s:
+        bits = v if v >= 0 else v + (1 << s) - 1
+        w.write(bits, s)
+
+
+def _encode_table(bits: "list[int]", vals: "list[int]") -> "dict[int, tuple[int, int]]":
+    """symbol -> (code, length), inverse view of _build_huffman."""
+    enc: dict[int, tuple[int, int]] = {}
+    for (ln, code), sym in _build_huffman(bits, vals).items():
+        enc[sym] = (code, ln)
+    return enc
+
+
+def _size_cat(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def encode_baseline_gray(
+    blocks: "list[list[int]]", width: int, height: int, qtable: "list[int] | None" = None
+) -> bytes:
+    """Spec-correct baseline grayscale JPEG from quantized coefficient blocks.
+
+    ``blocks``: row-major list of ceil(h/8)*ceil(w/8) blocks, each 64 quantized
+    coefficients in ZIGZAG order. ``qtable``: 64 entries in zigzag order
+    (default all-ones — lossless transform domain, how the graded query gets
+    exact round-trips). Tables embedded in the stream are the Annex K
+    luminance pair, so any (run, size) the standard profile allows encodes."""
+    qt = qtable or [1] * 64
+    dc_enc = _encode_table(DC_BITS, DC_VALS)
+    ac_enc = _encode_table(AC_BITS, AC_VALS)
+    w = _BitWriter()
+    dc_pred = 0
+    for blk in blocks:
+        diff = blk[0] - dc_pred
+        dc_pred = blk[0]
+        s = _size_cat(diff)
+        _encode_value(w, dc_enc, s, diff)
+        # AC: run-length of zeros between nonzeros, ZRL for 16+, EOB at end
+        last_nz = 0
+        for k in range(63, 0, -1):
+            if blk[k]:
+                last_nz = k
+                break
+        run = 0
+        for k in range(1, last_nz + 1):
+            v = blk[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                _encode_value(w, ac_enc, 0xF0, 0)  # ZRL
+                run -= 16
+            s = _size_cat(v)
+            _encode_value(w, ac_enc, (run << 4) | s, v)
+            run = 0
+        if last_nz < 63:
+            _encode_value(w, ac_enc, 0x00, 0)  # EOB
+    w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    dqt = seg(0xDB, bytes([0]) + bytes(qt))
+    sof = seg(0xC0, bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)) + seg(
+        0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(w.out) + b"\xff\xd9"
+
+
+def synth_jpeg_gray_full(width: int, height: int, block_value) -> bytes:
+    """Deterministic COMPLETE grayscale baseline JPEG: each 8x8 block is the
+    CONSTANT pixel value ``block_value(bx, by)`` (0..255). A constant block's
+    transform is DC-only — F(0,0) = 8*(v-128), every AC zero — and with the
+    all-ones quant table the decode round-trips bit-exactly, which is what
+    lets a plain-SQL oracle predict decoded pixel statistics in closed form
+    (jpeg_pixel_stats). Encoding is independent of decode_jpeg: it packs the
+    spec's byte layout directly."""
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    blocks = []
+    for by in range(bh):
+        for bx in range(bw):
+            blk = [0] * 64
+            blk[0] = 8 * (int(block_value(bx, by)) - 128)
+            blocks.append(blk)
+    return encode_baseline_gray(blocks, width, height)

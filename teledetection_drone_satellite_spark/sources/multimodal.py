@@ -475,10 +475,13 @@ def decode_png(content: bytes) -> "tuple[int, int, int, bytes] | None":
 def _png_gray_pixels(content: bytes) -> "list[int] | None":
     """Decode + grayscale-collapse: per pixel, the integer mean of its color
     channels (alpha excluded) — the luma stand-in the real feature path uses.
-    Accepts both pure-stdlib raster decoders (PNG, uncompressed TIFF — their
-    magic checks are disjoint, so the chain is format dispatch, not guessing);
-    the helper keeps its original name because PNG remains the primary path."""
-    decoded = decode_png(content) or decode_tiff(content)
+    Accepts every real raster decoder in this package (PNG, uncompressed
+    TIFF, baseline grayscale JPEG — their magic checks are disjoint, so the
+    chain is format dispatch, not guessing); the helper keeps its original
+    name because PNG remains the primary path."""
+    from .jpeg import decode_jpeg
+
+    decoded = decode_png(content) or decode_tiff(content) or decode_jpeg(content)
     if decoded is None:
         return None
     width, height, channels, raw = decoded
@@ -506,9 +509,11 @@ def _png_resize(content: bytes, width: int, height: int) -> "bytes | None":
     import struct
     import zlib
 
-    # same two-decoder dispatch as _png_gray_pixels (disjoint magics); the
+    from .jpeg import decode_jpeg
+
+    # same decoder dispatch as _png_gray_pixels (disjoint magics); the
     # thumbnail re-encodes as PNG whichever raster format came in
-    decoded = decode_png(content) or decode_tiff(content)
+    decoded = decode_png(content) or decode_tiff(content) or decode_jpeg(content)
     if decoded is None:
         return None
     src_w, src_h, channels, raw = decoded

@@ -1,0 +1,96 @@
+"""decode_jpeg round-trips encode_baseline_gray (tables are embedded in the
+stream, so encoder/decoder consistency is structural) and honors the
+None-fallback contract outside the baseline-grayscale profile — the
+decode_png/decode_tiff test strategy applied to the Huffman+IDCT tail."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from teledetection_drone_satellite_spark.sources import jpeg as J
+from teledetection_drone_satellite_spark.sources import multimodal as mm
+
+
+def _reference_block(blk_zigzag):
+    """Independent IDCT: dezigzag + matrix IDCT + level shift (not the
+    decoder's code path — same math written separately)."""
+    F = np.zeros((8, 8))
+    for k in range(64):
+        F.flat[J.ZIGZAG[k]] = blk_zigzag[k]
+    return np.clip(np.round(J._C.T @ F @ J._C + 128), 0, 255).astype(np.uint8)
+
+
+def test_constant_blocks_roundtrip_bit_exact_any_dims():
+    bv = lambda bx, by: (17 + 16 * bx + 40 * by) % 256
+    for w, h in ((21, 13), (8, 8), (64, 24), (9, 65)):
+        got = J.decode_jpeg(J.synth_jpeg_gray_full(w, h, bv))
+        assert got is not None
+        gw, gh, c, raw = got
+        assert (gw, gh, c) == (w, h, 1)
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
+        for y in range(h):
+            for x in range(w):
+                assert arr[y, x] == bv(x // 8, y // 8)
+
+
+def test_ac_coefficients_roundtrip_vs_independent_idct():
+    rng = np.random.default_rng(3)
+    blocks = []
+    for _ in range(6):
+        blk = [0] * 64
+        blk[0] = int(rng.integers(-512, 512))
+        for k in rng.choice(range(1, 64), size=12, replace=False):
+            blk[int(k)] = int(rng.integers(-200, 200))
+        blocks.append(blk)
+    content = J.encode_baseline_gray(blocks, 24, 16)
+    w, h, _, raw = J.decode_jpeg(content)
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(16, 24)
+    for bi, blk in enumerate(blocks):
+        by, bx = divmod(bi, 3)
+        assert (arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == _reference_block(blk)).all()
+
+
+def test_zrl_long_zero_runs_roundtrip():
+    # a nonzero coefficient 40 zigzag positions after the last nonzero forces
+    # two ZRL symbols — exercises the run>15 encoder loop and decoder k+=16
+    blk = [0] * 64
+    blk[0] = 100
+    blk[60] = -7
+    content = J.encode_baseline_gray([blk], 8, 8)
+    _, _, _, raw = J.decode_jpeg(content)
+    assert (np.frombuffer(raw, dtype=np.uint8).reshape(8, 8) == _reference_block(blk)).all()
+
+
+def test_dc_prediction_chain_desync_is_caught_by_values():
+    # DC is differentially coded: decoding must accumulate across blocks
+    vals = [0, 255, 128, 3, 250, 17]
+    content = J.synth_jpeg_gray_full(48, 8, lambda bx, by: vals[bx])
+    _, _, _, raw = J.decode_jpeg(content)
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(8, 48)
+    for bx, v in enumerate(vals):
+        assert (arr[:, bx * 8 : bx * 8 + 8] == v).all()
+
+
+def test_out_of_scope_and_corrupt_return_none():
+    assert J.decode_jpeg(b"") is None
+    assert J.decode_jpeg(b"nope") is None
+    assert J.decode_jpeg(mm.synth_png_full(16, 16, 0)) is None
+    assert J.decode_jpeg(mm.synth_jpeg(64, 64, 3)) is None  # header-only, 3-chan
+    good = bytearray(J.synth_jpeg_gray_full(16, 16, lambda bx, by: 50))
+    assert J.decode_jpeg(bytes(good)) is not None
+    assert J.decode_jpeg(bytes(good[:-20])) is None  # truncated entropy data
+    # progressive SOF2 must be rejected, not mis-decoded
+    sof0 = good.find(b"\xff\xc0")
+    prog = bytearray(good)
+    prog[sof0 + 1] = 0xC2
+    assert J.decode_jpeg(bytes(prog)) is None
+
+
+def test_feature_path_dispatch_reaches_jpeg():
+    content = J.synth_jpeg_gray_full(32, 32, lambda bx, by: 64 * bx % 256)
+    gray = mm._png_gray_pixels(content)
+    assert gray is not None and len(gray) == 32 * 32
+    feats = mm._png_features(content)
+    assert feats is not None and len(feats) == mm.N_FEATURES
+    thumb = mm._png_resize(content, 8, 8)
+    assert thumb is not None and mm.decode_png(thumb) is not None
