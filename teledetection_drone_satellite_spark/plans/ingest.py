@@ -277,6 +277,8 @@ def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN doc_id % 4 = 3 THEN 1
                      ELSE (16 + (doc_id * 5) % 64 + doc_id % 9)
                           // (1 + doc_id % 9) END AS INT) AS n_strips,
+           CAST(CASE (doc_id // 4) % 4 WHEN 0 THEN 1 WHEN 1 THEN 8
+                WHEN 2 THEN 32773 ELSE 5 END AS INT) AS compression,
            CAST((16 + (doc_id * 3) % 64) * (16 + (doc_id * 5) % 64) AS BIGINT)
                AS n_pixels,
            round(CASE WHEN doc_id % 2 = 0
@@ -287,20 +289,22 @@ def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     WHERE doc_id < 200
     """,
-    doc="REAL uncompressed-TIFF pixel decode, graded (the second raster "
-    "format pure stdlib can fully decode — baseline strips are raw bytes; "
-    "reference stack: GDAL/rasterio, file-service requirements.txt:11-15): "
-    "complete TIFFs are synthesized per doc (8-bit gray/RGB gradient, "
-    "MULTI-strip layout with doc-varying RowsPerStrip, alternating II/MM "
-    "byte order; sources/multimodal.py::synth_tiff_full), then decode_tiff "
-    "walks the IFD (the EXIF parser's _ifd_entries — EXIF is a TIFF block) "
-    "and reads StripOffsets/StripByteCounts raw strips distributively. The "
-    "oracle predicts dims, strip count CEIL(h/rps) = (h + rps - 1) DIV rps, "
-    "pixel count and gradient mean in closed form — a decoder that misreads "
-    "one strip offset or flips endianness on MM files breaks the stats. "
-    "doc_id % 4 == 3 rows use a single strip (inline offset tag), the rest "
-    "multi-strip (out-of-line LONG arrays): both IFD value encodings are "
-    "always exercised. LZW/JPEG-in-TIFF stay wheel-gated like jpeg pixels.",
+    doc="REAL TIFF pixel decode, graded (reference stack: GDAL/rasterio, "
+    "file-service requirements.txt:11-15): complete TIFFs are synthesized "
+    "per doc (8-bit gray/RGB gradient, MULTI-strip layout with doc-varying "
+    "RowsPerStrip, alternating II/MM byte order, and the compression "
+    "CYCLING by doc: none / Adobe-deflate(zlib) / PackBits / LZW-with-"
+    "horizontal-predictor — all four pure-stdlib; sources/multimodal.py::"
+    "synth_tiff_full), then decode_tiff walks the IFD (the EXIF parser's "
+    "_ifd_entries — EXIF is a TIFF block), reads StripOffsets/"
+    "StripByteCounts strips and decompresses each per the spec. The oracle "
+    "predicts dims, strip count CEIL(h/rps) = (h + rps - 1) DIV rps, the "
+    "compression id, pixel count and gradient mean in closed form — a "
+    "decoder that misreads one strip offset, flips endianness on MM files, "
+    "mistimes an LZW width change, or skips the predictor pass breaks the "
+    "stats. doc_id % 4 == 3 rows use a single strip (inline offset tag), "
+    "the rest multi-strip (out-of-line LONG arrays): both IFD value "
+    "encodings are always exercised. JPEG-in-TIFF stays wheel-gated.",
     tags=("ingest", "multimodal"),
 )
 def tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -322,18 +326,21 @@ def tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i = int(i)
                 height = 16 + (i * 5) % 64
                 rps = None if i % 4 == 3 else 1 + i % 9
+                comp = (1, 8, 32773, 5)[(i // 4) % 4]
                 content = multimodal.synth_tiff_full(
                     16 + (i * 3) % 64,
                     height,
                     (1, 3)[i % 2],
                     rows_per_strip=rps,
                     byteorder="big" if i % 3 == 0 else "little",
+                    compression=comp,
+                    predictor=2 if comp == 5 else 1,
                 )
                 width, height, channels, raw = multimodal.decode_tiff(content)
                 n_strips = 1 if rps is None else -(-height // rps)
                 rows.append(
                     (
-                        i, width, height, channels, n_strips,
+                        i, width, height, channels, n_strips, comp,
                         width * height, sum(raw) / len(raw),
                     )
                 )
@@ -341,18 +348,18 @@ def tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows,
                 columns=[
                     "doc_id", "width", "height", "channels", "n_strips",
-                    "n_pixels", "mean_raw",
+                    "compression", "n_pixels", "mean_raw",
                 ],
             )
 
     out = ids.mapInPandas(
         gen,
         "doc_id long, width int, height int, channels int, n_strips int, "
-        "n_pixels long, mean_raw double",
+        "compression int, n_pixels long, mean_raw double",
     )
     return out.select(
-        "doc_id", "width", "height", "channels", "n_strips", "n_pixels",
-        F.round("mean_raw", 6).alias("mean_intensity"),
+        "doc_id", "width", "height", "channels", "n_strips", "compression",
+        "n_pixels", F.round("mean_raw", 6).alias("mean_intensity"),
     )
 
 

@@ -682,6 +682,7 @@ _TIFF_TAG_STRIP_OFFSETS = 273
 _TIFF_TAG_SPP = 277
 _TIFF_TAG_ROWS_PER_STRIP = 278
 _TIFF_TAG_STRIP_COUNTS = 279
+_TIFF_TAG_PREDICTOR = 317
 _TIFF_INT_SIZES = {1: 1, 3: 2, 4: 4}  # BYTE / SHORT / LONG
 
 
@@ -708,17 +709,192 @@ def _tiff_tag_values(
     return [int.from_bytes(buf[j * size : (j + 1) * size], bo) for j in range(cnt)]
 
 
+def _packbits_decode(data: bytes) -> bytes:
+    """PackBits RLE (TIFF 6.0 §9): n in 0..127 -> n+1 literals; n in -127..-1
+    -> next byte repeated 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        i += 1
+        if b < 128:  # literal run
+            out += data[i : i + b + 1]
+            i += b + 1
+        elif b > 128:  # replicate run (two's complement: 257-b copies)
+            if i >= n:
+                break
+            out += bytes([data[i]]) * (257 - b)
+            i += 1
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits RLE encoder: replicate runs >= 3 bytes, literals otherwise."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit = i
+        while i < n and i - lit < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3 and i + run <= n:
+                break
+            i += 1
+        out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
+
+
+# TIFF-LZW (TIFF 6.0 §13): MSB-first variable-width codes 9..12 bits,
+# ClearCode=256, EOI=257, first dynamic entry 258, with the de-facto
+# "early change" width schedule every shipping reader implements: the DECODER
+# widens after its table reaches 2^width - 1 entries; the ENCODER (whose table
+# runs one entry ahead, since the decoder learns each entry one code later)
+# widens at 2^width. Self-consistency across all three boundaries and the
+# 12-bit table reset is pinned by round-trip tests (tests/test_tiff_codec.py);
+# no reference codec wheel exists in this container to cross-check against.
+_LZW_CLEAR, _LZW_EOI, _LZW_FIRST = 256, 257, 258
+_LZW_MAX = 4093  # conventional reset point: never let the table need >12 bits
+
+
+def _lzw_decode(data: bytes) -> "bytes | None":
+    out = bytearray()
+    bitpos, nbits_total = 0, len(data) * 8
+    width = 9
+    table: "list[bytes]" = []
+    prev: "bytes | None" = None
+
+    def read_code() -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits_total:
+            return _LZW_EOI  # truncated stream: treat as end
+        v = 0
+        for _ in range(width):
+            v = (v << 1) | ((data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1)
+            bitpos += 1
+        return v
+
+    code = read_code()
+    if code != _LZW_CLEAR:
+        return None  # spec: strips must begin with ClearCode
+    while True:
+        if code == _LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            code = read_code()
+            if code == _LZW_EOI:
+                break
+            if code >= 256:
+                return None
+            out += table[code]
+            prev = table[code]
+            code = read_code()
+            continue
+        if code == _LZW_EOI:
+            break
+        if prev is None:
+            return None
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            return None
+        if len(table) < _LZW_MAX + 1:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+        code = read_code()
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    acc = nacc = 0
+
+    def write_code(code: int, w: int) -> None:
+        nonlocal acc, nacc
+        acc = (acc << w) | code
+        nacc += w
+        while nacc >= 8:
+            nacc -= 8
+            out.append((acc >> nacc) & 0xFF)
+
+    width = 9
+    table: "dict[bytes, int]" = {bytes([i]): i for i in range(256)}
+    next_code = _LZW_FIRST
+    write_code(_LZW_CLEAR, width)
+    omega = b""
+    for ch in data:
+        k = bytes([ch])
+        if omega + k in table:
+            omega += k
+            continue
+        write_code(table[omega], width)
+        table[omega + k] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        omega = k
+        if next_code >= _LZW_MAX:
+            write_code(table[omega], width)
+            write_code(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = _LZW_FIRST
+            width = 9
+            omega = b""
+    if omega:
+        write_code(table[omega], width)
+    write_code(_LZW_EOI, width)
+    if nacc:
+        pad = 8 - nacc
+        write_code((1 << pad) - 1, pad)  # pad final byte with ones
+    return bytes(out)
+
+
+def _predictor2_encode(raw: bytes, width: int, spp: int) -> bytes:
+    """Horizontal differencing (TIFF tag 317 = 2): per row, each sample
+    becomes its delta from the previous pixel's same channel."""
+    row_len = width * spp
+    out = bytearray(raw)
+    for r in range(0, len(raw), row_len):
+        for i in range(row_len - 1, spp - 1, -1):
+            out[r + i] = (raw[r + i] - raw[r + i - spp]) % 256
+    return bytes(out)
+
+
+def _predictor2_decode(diffed: bytes, width: int, spp: int) -> bytes:
+    row_len = width * spp
+    out = bytearray(diffed)
+    for r in range(0, len(diffed), row_len):
+        for i in range(spp, row_len):
+            out[r + i] = (out[r + i] + out[r + i - spp]) % 256
+    return bytes(out)
+
+
 def synth_tiff_full(
     width: int,
     height: int,
     channels: int = 1,
     rows_per_strip: "int | None" = None,
     byteorder: str = "little",
+    compression: int = 1,
+    predictor: int = 1,
 ) -> bytes:
-    """Deterministic COMPLETE uncompressed TIFF (TIFF 6.0 baseline: header,
-    one IFD with the required tags in ascending order, raw strips). Pixel
-    contract is the synth_png_full gradient (mirrored by the tiff_pixel_stats
-    oracle; dims must stay < 256 so the modulus never folds):
+    """Deterministic COMPLETE TIFF (TIFF 6.0: header, one IFD with the
+    required tags in ascending order, strip data). Pixel contract is the
+    synth_png_full gradient (mirrored by the tiff_pixel_stats oracle; dims
+    must stay < 256 so the modulus never folds):
 
       gray: v(x, y) = x % 256
       rgb:  v(x, y) = (x % 256, y % 256, (x + y) % 256)
@@ -726,11 +902,18 @@ def synth_tiff_full(
     ``rows_per_strip`` < height yields a multi-strip layout (out-of-line
     StripOffsets/StripByteCounts LONG arrays), so decoding exercises the real
     strip walk, not just a single contiguous read; ``byteorder`` emits II or
-    MM files so both endiannesses are covered. Encoding is byte-packing per
-    the published spec — fully independent of decode_tiff, which must invert
-    it."""
+    MM files so both endiannesses are covered. ``compression``: 1 (none),
+    5 (LZW), 8 (Adobe deflate/zlib) or 32773 (PackBits), applied per strip
+    as the spec requires; ``predictor`` 2 adds horizontal differencing
+    before compression (the layout real LZW TIFFs ship with). Encoding is
+    byte-packing per the published spec — fully independent of decode_tiff,
+    which must invert it."""
+    import zlib
+
     if channels not in (1, 3):
         raise ValueError("synth_tiff_full supports 1 (gray) or 3 (RGB) samples/pixel")
+    if compression not in (1, 5, 8, 32773):
+        raise ValueError("compression must be 1, 5, 8 or 32773")
     bo = byteorder
     rps = min(rows_per_strip or height, height) or 1
     strips = []
@@ -743,11 +926,20 @@ def synth_tiff_full(
                 buf += bytes(
                     v for x in range(width) for v in (x % 256, y % 256, (x + y) % 256)
                 )
-        strips.append(bytes(buf))
+        raw = bytes(buf)
+        if predictor == 2:
+            raw = _predictor2_encode(raw, width, channels)
+        if compression == 5:
+            raw = _lzw_encode(raw)
+        elif compression == 8:
+            raw = zlib.compress(raw)
+        elif compression == 32773:
+            raw = _packbits_encode(raw)
+        strips.append(raw)
     n_strips = len(strips)
 
-    # layout: header(8) | IFD (2 + 12*9 + 4) | aux value area | strip data
-    n_tags = 9
+    # layout: header(8) | IFD (2 + 12*n_tags + 4) | aux value area | strip data
+    n_tags = 9 + (1 if predictor == 2 else 0)
     aux_off = 8 + 2 + 12 * n_tags + 4
     bits_bytes = 6 if channels == 3 else 0  # 3 SHORTs never fit inline
     arr_bytes = 0 if n_strips == 1 else 4 * n_strips
@@ -777,13 +969,14 @@ def synth_tiff_full(
             entry(_TIFF_TAG_WIDTH, 4, [width]),
             entry(_TIFF_TAG_HEIGHT, 4, [height]),
             entry(_TIFF_TAG_BITS, 3, [8] * channels),
-            entry(_TIFF_TAG_COMPRESSION, 3, [1]),
+            entry(_TIFF_TAG_COMPRESSION, 3, [compression]),
             entry(_TIFF_TAG_PHOTOMETRIC, 3, [1 if channels == 1 else 2]),
             entry(_TIFF_TAG_STRIP_OFFSETS, 4, offsets),
             entry(_TIFF_TAG_SPP, 3, [channels]),
             entry(_TIFF_TAG_ROWS_PER_STRIP, 4, [rps]),
             entry(_TIFF_TAG_STRIP_COUNTS, 4, [len(s) for s in strips]),
         ]
+        + ([entry(_TIFF_TAG_PREDICTOR, 3, [2])] if predictor == 2 else [])
     )
     header = (
         (b"II" if bo == "little" else b"MM")
@@ -802,11 +995,16 @@ def decode_tiff(content: bytes) -> "tuple[int, int, int, bytes] | None":
     decode is a header walk plus bounded reads. Reuses the EXIF path's IFD
     parser (_ifd_entries — it IS the same structure; EXIF is a TIFF block).
 
-    Returns (width, height, samples_per_pixel, raw_samples) row-major, or
-    None for anything outside scope — compressed variants (LZW/JPEG-in-TIFF),
-    non-8-bit depths, tiled layouts, planar configuration 2, or truncated
-    strips — so callers fall back to the stub/PIL path, same contract as
-    decode_png."""
+    Compressed strips are in scope for the three pure-stdlib schemes —
+    LZW (5, incl. the horizontal-differencing predictor real LZW files
+    ship with), Adobe deflate (8, zlib), PackBits (32773) — each
+    decompressed per strip as the spec requires. Returns (width, height,
+    samples_per_pixel, raw_samples) row-major, or None for anything outside
+    scope — JPEG-in-TIFF, non-8-bit depths, tiled layouts, planar
+    configuration 2, or truncated strips — so callers fall back to the
+    stub/PIL path, same contract as decode_png."""
+    import zlib
+
     if len(content) < 8:
         return None
     if content[:2] == b"II":
@@ -831,8 +1029,12 @@ def decode_tiff(content: bytes) -> "tuple[int, int, int, bytes] | None":
     width, height = one(_TIFF_TAG_WIDTH), one(_TIFF_TAG_HEIGHT)
     if not width or not height:
         return None
-    if one(_TIFF_TAG_COMPRESSION, 1) != 1:
-        return None  # only uncompressed baseline in scope
+    compression = one(_TIFF_TAG_COMPRESSION, 1)
+    if compression not in (1, 5, 8, 32773):
+        return None  # JPEG-in-TIFF etc.: out of pure-stdlib scope
+    predictor = one(_TIFF_TAG_PREDICTOR, 1)
+    if predictor not in (1, 2):
+        return None  # floating-point predictor 3: out of scope
     spp = one(_TIFF_TAG_SPP, 1)
     bits = values(_TIFF_TAG_BITS) or [1]  # spec default is 1 bit
     if not spp or any(b != 8 for b in bits):
@@ -845,7 +1047,21 @@ def decode_tiff(content: bytes) -> "tuple[int, int, int, bytes] | None":
     for off, cnt in zip(offsets, counts):
         if off + cnt > len(content):
             return None  # truncated strip: refuse, never silently short-read
-        out += content[off : off + cnt]
+        strip = content[off : off + cnt]
+        if compression == 5:
+            strip = _lzw_decode(strip)
+            if strip is None:
+                return None
+        elif compression == 8:
+            try:
+                strip = zlib.decompress(strip)
+            except zlib.error:
+                return None
+        elif compression == 32773:
+            strip = _packbits_decode(strip)
+        if predictor == 2:
+            strip = _predictor2_decode(strip, width, spp)
+        out += strip
     if len(out) != width * height * spp:
         return None
     return width, height, spp, bytes(out)

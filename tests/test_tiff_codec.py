@@ -65,3 +65,43 @@ def test_exif_jpeg_is_not_a_tiff():
     # an EXIF APP1 block CONTAINS a TIFF block but the file itself is a JPEG —
     # decode_tiff must reject it at the magic check
     assert mm.decode_tiff(mm.synth_image_exif(7)) is None
+
+
+def test_compressed_variants_roundtrip_to_identical_pixels():
+    ref = mm.decode_tiff(mm.synth_tiff_full(37, 23, 3))
+    for comp in (5, 8, 32773):
+        for pred in (1, 2):
+            for rps in (None, 3):
+                got = mm.decode_tiff(
+                    mm.synth_tiff_full(
+                        37, 23, 3, rows_per_strip=rps,
+                        compression=comp, predictor=pred,
+                    )
+                )
+                assert got == ref, (comp, pred, rps)
+
+
+def test_lzw_width_boundaries_and_table_reset_roundtrip():
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    for size in (300, 2000, 8000, 60000):  # crosses 511/1023/2047/4093 growth
+        data = bytes(rng.integers(0, 256, size=size, dtype=np.uint8))
+        assert mm._lzw_decode(mm._lzw_encode(data)) == data
+    rep = b"abcd" * 20000  # high redundancy: long dictionary chains + resets
+    assert mm._lzw_decode(mm._lzw_encode(rep)) == rep
+    # spec: a strip must begin with ClearCode
+    assert mm._lzw_decode(b"\x00\x00\x00") is None
+
+
+def test_packbits_edge_cases_roundtrip():
+    for data in (b"", b"a", b"a" * 200, b"ab" * 100, bytes(range(256)), b"aaabccccd"):
+        assert mm._packbits_decode(mm._packbits_encode(data)) == data
+
+
+def test_unknown_compression_returns_none():
+    content = bytearray(mm.synth_tiff_full(8, 8, 1))
+    # compression entry is the 4th tag: value field at IFD(8)+2 + 3*12 + 8
+    assert int.from_bytes(content[10 + 36 : 10 + 38], "little") == 259
+    content[10 + 36 + 8] = 7  # JPEG-in-TIFF: out of scope
+    assert mm.decode_tiff(bytes(content)) is None
