@@ -101,6 +101,33 @@ def parse_image_header(content: bytes) -> "tuple[int, int, int, str] | None":
         if w and h and w[0] and h[0]:
             return w[0], h[0], spp[0] if spp else 1, "tiff"
         return None
+    # WebP: RIFF container with a WEBP form; dims live in the first chunk's
+    # bitstream header — VP8 (lossy: 14-bit w/h after the 0x9D012A sync code),
+    # VP8L (lossless: packed 14-bit w-1/h-1 after the 0x2F signature), or
+    # VP8X (extended: 24-bit w-1/h-1). Public container spec; no codec needed
+    # for metadata. Pixels stay out of pure-stdlib scope (VP8 is a video
+    # codec), exactly like compressed audio.
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP" and len(content) >= 30:
+        fourcc = content[12:16]
+        d = content[20:]
+        if fourcc == b"VP8 " and len(d) >= 10 and d[3:6] == b"\x9d\x01\x2a":
+            width = int.from_bytes(d[6:8], "little") & 0x3FFF
+            height = int.from_bytes(d[8:10], "little") & 0x3FFF
+            if width and height:
+                return width, height, 3, "webp"
+            return None
+        if fourcc == b"VP8L" and len(d) >= 5 and d[0] == 0x2F:
+            bits = int.from_bytes(d[1:5], "little")
+            width = (bits & 0x3FFF) + 1
+            height = ((bits >> 14) & 0x3FFF) + 1
+            alpha = (bits >> 28) & 1
+            return width, height, 4 if alpha else 3, "webp"
+        if fourcc == b"VP8X" and len(d) >= 10:
+            alpha = d[0] & 0x10
+            width = int.from_bytes(d[4:7], "little") + 1
+            height = int.from_bytes(d[7:10], "little") + 1
+            return width, height, 4 if alpha else 3, "webp"
+        return None
     # PNG: 8-byte magic, then the IHDR chunk is required first — width/height
     # are big-endian u32 at offsets 16/20, color type at 25.
     if content[:8] == _PNG_MAGIC and len(content) >= 26 and content[12:16] == b"IHDR":
@@ -605,6 +632,28 @@ def synth_gif(width: int, height: int) -> bytes:
     import struct
 
     return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00"
+
+
+def synth_webp(width: int, height: int, variant: str = "vp8", alpha: bool = False) -> bytes:
+    """Deterministic WebP container with a spec-correct bitstream HEADER for
+    the requested variant (vp8 lossy / vp8l lossless / vp8x extended); the
+    payload body is zero-filled — header-only like synth_jpeg/synth_gif."""
+    if variant == "vp8":
+        d = bytes(3) + b"\x9d\x01\x2a" + width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    elif variant == "vp8l":
+        bits = (width - 1) | ((height - 1) << 14) | ((1 if alpha else 0) << 28)
+        d = b"\x2f" + bits.to_bytes(4, "little")
+    elif variant == "vp8x":
+        d = (
+            bytes([0x10 if alpha else 0]) + bytes(3)
+            + (width - 1).to_bytes(3, "little") + (height - 1).to_bytes(3, "little")
+        )
+    else:
+        raise ValueError("variant must be vp8, vp8l or vp8x")
+    fourcc = {"vp8": b"VP8 ", "vp8l": b"VP8L", "vp8x": b"VP8X"}[variant]
+    d = d.ljust(10, b"\0")
+    chunk = fourcc + len(d).to_bytes(4, "little") + d
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
 
 
 def synth_wav(rate: int, n_samples: int, channels: int = 1, bits: int = 16) -> bytes:

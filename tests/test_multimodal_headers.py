@@ -277,3 +277,18 @@ def test_sniff_and_decode_agree_on_png(spark):
     assert ing["mime"] == "image/png"
     meta = multimodal.decode_image_meta(df).select("format").collect()[0]
     assert meta["format"] == "png"
+
+
+def test_webp_header_dims_all_three_variants():
+    from teledetection_drone_satellite_spark.sources import multimodal as mm
+
+    assert mm.parse_image_header(mm.synth_webp(320, 240, "vp8")) == (320, 240, 3, "webp")
+    assert mm.parse_image_header(mm.synth_webp(16383, 1, "vp8l")) == (16383, 1, 3, "webp")
+    assert mm.parse_image_header(mm.synth_webp(5, 7, "vp8l", alpha=True)) == (5, 7, 4, "webp")
+    assert mm.parse_image_header(mm.synth_webp(4000, 3000, "vp8x")) == (4000, 3000, 3, "webp")
+    assert mm.parse_image_header(mm.synth_webp(9, 9, "vp8x", alpha=True)) == (9, 9, 4, "webp")
+    # a WAV is RIFF but not WEBP; unknown inner fourcc is None, not a guess
+    assert mm.parse_image_header(mm.synth_wav(8000, 10)) is None
+    bad = bytearray(mm.synth_webp(32, 32, "vp8"))
+    bad[23] = 0xFF  # break the VP8 sync code
+    assert mm.parse_image_header(bytes(bad)) is None
