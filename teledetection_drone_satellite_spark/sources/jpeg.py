@@ -171,7 +171,7 @@ def decode_jpeg(content: bytes) -> "tuple[int, int, int, bytes] | None":
     qtables: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}  # (class, id)
     width = height = None
-    comp_q = dc_id = ac_id = None
+    sof_comps = scan_tables = None
     dri = 0
     i, n = 2, len(content)
     try:
@@ -211,78 +211,103 @@ def decode_jpeg(content: bytes) -> "tuple[int, int, int, bytes] | None":
                     huff[(tc, th)] = _build_huffman(bits, vals)
                     p += 17 + nv
             elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline profiles
-                if len(seg) < 8 or seg[0] != 8:
+                if len(seg) < 6 or seg[0] != 8:
                     return None
                 height = int.from_bytes(seg[1:3], "big")
                 width = int.from_bytes(seg[3:5], "big")
-                if seg[5] != 1:  # single-component (grayscale) scans only
+                nc = seg[5]
+                if nc not in (1, 3) or len(seg) < 6 + 3 * nc:
                     return None
-                if seg[7] != 0x11:  # 1x1 sampling
-                    return None
-                comp_q = seg[8]
+                sof_comps = []
+                for ci in range(nc):
+                    cid, samp, qid = seg[6 + 3 * ci : 9 + 3 * ci]
+                    if samp != 0x11:  # 1x1 sampling only (4:4:4 for color)
+                        return None
+                    sof_comps.append((cid, qid))
             elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 return None  # progressive/arithmetic/lossless: out of scope
             elif marker == 0xDD:  # DRI
                 dri = int.from_bytes(seg[:2], "big")
             elif marker == 0xDA:  # SOS — entropy data follows
-                if len(seg) < 4 or seg[0] != 1:
+                ns = seg[0] if seg else 0
+                if sof_comps is None or ns != len(sof_comps) or len(seg) < 1 + 2 * ns:
                     return None
-                dc_id, ac_id = seg[2] >> 4, seg[2] & 15
+                scan_tables = {}
+                for ci in range(ns):
+                    cid, t = seg[1 + 2 * ci : 3 + 2 * ci]
+                    scan_tables[cid] = (t >> 4, t & 15)
                 i = i + 2 + seg_len
                 break
             i += 2 + seg_len
         else:
             return None
-        if (
-            width is None
-            or not width
-            or not height
-            or comp_q not in qtables
-            or (0, dc_id) not in huff
-            or (1, ac_id) not in huff
-        ):
+        if width is None or not width or not height:
             return None
+        comps = []  # (qtable, dc_table, ac_table) in SOF order
+        for cid, qid in sof_comps:
+            if qid not in qtables or cid not in scan_tables:
+                return None
+            dc_id, ac_id = scan_tables[cid]
+            if (0, dc_id) not in huff or (1, ac_id) not in huff:
+                return None
+            comps.append((qtables[qid], huff[(0, dc_id)], huff[(1, ac_id)]))
 
-        qt = qtables[comp_q]
-        dc_table, ac_table = huff[(0, dc_id)], huff[(1, ac_id)]
+        nc = len(comps)
         bw, bh = (width + 7) // 8, (height + 7) // 8
         reader = _BitReader(content, i)
-        out = np.empty((bh * 8, bw * 8), dtype=np.uint8)
-        dc_pred = 0
+        planes = np.empty((nc, bh * 8, bw * 8), dtype=np.float64)
+        dc_pred = [0] * nc
         mcu = 0
         for by in range(bh):
             for bx in range(bw):
                 if dri and mcu and mcu % dri == 0:
                     reader.restart()
-                    dc_pred = 0
+                    dc_pred = [0] * nc
                 mcu += 1
-                coef = np.zeros(64, dtype=np.float64)
-                s = reader.decode_symbol(dc_table)
-                if s > 11:
-                    return None
-                dc_pred += reader.receive_extend(s)
-                coef[0] = dc_pred * qt[0]
-                k = 1
-                while k < 64:
-                    rs = reader.decode_symbol(ac_table)
-                    r, s = rs >> 4, rs & 15
-                    if s == 0:
-                        if r == 15:  # ZRL: sixteen zeros
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
+                for ci, (qt, dc_table, ac_table) in enumerate(comps):
+                    coef = np.zeros(64, dtype=np.float64)
+                    s = reader.decode_symbol(dc_table)
+                    if s > 11:
                         return None
-                    coef[ZIGZAG[k]] = reader.receive_extend(s) * qt[k]
-                    k += 1
-                block = _C.T @ coef.reshape(8, 8) @ _C
-                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                    np.round(block + 128.0), 0, 255
-                ).astype(np.uint8)
+                    dc_pred[ci] += reader.receive_extend(s)
+                    coef[0] = dc_pred[ci] * qt[0]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode_symbol(ac_table)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:  # ZRL: sixteen zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            return None
+                        coef[ZIGZAG[k]] = reader.receive_extend(s) * qt[k]
+                        k += 1
+                    planes[ci, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        _C.T @ coef.reshape(8, 8) @ _C
+                    ) + 128.0
     except _Truncated:
         return None
-    return width, height, 1, out[:height, :width].tobytes()
+    planes = planes[:, :height, :width]
+    # floor(x + 0.5) quantization in BOTH the gray and color paths: unlike
+    # np.round (banker's), it matches SQL FLOOR(x + 0.5) exactly, which is
+    # what lets the color oracle replicate the conversion bit-for-bit
+    if nc == 1:
+        gray = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
+        return width, height, 1, gray.tobytes()
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    rgb = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+    return width, height, 3, rgb.tobytes()
 
 
 class _BitWriter:
