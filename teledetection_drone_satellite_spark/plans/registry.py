@@ -61,8 +61,9 @@ def _grading_history() -> tuple[frozenset[str], dict[str, int]]:
     achieved its maximum gradeable depth:
 
       - oracle-bearing query: an oracle row with ``hash_match`` true;
-      - rows-only-by-nature query (no oracle registered): a ``no_oracle``
-        row that ran.  A ``no_oracle`` row for a query that NOW has an
+      - rows-only-by-nature query (no oracle registered): any clean row
+        (``err`` of ``no_oracle`` or None with no ``*_match`` false).  A
+        rows-only row for a query that NOW has an
         oracle does NOT count — the query was graded before its oracle
         existed and must re-enter the window for hash-graded evidence.
     """
@@ -100,7 +101,11 @@ def _grading_history() -> tuple[frozenset[str], dict[str, int]]:
             has_oracle = q is not None and q.oracle is not None
             if has_oracle and row.get("hash_match") is True:
                 last_full[name] = n
-            elif not has_oracle and err == "no_oracle":
+            elif not has_oracle and err in (None, "no_oracle"):
+                # Older driver rows for oracle-less queries carry err=None;
+                # any clean row IS full depth for a query with no oracle —
+                # otherwise it camps in the never-graded priority group and
+                # starves genuinely stale queries of window slots.
                 last_full[name] = n
         latest_fail = frozenset(fails)  # loop ends on the most recent round
     return latest_fail, last_full

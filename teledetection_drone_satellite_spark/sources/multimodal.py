@@ -1109,6 +1109,11 @@ def decode_tiff(content: bytes) -> "tuple[int, int, int, bytes] | None":
         elif compression == 32773:
             strip = _packbits_decode(strip)
         if predictor == 2:
+            # A corrupt/foreign strip can decompress to a non-row-multiple
+            # length; _predictor2_decode would index past the buffer.  Honor
+            # the documented None-fallback contract instead of raising.
+            if len(strip) % (width * spp) != 0:
+                return None
             strip = _predictor2_decode(strip, width, spp)
         out += strip
     if len(out) != width * height * spp:

@@ -105,3 +105,36 @@ def test_unknown_compression_returns_none():
     assert int.from_bytes(content[10 + 36 : 10 + 38], "little") == 259
     content[10 + 36 + 8] = 7  # JPEG-in-TIFF: out of scope
     assert mm.decode_tiff(bytes(content)) is None
+
+
+def test_predictor_strip_not_row_multiple_returns_none():
+    """ADVICE r6: a deflate strip that inflates to a non-row-multiple length
+    must hit the None-fallback contract, not IndexError inside the predictor
+    pass (which would crash the executor task instead of falling back)."""
+    import zlib
+
+    content = bytearray(
+        mm.synth_tiff_full(8, 8, 1, compression=8, predictor=2)
+    )
+    # Locate the single deflate strip: it is the trailing bytes after the IFD.
+    decoded = mm.decode_tiff(bytes(content))
+    assert decoded is not None  # sanity: pristine file decodes
+    # Patch the strip to inflate to 63 bytes (8x8x1 => rows of 8; 63 % 8 != 0).
+    bad = zlib.compress(b"\x01" * 63)
+    # Locate the strip via the IFD, then byte-replace it with the bad payload.
+    ifd = mm._ifd_entries(bytes(content), int.from_bytes(content[4:8], "little"), "little")
+    offs = mm._tiff_tag_values(bytes(content), ifd, 273, "little")
+    cnts = mm._tiff_tag_values(bytes(content), ifd, 279, "little")
+    assert offs and cnts and len(offs) == 1
+    off, cnt = offs[0], cnts[0]
+    patched = bytes(content[:off]) + bad + bytes(content[off + cnt :])
+    # Fix the strip byte count to the new compressed length.
+    patched = bytearray(patched)
+    # StripByteCounts tag value: find its entry in the IFD and rewrite inline.
+    n = int.from_bytes(patched[8:10], "little")
+    base = 10
+    for i in range(n):
+        e = base + i * 12
+        if int.from_bytes(patched[e : e + 2], "little") == 279:
+            patched[e + 8 : e + 12] = len(bad).to_bytes(4, "little")
+    assert mm.decode_tiff(bytes(patched)) is None
