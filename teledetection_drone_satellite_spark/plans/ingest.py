@@ -447,6 +447,139 @@ def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jpeg_color_pixel_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               10 + doc_id % 40 AS w,
+               10 + (doc_id * 3) % 40 AS h,
+               CASE doc_id % 3 WHEN 0 THEN 8 ELSE 16 END AS hdiv,
+               CASE doc_id % 3 WHEN 2 THEN 16 ELSE 8 END AS vdiv,
+               CASE doc_id % 3 WHEN 0 THEN 444 WHEN 1 THEN 422 ELSE 420 END
+                   AS sampling
+        FROM documents WHERE doc_id < 150
+    ),
+    px AS (
+        SELECT doc_id, w, h, sampling,
+               CAST((doc_id + 16 * (x.i // 8) + 40 * (y.i // 8)) % 256
+                    AS DOUBLE) AS yv,
+               CAST((doc_id * 7 + 24 * (x.i // hdiv) + 12 * (y.i // vdiv)) % 256
+                    AS DOUBLE) - 128.0 AS cb,
+               CAST((doc_id * 5 + 8 * (x.i // hdiv) + 20 * (y.i // vdiv)) % 256
+                    AS DOUBLE) - 128.0 AS cr
+        FROM spec,
+             LATERAL unnest(range(0, w)) x(i),
+             LATERAL unnest(range(0, h)) y(i)
+    ),
+    rgb AS (
+        SELECT doc_id, w, h, sampling,
+               GREATEST(0, LEAST(255,
+                   CAST(FLOOR(yv + 1.402 * cr + 0.5) AS BIGINT))) AS r,
+               GREATEST(0, LEAST(255,
+                   CAST(FLOOR(yv - 0.344136 * cb - 0.714136 * cr + 0.5)
+                        AS BIGINT))) AS g,
+               GREATEST(0, LEAST(255,
+                   CAST(FLOOR(yv + 1.772 * cb + 0.5) AS BIGINT))) AS b
+        FROM px
+    )
+    SELECT doc_id,
+           CAST(min(w) AS INT) AS width,
+           CAST(min(h) AS INT) AS height,
+           CAST(min(sampling) AS INT) AS sampling,
+           ((2 * CAST(sum(r) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_r,
+           ((2 * CAST(sum(g) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_g,
+           ((2 * CAST(sum(b) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_b
+    FROM rgb GROUP BY doc_id
+    """,
+    doc="REAL baseline COLOR JPEG pixel decode, graded (the YCbCr tail of "
+    "S7; reference stack Pillow/GDAL, file-service requirements.txt:11-15): "
+    "complete interleaved 3-component baseline JPEGs are synthesized per "
+    "doc with the sampling mode CYCLING 4:4:4 / 4:2:2 / 4:2:0 by doc_id "
+    "(constant DC-only blocks per component, all-ones quant tables, Annex K "
+    "LUMINANCE tables for Y and CHROMINANCE tables for Cb/Cr; sources/"
+    "jpeg.py::synth_jpeg_color_full packs T.81 A.2.3 MCU interleave "
+    "independently of the decoder), then decode_jpeg runs the multi-"
+    "component entropy decode (per-component DC predictors + Huffman "
+    "table selection), per-component integer sample quantization, chroma "
+    "upsample by replication and the JFIF YCbCr->RGB matrix with "
+    "floor(x+0.5) — all distributively. The oracle enumerates every pixel "
+    "and replicates the EXACT arithmetic (integer samples in, identical "
+    "IEEE expression trees, half-up means at 6 decimals): one swapped "
+    "chroma table, a mis-phased subsample index, or a component "
+    "interleave error flips per-channel means. Progressive stays out of "
+    "scope (None -> stub path).",
+    tags=("ingest", "multimodal"),
+)
+def jpeg_color_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w_px, h_px = 10 + i % 40, 10 + (i * 3) % 40
+                mode = ("444", "422", "420")[i % 3]
+
+                def bv(ci: int, bx: int, by: int, i: int = i) -> int:
+                    if ci == 0:
+                        return (i + 16 * bx + 40 * by) % 256
+                    if ci == 1:
+                        return (i * 7 + 24 * bx + 12 * by) % 256
+                    return (i * 5 + 8 * bx + 20 * by) % 256
+
+                content = jpegcodec.synth_jpeg_color_full(w_px, h_px, mode, bv)
+                width, height, channels, raw = jpegcodec.decode_jpeg(content)
+                arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, width, 3)
+                sums = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                rows.append(
+                    (
+                        i, width, height, int(mode),
+                        int(sums[0]), int(sums[1]), int(sums[2]),
+                        width * height,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "sampling",
+                    "rsum", "gsum", "bsum", "npx",
+                ],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, width int, height int, sampling int, "
+        "rsum long, gsum long, bsum long, npx long",
+    )
+
+    def half_up(col: str):
+        return (
+            F.expr(f"(2 * {col} * 1000000 + npx) div (2 * npx)") / 1000000.0
+        )
+
+    return out.select(
+        "doc_id", "width", "height", "sampling",
+        half_up("rsum").alias("mean_r"),
+        half_up("gsum").alias("mean_g"),
+        half_up("bsum").alias("mean_b"),
+    )
+
+
+@register(
     "wav_sample_stats",
     oracle="""
     WITH spec AS (

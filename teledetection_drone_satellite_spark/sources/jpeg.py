@@ -6,22 +6,31 @@ the IDCT is an 8x8 matrix product).
 
 Scope — honest and explicit, same contract as decode_png/decode_tiff:
 
-  decode_jpeg   REAL decoder for baseline sequential DCT, single-component
-                (grayscale) scans: full marker walk, DQT (8-bit), DHT
-                (canonical Huffman build), SOF0, DRI/RSTn restart handling,
-                byte-unstuffed entropy decode (DC prediction + AC
+  decode_jpeg   REAL decoder for baseline sequential DCT scans, grayscale
+                AND interleaved 3-component YCbCr color: full marker walk,
+                DQT (8-bit), DHT (canonical Huffman build), SOF0,
+                per-component sampling factors (4:4:4 / 4:2:2 / 4:2:0 — any
+                H,V in {1,2,4} dividing Hmax,Vmax), DRI/RSTn restart
+                handling (restart interval counts MCUs), byte-unstuffed
+                entropy decode (per-component DC prediction + AC
                 run-length/ZRL/EOB), dequantize, dezigzag, float IDCT,
-                level shift, edge-block crop. Returns (width, height, 1,
-                gray_bytes) or None for anything outside that scope
-                (progressive SOF2, multi-component color scans, 12-bit) —
-                callers fall back to the stub/PIL path.
+                level shift, chroma upsample by replication (JFIF), YCbCr ->
+                RGB, edge crop. Returns (width, height, 1, gray_bytes) or
+                (width, height, 3, rgb_bytes) row-major, or None for
+                anything outside that scope (progressive SOF2, arithmetic,
+                12-bit, non-dividing sampling ratios) — callers fall back to
+                the stub/PIL path.
 
-  synth_jpeg_gray_full  REAL encoder for the same profile, used to grade the
-                decoder: arbitrary quantized-coefficient blocks in, spec-
-                correct JFIF stream out (tables embedded in the file, so
-                encoder and decoder are self-consistent by construction; the
-                closed-form graded query uses constant blocks, whose DC-only
-                transform round-trips bit-exactly — see jpeg_pixel_stats).
+  synth_jpeg_gray_full / synth_jpeg_color_full  REAL encoders for the same
+                profile, used to grade the decoder: arbitrary quantized-
+                coefficient blocks in, spec-correct JFIF stream out (tables
+                embedded in the file, so encoder and decoder are self-
+                consistent by construction; the closed-form graded queries
+                use constant blocks, whose DC-only transform round-trips
+                bit-exactly — see jpeg_pixel_stats / jpeg_color_pixel_stats).
+                Color embeds the Annex K luminance tables for Y and the
+                Annex K chrominance tables for Cb/Cr, exercising
+                per-component DQT/DHT selection in the decoder.
 
 Everything here is from the published ITU T.81 spec; the Huffman tables the
 encoder embeds follow Annex K's BITS/HUFFVAL layout.
@@ -71,6 +80,37 @@ AC_VALS = [
     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# standard chrominance Huffman tables (T.81 Annex K.3.3.2) — embedded by the
+# color encoder for Cb/Cr so the decoder's per-component table selection is
+# genuinely exercised (a decoder that reads Cb with the luminance table
+# desynchronizes immediately).
+CHROMA_DC_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+CHROMA_DC_VALS = list(range(12))
+CHROMA_AC_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+CHROMA_AC_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
 ]
 
@@ -221,9 +261,18 @@ def decode_jpeg(content: bytes) -> "tuple[int, int, int, bytes] | None":
                 sof_comps = []
                 for ci in range(nc):
                     cid, samp, qid = seg[6 + 3 * ci : 9 + 3 * ci]
-                    if samp != 0x11:  # 1x1 sampling only (4:4:4 for color)
+                    ch, cv = samp >> 4, samp & 15
+                    if nc == 1:
+                        # T.81 A.2: a non-interleaved single-component scan
+                        # ignores declared sampling — data is one block grid.
+                        ch = cv = 1
+                    if ch not in (1, 2, 4) or cv not in (1, 2, 4):
                         return None
-                    sof_comps.append((cid, qid))
+                    sof_comps.append((cid, ch, cv, qid))
+                hmax = max(c[1] for c in sof_comps)
+                vmax = max(c[2] for c in sof_comps)
+                if any(hmax % c[1] or vmax % c[2] for c in sof_comps):
+                    return None  # non-dividing ratio: replication undefined
             elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 return None  # progressive/arithmetic/lossless: out of scope
             elif marker == 0xDD:  # DRI
@@ -243,60 +292,83 @@ def decode_jpeg(content: bytes) -> "tuple[int, int, int, bytes] | None":
             return None
         if width is None or not width or not height:
             return None
-        comps = []  # (qtable, dc_table, ac_table) in SOF order
-        for cid, qid in sof_comps:
+        comps = []  # (qtable, dc_table, ac_table, H, V) in SOF order
+        for cid, ch, cv, qid in sof_comps:
             if qid not in qtables or cid not in scan_tables:
                 return None
             dc_id, ac_id = scan_tables[cid]
             if (0, dc_id) not in huff or (1, ac_id) not in huff:
                 return None
-            comps.append((qtables[qid], huff[(0, dc_id)], huff[(1, ac_id)]))
+            comps.append((qtables[qid], huff[(0, dc_id)], huff[(1, ac_id)], ch, cv))
 
         nc = len(comps)
-        bw, bh = (width + 7) // 8, (height + 7) // 8
+        # MCU grid: each MCU covers 8*hmax x 8*vmax pixels and carries H*V
+        # blocks per component, component order, row-major within a component
+        # (T.81 A.2.3). Each component decodes into its own (sub-resolution)
+        # plane, padded to whole MCUs; upsample-by-replication then crops.
+        mcux = -(-width // (8 * hmax))
+        mcuy = -(-height // (8 * vmax))
         reader = _BitReader(content, i)
-        planes = np.empty((nc, bh * 8, bw * 8), dtype=np.float64)
+        planes = [
+            np.empty((mcuy * cv * 8, mcux * ch * 8), dtype=np.float64)
+            for (_, _, _, ch, cv) in comps
+        ]
         dc_pred = [0] * nc
         mcu = 0
-        for by in range(bh):
-            for bx in range(bw):
+        for my in range(mcuy):
+            for mx in range(mcux):
                 if dri and mcu and mcu % dri == 0:
                     reader.restart()
                     dc_pred = [0] * nc
                 mcu += 1
-                for ci, (qt, dc_table, ac_table) in enumerate(comps):
-                    coef = np.zeros(64, dtype=np.float64)
-                    s = reader.decode_symbol(dc_table)
-                    if s > 11:
-                        return None
-                    dc_pred[ci] += reader.receive_extend(s)
-                    coef[0] = dc_pred[ci] * qt[0]
-                    k = 1
-                    while k < 64:
-                        rs = reader.decode_symbol(ac_table)
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r == 15:  # ZRL: sixteen zeros
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            return None
-                        coef[ZIGZAG[k]] = reader.receive_extend(s) * qt[k]
-                        k += 1
-                    planes[ci, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                        _C.T @ coef.reshape(8, 8) @ _C
-                    ) + 128.0
+                for ci, (qt, dc_table, ac_table, ch, cv) in enumerate(comps):
+                    for byy in range(cv):
+                        for bxx in range(ch):
+                            coef = np.zeros(64, dtype=np.float64)
+                            s = reader.decode_symbol(dc_table)
+                            if s > 11:
+                                return None
+                            dc_pred[ci] += reader.receive_extend(s)
+                            coef[0] = dc_pred[ci] * qt[0]
+                            k = 1
+                            while k < 64:
+                                rs = reader.decode_symbol(ac_table)
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r == 15:  # ZRL: sixteen zeros
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    return None
+                                coef[ZIGZAG[k]] = reader.receive_extend(s) * qt[k]
+                                k += 1
+                            py, px = (my * cv + byy) * 8, (mx * ch + bxx) * 8
+                            planes[ci][py : py + 8, px : px + 8] = (
+                                _C.T @ coef.reshape(8, 8) @ _C
+                            ) + 128.0
     except _Truncated:
         return None
-    planes = planes[:, :height, :width]
-    # floor(x + 0.5) quantization in BOTH the gray and color paths: unlike
-    # np.round (banker's), it matches SQL FLOOR(x + 0.5) exactly, which is
-    # what lets the color oracle replicate the conversion bit-for-bit
+    # T.81 decodes each COMPONENT to 8-bit samples before any color
+    # transform (the IDCT output is quantized per component, then JFIF
+    # color conversion runs on those integer samples) — so quantize the
+    # planes first, then upsample/convert. floor(x + 0.5) rather than
+    # np.round (banker's): it matches SQL FLOOR(x + 0.5) exactly, which —
+    # together with integer-sample inputs to the RGB matrix — lets the
+    # color oracle replicate the whole conversion bit-for-bit.
+    planes = [
+        np.repeat(
+            np.repeat(
+                np.clip(np.floor(p + 0.5), 0, 255), vmax // cv, axis=0
+            ),
+            hmax // ch,
+            axis=1,
+        )[:height, :width]
+        for p, (_, _, _, ch, cv) in zip(planes, comps)
+    ]
     if nc == 1:
-        gray = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
-        return width, height, 1, gray.tobytes()
+        return width, height, 1, planes[0].astype(np.uint8).tobytes()
     y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
     rgb = np.stack(
         [
@@ -355,6 +427,43 @@ def _size_cat(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
+def _encode_block(
+    w: _BitWriter,
+    blk: "list[int]",
+    dc_enc: "dict[int, tuple[int, int]]",
+    ac_enc: "dict[int, tuple[int, int]]",
+    dc_pred: int,
+) -> int:
+    """Entropy-encode one 64-coefficient zigzag block; returns the new DC
+    predictor (T.81 F.1.2: DC differential, AC run-length/ZRL/EOB)."""
+    diff = blk[0] - dc_pred
+    s = _size_cat(diff)
+    _encode_value(w, dc_enc, s, diff)
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if blk[k]:
+            last_nz = k
+            break
+    run = 0
+    for k in range(1, last_nz + 1):
+        v = blk[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            _encode_value(w, ac_enc, 0xF0, 0)  # ZRL
+            run -= 16
+        _encode_value(w, ac_enc, (run << 4) | _size_cat(v), v)
+        run = 0
+    if last_nz < 63:
+        _encode_value(w, ac_enc, 0x00, 0)  # EOB
+    return blk[0]
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
 def encode_baseline_gray(
     blocks: "list[list[int]]", width: int, height: int, qtable: "list[int] | None" = None
 ) -> bytes:
@@ -371,42 +480,112 @@ def encode_baseline_gray(
     w = _BitWriter()
     dc_pred = 0
     for blk in blocks:
-        diff = blk[0] - dc_pred
-        dc_pred = blk[0]
-        s = _size_cat(diff)
-        _encode_value(w, dc_enc, s, diff)
-        # AC: run-length of zeros between nonzeros, ZRL for 16+, EOB at end
-        last_nz = 0
-        for k in range(63, 0, -1):
-            if blk[k]:
-                last_nz = k
-                break
-        run = 0
-        for k in range(1, last_nz + 1):
-            v = blk[k]
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                _encode_value(w, ac_enc, 0xF0, 0)  # ZRL
-                run -= 16
-            s = _size_cat(v)
-            _encode_value(w, ac_enc, (run << 4) | s, v)
-            run = 0
-        if last_nz < 63:
-            _encode_value(w, ac_enc, 0x00, 0)  # EOB
+        dc_pred = _encode_block(w, blk, dc_enc, ac_enc, dc_pred)
     w.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
-
-    dqt = seg(0xDB, bytes([0]) + bytes(qt))
-    sof = seg(0xC0, bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
-    dht = seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)) + seg(
+    dqt = _seg(0xDB, bytes([0]) + bytes(qt))
+    sof = _seg(0xC0, bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    dht = _seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)) + _seg(
         0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS)
     )
-    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return b"\xff\xd8" + dqt + sof + dht + sos + bytes(w.out) + b"\xff\xd9"
+
+
+def encode_baseline_color(
+    comp_blocks: "list[list[list[int]]]",
+    width: int,
+    height: int,
+    sampling: "list[tuple[int, int]]",
+) -> bytes:
+    """Spec-correct baseline interleaved YCbCr JPEG from per-component
+    quantized coefficient blocks.
+
+    ``comp_blocks[ci]``: row-major grid of (mcuy*V) x (mcux*H) blocks for
+    component ci (Y, Cb, Cr), each 64 zigzag coefficients — the grid is
+    padded to whole MCUs, exactly what the decoder's plane layout expects.
+    ``sampling[ci]``: (H, V) factors; e.g. [(2,2),(1,1),(1,1)] is 4:2:0.
+    All-ones quant tables (ids 0 luma / 1 chroma): lossless transform
+    domain, so constant DC-only blocks round-trip bit-exactly. Y uses the
+    Annex K luminance Huffman pair (ids 0), Cb/Cr the chrominance pair
+    (ids 1): per-component table selection is structural, not optional.
+    Entropy order is T.81 A.2.3: per MCU, components in SOF order, V rows x
+    H cols of blocks each, with independent DC predictors per component."""
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    for ci, (h, v) in enumerate(sampling):
+        if len(comp_blocks[ci]) != mcux * h * mcuy * v:
+            raise ValueError("component %d: want %d blocks, got %d"
+                             % (ci, mcux * h * mcuy * v, len(comp_blocks[ci])))
+    luma = (_encode_table(DC_BITS, DC_VALS), _encode_table(AC_BITS, AC_VALS))
+    chroma = (
+        _encode_table(CHROMA_DC_BITS, CHROMA_DC_VALS),
+        _encode_table(CHROMA_AC_BITS, CHROMA_AC_VALS),
+    )
+    w = _BitWriter()
+    dc_pred = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (h, v) in enumerate(sampling):
+                dc_enc, ac_enc = luma if ci == 0 else chroma
+                row_blocks = mcux * h
+                for byy in range(v):
+                    for bxx in range(h):
+                        blk = comp_blocks[ci][(my * v + byy) * row_blocks + mx * h + bxx]
+                        dc_pred[ci] = _encode_block(w, blk, dc_enc, ac_enc, dc_pred[ci])
+    w.flush()
+
+    dqt = _seg(0xDB, bytes([0]) + bytes([1] * 64)) + _seg(0xDB, bytes([1]) + bytes([1] * 64))
+    sof_payload = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([3])
+    for ci, (h, v) in enumerate(sampling):
+        sof_payload += bytes([ci + 1, (h << 4) | v, 0 if ci == 0 else 1])
+    sof = _seg(0xC0, sof_payload)
+    dht = (
+        _seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+        + _seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+        + _seg(0xC4, bytes([0x01]) + bytes(CHROMA_DC_BITS) + bytes(CHROMA_DC_VALS))
+        + _seg(0xC4, bytes([0x11]) + bytes(CHROMA_AC_BITS) + bytes(CHROMA_AC_VALS))
+    )
+    sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(w.out) + b"\xff\xd9"
+
+
+SAMPLING_MODES = {
+    "444": [(1, 1), (1, 1), (1, 1)],
+    "422": [(2, 1), (1, 1), (1, 1)],
+    "420": [(2, 2), (1, 1), (1, 1)],
+}
+
+
+def synth_jpeg_color_full(width: int, height: int, mode: str, block_value) -> bytes:
+    """Deterministic COMPLETE baseline YCbCr JPEG: each 8x8 block of component
+    ci is the CONSTANT sample value ``block_value(ci, bx, by)`` (0..255) where
+    (bx, by) index that component's own block grid (chroma grids are
+    sub-resolution under 4:2:0/4:2:2). Constant blocks are DC-only and the
+    all-ones quant tables make the transform lossless, so the decoded Y/Cb/Cr
+    planes are EXACTLY the block values — which makes the post-upsample
+    YCbCr->RGB output predictable in closed form by a plain-SQL oracle
+    (jpeg_color_pixel_stats): full-res pixel (x,y) reads Y from block
+    (x//8, y//8) and chroma from block (x//(8*Hmax), y//(8*Vmax)) after
+    replication. Packs the T.81 byte layout via encode_baseline_color,
+    independent of decode_jpeg's bit reader."""
+    sampling = SAMPLING_MODES[mode]
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    comp_blocks = []
+    for ci, (h, v) in enumerate(sampling):
+        grid = []
+        for by in range(mcuy * v):
+            for bx in range(mcux * h):
+                blk = [0] * 64
+                blk[0] = 8 * (int(block_value(ci, bx, by)) - 128)
+                grid.append(blk)
+        comp_blocks.append(grid)
+    return encode_baseline_color(comp_blocks, width, height, sampling)
 
 
 def synth_jpeg_gray_full(width: int, height: int, block_value) -> bytes:

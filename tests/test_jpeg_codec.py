@@ -94,3 +94,125 @@ def test_feature_path_dispatch_reaches_jpeg():
     assert feats is not None and len(feats) == mm.N_FEATURES
     thumb = mm._png_resize(content, 8, 8)
     assert thumb is not None and mm.decode_png(thumb) is not None
+
+
+def _predict_color(w, h, mode, bv):
+    """Independent closed-form prediction of the decoded RGB image: constant
+    DC-only blocks decode to their block value exactly; chroma replicates by
+    (Hmax, Vmax); YCbCr->RGB is the JFIF matrix with floor(x+0.5) + clip —
+    written separately from the decoder's vectorized path."""
+    hmax = {"444": 1, "422": 2, "420": 2}[mode]
+    vmax = {"444": 1, "422": 1, "420": 2}[mode]
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            Y = float(bv(0, x // 8, y // 8))
+            cb = float(bv(1, x // (8 * hmax), y // (8 * vmax))) - 128.0
+            cr = float(bv(2, x // (8 * hmax), y // (8 * vmax))) - 128.0
+            vals = (Y + 1.402 * cr, Y - 0.344136 * cb - 0.714136 * cr, Y + 1.772 * cb)
+            out[y, x] = [min(255, max(0, int(np.floor(v + 0.5)))) for v in vals]
+    return out
+
+
+def test_color_constant_blocks_all_sampling_modes_bit_exact():
+    bv = lambda ci, bx, by: (11 + 31 * ci + 16 * bx + 40 * by) % 256
+    for mode in ("444", "422", "420"):
+        for w, h in ((21, 13), (16, 16), (33, 40), (10, 59), (8, 8)):
+            got = J.decode_jpeg(J.synth_jpeg_color_full(w, h, mode, bv))
+            assert got is not None and got[:3] == (w, h, 3), (mode, w, h)
+            arr = np.frombuffer(got[3], dtype=np.uint8).reshape(h, w, 3)
+            assert (arr == _predict_color(w, h, mode, bv)).all(), (mode, w, h)
+
+
+def test_color_chroma_table_selection_is_load_bearing():
+    """Encode Cb/Cr with the CHROMINANCE Huffman pair but lie in the DHT
+    segments (register the luminance tables under ids 1): the decoder must
+    desync and refuse, proving per-component table selection is real."""
+    good = J.synth_jpeg_color_full(24, 16, "420", lambda ci, bx, by: (7 + 50 * ci + 13 * bx + 29 * by) % 256)
+    # DHT segments appear in order 0x00, 0x10, 0x01, 0x11; rewrite the chroma
+    # pair to duplicate the luminance tables under chroma ids.
+    luma_dc = bytes([0x01]) + bytes(J.DC_BITS) + bytes(J.DC_VALS)
+    luma_ac = bytes([0x11]) + bytes(J.AC_BITS) + bytes(J.AC_VALS)
+    out = bytearray()
+    i = 0
+    data = bytearray(good)
+    while i + 4 <= len(data):
+        if data[i] == 0xFF and data[i + 1] == 0xC4:
+            seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+            cls_id = data[i + 4]
+            if cls_id == 0x01:
+                repl = luma_dc
+                data[i : i + 2 + seg_len] = bytes([0xFF, 0xC4]) + (len(repl) + 2).to_bytes(2, "big") + repl
+                i += 2 + len(repl) + 2
+                continue
+            if cls_id == 0x11:
+                repl = luma_ac
+                data[i : i + 2 + seg_len] = bytes([0xFF, 0xC4]) + (len(repl) + 2).to_bytes(2, "big") + repl
+                i += 2 + len(repl) + 2
+                continue
+            i += 2 + seg_len
+            continue
+        i += 1
+    swapped = bytes(data)
+    assert swapped != good
+    got = J.decode_jpeg(swapped)
+    # wrong tables must not silently produce the right answer
+    ref = J.decode_jpeg(good)
+    assert got is None or got[3] != ref[3]
+
+
+def test_color_nonuniform_sampling_rejected():
+    """H=3 (non-dividing into Hmax=2... actually 3 not in {1,2,4}) -> None."""
+    good = bytearray(J.synth_jpeg_color_full(16, 16, "420", lambda ci, bx, by: 100))
+    sof = good.find(b"\xff\xc0")
+    # component 0 sampling byte: SOF payload = len(2) P(1) h(2) w(2) nc(1) then cid,samp,qid
+    good[sof + 2 + 2 + 1 + 4 + 1 + 1] = 0x31  # H=3, V=1
+    assert J.decode_jpeg(bytes(good)) is None
+
+
+def test_color_restart_markers_interleaved():
+    """DRI + RSTn with 4:2:0 MCUs: restart interval counts MCUs (6 blocks
+    each), predictors reset per component."""
+    bv = lambda ci, bx, by: (5 + 90 * ci + 11 * bx + 17 * by) % 256
+    base = J.synth_jpeg_color_full(32, 32, "420", bv)
+    # build the same stream with DRI=1 by re-encoding manually with restarts
+    sampling = J.SAMPLING_MODES["420"]
+    mcux = mcuy = 2
+    comp_blocks = []
+    for ci, (hh, vv) in enumerate(sampling):
+        grid = []
+        for by in range(mcuy * vv):
+            for bx in range(mcux * hh):
+                blk = [0] * 64
+                blk[0] = 8 * (bv(ci, bx, by) - 128)
+                grid.append(blk)
+        comp_blocks.append(grid)
+    luma = (J._encode_table(J.DC_BITS, J.DC_VALS), J._encode_table(J.AC_BITS, J.AC_VALS))
+    chroma = (J._encode_table(J.CHROMA_DC_BITS, J.CHROMA_DC_VALS), J._encode_table(J.CHROMA_AC_BITS, J.CHROMA_AC_VALS))
+    w = J._BitWriter()
+    entropy = bytearray()
+    dc_pred = [0, 0, 0]
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if mcu_i:
+                w.flush()
+                entropy += bytes(w.out) + bytes([0xFF, 0xD0 + (mcu_i - 1) % 8])
+                w = J._BitWriter()
+                dc_pred = [0, 0, 0]
+            mcu_i += 1
+            for ci, (hh, vv) in enumerate(sampling):
+                dc_enc, ac_enc = luma if ci == 0 else chroma
+                for byy in range(vv):
+                    for bxx in range(hh):
+                        blk = comp_blocks[ci][(my * vv + byy) * (mcux * hh) + mx * hh + bxx]
+                        dc_pred[ci] = J._encode_block(w, blk, dc_enc, ac_enc, dc_pred[ci])
+    w.flush()
+    entropy += bytes(w.out)
+    sos = base.rfind(b"\xff\xda")
+    sos_end = sos + 2 + int.from_bytes(base[sos + 2 : sos + 4], "big")
+    dri = bytes([0xFF, 0xDD, 0x00, 0x04, 0x00, 0x01])
+    with_rst = base[:sos] + dri + base[sos:sos_end] + bytes(entropy) + b"\xff\xd9"
+    got = J.decode_jpeg(with_rst)
+    ref = J.decode_jpeg(base)
+    assert got is not None and got == ref
