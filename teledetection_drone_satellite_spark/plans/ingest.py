@@ -447,6 +447,135 @@ def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jpeg_in_tiff_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               10 + doc_id % 40 AS w,
+               10 + (doc_id * 3) % 40 AS h,
+               doc_id % 2 = 0 AS gray,
+               CASE WHEN doc_id % 4 = 0 THEN NULL
+                    ELSE 8 * (1 + doc_id % 3) END AS rps
+        FROM documents WHERE doc_id < 120
+    ),
+    px AS (
+        SELECT doc_id, w, h, gray, rps,
+               CAST((doc_id + 16 * (x.i // 8) + 40 * (y.i // 8)) % 256
+                    AS DOUBLE) AS yv,
+               CAST((doc_id * 7 + 24 * (x.i // 8) + 12 * (y.i // 8)) % 256
+                    AS DOUBLE) - 128.0 AS cb,
+               CAST((doc_id * 5 + 8 * (x.i // 8) + 20 * (y.i // 8)) % 256
+                    AS DOUBLE) - 128.0 AS cr
+        FROM spec,
+             LATERAL unnest(range(0, w)) x(i),
+             LATERAL unnest(range(0, h)) y(i)
+    ),
+    samp AS (
+        SELECT doc_id, w, h, gray, rps,
+               CASE WHEN gray THEN CAST(yv AS BIGINT)
+                    ELSE GREATEST(0, LEAST(255,
+                             CAST(FLOOR(yv + 1.402 * cr + 0.5) AS BIGINT)))
+                       + GREATEST(0, LEAST(255,
+                             CAST(FLOOR(yv - 0.344136 * cb - 0.714136 * cr
+                                        + 0.5) AS BIGINT)))
+                       + GREATEST(0, LEAST(255,
+                             CAST(FLOOR(yv + 1.772 * cb + 0.5) AS BIGINT)))
+               END AS sval
+        FROM px
+    )
+    SELECT doc_id,
+           CAST(min(w) AS INT) AS width,
+           CAST(min(h) AS INT) AS height,
+           CAST(CASE WHEN min(CAST(gray AS INT)) = 1 THEN 1 ELSE 3 END AS INT)
+               AS channels,
+           CAST(CASE WHEN min(rps) IS NULL THEN 1
+                     ELSE (min(h) + min(rps) - 1) // min(rps) END AS INT)
+               AS n_strips,
+           min(doc_id) % 3 = 0 AS abbreviated,
+           ((2 * CAST(sum(sval) AS BIGINT) * 1000000
+             + count(*) * (CASE WHEN min(CAST(gray AS INT)) = 1
+                                THEN 1 ELSE 3 END))
+            // (2 * count(*) * (CASE WHEN min(CAST(gray AS INT)) = 1
+                                     THEN 1 ELSE 3 END))) / 1000000.0
+               AS mean_intensity
+    FROM samp GROUP BY doc_id
+    """,
+    doc="REAL new-style JPEG-in-TIFF decode (TIFF compression 7, TechNote 2) "
+    "— the last wheel-free TIFF compression id, COMPOSING the two real "
+    "decoders: complete TIFFs are synthesized per doc whose strips are "
+    "baseline JPEG streams (gray or 4:4:4 YCbCr cycling by doc, multi-strip "
+    "tiling on 8-row boundaries, single-strip every 4th doc), with every "
+    "3rd doc using the ABBREVIATED JPEGTables layout libtiff writes (DQT/"
+    "DHT hoisted into tag 347, spliced back per strip by decode_tiff). The "
+    "oracle enumerates every pixel and predicts the per-sample mean in "
+    "closed form — a mis-spliced table segment, wrong strip row count, or "
+    "broken absolute-block phase across strips flips it. Old-style JPEG "
+    "(compression 6) stays out of scope (spec-deprecated).",
+    tags=("ingest", "multimodal"),
+)
+def jpeg_in_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w_px, h_px = 10 + i % 40, 10 + (i * 3) % 40
+                channels = 1 if i % 2 == 0 else 3
+                rps = None if i % 4 == 0 else 8 * (1 + i % 3)
+                abbrev = i % 3 == 0
+
+                if channels == 1:
+                    bv = lambda bx, by, i=i: (i + 16 * bx + 40 * by) % 256
+                else:
+                    def bv(ci: int, bx: int, by: int, i: int = i) -> int:
+                        if ci == 0:
+                            return (i + 16 * bx + 40 * by) % 256
+                        if ci == 1:
+                            return (i * 7 + 24 * bx + 12 * by) % 256
+                        return (i * 5 + 8 * bx + 20 * by) % 256
+
+                content = multimodal.synth_tiff_jpeg(
+                    w_px, h_px, channels,
+                    rows_per_strip=rps, block_value=bv, abbreviated=abbrev,
+                )
+                width, height, ch, raw = multimodal.decode_tiff(content)
+                n_strips = 1 if rps is None else -(-height // rps)
+                rows.append(
+                    (i, width, height, ch, n_strips, abbrev, sum(raw), len(raw))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels", "n_strips",
+                    "abbreviated", "ssum", "nsamp",
+                ],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, width int, height int, channels int, n_strips int, "
+        "abbreviated boolean, ssum long, nsamp long",
+    )
+    return out.select(
+        "doc_id", "width", "height", "channels", "n_strips", "abbreviated",
+        (F.expr("(2 * ssum * 1000000 + nsamp) div (2 * nsamp)") / 1000000.0).alias(
+            "mean_intensity"
+        ),
+    )
+
+
+@register(
     "jpeg_color_pixel_stats",
     oracle="""
     WITH spec AS (

@@ -730,9 +730,10 @@ _TIFF_TAG_PHOTOMETRIC = 262
 _TIFF_TAG_STRIP_OFFSETS = 273
 _TIFF_TAG_SPP = 277
 _TIFF_TAG_ROWS_PER_STRIP = 278
+_TIFF_TAG_JPEG_TABLES = 347
 _TIFF_TAG_STRIP_COUNTS = 279
 _TIFF_TAG_PREDICTOR = 317
-_TIFF_INT_SIZES = {1: 1, 3: 2, 4: 4}  # BYTE / SHORT / LONG
+_TIFF_INT_SIZES = {1: 1, 3: 2, 4: 4, 7: 1}  # BYTE / SHORT / LONG / UNDEFINED
 
 
 def _tiff_tag_values(
@@ -1037,6 +1038,124 @@ def synth_tiff_full(
     return header + ifd + bytes(aux) + b"".join(strips)
 
 
+def _split_jpeg_tables(stream: bytes) -> "tuple[bytes, bytes]":
+    """Split a full JPEG stream into (table_segments, abbreviated_stream):
+    DQT/DHT segments out, everything else (SOF/SOS/entropy/EOI) kept — the
+    TIFF TechNote 2 JPEGTables layout libtiff writes."""
+    i, n = 2, len(stream)
+    tables = b""
+    rest = b"\xff\xd8"
+    while i + 4 <= n:
+        marker = stream[i + 1]
+        if marker == 0xDA:
+            rest += stream[i:]  # SOS onward: entropy data + EOI
+            break
+        seg_len = int.from_bytes(stream[i + 2 : i + 4], "big")
+        seg = stream[i : i + 2 + seg_len]
+        if marker in (0xDB, 0xC4):
+            tables += seg
+        else:
+            rest += seg
+        i += 2 + seg_len
+    return tables, rest
+
+
+def synth_tiff_jpeg(
+    width: int,
+    height: int,
+    channels: int = 1,
+    rows_per_strip: "int | None" = None,
+    block_value=None,
+    abbreviated: bool = False,
+) -> bytes:
+    """Deterministic COMPLETE new-style JPEG-in-TIFF (compression 7, TIFF
+    TechNote 2): each strip is a baseline JPEG stream from the sources/jpeg.py
+    encoders — grayscale for channels=1, interleaved 4:4:4 YCbCr for
+    channels=3 (subsampled layouts are graded separately by
+    jpeg_color_pixel_stats). Blocks are CONSTANT values keyed by ABSOLUTE
+    8x8 block coordinates — ``block_value(bx, by)`` for gray,
+    ``block_value(ci, bx, by)`` for color — so a closed-form oracle predicts
+    pixels across strip boundaries; ``rows_per_strip`` must be a multiple of
+    8 (strips tile on JPEG block rows). ``abbreviated=True`` moves the
+    DQT/DHT segments of every strip into the shared JPEGTables tag (347)
+    and strips them from the per-strip streams — the layout libtiff actually
+    writes, exercising the decoder's table-splice path. Byte-packing per the
+    published specs, independent of decode_tiff/decode_jpeg."""
+    from . import jpeg as _jpegcodec
+
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    rps = min(rows_per_strip or height, height) or 1
+    if rps % 8 and rps < height:
+        raise ValueError("rows_per_strip must be a multiple of 8")
+    bo = "little"
+    strips = []
+    tables = None
+    for y0 in range(0, height, rps):
+        rows = min(rps, height - y0)
+        if channels == 1:
+            stream = _jpegcodec.synth_jpeg_gray_full(
+                width, rows, lambda bx, by, y0=y0: block_value(bx, y0 // 8 + by)
+            )
+        else:
+            stream = _jpegcodec.synth_jpeg_color_full(
+                width,
+                rows,
+                "444",
+                lambda ci, bx, by, y0=y0: block_value(ci, bx, y0 // 8 + by),
+            )
+        if abbreviated:
+            tabs, stream = _split_jpeg_tables(stream)
+            tables = b"\xff\xd8" + tabs + b"\xff\xd9"  # identical per strip
+        strips.append(stream)
+    n_strips = len(strips)
+
+    n_tags = 9 + (1 if abbreviated else 0)
+    aux_off = 8 + 2 + 12 * n_tags + 4
+    bits_bytes = 6 if channels == 3 else 0
+    arr_bytes = 0 if n_strips == 1 else 4 * n_strips
+    tables_bytes = len(tables) if abbreviated else 0
+    data_off = aux_off + bits_bytes + 2 * arr_bytes + tables_bytes
+    offsets = []
+    pos = data_off
+    for st in strips:
+        offsets.append(pos)
+        pos += len(st)
+
+    aux = bytearray()
+
+    def entry(tag: int, typ: int, values: "list[int]") -> bytes:
+        size = _TIFF_INT_SIZES[typ]
+        packed = b"".join(int(v).to_bytes(size, bo) for v in values)
+        head = tag.to_bytes(2, bo) + typ.to_bytes(2, bo) + len(values).to_bytes(4, bo)
+        if len(packed) <= 4:
+            return head + packed.ljust(4, b"\0")
+        off = aux_off + len(aux)
+        aux.extend(packed)
+        return head + off.to_bytes(4, bo)
+
+    entries = b"".join(
+        [
+            entry(_TIFF_TAG_WIDTH, 4, [width]),
+            entry(_TIFF_TAG_HEIGHT, 4, [height]),
+            entry(_TIFF_TAG_BITS, 3, [8] * channels),
+            entry(_TIFF_TAG_COMPRESSION, 3, [7]),
+            entry(_TIFF_TAG_PHOTOMETRIC, 3, [1 if channels == 1 else 6]),
+            entry(_TIFF_TAG_STRIP_OFFSETS, 4, offsets),
+            entry(_TIFF_TAG_SPP, 3, [channels]),
+            entry(_TIFF_TAG_ROWS_PER_STRIP, 4, [rps]),
+            entry(_TIFF_TAG_STRIP_COUNTS, 4, [len(st) for st in strips]),
+        ]
+        + (
+            [entry(_TIFF_TAG_JPEG_TABLES, 7, list(tables))] if abbreviated else []
+        )
+    )
+    header = b"II" + (42).to_bytes(2, bo) + (8).to_bytes(4, bo)
+    ifd = n_tags.to_bytes(2, bo) + entries + (0).to_bytes(4, bo)
+    assert len(aux) == bits_bytes + 2 * arr_bytes + tables_bytes
+    return header + ifd + bytes(aux) + b"".join(strips)
+
+
 def decode_tiff(content: bytes) -> "tuple[int, int, int, bytes] | None":
     """REAL uncompressed-TIFF pixel decode, pure stdlib — the raster tail the
     reference's GDAL/rasterio stack covers (file-service requirements.txt:
@@ -1079,8 +1198,8 @@ def decode_tiff(content: bytes) -> "tuple[int, int, int, bytes] | None":
     if not width or not height:
         return None
     compression = one(_TIFF_TAG_COMPRESSION, 1)
-    if compression not in (1, 5, 8, 32773):
-        return None  # JPEG-in-TIFF etc.: out of pure-stdlib scope
+    if compression not in (1, 5, 7, 8, 32773):
+        return None  # old-style JPEG (6), JBIG etc.: out of scope
     predictor = one(_TIFF_TAG_PREDICTOR, 1)
     if predictor not in (1, 2):
         return None  # floating-point predictor 3: out of scope
@@ -1092,11 +1211,42 @@ def decode_tiff(content: bytes) -> "tuple[int, int, int, bytes] | None":
     counts = values(_TIFF_TAG_STRIP_COUNTS)
     if not offsets or not counts or len(offsets) != len(counts):
         return None
+    jpeg_tables = None
+    rps = one(_TIFF_TAG_ROWS_PER_STRIP, height) or height
+    if compression == 7:
+        # New-style JPEG-in-TIFF (TIFF TechNote 2): each strip is a baseline
+        # JPEG stream; an optional JPEGTables tag (347) holds an abbreviated
+        # tables-only stream (SOI + DQT/DHT + EOI) shared by all strips —
+        # splice its segments after each strip's SOI before decoding.
+        tv = values(_TIFF_TAG_JPEG_TABLES)
+        if tv is not None:
+            jt = bytes(tv)
+            if len(jt) < 4 or jt[:2] != b"\xff\xd8" or jt[-2:] != b"\xff\xd9":
+                return None
+            jpeg_tables = jt
+        if predictor != 1:
+            return None
     out = bytearray()
-    for off, cnt in zip(offsets, counts):
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
         if off + cnt > len(content):
             return None  # truncated strip: refuse, never silently short-read
         strip = content[off : off + cnt]
+        if compression == 7:
+            from . import jpeg as _jpegcodec
+
+            stream = strip
+            if jpeg_tables is not None:
+                if strip[:2] != b"\xff\xd8":
+                    return None
+                stream = b"\xff\xd8" + jpeg_tables[2:-2] + strip[2:]
+            dec = _jpegcodec.decode_jpeg(stream)
+            if dec is None:
+                return None
+            sw, sh, sc, sraw = dec
+            if sw != width or sc != spp or sh != min(rps, height - si * rps):
+                return None  # strip dims must tile the image exactly
+            out += sraw
+            continue
         if compression == 5:
             strip = _lzw_decode(strip)
             if strip is None:

@@ -138,3 +138,55 @@ def test_predictor_strip_not_row_multiple_returns_none():
         if int.from_bytes(patched[e : e + 2], "little") == 279:
             patched[e + 8 : e + 12] = len(bad).to_bytes(4, "little")
     assert mm.decode_tiff(bytes(patched)) is None
+
+
+def test_jpeg_in_tiff_gray_and_color_both_layouts():
+    import numpy as np
+
+    gv = lambda bx, by: (9 + 16 * bx + 40 * by) % 256
+    cv = lambda ci, bx, by: (7 + 31 * ci + 16 * bx + 40 * by) % 256
+    for abbrev in (False, True):
+        t = mm.synth_tiff_jpeg(20, 35, 1, rows_per_strip=16, block_value=gv,
+                               abbreviated=abbrev)
+        got = mm.decode_tiff(t)
+        assert got is not None and got[:3] == (20, 35, 1)
+        arr = np.frombuffer(got[3], dtype=np.uint8).reshape(35, 20)
+        for y in range(35):
+            for x in range(20):
+                # absolute block coords must survive the strip boundary at y=16
+                assert arr[y, x] == gv(x // 8, y // 8)
+        t = mm.synth_tiff_jpeg(17, 26, 3, rows_per_strip=8, block_value=cv,
+                               abbreviated=abbrev)
+        got = mm.decode_tiff(t)
+        assert got is not None and got[:3] == (17, 26, 3)
+
+
+def test_jpeg_in_tiff_corrupt_tables_or_strip_returns_none():
+    gv = lambda bx, by: 77
+    t = bytearray(mm.synth_tiff_jpeg(16, 24, 1, rows_per_strip=8,
+                                     block_value=gv, abbreviated=True))
+    ref = mm.decode_tiff(bytes(t))
+    assert ref is not None
+    # find the JPEGTables payload (starts with SOI, lives in the aux area)
+    jt_off = bytes(t).find(b"\xff\xd8", 8)  # first SOI after the header
+    assert jt_off > 0
+    bad = bytearray(t)
+    bad[jt_off] = 0x00  # tables stream no longer starts with SOI
+    assert mm.decode_tiff(bytes(bad)) is None
+    # truncate the final strip: decode_jpeg hits _Truncated -> None contract
+    assert mm.decode_tiff(bytes(t[:-10])) is None
+
+
+def test_jpeg_in_tiff_strip_dim_mismatch_rejected():
+    """A strip whose JPEG decodes to the wrong height must be refused, not
+    silently concatenated (catches rows-per-strip/SOF disagreement)."""
+    gv = lambda bx, by: 50
+    t = mm.synth_tiff_jpeg(16, 32, 1, rows_per_strip=16, block_value=gv)
+    # rewrite RowsPerStrip (tag 278) to 8: strips still decode as 16-row JPEGs
+    data = bytearray(t)
+    n = int.from_bytes(data[8:10], "little")
+    for i in range(n):
+        e = 10 + i * 12
+        if int.from_bytes(data[e : e + 2], "little") == 278:
+            data[e + 8 : e + 12] = (8).to_bytes(4, "little")
+    assert mm.decode_tiff(bytes(data)) is None
