@@ -447,6 +447,116 @@ def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gif_pixel_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               10 + doc_id % 50 AS w,
+               10 + (doc_id * 3) % 50 AS h
+        FROM documents WHERE doc_id < 150
+    ),
+    px AS (
+        SELECT doc_id, w, h,
+               (doc_id + x.i + 2 * y.i) % 256 AS idx,
+               ((x.i + y.i * w) % 97) + 1 AS wt
+        FROM spec,
+             LATERAL unnest(range(0, w)) x(i),
+             LATERAL unnest(range(0, h)) y(i)
+    )
+    SELECT doc_id,
+           CAST(min(w) AS INT) AS width,
+           CAST(min(h) AS INT) AS height,
+           min(doc_id) % 2 = 1 AS interlaced,
+           ((2 * CAST(sum(idx) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_r,
+           ((2 * CAST(sum((idx * 3) % 256) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_g,
+           ((2 * CAST(sum((idx * 7) % 256) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_b,
+           CAST(sum(wt * idx) AS BIGINT) AS wsum_r
+    FROM px GROUP BY doc_id
+    """,
+    doc="REAL GIF pixel decode, graded (reference stack: Pillow, "
+    "file-service requirements.txt:11-15): complete GIF89a files are "
+    "synthesized per doc (256-entry global color table palette[i] = "
+    "(i, 3i%256, 7i%256), index(x,y) = (doc_id + x + 2y) % 256, INTERLACED "
+    "4-pass row order on every odd doc; sources/multimodal.py::"
+    "synth_gif_full packs the spec's byte layout + GIF-variant LZW — "
+    "LSB-first, variable initial code width, LATE width change vs TIFF's "
+    "early change — independently of decode_gif), then decode_gif walks "
+    "screen descriptor, color table, sub-block reassembly, LZW decode, "
+    "de-interlace and palette mapping distributively. The oracle predicts "
+    "per-channel means AND a position-weighted checksum (weight = (pixel_"
+    "index % 97) + 1) in closed form: means catch palette/LZW errors, the "
+    "weighted sum catches any row-order bug (interlace passes are mean-"
+    "invariant by construction, so means alone could not).",
+    tags=("ingest", "multimodal"),
+)
+def gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w_px, h_px = 10 + i % 50, 10 + (i * 3) % 50
+                content = multimodal.synth_gif_full(
+                    w_px, h_px,
+                    lambda x, y, i=i: (i + x + 2 * y) % 256,
+                    interlaced=i % 2 == 1,
+                )
+                width, height, _, raw = multimodal.decode_gif(content)
+                arr = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+                sums = arr.sum(axis=0, dtype=np.int64)
+                wt = (np.arange(width * height, dtype=np.int64) % 97) + 1
+                wsum_r = int((wt * arr[:, 0].astype(np.int64)).sum())
+                rows.append(
+                    (
+                        i, width, height, i % 2 == 1,
+                        int(sums[0]), int(sums[1]), int(sums[2]),
+                        width * height, wsum_r,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "interlaced",
+                    "rsum", "gsum", "bsum", "npx", "wsum_r",
+                ],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, width int, height int, interlaced boolean, "
+        "rsum long, gsum long, bsum long, npx long, wsum_r long",
+    )
+
+    def half_up(col: str):
+        return (
+            F.expr(f"(2 * {col} * 1000000 + npx) div (2 * npx)") / 1000000.0
+        )
+
+    return out.select(
+        "doc_id", "width", "height", "interlaced",
+        half_up("rsum").alias("mean_r"),
+        half_up("gsum").alias("mean_g"),
+        half_up("bsum").alias("mean_b"),
+        "wsum_r",
+    )
+
+
+@register(
     "jpeg_in_tiff_stats",
     oracle="""
     WITH spec AS (

@@ -634,6 +634,234 @@ def synth_gif(width: int, height: int) -> bytes:
     return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00"
 
 
+def _gif_lzw_decode(data: bytes, mcs: int) -> "bytes | None":
+    """GIF-variant LZW (GIF89a spec appendix): LSB-first bit packing,
+    variable initial code size (mcs+1 bits), LATE code-width change — the
+    decoder widens when its table reaches 2^width, one code later than TIFF's
+    early-change convention (see _lzw_decode). Deferred-clear tolerant: at
+    4096 entries the table freezes until a ClearCode arrives."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    bitpos, total = 0, len(data) * 8
+    out = bytearray()
+    table: "list[bytes]" = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: "bytes | None" = None
+
+    def read_code() -> int:
+        nonlocal bitpos
+        if bitpos + width > total:
+            return eoi  # truncated stream: treat as end
+        v = 0
+        for k in range(width):
+            v |= ((data[(bitpos + k) >> 3] >> ((bitpos + k) & 7)) & 1) << k
+        bitpos += width
+        return v
+
+    while True:
+        code = read_code()
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                return None  # first code after clear must be a root
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            return None
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def _gif_lzw_encode(data: bytes, mcs: int) -> bytes:
+    """GIF-variant LZW encoder, inverse of _gif_lzw_decode: emits an initial
+    ClearCode, late width change (width grows after code 2^width has been
+    ASSIGNED, i.e. one step later than the TIFF encoder), clears at table
+    fill. Independent bit packer (LSB-first)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nacc = 0
+
+    def write_code(code: int, w: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += w
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    width = mcs + 1
+    table: "dict[bytes, int]" = {bytes([i]): i for i in range(clear)}
+    next_code = clear + 2
+    write_code(clear, width)
+    omega = b""
+    for ch in data:
+        k = bytes([ch])
+        if omega + k in table:
+            omega += k
+            continue
+        write_code(table[omega], width)
+        table[omega + k] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1  # late change: code 2^width now exists
+        omega = k
+        if next_code >= 4095:
+            write_code(table[omega], width)
+            write_code(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = clear + 2
+            width = mcs + 1
+            omega = b""
+    if omega:
+        write_code(table[omega], width)
+    write_code(eoi, width)
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+# GIF89a interlace row schedule: pass starts/steps (appendix E)
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_deinterlace(idx: bytes, w: int, h: int) -> bytes:
+    out = bytearray(len(idx))
+    src = 0
+    for start, step in _GIF_INTERLACE:
+        for y in range(start, h, step):
+            out[y * w : (y + 1) * w] = idx[src : src + w]
+            src += w
+    return bytes(out)
+
+
+def decode_gif(content: bytes) -> "tuple[int, int, int, bytes] | None":
+    """REAL GIF pixel decode, pure stdlib + numpy (reference stack: Pillow,
+    file-service requirements.txt:11-15): header + logical screen descriptor,
+    global/local color table, extension-block skip, first image descriptor,
+    sub-block reassembly, GIF-LZW entropy decode, optional 4-pass
+    de-interlace, palette -> RGB. Returns (width, height, 3, rgb_bytes)
+    row-major or None outside scope (no color table, bad index, truncated) —
+    same fallback contract as decode_png/decode_tiff/decode_jpeg."""
+    import numpy as np
+
+    if content[:6] not in (b"GIF87a", b"GIF89a") or len(content) < 13:
+        return None
+    packed = content[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        gsize = 2 ** ((packed & 7) + 1)
+        gct = content[pos : pos + 3 * gsize]
+        if len(gct) < 3 * gsize:
+            return None
+        pos += 3 * gsize
+    while pos < len(content):
+        b = content[pos]
+        if b == 0x3B:  # trailer
+            return None  # no image block seen
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(content) and content[pos] != 0:
+                pos += 1 + content[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            return None
+        if pos + 10 > len(content):
+            return None
+        w = int.from_bytes(content[pos + 5 : pos + 7], "little")
+        h = int.from_bytes(content[pos + 7 : pos + 9], "little")
+        ipacked = content[pos + 9]
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:  # local color table overrides
+            lsize = 2 ** ((ipacked & 7) + 1)
+            pal = content[pos : pos + 3 * lsize]
+            if len(pal) < 3 * lsize:
+                return None
+            pos += 3 * lsize
+        if pal is None or not w or not h or pos >= len(content):
+            return None
+        mcs = content[pos]
+        pos += 1
+        if not 2 <= mcs <= 8:
+            return None
+        data = bytearray()
+        while pos < len(content) and content[pos] != 0:
+            ln = content[pos]
+            data += content[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        if pos >= len(content):
+            return None  # missing block terminator
+        idx = _gif_lzw_decode(bytes(data), mcs)
+        if idx is None or len(idx) != w * h:
+            return None
+        if ipacked & 0x40:
+            idx = _gif_deinterlace(idx, w, h)
+        indices = np.frombuffer(idx, dtype=np.uint8)
+        palette = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+        if int(indices.max()) >= len(palette):
+            return None
+        return w, h, 3, palette[indices].tobytes()
+    return None
+
+
+def synth_gif_full(
+    width: int,
+    height: int,
+    index_value=None,
+    interlaced: bool = False,
+    mcs: int = 8,
+) -> bytes:
+    """Deterministic COMPLETE GIF89a: logical screen descriptor, 256-entry
+    global color table with palette[i] = (i, (i*3)%256, (i*7)%256), one image
+    descriptor, GIF-LZW pixel data in 255-byte sub-blocks, trailer. Pixel
+    contract: index(x, y) = ``index_value(x, y)`` (0..255, default
+    (x + 2*y) % 256 — mirrored by the gif_pixel_stats oracle through the
+    palette map). ``interlaced`` writes rows in the spec's 4-pass order with
+    the interlace flag set, so decode must reorder. Byte-packing per the
+    published GIF89a spec, independent of decode_gif."""
+    iv = index_value or (lambda x, y: (x + 2 * y) % 256)
+    rows = [bytes(iv(x, y) % 256 for x in range(width)) for y in range(height)]
+    if interlaced:
+        ordered = []
+        for start, step in _GIF_INTERLACE:
+            for y in range(start, height, step):
+                ordered.append(rows[y])
+        rows = ordered
+    raw = b"".join(rows)
+    lzw = _gif_lzw_encode(raw, mcs)
+    gct = bytes(v for i in range(256) for v in (i, (i * 3) % 256, (i * 7) % 256))
+    out = bytearray()
+    out += b"GIF89a"
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0x80 | 0x70 | 0x07, 0, 0])  # GCT, 8-bit res, size 2^8
+    out += gct
+    out += b"\x2c" + bytes(4)  # image descriptor at (0, 0)
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0x40 if interlaced else 0])
+    out += bytes([mcs])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def synth_webp(width: int, height: int, variant: str = "vp8", alpha: bool = False) -> bytes:
     """Deterministic WebP container with a spec-correct bitstream HEADER for
     the requested variant (vp8 lossy / vp8l lossless / vp8x extended); the

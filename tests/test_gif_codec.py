@@ -1,0 +1,85 @@
+"""decode_gif round-trips synth_gif_full (GIF-variant LZW: LSB-first, late
+width change, interlace, sub-block reassembly) and honors the None-fallback
+contract — the decode_png/decode_tiff/decode_jpeg test strategy applied to
+the palette-raster tail."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from teledetection_drone_satellite_spark.sources import multimodal as mm
+
+
+def _expected(w, h, iv):
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            i = iv(x, y)
+            out[y, x] = (i, (i * 3) % 256, (i * 7) % 256)
+    return out
+
+
+def test_gif_lzw_width_boundaries_and_clear_roundtrip():
+    rng = np.random.default_rng(11)
+    for mcs in (2, 4, 8):
+        maxv = 1 << mcs
+        for size in (1, 300, 5000, 70000):  # crosses every width boundary + clears
+            data = bytes(rng.integers(0, maxv, size=size, dtype=np.uint8))
+            assert mm._gif_lzw_decode(mm._gif_lzw_encode(data, mcs), mcs) == data
+        rep = bytes(v % maxv for v in bytes([1, 2, 3, 1]) * 20000)  # KwKwK chains
+        assert mm._gif_lzw_decode(mm._gif_lzw_encode(rep, mcs), mcs) == rep
+
+
+def test_gif_roundtrip_plain_and_interlaced():
+    iv = lambda x, y: (x + 2 * y) % 256
+    for inter in (False, True):
+        for w, h in ((23, 17), (1, 1), (64, 64), (13, 50)):
+            got = mm.decode_gif(mm.synth_gif_full(w, h, iv, interlaced=inter))
+            assert got is not None and got[:3] == (w, h, 3)
+            arr = np.frombuffer(got[3], dtype=np.uint8).reshape(h, w, 3)
+            assert (arr == _expected(w, h, iv)).all(), (inter, w, h)
+
+
+def test_gif_interlace_flag_is_load_bearing():
+    """Strip the interlace flag from an interlaced file: rows then decode in
+    storage order, so the image must DIFFER (catches a decoder that ignores
+    the flag — per-channel means would not, which is why the graded query
+    also carries a position-weighted checksum)."""
+    iv = lambda x, y: (x + 2 * y) % 256
+    good = bytearray(mm.synth_gif_full(16, 32, iv, interlaced=True))
+    # image descriptor packed byte: after 6+7 header/LSD + 768 GCT + 1 + 8
+    desc = 6 + 7 + 768
+    assert good[desc] == 0x2C and good[desc + 9] == 0x40
+    flat = bytearray(good)
+    flat[desc + 9] = 0
+    got = mm.decode_gif(bytes(flat))
+    ref = mm.decode_gif(bytes(good))
+    assert got is not None and ref is not None and got[3] != ref[3]
+
+
+def test_gif_extension_blocks_are_skipped():
+    iv = lambda x, y: (3 * x + y) % 256
+    base = mm.synth_gif_full(12, 9, iv)
+    desc = 6 + 7 + 768
+    # splice a Graphic Control Extension + a comment extension before the image
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    comment = b"\x21\xfe\x05hello\x00"
+    spliced = base[:desc] + gce + comment + base[desc:]
+    assert mm.decode_gif(spliced) == mm.decode_gif(base)
+
+
+def test_gif_out_of_scope_and_corrupt_return_none():
+    assert mm.decode_gif(b"") is None
+    assert mm.decode_gif(b"GIF89a") is None
+    assert mm.decode_gif(mm.synth_gif(32, 32)) is None  # header-only: no image
+    assert mm.decode_gif(mm.synth_png_full(8, 8, 0)) is None
+    good = mm.synth_gif_full(20, 20, lambda x, y: (x + y) % 256)
+    assert mm.decode_gif(good) is not None
+    assert mm.decode_gif(good[:-30]) is None  # truncated: short pixel count
+    # corrupt LZW start: first sub-block's first code not a root/clear
+    data = bytearray(good)
+    mcs_pos = 6 + 7 + 768 + 10
+    assert data[mcs_pos] == 8
+    data[mcs_pos + 2] ^= 0xFF
+    got = mm.decode_gif(bytes(data))
+    assert got is None or got[3] != mm.decode_gif(good)[3]
