@@ -17,9 +17,12 @@ Scope — honest and explicit, same contract as decode_png/decode_tiff:
                 level shift, chroma upsample by replication (JFIF), YCbCr ->
                 RGB, edge crop. Returns (width, height, 1, gray_bytes) or
                 (width, height, 3, rgb_bytes) row-major, or None for
-                anything outside that scope (progressive SOF2, arithmetic,
+                anything outside that scope (arithmetic,
                 12-bit, non-dividing sampling ratios) — callers fall back to
-                the stub/PIL path.
+                the stub/PIL path. Progressive DCT (SOF2) is REAL too:
+                _decode_progressive accumulates spectral-selection /
+                successive-approximation scans (T.81 Annex G) into
+                coefficient arrays, then shares this same finish.
 
   synth_jpeg_gray_full / synth_jpeg_color_full  REAL encoders for the same
                 profile, used to grade the decoder: arbitrary quantized-
@@ -273,8 +276,10 @@ def decode_jpeg(content: bytes) -> "tuple[int, int, int, bytes] | None":
                 vmax = max(c[2] for c in sof_comps)
                 if any(hmax % c[1] or vmax % c[2] for c in sof_comps):
                     return None  # non-dividing ratio: replication undefined
-            elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                return None  # progressive/arithmetic/lossless: out of scope
+            elif marker == 0xC2:  # progressive DCT: dedicated multi-scan path
+                return _decode_progressive(content)
+            elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return None  # arithmetic/lossless/hierarchical: out of scope
             elif marker == 0xDD:  # DRI
                 dri = int.from_bytes(seg[:2], "big")
             elif marker == 0xDA:  # SOS — entropy data follows
@@ -350,13 +355,29 @@ def decode_jpeg(content: bytes) -> "tuple[int, int, int, bytes] | None":
                             ) + 128.0
     except _Truncated:
         return None
-    # T.81 decodes each COMPONENT to 8-bit samples before any color
-    # transform (the IDCT output is quantized per component, then JFIF
-    # color conversion runs on those integer samples) — so quantize the
-    # planes first, then upsample/convert. floor(x + 0.5) rather than
-    # np.round (banker's): it matches SQL FLOOR(x + 0.5) exactly, which —
-    # together with integer-sample inputs to the RGB matrix — lets the
-    # color oracle replicate the whole conversion bit-for-bit.
+    return _finish_image(
+        planes, [(ch, cv) for (_, _, _, ch, cv) in comps], hmax, vmax, width, height
+    )
+
+
+def _finish_image(
+    planes: "list",
+    comps_hv: "list[tuple[int, int]]",
+    hmax: int,
+    vmax: int,
+    width: int,
+    height: int,
+) -> "tuple[int, int, int, bytes]":
+    """Shared decode tail (sequential and progressive): per-component sample
+    quantization, chroma upsample by replication, JFIF YCbCr->RGB.
+
+    T.81 decodes each COMPONENT to 8-bit samples before any color transform
+    (the IDCT output is quantized per component, then JFIF color conversion
+    runs on those integer samples) — so quantize the planes first, then
+    upsample/convert. floor(x + 0.5) rather than np.round (banker's): it
+    matches SQL FLOOR(x + 0.5) exactly, which — together with integer-sample
+    inputs to the RGB matrix — lets the color oracle replicate the whole
+    conversion bit-for-bit."""
     planes = [
         np.repeat(
             np.repeat(
@@ -365,9 +386,9 @@ def decode_jpeg(content: bytes) -> "tuple[int, int, int, bytes] | None":
             hmax // ch,
             axis=1,
         )[:height, :width]
-        for p, (_, _, _, ch, cv) in zip(planes, comps)
+        for p, (ch, cv) in zip(planes, comps_hv)
     ]
-    if nc == 1:
+    if len(planes) == 1:
         return width, height, 1, planes[0].astype(np.uint8).tobytes()
     y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
     rgb = np.stack(
@@ -380,6 +401,342 @@ def decode_jpeg(content: bytes) -> "tuple[int, int, int, bytes] | None":
     )
     rgb = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
     return width, height, 3, rgb.tobytes()
+
+
+def _entropy_end(content: bytes, start: int) -> int:
+    """Index of the first marker that terminates an entropy-coded segment
+    (anything but stuffed 0xFF00 and RST0-7), or len(content)."""
+    i, n = start, len(content)
+    while i + 1 < n:
+        if content[i] == 0xFF:
+            b = content[i + 1]
+            if b != 0x00 and not (0xD0 <= b <= 0xD7):
+                return i
+            i += 2
+            continue
+        i += 1
+    return n
+
+
+def _decode_progressive(content: bytes) -> "tuple[int, int, int, bytes] | None":
+    """Progressive DCT decode (T.81 Annex G, Huffman): scans accumulate into
+    per-component coefficient arrays — DC first/refine with successive
+    approximation (G.1.2.1), AC first scans with spectral selection + EOBn
+    runs (G.1.2.2), AC refinement with correction bits (G.1.2.3) — then one
+    dequantize + IDCT pass builds the planes and the sequential tail
+    finishes (sample quantization, chroma upsample, YCbCr->RGB). Tables may
+    be redefined between scans; DRI/RSTn reset both the DC predictors and
+    the EOB run. Returns the decode_jpeg tuple or None."""
+    if content[:2] != b"\xff\xd8":
+        return None
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = None
+    sof_comps = None  # [(cid, H, V, qid)]
+    hmax = vmax = 1
+    dri = 0
+    coefs: "list | None" = None  # per comp: np int array (bh_pad, bw_pad, 64) zigzag
+    i, n = 2, len(content)
+    try:
+        while i + 4 <= n:
+            if content[i] != 0xFF:
+                return None
+            marker = content[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if marker == 0xD9:  # EOI
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                i += 2
+                continue
+            seg_len = int.from_bytes(content[i + 2 : i + 4], "big")
+            if seg_len < 2 or i + 2 + seg_len > n:
+                return None
+            seg = content[i + 4 : i + 2 + seg_len]
+            if marker == 0xDB:
+                p = 0
+                while p < len(seg):
+                    prec, tid = seg[p] >> 4, seg[p] & 15
+                    if prec != 0 or p + 65 > len(seg):
+                        return None
+                    qtables[tid] = list(seg[p + 1 : p + 65])
+                    p += 65
+            elif marker == 0xC4:
+                p = 0
+                while p + 17 <= len(seg):
+                    tc, th = seg[p] >> 4, seg[p] & 15
+                    bits = list(seg[p + 1 : p + 17])
+                    nv = sum(bits)
+                    if p + 17 + nv > len(seg):
+                        return None
+                    huff[(tc, th)] = _build_huffman(bits, list(seg[p + 17 : p + 17 + nv]))
+                    p += 17 + nv
+            elif marker == 0xC2:
+                if len(seg) < 6 or seg[0] != 8:
+                    return None
+                height = int.from_bytes(seg[1:3], "big")
+                width = int.from_bytes(seg[3:5], "big")
+                nc = seg[5]
+                if nc not in (1, 3) or len(seg) < 6 + 3 * nc:
+                    return None
+                sof_comps = []
+                for ci in range(nc):
+                    cid, samp, qid = seg[6 + 3 * ci : 9 + 3 * ci]
+                    ch, cv = samp >> 4, samp & 15
+                    if nc == 1:
+                        ch = cv = 1
+                    if ch not in (1, 2, 4) or cv not in (1, 2, 4):
+                        return None
+                    sof_comps.append((cid, ch, cv, qid))
+                hmax = max(c[1] for c in sof_comps)
+                vmax = max(c[2] for c in sof_comps)
+                if any(hmax % c[1] or vmax % c[2] for c in sof_comps):
+                    return None
+                if not width or not height:
+                    return None
+                mcux = -(-width // (8 * hmax))
+                mcuy = -(-height // (8 * vmax))
+                coefs = [
+                    np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int64)
+                    for (_, ch, cv, _) in sof_comps
+                ]
+            elif marker == 0xDD:
+                dri = int.from_bytes(seg[:2], "big")
+            elif marker == 0xDA:
+                if sof_comps is None or coefs is None:
+                    return None
+                ns = seg[0] if seg else 0
+                if not 1 <= ns <= 3 or len(seg) < 1 + 2 * ns + 3:
+                    return None
+                scan_comps = []  # (frame_index, dc_table_id, ac_table_id)
+                for si in range(ns):
+                    cid, t = seg[1 + 2 * si : 3 + 2 * si]
+                    idx = next(
+                        (k for k, c in enumerate(sof_comps) if c[0] == cid), None
+                    )
+                    if idx is None:
+                        return None
+                    scan_comps.append((idx, t >> 4, t & 15))
+                ss, se, a = seg[1 + 2 * ns : 4 + 2 * ns]
+                ah, al = a >> 4, a & 15
+                data_start = i + 2 + seg_len
+                data_end = _entropy_end(content, data_start)
+                ok = _progressive_scan(
+                    content, data_start, scan_comps, ss, se, ah, al,
+                    huff, coefs, sof_comps, hmax, vmax, width, height, dri,
+                )
+                if not ok:
+                    return None
+                i = data_end
+                continue
+            i += 2 + seg_len
+        if coefs is None:
+            return None
+        planes = []
+        for ci, (_, ch, cv, qid) in enumerate(sof_comps):
+            if qid not in qtables:
+                return None
+            qt = np.asarray(qtables[qid], dtype=np.float64)
+            bh, bw = coefs[ci].shape[:2]
+            plane = np.empty((bh * 8, bw * 8), dtype=np.float64)
+            deq = coefs[ci].astype(np.float64) * qt  # dequant in zigzag order
+            nat = np.zeros((bh, bw, 64), dtype=np.float64)
+            nat[:, :, ZIGZAG] = deq  # dezigzag all blocks at once
+            for by in range(bh):
+                for bx in range(bw):
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        _C.T @ nat[by, bx].reshape(8, 8) @ _C
+                    ) + 128.0
+            planes.append(plane)
+    except _Truncated:
+        return None
+    return _finish_image(
+        planes, [(ch, cv) for (_, ch, cv, _) in sof_comps], hmax, vmax, width, height
+    )
+
+
+def _progressive_scan(
+    content: bytes,
+    start: int,
+    scan_comps: "list[tuple[int, int, int]]",
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    huff: dict,
+    coefs: "list",
+    sof_comps: "list",
+    hmax: int,
+    vmax: int,
+    width: int,
+    height: int,
+    dri: int,
+) -> bool:
+    """Entropy-decode one progressive scan into the coefficient arrays.
+    Returns False on malformed structure; raises _Truncated on bit underrun
+    (caller maps both to the None contract)."""
+    reader = _BitReader(content, start)
+    p1 = 1 << al
+
+    def receive_raw(nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | reader.read_bit()
+        return v
+
+    def refine_nonzero(block: np.ndarray, k: int) -> None:
+        # correction bit for an already-significant coefficient (G.1.2.3):
+        # appended bits move the magnitude toward the true value
+        if reader.read_bit():
+            if (abs(int(block[k])) & p1) == 0:
+                block[k] += p1 if block[k] > 0 else -p1
+
+    state = {"eobrun": 0}
+    dc_pred = [0] * len(scan_comps)
+
+    def decode_dc_first(block: np.ndarray, si: int, table: dict) -> bool:
+        s = reader.decode_symbol(table)
+        if s > 11:
+            return False
+        dc_pred[si] += reader.receive_extend(s)
+        block[0] = dc_pred[si] << al
+        return True
+
+    def decode_dc_refine(block: np.ndarray) -> None:
+        if reader.read_bit():
+            block[0] = int(block[0]) | p1
+
+    def decode_ac_first(block: np.ndarray, table: dict) -> bool:
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return True
+        k = ss
+        while k <= se:
+            rs = reader.decode_symbol(table)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += receive_raw(r)
+                    return True
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                return False
+            block[k] = reader.receive_extend(s) << al
+            k += 1
+        return True
+
+    def decode_ac_refine(block: np.ndarray, table: dict) -> bool:
+        if state["eobrun"] > 0:
+            # EOB-covered block: only correction bits for existing nonzeros
+            state["eobrun"] -= 1
+            for k in range(ss, se + 1):
+                if block[k]:
+                    refine_nonzero(block, k)
+            return True
+        k = ss
+        while k <= se:
+            rs = reader.decode_symbol(table)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += receive_raw(r)
+                    break  # rest of band handled below
+                # ZRL: advance past 16 zero-HISTORY coefficients
+            elif s == 1:
+                newval = p1 if reader.read_bit() else -p1
+            else:
+                return False  # refine scans only code magnitude-1 additions
+            while k <= se:
+                if block[k]:
+                    refine_nonzero(block, k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                block[k] = newval
+            k += 1
+        else:
+            return True
+        # post-EOBn tail: this block is the FIRST of the EOB run (eobrun
+        # already excludes it) — correction bits through the end of the band
+        for kk in range(k, se + 1):
+            if block[kk]:
+                refine_nonzero(block, kk)
+        return True
+
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        return False  # DC scans cover exactly coefficient 0 (G.1.1.1)
+    if not is_dc and len(scan_comps) != 1:
+        return False  # AC scans are non-interleaved by spec
+
+    def unit(block: np.ndarray, si: int, dc_tid: int, ac_tid: int) -> bool:
+        if is_dc:
+            if ah == 0:
+                t = huff.get((0, dc_tid))
+                if t is None:
+                    return False
+                return decode_dc_first(block, si, t)
+            decode_dc_refine(block)
+            return True
+        t = huff.get((1, ac_tid))
+        if t is None:
+            return False
+        if ah == 0:
+            return decode_ac_first(block, t)
+        return decode_ac_refine(block, t)
+
+    def restart() -> None:
+        reader.restart()
+        dc_pred[:] = [0] * len(scan_comps)
+        state["eobrun"] = 0
+
+    if len(scan_comps) > 1:
+        # interleaved (DC) scan: MCU walk identical to the sequential decoder
+        mcux = -(-width // (8 * hmax))
+        mcuy = -(-height // (8 * vmax))
+        mcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and mcu and mcu % dri == 0:
+                    restart()
+                mcu += 1
+                for si, (ci, dc_tid, ac_tid) in enumerate(scan_comps):
+                    _, ch, cv, _ = sof_comps[ci]
+                    for byy in range(cv):
+                        for bxx in range(ch):
+                            if not unit(
+                                coefs[ci][my * cv + byy, mx * ch + bxx], si,
+                                dc_tid, ac_tid,
+                            ):
+                                return False
+    else:
+        # non-interleaved: the component's REAL block grid (no MCU padding),
+        # dims from its sub-sampled size (T.81 A.2.2)
+        ci, dc_tid, ac_tid = scan_comps[0]
+        _, ch, cv, _ = sof_comps[ci]
+        comp_w = -(-width * ch // hmax)
+        comp_h = -(-height * cv // vmax)
+        bw, bh = -(-comp_w // 8), -(-comp_h // 8)
+        mcu = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if dri and mcu and mcu % dri == 0:
+                    restart()
+                mcu += 1
+                if not unit(coefs[ci][by, bx], 0, dc_tid, ac_tid):
+                    return False
+    return True
 
 
 class _BitWriter:
@@ -552,6 +909,223 @@ def encode_baseline_color(
     return b"\xff\xd8" + dqt + sof + dht + sos + bytes(w.out) + b"\xff\xd9"
 
 
+# Progressive AC table: the Annex K sequential AC alphabet lacks the EOBn
+# symbols (n<<4 for n>=1) Annex G adds, so the progressive encoder embeds a
+# flat canonical table over the full alphabet — every symbol at 9 bits
+# (176 codes, Kraft 176/512 < 1; the decoder builds whatever the DHT says,
+# so no generality is lost, only compression).
+PROG_AC_VALS = sorted(set(AC_VALS) | {n << 4 for n in range(1, 15)})
+PROG_AC_BITS = [0] * 16
+PROG_AC_BITS[8] = len(PROG_AC_VALS)  # all codes length 9
+
+
+def _mag_shift(v: int, al: int) -> int:
+    """Magnitude-domain point transform for AC coefficients (T.81 G.1.1.2):
+    shift |v| right, keep the sign — NOT an arithmetic shift, which would
+    round negative values away from zero."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+class _ProgScanEncoder:
+    """Entropy encoder for one progressive scan: shared EOB-run and buffered
+    correction-bit state across the scan's blocks (T.81 G.1.2 structure —
+    an EOBn covers blocks whose pending correction bits are appended after
+    the EOBn's extension bits)."""
+
+    def __init__(self, w: _BitWriter, ac_enc: "dict | None"):
+        self.w = w
+        self.ac_enc = ac_enc
+        self.eobrun = 0
+        self.pending: "list[int]" = []
+
+    def _sym(self, sym: int) -> None:
+        code, ln = self.ac_enc[sym]
+        self.w.write(code, ln)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self._sym(nbits << 4)
+            if nbits:
+                self.w.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for b in self.pending:
+            self.w.write(b, 1)
+        self.pending = []
+
+    def ac_first(self, block: "list[int]", ss: int, se: int, al: int) -> None:
+        vals = [_mag_shift(int(block[k]), al) for k in range(ss, se + 1)]
+        if not any(vals):
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+            return
+        self.flush_eobrun()
+        run = 0
+        for v in vals:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                self._sym(0xF0)
+                run -= 16
+            s = _size_cat(v)
+            self._sym((run << 4) | s)
+            bits = v if v >= 0 else v + (1 << s) - 1
+            self.w.write(bits, s)
+            run = 0
+        if run:
+            self.eobrun = 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+
+    def ac_refine(self, block: "list[int]", ss: int, se: int, al: int) -> None:
+        t = [_mag_shift(int(block[k]), al) for k in range(ss, se + 1)]
+        eob = 0  # index AFTER the last newly-significant coefficient
+        for j, v in enumerate(t):
+            if abs(v) == 1:
+                eob = j + 1
+        run = 0
+        br: "list[int]" = []
+        stop = len(t)  # first unprocessed index (break point)
+        for j, v in enumerate(t):
+            a = abs(v)
+            if a == 0:
+                if j >= eob:
+                    stop = j
+                    break  # tail absorbed into the EOB run
+                run += 1
+                continue
+            if j < eob:
+                while run > 15:
+                    self.flush_eobrun()
+                    self._sym(0xF0)
+                    run -= 16
+                    for b in br:
+                        self.w.write(b, 1)
+                    br = []
+            if a > 1:  # already significant: correction bit rides along
+                br.append(a & 1)
+                continue
+            self.flush_eobrun()
+            self._sym((run << 4) | 1)
+            self.w.write(1 if v > 0 else 0, 1)
+            for b in br:
+                self.w.write(b, 1)
+            br = []
+            run = 0
+        # remainder of the band (trailing zeros and/or history coefficients
+        # past the break point): extend the EOB run; the loop-collected br
+        # bits for already-processed history positions ride along too
+        tail_bits = [abs(v) & 1 for v in t[stop:] if abs(v) > 1]
+        if run > 0 or br or tail_bits or stop < len(t):
+            self.eobrun += 1
+            self.pending += br + tail_bits
+            if self.eobrun == 0x7FFF or len(self.pending) > 900:
+                self.flush_eobrun()
+
+
+def encode_progressive(
+    comp_blocks: "list[list[list[int]]]",
+    width: int,
+    height: int,
+    sampling: "list[tuple[int, int]]",
+    scans: "list[tuple[list[int], int, int, int, int]]",
+) -> bytes:
+    """Spec-correct progressive JPEG (SOF2) from per-component quantized
+    coefficient blocks (same MCU-padded grids as encode_baseline_color;
+    pass a single-component list for grayscale).
+
+    ``scans``: ordered (comp_indices, Ss, Se, Ah, Al) tuples — the scan
+    script. DC scans (Ss=0) may interleave all components; AC scans must
+    name exactly one (T.81 G.1). Successive approximation: first scans have
+    Ah=0, each refinement steps Al down by one. All-ones quant tables; DC
+    uses the Annex K luminance code, AC the flat progressive alphabet
+    (PROG_AC_BITS — the sequential tables lack EOBn). The entropy layout is
+    written from the spec independently of _decode_progressive."""
+    nc = len(comp_blocks)
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    dc_enc = _encode_table(DC_BITS, DC_VALS)
+    ac_enc = _encode_table(PROG_AC_BITS, PROG_AC_VALS)
+
+    body = b""
+    for comp_indices, ss, se, ah, al in scans:
+        w = _BitWriter()
+        enc = _ProgScanEncoder(w, ac_enc)
+        if ss == 0:  # DC scan
+            if se != 0:
+                raise ValueError("DC scans cover exactly coefficient 0")
+            if len(comp_indices) == 1 and nc > 1:
+                raise ValueError(
+                    "single-component DC scan on a multi-component frame is "
+                    "unsupported by this encoder (decoder walks the MCU grid)"
+                )
+            dc_pred = {ci: 0 for ci in comp_indices}
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci in comp_indices:
+                        h, v = sampling[ci]
+                        # single-component DC scans walk the REAL grid, but
+                        # interleaved ones the padded MCU grid — match the
+                        # decoder by always interleaving DC over MCUs when
+                        # more than one component is named
+                        for byy in range(v):
+                            for bxx in range(h):
+                                blk = comp_blocks[ci][
+                                    (my * v + byy) * (mcux * h) + mx * h + bxx
+                                ]
+                                if ah == 0:
+                                    val = int(blk[0]) >> al
+                                    diff = val - dc_pred[ci]
+                                    dc_pred[ci] = val
+                                    s = _size_cat(diff)
+                                    code, ln = dc_enc[s]
+                                    w.write(code, ln)
+                                    if s:
+                                        bits = diff if diff >= 0 else diff + (1 << s) - 1
+                                        w.write(bits, s)
+                                else:
+                                    w.write((int(blk[0]) >> al) & 1, 1)
+        else:  # AC scan: exactly one component, real (unpadded) block grid
+            if len(comp_indices) != 1:
+                raise ValueError("AC scans are non-interleaved")
+            ci = comp_indices[0]
+            h, v = sampling[ci]
+            comp_w = -(-width * h // hmax)
+            comp_h = -(-height * v // vmax)
+            bw, bh = -(-comp_w // 8), -(-comp_h // 8)
+            for by in range(bh):
+                for bx in range(bw):
+                    blk = comp_blocks[ci][by * (mcux * h) + bx]
+                    band = [blk[k] for k in range(64)]
+                    if ah == 0:
+                        enc.ac_first(band, ss, se, al)
+                    else:
+                        enc.ac_refine(band, ss, se, al)
+            enc.flush_eobrun()
+        w.flush()
+        sos_payload = bytes([len(comp_indices)])
+        for ci in comp_indices:
+            sos_payload += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+        sos_payload += bytes([ss, se, (ah << 4) | al])
+        body += _seg(0xDA, sos_payload) + bytes(w.out)
+
+    dqt = _seg(0xDB, bytes([0]) + bytes([1] * 64))
+    if nc > 1:
+        dqt += _seg(0xDB, bytes([1]) + bytes([1] * 64))
+    sof_payload = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([nc])
+    for ci, (h, v) in enumerate(sampling):
+        sof_payload += bytes([ci + 1, (h << 4) | v, 0 if ci == 0 else 1])
+    sof = _seg(0xC2, sof_payload)
+    dht = _seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)) + _seg(
+        0xC4, bytes([0x10]) + bytes(PROG_AC_BITS) + bytes(PROG_AC_VALS)
+    )
+    return b"\xff\xd8" + dqt + sof + dht + body + b"\xff\xd9"
+
+
 SAMPLING_MODES = {
     "444": [(1, 1), (1, 1), (1, 1)],
     "422": [(2, 1), (1, 1), (1, 1)],
@@ -586,6 +1160,66 @@ def synth_jpeg_color_full(width: int, height: int, mode: str, block_value) -> by
                 grid.append(blk)
         comp_blocks.append(grid)
     return encode_baseline_color(comp_blocks, width, height, sampling)
+
+
+def synth_jpeg_progressive_full(
+    width: int, height: int, mode: str, block_value
+) -> bytes:
+    """Deterministic COMPLETE progressive JPEG (SOF2): same constant-block
+    pixel contract as synth_jpeg_gray_full / synth_jpeg_color_full
+    (``mode`` 'gray' takes block_value(bx, by); '444'/'420' take
+    block_value(ci, bx, by) on each component's own grid), delivered through
+    a real multi-scan script — DC first at Al=1, per-component AC
+    spectral-selection bands, DC refinement, AC refinements down to Al=0.
+    Constant blocks are DC-only, so the AC scans are pure EOBn runs spanning
+    whole components (large n with raw extension bits) and the DC value
+    arrives split across two successive-approximation scans: a decoder that
+    mis-sequences scans, mis-sizes a non-interleaved chroma grid, or drops
+    an EOB run's extension bits breaks the closed-form oracle."""
+    if mode == "gray":
+        sampling = [(1, 1)]
+        n_comp = 1
+    else:
+        sampling = SAMPLING_MODES[mode]
+        n_comp = 3
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    comp_blocks = []
+    for ci in range(n_comp):
+        h, v = sampling[ci]
+        grid = []
+        for by in range(mcuy * v):
+            for bx in range(mcux * h):
+                blk = [0] * 64
+                val = block_value(bx, by) if n_comp == 1 else block_value(ci, bx, by)
+                blk[0] = 8 * (int(val) - 128)
+                grid.append(blk)
+        comp_blocks.append(grid)
+    if n_comp == 1:
+        scans = [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 1),
+            ([0], 6, 63, 0, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 5, 1, 0),
+            ([0], 6, 63, 1, 0),
+        ]
+    else:
+        scans = [
+            ([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 1),
+            ([1], 1, 63, 0, 1),
+            ([2], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([0], 1, 5, 1, 0),
+            ([1], 1, 63, 1, 0),
+            ([2], 1, 63, 1, 0),
+            ([0], 6, 63, 1, 0),
+        ]
+    return encode_progressive(comp_blocks, width, height, sampling, scans)
 
 
 def synth_jpeg_gray_full(width: int, height: int, block_value) -> bytes:

@@ -216,3 +216,96 @@ def test_color_restart_markers_interleaved():
     got = J.decode_jpeg(with_rst)
     ref = J.decode_jpeg(base)
     assert got is not None and got == ref
+
+
+def test_progressive_matches_sequential_on_random_coefficients():
+    """Full progressive machinery (DC successive approximation, AC spectral
+    selection at Al=1, AC refinement with correction bits and buffered
+    EOB-run bits) must reproduce the sequential decode of IDENTICAL
+    coefficient blocks bit-for-bit — gray and every color sampling mode."""
+    rng = np.random.default_rng(21)
+
+    def rand_grid(n):
+        out = []
+        for _ in range(n):
+            blk = [0] * 64
+            blk[0] = int(rng.integers(-300, 300))
+            for k in rng.choice(range(1, 64), size=int(rng.integers(0, 18)),
+                                replace=False):
+                blk[int(k)] = int(rng.integers(-120, 120))
+            out.append(blk)
+        return out
+
+    # grayscale with two-level AC successive approximation
+    for w, h in ((24, 16), (41, 29)):
+        bw, bh = -(-w // 8), -(-h // 8)
+        blocks = rand_grid(bw * bh)
+        seq = J.decode_jpeg(J.encode_baseline_gray(blocks, w, h))
+        scans = [
+            ([0], 0, 0, 0, 1), ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+            ([0], 0, 0, 1, 0), ([0], 1, 5, 2, 1), ([0], 1, 5, 1, 0),
+            ([0], 6, 63, 2, 1), ([0], 6, 63, 1, 0),
+        ]
+        prog = J.decode_jpeg(J.encode_progressive([blocks], w, h, [(1, 1)], scans))
+        assert prog == seq and prog is not None, (w, h)
+    # color: subsampled grids force non-interleaved chroma scan dims
+    for sampling in ([(1, 1)] * 3, [(2, 2), (1, 1), (1, 1)], [(2, 1), (1, 1), (1, 1)]):
+        hmax = max(s_[0] for s_ in sampling)
+        vmax = max(s_[1] for s_ in sampling)
+        w, h = 33, 26
+        mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+        comp_blocks = [rand_grid(mcux * hh * mcuy * vv) for hh, vv in sampling]
+        seq = J.decode_jpeg(J.encode_baseline_color(comp_blocks, w, h, sampling))
+        scans = [
+            ([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 1), ([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([0], 1, 5, 1, 0), ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0),
+            ([0], 6, 63, 1, 0),
+        ]
+        prog = J.decode_jpeg(J.encode_progressive(comp_blocks, w, h, sampling, scans))
+        assert prog == seq and prog is not None, sampling
+
+
+def test_progressive_synth_constant_blocks_closed_form():
+    bvg = lambda bx, by: (13 + 16 * bx + 40 * by) % 256
+    got = J.decode_jpeg(J.synth_jpeg_progressive_full(21, 19, "gray", bvg))
+    assert got is not None and got[:3] == (21, 19, 1)
+    arr = np.frombuffer(got[3], dtype=np.uint8).reshape(19, 21)
+    for y in range(19):
+        for x in range(21):
+            assert arr[y, x] == bvg(x // 8, y // 8)
+    bvc = lambda ci, bx, by: (11 + 31 * ci + 16 * bx + 40 * by) % 256
+    for mode in ("444", "420"):
+        got = J.decode_jpeg(J.synth_jpeg_progressive_full(26, 22, mode, bvc))
+        assert got is not None and got[:3] == (26, 22, 3), mode
+        # must equal the SEQUENTIAL color synth of the same block values
+        ref = J.decode_jpeg(J.synth_jpeg_color_full(26, 22, mode, bvc))
+        assert got == ref, mode
+
+
+def test_progressive_refinement_scan_is_load_bearing():
+    """Drop the DC refinement scan: every DC value loses its low bit, so the
+    decode must DIFFER (catches a decoder that ignores Ah/Al)."""
+    w = h = 16
+    blocks = []
+    for by in range(2):
+        for bx in range(2):
+            blk = [0] * 64
+            # DC = 8k+7: the low THREE bits carry 7/8 of a pixel — with an
+            # Al=3 first scan, dropping the refinements moves the sample
+            # across a rounding boundary (a single low bit never can with
+            # all-ones quant: floor crossings only occur at even DC values)
+            blk[0] = 8 * (16 * bx + 40 * by + 13) + 7
+            blocks.append(blk)
+    full = [
+        ([0], 0, 0, 0, 3), ([0], 1, 63, 0, 0),
+        ([0], 0, 0, 3, 2), ([0], 0, 0, 2, 1), ([0], 0, 0, 1, 0),
+    ]
+    without_refine = full[:2]
+    a = J.decode_jpeg(J.encode_progressive([blocks], w, h, [(1, 1)], full))
+    b = J.decode_jpeg(J.encode_progressive([blocks], w, h, [(1, 1)], without_refine))
+    ref = J.decode_jpeg(J.encode_baseline_gray(blocks, w, h))
+    assert a == ref
+    assert b is not None and b[3] != ref[3]
