@@ -565,6 +565,134 @@ def jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "webp_pixel_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               8 + doc_id % 30 AS w,
+               8 + (doc_id * 3) % 30 AS h,
+               doc_id % 3 = 0 AS rowcopy,
+               CASE doc_id % 2 WHEN 0 THEN 0 ELSE 4 END AS cache_bits
+        FROM documents WHERE doc_id < 100
+    ),
+    px AS (
+        SELECT doc_id, w, h, rowcopy, cache_bits,
+               (x.i + doc_id) % 256 AS r,
+               (3 * (CASE WHEN rowcopy THEN y.i // 2 ELSE y.i END) + doc_id)
+                   % 256 AS g,
+               (x.i + (CASE WHEN rowcopy THEN y.i // 2 ELSE y.i END)
+                + 2 * doc_id) % 256 AS b,
+               ((x.i + y.i * w) % 97) + 1 AS wt
+        FROM spec,
+             LATERAL unnest(range(0, w)) x(i),
+             LATERAL unnest(range(0, h)) y(i)
+    )
+    SELECT doc_id,
+           CAST(min(w) AS INT) AS width,
+           CAST(min(h) AS INT) AS height,
+           CAST(min(cache_bits) AS INT) AS cache_bits,
+           min(doc_id) % 3 = 0 AS rowcopy,
+           ((2 * CAST(sum(r) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_r,
+           ((2 * CAST(sum(g) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_g,
+           ((2 * CAST(sum(b) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_b,
+           CAST(sum(wt * r) AS BIGINT) AS wsum_r
+    FROM px GROUP BY doc_id
+    """,
+    doc="REAL WebP LOSSLESS (VP8L) pixel decode, graded (reference stack: "
+    "Pillow, file-service requirements.txt:11-15): complete RIFF/WEBP files "
+    "are synthesized per doc whose VP8L bitstream comes from sources/"
+    "vp8l.py::encode_vp8l_literal — code-length-coded canonical prefix "
+    "codes for all four channels, the COLOR CACHE enabled on every odd doc "
+    "(hash-addressed pixel reuse), and LZ77 whole-row backward references "
+    "on every third doc (row-pair-repeating pattern, plain distance codes "
+    "with extra bits) — then decode_webp walks the container and "
+    "decode_vp8l runs the entropy decode distributively. Lossy VP8 stays "
+    "out of scope (a video-codec frame). The oracle predicts per-channel "
+    "means AND the (pixel_index %% 97)+1 weighted checksum in closed form: "
+    "a wrong cache hash, a mis-read prefix-code extra bit, or a "
+    "short-copied row flips it. The four VP8L transforms are pytest-graded "
+    "against independently computed forward transforms "
+    "(tests/test_vp8l_codec.py).",
+    tags=("ingest", "multimodal"),
+)
+def webp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w_px, h_px = 8 + i % 30, 8 + (i * 3) % 30
+                rowcopy = i % 3 == 0
+                cache_bits = 0 if i % 2 == 0 else 4
+
+                def pv(x: int, y: int, i: int = i, rc: bool = rowcopy):
+                    yy = y // 2 if rc else y
+                    return (
+                        (x + i) % 256,
+                        (3 * yy + i) % 256,
+                        (x + yy + 2 * i) % 256,
+                        255,
+                    )
+
+                content = multimodal.synth_webp_lossless(
+                    w_px, h_px, pv, cache_bits=cache_bits, row_copy=rowcopy
+                )
+                width, height, _, raw = multimodal.decode_webp(content)
+                arr = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 4)
+                sums = arr[:, :3].sum(axis=0, dtype=np.int64)
+                wt = (np.arange(width * height, dtype=np.int64) % 97) + 1
+                wsum_r = int((wt * arr[:, 0].astype(np.int64)).sum())
+                rows.append(
+                    (
+                        i, width, height, cache_bits, rowcopy,
+                        int(sums[0]), int(sums[1]), int(sums[2]),
+                        width * height, wsum_r,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "cache_bits", "rowcopy",
+                    "rsum", "gsum", "bsum", "npx", "wsum_r",
+                ],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, width int, height int, cache_bits int, rowcopy boolean, "
+        "rsum long, gsum long, bsum long, npx long, wsum_r long",
+    )
+
+    def half_up(col: str):
+        return (
+            F.expr(f"(2 * {col} * 1000000 + npx) div (2 * npx)") / 1000000.0
+        )
+
+    return out.select(
+        "doc_id", "width", "height", "cache_bits", "rowcopy",
+        half_up("rsum").alias("mean_r"),
+        half_up("gsum").alias("mean_g"),
+        half_up("bsum").alias("mean_b"),
+        "wsum_r",
+    )
+
+
+@register(
     "gif_pixel_stats",
     oracle="""
     WITH spec AS (

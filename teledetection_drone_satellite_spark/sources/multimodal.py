@@ -105,8 +105,8 @@ def parse_image_header(content: bytes) -> "tuple[int, int, int, str] | None":
     # bitstream header — VP8 (lossy: 14-bit w/h after the 0x9D012A sync code),
     # VP8L (lossless: packed 14-bit w-1/h-1 after the 0x2F signature), or
     # VP8X (extended: 24-bit w-1/h-1). Public container spec; no codec needed
-    # for metadata. Pixels stay out of pure-stdlib scope (VP8 is a video
-    # codec), exactly like compressed audio.
+    # for metadata. VP8L (lossless) PIXELS are real too — decode_webp below;
+    # lossy VP8 pixels stay out of pure-stdlib scope (a video codec frame).
     if content[:4] == b"RIFF" and content[8:12] == b"WEBP" and len(content) >= 30:
         fourcc = content[12:16]
         d = content[20:]
@@ -860,6 +860,60 @@ def synth_gif_full(
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+def decode_webp(content: bytes) -> "tuple[int, int, int, bytes] | None":
+    """REAL WebP pixel decode for the LOSSLESS (VP8L) variant: walk the RIFF
+    container (including VP8X extended files whose image chunk follows the
+    metadata chunks) to the VP8L chunk, then sources/vp8l.py does the
+    bitstream work. Lossy VP8 returns None (video-codec frame: out of
+    pure-stdlib scope), same fallback contract as the other decoders.
+    Returns (width, height, 4, rgba_bytes)."""
+    from . import vp8l as _vp8l
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+        return None
+    pos = 12
+    while pos + 8 <= len(content):
+        fourcc = content[pos : pos + 4]
+        size = int.from_bytes(content[pos + 4 : pos + 8], "little")
+        payload = content[pos + 8 : pos + 8 + size]
+        if len(payload) < size:
+            return None  # truncated chunk
+        if fourcc == b"VP8L":
+            return _vp8l.decode_vp8l(payload)
+        if fourcc == b"VP8 ":
+            return None  # lossy: out of scope
+        pos += 8 + size + (size & 1)  # chunks are even-padded
+    return None
+
+
+def synth_webp_lossless(
+    width: int,
+    height: int,
+    pixel_value=None,
+    cache_bits: int = 0,
+    row_copy: bool = False,
+) -> bytes:
+    """Deterministic COMPLETE lossless WebP: RIFF container around a VP8L
+    bitstream from sources/vp8l.py::encode_vp8l_literal. Pixel contract
+    (mirrored by the webp_pixel_stats oracle): ``pixel_value(x, y) -> (r, g,
+    b, a)``, default ((x) % 256, (3*y) % 256, (x + y) % 256, 255)."""
+    from . import vp8l as _vp8l
+
+    pv = pixel_value or (lambda x, y: (x % 256, (3 * y) % 256, (x + y) % 256, 255))
+    rgba = bytearray()
+    for y in range(height):
+        for x in range(width):
+            rgba += bytes(v % 256 for v in pv(x, y))
+    payload = _vp8l.encode_vp8l_literal(
+        bytes(rgba), width, height, cache_bits=cache_bits, row_copy=row_copy
+    )
+    if len(payload) & 1:
+        chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload + b"\0"
+    else:
+        chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
 
 
 def synth_webp(width: int, height: int, variant: str = "vp8", alpha: bool = False) -> bytes:

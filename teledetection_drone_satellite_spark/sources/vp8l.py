@@ -1,0 +1,756 @@
+"""WebP VP8L (lossless) codec, pure stdlib + numpy — the WebP pixel tail of
+S7 (reference stack: Pillow, services/file-service/requirements.txt:11-15).
+Lossy VP8 is a video intra frame (boolean arithmetic coder + loop filter) and
+stays out of pure-stdlib scope; VP8L is a self-contained spatial codec —
+canonical prefix codes + LZ77 + color cache + four reversible transforms —
+fully specified by the public "WebP Lossless Bitstream Specification", which
+is what everything here is written from.
+
+Scope — same honest contract as decode_png/decode_tiff/decode_jpeg:
+
+  decode_vp8l   REAL decoder for the VP8L bitstream: LSB-first bit reader,
+                simple and normal (code-length-coded, incl. RLE 16/17/18 and
+                the max_symbol cap) prefix codes, the 5-code group
+                (green+length+cache / red / blue / alpha / distance), LZ77
+                backward references with the 2D distance mapping, color
+                cache, meta prefix codes (entropy image), and the four
+                transforms: predictor (all 14 modes), color (3.5 fixed-point
+                signed deltas, red_to_blue on the reconstructed red),
+                subtract-green, color indexing (palette, incl. sub-byte
+                pixel packing). Color indexing combined with predictor/color
+                transforms is refused (packed-width interactions; not a
+                layout real encoders emit). Returns (width, height, 4,
+                rgba_bytes) or None.
+
+  encode_vp8l_literal  REAL minimal-subset encoder used to grade the
+                decoder: ARGB pixels in, spec-correct bitstream out (no
+                transforms; code-length-coded literal codes; optional color
+                cache and LZ77 whole-row references) — bit packing written
+                from the spec independently of decode_vp8l.
+
+Graded through multimodal.decode_webp (RIFF container walk) by
+webp_pixel_stats; adversarial bit-level tests in tests/test_vp8l_codec.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# code-length code symbol transmission order (spec §5.2.2)
+CODE_LENGTH_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+# 2D neighborhood for short LZ77 distances (spec §4.2.2): distance code
+# 1..120 maps to (dx, dy) offsets near the current pixel.
+DISTANCE_MAP = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (4, 6), (-4, 6), (6, 4), (-6, 4),
+    (2, 7), (-2, 7), (7, 1), (-7, 1), (5, 5), (-5, 5), (3, 7), (-3, 7),
+    (7, 2), (-7, 2), (4, 7), (-4, 7), (7, 3), (-7, 3), (5, 6), (-5, 6),
+    (6, 5), (-6, 5), (8, 0), (0, 8), (1, 8), (-1, 8), (8, 1), (-8, 1),
+    (7, 4), (-7, 4), (4, 8), (-4, 8), (8, 4), (-8, 4), (5, 7), (-5, 7),
+    (7, 5), (-7, 5), (8, 2), (-8, 2), (2, 8), (-2, 8), (8, 3), (-8, 3),
+    (3, 8), (-3, 8), (6, 6), (-6, 6), (8, 5), (-8, 5), (5, 8), (-5, 8),
+    (6, 7), (-6, 7), (7, 6), (-7, 6), (8, 6), (-8, 6), (6, 8), (-6, 8),
+    (8, 7), (-8, 7), (7, 8), (-7, 8), (8, 8), (-8, 8),
+]
+
+_CACHE_MULT = 0x1E35A7BD
+
+
+class _Truncated(Exception):
+    pass
+
+
+class _LsbReader:
+    """LSB-first bit reader (spec §3): bits are consumed from the least
+    significant end of each byte; multi-bit reads place the first-read bit
+    in the result's LSB."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.bitpos = 0
+        self.total = len(data) * 8
+
+    def bits(self, n: int) -> int:
+        if self.bitpos + n > self.total:
+            raise _Truncated
+        v = 0
+        bp = self.bitpos
+        for k in range(n):
+            v |= ((self.data[(bp + k) >> 3] >> ((bp + k) & 7)) & 1) << k
+        self.bitpos += n
+        return v
+
+
+def _build_canonical(lengths: "list[int]") -> "dict[tuple[int, int], int] | None":
+    """Canonical prefix code per the DEFLATE convention the spec adopts
+    (§5.2.2): codes assigned in symbol order within each length; the code's
+    MSB travels first even in the LSB-first stream. {(len, code): symbol};
+    None for an over-full code; a single-symbol code is the zero-bit
+    degenerate case the spec allows."""
+    nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
+    if not nz:
+        return None
+    if len(nz) == 1:
+        return {(0, 0): nz[0][1]}
+    count: dict[int, int] = {}
+    for ln, _ in nz:
+        count[ln] = count.get(ln, 0) + 1
+    if sum(c * 2 ** (15 - ln) for ln, c in count.items()) > (1 << 15):
+        return None  # over-subscribed (Kraft)
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    next_code: dict[int, int] = {}
+    for ln in range(1, 16):
+        code = (code + count.get(ln - 1, 0)) << 1
+        next_code[ln] = code
+    for sym, ln in enumerate(lengths):
+        if ln > 0:
+            table[(ln, next_code[ln])] = sym
+            next_code[ln] += 1
+    return table
+
+
+def _read_symbol(r: _LsbReader, table: "dict[tuple[int, int], int]") -> int:
+    if len(table) == 1 and (0, 0) in table:
+        return table[(0, 0)]  # degenerate single-symbol code: zero bits
+    code = 0
+    for ln in range(1, 16):
+        code = (code << 1) | r.bits(1)
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise _Truncated
+
+
+def _read_code(r: _LsbReader, alphabet_size: int) -> "dict | None":
+    """ReadHuffmanCode (spec §5.2.3): simple (1-2 symbols) or normal
+    (code-length-coded with RLE 16/17/18 and the optional max_symbol cap)."""
+    if r.bits(1):  # simple
+        num_symbols = r.bits(1) + 1
+        sym0 = r.bits(8) if r.bits(1) else r.bits(1)
+        if sym0 >= alphabet_size:
+            return None
+        lengths = [0] * alphabet_size
+        if num_symbols == 2:
+            sym1 = r.bits(8)
+            if sym1 >= alphabet_size or sym1 == sym0:
+                return None
+            lengths[sym0] = lengths[sym1] = 1
+        else:
+            lengths[sym0] = 1
+        return _build_canonical(lengths)
+    num_code_lengths = 4 + r.bits(4)
+    cl_lengths = [0] * 19
+    for i in range(num_code_lengths):
+        cl_lengths[CODE_LENGTH_ORDER[i]] = r.bits(3)
+    cl_table = _build_canonical(cl_lengths)
+    if cl_table is None:
+        return None
+    if r.bits(1):  # length cap: at most max_symbol length CODES are read
+        length_nbits = 2 + 2 * r.bits(3)
+        max_symbol = 2 + r.bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev_len = 8
+    i = 0
+    while i < alphabet_size and max_symbol > 0:
+        max_symbol -= 1
+        s = _read_symbol(r, cl_table)
+        if s < 16:
+            lengths[i] = s
+            i += 1
+            if s:
+                prev_len = s
+        elif s == 16:
+            rep = 3 + r.bits(2)
+            for _ in range(rep):
+                if i < alphabet_size:
+                    lengths[i] = prev_len
+                    i += 1
+        elif s == 17:
+            i += 3 + r.bits(3)
+        else:  # 18
+            i += 11 + r.bits(7)
+    return _build_canonical(lengths)
+
+
+def _lz77_prefix(r: _LsbReader, sym: int) -> int:
+    """Length/distance prefix decoding (spec §4.2.1): symbol -> value >= 1."""
+    if sym < 4:
+        return sym + 1
+    extra = (sym - 2) >> 1
+    offset = (2 + (sym & 1)) << extra
+    return offset + r.bits(extra) + 1
+
+
+def _plane_distance(code: int, width: int) -> int:
+    if code > 120:
+        return code - 120
+    dx, dy = DISTANCE_MAP[code - 1]
+    dist = dy * width + dx
+    return dist if dist >= 1 else 1
+
+
+def _decode_image_stream(
+    r: _LsbReader, width: int, height: int, top_level: bool
+) -> "tuple[np.ndarray, list, int] | None":
+    """DecodeImageStream (spec §6): (ARGB uint32 scan-order array, transforms,
+    coded_width). Transforms only exist at top level. None on malformed
+    structure; _Truncated propagates to the caller's contract."""
+    transforms = []
+    if top_level:
+        seen = set()
+        while r.bits(1):
+            ttype = r.bits(2)
+            if ttype in seen:
+                return None  # each transform appears at most once (spec §4)
+            seen.add(ttype)
+            if ttype in (0, 1):  # predictor / color transform
+                size_bits = r.bits(3) + 2
+                bw = (width + (1 << size_bits) - 1) >> size_bits
+                bh = (height + (1 << size_bits) - 1) >> size_bits
+                sub = _decode_image_stream(r, bw, bh, False)
+                if sub is None:
+                    return None
+                transforms.append((ttype, size_bits, sub[0]))
+            elif ttype == 2:  # subtract green: no payload
+                transforms.append((2, None, None))
+            else:  # color indexing (palette)
+                n_colors = r.bits(8) + 1
+                sub = _decode_image_stream(r, n_colors, 1, False)
+                if sub is None:
+                    return None
+                pal = sub[0].copy()
+                # palette entries are per-channel delta-coded (spec §4.2.4)
+                for i in range(1, len(pal)):
+                    prev, cur = int(pal[i - 1]), int(pal[i])
+                    merged = 0
+                    for s in (24, 16, 8, 0):
+                        merged |= ((((cur >> s) & 0xFF) + ((prev >> s) & 0xFF)) & 0xFF) << s
+                    pal[i] = merged
+                transforms.append((3, n_colors, pal))
+                # sub-byte pixel packing shrinks the coded image width
+                if n_colors <= 2:
+                    width = (width + 7) >> 3
+                elif n_colors <= 4:
+                    width = (width + 3) >> 2
+                elif n_colors <= 16:
+                    width = (width + 1) >> 1
+        if 3 in seen and seen & {0, 1}:
+            return None  # packed-width + spatial transforms: out of scope
+
+    cache_bits = 0
+    if r.bits(1):
+        cache_bits = r.bits(4)
+        if not 1 <= cache_bits <= 11:
+            return None
+    cache_size = (1 << cache_bits) if cache_bits else 0
+
+    meta_table = None
+    meta_bits = meta_w = 0
+    n_groups = 1
+    if top_level and r.bits(1):  # meta prefix codes (entropy image)
+        meta_bits = r.bits(3) + 2
+        mw = (width + (1 << meta_bits) - 1) >> meta_bits
+        mh = (height + (1 << meta_bits) - 1) >> meta_bits
+        sub = _decode_image_stream(r, mw, mh, False)
+        if sub is None:
+            return None
+        meta_table = ((sub[0] >> 8) & 0xFFFF).astype(np.int64)  # (r<<8)|g
+        n_groups = int(meta_table.max()) + 1
+        meta_w = mw
+
+    green_size = 256 + 24 + cache_size
+    groups = []
+    for _ in range(n_groups):
+        codes = []
+        for size in (green_size, 256, 256, 256, 40):
+            t = _read_code(r, size)
+            if t is None:
+                return None
+            codes.append(t)
+        groups.append(codes)
+
+    n_px = width * height
+    out = np.zeros(n_px, dtype=np.uint32)
+    cache = [0] * cache_size
+    pos = 0
+    green_t, red_t, blue_t, alpha_t, dist_t = groups[0]
+    while pos < n_px:
+        if meta_table is not None:
+            x, y = pos % width, pos // width
+            g = int(meta_table[(y >> meta_bits) * meta_w + (x >> meta_bits)])
+            if g >= n_groups:
+                return None
+            green_t, red_t, blue_t, alpha_t, dist_t = groups[g]
+        s = _read_symbol(r, green_t)
+        if s < 256:  # literal
+            red = _read_symbol(r, red_t)
+            blue = _read_symbol(r, blue_t)
+            alpha = _read_symbol(r, alpha_t)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out[pos] = px
+            if cache_size:
+                cache[(_CACHE_MULT * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+            pos += 1
+        elif s < 280:  # LZ77 backward reference
+            length = _lz77_prefix(r, s - 256)
+            dist_sym = _read_symbol(r, dist_t)
+            if dist_sym >= 40:
+                return None
+            dist = _plane_distance(_lz77_prefix(r, dist_sym), width)
+            if dist > pos or pos + length > n_px:
+                return None
+            for _ in range(length):
+                px = int(out[pos - dist])
+                out[pos] = px
+                if cache_size:
+                    cache[(_CACHE_MULT * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+                pos += 1
+        else:  # color cache hit
+            idx = s - 280
+            if idx >= cache_size:
+                return None
+            out[pos] = cache[idx]
+            pos += 1
+    return out, transforms, width
+
+
+def _s8(v: int) -> int:
+    """Reinterpret a byte as signed 8-bit (transform deltas and channel
+    values are int8 in the 3.5 fixed-point multiplies, spec §4.2.3)."""
+    v &= 0xFF
+    return v - 256 if v >= 128 else v
+
+
+def _avg2(a: int, b: int) -> int:
+    out = 0
+    for s in (24, 16, 8, 0):
+        out |= ((((a >> s) & 0xFF) + ((b >> s) & 0xFF)) >> 1) << s
+    return out
+
+
+def _predict(mode: int, L: int, T: int, TL: int, TR: int) -> int:
+    """The 14 spatial predictors (spec §4.2.2)."""
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, TR), T)
+    if mode == 6:
+        return _avg2(L, TL)
+    if mode == 7:
+        return _avg2(L, T)
+    if mode == 8:
+        return _avg2(TL, T)
+    if mode == 9:
+        return _avg2(T, TR)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR))
+    if mode == 11:  # Select(T, L, TL): T when its distance to TL is smaller
+        pa = sum(abs(((T >> s) & 0xFF) - ((TL >> s) & 0xFF)) for s in (24, 16, 8, 0))
+        pb = sum(abs(((L >> s) & 0xFF) - ((TL >> s) & 0xFF)) for s in (24, 16, 8, 0))
+        return T if pa <= pb else L
+    if mode == 12:  # ClampAddSubtractFull
+        out = 0
+        for s in (24, 16, 8, 0):
+            v = ((L >> s) & 0xFF) + ((T >> s) & 0xFF) - ((TL >> s) & 0xFF)
+            out |= max(0, min(255, v)) << s
+        return out
+    # mode 13: ClampAddSubtractHalf — the (ave - TL)/2 divide TRUNCATES
+    # toward zero (C semantics in the spec pseudocode), not floor
+    out = 0
+    for s in (24, 16, 8, 0):
+        ave = (((L >> s) & 0xFF) + ((T >> s) & 0xFF)) >> 1
+        d = ave - ((TL >> s) & 0xFF)
+        half = d // 2 if d >= 0 else -((-d) // 2)
+        out |= max(0, min(255, ave + half)) << s
+    return out
+
+
+def _apply_inverse_transforms(
+    argb: np.ndarray, transforms: list, width: int, height: int
+) -> "np.ndarray | None":
+    """Inverse transforms in reverse reading order (spec §4)."""
+    for ttype, p1, p2 in reversed(transforms):
+        if ttype == 3:  # color indexing
+            n_colors, pal = p1, p2
+            if n_colors <= 2:
+                ppb, bits = 8, 1
+            elif n_colors <= 4:
+                ppb, bits = 4, 2
+            elif n_colors <= 16:
+                ppb, bits = 2, 4
+            else:
+                ppb, bits = 1, 8
+            packed_w = (width + ppb - 1) // ppb
+            idx_img = (argb >> 8) & 0xFF  # indices live in the green channel
+            full = np.zeros(width * height, dtype=np.uint32)
+            mask = (1 << bits) - 1
+            for y in range(height):
+                row = y * packed_w
+                for x in range(width):
+                    packed = int(idx_img[row + x // ppb])
+                    i = (packed >> ((x % ppb) * bits)) & mask
+                    if i >= n_colors:
+                        return None
+                    full[y * width + x] = pal[i]
+            argb = full
+        elif ttype == 2:  # subtract green inverse: red += g, blue += g
+            g = (argb >> 8) & 0xFF
+            red = (((argb >> 16) & 0xFF) + g) & 0xFF
+            blue = ((argb & 0xFF) + g) & 0xFF
+            argb = (argb & 0xFF00FF00) | (red << 16) | blue
+        elif ttype == 1:  # color transform inverse (spec §4.2.3)
+            size_bits, sub = p1, p2
+            bw = (width + (1 << size_bits) - 1) >> size_bits
+            out = argb.copy()
+            for y in range(height):
+                for x in range(width):
+                    cte = int(sub[(y >> size_bits) * bw + (x >> size_bits)])
+                    # element channels: g2r in BLUE, g2b in GREEN, r2b in RED
+                    g2r = _s8(cte)
+                    g2b = _s8(cte >> 8)
+                    r2b = _s8(cte >> 16)
+                    px = int(out[y * width + x])
+                    g = _s8(px >> 8)
+                    red = (px >> 16) & 0xFF
+                    blue = px & 0xFF
+                    red = (red + ((g2r * g) >> 5)) & 0xFF
+                    # red_to_blue applies to the RECONSTRUCTED red
+                    blue = (blue + ((g2b * g) >> 5) + ((r2b * _s8(red)) >> 5)) & 0xFF
+                    out[y * width + x] = (px & 0xFF00FF00) | (red << 16) | blue
+            argb = out
+        else:  # predictor transform
+            size_bits, sub = p1, p2
+            bw = (width + (1 << size_bits) - 1) >> size_bits
+            out = argb.copy()
+            for y in range(height):
+                for x in range(width):
+                    pos = y * width + x
+                    if x == 0 and y == 0:
+                        pred = 0xFF000000
+                    elif y == 0:
+                        pred = int(out[pos - 1])  # first row predicts left
+                    elif x == 0:
+                        pred = int(out[pos - width])  # first column: top
+                    else:
+                        mode = (
+                            int(sub[(y >> size_bits) * bw + (x >> size_bits)]) >> 8
+                        ) & 0xFF
+                        if mode > 13:
+                            return None
+                        L = int(out[pos - 1])
+                        T = int(out[pos - width])
+                        TL = int(out[pos - width - 1])
+                        TR = (
+                            int(out[pos - width + 1])
+                            if x + 1 < width
+                            else int(out[pos - width])
+                        )
+                        pred = _predict(mode, L, T, TL, TR)
+                    res = int(argb[pos])
+                    merged = 0
+                    for s in (24, 16, 8, 0):
+                        merged |= ((((res >> s) & 0xFF) + ((pred >> s) & 0xFF)) & 0xFF) << s
+                    out[pos] = merged
+            argb = out
+    return argb
+
+
+def decode_vp8l(payload: bytes) -> "tuple[int, int, int, bytes] | None":
+    """Decode a VP8L chunk payload to (width, height, 4, rgba_bytes)."""
+    if not payload or payload[0] != 0x2F:
+        return None
+    r = _LsbReader(payload[1:])
+    try:
+        width = r.bits(14) + 1
+        height = r.bits(14) + 1
+        r.bits(1)  # alpha hint (advisory)
+        if r.bits(3) != 0:  # version must be 0
+            return None
+        res = _decode_image_stream(r, width, height, True)
+        if res is None:
+            return None
+        argb, transforms, _ = res
+        argb = _apply_inverse_transforms(argb, transforms, width, height)
+        if argb is None:
+            return None
+    except _Truncated:
+        return None
+    rgba = np.empty((width * height, 4), dtype=np.uint8)
+    rgba[:, 0] = (argb >> 16) & 0xFF
+    rgba[:, 1] = (argb >> 8) & 0xFF
+    rgba[:, 2] = argb & 0xFF
+    rgba[:, 3] = (argb >> 24) & 0xFF
+    return width, height, 4, rgba.tobytes()
+
+
+# --- Encoder (grading subset) ----------------------------------------------------------
+
+
+class _LsbWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def bits(self, v: int, n: int) -> None:
+        self.acc |= (v & ((1 << n) - 1)) << self.nacc
+        self.nacc += n
+        while self.nacc >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nacc -= 8
+
+    def code(self, code: int, ln: int) -> None:
+        # canonical codes travel MSB-of-code-first inside the LSB-first stream
+        for k in range(ln - 1, -1, -1):
+            self.bits((code >> k) & 1, 1)
+
+    def flush(self) -> bytes:
+        if self.nacc:
+            self.out.append(self.acc & 0xFF)
+            self.acc = self.nacc = 0
+        return bytes(self.out)
+
+
+def _canonical_codes(lengths: "list[int]") -> "dict[int, tuple[int, int]]":
+    table = _build_canonical(lengths)
+    assert table is not None
+    return {sym: (code, ln) for (ln, code), sym in table.items()}
+
+
+def _equal_weight_lengths(syms: "list[int]", size: int) -> "list[int]":
+    """A COMPLETE canonical code over the given symbols: with n symbols,
+    2^ceil(log2 n) - n of them get length ceil(log2 n)-1, the rest
+    ceil(log2 n) (single symbol -> the zero-bit degenerate code)."""
+    lengths = [0] * size
+    n = len(syms)
+    if n == 1:
+        lengths[syms[0]] = 1  # transmitted length 1; decodes as zero-bit
+        return lengths
+    import math
+
+    L = max(1, math.ceil(math.log2(n)))
+    n_short = (1 << L) - n
+    for i, s in enumerate(sorted(syms)):
+        lengths[s] = L - 1 if i < n_short else L
+    return lengths
+
+
+def _write_code_lengths(w: _LsbWriter, lengths: "list[int]") -> None:
+    """Transmit a symbol-length array via the normal (code-length-coded)
+    path: literals for nonzero lengths, 17/18 runs for zeros, a complete
+    equal-weight code-length code over the tokens used."""
+    tokens: "list[tuple[int, int]]" = []  # (symbol, extra_value)
+    i, n = 0, len(lengths)
+    while i < n:
+        if lengths[i] == 0:
+            run = 1
+            while i + run < n and lengths[i + run] == 0:
+                run += 1
+            i += run
+            # trailing zeros are NOT implicit: the reader consumes tokens
+            # until the whole alphabet is covered (spec reader loop)
+            while run > 0:
+                if run >= 11:
+                    take = min(138, run)
+                    tokens.append((18, take - 11))
+                elif run >= 3:
+                    tokens.append((17, run - 3))
+                    take = run
+                else:
+                    for _ in range(run):
+                        tokens.append((0, -1))
+                    take = run
+                run -= take if run >= 3 else run
+        else:
+            tokens.append((lengths[i], -1))
+            i += 1
+    used = sorted({t for t, _ in tokens})
+    cl_lengths = _equal_weight_lengths(used, 19)
+    n_entries = max(
+        idx for idx, sym in enumerate(CODE_LENGTH_ORDER) if cl_lengths[sym] > 0
+    ) + 1
+    n_entries = max(4, n_entries)
+    w.bits(n_entries - 4, 4)
+    for k in range(n_entries):
+        w.bits(cl_lengths[CODE_LENGTH_ORDER[k]], 3)
+    w.bits(0, 1)  # no max_symbol cap
+    cl = _canonical_codes(cl_lengths)
+    single = len(used) == 1  # degenerate cl code: zero bits on the wire
+    for sym, extra in tokens:
+        if not single:
+            c, ln = cl[sym]
+            w.code(c, ln)
+        if sym == 17:
+            w.bits(extra, 3)
+        elif sym == 18:
+            w.bits(extra, 7)
+
+
+def _write_normal_code(w: _LsbWriter, lengths: "list[int]") -> "dict[int, tuple[int, int]]":
+    w.bits(0, 1)  # not simple
+    _write_code_lengths(w, lengths)
+    return _canonical_codes(lengths)
+
+
+def _write_simple_code(w: _LsbWriter, sym: int, size: int) -> "dict[int, tuple[int, int]]":
+    w.bits(1, 1)  # simple
+    w.bits(0, 1)  # one symbol
+    if sym < 2:
+        w.bits(0, 1)
+        w.bits(sym, 1)
+    else:
+        w.bits(1, 1)
+        w.bits(sym, 8)
+    lengths = [0] * size
+    lengths[sym] = 1
+    return _canonical_codes(lengths)
+
+
+def _prefix_sym(value: int) -> int:
+    """Inverse of _lz77_prefix: the symbol whose range contains value >= 1."""
+    v = value - 1
+    if v < 4:
+        return v
+    e = v.bit_length() - 2
+    return 2 * e + 3 if v >= (3 << e) else 2 * e + 2
+
+
+def _write_prefix_extra(w: _LsbWriter, value: int) -> None:
+    sym = _prefix_sym(value)
+    if sym < 4:
+        return
+    extra = (sym - 2) >> 1
+    offset = (2 + (sym & 1)) << extra
+    w.bits(value - 1 - offset, extra)
+
+
+def encode_vp8l_literal(
+    rgba: bytes,
+    width: int,
+    height: int,
+    cache_bits: int = 0,
+    row_copy: bool = False,
+) -> bytes:
+    """Minimal-subset VP8L encoder for grading: no transforms; complete
+    literal codes for all four channels; ``row_copy`` emits identical
+    consecutive rows as one LZ77 reference (length=width, distance=width —
+    plain distance code width+120), exercising the decoder's backward-copy
+    and prefix-value paths; ``cache_bits`` > 0 maintains the spec's color
+    cache and emits hits for repeated pixels. Packed from the spec,
+    independent of decode_vp8l."""
+    px = np.frombuffer(rgba, dtype=np.uint8).reshape(height * width, 4)
+    argb = (
+        (px[:, 3].astype(np.uint32) << 24)
+        | (px[:, 0].astype(np.uint32) << 16)
+        | (px[:, 1].astype(np.uint32) << 8)
+        | px[:, 2].astype(np.uint32)
+    )
+    w = _LsbWriter()
+    w.bits(width - 1, 14)
+    w.bits(height - 1, 14)
+    w.bits(0, 1)  # alpha hint
+    w.bits(0, 3)  # version
+    w.bits(0, 1)  # no transforms
+    cache_size = 0
+    if cache_bits:
+        w.bits(1, 1)
+        w.bits(cache_bits, 4)
+        cache_size = 1 << cache_bits
+    else:
+        w.bits(0, 1)
+    w.bits(0, 1)  # no meta prefix codes
+
+    # green code lengths: complete by construction (Kraft sums to 1)
+    green_size = 256 + 24 + cache_size
+    glens = [0] * green_size
+    len_sym = 256 + _prefix_sym(width) if row_copy else None
+    if not row_copy and not cache_bits:
+        for i in range(256):
+            glens[i] = 8  # 256 * 2^-8 = 1
+    elif row_copy and not cache_bits:
+        for i in range(256):
+            glens[i] = 9  # 0.5
+        glens[len_sym] = 1  # + 0.5 = 1
+    elif cache_bits and not row_copy:
+        for i in range(256):
+            glens[i] = 9  # 0.5
+        for i in range(cache_size):
+            glens[280 + i] = cache_bits + 1  # 2^cb * 2^-(cb+1) = 0.5
+    else:
+        for i in range(256):
+            glens[i] = 10  # 0.25
+        glens[len_sym] = 2  # 0.25
+        for i in range(cache_size):
+            glens[280 + i] = cache_bits + 2  # 0.5
+    green = _write_normal_code(w, glens)
+    flat8 = [8] * 256
+    red = _write_normal_code(w, flat8)
+    blue = _write_normal_code(w, flat8)
+    alpha = _write_normal_code(w, flat8)
+    dist = _write_simple_code(
+        w, _prefix_sym(width + 120) if row_copy else 0, 40
+    )
+
+    cache = [0] * cache_size
+    pos = 0
+    n = width * height
+    while pos < n:
+        if (
+            row_copy
+            and pos % width == 0
+            and pos >= width
+            and np.array_equal(argb[pos : pos + width], argb[pos - width : pos])
+        ):
+            c, ln = green[len_sym]
+            w.code(c, ln)
+            _write_prefix_extra(w, width)  # length extra bits
+            dc, dl = dist[_prefix_sym(width + 120)]
+            w.code(dc, dl)
+            _write_prefix_extra(w, width + 120)  # distance extra bits
+            if cache_size:
+                for i in range(width):
+                    v = int(argb[pos + i])
+                    cache[(_CACHE_MULT * v & 0xFFFFFFFF) >> (32 - cache_bits)] = v
+            pos += width
+            continue
+        v = int(argb[pos])
+        if cache_size:
+            h = (_CACHE_MULT * v & 0xFFFFFFFF) >> (32 - cache_bits)
+            if cache[h] == v:
+                c, ln = green[280 + h]
+                w.code(c, ln)
+                pos += 1
+                continue
+        c, ln = green[(v >> 8) & 0xFF]
+        w.code(c, ln)
+        c, ln = red[(v >> 16) & 0xFF]
+        w.code(c, ln)
+        c, ln = blue[v & 0xFF]
+        w.code(c, ln)
+        c, ln = alpha[(v >> 24) & 0xFF]
+        w.code(c, ln)
+        if cache_size:
+            cache[(_CACHE_MULT * v & 0xFFFFFFFF) >> (32 - cache_bits)] = v
+        pos += 1
+    return b"\x2f" + w.flush()

@@ -1,0 +1,247 @@
+"""decode_vp8l round-trips encode_vp8l_literal (entropy core: canonical
+prefix codes via code-length coding, color cache, LZ77 with the plain
+distance path) and decodes hand-built transform streams (subtract-green,
+predictor, color transform, palette indexing) against independently computed
+forward transforms — the closed-loop strategy of the other codec suites
+applied to the WebP lossless bitstream."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from teledetection_drone_satellite_spark.sources import multimodal as mm
+from teledetection_drone_satellite_spark.sources import vp8l as V
+
+
+def _rand_rgba(rng, w, h):
+    return bytes(rng.integers(0, 256, size=w * h * 4, dtype=np.uint8))
+
+
+def test_literal_cache_and_rowcopy_roundtrip():
+    rng = np.random.default_rng(5)
+    for w, h in ((13, 9), (1, 1), (64, 48), (40, 3)):
+        rgba = _rand_rgba(rng, w, h)
+        for cb in (0, 4, 8):
+            got = V.decode_vp8l(V.encode_vp8l_literal(rgba, w, h, cache_bits=cb))
+            assert got is not None and got[:3] == (w, h, 4) and got[3] == rgba, (w, h, cb)
+    for w, h in ((16, 12), (7, 20), (33, 10)):
+        base = rng.integers(0, 256, size=(3, w * 4), dtype=np.uint8)
+        rgba = b"".join(bytes(base[(y // 2) % 3]) for y in range(h))
+        for cb in (0, 3):
+            got = V.decode_vp8l(
+                V.encode_vp8l_literal(rgba, w, h, cache_bits=cb, row_copy=True)
+            )
+            assert got is not None and got[3] == rgba, (w, h, cb)
+
+
+def _header_bits(w, width, height, n_transform_bits):
+    w.bits(width - 1, 14)
+    w.bits(height - 1, 14)
+    w.bits(0, 1)  # alpha hint
+    w.bits(0, 3)  # version
+
+
+def _write_literal_body(w, argb, top_level=True):
+    """5-code group + literal pixels (flat 8-bit codes), reusable for main
+    and residual images. Sub-images carry no meta-prefix bit (spec §6)."""
+    w.bits(0, 1)  # no color cache
+    if top_level:
+        w.bits(0, 1)  # no meta prefix codes
+    flat8 = [8] * 256
+    green = V._write_normal_code(w, [8] * 256 + [0] * 24)
+    red = V._write_normal_code(w, flat8)
+    blue = V._write_normal_code(w, flat8)
+    alpha = V._write_normal_code(w, flat8)
+    V._write_simple_code(w, 0, 40)
+    for v in argb:
+        v = int(v)
+        for table, val in (
+            (green, (v >> 8) & 0xFF),
+            (red, (v >> 16) & 0xFF),
+            (blue, v & 0xFF),
+            (alpha, (v >> 24) & 0xFF),
+        ):
+            c, ln = table[val]
+            w.code(c, ln)
+
+
+def _write_subimage(w, argb_vals):
+    """Sub-image stream (transform data / palette): same body, no transforms
+    and no meta-prefix bit."""
+    _write_literal_body(w, argb_vals, top_level=False)
+
+
+def _pack_argb(rgba_arr):
+    a = rgba_arr
+    return (
+        (a[:, 3].astype(np.uint32) << 24)
+        | (a[:, 0].astype(np.uint32) << 16)
+        | (a[:, 1].astype(np.uint32) << 8)
+        | a[:, 2].astype(np.uint32)
+    )
+
+
+def test_subtract_green_transform():
+    rng = np.random.default_rng(11)
+    wpx, hpx = 9, 7
+    orig = rng.integers(0, 256, size=(wpx * hpx, 4), dtype=np.uint8)
+    argb = _pack_argb(orig)
+    # forward subtract-green: red -= g, blue -= g (mod 256)
+    g = (argb >> 8) & 0xFF
+    red = (((argb >> 16) & 0xFF) - g) & 0xFF
+    blue = ((argb & 0xFF) - g) & 0xFF
+    residual = (argb & 0xFF00FF00) | (red << 16) | blue
+    w = V._LsbWriter()
+    _header_bits(w, wpx, hpx, 0)
+    w.bits(1, 1)  # a transform follows
+    w.bits(2, 2)  # SUBTRACT_GREEN
+    w.bits(0, 1)  # no more transforms
+    _write_literal_body(w, residual)
+    got = V.decode_vp8l(b"\x2f" + w.flush())
+    assert got is not None and got[:3] == (wpx, hpx, 4)
+    assert got[3] == orig.tobytes()
+
+
+def _predict_forward(argb, wpx, hpx, mode):
+    """Independent forward predictor: residual = pixel - pred, with the
+    spec's first-row/first-column overrides."""
+    out = np.zeros_like(argb)
+    for y in range(hpx):
+        for x in range(wpx):
+            pos = y * wpx + x
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = int(argb[pos - 1])
+            elif x == 0:
+                pred = int(argb[pos - wpx])
+            else:
+                L = int(argb[pos - 1])
+                T = int(argb[pos - wpx])
+                TL = int(argb[pos - wpx - 1])
+                TR = int(argb[pos - wpx + 1]) if x + 1 < wpx else int(argb[pos - wpx])
+                pred = V._predict(mode, L, T, TL, TR)
+            res = 0
+            for s in (24, 16, 8, 0):
+                res |= ((((int(argb[pos]) >> s) & 0xFF) - ((pred >> s) & 0xFF)) & 0xFF) << s
+            out[pos] = res
+    return out
+
+
+def test_predictor_transform_all_modes():
+    rng = np.random.default_rng(13)
+    wpx, hpx = 11, 8
+    for mode in range(14):
+        orig = rng.integers(0, 256, size=(wpx * hpx, 4), dtype=np.uint8)
+        argb = _pack_argb(orig)
+        residual = _predict_forward(argb, wpx, hpx, mode)
+        w = V._LsbWriter()
+        _header_bits(w, wpx, hpx, 0)
+        w.bits(1, 1)
+        w.bits(0, 2)  # PREDICTOR
+        w.bits(9 - 2, 3)  # size_bits = 9: one 512x512 block covers the image
+        # sub-image: 1x1, mode in green channel
+        _write_subimage(w, np.array([mode << 8], dtype=np.uint32))
+        w.bits(0, 1)  # no more transforms
+        _write_literal_body(w, residual)
+        got = V.decode_vp8l(b"\x2f" + w.flush())
+        assert got is not None, mode
+        assert got[3] == orig.tobytes(), f"predictor mode {mode}"
+
+
+def test_color_transform():
+    rng = np.random.default_rng(17)
+    wpx, hpx = 10, 6
+    g2r, g2b, r2b = 37, -21 & 0xFF, 100  # signed deltas as stored bytes
+    cte = (r2b << 16) | ((g2b & 0xFF) << 8) | g2r
+    orig = rng.integers(0, 256, size=(wpx * hpx, 4), dtype=np.uint8)
+    argb = _pack_argb(orig)
+    residual = np.zeros_like(argb)
+    for i in range(len(argb)):
+        px = int(argb[i])
+        g = V._s8(px >> 8)
+        red = (px >> 16) & 0xFF
+        blue = px & 0xFF
+        # forward: subtract deltas; red_to_blue uses the ORIGINAL red (the
+        # inverse reconstructs red first, then applies r2b to it)
+        new_red = (red - ((V._s8(g2r) * g) >> 5)) & 0xFF
+        new_blue = (blue - ((V._s8(g2b) * g) >> 5) - ((V._s8(r2b) * V._s8(red)) >> 5)) & 0xFF
+        residual[i] = (px & 0xFF00FF00) | (new_red << 16) | new_blue
+    w = V._LsbWriter()
+    _header_bits(w, wpx, hpx, 0)
+    w.bits(1, 1)
+    w.bits(1, 2)  # COLOR_TRANSFORM
+    w.bits(9 - 2, 3)  # one block
+    _write_subimage(w, np.array([cte], dtype=np.uint32))
+    w.bits(0, 1)
+    _write_literal_body(w, residual)
+    got = V.decode_vp8l(b"\x2f" + w.flush())
+    assert got is not None
+    assert got[3] == orig.tobytes()
+
+
+def test_color_indexing_with_subbyte_packing():
+    rng = np.random.default_rng(19)
+    for n_colors, ppb in ((16, 2), (4, 4), (2, 8), (100, 1)):
+        wpx, hpx = 13, 5
+        palette = rng.integers(0, 256, size=(n_colors, 4), dtype=np.uint8)
+        pal_argb = _pack_argb(palette)
+        indices = rng.integers(0, n_colors, size=wpx * hpx, dtype=np.int64)
+        # delta-code the palette for transmission
+        deltas = pal_argb.copy()
+        for i in range(len(deltas) - 1, 0, -1):
+            d = 0
+            for s in (24, 16, 8, 0):
+                d |= ((((int(pal_argb[i]) >> s) & 0xFF) - ((int(pal_argb[i - 1]) >> s) & 0xFF)) & 0xFF) << s
+            deltas[i] = d
+        # pack indices into the coded image's green channel
+        bits = {1: 8, 2: 4, 4: 2, 8: 1}[ppb]
+        packed_w = (wpx + ppb - 1) // ppb
+        coded = np.zeros(packed_w * hpx, dtype=np.uint32)
+        for y in range(hpx):
+            for x in range(wpx):
+                coded[y * packed_w + x // ppb] |= np.uint32(
+                    int(indices[y * wpx + x]) << ((x % ppb) * bits) << 8
+                )
+        coded |= np.uint32(0xFF000000)  # opaque alpha in the coded pixels
+        w = V._LsbWriter()
+        _header_bits(w, wpx, hpx, 0)
+        w.bits(1, 1)
+        w.bits(3, 2)  # COLOR_INDEXING
+        w.bits(n_colors - 1, 8)
+        _write_subimage(w, deltas)
+        w.bits(0, 1)  # no more transforms
+        _write_literal_body(w, coded)
+        got = V.decode_vp8l(b"\x2f" + w.flush())
+        assert got is not None, n_colors
+        expect = palette[indices].tobytes()
+        assert got[3] == expect, f"palette {n_colors}"
+
+
+def test_webp_container_dispatch_and_corrupt():
+    content = mm.synth_webp_lossless(20, 15)
+    got = mm.decode_webp(content)
+    assert got is not None and got[:3] == (20, 15, 4)
+    assert mm.decode_webp(mm.synth_webp(32, 32, "vp8")) is None  # lossy
+    assert mm.decode_webp(mm.synth_webp(32, 32, "vp8l")) is None  # zero body
+    assert mm.decode_webp(b"RIFF\x00\x00\x00\x00WEBP") is None
+    assert mm.decode_webp(content[:-8]) is None  # truncated chunk
+    # corrupt a byte mid-entropy-data: desync must not return the same pixels
+    bad = bytearray(content)
+    bad[len(bad) // 2] ^= 0x55
+    g2 = mm.decode_webp(bytes(bad))
+    assert g2 is None or g2[3] != got[3]
+
+
+def test_vp8x_container_walk_reaches_vp8l():
+    """VP8X files put metadata chunks before the image chunk — the RIFF walk
+    must skip them (with odd-size padding) and still find VP8L."""
+    inner = mm.synth_webp_lossless(8, 8)
+    vp8l_chunk = inner[12:]  # VP8L chunk incl. header
+    vp8x = b"VP8X" + (10).to_bytes(4, "little") + bytes([0x10]) + bytes(3) + (7).to_bytes(3, "little") + (7).to_bytes(3, "little")
+    exif = b"EXIF" + (3).to_bytes(4, "little") + b"abc\x00"  # odd size: padded
+    body = vp8x + exif + vp8l_chunk
+    content = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WEBP" + body
+    got = mm.decode_webp(content)
+    ref = mm.decode_webp(inner)
+    assert got is not None and got == ref
