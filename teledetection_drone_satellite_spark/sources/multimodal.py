@@ -499,16 +499,29 @@ def decode_png(content: bytes) -> "tuple[int, int, int, bytes] | None":
     return width, height, channels, bytes(out)
 
 
+def _decode_any_raster(content: bytes) -> "tuple[int, int, int, bytes] | None":
+    """Format dispatch over every REAL raster decoder in this package — PNG,
+    TIFF (incl. JPEG-in-TIFF), JPEG (baseline gray/color + progressive),
+    GIF, lossless WebP. Their magic checks are disjoint, so the or-chain is
+    dispatch, not guessing; each decoder returns None fast on a foreign
+    magic."""
+    from .jpeg import decode_jpeg
+
+    return (
+        decode_png(content)
+        or decode_tiff(content)
+        or decode_jpeg(content)
+        or decode_gif(content)
+        or decode_webp(content)
+    )
+
+
 def _png_gray_pixels(content: bytes) -> "list[int] | None":
     """Decode + grayscale-collapse: per pixel, the integer mean of its color
     channels (alpha excluded) — the luma stand-in the real feature path uses.
-    Accepts every real raster decoder in this package (PNG, uncompressed
-    TIFF, baseline grayscale JPEG — their magic checks are disjoint, so the
-    chain is format dispatch, not guessing); the helper keeps its original
-    name because PNG remains the primary path."""
-    from .jpeg import decode_jpeg
-
-    decoded = decode_png(content) or decode_tiff(content) or decode_jpeg(content)
+    Accepts every format _decode_any_raster handles; the helper keeps its
+    original name because PNG remains the primary path."""
+    decoded = _decode_any_raster(content)
     if decoded is None:
         return None
     width, height, channels, raw = decoded
@@ -536,11 +549,9 @@ def _png_resize(content: bytes, width: int, height: int) -> "bytes | None":
     import struct
     import zlib
 
-    from .jpeg import decode_jpeg
-
     # same decoder dispatch as _png_gray_pixels (disjoint magics); the
     # thumbnail re-encodes as PNG whichever raster format came in
-    decoded = decode_png(content) or decode_tiff(content) or decode_jpeg(content)
+    decoded = _decode_any_raster(content)
     if decoded is None:
         return None
     src_w, src_h, channels, raw = decoded

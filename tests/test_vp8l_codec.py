@@ -245,3 +245,18 @@ def test_vp8x_container_walk_reaches_vp8l():
     got = mm.decode_webp(content)
     ref = mm.decode_webp(inner)
     assert got is not None and got == ref
+
+
+def test_feature_dispatch_reaches_gif_and_webp():
+    """The generic asset feature path must decode GIF and lossless WebP via
+    _decode_any_raster, like PNG/TIFF/JPEG before them."""
+    for content in (
+        mm.synth_gif_full(24, 24, lambda x, y: (x + y) % 256),
+        mm.synth_webp_lossless(24, 24),
+    ):
+        gray = mm._png_gray_pixels(content)
+        assert gray is not None and len(gray) == 24 * 24
+        feats = mm._png_features(content)
+        assert feats is not None and len(feats) == mm.N_FEATURES
+        thumb = mm._png_resize(content, 8, 8)
+        assert thumb is not None and mm.decode_png(thumb) is not None
