@@ -182,3 +182,68 @@ def test_exif_gps_roundtrip_property(orientation, lat_ref, lon_ref, lat, lon, wi
     assert got_lat == (-want_lat if lat_ref == "S" else want_lat)
     assert got_lon == (-want_lon if lon_ref == "W" else want_lon)
     assert parse_image_header(img) == (width, height, 3, "jpeg")
+
+
+# --- round-7 codec property tests -------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=3000),
+    mcs=st.sampled_from([2, 4, 8]),
+)
+def test_gif_lzw_roundtrip_property(data, mcs):
+    from teledetection_drone_satellite_spark.sources import multimodal as mm
+
+    data = bytes(b % (1 << mcs) for b in data)
+    assert mm._gif_lzw_decode(mm._gif_lzw_encode(data, mcs), mcs) == data
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31),
+    cache_bits=st.sampled_from([0, 2, 6]),
+)
+def test_vp8l_roundtrip_property(w, h, seed, cache_bits):
+    import numpy as np
+
+    from teledetection_drone_satellite_spark.sources import vp8l as V
+
+    rng = np.random.default_rng(seed)
+    rgba = bytes(rng.integers(0, 256, size=w * h * 4, dtype=np.uint8))
+    got = V.decode_vp8l(V.encode_vp8l_literal(rgba, w, h, cache_bits=cache_bits))
+    assert got is not None and got[:3] == (w, h, 4) and got[3] == rgba
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=8, max_value=48),
+    h=st.integers(min_value=8, max_value=48),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_progressive_jpeg_equals_sequential_property(w, h, seed):
+    import numpy as np
+
+    from teledetection_drone_satellite_spark.sources import jpeg as J
+
+    rng = np.random.default_rng(seed)
+    bw, bh = -(-w // 8), -(-h // 8)
+    blocks = []
+    for _ in range(bw * bh):
+        blk = [0] * 64
+        blk[0] = int(rng.integers(-256, 256))
+        for k in rng.choice(range(1, 64), size=8, replace=False):
+            blk[int(k)] = int(rng.integers(-90, 90))
+        blocks.append(blk)
+    seq = J.decode_jpeg(J.encode_baseline_gray(blocks, w, h))
+    scans = [
+        ([0], 0, 0, 0, 1), ([0], 1, 8, 0, 1), ([0], 9, 63, 0, 1),
+        ([0], 0, 0, 1, 0), ([0], 1, 8, 1, 0), ([0], 9, 63, 1, 0),
+    ]
+    prog = J.decode_jpeg(J.encode_progressive([blocks], w, h, [(1, 1)], scans))
+    assert prog == seq and prog is not None
