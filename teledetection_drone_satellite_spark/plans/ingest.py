@@ -17,6 +17,20 @@ from ..sources import binary, multimodal
 from ..sources import jpeg as jpegcodec
 from .registry import register
 
+
+def _half_up_mean(sum_col: str, n_col: str):
+    """Exact-integer half-up mean at 6 decimals: floor((2*s*1e6 + n)/(2*n)) /
+    1e6 == round(s/n, 6) with ties away from zero — the same arithmetic every
+    pixel-stats oracle states, so Spark and DuckDB agree bit-for-bit. ONE
+    definition: a precision change here must be mirrored in each oracle's SQL
+    (they state the formula inline), and the oracle hash enforces that."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.expr(f"(2 * {sum_col} * 1000000 + {n_col}) div (2 * {n_col})")
+        / 1000000.0
+    )
+
 # applicationId -> live pinned feature table for multimodal_features_topk
 # (one-generation release policy: operators/pinning.py)
 _FEATS_GEN_BY_APP: dict = {}
@@ -440,9 +454,7 @@ def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "doc_id", "width", "height", "n_blocks",
-        (F.expr("(2 * psum * 1000000 + npx) div (2 * npx)") / 1000000.0).alias(
-            "mean_intensity"
-        ),
+        _half_up_mean("psum", "npx").alias("mean_intensity"),
     )
 
 
@@ -558,9 +570,7 @@ def jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "doc_id", "width", "height", "channels",
-        (F.expr("(2 * ssum * 1000000 + nsamp) div (2 * nsamp)") / 1000000.0).alias(
-            "mean_intensity"
-        ),
+        _half_up_mean("ssum", "nsamp").alias("mean_intensity"),
     )
 
 
@@ -678,16 +688,11 @@ def webp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rsum long, gsum long, bsum long, npx long, wsum_r long",
     )
 
-    def half_up(col: str):
-        return (
-            F.expr(f"(2 * {col} * 1000000 + npx) div (2 * npx)") / 1000000.0
-        )
-
     return out.select(
         "doc_id", "width", "height", "cache_bits", "rowcopy",
-        half_up("rsum").alias("mean_r"),
-        half_up("gsum").alias("mean_g"),
-        half_up("bsum").alias("mean_b"),
+        _half_up_mean("rsum", "npx").alias("mean_r"),
+        _half_up_mean("gsum", "npx").alias("mean_g"),
+        _half_up_mean("bsum", "npx").alias("mean_b"),
         "wsum_r",
     )
 
@@ -788,16 +793,11 @@ def gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rsum long, gsum long, bsum long, npx long, wsum_r long",
     )
 
-    def half_up(col: str):
-        return (
-            F.expr(f"(2 * {col} * 1000000 + npx) div (2 * npx)") / 1000000.0
-        )
-
     return out.select(
         "doc_id", "width", "height", "interlaced",
-        half_up("rsum").alias("mean_r"),
-        half_up("gsum").alias("mean_g"),
-        half_up("bsum").alias("mean_b"),
+        _half_up_mean("rsum", "npx").alias("mean_r"),
+        _half_up_mean("gsum", "npx").alias("mean_g"),
+        _half_up_mean("bsum", "npx").alias("mean_b"),
         "wsum_r",
     )
 
@@ -925,9 +925,7 @@ def jpeg_in_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "doc_id", "width", "height", "channels", "n_strips", "abbreviated",
-        (F.expr("(2 * ssum * 1000000 + nsamp) div (2 * nsamp)") / 1000000.0).alias(
-            "mean_intensity"
-        ),
+        _half_up_mean("ssum", "nsamp").alias("mean_intensity"),
     )
 
 
@@ -1051,16 +1049,11 @@ def jpeg_color_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rsum long, gsum long, bsum long, npx long",
     )
 
-    def half_up(col: str):
-        return (
-            F.expr(f"(2 * {col} * 1000000 + npx) div (2 * npx)") / 1000000.0
-        )
-
     return out.select(
         "doc_id", "width", "height", "sampling",
-        half_up("rsum").alias("mean_r"),
-        half_up("gsum").alias("mean_g"),
-        half_up("bsum").alias("mean_b"),
+        _half_up_mean("rsum", "npx").alias("mean_r"),
+        _half_up_mean("gsum", "npx").alias("mean_g"),
+        _half_up_mean("bsum", "npx").alias("mean_b"),
     )
 
 

@@ -364,10 +364,13 @@ def _predict(mode: int, L: int, T: int, TL: int, TR: int) -> int:
         return _avg2(T, TR)
     if mode == 10:
         return _avg2(_avg2(L, TL), _avg2(T, TR))
-    if mode == 11:  # Select(T, L, TL): T when its distance to TL is smaller
-        pa = sum(abs(((T >> s) & 0xFF) - ((TL >> s) & 0xFF)) for s in (24, 16, 8, 0))
-        pb = sum(abs(((L >> s) & 0xFF) - ((TL >> s) & 0xFF)) for s in (24, 16, 8, 0))
-        return T if pa <= pb else L
+    if mode == 11:
+        # Select (spec §4.2.2): estimate = L + T - TL per channel; return
+        # whichever of L/T is closer to the estimate. pL = sum|est - L| =
+        # sum|T - TL|, pT = sum|est - T| = sum|L - TL|; L wins strictly.
+        pL = sum(abs(((T >> s) & 0xFF) - ((TL >> s) & 0xFF)) for s in (24, 16, 8, 0))
+        pT = sum(abs(((L >> s) & 0xFF) - ((TL >> s) & 0xFF)) for s in (24, 16, 8, 0))
+        return L if pL < pT else T
     if mode == 12:  # ClampAddSubtractFull
         out = 0
         for s in (24, 16, 8, 0):
@@ -460,11 +463,10 @@ def _apply_inverse_transforms(
                         L = int(out[pos - 1])
                         T = int(out[pos - width])
                         TL = int(out[pos - width - 1])
-                        TR = (
-                            int(out[pos - width + 1])
-                            if x + 1 < width
-                            else int(out[pos - width])
-                        )
+                        # rightmost column: the spec's TR is "the leftmost
+                        # pixel on the same row" — which is exactly what the
+                        # linear index pos-width+1 wraps to, already decoded
+                        TR = int(out[pos - width + 1])
                         pred = _predict(mode, L, T, TL, TR)
                     res = int(argb[pos])
                     merged = 0
@@ -702,7 +704,7 @@ def encode_vp8l_literal(
             glens[i] = 10  # 0.25
         glens[len_sym] = 2  # 0.25
         for i in range(cache_size):
-            glens[280 + i] = cache_bits + 2  # 0.5
+            glens[280 + i] = cache_bits + 1  # 2^cb * 2^-(cb+1) = 0.5 -> Kraft 1
     green = _write_normal_code(w, glens)
     flat8 = [8] * 256
     red = _write_normal_code(w, flat8)

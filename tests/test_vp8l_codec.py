@@ -102,9 +102,73 @@ def test_subtract_green_transform():
     assert got[3] == orig.tobytes()
 
 
+def _ch(px):
+    return [(px >> s) & 0xFF for s in (24, 16, 8, 0)]
+
+
+def _pack_ch(vals):
+    out = 0
+    for v, s in zip(vals, (24, 16, 8, 0)):
+        out |= (v & 0xFF) << s
+    return out
+
+
+def _spec_predict(mode, L, T, TL, TR):
+    """INDEPENDENT predictor implementation, written directly from the WebP
+    lossless spec §4.2.2 prose (NOT calling the decoder's _predict — an
+    earlier circular version masked a Select inversion and the rightmost-TR
+    rule; round-7 code review)."""
+    avg2 = lambda a, b: _pack_ch([(x + y) >> 1 for x, y in zip(_ch(a), _ch(b))])
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return avg2(avg2(L, TR), T)
+    if mode == 6:
+        return avg2(L, TL)
+    if mode == 7:
+        return avg2(L, T)
+    if mode == 8:
+        return avg2(TL, T)
+    if mode == 9:
+        return avg2(T, TR)
+    if mode == 10:
+        return avg2(avg2(L, TL), avg2(T, TR))
+    if mode == 11:
+        # spec Select: estimate e = L + T - TL per channel; pL = sum|e - L|,
+        # pT = sum|e - T|; return L if pL < pT else T
+        e = [a + b - c for a, b, c in zip(_ch(L), _ch(T), _ch(TL))]
+        pL = sum(abs(x - y) for x, y in zip(e, _ch(L)))
+        pT = sum(abs(x - y) for x, y in zip(e, _ch(T)))
+        return L if pL < pT else T
+    if mode == 12:
+        return _pack_ch(
+            [
+                max(0, min(255, a + b - c))
+                for a, b, c in zip(_ch(L), _ch(T), _ch(TL))
+            ]
+        )
+    # 13: clamp(ave + (ave - TL) / 2), C truncating division
+    out = []
+    for a, b, c in zip(_ch(L), _ch(T), _ch(TL)):
+        ave = (a + b) >> 1
+        d = ave - c
+        half = d // 2 if d >= 0 else -((-d) // 2)
+        out.append(max(0, min(255, ave + half)))
+    return _pack_ch(out)
+
+
 def _predict_forward(argb, wpx, hpx, mode):
     """Independent forward predictor: residual = pixel - pred, with the
-    spec's first-row/first-column overrides."""
+    spec's first-row/first-column overrides and the rightmost-column TR
+    rule (TR = leftmost pixel of the CURRENT row)."""
     out = np.zeros_like(argb)
     for y in range(hpx):
         for x in range(wpx):
@@ -119,8 +183,12 @@ def _predict_forward(argb, wpx, hpx, mode):
                 L = int(argb[pos - 1])
                 T = int(argb[pos - wpx])
                 TL = int(argb[pos - wpx - 1])
-                TR = int(argb[pos - wpx + 1]) if x + 1 < wpx else int(argb[pos - wpx])
-                pred = V._predict(mode, L, T, TL, TR)
+                TR = (
+                    int(argb[pos - wpx + 1])
+                    if x + 1 < wpx
+                    else int(argb[y * wpx])  # spec: leftmost of current row
+                )
+                pred = _spec_predict(mode, L, T, TL, TR)
             res = 0
             for s in (24, 16, 8, 0):
                 res |= ((((int(argb[pos]) >> s) & 0xFF) - ((pred >> s) & 0xFF)) & 0xFF) << s
