@@ -83,3 +83,24 @@ def test_gif_out_of_scope_and_corrupt_return_none():
     data[mcs_pos + 2] ^= 0xFF
     got = mm.decode_gif(bytes(data))
     assert got is None or got[3] != mm.decode_gif(good)[3]
+
+
+def test_gif_local_color_table_overrides_global():
+    """Insert a local color table (identity-shifted palette) into a file that
+    also has a GCT: the decoder must use the LCT for this image."""
+    iv = lambda x, y: (x + y) % 256
+    base = bytearray(mm.synth_gif_full(10, 6, iv))
+    desc = 6 + 7 + 768
+    assert base[desc] == 0x2C
+    # build a 256-entry LCT with a different mapping: (255-i, i, (i*5)%256)
+    lct = bytes(v for i in range(256) for v in (255 - i, i, (i * 5) % 256))
+    packed = base[desc + 9]
+    base[desc + 9] = packed | 0x80 | 0x07  # LCT flag + size 2^8
+    patched = bytes(base[: desc + 10]) + lct + bytes(base[desc + 10 :])
+    got = mm.decode_gif(patched)
+    assert got is not None and got[:3] == (10, 6, 3)
+    arr = np.frombuffer(got[3], dtype=np.uint8).reshape(6, 10, 3)
+    for y in range(6):
+        for x in range(10):
+            i = iv(x, y)
+            assert tuple(arr[y, x]) == (255 - i, i, (i * 5) % 256)

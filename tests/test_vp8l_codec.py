@@ -328,3 +328,87 @@ def test_feature_dispatch_reaches_gif_and_webp():
         assert feats is not None and len(feats) == mm.N_FEATURES
         thumb = mm._png_resize(content, 8, 8)
         assert thumb is not None and mm.decode_png(thumb) is not None
+
+
+def test_meta_prefix_codes_select_group_per_block():
+    """Hand-built stream with an entropy image: two prefix-code groups, the
+    meta image routing left blocks to group 0 (flat literal codes) and right
+    blocks to group 1 (degenerate single-symbol codes = one fixed pixel).
+    Exercises the meta-table (r<<8|g) lookup and per-block group switch."""
+    wpx, hpx = 8, 4
+    w = V._LsbWriter()
+    _header_bits(w, wpx, hpx, 0)
+    w.bits(0, 1)  # no transforms
+    w.bits(0, 1)  # no color cache
+    w.bits(1, 1)  # meta prefix codes present
+    w.bits(0, 3)  # meta_bits = 2 -> 4x4 blocks -> meta image is 2x1
+    # entropy sub-image pixels: group index in (r<<8)|g -> green channel
+    _write_subimage(w, np.array([0x0000, 0x0100], dtype=np.uint32))  # g=0, g=1
+    # group 0: flat literal codes
+    flat8 = [8] * 256
+    g0_green = V._write_normal_code(w, [8] * 256 + [0] * 24)
+    g0_red = V._write_normal_code(w, flat8)
+    g0_blue = V._write_normal_code(w, flat8)
+    g0_alpha = V._write_normal_code(w, flat8)
+    V._write_simple_code(w, 0, 40)
+    # group 1: all single-symbol codes -> constant pixel, ZERO bits per pixel
+    V._write_simple_code(w, 77, 280)   # green
+    V._write_simple_code(w, 33, 256)   # red
+    V._write_simple_code(w, 99, 256)   # blue
+    V._write_simple_code(w, 255, 256)  # alpha
+    V._write_simple_code(w, 0, 40)
+    rng = np.random.default_rng(3)
+    left = rng.integers(0, 256, size=(hpx, 4, 4), dtype=np.uint8)  # per-pixel rgb? use as r
+    # emit pixels: group 0 pixels cost bits, group 1 pixels cost none
+    expected = np.zeros((hpx, wpx, 4), dtype=np.uint8)
+    for y in range(hpx):
+        for x in range(wpx):
+            if x < 4:  # group 0 block
+                r_, g_, b_ = int(left[y, x, 0]), int(left[y, x, 1]), int(left[y, x, 2])
+                for table, val in ((g0_green, g_), (g0_red, r_), (g0_blue, b_), (g0_alpha, 255)):
+                    c, ln = table[val]
+                    w.code(c, ln)
+                expected[y, x] = (r_, g_, b_, 255)
+            else:
+                expected[y, x] = (33, 77, 99, 255)
+    got = V.decode_vp8l(b"\x2f" + w.flush())
+    assert got is not None and got[:3] == (wpx, hpx, 4)
+    assert got[3] == expected.tobytes()
+
+
+def test_short_distance_code_uses_2d_neighborhood_map():
+    """Backward reference with distance CODE 1 (not a plain distance): the
+    2D map sends (0,1) -> one row up. A decoder that skips the mapping and
+    treats 1 as a plain 1-pixel distance smears the row instead."""
+    wpx, hpx = 6, 3
+    rng = np.random.default_rng(7)
+    row = rng.integers(0, 256, size=(wpx, 4), dtype=np.uint8)
+    row[:, 3] = 255
+    w = V._LsbWriter()
+    _header_bits(w, wpx, hpx, 0)
+    w.bits(0, 1)  # no transforms
+    w.bits(0, 1)  # no cache
+    w.bits(0, 1)  # no meta
+    glens = [9] * 256 + [0] * 24
+    glens[256 + V._prefix_sym(wpx)] = 1  # length symbol for length=wpx
+    green = V._write_normal_code(w, glens)
+    flat8 = [8] * 256
+    red = V._write_normal_code(w, flat8)
+    blue = V._write_normal_code(w, flat8)
+    alpha = V._write_normal_code(w, flat8)
+    dist = V._write_simple_code(w, 0, 40)  # distance prefix value 1 -> code 1
+    for x in range(wpx):  # literal first row
+        r_, g_, b_ = int(row[x, 0]), int(row[x, 1]), int(row[x, 2])
+        for table, val in ((green, g_), (red, r_), (blue, b_), (alpha, 255)):
+            c, ln = table[val]
+            w.code(c, ln)
+    for _ in range(hpx - 1):  # each next row: copy the row above via code 1
+        c, ln = green[256 + V._prefix_sym(wpx)]
+        w.code(c, ln)
+        V._write_prefix_extra(w, wpx)
+        dc, dl = dist[0]
+        w.code(dc, dl)  # sym 0 -> value 1 -> DISTANCE_MAP[0] = (0,1) = width
+    got = V.decode_vp8l(b"\x2f" + w.flush())
+    assert got is not None and got[:3] == (wpx, hpx, 4)
+    expected = np.tile(row, (hpx, 1)).tobytes()
+    assert got[3] == expected
