@@ -104,3 +104,27 @@ def test_gif_local_color_table_overrides_global():
         for x in range(10):
             i = iv(x, y)
             assert tuple(arr[y, x]) == (255 - i, i, (i * 5) % 256)
+
+
+def test_gif_tiny_subblock_fragmentation():
+    """Re-chunk the LZW data into 7-byte sub-blocks: the decoder must
+    reassemble across boundaries (a reader that decodes per-sub-block
+    desyncs immediately)."""
+    iv = lambda x, y: (5 * x + 3 * y) % 256
+    base = mm.synth_gif_full(30, 20, iv)
+    desc = 6 + 7 + 768
+    data_start = desc + 10 + 1  # image descriptor + mcs byte
+    # collect original LZW bytes from the 255-sized sub-blocks
+    lzw = bytearray()
+    pos = data_start
+    while base[pos] != 0:
+        ln = base[pos]
+        lzw += base[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+    tail = base[pos:]  # terminator + trailer
+    rechunked = bytearray(base[:data_start])
+    for i in range(0, len(lzw), 7):
+        chunk = lzw[i : i + 7]
+        rechunked += bytes([len(chunk)]) + chunk
+    rechunked += tail
+    assert mm.decode_gif(bytes(rechunked)) == mm.decode_gif(base)

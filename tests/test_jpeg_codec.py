@@ -309,3 +309,62 @@ def test_progressive_refinement_scan_is_load_bearing():
     ref = J.decode_jpeg(J.encode_baseline_gray(blocks, w, h))
     assert a == ref
     assert b is not None and b[3] != ref[3]
+
+
+def test_progressive_restart_resets_dc_pred_and_eobrun():
+    """Hand-assembled progressive stream with DRI=1: RSTn between every
+    block in both the DC-first scan (predictor must reset to 0) and the AC
+    scan (EOB run state must reset). Written with the raw bit/segment
+    helpers, independent of encode_progressive (which never emits DRI)."""
+    vals = [77, 200]  # DC coefficient per block (16x8 image, 2 blocks)
+    dc_enc = J._encode_table(J.DC_BITS, J.DC_VALS)
+    ac_enc = J._encode_table(J.PROG_AC_BITS, J.PROG_AC_VALS)
+
+    def dc_scan_with_restarts():
+        out = b""
+        for i, v in enumerate(vals):
+            w = J._BitWriter()
+            s = J._size_cat(v)  # predictor reset: diff == v each time
+            code, ln = dc_enc[s]
+            w.write(code, ln)
+            if s:
+                w.write(v if v >= 0 else v + (1 << s) - 1, s)
+            w.flush()
+            out += bytes(w.out)
+            if i < len(vals) - 1:
+                out += bytes([0xFF, 0xD0 + i % 8])
+        return out
+
+    def ac_scan_with_restarts():
+        out = b""
+        for i in range(len(vals)):
+            w = J._BitWriter()
+            code, ln = ac_enc[0x00]  # EOB0: all-zero band, run resets anyway
+            w.write(code, ln)
+            w.flush()
+            out += bytes(w.out)
+            if i < len(vals) - 1:
+                out += bytes([0xFF, 0xD0 + i % 8])
+        return out
+
+    dqt = J._seg(0xDB, bytes([0]) + bytes([1] * 64))
+    sof = J._seg(0xC2, bytes([8]) + (8).to_bytes(2, "big") + (16).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    dht = J._seg(0xC4, bytes([0x00]) + bytes(J.DC_BITS) + bytes(J.DC_VALS)) + J._seg(
+        0xC4, bytes([0x10]) + bytes(J.PROG_AC_BITS) + bytes(J.PROG_AC_VALS)
+    )
+    dri = J._seg(0xDD, (1).to_bytes(2, "big"))
+    sos_dc = J._seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    sos_ac = J._seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+    stream = (
+        b"\xff\xd8" + dqt + sof + dht + dri
+        + sos_dc + dc_scan_with_restarts()
+        + sos_ac + ac_scan_with_restarts()
+        + b"\xff\xd9"
+    )
+    got = J.decode_jpeg(stream)
+    assert got is not None and got[:3] == (16, 8, 1)
+    arr = np.frombuffer(got[3], dtype=np.uint8).reshape(8, 16)
+    # DC v with all-ones quant: pixel = clip(round(v/8 + 128))
+    for bx, v in enumerate(vals):
+        want = min(255, max(0, int(np.floor(v / 8 + 128 + 0.5))))
+        assert (arr[:, bx * 8 : bx * 8 + 8] == want).all(), (bx, v)
