@@ -43,8 +43,8 @@ MAGIC_MIME: list[tuple[int, str, str]] = [
 # Reference upload constraints (shared/config/__init__.py:35-39).
 DEFAULT_MAX_SIZE = 1 << 30  # 1 GiB
 DEFAULT_ALLOWED_EXT = (
-    "jpg", "jpeg", "png", "gif", "tif", "tiff", "pdf", "zip", "txt", "csv", "json",
-    "mp3", "ogg", "flac", "wav", "mp4", "webm", "avi", "las", "laz",
+    "jpg", "jpeg", "png", "gif", "tif", "tiff", "webp", "pdf", "zip", "txt", "csv",
+    "json", "mp3", "ogg", "flac", "wav", "mp4", "webm", "avi", "las", "laz",
 )
 
 
@@ -75,6 +75,7 @@ def sniff_mime(content: Column) -> Column:
             refined = (
                 F.when(riff_kind == "57415645", F.lit("audio/wav"))  # WAVE
                 .when(riff_kind == "41564920", F.lit("video/avi"))  # "AVI "
+                .when(riff_kind == "57454250", F.lit("image/webp"))  # WEBP
                 .otherwise(F.lit("application/octet-stream"))
             )
             expr = expr.when(cond, refined) if expr is not None else F.when(cond, refined)

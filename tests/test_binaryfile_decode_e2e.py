@@ -38,6 +38,20 @@ def _closed_form(kind: str) -> tuple[int, int, int, float]:
                 i = (x + 2 * y) % 256
                 tot += i + (i * 3) % 256 + (i * 7) % 256
         return w, h, 3, tot / (w * h * 3)
+    if kind == "webp":  # rgba = (x%256, 3y%256, (x+y)%256, 255)
+        w, h = 18, 11
+        tot = sum(
+            (x % 256) + (3 * y) % 256 + ((x + y) % 256) + 255
+            for x in range(w) for y in range(h)
+        )
+        return w, h, 4, tot / (w * h * 4)
+    if kind == "jpeg_prog":  # constant blocks (5 + 16*bx + 40*by) % 256
+        w, h = 17, 12
+        tot = sum(
+            (5 + 16 * (x // 8) + 40 * (y // 8)) % 256
+            for x in range(w) for y in range(h)
+        )
+        return w, h, 1, tot / (w * h)
     raise AssertionError(kind)
 
 
@@ -50,6 +64,12 @@ def test_binaryfile_landing_to_decoded_stats(spark, tmp_path):
         J.synth_jpeg_gray_full(22, 19, lambda bx, by: (5 + 16 * bx + 40 * by) % 256)
     )
     (landing / "d.gif").write_bytes(mm.synth_gif_full(21, 14, interlaced=True))
+    (landing / "e.webp").write_bytes(mm.synth_webp_lossless(18, 11))
+    (landing / "f.jpeg").write_bytes(
+        J.synth_jpeg_progressive_full(
+            17, 12, "gray", lambda bx, by: (5 + 16 * bx + 40 * by) % 256
+        )
+    )
 
     files = binary.read_landing(spark, str(landing))
     ingested = binary.ingest(files)
@@ -57,12 +77,13 @@ def test_binaryfile_landing_to_decoded_stats(spark, tmp_path):
         r["ext"]: r
         for r in ingested.select("ext", "mime", "is_valid", "content").collect()
     }
-    assert set(rows) == {"png", "tiff", "jpg", "gif"}
+    assert set(rows) == {"png", "tiff", "jpg", "gif", "webp", "jpeg"}
     assert all(r["is_valid"] for r in rows.values())
     mimes = {k: r["mime"] for k, r in rows.items()}
     assert mimes == {
         "png": "image/png", "tiff": "image/tiff",
         "jpg": "image/jpeg", "gif": "image/gif",
+        "webp": "image/webp", "jpeg": "image/jpeg",
     }
 
     # decode the CONTENT COLUMN as delivered by the binaryFile scan —
@@ -73,6 +94,7 @@ def test_binaryfile_landing_to_decoded_stats(spark, tmp_path):
         decoders = {
             "png": mm.decode_png, "tiff": mm.decode_tiff,
             "jpg": J.decode_jpeg, "gif": mm.decode_gif,
+            "webp": mm.decode_webp, "jpeg": J.decode_jpeg,
         }
         for pdf in batches:
             out = []
@@ -88,7 +110,10 @@ def test_binaryfile_landing_to_decoded_stats(spark, tmp_path):
         .mapInPandas(gen, "ext string, w int, h int, c int, mean double")
         .collect()
     }
-    for ext, kind in (("png", "png"), ("tiff", "tiff"), ("jpg", "jpeg"), ("gif", "gif")):
+    for ext, kind in (
+        ("png", "png"), ("tiff", "tiff"), ("jpg", "jpeg"), ("gif", "gif"),
+        ("webp", "webp"), ("jpeg", "jpeg_prog"),
+    ):
         w, h, c, mean = _closed_form(kind)
         r = decoded[ext]
         assert (r["w"], r["h"], r["c"]) == (w, h, c), ext
