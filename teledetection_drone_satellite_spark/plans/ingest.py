@@ -237,7 +237,7 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "+ zlib inflate + unfilter distributively and emits measured pixel "
     "statistics. The oracle predicts them in closed form from the gradient "
     "contract — a decoder that mis-unfilters one row flips mean_intensity. "
-    "jpeg/tiff/webp pixel paths remain PIL-wheel-gated.",
+    "The sibling *_pixel_stats queries grade the jpeg/tiff/gif/webp decoders.",
     tags=("ingest", "multimodal"),
 )
 def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,7 +318,8 @@ def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mistimes an LZW width change, or skips the predictor pass breaks the "
     "stats. doc_id % 4 == 3 rows use a single strip (inline offset tag), "
     "the rest multi-strip (out-of-line LONG arrays): both IFD value "
-    "encodings are always exercised. JPEG-in-TIFF stays wheel-gated.",
+    "encodings are always exercised. JPEG-in-TIFF (compression 7) is graded "
+    "separately by jpeg_in_tiff_stats.",
     tags=("ingest", "multimodal"),
 )
 def tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -415,8 +416,9 @@ def tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "IDCT distributively. The oracle predicts dims, block count and the "
     "pixel-weighted block-value mean in closed form (exact-integer half-up "
     "at 6 decimals) — one wrong Huffman bit or a mis-predicted DC "
-    "desynchronizes every following block and flips the mean. Progressive/"
-    "chroma scans stay out of scope (decoder returns None -> stub path).",
+    "desynchronizes every following block and flips the mean. Color and "
+    "progressive scans are graded by jpeg_color_pixel_stats / "
+    "jpeg_progressive_stats.",
     tags=("ingest", "multimodal"),
 )
 def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1087,7 +1089,7 @@ def jpeg_color_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "actual payload, and the measured waveform statistics (mean/RMS/peak) "
     "must equal the oracle's regeneration of the sawtooth in SQL — an "
     "endianness or sign error flips every stat. Compressed audio (mp3/ogg/"
-    "flac) stays wheel-gated like jpeg pixels.",
+    "flac) stays wheel-gated (codec libraries).",
     tags=("ingest", "multimodal"),
 )
 def wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

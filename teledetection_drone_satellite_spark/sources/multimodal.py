@@ -983,7 +983,7 @@ def synth_wav_full(rate: int, n_samples: int) -> bytes:
 def decode_wav_samples(content: bytes) -> "tuple[int, 'object'] | None":
     """REAL PCM sample decode, pure stdlib+numpy (PCM is raw little-endian
     int16 in the data chunk — the one audio format that needs no codec; the
-    compressed formats stay wheel-gated like jpeg pixels). Returns
+    compressed formats stay wheel-gated). Returns
     (sample_rate, int16 numpy array) for mono 16-bit PCM, None for anything
     else — header-only assets (empty data chunk), multi-channel, or
     compressed codecs — so callers can fall back to the stub path."""
