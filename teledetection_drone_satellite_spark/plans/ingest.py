@@ -584,6 +584,7 @@ def jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                8 + doc_id % 30 AS w,
                8 + (doc_id * 3) % 30 AS h,
                doc_id % 3 = 0 AS rowcopy,
+               doc_id % 4 = 1 AS sub_green,
                CASE doc_id % 2 WHEN 0 THEN 0 ELSE 4 END AS cache_bits
         FROM documents WHERE doc_id < 100
     ),
@@ -604,6 +605,7 @@ def jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(min(h) AS INT) AS height,
            CAST(min(cache_bits) AS INT) AS cache_bits,
            min(doc_id) % 3 = 0 AS rowcopy,
+           min(doc_id) % 4 = 1 AS sub_green,
            ((2 * CAST(sum(r) AS BIGINT) * 1000000 + count(*))
             // (2 * count(*))) / 1000000.0 AS mean_r,
            ((2 * CAST(sum(g) AS BIGINT) * 1000000 + count(*))
@@ -620,7 +622,9 @@ def jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "codes for all four channels, the COLOR CACHE enabled on every odd doc "
     "(hash-addressed pixel reuse), and LZ77 whole-row backward references "
     "on every third doc (row-pair-repeating pattern, plain distance codes "
-    "with extra bits) — then decode_webp walks the container and "
+    "with extra bits), and the SUBTRACT_GREEN transform declared+applied on "
+    "doc_id %% 4 == 1 (inverse-transform stage in the graded loop) — then "
+    "decode_webp walks the container and "
     "decode_vp8l runs the entropy decode distributively. Lossy VP8 stays "
     "out of scope (a video-codec frame). The oracle predicts per-channel "
     "means AND the (pixel_index %% 97)+1 weighted checksum in closed form: "
@@ -650,6 +654,7 @@ def webp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i = int(i)
                 w_px, h_px = 8 + i % 30, 8 + (i * 3) % 30
                 rowcopy = i % 3 == 0
+                sub_green = i % 4 == 1
                 cache_bits = 0 if i % 2 == 0 else 4
 
                 def pv(x: int, y: int, i: int = i, rc: bool = rowcopy):
@@ -662,7 +667,8 @@ def webp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
 
                 content = multimodal.synth_webp_lossless(
-                    w_px, h_px, pv, cache_bits=cache_bits, row_copy=rowcopy
+                    w_px, h_px, pv, cache_bits=cache_bits, row_copy=rowcopy,
+                    subtract_green=sub_green,
                 )
                 width, height, _, raw = multimodal.decode_webp(content)
                 arr = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 4)
@@ -671,7 +677,7 @@ def webp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 wsum_r = int((wt * arr[:, 0].astype(np.int64)).sum())
                 rows.append(
                     (
-                        i, width, height, cache_bits, rowcopy,
+                        i, width, height, cache_bits, rowcopy, sub_green,
                         int(sums[0]), int(sums[1]), int(sums[2]),
                         width * height, wsum_r,
                     )
@@ -680,18 +686,18 @@ def webp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows,
                 columns=[
                     "doc_id", "width", "height", "cache_bits", "rowcopy",
-                    "rsum", "gsum", "bsum", "npx", "wsum_r",
+                    "sub_green", "rsum", "gsum", "bsum", "npx", "wsum_r",
                 ],
             )
 
     out = ids.mapInPandas(
         gen,
         "doc_id long, width int, height int, cache_bits int, rowcopy boolean, "
-        "rsum long, gsum long, bsum long, npx long, wsum_r long",
+        "sub_green boolean, rsum long, gsum long, bsum long, npx long, wsum_r long",
     )
 
     return out.select(
-        "doc_id", "width", "height", "cache_bits", "rowcopy",
+        "doc_id", "width", "height", "cache_bits", "rowcopy", "sub_green",
         _half_up_mean("rsum", "npx").alias("mean_r"),
         _half_up_mean("gsum", "npx").alias("mean_g"),
         _half_up_mean("bsum", "npx").alias("mean_b"),

@@ -905,6 +905,7 @@ def synth_webp_lossless(
     pixel_value=None,
     cache_bits: int = 0,
     row_copy: bool = False,
+    subtract_green: bool = False,
 ) -> bytes:
     """Deterministic COMPLETE lossless WebP: RIFF container around a VP8L
     bitstream from sources/vp8l.py::encode_vp8l_literal. Pixel contract
@@ -918,7 +919,8 @@ def synth_webp_lossless(
         for x in range(width):
             rgba += bytes(v % 256 for v in pv(x, y))
     payload = _vp8l.encode_vp8l_literal(
-        bytes(rgba), width, height, cache_bits=cache_bits, row_copy=row_copy
+        bytes(rgba), width, height, cache_bits=cache_bits, row_copy=row_copy,
+        subtract_green=subtract_green,
     )
     if len(payload) & 1:
         chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload + b"\0"

@@ -23,10 +23,11 @@ Scope — same honest contract as decode_png/decode_tiff/decode_jpeg:
                 rgba_bytes) or None.
 
   encode_vp8l_literal  REAL minimal-subset encoder used to grade the
-                decoder: ARGB pixels in, spec-correct bitstream out (no
-                transforms; code-length-coded literal codes; optional color
-                cache and LZ77 whole-row references) — bit packing written
-                from the spec independently of decode_vp8l.
+                decoder: ARGB pixels in, spec-correct bitstream out
+                (code-length-coded literal codes; optional color cache,
+                LZ77 whole-row references, and the SUBTRACT_GREEN forward
+                transform) — bit packing written from the spec
+                independently of decode_vp8l.
 
 Graded through multimodal.decode_webp (RIFF container walk) by
 webp_pixel_stats; adversarial bit-level tests in tests/test_vp8l_codec.py.
@@ -653,13 +654,17 @@ def encode_vp8l_literal(
     height: int,
     cache_bits: int = 0,
     row_copy: bool = False,
+    subtract_green: bool = False,
 ) -> bytes:
-    """Minimal-subset VP8L encoder for grading: no transforms; complete
-    literal codes for all four channels; ``row_copy`` emits identical
-    consecutive rows as one LZ77 reference (length=width, distance=width —
-    plain distance code width+120), exercising the decoder's backward-copy
-    and prefix-value paths; ``cache_bits`` > 0 maintains the spec's color
-    cache and emits hits for repeated pixels. Packed from the spec,
+    """Minimal-subset VP8L encoder for grading: complete literal codes for
+    all four channels; ``row_copy`` emits identical consecutive rows as one
+    LZ77 reference (length=width, distance=width — plain distance code
+    width+120), exercising the decoder's backward-copy and prefix-value
+    paths; ``cache_bits`` > 0 maintains the spec's color cache and emits
+    hits for repeated pixels; ``subtract_green`` applies the forward
+    SUBTRACT_GREEN transform (red -= g, blue -= g mod 256) and declares it,
+    so the decoder's inverse-transform stage sits in the graded loop too.
+    Packed from the spec,
     independent of decode_vp8l."""
     px = np.frombuffer(rgba, dtype=np.uint8).reshape(height * width, 4)
     argb = (
@@ -668,12 +673,20 @@ def encode_vp8l_literal(
         | (px[:, 1].astype(np.uint32) << 8)
         | px[:, 2].astype(np.uint32)
     )
+    if subtract_green:
+        g = (argb >> 8) & np.uint32(0xFF)
+        red = (((argb >> 16) & np.uint32(0xFF)) - g) & np.uint32(0xFF)
+        blue = ((argb & np.uint32(0xFF)) - g) & np.uint32(0xFF)
+        argb = (argb & np.uint32(0xFF00FF00)) | (red << 16) | blue
     w = _LsbWriter()
     w.bits(width - 1, 14)
     w.bits(height - 1, 14)
     w.bits(0, 1)  # alpha hint
     w.bits(0, 3)  # version
-    w.bits(0, 1)  # no transforms
+    if subtract_green:
+        w.bits(1, 1)  # a transform follows
+        w.bits(2, 2)  # SUBTRACT_GREEN (no payload)
+    w.bits(0, 1)  # no (more) transforms
     cache_size = 0
     if cache_bits:
         w.bits(1, 1)
