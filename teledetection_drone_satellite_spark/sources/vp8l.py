@@ -105,8 +105,12 @@ def _build_canonical(lengths: "list[int]") -> "dict[tuple[int, int], int] | None
     count: dict[int, int] = {}
     for ln, _ in nz:
         count[ln] = count.get(ln, 0) + 1
-    if sum(c * 2 ** (15 - ln) for ln, c in count.items()) > (1 << 15):
-        return None  # over-subscribed (Kraft)
+    if sum(c * 2 ** (15 - ln) for ln, c in count.items()) != (1 << 15):
+        # Kraft sum must be EXACTLY full for multi-symbol codes: libwebp
+        # rejects both over-subscribed and incomplete (under-subscribed)
+        # codes as invalid bitstreams, even when the stream never hits an
+        # unassigned codeword — match that completeness requirement.
+        return None
     table: dict[tuple[int, int], int] = {}
     code = 0
     next_code: dict[int, int] = {}

@@ -411,3 +411,41 @@ def test_bpe_train_apply_roundtrip_and_tiebreak(spark):
     assert out[3]["n_tokens"] == 0 and out[3]["n_chars"] == 0
     assert out[4]["n_tokens"] == 1  # fully merged word
     assert all(r["n_tokens"] <= r["n_chars"] for r in out.values() if r["n_chars"])
+
+
+def test_bpe_vocab_cap_on_heavy_tail(spark):
+    """The driver-side vocab collect is capped at BPE_VOCAB_CAP most-frequent
+    words; on a heavy-tail vocab the cap must (a) keep the head that drives
+    the first merge, (b) leave roundtrip exactness intact for tail words the
+    trainer never saw — merges are rules, not a lookup table."""
+    from pyspark.sql import functions as F
+
+    from teledetection_drone_satellite_spark.operators import text as T
+
+    # heavy tail: 2 head words repeated, 200 unique tail words seen once
+    head = ["zzqq"] * 50 + ["zzxx"] * 30
+    tail = [f"u{i:03d}" for i in range(200)]
+    docs = [(i, w) for i, w in enumerate(head + tail)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    cap = 2  # simulate a tiny BPE_VOCAB_CAP: only the head survives
+    wc_rows = (
+        df.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .count()
+        .orderBy(F.desc("count"), F.asc("w"))
+        .limit(cap)
+        .collect()
+    )
+    capped = {r["w"]: r["count"] for r in wc_rows}
+    assert set(capped) == {"zzqq", "zzxx"}  # the head, nothing else
+
+    merges = train_bpe_capped = T.train_bpe(capped, 5)
+    # first merge comes from the head statistic: 'zz' appears in both words
+    assert train_bpe_capped[0] == ("z", "z")
+    # tail words round-trip exactly even though the trainer never saw them
+    out = T.bpe_encode(df, merges).collect()
+    assert all(r["roundtrip_ok"] for r in out)
+    # the production cap is a real positive bound
+    assert T.BPE_VOCAB_CAP >= 100_000

@@ -128,3 +128,28 @@ def test_gif_tiny_subblock_fragmentation():
         rechunked += bytes([len(chunk)]) + chunk
     rechunked += tail
     assert mm.decode_gif(bytes(rechunked)) == mm.decode_gif(base)
+
+
+def test_gif_offset_frame_and_transparency_return_none():
+    """ADVICE r7: a first frame offset within / smaller than the logical
+    screen must hit the None fallback (its dims would disagree with
+    parse_image_header's logical-screen dims), and a GCE with the
+    transparency flag set must too (this decoder returns opaque RGB)."""
+    iv = lambda x, y: (x + y) % 256
+    base = bytearray(mm.synth_gif_full(12, 10, iv))
+    desc = 6 + 7 + 768
+    assert base[desc] == 0x2C
+    # 1. offset descriptor: left=2
+    off = bytearray(base)
+    off[desc + 1 : desc + 3] = (2).to_bytes(2, "little")
+    assert mm.decode_gif(bytes(off)) is None
+    # 2. sub-image: descriptor height one less than screen height
+    sub = bytearray(base)
+    sub[desc + 7 : desc + 9] = (9).to_bytes(2, "little")
+    assert mm.decode_gif(bytes(sub)) is None
+    # 3. GCE with transparency flag -> None; without the flag -> decodes
+    gce_t = b"\x21\xf9\x04\x01\x00\x00\x00\x00"
+    gce_o = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    assert mm.decode_gif(bytes(base[:desc]) + gce_t + bytes(base[desc:])) is None
+    ok = mm.decode_gif(bytes(base[:desc]) + gce_o + bytes(base[desc:]))
+    assert ok == mm.decode_gif(bytes(base))

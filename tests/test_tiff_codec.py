@@ -190,3 +190,29 @@ def test_jpeg_in_tiff_strip_dim_mismatch_rejected():
         if int.from_bytes(data[e : e + 2], "little") == 278:
             data[e + 8 : e + 12] = (8).to_bytes(4, "little")
     assert mm.decode_tiff(bytes(data)) is None
+
+
+def test_jpeg_in_tiff_wrong_photometric_rejected():
+    """ADVICE r7: compression-7 strips are decoded as YCbCr (3ch) / gray
+    (1ch); PhotometricInterpretation 2 (RGB-stored JPEG) or 0 (WhiteIsZero)
+    would get the wrong color transform silently — must be None instead."""
+    cv = lambda ci, bx, by: (11 + 29 * ci + 16 * bx + 40 * by) % 256
+    t = mm.synth_tiff_jpeg(16, 16, 3, rows_per_strip=16, block_value=cv)
+    assert mm.decode_tiff(t) is not None
+    data = bytearray(t)
+    n = int.from_bytes(data[8:10], "little")
+    for i in range(n):
+        e = 10 + i * 12
+        if int.from_bytes(data[e : e + 2], "little") == 262:
+            data[e + 8 : e + 12] = (2).to_bytes(4, "little")  # RGB
+    assert mm.decode_tiff(bytes(data)) is None
+    gv = lambda bx, by: (9 + 16 * bx) % 256
+    t = mm.synth_tiff_jpeg(16, 16, 1, rows_per_strip=16, block_value=gv)
+    assert mm.decode_tiff(t) is not None
+    data = bytearray(t)
+    n = int.from_bytes(data[8:10], "little")
+    for i in range(n):
+        e = 10 + i * 12
+        if int.from_bytes(data[e : e + 2], "little") == 262:
+            data[e + 8 : e + 12] = (0).to_bytes(4, "little")  # WhiteIsZero
+    assert mm.decode_tiff(bytes(data)) is None

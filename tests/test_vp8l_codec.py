@@ -412,3 +412,20 @@ def test_short_distance_code_uses_2d_neighborhood_map():
     assert got is not None and got[:3] == (wpx, hpx, 4)
     expected = np.tile(row, (hpx, 1)).tobytes()
     assert got[3] == expected
+
+
+def test_kraft_incomplete_multi_symbol_code_rejected():
+    """ADVICE r7: libwebp rejects Kraft-INCOMPLETE (under-subscribed)
+    multi-symbol codes as invalid even when no unassigned codeword is ever
+    hit; _build_canonical must return None for them, while complete and
+    degenerate single-symbol codes still build."""
+    # two symbols of length 2: Kraft sum = 2/4 < 1 -> incomplete
+    assert V._build_canonical([2, 2, 0, 0]) is None
+    # complete: two of length 1
+    assert V._build_canonical([1, 1]) is not None
+    # complete: 1 + 2 + 2 bits
+    assert V._build_canonical([1, 2, 2]) is not None
+    # over-subscribed: three of length 1
+    assert V._build_canonical([1, 1, 1]) is None
+    # degenerate single-symbol zero-bit code stays legal
+    assert V._build_canonical([0, 1, 0]) == {(0, 0): 1}
