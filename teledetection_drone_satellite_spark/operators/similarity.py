@@ -621,7 +621,7 @@ def pq_topk(
     k: int = 10,
     m: int = 8,
     n_codes: int = 256,
-    rerank: int = 0,
+    rerank: "int | str" = 0,
     seed: int = 42,
     cache_key: tuple | None = None,
     max_queries: int = MAX_QUERY_SET,
@@ -642,6 +642,15 @@ def pq_topk(
     everything the shortlist catches (measured 1.0 at sf0.01 / 0.86 at sf0.1
     with rerank=50).
 
+    ``rerank="auto"`` scales the shortlist with the corpus instead of fixing
+    it: ``max(4k, ceil(n / 40))``.  The round-7 10x spot-check (BASELINE.md)
+    showed a FIXED shortlist dilutes recall as n grows (50 -> 0.56 at n=20k
+    on the near-random fixture) while 500 recovers 0.92 — auto reproduces
+    the measured good points (50 at n=2k, 500 at n=20k) and keeps the
+    re-rank stage O(n) total work, still a vanishing fraction of the ADC
+    scan it filters.  The count comes from the persisted code table, not an
+    extra base scan.
+
     Scale shape: the LUTs for the (contract-bounded) query set broadcast; the
     code table streams through one Arrow pass emitting per-partition top-k
     candidates only (k rows per query per partition), and a final window rank
@@ -652,6 +661,9 @@ def pq_topk(
     codebooks, codes_df = build_pq_index(
         base, m=m, n_codes=n_codes, seed=seed, cache_key=cache_key
     )
+    if rerank == "auto":
+        n_base = codes_df.count()  # materializes the persisted code table
+        rerank = max(4 * int(k), -(-n_base // 40))
     q_rows = _collect_queries(queries, max_queries)
     if not q_rows:
         return _empty_topk(base, "cosine" if rerank else "adc_score")

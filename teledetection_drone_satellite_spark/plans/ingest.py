@@ -631,7 +631,8 @@ def jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a wrong cache hash, a mis-read prefix-code extra bit, or a "
     "short-copied row flips it. The four VP8L transforms are pytest-graded "
     "against independently computed forward transforms "
-    "(tests/test_vp8l_codec.py).",
+    "(tests/test_vp8l_codec.py); lossy VP8 is graded separately by "
+    "webp_lossy_pixel_stats.",
     tags=("ingest", "multimodal"),
 )
 def webp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -702,6 +703,135 @@ def webp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _half_up_mean("gsum", "npx").alias("mean_g"),
         _half_up_mean("bsum", "npx").alias("mean_b"),
         "wsum_r",
+    )
+
+
+@register(
+    "webp_lossy_pixel_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               16 + (doc_id * 5) % 33 AS w,
+               16 + (doc_id * 7) % 29 AS h
+        FROM documents WHERE doc_id < 120
+    ),
+    px AS (
+        SELECT doc_id, w, h,
+               CAST((doc_id + 40 * (x.i // 16) + 23 * (y.i // 16)) % 220 + 18
+                    AS DOUBLE) AS yv,
+               CAST((2 * doc_id + 31 * (x.i // 16) + 7 * (y.i // 16)) % 220
+                    + 18 AS DOUBLE) - 128.0 AS cb,
+               CAST((3 * doc_id + 13 * (x.i // 16) + 29 * (y.i // 16)) % 220
+                    + 18 AS DOUBLE) - 128.0 AS cr,
+               ((x.i + y.i * w) % 97) + 1 AS wt
+        FROM spec,
+             LATERAL unnest(range(0, w)) x(i),
+             LATERAL unnest(range(0, h)) y(i)
+    ),
+    rgb AS (
+        SELECT doc_id, w, h, wt,
+               GREATEST(0, LEAST(255,
+                   CAST(FLOOR(yv + 1.402 * cr + 0.5) AS BIGINT))) AS r,
+               GREATEST(0, LEAST(255,
+                   CAST(FLOOR(yv - 0.344136 * cb - 0.714136 * cr + 0.5)
+                        AS BIGINT))) AS g,
+               GREATEST(0, LEAST(255,
+                   CAST(FLOOR(yv + 1.772 * cb + 0.5) AS BIGINT))) AS b
+        FROM px
+    )
+    SELECT doc_id,
+           CAST(min(w) AS INT) AS width,
+           CAST(min(h) AS INT) AS height,
+           CAST(((min(w) + 15) // 16) * ((min(h) + 15) // 16) AS INT) AS n_mbs,
+           ((2 * CAST(sum(r) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_r,
+           ((2 * CAST(sum(g) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_g,
+           ((2 * CAST(sum(b) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_b,
+           CAST(sum(wt * g) AS BIGINT) AS wsum_g
+    FROM rgb GROUP BY doc_id
+    """,
+    doc="REAL lossy-VP8 WebP pixel decode, graded — the last raster tail "
+    "the reference's Pillow/libwebp stack covers (file-service "
+    "requirements.txt:11-15, main.py:128). Per doc a complete RIFF/WEBP "
+    "file is synthesized whose key-frame VP8 stream comes from sources/"
+    "vp8.py::encode_vp8_dc_profile (RFC 6386 boolean encoder, default "
+    "token probabilities, 16x16 DC_PRED, Y2-WHT + chroma DC residuals "
+    "solved so every macroblock reconstructs EXACTLY to a closed-form "
+    "flat YUV triple); decode_webp then runs the full RFC 6386 decode "
+    "path distributively — bool decoder, header, token trees, dequant, "
+    "IWHT/IDCT, intra prediction — and the JFIF floor(x+0.5) RGB "
+    "conversion shared with decode_jpeg. The oracle predicts per-channel "
+    "means AND an (index %% 97)+1 weighted green checksum in closed form "
+    "through the same MB-grid + color matrix; a desynced bool decoder, a "
+    "wrong dequant factor, or a chroma-upsample mistake flips it. The "
+    "decoder is additionally pinned bit-exact against the system libwebp "
+    "on REAL encoder streams across the quality range, all intra modes "
+    "and the in-loop deblocking filter included "
+    "(tests/test_vp8_codec.py, gated on the shared library).",
+    tags=("ingest", "multimodal"),
+)
+def webp_lossy_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w_px, h_px = 16 + (i * 5) % 33, 16 + (i * 7) % 29
+
+                def mv(mbx: int, mby: int, i: int = i):
+                    return (
+                        (i + 40 * mbx + 23 * mby) % 220 + 18,
+                        (2 * i + 31 * mbx + 7 * mby) % 220 + 18,
+                        (3 * i + 13 * mbx + 29 * mby) % 220 + 18,
+                    )
+
+                content = multimodal.synth_webp_lossy(w_px, h_px, mv)
+                width, height, _, raw = multimodal.decode_webp(content)
+                arr = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+                sums = arr.sum(axis=0, dtype=np.int64)
+                wt = (np.arange(width * height, dtype=np.int64) % 97) + 1
+                wsum_g = int((wt * arr[:, 1].astype(np.int64)).sum())
+                n_mbs = ((width + 15) // 16) * ((height + 15) // 16)
+                rows.append(
+                    (
+                        i, width, height, n_mbs,
+                        int(sums[0]), int(sums[1]), int(sums[2]),
+                        width * height, wsum_g,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_mbs",
+                    "rsum", "gsum", "bsum", "npx", "wsum_g",
+                ],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, width int, height int, n_mbs int, "
+        "rsum long, gsum long, bsum long, npx long, wsum_g long",
+    )
+    return out.select(
+        "doc_id", "width", "height", "n_mbs",
+        _half_up_mean("rsum", "npx").alias("mean_r"),
+        _half_up_mean("gsum", "npx").alias("mean_g"),
+        _half_up_mean("bsum", "npx").alias("mean_b"),
+        "wsum_g",
     )
 
 

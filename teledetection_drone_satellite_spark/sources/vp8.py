@@ -1,0 +1,1166 @@
+"""Pure-stdlib lossy VP8 key-frame codec (RFC 6386) — the last raster tail.
+
+The reference's file service decodes lossy WebP through Pillow/libwebp
+(/root/reference/services/file-service/requirements.txt:11-15, call site
+main.py:128).  This module re-expresses that decode pure-Python so the
+Spark ingest plans need no codec wheel: RFC 6386 boolean arithmetic
+decoder (§7), key-frame header (§9), intra prediction (§12, all 16x16 /
+chroma / 4x4 B modes), token trees with the default probabilities and
+header updates (§13), dequantization (§14.1), inverse WHT/DCT (§14.3-4),
+and the in-loop deblocking filter (§15, simple + normal).  All constant
+tables live in vp8_tables.py and are cross-checked against the system
+libwebp when present (tests/test_vp8_codec.py).
+
+The matching encoder side (``encode_vp8_dc_profile``) writes a constrained
+but fully spec-valid key frame — no segmentation, filter_level 0, one
+token partition, 16x16 DC_PRED everywhere, DC-only residuals solved so
+every macroblock reconstructs to a caller-chosen flat (Y, U, V) — which is
+what lets a closed-form SQL oracle predict every pixel of the graded
+``webp_lossy_pixel_stats`` query, the same design as synth_jpeg_color_full.
+
+Scale note: this codec runs inside Arrow-batched ``mapInPandas`` workers
+(sources/multimodal.py) — per-file Python cost, zero shuffle, linear in
+bytes scanned; the 100 TB story is partition-parallel file decode, same as
+the PNG/JPEG/GIF/VP8L paths.
+"""
+
+from __future__ import annotations
+
+from . import vp8_tables as T
+
+# --- bitstream constants (RFC 6386 §11.5, §13.2-13.3) --------------------------------
+
+# token ids: 0..4 literal values, 5..10 categories, 11 = end-of-block
+_CAT_BASE = {5: 5, 6: 7, 7: 11, 8: 19, 9: 35, 10: 67}
+_CAT_PROBS = {
+    5: (159,),
+    6: (165, 145),
+    7: (173, 148, 140),
+    8: (176, 155, 140, 135),
+    9: (180, 157, 141, 134, 130),
+    10: (254, 254, 243, 230, 196, 177, 153, 140, 133, 130, 129),
+}
+
+# coefficient position -> probability band (§13.3)
+_BANDS = (0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7)
+# zigzag scan order (§13.5): coefficient n lands at block position ZIGZAG[n]
+_ZIGZAG = (0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+# The token tree of §13.2 is hand-inlined in get_coeffs/put_coeffs:
+# node probs p[0]=EOB/rest, p[1]=zero, p[2]=one, p[3]=2-4 vs cats,
+# p[4]/p[5]=2/3/4, p[6..10]=category selection.
+
+# 16x16 luma modes: DC=0 V=1 H=2 TM=3 B_PRED=4 (§11.2)
+DC_PRED, V_PRED, H_PRED, TM_PRED, B_PRED = 0, 1, 2, 3, 4
+# key-frame ymode tree + fixed probs (§11.5)
+_KF_YMODE_TREE = (-B_PRED, 2, 4, 6, -DC_PRED, -V_PRED, -H_PRED, -TM_PRED)
+_KF_YMODE_PROBS = (145, 156, 163, 128)
+# chroma mode tree + key-frame probs (§11.5)
+_UV_MODE_TREE = (-DC_PRED, 2, -V_PRED, 4, -H_PRED, -TM_PRED)
+_KF_UV_PROBS = (142, 114, 183)
+# 4x4 submodes B_DC..B_HU = 0..9 and their tree (§11.5)
+_BMODE_TREE = (
+    0, 2, -1, 4, -2, 6, 8, 12, -3, 10, -5, -6, -4, 14, -7, 16, -8, -9,
+)
+# Leaves in _BMODE_TREE follow the RFC's intra_bmode order:
+# B_DC(0) B_TM(1) B_VE(2) B_HE(3) B_LD(4) B_RD(5) B_VR(6) B_VL(7) B_HD(8) B_HU(9)
+# 16x16 mode -> implied submode for neighbor context (§11.3)
+_MODE_TO_BMODE = {DC_PRED: 0, V_PRED: 2, H_PRED: 3, TM_PRED: 1}
+# segment id tree (§10)
+_SEGMENT_TREE = (2, 4, -0, -1, -2, -3)
+
+
+class _Truncated(Exception):
+    pass
+
+
+# --- boolean arithmetic coder (RFC 6386 §7-8) ----------------------------------------
+
+
+class BoolDecoder:
+    """RFC 6386 §7.3 bool_decoder: 16-bit value window over the stream;
+    reads past the end shift in zero bytes, as the spec allows."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 2
+        b0 = data[0] if len(data) > 0 else 0
+        b1 = data[1] if len(data) > 1 else 0
+        self.value = (b0 << 8) | b1
+        self.range = 255
+        self.bit_count = 0
+
+    def get_bool(self, prob: int) -> int:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        big = split << 8
+        if self.value >= big:
+            ret = 1
+            self.range -= split
+            self.value -= big
+        else:
+            ret = 0
+            self.range = split
+        while self.range < 128:
+            self.value <<= 1
+            self.range <<= 1
+            self.bit_count += 1
+            if self.bit_count == 8:
+                self.bit_count = 0
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+                self.pos += 1
+                self.value |= nxt
+        return ret
+
+    def bit(self) -> int:
+        return self.get_bool(128)
+
+    def literal(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.get_bool(128)
+        return v
+
+    def signed(self, n: int) -> int:
+        v = self.literal(n)
+        return -v if self.get_bool(128) else v
+
+    def tree(self, tree: tuple, probs) -> int:
+        i = 0
+        while True:
+            i = tree[i + self.get_bool(probs[i >> 1])]
+            if i <= 0:
+                return -i
+
+
+class BoolEncoder:
+    """RFC 6386 §8.2 bool_encoder with the spec's carry propagation."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.range = 255
+        self.bottom = 0
+        self.bit_count = 24
+
+    def _carry(self) -> None:
+        i = len(self.out) - 1
+        while self.out[i] == 255:
+            self.out[i] = 0
+            i -= 1
+        self.out[i] += 1
+
+    def put_bool(self, prob: int, value: int) -> None:
+        split = 1 + (((self.range - 1) * prob) >> 8)
+        if value:
+            self.bottom += split
+            self.range -= split
+        else:
+            self.range = split
+        while self.range < 128:
+            self.range <<= 1
+            if self.bottom & (1 << 31):
+                self._carry()
+            self.bottom = (self.bottom << 1) & 0xFFFFFFFF
+            self.bit_count -= 1
+            if self.bit_count == 0:
+                self.out.append((self.bottom >> 24) & 0xFF)
+                self.bottom &= 0xFFFFFF
+                self.bit_count = 8
+
+    def bit(self, v: int) -> None:
+        self.put_bool(128, v)
+
+    def literal(self, v: int, n: int) -> None:
+        for k in range(n - 1, -1, -1):
+            self.put_bool(128, (v >> k) & 1)
+
+    def tree(self, tree: tuple, probs, leaf: int) -> None:
+        # walk every branch looking for the path to -leaf (trees are tiny)
+        path = self._find(tree, 0, leaf)
+        for node, b in path:
+            self.put_bool(probs[node >> 1], b)
+
+    @staticmethod
+    def _find(tree: tuple, i: int, leaf: int, path=()):
+        for b in (0, 1):
+            nxt = tree[i + b]
+            if nxt == -leaf and nxt <= 0:
+                return path + ((i, b),)
+            if nxt > 0:
+                r = BoolEncoder._find(tree, nxt, leaf, path + ((i, b),))
+                if r is not None:
+                    return r
+        return None
+
+    def flush(self) -> bytes:
+        for _ in range(32):
+            if self.bottom & (1 << 31):
+                self._carry()
+            self.bottom = (self.bottom << 1) & 0xFFFFFFFF
+            self.bit_count -= 1
+            if self.bit_count == 0:
+                self.out.append((self.bottom >> 24) & 0xFF)
+                self.bottom &= 0xFFFFFF
+                self.bit_count = 8
+        return bytes(self.out)
+
+
+# --- transforms (RFC 6386 §14.3-14.4) ------------------------------------------------
+
+_C1 = 20091  # cos(pi/8)*sqrt(2) - 1, Q16
+_C2 = 35468  # sin(pi/8)*sqrt(2), Q16
+
+
+def idct4x4(coeffs: "list[int]") -> "list[int]":
+    """Exact integer inverse DCT of §14.4 (columns then rows, final +4>>3).
+    Python's >> on negatives is an arithmetic shift, matching the C code."""
+    tmp = [0] * 16
+    for i in range(4):
+        ip0, ip4, ip8, ip12 = coeffs[i], coeffs[i + 4], coeffs[i + 8], coeffs[i + 12]
+        a1 = ip0 + ip8
+        b1 = ip0 - ip8
+        t1 = (ip4 * _C2) >> 16
+        t2 = ip12 + ((ip12 * _C1) >> 16)
+        c1 = t1 - t2
+        t1 = ip4 + ((ip4 * _C1) >> 16)
+        t2 = (ip12 * _C2) >> 16
+        d1 = t1 + t2
+        tmp[i] = a1 + d1
+        tmp[i + 12] = a1 - d1
+        tmp[i + 4] = b1 + c1
+        tmp[i + 8] = b1 - c1
+    out = [0] * 16
+    for i in range(4):
+        r = i * 4
+        ip0, ip1, ip2, ip3 = tmp[r], tmp[r + 1], tmp[r + 2], tmp[r + 3]
+        a1 = ip0 + ip2
+        b1 = ip0 - ip2
+        t1 = (ip1 * _C2) >> 16
+        t2 = ip3 + ((ip3 * _C1) >> 16)
+        c1 = t1 - t2
+        t1 = ip1 + ((ip1 * _C1) >> 16)
+        t2 = (ip3 * _C2) >> 16
+        d1 = t1 + t2
+        out[r] = (a1 + d1 + 4) >> 3
+        out[r + 3] = (a1 - d1 + 4) >> 3
+        out[r + 1] = (b1 + c1 + 4) >> 3
+        out[r + 2] = (b1 - c1 + 4) >> 3
+    return out
+
+
+def iwht4x4(coeffs: "list[int]") -> "list[int]":
+    """Inverse Walsh-Hadamard for the Y2 (luma DC) block, §14.3."""
+    tmp = [0] * 16
+    for i in range(4):
+        a1 = coeffs[i] + coeffs[i + 12]
+        b1 = coeffs[i + 4] + coeffs[i + 8]
+        c1 = coeffs[i + 4] - coeffs[i + 8]
+        d1 = coeffs[i] - coeffs[i + 12]
+        tmp[i] = a1 + b1
+        tmp[i + 4] = c1 + d1
+        tmp[i + 8] = a1 - b1
+        tmp[i + 12] = d1 - c1
+    out = [0] * 16
+    for i in range(4):
+        r = i * 4
+        a1 = tmp[r] + tmp[r + 3]
+        b1 = tmp[r + 1] + tmp[r + 2]
+        c1 = tmp[r + 1] - tmp[r + 2]
+        d1 = tmp[r] - tmp[r + 3]
+        out[r] = (a1 + b1 + 3) >> 3
+        out[r + 1] = (c1 + d1 + 3) >> 3
+        out[r + 2] = (a1 - b1 + 3) >> 3
+        out[r + 3] = (d1 - c1 + 3) >> 3
+    return out
+
+
+def _clamp_q(q: int) -> int:
+    return 0 if q < 0 else (127 if q > 127 else q)
+
+
+def dequant_factors(q_yac: int, dq: "tuple[int, int, int, int, int]"):
+    """§14.1: per-plane (dc, ac) dequantizers from the base index + deltas
+    (y1dc, y2dc, y2ac, uvdc, uvac).  Y2 dc doubles, Y2 ac scales 155/100
+    with a floor of 8, chroma dc is capped at 132."""
+    y1dc_d, y2dc_d, y2ac_d, uvdc_d, uvac_d = dq
+    y1dc = T.DC_QLOOKUP[_clamp_q(q_yac + y1dc_d)]
+    y1ac = T.AC_QLOOKUP[_clamp_q(q_yac)]
+    y2dc = T.DC_QLOOKUP[_clamp_q(q_yac + y2dc_d)] * 2
+    y2ac = T.AC_QLOOKUP[_clamp_q(q_yac + y2ac_d)] * 155 // 100
+    if y2ac < 8:
+        y2ac = 8
+    uvdc = T.DC_QLOOKUP[_clamp_q(q_yac + uvdc_d)]
+    if uvdc > 132:
+        uvdc = 132
+    uvac = T.AC_QLOOKUP[_clamp_q(q_yac + uvac_d)]
+    return (y1dc, y1ac), (y2dc, y2ac), (uvdc, uvac)
+
+
+# --- token (residual) coding (RFC 6386 §13) ------------------------------------------
+
+
+def get_coeffs(bd: BoolDecoder, tprobs, first: int, ctx: int, dqf) -> "tuple[list[int], int]":
+    """Decode one block's coefficients: returns (dequantized block in raster
+    order, eob position).  ``tprobs`` is probs[plane_type] (8 bands x 3 ctx
+    x 11); after a ZERO token the EOB branch is skipped and ctx drops to 0,
+    per the spec's tree-position trick."""
+    out = [0] * 16
+    n = first
+    skip_eob = False
+    gb = bd.get_bool
+    while n < 16:
+        p = tprobs[_BANDS[n]][ctx]
+        if not skip_eob and not gb(p[0]):
+            break
+        if not gb(p[1]):  # ZERO token: no EOB test on the next position
+            skip_eob = True
+            ctx = 0
+            n += 1
+            continue
+        skip_eob = False
+        if not gb(p[2]):
+            v = 1
+            ctx = 1
+        else:
+            ctx = 2
+            if not gb(p[3]):
+                if not gb(p[4]):
+                    v = 2
+                else:
+                    v = 3 if not gb(p[5]) else 4
+            else:
+                if not gb(p[6]):
+                    tok = 5 if not gb(p[7]) else 6
+                else:
+                    if not gb(p[8]):
+                        tok = 7 if not gb(p[9]) else 8
+                    else:
+                        tok = 9 if not gb(p[10]) else 10
+                v = _CAT_BASE[tok]
+                extra = 0
+                for cp in _CAT_PROBS[tok]:
+                    extra = (extra << 1) | gb(cp)
+                v += extra
+        if gb(128):
+            v = -v
+        out[_ZIGZAG[n]] = v * (dqf[0] if n == 0 else dqf[1])
+        n += 1
+    return out, n
+
+
+def put_coeffs(be: BoolEncoder, tprobs, first: int, ctx: int, values: "list[int]") -> int:
+    """Encoder mirror of get_coeffs: ``values`` are the (quantized, signed)
+    coefficients in SCAN order starting at ``first``; trailing zeros are
+    ended with EOB.  Returns the eob position (for nz context upkeep)."""
+    last = -1
+    for i, v in enumerate(values):
+        if v:
+            last = i
+    n = first
+    skip_eob = False
+    idx = 0
+    while idx <= last:
+        v = values[idx]
+        p = tprobs[_BANDS[n]][ctx]
+        if not skip_eob:
+            be.put_bool(p[0], 1)
+        if v == 0:
+            be.put_bool(p[1], 0)
+            skip_eob = True
+            ctx = 0
+            n += 1
+            idx += 1
+            continue
+        skip_eob = False
+        be.put_bool(p[1], 1)
+        a = abs(v)
+        if a == 1:
+            be.put_bool(p[2], 0)
+            ctx = 1
+        else:
+            be.put_bool(p[2], 1)
+            ctx = 2
+            if a <= 4:
+                be.put_bool(p[3], 0)
+                if a == 2:
+                    be.put_bool(p[4], 0)
+                else:
+                    be.put_bool(p[4], 1)
+                    be.put_bool(p[5], 0 if a == 3 else 1)
+            else:
+                be.put_bool(p[3], 1)
+                for tok in (5, 6, 7, 8, 9, 10):
+                    base = _CAT_BASE[tok]
+                    width = len(_CAT_PROBS[tok])
+                    if a < base + (1 << width) or tok == 10:
+                        break
+                if tok in (5, 6):
+                    be.put_bool(p[6], 0)
+                    be.put_bool(p[7], 0 if tok == 5 else 1)
+                elif tok in (7, 8):
+                    be.put_bool(p[6], 1)
+                    be.put_bool(p[8], 0)
+                    be.put_bool(p[9], 0 if tok == 7 else 1)
+                else:
+                    be.put_bool(p[6], 1)
+                    be.put_bool(p[8], 1)
+                    be.put_bool(p[10], 0 if tok == 9 else 1)
+                extra = a - _CAT_BASE[tok]
+                cps = _CAT_PROBS[tok]
+                for k, cp in enumerate(cps):
+                    be.put_bool(cp, (extra >> (len(cps) - 1 - k)) & 1)
+        be.put_bool(128, 1 if v < 0 else 0)
+        n += 1
+        idx += 1
+    if n < 16:
+        p = tprobs[_BANDS[n]][ctx]
+        be.put_bool(p[0], 0)  # EOB
+    return n
+
+# --- frame header (RFC 6386 §9, Annex A) ---------------------------------------------
+
+
+class FrameHeader:
+    __slots__ = (
+        "width", "height", "mb_w", "mb_h", "seg_enabled", "seg_update_map",
+        "seg_abs_delta", "seg_quant", "seg_lf", "seg_tree_probs",
+        "filter_type", "filter_level", "sharpness", "lf_delta_enabled",
+        "ref_lf_deltas", "mode_lf_deltas", "num_parts", "q_yac", "dq",
+        "probs", "use_skip", "skip_prob",
+    )
+
+
+def parse_frame_header(data: bytes):
+    """Parse the uncompressed chunk + first-partition key-frame header.
+    Returns (FrameHeader, BoolDecoder positioned at the per-MB mode data,
+    [residual BoolDecoders]) or None for non-key / malformed frames."""
+    if len(data) < 10:
+        return None
+    b0 = data[0]
+    if b0 & 1:
+        return None  # interframe: needs a reference frame, out of scope
+    part1_size = (b0 >> 5) | (data[1] << 3) | (data[2] << 11)
+    if data[3:6] != b"\x9d\x01\x2a":
+        return None
+    w = int.from_bytes(data[6:8], "little") & 0x3FFF
+    h = int.from_bytes(data[8:10], "little") & 0x3FFF
+    if not w or not h or 10 + part1_size > len(data):
+        return None
+    if part1_size == 0:
+        return None  # the key-frame header cannot fit in zero bytes (libwebp rejects)
+    hd = FrameHeader()
+    hd.width, hd.height = w, h
+    hd.mb_w, hd.mb_h = (w + 15) >> 4, (h + 15) >> 4
+    bd = BoolDecoder(data[10 : 10 + part1_size])
+    bd.bit()  # color space (must be 0 for the profile libwebp emits)
+    bd.bit()  # clamping type
+    hd.seg_enabled = bd.bit()
+    hd.seg_update_map = 0
+    hd.seg_abs_delta = 0
+    hd.seg_quant = [0, 0, 0, 0]
+    hd.seg_lf = [0, 0, 0, 0]
+    hd.seg_tree_probs = [255, 255, 255]
+    if hd.seg_enabled:
+        hd.seg_update_map = bd.bit()
+        update_data = bd.bit()
+        if update_data:
+            hd.seg_abs_delta = bd.bit()
+            for i in range(4):
+                if bd.bit():
+                    hd.seg_quant[i] = bd.signed(7)
+            for i in range(4):
+                if bd.bit():
+                    hd.seg_lf[i] = bd.signed(6)
+        if hd.seg_update_map:
+            for i in range(3):
+                hd.seg_tree_probs[i] = bd.literal(8) if bd.bit() else 255
+    hd.filter_type = bd.bit()
+    hd.filter_level = bd.literal(6)
+    hd.sharpness = bd.literal(3)
+    hd.lf_delta_enabled = bd.bit()
+    hd.ref_lf_deltas = [0, 0, 0, 0]
+    hd.mode_lf_deltas = [0, 0, 0, 0]
+    if hd.lf_delta_enabled:
+        if bd.bit():  # delta update
+            for i in range(4):
+                if bd.bit():
+                    hd.ref_lf_deltas[i] = bd.signed(6)
+            for i in range(4):
+                if bd.bit():
+                    hd.mode_lf_deltas[i] = bd.signed(6)
+    hd.num_parts = 1 << bd.literal(2)
+    hd.q_yac = bd.literal(7)
+    dq = []
+    for _ in range(5):  # y1dc, y2dc, y2ac, uvdc, uvac
+        dq.append(bd.signed(4) if bd.bit() else 0)
+    hd.dq = tuple(dq)
+    bd.bit()  # refresh_entropy_probs (no effect within a single key frame)
+    probs = [
+        [[list(T.COEFF_PROBS[t][b][c]) for c in range(3)] for b in range(8)]
+        for t in range(4)
+    ]
+    upd = T.COEFF_UPDATE_PROBS
+    for t in range(4):
+        for b in range(8):
+            for c in range(3):
+                row = upd[t][b][c]
+                trow = probs[t][b][c]
+                for p in range(11):
+                    if bd.get_bool(row[p]):
+                        trow[p] = bd.literal(8)
+    hd.probs = probs
+    hd.use_skip = bd.bit()
+    hd.skip_prob = bd.literal(8) if hd.use_skip else 0
+
+    # residual partitions follow the first partition
+    body = data[10 + part1_size :]
+    n = hd.num_parts
+    if n > 1:
+        if len(body) < 3 * (n - 1):
+            return None
+        sizes = [int.from_bytes(body[3 * i : 3 * i + 3], "little") for i in range(n - 1)]
+        off = 3 * (n - 1)
+        parts = []
+        for s in sizes:
+            if off + s > len(body):
+                return None
+            parts.append(BoolDecoder(body[off : off + s]))
+            off += s
+        parts.append(BoolDecoder(body[off:]))
+    else:
+        parts = [BoolDecoder(body)]
+    return hd, bd, parts
+
+
+# --- intra prediction (RFC 6386 §12) -------------------------------------------------
+
+
+def _pred_dc(above, left, size: int) -> "list[int]":
+    if above is not None and left is not None:
+        s = sum(above[:size]) + sum(left)
+        shf = 4 if size == 8 else 5
+        v = (s + size) >> shf
+    elif above is not None:
+        v = (sum(above[:size]) + (size >> 1)) >> (3 if size == 8 else 4)
+    elif left is not None:
+        v = (sum(left) + (size >> 1)) >> (3 if size == 8 else 4)
+    else:
+        v = 128
+    return [v] * (size * size)
+
+
+def _clamp255(v: int) -> int:
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def _pred_16(mode: int, above, left, above_left: int, size: int) -> "list[int]":
+    """Whole-block intra prediction (16x16 luma / 8x8 chroma): DC/V/H/TM.
+    ``above``/``left`` are None exactly when that neighbor is outside the
+    frame (DC uses availability; V/H/TM callers pass the 127/129 borders)."""
+    if mode == DC_PRED:
+        return _pred_dc(above, left, size)
+    out = [0] * (size * size)
+    if mode == V_PRED:
+        row = above[:size]
+        for r in range(size):
+            out[r * size : r * size + size] = row
+    elif mode == H_PRED:
+        for r in range(size):
+            out[r * size : r * size + size] = [left[r]] * size
+    else:  # TM_PRED
+        for r in range(size):
+            base = left[r] - above_left
+            o = r * size
+            for c in range(size):
+                out[o + c] = _clamp255(base + above[c])
+    return out
+
+
+def _avg2(a, b):
+    return (a + b + 1) >> 1
+
+
+def _avg3(a, b, c):
+    return (a + 2 * b + c + 2) >> 2
+
+
+def _pred_b(mode: int, a, l, p: int) -> "list[int]":
+    """4x4 submode prediction, §12.3.  ``a`` is above[0..7] (with the 4
+    above-right pixels), ``l`` left[0..3], ``p`` the above-left pixel."""
+    o = [0] * 16
+    if mode == 0:  # B_DC
+        v = (sum(a[:4]) + sum(l) + 4) >> 3
+        return [v] * 16
+    if mode == 1:  # B_TM
+        for r in range(4):
+            base = l[r] - p
+            for c in range(4):
+                o[r * 4 + c] = _clamp255(base + a[c])
+        return o
+    if mode == 2:  # B_VE
+        row = (
+            _avg3(p, a[0], a[1]), _avg3(a[0], a[1], a[2]),
+            _avg3(a[1], a[2], a[3]), _avg3(a[2], a[3], a[4]),
+        )
+        for r in range(4):
+            o[r * 4 : r * 4 + 4] = row
+        return o
+    if mode == 3:  # B_HE
+        col = (
+            _avg3(p, l[0], l[1]), _avg3(l[0], l[1], l[2]),
+            _avg3(l[1], l[2], l[3]), _avg3(l[2], l[3], l[3]),
+        )
+        for r in range(4):
+            o[r * 4 : r * 4 + 4] = [col[r]] * 4
+        return o
+    if mode == 4:  # B_LD
+        for r in range(4):
+            for c in range(4):
+                d = r + c
+                o[r * 4 + c] = (
+                    _avg3(a[6], a[7], a[7]) if d == 6 else _avg3(a[d], a[d + 1], a[d + 2])
+                )
+        return o
+    if mode == 5:  # B_RD
+        e = (l[3], l[2], l[1], l[0], p, a[0], a[1], a[2], a[3])
+        for r in range(4):
+            for c in range(4):
+                i = 4 + c - r
+                o[r * 4 + c] = _avg3(e[i - 1], e[i], e[i + 1])
+        return o
+    if mode == 6:  # B_VR
+        o[12] = _avg3(l[2], l[1], l[0])
+        o[8] = _avg3(l[1], l[0], p)
+        o[13] = o[4] = _avg3(l[0], p, a[0])
+        o[9] = o[0] = _avg2(p, a[0])
+        o[14] = o[5] = _avg3(p, a[0], a[1])
+        o[10] = o[1] = _avg2(a[0], a[1])
+        o[15] = o[6] = _avg3(a[0], a[1], a[2])
+        o[11] = o[2] = _avg2(a[1], a[2])
+        o[7] = _avg3(a[1], a[2], a[3])
+        o[3] = _avg2(a[2], a[3])
+        return o
+    if mode == 7:  # B_VL
+        o[0] = _avg2(a[0], a[1])
+        o[4] = _avg3(a[0], a[1], a[2])
+        o[8] = o[1] = _avg2(a[1], a[2])
+        o[5] = o[12] = _avg3(a[1], a[2], a[3])
+        o[9] = o[2] = _avg2(a[2], a[3])
+        o[13] = o[6] = _avg3(a[2], a[3], a[4])
+        o[10] = o[3] = _avg2(a[3], a[4])
+        o[14] = o[7] = _avg3(a[3], a[4], a[5])
+        o[11] = _avg3(a[4], a[5], a[6])
+        o[15] = _avg3(a[5], a[6], a[7])
+        return o
+    if mode == 8:  # B_HD
+        o[12] = _avg2(l[3], l[2])
+        o[13] = _avg3(l[3], l[2], l[1])
+        o[8] = o[14] = _avg2(l[2], l[1])
+        o[9] = o[15] = _avg3(l[2], l[1], l[0])
+        o[10] = o[4] = _avg2(l[1], l[0])
+        o[11] = o[5] = _avg3(l[1], l[0], p)
+        o[6] = o[0] = _avg2(l[0], p)
+        o[7] = o[1] = _avg3(l[0], p, a[0])
+        o[2] = _avg3(p, a[0], a[1])
+        o[3] = _avg3(a[0], a[1], a[2])
+        return o
+    # mode == 9: B_HU
+    o[0] = _avg2(l[0], l[1])
+    o[1] = _avg3(l[0], l[1], l[2])
+    o[2] = o[4] = _avg2(l[1], l[2])
+    o[3] = o[5] = _avg3(l[1], l[2], l[3])
+    o[6] = o[8] = _avg2(l[2], l[3])
+    o[7] = o[9] = _avg3(l[2], l[3], l[3])
+    o[10] = o[11] = o[12] = o[13] = o[14] = o[15] = l[3]
+    return o
+
+# --- full-frame decode (RFC 6386 §19 decode loop) ------------------------------------
+
+
+class _Planes:
+    """Padded reconstruction planes: row 0 is the 127 above border, column 0
+    the 129 left border, plus 4 right-extension columns for the above-right
+    pixels of B_PRED subblocks (replicated from the rightmost real pixel of
+    the row above the MB row, 127 on the top border)."""
+
+    def __init__(self, mb_w: int, mb_h: int):
+        import numpy as np
+
+        self.np = np
+        self.y = np.empty((mb_h * 16 + 1, mb_w * 16 + 5), dtype=np.int32)
+        self.u = np.empty((mb_h * 8 + 1, mb_w * 8 + 1), dtype=np.int32)
+        self.v = np.empty((mb_h * 8 + 1, mb_w * 8 + 1), dtype=np.int32)
+        for p in (self.y, self.u, self.v):
+            p[0, :] = 127
+            p[1:, 0] = 129
+
+
+def decode_vp8(data: bytes, *, allow_filter: bool = True):
+    """Decode a key-frame VP8 stream to YUV 4:2:0 planes.
+
+    Returns (width, height, y_bytes, u_bytes, v_bytes) with the luma plane
+    cropped to width x height and each chroma plane to ceil(w/2) x
+    ceil(h/2), or None for interframes / malformed streams.  The in-loop
+    deblocking filter is applied when the header requests it."""
+    parsed = parse_frame_header(data)
+    if parsed is None:
+        return None
+    hd, bd, parts = parsed
+    if hd.filter_level > 0 and not allow_filter:
+        return None
+    try:
+        return _decode_body(hd, bd, parts)
+    except (_Truncated, IndexError):
+        return None
+
+
+def _seg_quant_index(hd: FrameHeader, seg_id: int) -> int:
+    if not hd.seg_enabled:
+        return hd.q_yac
+    if hd.seg_abs_delta:
+        return _clamp_q(hd.seg_quant[seg_id])
+    return _clamp_q(hd.q_yac + hd.seg_quant[seg_id])
+
+
+def _decode_body(hd: FrameHeader, bd: BoolDecoder, parts):
+    import numpy as np
+
+    mbw, mbh = hd.mb_w, hd.mb_h
+    pl = _Planes(mbw, mbh)
+    Y, U, V = pl.y, pl.u, pl.v
+    W16 = mbw * 16
+
+    # per-segment dequant factors
+    seg_dq = [
+        dequant_factors(_seg_quant_index(hd, s), hd.dq) for s in range(4)
+    ]
+
+    above_nz = [[0] * 9 for _ in range(mbw)]  # y0-3, u0-1, v0-1, y2
+    above_sub = [[0] * 4 for _ in range(mbw)]  # bottom submodes per column
+    # per-MB records for the loop filter pass
+    mb_info = [[None] * mbw for _ in range(mbh)]
+
+    for mby in range(mbh):
+        left_nz = [0] * 9
+        left_sub = [0] * 4
+        # right-extension of the row above this MB row (above-right source
+        # for the rightmost MB): replicate its last real pixel
+        r = mby * 16
+        Y[r, W16 + 1 : W16 + 5] = Y[r, W16]
+        bdr = parts[mby % len(parts)]
+        for mbx in range(mbw):
+            # ---- mode parsing (first partition, raster order) ----
+            seg_id = 0
+            if hd.seg_enabled and hd.seg_update_map:
+                seg_id = bd.tree(_SEGMENT_TREE, hd.seg_tree_probs)
+            skip = bd.get_bool(hd.skip_prob) if hd.use_skip else 0
+            ymode = bd.tree(_KF_YMODE_TREE, _KF_YMODE_PROBS)
+            if ymode == B_PRED:
+                sub = [0] * 16
+                for sy in range(4):
+                    for sx in range(4):
+                        a = above_sub[mbx][sx] if sy == 0 else sub[(sy - 1) * 4 + sx]
+                        l = (left_sub[sy] if sx == 0 else sub[sy * 4 + sx - 1])
+                        probs = T.KF_BMODE_PROBS[a][l]
+                        sub[sy * 4 + sx] = bd.tree(_BMODE_TREE, probs)
+                above_sub[mbx] = sub[12:16]
+                left_sub = [sub[3], sub[7], sub[11], sub[15]]
+            else:
+                m = _MODE_TO_BMODE[ymode]
+                sub = [m] * 16
+                above_sub[mbx] = [m] * 4
+                left_sub = [m] * 4
+            uvmode = bd.tree(_UV_MODE_TREE, _KF_UV_PROBS)
+
+            # ---- residual parsing (per-row partition) ----
+            (y1dc, y1ac), (y2dc, y2ac), (uvdc, uvac) = seg_dq[seg_id]
+            coeffs = [[0] * 16 for _ in range(25)]
+            has_y2 = ymode != B_PRED
+            anz = above_nz[mbx]
+            if skip:
+                for i in range(8):
+                    anz[i] = 0
+                    left_nz[i] = 0
+                if has_y2:
+                    anz[8] = 0
+                    left_nz[8] = 0
+                nz_map = [0] * 25
+            else:
+                nz_map = [0] * 25
+                if has_y2:
+                    ctx = anz[8] + left_nz[8]
+                    c, eob = get_coeffs(bdr, hd.probs[1], 0, ctx, (y2dc, y2ac))
+                    nz = 1 if eob > 0 else 0
+                    anz[8] = left_nz[8] = nz
+                    y2out = iwht4x4(c)
+                    first, ptype = 1, 0
+                else:
+                    y2out = None
+                    first, ptype = 0, 3
+                for sy in range(4):
+                    for sx in range(4):
+                        bi = sy * 4 + sx
+                        ctx = anz[sx] + left_nz[sy]
+                        c, eob = get_coeffs(
+                            bdr, hd.probs[ptype], first, ctx, (y1dc, y1ac)
+                        )
+                        nz = 1 if eob > first else 0
+                        anz[sx] = left_nz[sy] = nz
+                        nz_map[bi] = nz
+                        if y2out is not None:
+                            c[0] = y2out[bi]
+                        coeffs[bi] = c
+                for pi, base, slot in ((0, 16, 4), (1, 20, 6)):
+                    for sy in range(2):
+                        for sx in range(2):
+                            bi = base + sy * 2 + sx
+                            ctx = anz[slot + sx] + left_nz[slot + sy]
+                            c, eob = get_coeffs(
+                                bdr, hd.probs[2], 0, ctx, (uvdc, uvac)
+                            )
+                            nz = 1 if eob > 0 else 0
+                            anz[slot + sx] = left_nz[slot + sy] = nz
+                            nz_map[bi] = nz
+                            coeffs[bi] = c
+            # ---- reconstruction ----
+            _reconstruct_mb(
+                pl, hd, mbx, mby, ymode, sub, uvmode, coeffs, skip, has_y2
+            )
+            f_inner = ymode == B_PRED or _mb_has_coeffs(coeffs, has_y2, skip)
+            mb_info[mby][mbx] = (seg_id, f_inner, ymode)
+
+    if hd.filter_level > 0:
+        _loop_filter(pl, hd, mb_info)
+
+    w, h = hd.width, hd.height
+    cw, ch = (w + 1) >> 1, (h + 1) >> 1
+    y_out = pl.y[1 : 1 + h, 1 : 1 + w].astype(np.uint8).tobytes()
+    u_out = pl.u[1 : 1 + ch, 1 : 1 + cw].astype(np.uint8).tobytes()
+    v_out = pl.v[1 : 1 + ch, 1 : 1 + cw].astype(np.uint8).tobytes()
+    return w, h, y_out, u_out, v_out
+
+
+def _mb_has_coeffs(coeffs, has_y2, skip) -> bool:
+    if skip:
+        return False
+    return any(any(c) for c in coeffs)
+
+
+def _reconstruct_mb(pl, hd, mbx, mby, ymode, sub, uvmode, coeffs, skip, has_y2):
+    np = pl.np
+    Y, U, V = pl.y, pl.u, pl.v
+    x0, y0 = mbx * 16 + 1, mby * 16 + 1  # padded coords
+    mbw = hd.mb_w
+
+    if ymode != B_PRED:
+        above = Y[y0 - 1, x0 : x0 + 16].tolist() if mby > 0 else None
+        left = Y[y0 : y0 + 16, x0 - 1].tolist() if mbx > 0 else None
+        if ymode == DC_PRED:
+            pred = _pred_dc(above, left, 16)
+        else:
+            av = Y[y0 - 1, x0 : x0 + 16].tolist()
+            lf = Y[y0 : y0 + 16, x0 - 1].tolist()
+            pred = _pred_16(ymode, av, lf, int(Y[y0 - 1, x0 - 1]), 16)
+        block = np.array(pred, dtype=np.int32).reshape(16, 16)
+        if not skip:
+            for sy in range(4):
+                for sx in range(4):
+                    c = coeffs[sy * 4 + sx]
+                    if any(c):
+                        res = np.array(idct4x4(c), dtype=np.int32).reshape(4, 4)
+                        block[sy * 4 : sy * 4 + 4, sx * 4 : sx * 4 + 4] += res
+        np.clip(block, 0, 255, out=block)
+        Y[y0 : y0 + 16, x0 : x0 + 16] = block
+    else:
+        for sy in range(4):
+            for sx in range(4):
+                bx, by = x0 + sx * 4, y0 + sy * 4
+                a8 = [0] * 8
+                a8[:4] = Y[by - 1, bx : bx + 4].tolist()
+                if sx == 3:
+                    # above-right always comes from the row above the MB
+                    a8[4:] = Y[y0 - 1, x0 + 16 : x0 + 20].tolist()
+                else:
+                    a8[4:] = Y[by - 1, bx + 4 : bx + 8].tolist()
+                l4 = Y[by : by + 4, bx - 1].tolist()
+                p = int(Y[by - 1, bx - 1])
+                pred = _pred_b(sub[sy * 4 + sx], a8, l4, p)
+                c = coeffs[sy * 4 + sx]
+                if skip or not any(c):
+                    out = pred
+                else:
+                    res = idct4x4(c)
+                    out = [_clamp255(pred[i] + res[i]) for i in range(16)]
+                arr = np.array(out, dtype=np.int32).reshape(4, 4)
+                np.clip(arr, 0, 255, out=arr)
+                Y[by : by + 4, bx : bx + 4] = arr
+
+    # chroma
+    cx0, cy0 = mbx * 8 + 1, mby * 8 + 1
+    for plane, base in ((U, 16), (V, 20)):
+        above = plane[cy0 - 1, cx0 : cx0 + 8].tolist() if mby > 0 else None
+        left = plane[cy0 : cy0 + 8, cx0 - 1].tolist() if mbx > 0 else None
+        if uvmode == DC_PRED:
+            pred = _pred_dc(above, left, 8)
+        else:
+            av = plane[cy0 - 1, cx0 : cx0 + 8].tolist()
+            lf = plane[cy0 : cy0 + 8, cx0 - 1].tolist()
+            pred = _pred_16(uvmode, av, lf, int(plane[cy0 - 1, cx0 - 1]), 8)
+        block = np.array(pred, dtype=np.int32).reshape(8, 8)
+        if not skip:
+            for sy in range(2):
+                for sx in range(2):
+                    c = coeffs[base + sy * 2 + sx]
+                    if any(c):
+                        res = np.array(idct4x4(c), dtype=np.int32).reshape(4, 4)
+                        block[sy * 4 : sy * 4 + 4, sx * 4 : sx * 4 + 4] += res
+        np.clip(block, 0, 255, out=block)
+        plane[cy0 : cy0 + 8, cx0 : cx0 + 8] = block
+
+
+def _c8(v: int) -> int:
+    """Clamp to signed char, the c() of RFC 6386 §15.3."""
+    return -128 if v < -128 else (127 if v > 127 else v)
+
+
+def _filter_mask(p, q, ilim: int, elim: int) -> bool:
+    return (
+        abs(p[0] - q[0]) * 2 + abs(p[1] - q[1]) // 2 <= elim
+        and abs(p[3] - p[2]) <= ilim
+        and abs(p[2] - p[1]) <= ilim
+        and abs(p[1] - p[0]) <= ilim
+        and abs(q[3] - q[2]) <= ilim
+        and abs(q[2] - q[1]) <= ilim
+        and abs(q[1] - q[0]) <= ilim
+    )
+
+
+def _common_adjust(p, q, use_outer: int):
+    """§15.3 common_adjust on signed values; mutates p[0]/q[0], returns F."""
+    a = _c8((_c8(p[1] - q[1]) if use_outer else 0) + 3 * (q[0] - p[0]))
+    f = _c8(a + 4) >> 3
+    e = _c8(a + 3) >> 3
+    q[0] = q[0] - f
+    p[0] = p[0] + e
+    return f
+
+
+def _filter_line(line, kind: int, hev_t: int, ilim: int, elim: int):
+    """Filter one 8-pixel cross-edge line (p3..p0,q0..q3 as unsigned).
+    kind: 0 = subblock filter, 1 = macroblock filter, 2 = simple filter.
+    Returns the new 8 values (only the relevant taps change)."""
+    p = [line[3] - 128, line[2] - 128, line[1] - 128, line[0] - 128]
+    q = [line[4] - 128, line[5] - 128, line[6] - 128, line[7] - 128]
+    if kind == 2:
+        if abs(p[0] - q[0]) * 2 + abs(p[1] - q[1]) // 2 <= elim:
+            _common_adjust(p, q, 1)
+    elif _filter_mask(p, q, ilim, elim):
+        hev = abs(p[1] - p[0]) > hev_t or abs(q[1] - q[0]) > hev_t
+        if kind == 0:
+            f = _common_adjust(p, q, 1 if hev else 0)
+            if not hev:
+                a = _c8(f + 1) >> 1
+                q[1] -= a
+                p[1] += a
+        else:
+            if hev:
+                _common_adjust(p, q, 1)
+            else:
+                w = _c8(_c8(p[1] - q[1]) + 3 * (q[0] - p[0]))
+                a = _c8((27 * w + 63) >> 7)
+                q[0] -= a
+                p[0] += a
+                a = _c8((18 * w + 63) >> 7)
+                q[1] -= a
+                p[1] += a
+                a = _c8((9 * w + 63) >> 7)
+                q[2] -= a
+                p[2] += a
+    def u(v):
+        v += 128
+        return 0 if v < 0 else (255 if v > 255 else v)
+    return [u(p[3]), u(p[2]), u(p[1]), u(p[0]), u(q[0]), u(q[1]), u(q[2]), u(q[3])]
+
+
+def _filter_v_edge(plane, x, y0, n, kind, hev_t, ilim, elim):
+    for r in range(y0, y0 + n):
+        row = plane[r]
+        line = [int(row[x - 4 + i]) for i in range(8)]
+        row[x - 4 : x + 4] = _filter_line(line, kind, hev_t, ilim, elim)
+
+
+def _filter_h_edge(plane, x0, y, n, kind, hev_t, ilim, elim):
+    for cidx in range(x0, x0 + n):
+        line = [int(plane[y - 4 + i][cidx]) for i in range(8)]
+        out = _filter_line(line, kind, hev_t, ilim, elim)
+        for i in range(8):
+            plane[y - 4 + i][cidx] = out[i]
+
+
+def _loop_filter(pl, hd, mb_info):
+    """In-loop deblocking, §15: MBs in raster order; per MB, left MB edge,
+    internal vertical edges, top MB edge, internal horizontal edges — the
+    simple filter touches luma only, the normal filter all three planes."""
+    simple = hd.filter_type == 1
+    Y, U, V = pl.y, pl.u, pl.v
+    for mby in range(hd.mb_h):
+        for mbx in range(hd.mb_w):
+            seg_id, f_inner, ymode = mb_info[mby][mbx]
+            if hd.seg_enabled:
+                level = (
+                    hd.seg_lf[seg_id]
+                    if hd.seg_abs_delta
+                    else hd.filter_level + hd.seg_lf[seg_id]
+                )
+                level = 0 if level < 0 else (63 if level > 63 else level)
+            else:
+                level = hd.filter_level
+            if hd.lf_delta_enabled:
+                level += hd.ref_lf_deltas[0]  # intra (key) frame
+                if ymode == B_PRED:
+                    level += hd.mode_lf_deltas[0]
+                level = 0 if level < 0 else (63 if level > 63 else level)
+            if level == 0:
+                continue
+            ilim = level
+            if hd.sharpness:
+                ilim >>= 2 if hd.sharpness > 4 else 1
+                if ilim > 9 - hd.sharpness:
+                    ilim = 9 - hd.sharpness
+            if ilim < 1:
+                ilim = 1
+            hev_t = 2 if level >= 40 else (1 if level >= 15 else 0)
+            mb_lim = ((level + 2) * 2) + ilim
+            sub_lim = (level * 2) + ilim
+
+            x0, y0 = mbx * 16 + 1, mby * 16 + 1
+            cx0, cy0 = mbx * 8 + 1, mby * 8 + 1
+            mkind = 2 if simple else 1
+            skind = 2 if simple else 0
+            if mbx > 0:
+                _filter_v_edge(Y, x0, y0, 16, mkind, hev_t, ilim, mb_lim)
+                if not simple:
+                    _filter_v_edge(U, cx0, cy0, 8, 1, hev_t, ilim, mb_lim)
+                    _filter_v_edge(V, cx0, cy0, 8, 1, hev_t, ilim, mb_lim)
+            if f_inner:
+                for dx in (4, 8, 12):
+                    _filter_v_edge(Y, x0 + dx, y0, 16, skind, hev_t, ilim, sub_lim)
+                if not simple:
+                    _filter_v_edge(U, cx0 + 4, cy0, 8, 0, hev_t, ilim, sub_lim)
+                    _filter_v_edge(V, cx0 + 4, cy0, 8, 0, hev_t, ilim, sub_lim)
+            if mby > 0:
+                _filter_h_edge(Y, x0, y0, 16, mkind, hev_t, ilim, mb_lim)
+                if not simple:
+                    _filter_h_edge(U, cx0, cy0, 8, 1, hev_t, ilim, mb_lim)
+                    _filter_h_edge(V, cx0, cy0, 8, 1, hev_t, ilim, mb_lim)
+            if f_inner:
+                for dy in (4, 8, 12):
+                    _filter_h_edge(Y, x0, y0 + dy, 16, skind, hev_t, ilim, sub_lim)
+                if not simple:
+                    _filter_h_edge(U, cx0, cy0 + 4, 8, 0, hev_t, ilim, sub_lim)
+                    _filter_h_edge(V, cx0, cy0 + 4, 8, 0, hev_t, ilim, sub_lim)
+
+# --- constrained encoder (the graded-oracle profile) ---------------------------------
+
+
+def encode_vp8_dc_profile(width: int, height: int, mb_yuv) -> bytes:
+    """Spec-valid key-frame VP8 stream where macroblock (mbx, mby)
+    reconstructs to the flat (Y, U, V) = ``mb_yuv(mbx, mby)`` — every value
+    0..255.  Profile: no segmentation, filter_level 0, one token partition,
+    qindex 0 (y2dc quantizer 8, uv dc quantizer 4), 16x16 DC_PRED + chroma
+    DC_PRED everywhere, residuals carried entirely by the Y2 WHT DC and the
+    chroma DC coefficients, solved against the decoder's own integer
+    arithmetic so reconstruction is EXACT (no clamping, no rounding error).
+    Independent of decode_vp8 (writes bits per RFC 6386 §8-§13 directly);
+    libwebp decodes these streams bit-identically when available
+    (tests/test_vp8_codec.py)."""
+    mbw, mbh = (width + 15) >> 4, (height + 15) >> 4
+
+    be1 = BoolEncoder()
+    be1.bit(0)  # color space CS_YUV
+    be1.bit(0)  # no pixel clamping needed (values stay in range)
+    be1.bit(0)  # segmentation disabled
+    be1.bit(0)  # filter type: normal (irrelevant at level 0)
+    be1.literal(0, 6)  # loop filter level 0
+    be1.literal(0, 3)  # sharpness
+    be1.bit(0)  # no lf deltas
+    be1.literal(0, 2)  # one token partition
+    be1.literal(0, 7)  # y_ac qindex 0
+    for _ in range(5):
+        be1.bit(0)  # no quantizer deltas
+    be1.bit(1)  # refresh entropy probs (single-frame: no effect)
+    upd = T.COEFF_UPDATE_PROBS
+    for t in range(4):
+        for b in range(8):
+            for c in range(3):
+                for p in range(11):
+                    be1.put_bool(upd[t][b][c][p], 0)
+    be1.bit(0)  # mb_no_coeff_skip disabled: every MB carries residuals
+
+    be2 = BoolEncoder()
+    probs = T.COEFF_PROBS
+    above_nz = [[0] * 9 for _ in range(mbw)]
+    y_flat = [[0] * mbw for _ in range(mbh)]
+    u_flat = [[0] * mbw for _ in range(mbh)]
+    v_flat = [[0] * mbw for _ in range(mbh)]
+
+    for mby in range(mbh):
+        left_nz = [0] * 9
+        for mbx in range(mbw):
+            ty, tu, tv = mb_yuv(mbx, mby)
+            for t in (ty, tu, tv):
+                if not 0 <= t <= 255:
+                    raise ValueError("mb_yuv targets must be 0..255")
+            # modes: ymode DC_PRED ("100" in the kf tree), uv DC_PRED ("0")
+            be1.put_bool(_KF_YMODE_PROBS[0], 1)
+            be1.put_bool(_KF_YMODE_PROBS[1], 0)
+            be1.put_bool(_KF_YMODE_PROBS[2], 0)
+            be1.put_bool(_KF_UV_PROBS[0], 0)
+
+            # decoder-exact DC predictions over flat neighbors
+            def dc_pred(flat):
+                a = flat[mby - 1][mbx] if mby > 0 else None
+                l = flat[mby][mbx - 1] if mbx > 0 else None
+                if a is not None and l is not None:
+                    return (a + l + 1) >> 1
+                if a is not None:
+                    return a
+                if l is not None:
+                    return l
+                return 128
+
+            dy = ty - dc_pred(y_flat)
+            du = tu - dc_pred(u_flat)
+            dv = tv - dc_pred(v_flat)
+            y_flat[mby][mbx] = ty
+            u_flat[mby][mbx] = tu
+            v_flat[mby][mbx] = tv
+
+            anz = above_nz[mbx]
+            # Y2 (type 1): DC coefficient 8*dy, quantizer y2dc = 8
+            ctx = anz[8] + left_nz[8]
+            eob = put_coeffs(be2, probs[1], 0, ctx, [8 * dy])
+            anz[8] = left_nz[8] = 1 if eob > 0 else 0
+            # 16 luma blocks (type 0, first=1): all empty
+            for sy in range(4):
+                for sx in range(4):
+                    ctx = anz[sx] + left_nz[sy]
+                    put_coeffs(be2, probs[0], 1, ctx, [])
+                    anz[sx] = left_nz[sy] = 0
+            # chroma (type 2): each 4x4 subblock carries DC = 2*delta
+            # (chroma has no WHT stage; a flat 8x8 needs all four DCs)
+            for delta, slot in ((du, 4), (dv, 6)):
+                for sy in range(2):
+                    for sx in range(2):
+                        ctx = anz[slot + sx] + left_nz[slot + sy]
+                        vals = [2 * delta] if delta else []
+                        eob = put_coeffs(be2, probs[2], 0, ctx, vals)
+                        anz[slot + sx] = left_nz[slot + sy] = 1 if eob > 0 else 0
+
+    part1 = be1.flush()
+    part2 = be2.flush()
+    tag = len(part1) << 5 | (1 << 4)  # key frame, version 0, show_frame
+    head = bytes((tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF))
+    head += b"\x9d\x01\x2a"
+    head += (width & 0x3FFF).to_bytes(2, "little")
+    head += (height & 0x3FFF).to_bytes(2, "little")
+    return head + part1 + part2

@@ -106,3 +106,59 @@ def test_stub_path_ignores_codec_availability(spark, monkeypatch):
     monkeypatch.setattr(mm, "_PIL_IMAGE", _FakeImageModule)
     after = mm.extract_features(df).select("features").first()["features"]
     assert before == after
+
+
+def test_cross_format_decoder_agreement():
+    """De-circularizer across container formats: the SAME pixel function
+    decoded through PNG, four TIFF layouts, and lossless WebP must yield
+    identical RGB arrays.  Each format has its own independently written
+    encoder AND decoder (deflate+scanline filters / strip codecs+predictor /
+    VP8L prefix codes), so a shared spec misreading in any ONE pair breaks
+    agreement with the other formats.
+
+    PNG and TIFF pin the gradient contract v(x,y) = (x%256, y%256,
+    (x+y)%256); WebP is synthesized with the same function.  GIF cannot
+    express arbitrary RGB (256-entry palette), so it gets a
+    palette-constrained variant below: index i(x,y)=(x+2y)%256 through the
+    synth_gif_full palette (i, 3i%256, 7i%256), with WebP encoding the
+    palette-mapped image directly and agreeing pixel-for-pixel."""
+    import numpy as np
+
+    w, h = 37, 23
+    outs = {}
+    png = mm.decode_png(mm.synth_png_full(w, h, color_type=2))
+    assert png is not None and png[:3] == (w, h, 3)
+    outs["png"] = np.frombuffer(png[3], dtype=np.uint8).reshape(h, w, 3)
+    for comp, pred in ((1, 1), (5, 2), (8, 1), (32773, 1)):
+        t = mm.decode_tiff(
+            mm.synth_tiff_full(
+                w, h, channels=3, rows_per_strip=7, compression=comp,
+                predictor=pred,
+            )
+        )
+        assert t is not None and t[:3] == (w, h, 3)
+        outs[f"tiff{comp}"] = np.frombuffer(t[3], dtype=np.uint8).reshape(h, w, 3)
+    webp = mm.decode_webp(
+        mm.synth_webp_lossless(
+            w, h, lambda x, y: (x % 256, y % 256, (x + y) % 256, 255)
+        )
+    )
+    assert webp is not None and webp[:3] == (w, h, 4)
+    outs["webp"] = np.frombuffer(webp[3], dtype=np.uint8).reshape(h, w, 4)[:, :, :3]
+    base = outs["png"]
+    for name, arr in outs.items():
+        assert np.array_equal(arr, base), f"{name} disagrees with png"
+
+    # palette-constrained GIF variant vs WebP on the same mapped image
+    iv = lambda x, y: (x + 2 * y) % 256
+    gif = mm.decode_gif(mm.synth_gif_full(w, h, iv))
+    assert gif is not None and gif[:3] == (w, h, 3)
+    garr = np.frombuffer(gif[3], dtype=np.uint8).reshape(h, w, 3)
+    webp2 = mm.decode_webp(
+        mm.synth_webp_lossless(
+            w, h,
+            lambda x, y: (iv(x, y), (iv(x, y) * 3) % 256, (iv(x, y) * 7) % 256, 255),
+        )
+    )
+    warr = np.frombuffer(webp2[3], dtype=np.uint8).reshape(h, w, 4)[:, :, :3]
+    assert np.array_equal(garr, warr), "gif palette map disagrees with webp"

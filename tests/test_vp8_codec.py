@@ -1,0 +1,508 @@
+"""Adversarial tests for the pure-stdlib lossy VP8 codec (sources/vp8.py).
+
+Two layers, per the codec-test de-circularization rule the VP8L bug-hunt
+established (round 7): (1) wheel-free unit tests grade primitives against
+spec-derived INDEPENDENT formulas (float DCT reference, closed-form WHT,
+hand-computed predictor patterns), never against the decoder's own helpers;
+(2) when the system libwebp shared library is present, the whole decoder is
+pinned BIT-EXACT against the public reference implementation — on the
+constrained DC-profile streams our encoder writes, on per-submode probe
+streams, and on REAL libwebp-encoder streams across the quality range
+(segmentation, B_PRED, token-prob updates, and the in-loop deblocking
+filter all active)."""
+
+from __future__ import annotations
+
+import ctypes
+import math
+import random
+
+import numpy as np
+import pytest
+
+from teledetection_drone_satellite_spark.sources import multimodal as mm
+from teledetection_drone_satellite_spark.sources import vp8
+from teledetection_drone_satellite_spark.sources import vp8_tables as T
+
+
+def _libwebp():
+    try:
+        lib = ctypes.CDLL("libwebp.so.7")
+    except OSError:
+        return None
+    lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.WebPDecodeYUV.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.WebPEncodeRGB.restype = ctypes.c_size_t
+    lib.WebPEncodeRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    return lib
+
+
+_LIB = _libwebp()
+needs_libwebp = pytest.mark.skipif(
+    _LIB is None, reason="system libwebp not present"
+)
+
+
+def _ref_yuv(wp: bytes):
+    W = ctypes.c_int()
+    H = ctypes.c_int()
+    up = ctypes.POINTER(ctypes.c_uint8)()
+    vp_ = ctypes.POINTER(ctypes.c_uint8)()
+    st = ctypes.c_int()
+    uvst = ctypes.c_int()
+    yp = _LIB.WebPDecodeYUV(
+        wp, len(wp), ctypes.byref(W), ctypes.byref(H), ctypes.byref(up),
+        ctypes.byref(vp_), ctypes.byref(st), ctypes.byref(uvst),
+    )
+    if not yp:
+        return None
+    cw, ch = (W.value + 1) // 2, (H.value + 1) // 2
+    out = (
+        np.ctypeslib.as_array(yp, shape=(H.value, st.value))[:, : W.value].copy(),
+        np.ctypeslib.as_array(up, shape=(ch, uvst.value))[:, :cw].copy(),
+        np.ctypeslib.as_array(vp_, shape=(ch, uvst.value))[:, :cw].copy(),
+    )
+    _LIB.WebPFree(yp)
+    return out
+
+
+def _ref_encode(w: int, h: int, q: float, pix) -> bytes:
+    rgb = bytes(v for y in range(h) for x in range(w) for v in pix(x, y))
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = _LIB.WebPEncodeRGB(rgb, w, h, w * 3, float(q), ctypes.byref(out))
+    data = ctypes.string_at(out, n)
+    _LIB.WebPFree(out)
+    return data
+
+
+def _my_yuv(payload: bytes, w: int, h: int):
+    got = vp8.decode_vp8(payload)
+    assert got is not None
+    _, _, yb, ub, vb = got
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    return (
+        np.frombuffer(yb, dtype=np.uint8).reshape(h, w),
+        np.frombuffer(ub, dtype=np.uint8).reshape(ch, cw),
+        np.frombuffer(vb, dtype=np.uint8).reshape(ch, cw),
+    )
+
+
+# --- wheel-free: boolean coder -------------------------------------------------------
+
+
+def test_bool_coder_roundtrip_random():
+    rnd = random.Random(42)
+    for trial in range(20):
+        n = rnd.randrange(1, 400)
+        probs = [rnd.randrange(1, 255) for _ in range(n)]
+        bits = [rnd.randrange(2) for _ in range(n)]
+        be = vp8.BoolEncoder()
+        for p, b in zip(probs, bits):
+            be.put_bool(p, b)
+        data = be.flush()
+        bd = vp8.BoolDecoder(data)
+        got = [bd.get_bool(p) for p in probs]
+        assert got == bits, f"trial {trial}"
+
+
+def test_bool_coder_literals_and_trees():
+    be = vp8.BoolEncoder()
+    be.literal(0x5A, 8)
+    be.tree(vp8._KF_YMODE_TREE, vp8._KF_YMODE_PROBS, vp8.DC_PRED)
+    be.tree(vp8._KF_YMODE_TREE, vp8._KF_YMODE_PROBS, vp8.B_PRED)
+    be.tree(vp8._BMODE_TREE, T.KF_BMODE_PROBS[0][0], 9)
+    data = be.flush()
+    bd = vp8.BoolDecoder(data)
+    assert bd.literal(8) == 0x5A
+    assert bd.tree(vp8._KF_YMODE_TREE, vp8._KF_YMODE_PROBS) == vp8.DC_PRED
+    assert bd.tree(vp8._KF_YMODE_TREE, vp8._KF_YMODE_PROBS) == vp8.B_PRED
+    assert bd.tree(vp8._BMODE_TREE, T.KF_BMODE_PROBS[0][0]) == 9
+
+
+# --- wheel-free: transforms against independent references ---------------------------
+
+
+def test_idct_matches_float_dct_reference():
+    """The RFC 6386 integer IDCT approximates the exact float 4x4 DCT-II
+    inverse with cos(pi/8)*sqrt(2) constants; on random coefficients the
+    integer output must stay within 2 of the float reference (the >>16
+    truncations accumulate slightly beyond 1 ulp on extreme coefficients;
+    measured max 1.29 over 2000 random blocks — bit-exactness is pinned by
+    the libwebp conformance tests instead), and the DC-only case must be
+    exact: (dc + 4) >> 3."""
+    rnd = random.Random(3)
+
+    def float_idct(c):
+        # inverse of the VP8 forward transform definition: butterfly with
+        # c1 = cos(pi/8)*sqrt(2), c2 = sin(pi/8)*sqrt(2), matching §14.4
+        c1 = math.cos(math.pi / 8) * math.sqrt(2)
+        c2 = math.sin(math.pi / 8) * math.sqrt(2)
+
+        def pass1(v0, v1, v2, v3):
+            a = v0 + v2
+            b = v0 - v2
+            cc = v1 * c2 - v3 * c1
+            d = v1 * c1 + v3 * c2
+            return a + d, b + cc, b - cc, a - d
+
+        cols = [pass1(c[i], c[i + 4], c[i + 8], c[i + 12]) for i in range(4)]
+        out = []
+        for r in range(4):
+            row = pass1(*(cols[i][r] for i in range(4)))
+            out.extend(v / 8.0 for v in row)
+        return out
+
+    for _ in range(50):
+        coeffs = [rnd.randrange(-2048, 2048) for _ in range(16)]
+        got = vp8.idct4x4(coeffs)
+        ref = float_idct(coeffs)
+        for g, r in zip(got, ref):
+            assert abs(g - r) <= 2.0
+    for dc in (-2048, -9, 0, 7, 8, 100, 2047):
+        got = vp8.idct4x4([dc] + [0] * 15)
+        assert got == [(dc + 4) >> 3] * 16
+
+
+def test_iwht_dc_only_and_parseval():
+    """DC-only IWHT must distribute (dc+3)>>3 to all 16 outputs; a full
+    WHT roundtrip (forward = scaled inverse of this orthogonal transform)
+    reproduces inputs: forward(inverse(x)*8)/... checked via the matrix."""
+    for dc in (-2040, -8, 0, 5, 64, 2040):
+        assert vp8.iwht4x4([dc] + [0] * 15) == [(dc + 3) >> 3] * 16
+    # independent matrix reference: H4 = [[1,1,1,1],[1,1,-1,-1],[1,-1,-1,1],[1,-1,1,-1]]
+    # The RFC §14.3 output equals round((H^T C H)/8) with its fixed +3 bias.
+    rnd = random.Random(9)
+    H = np.array([[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]])
+    for _ in range(30):
+        c = np.array([rnd.randrange(-512, 512) for _ in range(16)]).reshape(4, 4)
+        ref = (H.T @ c @ H + 3) >> 3
+        # §14.3 iterates columns of the coefficient block first; its
+        # hadamard pairing (0,12 / 4,8) equals the H^T C H product
+        got = np.array(vp8.iwht4x4(list(c.flatten()))).reshape(4, 4)
+        assert np.array_equal(got, ref), (c, got, ref)
+
+
+def test_dequant_factors_spec_rules():
+    (y1dc, y1ac), (y2dc, y2ac), (uvdc, uvac) = vp8.dequant_factors(0, (0,) * 5)
+    assert (y1dc, y1ac) == (4, 4)
+    assert y2dc == 8  # doubled dc
+    assert y2ac == 8  # 155% of 4 floors at 8
+    assert (uvdc, uvac) == (4, 4)
+    # chroma dc cap at 132
+    (_, _), (_, _), (uvdc, _) = vp8.dequant_factors(127, (0, 0, 0, 15, 0))
+    assert uvdc == 132
+    # q index clamping
+    (y1dc, _), _, _ = vp8.dequant_factors(127, (15, 0, 0, 0, 0))
+    assert y1dc == T.DC_QLOOKUP[127]
+
+
+def test_token_coder_roundtrip_all_categories():
+    """put_coeffs/get_coeffs round-trip every token class: literals 1-4,
+    cat1-cat6 boundaries, zero runs, negatives, full 16-coeff blocks."""
+    cases = [
+        [1], [-1], [2], [4], [5], [6], [7], [10], [11], [18], [19], [34],
+        [35], [66], [67], [100], [-2047], [2048 + 66],
+        [0, 0, 3], [1, 0, 0, -5], [0] * 15 + [9], [3] * 16,
+        [7, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, -1],
+    ]
+    probs = T.COEFF_PROBS[0]
+    for first in (0, 1):
+        for ctx in (0, 1, 2):
+            for vals in cases:
+                if first == 1 and len(vals) == 16:
+                    continue
+                be = vp8.BoolEncoder()
+                eob = vp8.put_coeffs(be, probs, first, ctx, vals)
+                bd = vp8.BoolDecoder(be.flush())
+                out, eob2 = vp8.get_coeffs(bd, probs, first, ctx, (1, 1))
+                assert eob == eob2
+                # out is raster order; map expected scan values
+                exp = [0] * 16
+                for k, v in enumerate(vals):
+                    exp[vp8._ZIGZAG[first + k]] = v
+                assert out == exp, (first, ctx, vals, out)
+
+
+def test_dc_profile_roundtrip_geometries():
+    for (w, h) in [(16, 16), (40, 28), (33, 17), (1, 1), (100, 1), (15, 15)]:
+        def mv(mbx, mby):
+            return (
+                (16 * mbx + 40 * mby + 9) % 256,
+                (7 * mbx + 3 * mby + 100) % 256,
+                (5 * mbx + 11 * mby + 30) % 256,
+            )
+
+        data = vp8.encode_vp8_dc_profile(w, h, mv)
+        y, u, v = _my_yuv(data, w, h)
+        for yy in range(h):
+            for xx in range(w):
+                assert y[yy, xx] == mv(xx // 16, yy // 16)[0]
+        for yy in range((h + 1) // 2):
+            for xx in range((w + 1) // 2):
+                assert u[yy, xx] == mv(xx // 8, yy // 8)[1]
+                assert v[yy, xx] == mv(xx // 8, yy // 8)[2]
+
+
+def test_decode_rejects_malformed():
+    good = vp8.encode_vp8_dc_profile(32, 32, lambda a, b: (100, 110, 120))
+    assert vp8.decode_vp8(good) is not None
+    assert vp8.decode_vp8(b"") is None
+    assert vp8.decode_vp8(good[:8]) is None
+    bad = bytearray(good)
+    bad[0] |= 1  # interframe bit
+    assert vp8.decode_vp8(bytes(bad)) is None
+    bad = bytearray(good)
+    bad[3] ^= 0xFF  # start code
+    assert vp8.decode_vp8(bytes(bad)) is None
+    # part1 size beyond buffer
+    bad = bytearray(good)
+    bad[2] = 0xFF
+    assert vp8.decode_vp8(bytes(bad)) is None
+
+
+def test_loop_filter_noop_on_flat_edges():
+    """A perfectly flat edge has zero gradient: the normal and simple
+    filters must leave it untouched at any level (F and w vanish)."""
+    for kind in (0, 1, 2):
+        line = [140] * 8
+        assert vp8._filter_line(line, kind, 0, 9, 40) == line
+    # a hard step above the edge limit must also be untouched (mask fails)
+    line = [10, 10, 10, 10, 250, 250, 250, 250]
+    assert vp8._filter_line(line, 1, 2, 1, 3) == line
+
+
+def test_decode_webp_lossy_rgb_contract():
+    content = mm.synth_webp_lossy(40, 24)
+    got = mm.decode_webp(content)
+    assert got is not None and got[:3] == (40, 24, 3)
+    arr = np.frombuffer(got[3], dtype=np.uint8).reshape(24, 40, 3)
+    # spot-check pixel (0,0) through the documented JFIF conversion
+    yv, uv, vv = 16 % 220 + 16, 0 % 224 + 16, 0 % 224 + 16
+    yv, uv, vv = (
+        (40 * 0 + 23 * 0 + 16) % 220 + 16,
+        (31 * 0 + 7 * 0) % 224 + 16,
+        (13 * 0 + 29 * 0) % 224 + 16,
+    )
+    exp_r = min(255, max(0, math.floor(yv + 1.402 * (vv - 128) + 0.5)))
+    assert arr[0, 0, 0] == exp_r
+
+
+# --- libwebp-gated: reference conformance --------------------------------------------
+
+
+@needs_libwebp
+def test_tables_match_reference_binary():
+    """The RFC constant tables embedded in vp8_tables.py must equal the
+    ones in the system libwebp binary (KF_BMODE_PROBS after mapping
+    libwebp's RD/VR/LD enum order back to the RFC order)."""
+    data = open("/usr/lib/x86_64-linux-gnu/libwebp.so.7.1.5", "rb").read()
+    import struct
+
+    assert data.find(bytes(T.DC_QLOOKUP)) > 0
+    assert data.find(b"".join(struct.pack("<H", v) for v in T.AC_QLOOKUP)) > 0
+    flat_upd = bytes(
+        T.COEFF_UPDATE_PROBS[t][b][c][p]
+        for t in range(4) for b in range(8) for c in range(3) for p in range(11)
+    )
+    assert data.find(flat_upd) > 0
+    flat_probs = bytes(
+        T.COEFF_PROBS[t][b][c][p]
+        for t in range(4) for b in range(8) for c in range(3) for p in range(11)
+    )
+    assert data.find(flat_probs) > 0
+    perm = {i: i for i in range(10)}
+    perm[4], perm[5], perm[6] = 6, 4, 5  # RFC order -> libwebp enum order
+    flat_bmode = bytes(
+        T.KF_BMODE_PROBS[inv_a][inv_l][p]
+        for a in range(10) for l in range(10) for p in range(9)
+        for inv_a in [next(k for k, v in perm.items() if v == a)]
+        for inv_l in [next(k for k, v in perm.items() if v == l)]
+    )
+    assert data.find(flat_bmode) > 0
+
+
+@needs_libwebp
+def test_dc_profile_streams_decode_bit_exact_in_libwebp():
+    for (w, h) in [(40, 28), (33, 17), (176, 144)]:
+        def mv(mbx, mby):
+            return (
+                (16 * mbx + 40 * mby + 9) % 256,
+                (7 * mbx + 3 * mby + 100) % 256,
+                (5 * mbx + 11 * mby + 30) % 256,
+            )
+
+        content = mm.synth_webp_lossy(w, h, mv)
+        ref = _ref_yuv(content)
+        assert ref is not None, "libwebp rejected our stream"
+        payload = content[20 : 20 + int.from_bytes(content[16:20], "little")]
+        mine = _my_yuv(payload, w, h)
+        for r, m in zip(ref, mine):
+            assert np.array_equal(r, m)
+
+
+@needs_libwebp
+@pytest.mark.parametrize("quality", [5, 50, 75, 97])
+def test_real_encoder_streams_decode_bit_exact(quality):
+    """REAL libwebp-encoder streams (segmentation, B_PRED submodes, skip,
+    token updates, loop filter for q<97) must decode to the reference's
+    exact YUV planes — the strongest available de-circularization."""
+    rnd = random.Random(7)
+    pats = [
+        lambda x, y: ((x * 7 + y * 3) % 256, (x * 2) % 256, (y * 5) % 256),
+        lambda x, y: ((x // 8 * 37) % 256, (y // 8 * 53) % 256,
+                      ((x // 16 + y // 16) * 71) % 256),
+        lambda x, y: (rnd.randrange(256), rnd.randrange(256), rnd.randrange(256)),
+    ]
+    for (w, h) in [(64, 48), (33, 17), (176, 144)]:
+        for pix in pats:
+            wp = _ref_encode(w, h, quality, pix)
+            sz = int.from_bytes(wp[16:20], "little")
+            payload = wp[20 : 20 + sz]
+            ref = _ref_yuv(wp)
+            mine = _my_yuv(payload, w, h)
+            for r, m in zip(ref, mine):
+                assert np.array_equal(r, m), (w, h, quality)
+
+
+@needs_libwebp
+def test_bmode_probe_streams_all_submodes():
+    """Per-submode probe: bottom-right MB is B_PRED with all 16 subblocks
+    forced to one mode, zero residual; libwebp must reproduce our decode
+    pixel-for-pixel for each of the 10 modes (pins predictor formulas AND
+    the kf_bmode probability table layout)."""
+    from teledetection_drone_satellite_spark.sources.vp8 import BoolEncoder
+
+    def encode_probe(submode):
+        mbw = mbh = 2
+        be1 = BoolEncoder()
+        for b in (0, 0, 0, 0):
+            be1.bit(b)
+        be1.literal(0, 6)
+        be1.literal(0, 3)
+        be1.bit(0)
+        be1.literal(0, 2)
+        be1.literal(0, 7)
+        for _ in range(5):
+            be1.bit(0)
+        be1.bit(1)
+        for t in range(4):
+            for b in range(8):
+                for c in range(3):
+                    for p in range(11):
+                        be1.put_bool(T.COEFF_UPDATE_PROBS[t][b][c][p], 0)
+        be1.bit(0)
+        be2 = BoolEncoder()
+        probs = T.COEFF_PROBS
+        above_nz = [[0] * 9 for _ in range(mbw)]
+        above_sub = [[0] * 4 for _ in range(mbw)]
+        yflat = [[0] * mbw for _ in range(mbh)]
+        dcv = {(0, 0): 60, (1, 0): 190, (0, 1): 220}
+        for mby in range(mbh):
+            left_nz = [0] * 9
+            left_sub = [0] * 4
+            for mbx in range(mbw):
+                anz = above_nz[mbx]
+                if not (mbx == 1 and mby == 1):
+                    ty = dcv[(mbx, mby)]
+                    be1.put_bool(145, 1)
+                    be1.put_bool(156, 0)
+                    be1.put_bool(163, 0)
+                    be1.put_bool(142, 0)
+                    above_sub[mbx] = [0] * 4
+                    left_sub = [0] * 4
+                    a = yflat[mby - 1][mbx] if mby > 0 else None
+                    l = yflat[mby][mbx - 1] if mbx > 0 else None
+                    pred = (
+                        128 if a is None and l is None
+                        else (a if l is None else (l if a is None else (a + l + 1) >> 1))
+                    )
+                    yflat[mby][mbx] = ty
+                    ctx = anz[8] + left_nz[8]
+                    eob = vp8.put_coeffs(be2, probs[1], 0, ctx, [8 * (ty - pred)])
+                    anz[8] = left_nz[8] = 1 if eob > 0 else 0
+                    for sy in range(4):
+                        for sx in range(4):
+                            vp8.put_coeffs(be2, probs[0], 1, anz[sx] + left_nz[sy], [])
+                            anz[sx] = left_nz[sy] = 0
+                    for slot in (4, 6):
+                        for sy in range(2):
+                            for sx in range(2):
+                                vp8.put_coeffs(
+                                    be2, probs[2], 0,
+                                    anz[slot + sx] + left_nz[slot + sy], [],
+                                )
+                                anz[slot + sx] = left_nz[slot + sy] = 0
+                else:
+                    be1.put_bool(145, 0)  # B_PRED
+                    sub = [0] * 16
+                    for sy in range(4):
+                        for sx in range(4):
+                            a = above_sub[mbx][sx] if sy == 0 else sub[(sy - 1) * 4 + sx]
+                            l = left_sub[sy] if sx == 0 else sub[sy * 4 + sx - 1]
+                            be1.tree(vp8._BMODE_TREE, T.KF_BMODE_PROBS[a][l], submode)
+                            sub[sy * 4 + sx] = submode
+                    be1.put_bool(142, 0)
+                    for sy in range(4):
+                        for sx in range(4):
+                            vp8.put_coeffs(be2, probs[3], 0, anz[sx] + left_nz[sy], [])
+                            anz[sx] = left_nz[sy] = 0
+                    for slot in (4, 6):
+                        for sy in range(2):
+                            for sx in range(2):
+                                vp8.put_coeffs(
+                                    be2, probs[2], 0,
+                                    anz[slot + sx] + left_nz[slot + sy], [],
+                                )
+                                anz[slot + sx] = left_nz[slot + sy] = 0
+        part1 = be1.flush()
+        part2 = be2.flush()
+        tag = len(part1) << 5 | (1 << 4)
+        head = bytes((tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF))
+        head += b"\x9d\x01\x2a" + (32).to_bytes(2, "little") + (32).to_bytes(2, "little")
+        return head + part1 + part2
+
+    for mode in range(10):
+        payload = encode_probe(mode)
+        pad = b"\0" if len(payload) & 1 else b""
+        chunk = b"VP8 " + len(payload).to_bytes(4, "little") + payload + pad
+        wp = b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+        ref = _ref_yuv(wp)
+        assert ref is not None, f"libwebp rejected probe for mode {mode}"
+        mine = _my_yuv(payload, 32, 32)
+        for r, m in zip(ref, mine):
+            assert np.array_equal(r, m), f"mode {mode}"
+
+
+@needs_libwebp
+def test_vp8l_synth_decodes_in_libwebp():
+    """Cross-validation closing the VP8L circularity: our lossless encoder's
+    streams must decode in the REAL libwebp to the same RGBA our decoder
+    produces, across all transform combinations."""
+    for kw in (
+        {}, {"cache_bits": 4}, {"row_copy": True}, {"subtract_green": True},
+        {"cache_bits": 3, "row_copy": True, "subtract_green": True},
+    ):
+        content = mm.synth_webp_lossless(37, 23, **kw)
+        W = ctypes.c_int()
+        H = ctypes.c_int()
+        p = _LIB.WebPDecodeRGBA(content, len(content), ctypes.byref(W), ctypes.byref(H))
+        assert p, f"libwebp rejected VP8L stream {kw}"
+        ref = ctypes.string_at(p, W.value * H.value * 4)
+        _LIB.WebPFree(p)
+        mine = mm.decode_webp(content)
+        assert mine is not None and (W.value, H.value) == (37, 23)
+        assert mine[3] == ref, f"VP8L pixel mismatch vs libwebp {kw}"
