@@ -1453,6 +1453,114 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "avi_frame_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               16 + (doc_id % 3) * 8 AS w,
+               16 + (doc_id % 2) * 8 AS h,
+               3 + doc_id % 6 AS n_frames
+        FROM documents WHERE doc_id < 80
+    ),
+    sampled AS (
+        SELECT doc_id, w, h, n_frames, CAST(f.i AS INT) AS frame_idx
+        FROM spec, LATERAL unnest(range(0, n_frames, 2)) f(i)
+    ),
+    px AS (
+        SELECT doc_id, w, h, n_frames, frame_idx,
+               (doc_id + 16 * bx.i + 40 * by.i + 3 * frame_idx) % 256 AS v
+        FROM sampled,
+             LATERAL unnest(range(0, w // 8)) bx(i),
+             LATERAL unnest(range(0, h // 8)) by(i)
+    )
+    SELECT doc_id, frame_idx,
+           CAST(min(n_frames) AS INT) AS n_frames,
+           CAST(min(w) AS INT) AS width,
+           CAST(min(h) AS INT) AS height,
+           ((2 * CAST(sum(v) * 64 AS BIGINT) * 1000000 + min(w) * min(h))
+            // (2 * min(w) * min(h))) / 1000000.0 AS mean_intensity
+    FROM px GROUP BY doc_id, frame_idx
+    """,
+    doc="REAL video frame sampling, graded end-to-end — the S7 video tail "
+    "upgraded from stub to working demux for the one container+codec pair "
+    "that needs no wheel: MJPEG-in-AVI, the classic drone/action-camera "
+    "recording format (reference stack covers it via Pillow/ffmpeg, "
+    "file-service requirements.txt:11-15). Per doc a complete AVI is "
+    "synthesized (synth_avi_mjpeg: RIFF hdrl/avih/strl/movi/idx1 per the "
+    "public AVI spec, each '00dc' chunk a complete baseline JPEG with "
+    "constant 8x8 blocks keyed by absolute block coords AND frame index), "
+    "then the REAL sample_frames operator fans each video into one row "
+    "per sampled frame (every_n=2, mapInPandas UDTF shape) whose frame "
+    "BYTES are the actual demuxed JPEGs, pixel-decoded by sources/"
+    "jpeg.py::decode_jpeg in a second Arrow stage. The oracle predicts "
+    "every sampled frame's mean intensity in closed form through the "
+    "block grid — a mis-walked RIFF chunk, a frame-order swap, or a "
+    "header/stream frame-count disagreement flips it.",
+    tags=("ingest", "multimodal"),
+)
+def avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 80)
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w_px, h_px = 16 + (i % 3) * 8, 16 + (i % 2) * 8
+                n = 3 + i % 6
+                content = multimodal.synth_avi_mjpeg(
+                    w_px, h_px, n,
+                    lambda f, bx, by, i=i: (i + 16 * bx + 40 * by + 3 * f) % 256,
+                )
+                rows.append((i, content))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    videos = ids.mapInPandas(gen, "doc_id long, content binary")
+    frames = multimodal.sample_frames(videos, every_n=2)
+
+    def stats(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        from ..sources import jpeg as jpegc
+
+        for pdf in batches:
+            rows = []
+            for did, fidx, nfr, frame in zip(
+                pdf["doc_id"], pdf["frame_idx"], pdf["n_frames"], pdf["frame"]
+            ):
+                dec = jpegc.decode_jpeg(bytes(frame))
+                w_px, h_px, _, raw = dec
+                arr = np.frombuffer(raw, dtype=np.uint8)
+                rows.append(
+                    (int(did), int(fidx), int(nfr), w_px, h_px,
+                     int(arr.sum(dtype=np.int64)), arr.size)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "n_frames", "width", "height",
+                         "psum", "npx"],
+            )
+
+    out = frames.mapInPandas(
+        stats,
+        "doc_id long, frame_idx int, n_frames int, width int, height int, "
+        "psum long, npx long",
+    )
+    return out.select(
+        "doc_id", "frame_idx", "n_frames", "width", "height",
+        _half_up_mean("psum", "npx").alias("mean_intensity"),
+    )
+
+
+@register(
     "multimodal_features",
     oracle="""
     WITH lut AS (SELECT i, lower(lpad(to_hex(i), 2, '0')) AS h FROM range(256) t(i)),

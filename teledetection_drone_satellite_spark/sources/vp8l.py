@@ -773,3 +773,23 @@ def encode_vp8l_literal(
             cache[(_CACHE_MULT * v & 0xFFFFFFFF) >> (32 - cache_bits)] = v
         pos += 1
     return b"\x2f" + w.flush()
+
+
+def decode_vp8l_alpha(data: bytes, width: int, height: int) -> "np.ndarray | None":
+    """Decode a HEADERLESS VP8L image stream (the WebP container's
+    lossy-alpha encoding: an ALPH chunk with compression method 1 carries a
+    VP8L bitstream with no signature/size header — dimensions come from the
+    frame) and return the GREEN channel as the (height*width,) alpha plane,
+    per the container spec's alpha-channel mapping."""
+    r = _LsbReader(data)
+    try:
+        res = _decode_image_stream(r, width, height, True)
+        if res is None:
+            return None
+        argb, transforms, _ = res
+        argb = _apply_inverse_transforms(argb, transforms, width, height)
+        if argb is None:
+            return None
+    except _Truncated:
+        return None
+    return ((argb >> 8) & 0xFF).astype(np.uint8)

@@ -1,0 +1,65 @@
+"""MJPEG-in-AVI demux tests (sources/multimodal.py::decode_avi_frames /
+synth_avi_mjpeg) — the S7 video tail's wheel-free path.  Encoder packs
+bytes per the public AVI RIFF spec independently of the decoder; frames are
+complete baseline JPEGs graded against the jpeg codec's own contract."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from teledetection_drone_satellite_spark.sources import jpeg as J
+from teledetection_drone_satellite_spark.sources import multimodal as mm
+
+
+def test_avi_roundtrip_pixel_exact():
+    bv = lambda f, bx, by: (7 + 16 * bx + 40 * by + 3 * f) % 256
+    avi = mm.synth_avi_mjpeg(24, 16, 5, bv)
+    got = mm.decode_avi_frames(avi)
+    assert got is not None and got[:3] == (24, 16, 5)
+    for f, frame in enumerate(got[3]):
+        dec = J.decode_jpeg(frame)
+        assert dec is not None and dec[:3] == (24, 16, 1)
+        arr = np.frombuffer(dec[3], dtype=np.uint8).reshape(16, 24)
+        for y in range(16):
+            for x in range(24):
+                assert arr[y, x] == bv(f, x // 8, y // 8)
+
+
+def test_avi_malformed_and_foreign_return_none():
+    avi = mm.synth_avi_mjpeg(16, 16, 3)
+    assert mm.decode_avi_frames(avi) is not None
+    assert mm.decode_avi_frames(b"") is None
+    assert mm.decode_avi_frames(avi[:40]) is None  # truncated mid-chunk
+    assert mm.decode_avi_frames(mm.synth_webp_lossy(16, 16)) is None  # RIFF, not AVI
+    # a non-JPEG frame stream (e.g. raw DIB) is out of MJPEG scope
+    bad = bytearray(avi)
+    pos = bytes(avi).find(b"00dc")
+    bad[pos + 8] = 0x00  # frame no longer starts with SOI
+    assert mm.decode_avi_frames(bytes(bad)) is None
+    # header/stream frame-count disagreement must refuse, never short-read
+    bad = bytearray(avi)
+    avih = bytes(avi).find(b"avih")
+    bad[avih + 8 + 16 : avih + 8 + 20] = (7).to_bytes(4, "little")
+    assert mm.decode_avi_frames(bytes(bad)) is None
+
+
+def test_sample_frames_real_avi_and_stub_fallback(spark):
+    """sample_frames must demux real MJPEG AVIs (frame bytes = the actual
+    per-frame JPEGs) and keep the deterministic stub for foreign bytes."""
+    avi = mm.synth_avi_mjpeg(16, 16, 6)
+    df = spark.createDataFrame(
+        [(1, avi), (2, b"not a video")], "doc_id long, content binary"
+    )
+    rows = {
+        (r["doc_id"], r["frame_idx"]): r
+        for r in mm.sample_frames(df, every_n=2).collect()
+    }
+    real = [k for k in rows if k[0] == 1]
+    assert sorted(k[1] for k in real) == [0, 2, 4]
+    assert all(rows[k]["n_frames"] == 6 for k in real)
+    for k in real:
+        dec = J.decode_jpeg(bytes(rows[k]["frame"]))
+        assert dec is not None and dec[:3] == (16, 16, 1)
+    # the stub path still fans out deterministically for non-AVI content
+    stub = [k for k in rows if k[0] == 2]
+    assert stub and all(rows[k]["n_frames"] >= 8 for k in stub)

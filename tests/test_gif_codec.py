@@ -153,3 +153,14 @@ def test_gif_offset_frame_and_transparency_return_none():
     assert mm.decode_gif(bytes(base[:desc]) + gce_t + bytes(base[desc:])) is None
     ok = mm.decode_gif(bytes(base[:desc]) + gce_o + bytes(base[desc:]))
     assert ok == mm.decode_gif(bytes(base))
+
+
+def test_gif_synth_rejects_indices_over_mcs():
+    """Fuzz-found (r8): indices >= 2^mcs have no LZW root; synth must fail
+    fast instead of emitting an undecodable stream."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mm.synth_gif_full(8, 8, lambda x, y: 4, mcs=2)
+    got = mm.decode_gif(mm.synth_gif_full(8, 8, lambda x, y: (x + y) % 4, mcs=2))
+    assert got is not None and got[:3] == (8, 8, 3)

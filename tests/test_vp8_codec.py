@@ -506,3 +506,106 @@ def test_vp8l_synth_decodes_in_libwebp():
         mine = mm.decode_webp(content)
         assert mine is not None and (W.value, H.value) == (37, 23)
         assert mine[3] == ref, f"VP8L pixel mismatch vs libwebp {kw}"
+
+
+def _forward_filter_alpha(plane, w, h, method):
+    """Spec-derived FORWARD alpha filter (independent of the decoder's
+    inverse): residual = value - prediction mod 256, top-left predicts 0,
+    top row predicts left, left column predicts top."""
+    if method == 0:
+        return plane
+    a = plane.reshape(h, w).astype(int)
+    out = a.copy()
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                p = 0
+            elif y == 0:
+                p = a[0, x - 1]
+            elif x == 0:
+                p = a[y - 1, 0]
+            elif method == 1:
+                p = a[y, x - 1]
+            elif method == 2:
+                p = a[y - 1, x]
+            else:
+                g = a[y, x - 1] + a[y - 1, x] - a[y - 1, x - 1]
+                p = 0 if g < 0 else (255 if g > 255 else g)
+            out[y, x] = (a[y, x] - p) & 0xFF
+    return out.reshape(-1).astype(np.uint8)
+
+
+def test_lossy_alpha_raw_all_filter_methods():
+    """VP8X + raw ALPH bodies built by an independent forward filter: the
+    decoder's inverse must recover the exact alpha plane for every method,
+    including the two (vertical/gradient) libwebp's encoder rarely emits."""
+    w, h = 19, 11
+    plane = np.array(
+        [(3 * x + 7 * y + (x * y) % 5) % 256 for y in range(h) for x in range(w)],
+        dtype=np.uint8,
+    )
+    vp8_payload = vp8.encode_vp8_dc_profile(w, h, lambda a, b: (100, 120, 140))
+
+    def chunk(fourcc, body):
+        pad = b"\0" if len(body) & 1 else b""
+        return fourcc + len(body).to_bytes(4, "little") + body + pad
+
+    for method in (0, 1, 2, 3):
+        body = bytes([method << 2]) + _forward_filter_alpha(plane, w, h, method).tobytes()
+        vp8x = bytes([0x10]) + bytes(3) + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+        payload = chunk(b"VP8X", vp8x) + chunk(b"ALPH", body) + chunk(b"VP8 ", vp8_payload)
+        content = b"RIFF" + (4 + len(payload)).to_bytes(4, "little") + b"WEBP" + payload
+        got = mm.decode_webp(content)
+        assert got is not None and got[:3] == (w, h, 4), f"method {method}"
+        arr = np.frombuffer(got[3], dtype=np.uint8).reshape(h, w, 4)
+        assert np.array_equal(arr[:, :, 3].reshape(-1), plane), f"method {method}"
+        # RGB must equal the no-alpha decode of the same VP8 stream
+        rgb = mm.decode_webp(
+            b"RIFF" + (4 + len(chunk(b"VP8 ", vp8_payload))).to_bytes(4, "little")
+            + b"WEBP" + chunk(b"VP8 ", vp8_payload)
+        )
+        assert rgb is not None and arr[:, :, :3].tobytes() == rgb[3]
+    # truncated raw plane: None, not silently-opaque
+    short = bytes([0]) + plane.tobytes()[: w * h - 5]
+    payload = chunk(b"VP8X", vp8x) + chunk(b"ALPH", short) + chunk(b"VP8 ", vp8_payload)
+    content = b"RIFF" + (4 + len(payload)).to_bytes(4, "little") + b"WEBP" + payload
+    assert mm.decode_webp(content) is None
+
+
+@needs_libwebp
+def test_lossy_alpha_conformance_vs_libwebp():
+    """Real WebPEncodeRGBA files (VP8X + ALPH + VP8; both raw and
+    VP8L-compressed alpha, horizontal-filtered on gradients): the alpha
+    channel must match libwebp's bit-for-bit (RGB is compared in YUV by the
+    other tests — libwebp's RGB path uses the fancy upsampler)."""
+    _LIB.WebPEncodeRGBA.restype = ctypes.c_size_t
+    _LIB.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    rnd = random.Random(5)
+    pats = [
+        lambda x, y: ((x * 7) % 256, (y * 3) % 256, ((x + y) * 2) % 256,
+                      (x * 5 + y * 11) % 256),
+        lambda x, y: (100, 150, 200, rnd.randrange(256)),
+        lambda x, y: (50, 60, 70, min(255, x * 3)),  # triggers filter 1
+        lambda x, y: (10, 20, 30, 255 if (x // 4 + y // 4) % 2 else 0),
+    ]
+    for (w, h) in [(32, 24), (17, 13), (80, 60)]:
+        for pix in pats:
+            rgba = bytes(v for y in range(h) for x in range(w) for v in pix(x, y))
+            out = ctypes.POINTER(ctypes.c_uint8)()
+            n = _LIB.WebPEncodeRGBA(rgba, w, h, w * 4, 97.0, ctypes.byref(out))
+            wp = ctypes.string_at(out, n)
+            _LIB.WebPFree(out)
+            W = ctypes.c_int()
+            H = ctypes.c_int()
+            p = _LIB.WebPDecodeRGBA(wp, len(wp), ctypes.byref(W), ctypes.byref(H))
+            ref = np.frombuffer(
+                ctypes.string_at(p, W.value * H.value * 4), dtype=np.uint8
+            ).reshape(H.value, W.value, 4).copy()
+            _LIB.WebPFree(p)
+            mine = mm.decode_webp(wp)
+            assert mine is not None and mine[:3] == (w, h, 4)
+            arr = np.frombuffer(mine[3], dtype=np.uint8).reshape(h, w, 4)
+            assert np.array_equal(arr[:, :, 3], ref[:, :, 3]), (w, h)
