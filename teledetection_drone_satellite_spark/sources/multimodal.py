@@ -1049,6 +1049,115 @@ def synth_webp_lossy(width: int, height: int, mb_yuv=None) -> bytes:
     return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
 
 
+def decode_webp_anim(
+    content: bytes,
+) -> "tuple[int, int, int, list[tuple[int, bytes]]] | None":
+    """ANIMATED WebP demux (container spec: VP8X animation flag, ANIM, ANMF
+    frame chunks): returns (canvas_w, canvas_h, n_frames, [(duration_ms,
+    standalone_webp_bytes)...]) where each frame is re-wrapped as a complete
+    single-image WebP decodable by decode_webp — the frame payloads are
+    ordinary VP8/VP8L streams handled by sources/vp8.py / vp8l.py.
+
+    Scope: full-canvas frames at (0, 0) only (the common screen-capture /
+    sensor-loop shape); frames offset within the canvas need the
+    dispose/blend compositing state machine and hit the None fallback, the
+    decode_gif multi-frame contract.  Frame x/y are stored halved in the
+    container; frame dims are stored minus one."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+        return None
+    pos = 12
+    canvas_w = canvas_h = 0
+    animated = False
+    frames: "list[tuple[int, bytes]]" = []
+    while pos + 8 <= len(content):
+        fourcc = content[pos : pos + 4]
+        size = int.from_bytes(content[pos + 4 : pos + 8], "little")
+        payload = content[pos + 8 : pos + 8 + size]
+        if len(payload) < size:
+            return None
+        if fourcc == b"VP8X":
+            if size < 10:
+                return None
+            animated = bool(payload[0] & 0x02)
+            canvas_w = int.from_bytes(payload[4:7], "little") + 1
+            canvas_h = int.from_bytes(payload[7:10], "little") + 1
+        elif fourcc == b"ANMF":
+            if size < 16:
+                return None
+            fx = int.from_bytes(payload[0:3], "little") * 2
+            fy = int.from_bytes(payload[3:6], "little") * 2
+            fw = int.from_bytes(payload[6:9], "little") + 1
+            fh = int.from_bytes(payload[9:12], "little") + 1
+            dur = int.from_bytes(payload[12:15], "little")
+            if (fx, fy, fw, fh) != (0, 0, canvas_w, canvas_h):
+                return None  # offset sub-frame: compositing out of scope
+            # frame data: image sub-chunks (optional ALPH + VP8/VP8L)
+            inner = payload[16:]
+            body = b""
+            ipos = 0
+            while ipos + 8 <= len(inner):
+                ifc = inner[ipos : ipos + 4]
+                isz = int.from_bytes(inner[ipos + 4 : ipos + 8], "little")
+                if ipos + 8 + isz > len(inner):
+                    return None
+                if ifc in (b"ALPH", b"VP8 ", b"VP8L"):
+                    ib = inner[ipos : ipos + 8 + isz]
+                    body += ib + (b"\0" if isz & 1 else b"")
+                ipos += 8 + isz + (isz & 1)
+            if not body:
+                return None
+            frames.append(
+                (dur, b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WEBP" + body)
+            )
+        pos += 8 + size + (size & 1)
+    if not animated or not frames:
+        return None
+    return canvas_w, canvas_h, len(frames), frames
+
+
+def synth_webp_anim(
+    width: int, height: int, n_frames: int, frame_pixel=None
+) -> bytes:
+    """Deterministic COMPLETE animated WebP: VP8X (animation flag) + ANIM +
+    one full-canvas ANMF per frame, each carrying a VP8L lossless stream
+    from sources/vp8l.py.  Pixel contract (mirrored by the
+    anim_webp_frame_stats oracle): frame ``f`` pixel (x, y) =
+    ``frame_pixel(f, x, y) -> (r, g, b, a)``, default ((x + 5*f) % 256,
+    (3*y + 7*f) % 256, (x + y + 11*f) % 256, 255); duration of frame f is
+    40 + f ms.  Byte-packing per the public WebP container spec,
+    independent of decode_webp_anim."""
+    from . import vp8l as _vp8l
+
+    fp = frame_pixel or (
+        lambda f, x, y: ((x + 5 * f) % 256, (3 * y + 7 * f) % 256,
+                         (x + y + 11 * f) % 256, 255)
+    )
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\0" if len(body) & 1 else b""
+        return fourcc + len(body).to_bytes(4, "little") + body + pad
+
+    anmfs = b""
+    for f in range(n_frames):
+        rgba = bytearray()
+        for y in range(height):
+            for x in range(width):
+                rgba += bytes(v % 256 for v in fp(f, x, y))
+        stream = _vp8l.encode_vp8l_literal(bytes(rgba), width, height)
+        head = (
+            (0).to_bytes(3, "little") + (0).to_bytes(3, "little")
+            + (width - 1).to_bytes(3, "little") + (height - 1).to_bytes(3, "little")
+            + (40 + f).to_bytes(3, "little") + bytes([0x02])  # no-blend, keep
+        )
+        anmfs += chunk(b"ANMF", head + chunk(b"VP8L", stream))
+    vp8x = bytes([0x02]) + bytes(3) + (width - 1).to_bytes(3, "little") + (
+        height - 1
+    ).to_bytes(3, "little")
+    anim = (0xFFFFFFFF).to_bytes(4, "little") + (0).to_bytes(2, "little")
+    body = b"WEBP" + chunk(b"VP8X", vp8x) + chunk(b"ANIM", anim) + anmfs
+    return b"RIFF" + (len(body)).to_bytes(4, "little") + body
+
+
 def synth_webp_lossless(
     width: int,
     height: int,
@@ -2195,11 +2304,14 @@ def sample_frames(
     MJPEG-in-AVI content demuxes for REAL (decode_avi_frames walks the RIFF
     structure; the emitted frame bytes are the actual per-frame baseline
     JPEGs, pixel-decodable by sources/jpeg.py) — graded end-to-end by
-    avi_frame_stats.  Other containers need a codec demuxer (PyAV/ffmpeg),
-    which no available wheel provides — ``codec=True`` raises
-    NotImplementedError for those explicitly rather than pretending PIL can
-    open video; the deterministic stub remains their only executable path
-    in this environment."""
+    avi_frame_stats.  ANIMATED WebP likewise (decode_webp_anim; each
+    emitted frame is a standalone single-image WebP whose VP8/VP8L stream
+    decode_webp handles) — graded by anim_webp_frame_stats.  Other
+    containers need a codec demuxer (PyAV/ffmpeg), which no available
+    wheel provides — ``codec=True`` raises NotImplementedError for those
+    explicitly rather than pretending PIL can open video; the
+    deterministic stub remains their only executable path in this
+    environment."""
     if codec:
         raise NotImplementedError(
             "real frame decode beyond MJPEG-AVI needs PyAV/ffmpeg (no wheel "
@@ -2230,6 +2342,15 @@ def sample_frames(
                         idxs.append(i)
                         totals.append(n)
                         frames.append(frame_bytes[i])
+                    continue
+                anim = decode_webp_anim(raw)
+                if anim is not None:
+                    _, _, n, fr = anim
+                    for i in range(0, n, every_n):
+                        ids.append(vid)
+                        idxs.append(i)
+                        totals.append(n)
+                        frames.append(fr[i][1])  # standalone webp per frame
                     continue
                 n = _fake_n_frames(raw)
                 for i in range(0, n, every_n):

@@ -63,3 +63,42 @@ def test_sample_frames_real_avi_and_stub_fallback(spark):
     # the stub path still fans out deterministically for non-AVI content
     stub = [k for k in rows if k[0] == 2]
     assert stub and all(rows[k]["n_frames"] >= 8 for k in stub)
+
+
+def test_webp_anim_roundtrip_and_negatives():
+    """Animated WebP demux: per-frame standalone re-wrap must decode to the
+    exact per-frame pixel contract; non-animated and malformed content hits
+    the None fallback; offset sub-frames (compositing) are refused."""
+    content = mm.synth_webp_anim(21, 13, 4)
+    got = mm.decode_webp_anim(content)
+    assert got is not None and got[:3] == (21, 13, 4)
+    for f, (dur, fw) in enumerate(got[3]):
+        assert dur == 40 + f
+        dec = mm.decode_webp(fw)
+        assert dec is not None and dec[:3] == (21, 13, 4)
+        arr = np.frombuffer(dec[3], dtype=np.uint8).reshape(13, 21, 4)
+        for y in range(0, 13, 3):
+            for x in range(0, 21, 4):
+                assert tuple(arr[y, x]) == (
+                    (x + 5 * f) % 256, (3 * y + 7 * f) % 256,
+                    (x + y + 11 * f) % 256, 255,
+                )
+    assert mm.decode_webp_anim(mm.synth_webp_lossless(8, 8)) is None
+    assert mm.decode_webp_anim(b"") is None
+    assert mm.decode_webp_anim(content[:-10]) is None  # truncated ANMF
+    # offset sub-frame: patch frame x of the first ANMF to 1 (stored halved)
+    bad = bytearray(content)
+    pos = bytes(content).find(b"ANMF") + 8
+    bad[pos] = 1
+    assert mm.decode_webp_anim(bytes(bad)) is None
+
+
+def test_sample_frames_animated_webp(spark):
+    content = mm.synth_webp_anim(16, 12, 7)
+    df = spark.createDataFrame([(9, content)], "doc_id long, content binary")
+    rows = {r["frame_idx"]: r for r in mm.sample_frames(df, every_n=3).collect()}
+    assert sorted(rows) == [0, 3, 6]
+    assert all(r["n_frames"] == 7 for r in rows.values())
+    for fi, r in rows.items():
+        dec = mm.decode_webp(bytes(r["frame"]))
+        assert dec is not None and dec[:3] == (16, 12, 4)
