@@ -233,33 +233,52 @@ def parse_exif_gps(content: bytes) -> "tuple[int | None, float | None, float | N
     lat/lon shape the reference stores (shared/models/__init__.py:122-128,
     ``files.gps_coordinates`` init.sql:178).
 
-    Returns None when there is no well-formed APP1 EXIF segment; individual
+    WebP carries the SAME TIFF-format blob in a VP8X 'EXIF' chunk (container
+    spec §Metadata) — both containers route to the shared TIFF/IFD walk, so
+    drone imagery keeps its GPS regardless of which format the camera wrote.
+
+    Returns None when there is no well-formed EXIF block; individual
     tuple slots are None when that tag is absent. Only orientation present is
     still a successful parse (GPS-less cameras are the common case).
     """
-    if content[:2] != b"\xff\xd8":
-        return None
-    i, n = 2, len(content)
     tiff = None
-    while i + 4 <= n:
-        if content[i] != 0xFF:
-            return None
-        marker = content[i + 1]
-        if marker == 0xFF:
-            i += 1
-            continue
-        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
-            i += 2
-            continue
-        seg_len = int.from_bytes(content[i + 2 : i + 4], "big")
-        if seg_len < 2:
-            return None
-        if marker == 0xE1 and content[i + 4 : i + 10] == b"Exif\x00\x00":
-            tiff = content[i + 10 : i + 2 + seg_len]
-            break
-        if marker == 0xDA:  # start-of-scan: no APP1 will follow
-            return None
-        i += 2 + seg_len
+    if content[:2] == b"\xff\xd8":
+        i, n = 2, len(content)
+        while i + 4 <= n:
+            if content[i] != 0xFF:
+                return None
+            marker = content[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                i += 2
+                continue
+            seg_len = int.from_bytes(content[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                return None
+            if marker == 0xE1 and content[i + 4 : i + 10] == b"Exif\x00\x00":
+                tiff = content[i + 10 : i + 2 + seg_len]
+                break
+            if marker == 0xDA:  # start-of-scan: no APP1 will follow
+                return None
+            i += 2 + seg_len
+    elif content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        pos = 12
+        while pos + 8 <= len(content):
+            fourcc = content[pos : pos + 4]
+            size = int.from_bytes(content[pos + 4 : pos + 8], "little")
+            if pos + 8 + size > len(content):
+                return None
+            if fourcc == b"EXIF":
+                tiff = content[pos + 8 : pos + 8 + size]
+                # some writers keep the JPEG 'Exif\0\0' preamble; skip it
+                if tiff[:6] == b"Exif\x00\x00":
+                    tiff = tiff[6:]
+                break
+            pos += 8 + size + (size & 1)
+    else:
+        return None
     if tiff is None or len(tiff) < 8:
         return None
     if tiff[:2] == b"II":
@@ -621,6 +640,45 @@ def synth_exif_app1(
     tiff = b"II" + struct.pack("<HI", 42, 8) + ifd0 + gps + rats
     payload = b"Exif\x00\x00" + tiff
     return b"\xff\xe1" + struct.pack(">H", 2 + len(payload)) + payload
+
+
+def synth_webp_exif(
+    width: int,
+    height: int,
+    orientation: int,
+    lat_ref: str,
+    lat_dms: "tuple[int, int, int]",
+    lon_ref: str,
+    lon_dms: "tuple[int, int, int]",
+) -> bytes:
+    """WebP (VP8X, EXIF flag) carrying the SAME TIFF-format EXIF blob the
+    JPEG APP1 variant embeds, after a VP8L image chunk — the container
+    spec's metadata layout; grades parse_exif_gps's WebP branch under the
+    unchanged closed-form oracle."""
+    app1 = synth_exif_app1(orientation, lat_ref, lat_dms, lon_ref, lon_dms)
+    tiff = app1[4 + 6 :]  # strip the FFE1+len marker and Exif\0\0 preamble
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\0" if len(body) & 1 else b""
+        return fourcc + len(body).to_bytes(4, "little") + body + pad
+
+    from . import vp8l as _vp8l
+
+    # keep the real image chunk tiny (EXIF grading never reads pixels) but
+    # spec-consistent: the VP8X canvas equals the image chunk dims
+    w8, h8 = min(width, 16), min(height, 16)
+    rgba = bytes(
+        v for y in range(h8) for x in range(w8) for v in ((x * 9) % 256, y, x, 255)
+    )
+    stream = _vp8l.encode_vp8l_literal(rgba, w8, h8)
+    vp8x = bytes([0x08]) + bytes(3) + (w8 - 1).to_bytes(3, "little") + (
+        h8 - 1
+    ).to_bytes(3, "little")
+    body = (
+        b"WEBP" + chunk(b"VP8X", vp8x) + chunk(b"VP8L", stream)
+        + chunk(b"EXIF", tiff)
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
 def synth_jpeg_exif(
@@ -1890,8 +1948,12 @@ def synth_image_exif(doc_id: int) -> bytes:
       lon: ref = W if doc_id % 3 == 0 else E; dms = (doc_id % 180, (doc_id*5) % 60, (doc_id*11) % 60)
     Decimal degrees are sign * (d + m/60 + s/3600) with integral d/m/s, so the
     oracle's double arithmetic is operation-for-operation identical to the
-    parser's."""
-    return synth_jpeg_exif(
+    parser's.  Every 4th doc ships the SAME tags in a WebP VP8X/EXIF
+    container instead of a JPEG APP1 segment — the tag values (and thus the
+    oracle) are container-independent, so both parse branches are graded by
+    the same SQL."""
+    synth = synth_webp_exif if doc_id % 4 == 1 else synth_jpeg_exif
+    return synth(
         64 + doc_id % 1024,
         64 + (doc_id * 7) % 1024,
         1 + doc_id % 8,

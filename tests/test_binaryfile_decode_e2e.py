@@ -118,3 +118,47 @@ def test_binaryfile_landing_to_decoded_stats(spark, tmp_path):
         r = decoded[ext]
         assert (r["w"], r["h"], r["c"]) == (w, h, c), ext
         assert abs(r["mean"] - mean) < 1e-9, (ext, r["mean"], mean)
+
+
+def test_binaryfile_landing_video_demux_e2e(spark, tmp_path):
+    """Same loop for the video demux paths: MJPEG AVI and animated WebP
+    land on disk, ingest through the real binaryFile source (MIME-sniffed
+    video/avi and image/webp), fan out through the REAL sample_frames
+    operator, and the sampled frame bytes decode to closed-form pixels."""
+    landing = tmp_path / "vlanding"
+    landing.mkdir()
+    (landing / "v.avi").write_bytes(
+        mm.synth_avi_mjpeg(16, 16, 6, lambda f, bx, by: (9 + 16 * bx + 40 * by + 3 * f) % 256)
+    )
+    (landing / "w.webp").write_bytes(mm.synth_webp_anim(14, 10, 5))
+
+    files = binary.read_landing(spark, str(landing))
+    ingested = binary.ingest(files)
+    mimes = {r["ext"]: r["mime"] for r in ingested.select("ext", "mime").collect()}
+    assert mimes == {"avi": "video/avi", "webp": "image/webp"}
+
+    frames = mm.sample_frames(
+        ingested.select(F.col("ext").alias("doc_id"), "content"),
+        every_n=2, id_col="doc_id",
+    )
+    rows = [(r["doc_id"], r["frame_idx"], r["n_frames"], bytes(r["frame"]))
+            for r in frames.collect()]
+    avi_rows = sorted((i, n, fr) for d, i, n, fr in rows if d == "avi")
+    webp_rows = sorted((i, n, fr) for d, i, n, fr in rows if d == "webp")
+    assert [i for i, _, _ in avi_rows] == [0, 2, 4]
+    assert [i for i, _, _ in webp_rows] == [0, 2, 4]
+    assert all(n == 6 for _, n, _ in avi_rows)
+    assert all(n == 5 for _, n, _ in webp_rows)
+    for i, _, fr in avi_rows:
+        w, h, c, raw = J.decode_jpeg(fr)
+        assert (w, h, c) == (16, 16, 1)
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(16, 16)
+        assert all(
+            arr[y, x] == (9 + 16 * (x // 8) + 40 * (y // 8) + 3 * i) % 256
+            for y in range(16) for x in range(16)
+        )
+    for i, _, fr in webp_rows:
+        w, h, c, raw = mm.decode_webp(fr)
+        assert (w, h, c) == (14, 10, 4)
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(10, 14, 4)
+        assert tuple(arr[0, 0]) == ((5 * i) % 256, (7 * i) % 256, (11 * i) % 256, 255)

@@ -219,3 +219,30 @@ def test_fuzz_vp8_decoder_survives_bit_flips(seed, nflip):
         base[rnd.randrange(len(base))] ^= 1 << rnd.randrange(8)
     out = vp8.decode_vp8(bytes(base))
     assert out is None or (isinstance(out, tuple) and len(out) == 5)
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    nflip=st.integers(min_value=1, max_value=6),
+)
+def test_fuzz_video_demuxers_survive_bit_flips(seed, nflip):
+    """Random corruptions of valid AVI / animated-WebP containers: the
+    demuxers must return None or well-formed results, never raise (the
+    sample_frames mapInPandas contract)."""
+    import random as _random
+
+    rnd = _random.Random(seed)
+    avi = bytearray(mm.synth_avi_mjpeg(16, 16, 3))
+    for _ in range(nflip):
+        avi[rnd.randrange(len(avi))] ^= 1 << rnd.randrange(8)
+    out = mm.decode_avi_frames(bytes(avi))
+    assert out is None or (isinstance(out, tuple) and len(out) == 4)
+    anim = bytearray(mm.synth_webp_anim(12, 10, 3))
+    for _ in range(nflip):
+        anim[rnd.randrange(len(anim))] ^= 1 << rnd.randrange(8)
+    out = mm.decode_webp_anim(bytes(anim))
+    assert out is None or (isinstance(out, tuple) and len(out) == 4)
+    if out is not None:
+        for _, fw in out[3]:
+            mm.decode_webp(fw)  # may be None/wrong, must not raise

@@ -292,3 +292,28 @@ def test_webp_header_dims_all_three_variants():
     bad = bytearray(mm.synth_webp(32, 32, "vp8"))
     bad[23] = 0xFF  # break the VP8 sync code
     assert mm.parse_image_header(bytes(bad)) is None
+
+
+def test_webp_exif_chunk_parses_like_jpeg_app1():
+    """ADVICE-free r8 addition: the VP8X 'EXIF' chunk carries the same
+    TIFF blob as a JPEG APP1 segment; both containers must yield identical
+    (orientation, lat, lon), and the preamble-carrying writer variant too."""
+    args = (5, "S", (10, 20, 30), "E", (40, 50, 59))
+    j = multimodal.synth_jpeg_exif(64, 48, *args)
+    w = multimodal.synth_webp_exif(64, 48, *args)
+    assert multimodal.parse_exif_gps(j) == multimodal.parse_exif_gps(w)
+    exp = (5, -(10 + 20 / 60 + 30 / 3600), 40 + 50 / 60 + 59 / 3600)
+    assert multimodal.parse_exif_gps(w) == exp
+    # writers that keep the JPEG 'Exif\0\0' preamble inside the chunk
+    pos = w.find(b"EXIF")
+    size = int.from_bytes(w[pos + 4 : pos + 8], "little")
+    tiff = w[pos + 8 : pos + 8 + size]
+    body = b"Exif\x00\x00" + tiff
+    patched = (
+        w[:pos] + b"EXIF" + len(body).to_bytes(4, "little") + body
+        + (b"\0" if len(body) & 1 else b"")
+    )
+    patched = patched[:4] + (len(patched) - 8).to_bytes(4, "little") + patched[8:]
+    assert multimodal.parse_exif_gps(patched) == exp
+    # WebP without an EXIF chunk: None
+    assert multimodal.parse_exif_gps(multimodal.synth_webp_lossless(8, 8)) is None
