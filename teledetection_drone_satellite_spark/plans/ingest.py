@@ -836,6 +836,102 @@ def webp_lossy_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "webp_alpha_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               12 + doc_id % 20 AS w,
+               12 + (doc_id * 3) % 16 AS h,
+               CAST(doc_id % 4 AS INT) AS filter_method
+        FROM documents WHERE doc_id < 80
+    ),
+    px AS (
+        SELECT doc_id, w, h, filter_method,
+               (3 * x.i + 7 * y.i + doc_id) % 256 AS a,
+               ((x.i + y.i * w) % 97) + 1 AS wt
+        FROM spec,
+             LATERAL unnest(range(0, w)) x(i),
+             LATERAL unnest(range(0, h)) y(i)
+    )
+    SELECT doc_id,
+           CAST(min(w) AS INT) AS width,
+           CAST(min(h) AS INT) AS height,
+           min(filter_method) AS filter_method,
+           GREATEST(0, LEAST(255, CAST(FLOOR(
+               100 + 1.402 * (140 - 128) + 0.5) AS BIGINT))) AS flat_r,
+           ((2 * CAST(sum(a) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_a,
+           CAST(sum(wt * a) AS BIGINT) AS wsum_a
+    FROM px GROUP BY doc_id
+    """,
+    doc="Lossy-WebP ALPHA decode, graded: per doc a VP8X + raw-ALPH + VP8 "
+    "container is synthesized (synth_webp_lossy_alpha) whose alpha plane "
+    "is (3x + 7y + doc_id) %% 256 stored through the container spec's "
+    "prediction filter doc_id %% 4 (none/horizontal/vertical/gradient, "
+    "forward filter written independently of the decoder's inverse), over "
+    "a flat (100,120,140)-YUV VP8 frame; decode_webp then inverts the "
+    "filter distributively and joins alpha as the fourth channel. The "
+    "oracle predicts the alpha mean, an (index %% 97)+1 weighted alpha "
+    "checksum, AND the flat red value through the shared JFIF matrix — a "
+    "wrong filter inverse, a mis-read ALPH header bit layout, or an "
+    "alpha/RGB misalignment flips it. The same path is pinned bit-exact "
+    "against libwebp on real WebPEncodeRGBA files "
+    "(tests/test_vp8_codec.py, gated).",
+    tags=("ingest", "multimodal"),
+)
+def webp_alpha_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 80)
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w_px, h_px = 12 + i % 20, 12 + (i * 3) % 16
+                content = multimodal.synth_webp_lossy_alpha(
+                    w_px, h_px,
+                    alpha_value=lambda x, y, i=i: (3 * x + 7 * y + i) % 256,
+                    filter_method=i % 4,
+                )
+                width, height, nch, raw = multimodal.decode_webp(content)
+                arr = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 4)
+                wt = (np.arange(width * height, dtype=np.int64) % 97) + 1
+                a = arr[:, 3].astype(np.int64)
+                rows.append(
+                    (
+                        i, width, height, i % 4, int(arr[0, 0]),
+                        int(a.sum()), width * height, int((wt * a).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "filter_method",
+                         "flat_r", "asum", "npx", "wsum_a"],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, width int, height int, filter_method int, flat_r long, "
+        "asum long, npx long, wsum_a long",
+    )
+    return out.select(
+        "doc_id", "width", "height", "filter_method", "flat_r",
+        _half_up_mean("asum", "npx").alias("mean_a"),
+        "wsum_a",
+    )
+
+
+@register(
     "gif_pixel_stats",
     oracle="""
     WITH spec AS (

@@ -1107,6 +1107,65 @@ def synth_webp_lossy(width: int, height: int, mb_yuv=None) -> bytes:
     return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
 
 
+def synth_webp_lossy_alpha(
+    width: int,
+    height: int,
+    mb_yuv=None,
+    alpha_value=None,
+    filter_method: int = 0,
+) -> bytes:
+    """Deterministic lossy WebP WITH ALPHA: VP8X (alpha flag) + raw ALPH
+    chunk + the encode_vp8_dc_profile VP8 stream.  Alpha contract (mirrored
+    by the webp_alpha_stats oracle): plane value ``alpha_value(x, y)``
+    (default (3x + 7y) %% 256), stored through the container spec's
+    prediction filter ``filter_method`` (0 none / 1 horizontal / 2 vertical
+    / 3 gradient) — the forward filter here is written from the spec
+    independently of _unfilter_alpha's inverse."""
+    import numpy as np
+
+    from . import vp8 as _vp8
+
+    av = alpha_value or (lambda x, y: (3 * x + 7 * y) % 256)
+    plane = np.array(
+        [av(x, y) % 256 for y in range(height) for x in range(width)], dtype=np.int64
+    ).reshape(height, width)
+    res = plane.copy()
+    if filter_method:
+        for y in range(height):
+            for x in range(width):
+                if x == 0 and y == 0:
+                    p = 0
+                elif y == 0:
+                    p = plane[0, x - 1]
+                elif x == 0:
+                    p = plane[y - 1, 0]
+                elif filter_method == 1:
+                    p = plane[y, x - 1]
+                elif filter_method == 2:
+                    p = plane[y - 1, x]
+                else:
+                    g = plane[y, x - 1] + plane[y - 1, x] - plane[y - 1, x - 1]
+                    p = 0 if g < 0 else (255 if g > 255 else g)
+                res[y, x] = (plane[y, x] - p) & 0xFF
+    alph = bytes([filter_method << 2]) + res.astype(np.uint8).tobytes()
+    vp8_payload = _vp8.encode_vp8_dc_profile(
+        width, height, mb_yuv or (lambda a, b: (100, 120, 140))
+    )
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\0" if len(body) & 1 else b""
+        return fourcc + len(body).to_bytes(4, "little") + body + pad
+
+    vp8x = bytes([0x10]) + bytes(3) + (width - 1).to_bytes(3, "little") + (
+        height - 1
+    ).to_bytes(3, "little")
+    body = (
+        b"WEBP" + chunk(b"VP8X", vp8x) + chunk(b"ALPH", alph)
+        + chunk(b"VP8 ", vp8_payload)
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def decode_webp_anim(
     content: bytes,
 ) -> "tuple[int, int, int, list[tuple[int, bytes]]] | None":

@@ -609,3 +609,32 @@ def test_lossy_alpha_conformance_vs_libwebp():
             assert mine is not None and mine[:3] == (w, h, 4)
             arr = np.frombuffer(mine[3], dtype=np.uint8).reshape(h, w, 4)
             assert np.array_equal(arr[:, :, 3], ref[:, :, 3]), (w, h)
+
+
+@needs_libwebp
+def test_synth_alpha_containers_decode_in_libwebp():
+    """Our VP8X+ALPH+VP8 synthesis (all four forward filters) must decode
+    in the REAL libwebp to the exact contract alpha plane — pins the
+    forward filter, the ALPH header bit layout, and the container walk
+    against the reference implementation, not just our own inverse."""
+    w, h = 23, 15
+    av = lambda x, y: (3 * x + 7 * y + 11) % 256
+    for method in (0, 1, 2, 3):
+        content = mm.synth_webp_lossy_alpha(
+            w, h, alpha_value=av, filter_method=method
+        )
+        W = ctypes.c_int()
+        H = ctypes.c_int()
+        p = _LIB.WebPDecodeRGBA(content, len(content), ctypes.byref(W), ctypes.byref(H))
+        assert p, f"libwebp rejected synth alpha container (method {method})"
+        ref = np.frombuffer(
+            ctypes.string_at(p, W.value * H.value * 4), dtype=np.uint8
+        ).reshape(H.value, W.value, 4).copy()
+        _LIB.WebPFree(p)
+        assert (W.value, H.value) == (w, h)
+        for y in range(h):
+            for x in range(w):
+                assert ref[y, x, 3] == av(x, y), (method, x, y)
+        mine = mm.decode_webp(content)
+        arr = np.frombuffer(mine[3], dtype=np.uint8).reshape(h, w, 4)
+        assert np.array_equal(arr[:, :, 3], ref[:, :, 3])
