@@ -105,8 +105,9 @@ def parse_image_header(content: bytes) -> "tuple[int, int, int, str] | None":
     # bitstream header — VP8 (lossy: 14-bit w/h after the 0x9D012A sync code),
     # VP8L (lossless: packed 14-bit w-1/h-1 after the 0x2F signature), or
     # VP8X (extended: 24-bit w-1/h-1). Public container spec; no codec needed
-    # for metadata. VP8L (lossless) PIXELS are real too — decode_webp below;
-    # lossy VP8 pixels stay out of pure-stdlib scope (a video codec frame).
+    # for metadata. PIXELS are real for BOTH variants — decode_webp below
+    # routes VP8L to sources/vp8l.py and lossy VP8 (incl. ALPH alpha) to
+    # sources/vp8.py, the full RFC 6386 decoder.
     if content[:4] == b"RIFF" and content[8:12] == b"WEBP" and len(content) >= 30:
         fourcc = content[12:16]
         d = content[20:]
@@ -521,9 +522,10 @@ def decode_png(content: bytes) -> "tuple[int, int, int, bytes] | None":
 def _decode_any_raster(content: bytes) -> "tuple[int, int, int, bytes] | None":
     """Format dispatch over every REAL raster decoder in this package — PNG,
     TIFF (incl. JPEG-in-TIFF), JPEG (baseline gray/color + progressive),
-    GIF, lossless WebP. Their magic checks are disjoint, so the or-chain is
-    dispatch, not guessing; each decoder returns None fast on a foreign
-    magic."""
+    GIF, and WebP: lossless VP8L (4-channel), lossy VP8 (3-channel), and
+    lossy-with-alpha (4-channel). Their magic checks are disjoint, so the
+    or-chain is dispatch, not guessing; each decoder returns None fast on a
+    foreign magic."""
     from .jpeg import decode_jpeg
 
     return (
@@ -654,13 +656,19 @@ def synth_webp_exif(
     """WebP (VP8X, EXIF flag) carrying the SAME TIFF-format EXIF blob the
     JPEG APP1 variant embeds, after a VP8L image chunk — the container
     spec's metadata layout; grades parse_exif_gps's WebP branch under the
-    unchanged closed-form oracle."""
+    unchanged closed-form oracle.
+
+    DELIBERATE SCOPE NOTE: the real image chunk is clamped to
+    min(width, 16) x min(height, 16) with the VP8X canvas matching it —
+    EXIF grading reads tags, never pixels, and a full-size VP8L encode per
+    fixture doc would dominate synthesis cost.  The width/height arguments
+    therefore shape only the clamp; a future query that reads DIMENSIONS
+    from the 'exif' asset family must not assume the JPEG variant's
+    64 + doc_id %% 1024 contract holds for the WebP docs (it does not)."""
     app1 = synth_exif_app1(orientation, lat_ref, lat_dms, lon_ref, lon_dms)
     tiff = app1[4 + 6 :]  # strip the FFE1+len marker and Exif\0\0 preamble
 
-    def chunk(fourcc: bytes, body: bytes) -> bytes:
-        pad = b"\0" if len(body) & 1 else b""
-        return fourcc + len(body).to_bytes(4, "little") + body + pad
+    chunk = _riff_chunk
 
     from . import vp8l as _vp8l
 
@@ -953,6 +961,13 @@ def synth_gif_full(
     return bytes(out)
 
 
+def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+    """RIFF chunk packer shared by every WebP/AVI synthesizer: fourcc +
+    little-endian size + body + the spec's even-size padding byte."""
+    pad = b"\0" if len(body) & 1 else b""
+    return fourcc + len(body).to_bytes(4, "little") + body + pad
+
+
 def decode_webp(content: bytes) -> "tuple[int, int, int, bytes] | None":
     """REAL WebP pixel decode, both variants: walk the RIFF container
     (including VP8X extended files whose image chunk follows the metadata
@@ -990,12 +1005,26 @@ def decode_webp(content: bytes) -> "tuple[int, int, int, bytes] | None":
 def _unfilter_alpha(plane, w: int, h: int, method: int):
     """Invert the ALPH chunk's prediction filter (WebP container spec
     §Alpha: none/horizontal/vertical/gradient; top-left predicts 0, top row
-    predicts left, left column predicts top; mod-256 arithmetic)."""
+    predicts left, left column predicts top; mod-256 arithmetic).
+
+    Horizontal/vertical are cumulative sums and vectorize (mod 256
+    distributes over the prefix sums); the gradient filter's clamp makes
+    each pixel depend non-linearly on its already-unfiltered neighbors, so
+    it stays a scalar loop — the inherently sequential case."""
     import numpy as np
 
     if method == 0:
         return plane
-    a = plane.reshape(h, w).astype(np.int32)
+    a = plane.reshape(h, w).astype(np.int64)
+    if method == 1:  # horizontal: col 0 predicts from above, rest from left
+        col0 = np.cumsum(a[:, 0]) % 256
+        out = np.cumsum(a, axis=1) - a[:, :1] + col0[:, None]
+        return (out % 256).reshape(-1).astype(np.uint8)
+    if method == 2:  # vertical: row 0 predicts from left, rest from above
+        row0 = np.cumsum(a[0, :]) % 256
+        out = np.cumsum(a, axis=0) - a[:1, :] + row0[None, :]
+        return (out % 256).reshape(-1).astype(np.uint8)
+    a = a.astype(np.int32)
     for y in range(h):
         for x in range(w):
             if x == 0 and y == 0:
@@ -1004,10 +1033,6 @@ def _unfilter_alpha(plane, w: int, h: int, method: int):
                 p = a[0, x - 1]
             elif x == 0:
                 p = a[y - 1, 0]
-            elif method == 1:  # horizontal
-                p = a[y, x - 1]
-            elif method == 2:  # vertical
-                p = a[y - 1, x]
             else:  # gradient: clamp(left + top - top-left)
                 g = int(a[y, x - 1]) + int(a[y - 1, x]) - int(a[y - 1, x - 1])
                 p = 0 if g < 0 else (255 if g > 255 else g)
@@ -1152,9 +1177,7 @@ def synth_webp_lossy_alpha(
         width, height, mb_yuv or (lambda a, b: (100, 120, 140))
     )
 
-    def chunk(fourcc: bytes, body: bytes) -> bytes:
-        pad = b"\0" if len(body) & 1 else b""
-        return fourcc + len(body).to_bytes(4, "little") + body + pad
+    chunk = _riff_chunk
 
     vp8x = bytes([0x10]) + bytes(3) + (width - 1).to_bytes(3, "little") + (
         height - 1
@@ -1208,6 +1231,12 @@ def decode_webp_anim(
             dur = int.from_bytes(payload[12:15], "little")
             if (fx, fy, fw, fh) != (0, 0, canvas_w, canvas_h):
                 return None  # offset sub-frame: compositing out of scope
+            if frames and not (payload[15] & 0x02):
+                # blending bit 0 = alpha-blend onto the previous canvas:
+                # that needs the compositing state machine; emitting the raw
+                # frame would silently disagree with a compositing decoder
+                # for frames carrying transparency — None fallback instead
+                return None
             # frame data: image sub-chunks (optional ALPH + VP8/VP8L)
             inner = payload[16:]
             body = b""
@@ -1250,9 +1279,7 @@ def synth_webp_anim(
                          (x + y + 11 * f) % 256, 255)
     )
 
-    def chunk(fourcc: bytes, body: bytes) -> bytes:
-        pad = b"\0" if len(body) & 1 else b""
-        return fourcc + len(body).to_bytes(4, "little") + body + pad
+    chunk = _riff_chunk
 
     anmfs = b""
     for f in range(n_frames):
@@ -2369,9 +2396,7 @@ def synth_avi_mjpeg(
         for f in range(n_frames)
     ]
 
-    def chunk(fourcc: bytes, body: bytes) -> bytes:
-        pad = b"\0" if len(body) & 1 else b""
-        return fourcc + len(body).to_bytes(4, "little") + body + pad
+    chunk = _riff_chunk
 
     def lst(kind: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", kind + body)
@@ -2432,12 +2457,16 @@ def sample_frames(
     wheel provides — ``codec=True`` raises NotImplementedError for those
     explicitly rather than pretending PIL can open video; the
     deterministic stub remains their only executable path in this
-    environment."""
+    environment.  ``codec=True`` requests a general-purpose demuxer
+    (PyAV/ffmpeg) and raises NotImplementedError UNCONDITIONALLY — content
+    is not inspected at call time, so the flag cannot selectively apply to
+    non-MJPEG/non-WebP containers; leave it False to get the real
+    AVI/animated-WebP demux with the deterministic stub fallback."""
     if codec:
         raise NotImplementedError(
-            "real frame decode beyond MJPEG-AVI needs PyAV/ffmpeg (no wheel "
-            "available); the Spark-side plumbing (schema, fan-out, batching) "
-            "is real and tested — only the per-frame byte decode is stubbed"
+            "general video decode needs PyAV/ffmpeg (no wheel available); "
+            "codec=False demuxes MJPEG-AVI and animated WebP for real and "
+            "stubs other containers deterministically"
         )
     out_schema = StructType(
         [

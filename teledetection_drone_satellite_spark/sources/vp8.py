@@ -450,6 +450,15 @@ def parse_frame_header(data: bytes):
     hd = FrameHeader()
     hd.width, hd.height = w, h
     hd.mb_w, hd.mb_h = (w + 15) >> 4, (h + 15) >> 4
+    # Every macroblock costs >= 1 bool in the first partition (the ymode
+    # root bit), so a stream whose declared dimensions dwarf its payload is
+    # malformed: reject BEFORE allocating planes, or a ~50-byte garbage
+    # stream declaring 16383x16383 would allocate GBs and spin through ~1M
+    # zero-filled macroblocks in the mapInPandas worker (review finding r8).
+    # Bools cost >= 1/8 byte only after range renormalization, so be
+    # conservative: require one BIT per macroblock.
+    if hd.mb_w * hd.mb_h > part1_size * 8:
+        return None
     bd = BoolDecoder(data[10 : 10 + part1_size])
     bd.bit()  # color space (must be 0 for the profile libwebp emits)
     bd.bit()  # clamping type
@@ -776,6 +785,7 @@ def _decode_body(hd: FrameHeader, bd: BoolDecoder, parts):
             coeffs = [[0] * 16 for _ in range(25)]
             has_y2 = ymode != B_PRED
             anz = above_nz[mbx]
+            y2_nz = 0
             if skip:
                 for i in range(8):
                     anz[i] = 0
@@ -789,8 +799,8 @@ def _decode_body(hd: FrameHeader, bd: BoolDecoder, parts):
                 if has_y2:
                     ctx = anz[8] + left_nz[8]
                     c, eob = get_coeffs(bdr, hd.probs[1], 0, ctx, (y2dc, y2ac))
-                    nz = 1 if eob > 0 else 0
-                    anz[8] = left_nz[8] = nz
+                    y2_nz = 1 if eob > 0 else 0
+                    anz[8] = left_nz[8] = y2_nz
                     y2out = iwht4x4(c)
                     first, ptype = 1, 0
                 else:
@@ -825,8 +835,18 @@ def _decode_body(hd: FrameHeader, bd: BoolDecoder, parts):
             _reconstruct_mb(
                 pl, hd, mbx, mby, ymode, sub, uvmode, coeffs, skip, has_y2
             )
-            f_inner = ymode == B_PRED or _mb_has_coeffs(coeffs, has_y2, skip)
+            # inner-edge filtering decision is TOKEN-level non-zero status
+            # (RFC 6386 §15.2 / libwebp), not the dequantized/WHT-folded
+            # values: a Y2 block whose IWHT folds to all-zero DCs still
+            # marks the MB as carrying coefficients (review finding r8)
+            f_inner = ymode == B_PRED or bool(y2_nz) or any(nz_map)
             mb_info[mby][mbx] = (seg_id, f_inner, ymode)
+            # a malformed stream can declare far more macroblocks than the
+            # partitions hold bits for; the zero-fill lookahead past the
+            # end is legal only for the coder's small tail window — abort
+            # once a reader has consumed meaningfully past its buffer
+            if bdr.pos > len(bdr.data) + 8 or bd.pos > len(bd.data) + 8:
+                raise _Truncated
 
     if hd.filter_level > 0:
         _loop_filter(pl, hd, mb_info)
@@ -837,12 +857,6 @@ def _decode_body(hd: FrameHeader, bd: BoolDecoder, parts):
     u_out = pl.u[1 : 1 + ch, 1 : 1 + cw].astype(np.uint8).tobytes()
     v_out = pl.v[1 : 1 + ch, 1 : 1 + cw].astype(np.uint8).tobytes()
     return w, h, y_out, u_out, v_out
-
-
-def _mb_has_coeffs(coeffs, has_y2, skip) -> bool:
-    if skip:
-        return False
-    return any(any(c) for c in coeffs)
 
 
 def _reconstruct_mb(pl, hd, mbx, mby, ymode, sub, uvmode, coeffs, skip, has_y2):

@@ -102,3 +102,20 @@ def test_sample_frames_animated_webp(spark):
     for fi, r in rows.items():
         dec = mm.decode_webp(bytes(r["frame"]))
         assert dec is not None and dec[:3] == (16, 12, 4)
+
+
+def test_webp_anim_blend_frames_refused():
+    """Review finding r8: a frame after the first with the blending bit 0
+    (alpha-blend onto the previous canvas) needs the compositing state
+    machine — must hit the None fallback, not emit un-composited frames."""
+    content = bytearray(mm.synth_webp_anim(12, 10, 3))
+    # flags byte is offset 15 within the second ANMF payload
+    first = bytes(content).find(b"ANMF")
+    second = bytes(content).find(b"ANMF", first + 4)
+    assert content[second + 8 + 15] == 0x02
+    content[second + 8 + 15] = 0x00  # blend bit -> alpha-blend
+    assert mm.decode_webp_anim(bytes(content)) is None
+    # blend bit on the FIRST frame is fine (nothing beneath to blend with)
+    content = bytearray(mm.synth_webp_anim(12, 10, 3))
+    content[first + 8 + 15] = 0x00
+    assert mm.decode_webp_anim(bytes(content)) is not None

@@ -638,3 +638,25 @@ def test_synth_alpha_containers_decode_in_libwebp():
         mine = mm.decode_webp(content)
         arr = np.frombuffer(mine[3], dtype=np.uint8).reshape(h, w, 4)
         assert np.array_equal(arr[:, :, 3], ref[:, :, 3])
+
+
+def test_garbage_stream_with_huge_dims_rejected_fast():
+    """Review finding r8: a tiny malformed stream declaring 16383x16383
+    must be rejected before plane allocation (the 1-bit-per-MB payload
+    bound), and a valid stream truncated mid-tokens must return None via
+    the lookahead guard instead of zero-decoding to the full frame."""
+    import time
+
+    data = bytearray(51)
+    data[0] = 0x10
+    data[1] = 0x02
+    data[3:6] = b"\x9d\x01\x2a"
+    data[6:8] = (16383).to_bytes(2, "little")
+    data[8:10] = (16383).to_bytes(2, "little")
+    t0 = time.time()
+    assert vp8.decode_vp8(bytes(data)) is None
+    assert time.time() - t0 < 0.1
+    # truncating a real stream's token partition: None, not silent zeros
+    good = vp8.encode_vp8_dc_profile(96, 96, lambda a, b: (40 + 30 * a, 128, 128))
+    assert vp8.decode_vp8(good) is not None
+    assert vp8.decode_vp8(good[: len(good) - 40]) is None
