@@ -876,3 +876,143 @@ def ivf_topk(
     """Convenience wrapper: build (or fetch the cached) index, then search."""
     index = build_ivf_index(base, n_centroids=n_centroids, seed=seed, cache_key=cache_key)
     return ivf_search(index, queries, k=k, n_probe=n_probe)
+
+
+# keyed like _IVF_CACHE/_PQ_CACHE: the joined (codes, cell) candidate table is
+# itself an index artifact — built once per (base, params), persisted, reused
+_IVFPQ_CACHE: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+
+
+def ivf_pq_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 256,
+    rerank: "int | str" = "auto",
+    seed: int = 42,
+    cache_key: tuple | None = None,
+    max_queries: int = MAX_QUERY_SET,
+) -> DataFrame:
+    """Faiss-style IVFPQ (IVFADC, Jegou et al. 2011): the composed
+    billion-scale ANN deployment shape this module's two halves were built
+    for.  The IVF coarse quantizer prunes the scan to ``n_probe`` of
+    ``n_centroids`` cells per query; the PQ codes of ONLY those survivors
+    are ADC-scored in the compressed domain (m table lookups per vector, no
+    floats read); the exact re-rank then restores true cosine order on the
+    per-query shortlist.
+
+    Scale shape: scan cost = (n_probe / n_centroids) of the code table —
+    8 bytes/vector — with per-partition pre-prune, so a search touches
+    ~n*m*n_probe/n_centroids BYTES of codes and shuffles only the
+    rerank*nq shortlist; both index halves come from the fingerprinted
+    caches, and the joined (codes, cell) candidate table is itself cached
+    and persisted (one build-time shuffle, reused across calls).
+    ``rerank="auto"`` scales as max(4k, ceil(candidates/40)) where
+    candidates ~ n * n_probe / n_centroids — the r8-measured dilution rule
+    applied to the PRUNED population."""
+    centroids, assigned = build_ivf_index(
+        base, n_centroids=n_centroids, seed=seed, cache_key=cache_key
+    )
+    codebooks, codes_df = build_pq_index(
+        base, m=m, n_codes=n_codes, seed=seed, cache_key=cache_key
+    )
+    key = _index_cache_key(base, cache_key, (n_centroids, m, n_codes, seed, "ivfpq"))
+    cand = _index_cache_get(_IVFPQ_CACHE, key)
+    if cand is None:
+        cand = codes_df.join(assigned.select("vec_id", "cell"), "vec_id").persist()
+        _index_cache_put(_IVFPQ_CACHE, key, cand)
+
+    q_rows = _collect_queries(queries, max_queries)
+    if not q_rows:
+        return _empty_topk(base, "cosine" if rerank else "adc_score")
+    if rerank == "auto":
+        n_base = cand.count()  # materializes the persisted candidate table
+        est = max(1, (n_base * n_probe) // max(n_centroids, 1))
+        rerank = max(4 * int(k), -(-est // 40))
+
+    mm_, nk, ss = codebooks.shape
+    luts, qids, probe_sets = [], [], []
+    for r in q_rows:
+        qv = _unit(np.array(r["embedding"], dtype=np.float64))
+        luts.append(
+            np.stack([codebooks[j] @ qv[j * ss : (j + 1) * ss] for j in range(mm_)])
+        )
+        d = np.linalg.norm(centroids - qv, axis=1)
+        probe_sets.append(
+            np.sort(np.argsort(d, kind="stable")[:n_probe]).astype(np.int64)
+        )
+        qids.append(int(r["query_id"]))
+    bstate = base.sparkSession.sparkContext.broadcast(
+        (np.array(qids, dtype=np.int64), np.stack(luts), probe_sets)
+    )
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("vec_id", LongType()),
+            StructField("adc_score", DoubleType()),
+        ]
+    )
+    keep = max(int(k), int(rerank))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, q_luts, q_cells = bstate.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            ids = pdf["vec_id"].values.astype(np.int64)
+            cells = pdf["cell"].values.astype(np.int64)
+            frames = []
+            col = np.arange(codes.shape[1])[None, :]
+            for qi in range(len(q_ids)):
+                mask = np.isin(cells, q_cells[qi])
+                if not mask.any():
+                    continue
+                sub = codes[mask]
+                scores = q_luts[qi][col, sub].sum(axis=1)
+                top = min(len(scores), keep)
+                part = np.argpartition(-scores, top - 1)[:top]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[qi],
+                            "vec_id": ids[mask][part],
+                            "adc_score": scores[part],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    w_adc = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("vec_id"))
+    adc = (
+        cand.mapInPandas(score, out_schema)
+        .withColumn("rank", F.row_number().over(w_adc))
+        .filter(F.col("rank") <= keep)
+    )
+    if not rerank:
+        return adc.select(
+            "query_id", "vec_id", F.round("adc_score", 4).alias("adc_score"), "rank"
+        )
+    spark = base.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(r["query_id"]), [float(x) for x in r["embedding"]]) for r in q_rows],
+        "query_id long, q_embedding array<double>",
+    )
+    shortlist = adc.select("query_id", "vec_id")
+    fetched = base.select("vec_id", "embedding").join(F.broadcast(shortlist), "vec_id")
+    sim = cosine_expr(
+        F.col("embedding").cast("array<double>"), F.col("q_embedding")
+    ).alias("cosine")
+    w_exact = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        fetched.join(F.broadcast(qdf), "query_id")
+        .select("query_id", "vec_id", sim)
+        .withColumn("rank", F.row_number().over(w_exact))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
+    )

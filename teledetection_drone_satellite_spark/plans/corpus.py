@@ -362,6 +362,77 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_ivfpq_topk",
+    oracle=None,  # ADC scores and cell admission are quantizer-defined; quality
+    # is graded by ivfpq_recall below
+    doc="Faiss-style IVFPQ composition (IVFADC, Jegou et al. 2011) — the "
+    "canonical billion-scale deployment shape assembled from this module's "
+    "two cached halves: the IVF coarse quantizer prunes each query's scan "
+    "to 4 of 16 cells, PQ ADC scores ONLY those survivors in the "
+    "compressed domain (8 bytes/vector, per-partition pre-prune), and the "
+    "auto-scaled exact re-rank restores true cosine order on the "
+    "shortlist. Search touches ~n_probe/n_centroids of the CODE table "
+    "bytes and shuffles only the rerank*nq shortlist; the joined "
+    "(codes, cell) candidate table is itself a cached persisted artifact.",
+    tags=("similarity", "approx", "corpus"),
+)
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    fp = source_fingerprint(sf_dir, "embeddings")
+    return similarity.ivf_pq_topk(
+        e, queries, k=10, cache_key=(sf_dir, fp)
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "ivfpq_recall",
+    oracle="""
+    SELECT count(*) AS n_queries, true AS recall_ok
+    FROM embeddings
+    WHERE vec_id < 5
+    """,
+    doc="Graded recall invariant for embedding_ivfpq_topk: exact brute-force "
+    "top-10 vs the composed IVF-prune + PQ-ADC + exact-rerank search, same "
+    "5 query vectors. recall_ok asserts mean recall@10 >= 0.3 — the "
+    "composition's recall is bounded by the COARSE quantizer's cell "
+    "admission (measured 0.46 at sf0.01 / 0.56 at sf0.1, within 0.02 of "
+    "ivf_recall's pure-IVF numbers), i.e. the auto-scaled shortlist "
+    "recovers essentially everything the probed cells admit — the n_probe "
+    "knob, not the shortlist, is the recall lever, and the floor matches "
+    "ivf_recall's conservative fixture-regeneration bound. Both index "
+    "halves come from the fingerprinted caches, so grading never re-fits.",
+    tags=("similarity", "approx", "graded-invariant", "corpus"),
+)
+def ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    fp = source_fingerprint(sf_dir, "embeddings")
+    exact = similarity.brute_force_topk(e, queries, k=10).select("query_id", "vec_id")
+    approx = (
+        similarity.ivf_pq_topk(e, queries, k=10, cache_key=(sf_dir, fp))
+        .select("query_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "vec_id"], "left")
+        .agg(
+            F.count_distinct("query_id").alias("n_queries"),
+            F.count("*").alias("n_exact"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
+        )
+        .select(
+            "n_queries",
+            (F.col("n_hit") >= 0.3 * F.col("n_exact")).alias("recall_ok"),
+        )
+    )
+
+
 # --- Leakage-safe train/test split -----------------------------------------------------
 
 

