@@ -1208,16 +1208,39 @@ def decode_webp_anim(
     ordinary VP8/VP8L streams handled by sources/vp8.py / vp8l.py.
 
     Scope: full-canvas frames at (0, 0) only (the common screen-capture /
-    sensor-loop shape); frames offset within the canvas need the
-    dispose/blend compositing state machine and hit the None fallback, the
-    decode_gif multi-frame contract.  Frame x/y are stored halved in the
-    container; frame dims are stored minus one."""
+    sensor-loop shape); frames OFFSET within the canvas go through
+    decode_webp_anim_composited's no-blend compositing state machine
+    instead, and frames requiring alpha-BLENDING hit the None fallback in
+    both (the blend math's rounding is implementation-defined and no
+    reference demuxer is available to pin it).  Frame x/y are stored
+    halved in the container; frame dims are stored minus one."""
+    walked = _walk_webp_anim(content)
+    if walked is None:
+        return None
+    canvas_w, canvas_h, bg, recs = walked
+    frames: "list[tuple[int, bytes]]" = []
+    for i, (fx, fy, fw, fh, dur, flags, standalone) in enumerate(recs):
+        if (fx, fy, fw, fh) != (0, 0, canvas_w, canvas_h):
+            return None  # offset sub-frame: use the composited decoder
+        if i and not (flags & 0x02):
+            # blending bit 0 = alpha-blend onto the previous canvas:
+            # emitting the raw frame would silently disagree with a
+            # compositing decoder for frames carrying transparency
+            return None
+        frames.append((dur, standalone))
+    return canvas_w, canvas_h, len(frames), frames
+
+
+def _walk_webp_anim(content: bytes):
+    """Shared ANMF walk: (canvas_w, canvas_h, bgcolor_rgba, [(fx, fy, fw,
+    fh, duration_ms, flags, standalone_webp_bytes)...]) or None."""
     if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
         return None
     pos = 12
     canvas_w = canvas_h = 0
     animated = False
-    frames: "list[tuple[int, bytes]]" = []
+    bg = (0, 0, 0, 0)
+    recs = []
     while pos + 8 <= len(content):
         fourcc = content[pos : pos + 4]
         size = int.from_bytes(content[pos + 4 : pos + 8], "little")
@@ -1230,6 +1253,11 @@ def decode_webp_anim(
             animated = bool(payload[0] & 0x02)
             canvas_w = int.from_bytes(payload[4:7], "little") + 1
             canvas_h = int.from_bytes(payload[7:10], "little") + 1
+        elif fourcc == b"ANIM":
+            if size < 6:
+                return None
+            # background color is stored B, G, R, A (container spec)
+            bg = (payload[2], payload[1], payload[0], payload[3])
         elif fourcc == b"ANMF":
             if size < 16:
                 return None
@@ -1238,14 +1266,7 @@ def decode_webp_anim(
             fw = int.from_bytes(payload[6:9], "little") + 1
             fh = int.from_bytes(payload[9:12], "little") + 1
             dur = int.from_bytes(payload[12:15], "little")
-            if (fx, fy, fw, fh) != (0, 0, canvas_w, canvas_h):
-                return None  # offset sub-frame: compositing out of scope
-            if frames and not (payload[15] & 0x02):
-                # blending bit 0 = alpha-blend onto the previous canvas:
-                # that needs the compositing state machine; emitting the raw
-                # frame would silently disagree with a compositing decoder
-                # for frames carrying transparency — None fallback instead
-                return None
+            flags = payload[15]
             # frame data: image sub-chunks (optional ALPH + VP8/VP8L)
             inner = payload[16:]
             body = b""
@@ -1261,13 +1282,121 @@ def decode_webp_anim(
                 ipos += 8 + isz + (isz & 1)
             if not body:
                 return None
-            frames.append(
-                (dur, b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WEBP" + body)
+            recs.append(
+                (
+                    fx, fy, fw, fh, dur, flags,
+                    b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WEBP" + body,
+                )
             )
         pos += 8 + size + (size & 1)
-    if not animated or not frames:
+    if not animated or not recs:
         return None
-    return canvas_w, canvas_h, len(frames), frames
+    return canvas_w, canvas_h, bg, recs
+
+
+def decode_webp_anim_composited(
+    content: bytes,
+) -> "tuple[int, int, int, list[tuple[int, bytes]]] | None":
+    """Animated-WebP COMPOSITING for the exact-semantics profile: offset
+    sub-frames pasted onto the canvas and the dispose-to-background
+    method, both of which are unambiguous integer operations per the
+    container spec (rect overwrite; rect fill with the ANIM background
+    color after the frame is shown).  Returns (canvas_w, canvas_h,
+    n_frames, [(duration_ms, canvas_rgba_bytes)...]) — one full-canvas
+    RGBA snapshot per frame, taken after that frame is pasted and BEFORE
+    its disposal applies (the order players render in).
+
+    Alpha-BLENDED frames (blending bit 0 on a frame with an alpha channel)
+    remain out of scope — the spec's blend math is fractional and no
+    reference demuxer exists in this environment to pin its rounding —
+    EXCEPT the equivalence case: a blend-flagged frame whose pixels are
+    fully opaque composites identically to an overwrite, so those pass.
+    The canvas before the first frame is transparent black, per the spec."""
+    import numpy as np
+
+    walked = _walk_webp_anim(content)
+    if walked is None:
+        return None
+    canvas_w, canvas_h, bg, recs = walked
+    canvas = np.zeros((canvas_h, canvas_w, 4), dtype=np.uint8)
+    out: "list[tuple[int, bytes]]" = []
+    for fx, fy, fw, fh, dur, flags, standalone in recs:
+        if fx + fw > canvas_w or fy + fh > canvas_h:
+            return None  # frame rect must fit the canvas
+        dec = decode_webp(standalone)
+        if dec is None or dec[0] != fw or dec[1] != fh:
+            return None
+        _, _, nch, raw = dec
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(fh, fw, nch)
+        if nch == 3:
+            arr = np.concatenate(
+                [arr, np.full((fh, fw, 1), 255, dtype=np.uint8)], axis=2
+            )
+        if not (flags & 0x02) and not (arr[:, :, 3] == 255).all():
+            return None  # true alpha-blend: rounding not pinnable here
+        canvas[fy : fy + fh, fx : fx + fw] = arr
+        out.append((dur, canvas.tobytes()))
+        if flags & 0x01:  # dispose to background color
+            canvas[fy : fy + fh, fx : fx + fw] = np.array(bg, dtype=np.uint8)
+    return canvas_w, canvas_h, len(out), out
+
+
+def synth_webp_anim_offset(
+    width: int,
+    height: int,
+    n_frames: int,
+    base_pixel=None,
+    rect_pixel=None,
+    bg=(9, 18, 27, 255),
+) -> bytes:
+    """Deterministic animated WebP exercising the COMPOSITING profile:
+    frame 0 is a full-canvas VP8L base image ``base_pixel(x, y)``; frames
+    f >= 1 are 8x6 sub-rects at (2*(f %% 3), 2*(f %% 2)) carrying
+    ``rect_pixel(f, x, y)`` in CANVAS-absolute coordinates, no-blend, with
+    the dispose-to-background bit set (the ANIM background color is ``bg``,
+    stored B,G,R,A per the spec).  Mirrored in closed form by the
+    anim_webp_composite_stats oracle: the canvas snapshot at frame f shows
+    rect f's pattern inside its rect, the background color anywhere an
+    EARLIER sub-rect painted (disposed), and the base image elsewhere."""
+    from . import vp8l as _vp8l
+
+    bp = base_pixel or (lambda x, y: ((x * 3) % 256, (y * 5) % 256, (x + y) % 256, 255))
+    rp = rect_pixel or (
+        lambda f, x, y: ((x + 17 * f) % 256, (y + 29 * f) % 256, (7 * f) % 256, 255)
+    )
+    chunk = _riff_chunk
+    anmfs = b""
+    for f in range(n_frames):
+        if f == 0:
+            fx = fy = 0
+            fw, fh = width, height
+            rgba = bytes(
+                v for y in range(fh) for x in range(fw) for v in bp(x, y)
+            )
+        else:
+            fx, fy = 2 * (f % 3), 2 * (f % 2)
+            fw, fh = 8, 6
+            rgba = bytes(
+                v
+                for y in range(fy, fy + fh)
+                for x in range(fx, fx + fw)
+                for v in rp(f, x, y)
+            )
+        stream = _vp8l.encode_vp8l_literal(rgba, fw, fh)
+        flags = 0x02 | (0x01 if f > 0 else 0)  # no-blend; dispose sub-rects
+        head = (
+            (fx // 2).to_bytes(3, "little") + (fy // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little") + (fh - 1).to_bytes(3, "little")
+            + (40 + f).to_bytes(3, "little") + bytes([flags])
+        )
+        anmfs += chunk(b"ANMF", head + chunk(b"VP8L", stream))
+    vp8x = bytes([0x02]) + bytes(3) + (width - 1).to_bytes(3, "little") + (
+        height - 1
+    ).to_bytes(3, "little")
+    r, g, b_, a = bg
+    anim = bytes([b_, g, r, a]) + (0).to_bytes(2, "little")
+    body = b"WEBP" + chunk(b"VP8X", vp8x) + chunk(b"ANIM", anim) + anmfs
+    return b"RIFF" + (len(body)).to_bytes(4, "little") + body
 
 
 def synth_webp_anim(

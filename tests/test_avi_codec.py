@@ -119,3 +119,52 @@ def test_webp_anim_blend_frames_refused():
     content = bytearray(mm.synth_webp_anim(12, 10, 3))
     content[first + 8 + 15] = 0x00
     assert mm.decode_webp_anim(bytes(content)) is not None
+
+
+def test_webp_anim_compositing_state_machine():
+    """The no-blend compositing profile: paste, snapshot, dispose-to-bg —
+    pixel-exact against an independent closed-form model, including rect
+    overlap of successive frames and the spec's B,G,R,A background byte
+    order."""
+    w, h, n = 20, 14, 5
+    bp = lambda x, y: ((x * 3) % 256, (y * 5) % 256, (x + y) % 256, 255)
+    rp = lambda f, x, y: ((x + 17 * f) % 256, (y + 29 * f) % 256, (7 * f) % 256, 255)
+    bg = (9, 18, 27, 255)
+    content = mm.synth_webp_anim_offset(w, h, n, bp, rp, bg)
+    got = mm.decode_webp_anim_composited(content)
+    assert got is not None and got[:3] == (w, h, n)
+
+    def rect(f):
+        return (2 * (f % 3), 2 * (f % 2), 8, 6)
+
+    for f, (dur, raw) in enumerate(got[3]):
+        assert dur == 40 + f
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 4)
+        for y in range(h):
+            for x in range(w):
+                if f >= 1:
+                    fx, fy, fw, fh = rect(f)
+                    if fx <= x < fx + fw and fy <= y < fy + fh:
+                        exp = rp(f, x, y)
+                    elif any(
+                        rx <= x < rx + rw and ry <= y < ry + rh
+                        for g in range(1, f)
+                        for rx, ry, rw, rh in [rect(g)]
+                    ):
+                        exp = bg
+                    else:
+                        exp = bp(x, y)
+                else:
+                    exp = bp(x, y)
+                assert tuple(arr[y, x]) == tuple(exp), (f, x, y)
+    # the full-canvas (non-composited) decoder refuses offset animations
+    assert mm.decode_webp_anim(content) is None
+    # composited path handles plain full-canvas animations too
+    plain = mm.synth_webp_anim(10, 8, 3)
+    comp = mm.decode_webp_anim_composited(plain)
+    assert comp is not None and comp[:3] == (10, 8, 3)
+    # frame rect exceeding the canvas: refused
+    bad = bytearray(content)
+    pos = bytes(content).find(b"ANMF", bytes(content).find(b"ANMF") + 4) + 8
+    bad[pos + 6 : pos + 9] = (60).to_bytes(3, "little")  # fw-1 = 60 > canvas
+    assert mm.decode_webp_anim_composited(bytes(bad)) is None
