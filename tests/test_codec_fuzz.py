@@ -246,3 +246,8 @@ def test_fuzz_video_demuxers_survive_bit_flips(seed, nflip):
     if out is not None:
         for _, fw in out[3]:
             mm.decode_webp(fw)  # may be None/wrong, must not raise
+    comp = bytearray(mm.synth_webp_anim_offset(14, 10, 3))
+    for _ in range(nflip):
+        comp[rnd.randrange(len(comp))] ^= 1 << rnd.randrange(8)
+    out = mm.decode_webp_anim_composited(bytes(comp))
+    assert out is None or (isinstance(out, tuple) and len(out) == 4)
