@@ -341,3 +341,101 @@ def test_fingerprint_equal_for_identical_docs(spark):
     out = dict(text.fingerprint(df).collect())
     assert out[1] == out[2]
     assert out[1] != out[3]
+
+
+# --- graded recall-gate hardening (r9) -------------------------------------------------
+
+
+def _mean_recall(exact_sets, approx_sets):
+    return sum(
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ) / len(exact_sets)
+
+
+def test_ivf_recall_gate_fails_on_misprobed_search(spark, embeddings, sf_dir):
+    """The two-sided band in plans.extensions.ivf_recall must REJECT a search
+    whose probe plumbing is broken: n_probe=1 measures 0.48 at sf0.001,
+    0.20 outside the pinned band 0.78 +/- 0.10."""
+    from teledetection_drone_satellite_spark.catalog import source_fingerprint
+    from teledetection_drone_satellite_spark.plans.extensions import (
+        IVF_RECALL_PINNED,
+        RECALL_BAND,
+        _pinned_recall,
+    )
+
+    pinned = _pinned_recall(IVF_RECALL_PINNED, sf_dir)
+    assert pinned is not None, "smoke dir must carry a pinned recall"
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    fp = source_fingerprint(sf_dir, "embeddings")
+    exact = _topk_sets(similarity.brute_force_topk(embeddings, queries, k=10))
+    misprobed = _topk_sets(
+        similarity.ivf_topk(embeddings, queries, k=10, n_probe=1, cache_key=(sf_dir, fp))
+    )
+    r1 = _mean_recall(exact, misprobed)
+    assert abs(r1 - pinned) > RECALL_BAND, (
+        f"mis-probed recall {r1:.2f} fell INSIDE the band {pinned}+/-{RECALL_BAND}; "
+        "the gate would not catch a broken probe"
+    )
+    # and the healthy default sits inside it
+    healthy = _topk_sets(
+        similarity.ivf_topk(embeddings, queries, k=10, n_probe=4, cache_key=(sf_dir, fp))
+    )
+    assert abs(_mean_recall(exact, healthy) - pinned) <= RECALL_BAND
+
+
+def test_ivf_full_probe_is_exact(spark, embeddings, sf_dir):
+    """n_probe = n_centroids admits every cell, so IVF search with exact
+    distances must return EXACTLY the brute-force neighbor sets — the
+    deterministic half of the r9 recall gate."""
+    from teledetection_drone_satellite_spark.catalog import source_fingerprint
+
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    fp = source_fingerprint(sf_dir, "embeddings")
+    exact = _topk_sets(similarity.brute_force_topk(embeddings, queries, k=10))
+    full = _topk_sets(
+        similarity.ivf_topk(embeddings, queries, k=10, n_probe=16, cache_key=(sf_dir, fp))
+    )
+    assert full == exact
+
+
+def test_ivfpq_recall_gate_fails_on_misprobed_search(spark, embeddings, sf_dir):
+    """Same negative check for the composed IVFPQ gate in plans.corpus:
+    n_probe=1 measures 0.48 at sf0.001 vs the pinned 0.78 +/- 0.10 band."""
+    from teledetection_drone_satellite_spark.catalog import source_fingerprint
+    from teledetection_drone_satellite_spark.plans.corpus import (
+        IVFPQ_FULLPROBE_PINNED,
+        IVFPQ_RECALL_PINNED,
+    )
+    from teledetection_drone_satellite_spark.plans.extensions import (
+        RECALL_BAND,
+        _pinned_recall,
+    )
+
+    pinned = _pinned_recall(IVFPQ_RECALL_PINNED, sf_dir)
+    assert pinned is not None
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    fp = source_fingerprint(sf_dir, "embeddings")
+    exact = _topk_sets(similarity.brute_force_topk(embeddings, queries, k=10))
+    misprobed = _topk_sets(
+        similarity.ivf_pq_topk(
+            embeddings, queries, k=10, n_probe=1, cache_key=(sf_dir, fp)
+        )
+    )
+    assert abs(_mean_recall(exact, misprobed) - pinned) > RECALL_BAND
+    # the full-probe side of the gate: superset cell admission can only help
+    full = _topk_sets(
+        similarity.ivf_pq_topk(
+            embeddings, queries, k=10, n_probe=16, cache_key=(sf_dir, fp)
+        )
+    )
+    pinned_full = _pinned_recall(IVFPQ_FULLPROBE_PINNED, sf_dir)
+    r_full = _mean_recall(exact, full)
+    assert r_full >= _mean_recall(exact, misprobed)
+    assert abs(r_full - pinned_full) <= RECALL_BAND
