@@ -1907,6 +1907,142 @@ def anim_webp_composite_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "anim_webp_blend_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               16 + doc_id % 8 AS w,
+               12 + (doc_id * 3) % 6 AS h,
+               2 + doc_id % 4 AS n_frames
+        FROM documents WHERE doc_id < 50
+    ),
+    sampled AS (
+        SELECT doc_id, w, h, n_frames, CAST(f.i AS INT) AS frame_idx
+        FROM spec, LATERAL unnest(range(0, n_frames)) f(i)
+    ),
+    px AS (
+        SELECT doc_id, frame_idx, n_frames, x.i AS x, y.i AS y,
+               CASE WHEN x.i < 16 AND y.i < 12
+                         AND (x.i // 8) + 2 * (y.i // 6) + 1 <= frame_idx
+                    THEN (x.i // 8) + 2 * (y.i // 6) + 1
+                    ELSE 0 END AS g
+        FROM sampled,
+             LATERAL unnest(range(0, w)) x(i),
+             LATERAL unnest(range(0, h)) y(i)
+    ),
+    alph AS (
+        SELECT *, CASE WHEN g > 0
+                       THEN list_extract([0, 51, 85, 153, 204, 255],
+                                         CAST((x + y + g) % 6 AS INT) + 1)
+                       ELSE 0 END AS a,
+               15 * ((x * 3 + doc_id) % 18) AS rb,
+               15 * ((y * 5 + doc_id) % 18) AS gb,
+               15 * ((x + y + 2 * doc_id) % 18) AS bb
+        FROM px
+    ),
+    vals AS (
+        SELECT doc_id, frame_idx, n_frames,
+               CASE WHEN g > 0 THEN rb
+                    + ((15 * ((x + 2 * g + doc_id) % 18) - rb) * a) // 255
+                    ELSE rb END AS r,
+               CASE WHEN g > 0 THEN gb
+                    + ((15 * ((y + 3 * g + doc_id) % 18) - gb) * a) // 255
+                    ELSE gb END AS g_,
+               CASE WHEN g > 0 THEN bb
+                    + ((15 * ((x + y + g + doc_id) % 18) - bb) * a) // 255
+                    ELSE bb END AS b
+        FROM alph
+    )
+    SELECT doc_id, frame_idx,
+           CAST(min(n_frames) AS INT) AS n_frames,
+           ((2 * CAST(sum(r) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_r,
+           ((2 * CAST(sum(g_) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_g,
+           ((2 * CAST(sum(b) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_b
+    FROM vals GROUP BY doc_id, frame_idx
+    """,
+    doc="Animated-WebP alpha-BLEND compositing, graded — the r9 "
+    "divisor-exact profile: per doc, synth_webp_anim_blend emits a "
+    "full-canvas opaque VP8L base frame plus blend-flagged 8x6 sub-rect "
+    "frames on a DISJOINT 2x2 grid, alphas drawn from the divisor lattice "
+    "of 255 ({0,51,85,153,204,255}) with every frame channel congruent to "
+    "the base channel mod 15 — which makes the container spec's rational "
+    "blend formula integer-exact, so the composite C_out = Cb + "
+    "(Cf-Cb)*a/255 (A_out = 255 on the opaque canvas) has ONE right "
+    "answer without guessing implementation-defined rounding. "
+    "decode_webp_anim_composited replays the canvas state machine "
+    "(_blend_exact verifies per-pixel exactness; fractional blends keep "
+    "the honest None gate, pytest-pinned). The oracle derives every "
+    "snapshot pixel in closed form: the unique covering blend frame g = "
+    "x//8 + 2*(y//6) + 1 if g <= frame_idx, else the base pattern — a "
+    "blend/overwrite swap, a wrong alpha table, or an off-lattice "
+    "division flips the channel means.",
+    tags=("ingest", "multimodal"),
+)
+def anim_webp_blend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 50)
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w_px, h_px = 16 + i % 8, 12 + (i * 3) % 6
+                n = 2 + i % 4
+                content = multimodal.synth_webp_anim_blend(
+                    w_px, h_px, n,
+                    base_pixel=lambda x, y, i=i: (
+                        15 * ((x * 3 + i) % 18), 15 * ((y * 5 + i) % 18),
+                        15 * ((x + y + 2 * i) % 18), 255,
+                    ),
+                    rect_pixel=lambda f, x, y, i=i: (
+                        15 * ((x + 2 * f + i) % 18),
+                        15 * ((y + 3 * f + i) % 18),
+                        15 * ((x + y + f + i) % 18),
+                        (0, 51, 85, 153, 204, 255)[(x + y + f) % 6],
+                    ),
+                )
+                dec = multimodal.decode_webp_anim_composited(content)
+                cw, ch_, nf, frames = dec
+                for fidx, (dur, raw) in enumerate(frames):
+                    arr = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 4)
+                    sums = arr[:, :3].sum(axis=0, dtype=np.int64)
+                    rows.append(
+                        (i, fidx, nf, int(sums[0]), int(sums[1]),
+                         int(sums[2]), cw * ch_)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "n_frames",
+                         "rsum", "gsum", "bsum", "npx"],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, frame_idx int, n_frames int, "
+        "rsum long, gsum long, bsum long, npx long",
+    )
+    return out.select(
+        "doc_id", "frame_idx", "n_frames",
+        _half_up_mean("rsum", "npx").alias("mean_r"),
+        _half_up_mean("gsum", "npx").alias("mean_g"),
+        _half_up_mean("bsum", "npx").alias("mean_b"),
+    )
+
+
+@register(
     "multimodal_features",
     oracle="""
     WITH lut AS (SELECT i, lower(lpad(to_hex(i), 2, '0')) AS h FROM range(256) t(i)),

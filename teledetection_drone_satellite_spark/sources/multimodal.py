@@ -1209,11 +1209,12 @@ def decode_webp_anim(
 
     Scope: full-canvas frames at (0, 0) only (the common screen-capture /
     sensor-loop shape); frames OFFSET within the canvas go through
-    decode_webp_anim_composited's no-blend compositing state machine
-    instead, and frames requiring alpha-BLENDING hit the None fallback in
-    both (the blend math's rounding is implementation-defined and no
-    reference demuxer is available to pin it).  Frame x/y are stored
-    halved in the container; frame dims are stored minus one."""
+    decode_webp_anim_composited's compositing state machine instead, which
+    also blends alpha-flagged frames for real whenever the spec formula is
+    integer-exact (see _blend_exact; fractional blends stay an honest None
+    — rounding is implementation-defined and no reference demuxer is
+    available to pin it).  Frame x/y are stored halved in the container;
+    frame dims are stored minus one."""
     walked = _walk_webp_anim(content)
     if walked is None:
         return None
@@ -1306,11 +1307,18 @@ def decode_webp_anim_composited(
     RGBA snapshot per frame, taken after that frame is pasted and BEFORE
     its disposal applies (the order players render in).
 
-    Alpha-BLENDED frames (blending bit 0 on a frame with an alpha channel)
-    remain out of scope — the spec's blend math is fractional and no
-    reference demuxer exists in this environment to pin its rounding —
-    EXCEPT the equivalence case: a blend-flagged frame whose pixels are
-    fully opaque composites identically to an overwrite, so those pass.
+    Alpha-BLENDED frames (blending bit 0) go through the container spec's
+    blend formula in EXACT rational arithmetic — clearing denominators,
+    out.A = (255*af + ac*(255-af)) / 255 and out.C = (255*Cf*af +
+    Cc*ac*(255-af)) / (255*af + ac*(255-af)) — and composite for real
+    WHENEVER every pixel's divisions are integer-exact (the divisor-exact
+    profile synth_webp_anim_blend generates: alphas from the divisor
+    lattice of 255 = 3*5*17 over color deltas = 0 mod 15).  Frames whose
+    values make the division fractional still hit the honest None fallback:
+    the spec leaves the rounding implementation-defined and no reference
+    demuxer exists in this environment to pin it (libwebpdemux absent;
+    verified r8/r9).  A fully-opaque blend frame reduces to an overwrite
+    through the same formula (af=255 -> out.C = Cf exactly).
     The canvas before the first frame is transparent black, per the spec."""
     import numpy as np
 
@@ -1332,13 +1340,52 @@ def decode_webp_anim_composited(
             arr = np.concatenate(
                 [arr, np.full((fh, fw, 1), 255, dtype=np.uint8)], axis=2
             )
-        if not (flags & 0x02) and not (arr[:, :, 3] == 255).all():
-            return None  # true alpha-blend: rounding not pinnable here
-        canvas[fy : fy + fh, fx : fx + fw] = arr
+        if not (flags & 0x02):
+            blended = _blend_exact(canvas[fy : fy + fh, fx : fx + fw], arr)
+            if blended is None:
+                return None  # fractional blend: rounding not pinnable here
+            canvas[fy : fy + fh, fx : fx + fw] = blended
+        else:
+            canvas[fy : fy + fh, fx : fx + fw] = arr
         out.append((dur, canvas.tobytes()))
         if flags & 0x01:  # dispose to background color
             canvas[fy : fy + fh, fx : fx + fw] = np.array(bg, dtype=np.uint8)
     return canvas_w, canvas_h, len(out), out
+
+
+def _blend_exact(under, frame):
+    """Container-spec alpha blend of ``frame`` (src, h*w*4 uint8) onto
+    ``under`` (dst canvas rect), evaluated in exact integer arithmetic.
+
+    The spec's formula with normalized alphas, denominators cleared
+    (af/ac = 8-bit alphas, Cf/Cc = 8-bit channels):
+
+        out.A * 255   = 255*af + ac*(255 - af)
+        out.C * denom = 255*Cf*af + Cc*ac*(255 - af),
+        denom         = 255*af + ac*(255 - af)
+
+    Returns the blended uint8 rect when BOTH divisions are exact on every
+    pixel (and out.C = 0 where denom = 0, i.e. a fully-transparent
+    result, which the spec leaves colorless), else None — fractional
+    results have implementation-defined rounding this decoder refuses to
+    guess (no reference demuxer on this box to pin it against)."""
+    import numpy as np
+
+    fr = frame.astype(np.int64)
+    un = under.astype(np.int64)
+    af = fr[:, :, 3:4]
+    ac = un[:, :, 3:4]
+    a_num = 255 * af + ac * (255 - af)  # = 255^2 * alpha_out = denom
+    if (a_num % 255 != 0).any():
+        return None
+    a_out = a_num // 255
+    c_num = 255 * fr[:, :, :3] * af + un[:, :, :3] * ac * (255 - af)
+    den = np.broadcast_to(a_num, c_num.shape)
+    safe = np.where(den == 0, 1, den)
+    if ((c_num % safe) != 0).any():
+        return None
+    c_out = np.where(den == 0, 0, c_num // safe)
+    return np.concatenate([c_out, a_out], axis=2).astype(np.uint8)
 
 
 def synth_webp_anim_offset(
@@ -1395,6 +1442,75 @@ def synth_webp_anim_offset(
     ).to_bytes(3, "little")
     r, g, b_, a = bg
     anim = bytes([b_, g, r, a]) + (0).to_bytes(2, "little")
+    body = b"WEBP" + chunk(b"VP8X", vp8x) + chunk(b"ANIM", anim) + anmfs
+    return b"RIFF" + (len(body)).to_bytes(4, "little") + body
+
+
+def synth_webp_anim_blend(
+    width: int,
+    height: int,
+    n_frames: int,
+    base_pixel=None,
+    rect_pixel=None,
+) -> bytes:
+    """Deterministic animated WebP exercising the DIVISOR-EXACT alpha-BLEND
+    profile: frame 0 is a full-canvas opaque VP8L base ``base_pixel(x, y)``;
+    frames f >= 1 are 8x6 sub-rects with the BLEND bit (ANMF flag bit 1 = 0)
+    and no disposal, placed on a DISJOINT 2x2 grid of cells — cell f-1 at
+    (8*((f-1) % 2), 6*(((f-1) // 2) % 2)) — so every blend composites onto
+    the base image and the result stays in closed form.  ``rect_pixel(f, x,
+    y)`` returns CANVAS-absolute (r, g, b, a); callers keep the formula
+    integer-exact by drawing alphas from the divisor lattice of 255
+    ({0, 51, 85, 153, 204, 255}) and holding each frame channel congruent
+    to the base channel mod 15, which makes (Cf - Cb) * a divisible by 255
+    (255 = 3*5*17; 15*51 = 3*255, 15*85 = 5*255, ...).  Onto an opaque
+    canvas the spec blend then reduces to the exact integer
+    C_out = Cb + (Cf - Cb)*a/255 and A_out = 255 — what the
+    anim_webp_blend_stats oracle mirrors.  Needs width >= 16, height >= 12,
+    n_frames <= 5.  Byte-packing per the public WebP container spec,
+    independent of the decoder (VP8X sets the animation AND alpha flags)."""
+    from . import vp8l as _vp8l
+
+    if width < 16 or height < 12 or n_frames > 5:
+        raise ValueError("blend profile needs a 16x12 canvas and <= 5 frames")
+    bp = base_pixel or (
+        lambda x, y: (15 * ((x * 3) % 18), 15 * ((y * 5) % 18),
+                      15 * ((x + y) % 18), 255)
+    )
+    rp = rect_pixel or (
+        lambda f, x, y: (15 * ((x + 2 * f) % 18), 15 * ((y + 3 * f) % 18),
+                         15 * ((x + y + f) % 18),
+                         (0, 51, 85, 153, 204, 255)[(x + y + f) % 6])
+    )
+    chunk = _riff_chunk
+    anmfs = b""
+    for f in range(n_frames):
+        if f == 0:
+            fx = fy = 0
+            fw, fh = width, height
+            rgba = bytes(v for y in range(fh) for x in range(fw) for v in bp(x, y))
+            flags = 0x02  # base frame: overwrite semantics
+        else:
+            fx, fy = 8 * ((f - 1) % 2), 6 * (((f - 1) // 2) % 2)
+            fw, fh = 8, 6
+            rgba = bytes(
+                v
+                for y in range(fy, fy + fh)
+                for x in range(fx, fx + fw)
+                for v in rp(f, x, y)
+            )
+            flags = 0x00  # BLEND onto the canvas, keep after display
+        stream = _vp8l.encode_vp8l_literal(rgba, fw, fh)
+        head = (
+            (fx // 2).to_bytes(3, "little") + (fy // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little") + (fh - 1).to_bytes(3, "little")
+            + (40 + f).to_bytes(3, "little") + bytes([flags])
+        )
+        anmfs += chunk(b"ANMF", head + chunk(b"VP8L", stream))
+    vp8x = bytes([0x12]) + bytes(3) + (width - 1).to_bytes(3, "little") + (
+        height - 1
+    ).to_bytes(3, "little")
+    anim = bytes(4) + (0).to_bytes(2, "little")
     body = b"WEBP" + chunk(b"VP8X", vp8x) + chunk(b"ANIM", anim) + anmfs
     return b"RIFF" + (len(body)).to_bytes(4, "little") + body
 

@@ -168,3 +168,86 @@ def test_webp_anim_compositing_state_machine():
     pos = bytes(content).find(b"ANMF", bytes(content).find(b"ANMF") + 4) + 8
     bad[pos + 6 : pos + 9] = (60).to_bytes(3, "little")  # fw-1 = 60 > canvas
     assert mm.decode_webp_anim_composited(bytes(bad)) is None
+
+
+def test_webp_anim_blend_divisor_exact_profile():
+    """r9: alpha-BLEND compositing on the divisor-exact profile — pixel-exact
+    against an independent closed-form model of the container spec's blend
+    formula (C_out = Cb + (Cf-Cb)*a/255 onto the opaque base; A_out = 255),
+    with alphas from the divisor lattice of 255 and channel deltas = 0 mod 15."""
+    ALPHAS = (0, 51, 85, 153, 204, 255)
+    w, h, n = 18, 14, 5
+    bp = lambda x, y: (15 * ((x * 3) % 18), 15 * ((y * 5) % 18), 15 * ((x + y) % 18), 255)
+    rp = lambda f, x, y: (
+        15 * ((x + 2 * f) % 18), 15 * ((y + 3 * f) % 18),
+        15 * ((x + y + f) % 18), ALPHAS[(x + y + f) % 6],
+    )
+    content = mm.synth_webp_anim_blend(w, h, n, bp, rp)
+    got = mm.decode_webp_anim_composited(content)
+    assert got is not None and got[:3] == (w, h, n)
+    for f, (dur, raw) in enumerate(got[3]):
+        assert dur == 40 + f
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 4)
+        for y in range(h):
+            for x in range(w):
+                exp = list(bp(x, y))
+                if x < 16 and y < 12:
+                    g = (x // 8) + 2 * (y // 6) + 1
+                    if 1 <= g <= f:
+                        cb, cf = bp(x, y), rp(g, x, y)
+                        a = cf[3]
+                        exp = [
+                            cb[c] + (cf[c] - cb[c]) * a // 255 for c in range(3)
+                        ] + [255]
+                assert list(arr[y, x]) == exp, (f, x, y)
+
+
+def test_webp_anim_blend_fractional_still_refused():
+    """Off-lattice alpha (or off-mod-15 channels) makes the spec's division
+    fractional — the decoder must keep the honest None gate rather than
+    guess implementation-defined rounding."""
+    # alpha 100 is not a divisor-lattice value over these channel deltas
+    bad = mm.synth_webp_anim_blend(
+        16, 12, 2, rect_pixel=lambda f, x, y: (7, 13, 201, 100)
+    )
+    assert mm.decode_webp_anim_composited(bad) is None
+    # channels off the mod-15 lattice at a fractional-making alpha
+    bad2 = mm.synth_webp_anim_blend(
+        16, 12, 2, rect_pixel=lambda f, x, y: (1, 2, 3, 51)
+    )
+    assert mm.decode_webp_anim_composited(bad2) is None
+
+
+def test_webp_anim_blend_opaque_reduces_to_overwrite():
+    """A fully-opaque blend-flagged frame must composite exactly like an
+    overwrite through the same exact formula (af=255 -> C_out = Cf) —
+    the r8 equivalence case now subsumed by _blend_exact."""
+    rp_opaque = lambda f, x, y: (
+        15 * ((x + f) % 18), 15 * ((y + f) % 18), 15 * ((x + y) % 18), 255
+    )
+    blend = mm.synth_webp_anim_blend(16, 12, 3, rect_pixel=rp_opaque)
+    got = mm.decode_webp_anim_composited(blend)
+    assert got is not None
+    for f, (dur, raw) in enumerate(got[3]):
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(12, 16, 4)
+        for y in range(12):
+            for x in range(16):
+                g = (x // 8) + 2 * (y // 6) + 1
+                if 1 <= g <= f:
+                    assert tuple(arr[y, x]) == rp_opaque(g, x, y), (f, x, y)
+
+
+def test_webp_anim_blend_onto_transparent_canvas():
+    """Blending onto fully-transparent canvas (ac=0): the formula collapses
+    to out = frame (alpha and color alike), exact for ANY frame values —
+    checked by blending frame 1 before any base paints beneath it...
+    except frame 0 always paints here, so drive _blend_exact directly."""
+    under = np.zeros((2, 3, 4), dtype=np.uint8)
+    frame = np.arange(24, dtype=np.uint8).reshape(2, 3, 4)
+    out = mm._blend_exact(under, frame)
+    assert out is not None
+    # out.A = af; out.C = Cf wherever af > 0, 0 where the result is transparent
+    af = frame[:, :, 3:4].astype(int)
+    exp_rgb = np.where(af > 0, frame[:, :, :3], 0)
+    assert (out[:, :, 3:4] == frame[:, :, 3:4]).all()
+    assert (out[:, :, :3] == exp_rgb).all()
