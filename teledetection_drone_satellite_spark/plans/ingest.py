@@ -1037,6 +1037,130 @@ def gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gif_composite_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               16 + doc_id % 12 AS w,
+               13 + (doc_id * 3) % 9 AS h,
+               doc_id % 5 AS lft,
+               (doc_id * 3) % 4 AS tp,
+               doc_id % 3 = 0 AS has_t,
+               (doc_id * 11) % 256 AS bg
+        FROM documents WHERE doc_id < 100
+    ),
+    dims AS (
+        SELECT *,
+               w - lft - (doc_id % 3) AS fw,
+               h - tp - ((doc_id * 2) % 3) AS fh
+        FROM spec
+    ),
+    px AS (
+        SELECT doc_id, w, h,
+               CASE WHEN x.i >= lft AND x.i < lft + fw
+                         AND y.i >= tp AND y.i < tp + fh
+                    THEN CASE WHEN has_t
+                                   AND (doc_id + x.i * 5 + y.i) % 256 = 7
+                              THEN bg
+                              ELSE (doc_id + x.i * 5 + y.i) % 256 END
+                    ELSE bg END AS idx,
+               ((x.i + y.i * w) % 97) + 1 AS wt
+        FROM dims,
+             LATERAL unnest(range(0, w)) x(i),
+             LATERAL unnest(range(0, h)) y(i)
+    )
+    SELECT doc_id,
+           CAST(min(w) AS INT) AS width,
+           CAST(min(h) AS INT) AS height,
+           min(doc_id) % 3 = 0 AS transparent,
+           ((2 * CAST(sum(idx) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_r,
+           ((2 * CAST(sum((idx * 3) % 256) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_g,
+           ((2 * CAST(sum((idx * 7) % 256) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_b,
+           CAST(sum(wt * idx) AS BIGINT) AS wsum_r
+    FROM px GROUP BY doc_id
+    """,
+    doc="GIF first-frame COMPOSITING, graded (r9, closing the r7/r8 "
+    "sub-rect + transparency fallbacks): per doc a GIF89a is synthesized "
+    "whose single frame sits OFFSET within the logical screen "
+    "(synth_gif_full frame_rect, canvas-absolute index pattern), with "
+    "every 3rd doc carrying a Graphic Control Extension transparency "
+    "flag on index 7 and a per-doc LSD background index. decode_gif "
+    "composites the frame onto the background-filled logical screen and "
+    "maps transparent pixels to the background color — the WebP-compositor "
+    "paste shape. The oracle derives every canvas pixel in closed form "
+    "(inside the rect: the index pattern with transparent hits swapped "
+    "to bg; outside: bg) plus the position-weighted checksum that "
+    "catches any placement or row-order bug a mean would miss.",
+    tags=("ingest", "multimodal"),
+)
+def gif_composite_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w_px, h_px = 16 + i % 12, 13 + (i * 3) % 9
+                lft, tp = i % 5, (i * 3) % 4
+                fw = w_px - lft - (i % 3)
+                fh = h_px - tp - ((i * 2) % 3)
+                content = multimodal.synth_gif_full(
+                    w_px, h_px,
+                    lambda x, y, i=i: (i + x * 5 + y) % 256,
+                    frame_rect=(lft, tp, fw, fh),
+                    transparent=7 if i % 3 == 0 else None,
+                    bg_index=(i * 11) % 256,
+                )
+                width, height, _, raw = multimodal.decode_gif(content)
+                arr = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+                sums = arr.sum(axis=0, dtype=np.int64)
+                wt = (np.arange(width * height, dtype=np.int64) % 97) + 1
+                wsum_r = int((wt * arr[:, 0].astype(np.int64)).sum())
+                rows.append(
+                    (
+                        i, width, height, i % 3 == 0,
+                        int(sums[0]), int(sums[1]), int(sums[2]),
+                        width * height, wsum_r,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "transparent",
+                    "rsum", "gsum", "bsum", "npx", "wsum_r",
+                ],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, width int, height int, transparent boolean, "
+        "rsum long, gsum long, bsum long, npx long, wsum_r long",
+    )
+
+    return out.select(
+        "doc_id", "width", "height", "transparent",
+        _half_up_mean("rsum", "npx").alias("mean_r"),
+        _half_up_mean("gsum", "npx").alias("mean_g"),
+        _half_up_mean("bsum", "npx").alias("mean_b"),
+        "wsum_r",
+    )
+
+
+@register(
     "jpeg_in_tiff_stats",
     oracle="""
     WITH spec AS (
@@ -1063,6 +1187,10 @@ def gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     samp AS (
         SELECT doc_id, w, h, gray, rps,
                CASE WHEN gray THEN CAST(yv AS BIGINT)
+                    WHEN doc_id % 4 = 3 THEN
+                         -- photometric 2: components ARE R,G,B (no matrix)
+                         CAST(yv AS BIGINT) + CAST(cb + 128.0 AS BIGINT)
+                       + CAST(cr + 128.0 AS BIGINT)
                     ELSE GREATEST(0, LEAST(255,
                              CAST(FLOOR(yv + 1.402 * cr + 0.5) AS BIGINT)))
                        + GREATEST(0, LEAST(255,
@@ -1093,13 +1221,19 @@ def gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="REAL new-style JPEG-in-TIFF decode (TIFF compression 7, TechNote 2) "
     "— the last wheel-free TIFF compression id, COMPOSING the two real "
     "decoders: complete TIFFs are synthesized per doc whose strips are "
-    "baseline JPEG streams (gray or 4:4:4 YCbCr cycling by doc, multi-strip "
+    "baseline JPEG streams (gray or 4:4:4 color cycling by doc, multi-strip "
     "tiling on 8-row boundaries, single-strip every 4th doc), with every "
     "3rd doc using the ABBREVIATED JPEGTables layout libtiff writes (DQT/"
-    "DHT hoisted into tag 347, spliced back per strip by decode_tiff). The "
+    "DHT hoisted into tag 347, spliced back per strip by decode_tiff), and "
+    "— new r9 — every doc_id % 4 == 3 doc storing PHOTOMETRIC 2 strips "
+    "(RGB-stored JPEG, the other layout libtiff writes): the three DCT "
+    "components are R,G,B directly and decode_jpeg must SKIP the YCbCr "
+    "matrix (color_transform=False), which the oracle's raw-component sum "
+    "vs matrixed sum distinguishes per pixel. The "
     "oracle enumerates every pixel and predicts the per-sample mean in "
-    "closed form — a mis-spliced table segment, wrong strip row count, or "
-    "broken absolute-block phase across strips flips it. Old-style JPEG "
+    "closed form — a mis-spliced table segment, wrong strip row count, "
+    "broken absolute-block phase across strips, or a matrix wrongly "
+    "applied to photometric-2 strips flips it. Old-style JPEG "
     "(compression 6) stays out of scope (spec-deprecated).",
     tags=("ingest", "multimodal"),
 )
@@ -1138,6 +1272,7 @@ def jpeg_in_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 content = multimodal.synth_tiff_jpeg(
                     w_px, h_px, channels,
                     rows_per_strip=rps, block_value=bv, abbreviated=abbrev,
+                    photometric=2 if i % 4 == 3 else None,
                 )
                 width, height, ch, raw = multimodal.decode_tiff(content)
                 n_strips = 1 if rps is None else -(-height // rps)

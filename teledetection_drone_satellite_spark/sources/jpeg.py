@@ -206,9 +206,17 @@ class _BitReader:
         self.pos += 2
 
 
-def decode_jpeg(content: bytes) -> "tuple[int, int, int, bytes] | None":
+def decode_jpeg(
+    content: bytes, color_transform: bool = True
+) -> "tuple[int, int, int, bytes] | None":
     """Decode a baseline sequential single-component (grayscale) JPEG to
-    (width, height, 1, gray_bytes) row-major, or None outside that scope."""
+    (width, height, 1, gray_bytes) row-major, or None outside that scope.
+
+    ``color_transform=False`` skips the JFIF YCbCr->RGB matrix on
+    3-component images and returns the quantized, upsampled component
+    samples stacked directly — the layout TIFF photometric 2 (RGB-stored
+    JPEG strips, TechNote 2) requires, where the three DCT components ARE
+    R, G, B and applying the matrix would corrupt them."""
     if content[:2] != b"\xff\xd8":
         return None
     qtables: dict[int, list[int]] = {}
@@ -277,7 +285,7 @@ def decode_jpeg(content: bytes) -> "tuple[int, int, int, bytes] | None":
                 if any(hmax % c[1] or vmax % c[2] for c in sof_comps):
                     return None  # non-dividing ratio: replication undefined
             elif marker == 0xC2:  # progressive DCT: dedicated multi-scan path
-                return _decode_progressive(content)
+                return _decode_progressive(content, color_transform)
             elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 return None  # arithmetic/lossless/hierarchical: out of scope
             elif marker == 0xDD:  # DRI
@@ -356,7 +364,8 @@ def decode_jpeg(content: bytes) -> "tuple[int, int, int, bytes] | None":
     except _Truncated:
         return None
     return _finish_image(
-        planes, [(ch, cv) for (_, _, _, ch, cv) in comps], hmax, vmax, width, height
+        planes, [(ch, cv) for (_, _, _, ch, cv) in comps], hmax, vmax,
+        width, height, color_transform,
     )
 
 
@@ -367,6 +376,7 @@ def _finish_image(
     vmax: int,
     width: int,
     height: int,
+    color_transform: bool = True,
 ) -> "tuple[int, int, int, bytes]":
     """Shared decode tail (sequential and progressive): per-component sample
     quantization, chroma upsample by replication, JFIF YCbCr->RGB.
@@ -390,6 +400,9 @@ def _finish_image(
     ]
     if len(planes) == 1:
         return width, height, 1, planes[0].astype(np.uint8).tobytes()
+    if not color_transform:
+        rgb = np.stack(planes, axis=-1).astype(np.uint8)
+        return width, height, 3, rgb.tobytes()
     y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
     rgb = np.stack(
         [
@@ -418,7 +431,9 @@ def _entropy_end(content: bytes, start: int) -> int:
     return n
 
 
-def _decode_progressive(content: bytes) -> "tuple[int, int, int, bytes] | None":
+def _decode_progressive(
+    content: bytes, color_transform: bool = True
+) -> "tuple[int, int, int, bytes] | None":
     """Progressive DCT decode (T.81 Annex G, Huffman): scans accumulate into
     per-component coefficient arrays — DC first/refine with successive
     approximation (G.1.2.1), AC first scans with spectral selection + EOBn
@@ -552,7 +567,8 @@ def _decode_progressive(content: bytes) -> "tuple[int, int, int, bytes] | None":
     except _Truncated:
         return None
     return _finish_image(
-        planes, [(ch, cv) for (_, ch, cv, _) in sof_comps], hmax, vmax, width, height
+        planes, [(ch, cv) for (_, ch, cv, _) in sof_comps], hmax, vmax,
+        width, height, color_transform,
     )
 
 

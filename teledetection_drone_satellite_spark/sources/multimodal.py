@@ -837,11 +837,24 @@ def _gif_deinterlace(idx: bytes, w: int, h: int) -> bytes:
 def decode_gif(content: bytes) -> "tuple[int, int, int, bytes] | None":
     """REAL GIF pixel decode, pure stdlib + numpy (reference stack: Pillow,
     file-service requirements.txt:11-15): header + logical screen descriptor,
-    global/local color table, extension-block skip, first image descriptor,
-    sub-block reassembly, GIF-LZW entropy decode, optional 4-pass
-    de-interlace, palette -> RGB. Returns (width, height, 3, rgb_bytes)
-    row-major or None outside scope (no color table, bad index, truncated) —
-    same fallback contract as decode_png/decode_tiff/decode_jpeg."""
+    global/local color table, extension-block walk (Graphic Control
+    Extension transparency honored), first image descriptor, sub-block
+    reassembly, GIF-LZW entropy decode, optional 4-pass de-interlace,
+    palette -> RGB. Returns (width, height, 3, rgb_bytes) row-major or None
+    outside scope (no color table, bad index, truncated) — same fallback
+    contract as decode_png/decode_tiff/decode_jpeg.
+
+    First frames OFFSET within / smaller than the logical screen are
+    COMPOSITED onto a canvas of the logical-screen dims filled with the
+    background color (LSD background index through the GLOBAL color table)
+    — the same paste-onto-canvas state machine as
+    decode_webp_anim_composited — so the returned dims always agree with
+    parse_image_header.  A GCE transparency flag maps transparent pixels
+    to that same background color (what a player shows over the bg-filled
+    canvas; this decoder emits opaque RGB).  Both composite paths need a
+    resolvable background: no global table or an out-of-range background
+    index keeps the honest None fallback.  Full-screen opaque frames never
+    touch the background and decode exactly as before."""
     import numpy as np
 
     if content[:6] not in (b"GIF87a", b"GIF89a") or len(content) < 13:
@@ -849,6 +862,7 @@ def decode_gif(content: bytes) -> "tuple[int, int, int, bytes] | None":
     screen_w = int.from_bytes(content[6:8], "little")
     screen_h = int.from_bytes(content[8:10], "little")
     packed = content[10]
+    bg_index = content[11]
     pos = 13
     gct = None
     if packed & 0x80:
@@ -857,18 +871,17 @@ def decode_gif(content: bytes) -> "tuple[int, int, int, bytes] | None":
         if len(gct) < 3 * gsize:
             return None
         pos += 3 * gsize
+    transparent: "int | None" = None
     while pos < len(content):
         b = content[pos]
         if b == 0x3B:  # trailer
             return None  # no image block seen
         if b == 0x21:  # extension: label + sub-blocks
-            # A Graphic Control Extension with the transparency flag set
-            # makes one palette index transparent; this decoder returns
-            # opaque 3-channel RGB, so honoring the contract means the
-            # None fallback, not silently-opaque pixels.
+            # Graphic Control Extension: remember the transparent index for
+            # the frame that follows (flag bit 0; index in the 4th data byte)
             if pos + 1 < len(content) and content[pos + 1] == 0xF9:
-                if pos + 4 < len(content) and content[pos + 3] & 0x01:
-                    return None
+                if pos + 6 < len(content) and content[pos + 3] & 0x01:
+                    transparent = content[pos + 6]
             pos += 2
             while pos < len(content) and content[pos] != 0:
                 pos += 1 + content[pos]
@@ -882,12 +895,9 @@ def decode_gif(content: bytes) -> "tuple[int, int, int, bytes] | None":
         top = int.from_bytes(content[pos + 3 : pos + 5], "little")
         w = int.from_bytes(content[pos + 5 : pos + 7], "little")
         h = int.from_bytes(content[pos + 7 : pos + 9], "little")
-        if (left, top, w, h) != (0, 0, screen_w, screen_h):
-            # A first frame offset within / smaller than the logical screen
-            # would return dims inconsistent with parse_image_header's
-            # logical-screen dims; compositing multi-frame canvases is
-            # animation territory — fall back rather than disagree.
-            return None
+        full_screen = (left, top, w, h) == (0, 0, screen_w, screen_h)
+        if left + w > screen_w or top + h > screen_h:
+            return None  # frame rect must fit the logical screen
         ipacked = content[pos + 9]
         pos += 10
         pal = gct
@@ -919,7 +929,23 @@ def decode_gif(content: bytes) -> "tuple[int, int, int, bytes] | None":
         palette = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
         if int(indices.max()) >= len(palette):
             return None
-        return w, h, 3, palette[indices].tobytes()
+        has_transparency = transparent is not None and bool(
+            (indices == transparent).any()
+        )
+        if full_screen and not has_transparency:
+            return w, h, 3, palette[indices].tobytes()
+        # composite path: background must resolve through the GLOBAL table
+        if gct is None or bg_index >= len(gct) // 3:
+            return None
+        bg_rgb = np.frombuffer(gct, dtype=np.uint8).reshape(-1, 3)[bg_index]
+        frame = palette[indices].reshape(h, w, 3)
+        if has_transparency:
+            frame = np.where(
+                (indices == transparent).reshape(h, w, 1), bg_rgb, frame
+            )
+        canvas = np.broadcast_to(bg_rgb, (screen_h, screen_w, 3)).copy()
+        canvas[top : top + h, left : left + w] = frame
+        return screen_w, screen_h, 3, canvas.astype(np.uint8).tobytes()
     return None
 
 
@@ -929,6 +955,9 @@ def synth_gif_full(
     index_value=None,
     interlaced: bool = False,
     mcs: int = 8,
+    frame_rect: "tuple[int, int, int, int] | None" = None,
+    transparent: "int | None" = None,
+    bg_index: int = 0,
 ) -> bytes:
     """Deterministic COMPLETE GIF89a: logical screen descriptor, 256-entry
     global color table with palette[i] = (i, (i*3)%256, (i*7)%256), one image
@@ -936,10 +965,23 @@ def synth_gif_full(
     contract: index(x, y) = ``index_value(x, y)`` (0..255, default
     (x + 2*y) % 256 — mirrored by the gif_pixel_stats oracle through the
     palette map). ``interlaced`` writes rows in the spec's 4-pass order with
-    the interlace flag set, so decode must reorder. Byte-packing per the
-    published GIF89a spec, independent of decode_gif."""
+    the interlace flag set, so decode must reorder.
+
+    r9 compositing knobs: ``frame_rect=(left, top, fw, fh)`` places the
+    single frame OFFSET within the logical screen (``index_value`` stays
+    CANVAS-absolute over the rect); ``transparent`` writes a Graphic
+    Control Extension with the transparency flag and that index;
+    ``bg_index`` sets the logical-screen background color index the
+    decoder's composite path resolves through the global table.
+    Byte-packing per the published GIF89a spec, independent of decode_gif."""
+    left, top, fw, fh = frame_rect or (0, 0, width, height)
+    if left + fw > width or top + fh > height:
+        raise ValueError("frame_rect must fit the logical screen")
     iv = index_value or (lambda x, y: (x + 2 * y) % 256)
-    rows = [bytes(iv(x, y) % 256 for x in range(width)) for y in range(height)]
+    rows = [
+        bytes(iv(x, y) % 256 for x in range(left, left + fw))
+        for y in range(top, top + fh)
+    ]
     if mcs < 8 and rows and max(max(r) for r in rows) >= (1 << mcs):
         # LZW roots cover only 2^mcs palette indices (GIF89a: the minimum
         # code size must accommodate every index used) — fail fast rather
@@ -948,7 +990,7 @@ def synth_gif_full(
     if interlaced:
         ordered = []
         for start, step in _GIF_INTERLACE:
-            for y in range(start, height, step):
+            for y in range(start, fh, step):
                 ordered.append(rows[y])
         rows = ordered
     raw = b"".join(rows)
@@ -957,10 +999,13 @@ def synth_gif_full(
     out = bytearray()
     out += b"GIF89a"
     out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
-    out += bytes([0x80 | 0x70 | 0x07, 0, 0])  # GCT, 8-bit res, size 2^8
+    out += bytes([0x80 | 0x70 | 0x07, bg_index, 0])  # GCT, 8-bit res, 2^8
     out += gct
-    out += b"\x2c" + bytes(4)  # image descriptor at (0, 0)
-    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    if transparent is not None:
+        # GCE: 4 data bytes — flags (transparency bit), delay, t-index
+        out += b"\x21\xf9\x04\x01\x00\x00" + bytes([transparent]) + b"\x00"
+    out += b"\x2c" + left.to_bytes(2, "little") + top.to_bytes(2, "little")
+    out += fw.to_bytes(2, "little") + fh.to_bytes(2, "little")
     out += bytes([0x40 if interlaced else 0])
     out += bytes([mcs])
     for i in range(0, len(lzw), 255):
@@ -2019,6 +2064,7 @@ def synth_tiff_jpeg(
     rows_per_strip: "int | None" = None,
     block_value=None,
     abbreviated: bool = False,
+    photometric: "int | None" = None,
 ) -> bytes:
     """Deterministic COMPLETE new-style JPEG-in-TIFF (compression 7, TIFF
     TechNote 2): each strip is a baseline JPEG stream from the sources/jpeg.py
@@ -2031,7 +2077,11 @@ def synth_tiff_jpeg(
     8 (strips tile on JPEG block rows). ``abbreviated=True`` moves the
     DQT/DHT segments of every strip into the shared JPEGTables tag (347)
     and strips them from the per-strip streams — the layout libtiff actually
-    writes, exercising the decoder's table-splice path. Byte-packing per the
+    writes, exercising the decoder's table-splice path. ``photometric``
+    overrides the PhotometricInterpretation tag (default 1 gray / 6 YCbCr):
+    pass 2 for RGB-stored strips (TechNote 2; libtiff's -rgb mode), where
+    ``block_value(ci, bx, by)`` values ARE the R, G, B samples and a decoder
+    must skip the YCbCr matrix. Byte-packing per the
     published specs, independent of decode_tiff/decode_jpeg."""
     from . import jpeg as _jpegcodec
 
@@ -2092,7 +2142,12 @@ def synth_tiff_jpeg(
             entry(_TIFF_TAG_HEIGHT, 4, [height]),
             entry(_TIFF_TAG_BITS, 3, [8] * channels),
             entry(_TIFF_TAG_COMPRESSION, 3, [7]),
-            entry(_TIFF_TAG_PHOTOMETRIC, 3, [1 if channels == 1 else 6]),
+            entry(
+                _TIFF_TAG_PHOTOMETRIC,
+                3,
+                [photometric if photometric is not None
+                 else (1 if channels == 1 else 6)],
+            ),
             entry(_TIFF_TAG_STRIP_OFFSETS, 4, offsets),
             entry(_TIFF_TAG_SPP, 3, [channels]),
             entry(_TIFF_TAG_ROWS_PER_STRIP, 4, [rps]),
@@ -2178,15 +2233,18 @@ def decode_tiff(content: bytes) -> "tuple[int, int, int, bytes] | None":
             jpeg_tables = jt
         if predictor != 1:
             return None
-        # decode_jpeg's output semantics are YCbCr->RGB for 3 channels and
-        # plain luminance for 1; only PhotometricInterpretation 6 (YCbCr)
-        # resp. 1 (BlackIsZero gray) match that.  Photometric 2 (RGB-stored
-        # JPEG strips, a layout libtiff can write) would get a YCbCr->RGB
-        # conversion wrongly applied, and 0 (WhiteIsZero) needs inversion —
-        # honor the None-fallback contract rather than return wrong pixels.
+        # decode_jpeg's default output semantics are YCbCr->RGB for 3
+        # channels and plain luminance for 1 — PhotometricInterpretation 6
+        # (YCbCr) resp. 1 (BlackIsZero gray).  Photometric 2 (RGB-stored
+        # JPEG strips, a layout libtiff writes) is decoded for real by
+        # SKIPPING the color matrix (decode_jpeg color_transform=False):
+        # the three DCT components are already R, G, B per TechNote 2.
+        # Photometric 0 (WhiteIsZero needs inversion) and the rest keep
+        # the None-fallback contract rather than return wrong pixels.
         photometric = one(_TIFF_TAG_PHOTOMETRIC, 6 if spp == 3 else 1)
-        if photometric != (6 if spp == 3 else 1):
+        if photometric not in ((6, 2) if spp == 3 else (1,)):
             return None
+        rgb_stored = photometric == 2
     out = bytearray()
     for si, (off, cnt) in enumerate(zip(offsets, counts)):
         if off + cnt > len(content):
@@ -2200,7 +2258,7 @@ def decode_tiff(content: bytes) -> "tuple[int, int, int, bytes] | None":
                 if strip[:2] != b"\xff\xd8":
                     return None
                 stream = b"\xff\xd8" + jpeg_tables[2:-2] + strip[2:]
-            dec = _jpegcodec.decode_jpeg(stream)
+            dec = _jpegcodec.decode_jpeg(stream, color_transform=not rgb_stored)
             if dec is None:
                 return None
             sw, sh, sc, sraw = dec

@@ -130,27 +130,58 @@ def test_gif_tiny_subblock_fragmentation():
     assert mm.decode_gif(bytes(rechunked)) == mm.decode_gif(base)
 
 
-def test_gif_offset_frame_and_transparency_return_none():
-    """ADVICE r7: a first frame offset within / smaller than the logical
-    screen must hit the None fallback (its dims would disagree with
-    parse_image_header's logical-screen dims), and a GCE with the
-    transparency flag set must too (this decoder returns opaque RGB)."""
-    iv = lambda x, y: (x + y) % 256
+def test_gif_offset_frame_composites_onto_screen():
+    """r9 (closing the ADVICE r7/r8 fallback): a first frame offset within /
+    smaller than the logical screen COMPOSITES onto a background-filled
+    canvas of the logical-screen dims, so the returned dims always agree
+    with parse_image_header; a frame rect overflowing the screen still
+    refuses."""
+    import numpy as np
+
+    pal = lambda i: (i, (i * 3) % 256, (i * 7) % 256)
+    iv = lambda x, y: (x * 5 + y) % 256
+    bgix = 77
+    g = mm.synth_gif_full(20, 14, iv, frame_rect=(3, 2, 8, 6), bg_index=bgix)
+    got = mm.decode_gif(g)
+    assert got is not None and got[:3] == (20, 14, 3)
+    arr = np.frombuffer(got[3], np.uint8).reshape(14, 20, 3)
+    for y in range(14):
+        for x in range(20):
+            exp = pal(iv(x, y)) if (3 <= x < 11 and 2 <= y < 8) else pal(bgix)
+            assert tuple(arr[y, x]) == exp, (x, y)
+    # overflowing rect: left=2 pushes a full-width frame past the screen
     base = bytearray(mm.synth_gif_full(12, 10, iv))
     desc = 6 + 7 + 768
     assert base[desc] == 0x2C
-    # 1. offset descriptor: left=2
-    off = bytearray(base)
-    off[desc + 1 : desc + 3] = (2).to_bytes(2, "little")
-    assert mm.decode_gif(bytes(off)) is None
-    # 2. sub-image: descriptor height one less than screen height
-    sub = bytearray(base)
-    sub[desc + 7 : desc + 9] = (9).to_bytes(2, "little")
-    assert mm.decode_gif(bytes(sub)) is None
-    # 3. GCE with transparency flag -> None; without the flag -> decodes
-    gce_t = b"\x21\xf9\x04\x01\x00\x00\x00\x00"
-    gce_o = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
-    assert mm.decode_gif(bytes(base[:desc]) + gce_t + bytes(base[desc:])) is None
+    base[desc + 1 : desc + 3] = (2).to_bytes(2, "little")
+    assert mm.decode_gif(bytes(base)) is None
+
+
+def test_gif_transparency_maps_to_background():
+    """r9: a GCE transparency flag maps pixels of the transparent index to
+    the LSD background color (what a player shows over the bg-filled
+    canvas); if the transparent index never occurs in the pixel data, the
+    decode is identical to the opaque one (ADVICE: refuse only when the
+    index is actually used... now neither case refuses)."""
+    import numpy as np
+
+    pal = lambda i: (i, (i * 3) % 256, (i * 7) % 256)
+    iv = lambda x, y: (x + 2 * y) % 16
+    g = mm.synth_gif_full(16, 10, iv, transparent=5, bg_index=40)
+    got = mm.decode_gif(g)
+    assert got is not None and got[:3] == (16, 10, 3)
+    arr = np.frombuffer(got[3], np.uint8).reshape(10, 16, 3)
+    for y in range(10):
+        for x in range(16):
+            exp = pal(40) if iv(x, y) == 5 else pal(iv(x, y))
+            assert tuple(arr[y, x]) == exp, (x, y)
+    # unused transparent index: bit-identical to the plain decode
+    g2 = mm.synth_gif_full(16, 10, iv, transparent=250)
+    assert mm.decode_gif(g2) == mm.decode_gif(mm.synth_gif_full(16, 10, iv))
+    # GCE without the flag: transparent index ignored entirely
+    base = bytearray(mm.synth_gif_full(12, 10, iv))
+    desc = 6 + 7 + 768
+    gce_o = b"\x21\xf9\x04\x00\x00\x00\x05\x00"
     ok = mm.decode_gif(bytes(base[:desc]) + gce_o + bytes(base[desc:]))
     assert ok == mm.decode_gif(bytes(base))
 

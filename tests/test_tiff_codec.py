@@ -192,10 +192,13 @@ def test_jpeg_in_tiff_strip_dim_mismatch_rejected():
     assert mm.decode_tiff(bytes(data)) is None
 
 
-def test_jpeg_in_tiff_wrong_photometric_rejected():
-    """ADVICE r7: compression-7 strips are decoded as YCbCr (3ch) / gray
-    (1ch); PhotometricInterpretation 2 (RGB-stored JPEG) or 0 (WhiteIsZero)
-    would get the wrong color transform silently — must be None instead."""
+def test_jpeg_in_tiff_photometric2_decodes_raw_components():
+    """r9 (closing the ADVICE r7 fallback): PhotometricInterpretation 2
+    (RGB-stored JPEG strips, the layout libtiff writes) now decodes for
+    real — the three DCT components ARE R,G,B and the YCbCr matrix is
+    skipped — while 0 (WhiteIsZero gray needs inversion) stays None."""
+    import numpy as np
+
     cv = lambda ci, bx, by: (11 + 29 * ci + 16 * bx + 40 * by) % 256
     t = mm.synth_tiff_jpeg(16, 16, 3, rows_per_strip=16, block_value=cv)
     assert mm.decode_tiff(t) is not None
@@ -205,7 +208,30 @@ def test_jpeg_in_tiff_wrong_photometric_rejected():
         e = 10 + i * 12
         if int.from_bytes(data[e : e + 2], "little") == 262:
             data[e + 8 : e + 12] = (2).to_bytes(4, "little")  # RGB
-    assert mm.decode_tiff(bytes(data)) is None
+    rgb = mm.decode_tiff(bytes(data))
+    assert rgb is not None
+    w, h, c, raw = rgb
+    arr = np.frombuffer(raw, np.uint8).reshape(h, w, 3)
+    exp = np.array(
+        [[[cv(ci, x // 8, y // 8) for ci in range(3)] for x in range(16)]
+         for y in range(16)]
+    )
+    assert (arr == exp).all()
+    # and it differs from the matrixed decode of the same streams
+    assert raw != mm.decode_tiff(t)[3]
+    # multi-strip + abbreviated-tables photometric-2, via the synth knob
+    t2 = mm.synth_tiff_jpeg(
+        24, 18, 3, rows_per_strip=8, block_value=cv, abbreviated=True,
+        photometric=2,
+    )
+    dec2 = mm.decode_tiff(t2)
+    assert dec2 is not None and dec2[:3] == (24, 18, 3)
+    arr2 = np.frombuffer(dec2[3], np.uint8).reshape(18, 24, 3)
+    exp2 = np.array(
+        [[[cv(ci, x // 8, y // 8) for ci in range(3)] for x in range(24)]
+         for y in range(18)]
+    )
+    assert (arr2 == exp2).all()
     gv = lambda bx, by: (9 + 16 * bx) % 256
     t = mm.synth_tiff_jpeg(16, 16, 1, rows_per_strip=16, block_value=gv)
     assert mm.decode_tiff(t) is not None
