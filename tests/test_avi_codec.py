@@ -251,3 +251,20 @@ def test_webp_anim_blend_onto_transparent_canvas():
     exp_rgb = np.where(af > 0, frame[:, :, :3], 0)
     assert (out[:, :, 3:4] == frame[:, :, 3:4]).all()
     assert (out[:, :, :3] == exp_rgb).all()
+
+
+def test_avi_strh_fields_on_spec_offsets():
+    """ADVICE r8: AVISTREAMHEADER has 12 bytes (dwFlags, wPriority,
+    wLanguage, dwInitialFrames) between fccHandler and dwScale — so
+    dwScale=1, dwRate=30, dwStart=0, dwLength=n_frames must land on their
+    spec offsets for external players to read a correct rate/length."""
+    content = mm.synth_avi_mjpeg(16, 12, 3)
+    pos = content.find(b"strh")
+    assert pos > 0
+    strh = content[pos + 8 : pos + 8 + 56]
+    assert strh[0:4] == b"vids" and strh[4:8] == b"MJPG"
+    dw = lambda off: int.from_bytes(strh[off : off + 4], "little")
+    assert dw(20) == 1      # dwScale
+    assert dw(24) == 30     # dwRate
+    assert dw(28) == 0      # dwStart
+    assert dw(32) == 3      # dwLength = n_frames

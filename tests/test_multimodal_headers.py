@@ -300,7 +300,7 @@ def test_webp_exif_chunk_parses_like_jpeg_app1():
     (orientation, lat, lon), and the preamble-carrying writer variant too."""
     args = (5, "S", (10, 20, 30), "E", (40, 50, 59))
     j = multimodal.synth_jpeg_exif(64, 48, *args)
-    w = multimodal.synth_webp_exif(64, 48, *args)
+    w = multimodal.synth_webp_exif(*args)
     assert multimodal.parse_exif_gps(j) == multimodal.parse_exif_gps(w)
     exp = (5, -(10 + 20 / 60 + 30 / 3600), 40 + 50 / 60 + 59 / 3600)
     assert multimodal.parse_exif_gps(w) == exp

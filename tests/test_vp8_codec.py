@@ -660,3 +660,44 @@ def test_garbage_stream_with_huge_dims_rejected_fast():
     good = vp8.encode_vp8_dc_profile(96, 96, lambda a, b: (40 + 30 * a, 128, 128))
     assert vp8.decode_vp8(good) is not None
     assert vp8.decode_vp8(good[: len(good) - 40]) is None
+
+
+@needs_libwebp
+def test_lossy_rgb_drift_vs_libwebp_bounded():
+    """ADVICE r8: decode_webp's lossy RGB output uses replication chroma
+    upsampling + the JFIF matrix (the SQL-replicable contract), while
+    libwebp defaults to its fancy upsampler — so RGB pixels may differ even
+    though YUV is bit-exact.  Bound the drift on real encoder streams:
+    the deviation is pure chroma interpolation, so per-pixel deltas stay
+    small and the image-mean delta nearly cancels."""
+    from teledetection_drone_satellite_spark.sources import multimodal as mm
+
+    for q, pix in [
+        (75, lambda x, y: ((x * 7) % 256, (y * 5) % 256, (x + y) % 256)),
+        (40, lambda x, y: ((x * x + y) % 256, (x * 3) % 200, (255 - x - y) % 256)),
+    ]:
+        w, h = 32, 24
+        wp = _ref_encode(w, h, q, pix)
+        mine = mm.decode_webp(wp)
+        assert mine is not None and mine[:3] == (w, h, 3)
+        got = np.frombuffer(mine[3], np.uint8).reshape(h, w, 3).astype(np.int32)
+
+        W = ctypes.c_int()
+        H = ctypes.c_int()
+        _LIB.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+        p = _LIB.WebPDecodeRGBA(wp, len(wp), ctypes.byref(W), ctypes.byref(H))
+        assert p
+        ref = (
+            np.ctypeslib.as_array(p, shape=(h, w, 4))[:, :, :3]
+            .astype(np.int32)
+            .copy()
+        )
+        _LIB.WebPFree(p)
+
+        diff = np.abs(got - ref)
+        # fancy-vs-replication chroma interpolation plus the float-JFIF vs
+        # libwebp fixed-point matrix: bounded per pixel, and the mean bias
+        # stays within a few code values (measured <= ~7 on the
+        # high-frequency pattern; luma path is identical)
+        assert diff.max() <= 64, int(diff.max())
+        assert abs(float((got - ref).mean())) <= 10.0
