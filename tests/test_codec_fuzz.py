@@ -251,3 +251,114 @@ def test_fuzz_video_demuxers_survive_bit_flips(seed, nflip):
         comp[rnd.randrange(len(comp))] ^= 1 << rnd.randrange(8)
     out = mm.decode_webp_anim_composited(bytes(comp))
     assert out is None or (isinstance(out, tuple) and len(out) == 4)
+
+
+# --- animated-WebP compositor state machine (r9 verdict task) --------------------------
+
+_cdim = st.integers(min_value=4, max_value=20)
+
+
+@st.composite
+def _anim_plan(draw):
+    """A random animation plan: canvas dims, bg color, and 1-5 frames each
+    with an even-offset rect that fits the canvas, dispose/blend flags and
+    a per-frame pixel-formula seed.  Blend-frame alphas stay on {0, 255}
+    (exact for ANY canvas), so the decoder must composite, never refuse."""
+    w, h = draw(_cdim), draw(_cdim)
+    bg = tuple(draw(st.integers(0, 255)) for _ in range(4))
+    frames = []
+    for _ in range(draw(st.integers(1, 5))):
+        fx = draw(st.integers(0, (w - 1) // 2)) * 2
+        fy = draw(st.integers(0, (h - 1) // 2)) * 2
+        fw = draw(st.integers(1, w - fx))
+        fh = draw(st.integers(1, h - fy))
+        dispose = draw(st.booleans())
+        blend = draw(st.booleans())
+        seed = tuple(draw(st.integers(0, 255)) for _ in range(4))
+        mask_mod = draw(st.integers(1, 4))
+        frames.append((fx, fy, fw, fh, dispose, blend, seed, mask_mod))
+    return w, h, bg, frames
+
+
+def _frame_px(seed, mask_mod, x, y):
+    a, b, c, d = seed
+    alpha = 255 if (x + y + d) % (mask_mod + 1) else 0
+    return ((x * a + y) % 256, (y * b + x) % 256, (x + y + c) % 256, alpha)
+
+
+def _ref_blend_px(under, frame):
+    """Container-spec blend in exact plain-Python integers (alpha 0/255
+    makes every division exact)."""
+    af, ac = frame[3], under[3]
+    a_num = 255 * af + ac * (255 - af)
+    assert a_num % 255 == 0
+    out = []
+    for ch in range(3):
+        num = 255 * frame[ch] * af + under[ch] * ac * (255 - af)
+        if a_num == 0:
+            out.append(0)
+        else:
+            assert num % a_num == 0
+            out.append(num // a_num)
+    return (out[0], out[1], out[2], a_num // 255)
+
+
+@settings(max_examples=100, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(plan=_anim_plan())
+def test_fuzz_webp_anim_compositor_vs_reference(plan):
+    """decode_webp_anim_composited vs an independent plain-Python reference
+    compositor over random (rects, dispose/blend flags, bg color)
+    sequences — the r9 verdict fuzz ask.  The container is packed by hand
+    here (not via the synth helpers), so the demux walk is in the loop."""
+    from teledetection_drone_satellite_spark.sources import vp8l as vp8lcodec
+    from teledetection_drone_satellite_spark.sources.multimodal import _riff_chunk
+
+    w, h, bg, frames = plan
+    anmfs = b""
+    for i, (fx, fy, fw, fh, dispose, blend, seed, mm_) in enumerate(frames):
+        rgba = bytes(
+            v
+            for y in range(fy, fy + fh)
+            for x in range(fx, fx + fw)
+            for v in _frame_px(seed, mm_, x, y)
+        )
+        stream = vp8lcodec.encode_vp8l_literal(rgba, fw, fh)
+        flags = (0x00 if blend else 0x02) | (0x01 if dispose else 0x00)
+        head = (
+            (fx // 2).to_bytes(3, "little") + (fy // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little") + (fh - 1).to_bytes(3, "little")
+            + (10 + i).to_bytes(3, "little") + bytes([flags])
+        )
+        anmfs += _riff_chunk(b"ANMF", head + _riff_chunk(b"VP8L", stream))
+    vp8x = bytes([0x12]) + bytes(3) + (w - 1).to_bytes(3, "little") + (
+        h - 1
+    ).to_bytes(3, "little")
+    r, g, b_, a = bg
+    anim = bytes([b_, g, r, a]) + (0).to_bytes(2, "little")
+    body = b"WEBP" + _riff_chunk(b"VP8X", vp8x) + _riff_chunk(b"ANIM", anim) + anmfs
+    content = b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    got = mm.decode_webp_anim_composited(content)
+    assert got is not None
+    gw, gh, nf, snaps = got
+    assert (gw, gh, nf) == (w, h, len(frames))
+
+    # independent reference: plain-Python canvas state machine
+    canvas = [[(0, 0, 0, 0)] * w for _ in range(h)]
+    for fi, (fx, fy, fw, fh, dispose, blend, seed, mm_) in enumerate(frames):
+        for y in range(fy, fy + fh):
+            for x in range(fx, fx + fw):
+                px = _frame_px(seed, mm_, x, y)
+                canvas[y][x] = (
+                    _ref_blend_px(canvas[y][x], px) if blend else px
+                )
+        dur, raw = snaps[fi]
+        assert dur == 10 + fi
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 4)
+        for y in range(h):
+            for x in range(w):
+                assert tuple(arr[y, x]) == canvas[y][x], (fi, x, y)
+        if dispose:
+            for y in range(fy, fy + fh):
+                for x in range(fx, fx + fw):
+                    canvas[y][x] = bg
