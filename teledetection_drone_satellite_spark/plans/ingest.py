@@ -2178,6 +2178,241 @@ def anim_webp_blend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "anim_gif_frame_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               12 + doc_id % 20 AS w,
+               10 + (doc_id * 3) % 16 AS h,
+               3 + doc_id % 4 AS n_frames
+        FROM documents WHERE doc_id < 60
+    ),
+    sampled AS (
+        SELECT doc_id, w, h, n_frames, CAST(f.i AS INT) AS frame_idx
+        FROM spec, LATERAL unnest(range(0, n_frames, 2)) f(i)
+    ),
+    px AS (
+        SELECT doc_id, w, h, n_frames, frame_idx,
+               (doc_id + x.i + 2 * y.i + 9 * frame_idx) % 256 AS idx
+        FROM sampled,
+             LATERAL unnest(range(0, w)) x(i),
+             LATERAL unnest(range(0, h)) y(i)
+    )
+    SELECT doc_id, frame_idx,
+           CAST(min(n_frames) AS INT) AS n_frames,
+           CAST(4 + min(frame_idx) AS INT) AS delay_cs,
+           ((2 * CAST(sum(idx) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_r,
+           ((2 * CAST(sum((idx * 3) % 256) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_g,
+           ((2 * CAST(sum((idx * 7) % 256) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_b
+    FROM px GROUP BY doc_id, frame_idx
+    """,
+    doc="REAL animated-GIF frame sampling, graded end-to-end (the third "
+    "wheel-free video demux after MJPEG-AVI and animated WebP; the "
+    "reference stack covers animated GIF via Pillow): per doc a complete "
+    "multi-frame GIF89a is synthesized (synth_gif_anim_full: full-screen "
+    "opaque frames, per-frame GCE delay 4+f cs, byte-packed per the "
+    "public spec), then the REAL sample_frames operator demuxes it "
+    "(decode_gif_anim) into one row per sampled frame whose bytes are a "
+    "STANDALONE single-image GIF — palette carried over, LZW re-encoded "
+    "— pixel-decoded by decode_gif in a second Arrow stage. The oracle "
+    "predicts per-frame channel means through the palette map plus the "
+    "delay schedule in closed form; a frame-order swap, palette mixup, "
+    "or dropped frame flips it.",
+    tags=("ingest", "multimodal"),
+)
+def anim_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 60)
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w_px, h_px = 12 + i % 20, 10 + (i * 3) % 16
+                n = 3 + i % 4
+                content = multimodal.synth_gif_anim_full(
+                    w_px, h_px, n,
+                    lambda f, x, y, i=i: (i + x + 2 * y + 9 * f) % 256,
+                )
+                rows.append((i, content))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    videos = ids.mapInPandas(gen, "doc_id long, content binary")
+    frames = multimodal.sample_frames(videos, every_n=2)
+
+    def stats(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for did, fidx, nfr, frame in zip(
+                pdf["doc_id"], pdf["frame_idx"], pdf["n_frames"], pdf["frame"]
+            ):
+                dec = multimodal.decode_gif(bytes(frame))
+                _, _, _, raw = dec
+                arr = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+                sums = arr.sum(axis=0, dtype=np.int64)
+                rows.append(
+                    (int(did), int(fidx), int(nfr), 4 + int(fidx),
+                     int(sums[0]), int(sums[1]), int(sums[2]), len(arr))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "n_frames", "delay_cs",
+                         "rsum", "gsum", "bsum", "npx"],
+            )
+
+    out = frames.mapInPandas(
+        stats,
+        "doc_id long, frame_idx int, n_frames int, delay_cs int, "
+        "rsum long, gsum long, bsum long, npx long",
+    )
+    return out.select(
+        "doc_id", "frame_idx", "n_frames", "delay_cs",
+        _half_up_mean("rsum", "npx").alias("mean_r"),
+        _half_up_mean("gsum", "npx").alias("mean_g"),
+        _half_up_mean("bsum", "npx").alias("mean_b"),
+    )
+
+
+@register(
+    "anim_gif_composite_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               13 + doc_id % 10 AS w,
+               9 + (doc_id * 3) % 7 AS h,
+               2 + doc_id % 4 AS n_frames,
+               (doc_id * 11) % 256 AS bg
+        FROM documents WHERE doc_id < 60
+    ),
+    sampled AS (
+        SELECT doc_id, w, h, n_frames, bg, CAST(f.i AS INT) AS frame_idx
+        FROM spec, LATERAL unnest(range(0, n_frames)) f(i)
+    ),
+    px AS (
+        SELECT doc_id, w, h, n_frames, bg, frame_idx, x.i AS x, y.i AS y,
+               frame_idx >= 1
+                   AND x.i >= 2 * (frame_idx % 3)
+                   AND x.i < 2 * (frame_idx % 3) + 8
+                   AND y.i >= 2 * (frame_idx % 2)
+                   AND y.i < 2 * (frame_idx % 2) + 6 AS in_rect,
+               EXISTS (
+                   SELECT 1 FROM unnest(range(1, frame_idx)) g(j)
+                   WHERE x.i >= 2 * (g.j % 3) AND x.i < 2 * (g.j % 3) + 8
+                     AND y.i >= 2 * (g.j % 2) AND y.i < 2 * (g.j % 2) + 6
+               ) AS covered
+        FROM sampled,
+             LATERAL unnest(range(0, w)) x(i),
+             LATERAL unnest(range(0, h)) y(i)
+    ),
+    vals AS (
+        SELECT doc_id, frame_idx, n_frames,
+               CASE WHEN in_rect THEN
+                   CASE WHEN (x + 17 * frame_idx + y + doc_id) % 256 = 7
+                        THEN CASE WHEN covered THEN bg
+                                  ELSE (doc_id + x + 2 * y) % 256 END
+                        ELSE (x + 17 * frame_idx + y + doc_id) % 256 END
+               WHEN covered THEN bg
+               ELSE (doc_id + x + 2 * y) % 256 END AS idx
+        FROM px
+    )
+    SELECT doc_id, frame_idx,
+           CAST(min(n_frames) AS INT) AS n_frames,
+           ((2 * CAST(sum(idx) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_r,
+           ((2 * CAST(sum((idx * 3) % 256) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_g,
+           ((2 * CAST(sum((idx * 7) % 256) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_b
+    FROM vals GROUP BY doc_id, frame_idx
+    """,
+    doc="Animated-GIF COMPOSITING, graded (r9) — the full GIF89a canvas "
+    "state machine, every operation EXACT integer semantics (binary "
+    "transparency, not WebP's fractional alpha): per doc synth_gif_anim "
+    "emits a full-screen opaque base frame (disposal keep) plus 8x6 "
+    "sub-rect frames at rotating even offsets, each with GCE transparency "
+    "on index 7 and dispose-to-background, over a per-doc LSD background "
+    "index. decode_gif_anim_composited replays the canvas distributively: "
+    "paste non-transparent pixels, snapshot, restore the rect to the "
+    "background color. The oracle derives every snapshot pixel in closed "
+    "form — current rect shows its pattern except transparent hits reveal "
+    "the canvas beneath (background where ANY earlier rect painted-and-"
+    "disposed, else the base image); elsewhere the same beneath rule — so "
+    "a paste/dispose order swap, a transparency miss, or a wrong "
+    "background index flips the channel means. Disposal 3 "
+    "(restore-to-previous) and disposal 0/1 are pytest- and fuzz-covered "
+    "against a plain-Python reference compositor.",
+    tags=("ingest", "multimodal"),
+)
+def anim_gif_composite_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 60)
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w_px, h_px = 13 + i % 10, 9 + (i * 3) % 7
+                n = 2 + i % 4
+                content = multimodal.synth_gif_anim(
+                    w_px, h_px, n,
+                    base_index=lambda x, y, i=i: (i + x + 2 * y) % 256,
+                    rect_index=lambda f, x, y, i=i: (x + 17 * f + y + i) % 256,
+                    bg_index=(i * 11) % 256,
+                    transparent=7,
+                    disposal=2,
+                )
+                dec = multimodal.decode_gif_anim_composited(content)
+                cw, ch_, nf, frames = dec
+                for fidx, (delay, raw) in enumerate(frames):
+                    arr = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+                    sums = arr.sum(axis=0, dtype=np.int64)
+                    rows.append(
+                        (i, fidx, nf, int(sums[0]), int(sums[1]),
+                         int(sums[2]), cw * ch_)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "n_frames",
+                         "rsum", "gsum", "bsum", "npx"],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, frame_idx int, n_frames int, "
+        "rsum long, gsum long, bsum long, npx long",
+    )
+    return out.select(
+        "doc_id", "frame_idx", "n_frames",
+        _half_up_mean("rsum", "npx").alias("mean_r"),
+        _half_up_mean("gsum", "npx").alias("mean_g"),
+        _half_up_mean("bsum", "npx").alias("mean_b"),
+    )
+
+
+@register(
     "multimodal_features",
     oracle="""
     WITH lut AS (SELECT i, lower(lpad(to_hex(i), 2, '0')) AS h FROM range(256) t(i)),

@@ -856,6 +856,43 @@ def decode_gif(content: bytes) -> "tuple[int, int, int, bytes] | None":
     touch the background and decode exactly as before."""
     import numpy as np
 
+    walked = _walk_gif_frames(content, max_frames=1)
+    if walked is None or not walked[4]:
+        return None
+    screen_w, screen_h, gct, bg_index, frames = walked
+    left, top, w, h, indices, palette, disposal, transparent, delay = frames[0]
+    has_transparency = transparent is not None and bool(
+        (indices == transparent).any()
+    )
+    full_screen = (left, top, w, h) == (0, 0, screen_w, screen_h)
+    if full_screen and not has_transparency:
+        return w, h, 3, palette[indices].tobytes()
+    # composite path: background must resolve through the GLOBAL table
+    if gct is None or bg_index >= len(gct) // 3:
+        return None
+    bg_rgb = np.frombuffer(gct, dtype=np.uint8).reshape(-1, 3)[bg_index]
+    frame = palette[indices].reshape(h, w, 3)
+    if has_transparency:
+        frame = np.where(
+            (indices == transparent).reshape(h, w, 1), bg_rgb, frame
+        )
+    canvas = np.broadcast_to(bg_rgb, (screen_h, screen_w, 3)).copy()
+    canvas[top : top + h, left : left + w] = frame
+    return screen_w, screen_h, 3, canvas.astype(np.uint8).tobytes()
+
+
+def _walk_gif_frames(content: bytes, max_frames: "int | None" = None):
+    """Shared GIF89a frame walk: header + logical screen descriptor + global
+    color table, then every (GCE?, image descriptor) pair with the LZW data
+    decoded and de-interlaced.  Returns (screen_w, screen_h, gct_bytes|None,
+    bg_index, frames) where each frame is (left, top, w, h, indices
+    [np.uint8, len w*h], palette [np.uint8 (n,3)], disposal, transparent
+    |None, delay_cs) — or None for anything malformed (bad mcs, truncated
+    sub-blocks, index beyond the palette, rect off the screen, no image).
+    ``max_frames`` stops after that many images (decode_gif passes 1, which
+    also keeps its historical tolerance of trailing garbage)."""
+    import numpy as np
+
     if content[:6] not in (b"GIF87a", b"GIF89a") or len(content) < 13:
         return None
     screen_w = int.from_bytes(content[6:8], "little")
@@ -870,17 +907,23 @@ def decode_gif(content: bytes) -> "tuple[int, int, int, bytes] | None":
         if len(gct) < 3 * gsize:
             return None
         pos += 3 * gsize
+    frames = []
     transparent: "int | None" = None
+    disposal = 0
+    delay = 0
     while pos < len(content):
         b = content[pos]
         if b == 0x3B:  # trailer
-            return None  # no image block seen
+            break
         if b == 0x21:  # extension: label + sub-blocks
-            # Graphic Control Extension: remember the transparent index for
-            # the frame that follows (flag bit 0; index in the 4th data byte)
+            # Graphic Control Extension: disposal method (bits 2-4), delay,
+            # transparent index (flag bit 0) — applies to the NEXT image
             if pos + 1 < len(content) and content[pos + 1] == 0xF9:
-                if pos + 6 < len(content) and content[pos + 3] & 0x01:
-                    transparent = content[pos + 6]
+                if pos + 6 < len(content):
+                    disposal = (content[pos + 3] >> 2) & 0x07
+                    delay = int.from_bytes(content[pos + 4 : pos + 6], "little")
+                    if content[pos + 3] & 0x01:
+                        transparent = content[pos + 6]
             pos += 2
             while pos < len(content) and content[pos] != 0:
                 pos += 1 + content[pos]
@@ -894,7 +937,6 @@ def decode_gif(content: bytes) -> "tuple[int, int, int, bytes] | None":
         top = int.from_bytes(content[pos + 3 : pos + 5], "little")
         w = int.from_bytes(content[pos + 5 : pos + 7], "little")
         h = int.from_bytes(content[pos + 7 : pos + 9], "little")
-        full_screen = (left, top, w, h) == (0, 0, screen_w, screen_h)
         if left + w > screen_w or top + h > screen_h:
             return None  # frame rect must fit the logical screen
         ipacked = content[pos + 9]
@@ -919,6 +961,7 @@ def decode_gif(content: bytes) -> "tuple[int, int, int, bytes] | None":
             pos += 1 + ln
         if pos >= len(content):
             return None  # missing block terminator
+        pos += 1  # block terminator
         idx = _gif_lzw_decode(bytes(data), mcs)
         if idx is None or len(idx) != w * h:
             return None
@@ -928,24 +971,207 @@ def decode_gif(content: bytes) -> "tuple[int, int, int, bytes] | None":
         palette = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
         if int(indices.max()) >= len(palette):
             return None
-        has_transparency = transparent is not None and bool(
-            (indices == transparent).any()
+        frames.append(
+            (left, top, w, h, indices, palette, disposal, transparent, delay)
         )
-        if full_screen and not has_transparency:
-            return w, h, 3, palette[indices].tobytes()
-        # composite path: background must resolve through the GLOBAL table
-        if gct is None or bg_index >= len(gct) // 3:
-            return None
-        bg_rgb = np.frombuffer(gct, dtype=np.uint8).reshape(-1, 3)[bg_index]
+        transparent, disposal, delay = None, 0, 0  # GCE covers one image
+        if max_frames is not None and len(frames) >= max_frames:
+            return screen_w, screen_h, gct, bg_index, frames
+    if not frames:
+        return None
+    return screen_w, screen_h, gct, bg_index, frames
+
+
+def decode_gif_anim(
+    content: bytes,
+) -> "tuple[int, int, int, list[tuple[int, bytes]]] | None":
+    """ANIMATED GIF demux for the full-screen profile, mirroring
+    decode_webp_anim: every frame must sit at (0, 0) with the logical-screen
+    dims and carry NO used transparent index (a transparent pixel on frame
+    f >= 1 reveals the previous canvas, so a standalone re-wrap would
+    disagree with a compositing player — those animations go through
+    decode_gif_anim_composited).  Returns (screen_w, screen_h, n_frames,
+    [(delay_cs, standalone_gif_bytes) ...]) where each frame is re-wrapped
+    as a complete single-image GIF89a (its own palette + re-encoded LZW)
+    that decode_gif handles, or None."""
+    walked = _walk_gif_frames(content)
+    if walked is None:
+        return None
+    screen_w, screen_h, gct, bg_index, frames = walked
+    if len(frames) < 2:
+        return None  # stills are decode_gif territory
+    out: "list[tuple[int, bytes]]" = []
+    for left, top, w, h, indices, palette, disposal, transparent, delay in frames:
+        if (left, top, w, h) != (0, 0, screen_w, screen_h):
+            return None  # offset sub-frame: use the composited decoder
+        if transparent is not None and bool((indices == transparent).any()):
+            return None  # reveals prior canvas: use the composited decoder
+        out.append((delay, _standalone_gif(w, h, indices, palette)))
+    return screen_w, screen_h, len(out), out
+
+
+def _standalone_gif(w: int, h: int, indices, palette) -> bytes:
+    """Re-wrap one decoded frame as a complete single-image GIF89a: LSD +
+    the frame's own palette as the global table + one full-screen image
+    descriptor with freshly LZW-encoded indices.  Palette length is 2^k by
+    construction (the container stores log2-1)."""
+    n_pal = len(palette)
+    k = max(1, (n_pal - 1).bit_length())
+    mcs = max(2, k)
+    lzw = _gif_lzw_encode(indices.tobytes(), mcs)
+    out = bytearray()
+    out += b"GIF89a"
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | ((k - 1) & 7), 0, 0])
+    out += palette.tobytes() + bytes(3 * ((1 << k) - n_pal))
+    out += b"\x2c" + bytes(4)
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0, mcs])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif_anim_composited(
+    content: bytes,
+) -> "tuple[int, int, int, list[tuple[int, bytes]]] | None":
+    """Animated-GIF COMPOSITING — the full GIF89a canvas state machine,
+    every piece of which is EXACT integer semantics (unlike WebP's
+    fractional alpha blend, GIF transparency is binary): the canvas starts
+    filled with the background color (LSD background index through the
+    GLOBAL color table — unresolvable background is an honest None, same
+    as decode_gif's composite path); each frame pastes its
+    NON-TRANSPARENT pixels into its rect; a snapshot is taken after the
+    paste and BEFORE its disposal applies; disposal 0/1 keep the canvas,
+    2 restores the rect to the background color, 3 restores the rect to
+    the canvas as it was before the frame (the spec's restore-to-previous).
+    Returns (screen_w, screen_h, n_frames, [(delay_cs, canvas_rgb_bytes)
+    ...]) — one full-canvas opaque RGB snapshot per frame.  Graded by
+    anim_gif_composite_stats; fuzzed against a plain-Python reference
+    compositor in tests/test_codec_fuzz.py."""
+    import numpy as np
+
+    walked = _walk_gif_frames(content)
+    if walked is None:
+        return None
+    screen_w, screen_h, gct, bg_index, frames = walked
+    if gct is None or bg_index >= len(gct) // 3:
+        return None
+    bg_rgb = np.frombuffer(gct, dtype=np.uint8).reshape(-1, 3)[bg_index]
+    canvas = np.broadcast_to(bg_rgb, (screen_h, screen_w, 3)).copy()
+    out: "list[tuple[int, bytes]]" = []
+    for left, top, w, h, indices, palette, disposal, transparent, delay in frames:
+        rect = canvas[top : top + h, left : left + w]
+        prev = rect.copy() if disposal == 3 else None
         frame = palette[indices].reshape(h, w, 3)
-        if has_transparency:
-            frame = np.where(
-                (indices == transparent).reshape(h, w, 1), bg_rgb, frame
-            )
-        canvas = np.broadcast_to(bg_rgb, (screen_h, screen_w, 3)).copy()
+        if transparent is not None:
+            mask = (indices == transparent).reshape(h, w, 1)
+            frame = np.where(mask, rect, frame)
         canvas[top : top + h, left : left + w] = frame
-        return screen_w, screen_h, 3, canvas.astype(np.uint8).tobytes()
-    return None
+        out.append((delay, canvas.tobytes()))
+        if disposal == 2:
+            canvas[top : top + h, left : left + w] = bg_rgb
+        elif disposal == 3:
+            canvas[top : top + h, left : left + w] = prev
+    return screen_w, screen_h, len(out), out
+
+
+def synth_gif_anim(
+    width: int,
+    height: int,
+    n_frames: int,
+    base_index=None,
+    rect_index=None,
+    bg_index: int = 0,
+    transparent: "int | None" = 7,
+    disposal: int = 2,
+) -> bytes:
+    """Deterministic ANIMATED GIF89a exercising the compositing state
+    machine: frame 0 is a full-screen opaque image ``base_index(x, y)``
+    with disposal 0 (keep — the base persists beneath later frames);
+    frames f >= 1 are 8x6 sub-rects at (2*(f %% 3), 2*(f %% 2)) carrying
+    ``rect_index(f, x, y)`` in CANVAS-absolute coordinates, each preceded
+    by a GCE with ``disposal`` (default 2, restore-to-background), the
+    ``transparent`` index flag (default 7 — pixels whose index formula
+    hits 7 reveal the canvas beneath), and delay 4+f centiseconds.
+    Global 256-color table palette[i] = (i, 3i%%256, 7i%%256), background
+    ``bg_index``.  Mirrored in closed form by the anim_gif_composite_stats
+    oracle.  Needs width >= 12, height >= 8 so the rects fit.
+    Byte-packing per the published GIF89a spec, independent of the
+    decoders."""
+    if width < 12 or height < 8:
+        raise ValueError("rect profile needs a 12x8 canvas")
+    bi = base_index or (lambda x, y: (x + 2 * y) % 256)
+    ri = rect_index or (lambda f, x, y: (x + 17 * f + y) % 256)
+    out = bytearray()
+    out += b"GIF89a"
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0x80 | 0x70 | 0x07, bg_index, 0])
+    out += bytes(v for i in range(256) for v in (i, (i * 3) % 256, (i * 7) % 256))
+    for f in range(n_frames):
+        if f == 0:
+            fx = fy = 0
+            fw, fh = width, height
+            rows = bytes(bi(x, y) % 256 for y in range(fh) for x in range(fw))
+            gce_flags = 0  # base frame: keep (disposal 0), no transparency
+            t_idx = 0
+        else:
+            fx, fy = 2 * (f % 3), 2 * (f % 2)
+            fw, fh = 8, 6
+            rows = bytes(
+                ri(f, x, y) % 256
+                for y in range(fy, fy + fh)
+                for x in range(fx, fx + fw)
+            )
+            gce_flags = ((disposal & 7) << 2) | (
+                0x01 if transparent is not None else 0
+            )
+            t_idx = transparent or 0
+        out += b"\x21\xf9\x04" + bytes([gce_flags])
+        out += (4 + f).to_bytes(2, "little") + bytes([t_idx, 0])
+        out += b"\x2c" + fx.to_bytes(2, "little") + fy.to_bytes(2, "little")
+        out += fw.to_bytes(2, "little") + fh.to_bytes(2, "little")
+        out += bytes([0, 8])
+        lzw = _gif_lzw_encode(rows, 8)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def synth_gif_anim_full(
+    width: int, height: int, n_frames: int, frame_index=None
+) -> bytes:
+    """Deterministic full-screen animated GIF89a (the decode_gif_anim /
+    sample_frames demux profile): every frame is a full-screen opaque
+    image ``frame_index(f, x, y)`` (default (x + 2*y + 9*f) %% 256) with
+    delay 4+f cs and no transparency.  Mirrored by the
+    anim_gif_frame_stats oracle through the fixed palette."""
+    fi = frame_index or (lambda f, x, y: (x + 2 * y + 9 * f) % 256)
+    out = bytearray()
+    out += b"GIF89a"
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0x80 | 0x70 | 0x07, 0, 0])
+    out += bytes(v for i in range(256) for v in (i, (i * 3) % 256, (i * 7) % 256))
+    for f in range(n_frames):
+        out += b"\x21\xf9\x04\x00" + (4 + f).to_bytes(2, "little") + b"\x00\x00"
+        out += b"\x2c" + bytes(4)
+        out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+        out += bytes([0, 8])
+        rows = bytes(
+            fi(f, x, y) % 256 for y in range(height) for x in range(width)
+        )
+        lzw = _gif_lzw_encode(rows, 8)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
 
 
 def synth_gif_full(
@@ -2772,7 +2998,10 @@ def sample_frames(
     JPEGs, pixel-decodable by sources/jpeg.py) — graded end-to-end by
     avi_frame_stats.  ANIMATED WebP likewise (decode_webp_anim; each
     emitted frame is a standalone single-image WebP whose VP8/VP8L stream
-    decode_webp handles) — graded by anim_webp_frame_stats.  Other
+    decode_webp handles) — graded by anim_webp_frame_stats.  ANIMATED GIF
+    too as of r9 (decode_gif_anim; full-screen opaque profile, each frame
+    re-wrapped as a standalone GIF decode_gif handles) — graded by
+    anim_gif_frame_stats.  Other
     containers need a codec demuxer (PyAV/ffmpeg), which no available
     wheel provides — ``codec=True`` raises NotImplementedError for those
     explicitly rather than pretending PIL can open video; the
@@ -2821,6 +3050,15 @@ def sample_frames(
                         idxs.append(i)
                         totals.append(n)
                         frames.append(fr[i][1])  # standalone webp per frame
+                    continue
+                gif = decode_gif_anim(raw)
+                if gif is not None:
+                    _, _, n, fr = gif
+                    for i in range(0, n, every_n):
+                        ids.append(vid)
+                        idxs.append(i)
+                        totals.append(n)
+                        frames.append(fr[i][1])  # standalone gif per frame
                     continue
                 n = _fake_n_frames(raw)
                 for i in range(0, n, every_n):

@@ -362,3 +362,92 @@ def test_fuzz_webp_anim_compositor_vs_reference(plan):
             for y in range(fy, fy + fh):
                 for x in range(fx, fx + fw):
                     canvas[y][x] = bg
+
+
+# --- animated-GIF compositor state machine (r9) ----------------------------------------
+
+
+@st.composite
+def _gif_anim_plan(draw):
+    """Random GIF animation: canvas dims, bg index, and 1-5 frames each with
+    a rect that fits the canvas, disposal 0-3, optional transparency, and a
+    per-frame index-formula seed (GIF indices are binary-transparent, so
+    every plan is exactly decodable — no refusal path)."""
+    w, h = draw(_cdim), draw(_cdim)
+    bg = draw(st.integers(0, 255))
+    frames = []
+    for _ in range(draw(st.integers(1, 5))):
+        fx = draw(st.integers(0, w - 1))
+        fy = draw(st.integers(0, h - 1))
+        fw = draw(st.integers(1, w - fx))
+        fh = draw(st.integers(1, h - fy))
+        disposal = draw(st.integers(0, 3))
+        trans = draw(st.one_of(st.none(), st.integers(0, 255)))
+        seed = tuple(draw(st.integers(0, 255)) for _ in range(2))
+        frames.append((fx, fy, fw, fh, disposal, trans, seed))
+    return w, h, bg, frames
+
+
+def _gif_px(seed, x, y):
+    a, b = seed
+    return (x * (a + 1) + y * (b + 1) + a) % 256
+
+
+@settings(max_examples=100, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(plan=_gif_anim_plan())
+def test_fuzz_gif_anim_compositor_vs_reference(plan):
+    """decode_gif_anim_composited vs a plain-Python reference canvas over
+    random (rects, disposal 0-3, transparency) sequences; the container is
+    packed by hand so the frame walk stays in the loop."""
+    w, h, bg, frames = plan
+    out = bytearray()
+    out += b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | 0x70 | 0x07, bg, 0])
+    out += bytes(v for i in range(256) for v in (i, (i * 3) % 256, (i * 7) % 256))
+    for fi, (fx, fy, fw, fh, disposal, trans, seed) in enumerate(frames):
+        gce_flags = (disposal << 2) | (0x01 if trans is not None else 0)
+        out += b"\x21\xf9\x04" + bytes([gce_flags])
+        out += (fi + 1).to_bytes(2, "little") + bytes([trans or 0, 0])
+        out += b"\x2c" + fx.to_bytes(2, "little") + fy.to_bytes(2, "little")
+        out += fw.to_bytes(2, "little") + fh.to_bytes(2, "little")
+        out += bytes([0, 8])
+        rows = bytes(
+            _gif_px(seed, x, y)
+            for y in range(fy, fy + fh)
+            for x in range(fx, fx + fw)
+        )
+        lzw = mm._gif_lzw_encode(rows, 8)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+
+    got = mm.decode_gif_anim_composited(bytes(out))
+    assert got is not None
+    gw, gh, nf, snaps = got
+    assert (gw, gh, nf) == (w, h, len(frames))
+
+    pal = lambda i: (i, (i * 3) % 256, (i * 7) % 256)
+    canvas = [[pal(bg)] * w for _ in range(h)]
+    for fi, (fx, fy, fw, fh, disposal, trans, seed) in enumerate(frames):
+        prev = [row[:] for row in canvas]
+        for y in range(fy, fy + fh):
+            for x in range(fx, fx + fw):
+                ix = _gif_px(seed, x, y)
+                if trans is None or ix != trans:
+                    canvas[y][x] = pal(ix)
+        delay, raw = snaps[fi]
+        assert delay == fi + 1
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+        for y in range(h):
+            for x in range(w):
+                assert tuple(arr[y, x]) == canvas[y][x], (fi, x, y)
+        if disposal == 2:
+            for y in range(fy, fy + fh):
+                for x in range(fx, fx + fw):
+                    canvas[y][x] = pal(bg)
+        elif disposal == 3:
+            for y in range(fy, fy + fh):
+                for x in range(fx, fx + fw):
+                    canvas[y][x] = prev[y][x]

@@ -195,3 +195,79 @@ def test_gif_synth_rejects_indices_over_mcs():
         mm.synth_gif_full(8, 8, lambda x, y: 4, mcs=2)
     got = mm.decode_gif(mm.synth_gif_full(8, 8, lambda x, y: (x + y) % 4, mcs=2))
     assert got is not None and got[:3] == (8, 8, 3)
+
+
+# --- animated GIF (r9) -----------------------------------------------------------------
+
+
+def _pal(i):
+    return (i, (i * 3) % 256, (i * 7) % 256)
+
+
+def test_gif_anim_fullscreen_demux_roundtrip():
+    """decode_gif_anim re-wraps every full-screen frame as a standalone GIF
+    whose decode matches the per-frame pixel contract; delays ride along."""
+    import numpy as np
+
+    g = mm.synth_gif_anim_full(14, 9, 4)
+    got = mm.decode_gif_anim(g)
+    assert got is not None and got[:3] == (14, 9, 4)
+    for f, (delay, frame_bytes) in enumerate(got[3]):
+        assert delay == 4 + f
+        dec = mm.decode_gif(frame_bytes)
+        assert dec is not None and dec[:3] == (14, 9, 3)
+        arr = np.frombuffer(dec[3], np.uint8).reshape(9, 14, 3)
+        for y in range(9):
+            for x in range(14):
+                assert tuple(arr[y, x]) == _pal((x + 2 * y + 9 * f) % 256)
+    # offset sub-frames and stills refuse the demux profile
+    assert mm.decode_gif_anim(mm.synth_gif_anim(14, 9, 3)) is None
+    assert mm.decode_gif_anim(mm.synth_gif_full(14, 9)) is None
+
+
+def test_gif_anim_compositor_all_disposals_vs_reference():
+    """decode_gif_anim_composited vs an independent plain-Python canvas
+    model across disposal methods 0 (unspecified), 1 (keep), 2
+    (restore-to-background) and 3 (restore-to-previous), with transparency
+    on index 7 revealing the canvas beneath."""
+    import numpy as np
+
+    for i, disposal in [(3, 2), (5, 1), (9, 3), (11, 0)]:
+        w, h, n = 14 + i % 6, 10 + i % 4, 2 + i % 4
+        bi = lambda x, y, i=i: (i + x + 2 * y) % 256
+        ri = lambda f, x, y, i=i: (x + 17 * f + y + i) % 256
+        bgix = (i * 11) % 256
+        g = mm.synth_gif_anim(
+            w, h, n, bi, ri, bg_index=bgix, transparent=7, disposal=disposal
+        )
+        got = mm.decode_gif_anim_composited(g)
+        assert got is not None and got[:3] == (w, h, n)
+        canvas = [[_pal(bgix)] * w for _ in range(h)]
+        for f in range(n):
+            if f == 0:
+                fx, fy, fw, fh = 0, 0, w, h
+                idxf, trans, disp = bi, None, 0  # base keeps
+            else:
+                fx, fy, fw, fh = 2 * (f % 3), 2 * (f % 2), 8, 6
+                idxf = lambda x, y, f=f: ri(f, x, y)
+                trans, disp = 7, disposal
+            prev = [row[:] for row in canvas]
+            for y in range(fy, fy + fh):
+                for x in range(fx, fx + fw):
+                    ix = idxf(x, y)
+                    if trans is None or ix != trans:
+                        canvas[y][x] = _pal(ix)
+            delay, raw = got[3][f]
+            assert delay == 4 + f
+            arr = np.frombuffer(raw, np.uint8).reshape(h, w, 3)
+            for y in range(h):
+                for x in range(w):
+                    assert tuple(arr[y, x]) == canvas[y][x], (i, disposal, f, x, y)
+            if disp == 2:
+                for y in range(fy, fy + fh):
+                    for x in range(fx, fx + fw):
+                        canvas[y][x] = _pal(bgix)
+            elif disp == 3:
+                for y in range(fy, fy + fh):
+                    for x in range(fx, fx + fw):
+                        canvas[y][x] = prev[y][x]
