@@ -1037,6 +1037,128 @@ def gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tiff_layout_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               20 + (doc_id * 3) % 50 AS w,
+               17 + (doc_id * 5) % 40 AS h,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch,
+               doc_id % 3 AS layout,
+               CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 32 END AS tw,
+               16 AS tl,
+               1 + doc_id % 9 AS rps
+        FROM documents WHERE doc_id < 120
+    ),
+    seg AS (
+        SELECT *,
+               CASE layout
+                    WHEN 0 THEN ((w + tw - 1) // tw) * ((h + tl - 1) // tl)
+                    WHEN 1 THEN ((h + rps - 1) // rps) * ch
+                    ELSE ((w + tw - 1) // tw) * ((h + tl - 1) // tl) * ch
+               END AS n_segments
+        FROM spec
+    ),
+    px AS (
+        SELECT doc_id, w, h, ch, layout, n_segments,
+               x.i AS x, y.i AS y,
+               (((x.i + y.i * w) % 97) + 1) * (x.i % 256) AS wr
+        FROM seg,
+             LATERAL unnest(range(0, w)) x(i),
+             LATERAL unnest(range(0, h)) y(i)
+    )
+    SELECT doc_id,
+           CAST(min(w) AS INT) AS width,
+           CAST(min(h) AS INT) AS height,
+           CAST(min(ch) AS INT) AS channels,
+           CAST(min(layout) AS INT) AS layout,
+           CAST(min(n_segments) AS INT) AS n_segments,
+           round(CASE WHEN min(ch) = 1 THEN (min(w) - 1) / 2.0
+                      ELSE ((min(w) - 1) + (min(h) - 1)) / 3.0 END, 6)
+               AS mean_intensity,
+           CAST(sum(wr) AS BIGINT) AS wsum_r
+    FROM px GROUP BY doc_id
+    """,
+    doc="TIFF TILED and PLANAR layouts, graded (r9, closing the decode_tiff "
+    "scope gates — the two layouts real libtiff/GDAL rasters ship with): "
+    "per doc the layout CYCLES tiled-chunky / planar-strips / "
+    "tiled-planar (tags 322-325 with 16-multiple tile dims and zero-"
+    "padded edge tiles; tag 284=2 with plane-major segments and the "
+    "predictor at 1 sample/pixel), over the same gradient pixel contract, "
+    "compression cycle (none/deflate/PackBits/LZW+predictor) and II/MM "
+    "byte orders as tiff_pixel_stats. The oracle pins dims, the exact "
+    "segment count per layout algebra, the gradient mean, AND a position-"
+    "weighted red checksum — a tile pasted one position off, a plane "
+    "interleave swap, or padded edge bytes leaking into the image flip "
+    "wsum_r even when means survive.",
+    tags=("ingest", "multimodal"),
+)
+def tiff_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w_px, h_px = 20 + (i * 3) % 50, 17 + (i * 5) % 40
+                ch = 1 if i % 2 == 0 else 3
+                layout = i % 3
+                tw = 16 if i % 2 == 0 else 32
+                rps = 1 + i % 9
+                comp = (1, 8, 32773, 5)[(i // 3) % 4]
+                content = multimodal.synth_tiff_full(
+                    w_px, h_px, ch,
+                    rows_per_strip=rps,
+                    byteorder="big" if i % 5 == 0 else "little",
+                    compression=comp,
+                    predictor=2 if comp == 5 else 1,
+                    planar=1 if layout == 0 else 2,
+                    tile=None if layout == 1 else (tw, 16),
+                )
+                width, height, nch, raw = multimodal.decode_tiff(content)
+                if layout == 0:
+                    n_seg = -(-width // tw) * -(-height // 16)
+                elif layout == 1:
+                    n_seg = -(-height // rps) * nch
+                else:
+                    n_seg = -(-width // tw) * -(-height // 16) * nch
+                arr = np.frombuffer(raw, dtype=np.uint8).reshape(-1, nch)
+                wt = (np.arange(width * height, dtype=np.int64) % 97) + 1
+                wsum_r = int((wt * arr[:, 0].astype(np.int64)).sum())
+                rows.append(
+                    (i, width, height, nch, layout, n_seg,
+                     int(arr.sum(dtype=np.int64)), arr.size, wsum_r)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "channels", "layout",
+                         "n_segments", "ssum", "nsamp", "wsum_r"],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, width int, height int, channels int, layout int, "
+        "n_segments int, ssum long, nsamp long, wsum_r long",
+    )
+    return out.select(
+        "doc_id", "width", "height", "channels", "layout", "n_segments",
+        _half_up_mean("ssum", "nsamp").alias("mean_intensity"),
+        "wsum_r",
+    )
+
+
+@register(
     "gif_composite_stats",
     oracle="""
     WITH spec AS (

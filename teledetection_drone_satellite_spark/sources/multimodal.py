@@ -1958,6 +1958,11 @@ _TIFF_TAG_ROWS_PER_STRIP = 278
 _TIFF_TAG_JPEG_TABLES = 347
 _TIFF_TAG_STRIP_COUNTS = 279
 _TIFF_TAG_PREDICTOR = 317
+_TIFF_TAG_PLANAR = 284
+_TIFF_TAG_TILE_WIDTH = 322
+_TIFF_TAG_TILE_LENGTH = 323
+_TIFF_TAG_TILE_OFFSETS = 324
+_TIFF_TAG_TILE_COUNTS = 325
 _TIFF_INT_SIZES = {1: 1, 3: 2, 4: 4, 7: 1}  # BYTE / SHORT / LONG / UNDEFINED
 
 
@@ -2165,6 +2170,8 @@ def synth_tiff_full(
     byteorder: str = "little",
     compression: int = 1,
     predictor: int = 1,
+    planar: int = 1,
+    tile: "tuple[int, int] | None" = None,
 ) -> bytes:
     """Deterministic COMPLETE TIFF (TIFF 6.0: header, one IFD with the
     required tags in ascending order, strip data). Pixel contract is the
@@ -2178,89 +2185,138 @@ def synth_tiff_full(
     StripOffsets/StripByteCounts LONG arrays), so decoding exercises the real
     strip walk, not just a single contiguous read; ``byteorder`` emits II or
     MM files so both endiannesses are covered. ``compression``: 1 (none),
-    5 (LZW), 8 (Adobe deflate/zlib) or 32773 (PackBits), applied per strip
-    as the spec requires; ``predictor`` 2 adds horizontal differencing
-    before compression (the layout real LZW TIFFs ship with). Encoding is
-    byte-packing per the published spec — fully independent of decode_tiff,
-    which must invert it."""
+    5 (LZW), 8 (Adobe deflate/zlib) or 32773 (PackBits), applied per
+    segment as the spec requires; ``predictor`` 2 adds horizontal
+    differencing before compression (the layout real LZW TIFFs ship with).
+
+    r9 layout knobs: ``planar=2`` stores per-channel PLANES (segments
+    plane-major, predictor at 1 sample/pixel per the spec);
+    ``tile=(tw, tl)`` switches to the TILED layout (tags 322-325, tile
+    dims multiples of 16 per the spec, edge tiles zero-padded to full
+    size) — composable with planar and every compression scheme.
+    Encoding is byte-packing per the published spec — fully independent
+    of decode_tiff, which must invert it."""
     import zlib
 
     if channels not in (1, 3):
         raise ValueError("synth_tiff_full supports 1 (gray) or 3 (RGB) samples/pixel")
     if compression not in (1, 5, 8, 32773):
         raise ValueError("compression must be 1, 5, 8 or 32773")
+    if planar not in (1, 2):
+        raise ValueError("planar must be 1 (chunky) or 2 (per-channel planes)")
+    if tile is not None and (tile[0] % 16 or tile[1] % 16 or not tile[0] or not tile[1]):
+        raise ValueError("tile dims must be non-zero multiples of 16 (spec)")
     bo = byteorder
     rps = min(rows_per_strip or height, height) or 1
-    strips = []
-    for y0 in range(0, height, rps):
-        buf = bytearray()
-        for y in range(y0, min(y0 + rps, height)):
-            if channels == 1:
-                buf += bytes(x % 256 for x in range(width))
-            else:
-                buf += bytes(
-                    v for x in range(width) for v in (x % 256, y % 256, (x + y) % 256)
-                )
-        raw = bytes(buf)
-        if predictor == 2:
-            raw = _predictor2_encode(raw, width, channels)
-        if compression == 5:
-            raw = _lzw_encode(raw)
-        elif compression == 8:
-            raw = zlib.compress(raw)
-        elif compression == 32773:
-            raw = _packbits_encode(raw)
-        strips.append(raw)
-    n_strips = len(strips)
 
-    # layout: header(8) | IFD (2 + 12*n_tags + 4) | aux value area | strip data
-    n_tags = 9 + (1 if predictor == 2 else 0)
-    aux_off = 8 + 2 + 12 * n_tags + 4
-    bits_bytes = 6 if channels == 3 else 0  # 3 SHORTs never fit inline
-    arr_bytes = 0 if n_strips == 1 else 4 * n_strips
-    data_off = aux_off + bits_bytes + 2 * arr_bytes
+    def px(x: int, y: int) -> "tuple[int, ...]":
+        if channels == 1:
+            return (x % 256,)
+        return (x % 256, y % 256, (x + y) % 256)
+
+    def pack(raw: bytes, row_w: int, seg_spp: int) -> bytes:
+        if predictor == 2:
+            raw = _predictor2_encode(raw, row_w, seg_spp)
+        if compression == 5:
+            return _lzw_encode(raw)
+        if compression == 8:
+            return zlib.compress(raw)
+        if compression == 32773:
+            return _packbits_encode(raw)
+        return raw
+
+    segments: "list[bytes]" = []
+    if tile is not None:
+        tw, tl = tile
+        across, down = -(-width // tw), -(-height // tl)
+        for p in range(channels if planar == 2 else 1):
+            for ty in range(down):
+                for tx in range(across):
+                    buf = bytearray()
+                    for y in range(ty * tl, ty * tl + tl):
+                        for x in range(tx * tw, tx * tw + tw):
+                            if x < width and y < height:
+                                v = px(x, y)
+                                buf += bytes([v[p]] if planar == 2 else v)
+                            else:
+                                buf += bytes(1 if planar == 2 else channels)
+                    segments.append(
+                        pack(bytes(buf), tw, 1 if planar == 2 else channels)
+                    )
+    elif planar == 2:
+        for p in range(channels):
+            for y0 in range(0, height, rps):
+                buf = bytearray()
+                for y in range(y0, min(y0 + rps, height)):
+                    buf += bytes(px(x, y)[p] for x in range(width))
+                segments.append(pack(bytes(buf), width, 1))
+    else:
+        for y0 in range(0, height, rps):
+            buf = bytearray()
+            for y in range(y0, min(y0 + rps, height)):
+                for x in range(width):
+                    buf += bytes(px(x, y))
+            segments.append(pack(bytes(buf), width, channels))
+
+    def build(seg_offsets: "list[int]") -> "tuple[bytes, int]":
+        """One layout pass: returns (file_bytes_before_segment_data,
+        data_offset).  Called twice — first with zero offsets to learn the
+        data offset, then with the real ones (same byte length)."""
+        specs = [
+            (_TIFF_TAG_WIDTH, 4, [width]),
+            (_TIFF_TAG_HEIGHT, 4, [height]),
+            (_TIFF_TAG_BITS, 3, [8] * channels),
+            (_TIFF_TAG_COMPRESSION, 3, [compression]),
+            (_TIFF_TAG_PHOTOMETRIC, 3, [1 if channels == 1 else 2]),
+        ]
+        if tile is None:
+            specs.append((_TIFF_TAG_STRIP_OFFSETS, 4, seg_offsets))
+        specs.append((_TIFF_TAG_SPP, 3, [channels]))
+        if tile is None:
+            specs.append((_TIFF_TAG_ROWS_PER_STRIP, 4, [rps]))
+            specs.append((_TIFF_TAG_STRIP_COUNTS, 4, [len(s) for s in segments]))
+        if planar == 2:
+            specs.append((_TIFF_TAG_PLANAR, 3, [2]))
+        if predictor == 2:
+            specs.append((_TIFF_TAG_PREDICTOR, 3, [2]))
+        if tile is not None:
+            specs.append((_TIFF_TAG_TILE_WIDTH, 4, [tile[0]]))
+            specs.append((_TIFF_TAG_TILE_LENGTH, 4, [tile[1]]))
+            specs.append((_TIFF_TAG_TILE_OFFSETS, 4, seg_offsets))
+            specs.append((_TIFF_TAG_TILE_COUNTS, 4, [len(s) for s in segments]))
+        n_tags = len(specs)
+        aux_off = 8 + 2 + 12 * n_tags + 4
+        aux = bytearray()
+        entries = b""
+        for tag, typ, vals in specs:
+            size = _TIFF_INT_SIZES[typ]
+            packed = b"".join(int(v).to_bytes(size, bo) for v in vals)
+            head = (
+                tag.to_bytes(2, bo) + typ.to_bytes(2, bo)
+                + len(vals).to_bytes(4, bo)
+            )
+            if len(packed) <= 4:  # spec: values that fit go inline
+                entries += head + packed.ljust(4, b"\0")
+            else:
+                entries += head + (aux_off + len(aux)).to_bytes(4, bo)
+                aux.extend(packed)
+        header = (
+            (b"II" if bo == "little" else b"MM")
+            + (42).to_bytes(2, bo)
+            + (8).to_bytes(4, bo)
+        )
+        ifd = n_tags.to_bytes(2, bo) + entries + (0).to_bytes(4, bo)
+        return header + ifd + bytes(aux), aux_off + len(aux)
+
+    _, data_off = build([0] * len(segments))
     offsets = []
     pos = data_off
-    for s in strips:
+    for s in segments:
         offsets.append(pos)
         pos += len(s)
-
-    aux = bytearray()
-
-    def entry(tag: int, typ: int, values: "list[int]") -> bytes:
-        size = _TIFF_INT_SIZES[typ]
-        packed = b"".join(int(v).to_bytes(size, bo) for v in values)
-        head = (
-            tag.to_bytes(2, bo) + typ.to_bytes(2, bo) + len(values).to_bytes(4, bo)
-        )
-        if len(packed) <= 4:  # spec: values that fit go inline
-            return head + packed.ljust(4, b"\0")
-        off = aux_off + len(aux)
-        aux.extend(packed)
-        return head + off.to_bytes(4, bo)
-
-    entries = b"".join(
-        [
-            entry(_TIFF_TAG_WIDTH, 4, [width]),
-            entry(_TIFF_TAG_HEIGHT, 4, [height]),
-            entry(_TIFF_TAG_BITS, 3, [8] * channels),
-            entry(_TIFF_TAG_COMPRESSION, 3, [compression]),
-            entry(_TIFF_TAG_PHOTOMETRIC, 3, [1 if channels == 1 else 2]),
-            entry(_TIFF_TAG_STRIP_OFFSETS, 4, offsets),
-            entry(_TIFF_TAG_SPP, 3, [channels]),
-            entry(_TIFF_TAG_ROWS_PER_STRIP, 4, [rps]),
-            entry(_TIFF_TAG_STRIP_COUNTS, 4, [len(s) for s in strips]),
-        ]
-        + ([entry(_TIFF_TAG_PREDICTOR, 3, [2])] if predictor == 2 else [])
-    )
-    header = (
-        (b"II" if bo == "little" else b"MM")
-        + (42).to_bytes(2, bo)
-        + (8).to_bytes(4, bo)
-    )
-    ifd = n_tags.to_bytes(2, bo) + entries + (0).to_bytes(4, bo)
-    assert len(aux) == bits_bytes + 2 * arr_bytes
-    return header + ifd + bytes(aux) + b"".join(strips)
+    head, data_off2 = build(offsets)
+    assert data_off2 == data_off
+    return head + b"".join(segments)
 
 
 def _split_jpeg_tables(stream: bytes) -> "tuple[bytes, bytes]":
@@ -2401,10 +2457,15 @@ def decode_tiff(content: bytes) -> "tuple[int, int, int, bytes] | None":
     Compressed strips are in scope for the three pure-stdlib schemes —
     LZW (5, incl. the horizontal-differencing predictor real LZW files
     ship with), Adobe deflate (8, zlib), PackBits (32773) — each
-    decompressed per strip as the spec requires. Returns (width, height,
-    samples_per_pixel, raw_samples) row-major, or None for anything outside
-    scope — JPEG-in-TIFF, non-8-bit depths, tiled layouts, planar
-    configuration 2, or truncated strips — so callers fall back to the
+    decompressed per strip as the spec requires.  TILED layouts (tags
+    322-325: full tw x tl tiles, edge tiles padded, pasted into place)
+    and PLANAR configuration 2 (tag 284: per-channel planes, segments
+    plane-major, predictor applied at 1 sample/pixel) are REAL as of r9,
+    in every combination with the stdlib compression schemes — the two
+    layouts real libtiff/GDAL rasters routinely ship with.  Returns
+    (width, height, samples_per_pixel, raw_samples) row-major chunky, or
+    None for anything outside scope — non-8-bit depths, tiled/planar
+    JPEG-in-TIFF, or truncated segments — so callers fall back to the
     stub/PIL path, same contract as decode_png."""
     import zlib
 
@@ -2442,13 +2503,27 @@ def decode_tiff(content: bytes) -> "tuple[int, int, int, bytes] | None":
     bits = values(_TIFF_TAG_BITS) or [1]  # spec default is 1 bit
     if not spp or any(b != 8 for b in bits):
         return None
-    offsets = values(_TIFF_TAG_STRIP_OFFSETS)
-    counts = values(_TIFF_TAG_STRIP_COUNTS)
+    planar = one(_TIFF_TAG_PLANAR, 1)
+    if planar not in (1, 2):
+        return None
+    tile_w = one(_TIFF_TAG_TILE_WIDTH)
+    tile_h = one(_TIFF_TAG_TILE_LENGTH)
+    tiled = tile_w is not None or tile_h is not None
+    if tiled:
+        if not tile_w or not tile_h:
+            return None
+        offsets = values(_TIFF_TAG_TILE_OFFSETS)
+        counts = values(_TIFF_TAG_TILE_COUNTS)
+    else:
+        offsets = values(_TIFF_TAG_STRIP_OFFSETS)
+        counts = values(_TIFF_TAG_STRIP_COUNTS)
     if not offsets or not counts or len(offsets) != len(counts):
         return None
     jpeg_tables = None
     rps = one(_TIFF_TAG_ROWS_PER_STRIP, height) or height
     if compression == 7:
+        if tiled or planar != 1:
+            return None  # tiled/planar JPEG-in-TIFF: out of scope
         # New-style JPEG-in-TIFF (TIFF TechNote 2): each strip is a baseline
         # JPEG stream; an optional JPEGTables tag (347) holds an abbreviated
         # tables-only stream (SOI + DQT/DHT + EOI) shared by all strips —
@@ -2473,12 +2548,41 @@ def decode_tiff(content: bytes) -> "tuple[int, int, int, bytes] | None":
         if photometric not in ((6, 2) if spp == 3 else (1,)):
             return None
         rgb_stored = photometric == 2
-    out = bytearray()
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+    def segment(k: int, row_w: int, seg_spp: int) -> "bytes | None":
+        """Bounds-check, decompress, and un-predict segment k (strip or
+        tile; row width and samples/pixel depend on the layout — planar
+        segments carry ONE sample/pixel, tiles are tile_w wide)."""
+        off, cnt = offsets[k], counts[k]
         if off + cnt > len(content):
-            return None  # truncated strip: refuse, never silently short-read
-        strip = content[off : off + cnt]
-        if compression == 7:
+            return None  # truncated: refuse, never silently short-read
+        seg = content[off : off + cnt]
+        if compression == 5:
+            seg = _lzw_decode(seg)
+            if seg is None:
+                return None
+        elif compression == 8:
+            try:
+                seg = zlib.decompress(seg)
+            except zlib.error:
+                return None
+        elif compression == 32773:
+            seg = _packbits_decode(seg)
+        if predictor == 2:
+            # A corrupt/foreign segment can decompress to a non-row-multiple
+            # length; _predictor2_decode would index past the buffer.  Honor
+            # the documented None-fallback contract instead of raising.
+            if len(seg) % (row_w * seg_spp) != 0:
+                return None
+            seg = _predictor2_decode(seg, row_w, seg_spp)
+        return seg
+
+    if compression == 7:
+        out = bytearray()
+        for si in range(len(offsets)):
+            off, cnt = offsets[si], counts[si]
+            if off + cnt > len(content):
+                return None
+            strip = content[off : off + cnt]
             from . import jpeg as _jpegcodec
 
             stream = strip
@@ -2493,26 +2597,63 @@ def decode_tiff(content: bytes) -> "tuple[int, int, int, bytes] | None":
             if sw != width or sc != spp or sh != min(rps, height - si * rps):
                 return None  # strip dims must tile the image exactly
             out += sraw
-            continue
-        if compression == 5:
-            strip = _lzw_decode(strip)
-            if strip is None:
+        if len(out) != width * height * spp:
+            return None
+        return width, height, spp, bytes(out)
+
+    import numpy as np
+
+    if tiled:
+        across, down = -(-width // tile_w), -(-height // tile_h)
+        n_tiles = across * down
+        if len(offsets) != n_tiles * (spp if planar == 2 else 1):
+            return None
+        img = np.zeros((height, width, spp), dtype=np.uint8)
+        seg_spp = 1 if planar == 2 else spp
+        for k in range(len(offsets)):
+            seg = segment(k, tile_w, seg_spp)
+            if seg is None or len(seg) != tile_w * tile_h * seg_spp:
+                return None  # tiles are FULL tw x tl, edge tiles padded
+            p, t = divmod(k, n_tiles) if planar == 2 else (None, k)
+            ty, tx = divmod(t, across)
+            hv = min(tile_h, height - ty * tile_h)
+            wv = min(tile_w, width - tx * tile_w)
+            arr = np.frombuffer(seg, dtype=np.uint8).reshape(
+                tile_h, tile_w, seg_spp
+            )
+            dst = img[ty * tile_h : ty * tile_h + hv, tx * tile_w : tx * tile_w + wv]
+            if planar == 2:
+                dst[:, :, p] = arr[:hv, :wv, 0]
+            else:
+                dst[:, :, :] = arr[:hv, :wv]
+        return width, height, spp, img.tobytes()
+
+    if planar == 2:
+        per_plane = -(-height // rps)
+        if len(offsets) != per_plane * spp:
+            return None
+        planes = []
+        for p in range(spp):
+            pl = bytearray()
+            for s in range(per_plane):
+                seg = segment(p * per_plane + s, width, 1)
+                if seg is None:
+                    return None
+                pl += seg
+            if len(pl) != width * height:
                 return None
-        elif compression == 8:
-            try:
-                strip = zlib.decompress(strip)
-            except zlib.error:
-                return None
-        elif compression == 32773:
-            strip = _packbits_decode(strip)
-        if predictor == 2:
-            # A corrupt/foreign strip can decompress to a non-row-multiple
-            # length; _predictor2_decode would index past the buffer.  Honor
-            # the documented None-fallback contract instead of raising.
-            if len(strip) % (width * spp) != 0:
-                return None
-            strip = _predictor2_decode(strip, width, spp)
-        out += strip
+            planes.append(np.frombuffer(bytes(pl), dtype=np.uint8))
+        return (
+            width, height, spp,
+            np.stack(planes, axis=-1).reshape(height, width, spp).tobytes(),
+        )
+
+    out = bytearray()
+    for si in range(len(offsets)):
+        seg = segment(si, width, spp)
+        if seg is None:
+            return None
+        out += seg
     if len(out) != width * height * spp:
         return None
     return width, height, spp, bytes(out)

@@ -48,13 +48,15 @@ def test_fuzz_png_geometry(w, h, color):
     rps=st.integers(min_value=1, max_value=41),
     channels=st.sampled_from([1, 3]),
     bo=st.sampled_from(["little", "big"]),
+    planar=st.sampled_from([1, 2]),
+    tile=st.sampled_from([None, (16, 16), (32, 16), (16, 32)]),
 )
-def test_fuzz_tiff_geometry(w, h, comp, pred, rps, channels, bo):
+def test_fuzz_tiff_geometry(w, h, comp, pred, rps, channels, bo, planar, tile):
     if pred == 2 and comp == 1:
         pred = 1  # predictor only pairs with a compression scheme
     content = mm.synth_tiff_full(
         w, h, channels=channels, rows_per_strip=rps, byteorder=bo,
-        compression=comp, predictor=pred,
+        compression=comp, predictor=pred, planar=planar, tile=tile,
     )
     got = mm.decode_tiff(content)
     assert got is not None

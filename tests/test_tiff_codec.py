@@ -242,3 +242,49 @@ def test_jpeg_in_tiff_photometric2_decodes_raw_components():
         if int.from_bytes(data[e : e + 2], "little") == 262:
             data[e + 8 : e + 12] = (0).to_bytes(4, "little")  # WhiteIsZero
     assert mm.decode_tiff(bytes(data)) is None
+
+
+def test_tiff_tiled_and_planar_layouts():
+    """r9: tiled (tags 322-325, padded edge tiles) and planar-2 (plane-major
+    segments, predictor at 1 spp) layouts decode to the same chunky pixels
+    as the strip layout, across compression schemes."""
+    import numpy as np
+
+    w, h = 37, 23
+    ref = mm.decode_tiff(mm.synth_tiff_full(w, h, 3))
+    assert ref is not None
+    for kwargs in (
+        dict(tile=(16, 16)),
+        dict(tile=(32, 16), compression=5, predictor=2),
+        dict(planar=2, rows_per_strip=5, compression=8),
+        dict(planar=2, tile=(16, 32), compression=32773),
+        dict(planar=2, tile=(16, 16), compression=5, predictor=2,
+             byteorder="big"),
+    ):
+        got = mm.decode_tiff(mm.synth_tiff_full(w, h, 3, **kwargs))
+        assert got == ref, kwargs
+    # spec guard: tile dims must be multiples of 16
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        mm.synth_tiff_full(w, h, 3, tile=(10, 16))
+
+
+def test_tiff_tiled_jpeg_compression_refused():
+    """Tiled or planar JPEG-in-TIFF stays out of scope: patch the tags into
+    a compression-7 file and the decoder must refuse, not misread."""
+    cv = lambda ci, bx, by: (11 + 29 * ci + 16 * bx) % 256
+    t = bytearray(mm.synth_tiff_jpeg(16, 16, 3, rows_per_strip=16, block_value=cv))
+    n = int.from_bytes(t[8:10], "little")
+    for i in range(n):
+        e = 10 + i * 12
+        if int.from_bytes(t[e : e + 2], "little") == 284:
+            break
+    else:
+        # no planar tag present: add-by-patch is fiddly, so flip an existing
+        # tag id to TileWidth instead (262 photometric -> 322) — the decoder
+        # must then see a tiled compression-7 file and refuse
+        for i in range(n):
+            e = 10 + i * 12
+            if int.from_bytes(t[e : e + 2], "little") == 262:
+                t[e : e + 2] = (322).to_bytes(2, "little")
+    assert mm.decode_tiff(bytes(t)) is None
