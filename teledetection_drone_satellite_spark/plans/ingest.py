@@ -1159,6 +1159,134 @@ def tiff_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tiff_depth16_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               18 + (doc_id * 3) % 40 AS w,
+               15 + (doc_id * 5) % 30 AS h,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch,
+               doc_id % 3 AS layout,
+               1 + doc_id % 9 AS rps
+        FROM documents WHERE doc_id < 100
+    ),
+    seg AS (
+        SELECT *,
+               CASE layout
+                    WHEN 0 THEN (h + rps - 1) // rps
+                    WHEN 1 THEN ((w + 15) // 16) * ((h + 15) // 16)
+                    ELSE ((h + rps - 1) // rps) * ch
+               END AS n_segments
+        FROM spec
+    ),
+    px AS (
+        SELECT doc_id, w, h, ch, layout, n_segments, x.i AS x, y.i AS y,
+               CASE WHEN ch = 1 THEN x.i * 257 + y.i * 13
+                    ELSE x.i * 257 + y.i END AS v_r,
+               CASE WHEN ch = 1 THEN 0 ELSE y.i * 257 + x.i END AS v_g,
+               CASE WHEN ch = 1 THEN 0 ELSE (x.i + y.i) * 321 END AS v_b
+        FROM seg,
+             LATERAL unnest(range(0, w)) x(i),
+             LATERAL unnest(range(0, h)) y(i)
+    )
+    SELECT doc_id,
+           CAST(min(w) AS INT) AS width,
+           CAST(min(h) AS INT) AS height,
+           CAST(min(ch) AS INT) AS channels,
+           CAST(16 AS INT) AS bits,
+           CAST(min(layout) AS INT) AS layout,
+           CAST(min(n_segments) AS INT) AS n_segments,
+           ((2 * CAST(sum(v_r + v_g + v_b) AS BIGINT) * 1000000
+             + count(*) * min(ch))
+            // (2 * count(*) * min(ch))) / 1000000.0 AS mean_value,
+           CAST(sum((((x + y * w) % 97) + 1) * v_r) AS BIGINT) AS wsum_r
+    FROM px GROUP BY doc_id
+    """,
+    doc="16-BIT TIFF decode, graded (r9 — the depth satellite DEM and "
+    "radiometric rasters ship with, squarely the reference's "
+    "teledetection domain): per doc a 16-bit TIFF is synthesized with the "
+    "layout CYCLING chunky-strips / tiled / planar-strips, the stdlib "
+    "compression cycle, predictor-2 differencing running on 16-BIT sample "
+    "values per the spec, and alternating II/MM byte order; "
+    "decode_tiff_deep normalizes samples to little-endian uint16 "
+    "regardless of file order (the 8-bit decode_tiff wrapper refuses "
+    "16-bit files, preserving its historical one-byte-per-sample "
+    "contract). The gradient values stay below 2^16 so the oracle's "
+    "integer sums are fold-free: it pins dims, depth, the per-layout "
+    "segment count, the sample mean, and a position-weighted red "
+    "checksum — a byte-swapped sample, an 8-bit predictor applied to "
+    "16-bit data, or a misplaced tile flips it.",
+    tags=("ingest", "multimodal"),
+)
+def tiff_depth16_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w_px, h_px = 18 + (i * 3) % 40, 15 + (i * 5) % 30
+                ch = 1 if i % 2 == 0 else 3
+                layout = i % 3
+                rps = 1 + i % 9
+                comp = (1, 8, 32773, 5)[(i // 3) % 4]
+                content = multimodal.synth_tiff_full(
+                    w_px, h_px, ch,
+                    rows_per_strip=rps,
+                    byteorder="big" if i % 5 == 0 else "little",
+                    compression=comp,
+                    predictor=2 if comp == 5 else 1,
+                    planar=2 if layout == 2 else 1,
+                    tile=(16, 16) if layout == 1 else None,
+                    depth=16,
+                )
+                width, height, nch, bits, raw = multimodal.decode_tiff_deep(
+                    content
+                )
+                if layout == 0:
+                    n_seg = -(-height // rps)
+                elif layout == 1:
+                    n_seg = -(-width // 16) * -(-height // 16)
+                else:
+                    n_seg = -(-height // rps) * nch
+                arr = np.frombuffer(raw, dtype="<u2").reshape(-1, nch)
+                wt = (np.arange(width * height, dtype=np.int64) % 97) + 1
+                wsum_r = int((wt * arr[:, 0].astype(np.int64)).sum())
+                rows.append(
+                    (i, width, height, nch, bits, layout, n_seg,
+                     int(arr.sum(dtype=np.int64)), arr.size, wsum_r)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "channels", "bits",
+                         "layout", "n_segments", "ssum", "nsamp", "wsum_r"],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, width int, height int, channels int, bits int, "
+        "layout int, n_segments int, ssum long, nsamp long, wsum_r long",
+    )
+    return out.select(
+        "doc_id", "width", "height", "channels", "bits", "layout",
+        "n_segments",
+        _half_up_mean("ssum", "nsamp").alias("mean_value"),
+        "wsum_r",
+    )
+
+
+@register(
     "gif_composite_stats",
     oracle="""
     WITH spec AS (

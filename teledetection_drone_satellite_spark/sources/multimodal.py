@@ -2162,6 +2162,28 @@ def _predictor2_decode(diffed: bytes, width: int, spp: int) -> bytes:
     return bytes(out)
 
 
+def _predictor2_encode16(raw: bytes, width: int, spp: int, bo: str) -> bytes:
+    """Horizontal differencing on 16-BIT samples (TIFF spec: the predictor
+    operates on sample VALUES at any depth, mod 2^bits, in the file's byte
+    order)."""
+    import numpy as np
+
+    dt = ">u2" if bo == "big" else "<u2"
+    a = np.frombuffer(raw, dtype=dt).astype(np.int64).reshape(-1, width, spp)
+    out = a.copy()
+    out[:, 1:, :] = (a[:, 1:, :] - a[:, :-1, :]) % 65536
+    return out.astype(dt).tobytes()
+
+
+def _predictor2_decode16(diffed: bytes, width: int, spp: int, bo: str) -> bytes:
+    import numpy as np
+
+    dt = ">u2" if bo == "big" else "<u2"
+    a = np.frombuffer(diffed, dtype=dt).astype(np.int64).reshape(-1, width, spp)
+    out = np.cumsum(a, axis=1) % 65536
+    return out.astype(dt).tobytes()
+
+
 def synth_tiff_full(
     width: int,
     height: int,
@@ -2172,6 +2194,7 @@ def synth_tiff_full(
     predictor: int = 1,
     planar: int = 1,
     tile: "tuple[int, int] | None" = None,
+    depth: int = 8,
 ) -> bytes:
     """Deterministic COMPLETE TIFF (TIFF 6.0: header, one IFD with the
     required tags in ascending order, strip data). Pixel contract is the
@@ -2194,8 +2217,12 @@ def synth_tiff_full(
     ``tile=(tw, tl)`` switches to the TILED layout (tags 322-325, tile
     dims multiples of 16 per the spec, edge tiles zero-padded to full
     size) — composable with planar and every compression scheme.
+    ``depth=16`` emits 16-bit samples in the file byte order with the
+    16-bit gradient contract (gray v = (x*257 + y*13) %% 65536; rgb =
+    ((x*257 + y) %% 65536, (y*257 + x) %% 65536, ((x+y)*321) %% 65536))
+    and the predictor differencing on 16-bit values per the spec.
     Encoding is byte-packing per the published spec — fully independent
-    of decode_tiff, which must invert it."""
+    of decode_tiff/decode_tiff_deep, which must invert it."""
     import zlib
 
     if channels not in (1, 3):
@@ -2204,19 +2231,39 @@ def synth_tiff_full(
         raise ValueError("compression must be 1, 5, 8 or 32773")
     if planar not in (1, 2):
         raise ValueError("planar must be 1 (chunky) or 2 (per-channel planes)")
+    if depth not in (8, 16):
+        raise ValueError("depth must be 8 or 16")
     if tile is not None and (tile[0] % 16 or tile[1] % 16 or not tile[0] or not tile[1]):
         raise ValueError("tile dims must be non-zero multiples of 16 (spec)")
     bo = byteorder
     rps = min(rows_per_strip or height, height) or 1
 
+    bps = depth // 8
+
     def px(x: int, y: int) -> "tuple[int, ...]":
+        if depth == 16:
+            if channels == 1:
+                return ((x * 257 + y * 13) % 65536,)
+            return (
+                (x * 257 + y) % 65536,
+                (y * 257 + x) % 65536,
+                ((x + y) * 321) % 65536,
+            )
         if channels == 1:
             return (x % 256,)
         return (x % 256, y % 256, (x + y) % 256)
 
+    def sample_bytes(vals: "tuple[int, ...]") -> bytes:
+        if bps == 1:
+            return bytes(vals)
+        return b"".join(v.to_bytes(2, bo) for v in vals)
+
     def pack(raw: bytes, row_w: int, seg_spp: int) -> bytes:
         if predictor == 2:
-            raw = _predictor2_encode(raw, row_w, seg_spp)
+            if bps == 2:
+                raw = _predictor2_encode16(raw, row_w, seg_spp, bo)
+            else:
+                raw = _predictor2_encode(raw, row_w, seg_spp)
         if compression == 5:
             return _lzw_encode(raw)
         if compression == 8:
@@ -2237,9 +2284,13 @@ def synth_tiff_full(
                         for x in range(tx * tw, tx * tw + tw):
                             if x < width and y < height:
                                 v = px(x, y)
-                                buf += bytes([v[p]] if planar == 2 else v)
+                                buf += sample_bytes(
+                                    (v[p],) if planar == 2 else v
+                                )
                             else:
-                                buf += bytes(1 if planar == 2 else channels)
+                                buf += bytes(
+                                    (1 if planar == 2 else channels) * bps
+                                )
                     segments.append(
                         pack(bytes(buf), tw, 1 if planar == 2 else channels)
                     )
@@ -2248,14 +2299,15 @@ def synth_tiff_full(
             for y0 in range(0, height, rps):
                 buf = bytearray()
                 for y in range(y0, min(y0 + rps, height)):
-                    buf += bytes(px(x, y)[p] for x in range(width))
+                    for x in range(width):
+                        buf += sample_bytes((px(x, y)[p],))
                 segments.append(pack(bytes(buf), width, 1))
     else:
         for y0 in range(0, height, rps):
             buf = bytearray()
             for y in range(y0, min(y0 + rps, height)):
                 for x in range(width):
-                    buf += bytes(px(x, y))
+                    buf += sample_bytes(px(x, y))
             segments.append(pack(bytes(buf), width, channels))
 
     def build(seg_offsets: "list[int]") -> "tuple[bytes, int]":
@@ -2265,7 +2317,7 @@ def synth_tiff_full(
         specs = [
             (_TIFF_TAG_WIDTH, 4, [width]),
             (_TIFF_TAG_HEIGHT, 4, [height]),
-            (_TIFF_TAG_BITS, 3, [8] * channels),
+            (_TIFF_TAG_BITS, 3, [depth] * channels),
             (_TIFF_TAG_COMPRESSION, 3, [compression]),
             (_TIFF_TAG_PHOTOMETRIC, 3, [1 if channels == 1 else 2]),
         ]
@@ -2448,6 +2500,20 @@ def synth_tiff_jpeg(
 
 
 def decode_tiff(content: bytes) -> "tuple[int, int, int, bytes] | None":
+    """8-bit TIFF decode — decode_tiff_deep constrained to the historical
+    (width, height, samples_per_pixel, raw_bytes) contract every existing
+    caller assumes (one byte per sample).  16-bit files return None here;
+    use decode_tiff_deep for them (satellite DEM / radiometric rasters)."""
+    got = decode_tiff_deep(content)
+    if got is None or got[3] != 8:
+        return None
+    w, h, spp, _bits, raw = got
+    return w, h, spp, raw
+
+
+def decode_tiff_deep(
+    content: bytes,
+) -> "tuple[int, int, int, int, bytes] | None":
     """REAL uncompressed-TIFF pixel decode, pure stdlib — the raster tail the
     reference's GDAL/rasterio stack covers (file-service requirements.txt:
     11-15) that needs no codec wheel: baseline TIFF strips are raw bytes, so
@@ -2501,8 +2567,9 @@ def decode_tiff(content: bytes) -> "tuple[int, int, int, bytes] | None":
         return None  # floating-point predictor 3: out of scope
     spp = one(_TIFF_TAG_SPP, 1)
     bits = values(_TIFF_TAG_BITS) or [1]  # spec default is 1 bit
-    if not spp or any(b != 8 for b in bits):
+    if not spp or len(set(bits)) != 1 or bits[0] not in (8, 16):
         return None
+    bps = bits[0] // 8  # bytes per sample
     planar = one(_TIFF_TAG_PLANAR, 1)
     if planar not in (1, 2):
         return None
@@ -2522,8 +2589,8 @@ def decode_tiff(content: bytes) -> "tuple[int, int, int, bytes] | None":
     jpeg_tables = None
     rps = one(_TIFF_TAG_ROWS_PER_STRIP, height) or height
     if compression == 7:
-        if tiled or planar != 1:
-            return None  # tiled/planar JPEG-in-TIFF: out of scope
+        if tiled or planar != 1 or bps != 1:
+            return None  # tiled/planar/16-bit JPEG-in-TIFF: out of scope
         # New-style JPEG-in-TIFF (TIFF TechNote 2): each strip is a baseline
         # JPEG stream; an optional JPEGTables tag (347) holds an abbreviated
         # tables-only stream (SOI + DQT/DHT + EOI) shared by all strips —
@@ -2569,11 +2636,20 @@ def decode_tiff(content: bytes) -> "tuple[int, int, int, bytes] | None":
             seg = _packbits_decode(seg)
         if predictor == 2:
             # A corrupt/foreign segment can decompress to a non-row-multiple
-            # length; _predictor2_decode would index past the buffer.  Honor
+            # length; the predictor pass would index past the buffer.  Honor
             # the documented None-fallback contract instead of raising.
-            if len(seg) % (row_w * seg_spp) != 0:
+            if len(seg) % (row_w * seg_spp * bps) != 0:
                 return None
-            seg = _predictor2_decode(seg, row_w, seg_spp)
+            if bps == 2:
+                seg = _predictor2_decode16(seg, row_w, seg_spp, bo)
+            else:
+                seg = _predictor2_decode(seg, row_w, seg_spp)
+        if bps == 2 and bo == "big":
+            if len(seg) % 2:
+                return None
+            seg = (
+                np.frombuffer(seg, dtype=">u2").astype("<u2").tobytes()
+            )  # normalize output to little-endian samples
         return seg
 
     if compression == 7:
@@ -2599,7 +2675,7 @@ def decode_tiff(content: bytes) -> "tuple[int, int, int, bytes] | None":
             out += sraw
         if len(out) != width * height * spp:
             return None
-        return width, height, spp, bytes(out)
+        return width, height, spp, 8, bytes(out)
 
     import numpy as np
 
@@ -2608,17 +2684,18 @@ def decode_tiff(content: bytes) -> "tuple[int, int, int, bytes] | None":
         n_tiles = across * down
         if len(offsets) != n_tiles * (spp if planar == 2 else 1):
             return None
-        img = np.zeros((height, width, spp), dtype=np.uint8)
+        dtype = np.uint8 if bps == 1 else np.dtype("<u2")
+        img = np.zeros((height, width, spp), dtype=dtype)
         seg_spp = 1 if planar == 2 else spp
         for k in range(len(offsets)):
             seg = segment(k, tile_w, seg_spp)
-            if seg is None or len(seg) != tile_w * tile_h * seg_spp:
+            if seg is None or len(seg) != tile_w * tile_h * seg_spp * bps:
                 return None  # tiles are FULL tw x tl, edge tiles padded
             p, t = divmod(k, n_tiles) if planar == 2 else (None, k)
             ty, tx = divmod(t, across)
             hv = min(tile_h, height - ty * tile_h)
             wv = min(tile_w, width - tx * tile_w)
-            arr = np.frombuffer(seg, dtype=np.uint8).reshape(
+            arr = np.frombuffer(seg, dtype=dtype).reshape(
                 tile_h, tile_w, seg_spp
             )
             dst = img[ty * tile_h : ty * tile_h + hv, tx * tile_w : tx * tile_w + wv]
@@ -2626,13 +2703,14 @@ def decode_tiff(content: bytes) -> "tuple[int, int, int, bytes] | None":
                 dst[:, :, p] = arr[:hv, :wv, 0]
             else:
                 dst[:, :, :] = arr[:hv, :wv]
-        return width, height, spp, img.tobytes()
+        return width, height, spp, bits[0], img.tobytes()
 
     if planar == 2:
         per_plane = -(-height // rps)
         if len(offsets) != per_plane * spp:
             return None
         planes = []
+        dtype = np.uint8 if bps == 1 else np.dtype("<u2")
         for p in range(spp):
             pl = bytearray()
             for s in range(per_plane):
@@ -2640,11 +2718,11 @@ def decode_tiff(content: bytes) -> "tuple[int, int, int, bytes] | None":
                 if seg is None:
                     return None
                 pl += seg
-            if len(pl) != width * height:
+            if len(pl) != width * height * bps:
                 return None
-            planes.append(np.frombuffer(bytes(pl), dtype=np.uint8))
+            planes.append(np.frombuffer(bytes(pl), dtype=dtype))
         return (
-            width, height, spp,
+            width, height, spp, bits[0],
             np.stack(planes, axis=-1).reshape(height, width, spp).tobytes(),
         )
 
@@ -2654,9 +2732,9 @@ def decode_tiff(content: bytes) -> "tuple[int, int, int, bytes] | None":
         if seg is None:
             return None
         out += seg
-    if len(out) != width * height * spp:
+    if len(out) != width * height * spp * bps:
         return None
-    return width, height, spp, bytes(out)
+    return width, height, spp, bits[0], bytes(out)
 
 
 # PNG color-type cycle used by synth_image (maps to channels 1/3/2/4).

@@ -288,3 +288,60 @@ def test_tiff_tiled_jpeg_compression_refused():
             if int.from_bytes(t[e : e + 2], "little") == 262:
                 t[e : e + 2] = (322).to_bytes(2, "little")
     assert mm.decode_tiff(bytes(t)) is None
+
+
+def test_tiff_16bit_depth_decodes_deep_and_wrapper_refuses():
+    """r9: 16-bit samples decode through decode_tiff_deep (LE-normalized,
+    16-bit predictor, every layout), while the 8-bit decode_tiff wrapper
+    keeps its historical contract by refusing."""
+    import numpy as np
+
+    w, h = 37, 23
+
+    def exp(ch):
+        out = np.empty((h, w, ch), np.uint16)
+        for y in range(h):
+            for x in range(w):
+                if ch == 1:
+                    out[y, x] = ((x * 257 + y * 13) % 65536,)
+                else:
+                    out[y, x] = (
+                        (x * 257 + y) % 65536,
+                        (y * 257 + x) % 65536,
+                        ((x + y) * 321) % 65536,
+                    )
+        return out
+
+    for ch in (1, 3):
+        for kwargs in (
+            dict(),
+            dict(byteorder="big", compression=5, predictor=2),
+            dict(tile=(16, 16), compression=8),
+            dict(planar=2, rows_per_strip=5, compression=32773,
+                 byteorder="big"),
+        ):
+            t = mm.synth_tiff_full(w, h, ch, depth=16, **kwargs)
+            assert mm.decode_tiff(t) is None  # wrapper: 8-bit only
+            got = mm.decode_tiff_deep(t)
+            assert got is not None and got[:4] == (w, h, ch, 16), kwargs
+            arr = np.frombuffer(got[4], "<u2").reshape(h, w, ch)
+            assert (arr == exp(ch)).all(), (ch, kwargs)
+    # deep decode of an 8-bit file agrees with the wrapper
+    t8 = mm.synth_tiff_full(w, h, 3, compression=5, predictor=2)
+    deep = mm.decode_tiff_deep(t8)
+    assert deep is not None and deep[3] == 8
+    assert deep[4] == mm.decode_tiff(t8)[3]
+    # mixed per-channel depths stay refused
+    bad = bytearray(mm.synth_tiff_full(8, 8, 3))
+    ifd = mm._ifd_entries(bytes(bad), int.from_bytes(bad[4:8], "little"), "little")
+    off = dict(ifd)[258] if isinstance(ifd, dict) else None
+    # patch BitsPerSample values (3 SHORTs in the aux area) to 8,16,8
+    vals_off = None
+    n = int.from_bytes(bad[8:10], "little")
+    for k in range(n):
+        e = 10 + k * 12
+        if int.from_bytes(bad[e : e + 2], "little") == 258:
+            vals_off = int.from_bytes(bad[e + 8 : e + 12], "little")
+    assert vals_off is not None
+    bad[vals_off + 2 : vals_off + 4] = (16).to_bytes(2, "little")
+    assert mm.decode_tiff_deep(bytes(bad)) is None
