@@ -1760,6 +1760,200 @@ def wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "wav_multi_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS r,
+               200 + (doc_id * 37) % 2000 AS n,
+               1 + doc_id % 3 AS ch,
+               CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 8 END AS bits
+        FROM documents WHERE doc_id < 120
+    ),
+    s AS (
+        SELECT doc_id, r, n, ch, bits, c.j AS c,
+               CASE WHEN bits = 16
+                    THEN ((t.i * (3 + 2 * c.j)) % 512) - 256
+                    ELSE (((t.i * (3 + 2 * c.j)) % 256) - 128) * 256
+               END AS v
+        FROM spec,
+             LATERAL unnest(range(0, n)) t(i),
+             LATERAL unnest(range(0, ch)) c(j)
+    )
+    SELECT doc_id,
+           CAST(r AS INT) AS sample_rate,
+           CAST(ch AS INT) AS channels,
+           CAST(bits AS INT) AS bits,
+           CAST(n AS BIGINT) AS n_samples,
+           round(avg(v), 6) AS mean_all,
+           round(avg(CASE WHEN c = 0 THEN v END), 6) AS mean_ch0,
+           CAST(max(abs(v)) AS BIGINT) AS peak
+    FROM s GROUP BY doc_id, r, n, ch, bits
+    """,
+    doc="Multi-channel / multi-depth PCM decode, graded (r9, closing "
+    "decode_wav_samples' mono-16 scope): per doc an INTERLEAVED PCM WAV "
+    "is synthesized cycling 1-3 channels and 16-bit signed vs 8-bit "
+    "unsigned depth (normalized to int16 via (v-128)<<8, the spec's "
+    "convention); decode_wav_multi walks the chunks and de-interleaves. "
+    "The oracle regenerates every per-channel sample in closed form — a "
+    "channel interleave swap flips mean_ch0 while mean_all survives, and "
+    "an unsigned-vs-signed 8-bit mixup flips everything.",
+    tags=("ingest", "multimodal"),
+)
+def wav_multi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+    rates = (8000, 16000, 22050, 44100, 48000)
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 200 + (i * 37) % 2000
+                ch = 1 + i % 3
+                bits = 16 if i % 2 == 0 else 8
+                content = multimodal.synth_wav_multi(rates[i % 5], n, ch, bits)
+                rate, gch, gbits, arr = multimodal.decode_wav_multi(content)
+                s = arr.astype(np.int64)
+                rows.append(
+                    (
+                        i, rate, gch, gbits, s.shape[0],
+                        float(s.mean()), float(s[:, 0].mean()),
+                        int(np.abs(s).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "channels", "bits",
+                         "n_samples", "mean_a", "mean_0", "peak"],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, sample_rate int, channels int, bits int, "
+        "n_samples long, mean_a double, mean_0 double, peak long",
+    )
+    return out.select(
+        "doc_id", "sample_rate", "channels", "bits", "n_samples",
+        F.round("mean_a", 6).alias("mean_all"),
+        F.round("mean_0", 6).alias("mean_ch0"),
+        "peak",
+    )
+
+
+@register(
+    "wav_adpcm_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS r,
+               2 + doc_id % 6 AS n_blocks,
+               1 + doc_id % 2 AS ch,
+               CASE WHEN doc_id % 3 = 0 THEN 64 ELSE 128 END AS ba
+        FROM documents WHERE doc_id < 100
+    ),
+    seg AS (
+        SELECT *, (ba - 4 * ch) * 2 // ch + 1 AS spb FROM spec
+    ),
+    p AS (
+        SELECT doc_id, r, ch, n_blocks, spb,
+               ((7 * b.i + 17 * c.j + 11 * doc_id) % 512 - 256) * 64 AS pred
+        FROM seg,
+             LATERAL unnest(range(0, n_blocks)) b(i),
+             LATERAL unnest(range(0, ch)) c(j)
+    )
+    SELECT doc_id,
+           CAST(r AS INT) AS sample_rate,
+           CAST(ch AS INT) AS channels,
+           CAST(n_blocks * spb AS BIGINT) AS n_samples,
+           round(avg(pred), 6) AS mean_value,
+           CAST(min(pred) AS BIGINT) AS min_value,
+           CAST(max(pred) AS BIGINT) AS max_value
+    FROM p GROUP BY doc_id, r, ch, n_blocks, spb
+    """,
+    doc="IMA-ADPCM WAV decode, graded (r9 — the classic compressed WAV, "
+    "fmt 0x11, pure-integer state machine so no codec wheel needed): per "
+    "doc synth_wav_adpcm emits mono/stereo blocks whose 4-byte per-channel "
+    "headers carry a closed-form int16 predictor with step index 0 and "
+    "ALL-ZERO nibble payloads — at index 0 the step is 7, a zero nibble's "
+    "vpdiff is 7>>3 = 0 and the index stays clamped, so EVERY decoded "
+    "sample equals its block/channel header predictor exactly and the "
+    "oracle regenerates the whole signal in closed form (block count x "
+    "samples-per-block algebra, per-channel means, extremes). A block-walk "
+    "error, wrong samples-per-block math, stereo 4-byte-group deinterleave "
+    "swap, or a nonzero vpdiff at step 7 flips it. The nonzero-nibble "
+    "delta math is pinned by pytest against an independent in-test "
+    "reference and a hypothesis fuzz (tests/test_wav_codec.py).",
+    tags=("ingest", "multimodal"),
+)
+def wav_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+    rates = (8000, 16000, 22050, 44100, 48000)
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n_blocks = 2 + i % 6
+                ch = 1 + i % 2
+                ba = 64 if i % 3 == 0 else 128
+                content = multimodal.synth_wav_adpcm(
+                    rates[i % 5], n_blocks, ch, ba,
+                    predictor=lambda b, c, i=i: (
+                        ((7 * b + 17 * c + 11 * i) % 512 - 256) * 64
+                    ),
+                )
+                rate, gch, _bits, arr = multimodal.decode_wav_multi(content)
+                s = arr.astype(np.int64)
+                rows.append(
+                    (
+                        i, rate, gch, s.shape[0],
+                        float(s.mean()), int(s.min()), int(s.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "channels", "n_samples",
+                         "mean_v", "min_v", "max_v"],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, sample_rate int, channels int, n_samples long, "
+        "mean_v double, min_v long, max_v long",
+    )
+    return out.select(
+        "doc_id", "sample_rate", "channels", "n_samples",
+        F.round("mean_v", 6).alias("mean_value"),
+        F.col("min_v").alias("min_value"),
+        F.col("max_v").alias("max_value"),
+    )
+
+
 def _docs_as_assets(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     """documents -> rows carrying REAL synthesized binary assets.
 

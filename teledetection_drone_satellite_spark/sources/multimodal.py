@@ -1945,6 +1945,216 @@ def decode_wav_samples(content: bytes) -> "tuple[int, 'object'] | None":
     return rate, np.frombuffer(data, dtype="<i2")
 
 
+# IMA ADPCM normative tables (public IMA/DVI spec; also RFC 3551 §4.5.1)
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _ima_decode_nibbles(nibbles, predictor: int, index: int):
+    """Decode a run of IMA-ADPCM 4-bit codes from (predictor, index) state —
+    the spec's integer state machine verbatim (vpdiff accumulation with the
+    sign bit applied to the whole sum, index clamp 0..88, output clamp to
+    int16).  Returns (samples list, predictor, index)."""
+    out = []
+    for nib in nibbles:
+        step = _IMA_STEP_TABLE[index]
+        vpdiff = step >> 3
+        if nib & 1:
+            vpdiff += step >> 2
+        if nib & 2:
+            vpdiff += step >> 1
+        if nib & 4:
+            vpdiff += step
+        predictor = predictor - vpdiff if nib & 8 else predictor + vpdiff
+        predictor = max(-32768, min(32767, predictor))
+        index = max(0, min(88, index + _IMA_INDEX_TABLE[nib & 7]))
+        out.append(predictor)
+    return out, predictor, index
+
+
+def decode_wav_multi(
+    content: bytes,
+) -> "tuple[int, int, int, 'object'] | None":
+    """General WAV sample decode beyond decode_wav_samples' mono-16 scope
+    (r9): PCM (fmt 1) at 8-bit unsigned (normalized to int16 via
+    (v - 128) << 8) or 16-bit signed, ANY channel count (interleaved), and
+    IMA ADPCM (fmt 0x11, the classic compressed WAV) mono/stereo — 4-byte
+    per-channel block headers carrying a verbatim int16 predictor (emitted
+    as the block's first sample, per the spec) + step index, then nibble
+    data in 4-byte per-channel groups for stereo, low nibble first.
+    Returns (rate, channels, bits, int16 ndarray of shape (n, channels))
+    or None — truncated chunks, depths/codecs outside this set, or a
+    malformed block layout fall back, same contract as the decoders."""
+    import struct
+
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    pos, fmt_fields, data = 12, None, None
+    while pos + 8 <= len(content):
+        ctype = content[pos : pos + 4]
+        (length,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        payload = content[pos + 8 : pos + 8 + length]
+        if len(payload) < length:
+            return None  # truncated chunk: refuse, never silently short-read
+        if ctype == b"fmt " and len(payload) >= 16:
+            fmt_fields = struct.unpack("<HHIIHH", payload[:16])
+        elif ctype == b"data":
+            data = payload
+        pos += 8 + length + (length & 1)  # RIFF chunks are word-aligned
+    if fmt_fields is None or data is None or not data:
+        return None
+    audio_fmt, channels, rate, _byte_rate, block_align, bits = fmt_fields
+    if not channels or not rate:
+        return None
+    if audio_fmt == 1:
+        if bits == 16:
+            if len(data) % (2 * channels):
+                return None
+            arr = np.frombuffer(data, dtype="<i2")
+        elif bits == 8:
+            if len(data) % channels:
+                return None
+            arr = ((np.frombuffer(data, dtype=np.uint8).astype(np.int16)
+                    - 128) << 8)
+        else:
+            return None  # 24/32-bit and float PCM: out of scope
+        return rate, channels, bits, arr.reshape(-1, channels)
+    if audio_fmt == 0x11:  # IMA ADPCM
+        if bits != 4 or channels not in (1, 2):
+            return None
+        if block_align < 4 * channels or block_align % 4:
+            return None
+        if len(data) % block_align:
+            return None
+        out_rows: "list[list[int]]" = []
+        for boff in range(0, len(data), block_align):
+            block = data[boff : boff + block_align]
+            preds, idxs = [], []
+            for c in range(channels):
+                p = int.from_bytes(
+                    block[4 * c : 4 * c + 2], "little", signed=True
+                )
+                ix = block[4 * c + 2]
+                if ix > 88 or block[4 * c + 3] != 0:
+                    return None
+                preds.append(p)
+                idxs.append(ix)
+            # the header predictor IS the block's first output sample
+            chans: "list[list[int]]" = [[p] for p in preds]
+            body = block[4 * channels :]
+            # nibble payload: 4-byte groups per channel, low nibble first
+            for goff in range(0, len(body), 4 * channels):
+                for c in range(channels):
+                    quad = body[goff + 4 * c : goff + 4 * c + 4]
+                    nibs = []
+                    for b in quad:
+                        nibs.append(b & 0x0F)
+                        nibs.append(b >> 4)
+                    dec, preds[c], idxs[c] = _ima_decode_nibbles(
+                        nibs, preds[c], idxs[c]
+                    )
+                    chans[c].extend(dec)
+            n = min(len(ch) for ch in chans)
+            out_rows.extend(
+                [chans[c][k] for c in range(channels)] for k in range(n)
+            )
+        return (
+            rate, channels, 4,
+            np.asarray(out_rows, dtype=np.int16).reshape(-1, channels),
+        )
+    return None  # other codecs (A-law, mu-law, float, MPEG): out of scope
+
+
+def synth_wav_multi(
+    rate: int, n_samples: int, channels: int = 2, bits: int = 16
+) -> bytes:
+    """Deterministic COMPLETE interleaved PCM WAV (r9): per-channel sample
+    contract (mirrored by the wav_multi_stats oracle):
+
+      16-bit: s(i, c) = ((i * (3 + 2*c)) % 512) - 256
+      8-bit:  stored unsigned u(i, c) = (i * (3 + 2*c)) % 256,
+              decoded as (u - 128) << 8
+
+    so decode must get interleave order, depth normalization AND two's
+    complement right."""
+    import struct
+
+    if bits not in (8, 16):
+        raise ValueError("bits must be 8 or 16")
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+        channels * bits // 8, bits,
+    )
+    data = bytearray()
+    for i in range(n_samples):
+        for c in range(channels):
+            if bits == 16:
+                data += struct.pack("<h", ((i * (3 + 2 * c)) % 512) - 256)
+            else:
+                data.append((i * (3 + 2 * c)) % 256)
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + bytes(data)
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + body
+
+
+def synth_wav_adpcm(
+    rate: int,
+    n_blocks: int,
+    channels: int = 1,
+    block_align: int = 128,
+    predictor=None,
+    nibble=None,
+) -> bytes:
+    """Deterministic IMA-ADPCM WAV (fmt 0x11): ``n_blocks`` blocks of
+    ``block_align`` bytes, per-channel 4-byte headers carrying
+    ``predictor(b, c)`` (int16, default ((7*b + 17*c) % 512 - 256) * 64)
+    with step index 0, then nibble data from ``nibble(b, c, k)`` (default
+    ALL ZERO — at step-table index 0 the step is 7 so a zero nibble's
+    vpdiff is 7 >> 3 = 0 and the index stays clamped at 0: every decoded
+    sample in the block equals the header predictor EXACTLY, the
+    closed-form profile the wav_adpcm_stats oracle mirrors).  Byte-packing
+    per the public IMA/DVI spec, independent of decode_wav_multi."""
+    import struct
+
+    pf = predictor or (lambda b, c: ((7 * b + 17 * c) % 512 - 256) * 64)
+    nf = nibble or (lambda b, c, k: 0)
+    if block_align < 4 * channels or block_align % 4:
+        raise ValueError("block_align must be a 4-multiple >= 4*channels")
+    fmt = struct.pack(
+        "<HHIIHH", 0x11, channels, rate,
+        rate * block_align // max(1, block_align), block_align, 4,
+    )
+    data = bytearray()
+    for b in range(n_blocks):
+        for c in range(channels):
+            data += struct.pack("<h", pf(b, c)) + bytes([0, 0])
+        body_groups = (block_align - 4 * channels) // (4 * channels)
+        for g in range(body_groups):
+            for c in range(channels):
+                for byte_i in range(4):
+                    k = g * 8 + byte_i * 2
+                    lo = nf(b, c, k) & 0x0F
+                    hi = nf(b, c, k + 1) & 0x0F
+                    data.append(lo | (hi << 4))
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + bytes(data)
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + body
+
+
 # --- TIFF (uncompressed baseline) -------------------------------------------------------
 # TIFF 6.0 tag ids used by the strip reader below (public spec §8).
 _TIFF_TAG_WIDTH = 256

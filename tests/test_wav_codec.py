@@ -74,3 +74,116 @@ def test_extract_features_real_path_for_full_wav(spark):
     exp_stub = [round(v, 6) for v in mm._fake_features(header_only)]
     assert [round(v, 6) for v in rows[1]] == exp_real
     assert [round(v, 6) for v in rows[2]] == exp_stub
+
+
+# --- multi-channel / multi-depth PCM + IMA ADPCM (r9) -----------------------------------
+
+
+def test_wav_multi_pcm_depths_and_channels():
+    import numpy as np
+
+    for ch in (1, 2, 4):
+        for bits in (8, 16):
+            w = mm.synth_wav_multi(16000, 300, ch, bits)
+            rate, gch, gbits, arr = mm.decode_wav_multi(w)
+            assert (rate, gch, gbits) == (16000, ch, bits)
+            assert arr.shape == (300, ch)
+            for c in range(ch):
+                if bits == 16:
+                    exp = np.array(
+                        [((i * (3 + 2 * c)) % 512) - 256 for i in range(300)],
+                        np.int16,
+                    )
+                else:
+                    exp = np.array(
+                        [(((i * (3 + 2 * c)) % 256) - 128) << 8
+                         for i in range(300)],
+                        np.int16,
+                    )
+                assert (arr[:, c] == exp).all(), (ch, bits, c)
+    # mono-16 agrees with the historical decoder
+    w = mm.synth_wav_full(8000, 200)
+    r1, s1 = mm.decode_wav_samples(w)
+    r2, ch2, _b, s2 = mm.decode_wav_multi(w)
+    assert r1 == r2 and ch2 == 1 and (s1 == s2[:, 0]).all()
+    # out of scope: 24-bit PCM
+    import struct
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 6) + bytes(6))
+    deep = b"RIFF" + struct.pack("<I", 4 + len(body)) + body
+    assert mm.decode_wav_multi(deep) is None
+
+
+def test_wav_adpcm_zero_nibble_profile_exact():
+    """The graded profile: step index 0 + zero nibbles -> every decoded
+    sample equals the block/channel header predictor exactly."""
+    import numpy as np
+
+    for ch in (1, 2):
+        n_blocks, ba = 4, 128
+        w = mm.synth_wav_adpcm(22050, n_blocks, ch, ba)
+        rate, gch, gbits, arr = mm.decode_wav_multi(w)
+        spb = (ba - 4 * ch) * 2 // ch + 1
+        assert (rate, gch, gbits) == (22050, ch, 4)
+        assert arr.shape == (n_blocks * spb, ch)
+        for b in range(n_blocks):
+            for c in range(ch):
+                p = ((7 * b + 17 * c) % 512 - 256) * 64
+                assert (arr[b * spb : (b + 1) * spb, c] == p).all(), (b, c)
+
+
+def test_wav_adpcm_random_nibbles_vs_independent_reference():
+    """Nonzero nibble payloads against a from-the-spec reference decode
+    written here (not shared with the production code path)."""
+    import random
+
+    import numpy as np
+
+    rnd = random.Random(7)
+    nibs = {}
+
+    def nf(b, c, k):
+        return nibs.setdefault((b, c), [rnd.randrange(16) for _ in range(2000)])[k]
+
+    for ch in (1, 2):
+        w = mm.synth_wav_adpcm(8000, 3, ch, 64, nibble=nf)
+        rate, gch, _bits, arr = mm.decode_wav_multi(w)
+        spb = (64 - 4 * ch) * 2 // ch + 1
+        IDX = (-1, -1, -1, -1, 2, 4, 6, 8)
+        for b in range(3):
+            for c in range(ch):
+                p = ((7 * b + 17 * c) % 512 - 256) * 64
+                ix = 0
+                ref = [p]
+                for k in range(spb - 1):
+                    nib = nibs[(b, c)][k]
+                    step = mm._IMA_STEP_TABLE[ix]
+                    d = step >> 3
+                    if nib & 1:
+                        d += step >> 2
+                    if nib & 2:
+                        d += step >> 1
+                    if nib & 4:
+                        d += step
+                    p = p - d if nib & 8 else p + d
+                    p = max(-32768, min(32767, p))
+                    ix = max(0, min(88, ix + IDX[nib & 7]))
+                    ref.append(p)
+                got = arr[b * spb : (b + 1) * spb, c]
+                assert (got == np.array(ref, np.int16)).all(), (ch, b, c)
+        nibs.clear()
+
+
+def test_wav_adpcm_malformed_blocks_refused():
+    import struct
+
+    good = bytearray(mm.synth_wav_adpcm(8000, 2, 1, 64))
+    assert mm.decode_wav_multi(bytes(good)) is not None
+    # step index beyond 88 in a block header
+    bad = bytearray(good)
+    data_pos = bytes(good).find(b"data") + 8
+    bad[data_pos + 2] = 99
+    assert mm.decode_wav_multi(bytes(bad)) is None
+    # data length not a block multiple
+    assert mm.decode_wav_multi(bytes(good[:-4])) is None
