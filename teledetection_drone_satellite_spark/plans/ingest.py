@@ -1037,6 +1037,113 @@ def gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "png_ext_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               14 + (doc_id * 3) % 40 AS w,
+               11 + (doc_id * 5) % 30 AS h,
+               doc_id % 8 AS c8,
+               doc_id % 2 = 1 AS inter
+        FROM documents WHERE doc_id < 120
+    ),
+    px AS (
+        SELECT doc_id, w, h, c8, inter, x.i AS x, y.i AS y,
+               CASE c8
+                    WHEN 0 THEN x.i % 256
+                    WHEN 1 THEN x.i % 256
+                    WHEN 2 THEN (x.i * 301 + y.i * 7) % 65536
+                    WHEN 3 THEN (x.i * 301 + y.i) % 65536
+                    WHEN 4 THEN (x.i + 2 * y.i) % 2
+                    WHEN 5 THEN (x.i + 2 * y.i) % 4
+                    WHEN 6 THEN (x.i + 2 * y.i) % 16
+                    ELSE (x.i + 2 * y.i) % 256
+               END AS v
+        FROM spec,
+             LATERAL unnest(range(0, w)) x(i),
+             LATERAL unnest(range(0, h)) y(i)
+    )
+    SELECT doc_id,
+           CAST(min(w) AS INT) AS width,
+           CAST(min(h) AS INT) AS height,
+           CAST(CASE WHEN min(c8) IN (0, 2) THEN 1 ELSE 3 END AS INT)
+               AS channels,
+           CAST(CASE WHEN min(c8) IN (2, 3) THEN 16 ELSE 8 END AS INT)
+               AS bits,
+           min(doc_id) % 2 = 1 AS interlaced,
+           ((2 * CAST(sum(v) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_c0,
+           CAST(sum((((x + y * w) % 97) + 1) * v) AS BIGINT) AS wsum_c0
+    FROM px GROUP BY doc_id
+    """,
+    doc="PNG extended scope, graded (r9, closing decode_png's remaining "
+    "gates): per doc the case CYCLES gray-8 / RGB-8 / gray-16 / RGB-16 / "
+    "palette at packed depths 1, 2, 4, 8 — and every ODD doc is "
+    "ADAM7-INTERLACED, so each of the 7 passes is an independently "
+    "filtered sub-image decode_png_deep must scatter back onto the canvas "
+    "exactly. 16-bit samples normalize to little-endian; palette indices "
+    "map through PLTE (r = index, so the channel-0 stats stay closed-"
+    "form). The oracle pins dims / channels / depth, the channel-0 mean, "
+    "and a position-weighted checksum — a pass scattered to the wrong "
+    "grid, a swapped 16-bit byte order, or a mis-unpacked 2-bit row "
+    "flips it.",
+    tags=("ingest", "multimodal"),
+)
+def png_ext_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+    cases = ((0, 8), (2, 8), (0, 16), (2, 16), (3, 1), (3, 2), (3, 4), (3, 8))
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w_px, h_px = 14 + (i * 3) % 40, 11 + (i * 5) % 30
+                ct, depth = cases[i % 8]
+                content = multimodal.synth_png_ext(
+                    w_px, h_px, ct, depth, interlaced=i % 2 == 1
+                )
+                width, height, ch, bits, raw = multimodal.decode_png_deep(
+                    content
+                )
+                arr = np.frombuffer(
+                    raw, dtype="<u2" if bits == 16 else np.uint8
+                ).reshape(-1, ch)
+                c0 = arr[:, 0].astype(np.int64)
+                wt = (np.arange(width * height, dtype=np.int64) % 97) + 1
+                rows.append(
+                    (i, width, height, ch, bits, i % 2 == 1,
+                     int(c0.sum()), len(c0), int((wt * c0).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "channels", "bits",
+                         "interlaced", "csum", "npx", "wsum_c0"],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, width int, height int, channels int, bits int, "
+        "interlaced boolean, csum long, npx long, wsum_c0 long",
+    )
+    return out.select(
+        "doc_id", "width", "height", "channels", "bits", "interlaced",
+        _half_up_mean("csum", "npx").alias("mean_c0"),
+        "wsum_c0",
+    )
+
+
+@register(
     "tiff_layout_stats",
     oracle="""
     WITH spec AS (

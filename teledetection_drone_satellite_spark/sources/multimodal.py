@@ -431,6 +431,123 @@ def synth_png_full(width: int, height: int, color_type: int = 0) -> bytes:
     )
 
 
+def synth_png_ext(
+    width: int,
+    height: int,
+    color_type: int = 0,
+    depth: int = 8,
+    interlaced: bool = False,
+) -> bytes:
+    """Deterministic COMPLETE PNG covering the r9 decode scope: color types
+    0 (gray) / 2 (RGB) at depth 8 or 16, PALETTE type 3 at packed depths
+    1/2/4/8, each optionally ADAM7-interlaced (every pass an independently
+    filtered sub-image, filters cycling 0/1/2 by pass-row).  Pixel
+    contracts (mirrored by the png_ext_stats oracle; x, y are CANVAS
+    coordinates, so interlacing must reassemble exactly):
+
+      depth 8  gray: x %% 256 | rgb: (x %% 256, y %% 256, (x+y) %% 256)
+      depth 16 gray: (x*301 + y*7) %% 65536
+               rgb:  ((x*301 + y) %% 65536, (y*301 + x) %% 65536,
+                      ((x+y)*157) %% 65536)
+      palette: index(x, y) = (x + 2*y) %% 2^depth through
+               palette[i] = (i, (3*i) %% 256, (7*i) %% 256)
+
+    Byte-packing per the PNG 1.2 spec, independent of the decoders."""
+    import struct
+    import zlib
+
+    if color_type == 3:
+        if depth not in (1, 2, 4, 8):
+            raise ValueError("palette depth must be 1, 2, 4 or 8")
+    elif color_type in (0, 2):
+        if depth not in (8, 16):
+            raise ValueError("gray/RGB depth must be 8 or 16")
+    else:
+        raise ValueError("color_type must be 0, 2 or 3")
+    channels = _PNG_CHANNELS[color_type]
+
+    def px(x: int, y: int) -> "tuple[int, ...]":
+        if color_type == 3:
+            return ((x + 2 * y) % (1 << depth),)
+        if depth == 16:
+            if color_type == 0:
+                return ((x * 301 + y * 7) % 65536,)
+            return (
+                (x * 301 + y) % 65536,
+                (y * 301 + x) % 65536,
+                ((x + y) * 157) % 65536,
+            )
+        if color_type == 0:
+            return (x % 256,)
+        return (x % 256, y % 256, (x + y) % 256)
+
+    def row_bytes(xs: "list[int]", y: int) -> bytes:
+        if color_type == 3 and depth < 8:
+            acc = nbits = 0
+            out = bytearray()
+            for x in xs:
+                acc = (acc << depth) | px(x, y)[0]
+                nbits += depth
+                if nbits == 8:
+                    out.append(acc)
+                    acc = nbits = 0
+            if nbits:
+                out.append(acc << (8 - nbits))
+            return bytes(out)
+        size = 2 if depth == 16 else 1
+        return b"".join(
+            v.to_bytes(size, "big") for x in xs for v in px(x, y)
+        )
+
+    def filter_pass(xs: "list[int]", ys: "list[int]") -> bytes:
+        bpp = max(1, channels * depth // 8)
+        out = bytearray()
+        prev = None
+        for r, y in enumerate(ys):
+            raw = row_bytes(xs, y)
+            f = r % 3
+            if f == 1:  # Sub
+                filt = bytes(
+                    (raw[i] - (raw[i - bpp] if i >= bpp else 0)) % 256
+                    for i in range(len(raw))
+                )
+            elif f == 2 and prev is not None:  # Up
+                filt = bytes((raw[i] - prev[i]) % 256 for i in range(len(raw)))
+            else:
+                f, filt = 0, raw
+            out += bytes([f]) + filt
+            prev = raw
+        return bytes(out)
+
+    if interlaced:
+        stream = b""
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            xs = list(range(x0, width, dx))
+            ys = list(range(y0, height, dy))
+            if xs and ys:
+                stream += filter_pass(xs, ys)
+    else:
+        stream = filter_pass(list(range(width)), list(range(height)))
+
+    ihdr = struct.pack(
+        ">II5B", width, height, depth, color_type, 0, 0, 1 if interlaced else 0
+    )
+    plte = b""
+    if color_type == 3:
+        n_pal = 1 << depth
+        plte = _png_chunk(
+            b"PLTE",
+            bytes(v for i in range(n_pal) for v in (i, (3 * i) % 256, (7 * i) % 256)),
+        )
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + plte
+        + _png_chunk(b"IDAT", zlib.compress(stream))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     """Paeth predictor (PNG 1.2 §6.6): the neighbor closest to a + b - c."""
     p = a + b - c
@@ -443,25 +560,108 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def decode_png(content: bytes) -> "tuple[int, int, int, bytes] | None":
-    """REAL PNG pixel decode, pure stdlib (zlib is in the standard library —
-    the one raster format this container can fully decode without a codec
-    wheel; reference stack: file-service requirements.txt:11-15). Returns
-    (width, height, channels, raw_samples) with samples row-major, or None
-    when the payload is not a decodable 8-bit PNG (no IDAT — e.g. the
-    header-only metadata fixtures — palette/16-bit/interlaced variants, or a
-    corrupt stream), so callers can fall back to the stub path.
+    """8-bit PNG decode — decode_png_deep constrained to the historical
+    (width, height, channels, raw_bytes) one-byte-per-sample contract
+    every existing caller assumes.  16-bit files return None here; use
+    decode_png_deep for them.  Palette (color type 3) and Adam7-interlaced
+    images DO decode here (their output is plain 8-bit samples: the
+    palette maps to RGB)."""
+    got = decode_png_deep(content)
+    if got is None or got[3] != 8:
+        return None
+    w, h, ch, _bits, raw = got
+    return w, h, ch, raw
 
-    Implements the full chunk walk and all five scanline filters
-    (None/Sub/Up/Average/Paeth, PNG 1.2 §6) — not just the ones our encoder
-    emits."""
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per PNG 1.2 §2.6
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(stream: bytes, height: int, stride: int, bpp: int):
+    """Invert the five scanline filters (None/Sub/Up/Average/Paeth, PNG 1.2
+    §6) over one (sub-)image of `height` rows of `stride` bytes, `bpp`
+    filter-unit bytes.  Returns raw bytes or None on an unknown filter."""
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = stream[y * (stride + 1) : (y + 1) * (stride + 1)]
+        f, filtered = row[0], bytearray(row[1:])
+        if f == 1:  # Sub
+            for i in range(bpp, stride):
+                filtered[i] = (filtered[i] + filtered[i - bpp]) % 256
+        elif f == 2:  # Up
+            for i in range(stride):
+                filtered[i] = (filtered[i] + prev[i]) % 256
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = filtered[i - bpp] if i >= bpp else 0
+                filtered[i] = (filtered[i] + (a + prev[i]) // 2) % 256
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = filtered[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                filtered[i] = (filtered[i] + _paeth(a, prev[i], c)) % 256
+        elif f != 0:
+            return None
+        out += filtered
+        prev = bytes(filtered)
+    return bytes(out)
+
+
+def _png_samples(raw: bytes, pw: int, ph: int, channels: int, depth: int):
+    """Unfiltered (sub-)image bytes -> sample array: uint8 (ph, pw, channels)
+    for depth 8, LE-normalized uint16 for depth 16, and INDEX plane
+    (ph, pw, 1) for sub-byte palette depths (rows bit-packed MSB-first,
+    padded to byte boundary per row)."""
+    import numpy as np
+
+    if depth == 16:
+        return (
+            np.frombuffer(raw, dtype=">u2")
+            .astype("<u2")
+            .reshape(ph, pw, channels)
+        )
+    if depth == 8:
+        return np.frombuffer(raw, dtype=np.uint8).reshape(ph, pw, channels)
+    stride = (pw * depth + 7) // 8
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(ph, stride)
+    bits = np.unpackbits(rows, axis=1)[:, : pw * depth].reshape(ph, pw, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits * weights).sum(axis=2, dtype=np.uint16).astype(np.uint8)[
+        :, :, None
+    ]
+
+
+def decode_png_deep(
+    content: bytes,
+) -> "tuple[int, int, int, int, bytes] | None":
+    """REAL PNG pixel decode, pure stdlib+numpy (zlib is in the standard
+    library; reference stack: file-service requirements.txt:11-15).
+    Scope as of r9: color types 0/2/4/6 at 8- and 16-bit depth (16-bit
+    samples are big-endian in the file, normalized to LITTLE-endian
+    here), PALETTE images (color type 3, PLTE mapped to 8-bit RGB, all
+    four packed depths 1/2/4/8), and ADAM7 interlacing for every
+    supported type — each of the 7 passes is an independently filtered
+    sub-image scattered onto the output grid.  All five scanline filters
+    (None/Sub/Up/Average/Paeth).  Returns (width, height, channels,
+    bits_per_sample, raw_samples) row-major, or None outside scope —
+    no IDAT (header-only fixtures), palette with tRNS transparency
+    (honest fallback: output is opaque), sub-byte GRAY depths, or a
+    corrupt stream — so callers fall back to the stub path."""
     import struct
     import zlib
+
+    import numpy as np
 
     if content[:8] != _PNG_MAGIC:
         return None
     pos, width = 8, None
-    height = channels = color_type = None
+    height = channels = color_type = depth = interlace = None
     idat = b""
+    plte = trns = None
     try:
         while pos + 8 <= len(content):
             (length,) = struct.unpack(">I", content[pos : pos + 4])
@@ -470,12 +670,23 @@ def decode_png(content: bytes) -> "tuple[int, int, int, bytes] | None":
             if len(data) < length:
                 return None
             if ctype == b"IHDR":
-                width, height, depth, color_type, comp, filt, interlace = struct.unpack(
-                    ">II5B", data
+                width, height, depth, color_type, comp, filt, interlace = (
+                    struct.unpack(">II5B", data)
                 )
-                if depth != 8 or color_type not in (0, 2, 4, 6) or interlace:
+                if color_type not in (0, 2, 3, 4, 6) or interlace > 1:
                     return None
+                if color_type == 3:
+                    if depth not in (1, 2, 4, 8):
+                        return None
+                elif depth not in (8, 16):
+                    return None  # sub-byte gray: out of scope
                 channels = _PNG_CHANNELS[color_type]
+            elif ctype == b"PLTE":
+                if length % 3:
+                    return None
+                plte = data
+            elif ctype == b"tRNS":
+                trns = data
             elif ctype == b"IDAT":
                 idat += data
             elif ctype == b"IEND":
@@ -486,37 +697,56 @@ def decode_png(content: bytes) -> "tuple[int, int, int, bytes] | None":
             # gray[0] downstream would IndexError in the executor — honor the
             # documented None-fallback contract for degenerate geometry too
             return None
+        if color_type == 3 and (plte is None or trns is not None):
+            return None  # no palette, or transparency this opaque output
+            # contract cannot represent
         stream = zlib.decompress(idat)
     except (zlib.error, struct.error):
         return None
-    stride = width * channels
-    if len(stream) != height * (stride + 1):
-        return None
-    out = bytearray()
-    prev = bytes(stride)
-    for y in range(height):
-        row = stream[y * (stride + 1) : (y + 1) * (stride + 1)]
-        f, filtered = row[0], bytearray(row[1:])
-        if f == 1:  # Sub
-            for i in range(channels, stride):
-                filtered[i] = (filtered[i] + filtered[i - channels]) % 256
-        elif f == 2:  # Up
-            for i in range(stride):
-                filtered[i] = (filtered[i] + prev[i]) % 256
-        elif f == 3:  # Average
-            for i in range(stride):
-                a = filtered[i - channels] if i >= channels else 0
-                filtered[i] = (filtered[i] + (a + prev[i]) // 2) % 256
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = filtered[i - channels] if i >= channels else 0
-                c = prev[i - channels] if i >= channels else 0
-                filtered[i] = (filtered[i] + _paeth(a, prev[i], c)) % 256
-        elif f != 0:
+
+    def sub_image(pw: int, ph: int, off: int):
+        """Unfilter + samples for one (sub-)image starting at stream[off];
+        returns (samples, bytes_consumed) or None."""
+        stride = (pw * channels * depth + 7) // 8
+        need = ph * (stride + 1)
+        if off + need > len(stream):
             return None
-        out += filtered
-        prev = bytes(filtered)
-    return width, height, channels, bytes(out)
+        bpp = max(1, channels * depth // 8)
+        raw = _png_unfilter(stream[off : off + need], ph, stride, bpp)
+        if raw is None:
+            return None
+        return _png_samples(raw, pw, ph, channels, depth), need
+
+    dtype = np.uint8 if depth != 16 else np.dtype("<u2")
+    if not interlace:
+        got = sub_image(width, height, 0)
+        if got is None or got[1] != len(stream):
+            return None
+        img = got[0]
+    else:
+        img = np.zeros((height, width, channels), dtype=dtype)
+        off = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            got = sub_image(pw, ph, off)
+            if got is None:
+                return None
+            sub, used = got
+            img[y0::dy, x0::dx] = sub
+            off += used
+        if off != len(stream):
+            return None
+
+    if color_type == 3:
+        palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = img[:, :, 0]
+        if int(idx.max()) >= len(palette):
+            return None
+        return width, height, 3, 8, palette[idx].tobytes()
+    return width, height, channels, depth, img.tobytes()
 
 
 def _decode_any_raster(content: bytes) -> "tuple[int, int, int, bytes] | None":

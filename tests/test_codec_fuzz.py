@@ -453,3 +453,42 @@ def test_fuzz_gif_anim_compositor_vs_reference(plan):
             for y in range(fy, fy + fh):
                 for x in range(fx, fx + fw):
                     canvas[y][x] = prev[y][x]
+
+
+@_fuzz
+@given(
+    w=_dim, h=_dim,
+    case=st.sampled_from(
+        [(0, 8), (2, 8), (0, 16), (2, 16), (3, 1), (3, 2), (3, 4), (3, 8)]
+    ),
+    interlaced=st.booleans(),
+)
+def test_fuzz_png_ext_geometry(w, h, case, interlaced):
+    """r9 PNG scope across random geometry: palette depths, 16-bit, Adam7."""
+    ct, depth = case
+    got = mm.decode_png_deep(
+        mm.synth_png_ext(w, h, ct, depth, interlaced=interlaced)
+    )
+    assert got is not None
+    gw, gh, ch, bits, raw = got
+    assert (gw, gh) == (w, h)
+    assert ch == (1 if ct == 0 else 3)
+    assert bits == (16 if (ct in (0, 2) and depth == 16) else 8)
+    arr = np.frombuffer(raw, dtype="<u2" if bits == 16 else np.uint8).reshape(
+        h, w, ch
+    )
+    for y in range(h):
+        for x in range(w):
+            if ct == 3:
+                i = (x + 2 * y) % (1 << depth)
+                exp = (i, (3 * i) % 256, (7 * i) % 256)
+            elif depth == 16:
+                exp = (
+                    ((x * 301 + y * 7) % 65536,)
+                    if ct == 0
+                    else ((x * 301 + y) % 65536, (y * 301 + x) % 65536,
+                          ((x + y) * 157) % 65536)
+                )
+            else:
+                exp = (x % 256,) if ct == 0 else (x % 256, y % 256, (x + y) % 256)
+            assert tuple(arr[y, x]) == exp, (x, y)

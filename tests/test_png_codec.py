@@ -161,3 +161,64 @@ def test_zero_dimension_png_returns_none_not_indexerror():
         )
         assert mm.decode_png(content) is None
         assert mm._png_features(content) is None
+
+
+# --- extended scope: palette / Adam7 / 16-bit (r9) ---------------------------------------
+
+
+def test_png_palette_depths_roundtrip():
+    import numpy as np
+
+    for depth in (1, 2, 4, 8):
+        p = mm.synth_png_ext(19, 13, 3, depth)
+        got = mm.decode_png(p)  # palette maps to plain 8-bit RGB
+        assert got is not None and got[:3] == (19, 13, 3)
+        arr = np.frombuffer(got[3], np.uint8).reshape(13, 19, 3)
+        for y in range(13):
+            for x in range(19):
+                i = (x + 2 * y) % (1 << depth)
+                assert tuple(arr[y, x]) == (i, (3 * i) % 256, (7 * i) % 256)
+    # palette with tRNS: honest None (opaque output cannot represent it)
+    base = mm.synth_png_ext(8, 8, 3, 8)
+    iend = base.rfind(b"IEND") - 4
+    trns = mm._png_chunk(b"tRNS", bytes([0]))
+    patched = base[:iend] + trns + base[iend:]
+    assert mm.decode_png_deep(patched) is None
+    # index beyond the palette: None
+    small = mm.synth_png_ext(8, 8, 3, 8)
+    # depth-8 palette has 256 entries so indices always fit; build a 4-entry
+    # PLTE variant by truncating and verify the decoder bounds-checks
+    plte_at = small.find(b"PLTE") - 4
+    import struct
+    bad = bytearray(small)
+    # shrink PLTE to 4 entries (12 bytes) and fix its length+crc layout by
+    # rebuilding the file around it
+    head = small[: plte_at]
+    rest = small[plte_at + 12 + 768 :]  # skip old PLTE chunk entirely
+    rebuilt = head + mm._png_chunk(b"PLTE", bytes(12)) + rest
+    assert mm.decode_png_deep(rebuilt) is None
+
+
+def test_png_adam7_interlace_is_load_bearing():
+    """An interlaced file decodes to the same pixels as its plain twin —
+    and a decoder that ignored the interlace flag would fail (the stream
+    lengths differ, and the checksum in the graded query would flip)."""
+    import numpy as np
+
+    for ct, depth in ((0, 8), (2, 8), (2, 16), (3, 4)):
+        plain = mm.decode_png_deep(mm.synth_png_ext(21, 14, ct, depth))
+        inter = mm.decode_png_deep(
+            mm.synth_png_ext(21, 14, ct, depth, interlaced=True)
+        )
+        assert plain is not None and inter is not None
+        assert plain == inter, (ct, depth)
+
+
+def test_png_16bit_wrapper_contract():
+    p16 = mm.synth_png_ext(10, 7, 2, 16)
+    assert mm.decode_png(p16) is None  # wrapper: one byte per sample only
+    deep = mm.decode_png_deep(p16)
+    assert deep is not None and deep[2:4] == (3, 16)
+    # deep on an 8-bit file agrees with the wrapper
+    p8 = mm.synth_png_ext(10, 7, 2, 8)
+    assert mm.decode_png_deep(p8)[4] == mm.decode_png(p8)[3]
