@@ -2061,6 +2061,113 @@ def wav_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "wav_g711_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS r,
+               300 + (doc_id * 37) % 1500 AS n,
+               1 + doc_id % 2 AS ch,
+               doc_id % 4 < 2 AS is_mu
+        FROM documents WHERE doc_id < 100
+    ),
+    enc AS (
+        SELECT doc_id, r, n, ch, is_mu, c.j AS c,
+               (t.i * (5 + 2 * c.j) + 7) % 256 AS b
+        FROM spec,
+             LATERAL unnest(range(0, n)) t(i),
+             LATERAL unnest(range(0, ch)) c(j)
+    ),
+    dec AS (
+        SELECT doc_id, r, n, ch, is_mu, c,
+               CASE WHEN is_mu THEN
+                   CASE WHEN (255 - b) >= 128
+                        THEN -(((((255 - b) % 16) * 8 + 132)
+                                << (((255 - b) // 16) % 8)) - 132)
+                        ELSE ((((255 - b) % 16) * 8 + 132)
+                              << (((255 - b) // 16) % 8)) - 132
+                   END
+               ELSE
+                   CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END *
+                   CASE WHEN ((xor(b, 85) // 16) % 8) = 0
+                        THEN (xor(b, 85) % 16) * 16 + 8
+                        ELSE ((xor(b, 85) % 16) * 16 + 264)
+                             << (((xor(b, 85) // 16) % 8) - 1)
+                   END
+               END AS v
+        FROM enc
+    )
+    SELECT doc_id,
+           CAST(r AS INT) AS sample_rate,
+           CAST(ch AS INT) AS channels,
+           CASE WHEN is_mu THEN 'mulaw' ELSE 'alaw' END AS law,
+           CAST(n AS BIGINT) AS n_samples,
+           round(avg(CASE WHEN c = 0 THEN v END), 6) AS mean_ch0,
+           CAST(max(abs(v)) AS BIGINT) AS peak
+    FROM dec GROUP BY doc_id, r, ch, is_mu, n
+    """,
+    doc="G.711 mu-law / A-law WAV decode, graded (r9 — the ITU telephony "
+    "expansion codecs, fmt 7/6): per doc an encoded-byte pattern is "
+    "wrapped as a G.711 WAV and decode_wav_multi expands it to int16 "
+    "through the spec's bit algebra (mu-law: complement, biased-exponent "
+    "segments, sign NEGATIVE; A-law: xor 0x55, linear first segment, "
+    "sign POSITIVE — both pinned bit-exact against stdlib audioop in "
+    "pytest). The oracle performs the SAME expansion in SQL bit "
+    "arithmetic, so a sign-convention swap, a missing bias, or a law "
+    "mixup flips mean/peak. Mono and stereo interleave covered.",
+    tags=("ingest", "multimodal"),
+)
+def wav_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+    rates = (8000, 16000, 22050, 44100, 48000)
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 300 + (i * 37) % 1500
+                ch = 1 + i % 2
+                law = "mulaw" if i % 4 < 2 else "alaw"
+                content = multimodal.synth_wav_g711(rates[i % 5], n, ch, law)
+                rate, gch, _bits, arr = multimodal.decode_wav_multi(content)
+                s = arr.astype(np.int64)
+                rows.append(
+                    (
+                        i, rate, gch, law, s.shape[0],
+                        float(s[:, 0].mean()), int(np.abs(s).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "channels", "law",
+                         "n_samples", "mean_0", "peak"],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, sample_rate int, channels int, law string, "
+        "n_samples long, mean_0 double, peak long",
+    )
+    return out.select(
+        "doc_id", "sample_rate", "channels", "law", "n_samples",
+        F.round("mean_0", 6).alias("mean_ch0"),
+        "peak",
+    )
+
+
 def _docs_as_assets(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     """documents -> rows carrying REAL synthesized binary assets.
 

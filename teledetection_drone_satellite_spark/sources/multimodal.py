@@ -2210,12 +2210,69 @@ def _ima_decode_nibbles(nibbles, predictor: int, index: int):
     return out, predictor, index
 
 
+_G711_TABLES: "dict[int, 'object']" = {}
+
+
+def _g711_table(fmt: int):
+    """256-entry int16 expansion table for G.711 (ITU-T): fmt 7 = mu-law
+    (complement; biased-exponent magnitude ((m<<3)+0x84)<<e - 0x84, sign
+    bit NEGATIVE), fmt 6 = A-law (xor 0x55; e=0 segment linear, sign bit
+    POSITIVE).  Bit-exact vs the stdlib audioop reference
+    (tests/test_wav_codec.py pins all 512 values when audioop exists)."""
+    import numpy as np
+
+    if fmt not in _G711_TABLES:
+        vals = []
+        for b in range(256):
+            if fmt == 7:
+                u = ~b & 0xFF
+                e, m = (u >> 4) & 7, u & 0xF
+                mag = (((m << 3) + 0x84) << e) - 0x84
+                vals.append(-mag if u & 0x80 else mag)
+            else:
+                a = b ^ 0x55
+                e, m = (a >> 4) & 7, a & 0xF
+                mag = ((m << 4) + 0x108) << (e - 1) if e else (m << 4) + 8
+                vals.append(mag if a & 0x80 else -mag)
+        _G711_TABLES[fmt] = np.asarray(vals, dtype=np.int16)
+    return _G711_TABLES[fmt]
+
+
+def synth_wav_g711(
+    rate: int, n_samples: int, channels: int = 1, law: str = "mulaw"
+) -> bytes:
+    """Deterministic G.711 WAV (fmt 7 mu-law / 6 A-law): encoded byte
+    contract b(i, c) = (i * (5 + 2*c) + 7) %% 256 — the wav_g711_stats
+    oracle expands it with the same closed-form bit algebra the decoder's
+    table encodes.  Byte-packing per RIFF/WAVE, independent of
+    decode_wav_multi."""
+    import struct
+
+    fmt_id = 7 if law == "mulaw" else 6
+    fmt = struct.pack(
+        "<HHIIHH", fmt_id, channels, rate, rate * channels, channels, 8
+    )
+    data = bytes(
+        (i * (5 + 2 * c) + 7) % 256
+        for i in range(n_samples)
+        for c in range(channels)
+    )
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + body
+
+
 def decode_wav_multi(
     content: bytes,
 ) -> "tuple[int, int, int, 'object'] | None":
     """General WAV sample decode beyond decode_wav_samples' mono-16 scope
     (r9): PCM (fmt 1) at 8-bit unsigned (normalized to int16 via
-    (v - 128) << 8) or 16-bit signed, ANY channel count (interleaved), and
+    (v - 128) << 8) or 16-bit signed, ANY channel count (interleaved),
+    G.711 mu-law / A-law (fmt 7 / 6, the ITU telephony codecs — expanded
+    through closed-form bit algebra pinned bit-exact vs stdlib audioop),
+    and
     IMA ADPCM (fmt 0x11, the classic compressed WAV) mono/stereo — 4-byte
     per-channel block headers carrying a verbatim int16 predictor (emitted
     as the block's first sample, per the spec) + step index, then nibble
@@ -2259,6 +2316,14 @@ def decode_wav_multi(
         else:
             return None  # 24/32-bit and float PCM: out of scope
         return rate, channels, bits, arr.reshape(-1, channels)
+    if audio_fmt in (6, 7):  # G.711 A-law / mu-law
+        if bits != 8:
+            return None
+        if len(data) % channels:
+            return None
+        table = _g711_table(audio_fmt)
+        arr = table[np.frombuffer(data, dtype=np.uint8)]
+        return rate, channels, 8, arr.reshape(-1, channels)
     if audio_fmt == 0x11:  # IMA ADPCM
         if bits != 4 or channels not in (1, 2):
             return None

@@ -187,3 +187,38 @@ def test_wav_adpcm_malformed_blocks_refused():
     assert mm.decode_wav_multi(bytes(bad)) is None
     # data length not a block multiple
     assert mm.decode_wav_multi(bytes(good[:-4])) is None
+
+
+def test_wav_g711_tables_bit_exact_vs_audioop():
+    """All 512 expansion values pinned against the stdlib audioop reference
+    (deprecated but present through Python 3.12) — external oracle, same
+    de-circularization discipline as the libwebp conformance tier."""
+    import struct
+
+    try:
+        import audioop
+    except ImportError:
+        import pytest
+        pytest.skip("audioop removed (Python >= 3.13)")
+    mu = mm._g711_table(7)
+    al = mm._g711_table(6)
+    for b in range(256):
+        assert mu[b] == struct.unpack("<h", audioop.ulaw2lin(bytes([b]), 2))[0]
+        assert al[b] == struct.unpack("<h", audioop.alaw2lin(bytes([b]), 2))[0]
+
+
+def test_wav_g711_decode_roundtrip():
+    import numpy as np
+
+    for law, fmt in (("mulaw", 7), ("alaw", 6)):
+        for ch in (1, 2):
+            w = mm.synth_wav_g711(8000, 400, ch, law)
+            rate, gch, bits, arr = mm.decode_wav_multi(w)
+            assert (rate, gch, bits) == (8000, ch, 8)
+            assert arr.shape == (400, ch)
+            table = mm._g711_table(fmt)
+            for c in range(ch):
+                exp = table[
+                    np.array([(i * (5 + 2 * c) + 7) % 256 for i in range(400)])
+                ]
+                assert (arr[:, c] == exp).all(), (law, ch, c)
