@@ -2289,10 +2289,13 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     ORDER BY doc_id
     """,
-    doc="C14 tail: EXIF APP1/GPS decode — binary JPEG -> (orientation, gps_lat, "
+    doc="C14 tail: EXIF APP1/GPS decode -> (orientation, gps_lat, "
     "gps_lon) via the REAL pure-stdlib TIFF/GPS-IFD walker "
-    "(sources/multimodal.py:parse_exif_gps) over synthesized spec-correct APP1 "
-    "blobs whose tags are closed-form in doc_id. Matches the reference's EXIF "
+    "(sources/multimodal.py:parse_exif_gps) over synthesized spec-correct "
+    "blobs whose tags are closed-form in doc_id, shipped in FOUR container "
+    "families per doc_id mix: JPEG APP1, WebP VP8X 'EXIF' chunk, PNG "
+    "'eXIf' chunk (r9), and bare GeoTIFF-style TIFF (r9) — the tag values "
+    "(and thus the oracle) are container-independent. Matches the reference's EXIF "
     "metadata shape (shared/models/__init__.py:122-128; files.gps_coordinates "
     "init.sql:178). Decimal degrees are sign*(d + m/60 + s/3600) with integral "
     "d/m/s on both engines — operation-for-operation identical IEEE doubles, "

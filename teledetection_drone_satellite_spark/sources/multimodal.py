@@ -235,8 +235,11 @@ def parse_exif_gps(content: bytes) -> "tuple[int | None, float | None, float | N
     ``files.gps_coordinates`` init.sql:178).
 
     WebP carries the SAME TIFF-format blob in a VP8X 'EXIF' chunk (container
-    spec §Metadata) — both containers route to the shared TIFF/IFD walk, so
-    drone imagery keeps its GPS regardless of which format the camera wrote.
+    spec §Metadata), PNG in the standardized 'eXIf' chunk (PNG extension,
+    approved 2017), and a bare TIFF/GeoTIFF file IS the blob (EXIF is a
+    TIFF block; drone rasters store orientation + the GPS sub-IFD in IFD0
+    directly) — all four containers route to the shared TIFF/IFD walk, so
+    imagery keeps its GPS regardless of which format the camera wrote.
 
     Returns None when there is no well-formed EXIF block; individual
     tuple slots are None when that tag is absent. Only orientation present is
@@ -278,6 +281,25 @@ def parse_exif_gps(content: bytes) -> "tuple[int | None, float | None, float | N
                     tiff = tiff[6:]
                 break
             pos += 8 + size + (size & 1)
+    elif content[:8] == _PNG_MAGIC:
+        pos = 8
+        while pos + 8 <= len(content):
+            length = int.from_bytes(content[pos : pos + 4], "big")
+            ctype = content[pos + 4 : pos + 8]
+            if pos + 8 + length > len(content):
+                return None
+            if ctype == b"eXIf":  # PNG EXIF chunk: the raw TIFF blob
+                tiff = content[pos + 8 : pos + 8 + length]
+                break
+            if ctype == b"IEND":
+                return None
+            pos += 12 + length
+    elif content[:2] in (b"II", b"MM") and len(content) >= 8:
+        # a bare TIFF/GeoTIFF file IS a TIFF block (II*/MM* magic 42)
+        bo = "little" if content[:2] == b"II" else "big"
+        if int.from_bytes(content[2:4], bo) != 42:
+            return None
+        tiff = content
     else:
         return None
     if tiff is None or len(tiff) < 8:
@@ -941,6 +963,40 @@ def synth_jpeg_exif(
     base = synth_jpeg(width, height, channels)
     app1 = synth_exif_app1(orientation, lat_ref, lat_dms, lon_ref, lon_dms)
     return base[:2] + app1 + base[2:]
+
+
+def synth_png_exif(
+    orientation: int,
+    lat_ref: str,
+    lat_dms: "tuple[int, int, int]",
+    lon_ref: str,
+    lon_dms: "tuple[int, int, int]",
+) -> bytes:
+    """PNG carrying the SAME TIFF-format EXIF blob in the standardized
+    'eXIf' chunk (PNG extension, approved 2017) after a tiny real IDAT
+    image — grades parse_exif_gps's PNG branch under the unchanged
+    closed-form oracle.  Like synth_webp_exif, the image itself is a
+    fixed 16x16 (EXIF grading reads tags, never pixels)."""
+    app1 = synth_exif_app1(orientation, lat_ref, lat_dms, lon_ref, lon_dms)
+    tiff = app1[4 + 6 :]  # strip the FFE1+len marker and Exif\0\0 preamble
+    base = synth_png_full(16, 16, 0)
+    iend = base.rfind(b"IEND") - 4
+    return base[:iend] + _png_chunk(b"eXIf", tiff) + base[iend:]
+
+
+def synth_tiff_exif(
+    orientation: int,
+    lat_ref: str,
+    lat_dms: "tuple[int, int, int]",
+    lon_ref: str,
+    lon_dms: "tuple[int, int, int]",
+) -> bytes:
+    """Bare TIFF whose IFD0 carries orientation + the GPS sub-IFD — the
+    GeoTIFF-style layout drone rasters store GPS in (EXIF IS a TIFF
+    block, so the APP1 payload minus its JPEG wrapping is itself a
+    complete parseable TIFF stream)."""
+    app1 = synth_exif_app1(orientation, lat_ref, lat_dms, lon_ref, lon_dms)
+    return app1[4 + 6 :]
 
 
 def synth_gif(width: int, height: int) -> bytes:
@@ -3311,6 +3367,10 @@ def synth_image_exif(doc_id: int) -> bytes:
     )
     if doc_id % 4 == 1:
         return synth_webp_exif(*tags)  # dims are fixed 16x16 (see its doc)
+    if doc_id % 8 == 2:
+        return synth_png_exif(*tags)  # PNG 'eXIf' chunk carrier (r9)
+    if doc_id % 8 == 7:
+        return synth_tiff_exif(*tags)  # bare GeoTIFF-style carrier (r9)
     return synth_jpeg_exif(
         64 + doc_id % 1024, 64 + (doc_id * 7) % 1024, *tags
     )

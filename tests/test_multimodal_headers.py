@@ -317,3 +317,24 @@ def test_webp_exif_chunk_parses_like_jpeg_app1():
     assert multimodal.parse_exif_gps(patched) == exp
     # WebP without an EXIF chunk: None
     assert multimodal.parse_exif_gps(multimodal.synth_webp_lossless(8, 8)) is None
+
+
+def test_png_exif_chunk_and_bare_tiff_parse_like_jpeg_app1():
+    """r9: the PNG 'eXIf' chunk and a bare GeoTIFF-style TIFF carry the
+    same TIFF blob — all four containers must yield identical tags."""
+    args = (3, "N", (12, 34, 56), "W", (100, 2, 3))
+    j = multimodal.synth_jpeg_exif(64, 48, *args)
+    p = multimodal.synth_png_exif(*args)
+    t = multimodal.synth_tiff_exif(*args)
+    exp = multimodal.parse_exif_gps(j)
+    assert exp is not None and exp[0] == 3
+    assert multimodal.parse_exif_gps(p) == exp
+    assert multimodal.parse_exif_gps(t) == exp
+    # the PNG carrier is still a fully decodable PNG
+    assert multimodal.decode_png(p) is not None
+    # a PNG without an eXIf chunk: None
+    assert multimodal.parse_exif_gps(multimodal.synth_png_full(8, 8)) is None
+    # a TIFF with no GPS/orientation tags parses as all-None slots or None
+    plain = multimodal.synth_tiff_full(8, 8, 1)
+    got = multimodal.parse_exif_gps(plain)
+    assert got is None or got == (None, None, None)
