@@ -777,16 +777,35 @@ def _decode_any_raster(content: bytes) -> "tuple[int, int, int, bytes] | None":
     GIF, and WebP: lossless VP8L (4-channel), lossy VP8 (3-channel), and
     lossy-with-alpha (4-channel). Their magic checks are disjoint, so the
     or-chain is dispatch, not guessing; each decoder returns None fast on a
-    foreign magic."""
+    foreign magic.
+
+    16-BIT PNG/TIFF rasters (r9) fall through the 8-bit wrappers and are
+    picked up by the deep decoders with samples downshifted to their high
+    byte (v >> 8) — the standard 16->8 display conversion — so the
+    feature path sees satellite DEM / radiometric imagery too."""
     from .jpeg import decode_jpeg
 
-    return (
+    got = (
         decode_png(content)
         or decode_tiff(content)
         or decode_jpeg(content)
         or decode_gif(content)
         or decode_webp(content)
     )
+    if got is not None:
+        return got
+    deep = None
+    if content[:8] == _PNG_MAGIC:
+        deep = decode_png_deep(content)
+    elif content[:2] in (b"II", b"MM"):
+        deep = decode_tiff_deep(content)
+    if deep is None or deep[3] != 16:
+        return None
+    import numpy as np
+
+    w, h, ch, _bits, raw = deep
+    high = (np.frombuffer(raw, dtype="<u2") >> 8).astype(np.uint8)
+    return w, h, ch, high.tobytes()
 
 
 def _png_gray_pixels(content: bytes) -> "list[int] | None":

@@ -222,3 +222,26 @@ def test_png_16bit_wrapper_contract():
     # deep on an 8-bit file agrees with the wrapper
     p8 = mm.synth_png_ext(10, 7, 2, 8)
     assert mm.decode_png_deep(p8)[4] == mm.decode_png(p8)[3]
+
+
+def test_16bit_rasters_reach_the_real_feature_path():
+    """r9: 16-bit PNG/TIFF go through _decode_any_raster via the deep
+    decoders, downshifted to the high byte — the gray-collapse feature
+    path must produce real pixels, not the stub."""
+    import numpy as np
+
+    p16 = mm.synth_png_ext(16, 12, 2, 16)
+    gray = mm._png_gray_pixels(p16)
+    assert gray is not None and len(gray) == 16 * 12
+    # spot-check one pixel: mean of the three high bytes
+    x, y = 5, 7
+    exp = (
+        ((x * 301 + y) % 65536) >> 8,
+        ((y * 301 + x) % 65536) >> 8,
+        (((x + y) * 157) % 65536) >> 8,
+    )
+    assert gray[y * 16 + x] == sum(exp) // 3
+    t16 = mm.synth_tiff_full(16, 12, 1, depth=16, compression=8)
+    gray_t = mm._png_gray_pixels(t16)
+    assert gray_t is not None
+    assert gray_t[y * 16 + x] == ((x * 257 + y * 13) % 65536) >> 8
