@@ -28,11 +28,39 @@ from ..streaming.lifecycle import stream_lifecycle_state
 from ..streaming.ttl import TTL_MINUTES_DEFAULT, stream_session_ttl
 from ..streaming.windows import (
     stream_dedupe_events,
+    stream_interval_join,
     stream_late_data_policy,
     stream_session_window,
     stream_tumbling_hourly,
 )
 from .registry import register
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           round(p.value, 4) AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    doc="STREAM-STREAM watermarked interval join (r9) — the canonical "
+    "ad-attribution shape: clicks joined to same-user purchases within "
+    "the following 30 minutes, both sides event-time streams with their "
+    "own watermarks and the time-range predicate that lets Spark bound "
+    "EACH side's join state (state = rate x window, never full history — "
+    "the 100 TB-viable symmetric hash join). Inner join in append mode: "
+    "the availableNow drain emits every match exactly once, so the "
+    "memory sink equals the batch interval join the oracle restates "
+    "(for inner joins the watermark bounds state cleanup, not results).",
+    tags=("streaming",),
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_interval_join(spark, sf_dir)
 
 
 @register(

@@ -215,6 +215,73 @@ def stream_dedupe_events(spark: SparkSession, sf_dir: str, key_mod: int = 997) -
     return _run_to_memory(counts, "complete")
 
 
+def stream_interval_join(
+    spark: SparkSession, sf_dir: str, n_slices: int = 1
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join (r9) — the canonical
+    ad-attribution shape: every click joined to every purchase by the same
+    user within the following 30 minutes.  Both sides are event-time
+    streams over the same fixture source with their own watermarks; the
+    join condition carries the time-range predicate Spark needs to bound
+    EACH side's state (clicks buffer at most 30 min + watermark of
+    purchase progress and vice versa — state is bounded by rate x window,
+    never by history, the 100 TB requirement).  Inner join, append mode:
+    the availableNow drain emits every match exactly once, so the memory
+    sink equals the batch interval-join restatement the oracle runs
+    (watermarks only bound state cleanup for inner joins, not results).
+    8 state partitions: JVM-only symmetric-hash join state.
+    ``n_slices`` > 1 replays time-ordered slices one file per micro-batch
+    (tests assert multi-batch equivalence: join state carries matches
+    across the watermark advancing mid-stream)."""
+    s = stream_session(spark, n_partitions=8)
+    if n_slices > 1:
+        from .ttl import materialize_time_slices
+
+        path = materialize_time_slices(s, sf_dir, n_slices)
+        raw_schema = (
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        base = (
+            s.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .option("pathGlobFilter", "part-*")
+            .parquet(path)
+        )
+    else:
+        base = read_events_stream(s, sf_dir)
+    clicks = (
+        base
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        base
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.round("value", 4).alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("click_id", "purchase_id", "user_id", "purchase_value")
+    return _run_to_memory(joined, "append")
+
+
 def audit_append_sink(result: DataFrame, dest_dir: str, checkpoint_dir: str):
     """S4/T3: append-only audit sink — exactly-once parquet append via checkpointing.
     Returns the started query (caller awaits/stops). The production shape of the

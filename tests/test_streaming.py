@@ -310,3 +310,40 @@ def test_checkpoint_resume_equals_single_uninterrupted_run(spark, sf_dir, tmp_pa
     pd.testing.assert_frame_equal(_norm(got), _norm(want))
     # exactly-once: no window emitted twice across the restart boundary
     assert got["window_start"].is_unique
+
+
+def test_stream_interval_join_matches_batch_and_multibatch(spark, sf_dir):
+    """r9 stream-stream interval join: the single-batch drain AND a 4-slice
+    replay (watermarks advance mid-stream; symmetric-hash join state
+    carries cross-batch matches) must both equal the batch interval join."""
+    from pyspark.sql import functions as F
+
+    from teledetection_drone_satellite_spark.catalog import load
+    from teledetection_drone_satellite_spark.streaming.windows import (
+        stream_interval_join,
+    )
+
+    e = load(spark, sf_dir, ("events",))["events"]
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+        F.round("value", 4).alias("purchase_value"),
+    )
+    want = sorted(
+        c.join(
+            p,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select("click_id", "purchase_id", "user_id", "purchase_value")
+        .collect()
+    )
+    got1 = sorted(stream_interval_join(spark, sf_dir).collect())
+    assert got1 == want
+    got4 = sorted(stream_interval_join(spark, sf_dir, n_slices=4).collect())
+    assert got4 == want
