@@ -2496,7 +2496,10 @@ def avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "operator demuxes it (decode_webp_anim) into one row per sampled "
     "frame whose bytes are a STANDALONE single-image WebP, pixel-decoded "
     "by decode_webp in a second Arrow stage — the frame payloads ride the "
-    "same VP8L path the libwebp conformance suite pins. The oracle "
+    "same VP8L path the libwebp conformance suite pins; duration_ms is "
+    "the PARSED ANMF duration carried through sample_frames, so the "
+    "oracle's schedule genuinely grades the header walk (review finding "
+    "r9). The oracle "
     "predicts per-frame channel means and the duration schedule in "
     "closed form; a frame-order swap, a mis-walked ANMF header (x/y are "
     "stored halved, dims minus one), or a dropped frame flips it.",
@@ -2540,15 +2543,16 @@ def anim_webp_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     def stats(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             rows = []
-            for did, fidx, nfr, frame in zip(
-                pdf["doc_id"], pdf["frame_idx"], pdf["n_frames"], pdf["frame"]
+            for did, fidx, nfr, dur, frame in zip(
+                pdf["doc_id"], pdf["frame_idx"], pdf["n_frames"],
+                pdf["duration"], pdf["frame"]
             ):
                 dec = multimodal.decode_webp(bytes(frame))
                 _, _, _, raw = dec
                 arr = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 4)
                 sums = arr[:, :3].sum(axis=0, dtype=np.int64)
                 rows.append(
-                    (int(did), int(fidx), int(nfr), 40 + int(fidx),
+                    (int(did), int(fidx), int(nfr), int(dur),
                      int(sums[0]), int(sums[1]), int(sums[2]), len(arr))
                 )
             yield pd.DataFrame(
@@ -2878,7 +2882,10 @@ def anim_webp_blend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "public spec), then the REAL sample_frames operator demuxes it "
     "(decode_gif_anim) into one row per sampled frame whose bytes are a "
     "STANDALONE single-image GIF — palette carried over, LZW re-encoded "
-    "— pixel-decoded by decode_gif in a second Arrow stage. The oracle "
+    "— pixel-decoded by decode_gif in a second Arrow stage; delay_cs is "
+    "the PARSED GCE delay carried through sample_frames, so the oracle's "
+    "closed-form schedule genuinely grades the GCE walk (review finding "
+    "r9). The oracle "
     "predicts per-frame channel means through the palette map plus the "
     "delay schedule in closed form; a frame-order swap, palette mixup, "
     "or dropped frame flips it.",
@@ -2917,15 +2924,16 @@ def anim_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     def stats(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             rows = []
-            for did, fidx, nfr, frame in zip(
-                pdf["doc_id"], pdf["frame_idx"], pdf["n_frames"], pdf["frame"]
+            for did, fidx, nfr, delay, frame in zip(
+                pdf["doc_id"], pdf["frame_idx"], pdf["n_frames"],
+                pdf["duration"], pdf["frame"]
             ):
                 dec = multimodal.decode_gif(bytes(frame))
                 _, _, _, raw = dec
                 arr = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
                 sums = arr.sum(axis=0, dtype=np.int64)
                 rows.append(
-                    (int(did), int(fidx), int(nfr), 4 + int(fidx),
+                    (int(did), int(fidx), int(nfr), int(delay),
                      int(sums[0]), int(sums[1]), int(sums[2]), len(arr))
                 )
             yield pd.DataFrame(

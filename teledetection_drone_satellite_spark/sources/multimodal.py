@@ -2402,7 +2402,12 @@ def decode_wav_multi(
     if audio_fmt == 0x11:  # IMA ADPCM
         if bits != 4 or channels not in (1, 2):
             return None
-        if block_align < 4 * channels or block_align % 4:
+        if (
+            block_align < 4 * channels
+            or (block_align - 4 * channels) % (4 * channels)
+        ):
+            # the nibble body must be whole 4-byte-per-channel groups, or
+            # the group walk would silently drop samples (review finding)
             return None
         if len(data) % block_align:
             return None
@@ -2500,11 +2505,14 @@ def synth_wav_adpcm(
 
     pf = predictor or (lambda b, c: ((7 * b + 17 * c) % 512 - 256) * 64)
     nf = nibble or (lambda b, c, k: 0)
-    if block_align < 4 * channels or block_align % 4:
-        raise ValueError("block_align must be a 4-multiple >= 4*channels")
+    if block_align < 4 * channels or (block_align - 4 * channels) % (4 * channels):
+        raise ValueError(
+            "block_align body must be whole 4-byte-per-channel groups"
+        )
+    samples_per_block = (block_align - 4 * channels) * 2 // channels + 1
     fmt = struct.pack(
         "<HHIIHH", 0x11, channels, rate,
-        rate * block_align // max(1, block_align), block_align, 4,
+        rate * block_align // samples_per_block, block_align, 4,
     )
     data = bytearray()
     for b in range(n_blocks):
@@ -3195,6 +3203,13 @@ def decode_tiff_deep(
         if photometric not in ((6, 2) if spp == 3 else (1,)):
             return None
         rgb_stored = photometric == 2
+    else:
+        # review finding r9: WhiteIsZero (0) needs inversion and palette (3)
+        # a color map — honor the None-fallback contract on EVERY path, not
+        # just compression 7, rather than return wrong pixels
+        photometric = one(_TIFF_TAG_PHOTOMETRIC, 1 if spp <= 2 else 2)
+        if photometric not in ((1,) if spp <= 2 else (2,)):
+            return None
     def segment(k: int, row_w: int, seg_spp: int) -> "bytes | None":
         """Bounds-check, decompress, and un-predict segment k (strip or
         tile; row width and samples/pixel depend on the layout — planar
@@ -3793,7 +3808,12 @@ def sample_frames(
 ) -> DataFrame:
     """Frame-sample stage: each video row fans out to one row per sampled frame
     (UDTF shape — mapInPandas emitting more rows than it receives). Output:
-    (id, frame_idx, n_frames, frame bytes). At scale, repartition the input by
+    (id, frame_idx, n_frames, duration, frame bytes) — duration is the
+    PARSED per-frame timing in the container's own units (ANMF ms for
+    animated WebP, GCE centiseconds for animated GIF, null for AVI whose
+    frames carry no per-frame timing) so graded queries pin the demuxer's
+    schedule, not a recomputation (review finding r9). At scale,
+    repartition the input by
     id first so fan-out skew spreads across executors.
 
     MJPEG-in-AVI content demuxes for REAL (decode_avi_frames walks the RIFF
@@ -3825,6 +3845,7 @@ def sample_frames(
             df.schema[id_col],
             StructField("frame_idx", IntegerType()),
             StructField("n_frames", IntegerType()),
+            StructField("duration", IntegerType()),
             StructField("frame", BinaryType()),
         ]
     )
@@ -3833,7 +3854,7 @@ def sample_frames(
         import pandas as pd
 
         for pdf in batches:
-            ids, idxs, totals, frames = [], [], [], []
+            ids, idxs, totals, durs, frames = [], [], [], [], []
             for vid, content in zip(pdf[id_col], pdf[content_col]):
                 raw = bytes(content)
                 avi = decode_avi_frames(raw)
@@ -3843,6 +3864,7 @@ def sample_frames(
                         ids.append(vid)
                         idxs.append(i)
                         totals.append(n)
+                        durs.append(None)  # AVI frames carry no per-frame dur
                         frames.append(frame_bytes[i])
                     continue
                 anim = decode_webp_anim(raw)
@@ -3852,6 +3874,7 @@ def sample_frames(
                         ids.append(vid)
                         idxs.append(i)
                         totals.append(n)
+                        durs.append(fr[i][0])  # parsed ANMF duration, ms
                         frames.append(fr[i][1])  # standalone webp per frame
                     continue
                 gif = decode_gif_anim(raw)
@@ -3861,6 +3884,7 @@ def sample_frames(
                         ids.append(vid)
                         idxs.append(i)
                         totals.append(n)
+                        durs.append(fr[i][0])  # parsed GCE delay, centisec
                         frames.append(fr[i][1])  # standalone gif per frame
                     continue
                 n = _fake_n_frames(raw)
@@ -3868,9 +3892,14 @@ def sample_frames(
                     ids.append(vid)
                     idxs.append(i)
                     totals.append(n)
+                    durs.append(None)
                     frames.append(_fake_frame(raw, i))
             yield pd.DataFrame(
-                {id_col: ids, "frame_idx": idxs, "n_frames": totals, "frame": frames}
+                {
+                    id_col: ids, "frame_idx": idxs, "n_frames": totals,
+                    "duration": pd.array(durs, dtype="Int32"),
+                    "frame": frames,
+                }
             )
 
     return df.mapInPandas(gen, out_schema)

@@ -33,7 +33,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from .ttl import materialize_time_slices
+from .ttl import materialize_time_slices, read_sliced_events
 from .windows import _run_to_memory, stream_session
 
 OUTPUT_SCHEMA = StructType(
@@ -105,15 +105,8 @@ def stream_asof_enrich(spark: SparkSession, sf_dir: str, n_slices: int = 2) -> D
     16 state partitions: Python-per-key work dominates (see stream_session)."""
     spark = stream_session(spark, n_partitions=16)
     path = materialize_time_slices(spark, sf_dir, n_slices)
-    raw_schema = (
-        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
-    )
     events = (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .option("pathGlobFilter", "part-*")
-        .parquet(path)
+        read_sliced_events(spark, path)
         .filter(F.col("event_type").isin("click", "purchase"))
         .select("event_id", "ts", "user_id", "event_type", "value")
     )

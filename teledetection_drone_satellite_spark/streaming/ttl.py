@@ -75,6 +75,26 @@ def sliced_events_path(sf_dir: str, n_slices: int) -> str:
     )
 
 
+def read_sliced_events(spark: SparkSession, path: str):
+    """Streaming reader for a materialize_time_slices directory: one part
+    file per micro-batch, oldest range first.  The slices are OUR write
+    (catalog.load already normalized ts to timestamp), so the schema is
+    declared directly — no nanos conversion.  Shared by the ttl/asof/
+    interval-join replays so the schema and replay options live in ONE
+    place (review finding r9)."""
+    raw_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .option("pathGlobFilter", "part-*")
+        .parquet(path)
+    )
+
+
 def materialize_time_slices(spark: SparkSession, sf_dir: str, n_slices: int = 4) -> str:
     """Split events into n_slices time-ordered parquet files (one per range) so a
     maxFilesPerTrigger=1 stream replays them as an in-order micro-batch sequence.
@@ -153,18 +173,8 @@ def stream_session_ttl(
     tests/test_streaming.py, which pins n_slices=4 explicitly."""
     spark = stream_session(spark)
     path = materialize_time_slices(spark, sf_dir, n_slices)
-    # The slices are OUR write (catalog.load already normalized ts to timestamp),
-    # so the stream schema declares it directly — no nanos conversion here.
-    raw_schema = (
-        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
-    )
-    events = (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .option("pathGlobFilter", "part-*")
-        .parquet(path)
-        .select("ts", "user_id", F.to_date(F.date_trunc("week", "ts")).alias("bucket_date"))
+    events = read_sliced_events(spark, path).select(
+        "ts", "user_id", F.to_date(F.date_trunc("week", "ts")).alias("bucket_date")
     )
     expired = (
         events.withWatermark("ts", "0 seconds")

@@ -235,19 +235,10 @@ def stream_interval_join(
     across the watermark advancing mid-stream)."""
     s = stream_session(spark, n_partitions=8)
     if n_slices > 1:
-        from .ttl import materialize_time_slices
+        from .ttl import materialize_time_slices, read_sliced_events
 
-        path = materialize_time_slices(s, sf_dir, n_slices)
-        raw_schema = (
-            "event_id long, ts timestamp, user_id long, event_type string, "
-            "value double, props string"
-        )
-        base = (
-            s.readStream.schema(raw_schema)
-            .option("maxFilesPerTrigger", "1")
-            .option("latestFirst", "false")
-            .option("pathGlobFilter", "part-*")
-            .parquet(path)
+        base = read_sliced_events(
+            s, materialize_time_slices(s, sf_dir, n_slices)
         )
     else:
         base = read_events_stream(s, sf_dir)
