@@ -1037,6 +1037,124 @@ def gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bmp_pixel_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               12 + (doc_id * 3) % 40 AS w,
+               9 + (doc_id * 5) % 30 AS h,
+               doc_id % 3 AS mode
+        FROM documents WHERE doc_id < 120
+    ),
+    px AS (
+        SELECT doc_id, w, h, mode, x.i AS x, y.i AS y,
+               CASE mode
+                    WHEN 0 THEN x.i % 256
+                    WHEN 1 THEN (doc_id + x.i + 2 * y.i) % 256
+                    ELSE ((x.i // 3) + 2 * y.i + doc_id) % 256
+               END AS r,
+               CASE mode
+                    WHEN 0 THEN y.i % 256
+                    WHEN 1 THEN (3 * ((doc_id + x.i + 2 * y.i) % 256)) % 256
+                    ELSE (3 * (((x.i // 3) + 2 * y.i + doc_id) % 256)) % 256
+               END AS g,
+               CASE mode
+                    WHEN 0 THEN (x.i + y.i) % 256
+                    WHEN 1 THEN (7 * ((doc_id + x.i + 2 * y.i) % 256)) % 256
+                    ELSE (7 * (((x.i // 3) + 2 * y.i + doc_id) % 256)) % 256
+               END AS b
+        FROM spec,
+             LATERAL unnest(range(0, w)) x(i),
+             LATERAL unnest(range(0, h)) y(i)
+    )
+    SELECT doc_id,
+           CAST(min(w) AS INT) AS width,
+           CAST(min(h) AS INT) AS height,
+           CAST(min(mode) AS INT) AS mode,
+           ((2 * CAST(sum(r) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_r,
+           ((2 * CAST(sum(g) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_g,
+           ((2 * CAST(sum(b) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_b,
+           CAST(sum((((x + y * w) % 97) + 1) * r) AS BIGINT) AS wsum_r
+    FROM px GROUP BY doc_id
+    """,
+    doc="REAL BMP (Windows DIB) pixel decode, graded (r9 — the one common "
+    "desktop raster the dispatch chain was missing): per doc the mode "
+    "CYCLES 24-bit BGR (4-byte padded bottom-up rows; every odd doc "
+    "TOP-DOWN via negative biHeight), 8-bit paletted, and BI_RLE8 "
+    "(encoded runs + word-aligned absolute blocks + end-of-line/bitmap "
+    "escapes; the rle pattern mixes both block kinds). The oracle "
+    "derives channel means through the palette map plus a position-"
+    "weighted checksum — a BGR/RGB swap, a row-order (bottom-up) miss, "
+    "stride-padding leak, or an RLE run off by one flips it.",
+    tags=("ingest", "multimodal"),
+)
+def bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w_px, h_px = 12 + (i * 3) % 40, 9 + (i * 5) % 30
+                mode = i % 3
+                if mode == 0:
+                    content = multimodal.synth_bmp(
+                        w_px, h_px, "rgb24", top_down=i % 2 == 1
+                    )
+                elif mode == 1:
+                    content = multimodal.synth_bmp(
+                        w_px, h_px, "pal8", top_down=i % 2 == 1,
+                        index_value=lambda x, y, i=i: (i + x + 2 * y) % 256,
+                    )
+                else:
+                    content = multimodal.synth_bmp(
+                        w_px, h_px, "rle8",
+                        index_value=lambda x, y, i=i: (x // 3 + 2 * y + i) % 256,
+                    )
+                width, height, _, raw = multimodal.decode_bmp(content)
+                arr = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+                sums = arr.sum(axis=0, dtype=np.int64)
+                wt = (np.arange(width * height, dtype=np.int64) % 97) + 1
+                wsum_r = int((wt * arr[:, 0].astype(np.int64)).sum())
+                rows.append(
+                    (i, width, height, mode, int(sums[0]), int(sums[1]),
+                     int(sums[2]), width * height, wsum_r)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "mode",
+                         "rsum", "gsum", "bsum", "npx", "wsum_r"],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, width int, height int, mode int, "
+        "rsum long, gsum long, bsum long, npx long, wsum_r long",
+    )
+    return out.select(
+        "doc_id", "width", "height", "mode",
+        _half_up_mean("rsum", "npx").alias("mean_r"),
+        _half_up_mean("gsum", "npx").alias("mean_g"),
+        _half_up_mean("bsum", "npx").alias("mean_b"),
+        "wsum_r",
+    )
+
+
+@register(
     "png_ext_stats",
     oracle="""
     WITH spec AS (

@@ -28,6 +28,7 @@ MAGIC_MIME: list[tuple[int, str, str]] = [
     (0, "474946383961", "image/gif"),
     (0, "49492A00", "image/tiff"),
     (0, "4D4D002A", "image/tiff"),
+    (0, "424D", "image/bmp"),  # 'BM' Windows DIB (r9: decode_bmp)
     (0, "25504446", "application/pdf"),
     (0, "504B0304", "application/zip"),
     (0, "1F8B", "application/gzip"),

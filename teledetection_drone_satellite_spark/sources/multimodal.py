@@ -777,7 +777,8 @@ def _decode_any_raster(content: bytes) -> "tuple[int, int, int, bytes] | None":
     GIF, and WebP: lossless VP8L (4-channel), lossy VP8 (3-channel), and
     lossy-with-alpha (4-channel). Their magic checks are disjoint, so the
     or-chain is dispatch, not guessing; each decoder returns None fast on a
-    foreign magic.
+    foreign magic.  BMP joins the chain in r9 ('BM' magic; 24-bit,
+    paletted, and RLE8 DIBs).
 
     16-BIT PNG/TIFF rasters (r9) fall through the 8-bit wrappers and are
     picked up by the deep decoders with samples downshifted to their high
@@ -791,6 +792,7 @@ def _decode_any_raster(content: bytes) -> "tuple[int, int, int, bytes] | None":
         or decode_jpeg(content)
         or decode_gif(content)
         or decode_webp(content)
+        or decode_bmp(content)
     )
     if got is not None:
         return got
@@ -1543,6 +1545,218 @@ def synth_gif_full(
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+def decode_bmp(content: bytes) -> "tuple[int, int, int, bytes] | None":
+    """REAL BMP (Windows DIB) pixel decode, pure stdlib+numpy: 'BM' file
+    header + BITMAPINFOHEADER (40 bytes), 24-bit BGR or 8-bit paletted
+    rows stored BOTTOM-UP and padded to 4-byte boundaries (top-down via
+    negative biHeight handled too), plus RLE8 compression (BI_RLE8:
+    encoded runs, absolute mode with word alignment, end-of-line /
+    end-of-bitmap / delta escapes — deltas fill with palette index 0 per
+    the de-facto convention).  Returns (width, height, 3, rgb_bytes)
+    row-major top-down, or None outside scope (16/32-bit, BI_RLE4,
+    BITFIELDS, truncated) — same fallback contract as the other
+    decoders."""
+    import numpy as np
+
+    if content[:2] != b"BM" or len(content) < 54:
+        return None
+    data_off = int.from_bytes(content[10:14], "little")
+    hdr_size = int.from_bytes(content[14:18], "little")
+    if hdr_size < 40:
+        return None  # BITMAPCOREHEADER: out of scope
+    width = int.from_bytes(content[18:22], "little", signed=True)
+    height = int.from_bytes(content[22:26], "little", signed=True)
+    planes = int.from_bytes(content[26:28], "little")
+    bpp = int.from_bytes(content[28:30], "little")
+    compression = int.from_bytes(content[30:34], "little")
+    n_colors = int.from_bytes(content[46:50], "little")
+    if width <= 0 or height == 0 or planes != 1:
+        return None
+    top_down = height < 0
+    height = abs(height)
+    if bpp == 24 and compression == 0:
+        stride = (width * 3 + 3) & ~3
+        if data_off + stride * height > len(content):
+            return None
+        rows = np.frombuffer(
+            content[data_off : data_off + stride * height], dtype=np.uint8
+        ).reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+        rgb = rows[:, :, ::-1]  # BGR -> RGB
+        if not top_down:
+            rgb = rgb[::-1]
+        return width, height, 3, np.ascontiguousarray(rgb).tobytes()
+    if bpp == 8 and compression in (0, 1):
+        n_pal = n_colors or 256
+        pal_off = 14 + hdr_size
+        pal = content[pal_off : pal_off + 4 * n_pal]
+        if len(pal) < 4 * n_pal:
+            return None
+        palette = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 4)[:, :3][
+            :, ::-1
+        ]  # stored B,G,R,reserved
+        if compression == 0:
+            stride = (width + 3) & ~3
+            if data_off + stride * height > len(content):
+                return None
+            idx = np.frombuffer(
+                content[data_off : data_off + stride * height], dtype=np.uint8
+            ).reshape(height, stride)[:, :width]
+        else:  # BI_RLE8 (always bottom-up per spec)
+            if top_down:
+                return None
+            grid = np.zeros((height, width), dtype=np.uint8)
+            pos, x, y = data_off, 0, 0
+            n = len(content)
+            while pos + 1 < n:
+                c0, c1 = content[pos], content[pos + 1]
+                pos += 2
+                if c0:  # encoded run
+                    run = min(c0, width - x)
+                    if y >= height:
+                        return None
+                    grid[y, x : x + run] = c1
+                    x += run
+                    continue
+                if c1 == 0:  # end of line
+                    x, y = 0, y + 1
+                    continue
+                if c1 == 1:  # end of bitmap
+                    break
+                if c1 == 2:  # delta: skipped cells keep index 0
+                    if pos + 2 > n:
+                        return None
+                    x += content[pos]
+                    y += content[pos + 1]
+                    pos += 2
+                    continue
+                # absolute mode: c1 literal indices, word-aligned
+                if pos + c1 > n or y >= height:
+                    return None
+                take = min(c1, width - x)
+                grid[y, x : x + take] = np.frombuffer(
+                    content[pos : pos + take], dtype=np.uint8
+                )
+                x += c1
+                pos += c1 + (c1 & 1)
+            idx = grid
+        if int(idx.max()) >= len(palette):
+            return None
+        rgb = palette[idx]
+        if not top_down or compression == 1:
+            rgb = rgb[::-1]
+        return width, height, 3, np.ascontiguousarray(rgb).tobytes()
+    return None  # 16/32-bit, RLE4, BITFIELDS: out of scope
+
+
+def synth_bmp(
+    width: int,
+    height: int,
+    mode: str = "rgb24",
+    top_down: bool = False,
+    index_value=None,
+) -> bytes:
+    """Deterministic COMPLETE BMP: ``mode`` 'rgb24' (24-bit BGR rows,
+    4-byte padded, pixel contract (x %% 256, y %% 256, (x+y) %% 256)),
+    'pal8' (8-bit indices through palette[i] = (i, 3i %% 256, 7i %% 256),
+    index(x, y) = ``index_value(x, y)`` default (x + 2*y) %% 256), or
+    'rle8' (same palette/indices, BI_RLE8-encoded per row: literal
+    absolute blocks and encoded runs, end-of-line/bitmap escapes).
+    ``top_down`` writes negative biHeight (rgb24/pal8 only).
+    Byte-packing per the public DIB spec, independent of decode_bmp."""
+    iv = index_value or (lambda x, y: (x + 2 * y) % 256)
+    if mode == "rgb24":
+        stride = (width * 3 + 3) & ~3
+        rows = []
+        for y in range(height):
+            row = bytearray()
+            for x in range(width):
+                row += bytes(((x + y) % 256, y % 256, x % 256))  # B,G,R
+            row += bytes(stride - len(row))
+            rows.append(bytes(row))
+        if not top_down:
+            rows.reverse()
+        pixel = b"".join(rows)
+        pal = b""
+        bpp, comp = 24, 0
+    else:
+        pal = bytes(
+            v for i in range(256) for v in ((7 * i) % 256, (3 * i) % 256, i, 0)
+        )  # B,G,R,reserved
+        if mode == "pal8":
+            stride = (width + 3) & ~3
+            rows = []
+            for y in range(height):
+                row = bytes(iv(x, y) % 256 for x in range(width))
+                rows.append(row + bytes(stride - width))
+            if not top_down:
+                rows.reverse()
+            pixel = b"".join(rows)
+            bpp, comp = 8, 0
+        elif mode == "rle8":
+            if top_down:
+                raise ValueError("RLE8 bitmaps are bottom-up per the spec")
+            out = bytearray()
+            for y in reversed(range(height)):  # bottom-up row order
+                x = 0
+                while x < width:
+                    v = iv(x, y) % 256
+                    run = 1
+                    while (
+                        x + run < width
+                        and run < 255
+                        and iv(x + run, y) % 256 == v
+                    ):
+                        run += 1
+                    if run >= 3:
+                        out += bytes([run, v])
+                        x += run
+                    else:
+                        # absolute block of up to 255 literals (>= 3 per
+                        # spec; shorter tails become encoded 1-runs)
+                        lits = []
+                        while x < width and len(lits) < 255:
+                            nv = iv(x, y) % 256
+                            rpt = 1
+                            while (
+                                x + rpt < width
+                                and iv(x + rpt, y) % 256 == nv
+                            ):
+                                rpt += 1
+                            if rpt >= 3 and len(lits) >= 3:
+                                break
+                            take = min(rpt, 255 - len(lits))
+                            lits += [nv] * take
+                            x += take
+                        if len(lits) >= 3:
+                            out += bytes([0, len(lits)]) + bytes(lits)
+                            if len(lits) & 1:
+                                out += b"\0"  # word alignment
+                        else:
+                            for nv in lits:
+                                out += bytes([1, nv])
+                out += b"\x00\x00"  # end of line
+            out += b"\x00\x01"  # end of bitmap
+            pixel = bytes(out)
+            bpp, comp = 8, 1
+        else:
+            raise ValueError("mode must be rgb24, pal8 or rle8")
+    data_off = 14 + 40 + len(pal)
+    h_field = -height if top_down else height
+    info = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little")
+        + (h_field & 0xFFFFFFFF).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + bpp.to_bytes(2, "little")
+        + comp.to_bytes(4, "little") + len(pixel).to_bytes(4, "little")
+        + bytes(8) + (256 if pal else 0).to_bytes(4, "little") + bytes(4)
+    )
+    head = (
+        b"BM" + (data_off + len(pixel)).to_bytes(4, "little")
+        + bytes(4) + data_off.to_bytes(4, "little")
+    )
+    return head + info + pal + pixel
 
 
 def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:

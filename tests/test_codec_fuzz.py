@@ -492,3 +492,33 @@ def test_fuzz_png_ext_geometry(w, h, case, interlaced):
             else:
                 exp = (x % 256,) if ct == 0 else (x % 256, y % 256, (x + y) % 256)
             assert tuple(arr[y, x]) == exp, (x, y)
+
+
+@_fuzz
+@given(
+    w=_dim, h=_dim,
+    mode=st.sampled_from(["rgb24", "pal8", "rle8"]),
+    top_down=st.booleans(),
+    a=st.integers(min_value=0, max_value=255),
+    runlen=st.integers(min_value=1, max_value=9),
+)
+def test_fuzz_bmp_geometry(w, h, mode, top_down, a, runlen):
+    """r9 BMP decode across random geometry, all three storage modes, and
+    run-length mixes (runlen controls how run-heavy the RLE pattern is)."""
+    if mode == "rle8":
+        top_down = False  # RLE8 bitmaps are bottom-up per the spec
+    iv = lambda x, y: (a + x // runlen + 2 * y) % 256
+    content = mm.synth_bmp(w, h, mode, top_down=top_down, index_value=iv)
+    got = mm.decode_bmp(content)
+    assert got is not None
+    gw, gh, ch, raw = got
+    assert (gw, gh, ch) == (w, h, 3)
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    for y in range(h):
+        for x in range(w):
+            if mode == "rgb24":
+                exp = (x % 256, y % 256, (x + y) % 256)
+            else:
+                i = iv(x, y)
+                exp = (i, (3 * i) % 256, (7 * i) % 256)
+            assert tuple(arr[y, x]) == exp, (x, y)
