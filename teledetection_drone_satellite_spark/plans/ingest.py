@@ -1043,25 +1043,25 @@ def gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                12 + (doc_id * 3) % 40 AS w,
                9 + (doc_id * 5) % 30 AS h,
-               doc_id % 3 AS mode
+               doc_id % 4 AS mode
         FROM documents WHERE doc_id < 120
     ),
     px AS (
         SELECT doc_id, w, h, mode, x.i AS x, y.i AS y,
                CASE mode
-                    WHEN 0 THEN x.i % 256
                     WHEN 1 THEN (doc_id + x.i + 2 * y.i) % 256
-                    ELSE ((x.i // 3) + 2 * y.i + doc_id) % 256
+                    WHEN 2 THEN ((x.i // 3) + 2 * y.i + doc_id) % 256
+                    ELSE x.i % 256
                END AS r,
                CASE mode
-                    WHEN 0 THEN y.i % 256
                     WHEN 1 THEN (3 * ((doc_id + x.i + 2 * y.i) % 256)) % 256
-                    ELSE (3 * (((x.i // 3) + 2 * y.i + doc_id) % 256)) % 256
+                    WHEN 2 THEN (3 * (((x.i // 3) + 2 * y.i + doc_id) % 256)) % 256
+                    ELSE y.i % 256
                END AS g,
                CASE mode
-                    WHEN 0 THEN (x.i + y.i) % 256
                     WHEN 1 THEN (7 * ((doc_id + x.i + 2 * y.i) % 256)) % 256
-                    ELSE (7 * (((x.i // 3) + 2 * y.i + doc_id) % 256)) % 256
+                    WHEN 2 THEN (7 * (((x.i // 3) + 2 * y.i + doc_id) % 256)) % 256
+                    ELSE (x.i + y.i) % 256
                END AS b
         FROM spec,
              LATERAL unnest(range(0, w)) x(i),
@@ -1083,7 +1083,9 @@ def gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="REAL BMP (Windows DIB) pixel decode, graded (r9 — the one common "
     "desktop raster the dispatch chain was missing): per doc the mode "
     "CYCLES 24-bit BGR (4-byte padded bottom-up rows; every odd doc "
-    "TOP-DOWN via negative biHeight), 8-bit paletted, and BI_RLE8 "
+    "TOP-DOWN via negative biHeight), 8-bit paletted, BI_RLE8, and "
+    "32-bit B,G,R,A (alpha decoded but excluded from the channel "
+    "stats, whose contract matches the 24-bit gradient) "
     "(encoded runs + word-aligned absolute blocks + end-of-line/bitmap "
     "escapes; the rle pattern mixes both block kinds). The oracle "
     "derives channel means through the palette map plus a position-"
@@ -1110,7 +1112,7 @@ def bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in pdf["doc_id"]:
                 i = int(i)
                 w_px, h_px = 12 + (i * 3) % 40, 9 + (i * 5) % 30
-                mode = i % 3
+                mode = i % 4
                 if mode == 0:
                     content = multimodal.synth_bmp(
                         w_px, h_px, "rgb24", top_down=i % 2 == 1
@@ -1120,13 +1122,17 @@ def bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         w_px, h_px, "pal8", top_down=i % 2 == 1,
                         index_value=lambda x, y, i=i: (i + x + 2 * y) % 256,
                     )
-                else:
+                elif mode == 2:
                     content = multimodal.synth_bmp(
                         w_px, h_px, "rle8",
                         index_value=lambda x, y, i=i: (x // 3 + 2 * y + i) % 256,
                     )
-                width, height, _, raw = multimodal.decode_bmp(content)
-                arr = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+                else:
+                    content = multimodal.synth_bmp(
+                        w_px, h_px, "rgba32", top_down=i % 2 == 1
+                    )
+                width, height, nch, raw = multimodal.decode_bmp(content)
+                arr = np.frombuffer(raw, dtype=np.uint8).reshape(-1, nch)[:, :3]
                 sums = arr.sum(axis=0, dtype=np.int64)
                 wt = (np.arange(width * height, dtype=np.int64) % 97) + 1
                 wsum_r = int((wt * arr[:, 0].astype(np.int64)).sum())
@@ -1161,13 +1167,13 @@ def bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                14 + (doc_id * 3) % 40 AS w,
                11 + (doc_id * 5) % 30 AS h,
-               doc_id % 8 AS c8,
+               doc_id % 10 AS c10,
                doc_id % 2 = 1 AS inter
         FROM documents WHERE doc_id < 120
     ),
     px AS (
-        SELECT doc_id, w, h, c8, inter, x.i AS x, y.i AS y,
-               CASE c8
+        SELECT doc_id, w, h, c10, inter, x.i AS x, y.i AS y,
+               CASE c10
                     WHEN 0 THEN x.i % 256
                     WHEN 1 THEN x.i % 256
                     WHEN 2 THEN (x.i * 301 + y.i * 7) % 65536
@@ -1175,7 +1181,9 @@ def bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN 4 THEN (x.i + 2 * y.i) % 2
                     WHEN 5 THEN (x.i + 2 * y.i) % 4
                     WHEN 6 THEN (x.i + 2 * y.i) % 16
-                    ELSE (x.i + 2 * y.i) % 256
+                    WHEN 7 THEN (x.i + 2 * y.i) % 256
+                    WHEN 8 THEN (x.i + 2 * y.i) % 2
+                    ELSE (x.i + 2 * y.i) % 16
                END AS v
         FROM spec,
              LATERAL unnest(range(0, w)) x(i),
@@ -1184,9 +1192,10 @@ def bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(min(w) AS INT) AS width,
            CAST(min(h) AS INT) AS height,
-           CAST(CASE WHEN min(c8) IN (0, 2) THEN 1 ELSE 3 END AS INT)
+           CAST(CASE WHEN min(c10) IN (0, 2, 8, 9) THEN 1 ELSE 3 END AS INT)
                AS channels,
-           CAST(CASE WHEN min(c8) IN (2, 3) THEN 16 ELSE 8 END AS INT)
+           CAST(CASE min(c10) WHEN 2 THEN 16 WHEN 3 THEN 16
+                WHEN 8 THEN 1 WHEN 9 THEN 4 ELSE 8 END AS INT)
                AS bits,
            min(doc_id) % 2 = 1 AS interlaced,
            ((2 * CAST(sum(v) AS BIGINT) * 1000000 + count(*))
@@ -1196,7 +1205,8 @@ def bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="PNG extended scope, graded (r9, closing decode_png's remaining "
     "gates): per doc the case CYCLES gray-8 / RGB-8 / gray-16 / RGB-16 / "
-    "palette at packed depths 1, 2, 4, 8 — and every ODD doc is "
+    "palette at packed depths 1, 2, 4, 8 / SUB-BYTE gray at depths 1 and "
+    "4 (raw d-bit sample values, bits_per_sample = d) — and every ODD doc is "
     "ADAM7-INTERLACED, so each of the 7 passes is an independently "
     "filtered sub-image decode_png_deep must scatter back onto the canvas "
     "exactly. 16-bit samples normalize to little-endian; palette indices "
@@ -1218,7 +1228,11 @@ def png_ext_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .filter(F.col("doc_id") < 120)
     )
-    cases = ((0, 8), (2, 8), (0, 16), (2, 16), (3, 1), (3, 2), (3, 4), (3, 8))
+    cases = (
+        (0, 8), (2, 8), (0, 16), (2, 16),
+        (3, 1), (3, 2), (3, 4), (3, 8),
+        (0, 1), (0, 4),  # sub-byte GRAY: raw d-bit values, bits = d
+    )
 
     # same no-fan_out rationale as _docs_as_assets: light per-row Python
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -1227,7 +1241,7 @@ def png_ext_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in pdf["doc_id"]:
                 i = int(i)
                 w_px, h_px = 14 + (i * 3) % 40, 11 + (i * 5) % 30
-                ct, depth = cases[i % 8]
+                ct, depth = cases[i % 10]
                 content = multimodal.synth_png_ext(
                     w_px, h_px, ct, depth, interlaced=i % 2 == 1
                 )

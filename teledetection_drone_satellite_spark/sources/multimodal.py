@@ -481,15 +481,18 @@ def synth_png_ext(
     if color_type == 3:
         if depth not in (1, 2, 4, 8):
             raise ValueError("palette depth must be 1, 2, 4 or 8")
-    elif color_type in (0, 2):
+    elif color_type == 0:
+        if depth not in (1, 2, 4, 8, 16):
+            raise ValueError("gray depth must be 1, 2, 4, 8 or 16")
+    elif color_type == 2:
         if depth not in (8, 16):
-            raise ValueError("gray/RGB depth must be 8 or 16")
+            raise ValueError("RGB depth must be 8 or 16")
     else:
         raise ValueError("color_type must be 0, 2 or 3")
     channels = _PNG_CHANNELS[color_type]
 
     def px(x: int, y: int) -> "tuple[int, ...]":
-        if color_type == 3:
+        if color_type == 3 or (color_type == 0 and depth < 8):
             return ((x + 2 * y) % (1 << depth),)
         if depth == 16:
             if color_type == 0:
@@ -504,7 +507,7 @@ def synth_png_ext(
         return (x % 256, y % 256, (x + y) % 256)
 
     def row_bytes(xs: "list[int]", y: int) -> bytes:
-        if color_type == 3 and depth < 8:
+        if depth < 8:
             acc = nbits = 0
             out = bytearray()
             for x in xs:
@@ -664,7 +667,9 @@ def decode_png_deep(
     library; reference stack: file-service requirements.txt:11-15).
     Scope as of r9: color types 0/2/4/6 at 8- and 16-bit depth (16-bit
     samples are big-endian in the file, normalized to LITTLE-endian
-    here), PALETTE images (color type 3, PLTE mapped to 8-bit RGB, all
+    here), SUB-BYTE grayscale (type 0 at packed depths 1/2/4 — returned
+    as raw d-bit sample values with bits_per_sample = d, NOT rescaled),
+    PALETTE images (color type 3, PLTE mapped to 8-bit RGB, all
     four packed depths 1/2/4/8), and ADAM7 interlacing for every
     supported type — each of the 7 passes is an independently filtered
     sub-image scattered onto the output grid.  All five scanline filters
@@ -700,8 +705,11 @@ def decode_png_deep(
                 if color_type == 3:
                     if depth not in (1, 2, 4, 8):
                         return None
+                elif color_type == 0:
+                    if depth not in (1, 2, 4, 8, 16):
+                        return None  # (spec: gray allows every depth)
                 elif depth not in (8, 16):
-                    return None  # sub-byte gray: out of scope
+                    return None
                 channels = _PNG_CHANNELS[color_type]
             elif ctype == b"PLTE":
                 if length % 3:
@@ -768,7 +776,8 @@ def decode_png_deep(
         if int(idx.max()) >= len(palette):
             return None
         return width, height, 3, 8, palette[idx].tobytes()
-    return width, height, channels, depth, img.tobytes()
+    return width, height, channels, depth, img.tobytes()  # gray sub-byte:
+    # raw d-bit values (bits column tells the caller the scale)
 
 
 def _decode_any_raster(content: bytes) -> "tuple[int, int, int, bytes] | None":
@@ -1554,8 +1563,9 @@ def decode_bmp(content: bytes) -> "tuple[int, int, int, bytes] | None":
     negative biHeight handled too), plus RLE8 compression (BI_RLE8:
     encoded runs, absolute mode with word alignment, end-of-line /
     end-of-bitmap / delta escapes — deltas fill with palette index 0 per
-    the de-facto convention).  Returns (width, height, 3, rgb_bytes)
-    row-major top-down, or None outside scope (16/32-bit, BI_RLE4,
+    the de-facto convention), and 32-bit uncompressed B,G,R,A (returned
+    as 4-channel RGBA).  Returns (width, height, 3 or 4, bytes)
+    row-major top-down, or None outside scope (16-bit, BI_RLE4,
     BITFIELDS, truncated) — same fallback contract as the other
     decoders."""
     import numpy as np
@@ -1576,6 +1586,17 @@ def decode_bmp(content: bytes) -> "tuple[int, int, int, bytes] | None":
         return None
     top_down = height < 0
     height = abs(height)
+    if bpp == 32 and compression == 0:
+        stride = width * 4
+        if data_off + stride * height > len(content):
+            return None
+        rows = np.frombuffer(
+            content[data_off : data_off + stride * height], dtype=np.uint8
+        ).reshape(height, width, 4)
+        rgba = rows[:, :, [2, 1, 0, 3]]  # stored B,G,R,A
+        if not top_down:
+            rgba = rgba[::-1]
+        return width, height, 4, np.ascontiguousarray(rgba).tobytes()
     if bpp == 24 and compression == 0:
         stride = (width * 3 + 3) & ~3
         if data_off + stride * height > len(content):
@@ -1662,11 +1683,27 @@ def synth_bmp(
     'pal8' (8-bit indices through palette[i] = (i, 3i %% 256, 7i %% 256),
     index(x, y) = ``index_value(x, y)`` default (x + 2*y) %% 256), or
     'rle8' (same palette/indices, BI_RLE8-encoded per row: literal
-    absolute blocks and encoded runs, end-of-line/bitmap escapes).
-    ``top_down`` writes negative biHeight (rgb24/pal8 only).
+    absolute blocks and encoded runs, end-of-line/bitmap escapes), or
+    'rgba32' (uncompressed 32-bit B,G,R,A rows, alpha contract
+    (3*x + y) %% 256). ``top_down`` writes negative biHeight
+    (rgb24/pal8/rgba32).
     Byte-packing per the public DIB spec, independent of decode_bmp."""
     iv = index_value or (lambda x, y: (x + 2 * y) % 256)
-    if mode == "rgb24":
+    if mode == "rgba32":
+        rows = []
+        for y in range(height):
+            row = bytearray()
+            for x in range(width):
+                row += bytes(
+                    ((x + y) % 256, y % 256, x % 256, (3 * x + y) % 256)
+                )  # B,G,R,A
+            rows.append(bytes(row))
+        if not top_down:
+            rows.reverse()
+        pixel = b"".join(rows)
+        pal = b""
+        bpp, comp = 32, 0
+    elif mode == "rgb24":
         stride = (width * 3 + 3) & ~3
         rows = []
         for y in range(height):

@@ -459,7 +459,8 @@ def test_fuzz_gif_anim_compositor_vs_reference(plan):
 @given(
     w=_dim, h=_dim,
     case=st.sampled_from(
-        [(0, 8), (2, 8), (0, 16), (2, 16), (3, 1), (3, 2), (3, 4), (3, 8)]
+        [(0, 8), (2, 8), (0, 16), (2, 16), (3, 1), (3, 2), (3, 4), (3, 8),
+         (0, 1), (0, 2), (0, 4)]
     ),
     interlaced=st.booleans(),
 )
@@ -473,7 +474,7 @@ def test_fuzz_png_ext_geometry(w, h, case, interlaced):
     gw, gh, ch, bits, raw = got
     assert (gw, gh) == (w, h)
     assert ch == (1 if ct == 0 else 3)
-    assert bits == (16 if (ct in (0, 2) and depth == 16) else 8)
+    assert bits == (depth if ct == 0 else (16 if depth == 16 else 8))
     arr = np.frombuffer(raw, dtype="<u2" if bits == 16 else np.uint8).reshape(
         h, w, ch
     )
@@ -482,6 +483,8 @@ def test_fuzz_png_ext_geometry(w, h, case, interlaced):
             if ct == 3:
                 i = (x + 2 * y) % (1 << depth)
                 exp = (i, (3 * i) % 256, (7 * i) % 256)
+            elif ct == 0 and depth < 8:
+                exp = ((x + 2 * y) % (1 << depth),)
             elif depth == 16:
                 exp = (
                     ((x * 301 + y * 7) % 65536,)
@@ -497,7 +500,7 @@ def test_fuzz_png_ext_geometry(w, h, case, interlaced):
 @_fuzz
 @given(
     w=_dim, h=_dim,
-    mode=st.sampled_from(["rgb24", "pal8", "rle8"]),
+    mode=st.sampled_from(["rgb24", "pal8", "rle8", "rgba32"]),
     top_down=st.booleans(),
     a=st.integers(min_value=0, max_value=255),
     runlen=st.integers(min_value=1, max_value=9),
@@ -512,11 +515,13 @@ def test_fuzz_bmp_geometry(w, h, mode, top_down, a, runlen):
     got = mm.decode_bmp(content)
     assert got is not None
     gw, gh, ch, raw = got
-    assert (gw, gh, ch) == (w, h, 3)
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    assert (gw, gh, ch) == (w, h, 4 if mode == "rgba32" else 3)
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, ch)
     for y in range(h):
         for x in range(w):
-            if mode == "rgb24":
+            if mode == "rgba32":
+                exp = (x % 256, y % 256, (x + y) % 256, (3 * x + y) % 256)
+            elif mode == "rgb24":
                 exp = (x % 256, y % 256, (x + y) % 256)
             else:
                 i = iv(x, y)
