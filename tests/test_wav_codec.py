@@ -222,3 +222,31 @@ def test_wav_g711_decode_roundtrip():
                     np.array([(i * (5 + 2 * c) + 7) % 256 for i in range(400)])
                 ]
                 assert (arr[:, c] == exp).all(), (law, ch, c)
+
+
+def test_wav_float_pcm_exact_and_nan_refused():
+    """fmt-3 float PCM: k/32768 float32 samples recover k integer-exactly
+    through clamp(rint(v*32768)); non-finite samples hit the None gate."""
+    import struct
+
+    import numpy as np
+
+    for ch in (1, 2, 3):
+        w = mm.synth_wav_float(16000, 400, ch)
+        rate, gch, bits, arr = mm.decode_wav_multi(w)
+        assert (rate, gch, bits) == (16000, ch, 32)
+        for c in range(ch):
+            exp = np.array(
+                [(((i * (3 + 2 * c)) % 512) - 256) * 63 for i in range(400)],
+                np.int16,
+            )
+            assert (arr[:, c] == exp).all(), (ch, c)
+    bad = bytearray(mm.synth_wav_float(8000, 4, 1))
+    pos = bytes(bad).find(b"data") + 8
+    bad[pos : pos + 4] = struct.pack("<f", float("inf"))
+    assert mm.decode_wav_multi(bytes(bad)) is None
+    # out-of-range float clamps rather than wrapping
+    big = bytearray(mm.synth_wav_float(8000, 4, 1))
+    big[pos : pos + 4] = struct.pack("<f", 2.5)
+    rate, gch, bits, arr = mm.decode_wav_multi(bytes(big))
+    assert arr[0, 0] == 32767
