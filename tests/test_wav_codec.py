@@ -106,11 +106,11 @@ def test_wav_multi_pcm_depths_and_channels():
     r1, s1 = mm.decode_wav_samples(w)
     r2, ch2, _b, s2 = mm.decode_wav_multi(w)
     assert r1 == r2 and ch2 == 1 and (s1 == s2[:, 0]).all()
-    # out of scope: 24-bit PCM
+    # out of scope: 32-bit integer PCM (24-bit became in-scope in r10)
     import struct
-    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 4, 4, 32)
     body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
-            + b"data" + struct.pack("<I", 6) + bytes(6))
+            + b"data" + struct.pack("<I", 8) + bytes(8))
     deep = b"RIFF" + struct.pack("<I", 4 + len(body)) + body
     assert mm.decode_wav_multi(deep) is None
 
@@ -250,3 +250,106 @@ def test_wav_float_pcm_exact_and_nan_refused():
     big[pos : pos + 4] = struct.pack("<f", 2.5)
     rate, gch, bits, arr = mm.decode_wav_multi(bytes(big))
     assert arr[0, 0] == 32767
+
+
+def test_wav_extensible_and_24bit_geometry_fuzz():
+    """r10: the 0xFFFE wrapper and 24-bit truncation across a geometry grid
+    (rates x channels x lengths x wrapper), values checked in closed form."""
+    for rate in (8000, 48000):
+        for ch in (1, 2, 3, 6):
+            for n in (1, 7, 64, 333):
+                for bits, ext in ((16, True), (24, True), (24, False)):
+                    w = mm.synth_wav_ext(rate, n, ch, bits, extensible=ext)
+                    got = mm.decode_wav_multi(w)
+                    assert got is not None, (rate, ch, n, bits, ext)
+                    grate, gch, gbits, arr = got
+                    assert (grate, gch, gbits) == (rate, ch, bits)
+                    assert arr.shape == (n, ch)
+                    mul = 3 if bits == 16 else 5
+                    exp = np.array(
+                        [[((i * (mul + 2 * c)) % 512) - 256
+                          for c in range(ch)] for i in range(n)],
+                        np.int16,
+                    )
+                    assert (arr == exp).all(), (rate, ch, n, bits, ext)
+
+
+def test_wav_24bit_truncates_not_rounds():
+    """The low byte (i*7 % 256) is >= 128 for half the samples; floor
+    truncation keeps k exactly, round-half-up would add 1 there."""
+    w = mm.synth_wav_ext(8000, 256, 1, 24, extensible=False)
+    _r, _c, _b, arr = mm.decode_wav_multi(w)
+    exp = np.array([((i * 5) % 512) - 256 for i in range(256)], np.int16)
+    assert (arr[:, 0] == exp).all()
+    # sanity: a rounding decoder WOULD differ on these inputs
+    n_high_low_byte = sum(1 for i in range(256) if (i * 7) % 256 >= 128)
+    assert n_high_low_byte > 100
+
+
+def test_wav_extensible_malformed_refused():
+    base = mm.synth_wav_ext(8000, 50, 2, 24, extensible=True)
+    fmtoff = base.find(b"fmt ") + 8
+
+    def flip(off: int, val: int) -> bytes:
+        b = bytearray(base)
+        b[off] = val
+        return bytes(b)
+
+    # GUID tail corrupted -> not a KSDATAFORMAT subtype
+    assert mm.decode_wav_multi(flip(fmtoff + 30, 0xFF)) is None
+    # cbSize < 22 -> extension truncated per spec
+    b = bytearray(base)
+    b[fmtoff + 16 : fmtoff + 18] = struct.pack("<H", 10)
+    assert mm.decode_wav_multi(bytes(b)) is None
+    # valid bits != container bits (padded layout) -> refused
+    b = bytearray(base)
+    b[fmtoff + 18 : fmtoff + 20] = struct.pack("<H", 20)
+    assert mm.decode_wav_multi(bytes(b)) is None
+    # nested 0xFFFE inside the GUID -> refused
+    b = bytearray(base)
+    b[fmtoff + 24 : fmtoff + 28] = struct.pack("<I", 0xFFFE)
+    assert mm.decode_wav_multi(bytes(b)) is None
+    # extensible fmt chunk shorter than 40 bytes -> refused
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 8000 * 3, 3, 24)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 6) + bytes(6))
+    short = b"RIFF" + struct.pack("<I", 4 + len(body)) + body
+    assert mm.decode_wav_multi(short) is None
+    # truncated data chunk (declared length beyond EOF) -> refused
+    trunc = base[:-4]
+    assert mm.decode_wav_multi(trunc) is None
+    # 24-bit data not a multiple of the 3-byte frame -> refused
+    plain = mm.synth_wav_ext(8000, 50, 1, 24, extensible=False)
+    doff = plain.find(b"data")
+    b = bytearray(plain)
+    # shrink the data chunk by one byte, keeping the RIFF size consistent
+    (dlen,) = struct.unpack("<I", plain[doff + 4 : doff + 8])
+    b[doff + 4 : doff + 8] = struct.pack("<I", dlen - 1)
+    del b[doff + 8 + dlen - 1]
+    b[4:8] = struct.pack("<I", len(b) - 8)
+    assert mm.decode_wav_multi(bytes(b)) is None
+
+
+def test_wav_extensible_g711_and_float_route():
+    """The GUID router handles any wrapped tag the plain paths accept —
+    build an extensible wrapper around float-32 by hand and check it
+    routes to the fmt-3 path."""
+    inner = mm.synth_wav_float(16000, 128, 2)
+    # extract its data chunk, re-wrap with an extensible fmt
+    doff = inner.find(b"data")
+    (dlen,) = struct.unpack("<I", inner[doff + 4 : doff + 8])
+    data = inner[doff + 8 : doff + 8 + dlen]
+    fmt = (
+        struct.pack("<HHIIHH", 0xFFFE, 2, 16000, 16000 * 8, 8, 32)
+        + struct.pack("<HHI", 22, 32, 0b11)
+        + struct.pack("<I", 3) + mm._KSDATAFORMAT_TAIL
+    )
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", dlen) + data)
+    w = b"RIFF" + struct.pack("<I", 4 + len(body)) + body
+    got = mm.decode_wav_multi(w)
+    assert got is not None
+    rate, ch, bits, arr = got
+    _r2, _c2, _b2, ref = mm.decode_wav_multi(inner)
+    assert (rate, ch, bits) == (16000, 2, 32)
+    assert (arr == ref).all()
