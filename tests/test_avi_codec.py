@@ -202,20 +202,33 @@ def test_webp_anim_blend_divisor_exact_profile():
                 assert list(arr[y, x]) == exp, (f, x, y)
 
 
-def test_webp_anim_blend_fractional_still_refused():
+def test_webp_anim_blend_fractional_declared_rounding():
     """Off-lattice alpha (or off-mod-15 channels) makes the spec's division
-    fractional — the decoder must keep the honest None gate rather than
-    guess implementation-defined rounding."""
-    # alpha 100 is not a divisor-lattice value over these channel deltas
-    bad = mm.synth_webp_anim_blend(
-        16, 12, 2, rect_pixel=lambda f, x, y: (7, 13, 201, 100)
-    )
-    assert mm.decode_webp_anim_composited(bad) is None
-    # channels off the mod-15 lattice at a fractional-making alpha
-    bad2 = mm.synth_webp_anim_blend(
-        16, 12, 2, rect_pixel=lambda f, x, y: (1, 2, 3, 51)
-    )
-    assert mm.decode_webp_anim_composited(bad2) is None
+    fractional — since r10 the decoder composites under the DECLARED
+    round-half-up convention (_blend_declared) instead of refusing.
+    Onto the default opaque base, C_out = rhu(a*Cf + (255-a)*Cb, 255) =
+    (2*(a*Cf + (255-a)*Cb) + 255) // 510 and A_out stays 255."""
+    import numpy as np
+
+    for rf, gf, bf, a in ((7, 13, 201, 100), (1, 2, 3, 51)):
+        content = mm.synth_webp_anim_blend(
+            16, 12, 2, rect_pixel=lambda f, x, y: (rf, gf, bf, a)
+        )
+        got = mm.decode_webp_anim_composited(content)
+        assert got is not None
+        w, h, n, snaps = got
+        arr = np.frombuffer(snaps[1][1], np.uint8).reshape(h, w, 4)
+        # default base: (15*((x*3)%18), 15*((y*5)%18), 15*((x+y)%18), 255);
+        # frame 1 covers the 8x6 rect at (0, 0)
+        for y in range(6):
+            for x in range(8):
+                base = (15 * ((x * 3) % 18), 15 * ((y * 5) % 18),
+                        15 * ((x + y) % 18))
+                exp = [
+                    (2 * (a * cf + (255 - a) * cb) + 255) // 510
+                    for cf, cb in zip((rf, gf, bf), base)
+                ] + [255]
+                assert list(arr[y, x]) == exp, (x, y)
 
 
 def test_webp_anim_blend_opaque_reduces_to_overwrite():
