@@ -206,11 +206,14 @@ def q_stream_dedupe_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         PARTITION BY c.event_id ORDER BY p.ts DESC, p.event_id DESC
     ) = 1
     """,
-    doc="Streaming as-of enrichment: clicks annotated in-flight with the user's "
-    "latest at-or-before purchase via applyInPandasWithState (one record of "
-    "state per user — O(keys), not O(stream)). Time-sliced replay keeps batches "
-    "in ts order, so the drained result equals the batch as-of join — the SAME "
-    "oracle grades both this and asof_join_latest_purchase (streaming/asof.py).",
+    doc="Streaming as-of enrichment, JVM-NATIVE since r10: clicks LEFT-OUTER "
+    "interval-joined in-stream to at-or-before purchases (symmetric-hash join "
+    "state bounded by rate x lookback; a sentinel-keyed right side carries the "
+    "watermark so tail unmatched clicks emit), then argmax-per-click over the "
+    "drained append sink. Replaces the applyInPandasWithState version (kept as "
+    "stream_asof_enrich_pystate, pinned equal in tests) whose per-key Python "
+    "was the measured 100x-key cost center: 115 s -> JVM seconds (BASELINE.md "
+    "§r10). Same oracle grades this and asof_join_latest_purchase.",
     tags=("streaming", "temporal"),
 )
 def q_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:

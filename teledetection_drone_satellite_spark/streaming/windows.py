@@ -83,12 +83,24 @@ def stream_session(spark: SparkSession, n_partitions: int = 16) -> SparkSession:
     value, and interleaved streaming runs cannot race on a save/restore of
     shared state — each run owns its conf. These numbers suit a one-shot local
     run at bench scale; an unbounded production deployment sizes to throughput
-    instead."""
+    instead.
+
+    Both knobs are per-REGIME, measured (BASELINE.md §r10 100x-key sweep,
+    1M rows / 149,770 keys): at bench scale the per-operator pins above hold
+    (ttl flat 16 vs 32, lifecycle +0.5 s at 32 — store commits dominate at
+    1.5k keys), while at 100x keys the Python-state machines want 32 state
+    partitions + 65536-row Arrow batches (ttl 191 s @16/default -> 118 s,
+    lifecycle 59 s -> 36 s; 64/128 partitions plateau).  The env overrides
+    (SPARK_GRAFT_STREAM_STATE_PARTITIONS / SPARK_GRAFT_STREAM_ARROW_BATCH)
+    flip a deployment to the high-key regime without code changes."""
     s = spark.newSession()
     s.conf.set(
         "spark.sql.shuffle.partitions",
         os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", str(n_partitions)),
     )
+    arrow = os.environ.get("SPARK_GRAFT_STREAM_ARROW_BATCH")
+    if arrow:
+        s.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", arrow)
     return s
 
 

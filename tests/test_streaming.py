@@ -241,6 +241,66 @@ def test_stream_asof_matches_batch_asof(spark, sf_dir):
         a, b = got[c], want[c]
         assert ((a == b) | (a.isna() & b.isna())).all(), c
 
+    # the retained applyInPandasWithState implementation stays pinned
+    # equal to the JVM join shape (r10 restatement evidence)
+    from teledetection_drone_satellite_spark.streaming.asof import (
+        stream_asof_enrich_pystate,
+    )
+
+    py = (
+        stream_asof_enrich_pystate(spark, sf_dir, n_slices=4)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(py) == len(want)
+    for c in ["event_id", "user_id", "ts", "asof_ts", "asof_event_id", "asof_value"]:
+        a, b = py[c], want[c]
+        assert ((a == b) | (a.isna() & b.isna())).all(), f"pystate {c}"
+
+
+def test_stream_asof_tail_click_after_last_purchase_emits(spark, tmp_path):
+    """The sentinel-watermark contract: a click LATER than every purchase
+    must still emit its (possibly enriched) row — without the sentinel the
+    right-side watermark would never pass it and left-outer would hang it."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from teledetection_drone_satellite_spark.streaming.asof import (
+        stream_asof_enrich,
+    )
+
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    rows = [
+        # user 1: purchase then a click long after every other event
+        (1, base, 1, "purchase", 10.0, "{}"),
+        (2, base + pd.Timedelta(minutes=5), 1, "click", 0.0, "{}"),
+        (3, base + pd.Timedelta(hours=9), 1, "click", 0.0, "{}"),
+        # user 2: click with NO purchase at all, also in the tail
+        (4, base + pd.Timedelta(hours=8), 2, "click", 0.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf_dir = os.path.join(str(tmp_path), "tail_sf")
+    os.makedirs(sf_dir)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        f"{sf_dir}/events.parquet",
+    )
+    out = (
+        stream_asof_enrich(spark, sf_dir, n_slices=2)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out["event_id"].tolist() == [2, 3, 4]
+    assert out["asof_event_id"].tolist()[:2] == [1, 1]
+    assert pd.isna(out["asof_event_id"].iloc[2])  # no purchase for user 2
+
 
 def test_checkpoint_resume_equals_single_uninterrupted_run(spark, sf_dir, tmp_path):
     """Exactly-once across restart (the production crash/redeploy path): a
