@@ -596,3 +596,72 @@ def test_blend_declared_vs_libwebpdemux_bit_exact():
         ).contents)
         assert ref == snaps[fidx][1], f"frame {fidx} diverges from libwebpdemux"
     lib.WebPAnimDecoderDelete(ctypes.c_void_p(dec))
+
+
+# --- r10: garbage/bit-flip never-crash tier for the r9 decoders ------------------------
+# These parse attacker-controlled length/offset fields (BMP RLE escapes and
+# data offsets, WAV block_align/cbSize/chunk lengths, GIF ANMF/graphic-control
+# sub-block walks); the geometry fuzzes above prove round-trip on well-formed
+# inputs, this tier proves robustness on hostile ones: None or ValueError,
+# never an unhandled raise / hang / overallocation.
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.binary(min_size=0, max_size=400))
+def test_fuzz_r9_decoders_never_crash_on_garbage(data):
+    for fn, arity in (
+        (mm.decode_bmp, 4),
+        (mm.decode_wav_multi, 4),
+        (mm.decode_gif_anim_composited, 4),
+    ):
+        # raw garbage, and the same garbage behind each format's magic so
+        # the post-magic field parsers actually execute
+        for probe in (data,
+                      b"BM" + data,
+                      b"RIFF" + len(data).to_bytes(4, "little") + b"WAVE" + data,
+                      b"GIF89a" + data):
+            out = fn(probe)
+            assert out is None or (isinstance(out, tuple) and len(out) == arity)
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    nflip=st.integers(min_value=1, max_value=8),
+)
+def test_fuzz_r9_decoders_survive_bit_flips(seed, nflip):
+    """Random bit corruptions of VALID BMP (all four modes), WAV (all six
+    fmt branches incl. the r10 extensible/24-bit), and animated-GIF
+    containers: decode must return None or a well-formed result, never
+    raise anything but ValueError."""
+    import random as _random
+
+    rnd = _random.Random(seed)
+
+    def corrupt(b: bytes) -> bytes:
+        b = bytearray(b)
+        for _ in range(nflip):
+            b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+        return bytes(b)
+
+    bmps = [mm.synth_bmp(13, 9, mode) for mode in ("rgb24", "pal8", "rle8", "rgba32")]
+    wavs = [
+        mm.synth_wav_multi(8000, 100, 2, 16),
+        mm.synth_wav_multi(8000, 100, 1, 8),
+        mm.synth_wav_adpcm(8000, 2, 2, 64),
+        mm.synth_wav_g711(8000, 100, 1, "mulaw"),
+        mm.synth_wav_float(8000, 100, 2),
+        mm.synth_wav_ext(8000, 100, 2, 24, extensible=True),
+    ]
+    for content in bmps:
+        out = mm.decode_bmp(corrupt(content))
+        assert out is None or (isinstance(out, tuple) and len(out) == 4)
+    for content in wavs:
+        try:
+            out = mm.decode_wav_multi(corrupt(content))
+        except ValueError:
+            continue  # explicit refusal is within contract
+        assert out is None or (isinstance(out, tuple) and len(out) == 4)
+    gif = mm.synth_gif_anim_full(12, 10, 3)
+    out = mm.decode_gif_anim_composited(corrupt(gif))
+    assert out is None or (isinstance(out, tuple) and len(out) == 4)
