@@ -1161,6 +1161,138 @@ def bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bmp_ext_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               9 + doc_id % 24 AS w,
+               7 + (doc_id * 3) % 18 AS h,
+               doc_id % 5 AS mode
+        FROM documents WHERE doc_id < 100
+    ),
+    px AS (
+        SELECT doc_id, w, h, mode, x.i AS x, y.i AS y,
+               CASE mode
+                    WHEN 3 THEN (x.i + 2 * y.i) % 16
+                    WHEN 4 THEN CASE WHEN x.i % 2 = 0 THEN (3 * y.i) % 16
+                                     ELSE (3 * y.i + 7) % 16 END
+                    ELSE 0 END AS pi
+        FROM spec,
+             LATERAL unnest(range(0, w)) x(i),
+             LATERAL unnest(range(0, h)) y(i)
+    ),
+    vals AS (
+        SELECT doc_id, w, h, mode, x, y,
+               CASE mode
+                    WHEN 0 THEN (2 * ((x % 32) * 255) + 31) // 62
+                    WHEN 1 THEN (2 * ((x % 32) * 255) + 31) // 62
+                    WHEN 2 THEN x % 256
+                    ELSE (17 * pi) % 256 END AS r,
+               CASE mode
+                    WHEN 0 THEN (2 * (((x + y) % 64) * 255) + 63) // 126
+                    WHEN 1 THEN (2 * (((x + 2 * y) % 32) * 255) + 31) // 62
+                    WHEN 2 THEN y % 256
+                    ELSE (29 * pi) % 256 END AS g,
+               CASE mode
+                    WHEN 0 THEN (2 * ((y % 32) * 255) + 31) // 62
+                    WHEN 1 THEN (2 * ((y % 32) * 255) + 31) // 62
+                    WHEN 2 THEN (x + y) % 256
+                    ELSE (11 * pi) % 256 END AS b,
+               CASE WHEN mode = 2 THEN (3 * x + y) % 256 ELSE 255 END AS a
+        FROM px
+    )
+    SELECT doc_id,
+           CAST(min(w) AS INT) AS width,
+           CAST(min(h) AS INT) AS height,
+           CAST(mode AS INT) AS mode,
+           CAST(CASE WHEN mode = 2 THEN 4 ELSE 3 END AS INT) AS channels,
+           ((2 * CAST(sum(r) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_r,
+           ((2 * CAST(sum(g) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_g,
+           ((2 * CAST(sum(b) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_b,
+           ((2 * CAST(sum(a) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_a,
+           CAST(sum(((y * w + x) % 97 + 1) * r) AS BIGINT) AS wsum_r
+    FROM vals GROUP BY doc_id, mode
+    """,
+    doc="BMP BITFIELDS/sub-byte tail, graded (r10, closing the verdict's "
+    "#7 legacy-dataset gap behind the old honest gate): docs cycle five "
+    "shapes — BI_BITFIELDS 565 16-bit, plain 16-bit under the spec's "
+    "default 555 masks, BI_BITFIELDS 8888 32-bit with the alpha mask "
+    "honored through a 56-byte V3 header, uncompressed 4-bit paletted "
+    "(high nibble first), and BI_RLE4 (alternating-nibble runs + "
+    "absolute blocks with nibble packing and word alignment). Sub-8-bit "
+    "channels widen by the documented round-half-up scaling "
+    "v8 = (2*v*255 + m) // (2*m), which the oracle states verbatim — a "
+    "bit-replication decoder differs on 6-bit green; the "
+    "position-weighted wsum_r (same device as bmp_pixel_stats) flips on "
+    "any orientation or nibble-order bug the means cannot see.",
+    tags=("ingest", "multimodal"),
+)
+def bmp_ext_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+    modes = ("bf565", "r555", "bf8888", "pal4", "rle4")
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w_px, h_px = 9 + i % 24, 7 + (i * 3) % 18
+                mode = i % 5
+                content = multimodal.synth_bmp(
+                    w_px, h_px, modes[mode],
+                    top_down=(i % 2 == 1 and mode != 4),
+                )
+                width, height, nch, raw = multimodal.decode_bmp(content)
+                arr = np.frombuffer(raw, dtype=np.uint8).reshape(-1, nch)
+                s = arr.astype(np.int64)
+                asum = (
+                    int(s[:, 3].sum()) if nch == 4 else 255 * width * height
+                )
+                wt = (np.arange(width * height, dtype=np.int64) % 97) + 1
+                rows.append(
+                    (
+                        i, width, height, mode, nch,
+                        int(s[:, 0].sum()), int(s[:, 1].sum()),
+                        int(s[:, 2].sum()), asum, width * height,
+                        int((wt * s[:, 0]).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "mode", "channels",
+                         "rsum", "gsum", "bsum", "asum", "npx", "wsum_r"],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, width int, height int, mode int, channels int, "
+        "rsum long, gsum long, bsum long, asum long, npx long, wsum_r long",
+    )
+    return out.select(
+        "doc_id", "width", "height", "mode", "channels",
+        _half_up_mean("rsum", "npx").alias("mean_r"),
+        _half_up_mean("gsum", "npx").alias("mean_g"),
+        _half_up_mean("bsum", "npx").alias("mean_b"),
+        _half_up_mean("asum", "npx").alias("mean_a"),
+        "wsum_r",
+    )
+
+
+@register(
     "png_ext_stats",
     oracle="""
     WITH spec AS (

@@ -1565,9 +1565,23 @@ def decode_bmp(content: bytes) -> "tuple[int, int, int, bytes] | None":
     end-of-bitmap / delta escapes — deltas fill with palette index 0 per
     the de-facto convention), and 32-bit uncompressed B,G,R,A (returned
     as 4-channel RGBA).  Returns (width, height, 3 or 4, bytes)
-    row-major top-down, or None outside scope (16-bit, BI_RLE4,
-    BITFIELDS, truncated) — same fallback contract as the other
-    decoders."""
+    row-major top-down, or None outside scope (truncated, BITMAPCORE,
+    non-contiguous/overlapping BITFIELDS masks) — same fallback contract
+    as the other decoders.
+
+    r10 additions (the legacy-dataset tail): BI_BITFIELDS (compression 3)
+    at 16 and 32 bpp with arbitrary CONTIGUOUS masks (565/555/8888 and
+    friends; masks live at file offset 54 whether they trail a 40-byte
+    BITMAPINFOHEADER or sit inside a V2+ header — same position either
+    way; an alpha mask is honored when the header is V3+, hdr_size >= 56),
+    plain 16 bpp (compression 0, the spec's default 555 masks), BI_RLE4
+    (compression 2: alternating-nibble runs, absolute mode with nibble
+    packing + word alignment, the same EOL/EOB/delta escapes as RLE8),
+    and uncompressed 4-bit paletted rows (high nibble first).  Sub-8-bit
+    channels widen by round-half-up scaling v8 = floor((2*v*255 + m) /
+    (2*m)), m = (1<<bits)-1 — exact for 8-bit masks, and the documented
+    convention the bmp_ext_stats oracle mirrors (bit-replication, the
+    other common convention, differs at e.g. 6-bit green)."""
     import numpy as np
 
     if content[:2] != b"BM" or len(content) < 54:
@@ -1608,6 +1622,127 @@ def decode_bmp(content: bytes) -> "tuple[int, int, int, bytes] | None":
         if not top_down:
             rgb = rgb[::-1]
         return width, height, 3, np.ascontiguousarray(rgb).tobytes()
+    if bpp in (16, 32) and compression in (0, 3) and not (bpp == 32 and compression == 0):
+        # BI_BITFIELDS masks (or the spec's default 555 for plain 16 bpp)
+        if compression == 3:
+            if len(content) < 66:
+                return None
+            r_mask = int.from_bytes(content[54:58], "little")
+            g_mask = int.from_bytes(content[58:62], "little")
+            b_mask = int.from_bytes(content[62:66], "little")
+            a_mask = (
+                int.from_bytes(content[66:70], "little")
+                if hdr_size >= 56 and len(content) >= 70
+                else 0
+            )
+        else:
+            r_mask, g_mask, b_mask, a_mask = 0x7C00, 0x03E0, 0x001F, 0
+        masks = [r_mask, g_mask, b_mask] + ([a_mask] if a_mask else [])
+        limit = (1 << bpp) - 1
+        shifts, widths = [], []
+        covered = 0
+        for m in masks:
+            if not m or m > limit or (m & covered):
+                return None  # missing/out-of-range/overlapping mask
+            covered |= m
+            tz = (m & -m).bit_length() - 1
+            v = m >> tz
+            if v & (v + 1):
+                return None  # non-contiguous mask
+            shifts.append(tz)
+            widths.append(v.bit_length())
+        bypp = bpp // 8
+        stride = (width * bypp + 3) & ~3
+        if data_off + stride * height > len(content):
+            return None
+        raw = np.frombuffer(
+            content[data_off : data_off + stride * height], dtype=np.uint8
+        ).reshape(height, stride)[:, : width * bypp]
+        px = (
+            np.ascontiguousarray(raw)
+            .view("<u2" if bpp == 16 else "<u4")
+            .reshape(height, width)
+            .astype(np.int64)
+        )
+        chans = []
+        for m, tz, nb in zip(masks, shifts, widths):
+            v = (px & m) >> tz
+            mmax = (1 << nb) - 1
+            # round-half-up widening (see docstring); exact when nb == 8
+            chans.append(((2 * v * 255 + mmax) // (2 * mmax)).astype(np.uint8))
+        out = np.stack(chans, axis=2)
+        if not top_down:
+            out = out[::-1]
+        return width, height, out.shape[2], np.ascontiguousarray(out).tobytes()
+    if bpp == 4 and compression in (0, 2):
+        n_pal = n_colors or 16
+        pal_off = 14 + hdr_size
+        pal = content[pal_off : pal_off + 4 * n_pal]
+        if len(pal) < 4 * n_pal:
+            return None
+        palette = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 4)[:, :3][:, ::-1]
+        if compression == 0:
+            stride = ((width + 1) // 2 + 3) & ~3
+            if data_off + stride * height > len(content):
+                return None
+            packed = np.frombuffer(
+                content[data_off : data_off + stride * height], dtype=np.uint8
+            ).reshape(height, stride)
+            nibs = np.empty((height, stride * 2), dtype=np.uint8)
+            nibs[:, 0::2] = packed >> 4  # high nibble first, per spec
+            nibs[:, 1::2] = packed & 0xF
+            idx = nibs[:, :width]
+        else:  # BI_RLE4 (always bottom-up per spec)
+            if top_down:
+                return None
+            grid = np.zeros((height, width), dtype=np.uint8)
+            pos, x, y = data_off, 0, 0
+            n = len(content)
+            while pos + 1 < n:
+                c0, c1 = content[pos], content[pos + 1]
+                pos += 2
+                if c0:  # encoded run: two nibbles alternate, high first
+                    if y >= height or x >= width:
+                        return None  # delta escape walked out of bounds
+                    run = min(c0, width - x)
+                    pair = np.tile(
+                        np.array([c1 >> 4, c1 & 0xF], dtype=np.uint8),
+                        (run + 1) // 2 + 1,
+                    )[:run]
+                    grid[y, x : x + run] = pair
+                    x += run
+                    continue
+                if c1 == 0:  # end of line
+                    x, y = 0, y + 1
+                    continue
+                if c1 == 1:  # end of bitmap
+                    break
+                if c1 == 2:  # delta: skipped cells keep index 0
+                    if pos + 2 > n:
+                        return None
+                    x += content[pos]
+                    y += content[pos + 1]
+                    pos += 2
+                    continue
+                # absolute mode: c1 literal nibbles packed 2/byte, word-aligned
+                nbytes = (c1 + 1) // 2
+                if pos + nbytes > n or y >= height or x >= width:
+                    return None
+                blk = np.frombuffer(content[pos : pos + nbytes], dtype=np.uint8)
+                nibs = np.empty(nbytes * 2, dtype=np.uint8)
+                nibs[0::2] = blk >> 4
+                nibs[1::2] = blk & 0xF
+                take = min(c1, width - x)
+                grid[y, x : x + take] = nibs[:take]
+                x += c1
+                pos += nbytes + (nbytes & 1)
+            idx = grid
+        if int(idx.max()) >= len(palette):
+            return None
+        rgb = palette[idx]
+        if not top_down or compression == 2:
+            rgb = rgb[::-1]
+        return width, height, 3, np.ascontiguousarray(rgb).tobytes()
     if bpp == 8 and compression in (0, 1):
         n_pal = n_colors or 256
         pal_off = 14 + hdr_size
@@ -1634,9 +1769,9 @@ def decode_bmp(content: bytes) -> "tuple[int, int, int, bytes] | None":
                 c0, c1 = content[pos], content[pos + 1]
                 pos += 2
                 if c0:  # encoded run
+                    if y >= height or x >= width:
+                        return None  # delta escape walked out of bounds
                     run = min(c0, width - x)
-                    if y >= height:
-                        return None
                     grid[y, x : x + run] = c1
                     x += run
                     continue
@@ -1653,7 +1788,7 @@ def decode_bmp(content: bytes) -> "tuple[int, int, int, bytes] | None":
                     pos += 2
                     continue
                 # absolute mode: c1 literal indices, word-aligned
-                if pos + c1 > n or y >= height:
+                if pos + c1 > n or y >= height or x >= width:
                     return None
                 take = min(c1, width - x)
                 grid[y, x : x + take] = np.frombuffer(
@@ -1668,7 +1803,7 @@ def decode_bmp(content: bytes) -> "tuple[int, int, int, bytes] | None":
         if not top_down or compression == 1:
             rgb = rgb[::-1]
         return width, height, 3, np.ascontiguousarray(rgb).tobytes()
-    return None  # 16/32-bit, RLE4, BITFIELDS: out of scope
+    return None  # 1/2-bit, BI_JPEG/BI_PNG embeddings: out of scope
 
 
 def synth_bmp(
@@ -1686,7 +1821,19 @@ def synth_bmp(
     absolute blocks and encoded runs, end-of-line/bitmap escapes), or
     'rgba32' (uncompressed 32-bit B,G,R,A rows, alpha contract
     (3*x + y) %% 256). ``top_down`` writes negative biHeight
-    (rgb24/pal8/rgba32).
+    (rgb24/pal8/rgba32/bf565/bf8888/pal4).
+
+    r10 modes: 'bf565' (BI_BITFIELDS 16-bit, masks F800/07E0/001F,
+    channel contract r5 = x %% 32, g6 = (x+y) %% 64, b5 = y %% 32),
+    'r555' (plain 16-bit, compression 0, the spec's default 555 masks,
+    r5 = x %% 32, g5 = (x+2y) %% 32, b5 = y %% 32), 'bf8888'
+    (BI_BITFIELDS 32-bit inside a 56-byte V3 header so the alpha mask
+    FF000000 is honored; channels like rgba32), 'pal4' (uncompressed
+    4-bit through palette[i] = (17i %% 256, 29i %% 256, 11i %% 256),
+    index (x + 2*y) %% 16, high nibble first), and 'rle4' (same palette,
+    BI_RLE4: each row alternates a_y = (3y) %% 16 / b_y = (3y+7) %% 16 —
+    expressible as alternating-nibble runs — encoded as an absolute
+    block + run on every third row, a single run elsewhere).
     Byte-packing per the public DIB spec, independent of decode_bmp."""
     iv = index_value or (lambda x, y: (x + 2 * y) % 256)
     if mode == "rgba32":
@@ -1717,6 +1864,85 @@ def synth_bmp(
         pixel = b"".join(rows)
         pal = b""
         bpp, comp = 24, 0
+    elif mode in ("bf565", "r555"):
+        stride = (width * 2 + 3) & ~3
+        rows = []
+        for y in range(height):
+            row = bytearray()
+            for x in range(width):
+                if mode == "bf565":
+                    u = ((x % 32) << 11) | (((x + y) % 64) << 5) | (y % 32)
+                else:
+                    u = ((x % 32) << 10) | (((x + 2 * y) % 32) << 5) | (y % 32)
+                row += u.to_bytes(2, "little")
+            row += bytes(stride - len(row))
+            rows.append(bytes(row))
+        if not top_down:
+            rows.reverse()
+        pixel = b"".join(rows)
+        pal = (
+            b"\x00\xf8\x00\x00" + b"\xe0\x07\x00\x00" + b"\x1f\x00\x00\x00"
+            if mode == "bf565"
+            else b""
+        )  # BITFIELDS masks trail the 40-byte header (same slot as a palette)
+        bpp, comp = 16, 3 if mode == "bf565" else 0
+    elif mode == "bf8888":
+        rows = []
+        for y in range(height):
+            row = bytearray()
+            for x in range(width):
+                u = (
+                    ((3 * x + y) % 256) << 24  # A
+                    | (x % 256) << 16          # R
+                    | (y % 256) << 8           # G
+                    | ((x + y) % 256)          # B
+                )
+                row += u.to_bytes(4, "little")
+            rows.append(bytes(row))
+        if not top_down:
+            rows.reverse()
+        pixel = b"".join(rows)
+        pal = b""
+        bpp, comp = 32, 3
+        # masks live INSIDE the 56-byte V3 header (written below)
+    elif mode in ("pal4", "rle4"):
+        pal = bytes(
+            v
+            for i in range(16)
+            for v in ((11 * i) % 256, (29 * i) % 256, (17 * i) % 256, 0)
+        )  # B,G,R,reserved
+        if mode == "pal4":
+            stride = ((width + 1) // 2 + 3) & ~3
+            rows = []
+            for y in range(height):
+                nibs = [(x + 2 * y) % 16 for x in range(width)]
+                if len(nibs) & 1:
+                    nibs.append(0)
+                row = bytes(
+                    (nibs[i] << 4) | nibs[i + 1] for i in range(0, len(nibs), 2)
+                )
+                rows.append(row + bytes(stride - len(row)))
+            if not top_down:
+                rows.reverse()
+            pixel = b"".join(rows)
+            bpp, comp = 4, 0
+        else:
+            if top_down:
+                raise ValueError("RLE4 bitmaps are bottom-up per the spec")
+            out = bytearray()
+            for y in reversed(range(height)):  # bottom-up row order
+                a, b = (3 * y) % 16, (3 * y + 7) % 16
+                byte = (a << 4) | b
+                if y % 3 == 0 and width >= 5:
+                    # absolute block of 4 literal nibbles, then a run
+                    out += bytes([0, 4, byte, byte])  # 2 data bytes, word-even
+                    out += bytes([width - 4, byte])
+                else:
+                    out += bytes([width, byte])
+                out += b"\x00\x00"  # end of line
+            out += b"\x00\x01"  # end of bitmap
+            pixel = bytes(out)
+            bpp, comp = 4, 2
     else:
         pal = bytes(
             v for i in range(256) for v in ((7 * i) % 256, (3 * i) % 256, i, 0)
@@ -1779,16 +2005,29 @@ def synth_bmp(
             bpp, comp = 8, 1
         else:
             raise ValueError("mode must be rgb24, pal8 or rle8")
-    data_off = 14 + 40 + len(pal)
+    hdr_size = 56 if mode == "bf8888" else 40
+    data_off = 14 + hdr_size + len(pal)
     h_field = -height if top_down else height
+    n_colors = 0
+    if mode in ("pal8", "rle8"):
+        n_colors = 256
+    elif mode in ("pal4", "rle4"):
+        n_colors = 16
     info = (
-        (40).to_bytes(4, "little")
+        hdr_size.to_bytes(4, "little")
         + width.to_bytes(4, "little")
         + (h_field & 0xFFFFFFFF).to_bytes(4, "little")
         + (1).to_bytes(2, "little") + bpp.to_bytes(2, "little")
         + comp.to_bytes(4, "little") + len(pixel).to_bytes(4, "little")
-        + bytes(8) + (256 if pal else 0).to_bytes(4, "little") + bytes(4)
+        + bytes(8) + n_colors.to_bytes(4, "little") + bytes(4)
     )
+    if mode == "bf8888":  # V3 header: R,G,B,A masks at header offsets 40-56
+        info += (
+            (0x00FF0000).to_bytes(4, "little")
+            + (0x0000FF00).to_bytes(4, "little")
+            + (0x000000FF).to_bytes(4, "little")
+            + (0xFF000000).to_bytes(4, "little")
+        )
     head = (
         b"BM" + (data_off + len(pixel)).to_bytes(4, "little")
         + bytes(4) + data_off.to_bytes(4, "little")

@@ -644,7 +644,11 @@ def test_fuzz_r9_decoders_survive_bit_flips(seed, nflip):
             b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
         return bytes(b)
 
-    bmps = [mm.synth_bmp(13, 9, mode) for mode in ("rgb24", "pal8", "rle8", "rgba32")]
+    bmps = [
+        mm.synth_bmp(13, 9, mode)
+        for mode in ("rgb24", "pal8", "rle8", "rgba32",
+                     "bf565", "r555", "bf8888", "pal4", "rle4")
+    ]
     wavs = [
         mm.synth_wav_multi(8000, 100, 2, 16),
         mm.synth_wav_multi(8000, 100, 1, 8),
@@ -665,3 +669,65 @@ def test_fuzz_r9_decoders_survive_bit_flips(seed, nflip):
     gif = mm.synth_gif_anim_full(12, 10, 3)
     out = mm.decode_gif_anim_composited(corrupt(gif))
     assert out is None or (isinstance(out, tuple) and len(out) == 4)
+
+
+@settings(max_examples=80, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=18),
+    mode=st.sampled_from(["bf565", "r555", "bf8888", "pal4", "rle4"]),
+    top_down=st.booleans(),
+)
+def test_fuzz_bmp_ext_geometry(w, h, mode, top_down):
+    """r10 BMP tail across random geometry: BITFIELDS 565/8888, default-555
+    16-bit, 4-bit paletted, RLE4 — every pixel checked in closed form
+    (round-half-up mask widening for the sub-8-bit channels)."""
+    if mode == "rle4":
+        top_down = False  # RLE4 bitmaps are bottom-up per the spec
+
+    def rhu(n, d):
+        return (2 * n + d) // (2 * d)
+
+    content = mm.synth_bmp(w, h, mode, top_down=top_down)
+    got = mm.decode_bmp(content)
+    assert got is not None
+    gw, gh, ch, raw = got
+    assert (gw, gh, ch) == (w, h, 4 if mode == "bf8888" else 3)
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, ch)
+    for y in range(h):
+        for x in range(w):
+            if mode == "bf565":
+                exp = (rhu((x % 32) * 255, 31), rhu(((x + y) % 64) * 255, 63),
+                       rhu((y % 32) * 255, 31))
+            elif mode == "r555":
+                exp = (rhu((x % 32) * 255, 31),
+                       rhu(((x + 2 * y) % 32) * 255, 31),
+                       rhu((y % 32) * 255, 31))
+            elif mode == "bf8888":
+                exp = (x % 256, y % 256, (x + y) % 256, (3 * x + y) % 256)
+            else:
+                i = (x + 2 * y) % 16 if mode == "pal4" else (
+                    (3 * y) % 16 if x % 2 == 0 else (3 * y + 7) % 16
+                )
+                exp = ((17 * i) % 256, (29 * i) % 256, (11 * i) % 256)
+            assert tuple(arr[y, x]) == exp, (mode, x, y)
+
+
+def test_bmp_bitfields_mask_validation():
+    """Hostile mask layouts must refuse, never mis-decode: overlapping,
+    non-contiguous, zero, and out-of-range masks."""
+    base = mm.synth_bmp(8, 5, "bf565")
+
+    def with_masks(r, g, b):
+        buf = bytearray(base)
+        buf[54:58] = r.to_bytes(4, "little")
+        buf[58:62] = g.to_bytes(4, "little")
+        buf[62:66] = b.to_bytes(4, "little")
+        return bytes(buf)
+
+    assert mm.decode_bmp(with_masks(0xF800, 0xF800, 0x001F)) is None  # overlap
+    assert mm.decode_bmp(with_masks(0xA800, 0x07E0, 0x001F)) is None  # gap
+    assert mm.decode_bmp(with_masks(0x0000, 0x07E0, 0x001F)) is None  # zero
+    assert mm.decode_bmp(with_masks(0x1F800, 0x07E0, 0x001F)) is None  # > 16 bpp
+    # masks truncated (file ends inside the mask block)
+    assert mm.decode_bmp(base[:60]) is None
