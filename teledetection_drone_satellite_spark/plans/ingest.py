@@ -2525,13 +2525,15 @@ def wav_float_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS r,
                150 + (doc_id * 29) % 1500 AS n,
                1 + doc_id % 3 AS ch,
-               doc_id % 3 AS mode
+               doc_id % 5 AS mode
         FROM documents WHERE doc_id < 120
     ),
     s AS (
         SELECT doc_id, r, n, ch, mode, c.j AS c,
                CASE WHEN mode = 0
                     THEN ((t.i * (3 + 2 * c.j)) % 512) - 256
+                    WHEN mode = 4
+                    THEN (((t.i * (3 + 2 * c.j)) % 512) - 256) * 63
                     ELSE ((t.i * (5 + 2 * c.j)) % 512) - 256
                END AS v
         FROM spec,
@@ -2541,26 +2543,30 @@ def wav_float_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(r AS INT) AS sample_rate,
            CAST(ch AS INT) AS channels,
-           CAST(CASE WHEN mode = 0 THEN 16 ELSE 24 END AS INT) AS bits,
+           CAST(CASE mode WHEN 0 THEN 16 WHEN 3 THEN 32 WHEN 4 THEN 64
+                ELSE 24 END AS INT) AS bits,
            CASE mode WHEN 0 THEN 'ext16' WHEN 1 THEN 'ext24'
-                ELSE 'pcm24' END AS fmt_tag,
+                WHEN 2 THEN 'pcm24' WHEN 3 THEN 'ext32'
+                ELSE 'f64' END AS fmt_tag,
            CAST(n AS BIGINT) AS n_samples,
            round(avg(v), 6) AS mean_all,
            round(avg(CASE WHEN c = 0 THEN v END), 6) AS mean_ch0,
            CAST(max(abs(v)) AS BIGINT) AS peak
     FROM s GROUP BY doc_id, r, n, ch, mode
     """,
-    doc="WAVE_FORMAT_EXTENSIBLE + 24-bit PCM decode, graded (r10, closing "
+    doc="WAVE_FORMAT_EXTENSIBLE + deep-PCM decode, graded (r10, closing "
     "the top verdict-ranked S7 gap — the modern multi-channel wrapper and "
-    "the pro-audio default depth, reference decl. "
+    "the pro-audio depths, reference decl. "
     "services/file-service/main.py:128, shared/models/__init__.py:122-128). "
-    "Docs cycle three shapes: 0xFFFE-wrapped 16-bit PCM (GUID SubFormat "
-    "routes to the plain path), 0xFFFE-wrapped 24-bit, and bare fmt-1 "
-    "24-bit. 24-bit samples carry a NONZERO low byte ((i*7)%256) atop "
-    "k*256, so the documented high-16 TRUNCATION (s24 >> 8, floor) "
-    "recovers exactly k — a decoder that rounds instead shifts mean_all "
-    "by ~+0.5 and flips the hash; a GUID-tail or cbSize mis-parse refuses "
-    "the doc and flips the row count.",
+    "Docs cycle five shapes: 0xFFFE-wrapped 16-bit PCM (GUID SubFormat "
+    "routes to the plain path), 0xFFFE-wrapped 24-bit, bare fmt-1 24-bit, "
+    "0xFFFE-wrapped 32-bit int, and fmt-3 float64. 24/32-bit samples "
+    "carry NONZERO low bytes/words atop k<<8 / k<<16, so the documented "
+    "high-16 TRUNCATION (arithmetic shift, floor) recovers exactly k — a "
+    "decoder that rounds instead shifts mean_all by ~+0.5 and flips the "
+    "hash; float64 uses the same exact k/32768 contract as fmt-3 "
+    "float32; a GUID-tail or cbSize mis-parse refuses the doc and flips "
+    "the row count.",
     tags=("ingest", "multimodal"),
 )
 def wav_ext_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2575,7 +2581,7 @@ def wav_ext_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 120)
     )
     rates = (8000, 16000, 22050, 44100, 48000)
-    tags = ("ext16", "ext24", "pcm24")
+    tags = ("ext16", "ext24", "pcm24", "ext32", "f64")
 
     # same no-fan_out rationale as _docs_as_assets: light per-row Python
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -2585,12 +2591,17 @@ def wav_ext_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i = int(i)
                 n = 150 + (i * 29) % 1500
                 ch = 1 + i % 3
-                mode = i % 3
-                content = multimodal.synth_wav_ext(
-                    rates[i % 5], n, ch,
-                    bits=16 if mode == 0 else 24,
-                    extensible=mode != 2,
-                )
+                mode = i % 5
+                if mode == 4:
+                    content = multimodal.synth_wav_float(
+                        rates[i % 5], n, ch, bits=64
+                    )
+                else:
+                    content = multimodal.synth_wav_ext(
+                        rates[i % 5], n, ch,
+                        bits={0: 16, 1: 24, 2: 24, 3: 32}[mode],
+                        extensible=mode in (0, 1, 3),
+                    )
                 rate, gch, gbits, arr = multimodal.decode_wav_multi(content)
                 s = arr.astype(np.int64)
                 rows.append(

@@ -2882,8 +2882,8 @@ def synth_wav_ext(
     KSDATAFORMAT PCM GUID); ``False`` emits plain fmt 1."""
     import struct
 
-    if bits not in (16, 24):
-        raise ValueError("bits must be 16 or 24")
+    if bits not in (16, 24, 32):
+        raise ValueError("bits must be 16, 24 or 32")
     bavg = channels * bits // 8
     base = struct.pack(
         "<HHIIHH",
@@ -2899,10 +2899,15 @@ def synth_wav_ext(
         for c in range(channels):
             if bits == 16:
                 data += struct.pack("<h", ((i * (3 + 2 * c)) % 512) - 256)
-            else:
+            elif bits == 24:
                 k = ((i * (5 + 2 * c)) % 512) - 256
                 s24 = k * 256 + (i * 7) % 256
                 data += (s24 & 0xFFFFFF).to_bytes(3, "little")
+            else:
+                # 32-bit int: k*65536 + (i*11) %% 65536, truncation -> k
+                k = ((i * (5 + 2 * c)) % 512) - 256
+                s32 = k * 65536 + (i * 11) % 65536
+                data += struct.pack("<i", s32)
     body = (
         b"WAVEfmt " + struct.pack("<I", len(base)) + base
         + b"data" + struct.pack("<I", len(data)) + bytes(data)
@@ -2910,19 +2915,27 @@ def synth_wav_ext(
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + body
 
 
-def synth_wav_float(rate: int, n_samples: int, channels: int = 1) -> bytes:
-    """Deterministic IEEE float-32 PCM WAV (fmt 3): sample contract
-    k(i, c) = (((i * (3 + 2*c)) %% 512) - 256) * 63 stored as k/32768
-    float32 — exactly representable, so decode_wav_multi's
+def synth_wav_float(
+    rate: int, n_samples: int, channels: int = 1, bits: int = 32
+) -> bytes:
+    """Deterministic IEEE float PCM WAV (fmt 3, 32- or 64-bit): sample
+    contract k(i, c) = (((i * (3 + 2*c)) %% 512) - 256) * 63 stored as
+    k/32768 — exactly representable in both widths, so decode_wav_multi's
     clamp(rint(v*32768)) conversion recovers k integer-exactly (the
-    wav_float_stats oracle's closed form)."""
+    wav_float_stats / wav_ext_stats oracles' closed form)."""
     import struct
 
+    if bits not in (32, 64):
+        raise ValueError("bits must be 32 or 64")
+    w = bits // 8
     fmt = struct.pack(
-        "<HHIIHH", 3, channels, rate, rate * channels * 4, channels * 4, 32
+        "<HHIIHH", 3, channels, rate, rate * channels * w, channels * w, bits
     )
     data = b"".join(
-        struct.pack("<f", ((((i * (3 + 2 * c)) % 512) - 256) * 63) / 32768.0)
+        struct.pack(
+            "<f" if bits == 32 else "<d",
+            ((((i * (3 + 2 * c)) % 512) - 256) * 63) / 32768.0,
+        )
         for i in range(n_samples)
         for c in range(channels)
     )
@@ -3048,22 +3061,30 @@ def decode_wav_multi(
             )
             s24 -= (s24 & 0x800000) << 1  # two's-complement sign extend
             arr = (s24 >> 8).astype(np.int16)
+        elif bits == 32:
+            # 32-bit signed int PCM (r10): same documented high-16
+            # truncation, s32 >> 16 (arithmetic floor)
+            if len(data) % (4 * channels):
+                return None
+            arr = (np.frombuffer(data, dtype="<i4") >> 16).astype(np.int16)
         else:
-            return None  # 32-bit int PCM: out of scope
+            return None  # 12/20-bit container oddities: out of scope
         return rate, channels, bits, arr.reshape(-1, channels)
-    if audio_fmt == 3:  # IEEE float PCM
-        if bits != 32:
-            return None  # float64 WAVs: out of scope
-        if len(data) % (4 * channels):
+    if audio_fmt == 3:  # IEEE float PCM (32-bit, and float64 since r10)
+        if bits not in (32, 64):
             return None
-        f = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        if len(data) % (bits // 8 * channels):
+            return None
+        f = np.frombuffer(
+            data, dtype="<f4" if bits == 32 else "<f8"
+        ).astype(np.float64)
         if not np.isfinite(f).all():
             return None
         # [-1, 1) full-scale convention: int16 = clamp(rint(v * 32768)) —
         # synth values k/32768 (|k| <= 32767) are exact in float32, so the
         # roundtrip is integer-exact for the graded profile
         arr = np.clip(np.rint(f * 32768.0), -32768, 32767).astype(np.int16)
-        return rate, channels, 32, arr.reshape(-1, channels)
+        return rate, channels, bits, arr.reshape(-1, channels)
     if audio_fmt in (6, 7):  # G.711 A-law / mu-law
         if bits != 8:
             return None

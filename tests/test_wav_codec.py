@@ -106,9 +106,9 @@ def test_wav_multi_pcm_depths_and_channels():
     r1, s1 = mm.decode_wav_samples(w)
     r2, ch2, _b, s2 = mm.decode_wav_multi(w)
     assert r1 == r2 and ch2 == 1 and (s1 == s2[:, 0]).all()
-    # out of scope: 32-bit integer PCM (24-bit became in-scope in r10)
+    # out of scope: 20-bit container oddities (24/32-bit in-scope since r10)
     import struct
-    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 4, 4, 32)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 4, 4, 20)
     body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", 8) + bytes(8))
     deep = b"RIFF" + struct.pack("<I", 4 + len(body)) + body
@@ -353,3 +353,34 @@ def test_wav_extensible_g711_and_float_route():
     _r2, _c2, _b2, ref = mm.decode_wav_multi(inner)
     assert (rate, ch, bits) == (16000, 2, 32)
     assert (arr == ref).all()
+
+
+def test_wav_int32_and_float64_paths():
+    """r10 deep-PCM tail: 32-bit int (high-16 truncation like 24-bit) and
+    float64 (same clamp(rint) contract as float32), plain and extensible."""
+    for ext in (False, True):
+        w = mm.synth_wav_ext(8000, 300, 2, 32, extensible=ext)
+        rate, ch, bits, arr = mm.decode_wav_multi(w)
+        assert (rate, ch, bits) == (8000, 2, 32)
+        for c in range(2):
+            exp = np.array(
+                [((i * (5 + 2 * c)) % 512) - 256 for i in range(300)], np.int16
+            )
+            assert (arr[:, c] == exp).all(), (ext, c)
+    w = mm.synth_wav_float(22050, 250, 2, bits=64)
+    rate, ch, bits, arr = mm.decode_wav_multi(w)
+    assert (rate, ch, bits) == (22050, 2, 64)
+    for c in range(2):
+        exp = np.array(
+            [(((i * (3 + 2 * c)) % 512) - 256) * 63 for i in range(250)],
+            np.int16,
+        )
+        assert (arr[:, c] == exp).all(), c
+    # float64 data length not an 8-byte frame multiple -> refused
+    bad = bytearray(w)
+    pos = bytes(bad).find(b"data")
+    (dlen,) = struct.unpack("<I", bad[pos + 4 : pos + 8])
+    bad[pos + 4 : pos + 8] = struct.pack("<I", dlen - 4)
+    del bad[pos + 8 + dlen - 4 : pos + 8 + dlen]
+    bad[4:8] = struct.pack("<I", len(bad) - 8)
+    assert mm.decode_wav_multi(bytes(bad)) is None
