@@ -3455,6 +3455,160 @@ def anim_webp_blend_frac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "apng_frame_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               16 + doc_id % 8 AS w,
+               12 + (doc_id * 3) % 6 AS h,
+               2 + doc_id % 4 AS n_frames,
+               doc_id % 2 AS mode
+        FROM documents WHERE doc_id < 40
+    ),
+    sampled AS (
+        SELECT doc_id, w, h, n_frames, mode, CAST(f.i AS INT) AS frame_idx
+        FROM spec, LATERAL unnest(range(0, n_frames)) f(i)
+    ),
+    px AS (
+        SELECT doc_id, frame_idx, n_frames, mode, x.i AS x, y.i AS y,
+               CASE WHEN x.i < 16 AND y.i < 12
+                         AND (x.i // 8) + 2 * (y.i // 6) + 1 <= frame_idx
+                    THEN (x.i // 8) + 2 * (y.i // 6) + 1
+                    ELSE 0 END AS g
+        FROM sampled,
+             LATERAL unnest(range(0, w)) x(i),
+             LATERAL unnest(range(0, h)) y(i)
+    ),
+    base AS (
+        SELECT *, (x * 3 + 7 * doc_id) % 256 AS rb,
+               (y * 5 + 11 * doc_id) % 256 AS gb,
+               (x + y + 13 * doc_id) % 256 AS bb,
+               CASE WHEN mode = 0 THEN 255
+                    ELSE 40 + (x * 7 + y * 3 + doc_id) % 200 END AS ab,
+               CASE WHEN g > 0
+                    THEN 1 + (x * 7 + y * 11 + g * 13 + doc_id) % 254
+                    ELSE 0 END AS af,
+               g > 0 AND g < frame_idx AND g % 2 = 1 AS disposed
+        FROM px
+    ),
+    alg AS (
+        SELECT *, 255 * af + ab * (255 - af) AS a_num FROM base
+    ),
+    vals AS (
+        SELECT doc_id, frame_idx, n_frames,
+               CASE WHEN disposed THEN 0 WHEN g > 0 THEN
+                 (2 * (255 * ((x + 2 * g + doc_id) % 256) * af
+                       + rb * ab * (255 - af)) + a_num) // (2 * a_num)
+                 ELSE rb END AS r,
+               CASE WHEN disposed THEN 0 WHEN g > 0 THEN
+                 (2 * (255 * ((y + 3 * g + doc_id) % 256) * af
+                       + gb * ab * (255 - af)) + a_num) // (2 * a_num)
+                 ELSE gb END AS g_,
+               CASE WHEN disposed THEN 0 WHEN g > 0 THEN
+                 (2 * (255 * ((x + y + g + 5 * doc_id) % 256) * af
+                       + bb * ab * (255 - af)) + a_num) // (2 * a_num)
+                 ELSE bb END AS b,
+               CASE WHEN disposed THEN 0 WHEN g > 0
+                    THEN (2 * a_num + 255) // 510
+                    ELSE ab END AS a
+        FROM alg
+    )
+    SELECT doc_id, frame_idx,
+           CAST(min(n_frames) AS INT) AS n_frames,
+           CAST(10 * (4 + frame_idx) AS INT) AS delay_ms,
+           ((2 * CAST(sum(r) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_r,
+           ((2 * CAST(sum(g_) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_g,
+           ((2 * CAST(sum(b) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_b,
+           ((2 * CAST(sum(a) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_a
+    FROM vals GROUP BY doc_id, frame_idx
+    """,
+    doc="REAL animated-PNG (APNG) demux + compositing, graded end-to-end "
+    "(r10 — the third animated container after GIF89a and WebP; APNG is "
+    "what modern web crawls serve for stickers/emoji): per doc synth_apng "
+    "emits IHDR/acTL/fcTL/IDAT/fdAT with shared sequence numbers, a "
+    "full-canvas base frame (opaque and TRANSLUCENT modes alternate) and "
+    "blend-OVER 8x6 sub-rects on a disjoint 2x2 grid with dispose "
+    "cycling none/background; every frame's pixel stream decodes through "
+    "the real decode_png_deep zlib/unfilter path (scanline filters cycle "
+    "0/1/2). The over-operator runs exact-first then the engine-wide "
+    "declared round-half-up convention (_blend_declared — same pinning "
+    "discipline as animated WebP); the oracle restates the whole state "
+    "machine in closed form incl. the disposed-to-transparent cells and "
+    "per-frame delay_ms = 1000*num//den. Dispose-PREVIOUS and "
+    "blend-SOURCE paths are pinned by the compositor-vs-reference fuzz "
+    "in tests/test_codec_fuzz.py.",
+    tags=("ingest", "multimodal"),
+)
+def apng_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 40)
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w_px, h_px = 16 + i % 8, 12 + (i * 3) % 6
+                n = 2 + i % 4
+                mode = i % 2
+                content = multimodal.synth_apng(
+                    w_px, h_px, n,
+                    base_pixel=lambda x, y, i=i, mode=mode: (
+                        (x * 3 + 7 * i) % 256, (y * 5 + 11 * i) % 256,
+                        (x + y + 13 * i) % 256,
+                        255 if mode == 0 else 40 + (x * 7 + y * 3 + i) % 200,
+                    ),
+                    rect_pixel=lambda f, x, y, i=i: (
+                        (x + 2 * f + i) % 256, (y + 3 * f + i) % 256,
+                        (x + y + f + 5 * i) % 256,
+                        1 + (x * 7 + y * 11 + f * 13 + i) % 254,
+                    ),
+                    dispose=lambda f: 0 if f == 0 else f % 2,
+                    blend=lambda f: 0 if f == 0 else 1,
+                )
+                dec = multimodal.decode_apng_composited(content)
+                cw, ch_, nf, frames = dec
+                for fidx, (delay_ms, raw) in enumerate(frames):
+                    arr = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 4)
+                    sums = arr.sum(axis=0, dtype=np.int64)
+                    rows.append(
+                        (i, fidx, nf, delay_ms, int(sums[0]), int(sums[1]),
+                         int(sums[2]), int(sums[3]), cw * ch_)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "n_frames", "delay_ms",
+                         "rsum", "gsum", "bsum", "asum", "npx"],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, frame_idx int, n_frames int, delay_ms int, "
+        "rsum long, gsum long, bsum long, asum long, npx long",
+    )
+    return out.select(
+        "doc_id", "frame_idx", "n_frames", "delay_ms",
+        _half_up_mean("rsum", "npx").alias("mean_r"),
+        _half_up_mean("gsum", "npx").alias("mean_g"),
+        _half_up_mean("bsum", "npx").alias("mean_b"),
+        _half_up_mean("asum", "npx").alias("mean_a"),
+    )
+
+
+@register(
     "anim_gif_frame_stats",
     oracle="""
     WITH spec AS (

@@ -995,6 +995,215 @@ def synth_jpeg_exif(
     return base[:2] + app1 + base[2:]
 
 
+def _png_filtered_idat(rgba: bytes, w: int, h: int, bpp: int = 4) -> bytes:
+    """RGBA (or bpp-byte) rows -> zlib IDAT stream with scanline filters
+    cycling 0/1/2 by row (same rigor as synth_png_full: decode must really
+    unfilter, not just inflate)."""
+    import zlib
+
+    stride = w * bpp
+    rows = []
+    prev = bytes(stride)
+    for y in range(h):
+        raw = rgba[y * stride : (y + 1) * stride]
+        f = y % 3
+        if f == 0:
+            filtered = raw
+        elif f == 1:  # Sub
+            filtered = bytes(
+                (raw[i] - (raw[i - bpp] if i >= bpp else 0)) % 256
+                for i in range(stride)
+            )
+        else:  # Up
+            filtered = bytes((raw[i] - prev[i]) % 256 for i in range(stride))
+        rows.append(bytes([f]) + filtered)
+        prev = raw
+    return zlib.compress(b"".join(rows))
+
+
+def synth_apng(
+    width: int,
+    height: int,
+    n_frames: int,
+    base_pixel=None,
+    rect_pixel=None,
+    dispose=None,
+    blend=None,
+) -> bytes:
+    """Deterministic COMPLETE animated PNG (APNG, the third member of the
+    animated trio after GIF89a and WebP): IHDR (RGBA-8) + acTL + frame 0
+    as fcTL + IDAT (full canvas, ``base_pixel(x, y)``) + frames f >= 1 as
+    fcTL + fdAT 8x6 sub-rects on the DISJOINT 2x2 grid cell f-1 at
+    (8*((f-1) %% 2), 6*(((f-1) // 2) %% 2)) carrying CANVAS-absolute
+    ``rect_pixel(f, x, y)``.  ``dispose(f)`` / ``blend(f)`` pick each
+    frame's APNG_DISPOSE_OP (0 none / 1 background / 2 previous) and
+    APNG_BLEND_OP (0 source / 1 over); defaults: frame 0 (0, 0), later
+    frames OVER with dispose cycling none/background.  Delay is
+    (4 + f)/100 s.  fcTL/fdAT sequence numbers share one counter per the
+    spec; scanline filters cycle 0/1/2.  Needs width >= 16, height >= 12,
+    n_frames <= 5.  Byte-packing per the public APNG spec (now PNG third
+    edition), independent of decode_apng_composited."""
+    import struct
+
+    if width < 16 or height < 12 or n_frames > 5:
+        raise ValueError("apng profile needs a 16x12 canvas and <= 5 frames")
+    bp = base_pixel or (
+        lambda x, y: ((x * 3) % 256, (y * 5) % 256, (x + y) % 256, 255)
+    )
+    rp = rect_pixel or (
+        lambda f, x, y: ((x + 2 * f) % 256, (y + 3 * f) % 256,
+                         (x + y + f) % 256, 1 + (x * 7 + y * 11 + f) % 254)
+    )
+    dis = dispose or (lambda f: 0 if f == 0 else (f % 2))
+    bl = blend or (lambda f: 0 if f == 0 else 1)
+    ihdr = struct.pack(">II5B", width, height, 8, 6, 0, 0, 0)
+    out = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+    out += _png_chunk(b"acTL", struct.pack(">II", n_frames, 0))
+    seq = 0
+    for f in range(n_frames):
+        if f == 0:
+            fx = fy = 0
+            fw, fh = width, height
+            rgba = bytes(v for y in range(fh) for x in range(fw) for v in bp(x, y))
+        else:
+            fx, fy = 8 * ((f - 1) % 2), 6 * (((f - 1) // 2) % 2)
+            fw, fh = 8, 6
+            rgba = bytes(
+                v
+                for y in range(fy, fy + fh)
+                for x in range(fx, fx + fw)
+                for v in rp(f, x, y)
+            )
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, fw, fh, fx, fy, 4 + f, 100, dis(f), bl(f)
+        )
+        out += _png_chunk(b"fcTL", fctl)
+        seq += 1
+        stream = _png_filtered_idat(rgba, fw, fh)
+        if f == 0:
+            out += _png_chunk(b"IDAT", stream)
+        else:
+            out += _png_chunk(b"fdAT", struct.pack(">I", seq) + stream)
+            seq += 1
+    return out + _png_chunk(b"IEND", b"")
+
+
+def decode_apng_composited(
+    content: bytes,
+) -> "tuple[int, int, int, list[tuple[int, bytes]]] | None":
+    """Animated-PNG COMPOSITING — the full APNG canvas state machine:
+    transparent-black initial canvas; per frame, APNG_BLEND_OP_SOURCE
+    (rect overwrite) or _OVER (the standard alpha-over — the SAME rational
+    formula as the WebP container, evaluated exactly via _blend_exact and
+    falling back to the engine-wide DECLARED round-half-up convention,
+    _blend_declared, where fractional: the APNG spec states the operator
+    in real arithmetic and leaves integer rounding implementation-defined,
+    same situation as WebP); after the snapshot, APNG_DISPOSE_OP none /
+    background (rect -> transparent black) / previous (rect -> its content
+    before the frame rendered; frame 0's 'previous' degrades to
+    'background' per the spec).  Each frame's pixel data is reassembled
+    into a standalone PNG and decoded through decode_png_deep, so every
+    filter/zlib path is the real one.  Returns (canvas_w, canvas_h,
+    n_frames, [(delay_ms, canvas_rgba)...]) with delay_ms =
+    (1000 * delay_num) // delay_den (den 0 -> 100 per spec), snapshots
+    taken after render, before disposal.  None on: missing/short acTL or
+    fcTL, out-of-order sequence numbers, frame count mismatch, rects
+    outside the canvas, non-RGBA-8 animations (scope: the color type the
+    graded profile emits; stills decode via decode_png_deep), or any
+    frame whose PNG stream fails to decode."""
+    import struct
+
+    import numpy as np
+
+    if content[:8] != _PNG_MAGIC:
+        return None
+    pos = 8
+    ihdr_data = None
+    n_declared = None
+    frames: "list[dict]" = []  # {'fctl':..., 'data': bytearray}
+    expect_seq = 0
+    saw_idat_fctl = False
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            return None
+        if ctype == b"IHDR":
+            ihdr_data = data
+        elif ctype == b"acTL":
+            if length < 8:
+                return None
+            n_declared = struct.unpack(">I", data[:4])[0]
+        elif ctype == b"fcTL":
+            if length != 26:
+                return None
+            f = struct.unpack(">IIIIIHHBB", data)
+            if f[0] != expect_seq:
+                return None  # sequence numbers must be contiguous from 0
+            expect_seq += 1
+            frames.append({"fctl": f, "data": bytearray()})
+            if not frames[:-1]:
+                saw_idat_fctl = True
+        elif ctype == b"IDAT":
+            if frames and saw_idat_fctl and len(frames) == 1:
+                frames[0]["data"] += data
+            # IDAT without a preceding fcTL: still image only, not a frame
+        elif ctype == b"fdAT":
+            if length < 4 or not frames:
+                return None
+            if struct.unpack(">I", data[:4])[0] != expect_seq:
+                return None
+            expect_seq += 1
+            frames[-1]["data"] += data[4:]
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr_data is None or n_declared is None or len(frames) != n_declared:
+        return None
+    width, height, depth, color_type = struct.unpack(">II2B", ihdr_data[:10])
+    if depth != 8 or color_type != 6:
+        return None  # animation scope: RGBA-8 (the profile synth emits)
+    canvas = np.zeros((height, width, 4), dtype=np.uint8)
+    out: "list[tuple[int, bytes]]" = []
+    for fi, fr in enumerate(frames):
+        _seq, fw, fh, fx, fy, dnum, dden, dispose_op, blend_op = fr["fctl"]
+        if fx + fw > width or fy + fh > height or not fr["data"]:
+            return None
+        if dispose_op > 2 or blend_op > 1:
+            return None
+        sub_png = (
+            _PNG_MAGIC
+            + _png_chunk(b"IHDR", struct.pack(">II5B", fw, fh, 8, 6, 0, 0, 0))
+            + _png_chunk(b"IDAT", bytes(fr["data"]))
+            + _png_chunk(b"IEND", b"")
+        )
+        dec = decode_png_deep(sub_png)
+        if dec is None or dec[0] != fw or dec[1] != fh or dec[2] != 4:
+            return None
+        arr = np.frombuffer(dec[4], dtype=np.uint8).reshape(fh, fw, 4)
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        if dispose_op == 2:
+            if fi == 0:
+                dispose_op = 1  # frame 0 'previous' -> 'background' per spec
+            else:
+                saved = region.copy()
+        if blend_op == 1:
+            blended = _blend_exact(region, arr)
+            if blended is None:
+                blended = _blend_declared(region, arr)
+            canvas[fy : fy + fh, fx : fx + fw] = blended
+        else:
+            canvas[fy : fy + fh, fx : fx + fw] = arr
+        delay_ms = (1000 * dnum) // (dden or 100)
+        out.append((delay_ms, canvas.tobytes()))
+        if dispose_op == 1:
+            canvas[fy : fy + fh, fx : fx + fw] = 0
+        elif dispose_op == 2:
+            canvas[fy : fy + fh, fx : fx + fw] = saved
+    return width, height, len(out), out
+
+
 def synth_png_exif(
     orientation: int,
     lat_ref: str,

