@@ -3455,6 +3455,126 @@ def anim_webp_blend_frac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "png_trns_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               8 + doc_id % 21 AS w,
+               6 + (doc_id * 3) % 17 AS h,
+               CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                    WHEN 2 THEN 4 ELSE 8 END AS depth,
+               CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 4
+                    WHEN 2 THEN 16 ELSE 256 END AS npal
+        FROM documents WHERE doc_id < 80
+    ),
+    spec2 AS (
+        SELECT *, 1 + doc_id % 9 AS want_trns,
+               CASE WHEN 1 + doc_id % 9 < npal
+                    THEN 1 + doc_id % 9 ELSE npal END AS n_trns
+        FROM spec
+    ),
+    px AS (
+        SELECT doc_id, w, h, depth, n_trns, x.i AS x, y.i AS y,
+               (x.i + 2 * y.i) % npal AS pi
+        FROM spec2,
+             LATERAL unnest(range(0, w)) x(i),
+             LATERAL unnest(range(0, h)) y(i)
+    ),
+    vals AS (
+        SELECT doc_id, w, h, depth, n_trns, x, y,
+               pi AS r, (3 * pi) % 256 AS g, (7 * pi) % 256 AS b,
+               CASE WHEN pi < n_trns THEN (37 * pi + doc_id) % 256
+                    ELSE 255 END AS a
+        FROM px
+    )
+    SELECT doc_id,
+           CAST(min(w) AS INT) AS width,
+           CAST(min(h) AS INT) AS height,
+           CAST(depth AS INT) AS depth,
+           CAST(n_trns AS INT) AS n_trns,
+           ((2 * CAST(sum(r) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_r,
+           ((2 * CAST(sum(g) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_g,
+           ((2 * CAST(sum(b) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_b,
+           ((2 * CAST(sum(a) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_a,
+           CAST(sum(((y * w + x) % 97 + 1) * a) AS BIGINT) AS wsum_a
+    FROM vals GROUP BY doc_id, depth, n_trns
+    """,
+    doc="Palette-PNG tRNS transparency, graded (r10 — closing "
+    "decode_png_deep's last honest PNG gate: web palette PNGs routinely "
+    "carry per-entry alpha): docs cycle packed depths 1/2/4/8 and "
+    "ADAM7 interlacing with a tRNS table of varying length; the decoder "
+    "maps index -> (PLTE rgb, tRNS alpha, entries beyond the table "
+    "opaque per the spec) into 4-channel RGBA. The oracle regenerates "
+    "every sample from the index contract, and the position-weighted "
+    "wsum_a flips on any interlace-reassembly or table-boundary bug the "
+    "means cannot see.",
+    tags=("ingest", "multimodal"),
+)
+def png_trns_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 80)
+    )
+    depths = (1, 2, 4, 8)
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w_px, h_px = 8 + i % 21, 6 + (i * 3) % 17
+                depth = depths[i % 4]
+                n_trns = min(1 << depth, 1 + i % 9)
+                content = multimodal.synth_png_trns(
+                    w_px, h_px, depth, n_trns,
+                    interlaced=i % 2 == 1,
+                    alpha=lambda j, i=i: (37 * j + i) % 256,
+                )
+                width, height, nch, raw = multimodal.decode_png(content)
+                arr = np.frombuffer(raw, dtype=np.uint8).reshape(-1, nch)
+                s = arr.astype(np.int64)
+                wt = (np.arange(width * height, dtype=np.int64) % 97) + 1
+                rows.append(
+                    (
+                        i, width, height, depth, n_trns,
+                        int(s[:, 0].sum()), int(s[:, 1].sum()),
+                        int(s[:, 2].sum()), int(s[:, 3].sum()),
+                        width * height, int((wt * s[:, 3]).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "depth", "n_trns",
+                         "rsum", "gsum", "bsum", "asum", "npx", "wsum_a"],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, width int, height int, depth int, n_trns int, "
+        "rsum long, gsum long, bsum long, asum long, npx long, wsum_a long",
+    )
+    return out.select(
+        "doc_id", "width", "height", "depth", "n_trns",
+        _half_up_mean("rsum", "npx").alias("mean_r"),
+        _half_up_mean("gsum", "npx").alias("mean_g"),
+        _half_up_mean("bsum", "npx").alias("mean_b"),
+        _half_up_mean("asum", "npx").alias("mean_a"),
+        "wsum_a",
+    )
+
+
+@register(
     "apng_frame_stats",
     oracle="""
     WITH spec AS (

@@ -573,6 +573,28 @@ def synth_png_ext(
     )
 
 
+def synth_png_trns(
+    width: int,
+    height: int,
+    depth: int = 8,
+    n_trns: int = 4,
+    interlaced: bool = False,
+    alpha=None,
+) -> bytes:
+    """Deterministic palette PNG WITH transparency (r10): synth_png_ext's
+    type-3 output with a tRNS chunk spliced between PLTE and IDAT.
+    ``alpha(i)`` gives the table entry for palette index i < ``n_trns``
+    (default (37*i + 11) %% 256); indices >= n_trns are fully opaque per
+    the spec.  Same index/palette contracts as synth_png_ext."""
+    if not 1 <= n_trns <= (1 << depth):
+        raise ValueError("n_trns must fit the palette")
+    av = alpha or (lambda i: (37 * i + 11) % 256)
+    base = synth_png_ext(width, height, 3, depth, interlaced)
+    idat = base.find(b"IDAT") - 4
+    trns = _png_chunk(b"tRNS", bytes(av(i) % 256 for i in range(n_trns)))
+    return base[:idat] + trns + base[idat:]
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     """Paeth predictor (PNG 1.2 §6.6): the neighbor closest to a + b - c."""
     p = a + b - c
@@ -675,9 +697,10 @@ def decode_png_deep(
     sub-image scattered onto the output grid.  All five scanline filters
     (None/Sub/Up/Average/Paeth).  Returns (width, height, channels,
     bits_per_sample, raw_samples) row-major, or None outside scope —
-    no IDAT (header-only fixtures), palette with tRNS transparency
-    (honest fallback: output is opaque), sub-byte GRAY depths, or a
-    corrupt stream — so callers fall back to the stub path."""
+    no IDAT (header-only fixtures), or a corrupt stream — so callers
+    fall back to the stub path.  Palette transparency (tRNS, r10) maps
+    to 4-channel RGBA: alpha = tRNS[index], entries beyond the table
+    fully opaque per the spec."""
     import struct
     import zlib
 
@@ -727,9 +750,8 @@ def decode_png_deep(
             # gray[0] downstream would IndexError in the executor — honor the
             # documented None-fallback contract for degenerate geometry too
             return None
-        if color_type == 3 and (plte is None or trns is not None):
-            return None  # no palette, or transparency this opaque output
-            # contract cannot represent
+        if color_type == 3 and plte is None:
+            return None  # palette image without a palette
         stream = zlib.decompress(idat)
     except (zlib.error, struct.error):
         return None
@@ -775,6 +797,17 @@ def decode_png_deep(
         idx = img[:, :, 0]
         if int(idx.max()) >= len(palette):
             return None
+        if trns is not None:
+            # tRNS (r10): per-entry alpha, entries beyond the table are
+            # fully opaque per the spec -> 4-channel RGBA output
+            if len(trns) > len(palette):
+                return None
+            alpha = np.full(len(palette), 255, dtype=np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            rgba = np.concatenate(
+                [palette[idx], alpha[idx][:, :, None]], axis=2
+            )
+            return width, height, 4, 8, rgba.tobytes()
         return width, height, 3, 8, palette[idx].tobytes()
     return width, height, channels, depth, img.tobytes()  # gray sub-byte:
     # raw d-bit values (bits column tells the caller the scale)

@@ -880,3 +880,29 @@ def test_fuzz_apng_survives_bit_flips(seed, nflip):
         base[rnd.randrange(len(base))] ^= 1 << rnd.randrange(8)
     out = mm.decode_apng_composited(bytes(base))
     assert out is None or (isinstance(out, tuple) and len(out) == 4)
+
+
+@_fuzz
+@given(
+    w=_dim, h=_dim,
+    depth=st.sampled_from([1, 2, 4, 8]),
+    n_trns=st.integers(min_value=1, max_value=9),
+    interlaced=st.booleans(),
+    a0=st.integers(min_value=0, max_value=255),
+)
+def test_fuzz_png_trns_geometry(w, h, depth, n_trns, interlaced, a0):
+    """r10 palette transparency across random geometry/depth/interlace:
+    alpha = tRNS[index] inside the table, 255 beyond it."""
+    n_trns = min(n_trns, 1 << depth)
+    av = lambda i: (a0 + 53 * i) % 256
+    content = mm.synth_png_trns(w, h, depth, n_trns, interlaced, alpha=av)
+    got = mm.decode_png(content)
+    assert got is not None
+    gw, gh, ch, raw = got
+    assert (gw, gh, ch) == (w, h, 4)
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 4)
+    for y in range(h):
+        for x in range(w):
+            i = (x + 2 * y) % (1 << depth)
+            a = av(i) if i < n_trns else 255
+            assert tuple(arr[y, x]) == (i, (3 * i) % 256, (7 * i) % 256, a)

@@ -178,12 +178,28 @@ def test_png_palette_depths_roundtrip():
             for x in range(19):
                 i = (x + 2 * y) % (1 << depth)
                 assert tuple(arr[y, x]) == (i, (3 * i) % 256, (7 * i) % 256)
-    # palette with tRNS: honest None (opaque output cannot represent it)
-    base = mm.synth_png_ext(8, 8, 3, 8)
-    iend = base.rfind(b"IEND") - 4
-    trns = mm._png_chunk(b"tRNS", bytes([0]))
-    patched = base[:iend] + trns + base[iend:]
-    assert mm.decode_png_deep(patched) is None
+    # palette with tRNS maps to RGBA since r10: alpha = tRNS[index],
+    # entries beyond the table fully opaque per the spec
+    import numpy as np
+    for depth in (1, 2, 4, 8):
+        for interlaced in (False, True):
+            n_trns = min(1 << depth, 3)
+            p4 = mm.synth_png_trns(19, 13, depth, n_trns, interlaced)
+            got = mm.decode_png(p4)
+            assert got is not None and got[:3] == (19, 13, 4)
+            arr = np.frombuffer(got[3], np.uint8).reshape(13, 19, 4)
+            for y in range(13):
+                for x in range(19):
+                    i = (x + 2 * y) % (1 << depth)
+                    a = (37 * i + 11) % 256 if i < n_trns else 255
+                    assert tuple(arr[y, x]) == (
+                        i, (3 * i) % 256, (7 * i) % 256, a
+                    ), (depth, interlaced, x, y)
+    # tRNS longer than the palette: refuse
+    base = mm.synth_png_ext(8, 8, 3, 1)  # 2-entry palette
+    idat = base.find(b"IDAT") - 4
+    trns = mm._png_chunk(b"tRNS", bytes([0, 1, 2]))
+    assert mm.decode_png_deep(base[:idat] + trns + base[idat:]) is None
     # index beyond the palette: None
     small = mm.synth_png_ext(8, 8, 3, 8)
     # depth-8 palette has 256 entries so indices always fit; build a 4-entry
