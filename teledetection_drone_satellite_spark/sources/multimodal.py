@@ -809,6 +809,25 @@ def decode_png_deep(
             )
             return width, height, 4, 8, rgba.tobytes()
         return width, height, 3, 8, palette[idx].tobytes()
+    if trns is not None and color_type in (0, 2):
+        # tRNS color-key (r10): one 16-bit value per channel names the
+        # single fully-transparent sample color (PNG 1.2 §4.2.1; for
+        # depth < 16 only the low byte is significant). Output grows an
+        # alpha channel: 0 where every channel matches the key, else max.
+        import struct as _struct
+
+        if len(trns) != 2 * channels:
+            return None
+        key = _struct.unpack(f">{channels}H", trns)
+        if depth < 16 and any(k > (1 << depth) - 1 for k in key):
+            return None  # key outside the sample range
+        opaque = 255 if depth != 16 else 65535
+        keyarr = np.array(key, dtype=img.dtype)
+        alpha = np.where(
+            (img == keyarr).all(axis=2), 0, opaque
+        ).astype(img.dtype)[:, :, None]
+        img = np.concatenate([img, alpha], axis=2)
+        return width, height, channels + 1, depth, img.tobytes()
     return width, height, channels, depth, img.tobytes()  # gray sub-byte:
     # raw d-bit values (bits column tells the caller the scale)
 

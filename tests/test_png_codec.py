@@ -261,3 +261,44 @@ def test_16bit_rasters_reach_the_real_feature_path():
     gray_t = mm._png_gray_pixels(t16)
     assert gray_t is not None
     assert gray_t[y * 16 + x] == ((x * 257 + y * 13) % 65536) >> 8
+
+
+def test_png_trns_color_key_gray_and_rgb():
+    """r10 tRNS color-key (types 0/2): one 16-bit value per channel names
+    the single transparent color; output grows an alpha channel (0 on
+    match, full-scale elsewhere).  Malformed/out-of-range keys refuse."""
+    import struct
+
+    import numpy as np
+
+    def splice(base, payload):
+        idat = base.find(b"IDAT") - 4
+        return base[:idat] + mm._png_chunk(b"tRNS", payload) + base[idat:]
+
+    # gray-8, key 5
+    got = mm.decode_png_deep(
+        splice(mm.synth_png_ext(19, 13, 0, 8), struct.pack(">H", 5))
+    )
+    assert got is not None and got[:4] == (19, 13, 2, 8)
+    arr = np.frombuffer(got[4], np.uint8).reshape(13, 19, 2)
+    for y in range(13):
+        for x in range(19):
+            assert tuple(arr[y, x]) == (x % 256, 0 if x % 256 == 5 else 255)
+    # RGB-16, key = pixel (1, 0)'s color
+    base = mm.synth_png_ext(9, 7, 2, 16)
+    key = (301, 301, 157)
+    got = mm.decode_png_deep(splice(base, struct.pack(">3H", *key)))
+    assert got[:4] == (9, 7, 4, 16)
+    arr = np.frombuffer(got[4], "<u2").reshape(7, 9, 4)
+    for y in range(7):
+        for x in range(9):
+            px = ((x * 301 + y) % 65536, (y * 301 + x) % 65536,
+                  ((x + y) * 157) % 65536)
+            assert tuple(arr[y, x]) == px + (0 if px == key else 65535,)
+    # sub-byte gray with in-range key; out-of-range refused
+    base2 = mm.synth_png_ext(10, 6, 0, 2)
+    got = mm.decode_png_deep(splice(base2, struct.pack(">H", 2)))
+    assert got[:4] == (10, 6, 2, 2)
+    assert mm.decode_png_deep(splice(base2, struct.pack(">H", 9))) is None
+    # wrong tRNS length refused
+    assert mm.decode_png_deep(splice(base, b"\x00")) is None
