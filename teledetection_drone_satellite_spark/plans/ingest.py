@@ -1167,7 +1167,7 @@ def bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                9 + doc_id % 24 AS w,
                7 + (doc_id * 3) % 18 AS h,
-               doc_id % 5 AS mode
+               doc_id % 6 AS mode
         FROM documents WHERE doc_id < 100
     ),
     px AS (
@@ -1176,6 +1176,7 @@ def bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN 3 THEN (x.i + 2 * y.i) % 16
                     WHEN 4 THEN CASE WHEN x.i % 2 = 0 THEN (3 * y.i) % 16
                                      ELSE (3 * y.i + 7) % 16 END
+                    WHEN 5 THEN (x.i + y.i) % 2
                     ELSE 0 END AS pi
         FROM spec,
              LATERAL unnest(range(0, w)) x(i),
@@ -1228,7 +1229,9 @@ def bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "v8 = (2*v*255 + m) // (2*m), which the oracle states verbatim — a "
     "bit-replication decoder differs on 6-bit green; the "
     "position-weighted wsum_r (same device as bmp_pixel_stats) flips on "
-    "any orientation or nibble-order bug the means cannot see.",
+    "any orientation or nibble-order bug the means cannot see. Mode 5 "
+    "adds 1-bit monochrome (MSB-first bit rows through a 2-entry "
+    "palette — the fax/mask/scan shape).",
     tags=("ingest", "multimodal"),
 )
 def bmp_ext_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1242,7 +1245,7 @@ def bmp_ext_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .filter(F.col("doc_id") < 100)
     )
-    modes = ("bf565", "r555", "bf8888", "pal4", "rle4")
+    modes = ("bf565", "r555", "bf8888", "pal4", "rle4", "pal1")
 
     # same no-fan_out rationale as _docs_as_assets: light per-row Python
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -1251,7 +1254,7 @@ def bmp_ext_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in pdf["doc_id"]:
                 i = int(i)
                 w_px, h_px = 9 + i % 24, 7 + (i * 3) % 18
-                mode = i % 5
+                mode = i % 6
                 content = multimodal.synth_bmp(
                     w_px, h_px, modes[mode],
                     top_down=(i % 2 == 1 and mode != 4),

@@ -77,6 +77,14 @@ def _digest(content: bytes) -> bytes:
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 # PNG color type -> samples per pixel (palette counts as 1: one index sample).
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Decoder resource guard (r10): refuse canvases beyond 2^26 pixels (256 MB
+# RGBA) BEFORE allocating — header dimension fields are attacker-controlled
+# (a few flipped bits in a 32-bit height would otherwise ask numpy for
+# gigabytes; found by the bit-flip fuzz tier as intermittent multi-minute
+# hangs). Legitimate assets in this engine's profile are orders of
+# magnitude below the cap; beyond it the None fallback applies.
+_MAX_CANVAS_PIXELS = 1 << 26
 # JPEG SOF markers that carry frame dimensions: C0-C3, C5-C7, C9-CB, CD-CF
 # (C4=DHT, C8=JPG extension, CC=DAC are not frame headers).
 _JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
@@ -752,6 +760,8 @@ def decode_png_deep(
             return None
         if color_type == 3 and plte is None:
             return None  # palette image without a palette
+        if width * height > _MAX_CANVAS_PIXELS:
+            return None  # resource guard: dims are attacker-controlled
         stream = zlib.decompress(idat)
     except (zlib.error, struct.error):
         return None
@@ -1216,6 +1226,8 @@ def decode_apng_composited(
     width, height, depth, color_type = struct.unpack(">II2B", ihdr_data[:10])
     if depth != 8 or color_type != 6:
         return None  # animation scope: RGBA-8 (the profile synth emits)
+    if not width or not height or width * height > _MAX_CANVAS_PIXELS:
+        return None  # resource guard: dims are attacker-controlled
     canvas = np.zeros((height, width, 4), dtype=np.uint8)
     out: "list[tuple[int, bytes]]" = []
     for fi, fr in enumerate(frames):
@@ -1637,6 +1649,8 @@ def decode_gif_anim_composited(
     if gct is None or bg_index >= len(gct) // 3:
         return None
     bg_rgb = np.frombuffer(gct, dtype=np.uint8).reshape(-1, 3)[bg_index]
+    if screen_w * screen_h > _MAX_CANVAS_PIXELS:
+        return None  # resource guard: dims are attacker-controlled
     canvas = np.broadcast_to(bg_rgb, (screen_h, screen_w, 3)).copy()
     out: "list[tuple[int, bytes]]" = []
     for left, top, w, h, indices, palette, disposal, transparent, delay in frames:
@@ -1861,6 +1875,8 @@ def decode_bmp(content: bytes) -> "tuple[int, int, int, bytes] | None":
         return None
     top_down = height < 0
     height = abs(height)
+    if width * height > _MAX_CANVAS_PIXELS:
+        return None  # resource guard: dims are attacker-controlled
     if bpp == 32 and compression == 0:
         stride = width * 4
         if data_off + stride * height > len(content):
@@ -1935,24 +1951,28 @@ def decode_bmp(content: bytes) -> "tuple[int, int, int, bytes] | None":
         if not top_down:
             out = out[::-1]
         return width, height, out.shape[2], np.ascontiguousarray(out).tobytes()
-    if bpp == 4 and compression in (0, 2):
-        n_pal = n_colors or 16
+    if (bpp == 4 and compression in (0, 2)) or (bpp == 1 and compression == 0):
+        n_pal = n_colors or (1 << bpp)
         pal_off = 14 + hdr_size
         pal = content[pal_off : pal_off + 4 * n_pal]
         if len(pal) < 4 * n_pal:
             return None
         palette = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 4)[:, :3][:, ::-1]
         if compression == 0:
-            stride = ((width + 1) // 2 + 3) & ~3
+            stride = ((width * bpp + 7) // 8 + 3) & ~3
             if data_off + stride * height > len(content):
                 return None
             packed = np.frombuffer(
                 content[data_off : data_off + stride * height], dtype=np.uint8
             ).reshape(height, stride)
-            nibs = np.empty((height, stride * 2), dtype=np.uint8)
-            nibs[:, 0::2] = packed >> 4  # high nibble first, per spec
-            nibs[:, 1::2] = packed & 0xF
-            idx = nibs[:, :width]
+            if bpp == 1:
+                # 1-bit monochrome (r10, the mask/scan shape): MSB first
+                idx = np.unpackbits(packed, axis=1)[:, :width]
+            else:
+                nibs = np.empty((height, stride * 2), dtype=np.uint8)
+                nibs[:, 0::2] = packed >> 4  # high nibble first, per spec
+                nibs[:, 1::2] = packed & 0xF
+                idx = nibs[:, :width]
         else:  # BI_RLE4 (always bottom-up per spec)
             if top_down:
                 return None
@@ -2166,6 +2186,27 @@ def synth_bmp(
         pal = b""
         bpp, comp = 32, 3
         # masks live INSIDE the 56-byte V3 header (written below)
+    elif mode == "pal1":
+        # 1-bit monochrome: bit(x, y) = (x + y) & 1 through a 2-entry
+        # palette ((17i, 29i, 11i) like the other small-palette modes)
+        pal = bytes(
+            v for i in range(2)
+            for v in ((11 * i) % 256, (29 * i) % 256, (17 * i) % 256, 0)
+        )
+        stride = ((width + 7) // 8 + 3) & ~3
+        rows = []
+        for y in range(height):
+            bits = [(x + y) & 1 for x in range(width)]
+            bits += [0] * (-len(bits) % 8)
+            row = bytes(
+                int("".join(map(str, bits[i : i + 8])), 2)
+                for i in range(0, len(bits), 8)
+            )
+            rows.append(row + bytes(stride - len(row)))
+        if not top_down:
+            rows.reverse()
+        pixel = b"".join(rows)
+        bpp, comp = 1, 0
     elif mode in ("pal4", "rle4"):
         pal = bytes(
             v
@@ -2274,6 +2315,8 @@ def synth_bmp(
         n_colors = 256
     elif mode in ("pal4", "rle4"):
         n_colors = 16
+    elif mode == "pal1":
+        n_colors = 2
     info = (
         hdr_size.to_bytes(4, "little")
         + width.to_bytes(4, "little")
@@ -2659,6 +2702,8 @@ def decode_webp_anim_composited(
     if walked is None:
         return None
     canvas_w, canvas_h, bg, recs = walked
+    if canvas_w * canvas_h > _MAX_CANVAS_PIXELS:
+        return None  # resource guard: dims are attacker-controlled
     canvas = np.zeros((canvas_h, canvas_w, 4), dtype=np.uint8)
     out: "list[tuple[int, bytes]]" = []
     for fx, fy, fw, fh, dur, flags, standalone in recs:
