@@ -2084,7 +2084,23 @@ def decode_bmp(content: bytes) -> "tuple[int, int, int, bytes] | None":
         if not top_down or compression == 1:
             rgb = rgb[::-1]
         return width, height, 3, np.ascontiguousarray(rgb).tobytes()
-    return None  # 1/2-bit, BI_JPEG/BI_PNG embeddings: out of scope
+    if compression in (4, 5):  # BI_JPEG / BI_PNG: an embedded stream
+        # (r10): biSizeImage bytes at the data offset are a complete
+        # JPEG/PNG file; decode through the real codec and check the
+        # declared DIB geometry matches (mismatch -> refuse). Top-down
+        # per the de-facto convention for embedded streams.
+        size_image = int.from_bytes(content[34:38], "little")
+        blob = content[data_off : data_off + (size_image or len(content) - data_off)]
+        if compression == 4:
+            from . import jpeg as _jpeg
+
+            got = _jpeg.decode_jpeg(blob)
+        else:
+            got = decode_png(blob)
+        if got is None or got[0] != width or got[1] != height:
+            return None
+        return got
+    return None  # 1/2-bit RLE, BITMAPCORE: out of scope
 
 
 def synth_bmp(

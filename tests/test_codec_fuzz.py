@@ -956,3 +956,37 @@ def test_decoders_refuse_giant_declared_dimensions():
     gif[8:10] = struct.pack("<H", 60000)
     assert mm.decode_gif_anim_composited(bytes(gif)) is None
     assert time.time() - t0 < 5.0, "guards must refuse without allocating"
+
+
+def test_bmp_embedded_jpeg_and_png_streams():
+    """r10 BI_JPEG/BI_PNG (compression 4/5): the DIB wraps a complete
+    JPEG/PNG file at the data offset; decode rides the real codecs and the
+    declared geometry must match the embedded stream's."""
+    import numpy as np
+
+    from teledetection_drone_satellite_spark.sources import jpeg as jc
+
+    def wrap(blob, w, h, comp):
+        data_off = 14 + 40
+        info = (
+            (40).to_bytes(4, "little") + w.to_bytes(4, "little")
+            + h.to_bytes(4, "little") + (1).to_bytes(2, "little")
+            + (0).to_bytes(2, "little") + comp.to_bytes(4, "little")
+            + len(blob).to_bytes(4, "little") + bytes(16)
+        )
+        return (b"BM" + (data_off + len(blob)).to_bytes(4, "little")
+                + bytes(4) + data_off.to_bytes(4, "little") + info + blob)
+
+    png = mm.synth_png_full(17, 11, 2)
+    got = mm.decode_bmp(wrap(png, 17, 11, 5))
+    assert got is not None and got[:3] == (17, 11, 3)
+    arr = np.frombuffer(got[3], np.uint8).reshape(11, 17, 3)
+    for y in range(11):
+        for x in range(17):
+            assert tuple(arr[y, x]) == (x, y, x + y)
+    jp = jc.synth_jpeg_gray_full(24, 16, lambda bx, by: (40 + 16 * bx + 9 * by) % 256)
+    assert mm.decode_bmp(wrap(jp, 24, 16, 4)) == jc.decode_jpeg(jp)
+    # declared-geometry mismatch and garbage streams refuse
+    assert mm.decode_bmp(wrap(png, 18, 11, 5)) is None
+    assert mm.decode_bmp(wrap(b"garbage", 5, 5, 5)) is None
+    assert mm.decode_bmp(wrap(jp, 24, 16, 5)) is None  # wrong codec tag
