@@ -3458,6 +3458,119 @@ def anim_webp_blend_frac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tiff_fax_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               20 + doc_id % 80 AS w,
+               10 + (doc_id * 3) % 30 AS h,
+               CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 2 END AS comp,
+               (doc_id // 2) % 2 AS photo
+        FROM documents WHERE doc_id < 100
+    ),
+    px AS (
+        SELECT doc_id, w, h, comp, photo, x.i AS x, y.i AS y,
+               CASE WHEN (x.i + 2 * y.i + doc_id) % 9 < 4
+                    THEN 1 ELSE 0 END AS b
+        FROM spec,
+             LATERAL unnest(range(0, w)) x(i),
+             LATERAL unnest(range(0, h)) y(i)
+    ),
+    vals AS (
+        SELECT doc_id, w, h, comp, photo, x, y, b,
+               CASE WHEN photo = 0 THEN (1 - b) * 255
+                    ELSE b * 255 END AS lum
+        FROM px
+    )
+    SELECT doc_id,
+           CAST(min(w) AS INT) AS width,
+           CAST(min(h) AS INT) AS height,
+           CAST(comp AS INT) AS compression,
+           CAST(photo AS INT) AS photometric,
+           CAST(sum(b) AS BIGINT) AS n_black,
+           ((2 * CAST(sum(lum) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_lum,
+           CAST(sum(((y * w + x) % 97 + 1) * lum) AS BIGINT) AS wsum_lum
+    FROM vals GROUP BY doc_id, comp, photo
+    """,
+    doc="CCITT Group 3 / Group 4 fax TIFF decode, graded (r10 — the "
+    "scanned-document/archive raster shape: compression 2 = Modified "
+    "Huffman with byte-aligned rows, 4 = T.6 2-D coding with "
+    "pass/vertical/horizontal modes against the reference line). The "
+    "codec (sources/ccitt.py: ITU T.4 white/black/extended-makeup code "
+    "tables + the a0/b1/b2 state machine) is pinned BIT-EXACT against "
+    "the system libtiff in BOTH directions in tests/test_ccitt_codec.py "
+    "— the de-circularization the closed-form oracle alone cannot give. "
+    "Docs cycle both compressions, both photometrics (0 = MINISWHITE: "
+    "white -> 255 luminance; 1 inverts), and single/multi-strip layouts "
+    "(each strip an independent fax segment, G4 reference line resets); "
+    "the position-weighted wsum_lum flips on any row-order, "
+    "byte-alignment, or reference-line bug the means cannot see.",
+    tags=("ingest", "multimodal"),
+)
+def tiff_fax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w_px, h_px = 20 + i % 80, 10 + (i * 3) % 30
+                comp = 4 if i % 2 == 0 else 2
+                photo = (i // 2) % 2
+                content = multimodal.synth_tiff_fax(
+                    w_px, h_px, comp, photo,
+                    rows_per_strip=None if i % 3 else 7,
+                    bit_fn=lambda x, y, i=i: (
+                        1 if (x + 2 * y + i) % 9 < 4 else 0
+                    ),
+                )
+                width, height, _ch, raw = multimodal.decode_tiff(content)
+                lum = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                n_black = (
+                    int((lum == 0).sum()) if photo == 0
+                    else int((lum == 255).sum())
+                )
+                wt = (np.arange(width * height, dtype=np.int64) % 97) + 1
+                rows.append(
+                    (
+                        i, width, height, comp, photo, n_black,
+                        int(lum.sum()), width * height,
+                        int((wt * lum).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "compression",
+                         "photometric", "n_black", "lsum", "npx",
+                         "wsum_lum"],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, width int, height int, compression int, "
+        "photometric int, n_black long, lsum long, npx long, wsum_lum long",
+    )
+    return out.select(
+        "doc_id", "width", "height", "compression", "photometric",
+        "n_black",
+        _half_up_mean("lsum", "npx").alias("mean_lum"),
+        "wsum_lum",
+    )
+
+
+@register(
     "png_trns_stats",
     oracle="""
     WITH spec AS (

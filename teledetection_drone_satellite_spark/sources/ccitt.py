@@ -1,0 +1,398 @@
+"""CCITT Group 3 / Group 4 fax codecs (ITU-T T.4 / T.6) — pure stdlib.
+
+The scanned-document raster tail (SURVEY §2.1 S7): TIFF compression 2
+(CCITT "Modified Huffman" 1-D, byte-aligned rows, no EOLs — the TIFF 6.0
+CCITTRLE flavor) and compression 4 (Group 4 / T.6 2-D coding, the format
+virtually every fax/scan/document-archive TIFF ships with).  Both an
+encoder (fixture synthesis) and a decoder are implemented independently
+from the public ITU tables; the code tables and the a0/b1/b2 edge
+conventions are pinned BIT-EXACT against the system libtiff in BOTH
+directions (our encode -> libtiff decode, libtiff encode -> our decode)
+in tests/test_ccitt_codec.py when the shared library is present — the
+same de-circularization discipline as the libwebp VP8 conformance tier.
+
+Representation: a row is a Python list/ndarray of 0/1 ints where
+**1 = black** (the fax sense: runs alternate starting WHITE).  Mapping
+to TIFF sample values / photometric interpretation happens in the TIFF
+layer (multimodal.decode_tiff_deep), not here.
+"""
+
+from __future__ import annotations
+
+# ITU-T T.4 terminating + makeup codes, (code_bits_string) per run length.
+# Transcribed from the public ITU-T Recommendation T.4 tables; validated
+# against libtiff in both directions (see module docstring).
+_WHITE_CODES = {
+    0: "00110101", 1: "000111", 2: "0111", 3: "1000", 4: "1011",
+    5: "1100", 6: "1110", 7: "1111", 8: "10011", 9: "10100",
+    10: "00111", 11: "01000", 12: "001000", 13: "000011", 14: "110100",
+    15: "110101", 16: "101010", 17: "101011", 18: "0100111",
+    19: "0001100", 20: "0001000", 21: "0010111", 22: "0000011",
+    23: "0000100", 24: "0101000", 25: "0101011", 26: "0010011",
+    27: "0100100", 28: "0011000", 29: "00000010", 30: "00000011",
+    31: "00011010", 32: "00011011", 33: "00010010", 34: "00010011",
+    35: "00010100", 36: "00010101", 37: "00010110", 38: "00010111",
+    39: "00101000", 40: "00101001", 41: "00101010", 42: "00101011",
+    43: "00101100", 44: "00101101", 45: "00000100", 46: "00000101",
+    47: "00001010", 48: "00001011", 49: "01010010", 50: "01010011",
+    51: "01010100", 52: "01010101", 53: "00100100", 54: "00100101",
+    55: "01011000", 56: "01011001", 57: "01011010", 58: "01011011",
+    59: "01001010", 60: "01001011", 61: "00110010", 62: "00110011",
+    63: "00110100",
+    # makeup
+    64: "11011", 128: "10010", 192: "010111", 256: "0110111",
+    320: "00110110", 384: "00110111", 448: "01100100", 512: "01100101",
+    576: "01101000", 640: "01100111", 704: "011001100", 768: "011001101",
+    832: "011010010", 896: "011010011", 960: "011010100",
+    1024: "011010101", 1088: "011010110", 1152: "011010111",
+    1216: "011011000", 1280: "011011001", 1344: "011011010",
+    1408: "011011011", 1472: "010011000", 1536: "010011001",
+    1600: "010011010", 1664: "011000", 1728: "010011011",
+}
+
+_BLACK_CODES = {
+    0: "0000110111", 1: "010", 2: "11", 3: "10", 4: "011",
+    5: "0011", 6: "0010", 7: "00011", 8: "000101", 9: "000100",
+    10: "0000100", 11: "0000101", 12: "0000111", 13: "00000100",
+    14: "00000111", 15: "000011000", 16: "0000010111",
+    17: "0000011000", 18: "0000001000", 19: "00001100111",
+    20: "00001101000", 21: "00001101100", 22: "00000110111",
+    23: "00000101000", 24: "00000010111", 25: "00000011000",
+    26: "000011001010", 27: "000011001011", 28: "000011001100",
+    29: "000011001101", 30: "000001101000", 31: "000001101001",
+    32: "000001101010", 33: "000001101011", 34: "000011010010",
+    35: "000011010011", 36: "000011010100", 37: "000011010101",
+    38: "000011010110", 39: "000011010111", 40: "000001101100",
+    41: "000001101101", 42: "000011011010", 43: "000011011011",
+    44: "000001010100", 45: "000001010101", 46: "000001010110",
+    47: "000001010111", 48: "000001100100", 49: "000001100101",
+    50: "000001010010", 51: "000001010011", 52: "000000100100",
+    53: "000000110111", 54: "000000111000", 55: "000000100111",
+    56: "000000101000", 57: "000001011000", 58: "000001011001",
+    59: "000000101011", 60: "000000101100", 61: "000001011010",
+    62: "000001100110", 63: "000001100111",
+    # makeup
+    64: "0000001111", 128: "000011001000", 192: "000011001001",
+    256: "000001011011", 320: "000000110011", 384: "000000110100",
+    448: "000000110101", 512: "0000001101100", 576: "0000001101101",
+    640: "0000001001010", 704: "0000001001011", 768: "0000001001100",
+    832: "0000001001101", 896: "0000001110010", 960: "0000001110011",
+    1024: "0000001110100", 1088: "0000001110101", 1152: "0000001110110",
+    1216: "0000001110111", 1280: "0000001010010", 1344: "0000001010011",
+    1408: "0000001010100", 1472: "0000001010101", 1536: "0000001011010",
+    1600: "0000001011011", 1664: "0000001100100", 1728: "0000001100101",
+}
+
+# Extended makeup codes 1792-2560, shared by both colors (T.4 §2 table 4).
+_EXT_CODES = {
+    1792: "00000001000", 1856: "00000001100", 1920: "00000001101",
+    1984: "000000010010", 2048: "000000010011", 2112: "000000010100",
+    2176: "000000010101", 2240: "000000010110", 2304: "000000010111",
+    2368: "000000011100", 2432: "000000011101", 2496: "000000011110",
+    2560: "000000011111",
+}
+
+# 2-D (T.6 §2.2.4) mode codes.
+_MODE_PASS = "0001"
+_MODE_HORIZ = "001"
+_MODE_V = {0: "1", 1: "011", 2: "000011", 3: "0000011",
+           -1: "010", -2: "000010", -3: "0000010"}
+
+
+def _run_decode_table(color_codes: dict) -> dict:
+    t = {}
+    for run, bits in color_codes.items():
+        t[(len(bits), int(bits, 2))] = run
+    for run, bits in _EXT_CODES.items():
+        t[(len(bits), int(bits, 2))] = run
+    return t
+
+
+_WHITE_DECODE = _run_decode_table(_WHITE_CODES)
+_BLACK_DECODE = _run_decode_table(_BLACK_CODES)
+_MAX_CODE_LEN = 13
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, bits: str) -> None:
+        for b in bits:
+            self.acc = (self.acc << 1) | (b == "1")
+            self.nbits += 1
+            if self.nbits == 8:
+                self.buf.append(self.acc)
+                self.acc = self.nbits = 0
+
+    def byte_align(self) -> None:
+        if self.nbits:
+            self.buf.append(self.acc << (8 - self.nbits))
+            self.acc = self.nbits = 0
+
+    def bytes(self) -> bytes:
+        self.byte_align()
+        return bytes(self.buf)
+
+
+class _BitReader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read_bit(self) -> "int | None":
+        byte = self.pos >> 3
+        if byte >= len(self.data):
+            return None
+        bit = (self.data[byte] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return bit
+
+    def byte_align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def exhausted(self) -> bool:
+        return (self.pos >> 3) >= len(self.data)
+
+
+def _emit_run(w: _BitWriter, run: int, black: bool) -> None:
+    """MH-encode one run: (repeated) makeup codes then a terminating code."""
+    codes = _BLACK_CODES if black else _WHITE_CODES
+    while run >= 2624:  # 2560 + 63: chain extended makeups
+        w.write(_EXT_CODES[2560])
+        run -= 2560
+    if run >= 64:
+        makeup = run - (run % 64)
+        if makeup > 1728:
+            w.write(_EXT_CODES[makeup])
+        else:
+            w.write(codes[makeup])
+        run %= 64
+    w.write(codes[run])
+
+
+def _read_run(r: _BitReader, black: bool) -> "int | None":
+    """Decode one complete MH run (makeup chain + terminating)."""
+    table = _BLACK_DECODE if black else _WHITE_DECODE
+    total = 0
+    while True:
+        code = 0
+        length = 0
+        run = None
+        while length < _MAX_CODE_LEN:
+            bit = r.read_bit()
+            if bit is None:
+                return None
+            code = (code << 1) | bit
+            length += 1
+            run = table.get((length, code))
+            if run is not None:
+                break
+        if run is None:
+            return None
+        total += run
+        if run < 64:  # terminating code ends the run
+            return total
+        # makeup: another makeup or the terminating code follows
+
+
+def _transitions(row) -> "list[int]":
+    """Positions where the color changes (pixel differs from its left
+    neighbor; rows start white), used as the T.6 changing-element list."""
+    out = []
+    prev = 0
+    for x, v in enumerate(row):
+        if v != prev:
+            out.append(x)
+            prev = v
+    return out
+
+
+def encode_g3_1d(rows, width: int) -> bytes:
+    """TIFF compression-2 encode (Modified Huffman, each row byte-aligned,
+    no EOL codes — the TIFF 6.0 §10 CCITTRLE flavor)."""
+    w = _BitWriter()
+    for row in rows:
+        x = 0
+        black = False
+        while x < width:
+            run = 0
+            while x + run < width and bool(row[x + run]) == black:
+                run += 1
+            _emit_run(w, run, black)
+            x += run
+            black = not black
+        if x == width and black is False and width == 0:
+            pass
+        w.byte_align()  # rows begin on byte boundaries per TIFF 6.0
+    return w.bytes()
+
+
+def decode_g3_1d(data: bytes, width: int, height: int) -> "list[list[int]] | None":
+    """TIFF compression-2 decode; returns rows of 0/1 ints (1 = black) or
+    None on a malformed stream (bad code, run overflow)."""
+    r = _BitReader(data)
+    rows = []
+    for _ in range(height):
+        row = [0] * width
+        x = 0
+        black = False
+        while x < width:
+            run = _read_run(r, black)
+            if run is None or x + run > width:
+                return None
+            if black:
+                row[x : x + run] = [1] * run
+            x += run
+            black = not black
+        rows.append(row)
+        r.byte_align()
+    return rows
+
+
+def encode_g4(rows, width: int) -> bytes:
+    """T.6 (Group 4) 2-D encode of a full segment: the reference line for
+    row 0 is imaginary all-white; EOFB terminates the block."""
+    w = _BitWriter()
+    ref: "list[int]" = []  # transitions of the all-white imaginary row
+    for row in rows:
+        cur = _transitions(row)
+        a0 = -1
+        color = 0  # 0 white, 1 black
+        while a0 < width:
+            # a1: first changing element right of a0 (color is !color by
+            # construction when walking transitions in order)
+            a1 = next((t for t in cur if t > a0), width)
+            # b1: first changing element on ref right of a0 with color
+            # opposite to a0's color (transition k paints black iff k even)
+            b1 = width
+            for k, t in enumerate(ref):
+                if t > a0 and (k % 2 == 0) == (color == 0):
+                    b1 = t
+                    break
+            b2 = width
+            if b1 < width:
+                for t in ref:
+                    if t > b1:
+                        b2 = t
+                        break
+            if b2 < a1:
+                w.write(_MODE_PASS)
+                a0 = b2
+            elif abs(a1 - b1) <= 3:
+                w.write(_MODE_V[a1 - b1])
+                a0 = a1
+                color ^= 1
+            else:
+                a2 = next((t for t in cur if t > a1), width)
+                w.write(_MODE_HORIZ)
+                start = a0 if a0 > 0 else 0
+                _emit_run(w, a1 - start, bool(color))
+                _emit_run(w, a2 - a1, not bool(color))
+                a0 = a2
+        ref = cur
+    w.write("000000000001" * 2)  # EOFB
+    return w.bytes()
+
+
+def decode_g4(data: bytes, width: int, height: int) -> "list[list[int]] | None":
+    """T.6 (Group 4) 2-D decode of one segment (strip): returns rows of
+    0/1 ints (1 = black) or None on a malformed stream.  The trailing
+    EOFB, if present, is simply not consumed (TIFF readers ignore it)."""
+    r = _BitReader(data)
+    ref: "list[int]" = []
+    rows = []
+    for _ in range(height):
+        row = [0] * width
+        cur: "list[int]" = []
+        a0 = -1
+        color = 0
+        while a0 < width:
+            # b1/b2 from the reference line
+            b1 = width
+            for k, t in enumerate(ref):
+                if t > a0 and (k % 2 == 0) == (color == 0):
+                    b1 = t
+                    break
+            b2 = width
+            if b1 < width:
+                for t in ref:
+                    if t > b1:
+                        b2 = t
+                        break
+            # read a mode code (max 7 bits: 0000011 / 0000010)
+            code = ""
+            mode = None
+            for _i in range(7):
+                bit = r.read_bit()
+                if bit is None:
+                    return None
+                code += "1" if bit else "0"
+                if code == _MODE_PASS and len(code) == 4:
+                    mode = ("pass",)
+                    break
+                if code == _MODE_HORIZ:
+                    mode = ("horiz",)
+                    break
+                for d, bits in _MODE_V.items():
+                    if code == bits:
+                        mode = ("v", d)
+                        break
+                if mode:
+                    break
+            if mode is None:
+                return None
+            start = a0 if a0 > 0 else 0
+            if mode[0] == "pass":
+                if b2 > width:
+                    return None
+                if color:
+                    row[start:b2] = [1] * (b2 - start)
+                a0 = b2
+            elif mode[0] == "v":
+                a1 = b1 + mode[1]
+                if a1 < 0 or a1 > width or a1 < start:
+                    return None
+                if color:
+                    row[start:a1] = [1] * (a1 - start)
+                if a1 < width:
+                    cur.append(a1)
+                a0 = a1
+                color ^= 1
+                if a0 >= width:
+                    break
+            else:  # horizontal: two MH runs, current color then opposite
+                r1 = _read_run(r, bool(color))
+                if r1 is None:
+                    return None
+                r2 = _read_run(r, not bool(color))
+                if r2 is None:
+                    return None
+                a1 = start + r1
+                a2 = a1 + r2
+                if a2 > width:
+                    return None
+                if color:
+                    row[start:a1] = [1] * (a1 - start)
+                else:
+                    row[a1:a2] = [1] * (a2 - a1)
+                if a1 < width:
+                    cur.append(a1)
+                if a2 < width:
+                    cur.append(a2)
+                a0 = a2
+            if a0 >= width:
+                break
+        # transitions must be strictly increasing for the next ref line
+        for i in range(1, len(cur)):
+            if cur[i] <= cur[i - 1]:
+                return None
+        rows.append(row)
+        ref = cur
+    return rows

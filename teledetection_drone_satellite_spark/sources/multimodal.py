@@ -3975,6 +3975,81 @@ def synth_tiff_full(
     return head + b"".join(segments)
 
 
+def synth_tiff_fax(
+    width: int,
+    height: int,
+    compression: int = 4,
+    photometric: int = 0,
+    rows_per_strip: "int | None" = None,
+    bit_fn=None,
+) -> bytes:
+    """Deterministic COMPLETE bilevel fax TIFF (r10): compression 2
+    (Modified Huffman, byte-aligned rows) or 4 (Group 4 / T.6), BitsPerSample
+    1, photometric 0/1.  ``bit_fn(x, y) -> 0/1`` gives the FAX bit (1 =
+    black-run pixel; default a text-like pattern of runs).  Multi-strip
+    when ``rows_per_strip`` < height — each strip an independent fax
+    segment per the TIFF spec (sources/ccitt.py encodes).  Byte-packing per
+    TIFF 6.0 §10/§11, independent of decode_tiff_deep's fax branch."""
+    from . import ccitt as _ccitt
+
+    if compression not in (2, 4):
+        raise ValueError("fax compression must be 2 or 4")
+    bf = bit_fn or (
+        lambda x, y: 1 if ((x // 3 + 2 * (y // 2)) % 5) < 2 else 0
+    )
+    rps = rows_per_strip or height
+    enc = _ccitt.encode_g4 if compression == 4 else _ccitt.encode_g3_1d
+    segments = []
+    for y0 in range(0, height, rps):
+        rows = [
+            [bf(x, y) & 1 for x in range(width)]
+            for y in range(y0, min(y0 + rps, height))
+        ]
+        segments.append(enc(rows, width))
+
+    def build(seg_offsets: "list[int]") -> "tuple[bytes, int]":
+        bo = "little"
+        specs = [
+            (_TIFF_TAG_WIDTH, 4, [width]),
+            (_TIFF_TAG_HEIGHT, 4, [height]),
+            (_TIFF_TAG_BITS, 3, [1]),
+            (_TIFF_TAG_COMPRESSION, 3, [compression]),
+            (_TIFF_TAG_PHOTOMETRIC, 3, [photometric]),
+            (_TIFF_TAG_STRIP_OFFSETS, 4, seg_offsets),
+            (_TIFF_TAG_SPP, 3, [1]),
+            (_TIFF_TAG_ROWS_PER_STRIP, 4, [rps]),
+            (_TIFF_TAG_STRIP_COUNTS, 4, [len(s) for s in segments]),
+        ]
+        n_tags = len(specs)
+        aux_off = 8 + 2 + 12 * n_tags + 4
+        aux = bytearray()
+        entries = b""
+        for tag, typ, vals in specs:
+            size = _TIFF_INT_SIZES[typ]
+            packed = b"".join(int(v).to_bytes(size, bo) for v in vals)
+            head = (
+                tag.to_bytes(2, bo) + typ.to_bytes(2, bo)
+                + len(vals).to_bytes(4, bo)
+            )
+            if len(packed) <= 4:
+                entries += head + packed.ljust(4, b"\0")
+            else:
+                entries += head + (aux_off + len(aux)).to_bytes(4, bo)
+                aux.extend(packed)
+        header = b"II" + (42).to_bytes(2, bo) + (8).to_bytes(4, bo)
+        ifd = n_tags.to_bytes(2, bo) + entries + (0).to_bytes(4, bo)
+        return header + ifd + bytes(aux), aux_off + len(aux)
+
+    _, data_off = build([0] * len(segments))
+    offsets = []
+    pos = data_off
+    for s in segments:
+        offsets.append(pos)
+        pos += len(s)
+    head, _ = build(offsets)
+    return head + b"".join(segments)
+
+
 def _split_jpeg_tables(stream: bytes) -> "tuple[bytes, bytes]":
     """Split a full JPEG stream into (table_segments, abbreviated_stream):
     DQT/DHT segments out, everything else (SOF/SOS/entropy/EOI) kept — the
@@ -4164,6 +4239,51 @@ def decode_tiff_deep(
     if not width or not height:
         return None
     compression = one(_TIFF_TAG_COMPRESSION, 1)
+    if compression in (2, 4):
+        # CCITT fax (r10): compression 2 = Modified Huffman 1-D with
+        # byte-aligned rows (TIFF 6.0 CCITTRLE), 4 = Group 4 / T.6 2-D —
+        # the scanned-document/archive shape. Codec in sources/ccitt.py,
+        # pinned bit-exact vs the system libtiff in both directions.
+        # Each strip is an independent segment (G4 reference line resets).
+        from . import ccitt as _ccitt
+
+        spp_f = one(_TIFF_TAG_SPP, 1)
+        bits_f = values(_TIFF_TAG_BITS) or [1]
+        planar_f = one(_TIFF_TAG_PLANAR, 1)
+        if (
+            spp_f != 1 or bits_f != [1] or planar_f != 1
+            or one(_TIFF_TAG_TILE_WIDTH) is not None
+            or width * height > _MAX_CANVAS_PIXELS
+        ):
+            return None  # tiled/multi-sample/deep fax layouts: out of scope
+        photometric = one(_TIFF_TAG_PHOTOMETRIC, 0)
+        if photometric not in (0, 1):
+            return None
+        offsets_f = values(_TIFF_TAG_STRIP_OFFSETS)
+        counts_f = values(_TIFF_TAG_STRIP_COUNTS)
+        if not offsets_f or not counts_f or len(offsets_f) != len(counts_f):
+            return None
+        rps_f = one(_TIFF_TAG_ROWS_PER_STRIP, height) or height
+        if len(offsets_f) != (height + rps_f - 1) // rps_f:
+            return None
+        import numpy as np
+
+        all_rows: "list[list[int]]" = []
+        for k, (off, cnt) in enumerate(zip(offsets_f, counts_f)):
+            if off + cnt > len(content):
+                return None  # truncated strip: refuse
+            seg_h = min(rps_f, height - k * rps_f)
+            dec_fn = _ccitt.decode_g4 if compression == 4 else _ccitt.decode_g3_1d
+            rows = dec_fn(content[off : off + cnt], width, seg_h)
+            if rows is None:
+                return None
+            all_rows.extend(rows)
+        bit = np.array(all_rows, dtype=np.uint8).reshape(height, width)
+        # stored bit = fax run color (0 while white). Luminance output:
+        # photometric 0 (MINISWHITE, sample 0 = white) -> white stays 255;
+        # photometric 1 reads the stored bit as 0 = black, inverting.
+        lum = (1 - bit) * 255 if photometric == 0 else bit * 255
+        return width, height, 1, 8, lum.astype(np.uint8).tobytes()
     if compression not in (1, 5, 7, 8, 32773):
         return None  # old-style JPEG (6), JBIG etc.: out of scope
     predictor = one(_TIFF_TAG_PREDICTOR, 1)

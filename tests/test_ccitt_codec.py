@@ -1,0 +1,216 @@
+"""CCITT G3/G4 fax codec (sources/ccitt.py): round-trip property fuzz,
+the bidirectional libtiff conformance pin (the de-circularization tier —
+our encoder/decoder are built from the ITU T.4/T.6 tables independently,
+so encode(ours) -> decode(libtiff) and encode(libtiff) -> decode(ours)
+each catch a table transcription or a0/b1/b2 convention error the
+self-round-trip cannot), TIFF-layer integration, and robustness."""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+import os
+import random
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources import ccitt
+from teledetection_drone_satellite_spark.sources import multimodal as mm
+
+_fuzz = settings(
+    max_examples=100, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _pattern_rows(w, h, style, seed):
+    rnd = random.Random(seed)
+    rows = []
+    for y in range(h):
+        if style == 0:
+            rows.append([rnd.randint(0, 1) for _ in range(w)])
+        elif style == 1:  # text-like run structure
+            rows.append([1 if (x // 3 + 2 * (y // 2) + seed) % 5 < 2 else 0
+                         for x in range(w)])
+        elif style == 2:
+            rows.append([0] * w)
+        elif style == 3:
+            rows.append([1] * w)
+        else:  # border pixels: the a0/b1 edge cases
+            rows.append([1 if x in (0, w - 1) else 0 for x in range(w)])
+    return rows
+
+
+@_fuzz
+@given(
+    w=st.integers(1, 120), h=st.integers(1, 20),
+    style=st.integers(0, 4), seed=st.integers(0, 9999),
+)
+def test_fuzz_ccitt_roundtrip(w, h, style, seed):
+    rows = _pattern_rows(w, h, style, seed)
+    assert ccitt.decode_g3_1d(ccitt.encode_g3_1d(rows, w), w, h) == rows
+    assert ccitt.decode_g4(ccitt.encode_g4(rows, w), w, h) == rows
+
+
+def test_ccitt_long_run_makeup_chain():
+    """Runs beyond 2560 exercise the chained extended-makeup path."""
+    w = 6000
+    rows = [[0] * w, [1] * w,
+            [0] * 2900 + [1] * 3100]
+    for enc, dec in ((ccitt.encode_g4, ccitt.decode_g4),
+                     (ccitt.encode_g3_1d, ccitt.decode_g3_1d)):
+        assert dec(enc(rows, w), w, len(rows)) == rows
+
+
+def _libtiff():
+    name = ctypes.util.find_library("tiff")
+    if not name:
+        pytest.skip("system libtiff absent — conformance tier skipped")
+    lib = ctypes.CDLL(name)
+    lib.TIFFOpen.restype = ctypes.c_void_p
+    lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.TIFFSetErrorHandler(None)
+    lib.TIFFSetWarningHandler(None)
+    return lib
+
+
+def _pack_bits(row):
+    out = bytearray()
+    acc = n = 0
+    for v in row:
+        acc = (acc << 1) | v
+        n += 1
+        if n == 8:
+            out.append(acc)
+            acc = n = 0
+    if n:
+        out.append(acc << (8 - n))
+    return bytes(out)
+
+
+def test_ccitt_bidirectional_libtiff_conformance(tmp_path):
+    """Both codecs, both directions, across run-structure styles and edge
+    geometries — the tier that pins the ITU table transcription."""
+    lib = _libtiff()
+    TAGS = dict(W=256, H=257, BPS=258, COMP=259, PHOTO=262, SPP=277,
+                RPS=278, PLANAR=284)
+
+    def lt_write(path, rows, w, h, comp):
+        tif = lib.TIFFOpen(str(path).encode(), b"w")
+        assert tif
+        for tag, val in ((TAGS["W"], w), (TAGS["H"], h), (TAGS["BPS"], 1),
+                         (TAGS["COMP"], comp), (TAGS["PHOTO"], 0),
+                         (TAGS["SPP"], 1), (TAGS["RPS"], h),
+                         (TAGS["PLANAR"], 1)):
+            lib.TIFFSetField(ctypes.c_void_p(tif), ctypes.c_uint32(tag),
+                             ctypes.c_int(val))
+        for y, row in enumerate(rows):
+            buf = ctypes.create_string_buffer(_pack_bits(row), (w + 7) // 8)
+            assert lib.TIFFWriteScanline(
+                ctypes.c_void_p(tif), buf, ctypes.c_uint32(y),
+                ctypes.c_uint16(0)) == 1
+        lib.TIFFClose(ctypes.c_void_p(tif))
+
+    def lt_read(path, w, h):
+        tif = lib.TIFFOpen(str(path).encode(), b"r")
+        assert tif
+        rows = []
+        buf = ctypes.create_string_buffer((w + 7) // 8)
+        for y in range(h):
+            assert lib.TIFFReadScanline(
+                ctypes.c_void_p(tif), buf, ctypes.c_uint32(y),
+                ctypes.c_uint16(0)) == 1
+            rows.append([(buf.raw[i >> 3] >> (7 - (i & 7))) & 1
+                         for i in range(w)])
+        lib.TIFFClose(ctypes.c_void_p(tif))
+        return rows
+
+    def strip_bytes(path):
+        content = open(path, "rb").read()
+        bo = "little" if content[:2] == b"II" else "big"
+        ifd = mm._ifd_entries(content, int.from_bytes(content[4:8], bo), bo)
+        offs = mm._tiff_tag_values(content, ifd, 273, bo)
+        cnts = mm._tiff_tag_values(content, ifd, 279, bo)
+        assert len(offs) == 1
+        return content[offs[0] : offs[0] + cnts[0]]
+
+    for trial in range(40):
+        w = 1 + (trial * 17) % 100
+        h = 1 + (trial * 5) % 14
+        rows = _pattern_rows(w, h, trial % 5, trial)
+        for comp, enc, dec in ((4, ccitt.encode_g4, ccitt.decode_g4),
+                               (2, ccitt.encode_g3_1d, ccitt.decode_g3_1d)):
+            # libtiff encodes -> we decode
+            p = tmp_path / f"lt_{trial}_{comp}.tif"
+            lt_write(p, rows, w, h, comp)
+            assert dec(strip_bytes(p), w, h) == rows, (trial, comp, "dec")
+            # we encode (through the synth TIFF wrapper) -> libtiff decodes
+            p2 = tmp_path / f"us_{trial}_{comp}.tif"
+            content = mm.synth_tiff_fax(
+                w, h, comp, 0, None,
+                bit_fn=lambda x, y, rows=rows: rows[y][x],
+            )
+            p2.write_bytes(content)
+            assert lt_read(p2, w, h) == rows, (trial, comp, "enc")
+
+
+def test_tiff_fax_decode_integration():
+    """decode_tiff over synth_tiff_fax: both compressions, photometrics,
+    strip layouts; luminance mapping per the documented contract."""
+    bf = lambda x, y: 1 if (x + 2 * y) % 7 < 3 else 0
+    for comp in (2, 4):
+        for photo in (0, 1):
+            for rps in (None, 5):
+                t = mm.synth_tiff_fax(37, 13, comp, photo, rps, bf)
+                got = mm.decode_tiff(t)
+                assert got is not None and got[:3] == (37, 13, 1)
+                arr = np.frombuffer(got[3], np.uint8).reshape(13, 37)
+                for y in range(13):
+                    for x in range(37):
+                        b = bf(x, y)
+                        exp = (1 - b) * 255 if photo == 0 else b * 255
+                        assert arr[y, x] == exp, (comp, photo, rps, x, y)
+
+
+def test_ccitt_malformed_refused():
+    # truncated stream
+    rows = _pattern_rows(40, 6, 1, 3)
+    for enc, dec in ((ccitt.encode_g4, ccitt.decode_g4),
+                     (ccitt.encode_g3_1d, ccitt.decode_g3_1d)):
+        full = enc(rows, 40)
+        assert dec(full[: len(full) // 2], 40, 6) is None
+    # run overflowing the row width
+    w = ccitt._BitWriter()
+    ccitt._emit_run(w, 64 + 10, False)  # 74-pixel white run into a 40 row
+    assert ccitt.decode_g3_1d(w.bytes(), 40, 1) is None
+    # TIFF layer: strip count not matching height/rows_per_strip
+    t = bytearray(mm.synth_tiff_fax(30, 10, 4, 0, None))
+    # corrupt the declared height upward -> strip-count mismatch refusal
+    hpos = t.find((257).to_bytes(2, "little") + (4).to_bytes(2, "little"))
+    t[hpos + 8 : hpos + 12] = (99).to_bytes(4, "little")
+    assert mm.decode_tiff(bytes(t)) is None
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31 - 1), nflip=st.integers(1, 8))
+def test_fuzz_ccitt_survives_bit_flips(seed, nflip):
+    """Corrupted fax streams and TIFF wrappers: None or a well-formed
+    (possibly wrong-pixel) result, never an unhandled raise."""
+    rnd = random.Random(seed)
+    rows = _pattern_rows(33, 7, seed % 5, seed)
+    for data, dec in (
+        (bytearray(ccitt.encode_g4(rows, 33)),
+         lambda d: ccitt.decode_g4(d, 33, 7)),
+        (bytearray(ccitt.encode_g3_1d(rows, 33)),
+         lambda d: ccitt.decode_g3_1d(d, 33, 7)),
+        (bytearray(mm.synth_tiff_fax(33, 7, 4, 0)), mm.decode_tiff),
+        (bytearray(mm.synth_tiff_fax(33, 7, 2, 1)), mm.decode_tiff),
+    ):
+        for _ in range(nflip):
+            data[rnd.randrange(len(data))] ^= 1 << rnd.randrange(8)
+        out = dec(bytes(data))
+        assert out is None or isinstance(out, (list, tuple))
