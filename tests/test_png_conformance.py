@@ -1,0 +1,124 @@
+"""PNG conformance pin against the system libpng (simplified png_image
+API via ctypes) — the de-circularization tier for the PNG decoder, same
+discipline as the libwebp VP8 and libtiff CCITT pins: (1) every synth
+fixture family (gray/RGB, palette at all packed depths, tRNS, Adam7)
+decoded by libpng must match our decode expanded to RGBA bit-for-bit;
+(2) images ENCODED by libpng (filters/zlib strategy chosen by libpng,
+not by our synth) must decode identically through our path.  Skip-gated
+on the shared library."""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+import random
+
+import numpy as np
+import pytest
+
+from teledetection_drone_satellite_spark.sources import multimodal as mm
+
+_PNG_IMAGE_VERSION = 1
+_FMT_RGBA = 3
+
+
+class _PngImage(ctypes.Structure):
+    _fields_ = [
+        ("opaque", ctypes.c_void_p), ("version", ctypes.c_uint32),
+        ("width", ctypes.c_uint32), ("height", ctypes.c_uint32),
+        ("format", ctypes.c_uint32), ("flags", ctypes.c_uint32),
+        ("colormap_entries", ctypes.c_uint32),
+        ("warning_or_error", ctypes.c_uint32),
+        ("message", ctypes.c_char * 64),
+    ]
+
+
+def _libpng():
+    name = ctypes.util.find_library("png16") or ctypes.util.find_library("png")
+    if not name:
+        pytest.skip("system libpng absent — conformance tier skipped")
+    lib = ctypes.CDLL(name)
+    lib.png_image_write_to_memory.restype = ctypes.c_int
+    return lib
+
+
+def _libpng_read_rgba(lib, data: bytes):
+    img = _PngImage()
+    img.version = _PNG_IMAGE_VERSION
+    assert lib.png_image_begin_read_from_memory(
+        ctypes.byref(img), data, len(data)), img.message
+    img.format = _FMT_RGBA
+    buf = (ctypes.c_uint8 * (img.width * img.height * 4))()
+    assert lib.png_image_finish_read(
+        ctypes.byref(img), None, buf, img.width * 4, None), img.message
+    return (img.width, img.height,
+            np.ctypeslib.as_array(buf).reshape(img.height, img.width, 4).copy())
+
+
+def _ours_rgba(content: bytes):
+    got = mm.decode_png_deep(content)
+    assert got is not None
+    w, h, ch, bits, raw = got
+    assert bits == 8
+    arr = np.frombuffer(raw, np.uint8).reshape(h, w, ch)
+    opaque = np.full((h, w, 1), 255, np.uint8)
+    if ch == 1:
+        return w, h, np.concatenate([arr] * 3 + [opaque], 2)
+    if ch == 2:
+        return w, h, np.concatenate([arr[:, :, :1]] * 3 + [arr[:, :, 1:]], 2)
+    if ch == 3:
+        return w, h, np.concatenate([arr, opaque], 2)
+    return w, h, arr
+
+
+def test_png_synth_families_match_libpng():
+    lib = _libpng()
+    cases = [mm.synth_png_full(21, 9, 0), mm.synth_png_full(21, 9, 2)]
+    for inter in (False, True):
+        cases.append(mm.synth_png_ext(19, 13, 0, 8, inter))
+        cases.append(mm.synth_png_ext(19, 13, 2, 8, inter))
+        for d in (1, 2, 4, 8):
+            cases.append(mm.synth_png_ext(19, 13, 3, d, inter))
+            cases.append(mm.synth_png_trns(19, 13, d, min(1 << d, 3), inter))
+    for i, c in enumerate(cases):
+        w1, h1, ref = _libpng_read_rgba(lib, c)
+        w2, h2, got = _ours_rgba(c)
+        assert (w1, h1) == (w2, h2)
+        assert (ref == got).all(), f"case {i} diverges from libpng"
+
+
+def test_png_libpng_encoded_streams_decode_identically():
+    """libpng picks its own filters/zlib strategy — a decode path bug our
+    filter-cycling synth can't reach would surface here."""
+    lib = _libpng()
+    rnd = random.Random(5)
+    for trial in range(40):
+        w, h = rnd.randint(1, 40), rnd.randint(1, 30)
+        if trial % 3 == 0:  # smooth gradients make libpng pick Paeth/Avg
+            rgba = np.array(
+                [[((x * 7 + y) % 256, (x + y * 5) % 256,
+                   (x * 3 + y * 3) % 256, 255)
+                  for x in range(w)] for y in range(h)], np.uint8)
+        else:
+            rgba = np.array(
+                [[(rnd.randrange(256), rnd.randrange(256),
+                   rnd.randrange(256), rnd.randrange(256))
+                  for _ in range(w)] for _ in range(h)], np.uint8)
+        img = _PngImage()
+        img.version = _PNG_IMAGE_VERSION
+        img.width, img.height = w, h
+        img.format = _FMT_RGBA
+        size = ctypes.c_size_t(0)
+        buf = (ctypes.c_uint8 * (w * h * 4)).from_buffer_copy(rgba.tobytes())
+        assert lib.png_image_write_to_memory(
+            ctypes.byref(img), None, ctypes.byref(size), 0, buf, w * 4, None)
+        out = (ctypes.c_uint8 * size.value)()
+        img2 = _PngImage()
+        img2.version = _PNG_IMAGE_VERSION
+        img2.width, img2.height = w, h
+        img2.format = _FMT_RGBA
+        assert lib.png_image_write_to_memory(
+            ctypes.byref(img2), out, ctypes.byref(size), 0, buf, w * 4, None)
+        w2, h2, got = _ours_rgba(bytes(out[: size.value]))
+        assert (w2, h2) == (w, h)
+        assert (got == rgba).all(), f"trial {trial} diverges"
