@@ -1,0 +1,120 @@
+"""TIFF conformance pin against the system libtiff for the GENERAL decode
+paths (r10): libtiff-ENCODED files across the full layout grid —
+compression none/LZW/deflate/PackBits x horizontal predictor x
+chunky/planar x strip/tiled x 8/16-bit gray/RGB — must decode through
+decode_tiff_deep bit-for-bit.  libtiff chooses its own LZW code emission
+and strip framing, so this reaches encoder-choice corners our synth
+never emits (the CCITT fax pin lives in test_ccitt_codec.py; the
+closed-form synthesis oracles remain the per-query grading layer).
+Skip-gated on the shared library."""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+import os
+import random
+
+import numpy as np
+import pytest
+
+from teledetection_drone_satellite_spark.sources import multimodal as mm
+
+_T = dict(W=256, H=257, BPS=258, COMP=259, PHOTO=262, SPP=277, RPS=278,
+          PLANAR=284, PRED=317, TW=322, TL=323)
+
+
+def _libtiff():
+    name = ctypes.util.find_library("tiff")
+    if not name:
+        pytest.skip("system libtiff absent — conformance tier skipped")
+    lib = ctypes.CDLL(name)
+    lib.TIFFOpen.restype = ctypes.c_void_p
+    lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.TIFFWriteTile.restype = ctypes.c_long
+    lib.TIFFSetErrorHandler(None)
+    lib.TIFFSetWarningHandler(None)
+    return lib
+
+
+def _lt_write(lib, path, arr, comp, pred=1, planar=1, tile=None, bps=8):
+    h, w, ch = arr.shape
+    tif = lib.TIFFOpen(path.encode(), b"w")
+    assert tif
+
+    def sf(tag, val):
+        lib.TIFFSetField(ctypes.c_void_p(tif), ctypes.c_uint32(tag),
+                         ctypes.c_int(val))
+
+    sf(_T["W"], w)
+    sf(_T["H"], h)
+    sf(_T["BPS"], bps)
+    sf(_T["COMP"], comp)
+    sf(_T["PHOTO"], 1 if ch == 1 else 2)
+    sf(_T["SPP"], ch)
+    sf(_T["PLANAR"], planar)
+    if pred == 2:
+        sf(_T["PRED"], 2)
+    data = arr.astype("<u2" if bps == 16 else np.uint8)
+    if tile:
+        tw, tl = tile
+        sf(_T["TW"], tw)
+        sf(_T["TL"], tl)
+        for p in range(ch) if planar == 2 else [0]:
+            for ty in range(0, h, tl):
+                for tx in range(0, w, tw):
+                    tbuf = np.zeros((tl, tw, 1 if planar == 2 else ch),
+                                    data.dtype)
+                    ys, xs = min(tl, h - ty), min(tw, w - tx)
+                    src = data[ty : ty + ys, tx : tx + xs]
+                    tbuf[:ys, :xs] = src[:, :, p : p + 1] if planar == 2 else src
+                    b = tbuf.tobytes()
+                    buf = ctypes.create_string_buffer(b, len(b))
+                    assert lib.TIFFWriteTile(
+                        ctypes.c_void_p(tif), buf, ctypes.c_uint32(tx),
+                        ctypes.c_uint32(ty), ctypes.c_uint32(0),
+                        ctypes.c_uint16(p)) >= 0
+    else:
+        sf(_T["RPS"], max(1, h // 2))
+        for p in range(ch) if planar == 2 else [0]:
+            for y in range(h):
+                rowdata = (data[y, :, p].tobytes() if planar == 2
+                           else data[y].tobytes())
+                buf = ctypes.create_string_buffer(rowdata, len(rowdata))
+                assert lib.TIFFWriteScanline(
+                    ctypes.c_void_p(tif), buf, ctypes.c_uint32(y),
+                    ctypes.c_uint16(p)) == 1
+    lib.TIFFClose(ctypes.c_void_p(tif))
+
+
+def test_tiff_decodes_libtiff_encoded_layout_grid(tmp_path):
+    lib = _libtiff()
+    rnd = random.Random(9)
+    checked = 0
+    for trial in range(60):
+        w, h = rnd.randint(1, 50), rnd.randint(1, 40)
+        ch = rnd.choice([1, 3])
+        bps = rnd.choice([8, 8, 8, 16])
+        comp = rnd.choice([1, 5, 8, 32773])
+        pred = rnd.choice([1, 2]) if comp in (5, 8) else 1
+        planar = rnd.choice([1, 2]) if ch == 3 else 1
+        tile = rnd.choice([None, None, (16, 16), (32, 16)])
+        mx = 256 if bps == 8 else 65536
+        if rnd.random() < 0.5:
+            arr = np.array([[[rnd.randrange(mx) for _ in range(ch)]
+                             for _ in range(w)] for _ in range(h)])
+        else:  # smooth gradient: predictor-friendly, LZW-rich
+            arr = np.array([[[(x * 7 + y * 3 + c * 11) % mx
+                              for c in range(ch)]
+                             for x in range(w)] for y in range(h)])
+        p = os.path.join(str(tmp_path), f"t{trial}.tif")
+        _lt_write(lib, p, arr, comp, pred, planar, tile, bps)
+        got = mm.decode_tiff_deep(open(p, "rb").read())
+        assert got is not None, (trial, comp, pred, planar, tile, bps)
+        gw, gh, gch, gbits, raw = got
+        assert (gw, gh, gch, gbits) == (w, h, ch, bps)
+        dt = np.uint8 if gbits == 8 else np.dtype("<u2")
+        dec = np.frombuffer(raw, dt).reshape(gh, gw, gch)
+        assert (dec == arr).all(), (trial, comp, pred, planar, tile, bps)
+        checked += 1
+    assert checked == 60
