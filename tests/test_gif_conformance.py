@@ -1,0 +1,126 @@
+"""GIF conformance pin against the system giflib (r10): (1) our synth
+GIFs (every mcs, interlaced and not) must slurp through DGif to the exact
+index raster; (2) giflib-ENCODED streams (its own LZW code emission and
+table-reset choices, which differ from our synth's) must decode through
+decode_gif bit-for-bit.  Same de-circularization discipline as the
+libwebp/libpng/libtiff pins; skip-gated on the shared library."""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+import os
+import random
+
+import numpy as np
+import pytest
+
+from teledetection_drone_satellite_spark.sources import multimodal as mm
+
+
+class _GifColorType(ctypes.Structure):
+    _fields_ = [("Red", ctypes.c_ubyte), ("Green", ctypes.c_ubyte),
+                ("Blue", ctypes.c_ubyte)]
+
+
+class _ColorMapObject(ctypes.Structure):
+    _fields_ = [("ColorCount", ctypes.c_int), ("BitsPerPixel", ctypes.c_int),
+                ("SortFlag", ctypes.c_bool),
+                ("Colors", ctypes.POINTER(_GifColorType))]
+
+
+class _GifImageDesc(ctypes.Structure):
+    _fields_ = [("Left", ctypes.c_int), ("Top", ctypes.c_int),
+                ("Width", ctypes.c_int), ("Height", ctypes.c_int),
+                ("Interlace", ctypes.c_bool),
+                ("ColorMap", ctypes.POINTER(_ColorMapObject))]
+
+
+class _SavedImage(ctypes.Structure):
+    _fields_ = [("ImageDesc", _GifImageDesc),
+                ("RasterBits", ctypes.POINTER(ctypes.c_ubyte)),
+                ("ExtensionBlockCount", ctypes.c_int),
+                ("ExtensionBlocks", ctypes.c_void_p)]
+
+
+class _GifFileType(ctypes.Structure):
+    _fields_ = [("SWidth", ctypes.c_int), ("SHeight", ctypes.c_int),
+                ("SColorResolution", ctypes.c_int),
+                ("SBackGroundColor", ctypes.c_int),
+                ("AspectByte", ctypes.c_ubyte),
+                ("SColorMap", ctypes.POINTER(_ColorMapObject)),
+                ("ImageCount", ctypes.c_int), ("Image", _GifImageDesc),
+                ("SavedImages", ctypes.POINTER(_SavedImage)),
+                ("ExtensionBlockCount", ctypes.c_int),
+                ("ExtensionBlocks", ctypes.c_void_p),
+                ("Error", ctypes.c_int), ("UserData", ctypes.c_void_p),
+                ("Private", ctypes.c_void_p)]
+
+
+def _giflib():
+    name = ctypes.util.find_library("gif")
+    if not name:
+        pytest.skip("system giflib absent — conformance tier skipped")
+    g = ctypes.CDLL(name)
+    g.DGifOpenFileName.restype = ctypes.POINTER(_GifFileType)
+    g.EGifOpenFileName.restype = ctypes.POINTER(_GifFileType)
+    g.GifMakeMapObject.restype = ctypes.POINTER(_ColorMapObject)
+    return g
+
+
+def test_gif_synth_slurps_through_giflib(tmp_path):
+    g = _giflib()
+    rnd = random.Random(2)
+    for trial in range(25):
+        w, h = rnd.randint(1, 40), rnd.randint(1, 30)
+        mcs = rnd.randint(2, 8)
+        a, b = rnd.randrange(256), rnd.randrange(8)
+        interlaced = rnd.random() < 0.5
+        iv = lambda x, y, a=a, b=b, mcs=mcs: (a + x + b * y) % (1 << mcs)
+        p = os.path.join(str(tmp_path), f"ours{trial}.gif")
+        open(p, "wb").write(
+            mm.synth_gif_full(w, h, iv, interlaced=interlaced, mcs=mcs))
+        err = ctypes.c_int(0)
+        gf = g.DGifOpenFileName(p.encode(), ctypes.byref(err))
+        assert gf, err.value
+        assert g.DGifSlurp(gf) == 1, gf.contents.Error
+        c = gf.contents
+        assert (c.SWidth, c.SHeight, c.ImageCount) == (w, h, 1)
+        raster = np.ctypeslib.as_array(
+            c.SavedImages[0].RasterBits, shape=(h * w,)
+        ).reshape(h, w).copy()
+        g.DGifCloseFile(gf, ctypes.byref(err))
+        exp = np.array([[iv(x, y) for x in range(w)] for y in range(h)])
+        assert (raster == exp).all(), (trial, w, h, mcs, interlaced)
+
+
+def test_gif_decodes_giflib_encoded_streams(tmp_path):
+    g = _giflib()
+    rnd = random.Random(3)
+    for trial in range(25):
+        w, h = rnd.randint(1, 40), rnd.randint(1, 30)
+        idx = np.array([[rnd.randrange(256) for _ in range(w)]
+                        for _ in range(h)], np.uint8)
+        err = ctypes.c_int(0)
+        p = os.path.join(str(tmp_path), f"glib{trial}.gif")
+        gf = g.EGifOpenFileName(p.encode(), False, ctypes.byref(err))
+        assert gf, err.value
+        cmap = g.GifMakeMapObject(256, None)
+        for i in range(256):  # our synth palette contract
+            cmap.contents.Colors[i] = _GifColorType(i, (3 * i) % 256,
+                                                    (7 * i) % 256)
+        assert g.EGifPutScreenDesc(gf, w, h, 8, 0, cmap) == 1
+        assert g.EGifPutImageDesc(gf, 0, 0, w, h, False, None) == 1
+        for y in range(h):
+            buf = (ctypes.c_ubyte * w).from_buffer_copy(idx[y].tobytes())
+            assert g.EGifPutLine(gf, buf, w) == 1
+        g.EGifCloseFile(gf, ctypes.byref(err))
+        got = mm.decode_gif(open(p, "rb").read())
+        assert got is not None, trial
+        gw, gh, _ch, raw = got
+        assert (gw, gh) == (w, h)
+        arr = np.frombuffer(raw, np.uint8).reshape(gh, gw, 3)
+        exp = np.stack(
+            [idx, (idx.astype(int) * 3 % 256).astype(np.uint8),
+             (idx.astype(int) * 7 % 256).astype(np.uint8)], axis=2)
+        assert (arr == exp).all(), trial
