@@ -3464,12 +3464,14 @@ def anim_webp_blend_frac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                20 + doc_id % 80 AS w,
                10 + (doc_id * 3) % 30 AS h,
-               CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 2 END AS comp,
+               CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 2
+                    ELSE 3 END AS comp,
+               CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS two_d,
                (doc_id // 2) % 2 AS photo
         FROM documents WHERE doc_id < 100
     ),
     px AS (
-        SELECT doc_id, w, h, comp, photo, x.i AS x, y.i AS y,
+        SELECT doc_id, w, h, comp, two_d, photo, x.i AS x, y.i AS y,
                CASE WHEN (x.i + 2 * y.i + doc_id) % 9 < 4
                     THEN 1 ELSE 0 END AS b
         FROM spec,
@@ -3477,7 +3479,7 @@ def anim_webp_blend_frac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL unnest(range(0, h)) y(i)
     ),
     vals AS (
-        SELECT doc_id, w, h, comp, photo, x, y, b,
+        SELECT doc_id, w, h, comp, two_d, photo, x, y, b,
                CASE WHEN photo = 0 THEN (1 - b) * 255
                     ELSE b * 255 END AS lum
         FROM px
@@ -3486,17 +3488,20 @@ def anim_webp_blend_frac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(min(w) AS INT) AS width,
            CAST(min(h) AS INT) AS height,
            CAST(comp AS INT) AS compression,
+           CAST(two_d AS INT) AS two_d,
            CAST(photo AS INT) AS photometric,
            CAST(sum(b) AS BIGINT) AS n_black,
            ((2 * CAST(sum(lum) AS BIGINT) * 1000000 + count(*))
             // (2 * count(*))) / 1000000.0 AS mean_lum,
            CAST(sum(((y * w + x) % 97 + 1) * lum) AS BIGINT) AS wsum_lum
-    FROM vals GROUP BY doc_id, comp, photo
+    FROM vals GROUP BY doc_id, comp, two_d, photo
     """,
     doc="CCITT Group 3 / Group 4 fax TIFF decode, graded (r10 — the "
-    "scanned-document/archive raster shape: compression 2 = Modified "
-    "Huffman with byte-aligned rows, 4 = T.6 2-D coding with "
-    "pass/vertical/horizontal modes against the reference line). The "
+    "scanned-document/archive raster shapes: compression 2 = Modified "
+    "Huffman with byte-aligned rows, 3 = T.4 with EOL resynchronization "
+    "in BOTH its 1-D and mixed-2-D (T4Options bit 0, tag-bit-per-row) "
+    "forms, 4 = T.6 2-D coding with pass/vertical/horizontal modes "
+    "against the reference line). The "
     "codec (sources/ccitt.py: ITU T.4 white/black/extended-makeup code "
     "tables + the a0/b1/b2 state machine) is pinned BIT-EXACT against "
     "the system libtiff in BOTH directions in tests/test_ccitt_codec.py "
@@ -3527,7 +3532,8 @@ def tiff_fax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in pdf["doc_id"]:
                 i = int(i)
                 w_px, h_px = 20 + i % 80, 10 + (i * 3) % 30
-                comp = 4 if i % 2 == 0 else 2
+                comp = (4, 2, 3, 3)[i % 4]
+                two_d = 1 if i % 4 == 3 else 0
                 photo = (i // 2) % 2
                 content = multimodal.synth_tiff_fax(
                     w_px, h_px, comp, photo,
@@ -3535,6 +3541,7 @@ def tiff_fax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     bit_fn=lambda x, y, i=i: (
                         1 if (x + 2 * y + i) % 9 < 4 else 0
                     ),
+                    t4_two_d=bool(two_d),
                 )
                 width, height, _ch, raw = multimodal.decode_tiff(content)
                 lum = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
@@ -3545,7 +3552,7 @@ def tiff_fax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 wt = (np.arange(width * height, dtype=np.int64) % 97) + 1
                 rows.append(
                     (
-                        i, width, height, comp, photo, n_black,
+                        i, width, height, comp, two_d, photo, n_black,
                         int(lum.sum()), width * height,
                         int((wt * lum).sum()),
                     )
@@ -3553,17 +3560,17 @@ def tiff_fax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "width", "height", "compression",
-                         "photometric", "n_black", "lsum", "npx",
+                         "two_d", "photometric", "n_black", "lsum", "npx",
                          "wsum_lum"],
             )
 
     out = ids.mapInPandas(
         gen,
-        "doc_id long, width int, height int, compression int, "
+        "doc_id long, width int, height int, compression int, two_d int, "
         "photometric int, n_black long, lsum long, npx long, wsum_lum long",
     )
     return out.select(
-        "doc_id", "width", "height", "compression", "photometric",
+        "doc_id", "width", "height", "compression", "two_d", "photometric",
         "n_black",
         _half_up_mean("lsum", "npx").alias("mean_lum"),
         "wsum_lum",

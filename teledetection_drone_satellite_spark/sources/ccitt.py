@@ -256,47 +256,171 @@ def decode_g3_1d(data: bytes, width: int, height: int) -> "list[list[int]] | Non
     return rows
 
 
+def _encode_2d_row(w: _BitWriter, row, ref: "list[int]", width: int) -> "list[int]":
+    """Encode ONE row in 2-D mode against reference transitions ``ref``;
+    returns this row's transitions (the next reference line)."""
+    cur = _transitions(row)
+    a0 = -1
+    color = 0  # 0 white, 1 black
+    while a0 < width:
+        # a1: first changing element right of a0 (color is !color by
+        # construction when walking transitions in order)
+        a1 = next((t for t in cur if t > a0), width)
+        # b1: first changing element on ref right of a0 with color
+        # opposite to a0's color (transition k paints black iff k even)
+        b1 = width
+        for k, t in enumerate(ref):
+            if t > a0 and (k % 2 == 0) == (color == 0):
+                b1 = t
+                break
+        b2 = width
+        if b1 < width:
+            for t in ref:
+                if t > b1:
+                    b2 = t
+                    break
+        if b2 < a1:
+            w.write(_MODE_PASS)
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            w.write(_MODE_V[a1 - b1])
+            a0 = a1
+            color ^= 1
+        else:
+            a2 = next((t for t in cur if t > a1), width)
+            w.write(_MODE_HORIZ)
+            start = a0 if a0 > 0 else 0
+            _emit_run(w, a1 - start, bool(color))
+            _emit_run(w, a2 - a1, not bool(color))
+            a0 = a2
+    return cur
+
+
+def _decode_2d_row(r: _BitReader, ref: "list[int]", width: int):
+    """Decode ONE 2-D-coded row against reference transitions ``ref``;
+    returns (row, transitions) or None on a malformed stream."""
+    row = [0] * width
+    cur: "list[int]" = []
+    a0 = -1
+    color = 0
+    while a0 < width:
+        # b1/b2 from the reference line
+        b1 = width
+        for k, t in enumerate(ref):
+            if t > a0 and (k % 2 == 0) == (color == 0):
+                b1 = t
+                break
+        b2 = width
+        if b1 < width:
+            for t in ref:
+                if t > b1:
+                    b2 = t
+                    break
+        # read a mode code (max 7 bits: 0000011 / 0000010)
+        code = ""
+        mode = None
+        for _i in range(7):
+            bit = r.read_bit()
+            if bit is None:
+                return None
+            code += "1" if bit else "0"
+            if code == _MODE_PASS and len(code) == 4:
+                mode = ("pass",)
+                break
+            if code == _MODE_HORIZ:
+                mode = ("horiz",)
+                break
+            for d, bits in _MODE_V.items():
+                if code == bits:
+                    mode = ("v", d)
+                    break
+            if mode:
+                break
+        if mode is None:
+            return None
+        start = a0 if a0 > 0 else 0
+        if mode[0] == "pass":
+            if b2 > width:
+                return None
+            if color:
+                row[start:b2] = [1] * (b2 - start)
+            a0 = b2
+        elif mode[0] == "v":
+            a1 = b1 + mode[1]
+            if a1 < 0 or a1 > width or a1 < start:
+                return None
+            if color:
+                row[start:a1] = [1] * (a1 - start)
+            if a1 < width:
+                cur.append(a1)
+            a0 = a1
+            color ^= 1
+            if a0 >= width:
+                break
+        else:  # horizontal: two MH runs, current color then opposite
+            r1 = _read_run(r, bool(color))
+            if r1 is None:
+                return None
+            r2 = _read_run(r, not bool(color))
+            if r2 is None:
+                return None
+            a1 = start + r1
+            a2 = a1 + r2
+            if a2 > width:
+                return None
+            if color:
+                row[start:a1] = [1] * (a1 - start)
+            else:
+                row[a1:a2] = [1] * (a2 - a1)
+            if a1 < width:
+                cur.append(a1)
+            if a2 < width:
+                cur.append(a2)
+            a0 = a2
+        if a0 >= width:
+            break
+    # transitions must be strictly increasing for the next ref line
+    for i in range(1, len(cur)):
+        if cur[i] <= cur[i - 1]:
+            return None
+    return row, cur
+
+
+def _encode_1d_row(w: _BitWriter, row, width: int) -> None:
+    x = 0
+    black = False
+    while x < width:
+        run = 0
+        while x + run < width and bool(row[x + run]) == black:
+            run += 1
+        _emit_run(w, run, black)
+        x += run
+        black = not black
+
+
+def _decode_1d_row(r: _BitReader, width: int):
+    """Decode one MH-coded row; returns (row, transitions) or None."""
+    row = [0] * width
+    x = 0
+    black = False
+    while x < width:
+        run = _read_run(r, black)
+        if run is None or x + run > width:
+            return None
+        if black:
+            row[x : x + run] = [1] * run
+        x += run
+        black = not black
+    return row, _transitions(row)
+
+
 def encode_g4(rows, width: int) -> bytes:
     """T.6 (Group 4) 2-D encode of a full segment: the reference line for
     row 0 is imaginary all-white; EOFB terminates the block."""
     w = _BitWriter()
     ref: "list[int]" = []  # transitions of the all-white imaginary row
     for row in rows:
-        cur = _transitions(row)
-        a0 = -1
-        color = 0  # 0 white, 1 black
-        while a0 < width:
-            # a1: first changing element right of a0 (color is !color by
-            # construction when walking transitions in order)
-            a1 = next((t for t in cur if t > a0), width)
-            # b1: first changing element on ref right of a0 with color
-            # opposite to a0's color (transition k paints black iff k even)
-            b1 = width
-            for k, t in enumerate(ref):
-                if t > a0 and (k % 2 == 0) == (color == 0):
-                    b1 = t
-                    break
-            b2 = width
-            if b1 < width:
-                for t in ref:
-                    if t > b1:
-                        b2 = t
-                        break
-            if b2 < a1:
-                w.write(_MODE_PASS)
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                w.write(_MODE_V[a1 - b1])
-                a0 = a1
-                color ^= 1
-            else:
-                a2 = next((t for t in cur if t > a1), width)
-                w.write(_MODE_HORIZ)
-                start = a0 if a0 > 0 else 0
-                _emit_run(w, a1 - start, bool(color))
-                _emit_run(w, a2 - a1, not bool(color))
-                a0 = a2
-        ref = cur
+        ref = _encode_2d_row(w, row, ref, width)
     w.write("000000000001" * 2)  # EOFB
     return w.bytes()
 
@@ -309,90 +433,81 @@ def decode_g4(data: bytes, width: int, height: int) -> "list[list[int]] | None":
     ref: "list[int]" = []
     rows = []
     for _ in range(height):
-        row = [0] * width
-        cur: "list[int]" = []
-        a0 = -1
-        color = 0
-        while a0 < width:
-            # b1/b2 from the reference line
-            b1 = width
-            for k, t in enumerate(ref):
-                if t > a0 and (k % 2 == 0) == (color == 0):
-                    b1 = t
-                    break
-            b2 = width
-            if b1 < width:
-                for t in ref:
-                    if t > b1:
-                        b2 = t
-                        break
-            # read a mode code (max 7 bits: 0000011 / 0000010)
-            code = ""
-            mode = None
-            for _i in range(7):
-                bit = r.read_bit()
-                if bit is None:
-                    return None
-                code += "1" if bit else "0"
-                if code == _MODE_PASS and len(code) == 4:
-                    mode = ("pass",)
-                    break
-                if code == _MODE_HORIZ:
-                    mode = ("horiz",)
-                    break
-                for d, bits in _MODE_V.items():
-                    if code == bits:
-                        mode = ("v", d)
-                        break
-                if mode:
-                    break
-            if mode is None:
-                return None
-            start = a0 if a0 > 0 else 0
-            if mode[0] == "pass":
-                if b2 > width:
-                    return None
-                if color:
-                    row[start:b2] = [1] * (b2 - start)
-                a0 = b2
-            elif mode[0] == "v":
-                a1 = b1 + mode[1]
-                if a1 < 0 or a1 > width or a1 < start:
-                    return None
-                if color:
-                    row[start:a1] = [1] * (a1 - start)
-                if a1 < width:
-                    cur.append(a1)
-                a0 = a1
-                color ^= 1
-                if a0 >= width:
-                    break
-            else:  # horizontal: two MH runs, current color then opposite
-                r1 = _read_run(r, bool(color))
-                if r1 is None:
-                    return None
-                r2 = _read_run(r, not bool(color))
-                if r2 is None:
-                    return None
-                a1 = start + r1
-                a2 = a1 + r2
-                if a2 > width:
-                    return None
-                if color:
-                    row[start:a1] = [1] * (a1 - start)
-                else:
-                    row[a1:a2] = [1] * (a2 - a1)
-                if a1 < width:
-                    cur.append(a1)
-                if a2 < width:
-                    cur.append(a2)
-                a0 = a2
-            if a0 >= width:
-                break
-        # transitions must be strictly increasing for the next ref line
-        for i in range(1, len(cur)):
-            if cur[i] <= cur[i - 1]:
-                return None
+        got = _decode_2d_row(r, ref, width)
+        if got is None:
+            return None
+        row, ref = got
         rows.append(row)
-        ref = cur
+    return rows
+
+
+_EOL = "000000000001"
+
+
+def encode_g3(rows, width: int, two_d: bool = False, k: int = 4) -> bytes:
+    """TIFF compression-3 encode (T.4 with EOL resynchronization): each row
+    is preceded by an EOL code; in 2-D mode (T4Options bit 0) a tag bit
+    follows each EOL — 1 for a 1-D (MH) row, 0 for a 2-D row against the
+    previous row — with a 1-D row at least every ``k`` rows (the fax K
+    parameter).  The stream ends with RTC (6 EOLs)."""
+    w = _BitWriter()
+    ref: "list[int]" = []
+    since_1d = 0
+    for i, row in enumerate(rows):
+        w.write(_EOL)
+        if not two_d:
+            _encode_1d_row(w, row, width)
+            continue
+        one_d = i == 0 or since_1d >= k - 1
+        w.write("1" if one_d else "0")
+        if one_d:
+            _encode_1d_row(w, row, width)
+            ref = _transitions(row)
+            since_1d = 0
+        else:
+            ref = _encode_2d_row(w, row, ref, width)
+            since_1d += 1
+    for _ in range(6):
+        w.write(_EOL)  # RTC
+    return w.bytes()
+
+
+def decode_g3(
+    data: bytes, width: int, height: int, two_d: bool = False
+) -> "list[list[int]] | None":
+    """TIFF compression-3 decode (T.4 with EOLs): rows are EOL-delimited
+    with optional zero fill bits before each EOL; in 2-D mode the post-EOL
+    tag bit selects MH (1) or 2-D-vs-previous-row (0) coding for the row.
+    Trailing RTC EOLs are not consumed.  None on a malformed stream."""
+    r = _BitReader(data)
+
+    def read_eol() -> bool:
+        # >= 11 zero bits (fill extends them) then a 1
+        zeros = 0
+        while True:
+            bit = r.read_bit()
+            if bit is None:
+                return False
+            if bit == 0:
+                zeros += 1
+            else:
+                return zeros >= 11
+
+    ref: "list[int]" = []
+    rows = []
+    for _ in range(height):
+        if not read_eol():
+            return None
+        if two_d:
+            tag = r.read_bit()
+            if tag is None:
+                return None
+            got = (_decode_1d_row(r, width) if tag
+                   else _decode_2d_row(r, ref, width))
+        else:
+            got = _decode_1d_row(r, width)
+        if got is None:
+            return None
+        row, ref = got
+        rows.append(row)
     return rows

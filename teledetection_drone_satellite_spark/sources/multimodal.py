@@ -3982,23 +3982,31 @@ def synth_tiff_fax(
     photometric: int = 0,
     rows_per_strip: "int | None" = None,
     bit_fn=None,
+    t4_two_d: bool = False,
 ) -> bytes:
     """Deterministic COMPLETE bilevel fax TIFF (r10): compression 2
-    (Modified Huffman, byte-aligned rows) or 4 (Group 4 / T.6), BitsPerSample
-    1, photometric 0/1.  ``bit_fn(x, y) -> 0/1`` gives the FAX bit (1 =
-    black-run pixel; default a text-like pattern of runs).  Multi-strip
-    when ``rows_per_strip`` < height — each strip an independent fax
-    segment per the TIFF spec (sources/ccitt.py encodes).  Byte-packing per
-    TIFF 6.0 §10/§11, independent of decode_tiff_deep's fax branch."""
+    (Modified Huffman, byte-aligned rows), 3 (T.4 Group 3 with EOLs —
+    ``t4_two_d`` turns on mixed 2-D rows and sets T4Options bit 0) or 4
+    (Group 4 / T.6), BitsPerSample 1, photometric 0/1.  ``bit_fn(x, y) ->
+    0/1`` gives the FAX bit (1 = black-run pixel; default a text-like
+    pattern of runs).  Multi-strip when ``rows_per_strip`` < height —
+    each strip an independent fax segment per the TIFF spec
+    (sources/ccitt.py encodes).  Byte-packing per TIFF 6.0 §10/§11,
+    independent of decode_tiff_deep's fax branch."""
     from . import ccitt as _ccitt
 
-    if compression not in (2, 4):
-        raise ValueError("fax compression must be 2 or 4")
+    if compression not in (2, 3, 4):
+        raise ValueError("fax compression must be 2, 3 or 4")
     bf = bit_fn or (
         lambda x, y: 1 if ((x // 3 + 2 * (y // 2)) % 5) < 2 else 0
     )
     rps = rows_per_strip or height
-    enc = _ccitt.encode_g4 if compression == 4 else _ccitt.encode_g3_1d
+    if compression == 4:
+        enc = _ccitt.encode_g4
+    elif compression == 3:
+        enc = lambda rows, w: _ccitt.encode_g3(rows, w, t4_two_d, k=4)
+    else:
+        enc = _ccitt.encode_g3_1d
     segments = []
     for y0 in range(0, height, rps):
         rows = [
@@ -4020,6 +4028,8 @@ def synth_tiff_fax(
             (_TIFF_TAG_ROWS_PER_STRIP, 4, [rps]),
             (_TIFF_TAG_STRIP_COUNTS, 4, [len(s) for s in segments]),
         ]
+        if compression == 3:
+            specs.append((292, 4, [1 if t4_two_d else 0]))  # T4Options
         n_tags = len(specs)
         aux_off = 8 + 2 + 12 * n_tags + 4
         aux = bytearray()
@@ -4239,12 +4249,15 @@ def decode_tiff_deep(
     if not width or not height:
         return None
     compression = one(_TIFF_TAG_COMPRESSION, 1)
-    if compression in (2, 4):
+    if compression in (2, 3, 4):
         # CCITT fax (r10): compression 2 = Modified Huffman 1-D with
-        # byte-aligned rows (TIFF 6.0 CCITTRLE), 4 = Group 4 / T.6 2-D —
-        # the scanned-document/archive shape. Codec in sources/ccitt.py,
+        # byte-aligned rows (TIFF 6.0 CCITTRLE), 3 = T.4 Group 3 with EOL
+        # resynchronization (T4Options bit 0 selects mixed 2-D rows, bit 2
+        # byte-aligned EOLs — fill bits decode transparently; bit 1
+        # uncompressed mode is refused), 4 = Group 4 / T.6 2-D — the
+        # scanned-document/archive shapes. Codec in sources/ccitt.py,
         # pinned bit-exact vs the system libtiff in both directions.
-        # Each strip is an independent segment (G4 reference line resets).
+        # Each strip is an independent segment (reference line resets).
         from . import ccitt as _ccitt
 
         spp_f = one(_TIFF_TAG_SPP, 1)
@@ -4269,12 +4282,26 @@ def decode_tiff_deep(
         import numpy as np
 
         all_rows: "list[list[int]]" = []
+        t4_two_d = False
+        if compression == 3:
+            t4opts = one(292, 0) or 0  # T4Options
+            if t4opts & 0x2:
+                return None  # T.4 uncompressed mode: out of scope
+            t4_two_d = bool(t4opts & 0x1)
         for k, (off, cnt) in enumerate(zip(offsets_f, counts_f)):
             if off + cnt > len(content):
                 return None  # truncated strip: refuse
             seg_h = min(rps_f, height - k * rps_f)
-            dec_fn = _ccitt.decode_g4 if compression == 4 else _ccitt.decode_g3_1d
-            rows = dec_fn(content[off : off + cnt], width, seg_h)
+            if compression == 4:
+                rows = _ccitt.decode_g4(content[off : off + cnt], width, seg_h)
+            elif compression == 3:
+                rows = _ccitt.decode_g3(
+                    content[off : off + cnt], width, seg_h, t4_two_d
+                )
+            else:
+                rows = _ccitt.decode_g3_1d(
+                    content[off : off + cnt], width, seg_h
+                )
             if rows is None:
                 return None
             all_rows.extend(rows)

@@ -48,11 +48,15 @@ def _pattern_rows(w, h, style, seed):
 @given(
     w=st.integers(1, 120), h=st.integers(1, 20),
     style=st.integers(0, 4), seed=st.integers(0, 9999),
+    k=st.integers(1, 6),
 )
-def test_fuzz_ccitt_roundtrip(w, h, style, seed):
+def test_fuzz_ccitt_roundtrip(w, h, style, seed, k):
     rows = _pattern_rows(w, h, style, seed)
     assert ccitt.decode_g3_1d(ccitt.encode_g3_1d(rows, w), w, h) == rows
     assert ccitt.decode_g4(ccitt.encode_g4(rows, w), w, h) == rows
+    for two_d in (False, True):
+        assert ccitt.decode_g3(
+            ccitt.encode_g3(rows, w, two_d, k=k), w, h, two_d) == rows
 
 
 def test_ccitt_long_run_makeup_chain():
@@ -137,6 +141,22 @@ def test_ccitt_bidirectional_libtiff_conformance(tmp_path):
         assert len(offs) == 1
         return content[offs[0] : offs[0] + cnts[0]]
 
+    def lt_write_g3(path, rows, w, h, g3opts):
+        tif = lib.TIFFOpen(str(path).encode(), b"w")
+        assert tif
+        for tag, val in ((TAGS["W"], w), (TAGS["H"], h), (TAGS["BPS"], 1),
+                         (TAGS["COMP"], 3), (TAGS["PHOTO"], 0),
+                         (TAGS["SPP"], 1), (TAGS["RPS"], h),
+                         (TAGS["PLANAR"], 1), (292, g3opts)):
+            lib.TIFFSetField(ctypes.c_void_p(tif), ctypes.c_uint32(tag),
+                             ctypes.c_int(val))
+        for y, row in enumerate(rows):
+            buf = ctypes.create_string_buffer(_pack_bits(row), (w + 7) // 8)
+            assert lib.TIFFWriteScanline(
+                ctypes.c_void_p(tif), buf, ctypes.c_uint32(y),
+                ctypes.c_uint16(0)) == 1
+        lib.TIFFClose(ctypes.c_void_p(tif))
+
     for trial in range(40):
         w = 1 + (trial * 17) % 100
         h = 1 + (trial * 5) % 14
@@ -155,16 +175,33 @@ def test_ccitt_bidirectional_libtiff_conformance(tmp_path):
             )
             p2.write_bytes(content)
             assert lt_read(p2, w, h) == rows, (trial, comp, "enc")
+        # compression 3: options 0 (1-D) / 1 (mixed 2-D) both directions,
+        # 4 / 5 (byte-aligned EOL fill) decode-only
+        for g3opts in (0, 1, 4, 5):
+            two_d = bool(g3opts & 1)
+            p = tmp_path / f"lt3_{trial}_{g3opts}.tif"
+            lt_write_g3(p, rows, w, h, g3opts)
+            assert ccitt.decode_g3(strip_bytes(p), w, h, two_d) == rows, (
+                trial, g3opts, "dec")
+            if g3opts in (0, 1):
+                p2 = tmp_path / f"us3_{trial}_{g3opts}.tif"
+                p2.write_bytes(mm.synth_tiff_fax(
+                    w, h, 3, 0, None,
+                    bit_fn=lambda x, y, rows=rows: rows[y][x],
+                    t4_two_d=two_d,
+                ))
+                assert lt_read(p2, w, h) == rows, (trial, g3opts, "enc")
 
 
 def test_tiff_fax_decode_integration():
     """decode_tiff over synth_tiff_fax: both compressions, photometrics,
     strip layouts; luminance mapping per the documented contract."""
     bf = lambda x, y: 1 if (x + 2 * y) % 7 < 3 else 0
-    for comp in (2, 4):
+    for comp, two_d in ((2, False), (3, False), (3, True), (4, False)):
         for photo in (0, 1):
             for rps in (None, 5):
-                t = mm.synth_tiff_fax(37, 13, comp, photo, rps, bf)
+                t = mm.synth_tiff_fax(37, 13, comp, photo, rps, bf,
+                                      t4_two_d=two_d)
                 got = mm.decode_tiff(t)
                 assert got is not None and got[:3] == (37, 13, 1)
                 arr = np.frombuffer(got[3], np.uint8).reshape(13, 37)
@@ -172,7 +209,8 @@ def test_tiff_fax_decode_integration():
                     for x in range(37):
                         b = bf(x, y)
                         exp = (1 - b) * 255 if photo == 0 else b * 255
-                        assert arr[y, x] == exp, (comp, photo, rps, x, y)
+                        assert arr[y, x] == exp, (comp, two_d, photo, rps,
+                                                  x, y)
 
 
 def test_ccitt_malformed_refused():
@@ -209,6 +247,10 @@ def test_fuzz_ccitt_survives_bit_flips(seed, nflip):
          lambda d: ccitt.decode_g3_1d(d, 33, 7)),
         (bytearray(mm.synth_tiff_fax(33, 7, 4, 0)), mm.decode_tiff),
         (bytearray(mm.synth_tiff_fax(33, 7, 2, 1)), mm.decode_tiff),
+        (bytearray(mm.synth_tiff_fax(33, 7, 3, 0, t4_two_d=True)),
+         mm.decode_tiff),
+        (bytearray(ccitt.encode_g3(rows, 33, True, k=3)),
+         lambda d: ccitt.decode_g3(d, 33, 7, True)),
     ):
         for _ in range(nflip):
             data[rnd.randrange(len(data))] ^= 1 << rnd.randrange(8)
