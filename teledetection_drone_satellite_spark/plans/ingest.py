@@ -2634,6 +2634,122 @@ def wav_ext_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "flac_sample_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS r,
+               200 + (doc_id * 31) % 1800 AS n,
+               1 + doc_id % 2 AS ch,
+               CASE WHEN (doc_id // 2) % 2 = 0 THEN 16 ELSE 8 END AS bits
+        FROM documents WHERE doc_id < 100
+    ),
+    s AS (
+        SELECT doc_id, r, n, ch, bits, c.j AS c,
+               CASE WHEN bits = 16
+                    THEN ((t.i * (3 + 2 * c.j) + doc_id) % 512) - 256
+                    ELSE (((t.i * (3 + 2 * c.j) + doc_id) % 256) - 128) * 256
+               END AS v
+        FROM spec,
+             LATERAL unnest(range(0, n)) t(i),
+             LATERAL unnest(range(0, ch)) c(j)
+    )
+    SELECT doc_id,
+           CAST(r AS INT) AS sample_rate,
+           CAST(ch AS INT) AS channels,
+           CAST(bits AS INT) AS bits,
+           CAST(n AS BIGINT) AS n_samples,
+           round(avg(v), 6) AS mean_all,
+           round(avg(CASE WHEN c = 0 THEN v END), 6) AS mean_ch0,
+           CAST(max(abs(v)) AS BIGINT) AS peak
+    FROM s GROUP BY doc_id, r, n, ch, bits
+    """,
+    doc="FLAC decode, graded (r10 — the lossless audio-archive format, "
+    "sources/flac.py: STREAMINFO walk, frame sync + CRC-8/CRC-16 "
+    "verification, constant/verbatim/fixed-0-4/LPC subframes, "
+    "partitioned Rice/Rice2 residuals, all four stereo decorrelation "
+    "modes with the side channel's extra bit). Per doc the encoder "
+    "cycles subframe plans (fixed orders, LPC, verbatim), block sizes "
+    "(192/256/577/1024 — both standard and the irregular-tail shape), "
+    "stereo modes and Rice partition orders over a closed-form sample "
+    "contract the oracle regenerates; the decoder must invert all of it "
+    "exactly or the per-channel means/peak flip. No FLAC reference "
+    "library exists in this container (probed r10), so the module's "
+    "golden-byte pins + adversarial pytest tier stand in for the "
+    "conformance pin (tests/test_flac_codec.py).",
+    tags=("ingest", "multimodal"),
+)
+def flac_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..sources import flac as flaccodec
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+    rates = (8000, 16000, 22050, 44100, 48000)
+    modes = ("independent", "left_side", "right_side", "mid_side")
+    plans = (("fixed", 0), ("fixed", 2), ("fixed", 4), ("lpc", 1),
+             ("lpc", 2), ("verbatim", 0))
+    bsizes = (192, 256, 577, 1024)
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 200 + (i * 31) % 1800
+                ch = 1 + i % 2
+                bits = 16 if (i // 2) % 2 == 0 else 8
+                chans = [
+                    [((t * (3 + 2 * c) + i) % 512) - 256 if bits == 16
+                     else ((t * (3 + 2 * c) + i) % 256) - 128
+                     for t in range(n)]
+                    for c in range(ch)
+                ]
+                content = flaccodec.encode_flac(
+                    chans, rates[i % 5], bits, bsizes[i % 4],
+                    subframe_plan=lambda fi, c, i=i: plans[(i + c) % 6],
+                    stereo_mode=modes[(i // 3) % 4] if ch == 2
+                    else "independent",
+                    rice_partition_order=i % 3,
+                )
+                rate, gch, gbits, arr = flaccodec.decode_flac(content)
+                s = arr.astype(np.int64)
+                rows.append(
+                    (
+                        i, rate, gch, gbits, s.shape[0],
+                        float(s.mean()), float(s[:, 0].mean()),
+                        int(np.abs(s).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "channels", "bits",
+                         "n_samples", "mean_a", "mean_0", "peak"],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, sample_rate int, channels int, bits int, "
+        "n_samples long, mean_a double, mean_0 double, peak long",
+    )
+    return out.select(
+        "doc_id", "sample_rate", "channels", "bits", "n_samples",
+        F.round("mean_a", 6).alias("mean_all"),
+        F.round("mean_0", 6).alias("mean_ch0"),
+        "peak",
+    )
+
+
 def _docs_as_assets(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     """documents -> rows carrying REAL synthesized binary assets.
 

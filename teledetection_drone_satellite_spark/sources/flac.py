@@ -1,0 +1,590 @@
+"""FLAC codec subset (the free-lossless-audio archive format) — pure
+stdlib, from the public FLAC format specification (RFC 9639 / the
+xiph.org format document).
+
+Scope (r10): STREAMINFO metadata walk; frames with fixed blocking
+strategy; 8/16-bit samples; mono/stereo incl. ALL FOUR channel
+assignments (independent, left/side, right/side, mid/side — the side
+channel carries one extra bit per the spec); subframe types CONSTANT,
+VERBATIM, FIXED orders 0-4, and LPC (any order, quantized coefficients
+with shift); Rice/Rice2 residual coding with partitions and the
+raw-bits escape; wasted-bits unary prefix; CRC-8 header and CRC-16
+frame checks (a mismatch refuses the frame — the never-silently-wrong
+contract).  The encoder (fixture synthesis) emits independent or
+side-coded channels with constant/verbatim/fixed/LPC subframes and
+partitioned Rice residuals, so the decoder's full surface is exercised;
+encoder and decoder are separate implementations of the spec's bit
+layout, and tests/test_flac_codec.py additionally pins hand-computed
+golden bytes for a known tiny stream (no FLAC reference library or
+binary exists in this container — probed r10: libFLAC/libsndfile/ffmpeg
+all absent — so the golden-byte and adversarial tiers stand in for the
+conformance pin until one lands).
+
+Returns follow the WAV decoders' convention: int16 samples, shape
+(n, channels).
+"""
+
+from __future__ import annotations
+
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.buf.append(self.acc)
+                self.acc = self.nbits = 0
+
+    def write_unary(self, q: int) -> None:
+        self.write(0, q) if q else None
+        self.write(1, 1)
+
+    def byte_align(self) -> None:
+        if self.nbits:
+            self.acc <<= 8 - self.nbits
+            self.buf.append(self.acc)
+            self.acc = self.nbits = 0
+
+    def bytes(self) -> bytes:
+        self.byte_align()
+        return bytes(self.buf)
+
+
+class _BitReader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, pos_bits: int = 0):
+        self.data = data
+        self.pos = pos_bits
+
+    def read(self, nbits: int) -> "int | None":
+        if self.pos + nbits > len(self.data) * 8:
+            return None
+        v = 0
+        for _ in range(nbits):
+            byte = self.pos >> 3
+            v = (v << 1) | ((self.data[byte] >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def read_unary(self) -> "int | None":
+        q = 0
+        while True:
+            bit = self.read(1)
+            if bit is None:
+                return None
+            if bit:
+                return q
+            q += 1
+            if q > 1 << 20:
+                return None  # runaway unary: corrupt stream
+
+
+def _rice_encode(w: _BitWriter, residuals, param: int) -> None:
+    for r in residuals:
+        z = (r << 1) ^ (r >> 63) if r >= 0 else ((-r) << 1) - 1
+        # standard zigzag: n >= 0 -> 2n, n < 0 -> -2n - 1
+        z = 2 * r if r >= 0 else -2 * r - 1
+        q = z >> param
+        w.write(0, q) if q else None
+        w.write(1, 1)
+        if param:
+            w.write(z & ((1 << param) - 1), param)
+
+
+def _rice_decode(r: _BitReader, n: int, param: int) -> "list[int] | None":
+    out = []
+    for _ in range(n):
+        q = r.read_unary()
+        if q is None:
+            return None
+        low = r.read(param) if param else 0
+        if low is None:
+            return None
+        z = (q << param) | low
+        out.append((z >> 1) ^ -(z & 1))
+    return out
+
+
+def _utf8_coded(n: int) -> bytes:
+    """FLAC's extended-UTF-8 frame-number coding."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    nbytes = 2
+    while n >= (1 << (nbytes * 5 + (6 - nbytes))):
+        nbytes += 1
+    lead = (0xFF00 >> nbytes) & 0xFF
+    shift = 6 * (nbytes - 1)
+    out.append(lead | (n >> shift))
+    for i in range(nbytes - 1):
+        shift -= 6
+        out.append(0x80 | ((n >> shift) & 0x3F))
+    return bytes(out)
+
+
+def _read_utf8_coded(r: _BitReader) -> "int | None":
+    b0 = r.read(8)
+    if b0 is None:
+        return None
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    mask = 0x80
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    if nbytes < 2 or nbytes > 7:
+        return None
+    v = b0 & (0xFF >> (nbytes + 1))
+    for _ in range(nbytes - 1):
+        b = r.read(8)
+        if b is None or (b & 0xC0) != 0x80:
+            return None
+        v = (v << 6) | (b & 0x3F)
+    return v
+
+
+def encode_flac(
+    samples,
+    sample_rate: int,
+    bits: int = 16,
+    block_size: int = 1024,
+    subframe_plan=None,
+    stereo_mode: str = "independent",
+    rice_partition_order: int = 0,
+) -> bytes:
+    """Minimal-but-complete FLAC encoder for fixtures: ``samples`` is a
+    list of per-channel lists (1 or 2 channels) of ints fitting ``bits``.
+    ``subframe_plan(frame_idx, ch) -> ('constant'|'verbatim'|'fixed',
+    order)|('lpc', order)`` picks each subframe's coding (default fixed
+    order 2, falling back to verbatim when the predictor overflows).
+    ``stereo_mode``: independent / left_side / right_side / mid_side.
+    Rice parameters are chosen per partition by brute force."""
+    n_ch = len(samples)
+    if n_ch not in (1, 2):
+        raise ValueError("1 or 2 channels")
+    n = len(samples[0])
+    w_total = bytearray()
+    w_total += b"fLaC"
+    # STREAMINFO: last-metadata flag + type 0, length 34
+    si = _BitWriter()
+    si.write(block_size, 16)
+    si.write(block_size, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(sample_rate, 20)
+    si.write(n_ch - 1, 3)
+    si.write(bits - 1, 5)
+    si.write(n, 36)
+    info = si.bytes() + bytes(16)  # zero MD5: unverified (decoder ignores)
+    w_total += bytes([0x80]) + len(info).to_bytes(3, "big") + info
+
+    ch_assign = {
+        "independent": n_ch - 1,
+        "left_side": 8,
+        "right_side": 9,
+        "mid_side": 10,
+    }[stereo_mode]
+    if stereo_mode != "independent" and n_ch != 2:
+        raise ValueError("side coding needs stereo")
+
+    for fi, start in enumerate(range(0, n, block_size)):
+        bs = min(block_size, n - start)
+        # channel transform
+        chans = []
+        if stereo_mode == "independent":
+            chans = [(samples[c][start : start + bs], bits) for c in range(n_ch)]
+        else:
+            left = samples[0][start : start + bs]
+            right = samples[1][start : start + bs]
+            side = [l - r for l, r in zip(left, right)]
+            if stereo_mode == "left_side":
+                chans = [(left, bits), (side, bits + 1)]
+            elif stereo_mode == "right_side":
+                chans = [(side, bits + 1), (right, bits)]
+            else:
+                mid = [(l + r) >> 1 for l, r in zip(left, right)]
+                chans = [(mid, bits), (side, bits + 1)]
+        w = _BitWriter()
+        w.write(0b11111111111110, 14)
+        w.write(0, 1)  # reserved
+        w.write(0, 1)  # fixed blocking strategy
+        w.write(0b0111, 4)  # block size: 16-bit value at header end
+        w.write(0b0000, 4)  # sample rate: from STREAMINFO
+        w.write(ch_assign, 4)
+        w.write({8: 0b001, 16: 0b100}[bits], 3)
+        w.write(0, 1)  # reserved
+        header = w.bytes()
+        header += _utf8_coded(fi)
+        header += (bs - 1).to_bytes(2, "big")
+        header += bytes([_crc8(header)])
+        body = _BitWriter()
+        # seed the body writer with the header bytes so CRC16 covers all
+        for c, (vals, cbits) in enumerate(chans):
+            kind, order = (
+                subframe_plan(fi, c) if subframe_plan else ("fixed", 2)
+            )
+            body.write(0, 1)  # zero padding bit
+            if kind == "constant" and all(v == vals[0] for v in vals):
+                body.write(0, 6)
+                body.write(0, 1)  # no wasted bits
+                body.write(vals[0] & ((1 << cbits) - 1), cbits)
+                continue
+            if kind == "constant":
+                kind = "verbatim"  # not actually constant: fall back
+            if kind == "verbatim":
+                body.write(1, 6)
+                body.write(0, 1)
+                for v in vals:
+                    body.write(v & ((1 << cbits) - 1), cbits)
+                continue
+            order = min(order, len(vals) - 1) if len(vals) > 1 else 0
+            if kind == "lpc":
+                order = max(1, order)
+                # simple fixed quantized predictor: coefs approximate an
+                # order-`order` smooth predictor; precision 14 so the
+                # largest coefficient (2 << 10) fits signed two's
+                # complement (range +-8192)
+                precision, shift = 14, 10
+                if order == 1:
+                    coefs = [1 << shift]
+                elif order == 2:
+                    coefs = [2 << shift, -(1 << shift)]
+                else:
+                    coefs = [1 << shift] + [0] * (order - 2) + [0]
+                body.write(0b100000 | (order - 1), 6)
+                body.write(0, 1)
+            else:
+                body.write(0b001000 | order, 6)
+                body.write(0, 1)
+                coefs = None
+            # warmup samples
+            for v in vals[:order]:
+                body.write(v & ((1 << cbits) - 1), cbits)
+            # residuals
+            if coefs is None:
+                fc = _FIXED_COEFS[order]
+                resid = [
+                    vals[i] - sum(fc[j] * vals[i - 1 - j] for j in range(order))
+                    for i in range(order, len(vals))
+                ]
+            else:
+                resid = [
+                    vals[i]
+                    - (sum(coefs[j] * vals[i - 1 - j] for j in range(order))
+                       >> shift)
+                    for i in range(order, len(vals))
+                ]
+            if kind == "lpc":
+                body.write(precision - 1, 4)
+                body.write(shift, 5)
+                for cf in coefs:
+                    body.write(cf & ((1 << precision) - 1), precision)
+            # partitioned Rice, method 0 (4-bit params)
+            po = rice_partition_order
+            while (len(vals) >> po) << po != len(vals) or (len(vals) >> po) <= order:
+                po -= 1  # partition count must divide block size
+            body.write(0, 2)
+            body.write(po, 4)
+            n_part = 1 << po
+            idx = 0
+            for p in range(n_part):
+                cnt = (len(vals) >> po) - (order if p == 0 else 0)
+                part = resid[idx : idx + cnt]
+                idx += cnt
+                best, best_len = 0, None
+                for param in range(15):
+                    total = sum(
+                        ((2 * r if r >= 0 else -2 * r - 1) >> param) + 1 + param
+                        for r in part
+                    )
+                    if best_len is None or total < best_len:
+                        best, best_len = param, total
+                body.write(best, 4)
+                _rice_encode(body, part, best)
+        frame = header + body.bytes()
+        frame += _crc16(frame).to_bytes(2, "big")
+        w_total += frame
+    return bytes(w_total)
+
+
+def decode_flac(content: bytes) -> "tuple[int, int, int, 'object'] | None":
+    """Decode a FLAC stream within the module scope; returns
+    (sample_rate, channels, bits, int16 ndarray (n, channels)) or None —
+    same contract as decode_wav_multi.  Samples wider than 16 bits are
+    out of scope (refused), 8-bit widens via << 8 like the WAV path."""
+    import numpy as np
+
+    if content[:4] != b"fLaC":
+        return None
+    pos = 4
+    streaminfo = None
+    while pos + 4 <= len(content):
+        head = content[pos]
+        btype = head & 0x7F
+        (length,) = ((int.from_bytes(content[pos + 1 : pos + 4], "big")),)
+        block = content[pos + 4 : pos + 4 + length]
+        if len(block) < length:
+            return None
+        if btype == 0:
+            streaminfo = block
+        pos += 4 + length
+        if head & 0x80:
+            break
+    if streaminfo is None or len(streaminfo) < 34:
+        return None
+    r = _BitReader(streaminfo)
+    r.read(16)  # min block size
+    r.read(16)
+    r.read(24)
+    r.read(24)
+    sample_rate = r.read(20)
+    n_ch = r.read(3) + 1
+    bits = r.read(5) + 1
+    total = r.read(36)
+    if not sample_rate or n_ch > 2 or bits not in (8, 16):
+        return None
+    out = [[] for _ in range(n_ch)]
+    br = _BitReader(content, pos * 8)
+    while len(out[0]) < total:
+        frame_start_byte = br.pos >> 3
+        sync = br.read(14)
+        if sync is None or sync != 0b11111111111110:
+            return None
+        if br.read(1) != 0:
+            return None
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_assign = br.read(4)
+        ss_code = br.read(3)
+        if br.read(1) != 0:
+            return None
+        if _read_utf8_coded(br) is None:
+            return None
+        if bs_code in (0, None):
+            return None
+        if bs_code == 1:
+            bs = 192
+        elif 2 <= bs_code <= 5:
+            bs = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            b = br.read(8)
+            if b is None:
+                return None
+            bs = b + 1
+        elif bs_code == 7:
+            b = br.read(16)
+            if b is None:
+                return None
+            bs = b + 1
+        else:
+            bs = 256 << (bs_code - 8)
+        if sr_code == 12:
+            br.read(8)
+        elif sr_code in (13, 14):
+            br.read(16)
+        elif sr_code == 15:
+            return None
+        sbits = {1: 8, 4: 12, 6: 16, 0b100: 16, 0b001: 8}.get(ss_code)
+        if ss_code == 0:
+            sbits = bits
+        elif ss_code == 0b001:
+            sbits = 8
+        elif ss_code == 0b100:
+            sbits = 16
+        else:
+            return None  # 12/20/24/32-bit frames: out of scope
+        crc8 = br.read(8)
+        hdr_bytes = content[frame_start_byte : (br.pos >> 3) - 1]
+        if crc8 is None or _crc8(hdr_bytes) != crc8:
+            return None
+        if ch_assign <= 7:
+            if ch_assign + 1 != n_ch:
+                return None
+            plan = [(sbits, False)] * n_ch
+        elif ch_assign in (8, 9, 10):
+            if n_ch != 2:
+                return None
+            # the side channel gets one extra bit
+            plan = {
+                8: [(sbits, False), (sbits + 1, True)],
+                9: [(sbits + 1, True), (sbits, False)],
+                10: [(sbits, False), (sbits + 1, True)],
+            }[ch_assign]
+        else:
+            return None
+        decoded = []
+        for cbits, _is_side in plan:
+            sub = _decode_subframe(br, bs, cbits)
+            if sub is None:
+                return None
+            decoded.append(sub)
+        br.byte_align() if hasattr(br, "byte_align") else None
+        br.pos = (br.pos + 7) & ~7
+        crc16 = br.read(16)
+        frame_bytes = content[frame_start_byte : (br.pos >> 3) - 2]
+        if crc16 is None or _crc16(frame_bytes) != crc16:
+            return None
+        # undo channel decorrelation
+        if ch_assign <= 7:
+            chans = decoded
+        elif ch_assign == 8:  # left/side: right = left - side
+            chans = [decoded[0], [l - s for l, s in zip(decoded[0], decoded[1])]]
+        elif ch_assign == 9:  # side/right: left = right + side
+            chans = [[r2 + s for s, r2 in zip(decoded[0], decoded[1])], decoded[1]]
+        else:  # mid/side
+            left, right = [], []
+            for m, s in zip(decoded[0], decoded[1]):
+                l = ((m << 1) | (s & 1)) + s
+                left.append(l >> 1)
+                right.append((l >> 1) - s)
+            chans = [left, right]
+        for c in range(n_ch):
+            out[c].extend(chans[c])
+        if len(out[0]) > total:
+            return None
+    arr = np.array(out, dtype=np.int64).T
+    if bits == 8:
+        arr = arr << 8
+    if arr.size and (arr.max() > 32767 or arr.min() < -32768):
+        return None
+    return sample_rate, n_ch, bits, arr.astype(np.int16)
+
+
+def _decode_subframe(br: _BitReader, bs: int, cbits: int) -> "list[int] | None":
+    if br.read(1) != 0:
+        return None
+    stype = br.read(6)
+    if stype is None:
+        return None
+    wasted = 0
+    wflag = br.read(1)
+    if wflag is None:
+        return None
+    if wflag:
+        wasted = 1
+        while True:
+            b = br.read(1)
+            if b is None:
+                return None
+            if b:
+                break
+            wasted += 1
+    eff = cbits - wasted
+
+    def signed(v: int, nb: int) -> int:
+        return v - (1 << nb) if v >= (1 << (nb - 1)) else v
+
+    if stype == 0:  # constant
+        v = br.read(eff)
+        if v is None:
+            return None
+        return [signed(v, eff) << wasted] * bs
+    if stype == 1:  # verbatim
+        vals = []
+        for _ in range(bs):
+            v = br.read(eff)
+            if v is None:
+                return None
+            vals.append(signed(v, eff) << wasted)
+        return vals
+    if 8 <= stype <= 12:  # fixed
+        order = stype - 8
+        coefs, shift = [c for c in _FIXED_COEFS[order]], 0
+        lpc = False
+    elif stype >= 32:  # LPC
+        order = (stype & 0x1F) + 1
+        lpc = True
+    else:
+        return None
+    warm = []
+    for _ in range(order):
+        v = br.read(eff)
+        if v is None:
+            return None
+        warm.append(signed(v, eff))
+    if lpc:
+        prec = br.read(4)
+        if prec is None or prec == 0xF:
+            return None
+        prec += 1
+        shift = br.read(5)
+        if shift is None or shift >= 0x10:
+            return None
+        coefs = []
+        for _ in range(order):
+            cv = br.read(prec)
+            if cv is None:
+                return None
+            coefs.append(signed(cv, prec))
+    method = br.read(2)
+    if method not in (0, 1):
+        return None
+    pbits = 4 if method == 0 else 5
+    po = br.read(4)
+    if po is None or (bs >> po) << po != bs or (bs >> po) <= order:
+        return None
+    resid = []
+    for p in range(1 << po):
+        cnt = (bs >> po) - (order if p == 0 else 0)
+        param = br.read(pbits)
+        if param is None:
+            return None
+        if param == (1 << pbits) - 1:  # raw-bits escape
+            raw_n = br.read(5)
+            if raw_n is None:
+                return None
+            part = []
+            for _ in range(cnt):
+                v = br.read(raw_n) if raw_n else 0
+                if v is None:
+                    return None
+                part.append(signed(v, raw_n) if raw_n else 0)
+        else:
+            part = _rice_decode(br, cnt, param)
+            if part is None:
+                return None
+        resid.extend(part)
+    vals = list(warm)
+    for r_ in resid:
+        pred = sum(coefs[j] * vals[-1 - j] for j in range(order))
+        if lpc:
+            pred >>= shift
+        vals.append(r_ + pred)
+    return [v << wasted for v in vals]
