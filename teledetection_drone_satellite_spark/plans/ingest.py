@@ -2635,6 +2635,138 @@ def wav_ext_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zip_ingest_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 4 THEN 'raw'
+                    WHEN doc_id % 3 = 0 THEN 'gzip'
+                    ELSE 'zip' END AS kind,
+               CASE WHEN doc_id % 5 = 4 THEN 0
+                    WHEN doc_id % 3 = 0 THEN 1
+                    ELSE 1 + doc_id % 5 END AS n_members
+        FROM documents WHERE doc_id < 100
+    ),
+    members AS (
+        SELECT doc_id, kind, n_members, CAST(k.i AS INT) AS k,
+               repeat('doc' || CAST(doc_id AS VARCHAR) || 'member'
+                      || CAST(k.i AS VARCHAR) || ';',
+                      1 + (doc_id + k.i) % 7) AS body
+        FROM spec, LATERAL unnest(range(0, greatest(n_members, 1))) k(i)
+    )
+    SELECT doc_id,
+           min(kind) AS kind,
+           CAST(min(n_members) AS INT) AS n_members,
+           CAST(sum(length(body)) AS BIGINT) AS total_bytes,
+           string_agg(substr(sha256(body), 1, 8), '' ORDER BY k)
+               AS member_digest
+    FROM members GROUP BY doc_id
+    """,
+    doc="ZIP/GZIP archive fan-out ingest, graded (r10 — the reference "
+    "accepts application/zip uploads, shared/config/__init__.py:36-39: "
+    "drone image batches arrive zipped, so the S2 landing scan explodes "
+    "archives into member rows before the per-asset pipeline). Docs "
+    "cycle a multi-member ZIP (stored and deflated entries alternate), "
+    "a single-member GZIP carrying the FNAME header, and a raw "
+    "passthrough; explode_archives (sources/binary.py, Arrow-batched "
+    "mapInPandas, corrupt archives yield an error marker instead of "
+    "failing the stage) must recover every member byte-exactly — the "
+    "oracle regenerates each member and compares an ORDERED sha256 "
+    "digest chain, so a member-order, decompression, or boundary bug "
+    "flips the string.",
+    tags=("ingest",),
+)
+def zip_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+
+    def member_body(i: int, k: int) -> bytes:
+        return (f"doc{i}member{k};" * (1 + (i + k) % 7)).encode()
+
+    # stage 1: synthesize the archive per doc (light per-row Python)
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import gzip as _gzip
+        import io
+        import zipfile
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 5 == 4:
+                    blob = member_body(i, 0)
+                elif i % 3 == 0:
+                    buf = io.BytesIO()
+                    with _gzip.GzipFile(
+                        filename=f"m0.txt", mode="wb", fileobj=buf, mtime=0
+                    ) as gz:
+                        gz.write(member_body(i, 0))
+                    blob = buf.getvalue()
+                else:
+                    buf = io.BytesIO()
+                    with zipfile.ZipFile(buf, "w") as zf:
+                        for k in range(1 + i % 5):
+                            zf.writestr(
+                                zipfile.ZipInfo(f"m{k}.txt"),
+                                member_body(i, k),
+                                compress_type=(
+                                    zipfile.ZIP_STORED if (i + k) % 2
+                                    else zipfile.ZIP_DEFLATED
+                                ),
+                            )
+                    blob = buf.getvalue()
+                rows.append((i, f"mem:/doc{i}", blob))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "path", "content"]
+            )
+
+    files = ids.mapInPandas(
+        gen, "doc_id long, path string, content binary"
+    )
+    exploded = binary.explode_archives(files)
+    # rejoin doc_id from the path (the operator's schema is path-keyed)
+    exploded = exploded.withColumn(
+        "doc_id", F.regexp_extract("path", r"mem:/doc(\d+)", 1).cast("long")
+    )
+    kind = (
+        F.when(F.col("doc_id") % 5 == 4, "raw")
+        .when(F.col("doc_id") % 3 == 0, "gzip")
+        .otherwise("zip")
+    )
+    per_member = exploded.select(
+        "doc_id", kind.alias("kind"), "member_index",
+        F.length("content").alias("nbytes"),
+        F.substring(F.sha2("content", 256), 1, 8).alias("digest"),
+    )
+    return (
+        per_member.groupBy("doc_id", "kind")
+        .agg(
+            F.sum(F.when(F.col("member_index") >= 0, 1).otherwise(0))
+            .cast("int").alias("n_members"),
+            F.sum("nbytes").alias("total_bytes"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("member_index", "digest"))
+                    ),
+                    lambda s: s["digest"],
+                ),
+            ).alias("member_digest"),
+        )
+        .select("doc_id", "kind", "n_members", "total_bytes",
+                "member_digest")
+    )
+
+
+@register(
     "flac_sample_stats",
     oracle="""
     WITH spec AS (

@@ -161,3 +161,78 @@ def write_partitioned(ingested: DataFrame, path: str, partition_col: str = "mime
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+def explode_archives(files: DataFrame) -> DataFrame:
+    """S2 archive fan-out (r10): the reference accepts application/zip
+    uploads (shared/config/__init__.py:36-39 — drone image batches arrive
+    zipped), so the landing scan must explode archives into member rows
+    before the per-asset pipeline runs.  ZIP members (stored or deflated,
+    via stdlib zipfile; the central directory's CRC is re-verified by
+    zipfile on read) and single-member GZIP (stdlib gzip; inner name from
+    the FNAME header field when present, else the archive path stem).
+    Non-archive rows pass through unchanged with member_path = '' and
+    member_index = -1 — one uniform downstream schema.
+
+    Arrow-batched mapInPandas, one narrow stage: at production scale the
+    fan-out parallelism follows the binaryFile scan splits, and a
+    corrupt archive yields zero member rows plus an error marker row
+    rather than failing the stage (the ingest pipeline's
+    never-fail-the-batch contract)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import gzip as _gzip
+        import io
+        import zipfile
+
+        for pdf in batches:
+            out = {
+                "path": [], "member_path": [], "member_index": [],
+                "content": [], "archive_error": [],
+            }
+
+            def emit(path, member, idx, content, err=None):
+                out["path"].append(path)
+                out["member_path"].append(member)
+                out["member_index"].append(idx)
+                out["content"].append(content)
+                out["archive_error"].append(err)
+
+            for path, content in zip(pdf["path"], pdf["content"]):
+                blob = bytes(content)
+                if blob[:4] == b"PK\x03\x04":
+                    try:
+                        with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+                            infos = [i for i in zf.infolist()
+                                     if not i.is_dir()]
+                            members = [(i.filename, zf.read(i))
+                                       for i in infos]
+                    except Exception as e:  # corrupt archive: marker row
+                        emit(path, "", -1, b"", type(e).__name__)
+                        continue
+                    for k, (name, data) in enumerate(members):
+                        emit(path, name, k, data)
+                elif blob[:2] == b"\x1f\x8b":
+                    try:
+                        inner = _gzip.decompress(blob)
+                        # FNAME field (flag bit 3): original file name
+                        name = ""
+                        if len(blob) > 10 and blob[3] & 0x08:
+                            end = blob.index(b"\x00", 10)
+                            name = blob[10:end].decode("latin-1")
+                    except Exception as e:
+                        emit(path, "", -1, b"", type(e).__name__)
+                        continue
+                    emit(path, name or "member", 0, inner)
+                else:
+                    emit(path, "", -1, blob)
+            yield pd.DataFrame(out)
+
+    return files.select("path", "content").mapInPandas(
+        gen,
+        "path string, member_path string, member_index int, "
+        "content binary, archive_error string",
+    )

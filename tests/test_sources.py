@@ -134,3 +134,46 @@ def test_mapinpandas_batching(spark):
         assert multimodal.decode_image_meta(df).count() == 17
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_explode_archives_zip_gzip_raw_and_corrupt(spark):
+    """r10 S2 archive fan-out: ZIP members (stored + deflated, nested
+    paths, dirs skipped), GZIP with FNAME, raw passthrough, and a corrupt
+    archive yielding an error marker row instead of failing the stage."""
+    import gzip
+    import io
+    import zipfile
+
+    from teledetection_drone_satellite_spark.sources import binary
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(zipfile.ZipInfo("a.txt"), b"alpha",
+                    compress_type=zipfile.ZIP_DEFLATED)
+        zf.writestr(zipfile.ZipInfo("sub/dir/b.bin"), bytes(range(200)),
+                    compress_type=zipfile.ZIP_STORED)
+        zf.writestr(zipfile.ZipInfo("empty/"), b"")  # directory entry
+    zip_blob = buf.getvalue()
+    gbuf = io.BytesIO()
+    with gzip.GzipFile(filename="inner.csv", mode="wb", fileobj=gbuf,
+                       mtime=0) as gz:
+        gz.write(b"x,y\n1,2\n")
+    gz_blob = gbuf.getvalue()
+    corrupt = b"PK\x03\x04" + b"\x00" * 20
+    df = spark.createDataFrame(
+        [("z", bytearray(zip_blob)), ("g", bytearray(gz_blob)),
+         ("r", bytearray(b"plain bytes")), ("c", bytearray(corrupt))],
+        "path string, content binary",
+    )
+    rows = {(r["path"], r["member_index"]): r
+            for r in binary.explode_archives(df).collect()}
+    assert bytes(rows[("z", 0)]["content"]) == b"alpha"
+    assert rows[("z", 0)]["member_path"] == "a.txt"
+    assert bytes(rows[("z", 1)]["content"]) == bytes(range(200))
+    assert rows[("z", 1)]["member_path"] == "sub/dir/b.bin"
+    assert ("z", 2) not in rows  # directory entries are skipped
+    assert bytes(rows[("g", 0)]["content"]) == b"x,y\n1,2\n"
+    assert rows[("g", 0)]["member_path"] == "inner.csv"
+    assert bytes(rows[("r", -1)]["content"]) == b"plain bytes"
+    assert rows[("r", -1)]["archive_error"] is None
+    assert rows[("c", -1)]["archive_error"] is not None
