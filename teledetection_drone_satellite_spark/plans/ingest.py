@@ -2635,6 +2635,136 @@ def wav_ext_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "las_point_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               doc_id % 4 AS fmt,
+               100 + (doc_id * 17) % 900 AS n
+        FROM documents WHERE doc_id < 100
+    ),
+    p AS (
+        SELECT doc_id, fmt, n, t.i AS t,
+               ((t.i * 7 + doc_id) % 20001) - 10000 AS xi,
+               ((t.i * 11 + 3 * doc_id) % 20001) - 10000 AS yi,
+               (t.i * 3 + doc_id) % 2001 AS zi,
+               (t.i * 5 + doc_id) % 65536 AS inten,
+               (t.i + doc_id) % 32 AS cls
+        FROM spec, LATERAL unnest(range(0, n)) t(i)
+    )
+    SELECT doc_id,
+           CAST(fmt AS INT) AS fmt,
+           CAST(n AS BIGINT) AS n_points,
+           CAST(min(xi) AS BIGINT) AS min_x_i,
+           CAST(max(xi) AS BIGINT) AS max_x_i,
+           CAST(sum(zi) AS BIGINT) AS sum_z,
+           round(sum(xi) / (100.0 * n) + doc_id, 6) AS mean_x,
+           CAST(sum(CASE WHEN cls = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ground,
+           ((2 * CAST(sum(inten) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_intensity,
+           CAST(CASE WHEN fmt IN (2, 3) THEN sum(
+                    (t * 3 + doc_id) % 65536 + (t * 5 + 2 * doc_id) % 65536
+                    + (t * 7 + 3 * doc_id) % 65536)
+                ELSE 0 END AS BIGINT) AS rgb_sum,
+           round(CASE WHEN fmt IN (1, 3)
+                 THEN sum(t * 0.5 + doc_id) ELSE 0.0 END, 4) AS gps_sum
+    FROM p GROUP BY doc_id, fmt, n
+    """,
+    doc="ASPRS LAS point-cloud decode, graded (r10 — the drone-survey "
+    "output format: the reference's WebODM integration produces point "
+    "clouds, services/webodm-service; sources/las.py walks the LAS 1.2 "
+    "header and the fixed-width point records for formats 0-3 incl. GPS "
+    "time and 16-bit RGB; LAZ stays an honest laszip gate). Docs cycle "
+    "all four point formats over closed-form coordinates, intensity, "
+    "classification and color; the decoder must recover the raw int32 "
+    "grid exactly (min/max/sums), the scaled centroid is derived from "
+    "the SAME integer sums in both engines so the 0.01-scale float "
+    "never drifts, and classification filtering (ground class 2) plus "
+    "the per-format presence of RGB/GPS columns pin the record layout.",
+    tags=("ingest", "multimodal"),
+)
+def las_point_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..sources import las as lascodec
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                fmt = i % 4
+                n = 100 + (i * 17) % 900
+                ts = list(range(n))
+                pts = {
+                    "X": [((t * 7 + i) % 20001) - 10000 for t in ts],
+                    "Y": [((t * 11 + 3 * i) % 20001) - 10000 for t in ts],
+                    "Z": [(t * 3 + i) % 2001 for t in ts],
+                    "intensity": [(t * 5 + i) % 65536 for t in ts],
+                    "classification": [(t + i) % 32 for t in ts],
+                    "gps_time": [t * 0.5 + i for t in ts],
+                    "red": [(t * 3 + i) % 65536 for t in ts],
+                    "green": [(t * 5 + 2 * i) % 65536 for t in ts],
+                    "blue": [(t * 7 + 3 * i) % 65536 for t in ts],
+                }
+                content = lascodec.encode_las(
+                    pts, fmt, (0.01, 0.01, 0.001), (float(i), -float(i), 0.5 * i)
+                )
+                d = lascodec.decode_las(content)
+                X = d["X"].astype(np.int64)
+                rgb = (
+                    int(d["red"].astype(np.int64).sum()
+                        + d["green"].astype(np.int64).sum()
+                        + d["blue"].astype(np.int64).sum())
+                    if fmt in (2, 3) else 0
+                )
+                gps = float(d["gps_time"].sum()) if fmt in (1, 3) else 0.0
+                rows.append(
+                    (
+                        i, d["format"], d["n_points"],
+                        int(X.min()), int(X.max()),
+                        int(d["Z"].astype(np.int64).sum()),
+                        float(X.sum()) / (100.0 * n) + i,
+                        int((d["classification"] == 2).sum()),
+                        int(d["intensity"].astype(np.int64).sum()),
+                        rgb, gps,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "fmt", "n_points", "min_x_i", "max_x_i",
+                         "sum_z", "mean_x_raw", "n_ground", "isum",
+                         "rgb_sum", "gps_raw"],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, fmt int, n_points long, min_x_i long, max_x_i long, "
+        "sum_z long, mean_x_raw double, n_ground long, isum long, "
+        "rgb_sum long, gps_raw double",
+    )
+    return out.select(
+        "doc_id", "fmt", "n_points", "min_x_i", "max_x_i", "sum_z",
+        F.round("mean_x_raw", 6).alias("mean_x"),
+        "n_ground",
+        _half_up_mean("isum", "n_points").alias("mean_intensity"),
+        "rgb_sum",
+        F.round("gps_raw", 4).alias("gps_sum"),
+    )
+
+
+@register(
     "zip_ingest_stats",
     oracle="""
     WITH spec AS (

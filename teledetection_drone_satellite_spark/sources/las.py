@@ -1,0 +1,133 @@
+"""ASPRS LAS point-cloud reader/writer (LAS 1.2, point formats 0-3) —
+pure stdlib+numpy, from the public ASPRS LAS specification.
+
+The photogrammetry stack this engine mirrors produces point clouds as
+its processing output (the reference integrates WebODM,
+services/webodm-service — drone-survey reconstruction emits LAS), so
+the landing scan must read them: header walk ("LASF", version, scales/
+offsets/extents), then the fixed-width point records — X/Y/Z int32 in
+scaled+offset coordinates, intensity, packed return flags,
+classification, scan angle, point source, plus GPS time (formats 1/3)
+and 16-bit RGB (formats 2/3).  LAZ (compressed) needs the laszip codec
+and stays an honest gate.  The writer exists for fixture synthesis,
+independent of the reader's struct walk; tests pin a hand-derived
+golden header and fuzz the round-trip."""
+
+from __future__ import annotations
+
+_PT_LEN = {0: 20, 1: 28, 2: 26, 3: 34}
+_HDR_LEN = 227  # LAS 1.2
+
+
+def encode_las(
+    points: dict,
+    fmt: int = 0,
+    scale=(0.01, 0.01, 0.01),
+    offset=(0.0, 0.0, 0.0),
+) -> bytes:
+    """``points``: dict with int lists 'X','Y','Z' (raw scaled ints),
+    'intensity', 'classification', optional 'gps_time' (floats, fmt 1/3)
+    and 'red'/'green'/'blue' (fmt 2/3).  Byte-packing per the public LAS
+    1.2 spec, independent of decode_las."""
+    import struct
+
+    if fmt not in _PT_LEN:
+        raise ValueError("point format must be 0-3")
+    X, Y, Z = points["X"], points["Y"], points["Z"]
+    n = len(X)
+    inten = points.get("intensity", [0] * n)
+    cls = points.get("classification", [0] * n)
+    body = bytearray()
+    for i in range(n):
+        body += struct.pack(
+            "<iiiHBBbBH",
+            X[i], Y[i], Z[i], inten[i],
+            0b00001001,  # return 1 of 1, scan dir 0, edge 0
+            cls[i] & 0xFF, 0, 0, 0,
+        )
+        if fmt in (1, 3):
+            body += struct.pack("<d", points["gps_time"][i])
+        if fmt in (2, 3):
+            body += struct.pack(
+                "<HHH", points["red"][i], points["green"][i],
+                points["blue"][i],
+            )
+    xs = [x * scale[0] + offset[0] for x in X] or [0.0]
+    ys = [y * scale[1] + offset[1] for y in Y] or [0.0]
+    zs = [z * scale[2] + offset[2] for z in Z] or [0.0]
+    hdr = bytearray()
+    hdr += b"LASF"
+    hdr += struct.pack("<HH", 0, 0)  # source id, global encoding
+    hdr += bytes(16)  # GUID
+    hdr += bytes([1, 2])  # version 1.2
+    hdr += b"spark-graft".ljust(32, b"\0")
+    hdr += b"synth".ljust(32, b"\0")
+    hdr += struct.pack("<HH", 1, 2026)  # day/year
+    hdr += struct.pack("<HIIBHI", _HDR_LEN, _HDR_LEN, 0, fmt, _PT_LEN[fmt], n)
+    hdr += struct.pack("<5I", n, 0, 0, 0, 0)  # points by return
+    hdr += struct.pack("<3d", *scale)
+    hdr += struct.pack("<3d", *offset)
+    hdr += struct.pack(
+        "<6d", max(xs), min(xs), max(ys), min(ys), max(zs), min(zs)
+    )
+    assert len(hdr) == _HDR_LEN
+    return bytes(hdr) + bytes(body)
+
+
+def decode_las(content: bytes) -> "dict | None":
+    """Parse an LAS 1.x file within the module scope.  Returns a dict:
+    'format', 'n_points', 'scale', 'offset', and numpy arrays 'X','Y','Z'
+    (raw int32), 'intensity', 'classification' (uint8, the 5-bit class
+    field of the packed byte), 'gps_time' (fmt 1/3), 'red'/'green'/'blue'
+    (fmt 2/3) — or None: wrong magic, LAZ (needs laszip), formats > 3,
+    truncated records, or header/record-length mismatches."""
+    import struct
+
+    import numpy as np
+
+    if content[:4] != b"LASF" or len(content) < _HDR_LEN:
+        return None
+    ver_major, ver_minor = content[24], content[25]
+    if ver_major != 1:
+        return None
+    hdr_size, data_off, n_vlr, fmt, rec_len, n = struct.unpack(
+        "<HIIBHI", content[94 : 94 + 17]
+    )
+    if fmt & 0x80:
+        return None  # LAZ compatibility bit: compressed, needs laszip
+    if fmt not in _PT_LEN or rec_len < _PT_LEN[fmt] or hdr_size < _HDR_LEN:
+        return None
+    scale = struct.unpack("<3d", content[131:155])
+    offset = struct.unpack("<3d", content[155:179])
+    if data_off + n * rec_len > len(content) or data_off < hdr_size:
+        return None
+    if n * rec_len > (1 << 31):
+        return None  # resource guard: header count is attacker-controlled
+    raw = np.frombuffer(
+        content[data_off : data_off + n * rec_len], dtype=np.uint8
+    ).reshape(n, rec_len) if n else np.zeros((0, rec_len), np.uint8)
+
+    def field(off: int, dt: str):
+        w = np.dtype(dt).itemsize
+        return np.ascontiguousarray(raw[:, off : off + w]).view(dt).ravel()
+
+    out = {
+        "format": fmt,
+        "n_points": n,
+        "scale": scale,
+        "offset": offset,
+        "X": field(0, "<i4"),
+        "Y": field(4, "<i4"),
+        "Z": field(8, "<i4"),
+        "intensity": field(12, "<u2"),
+        "classification": (field(15, "u1") & 0x1F),
+    }
+    pos = 20
+    if fmt in (1, 3):
+        out["gps_time"] = field(pos, "<f8")
+        pos += 8
+    if fmt in (2, 3):
+        out["red"] = field(pos, "<u2")
+        out["green"] = field(pos + 2, "<u2")
+        out["blue"] = field(pos + 4, "<u2")
+    return out

@@ -1,0 +1,95 @@
+"""ASPRS LAS point-cloud reader (sources/las.py): round-trip across all
+four point formats, golden header-layout pin, refusals (LAZ bit, format
+> 3, truncation), and bit-flip robustness."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources import las
+
+
+def _pts(rnd, n):
+    return {
+        "X": [rnd.randint(-10**6, 10**6) for _ in range(n)],
+        "Y": [rnd.randint(-10**6, 10**6) for _ in range(n)],
+        "Z": [rnd.randint(0, 400000) for _ in range(n)],
+        "intensity": [rnd.randrange(65536) for _ in range(n)],
+        "classification": [rnd.randrange(32) for _ in range(n)],
+        "gps_time": [i * 0.5 for i in range(n)],
+        "red": [rnd.randrange(65536) for _ in range(n)],
+        "green": [rnd.randrange(65536) for _ in range(n)],
+        "blue": [rnd.randrange(65536) for _ in range(n)],
+    }
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 9999), n=st.integers(0, 400),
+       fmt=st.integers(0, 3))
+def test_fuzz_las_roundtrip(seed, n, fmt):
+    rnd = random.Random(seed)
+    pts = _pts(rnd, n)
+    got = las.decode_las(las.encode_las(pts, fmt, (0.01, 0.01, 0.001),
+                                        (7.5, -3.0, 0.25)))
+    assert got is not None
+    assert got["format"] == fmt and got["n_points"] == n
+    assert got["offset"] == (7.5, -3.0, 0.25)
+    for k in ("X", "Y", "Z", "intensity", "classification"):
+        assert got[k].tolist() == pts[k], k
+    assert ("gps_time" in got) == (fmt in (1, 3))
+    assert ("red" in got) == (fmt in (2, 3))
+    if fmt in (1, 3):
+        assert got["gps_time"].tolist() == pts["gps_time"]
+    if fmt in (2, 3):
+        for k in ("red", "green", "blue"):
+            assert got[k].tolist() == pts[k]
+
+
+def test_las_golden_header_layout():
+    """Pin the fixed header offsets: magic, version, header size 227,
+    format/record-length/count fields at offset 94, scales at 131."""
+    enc = las.encode_las({"X": [100], "Y": [-200], "Z": [300]}, 0,
+                         (0.5, 0.25, 0.125), (1.0, 2.0, 3.0))
+    assert enc[:4] == b"LASF"
+    assert enc[24:26] == bytes([1, 2])  # version 1.2
+    assert struct.unpack("<H", enc[94:96])[0] == 227  # header size
+    assert struct.unpack("<I", enc[96:100])[0] == 227  # data offset
+    assert enc[104] == 0  # point format
+    assert struct.unpack("<H", enc[105:107])[0] == 20  # record length
+    assert struct.unpack("<I", enc[107:111])[0] == 1  # n points
+    assert struct.unpack("<3d", enc[131:155]) == (0.5, 0.25, 0.125)
+    assert struct.unpack("<3d", enc[155:179]) == (1.0, 2.0, 3.0)
+    # the single point record itself
+    assert struct.unpack("<iii", enc[227:239]) == (100, -200, 300)
+
+
+def test_las_refusals():
+    enc = las.encode_las({"X": [1, 2], "Y": [3, 4], "Z": [5, 6]}, 2)
+    assert las.decode_las(b"nope") is None
+    assert las.decode_las(enc[:-3]) is None  # truncated record
+    b = bytearray(enc)
+    b[104] = 9
+    assert las.decode_las(bytes(b)) is None  # format 9: out of scope
+    b = bytearray(enc)
+    b[104] |= 0x80
+    assert las.decode_las(bytes(b)) is None  # LAZ compressed bit
+    b = bytearray(enc)
+    b[107:111] = struct.pack("<I", 0xFFFFFF)
+    assert las.decode_las(bytes(b)) is None  # count beyond the file
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31 - 1), nflip=st.integers(1, 8))
+def test_fuzz_las_survives_bit_flips(seed, nflip):
+    rnd = random.Random(seed)
+    enc = bytearray(las.encode_las(_pts(rnd, 50), rnd.randrange(4)))
+    for _ in range(nflip):
+        enc[rnd.randrange(len(enc))] ^= 1 << rnd.randrange(8)
+    out = las.decode_las(bytes(enc))
+    assert out is None or isinstance(out, dict)
