@@ -69,7 +69,9 @@ def test_las_golden_header_layout():
 
 
 def test_las_refusals():
-    enc = las.encode_las({"X": [1, 2], "Y": [3, 4], "Z": [5, 6]}, 2)
+    enc = las.encode_las(
+        {"X": [1, 2], "Y": [3, 4], "Z": [5, 6],
+         "red": [1, 2], "green": [3, 4], "blue": [5, 6]}, 2)
     assert las.decode_las(b"nope") is None
     assert las.decode_las(enc[:-3]) is None  # truncated record
     b = bytearray(enc)
