@@ -2635,6 +2635,106 @@ def wav_ext_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "geotiff_bbox_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               16 + doc_id % 48 AS w,
+               12 + (doc_id * 3) % 36 AS h,
+               0.25 * (1 + doc_id % 4) AS sx,
+               0.125 * (1 + doc_id % 3) AS sy,
+               100.0 + 0.5 * doc_id AS tx,
+               200.0 - 0.25 * doc_id AS ty,
+               CASE WHEN doc_id % 3 = 0 THEN 4326
+                    ELSE 32601 + doc_id % 60 END AS epsg,
+               CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS model_type
+        FROM documents WHERE doc_id < 120
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(epsg AS INT) AS epsg,
+           CAST(model_type AS INT) AS model_type,
+           round(tx, 6) AS min_x,
+           round(ty - h * sy, 6) AS min_y,
+           round(tx + w * sx, 6) AS max_x,
+           round(ty, 6) AS max_y,
+           round(w * sx * h * sy, 6) AS area,
+           round(sx, 6) AS gsd_x
+    FROM spec
+    """,
+    doc="GeoTIFF georeferencing extraction, graded (r10 — the layer that "
+    "registers a drone/satellite raster onto the ground, the reference's "
+    "GDAL/rasterio role): per doc synth_geotiff writes "
+    "ModelPixelScale/ModelTiepoint (DOUBLE-typed IFD entries — a new "
+    "tag-value path) and a GeoKeyDirectory cycling projected-UTM and "
+    "geographic-WGS84 CRS keys; parse_geotiff derives the north-up "
+    "ground bbox, footprint area and GSD. Exact binary-fraction scales "
+    "keep every derived double bit-identical to the oracle's closed "
+    "form; a tiepoint-sign, key-walk, or double-endianness bug flips "
+    "the corners.",
+    tags=("ingest", "multimodal", "spatial"),
+)
+def geotiff_bbox_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w_px, h_px = 16 + i % 48, 12 + (i * 3) % 36
+                sx, sy = 0.25 * (1 + i % 4), 0.125 * (1 + i % 3)
+                tx, ty = 100.0 + 0.5 * i, 200.0 - 0.25 * i
+                model_type = 2 if i % 3 == 0 else 1
+                epsg = 4326 if i % 3 == 0 else 32601 + i % 60
+                content = multimodal.synth_geotiff(
+                    w_px, h_px, (sx, sy, 0.0),
+                    (0.0, 0.0, 0.0, tx, ty, 0.0), epsg, model_type,
+                )
+                g = multimodal.parse_geotiff(content)
+                bx0, by0, bx1, by1 = g["bbox"]
+                rows.append(
+                    (
+                        i, g["width"], g["height"], g["epsg"],
+                        g["model_type"], bx0, by0, bx1, by1,
+                        (bx1 - bx0) * (by1 - by0), g["pixel_scale"][0],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "epsg", "model_type",
+                         "min_x", "min_y", "max_x", "max_y", "area",
+                         "gsd_x"],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, width int, height int, epsg int, model_type int, "
+        "min_x double, min_y double, max_x double, max_y double, "
+        "area double, gsd_x double",
+    )
+    return out.select(
+        "doc_id", "width", "height", "epsg", "model_type",
+        F.round("min_x", 6).alias("min_x"),
+        F.round("min_y", 6).alias("min_y"),
+        F.round("max_x", 6).alias("max_x"),
+        F.round("max_y", 6).alias("max_y"),
+        F.round("area", 6).alias("area"),
+        F.round("gsd_x", 6).alias("gsd_x"),
+    )
+
+
+@register(
     "las_point_stats",
     oracle="""
     WITH spec AS (

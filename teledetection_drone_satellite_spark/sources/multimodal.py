@@ -3593,6 +3593,158 @@ def _tiff_tag_values(
     return [int.from_bytes(buf[j * size : (j + 1) * size], bo) for j in range(cnt)]
 
 
+def _tiff_tag_doubles(
+    content: bytes, ifd: "dict[int, tuple[int, int, bytes]]", tag: int, bo: str
+) -> "list[float] | None":
+    """Resolve one DOUBLE-typed (type 12) IFD entry — the GeoTIFF
+    georeferencing tags' type; always offset-resolved (8 bytes > the
+    4-byte value field)."""
+    import struct
+
+    if tag not in ifd:
+        return None
+    typ, cnt, raw = ifd[tag]
+    if typ != 12 or cnt == 0:
+        return None
+    p = int.from_bytes(raw, bo)
+    total = 8 * cnt
+    if p + total > len(content):
+        return None
+    fmt = ("<" if bo == "little" else ">") + "d" * cnt
+    return list(struct.unpack(fmt, content[p : p + total]))
+
+
+def parse_geotiff(content: bytes) -> "dict | None":
+    """GeoTIFF georeferencing metadata (r10) — the layer that turns a
+    decoded raster into a geo-registered drone/satellite scene (the
+    reference stack's GDAL/rasterio role, file-service
+    requirements.txt:11-15): ModelPixelScaleTag (33550, sx/sy/sz
+    doubles), ModelTiepointTag (33922, raster (i,j,k) -> model (x,y,z)),
+    and the GeoKeyDirectory (34735) CRS keys — GTModelType (1024) and
+    the EPSG code from ProjectedCSType (3072) or GeographicType (2048).
+    Returns {'pixel_scale', 'tiepoint', 'model_type', 'epsg', 'width',
+    'height', 'bbox'} with bbox = (min_x, min_y, max_x, max_y) derived
+    for the standard north-up tiepoint form x = tx + (col - ti) * sx,
+    y = ty - (row - tj) * sy, or None when any piece is absent/malformed
+    — a plain TIFF without geo tags is not a GeoTIFF."""
+    if len(content) < 8:
+        return None
+    if content[:2] == b"II":
+        bo = "little"
+    elif content[:2] == b"MM":
+        bo = "big"
+    else:
+        return None
+    if int.from_bytes(content[2:4], bo) != 42:
+        return None
+    ifd = _ifd_entries(content, int.from_bytes(content[4:8], bo), bo)
+    if not ifd:
+        return None
+    width = _tiff_tag_values(content, ifd, _TIFF_TAG_WIDTH, bo)
+    height = _tiff_tag_values(content, ifd, _TIFF_TAG_HEIGHT, bo)
+    scale = _tiff_tag_doubles(content, ifd, 33550, bo)
+    tie = _tiff_tag_doubles(content, ifd, 33922, bo)
+    keys = _tiff_tag_values(content, ifd, 34735, bo)
+    if (not width or not height or not scale or len(scale) < 2
+            or not tie or len(tie) < 6 or not keys or len(keys) < 4):
+        return None
+    if keys[0] != 1:  # KeyDirectoryVersion
+        return None
+    n_keys = keys[3]
+    if len(keys) < 4 * (n_keys + 1):
+        return None
+    model_type = epsg = None
+    for k in range(1, n_keys + 1):
+        key_id, loc, cnt, val = keys[4 * k : 4 * k + 4]
+        if loc != 0 or cnt != 1:
+            continue  # only inline values carried here
+        if key_id == 1024:
+            model_type = val
+        elif key_id in (3072, 2048) and epsg is None:
+            epsg = val
+    if model_type is None or epsg is None:
+        return None
+    w, h = width[0], height[0]
+    ti, tj, _tk, tx, ty, _tz = tie[:6]
+    sx, sy = scale[0], scale[1]
+    if sx <= 0 or sy <= 0:
+        return None
+    min_x = tx + (0 - ti) * sx
+    max_x = tx + (w - ti) * sx
+    max_y = ty - (0 - tj) * sy
+    min_y = ty - (h - tj) * sy
+    return {
+        "pixel_scale": tuple(scale),
+        "tiepoint": tuple(tie[:6]),
+        "model_type": model_type,
+        "epsg": epsg,
+        "width": w,
+        "height": h,
+        "bbox": (min_x, min_y, max_x, max_y),
+    }
+
+
+def synth_geotiff(
+    width: int,
+    height: int,
+    pixel_scale=(0.25, 0.25, 0.0),
+    tiepoint=(0.0, 0.0, 0.0, 100.0, 200.0, 0.0),
+    epsg: int = 32633,
+    model_type: int = 1,
+) -> bytes:
+    """Deterministic GeoTIFF: gray-8 uncompressed raster (synth_png_full's
+    x %% 256 gradient) + ModelPixelScale/ModelTiepoint/GeoKeyDirectory
+    tags.  Byte-packing per TIFF 6.0 + the public GeoTIFF spec (OGC
+    19-008), independent of parse_geotiff."""
+    import struct
+
+    pixel = bytes(
+        x % 256 for y in range(height) for x in range(width)
+    )
+    keys = [
+        1, 1, 0, 2,  # version 1.1.0, 2 keys
+        1024, 0, 1, model_type,
+        3072 if model_type == 1 else 2048, 0, 1, epsg,
+    ]
+    entries = [
+        (256, 3, [width]), (257, 3, [height]), (258, 3, [8]),
+        (259, 3, [1]), (262, 3, [1]), (273, 4, [0]),  # offset patched below
+        (277, 3, [1]), (278, 4, [height]), (279, 4, [len(pixel)]),
+        (33550, 12, list(pixel_scale)),
+        (33922, 12, list(tiepoint)),
+        (34735, 3, keys),
+    ]
+
+    def build(strip_off: int) -> "tuple[bytes, int]":
+        n = len(entries)
+        aux_off = 8 + 2 + 12 * n + 4
+        aux = bytearray()
+        body = b""
+        for tag, typ, vals in entries:
+            if tag == 273:
+                vals = [strip_off]
+            if typ == 12:
+                packed = b"".join(struct.pack("<d", v) for v in vals)
+                size = 8
+            else:
+                size = {3: 2, 4: 4}[typ]
+                packed = b"".join(int(v).to_bytes(size, "little") for v in vals)
+            head = (tag.to_bytes(2, "little") + typ.to_bytes(2, "little")
+                    + len(vals).to_bytes(4, "little"))
+            if len(packed) <= 4:
+                body += head + packed.ljust(4, b"\0")
+            else:
+                body += head + (aux_off + len(aux)).to_bytes(4, "little")
+                aux.extend(packed)
+        header = b"II" + (42).to_bytes(2, "little") + (8).to_bytes(4, "little")
+        ifd = len(entries).to_bytes(2, "little") + body + (0).to_bytes(4, "little")
+        return header + ifd + bytes(aux), aux_off + len(aux)
+
+    _, data_off = build(0)
+    head, _ = build(data_off)
+    return head + pixel
+
+
 def _packbits_decode(data: bytes) -> bytes:
     """PackBits RLE (TIFF 6.0 §9): n in 0..127 -> n+1 literals; n in -127..-1
     -> next byte repeated 1-n times; -128 is a no-op."""

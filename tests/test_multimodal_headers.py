@@ -338,3 +338,33 @@ def test_png_exif_chunk_and_bare_tiff_parse_like_jpeg_app1():
     plain = multimodal.synth_tiff_full(8, 8, 1)
     got = multimodal.parse_exif_gps(plain)
     assert got is None or got == (None, None, None)
+
+
+def test_geotiff_parse_and_refusals():
+    """r10 GeoTIFF georeferencing: double-typed tags, GeoKey walk, bbox
+    derivation, and the not-a-GeoTIFF / malformed-key refusals."""
+    from teledetection_drone_satellite_spark.sources import multimodal as mm
+
+    g = mm.synth_geotiff(40, 30, (0.25, 0.5, 0.0),
+                         (0.0, 0.0, 0.0, 100.0, 200.0, 0.0), 32633, 1)
+    got = mm.parse_geotiff(g)
+    assert got["epsg"] == 32633 and got["model_type"] == 1
+    assert got["pixel_scale"] == (0.25, 0.5, 0.0)
+    assert got["bbox"] == (100.0, 185.0, 110.0, 200.0)
+    # nonzero raster tiepoint: x = tx + (col - ti) * sx
+    g2 = mm.parse_geotiff(mm.synth_geotiff(
+        20, 10, (1.0, 1.0, 0.0), (4.0, 2.0, 0.0, 50.0, 80.0, 0.0), 4326, 2))
+    assert g2["bbox"] == (50.0 - 4.0, 80.0 - (10 - 2.0), 50.0 + 16.0, 82.0)
+    # the raster body still decodes as a plain TIFF
+    assert mm.decode_tiff(g)[:3] == (40, 30, 1)
+    # plain TIFF is not a GeoTIFF
+    assert mm.parse_geotiff(mm.synth_tiff_full(8, 8, 1)) is None
+    # malformed key directory version
+    bad = bytearray(g)
+    kd = bad.find((34735).to_bytes(2, "little") + (3).to_bytes(2, "little"))
+    off = int.from_bytes(bad[kd + 8 : kd + 12], "little")
+    bad[off : off + 2] = (9).to_bytes(2, "little")
+    assert mm.parse_geotiff(bytes(bad)) is None
+    # zero pixel scale refused
+    assert mm.parse_geotiff(mm.synth_geotiff(8, 8, (0.0, 1.0, 0.0))) is None
+    assert mm.parse_geotiff(b"garbage") is None
