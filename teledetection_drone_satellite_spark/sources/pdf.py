@@ -1,0 +1,393 @@
+"""Minimal PDF text extraction — pure stdlib, from the public PDF 1.7
+specification (ISO 32000-1).
+
+The LLM-data-pipeline document front door (the MIME sniffer already
+routes application/pdf, sources/binary.py): walk the object graph
+(catalog -> pages tree -> page /Contents), inflate FlateDecode streams,
+and collect the text-showing operators.  Extraction semantics
+(documented, oracle-mirrored): each Tj / ' operand and each TJ array
+(elements concatenated — the numbers between them are kerning, not
+spaces) yields ONE line; lines join with a newline per page.  Literal
+strings handle the \\( \\) \\\\ \\n \\r \\t escapes, octal escapes, and
+line continuations; hex strings <...> decode per the spec.  Pages are
+ordered by the pages tree's /Kids arrays (depth-first).  Encrypted,
+cross-reference-stream-only, or non-Flate-filtered PDFs refuse (None)
+— the honest-fallback contract every decoder here shares.
+
+The synthesizer writes complete classic-xref PDFs (header, objects,
+xref table, trailer) independently of the parser; real-world PDFs a
+reference extractor (pdfminer/poppler) handles beyond this subset are
+out of scope and none of those libraries exist in this container
+(probed r10)."""
+
+from __future__ import annotations
+
+import re
+
+
+def synth_pdf(pages: "list[list[str]]", flate: bool = True) -> bytes:
+    """Complete PDF: one content stream per page, one Tj per line, classic
+    xref + trailer.  ``flate`` deflates the content streams (the shape
+    real generators emit)."""
+    import zlib
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    objs: "list[bytes]" = []  # 1-indexed
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    page_ids = []
+    content_ids = []
+    n_fixed = 2 + 2 * len(pages) + 1  # catalog, pages, per-page x2, font
+    catalog_id, pages_id = 1, 2
+    font_id = n_fixed
+    # reserve slots: build bodies after ids are known
+    bodies: "dict[int, bytes]" = {}
+    next_id = 3
+    for lines in pages:
+        page_ids.append(next_id)
+        content_ids.append(next_id + 1)
+        next_id += 2
+    bodies[catalog_id] = (
+        b"<< /Type /Catalog /Pages " + str(pages_id).encode() + b" 0 R >>"
+    )
+    kids = b" ".join(str(p).encode() + b" 0 R" for p in page_ids)
+    bodies[pages_id] = (
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+        + str(len(pages)).encode() + b" >>"
+    )
+    for pid, cid, lines in zip(page_ids, content_ids, pages):
+        bodies[pid] = (
+            b"<< /Type /Page /Parent " + str(pages_id).encode()
+            + b" 0 R /MediaBox [0 0 612 792] /Contents "
+            + str(cid).encode() + b" 0 R /Resources << /Font << /F1 "
+            + str(font_id).encode() + b" 0 R >> >> >>"
+        )
+        ops = [b"BT /F1 12 Tf 72 720 Td"]
+        for line in lines:
+            ops.append(b"(" + esc(line).encode("latin-1") + b") Tj 0 -14 Td")
+        ops.append(b"ET")
+        stream = b"\n".join(ops)
+        if flate:
+            stream = zlib.compress(stream)
+            head = (b"<< /Length " + str(len(stream)).encode()
+                    + b" /Filter /FlateDecode >>")
+        else:
+            head = b"<< /Length " + str(len(stream)).encode() + b" >>"
+        bodies[cid] = head + b"\nstream\n" + stream + b"\nendstream"
+    bodies[font_id] = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for oid in range(1, font_id + 1):
+        offsets[oid] = len(out)
+        out += str(oid).encode() + b" 0 obj\n" + bodies[oid] + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 " + str(font_id + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for oid in range(1, font_id + 1):
+        out += f"{offsets[oid]:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(font_id + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
+        + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+
+
+def _parse_literal(data: bytes, i: int) -> "tuple[str, int] | None":
+    """Parse a ( ... ) literal string starting at the '('; returns
+    (text, index_after_close)."""
+    assert data[i : i + 1] == b"("
+    i += 1
+    depth = 1
+    out = []
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            if i + 1 >= n:
+                return None
+            nxt = data[i + 1]
+            mapped = {0x6E: "\n", 0x72: "\r", 0x74: "\t", 0x62: "\b",
+                      0x66: "\f", 0x28: "(", 0x29: ")", 0x5C: "\\"}
+            if nxt in mapped:
+                out.append(mapped[nxt])
+                i += 2
+            elif 0x30 <= nxt <= 0x37:  # octal, up to 3 digits
+                j = i + 1
+                oct_digits = ""
+                while j < n and len(oct_digits) < 3 and 0x30 <= data[j] <= 0x37:
+                    oct_digits += chr(data[j])
+                    j += 1
+                out.append(chr(int(oct_digits, 8) & 0xFF))
+                i = j
+            elif nxt in (0x0A, 0x0D):  # line continuation
+                i += 2
+                if nxt == 0x0D and i < n and data[i] == 0x0A:
+                    i += 1
+            else:
+                out.append(chr(nxt))
+                i += 2
+            continue
+        if c == 0x28:
+            depth += 1
+            out.append("(")
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return "".join(out), i + 1
+            out.append(")")
+        else:
+            out.append(chr(c))
+        i += 1
+    return None
+
+
+def _extract_stream_text(stream: bytes) -> "list[str] | None":
+    """Collect text-show operators from one content stream: each Tj / '
+    operand and each TJ array is one line."""
+    lines = []
+    i = 0
+    n = len(stream)
+    pending: "list[str]" = []  # strings seen since the last operator
+    in_array = False
+    array_parts: "list[str]" = []
+    while i < n:
+        c = stream[i : i + 1]
+        if c == b"(":
+            got = _parse_literal(stream, i)
+            if got is None:
+                return None
+            txt, i = got
+            (array_parts if in_array else pending).append(txt)
+            continue
+        if c == b"<" and stream[i + 1 : i + 2] != b"<":
+            j = stream.find(b">", i)
+            if j < 0:
+                return None
+            hexs = re.sub(rb"\s", b"", stream[i + 1 : j])
+            if len(hexs) % 2:
+                hexs += b"0"
+            try:
+                txt = bytes.fromhex(hexs.decode("ascii")).decode("latin-1")
+            except ValueError:
+                return None
+            (array_parts if in_array else pending).append(txt)
+            i = j + 1
+            continue
+        if c == b"[":
+            in_array = True
+            array_parts = []
+            i += 1
+            continue
+        if c == b"]":
+            in_array = False
+            i += 1
+            # expect TJ shortly; keep parts until the operator token
+            continue
+        if stream[i : i + 2] == b"TJ":
+            if array_parts:
+                lines.append("".join(array_parts))
+                array_parts = []
+            pending = []
+            i += 2
+            continue
+        if stream[i : i + 2] == b"Tj":
+            if pending:
+                lines.append(pending[-1])
+            pending = []
+            i += 2
+            continue
+        if c == b"'":
+            if pending:
+                lines.append(pending[-1])
+            pending = []
+            i += 1
+            continue
+        i += 1
+    return lines
+
+
+def extract_pdf_text(content: bytes) -> "list[str] | None":
+    """Extract per-page text (one string per page, lines newline-joined)
+    or None outside scope — see the module docstring.
+
+    Objects are located through the classic cross-reference table (the
+    trailer's startxref), and stream bodies are sliced by their declared
+    /Length — never by scanning for the endstream keyword, which
+    deflated binary payloads can contain by accident (found by the
+    round-trip fuzz; cross-reference STREAMS, PDF 1.5+, refuse)."""
+    import zlib
+
+    if not content.startswith(b"%PDF-"):
+        return None
+    if b"/Encrypt" in content:
+        return None  # encrypted documents: out of scope
+    sx = content.rfind(b"startxref")
+    if sx < 0:
+        return None
+    m = re.match(rb"startxref\s+(\d+)", content[sx:])
+    if not m:
+        return None
+    xref_at = int(m.group(1))
+    if not content[xref_at : xref_at + 4] == b"xref":
+        return None  # cross-reference stream (PDF 1.5+): out of scope
+    # one or more subsections: "<start> <count>" then 20-byte entries
+    offsets: "dict[int, int]" = {}
+    pos = xref_at + 4
+    while True:
+        sub = re.match(rb"\s*(\d+)\s+(\d+)\s*[\r\n]+", content[pos:])
+        if not sub:
+            break
+        first, count = int(sub.group(1)), int(sub.group(2))
+        pos += sub.end()
+        for k in range(count):
+            entry = content[pos : pos + 20]
+            if len(entry) < 18:
+                return None
+            if entry[17:18] == b"n":
+                if not entry[:10].isdigit():
+                    return None  # corrupt xref entry
+                offsets[first + k] = int(entry[:10])
+            pos += 20
+    tm = content.find(b"trailer", pos - 1)
+    if tm < 0:
+        return None
+
+    _dict_cache: "dict[int, tuple[bytes, int]]" = {}
+
+    def load(oid: int) -> "tuple[bytes, int] | None":
+        """-> (dict_region_bytes, body_start_after_dict) for object oid."""
+        if oid in _dict_cache:
+            return _dict_cache[oid]
+        off = offsets.get(oid)
+        if off is None or off >= len(content):
+            return None
+        hm = re.match(rb"(\d+)\s+\d+\s+obj\s*", content[off:])
+        if not hm or int(hm.group(1)) != oid:
+            return None
+        i = off + hm.end()
+        # the object is a dict (every object this walk touches is)
+        if content[i : i + 2] != b"<<":
+            # non-dict object: take up to endobj
+            e = content.find(b"endobj", i)
+            got = (content[i:e], e) if e >= 0 else None
+        else:
+            depth = 0
+            j = i
+            n = len(content)
+            while j < n - 1:
+                two = content[j : j + 2]
+                if two == b"<<":
+                    depth += 1
+                    j += 2
+                elif two == b">>":
+                    depth -= 1
+                    j += 2
+                    if depth == 0:
+                        break
+                elif content[j : j + 1] == b"(":
+                    lit = _parse_literal(content, j)
+                    if lit is None:
+                        return None
+                    j = lit[1]
+                else:
+                    j += 1
+            if depth != 0:
+                return None
+            got = (content[i:j], j)
+        _dict_cache[oid] = got
+        return got
+
+    def stream_of(oid: int) -> "bytes | None":
+        got = load(oid)
+        if got is None:
+            return None
+        head, after = got
+        lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", head)
+        if not lm:
+            return None  # indirect /Length: out of scope
+        length = int(lm.group(1))
+        sm = re.match(rb"\s*stream(\r\n|\n)", content[after:])
+        if not sm:
+            return None
+        start = after + sm.end()
+        data = content[start : start + length]
+        if len(data) < length:
+            return None
+        if b"/Filter" in head:
+            if b"/FlateDecode" not in head:
+                return None  # other filters: out of scope
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                return None
+        return data
+
+    # trailer /Root -> catalog -> pages tree
+    rm = re.search(rb"/Root\s+(\d+)\s+\d+\s+R", content[tm:])
+    if not rm:
+        return None
+    cat = load(int(rm.group(1)))
+    if cat is None:
+        return None
+    pm = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", cat[0])
+    if not pm:
+        return None
+    root_id = int(pm.group(1))
+
+    # depth-first /Kids walk to ordered page objects
+    pages: "list[int]" = []
+    seen = set()
+
+    def walk(oid: int) -> None:
+        if oid in seen or len(seen) > 10000:
+            return
+        seen.add(oid)
+        got = load(oid)
+        if got is None:
+            return
+        body = got[0]
+        if b"/Type" in body and b"/Page" in body and b"/Kids" not in body:
+            pages.append(oid)
+            return
+        km = re.search(rb"/Kids\s*\[(.*?)\]", body, re.S)
+        if not km:
+            return
+        for rm2 in _REF_RE.finditer(km.group(1)):
+            walk(int(rm2.group(1)))
+
+    walk(root_id)
+    if not pages:
+        return None
+    out = []
+    for pid in pages:
+        body = load(pid)[0]
+        cm = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", body)
+        if cm:
+            content_ids = [int(cm.group(1))]
+        else:
+            am = re.search(rb"/Contents\s*\[(.*?)\]", body, re.S)
+            if not am:
+                return None
+            content_ids = [int(r.group(1)) for r in _REF_RE.finditer(am.group(1))]
+        lines: "list[str]" = []
+        for cid in content_ids:
+            data = stream_of(cid)
+            if data is None:
+                return None
+            got2 = _extract_stream_text(data)
+            if got2 is None:
+                return None
+            lines.extend(got2)
+        out.append("\n".join(lines))
+    return out

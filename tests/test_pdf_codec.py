@@ -1,0 +1,72 @@
+"""PDF text extraction (sources/pdf.py): round-trip fuzz (flate and raw
+streams, tricky literals), escape/hex-string handling, TJ arrays,
+multi-content pages, refusals, and bit-flip robustness."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources import pdf
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 9999), n_pages=st.integers(1, 4),
+       flate=st.booleans())
+def test_fuzz_pdf_roundtrip(seed, n_pages, flate):
+    rnd = random.Random(seed)
+    alphabet = "abcXYZ 0123()\\%<>[]/#!;\t"
+    pages = []
+    for p in range(n_pages):
+        pages.append([
+            "".join(rnd.choice(alphabet) for _ in range(rnd.randint(0, 40)))
+            for _ in range(rnd.randint(0, 6))
+        ])
+    got = pdf.extract_pdf_text(pdf.synth_pdf(pages, flate))
+    assert got == ["\n".join(ls) for ls in pages]
+
+
+def test_pdf_string_escapes_and_hex_and_tj():
+    """Hand-built content stream: octal escapes, line continuation,
+    nested parens, hex strings, and TJ kerning arrays."""
+    stream = (
+        rb"BT (nested (parens) ok) Tj"
+        rb" (\110\151!) Tj"          # octal -> Hi!
+        b" (split\\\nline) Tj"        # continuation: joined
+        rb" <48454C4C4F> Tj"          # hex -> HELLO
+        rb" [(ker) -120 (ned)] TJ"    # array: concatenated
+        rb" (apostrophe) '"
+        b" ET"
+    )
+    got = pdf._extract_stream_text(stream)
+    assert got == ["nested (parens) ok", "Hi!", "splitline", "HELLO",
+                   "kerned", "apostrophe"]
+
+
+def test_pdf_refusals():
+    enc = pdf.synth_pdf([["hello world"]])
+    assert pdf.extract_pdf_text(b"not a pdf") is None
+    assert pdf.extract_pdf_text(
+        enc.replace(b"/Root", b"/Encrypt 9 0 R /Root")) is None
+    # cross-reference stream marker instead of a classic table
+    assert pdf.extract_pdf_text(
+        enc.replace(b"xref\n", b"XREF\n", 1)) is None
+    # non-Flate filter
+    assert pdf.extract_pdf_text(
+        enc.replace(b"/Length", b"/Filter /LZWDecode /Length")) is None
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31 - 1), nflip=st.integers(1, 8))
+def test_fuzz_pdf_survives_bit_flips(seed, nflip):
+    rnd = random.Random(seed)
+    enc = bytearray(pdf.synth_pdf(
+        [["alpha beta", "gamma"], ["delta"]], flate=seed % 2 == 0))
+    for _ in range(nflip):
+        enc[rnd.randrange(len(enc))] ^= 1 << rnd.randrange(8)
+    out = pdf.extract_pdf_text(bytes(enc))
+    assert out is None or isinstance(out, list)
