@@ -2961,11 +2961,11 @@ def las_point_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH spec AS (
         SELECT doc_id,
-               CASE WHEN doc_id % 5 = 4 THEN 'raw'
-                    WHEN doc_id % 3 = 0 THEN 'gzip'
+               CASE doc_id % 7 WHEN 3 THEN 'raw' WHEN 0 THEN 'gzip'
+                    WHEN 4 THEN 'tar' WHEN 5 THEN 'tgz' WHEN 6 THEN 'bz2'
                     ELSE 'zip' END AS kind,
-               CASE WHEN doc_id % 5 = 4 THEN 0
-                    WHEN doc_id % 3 = 0 THEN 1
+               CASE doc_id % 7 WHEN 3 THEN 0 WHEN 0 THEN 1 WHEN 6 THEN 1
+                    WHEN 4 THEN 1 + doc_id % 4 WHEN 5 THEN 1 + doc_id % 4
                     ELSE 1 + doc_id % 5 END AS n_members
         FROM documents WHERE doc_id < 100
     ),
@@ -2984,13 +2984,15 @@ def las_point_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS member_digest
     FROM members GROUP BY doc_id
     """,
-    doc="ZIP/GZIP archive fan-out ingest, graded (r10 — the reference "
-    "accepts application/zip uploads, shared/config/__init__.py:36-39: "
-    "drone image batches arrive zipped, so the S2 landing scan explodes "
-    "archives into member rows before the per-asset pipeline). Docs "
-    "cycle a multi-member ZIP (stored and deflated entries alternate), "
-    "a single-member GZIP carrying the FNAME header, and a raw "
-    "passthrough; explode_archives (sources/binary.py, Arrow-batched "
+    doc="ZIP/TAR/GZIP/BZ2 archive fan-out ingest, graded (r10 — the "
+    "reference accepts application/zip uploads, "
+    "shared/config/__init__.py:36-39: drone image batches arrive "
+    "zipped; tar/tar.gz is the ML-dataset/WebDataset distribution "
+    "shape). Docs cycle a multi-member ZIP (stored and deflated "
+    "entries alternate), TAR, compressed-tar (.tar.gz chain: gzip "
+    "decompress then the ustar re-check), single-member GZIP carrying "
+    "the FNAME header, single-member BZIP2, and a raw passthrough; "
+    "explode_archives (sources/binary.py, Arrow-batched "
     "mapInPandas, corrupt archives yield an error marker instead of "
     "failing the stage) must recover every member byte-exactly — the "
     "oracle regenerates each member and compares an ORDERED sha256 "
@@ -3014,23 +3016,42 @@ def zip_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # stage 1: synthesize the archive per doc (light per-row Python)
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import bz2 as _bz2
         import gzip as _gzip
         import io
+        import tarfile
         import zipfile
+
+        def make_tar(i: int, n: int) -> bytes:
+            buf = io.BytesIO()
+            with tarfile.open(fileobj=buf, mode="w") as tf:
+                for k in range(n):
+                    data = member_body(i, k)
+                    ti = tarfile.TarInfo(f"m{k}.txt")
+                    ti.size = len(data)
+                    tf.addfile(ti, io.BytesIO(data))
+            return buf.getvalue()
 
         for pdf in batches:
             rows = []
             for i in pdf["doc_id"]:
                 i = int(i)
-                if i % 5 == 4:
+                m7 = i % 7
+                if m7 == 3:
                     blob = member_body(i, 0)
-                elif i % 3 == 0:
+                elif m7 == 0:
                     buf = io.BytesIO()
                     with _gzip.GzipFile(
                         filename=f"m0.txt", mode="wb", fileobj=buf, mtime=0
                     ) as gz:
                         gz.write(member_body(i, 0))
                     blob = buf.getvalue()
+                elif m7 == 4:
+                    blob = make_tar(i, 1 + i % 4)
+                elif m7 == 5:
+                    blob = _gzip.compress(make_tar(i, 1 + i % 4), mtime=0)
+                elif m7 == 6:
+                    blob = _bz2.compress(member_body(i, 0))
                 else:
                     buf = io.BytesIO()
                     with zipfile.ZipFile(buf, "w") as zf:
@@ -3058,8 +3079,11 @@ def zip_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.regexp_extract("path", r"mem:/doc(\d+)", 1).cast("long")
     )
     kind = (
-        F.when(F.col("doc_id") % 5 == 4, "raw")
-        .when(F.col("doc_id") % 3 == 0, "gzip")
+        F.when(F.col("doc_id") % 7 == 3, "raw")
+        .when(F.col("doc_id") % 7 == 0, "gzip")
+        .when(F.col("doc_id") % 7 == 4, "tar")
+        .when(F.col("doc_id") % 7 == 5, "tgz")
+        .when(F.col("doc_id") % 7 == 6, "bz2")
         .otherwise("zip")
     )
     per_member = exploded.select(

@@ -169,10 +169,14 @@ def explode_archives(files: DataFrame) -> DataFrame:
     zipped), so the landing scan must explode archives into member rows
     before the per-asset pipeline runs.  ZIP members (stored or deflated,
     via stdlib zipfile; the central directory's CRC is re-verified by
-    zipfile on read) and single-member GZIP (stdlib gzip; inner name from
-    the FNAME header field when present, else the archive path stem).
-    Non-archive rows pass through unchanged with member_path = '' and
-    member_index = -1 — one uniform downstream schema.
+    zipfile on read), TAR archives (ustar magic; regular files only —
+    the ML-dataset/WebDataset distribution shape), single-member GZIP /
+    BZIP2 / XZ (stdlib gzip/bz2/lzma; gzip inner name from the FNAME
+    header field when present), and the compressed-tar chains (.tar.gz /
+    .tar.bz2 / .tar.xz: the decompressed payload is re-checked for the
+    ustar magic and exploded).  Non-archive rows pass through unchanged
+    with member_path = '' and member_index = -1 — one uniform downstream
+    schema.
 
     Arrow-batched mapInPandas, one narrow stage: at production scale the
     fan-out parallelism follows the binaryFile scan splits, and a
@@ -184,8 +188,11 @@ def explode_archives(files: DataFrame) -> DataFrame:
     import pandas as pd
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import bz2 as _bz2
         import gzip as _gzip
         import io
+        import lzma as _lzma
+        import tarfile
         import zipfile
 
         for pdf in batches:
@@ -201,6 +208,23 @@ def explode_archives(files: DataFrame) -> DataFrame:
                 out["content"].append(content)
                 out["archive_error"].append(err)
 
+            def is_tar(b: bytes) -> bool:
+                return len(b) > 262 and b[257:262] == b"ustar"
+
+            def emit_tar(path, b: bytes) -> bool:
+                try:
+                    with tarfile.open(fileobj=io.BytesIO(b)) as tf:
+                        members = [
+                            (m.name, tf.extractfile(m).read())
+                            for m in tf.getmembers() if m.isfile()
+                        ]
+                except Exception as e:
+                    emit(path, "", -1, b"", type(e).__name__)
+                    return True
+                for k, (name, data) in enumerate(members):
+                    emit(path, name, k, data)
+                return True
+
             for path, content in zip(pdf["path"], pdf["content"]):
                 blob = bytes(content)
                 if blob[:4] == b"PK\x03\x04":
@@ -215,6 +239,8 @@ def explode_archives(files: DataFrame) -> DataFrame:
                         continue
                     for k, (name, data) in enumerate(members):
                         emit(path, name, k, data)
+                elif is_tar(blob):
+                    emit_tar(path, blob)
                 elif blob[:2] == b"\x1f\x8b":
                     try:
                         inner = _gzip.decompress(blob)
@@ -226,7 +252,21 @@ def explode_archives(files: DataFrame) -> DataFrame:
                     except Exception as e:
                         emit(path, "", -1, b"", type(e).__name__)
                         continue
-                    emit(path, name or "member", 0, inner)
+                    if is_tar(inner):
+                        emit_tar(path, inner)
+                    else:
+                        emit(path, name or "member", 0, inner)
+                elif blob[:3] == b"BZh" or blob[:6] == b"\xfd7zXZ\x00":
+                    try:
+                        inner = (_bz2.decompress(blob) if blob[:3] == b"BZh"
+                                 else _lzma.decompress(blob))
+                    except Exception as e:
+                        emit(path, "", -1, b"", type(e).__name__)
+                        continue
+                    if is_tar(inner):
+                        emit_tar(path, inner)
+                    else:
+                        emit(path, "member", 0, inner)
                 else:
                     emit(path, "", -1, blob)
             yield pd.DataFrame(out)

@@ -177,3 +177,44 @@ def test_explode_archives_zip_gzip_raw_and_corrupt(spark):
     assert bytes(rows[("r", -1)]["content"]) == b"plain bytes"
     assert rows[("r", -1)]["archive_error"] is None
     assert rows[("c", -1)]["archive_error"] is not None
+
+
+def test_explode_archives_tar_chains(spark):
+    """r10: tar, tar.gz (decompress -> ustar re-check), tar.bz2, bare
+    bz2/xz single members, corrupt tar marker."""
+    import bz2
+    import gzip
+    import io
+    import lzma
+    import tarfile
+
+    from teledetection_drone_satellite_spark.sources import binary
+
+    def make_tar(members):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for name, data in members:
+                ti = tarfile.TarInfo(name)
+                ti.size = len(data)
+                tf.addfile(ti, io.BytesIO(data))
+        return buf.getvalue()
+
+    tar = make_tar([("a.txt", b"alpha"), ("d/b.bin", bytes(range(64)))])
+    df = spark.createDataFrame(
+        [("t", bytearray(tar)),
+         ("tg", bytearray(gzip.compress(tar, mtime=0))),
+         ("tb", bytearray(bz2.compress(tar))),
+         ("b", bytearray(bz2.compress(b"bz payload"))),
+         ("x", bytearray(lzma.compress(b"xz payload"))),
+         ("ct", bytearray(tar[:300]))],  # truncated tar: corrupt
+        "path string, content binary",
+    )
+    rows = {(r["path"], r["member_index"]): r
+            for r in binary.explode_archives(df).collect()}
+    for p in ("t", "tg", "tb"):
+        assert bytes(rows[(p, 0)]["content"]) == b"alpha", p
+        assert rows[(p, 0)]["member_path"] == "a.txt"
+        assert bytes(rows[(p, 1)]["content"]) == bytes(range(64))
+    assert bytes(rows[("b", 0)]["content"]) == b"bz payload"
+    assert bytes(rows[("x", 0)]["content"]) == b"xz payload"
+    assert rows[("ct", -1)]["archive_error"] is not None
