@@ -2677,7 +2677,7 @@ def wav_ext_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "page's text and compares an ORDERED per-page sha256 digest chain, "
     "so an escape-handling, page-order, or stream-slicing bug flips the "
     "string.",
-    tags=("ingest",),
+    tags=("ingest", "multimodal"),
 )
 def pdf_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator
@@ -2998,7 +2998,7 @@ def las_point_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle regenerates each member and compares an ORDERED sha256 "
     "digest chain, so a member-order, decompression, or boundary bug "
     "flips the string.",
-    tags=("ingest",),
+    tags=("ingest", "multimodal"),
 )
 def zip_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator
