@@ -274,6 +274,13 @@ def encode_flac(
                     body.write(v & ((1 << cbits) - 1), cbits)
                 continue
             order = min(order, len(vals) - 1) if len(vals) > 1 else 0
+            if kind == "lpc" and order == 0:
+                # a single-sample block has no room for a predictor
+                body.write(1, 6)  # verbatim
+                body.write(0, 1)
+                for v in vals:
+                    body.write(v & ((1 << cbits) - 1), cbits)
+                continue
             if kind == "lpc":
                 order = max(1, order)
                 # simple fixed quantized predictor: coefs approximate an
