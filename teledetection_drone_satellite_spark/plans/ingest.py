@@ -2635,6 +2635,127 @@ def wav_ext_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ico_frame_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 1 + doc_id % 3 AS n_entries
+        FROM documents WHERE doc_id < 80
+    ),
+    ent AS (
+        SELECT doc_id, n_entries, CAST(e.i AS INT) AS e,
+               8 + (doc_id + 5 * e.i) % 25 AS w,
+               8 + (doc_id * 3 + 7 * e.i) % 25 AS h,
+               CASE WHEN (doc_id + e.i) % 2 = 0 THEN 'bmp'
+                    ELSE 'png' END AS kind
+        FROM spec, LATERAL unnest(range(0, n_entries)) e(i)
+    ),
+    px AS (
+        SELECT doc_id, e, w, h, kind, x.i AS x, y.i AS y,
+               (x.i * 3 + 7 * e + doc_id) % 256 AS r,
+               (y.i * 5 + 11 * e + doc_id) % 256 AS g,
+               (x.i + y.i + 13 * e + doc_id) % 256 AS b,
+               (3 * x.i + y.i + e + doc_id) % 256 AS a
+        FROM ent,
+             LATERAL unnest(range(0, w)) x(i),
+             LATERAL unnest(range(0, h)) y(i)
+    )
+    SELECT doc_id, e AS entry_idx,
+           CAST(min(w) AS INT) AS width,
+           CAST(min(h) AS INT) AS height,
+           min(kind) AS kind,
+           ((2 * CAST(sum(r) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_r,
+           ((2 * CAST(sum(g) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_g,
+           ((2 * CAST(sum(b) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_b,
+           ((2 * CAST(sum(a) AS BIGINT) * 1000000 + count(*))
+            // (2 * count(*))) / 1000000.0 AS mean_a,
+           CAST(sum(((y * w + x) % 97 + 1) * r) AS BIGINT) AS wsum_r
+    FROM px GROUP BY doc_id, e
+    """,
+    doc="ICO/favicon container decode, graded (r10 — the web-crawl icon "
+    "shape): docs cycle 1-3 directory entries mixing PNG-compressed "
+    "members (riding decode_png_deep's real zlib/unfilter path) and "
+    "32-bit BGRA doubled-height DIB members (bottom-up XOR image; the "
+    "legacy AND mask is ignored per modern practice since the alpha "
+    "channel is authoritative — documented in decode_ico). The oracle "
+    "regenerates every member pixel; the position-weighted wsum_r flips "
+    "on a bottom-up/BGRA-order bug the means cannot see, and the "
+    "directory-vs-member dimension cross-check refuses mismatched "
+    "entries.",
+    tags=("ingest", "multimodal"),
+)
+def ico_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 80)
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                entries = [
+                    (8 + (i + 5 * e) % 25, 8 + (i * 3 + 7 * e) % 25,
+                     "bmp" if (i + e) % 2 == 0 else "png")
+                    for e in range(1 + i % 3)
+                ]
+                content = multimodal.synth_ico(
+                    entries,
+                    pixel=lambda e, x, y, i=i: (
+                        (x * 3 + 7 * e + i) % 256,
+                        (y * 5 + 11 * e + i) % 256,
+                        (x + y + 13 * e + i) % 256,
+                        (3 * x + y + e + i) % 256,
+                    ),
+                )
+                frames = multimodal.decode_ico(content)
+                for e, ((w, h, kind), (gw, gh, raw)) in enumerate(
+                    zip(entries, frames)
+                ):
+                    s = np.frombuffer(raw, dtype=np.uint8).reshape(
+                        -1, 4
+                    ).astype(np.int64)
+                    wt = (np.arange(gw * gh, dtype=np.int64) % 97) + 1
+                    rows.append(
+                        (
+                            i, e, gw, gh, kind,
+                            int(s[:, 0].sum()), int(s[:, 1].sum()),
+                            int(s[:, 2].sum()), int(s[:, 3].sum()),
+                            gw * gh, int((wt * s[:, 0]).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "entry_idx", "width", "height", "kind",
+                         "rsum", "gsum", "bsum", "asum", "npx", "wsum_r"],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, entry_idx int, width int, height int, kind string, "
+        "rsum long, gsum long, bsum long, asum long, npx long, wsum_r long",
+    )
+    return out.select(
+        "doc_id", "entry_idx", "width", "height", "kind",
+        _half_up_mean("rsum", "npx").alias("mean_r"),
+        _half_up_mean("gsum", "npx").alias("mean_g"),
+        _half_up_mean("bsum", "npx").alias("mean_b"),
+        _half_up_mean("asum", "npx").alias("mean_a"),
+        "wsum_r",
+    )
+
+
+@register(
     "pdf_text_stats",
     oracle="""
     WITH spec AS (

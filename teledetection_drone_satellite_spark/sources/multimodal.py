@@ -603,6 +603,121 @@ def synth_png_trns(
     return base[:idat] + trns + base[idat:]
 
 
+def synth_ico(entries: "list[tuple[int, int, str]]", pixel=None) -> bytes:
+    """Deterministic ICO (favicon container): ``entries`` is a list of
+    (width, height, kind) with kind 'png' (a PNG-compressed member —
+    the modern favicon payload, synth via the RGBA-capable APNG frame
+    encoder) or 'bmp' (a 32-bit BGRA DIB member: BITMAPINFOHEADER with
+    DOUBLED height, bottom-up XOR image, then the legacy all-zero 1-bit
+    AND mask rows padded to 32 bits).  ``pixel(e, x, y) -> (r,g,b,a)``
+    defaults to ((x*3+7e)%256, (y*5+11e)%256, (x+y+13e)%256,
+    (3x+y+e)%256).  Byte-packing per the public ICONDIR layout,
+    independent of decode_ico.  Dims must be 1-256 (256 stores as 0)."""
+    import struct
+    import zlib
+
+    px = pixel or (
+        lambda e, x, y: ((x * 3 + 7 * e) % 256, (y * 5 + 11 * e) % 256,
+                         (x + y + 13 * e) % 256, (3 * x + y + e) % 256)
+    )
+    blobs = []
+    for e, (w, h, kind) in enumerate(entries):
+        if not (1 <= w <= 256 and 1 <= h <= 256):
+            raise ValueError("ICO dims must be 1-256")
+        rgba = bytes(
+            v for y in range(h) for x in range(w) for v in px(e, x, y)
+        )
+        if kind == "png":
+            ihdr = struct.pack(">II5B", w, h, 8, 6, 0, 0, 0)
+            blob = (
+                _PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", _png_filtered_idat(rgba, w, h))
+                + _png_chunk(b"IEND", b"")
+            )
+        elif kind == "bmp":
+            rows = []
+            for y in range(h - 1, -1, -1):  # bottom-up
+                row = bytearray()
+                for x in range(w):
+                    r, g, b_, a = px(e, x, y)
+                    row += bytes((b_, g, r, a))
+                rows.append(bytes(row))
+            and_stride = ((w + 31) // 32) * 4
+            info = struct.pack(
+                "<IiiHHIIiiII", 40, w, 2 * h, 1, 32, 0,
+                w * h * 4 + and_stride * h, 0, 0, 0, 0,
+            )
+            blob = info + b"".join(rows) + bytes(and_stride * h)
+        else:
+            raise ValueError("kind must be png or bmp")
+        blobs.append(blob)
+    out = bytearray(struct.pack("<HHH", 0, 1, len(entries)))
+    off = 6 + 16 * len(entries)
+    for (w, h, _k), blob in zip(entries, blobs):
+        out += struct.pack(
+            "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 32, len(blob), off
+        )
+        off += len(blob)
+    for blob in blobs:
+        out += blob
+    return bytes(out)
+
+
+def decode_ico(content: bytes) -> "list[tuple[int, int, bytes]] | None":
+    """ICO/favicon decode (r10): walk the ICONDIR, decode each member —
+    PNG-compressed entries ride decode_png_deep (RGBA-8 scope), DIB
+    entries the 32-bit BGRA doubled-height XOR-image form (the modern
+    alpha-icon shape; the legacy AND mask is ignored per current
+    practice, as the alpha channel is authoritative — documented).
+    Returns [(w, h, rgba_bytes)] top-down per entry, or None: wrong
+    header, member out of bounds, dims disagreeing with the directory,
+    non-32-bit DIBs (paletted legacy icons stay out of scope)."""
+    import struct
+
+    import numpy as np
+
+    if len(content) < 6:
+        return None
+    rsv, typ, count = struct.unpack("<HHH", content[:6])
+    if rsv != 0 or typ != 1 or count == 0 or count > 1024:
+        return None
+    if len(content) < 6 + 16 * count:
+        return None
+    out = []
+    for e in range(count):
+        ent = content[6 + 16 * e : 6 + 16 * (e + 1)]
+        w8, h8 = ent[0], ent[1]
+        size, off = struct.unpack("<II", ent[8:16])
+        w, h = w8 or 256, h8 or 256
+        if off + size > len(content):
+            return None
+        blob = content[off : off + size]
+        if blob[:8] == _PNG_MAGIC:
+            dec = decode_png_deep(blob)
+            if dec is None or dec[2] != 4 or dec[3] != 8:
+                return None
+            pw, ph = dec[0], dec[1]
+            if (pw, ph) != (w, h):
+                return None
+            out.append((pw, ph, dec[4]))
+            continue
+        if len(blob) < 40:
+            return None
+        hdr_sz, bw, bh2 = struct.unpack("<Iii", blob[:12])
+        bits = struct.unpack("<H", blob[14:16])[0]
+        if hdr_sz != 40 or bits != 32 or bw != w or bh2 != 2 * h:
+            return None  # paletted/16/24-bit legacy DIB icons: out of scope
+        need = 40 + w * h * 4
+        if len(blob) < need:
+            return None
+        arr = np.frombuffer(
+            blob[40 : 40 + w * h * 4], dtype=np.uint8
+        ).reshape(h, w, 4)
+        rgba = arr[::-1, :, [2, 1, 0, 3]]  # bottom-up BGRA -> top-down RGBA
+        out.append((w, h, np.ascontiguousarray(rgba).tobytes()))
+    return out
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     """Paeth predictor (PNG 1.2 §6.6): the neighbor closest to a + b - c."""
     p = a + b - c

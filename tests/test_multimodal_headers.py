@@ -368,3 +368,32 @@ def test_geotiff_parse_and_refusals():
     # zero pixel scale refused
     assert mm.parse_geotiff(mm.synth_geotiff(8, 8, (0.0, 1.0, 0.0))) is None
     assert mm.parse_geotiff(b"garbage") is None
+
+
+def test_ico_decode_and_refusals():
+    """r10 ICO/favicon: PNG and 32-bit DIB members, the 256-as-0 dim
+    encoding, directory/member dimension cross-check, refusals."""
+    import numpy as np
+
+    from teledetection_drone_satellite_spark.sources import multimodal as mm
+
+    ico = mm.synth_ico([(16, 12, "png"), (13, 9, "bmp"), (256, 256, "bmp")])
+    got = mm.decode_ico(ico)
+    assert got is not None and [(w, h) for w, h, _ in got] == [
+        (16, 12), (13, 9), (256, 256)]
+    for e, (w, h, raw) in enumerate(got):
+        arr = np.frombuffer(raw, np.uint8).reshape(h, w, 4)
+        for y in range(0, h, max(1, h // 5)):
+            for x in range(0, w, max(1, w // 5)):
+                exp = ((x * 3 + 7 * e) % 256, (y * 5 + 11 * e) % 256,
+                       (x + y + 13 * e) % 256, (3 * x + y + e) % 256)
+                assert tuple(arr[y, x]) == exp, (e, x, y)
+    # cursor resource type (2) is not an icon
+    assert mm.decode_ico(b"\x00\x00\x02\x00\x01\x00" + bytes(16)) is None
+    # member size beyond the file
+    assert mm.decode_ico(mm.synth_ico([(8, 8, "png")])[:-10]) is None
+    # directory dims disagreeing with the PNG member
+    bad = bytearray(mm.synth_ico([(8, 8, "png")]))
+    bad[6] = 9  # claimed width 9
+    assert mm.decode_ico(bytes(bad)) is None
+    assert mm.decode_ico(b"") is None
