@@ -182,7 +182,14 @@ def explode_archives(files: DataFrame) -> DataFrame:
     fan-out parallelism follows the binaryFile scan splits, and a
     corrupt archive yields zero member rows plus an error marker row
     rather than failing the stage (the ingest pipeline's
-    never-fail-the-batch contract)."""
+    never-fail-the-batch contract).
+
+    Decompression-bomb guard (r10): any archive whose DECLARED or actual
+    expansion exceeds DEFAULT_MAX_SIZE (the reference's 1 GiB upload cap,
+    shared/config) emits the error marker instead of inflating — zip
+    member sizes come from the central directory, tar sizes from member
+    headers, and the stream codecs decompress through a bounded reader,
+    so a hostile ratio can never OOM an executor."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -194,6 +201,12 @@ def explode_archives(files: DataFrame) -> DataFrame:
         import lzma as _lzma
         import tarfile
         import zipfile
+
+        CAP = DEFAULT_MAX_SIZE
+
+        def bounded(fileobj) -> "bytes | None":
+            data = fileobj.read(CAP + 1)
+            return None if len(data) > CAP else data
 
         for pdf in batches:
             out = {
@@ -214,9 +227,12 @@ def explode_archives(files: DataFrame) -> DataFrame:
             def emit_tar(path, b: bytes) -> bool:
                 try:
                     with tarfile.open(fileobj=io.BytesIO(b)) as tf:
+                        files = [m for m in tf.getmembers() if m.isfile()]
+                        if sum(m.size for m in files) > CAP:
+                            raise ValueError("DecompressionBomb")
                         members = [
                             (m.name, tf.extractfile(m).read())
-                            for m in tf.getmembers() if m.isfile()
+                            for m in files
                         ]
                 except Exception as e:
                     emit(path, "", -1, b"", type(e).__name__)
@@ -232,6 +248,8 @@ def explode_archives(files: DataFrame) -> DataFrame:
                         with zipfile.ZipFile(io.BytesIO(blob)) as zf:
                             infos = [i for i in zf.infolist()
                                      if not i.is_dir()]
+                            if sum(i.file_size for i in infos) > CAP:
+                                raise ValueError("DecompressionBomb")
                             members = [(i.filename, zf.read(i))
                                        for i in infos]
                     except Exception as e:  # corrupt archive: marker row
@@ -243,7 +261,9 @@ def explode_archives(files: DataFrame) -> DataFrame:
                     emit_tar(path, blob)
                 elif blob[:2] == b"\x1f\x8b":
                     try:
-                        inner = _gzip.decompress(blob)
+                        inner = bounded(_gzip.GzipFile(fileobj=io.BytesIO(blob)))
+                        if inner is None:
+                            raise ValueError("DecompressionBomb")
                         # FNAME field (flag bit 3): original file name
                         name = ""
                         if len(blob) > 10 and blob[3] & 0x08:
@@ -258,8 +278,11 @@ def explode_archives(files: DataFrame) -> DataFrame:
                         emit(path, name or "member", 0, inner)
                 elif blob[:3] == b"BZh" or blob[:6] == b"\xfd7zXZ\x00":
                     try:
-                        inner = (_bz2.decompress(blob) if blob[:3] == b"BZh"
-                                 else _lzma.decompress(blob))
+                        opener = (_bz2.BZ2File if blob[:3] == b"BZh"
+                                  else _lzma.LZMAFile)
+                        inner = bounded(opener(io.BytesIO(blob)))
+                        if inner is None:
+                            raise ValueError("DecompressionBomb")
                     except Exception as e:
                         emit(path, "", -1, b"", type(e).__name__)
                         continue

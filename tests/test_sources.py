@@ -218,3 +218,33 @@ def test_explode_archives_tar_chains(spark):
     assert bytes(rows[("b", 0)]["content"]) == b"bz payload"
     assert bytes(rows[("x", 0)]["content"]) == b"xz payload"
     assert rows[("ct", -1)]["archive_error"] is not None
+
+
+def test_explode_archives_decompression_bomb_guard(spark, monkeypatch):
+    """A hostile expansion ratio must emit the error marker, never
+    inflate past the cap (patched down so the test stays fast)."""
+    import gzip
+    import io
+    import zipfile
+
+    from teledetection_drone_satellite_spark.sources import binary
+
+    # make the cap tiny for the test via the module constant the closure
+    # reads at definition time — rebuild the frame with a patched value
+    monkeypatch.setattr(binary, "DEFAULT_MAX_SIZE", 10_000)
+    big = b"\x00" * 1_000_000
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(zipfile.ZipInfo("big.bin"), big,
+                    compress_type=zipfile.ZIP_DEFLATED)
+    df = spark.createDataFrame(
+        [("zb", bytearray(buf.getvalue())),
+         ("gb", bytearray(gzip.compress(big))),
+         ("ok", bytearray(gzip.compress(b"small")))],
+        "path string, content binary",
+    )
+    rows = {(r["path"], r["member_index"]): r
+            for r in binary.explode_archives(df).collect()}
+    assert rows[("zb", -1)]["archive_error"] is not None
+    assert rows[("gb", -1)]["archive_error"] is not None
+    assert bytes(rows[("ok", 0)]["content"]) == b"small"
