@@ -116,7 +116,6 @@ class _BitReader:
 
 def _rice_encode(w: _BitWriter, residuals, param: int) -> None:
     for r in residuals:
-        z = (r << 1) ^ (r >> 63) if r >= 0 else ((-r) << 1) - 1
         # standard zigzag: n >= 0 -> 2n, n < 0 -> -2n - 1
         z = 2 * r if r >= 0 else -2 * r - 1
         q = z >> param
@@ -428,9 +427,8 @@ def decode_flac(content: bytes) -> "tuple[int, int, int, 'object'] | None":
             br.read(16)
         elif sr_code == 15:
             return None
-        sbits = {1: 8, 4: 12, 6: 16, 0b100: 16, 0b001: 8}.get(ss_code)
         if ss_code == 0:
-            sbits = bits
+            sbits = bits  # from STREAMINFO
         elif ss_code == 0b001:
             sbits = 8
         elif ss_code == 0b100:
@@ -462,8 +460,7 @@ def decode_flac(content: bytes) -> "tuple[int, int, int, 'object'] | None":
             if sub is None:
                 return None
             decoded.append(sub)
-        br.byte_align() if hasattr(br, "byte_align") else None
-        br.pos = (br.pos + 7) & ~7
+        br.pos = (br.pos + 7) & ~7  # frame footer is byte-aligned
         crc16 = br.read(16)
         frame_bytes = content[frame_start_byte : (br.pos >> 3) - 2]
         if crc16 is None or _crc16(frame_bytes) != crc16:

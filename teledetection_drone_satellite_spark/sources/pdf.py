@@ -34,12 +34,6 @@ def synth_pdf(pages: "list[list[str]]", flate: bool = True) -> bytes:
     def esc(s: str) -> str:
         return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
-    objs: "list[bytes]" = []  # 1-indexed
-
-    def add(body: bytes) -> int:
-        objs.append(body)
-        return len(objs)
-
     page_ids = []
     content_ids = []
     n_fixed = 2 + 2 * len(pages) + 1  # catalog, pages, per-page x2, font
