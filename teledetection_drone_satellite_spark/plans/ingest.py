@@ -2787,17 +2787,20 @@ def ico_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS page_digest
     FROM pagetext GROUP BY doc_id
     """,
-    doc="PDF text extraction, graded (r10 — the LLM-pipeline document "
-    "front door; the MIME sniffer already routes application/pdf): per "
-    "doc synth_pdf writes a complete classic-xref PDF (catalog -> pages "
-    "tree -> per-page FlateDecode or raw content streams, alternating) "
-    "and extract_pdf_text walks the xref table, slices streams by their "
-    "declared /Length (never by scanning for endstream — deflated "
-    "payloads can contain it, found by the round-trip fuzz), inflates, "
-    "and collects the Tj text operators. The oracle regenerates each "
-    "page's text and compares an ORDERED per-page sha256 digest chain, "
-    "so an escape-handling, page-order, or stream-slicing bug flips the "
-    "string.",
+    doc="PDF text extraction, graded (r10; r11 widens to PDF 1.5+ — the "
+    "LLM-pipeline document front door; the MIME sniffer already routes "
+    "application/pdf): per doc synth_pdf writes a complete PDF "
+    "alternating BOTH file layouts — classic xref table + trailer, and "
+    "(every 2nd doc) the modern ObjStm-packed layout indexed by a "
+    "/Type /XRef cross-reference STREAM under the PNG Up predictor — "
+    "and extract_pdf_text resolves either form (type-2 entries slice "
+    "/ObjStm members; streams slice by declared /Length, never by "
+    "scanning for endstream — deflated payloads can contain it, found "
+    "by the round-trip fuzz), inflates, and collects the Tj text "
+    "operators on token boundaries. The oracle regenerates each page's "
+    "text and compares an ORDERED per-page sha256 digest chain, so an "
+    "escape-handling, page-order, xref-stream-decode, or ObjStm-slicing "
+    "bug flips the string.",
     tags=("ingest", "multimodal"),
 )
 def pdf_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2828,7 +2831,9 @@ def pdf_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ]
                     for p in range(1 + i % 3)
                 ]
-                content = pdfcodec.synth_pdf(pages, flate=i % 2 == 0)
+                content = pdfcodec.synth_pdf(
+                    pages, flate=i % 2 == 0, xref_stream=i % 2 == 1
+                )
                 texts = pdfcodec.extract_pdf_text(content)
                 digest = "".join(
                     hashlib.sha256(t.encode()).hexdigest()[:8] for t in texts

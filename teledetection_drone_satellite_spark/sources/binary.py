@@ -202,6 +202,17 @@ def explode_archives(files: DataFrame) -> DataFrame:
         import tarfile
         import zipfile
 
+        # zstd decode is wheel-gated: stdlib has no codec (before 3.14's
+        # compression.zstd); probe the zstandard wheel once per task.
+        _zstd_open = None
+        try:
+            import zstandard as _zstd  # type: ignore
+
+            def _zstd_open(fobj):  # noqa: F811
+                return _zstd.ZstdDecompressor().stream_reader(fobj)
+        except ImportError:
+            pass
+
         CAP = DEFAULT_MAX_SIZE
 
         def bounded(fileobj) -> "bytes | None":
@@ -264,11 +275,23 @@ def explode_archives(files: DataFrame) -> DataFrame:
                         inner = bounded(_gzip.GzipFile(fileobj=io.BytesIO(blob)))
                         if inner is None:
                             raise ValueError("DecompressionBomb")
-                        # FNAME field (flag bit 3): original file name
+                        # FNAME field (flag bit 3): original file name.
+                        # FEXTRA (flag bit 2) precedes it: 2-byte LE XLEN
+                        # plus XLEN bytes of extra field (RFC 1952 §2.3).
+                        # A malformed name never discards the member —
+                        # the decompressed bytes are already good.
                         name = ""
-                        if len(blob) > 10 and blob[3] & 0x08:
-                            end = blob.index(b"\x00", 10)
-                            name = blob[10:end].decode("latin-1")
+                        try:
+                            if len(blob) > 10 and blob[3] & 0x08:
+                                off = 10
+                                if blob[3] & 0x04:
+                                    xlen = int.from_bytes(
+                                        blob[10:12], "little")
+                                    off = 12 + xlen
+                                end = blob.index(b"\x00", off)
+                                name = blob[off:end].decode("latin-1")
+                        except (ValueError, IndexError):
+                            name = ""
                     except Exception as e:
                         emit(path, "", -1, b"", type(e).__name__)
                         continue
@@ -290,6 +313,26 @@ def explode_archives(files: DataFrame) -> DataFrame:
                         emit_tar(path, inner)
                     else:
                         emit(path, "member", 0, inner)
+                elif blob[:4] == b"\x28\xb5\x2f\xfd":
+                    # Zstandard frame magic (RFC 8878 §3.1.1). Python's
+                    # stdlib has no zstd codec and the zstandard wheel is
+                    # absent in this environment, so emit an honest
+                    # marker row instead of silently passing the blob
+                    # through as a non-archive.
+                    if _zstd_open is not None:
+                        try:
+                            inner = bounded(_zstd_open(io.BytesIO(blob)))
+                            if inner is None:
+                                raise ValueError("DecompressionBomb")
+                        except Exception as e:
+                            emit(path, "", -1, b"", type(e).__name__)
+                            continue
+                        if is_tar(inner):
+                            emit_tar(path, inner)
+                        else:
+                            emit(path, "member", 0, inner)
+                    else:
+                        emit(path, "", -1, b"", "zstd_unsupported")
                 else:
                     emit(path, "", -1, blob)
             yield pd.DataFrame(out)

@@ -145,7 +145,9 @@ def _utf8_coded(n: int) -> bytes:
         return bytes([n])
     out = []
     nbytes = 2
-    while n >= (1 << (nbytes * 5 + (6 - nbytes))):
+    # an n-byte extended-UTF-8 sequence carries 5n+1 payload bits
+    # (lead byte has 7-n bits, each continuation 6; 7-n + 6(n-1) = 5n+1)
+    while n >= (1 << (5 * nbytes + 1)):
         nbytes += 1
     lead = (0xFF00 >> nbytes) & 0xFF
     shift = 6 * (nbytes - 1)

@@ -946,7 +946,10 @@ def decode_png_deep(
         key = _struct.unpack(f">{channels}H", trns)
         if depth < 16 and any(k > (1 << depth) - 1 for k in key):
             return None  # key outside the sample range
-        opaque = 255 if depth != 16 else 65535
+        # opaque on the DECLARED bit-depth scale: sub-byte gray samples
+        # stay raw d-bit values, so alpha must be (2^d)-1, not 255 —
+        # otherwise one buffer mixes two scales under one bits column
+        opaque = (1 << depth) - 1
         keyarr = np.array(key, dtype=img.dtype)
         alpha = np.where(
             (img == keyarr).all(axis=2), 0, opaque

@@ -10,25 +10,53 @@ and collect the text-showing operators.  Extraction semantics
 spaces) yields ONE line; lines join with a newline per page.  Literal
 strings handle the \\( \\) \\\\ \\n \\r \\t escapes, octal escapes, and
 line continuations; hex strings <...> decode per the spec.  Pages are
-ordered by the pages tree's /Kids arrays (depth-first).  Encrypted,
-cross-reference-stream-only, or non-Flate-filtered PDFs refuse (None)
-— the honest-fallback contract every decoder here shares.
+ordered by the pages tree's /Kids arrays (depth-first).
 
-The synthesizer writes complete classic-xref PDFs (header, objects,
-xref table, trailer) independently of the parser; real-world PDFs a
-reference extractor (pdfminer/poppler) handles beyond this subset are
-out of scope and none of those libraries exist in this container
-(probed r10)."""
+r11 widens the front door to PDF 1.5+ (ISO 32000-1 §7.5.7/§7.5.8):
+cross-reference STREAMS (/Type /XRef, /W field widths, /Index
+subsections, FlateDecode + the PNG Up/Sub/Average/Paeth and TIFF
+predictors) and OBJECT streams (/Type /ObjStm member slicing via the
+/N+/First header pair table), plus /Prev chains (incremental updates,
+newest-wins) and hybrid-reference files (/XRefStm in a classic
+trailer).  Encrypted or non-Flate-filtered PDFs still refuse (None) —
+the honest-fallback contract every decoder here shares.
+
+The synthesizer writes complete PDFs in BOTH layouts (classic xref
+table + trailer, or ObjStm-packed objects indexed by a predictor-12
+xref stream) independently of the parser; real-world PDFs a reference
+extractor (pdfminer/poppler) handles beyond this subset are out of
+scope and none of those libraries exist in this container (probed
+r10)."""
 
 from __future__ import annotations
 
 import re
 
 
-def synth_pdf(pages: "list[list[str]]", flate: bool = True) -> bytes:
-    """Complete PDF: one content stream per page, one Tj per line, classic
-    xref + trailer.  ``flate`` deflates the content streams (the shape
-    real generators emit)."""
+def _png_predict_up(rows: "list[bytes]") -> bytes:
+    """Apply the PNG Up filter (type 2) to fixed-width rows — the
+    predictor-12 encoding real PDF writers emit for xref streams."""
+    out = bytearray()
+    prev = bytes(len(rows[0])) if rows else b""
+    for row in rows:
+        out.append(2)
+        out += bytes((c - p) & 0xFF for c, p in zip(row, prev))
+        prev = row
+    return bytes(out)
+
+
+def synth_pdf(
+    pages: "list[list[str]]",
+    flate: bool = True,
+    xref_stream: bool = False,
+) -> bytes:
+    """Complete PDF: one content stream per page, one Tj per line.
+    ``flate`` deflates the content streams (the shape real generators
+    emit).  ``xref_stream`` switches the file layout to PDF 1.5+: every
+    non-stream object packed into one /ObjStm, indexed by a /Type /XRef
+    cross-reference stream with /W [1 4 2] fields under the PNG Up
+    predictor (/DecodeParms /Predictor 12) — the layout the majority of
+    real-world PDFs use."""
     import zlib
 
     def esc(s: str) -> str:
@@ -76,21 +104,84 @@ def synth_pdf(pages: "list[list[str]]", flate: bool = True) -> bytes:
     bodies[font_id] = (
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     )
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = {}
-    for oid in range(1, font_id + 1):
-        offsets[oid] = len(out)
-        out += str(oid).encode() + b" 0 obj\n" + bodies[oid] + b"\nendobj\n"
-    xref_at = len(out)
-    out += b"xref\n0 " + str(font_id + 1).encode() + b"\n"
-    out += b"0000000000 65535 f \n"
-    for oid in range(1, font_id + 1):
-        out += f"{offsets[oid]:010d} 00000 n \n".encode()
-    out += (
-        b"trailer\n<< /Size " + str(font_id + 1).encode()
-        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
-        + b"\n%%EOF\n"
+    if not xref_stream:
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = {}
+        for oid in range(1, font_id + 1):
+            offsets[oid] = len(out)
+            out += (str(oid).encode() + b" 0 obj\n" + bodies[oid]
+                    + b"\nendobj\n")
+        xref_at = len(out)
+        out += b"xref\n0 " + str(font_id + 1).encode() + b"\n"
+        out += b"0000000000 65535 f \n"
+        for oid in range(1, font_id + 1):
+            out += f"{offsets[oid]:010d} 00000 n \n".encode()
+        out += (
+            b"trailer\n<< /Size " + str(font_id + 1).encode()
+            + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
+            + b"\n%%EOF\n"
+        )
+        return bytes(out)
+
+    # PDF 1.5+ layout: stream objects (the per-page /Contents) stay
+    # in-file; every other object packs into one object stream, and a
+    # cross-reference STREAM (not a table) indexes both.
+    objstm_id = font_id + 1
+    xref_id = font_id + 2
+    packed = [oid for oid in range(1, font_id + 1)
+              if oid not in content_ids]
+    stream_objs = [oid for oid in range(1, font_id + 1) if oid in
+                   content_ids]
+    # ObjStm body: "oid offset" pair table, then member bodies
+    member_bodies = [bodies[oid] + b" " for oid in packed]
+    offs, pos = [], 0
+    for b in member_bodies:
+        offs.append(pos)
+        pos += len(b)
+    header = " ".join(
+        f"{oid} {off}" for oid, off in zip(packed, offs)
+    ).encode() + b" "
+    objstm_payload = header + b"".join(member_bodies)
+    objstm_z = zlib.compress(objstm_payload)
+    objstm_body = (
+        b"<< /Type /ObjStm /N " + str(len(packed)).encode()
+        + b" /First " + str(len(header)).encode()
+        + b" /Length " + str(len(objstm_z)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + objstm_z
+        + b"\nendstream"
     )
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    for oid in stream_objs:
+        offsets[oid] = len(out)
+        out += (str(oid).encode() + b" 0 obj\n" + bodies[oid]
+                + b"\nendobj\n")
+    offsets[objstm_id] = len(out)
+    out += (str(objstm_id).encode() + b" 0 obj\n" + objstm_body
+            + b"\nendobj\n")
+    xref_at = len(out)
+    offsets[xref_id] = xref_at
+    # /W [1 4 2]: 1-byte type, 4-byte offset-or-objstm, 2-byte gen/index
+    size = xref_id + 1
+    rows = [bytes([0]) + (0).to_bytes(4, "big") + (0xFFFF).to_bytes(2,
+                                                                    "big")]
+    for oid in range(1, size):
+        if oid in offsets:
+            rows.append(bytes([1]) + offsets[oid].to_bytes(4, "big")
+                        + (0).to_bytes(2, "big"))
+        else:
+            rows.append(bytes([2]) + objstm_id.to_bytes(4, "big")
+                        + packed.index(oid).to_bytes(2, "big"))
+    xref_z = zlib.compress(_png_predict_up(rows))
+    out += (
+        str(xref_id).encode() + b" 0 obj\n<< /Type /XRef /Size "
+        + str(size).encode() + b" /W [1 4 2] /Root 1 0 R"
+        + b" /Filter /FlateDecode"
+        + b" /DecodeParms << /Predictor 12 /Columns 7 >>"
+        + b" /Length " + str(len(xref_z)).encode()
+        + b" >>\nstream\n" + xref_z + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
     return bytes(out)
 
 
@@ -146,9 +237,26 @@ def _parse_literal(data: bytes, i: int) -> "tuple[str, int] | None":
     return None
 
 
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+def _boundary(stream: bytes, i: int, j: int) -> bool:
+    """True when stream[i:j] sits on token boundaries — the byte before
+    i (if any) and the byte at j (if any) are PDF whitespace or
+    delimiters (ISO 32000-1 §7.2.2), so a name like /TJx or an operand
+    containing the operator bytes never fires a phantom text-show."""
+    if i > 0 and stream[i - 1] not in _WS and stream[i - 1] not in _DELIM:
+        return False
+    if j < len(stream) and stream[j] not in _WS and stream[j] not in _DELIM:
+        return False
+    return True
+
+
 def _extract_stream_text(stream: bytes) -> "list[str] | None":
     """Collect text-show operators from one content stream: each Tj / '
-    operand and each TJ array is one line."""
+    operand and each TJ array is one line.  Operators match only on
+    token boundaries, and /Name tokens are skipped whole."""
     lines = []
     i = 0
     n = len(stream)
@@ -157,6 +265,15 @@ def _extract_stream_text(stream: bytes) -> "list[str] | None":
     array_parts: "list[str]" = []
     while i < n:
         c = stream[i : i + 1]
+        if c == b"/":  # name token: consume to the next boundary
+            i += 1
+            while i < n and stream[i] not in _WS and stream[i] not in _DELIM:
+                i += 1
+            continue
+        if c == b"%":  # comment: to end of line
+            while i < n and stream[i] not in (0x0A, 0x0D):
+                i += 1
+            continue
         if c == b"(":
             got = _parse_literal(stream, i)
             if got is None:
@@ -188,20 +305,20 @@ def _extract_stream_text(stream: bytes) -> "list[str] | None":
             i += 1
             # expect TJ shortly; keep parts until the operator token
             continue
-        if stream[i : i + 2] == b"TJ":
+        if stream[i : i + 2] == b"TJ" and _boundary(stream, i, i + 2):
             if array_parts:
                 lines.append("".join(array_parts))
                 array_parts = []
             pending = []
             i += 2
             continue
-        if stream[i : i + 2] == b"Tj":
+        if stream[i : i + 2] == b"Tj" and _boundary(stream, i, i + 2):
             if pending:
                 lines.append(pending[-1])
             pending = []
             i += 2
             continue
-        if c == b"'":
+        if c == b"'" and _boundary(stream, i, i + 1):
             if pending:
                 lines.append(pending[-1])
             pending = []
@@ -211,15 +328,78 @@ def _extract_stream_text(stream: bytes) -> "list[str] | None":
     return lines
 
 
+def _png_unpredict(data: bytes, predictor: int, columns: int,
+                   bpp: int = 1) -> "bytes | None":
+    """Undo a /DecodeParms predictor on fixed-width rows (ISO 32000-1
+    §7.4.4.4 delegates to the PNG spec): predictor 2 is the TIFF
+    horizontal differencer, 10-15 are PNG rows each led by a filter-type
+    byte (None/Sub/Up/Average/Paeth)."""
+    if predictor < 2:
+        return data
+    if predictor == 2:  # TIFF: horizontal per-component delta
+        out = bytearray(data)
+        for r0 in range(0, len(out) - columns + 1, columns):
+            for k in range(bpp, columns):
+                out[r0 + k] = (out[r0 + k] + out[r0 + k - bpp]) & 0xFF
+        return bytes(out)
+    stride = columns + 1
+    if len(data) % stride:
+        return None
+    out = bytearray()
+    prev = bytes(columns)
+    for r0 in range(0, len(data), stride):
+        ftype = data[r0]
+        row = bytearray(data[r0 + 1 : r0 + stride])
+        if ftype == 1:  # Sub
+            for k in range(bpp, columns):
+                row[k] = (row[k] + row[k - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for k in range(columns):
+                row[k] = (row[k] + prev[k]) & 0xFF
+        elif ftype == 3:  # Average
+            for k in range(columns):
+                left = row[k - bpp] if k >= bpp else 0
+                row[k] = (row[k] + ((left + prev[k]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for k in range(columns):
+                a = row[k - bpp] if k >= bpp else 0
+                b = prev[k]
+                c = prev[k - bpp] if k >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                row[k] = (row[k] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
+def _int_key(head: bytes, key: bytes) -> "int | None":
+    m = re.search(rb"/" + key + rb"\s+(\d+)", head)
+    return int(m.group(1)) if m else None
+
+
+def _intarray_key(head: bytes, key: bytes) -> "list[int] | None":
+    m = re.search(rb"/" + key + rb"\s*\[([^\]]*)\]", head)
+    if not m:
+        return None
+    return [int(x) for x in m.group(1).split()]
+
+
 def extract_pdf_text(content: bytes) -> "list[str] | None":
     """Extract per-page text (one string per page, lines newline-joined)
     or None outside scope — see the module docstring.
 
-    Objects are located through the classic cross-reference table (the
-    trailer's startxref), and stream bodies are sliced by their declared
-    /Length — never by scanning for the endstream keyword, which
-    deflated binary payloads can contain by accident (found by the
-    round-trip fuzz; cross-reference STREAMS, PDF 1.5+, refuse)."""
+    Objects are located through the cross-reference machinery — classic
+    tables AND xref streams (PDF 1.5+), following /Prev incremental-
+    update chains (first-seen entry wins, i.e. newest) and hybrid
+    /XRefStm pointers; type-2 entries resolve through /ObjStm member
+    slicing.  Stream bodies are sliced by their declared /Length —
+    never by scanning for the endstream keyword, which deflated binary
+    payloads can contain by accident (found by the round-trip fuzz)."""
     import zlib
 
     if not content.startswith(b"%PDF-"):
@@ -232,81 +412,52 @@ def extract_pdf_text(content: bytes) -> "list[str] | None":
     m = re.match(rb"startxref\s+(\d+)", content[sx:])
     if not m:
         return None
-    xref_at = int(m.group(1))
-    if not content[xref_at : xref_at + 4] == b"xref":
-        return None  # cross-reference stream (PDF 1.5+): out of scope
-    # one or more subsections: "<start> <count>" then 20-byte entries
-    offsets: "dict[int, int]" = {}
-    pos = xref_at + 4
-    while True:
-        sub = re.match(rb"\s*(\d+)\s+(\d+)\s*[\r\n]+", content[pos:])
-        if not sub:
-            break
-        first, count = int(sub.group(1)), int(sub.group(2))
-        pos += sub.end()
-        for k in range(count):
-            entry = content[pos : pos + 20]
-            if len(entry) < 18:
-                return None
-            if entry[17:18] == b"n":
-                if not entry[:10].isdigit():
-                    return None  # corrupt xref entry
-                offsets[first + k] = int(entry[:10])
-            pos += 20
-    tm = content.find(b"trailer", pos - 1)
-    if tm < 0:
-        return None
 
-    _dict_cache: "dict[int, tuple[bytes, int]]" = {}
+    # entry: ("f", byte_offset) in-file | ("s", objstm_oid, idx) packed
+    entries: "dict[int, tuple]" = {}
+    root_ref: "list[int]" = []
 
-    def load(oid: int) -> "tuple[bytes, int] | None":
-        """-> (dict_region_bytes, body_start_after_dict) for object oid."""
-        if oid in _dict_cache:
-            return _dict_cache[oid]
-        off = offsets.get(oid)
-        if off is None or off >= len(content):
-            return None
+    def note(oid: int, ent: tuple) -> None:
+        if oid not in entries:  # newest xref section wins
+            entries[oid] = ent
+
+    def parse_dict_at(off: int) -> "tuple[bytes, int] | None":
+        """Parse an in-file 'N G obj <<...>>' at off ->
+        (dict_region, index_after_dict)."""
         hm = re.match(rb"(\d+)\s+\d+\s+obj\s*", content[off:])
-        if not hm or int(hm.group(1)) != oid:
+        if not hm:
             return None
         i = off + hm.end()
-        # the object is a dict (every object this walk touches is)
         if content[i : i + 2] != b"<<":
-            # non-dict object: take up to endobj
             e = content.find(b"endobj", i)
-            got = (content[i:e], e) if e >= 0 else None
-        else:
-            depth = 0
-            j = i
-            n = len(content)
-            while j < n - 1:
-                two = content[j : j + 2]
-                if two == b"<<":
-                    depth += 1
-                    j += 2
-                elif two == b">>":
-                    depth -= 1
-                    j += 2
-                    if depth == 0:
-                        break
-                elif content[j : j + 1] == b"(":
-                    lit = _parse_literal(content, j)
-                    if lit is None:
-                        return None
-                    j = lit[1]
-                else:
-                    j += 1
-            if depth != 0:
-                return None
-            got = (content[i:j], j)
-        _dict_cache[oid] = got
-        return got
-
-    def stream_of(oid: int) -> "bytes | None":
-        got = load(oid)
-        if got is None:
+            return (content[i:e], e) if e >= 0 else None
+        depth = 0
+        j = i
+        n = len(content)
+        while j < n - 1:
+            two = content[j : j + 2]
+            if two == b"<<":
+                depth += 1
+                j += 2
+            elif two == b">>":
+                depth -= 1
+                j += 2
+                if depth == 0:
+                    break
+            elif content[j : j + 1] == b"(":
+                lit = _parse_literal(content, j)
+                if lit is None:
+                    return None
+                j = lit[1]
+            else:
+                j += 1
+        if depth != 0:
             return None
-        head, after = got
+        return (content[i:j], j)
+
+    def raw_stream_at(head: bytes, after: int) -> "bytes | None":
+        """Slice + Flate-inflate the stream body following a dict that
+        ends at `after`, honoring any /DecodeParms predictor."""
         lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", head)
         if not lm:
             return None  # indirect /Length: out of scope
@@ -325,13 +476,165 @@ def extract_pdf_text(content: bytes) -> "list[str] | None":
                 data = zlib.decompress(data)
             except zlib.error:
                 return None
+        pm = re.search(rb"/Predictor\s+(\d+)", head)
+        if pm:
+            cm2 = re.search(rb"/Columns\s+(\d+)", head)
+            cols = int(cm2.group(1)) if cm2 else 1
+            data = _png_unpredict(data, int(pm.group(1)), cols)
         return data
 
-    # trailer /Root -> catalog -> pages tree
-    rm = re.search(rb"/Root\s+(\d+)\s+\d+\s+R", content[tm:])
-    if not rm:
+    def read_xref_section(at: int, depth: int = 0) -> None:
+        """Populate entries/root_ref from the xref section at byte
+        offset `at` (classic table or xref stream), recursing into
+        /Prev and hybrid /XRefStm pointers."""
+        if depth > 50 or at < 0 or at >= len(content):
+            return
+        if content[at : at + 4] == b"xref":
+            pos = at + 4
+            while True:
+                sub = re.match(rb"\s*(\d+)\s+(\d+)\s*[\r\n]+",
+                               content[pos:])
+                if not sub:
+                    break
+                first, count = int(sub.group(1)), int(sub.group(2))
+                pos += sub.end()
+                for k in range(count):
+                    entry = content[pos : pos + 20]
+                    if len(entry) < 18:
+                        return
+                    if entry[17:18] == b"n" and entry[:10].isdigit():
+                        note(first + k, ("f", int(entry[:10])))
+                    pos += 20
+            tm = content.find(b"trailer", pos - 1)
+            if tm < 0:
+                return
+            te = content.find(b">>", tm)
+            trailer = content[tm : te + 2 if te >= 0 else len(content)]
+            rm = re.search(rb"/Root\s+(\d+)\s+\d+\s+R", trailer)
+            if rm and not root_ref:
+                root_ref.append(int(rm.group(1)))
+            hyb = _int_key(trailer, b"XRefStm")
+            if hyb is not None:  # hybrid-reference file (§7.5.8.4)
+                read_xref_section(hyb, depth + 1)
+            prev = _int_key(trailer, b"Prev")
+            if prev is not None:
+                read_xref_section(prev, depth + 1)
+            return
+        # cross-reference stream (PDF 1.5+, §7.5.8)
+        got = parse_dict_at(at)
+        if got is None:
+            return
+        head, after = got
+        if b"/XRef" not in head:
+            return
+        data = raw_stream_at(head, after)
+        if data is None:
+            return
+        w = _intarray_key(head, b"W")
+        size = _int_key(head, b"Size")
+        if not w or len(w) != 3 or size is None:
+            return
+        index = _intarray_key(head, b"Index") or [0, size]
+        rowlen = sum(w)
+        if rowlen == 0:
+            return
+        pos = 0
+
+        def field(width: int) -> int:
+            nonlocal pos
+            v = int.from_bytes(data[pos : pos + width], "big")
+            pos += width
+            return v
+
+        for si in range(0, len(index) - 1, 2):
+            first, count = index[si], index[si + 1]
+            for k in range(count):
+                if pos + rowlen > len(data):
+                    return
+                # W[0]==0 -> implicit type 1 (§7.5.8.3 table 17)
+                t = field(w[0]) if w[0] else 1
+                f2 = field(w[1])
+                f3 = field(w[2])
+                oid = first + k
+                if t == 1:
+                    note(oid, ("f", f2))
+                elif t == 2:
+                    note(oid, ("s", f2, f3))
+        rm = re.search(rb"/Root\s+(\d+)\s+\d+\s+R", head)
+        if rm and not root_ref:
+            root_ref.append(int(rm.group(1)))
+        prev = _int_key(head, b"Prev")
+        if prev is not None:
+            read_xref_section(prev, depth + 1)
+
+    read_xref_section(int(m.group(1)))
+    if not entries or not root_ref:
         return None
-    cat = load(int(rm.group(1)))
+
+    _dict_cache: "dict[int, tuple[bytes, int]]" = {}
+    _objstm_cache: "dict[int, dict[int, bytes]]" = {}
+
+    def objstm_members(stm_oid: int) -> "dict[int, bytes] | None":
+        """Slice an /ObjStm into member bodies: the stream opens with
+        /N 'oid offset' integer pairs; bodies start at /First."""
+        if stm_oid in _objstm_cache:
+            return _objstm_cache[stm_oid]
+        ent = entries.get(stm_oid)
+        if ent is None or ent[0] != "f":  # ObjStm can't nest (§7.5.7)
+            return None
+        got = parse_dict_at(ent[1])
+        if got is None or b"/ObjStm" not in got[0]:
+            return None
+        n_objs = _int_key(got[0], b"N")
+        first = _int_key(got[0], b"First")
+        data = raw_stream_at(got[0], got[1])
+        if data is None or n_objs is None or first is None:
+            return None
+        toks = data[:first].split()
+        if len(toks) < 2 * n_objs:
+            return None
+        pairs = [(int(toks[2 * i]), int(toks[2 * i + 1]))
+                 for i in range(n_objs)]
+        members: "dict[int, bytes]" = {}
+        for i, (oid, off) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < n_objs else len(data) - first
+            members[oid] = data[first + off : first + end]
+        _objstm_cache[stm_oid] = members
+        return members
+
+    def load(oid: int) -> "tuple[bytes, int] | None":
+        """-> (dict_region_bytes, body_start_after_dict) for object oid;
+        ObjStm members return body_start = -1 (no in-file stream)."""
+        if oid in _dict_cache:
+            return _dict_cache[oid]
+        ent = entries.get(oid)
+        if ent is None:
+            return None
+        if ent[0] == "s":
+            members = objstm_members(ent[1])
+            if members is None or oid not in members:
+                return None
+            got = (members[oid], -1)
+        else:
+            off = ent[1]
+            if off >= len(content):
+                return None
+            hm = re.match(rb"(\d+)\s+\d+\s+obj", content[off:])
+            if not hm or int(hm.group(1)) != oid:
+                return None
+            got = parse_dict_at(off)
+            if got is None:
+                return None
+        _dict_cache[oid] = got
+        return got
+
+    def stream_of(oid: int) -> "bytes | None":
+        got = load(oid)
+        if got is None or got[1] < 0:
+            return None  # ObjStm members are never streams
+        return raw_stream_at(got[0], got[1])
+
+    cat = load(root_ref[0])
     if cat is None:
         return None
     pm = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", cat[0])

@@ -141,3 +141,25 @@ def test_fuzz_flac_survives_bit_flips(seed, nflip):
         enc[rnd.randrange(len(enc))] ^= 1 << rnd.randrange(8)
     out = flac.decode_flac(bytes(enc))
     assert out is None or (isinstance(out, tuple) and len(out) == 4)
+
+
+def test_flac_utf8_frame_number_boundaries():
+    """The extended-UTF-8 frame-number coding round-trips across every
+    byte-count boundary (ADVICE r10: the 2-byte form carries 11 bits,
+    not 14 — 2048..16383 previously overflowed into the lead byte)."""
+    class _R:
+        def __init__(self, b):
+            self.b, self.i = b, 0
+
+        def read(self, n):
+            assert n == 8
+            if self.i >= len(self.b):
+                return None
+            v = self.b[self.i]
+            self.i += 1
+            return v
+
+    for n in [0, 127, 128, 2047, 2048, 4000, 16383, 16384, 65535, 65536,
+              2**21 - 1, 2**21, 2**26 - 1, 2**26, 2**31, 2**36 - 1]:
+        enc = flac._utf8_coded(n)
+        assert flac._read_utf8_coded(_R(enc)) == n, n

@@ -295,10 +295,16 @@ def test_png_trns_color_key_gray_and_rgb():
             px = ((x * 301 + y) % 65536, (y * 301 + x) % 65536,
                   ((x + y) * 157) % 65536)
             assert tuple(arr[y, x]) == px + (0 if px == key else 65535,)
-    # sub-byte gray with in-range key; out-of-range refused
+    # sub-byte gray with in-range key; out-of-range refused.  Opaque
+    # alpha sits on the DECLARED 2-bit scale — (1<<2)-1 = 3, not 255 —
+    # so gray and alpha planes share one scale (ADVICE r10)
     base2 = mm.synth_png_ext(10, 6, 0, 2)
     got = mm.decode_png_deep(splice(base2, struct.pack(">H", 2)))
     assert got[:4] == (10, 6, 2, 2)
+    arr2 = np.frombuffer(got[4], np.uint8).reshape(6, 10, 2)
+    assert set(arr2[:, :, 1].ravel().tolist()) <= {0, 3}
+    assert (arr2[:, :, 1] == 0).any() and (arr2[:, :, 1] == 3).any()
+    assert ((arr2[:, :, 1] == 0) == (arr2[:, :, 0] == 2)).all()
     assert mm.decode_png_deep(splice(base2, struct.pack(">H", 9))) is None
     # wrong tRNS length refused
     assert mm.decode_png_deep(splice(base, b"\x00")) is None

@@ -248,3 +248,42 @@ def test_explode_archives_decompression_bomb_guard(spark, monkeypatch):
     assert rows[("zb", -1)]["archive_error"] is not None
     assert rows[("gb", -1)]["archive_error"] is not None
     assert bytes(rows[("ok", 0)]["content"]) == b"small"
+
+
+def test_explode_archives_gzip_fextra_and_zstd_gate(spark):
+    """r11: gzip members with an FEXTRA field (RFC 1952 FLG bit 2) read
+    FNAME from past the extra field — previously the name came from the
+    wrong bytes or the whole member was dropped; a zstd-magic blob emits
+    an honest zstd_unsupported marker (stdlib has no codec and the
+    zstandard wheel is absent) instead of silently passing through as a
+    non-archive."""
+    import importlib.util
+    import zlib
+
+    from teledetection_drone_satellite_spark.sources import binary
+
+    payload = b"hello fextra"
+    raw = zlib.compressobj(9, zlib.DEFLATED, -15)
+    deflated = raw.compress(payload) + raw.flush()
+    extra = b"AB\x04\x00abcd"  # one subfield: id 'AB', 4 data bytes
+    blob = (
+        b"\x1f\x8b\x08\x0c" + b"\x00" * 4 + b"\x00\x03"  # FLG=FEXTRA|FNAME
+        + len(extra).to_bytes(2, "little") + extra
+        + b"named.txt\x00"
+        + deflated
+        + zlib.crc32(payload).to_bytes(4, "little")
+        + len(payload).to_bytes(4, "little")
+    )
+    zstd_blob = b"\x28\xb5\x2f\xfd" + bytes(32)
+    df = spark.createDataFrame(
+        [("fx", bytearray(blob)), ("zs", bytearray(zstd_blob))],
+        "path string, content binary",
+    )
+    rows = {(r["path"], r["member_index"]): r
+            for r in binary.explode_archives(df).collect()}
+    assert bytes(rows[("fx", 0)]["content"]) == payload
+    assert rows[("fx", 0)]["member_path"] == "named.txt"
+    if importlib.util.find_spec("zstandard") is None:
+        assert rows[("zs", -1)]["archive_error"] == "zstd_unsupported"
+    else:  # wheel present: the frame is garbage past the magic -> error
+        assert rows[("zs", -1)]["archive_error"] is not None
