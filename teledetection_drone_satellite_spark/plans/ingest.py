@@ -68,6 +68,9 @@ def _docs_as_files(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN substr(text, 9, 4) = 'WAVE' THEN 'audio/wav'
                     WHEN substr(text, 9, 4) = 'AVI ' THEN 'video/avi'
                     ELSE 'application/octet-stream' END
+             WHEN starts_with(text, '<!DOCTYPE') OR starts_with(text, '<!doctype')
+               OR starts_with(text, '<html') OR starts_with(text, '<HTML')
+               THEN 'text/html'
              WHEN position(chr(0) IN substr(text, 1, 16)) > 0 THEN 'application/octet-stream'
              ELSE 'text/plain'
            END AS mime,
@@ -82,10 +85,10 @@ def _docs_as_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fixture properties, so regenerated fixtures with empty or magic-prefixed "
     "documents still compare equal. The mirror is COMPLETE over this input: "
     "content is UTF-8-encoded text, and every sniffed magic the oracle omits "
-    "(PNG 89.., JPEG FFD8.., gzip 1F8B, webm 1A45.., mp3 FFFB) requires a "
-    "UTF-8 lead/continuation byte at a position valid UTF-8 cannot produce, so "
-    "those branches are unreachable here; all ASCII-only magics (GIF/TIFF/PDF/"
-    "ZIP/ID3/OggS/fLaC/ftyp/RIFF) are mirrored. True-binary sniffing of those "
+    "(PNG 89.., JPEG FFD8.., gzip 1F8B, webm 1A45.., mp3 FFFB, zstd 28B5..) "
+    "requires a UTF-8 lead/continuation byte at a position valid UTF-8 cannot "
+    "produce, so those branches are unreachable here; all ASCII-only magics "
+    "(GIF/TIFF/PDF/ZIP/ID3/OggS/fLaC/ftyp/RIFF/HTML-doctype) are mirrored. True-binary sniffing of those "
     "formats is covered by tests/test_multimodal_headers.py and test_sources.py "
     "(file-service/main.py:75-169).",
     tags=("ingest",),
@@ -2849,6 +2852,89 @@ def pdf_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ids.mapInPandas(
         gen,
         "doc_id long, n_pages int, total_chars long, page_digest string",
+    )
+
+
+@register(
+    "html_text_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 2 + doc_id % 5 AS n_blocks
+        FROM documents WHERE doc_id < 120
+    ),
+    blk AS (
+        SELECT doc_id, n_blocks, CAST(b.i AS INT) AS b,
+               1 + (doc_id + b.i) % 3 AS reps
+        FROM spec, LATERAL unnest(range(0, n_blocks)) b(i)
+    ),
+    ln AS (
+        SELECT doc_id, n_blocks, b,
+               repeat('doc ' || CAST(doc_id AS VARCHAR) || ' block '
+                      || CAST(b AS VARCHAR) || ' <&' || chr(34)
+                      || CAST(b AS VARCHAR) || '>;',
+                      reps) AS line
+        FROM blk
+    )
+    SELECT doc_id,
+           CAST(min(n_blocks) AS INT) AS n_lines,
+           CAST(sum(length(line)) AS BIGINT) AS total_chars,
+           string_agg(substr(sha256(line), 1, 8), '' ORDER BY b)
+               AS line_digest
+    FROM ln GROUP BY doc_id
+    """,
+    doc="HTML -> text extraction, graded (r11 — the #1 web-crawl "
+    "document format, the document front door's HTML sibling to "
+    "pdf_text_stats): per doc synth_html writes an entity-heavy, "
+    "comment-riddled, deliberately malformed document (unclosed <p>, "
+    "stray </div>, attribute junk, uppercase tags) carrying "
+    "script/style/head/noscript DECOY text, and extract_html_text "
+    "(stdlib html.parser) drops the decoys, decodes named+numeric "
+    "character references, breaks lines on block elements, and "
+    "collapses whitespace runs. The oracle regenerates each line's "
+    "closed form and compares an ORDERED per-line sha256 digest chain, "
+    "so a skip-depth, entity, block-break, collapse, or line-order bug "
+    "flips the string.",
+    tags=("ingest", "multimodal", "corpus"),
+)
+def html_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.html import extract_html_text, synth_html
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                doc, _ = synth_html(i)
+                lines = extract_html_text(doc).split("\n")
+                digest = "".join(
+                    hashlib.sha256(s.encode()).hexdigest()[:8]
+                    for s in lines
+                )
+                rows.append(
+                    (i, len(lines), sum(len(s) for s in lines), digest)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_lines", "total_chars",
+                         "line_digest"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_lines int, total_chars long, line_digest string",
     )
 
 

@@ -39,6 +39,13 @@ MAGIC_MIME: list[tuple[int, str, str]] = [
     (0, "1A45DFA3", "video/webm"),
     (4, "66747970", "video/mp4"),  # ....ftyp
     (0, "52494646", "audio/x-riff"),  # WAV/AVI container; refined below
+    (0, "28B52FFD", "application/zstd"),  # RFC 8878 frame magic (r11)
+    # HTML (r11: the text-tier front door, sources/html.py) — doctype or
+    # root-tag prefixes in both common cases
+    (0, "3C21444F4354595045", "text/html"),  # <!DOCTYPE
+    (0, "3C21646F6374797065", "text/html"),  # <!doctype
+    (0, "3C68746D6C", "text/html"),  # <html
+    (0, "3C48544D4C", "text/html"),  # <HTML
 ]
 
 # Reference upload constraints (shared/config/__init__.py:35-39).
@@ -46,6 +53,7 @@ DEFAULT_MAX_SIZE = 1 << 30  # 1 GiB
 DEFAULT_ALLOWED_EXT = (
     "jpg", "jpeg", "png", "gif", "tif", "tiff", "webp", "pdf", "zip", "txt", "csv",
     "json", "mp3", "ogg", "flac", "wav", "mp4", "webm", "avi", "las", "laz",
+    "html", "htm", "zst",  # r11: text-tier front door + zstd archives
 )
 
 

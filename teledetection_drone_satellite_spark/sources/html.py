@@ -1,0 +1,165 @@
+"""HTML -> text extraction — pure stdlib (html.parser), the #1 web-crawl
+document format in any LLM training corpus.
+
+The document front door's HTML sibling to sources/pdf.py: the reference
+declares generic document ingestion with a file-type whitelist and
+metadata extraction (reference/shared/config/__init__.py:36-39,
+services/file-service/main.py:128); this module supplies the text tier
+a crawl pipeline needs on top of it.
+
+Extraction semantics (documented, oracle-mirrored):
+  - <script>, <style>, <template>, <noscript>, and the whole <head>
+    (including <title>) contribute NOTHING;
+  - comments, processing instructions, and declarations are dropped;
+  - character references decode (named, decimal, hex — html.parser's
+    convert_charrefs);
+  - BLOCK-level elements (p, div, h1-h6, li, ul/ol/dl, table parts,
+    blockquote, pre, br, hr, section/article/aside/header/footer/nav,
+    figure, form, ...) break lines at both their start and end tags;
+    inline elements (b, i, em, span, a, code, ...) are transparent;
+  - within a line, every whitespace run (spaces, tabs, newlines)
+    collapses to a single space and edges are stripped; empty lines are
+    dropped; lines join with a single newline.
+
+Malformed markup never raises: html.parser is a tolerant tokenizer
+(unclosed tags, stray end tags, attribute junk, uppercase tag names all
+tokenize), and the extractor keys only on tag-name sets and a skip
+depth counter, so the worst a hostile document can do is produce odd
+line boundaries.
+
+The synthesizer writes entity-heavy, comment-riddled, deliberately
+malformed documents with script/style/head decoys independently of the
+parser, so the graded round-trip (plans/ingest.py html_text_stats)
+fails on any skip-tracking, entity, block-break, or collapse bug.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+# block-level elements: line break at start AND end tags
+_BLOCK = frozenset(
+    "p div br hr h1 h2 h3 h4 h5 h6 li ul ol dl dt dd table thead tbody "
+    "tfoot tr caption blockquote pre section article aside header footer "
+    "nav main figure figcaption address form fieldset legend details "
+    "summary".split()
+)
+# subtree contributes nothing (head covers title/meta/link inside it)
+_SKIP = frozenset(("script", "style", "template", "noscript", "head"))
+# void elements never arrive as end tags; don't let a stray </br> etc.
+# unbalance anything (they're not in _SKIP so only _BLOCK matters: a
+# break on a stray end tag is harmless — empty lines drop)
+
+_BREAK = "\x00"  # line-break sentinel: survives source newlines in text
+
+
+class _TextExtractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip = 0
+        self.parts: "list[str]" = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP:
+            self._skip += 1
+        elif tag in _BLOCK:
+            self.parts.append(_BREAK)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP:
+            if self._skip:
+                self._skip -= 1
+        elif tag in _BLOCK:
+            self.parts.append(_BREAK)
+
+    def handle_data(self, data: str) -> None:
+        if not self._skip and data:
+            self.parts.append(data.replace(_BREAK, ""))
+
+
+def extract_html_text(content: "str | bytes") -> str:
+    """Extract visible text per the module-docstring semantics; returns
+    "" for text-free documents.  Bytes decode as UTF-8 (errors
+    replaced) — charset sniffing beyond UTF-8/ASCII is out of scope."""
+    if isinstance(content, bytes):
+        content = content.decode("utf-8", errors="replace")
+    p = _TextExtractor()
+    try:
+        p.feed(content)
+        p.close()
+    except Exception:
+        # html.parser is documented tolerant; belt-and-braces: fall back
+        # to whatever was collected before the failure
+        pass
+    lines = []
+    for raw in "".join(p.parts).split(_BREAK):
+        s = " ".join(raw.split())
+        if s:
+            lines.append(s)
+    return "\n".join(lines)
+
+
+def synth_html(doc_id: int) -> "tuple[str, list[str]]":
+    """Deterministic fixture: an entity-heavy, comment-riddled,
+    deliberately malformed HTML document plus the lines its extraction
+    must yield.  The expected text has the closed form the
+    html_text_stats oracle regenerates in SQL:
+
+        n_blocks = 2 + doc_id % 5
+        line[b]  = repeat('doc {i} block {b} <&"{b}>;', 1 + (i+b) % 3)
+    """
+    i = int(doc_id)
+    n_blocks = 2 + i % 5
+    wrappers = [("p", "p"), ("div", "div"), ("h2", "h2"),
+                ("blockquote", "blockquote"), ("li", "li")]
+    out = [
+        "<!DOCTYPE html>\n<HTML lang=en>\n",
+        "<head><title>DECOY TITLE %d</title>" % i,
+        '<meta charset="utf-8"><style>p { color: red; /* doc decoy */ }'
+        "</style></head>\n",
+        "<body>\n<!-- comment decoy doc %d -->\n" % i,
+        '<script type="text/javascript">var doc = "DECOY %d";</script>\n'
+        % i,
+        "<section>\n",
+    ]
+    expected = []
+    for b in range(n_blocks):
+        reps = 1 + (i + b) % 3
+        unit = 'doc %d block %d <&"%d>;' % (i, b, b)
+        expected.append(unit * reps)
+        # HTML form of the unit: entities + inline tags + messy
+        # whitespace replacing the inner single spaces (collapse-safe)
+        words = [
+            "&#100;oc" if b % 2 else "doc",
+            str(i),
+            "<b>block</b>" if b % 3 == 0 else "block",
+            str(b),
+            "&lt;&amp;&quot;%d&gt;;" % b,
+        ]
+        seps = [" ", "\n  ", " \t ", "  \n\t "]
+        body = ""
+        for w, word in enumerate(words):
+            if w:
+                body += seps[(i + b + w) % len(seps)]
+            body += word
+        html_unit = body * reps if reps == 1 else (
+            # repetition junction carries NO whitespace (";<i>d..." is
+            # illegal to split) — wrap later copies in a span
+            body + ("<span class='x'>" + body + "</span>") * (reps - 1)
+        )
+        tag_open, tag_close = wrappers[b % len(wrappers)]
+        if tag_open == "li":
+            out.append("<ul><li data-x='a\"b' broken>%s</li></ul>\n"
+                       % html_unit)
+        elif b % 4 == 1:
+            out.append("<%s>%s\n" % (tag_open, html_unit))  # unclosed
+        else:
+            out.append("<%s>%s</%s>\n" % (tag_open, html_unit,
+                                          tag_close))
+        if b % 3 == 2:
+            out.append("</div>\n")  # stray end tag
+        if b % 2 == 0:
+            out.append("<noscript>decoy %d</noscript>" % b)
+    out.append("<style>body { margin: 0 }</style>\n")
+    out.append("</section>\n</body>\n</html>\n")
+    return "".join(out), expected

@@ -28,6 +28,9 @@ def test_sniff_mime(spark):
             ("d.wav", WAV),
             ("e.txt", TEXT),
             ("f.bin", b"\x00\x01\x02opaque"),
+            ("g.html", b"<!DOCTYPE html><html><body>x</body></html>"),
+            ("h.htm", b"<html lang=en><p>y</p></html>"),
+            ("i.zst", b"\x28\xb5\x2f\xfd" + bytes(16)),
         ],
     )
     got = dict(
@@ -40,6 +43,9 @@ def test_sniff_mime(spark):
         "d.wav": "audio/wav",
         "e.txt": "text/plain",
         "f.bin": "application/octet-stream",
+        "g.html": "text/html",
+        "h.htm": "text/html",
+        "i.zst": "application/zstd",
     }
 
 
