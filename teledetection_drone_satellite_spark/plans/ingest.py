@@ -3043,7 +3043,8 @@ def geotiff_bbox_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH spec AS (
         SELECT doc_id,
-               doc_id % 4 AS fmt,
+               CASE doc_id % 7 WHEN 4 THEN 6 WHEN 5 THEN 7 WHEN 6 THEN 8
+                    ELSE doc_id % 7 END AS fmt,
                100 + (doc_id * 17) % 900 AS n
         FROM documents WHERE doc_id < 100
     ),
@@ -3067,25 +3068,37 @@ def geotiff_bbox_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_ground,
            ((2 * CAST(sum(inten) AS BIGINT) * 1000000 + count(*))
             // (2 * count(*))) / 1000000.0 AS mean_intensity,
-           CAST(CASE WHEN fmt IN (2, 3) THEN sum(
+           CAST(CASE WHEN fmt IN (2, 3, 7, 8) THEN sum(
                     (t * 3 + doc_id) % 65536 + (t * 5 + 2 * doc_id) % 65536
                     + (t * 7 + 3 * doc_id) % 65536)
                 ELSE 0 END AS BIGINT) AS rgb_sum,
-           round(CASE WHEN fmt IN (1, 3)
-                 THEN sum(t * 0.5 + doc_id) ELSE 0.0 END, 4) AS gps_sum
+           round(CASE WHEN fmt IN (1, 3, 6, 7, 8)
+                 THEN sum(t * 0.5 + doc_id) ELSE 0.0 END, 4) AS gps_sum,
+           CAST(CASE WHEN fmt = 8
+                THEN sum((t * 13 + 5 * doc_id) % 65536)
+                ELSE 0 END AS BIGINT) AS nir_sum,
+           CAST(CASE WHEN fmt >= 6
+                THEN sum(((t * 9 + doc_id) % 20001) - 10000)
+                ELSE 0 END AS BIGINT) AS scan_sum,
+           CAST(CASE WHEN fmt >= 6 THEN 1 ELSE 0 END AS INT) AS n_evlr
     FROM p GROUP BY doc_id, fmt, n
     """,
-    doc="ASPRS LAS point-cloud decode, graded (r10 — the drone-survey "
-    "output format: the reference's WebODM integration produces point "
-    "clouds, services/webodm-service; sources/las.py walks the LAS 1.2 "
-    "header and the fixed-width point records for formats 0-3 incl. GPS "
-    "time and 16-bit RGB; LAZ stays an honest laszip gate). Docs cycle "
-    "all four point formats over closed-form coordinates, intensity, "
-    "classification and color; the decoder must recover the raw int32 "
-    "grid exactly (min/max/sums), the scaled centroid is derived from "
-    "the SAME integer sums in both engines so the 0.01-scale float "
-    "never drifts, and classification filtering (ground class 2) plus "
-    "the per-format presence of RGB/GPS columns pin the record layout.",
+    doc="ASPRS LAS point-cloud decode, graded (r10; r11 widens to LAS "
+    "1.4 — the drone-survey output format: the reference's WebODM "
+    "integration produces point clouds, services/webodm-service; "
+    "sources/las.py walks the LAS 1.2 AND 1.4 headers — 375-byte "
+    "header, legacy count zeroed with the u64 count authoritative, "
+    "EVLR count/offset walk — and the fixed-width point records for "
+    "formats 0-3 and 6-8 incl. full-byte classification, i16 scan "
+    "angle, always-on GPS time, RGB and NIR; LAZ stays an honest "
+    "laszip gate). Docs cycle seven point formats over closed-form "
+    "coordinates, intensity, classification, color, NIR and scan "
+    "angle; the decoder must recover the raw int32 grid exactly "
+    "(min/max/sums), the scaled centroid is derived from the SAME "
+    "integer sums in both engines so the 0.01-scale float never "
+    "drifts, and classification filtering (ground class 2) plus the "
+    "per-format presence of RGB/GPS/NIR/scan-angle columns and the "
+    "EVLR count pin both record layouts.",
     tags=("ingest", "multimodal"),
 )
 def las_point_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3108,7 +3121,7 @@ def las_point_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for i in pdf["doc_id"]:
                 i = int(i)
-                fmt = i % 4
+                fmt = [0, 1, 2, 3, 6, 7, 8][i % 7]
                 n = 100 + (i * 17) % 900
                 ts = list(range(n))
                 pts = {
@@ -3121,9 +3134,15 @@ def las_point_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "red": [(t * 3 + i) % 65536 for t in ts],
                     "green": [(t * 5 + 2 * i) % 65536 for t in ts],
                     "blue": [(t * 7 + 3 * i) % 65536 for t in ts],
+                    "nir": [(t * 13 + 5 * i) % 65536 for t in ts],
+                    "scan_angle": [((t * 9 + i) % 20001) - 10000
+                                   for t in ts],
                 }
+                evlrs = ([(b"spark", 7, b"synthetic evlr payload")]
+                         if fmt >= 6 else None)
                 content = lascodec.encode_las(
-                    pts, fmt, (0.01, 0.01, 0.001), (float(i), -float(i), 0.5 * i)
+                    pts, fmt, (0.01, 0.01, 0.001),
+                    (float(i), -float(i), 0.5 * i), evlrs=evlrs,
                 )
                 d = lascodec.decode_las(content)
                 X = d["X"].astype(np.int64)
@@ -3131,9 +3150,14 @@ def las_point_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     int(d["red"].astype(np.int64).sum()
                         + d["green"].astype(np.int64).sum()
                         + d["blue"].astype(np.int64).sum())
-                    if fmt in (2, 3) else 0
+                    if fmt in (2, 3, 7, 8) else 0
                 )
-                gps = float(d["gps_time"].sum()) if fmt in (1, 3) else 0.0
+                gps = (float(d["gps_time"].sum())
+                       if fmt in (1, 3, 6, 7, 8) else 0.0)
+                nir = (int(d["nir"].astype(np.int64).sum())
+                       if fmt == 8 else 0)
+                scan = (int(d["scan_angle"].astype(np.int64).sum())
+                        if fmt >= 6 else 0)
                 rows.append(
                     (
                         i, d["format"], d["n_points"],
@@ -3142,21 +3166,23 @@ def las_point_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         float(X.sum()) / (100.0 * n) + i,
                         int((d["classification"] == 2).sum()),
                         int(d["intensity"].astype(np.int64).sum()),
-                        rgb, gps,
+                        rgb, gps, nir, scan, d["n_evlr"],
                     )
                 )
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "fmt", "n_points", "min_x_i", "max_x_i",
                          "sum_z", "mean_x_raw", "n_ground", "isum",
-                         "rgb_sum", "gps_raw"],
+                         "rgb_sum", "gps_raw", "nir_sum", "scan_sum",
+                         "n_evlr"],
             )
 
     out = ids.mapInPandas(
         gen,
         "doc_id long, fmt int, n_points long, min_x_i long, max_x_i long, "
         "sum_z long, mean_x_raw double, n_ground long, isum long, "
-        "rgb_sum long, gps_raw double",
+        "rgb_sum long, gps_raw double, nir_sum long, scan_sum long, "
+        "n_evlr int",
     )
     return out.select(
         "doc_id", "fmt", "n_points", "min_x_i", "max_x_i", "sum_z",
@@ -3165,6 +3191,7 @@ def las_point_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _half_up_mean("isum", "n_points").alias("mean_intensity"),
         "rgb_sum",
         F.round("gps_raw", 4).alias("gps_sum"),
+        "nir_sum", "scan_sum", "n_evlr",
     )
 
 

@@ -1,5 +1,6 @@
-"""ASPRS LAS point-cloud reader/writer (LAS 1.2, point formats 0-3) —
-pure stdlib+numpy, from the public ASPRS LAS specification.
+"""ASPRS LAS point-cloud reader/writer (LAS 1.2 formats 0-3 + LAS 1.4
+formats 6-10) — pure stdlib+numpy, from the public ASPRS LAS
+specification (R15).
 
 The photogrammetry stack this engine mirrors produces point clouds as
 its processing output (the reference integrates WebODM,
@@ -7,16 +8,35 @@ services/webodm-service — drone-survey reconstruction emits LAS), so
 the landing scan must read them: header walk ("LASF", version, scales/
 offsets/extents), then the fixed-width point records — X/Y/Z int32 in
 scaled+offset coordinates, intensity, packed return flags,
-classification, scan angle, point source, plus GPS time (formats 1/3)
-and 16-bit RGB (formats 2/3).  LAZ (compressed) needs the laszip codec
-and stays an honest gate.  The writer exists for fixture synthesis,
-independent of the reader's struct walk; tests pin a hand-derived
-golden header and fuzz the round-trip."""
+classification, scan angle, point source, plus GPS time and 16-bit RGB
+per format.
+
+LAS 1.4 (r11 — what current drone tooling emits): the 375-byte header
+appends waveform/EVLR offsets, an EVLR count, and the u64 point count
+(legacy u32 count is 0 for formats >= 6, per spec §2.3); point formats
+6-10 move to the 30-byte base record — 4+4-bit return/count byte,
+flags+scanner-channel byte, FULL-byte classification, i16 scan angle
+(0.006 deg units), GPS time ALWAYS present — plus RGB (7/8/10), NIR
+(8/10), and the 29-byte waveform packet descriptor (9/10, carried
+opaque).  Extended VLRs after the point data are counted and
+length-walked but not interpreted.  LAZ (compressed) needs the laszip
+codec and stays an honest gate.
+
+The writer exists for fixture synthesis, independent of the reader's
+struct walk; tests pin a hand-derived golden header and fuzz the
+round-trip across every supported format."""
 
 from __future__ import annotations
 
-_PT_LEN = {0: 20, 1: 28, 2: 26, 3: 34}
+_PT_LEN = {0: 20, 1: 28, 2: 26, 3: 34, 6: 30, 7: 36, 8: 38, 9: 59,
+           10: 67}
 _HDR_LEN = 227  # LAS 1.2
+_HDR_LEN_14 = 375  # LAS 1.4
+_RGB_FMTS = (2, 3, 7, 8, 10)
+_GPS_FMTS = (1, 3, 6, 7, 8, 9, 10)
+_NIR_FMTS = (8, 10)
+_WAVE_FMTS = (9, 10)
+_EVLR_HDR = 60
 
 
 def encode_las(
@@ -24,62 +44,116 @@ def encode_las(
     fmt: int = 0,
     scale=(0.01, 0.01, 0.01),
     offset=(0.0, 0.0, 0.0),
+    evlrs: "list[tuple[bytes, int, bytes]] | None" = None,
 ) -> bytes:
     """``points``: dict with int lists 'X','Y','Z' (raw scaled ints),
-    'intensity', 'classification', optional 'gps_time' (floats, fmt 1/3)
-    and 'red'/'green'/'blue' (fmt 2/3).  Byte-packing per the public LAS
-    1.2 spec, independent of decode_las."""
+    'intensity', 'classification', optional 'gps_time' (floats),
+    'red'/'green'/'blue', 'nir', and 'scan_angle' (i16, formats 6-10).
+    Formats 0-3 write a LAS 1.2 header; 6-10 a LAS 1.4 header with the
+    legacy count fields zeroed and the u64 count populated (spec §2.3).
+    ``evlrs``: optional [(user_id, record_id, payload)] extended VLRs
+    appended after the point data (1.4 only).  Byte-packing per the
+    public LAS spec, independent of decode_las."""
     import struct
 
     if fmt not in _PT_LEN:
-        raise ValueError("point format must be 0-3")
+        raise ValueError("point format must be 0-3 or 6-10")
     X, Y, Z = points["X"], points["Y"], points["Z"]
     n = len(X)
     inten = points.get("intensity", [0] * n)
     cls = points.get("classification", [0] * n)
     body = bytearray()
-    for i in range(n):
-        body += struct.pack(
-            "<iiiHBBbBH",
-            X[i], Y[i], Z[i], inten[i],
-            0b00001001,  # return 1 of 1, scan dir 0, edge 0
-            cls[i] & 0xFF, 0, 0, 0,
-        )
-        if fmt in (1, 3):
-            body += struct.pack("<d", points["gps_time"][i])
-        if fmt in (2, 3):
+    if fmt <= 3:
+        for i in range(n):
             body += struct.pack(
-                "<HHH", points["red"][i], points["green"][i],
-                points["blue"][i],
+                "<iiiHBBbBH",
+                X[i], Y[i], Z[i], inten[i],
+                0b00001001,  # return 1 of 1, scan dir 0, edge 0
+                cls[i] & 0xFF, 0, 0, 0,
             )
+            if fmt in _GPS_FMTS:
+                body += struct.pack("<d", points["gps_time"][i])
+            if fmt in _RGB_FMTS:
+                body += struct.pack(
+                    "<HHH", points["red"][i], points["green"][i],
+                    points["blue"][i],
+                )
+    else:
+        angles = points.get("scan_angle", [0] * n)
+        for i in range(n):
+            body += struct.pack(
+                "<iiiHBBBBhHd",
+                X[i], Y[i], Z[i], inten[i],
+                0b00010001,  # return 1 of 1 (4+4-bit fields)
+                0,  # class flags / scanner channel / dir / edge
+                cls[i] & 0xFF,  # FULL-byte classification
+                0,  # user data
+                angles[i],  # i16 scan angle, 0.006 deg units
+                0,  # point source id
+                points["gps_time"][i],
+            )
+            if fmt in _RGB_FMTS:
+                body += struct.pack(
+                    "<HHH", points["red"][i], points["green"][i],
+                    points["blue"][i],
+                )
+            if fmt in _NIR_FMTS:
+                body += struct.pack("<H", points["nir"][i])
+            if fmt in _WAVE_FMTS:
+                body += bytes(29)  # opaque waveform packet descriptor
     xs = [x * scale[0] + offset[0] for x in X] or [0.0]
     ys = [y * scale[1] + offset[1] for y in Y] or [0.0]
     zs = [z * scale[2] + offset[2] for z in Z] or [0.0]
+    las14 = fmt >= 6
+    hdr_len = _HDR_LEN_14 if las14 else _HDR_LEN
     hdr = bytearray()
     hdr += b"LASF"
     hdr += struct.pack("<HH", 0, 0)  # source id, global encoding
     hdr += bytes(16)  # GUID
-    hdr += bytes([1, 2])  # version 1.2
+    hdr += bytes([1, 4 if las14 else 2])  # version
     hdr += b"spark-graft".ljust(32, b"\0")
     hdr += b"synth".ljust(32, b"\0")
     hdr += struct.pack("<HH", 1, 2026)  # day/year
-    hdr += struct.pack("<HIIBHI", _HDR_LEN, _HDR_LEN, 0, fmt, _PT_LEN[fmt], n)
-    hdr += struct.pack("<5I", n, 0, 0, 0, 0)  # points by return
+    # legacy counts MUST be zero for point formats >= 6 (spec §2.3)
+    hdr += struct.pack("<HIIBHI", hdr_len, hdr_len, 0, fmt,
+                       _PT_LEN[fmt], 0 if las14 else n)
+    hdr += struct.pack("<5I", *( [0] * 5 if las14 else [n, 0, 0, 0, 0] ))
     hdr += struct.pack("<3d", *scale)
     hdr += struct.pack("<3d", *offset)
     hdr += struct.pack(
         "<6d", max(xs), min(xs), max(ys), min(ys), max(zs), min(zs)
     )
+    if las14:
+        evlrs = evlrs or []
+        evlr_start = hdr_len + len(body) if evlrs else 0
+        hdr += struct.pack("<Q", 0)  # start of waveform data
+        hdr += struct.pack("<QI", evlr_start, len(evlrs))
+        hdr += struct.pack("<Q", n)  # u64 point count
+        by_return = [0] * 15
+        if n:
+            by_return[0] = n
+        hdr += struct.pack("<15Q", *by_return)
+        assert len(hdr) == _HDR_LEN_14
+        tail = bytearray()
+        for user_id, rec_id, payload in evlrs:
+            tail += struct.pack("<H16sHQ32s", 0, user_id.ljust(16, b"\0"),
+                                rec_id, len(payload),
+                                b"synth evlr".ljust(32, b"\0"))
+            tail += payload
+        return bytes(hdr) + bytes(body) + bytes(tail)
     assert len(hdr) == _HDR_LEN
     return bytes(hdr) + bytes(body)
 
 
 def decode_las(content: bytes) -> "dict | None":
     """Parse an LAS 1.x file within the module scope.  Returns a dict:
-    'format', 'n_points', 'scale', 'offset', and numpy arrays 'X','Y','Z'
-    (raw int32), 'intensity', 'classification' (uint8, the 5-bit class
-    field of the packed byte), 'gps_time' (fmt 1/3), 'red'/'green'/'blue'
-    (fmt 2/3) — or None: wrong magic, LAZ (needs laszip), formats > 3,
+    'format', 'n_points', 'scale', 'offset', 'version', 'n_evlr', and
+    numpy arrays 'X','Y','Z' (raw int32), 'intensity',
+    'classification' (the 5-bit class field for formats 0-3, the FULL
+    byte for 6-10), 'return_number'/'n_returns', 'gps_time' (per
+    format), 'red'/'green'/'blue', 'nir', and 'scan_angle' (raw i8 for
+    0-3, raw i16 0.006-deg units for 6-10) — or None: wrong magic, LAZ
+    (needs laszip), unsupported formats (4/5 waveform-legacy, >10),
     truncated records, or header/record-length mismatches."""
     import struct
 
@@ -99,6 +173,21 @@ def decode_las(content: bytes) -> "dict | None":
         return None
     scale = struct.unpack("<3d", content[131:155])
     offset = struct.unpack("<3d", content[155:179])
+    n_evlr = 0
+    if ver_minor >= 4:
+        if hdr_size < _HDR_LEN_14 or len(content) < _HDR_LEN_14:
+            return None
+        evlr_start, n_evlr = struct.unpack("<QI", content[235:247])
+        n64 = struct.unpack("<Q", content[247:255])[0]
+        if n == 0:
+            n = n64  # legacy count zeroed for formats >= 6 (spec §2.3)
+        elif n64 and n64 != n:
+            return None  # inconsistent legacy/u64 counts
+        if n_evlr and (evlr_start < hdr_size or
+                       evlr_start + _EVLR_HDR * n_evlr > len(content)):
+            return None
+    elif fmt >= 6:
+        return None  # formats 6-10 require LAS 1.4
     if data_off + n * rec_len > len(content) or data_off < hdr_size:
         return None
     if n * rec_len > (1 << 31):
@@ -113,21 +202,46 @@ def decode_las(content: bytes) -> "dict | None":
 
     out = {
         "format": fmt,
+        "version": (ver_major, ver_minor),
         "n_points": n,
+        "n_evlr": n_evlr,
         "scale": scale,
         "offset": offset,
         "X": field(0, "<i4"),
         "Y": field(4, "<i4"),
         "Z": field(8, "<i4"),
         "intensity": field(12, "<u2"),
-        "classification": (field(15, "u1") & 0x1F),
     }
-    pos = 20
-    if fmt in (1, 3):
-        out["gps_time"] = field(pos, "<f8")
-        pos += 8
-    if fmt in (2, 3):
+    rbyte = field(14, "u1")
+    if fmt <= 3:
+        out["return_number"] = rbyte & 0x07
+        out["n_returns"] = (rbyte >> 3) & 0x07
+        out["classification"] = field(15, "u1") & 0x1F
+        out["scan_angle"] = field(16, "i1").astype(np.int16)
+        pos = 20
+        if fmt in _GPS_FMTS:
+            out["gps_time"] = field(pos, "<f8")
+            pos += 8
+        if fmt in _RGB_FMTS:
+            out["red"] = field(pos, "<u2")
+            out["green"] = field(pos + 2, "<u2")
+            out["blue"] = field(pos + 4, "<u2")
+        return out
+    # formats 6-10 (LAS 1.4 §2.6): 4+4-bit returns, full-byte class,
+    # i16 scan angle, GPS time always
+    out["return_number"] = rbyte & 0x0F
+    out["n_returns"] = rbyte >> 4
+    out["classification"] = field(16, "u1")
+    out["scan_angle"] = field(18, "<i2")
+    out["gps_time"] = field(22, "<f8")
+    pos = 30
+    if fmt in _RGB_FMTS:
         out["red"] = field(pos, "<u2")
         out["green"] = field(pos + 2, "<u2")
         out["blue"] = field(pos + 4, "<u2")
+        pos += 6
+    if fmt in _NIR_FMTS:
+        out["nir"] = field(pos, "<u2")
+        pos += 2
+    # formats 9/10: 29-byte waveform packet descriptor, carried opaque
     return out

@@ -1,6 +1,8 @@
 """ASPRS LAS point-cloud reader (sources/las.py): round-trip across all
-four point formats, golden header-layout pin, refusals (LAZ bit, format
-> 3, truncation), and bit-flip robustness."""
+nine supported point formats (LAS 1.2 formats 0-3 + LAS 1.4 formats
+6-10), golden header-layout pins for both versions, refusals (LAZ bit,
+legacy formats 4/5, 6+ without 1.4, truncation, count mismatches), and
+bit-flip robustness."""
 
 from __future__ import annotations
 
@@ -24,30 +26,43 @@ def _pts(rnd, n):
         "red": [rnd.randrange(65536) for _ in range(n)],
         "green": [rnd.randrange(65536) for _ in range(n)],
         "blue": [rnd.randrange(65536) for _ in range(n)],
+        "nir": [rnd.randrange(65536) for _ in range(n)],
+        "scan_angle": [rnd.randint(-30000, 30000) for _ in range(n)],
     }
 
 
 @settings(max_examples=60, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(seed=st.integers(0, 9999), n=st.integers(0, 400),
-       fmt=st.integers(0, 3))
+       fmt=st.sampled_from([0, 1, 2, 3, 6, 7, 8, 9, 10]))
 def test_fuzz_las_roundtrip(seed, n, fmt):
     rnd = random.Random(seed)
     pts = _pts(rnd, n)
+    evlrs = [(b"spark", 1, b"x" * rnd.randrange(40))] if fmt >= 6 else None
     got = las.decode_las(las.encode_las(pts, fmt, (0.01, 0.01, 0.001),
-                                        (7.5, -3.0, 0.25)))
+                                        (7.5, -3.0, 0.25), evlrs=evlrs))
     assert got is not None
     assert got["format"] == fmt and got["n_points"] == n
     assert got["offset"] == (7.5, -3.0, 0.25)
+    assert got["version"] == ((1, 4) if fmt >= 6 else (1, 2))
+    assert got["n_evlr"] == (1 if fmt >= 6 else 0)
     for k in ("X", "Y", "Z", "intensity", "classification"):
         assert got[k].tolist() == pts[k], k
-    assert ("gps_time" in got) == (fmt in (1, 3))
-    assert ("red" in got) == (fmt in (2, 3))
-    if fmt in (1, 3):
+    assert ("gps_time" in got) == (fmt in las._GPS_FMTS)
+    assert ("red" in got) == (fmt in las._RGB_FMTS)
+    assert ("nir" in got) == (fmt in las._NIR_FMTS)
+    if fmt in las._GPS_FMTS:
         assert got["gps_time"].tolist() == pts["gps_time"]
-    if fmt in (2, 3):
+    if fmt in las._RGB_FMTS:
         for k in ("red", "green", "blue"):
             assert got[k].tolist() == pts[k]
+    if fmt in las._NIR_FMTS:
+        assert got["nir"].tolist() == pts["nir"]
+    if fmt >= 6:
+        assert got["scan_angle"].tolist() == pts["scan_angle"]
+        # 4+4-bit return fields: the writer stamps return 1 of 1
+        assert set(got["return_number"].tolist()) <= {1}
+        assert set(got["n_returns"].tolist()) <= {1}
 
 
 def test_las_golden_header_layout():
@@ -75,8 +90,11 @@ def test_las_refusals():
     assert las.decode_las(b"nope") is None
     assert las.decode_las(enc[:-3]) is None  # truncated record
     b = bytearray(enc)
-    b[104] = 9
-    assert las.decode_las(bytes(b)) is None  # format 9: out of scope
+    b[104] = 4
+    assert las.decode_las(bytes(b)) is None  # fmt 4/5 (legacy waveform)
+    b = bytearray(enc)
+    b[104] = 6
+    assert las.decode_las(bytes(b)) is None  # fmt 6+ needs LAS 1.4
     b = bytearray(enc)
     b[104] |= 0x80
     assert las.decode_las(bytes(b)) is None  # LAZ compressed bit
@@ -90,8 +108,51 @@ def test_las_refusals():
 @given(seed=st.integers(0, 2**31 - 1), nflip=st.integers(1, 8))
 def test_fuzz_las_survives_bit_flips(seed, nflip):
     rnd = random.Random(seed)
-    enc = bytearray(las.encode_las(_pts(rnd, 50), rnd.randrange(4)))
+    enc = bytearray(las.encode_las(
+        _pts(rnd, 50),
+        rnd.choice([0, 1, 2, 3, 6, 7, 8, 9, 10])))
     for _ in range(nflip):
         enc[rnd.randrange(len(enc))] ^= 1 << rnd.randrange(8)
     out = las.decode_las(bytes(enc))
     assert out is None or isinstance(out, dict)
+
+
+def test_las14_golden_header_layout():
+    """Pin the LAS 1.4 header: 375-byte size, zeroed legacy counts,
+    u64 count at 247, EVLR offset/count at 235, format-6 record at the
+    data offset with GPS time at record offset 22."""
+    enc = las.encode_las(
+        {"X": [100], "Y": [-200], "Z": [300], "gps_time": [12.5],
+         "scan_angle": [-1500]}, 6, (0.5, 0.25, 0.125), (1.0, 2.0, 3.0),
+        evlrs=[(b"spark", 9, b"abc")])
+    assert enc[:4] == b"LASF"
+    assert enc[24:26] == bytes([1, 4])  # version 1.4
+    assert struct.unpack("<H", enc[94:96])[0] == 375
+    assert struct.unpack("<I", enc[96:100])[0] == 375
+    assert enc[104] == 6
+    assert struct.unpack("<H", enc[105:107])[0] == 30
+    assert struct.unpack("<I", enc[107:111])[0] == 0  # legacy count = 0
+    assert struct.unpack("<Q", enc[247:255])[0] == 1  # u64 count
+    evlr_start, n_evlr = struct.unpack("<QI", enc[235:247])
+    assert (evlr_start, n_evlr) == (375 + 30, 1)
+    assert struct.unpack("<iii", enc[375:387]) == (100, -200, 300)
+    assert struct.unpack("<h", enc[375 + 18:375 + 20])[0] == -1500
+    assert struct.unpack("<d", enc[375 + 22:375 + 30])[0] == 12.5
+    # EVLR header: user id + record id + payload length
+    uid = struct.unpack("<16s", enc[evlr_start + 2:evlr_start + 18])[0]
+    assert uid.rstrip(b"\0") == b"spark"
+    assert struct.unpack("<Q", enc[evlr_start + 20:evlr_start + 28])[0] == 3
+
+
+def test_las14_count_consistency_refusal():
+    """A 1.4 file whose legacy u32 and u64 counts disagree refuses."""
+    enc = bytearray(las.encode_las(
+        {"X": [1, 2], "Y": [3, 4], "Z": [5, 6], "gps_time": [0.0, 1.0]},
+        6))
+    enc[107:111] = struct.pack("<I", 1)  # legacy says 1, u64 says 2
+    assert las.decode_las(bytes(enc)) is None
+    # truncated 1.4 header refuses
+    short = bytearray(las.encode_las(
+        {"X": [1], "Y": [2], "Z": [3], "gps_time": [0.0]}, 6))
+    short[94:96] = struct.pack("<H", 300)
+    assert las.decode_las(bytes(short)) is None
