@@ -68,6 +68,10 @@ def _docs_as_files(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN substr(text, 9, 4) = 'WAVE' THEN 'audio/wav'
                     WHEN substr(text, 9, 4) = 'AVI ' THEN 'video/avi'
                     ELSE 'application/octet-stream' END
+             WHEN starts_with(text, 'FORM') THEN
+               CASE WHEN substr(text, 9, 4) IN ('AIFF', 'AIFC')
+                    THEN 'audio/aiff'
+                    ELSE 'application/octet-stream' END
              WHEN starts_with(text, '<!DOCTYPE') OR starts_with(text, '<!doctype')
                OR starts_with(text, '<html') OR starts_with(text, '<HTML')
                THEN 'text/html'
@@ -88,7 +92,7 @@ def _docs_as_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(PNG 89.., JPEG FFD8.., gzip 1F8B, webm 1A45.., mp3 FFFB, zstd 28B5..) "
     "requires a UTF-8 lead/continuation byte at a position valid UTF-8 cannot "
     "produce, so those branches are unreachable here; all ASCII-only magics "
-    "(GIF/TIFF/PDF/ZIP/ID3/OggS/fLaC/ftyp/RIFF/HTML-doctype) are mirrored. True-binary sniffing of those "
+    "(GIF/TIFF/PDF/ZIP/ID3/OggS/fLaC/ftyp/RIFF/FORM/HTML-doctype) are mirrored. True-binary sniffing of those "
     "formats is covered by tests/test_multimodal_headers.py and test_sources.py "
     "(file-service/main.py:75-169).",
     tags=("ingest",),
@@ -2935,6 +2939,119 @@ def html_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ids.mapInPandas(
         gen,
         "doc_id long, n_lines int, total_chars long, line_digest string",
+    )
+
+
+@register(
+    "aiff_sample_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS r,
+               120 + (doc_id * 31) % 1200 AS n,
+               1 + doc_id % 3 AS ch,
+               doc_id % 5 AS mode
+        FROM documents WHERE doc_id < 100
+    ),
+    s AS (
+        SELECT doc_id, r, n, ch, mode, c.j AS c,
+               CASE WHEN mode = 1
+                    THEN (((t.i * (3 + 2 * c.j)) % 256) - 128) * 256
+                    WHEN mode = 4
+                    THEN (((t.i * (3 + 2 * c.j)) % 512) - 256) * 63
+                    ELSE ((t.i * (3 + 2 * c.j)) % 512) - 256
+               END AS v
+        FROM spec,
+             LATERAL unnest(range(0, n)) t(i),
+             LATERAL unnest(range(0, ch)) c(j)
+    )
+    SELECT doc_id,
+           CAST(r AS INT) AS sample_rate,
+           CAST(ch AS INT) AS channels,
+           CAST(CASE mode WHEN 0 THEN 16 WHEN 1 THEN 8 WHEN 2 THEN 24
+                WHEN 3 THEN 16 ELSE 32 END AS INT) AS bits,
+           CASE mode WHEN 0 THEN 'be16' WHEN 1 THEN 'be8'
+                WHEN 2 THEN 'be24' WHEN 3 THEN 'sowt'
+                ELSE 'fl32' END AS fmt_tag,
+           CAST(n AS BIGINT) AS n_samples,
+           round(avg(v), 6) AS mean_all,
+           round(avg(CASE WHEN c = 0 THEN v END), 6) AS mean_ch0,
+           CAST(max(abs(v)) AS BIGINT) AS peak
+    FROM s GROUP BY doc_id, r, n, ch, mode
+    """,
+    doc="AIFF / AIFF-C PCM decode, graded (r11 — the remaining "
+    "stdlib-feasible audio container seen in real datasets; reference "
+    "decl. services/file-service/main.py:128): docs cycle plain "
+    "big-endian AIFF at 16/8/24-bit (8-bit AIFF is SIGNED, unlike WAV; "
+    "24-bit carries nonzero low bytes so the documented high-16 "
+    "truncation is pinned), AIFF-C 'sowt' (byte-swapped 16-bit — what "
+    "Macs actually write), and AIFF-C 'fl32' float. The COMM sample "
+    "rate rides the 80-bit IEEE EXTENDED float field, so a "
+    "bias/mantissa mis-parse flips sample_rate on every row; "
+    "frame-count/data-length mismatches refuse. The decoder is also "
+    "pinned against stdlib aifc in tests/test_aiff_codec.py.",
+    tags=("ingest", "multimodal"),
+)
+def aiff_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..sources import aiff as aiffcodec
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+    rates = (8000, 16000, 22050, 44100, 48000)
+    modes = (
+        (16, None, "be16"), (8, None, "be8"), (24, None, "be24"),
+        (16, "sowt", "sowt"), (32, "fl32", "fl32"),
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 120 + (i * 31) % 1200
+                ch = 1 + i % 3
+                bits, comp, tag = modes[i % 5]
+                content = aiffcodec.synth_aiff(
+                    rates[i % 5], n, ch, bits, comp
+                )
+                rate, gch, gbits, arr = aiffcodec.decode_aiff(content)
+                s = arr.astype(np.int64)
+                rows.append(
+                    (
+                        i, rate, gch, gbits, tag, s.shape[0],
+                        float(s.mean()), float(s[:, 0].mean()),
+                        int(np.abs(s).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "channels", "bits",
+                         "fmt_tag", "n_samples", "mean_a", "mean_0",
+                         "peak"],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, sample_rate int, channels int, bits int, "
+        "fmt_tag string, n_samples long, mean_a double, mean_0 double, "
+        "peak long",
+    )
+    return out.select(
+        "doc_id", "sample_rate", "channels", "bits", "fmt_tag",
+        "n_samples",
+        F.round("mean_a", 6).alias("mean_all"),
+        F.round("mean_0", 6).alias("mean_ch0"),
+        "peak",
     )
 
 

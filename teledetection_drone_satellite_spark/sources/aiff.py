@@ -1,0 +1,200 @@
+"""AIFF / AIFF-C PCM reader/writer — pure stdlib+numpy, from the public
+Audio Interchange File Format specification (Apple, 1989/1991).
+
+The remaining stdlib-feasible audio container seen in real datasets
+(sources/multimodal.py already covers WAV/FLAC/MP3-ID3/Ogg headers; the
+reference declares audio metadata extraction,
+services/file-service/main.py:128): an IFF FORM of big-endian chunks —
+COMM (channels, frame count, sample size, and the sample rate as an
+80-bit IEEE 754 EXTENDED float) and SSND (offset/blockSize header, then
+interleaved samples).  Plain AIFF is big-endian signed PCM; AIFF-C adds
+a compressionType 4CC — supported: 'NONE'/'twos' (big-endian PCM),
+'sowt' (byte-swapped, i.e. little-endian 16-bit — what Macs actually
+write), and 'fl32'/'FL32' (big-endian IEEE float-32).
+
+Sample normalization mirrors decode_wav_multi's documented contract
+(multimodal.py): 8-bit AIFF is SIGNED (unlike WAV) -> v << 8; 16-bit
+verbatim; 24/32-bit -> HIGH-16 TRUNCATION (arithmetic shift, floor);
+float-32 -> clamp(rint(v * 32768)), non-finite refuses.  Frame-count /
+data-length mismatches, unknown compressors, and truncated chunks
+refuse (None) — the honest-fallback contract every decoder here
+shares."""
+
+from __future__ import annotations
+
+import struct
+
+
+def _ext80_encode(value: float) -> bytes:
+    """Encode a positive number as an 80-bit IEEE extended float (the
+    COMM sampleRate field): 1 sign + 15 exponent (bias 16383) + 64
+    mantissa bits with an EXPLICIT integer bit."""
+    if value == 0:
+        return bytes(10)
+    import math
+
+    m, e = math.frexp(value)  # value = m * 2**e, m in [0.5, 1)
+    exp = e + 16382
+    mant = int(m * (1 << 64))  # top bit set because m >= 0.5
+    return struct.pack(">HQ", exp, mant)
+
+
+def _ext80_decode(b: bytes) -> "float | None":
+    if len(b) != 10:
+        return None
+    se, mant = struct.unpack(">HQ", b)
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    if exp == 0x7FFF:
+        return None  # inf/nan rate: refuse
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def _pstring(s: bytes) -> bytes:
+    """Pascal string, padded to even TOTAL length (spec: pstring)."""
+    out = bytes([len(s)]) + s
+    return out if len(out) % 2 == 0 else out + b"\0"
+
+
+def synth_aiff(
+    rate: int,
+    n_samples: int,
+    channels: int = 1,
+    bits: int = 16,
+    comp: "str | None" = None,
+) -> bytes:
+    """Deterministic COMPLETE AIFF/AIFF-C: per-channel sample contract
+    mirrors the WAV synths (closed-form, oracle-mirrorable) —
+
+        bits 16/24/32:  v(t,c) = ((t*(3+2c)) % 512) - 256
+                        (24/32-bit carry nonzero low bits atop v<<8 /
+                        v<<16 so high-16 truncation is pinned)
+        bits 8:         v8(t,c) = ((t*(3+2c)) % 256) - 128
+        comp 'fl32':    f(t,c) = v(t,c) * 63 / 32768
+
+    ``comp`` None -> plain AIFF (big-endian PCM); 'NONE'/'twos'/'sowt'/
+    'fl32' -> AIFF-C with that compressionType."""
+    if comp == "sowt" and bits != 16:
+        raise ValueError("sowt (byte-swapped) is 16-bit PCM only")
+    n, ch = n_samples, channels
+    frames = bytearray()
+    for t in range(n):
+        for c in range(ch):
+            v = ((t * (3 + 2 * c)) % 512) - 256
+            if comp == "fl32":
+                frames += struct.pack(">f", (v * 63) / 32768.0)
+            elif bits == 8:
+                frames += struct.pack("b", ((t * (3 + 2 * c)) % 256) - 128)
+            elif bits == 16:
+                frames += struct.pack(
+                    "<h" if comp == "sowt" else ">h", v
+                )
+            elif bits == 24:
+                s24 = (v << 8) + ((t + c) % 199 + 1)  # nonzero low byte
+                frames += (s24 & 0xFFFFFF).to_bytes(3, "big")
+            elif bits == 32:
+                s32 = (v << 16) + ((t * 7 + c) % 60001 + 1)
+                frames += struct.pack(">i", s32)
+            else:
+                raise ValueError("bits must be 8/16/24/32")
+    sample_size = 32 if comp == "fl32" else bits
+    comm = struct.pack(">HIH", ch, n, sample_size) + _ext80_encode(rate)
+    if comp is not None:
+        names = {"NONE": b"not compressed", "twos": b"Two's complement",
+                 "sowt": b"16-bit little endian", "fl32": b"IEEE 32-bit float"}
+        comm += comp.encode("ascii") + _pstring(names.get(comp, b""))
+    ssnd = struct.pack(">II", 0, 0) + bytes(frames)
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        pad = b"\0" if len(payload) % 2 else b""
+        return cid + struct.pack(">I", len(payload)) + payload + pad
+
+    body = (b"AIFC" + chunk(b"FVER", struct.pack(">I", 0xA2805140))
+            if comp is not None else b"AIFF")
+    body += chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def decode_aiff(content: bytes) -> "tuple[int, int, int, 'object'] | None":
+    """Parse AIFF/AIFF-C within the module scope.  Returns
+    (rate, channels, bits, int16 ndarray of shape (n, channels)) or
+    None — see the module docstring for the normalization contract and
+    refusal set."""
+    import numpy as np
+
+    if len(content) < 12 or content[:4] != b"FORM":
+        return None
+    form_type = content[8:12]
+    if form_type not in (b"AIFF", b"AIFC"):
+        return None
+    pos = 12
+    comm = None
+    data = None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (length,) = struct.unpack(">I", content[pos + 4 : pos + 8])
+        payload = content[pos + 8 : pos + 8 + length]
+        if len(payload) < length:
+            return None  # truncated chunk: refuse
+        if cid == b"COMM":
+            comm = payload
+        elif cid == b"SSND":
+            if length < 8:
+                return None
+            offset, _blk = struct.unpack(">II", payload[:8])
+            if 8 + offset > length:
+                return None
+            data = payload[8 + offset :]
+        pos += 8 + length + (length & 1)  # IFF chunks are word-aligned
+    if comm is None or data is None:
+        return None
+    if len(comm) < 18:
+        return None
+    ch, nframes, bits = struct.unpack(">HIH", comm[:8])
+    rate_f = _ext80_decode(comm[8:18])
+    if not ch or rate_f is None or rate_f <= 0:
+        return None
+    rate = int(round(rate_f))
+    comp = b"NONE"
+    if form_type == b"AIFC":
+        if len(comm) < 22:
+            return None
+        comp = comm[18:22]
+    if comp in (b"NONE", b"twos", b"sowt"):
+        if bits not in (8, 16, 24, 32):
+            return None
+        if comp == b"sowt" and bits != 16:
+            return None  # byte-swap is defined for 16-bit PCM
+        w = bits // 8
+        if len(data) != nframes * ch * w:
+            return None
+        if bits == 8:
+            arr = np.frombuffer(data, dtype=np.int8).astype(np.int16) << 8
+        elif bits == 16:
+            dt = "<i2" if comp == b"sowt" else ">i2"
+            arr = np.frombuffer(data, dtype=dt).astype(np.int16)
+        elif bits == 24:
+            b3 = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            s24 = (
+                (b3[:, 0].astype(np.int32) << 16)
+                | (b3[:, 1].astype(np.int32) << 8)
+                | b3[:, 2].astype(np.int32)
+            )
+            s24 -= (s24 & 0x800000) << 1  # sign extend
+            arr = (s24 >> 8).astype(np.int16)  # documented truncation
+        else:
+            arr = (
+                np.frombuffer(data, dtype=">i4").astype(np.int64) >> 16
+            ).astype(np.int16)
+    elif comp in (b"fl32", b"FL32"):
+        if bits != 32 or len(data) != nframes * ch * 4:
+            return None
+        f = np.frombuffer(data, dtype=">f4").astype(np.float64)
+        if not np.isfinite(f).all():
+            return None
+        arr = np.clip(np.rint(f * 32768.0), -32768, 32767).astype(np.int16)
+    else:
+        return None  # ima4/ulaw/alaw compressors: out of scope
+    return rate, ch, bits, arr.reshape(-1, ch)

@@ -39,6 +39,7 @@ MAGIC_MIME: list[tuple[int, str, str]] = [
     (0, "1A45DFA3", "video/webm"),
     (4, "66747970", "video/mp4"),  # ....ftyp
     (0, "52494646", "audio/x-riff"),  # WAV/AVI container; refined below
+    (0, "464F524D", "audio/x-form"),  # IFF FORM (AIFF); refined below
     (0, "28B52FFD", "application/zstd"),  # RFC 8878 frame magic (r11)
     # HTML (r11: the text-tier front door, sources/html.py) — doctype or
     # root-tag prefixes in both common cases
@@ -53,7 +54,7 @@ DEFAULT_MAX_SIZE = 1 << 30  # 1 GiB
 DEFAULT_ALLOWED_EXT = (
     "jpg", "jpeg", "png", "gif", "tif", "tiff", "webp", "pdf", "zip", "txt", "csv",
     "json", "mp3", "ogg", "flac", "wav", "mp4", "webm", "avi", "las", "laz",
-    "html", "htm", "zst",  # r11: text-tier front door + zstd archives
+    "html", "htm", "zst", "aiff", "aif",  # r11 additions
 )
 
 
@@ -85,6 +86,15 @@ def sniff_mime(content: Column) -> Column:
                 F.when(riff_kind == "57415645", F.lit("audio/wav"))  # WAVE
                 .when(riff_kind == "41564920", F.lit("video/avi"))  # "AVI "
                 .when(riff_kind == "57454250", F.lit("image/webp"))  # WEBP
+                .otherwise(F.lit("application/octet-stream"))
+            )
+            expr = expr.when(cond, refined) if expr is not None else F.when(cond, refined)
+        elif mime == "audio/x-form":
+            # IFF FORM container: bytes 8-11 say AIFF vs AIFC (r11)
+            form_kind = F.substring(head, 17, 8)
+            refined = (
+                F.when(form_kind == "41494646", F.lit("audio/aiff"))  # AIFF
+                .when(form_kind == "41494643", F.lit("audio/aiff"))  # AIFC
                 .otherwise(F.lit("application/octet-stream"))
             )
             expr = expr.when(cond, refined) if expr is not None else F.when(cond, refined)

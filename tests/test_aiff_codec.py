@@ -1,0 +1,135 @@
+"""AIFF/AIFF-C PCM (sources/aiff.py): 80-bit extended-float round-trip,
+synth/decode round-trip across containers/depths/compressors, a
+conformance pin against stdlib aifc (present on this Python 3.11;
+removed in 3.13, so the pin is import-gated), refusals, and
+garbage/bit-flip never-crash fuzz."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources import aiff
+
+_MODES = [(8, None), (16, None), (24, None), (32, None),
+          (16, "NONE"), (16, "twos"), (16, "sowt"), (32, "fl32")]
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rate=st.sampled_from([8000, 11025, 22050, 44100, 48000, 96000]),
+       n=st.integers(0, 300), ch=st.integers(1, 4),
+       mode=st.sampled_from(_MODES))
+def test_fuzz_aiff_roundtrip(rate, n, ch, mode):
+    bits, comp = mode
+    got = aiff.decode_aiff(aiff.synth_aiff(rate, n, ch, bits, comp))
+    assert got is not None
+    grate, gch, gbits, arr = got
+    assert (grate, gch, gbits) == (rate, ch, bits)
+    assert arr.shape == (n, ch)
+    for t in (0, n - 1, n // 2):
+        if t < 0 or n == 0:
+            continue
+        for c in range(ch):
+            v = ((t * (3 + 2 * c)) % 512) - 256
+            if comp == "fl32":
+                exp = v * 63
+            elif bits == 8:
+                exp = (((t * (3 + 2 * c)) % 256) - 128) << 8
+            else:
+                exp = v
+            assert int(arr[t, c]) == exp, (t, c, mode)
+
+
+@given(rate=st.integers(1, 10**7))
+@settings(max_examples=200, deadline=None)
+def test_fuzz_ext80_roundtrip_integers(rate):
+    assert aiff._ext80_decode(aiff._ext80_encode(rate)) == rate
+
+
+def test_ext80_golden_values():
+    """Hand-derived 80-bit extended encodings (the well-known 44100 Hz
+    pattern every AIFF spec appendix shows)."""
+    assert aiff._ext80_encode(44100) == bytes.fromhex("400EAC44000000000000")
+    assert aiff._ext80_encode(8000) == bytes.fromhex("400BFA00000000000000")
+    assert aiff._ext80_decode(bytes.fromhex("400EAC44000000000000")) == 44100
+    # inf/nan exponent refuses
+    assert aiff._ext80_decode(bytes.fromhex("7FFF8000000000000000")) is None
+    assert aiff._ext80_decode(bytes(10)) == 0.0
+
+
+def test_aiff_conformance_vs_stdlib_aifc():
+    """Pin header parse + sample bytes against the stdlib aifc reader
+    for the formats it handles (big-endian PCM, both containers)."""
+    aifc_mod = pytest.importorskip("aifc")
+    import io
+
+    for bits, comp in [(8, None), (16, None), (24, None), (32, None),
+                       (16, "NONE")]:
+        enc = aiff.synth_aiff(22050, 53, 2, bits, comp)
+        with aifc_mod.open(io.BytesIO(enc)) as f:
+            assert f.getframerate() == 22050
+            assert f.getnchannels() == 2
+            assert f.getsampwidth() == bits // 8
+            assert f.getnframes() == 53
+            raw = f.readframes(53)
+        got = aiff.decode_aiff(enc)
+        assert got is not None and got[3].shape == (53, 2)
+        # cross-check the 16-bit samples byte-exactly
+        if bits == 16:
+            ref = np.frombuffer(raw, dtype=">i2").reshape(-1, 2)
+            assert (got[3] == ref).all()
+
+
+def test_aiff_refusals():
+    enc = aiff.synth_aiff(8000, 10, 1, 16)
+    assert aiff.decode_aiff(b"junk") is None
+    assert aiff.decode_aiff(enc[:-2]) is None  # truncated SSND
+    # frame-count / data-length mismatch
+    b = bytearray(enc)
+    comm_at = enc.find(b"COMM") + 8
+    b[comm_at + 2 : comm_at + 6] = struct.pack(">I", 99)
+    assert aiff.decode_aiff(bytes(b)) is None
+    # unknown compressor refuses
+    enc_c = aiff.synth_aiff(8000, 10, 1, 16, "NONE")
+    assert aiff.decode_aiff(enc_c.replace(b"NONE", b"ima4")) is None
+    # sowt is 16-bit-only
+    with pytest.raises(Exception):
+        aiff.synth_aiff(8000, 4, 1, 24, "sowt")
+    enc_s = aiff.synth_aiff(8000, 10, 1, 16, "sowt")
+    b2 = bytearray(enc_s)
+    comm_at = enc_s.find(b"COMM") + 8
+    b2[comm_at + 6 : comm_at + 8] = struct.pack(">H", 24)
+    assert aiff.decode_aiff(bytes(b2)) is None
+    # non-finite float samples refuse
+    enc_f = aiff.synth_aiff(8000, 4, 1, 32, "fl32")
+    nan = struct.pack(">f", float("nan"))
+    ssnd = enc_f.find(b"SSND") + 16
+    assert aiff.decode_aiff(
+        enc_f[:ssnd] + nan + enc_f[ssnd + 4 :]) is None
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31 - 1), nflip=st.integers(1, 8))
+def test_fuzz_aiff_survives_bit_flips(seed, nflip):
+    rnd = random.Random(seed)
+    bits, comp = _MODES[seed % len(_MODES)]
+    enc = bytearray(aiff.synth_aiff(22050, 40, 2, bits, comp))
+    for _ in range(nflip):
+        enc[rnd.randrange(len(enc))] ^= 1 << rnd.randrange(8)
+    out = aiff.decode_aiff(bytes(enc))
+    assert out is None or out[3].dtype == np.int16
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.binary(min_size=0, max_size=2000))
+def test_fuzz_aiff_garbage_never_crashes(data):
+    out = aiff.decode_aiff(b"FORM" + data)
+    assert out is None or out[3].dtype == np.int16

@@ -31,6 +31,8 @@ def test_sniff_mime(spark):
             ("g.html", b"<!DOCTYPE html><html><body>x</body></html>"),
             ("h.htm", b"<html lang=en><p>y</p></html>"),
             ("i.zst", b"\x28\xb5\x2f\xfd" + bytes(16)),
+            ("j.aiff", b"FORM\x00\x00\x00\x20AIFFCOMM" + bytes(8)),
+            ("k.form", b"FORM\x00\x00\x00\x20XXXX" + bytes(8)),
         ],
     )
     got = dict(
@@ -46,6 +48,8 @@ def test_sniff_mime(spark):
         "g.html": "text/html",
         "h.htm": "text/html",
         "i.zst": "application/zstd",
+        "j.aiff": "audio/aiff",
+        "k.form": "application/octet-stream",
     }
 
 
