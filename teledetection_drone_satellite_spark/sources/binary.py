@@ -58,6 +58,78 @@ DEFAULT_ALLOWED_EXT = (
 )
 
 
+def zstd_decompressor():
+    """Bounded zstd decompress, or None when no codec is available.
+
+    Returns ``f(blob, cap) -> bytes | None`` (None = exceeded cap;
+    raises on malformed frames).  Prefers the ``zstandard`` wheel;
+    falls back to the PUBLIC system libzstd via ctypes (the streaming
+    ZSTD_decompressStream API, RFC 8878), the same
+    system-library pattern as the libpng/libtiff conformance tier.
+    Python 3.11 has no stdlib codec (3.14's compression.zstd will)."""
+    try:
+        import zstandard as _z  # type: ignore
+
+        def _wheel(blob: bytes, cap: int) -> "bytes | None":
+            r = _z.ZstdDecompressor().stream_reader(__import__("io").BytesIO(blob))
+            data = r.read(cap + 1)
+            return None if len(data) > cap else data
+
+        return _wheel
+    except ImportError:
+        pass
+    import ctypes
+    import ctypes.util
+
+    path = ctypes.util.find_library("zstd")
+    if not path:
+        return None
+    lib = ctypes.CDLL(path)
+
+    class _Buf(ctypes.Structure):
+        _fields_ = [("ptr", ctypes.c_void_p), ("size", ctypes.c_size_t),
+                    ("pos", ctypes.c_size_t)]
+
+    lib.ZSTD_createDStream.restype = ctypes.c_void_p
+    lib.ZSTD_freeDStream.argtypes = [ctypes.c_void_p]
+    lib.ZSTD_isError.restype = ctypes.c_uint
+    lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+    lib.ZSTD_decompressStream.restype = ctypes.c_size_t
+    lib.ZSTD_decompressStream.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(_Buf), ctypes.POINTER(_Buf)]
+
+    def _ctypes_stream(blob: bytes, cap: int) -> "bytes | None":
+        zds = lib.ZSTD_createDStream()
+        if not zds:
+            raise MemoryError("ZSTD_createDStream")
+        try:
+            src = ctypes.create_string_buffer(blob, len(blob))
+            inb = _Buf(ctypes.cast(src, ctypes.c_void_p), len(blob), 0)
+            chunk = ctypes.create_string_buffer(1 << 17)
+            out = bytearray()
+            while True:
+                ob = _Buf(ctypes.cast(chunk, ctypes.c_void_p),
+                          len(chunk), 0)
+                before = inb.pos
+                ret = lib.ZSTD_decompressStream(
+                    zds, ctypes.byref(ob), ctypes.byref(inb))
+                if lib.ZSTD_isError(ret):
+                    raise ValueError("malformed zstd frame")
+                out += chunk.raw[: ob.pos]
+                if len(out) > cap:
+                    return None  # decompression-bomb cap
+                if inb.pos >= inb.size:
+                    if ret != 0:
+                        raise ValueError("truncated zstd frame")
+                    return bytes(out)
+                if ob.pos == 0 and inb.pos == before:
+                    raise ValueError("zstd stream made no progress")
+        finally:
+            lib.ZSTD_freeDStream(ctypes.c_void_p(zds))
+
+    return _ctypes_stream
+
+
 def read_landing(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
     """S2 scan: binaryFile source over a landing directory.
 
@@ -220,16 +292,9 @@ def explode_archives(files: DataFrame) -> DataFrame:
         import tarfile
         import zipfile
 
-        # zstd decode is wheel-gated: stdlib has no codec (before 3.14's
-        # compression.zstd); probe the zstandard wheel once per task.
-        _zstd_open = None
-        try:
-            import zstandard as _zstd  # type: ignore
-
-            def _zstd_open(fobj):  # noqa: F811
-                return _zstd.ZstdDecompressor().stream_reader(fobj)
-        except ImportError:
-            pass
+        # zstd: wheel or system libzstd (probed once per task); None ->
+        # honest marker rows for zstd-magic blobs
+        _zstd = zstd_decompressor()
 
         CAP = DEFAULT_MAX_SIZE
 
@@ -332,14 +397,13 @@ def explode_archives(files: DataFrame) -> DataFrame:
                     else:
                         emit(path, "member", 0, inner)
                 elif blob[:4] == b"\x28\xb5\x2f\xfd":
-                    # Zstandard frame magic (RFC 8878 §3.1.1). Python's
-                    # stdlib has no zstd codec and the zstandard wheel is
-                    # absent in this environment, so emit an honest
-                    # marker row instead of silently passing the blob
-                    # through as a non-archive.
-                    if _zstd_open is not None:
+                    # Zstandard frame magic (RFC 8878 §3.1.1): decode via
+                    # the wheel or system libzstd; with neither, emit an
+                    # honest marker row instead of silently passing the
+                    # blob through as a non-archive.
+                    if _zstd is not None:
                         try:
-                            inner = bounded(_zstd_open(io.BytesIO(blob)))
+                            inner = _zstd(blob, CAP)
                             if inner is None:
                                 raise ValueError("DecompressionBomb")
                         except Exception as e:

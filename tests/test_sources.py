@@ -260,14 +260,35 @@ def test_explode_archives_decompression_bomb_guard(spark, monkeypatch):
     assert bytes(rows[("ok", 0)]["content"]) == b"small"
 
 
-def test_explode_archives_gzip_fextra_and_zstd_gate(spark):
+def _zstd_compress(data: bytes) -> "bytes | None":
+    """Fixture-side zstd encoder via the public system libzstd (the
+    decoder under test never sees this code path)."""
+    import ctypes
+    import ctypes.util
+
+    path = ctypes.util.find_library("zstd")
+    if not path:
+        return None
+    lib = ctypes.CDLL(path)
+    lib.ZSTD_compressBound.restype = ctypes.c_size_t
+    lib.ZSTD_compress.restype = ctypes.c_size_t
+    bound = lib.ZSTD_compressBound(len(data))
+    out = ctypes.create_string_buffer(bound)
+    n = lib.ZSTD_compress(out, bound, data, len(data), 3)
+    assert not lib.ZSTD_isError(ctypes.c_size_t(n))
+    return out.raw[:n]
+
+
+def test_explode_archives_gzip_fextra_and_zstd(spark):
     """r11: gzip members with an FEXTRA field (RFC 1952 FLG bit 2) read
     FNAME from past the extra field — previously the name came from the
-    wrong bytes or the whole member was dropped; a zstd-magic blob emits
-    an honest zstd_unsupported marker (stdlib has no codec and the
-    zstandard wheel is absent) instead of silently passing through as a
-    non-archive."""
-    import importlib.util
+    wrong bytes or the whole member was dropped.  zstd-magic blobs
+    decode for real (wheel or system libzstd, incl. .tar.zst chains and
+    malformed-frame marker rows); with no codec at all they emit an
+    honest zstd_unsupported marker instead of silently passing through
+    as non-archives."""
+    import io
+    import tarfile
     import zlib
 
     from teledetection_drone_satellite_spark.sources import binary
@@ -284,16 +305,48 @@ def test_explode_archives_gzip_fextra_and_zstd_gate(spark):
         + zlib.crc32(payload).to_bytes(4, "little")
         + len(payload).to_bytes(4, "little")
     )
-    zstd_blob = b"\x28\xb5\x2f\xfd" + bytes(32)
-    df = spark.createDataFrame(
-        [("fx", bytearray(blob)), ("zs", bytearray(zstd_blob))],
-        "path string, content binary",
-    )
+    garbage = b"\x28\xb5\x2f\xfd" + bytes(32)
+    rows_in = [("fx", bytearray(blob)), ("zg", bytearray(garbage))]
+    have_codec = binary.zstd_decompressor() is not None
+    if have_codec:
+        zst = _zstd_compress(b"zstd payload " * 20)
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            ti = tarfile.TarInfo("inner/a.txt")
+            ti.size = 5
+            tf.addfile(ti, io.BytesIO(b"alpha"))
+        tzst = _zstd_compress(buf.getvalue())
+        rows_in += [("zs", bytearray(zst)), ("tz", bytearray(tzst))]
+    df = spark.createDataFrame(rows_in, "path string, content binary")
     rows = {(r["path"], r["member_index"]): r
             for r in binary.explode_archives(df).collect()}
     assert bytes(rows[("fx", 0)]["content"]) == payload
     assert rows[("fx", 0)]["member_path"] == "named.txt"
-    if importlib.util.find_spec("zstandard") is None:
-        assert rows[("zs", -1)]["archive_error"] == "zstd_unsupported"
-    else:  # wheel present: the frame is garbage past the magic -> error
-        assert rows[("zs", -1)]["archive_error"] is not None
+    if have_codec:
+        assert bytes(rows[("zs", 0)]["content"]) == b"zstd payload " * 20
+        assert bytes(rows[("tz", 0)]["content"]) == b"alpha"
+        assert rows[("tz", 0)]["member_path"] == "inner/a.txt"
+        # garbage past the magic: malformed-frame marker, stage survives
+        assert rows[("zg", -1)]["archive_error"] is not None
+    else:
+        assert rows[("zg", -1)]["archive_error"] == "zstd_unsupported"
+
+
+def test_zstd_decompressor_bounds_and_errors():
+    """Unit: the ctypes/libzstd streaming path honors the bomb cap and
+    raises on truncated frames."""
+    import pytest
+
+    from teledetection_drone_satellite_spark.sources import binary
+
+    dec = binary.zstd_decompressor()
+    if dec is None:
+        pytest.skip("no zstd codec (wheel or system libzstd) present")
+    data = b"abc" * 10_000
+    enc = _zstd_compress(data)
+    assert dec(enc, 1 << 20) == data
+    assert dec(enc, 100) is None  # over the cap -> bomb signal
+    with pytest.raises(Exception):
+        dec(enc[: len(enc) // 2], 1 << 20)  # truncated frame
+    with pytest.raises(Exception):
+        dec(b"\x28\xb5\x2f\xfd" + bytes(8), 1 << 20)  # malformed
