@@ -79,10 +79,19 @@ class _TextExtractor(HTMLParser):
 
 def extract_html_text(content: "str | bytes") -> str:
     """Extract visible text per the module-docstring semantics; returns
-    "" for text-free documents.  Bytes decode as UTF-8 (errors
-    replaced) — charset sniffing beyond UTF-8/ASCII is out of scope."""
+    "" for text-free documents.  Bytes decode by BOM sniff (UTF-8 /
+    UTF-16 LE/BE — the WHATWG encoding-sniff's first, authoritative
+    step) falling back to UTF-8 with replacement; <meta charset>
+    legacy-encoding sniffing beyond that is out of scope."""
     if isinstance(content, bytes):
-        content = content.decode("utf-8", errors="replace")
+        if content[:3] == b"\xef\xbb\xbf":
+            content = content[3:].decode("utf-8", errors="replace")
+        elif content[:2] == b"\xff\xfe":
+            content = content[2:].decode("utf-16-le", errors="replace")
+        elif content[:2] == b"\xfe\xff":
+            content = content[2:].decode("utf-16-be", errors="replace")
+        else:
+            content = content.decode("utf-8", errors="replace")
     p = _TextExtractor()
     try:
         p.feed(content)

@@ -455,13 +455,34 @@ def extract_pdf_text(content: bytes) -> "list[str] | None":
             return None
         return (content[i:j], j)
 
+    def stream_length(head: bytes) -> "int | None":
+        """/Length, direct or resolved through an indirect reference
+        (r11 — real writers emit '/Length N 0 R' routinely, stamping
+        the byte count after the stream body is written)."""
+        lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", head)
+        if lm:
+            return int(lm.group(1))
+        im = re.search(rb"/Length\s+(\d+)\s+\d+\s+R", head)
+        if not im:
+            return None
+        try:
+            got = load(int(im.group(1)))
+        except NameError:
+            # xref-resolution phase: the table needed to resolve the
+            # reference isn't built yet (an xref stream's own /Length
+            # must be direct — it would be circular otherwise)
+            return None
+        if got is None:
+            return None
+        nm = re.match(rb"\s*(\d+)", got[0])
+        return int(nm.group(1)) if nm else None
+
     def raw_stream_at(head: bytes, after: int) -> "bytes | None":
         """Slice + Flate-inflate the stream body following a dict that
         ends at `after`, honoring any /DecodeParms predictor."""
-        lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", head)
-        if not lm:
-            return None  # indirect /Length: out of scope
-        length = int(lm.group(1))
+        length = stream_length(head)
+        if length is None:
+            return None
         sm = re.match(rb"\s*stream(\r\n|\n)", content[after:])
         if not sm:
             return None

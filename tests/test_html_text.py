@@ -53,6 +53,13 @@ def test_html_semantics_hand_cases():
         "<div></div><p>only</p><div>  </div>") == "only"
     # bytes input decodes UTF-8
     assert extract_html_text(b"<p>caf\xc3\xa9</p>") == "café"
+    # BOM sniff: UTF-8 BOM stripped, UTF-16 both endiannesses decode
+    assert extract_html_text(b"\xef\xbb\xbf<p>caf\xc3\xa9</p>") == "café"
+    doc = "<p>café</p>"
+    assert extract_html_text(
+        b"\xff\xfe" + doc.encode("utf-16-le")) == "café"
+    assert extract_html_text(
+        b"\xfe\xff" + doc.encode("utf-16-be")) == "café"
 
 
 def test_html_malformed_nesting_tier():

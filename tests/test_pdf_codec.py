@@ -156,3 +156,31 @@ def test_fuzz_pdf_survives_bit_flips(seed, nflip):
         enc[rnd.randrange(len(enc))] ^= 1 << rnd.randrange(8)
     out = pdf.extract_pdf_text(bytes(enc))
     assert out is None or isinstance(out, list)
+
+
+def test_pdf_indirect_length():
+    """/Length given as an indirect reference (r11 — what real writers
+    emit when they stamp the byte count after the stream body)."""
+    stream = b"BT /F1 12 Tf (indirect ok) Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: b"<< /Length 5 0 R >>\nstream\n" + stream + b"\nendstream",
+        5: str(len(stream)).encode(),
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+    for oid in sorted(objs):
+        offs[oid] = len(out)
+        out += f"{oid} 0 obj\n".encode() + objs[oid] + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 6\n0000000000 65535 f \n"
+    for oid in range(1, 6):
+        out += f"{offs[oid]:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n"
+            + str(xref_at).encode() + b"\n%%EOF\n")
+    assert pdf.extract_pdf_text(bytes(out)) == ["indirect ok"]
+    # a dangling /Length reference refuses rather than mis-slicing
+    broken = bytes(out).replace(b"/Length 5 0 R", b"/Length 9 0 R")
+    assert pdf.extract_pdf_text(broken) is None
