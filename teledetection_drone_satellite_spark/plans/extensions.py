@@ -273,6 +273,78 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "html_quality_pipeline",
+    oracle=f"""
+    WITH spec AS (
+        SELECT doc_id, 2 + doc_id % 5 AS n_blocks
+        FROM documents WHERE doc_id < 120
+    ),
+    blk AS (
+        SELECT doc_id, n_blocks, CAST(b.i AS INT) AS b,
+               1 + (doc_id + b.i) % 3 AS reps
+        FROM spec, LATERAL unnest(range(0, n_blocks)) b(i)
+    ),
+    ln AS (
+        SELECT doc_id, b,
+               repeat('doc ' || CAST(doc_id AS VARCHAR) || ' block '
+                      || CAST(b AS VARCHAR) || ' <&' || chr(34)
+                      || CAST(b AS VARCHAR) || '>;',
+                      reps) AS line
+        FROM blk
+    ),
+    docs AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY b) AS text
+        FROM ln GROUP BY doc_id
+    )
+    SELECT doc_id,
+           len(text) AS n_chars_m,
+           len(regexp_extract_all(trim(text), '\\S+')) AS n_words,
+           round(len(regexp_extract_all(text, '[^a-zA-Z0-9_ \\t\\n\\r]')) / nullif(CAST(len(text) AS DOUBLE), 0), 6) AS punct_ratio,
+           round(len(regexp_extract_all(text, '\\b(the|a|and|is|of|to|in|that|it|on)\\b'))
+                 / nullif(CAST(len(regexp_extract_all(trim(text), '\\S+')) AS DOUBLE), 0), 6) AS stop_ratio,
+           round(len(text) / nullif(CAST(len(regexp_extract_all(trim(text), '\\S+')) AS DOUBLE), 0), 6) AS avg_word_len,
+           {_QUALITY_SCORE_SQL} AS quality_score
+    FROM docs
+    """,
+    doc="HTML -> text -> quality-scoring PIPELINE, graded (r11): the "
+    "composed front-door path a crawl corpus actually takes — "
+    "synth_html's entity-heavy malformed fixtures are extracted by "
+    "sources/html.py (one Arrow-batched Python stage), then "
+    "quality_features runs entirely JVM-side over the extracted text "
+    "(regexp_count projections, no shuffle). The oracle regenerates "
+    "the extraction's closed-form text in SQL and applies the SAME "
+    "shared quality formulas as text_quality, so a divergence in "
+    "EITHER the extractor or the feature expressions flips the hash. "
+    "At scale this is the canonical shape: decode/extract once in "
+    "Python, keep every derived feature in codegen.",
+    tags=("text", "ingest", "corpus"),
+)
+def html_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.html import extract_html_text, synth_html
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = [
+                (int(i), extract_html_text(synth_html(int(i))[0]))
+                for i in pdf_["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    extracted = ids.mapInPandas(gen, "doc_id long, text string")
+    return text.quality_features(extracted)
+
+
+@register(
     "text_language_id",
     oracle="""
     SELECT lang, predicted, count(*) AS n

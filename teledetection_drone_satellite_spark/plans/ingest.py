@@ -2943,6 +2943,91 @@ def html_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "markdown_text_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 3 + doc_id % 5 AS n_lines
+        FROM documents WHERE doc_id < 120
+    ),
+    blk AS (
+        SELECT doc_id, n_lines, CAST(b.i AS INT) AS b,
+               1 + (doc_id + b.i) % 3 AS reps
+        FROM spec, LATERAL unnest(range(0, n_lines)) b(i)
+    ),
+    ln AS (
+        SELECT doc_id, n_lines, b,
+               repeat('doc ' || CAST(doc_id AS VARCHAR) || ' md '
+                      || CAST(b AS VARCHAR) || ' unit'
+                      || CAST(b AS VARCHAR) || ';',
+                      reps) AS line
+        FROM blk
+    )
+    SELECT doc_id,
+           CAST(min(n_lines) AS INT) AS n_lines,
+           CAST(sum(length(line)) AS BIGINT) AS total_chars,
+           string_agg(substr(sha256(line), 1, 8), '' ORDER BY b)
+               AS line_digest
+    FROM ln GROUP BY doc_id
+    """,
+    doc="Markdown -> text extraction, graded (r11 — the second-most "
+    "common text format in LLM corpora after HTML: READMEs, docs "
+    "trees, dataset cards; the text tier's sibling to "
+    "html_text_stats): per doc synth_markdown writes a "
+    "decoration-heavy document cycling six line kinds — ATX headings "
+    "with emphasis, linked list items, nested blockquotes with code "
+    "spans, fenced code blocks (content passes VERBATIM, fences "
+    "drop), images/strikethrough, ordered lists with strong + inline "
+    "HTML — plus comment decoys and thematic breaks; "
+    "extract_markdown_text strips every decoration per the documented "
+    "CommonMark-informed semantics. The oracle regenerates each "
+    "line's closed form and compares an ORDERED per-line sha256 "
+    "digest chain, so a fence-state, marker-strip, or link-rewrite "
+    "bug flips the string.",
+    tags=("ingest", "multimodal", "corpus"),
+)
+def markdown_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.markdown import extract_markdown_text, synth_markdown
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                doc, _ = synth_markdown(i)
+                lines = extract_markdown_text(doc).split("\n")
+                digest = "".join(
+                    hashlib.sha256(s.encode()).hexdigest()[:8]
+                    for s in lines
+                )
+                rows.append(
+                    (i, len(lines), sum(len(s) for s in lines), digest)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_lines", "total_chars",
+                         "line_digest"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_lines int, total_chars long, line_digest string",
+    )
+
+
+@register(
     "aiff_sample_stats",
     oracle="""
     WITH spec AS (

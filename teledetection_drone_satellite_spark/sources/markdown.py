@@ -1,0 +1,142 @@
+"""Markdown -> text extraction — pure stdlib (re), the second-most
+common text format in LLM training corpora after HTML (READMEs,
+documentation trees, forum exports, dataset cards).
+
+The text tier's sibling to sources/html.py, feeding the same corpus
+operators (token counting, quality scoring, dedup).  Extraction
+semantics (documented, oracle-mirrored; CommonMark-informed, not a full
+CommonMark renderer — the goal is clean training text, not HTML):
+
+  - fenced code blocks (``` / ~~~): the FENCE lines drop, the code
+    lines pass through VERBATIM (code is signal in a training corpus);
+  - ATX headings lose their '#' prefix (and optional closing hashes);
+  - blockquote '>' prefixes strip (nested too);
+  - list markers strip: '-', '*', '+' bullets and '1.' / '1)' ordered;
+  - images ![alt](url) -> alt, links [text](url) -> text,
+    autolinks <http://x> -> http://x;
+  - inline code spans `x` -> x; bold/italic/strikethrough markers
+    strip (**x**, *x*, __x__, _x_, ~~x~~);
+  - setext underlines (=== / ---) and thematic breaks (***, ---) drop;
+  - HTML comments <!-- --> drop; other inline HTML tags strip;
+  - within a line whitespace runs collapse to one space and edges
+    strip; blank lines drop; lines join with a single newline.
+
+Malformed input never raises — every rule is a regex substitution over
+one line plus a fence-state toggle.  The synthesizer writes
+decoration-heavy fixtures independently of the extractor, so the graded
+round-trip (plans/ingest.py markdown_text_stats) fails on any fence-
+state, marker-strip, or link-rewrite bug."""
+
+from __future__ import annotations
+
+import re
+
+_FENCE = re.compile(r"^\s{0,3}(```+|~~~+)\s*\S*\s*$")
+_HEADING = re.compile(r"^\s{0,3}#{1,6}\s+(.*?)\s*#*\s*$")
+_QUOTE = re.compile(r"^\s{0,3}(?:>\s?)+")
+_LIST = re.compile(r"^\s*(?:[-*+]|\d{1,9}[.)])\s+")
+_BREAK = re.compile(r"^\s{0,3}(?:(?:\*\s*){3,}|(?:-\s*){3,}|(?:_\s*){3,})$")
+_SETEXT = re.compile(r"^\s{0,3}(?:=+|-+)\s*$")
+_IMAGE = re.compile(r"!\[([^\]]*)\]\([^)]*\)")
+_LINK = re.compile(r"\[([^\]]*)\]\([^)]*\)")
+_AUTOLINK = re.compile(r"<(https?://[^>\s]+)>")
+_CODESPAN = re.compile(r"`+([^`]*)`+")
+_STRONG = re.compile(r"(\*\*|__)(?=\S)(.+?)(?<=\S)\1")
+_EMPH = re.compile(r"(\*|_)(?=\S)(.+?)(?<=\S)\1")
+_STRIKE = re.compile(r"~~(?=\S)(.+?)(?<=\S)~~")
+_COMMENT = re.compile(r"<!--.*?-->", re.S)
+_TAG = re.compile(r"</?[A-Za-z][^>]*>")
+
+
+def extract_markdown_text(content: "str | bytes") -> str:
+    """Extract clean text per the module-docstring semantics; returns
+    "" for text-free documents."""
+    if isinstance(content, bytes):
+        content = content.decode("utf-8", errors="replace")
+    content = _COMMENT.sub("", content)
+    out: "list[str]" = []
+    in_code = False
+    prev_text = False  # a setext underline only follows a text line
+    for raw in content.split("\n"):
+        if _FENCE.match(raw):
+            in_code = not in_code
+            prev_text = False
+            continue
+        if in_code:
+            s = raw.rstrip()
+            if s:
+                out.append(s)
+            continue
+        if _BREAK.match(raw) or (prev_text and _SETEXT.match(raw)):
+            prev_text = False
+            continue
+        line = raw
+        m = _HEADING.match(line)
+        if m:
+            line = m.group(1)
+        line = _QUOTE.sub("", line)
+        line = _LIST.sub("", line)
+        line = _IMAGE.sub(r"\1", line)
+        line = _LINK.sub(r"\1", line)
+        line = _AUTOLINK.sub(r"\1", line)
+        line = _CODESPAN.sub(r"\1", line)
+        line = _STRONG.sub(r"\2", line)
+        line = _EMPH.sub(r"\2", line)
+        line = _STRIKE.sub(r"\1", line)
+        line = _TAG.sub("", line)
+        s = " ".join(line.split())
+        if s:
+            out.append(s)
+            prev_text = True
+        else:
+            prev_text = False
+    return "\n".join(out)
+
+
+def synth_markdown(doc_id: int) -> "tuple[str, list[str]]":
+    """Deterministic fixture: a decoration-heavy markdown document plus
+    the lines its extraction must yield.  Closed form (mirrored by the
+    markdown_text_stats oracle):
+
+        n_lines = 3 + doc_id % 5
+        line[b] = repeat('doc {i} md {b} unit{b};', 1 + (i+b) % 3)
+    """
+    i = int(doc_id)
+    n_lines = 3 + i % 5
+    out = ["<!-- decoy comment doc %d -->" % i, ""]
+    expected = []
+    for b in range(n_lines):
+        reps = 1 + (i + b) % 3
+        unit = "doc %d md %d unit%d;" % (i, b, b)
+        expected.append(unit * reps)
+        words = unit.split(" ")  # ['doc', str(i), 'md', str(b), 'unitb;']
+        kind = (i + b) % 6
+        if kind == 0:  # heading with emphasis
+            deco = "%s **%s** %s %s %s" % tuple(words)
+            body = "#" * (1 + b % 6) + " " + deco + " ".join(
+                [""] + ["%s *%s* %s %s %s" % tuple(words)] * (reps - 1))
+        elif kind == 1:  # list item with a link
+            deco = "%s [%s](http://ex.com/%d) %s %s %s" % (
+                words[0], words[1], b, words[2], words[3], words[4])
+            body = "  - " + deco + "".join(
+                ["[%s](x)" % unit] * (reps - 1))
+        elif kind == 2:  # nested blockquote with code span
+            deco = "%s `%s` %s %s %s" % tuple(words)
+            # plain continuation: adjacent code spans would merge their
+            # delimiters into a `` fence and change the parse
+            body = "> > " + deco + unit * (reps - 1)
+        elif kind == 3:  # fenced code block: verbatim
+            body = "```py\n" + unit * reps + "\n```"
+        elif kind == 4:  # image + strikethrough + autolink-free tail
+            deco = "![%s](img.png) %s ~~%s~~ %s %s" % tuple(words)
+            body = deco + "".join([unit] * (reps - 1))
+        else:  # ordered list + strong + inline html tag
+            deco = "%s __%s__ <span class=x>%s</span> %s %s" % tuple(
+                words)
+            body = "%d. " % (b + 1) + deco + "".join(
+                ["**%s**" % unit] * (reps - 1))
+        out.append(body)
+        if b % 2 == 0:
+            out.append("---")  # thematic break: drops
+        out.append("")
+    return "\n".join(out) + "\n", expected

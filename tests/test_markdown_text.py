@@ -1,0 +1,80 @@
+"""Markdown -> text extraction (sources/markdown.py): synthesizer
+round-trip fuzz, hand semantic cases per documented rule, fence-state
+edge cases, and garbage/bit-flip never-crash fuzz."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.markdown import (
+    extract_markdown_text,
+    synth_markdown,
+)
+
+
+@given(doc_id=st.integers(0, 99999))
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_fuzz_synth_roundtrip(doc_id):
+    doc, expected = synth_markdown(doc_id)
+    assert extract_markdown_text(doc).split("\n") == expected
+
+
+def test_markdown_semantics_hand_cases():
+    x = extract_markdown_text
+    # headings: prefix and optional closing hashes strip
+    assert x("# Title") == "Title"
+    assert x("### deep ###") == "deep"
+    # blockquotes, nested
+    assert x("> quoted\n> > deeper") == "quoted\ndeeper"
+    # list markers: bullets and ordered, indented
+    assert x("- a\n  * b\n3. c\n12) d") == "a\nb\nc\nd"
+    # links, images, autolinks
+    assert x("see [docs](http://e/x) and ![alt text](i.png)") == (
+        "see docs and alt text")
+    assert x("go to <https://example.com/a>") == "go to https://example.com/a"
+    # emphasis / strong / strike / code span
+    assert x("**bold** *it* __b2__ _i2_ ~~gone~~ `code`") == (
+        "bold it b2 i2 gone code")
+    # fenced code: fences drop, content verbatim (markers NOT stripped)
+    assert x("```py\n- not a list\n**raw**\n```\nafter") == (
+        "- not a list\n**raw**\nafter")
+    # thematic breaks and setext underlines drop
+    assert x("text\n===\nmore\n---\n* * *") == "text\nmore"
+    # html comments and inline tags
+    assert x("a <!-- hidden --> b <span>c</span>") == "a b c"
+    # whitespace collapse + blank-line drop
+    assert x("a\t  b\n\n\n  c  ") == "a b\nc"
+    # bytes input
+    assert x(b"# caf\xc3\xa9") == "café"
+
+
+def test_markdown_fence_edges():
+    x = extract_markdown_text
+    # unterminated fence: remainder stays verbatim, never raises
+    assert x("```\n- raw\nstill raw") == "- raw\nstill raw"
+    # tilde fences work; fence inside code is a closer
+    assert x("~~~\ncode\n~~~\n- item") == "code\nitem"
+    # a setext dash line after a blank is a break, not an underline
+    assert x("para\n\n---\nnext") == "para\nnext"
+
+
+@settings(max_examples=120, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31 - 1), nflip=st.integers(1, 12))
+def test_fuzz_markdown_survives_bit_flips(seed, nflip):
+    rnd = random.Random(seed)
+    doc = bytearray(synth_markdown(seed % 1000)[0].encode())
+    for _ in range(nflip):
+        doc[rnd.randrange(len(doc))] ^= 1 << rnd.randrange(8)
+    assert isinstance(extract_markdown_text(bytes(doc)), str)
+
+
+@settings(max_examples=120, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.binary(min_size=0, max_size=4000))
+def test_fuzz_markdown_garbage_never_crashes(data):
+    assert isinstance(extract_markdown_text(data), str)
