@@ -2943,6 +2943,166 @@ def html_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "shapefile_geom_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, doc_id % 5 AS kind, 3 + doc_id % 7 AS n_rec
+        FROM documents WHERE doc_id < 100
+    ),
+    rec AS (
+        SELECT doc_id, kind, n_rec, CAST(r.i AS INT) AS k,
+               2 + (doc_id + r.i) % 4 AS m,
+               (doc_id + 5 * r.i) % 50 AS ox,
+               1 + (doc_id + r.i) % 9 AS w,
+               1 + (2 * doc_id + r.i) % 7 AS h,
+               (doc_id + 3 * r.i) % 100 + 0.25 AS px
+        FROM spec, LATERAL unnest(range(0, n_rec)) r(i)
+    ),
+    vtx AS (
+        SELECT doc_id, k,
+               ((doc_id + 3 * k + 5 * j.i) % 100) * 0.25 AS vx
+        FROM rec, LATERAL unnest(range(0, m)) j(i)
+        WHERE kind IN (2, 3)
+    ),
+    per_doc AS (
+        SELECT r.doc_id,
+               min(r.kind) AS kind,
+               min(r.n_rec) AS n_rec,
+               CAST(CASE min(r.kind)
+                    WHEN 1 THEN 5 * min(r.n_rec)
+                    WHEN 2 THEN sum(r.m) WHEN 3 THEN sum(r.m)
+                    ELSE min(r.n_rec) END AS BIGINT) AS n_vertices,
+               CASE WHEN min(r.kind) IN (0, 4)
+                    THEN min(r.px) WHEN min(r.kind) = 1
+                    THEN CAST(min(r.ox) AS DOUBLE)
+                    ELSE (SELECT min(v.vx) FROM vtx v
+                          WHERE v.doc_id = r.doc_id) END AS min_x,
+               CASE WHEN min(r.kind) IN (0, 4)
+                    THEN max(r.px) WHEN min(r.kind) = 1
+                    THEN CAST(max(r.ox + r.w) AS DOUBLE)
+                    ELSE (SELECT max(v.vx) FROM vtx v
+                          WHERE v.doc_id = r.doc_id) END AS max_x,
+               CASE WHEN min(r.kind) = 1
+                    THEN CAST(sum(r.w * r.h) AS DOUBLE)
+                    ELSE 0.0 END AS sum_area,
+               CASE WHEN min(r.kind) = 4
+                    THEN sum(r.k + 0.125) ELSE 0.0 END AS sum_z
+        FROM rec r GROUP BY r.doc_id
+    )
+    SELECT doc_id,
+           CAST(CASE kind WHEN 0 THEN 1 WHEN 1 THEN 5 WHEN 2 THEN 3
+                WHEN 3 THEN 8 ELSE 11 END AS INT) AS shp_type,
+           CAST(n_rec AS INT) AS n_records,
+           n_vertices,
+           round(min_x, 6) AS min_x,
+           round(max_x, 6) AS max_x,
+           round(sum_area, 6) AS sum_area,
+           round(sum_z, 6) AS sum_z
+    FROM per_doc
+    """,
+    doc="ESRI Shapefile geometry decode, graded (r11 — the canonical "
+    "GIS vector interchange format; the reference platform stores "
+    "polygon project footprints and point photo locations in PostGIS, "
+    "init.sql:30,50,103, and survey boundaries arrive as shapefiles in "
+    "every drone workflow): docs cycle Point, Polygon (5-vertex "
+    "rectangle rings, shoelace-area-verified), PolyLine, MultiPoint, "
+    "and PointZ records over closed-form exact-binary-fraction "
+    "coordinates; decode_shp walks the mixed-endian header (file code "
+    "and record headers BIG-endian, shape bodies little-endian) and "
+    "the part-indexed vertex runs. min_x/max_x are read from the "
+    "decoded HEADER bbox, so a header-layout or endianness bug flips "
+    "the row even when the per-record walk is right; sum_area runs "
+    "the shoelace over decoded rings; truncated or mixed-type files "
+    "refuse.",
+    tags=("ingest", "multimodal", "spatial"),
+)
+def shapefile_geom_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources import shapefile as shpcodec
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                kind = i % 5
+                n_rec = 3 + i % 7
+                shapes: "list" = []
+                for k in range(n_rec):
+                    m = 2 + (i + k) % 4
+                    ox = (i + 5 * k) % 50
+                    oy = (3 * i + 2 * k) % 40
+                    w = 1 + (i + k) % 9
+                    h = 1 + (2 * i + k) % 7
+                    px = (i + 3 * k) % 100 + 0.25
+                    py = (2 * i + 7 * k) % 100 - 50 + 0.5
+                    pts = [
+                        (((i + 3 * k + 5 * j) % 100) * 0.25,
+                         ((2 * i + 7 * k + 3 * j) % 80) * 0.5 - 20)
+                        for j in range(m)
+                    ]
+                    if kind == 0:
+                        shapes.append((px, py))
+                    elif kind == 1:
+                        shapes.append([[
+                            (ox, oy), (ox, oy + h), (ox + w, oy + h),
+                            (ox + w, oy), (ox, oy),
+                        ]])
+                    elif kind == 2:
+                        shapes.append([pts])
+                    elif kind == 3:
+                        shapes.append(pts)
+                    else:
+                        shapes.append((px, py, k + 0.125))
+                stype = {0: 1, 1: 5, 2: 3, 3: 8, 4: 11}[kind]
+                d = shpcodec.decode_shp(shpcodec.encode_shp(shapes, stype))
+                n_vert = sum(len(s["points"]) for s in d["shapes"])
+                area = 0.0
+                if d["shape_type"] == 5:
+                    for s in d["shapes"]:
+                        bounds = s["parts"] + [len(s["points"])]
+                        for a, b in zip(bounds, bounds[1:]):
+                            area += abs(shpcodec.ring_area(
+                                s["points"][a:b]))
+                sum_z = sum(
+                    sum(s.get("z", ())) for s in d["shapes"]
+                ) if d["shape_type"] == 11 else 0.0
+                rows.append(
+                    (i, d["shape_type"], len(d["shapes"]), n_vert,
+                     d["bbox"][0], d["bbox"][2], area, sum_z)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "shp_type", "n_records", "n_vertices",
+                         "min_x_raw", "max_x_raw", "area_raw", "z_raw"],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, shp_type int, n_records int, n_vertices long, "
+        "min_x_raw double, max_x_raw double, area_raw double, "
+        "z_raw double",
+    )
+    return out.select(
+        "doc_id", "shp_type", "n_records", "n_vertices",
+        F.round("min_x_raw", 6).alias("min_x"),
+        F.round("max_x_raw", 6).alias("max_x"),
+        F.round("area_raw", 6).alias("sum_area"),
+        F.round("z_raw", 6).alias("sum_z"),
+    )
+
+
+@register(
     "markdown_text_stats",
     oracle="""
     WITH spec AS (

@@ -41,6 +41,7 @@ MAGIC_MIME: list[tuple[int, str, str]] = [
     (0, "52494646", "audio/x-riff"),  # WAV/AVI container; refined below
     (0, "464F524D", "audio/x-form"),  # IFF FORM (AIFF); refined below
     (0, "28B52FFD", "application/zstd"),  # RFC 8878 frame magic (r11)
+    (0, "0000270A", "application/x-shapefile"),  # ESRI .shp file code 9994 BE
     # HTML (r11: the text-tier front door, sources/html.py) — doctype or
     # root-tag prefixes in both common cases
     (0, "3C21444F4354595045", "text/html"),  # <!DOCTYPE
@@ -54,7 +55,7 @@ DEFAULT_MAX_SIZE = 1 << 30  # 1 GiB
 DEFAULT_ALLOWED_EXT = (
     "jpg", "jpeg", "png", "gif", "tif", "tiff", "webp", "pdf", "zip", "txt", "csv",
     "json", "mp3", "ogg", "flac", "wav", "mp4", "webm", "avi", "las", "laz",
-    "html", "htm", "zst", "aiff", "aif",  # r11 additions
+    "html", "htm", "zst", "aiff", "aif", "shp", "md",  # r11 additions
 )
 
 

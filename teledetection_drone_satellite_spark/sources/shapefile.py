@@ -1,0 +1,179 @@
+"""ESRI Shapefile (.shp) reader/writer — pure stdlib+struct, from the
+public ESRI Shapefile Technical Description (July 1998).
+
+The canonical GIS vector interchange format: the reference platform is
+PostGIS-backed with polygon project footprints and point photo
+locations (init.sql:30,50,103), and survey boundaries / flight areas
+arrive as shapefiles in every drone workflow.  This module reads the
+main .shp geometry file (the .shx index is derivable and the .dbf
+attribute table is a separate dBASE format, both out of scope —
+documented, not silent).
+
+Layout walked: the 100-byte header (file code 9994 big-endian, file
+length in 16-bit WORDS big-endian, version 1000 little-endian, shape
+type, double bbox), then per record a big-endian (number, content
+length) header and a little-endian shape body.  Supported shape types:
+0 Null, 1 Point, 8 MultiPoint, 3 PolyLine, 5 Polygon (part-indexed
+vertex runs), 11 PointZ (Z + optional M carried).  Mixed shape types
+(beyond null), truncated records, length/file-size mismatches, and
+unsupported types (M-types, MultiPatch) refuse (None) — the honest
+fallback contract every decoder here shares."""
+
+from __future__ import annotations
+
+import struct
+
+SUPPORTED = (0, 1, 3, 5, 8, 11)
+
+
+def encode_shp(shapes: "list[tuple]", shape_type: int) -> bytes:
+    """``shapes``: list of geometries matching ``shape_type`` —
+    Point: (x, y); PointZ: (x, y, z); MultiPoint: [(x, y), ...];
+    PolyLine/Polygon: [part, part, ...] where each part is
+    [(x, y), ...]; None for a null shape.  Byte-packing per the public
+    spec, independent of decode_shp."""
+    if shape_type not in SUPPORTED:
+        raise ValueError("unsupported shape type")
+    records = bytearray()
+    xs: "list[float]" = []
+    ys: "list[float]" = []
+    for num, shp in enumerate(shapes, 1):
+        body = bytearray()
+        if shp is None:
+            body += struct.pack("<i", 0)
+        elif shape_type == 1:
+            body += struct.pack("<idd", 1, shp[0], shp[1])
+            xs.append(shp[0])
+            ys.append(shp[1])
+        elif shape_type == 11:
+            x, y, z = shp
+            # PointZ: x, y, z, M (M = NoData, < -1e38 per spec)
+            body += struct.pack("<idddd", 11, x, y, z, -1e39)
+            xs.append(x)
+            ys.append(y)
+        elif shape_type == 8:
+            pxs = [p[0] for p in shp]
+            pys = [p[1] for p in shp]
+            xs += pxs
+            ys += pys
+            body += struct.pack(
+                "<i4di", 8, min(pxs), min(pys), max(pxs), max(pys),
+                len(shp))
+            for x, y in shp:
+                body += struct.pack("<2d", x, y)
+        else:  # 3 polyline / 5 polygon: part-indexed vertex runs
+            pts = [p for part in shp for p in part]
+            pxs = [p[0] for p in pts]
+            pys = [p[1] for p in pts]
+            xs += pxs
+            ys += pys
+            body += struct.pack(
+                "<i4dii", shape_type, min(pxs), min(pys), max(pxs),
+                max(pys), len(shp), len(pts))
+            start = 0
+            for part in shp:
+                body += struct.pack("<i", start)
+                start += len(part)
+            for x, y in pts:
+                body += struct.pack("<2d", x, y)
+        if len(body) % 2:
+            raise AssertionError("record bodies are word-aligned")
+        records += struct.pack(">ii", num, len(body) // 2)
+        records += body
+    total_words = (100 + len(records)) // 2
+    hdr = struct.pack(">i5i i", 9994, 0, 0, 0, 0, 0, total_words)
+    hdr += struct.pack("<ii", 1000, shape_type)
+    bbox = (min(xs), min(ys), max(xs), max(ys)) if xs else (0.0,) * 4
+    hdr += struct.pack("<4d", *bbox)
+    hdr += struct.pack("<4d", 0.0, 0.0, 0.0, 0.0)  # z/m ranges
+    assert len(hdr) == 100
+    return bytes(hdr) + bytes(records)
+
+
+def decode_shp(content: bytes) -> "dict | None":
+    """Parse a .shp within the module scope.  Returns
+    {'shape_type', 'bbox': (xmin, ymin, xmax, ymax), 'shapes': [...]}
+    where each shape is {'num', 'type', 'points': [(x, y), ...],
+    'parts': [start, ...], 'z': [...] (PointZ)} — or None per the
+    module-docstring refusal set."""
+    if len(content) < 100:
+        return None
+    (code,) = struct.unpack(">i", content[:4])
+    (flen_words,) = struct.unpack(">i", content[24:28])
+    version, shape_type = struct.unpack("<ii", content[28:36])
+    if code != 9994 or version != 1000:
+        return None
+    if shape_type not in SUPPORTED:
+        return None  # M-types / MultiPatch: out of scope
+    if flen_words * 2 != len(content):
+        return None  # declared length mismatch
+    bbox = struct.unpack("<4d", content[36:68])
+    shapes = []
+    pos = 100
+    n = len(content)
+    while pos < n:
+        if pos + 8 > n:
+            return None
+        num, clen_words = struct.unpack(">ii", content[pos : pos + 8])
+        body = content[pos + 8 : pos + 8 + clen_words * 2]
+        if len(body) < clen_words * 2 or len(body) < 4:
+            return None
+        (rtype,) = struct.unpack("<i", body[:4])
+        if rtype == 0:
+            shapes.append({"num": num, "type": 0, "points": [],
+                           "parts": []})
+        elif rtype != shape_type:
+            return None  # mixed types (beyond null) are malformed
+        elif rtype == 1:
+            if len(body) < 20:
+                return None
+            x, y = struct.unpack("<2d", body[4:20])
+            shapes.append({"num": num, "type": 1, "points": [(x, y)],
+                           "parts": [0]})
+        elif rtype == 11:
+            if len(body) < 28:
+                return None
+            x, y, z = struct.unpack("<3d", body[4:28])
+            shapes.append({"num": num, "type": 11, "points": [(x, y)],
+                           "parts": [0], "z": [z]})
+        elif rtype == 8:
+            if len(body) < 40:
+                return None
+            (npts,) = struct.unpack("<i", body[36:40])
+            need = 40 + 16 * npts
+            if npts < 0 or len(body) < need:
+                return None
+            pts = list(struct.iter_unpack("<2d", body[40:need]))
+            shapes.append({"num": num, "type": 8, "points": pts,
+                           "parts": [0]})
+        else:  # 3 / 5
+            if len(body) < 44:
+                return None
+            nparts, npts = struct.unpack("<ii", body[36:44])
+            need = 44 + 4 * nparts + 16 * npts
+            if nparts <= 0 or npts < 0 or len(body) < need:
+                return None
+            parts = list(struct.unpack(
+                f"<{nparts}i", body[44 : 44 + 4 * nparts]))
+            if parts[0] != 0 or parts != sorted(parts) or any(
+                    p > npts for p in parts):
+                return None
+            pts = list(struct.iter_unpack(
+                "<2d", body[44 + 4 * nparts : need]))
+            shapes.append({"num": num, "type": rtype, "points": pts,
+                           "parts": parts})
+        pos += 8 + clen_words * 2
+    return {"shape_type": shape_type, "bbox": bbox, "shapes": shapes}
+
+
+def ring_area(points: "list[tuple[float, float]]") -> float:
+    """Signed shoelace area of one ring (shapefile polygon rings are
+    clockwise for outer rings -> negative shoelace; callers take abs
+    or use the sign for hole detection)."""
+    s = 0.0
+    n = len(points)
+    for i in range(n):
+        x1, y1 = points[i]
+        x2, y2 = points[(i + 1) % n]
+        s += x1 * y2 - x2 * y1
+    return s / 2.0

@@ -1,0 +1,123 @@
+"""ESRI Shapefile reader (sources/shapefile.py): round-trip fuzz across
+all supported shape types, golden header pin, shoelace area, refusals,
+and bit-flip/garbage robustness."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources import shapefile as shp
+
+
+def _shapes(rnd, stype, n):
+    out = []
+    for k in range(n):
+        if rnd.random() < 0.15:
+            out.append(None)  # null shape interleaved
+        elif stype == 1:
+            out.append((rnd.uniform(-180, 180), rnd.uniform(-90, 90)))
+        elif stype == 11:
+            out.append((rnd.uniform(-1e4, 1e4), rnd.uniform(-1e4, 1e4),
+                        rnd.uniform(-100, 100)))
+        elif stype == 8:
+            out.append([(rnd.uniform(0, 100), rnd.uniform(0, 100))
+                        for _ in range(rnd.randint(1, 8))])
+        else:
+            out.append([
+                [(rnd.uniform(0, 100), rnd.uniform(0, 100))
+                 for _ in range(rnd.randint(2, 6))]
+                for _ in range(rnd.randint(1, 3))
+            ])
+    return out
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 9999), n=st.integers(1, 20),
+       stype=st.sampled_from([1, 3, 5, 8, 11]))
+def test_fuzz_shp_roundtrip(seed, n, stype):
+    rnd = random.Random(seed)
+    shapes = _shapes(rnd, stype, n)
+    d = shp.decode_shp(shp.encode_shp(shapes, stype))
+    assert d is not None and d["shape_type"] == stype
+    assert len(d["shapes"]) == n
+    for src, got in zip(shapes, d["shapes"]):
+        if src is None:
+            assert got["type"] == 0 and got["points"] == []
+        elif stype in (1, 11):
+            assert got["points"] == [tuple(src[:2])]
+            if stype == 11:
+                assert got["z"] == [src[2]]
+        elif stype == 8:
+            assert got["points"] == src
+        else:
+            flat = [p for part in src for p in part]
+            assert got["points"] == flat
+            starts, acc = [], 0
+            for part in src:
+                starts.append(acc)
+                acc += len(part)
+            assert got["parts"] == starts
+
+
+def test_shp_golden_header_layout():
+    """Pin the mixed-endian header: file code 9994 BIG-endian at 0,
+    file length in 16-bit words BIG-endian at 24, version 1000
+    LITTLE-endian at 28, bbox doubles at 36."""
+    enc = shp.encode_shp([(3.0, 4.0)], 1)
+    assert struct.unpack(">i", enc[:4])[0] == 9994
+    assert struct.unpack(">i", enc[24:28])[0] * 2 == len(enc)
+    assert struct.unpack("<ii", enc[28:36]) == (1000, 1)
+    assert struct.unpack("<4d", enc[36:68]) == (3.0, 4.0, 3.0, 4.0)
+    # record header: number 1, 10 words (4 type + 16 point)
+    assert struct.unpack(">ii", enc[100:108]) == (1, 10)
+
+
+def test_shp_ring_area_and_holes():
+    sq = [(0, 0), (0, 2), (2, 2), (2, 0), (0, 0)]  # clockwise
+    assert abs(shp.ring_area(sq)) == 4.0
+    assert shp.ring_area(sq) == -4.0  # cw negative (shapefile outer)
+    assert shp.ring_area(list(reversed(sq))) == 4.0  # ccw positive
+
+
+def test_shp_refusals():
+    enc = shp.encode_shp([[(0, 0), (1, 1), (2, 0)]], 8)
+    assert shp.decode_shp(b"short") is None
+    assert shp.decode_shp(enc[:-5]) is None  # declared-length mismatch
+    b = bytearray(enc)
+    b[32] = 31  # MultiPatch: unsupported
+    assert shp.decode_shp(bytes(b)) is None
+    # mixed shape types (record disagrees with header) refuse
+    p = shp.encode_shp([(1.0, 2.0)], 1)
+    b = bytearray(p)
+    b[32] = 11  # header claims PointZ, record says Point
+    b[24:28] = struct.pack(">i", len(p) // 2)
+    assert shp.decode_shp(bytes(b)) is None
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31 - 1), nflip=st.integers(1, 8))
+def test_fuzz_shp_survives_bit_flips(seed, nflip):
+    rnd = random.Random(seed)
+    stype = rnd.choice([1, 3, 5, 8, 11])
+    enc = bytearray(shp.encode_shp(_shapes(rnd, stype, 6), stype))
+    for _ in range(nflip):
+        enc[rnd.randrange(len(enc))] ^= 1 << rnd.randrange(8)
+    out = shp.decode_shp(bytes(enc))
+    assert out is None or isinstance(out, dict)
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.binary(min_size=0, max_size=2000))
+def test_fuzz_shp_garbage_never_crashes(data):
+    hdr = struct.pack(">i5ii", 9994, 0, 0, 0, 0, 0,
+                      (100 + len(data)) // 2) + struct.pack("<ii", 1000, 5)
+    blob = hdr + struct.pack("<4d", 0, 0, 1, 1) + data
+    out = shp.decode_shp(blob)
+    assert out is None or isinstance(out, dict)

@@ -33,6 +33,7 @@ def test_sniff_mime(spark):
             ("i.zst", b"\x28\xb5\x2f\xfd" + bytes(16)),
             ("j.aiff", b"FORM\x00\x00\x00\x20AIFFCOMM" + bytes(8)),
             ("k.form", b"FORM\x00\x00\x00\x20XXXX" + bytes(8)),
+            ("l.shp", b"\x00\x00\x27\x0a" + bytes(96)),
         ],
     )
     got = dict(
@@ -50,6 +51,7 @@ def test_sniff_mime(spark):
         "i.zst": "application/zstd",
         "j.aiff": "audio/aiff",
         "k.form": "application/octet-stream",
+        "l.shp": "application/x-shapefile",
     }
 
 
