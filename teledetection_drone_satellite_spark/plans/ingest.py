@@ -2943,6 +2943,94 @@ def html_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "epub_text_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 2 + doc_id % 4 AS n_chaps
+        FROM documents WHERE doc_id < 100
+    ),
+    sp AS (
+        SELECT doc_id, n_chaps, CAST(c.i AS INT) AS c,
+               CAST((c.i + doc_id) % n_chaps AS INT) AS k
+        FROM spec, LATERAL unnest(range(0, n_chaps)) c(i)
+    ),
+    ln AS (
+        SELECT doc_id, n_chaps, c, k, j.i AS j,
+               repeat('doc ' || CAST(doc_id AS VARCHAR) || ' chap '
+                      || CAST(k AS VARCHAR) || ' line '
+                      || CAST(j.i AS VARCHAR) || ';',
+                      1 + (doc_id + k + j.i) % 2) AS line
+        FROM sp, LATERAL unnest(range(0, 1 + (doc_id + k) % 3)) j(i)
+    ),
+    chap AS (
+        SELECT doc_id, n_chaps, c,
+               string_agg(line, chr(10) ORDER BY j) AS text
+        FROM ln GROUP BY doc_id, n_chaps, c
+    )
+    SELECT doc_id,
+           CAST(min(n_chaps) AS INT) AS n_chapters,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           string_agg(substr(sha256(text), 1, 8), '' ORDER BY c)
+               AS chapter_digest
+    FROM chap GROUP BY doc_id
+    """,
+    doc="EPUB text extraction, graded (r11 — the dominant long-form "
+    "book format in open training corpora; an OCF zip composing the "
+    "archive and HTML layers already in this engine): per doc "
+    "synth_epub writes a complete container — STORED mimetype member, "
+    "META-INF/container.xml -> OPF, manifest id->href map, spine "
+    "DELIBERATELY rotated against zip member order — and "
+    "extract_epub_text walks that chain, running each XHTML chapter "
+    "through extract_html_text. The oracle regenerates chapter text "
+    "in SPINE order and compares an ORDERED per-chapter sha256 digest "
+    "chain, so an extractor reading members in archive order (or "
+    "missing the container/manifest indirection) flips the string.",
+    tags=("ingest", "multimodal", "corpus"),
+)
+def epub_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.epub import extract_epub_text, synth_epub
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                blob, _ = synth_epub(i)
+                chaps = extract_epub_text(blob)
+                digest = "".join(
+                    hashlib.sha256(t.encode()).hexdigest()[:8]
+                    for t in chaps
+                )
+                rows.append(
+                    (i, len(chaps), sum(len(t) for t in chaps), digest)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_chapters", "total_chars",
+                         "chapter_digest"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_chapters int, total_chars long, "
+        "chapter_digest string",
+    )
+
+
+@register(
     "shapefile_geom_stats",
     oracle="""
     WITH spec AS (

@@ -1,0 +1,151 @@
+"""EPUB text extraction — pure stdlib (zipfile + the html/xml layers
+already in this package), from the public EPUB 3 / OCF specifications.
+
+EPUB is the dominant long-form book format in open training corpora
+(Project Gutenberg, Standard Ebooks, archive.org collections); it is an
+OCF zip container: a stored `mimetype` member, `META-INF/container.xml`
+naming the OPF package document, and an OPF whose <manifest> maps ids
+to chapter hrefs and whose <spine> gives READING ORDER (zip member
+order is arbitrary and real books scramble it).  This module walks that
+chain and runs each XHTML chapter through sources/html.py's
+extract_html_text, so every HTML rule (skip subtrees, entities, block
+breaks, collapse) applies per chapter.
+
+Refusals (None): not a zip, wrong/missing mimetype member, missing
+container.xml/OPF, spine idrefs without manifest entries, or chapter
+hrefs missing from the archive — the honest-fallback contract every
+decoder here shares.  The synthesizer writes complete EPUBs
+independently of the parser with the spine DELIBERATELY rotated against
+zip order, so an extractor that reads members in archive order fails
+the graded round-trip (plans/ingest.py epub_text_stats)."""
+
+from __future__ import annotations
+
+import io
+import posixpath
+import re
+import zipfile
+
+from .html import extract_html_text
+
+_ROOTFILE = re.compile(
+    rb'<rootfile[^>]*full-path="([^"]+)"[^>]*>')
+_ITEM = re.compile(
+    rb'<item\s[^>]*>')
+_ATTR = re.compile(rb'([\w-]+)="([^"]*)"')
+_IDREF = re.compile(rb'<itemref[^>]*idref="([^"]+)"')
+
+
+def synth_epub(doc_id: int) -> "tuple[bytes, list[str]]":
+    """Deterministic fixture EPUB plus the per-chapter text its
+    extraction must yield (spine order).  Closed form (mirrored by the
+    epub_text_stats oracle):
+
+        n_chaps  = 2 + doc_id % 4
+        spine[c] = chapter (c + doc_id) % n_chaps   (rotated vs zip order)
+        chapter k lines: 1 + (doc_id + k) % 3 lines,
+        line[j] = repeat('doc {i} chap {k} line {j};', 1 + (i+k+j) % 2)
+    """
+    i = int(doc_id)
+    n_chaps = 2 + i % 4
+    chap_lines = []
+    for k in range(n_chaps):
+        n_lines = 1 + (i + k) % 3
+        chap_lines.append([
+            ("doc %d chap %d line %d;" % (i, k, j)) * (1 + (i + k + j) % 2)
+            for j in range(n_lines)
+        ])
+    spine = [(c + i) % n_chaps for c in range(n_chaps)]
+    expected = ["\n".join(chap_lines[k]) for k in spine]
+
+    manifest = "".join(
+        '<item id="ch%d" href="text/chap_%d.xhtml" '
+        'media-type="application/xhtml+xml"/>' % (k, k)
+        for k in range(n_chaps)
+    )
+    spine_xml = "".join('<itemref idref="ch%d"/>' % k for k in spine)
+    opf = (
+        '<?xml version="1.0"?>\n'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="3.0">'
+        "<metadata><dc:title>decoy title %d</dc:title></metadata>"
+        "<manifest>%s</manifest><spine>%s</spine></package>"
+        % (i, manifest, spine_xml)
+    )
+    container = (
+        '<?xml version="1.0"?>\n'
+        '<container version="1.0" '
+        'xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+        '<rootfiles><rootfile full-path="OEBPS/content.opf" '
+        'media-type="application/oebps-package+xml"/></rootfiles>'
+        "</container>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        # OCF: mimetype FIRST and STORED (uncompressed)
+        zf.writestr(
+            zipfile.ZipInfo("mimetype"), b"application/epub+zip",
+            compress_type=zipfile.ZIP_STORED)
+        zf.writestr("META-INF/container.xml", container)
+        zf.writestr("OEBPS/content.opf", opf)
+        for k, lines in enumerate(chap_lines):
+            body = "".join("<p>%s</p>\n" % ln for ln in lines)
+            xhtml = (
+                '<?xml version="1.0" encoding="utf-8"?>\n'
+                '<html xmlns="http://www.w3.org/1999/xhtml">'
+                "<head><title>decoy chap %d</title>"
+                "<style>p{margin:0}</style></head>"
+                "<body><section>%s</section></body></html>" % (k, body)
+            )
+            zf.writestr("OEBPS/text/chap_%d.xhtml" % k, xhtml)
+    return buf.getvalue(), expected
+
+
+def extract_epub_text(content: bytes) -> "list[str] | None":
+    """Extract per-chapter text in SPINE order (one string per chapter,
+    lines newline-joined) or None outside scope — module docstring."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(content))
+    except (zipfile.BadZipFile, ValueError):
+        return None
+    try:
+        return _walk(zf)
+    except Exception:
+        # corrupted members surface as BadZipFile, zlib.error, EOFError,
+        # NotImplementedError (exotic compress types), ...: refuse, the
+        # same never-crash contract the archive fan-out holds
+        return None
+    finally:
+        zf.close()
+
+
+def _walk(zf: "zipfile.ZipFile") -> "list[str] | None":
+    names = set(zf.namelist())
+    if "mimetype" not in names:
+        return None
+    if zf.read("mimetype").strip() != b"application/epub+zip":
+        return None
+    if "META-INF/container.xml" not in names:
+        return None
+    m = _ROOTFILE.search(zf.read("META-INF/container.xml"))
+    if not m:
+        return None
+    opf_path = m.group(1).decode("utf-8")
+    if opf_path not in names:
+        return None
+    opf = zf.read(opf_path)
+    opf_dir = posixpath.dirname(opf_path)
+    hrefs: "dict[bytes, str]" = {}
+    for im in _ITEM.finditer(opf):
+        attrs = dict(_ATTR.findall(im.group(0)))
+        if b"id" in attrs and b"href" in attrs:
+            hrefs[attrs[b"id"]] = attrs[b"href"].decode("utf-8")
+    out = []
+    for sm in _IDREF.finditer(opf):
+        href = hrefs.get(sm.group(1))
+        if href is None:
+            return None  # spine names an unmanifested id
+        path = posixpath.normpath(posixpath.join(opf_dir, href))
+        if path not in names:
+            return None
+        out.append(extract_html_text(zf.read(path)))
+    return out if out else None

@@ -1,0 +1,94 @@
+"""EPUB text extraction (sources/epub.py): synth round-trip fuzz,
+spine-vs-zip-order pin, OCF refusals, bit-flip/garbage robustness."""
+
+from __future__ import annotations
+
+import io
+import random
+import zipfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.epub import (
+    extract_epub_text,
+    synth_epub,
+)
+
+
+@given(doc_id=st.integers(0, 99999))
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_fuzz_synth_roundtrip(doc_id):
+    blob, expected = synth_epub(doc_id)
+    assert extract_epub_text(blob) == expected
+
+
+def test_epub_spine_order_not_zip_order():
+    """doc_id=1 rotates the spine by one: chapter order must follow the
+    spine, not the archive member order."""
+    blob, expected = synth_epub(1)  # n_chaps=3, spine=[1,2,0]
+    got = extract_epub_text(blob)
+    assert got == expected
+    assert "chap 1" in got[0] and "chap 0" in got[-1]
+
+
+def test_epub_refusals():
+    blob, _ = synth_epub(7)
+    assert extract_epub_text(b"not a zip") is None
+    # wrong mimetype payload
+    assert extract_epub_text(
+        blob.replace(b"application/epub+zip", b"application/epub+xxx")
+    ) is None
+    # missing container.xml
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+    assert extract_epub_text(buf.getvalue()) is None
+    # spine idref without a manifest item
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+        zf.writestr(
+            "META-INF/container.xml",
+            '<container><rootfiles><rootfile full-path="p.opf"/>'
+            "</rootfiles></container>")
+        zf.writestr(
+            "p.opf",
+            '<package><manifest></manifest>'
+            '<spine><itemref idref="ghost"/></spine></package>')
+    assert extract_epub_text(buf.getvalue()) is None
+    # manifest href missing from the archive
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+        zf.writestr(
+            "META-INF/container.xml",
+            '<container><rootfiles><rootfile full-path="p.opf"/>'
+            "</rootfiles></container>")
+        zf.writestr(
+            "p.opf",
+            '<package><manifest>'
+            '<item id="c" href="gone.xhtml"/></manifest>'
+            '<spine><itemref idref="c"/></spine></package>')
+    assert extract_epub_text(buf.getvalue()) is None
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31 - 1), nflip=st.integers(1, 8))
+def test_fuzz_epub_survives_bit_flips(seed, nflip):
+    rnd = random.Random(seed)
+    blob = bytearray(synth_epub(seed % 500)[0])
+    for _ in range(nflip):
+        blob[rnd.randrange(len(blob))] ^= 1 << rnd.randrange(8)
+    out = extract_epub_text(bytes(blob))
+    assert out is None or isinstance(out, list)
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.binary(min_size=0, max_size=2000))
+def test_fuzz_epub_garbage_never_crashes(data):
+    out = extract_epub_text(b"PK\x03\x04" + data)
+    assert out is None or isinstance(out, list)
