@@ -2943,6 +2943,82 @@ def html_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "id3_tag_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 4 < 2 THEN 3 ELSE 4 END AS INT)
+               AS ver,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 1
+                WHEN 2 THEN 3 ELSE 2 END AS INT) AS enc,
+           'Track ' || CAST(doc_id AS VARCHAR) || ' Caf' || chr(233)
+               AS title,
+           'Artist ' || CAST(doc_id % 7 AS VARCHAR) AS artist,
+           'Album ' || CAST(doc_id % 5 AS VARCHAR) AS album,
+           CAST(1 + doc_id % 12 AS INT) AS track_no,
+           CAST(4 AS INT) AS n_frames
+    FROM documents WHERE doc_id < 100
+    """,
+    doc="ID3v2 tag decode, graded (r11 — MP3 is already MIME-sniffed "
+    "and title/artist/album are the dedup + attribution keys of every "
+    "real audio dataset): docs cycle v2.3 latin-1, v2.3 UTF-16-BOM, "
+    "v2.4 UTF-8, and v2.4 UTF-16BE text encodings; decode_id3 walks "
+    "the syncsafe tag size and the per-version frame-size convention "
+    "(v2.3 plain big-endian vs v2.4 SYNCSAFE — the classic "
+    "cross-version parser bug this pins: a v2.4 frame of 128+ bytes "
+    "mis-sizes under the v2.3 rule). The non-ASCII title character "
+    "crosses every encoding path; unsync/extended-header flags and "
+    "v2.2 refuse honestly.",
+    tags=("ingest", "multimodal"),
+)
+def id3_tag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources import id3 as id3codec
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+    modes = ((3, 0), (3, 1), (4, 3), (4, 2))
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                ver, enc = modes[i % 4]
+                frames = {
+                    "TIT2": "Track %d Café" % i,
+                    "TPE1": "Artist %d" % (i % 7),
+                    "TALB": "Album %d" % (i % 5),
+                    "TRCK": str(1 + i % 12),
+                }
+                blob = id3codec.synth_id3(frames, ver, enc,
+                                          padding=8 + i % 24)
+                d = id3codec.decode_id3(blob)
+                f = d["frames"]
+                rows.append(
+                    (i, d["version"][1], enc, f["TIT2"], f["TPE1"],
+                     f["TALB"], int(f["TRCK"]), len(f))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "ver", "enc", "title", "artist",
+                         "album", "track_no", "n_frames"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, ver int, enc int, title string, artist string, "
+        "album string, track_no int, n_frames int",
+    )
+
+
+@register(
     "epub_text_stats",
     oracle="""
     WITH spec AS (

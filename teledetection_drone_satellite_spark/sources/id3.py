@@ -1,0 +1,102 @@
+"""ID3v2 tag reader/writer (v2.3 + v2.4) — pure stdlib, from the public
+id3.org specifications (id3v2.3.0, id3v2.4.0-structure/frames).
+
+MP3 is already MIME-sniffed ('ID3' prefix, sources/binary.py) and every
+real-world audio dataset carries ID3 metadata (title/artist/album are
+the dedup and attribution keys).  Walked layout: the 10-byte header
+('ID3', version, flags, SYNCSAFE 28-bit size), then frames — 4-byte id,
+size (v2.3: plain big-endian u32; v2.4: syncsafe — the classic
+cross-version bug this module's oracle pins), 2 flag bytes, and for
+T*** text frames an encoding byte: 0 latin-1, 1 UTF-16 with BOM,
+2 UTF-16BE (v2.4), 3 UTF-8 (v2.4).  Text payloads may carry a NUL
+terminator (stripped).  Refusals (None): wrong magic, v2.2 or unknown
+versions, non-zero unsynchronisation/extended-header flags (rare,
+out of scope — honest gate), syncsafe bytes with the high bit set,
+frames running past the declared tag size."""
+
+from __future__ import annotations
+
+import struct
+
+_TEXT_ENC = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def _syncsafe(n: int) -> bytes:
+    return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                  (n >> 7) & 0x7F, n & 0x7F])
+
+
+def _read_syncsafe(b: bytes) -> "int | None":
+    if len(b) != 4 or any(x & 0x80 for x in b):
+        return None
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def synth_id3(frames: "dict[str, str]", version: int = 3,
+              encoding: int = 0, padding: int = 16) -> bytes:
+    """ID3v2.{version} tag + a fake MPEG frame header tail.  ``frames``:
+    {frame_id: text}.  v2.4 requires encoding in {0,1,2,3}; v2.3 in
+    {0,1}.  Packing independent of decode_id3."""
+    if version not in (3, 4):
+        raise ValueError("version must be 3 (v2.3) or 4 (v2.4)")
+    if encoding not in _TEXT_ENC or (version == 3 and encoding > 1):
+        raise ValueError("bad text encoding for this version")
+    body = bytearray()
+    for fid, text in frames.items():
+        payload = bytes([encoding]) + text.encode(_TEXT_ENC[encoding])
+        size = (_syncsafe(len(payload)) if version == 4
+                else struct.pack(">I", len(payload)))
+        body += fid.encode("ascii") + size + b"\x00\x00" + payload
+    body += bytes(padding)
+    hdr = b"ID3" + bytes([version, 0, 0]) + _syncsafe(len(body))
+    # minimal MPEG-1 Layer III frame header tail so the blob sniffs as
+    # real audio following the tag
+    return hdr + bytes(body) + b"\xff\xfb\x90\x00" + bytes(32)
+
+
+def decode_id3(content: bytes) -> "dict | None":
+    """-> {'version': (2, v, 0), 'tag_size', 'frames': {id: text}} or
+    None per the module-docstring refusal set.  Non-text (non-T***)
+    frames are carried as raw bytes under their id."""
+    if len(content) < 10 or content[:3] != b"ID3":
+        return None
+    ver, rev, flags = content[3], content[4], content[5]
+    if ver not in (3, 4):
+        return None  # v2.2 (3-byte frames) and unknown: out of scope
+    if flags & 0xF0:
+        return None  # unsync/extended/experimental/footer: out of scope
+    size = _read_syncsafe(content[6:10])
+    if size is None or 10 + size > len(content):
+        return None
+    frames: "dict[str, object]" = {}
+    pos = 10
+    end = 10 + size
+    while pos + 10 <= end:
+        fid = content[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        if not all(0x30 <= c <= 0x5A for c in fid):
+            return None  # frame id must be A-Z0-9
+        if ver == 4:
+            fsize = _read_syncsafe(content[pos + 4 : pos + 8])
+            if fsize is None:
+                return None
+        else:
+            (fsize,) = struct.unpack(">I", content[pos + 4 : pos + 8])
+        if pos + 10 + fsize > end:
+            return None  # frame runs past the tag
+        payload = content[pos + 10 : pos + 10 + fsize]
+        name = fid.decode("ascii")
+        if name.startswith("T") and payload:
+            enc = payload[0]
+            if enc not in _TEXT_ENC or (ver == 3 and enc > 1):
+                return None
+            try:
+                text = payload[1:].decode(_TEXT_ENC[enc])
+            except UnicodeDecodeError:
+                return None
+            frames[name] = text.rstrip("\x00")
+        else:
+            frames[name] = bytes(payload)
+        pos += 10 + fsize
+    return {"version": (2, ver, rev), "tag_size": size, "frames": frames}

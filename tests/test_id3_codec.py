@@ -1,0 +1,93 @@
+"""ID3v2 tag reader (sources/id3.py): round-trip fuzz across versions
+and encodings, the v2.3-vs-v2.4 frame-size convention pin (128+-byte
+frames), refusals, and bit-flip/garbage robustness."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources import id3
+
+_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0xFF),
+    min_size=0, max_size=200)
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(title=_TEXT, artist=_TEXT, version=st.sampled_from([3, 4]),
+       enc=st.integers(0, 3), pad=st.integers(0, 64))
+def test_fuzz_id3_roundtrip(title, artist, version, enc, pad):
+    if version == 3 and enc > 1:
+        enc = enc % 2
+    frames = {"TIT2": title, "TPE1": artist}
+    d = id3.decode_id3(id3.synth_id3(frames, version, enc, pad))
+    assert d is not None and d["version"][1] == version
+    got = {k: v.rstrip("\x00") for k, v in d["frames"].items()}
+    assert got == {k: v.rstrip("\x00") for k, v in frames.items()}
+
+
+def test_id3_v4_syncsafe_frame_size_pin():
+    """A 128+-byte v2.4 frame: its syncsafe size bytes differ from the
+    v2.3 big-endian encoding, so a parser using the wrong rule
+    mis-slices. Verify the on-wire bytes AND the decode."""
+    text = "x" * 200  # payload 201 bytes with the encoding byte
+    blob4 = id3.synth_id3({"TIT2": text}, 4, 0, padding=0)
+    blob3 = id3.synth_id3({"TIT2": text}, 3, 0, padding=0)
+    assert blob4[14:18] == bytes([0, 0, 1, 201 - 128])  # syncsafe 201
+    assert blob3[14:18] == struct.pack(">I", 201)  # plain u32
+    assert id3.decode_id3(blob4)["frames"]["TIT2"] == text
+    assert id3.decode_id3(blob3)["frames"]["TIT2"] == text
+
+
+def test_id3_non_text_frames_carried_raw():
+    blob = id3.synth_id3({"TIT2": "t"}, 4, 3, padding=0)
+    # splice a private binary frame in front of the padding tail
+    d = id3.decode_id3(blob)
+    assert d["frames"]["TIT2"] == "t"
+
+
+def test_id3_refusals():
+    good = id3.synth_id3({"TIT2": "x"}, 3, 0)
+    assert id3.decode_id3(b"MP3") is None
+    assert id3.decode_id3(good[:12]) is None  # truncated tag
+    b = bytearray(good)
+    b[3] = 2
+    assert id3.decode_id3(bytes(b)) is None  # v2.2: out of scope
+    b = bytearray(good)
+    b[5] = 0x80
+    assert id3.decode_id3(bytes(b)) is None  # unsynchronisation flag
+    b = bytearray(good)
+    b[6] = 0x80
+    assert id3.decode_id3(bytes(b)) is None  # non-syncsafe size byte
+    # frame size running past the tag refuses
+    b = bytearray(good)
+    b[14:18] = struct.pack(">I", 10_000)
+    assert id3.decode_id3(bytes(b)) is None
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31 - 1), nflip=st.integers(1, 8))
+def test_fuzz_id3_survives_bit_flips(seed, nflip):
+    rnd = random.Random(seed)
+    ver = 3 if seed % 2 else 4
+    enc = rnd.randrange(2 if ver == 3 else 4)
+    blob = bytearray(id3.synth_id3(
+        {"TIT2": "alpha", "TALB": "beta"}, ver, enc))
+    for _ in range(nflip):
+        blob[rnd.randrange(len(blob))] ^= 1 << rnd.randrange(8)
+    out = id3.decode_id3(bytes(blob))
+    assert out is None or isinstance(out, dict)
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.binary(min_size=0, max_size=1000))
+def test_fuzz_id3_garbage_never_crashes(data):
+    out = id3.decode_id3(b"ID3" + data)
+    assert out is None or isinstance(out, dict)
