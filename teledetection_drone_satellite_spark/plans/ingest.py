@@ -2943,6 +2943,100 @@ def html_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "subtitle_cue_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 3 + doc_id % 6 AS n_cues
+        FROM documents WHERE doc_id < 100
+    ),
+    cue AS (
+        SELECT doc_id, n_cues, CAST(c.i AS INT) AS k,
+               (doc_id + 2 * c.i) * 1500 AS start_ms,
+               700 + ((doc_id + c.i) % 4) * 250 AS dur
+        FROM spec, LATERAL unnest(range(0, n_cues)) c(i)
+    ),
+    txt AS (
+        SELECT doc_id, n_cues, k, start_ms, dur,
+               string_agg('doc ' || CAST(doc_id AS VARCHAR) || ' cue '
+                          || CAST(k AS VARCHAR) || ' line '
+                          || CAST(j.i AS VARCHAR) || ';',
+                          chr(10) ORDER BY j.i) AS text
+        FROM cue,
+             LATERAL unnest(range(0, 1 + (doc_id + k) % 2)) j(i)
+        GROUP BY doc_id, n_cues, k, start_ms, dur
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 1 THEN 'vtt' ELSE 'srt' END AS fmt,
+           CAST(min(n_cues) AS INT) AS n_cues,
+           CAST(sum(dur) AS BIGINT) AS total_dur_ms,
+           CAST(min(start_ms) AS BIGINT) AS first_start_ms,
+           CAST(max(start_ms + dur) AS BIGINT) AS last_end_ms,
+           string_agg(substr(sha256(text), 1, 8), '' ORDER BY k)
+               AS cue_digest
+    FROM txt GROUP BY doc_id
+    """,
+    doc="SubRip + WebVTT subtitle parsing, graded (r11 — the TEXT "
+    "channel of every captioned video dataset, the aligned sibling of "
+    "the MJPEG frame-sampling tier): even docs write SRT (comma "
+    "timestamps, numbered blocks), odd docs WebVTT with a NOTE decoy "
+    "block, cue identifier lines, trailing cue settings, and <v>/<i> "
+    "markup tags the parser must strip. The oracle regenerates cue "
+    "timing (millisecond clock math crossing the hour boundary for "
+    "late cues) and text, comparing an ORDERED per-cue sha256 digest "
+    "chain plus duration sums, so a timestamp-field, block-split, or "
+    "tag-strip bug flips the row.",
+    tags=("ingest", "multimodal", "corpus"),
+)
+def subtitle_cue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.subtitles import parse_subtitles, synth_subtitles
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                blob, _ = synth_subtitles(i)
+                cues = parse_subtitles(blob)
+                digest = "".join(
+                    hashlib.sha256(t.encode()).hexdigest()[:8]
+                    for _, _, t in cues
+                )
+                rows.append(
+                    (
+                        i, "vtt" if i % 2 else "srt", len(cues),
+                        sum(e - s for s, e, _ in cues),
+                        min(s for s, _, _ in cues),
+                        max(e for _, e, _ in cues),
+                        digest,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "fmt", "n_cues", "total_dur_ms",
+                         "first_start_ms", "last_end_ms", "cue_digest"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, fmt string, n_cues int, total_dur_ms long, "
+        "first_start_ms long, last_end_ms long, cue_digest string",
+    )
+
+
+@register(
     "id3_tag_stats",
     oracle="""
     SELECT doc_id,

@@ -1,0 +1,140 @@
+"""SubRip (.srt) and WebVTT (.vtt) subtitle parsing — pure stdlib, from
+the public SubRip conventions and the W3C WebVTT specification.
+
+Subtitles are the TEXT channel of every video training set (captioned
+clip corpora, ASR transcripts); the engine's video tier (MJPEG demux,
+frame sampling) needs the aligned-text sibling.  Parsed layout:
+
+  SRT: numbered cue blocks — index line, 'HH:MM:SS,mmm --> HH:MM:SS,mmm'
+  (comma decimal separator), text lines until a blank line.
+  WebVTT: 'WEBVTT' signature, optional metadata header lines, NOTE and
+  STYLE/REGION blocks (skipped whole), optional cue identifier line,
+  'HH:MM:SS.mmm --> HH:MM:SS.mmm' (dot separator, hours optional) with
+  trailing cue settings (position/align — dropped), text lines.
+
+Both forms strip inline markup tags (<i>, <b>, <c.class>, <v Speaker>)
+from cue text; cue text lines join with a newline.  Returns cues as
+(start_ms, end_ms, text) sorted as they appear; overlapping or
+out-of-order cues are carried verbatim (real files contain both).
+Refusals (None): neither a WEBVTT signature nor any parseable SRT cue,
+or a timestamp line whose fields don't parse — the honest-fallback
+contract every decoder here shares."""
+
+from __future__ import annotations
+
+import re
+
+_TS_SRT = re.compile(
+    r"(\d{1,2}):(\d{2}):(\d{2}),(\d{3})\s*-->\s*"
+    r"(\d{1,2}):(\d{2}):(\d{2}),(\d{3})")
+_TS_VTT = re.compile(
+    r"(?:(\d{1,2}):)?(\d{2}):(\d{2})\.(\d{3})\s*-->\s*"
+    r"(?:(\d{1,2}):)?(\d{2}):(\d{2})\.(\d{3})")
+_TAG = re.compile(r"</?[^>]*>")
+
+
+def _ms(h, m, s, ms) -> int:
+    return ((int(h or 0) * 60 + int(m)) * 60 + int(s)) * 1000 + int(ms)
+
+
+def parse_subtitles(content: "str | bytes") -> "list[tuple] | None":
+    """-> [(start_ms, end_ms, text), ...] or None; format auto-detected
+    (WEBVTT signature vs SRT cue shape)."""
+    if isinstance(content, bytes):
+        if content[:3] == b"\xef\xbb\xbf":
+            content = content[3:]
+        content = content.decode("utf-8", errors="replace")
+    lines = content.split("\n")
+    is_vtt = bool(lines) and lines[0].strip().startswith("WEBVTT")
+    ts_re = _TS_VTT if is_vtt else _TS_SRT
+    cues: "list[tuple]" = []
+    k = 1 if is_vtt else 0
+    n = len(lines)
+    while k < n:
+        line = lines[k].strip()
+        if not line:
+            k += 1
+            continue
+        if is_vtt and (line.startswith("NOTE") or line == "STYLE"
+                       or line == "REGION"):
+            k += 1
+            while k < n and lines[k].strip():
+                k += 1  # skip the block to its blank-line end
+            continue
+        m = ts_re.search(lines[k])
+        if m is None:
+            # cue identifier (VTT) or cue index (SRT): the timing line
+            # must follow immediately
+            if k + 1 < n and ts_re.search(lines[k + 1]):
+                k += 1
+                m = ts_re.search(lines[k])
+            elif is_vtt and not cues and "-->" not in lines[k]:
+                k += 1  # VTT header metadata line
+                continue
+            else:
+                return None  # malformed cue block
+        g = m.groups()
+        start, end = _ms(*g[:4]), _ms(*g[4:])
+        k += 1
+        text_lines = []
+        while k < n and lines[k].strip():
+            text_lines.append(_TAG.sub("", lines[k]).rstrip())
+            k += 1
+        cues.append((start, end, "\n".join(text_lines)))
+    return cues if cues else None
+
+
+def synth_subtitles(doc_id: int) -> "tuple[bytes, list[tuple]]":
+    """Deterministic fixture (SRT for even docs, WebVTT for odd — the
+    VTT side carries NOTE blocks, cue ids, settings, and markup tags)
+    plus the cues its parse must yield.  Closed form (mirrored by the
+    subtitle_cue_stats oracle):
+
+        n_cues   = 3 + doc_id % 6
+        start[k] = (doc_id + 2 * k) * 1500 ms
+        dur[k]   = 700 + ((doc_id + k) % 4) * 250 ms
+        text[k]  = lines j in range(1 + (doc_id+k) % 2):
+                   'doc {i} cue {k} line {j};'
+    """
+    i = int(doc_id)
+    n_cues = 3 + i % 6
+    vtt = i % 2 == 1
+    cues = []
+    for k in range(n_cues):
+        start = (i + 2 * k) * 1500
+        end = start + 700 + ((i + k) % 4) * 250
+        text = "\n".join(
+            "doc %d cue %d line %d;" % (i, k, j)
+            for j in range(1 + (i + k) % 2)
+        )
+        cues.append((start, end, text))
+
+    def clock(ms: int, sep: str) -> str:
+        h, rem = divmod(ms, 3600_000)
+        m, rem = divmod(rem, 60_000)
+        s, frac = divmod(rem, 1000)
+        return "%02d:%02d:%02d%s%03d" % (h, m, s, sep, frac)
+
+    out = []
+    if vtt:
+        out.append("WEBVTT - decoy title doc %d" % i)
+        out.append("")
+        out.append("NOTE decoy comment %d" % i)
+        out.append("should not appear")
+        out.append("")
+    for k, (start, end, text) in enumerate(cues):
+        if vtt:
+            out.append("cue-%d" % k)  # cue identifier line
+            out.append("%s --> %s align:start position:10%%" % (
+                clock(start, "."), clock(end, ".")))
+            for j, ln in enumerate(text.split("\n")):
+                words = ln.split(" ")
+                out.append("<v Speaker%d>%s <i>%s</i> %s" % (
+                    k, words[0], words[1], " ".join(words[2:])))
+        else:
+            out.append(str(k + 1))
+            out.append("%s --> %s" % (clock(start, ","),
+                                      clock(end, ",")))
+            out.extend(text.split("\n"))
+        out.append("")
+    return "\n".join(out).encode(), cues

@@ -1,0 +1,79 @@
+"""SRT/WebVTT parsing (sources/subtitles.py): synth round-trip fuzz,
+hand cases (hour-crossing clocks, markup strip, NOTE blocks, settings),
+refusals, bit-flip/garbage robustness."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.subtitles import (
+    parse_subtitles,
+    synth_subtitles,
+)
+
+
+@given(doc_id=st.integers(0, 99999))
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_fuzz_synth_roundtrip(doc_id):
+    blob, expected = synth_subtitles(doc_id)
+    assert parse_subtitles(blob) == expected
+
+
+def test_srt_hand_case():
+    srt = (
+        "1\n00:00:01,500 --> 00:00:03,000\nfirst line\nsecond line\n\n"
+        "2\n01:02:03,450 --> 01:02:04,000\nhour crossing\n"
+    )
+    got = parse_subtitles(srt)
+    assert got == [
+        (1500, 3000, "first line\nsecond line"),
+        (3723450, 3724000, "hour crossing"),
+    ]
+
+
+def test_vtt_hand_case():
+    vtt = (
+        "WEBVTT\n"
+        "Kind: captions\n\n"
+        "NOTE a comment\nspanning lines\n\n"
+        "intro\n00:05.000 --> 00:07.250 align:middle\n"
+        "<v Ann>Hello <i>there</i>\n\n"
+        "00:00:59.900 --> 00:01:00.100\n<c.red>wrap</c>\n"
+    )
+    got = parse_subtitles(vtt)
+    assert got == [
+        (5000, 7250, "Hello there"),
+        (59900, 60100, "wrap"),
+    ]
+
+
+def test_subtitle_refusals():
+    assert parse_subtitles(b"just prose, no cues") is None
+    assert parse_subtitles(b"WEBVTT\n\n") is None
+    # timing line with garbled fields refuses
+    assert parse_subtitles(
+        "1\n00:00:xx,000 --> 00:00:01,000\nhi\n") is None
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31 - 1), nflip=st.integers(1, 10))
+def test_fuzz_subtitles_survive_bit_flips(seed, nflip):
+    rnd = random.Random(seed)
+    blob = bytearray(synth_subtitles(seed % 500)[0])
+    for _ in range(nflip):
+        blob[rnd.randrange(len(blob))] ^= 1 << rnd.randrange(8)
+    out = parse_subtitles(bytes(blob))
+    assert out is None or isinstance(out, list)
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.binary(min_size=0, max_size=2000))
+def test_fuzz_subtitles_garbage_never_crashes(data):
+    out = parse_subtitles(data)
+    assert out is None or isinstance(out, list)
