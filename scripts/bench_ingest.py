@@ -1,0 +1,100 @@
+"""Archive fan-out (S2) throughput pin — measured, not guessed.
+
+Synthesizes N archives across the supported kinds (zip/tar.gz/bz2/zst
+when a codec exists), runs sources/binary.explode_archives on
+local[$SPARK_GRAFT_CPUS], and prints ONE JSON line with wall time and
+decompressed MB/s. The fixture bytes are semi-compressible (repeated
+sha256 blocks) so the codecs do real work.
+
+Usage: python scripts/bench_ingest.py [n_archives] [member_kb]
+"""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import hashlib
+import io
+import json
+import os
+import sys
+import tarfile
+import time
+import zipfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from teledetection_drone_satellite_spark.session import get_spark
+from teledetection_drone_satellite_spark.sources import binary
+
+
+def _payload(seed: int, kb: int) -> bytes:
+    block = hashlib.sha256(str(seed).encode()).digest() * 8  # 256 B
+    return (block * (kb * 4))[: kb * 1024]
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    kb = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    zstd = binary.zstd_decompressor()
+    rows = []
+    total_raw = 0
+    for i in range(n):
+        members = [(f"m_{i}_{k}.bin", _payload(i * 7 + k, kb))
+                   for k in range(4)]
+        total_raw += sum(len(d) for _, d in members)
+        kind = i % (4 if zstd is not None else 3)
+        if kind == 0:
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w",
+                                 compression=zipfile.ZIP_DEFLATED) as zf:
+                for nm, d in members:
+                    zf.writestr(nm, d)
+            blob = buf.getvalue()
+        else:
+            tbuf = io.BytesIO()
+            with tarfile.open(fileobj=tbuf, mode="w") as tf:
+                for nm, d in members:
+                    ti = tarfile.TarInfo(nm)
+                    ti.size = len(d)
+                    tf.addfile(ti, io.BytesIO(d))
+            tar = tbuf.getvalue()
+            if kind == 1:
+                blob = gzip.compress(tar, 6)
+            elif kind == 2:
+                blob = bz2.compress(tar, 5)
+            else:
+                import ctypes
+                import ctypes.util
+
+                lib = ctypes.CDLL(ctypes.util.find_library("zstd"))
+                lib.ZSTD_compressBound.restype = ctypes.c_size_t
+                lib.ZSTD_compress.restype = ctypes.c_size_t
+                bound = lib.ZSTD_compressBound(len(tar))
+                out = ctypes.create_string_buffer(bound)
+                sz = lib.ZSTD_compress(out, bound, tar, len(tar), 3)
+                blob = out.raw[:sz]
+        rows.append((f"a_{i}", bytearray(blob)))
+
+    spark = get_spark("bench-ingest")
+    df = spark.createDataFrame(rows, "path string, content binary").repartition(
+        int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    out = binary.explode_archives(df)
+    out.count()  # warm: plan + codegen + first-touch
+    t0 = time.time()
+    got = out.count()
+    wall = time.time() - t0
+    mb = total_raw / 1e6
+    print(json.dumps({
+        "metric": "archive_fanout_throughput",
+        "n_archives": n, "n_members": got, "raw_mb": round(mb, 1),
+        "wall_sec": round(wall, 3),
+        "mb_per_sec": round(mb / wall, 1),
+        "zstd": zstd is not None,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -105,7 +105,9 @@ def extract_epub_text(content: bytes) -> "list[str] | None":
     lines newline-joined) or None outside scope — module docstring."""
     try:
         zf = zipfile.ZipFile(io.BytesIO(content))
-    except (zipfile.BadZipFile, ValueError):
+    except Exception:
+        # BadZipFile, but also NotImplementedError (exotic extract
+        # versions in the central directory) and friends: refuse
         return None
     try:
         return _walk(zf)

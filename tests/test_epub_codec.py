@@ -92,3 +92,41 @@ def test_fuzz_epub_survives_bit_flips(seed, nflip):
 def test_fuzz_epub_garbage_never_crashes(data):
     out = extract_epub_text(b"PK\x03\x04" + data)
     assert out is None or isinstance(out, list)
+
+
+@given(doc_id=st.integers(0, 9999))
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_epub_opf_parse_vs_real_xml_parser(doc_id):
+    """Conformance: the module's regex-based container/OPF walk must
+    agree with a REAL XML parse (stdlib xml.etree, expat/libexpat-
+    backed) on rootfile path, manifest id->href map, and spine order."""
+    import re
+    import xml.etree.ElementTree as ET
+
+    blob, _ = synth_epub(doc_id)
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    container = ET.fromstring(zf.read("META-INF/container.xml"))
+    ns = {"c": "urn:oasis:names:tc:opendocument:xmlns:container"}
+    rootfile = container.find(".//c:rootfile", ns).get("full-path")
+    from teledetection_drone_satellite_spark.sources import epub as mod
+    m = mod._ROOTFILE.search(zf.read("META-INF/container.xml"))
+    assert m and m.group(1).decode() == rootfile
+    opf_raw = zf.read(rootfile)
+    # the synth OPF declares the opf namespace on <package>; etree needs it
+    opf = ET.fromstring(re.sub(rb"<dc:title>.*?</dc:title>", b"", opf_raw))
+    ons = {"o": "http://www.idpf.org/2007/opf"}
+    xml_items = {
+        it.get("id"): it.get("href")
+        for it in opf.findall(".//o:manifest/o:item", ons)
+    }
+    xml_spine = [ir.get("idref")
+                 for ir in opf.findall(".//o:spine/o:itemref", ons)]
+    re_items = {}
+    for im in mod._ITEM.finditer(opf_raw):
+        attrs = dict(mod._ATTR.findall(im.group(0)))
+        re_items[attrs[b"id"].decode()] = attrs[b"href"].decode()
+    re_spine = [s.group(1).decode()
+                for s in mod._IDREF.finditer(opf_raw)]
+    assert re_items == xml_items
+    assert re_spine == xml_spine
