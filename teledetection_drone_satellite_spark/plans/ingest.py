@@ -2943,6 +2943,116 @@ def html_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "warc_text_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 2 + doc_id % 3 AS n_resp
+        FROM documents WHERE doc_id < 100
+    ),
+    resp AS (
+        SELECT doc_id, n_resp, CAST(r.i AS INT) AS r,
+               7 * doc_id + r.i AS m,
+               CASE WHEN (doc_id + r.i) % 3 = 0 THEN 404 ELSE 200 END
+                   AS status
+        FROM spec, LATERAL unnest(range(0, n_resp)) r(i)
+    ),
+    blk AS (
+        SELECT doc_id, n_resp, r, m, status, CAST(b.i AS INT) AS b,
+               repeat('doc ' || CAST(m AS VARCHAR) || ' block '
+                      || CAST(b.i AS VARCHAR) || ' <&' || chr(34)
+                      || CAST(b.i AS VARCHAR) || '>;',
+                      1 + (m + b.i) % 3) AS line
+        FROM resp, LATERAL unnest(range(0, 2 + m % 5)) b(i)
+    ),
+    page AS (
+        SELECT doc_id, n_resp, r, status,
+               string_agg(line, chr(10) ORDER BY b) AS text
+        FROM blk GROUP BY doc_id, n_resp, r, status
+    )
+    SELECT doc_id,
+           CAST(1 + min(n_resp) AS INT) AS n_records,
+           CAST(min(n_resp) AS INT) AS n_responses,
+           CAST(sum(status) AS BIGINT) AS status_sum,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           string_agg(substr(sha256(text), 1, 8), '' ORDER BY r)
+               AS text_digest
+    FROM page GROUP BY doc_id
+    """,
+    doc="WARC web-archive parsing, graded (r11 — THE web-crawl "
+    "container: Common Crawl, the backbone of LLM pretraining "
+    "corpora, ships as .warc.gz; its response payloads are exactly "
+    "what the HTML front door consumes): even docs write plain WARC, "
+    "odd docs the MULTI-MEMBER-gzip layout (one member per record — "
+    "a single-shot gzip decode stops after record one, the classic "
+    "consumer bug these fixtures pin); each file carries a warcinfo "
+    "record plus entity-heavy synth_html response bodies behind real "
+    "HTTP/1.1 message framing with mixed 200/404 statuses. parse_warc "
+    "walks Content-Length-sized payloads and the mandatory CRLF CRLF "
+    "separators, splits the HTTP message, and extract_html_text runs "
+    "per response; the oracle regenerates every page's closed-form "
+    "text and compares an ORDERED per-response sha256 digest chain "
+    "plus the status sum.",
+    tags=("ingest", "multimodal", "corpus"),
+)
+def warc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.html import extract_html_text, synth_html
+    from ..sources.warc import parse_warc, synth_warc
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                n_resp = 2 + i % 3
+                recs = [("warcinfo", "", 0, b"software: synth\r\n")]
+                for r in range(n_resp):
+                    doc, _ = synth_html(7 * i + r)
+                    status = 404 if (i + r) % 3 == 0 else 200
+                    recs.append(
+                        ("response", "http://ex.com/%d/%d" % (i, r),
+                         status, doc.encode())
+                    )
+                got = parse_warc(synth_warc(recs, gz=i % 2 == 1))
+                resp = [g for g in got if g["type"] == "response"]
+                texts = [extract_html_text(g["body"]) for g in resp]
+                digest = "".join(
+                    hashlib.sha256(t.encode()).hexdigest()[:8]
+                    for t in texts
+                )
+                rows.append(
+                    (
+                        i, len(got), len(resp),
+                        sum(g["http_status"] for g in resp),
+                        sum(len(t) for t in texts), digest,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_records", "n_responses",
+                         "status_sum", "total_chars", "text_digest"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_records int, n_responses int, status_sum long, "
+        "total_chars long, text_digest string",
+    )
+
+
+@register(
     "subtitle_cue_stats",
     oracle="""
     WITH spec AS (

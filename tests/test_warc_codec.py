@@ -1,0 +1,102 @@
+"""WARC parsing (sources/warc.py): round-trip fuzz (plain and
+multi-member gzip), the single-shot-gzip consumer-bug pin, HTTP
+message splitting, refusals, bit-flip/garbage robustness."""
+
+from __future__ import annotations
+
+import gzip
+import random
+import zlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.warc import (
+    _gunzip_members,
+    parse_warc,
+    synth_warc,
+)
+
+_BODY = st.binary(min_size=0, max_size=300)
+
+
+def _recs(rnd, n):
+    out = [("warcinfo", "", 0, b"software: synth\r\n")]
+    for r in range(n):
+        out.append((
+            "response", "http://ex.com/%d" % r,
+            rnd.choice([200, 301, 404, 500]),
+            b"<html><body>" + bytes(rnd.randrange(32, 127)
+                                    for _ in range(rnd.randint(0, 200)))
+            .replace(b"<", b".").replace(b">", b".") + b"</body></html>",
+        ))
+    return out
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 9999), n=st.integers(1, 8), gz=st.booleans())
+def test_fuzz_warc_roundtrip(seed, n, gz):
+    rnd = random.Random(seed)
+    recs = _recs(rnd, n)
+    got = parse_warc(synth_warc(recs, gz=gz))
+    assert got is not None and len(got) == n + 1
+    assert got[0]["type"] == "warcinfo"
+    assert got[0]["body"] == b"software: synth\r\n"
+    for (wtype, uri, status, body), g in zip(recs[1:], got[1:]):
+        assert g["type"] == "response" and g["uri"] == uri
+        assert g["http_status"] == status
+        assert g["body"] == body
+
+
+def test_warc_gz_is_multi_member_and_chained():
+    """One gzip member per record; a single-shot gzip decode sees only
+    record one — the consumer bug the reader's member chaining fixes."""
+    recs = [("response", "http://a", 200, b"<p>one</p>"),
+            ("response", "http://b", 200, b"<p>two</p>")]
+    blob = synth_warc(recs, gz=True)
+    single_shot = zlib.decompressobj(wbits=31).decompress(blob)
+    assert b"http://b" not in single_shot  # first member only
+    full = _gunzip_members(blob)
+    assert b"http://a" in full and b"http://b" in full
+    # stdlib gzip.decompress DOES chain members; agree with it
+    assert full == gzip.decompress(blob)
+    got = parse_warc(blob)
+    assert [g["uri"] for g in got] == ["http://a", "http://b"]
+
+
+def test_warc_refusals():
+    plain = synth_warc([("response", "http://x", 200, b"<p>hi</p>")])
+    assert parse_warc(b"HTTP/1.1 200 OK\r\n\r\n") is None
+    assert parse_warc(plain[:-6]) is None  # missing record separator
+    assert parse_warc(
+        plain.replace(b"Content-Length", b"X-Length")) is None
+    # truncated gzip member
+    gz = synth_warc([("response", "http://x", 200, b"<p>hi</p>")],
+                    gz=True)
+    assert parse_warc(gz[: len(gz) // 2]) is None
+    # malformed HTTP status line in a response payload
+    bad = plain.replace(b"HTTP/1.1 200 OK", b"HTTP/1.1 xx OK")
+    assert parse_warc(bad) is None
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31 - 1), nflip=st.integers(1, 8),
+       gz=st.booleans())
+def test_fuzz_warc_survives_bit_flips(seed, nflip, gz):
+    rnd = random.Random(seed)
+    blob = bytearray(synth_warc(_recs(rnd, 3), gz=gz))
+    for _ in range(nflip):
+        blob[rnd.randrange(len(blob))] ^= 1 << rnd.randrange(8)
+    out = parse_warc(bytes(blob))
+    assert out is None or isinstance(out, list)
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.binary(min_size=0, max_size=2000))
+def test_fuzz_warc_garbage_never_crashes(data):
+    for blob in (data, b"WARC/1.0\r\n" + data):
+        out = parse_warc(blob)
+        assert out is None or isinstance(out, list)
