@@ -82,6 +82,50 @@ def synth_warc(
     return bytes(out)
 
 
+def explode_warc(files):
+    """Distributed record fan-out: (path, content) -> one row per WARC
+    record — (path, record_index, warc_type, uri, http_status, body,
+    warc_error).  The 100 TB crawl-ingest shape: Arrow-batched
+    mapInPandas, partition-parallel per file, zero shuffle; unparseable
+    files yield ONE error-marker row instead of failing the stage (the
+    same contract as sources/binary.explode_archives).  Feed the
+    response bodies to sources/html.extract_html_text downstream."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out = {"path": [], "record_index": [], "warc_type": [],
+                   "uri": [], "http_status": [], "body": [],
+                   "warc_error": []}
+
+            def emit(path, idx, wtype, uri, status, body, err=None):
+                out["path"].append(path)
+                out["record_index"].append(idx)
+                out["warc_type"].append(wtype)
+                out["uri"].append(uri)
+                out["http_status"].append(status)
+                out["body"].append(body)
+                out["warc_error"].append(err)
+
+            for path, content in zip(pdf["path"], pdf["content"]):
+                recs = parse_warc(bytes(content))
+                if recs is None:
+                    emit(path, -1, "", "", 0, b"", "unparseable")
+                    continue
+                for k, r in enumerate(recs):
+                    emit(path, k, r["type"], r["uri"],
+                         r["http_status"], r["body"])
+            yield pd.DataFrame(out)
+
+    return files.select("path", "content").mapInPandas(
+        gen,
+        "path string, record_index int, warc_type string, uri string, "
+        "http_status int, body binary, warc_error string",
+    )
+
+
 def parse_warc(content: bytes) -> "list[dict] | None":
     """-> [{'type', 'uri', 'content_type', 'http_status' (responses),
     'body': bytes}, ...] in record order, or None per the module

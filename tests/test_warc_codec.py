@@ -100,3 +100,29 @@ def test_fuzz_warc_garbage_never_crashes(data):
     for blob in (data, b"WARC/1.0\r\n" + data):
         out = parse_warc(blob)
         assert out is None or isinstance(out, list)
+
+
+def test_explode_warc_distributed(spark):
+    """Fan-out operator: one row per record, error-marker rows for
+    unparseable files, gzip and plain inputs mixed in one stage."""
+    from teledetection_drone_satellite_spark.sources.warc import (
+        explode_warc,
+    )
+
+    rnd = random.Random(7)
+    plain = synth_warc(_recs(rnd, 2))
+    gz = synth_warc(_recs(rnd, 3), gz=True)
+    df = spark.createDataFrame(
+        [("p", bytearray(plain)), ("g", bytearray(gz)),
+         ("bad", bytearray(b"not a warc"))],
+        "path string, content binary",
+    )
+    rows = {(r["path"], r["record_index"]): r
+            for r in explode_warc(df).collect()}
+    assert rows[("p", 0)]["warc_type"] == "warcinfo"
+    assert rows[("p", 1)]["warc_type"] == "response"
+    assert rows[("p", 1)]["http_status"] in (200, 301, 404, 500)
+    assert ("g", 3) in rows and ("g", 4) not in rows
+    assert rows[("bad", -1)]["warc_error"] == "unparseable"
+    assert all(r["warc_error"] is None for k, r in rows.items()
+               if k[1] >= 0)
