@@ -15,7 +15,9 @@ CommonMark renderer — the goal is clean training text, not HTML):
   - images ![alt](url) -> alt, links [text](url) -> text,
     autolinks <http://x> -> http://x;
   - inline code spans `x` -> x; bold/italic/strikethrough markers
-    strip (**x**, *x*, __x__, _x_, ~~x~~);
+    strip (**x**, *x*, __x__, _x_, ~~x~~) — underscore forms only on
+    word boundaries (CommonMark: snake_case is not emphasis; intraword
+    *star* emphasis is);
   - setext underlines (=== / ---) and thematic breaks (***, ---) drop;
   - HTML comments <!-- --> drop; other inline HTML tags strip;
   - within a line whitespace runs collapse to one space and edges
@@ -41,8 +43,13 @@ _IMAGE = re.compile(r"!\[([^\]]*)\]\([^)]*\)")
 _LINK = re.compile(r"\[([^\]]*)\]\([^)]*\)")
 _AUTOLINK = re.compile(r"<(https?://[^>\s]+)>")
 _CODESPAN = re.compile(r"`+([^`]*)`+")
-_STRONG = re.compile(r"(\*\*|__)(?=\S)(.+?)(?<=\S)\1")
-_EMPH = re.compile(r"(\*|_)(?=\S)(.+?)(?<=\S)\1")
+_STRONG = re.compile(r"(\*\*)(?=\S)(.+?)(?<=\S)\1")
+# underscore emphasis/strong is NOT intraword in CommonMark (§6.2 rule
+# of 3: '_' can't open/close inside a word — snake_case survives);
+# '*' intraword emphasis IS allowed
+_STRONG_U = re.compile(r"(?<!\w)(__)(?=\S)(.+?)(?<=\S)\1(?!\w)")
+_EMPH = re.compile(r"(\*)(?=\S)(.+?)(?<=\S)\1")
+_EMPH_U = re.compile(r"(?<!\w)(_)(?=\S)(.+?)(?<=\S)\1(?!\w)")
 _STRIKE = re.compile(r"~~(?=\S)(.+?)(?<=\S)~~")
 _COMMENT = re.compile(r"<!--.*?-->", re.S)
 _TAG = re.compile(r"</?[A-Za-z][^>]*>")
@@ -81,7 +88,9 @@ def extract_markdown_text(content: "str | bytes") -> str:
         line = _AUTOLINK.sub(r"\1", line)
         line = _CODESPAN.sub(r"\1", line)
         line = _STRONG.sub(r"\2", line)
+        line = _STRONG_U.sub(r"\2", line)
         line = _EMPH.sub(r"\2", line)
+        line = _EMPH_U.sub(r"\2", line)
         line = _STRIKE.sub(r"\1", line)
         line = _TAG.sub("", line)
         s = " ".join(line.split())

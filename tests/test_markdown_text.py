@@ -78,3 +78,15 @@ def test_fuzz_markdown_survives_bit_flips(seed, nflip):
 @given(data=st.binary(min_size=0, max_size=4000))
 def test_fuzz_markdown_garbage_never_crashes(data):
     assert isinstance(extract_markdown_text(data), str)
+
+
+def test_markdown_underscore_not_intraword():
+    """CommonMark: '_' cannot open/close emphasis inside a word —
+    snake_case identifiers survive extraction; '*' intraword does
+    emphasize (ADVICE-style self-review fix, r11)."""
+    x = extract_markdown_text
+    assert x("use snake_case_names here") == "use snake_case_names here"
+    assert x("a __dunder__init__ tail") == "a dunder__init tail"
+    assert x("_lead_ and mid_word_ and _wrap_") == (
+        "lead and mid_word_ and wrap")
+    assert x("intra*word*star") == "intrawordstar"  # star: allowed
