@@ -13,10 +13,11 @@ Extraction semantics (documented, oracle-mirrored):
   - comments, processing instructions, and declarations are dropped;
   - character references decode (named, decimal, hex — html.parser's
     convert_charrefs);
-  - BLOCK-level elements (p, div, h1-h6, li, ul/ol/dl, table parts,
-    blockquote, pre, br, hr, section/article/aside/header/footer/nav,
-    figure, form, ...) break lines at both their start and end tags;
-    inline elements (b, i, em, span, a, code, ...) are transparent;
+  - BLOCK-level elements (p, div, h1-h6, li, ul/ol/dl, table parts
+    INCLUDING td/th so adjacent cell text never merges, blockquote,
+    pre, br, hr, section/article/aside/header/footer/nav, figure,
+    form, ...) break lines at both their start and end tags; inline
+    elements (b, i, em, span, a, code, ...) are transparent;
   - within a line, every whitespace run (spaces, tabs, newlines)
     collapses to a single space and edges are stripped; empty lines are
     dropped; lines join with a single newline.
@@ -40,9 +41,9 @@ from html.parser import HTMLParser
 # block-level elements: line break at start AND end tags
 _BLOCK = frozenset(
     "p div br hr h1 h2 h3 h4 h5 h6 li ul ol dl dt dd table thead tbody "
-    "tfoot tr caption blockquote pre section article aside header footer "
-    "nav main figure figcaption address form fieldset legend details "
-    "summary".split()
+    "tfoot tr td th caption blockquote pre section article aside header "
+    "footer nav main figure figcaption address form fieldset legend "
+    "details summary".split()
 )
 # subtree contributes nothing (head covers title/meta/link inside it)
 _SKIP = frozenset(("script", "style", "template", "noscript", "head"))

@@ -101,3 +101,12 @@ def test_fuzz_html_survives_bit_flips(seed, nflip):
 @given(data=st.binary(min_size=0, max_size=4000))
 def test_fuzz_html_garbage_never_crashes(data):
     assert isinstance(extract_html_text(data), str)
+
+
+def test_html_table_cells_do_not_merge():
+    """td/th are block-level: adjacent cell text never concatenates
+    into one token (r11 self-review fix)."""
+    got = extract_html_text(
+        "<table><tr><th>h1</th><th>h2</th></tr>"
+        "<tr><td>a</td><td>b</td></tr></table>")
+    assert got == "h1\nh2\na\nb"
