@@ -95,7 +95,11 @@ def decode_id3(content: bytes) -> "dict | None":
                 text = payload[1:].decode(_TEXT_ENC[enc])
             except UnicodeDecodeError:
                 return None
-            frames[name] = text.rstrip("\x00")
+            # v2.4 §4.2: multiple values are NUL-separated; join with
+            # '/' (the v2.3 display convention) after dropping the
+            # optional terminator
+            frames[name] = "/".join(
+                v for v in text.split("\x00") if v)
         else:
             frames[name] = bytes(payload)
         pos += 10 + fsize

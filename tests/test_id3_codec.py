@@ -91,3 +91,10 @@ def test_fuzz_id3_survives_bit_flips(seed, nflip):
 def test_fuzz_id3_garbage_never_crashes(data):
     out = id3.decode_id3(b"ID3" + data)
     assert out is None or isinstance(out, dict)
+
+
+def test_id3_v24_multi_value_text_frames():
+    """v2.4 NUL-separated multi-value text frames join with '/' (the
+    v2.3 display convention); trailing terminators drop."""
+    blob = id3.synth_id3({"TPE1": "A\x00B\x00"}, 4, 3)
+    assert id3.decode_id3(blob)["frames"]["TPE1"] == "A/B"
