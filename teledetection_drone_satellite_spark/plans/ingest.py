@@ -3053,6 +3053,103 @@ def warc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "warc_dedup_pipeline",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 2 + doc_id % 3 AS n_resp
+        FROM documents WHERE doc_id < 100
+    ),
+    resp AS (
+        SELECT doc_id, CAST(r.i AS INT) AS r,
+               (5 * doc_id + 3 * r.i) % 97 AS m
+        FROM spec, LATERAL unnest(range(0, n_resp)) r(i)
+    ),
+    blk AS (
+        SELECT doc_id, r, m, CAST(b.i AS INT) AS b,
+               repeat('doc ' || CAST(m AS VARCHAR) || ' block '
+                      || CAST(b.i AS VARCHAR) || ' <&' || chr(34)
+                      || CAST(b.i AS VARCHAR) || '>;',
+                      1 + (m + b.i) % 3) AS line
+        FROM resp, LATERAL unnest(range(0, 2 + m % 5)) b(i)
+    ),
+    page AS (
+        SELECT doc_id, r, m,
+               string_agg(line, chr(10) ORDER BY b) AS text
+        FROM blk GROUP BY doc_id, r, m
+    )
+    SELECT substr(sha256(text), 1, 16) AS text_sha,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(min(length(text)) AS BIGINT) AS text_chars,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM page GROUP BY text
+    """,
+    doc="WARC -> HTML text -> CROSS-DOCUMENT exact dedup pipeline, "
+    "graded (r11): the full crawl-ingest shape, and unlike the "
+    "map-only format queries this one SHUFFLES — archives fan out "
+    "partition-parallel (one Arrow stage: parse_warc + "
+    "extract_html_text per response), then a JVM sha2 digest keys a "
+    "groupBy whose exchange moves only (64-hex digest, doc_id), never "
+    "the text. Page ids collide across documents by construction "
+    "((5i+3r) mod 97 over ~300 responses -> ~3x duplication), so the "
+    "oracle's duplicate-cluster profile (copies, distinct docs, first "
+    "doc) breaks if extraction normalizes differently on any copy or "
+    "the digest/grouping diverges. At 100 TB this is the canonical "
+    "first pass over a crawl dump: decode once, dedup on digests.",
+    tags=("ingest", "corpus", "dedup"),
+)
+def warc_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.html import extract_html_text, synth_html
+    from ..sources.warc import parse_warc, synth_warc
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                n_resp = 2 + i % 3
+                recs = [("warcinfo", "", 0, b"software: synth\r\n")]
+                for r in range(n_resp):
+                    m = (5 * i + 3 * r) % 97
+                    doc, _ = synth_html(m)
+                    recs.append(
+                        ("response", "http://ex.com/%d/%d" % (i, r),
+                         200, doc.encode())
+                    )
+                got = parse_warc(synth_warc(recs, gz=i % 2 == 1))
+                for g in got:
+                    if g["type"] == "response":
+                        rows.append((i, extract_html_text(g["body"])))
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    pages = ids.mapInPandas(gen, "doc_id long, text string")
+    return (
+        pages.withColumn("digest", F.sha2(F.col("text"), 256))
+        .groupBy("digest")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min(F.length("text")).cast("long").alias("text_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .select(
+            F.substring("digest", 1, 16).alias("text_sha"),
+            "n_copies", "n_docs", "text_chars", "first_doc",
+        )
+    )
+
+
+@register(
     "subtitle_cue_stats",
     oracle="""
     WITH spec AS (
