@@ -3053,6 +3053,143 @@ def warc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "netcdf_var_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               1 + doc_id % 2 AS ver,
+               3 + doc_id % 5 AS ny,
+               4 + (doc_id * 3) % 6 AS nx,
+               1 + doc_id % 4 AS nrec,
+               4326 + doc_id % 3 AS epsg,
+               0.125 * (1 + doc_id % 4) AS scale
+        FROM documents WHERE doc_id < 100
+    ),
+    grid AS (
+        SELECT doc_id, c.i AS c
+        FROM spec, LATERAL unnest(range(0, ny * nx)) c(i)
+    ),
+    gsum AS (
+        SELECT doc_id,
+               sum((c * 3 + doc_id) * 0.25) AS elev_base,
+               sum((c * 7 + doc_id) % 500) AS temp_sum
+        FROM grid GROUP BY doc_id
+    ),
+    robs AS (
+        SELECT doc_id, sum((r.i * ny + y.i + doc_id) * 0.5) AS obs_sum
+        FROM spec,
+             LATERAL unnest(range(0, nrec)) r(i),
+             LATERAL unnest(range(0, ny)) y(i)
+        GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(ver AS INT) AS version,
+           CAST(ny AS INT) AS ny,
+           CAST(nx AS INT) AS nx,
+           CAST(nrec AS INT) AS nrec,
+           CAST(epsg AS INT) AS epsg,
+           round(scale, 6) AS scale_factor,
+           round(g.elev_base - 10.0 * ny * nx, 6) AS sum_elev,
+           CAST(g.temp_sum AS BIGINT) AS sum_temp,
+           round(r.obs_sum, 6) AS sum_obs
+    FROM spec s
+    JOIN gsum g ON g.doc_id = s.doc_id
+    JOIN robs r ON r.doc_id = s.doc_id
+    """,
+    doc="NetCDF classic decode, graded (r11 — the earth-observation "
+    "science container: satellite SST/NDVI/atmospheric products ship "
+    "as .nc, the gridded payload the reference's GEE/analysis "
+    "services declare): docs alternate CDF-1 and CDF-2 (4- vs 8-byte "
+    "begin offsets), each with an UNLIMITED record dimension, two "
+    "fixed grid variables (float64 elevation on exact quarter-steps; "
+    "int16 scaled temperature with a double scale_factor attribute "
+    "the oracle round-trips), a float32 record variable sliced from "
+    "interleaved per-record slabs, plus global char/int attributes. "
+    "A header-walk, begin-offset-width, record-slab, or big-endian "
+    "bug flips the sums; CDF-5 and streaming numrecs refuse.",
+    tags=("ingest", "multimodal", "spatial"),
+)
+def netcdf_var_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..sources import netcdf as nccodec
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                ver = 1 + i % 2
+                ny, nx = 3 + i % 5, 4 + (i * 3) % 6
+                nrec = 1 + i % 4
+                cells = np.arange(ny * nx, dtype=np.int64)
+                elev = ((cells * 3 + i) * 0.25 - 10.0).reshape(ny, nx)
+                temp = ((cells * 7 + i) % 500).astype(">i2").reshape(
+                    ny, nx)
+                obs = np.array(
+                    [[(r * ny + y + i) * 0.5 for y in range(ny)]
+                     for r in range(nrec)], dtype=">f4")
+                scale = 0.125 * (1 + i % 4)
+                blob = nccodec.encode_netcdf(
+                    [("time", 0), ("y", ny), ("x", nx)],
+                    {"title": (2, b"synth product %d" % i),
+                     "epsg": (4, [4326 + i % 3])},
+                    [
+                        {"name": "elev", "dims": [1, 2], "type": 6,
+                         "attrs": {"units": (2, b"m")}, "data": elev},
+                        {"name": "temp", "dims": [1, 2], "type": 3,
+                         "attrs": {"scale_factor": (6, [scale])},
+                         "data": temp},
+                        {"name": "obs", "dims": [0, 1], "type": 5,
+                         "attrs": {}, "data": obs},
+                    ],
+                    version=ver, numrecs=nrec,
+                )
+                d = nccodec.decode_netcdf(blob)
+                v = d["vars"]
+                rows.append(
+                    (
+                        i, d["version"], ny, nx, d["numrecs"],
+                        d["gattrs"]["epsg"][0],
+                        v["temp"]["attrs"]["scale_factor"][0],
+                        float(v["elev"]["data"].sum()),
+                        int(v["temp"]["data"].astype(np.int64).sum()),
+                        float(v["obs"]["data"].astype(np.float64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "version", "ny", "nx", "nrec",
+                         "epsg", "scale_raw", "elev_raw", "sum_temp",
+                         "obs_raw"],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, version int, ny int, nx int, nrec int, epsg int, "
+        "scale_raw double, elev_raw double, sum_temp long, "
+        "obs_raw double",
+    )
+    return out.select(
+        "doc_id", "version", "ny", "nx", "nrec", "epsg",
+        F.round("scale_raw", 6).alias("scale_factor"),
+        F.round("elev_raw", 6).alias("sum_elev"),
+        "sum_temp",
+        F.round("obs_raw", 6).alias("sum_obs"),
+    )
+
+
+@register(
     "warc_dedup_pipeline",
     oracle="""
     WITH spec AS (

@@ -1,0 +1,302 @@
+"""NetCDF classic-format reader/writer (CDF-1 and CDF-2) — pure
+stdlib+numpy, from the public Unidata NetCDF classic format
+specification (the ESDS-RFC-011 / netcdf.h layout).
+
+The earth-observation science container: satellite products (sea
+surface temperature, NDVI composites, atmospheric profiles) and drone
+sensor exports ship as .nc; the reference's GEE/analysis services
+declare exactly this kind of gridded raster+metadata payload
+(init.sql:104-105 analysis_results JSONB, services/gee-service).  This
+module walks the classic header — magic 'CDF\\x01'/'CDF\\x02', numrecs,
+dim list (with at most one UNLIMITED record dimension), global
+attribute list, variable list (name, dimids, per-var attributes,
+external type, vsize, begin offset: 4 bytes in CDF-1, 8 in CDF-2) —
+then slices fixed-size variable data at its begin offset and record
+variables as interleaved per-record slabs (honoring the spec's
+single-record-variable no-padding special case).
+
+All values are big-endian; external types: byte, char, short, int,
+float, double.  Names and value blocks pad to 4-byte boundaries.
+Refusals (None): wrong magic, CDF-5 (64-bit data, out of scope),
+streaming numrecs (0xFFFFFFFF), malformed tag/count pairs, dim ids out
+of range, or data extents past EOF — the honest-fallback contract
+every decoder here shares."""
+
+from __future__ import annotations
+
+import struct
+
+_NC_DIMENSION = 0x0A
+_NC_VARIABLE = 0x0B
+_NC_ATTRIBUTE = 0x0C
+
+# nc_type -> (size, numpy dtype)
+_TYPES = {1: (1, ">i1"), 2: (1, "S1"), 3: (2, ">i2"),
+          4: (4, ">i4"), 5: (4, ">f4"), 6: (8, ">f8")}
+
+
+def _pad4(n: int) -> int:
+    return (4 - n % 4) % 4
+
+
+def _name(b: "bytes") -> bytes:
+    return struct.pack(">I", len(b)) + b + b"\x00" * _pad4(len(b))
+
+
+def _values(nc_type: int, vals) -> bytes:
+    import numpy as np
+
+    size, dt = _TYPES[nc_type]
+    if nc_type == 2:
+        raw = vals if isinstance(vals, bytes) else str(vals).encode()
+    else:
+        raw = np.asarray(vals, dtype=dt).tobytes()
+    return raw + b"\x00" * _pad4(len(raw))
+
+
+def _attr_list(attrs: "dict") -> bytes:
+    if not attrs:
+        return struct.pack(">II", 0, 0)  # ABSENT
+    out = struct.pack(">II", _NC_ATTRIBUTE, len(attrs))
+    for name, (nc_type, vals) in attrs.items():
+        n = len(vals) if nc_type != 2 else len(
+            vals if isinstance(vals, bytes) else str(vals).encode())
+        out += _name(name.encode()) + struct.pack(">II", nc_type, n)
+        out += _values(nc_type, vals)
+    return out
+
+
+def encode_netcdf(
+    dims: "list[tuple[str, int]]",
+    gattrs: "dict",
+    variables: "list[dict]",
+    version: int = 1,
+    numrecs: int = 0,
+) -> bytes:
+    """``dims``: [(name, length)] with length 0 = the UNLIMITED record
+    dimension; ``gattrs``/var attrs: {name: (nc_type, values)};
+    ``variables``: [{name, dims: [dim ids], type, attrs, data}] where a
+    record variable's data has the record count as its first axis.
+    CDF-1 (version=1) or CDF-2 (version=2, 8-byte begin offsets).
+    Packing independent of decode_netcdf."""
+    import numpy as np
+
+    off_fmt = ">I" if version == 1 else ">Q"
+    off_w = 4 if version == 1 else 8
+
+    def var_meta(v):
+        shape = [dims[d][1] for d in v["dims"]]
+        is_rec = bool(v["dims"]) and dims[v["dims"][0]][1] == 0
+        size, dt = _TYPES[v["type"]]
+        per_rec = int(np.prod(shape[1:] if is_rec else shape, dtype=np.int64)) * size
+        vsize = per_rec + _pad4(per_rec)
+        return is_rec, vsize, per_rec, dt
+
+    # header with placeholder begins to learn its length
+    def header(begins):
+        out = bytearray(b"CDF" + bytes([version]))
+        out += struct.pack(">I", numrecs)
+        if dims:
+            out += struct.pack(">II", _NC_DIMENSION, len(dims))
+            for dname, dlen in dims:
+                out += _name(dname.encode()) + struct.pack(">I", dlen)
+        else:
+            out += struct.pack(">II", 0, 0)
+        out += _attr_list(gattrs)
+        if variables:
+            out += struct.pack(">II", _NC_VARIABLE, len(variables))
+            for v, begin in zip(variables, begins):
+                out += _name(v["name"].encode())
+                out += struct.pack(">I", len(v["dims"]))
+                for d in v["dims"]:
+                    out += struct.pack(">I", d)
+                out += _attr_list(v.get("attrs", {}))
+                _, vsize, _, _ = var_meta(v)
+                out += struct.pack(">I", v["type"])
+                out += struct.pack(">I", vsize)
+                out += struct.pack(off_fmt, begin)
+        else:
+            out += struct.pack(">II", 0, 0)
+        return bytes(out)
+
+    hlen = len(header([0] * len(variables)))
+    metas = [var_meta(v) for v in variables]
+    rec_vars = [k for k, m in enumerate(metas) if m[0]]
+    # single-record-variable special case: slab NOT padded
+    single = len(rec_vars) == 1
+    begins = [0] * len(variables)
+    pos = hlen
+    for k, (v, m) in enumerate(zip(variables, metas)):
+        if m[0]:
+            continue
+        begins[k] = pos
+        pos += m[1]
+    rec_base = pos
+    for k in rec_vars:
+        begins[k] = pos
+        pos += metas[k][2] if single else metas[k][1]
+    recsize = pos - rec_base
+    out = bytearray(header(begins))
+    for k, (v, m) in enumerate(zip(variables, metas)):
+        if m[0]:
+            continue
+        raw = np.asarray(v["data"], dtype=m[3]).tobytes()
+        assert len(raw) == m[2]
+        out += raw + b"\x00" * _pad4(len(raw))
+    for rec in range(numrecs):
+        for k in rec_vars:
+            v, m = variables[k], metas[k]
+            raw = np.asarray(v["data"][rec], dtype=m[3]).tobytes()
+            assert len(raw) == m[2]
+            out += raw
+            if not single:
+                out += b"\x00" * _pad4(len(raw))
+    assert len(out) == rec_base + numrecs * recsize
+    return bytes(out)
+
+
+def decode_netcdf(content: bytes) -> "dict | None":
+    """-> {'version', 'numrecs', 'dims': [(name, len)], 'gattrs',
+    'vars': {name: {'dims', 'type', 'attrs', 'data': ndarray}}} or None
+    per the module-docstring refusal set.  Record variables come back
+    with the record count as their first axis."""
+    import numpy as np
+
+    if len(content) < 8 or content[:3] != b"CDF":
+        return None
+    version = content[3]
+    if version not in (1, 2):
+        return None  # CDF-5 (64-bit data): out of scope
+    off_fmt = ">I" if version == 1 else ">Q"
+    off_w = 4 if version == 1 else 8
+    pos = 4
+
+    def u32():
+        nonlocal pos
+        if pos + 4 > len(content):
+            raise ValueError
+        (v,) = struct.unpack(">I", content[pos : pos + 4])
+        pos += 4
+        return v
+
+    def name():
+        n = u32()
+        nonlocal pos
+        if pos + n > len(content):
+            raise ValueError
+        s = content[pos : pos + n]
+        pos += n + _pad4(n)
+        return s.decode("utf-8", errors="replace")
+
+    def attr_list():
+        tag, n = u32(), u32()
+        if tag == 0 and n == 0:
+            return {}
+        if tag != _NC_ATTRIBUTE:
+            raise ValueError
+        nonlocal pos
+        attrs = {}
+        for _ in range(n):
+            aname = name()
+            nc_type, count = u32(), u32()
+            if nc_type not in _TYPES:
+                raise ValueError
+            size, dt = _TYPES[nc_type]
+            raw = content[pos : pos + count * size]
+            if len(raw) < count * size:
+                raise ValueError
+            pos += count * size + _pad4(count * size)
+            if nc_type == 2:
+                attrs[aname] = raw.decode("utf-8", errors="replace")
+            else:
+                attrs[aname] = np.frombuffer(raw, dtype=dt).tolist()
+        return attrs
+
+    try:
+        numrecs = u32()
+        if numrecs == 0xFFFFFFFF:
+            return None  # streaming numrecs: out of scope
+        tag, n = u32(), u32()
+        dims: "list[tuple[str, int]]" = []
+        if tag == _NC_DIMENSION:
+            for _ in range(n):
+                dims.append((name(), u32()))
+        elif (tag, n) != (0, 0):
+            return None
+        gattrs = attr_list()
+        tag, n = u32(), u32()
+        var_defs = []
+        if tag == _NC_VARIABLE:
+            for _ in range(n):
+                vname = name()
+                rank = u32()
+                dimids = [u32() for _ in range(rank)]
+                if any(d >= len(dims) for d in dimids):
+                    return None
+                vattrs = attr_list()
+                nc_type = u32()
+                if nc_type not in _TYPES:
+                    return None
+                vsize = u32()
+                if pos + off_w > len(content):
+                    return None
+                (begin,) = struct.unpack(
+                    off_fmt, content[pos : pos + off_w])
+                pos += off_w
+                var_defs.append(
+                    (vname, dimids, vattrs, nc_type, vsize, begin))
+        elif (tag, n) != (0, 0):
+            return None
+    except ValueError:
+        return None
+
+    rec_vars = [v for v in var_defs
+                if v[1] and dims[v[1][0]][1] == 0]
+    single = len(rec_vars) == 1
+    out_vars: "dict[str, dict]" = {}
+    for vname, dimids, vattrs, nc_type, vsize, begin in var_defs:
+        size, dt = _TYPES[nc_type]
+        shape = [dims[d][1] for d in dimids]
+        is_rec = bool(dimids) and dims[dimids[0]][1] == 0
+        if is_rec:
+            per_rec = 1
+            for s in shape[1:]:
+                per_rec *= s
+            per_rec *= size
+            slab = per_rec if single else per_rec + _pad4(per_rec)
+            # recsize = sum of all record-var slabs
+            recsize = 0
+            for _, rdimids, _, rtype, _, _ in rec_vars:
+                rsz, _ = _TYPES[rtype]
+                rp = rsz
+                for d in rdimids[1:]:
+                    rp *= dims[d][1]
+                recsize += rp if single else rp + _pad4(rp)
+            # with numrecs == 0 a record var's begin legitimately points
+            # at (or past) EOF — there is no record data to bound-check
+            if numrecs:
+                end = begin + (numrecs - 1) * recsize + per_rec
+                if end > len(content):
+                    return None
+            rows = [
+                np.frombuffer(
+                    content[begin + r * recsize :
+                            begin + r * recsize + per_rec], dtype=dt)
+                for r in range(numrecs)
+            ]
+            data = (np.stack(rows).reshape([numrecs] + shape[1:])
+                    if numrecs else
+                    np.zeros([0] + shape[1:], dtype=dt))
+        else:
+            count = 1
+            for s in shape:
+                count *= s
+            if begin + count * size > len(content):
+                return None
+            data = np.frombuffer(
+                content[begin : begin + count * size], dtype=dt
+            ).reshape(shape)
+        out_vars[vname] = {"dims": dimids, "type": nc_type,
+                           "attrs": vattrs, "data": data}
+    return {"version": version, "numrecs": numrecs, "dims": dims,
+            "gattrs": gattrs, "vars": out_vars}
