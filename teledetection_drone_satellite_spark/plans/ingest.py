@@ -3053,6 +3053,144 @@ def warc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gpx_track_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 1 + doc_id % 2 AS n_trk,
+               1 + doc_id % 2 AS n_wpt
+        FROM documents WHERE doc_id < 100
+    ),
+    seg AS (
+        SELECT doc_id, n_trk, n_wpt, CAST(t.i AS INT) AS t,
+               CAST(s.i AS INT) AS s
+        FROM spec,
+             LATERAL unnest(range(0, n_trk)) t(i),
+             LATERAL unnest(range(0, 1 + (doc_id + t.i) % 2)) s(i)
+    ),
+    pts AS (
+        SELECT doc_id, n_trk, n_wpt, t, s, CAST(k.i AS INT) AS k,
+               40 + ((doc_id + 7 * t + 3 * s + k.i) % 128)
+                   * 0.0009765625 AS lat,
+               -100 + ((2 * doc_id + 5 * t + s + 3 * k.i) % 256)
+                   * 0.001953125 AS lon,
+               ((doc_id + t + s + 11 * k.i) % 64) * 0.25 AS ele
+        FROM seg,
+             LATERAL unnest(range(0, 3 + (doc_id + t + s) % 4)) k(i)
+    ),
+    legs AS (
+        SELECT doc_id, n_trk, n_wpt, t, s, k, lat, lon, ele,
+               lag(lat) OVER w AS plat,
+               lag(lon) OVER w AS plon,
+               lag(ele) OVER w AS pele
+        FROM pts WINDOW w AS (PARTITION BY doc_id, t, s ORDER BY k)
+    )
+    SELECT doc_id,
+           CAST(min(n_trk) AS INT) AS n_tracks,
+           CAST(count(DISTINCT (t, s)) AS INT) AS n_segments,
+           CAST(min(n_wpt) AS INT) AS n_waypoints,
+           CAST(count(*) AS BIGINT) AS n_points,
+           round(min(lat), 6) AS min_lat,
+           round(max(lat), 6) AS max_lat,
+           round(min(lon), 6) AS min_lon,
+           round(max(lon), 6) AS max_lon,
+           round(sum(CASE WHEN plat IS NULL THEN 0
+                     ELSE abs(lat - plat) + abs(lon - plon) END), 6)
+               AS path_l1,
+           round(sum(CASE WHEN pele IS NOT NULL AND ele > pele
+                     THEN ele - pele ELSE 0 END), 6) AS climb
+    FROM legs GROUP BY doc_id
+    """,
+    doc="GPX flight-track parsing, graded (r11 — the drone flight-log "
+    "and survey ground-track format; the reference stores per-photo "
+    "GPS points and footprints in PostGIS, init.sql:50,103): per doc "
+    "synth_gpx writes a namespaced GPX 1.1 document with metadata "
+    "decoys, waypoints, and 1-2 tracks of 1-2 segments each; "
+    "parse_gpx walks the namespace-qualified tree and track_stats "
+    "computes leg statistics that NEVER bridge a segment gap (the "
+    "spec's stated purpose for trkseg — an extractor that flattens "
+    "segments inflates path_l1 and flips the row). Exact binary-"
+    "fraction coordinates (2^-10 / 2^-9 / 0.25 steps) keep the L1 "
+    "path length and climb bit-reproducible in SQL via lag() over "
+    "(doc, track, segment) windows.",
+    tags=("ingest", "multimodal", "spatial"),
+)
+def gpx_track_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources import gpx as gpxcodec
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                n_trk = 1 + i % 2
+                tracks = []
+                for t in range(n_trk):
+                    segs = []
+                    for s in range(1 + (i + t) % 2):
+                        segs.append([
+                            (
+                                40 + ((i + 7 * t + 3 * s + k) % 128)
+                                * 0.0009765625,
+                                -100 + ((2 * i + 5 * t + s + 3 * k)
+                                        % 256) * 0.001953125,
+                                ((i + t + s + 11 * k) % 64) * 0.25,
+                            )
+                            for k in range(3 + (i + t + s) % 4)
+                        ])
+                    tracks.append(segs)
+                wpts = [(40.5 + w, -99.5 - w, "wp%d" % w)
+                        for w in range(1 + i % 2)]
+                blob = gpxcodec.synth_gpx(tracks, wpts)
+                d = gpxcodec.parse_gpx(blob)
+                st = gpxcodec.track_stats(d)
+                rows.append(
+                    (
+                        i, len(d["tracks"]),
+                        sum(len(segs) for segs in d["tracks"]),
+                        len(d["waypoints"]), st["n_points"],
+                        st["min_lat"], st["max_lat"],
+                        st["min_lon"], st["max_lon"],
+                        st["path_l1"], st["climb"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_tracks", "n_segments",
+                         "n_waypoints", "n_points", "min_lat_r",
+                         "max_lat_r", "min_lon_r", "max_lon_r",
+                         "path_raw", "climb_raw"],
+            )
+
+    out = ids.mapInPandas(
+        gen,
+        "doc_id long, n_tracks int, n_segments int, n_waypoints int, "
+        "n_points long, min_lat_r double, max_lat_r double, "
+        "min_lon_r double, max_lon_r double, path_raw double, "
+        "climb_raw double",
+    )
+    return out.select(
+        "doc_id", "n_tracks", "n_segments", "n_waypoints", "n_points",
+        F.round("min_lat_r", 6).alias("min_lat"),
+        F.round("max_lat_r", 6).alias("max_lat"),
+        F.round("min_lon_r", 6).alias("min_lon"),
+        F.round("max_lon_r", 6).alias("max_lon"),
+        F.round("path_raw", 6).alias("path_l1"),
+        F.round("climb_raw", 6).alias("climb"),
+    )
+
+
+@register(
     "netcdf_var_stats",
     oracle="""
     WITH spec AS (

@@ -1,0 +1,134 @@
+"""GPX (GPS Exchange Format) reader/writer — pure stdlib (xml.etree,
+expat-backed), from the public Topografix GPX 1.1 schema.
+
+Drone flight logs and survey ground-tracks ship as GPX: the reference
+platform stores per-photo GPS points and project footprints in PostGIS
+(init.sql:50,103) and its WebODM workflow consumes flight tracks.
+Parsed layout: the namespaced <gpx> root, <wpt> waypoints, and <trk>
+tracks containing <trkseg> segments of <trkpt lat lon> points with
+optional <ele> and <time> children.  Segment boundaries are PRESERVED
+(leg statistics never bridge a gap — the spec's stated purpose for
+trkseg).  Refusals (None): not an XML document, wrong root element,
+lat/lon attributes missing or non-numeric, out-of-range coordinates —
+the honest-fallback contract every decoder here shares."""
+
+from __future__ import annotations
+
+import re
+
+
+def synth_gpx(tracks: "list[list[list[tuple]]]",
+              waypoints: "list[tuple] | None" = None) -> bytes:
+    """``tracks``: per track, a list of segments, each a list of
+    (lat, lon, ele) points; ``waypoints``: [(lat, lon, name)].
+    Writes a namespaced GPX 1.1 document with metadata decoys,
+    independent of parse_gpx."""
+    out = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<gpx version="1.1" creator="synth"',
+        ' xmlns="http://www.topografix.com/GPX/1/1">',
+        "<metadata><name>decoy mission</name>",
+        "<desc>decoy description</desc></metadata>",
+    ]
+    for lat, lon, name in waypoints or []:
+        out.append('<wpt lat="%r" lon="%r"><name>%s</name></wpt>'
+                   % (lat, lon, name))
+    for t, segs in enumerate(tracks):
+        out.append("<trk><name>track %d</name>" % t)
+        for seg in segs:
+            out.append("<trkseg>")
+            for k, (lat, lon, ele) in enumerate(seg):
+                out.append(
+                    '<trkpt lat="%r" lon="%r"><ele>%r</ele>'
+                    "<time>2026-01-01T00:00:%02dZ</time></trkpt>"
+                    % (lat, lon, ele, k % 60))
+            out.append("</trkseg>")
+        out.append("</trk>")
+    out.append("</gpx>")
+    return "\n".join(out).encode()
+
+
+def parse_gpx(content: bytes) -> "dict | None":
+    """-> {'waypoints': [(lat, lon, name)], 'tracks': [[[(lat, lon,
+    ele), ...] per segment] per track]} or None per the module
+    docstring.  Points with no <ele> carry ele=0.0."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(content)
+    except ET.ParseError:
+        return None
+    # tag arrives namespaced: '{uri}gpx'
+    if re.sub(r"^\{[^}]*\}", "", root.tag) != "gpx":
+        return None
+    ns = ""
+    m = re.match(r"^(\{[^}]*\})", root.tag)
+    if m:
+        ns = m.group(1)
+
+    def coords(el) -> "tuple[float, float] | None":
+        try:
+            lat = float(el.get("lat"))
+            lon = float(el.get("lon"))
+        except (TypeError, ValueError):
+            return None
+        if not (-90.0 <= lat <= 90.0 and -180.0 <= lon <= 180.0):
+            return None
+        return lat, lon
+
+    waypoints = []
+    for w in root.findall(f"{ns}wpt"):
+        c = coords(w)
+        if c is None:
+            return None
+        nm = w.find(f"{ns}name")
+        waypoints.append((c[0], c[1],
+                          nm.text if nm is not None else ""))
+    tracks = []
+    for trk in root.findall(f"{ns}trk"):
+        segs = []
+        for seg in trk.findall(f"{ns}trkseg"):
+            pts = []
+            for pt in seg.findall(f"{ns}trkpt"):
+                c = coords(pt)
+                if c is None:
+                    return None
+                e = pt.find(f"{ns}ele")
+                try:
+                    ele = float(e.text) if e is not None else 0.0
+                except (TypeError, ValueError):
+                    return None
+                pts.append((c[0], c[1], ele))
+            segs.append(pts)
+        tracks.append(segs)
+    return {"waypoints": waypoints, "tracks": tracks}
+
+
+def track_stats(parsed: dict) -> dict:
+    """Leg statistics over all tracks, never bridging segment gaps:
+    n_points, bbox, L1 path length in degrees (exact for binary-
+    fraction fixtures — no trig, so the SQL oracle reproduces it
+    bit-for-bit), total climb (sum of positive elevation deltas)."""
+    n = 0
+    lats: "list[float]" = []
+    lons: "list[float]" = []
+    path_l1 = 0.0
+    climb = 0.0
+    for segs in parsed["tracks"]:
+        for pts in segs:
+            n += len(pts)
+            lats += [p[0] for p in pts]
+            lons += [p[1] for p in pts]
+            for a, b in zip(pts, pts[1:]):
+                path_l1 += abs(b[0] - a[0]) + abs(b[1] - a[1])
+                if b[2] > a[2]:
+                    climb += b[2] - a[2]
+    return {
+        "n_points": n,
+        "min_lat": min(lats) if lats else 0.0,
+        "max_lat": max(lats) if lats else 0.0,
+        "min_lon": min(lons) if lons else 0.0,
+        "max_lon": max(lons) if lons else 0.0,
+        "path_l1": path_l1,
+        "climb": climb,
+    }

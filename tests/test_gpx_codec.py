@@ -1,0 +1,88 @@
+"""GPX parsing (sources/gpx.py): synth round-trip fuzz, segment-gap
+semantics, namespace handling, refusals, bit-flip/garbage fuzz."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.gpx import (
+    parse_gpx,
+    synth_gpx,
+    track_stats,
+)
+
+
+def _tracks(rnd, n_trk):
+    return [
+        [
+            [
+                (rnd.randint(-89, 89) + rnd.randint(0, 1023) / 1024,
+                 rnd.randint(-179, 179) + rnd.randint(0, 511) / 512,
+                 rnd.randint(0, 255) * 0.25)
+                for _ in range(rnd.randint(1, 6))
+            ]
+            for _ in range(rnd.randint(1, 3))
+        ]
+        for _ in range(n_trk)
+    ]
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 9999), n_trk=st.integers(0, 3),
+       n_wpt=st.integers(0, 3))
+def test_fuzz_gpx_roundtrip(seed, n_trk, n_wpt):
+    rnd = random.Random(seed)
+    tracks = _tracks(rnd, n_trk)
+    wpts = [(rnd.randint(-89, 89) + 0.5, rnd.randint(-179, 179) + 0.25,
+             "w%d" % w) for w in range(n_wpt)]
+    d = parse_gpx(synth_gpx(tracks, wpts))
+    assert d is not None
+    assert d["waypoints"] == wpts
+    assert d["tracks"] == tracks
+
+
+def test_gpx_segment_gaps_not_bridged():
+    """Two segments: the leg between the last point of seg 1 and the
+    first point of seg 2 must NOT count toward path/climb."""
+    tracks = [[
+        [(0.0, 0.0, 0.0), (0.0, 1.0, 10.0)],
+        [(5.0, 5.0, 0.0), (6.0, 5.0, 3.0)],
+    ]]
+    st_ = track_stats(parse_gpx(synth_gpx(tracks)))
+    assert st_["n_points"] == 4
+    assert st_["path_l1"] == 2.0  # 1 deg within each segment
+    assert st_["climb"] == 13.0  # 10 + 3, no inter-segment leg
+    assert (st_["min_lat"], st_["max_lat"]) == (0.0, 6.0)
+
+
+def test_gpx_refusals():
+    good = synth_gpx([[[(1.0, 2.0, 3.0)]]])
+    assert parse_gpx(b"not xml <<<") is None
+    assert parse_gpx(b"<kml></kml>") is None  # wrong root
+    assert parse_gpx(good.replace(b'lat="1.0"', b'lat="x"')) is None
+    assert parse_gpx(good.replace(b'lat="1.0"', b'lat="95"')) is None
+    assert parse_gpx(good.replace(b'lat="1.0" ', b"")) is None  # missing
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31 - 1), nflip=st.integers(1, 10))
+def test_fuzz_gpx_survives_bit_flips(seed, nflip):
+    rnd = random.Random(seed)
+    blob = bytearray(synth_gpx(_tracks(rnd, 2)))
+    for _ in range(nflip):
+        blob[rnd.randrange(len(blob))] ^= 1 << rnd.randrange(8)
+    out = parse_gpx(bytes(blob))
+    assert out is None or isinstance(out, dict)
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.binary(min_size=0, max_size=2000))
+def test_fuzz_gpx_garbage_never_crashes(data):
+    out = parse_gpx(data)
+    assert out is None or isinstance(out, dict)
