@@ -3053,6 +3053,123 @@ def warc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mbox_message_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 2 + doc_id % 4 AS n_msg
+        FROM documents WHERE doc_id < 100
+    ),
+    msg AS (
+        SELECT doc_id, n_msg, CAST(m.i AS INT) AS m,
+               (doc_id + m.i) % 4 AS mode,
+               'Subject ' || CAST(doc_id AS VARCHAR) || '-'
+                   || CAST(m.i AS VARCHAR)
+                   || CASE WHEN (doc_id + m.i) % 2 = 1
+                      THEN ' caf' || chr(233) ELSE '' END AS subject
+        FROM spec, LATERAL unnest(range(0, n_msg)) m(i)
+    ),
+    ln AS (
+        SELECT doc_id, n_msg, m, mode, subject, j.i AS j,
+               'doc ' || CAST(doc_id AS VARCHAR) || ' msg '
+                   || CAST(m AS VARCHAR) || ' line '
+                   || CAST(j.i AS VARCHAR) || ';'
+                   || CASE WHEN mode > 0
+                      THEN ' caf' || chr(233) ELSE '' END AS line
+        FROM msg, LATERAL unnest(range(0, 1 + (doc_id + m) % 3)) j(i)
+    ),
+    body AS (
+        SELECT doc_id, n_msg, m, subject,
+               string_agg(line, chr(10) ORDER BY j) AS text
+        FROM ln GROUP BY doc_id, n_msg, m, subject
+    )
+    SELECT doc_id,
+           CAST(min(n_msg) AS INT) AS n_messages,
+           CAST(sum(length(text)) AS BIGINT) AS total_body_chars,
+           string_agg(substr(sha256(subject), 1, 8), '' ORDER BY m)
+               AS subject_digest,
+           string_agg(substr(sha256(text), 1, 8), '' ORDER BY m)
+               AS body_digest
+    FROM body GROUP BY doc_id
+    """,
+    doc="MBOX mail-archive parsing, graded (r11 — mail corpora "
+    "(Enron, list archives) are a staple LLM training source; the "
+    "text tier's email front door): docs cycle four message shapes "
+    "per archive — 7bit plain (with mboxrd '>From ' postmark quoting "
+    "round-tripped), quoted-printable and base64 transfer encodings "
+    "carrying non-ASCII text, and multipart/alternative whose "
+    "text/html DECOY part must lose to the text/plain policy. "
+    "Odd-position subjects ride RFC 2047 encoded words. parse_mbox "
+    "splits on postmark lines after blank lines and decodes through "
+    "stdlib email; the oracle regenerates every subject and body "
+    "closed-form and compares ORDERED digest chains, so a postmark-"
+    "split, CTE-decode, encoded-word, or part-selection bug flips "
+    "the row.",
+    tags=("ingest", "multimodal", "corpus"),
+)
+def mbox_message_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.mbox import parse_mbox, synth_mbox
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+    modes = ("7bit", "qp", "b64", "multipart")
+
+    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                n_msg = 2 + i % 4
+                msgs = []
+                for m in range(n_msg):
+                    mode = modes[(i + m) % 4]
+                    tail = "" if mode == "7bit" else " café"
+                    body = "\n".join(
+                        "doc %d msg %d line %d;%s" % (i, m, j, tail)
+                        for j in range(1 + (i + m) % 3)
+                    )
+                    subject = "Subject %d-%d" % (i, m) + (
+                        " café" if (i + m) % 2 else "")
+                    msgs.append({
+                        "sender": "u%d@example.com" % ((i + m) % 7),
+                        "subject": subject, "body": body, "mode": mode,
+                    })
+                got = parse_mbox(synth_mbox(msgs))
+                sd = "".join(
+                    hashlib.sha256(g["subject"].encode()).hexdigest()[:8]
+                    for g in got
+                )
+                bd = "".join(
+                    hashlib.sha256(g["body"].encode()).hexdigest()[:8]
+                    for g in got
+                )
+                rows.append(
+                    (i, len(got), sum(len(g["body"]) for g in got),
+                     sd, bd)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_messages", "total_body_chars",
+                         "subject_digest", "body_digest"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_messages int, total_body_chars long, "
+        "subject_digest string, body_digest string",
+    )
+
+
+@register(
     "gpx_track_stats",
     oracle="""
     WITH spec AS (

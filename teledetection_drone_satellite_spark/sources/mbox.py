@@ -1,0 +1,152 @@
+"""MBOX mail-archive reader/writer — pure stdlib (email package), from
+the public mboxrd convention and RFC 5322/2045-2047.
+
+Mail archives (Enron, Apache/LKML lists, support corpora) are a staple
+LLM training source; this is the text tier's email front door.  Walked
+layout: messages delimited by postmark lines ('From ' at file start or
+after a blank line — NOT inside bodies, where mboxrd quotes them as
+'>From '), each parsed by stdlib email with the default policy so
+RFC 2047 encoded-word subjects and quoted-printable / base64 transfer
+encodings decode; multipart trees yield the FIRST text/plain part
+(the training-text policy — HTML alternatives are the html module's
+job).  mboxrd '>From ' quoting is reversed in bodies (one '>'
+stripped from '^>+From ' lines).
+
+Refusals (None): no postmark at all, or a message whose header block
+stdlib email rejects outright — the honest-fallback contract every
+decoder here shares.  Messages with no text/plain part yield body=''
+rather than refusing (real archives contain them)."""
+
+from __future__ import annotations
+
+import re
+
+_POSTMARK = re.compile(rb"^From [^\n]*\n")
+_QUOTED_FROM = re.compile(r"^(>+)From ", re.M)
+
+
+def _qp_guard(qp_text: str) -> str:
+    """Quoted-printable output may carry raw 'From ' at line start —
+    a forged postmark on the mbox stream.  Encode the F as =46 (the
+    standard QP dodge; decodes identically)."""
+    return re.sub(r"^From ", "=46rom ", qp_text, flags=re.M)
+
+
+def synth_mbox(messages: "list[dict]") -> bytes:
+    """``messages``: [{sender, subject, body, mode}] with mode one of
+    '7bit', 'qp', 'b64', 'multipart'.  Writes postmark-delimited
+    mboxrd ('From ' body lines quoted with '>'), RFC 2047 subjects for
+    the non-ASCII cases, independent of parse_mbox."""
+    import base64
+    import quopri
+
+    out = bytearray()
+    for n, m in enumerate(messages):
+        body, mode = m["body"], m["mode"]
+        subject = m["subject"]
+        try:
+            subject.encode("ascii")
+            subj_hdr = subject
+        except UnicodeEncodeError:  # RFC 2047 encoded word
+            subj_hdr = "=?utf-8?b?%s?=" % base64.b64encode(
+                subject.encode()).decode()
+        hdr = [
+            "From %s Thu Jan  1 00:00:%02d 2026" % (m["sender"], n % 60),
+            "From: %s" % m["sender"],
+            "To: corpus@example.com",
+            "Subject: %s" % subj_hdr,
+            "Date: Thu, 1 Jan 2026 00:00:%02d +0000" % (n % 60),
+            "MIME-Version: 1.0",
+        ]
+        if mode == "7bit":
+            hdr += ['Content-Type: text/plain; charset="us-ascii"',
+                    "Content-Transfer-Encoding: 7bit"]
+            # mboxrd: quote body postmarks (add one level)
+            payload = re.sub(r"^(>*From )", r">\1", body, flags=re.M)
+        elif mode == "qp":
+            hdr += ['Content-Type: text/plain; charset="utf-8"',
+                    "Content-Transfer-Encoding: quoted-printable"]
+            payload = _qp_guard(
+                quopri.encodestring(body.encode()).decode("ascii"))
+        elif mode == "b64":
+            hdr += ['Content-Type: text/plain; charset="utf-8"',
+                    "Content-Transfer-Encoding: base64"]
+            payload = base64.encodebytes(body.encode()).decode("ascii")
+        else:  # multipart/alternative: html decoy + plain part
+            boundary = "====synth%d====" % n
+            hdr += ['Content-Type: multipart/alternative; '
+                    'boundary="%s"' % boundary]
+            payload = "\n".join([
+                "--" + boundary,
+                'Content-Type: text/html; charset="utf-8"',
+                "",
+                "<p>DECOY HTML %d</p>" % n,
+                "--" + boundary,
+                'Content-Type: text/plain; charset="utf-8"',
+                "Content-Transfer-Encoding: quoted-printable",
+                "",
+                _qp_guard(
+                    quopri.encodestring(body.encode()).decode("ascii")),
+                "--" + boundary + "--",
+            ])
+        out += ("\n".join(hdr) + "\n\n" + payload).encode()
+        if not out.endswith(b"\n"):
+            out += b"\n"
+        out += b"\n"  # blank line before the next postmark
+    return bytes(out)
+
+
+def parse_mbox(content: bytes) -> "list[dict] | None":
+    """-> [{'sender', 'subject', 'body'}] in archive order, or None
+    per the module docstring."""
+    import email
+    import email.policy
+
+    if not content.startswith(b"From "):
+        return None
+    # split on postmarks that open the file or follow a blank line
+    starts = [0]
+    for m in re.finditer(rb"\n\n(From [^\n]*\n)", content):
+        starts.append(m.start() + 2)
+    starts.append(len(content))
+    out = []
+    for a, b in zip(starts, starts[1:]):
+        block = content[a:b]
+        nl = block.find(b"\n")
+        if nl < 0 or not block.startswith(b"From "):
+            return None
+        raw = block[nl + 1 :]
+        try:
+            msg = email.message_from_bytes(
+                raw, policy=email.policy.default)
+        except Exception:
+            return None
+        body = ""
+        part = msg
+        if msg.is_multipart():
+            part = None
+            for p in msg.walk():
+                if p.get_content_type() == "text/plain":
+                    part = p
+                    break
+        if part is not None and part.get_content_type() == "text/plain":
+            try:
+                body = part.get_content()
+            except Exception:
+                return None
+        # mboxrd: remove one '>' from quoted postmark lines — but ONLY
+        # for identity transfer encodings; base64/QP bodies never carry
+        # raw postmarks in the stream, so their decoded '>From ' is
+        # genuine content
+        if part is not None:
+            cte = str(part.get("Content-Transfer-Encoding",
+                               "7bit")).lower()
+            if cte in ("", "7bit", "8bit", "binary"):
+                body = _QUOTED_FROM.sub(
+                    lambda m: m.group(1)[1:] + "From ", body)
+        out.append({
+            "sender": str(msg.get("From", "")),
+            "subject": str(msg.get("Subject", "")),
+            "body": body.rstrip("\n"),
+        })
+    return out if out else None

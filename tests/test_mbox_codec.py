@@ -1,0 +1,102 @@
+"""MBOX parsing (sources/mbox.py): round-trip fuzz across the four
+message shapes, mboxrd postmark-quoting pin, encoded-word subjects,
+multipart part selection, refusals, bit-flip/garbage fuzz."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.mbox import (
+    parse_mbox,
+    synth_mbox,
+)
+
+_MODES = ("7bit", "qp", "b64", "multipart")
+
+
+def _msgs(rnd, n):
+    out = []
+    for m in range(n):
+        mode = _MODES[rnd.randrange(4)]
+        lines = []
+        for j in range(rnd.randint(1, 5)):
+            base = "line %d body %d;" % (j, rnd.randrange(1000))
+            if rnd.random() < 0.3:
+                base = "From " + base  # postmark-shaped body line
+            if mode != "7bit" and rnd.random() < 0.5:
+                base += " café ünïcode"
+            lines.append(base)
+        subject = "Subject %d" % m + (
+            " café" if mode != "7bit" and rnd.random() < 0.5 else "")
+        out.append({"sender": "u%d@x.com" % m, "subject": subject,
+                    "body": "\n".join(lines), "mode": mode})
+    return out
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 9999), n=st.integers(1, 8))
+def test_fuzz_mbox_roundtrip(seed, n):
+    rnd = random.Random(seed)
+    msgs = _msgs(rnd, n)
+    got = parse_mbox(synth_mbox(msgs))
+    assert got is not None and len(got) == n
+    for m, g in zip(msgs, got):
+        assert g["sender"] == m["sender"]
+        assert g["subject"] == m["subject"]
+        assert g["body"] == m["body"], (m["mode"], repr(g["body"]),
+                                        repr(m["body"]))
+
+
+def test_mbox_postmark_quoting_pin():
+    """mboxrd: 7bit body lines starting 'From ' are '>'-quoted on the
+    wire and restored on parse; pre-quoted lines gain/lose exactly one
+    level; qp/b64 bodies carry '>From ' as genuine content."""
+    msgs = [
+        {"sender": "a@x", "subject": "s", "mode": "7bit",
+         "body": "From zero;\n>From one;\n>>From two;"},
+        {"sender": "b@x", "subject": "t", "mode": "qp",
+         "body": ">From literal"},
+    ]
+    blob = synth_mbox(msgs)
+    # on the wire: the 7bit postmark-shaped lines are quoted one deeper
+    assert b"\n>From zero;" in blob and b"\n>>From one;" in blob
+    got = parse_mbox(blob)
+    assert got[0]["body"] == msgs[0]["body"]
+    assert got[1]["body"] == msgs[1]["body"]
+
+
+def test_mbox_multipart_prefers_text_plain():
+    msgs = [{"sender": "a@x", "subject": "s", "mode": "multipart",
+             "body": "the real text"}]
+    got = parse_mbox(synth_mbox(msgs))
+    assert got[0]["body"] == "the real text"
+    assert "DECOY" not in got[0]["body"]
+
+
+def test_mbox_refusals_and_edge():
+    assert parse_mbox(b"not an mbox at all") is None
+    assert parse_mbox(b"") is None
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31 - 1), nflip=st.integers(1, 10))
+def test_fuzz_mbox_survives_bit_flips(seed, nflip):
+    rnd = random.Random(seed)
+    blob = bytearray(synth_mbox(_msgs(rnd, 3)))
+    for _ in range(nflip):
+        blob[rnd.randrange(len(blob))] ^= 1 << rnd.randrange(8)
+    out = parse_mbox(bytes(blob))
+    assert out is None or isinstance(out, list)
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.binary(min_size=0, max_size=2000))
+def test_fuzz_mbox_garbage_never_crashes(data):
+    out = parse_mbox(b"From a@x Thu Jan  1 00:00:00 2026\n" + data)
+    assert out is None or isinstance(out, list)
