@@ -352,3 +352,31 @@ def test_zstd_decompressor_bounds_and_errors():
         dec(enc[: len(enc) // 2], 1 << 20)  # truncated frame
     with pytest.raises(Exception):
         dec(b"\x28\xb5\x2f\xfd" + bytes(8), 1 << 20)  # malformed
+
+
+def test_explode_archives_zip64_members(spark):
+    """ZIP64 end-of-central-directory layout (what any >4 GiB archive
+    or >65535-member listing uses at real scale) reads through the
+    same fan-out path — forced small via force_zip64."""
+    import io
+    import zipfile
+
+    from teledetection_drone_satellite_spark.sources import binary
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for k in range(3):
+            with zf.open(zipfile.ZipInfo("m%d.bin" % k), "w",
+                         force_zip64=True) as f:
+                f.write(b"zip64 payload %d" % k)
+    blob = buf.getvalue()
+    # zip64 local headers: 0xFFFFFFFF size sentinels + the 0x0001
+    # extra-field record carrying the real 64-bit sizes
+    assert b"\xff\xff\xff\xff" in blob and b"\x01\x00" in blob
+    df = spark.createDataFrame([("z64", bytearray(blob))],
+                               "path string, content binary")
+    rows = {r["member_index"]: r
+            for r in binary.explode_archives(df).collect()}
+    assert len(rows) == 3
+    for k in range(3):
+        assert bytes(rows[k]["content"]) == b"zip64 payload %d" % k
