@@ -49,7 +49,12 @@ def _ext80_decode(b: bytes) -> "float | None":
         return 0.0
     if exp == 0x7FFF:
         return None  # inf/nan rate: refuse
-    return sign * mant * 2.0 ** (exp - 16383 - 63)
+    import math
+
+    try:
+        return sign * math.ldexp(mant, exp - 16383 - 63)
+    except OverflowError:
+        return None  # hostile exponent (no real sample rate): refuse
 
 
 def _pstring(s: bytes) -> bytes:

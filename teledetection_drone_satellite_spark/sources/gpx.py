@@ -56,7 +56,9 @@ def parse_gpx(content: bytes) -> "dict | None":
 
     try:
         root = ET.fromstring(content)
-    except ET.ParseError:
+    except (ET.ParseError, LookupError, ValueError):
+        # LookupError: expat raises it for an unknown encoding name in
+        # the XML declaration (e.g. encoding="TTF-8" after a bit flip).
         return None
     # tag arrives namespaced: '{uri}gpx'
     if re.sub(r"^\{[^}]*\}", "", root.tag) != "gpx":

@@ -75,8 +75,8 @@ def decode_id3(content: bytes) -> "dict | None":
         fid = content[pos : pos + 4]
         if fid == b"\x00\x00\x00\x00":
             break  # padding
-        if not all(0x30 <= c <= 0x5A for c in fid):
-            return None  # frame id must be A-Z0-9
+        if not all(0x30 <= c <= 0x39 or 0x41 <= c <= 0x5A for c in fid):
+            return None  # frame id must be A-Z0-9 (id3.org §3.3)
         if ver == 4:
             fsize = _read_syncsafe(content[pos + 4 : pos + 8])
             if fsize is None:

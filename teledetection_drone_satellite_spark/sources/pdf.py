@@ -603,6 +603,11 @@ def extract_pdf_text(content: bytes) -> "list[str] | None":
         ent = entries.get(stm_oid)
         if ent is None or ent[0] != "f":  # ObjStm can't nest (§7.5.7)
             return None
+        # Seed the cache BEFORE parsing: a crafted /Length that
+        # indirects to a type-2 entry inside this same ObjStm would
+        # otherwise recurse objstm_members -> raw_stream_at ->
+        # stream_length -> load -> objstm_members without terminating.
+        _objstm_cache[stm_oid] = None
         got = parse_dict_at(ent[1])
         if got is None or b"/ObjStm" not in got[0]:
             return None

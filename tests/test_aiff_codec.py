@@ -133,3 +133,19 @@ def test_fuzz_aiff_survives_bit_flips(seed, nflip):
 def test_fuzz_aiff_garbage_never_crashes(data):
     out = aiff.decode_aiff(b"FORM" + data)
     assert out is None or out[3].dtype == np.int16
+
+
+def test_regression_ext80_hostile_exponent():
+    """r11 judge falsification (seed=1363824744, nflip=3): a bit-flipped
+    COMM exponent made 2.0**~16000 overflow; _ext80_decode must refuse,
+    never raise."""
+    rnd = random.Random(1363824744)
+    bits, comp = _MODES[1363824744 % len(_MODES)]
+    enc = bytearray(aiff.synth_aiff(22050, 40, 2, bits, comp))
+    for _ in range(3):
+        enc[rnd.randrange(len(enc))] ^= 1 << rnd.randrange(8)
+    out = aiff.decode_aiff(bytes(enc))
+    assert out is None or out[3].dtype == np.int16
+    # direct: max biased exponent short of the refused 0x7FFF
+    assert aiff._ext80_decode(struct.pack(">HQ", 0x7FFE, 1 << 63)) is None
+    assert aiff._ext80_decode(struct.pack(">HQ", 0xFFFE, 1 << 63)) is None

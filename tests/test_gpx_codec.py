@@ -86,3 +86,18 @@ def test_fuzz_gpx_survives_bit_flips(seed, nflip):
 def test_fuzz_gpx_garbage_never_crashes(data):
     out = parse_gpx(data)
     assert out is None or isinstance(out, dict)
+
+
+def test_regression_gpx_unknown_encoding_declaration():
+    """r11 judge falsification (seed=27915, nflip=2): a bit flip inside
+    the XML declaration's encoding name makes expat raise LookupError;
+    parse_gpx must refuse, never raise."""
+    rnd = random.Random(27915)
+    blob = bytearray(synth_gpx(_tracks(rnd, 2)))
+    for _ in range(2):
+        blob[rnd.randrange(len(blob))] ^= 1 << rnd.randrange(8)
+    out = parse_gpx(bytes(blob))
+    assert out is None or isinstance(out, dict)
+    # direct: declared encoding name that codecs cannot look up
+    bad = synth_gpx([[[(1.0, 2.0, 3.0)]]]).replace(b"UTF-8", b"TTF-8")
+    assert parse_gpx(bad) is None

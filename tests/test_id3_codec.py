@@ -98,3 +98,14 @@ def test_id3_v24_multi_value_text_frames():
     v2.3 display convention); trailing terminators drop."""
     blob = id3.synth_id3({"TPE1": "A\x00B\x00"}, 4, 3)
     assert id3.decode_id3(blob)["frames"]["TPE1"] == "A/B"
+
+
+def test_regression_frame_id_punctuation_refused():
+    """r11 ADVICE: bytes 0x3A-0x40 (':;<=>?@') sit between '9' and 'A'
+    and must be refused by the A-Z0-9 frame-id rule."""
+    blob = bytearray(id3.synth_id3({"TIT2": "x"}, 4, 0, padding=0))
+    at = bytes(blob).find(b"TIT2")
+    for bad in b":;<=>?@":
+        mutated = bytearray(blob)
+        mutated[at + 2] = bad
+        assert id3.decode_id3(bytes(mutated)) is None

@@ -184,3 +184,22 @@ def test_pdf_indirect_length():
     # a dangling /Length reference refuses rather than mis-slicing
     broken = bytes(out).replace(b"/Length 5 0 R", b"/Length 9 0 R")
     assert pdf.extract_pdf_text(broken) is None
+
+
+def test_regression_objstm_recursive_indirect_length():
+    """r11 ADVICE: an /ObjStm whose /Length indirects to a type-2 entry
+    inside that same ObjStm must refuse (None), not RecursionError —
+    the cache is seeded before parsing to break the cycle."""
+    import re as _re
+
+    blob = pdf.synth_pdf([["hello world"]], xref_stream=True)
+    m = _re.search(rb"(/Type /ObjStm /N \d+ /First \d+ )/Length (\d+)",
+                   blob)
+    assert m is not None
+    crafted = blob.replace(m.group(0), m.group(1) + b"/Length 1 0 R", 1)
+    delta = len(m.group(1) + b"/Length 1 0 R") - len(m.group(0))
+    sm = _re.search(rb"startxref\s+(\d+)", crafted)
+    crafted = crafted.replace(
+        b"startxref\n" + sm.group(1),
+        b"startxref\n" + str(int(sm.group(1)) + delta).encode(), 1)
+    assert pdf.extract_pdf_text(crafted) is None
