@@ -53,6 +53,193 @@ _SKIP = frozenset(("script", "style", "template", "noscript", "head"))
 
 _BREAK = "\x00"  # line-break sentinel: survives source newlines in text
 
+# WHATWG Encoding labels -> Python codecs (the subset a crawl actually
+# sees; whatwg.org/encoding §4.2 label table).  Per the standard, every
+# latin1/ascii-family label means windows-1252, euc-kr means the cp949
+# superset, and gb2312/gbk labels mean GBK.
+_WHATWG_LABELS: "dict[str, str]" = {}
+for _codec, _labels in {
+    "utf-8": "unicode-1-1-utf-8 unicode11utf8 unicode20utf8 utf-8 utf8 "
+             "x-unicode20utf8",
+    "cp1252": "ansi_x3.4-1968 ascii cp1252 cp819 csisolatin1 ibm819 "
+              "iso-8859-1 iso-ir-100 iso8859-1 iso88591 iso_8859-1 "
+              "iso_8859-1:1987 l1 latin1 us-ascii windows-1252 "
+              "x-cp1252 x-user-defined",
+    "iso8859-2": "csisolatin2 iso-8859-2 iso-ir-101 iso8859-2 iso88592 "
+                 "iso_8859-2 iso_8859-2:1987 l2 latin2",
+    "cp1250": "cp1250 windows-1250 x-cp1250",
+    "cp1251": "cp1251 windows-1251 x-cp1251",
+    "cp1253": "cp1253 windows-1253 x-cp1253",
+    "cp1254": "cp1254 csisolatin5 iso-8859-9 iso-ir-148 iso8859-9 "
+              "iso88599 iso_8859-9 iso_8859-9:1989 l5 latin5 "
+              "windows-1254 x-cp1254",
+    "cp1255": "cp1255 windows-1255 x-cp1255",
+    "cp1256": "cp1256 windows-1256 x-cp1256",
+    "cp1257": "cp1257 windows-1257 x-cp1257",
+    "cp1258": "cp1258 windows-1258 x-cp1258",
+    "iso8859-15": "csisolatin9 iso-8859-15 iso8859-15 iso885915 "
+                  "iso_8859-15 l9 latin9",
+    "koi8-r": "cskoi8r koi koi8 koi8-r koi8_r",
+    "koi8-u": "koi8-ru koi8-u",
+    "cp932": "csshiftjis ms932 ms_kanji shift-jis shift_jis sjis "
+             "windows-31j x-sjis",
+    "euc-jp": "cseucpkdfmtjapanese euc-jp x-euc-jp",
+    "gbk": "chinese csgb2312 csiso58gb231280 gb2312 gb_2312 gb_2312-80 "
+           "gbk iso-ir-58 x-gbk",
+    "gb18030": "gb18030",
+    "big5": "big5 big5-hkscs cn-big5 csbig5 x-x-big5",
+    "cp949": "cseuckr csksc56011987 euc-kr iso-ir-149 korean "
+             "ks_c_5601-1987 ks_c_5601-1989 ksc5601 ksc_5601 "
+             "windows-949",
+    "utf-16-le": "csunicode iso-10646-ucs-2 ucs-2 unicode "
+                 "unicodefeff utf-16 utf-16le",
+    "utf-16-be": "unicodefffe utf-16be",
+}.items():
+    for _l in _labels.split():
+        _WHATWG_LABELS[_l] = _codec
+_WS = b"\t\n\x0c\r "
+
+
+def _prescan_attr(head: bytes, i: int) -> "tuple[tuple[str, str] | None, int]":
+    """One attribute per WHATWG §13.2.3.2 'get an attribute'; returns
+    ((name, value) | None, next_position)."""
+    n = len(head)
+    while i < n and (head[i : i + 1] in _WS or head[i] == 0x2F):  # '/'
+        i += 1
+    if i >= n or head[i] == 0x3E:  # '>'
+        return None, i
+    name = bytearray()
+    value = bytearray()
+    while i < n:
+        c = head[i]
+        if c == 0x3D and name:  # '='
+            i += 1
+            break
+        if head[i : i + 1] in _WS:
+            while i < n and head[i : i + 1] in _WS:
+                i += 1
+            if i >= n or head[i] != 0x3D:
+                return (name.decode("ascii", "replace").lower(), ""), i
+            i += 1
+            break
+        if c in (0x2F, 0x3E):  # '/' '>'
+            return (name.decode("ascii", "replace").lower(), ""), i
+        name.append(c + 0x20 if 0x41 <= c <= 0x5A else c)
+        i += 1
+    while i < n and head[i : i + 1] in _WS:
+        i += 1
+    if i < n and head[i] in (0x22, 0x27):  # quoted value
+        q = head[i]
+        i += 1
+        while i < n and head[i] != q:
+            c = head[i]
+            value.append(c + 0x20 if 0x41 <= c <= 0x5A else c)
+            i += 1
+        return (name.decode("ascii", "replace").lower(),
+                value.decode("ascii", "replace")), min(i + 1, n)
+    while i < n and head[i : i + 1] not in _WS and head[i] != 0x3E:
+        c = head[i]
+        value.append(c + 0x20 if 0x41 <= c <= 0x5A else c)
+        i += 1
+    return (name.decode("ascii", "replace").lower(),
+            value.decode("ascii", "replace")), i
+
+
+def _charset_from_content(content: str) -> "str | None":
+    """Extract the charset parameter from a Content-Type-ish string
+    (WHATWG 'extracting a character encoding from a meta element')."""
+    low = content.lower()
+    at = low.find("charset")
+    if at < 0:
+        return None
+    i = at + 7
+    while i < len(low) and low[i] in "\t\n\x0c\r ":
+        i += 1
+    if i >= len(low) or low[i] != "=":
+        return None
+    i += 1
+    while i < len(low) and low[i] in "\t\n\x0c\r ":
+        i += 1
+    if i >= len(low):
+        return None
+    if low[i] in "\"'":
+        j = low.find(low[i], i + 1)
+        return low[i + 1 : j] if j > 0 else None
+    j = i
+    while j < len(low) and low[j] not in "\t\n\x0c\r ;":
+        j += 1
+    return low[i:j] or None
+
+
+def sniff_html_encoding(content: bytes) -> "str | None":
+    """WHATWG HTML §13.2.3.2 encoding prescan over the first 1024
+    bytes: walk comments/tags, and on a <meta> collect charset= or
+    http-equiv=content-type + content="...charset=...".  Returns a
+    Python codec name or None.  Per the spec, a declared utf-16 means
+    utf-8 (the prescan only runs on ASCII-compatible bytes) and
+    x-user-defined means windows-1252."""
+    head = content[:1024]
+    n = len(head)
+    i = 0
+    while i < n:
+        if head.startswith(b"<!--", i):
+            j = head.find(b"-->", i + 2)
+            if j < 0:
+                return None
+            i = j + 3
+        elif head.startswith(b"<meta", i) and head[i + 5 : i + 6] in (
+            b"\t", b"\n", b"\x0c", b"\r", b" ", b"/"
+        ):
+            i += 6
+            seen: "set[str]" = set()
+            got_pragma = False
+            need_pragma: "bool | None" = None
+            charset: "str | None" = None
+            while True:
+                attr, i = _prescan_attr(head, i)
+                if attr is None:
+                    break
+                name, value = attr
+                if name in seen:
+                    continue
+                seen.add(name)
+                if name == "http-equiv" and value == "content-type":
+                    got_pragma = True
+                elif name == "content" and charset is None:
+                    c = _charset_from_content(value)
+                    if c is not None:
+                        charset, need_pragma = c, True
+                elif name == "charset":
+                    charset, need_pragma = value.strip(), False
+            if (charset is not None and need_pragma is not None
+                    and (not need_pragma or got_pragma)):
+                codec = _WHATWG_LABELS.get(charset.strip().lower())
+                if codec in ("utf-16-le", "utf-16-be"):
+                    codec = "utf-8"
+                if codec is not None:
+                    return codec
+            # an unrecognized label: keep scanning (spec: ignore)
+        elif head.startswith(b"</", i) or (
+            head[i : i + 1] == b"<" and head[i + 1 : i + 2].isalpha()
+        ):
+            j = i + 1
+            while j < n and head[j : j + 1] not in _WS and head[j] != 0x3E:
+                j += 1
+            i = j
+            while True:  # consume attributes so '>' in values can't fool us
+                attr, i = _prescan_attr(head, i)
+                if attr is None:
+                    break
+            i += 1  # past '>'
+        elif head.startswith(b"<!", i) or head.startswith(b"<?", i):
+            j = head.find(b">", i)
+            if j < 0:
+                return None
+            i = j + 1
+        else:
+            i += 1
+    return None
+
 
 class _TextExtractor(HTMLParser):
     def __init__(self) -> None:
@@ -80,10 +267,10 @@ class _TextExtractor(HTMLParser):
 
 def extract_html_text(content: "str | bytes") -> str:
     """Extract visible text per the module-docstring semantics; returns
-    "" for text-free documents.  Bytes decode by BOM sniff (UTF-8 /
-    UTF-16 LE/BE — the WHATWG encoding-sniff's first, authoritative
-    step) falling back to UTF-8 with replacement; <meta charset>
-    legacy-encoding sniffing beyond that is out of scope."""
+    "" for text-free documents.  Bytes decode by the WHATWG sniff:
+    BOM first (UTF-8 / UTF-16 LE/BE — authoritative), then the
+    1024-byte <meta charset> prescan (sniff_html_encoding), falling
+    back to UTF-8 with replacement."""
     if isinstance(content, bytes):
         if content[:3] == b"\xef\xbb\xbf":
             content = content[3:].decode("utf-8", errors="replace")
@@ -92,7 +279,8 @@ def extract_html_text(content: "str | bytes") -> str:
         elif content[:2] == b"\xfe\xff":
             content = content[2:].decode("utf-16-be", errors="replace")
         else:
-            content = content.decode("utf-8", errors="replace")
+            codec = sniff_html_encoding(content) or "utf-8"
+            content = content.decode(codec, errors="replace")
     p = _TextExtractor()
     try:
         p.feed(content)
@@ -107,6 +295,63 @@ def extract_html_text(content: "str | bytes") -> str:
         if s:
             lines.append(s)
     return "\n".join(lines)
+
+
+# legacy-encoding fixture wheel: (python codec, WHATWG labels to cycle,
+# a phrase exercising that codec's non-ASCII plane)
+_LEGACY = [
+    ("cp1252", ["windows-1252", "latin1", "iso-8859-1"], "café æøå"),
+    ("iso8859-2", ["iso-8859-2", "latin2"], "łódź"),
+    ("koi8-r", ["koi8-r", "koi8"], "Привет мир"),
+    ("cp932", ["shift_jis", "sjis", "ms_kanji"], "ハロー世界"),
+    ("gbk", ["gbk", "gb2312"], "中文文本"),
+    ("cp1251", ["windows-1251", "cp1251"], "Москва"),
+]
+
+
+def synth_html_legacy(doc_id: int) -> "tuple[bytes, list[str]]":
+    """Deterministic LEGACY-ENCODED fixture: the document bytes are
+    windows-1252 / iso-8859-2 / koi8-r / shift_jis / gbk / windows-1251
+    (cycled by doc_id % 6), declared only via <meta> — charset
+    attribute, http-equiv pragma, unquoted, or quoted-inside-content,
+    cycled by doc_id % 4 — behind a comment DECOY meta the prescan must
+    skip.  Expected lines have the closed form the html_charset_stats
+    oracle regenerates in SQL:
+
+        n_blocks = 2 + doc_id % 4
+        line[b]  = repeat('doc {i} block {b} {phrase};',
+                          1 + (i+b) % 3)
+    """
+    i = int(doc_id)
+    codec, labels, phrase = _LEGACY[i % len(_LEGACY)]
+    label = labels[i % len(labels)]
+    metas = [
+        '<meta charset="%s">' % label,
+        '<meta http-equiv="Content-Type"'
+        ' content="text/html; charset=%s">' % label,
+        "<meta charset=%s>" % label,
+        "<meta http-equiv=content-type"
+        " content='text/html; charset=\"%s\"'>" % label,
+    ]
+    out = [
+        "<!DOCTYPE html>\n<html>\n<head>\n",
+        '<!-- decoy: <meta charset="utf-16be"> must be skipped -->\n',
+        "<title>DECOY TITLE %d</title>\n" % i,
+        metas[i % len(metas)],
+        "\n</head>\n<body>\n",
+        "<script>var decoy = 'DECOY %d';</script>\n" % i,
+    ]
+    expected = []
+    wrappers = ["p", "div", "h3", "blockquote"]
+    n_blocks = 2 + i % 4
+    for b in range(n_blocks):
+        reps = 1 + (i + b) % 3
+        unit = "doc %d block %d %s;" % (i, b, phrase)
+        expected.append(unit * reps)
+        tag = wrappers[b % len(wrappers)]
+        out.append("<%s>%s</%s>\n" % (tag, unit * reps, tag))
+    out.append("</body>\n</html>\n")
+    return "".join(out).encode(codec), expected
 
 
 def synth_html(doc_id: int) -> "tuple[str, list[str]]":

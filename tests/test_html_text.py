@@ -110,3 +110,63 @@ def test_html_table_cells_do_not_merge():
         "<table><tr><th>h1</th><th>h2</th></tr>"
         "<tr><td>a</td><td>b</td></tr></table>")
     assert got == "h1\nh2\na\nb"
+
+
+def test_prescan_meta_charset_forms():
+    from teledetection_drone_satellite_spark.sources.html import (
+        sniff_html_encoding,
+    )
+
+    s = sniff_html_encoding
+    assert s(b'<meta charset="windows-1252">') == "cp1252"
+    assert s(b"<meta charset=latin1>") == "cp1252"
+    assert s(b'<meta http-equiv="Content-Type" '
+             b'content="text/html; charset=iso-8859-2">') == "iso8859-2"
+    # content without the content-type pragma is IGNORED (spec)
+    assert s(b'<meta content="text/html; charset=gbk">') is None
+    # charset value quoted inside the content parameter
+    assert s(b"<meta http-equiv=content-type "
+             b"content='text/html; charset=\"big5\"'>") == "big5"
+    # commented-out meta is skipped; later real one wins
+    assert s(b'<!-- <meta charset="koi8-r"> -->'
+             b"<meta charset=shift_jis>") == "cp932"
+    # a '>' inside a quoted attribute value must not end the tag early
+    assert s(b'<img alt="a>b"><meta charset=koi8-u>') == "koi8-u"
+    # declared utf-16 means utf-8 (prescan runs on ASCII-superset bytes)
+    assert s(b"<meta charset=utf-16le>") == "utf-8"
+    # unknown label: keep scanning, then give up
+    assert s(b"<meta charset=klingon-8>") is None
+    assert s(b"<p>no declaration at all") is None
+    # only the first 1024 bytes are consulted
+    assert s(b" " * 1100 + b'<meta charset="latin1">') is None
+
+
+def test_extract_legacy_encoded_bytes():
+    from teledetection_drone_satellite_spark.sources.html import (
+        extract_html_text,
+        synth_html_legacy,
+    )
+
+    for i in range(24):
+        raw, expected = synth_html_legacy(i)
+        assert extract_html_text(raw).split("\n") == expected
+    # BOM always beats the meta declaration
+    bom = b"\xef\xbb\xbf<meta charset=koi8-r><p>caf\xc3\xa9</p>"
+    assert extract_html_text(bom) == "café"
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31 - 1), nflip=st.integers(1, 8))
+def test_fuzz_prescan_survives_bit_flips(seed, nflip):
+    from teledetection_drone_satellite_spark.sources.html import (
+        extract_html_text,
+        synth_html_legacy,
+    )
+
+    rnd = random.Random(seed)
+    raw, _ = synth_html_legacy(rnd.randrange(1000))
+    blob = bytearray(raw)
+    for _ in range(nflip):
+        blob[rnd.randrange(len(blob))] ^= 1 << rnd.randrange(8)
+    assert isinstance(extract_html_text(bytes(blob)), str)
