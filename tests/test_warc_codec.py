@@ -126,3 +126,66 @@ def test_explode_warc_distributed(spark):
     assert rows[("bad", -1)]["warc_error"] == "unparseable"
     assert all(r["warc_error"] is None for k, r in rows.items()
                if k[1] >= 0)
+
+
+_ENC = [None, "chunked", "gzip", "deflate", "gzip+chunked"]
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 9999), n=st.integers(1, 6), gz=st.booleans())
+def test_fuzz_warc_encoded_bodies_roundtrip(seed, n, gz):
+    rnd = random.Random(seed)
+    recs = [("warcinfo", "", 0, b"software: synth\r\n")]
+    bodies = []
+    for r in range(n):
+        body = bytes(rnd.randrange(0, 256)
+                     for _ in range(rnd.randint(0, 4000)))
+        bodies.append(body)
+        recs.append(("response", "http://ex.com/%d" % r, 200, body,
+                     rnd.choice(_ENC)))
+    got = parse_warc(synth_warc(recs, gz=gz))
+    assert got is not None and len(got) == n + 1
+    for body, g in zip(bodies, got[1:]):
+        assert g["body"] == body
+
+
+def test_warc_chunked_and_content_coding_details():
+    from teledetection_drone_satellite_spark.sources.warc import _dechunk
+
+    # chunk extensions + trailers decode; sizes are hex
+    assert _dechunk(b"3;a=b\r\nabc\r\nA\r\n0123456789\r\n"
+                    b"0\r\nX-T: v\r\n\r\n") == b"abc0123456789"
+    # malformed: non-hex size, missing CRLF after data, truncation
+    assert _dechunk(b"zz\r\nabc\r\n0\r\n\r\n") is None
+    assert _dechunk(b"3\r\nabcXY0\r\n\r\n") is None
+    assert _dechunk(b"ff\r\nshort\r\n") is None
+    assert _dechunk(b"") is None
+    # raw-deflate (no zlib wrap) server body still inflates
+    raw = zlib.compressobj(6, zlib.DEFLATED, -15)
+    wire = raw.compress(b"raw deflate body") + raw.flush()
+    payload = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n"
+               b"Content-Length: %d\r\n\r\n" % len(wire)) + wire
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"Content-Type: application/http; msgtype=response\r\n"
+           b"Content-Length: %d\r\n\r\n" % len(payload)
+           ) + payload + b"\r\n\r\n"
+    got = parse_warc(rec)
+    assert got is not None and got[0]["body"] == b"raw deflate body"
+    # unknown coding keeps the raw body (no whole-file refusal)
+    payload2 = (b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n"
+                b"Content-Length: 3\r\n\r\nXYZ")
+    rec2 = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(payload2)
+            ) + payload2 + b"\r\n\r\n"
+    got2 = parse_warc(rec2)
+    assert got2 is not None and got2[0]["body"] == b"XYZ"
+    # corrupt gzip content-encoding refuses
+    payload3 = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+                b"Content-Length: 4\r\n\r\n\x1f\x8bXX")
+    rec3 = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            b"Content-Length: %d\r\n\r\n" % len(payload3)
+            ) + payload3 + b"\r\n\r\n"
+    assert parse_warc(rec3) is None
