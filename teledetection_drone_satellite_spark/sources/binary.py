@@ -56,6 +56,7 @@ DEFAULT_ALLOWED_EXT = (
     "jpg", "jpeg", "png", "gif", "tif", "tiff", "webp", "pdf", "zip", "txt", "csv",
     "json", "mp3", "ogg", "flac", "wav", "mp4", "webm", "avi", "las", "laz",
     "html", "htm", "zst", "aiff", "aif", "shp", "md",  # r11 additions
+    "docx", "epub",  # r12 additions
 )
 
 
@@ -160,6 +161,29 @@ def sniff_mime(content: Column) -> Column:
                 .when(riff_kind == "41564920", F.lit("video/avi"))  # "AVI "
                 .when(riff_kind == "57454250", F.lit("image/webp"))  # WEBP
                 .otherwise(F.lit("application/octet-stream"))
+            )
+            expr = expr.when(cond, refined) if expr is not None else F.when(cond, refined)
+        elif mime == "application/zip":
+            # zip containers refine by the FIRST member's name at byte
+            # offset 30 (r12): OOXML packages lead with
+            # [Content_Types].xml; OCF/EPUB requires a STORED
+            # 'mimetype' member first with zero extra field, so its
+            # payload sits at offset 38 — the standard magic sniffs
+            name_hex = F.hex(F.substring(content, 31, 20))
+            # "[Content_Types].xml" / "mimetype" + "application/epub"
+            refined = (
+                F.when(
+                    name_hex.startswith(
+                        "5B436F6E74656E745F54797065735D2E786D6C"),
+                    F.lit("application/vnd.openxmlformats-officedocument"),
+                )
+                .when(
+                    name_hex.startswith("6D696D6574797065")
+                    & F.hex(F.substring(content, 39, 16)).startswith(
+                        "6170706C69636174696F6E2F65707562"),
+                    F.lit("application/epub+zip"),
+                )
+                .otherwise(F.lit("application/zip"))
             )
             expr = expr.when(cond, refined) if expr is not None else F.when(cond, refined)
         elif mime == "audio/x-form":

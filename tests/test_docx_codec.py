@@ -1,0 +1,92 @@
+"""DOCX extraction (sources/docx.py): synth round-trip, run-joining /
+tab-br / decoy semantics on hand-built documents, refusals, bit-flip
+and garbage never-crash fuzz."""
+
+from __future__ import annotations
+
+import io
+import random
+import zipfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.docx import (
+    extract_docx_text,
+    synth_docx,
+)
+
+_W_XMLNS = ('xmlns:w="http://schemas.openxmlformats.org/'
+            'wordprocessingml/2006/main"')
+
+
+def _pack(document_xml: str) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        zf.writestr("word/document.xml", document_xml)
+    return buf.getvalue()
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    raw, expected = synth_docx(doc_id)
+    assert extract_docx_text(raw) == expected
+
+
+def test_docx_semantics_hand_cases():
+    doc = (
+        "<w:document %s><w:body>"
+        # runs join with NO separator; tab and br become single spaces
+        "<w:p><w:r><w:t>ab</w:t></w:r><w:r><w:t>cd</w:t></w:r>"
+        "<w:r><w:tab/><w:t>ef</w:t><w:br/><w:t>gh</w:t></w:r></w:p>"
+        # instrText + delText contribute nothing; empty para preserved
+        "<w:p><w:r><w:instrText> PAGE </w:instrText></w:r>"
+        "<w:r><w:delText>gone</w:delText></w:r></w:p>"
+        # table cells flatten in document order
+        "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>c1</w:t></w:r></w:p></w:tc>"
+        "<w:tc><w:p><w:r><w:t>c2</w:t></w:r></w:p></w:tc></w:tr></w:tbl>"
+        "<w:p><w:r><w:cr/><w:t>tail</w:t></w:r></w:p>"
+        "</w:body></w:document>" % _W_XMLNS
+    )
+    assert extract_docx_text(_pack(doc)) == [
+        "abcd ef gh", "", "c1", "c2", " tail"]
+
+
+def test_docx_refusals():
+    assert extract_docx_text(b"") is None
+    assert extract_docx_text(b"not a zip at all") is None
+    raw, _ = synth_docx(3)
+    assert extract_docx_text(raw[: len(raw) // 2]) is None  # truncated
+    # zip but missing the main part
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+    assert extract_docx_text(buf.getvalue()) is None
+    # main part present but not XML / wrong root
+    assert extract_docx_text(_pack("not xml <<<")) is None
+    assert extract_docx_text(_pack("<doc/>")) is None
+    assert extract_docx_text(
+        _pack('<w:body %s/>' % _W_XMLNS)) is None
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31 - 1), nflip=st.integers(1, 10))
+def test_fuzz_docx_survives_bit_flips(seed, nflip):
+    rnd = random.Random(seed)
+    blob = bytearray(synth_docx(rnd.randrange(1000))[0])
+    for _ in range(nflip):
+        blob[rnd.randrange(len(blob))] ^= 1 << rnd.randrange(8)
+    out = extract_docx_text(bytes(blob))
+    assert out is None or isinstance(out, list)
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.binary(min_size=0, max_size=2000))
+def test_fuzz_docx_garbage_never_crashes(data):
+    out = extract_docx_text(b"PK\x03\x04" + data)
+    assert out is None or isinstance(out, list)
