@@ -484,3 +484,60 @@ def fingerprint(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     return fan_out(df).select(
         "doc_id", F.array_min(hashes).alias("fingerprint")
     ).filter(F.col("fingerprint").isNotNull())
+
+
+# Tracking query parameters stripped by canonicalize_url (r12): the
+# analytics/click-id params every crawl canonicalizer drops — their
+# presence makes byte-identical pages look distinct to exact dedup.
+TRACKING_PARAM_RE = (
+    r"^(utm_[^=]*|fbclid|gclid|dclid|msclkid|yclid|twclid|igshid|"
+    r"mc_cid|mc_eid|ref|ref_src|_ga|_gl|spm|s_kwcid)(=.*)?$"
+)
+
+
+def canonicalize_url(url: "Column | str") -> Column:
+    """URL canonicalization for crawl dedup, entirely JVM-side (rules
+    documented here and mirrored by the url_canonicalize oracle):
+
+      1. scheme and host lowercase;
+      2. default ports stripped (http:80, https:443);
+      3. the #fragment dropped;
+      4. tracking params dropped (TRACKING_PARAM_RE: utm_*, fbclid,
+         gclid, ... — the set that makes identical pages look unique);
+      5. remaining query params sorted bytewise (param order is not
+         semantic for the dedup use case);
+      6. an emptied query loses its '?';
+      7. an empty path becomes '/'.
+
+    Built from regexp_extract / lower / filter / array_sort only — no
+    Python UDF, so a 100 TB URL column canonicalizes inside whole-stage
+    codegen at scan speed.  At 1000 executors this is a map-only
+    projection: the canonical form then feeds the same digest-only
+    shuffle exact dedup already uses."""
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    # strip the default port for the scheme
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+    )

@@ -482,3 +482,60 @@ def asof_join_latest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "asof_ts", "asof_event_id",
         F.round("asof_value", 4).alias("asof_value"),
     )
+
+
+@register(
+    "url_canonicalize",
+    oracle="""
+    WITH d AS (SELECT doc_id, doc_id % 50 AS k FROM documents)
+    SELECT 'http://site' || CAST(k AS VARCHAR) || '.example.com/page/'
+               || CAST(k AS VARCHAR) || '?a=1&b=2' AS canonical_url,
+           count(*) AS n_urls,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM d GROUP BY k
+    """,
+    doc="URL canonicalization for crawl dedup (r12): every document "
+    "carries one of SIX messy variants of its group's URL — uppercase "
+    "scheme/host, an explicit default :80 port, a #fragment, and "
+    "utm_source / utm_campaign / fbclid / gclid tracking params "
+    "(per-doc-unique values, so raw grouping can never merge them) "
+    "with shuffled param order — and canonicalize_url (operators/"
+    "text.py) must collapse all six to the same canonical form or the "
+    "group counts fracture. The oracle states the expected canonical "
+    "strings in closed form, asserting every rule (case, port, "
+    "fragment, tracking-param drop, param sort) end-to-end. Pure JVM "
+    "projection + one digest-sized shuffle: the 100 TB shape.",
+    tags=("text", "curation"),
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    did = F.col("doc_id")
+    k = (did % 50).cast("string")
+    i = did.cast("string")
+    v = did % 6
+    site = F.concat(F.lit("site"), k, F.lit(".example.com/page/"), k)
+    upsite = F.concat(F.lit("Site"), k, F.lit(".example.com/page/"), k)
+    upderr = F.concat(F.lit("site"), k, F.lit(".EXAMPLE.com:80/page/"), k)
+    raw = (
+        F.when(v == 0, F.concat(F.lit("http://"), upsite, F.lit("?b=2&a=1")))
+        .when(v == 1, F.concat(F.lit("HTTP://"), upderr,
+                               F.lit("?a=1&b=2#frag")))
+        .when(v == 2, F.concat(F.lit("http://"), site,
+                               F.lit("?utm_source=feed&b=2&a=1")))
+        .when(v == 3, F.concat(F.lit("http://"), site,
+                               F.lit("?a=1&fbclid=X"), i, F.lit("&b=2")))
+        .when(v == 4, F.concat(F.lit("http://"), site,
+                               F.lit("?b=2&a=1&utm_campaign=c"), i))
+        .otherwise(F.concat(F.lit("http://"), site,
+                            F.lit("?gclid=g"), i, F.lit("&a=1&b=2")))
+    )
+    return (
+        d.select("doc_id", text.canonicalize_url(raw).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

@@ -1,0 +1,28 @@
+
+
+def test_canonicalize_url_rules(spark):
+    from pyspark.sql import functions as F
+
+    from teledetection_drone_satellite_spark.operators.text import (
+        canonicalize_url,
+    )
+
+    cases = [
+        # (raw, canonical)
+        ("HTTP://ExAmPle.COM:80/Path/To?b=2&utm_source=x&a=1#frag",
+         "http://example.com/Path/To?a=1&b=2"),
+        ("https://a.org:443", "https://a.org/"),
+        ("https://a.org:8443/x?utm_campaign=z", "https://a.org:8443/x"),
+        ("http://h.net/p?fbclid=abc&z=9&y=8&gclid=q",
+         "http://h.net/p?y=8&z=9"),
+        ("https://h.net/p/?ref", "https://h.net/p/"),
+        ("http://x.io/q?a=1&a=0", "http://x.io/q?a=0&a=1"),
+        # path case is preserved; non-tracking params survive
+        ("http://c.de/UPPER?id=5#x", "http://c.de/UPPER?id=5"),
+        # 'refresh' is NOT the tracking param 'ref'
+        ("http://c.de/?refresh=1", "http://c.de/?refresh=1"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = [r.c for r in
+           df.select(canonicalize_url("url").alias("c")).collect()]
+    assert got == [want for _, want in cases]
