@@ -418,3 +418,107 @@ def synth_html(doc_id: int) -> "tuple[str, list[str]]":
     out.append("<style>body { margin: 0 }</style>\n")
     out.append("</section>\n</body>\n</html>\n")
     return "".join(out), expected
+
+
+class _MetaExtractor(HTMLParser):
+    """Collects the crawl-metadata set: first <title> text, <html
+    lang>, <meta name=description/keywords>, <meta property=og:*>,
+    and <link rel=canonical href> — the fields a crawl indexer keeps
+    alongside extracted text."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.meta: "dict[str, str]" = {}
+        self._in_title = False
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        a = {k.lower(): (v or "") for k, v in attrs}
+        if tag == "html" and "lang" in a and "lang" not in self.meta:
+            self.meta["lang"] = a["lang"].strip()
+        elif tag == "title" and "title" not in self.meta:
+            self._in_title = True
+            self.meta["title"] = ""
+        elif tag == "meta":
+            name = a.get("name", "").strip().lower()
+            prop = a.get("property", "").strip().lower()
+            content = a.get("content", "").strip()
+            if name in ("description", "keywords") and content:
+                self.meta.setdefault(name, content)
+            elif prop.startswith("og:") and content:
+                self.meta.setdefault(prop, content)
+        elif tag == "link":
+            rels = a.get("rel", "").lower().split()
+            if "canonical" in rels and a.get("href"):
+                self.meta.setdefault("canonical", a["href"].strip())
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "title":
+            self._in_title = False
+
+    def handle_data(self, data: str) -> None:
+        if self._in_title:
+            self.meta["title"] += data
+
+
+def extract_html_meta(content: "str | bytes") -> "dict[str, str]":
+    """-> {'title', 'lang', 'description', 'keywords', 'canonical',
+    'og:*': ...} with whitespace-collapsed values; absent fields are
+    absent keys.  Bytes decode exactly as extract_html_text (BOM, then
+    the WHATWG prescan).  Never raises on malformed markup."""
+    if isinstance(content, bytes):
+        if content[:3] == b"\xef\xbb\xbf":
+            content = content[3:].decode("utf-8", errors="replace")
+        elif content[:2] == b"\xff\xfe":
+            content = content[2:].decode("utf-16-le", errors="replace")
+        elif content[:2] == b"\xfe\xff":
+            content = content[2:].decode("utf-16-be", errors="replace")
+        else:
+            codec = sniff_html_encoding(content) or "utf-8"
+            content = content.decode(codec, errors="replace")
+    p = _MetaExtractor()
+    try:
+        p.feed(content)
+        p.close()
+    except Exception:
+        pass
+    return {k: " ".join(v.split()) for k, v in p.meta.items()
+            if " ".join(v.split())}
+
+
+def synth_html_meta(doc_id: int) -> "tuple[str, dict]":
+    """Deterministic crawl-metadata fixture + the dict its extraction
+    must yield.  Closed form (mirrored by the html_meta_stats oracle):
+
+        title       = 'Doc {i} Title & Co'        (entity-encoded)
+        lang        = (en de fr es)[i % 4]
+        description = 'Summary of document {i}.'  (absent when i%5==0)
+        og:title    = 'OG {i}'
+        canonical   = 'https://ex.com/doc/{i}'
+
+    Decoys: a second <title> and a second og:title (first wins), a
+    commented-out meta, messy whitespace inside values."""
+    i = int(doc_id)
+    langs = ["en", "de", "fr", "es"]
+    desc = ('<meta NAME="Description" content="  Summary of\n'
+            '   document %d. ">' % i) if i % 5 else ""
+    doc = (
+        '<!DOCTYPE html>\n<html lang="%s">\n<head>\n'
+        "<!-- <meta name=description content='commented decoy'> -->\n"
+        "<title>Doc %d\n  Title &amp; Co</title>\n"
+        "%s\n"
+        '<meta property="og:title" content="OG %d">\n'
+        '<meta property="og:title" content="DECOY second og">\n'
+        '<link rel="canonical" href="https://ex.com/doc/%d">\n'
+        "<title>DECOY second title</title>\n"
+        "</head><body><p>body text doc %d</p></body></html>\n"
+        % (langs[i % 4], i, desc, i, i, i)
+    )
+    expected = {
+        "title": "Doc %d Title & Co" % i,
+        "lang": langs[i % 4],
+        "og:title": "OG %d" % i,
+        "canonical": "https://ex.com/doc/%d" % i,
+    }
+    if i % 5:
+        expected["description"] = "Summary of document %d." % i
+    return doc, expected

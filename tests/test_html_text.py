@@ -170,3 +170,41 @@ def test_fuzz_prescan_survives_bit_flips(seed, nflip):
     for _ in range(nflip):
         blob[rnd.randrange(len(blob))] ^= 1 << rnd.randrange(8)
     assert isinstance(extract_html_text(bytes(blob)), str)
+
+
+def test_html_meta_extraction():
+    from teledetection_drone_satellite_spark.sources.html import (
+        extract_html_meta,
+        synth_html_meta,
+    )
+
+    for i in range(12):
+        doc, expected = synth_html_meta(i)
+        assert extract_html_meta(doc) == expected
+    # hand case: whitespace collapse, first-wins, rel token list,
+    # og: properties, no-meta document
+    doc = (b'<html LANG=" en-GB "><head><title>A  B\nC</title>'
+           b'<meta name=description content="">'  # empty: dropped
+           b'<meta property="og:image" content="http://x/i.png">'
+           b'<link rel="stylesheet canonical" href="http://c/">'
+           b'<link rel="canonical" href="http://second/">'
+           b"</head></html>")
+    got = extract_html_meta(doc)
+    assert got == {"lang": "en-GB", "title": "A B C",
+                   "og:image": "http://x/i.png", "canonical": "http://c/"}
+    assert extract_html_meta(b"<p>no metadata") == {}
+    # legacy-encoded meta values decode through the prescan
+    raw = ('<html><head><meta charset="windows-1252">'
+           '<title>caf\xe9</title></head></html>').encode("cp1252")
+    assert extract_html_meta(raw)["title"] == "café"
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.binary(min_size=0, max_size=1500))
+def test_fuzz_html_meta_never_crashes(data):
+    from teledetection_drone_satellite_spark.sources.html import (
+        extract_html_meta,
+    )
+
+    assert isinstance(extract_html_meta(b"<html>" + data), dict)
