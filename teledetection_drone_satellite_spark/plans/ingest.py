@@ -6589,3 +6589,108 @@ def html_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, title string, lang string, description string, "
         "og_title string, canonical string",
     )
+
+
+@register(
+    "arc_text_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 2 + doc_id % 3 AS n_resp
+        FROM documents WHERE doc_id < 100
+    ),
+    resp AS (
+        SELECT doc_id, n_resp, CAST(r.i AS INT) AS r,
+               13 * doc_id + r.i AS m,
+               CASE WHEN (doc_id + r.i) % 4 = 0 THEN 404 ELSE 200 END
+                   AS status
+        FROM spec, LATERAL unnest(range(0, n_resp)) r(i)
+    ),
+    blk AS (
+        SELECT doc_id, n_resp, r, m, status, CAST(b.i AS INT) AS b,
+               repeat('doc ' || CAST(m AS VARCHAR) || ' block '
+                      || CAST(b.i AS VARCHAR) || ' <&' || chr(34)
+                      || CAST(b.i AS VARCHAR) || '>;',
+                      1 + (m + b.i) % 3) AS line
+        FROM resp, LATERAL unnest(range(0, 2 + m % 5)) b(i)
+    ),
+    page AS (
+        SELECT doc_id, n_resp, r, status,
+               string_agg(line, chr(10) ORDER BY b) AS text
+        FROM blk GROUP BY doc_id, n_resp, r, status
+    )
+    SELECT doc_id,
+           CAST(min(n_resp) AS INT) AS n_records,
+           CAST(sum(status) AS BIGINT) AS status_sum,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           string_agg(substr(sha256(text), 1, 8), '' ORDER BY r)
+               AS text_digest
+    FROM page GROUP BY doc_id
+    """,
+    doc="ARC web-archive parsing, graded (r12 — the PRE-WARC Common "
+    "Crawl container: every CC dump before 2013 and two decades of "
+    "Internet Archive captures ship as .arc.gz): even docs write "
+    "plain ARC, odd docs the multi-member-gzip layout (one member per "
+    "record — single-shot gzip decode stops after the version block, "
+    "the classic consumer bug); each file carries the filedesc:// "
+    "version block plus entity-heavy synth_html HTTP captures with "
+    "cycled chunked/gzip/deflate body codings routed through the SAME "
+    "decode_http_response path as WARC. The oracle regenerates every "
+    "page's closed-form text and compares an ORDERED per-record "
+    "sha256 digest chain plus the status sum.",
+    tags=("ingest", "multimodal", "corpus"),
+)
+def arc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.arc import parse_arc, synth_arc
+    from ..sources.html import extract_html_text, synth_html
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+    _MODES = (None, "chunked", "gzip", "deflate", "gzip+chunked")
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                n_resp = 2 + i % 3
+                recs = []
+                for r in range(n_resp):
+                    doc, _ = synth_html(13 * i + r)
+                    status = 404 if (i + r) % 4 == 0 else 200
+                    recs.append(
+                        ("http://ex.com/%d/%d" % (i, r), status,
+                         doc.encode(), _MODES[(i + r) % 5])
+                    )
+                got = parse_arc(synth_arc(recs, gz=i % 2 == 1))
+                texts = [extract_html_text(g["body"]) for g in got]
+                digest = "".join(
+                    hashlib.sha256(t.encode()).hexdigest()[:8]
+                    for t in texts
+                )
+                rows.append(
+                    (
+                        i, len(got),
+                        sum(g["http_status"] for g in got),
+                        sum(len(t) for t in texts), digest,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_records", "status_sum",
+                         "total_chars", "text_digest"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_records int, status_sum long, "
+        "total_chars long, text_digest string",
+    )

@@ -1,0 +1,137 @@
+"""ARC (Internet Archive) reader/writer — pure stdlib, from the public
+ARC file format specification v1 (Burner & Kahle, 1996; archive.org).
+
+The PRE-WARC web-crawl container: every Common Crawl dump before 2013
+and two decades of Internet Archive captures ship as .arc.gz, so a
+crawl front door that reads only WARC leaves the historical web on the
+floor.  Layout: a version block — a record whose URL field is
+``filedesc://<path>`` and whose payload carries the version lines —
+then data records, each a single space-separated URL-record header
+line ``<url> <ip> <14-digit-date> <content-type> <length>`` followed
+by exactly ``length`` payload bytes and a ``\\n`` separator.  http(s)
+URL payloads are raw HTTP captures; their entity bodies decode through
+the SAME path as WARC responses (sources/warc.decode_http_response:
+dechunk, then gunzip/inflate).  .arc.gz is multi-member gzip, one
+member per record, exactly like .warc.gz — inflated via the shared
+member-chaining reader (a single-shot decode stops after the version
+block, the same classic consumer bug).
+
+Refusals (None): no filedesc:// version block, a header line without
+5 fields, a non-integer or negative length, truncated payloads, a
+missing record separator, or an undecodable HTTP capture — the
+honest-fallback contract every decoder here shares."""
+
+from __future__ import annotations
+
+import zlib
+
+from .warc import _gunzip_members, decode_http_response
+
+
+def synth_arc(
+    records: "list[tuple]", gz: bool = False
+) -> bytes:
+    """``records``: [(url, http_status, body)] or 4-tuples with a
+    body-encoding mode appended (None/'chunked'/'gzip'/'deflate'/
+    'gzip+chunked' — the synth_warc wire forms).  Writes the
+    filedesc:// version block, then one record per entry with raw
+    HTTP captures; ``gz`` writes one gzip member PER RECORD (the
+    Common Crawl layout).  Packing independent of parse_arc."""
+    from .warc import _chunk_encode
+
+    version_payload = (
+        b"1 0 InternetArchive\n"
+        b"URL IP-address Archive-date Content-type Archive-length\n"
+    )
+    members = [
+        b"filedesc://synth.arc 0.0.0.0 20090101000000 text/plain %d\n%s\n"
+        % (len(version_payload), version_payload)
+    ]
+    for n, rec in enumerate(records):
+        url, status, body = rec[:3]
+        enc = rec[3] if len(rec) > 3 else None
+        wire = body
+        http_hdr = b"Content-Type: text/html; charset=utf-8\r\n"
+        if enc in ("gzip", "gzip+chunked"):
+            c = zlib.compressobj(6, zlib.DEFLATED, 31)
+            wire = c.compress(wire) + c.flush()
+            http_hdr += b"Content-Encoding: gzip\r\n"
+        elif enc == "deflate":
+            wire = zlib.compress(wire)
+            http_hdr += b"Content-Encoding: deflate\r\n"
+        if enc in ("chunked", "gzip+chunked"):
+            wire = _chunk_encode(wire)
+            http_hdr += b"Transfer-Encoding: chunked\r\n"
+        else:
+            http_hdr += b"Content-Length: %d\r\n" % len(wire)
+        payload = (
+            b"HTTP/1.1 %d %s\r\n" % (
+                status, b"OK" if status == 200 else b"Err")
+            + http_hdr + b"\r\n" + wire
+        )
+        members.append(
+            b"%s 192.0.2.1 2009010100%04d text/html %d\n%s\n"
+            % (url.encode(), n % 10000, len(payload), payload)
+        )
+    if not gz:
+        return b"".join(members)
+    out = bytearray()
+    for m in members:
+        c = zlib.compressobj(6, zlib.DEFLATED, 31)
+        out += c.compress(m) + c.flush()
+    return bytes(out)
+
+
+def parse_arc(content: bytes) -> "list[dict] | None":
+    """-> [{'url', 'content_type', 'http_status', 'body': bytes}, ...]
+    for the DATA records (the filedesc:// version block is validated
+    and skipped), or None per the module docstring.  Gzip input
+    (multi-member) is inflated first."""
+    if content[:2] == b"\x1f\x8b":
+        content = _gunzip_members(content)
+        if content is None:
+            return None
+    records = []
+    pos = 0
+    n = len(content)
+    first = True
+    while pos < n:
+        while content[pos : pos + 1] == b"\n":
+            pos += 1
+        if pos >= n:
+            break
+        eol = content.find(b"\n", pos)
+        if eol < 0:
+            return None
+        fields = content[pos:eol].split(b" ")
+        if len(fields) != 5:
+            return None
+        url = fields[0].decode("latin-1")
+        ctype = fields[3].decode("latin-1")
+        if first and not url.startswith("filedesc://"):
+            return None
+        try:
+            length = int(fields[4])
+        except ValueError:
+            return None
+        body_at = eol + 1
+        if length < 0 or body_at + length > n:
+            return None  # truncated payload
+        payload = content[body_at : body_at + length]
+        if content[body_at + length : body_at + length + 1] != b"\n":
+            return None  # missing record separator
+        pos = body_at + length + 1
+        if first:
+            first = False  # version block: validated, not emitted
+            continue
+        rec = {"url": url, "content_type": ctype}
+        if url.startswith(("http://", "https://")):
+            decoded = decode_http_response(payload)
+            if decoded is None:
+                return None
+            rec["http_status"], rec["body"] = decoded
+        else:
+            rec["http_status"] = 0
+            rec["body"] = payload
+        records.append(rec)
+    return records if records else None

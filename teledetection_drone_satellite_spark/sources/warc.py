@@ -200,6 +200,47 @@ def _dechunk(body: bytes) -> "bytes | None":
         pos += size + 2
 
 
+def decode_http_response(payload: bytes) -> "tuple[int, bytes] | None":
+    """Split an HTTP/1.x response message and decode the entity body
+    per the module docstring (dechunk, then gunzip/inflate) ->
+    (status, body) or None.  Shared by WARC responses and ARC records
+    (sources/arc.py) — both containers archive raw HTTP captures."""
+    split = payload.find(b"\r\n\r\n")
+    if split < 0:
+        return None
+    head_lines = payload[:split].split(b"\r\n")
+    parts = head_lines[0].split(b" ")
+    if len(parts) < 2 or not parts[1].isdigit():
+        return None
+    http_headers: "dict[bytes, bytes]" = {}
+    for line in head_lines[1:]:
+        hk, sep, hv = line.partition(b":")
+        if sep:
+            http_headers[hk.strip().lower()] = hv.strip()
+    body = payload[split + 4 :]
+    # transfer coding is outermost (RFC 9110 §6.4.1): dechunk, THEN
+    # undo the content coding
+    if b"chunked" in http_headers.get(b"transfer-encoding", b"").lower():
+        body = _dechunk(body)
+        if body is None:
+            return None
+    ce = http_headers.get(b"content-encoding", b"").strip().lower()
+    if ce in (b"gzip", b"x-gzip"):
+        body = _gunzip_members(body)
+        if body is None:
+            return None
+    elif ce == b"deflate":
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            try:  # broken servers send raw deflate (no zlib wrap)
+                body = zlib.decompress(body, -15)
+            except zlib.error:
+                return None
+    # other codings (br, zstd, identity, ...): body kept as-is
+    return int(parts[1]), body
+
+
 def parse_warc(content: bytes) -> "list[dict] | None":
     """-> [{'type', 'uri', 'content_type', 'http_status' (responses),
     'body': bytes}, ...] in record order, or None per the module
@@ -247,42 +288,10 @@ def parse_warc(content: bytes) -> "list[dict] | None":
         }
         if rec["type"] == "response" and rec["content_type"].startswith(
                 "application/http"):
-            split = payload.find(b"\r\n\r\n")
-            if split < 0:
+            decoded = decode_http_response(payload)
+            if decoded is None:
                 return None
-            head_lines = payload[:split].split(b"\r\n")
-            parts = head_lines[0].split(b" ")
-            if len(parts) < 2 or not parts[1].isdigit():
-                return None
-            http_headers: "dict[bytes, bytes]" = {}
-            for line in head_lines[1:]:
-                hk, sep, hv = line.partition(b":")
-                if sep:
-                    http_headers[hk.strip().lower()] = hv.strip()
-            body = payload[split + 4 :]
-            # transfer coding is outermost (RFC 9110 §6.4.1): dechunk,
-            # THEN undo the content coding
-            if b"chunked" in http_headers.get(
-                    b"transfer-encoding", b"").lower():
-                body = _dechunk(body)
-                if body is None:
-                    return None
-            ce = http_headers.get(b"content-encoding", b"").strip().lower()
-            if ce in (b"gzip", b"x-gzip"):
-                body = _gunzip_members(body)
-                if body is None:
-                    return None
-            elif ce == b"deflate":
-                try:
-                    body = zlib.decompress(body)
-                except zlib.error:
-                    try:  # broken servers send raw deflate (no zlib wrap)
-                        body = zlib.decompress(body, -15)
-                    except zlib.error:
-                        return None
-            # other codings (br, zstd, identity, ...): body kept as-is
-            rec["http_status"] = int(parts[1])
-            rec["body"] = body
+            rec["http_status"], rec["body"] = decoded
         else:
             rec["http_status"] = 0
             rec["body"] = payload

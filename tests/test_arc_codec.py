@@ -1,0 +1,93 @@
+"""ARC v1 parsing (sources/arc.py): synth round-trip fuzz across body
+codings and both containers, multi-member gzip chaining, refusals,
+bit-flip/garbage never-crash fuzz."""
+
+from __future__ import annotations
+
+import random
+import zlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.arc import (
+    parse_arc,
+    synth_arc,
+)
+
+_ENC = [None, "chunked", "gzip", "deflate", "gzip+chunked"]
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 9999), n=st.integers(1, 6), gz=st.booleans())
+def test_fuzz_arc_roundtrip(seed, n, gz):
+    rnd = random.Random(seed)
+    recs = []
+    for r in range(n):
+        body = bytes(rnd.randrange(0, 256)
+                     for _ in range(rnd.randint(0, 3000)))
+        recs.append(("http://ex.com/%d" % r,
+                     rnd.choice([200, 301, 404, 500]), body,
+                     rnd.choice(_ENC)))
+    got = parse_arc(synth_arc(recs, gz=gz))
+    assert got is not None and len(got) == n
+    for (url, status, body, _), g in zip(recs, got):
+        assert g["url"] == url
+        assert g["http_status"] == status
+        assert g["body"] == body
+
+
+def test_arc_gz_is_multi_member():
+    recs = [("http://ex.com/a", 200, b"pageA"),
+            ("http://ex.com/b", 200, b"pageB")]
+    blob = synth_arc(recs, gz=True)
+    # single-shot gzip decode sees ONLY the version block (the classic bug)
+    d = zlib.decompressobj(wbits=31)
+    first = d.decompress(blob)
+    assert b"filedesc://" in first and b"pageA" not in first
+    assert d.unused_data  # more members follow
+    got = parse_arc(blob)
+    assert [g["body"] for g in got] == [b"pageA", b"pageB"]
+
+
+def test_arc_refusals():
+    good = synth_arc([("http://ex.com/a", 200, b"hello")])
+    assert parse_arc(b"") is None
+    assert parse_arc(b"not an arc\n") is None
+    assert parse_arc(good[: len(good) - 8]) is None  # truncated
+    # first record must be the filedesc:// version block
+    assert parse_arc(good.replace(b"filedesc://", b"http://x.y/", 1)) is None
+    # non-integer length field
+    assert parse_arc(good.replace(b"text/plain 7", b"text/plain x", 1)) is None
+    # non-http record bodies pass through verbatim
+    arc = (b"filedesc://f 0.0.0.0 20090101000000 text/plain 2\nab\n"
+           b"dns:ex.com 0.0.0.0 20090101000000 text/dns 3\nxyz\n")
+    got = parse_arc(arc)
+    assert got == [{"url": "dns:ex.com", "content_type": "text/dns",
+                    "http_status": 0, "body": b"xyz"}]
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31 - 1), nflip=st.integers(1, 8),
+       gz=st.booleans())
+def test_fuzz_arc_survives_bit_flips(seed, nflip, gz):
+    rnd = random.Random(seed)
+    recs = [("http://ex.com/%d" % r, 200,
+             bytes(rnd.randrange(32, 127) for _ in range(200)),
+             rnd.choice(_ENC)) for r in range(2)]
+    blob = bytearray(synth_arc(recs, gz=gz))
+    for _ in range(nflip):
+        blob[rnd.randrange(len(blob))] ^= 1 << rnd.randrange(8)
+    out = parse_arc(bytes(blob))
+    assert out is None or isinstance(out, list)
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.binary(min_size=0, max_size=2000))
+def test_fuzz_arc_garbage_never_crashes(data):
+    out = parse_arc(b"filedesc://x 0.0.0.0 20090101000000 text/plain "
+                    + data)
+    assert out is None or isinstance(out, list)
