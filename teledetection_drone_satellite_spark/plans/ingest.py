@@ -6694,3 +6694,91 @@ def arc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_records int, status_sum long, "
         "total_chars long, text_digest string",
     )
+
+
+@register(
+    "odt_text_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 2 + doc_id % 4 AS n_paras, 2 + doc_id % 2 AS n_cells
+        FROM documents WHERE doc_id < 100
+    ),
+    para AS (
+        SELECT doc_id, CAST(p.i AS INT) AS ord,
+               repeat('doc ' || CAST(doc_id AS VARCHAR) || ' odt para '
+                      || CAST(p.i AS VARCHAR) || ';',
+                      1 + (doc_id + p.i) % 3) AS line
+        FROM spec, LATERAL unnest(range(0, n_paras)) p(i)
+    ),
+    head AS (
+        SELECT doc_id, CAST(n_paras AS INT) AS ord,
+               'doc ' || CAST(doc_id AS VARCHAR) || ' heading;' AS line
+        FROM spec
+    ),
+    cell AS (
+        SELECT doc_id, CAST(n_paras + 1 + c.i AS INT) AS ord,
+               'doc ' || CAST(doc_id AS VARCHAR) || ' tcell '
+                   || CAST(c.i AS VARCHAR) || ';' AS line
+        FROM spec, LATERAL unnest(range(0, n_cells)) c(i)
+    ),
+    ln AS (
+        SELECT * FROM para UNION ALL SELECT * FROM head
+        UNION ALL SELECT * FROM cell
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_lines,
+           CAST(sum(length(line)) AS BIGINT) AS total_chars,
+           string_agg(substr(sha256(line), 1, 8), '' ORDER BY ord)
+               AS line_digest
+    FROM ln GROUP BY doc_id
+    """,
+    doc="ODT text extraction, graded (r12 — the LibreOffice half of "
+    "the office tail, sibling of docx_text_stats): per doc synth_odt "
+    "writes an OCF package (STORED mimetype member + content.xml) "
+    "whose paragraphs carry text:span wrappers, <text:s/> run-length "
+    "spaces the reader must re-expand, and <text:note> footnote "
+    "DECOYS whose body paragraphs must NOT surface as lines, plus a "
+    "heading and a table row flattened in document order. The oracle "
+    "regenerates each line's closed form and compares an ORDERED "
+    "per-line sha256 digest chain.",
+    tags=("ingest", "multimodal", "corpus"),
+)
+def odt_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.odt import extract_odt_text, synth_odt
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_odt(i)
+                lines = extract_odt_text(raw)
+                digest = "".join(
+                    hashlib.sha256(s.encode()).hexdigest()[:8]
+                    for s in lines
+                )
+                rows.append(
+                    (i, len(lines), sum(len(s) for s in lines), digest)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_lines", "total_chars",
+                         "line_digest"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_lines int, total_chars long, line_digest string",
+    )

@@ -1,0 +1,171 @@
+"""ODT text extraction — pure stdlib (zipfile + xml.etree), from the
+public OASIS OpenDocument v1.2 specification (ISO/IEC 26300).
+
+The LibreOffice/OpenOffice sibling of sources/docx.py, and the other
+half of the office-document tail a document front door needs (the
+reference declares generic document ingestion,
+reference/shared/config/__init__.py:36-39).  An .odt is an OCF-style
+zip: an optional STORED ``mimetype`` member
+(application/vnd.oasis.opendocument.text), and ``content.xml`` whose
+<office:body><office:text> holds <text:p> paragraphs and <text:h>
+headings in document order, with <text:s text:c="N"> run-length
+spaces, <text:tab/>, <text:line-break/>, and <text:span> styling
+wrappers; table cells (<table:table-cell>) hold their own text:p.
+
+Extraction semantics (documented, oracle-mirrored):
+  - one output line per <text:p> / <text:h>, document order, table
+    cells flattened the same way as docx (each cell paragraph is its
+    own line);
+  - <text:s/> contributes text:c spaces (default 1); <text:tab/> and
+    <text:line-break/> a single space each (a paragraph is one line);
+  - <text:note> subtrees (foot/endnotes) contribute NOTHING — their
+    anchors interrupt sentence flow;
+  - spans are transparent; empty paragraphs are preserved.
+
+Refusals (None): not a zip, a mimetype member that is present but not
+an opendocument type, missing content.xml, XML that does not parse,
+or a root other than office:document-content — the honest-fallback
+contract every decoder here shares."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+_TEXT = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
+_OFFICE = "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}"
+
+
+def synth_odt(doc_id: int) -> "tuple[bytes, list[str]]":
+    """Deterministic fixture ODT plus the lines its extraction must
+    yield.  Closed form (mirrored by the odt_text_stats oracle):
+
+        n_paras = 2 + doc_id % 4
+        para[p] = repeat('doc {i} odt para {p};', 1 + (i+p) % 3)
+        then one heading 'doc {i} heading;'
+        then one table of 2 + doc_id % 2 cells,
+        cell[c] = 'doc {i} tcell {c};'
+
+    Paragraphs carry <text:span> wrappers, <text:s>-encoded double
+    spaces re-expanded by the reader, and <text:note> DECOYS."""
+    i = int(doc_id)
+    n_paras = 2 + i % 4
+    expected = []
+    body = []
+    for p in range(n_paras):
+        reps = 1 + (i + p) % 3
+        line = ("doc %d odt para %d;" % (i, p)) * reps
+        expected.append(line)
+        # encode one inner space as <text:s/> and wrap a slice in a span
+        a, _, b = line.partition(" ")
+        inner = ('%s<text:s/><text:span text:style-name="T1">%s'
+                 "</text:span>" % (_esc(a), _esc(b)))
+        if p % 2 == 0:
+            inner += ('<text:note text:note-class="footnote">'
+                      "<text:note-body><text:p>DECOY note %d</text:p>"
+                      "</text:note-body></text:note>" % p)
+        body.append('<text:p text:style-name="P1">%s</text:p>' % inner)
+    heading = "doc %d heading;" % i
+    expected.append(heading)
+    body.append('<text:h text:outline-level="1">%s</text:h>'
+                % _esc(heading))
+    n_cells = 2 + i % 2
+    cells = []
+    for c in range(n_cells):
+        txt = "doc %d tcell %d;" % (i, c)
+        expected.append(txt)
+        cells.append(
+            "<table:table-cell><text:p>%s</text:p></table:table-cell>"
+            % _esc(txt))
+    body.append(
+        '<table:table table:name="T"><table:table-row>%s'
+        "</table:table-row></table:table>" % "".join(cells))
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        "<office:document-content "
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+        'office:version="1.2"><office:body><office:text>%s'
+        "</office:text></office:body></office:document-content>"
+        % "".join(body)
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(
+            zipfile.ZipInfo("mimetype"),
+            b"application/vnd.oasis.opendocument.text",
+            compress_type=zipfile.ZIP_STORED)
+        zf.writestr("content.xml", content)
+    return buf.getvalue(), expected
+
+
+def _esc(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;"))
+
+
+def _flatten(el, parts: "list[str]") -> None:
+    """Depth-first text flatten of one paragraph, skipping notes."""
+    if el.text:
+        parts.append(el.text)
+    for child in el:
+        tag = child.tag
+        if tag == _TEXT + "note":
+            pass  # foot/endnote subtree contributes nothing
+        elif tag == _TEXT + "s":
+            n = child.get(_TEXT + "c", "1")
+            parts.append(" " * max(1, int(n) if n.isdigit() else 1))
+        elif tag in (_TEXT + "tab", _TEXT + "line-break"):
+            parts.append(" ")
+        else:
+            _flatten(child, parts)
+        if child.tail:
+            parts.append(child.tail)
+
+
+def extract_odt_text(content: bytes) -> "list[str] | None":
+    """Extract paragraph/heading lines in document order (tables
+    flattened) or None outside scope — module docstring."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(content))
+    except Exception:
+        return None
+    try:
+        names = set(zf.namelist())
+        if "mimetype" in names and not zf.read("mimetype").startswith(
+                b"application/vnd.oasis.opendocument"):
+            return None
+        if "content.xml" not in names:
+            return None
+        try:
+            root = ET.fromstring(zf.read("content.xml"))
+        except (ET.ParseError, LookupError, ValueError):
+            return None
+    except Exception:
+        return None  # corrupted members: BadZipFile, zlib.error, ...
+    finally:
+        zf.close()
+    if root.tag != _OFFICE + "document-content":
+        return None
+    out: "list[str]" = []
+    _collect(root, out)
+    return out
+
+
+def _collect(el, out: "list[str]") -> None:
+    """DFS for paragraphs/headings that EXCLUDES note subtrees — a
+    plain .iter() would surface footnote-body paragraphs as document
+    lines."""
+    for child in el:
+        tag = child.tag
+        if tag == _TEXT + "note":
+            continue
+        if tag in (_TEXT + "p", _TEXT + "h"):
+            parts: "list[str]" = []
+            _flatten(child, parts)
+            out.append("".join(parts))
+        else:
+            _collect(child, out)

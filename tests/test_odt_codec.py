@@ -1,0 +1,99 @@
+"""ODT extraction (sources/odt.py): synth round-trip, space/tab/note
+semantics on hand-built documents, refusals, bit-flip and garbage
+never-crash fuzz."""
+
+from __future__ import annotations
+
+import io
+import random
+import zipfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.odt import (
+    extract_odt_text,
+    synth_odt,
+)
+
+_NS = (
+    'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+    'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" '
+    'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"'
+)
+
+
+def _pack(content_xml: str, mimetype: "bytes | None" =
+          b"application/vnd.oasis.opendocument.text") -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        if mimetype is not None:
+            zf.writestr(zipfile.ZipInfo("mimetype"), mimetype,
+                        compress_type=zipfile.ZIP_STORED)
+        zf.writestr("content.xml", content_xml)
+    return buf.getvalue()
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    raw, expected = synth_odt(doc_id)
+    assert extract_odt_text(raw) == expected
+
+
+def test_odt_semantics_hand_cases():
+    doc = (
+        "<office:document-content %s><office:body><office:text>"
+        # run-length spaces, tab/line-break as single space, spans
+        '<text:p>a<text:s text:c="3"/>b<text:tab/>c<text:line-break/>'
+        "<text:span>d</text:span>e</text:p>"
+        # note bodies contribute nothing — not even as separate lines
+        "<text:p>before<text:note><text:note-body><text:p>NOTE"
+        "</text:p></text:note-body></text:note>after</text:p>"
+        "<text:h text:outline-level='2'>head</text:h>"
+        "<text:p/>"
+        "</office:text></office:body></office:document-content>" % _NS
+    )
+    assert extract_odt_text(_pack(doc)) == [
+        "a   b c de", "beforeafter", "head", ""]
+
+
+def test_odt_refusals():
+    assert extract_odt_text(b"") is None
+    assert extract_odt_text(b"not a zip") is None
+    raw, _ = synth_odt(2)
+    assert extract_odt_text(raw[: len(raw) // 2]) is None
+    # wrong mimetype member refuses; ABSENT mimetype is tolerated
+    doc = ("<office:document-content %s><office:body><office:text>"
+           "<text:p>x</text:p></office:text></office:body>"
+           "</office:document-content>" % _NS)
+    assert extract_odt_text(_pack(doc, b"application/zip")) is None
+    assert extract_odt_text(_pack(doc, None)) == ["x"]
+    # missing content.xml / bad xml / wrong root
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("other.xml", "<a/>")
+    assert extract_odt_text(buf.getvalue()) is None
+    assert extract_odt_text(_pack("junk <<<")) is None
+    assert extract_odt_text(_pack("<wrong/>")) is None
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31 - 1), nflip=st.integers(1, 10))
+def test_fuzz_odt_survives_bit_flips(seed, nflip):
+    rnd = random.Random(seed)
+    blob = bytearray(synth_odt(rnd.randrange(1000))[0])
+    for _ in range(nflip):
+        blob[rnd.randrange(len(blob))] ^= 1 << rnd.randrange(8)
+    out = extract_odt_text(bytes(blob))
+    assert out is None or isinstance(out, list)
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.binary(min_size=0, max_size=2000))
+def test_fuzz_odt_garbage_never_crashes(data):
+    out = extract_odt_text(b"PK\x03\x04" + data)
+    assert out is None or isinstance(out, list)
