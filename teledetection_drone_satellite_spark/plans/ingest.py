@@ -6782,3 +6782,89 @@ def odt_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen,
         "doc_id long, n_lines int, total_chars long, line_digest string",
     )
+
+
+@register(
+    "xlsx_cell_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 3 + doc_id % 4 AS n_rows
+        FROM documents WHERE doc_id < 100
+    ),
+    strs AS (
+        SELECT doc_id, CAST(2 * r.i AS INT) AS ord,
+               'doc ' || CAST(doc_id AS VARCHAR) || ' row '
+                   || CAST(r.i AS VARCHAR) AS s
+        FROM spec, LATERAL unnest(range(0, n_rows)) r(i)
+        UNION ALL
+        SELECT doc_id, CAST(2 * r.i + 1 AS INT) AS ord,
+               'inline ' || CAST(doc_id AS VARCHAR) || '-'
+                   || CAST(r.i AS VARCHAR) AS s
+        FROM spec, LATERAL unnest(range(0, n_rows)) r(i)
+        UNION ALL
+        SELECT doc_id, CAST(2 * n_rows AS INT) AS ord,
+               'meta ' || CAST(doc_id AS VARCHAR) AS s
+        FROM spec
+    )
+    SELECT spec.doc_id,
+           CAST(3 * min(n_rows) + 1 AS INT) AS n_cells,
+           CAST(min(n_rows) * spec.doc_id * 100
+                + min(n_rows) * (min(n_rows) - 1) / 2 AS BIGINT)
+               AS num_sum,
+           string_agg(substr(sha256(s), 1, 8), '' ORDER BY ord)
+               AS str_digest
+    FROM spec JOIN strs ON spec.doc_id = strs.doc_id
+    GROUP BY spec.doc_id
+    """,
+    doc="XLSX cell extraction, graded (r12 — the tabular half of the "
+    "office tail): per doc synth_xlsx writes a two-sheet OOXML "
+    "workbook — numeric cells, SHARED strings (one interned as "
+    "rich-text <r><t> runs that must concatenate), and inline "
+    "strings — whose second sheet's part is deliberately named "
+    "xl/worksheets/zzz_meta.xml so only readers that resolve sheets "
+    "through xl/_rels/workbook.xml.rels in workbook order (not zip "
+    "member order) survive. extract_xlsx_cells returns verbatim cell "
+    "values; the oracle states the numeric sum and the ORDERED string "
+    "sha256 chain in closed form.",
+    tags=("ingest", "multimodal", "corpus"),
+)
+def xlsx_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.xlsx import extract_xlsx_cells, synth_xlsx
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_xlsx(i)
+                cells = extract_xlsx_cells(raw)
+                num_sum = sum(int(c["value"]) for c in cells
+                              if c["kind"] == "n")
+                strings = [c["value"] for c in cells
+                           if c["kind"] in ("s", "str", "inlineStr")]
+                digest = "".join(
+                    hashlib.sha256(s.encode()).hexdigest()[:8]
+                    for s in strings
+                )
+                rows.append((i, len(cells), num_sum, digest))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_cells", "num_sum", "str_digest"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_cells int, num_sum long, str_digest string",
+    )

@@ -1,0 +1,235 @@
+"""XLSX cell extraction — pure stdlib (zipfile + xml.etree), from the
+public ECMA-376 Office Open XML (SpreadsheetML) specification.
+
+Spreadsheets are the tabular half of the office tail (the reference
+whitelists csv uploads, reference/shared/config/__init__.py:36-39;
+real-world data drops arrive as .xlsx at least as often).  An .xlsx is
+an OOXML zip: ``xl/workbook.xml`` lists sheets IN ORDER with r:id
+references resolved through ``xl/_rels/workbook.xml.rels`` (member
+names are NOT authoritative — a workbook can name its parts anything),
+``xl/sharedStrings.xml`` interns string cells as <si> items (plain
+<t> or rich-text <r><t> runs that concatenate), and each worksheet
+holds <row> elements of <c r="A1" t="..."><v>...</v></c> cells.
+
+Cell kinds emitted: 'n' number (t absent or t="n"), 's' shared
+string (v indexes the table), 'str' formula-cached string,
+'inlineStr' (<is><t>), 'b' boolean.  Values are returned as the
+verbatim strings the file carries — no float coercion, so exact
+integer fixtures stay exact.
+
+Refusals (None): not a zip, missing workbook/rels/referenced sheets,
+XML that does not parse, an out-of-range shared-string index, or a
+cell reference that does not parse — the honest-fallback contract
+every decoder here shares."""
+
+from __future__ import annotations
+
+import io
+import posixpath
+import re
+import zipfile
+
+_M = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_R = ("{http://schemas.openxmlformats.org/officeDocument/2006/"
+      "relationships}")
+_PKR = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+_CELLREF = re.compile(r"^([A-Z]{1,3})([1-9][0-9]*)$")
+
+
+def _col_index(letters: str) -> int:
+    """'A' -> 1, 'Z' -> 26, 'AA' -> 27 (base-26 bijective)."""
+    v = 0
+    for ch in letters:
+        v = v * 26 + (ord(ch) - 64)
+    return v
+
+
+def synth_xlsx(doc_id: int) -> "tuple[bytes, dict]":
+    """Deterministic fixture workbook plus its expected stats.  Closed
+    form (mirrored by the xlsx_cell_stats oracle):
+
+        sheet 'Data': rows r in 0..(3 + i%4):
+            A = i*100 + r            (number)
+            B = 'doc {i} row {r}'    (SHARED string, interned)
+            C = 'inline {i}-{r}'     (inline string)
+        sheet 'Meta': A1 = 'meta {i}' (shared, rich-text runs)
+
+    The workbook.xml.rels indirection is exercised by naming the
+    second sheet's part ``xl/worksheets/zzz_meta.xml`` — readers that
+    glob member names in zip order instead of walking the rels break.
+    Returns (bytes, {'n_cells', 'num_sum', 'strings': [ordered]})."""
+    i = int(doc_id)
+    n_rows = 3 + i % 4
+    shared = []  # interned in first-use order
+
+    def intern(s: str) -> int:
+        if s not in shared:
+            shared.append(s)
+        return shared.index(s)
+
+    rows_xml = []
+    num_sum = 0
+    strings: "list[str]" = []
+    for r in range(n_rows):
+        a = i * 100 + r
+        num_sum += a
+        b = "doc %d row %d" % (i, r)
+        c = "inline %d-%d" % (i, r)
+        strings.append(b)
+        strings.append(c)
+        rows_xml.append(
+            '<row r="%d">'
+            '<c r="A%d"><v>%d</v></c>'
+            '<c r="B%d" t="s"><v>%d</v></c>'
+            '<c r="C%d" t="inlineStr"><is><t>%s</t></is></c>'
+            "</row>" % (r + 1, r + 1, a, r + 1, intern(b), r + 1, c)
+        )
+    meta = "meta %d" % i
+    strings.append(meta)
+    # the meta string is interned as TWO rich-text runs
+    cut = len(meta) // 2
+    meta_si = ("<si><r><rPr><b/></rPr><t xml:space=\"preserve\">%s</t>"
+               "</r><r><t xml:space=\"preserve\">%s</t></r></si>"
+               % (meta[:cut], meta[cut:]))
+    intern(meta)  # reserve its index
+    sst_items = []
+    for s in shared:
+        if s == meta:
+            sst_items.append(meta_si)
+        else:
+            sst_items.append("<si><t>%s</t></si>" % s)
+    sst = ('<sst xmlns="http://schemas.openxmlformats.org/'
+           'spreadsheetml/2006/main" count="%d" uniqueCount="%d">%s'
+           "</sst>" % (len(shared), len(shared), "".join(sst_items)))
+    sheet1 = ('<worksheet xmlns="http://schemas.openxmlformats.org/'
+              'spreadsheetml/2006/main"><sheetData>%s</sheetData>'
+              "</worksheet>" % "".join(rows_xml))
+    sheet2 = ('<worksheet xmlns="http://schemas.openxmlformats.org/'
+              'spreadsheetml/2006/main"><sheetData><row r="1">'
+              '<c r="A1" t="s"><v>%d</v></c></row></sheetData>'
+              "</worksheet>" % shared.index(meta))
+    workbook = (
+        '<workbook xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main" xmlns:r="http://schemas.'
+        'openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Data" sheetId="1" r:id="rId1"/>'
+        '<sheet name="Meta" sheetId="2" r:id="rId2"/></sheets>'
+        "</workbook>"
+    )
+    rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/'
+        'package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats'
+        '.org/officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/>'
+        '<Relationship Id="rId2" Type="http://schemas.openxmlformats'
+        '.org/officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/zzz_meta.xml"/>'
+        '<Relationship Id="rId3" Type="http://schemas.openxmlformats'
+        '.org/officeDocument/2006/relationships/sharedStrings" '
+        'Target="sharedStrings.xml"/></Relationships>'
+    )
+    content_types = (
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types"><Default Extension="xml" '
+        'ContentType="application/xml"/></Types>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", content_types)
+        # zzz_meta deliberately sorts AFTER sheet1 in the zip but is
+        # sheet 2 per the workbook — rels order must win
+        zf.writestr("xl/worksheets/zzz_meta.xml", sheet2)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet1)
+    expected = {
+        "n_cells": 3 * n_rows + 1,
+        "num_sum": num_sum,
+        "strings": strings,
+    }
+    return buf.getvalue(), expected
+
+
+def extract_xlsx_cells(content: bytes) -> "list[dict] | None":
+    """-> [{'sheet', 'ref', 'row', 'col', 'kind', 'value'}, ...] in
+    workbook order (sheets as listed, cells in file order) or None
+    outside scope — module docstring."""
+    import xml.etree.ElementTree as ET
+
+    def _xml(zf, name):
+        try:
+            return ET.fromstring(zf.read(name))
+        except (ET.ParseError, LookupError, ValueError, KeyError):
+            return None
+
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(content))
+    except Exception:
+        return None
+    try:
+        names = set(zf.namelist())
+        if "xl/workbook.xml" not in names:
+            return None
+        wb = _xml(zf, "xl/workbook.xml")
+        if wb is None or wb.tag != _M + "workbook":
+            return None
+        rels_root = (_xml(zf, "xl/_rels/workbook.xml.rels")
+                     if "xl/_rels/workbook.xml.rels" in names else None)
+        targets: "dict[str, str]" = {}
+        if rels_root is not None:
+            for rel in rels_root.iter(_PKR + "Relationship"):
+                rid, tgt = rel.get("Id"), rel.get("Target")
+                if rid and tgt:
+                    targets[rid] = posixpath.normpath(
+                        posixpath.join("xl", tgt))
+        # shared-string table: each <si> concatenates its <t> descendants
+        sst: "list[str]" = []
+        if "xl/sharedStrings.xml" in names:
+            root = _xml(zf, "xl/sharedStrings.xml")
+            if root is None:
+                return None
+            for si in root.iter(_M + "si"):
+                sst.append("".join(t.text or ""
+                                   for t in si.iter(_M + "t")))
+        out: "list[dict]" = []
+        for sheet in wb.iter(_M + "sheet"):
+            sname = sheet.get("name", "")
+            rid = sheet.get(_R + "id")
+            path = targets.get(rid)
+            if path is None or path not in names:
+                return None
+            ws = _xml(zf, path)
+            if ws is None or ws.tag != _M + "worksheet":
+                return None
+            for c in ws.iter(_M + "c"):
+                ref = c.get("r", "")
+                m = _CELLREF.match(ref)
+                if not m:
+                    return None
+                kind = c.get("t", "n")
+                if kind == "inlineStr":
+                    is_el = c.find(_M + "is")
+                    value = ("".join(t.text or "" for t in
+                                     is_el.iter(_M + "t"))
+                             if is_el is not None else "")
+                else:
+                    v = c.find(_M + "v")
+                    value = v.text or "" if v is not None else ""
+                    if kind == "s":
+                        try:
+                            value = sst[int(value)]
+                        except (ValueError, IndexError):
+                            return None
+                out.append({
+                    "sheet": sname, "ref": ref,
+                    "row": int(m.group(2)),
+                    "col": _col_index(m.group(1)),
+                    "kind": kind, "value": value,
+                })
+        return out
+    except Exception:
+        return None  # corrupted members: BadZipFile, zlib.error, ...
+    finally:
+        zf.close()

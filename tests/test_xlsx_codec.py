@@ -1,0 +1,77 @@
+"""XLSX extraction (sources/xlsx.py): synth round-trip, rels
+indirection, rich-text shared strings, cell kinds, refusals, fuzz."""
+
+from __future__ import annotations
+
+import io
+import random
+import zipfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.xlsx import (
+    _col_index,
+    extract_xlsx_cells,
+    synth_xlsx,
+)
+
+
+def test_col_index():
+    assert [_col_index(c) for c in ("A", "Z", "AA", "AZ", "BA", "ZZ",
+                                    "AAA")] == [1, 26, 27, 52, 53, 702,
+                                                703]
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    raw, exp = synth_xlsx(doc_id)
+    cells = extract_xlsx_cells(raw)
+    assert cells is not None and len(cells) == exp["n_cells"]
+    assert sum(int(c["value"]) for c in cells
+               if c["kind"] == "n") == exp["num_sum"]
+    assert [c["value"] for c in cells
+            if c["kind"] in ("s", "str", "inlineStr")] == exp["strings"]
+    # sheet order follows the workbook, not zip member order
+    assert cells[0]["sheet"] == "Data" and cells[-1]["sheet"] == "Meta"
+    assert cells[0]["row"] == 1 and cells[0]["col"] == 1
+
+
+def test_xlsx_kinds_and_refusals():
+    raw, _ = synth_xlsx(5)
+    cells = extract_xlsx_cells(raw)
+    kinds = {c["kind"] for c in cells}
+    assert kinds == {"n", "s", "inlineStr"}
+    assert extract_xlsx_cells(b"") is None
+    assert extract_xlsx_cells(b"not a zip") is None
+    assert extract_xlsx_cells(raw[: len(raw) // 2]) is None
+    # out-of-range shared-string index refuses
+    bad = raw.replace(b'uniqueCount="', b'uniquecount="')  # harmless
+    assert extract_xlsx_cells(bad) is not None
+    # workbook missing
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+    assert extract_xlsx_cells(buf.getvalue()) is None
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31 - 1), nflip=st.integers(1, 10))
+def test_fuzz_xlsx_survives_bit_flips(seed, nflip):
+    rnd = random.Random(seed)
+    blob = bytearray(synth_xlsx(rnd.randrange(1000))[0])
+    for _ in range(nflip):
+        blob[rnd.randrange(len(blob))] ^= 1 << rnd.randrange(8)
+    out = extract_xlsx_cells(bytes(blob))
+    assert out is None or isinstance(out, list)
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.binary(min_size=0, max_size=2000))
+def test_fuzz_xlsx_garbage_never_crashes(data):
+    out = extract_xlsx_cells(b"PK\x03\x04" + data)
+    assert out is None or isinstance(out, list)
