@@ -6868,3 +6868,77 @@ def xlsx_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen,
         "doc_id long, n_cells int, num_sum long, str_digest string",
     )
+
+
+@register(
+    "rtf_text_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 2 + doc_id % 4 AS n_paras
+        FROM documents WHERE doc_id < 100
+    ),
+    ln AS (
+        SELECT doc_id, CAST(p.i AS INT) AS ord,
+               repeat('doc ' || CAST(doc_id AS VARCHAR) || ' rtf para '
+                      || CAST(p.i AS VARCHAR) || ' café;',
+                      1 + (doc_id + p.i) % 2) AS line
+        FROM spec, LATERAL unnest(range(0, n_paras)) p(i)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_lines,
+           CAST(sum(length(line)) AS BIGINT) AS total_chars,
+           string_agg(substr(sha256(line), 1, 8), '' ORDER BY ord)
+               AS line_digest
+    FROM ln GROUP BY doc_id
+    """,
+    doc="RTF text extraction, graded (r12 — the legacy word-processing "
+    "format of older dumps and mail attachments): per doc synth_rtf "
+    "writes a document whose text hides behind fonttbl / colortbl / "
+    "info / {\\*\\generator} / footnote DECOY destinations and styled "
+    "groups, with the é alternating between an \\'e9 windows-1252 "
+    "escape and a \\u233? unicode escape whose fallback char must be "
+    "swallowed per the group's \\uc state. extract_rtf_text is a real "
+    "group-stack parser (state save/restore, \\binN skips, surrogate-"
+    "pair \\u joining); the oracle regenerates each paragraph's closed "
+    "form and compares an ORDERED per-line sha256 digest chain.",
+    tags=("ingest", "multimodal", "corpus"),
+)
+def rtf_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.rtf import extract_rtf_text, synth_rtf
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_rtf(i)
+                lines = extract_rtf_text(raw)
+                digest = "".join(
+                    hashlib.sha256(s.encode()).hexdigest()[:8]
+                    for s in lines
+                )
+                rows.append(
+                    (i, len(lines), sum(len(s) for s in lines), digest)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_lines", "total_chars",
+                         "line_digest"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_lines int, total_chars long, line_digest string",
+    )

@@ -1,0 +1,208 @@
+"""RTF text extraction — pure stdlib, from the public Microsoft Rich
+Text Format specification v1.9.1.
+
+The legacy word-processing format that still dominates older document
+dumps and email attachments (the reference declares generic document
+ingestion, reference/shared/config/__init__.py:36-39).  RTF is a
+brace-grouped control-word stream; this extractor implements the
+subset that carries text faithfully:
+
+  - groups {} with proper state save/restore (\\ucN and skip state
+    are group-scoped);
+  - control words with signed numeric parameters and the single
+    delimiter space;
+  - skipped destinations (fonttbl, colortbl, stylesheet, info,
+    header(lr)/footer(lr), footnote, pict, object) and EVERY
+    ``{\\*...}`` ignorable destination;
+  - \\par and \\line break lines, \\tab emits a tab, \\~ a space,
+    \\{ \\} \\\\ their literal characters;
+  - \\'xx hex escapes decode in the \\ansicpgN codepage (default
+    windows-1252);
+  - \\uN unicode escapes (negative N means N+65536) followed by the
+    group's \\uc fallback count of skipped characters — plain chars
+    and \\'xx escapes both count;
+  - \\binN skips exactly N raw bytes.
+
+Refusals (None): input not starting with ``{\\rtf``, a stray closing
+brace, unbalanced groups at EOF (truncation), a malformed \\'xx
+escape, or a dangling backslash — the honest-fallback contract every
+decoder here shares."""
+
+from __future__ import annotations
+
+_SKIP_DESTS = frozenset((
+    "fonttbl", "colortbl", "stylesheet", "info", "header", "footer",
+    "headerl", "headerr", "headerf", "footerl", "footerr", "footerf",
+    "footnote", "pict", "object", "generator",
+))
+
+
+def synth_rtf(doc_id: int) -> "tuple[bytes, list[str]]":
+    """Deterministic fixture RTF plus the lines its extraction must
+    yield.  Closed form (mirrored by the rtf_text_stats oracle):
+
+        n_paras = 2 + doc_id % 4
+        para[p] = repeat('doc {i} rtf para {p} café;', 1 + (i+p) % 2)
+
+    The é alternates between an \\'e9 codepage escape and a \\u233?
+    unicode escape with fallback; every document carries fonttbl /
+    colortbl / info / {\\*\\generator} decoys, styling noise, and a
+    footnote decoy."""
+    i = int(doc_id)
+    n_paras = 2 + i % 4
+    expected = []
+    parts = [
+        r"{\rtf1\ansi\ansicpg1252\deff0",
+        r"{\fonttbl{\f0\fswiss Helvetica;}{\f1 DECOY FONT;}}",
+        r"{\colortbl;\red255\green0\blue0;}",
+        r"{\info{\title DECOY TITLE %d}}" % i,
+        r"{\*\generator synth decoy %d;}" % i,
+    ]
+    for p in range(n_paras):
+        reps = 1 + (i + p) % 2
+        unit = "doc %d rtf para %d café;" % (i, p)
+        expected.append(unit * reps)
+        e_esc = r"\'e9" if p % 2 == 0 else r"\u233?"
+        unit_rtf = (r"doc %d rtf para %d {\b caf%s;}" % (i, p, e_esc))
+        body = unit_rtf * reps
+        if p % 3 == 0:
+            body += (r"{\footnote DECOY footnote %d}" % p)
+        parts.append(body + r"\par" + "\n")
+    parts.append("}")
+    return "".join(parts).encode("ascii"), expected
+
+
+def extract_rtf_text(content: bytes) -> "list[str] | None":
+    """Extract text lines (split on \\par / \\line, final empty line
+    dropped) or None outside scope — module docstring."""
+    if not content.startswith(b"{\\rtf"):
+        return None
+    cp = "cp1252"
+    out: "list[str]" = []
+    stack: "list[tuple[int, bool]]" = []
+    uc = 1
+    skip = False
+    pending = 0  # \uN fallback characters still to swallow
+    i, n = 0, len(content)
+    while i < n:
+        c = content[i]
+        if c == 0x7B:  # '{'
+            stack.append((uc, skip))
+            i += 1
+        elif c == 0x7D:  # '}'
+            if not stack:
+                return None
+            uc, skip = stack.pop()
+            pending = 0
+            i += 1
+        elif c == 0x5C:  # '\\'
+            i += 1
+            if i >= n:
+                return None
+            ch = content[i]
+            if (0x41 <= ch <= 0x5A) or (0x61 <= ch <= 0x7A):
+                j = i
+                while j < n and ((0x41 <= content[j] <= 0x5A)
+                                 or (0x61 <= content[j] <= 0x7A)):
+                    j += 1
+                word = content[i:j].decode("ascii")
+                k = j
+                neg = k < n and content[k] == 0x2D  # '-'
+                if neg:
+                    k += 1
+                d0 = k
+                while k < n and 0x30 <= content[k] <= 0x39:
+                    k += 1
+                param = (int(content[d0:k]) * (-1 if neg else 1)
+                         if k > d0 else None)
+                if k < n and content[k] == 0x20:  # delimiter space
+                    k += 1
+                i = k
+                if word == "bin":
+                    i += max(0, param or 0)  # raw bytes, never text
+                elif word == "u" and param is not None:
+                    cpnt = param + 65536 if param < 0 else param
+                    if not skip and 0 <= cpnt < 0x110000:
+                        if 0xDC00 <= cpnt <= 0xDFFF and out and \
+                                len(out[-1]) == 1 and \
+                                0xD800 <= ord(out[-1]) <= 0xDBFF:
+                            # UTF-16 surrogate pair split across two
+                            # \u escapes (how RTF carries astral chars)
+                            out[-1] = (out[-1] + chr(cpnt)).encode(
+                                "utf-16", "surrogatepass").decode("utf-16")
+                        elif 0xD800 <= cpnt <= 0xDFFF:
+                            out.append(chr(cpnt))  # paired on next \u
+                        else:
+                            out.append(chr(cpnt))
+                    pending = uc
+                elif word == "uc" and param is not None:
+                    uc = max(0, param)
+                elif word == "ansicpg" and param is not None:
+                    import codecs
+
+                    try:
+                        codecs.lookup("cp%d" % param)
+                        cp = "cp%d" % param
+                    except LookupError:
+                        pass  # unknown page: stay on cp1252
+                elif word in ("par", "line") and not skip:
+                    out.append("\n")
+                elif word == "tab" and not skip:
+                    out.append("\t")
+                elif word == "emdash" and not skip:
+                    out.append("—")
+                elif word == "endash" and not skip:
+                    out.append("–")
+                elif word in _SKIP_DESTS:
+                    skip = True
+            else:
+                i += 1
+                if ch == 0x27:  # \'xx
+                    if i + 2 > n:
+                        return None
+                    try:
+                        b = int(content[i : i + 2], 16)
+                    except ValueError:
+                        return None
+                    i += 2
+                    if pending:
+                        pending -= 1
+                    elif not skip:
+                        out.append(bytes([b]).decode(cp, "replace"))
+                elif ch in (0x7B, 0x7D, 0x5C):  # \{ \} \\
+                    if pending:
+                        pending -= 1
+                    elif not skip:
+                        out.append(chr(ch))
+                elif ch == 0x7E:  # \~ non-breaking space
+                    if not skip:
+                        out.append(" ")
+                elif ch == 0x2A:  # \* ignorable destination
+                    skip = True
+                elif ch in (0x0D, 0x0A):  # \<newline> == \par
+                    if not skip:
+                        out.append("\n")
+                # other control symbols (\-, \_, ...): no text
+        else:
+            j = i
+            while j < n and content[j] not in (0x7B, 0x7D, 0x5C):
+                j += 1
+            text = content[i:j].replace(b"\r", b"").replace(b"\n", b"")
+            i = j
+            if pending and text:
+                drop = min(pending, len(text))
+                pending -= drop
+                text = text[drop:]
+            if not skip and text:
+                out.append(text.decode(cp, "replace"))
+    if stack:
+        return None  # unbalanced groups: truncated input
+    import re
+
+    # any surrogate still lone (hostile \u pairs) -> U+FFFD, so every
+    # emitted line is valid UTF-8-encodable text downstream
+    joined = re.sub("[\ud800-\udfff]", "�", "".join(out))
+    lines = joined.split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()
+    return lines

@@ -1,0 +1,91 @@
+"""RTF extraction (sources/rtf.py): synth round-trip, control-word /
+escape / destination semantics on hand cases, refusals, bit-flip and
+garbage never-crash fuzz."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.rtf import (
+    extract_rtf_text,
+    synth_rtf,
+)
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    raw, expected = synth_rtf(doc_id)
+    assert extract_rtf_text(raw) == expected
+
+
+def test_rtf_semantics_hand_cases():
+    cases = [
+        (rb"{\rtf1 hello world\par}", ["hello world"]),
+        # codepage escapes honor \ansicpg; default is cp1252
+        (rb"{\rtf1 \'e9\par}", ["é"]),
+        (rb"{\rtf1\ansicpg1251 \'fF\par}", ["я"]),
+        # tab/line/par; escaped braces and backslash
+        (rb"{\rtf1 a\tab b\line c\par}", ["a\tb", "c"]),
+        (rb"{\rtf1 \{x\} \\y\par}", ["{x} \\y"]),
+        # \uN with fallback swallowing (uc=1 default, \ucN override)
+        (rb"{\rtf1 \u233?ok\par}", ["éok"]),
+        (rb"{\rtf1 \uc2\u233 AB z\par}", ["é z"]),
+        # \uN fallback may be an \'xx escape
+        (rb"{\rtf1 \u233\'e9ok\par}", ["éok"]),
+        # surrogate pair -> astral char; lone surrogate -> U+FFFD
+        (rb"{\rtf1 \u-10179?\u-8704? ok\par}", ["\U0001f600 ok"]),
+        (rb"{\rtf1 \u-10179? lone\par}", ["\ufffd lone"]),
+        # skipped destinations and {\*...}; state restores on }
+        (rb"{\rtf1{\fonttbl{\f0 Arial;}}x{\*\junk gone}y\par}", ["xy"]),
+        (rb"{\rtf1{\info{\title T}}a\par}", ["a"]),
+        # \binN skips raw bytes even if they contain braces
+        (b"{\\rtf1 a\\bin3 {}\\b\\par}", ["ab"]),
+        # \~ nbsp; \emdash
+        (rb"{\rtf1 a\~b\emdash c\par}", ["a b\u2014c"]),
+        # no trailing empty line after the final \par
+        (rb"{\rtf1 one\par two\par}", ["one", "two"]),
+    ]
+    for raw, want in cases:
+        assert extract_rtf_text(raw) == want, raw
+
+
+def test_rtf_refusals():
+    assert extract_rtf_text(b"") is None
+    assert extract_rtf_text(b"plain text") is None
+    assert extract_rtf_text(rb"{\rtf1 unbalanced") is None
+    assert extract_rtf_text(rb"{\rtf1 }}") is None
+    assert extract_rtf_text(rb"{\rtf1 \'zz}") is None
+    assert extract_rtf_text(b"{\\rtf1 dangling\\") is None
+    raw, _ = synth_rtf(7)
+    assert extract_rtf_text(raw[: len(raw) - 2]) is None  # truncated
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31 - 1), nflip=st.integers(1, 10))
+def test_fuzz_rtf_survives_bit_flips(seed, nflip):
+    rnd = random.Random(seed)
+    blob = bytearray(synth_rtf(rnd.randrange(1000))[0])
+    for _ in range(nflip):
+        blob[rnd.randrange(len(blob))] ^= 1 << rnd.randrange(8)
+    out = extract_rtf_text(bytes(blob))
+    assert out is None or isinstance(out, list)
+    if out is not None:
+        for line in out:
+            line.encode()  # every line must stay UTF-8-encodable
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.binary(min_size=0, max_size=2000))
+def test_fuzz_rtf_garbage_never_crashes(data):
+    out = extract_rtf_text(b"{\\rtf1 " + data)
+    assert out is None or isinstance(out, list)
+    if out is not None:
+        for line in out:
+            line.encode()
