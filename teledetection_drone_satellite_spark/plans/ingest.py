@@ -6942,3 +6942,88 @@ def rtf_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen,
         "doc_id long, n_lines int, total_chars long, line_digest string",
     )
+
+
+@register(
+    "pptx_text_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 2 + doc_id % 3 AS n_slides
+        FROM documents WHERE doc_id < 100
+    ),
+    slide AS (
+        SELECT doc_id, n_slides, CAST(s.i AS INT) AS s
+        FROM spec, LATERAL unnest(range(0, n_slides)) s(i)
+    ),
+    ln AS (
+        SELECT doc_id, n_slides, s, CAST(s * 10 AS INT) AS ord,
+               'doc ' || CAST(doc_id AS VARCHAR) || ' slide '
+                   || CAST(s AS VARCHAR) || ';' AS line
+        FROM slide
+        UNION ALL
+        SELECT doc_id, n_slides, s, CAST(s * 10 + 1 + b.i AS INT) AS ord,
+               repeat('doc ' || CAST(doc_id AS VARCHAR) || ' s'
+                      || CAST(s AS VARCHAR) || ' bullet '
+                      || CAST(b.i AS VARCHAR) || ';',
+                      1 + (doc_id + s + b.i) % 2) AS line
+        FROM slide, LATERAL unnest(range(0, 1 + (doc_id + s) % 2)) b(i)
+    )
+    SELECT doc_id,
+           CAST(min(n_slides) AS INT) AS n_slides,
+           CAST(count(*) AS INT) AS n_lines,
+           CAST(sum(length(line)) AS BIGINT) AS total_chars,
+           string_agg(substr(sha256(line), 1, 8), '' ORDER BY ord)
+               AS line_digest
+    FROM ln GROUP BY doc_id
+    """,
+    doc="PPTX slide-text extraction, graded (r12 — completes the "
+    "OOXML trio): per doc synth_pptx writes a deck whose slide parts "
+    "are numbered in REVERSED presentation order (only readers that "
+    "resolve p:sldId references through presentation.xml.rels "
+    "survive), whose titles split across styled DrawingML runs, and "
+    "which carries notesSlide DECOY parts that must not leak into "
+    "deck text. The oracle regenerates every line's closed form and "
+    "compares an ORDERED per-line sha256 digest chain across slides.",
+    tags=("ingest", "multimodal", "corpus"),
+)
+def pptx_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.pptx import extract_pptx_text, synth_pptx
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_pptx(i)
+                lines = extract_pptx_text(raw)
+                digest = "".join(
+                    hashlib.sha256(t.encode()).hexdigest()[:8]
+                    for _, t in lines
+                )
+                rows.append(
+                    (i, 1 + max(s for s, _ in lines), len(lines),
+                     sum(len(t) for _, t in lines), digest)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_slides", "n_lines", "total_chars",
+                         "line_digest"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_slides int, n_lines int, total_chars long, "
+        "line_digest string",
+    )

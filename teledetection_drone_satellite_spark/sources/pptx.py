@@ -1,0 +1,178 @@
+"""PPTX slide-text extraction — pure stdlib (zipfile + xml.etree),
+from the public ECMA-376 Office Open XML (PresentationML/DrawingML)
+specifications.
+
+Completes the OOXML trio (sources/docx.py, sources/xlsx.py): slide
+decks are a steady share of any enterprise document dump.  A .pptx is
+an OOXML zip: ``ppt/presentation.xml`` lists slides IN ORDER as
+<p:sldId r:id="..."/> references resolved through
+``ppt/_rels/presentation.xml.rels`` (member names are NOT
+authoritative), and each slide part holds DrawingML shape trees whose
+text lives in <a:p> paragraphs of <a:r> runs holding <a:t> nodes,
+with <a:br/> line breaks.  Speaker-notes parts (ppt/notesSlides/) are
+separate parts and are NOT read — deck text and presenter notes are
+different corpora.
+
+Extraction semantics (documented, oracle-mirrored): one output line
+per <a:p> in slide order then shape/paragraph document order; runs
+join with NO separator; <a:br/> contributes a single space; empty
+paragraphs are preserved.
+
+Refusals (None): not a zip, missing presentation.xml/rels/referenced
+slide parts, XML that does not parse, or a slide root other than
+p:sld — the honest-fallback contract every decoder here shares."""
+
+from __future__ import annotations
+
+import io
+import posixpath
+import zipfile
+
+_P = "{http://schemas.openxmlformats.org/presentationml/2006/main}"
+_A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+_R = ("{http://schemas.openxmlformats.org/officeDocument/2006/"
+      "relationships}")
+_PKR = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+
+def synth_pptx(doc_id: int) -> "tuple[bytes, list[tuple[int, str]]]":
+    """Deterministic fixture deck plus [(slide_no, line)] in order.
+    Closed form (mirrored by the pptx_text_stats oracle):
+
+        n_slides = 2 + doc_id % 3
+        slide s: title 'doc {i} slide {s};' then
+                 1 + (i+s) % 2 bullets,
+                 bullet[b] = repeat('doc {i} s{s} bullet {b};',
+                                    1 + (i+s+b) % 2)
+
+    Slide parts are named in REVERSED numeric order (slide part for
+    the FIRST listed slide is the HIGHEST-numbered member), so only
+    readers that resolve slides through the rels in presentation
+    order survive.  Decks carry notesSlide DECOY parts that must not
+    leak into deck text."""
+    i = int(doc_id)
+    n_slides = 2 + i % 3
+    expected: "list[tuple[int, str]]" = []
+    slide_xmls = []
+    for s in range(n_slides):
+        title = "doc %d slide %d;" % (i, s)
+        expected.append((s, title))
+        # title split across two runs with styling noise
+        cut = max(1, len(title) // 2)
+        paras = [
+            ('<a:p><a:r><a:rPr b="1"/><a:t>%s</a:t></a:r>'
+             "<a:r><a:t>%s</a:t></a:r></a:p>"
+             % (_esc(title[:cut]), _esc(title[cut:])))
+        ]
+        for b in range(1 + (i + s) % 2):
+            reps = 1 + (i + s + b) % 2
+            line = ("doc %d s%d bullet %d;" % (i, s, b)) * reps
+            expected.append((s, line))
+            paras.append("<a:p><a:r><a:t>%s</a:t></a:r></a:p>"
+                         % _esc(line))
+        slide_xmls.append(
+            '<p:sld xmlns:p="http://schemas.openxmlformats.org/'
+            'presentationml/2006/main" xmlns:a="http://schemas.'
+            'openxmlformats.org/drawingml/2006/main">'
+            "<p:cSld><p:spTree><p:sp><p:txBody>%s</p:txBody></p:sp>"
+            "</p:spTree></p:cSld></p:sld>" % "".join(paras)
+        )
+    sld_ids = "".join(
+        '<p:sldId id="%d" r:id="rId%d"/>' % (256 + s, s + 1)
+        for s in range(n_slides)
+    )
+    presentation = (
+        '<p:presentation xmlns:p="http://schemas.openxmlformats.org/'
+        'presentationml/2006/main" xmlns:r="http://schemas.'
+        'openxmlformats.org/officeDocument/2006/relationships">'
+        "<p:sldIdLst>%s</p:sldIdLst></p:presentation>" % sld_ids
+    )
+    # rId s+1 -> slides/slideN.xml with N REVERSED vs presentation order
+    rels = ['<Relationships xmlns="http://schemas.openxmlformats.org/'
+            'package/2006/relationships">']
+    for s in range(n_slides):
+        rels.append(
+            '<Relationship Id="rId%d" Type="http://schemas.'
+            "openxmlformats.org/officeDocument/2006/relationships/"
+            'slide" Target="slides/slide%d.xml"/>'
+            % (s + 1, n_slides - s))
+    rels.append("</Relationships>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        zf.writestr("ppt/presentation.xml", presentation)
+        zf.writestr("ppt/_rels/presentation.xml.rels", "".join(rels))
+        for s in range(n_slides):
+            # presentation-order slide s lives in part slide{n_slides-s}
+            zf.writestr("ppt/slides/slide%d.xml" % (n_slides - s),
+                        slide_xmls[s])
+            zf.writestr(
+                "ppt/notesSlides/notesSlide%d.xml" % (s + 1),
+                '<p:notes xmlns:p="http://schemas.openxmlformats.org/'
+                'presentationml/2006/main" xmlns:a="http://schemas.'
+                'openxmlformats.org/drawingml/2006/main"><p:cSld>'
+                "<p:spTree><p:sp><p:txBody><a:p><a:r><a:t>DECOY note "
+                "%d</a:t></a:r></a:p></p:txBody></p:sp></p:spTree>"
+                "</p:cSld></p:notes>" % s)
+    return buf.getvalue(), expected
+
+
+def _esc(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;"))
+
+
+def extract_pptx_text(content: bytes) -> "list[tuple[int, str]] | None":
+    """-> [(slide_index, line), ...] in presentation order (0-based
+    slide index) or None outside scope — module docstring."""
+    import xml.etree.ElementTree as ET
+
+    def _xml(zf, name):
+        try:
+            return ET.fromstring(zf.read(name))
+        except (ET.ParseError, LookupError, ValueError, KeyError):
+            return None
+
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(content))
+    except Exception:
+        return None
+    try:
+        names = set(zf.namelist())
+        if "ppt/presentation.xml" not in names:
+            return None
+        pres = _xml(zf, "ppt/presentation.xml")
+        if pres is None or pres.tag != _P + "presentation":
+            return None
+        rels_root = (_xml(zf, "ppt/_rels/presentation.xml.rels")
+                     if "ppt/_rels/presentation.xml.rels" in names
+                     else None)
+        targets: "dict[str, str]" = {}
+        if rels_root is not None:
+            for rel in rels_root.iter(_PKR + "Relationship"):
+                rid, tgt = rel.get("Id"), rel.get("Target")
+                if rid and tgt:
+                    targets[rid] = posixpath.normpath(
+                        posixpath.join("ppt", tgt))
+        out: "list[tuple[int, str]]" = []
+        for idx, sld in enumerate(pres.iter(_P + "sldId")):
+            rid = sld.get(_R + "id")
+            path = targets.get(rid)
+            if path is None or path not in names:
+                return None
+            root = _xml(zf, path)
+            if root is None or root.tag != _P + "sld":
+                return None
+            for para in root.iter(_A + "p"):
+                parts: "list[str]" = []
+                for el in para.iter():
+                    if el.tag == _A + "t":
+                        parts.append(el.text or "")
+                    elif el.tag == _A + "br":
+                        parts.append(" ")
+                out.append((idx, "".join(parts)))
+        return out
+    except Exception:
+        return None  # corrupted members: BadZipFile, zlib.error, ...
+    finally:
+        zf.close()

@@ -1,0 +1,91 @@
+"""PPTX extraction (sources/pptx.py): synth round-trip (reversed part
+numbering, notes decoys), hand cases, refusals, fuzz."""
+
+from __future__ import annotations
+
+import io
+import random
+import zipfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.pptx import (
+    extract_pptx_text,
+    synth_pptx,
+)
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    raw, expected = synth_pptx(doc_id)
+    got = extract_pptx_text(raw)
+    assert got == expected
+    assert not any("DECOY" in t for _, t in got)  # notes never leak
+
+
+def test_pptx_br_and_run_joining():
+    sld = ('<p:sld xmlns:p="http://schemas.openxmlformats.org/'
+           'presentationml/2006/main" xmlns:a="http://schemas.'
+           'openxmlformats.org/drawingml/2006/main"><p:cSld><p:spTree>'
+           "<p:sp><p:txBody>"
+           "<a:p><a:r><a:t>ab</a:t></a:r><a:r><a:t>cd</a:t></a:r>"
+           "<a:br/><a:r><a:t>ef</a:t></a:r></a:p><a:p/>"
+           "</p:txBody></p:sp></p:spTree></p:cSld></p:sld>")
+    pres = ('<p:presentation xmlns:p="http://schemas.openxmlformats.'
+            'org/presentationml/2006/main" xmlns:r="http://schemas.'
+            'openxmlformats.org/officeDocument/2006/relationships">'
+            '<p:sldIdLst><p:sldId id="256" r:id="rId1"/></p:sldIdLst>'
+            "</p:presentation>")
+    rels = ('<Relationships xmlns="http://schemas.openxmlformats.org/'
+            'package/2006/relationships"><Relationship Id="rId1" '
+            'Type="t" Target="slides/slide1.xml"/></Relationships>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("ppt/presentation.xml", pres)
+        zf.writestr("ppt/_rels/presentation.xml.rels", rels)
+        zf.writestr("ppt/slides/slide1.xml", sld)
+    assert extract_pptx_text(buf.getvalue()) == [(0, "abcd ef"), (0, "")]
+
+
+def test_pptx_refusals():
+    assert extract_pptx_text(b"") is None
+    assert extract_pptx_text(b"not a zip") is None
+    raw, _ = synth_pptx(4)
+    assert extract_pptx_text(raw[: len(raw) // 2]) is None
+    # missing slide part referenced by the rels
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("ppt/presentation.xml",
+                    '<p:presentation xmlns:p="http://schemas.'
+                    'openxmlformats.org/presentationml/2006/main" '
+                    'xmlns:r="http://schemas.openxmlformats.org/'
+                    'officeDocument/2006/relationships"><p:sldIdLst>'
+                    '<p:sldId id="256" r:id="rId1"/></p:sldIdLst>'
+                    "</p:presentation>")
+        zf.writestr("ppt/_rels/presentation.xml.rels",
+                    '<Relationships xmlns="http://schemas.'
+                    'openxmlformats.org/package/2006/relationships"/>')
+    assert extract_pptx_text(buf.getvalue()) is None
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31 - 1), nflip=st.integers(1, 10))
+def test_fuzz_pptx_survives_bit_flips(seed, nflip):
+    rnd = random.Random(seed)
+    blob = bytearray(synth_pptx(rnd.randrange(1000))[0])
+    for _ in range(nflip):
+        blob[rnd.randrange(len(blob))] ^= 1 << rnd.randrange(8)
+    out = extract_pptx_text(bytes(blob))
+    assert out is None or isinstance(out, list)
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.binary(min_size=0, max_size=2000))
+def test_fuzz_pptx_garbage_never_crashes(data):
+    out = extract_pptx_text(b"PK\x03\x04" + data)
+    assert out is None or isinstance(out, list)
