@@ -7027,3 +7027,79 @@ def pptx_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_slides int, n_lines int, total_chars long, "
         "line_digest string",
     )
+
+
+@register(
+    "robots_crawl_filter",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, doc_id % 20 AS k,
+               CASE WHEN doc_id % 5 IN (0, 2, 4) THEN 1 ELSE 0 END
+                   AS allowed
+        FROM documents
+    )
+    SELECT 'site' || CAST(k AS VARCHAR) || '.example.com' AS domain,
+           count(*) AS n_urls,
+           CAST(sum(allowed) AS BIGINT) AS n_allowed,
+           CAST(count(*) - sum(allowed) AS BIGINT) AS n_blocked
+    FROM d GROUP BY k
+    """,
+    doc="robots.txt crawl filtering, graded (r12): each of 20 domains "
+    "carries the same RFC 9309 ruleset (a badbot Disallow-all group "
+    "the trainbot agent must NOT select, then a * group with nested "
+    "Allow-under-Disallow, a '/*.pdf$' wildcard+anchor rule, and a "
+    "/tmp/ prefix), and every document contributes one URL whose "
+    "variant exercises a distinct precedence path: no-match allow, "
+    "prefix block, longest-match allow override, wildcard-anchor "
+    "block, and the /tmpx non-match. The oracle states the per-domain "
+    "allow/block counts in closed form — any group-selection, "
+    "longest-match, or wildcard bug flips them. The verdict column is "
+    "what every crawl-derived corpus must carry.",
+    tags=("ingest", "text", "curation"),
+)
+def robots_crawl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.robots import parse_robots, robots_allowed
+
+    d = load(spark, sf_dir, ("documents",))["documents"].select("doc_id")
+
+    _ROBOTS = (
+        "User-agent: badbot\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /private/\nAllow: /private/pub\n"
+        "Disallow: /*.pdf$\nDisallow: /tmp/\n"
+        "Sitemap: https://ex.com/sitemap.xml\n"
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        parsed = parse_robots(_ROBOTS)  # parse ONCE per task, not per row
+        paths = ["/index.html", "/private/x%d", "/private/pub/%d",
+                 "/reports/r%d.pdf", "/tmpx/%d"]
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                v = i % 5
+                path = paths[v] % i if "%" in paths[v] else paths[v]
+                rows.append(
+                    (i, i % 20,
+                     robots_allowed(parsed, "trainbot", path))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "k", "allowed"])
+
+    verdicts = d.mapInPandas(gen, "doc_id long, k int, allowed boolean")
+    return (
+        verdicts.groupBy("k")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.sum(F.col("allowed").cast("long")).alias("n_allowed"),
+            F.sum((~F.col("allowed")).cast("long")).alias("n_blocked"),
+        )
+        .select(
+            F.concat(F.lit("site"), F.col("k").cast("string"),
+                     F.lit(".example.com")).alias("domain"),
+            "n_urls", "n_allowed", "n_blocked",
+        )
+    )

@@ -1,0 +1,110 @@
+"""robots.txt parsing + matching — pure stdlib, from the public RFC
+9309 (Robots Exclusion Protocol) and the de-facto wildcard extensions
+every major crawler implements.
+
+A crawl pipeline that ignores robots.txt cannot ship its output: the
+allow/deny verdict is a per-URL column every crawl-derived corpus
+carries.  Parsed model: groups of ``User-agent`` lines sharing
+``Allow``/``Disallow`` rules, plus global ``Sitemap`` lines.  Matching
+(RFC 9309 §2.2):
+
+  - group selection: the group whose user-agent token (case-
+    insensitive) is the LONGEST prefix of the crawler's product token;
+    ``*`` groups apply when nothing longer matches;
+  - rule precedence: the LONGEST matching path pattern wins; on equal
+    length, Allow wins over Disallow (§2.2.2);
+  - patterns support ``*`` (any run) and a trailing ``$`` anchor;
+    ``%xx`` octets other than %2F compare decoded (we compare raw —
+    fixtures stay unescaped, documented simplification);
+  - an empty Disallow value matches nothing; no matching rule means
+    ALLOWED.
+
+parse_robots never refuses: robots.txt in the wild is full of junk
+lines, BOMs, and comments, and the spec says to ignore what you do
+not understand — unknown lines are skipped, an undecodable byte
+stream yields the empty ruleset (allow everything), exactly what
+crawlers do."""
+
+from __future__ import annotations
+
+import re
+
+
+def parse_robots(content: "bytes | str") -> dict:
+    """-> {'groups': [{'agents': [lower tokens], 'rules':
+    [(allow: bool, pattern: str)]}], 'sitemaps': [str]}.  Never
+    raises; junk lines are ignored per the spec."""
+    if isinstance(content, bytes):
+        if content[:3] == b"\xef\xbb\xbf":
+            content = content[3:]
+        content = content.decode("utf-8", errors="replace")
+    groups: "list[dict]" = []
+    sitemaps: "list[str]" = []
+    cur: "dict | None" = None
+    last_was_agent = False
+    for raw_line in content.splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if cur is None or not last_was_agent:
+                cur = {"agents": [], "rules": []}
+                groups.append(cur)
+            cur["agents"].append(value.lower())
+            last_was_agent = True
+        elif key in ("allow", "disallow"):
+            last_was_agent = False
+            if cur is None:
+                continue  # rules before any user-agent line: ignored
+            if value == "" and key == "disallow":
+                continue  # empty Disallow matches nothing
+            if value:
+                cur["rules"].append((key == "allow", value))
+        elif key == "sitemap":
+            last_was_agent = False
+            if value:
+                sitemaps.append(value)
+        else:
+            last_was_agent = False
+    return {"groups": groups, "sitemaps": sitemaps}
+
+
+def _pattern_matches(pattern: str, path: str) -> "int | None":
+    """Longest-match length if ``pattern`` matches ``path`` else None.
+    The match length is the raw pattern length (RFC 9309 uses octet
+    count of the matched rule for precedence)."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = ".*".join(re.escape(p) for p in body.split("*"))
+    rx = "^" + rx + ("$" if anchored else "")
+    return len(pattern) if re.match(rx, path) else None
+
+
+def robots_allowed(parsed: dict, agent: str, path: str) -> bool:
+    """RFC 9309 verdict for ``agent`` fetching ``path``."""
+    agent = agent.lower()
+    best_group = None
+    best_len = -1
+    star_group = None
+    for g in parsed["groups"]:
+        for tok in g["agents"]:
+            if tok == "*":
+                if star_group is None:
+                    star_group = g
+            elif agent.startswith(tok) and len(tok) > best_len:
+                best_group, best_len = g, len(tok)
+    group = best_group if best_group is not None else star_group
+    if group is None:
+        return True
+    verdict = True
+    verdict_len = -1
+    for allow, pattern in group["rules"]:
+        m = _pattern_matches(pattern, path)
+        if m is None:
+            continue
+        if m > verdict_len or (m == verdict_len and allow):
+            verdict, verdict_len = allow, m
+    return verdict

@@ -1,0 +1,81 @@
+"""robots.txt (sources/robots.py): RFC 9309 group selection, rule
+precedence, wildcards/anchors, junk tolerance, never-crash fuzz."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.robots import (
+    parse_robots,
+    robots_allowed,
+)
+
+_TXT = b"""\xef\xbb\xbf# comment
+User-agent: badbot
+Disallow: /
+
+User-agent: trainbot-images
+Disallow: /img/
+
+User-agent: *
+Disallow: /private/
+Allow: /private/pub
+Disallow: /*.pdf$
+Disallow: /tmp/
+Crawl-delay: 10
+Sitemap: https://ex.com/sitemap.xml
+Sitemap: https://ex.com/sitemap2.xml
+junk without a colon separator meaning nothing
+"""
+
+
+def test_group_selection_longest_token_wins():
+    p = parse_robots(_TXT)
+    # product token 'trainbot-images/1.0' starts with the longer token
+    assert robots_allowed(p, "trainbot-images", "/img/a.png") is False
+    assert robots_allowed(p, "trainbot-images", "/private/x") is True
+    # plain trainbot falls through to *
+    assert robots_allowed(p, "trainbot", "/private/x") is False
+    assert robots_allowed(p, "badbot99", "/anything") is False
+    # no groups at all -> allowed
+    assert robots_allowed(parse_robots(b""), "x", "/a") is True
+
+
+def test_rule_precedence_and_wildcards():
+    p = parse_robots(_TXT)
+    cases = [
+        ("/index.html", True),          # no rule matches
+        ("/private/x", False),          # prefix disallow
+        ("/private/pub", True),         # longer allow wins
+        ("/private/public/a", True),
+        ("/tmp/file.pdf", False),
+        ("/docs/file.pdf", False),      # /*.pdf$ wildcard + anchor
+        ("/docs/file.pdfx", True),      # anchor: no match
+        ("/tmpx", True),                # /tmp/ does not match /tmpx
+    ]
+    for path, want in cases:
+        assert robots_allowed(p, "trainbot", path) is want, path
+
+
+def test_parse_tolerance_and_sitemaps():
+    p = parse_robots(_TXT)
+    assert p["sitemaps"] == ["https://ex.com/sitemap.xml",
+                             "https://ex.com/sitemap2.xml"]
+    # multiple user-agent lines share one group
+    multi = parse_robots(b"User-agent: a\nUser-agent: b\nDisallow: /x\n")
+    assert multi["groups"][0]["agents"] == ["a", "b"]
+    assert robots_allowed(multi, "b", "/x/1") is False
+    # empty Disallow matches nothing
+    e = parse_robots(b"User-agent: *\nDisallow:\n")
+    assert robots_allowed(e, "x", "/a") is True
+    # rules before any user-agent line are ignored, never crash
+    parse_robots(b"Disallow: /early\nUser-agent: *\nAllow: /\n")
+
+
+@settings(max_examples=120, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.binary(min_size=0, max_size=1500))
+def test_fuzz_robots_never_crashes(data):
+    p = parse_robots(data)
+    assert robots_allowed(p, "anybot", "/some/path") in (True, False)
