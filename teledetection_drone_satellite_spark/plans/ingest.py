@@ -7103,3 +7103,81 @@ def robots_crawl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_urls", "n_allowed", "n_blocked",
         )
     )
+
+
+@register(
+    "html_boilerplate_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 2 + doc_id % 4 AS n_paras
+        FROM documents WHERE doc_id < 120
+    ),
+    ln AS (
+        SELECT doc_id, CAST(p.i AS INT) AS ord,
+               repeat('doc ' || CAST(doc_id AS VARCHAR)
+                      || ' prose paragraph ' || CAST(p.i AS VARCHAR)
+                      || ' with words;',
+                      1 + (doc_id + p.i) % 2) AS line
+        FROM spec, LATERAL unnest(range(0, n_paras)) p(i)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_content,
+           CAST(6 AS INT) AS n_boiler,
+           CAST(sum(length(line)) AS BIGINT) AS content_chars,
+           string_agg(substr(sha256(line), 1, 8), '' ORDER BY ord)
+               AS content_digest
+    FROM ln GROUP BY doc_id
+    """,
+    doc="HTML boilerplate removal, graded (r12 — the step between raw "
+    "crawl text and a training corpus): per doc synth_html_boiler "
+    "writes prose paragraphs between a nav link list, a short "
+    "tagline, a LONG link-dense 'related articles' line (>=30 chars "
+    "but majority-anchor text — length alone cannot save it), and a "
+    "footer link row. extract_html_content classifies each extracted "
+    "line by the documented rule (>=30 chars AND <50% of collapsed "
+    "chars from inside <a> subtrees); the oracle states the surviving "
+    "content lines in closed form plus the exact boilerplate count, "
+    "so a link-attribution or density bug flips the digest chain.",
+    tags=("ingest", "text", "corpus"),
+)
+def html_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.html import extract_html_content, synth_html_boiler
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                html, _, _ = synth_html_boiler(i)
+                content, boiler = extract_html_content(html)
+                digest = "".join(
+                    hashlib.sha256(s.encode()).hexdigest()[:8]
+                    for s in content
+                )
+                rows.append(
+                    (i, len(content), len(boiler),
+                     sum(len(s) for s in content), digest)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_content", "n_boiler",
+                         "content_chars", "content_digest"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_content int, n_boiler int, content_chars long, "
+        "content_digest string",
+    )

@@ -522,3 +522,155 @@ def synth_html_meta(doc_id: int) -> "tuple[str, dict]":
     if i % 5:
         expected["description"] = "Summary of document %d." % i
     return doc, expected
+
+
+class _ContentExtractor(HTMLParser):
+    """_TextExtractor plus per-character link attribution: every text
+    char is tagged with whether it sits inside an <a> subtree, so each
+    output line carries a link density for boilerplate classification."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip = 0
+        self._link = 0
+        self.parts: "list[tuple[str, bool]]" = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP:
+            self._skip += 1
+        elif tag == "a":
+            self._link += 1
+        elif tag in _BLOCK:
+            self.parts.append((_BREAK, False))
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP:
+            if self._skip:
+                self._skip -= 1
+        elif tag == "a":
+            if self._link:
+                self._link -= 1
+        elif tag in _BLOCK:
+            self.parts.append((_BREAK, False))
+
+    def handle_data(self, data: str) -> None:
+        if not self._skip and data:
+            self.parts.append((data.replace(_BREAK, ""), self._link > 0))
+
+
+# boilerplate rule (documented, oracle-mirrored): a line is CONTENT
+# iff it has >= 30 characters AND less than half of them came from
+# inside <a> subtrees.  The line-based jusText/trafilatura heuristic
+# at its simplest defensible setting: navs, footers, and link lists
+# are short and link-dense; prose is long and link-sparse.
+CONTENT_MIN_CHARS = 30
+CONTENT_MAX_LINK_DENSITY = 0.5
+
+
+def extract_html_content(content: "str | bytes") -> "tuple[list[str], list[str]]":
+    """Boilerplate removal -> (content_lines, boilerplate_lines).
+    Lines are built exactly like extract_html_text (same block/skip/
+    collapse semantics, same BOM+prescan decode); each is classified
+    by the module-level rule.  Never raises on malformed markup."""
+    if isinstance(content, bytes):
+        if content[:3] == b"\xef\xbb\xbf":
+            content = content[3:].decode("utf-8", errors="replace")
+        elif content[:2] == b"\xff\xfe":
+            content = content[2:].decode("utf-16-le", errors="replace")
+        elif content[:2] == b"\xfe\xff":
+            content = content[2:].decode("utf-16-be", errors="replace")
+        else:
+            codec = sniff_html_encoding(content) or "utf-8"
+            content = content.decode(codec, errors="replace")
+    p = _ContentExtractor()
+    try:
+        p.feed(content)
+        p.close()
+    except Exception:
+        pass
+    content_lines: "list[str]" = []
+    boiler_lines: "list[str]" = []
+    line: "list[tuple[str, bool]]" = []
+
+    def flush() -> None:
+        raw = "".join(t for t, _ in line)
+        collapsed = " ".join(raw.split())
+        if not collapsed:
+            return
+        # count link chars on the collapsed form: walk the pieces in
+        # order, collapsing whitespace the same way, attributing each
+        # surviving char to its piece's link flag
+        kept = 0
+        link_kept = 0
+        pending_space = False
+        started = False
+        for t, is_link in line:
+            for ch in t:
+                if ch.isspace():
+                    pending_space = True
+                    continue
+                if pending_space and started:
+                    kept += 1  # the single collapsed space
+                pending_space = False
+                started = True
+                kept += 1
+                if is_link:
+                    link_kept += 1
+        (content_lines
+         if kept >= CONTENT_MIN_CHARS
+         and link_kept < CONTENT_MAX_LINK_DENSITY * kept
+         else boiler_lines).append(collapsed)
+
+    for piece, is_link in p.parts:
+        if piece == _BREAK:
+            flush()
+            line = []
+        else:
+            line.append((piece, is_link))
+    flush()
+    return content_lines, boiler_lines
+
+
+def synth_html_boiler(doc_id: int) -> "tuple[str, list[str], list[str]]":
+    """Deterministic boilerplate fixture -> (html, expected_content,
+    expected_boiler).  Closed form (html_boilerplate_stats oracle):
+
+        content lines: 2 + i % 4 paragraphs,
+            para[p] = repeat('doc {i} prose paragraph {p} with words;',
+                             1 + (i+p) % 2)     (always >= 30 chars, no links)
+        boiler: a nav of 3 links 'Nav{k}', a link-dense 'related'
+            line, a short tagline, and a footer line of links."""
+    i = int(doc_id)
+    n_paras = 2 + i % 4
+    content_expected = []
+    body = [
+        "<nav><ul>",
+        "".join('<li><a href="/n%d">Nav%d</a></li>' % (k, k)
+                for k in range(3)),
+        "</ul></nav>",
+        "<p>Tag %d.</p>" % i,  # short: boiler
+    ]
+    for p in range(n_paras):
+        reps = 1 + (i + p) % 2
+        unit = "doc %d prose paragraph %d with words;" % (i, p)
+        content_expected.append(unit * reps)
+        body.append("<p>%s</p>" % (unit * reps))
+    # link-dense long line: half-and-half anchors push density over 0.5
+    body.append(
+        '<p>see <a href="/a">doc %d related article number one</a> and '
+        '<a href="/b">doc %d related article number two also</a></p>'
+        % (i, i))
+    body.append(
+        "<footer>%s</footer>"
+        % "".join('<a href="/f%d">Footer link %d</a> ' % (k, k)
+                  for k in range(3)))
+    html = ("<!DOCTYPE html><html><head><title>D%d</title></head>"
+            "<body>%s</body></html>" % (i, "".join(body)))
+    boiler_expected = [
+        "Nav0", "Nav1", "Nav2",
+        "Tag %d." % i,
+        "see doc %d related article number one and doc %d related "
+        "article number two also" % (i, i),
+        "Footer link 0 Footer link 1 Footer link 2",
+    ]
+    return html, content_expected, boiler_expected

@@ -208,3 +208,33 @@ def test_fuzz_html_meta_never_crashes(data):
     )
 
     assert isinstance(extract_html_meta(b"<html>" + data), dict)
+
+
+def test_boilerplate_classification():
+    from teledetection_drone_satellite_spark.sources.html import (
+        extract_html_content,
+        synth_html_boiler,
+    )
+
+    for i in range(16):
+        html, want_c, want_b = synth_html_boiler(i)
+        c, b = extract_html_content(html)
+        assert (c, b) == (want_c, want_b)
+    # hand cases: threshold boundaries
+    long_prose = "x" * 15 + " " + "y" * 14  # 30 collapsed chars: content
+    c, b = extract_html_content("<p>%s</p>" % long_prose)
+    assert c == [long_prose] and b == []
+    c, b = extract_html_content("<p>%s</p>" % long_prose[:-1])  # 29: boiler
+    assert c == [] and b == [long_prose[:-1]]
+    # exactly half link chars -> density == 0.5 -> boiler (< rule)
+    half = '<p><a href="/">%s</a>%s</p>' % ("a" * 20, "b" * 20)
+    c, b = extract_html_content(half)
+    assert c == [] and b == ["a" * 20 + "b" * 20]
+    # just under half -> content
+    under = '<p><a href="/">%s</a>%s</p>' % ("a" * 19, "b" * 21)
+    c, b = extract_html_content(under)
+    assert c == ["a" * 19 + "b" * 21] and b == []
+    # the collapsed space between link and prose counts as non-link
+    spaced = '<p><a href="/">%s</a>   %s</p>' % ("a" * 20, "b" * 20)
+    c, b = extract_html_content(spaced)
+    assert c == ["a" * 20 + " " + "b" * 20] and b == []
