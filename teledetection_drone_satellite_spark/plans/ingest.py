@@ -7181,3 +7181,91 @@ def html_boilerplate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_content int, n_boiler int, content_chars long, "
         "content_digest string",
     )
+
+
+@register(
+    "sitemap_url_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 <> 0 THEN 'urlset'
+                    ELSE 'sitemapindex' END AS kind,
+               CASE WHEN doc_id % 3 <> 0 THEN 3 + doc_id % 5
+                    ELSE 2 + doc_id % 3 END AS n
+        FROM documents WHERE doc_id < 150
+    ),
+    ent AS (
+        SELECT doc_id, kind, n, CAST(u.i AS INT) AS u,
+               CASE WHEN kind = 'urlset'
+                    THEN 'https://s' || CAST(doc_id AS VARCHAR)
+                         || '.ex.com/p/' || CAST(u.i AS VARCHAR)
+                    ELSE 'https://s' || CAST(doc_id AS VARCHAR)
+                         || '.ex.com/shard' || CAST(u.i AS VARCHAR)
+                         || '.xml.gz' END AS loc,
+               CASE WHEN kind = 'urlset'
+                    THEN (doc_id + u.i) % 11 ELSE 0 END AS prio_deci
+        FROM spec, LATERAL unnest(range(0, n)) u(i)
+    )
+    SELECT doc_id,
+           min(kind) AS kind,
+           CAST(count(*) AS INT) AS n_urls,
+           CAST(sum(prio_deci) AS BIGINT) AS prio_decisum,
+           string_agg(substr(sha256(loc), 1, 8), '' ORDER BY u)
+               AS loc_digest
+    FROM ent GROUP BY doc_id
+    """,
+    doc="Sitemap parsing, graded (r12 — the crawl-frontier side of "
+    "robots_crawl_filter): docs cycle between <urlset> files carrying "
+    "loc/lastmod/changefreq/priority and <sitemapindex> shard "
+    "pointers, half of them gzipped through the shared multi-member "
+    "inflate chain. parse_sitemap validates locs and the 0..1 "
+    "priority range; the oracle states the ordered loc sha256 chain "
+    "and the exact deci-priority sum (integer arithmetic, no float "
+    "compare) in closed form.",
+    tags=("ingest", "text", "curation"),
+)
+def sitemap_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.sitemap import parse_sitemap, synth_sitemap
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_sitemap(i)
+                got = parse_sitemap(raw)
+                prio_decisum = sum(
+                    int(round(e["priority"] * 10))
+                    for e in got["entries"] if e["priority"] is not None
+                )
+                digest = "".join(
+                    hashlib.sha256(e["loc"].encode()).hexdigest()[:8]
+                    for e in got["entries"]
+                )
+                rows.append(
+                    (i, got["kind"], len(got["entries"]), prio_decisum,
+                     digest)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "kind", "n_urls", "prio_decisum",
+                         "loc_digest"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, kind string, n_urls int, prio_decisum long, "
+        "loc_digest string",
+    )

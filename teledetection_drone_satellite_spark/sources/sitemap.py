@@ -1,0 +1,132 @@
+"""Sitemap parsing — pure stdlib (xml.etree), from the public
+sitemaps.org protocol 0.9 specification.
+
+The crawl-frontier side of robots.txt (sources/robots.py collects the
+Sitemap: pointers): a <urlset> of <url> entries carrying <loc> and
+optional <lastmod>/<changefreq>/<priority>, or a <sitemapindex> of
+<sitemap><loc> children pointing at shard files; .xml.gz shards
+inflate through the shared multi-member gzip chain (sources/warc).
+Plain-text sitemaps (one URL per line) are accepted too — they are
+spec-legal and common.
+
+Refusals (None): undecodable gzip, XML that does not parse when the
+payload looks like XML, a root element that is neither urlset nor
+sitemapindex, an entry without <loc>, or an out-of-range priority —
+the honest-fallback contract every decoder here shares."""
+
+from __future__ import annotations
+
+from .warc import _gunzip_members
+
+
+def synth_sitemap(doc_id: int) -> "tuple[bytes, dict]":
+    """Deterministic fixture plus expected stats.  Closed form
+    (mirrored by the sitemap_url_stats oracle):
+
+        kind: urlset when doc_id % 3 != 0, else sitemapindex
+        urlset:  n_urls = 3 + doc_id % 5,
+                 loc[u]      = https://s{i}.ex.com/p/{u}
+                 lastmod[u]  = 2026-01-(1 + (i+u) % 28)
+                 priority[u] = ((i + u) % 11) / 10
+        index:   n_urls = 2 + doc_id % 3 shard locs
+        gzipped when doc_id % 2 == 1."""
+    import zlib
+
+    i = int(doc_id)
+    if i % 3 != 0:
+        n = 3 + i % 5
+        entries = []
+        for u in range(n):
+            entries.append(
+                "<url><loc>https://s%d.ex.com/p/%d</loc>"
+                "<lastmod>2026-01-%02d</lastmod>"
+                "<changefreq>daily</changefreq>"
+                "<priority>%.1f</priority></url>"
+                % (i, u, 1 + (i + u) % 28, ((i + u) % 11) / 10)
+            )
+        xml = ('<?xml version="1.0" encoding="UTF-8"?>\n'
+               '<urlset xmlns="http://www.sitemaps.org/schemas/'
+               'sitemap/0.9">%s</urlset>' % "".join(entries))
+        expected = {"kind": "urlset", "n_urls": n}
+    else:
+        n = 2 + i % 3
+        shards = "".join(
+            "<sitemap><loc>https://s%d.ex.com/shard%d.xml.gz</loc>"
+            "<lastmod>2026-02-%02d</lastmod></sitemap>" % (i, u, 1 + u)
+            for u in range(n)
+        )
+        xml = ('<?xml version="1.0" encoding="UTF-8"?>\n'
+               '<sitemapindex xmlns="http://www.sitemaps.org/schemas/'
+               'sitemap/0.9">%s</sitemapindex>' % shards)
+        expected = {"kind": "sitemapindex", "n_urls": n}
+    raw = xml.encode()
+    if i % 2 == 1:
+        c = zlib.compressobj(6, zlib.DEFLATED, 31)
+        raw = c.compress(raw) + c.flush()
+    return raw, expected
+
+
+def parse_sitemap(content: bytes) -> "dict | None":
+    """-> {'kind': 'urlset' | 'sitemapindex' | 'text', 'entries':
+    [{'loc', 'lastmod', 'changefreq', 'priority'}, ...]} or None —
+    module docstring.  Absent optional fields are None."""
+    import re
+    import xml.etree.ElementTree as ET
+
+    if content[:2] == b"\x1f\x8b":
+        content = _gunzip_members(content)
+        if content is None:
+            return None
+    stripped = content.lstrip(b"\xef\xbb\xbf \t\r\n")
+    if not stripped.startswith(b"<"):
+        # plain-text sitemap: one URL per line
+        try:
+            text = stripped.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+        entries = []
+        for line in text.splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            if not re.match(r"^https?://", line):
+                return None
+            entries.append({"loc": line, "lastmod": None,
+                            "changefreq": None, "priority": None})
+        return {"kind": "text", "entries": entries} if entries else None
+    try:
+        root = ET.fromstring(stripped)
+    except (ET.ParseError, LookupError, ValueError):
+        return None
+    tag = re.sub(r"^\{[^}]*\}", "", root.tag)
+    ns = root.tag[: -len(tag)]
+    if tag == "urlset":
+        child, kind = "url", "urlset"
+    elif tag == "sitemapindex":
+        child, kind = "sitemap", "sitemapindex"
+    else:
+        return None
+    entries = []
+    for el in root.findall(ns + child):
+        loc = el.find(ns + "loc")
+        if loc is None or not (loc.text or "").strip():
+            return None
+        def _t(name: str) -> "str | None":
+            sub = el.find(ns + name)
+            return sub.text.strip() if sub is not None and sub.text else None
+        prio_s = _t("priority")
+        prio: "float | None" = None
+        if prio_s is not None:
+            try:
+                prio = float(prio_s)
+            except ValueError:
+                return None
+            if not 0.0 <= prio <= 1.0:
+                return None
+        entries.append({
+            "loc": loc.text.strip(),
+            "lastmod": _t("lastmod"),
+            "changefreq": _t("changefreq"),
+            "priority": prio,
+        })
+    return {"kind": kind, "entries": entries}

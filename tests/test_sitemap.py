@@ -1,0 +1,55 @@
+"""Sitemap parsing (sources/sitemap.py): urlset/index/text forms,
+gzip, field validation, never-crash fuzz."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.sitemap import (
+    parse_sitemap,
+    synth_sitemap,
+)
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    raw, exp = synth_sitemap(doc_id)
+    got = parse_sitemap(raw)
+    assert got is not None
+    assert got["kind"] == exp["kind"]
+    assert len(got["entries"]) == exp["n_urls"]
+    for e in got["entries"]:
+        assert e["loc"].startswith("https://")
+        if got["kind"] == "urlset":
+            assert e["lastmod"].startswith("2026-01-")
+            assert 0.0 <= e["priority"] <= 1.0
+
+
+def test_sitemap_forms_and_refusals():
+    # plain-text sitemap
+    got = parse_sitemap(b"https://a.com/x\n\nhttps://a.com/y\n")
+    assert got["kind"] == "text" and len(got["entries"]) == 2
+    # refusals
+    assert parse_sitemap(b"") is None
+    assert parse_sitemap(b"not a url\n") is None
+    assert parse_sitemap(b"<html/>") is None
+    assert parse_sitemap(b"<urlset xmlns='x'><url/></urlset>") is None
+    assert parse_sitemap(
+        b"<urlset xmlns='x'><url><loc>u</loc>"
+        b"<priority>1.5</priority></url></urlset>") is None
+    assert parse_sitemap(b"\x1f\x8bcorrupt gzip") is None
+    # gzipped xml inflates
+    raw, exp = synth_sitemap(1)  # odd: gzipped
+    assert raw[:2] == b"\x1f\x8b"
+    assert len(parse_sitemap(raw)["entries"]) == exp["n_urls"]
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.binary(min_size=0, max_size=1500))
+def test_fuzz_sitemap_never_crashes(data):
+    out = parse_sitemap(data)
+    assert out is None or isinstance(out, dict)
