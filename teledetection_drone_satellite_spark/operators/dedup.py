@@ -311,3 +311,69 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
         .dropDuplicates(["d1", "d2"])
         .select("d1", "d2", "hamming")
     )
+
+
+def paragraph_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    min_chars: int = 1) -> DataFrame:
+    """Paragraph-level exact dedup (the RefinedWeb/CCNet granularity —
+    boilerplate paragraphs repeat across documents even when no two
+    documents match whole): split on blank-line boundaries, hash each
+    normalized paragraph, keep corpus-wide FIRST occurrences only
+    (winner = min (id, paragraph index)), and return the documents
+    reassembled from their surviving paragraphs.
+
+    Output: (id_col, n_paras, n_kept, text) — text is the surviving
+    paragraphs joined with a single newline, '' when nothing survives.
+
+    Scale shape: one explode (paragraphs stay on their scan
+    partitions); the winner election is the SAME digest-only exchange
+    exact_dedup uses — a 64-hex key + (id, index) struct per
+    paragraph, map-side-combined min, never the text.  The join back
+    on the digest then moves paragraph text once (losers included —
+    the verdict must meet the text somewhere), and the final
+    reassembly exchange carries WINNERS only: the when(is_first)
+    null-out happens in the partial (map-side) collect_list buffer,
+    so loser text never crosses the last wire.  Nothing is quadratic;
+    the key space is paragraph-cardinality."""
+    posexp = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), r"\n\s*\n")
+        ).alias("para_idx", "para"),
+    ).withColumn("para", F.trim(F.col("para")))
+    paras = posexp.filter(F.length("para") >= min_chars).withColumn(
+        "pdigest", F.sha2(normalize_text(F.col("para")), 256)
+    )
+    winners = paras.groupBy("pdigest").agg(
+        F.min(F.struct(F.col(id_col), F.col("para_idx"))).alias("w")
+    ).select(
+        "pdigest", F.col(f"w.{id_col}").alias("_wid"),
+        F.col("w.para_idx").alias("_widx"),
+    )
+    kept = paras.join(winners, "pdigest").withColumn(
+        "is_first",
+        (F.col(id_col) == F.col("_wid"))
+        & (F.col("para_idx") == F.col("_widx")),
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.col("is_first").cast("int")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_first"),
+                                F.struct("para_idx", "para"),
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                "\n",
+            ).alias("text"),
+        )
+    )

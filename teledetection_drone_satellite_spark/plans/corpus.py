@@ -650,3 +650,60 @@ def semdedup_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_outside") == 0).alias("subset_ok"),
         (F.col("n_hit") >= 0.5 * F.col("n_exact")).alias("coverage_ok"),
     )
+
+
+@register(
+    "paragraph_dedup",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INT)
+               AS n_paras,
+           CAST(CASE WHEN doc_id = 0 THEN 4 ELSE 2 END AS INT)
+               AS n_kept,
+           substr(sha256(
+               CASE WHEN doc_id = 0 THEN
+                   'Shared header boilerplate.' || chr(10)
+                   || 'Unique paragraph 0.' || chr(10)
+                   || 'Even cohort paragraph.' || chr(10)
+                   || 'Tail note 0.'
+               ELSE
+                   'Unique paragraph ' || CAST(doc_id AS VARCHAR)
+                   || '.' || chr(10) || 'Tail note '
+                   || CAST(doc_id AS VARCHAR) || '.'
+               END), 1, 16) AS out_sha
+    FROM documents
+    """,
+    doc="Paragraph-level exact dedup (r12 — the RefinedWeb/CCNet "
+    "granularity: boilerplate paragraphs repeat across documents even "
+    "when no two documents match whole): every document carries a "
+    "corpus-wide shared header, a unique paragraph, an even-cohort "
+    "shared paragraph, and a unique tail; paragraph_dedup (operators/"
+    "dedup.py) explodes on blank-line boundaries, shuffles ONLY "
+    "(sha256 digest, id, index) — never text — takes the min-(id,idx) "
+    "winner per digest, and reassembles documents from surviving "
+    "paragraphs in order. The oracle states every surviving document "
+    "text in closed form (only doc 0 keeps the shared paragraphs).",
+    tags=("corpus", "dedup"),
+)
+def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import paragraph_dedup
+
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    did = F.col("doc_id")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("Shared header boilerplate.\n\nUnique paragraph "),
+            did.cast("string"), F.lit("."),
+            F.when(did % 2 == 0,
+                   F.lit("\n\nEven cohort paragraph.")).otherwise(F.lit("")),
+            F.lit("\n\nTail note "), did.cast("string"), F.lit("."),
+        ).alias("text"),
+    )
+    out = paragraph_dedup(planted)
+    return out.select(
+        "doc_id",
+        F.col("n_paras").cast("int").alias("n_paras"),
+        F.col("n_kept").cast("int").alias("n_kept"),
+        F.substring(F.sha2(F.col("text"), 256), 1, 16).alias("out_sha"),
+    )

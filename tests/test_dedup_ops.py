@@ -1,0 +1,27 @@
+
+
+def test_paragraph_dedup(spark):
+    from pyspark.sql import functions as F
+
+    from teledetection_drone_satellite_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    rows = [
+        (0, "shared one\n\nalpha\n\nshared two"),
+        (1, "shared one\n\nbeta\n\nshared two"),
+        (2, "gamma\n\nshared one"),
+        (3, "Shared   ONE\n\ndelta"),  # normalized dup of 'shared one'
+        (4, "alpha\n\n\n\nepsilon"),   # empty paragraph dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    assert got[0].n_paras == 3 and got[0].n_kept == 3
+    assert got[0].text == "shared one\nalpha\nshared two"
+    assert got[1].n_paras == 3 and got[1].n_kept == 1
+    assert got[1].text == "beta"
+    assert got[2].text == "gamma"
+    # normalization: doc 3's first para is a dup of doc 0's
+    assert got[3].text == "delta"
+    # doc 4: 'alpha' lost to doc 0; empty para not counted
+    assert got[4].n_paras == 2 and got[4].text == "epsilon"
