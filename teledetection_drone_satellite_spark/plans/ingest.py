@@ -7269,3 +7269,69 @@ def sitemap_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, kind string, n_urls int, prio_decisum long, "
         "loc_digest string",
     )
+
+
+@register(
+    "html_ldjson_stats",
+    oracle="""
+    SELECT doc_id,
+           'Article ' || CAST(doc_id AS VARCHAR) || ' headline'
+               AS headline,
+           '2026-03-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+               AS date_published,
+           'Author ' || CAST(doc_id % 7 AS VARCHAR) AS author,
+           CAST(100 + doc_id % 900 AS BIGINT) AS word_count,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS INT)
+               AS n_nodes
+    FROM documents WHERE doc_id < 150
+    """,
+    doc="JSON-LD structured-data extraction, graded (r12): per doc "
+    "synth_html_ldjson embeds a schema.org Article behind three "
+    "cycled carrier forms (bare object, top-level array with a decoy "
+    "Organization first, @graph wrapper), next to a BROKEN JSON-LD "
+    "block that must be skipped and a plain <script> with JSON-"
+    "looking text that must be ignored. extract_html_ldjson flattens "
+    "arrays and @graph to nodes; the oracle states headline / "
+    "datePublished / author / wordCount and the node count in closed "
+    "form. Structured data is how a crawl pipeline recovers clean "
+    "article metadata without guessing from markup.",
+    tags=("ingest", "multimodal", "corpus"),
+)
+def html_ldjson_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.html import extract_html_ldjson, synth_html_ldjson
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                html, _ = synth_html_ldjson(i)
+                nodes = extract_html_ldjson(html)
+                art = next(n for n in nodes
+                           if n.get("@type") == "Article")
+                rows.append(
+                    (i, art["headline"], art["datePublished"],
+                     art["author"]["name"], int(art["wordCount"]),
+                     len(nodes))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "headline", "date_published",
+                         "author", "word_count", "n_nodes"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, headline string, date_published string, "
+        "author string, word_count long, n_nodes int",
+    )

@@ -674,3 +674,115 @@ def synth_html_boiler(doc_id: int) -> "tuple[str, list[str], list[str]]":
         "Footer link 0 Footer link 1 Footer link 2",
     ]
     return html, content_expected, boiler_expected
+
+
+class _LdJsonCollector(HTMLParser):
+    """Collects raw <script type="application/ld+json"> bodies."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=False)
+        self._in_ld = False
+        self.blocks: "list[str]" = []
+        self._buf: "list[str]" = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "script":
+            a = {k.lower(): (v or "") for k, v in attrs}
+            mime = a.get("type", "").split(";")[0].strip().lower()
+            if mime == "application/ld+json":
+                self._in_ld = True
+                self._buf = []
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "script" and self._in_ld:
+            self._in_ld = False
+            self.blocks.append("".join(self._buf))
+
+    def handle_data(self, data: str) -> None:
+        if self._in_ld:
+            self._buf.append(data)
+
+
+def extract_html_ldjson(content: "str | bytes") -> "list[dict]":
+    """schema.org structured data: every <script type="application/
+    ld+json"> block json-parsed; top-level arrays and @graph wrappers
+    are flattened so the result is a flat list of node dicts.
+    Unparseable blocks are skipped (real pages ship broken JSON-LD
+    constantly); non-dict nodes are dropped.  Never raises."""
+    import json
+
+    if isinstance(content, bytes):
+        if content[:3] == b"\xef\xbb\xbf":
+            content = content[3:].decode("utf-8", errors="replace")
+        else:
+            codec = sniff_html_encoding(content) or "utf-8"
+            content = content.decode(codec, errors="replace")
+    p = _LdJsonCollector()
+    try:
+        p.feed(content)
+        p.close()
+    except Exception:
+        pass
+    nodes: "list[dict]" = []
+    for block in p.blocks:
+        try:
+            data = json.loads(block)
+        except ValueError:
+            continue
+        items = data if isinstance(data, list) else [data]
+        for item in items:
+            if isinstance(item, dict) and isinstance(
+                    item.get("@graph"), list):
+                nodes.extend(n for n in item["@graph"]
+                             if isinstance(n, dict))
+            elif isinstance(item, dict):
+                nodes.append(item)
+    return nodes
+
+
+def synth_html_ldjson(doc_id: int) -> "tuple[str, dict]":
+    """Deterministic JSON-LD fixture + the Article fields its
+    extraction must yield.  Closed form (html_ldjson_stats oracle):
+
+        headline      = 'Article {i} headline'
+        datePublished = 2026-03-(1 + i % 28)
+        author        = 'Author {i % 7}'
+        wordCount     = 100 + i % 900
+
+    Forms cycle by i % 3: a bare Article object, a top-level array
+    with a DECOY Organization first, an @graph wrapper.  Every doc
+    also carries a BROKEN JSON-LD block (trailing comma) that must be
+    skipped, and a plain <script> with JSON-looking text that must be
+    ignored."""
+    i = int(doc_id)
+    art = (
+        '{"@context": "https://schema.org", "@type": "Article", '
+        '"headline": "Article %d headline", '
+        '"datePublished": "2026-03-%02d", '
+        '"author": {"@type": "Person", "name": "Author %d"}, '
+        '"wordCount": %d}'
+        % (i, 1 + i % 28, i % 7, 100 + i % 900)
+    )
+    decoy_org = ('{"@type": "Organization", "name": "Decoy Org %d"}' % i)
+    forms = [
+        art,
+        "[%s, %s]" % (decoy_org, art),
+        '{"@context": "https://schema.org", "@graph": [%s, %s]}'
+        % (decoy_org, art),
+    ]
+    html = (
+        "<!DOCTYPE html><html><head><title>D%d</title>\n"
+        '<script type="application/ld+json">{"broken": true,}</script>\n'
+        '<script>var x = {"@type": "Article", "headline": "JS DECOY"};'
+        "</script>\n"
+        '<script type="application/ld+json">\n%s\n</script>\n'
+        "</head><body><p>body %d</p></body></html>"
+        % (i, forms[i % 3], i)
+    )
+    expected = {
+        "headline": "Article %d headline" % i,
+        "datePublished": "2026-03-%02d" % (1 + i % 28),
+        "author": "Author %d" % (i % 7),
+        "wordCount": 100 + i % 900,
+    }
+    return html, expected

@@ -238,3 +238,40 @@ def test_boilerplate_classification():
     spaced = '<p><a href="/">%s</a>   %s</p>' % ("a" * 20, "b" * 20)
     c, b = extract_html_content(spaced)
     assert c == ["a" * 20 + " " + "b" * 20] and b == []
+
+
+def test_ldjson_extraction():
+    from teledetection_drone_satellite_spark.sources.html import (
+        extract_html_ldjson,
+        synth_html_ldjson,
+    )
+
+    for i in range(9):
+        html, exp = synth_html_ldjson(i)
+        nodes = extract_html_ldjson(html)
+        arts = [n for n in nodes if n.get("@type") == "Article"]
+        assert len(arts) == 1
+        assert arts[0]["headline"] == exp["headline"]
+        assert not any(n.get("headline") == "JS DECOY" for n in nodes)
+    # broken JSON skipped, non-dict nodes dropped, mime params tolerated
+    html = ('<script type="application/ld+json">[1, "x", {"@type":"T"}]'
+            "</script>"
+            '<script type="application/ld+json; charset=utf-8">'
+            '{"a": 1}</script>'
+            '<script type="APPLICATION/LD+JSON">{broken</script>')
+    nodes = extract_html_ldjson(html)
+    assert nodes == [{"@type": "T"}, {"a": 1}]
+    assert extract_html_ldjson(b"<p>none</p>") == []
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.binary(min_size=0, max_size=1500))
+def test_fuzz_ldjson_never_crashes(data):
+    from teledetection_drone_satellite_spark.sources.html import (
+        extract_html_ldjson,
+    )
+
+    out = extract_html_ldjson(b"<script type='application/ld+json'>"
+                              + data)
+    assert isinstance(out, list)
