@@ -135,3 +135,44 @@ def parse_arc(content: bytes) -> "list[dict] | None":
             rec["body"] = payload
         records.append(rec)
     return records if records else None
+
+
+def explode_arc(files):
+    """Distributed record fan-out: (path, content) -> one row per ARC
+    data record — (path, record_index, uri, http_status, body,
+    arc_error).  Same 100 TB crawl-ingest shape as warc.explode_warc:
+    Arrow-batched mapInPandas, partition-parallel per file, zero
+    shuffle; unparseable files yield ONE error-marker row instead of
+    failing the stage.  Feed the bodies to
+    sources/html.extract_html_text downstream."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out = {"path": [], "record_index": [], "uri": [],
+                   "http_status": [], "body": [], "arc_error": []}
+
+            def emit(path, idx, uri, status, body, err=None):
+                out["path"].append(path)
+                out["record_index"].append(idx)
+                out["uri"].append(uri)
+                out["http_status"].append(status)
+                out["body"].append(body)
+                out["arc_error"].append(err)
+
+            for path, content in zip(pdf["path"], pdf["content"]):
+                recs = parse_arc(bytes(content))
+                if recs is None:
+                    emit(path, -1, "", 0, b"", "unparseable")
+                    continue
+                for k, r in enumerate(recs):
+                    emit(path, k, r["url"], r["http_status"], r["body"])
+            yield pd.DataFrame(out)
+
+    return files.select("path", "content").mapInPandas(
+        gen,
+        "path string, record_index int, uri string, http_status int, "
+        "body binary, arc_error string",
+    )

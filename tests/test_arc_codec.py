@@ -91,3 +91,22 @@ def test_fuzz_arc_garbage_never_crashes(data):
     out = parse_arc(b"filedesc://x 0.0.0.0 20090101000000 text/plain "
                     + data)
     assert out is None or isinstance(out, list)
+
+
+def test_explode_arc_distributed(spark):
+    from teledetection_drone_satellite_spark.sources.arc import (
+        explode_arc,
+    )
+
+    good = synth_arc([("http://ex.com/a", 200, b"pageA", "gzip"),
+                      ("http://ex.com/b", 404, b"pageB", "chunked")],
+                     gz=True)
+    rows = [("f1.arc.gz", bytearray(good)),
+            ("f2.arc", bytearray(b"not an arc"))]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    got = {(r.path, r.record_index): r
+           for r in explode_arc(df).collect()}
+    assert got[("f1.arc.gz", 0)].body == b"pageA"
+    assert got[("f1.arc.gz", 1)].http_status == 404
+    assert got[("f2.arc", -1)].arc_error == "unparseable"
+    assert len(got) == 3
