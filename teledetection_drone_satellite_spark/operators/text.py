@@ -541,3 +541,65 @@ def canonicalize_url(url: "Column | str") -> Column:
         F.when(path == "", F.lit("/")).otherwise(path),
         F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
     )
+
+
+# Gopher quality-filter stopword probe (Rae et al. 2021, §A1.1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """The Gopher document-quality ruleset (Rae et al. 2021 §A1.1 —
+    the reference filter every web-corpus pipeline since reimplements),
+    entirely JVM-side.  Rules, each exposed as an integer-exact flag
+    (thresholds stated as cross-multiplied integer comparisons so the
+    SQL oracle reproduces them bit-for-bit, no float division):
+
+      ok_words     50 <= word count <= 100000
+      ok_mean      mean word length in [3, 10]    (3n <= chars <= 10n)
+      ok_symbol    symbol-to-word ratio <= 0.1    ('#' + '...' counts)
+      ok_bullet    <= 90% of lines start with a bullet (-, *, •)
+      ok_ellipsis  <= 30% of lines end with '...'
+      ok_alpha     >= 80% of words contain an alphabetic char
+      ok_stop      >= 2 distinct Gopher stopwords present
+
+    Words split on whitespace; punctuation stays attached (the paper's
+    tokenization).  One map-only projection — at 100 TB this runs at
+    scan speed inside whole-stage codegen, no Python, no shuffle."""
+    t = F.col(text_col)
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")
+    lines = F.split(t, "\n")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    chars = F.aggregate(
+        F.transform(words, F.length), F.lit(0),
+        lambda acc, x: acc + x)
+    symbols = (F.regexp_count(t, F.lit("#"))
+               + F.regexp_count(t, F.lit(r"\.\.\.")))
+    bullets = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    ellipsis = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$")))
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stops = F.size(F.array_distinct(F.filter(
+        F.transform(words, F.lower),
+        lambda w: F.array_contains(stop_arr, w))))
+    flags = {
+        "ok_words": (n_words >= 50) & (n_words <= 100000),
+        "ok_mean": (3 * n_words <= chars) & (chars <= 10 * n_words),
+        "ok_symbol": 10 * symbols <= n_words,
+        "ok_bullet": 10 * bullets <= 9 * n_lines,
+        "ok_ellipsis": 10 * ellipsis <= 3 * n_lines,
+        "ok_alpha": 5 * alpha >= 4 * n_words,
+        "ok_stop": stops >= 2,
+    }
+    pass_all = None
+    for c in flags.values():
+        pass_all = c if pass_all is None else (pass_all & c)
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        *[c.alias(name) for name, c in flags.items()],
+        pass_all.alias("pass_all"),
+    )

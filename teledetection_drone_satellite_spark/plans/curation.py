@@ -539,3 +539,56 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+@register(
+    "gopher_quality_filter",
+    oracle="""
+    WITH d AS (SELECT doc_id, doc_id % 6 AS v FROM documents)
+    SELECT doc_id,
+           CAST(CASE v WHEN 0 THEN 66 WHEN 1 THEN 11 WHEN 2 THEN 74
+                WHEN 3 THEN 90 WHEN 4 THEN 66 ELSE 64 END AS INT)
+               AS n_words,
+           CAST(CASE v WHEN 0 THEN 6 WHEN 1 THEN 1 WHEN 2 THEN 7
+                WHEN 3 THEN 10 WHEN 4 THEN 6 ELSE 8 END AS INT)
+               AS n_lines,
+           v <> 1 AS ok_words,
+           TRUE AS ok_mean,
+           v <> 2 AS ok_symbol,
+           v <> 3 AS ok_bullet,
+           v <> 4 AS ok_ellipsis,
+           TRUE AS ok_alpha,
+           v <> 5 AS ok_stop,
+           v = 0 AS pass_all
+    FROM d
+    """,
+    doc="Gopher document-quality ruleset (r12 — Rae et al. 2021 "
+    "§A1.1, the reference filter every web-corpus pipeline since "
+    "reimplements): word-count bounds, mean-word-length [3,10], "
+    "symbol-to-word ratio ('#' + '...'), bullet-line and ellipsis-"
+    "line fractions, alphabetic-word fraction, and the 2-distinct-"
+    "stopword probe — each as an INTEGER-exact cross-multiplied flag "
+    "(no float division, so the oracle reproduces bit-for-bit). Six "
+    "planted text variants each fail EXACTLY ONE rule (the pass "
+    "variant passes all seven), so a flipped threshold or mis-counted "
+    "token flips a specific column. Pure JVM projection: at 100 TB "
+    "this filter runs at scan speed inside whole-stage codegen.",
+    tags=("text", "curation"),
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    unit = "the cat and dog have fun with toys that be good"
+    texts = [
+        "\n".join([unit] * 6),
+        unit,
+        "\n".join([unit] * 6 + ["# # # # # # # #"]),
+        "\n".join(["- item one two three with the four five"] * 10),
+        "\n".join([unit + "..."] * 6),
+        "\n".join(["cat dog toys fun run jump play sing"] * 8),
+    ]
+    v = F.col("doc_id") % 6
+    expr = F.when(v == 0, F.lit(texts[0]))
+    for k in range(1, 5):
+        expr = expr.when(v == k, F.lit(texts[k]))
+    planted = d.select("doc_id", expr.otherwise(F.lit(texts[5])).alias("text"))
+    return text.gopher_quality_flags(planted)

@@ -26,3 +26,32 @@ def test_canonicalize_url_rules(spark):
     got = [r.c for r in
            df.select(canonicalize_url("url").alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_gopher_quality_flags(spark):
+    from teledetection_drone_satellite_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    fifty = " ".join(["word"] * 50)
+    rows = [
+        (0, fifty),                                   # exactly 50: pass words
+        (1, " ".join(["word"] * 49)),                 # 49: fail words
+        (2, " ".join(["word"] * 100000)),             # upper bound: pass
+        (3, " ".join(["ab"] * 60)),                   # mean 2 < 3: fail mean
+        (4, " ".join(["a" * 10] * 60)),               # mean 10: pass mean
+        (5, " ".join(["a" * 11] * 60)),               # mean 11: fail mean
+        (6, fifty + "\n" + "# " * 5 + "#"),           # 6 symbols/56 w: fail
+        (7, "\n".join(["- b " + fifty] * 9 + [fifty])),  # 90%: pass bullet
+        (8, fifty + "\n1234 5678 " * 1),              # numbers: alpha check
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    assert got[0].ok_words and not got[1].ok_words and got[2].ok_words
+    assert not got[3].ok_mean and got[4].ok_mean and not got[5].ok_mean
+    assert not got[6].ok_symbol
+    assert got[7].ok_bullet  # exactly 90% of lines: still allowed
+    # doc 8: 52 words, 50 alpha -> 5*50=250 >= 4*52=208: pass alpha
+    assert got[8].ok_alpha
+    # stopword probe: 'word' repeated has none
+    assert not got[0].ok_stop
