@@ -592,3 +592,74 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         expr = expr.when(v == k, F.lit(texts[k]))
     planted = d.select("doc_id", expr.otherwise(F.lit(texts[5])).alias("text"))
     return text.gopher_quality_flags(planted)
+
+
+@register(
+    "access_log_stats",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'GET' WHEN 1 THEN 'POST'
+                    ELSE 'PUT' END AS method,
+               CASE doc_id % 4 WHEN 1 THEN 404 WHEN 3 THEN 500
+                    ELSE 200 END AS status,
+               doc_id % 9973 AS nbytes,
+               CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS bot
+        FROM documents
+    )
+    SELECT method, status, count(*) AS n_lines,
+           CAST(sum(nbytes) AS BIGINT) AS bytes_sum,
+           CAST(sum(bot) AS BIGINT) AS n_bots
+    FROM d GROUP BY method, status
+    """,
+    doc="HTTP access-log analytics (r12 — the reference's api-gateway "
+    "logs method/path/status per request, middleware.py:68-95; server "
+    "logs are a canonical 100 TB scan-heavy input): each document "
+    "plants one Combined Log Format line (real browser and Googlebot "
+    "UAs, quoted referer, CLF '-' bytes never planted but unit-"
+    "tested), access_log_fields parses it with a single JVM "
+    "regexp_extract family — no Python — and the rollup groups by "
+    "(method, status) with a bot count from the UA classifier. The "
+    "oracle recomputes every field from doc_id arithmetic, so a "
+    "regex group off-by-one flips counts or sums.",
+    tags=("text", "curation"),
+)
+def access_log_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    did = F.col("doc_id")
+    method = (
+        F.when(did % 3 == 0, F.lit("GET"))
+        .when(did % 3 == 1, F.lit("POST"))
+        .otherwise(F.lit("PUT"))
+    )
+    status = (
+        F.when(did % 4 == 1, F.lit("404"))
+        .when(did % 4 == 3, F.lit("500"))
+        .otherwise(F.lit("200"))
+    )
+    ua = F.when(
+        did % 5 == 0,
+        F.lit("Googlebot/2.1 (+http://www.google.com/bot.html)"),
+    ).otherwise(F.lit("Mozilla/5.0 (X11; Linux x86_64) Firefox/142.0"))
+    line = F.concat(
+        F.lit("192.0.2."), (did % 254 + 1).cast("string"),
+        F.lit(' - - [15/Aug/2026:10:00:00 +0000] "'),
+        method, F.lit(" /api/v1/files/"), did.cast("string"),
+        F.lit(' HTTP/1.1" '), status, F.lit(" "),
+        (did % 9973).cast("string"),
+        F.lit(' "https://ex.com/ref" "'), ua, F.lit('"'),
+    )
+    planted = d.select("doc_id", line.alias("line"))
+    cols = text.access_log_fields("line")
+    parsed = planted.select(
+        *[c.alias(k) for k, c in cols.items()]
+    )
+    return (
+        parsed.filter(F.col("valid"))
+        .groupBy("method", "status")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("bytes").alias("bytes_sum"),
+            F.sum(F.col("is_bot").cast("long")).alias("n_bots"),
+        )
+    )

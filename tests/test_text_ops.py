@@ -55,3 +55,34 @@ def test_gopher_quality_flags(spark):
     assert got[8].ok_alpha
     # stopword probe: 'word' repeated has none
     assert not got[0].ok_stop
+
+
+def test_access_log_fields(spark):
+    from pyspark.sql import functions as F
+
+    from teledetection_drone_satellite_spark.operators.text import (
+        access_log_fields,
+    )
+
+    lines = [
+        # combined form with query string and auth user
+        ('10.0.0.1 - alice [15/Aug/2026:10:00:00 +0000] '
+         '"GET /a?x=1 HTTP/1.1" 200 5120 "https://r/" "Mozilla/5.0"'),
+        # CLF '-' bytes and a bot UA
+        ('10.0.0.2 - - [15/Aug/2026:10:00:01 +0000] '
+         '"POST /login HTTP/2" 401 - "-" "Googlebot/2.1"'),
+        # plain CLF without referer/ua
+        '10.0.0.3 - - [15/Aug/2026:10:00:02 +0000] "HEAD / HTTP/1.0" 301 0',
+        "not a log line",
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    cols = access_log_fields("line")
+    got = df.select(*[c.alias(k) for k, c in cols.items()]).collect()
+    r0, r1, r2, r3 = got
+    assert (r0.valid, r0.ip, r0.user, r0.method, r0.path, r0.status,
+            r0.bytes, r0.is_bot) == (
+        True, "10.0.0.1", "alice", "GET", "/a?x=1", 200, 5120, False)
+    assert (r1.valid, r1.status, r1.bytes, r1.is_bot) == (
+        True, 401, 0, True)
+    assert (r2.valid, r2.method, r2.ua) == (True, "HEAD", "")
+    assert r3.valid is False and r3.status is None
