@@ -7335,3 +7335,92 @@ def html_ldjson_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, headline string, date_published string, "
         "author string, word_count long, n_nodes int",
     )
+
+
+@register(
+    "wet_text_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 2 + doc_id % 4 AS n_conv
+        FROM documents WHERE doc_id < 100
+    ),
+    conv AS (
+        SELECT doc_id, n_conv, CAST(r.i AS INT) AS r,
+               'extracted text of doc ' || CAST(doc_id AS VARCHAR)
+                   || ' page ' || CAST(r.i AS VARCHAR) || chr(10)
+                   || repeat('line of doc ' || CAST(doc_id AS VARCHAR)
+                             || '-' || CAST(r.i AS VARCHAR) || '. ',
+                             1 + (doc_id + r.i) % 3) AS body
+        FROM spec, LATERAL unnest(range(0, n_conv)) r(i)
+    )
+    SELECT doc_id,
+           CAST(min(n_conv) AS INT) AS n_conversions,
+           CAST(sum(length(body)) AS BIGINT) AS total_chars,
+           string_agg(substr(sha256(body), 1, 8), '' ORDER BY r)
+               AS body_digest
+    FROM conv GROUP BY doc_id
+    """,
+    doc="WET extracted-text archives, graded (r12): Common Crawl's "
+    "most-consumed derivative ships as .warc.wet.gz — WARC files of "
+    "'conversion' records whose payloads are plain extracted text "
+    "with NO HTTP framing (Content-Type text/plain). parse_warc must "
+    "pass conversion bodies through verbatim (no HTTP split, no "
+    "body-coding decode) while the same file's warcinfo record is "
+    "skipped by type; files alternate plain and multi-member-gzip "
+    "layouts. The oracle regenerates every body in closed form and "
+    "compares an ORDERED per-record sha256 chain.",
+    tags=("ingest", "multimodal", "corpus"),
+)
+def wet_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.warc import parse_warc, synth_warc
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                n_conv = 2 + i % 4
+                recs = [("warcinfo", "", 0, b"software: synth\r\n")]
+                for r in range(n_conv):
+                    body = (
+                        "extracted text of doc %d page %d\n" % (i, r)
+                        + ("line of doc %d-%d. " % (i, r))
+                        * (1 + (i + r) % 3)
+                    )
+                    recs.append(
+                        ("conversion", "http://ex.com/%d/%d" % (i, r),
+                         0, body.encode())
+                    )
+                got = parse_warc(synth_warc(recs, gz=i % 2 == 1))
+                conv = [g for g in got if g["type"] == "conversion"]
+                digest = "".join(
+                    hashlib.sha256(g["body"]).hexdigest()[:8]
+                    for g in conv
+                )
+                rows.append(
+                    (i, len(conv),
+                     sum(len(g["body"]) for g in conv), digest)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_conversions", "total_chars",
+                         "body_digest"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_conversions int, total_chars long, "
+        "body_digest string",
+    )

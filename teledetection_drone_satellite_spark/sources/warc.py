@@ -108,6 +108,10 @@ def synth_warc(
                 + http_hdr + b"\r\n" + wire
             )
             ctype = b'application/http; msgtype=response'
+        elif wtype == "conversion":
+            # the WET layout: extracted plain text, no HTTP framing
+            payload = body
+            ctype = b"text/plain"
         else:
             payload = body
             ctype = b"application/warc-fields"
@@ -244,7 +248,22 @@ def decode_http_response(payload: bytes) -> "tuple[int, bytes] | None":
 def parse_warc(content: bytes) -> "list[dict] | None":
     """-> [{'type', 'uri', 'content_type', 'http_status' (responses),
     'body': bytes}, ...] in record order, or None per the module
-    docstring.  Gzip input (multi-member) is inflated first."""
+    docstring.  Gzip input (multi-member) is inflated first; .warc.zst
+    (RFC 8878 frames, the warcio layout) decodes through the shared
+    bounded zstd path (sources/binary.zstd_decompressor) when a codec
+    exists and refuses honestly when none does."""
+    if content[:4] == b"\x28\xb5\x2f\xfd":
+        from .binary import DEFAULT_MAX_SIZE, zstd_decompressor
+
+        dec = zstd_decompressor()
+        if dec is None:
+            return None  # no zstd codec in this environment: refuse
+        try:
+            content = dec(content, DEFAULT_MAX_SIZE)
+        except (ValueError, MemoryError):
+            return None
+        if content is None:
+            return None  # decompression-bomb cap exceeded
     if content[:2] == b"\x1f\x8b":
         content = _gunzip_members(content)
         if content is None:

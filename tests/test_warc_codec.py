@@ -189,3 +189,47 @@ def test_warc_chunked_and_content_coding_details():
             b"Content-Length: %d\r\n\r\n" % len(payload3)
             ) + payload3 + b"\r\n\r\n"
     assert parse_warc(rec3) is None
+
+
+def test_warc_zst_decodes_and_refuses():
+    import sys as _sys
+
+    _sys.path.insert(0, "tests")
+    from test_sources import _zstd_compress
+
+    from teledetection_drone_satellite_spark.sources.binary import (
+        zstd_decompressor,
+    )
+
+    recs = [("warcinfo", "", 0, b"software: synth\r\n"),
+            ("response", "http://ex.com/a", 200, b"<p>hi</p>", "gzip"),
+            ("conversion", "http://ex.com/a", 0, b"plain text")]
+    plain = synth_warc(recs)
+    z = _zstd_compress(plain)
+    if z is None or zstd_decompressor() is None:
+        import pytest as _pytest
+
+        _pytest.skip("no zstd codec in this environment")
+    got = parse_warc(z)
+    assert got is not None and len(got) == 3
+    assert got[1]["body"] == b"<p>hi</p>"
+    assert got[2]["content_type"] == "text/plain"  # WET conversion
+    # one frame per record (the warcio layout) chains across frames
+    multi = b"".join(_zstd_compress(synth_warc([r])) for r in recs)
+    assert len(parse_warc(multi)) == 3
+    # corrupt frame refuses
+    bad = bytearray(z)
+    bad[20] ^= 0xFF
+    assert parse_warc(bytes(bad)) is None
+
+
+def test_wet_conversion_records_pass_through():
+    body = b"extracted text\nwith lines. no http framing"
+    recs = [("warcinfo", "", 0, b"x\r\n"),
+            ("conversion", "http://ex.com/p", 0, body)]
+    for gz in (False, True):
+        got = parse_warc(synth_warc(recs, gz=gz))
+        conv = [g for g in got if g["type"] == "conversion"]
+        assert conv[0]["body"] == body
+        assert conv[0]["content_type"] == "text/plain"
+        assert conv[0]["http_status"] == 0
