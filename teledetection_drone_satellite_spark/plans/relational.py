@@ -781,3 +781,136 @@ def orphan_cleanup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return level("orders", orders, so).unionByName(level("lineitem", items, sl))
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="A7 extension (r12): full CUBE over (status, priority) — all "
+    "four grouping sets in one pass (Spark Expand + single hash agg, "
+    "the same physical shape a 100 TB OLAP cube build uses; partial "
+    "aggregation applies before the exchange).",
+    tags=("relational", "agg"),
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n", "total",
+        )
+    )
+
+
+@register(
+    "pivot_status_priority",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS f_n,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS o_n,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS p_n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="PIVOT (r12): status columns per priority row — "
+    "df.groupBy().pivot(col, [explicit values]).count(). The explicit "
+    "value list matters at scale: without it Spark runs an extra "
+    "distinct scan to discover pivot keys; with it the plan is one "
+    "hash agg, same as the FILTER-aggregate form the oracle states.",
+    tags=("relational", "agg"),
+)
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    out = (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return out.select(
+        "priority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("f_n"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("o_n"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("p_n"),
+    )
+
+
+@register(
+    "ntile_price_quartiles",
+    oracle="""
+    WITH q AS (
+        SELECT o_orderstatus AS status,
+               ntile(4) OVER (PARTITION BY o_orderstatus
+                              ORDER BY o_totalprice, o_orderkey) AS tile,
+               o_totalprice
+        FROM orders
+    )
+    SELECT status, CAST(tile AS INT) AS tile, count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM q GROUP BY status, tile
+    """,
+    doc="§2.8 extension (r12): ntile quartiles per status with "
+    "quartile boundaries — the windowed bucketing behind 'price band' "
+    "reports. The window ORDER BY carries o_orderkey as a determinism "
+    "tie-break (equal prices would otherwise land in engine-dependent "
+    "tiles). Per-status partitions shuffle once; no global sort.",
+    tags=("relational", "window"),
+)
+def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            F.col("o_orderstatus").alias("status"),
+            F.ntile(4).over(w).alias("tile"),
+            "o_totalprice",
+        )
+        .groupBy("status", "tile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "histogram_totalprice",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 5000) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1
+    """,
+    doc="Fixed-width histogram (r12): floor(value/width) bucketing — "
+    "the one-pass distribution profile a 100 TB column scan feeds "
+    "dashboards with. Pure projection + hash agg on a small integer "
+    "key space; partial aggregation makes the exchange carry one row "
+    "per bucket per task.",
+    tags=("relational", "agg"),
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    return (
+        o.select(
+            F.floor(F.col("o_totalprice") / 5000).cast("long")
+            .alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )

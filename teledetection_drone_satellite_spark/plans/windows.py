@@ -233,3 +233,80 @@ def analytic_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w)).alias("gap_ms"),
     )
+
+
+@register(
+    "time_resample_ffill",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, date_trunc('hour', ts) AS h, value
+        FROM events WHERE user_id < 20
+    ),
+    obs AS (SELECT user_id, h, max(value) AS mx FROM e GROUP BY 1, 2),
+    span AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+             FROM obs GROUP BY 1),
+    grid AS (SELECT user_id,
+                    unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                        AS slot
+             FROM span),
+    j AS (SELECT g.user_id, g.slot, o.mx
+          FROM grid g LEFT JOIN obs o
+               ON o.user_id = g.user_id AND o.h = g.slot),
+    f AS (SELECT user_id, slot, mx,
+                 last_value(mx IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY slot
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS fv
+          FROM j)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_slots,
+           CAST(count(mx) AS BIGINT) AS n_observed,
+           CAST(sum(CAST(round(fv * 100) AS BIGINT)) AS BIGINT)
+               AS filled_cents_sum
+    FROM f GROUP BY user_id
+    """,
+    doc="Time-series resampling with forward fill (r12): per user, "
+    "hourly max-aggregated observations expanded onto a dense hour "
+    "grid (sequence + explode from the user's own min/max — no global "
+    "clock, so the plan is scale-independent), gaps carried forward "
+    "by last(ignorenulls) over a per-user ordered frame. The gap-fill "
+    "telemetry shape every sensor/metrics pipeline needs; sums "
+    "compare as exact integer cents. Per-user partitions shuffle "
+    "once; the grid explode is map-side.",
+    tags=("window", "relational"),
+)
+def time_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load(spark, sf_dir, ("events",))["events"]
+        .filter(F.col("user_id") < 20)
+        .select("user_id", F.date_trunc("hour", "ts").alias("h"),
+                "value")
+    )
+    obs = e.groupBy("user_id", "h").agg(F.max("value").alias("mx"))
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("slot"),
+        )
+    )
+    j = grid.join(
+        obs,
+        (grid["user_id"] == obs["user_id"]) & (grid["slot"] == obs["h"]),
+        "left",
+    ).select(grid["user_id"], "slot", "mx")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f = j.withColumn("fv", F.last("mx", ignorenulls=True).over(w))
+    return f.groupBy("user_id").agg(
+        F.count("*").alias("n_slots"),
+        F.count("mx").alias("n_observed"),
+        F.sum(F.round(F.col("fv") * 100).cast("long"))
+        .alias("filled_cents_sum"),
+    )
