@@ -7424,3 +7424,45 @@ def wet_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_conversions int, total_chars long, "
         "body_digest string",
     )
+
+
+@register(
+    "csv_roundtrip",
+    oracle="""
+    WITH hostile AS (
+        SELECT source,
+               'start,"q" line1' || chr(10) || text || ',"end"' AS text
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           count(DISTINCT sha256(text)) AS n_unique_texts,
+           CAST(0 AS BIGINT) AS n_corrupt
+    FROM hostile GROUP BY source
+    """,
+    doc="CSV source/sink round trip with HOSTILE values (r12 — the "
+    "reference whitelists csv uploads, config/__init__.py:36-39): "
+    "every row's text is wrapped with an embedded comma, a doubled "
+    "double-quote, and a quoted NEWLINE, written RFC 4180 (quoteAll, "
+    "quote-doubling escape) and read back schema-first with multiLine "
+    "+ PERMISSIVE corrupt capture. Per-source digests (counts, char "
+    "sums, distinct text sha256, corrupt = 0) must equal the parquet "
+    "original — any quote/escape/newline loss in either direction "
+    "flips the hash. The module documents the scale tradeoff: "
+    "multiLine CSV is not splittable, so the sink shards per "
+    "partition and the round trip IS the convert-to-parquet-on-"
+    "first-touch pattern.",
+    tags=("ingest", "source", "corpus"),
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import csvio
+
+    path = csvio.materialize_documents_csv(spark, sf_dir)
+    back = csvio.read_csv(spark, path, "documents")
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.count_distinct(F.sha2("text", 256)).alias("n_unique_texts"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+    )

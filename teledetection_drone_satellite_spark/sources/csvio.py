@@ -1,0 +1,98 @@
+"""CSV source + sink with full quoting semantics.
+
+The reference whitelists csv uploads (shared/config/__init__.py:36-39),
+and tabular data drops still arrive as CSV at least as often as
+parquet.  This module gives the ``documents`` table a HOSTILE CSV
+round trip on Spark's native distributed csv reader/writer — no Python
+in the data path — where "hostile" means the values every naive
+splitter breaks on: embedded commas, embedded double quotes (RFC 4180
+doubling), and embedded NEWLINES inside quoted fields.
+
+  write  header + quoteAll with the RFC 4180 escape (quote-doubling,
+         ``escape='"'``) so the output is what spreadsheet tooling and
+         DuckDB both read back verbatim; one shard per partition.
+  read   schema-FIRST (inference is a full extra scan at 100 TB) with
+         ``multiLine`` enabled for the quoted-newline rows and
+         PERMISSIVE corrupt capture.
+
+SCALE NOTE (documented tradeoff): multiLine CSV is NOT splittable — a
+newline inside quotes makes record boundaries context-dependent, so
+each file is one task.  The writer therefore shards by partition (many
+small files parallelize the read back); an engine ingesting foreign
+100 TB CSV should convert to parquet on first touch, which is exactly
+what this round trip implements.
+
+Fingerprint-cached per fixture version like sources/jsonl.py."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..catalog import load, source_fingerprint
+from ..schemas import FIXTURE_SCHEMAS
+
+_LAYOUT_VERSION = "v1"
+
+
+def documents_csv_path(sf_dir: str) -> str:
+    """Fingerprint-keyed shard directory for the documents CSV export."""
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_csv_{_LAYOUT_VERSION}",
+        os.path.basename(os.path.normpath(sf_dir)),
+        f"documents_{source_fingerprint(sf_dir, 'documents')}",
+    )
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """RFC 4180 writer: header, every field quoted, quotes escaped by
+    doubling (escape='\"'), one shard per partition."""
+    (
+        df.write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def read_csv(spark: SparkSession, path: str,
+             table: str = "documents") -> DataFrame:
+    """Schema-first multiLine CSV read with PERMISSIVE corrupt-record
+    capture — quoted newlines and doubled quotes decode per RFC 4180."""
+    schema = StructType(
+        list(FIXTURE_SCHEMAS[table].fields)
+        + [StructField("_corrupt_record", StringType())]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+
+
+def materialize_documents_csv(spark: SparkSession, sf_dir: str) -> str:
+    """Export (once per fixture version) documents-with-hostile-text as
+    CSV shards; returns the shard directory.  The text column is
+    wrapped with embedded commas, doubled quotes, and a quoted NEWLINE
+    so the round trip exercises every RFC 4180 rule on every row."""
+    from pyspark.sql import functions as F
+
+    path = documents_csv_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        d = load(spark, sf_dir, ("documents",))["documents"]
+        hostile = d.withColumn(
+            "text",
+            F.concat(F.lit('start,"q" line1\n'), F.col("text"),
+                     F.lit(',"end"')),
+        )
+        write_csv(hostile, path)
+    return path

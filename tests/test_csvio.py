@@ -1,0 +1,52 @@
+"""CSV round trip (sources/csvio.py): RFC 4180 quoting, embedded
+newlines, corrupt capture."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from teledetection_drone_satellite_spark.sources import csvio
+
+
+def test_hostile_values_roundtrip(spark):
+    rows = [
+        (1, 'comma, inside', "s"),
+        (2, 'quote " inside', "s"),
+        (3, "newline\ninside", "s"),
+        (4, 'all, of "them"\ntogether, "ok"', "t"),
+        (5, "", "t"),
+        (6, "plain", "t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    path = os.path.join(tempfile.mkdtemp(), "csv_rt")
+    csvio.write_csv(df, path)
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("source", StringType()),
+        StructField("_corrupt_record", StringType()),
+    ])
+    back = (
+        spark.read.schema(schema)
+        .option("header", True).option("multiLine", True)
+        .option("escape", '"').option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    collected = back.collect()
+    got = {r.doc_id: r.text for r in collected}
+    want = {i: (t or None) for i, t, _ in rows}  # empty str -> NULL in CSV
+    assert got == want
+    assert all(r._corrupt_record is None for r in collected)
+
+
+def test_materialize_is_fingerprint_cached(spark):
+    p1 = csvio.documents_csv_path("/root/testdata/sf0.001")
+    p2 = csvio.documents_csv_path("/root/testdata/sf0.01")
+    assert p1 != p2  # per-fixture keying
