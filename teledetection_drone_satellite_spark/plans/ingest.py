@@ -7466,3 +7466,45 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.sha2("text", 256)).alias("n_unique_texts"),
         F.count("_corrupt_record").alias("n_corrupt"),
     )
+
+
+@register(
+    "orc_roundtrip",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           count(DISTINCT sha256(text)) AS n_unique_texts
+    FROM documents
+    GROUP BY source
+    """,
+    doc="ORC source/sink round trip (r12 — the other columnar "
+    "interchange format; Hive-era lakes are full of it and Spark "
+    "reads/writes it natively with predicate pushdown and column "
+    "pruning, same as parquet): documents written as ORC shards "
+    "(fingerprint-cached), read back, and digested per source — any "
+    "type or encoding loss flips the hash. DuckDB has no ORC reader, "
+    "so the oracle states the digests over the parquet original; the "
+    "Spark side proves write->read identity.",
+    tags=("ingest", "source"),
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..catalog import source_fingerprint
+
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_orc_v1",
+        os.path.basename(os.path.normpath(sf_dir)),
+        f"documents_{source_fingerprint(sf_dir, 'documents')}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load(spark, sf_dir, ("documents",))["documents"].write.mode(
+            "overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.count_distinct(F.sha2("text", 256)).alias("n_unique_texts"),
+    )

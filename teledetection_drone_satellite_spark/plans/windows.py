@@ -310,3 +310,129 @@ def time_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("fv") * 100).cast("long"))
         .alias("filled_cents_sum"),
     )
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS c_ts, min(v.v_ts) AS v_ts
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS p_ts, min(c.c_ts) AS c_ts
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_viewed,
+           (SELECT count(*) FROM c) AS n_clicked,
+           (SELECT count(*) FROM p) AS n_purchased,
+           (SELECT CAST(sum(epoch_ms(p_ts) - epoch_ms(c_ts)) AS BIGINT)
+            FROM p) AS click_to_purchase_ms
+    """,
+    doc="Funnel analysis (r12 — the canonical event-analytics ask): "
+    "strictly-ordered view -> click -> purchase per user, each stage "
+    "the EARLIEST qualifying event after the prior stage's timestamp "
+    "(min-aggregations + joins, no per-user sort), with stage "
+    "populations and the exact click->purchase millisecond sum. At "
+    "100 TB each stage is one filtered scan + a user-keyed "
+    "aggregation; the user dimension joins stay hash joins on the "
+    "same key, so AQE can chain them without re-partitioning.",
+    tags=("window", "relational"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, ("events",))["events"]
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"), F.min("c_ts").alias("c_ts"))
+    )
+    counts = (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked")))
+        .crossJoin(
+            p.agg(
+                F.count("*").alias("n_purchased"),
+                F.sum(
+                    F.unix_millis("p_ts") - F.unix_millis("c_ts")
+                ).alias("click_to_purchase_ms"),
+            )
+        )
+    )
+    return counts
+
+
+@register(
+    "scd2_intervals",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, ts, event_type FROM marked
+        WHERE prev IS NULL OR event_type <> prev
+    ),
+    iv AS (
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts) AS valid_to
+        FROM changes
+    )
+    SELECT event_type,
+           count(*) AS n_intervals,
+           count(valid_to) AS n_closed,
+           CAST(sum(epoch_ms(valid_to) - epoch_ms(valid_from))
+                AS BIGINT) AS closed_ms_sum
+    FROM iv GROUP BY event_type
+    """,
+    doc="SCD Type-2 interval building (r12 — the dimension-history "
+    "pattern every warehouse maintains): per user, collapse "
+    "consecutive same-type events, then validity intervals "
+    "[valid_from, valid_to) via lead(), the open current interval "
+    "carrying NULL. (ts, event_id) ordering makes equal timestamps "
+    "deterministic across engines. One per-user window shuffle; the "
+    "change-row filter shrinks the second window's input to the "
+    "transition count, which is what bounds state at 100 TB.",
+    tags=("window", "relational"),
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.withColumn("prev", F.lag("event_type").over(w))
+    changes = marked.filter(
+        F.col("prev").isNull() | (F.col("event_type") != F.col("prev"))
+    ).select("user_id", "ts", "event_type")
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    iv = changes.select(
+        "user_id", "event_type", F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+    return iv.groupBy("event_type").agg(
+        F.count("*").alias("n_intervals"),
+        F.count("valid_to").alias("n_closed"),
+        F.sum(
+            F.unix_millis("valid_to") - F.unix_millis("valid_from")
+        ).alias("closed_ms_sum"),
+    )
