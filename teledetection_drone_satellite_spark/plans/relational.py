@@ -914,3 +914,82 @@ def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"),
              F.round(F.sum("o_totalprice"), 2).alias("total"))
     )
+
+
+@register(
+    "median_iqr_by_status",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS q1,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS med,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS q3
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Exact linear-interpolation quantiles per group (r12): "
+    "percentile(col, p) — Spark's exact percentile matches DuckDB's "
+    "quantile_cont definition (both interpolate at rank p*(n-1)). "
+    "This is the EXACT complement to the approx quantile_sketch "
+    "query: exact quantiles sort within groups and exist for "
+    "validation runs; the sketch is the 100 TB default.",
+    tags=("relational", "agg"),
+)
+def median_iqr_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("q1"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("med"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("q3"),
+    )
+
+
+@register(
+    "levenshtein_dedup_pairs",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               'Project Plan v' || CAST(doc_id % 10 AS VARCHAR)
+                   || CASE WHEN doc_id % 3 = 0 THEN ' (final)'
+                           ELSE '' END AS title
+        FROM documents WHERE doc_id < 60
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.title, b.title) AS INT) AS dist
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.title, b.title) BETWEEN 1 AND 2
+    """,
+    doc="Edit-distance near-duplicate titles (r12): planted version-"
+    "suffixed titles pair up at Levenshtein 1-2 (digit swaps) while "
+    "' (final)' variants sit at distance 8 and exact dups at 0 — "
+    "both excluded, so the BETWEEN band is pinned from both sides. "
+    "Spark's levenshtein() is JVM codegen; the quadratic self-join "
+    "is bounded to a small labeled slice — at 100 TB the production "
+    "fuzzy-dedup path is the banded MinHash/SimHash tier, with edit "
+    "distance as the final verifier inside candidate buckets.",
+    tags=("relational", "dedup"),
+)
+def levenshtein_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .filter(F.col("doc_id") < 60)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("Project Plan v"),
+                (F.col("doc_id") % 10).cast("string"),
+                F.when(F.col("doc_id") % 3 == 0,
+                       F.lit(" (final)")).otherwise(F.lit("")),
+            ).alias("title"),
+        )
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    dist = F.levenshtein(F.col("a.title"), F.col("b.title"))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(dist.between(1, 2))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dist.cast("int").alias("dist"),
+        )
+    )

@@ -436,3 +436,62 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_millis("valid_to") - F.unix_millis("valid_from")
         ).alias("closed_ms_sum"),
     )
+
+
+@register(
+    "rolling_window_range",
+    oracle="""
+    WITH r AS (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS roll_cents,
+               count(*) OVER (
+                   PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                   AS roll_n
+        FROM events WHERE user_id < 30
+    )
+    SELECT user_id,
+           CAST(max(roll_cents) AS BIGINT) AS max_roll_cents,
+           CAST(max(roll_n) AS BIGINT) AS max_roll_n,
+           CAST(sum(roll_cents) AS BIGINT) AS sum_roll_cents
+    FROM r GROUP BY user_id
+    """,
+    doc="RANGE-frame rolling window (r12 — time-based frames, not row "
+    "counts: the trailing-hour load metric): per user, the sum and "
+    "count of events within the trailing 3600 SECONDS of each event "
+    "(rangeBetween over unix seconds — a row frame would be wrong "
+    "whenever event spacing varies; the oracle floors epoch() because "
+    "Spark unix_timestamp truncates sub-second parts), reduced per "
+    "user. Values compare "
+    "as exact integer cents. One per-user window shuffle; frame "
+    "evaluation is streaming within each partition.",
+    tags=("window",),
+)
+def rolling_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load(spark, sf_dir, ("events",))["events"]
+        .filter(F.col("user_id") < 30)
+        .select(
+            "user_id",
+            F.unix_timestamp("ts").alias("sec"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, 0)
+    )
+    r = e.select(
+        "user_id",
+        F.sum("cents").over(w).alias("roll_cents"),
+        F.count("*").over(w).alias("roll_n"),
+    )
+    return r.groupBy("user_id").agg(
+        F.max("roll_cents").alias("max_roll_cents"),
+        F.max("roll_n").alias("max_roll_n"),
+        F.sum("roll_cents").alias("sum_roll_cents"),
+    )
