@@ -1,0 +1,111 @@
+"""Document-tier extraction throughput pin (r12).
+
+Measures end-to-end Spark throughput (MB of input decoded per second,
+wall clock, local[N]) for the r12 document extractors the way the
+graded queries run them — synth corpus in a DataFrame, one Arrow
+mapInPandas stage, count() to drain — so the number includes Arrow
+transfer and scheduling, not just the Python kernel.
+
+Usage: python scripts/bench_doc_extract.py [n_docs_per_format]
+Appends nothing; prints one JSON line per format plus a summary.
+The numbers land in BASELINE.md §r12 as the standing evidence that
+the office/crawl tail sustains cluster-relevant per-core rates.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .appName("bench_doc_extract")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from teledetection_drone_satellite_spark.sources import (
+        arc, docx, html, odt, pptx, rtf, warc, xlsx,
+    )
+
+    def warc_synth(i: int) -> bytes:
+        doc, _ = html.synth_html(i)
+        recs = [("warcinfo", "", 0, b"x\r\n")]
+        for r in range(3):
+            recs.append(("response", "http://ex.com/%d/%d" % (i, r),
+                         200, doc.encode(),
+                         (None, "chunked", "gzip")[r % 3]))
+        return warc.synth_warc(recs, gz=i % 2 == 1)
+
+    cases = {
+        "html": (lambda i: html.synth_html(i)[0].encode(),
+                 lambda b: html.extract_html_text(b)),
+        "html_boiler": (lambda i: html.synth_html_boiler(i)[0].encode(),
+                        lambda b: html.extract_html_content(b)),
+        "docx": (lambda i: docx.synth_docx(i)[0],
+                 lambda b: docx.extract_docx_text(b)),
+        "odt": (lambda i: odt.synth_odt(i)[0],
+                lambda b: odt.extract_odt_text(b)),
+        "pptx": (lambda i: pptx.synth_pptx(i)[0],
+                 lambda b: pptx.extract_pptx_text(b)),
+        "xlsx": (lambda i: xlsx.synth_xlsx(i)[0],
+                 lambda b: xlsx.extract_xlsx_cells(b)),
+        "rtf": (lambda i: rtf.synth_rtf(i)[0],
+                lambda b: rtf.extract_rtf_text(b)),
+        "warc": (warc_synth, lambda b: warc.parse_warc(b)),
+        "arc": (lambda i: arc.synth_arc(
+                    [("http://ex.com/%d" % i, 200,
+                      html.synth_html(i)[0].encode(), "gzip")],
+                    gz=i % 2 == 1),
+                lambda b: arc.parse_arc(b)),
+    }
+
+    results = {}
+    for name, (synth, extract) in cases.items():
+        rows = [(i, synth(i)) for i in range(n)]
+        total_mb = sum(len(b) for _, b in rows) / 1e6
+        df = spark.createDataFrame(rows, "doc_id long, content binary")
+        df = df.repartition(32).cache()
+        df.count()  # materialize input before the clock starts
+
+        def gen(batches, _extract=extract):
+            import pandas as pd
+
+            for pdf in batches:
+                out = []
+                for b in pdf["content"]:
+                    r = _extract(bytes(b))
+                    out.append(0 if r is None else len(r))
+                yield pd.DataFrame({"n": out})
+
+        t0 = time.time()
+        drained = df.mapInPandas(gen, "n long").agg({"n": "sum"}).collect()
+        dt = time.time() - t0
+        results[name] = {
+            "mb": round(total_mb, 1),
+            "sec": round(dt, 2),
+            "mb_per_s": round(total_mb / dt, 1),
+            "units": int(drained[0][0]),
+        }
+        df.unpersist()
+        print(json.dumps({name: results[name]}))
+
+    print(json.dumps({"metric": "doc_extract_throughput",
+                      "n_docs_per_format": n, "results": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
