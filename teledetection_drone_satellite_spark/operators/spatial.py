@@ -175,3 +175,27 @@ def morton_sql(x_expr: str, y_expr: str, bits: int = 8) -> str:
     terms = [f"((({x_expr} >> {i}) & 1) << {2 * i})" for i in range(bits)]
     terms += [f"((({y_expr} >> {i}) & 1) << {2 * i + 1})" for i in range(bits)]
     return " | ".join(terms)
+
+
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
+
+
+def haversine_km(lat1, lon1, lat2, lon2):
+    """Great-circle distance in km (haversine form — numerically stable
+    for the small angles survey photos sit at, unlike the spherical
+    law of cosines).  Pure JVM trig: radians/sin/cos/asin/sqrt are
+    codegen'd, so a 100 TB photo-GPS column joins against a site list
+    at scan speed.  The SQL oracle states the identical expression;
+    both engines evaluate IEEE-754 doubles, and results are compared
+    ROUNDED (1 ulp of library skew sits ~10 orders below the rounding
+    quantum)."""
+    from pyspark.sql import functions as F
+
+    dlat = F.radians(lat2) - F.radians(lat1)
+    dlon = F.radians(lon2) - F.radians(lon1)
+    a = (
+        F.pow(F.sin(dlat / 2), 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+        * F.pow(F.sin(dlon / 2), 2)
+    )
+    return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))

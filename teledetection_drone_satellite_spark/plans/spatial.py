@@ -251,3 +251,88 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "cell_x", "cell_y", zkey.alias("zkey"),
         F.shiftrightunsigned(zkey, 12).alias("bucket"),
     )
+
+
+@register(
+    "haversine_nearest_site",
+    oracle="""
+    WITH photos AS (
+        SELECT c_custkey,
+               CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) AS lon,
+               CAST((c_custkey * 13) % 180 - 90 AS DOUBLE) AS lat
+        FROM customer WHERE c_custkey < 500
+    ),
+    sites AS (
+        SELECT n_nationkey AS site_id,
+               CAST((n_nationkey * 29) % 360 - 180 AS DOUBLE) AS slon,
+               CAST((n_nationkey * 17) % 180 - 90 AS DOUBLE) AS slat
+        FROM nation
+    ),
+    dist AS (
+        SELECT c_custkey, site_id,
+               2 * 6371.0088 * asin(sqrt(
+                   pow(sin((radians(slat) - radians(lat)) / 2), 2)
+                   + cos(radians(lat)) * cos(radians(slat))
+                   * pow(sin((radians(slon) - radians(lon)) / 2), 2)
+               )) AS km
+        FROM photos, sites
+    ),
+    nearest AS (
+        SELECT c_custkey, arg_min(site_id, km) AS site_id,
+               min(km) AS km
+        FROM dist GROUP BY c_custkey
+    )
+    SELECT site_id,
+           count(*) AS n_photos,
+           round(min(km), 3) AS min_km,
+           round(max(km), 3) AS max_km
+    FROM nearest GROUP BY site_id
+    """,
+    doc="Haversine nearest-site assignment (r12 — the drone-survey "
+    "ask the reference's PostGIS points imply, init.sql:103: which "
+    "base/site does each photo belong to): photo GPS points against "
+    "a broadcast 25-site dimension, great-circle km entirely in JVM "
+    "trig codegen, argmin per photo via min_by, then per-site "
+    "population and distance envelope. At 100 TB the site list "
+    "stays broadcast and the plan is scan -> projection -> one "
+    "photo-keyed partial-aggregated reduction; distances compare "
+    "rounded to 3 dp (library ulp skew is ~10 orders below the "
+    "quantum).",
+    tags=("spatial", "relational"),
+)
+def haversine_nearest_site(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spatial import haversine_km
+
+    t = load(spark, sf_dir, ("customer", "nation"))
+    photos = (
+        t["customer"]
+        .filter(F.col("c_custkey") < 500)
+        .select(
+            "c_custkey",
+            ((F.col("c_custkey") * 7) % 360 - 180)
+            .cast("double").alias("lon"),
+            ((F.col("c_custkey") * 13) % 180 - 90)
+            .cast("double").alias("lat"),
+        )
+    )
+    sites = t["nation"].select(
+        F.col("n_nationkey").alias("site_id"),
+        ((F.col("n_nationkey") * 29) % 360 - 180)
+        .cast("double").alias("slon"),
+        ((F.col("n_nationkey") * 17) % 180 - 90)
+        .cast("double").alias("slat"),
+    )
+    dist = photos.crossJoin(F.broadcast(sites)).select(
+        "c_custkey", "site_id",
+        haversine_km(F.col("lat"), F.col("lon"),
+                     F.col("slat"), F.col("slon")).alias("km"),
+    )
+    nearest = dist.groupBy("c_custkey").agg(
+        F.min_by("site_id", "km").alias("site_id"),
+        F.min("km").alias("km"),
+    )
+    return nearest.groupBy("site_id").agg(
+        F.count("*").alias("n_photos"),
+        F.round(F.min("km"), 3).alias("min_km"),
+        F.round(F.max("km"), 3).alias("max_km"),
+    )
