@@ -534,13 +534,17 @@ def canonicalize_url(url: "Column | str") -> Column:
         ),
         "&",
     )
-    return F.concat(
+    canonical = F.concat(
         scheme,
         F.lit("://"),
         host,
         F.when(path == "", F.lit("/")).otherwise(path),
         F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
     )
+    # non-URL input (no scheme://) passes through unchanged instead of
+    # collapsing to a mangled '://' form — callers filter upstream, but
+    # a canonicalizer must never corrupt what it cannot parse
+    return F.when(scheme == "", u).otherwise(canonical)
 
 
 # Gopher quality-filter stopword probe (Rae et al. 2021, §A1.1)

@@ -86,3 +86,15 @@ def test_access_log_fields(spark):
         True, 401, 0, True)
     assert (r2.valid, r2.method, r2.ua) == (True, "HEAD", "")
     assert r3.valid is False and r3.status is None
+
+
+def test_canonicalize_url_non_url_passthrough(spark):
+    from teledetection_drone_satellite_spark.operators.text import (
+        canonicalize_url,
+    )
+
+    cases = ["not a url", "", "relative/path?x=1", "mailto:a@b.c"]
+    df = spark.createDataFrame([(c,) for c in cases], "url string")
+    got = [r.c for r in
+           df.select(canonicalize_url("url").alias("c")).collect()]
+    assert got == cases  # unparseable input is never corrupted
