@@ -7508,3 +7508,81 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("sum_chars"),
         F.count_distinct(F.sha2("text", 256)).alias("n_unique_texts"),
     )
+
+
+@register(
+    "ical_event_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 2 + doc_id % 3 AS n_events
+        FROM documents WHERE doc_id < 120
+    ),
+    ev AS (
+        SELECT doc_id, n_events, CAST(k.i AS INT) AS k,
+               30 + 15 * ((doc_id + k.i) % 4) AS dur,
+               'Mission ' || CAST(doc_id AS VARCHAR) || '-'
+                   || CAST(k.i AS VARCHAR) || ', phase ' || chr(34)
+                   || CAST(k.i AS VARCHAR) || chr(34)
+                   || ' padding padding padding padding' AS summary
+        FROM spec, LATERAL unnest(range(0, n_events)) k(i)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_events,
+           CAST(sum(dur) AS BIGINT) AS total_minutes,
+           string_agg(substr(sha256(summary), 1, 8), '' ORDER BY k)
+               AS summary_digest
+    FROM ev GROUP BY doc_id
+    """,
+    doc="iCalendar parsing, graded (r12 — RFC 5545: invitations ride "
+    "in every mail corpus and scheduling is the reference's task "
+    "domain): per doc synth_ics writes a VCALENDAR whose EVERY line "
+    "is folded at 60 octets (CRLF + space continuation — the wire "
+    "detail naive splitters break on), with escaped TEXT values "
+    "(\\, \;), property parameters (DTSTART;TZID=...), and durations "
+    "alternating between DTEND and DURATION forms. The oracle states "
+    "event counts, exact total minutes, and an ORDERED summary sha256 "
+    "chain — an unfolding, unescaping, or duration-arithmetic bug "
+    "flips it.",
+    tags=("ingest", "multimodal", "corpus"),
+)
+def ical_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.ical import parse_ics, synth_ics
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_ics(i)
+                events = parse_ics(raw)
+                digest = "".join(
+                    hashlib.sha256(e["summary"].encode()).hexdigest()[:8]
+                    for e in events
+                )
+                rows.append(
+                    (i, len(events),
+                     sum(e["duration_min"] for e in events), digest)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_events", "total_minutes",
+                         "summary_digest"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_events int, total_minutes long, "
+        "summary_digest string",
+    )

@@ -1,0 +1,190 @@
+"""iCalendar (.ics) parsing — pure stdlib, from the public RFC 5545
+(Internet Calendaring and Scheduling Core Object Specification).
+
+Calendar invitations ride along in every mail corpus (sources/mbox.py
+is the carrier), and flight-operations scheduling is the reference
+platform's task domain.  Parsed surface: content-line UNFOLDING (CRLF
+followed by one space/tab continues the line — the wire detail every
+naive splitter breaks on), property parameters
+(``DTSTART;TZID=...:``), TEXT escaping (``\\n`` ``\\,`` ``\\;``
+``\\\\``), VEVENT components inside VCALENDAR with SUMMARY /
+DTSTART / DTEND / DURATION / UID / LOCATION, and ISO-8601 basic
+date-times (form 1 local and form 2 UTC; date-only values get
+T000000).  DURATION (RFC 5545 §3.3.6 subset: PnDTnHnMnS / PnW) is
+honored when DTEND is absent.
+
+Refusals (None): no BEGIN:VCALENDAR envelope, an unterminated VEVENT,
+an event without DTSTART, or an unparseable date/duration — the
+honest-fallback contract every decoder here shares."""
+
+from __future__ import annotations
+
+import re
+
+_DT = re.compile(r"^(\d{8})(?:T(\d{6}))?(Z?)$")
+_DUR = re.compile(
+    r"^([+-]?)P(?:(\d+)W)?(?:(\d+)D)?"
+    r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+)S)?)?$")
+
+
+def _unescape(s: str) -> str:
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            n = s[i + 1]
+            out.append({"n": "\n", "N": "\n"}.get(n, n))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _parse_dt(value: str) -> "int | None":
+    """-> epoch-like minutes since 0001-01-01 (proleptic, naive; Z
+    treated same as local — fixtures carry one zone) or None."""
+    import datetime
+
+    m = _DT.match(value.strip())
+    if not m:
+        return None
+    d, t = m.group(1), m.group(2) or "000000"
+    try:
+        dt = datetime.datetime.strptime(d + t, "%Y%m%d%H%M%S")
+    except ValueError:
+        return None
+    epoch = datetime.datetime(1, 1, 1)
+    return int((dt - epoch).total_seconds() // 60)
+
+
+def _parse_duration(value: str) -> "int | None":
+    """RFC 5545 duration -> minutes (seconds truncate) or None."""
+    m = _DUR.match(value.strip())
+    if not m or all(g is None for g in m.groups()[1:]):
+        return None  # 'P'/'PT' with no component is not a duration
+    sign = -1 if m.group(1) == "-" else 1
+    w, d, h, mi, s = (int(g) if g else 0 for g in m.groups()[1:])
+    return sign * (w * 7 * 24 * 60 + d * 24 * 60 + h * 60 + mi + s // 60)
+
+
+def parse_ics(content: bytes) -> "list[dict] | None":
+    """-> [{'uid', 'summary', 'location', 'start_min', 'end_min',
+    'duration_min'}, ...] per VEVENT in file order, or None per the
+    module docstring.  end = DTEND, else DTSTART + DURATION, else
+    start (zero-length)."""
+    try:
+        text = content.decode("utf-8", errors="replace")
+    except Exception:
+        return None
+    # content-line unfolding: CRLF (or LF) + single SP/TAB continues
+    text = text.replace("\r\n", "\n").replace("\r", "\n")
+    text = text.replace("\n ", "").replace("\n\t", "")
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    if not any(ln.strip().upper() == "BEGIN:VCALENDAR" for ln in lines):
+        return None
+    events: "list[dict]" = []
+    cur: "dict | None" = None
+    for ln in lines:
+        if ":" not in ln:
+            continue  # junk line: ignore (real feeds carry them)
+        head, _, value = ln.partition(":")
+        name = head.split(";", 1)[0].strip().upper()
+        if name == "BEGIN" and value.strip().upper() == "VEVENT":
+            if cur is not None:
+                return None  # nested VEVENT: refuse
+            cur = {}
+        elif name == "END" and value.strip().upper() == "VEVENT":
+            if cur is None:
+                return None
+            if "start_min" not in cur:
+                return None  # DTSTART is required (RFC 5545 §3.6.1)
+            if "end_min" not in cur:
+                dur = cur.pop("_dur", None)
+                cur["end_min"] = cur["start_min"] + (dur or 0)
+            cur.pop("_dur", None)
+            cur.setdefault("uid", "")
+            cur.setdefault("summary", "")
+            cur.setdefault("location", "")
+            cur["duration_min"] = cur["end_min"] - cur["start_min"]
+            events.append(cur)
+            cur = None
+        elif cur is not None:
+            if name == "DTSTART":
+                v = _parse_dt(value)
+                if v is None:
+                    return None
+                cur["start_min"] = v
+            elif name == "DTEND":
+                v = _parse_dt(value)
+                if v is None:
+                    return None
+                cur["end_min"] = v
+            elif name == "DURATION":
+                v = _parse_duration(value)
+                if v is None:
+                    return None
+                cur["_dur"] = v
+            elif name == "SUMMARY":
+                cur["summary"] = _unescape(value)
+            elif name == "LOCATION":
+                cur["location"] = _unescape(value)
+            elif name == "UID":
+                cur["uid"] = value.strip()
+    if cur is not None:
+        return None  # unterminated VEVENT: truncated file
+    return events
+
+
+def synth_ics(doc_id: int) -> "tuple[bytes, list[dict]]":
+    """Deterministic fixture calendar + expected events.  Closed form
+    (mirrored by the ical_event_stats oracle):
+
+        n_events = 2 + doc_id % 3
+        event k: start = 2026-04-(1 + (i+k) % 28) T (9+k):00,
+                 duration = 30 + 15 * ((i + k) % 4) minutes
+                 (expressed as DTEND when k is even, DURATION when odd)
+                 summary = 'Mission {i}-{k}, phase "{k}"'  (escaped)
+
+    Lines longer than 60 octets are FOLDED (CRLF + space) so the
+    reader's unfolding is exercised on every document."""
+    i = int(doc_id)
+    n = 2 + i % 3
+    out = ["BEGIN:VCALENDAR", "VERSION:2.0",
+           "PRODID:-//synth//teledetection//EN",
+           "X-WR-CALNAME:decoy calendar %d" % i]
+    expected = []
+    for k in range(n):
+        day = 1 + (i + k) % 28
+        dur = 30 + 15 * ((i + k) % 4)
+        start = "202604%02dT%02d0000" % (day, 9 + k)
+        summary = 'Mission %d-%d, phase "%d"' % (i, k, k)
+        out.append("BEGIN:VEVENT")
+        out.append("UID:evt-%d-%d@ex.com" % (i, k))
+        # escaped comma + a deliberately long folded line
+        out.append("SUMMARY:" + summary.replace(",", "\\,")
+                   + " padding padding padding padding")
+        out.append("LOCATION:Pad %d\\, site\\; annex" % k)
+        out.append("DTSTART;TZID=UTC:%s" % start)
+        if k % 2 == 0:
+            end_min = 9 * 60 + k * 60 + dur
+            out.append("DTEND;TZID=UTC:202604%02dT%02d%02d00"
+                       % (day, end_min // 60, end_min % 60))
+        else:
+            out.append("DURATION:PT%dH%dM" % (dur // 60, dur % 60))
+        out.append("END:VEVENT")
+        expected.append({
+            "uid": "evt-%d-%d@ex.com" % (i, k),
+            "summary": summary + " padding padding padding padding",
+            "duration_min": dur,
+        })
+    out.append("END:VCALENDAR")
+    # fold every line at 60 octets per RFC 5545 §3.1
+    folded = []
+    for ln in out:
+        while len(ln) > 60:
+            folded.append(ln[:60])
+            ln = " " + ln[60:]
+        folded.append(ln)
+    return ("\r\n".join(folded) + "\r\n").encode(), expected

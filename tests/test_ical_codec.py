@@ -1,0 +1,83 @@
+"""iCalendar parsing (sources/ical.py): unfolding, escaping,
+durations, refusals, never-crash fuzz."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.ical import (
+    _parse_duration,
+    parse_ics,
+    synth_ics,
+)
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    raw, expected = synth_ics(doc_id)
+    got = parse_ics(raw)
+    assert got is not None and len(got) == len(expected)
+    for g, e in zip(got, expected):
+        assert g["uid"] == e["uid"]
+        assert g["summary"] == e["summary"]
+        assert g["duration_min"] == e["duration_min"]
+
+
+def test_unfolding_escaping_and_durations():
+    ics = (b"BEGIN:VCALENDAR\r\n"
+           b"BEGIN:VEVENT\r\n"
+           b"UID:u1\r\n"
+           b"SUMMARY:line one\\nline two\\, with comma\\; semi\\\\slash\r\n"
+           b"DTSTART:20260401T090000Z\r\n"
+           b"DURATION:P1DT2H30M\r\n"
+           b"END:VEVENT\r\n"
+           b"BEGIN:VEVENT\r\n"
+           b"UID:u2\r\n"
+           b"SUM\r\n MARY:folded across\r\n\ttwo continuations\r\n"
+           b"DTSTART:20260402\r\n"
+           b"DTEND:20260403\r\n"
+           b"END:VEVENT\r\n"
+           b"END:VCALENDAR\r\n")
+    got = parse_ics(ics)
+    assert got[0]["summary"] == "line one\nline two, with comma; semi\\slash"
+    assert got[0]["duration_min"] == 26 * 60 + 30
+    assert got[1]["summary"] == "folded acrosstwo continuations"
+    assert got[1]["duration_min"] == 24 * 60  # date-only DTEND
+    assert [_parse_duration(s) for s in
+            ("PT1H30M", "P2W", "-PT15M", "PT45S", "P", "PT", "junk")] == [
+        90, 20160, -15, 0, None, None, None]
+
+
+def test_ics_refusals():
+    good, _ = synth_ics(3)
+    assert parse_ics(b"") is None
+    assert parse_ics(b"not a calendar") is None
+    assert parse_ics(good[:-40]) is None  # unterminated VEVENT
+    assert parse_ics(good.replace(b"DTSTART", b"XSTART")) is None
+    assert parse_ics(good.replace(b"BEGIN:VEVENT", b"BEGIN:VEVENT\r\n"
+                                  b"BEGIN:VEVENT", 1)) is None  # nested
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31 - 1), nflip=st.integers(1, 10))
+def test_fuzz_ics_survives_bit_flips(seed, nflip):
+    rnd = random.Random(seed)
+    blob = bytearray(synth_ics(rnd.randrange(1000))[0])
+    for _ in range(nflip):
+        blob[rnd.randrange(len(blob))] ^= 1 << rnd.randrange(8)
+    out = parse_ics(bytes(blob))
+    assert out is None or isinstance(out, list)
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.binary(min_size=0, max_size=1500))
+def test_fuzz_ics_garbage_never_crashes(data):
+    out = parse_ics(b"BEGIN:VCALENDAR\r\n" + data)
+    assert out is None or isinstance(out, list)
