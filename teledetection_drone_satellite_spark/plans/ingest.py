@@ -7586,3 +7586,106 @@ def ical_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_events int, total_minutes long, "
         "summary_digest string",
     )
+
+
+@register(
+    "warc_brotli_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 2 + doc_id % 2 AS n_resp
+        FROM documents WHERE doc_id < 100
+    ),
+    resp AS (
+        SELECT doc_id, n_resp, CAST(r.i AS INT) AS r,
+               17 * doc_id + r.i AS m,
+               CASE WHEN (doc_id + r.i) % 5 = 0 THEN 404 ELSE 200 END
+                   AS status
+        FROM spec, LATERAL unnest(range(0, n_resp)) r(i)
+    ),
+    blk AS (
+        SELECT doc_id, n_resp, r, m, status, CAST(b.i AS INT) AS b,
+               repeat('doc ' || CAST(m AS VARCHAR) || ' block '
+                      || CAST(b.i AS VARCHAR) || ' <&' || chr(34)
+                      || CAST(b.i AS VARCHAR) || '>;',
+                      1 + (m + b.i) % 3) AS line
+        FROM resp, LATERAL unnest(range(0, 2 + m % 5)) b(i)
+    ),
+    page AS (
+        SELECT doc_id, n_resp, r, status,
+               string_agg(line, chr(10) ORDER BY b) AS text
+        FROM blk GROUP BY doc_id, n_resp, r, status
+    )
+    SELECT doc_id,
+           CAST(min(n_resp) AS INT) AS n_responses,
+           CAST(sum(status) AS BIGINT) AS status_sum,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           string_agg(substr(sha256(text), 1, 8), '' ORDER BY r)
+               AS text_digest
+    FROM page GROUP BY doc_id
+    """,
+    doc="WARC with BROTLI-coded bodies, graded (r12 — Content-"
+    "Encoding: br is a double-digit share of modern crawl captures; "
+    "previously an honest passthrough gap, now REAL decode via the "
+    "public system libbrotlidec through ctypes, the same pattern as "
+    "libzstd, bomb-cap enforced): response bodies alternate bare br "
+    "and br-then-chunked wire forms (content coding first, transfer "
+    "coding outermost), alternating plain and multi-member-gzip "
+    "outer containers; fixtures are compressed with system "
+    "libbrotlienc. Any decode or layering bug flips the closed-form "
+    "sha256 chains.",
+    tags=("ingest", "multimodal", "corpus"),
+)
+def warc_brotli_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.html import extract_html_text, synth_html
+    from ..sources.warc import parse_warc, synth_warc
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                n_resp = 2 + i % 2
+                recs = [("warcinfo", "", 0, b"software: synth\r\n")]
+                for r in range(n_resp):
+                    doc, _ = synth_html(17 * i + r)
+                    status = 404 if (i + r) % 5 == 0 else 200
+                    recs.append(
+                        ("response", "http://ex.com/%d/%d" % (i, r),
+                         status, doc.encode(),
+                         "br" if (i + r) % 2 == 0 else "br+chunked")
+                    )
+                got = parse_warc(synth_warc(recs, gz=i % 2 == 1))
+                resp = [g for g in got if g["type"] == "response"]
+                texts = [extract_html_text(g["body"]) for g in resp]
+                digest = "".join(
+                    hashlib.sha256(t.encode()).hexdigest()[:8]
+                    for t in texts
+                )
+                rows.append(
+                    (i, len(resp),
+                     sum(g["http_status"] for g in resp),
+                     sum(len(t) for t in texts), digest)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_responses", "status_sum",
+                         "total_chars", "text_digest"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_responses int, status_sum long, "
+        "total_chars long, text_digest string",
+    )

@@ -449,3 +449,113 @@ def explode_archives(files: DataFrame) -> DataFrame:
         "path string, member_path string, member_index int, "
         "content binary, archive_error string",
     )
+
+
+def brotli_decompressor():
+    """Bounded brotli decompress, or None when no codec is available.
+
+    Returns ``f(blob, cap) -> bytes | None`` (None = exceeded cap;
+    raises ValueError on malformed/truncated streams).  Prefers the
+    ``brotli`` wheel; falls back to the PUBLIC system libbrotlidec via
+    ctypes (BrotliDecoderDecompressStream, RFC 7932) — the same
+    system-library pattern as zstd_decompressor above.  Content-
+    Encoding: br is a double-digit share of modern crawl captures."""
+    try:
+        import brotli as _b  # type: ignore
+
+        def _wheel(blob: bytes, cap: int) -> "bytes | None":
+            d = _b.Decompressor()
+            out = d.process(blob)  # wheel lacks streaming cap control
+            return None if len(out) > cap else out
+
+        return _wheel
+    except ImportError:
+        pass
+    import ctypes
+    import ctypes.util
+
+    path = ctypes.util.find_library("brotlidec")
+    if not path:
+        return None
+    lib = ctypes.CDLL(path)
+    P8 = ctypes.POINTER(ctypes.c_ubyte)
+    lib.BrotliDecoderCreateInstance.restype = ctypes.c_void_p
+    lib.BrotliDecoderCreateInstance.argtypes = [ctypes.c_void_p] * 3
+    lib.BrotliDecoderDestroyInstance.argtypes = [ctypes.c_void_p]
+    lib.BrotliDecoderDecompressStream.restype = ctypes.c_int
+    lib.BrotliDecoderDecompressStream.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(P8),
+        ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(P8),
+        ctypes.POINTER(ctypes.c_size_t),
+    ]
+
+    def _ctypes_stream(blob: bytes, cap: int) -> "bytes | None":
+        st = lib.BrotliDecoderCreateInstance(None, None, None)
+        if not st:
+            raise MemoryError("BrotliDecoderCreateInstance")
+        try:
+            src = (ctypes.c_ubyte * len(blob)).from_buffer_copy(blob)
+            next_in = ctypes.cast(src, P8)
+            avail_in = ctypes.c_size_t(len(blob))
+            chunk_len = 1 << 17
+            chunk = (ctypes.c_ubyte * chunk_len)()
+            out = bytearray()
+            while True:
+                next_out = ctypes.cast(chunk, P8)
+                avail_out = ctypes.c_size_t(chunk_len)
+                r = lib.BrotliDecoderDecompressStream(
+                    st, ctypes.byref(avail_in), ctypes.byref(next_in),
+                    ctypes.byref(avail_out), ctypes.byref(next_out),
+                    None)
+                out += bytes(chunk[: chunk_len - avail_out.value])
+                if len(out) > cap:
+                    return None  # decompression-bomb cap
+                if r == 1:  # BROTLI_DECODER_RESULT_SUCCESS
+                    return bytes(out)
+                if r == 0:
+                    raise ValueError("malformed brotli stream")
+                if r == 2 and avail_in.value == 0:
+                    raise ValueError("truncated brotli stream")
+                # r == 3 (needs more output) or 2 with input left: loop
+        finally:
+            lib.BrotliDecoderDestroyInstance(ctypes.c_void_p(st))
+
+    return _ctypes_stream
+
+
+def brotli_compressor():
+    """Brotli compress (fixtures/tests only), or None when no encoder
+    exists: the ``brotli`` wheel, else system libbrotlienc's one-shot
+    BrotliEncoderCompress."""
+    try:
+        import brotli as _b  # type: ignore
+
+        return lambda blob: _b.compress(blob)
+    except ImportError:
+        pass
+    import ctypes
+    import ctypes.util
+
+    path = ctypes.util.find_library("brotlienc")
+    if not path:
+        return None
+    lib = ctypes.CDLL(path)
+    lib.BrotliEncoderCompress.restype = ctypes.c_int
+    lib.BrotliEncoderCompress.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_size_t, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p,
+    ]
+
+    def _compress(blob: bytes) -> bytes:
+        cap = len(blob) + (len(blob) >> 1) + 1024
+        out = ctypes.create_string_buffer(cap)
+        n = ctypes.c_size_t(cap)
+        ok = lib.BrotliEncoderCompress(
+            5, 22, 0, len(blob), blob, ctypes.byref(n), out)
+        if not ok:
+            raise ValueError("BrotliEncoderCompress failed")
+        return out.raw[: n.value]
+
+    return _compress

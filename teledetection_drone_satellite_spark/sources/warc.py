@@ -97,7 +97,16 @@ def synth_warc(
             elif enc == "deflate":
                 wire = zlib.compress(wire)
                 http_hdr += b"Content-Encoding: deflate\r\n"
-            if enc in ("chunked", "gzip+chunked"):
+            elif enc in ("br", "br+chunked"):
+                from .binary import brotli_compressor
+
+                comp = brotli_compressor()
+                if comp is None:
+                    raise RuntimeError(
+                        "brotli fixture requested but no encoder exists")
+                wire = comp(wire)
+                http_hdr += b"Content-Encoding: br\r\n"
+            if enc in ("chunked", "gzip+chunked", "br+chunked"):
                 wire = _chunk_encode(wire)
                 http_hdr += b"Transfer-Encoding: chunked\r\n"
             else:
@@ -241,7 +250,19 @@ def decode_http_response(payload: bytes) -> "tuple[int, bytes] | None":
                 body = zlib.decompress(body, -15)
             except zlib.error:
                 return None
-    # other codings (br, zstd, identity, ...): body kept as-is
+    elif ce == b"br":
+        from .binary import DEFAULT_MAX_SIZE, brotli_decompressor
+
+        dec = brotli_decompressor()
+        if dec is not None:  # r12: real decode via system libbrotlidec
+            try:
+                body = dec(body, DEFAULT_MAX_SIZE)
+            except (ValueError, MemoryError):
+                return None
+            if body is None:
+                return None  # decompression-bomb cap exceeded
+        # no codec in this environment: body kept as-is (honest gate)
+    # other codings (zstd, identity, ...): body kept as-is
     return int(parts[1]), body
 
 

@@ -172,8 +172,9 @@ def test_warc_chunked_and_content_coding_details():
            ) + payload + b"\r\n\r\n"
     got = parse_warc(rec)
     assert got is not None and got[0]["body"] == b"raw deflate body"
-    # unknown coding keeps the raw body (no whole-file refusal)
-    payload2 = (b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n"
+    # unknown coding keeps the raw body (no whole-file refusal);
+    # br stopped being "unknown" in r12 (system libbrotlidec decode)
+    payload2 = (b"HTTP/1.1 200 OK\r\nContent-Encoding: x-custom\r\n"
                 b"Content-Length: 3\r\n\r\nXYZ")
     rec2 = (b"WARC/1.0\r\nWARC-Type: response\r\n"
             b"Content-Type: application/http; msgtype=response\r\n"
@@ -233,3 +234,34 @@ def test_wet_conversion_records_pass_through():
         assert conv[0]["body"] == body
         assert conv[0]["content_type"] == "text/plain"
         assert conv[0]["http_status"] == 0
+
+
+def test_warc_brotli_bodies():
+    from teledetection_drone_satellite_spark.sources.binary import (
+        brotli_compressor,
+        brotli_decompressor,
+    )
+
+    if brotli_compressor() is None or brotli_decompressor() is None:
+        import pytest as _pytest
+
+        _pytest.skip("no brotli codec in this environment")
+    body = ("brotli body content " * 50).encode()
+    recs = [("warcinfo", "", 0, b"x\r\n"),
+            ("response", "http://ex.com/a", 200, body, "br"),
+            ("response", "http://ex.com/b", 404, body, "br+chunked")]
+    for gz in (False, True):
+        got = parse_warc(synth_warc(recs, gz=gz))
+        assert got[1]["body"] == body and got[2]["body"] == body
+    # corrupt brotli stream refuses the file
+    blob = synth_warc([("response", "u", 200, body, "br")])
+    at = blob.find(b"\r\n\r\n", blob.find(b"Content-Encoding")) + 8
+    bad = bytearray(blob)
+    bad[at] ^= 0xFF
+    assert parse_warc(bytes(bad)) is None
+    # decompression-bomb cap: a tiny wire expanding past the cap
+    comp = brotli_compressor()
+    dec = brotli_decompressor()
+    z = comp(b"\x00" * 2_000_000)
+    assert dec(z, 1_000_000) is None
+    assert dec(z, 3_000_000) == b"\x00" * 2_000_000
