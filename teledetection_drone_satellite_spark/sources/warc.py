@@ -21,11 +21,14 @@ Response ENTITY BODIES are decoded the way a browser would (r12 —
 the r11 verdict's #2 missing item): ``Transfer-Encoding: chunked``
 is dechunked (hex sizes, chunk extensions, trailers), then
 ``Content-Encoding: gzip/x-gzip/deflate`` is inflated (deflate tries
-zlib-wrapped first, then the raw-deflate form broken servers send).
-Without this, raw captures feed hex chunk-size lines and gzip bytes
-straight into the HTML extractor, polluting text and dedup digests.
-Unknown codings (br, zstd — wheels absent here) keep the raw body:
-refusing the whole file for one exotic record is disproportionate.
+zlib-wrapped first, then the raw-deflate form broken servers send),
+and ``br`` decodes for REAL through the public system libbrotlidec
+(sources/binary.brotli_decompressor, bomb-capped) when a codec
+exists.  Without this, raw captures feed hex chunk-size lines and
+compressed bytes straight into the HTML extractor, polluting text and
+dedup digests.  Genuinely unknown codings (zstd-coded bodies, or br
+in a brotli-less environment) keep the raw body: refusing the whole
+file for one exotic record is disproportionate.
 
 Refusals (None): no WARC/ version line, header block without
 Content-Length, truncated payloads, a missing record separator, or a
