@@ -98,3 +98,52 @@ def test_canonicalize_url_non_url_passthrough(spark):
     got = [r.c for r in
            df.select(canonicalize_url("url").alias("c")).collect()]
     assert got == cases  # unparseable input is never corrupted
+
+
+def test_gopher_flags_match_python_reference(spark):
+    """Spark (Java regex / higher-order functions) vs an independent
+    row-level Python implementation over seeded random ASCII texts —
+    guards the split/regex semantics against refactors. ASCII-only by
+    design: the documented tokenization is whitespace-run splitting,
+    and Java's \\s class differs from Python's on unicode spaces."""
+    import random as _random
+    import re as _re
+
+    from teledetection_drone_satellite_spark.operators.text import (
+        GOPHER_STOPWORDS,
+        gopher_quality_flags,
+    )
+
+    rnd = _random.Random(20260815)
+    vocab = ["the", "cat", "and", "dog", "have", "toys", "x", "#",
+             "word...", "- item", "abcdefghijklm", "1234", "be", "with"]
+    rows = []
+    for i in range(60):
+        n_lines = rnd.randint(1, 8)
+        lines = []
+        for _ in range(n_lines):
+            k = rnd.randint(0, 30)
+            lines.append(" ".join(rnd.choice(vocab) for _ in range(k)))
+        rows.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    for i, text in rows:
+        words = [w for w in _re.split(r"[ \t\n\x0b\f\r]+", text.strip())
+                 if w]
+        lines = text.split("\n")
+        n_w, n_l = len(words), len(lines)
+        chars = sum(len(w) for w in words)
+        symbols = text.count("#") + len(_re.findall(r"\.\.\.", text))
+        bullets = sum(1 for l in lines if _re.match(r"^\s*[-*•]", l))
+        ell = sum(1 for l in lines if _re.search(r"\.\.\.\s*$", l))
+        alpha = sum(1 for w in words if _re.search("[A-Za-z]", w))
+        stops = len({w.lower() for w in words} & set(GOPHER_STOPWORDS))
+        r = got[i]
+        assert (r.n_words, r.n_lines) == (n_w, n_l), (i, text)
+        assert r.ok_words == (50 <= n_w <= 100000), i
+        assert r.ok_mean == (3 * n_w <= chars <= 10 * n_w), i
+        assert r.ok_symbol == (10 * symbols <= n_w), i
+        assert r.ok_bullet == (10 * bullets <= 9 * n_l), i
+        assert r.ok_ellipsis == (10 * ell <= 3 * n_l), i
+        assert r.ok_alpha == (5 * alpha >= 4 * n_w), i
+        assert r.ok_stop == (stops >= 2), i
