@@ -646,3 +646,48 @@ def access_log_fields(line: "Column | str") -> "dict[str, Column]":
         "is_bot": valid & ua.rlike(BOT_UA_RE),
         "valid": valid,
     }
+
+
+# Mojibake shape: the string's non-ASCII chars, read as latin-1 BYTES,
+# form well-formed UTF-8 (RFC 3629 table, surrogates and overlongs
+# excluded). Full-match => encode('ISO-8859-1') cannot throw (every
+# char < U+0100) AND decode('UTF-8') cannot throw (bytes well-formed) --
+# Spark 4's encode/decode raise MALFORMED_CHARACTER_CODING, so both
+# guards are load-bearing, not cosmetic.
+_CONT = "[\u0080-\u00bf]"
+MOJIBAKE_SHAPE_RE = (
+    "^(?:[\\x00-\\x7f]"
+    f"|[\u00c2-\u00df]{_CONT}"
+    f"|\u00e0[\u00a0-\u00bf]{_CONT}"
+    f"|[\u00e1-\u00ec]{_CONT}{{2}}"
+    f"|\u00ed[\u0080-\u009f]{_CONT}"
+    f"|[\u00ee-\u00ef]{_CONT}{{2}}"
+    f"|\u00f0[\u0090-\u00bf]{_CONT}{{2}}"
+    f"|[\u00f1-\u00f3]{_CONT}{{3}}"
+    f"|\u00f4[\u0080-\u008f]{_CONT}{{2}}"
+    ")*$"
+)
+_MOJI_HINT_RE = f"[\u00c2-\u00f4]{_CONT}"
+
+
+def repair_utf8_mojibake(text: "Column | str") -> "dict[str, Column]":
+    """Single-pass mojibake repair (the ftfy core case): text that was
+    UTF-8 bytes wrongly decoded as latin-1 ('cafe\u0301' shapes like
+    'cafA\u0303A(c)') is re-encoded to its original bytes and decoded
+    as UTF-8 -- entirely JVM-side (encode/decode/rlike, whole-stage
+    codegen; a 100 TB crawl column repairs at scan speed).
+
+    Returns {'repaired': Column, 'was_mojibake': Column}.  Repair
+    applies ONLY when the whole string matches MOJIBAKE_SHAPE_RE
+    (ASCII + latin-1-visible well-formed UTF-8 sequences) and at
+    least one multi-byte sequence is present -- clean text, plain
+    latin-1 accents ('cafe' with a real e-acute stays itself), and
+    hostile surrogate/overlong shapes all pass through untouched.
+    CASE evaluates lazily, so the encode/decode branch never sees a
+    row the guards exclude."""
+    t = F.col(text) if isinstance(text, str) else text
+    repairable = t.rlike(MOJIBAKE_SHAPE_RE) & t.rlike(_MOJI_HINT_RE)
+    repaired = F.when(
+        repairable, F.decode(F.encode(t, "ISO-8859-1"), "UTF-8")
+    ).otherwise(t)
+    return {"repaired": repaired, "was_mojibake": repairable}

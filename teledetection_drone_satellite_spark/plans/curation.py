@@ -663,3 +663,52 @@ def access_log_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("is_bot").cast("long")).alias("n_bots"),
         )
     )
+
+
+@register(
+    "mojibake_repair",
+    oracle="""
+    SELECT doc_id,
+           doc_id % 3 = 0 AS was_mojibake,
+           CASE doc_id % 3
+               WHEN 0 THEN 'café señor ' || CAST(doc_id AS VARCHAR)
+                           || ' — dash'
+               WHEN 1 THEN 'café señor ' || CAST(doc_id AS VARCHAR)
+               ELSE 'plain text ' || CAST(doc_id AS VARCHAR)
+           END AS out_text
+    FROM documents WHERE doc_id < 300
+    """,
+    doc="Mojibake repair (r12 — the ftfy core case a crawl pipeline "
+    "hits constantly: UTF-8 bytes wrongly decoded as latin-1 upstream "
+    "corrupt dedup digests and language ID): every third document "
+    "carries the latin-1-mangled form of an accented string (with a "
+    "3-byte em dash, so both 2- and 3-byte sequences are exercised); "
+    "repair_utf8_mojibake re-encodes and decodes it JVM-side behind "
+    "the RFC 3629 well-formedness guard — Spark 4 encode/decode "
+    "RAISE on unmappable/malformed input, so the guard regex is "
+    "load-bearing. Clean accented text and plain ASCII must pass "
+    "through byte-identical with was_mojibake=false; the oracle "
+    "states every output string in closed form.",
+    tags=("text", "curation"),
+)
+def mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .filter(F.col("doc_id") < 300)
+    )
+    did = F.col("doc_id")
+    v = did % 3
+    planted = d.select(
+        "doc_id",
+        F.when(v == 0, F.concat(F.lit('cafÃ© seÃ±or '), did.cast("string"),
+                                F.lit(' â\x80\x94 dash')))
+        .when(v == 1, F.concat(F.lit("café señor "), did.cast("string")))
+        .otherwise(F.concat(F.lit("plain text "), did.cast("string")))
+        .alias("text"),
+    )
+    cols = text.repair_utf8_mojibake("text")
+    return planted.select(
+        "doc_id",
+        cols["was_mojibake"].alias("was_mojibake"),
+        cols["repaired"].alias("out_text"),
+    )

@@ -147,3 +147,33 @@ def test_gopher_flags_match_python_reference(spark):
         assert r.ok_ellipsis == (10 * ell <= 3 * n_l), i
         assert r.ok_alpha == (5 * alpha >= 4 * n_w), i
         assert r.ok_stop == (stops >= 2), i
+
+
+def test_repair_utf8_mojibake(spark):
+    from pyspark.sql import functions as F
+
+    from teledetection_drone_satellite_spark.operators.text import (
+        repair_utf8_mojibake,
+    )
+
+    correct = "caf\u00e9 se\u00f1or \u2014 na\u00efve \U0001f600"
+    moji = correct.encode("utf-8").decode("latin-1")
+    surrogate = "x" + b"\xed\xa0\x80".decode("latin-1") + " s"
+    overlong = "y" + b"\xc0\xaf".decode("latin-1") + " o"
+    rows = [
+        (0, moji),          # full repair incl. 3/4-byte sequences
+        (1, correct),       # already clean: untouched
+        (2, "plain ascii"),
+        (3, "caf\u00e9"),    # real latin-1 accents: untouched
+        (4, surrogate),     # UTF-8-encoded surrogate shape: untouched
+        (5, overlong),      # overlong C0 shape: untouched
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    cols = repair_utf8_mojibake("t")
+    got = {r.id: r for r in df.select(
+        "id", cols["repaired"].alias("r"),
+        cols["was_mojibake"].alias("m")).collect()}
+    assert got[0].m and got[0].r == correct
+    for i in range(1, 7):
+        assert not got[i].m and got[i].r == rows[i][1], i
