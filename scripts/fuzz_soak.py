@@ -1,0 +1,196 @@
+"""Extended fuzz soak for the wheel-free decoders.
+
+The per-commit hypothesis tiers run ~100 examples each; a fresh seed
+pool can still falsify a never-crash contract (it did twice in r11).
+This script runs the same generator shapes at soak scale — bit-flips
+over synth fixtures, truncations, and magic-prefixed garbage — and
+reports every (module, seed, kind) that raises, so failures are
+reproducible and pinnable.
+
+Usage: python scripts/fuzz_soak.py [iterations_per_decoder] [seed0]
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+import traceback
+import zlib
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from teledetection_drone_satellite_spark.sources import (  # noqa: E402
+    aiff, arc, docx, epub, gpx, html, ical, id3, las, markdown, mbox,
+    netcdf, odt, pdf, pptx, robots, rtf, shapefile, sitemap,
+    subtitles, warc, xlsx,
+)
+
+
+def _warc_synth(i: int) -> bytes:
+    doc, _ = html.synth_html(i % 500)
+    modes = [None, "chunked", "gzip", "deflate", "gzip+chunked"]
+    recs = [("warcinfo", "", 0, b"x\r\n"),
+            ("response", "http://e/%d" % i, 200, doc.encode(),
+             modes[i % 5]),
+            ("conversion", "http://e/%d" % i, 0, b"wet text %d" % i)]
+    return warc.synth_warc(recs, gz=i % 2 == 1)
+
+
+def _arc_synth(i: int) -> bytes:
+    doc, _ = html.synth_html(i % 500)
+    modes = [None, "chunked", "gzip", "deflate", "gzip+chunked"]
+    return arc.synth_arc(
+        [("http://e/%d" % i, 200, doc.encode(), modes[i % 5])],
+        gz=i % 2 == 1)
+
+
+
+def _pdf_synth(i: int) -> bytes:
+    return pdf.synth_pdf([["page %d text" % i, "line two %d" % i]],
+                         flate=i % 2 == 0, xref_stream=i % 2 == 1)
+
+
+def _netcdf_synth(i: int) -> bytes:
+    import numpy as np
+
+    ny, nx = 2 + i % 3, 3 + i % 3
+    elev = (np.arange(ny * nx, dtype=np.float64) * 0.5 + i).reshape(ny, nx)
+    return netcdf.encode_netcdf(
+        [("y", ny), ("x", nx)], {"title": (2, b"soak %d" % i)},
+        [{"name": "elev", "dims": [0, 1], "type": 6, "attrs": {},
+          "data": elev}],
+        version=1 + i % 2)
+
+
+def _shp_synth(i: int) -> bytes:
+    pts = [(float(k + i % 7), float(k * 2 % 9)) for k in range(4)]
+    if i % 2 == 0:
+        return shapefile.encode_shp([pts[0]], 1)  # Point (x, y)
+    ring = pts + [pts[0]]
+    return shapefile.encode_shp([[ring]], 5)  # Polygon: [parts]
+
+
+def _las_synth(i: int) -> bytes:
+    n = 5 + i % 6
+    pts = {"X": list(range(n)), "Y": [k * 2 for k in range(n)],
+           "Z": [k % 3 for k in range(n)],
+           "intensity": [k % 100 for k in range(n)],
+           "classification": [k % 5 for k in range(n)],
+           "gps_time": [k * 0.5 for k in range(n)],
+           "scan_angle": [k % 10 for k in range(n)]}
+    fmt = (0, 1, 6, 7)[i % 4]
+    if fmt == 7:  # RGB-bearing format
+        pts["red"] = [k % 256 for k in range(n)]
+        pts["green"] = [k % 128 for k in range(n)]
+        pts["blue"] = [k % 64 for k in range(n)]
+    return las.encode_las(pts, fmt=fmt)
+
+
+def _mbox_synth(i: int) -> bytes:
+    return mbox.synth_mbox([
+        {"sender": "a@ex.com", "subject": "Soak %d" % i,
+         "body": "line one %d\nFrom the start\nbye" % i,
+         "mode": ("7bit", "qp", "b64", "multipart")[i % 4]},
+    ])
+
+
+DECODERS = {
+    "pdf": (_pdf_synth, pdf.extract_pdf_text),
+    "netcdf": (_netcdf_synth, netcdf.decode_netcdf),
+    "shapefile": (_shp_synth, shapefile.decode_shp),
+    "las": (_las_synth, las.decode_las),
+    "mbox": (_mbox_synth, mbox.parse_mbox),
+    "docx": (lambda i: docx.synth_docx(i % 1000)[0],
+             docx.extract_docx_text),
+    "odt": (lambda i: odt.synth_odt(i % 1000)[0], odt.extract_odt_text),
+    "pptx": (lambda i: pptx.synth_pptx(i % 1000)[0],
+             pptx.extract_pptx_text),
+    "xlsx": (lambda i: xlsx.synth_xlsx(i % 1000)[0],
+             xlsx.extract_xlsx_cells),
+    "rtf": (lambda i: rtf.synth_rtf(i % 1000)[0], rtf.extract_rtf_text),
+    "ical": (lambda i: ical.synth_ics(i % 1000)[0], ical.parse_ics),
+    "arc": (_arc_synth, arc.parse_arc),
+    "warc": (_warc_synth, warc.parse_warc),
+    "sitemap": (lambda i: sitemap.synth_sitemap(i % 1000)[0],
+                sitemap.parse_sitemap),
+    "robots": (lambda i: b"User-agent: *\nDisallow: /p%d/\n"
+               b"Allow: /p%d/pub\nSitemap: https://e/s.xml\n"
+               % (i % 7, i % 7),
+               lambda b: robots.robots_allowed(
+                   robots.parse_robots(b), "bot", "/p3/x")),
+    "html_bytes": (lambda i: html.synth_html_legacy(i % 1000)[0],
+                   html.extract_html_text),
+    "html_meta": (lambda i: html.synth_html_meta(i % 1000)[0].encode(),
+                  html.extract_html_meta),
+    "html_ld": (lambda i: html.synth_html_ldjson(i % 1000)[0].encode(),
+                html.extract_html_ldjson),
+    "html_boiler": (lambda i: html.synth_html_boiler(i % 1000)[0].encode(),
+                    html.extract_html_content),
+    "epub": (lambda i: epub.synth_epub(i % 1000)[0],
+             epub.extract_epub_text),
+    "gpx": (lambda i: gpx.synth_gpx(
+        [[[(float(i % 80), float(i % 170), 1.0)]]]), gpx.parse_gpx),
+    "aiff": (lambda i: aiff.synth_aiff(
+        22050, 20, 1 + i % 3, (8, 16, 24, 32)[i % 4]), aiff.decode_aiff),
+    "id3": (lambda i: id3.synth_id3(
+        {"TIT2": "t%d" % i, "TALB": "a"}, 3 + i % 2, 0), id3.decode_id3),
+    "subtitles": (lambda i: subtitles.synth_subtitles(i % 1000)[0],
+                  subtitles.parse_subtitles),
+    "markdown": (lambda i: markdown.synth_markdown(i % 1000)[0].encode(),
+                 markdown.extract_markdown_text),
+}
+
+
+def main() -> None:
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+    seed0 = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    failures = []
+    for name, (synth, decode) in DECODERS.items():
+        if decode is None:
+            print(f"{name}: SKIP (no decoder resolved)")
+            continue
+        n_none = n_ok = 0
+        for it in range(iters):
+            seed = seed0 + it
+            rnd = random.Random(zlib.crc32(name.encode()) * 1000003 + seed)
+            kind = it % 3
+            try:
+                if kind == 0:  # bit flips over a synth fixture
+                    blob = bytearray(synth(seed))
+                    if not blob:
+                        continue
+                    for _ in range(1 + rnd.randrange(10)):
+                        blob[rnd.randrange(len(blob))] ^= \
+                            1 << rnd.randrange(8)
+                    data = bytes(blob)
+                elif kind == 1:  # truncation
+                    blob = synth(seed)
+                    if not blob:
+                        continue
+                    data = blob[: rnd.randrange(len(blob) + 1)]
+                else:  # magic-prefixed garbage
+                    blob = synth(seed)
+                    data = blob[: rnd.randrange(0, min(40, len(blob) or 1))] \
+                        + bytes(rnd.randrange(256)
+                                for _ in range(rnd.randrange(400)))
+                out = decode(data)
+                if out is None:
+                    n_none += 1
+                else:
+                    n_ok += 1
+            except Exception:
+                failures.append((name, kind, seed))
+                print(f"FAIL {name} kind={kind} seed={seed}")
+                traceback.print_exc(limit=3)
+                break  # first failure per decoder is enough to pin
+        print(f"{name}: {iters} iters, {n_ok} decoded, {n_none} refused"
+              + (" FAILED" if failures and failures[-1][0] == name else ""))
+    if failures:
+        print("FAILURES:", failures)
+        sys.exit(1)
+    print("soak clean")
+
+
+if __name__ == "__main__":
+    main()

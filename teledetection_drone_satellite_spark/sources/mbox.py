@@ -121,15 +121,21 @@ def parse_mbox(content: bytes) -> "list[dict] | None":
                 raw, policy=email.policy.default)
         except Exception:
             return None
+        def ctype(p) -> str:
+            try:  # Content-Type parses lazily; junk values raise
+                return p.get_content_type()
+            except Exception:
+                return "application/octet-stream"
+
         body = ""
         part = msg
         if msg.is_multipart():
             part = None
             for p in msg.walk():
-                if p.get_content_type() == "text/plain":
+                if ctype(p) == "text/plain":
                     part = p
                     break
-        if part is not None and part.get_content_type() == "text/plain":
+        if part is not None and ctype(part) == "text/plain":
             try:
                 body = part.get_content()
             except Exception:
@@ -139,14 +145,27 @@ def parse_mbox(content: bytes) -> "list[dict] | None":
         # raw postmarks in the stream, so their decoded '>From ' is
         # genuine content
         if part is not None:
-            cte = str(part.get("Content-Transfer-Encoding",
-                               "7bit")).lower()
+            cte = (_header(part, "Content-Transfer-Encoding")
+                   or "7bit").lower()
             if cte in ("", "7bit", "8bit", "binary"):
                 body = _QUOTED_FROM.sub(
                     lambda m: m.group(1)[1:] + "From ", body)
         out.append({
-            "sender": str(msg.get("From", "")),
-            "subject": str(msg.get("Subject", "")),
+            "sender": _header(msg, "From"),
+            "subject": _header(msg, "Subject"),
             "body": body.rstrip("\n"),
         })
     return out if out else None
+
+
+def _header(msg, name: str) -> str:
+    """Header fetch that survives the stdlib's lazy value parsing:
+    email.policy.default re-parses addresses on access and its
+    _header_value_parser raises (IndexError, HeaderParseError, ...)
+    on pathological values like a bare '@' — soak-fuzz-found.  A
+    junk header reads as '' (what real mail tooling does), never a
+    crash."""
+    try:
+        return str(msg.get(name, ""))
+    except Exception:
+        return ""

@@ -386,7 +386,10 @@ def _intarray_key(head: bytes, key: bytes) -> "list[int] | None":
     m = re.search(rb"/" + key + rb"\s*\[([^\]]*)\]", head)
     if not m:
         return None
-    return [int(x) for x in m.group(1).split()]
+    toks = m.group(1).split()
+    if not all(t.isdigit() for t in toks):
+        return None  # corrupted array token (soak-fuzz-found): refuse
+    return [int(t) for t in toks]
 
 
 def extract_pdf_text(content: bytes) -> "list[str] | None":

@@ -100,3 +100,40 @@ def test_fuzz_mbox_survives_bit_flips(seed, nflip):
 def test_fuzz_mbox_garbage_never_crashes(data):
     out = parse_mbox(b"From a@x Thu Jan  1 00:00:00 2026\n" + data)
     assert out is None or isinstance(out, list)
+
+
+def test_regression_pathological_headers_never_crash():
+    """Soak-fuzz-found: email.policy.default lazily re-parses address
+    headers on access, and the stdlib parser raises (IndexError /
+    HeaderParseError) on values like a bare '@'. Junk headers read as
+    '' — never a crash, never a whole-archive refusal."""
+    arc = (b"From a@b Thu Jan  1 00:00:00 2026\n"
+           b"From: @\n"
+           b"Subject: =?utf-8?q?ok?=\n"
+           b"Content-Type: text/plain\n\n"
+           b"body line\n")
+    got = parse_mbox(arc)
+    assert got is not None and isinstance(got[0]["sender"], str)
+    assert got[0]["body"] == "body line"
+    # the crash shape the soak found: truncated multi-header archives
+    # whose From value the parser chokes on mid-fetch
+    import random as _random
+    import zlib as _zlib
+
+    from teledetection_drone_satellite_spark.sources.mbox import (
+        synth_mbox,
+    )
+
+    blob = synth_mbox([
+        {"sender": "a@ex.com", "subject": "Soak 730",
+         "body": "line one 730\nFrom the start\nbye", "mode": "b64"}])
+    rnd = _random.Random(_zlib.crc32(b"mbox") * 1000003 + 50730)
+    data = blob[: rnd.randrange(len(blob) + 1)]
+    out2 = parse_mbox(data)
+    assert out2 is None or isinstance(out2, list)
+    # pathological Content-Type never crashes the part walk
+    arc2 = (b"From a@b Thu Jan  1 00:00:00 2026\n"
+            b'Content-Type: "\n\n'
+            b"x\n")
+    out = parse_mbox(arc2)
+    assert out is None or isinstance(out, list)

@@ -203,3 +203,26 @@ def test_regression_objstm_recursive_indirect_length():
         b"startxref\n" + sm.group(1),
         b"startxref\n" + str(int(sm.group(1)) + delta).encode(), 1)
     assert pdf.extract_pdf_text(crafted) is None
+
+
+def test_regression_corrupt_w_array_token():
+    """Soak-fuzz-found (scripts/fuzz_soak.py, pdf seed 50915): a bit
+    flip inside an xref-stream /W array ('1 4 2' -> '1 4`2') crashed
+    _intarray_key with ValueError; corrupted tokens must refuse."""
+    import random as _random
+    import zlib as _zlib
+
+    blob = bytearray(pdf.synth_pdf([["page text", "line two"]],
+                                   flate=False, xref_stream=True))
+    rnd = _random.Random(_zlib.crc32(b"pdf") * 1000003 + 50915)
+    for _ in range(1 + rnd.randrange(10)):
+        blob[rnd.randrange(len(blob))] ^= 1 << rnd.randrange(8)
+    out = pdf.extract_pdf_text(bytes(blob))
+    assert out is None or isinstance(out, list)
+    # direct: non-numeric /W token
+    from teledetection_drone_satellite_spark.sources.pdf import (
+        _intarray_key,
+    )
+
+    assert _intarray_key(b"/W [1 4`2]", b"W") is None
+    assert _intarray_key(b"/W [1 4 2]", b"W") == [1, 4, 2]
