@@ -142,9 +142,51 @@ DECODERS = {
 }
 
 
+
+
+def _mm_cases():
+    """Pixel/audio tier (sources/multimodal.py + codec modules) —
+    appended to DECODERS lazily so the import cost is paid once."""
+    from teledetection_drone_satellite_spark.sources import multimodal as mm
+
+    def tiff_synth(i):
+        if hasattr(mm, "synth_tiff_full"):
+            return mm.synth_tiff_full(4 + i % 6, 3 + i % 5)
+        return mm.synth_tiff_exif(4 + i % 6, 3 + i % 5)
+
+    cases = {
+        "png": (lambda i: mm.synth_png_full(4 + i % 9, 3 + i % 7,
+                                            (0, 2)[i % 2]),
+                mm.decode_png),
+        "gif": (lambda i: mm.synth_gif_full(4 + i % 9, 3 + i % 7),
+                mm.decode_gif),
+        "bmp": (lambda i: mm.synth_bmp(4 + i % 9, 3 + i % 7),
+                mm.decode_bmp),
+        "webp": (lambda i: mm.synth_webp_lossless(4 + i % 9, 3 + i % 7)
+                 if i % 2 == 0
+                 else mm.synth_webp_lossy(16 * (1 + i % 2),
+                                          16 * (1 + i % 3)),
+                 mm.decode_webp),
+        "ico": (lambda i: mm.synth_ico([(8, 8, ("png", "bmp")[i % 2])]),
+                mm.decode_ico),
+        "wav": (lambda i: mm.synth_wav_full(8000, 30 + i % 50),
+                mm.parse_wav_header),
+        "image_header": (lambda i: mm.synth_jpeg(4 + i % 60, 3 + i % 40),
+                         mm.parse_image_header),
+        "exif": (lambda i: mm.synth_jpeg_exif(
+                    6, 4, 1 + i % 8, "N", (10 + i % 40, 30, 2500),
+                    "E", (20 + i % 60, 15, 1200)),
+                 mm.parse_exif_gps),
+    }
+    return cases
+
 def main() -> None:
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
     seed0 = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    try:
+        DECODERS.update(_mm_cases())
+    except Exception:
+        print('mm tier unavailable:', sys.exc_info()[1])
     failures = []
     for name, (synth, decode) in DECODERS.items():
         if decode is None:
