@@ -691,3 +691,52 @@ def repair_utf8_mojibake(text: "Column | str") -> "dict[str, Column]":
         repairable, F.decode(F.encode(t, "ISO-8859-1"), "UTF-8")
     ).otherwise(t)
     return {"repaired": repaired, "was_mojibake": repairable}
+
+
+# Unicode script classes for mix detection (regexp_count character
+# classes — Java regex understands the BMP ranges directly).
+SCRIPT_RANGES = {
+    "latin": "[A-Za-z\\u00c0-\\u024f]",
+    "cyrillic": "[\\u0400-\\u04ff]",
+    "greek": "[\\u0370-\\u03ff]",
+    "arabic": "[\\u0600-\\u06ff]",
+    "hebrew": "[\\u0590-\\u05ff]",
+    "devanagari": "[\\u0900-\\u097f]",
+    "cjk": "[\\u4e00-\\u9fff\\u3040-\\u30ff\\uac00-\\ud7af]",
+}
+
+
+def script_mix(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-document Unicode script histogram + dominant script — the
+    sanity check every multilingual corpus needs (a 'en' shard with
+    30% cyrillic chars is mislabeled or mojibake-ridden; pair with
+    repair_utf8_mojibake upstream).  One regexp_count per script
+    class, an argmax CASE chain, all codegen: a 100 TB column
+    profiles at scan speed.  Counts are letters-of-script (digits,
+    punctuation, and space are scriptless and excluded from the
+    denominator).  dominant_script = 'none' when no script letter
+    occurs; ties break by the SCRIPT_RANGES declaration order
+    (insertion-ordered, latin first)."""
+    t = F.col(text_col)
+    counts = {name: F.regexp_count(t, F.lit(rx)).cast("long")
+              for name, rx in SCRIPT_RANGES.items()}
+    total = None
+    for c in counts.values():
+        total = c if total is None else (total + c)
+    best_name = None
+    best_count = None
+    for name, c in counts.items():
+        if best_name is None:
+            best_name, best_count = F.lit(name), c
+        else:
+            cond = c > best_count
+            best_name = F.when(cond, F.lit(name)).otherwise(best_name)
+            best_count = F.when(cond, c).otherwise(best_count)
+    dominant = F.when(total == 0, F.lit("none")).otherwise(best_name)
+    return df.select(
+        F.col(id_col),
+        *[c.alias("n_" + name) for name, c in counts.items()],
+        total.alias("n_script_chars"),
+        dominant.alias("dominant_script"),
+    )

@@ -712,3 +712,53 @@ def mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols["was_mojibake"].alias("was_mojibake"),
         cols["repaired"].alias("out_text"),
     )
+
+
+@register(
+    "script_mix_profile",
+    oracle="""
+    WITH d AS (SELECT doc_id, doc_id % 5 AS v FROM documents)
+    SELECT doc_id,
+           CAST(CASE v WHEN 0 THEN 19 WHEN 3 THEN 10 ELSE 0 END
+                AS BIGINT) AS n_latin,
+           CAST(CASE v WHEN 1 THEN 16 WHEN 3 THEN 6 ELSE 0 END
+                AS BIGINT) AS n_cyrillic,
+           CAST(CASE v WHEN 2 THEN 11 ELSE 0 END AS BIGINT) AS n_cjk,
+           CAST(CASE v WHEN 0 THEN 19 WHEN 1 THEN 16 WHEN 2 THEN 11
+                WHEN 3 THEN 16 ELSE 0 END AS BIGINT) AS n_script_chars,
+           CASE v WHEN 0 THEN 'latin' WHEN 1 THEN 'cyrillic'
+                WHEN 2 THEN 'cjk' WHEN 3 THEN 'latin'
+                ELSE 'none' END AS dominant_script
+    FROM d
+    """,
+    doc="Unicode script-mix profiling (r12 — the multilingual-corpus "
+    "sanity check: an 'en' shard with heavy cyrillic is mislabeled "
+    "or mojibake-ridden; pairs with mojibake_repair upstream): one "
+    "JVM regexp_count per script class + an argmax CASE chain, pure "
+    "codegen, no Python, no shuffle before the output. Five planted "
+    "variants cover single-script latin/cyrillic/cjk, a latin-"
+    "dominant MIX whose per-script counts the oracle pins exactly, "
+    "and a scriptless digits/punctuation doc that must report "
+    "dominant='none'.",
+    tags=("text", "curation"),
+)
+def script_mix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    v = F.col("doc_id") % 5
+    texts = [
+        "hello latin world only",
+        "Привет мир это тест",
+        "你好世界 測試 こんにちは",
+        "hello Привет mixed",
+        "12345 !!! ...",
+    ]
+    expr = F.when(v == 0, F.lit(texts[0]))
+    for k in range(1, 4):
+        expr = expr.when(v == k, F.lit(texts[k]))
+    planted = d.select(
+        "doc_id", expr.otherwise(F.lit(texts[4])).alias("text"))
+    out = text.script_mix(planted)
+    return out.select(
+        "doc_id", "n_latin", "n_cyrillic", "n_cjk",
+        "n_script_chars", "dominant_script",
+    )

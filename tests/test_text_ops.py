@@ -177,3 +177,32 @@ def test_repair_utf8_mojibake(spark):
     assert got[0].m and got[0].r == correct
     for i in range(1, 7):
         assert not got[i].m and got[i].r == rows[i][1], i
+
+
+def test_script_mix(spark):
+    from teledetection_drone_satellite_spark.operators.text import (
+        script_mix,
+    )
+
+    rows = [
+        (0, "hello world"),
+        (1, "Привет мир"),
+        (2, "שלום עולם"),
+        (3, "مرحبا بالعالم"),
+        (4, "नमस्ते दुनिया"),
+        (5, "γειά σου κόσμε"),
+        (6, "你好 world wide web"),  # latin 12 > cjk 2
+        (7, "123 .,;!?"),
+        (8, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in script_mix(df).collect()}
+    assert got[0].dominant_script == "latin"
+    assert got[1].dominant_script == "cyrillic"
+    assert got[2].dominant_script == "hebrew"
+    assert got[3].dominant_script == "arabic"
+    assert got[4].dominant_script == "devanagari"
+    assert got[5].dominant_script == "greek"
+    assert got[6].dominant_script == "latin" and got[6].n_cjk == 2
+    assert got[7].dominant_script == "none"
+    assert got[8].dominant_script == "none" and got[8].n_script_chars == 0
