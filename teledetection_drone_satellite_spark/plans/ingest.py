@@ -7689,3 +7689,114 @@ def warc_brotli_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_responses int, status_sum long, "
         "total_chars long, text_digest string",
     )
+
+
+@register(
+    "crawl_curation_pipeline",
+    oracle="""
+    WITH resp AS (
+        SELECT doc_id, CAST(r.i AS INT) AS r,
+               (3 * doc_id + r.i) % 53 AS m
+        FROM documents, LATERAL unnest(range(0, 2)) r(i)
+        WHERE doc_id < 80
+    ),
+    ln AS (
+        SELECT doc_id, r, m, CAST(p.i AS INT) AS p,
+               repeat('doc ' || CAST(m AS VARCHAR)
+                      || ' prosé paragraph ' || CAST(p.i AS VARCHAR)
+                      || ' with words;', 1 + (m + p.i) % 2) AS line
+        FROM resp, LATERAL unnest(range(0, 2 + m % 4)) p(i)
+    ),
+    page AS (
+        SELECT doc_id, r, m,
+               string_agg(line, chr(10) ORDER BY p) AS text
+        FROM ln GROUP BY doc_id, r, m
+    )
+    SELECT substr(sha256(text), 1, 16) AS text_sha,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(min(length(text)) AS BIGINT) AS content_chars,
+           CAST(6 AS INT) AS boiler_lines
+    FROM page GROUP BY text
+    """,
+    doc="The COMPOSED r12 crawl-curation pipeline, graded — every "
+    "stage this round built, chained end-to-end and SHUFFLING: WARC "
+    "files whose response bodies cycle through chunked / gzip / "
+    "deflate / gzip+chunked / br / br+chunked wire forms "
+    "(decode_http_response incl. system libbrotlidec), pages DECLARED "
+    "windows-1252 via <meta charset> and encoded so (the é in every "
+    "prose line decodes to replacement junk if the WHATWG prescan is "
+    "skipped), boilerplate REMOVED by per-line link density (nav / "
+    "tagline / link-dense related row / footer drop — exactly 6 "
+    "boiler lines per page, pinned), then CROSS-DOCUMENT exact dedup "
+    "over a JVM sha2 digest exchange carrying only (digest, doc_id). "
+    "Page ids collide by construction ((3i+r) mod 53 over 160 "
+    "responses -> ~3x duplication); the oracle states every surviving "
+    "content text in closed form, so a body-decode, charset, "
+    "link-attribution, or digest bug anywhere in the chain flips the "
+    "cluster profile. This is the full first pass over a 100 TB "
+    "crawl dump as one plan: decode once per page, shuffle digests "
+    "only.",
+    tags=("ingest", "corpus", "dedup"),
+)
+def crawl_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.html import extract_html_content, synth_html_boiler
+    from ..sources.warc import parse_warc, synth_warc
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 80)
+    )
+    _MODES = (None, "chunked", "gzip", "deflate", "gzip+chunked",
+              "br", "br+chunked")
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                recs = [("warcinfo", "", 0, b"software: synth\r\n")]
+                for r in range(2):
+                    m = (3 * i + r) % 53
+                    html, _, _ = synth_html_boiler(m)
+                    page = html.replace("prose", "prosé").replace(
+                        "<head>",
+                        '<head><meta charset="windows-1252">')
+                    recs.append(
+                        ("response", "http://ex.com/%d/%d" % (i, r),
+                         200, page.encode("cp1252"),
+                         _MODES[(i + r) % len(_MODES)])
+                    )
+                got = parse_warc(synth_warc(recs, gz=i % 2 == 1))
+                for g in got:
+                    if g["type"] == "response":
+                        content, boiler = extract_html_content(g["body"])
+                        rows.append(
+                            (i, "\n".join(content), len(boiler)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "text", "n_boiler"])
+
+    pages = ids.mapInPandas(
+        gen, "doc_id long, text string, n_boiler int")
+    return (
+        pages.withColumn("digest", F.sha2(F.col("text"), 256))
+        .groupBy("digest")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.min(F.length("text")).cast("long").alias("content_chars"),
+            F.max("n_boiler").alias("boiler_lines"),
+        )
+        .select(
+            F.substring("digest", 1, 16).alias("text_sha"),
+            "n_copies", "n_docs", "first_doc", "content_chars",
+            "boiler_lines",
+        )
+    )
