@@ -7800,3 +7800,79 @@ def crawl_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "boiler_lines",
         )
     )
+
+
+@register(
+    "vcard_contact_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 1 + doc_id % 3 AS n_cards
+        FROM documents WHERE doc_id < 120
+    ),
+    card AS (
+        SELECT doc_id, n_cards, CAST(k.i AS INT) AS k,
+               1 + (doc_id + k.i) % 2 AS n_emails,
+               'Person ' || CAST(doc_id AS VARCHAR) || '-'
+                   || CAST(k.i AS VARCHAR) || ', PhD' AS fn
+        FROM spec, LATERAL unnest(range(0, n_cards)) k(i)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_cards,
+           CAST(sum(n_emails) AS BIGINT) AS n_emails,
+           CAST(count(*) AS BIGINT) AS n_tels,
+           string_agg(substr(sha256(fn), 1, 8), '' ORDER BY k)
+               AS fn_digest
+    FROM card GROUP BY doc_id
+    """,
+    doc="vCard parsing, graded (r12 — the contacts sidecar of the "
+    "mail tier): per doc synth_vcf writes an address book whose EVERY "
+    "line is folded at 50 octets, with escaped-comma FNs, structured "
+    "N fields, repeatable typed EMAILs, group-prefixed v4 tel: URIs "
+    "the reader must strip, X- decoys, and 3.0/4.0 version "
+    "alternation. The oracle states card counts, email totals, and "
+    "an ORDERED FN sha256 chain — an unfolding, unescaping, param, "
+    "or group-prefix bug flips it.",
+    tags=("ingest", "multimodal", "corpus"),
+)
+def vcard_contact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.vcard import parse_vcf, synth_vcf
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_vcf(i)
+                cards = parse_vcf(raw)
+                digest = "".join(
+                    hashlib.sha256(c["fn"].encode()).hexdigest()[:8]
+                    for c in cards
+                )
+                rows.append(
+                    (i, len(cards),
+                     sum(len(c["emails"]) for c in cards),
+                     sum(len(c["tels"]) for c in cards), digest)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_cards", "n_emails", "n_tels",
+                         "fn_digest"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_cards int, n_emails long, n_tels long, "
+        "fn_digest string",
+    )

@@ -1,0 +1,154 @@
+"""vCard (.vcf) parsing — pure stdlib, from the public RFC 6350
+(vCard 4.0) with the vCard 3.0 compatibilities mail tools emit.
+
+The contacts sidecar of the mail tier (sources/mbox.py, ical.py):
+exported address books ride along in mailbox dumps and leak into
+crawl corpora.  Shares iCalendar's content-line syntax: UNFOLDING
+(CRLF + space/tab), ``NAME;PARAM=V:VALUE`` properties with groups
+(``item1.TEL``), TEXT escaping (``\\n`` ``\\,`` ``\\;``), and
+BEGIN/END:VCARD envelopes — multiple cards per file.  Parsed
+properties: FN, N (structured, 5 ';'-separated parts), EMAIL and TEL
+(repeatable, with TYPE= params), ORG, VERSION.
+
+Refusals (None): no BEGIN:VCARD, an unterminated or nested card, a
+card without FN (required by RFC 6350 §6.2.1), or an undecodable
+byte stream — the honest-fallback contract every decoder here
+shares."""
+
+from __future__ import annotations
+
+
+def _unescape(s: str) -> str:
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            n = s[i + 1]
+            out.append({"n": "\n", "N": "\n"}.get(n, n))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def parse_vcf(content: bytes) -> "list[dict] | None":
+    """-> [{'fn', 'family', 'given', 'org', 'version',
+    'emails': [(type, addr)], 'tels': [(type, number)]}, ...] per
+    card in file order, or None per the module docstring."""
+    try:
+        text = content.decode("utf-8", errors="strict")
+    except UnicodeDecodeError:
+        try:
+            text = content.decode("latin-1")
+        except Exception:
+            return None
+    text = text.replace("\r\n", "\n").replace("\r", "\n")
+    text = text.replace("\n ", "").replace("\n\t", "")
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    if not any(ln.strip().upper() == "BEGIN:VCARD" for ln in lines):
+        return None
+    cards: "list[dict]" = []
+    cur: "dict | None" = None
+    for ln in lines:
+        if ":" not in ln:
+            continue  # junk line: ignored per the be-liberal convention
+        head, _, value = ln.partition(":")
+        # group prefix (item1.TEL) then params (TEL;TYPE=work)
+        name_part = head.split(".", 1)[-1]
+        segs = name_part.split(";")
+        name = segs[0].strip().upper()
+        params: "dict[str, str]" = {}
+        for p in segs[1:]:
+            k, _, v = p.partition("=")
+            params[k.strip().upper()] = v.strip().strip('"').lower()
+        if name == "BEGIN" and value.strip().upper() == "VCARD":
+            if cur is not None:
+                return None  # nested card: refuse
+            cur = {"fn": None, "family": "", "given": "", "org": "",
+                   "version": "", "emails": [], "tels": []}
+        elif name == "END" and value.strip().upper() == "VCARD":
+            if cur is None:
+                return None
+            if not cur["fn"]:
+                return None  # FN is required (RFC 6350 §6.2.1)
+            cards.append(cur)
+            cur = None
+        elif cur is not None:
+            if name == "FN" and cur["fn"] is None:
+                cur["fn"] = _unescape(value.strip())
+            elif name == "N":
+                parts = value.split(";")
+                cur["family"] = _unescape(parts[0]) if parts else ""
+                cur["given"] = (_unescape(parts[1])
+                                if len(parts) > 1 else "")
+            elif name == "ORG":
+                cur["org"] = _unescape(value.split(";")[0])
+            elif name == "VERSION":
+                cur["version"] = value.strip()
+            elif name == "EMAIL":
+                cur["emails"].append(
+                    (params.get("TYPE", ""), value.strip()))
+            elif name == "TEL":
+                # v4 carries tel: URIs; strip the scheme
+                num = value.strip()
+                if num.lower().startswith("tel:"):
+                    num = num[4:]
+                cur["tels"].append((params.get("TYPE", ""), num))
+    if cur is not None:
+        return None  # unterminated card: truncated file
+    return cards if cards else None
+
+
+def synth_vcf(doc_id: int) -> "tuple[bytes, list[dict]]":
+    """Deterministic fixture address book + expected cards.  Closed
+    form (mirrored by the vcard_contact_stats oracle):
+
+        n_cards = 1 + doc_id % 3
+        card k: fn = 'Person {i}-{k}, PhD'  (escaped comma)
+                family/given = 'Fam{i+k}' / 'Giv{k}'
+                org = 'Org {i % 7}'
+                emails: 1 + (i+k) % 2 entries p{j}.{i}.{k}@ex.com
+                tel: +1-555-{(100*i+k) % 10000:04d}
+
+    Every line is folded at 50 octets; versions alternate 3.0/4.0
+    (4.0 writes tel: URIs the reader must strip)."""
+    i = int(doc_id)
+    n = 1 + i % 3
+    out = []
+    expected = []
+    for k in range(n):
+        v4 = (i + k) % 2 == 1
+        fn = "Person %d-%d, PhD" % (i, k)
+        n_emails = 1 + (i + k) % 2
+        emails = [("work" if j % 2 == 0 else "home",
+                   "p%d.%d.%d@ex.com" % (j, i, k))
+                  for j in range(n_emails)]
+        tel = "+1-555-%04d" % ((100 * i + k) % 10000)
+        out.append("BEGIN:VCARD")
+        out.append("VERSION:%s" % ("4.0" if v4 else "3.0"))
+        out.append("FN:" + fn.replace(",", "\\,"))
+        out.append("N:Fam%d;Giv%d;;;" % (i + k, k))
+        out.append("ORG:Org %d;Unit DECOY" % (i % 7))
+        out.append("X-DECOY:ignore me")
+        for t, addr in emails:
+            out.append("EMAIL;TYPE=%s:%s" % (t, addr))
+        if v4:
+            out.append("item1.TEL;TYPE=cell:tel:%s" % tel)
+        else:
+            out.append("TEL;TYPE=cell:%s" % tel)
+        out.append("END:VCARD")
+        expected.append({
+            "fn": fn, "family": "Fam%d" % (i + k),
+            "given": "Giv%d" % k, "org": "Org %d" % (i % 7),
+            "version": "4.0" if v4 else "3.0",
+            "emails": emails, "tels": [("cell", tel)],
+        })
+    folded = []
+    for ln in out:
+        while len(ln) > 50:
+            folded.append(ln[:50])
+            ln = " " + ln[50:]
+        folded.append(ln)
+    return ("\r\n".join(folded) + "\r\n").encode(), expected

@@ -1,0 +1,75 @@
+"""vCard parsing (sources/vcard.py): unfolding, escaping, groups,
+params, tel: URIs, refusals, never-crash fuzz."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.vcard import (
+    parse_vcf,
+    synth_vcf,
+)
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    raw, expected = synth_vcf(doc_id)
+    got = parse_vcf(raw)
+    assert got is not None and len(got) == len(expected)
+    for g, e in zip(got, expected):
+        for key in ("fn", "family", "given", "org", "version",
+                    "emails", "tels"):
+            assert g[key] == e[key], key
+
+
+def test_vcard_syntax_details():
+    vcf = (b"BEGIN:VCARD\r\n"
+           b"VERSION:4.0\r\n"
+           b"FN:Dr. A\\, B\\nC\r\n"
+           b"N:Last;First;Mid;Dr.;Jr.\r\n"
+           b"item2.EMAIL;TYPE=\"WORK\":a@b.c\r\n"
+           b"item2.TEL;TYPE=CELL:tel:+1-2-3\r\n"
+           b"ORG:Acme;Sales\r\n"
+           b"END:VCARD\r\n")
+    got = parse_vcf(vcf)
+    c = got[0]
+    assert c["fn"] == "Dr. A, B\nC"
+    assert (c["family"], c["given"]) == ("Last", "First")
+    assert c["emails"] == [("work", "a@b.c")]
+    assert c["tels"] == [("cell", "+1-2-3")]  # tel: URI stripped
+    assert c["org"] == "Acme"
+
+
+def test_vcard_refusals():
+    good, _ = synth_vcf(4)
+    assert parse_vcf(b"") is None
+    assert parse_vcf(b"not a vcard") is None
+    assert parse_vcf(good[:-20]) is None  # unterminated
+    assert parse_vcf(good.replace(b"FN:", b"XN:")) is None  # FN required
+    assert parse_vcf(good.replace(b"BEGIN:VCARD", b"BEGIN:VCARD\r\n"
+                                  b"BEGIN:VCARD", 1)) is None  # nested
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 2**31 - 1), nflip=st.integers(1, 10))
+def test_fuzz_vcard_survives_bit_flips(seed, nflip):
+    rnd = random.Random(seed)
+    blob = bytearray(synth_vcf(rnd.randrange(1000))[0])
+    for _ in range(nflip):
+        blob[rnd.randrange(len(blob))] ^= 1 << rnd.randrange(8)
+    out = parse_vcf(bytes(blob))
+    assert out is None or isinstance(out, list)
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.binary(min_size=0, max_size=1500))
+def test_fuzz_vcard_garbage_never_crashes(data):
+    out = parse_vcf(b"BEGIN:VCARD\r\n" + data)
+    assert out is None or isinstance(out, list)
