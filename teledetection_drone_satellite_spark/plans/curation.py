@@ -762,3 +762,75 @@ def script_mix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_latin", "n_cyrillic", "n_cjk",
         "n_script_chars", "dominant_script",
     )
+
+
+_ENTROPY_T = [
+    "The survey drone crossed ridge {n} before noon and logged "
+    "battery at {m} percent.",
+    "Wind picked up near tower {n} so the pilot circled back over "
+    "sector {m} twice.",
+    "Imagery from pass {n} showed clear contrast along the east "
+    "slope near marker {m}.",
+]
+
+
+@register(
+    "compression_entropy_filter",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'low' WHEN 1 THEN 'mid'
+                ELSE 'high' END AS entropy_class
+    FROM documents WHERE doc_id < 300
+    """,
+    doc="Compression-ratio quality signal (r12 — the filter that "
+    "catches both boilerplate spam, whose zlib ratio collapses, and "
+    "base64/minified blobs masquerading as text, whose ratio "
+    "saturates): planted variants sit at ~0.05 (60x-repeated spam), "
+    "~0.43 (varied natural sentences), and ~0.83 (base64 of sha256 "
+    "chains), against bands at 0.2/0.7 — margins so wide the verdict "
+    "is zlib-version-independent, which is why the oracle states "
+    "classes, never float ratios. Arrow-batched map-only stage "
+    "(operators/text.compression_entropy_class).",
+    tags=("text", "curation"),
+)
+def compression_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 300)
+    )
+
+    def plant(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import base64
+        import hashlib
+
+        for pdf in batches:
+            ids, texts = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                v = i % 3
+                if v == 0:
+                    t = ("spam %d " % (i % 10)) * 60
+                elif v == 1:
+                    t = " ".join(
+                        _ENTROPY_T[(i + k) % 3].format(
+                            n=(i * 5 + k) % 97, m=(i + 3 * k) % 89)
+                        for k in range(6))
+                else:
+                    h = b""
+                    x = b"%d" % i
+                    while len(h) < 300:
+                        x = hashlib.sha256(x).digest()
+                        h += x
+                    t = base64.b64encode(h).decode()
+                ids.append(i)
+                texts.append(t)
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    planted = d.mapInPandas(plant, "doc_id long, text string")
+    out = text.compression_entropy_class(planted)
+    return out.select("doc_id", "entropy_class")

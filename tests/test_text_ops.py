@@ -206,3 +206,35 @@ def test_script_mix(spark):
     assert got[6].dominant_script == "latin" and got[6].n_cjk == 2
     assert got[7].dominant_script == "none"
     assert got[8].dominant_script == "none" and got[8].n_script_chars == 0
+
+
+def test_compression_entropy_class(spark):
+    import base64 as _b64
+    import hashlib as _hl
+
+    from teledetection_drone_satellite_spark.operators.text import (
+        compression_entropy_class,
+    )
+
+    blob = b""
+    x = b"seed"
+    while len(blob) < 300:
+        x = _hl.sha256(x).digest()
+        blob += x
+    rows = [
+        (0, "spam spam " * 60),                        # low
+        (1, "The quick brown fox jumps over a lazy dog "
+            "while the pilot logs battery and wind. " * 4),  # mid
+        (2, _b64.b64encode(blob).decode()),            # high
+        (3, ""),                                       # empty -> low
+        (4, "xy"),                                     # tiny: header
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           compression_entropy_class(df).collect()}
+    assert got[0].entropy_class == "low"
+    assert got[1].entropy_class == "mid"
+    assert got[2].entropy_class == "high"
+    assert got[3].entropy_class == "low" and got[3].n_bytes == 0
+    # 2-byte text: zlib header overhead makes ratio > 1 -> high band
+    assert got[4].entropy_class == "high"
