@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from teledetection_drone_satellite_spark.sources import (  # noqa: E402
     aiff, arc, docx, epub, gpx, html, ical, id3, las, markdown, mbox,
     netcdf, odt, pdf, pptx, robots, rtf, shapefile, sitemap,
-    subtitles, warc, xlsx,
+    subtitles, vcard, warc, xlsx,
 )
 
 
@@ -110,6 +110,7 @@ DECODERS = {
              xlsx.extract_xlsx_cells),
     "rtf": (lambda i: rtf.synth_rtf(i % 1000)[0], rtf.extract_rtf_text),
     "ical": (lambda i: ical.synth_ics(i % 1000)[0], ical.parse_ics),
+    "vcard": (lambda i: vcard.synth_vcf(i % 1000)[0], vcard.parse_vcf),
     "arc": (_arc_synth, arc.parse_arc),
     "warc": (_warc_synth, warc.parse_warc),
     "sitemap": (lambda i: sitemap.synth_sitemap(i % 1000)[0],
