@@ -18,6 +18,30 @@ shares."""
 from __future__ import annotations
 
 
+def _split_unescaped(value: str) -> "list[str]":
+    """Split structured values on UNESCAPED ';' only (RFC 6350 §3.3:
+    a '\\;' inside a component is literal — 'Fam\\;x;Giv' is family
+    'Fam;x', given 'Giv')."""
+    parts: "list[str]" = []
+    buf: "list[str]" = []
+    i = 0
+    while i < len(value):
+        c = value[i]
+        if c == "\\" and i + 1 < len(value):
+            buf.append(c)
+            buf.append(value[i + 1])
+            i += 2
+        elif c == ";":
+            parts.append("".join(buf))
+            buf = []
+            i += 1
+        else:
+            buf.append(c)
+            i += 1
+    parts.append("".join(buf))
+    return parts
+
+
 def _unescape(s: str) -> str:
     out = []
     i = 0
@@ -79,12 +103,12 @@ def parse_vcf(content: bytes) -> "list[dict] | None":
             if name == "FN" and cur["fn"] is None:
                 cur["fn"] = _unescape(value.strip())
             elif name == "N":
-                parts = value.split(";")
+                parts = _split_unescaped(value)
                 cur["family"] = _unescape(parts[0]) if parts else ""
                 cur["given"] = (_unescape(parts[1])
                                 if len(parts) > 1 else "")
             elif name == "ORG":
-                cur["org"] = _unescape(value.split(";")[0])
+                cur["org"] = _unescape(_split_unescaped(value)[0])
             elif name == "VERSION":
                 cur["version"] = value.strip()
             elif name == "EMAIL":
