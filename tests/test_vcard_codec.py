@@ -78,8 +78,8 @@ def test_fuzz_vcard_garbage_never_crashes(data):
 def test_vcard_escaped_semicolons_in_structured_values():
     vcf = (b"BEGIN:VCARD\r\nVERSION:3.0\r\n"
            b"FN:X\r\n"
-           b"N:Fam\;x;Giv;;;\r\n"
-           b"ORG:Acme\; Inc;Sales\r\n"
+           b"N:Fam\\;x;Giv;;;\r\n"
+           b"ORG:Acme\\; Inc;Sales\r\n"
            b"END:VCARD\r\n")
     c = parse_vcf(vcf)[0]
     assert c["family"] == "Fam;x" and c["given"] == "Giv"
