@@ -56,7 +56,9 @@ DEFAULT_ALLOWED_EXT = (
     "jpg", "jpeg", "png", "gif", "tif", "tiff", "webp", "pdf", "zip", "txt", "csv",
     "json", "mp3", "ogg", "flac", "wav", "mp4", "webm", "avi", "las", "laz",
     "html", "htm", "zst", "aiff", "aif", "shp", "md",  # r11 additions
-    "docx", "epub",  # r12 additions
+    # r12 additions — every format the engine now decodes end-to-end
+    "docx", "epub", "odt", "xlsx", "pptx", "rtf", "ics", "vcf",
+    "warc", "arc", "wet", "nc", "gpx", "mbox", "srt", "vtt", "orc",
 )
 
 
