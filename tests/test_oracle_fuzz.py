@@ -122,6 +122,12 @@ FUZZED_EVENT_QUERIES = [
     "interval_expiry",  # events straddle its fixed 2024-01-15 cutoff below
     "json_access",
     "json_typed_parse",
+    # r12 time-series batch — boundary-clustered timestamps are the
+    # epoch-floor / frame-inclusion / lead-lag divergence surface
+    "rolling_window_range",
+    "time_resample_ffill",
+    "scd2_intervals",
+    "funnel_view_click_purchase",
 ]
 
 # props within the FIXTURES contract ({"k": int} / empty object), with
@@ -313,6 +319,13 @@ FUZZED_ORDERS_QUERIES = [
     "count_pagination_meta",
     "status_breakdown",
     "rollup_status_priority",
+    # r12 OLAP batch — ties in price/status/priority are exactly where
+    # ntile/median/pivot semantics can diverge between engines
+    "cube_status_priority",
+    "pivot_status_priority",
+    "ntile_price_quartiles",
+    "histogram_totalprice",
+    "median_iqr_by_status",
     "distinct_count",
     "set_ops_nations",
     "time_trunc_rollup",
