@@ -790,3 +790,59 @@ def compression_entropy_class(df: DataFrame, text_col: str = "text",
 
     return df.select(id_col, text_col).mapInPandas(
         gen, f"{id_col} long, n_bytes long, entropy_class string")
+
+
+def misra_gries_heavy_hitters(df: DataFrame, col: str, k: int,
+                              capacity: int = 32) -> DataFrame:
+    """Mergeable heavy-hitters (Misra-Gries 1982) -> EXACT top-k, the
+    two-pass shape every 100 TB frequent-items job uses:
+
+      pass 1  per-partition MG summaries of ``capacity`` counters
+              (Arrow-batched mapInPandas; each partition emits at most
+              ``capacity`` candidate rows, so the exchange is
+              candidate-bounded, never data-bounded);
+      pass 2  exact recount of the DISTINCT candidates via a broadcast
+              semi-join back over the column, then top-k.
+
+    Correctness: any item with global frequency > n/capacity is
+    locally heavy (> n_p/capacity) in at least one partition
+    (pigeonhole over the partition sums), so it SURVIVES pass 1 —
+    the exact top-k is recovered whenever the k-th frequency clears
+    n/capacity, which the caller sizes capacity for.  Ordering is
+    (count DESC, item ASC) so ties are deterministic across engines.
+
+    vs the naive groupBy(col).count().orderBy(...): that shuffles
+    every distinct item (web-scale token vocabularies are billions);
+    this shuffles at most capacity x partitions candidates plus one
+    broadcast."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def mg(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        counters: "dict[str, int]" = {}
+        for pdf in batches:
+            for v in pdf[col]:
+                v = str(v)
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < capacity:
+                    counters[v] = 1
+                else:  # decrement-all (the MG eviction step)
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"item": list(counters.keys())})
+
+    candidates = (
+        df.select(col).mapInPandas(mg, "item string")
+        .select("item").distinct()
+    )
+    exact = df.join(
+        F.broadcast(candidates), df[col] == candidates["item"], "inner"
+    ).groupBy("item").agg(F.count("*").alias("freq"))
+    return exact.orderBy(F.desc("freq"), F.asc("item")).limit(k)

@@ -704,3 +704,47 @@ def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c16)
         .select("n_queries", (band_ok & full_ok).alias("recall_ok"))
     )
+
+
+@register(
+    "heavy_hitters_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT CASE WHEN (doc_id + 1) % 2 = 1 THEN 'w0'
+                    WHEN (doc_id + 1) % 4 = 2 THEN 'w1'
+                    WHEN (doc_id + 1) % 8 = 4 THEN 'w2'
+                    WHEN (doc_id + 1) % 16 = 8 THEN 'w3'
+                    ELSE 'w4' END AS item
+        FROM documents
+    )
+    SELECT item, count(*) AS freq
+    FROM toks GROUP BY item
+    ORDER BY freq DESC, item LIMIT 4
+    """,
+    doc="Misra-Gries heavy hitters -> exact top-k (r12 — completes "
+    "the sketch family next to the KLL-style quantile and HLL "
+    "cardinality sketches): a geometric token distribution (n/2, "
+    "n/4, n/8, n/16, n/16 — the rank-4/5 TIE is deliberate, broken "
+    "by item order identically in both engines) summarized by "
+    "32-counter per-partition MG summaries, candidates recounted "
+    "exactly via broadcast semi-join. The pigeonhole guarantee "
+    "(freq > n/32 survives pass 1) holds with 2x margin at both "
+    "scales, so the sketch path must reproduce the exact SQL top-4 "
+    "bit-for-bit. At 100 TB the exchange carries capacity x "
+    "partitions candidates, never the vocabulary.",
+    tags=("sketch", "text", "corpus"),
+)
+def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import misra_gries_heavy_hitters
+
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    did = F.col("doc_id") + 1
+    tok = (
+        F.when(did % 2 == 1, F.lit("w0"))
+        .when(did % 4 == 2, F.lit("w1"))
+        .when(did % 8 == 4, F.lit("w2"))
+        .when(did % 16 == 8, F.lit("w3"))
+        .otherwise(F.lit("w4"))
+    )
+    toks = d.select(tok.alias("item_src"))
+    return misra_gries_heavy_hitters(toks, "item_src", k=4, capacity=32)

@@ -238,3 +238,25 @@ def test_compression_entropy_class(spark):
     assert got[3].entropy_class == "low" and got[3].n_bytes == 0
     # 2-byte text: zlib header overhead makes ratio > 1 -> high band
     assert got[4].entropy_class == "high"
+
+
+def test_misra_gries_heavy_hitters(spark):
+    from teledetection_drone_satellite_spark.operators.text import (
+        misra_gries_heavy_hitters,
+    )
+
+    # skewed stream: 'a' x 300, 'b' x 150, 'c' x 80, then 470 singletons
+    rows = (["a"] * 300 + ["b"] * 150 + ["c"] * 80
+            + ["z%d" % i for i in range(470)])
+    df = spark.createDataFrame([(v,) for v in rows], "item_src string")
+    df = df.repartition(8)  # summaries must survive the partition merge
+    got = misra_gries_heavy_hitters(df, "item_src", k=3,
+                                    capacity=16).collect()
+    assert [(r.item, r.freq) for r in got] == [
+        ("a", 300), ("b", 150), ("c", 80)]
+    # deterministic tie-break on equal frequencies
+    rows2 = ["x"] * 50 + ["y"] * 50 + ["w"] * 10
+    df2 = spark.createDataFrame([(v,) for v in rows2], "item_src string")
+    got2 = misra_gries_heavy_hitters(df2, "item_src", k=2,
+                                     capacity=8).collect()
+    assert [r.item for r in got2] == ["x", "y"]
