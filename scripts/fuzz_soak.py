@@ -51,6 +51,13 @@ def _pdf_synth(i: int) -> bytes:
                          flate=i % 2 == 0, xref_stream=i % 2 == 1)
 
 
+def _pdf_enc_synth(i: int) -> bytes:
+    # r13: the encrypted tier — every handler revision, both layouts
+    mode = ("rc4-40", "rc4-128", "aesv2", "aes256", "aes256-r5")[i % 5]
+    return pdf.synth_pdf([["enc %d text" % i]], flate=i % 2 == 0,
+                         xref_stream=i % 3 == 1, encrypt=mode)
+
+
 def _netcdf_synth(i: int) -> bytes:
     import numpy as np
 
@@ -97,6 +104,7 @@ def _mbox_synth(i: int) -> bytes:
 
 DECODERS = {
     "pdf": (_pdf_synth, pdf.extract_pdf_text),
+    "pdf_encrypted": (_pdf_enc_synth, pdf.extract_pdf_text),
     "netcdf": (_netcdf_synth, netcdf.decode_netcdf),
     "shapefile": (_shp_synth, shapefile.decode_shp),
     "las": (_las_synth, las.decode_las),

@@ -2807,7 +2807,12 @@ def ico_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "operators on token boundaries. The oracle regenerates each page's "
     "text and compares an ORDERED per-page sha256 digest chain, so an "
     "escape-handling, page-order, xref-stream-decode, or ObjStm-slicing "
-    "bug flips the string.",
+    "bug flips the string. r13: fixtures additionally cycle the standard "
+    "security handler (doc_id%5: plain, RC4/V1, RC4/V2, AESV2, AES-256 "
+    "R6 — all with an empty user password, the owner-restricted shape "
+    "real crawls carry), so the oracle now also grades decrypt-then-"
+    "inflate, per-object keys, and the /UE unwrap; the oracle SQL is "
+    "UNCHANGED because a correct decrypt yields byte-identical text.",
     tags=("ingest", "multimodal"),
 )
 def pdf_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2838,8 +2843,11 @@ def pdf_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ]
                     for p in range(1 + i % 3)
                 ]
+                enc = (None, "rc4-40", "rc4-128", "aesv2",
+                       "aes256")[i % 5]
                 content = pdfcodec.synth_pdf(
-                    pages, flate=i % 2 == 0, xref_stream=i % 2 == 1
+                    pages, flate=i % 2 == 0, xref_stream=i % 2 == 1,
+                    encrypt=enc,
                 )
                 texts = pdfcodec.extract_pdf_text(content)
                 digest = "".join(

@@ -18,8 +18,21 @@ subsections, FlateDecode + the PNG Up/Sub/Average/Paeth and TIFF
 predictors) and OBJECT streams (/Type /ObjStm member slicing via the
 /N+/First header pair table), plus /Prev chains (incremental updates,
 newest-wins) and hybrid-reference files (/XRefStm in a classic
-trailer).  Encrypted or non-Flate-filtered PDFs still refuse (None) —
-the honest-fallback contract every decoder here shares.
+trailer).
+
+r13 opens ENCRYPTED documents with an empty user password — the
+largest class of real-crawl PDFs previously refused: owner-password-
+restricted files that every public viewer (pdfminer.six, pypdf,
+poppler) opens silently.  The standard security handler
+(sources/pdfcrypt.py, ISO 32000-1 §7.6 / ISO 32000-2 §7.6.4) covers
+/V 1-2 RC4, /V 4 crypt filters (/CFM /V2 RC4, /AESV2 CBC, /Identity),
+and /V 5 /R 5-6 AES-256 with /UE file-key unwrap + /Perms integrity
+check.  Stored stream bytes are ciphertext-of-filtered: decrypt with
+the per-object key, THEN inflate; cross-reference streams are never
+encrypted, ObjStm streams are.  User-password-protected files (any
+/R), non-/Standard handlers, and unknown crypt filters refuse (None);
+non-Flate-filtered streams also still refuse — the honest-fallback
+contract every decoder here shares.
 
 The synthesizer writes complete PDFs in BOTH layouts (classic xref
 table + trailer, or ObjStm-packed objects indexed by a predictor-12
@@ -49,6 +62,9 @@ def synth_pdf(
     pages: "list[list[str]]",
     flate: bool = True,
     xref_stream: bool = False,
+    encrypt: "str | None" = None,
+    user_pw: bytes = b"",
+    owner_pw: bytes = b"owner",
 ) -> bytes:
     """Complete PDF: one content stream per page, one Tj per line.
     ``flate`` deflates the content streams (the shape real generators
@@ -56,8 +72,85 @@ def synth_pdf(
     non-stream object packed into one /ObjStm, indexed by a /Type /XRef
     cross-reference stream with /W [1 4 2] fields under the PNG Up
     predictor (/DecodeParms /Predictor 12) — the layout the majority of
-    real-world PDFs use."""
+    real-world PDFs use.
+
+    ``encrypt`` (r13) applies the standard security handler the way
+    real restricted-but-readable PDFs do (owner password set, user
+    password empty unless ``user_pw`` given): 'rc4-40' (/V 1 /R 2),
+    'rc4-128' (/V 2 /R 3), 'aesv2' (/V 4 /R 4 /CFM /AESV2),
+    'aes256' (/V 5 /R 6 /CFM /AESV3) or 'aes256-r5' (the deprecated
+    /R 5).  Stream data is filtered first, then encrypted (readers
+    decrypt, then inflate — ISO 32000-1 §7.6.2); the cross-reference
+    stream is never encrypted, and the /Encrypt dictionary always
+    lives in-file (never in an ObjStm, §7.5.7).  IVs and the /ID
+    derive deterministically from the page content — fixtures must be
+    reproducible."""
+    import hashlib
     import zlib
+
+    from . import pdfcrypt as pc
+
+    enc_params = None
+    if encrypt is not None:
+        id0 = hashlib.md5(repr((pages, encrypt)).encode()).digest()
+        p_flags = -44
+        if encrypt == "rc4-40":
+            v, r, n = 1, 2, 5
+        elif encrypt == "rc4-128":
+            v, r, n = 2, 3, 16
+        elif encrypt == "aesv2":
+            v, r, n = 4, 4, 16
+        elif encrypt in ("aes256", "aes256-r5"):
+            v, n = 5, 32
+            r = 6 if encrypt == "aes256" else 5
+        else:
+            raise ValueError(f"unknown encrypt mode: {encrypt}")
+        if v <= 4:
+            o_e = pc.compute_o(owner_pw, user_pw, r, n)
+            fkey = pc.compute_file_key(user_pw, o_e, p_flags, id0, r, n)
+            u_e = pc.compute_u(fkey, id0, r)
+            extra = b""
+        else:
+            fkey = hashlib.sha256(id0 + b"filekey").digest()
+            u_e, ue_e, o_e, oe_e, perms = pc.aes256_make_entries(
+                fkey, user_pw, owner_pw, p_flags, r, seed=b"pdf-fixture")
+            extra = (
+                b" /OE <" + oe_e.hex().encode() + b"> /UE <"
+                + ue_e.hex().encode() + b"> /Perms <"
+                + perms.hex().encode() + b">"
+            )
+        if v == 1:
+            enc_dict = b"<< /Filter /Standard /V 1 /R 2"
+        elif v == 2:
+            enc_dict = b"<< /Filter /Standard /V 2 /R 3 /Length 128"
+        elif v == 4:
+            enc_dict = (
+                b"<< /Filter /Standard /V 4 /R 4 /Length 128"
+                b" /CF << /StdCF << /AuthEvent /DocOpen /CFM /AESV2"
+                b" /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+            )
+        else:
+            enc_dict = (
+                b"<< /Filter /Standard /V 5 /R " + str(r).encode()
+                + b" /Length 256 /CF << /StdCF << /AuthEvent /DocOpen"
+                b" /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF"
+            )
+        enc_dict += (
+            b" /O <" + o_e.hex().encode() + b"> /U <"
+            + u_e.hex().encode() + b">" + extra + b" /P "
+            + str(p_flags).encode() + b" >>"
+        )
+        aes = encrypt in ("aesv2", "aes256", "aes256-r5")
+
+        def enc_stream(data: bytes, oid: int) -> bytes:
+            if not aes:
+                return pc.rc4(pc.object_key(fkey, oid, 0, False), data)
+            key = (fkey if v == 5
+                   else pc.object_key(fkey, oid, 0, True))
+            iv = hashlib.md5(id0 + oid.to_bytes(3, "big")).digest()
+            return iv + pc.aes_cbc_encrypt(data, key, iv)
+
+        enc_params = (enc_dict, id0, enc_stream)
 
     def esc(s: str) -> str:
         return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
@@ -96,6 +189,9 @@ def synth_pdf(
         stream = b"\n".join(ops)
         if flate:
             stream = zlib.compress(stream)
+        if enc_params is not None:
+            stream = enc_params[2](stream, cid)  # filter, THEN encrypt
+        if flate:
             head = (b"<< /Length " + str(len(stream)).encode()
                     + b" /Filter /FlateDecode >>")
         else:
@@ -104,21 +200,34 @@ def synth_pdf(
     bodies[font_id] = (
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     )
+    max_id = font_id
+    trailer_extra = b""
+    enc_id = None
+    if enc_params is not None:
+        enc_id = font_id + 1
+        bodies[enc_id] = enc_params[0]
+        max_id = enc_id
+        idhex = enc_params[1].hex().encode()
+        trailer_extra = (
+            b" /Encrypt " + str(enc_id).encode() + b" 0 R /ID [<"
+            + idhex + b"> <" + idhex + b">]"
+        )
     if not xref_stream:
         out = bytearray(b"%PDF-1.4\n")
         offsets = {}
-        for oid in range(1, font_id + 1):
+        for oid in range(1, max_id + 1):
             offsets[oid] = len(out)
             out += (str(oid).encode() + b" 0 obj\n" + bodies[oid]
                     + b"\nendobj\n")
         xref_at = len(out)
-        out += b"xref\n0 " + str(font_id + 1).encode() + b"\n"
+        out += b"xref\n0 " + str(max_id + 1).encode() + b"\n"
         out += b"0000000000 65535 f \n"
-        for oid in range(1, font_id + 1):
+        for oid in range(1, max_id + 1):
             out += f"{offsets[oid]:010d} 00000 n \n".encode()
         out += (
-            b"trailer\n<< /Size " + str(font_id + 1).encode()
-            + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
+            b"trailer\n<< /Size " + str(max_id + 1).encode()
+            + b" /Root 1 0 R" + trailer_extra
+            + b" >>\nstartxref\n" + str(xref_at).encode()
             + b"\n%%EOF\n"
         )
         return bytes(out)
@@ -126,12 +235,14 @@ def synth_pdf(
     # PDF 1.5+ layout: stream objects (the per-page /Contents) stay
     # in-file; every other object packs into one object stream, and a
     # cross-reference STREAM (not a table) indexes both.
-    objstm_id = font_id + 1
-    xref_id = font_id + 2
-    packed = [oid for oid in range(1, font_id + 1)
-              if oid not in content_ids]
-    stream_objs = [oid for oid in range(1, font_id + 1) if oid in
-                   content_ids]
+    objstm_id = max_id + 1
+    xref_id = max_id + 2
+    # the /Encrypt dict itself stays in-file: an ObjStm is encrypted as
+    # a whole, so the dict needed to decrypt it can't live inside one
+    packed = [oid for oid in range(1, max_id + 1)
+              if oid not in content_ids and oid != enc_id]
+    stream_objs = [oid for oid in range(1, max_id + 1)
+                   if oid in content_ids or oid == enc_id]
     # ObjStm body: "oid offset" pair table, then member bodies
     member_bodies = [bodies[oid] + b" " for oid in packed]
     offs, pos = [], 0
@@ -143,6 +254,8 @@ def synth_pdf(
     ).encode() + b" "
     objstm_payload = header + b"".join(member_bodies)
     objstm_z = zlib.compress(objstm_payload)
+    if enc_params is not None:  # the ObjStm stream IS encrypted
+        objstm_z = enc_params[2](objstm_z, objstm_id)
     objstm_body = (
         b"<< /Type /ObjStm /N " + str(len(packed)).encode()
         + b" /First " + str(len(header)).encode()
@@ -176,6 +289,7 @@ def synth_pdf(
     out += (
         str(xref_id).encode() + b" 0 obj\n<< /Type /XRef /Size "
         + str(size).encode() + b" /W [1 4 2] /Root 1 0 R"
+        + trailer_extra
         + b" /Filter /FlateDecode"
         + b" /DecodeParms << /Predictor 12 /Columns 7 >>"
         + b" /Length " + str(len(xref_z)).encode()
@@ -382,6 +496,57 @@ def _int_key(head: bytes, key: bytes) -> "int | None":
     return int(m.group(1)) if m else None
 
 
+def _str_key(head: bytes, key: bytes) -> "bytes | None":
+    """Parse a string-valued dict entry (/O, /U, /OE, /UE, /Perms —
+    the encryption dictionary's byte strings), hex <...> or literal
+    (...) form.  The lookahead keeps /O from matching the prefix of
+    /OE: the next non-space byte must open a string."""
+    m = re.search(rb"/" + key + rb"\s*(?=[(<])", head)
+    if not m:
+        return None
+    i = m.end()
+    if head[i : i + 1] == b"<":
+        j = head.find(b">", i)
+        if j < 0:
+            return None
+        hx = re.sub(rb"\s", b"", head[i + 1 : j])
+        if len(hx) % 2:
+            hx += b"0"
+        try:
+            return bytes.fromhex(hx.decode("ascii"))
+        except ValueError:
+            return None
+    got = _parse_literal(head, i)
+    if got is None:
+        return None
+    return got[0].encode("latin-1")
+
+
+def _first_id(region: bytes) -> "bytes | None":
+    """The first element of the trailer /ID array (hex or literal
+    string) — Algorithm 2's id0 input."""
+    m = re.search(rb"/ID\s*\[\s*", region)
+    if not m:
+        return None
+    i = m.end()
+    c = region[i : i + 1]
+    if c == b"<":
+        j = region.find(b">", i)
+        if j < 0:
+            return None
+        hx = re.sub(rb"\s", b"", region[i + 1 : j])
+        if len(hx) % 2:
+            hx += b"0"
+        try:
+            return bytes.fromhex(hx.decode("ascii"))
+        except ValueError:
+            return None
+    if c == b"(":
+        got = _parse_literal(region, i)
+        return got[0].encode("latin-1") if got else None
+    return None
+
+
 def _intarray_key(head: bytes, key: bytes) -> "list[int] | None":
     m = re.search(rb"/" + key + rb"\s*\[([^\]]*)\]", head)
     if not m:
@@ -407,8 +572,6 @@ def extract_pdf_text(content: bytes) -> "list[str] | None":
 
     if not content.startswith(b"%PDF-"):
         return None
-    if b"/Encrypt" in content:
-        return None  # encrypted documents: out of scope
     sx = content.rfind(b"startxref")
     if sx < 0:
         return None
@@ -419,21 +582,27 @@ def extract_pdf_text(content: bytes) -> "list[str] | None":
     # entry: ("f", byte_offset) in-file | ("s", objstm_oid, idx) packed
     entries: "dict[int, tuple]" = {}
     root_ref: "list[int]" = []
+    enc_ref: "list[int]" = []  # /Encrypt object number (newest wins)
+    id_first: "list[bytes]" = []  # first /ID element
+    # decrypt hook: set by setup_encryption for encrypted files;
+    # signature (data, oid, gen) -> plaintext | None
+    dec_state: "dict[str, object]" = {"fn": None}
 
     def note(oid: int, ent: tuple) -> None:
         if oid not in entries:  # newest xref section wins
             entries[oid] = ent
 
-    def parse_dict_at(off: int) -> "tuple[bytes, int] | None":
+    def parse_dict_at(off: int) -> "tuple[bytes, int, int] | None":
         """Parse an in-file 'N G obj <<...>>' at off ->
-        (dict_region, index_after_dict)."""
-        hm = re.match(rb"(\d+)\s+\d+\s+obj\s*", content[off:])
+        (dict_region, index_after_dict, generation)."""
+        hm = re.match(rb"(\d+)\s+(\d+)\s+obj\s*", content[off:])
         if not hm:
             return None
+        gen = int(hm.group(2))
         i = off + hm.end()
         if content[i : i + 2] != b"<<":
             e = content.find(b"endobj", i)
-            return (content[i:e], e) if e >= 0 else None
+            return (content[i:e], e, gen) if e >= 0 else None
         depth = 0
         j = i
         n = len(content)
@@ -456,7 +625,7 @@ def extract_pdf_text(content: bytes) -> "list[str] | None":
                 j += 1
         if depth != 0:
             return None
-        return (content[i:j], j)
+        return (content[i:j], j, gen)
 
     def stream_length(head: bytes) -> "int | None":
         """/Length, direct or resolved through an indirect reference
@@ -480,9 +649,14 @@ def extract_pdf_text(content: bytes) -> "list[str] | None":
         nm = re.match(rb"\s*(\d+)", got[0])
         return int(nm.group(1)) if nm else None
 
-    def raw_stream_at(head: bytes, after: int) -> "bytes | None":
+    def raw_stream_at(head: bytes, after: int, oid: "int | None" = None,
+                      gen: int = 0) -> "bytes | None":
         """Slice + Flate-inflate the stream body following a dict that
-        ends at `after`, honoring any /DecodeParms predictor."""
+        ends at `after`, honoring any /DecodeParms predictor.  In an
+        encrypted file the stored bytes are ciphertext-of-filtered:
+        decrypt FIRST (per-object key from oid/gen), then inflate
+        (§7.6.2).  ``oid=None`` marks the never-encrypted cross-
+        reference stream."""
         length = stream_length(head)
         if length is None:
             return None
@@ -493,6 +667,11 @@ def extract_pdf_text(content: bytes) -> "list[str] | None":
         data = content[start : start + length]
         if len(data) < length:
             return None
+        dec = dec_state["fn"]
+        if dec is not None and oid is not None:
+            data = dec(data, oid, gen)
+            if data is None:
+                return None
         if b"/Filter" in head:
             if b"/FlateDecode" not in head:
                 return None  # other filters: out of scope
@@ -537,6 +716,12 @@ def extract_pdf_text(content: bytes) -> "list[str] | None":
             rm = re.search(rb"/Root\s+(\d+)\s+\d+\s+R", trailer)
             if rm and not root_ref:
                 root_ref.append(int(rm.group(1)))
+            em = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", trailer)
+            if em and not enc_ref:
+                enc_ref.append(int(em.group(1)))
+            idv = _first_id(trailer)
+            if idv is not None and not id_first:
+                id_first.append(idv)
             hyb = _int_key(trailer, b"XRefStm")
             if hyb is not None:  # hybrid-reference file (§7.5.8.4)
                 read_xref_section(hyb, depth + 1)
@@ -548,10 +733,10 @@ def extract_pdf_text(content: bytes) -> "list[str] | None":
         got = parse_dict_at(at)
         if got is None:
             return
-        head, after = got
+        head, after = got[0], got[1]
         if b"/XRef" not in head:
             return
-        data = raw_stream_at(head, after)
+        data = raw_stream_at(head, after)  # xref streams: never encrypted
         if data is None:
             return
         w = _intarray_key(head, b"W")
@@ -587,6 +772,12 @@ def extract_pdf_text(content: bytes) -> "list[str] | None":
         rm = re.search(rb"/Root\s+(\d+)\s+\d+\s+R", head)
         if rm and not root_ref:
             root_ref.append(int(rm.group(1)))
+        em = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", head)
+        if em and not enc_ref:
+            enc_ref.append(int(em.group(1)))
+        idv = _first_id(head)
+        if idv is not None and not id_first:
+            id_first.append(idv)
         prev = _int_key(head, b"Prev")
         if prev is not None:
             read_xref_section(prev, depth + 1)
@@ -616,7 +807,7 @@ def extract_pdf_text(content: bytes) -> "list[str] | None":
             return None
         n_objs = _int_key(got[0], b"N")
         first = _int_key(got[0], b"First")
-        data = raw_stream_at(got[0], got[1])
+        data = raw_stream_at(got[0], got[1], stm_oid, got[2])
         if data is None or n_objs is None or first is None:
             return None
         toks = data[:first].split()
@@ -643,7 +834,7 @@ def extract_pdf_text(content: bytes) -> "list[str] | None":
             members = objstm_members(ent[1])
             if members is None or oid not in members:
                 return None
-            got = (members[oid], -1)
+            got = (members[oid], -1, 0)  # ObjStm members have gen 0
         else:
             off = ent[1]
             if off >= len(content):
@@ -661,7 +852,86 @@ def extract_pdf_text(content: bytes) -> "list[str] | None":
         got = load(oid)
         if got is None or got[1] < 0:
             return None  # ObjStm members are never streams
-        return raw_stream_at(got[0], got[1])
+        return raw_stream_at(got[0], got[1], oid, got[2])
+
+    def setup_encryption() -> bool:
+        """Standard security handler, EMPTY user password (the owner-
+        restricted documents every public viewer opens silently):
+        /V 1-2 RC4, /V 4 RC4/AESV2 crypt filters, /V 5 /R 5-6 AES-256.
+        False refuses the file — unknown handler, user-password-
+        protected, or malformed entries (ISO 32000-1 §7.6.3,
+        ISO 32000-2 §7.6.4)."""
+        from . import pdfcrypt as pc
+
+        got = load(enc_ref[0])
+        if got is None or got[1] == -1:
+            return False  # absent, or illegally packed in an ObjStm
+        head = got[0]
+        if not re.search(rb"/Filter\s*/Standard\b", head):
+            return False  # non-standard security handlers: out of scope
+        v = _int_key(head, b"V") or 0
+        r = _int_key(head, b"R") or 2
+        pm2 = re.search(rb"/P\s+(-?\d+)", head)
+        p = int(pm2.group(1)) if pm2 else -1
+        o_e = _str_key(head, b"O")
+        u_e = _str_key(head, b"U")
+        if o_e is None or u_e is None:
+            return False
+        enc_meta = re.search(rb"/EncryptMetadata\s+false", head) is None
+        length = _int_key(head, b"Length") or 40
+        id0 = id_first[0] if id_first else b""
+        if v in (1, 2):
+            cfm = b"V2"
+            n = 5 if v == 1 else max(5, min(16, length // 8))
+        elif v == 4:
+            cm = re.search(rb"/CFM\s*/(\w+)", head)
+            cfm = cm.group(1) if cm else b"Identity"
+            n = 16
+            if re.search(rb"/StmF\s*/Identity", head):
+                cfm = b"Identity"  # streams uncrypted by declaration
+        elif v == 5 and r in (5, 6):
+            cfm = b"AESV3"
+        else:
+            return False
+        if v <= 4:
+            fk = pc.compute_file_key(b"", o_e, p, id0, r, n, enc_meta)
+            if not pc.verify_user_password(u_e, fk, id0, r):
+                return False  # non-empty user password: honest refusal
+        else:
+            ue_e = _str_key(head, b"UE")
+            if ue_e is None:
+                return False
+            fk = pc.aes256_user_unwrap(u_e, ue_e, b"", r)
+            if fk is None:
+                return False  # wrong password or malformed /U//UE
+            perms = _str_key(head, b"Perms")
+            if perms is not None and not pc.aes256_check_perms(
+                    perms, fk, p):
+                return False  # key-integrity check failed (§7.6.4.4.9)
+        if cfm == b"Identity":
+            return True  # dec_state stays None: nothing to decrypt
+        if cfm == b"V2":
+            def fn(data: bytes, oid: int, gen: int) -> "bytes | None":
+                return pc.rc4(pc.object_key(fk, oid, gen, False), data)
+        elif cfm == b"AESV2":
+            def fn(data: bytes, oid: int, gen: int) -> "bytes | None":
+                if len(data) < 16:
+                    return None
+                return pc.aes_cbc_decrypt(
+                    data[16:], pc.object_key(fk, oid, gen, True),
+                    data[:16])
+        elif cfm == b"AESV3":
+            def fn(data: bytes, oid: int, gen: int) -> "bytes | None":
+                if len(data) < 16:
+                    return None
+                return pc.aes_cbc_decrypt(data[16:], fk, data[:16])
+        else:
+            return False  # unknown crypt filter method
+        dec_state["fn"] = fn
+        return True
+
+    if enc_ref and not setup_encryption():
+        return None
 
     cat = load(root_ref[0])
     if cat is None:

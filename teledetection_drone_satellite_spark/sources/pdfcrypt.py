@@ -1,0 +1,411 @@
+"""PDF standard security handler — pure stdlib, from the public
+ISO 32000-1 §7.6 / ISO 32000-2 §7.6.4 specifications.
+
+Real crawls are full of encrypted-but-readable PDFs: documents whose
+OWNER password restricts editing while the USER password is empty, so
+every public viewer (and pdfminer.six / pypdf) opens them silently.
+This module supplies the primitives sources/pdf.py needs to do the
+same: RC4 (the /V 1-2 and /V 4 /CFM /V2 cipher), AES-128/256 in CBC
+mode (/CFM /AESV2 and /AESV3 — implemented from FIPS-197, conformance-
+pinned against the spec's Appendix C vectors in
+tests/test_pdfcrypt.py), and the handler's key-derivation algorithms:
+
+  - Algorithm 2  (§7.6.3.3): file key from password + /O + /P + /ID
+  - Algorithm 3  (§7.6.3.4): the /O owner-password digest
+  - Algorithm 4/5 (§7.6.3.4): the /U user-password proof (R2 / R3-4)
+  - Algorithm 1  (§7.6.2):  per-object RC4/AES key (MD5 + oid/gen,
+    the AES 'sAlT' suffix)
+  - Algorithm 2.A/2.B (ISO 32000-2 §7.6.4.3.3/4): the AES-256 /R 5
+    (plain SHA-256) and /R 6 (iterated SHA-256/384/512 + AES-128-CBC)
+    password hashes, /U validation+key salts, and /UE file-key unwrap
+
+Everything here is cipher machinery shared by the synthesizer and the
+extractor; the byte-level truth is pinned independently by published
+test vectors (FIPS-197 Appendix C, RFC 6229), so a shared-code bug
+cannot self-certify.  Reference parity: the reference declares generic
+document ingestion (/root/reference/shared/config/__init__.py:36-39,
+services/file-service/main.py:128); its stack delegates PDF decryption
+to off-the-shelf extractors — this is the Spark-side equivalent."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+# ---------------------------------------------------------------- RC4
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher (symmetric: encrypt == decrypt).  Conformance
+    pinned against the RFC 6229 40-bit keystream vector."""
+    S = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + S[i] + key[i % klen]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for p, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[p] = b ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- AES
+# Tables are GENERATED from the GF(2^8) definition (x^8+x^4+x^3+x+1,
+# FIPS-197 §4) rather than typed in — a transcription typo is then
+# impossible, and the Appendix C pins catch a generation bug.
+
+_EXP = [0] * 255
+_LOG = [0] * 256
+_x = 1
+for _i in range(255):
+    _EXP[_i] = _x
+    _LOG[_x] = _i
+    _xt = ((_x << 1) ^ (0x11B if _x & 0x80 else 0)) & 0xFF
+    _x ^= _xt  # multiply by 3 = x + xtime(x): 3 generates GF(2^8)*
+
+
+def _gmul(a: int, b: int) -> int:
+    if a == 0 or b == 0:
+        return 0
+    return _EXP[(_LOG[a] + _LOG[b]) % 255]
+
+
+def _rotl8(v: int, n: int) -> int:
+    return ((v << n) | (v >> (8 - n))) & 0xFF
+
+
+SBOX = [0] * 256
+INV_SBOX = [0] * 256
+for _b in range(256):
+    _inv = _EXP[(255 - _LOG[_b]) % 255] if _b else 0
+    _s = (_inv ^ _rotl8(_inv, 1) ^ _rotl8(_inv, 2) ^ _rotl8(_inv, 3)
+          ^ _rotl8(_inv, 4) ^ 0x63)
+    SBOX[_b] = _s
+    INV_SBOX[_s] = _b
+
+_RCON = [0x00, 0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B,
+         0x36, 0x6C, 0xD8, 0xAB, 0x4D]
+
+
+def _expand_key(key: bytes) -> "list[bytes]":
+    """FIPS-197 §5.2 key schedule -> one 16-byte round key per round
+    (Nr+1 of them); Nk in {4, 8} (AES-128 / AES-256)."""
+    nk = len(key) // 4
+    nr = nk + 6
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    for i in range(nk, 4 * (nr + 1)):
+        t = list(w[i - 1])
+        if i % nk == 0:
+            t = t[1:] + t[:1]
+            t = [SBOX[b] for b in t]
+            t[0] ^= _RCON[i // nk]
+        elif nk > 6 and i % nk == 4:
+            t = [SBOX[b] for b in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
+    return [bytes(b for word in w[4 * r : 4 * r + 4] for b in word)
+            for r in range(nr + 1)]
+
+
+# Encrypt-side T-tables (the classic 32-bit-word formulation of
+# SubBytes+ShiftRows+MixColumns): T0[x] packs column (2,1,1,3)*S(x)
+# big-endian; T1-T3 are its byte rotations.  Pure table generation from
+# the same GF(2^8) code the straight implementation uses — the FIPS-197
+# Appendix C pins hold for this path too.  The fast path matters
+# because hash_r6 (Algorithm 2.B) encrypts ~8k blocks per password.
+_T0 = [0] * 256
+_T1 = [0] * 256
+_T2 = [0] * 256
+_T3 = [0] * 256
+for _x2 in range(256):
+    _s = SBOX[_x2]
+    _s2 = _gmul(_s, 2)
+    _s3 = _s2 ^ _s
+    _t = (_s2 << 24) | (_s << 16) | (_s << 8) | _s3
+    _T0[_x2] = _t
+    _T1[_x2] = ((_t >> 8) | (_t << 24)) & 0xFFFFFFFF
+    _T2[_x2] = ((_t >> 16) | (_t << 16)) & 0xFFFFFFFF
+    _T3[_x2] = ((_t >> 24) | (_t << 8)) & 0xFFFFFFFF
+
+
+def _words(rk: bytes) -> "tuple[int, int, int, int]":
+    return struct.unpack(">4I", rk)
+
+
+def _encrypt_block(block: bytes, rks: "list[bytes]") -> bytes:
+    """One-block AES cipher (FIPS-197 §5.1), T-table formulation.
+    State = 4 big-endian column words (word c = input bytes 4c..4c+3,
+    row 0 in the high byte)."""
+    nr = len(rks) - 1
+    k0 = _words(rks[0])
+    w = struct.unpack(">4I", block)
+    s0, s1, s2, s3 = (w[0] ^ k0[0], w[1] ^ k0[1], w[2] ^ k0[2],
+                      w[3] ^ k0[3])
+    t0, t1, t2, t3 = _T0, _T1, _T2, _T3
+    for rnd in range(1, nr):
+        k = _words(rks[rnd])
+        n0 = (t0[s0 >> 24] ^ t1[(s1 >> 16) & 0xFF] ^ t2[(s2 >> 8) & 0xFF]
+              ^ t3[s3 & 0xFF] ^ k[0])
+        n1 = (t0[s1 >> 24] ^ t1[(s2 >> 16) & 0xFF] ^ t2[(s3 >> 8) & 0xFF]
+              ^ t3[s0 & 0xFF] ^ k[1])
+        n2 = (t0[s2 >> 24] ^ t1[(s3 >> 16) & 0xFF] ^ t2[(s0 >> 8) & 0xFF]
+              ^ t3[s1 & 0xFF] ^ k[2])
+        n3 = (t0[s3 >> 24] ^ t1[(s0 >> 16) & 0xFF] ^ t2[(s1 >> 8) & 0xFF]
+              ^ t3[s2 & 0xFF] ^ k[3])
+        s0, s1, s2, s3 = n0, n1, n2, n3
+    k = _words(rks[nr])
+    sb = SBOX
+    n0 = ((sb[s0 >> 24] << 24) | (sb[(s1 >> 16) & 0xFF] << 16)
+          | (sb[(s2 >> 8) & 0xFF] << 8) | sb[s3 & 0xFF]) ^ k[0]
+    n1 = ((sb[s1 >> 24] << 24) | (sb[(s2 >> 16) & 0xFF] << 16)
+          | (sb[(s3 >> 8) & 0xFF] << 8) | sb[s0 & 0xFF]) ^ k[1]
+    n2 = ((sb[s2 >> 24] << 24) | (sb[(s3 >> 16) & 0xFF] << 16)
+          | (sb[(s0 >> 8) & 0xFF] << 8) | sb[s1 & 0xFF]) ^ k[2]
+    n3 = ((sb[s3 >> 24] << 24) | (sb[(s0 >> 16) & 0xFF] << 16)
+          | (sb[(s1 >> 8) & 0xFF] << 8) | sb[s2 & 0xFF]) ^ k[3]
+    return struct.pack(">4I", n0, n1, n2, n3)
+
+
+def _decrypt_block(block: bytes, rks: "list[bytes]") -> bytes:
+    """One-block AES inverse cipher (FIPS-197 §5.3)."""
+    nr = len(rks) - 1
+    s = bytearray(a ^ b for a, b in zip(block, rks[nr]))
+    for rnd in range(nr - 1, -1, -1):
+        # InvShiftRows + InvSubBytes fused:
+        # out[4c+r] = invS(in[4*((c-r)%4)+r])
+        t = bytearray(16)
+        for c in range(4):
+            for r in range(4):
+                t[4 * c + r] = INV_SBOX[s[4 * ((c - r) & 3) + r]]
+        s = bytearray(a ^ b for a, b in zip(t, rks[rnd]))
+        if rnd > 0:  # InvMixColumns
+            m = bytearray(16)
+            for c in range(4):
+                a0, a1, a2, a3 = s[4 * c : 4 * c + 4]
+                m[4 * c] = (_gmul(a0, 14) ^ _gmul(a1, 11) ^ _gmul(a2, 13)
+                            ^ _gmul(a3, 9))
+                m[4 * c + 1] = (_gmul(a0, 9) ^ _gmul(a1, 14)
+                                ^ _gmul(a2, 11) ^ _gmul(a3, 13))
+                m[4 * c + 2] = (_gmul(a0, 13) ^ _gmul(a1, 9)
+                                ^ _gmul(a2, 14) ^ _gmul(a3, 11))
+                m[4 * c + 3] = (_gmul(a0, 11) ^ _gmul(a1, 13)
+                                ^ _gmul(a2, 9) ^ _gmul(a3, 14))
+            s = m
+    return bytes(s)
+
+
+def aes_cbc_encrypt(data: bytes, key: bytes, iv: bytes,
+                    pad: bool = True) -> bytes:
+    """AES-CBC.  ``pad=True`` appends PKCS#7 padding (what PDF AESV2/
+    AESV3 data uses); ``pad=False`` requires block-aligned input (the
+    /UE-/OE unwrap and the 2.B hash round)."""
+    if pad:
+        n = 16 - len(data) % 16
+        data = data + bytes([n]) * n
+    elif len(data) % 16:
+        raise ValueError("unpadded CBC input must be block-aligned")
+    rks = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = _encrypt_block(blk, rks)
+        out += prev
+    return bytes(out)
+
+
+def aes_cbc_decrypt(data: bytes, key: bytes, iv: bytes,
+                    pad: bool = True) -> "bytes | None":
+    """Inverse of aes_cbc_encrypt; None on a malformed length or (with
+    ``pad``) an invalid PKCS#7 trailer — the refusal path a corrupted
+    or wrong-key stream takes."""
+    if len(data) % 16 or (pad and not data):
+        return None
+    rks = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = data[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(_decrypt_block(blk, rks), prev))
+        prev = blk
+    if pad:
+        n = out[-1] if out else 0
+        if not 1 <= n <= 16 or out[-n:] != bytes([n]) * n:
+            return None
+        del out[-n:]
+    return bytes(out)
+
+
+def aes_ecb_encrypt_block(block: bytes, key: bytes) -> bytes:
+    """Single-block ECB — the /Perms entry (ISO 32000-2 §7.6.4.4.9)."""
+    return _encrypt_block(block, _expand_key(key))
+
+
+def aes_ecb_decrypt_block(block: bytes, key: bytes) -> bytes:
+    return _decrypt_block(block, _expand_key(key))
+
+
+# ------------------------------------- standard security handler, V<=4
+
+# The 32-byte password pad string (ISO 32000-1 §7.6.3.3 Table 21 note)
+PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E,
+    0x56, 0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68,
+    0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _pad32(password: bytes) -> bytes:
+    return (password + PAD)[:32]
+
+
+def compute_file_key(password: bytes, o_entry: bytes, p: int, id0: bytes,
+                     r: int, n: int, encrypt_metadata: bool = True) -> bytes:
+    """Algorithm 2: the RC4/AES-128 file encryption key (n bytes)."""
+    h = hashlib.md5(
+        _pad32(password) + o_entry[:32]
+        + struct.pack("<i", p if -(1 << 31) <= p < (1 << 31) else 0)
+        + id0
+        + (b"\xff\xff\xff\xff" if r >= 4 and not encrypt_metadata else b"")
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    return h[:n]
+
+
+def compute_o(owner_pw: bytes, user_pw: bytes, r: int, n: int) -> bytes:
+    """Algorithm 3: the /O entry."""
+    h = hashlib.md5(_pad32(owner_pw or user_pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    rc4key = h[:n]
+    o = rc4(rc4key, _pad32(user_pw))
+    if r >= 3:
+        for i in range(1, 20):
+            o = rc4(bytes(b ^ i for b in rc4key), o)
+    return o
+
+
+def compute_u(file_key: bytes, id0: bytes, r: int) -> bytes:
+    """Algorithm 4 (R2) / Algorithm 5 (R>=3): the /U entry."""
+    if r == 2:
+        return rc4(file_key, PAD)
+    u = rc4(file_key, hashlib.md5(PAD + id0).digest())
+    for i in range(1, 20):
+        u = rc4(bytes(b ^ i for b in file_key), u)
+    return u + b"\x00" * 16  # trailing 16 bytes are arbitrary padding
+
+
+def verify_user_password(u_entry: bytes, file_key: bytes, id0: bytes,
+                         r: int) -> bool:
+    """Algorithm 6: R2 compares all 32 bytes, R>=3 the first 16."""
+    expect = compute_u(file_key, id0, r)
+    if r == 2:
+        return expect == u_entry[:32]
+    return expect[:16] == u_entry[:16]
+
+
+def object_key(file_key: bytes, oid: int, gen: int, aes: bool) -> bytes:
+    """Algorithm 1: the per-object key — MD5 over the file key, the
+    low 3 object-number bytes, the low 2 generation bytes, and (AES
+    only) the 'sAlT' constant; truncated to min(n+5, 16)."""
+    h = hashlib.md5(
+        file_key + (oid & 0xFFFFFF).to_bytes(3, "little")
+        + (gen & 0xFFFF).to_bytes(2, "little") + (b"sAlT" if aes else b"")
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
+
+# ------------------------------------------------- AES-256, /R 5 and 6
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def hash_r6(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """Algorithm 2.B (ISO 32000-2 §7.6.4.3.4): the hardened /R 6
+    password hash — iterated SHA-256/384/512 selected by an AES-128-CBC
+    round, at least 64 rounds, stopping when the last byte of the AES
+    output is <= round-32."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    rnd = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = aes_cbc_encrypt(k1, key=k[:16], iv=k[16:32], pad=False)
+        # sum(E[:16]) mod 3 == big-endian-int(E[:16]) mod 3 (256 = 1 mod 3)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]
+
+
+def hash_r5(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """The deprecated /R 5 (Adobe ExtensionLevel 3) hash: one SHA-256."""
+    return hashlib.sha256(password + salt + udata).digest()
+
+
+def aes256_user_unwrap(u_entry: bytes, ue_entry: bytes, password: bytes,
+                       r: int) -> "bytes | None":
+    """Algorithm 2.A, user-password arm: validate ``password`` against
+    /U (hash || validation salt || key salt, 48 bytes) and unwrap the
+    32-byte file key from /UE.  None when the password is wrong or the
+    entries are malformed."""
+    if len(u_entry) < 48 or len(ue_entry) < 32:
+        return None
+    hashfn = hash_r6 if r >= 6 else hash_r5
+    vsalt, ksalt = u_entry[32:40], u_entry[40:48]
+    if hashfn(password, vsalt) != u_entry[:32]:
+        return None
+    ik = hashfn(password, ksalt)
+    return aes_cbc_decrypt(ue_entry[:32], key=ik, iv=b"\x00" * 16,
+                           pad=False)
+
+
+def aes256_make_entries(
+    file_key: bytes, user_pw: bytes, owner_pw: bytes, p: int, r: int,
+    seed: bytes,
+) -> "tuple[bytes, bytes, bytes, bytes, bytes]":
+    """Synthesizer side: (/U, /UE, /O, /OE, /Perms) for an AES-256
+    file.  Salts derive deterministically from ``seed`` (no RNG — the
+    graded fixtures must be reproducible); the layout follows ISO
+    32000-2 §7.6.4.4.7-9 exactly, so the extractor's Algorithm 2.A is
+    exercised for real."""
+    hashfn = hash_r6 if r >= 6 else hash_r5
+    uv = hashlib.md5(seed + b"uv").digest()[:8]
+    uk = hashlib.md5(seed + b"uk").digest()[:8]
+    ov = hashlib.md5(seed + b"ov").digest()[:8]
+    ok = hashlib.md5(seed + b"ok").digest()[:8]
+    u = hashfn(user_pw, uv) + uv + uk
+    ue = aes_cbc_encrypt(file_key, key=hashfn(user_pw, uk),
+                         iv=b"\x00" * 16, pad=False)
+    o = hashfn(owner_pw, ov, u) + ov + ok
+    oe = aes_cbc_encrypt(file_key, key=hashfn(owner_pw, ok, u),
+                         iv=b"\x00" * 16, pad=False)
+    perms_plain = (
+        struct.pack("<i", p if -(1 << 31) <= p < (1 << 31) else 0)
+        + b"\xff\xff\xff\xff" + b"T" + b"adb"
+        + hashlib.md5(seed + b"pr").digest()[:4]
+    )
+    perms = aes_ecb_encrypt_block(perms_plain, file_key)
+    return u, ue, o, oe, perms
+
+
+def aes256_check_perms(perms_entry: bytes, file_key: bytes,
+                       p: int) -> bool:
+    """Decrypt /Perms (ECB, one block) and check the 'adb' sentinel and
+    the /P echo — the spec's key-integrity check (§7.6.4.4.9)."""
+    if len(perms_entry) < 16:
+        return False
+    pt = aes_ecb_decrypt_block(perms_entry[:16], file_key)
+    if pt[9:12] != b"adb":
+        return False
+    return pt[:4] == struct.pack(
+        "<i", p if -(1 << 31) <= p < (1 << 31) else 0)

@@ -226,3 +226,86 @@ def test_regression_corrupt_w_array_token():
 
     assert _intarray_key(b"/W [1 4`2]", b"W") is None
     assert _intarray_key(b"/W [1 4 2]", b"W") == [1, 4, 2]
+
+
+# -------------------------------------------------- encryption (r13)
+
+ENC_MODES = ("rc4-40", "rc4-128", "aesv2", "aes256", "aes256-r5")
+
+
+def test_encrypted_roundtrip_all_modes_both_layouts():
+    """r13: the standard security handler with an empty user password —
+    RC4 /V 1-2, /V 4 /CFM /AESV2, and /V 5 /R 5-6 AES-256 — must
+    extract identical text to the unencrypted file in BOTH file
+    layouts (classic xref table; ObjStm + xref stream, where the
+    ObjStm is encrypted but the xref stream is not)."""
+    pages = [["alpha line;", "beta (line) two"], ["page \\ two"]]
+    expect = pdf.extract_pdf_text(pdf.synth_pdf(pages))
+    assert expect == ["\n".join(p) for p in pages]
+    for mode in ENC_MODES:
+        for xs in (False, True):
+            blob = pdf.synth_pdf(pages, xref_stream=xs, encrypt=mode)
+            assert pdf.extract_pdf_text(blob) == expect, (mode, xs)
+
+
+def test_encrypted_wrong_user_password_refuses():
+    """A non-empty USER password must refuse (None) in every revision —
+    the honest boundary: we open owner-restricted files, never crack
+    user-protected ones."""
+    pages = [["secret text"]]
+    for mode in ENC_MODES:
+        blob = pdf.synth_pdf(pages, encrypt=mode, user_pw=b"hunter2")
+        assert pdf.extract_pdf_text(blob) is None, mode
+
+
+def test_encrypted_handler_refusals():
+    """Non-/Standard handlers, unknown crypt filters, and unsupported
+    /V values refuse.  Same-length byte swaps keep offsets valid."""
+    blob = pdf.synth_pdf([["x"]], encrypt="aesv2")
+    assert pdf.extract_pdf_text(blob) is not None
+    assert (pdf.extract_pdf_text(
+        blob.replace(b"/Filter /Standard", b"/Filter /Custom42"))
+        is None)
+    assert (pdf.extract_pdf_text(blob.replace(b"/CFM /AESV2",
+                                              b"/CFM /AESXY")) is None)
+    assert (pdf.extract_pdf_text(blob.replace(b"/V 4 /R 4",
+                                              b"/V 3 /R 4")) is None)
+
+
+def test_encrypted_tampered_u_entry_refuses():
+    """Corrupting /U breaks password verification (V<=4) or the 2.A
+    validation hash (V5) -> None, never garbage text."""
+    import re as _re
+
+    for mode in ("rc4-128", "aes256"):
+        blob = pdf.synth_pdf([["u tamper"]], encrypt=mode)
+        m = _re.search(rb"/U <([0-9a-f]{8})", blob)
+        swap = b"00000000" if m.group(1) != b"00000000" else b"11111111"
+        crafted = blob[: m.start(1)] + swap + blob[m.end(1):]
+        assert pdf.extract_pdf_text(crafted) is None, mode
+
+
+def test_encrypted_tampered_perms_refuses():
+    """/Perms is the AES-256 key-integrity check: a flipped /P value
+    must fail aes256_check_perms and refuse the file."""
+    blob = pdf.synth_pdf([["perm check"]], encrypt="aes256")
+    crafted = blob.replace(b"/P -44", b"/P -46")
+    assert pdf.extract_pdf_text(crafted) is None
+
+
+def test_encrypted_bitflip_never_crashes():
+    """Deterministic bit-flip storm over every encrypted mode: the
+    decoder may refuse (None) or, for a stream-cipher body flip,
+    return divergent text — but never raise."""
+    import random as _random
+    import zlib as _zlib
+
+    for mode in ENC_MODES:
+        base = pdf.synth_pdf([["flip target", "line 2"]], encrypt=mode)
+        rnd = _random.Random(_zlib.crc32(mode.encode()))
+        for trial in range(60):
+            blob = bytearray(base)
+            for _ in range(1 + rnd.randrange(8)):
+                blob[rnd.randrange(len(blob))] ^= 1 << rnd.randrange(8)
+            out = pdf.extract_pdf_text(bytes(blob))
+            assert out is None or isinstance(out, list)

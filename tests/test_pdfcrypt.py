@@ -1,0 +1,139 @@
+"""Conformance + behavior pins for sources/pdfcrypt.py.
+
+The cipher primitives are pinned against PUBLISHED vectors (FIPS-197
+Appendix C, RFC 6229, NIST SP 800-38A F.2), so the shared synth/parse
+code path cannot self-certify a broken cipher: a table-generation or
+round-order bug flips a vector before any PDF fixture runs."""
+
+from __future__ import annotations
+
+import hashlib
+
+from teledetection_drone_satellite_spark.sources import pdfcrypt as pc
+
+
+# ------------------------------------------------- published vectors
+
+
+def test_rc4_rfc6229_40bit_keystream():
+    # RFC 6229, key 0x0102030405, keystream offset 0
+    ks = pc.rc4(bytes([1, 2, 3, 4, 5]), b"\x00" * 16)
+    assert ks == bytes.fromhex("b2396305f03dc027ccc3524a0a1118a8")
+
+
+def test_rc4_rfc6229_128bit_keystream():
+    key = bytes.fromhex("0102030405060708090a0b0c0d0e0f10")
+    ks = pc.rc4(key, b"\x00" * 16)
+    assert ks == bytes.fromhex("9ac7cc9a609d1ef7b2932899cde41b97")
+
+
+def test_rc4_is_symmetric():
+    key, msg = b"k3y", b"the quick brown fox" * 7
+    assert pc.rc4(key, pc.rc4(key, msg)) == msg
+
+
+def test_aes128_fips197_appendix_c1():
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = pc._encrypt_block(pt, pc._expand_key(key))
+    assert ct == bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    assert pc._decrypt_block(ct, pc._expand_key(key)) == pt
+
+
+def test_aes256_fips197_appendix_c3():
+    key = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f"
+        "101112131415161718191a1b1c1d1e1f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = pc._encrypt_block(pt, pc._expand_key(key))
+    assert ct == bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
+    assert pc._decrypt_block(ct, pc._expand_key(key)) == pt
+
+
+def test_aes128_cbc_nist_sp800_38a_f2_1():
+    # NIST SP 800-38A F.2.1 CBC-AES128.Encrypt, first two blocks
+    key = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    iv = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex(
+        "6bc1bee22e409f96e93d7e117393172a"
+        "ae2d8a571e03ac9c9eb76fac45af8e51")
+    ct = pc.aes_cbc_encrypt(pt, key, iv, pad=False)
+    assert ct == bytes.fromhex(
+        "7649abac8119b246cee98e9b12e9197d"
+        "5086cb9b507219ee95db113a917678b2")
+    assert pc.aes_cbc_decrypt(ct, key, iv, pad=False) == pt
+
+
+# --------------------------------------------------- CBC/PKCS#7 paths
+
+
+def test_cbc_pkcs7_roundtrip_all_tail_lengths():
+    key = hashlib.md5(b"k").digest()
+    iv = hashlib.md5(b"iv").digest()
+    for n in range(0, 49):  # covers the full-block extra-pad case
+        msg = bytes(range(256))[:n]
+        ct = pc.aes_cbc_encrypt(msg, key, iv)
+        assert len(ct) % 16 == 0 and len(ct) > len(msg)
+        assert pc.aes_cbc_decrypt(ct, key, iv) == msg
+
+
+def test_cbc_decrypt_refuses_bad_padding_and_length():
+    key = hashlib.md5(b"k").digest()
+    iv = b"\x00" * 16
+    assert pc.aes_cbc_decrypt(b"\x01" * 15, key, iv) is None
+    # wrong key -> padding byte is garbage with overwhelming probability
+    ct = pc.aes_cbc_encrypt(b"hello", key, iv)
+    assert pc.aes_cbc_decrypt(ct, hashlib.md5(b"x").digest(), iv) is None
+
+
+# ---------------------------------------------- handler algorithms
+
+
+def test_algorithm_roundtrip_r2_r3_r4():
+    id0 = hashlib.md5(b"fileid").digest()
+    for r, n in ((2, 5), (3, 16), (4, 16)):
+        o = pc.compute_o(b"owner", b"", r, n)
+        fk = pc.compute_file_key(b"", o, -44, id0, r, n)
+        u = pc.compute_u(fk, id0, r)
+        assert pc.verify_user_password(u, fk, id0, r)
+        # wrong password -> different key -> verification fails
+        fk_bad = pc.compute_file_key(b"wrong", o, -44, id0, r, n)
+        assert not pc.verify_user_password(u, fk_bad, id0, r)
+
+
+def test_object_key_truncation_and_salt():
+    fk = bytes(16)
+    k_rc4 = pc.object_key(fk, 7, 0, aes=False)
+    k_aes = pc.object_key(fk, 7, 0, aes=True)
+    assert len(k_rc4) == 16 and len(k_aes) == 16
+    assert k_rc4 != k_aes  # the sAlT suffix must matter
+    assert len(pc.object_key(bytes(5), 7, 0, aes=False)) == 10  # n+5
+
+
+def test_aes256_r6_wrap_unwrap_and_perms():
+    fk = hashlib.sha256(b"filekey").digest()
+    u, ue, o, oe, perms = pc.aes256_make_entries(
+        fk, b"", b"owner", -44, 6, seed=b"seed")
+    got = pc.aes256_user_unwrap(u, ue, b"", 6)
+    assert got == fk
+    assert pc.aes256_user_unwrap(u, ue, b"wrong", 6) is None
+    assert pc.aes256_check_perms(perms, fk, -44)
+    assert not pc.aes256_check_perms(perms, fk, -4)
+    assert not pc.aes256_check_perms(perms, hashlib.sha256(b"x").digest(),
+                                     -44)
+
+
+def test_aes256_r5_wrap_unwrap():
+    fk = hashlib.sha256(b"filekey5").digest()
+    u, ue, _, _, _ = pc.aes256_make_entries(
+        fk, b"", b"owner", -44, 5, seed=b"s5")
+    assert pc.aes256_user_unwrap(u, ue, b"", 5) == fk
+    assert pc.aes256_user_unwrap(u, ue, b"no", 5) is None
+
+
+def test_hash_r6_known_properties():
+    # deterministic, 32 bytes, sensitive to salt and password
+    a = pc.hash_r6(b"", b"saltsalt")
+    assert len(a) == 32 and a == pc.hash_r6(b"", b"saltsalt")
+    assert a != pc.hash_r6(b"", b"SALTSALT")
+    assert a != pc.hash_r6(b"x", b"saltsalt")
