@@ -21,8 +21,8 @@ import zlib
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from teledetection_drone_satellite_spark.sources import (  # noqa: E402
-    aiff, arc, docx, epub, gpx, html, ical, id3, las, markdown, mbox,
-    netcdf, odt, pdf, pptx, robots, rtf, shapefile, sitemap,
+    aiff, arc, docx, epub, feed, gpx, html, ical, id3, las, markdown,
+    mbox, netcdf, odt, pdf, pptx, robots, rtf, shapefile, sitemap,
     subtitles, vcard, warc, xlsx,
 )
 
@@ -123,6 +123,7 @@ DECODERS = {
     "warc": (_warc_synth, warc.parse_warc),
     "sitemap": (lambda i: sitemap.synth_sitemap(i % 1000)[0],
                 sitemap.parse_sitemap),
+    "feed": (lambda i: feed.synth_feed(i % 1000)[0], feed.parse_feed),
     "robots": (lambda i: b"User-agent: *\nDisallow: /p%d/\n"
                b"Allow: /p%d/pub\nSitemap: https://e/s.xml\n"
                % (i % 7, i % 7),

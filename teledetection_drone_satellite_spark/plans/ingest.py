@@ -7280,6 +7280,103 @@ def sitemap_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "feed_entry_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END
+                   AS kind,
+               2 + doc_id % 6 AS n
+        FROM documents WHERE doc_id < 150
+    ),
+    ent AS (
+        SELECT doc_id, kind, n, CAST(u.i AS INT) AS u,
+               'https://f' || CAST(doc_id AS VARCHAR) || '.ex.com/post/'
+                   || CAST(u.i AS VARCHAR) AS link,
+               'Entry ' || CAST(doc_id AS VARCHAR) || '-'
+                   || CAST(u.i AS VARCHAR) AS title,
+               '2026-04-'
+                   || lpad(CAST(1 + (doc_id + u.i) % 28 AS VARCHAR),
+                           2, '0')
+                   || 'T12:00:00Z' AS upd,
+               'Desc & more ' || CAST(u.i AS VARCHAR) AS summary
+        FROM spec, LATERAL unnest(range(0, n)) u(i)
+    )
+    SELECT doc_id, min(kind) AS kind,
+           CAST(count(*) AS INT) AS n_entries,
+           string_agg(substr(sha256(link), 1, 8), '' ORDER BY u)
+               AS link_digest,
+           string_agg(substr(sha256(title), 1, 8), '' ORDER BY u)
+               AS title_digest,
+           max(upd) AS upd_max,
+           CAST(sum(length(summary)) AS BIGINT) AS desc_chars
+    FROM ent GROUP BY doc_id
+    """,
+    doc="RSS/Atom feed parsing, graded (r13 — completes the crawl-"
+    "discovery triad next to robots_crawl_filter and "
+    "sitemap_url_stats): docs alternate RSS 2.0 (CDATA titles, guid "
+    "decoys, RFC 822 pubDates) and Atom (rel='self' decoy links "
+    "before the alternate link, entity-escaped summaries, +02:00 "
+    "offset timestamps), a third gzipped. parse_feed picks "
+    "rel='alternate' links and normalizes BOTH date forms to ISO "
+    "8601 UTC, so the closed-form oracle states one timestamp string "
+    "for both kinds; the ordered link/title digest chains flip on "
+    "any ordering, CDATA, entity, or decoy-link bug.",
+    tags=("ingest", "text", "curation"),
+)
+def feed_entry_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.feed import parse_feed, synth_feed
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_feed(i)
+                got = parse_feed(raw)
+                link_digest = "".join(
+                    hashlib.sha256(e["link"].encode()).hexdigest()[:8]
+                    for e in got["entries"]
+                )
+                title_digest = "".join(
+                    hashlib.sha256(e["title"].encode()).hexdigest()[:8]
+                    for e in got["entries"]
+                )
+                upd_max = max(e["updated"] for e in got["entries"])
+                desc_chars = sum(
+                    len(e["summary"]) for e in got["entries"]
+                    if e["summary"] is not None
+                )
+                rows.append(
+                    (i, got["kind"], len(got["entries"]), link_digest,
+                     title_digest, upd_max, desc_chars)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "kind", "n_entries", "link_digest",
+                         "title_digest", "upd_max", "desc_chars"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, kind string, n_entries int, link_digest string, "
+        "title_digest string, upd_max string, desc_chars long",
+    )
+
+
+@register(
     "html_ldjson_stats",
     oracle="""
     SELECT doc_id,

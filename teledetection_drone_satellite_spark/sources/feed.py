@@ -1,0 +1,240 @@
+"""RSS 2.0 / Atom 1.0 feed parsing — pure stdlib (xml.etree), from the
+public RSS 2.0 specification (rssboard.org) and RFC 4287 (Atom).
+
+The third crawl-discovery channel next to robots.txt
+(sources/robots.py) and sitemaps (sources/sitemap.py): news/blog
+corpora are assembled by polling feeds, and a crawl frontier that
+ignores them misses exactly the freshest documents.  Parsed surface:
+
+  RSS 2.0: <rss><channel> with <item> children — <title> (CDATA
+  tolerated), <link>, <guid>, <pubDate> (RFC 822 date, normalized to
+  ISO 8601 Z), <description> (entity-decoded).
+  Atom:    <feed xmlns="http://www.w3.org/2005/Atom"> with <entry>
+  children — <title>, <link rel="alternate"> (rel-less links count as
+  alternate per RFC 4287 §4.2.7.2; rel="self"/"enclosure" decoys are
+  skipped), <id>, <updated> (ISO 8601, normalized to Z), <summary>.
+
+Gzipped feeds inflate through the shared multi-member chain
+(sources/warc).  Refusals (None): undecodable gzip, XML that does not
+parse, a root element that is neither rss/channel nor Atom feed, an
+item/entry without a link, or an unparseable date — the honest-
+fallback contract every decoder here shares."""
+
+from __future__ import annotations
+
+import re
+
+from .warc import _gunzip_members
+
+_ATOM_NS = "{http://www.w3.org/2005/Atom}"
+
+
+def _weekday_name(y: int, mo: int, d: int) -> str:
+    import datetime
+
+    return ("Mon", "Tue", "Wed", "Thu", "Fri", "Sat",
+            "Sun")[datetime.date(y, mo, d).weekday()]
+
+
+def synth_feed(doc_id: int) -> "tuple[bytes, dict]":
+    """Deterministic fixture plus expected stats.  Closed form
+    (mirrored by the feed_entry_stats oracle):
+
+        kind: rss when doc_id % 2 == 0, else atom
+        n_entries     = 2 + doc_id % 6
+        link[u]       = https://f{i}.ex.com/post/{u}
+        title[u]      = Entry {i}-{u}   (CDATA-wrapped in RSS when
+                        u % 2 == 1 — must parse identically)
+        updated[u]    = 2026-04-{1 + (i+u) % 28}T12:00:00Z
+        summary[u]    = Desc & more {u} (written entity-escaped)
+        gzipped when doc_id % 3 == 2.
+
+    Decoys a sloppy parser trips over: channel/feed-level <title> and
+    <link> that must not count as entries; in Atom a rel="self" link
+    BEFORE the alternate link in every entry; in RSS a <guid> that
+    differs from <link>."""
+    import zlib
+
+    i = int(doc_id)
+    n = 2 + i % 6
+    if i % 2 == 0:
+        items = []
+        for u in range(n):
+            day = 1 + (i + u) % 28
+            title = "Entry %d-%d" % (i, u)
+            if u % 2 == 1:
+                tnode = "<title><![CDATA[%s]]></title>" % title
+            else:
+                tnode = "<title>%s</title>" % title
+            items.append(
+                "<item>%s"
+                "<link>https://f%d.ex.com/post/%d</link>"
+                "<guid isPermaLink=\"false\">tag:f%d,%d</guid>"
+                "<pubDate>%s, %02d Apr 2026 12:00:00 GMT</pubDate>"
+                "<description>Desc &amp; more %d</description>"
+                "</item>"
+                % (tnode, i, u, i, u,
+                   _weekday_name(2026, 4, day), day, u)
+            )
+        xml = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<rss version="2.0"><channel>'
+            "<title>Feed %d</title>"
+            "<link>https://f%d.ex.com/</link>"
+            "<description>chan</description>%s</channel></rss>"
+            % (i, i, "".join(items))
+        )
+        expected = {"kind": "rss", "n_entries": n}
+    else:
+        entries = []
+        for u in range(n):
+            day = 1 + (i + u) % 28
+            entries.append(
+                "<entry><title>Entry %d-%d</title>"
+                '<link rel="self" href="https://f%d.ex.com/feed.xml"/>'
+                '<link rel="alternate" '
+                'href="https://f%d.ex.com/post/%d"/>'
+                "<id>urn:f%d:%d</id>"
+                "<updated>2026-04-%02dT14:00:00+02:00</updated>"
+                "<summary>Desc &amp; more %d</summary></entry>"
+                % (i, u, i, i, u, i, u, day, u)
+            )
+        xml = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<feed xmlns="http://www.w3.org/2005/Atom">'
+            "<title>Feed %d</title>"
+            '<link rel="self" href="https://f%d.ex.com/feed.xml"/>'
+            "<updated>2026-04-01T00:00:00Z</updated>%s</feed>"
+            % (i, i, "".join(entries))
+        )
+        expected = {"kind": "atom", "n_entries": n}
+    raw = xml.encode()
+    if i % 3 == 2:
+        c = zlib.compressobj(6, zlib.DEFLATED, 31)
+        raw = c.compress(raw) + c.flush()
+    return raw, expected
+
+
+def _iso_z(dt) -> str:
+    """Normalize an aware datetime to UTC 'YYYY-MM-DDTHH:MM:SSZ'."""
+    import datetime
+
+    return dt.astimezone(datetime.timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%SZ")
+
+
+def _parse_rfc822(s: str) -> "str | None":
+    """RFC 822/1123 date (the RSS pubDate form) -> ISO 8601 Z."""
+    import email.utils
+
+    try:
+        dt = email.utils.parsedate_to_datetime(s)
+    except (TypeError, ValueError, IndexError):
+        return None
+    if dt is None:
+        return None
+    if dt.tzinfo is None:
+        import datetime
+
+        dt = dt.replace(tzinfo=datetime.timezone.utc)
+    return _iso_z(dt)
+
+
+def _parse_iso(s: str) -> "str | None":
+    """ISO 8601 / RFC 3339 (the Atom updated form) -> ISO 8601 Z."""
+    import datetime
+
+    try:
+        dt = datetime.datetime.fromisoformat(s.replace("Z", "+00:00"))
+    except ValueError:
+        return None
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=datetime.timezone.utc)
+    return _iso_z(dt)
+
+
+def parse_feed(content: bytes) -> "dict | None":
+    """-> {'kind': 'rss' | 'atom', 'title': str, 'entries':
+    [{'title', 'link', 'id', 'updated', 'summary'}, ...]} in document
+    order, or None per the module docstring.  'updated' is normalized
+    to ISO 8601 UTC; absent optional fields are None."""
+    import xml.etree.ElementTree as ET
+
+    if content[:2] == b"\x1f\x8b":
+        content = _gunzip_members(content)
+        if content is None:
+            return None
+    stripped = content.lstrip(b"\xef\xbb\xbf \t\r\n")
+    if not stripped.startswith(b"<"):
+        return None
+    try:
+        root = ET.fromstring(stripped)
+    except (ET.ParseError, LookupError, ValueError):
+        return None
+    tag = re.sub(r"^\{[^}]*\}", "", root.tag)
+    if tag == "rss":
+        chan = root.find("channel")
+        if chan is None:
+            return None
+        tnode = chan.find("title")
+        feed_title = (tnode.text or "").strip() if tnode is not None else ""
+        entries = []
+        for item in chan.findall("item"):
+            def _t(name: str, el=item) -> "str | None":
+                sub = el.find(name)
+                if sub is None:
+                    return None
+                return (sub.text or "").strip() or None
+
+            link = _t("link")
+            if link is None:
+                return None
+            upd = None
+            pub = _t("pubDate")
+            if pub is not None:
+                upd = _parse_rfc822(pub)
+                if upd is None:
+                    return None
+            entries.append({
+                "title": _t("title"),
+                "link": link,
+                "id": _t("guid"),
+                "updated": upd,
+                "summary": _t("description"),
+            })
+        return {"kind": "rss", "title": feed_title, "entries": entries}
+    if tag == "feed" and root.tag.startswith(_ATOM_NS):
+        tnode = root.find(_ATOM_NS + "title")
+        feed_title = (tnode.text or "").strip() if tnode is not None else ""
+        entries = []
+        for entry in root.findall(_ATOM_NS + "entry"):
+            link = None
+            for ln in entry.findall(_ATOM_NS + "link"):
+                rel = ln.get("rel") or "alternate"
+                if rel == "alternate" and ln.get("href"):
+                    link = ln.get("href")
+                    break
+            if link is None:
+                return None
+            upd = None
+            unode = entry.find(_ATOM_NS + "updated")
+            if unode is not None and (unode.text or "").strip():
+                upd = _parse_iso(unode.text.strip())
+                if upd is None:
+                    return None
+
+            def _t(name: str, el=entry) -> "str | None":
+                sub = el.find(_ATOM_NS + name)
+                if sub is None:
+                    return None
+                return (sub.text or "").strip() or None
+
+            entries.append({
+                "title": _t("title"),
+                "link": link,
+                "id": _t("id"),
+                "updated": upd,
+                "summary": _t("summary"),
+            })
+        return {"kind": "atom", "title": feed_title, "entries": entries}
+    return None

@@ -1,0 +1,98 @@
+"""RSS/Atom feed codec tests (sources/feed.py) — r13."""
+
+from __future__ import annotations
+
+from teledetection_drone_satellite_spark.sources import feed
+
+
+def test_roundtrip_both_kinds_many_ids():
+    for i in range(40):
+        raw, exp = feed.synth_feed(i)
+        got = feed.parse_feed(raw)
+        assert got is not None, i
+        assert got["kind"] == exp["kind"]
+        assert len(got["entries"]) == exp["n_entries"]
+        for u, e in enumerate(got["entries"]):
+            assert e["link"] == "https://f%d.ex.com/post/%d" % (i, u)
+            assert e["title"] == "Entry %d-%d" % (i, u)
+            assert e["summary"] == "Desc & more %d" % u
+            day = 1 + (i + u) % 28
+            assert e["updated"] == "2026-04-%02dT12:00:00Z" % day
+
+
+def test_atom_rel_self_decoy_skipped():
+    raw, _ = feed.synth_feed(1)  # atom
+    got = feed.parse_feed(raw)
+    for e in got["entries"]:
+        assert "feed.xml" not in e["link"]
+
+
+def test_atom_rel_less_link_counts_as_alternate():
+    xml = (b'<feed xmlns="http://www.w3.org/2005/Atom"><title>t</title>'
+           b"<entry><title>a</title>"
+           b'<link href="https://x.ex.com/a"/>'
+           b"<updated>2026-01-01T00:00:00Z</updated></entry></feed>")
+    got = feed.parse_feed(xml)
+    assert got["entries"][0]["link"] == "https://x.ex.com/a"
+
+
+def test_rss_cdata_title_and_entity_summary():
+    raw, _ = feed.synth_feed(2)  # rss; odd entries CDATA-wrapped
+    got = feed.parse_feed(raw)
+    assert got["entries"][1]["title"] == "Entry 2-1"
+    assert got["entries"][0]["summary"] == "Desc & more 0"
+
+
+def test_date_normalization_to_utc():
+    # RSS with a -0500 offset and Atom with +02:00 both land on Z
+    xml = (b'<rss version="2.0"><channel><title>t</title>'
+           b"<item><link>https://x/1</link>"
+           b"<pubDate>Wed, 01 Apr 2026 07:00:00 -0500</pubDate>"
+           b"</item></channel></rss>")
+    got = feed.parse_feed(xml)
+    assert got["entries"][0]["updated"] == "2026-04-01T12:00:00Z"
+
+
+def test_gzipped_feed_inflates():
+    raw, exp = feed.synth_feed(2)  # doc_id % 3 == 2 -> gzipped
+    assert raw[:2] == b"\x1f\x8b"
+    got = feed.parse_feed(raw)
+    assert got is not None and len(got["entries"]) == exp["n_entries"]
+
+
+def test_refusals():
+    assert feed.parse_feed(b"") is None
+    assert feed.parse_feed(b"not xml at all") is None
+    assert feed.parse_feed(b"<html><body>nope</body></html>") is None
+    # item without a link
+    assert feed.parse_feed(
+        b'<rss version="2.0"><channel><title>t</title>'
+        b"<item><title>x</title></item></channel></rss>") is None
+    # unparseable pubDate
+    assert feed.parse_feed(
+        b'<rss version="2.0"><channel><title>t</title>'
+        b"<item><link>https://x/1</link>"
+        b"<pubDate>yesterday-ish</pubDate></item></channel></rss>"
+    ) is None
+    # Atom feed without the Atom namespace is not an Atom feed
+    assert feed.parse_feed(
+        b"<feed><entry><link href='https://x/1'/></entry></feed>"
+    ) is None
+    # truncated gzip
+    raw, _ = feed.synth_feed(2)
+    assert feed.parse_feed(raw[: len(raw) // 2]) is None
+
+
+def test_bitflip_never_crashes():
+    import random
+    import zlib
+
+    for i in range(8):
+        base = feed.synth_feed(i)[0]
+        rnd = random.Random(zlib.crc32(b"feed") * 1000003 + i)
+        for _ in range(80):
+            blob = bytearray(base)
+            for _ in range(1 + rnd.randrange(8)):
+                blob[rnd.randrange(len(blob))] ^= 1 << rnd.randrange(8)
+            out = feed.parse_feed(bytes(blob))
+            assert out is None or isinstance(out, dict)
