@@ -21,7 +21,7 @@ import zlib
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from teledetection_drone_satellite_spark.sources import (  # noqa: E402
-    aiff, arc, docx, epub, feed, gpx, html, ical, id3, las, markdown,
+    aiff, arc, cdx, docx, epub, feed, gpx, html, ical, id3, las, markdown,
     mbox, netcdf, odt, pdf, pptx, robots, rtf, shapefile, sitemap,
     subtitles, vcard, warc, xlsx,
 )
@@ -124,6 +124,10 @@ DECODERS = {
     "sitemap": (lambda i: sitemap.synth_sitemap(i % 1000)[0],
                 sitemap.parse_sitemap),
     "feed": (lambda i: feed.synth_feed(i % 1000)[0], feed.parse_feed),
+    "cdx": (lambda i: cdx.synth_warc_indexed(
+        [("https://c%d.ex.com/p/%d" % (i, u), "202601010000%02d" % u,
+          200, "text/html", b"b%d" % u) for u in range(3)],
+        cdxj=i % 2 == 1)[1], cdx.parse_cdx),
     "robots": (lambda i: b"User-agent: *\nDisallow: /p%d/\n"
                b"Allow: /p%d/pub\nSitemap: https://e/s.xml\n"
                % (i % 7, i % 7),

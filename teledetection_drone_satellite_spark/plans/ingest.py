@@ -7377,6 +7377,211 @@ def feed_entry_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdx_index_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 1 THEN 'cdxj' ELSE 'cdx' END
+                   AS fmt,
+               3 + doc_id % 5 AS n
+        FROM documents WHERE doc_id < 150
+    ),
+    cap AS (
+        SELECT doc_id, fmt, n, CAST(u.i AS INT) AS u,
+               CASE WHEN u.i % 2 = 0
+                    THEN 'com,ex,c' || CAST(doc_id AS VARCHAR) || ')/p/'
+                         || CAST(u.i AS VARCHAR) || '?a='
+                         || CAST(u.i AS VARCHAR) || '&b=2'
+                    ELSE 'com,ex,c' || CAST(doc_id AS VARCHAR) || ')/p/'
+                         || CAST(u.i AS VARCHAR) END AS surt_key,
+               CASE u.i % 4 WHEN 2 THEN 404 WHEN 3 THEN 301
+                    ELSE 200 END AS status,
+               CASE u.i % 3 WHEN 0 THEN 'text/html'
+                    WHEN 1 THEN 'text/plain'
+                    ELSE 'application/pdf' END AS mime
+        FROM spec, LATERAL unnest(range(0, n)) u(i)
+    )
+    SELECT doc_id, min(fmt) AS fmt,
+           CAST(count(*) AS INT) AS n_captures,
+           CAST(sum(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS INT)
+               AS n_ok,
+           CAST(sum(CASE WHEN mime = 'text/html' THEN 1 ELSE 0 END)
+               AS INT) AS n_html,
+           string_agg(substr(sha256(surt_key), 1, 8), '' ORDER BY u)
+               AS surt_digest
+    FROM cap GROUP BY doc_id
+    """,
+    doc="CDX/CDXJ Common Crawl index parsing, graded (r13 — the "
+    "pointer layer real CC consumers slice WARCs with): per doc "
+    "synth_warc_indexed writes a per-record-gzipped WARC plus its "
+    "TRUE index (classic 11-field ' CDX N b a m s k r M S V g' for "
+    "even docs, pywb CDXJ lines for odd), with messy original URLs — "
+    "uppercase scheme/host, www. prefix, explicit default port, "
+    "unsorted query params — that the SURT canonicalizer must "
+    "normalize. The oracle states each massaged urlkey in closed "
+    "form; the ordered surt sha256 chain flips on any "
+    "canonicalization, field-order, or JSON-decode bug.",
+    tags=("ingest", "text", "curation"),
+)
+def cdx_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.cdx import parse_cdx, synth_warc_indexed
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                n = 3 + i % 5
+                recs = []
+                for u in range(n):
+                    url = (
+                        "HTTPS://WWW.c%d.EX.com:443/p/%d?b=2&a=%d"
+                        % (i, u, u) if u % 2 == 0
+                        else "https://c%d.ex.com/p/%d" % (i, u)
+                    )
+                    body = (b"capture %d %d body;" % (i, u)) * (
+                        1 + (i + u) % 3)
+                    recs.append(
+                        (url, "202604011200%02d" % u,
+                         (200, 200, 404, 301)[u % 4],
+                         ("text/html", "text/plain",
+                          "application/pdf")[u % 3], body))
+                _, index = synth_warc_indexed(recs, cdxj=i % 2 == 1)
+                got = parse_cdx(index)
+                n_ok = sum(1 for e in got["entries"]
+                           if e["status"] == 200)
+                n_html = sum(1 for e in got["entries"]
+                             if e["mime"] == "text/html")
+                surt_digest = "".join(
+                    hashlib.sha256(e["surt"].encode()).hexdigest()[:8]
+                    for e in got["entries"]
+                )
+                rows.append((i, got["format"], len(got["entries"]),
+                             n_ok, n_html, surt_digest))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "fmt", "n_captures", "n_ok",
+                         "n_html", "surt_digest"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, fmt string, n_captures int, n_ok int, "
+        "n_html int, surt_digest string",
+    )
+
+
+@register(
+    "cdx_warc_slice",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 3 + doc_id % 5 AS n
+        FROM documents WHERE doc_id < 150
+    ),
+    cap AS (
+        SELECT doc_id, n, CAST(u.i AS INT) AS u,
+               u.i % 3 = 0 AND u.i % 4 < 2 AS selected,
+               repeat('capture ' || CAST(doc_id AS VARCHAR) || ' '
+                      || CAST(u.i AS VARCHAR) || ' body;',
+                      1 + (doc_id + u.i) % 3) AS body
+        FROM spec, LATERAL unnest(range(0, n)) u(i)
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN selected THEN 1 ELSE 0 END) AS INT)
+               AS n_selected,
+           CAST(sum(CASE WHEN selected THEN length(body) ELSE 0 END)
+               AS BIGINT) AS total_chars,
+           coalesce(string_agg(substr(sha256(body), 1, 8), ''
+               ORDER BY u) FILTER (WHERE selected), '') AS body_digest
+    FROM cap GROUP BY doc_id
+    """,
+    doc="Index-driven selective WARC fetch, graded (r13 — the real "
+    "100 TB consumption shape: query the CDX index, range-fetch ONLY "
+    "matching members): per doc the composed plan parses the index, "
+    "selects status-200 text/html captures, slices each by its "
+    "(offset, length) pointer, single-member-inflates, and re-parses "
+    "exactly one WARC record. read_warc_member refuses short slices, "
+    "trailing bytes, and non-member starts, so an off-by-one in the "
+    "measured offsets cannot pass; the oracle regenerates the "
+    "selected payload bodies in closed form — the digest chain flips "
+    "if slicing returns the wrong record or bytes.",
+    tags=("ingest", "text", "curation"),
+)
+def cdx_warc_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.cdx import (
+        parse_cdx,
+        read_warc_member,
+        synth_warc_indexed,
+    )
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                n = 3 + i % 5
+                recs = []
+                for u in range(n):
+                    body = (b"capture %d %d body;" % (i, u)) * (
+                        1 + (i + u) % 3)
+                    recs.append(
+                        ("https://c%d.ex.com/p/%d" % (i, u),
+                         "202604011200%02d" % u,
+                         (200, 200, 404, 301)[u % 4],
+                         ("text/html", "text/plain",
+                          "application/pdf")[u % 3], body))
+                blob, index = synth_warc_indexed(recs, cdxj=i % 2 == 1)
+                got = parse_cdx(index)
+                picked = [e for e in got["entries"]
+                          if e["status"] == 200
+                          and e["mime"] == "text/html"]
+                parts = []
+                total = 0
+                for e in picked:
+                    rec = read_warc_member(blob, e["offset"],
+                                           e["length"])
+                    parts.append(hashlib.sha256(
+                        rec["body"]).hexdigest()[:8])
+                    total += len(rec["body"])
+                rows.append((i, len(picked), total, "".join(parts)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_selected", "total_chars",
+                         "body_digest"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_selected int, total_chars long, "
+        "body_digest string",
+    )
+
+
+@register(
     "html_ldjson_stats",
     oracle="""
     SELECT doc_id,

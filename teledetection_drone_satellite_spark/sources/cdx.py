@@ -1,0 +1,207 @@
+"""CDX / CDXJ capture-index parsing — pure stdlib, from the public
+Internet Archive CDX file format description and the pywb CDXJ layout
+used by the Common Crawl index.
+
+THE pointer layer of web-archive consumption: real Common Crawl users
+do not scan 100 TB of WARCs — they query the (comparatively tiny) CDX
+index for (urlkey, timestamp, digest, offset, length, filename)
+tuples, then range-fetch and inflate ONLY the matching gzip members
+(each WARC record is its own member precisely so this works).  This
+module supplies that shape end-to-end:
+
+  - ``surt``: the massaged URL key (Sort-friendly URI Reordering
+    Transform): host lowercased, 'www.' stripped, label-reversed and
+    comma-joined, default ports dropped, path lowercased, query
+    parameters sorted, fragment dropped — the documented pywb default
+    canonicalization subset.
+  - ``parse_cdx``: classic space-separated CDX with a ' CDX <letters>'
+    header (field order defined BY the header letters — N b a m s k r
+    M S V g is the common 11-field form) and line-oriented CDXJ
+    (``surt timestamp {json}``), auto-detected.
+  - ``read_warc_member``: slice one record out of a .warc.gz by
+    (offset, length) and inflate exactly that member — the selective-
+    fetch primitive; refuses when the slice is not a complete single
+    gzip member (an off-by-one in offset arithmetic cannot pass).
+  - ``synth_warc_indexed``: fixture side — a per-record-gzipped WARC
+    plus its true CDX/CDXJ index, offsets measured, digests computed
+    (SHA-1 base32, the CDX 'k' convention), written independently of
+    the parser.
+
+Refusals (None): no parseable index lines, a header/line field-count
+mismatch, non-numeric status/offset/length, malformed CDXJ JSON —
+the honest-fallback contract every decoder here shares."""
+
+from __future__ import annotations
+
+import re
+
+# header letter -> canonical field name (IA CDX format description)
+_CDX_LETTERS = {
+    "N": "surt", "b": "timestamp", "a": "url", "m": "mime",
+    "s": "status", "k": "digest", "r": "redirect", "M": "meta",
+    "S": "length", "V": "offset", "g": "filename",
+}
+_INT_FIELDS = ("status", "length", "offset")
+
+
+def surt(url: str) -> "str | None":
+    """Sort-friendly URI Reordering Transform key (documented subset —
+    module docstring), e.g.
+    ``HTTPS://WWW.Ex.COM:443/A/b?b=2&a=1#f`` -> ``com,ex)/a/b?a=1&b=2``."""
+    m = re.match(r"(?i)^(https?)://([^/?#]+)([^?#]*)(?:\?([^#]*))?", url)
+    if not m:
+        return None
+    scheme, host, path, query = m.groups()
+    host = host.lower()
+    port_default = "443" if scheme.lower() == "https" else "80"
+    hm = re.match(r"^(.*?)(?::(\d+))?$", host)
+    host, port = hm.group(1), hm.group(2)
+    if host.startswith("www."):
+        host = host[4:]
+    if not host:
+        return None
+    key = ",".join(reversed(host.split(".")))
+    if port and port != port_default:
+        key += ":" + port
+    key += ")" + (path.lower() or "/")
+    if query:
+        key += "?" + "&".join(sorted(query.split("&")))
+    return key
+
+
+def synth_warc_indexed(
+    records: "list[tuple]", cdxj: bool = False,
+    filename: str = "file.warc.gz",
+) -> "tuple[bytes, bytes]":
+    """``records``: [(url, timestamp14, status, mime, body_bytes)] ->
+    (warc_gz, index_bytes).  One gzip member per record (the Common
+    Crawl layout), offsets/lengths measured from the emitted bytes,
+    payload digests as base32 SHA-1 (the CDX 'k' convention)."""
+    import base64
+    import hashlib
+
+    from .warc import synth_warc
+
+    blob = bytearray()
+    lines = []
+    for url, ts, status, mime, body in records:
+        member = synth_warc([("response", url, status, body)], gz=True)
+        off, length = len(blob), len(member)
+        blob += member
+        key = surt(url)
+        digest = base64.b32encode(hashlib.sha1(body).digest()).decode()
+        if cdxj:
+            import json
+
+            meta = {"url": url, "mime": mime, "status": str(status),
+                    "digest": digest, "length": str(length),
+                    "offset": str(off), "filename": filename}
+            lines.append("%s %s %s" % (key, ts,
+                                       json.dumps(meta, sort_keys=True)))
+        else:
+            lines.append(
+                "%s %s %s %s %d %s - - %d %d %s"
+                % (key, ts, url, mime, status, digest, length, off,
+                   filename))
+    if cdxj:
+        index = ("\n".join(lines) + "\n").encode()
+    else:
+        index = (" CDX N b a m s k r M S V g\n"
+                 + "\n".join(lines) + "\n").encode()
+    return bytes(blob), index
+
+
+def parse_cdx(content: bytes) -> "dict | None":
+    """-> {'format': 'cdx' | 'cdxj', 'entries': [{'surt', 'timestamp',
+    'url', 'mime', 'status', 'digest', 'length', 'offset',
+    'filename'}, ...]} in line order, or None per the module
+    docstring.  '-' fields decode to None; status/length/offset are
+    ints."""
+    import json
+
+    try:
+        text = content.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    if not lines:
+        return None
+    fmt = None
+    fields: "list[str]" = []
+    if lines[0].startswith(" CDX "):
+        fmt = "cdx"
+        letters = lines[0].split()[1:]
+        if not letters or any(c not in _CDX_LETTERS for c in letters):
+            return None
+        fields = [_CDX_LETTERS[c] for c in letters]
+        lines = lines[1:]
+        if not lines:
+            return None
+    entries = []
+    for ln in lines:
+        if fmt != "cdx":
+            m = re.match(r"^(\S+) (\d{14}) (\{.*\})$", ln)
+            if m is None:
+                return None
+            fmt = "cdxj"
+            try:
+                meta = json.loads(m.group(3))
+            except ValueError:
+                return None
+            if not isinstance(meta, dict):
+                return None
+            ent = {"surt": m.group(1), "timestamp": m.group(2)}
+            for name in ("url", "mime", "status", "digest", "length",
+                         "offset", "filename"):
+                ent[name] = meta.get(name)
+        else:
+            toks = ln.split(" ")
+            if len(toks) != len(fields):
+                return None
+            ent = dict.fromkeys(
+                ("surt", "timestamp", "url", "mime", "status", "digest",
+                 "length", "offset", "filename"))
+            for name, tok in zip(fields, toks):
+                ent[name] = None if tok == "-" else tok
+        for name in _INT_FIELDS:
+            v = ent.get(name)
+            if v is None:
+                continue
+            if isinstance(v, str):
+                if not v.isdigit():
+                    return None
+                ent[name] = int(v)
+            elif not isinstance(v, int):
+                return None
+        entries.append(ent)
+    return {"format": fmt or "cdx", "entries": entries}
+
+
+def read_warc_member(blob: bytes, offset: int,
+                     length: int) -> "dict | None":
+    """Inflate exactly ONE per-record gzip member sliced by a CDX
+    (offset, length) pointer and parse the single WARC record inside —
+    the selective-fetch primitive.  Refuses (None) when the slice is
+    short, is not a gzip member, is truncated, carries trailing bytes
+    (off-by-one offsets cannot pass), or holds anything but exactly
+    one record."""
+    import zlib
+
+    from .warc import parse_warc
+
+    if offset < 0 or length <= 0 or offset + length > len(blob):
+        return None
+    chunk = blob[offset : offset + length]
+    if chunk[:2] != b"\x1f\x8b":
+        return None
+    d = zlib.decompressobj(wbits=31)
+    try:
+        rec = d.decompress(chunk)
+    except zlib.error:
+        return None
+    if not d.eof or d.unused_data:
+        return None
+    got = parse_warc(rec)
+    if got is None or len(got) != 1:
+        return None
+    return got[0]

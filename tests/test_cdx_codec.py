@@ -1,0 +1,109 @@
+"""CDX/CDXJ index + selective WARC fetch tests (sources/cdx.py) — r13."""
+
+from __future__ import annotations
+
+from teledetection_drone_satellite_spark.sources import cdx
+
+
+def _recs(i: int, n: int = 5):
+    return [
+        ("https://c%d.ex.com/p/%d" % (i, u), "202604011200%02d" % u,
+         (200, 200, 404, 301)[u % 4],
+         ("text/html", "text/plain", "application/pdf")[u % 3],
+         b"capture %d %d body;" % (i, u))
+        for u in range(n)
+    ]
+
+
+def test_surt_canonicalization():
+    assert (cdx.surt("HTTPS://WWW.Ex.COM:443/A/b?b=2&a=1#f")
+            == "com,ex)/a/b?a=1&b=2")
+    assert cdx.surt("http://ex.com:80/x") == "com,ex)/x"
+    assert cdx.surt("http://ex.com:8080/x") == "com,ex:8080)/x"
+    assert cdx.surt("https://a.b.c.ex.com/") == "com,ex,c,b,a)/"
+    assert cdx.surt("http://ex.com") == "com,ex)/"
+    assert cdx.surt("ftp://ex.com/x") is None
+    assert cdx.surt("not a url") is None
+
+
+def test_roundtrip_cdx_and_cdxj():
+    for cj in (False, True):
+        blob, index = cdx.synth_warc_indexed(_recs(3), cdxj=cj)
+        got = cdx.parse_cdx(index)
+        assert got["format"] == ("cdxj" if cj else "cdx")
+        assert len(got["entries"]) == 5
+        for u, e in enumerate(got["entries"]):
+            assert e["surt"] == "com,ex,c3)/p/%d" % u
+            assert e["status"] == (200, 200, 404, 301)[u % 4]
+            assert isinstance(e["offset"], int)
+            assert isinstance(e["length"], int)
+            rec = cdx.read_warc_member(blob, e["offset"], e["length"])
+            assert rec["body"] == b"capture 3 %d body;" % u
+            assert rec["uri"] == "https://c3.ex.com/p/%d" % u
+
+
+def test_header_defines_field_order():
+    # a reordered header must remap the columns
+    index = (b" CDX g V S a\n"
+             b"f.warc.gz 100 50 https://x.ex.com/a\n")
+    got = cdx.parse_cdx(index)
+    e = got["entries"][0]
+    assert e["filename"] == "f.warc.gz"
+    assert e["offset"] == 100 and e["length"] == 50
+    assert e["url"] == "https://x.ex.com/a"
+    assert e["surt"] is None and e["status"] is None
+
+
+def test_dash_fields_decode_to_none():
+    index = (b" CDX N b s r\n"
+             b"com,ex)/a 20260101000000 - -\n")
+    e = cdx.parse_cdx(index)["entries"][0]
+    assert e["status"] is None and e["redirect"] is None
+
+
+def test_parse_refusals():
+    assert cdx.parse_cdx(b"") is None
+    assert cdx.parse_cdx(b" CDX N b Z\nx y z\n") is None  # unknown letter
+    assert cdx.parse_cdx(b" CDX N b a\nonly two\n") is None  # field count
+    assert cdx.parse_cdx(
+        b" CDX N V\ncom,ex)/a notanint\n") is None  # non-numeric offset
+    assert cdx.parse_cdx(
+        b"com,ex)/a 20260101000000 {broken json\n") is None
+    assert cdx.parse_cdx(
+        b"com,ex)/a 20260101000000 [1,2]\n") is None  # non-dict JSON
+    assert cdx.parse_cdx(b"\xff\xfe garbage") is None
+    # CDXJ with a string offset that is not numeric
+    assert cdx.parse_cdx(
+        b'com,ex)/a 20260101000000 {"offset": "12x"}\n') is None
+
+
+def test_slice_offbyone_refuses():
+    blob, index = cdx.synth_warc_indexed(_recs(1, n=3))
+    e = cdx.parse_cdx(index)["entries"][1]
+    assert cdx.read_warc_member(blob, e["offset"], e["length"]) is not None
+    assert cdx.read_warc_member(blob, e["offset"] + 1, e["length"]) is None
+    assert cdx.read_warc_member(blob, e["offset"], e["length"] - 1) is None
+    assert cdx.read_warc_member(blob, e["offset"], e["length"] + 1) is None
+    assert cdx.read_warc_member(blob, len(blob) - 2, 10) is None
+    assert cdx.read_warc_member(blob, e["offset"], 0) is None
+    assert cdx.read_warc_member(blob, -1, 10) is None
+
+
+def test_bitflip_never_crashes():
+    import random
+    import zlib
+
+    blob, index = cdx.synth_warc_indexed(_recs(7), cdxj=True)
+    rnd = random.Random(zlib.crc32(b"cdx"))
+    for _ in range(120):
+        b2 = bytearray(index)
+        for _ in range(1 + rnd.randrange(8)):
+            b2[rnd.randrange(len(b2))] ^= 1 << rnd.randrange(8)
+        out = cdx.parse_cdx(bytes(b2))
+        assert out is None or isinstance(out, dict)
+        w2 = bytearray(blob)
+        for _ in range(1 + rnd.randrange(8)):
+            w2[rnd.randrange(len(w2))] ^= 1 << rnd.randrange(8)
+        got = cdx.read_warc_member(
+            bytes(w2), rnd.randrange(len(w2)), 1 + rnd.randrange(200))
+        assert got is None or isinstance(got, dict)
