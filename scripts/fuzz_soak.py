@@ -21,8 +21,9 @@ import zlib
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from teledetection_drone_satellite_spark.sources import (  # noqa: E402
-    aiff, arc, cdx, docx, epub, feed, gpx, html, ical, id3, las, markdown,
-    mbox, netcdf, odt, pdf, pptx, robots, rtf, shapefile, sitemap,
+    aiff, arc, cdx, docx, epub, feed, gpx, html, ical, id3, las,
+    markdown, mbox, mpeg, netcdf, odt, pdf, pptx, robots, rtf,
+    shapefile, sitemap,
     subtitles, vcard, warc, xlsx,
 )
 
@@ -94,6 +95,18 @@ def _las_synth(i: int) -> bytes:
     return las.encode_las(pts, fmt=fmt)
 
 
+def _mpeg_synth(i: int) -> bytes:
+    layer = 2 if i % 4 == 2 else 3
+    hdr = None
+    if layer == 3:
+        hdr = ("Xing", "Info", "VBRI")[i % 3] if i % 2 else None
+    return mpeg.synth_mp3(
+        ("1", "2", "2.5")[i % 3], layer, (i // 3) % 3,
+        [4 + (i + f) % 11 for f in range(3 + i % 5)],
+        mono=i % 5 < 2, vbr_header=hdr, id3v2=i % 5 == 0,
+        id3v1=i % 5 == 3, crc=i % 7 == 0)
+
+
 def _mbox_synth(i: int) -> bytes:
     return mbox.synth_mbox([
         {"sender": "a@ex.com", "subject": "Soak %d" % i,
@@ -149,6 +162,7 @@ DECODERS = {
         22050, 20, 1 + i % 3, (8, 16, 24, 32)[i % 4]), aiff.decode_aiff),
     "id3": (lambda i: id3.synth_id3(
         {"TIT2": "t%d" % i, "TALB": "a"}, 3 + i % 2, 0), id3.decode_id3),
+    "mpeg": (_mpeg_synth, mpeg.decode_mp3),
     "subtitles": (lambda i: subtitles.synth_subtitles(i % 1000)[0],
                   subtitles.parse_subtitles),
     "markdown": (lambda i: markdown.synth_markdown(i % 1000)[0].encode(),

@@ -7582,6 +7582,141 @@ def cdx_warc_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mp3_meta_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN '1' WHEN 1 THEN '2'
+                    ELSE '2.5' END AS version,
+               CASE WHEN doc_id % 4 = 2 THEN 2 ELSE 3 END AS layer,
+               CAST((doc_id // 3) % 3 AS INT) AS sr_idx,
+               5 + doc_id % 7 AS n
+        FROM documents WHERE doc_id < 150
+    ),
+    par AS (
+        SELECT *,
+               CASE version
+                    WHEN '1' THEN
+                        list_extract([44100, 48000, 32000], sr_idx + 1)
+                    WHEN '2' THEN
+                        list_extract([22050, 24000, 16000], sr_idx + 1)
+                    ELSE list_extract([11025, 12000, 8000], sr_idx + 1)
+               END AS sr,
+               CASE WHEN layer = 2 THEN 1152
+                    WHEN version = '1' THEN 1152 ELSE 576 END AS spf,
+               CASE WHEN version = '1' AND layer = 3 THEN
+                        [32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+                    WHEN version = '1' AND layer = 2 THEN
+                        [32,48,56,64,80,96,112,128,160,192,224,256,320,384]
+                    ELSE [8,16,24,32,40,48,56,64,80,96,112,128,144,160]
+               END AS brt,
+               layer = 3 AND doc_id % 2 = 1 AS is_vbr
+        FROM spec
+    ),
+    fr AS (
+        SELECT doc_id,
+               CASE WHEN is_vbr THEN list_extract(
+                        brt, CAST(4 + (doc_id + f.i) % 11 AS INT))
+                    ELSE list_extract(
+                        brt, CAST(4 + doc_id % 11 AS INT))
+               END AS kbps
+        FROM par, LATERAL unnest(range(0, n)) f(i)
+    ),
+    agg AS (
+        SELECT doc_id, CAST(sum(kbps) AS BIGINT) AS kbps_sum
+        FROM fr GROUP BY doc_id
+    )
+    SELECT par.doc_id, version,
+           CAST(layer AS INT) AS layer,
+           CAST(sr AS INT) AS sample_rate,
+           CASE WHEN par.doc_id % 5 < 2 THEN 'mono' ELSE 'stereo' END
+               AS ch_mode,
+           CAST(n AS INT) AS n_frames,
+           kbps_sum,
+           CAST(n * spf * 1000 // sr AS BIGINT) AS duration_ms,
+           CASE WHEN layer = 2 THEN 'none'
+                WHEN par.doc_id % 2 = 1 THEN 'vbr' ELSE 'cbr' END
+               AS vbr_kind,
+           CAST(CASE WHEN layer = 2 THEN -1 ELSE n END AS INT)
+               AS xing_frames
+    FROM par JOIN agg USING (doc_id)
+    """,
+    doc="MP3 MPEG frame-header metadata, graded (r13 — the audio tier "
+    "next to WAV/AIFF/FLAC; header walk only, the C14 metadata "
+    "contract): per doc synth_mp3 writes a frame stream cycling MPEG "
+    "version (1/2/2.5), layer (III and II), sample-rate index, "
+    "mono/stereo, per-frame padding bits, CBR (Info header) vs VBR "
+    "(Xing, per-frame bitrate indices), CRC flags, and ID3v2/ID3v1 "
+    "wrappers to skip. decode_mp3 must land exactly on end-of-stream, "
+    "so the bitrate/sample-rate tables, the frame-length arithmetic "
+    "(incl. the MPEG2 layer-III 576-sample half-frames), and the tag "
+    "skipping are all graded by the closed-form per-frame kbps sum "
+    "and integer-ms duration.",
+    tags=("ingest", "multimodal"),
+)
+def mp3_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.mpeg import decode_mp3, synth_mp3
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                version = ("1", "2", "2.5")[i % 3]
+                layer = 2 if i % 4 == 2 else 3
+                sr_idx = (i // 3) % 3
+                n = 5 + i % 7
+                # indices start at 4: the first frame must be big
+                # enough to carry the Xing/Info block at every
+                # (version, rate, mono, crc) combination in the cycle
+                if layer == 3 and i % 2 == 1:
+                    idxs = [4 + (i + f) % 11 for f in range(n)]
+                    hdr = "Xing"
+                else:
+                    idxs = [4 + i % 11] * n
+                    hdr = "Info" if layer == 3 else None
+                blob = synth_mp3(
+                    version, layer, sr_idx, idxs,
+                    mono=i % 5 < 2, vbr_header=hdr,
+                    id3v2=i % 5 == 0, id3v1=i % 5 in (1, 3),
+                    crc=i % 7 == 0,
+                )
+                d = decode_mp3(blob)
+                vbr_kind = ("none" if d["vbr"] is None
+                            else "vbr" if d["vbr"] else "cbr")
+                rows.append(
+                    (i, d["version"], d["layer"], d["sample_rate"],
+                     d["channel_mode"], d["n_frames"], d["kbps_sum"],
+                     d["duration_ms"], vbr_kind,
+                     -1 if d["xing_frames"] is None
+                     else d["xing_frames"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "version", "layer", "sample_rate",
+                         "ch_mode", "n_frames", "kbps_sum",
+                         "duration_ms", "vbr_kind", "xing_frames"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, version string, layer int, sample_rate int, "
+        "ch_mode string, n_frames int, kbps_sum long, duration_ms long, "
+        "vbr_kind string, xing_frames int",
+    )
+
+
+@register(
     "html_ldjson_stats",
     oracle="""
     SELECT doc_id,

@@ -1,0 +1,256 @@
+"""MPEG audio (MP3) frame-header metadata — pure stdlib, from the
+public ISO/IEC 11172-3 / 13818-3 header layout and the de-facto
+Xing/Info and VBRI VBR header conventions.
+
+MP3 is the most common audio format in scraped data; sources/id3.py
+reads the ID3 tags but duration/bitrate/sample-rate live in the MPEG
+frame stream itself.  This is a HEADER walk only (the C14 metadata
+contract) — no subband/MDCT sample decode.  Per frame: 11-bit sync,
+version (1 / 2 / 2.5), layer (I-III), bitrate + sample-rate table
+indices, padding bit, channel mode; frame byte length is
+  layer I:      (12 * bitrate // rate + pad) * 4
+  layer II/III: (spf/8 * bitrate) // rate + pad
+with 384 samples/frame for layer I, 1152 for layer II, and 1152
+(MPEG1) / 576 (MPEG2/2.5) for layer III.  The walk skips a leading
+ID3v2 tag (syncsafe size + optional v2.4 footer) and a trailing
+128-byte ID3v1 'TAG' block, requires every frame to agree on
+version/layer/rate/mode (real encoders do), and must land EXACTLY on
+end-of-stream — a frame-length arithmetic bug cannot pass.  The first
+frame is probed for 'Xing' (VBR) / 'Info' (CBR) at the layer-III
+side-info offset (version x channel dependent, +2 under CRC) and for
+'VBRI' at the fixed 32-byte offset; frame counts include the VBR
+header carrier frame, and the synth writes its Xing frame count with
+the same convention.
+
+Refusals (None): no sync, reserved version/layer/rate bits, free-
+format (bitrate index 0) or bad (15) bitrate, truncated frames, a
+walk that does not land on the end, or cross-frame parameter
+disagreement — the honest-fallback contract every decoder here
+shares."""
+
+from __future__ import annotations
+
+import struct
+
+# bitrate tables, kbps, index 1..14 (0 = free format, 15 = bad)
+BITRATES = {
+    ("1", 1): [32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+               384, 416, 448],
+    ("1", 2): [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+               320, 384],
+    ("1", 3): [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+               256, 320],
+    ("2", 1): [32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+               224, 256],
+    ("2", 2): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+               160],
+    ("2", 3): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+               160],
+}
+SAMPLE_RATES = {"1": [44100, 48000, 32000], "2": [22050, 24000, 16000],
+                "2.5": [11025, 12000, 8000]}
+_VERSION_BITS = {3: "1", 2: "2", 0: "2.5"}  # header bits 20-19
+_MODES = ("stereo", "joint", "dual", "mono")
+
+
+def samples_per_frame(version: str, layer: int) -> int:
+    if layer == 1:
+        return 384
+    if layer == 2:
+        return 1152
+    return 1152 if version == "1" else 576
+
+
+def _brtable(version: str, layer: int) -> "list[int]":
+    return BITRATES[("1" if version == "1" else "2", layer)]
+
+
+def frame_length(version: str, layer: int, kbps: int, rate: int,
+                 pad: int) -> int:
+    br = kbps * 1000
+    if layer == 1:
+        return (12 * br // rate + pad) * 4
+    coef = samples_per_frame(version, layer) // 8
+    return coef * br // rate + pad
+
+
+def _xing_offset(version: str, mono: bool) -> int:
+    """Layer III side-info size after the 4-byte header — where the
+    Xing/Info magic sits."""
+    if version == "1":
+        return 17 if mono else 32
+    return 9 if mono else 17
+
+
+def synth_mp3(
+    version: str, layer: int, sr_idx: int, br_indices: "list[int]",
+    mono: bool = False, vbr_header: "str | None" = None,
+    id3v2: bool = False, id3v1: bool = False, crc: bool = False,
+) -> bytes:
+    """One frame per bitrate index, padding bit alternating from the
+    index parity, deterministic payload bytes.  ``vbr_header``: None |
+    'Xing' | 'Info' | 'VBRI' written into the FIRST frame at the
+    correct offset (frames field = total frame count, the carrier-
+    inclusive convention decode_mp3 shares).  Packing independent of
+    decode_mp3."""
+    rate = SAMPLE_RATES[version][sr_idx]
+    vbits = {"1": 3, "2": 2, "2.5": 0}[version]
+    out = bytearray()
+    if id3v2:
+        from .id3 import synth_id3
+
+        tag = synth_id3({"TIT2": "t", "TALB": "a"}, 3, 0)
+        # synth_id3 appends a fake frame-header tail; keep the tag only
+        size = ((tag[6] << 21) | (tag[7] << 14) | (tag[8] << 7)
+                | tag[9]) + 10
+        out += tag[:size]
+    frames = bytearray()
+    for f, idx in enumerate(br_indices):
+        kbps = _brtable(version, layer)[idx - 1]
+        pad = (f + idx) % 2
+        flen = frame_length(version, layer, kbps, rate, pad)
+        hdr = (0x7FF << 21) | (vbits << 19) | ((4 - layer) << 17)
+        hdr |= (0 if crc else 1) << 16
+        hdr |= (idx << 12) | (sr_idx << 10) | (pad << 9)
+        hdr |= (3 if mono else 0) << 6
+        frame = bytearray(struct.pack(">I", hdr))
+        body = bytearray(
+            (7 * (f + k)) & 0xFF for k in range(flen - 4))
+        if f == 0 and vbr_header in ("Xing", "Info"):
+            off = _xing_offset(version, mono) + (2 if crc else 0)
+            blob = (vbr_header.encode() + struct.pack(">I", 0x3)
+                    + struct.pack(">I", len(br_indices))
+                    + struct.pack(">I", 0))  # bytes field patched below
+            if off + len(blob) > len(body):
+                raise ValueError(
+                    "first frame too small for a VBR header — raise "
+                    "its bitrate index")
+            body[off : off + len(blob)] = blob
+        elif f == 0 and vbr_header == "VBRI":
+            off = 32 + (2 if crc else 0)
+            blob = (b"VBRI" + struct.pack(">HHH", 1, 0, 0)
+                    + struct.pack(">I", 0)
+                    + struct.pack(">I", len(br_indices)))
+            if off + len(blob) > len(body):
+                raise ValueError(
+                    "first frame too small for a VBRI header — raise "
+                    "its bitrate index")
+            body[off : off + len(blob)] = blob
+        frame += body[: flen - 4]
+        frames += frame
+    if vbr_header in ("Xing", "Info"):
+        # patch the total-bytes field now that the stream length is
+        # known: 4 (frame header) + side info + magic(4)+flags(4)+frames(4)
+        off = 4 + _xing_offset(version, mono) + (2 if crc else 0) + 12
+        frames[off : off + 4] = struct.pack(">I", len(frames))
+    out += frames
+    if id3v1:
+        out += b"TAG" + bytes(125)
+    return bytes(out)
+
+
+def decode_mp3(content: bytes) -> "dict | None":
+    """-> {'version', 'layer', 'sample_rate', 'channel_mode',
+    'has_crc', 'n_frames', 'kbps_sum', 'duration_ms', 'vbr',
+    'xing_frames', 'id3v2', 'id3v1'} or None per the module
+    docstring.  kbps_sum is the sum of per-frame nominal bitrates
+    (CBR: n_frames * kbps); duration_ms = n_frames * spf * 1000 //
+    rate; vbr is True (Xing/VBRI), False (Info) or None (no VBR
+    header)."""
+    pos = 0
+    n = len(content)
+    has_id3v2 = False
+    if content[:3] == b"ID3" and n >= 10:
+        if any(b & 0x80 for b in content[6:10]):
+            return None
+        size = ((content[6] << 21) | (content[7] << 14)
+                | (content[8] << 7) | content[9]) + 10
+        if content[5] & 0x10:
+            size += 10  # v2.4 footer
+        if size > n:
+            return None
+        pos = size
+        has_id3v2 = True
+    end = n
+    has_id3v1 = False
+    if end - pos >= 128 and content[end - 128 : end - 125] == b"TAG":
+        end -= 128
+        has_id3v1 = True
+    params = None  # (version, layer, rate_idx, mode_bits, crc)
+    n_frames = 0
+    kbps_sum = 0
+    vbr: "bool | None" = None
+    xing_frames: "int | None" = None
+    while pos < end:
+        if end - pos < 4:
+            return None
+        hdr = struct.unpack(">I", content[pos : pos + 4])[0]
+        if (hdr >> 21) & 0x7FF != 0x7FF:
+            return None
+        vb = (hdr >> 19) & 3
+        if vb == 1:
+            return None  # reserved version
+        version = _VERSION_BITS[vb]
+        lb = (hdr >> 17) & 3
+        if lb == 0:
+            return None  # reserved layer
+        layer = 4 - lb
+        crc = ((hdr >> 16) & 1) == 0
+        idx = (hdr >> 12) & 0xF
+        if idx in (0, 15):
+            return None  # free-format / bad bitrate
+        sr_idx = (hdr >> 10) & 3
+        if sr_idx == 3:
+            return None  # reserved sample rate
+        pad = (hdr >> 9) & 1
+        mode = (hdr >> 6) & 3
+        this = (version, layer, sr_idx, mode, crc)
+        if params is None:
+            params = this
+        elif params != this:
+            return None  # encoders keep these constant per stream
+        rate = SAMPLE_RATES[version][sr_idx]
+        kbps = _brtable(version, layer)[idx - 1]
+        flen = frame_length(version, layer, kbps, rate, pad)
+        if flen <= 4 or pos + flen > end:
+            return None  # truncated frame
+        if n_frames == 0 and layer == 3:
+            off = pos + 4 + _xing_offset(version, mode == 3) + (
+                2 if crc else 0)
+            magic = content[off : off + 4]
+            if magic in (b"Xing", b"Info") and off + 8 <= pos + flen:
+                flags = struct.unpack(
+                    ">I", content[off + 4 : off + 8])[0]
+                vbr = magic == b"Xing"
+                if flags & 1 and off + 12 <= pos + flen:
+                    xing_frames = struct.unpack(
+                        ">I", content[off + 8 : off + 12])[0]
+            else:
+                voff = pos + 4 + 32 + (2 if crc else 0)
+                if content[voff : voff + 4] == b"VBRI" and (
+                        voff + 18 <= pos + flen):
+                    vbr = True
+                    xing_frames = struct.unpack(
+                        ">I", content[voff + 14 : voff + 18])[0]
+        n_frames += 1
+        kbps_sum += kbps
+        pos += flen
+    if n_frames == 0 or pos != end:
+        return None  # must land exactly on end-of-stream
+    version, layer, sr_idx, mode, crc = params
+    rate = SAMPLE_RATES[version][sr_idx]
+    spf = samples_per_frame(version, layer)
+    return {
+        "version": version,
+        "layer": layer,
+        "sample_rate": rate,
+        "channel_mode": _MODES[mode],
+        "has_crc": crc,
+        "n_frames": n_frames,
+        "kbps_sum": kbps_sum,
+        "duration_ms": n_frames * spf * 1000 // rate,
+        "vbr": vbr,
+        "xing_frames": xing_frames,
+        "id3v2": has_id3v2,
+        "id3v1": has_id3v1,
+    }

@@ -1,0 +1,108 @@
+"""MP3 MPEG frame-header codec tests (sources/mpeg.py) — r13."""
+
+from __future__ import annotations
+
+import pytest
+
+from teledetection_drone_satellite_spark.sources import mpeg
+
+
+def test_cbr_info_roundtrip():
+    blob = mpeg.synth_mp3("1", 3, 0, [5] * 8, vbr_header="Info")
+    d = mpeg.decode_mp3(blob)
+    assert d["version"] == "1" and d["layer"] == 3
+    assert d["sample_rate"] == 44100 and d["channel_mode"] == "stereo"
+    assert d["n_frames"] == 8 and d["vbr"] is False
+    assert d["xing_frames"] == 8
+    assert d["kbps_sum"] == 8 * 64  # V1 L3 idx5
+    assert d["duration_ms"] == 8 * 1152 * 1000 // 44100
+
+
+def test_vbr_xing_with_tags_mono_25():
+    idxs = [4 + (k % 11) for k in range(10)]
+    blob = mpeg.synth_mp3("2.5", 3, 2, idxs, mono=True,
+                          vbr_header="Xing", id3v2=True, id3v1=True)
+    d = mpeg.decode_mp3(blob)
+    assert d["version"] == "2.5" and d["sample_rate"] == 8000
+    assert d["channel_mode"] == "mono"
+    assert d["vbr"] is True and d["xing_frames"] == 10
+    assert d["id3v2"] and d["id3v1"]
+    # MPEG2.5 layer III: 576 samples per frame
+    assert d["duration_ms"] == 10 * 576 * 1000 // 8000
+    table = mpeg.BITRATES[("2", 3)]
+    assert d["kbps_sum"] == sum(table[i - 1] for i in idxs)
+
+
+def test_layer2_and_layer1():
+    d = mpeg.decode_mp3(mpeg.synth_mp3("2", 2, 1, [3] * 5))
+    assert d["layer"] == 2 and d["vbr"] is None
+    assert d["duration_ms"] == 5 * 1152 * 1000 // 24000
+    d = mpeg.decode_mp3(mpeg.synth_mp3("1", 1, 0, [4] * 6, crc=True))
+    assert d["layer"] == 1 and d["has_crc"]
+    assert d["duration_ms"] == 6 * 384 * 1000 // 44100
+
+
+def test_vbri_header():
+    blob = mpeg.synth_mp3("1", 3, 0, [6] * 7, vbr_header="VBRI")
+    d = mpeg.decode_mp3(blob)
+    assert d["vbr"] is True and d["xing_frames"] == 7
+
+
+def test_crc_shifts_xing_offset():
+    for crc in (False, True):
+        blob = mpeg.synth_mp3("1", 3, 1, [7] * 4, vbr_header="Xing",
+                              crc=crc)
+        d = mpeg.decode_mp3(blob)
+        assert d["vbr"] is True and d["xing_frames"] == 4, crc
+
+
+def test_padding_bit_changes_frame_length():
+    a = mpeg.frame_length("1", 3, 128, 44100, 0)
+    assert mpeg.frame_length("1", 3, 128, 44100, 1) == a + 1
+    b = mpeg.frame_length("1", 1, 128, 44100, 0)
+    assert mpeg.frame_length("1", 1, 128, 44100, 1) == b + 4
+
+
+def test_refusals():
+    good = mpeg.synth_mp3("1", 3, 0, [5] * 4)
+    assert mpeg.decode_mp3(good) is not None
+    assert mpeg.decode_mp3(b"") is None
+    assert mpeg.decode_mp3(b"garbage data") is None
+    assert mpeg.decode_mp3(good[:-3]) is None  # truncated last frame
+    assert mpeg.decode_mp3(good + b"xx") is None  # trailing junk
+    # free-format bitrate (index 0) refuses
+    hdr = bytearray(good[:4])
+    hdr[2] = (hdr[2] & 0x0F) | 0x00
+    assert mpeg.decode_mp3(bytes(hdr) + good[4:]) is None
+    # reserved sample-rate index
+    hdr = bytearray(good[:4])
+    hdr[2] = (hdr[2] & 0xF3) | 0x0C
+    assert mpeg.decode_mp3(bytes(hdr) + good[4:]) is None
+    # ID3v2 size past EOF
+    assert mpeg.decode_mp3(b"ID3\x03\x00\x00\x7f\x7f\x7f\x7f") is None
+
+
+def test_cross_frame_disagreement_refuses():
+    a = mpeg.synth_mp3("1", 3, 0, [5] * 2)
+    b = mpeg.synth_mp3("1", 3, 1, [5] * 2)  # different sample rate
+    assert mpeg.decode_mp3(a + b) is None
+
+
+def test_synth_guards_tiny_first_frame():
+    with pytest.raises(ValueError):
+        mpeg.synth_mp3("2", 3, 0, [1] * 4, crc=True, vbr_header="Info")
+
+
+def test_bitflip_never_crashes():
+    import random
+    import zlib
+
+    base = mpeg.synth_mp3("1", 3, 0, [4 + k % 11 for k in range(6)],
+                          vbr_header="Xing", id3v2=True)
+    rnd = random.Random(zlib.crc32(b"mpeg"))
+    for _ in range(200):
+        blob = bytearray(base)
+        for _ in range(1 + rnd.randrange(8)):
+            blob[rnd.randrange(len(blob))] ^= 1 << rnd.randrange(8)
+        out = mpeg.decode_mp3(bytes(blob))
+        assert out is None or isinstance(out, dict)
