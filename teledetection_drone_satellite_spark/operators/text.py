@@ -405,6 +405,77 @@ def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Code-corpus secret patterns (r13 — the StarCoder-shape curation tier),
+# constrained like the PII set to the Java/RE2 common subset: no
+# backrefs, no lookaround, ASCII classes. Each pattern targets a
+# structurally unambiguous credential shape, not entropy heuristics.
+SECRET_AWS_RE = r"\bAKIA[0-9A-Z]{16}\b"
+SECRET_PEM_RE = r"-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----"
+SECRET_BEARER_RE = r"\bBearer [A-Za-z0-9_~+/.=-]{20,}"
+SECRET_GHP_RE = r"\bghp_[A-Za-z0-9]{36}\b"
+SECRET_SLACK_RE = r"\bxox[baprs]-[A-Za-z0-9-]{10,}\b"
+
+
+def secrets_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Secrets detection + redaction for code-corpus curation (the tier
+    PII scanning misses: leaked credentials survive email/IP scrubs and
+    end up memorized by trained models).  Per-doc counts of AWS access
+    key IDs, PEM private-key blocks, bearer tokens, GitHub PATs, and
+    Slack tokens, plus the sha-256 of the typed-placeholder-redacted
+    text (the same determinism proof as pii_scan).
+
+    Pure regexp_count/regexp_replace — codegen'd, map-only, no shuffle.
+    Redaction order is fixed (AWS, PEM, bearer, ghp, slack) so the hash
+    is engine-stable."""
+    t = F.col(text_col)
+    redacted = F.regexp_replace(t, SECRET_AWS_RE, "<AWSKEY>")
+    redacted = F.regexp_replace(redacted, SECRET_PEM_RE, "<PEM>")
+    redacted = F.regexp_replace(redacted, SECRET_BEARER_RE, "<BEARER>")
+    redacted = F.regexp_replace(redacted, SECRET_GHP_RE, "<GHP>")
+    redacted = F.regexp_replace(redacted, SECRET_SLACK_RE, "<SLACK>")
+    return df.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(SECRET_AWS_RE)).cast("long").alias("n_aws"),
+        F.regexp_count(t, F.lit(SECRET_PEM_RE)).cast("long").alias("n_pem"),
+        F.regexp_count(t, F.lit(SECRET_BEARER_RE)).cast("long").alias(
+            "n_bearer"),
+        F.regexp_count(t, F.lit(SECRET_GHP_RE)).cast("long").alias("n_ghp"),
+        F.regexp_count(t, F.lit(SECRET_SLACK_RE)).cast("long").alias(
+            "n_slack"),
+        F.sha2(redacted, 256).alias("redacted_sha"),
+    )
+
+
+# SPDX short-form identifier (the machine-readable license tag) and the
+# distinctive first-phrase of each common license family — the compliance
+# classification code-corpus pipelines (The Stack, StarCoder) filter on.
+SPDX_RE = r"SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+-]+)"
+LICENSE_PHRASES = (
+    ("MIT", "Permission is hereby granted, free of charge"),
+    ("Apache-2.0", "Licensed under the Apache License, Version 2.0"),
+    ("GPL", "GNU General Public License"),
+    ("BSD-3-Clause", "Redistribution and use in source and binary forms"),
+)
+
+
+def license_detect(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """License classification for compliance filtering: a machine-
+    readable SPDX-License-Identifier tag wins outright; otherwise the
+    first matching distinctive license phrase (fixed priority order);
+    otherwise 'unknown'.  Pure regexp_extract + contains CASE chain —
+    codegen'd, map-only, no shuffle."""
+    t = F.col(text_col)
+    spdx = F.regexp_extract(t, SPDX_RE, 1)
+    phrase = F.lit("unknown")
+    for name, needle in reversed(LICENSE_PHRASES):
+        phrase = F.when(t.contains(needle), F.lit(name)).otherwise(phrase)
+    return df.select(
+        "doc_id",
+        F.when(spdx != "", spdx).otherwise(phrase).alias("license"),
+        (spdx != "").cast("int").alias("has_spdx"),
+    )
+
+
 # URL shape, Java/RE2 common subset (non-capturing path group so group-0
 # extraction behaves identically in both engines)
 URL_RE = r"https?://[A-Za-z0-9.-]+(?:/[^\s]*)?"
