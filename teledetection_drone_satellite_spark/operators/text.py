@@ -67,6 +67,72 @@ def predict_lang(text: Column) -> Column:
     return best
 
 
+# r13 wide language-ID: script short-circuit + per-script marker argmax.
+# Latin-script languages disambiguate by stopword markers (ASCII-only
+# so \b behaves identically in Java and RE2); Cyrillic splits ru/uk by
+# markers; the other scripts identify their language directly (the
+# n-gram-free shortcut fasttext-style identifiers also exploit).
+WIDE_LATIN_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "und", "die", "nicht", "das"],
+    "en": ["the", "and", "is", "of", "to"],
+    "es": ["el", "los", "que", "y", "en"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "id": ["yang", "dan", "di", "itu", "tidak"],
+    "it": ["il", "che", "di", "per", "non"],
+    "nl": ["het", "een", "van", "niet", "hier"],
+    "pl": ["nie", "jest", "czy", "ale", "jak"],
+    "pt": ["uma", "os", "das", "com", "para"],
+    "tr": ["bir", "ve", "bu", "ama", "gibi"],
+}
+WIDE_CYRILLIC_MARKERS: dict[str, list[str]] = {
+    "ru": ["и", "в", "что", "это", "как"],
+    "uk": ["і", "в", "що", "це", "як"],
+}
+# script presence classes checked in fixed priority order; kana before
+# han because Japanese text mixes kanji WITH kana while Chinese has none
+WIDE_SCRIPT_LANGS = (
+    ("[぀-ヿ]", "ja"),      # hiragana + katakana
+    ("[가-힯]", "ko"),      # hangul
+    ("[一-鿿]", "zh"),      # han
+    ("[؀-ۿ]", "ar"),
+    ("[֐-׿]", "he"),
+    ("[ऀ-ॿ]", "hi"),
+    ("[Ͱ-Ͽ]", "el"),
+)
+
+
+def _marker_argmax(text: Column, markers: "dict[str, list[str]]") -> Column:
+    """Arg-max over per-language marker hits, lexicographic tie-break
+    (same shape as predict_lang — one folded CASE projection)."""
+    langs = sorted(markers)
+    hits = {lang: marker_hits(text, markers[lang]) for lang in langs}
+    best = F.lit(langs[0])
+    best_hits = hits[langs[0]]
+    for lang in langs[1:]:
+        cond = hits[lang] > best_hits
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_hits = F.when(cond, hits[lang]).otherwise(best_hits)
+    return best
+
+
+def predict_lang_wide(text: Column) -> Column:
+    """19-language ID (r13 — the verdict's breadth ask): non-Latin
+    scripts short-circuit to their language (ja/ko/zh/ar/he/hi/el by
+    presence, priority-ordered), Cyrillic splits ru/uk by markers,
+    Latin falls through to a 10-language marker argmax.  Pure
+    regexp_count + CASE chain — codegen, map-only, scan-speed at
+    100 TB like predict_lang."""
+    result = _marker_argmax(text, WIDE_LATIN_MARKERS)
+    cyr = F.regexp_count(text, F.lit("[Ѐ-ӿ]"))
+    result = F.when(cyr > 0,
+                    _marker_argmax(text, WIDE_CYRILLIC_MARKERS)
+                    ).otherwise(result)
+    for rx, lang in reversed(WIDE_SCRIPT_LANGS):
+        result = F.when(F.regexp_count(text, F.lit(rx)) > 0,
+                        F.lit(lang)).otherwise(result)
+    return result
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring features: length, word stats, punctuation + stopword ratios,
     and a composite [0,1] score (heuristics in the Gopher/C4 filtering family)."""

@@ -382,6 +382,72 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WIDE_LANGS = ("en", "de", "es", "fr", "it", "pt", "nl", "pl", "tr",
+               "id", "ru", "uk", "zh", "ja", "ko", "ar", "he", "hi",
+               "el")
+_WIDE_SNIPPETS = (
+    "the cat and the dog is one of two to go",
+    "der hund und die katze nicht das haus",
+    "el perro y los gatos que viven en la casa",
+    "le chien et la maison les arbres des fleurs",
+    "il cane che corre di notte per la non solita via",
+    "uma casa com os amigos para ver mais das coisas",
+    "de hond het huis een boom van hout niet hier",
+    "nie wiem czy to jest dobre ale jak zawsze",
+    "bir ev ve bu yol ama gibi bir yer",
+    "yang rumah dan di kota itu tidak jauh",
+    "и в лесу что это было как всегда",
+    "і в лісі що це було як завжди",
+    "的是了在我们的世界是美好的",
+    "これはテストですにほんご",
+    "이것은 테스트입니다 한국어",
+    "هذا اختبار للغة العربية",
+    "זהו מבחן לשפה העברית",
+    "यह भाषा की परीक्षा है",
+    "αυτό είναι ένα τεστ γλώσσας",
+)
+_WIDE_CASE = "CASE doc_id % 19 " + " ".join(
+    "WHEN %d THEN '%s'" % (k, lang) for k, lang in enumerate(_WIDE_LANGS)
+) + " END"
+
+
+@register(
+    "text_language_id_wide",
+    oracle=f"""
+    SELECT doc_id,
+           {_WIDE_CASE} AS lang_true,
+           {_WIDE_CASE} AS predicted
+    FROM documents
+    """,
+    doc="19-language ID with script short-circuit (r13 — the verdict's "
+    "breadth ask, composing the r12 script ranges with per-script "
+    "marker argmax): docs plant one labeled snippet per language "
+    "(10 Latin-script languages split by ASCII stopword markers, "
+    "ru/uk split by Cyrillic markers, ja/ko/zh/ar/he/hi/el identified "
+    "by script presence in priority order — kana before han, so "
+    "kanji-bearing Japanese does not misread as Chinese). The oracle "
+    "states ground truth; the detector must match it on every row. "
+    "Pure regexp_count + CASE chain, codegen, map-only.",
+    tags=("text", "curation"),
+)
+def text_language_id_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    v = F.col("doc_id") % 19
+    expr = F.when(v == 0, F.lit(_WIDE_SNIPPETS[0]))
+    for k in range(1, 18):
+        expr = expr.when(v == k, F.lit(_WIDE_SNIPPETS[k]))
+    planted = d.select(
+        "doc_id", expr.otherwise(F.lit(_WIDE_SNIPPETS[18])).alias("text"))
+    truth = F.element_at(
+        F.array(*[F.lit(lang) for lang in _WIDE_LANGS]),
+        (v + 1).cast("int"))
+    return planted.select(
+        "doc_id",
+        truth.alias("lang_true"),
+        text.predict_lang_wide(F.col("text")).alias("predicted"),
+    )
+
+
 @register(
     "doc_fingerprint",
     oracle=f"""

@@ -315,3 +315,39 @@ def test_license_detect_priority(spark):
     assert got[4] == ("BSD-3-Clause", 0)
     assert got[5] == ("unknown", 0)
     assert got[6] == ("BSD-2-Clause", 1)
+
+
+def test_predict_lang_wide_script_shortcircuit(spark):
+    from pyspark.sql import functions as F
+
+    from teledetection_drone_satellite_spark.operators.text import (
+        predict_lang_wide,
+    )
+
+    cases = [
+        # kanji WITH kana must read as Japanese, not Chinese
+        ("日本語のテストです漢字も含む", "ja"),
+        ("的是了在我们", "zh"),
+        ("한국어 문장입니다", "ko"),
+        ("هذا نص عربي", "ar"),
+        ("טקסט בעברית", "he"),
+        ("यह हिंदी है", "hi"),
+        ("ελληνικό κείμενο", "el"),
+        ("и что это как в лесу", "ru"),
+        ("і що це як в лісі", "uk"),
+        ("the quick brown fox and the dog is of to", "en"),
+        ("der die das und nicht", "de"),
+        ("el que los y en", "es"),
+        ("le la et les des", "fr"),
+        ("il che di per non", "it"),
+        ("uma os das com para", "pt"),
+        ("het een van niet hier", "nl"),
+        ("nie jest czy ale jak", "pl"),
+        ("bir ve bu ama gibi", "tr"),
+        ("yang dan di itu tidak", "id"),
+    ]
+    df = spark.createDataFrame(cases, "text string, want string")
+    got = df.select(
+        "want", predict_lang_wide(F.col("text")).alias("got")).collect()
+    for r in got:
+        assert r.got == r.want, (r.want, r.got)
