@@ -8321,3 +8321,407 @@ def vcard_contact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_cards int, n_emails long, n_tels long, "
         "fn_digest string",
     )
+
+
+@register(
+    "wat_link_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 1 + doc_id % 4 AS n_pages
+        FROM documents WHERE doc_id < 120
+    ),
+    pg AS (
+        SELECT doc_id, n_pages, CAST(p.i AS INT) AS p,
+               2 + (doc_id + p.i) % 4 AS n_anchor,
+               'Page ' || CAST(doc_id AS VARCHAR) || '-'
+                   || CAST(p.i AS VARCHAR) AS title
+        FROM spec, LATERAL unnest(range(0, n_pages)) p(i)
+    ),
+    lk AS (
+        SELECT doc_id, p,
+               'c' || CAST((doc_id + p + 3 * u.i + 7) % 20 AS VARCHAR)
+                   || '.ex.com' AS host
+        FROM pg, LATERAL unnest(range(0, n_anchor)) u(i)
+        UNION ALL
+        SELECT doc_id, p,
+               'c' || CAST(doc_id % 20 AS VARCHAR) || '.ex.com'
+        FROM pg
+    ),
+    hosts AS (SELECT DISTINCT doc_id, host FROM lk),
+    agg_pg AS (
+        SELECT doc_id, CAST(min(n_pages) AS INT) AS n_pages,
+               CAST(sum(n_anchor + 1) AS BIGINT) AS n_outlinks,
+               string_agg(substr(sha256(title), 1, 8), '' ORDER BY p)
+                   AS title_digest
+        FROM pg GROUP BY doc_id
+    ),
+    agg_h AS (
+        SELECT doc_id, CAST(count(*) AS INT) AS n_hosts,
+               string_agg(substr(sha256(host), 1, 8), '' ORDER BY host)
+                   AS host_digest
+        FROM hosts GROUP BY doc_id
+    )
+    SELECT a.doc_id, a.n_pages, a.n_outlinks, h.n_hosts,
+           a.title_digest, h.host_digest
+    FROM agg_pg a JOIN agg_h h ON h.doc_id = a.doc_id
+    """,
+    doc="WAT metadata parsing, graded (r13 — completes the Common "
+    "Crawl triad next to warc_dedup_pipeline and wet_text_stats: WAT "
+    "is the pre-extracted link-graph layer real CC consumers mine "
+    "instead of re-parsing raw HTML): per doc synth_wat writes a "
+    "WAT-shaped WARC (metadata records with Envelope JSON, a third "
+    "gzip-per-record) whose Links arrays mix absolute anchors, ONE "
+    "relative anchor the reader must urljoin against the page URL, "
+    "and mailto:/javascript:/fragment/IMG decoys that must not reach "
+    "the outlink set. The oracle states page counts, exact outlink "
+    "totals, distinct target hosts, and ORDERED title/host sha256 "
+    "chains — a decoy, resolution, or ordering bug flips it.",
+    tags=("ingest", "text", "curation"),
+)
+def wat_link_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.wat import host_of, parse_wat, synth_wat
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_wat(i)
+                pages = parse_wat(raw)
+                hosts = sorted(
+                    {host_of(u) for pg in pages for u in pg["outlinks"]}
+                )
+                title_digest = "".join(
+                    hashlib.sha256(pg["title"].encode()).hexdigest()[:8]
+                    for pg in pages
+                )
+                host_digest = "".join(
+                    hashlib.sha256(h.encode()).hexdigest()[:8]
+                    for h in hosts
+                )
+                rows.append(
+                    (i, len(pages),
+                     sum(len(pg["outlinks"]) for pg in pages),
+                     len(hosts), title_digest, host_digest)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_pages", "n_outlinks", "n_hosts",
+                         "title_digest", "host_digest"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_pages int, n_outlinks long, n_hosts int, "
+        "title_digest string, host_digest string",
+    )
+
+
+@register(
+    "pagerank_hosts",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id AS i FROM documents WHERE doc_id < 120
+    ),
+    pg AS (
+        SELECT i, CAST(p.x AS INT) AS p
+        FROM docs, LATERAL unnest(range(0, 1 + i % 4)) p(x)
+    ),
+    lk AS (
+        SELECT i, p, CAST(u.x AS INT) AS u
+        FROM pg, LATERAL unnest(range(0, 2 + (i + p) % 4)) u(x)
+    ),
+    edges AS (
+        SELECT DISTINCT i % 20 AS s, (i + p + 3 * u + 7) % 20 AS t
+        FROM lk WHERE i % 20 != (i + p + 3 * u + 7) % 20
+    ),
+    nodes AS (SELECT s AS v FROM edges UNION SELECT t FROM edges),
+    params AS (
+        SELECT CAST(1000000000000 AS BIGINT) // count(*) AS init
+        FROM nodes
+    ),
+    outdeg AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY s
+    ),
+    it0 AS (SELECT v, (SELECT init FROM params) AS r FROM nodes),
+    it1 AS (
+        SELECT n.v,
+               (SELECT (15 * init) // 100 FROM params)
+                   + (85 * COALESCE(c.sm, 0)) // 100 AS r
+        FROM nodes n LEFT JOIN (
+            SELECT e.t AS v, SUM(p0.r // o.d) AS sm
+            FROM edges e
+            JOIN it0 p0 ON p0.v = e.s
+            JOIN outdeg o ON o.s = e.s
+            GROUP BY e.t
+        ) c ON c.v = n.v
+    ),
+    it2 AS (
+        SELECT n.v,
+               (SELECT (15 * init) // 100 FROM params)
+                   + (85 * COALESCE(c.sm, 0)) // 100 AS r
+        FROM nodes n LEFT JOIN (
+            SELECT e.t AS v, SUM(p1.r // o.d) AS sm
+            FROM edges e
+            JOIN it1 p1 ON p1.v = e.s
+            JOIN outdeg o ON o.s = e.s
+            GROUP BY e.t
+        ) c ON c.v = n.v
+    ),
+    it3 AS (
+        SELECT n.v,
+               (SELECT (15 * init) // 100 FROM params)
+                   + (85 * COALESCE(c.sm, 0)) // 100 AS r
+        FROM nodes n LEFT JOIN (
+            SELECT e.t AS v, SUM(p2.r // o.d) AS sm
+            FROM edges e
+            JOIN it2 p2 ON p2.v = e.s
+            JOIN outdeg o ON o.s = e.s
+            GROUP BY e.t
+        ) c ON c.v = n.v
+    ),
+    it4 AS (
+        SELECT n.v,
+               (SELECT (15 * init) // 100 FROM params)
+                   + (85 * COALESCE(c.sm, 0)) // 100 AS r
+        FROM nodes n LEFT JOIN (
+            SELECT e.t AS v, SUM(p3.r // o.d) AS sm
+            FROM edges e
+            JOIN it3 p3 ON p3.v = e.s
+            JOIN outdeg o ON o.s = e.s
+            GROUP BY e.t
+        ) c ON c.v = n.v
+    ),
+    it5 AS (
+        SELECT n.v,
+               (SELECT (15 * init) // 100 FROM params)
+                   + (85 * COALESCE(c.sm, 0)) // 100 AS r
+        FROM nodes n LEFT JOIN (
+            SELECT e.t AS v, SUM(p4.r // o.d) AS sm
+            FROM edges e
+            JOIN it4 p4 ON p4.v = e.s
+            JOIN outdeg o ON o.s = e.s
+            GROUP BY e.t
+        ) c ON c.v = n.v
+    )
+    SELECT 'c' || CAST(v AS VARCHAR) || '.ex.com' AS host,
+           CAST(r AS BIGINT) AS rank_fp
+    FROM it5
+""",
+    doc="Host-graph PageRank, graded (r13 — the host-quality signal "
+    "real crawl curation weights documents by; Common Crawl publishes "
+    "exactly this ranking over its WAT link graph): the plan parses "
+    "every synth_wat fixture, explodes outlinks to (src_host, "
+    "dst_host) edges, deduplicates, drops self-loops, and runs 5 "
+    "FIXED-POINT INTEGER PageRank iterations "
+    "(operators/graph.pagerank_fixed_point) — integral division "
+    "throughout, so the result is bit-exact across partitionings and "
+    "engines and the oracle can unroll the same 5 iterations in SQL. "
+    "One shuffle per iteration, lineage cut per iteration; the only "
+    "driver scalar is the node count.",
+    tags=("curation", "text"),
+)
+def pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.graph import pagerank_fixed_point
+    from ..sources.wat import host_of, parse_wat, synth_wat
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_wat(i)
+                for page in parse_wat(raw):
+                    src = host_of(page["url"])
+                    for u in page["outlinks"]:
+                        rows.append((src, host_of(u)))
+            yield pd.DataFrame(rows, columns=["src", "dst"])
+
+    edges = ids.mapInPandas(gen, "src string, dst string")
+    ranks = pagerank_fixed_point(edges, iterations=5)
+    return ranks.select(
+        F.col("node").alias("host"), F.col("rank").alias("rank_fp")
+    )
+
+
+@register(
+    "mp4_meta_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END
+                   AS brand,
+               1000 + 137 * doc_id AS duration_ms,
+               1 + doc_id % 3 AS n_tracks
+        FROM documents WHERE doc_id < 120
+    ),
+    trk AS (
+        SELECT doc_id, brand, duration_ms, n_tracks,
+               CAST(t.i AS INT) AS t,
+               (doc_id + t.i) % 2 = 0 AS is_video,
+               CASE WHEN (doc_id + t.i) % 2 = 0 THEN
+                    CASE WHEN t.i % 2 = 0 THEN 'avc1' ELSE 'hev1' END
+               ELSE
+                    CASE WHEN t.i % 2 = 0 THEN 'mp4a' ELSE 'Opus' END
+               END AS codec,
+               CASE WHEN (doc_id + t.i) % 2 = 0
+                    THEN (320 + 16 * ((doc_id + t.i) % 8))
+                         * (240 + 16 * ((doc_id + t.i) % 6))
+                    ELSE 0 END AS px
+        FROM spec, LATERAL unnest(range(0, n_tracks)) t(i)
+    )
+    SELECT doc_id, min(brand) AS brand,
+           CAST(min(duration_ms) AS BIGINT) AS duration_ms,
+           CAST(min(n_tracks) AS INT) AS n_tracks,
+           CAST(sum(CASE WHEN is_video THEN 1 ELSE 0 END) AS INT)
+               AS n_video,
+           CAST(sum(px) AS BIGINT) AS video_px,
+           string_agg(substr(sha256(codec), 1, 8), '' ORDER BY t)
+               AS codec_digest
+    FROM trk GROUP BY doc_id
+    """,
+    doc="MP4 / ISO-BMFF metadata, graded (r13 — the most common "
+    "video container in scraped data; extends the C14 metadata "
+    "contract from EXIF/ID3/Xing to moov): per doc synth_mp4 writes "
+    "a box tree with free/uuid decoys, mvhd version 0/1 alternation, "
+    "a 64-bit-size mvhd every 5th doc, a size-0 mdat extending to "
+    "EOF, and 1-3 tracks mixing avc1/hev1 video (16.16 fixed-point "
+    "dimensions) with mp4a/Opus audio. The oracle states brand, "
+    "exact movie duration_ms, track counts, summed video pixels, and "
+    "an ORDERED codec sha256 chain — a box-walk, version, fixed-"
+    "point, or stsd bug flips it.",
+    tags=("ingest", "multimodal"),
+)
+def mp4_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.mp4 import parse_mp4, synth_mp4
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_mp4(i)
+                got = parse_mp4(raw)
+                codec_digest = "".join(
+                    hashlib.sha256(t["codec"].encode()).hexdigest()[:8]
+                    for t in got["tracks"]
+                )
+                rows.append(
+                    (i, got["brand"], got["duration_ms"],
+                     got["n_tracks"],
+                     sum(1 for t in got["tracks"]
+                         if t["type"] == "video"),
+                     sum(t["width"] * t["height"]
+                         for t in got["tracks"]
+                         if t["type"] == "video"),
+                     codec_digest)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "brand", "duration_ms", "n_tracks",
+                         "n_video", "video_px", "codec_digest"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, brand string, duration_ms long, n_tracks int, "
+        "n_video int, video_px long, codec_digest string",
+    )
+
+
+@register(
+    "ogg_meta_stats",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'vorbis' ELSE 'opus' END
+               AS codec,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN
+                    CASE doc_id % 3 WHEN 0 THEN 44100
+                         WHEN 1 THEN 48000 ELSE 32000 END
+                ELSE 48000 END AS INT) AS rate,
+           CAST(10 * (50 + 37 * doc_id) AS BIGINT) AS duration_ms,
+           CAST(3 + doc_id % 4 AS INT) AS n_pages
+    FROM documents WHERE doc_id < 120
+    """,
+    doc="Ogg container metadata, graded (r13 — Vorbis/Opus are the "
+    "dominant free-codec audio forms in scraped data; completes the "
+    "audio metadata tier next to WAV/AIFF/FLAC/MP3): per doc "
+    "synth_ogg writes a multi-page stream (BOS ident, comment-header "
+    "decoy page, 255-lacing packet continuation, monotone "
+    "intermediate granules, EOS flag) whose page CRCs (RFC 3533 §6 "
+    "polynomial) the parser VERIFIES. The oracle states codec, "
+    "channels, rate, exact duration from the final granule (Opus "
+    "pre-skip subtracted per RFC 7845 §4.1), and page counts — a "
+    "CRC, lacing, granule, or pre-skip bug flips it.",
+    tags=("ingest", "multimodal"),
+)
+def ogg_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.ogg import parse_ogg, synth_ogg
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_ogg(i)
+                got = parse_ogg(raw)
+                rows.append(
+                    (i, got["codec"], got["channels"], got["rate"],
+                     got["duration_ms"], got["n_pages"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "codec", "channels", "rate",
+                         "duration_ms", "n_pages"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, codec string, channels int, rate int, "
+        "duration_ms long, n_pages int",
+    )

@@ -1,0 +1,300 @@
+"""MP4 / ISO Base Media File Format metadata — pure stdlib, from the
+public ISO/IEC 14496-12 specification (box/atom structure, mvhd/tkhd/
+mdhd/hdlr/stsd semantics).
+
+MP4 is the most common video container in scraped web data; a crawl
+pipeline needs its metadata (duration, track inventory, codecs,
+dimensions) for filtering and cost estimation WITHOUT decoding a
+single sample — this module walks box headers only, in the spirit of
+the C14 metadata contract (EXIF for images, ID3/Xing for MP3, and now
+moov for video).  Sample decode stays honestly env-blocked (no
+libavcodec here; see BASELINE.md probe log).
+
+Parsed surface:
+
+  ftyp              -> major brand
+  moov/mvhd (v0/v1) -> movie timescale + duration -> duration_ms
+  moov/trak/tkhd    -> track id; width/height (16.16 fixed point)
+  moov/trak/mdia/mdhd (v0/v1) -> per-track timescale/duration,
+                       ISO 639-2/T language (15-bit packed)
+  moov/trak/mdia/hdlr -> handler type (vide/soun/text/subt)
+  .../stbl/stsd     -> codec fourcc (first sample entry)
+
+Box sizes: 32-bit, 64-bit (``size == 1`` + largesize), and
+``size == 0`` (to end of file) all per §4.2; unknown/free/uuid boxes
+are skipped by size.  Refusals (None): missing ftyp or moov, a box
+header that overruns its parent, a truncated mvhd/tkhd/mdhd, zero
+timescale — the honest-fallback contract every decoder here shares.
+
+Reference parity: the reference declares video among its ingestible
+media (/root/reference/shared/config/__init__.py:36-39); its stack
+delegates metadata to off-the-shelf probes (ffprobe-shaped) — this is
+the Spark-side equivalent."""
+
+from __future__ import annotations
+
+import struct
+
+_HANDLERS = {b"vide": "video", b"soun": "audio", b"text": "text",
+             b"subt": "subtitle"}
+
+
+def _pack_lang(code: str) -> int:
+    """ISO 639-2 3-letter code -> 15-bit packed (each letter - 0x60)."""
+    a, b, c = (ord(ch) - 0x60 for ch in code)
+    return (a << 10) | (b << 5) | c
+
+
+def _unpack_lang(v: int) -> str:
+    return "".join(
+        chr(0x60 + ((v >> s) & 0x1F)) for s in (10, 5, 0))
+
+
+def _box(btype: bytes, payload: bytes, force64: bool = False) -> bytes:
+    size = 8 + len(payload)
+    if force64:
+        return struct.pack(">I4sQ", 1, btype, size + 8) + payload
+    return struct.pack(">I4s", size, btype) + payload
+
+
+def synth_mp4(doc_id: int) -> "tuple[bytes, dict]":
+    """Deterministic fixture plus expected stats.  Closed form
+    (mirrored by the mp4_meta_stats oracle):
+
+        brand        = isom when doc_id % 2 == 0 else mp42
+        timescale    = 1000 * (1 + doc_id % 3)
+        duration_ms  = 1000 + 137 * doc_id          (movie)
+        n_tracks     = 1 + doc_id % 3
+        track t: type  = video when (doc_id + t) % 2 == 0 else audio
+                 codec = avc1/hev1 (video, alternating by t) or
+                         mp4a/opus (audio)
+                 width = 320 + 16 * ((doc_id + t) % 8)   (video only)
+                 height= 240 + 16 * ((doc_id + t) % 6)
+                 lang  = und/eng/fra cycling on (doc_id + t) % 3
+
+    Structure decoys a sloppy walker trips over: a free box between
+    ftyp and moov, a uuid box INSIDE moov, the mvhd in 64-bit-size
+    form for doc_id % 5 == 0, mvhd version 1 for doc_id % 3 == 2, and
+    a trailing mdat whose size field is 0 (extends to EOF)."""
+    i = int(doc_id)
+    brand = b"isom" if i % 2 == 0 else b"mp42"
+    timescale = 1000 * (1 + i % 3)
+    duration_ms = 1000 + 137 * i
+    duration = duration_ms * timescale // 1000
+    n_tracks = 1 + i % 3
+
+    ftyp = _box(b"ftyp", brand + struct.pack(">I", 0) + b"isomiso2")
+    if i % 3 == 2:  # version 1: 64-bit times
+        mvhd_payload = (
+            struct.pack(">B3x", 1)
+            + struct.pack(">QQIQ", 0, 0, timescale, duration)
+            + b"\x00" * 80
+        )
+    else:
+        mvhd_payload = (
+            struct.pack(">B3x", 0)
+            + struct.pack(">IIII", 0, 0, timescale, duration)
+            + b"\x00" * 76
+        )
+    mvhd = _box(b"mvhd", mvhd_payload, force64=(i % 5 == 0))
+
+    traks = []
+    expected_tracks = []
+    for t in range(n_tracks):
+        is_video = (i + t) % 2 == 0
+        if is_video:
+            codec = b"avc1" if t % 2 == 0 else b"hev1"
+            width = 320 + 16 * ((i + t) % 8)
+            height = 240 + 16 * ((i + t) % 6)
+        else:
+            codec = b"mp4a" if t % 2 == 0 else b"Opus"
+            width = height = 0
+        lang = ("und", "eng", "fra")[(i + t) % 3]
+        tkhd = _box(b"tkhd", (
+            struct.pack(">B3x", 0)
+            + struct.pack(">IIIxxxxI", 0, 0, t + 1, duration)
+            + b"\x00" * 8            # reserved
+            + struct.pack(">hhhxx", 0, 0, 0)   # layer, group, volume
+            + b"\x00" * 36           # matrix
+            + struct.pack(">II", width << 16, height << 16)
+        ))
+        mdhd = _box(b"mdhd", (
+            struct.pack(">B3x", 0)
+            + struct.pack(">IIIIHxx", 0, 0, timescale, duration,
+                          _pack_lang(lang))
+        ))
+        hdlr = _box(b"hdlr", (
+            b"\x00" * 8
+            + (b"vide" if is_video else b"soun")
+            + b"\x00" * 12 + b"synth\x00"
+        ))
+        entry = _box(codec, b"\x00" * 6 + struct.pack(">H", 1)
+                     + b"\x00" * 70)
+        stsd = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
+        stbl = _box(b"stbl", stsd)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        traks.append(_box(b"trak", tkhd + mdia))
+        expected_tracks.append({
+            "type": "video" if is_video else "audio",
+            "codec": codec.decode("ascii"),
+            "width": width, "height": height,
+            "duration_ms": duration_ms, "lang": lang,
+        })
+    uuid_decoy = _box(b"uuid", b"\x00" * 16 + b"opaque")
+    moov = _box(b"moov", mvhd + uuid_decoy + b"".join(traks))
+    free = _box(b"free", b"\x00" * (1 + i % 17))
+    # mdat with size 0: extends to end of file (spec §4.2)
+    mdat = struct.pack(">I4s", 0, b"mdat") + bytes(32 + i % 64)
+    raw = ftyp + free + moov + mdat
+    return raw, {
+        "brand": brand.decode("ascii"),
+        "duration_ms": duration_ms,
+        "n_tracks": n_tracks,
+        "tracks": expected_tracks,
+    }
+
+
+def _walk(buf: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for each box in
+    [start, end); raises ValueError on structural overrun."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated box header")
+        size, btype = struct.unpack_from(">I4s", buf, pos)
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize")
+            size = struct.unpack_from(">Q", buf, pos + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("box overruns parent")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _first(buf: bytes, start: int, end: int, btype: bytes):
+    for t, s, e in _walk(buf, start, end):
+        if t == btype:
+            return s, e
+    return None
+
+
+def parse_mp4(content: bytes) -> "dict | None":
+    """-> {'brand', 'duration_ms', 'n_tracks', 'tracks': [{'type',
+    'codec', 'width', 'height', 'duration_ms', 'lang'}, ...]} or None
+    per the module docstring."""
+    try:
+        top = list(_walk(content, 0, len(content)))
+    except ValueError:
+        return None
+    if not top or top[0][0] != b"ftyp":
+        return None
+    fs, fe = top[0][1], top[0][2]
+    if fe - fs < 8:
+        return None
+    brand = content[fs:fs + 4]
+    if not brand.isalnum():
+        return None
+    moov = next(((s, e) for t, s, e in top if t == b"moov"), None)
+    if moov is None:
+        return None
+    try:
+        return _parse_moov(content, moov[0], moov[1],
+                           brand.decode("ascii"))
+    except (ValueError, struct.error):
+        return None
+
+
+def _parse_moov(buf: bytes, start: int, end: int,
+                brand: str) -> "dict | None":
+    mvhd = _first(buf, start, end, b"mvhd")
+    if mvhd is None:
+        return None
+    s, e = mvhd
+    version = buf[s]
+    if version == 1:
+        if e - s < 4 + 28:
+            return None
+        timescale, duration = struct.unpack_from(">IQ", buf, s + 20)
+    else:
+        if e - s < 4 + 16:
+            return None
+        timescale, duration = struct.unpack_from(">II", buf, s + 12)
+    if timescale == 0:
+        return None
+    tracks = []
+    for t, ts, te in _walk(buf, start, end):
+        if t != b"trak":
+            continue
+        trk = _parse_trak(buf, ts, te)
+        if trk is None:
+            return None
+        tracks.append(trk)
+    return {
+        "brand": brand,
+        "duration_ms": duration * 1000 // timescale,
+        "n_tracks": len(tracks),
+        "tracks": tracks,
+    }
+
+
+def _parse_trak(buf: bytes, start: int, end: int) -> "dict | None":
+    tkhd = _first(buf, start, end, b"tkhd")
+    mdia = _first(buf, start, end, b"mdia")
+    if tkhd is None or mdia is None:
+        return None
+    s, e = tkhd
+    version = buf[s]
+    # width/height sit at the END of tkhd regardless of version
+    if e - s < 8:
+        return None
+    w_fixed, h_fixed = struct.unpack_from(">II", buf, e - 8)
+    ms, me = mdia
+    mdhd = _first(buf, ms, me, b"mdhd")
+    hdlr = _first(buf, ms, me, b"hdlr")
+    if mdhd is None or hdlr is None:
+        return None
+    ds, de = mdhd
+    mver = buf[ds]
+    if mver == 1:
+        if de - ds < 34:
+            return None
+        timescale, duration = struct.unpack_from(">IQ", buf, ds + 20)
+        lang = struct.unpack_from(">H", buf, ds + 32)[0]
+    else:
+        if de - ds < 22:
+            return None
+        timescale, duration = struct.unpack_from(">II", buf, ds + 12)
+        lang = struct.unpack_from(">H", buf, ds + 20)[0]
+    if timescale == 0:
+        return None
+    hs, he = hdlr
+    if he - hs < 12:
+        return None
+    handler = buf[hs + 8:hs + 12]
+    codec = None
+    minf = _first(buf, ms, me, b"minf")
+    if minf is not None:
+        stbl = _first(buf, minf[0], minf[1], b"stbl")
+        if stbl is not None:
+            stsd = _first(buf, stbl[0], stbl[1], b"stsd")
+            if stsd is not None:
+                ss, se = stsd
+                if se - ss >= 16:
+                    n_entries = struct.unpack_from(">I", buf, ss + 4)[0]
+                    if n_entries >= 1:
+                        codec = buf[ss + 12:ss + 16].decode(
+                            "ascii", "replace")
+    return {
+        "type": _HANDLERS.get(handler, "other"),
+        "codec": codec,
+        "width": w_fixed >> 16,
+        "height": h_fixed >> 16,
+        "duration_ms": duration * 1000 // timescale,
+        "lang": _unpack_lang(lang & 0x7FFF),
+    }

