@@ -157,6 +157,8 @@ DECODERS = {
                 html.extract_html_ldjson),
     "html_boiler": (lambda i: html.synth_html_boiler(i % 1000)[0].encode(),
                     html.extract_html_content),
+    "html_tables": (lambda i: html.synth_html_tables(i % 1000)[0].encode(),
+                    html.extract_html_tables),
     "epub": (lambda i: epub.synth_epub(i % 1000)[0],
              epub.extract_epub_text),
     "gpx": (lambda i: gpx.synth_gpx(

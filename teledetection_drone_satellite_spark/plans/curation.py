@@ -1019,3 +1019,65 @@ def compression_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = d.mapInPandas(plant, "doc_id long, text string")
     out = text.compression_entropy_class(planted)
     return out.select("doc_id", "entropy_class")
+
+
+@register(
+    "readability_scores",
+    oracle="""
+    WITH d AS (SELECT doc_id, doc_id % 6 AS v FROM documents)
+    SELECT doc_id,
+           CAST(CASE v WHEN 0 THEN 24 WHEN 1 THEN 36 WHEN 2 THEN 28
+                WHEN 3 THEN 33 WHEN 4 THEN 24 ELSE 45 END AS INT)
+               AS n_words,
+           CAST(CASE v WHEN 2 THEN 8 WHEN 5 THEN 1 ELSE 6 END AS INT)
+               AS n_sentences,
+           CAST(CASE v WHEN 0 THEN 24 WHEN 1 THEN 180 WHEN 2 THEN 32
+                WHEN 3 THEN 51 WHEN 4 THEN 12 ELSE 54 END AS INT)
+               AS n_syllables,
+           CAST(CASE v WHEN 0 THEN 118175 WHEN 1 THEN -222255
+                WHEN 2 THEN 106598 WHEN 3 THEN 70508
+                WHEN 4 THEN 160475 ELSE 59640 END AS BIGINT)
+               AS fre_milli,
+           CAST(CASE v WHEN 0 THEN -2230 WHEN 1 THEN 45750
+                WHEN 2 THEN -740 WHEN 3 THEN 4791
+                WHEN 4 THEN -8130 ELSE 16120 END AS BIGINT)
+               AS fk_milli,
+           CASE v WHEN 1 THEN 'very_confusing' WHEN 3 THEN 'standard'
+                WHEN 5 THEN 'difficult' ELSE 'very_easy' END AS band
+    FROM d
+    """,
+    doc="Flesch readability metrics (r13 — the corpus-quality screen "
+    "next to gopher_quality_filter): six planted text variants cover "
+    "all four Flesch bands plus both floors (a stop-free stream -> "
+    "S=1; a near-vowelless text exercising the y-as-vowel rule). "
+    "fre_milli/fk_milli are EXACT milli-point integers (div, not "
+    "float), so the oracle states them verbatim; every count "
+    "(words, [.!?]+ sentence runs, [aeiouy]+ vowel-group syllables) "
+    "was computed by an independent Python implementation and baked "
+    "into the CASE. Pure JVM projection: scan-speed at 100 TB.",
+    tags=("text", "curation"),
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    units = [
+        "The cat sat on the mat. It was fun. We ran out.",
+        "Communication infrastructure necessitates extraordinary "
+        "organizational responsibilities. Statistical documentation "
+        "facilitates comprehensive analytical evaluation.",
+        "Is it good? Yes! It works now... Try it again, and see what "
+        "happens.",
+        "The weather today was nice. People walked around the park "
+        "fast.",
+        "Zzz zzz bzz. Hm tsk brr! A cry by my sly gym.",
+        "plain words with no stops at all just a stream of simple "
+        "tokens flowing on",
+    ]
+    v = F.col("doc_id") % 6
+    expr = F.when(v == 0, F.lit(" ".join([units[0]] * 2)))
+    for k in range(1, 5):
+        expr = expr.when(v == k, F.lit(" ".join([units[k]] * (2 + k % 2))))
+    planted = d.select(
+        "doc_id",
+        expr.otherwise(F.lit(" ".join([units[5]] * 3))).alias("text"),
+    )
+    return text.readability_metrics(planted)

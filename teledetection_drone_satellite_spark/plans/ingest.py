@@ -8725,3 +8725,113 @@ def ogg_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, codec string, channels int, rate int, "
         "duration_ms long, n_pages int",
     )
+
+
+@register(
+    "html_table_extract",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 2 + doc_id % 3 AS c
+        FROM documents WHERE doc_id < 150
+    ),
+    slots AS (
+        SELECT doc_id, c, CAST(r.i AS INT) AS r, CAST(k.i AS INT) AS k,
+               CASE WHEN r.i = -1 THEN 'H' || CAST(k.i AS VARCHAR)
+                    WHEN r.i = c THEN 'TOT'
+                    ELSE 'v' || CAST((7 * doc_id + 3 * r.i + k.i) % 100
+                                     AS VARCHAR)
+               END AS cell
+        FROM spec,
+             LATERAL unnest(range(-1, c + 1)) r(i),
+             LATERAL unnest(range(0, c)) k(i)
+    ),
+    t0 AS (
+        SELECT doc_id,
+               string_agg(substr(sha256(cell), 1, 8), ''
+                          ORDER BY r, k) AS digest,
+               CAST(sum(CASE WHEN cell LIKE 'v%'
+                        THEN CAST(substr(cell, 2) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS val_sum,
+               CAST(count(*) AS INT) AS n_cells
+        FROM slots GROUP BY doc_id
+    ),
+    t12 AS (
+        SELECT substr(sha256('Ha'), 1, 8) || substr(sha256('Hb'), 1, 8)
+               || substr(sha256('A'), 1, 8) || substr(sha256('B1'), 1, 8)
+               || substr(sha256('A'), 1, 8) || substr(sha256('B2'), 1, 8)
+               || substr(sha256('inner'), 1, 8) AS digest
+    )
+    SELECT s.doc_id,
+           CAST(CASE WHEN s.doc_id % 2 = 1 THEN 3 ELSE 1 END AS INT)
+               AS n_tables,
+           CAST(t0.n_cells
+                + CASE WHEN s.doc_id % 2 = 1 THEN 7 ELSE 0 END AS INT)
+               AS n_grid_cells,
+           t0.val_sum,
+           t0.digest || CASE WHEN s.doc_id % 2 = 1
+                             THEN (SELECT digest FROM t12)
+                             ELSE '' END AS grid_digest
+    FROM spec s JOIN t0 ON t0.doc_id = s.doc_id
+    """,
+    doc="HTML table extraction, graded (r13 — structured-data mining "
+    "from crawl HTML, the table counterpart of the boilerplate/meta/"
+    "JSON-LD extractors): per doc synth_html_tables writes a "
+    "header+data+total-row table under the WHATWG table model "
+    "(thead/tbody wrappers, a colspan=C total row that must EXPAND "
+    "to C slots) and, for odd docs, a fixed second table with a "
+    "caption decoy, a rowspan=2 column, and a NESTED table inside a "
+    "cell that must surface as its own table without leaking into "
+    "the outer cell. The oracle states table counts, expanded-grid "
+    "cell counts, the exact sum of the numeric cells, and an ORDERED "
+    "row-major sha256 chain over every grid slot.",
+    tags=("ingest", "text"),
+)
+def html_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.html import extract_html_tables, synth_html_tables
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+        import re as _re
+
+        num = _re.compile(r"^v(\d+)$")
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                doc, _ = synth_html_tables(i)
+                tables = extract_html_tables(doc)
+                digest_parts = []
+                n_cells = 0
+                val_sum = 0
+                for tbl in tables:
+                    for row in tbl:
+                        for cell in row:
+                            n_cells += 1
+                            digest_parts.append(hashlib.sha256(
+                                cell.encode()).hexdigest()[:8])
+                            m = num.match(cell)
+                            if m:
+                                val_sum += int(m.group(1))
+                rows.append((i, len(tables), n_cells, val_sum,
+                             "".join(digest_parts)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_tables", "n_grid_cells",
+                         "val_sum", "grid_digest"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_tables int, n_grid_cells int, val_sum long, "
+        "grid_digest string",
+    )

@@ -786,3 +786,182 @@ def synth_html_ldjson(doc_id: int) -> "tuple[str, dict]":
         "wordCount": 100 + i % 900,
     }
     return html, expected
+
+
+# ------------------------------------------------------------- tables
+
+
+class _TableBuilder:
+    """One <table>'s grid under the HTML table model (WHATWG §4.9,
+    simplified): colspan/rowspan EXPAND — a spanned cell's text is
+    placed in every slot it covers, which is what table-mining
+    pipelines consume (pandas.read_html does the same)."""
+
+    def __init__(self, open_idx: int) -> None:
+        self.open_idx = open_idx
+        self.rows: "list[dict[int, str]]" = []
+        self._carry: "dict[int, list]" = {}  # col -> [remaining, text]
+        self._cur: "dict[int, str] | None" = None
+
+    def start_row(self) -> None:
+        self._cur = {}
+        self.rows.append(self._cur)
+        done = []
+        for col, (rem, text) in list(self._carry.items()):
+            self._cur[col] = text
+            if rem == 1:
+                done.append(col)
+            else:
+                self._carry[col][0] = rem - 1
+        for col in done:
+            del self._carry[col]
+
+    def place(self, text: str, colspan: int, rowspan: int) -> None:
+        if self._cur is None:  # td outside tr: implicit row
+            self.start_row()
+        col = 0
+        while col in self._cur:
+            col += 1
+        for c in range(col, col + colspan):
+            self._cur[c] = text
+            if rowspan > 1:
+                self._carry[c] = [rowspan - 1, text]
+
+    def grid(self) -> "list[list[str]]":
+        return [[row[c] for c in sorted(row)] for row in self.rows
+                if row]
+
+
+class _TableExtractor(HTMLParser):
+    """Collects every table in the document — nested tables become
+    SEPARATE tables (their text does not leak into the outer cell),
+    ordered by opening position."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._stack: "list[_TableBuilder]" = []
+        self._cell_buf: "list[list[str]]" = []  # parallel: cell text
+        self._in_cell: "list[bool]" = []
+        self._cell_span: "list[tuple[int, int]]" = []
+        self._n_seen = 0
+        self.finished: "list[_TableBuilder]" = []
+
+    def _flush_cell(self) -> None:
+        if self._stack and self._in_cell[-1]:
+            text = " ".join("".join(self._cell_buf[-1]).split())
+            cs, rs = self._cell_span[-1]
+            self._stack[-1].place(text, cs, rs)
+            self._in_cell[-1] = False
+            self._cell_buf[-1] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "table":
+            self._stack.append(_TableBuilder(self._n_seen))
+            self._n_seen += 1
+            self._cell_buf.append([])
+            self._in_cell.append(False)
+            self._cell_span.append((1, 1))
+        elif not self._stack:
+            return
+        elif tag == "tr":
+            self._flush_cell()
+            self._stack[-1].start_row()
+        elif tag in ("td", "th"):
+            self._flush_cell()
+            a = dict(attrs)
+
+            def span(key: str) -> int:
+                try:
+                    v = int(str(a.get(key, "1")).strip() or 1)
+                except ValueError:
+                    v = 1
+                return max(1, min(v, 1000))  # clamp per WHATWG
+
+            self._in_cell[-1] = True
+            self._cell_buf[-1] = []
+            self._cell_span[-1] = (span("colspan"), span("rowspan"))
+
+    def handle_endtag(self, tag: str) -> None:
+        if not self._stack:
+            return
+        if tag in ("td", "th", "tr"):
+            self._flush_cell()
+        elif tag == "table":
+            self._flush_cell()
+            self.finished.append(self._stack.pop())
+            self._cell_buf.pop()
+            self._in_cell.pop()
+            self._cell_span.pop()
+
+    def handle_data(self, data: str) -> None:
+        if self._stack and self._in_cell[-1]:
+            self._cell_buf[-1].append(data)
+
+    def result(self) -> "list[list[list[str]]]":
+        while self._stack:  # unclosed tables: flush + adopt
+            self._flush_cell()
+            self.finished.append(self._stack.pop())
+            self._cell_buf.pop()
+            self._in_cell.pop()
+            self._cell_span.pop()
+        pending = sorted(self.finished, key=lambda b: b.open_idx)
+        return [b.grid() for b in pending if b.grid()]
+
+
+def extract_html_tables(content: "str | bytes") -> "list[list[list[str]]]":
+    """-> [table, ...] in document (opening) order; each table is a
+    list of rows, each row the EXPANDED cell texts left-to-right
+    (colspan/rowspan duplicated).  Returns [] for table-free
+    documents; never raises (html.parser tolerance + fallback)."""
+    if isinstance(content, bytes):
+        codec = sniff_html_encoding(content) or "utf-8"
+        content = content.decode(codec, errors="replace")
+    p = _TableExtractor()
+    try:
+        p.feed(content)
+        p.close()
+    except Exception:
+        pass
+    return p.result()
+
+
+def synth_html_tables(doc_id: int) -> "tuple[str, dict]":
+    """Deterministic fixture plus expected grids.  Closed form
+    (mirrored by the html_table_extract oracle):
+
+        table 0 (always): C = 2 + doc_id % 3 columns;
+          header row th H0..H{C-1}; R = 2 + doc_id % 3 data rows with
+          cells 'v{(7*doc_id + 3*r + k) % 100}'; a total row that is
+          ONE td with colspan=C and text 'TOT' (expands to C slots).
+        tables 1+2 (doc_id odd): a FIXED table with caption decoy,
+          rowspan=2 first column ([[Ha,Hb],[A,B1],[A,B2]]) and a
+          NESTED 1x1 table ('inner') inside the B2 cell — the inner
+          table is its own table and must not leak into B2."""
+    i = int(doc_id)
+    c = 2 + i % 3
+    r = 2 + i % 3
+    rows = ["<tr>" + "".join("<th> H%d </th>" % k for k in range(c))
+            + "</tr>"]
+    grid0 = [["H%d" % k for k in range(c)]]
+    for rr in range(r):
+        cells = ["v%d" % ((7 * i + 3 * rr + k) % 100) for k in range(c)]
+        rows.append("<tr>" + "".join(
+            "<td>%s</td>" % x for x in cells) + "</tr>")
+        grid0.append(cells)
+    rows.append('<tr><td colspan="%d">TOT</td></tr>' % c)
+    grid0.append(["TOT"] * c)
+    t0 = ("<table><thead>%s</thead><tbody>%s</tbody></table>"
+          % (rows[0], "".join(rows[1:])))
+    html_parts = ["<html><body><p>not a table</p>", t0]
+    expected = [grid0]
+    if i % 2 == 1:
+        t1 = ("<table><caption>cap</caption>"
+              "<tr><th>Ha</th><th>Hb</th></tr>"
+              '<tr><td rowspan="2"> A </td><td>B1</td></tr>'
+              "<tr><td>B2<table><tr><td>inner</td></tr></table>"
+              "</td></tr></table>")
+        html_parts.append(t1)
+        expected.append([["Ha", "Hb"], ["A", "B1"], ["A", "B2"]])
+        expected.append([["inner"]])
+    html_parts.append("</body></html>")
+    return "".join(html_parts), {"tables": expected}

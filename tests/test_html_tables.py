@@ -1,0 +1,64 @@
+"""HTML table extraction (sources/html.py extract_html_tables):
+grid model (colspan/rowspan expansion), nesting, tolerance."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.html import (
+    extract_html_tables,
+    synth_html_tables,
+)
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    doc, exp = synth_html_tables(doc_id)
+    assert extract_html_tables(doc) == exp["tables"]
+
+
+def test_spans_expand():
+    got = extract_html_tables(
+        '<table><tr><td rowspan="2">a</td><td>b</td></tr>'
+        "<tr><td>c</td></tr>"
+        '<tr><td colspan="3">w</td></tr></table>')
+    assert got == [[["a", "b"], ["a", "c"], ["w", "w", "w"]]]
+
+
+def test_nested_tables_are_separate():
+    got = extract_html_tables(
+        "<table><tr><td>out<table><tr><td>in</td></tr></table>"
+        "</td></tr></table>")
+    assert got == [[["out"]], [["in"]]]
+
+
+def test_tolerance_and_edge_cases():
+    assert extract_html_tables("") == []
+    assert extract_html_tables("<p>no tables</p>") == []
+    # unclosed everything
+    assert extract_html_tables("<table><tr><td>x") == [[["x"]]]
+    # td outside tr: implicit row
+    assert extract_html_tables("<table><td>a</td></table>") == [[["a"]]]
+    # garbage span attributes clamp to 1
+    assert extract_html_tables(
+        '<table><tr><td colspan="-3" rowspan="zz">x</td></tr>'
+        "</table>") == [[["x"]]]
+    # entity decoding + whitespace normalization
+    assert extract_html_tables(
+        "<table><tr><td>  a &amp;\n b </td></tr></table>"
+    ) == [[["a & b"]]]
+    # empty table yields nothing
+    assert extract_html_tables("<table></table>") == []
+    # caption/script text must not enter the grid
+    assert extract_html_tables(
+        "<table><caption>cap</caption><tr><td>x</td></tr></table>"
+    ) == [[["x"]]]
+
+
+def test_bytes_input_charset_sniff():
+    raw = ('<meta charset="windows-1252">'
+           "<table><tr><td>caf\xe9</td></tr></table>").encode("cp1252")
+    assert extract_html_tables(raw) == [[["café"]]]

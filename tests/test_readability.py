@@ -1,0 +1,60 @@
+"""Flesch readability metrics (operators/text.readability_metrics):
+floors, bands, exact integer arithmetic, codegen-only plan."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from teledetection_drone_satellite_spark.operators.text import (
+    readability_metrics,
+)
+
+
+def _py_ref(text: str):
+    """Independent reference implementation (same formulas)."""
+    w = len([x for x in text.split() if x])
+    s = max(len(re.findall(r"[.!?]+", text)), 1)
+    y = max(len(re.findall(r"[aeiouy]+", text.lower())), 1)
+    w1 = max(w, 1)
+    fre = 206835 - (1015 * w1) // s - (84600 * y) // w1
+    fk = (390 * w1) // s + (11800 * y) // w1 - 15590
+    return w, s, y, fre, fk
+
+
+@pytest.mark.usefixtures("spark")
+def test_matches_python_reference(spark):
+    texts = [
+        (0, "The quick brown fox jumps over the lazy dog."),
+        (1, "One. Two! Three? Four."),
+        (2, "no stops here just words streaming along the line"),
+        (3, "Zzz bzz tsk."),          # syllable floor
+        (4, ""),                       # empty text: all floors
+        (5, "Extraordinarily incomprehensible responsibilities "
+            "necessitate organizational accountability."),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in readability_metrics(df).collect()}
+    for i, t in texts:
+        w, s, y, fre, fk = _py_ref(t)
+        row = got[i]
+        assert row["n_words"] == w
+        assert row["n_sentences"] == s
+        assert row["n_syllables"] == y
+        assert row["fre_milli"] == fre, (i, row["fre_milli"], fre)
+        assert row["fk_milli"] == fk
+    # band edges
+    assert got[0]["band"] == "very_easy"
+    assert got[5]["band"] == "very_confusing"
+
+
+@pytest.mark.usefixtures("spark")
+def test_plan_is_codegen_only(spark):
+    """No BatchEvalPython / mapInPandas in the plan — the metric must
+    run at scan speed."""
+    df = spark.createDataFrame([(1, "a b. c")], "doc_id long, text string")
+    plan = readability_metrics(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
