@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from teledetection_drone_satellite_spark.sources import (  # noqa: E402
     aiff, arc, cdx, docx, epub, feed, gpx, html, ical, id3, las,
     markdown, mbox, mp4, mpeg, netcdf, odt, ogg, pdf, pptx, robots, rtf,
-    shapefile, sitemap,
+    shapefile, sitemap, sqlitefile,
     subtitles, vcard, warc, wat, xlsx,
 )
 
@@ -140,6 +140,8 @@ DECODERS = {
     "wat": (lambda i: wat.synth_wat(i % 1000)[0], wat.parse_wat),
     "mp4": (lambda i: mp4.synth_mp4(i % 10000)[0], mp4.parse_mp4),
     "ogg": (lambda i: ogg.synth_ogg(i % 10000)[0], ogg.parse_ogg),
+    "sqlite": (lambda i: sqlitefile.synth_sqlite(i % 500)[0],
+               sqlitefile.parse_sqlite),
     "cdx": (lambda i: cdx.synth_warc_indexed(
         [("https://c%d.ex.com/p/%d" % (i, u), "202601010000%02d" % u,
           200, "text/html", b"b%d" % u) for u in range(3)],

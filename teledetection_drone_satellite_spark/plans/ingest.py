@@ -8835,3 +8835,101 @@ def html_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_tables int, n_grid_cells int, val_sum long, "
         "grid_digest string",
     )
+
+
+@register(
+    "sqlite_table_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 3 + doc_id % 5 AS n, 260 + doc_id % 40 AS m
+        FROM documents WHERE doc_id < 100
+    ),
+    met AS (
+        SELECT doc_id, n, CAST(u.i AS INT) AS u,
+               'n' || CAST(doc_id AS VARCHAR) || '-'
+                   || CAST(u.i AS VARCHAR) AS name,
+               doc_id + u.i AS val_x2,
+               CASE WHEN u.i % 3 = 0 THEN 0 ELSE 2 * u.i END AS opt
+        FROM spec, LATERAL unnest(range(0, n)) u(i)
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(sum(val_x2) AS BIGINT) AS val_sum_x2,
+               CAST(sum(opt) AS BIGINT) AS opt_sum,
+               string_agg(substr(sha256(name), 1, 8), '' ORDER BY u)
+                   AS name_digest
+        FROM met GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(3 AS INT) AS n_tables,
+           CAST(s.n AS INT) AS n_metrics,
+           CAST(s.m AS INT) AS n_bulk,
+           a.val_sum_x2, a.opt_sum, a.name_digest,
+           CAST(s.m * (s.m - 1) / 2 AS BIGINT) AS bulk_r_sum,
+           CAST(1099511627776 + s.doc_id AS BIGINT) AS edge_big,
+           CAST(-(s.doc_id + 1) AS BIGINT) AS edge_neg
+    FROM spec s JOIN agg a ON a.doc_id = s.doc_id
+    """,
+    doc="SQLite database-file parsing, graded (r13 — .sqlite/.db "
+    "blobs in scraped datasets become DataFrames without a driver "
+    "on the executor): the fixture is written by the REAL engine "
+    "(stdlib sqlite3 + Connection.serialize, zero shared code with "
+    "the parser — the strongest independent oracle in this repo) "
+    "with a multi-page table forcing interior-b-tree traversal, "
+    "NULLs, blobs, floats, 48-bit and negative ints, and the 0/1 "
+    "constant serial types. The oracle states table/row counts, "
+    "exact value sums (REALs are half-integers summed as 2x), an "
+    "ORDERED name digest, and the edge-type values — a varint, "
+    "serial-type, traversal-order, or page-walk bug flips it.",
+    tags=("ingest", "multimodal"),
+)
+def sqlite_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.sqlitefile import parse_sqlite, synth_sqlite
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_sqlite(i)
+                got = parse_sqlite(raw)
+                t = got["tables"]
+                met = t["metrics"]
+                val_sum_x2 = int(round(sum(r[2] for r in met) * 2))
+                opt_sum = sum(r[4] for r in met if r[4] is not None)
+                name_digest = "".join(
+                    hashlib.sha256(r[1].encode()).hexdigest()[:8]
+                    for r in met
+                )
+                bulk_r_sum = sum(r[0] for r in t["bulk"])
+                edge = t["edge"][0]
+                rows.append(
+                    (i, len(t), len(met), len(t["bulk"]), val_sum_x2,
+                     opt_sum, name_digest, bulk_r_sum, edge[0],
+                     edge[1])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_tables", "n_metrics", "n_bulk",
+                         "val_sum_x2", "opt_sum", "name_digest",
+                         "bulk_r_sum", "edge_big", "edge_neg"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_tables int, n_metrics int, n_bulk int, "
+        "val_sum_x2 long, opt_sum long, name_digest string, "
+        "bulk_r_sum long, edge_big long, edge_neg long",
+    )

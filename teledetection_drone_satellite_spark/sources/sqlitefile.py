@@ -1,0 +1,217 @@
+"""SQLite database-file parsing — pure stdlib byte walking, from the
+public file-format specification (sqlite.org/fileformat2.html).
+
+Scraped datasets and app exports routinely ship ``.sqlite`` / ``.db``
+files; a crawl pipeline that can enumerate their tables and rows
+without an sqlite driver on every executor turns those blobs into
+DataFrames like any other format in the S7 tier.  The SYNTHESIZER is
+the real engine (stdlib ``sqlite3`` + ``Connection.serialize()``), so
+parser and fixture share zero code — the byte-level truth is pinned
+by SQLite itself, the strongest independent oracle in this repo.
+
+Parsed surface:
+
+  100-byte header  -> magic, page size (u16, 1 => 65536), reserved
+                      bytes, text encoding (UTF-8 only), page count
+  table b-trees    -> interior (0x05) / leaf (0x0D) pages, cell
+                      pointer arrays, in-order traversal (rowid order)
+  record format    -> serial types: NULL, 1/2/3/4/6/8-byte
+                      twos-complement ints, float64 BE, the 0/1
+                      constants, text (odd >= 13), blob (even >= 12)
+  sqlite_master    -> page-1 schema table (root at byte 100) maps
+                      table name -> rootpage
+
+Refusals (None): bad magic, non-power-of-two page size, WAL-mode
+file (this is a cold-file reader, not a journal replayer), non-UTF-8
+text encoding, a cell whose payload spills to overflow pages (kept
+out of scope — fixtures stay under the local-payload max and real
+spill handling would need the overflow-chain walk), a truncated page
+or record — the honest-fallback contract every decoder here shares.
+
+Reference parity: the reference declares generic document/dataset
+ingestion (/root/reference/shared/config/__init__.py:36-39); its
+stack reads SQLite through the system driver — this is the
+Spark-side equivalent for executor-local blob decode."""
+
+from __future__ import annotations
+
+import struct
+
+
+def _varint(buf: bytes, pos: int) -> "tuple[int, int]":
+    """SQLite varint: up to 9 bytes, big-endian 7-bit groups, the 9th
+    byte contributing all 8 bits.  Returns (value, new_pos)."""
+    v = 0
+    for k in range(8):
+        b = buf[pos + k]
+        v = (v << 7) | (b & 0x7F)
+        if not b & 0x80:
+            return v, pos + k + 1
+    return (v << 8) | buf[pos + 8], pos + 9
+
+
+def _serial_value(stype: int, body: bytes, pos: int):
+    """Decode one serial-type value -> (python value, new_pos)."""
+    if stype == 0:
+        return None, pos
+    if stype in (1, 2, 3, 4, 5, 6):
+        width = (1, 2, 3, 4, 6, 8)[stype - 1]
+        raw = body[pos:pos + width]
+        if len(raw) != width:
+            raise ValueError("truncated int")
+        return int.from_bytes(raw, "big", signed=True), pos + width
+    if stype == 7:
+        if pos + 8 > len(body):
+            raise ValueError("truncated float")
+        return struct.unpack_from(">d", body, pos)[0], pos + 8
+    if stype == 8:
+        return 0, pos
+    if stype == 9:
+        return 1, pos
+    if stype >= 12:
+        length = (stype - 12) // 2
+        raw = body[pos:pos + length]
+        if len(raw) != length:
+            raise ValueError("truncated payload")
+        if stype % 2:  # odd >= 13: text
+            return raw.decode("utf-8"), pos + length
+        return raw, pos + length  # even >= 12: blob
+    raise ValueError("reserved serial type %d" % stype)
+
+
+def _record(payload: bytes) -> "tuple":
+    hdr_len, pos = _varint(payload, 0)
+    stypes = []
+    while pos < hdr_len:
+        st, pos = _varint(payload, pos)
+        stypes.append(st)
+    if pos != hdr_len:
+        raise ValueError("record header overrun")
+    values = []
+    for st in stypes:
+        v, pos = _serial_value(st, payload, pos)
+        values.append(v)
+    return tuple(values)
+
+
+def parse_sqlite(content: bytes) -> "dict | None":
+    """-> {'tables': {name: [row tuple, ...] in rowid order},
+    'page_size': int} for every user table (sqlite_* internals
+    excluded), or None per the module docstring."""
+    if content[:16] != b"SQLite format 3\x00" or len(content) < 100:
+        return None
+    page_size = int.from_bytes(content[16:18], "big")
+    if page_size == 1:
+        page_size = 65536
+    if page_size < 512 or page_size & (page_size - 1):
+        return None
+    if content[18] >= 2 or content[19] >= 2:
+        return None  # WAL-mode file: needs journal replay, refuse
+    reserved = content[20]
+    usable = page_size - reserved
+    if int.from_bytes(content[56:60], "big") != 1:
+        return None  # UTF-8 files only
+    n_pages = len(content) // page_size
+    max_local = usable - 35
+
+    def rows_of(root: int) -> "list[tuple]":
+        out: "list[tuple]" = []
+        seen: "set[int]" = set()
+
+        def visit(pageno: int) -> None:
+            if pageno < 1 or pageno > n_pages or pageno in seen:
+                raise ValueError("bad page pointer")
+            seen.add(pageno)
+            base = (pageno - 1) * page_size
+            hdr = base + (100 if pageno == 1 else 0)
+            ptype = content[hdr]
+            n_cells = int.from_bytes(content[hdr + 3:hdr + 5], "big")
+            if ptype == 0x05:  # interior table page
+                cell_arr = hdr + 12
+                for k in range(n_cells):
+                    off = int.from_bytes(
+                        content[cell_arr + 2 * k:cell_arr + 2 * k + 2],
+                        "big")
+                    child = int.from_bytes(
+                        content[base + off:base + off + 4], "big")
+                    visit(child)
+                right = int.from_bytes(content[hdr + 8:hdr + 12], "big")
+                visit(right)
+            elif ptype == 0x0D:  # leaf table page
+                cell_arr = hdr + 8
+                for k in range(n_cells):
+                    off = int.from_bytes(
+                        content[cell_arr + 2 * k:cell_arr + 2 * k + 2],
+                        "big")
+                    pos = base + off
+                    plen, pos = _varint(content, pos)
+                    _rowid, pos = _varint(content, pos)
+                    if plen > max_local:
+                        raise ValueError("overflow payload")
+                    payload = content[pos:pos + plen]
+                    if len(payload) != plen:
+                        raise ValueError("truncated cell")
+                    out.append(_record(payload))
+            else:
+                raise ValueError("not a table b-tree page")
+
+        visit(root)
+        return out
+
+    try:
+        master = rows_of(1)
+        tables: "dict[str, list]" = {}
+        for row in master:
+            if len(row) != 5:
+                raise ValueError("malformed sqlite_master row")
+            mtype, name, _tbl, rootpage, _sql = row
+            if mtype != "table" or not isinstance(name, str):
+                continue
+            if name.startswith("sqlite_"):
+                continue
+            if not isinstance(rootpage, int):
+                raise ValueError("bad rootpage")
+            tables[name] = rows_of(rootpage)
+    except (ValueError, IndexError, UnicodeDecodeError):
+        return None
+    return {"tables": tables, "page_size": page_size}
+
+
+def synth_sqlite(doc_id: int) -> "tuple[bytes, dict]":
+    """Deterministic fixture written by the REAL engine (stdlib
+    sqlite3, serialized without touching disk).  Closed form
+    (mirrored by the sqlite_table_stats oracle):
+
+        metrics: n = 3 + doc_id % 5 rows
+                 (k=u, name='n{doc_id}-{u}', val=(doc_id+u)*0.5,
+                  tag=2-byte blob, opt=NULL when u%3==0 else 2u)
+        bulk:    m = 260 + doc_id % 40 rows of 64-char padded text
+                 (spans multiple pages -> interior-page traversal)
+        edge:    one row with a 48-bit int 2^40+doc_id, a negative,
+                 a 0 and a 1 (the constant serial types)"""
+    import sqlite3
+
+    i = int(doc_id)
+    con = sqlite3.connect(":memory:")
+    cur = con.cursor()
+    cur.execute("CREATE TABLE metrics (k INT, name TEXT, val REAL, "
+                "tag BLOB, opt INT)")
+    n = 3 + i % 5
+    for u in range(n):
+        cur.execute(
+            "INSERT INTO metrics VALUES (?, ?, ?, ?, ?)",
+            (u, "n%d-%d" % (i, u), (i + u) * 0.5,
+             bytes([u % 256, i % 256]),
+             None if u % 3 == 0 else 2 * u))
+    cur.execute("CREATE TABLE bulk (r INT, pad TEXT)")
+    m = 260 + i % 40
+    for r in range(m):
+        cur.execute("INSERT INTO bulk VALUES (?, ?)",
+                    (r, ("row%04d" % r) + "x" * 56))
+    cur.execute("CREATE TABLE edge (big INT, neg INT, z INT, o INT)")
+    cur.execute("INSERT INTO edge VALUES (?, ?, 0, 1)",
+                (2**40 + i, -(i + 1)))
+    con.commit()
+    raw = con.serialize()
+    con.close()
+    return raw, {"n_metrics": n, "n_bulk": m}

@@ -1,0 +1,99 @@
+"""SQLite file parsing (sources/sqlitefile.py): engine-written
+fixtures, serial-type coverage, traversal order, refusals."""
+
+from __future__ import annotations
+
+import sqlite3
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.sqlitefile import (
+    parse_sqlite,
+    synth_sqlite,
+)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    raw, exp = synth_sqlite(doc_id)
+    got = parse_sqlite(raw)
+    assert got is not None
+    t = got["tables"]
+    assert len(t["metrics"]) == exp["n_metrics"]
+    assert len(t["bulk"]) == exp["n_bulk"]
+    i = doc_id
+    for u, row in enumerate(t["metrics"]):
+        assert row == (u, "n%d-%d" % (i, u), (i + u) * 0.5,
+                       bytes([u % 256, i % 256]),
+                       None if u % 3 == 0 else 2 * u)
+    assert t["edge"] == [(2**40 + i, -(i + 1), 0, 1)]
+
+
+def _db(sql_inserts):
+    con = sqlite3.connect(":memory:")
+    for s, params in sql_inserts:
+        con.execute(s, params)
+    con.commit()
+    raw = con.serialize()
+    con.close()
+    return raw
+
+
+def test_engine_value_types_roundtrip():
+    """Every serial-type family via arbitrary engine-written values,
+    including multi-byte ints at each width boundary."""
+    vals = [0, 1, -1, 127, -128, 128, 32767, -32768, 2**23 - 1,
+            -(2**23), 2**31 - 1, -(2**31), 2**47 - 1, -(2**47),
+            2**62, -(2**62)]
+    ins = [("CREATE TABLE t (v INT)", ())]
+    ins += [("INSERT INTO t VALUES (?)", (v,)) for v in vals]
+    got = parse_sqlite(_db(ins))
+    assert [r[0] for r in got["tables"]["t"]] == vals
+
+
+def test_text_and_blob_and_unicode():
+    ins = [("CREATE TABLE t (a TEXT, b BLOB)", ()),
+           ("INSERT INTO t VALUES (?, ?)", ("héllo wörld", b"\x00\xff")),
+           ("INSERT INTO t VALUES (?, ?)", ("", b""))]
+    got = parse_sqlite(_db(ins))
+    assert got["tables"]["t"] == [("héllo wörld", b"\x00\xff"),
+                                  ("", b"")]
+
+
+def test_rowid_order_preserved_across_pages():
+    ins = [("CREATE TABLE t (r INT, pad TEXT)", ())]
+    ins += [("INSERT INTO t VALUES (?, ?)", (r, "y" * 100))
+            for r in range(500)]
+    got = parse_sqlite(_db(ins))
+    assert [row[0] for row in got["tables"]["t"]] == list(range(500))
+
+
+def test_refusals():
+    assert parse_sqlite(b"") is None
+    assert parse_sqlite(b"SQLite format 3\x00" + b"\x00" * 50) is None
+    raw, _ = synth_sqlite(1)
+    # truncation mid-file
+    assert parse_sqlite(raw[: len(raw) - 100]) is None
+    # flip the text encoding field (offset 56) to UTF-16
+    bad = bytearray(raw)
+    bad[56:60] = (2).to_bytes(4, "big")
+    assert parse_sqlite(bytes(bad)) is None
+    # mark as WAL
+    bad = bytearray(raw)
+    bad[18] = bad[19] = 2
+    assert parse_sqlite(bytes(bad)) is None
+    # overflow payload refusal: one giant row
+    ins = [("CREATE TABLE t (a TEXT)", ()),
+           ("INSERT INTO t VALUES (?)", ("z" * 100_000,))]
+    assert parse_sqlite(_db(ins)) is None
+
+
+def test_internal_tables_excluded():
+    ins = [("CREATE TABLE t (a INT)", ()),
+           ("CREATE INDEX idx ON t(a)", ()),
+           ("INSERT INTO t VALUES (1)", ())]
+    got = parse_sqlite(_db(ins))
+    assert set(got["tables"]) == {"t"}
