@@ -1,0 +1,64 @@
+"""WebDataset sample grouping — the de-facto standard layout for
+large-scale multimodal training data (github.com/webdataset/
+webdataset; used by LAION / OpenCLIP / most vision-language corpora):
+datasets ship as ``.tar`` shards whose members share a basename key —
+``000123.jpg`` + ``000123.txt`` + ``000123.json`` form ONE sample;
+the extension chain after the FIRST dot of the basename names the
+component (``000123.seg.png`` -> component ``seg.png``).
+
+This is the read side a 100 TB training pipeline needs between the
+archive fan-out (sources/binary.explode_archives) and the per-sample
+decode: regroup member rows into sample rows.  Entirely DataFrame
+ops — key/component derivation is codegen regex, the regroup is ONE
+shuffle on (shard, key), and components assemble into a
+``map<string, binary>`` with ``map_from_entries``.  At web scale
+samples are contiguous within a shard, so the shuffle is
+near-local; nothing here collects or touches Python.
+
+Reference parity: the reference accepts zipped media batches
+(/root/reference/shared/config/__init__.py:36-39); WebDataset is the
+same contract at training-fleet scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_webdataset(
+    members: DataFrame,
+    shard_col: str = "path",
+    name_col: str = "member_path",
+    content_col: str = "content",
+) -> DataFrame:
+    """Member rows -> sample rows ``(shard, key, components
+    map<ext, binary>, n_components)``.  Directory prefixes inside the
+    tar are part of WebDataset keys ('a/b/000.jpg' -> key 'a/b/000'),
+    per the spec; members with no extension or an empty key are
+    dropped (shard-level metadata files, error-marker rows)."""
+    base = F.element_at(F.split(F.col(name_col), "/"), -1)
+    dirp = F.expr(
+        f"substring({name_col}, 1, "
+        f"length({name_col}) - length(element_at(split({name_col}, "
+        f"'/'), -1)))"
+    )
+    stem = F.regexp_extract(base, r"^([^.]+)\.", 1)
+    ext = F.regexp_extract(base, r"^[^.]+\.(.+)$", 1)
+    keyed = (
+        members.select(
+            F.col(shard_col).alias("shard"),
+            F.concat(dirp, stem).alias("key"),
+            ext.alias("ext"),
+            F.col(content_col).alias("content"),
+        )
+        .filter((F.col("key") != "") & (F.col("ext") != ""))
+    )
+    return (
+        keyed.groupBy("shard", "key")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("ext", "content")))
+            ).alias("components"),
+            F.count("*").alias("n_components"),
+        )
+    )

@@ -8933,3 +8933,125 @@ def sqlite_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "val_sum_x2 long, opt_sum long, name_digest string, "
         "bulk_r_sum long, edge_big long, edge_neg long",
     )
+
+
+@register(
+    "webdataset_samples",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 4 + doc_id % 5 AS n
+        FROM documents WHERE doc_id < 100
+    ),
+    smp AS (
+        SELECT doc_id, n, CAST(u.i AS INT) AS u,
+               (3 * doc_id + u.i) % 10 AS cls,
+               8 + length(CAST(doc_id AS VARCHAR)) + u.i % 7
+                   AS txt_len,
+               CASE WHEN u.i % 2 = 0 THEN 1 ELSE 0 END AS has_json,
+               's' || lpad(CAST(u.i AS VARCHAR), 4, '0') AS key
+        FROM spec, LATERAL unnest(range(0, n)) u(i)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(2 + has_json) AS BIGINT) AS n_components,
+           CAST(sum(cls) AS BIGINT) AS cls_sum,
+           CAST(sum(txt_len) AS BIGINT) AS txt_chars,
+           CAST(sum(has_json) AS BIGINT) AS n_json,
+           string_agg(substr(sha256(key), 1, 8), '' ORDER BY key)
+               AS key_digest
+    FROM smp GROUP BY doc_id
+    """,
+    doc="WebDataset sample grouping, graded (r13 — the de-facto "
+    "multimodal training-data layout: tar shards whose members share "
+    "a basename key): per doc a tar shard is synthesized with "
+    "txt/cls components per sample, a meta.json DOUBLE extension on "
+    "even samples (first-dot key rule), reversed member order inside "
+    "odd samples, and a dotless README decoy that must drop. The "
+    "plan is the real production chain — explode_archives tar "
+    "fan-out, then operators/webdataset.group_webdataset (codegen "
+    "key/ext regex, ONE shuffle on (shard, key), map_from_entries "
+    "assembly). The oracle states sample/component counts, label "
+    "sums, text lengths, and an ORDERED key digest.",
+    tags=("ingest", "multimodal", "corpus"),
+)
+def webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.webdataset import group_webdataset
+    from ..sources.binary import explode_archives
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import io
+        import tarfile
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                buf = io.BytesIO()
+                with tarfile.open(fileobj=buf, mode="w") as tf:
+                    def add(name: str, data: bytes) -> None:
+                        info = tarfile.TarInfo(name)
+                        info.size = len(data)
+                        tf.addfile(info, io.BytesIO(data))
+
+                    add("README", b"decoy: no extension, no key")
+                    n = 4 + i % 5
+                    for u in range(n):
+                        key = "s%04d" % u
+                        comps = [
+                            ("%s.txt" % key,
+                             ("text %d-%d " % (i, u)).encode()
+                             + b"w" * (u % 7)),
+                            ("%s.cls" % key,
+                             str((3 * i + u) % 10).encode()),
+                        ]
+                        if u % 2 == 0:
+                            comps.append(
+                                ("%s.meta.json" % key,
+                                 b'{"u": %d}' % u))
+                        if u % 2 == 1:
+                            comps.reverse()
+                        for name, data in comps:
+                            add(name, data)
+                rows.append(("shard%05d.tar" % i, buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    files = ids.mapInPandas(gen, "path string, content binary")
+    samples = group_webdataset(explode_archives(files))
+    per_sample = samples.select(
+        F.regexp_extract("shard", r"shard(\d+)\.tar", 1)
+        .cast("long").alias("doc_id"),
+        "key",
+        "n_components",
+        F.element_at("components", "cls").cast("string")
+        .cast("long").alias("cls"),
+        F.length(F.element_at("components", "txt").cast("string"))
+        .alias("txt_len"),
+        F.when(F.map_contains_key("components", "meta.json"), 1)
+        .otherwise(0).alias("has_json"),
+        F.sha2(F.encode("key", "UTF-8"), 256).substr(1, 8)
+        .alias("key_sha"),
+    )
+    return (
+        per_sample.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.sum("n_components").alias("n_components"),
+            F.sum("cls").alias("cls_sum"),
+            F.sum("txt_len").alias("txt_chars"),
+            F.sum("has_json").alias("n_json"),
+            F.concat_ws(
+                "", F.array_sort(F.collect_list(
+                    F.struct("key", "key_sha"))).getField("key_sha"))
+            .alias("key_digest"),
+        )
+    )

@@ -1,0 +1,69 @@
+"""WebDataset grouping (operators/webdataset.py): key/extension
+rules, directory keys, decoy handling, deterministic map assembly."""
+
+from __future__ import annotations
+
+import pytest
+
+from teledetection_drone_satellite_spark.operators.webdataset import (
+    group_webdataset,
+)
+
+
+def _members(spark, rows):
+    return spark.createDataFrame(
+        [(shard, name, content) for shard, name, content in rows],
+        "path string, member_path string, content binary",
+    )
+
+
+@pytest.mark.usefixtures("spark")
+def test_basic_grouping(spark):
+    df = _members(spark, [
+        ("a.tar", "000.jpg", b"J0"),
+        ("a.tar", "000.txt", b"T0"),
+        ("a.tar", "001.txt", b"T1"),
+        ("a.tar", "001.jpg", b"J1"),
+        ("b.tar", "000.jpg", b"J9"),
+    ])
+    got = {(r["shard"], r["key"]): r
+           for r in group_webdataset(df).collect()}
+    assert set(got) == {("a.tar", "000"), ("a.tar", "001"),
+                        ("b.tar", "000")}
+    assert got[("a.tar", "000")]["components"] == {
+        "jpg": bytearray(b"J0"), "txt": bytearray(b"T0")}
+    assert got[("a.tar", "001")]["n_components"] == 2
+
+
+@pytest.mark.usefixtures("spark")
+def test_first_dot_rule_and_dir_prefix(spark):
+    df = _members(spark, [
+        ("a.tar", "d1/000.seg.png", b"S"),
+        ("a.tar", "d1/000.jpg", b"J"),
+        ("a.tar", "d2/000.jpg", b"K"),   # same stem, other dir
+    ])
+    got = {r["key"]: r for r in group_webdataset(df).collect()}
+    assert set(got) == {"d1/000", "d2/000"}
+    assert got["d1/000"]["components"] == {
+        "seg.png": bytearray(b"S"), "jpg": bytearray(b"J")}
+
+
+@pytest.mark.usefixtures("spark")
+def test_decoys_dropped(spark):
+    df = _members(spark, [
+        ("a.tar", "README", b"no extension"),
+        ("a.tar", ".hidden", b"empty key"),
+        ("a.tar", "", b"error marker row"),
+        ("a.tar", "ok.txt", b"x"),
+    ])
+    got = group_webdataset(df).collect()
+    assert len(got) == 1 and got[0]["key"] == "ok"
+
+
+@pytest.mark.usefixtures("spark")
+def test_grouping_plan_is_jvm_only(spark):
+    df = _members(spark, [("a.tar", "0.txt", b"x")])
+    plan = (group_webdataset(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
