@@ -993,3 +993,100 @@ def levenshtein_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("int").alias("dist"),
         )
     )
+
+
+@register(
+    "approx_distinct_band",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_nd,
+           TRUE AS within_band
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="HLL++ sketch invariant, graded (r13 — Spark's native "
+    "approx_count_distinct IS the mergeable HyperLogLog++ sketch a "
+    "100 TB pipeline counts uniques with; at scale the exact "
+    "count(DISTINCT) needs a full shuffle of the key domain while "
+    "the sketch is a fixed 2^p-register exchange): per return flag "
+    "the plan computes BOTH and grades the sketch against its "
+    "advertised error — |est - exact| <= 3 * rsd * exact at "
+    "rsd=0.02, a band the estimator exceeds with probability < "
+    "1e-5. The oracle states the exact counts and asserts the band "
+    "holds; estimator drift flips within_band and the hash.",
+    tags=("relational", "curation"),
+)
+def approx_distinct_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, ("lineitem",))["lineitem"]
+    rsd = 0.02
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_nd"),
+        F.approx_count_distinct("l_orderkey", rsd).alias("_est"),
+    )
+    band = (
+        F.abs(F.col("_est") - F.col("exact_nd"))
+        <= 3 * rsd * F.col("exact_nd")
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("exact_nd").cast("long").alias("exact_nd"),
+        band.alias("within_band"),
+    )
+
+
+@register(
+    "approx_quantile_band",
+    oracle="""
+    WITH q AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.5) AS p50,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    ranked AS (
+        SELECT l.l_returnflag, q.n,
+               sum(CASE WHEN l.l_extendedprice <= q.p50
+                   THEN 1 ELSE 0 END) AS le_mid
+        FROM lineitem l JOIN q ON q.l_returnflag = l.l_returnflag
+        GROUP BY l.l_returnflag, q.n
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           TRUE AS within_band
+    FROM ranked
+    """,
+    doc="Greenwald-Khanna quantile-sketch invariant, graded (r13 — "
+    "Spark's percentile_approx is the single-pass mergeable sketch "
+    "that replaces a full sort at 100 TB): per return flag the plan "
+    "computes the approx median at accuracy 10000 (guaranteed rank "
+    "error <= n/10000) and grades it by RANK, not value — the count "
+    "of rows <= the estimate must sit within 3x the guaranteed rank "
+    "band around n/2 (3x absorbs the <=-vs-< tie convention on "
+    "duplicated prices). The oracle states group sizes and asserts "
+    "the band; a sketch regression flips within_band and the hash.",
+    tags=("relational", "curation"),
+)
+def approx_quantile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, ("lineitem",))["lineitem"]
+    acc = 10000
+    est = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, acc).alias("_p50"),
+        F.count("*").alias("n_rows"),
+    )
+    ranked = (
+        li.join(F.broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag", "n_rows")
+        .agg(
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("_p50"), 1)
+                .otherwise(0)
+            ).alias("_le_mid")
+        )
+    )
+    band = (
+        F.abs(F.col("_le_mid") - F.col("n_rows") / 2)
+        <= 3.0 * F.col("n_rows") / acc + 1
+    )
+    return ranked.select(
+        "l_returnflag",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        band.alias("within_band"),
+    )
