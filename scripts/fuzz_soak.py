@@ -22,7 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from teledetection_drone_satellite_spark.sources import (  # noqa: E402
     aiff, arc, cdx, docx, epub, feed, gpx, html, ical, id3, las,
-    markdown, mbox, mp4, mpeg, netcdf, odt, ogg, pdf, pptx, robots, rtf,
+    markdown, mbox, mkv, mp4, mpeg, netcdf, odt, ogg, pdf, pptx,
+    robots, rtf,
     shapefile, sitemap, sqlitefile,
     subtitles, vcard, warc, wat, xlsx,
 )
@@ -139,6 +140,7 @@ DECODERS = {
     "feed": (lambda i: feed.synth_feed(i % 1000)[0], feed.parse_feed),
     "wat": (lambda i: wat.synth_wat(i % 1000)[0], wat.parse_wat),
     "mp4": (lambda i: mp4.synth_mp4(i % 10000)[0], mp4.parse_mp4),
+    "mkv": (lambda i: mkv.synth_mkv(i % 10000)[0], mkv.parse_mkv),
     "ogg": (lambda i: ogg.synth_ogg(i % 10000)[0], ogg.parse_ogg),
     "sqlite": (lambda i: sqlitefile.synth_sqlite(i % 500)[0],
                sqlitefile.parse_sqlite),

@@ -9055,3 +9055,110 @@ def webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("key_digest"),
         )
     )
+
+
+@register(
+    "mkv_meta_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'webm' ELSE 'matroska'
+                   END AS doctype,
+               500 + 93 * doc_id AS duration_ms,
+               1 + doc_id % 3 AS n_tracks
+        FROM documents WHERE doc_id < 120
+    ),
+    trk AS (
+        SELECT doc_id, doctype, duration_ms, n_tracks,
+               CAST(t.i AS INT) AS t,
+               (doc_id + t.i) % 2 = 0 AS is_video,
+               CASE WHEN (doc_id + t.i) % 2 = 0 THEN
+                    CASE WHEN t.i % 2 = 0 THEN 'V_VP9' ELSE 'V_AV1'
+                        END
+               ELSE
+                    CASE WHEN t.i % 2 = 0 THEN 'A_OPUS'
+                        ELSE 'A_VORBIS' END
+               END AS codec,
+               CASE WHEN (doc_id + t.i) % 2 = 0
+                    THEN (640 + 16 * ((doc_id + t.i) % 5))
+                         * (360 + 16 * ((doc_id + t.i) % 4))
+                    ELSE 0 END AS px,
+               CASE WHEN (doc_id + t.i) % 2 = 0 THEN 0
+                    ELSE 2 - t.i % 2 END AS ch
+        FROM spec, LATERAL unnest(range(0, n_tracks)) t(i)
+    )
+    SELECT doc_id, min(doctype) AS doctype,
+           CAST(min(duration_ms) AS BIGINT) AS duration_ms,
+           CAST(min(n_tracks) AS INT) AS n_tracks,
+           CAST(sum(CASE WHEN is_video THEN 1 ELSE 0 END) AS INT)
+               AS n_video,
+           CAST(sum(px) AS BIGINT) AS video_px,
+           CAST(sum(ch) AS BIGINT) AS channels_sum,
+           string_agg(substr(sha256(codec), 1, 8), '' ORDER BY t)
+               AS codec_digest
+    FROM trk GROUP BY doc_id
+    """,
+    doc="Matroska/WebM metadata, graded (r13 — the web's native "
+    "<video> container; closes the video-container tier next to "
+    "mp4_meta_stats): per doc synth_mkv writes an EBML tree with a "
+    "non-default TimestampScale every third doc (Duration units "
+    "double and must be scaled back), float32 Duration every fourth, "
+    "an unknown-size Segment every fifth (the streaming-file "
+    "convention), a Cluster to skip and a Void decoy inside Info. "
+    "The oracle states doctype, exact duration_ms, track/video "
+    "counts, summed pixels and channels, and an ORDERED CodecID "
+    "sha256 chain — a VINT, scale, float-width, or unknown-size bug "
+    "flips it.",
+    tags=("ingest", "multimodal"),
+)
+def mkv_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.mkv import parse_mkv, synth_mkv
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_mkv(i)
+                got = parse_mkv(raw)
+                codec_digest = "".join(
+                    hashlib.sha256(t["codec"].encode()).hexdigest()[:8]
+                    for t in got["tracks"]
+                )
+                rows.append(
+                    (i, got["doctype"], got["duration_ms"],
+                     got["n_tracks"],
+                     sum(1 for t in got["tracks"]
+                         if t["type"] == "video"),
+                     sum(t["width"] * t["height"]
+                         for t in got["tracks"]
+                         if t["type"] == "video"),
+                     sum(t["channels"] for t in got["tracks"]
+                         if t["type"] == "audio"),
+                     codec_digest)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "doctype", "duration_ms",
+                         "n_tracks", "n_video", "video_px",
+                         "channels_sum", "codec_digest"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, doctype string, duration_ms long, n_tracks int, "
+        "n_video int, video_px long, channels_sum long, "
+        "codec_digest string",
+    )

@@ -1,0 +1,282 @@
+"""Matroska / WebM container metadata — pure stdlib, from the public
+EBML specification (RFC 8794) and the Matroska element registry
+(matroska.org/technical/elements; WebM is the same structure with
+DocType 'webm').
+
+WebM is the web's native <video> container and Matroska the dominant
+wrapper for long-form scraped video; together with sources/mp4.py
+this closes the video-container metadata tier (C14 contract: header
+walk only, no sample decode — codec decode stays honestly
+env-blocked, BASELINE.md probe log).
+
+Parsed surface:
+
+  EBML header    -> DocType (matroska / webm)
+  Segment/Info   -> TimestampScale (default 1,000,000 ns) + Duration
+                    (float32/float64) -> duration_ms
+  Segment/Tracks -> per TrackEntry: TrackType (1 video / 2 audio /
+                    17 subtitle), CodecID, Video PixelWidth/Height,
+                    Audio SamplingFrequency (float) + Channels
+  Clusters etc.  -> skipped by size
+
+EBML varints: element IDs keep their length-marker bit (matched
+verbatim against the registry); sizes strip it (RFC 8794 §4).  An
+unknown-size (all-ones) element is accepted for Segment only (the
+streaming-file convention) and extends to EOF.
+
+Refusals (None): missing/malformed EBML header or DocType, a VINT or
+element overrunning its parent, zero TimestampScale, missing Info
+duration, a float field that is neither 4 nor 8 bytes — the honest-
+fallback contract every decoder here shares.
+
+Reference parity: the reference declares video among its ingestible
+media (/root/reference/shared/config/__init__.py:36-39); this is the
+Spark-side metadata probe."""
+
+from __future__ import annotations
+
+import struct
+
+_EBML = 0x1A45DFA3
+_DOCTYPE = 0x4282
+_SEGMENT = 0x18538067
+_INFO = 0x1549A966
+_TS_SCALE = 0x2AD7B1
+_DURATION = 0x4489
+_TRACKS = 0x1654AE6B
+_TRACK_ENTRY = 0xAE
+_TRACK_TYPE = 0x83
+_CODEC_ID = 0x86
+_VIDEO = 0xE0
+_PIXEL_W = 0xB0
+_PIXEL_H = 0xBA
+_AUDIO = 0xE1
+_SAMPLE_F = 0xB5
+_CHANNELS = 0x9F
+_CLUSTER = 0x1F43B675
+
+_TRACK_TYPES = {1: "video", 2: "audio", 17: "subtitle"}
+
+
+def _enc_id(eid: int) -> bytes:
+    out = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    return out
+
+
+def _enc_size(v: int) -> bytes:
+    """EBML size VINT, shortest form."""
+    for length in range(1, 9):
+        if v < (1 << (7 * length)) - 1:
+            return ((1 << (7 * length)) | v).to_bytes(length, "big")
+    raise ValueError("size too large")
+
+
+def _el(eid: int, payload: bytes) -> bytes:
+    return _enc_id(eid) + _enc_size(len(payload)) + payload
+
+
+def _uint(v: int) -> bytes:
+    return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+
+def _read_id(buf: bytes, pos: int, end: int) -> "tuple[int, int]":
+    if pos >= end:
+        raise ValueError("truncated id")
+    first = buf[pos]
+    length = 0
+    for k in range(4):
+        if first & (0x80 >> k):
+            length = k + 1
+            break
+    if length == 0 or pos + length > end:
+        raise ValueError("bad id vint")
+    return int.from_bytes(buf[pos:pos + length], "big"), pos + length
+
+
+def _read_size(buf: bytes, pos: int, end: int) -> "tuple[int | None, int]":
+    if pos >= end:
+        raise ValueError("truncated size")
+    first = buf[pos]
+    length = 0
+    for k in range(8):
+        if first & (0x80 >> k):
+            length = k + 1
+            break
+    if length == 0 or pos + length > end:
+        raise ValueError("bad size vint")
+    raw = int.from_bytes(buf[pos:pos + length], "big")
+    val = raw & ((1 << (7 * length)) - 1)
+    if val == (1 << (7 * length)) - 1:
+        return None, pos + length  # unknown size
+    return val, pos + length
+
+
+def _walk(buf: bytes, start: int, end: int):
+    """Yield (id, payload_start, payload_end) for children in
+    [start, end)."""
+    pos = start
+    while pos < end:
+        eid, pos = _read_id(buf, pos, end)
+        size, pos = _read_size(buf, pos, end)
+        if size is None:
+            if eid != _SEGMENT:
+                raise ValueError("unknown size on non-segment")
+            yield eid, pos, end
+            return
+        if pos + size > end:
+            raise ValueError("element overruns parent")
+        yield eid, pos, pos + size
+        pos += size
+
+
+def _float(buf: bytes) -> float:
+    if len(buf) == 4:
+        return struct.unpack(">f", buf)[0]
+    if len(buf) == 8:
+        return struct.unpack(">d", buf)[0]
+    raise ValueError("bad float width")
+
+
+def synth_mkv(doc_id: int) -> "tuple[bytes, dict]":
+    """Deterministic fixture plus expected stats.  Closed form
+    (mirrored by the mkv_meta_stats oracle):
+
+        doctype      = webm when doc_id % 2 == 0 else matroska
+        duration_ms  = 500 + 93 * doc_id
+        n_tracks     = 1 + doc_id % 3
+        track t: video when (doc_id + t) % 2 == 0
+                 (codec V_VP9 / V_AV1 alternating by t,
+                  w = 640 + 16 * ((doc_id + t) % 5),
+                  h = 360 + 16 * ((doc_id + t) % 4));
+                 else audio (A_OPUS / A_VORBIS, 2 - t % 2 channels,
+                  48000 Hz)
+
+    Decoys a sloppy walker trips over: a non-default TimestampScale
+    (500,000 ns) every third doc — the Duration value doubles and the
+    reader must multiply it back; Duration as float32 for doc % 4 ==
+    1 (value kept exactly representable); an unknown-size Segment for
+    doc % 5 == 0; a Cluster element after Tracks that must be skipped
+    by size; a Void element inside Info."""
+    i = int(doc_id)
+    doctype = b"webm" if i % 2 == 0 else b"matroska"
+    duration_ms = 500 + 93 * i
+    scale = 500000 if i % 3 == 0 else 1000000
+    dur_units = duration_ms * 1000000 // scale  # exact small int
+    header = _el(_EBML, _el(0x4286, _uint(1)) + _el(_DOCTYPE, doctype))
+    if i % 4 == 1:
+        dur = _el(_DURATION, struct.pack(">f", float(dur_units)))
+    else:
+        dur = _el(_DURATION, struct.pack(">d", float(dur_units)))
+    info = _el(
+        _INFO,
+        _el(_TS_SCALE, _uint(scale)) + _el(0xEC, b"\x00" * 3) + dur)
+    n_tracks = 1 + i % 3
+    entries = b""
+    expected_tracks = []
+    for t in range(n_tracks):
+        is_video = (i + t) % 2 == 0
+        if is_video:
+            codec = b"V_VP9" if t % 2 == 0 else b"V_AV1"
+            w = 640 + 16 * ((i + t) % 5)
+            h = 360 + 16 * ((i + t) % 4)
+            sub = _el(_VIDEO, _el(_PIXEL_W, _uint(w))
+                      + _el(_PIXEL_H, _uint(h)))
+            ttype = 1
+            expected_tracks.append(
+                {"type": "video", "codec": codec.decode(),
+                 "width": w, "height": h, "channels": 0})
+        else:
+            codec = b"A_OPUS" if t % 2 == 0 else b"A_VORBIS"
+            ch = 2 - t % 2
+            sub = _el(_AUDIO, _el(_SAMPLE_F, struct.pack(">f", 48000.0))
+                      + _el(_CHANNELS, _uint(ch)))
+            ttype = 2
+            expected_tracks.append(
+                {"type": "audio", "codec": codec.decode(),
+                 "width": 0, "height": 0, "channels": ch})
+        entries += _el(
+            _TRACK_ENTRY,
+            _el(0xD7, _uint(t + 1)) + _el(_TRACK_TYPE, _uint(ttype))
+            + _el(_CODEC_ID, codec) + sub)
+    tracks = _el(_TRACKS, entries)
+    cluster = _el(_CLUSTER, b"\x00" * (17 + i % 23))
+    seg_payload = info + tracks + cluster
+    if i % 5 == 0:  # unknown-size segment (streaming convention)
+        segment = _enc_id(_SEGMENT) + b"\xff" + seg_payload
+    else:
+        segment = _el(_SEGMENT, seg_payload)
+    return header + segment, {
+        "doctype": doctype.decode(),
+        "duration_ms": duration_ms,
+        "n_tracks": n_tracks,
+        "tracks": expected_tracks,
+    }
+
+
+def parse_mkv(content: bytes) -> "dict | None":
+    """-> {'doctype', 'duration_ms', 'n_tracks', 'tracks': [{'type',
+    'codec', 'width', 'height', 'channels'}, ...]} or None per the
+    module docstring."""
+    try:
+        top = list(_walk(content, 0, len(content)))
+    except ValueError:
+        return None
+    if not top or top[0][0] != _EBML:
+        return None
+    doctype = None
+    try:
+        for eid, s, e in _walk(content, top[0][1], top[0][2]):
+            if eid == _DOCTYPE:
+                doctype = content[s:e].decode("ascii", "replace")
+        seg = next(((s, e) for eid, s, e in top if eid == _SEGMENT),
+                   None)
+        if doctype not in ("matroska", "webm") or seg is None:
+            return None
+        scale = 1000000
+        dur_units = None
+        tracks = []
+        for eid, s, e in _walk(content, seg[0], seg[1]):
+            if eid == _INFO:
+                for cid, cs, ce in _walk(content, s, e):
+                    if cid == _TS_SCALE:
+                        scale = int.from_bytes(content[cs:ce], "big")
+                    elif cid == _DURATION:
+                        dur_units = _float(content[cs:ce])
+            elif eid == _TRACKS:
+                for cid, cs, ce in _walk(content, s, e):
+                    if cid != _TRACK_ENTRY:
+                        continue
+                    trk = {"type": "other", "codec": None, "width": 0,
+                           "height": 0, "channels": 0}
+                    for tid, ts, te in _walk(content, cs, ce):
+                        if tid == _TRACK_TYPE:
+                            trk["type"] = _TRACK_TYPES.get(
+                                int.from_bytes(content[ts:te], "big"),
+                                "other")
+                        elif tid == _CODEC_ID:
+                            trk["codec"] = content[ts:te].decode(
+                                "ascii", "replace")
+                        elif tid == _VIDEO:
+                            for vid, vs, ve in _walk(content, ts, te):
+                                if vid == _PIXEL_W:
+                                    trk["width"] = int.from_bytes(
+                                        content[vs:ve], "big")
+                                elif vid == _PIXEL_H:
+                                    trk["height"] = int.from_bytes(
+                                        content[vs:ve], "big")
+                        elif tid == _AUDIO:
+                            for aid, as_, ae in _walk(content, ts, te):
+                                if aid == _CHANNELS:
+                                    trk["channels"] = int.from_bytes(
+                                        content[as_:ae], "big")
+                    tracks.append(trk)
+    except (ValueError, OverflowError):
+        return None
+    if scale == 0 or dur_units is None or dur_units < 0:
+        return None
+    return {
+        "doctype": doctype,
+        "duration_ms": int(dur_units) * scale // 1000000,
+        "n_tracks": len(tracks),
+        "tracks": tracks,
+    }

@@ -1,0 +1,81 @@
+"""Matroska/WebM EBML walking (sources/mkv.py): roundtrip fuzz,
+VINT forms, unknown-size segment, scale/float decoys, refusals."""
+
+from __future__ import annotations
+
+import struct
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.mkv import (
+    _el,
+    _enc_id,
+    _enc_size,
+    _uint,
+    parse_mkv,
+    synth_mkv,
+)
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    raw, exp = synth_mkv(doc_id)
+    got = parse_mkv(raw)
+    assert got is not None
+    assert got["doctype"] == exp["doctype"]
+    assert got["duration_ms"] == exp["duration_ms"]
+    assert got["n_tracks"] == exp["n_tracks"]
+    for g, e in zip(got["tracks"], exp["tracks"]):
+        for k in e:
+            assert g[k] == e[k]
+
+
+def test_vint_size_boundaries():
+    # 1-byte max is 126 (127 is the unknown-size marker)
+    assert _enc_size(126) == b"\xfe"
+    assert _enc_size(127) == b"\x40\x7f"
+    assert _enc_size((1 << 14) - 2) == b"\x7f\xfe"
+
+
+def test_scale_and_float_decoys():
+    # doc 12: i%3==0 -> scale 500000 AND i%4==0 -> float64
+    raw, exp = synth_mkv(12)
+    assert parse_mkv(raw)["duration_ms"] == exp["duration_ms"]
+    # doc 9: i%3==0 AND i%4==1 -> scale 500000 with float32
+    raw, exp = synth_mkv(9)
+    assert parse_mkv(raw)["duration_ms"] == exp["duration_ms"]
+    # doc 5: i%5==0 -> unknown-size segment
+    raw, exp = synth_mkv(5)
+    assert parse_mkv(raw)["n_tracks"] == exp["n_tracks"]
+
+
+def _minimal(doctype=b"webm", dur=b""):
+    header = _el(0x1A45DFA3, _el(0x4282, doctype))
+    info = _el(0x1549A966, _el(0x2AD7B1, _uint(1000000)) + dur)
+    seg = _el(0x18538067, info + _el(0x1654AE6B, b""))
+    return header + seg
+
+
+def test_refusals():
+    assert parse_mkv(b"") is None
+    assert parse_mkv(b"\x00" * 40) is None
+    # unknown doctype
+    assert parse_mkv(_minimal(doctype=b"avi")) is None
+    # missing duration
+    assert parse_mkv(_minimal()) is None
+    # 3-byte float is invalid
+    bad_dur = _el(0x4489, b"\x00\x01\x02")
+    assert parse_mkv(_minimal(dur=bad_dur)) is None
+    # negative duration refuses
+    neg = _el(0x4489, struct.pack(">d", -1.0))
+    assert parse_mkv(_minimal(dur=neg)) is None
+    # element overruns parent
+    raw, _ = synth_mkv(3)
+    assert parse_mkv(raw[: len(raw) - 4]) is None
+    # unknown-size on a non-segment element refuses
+    bad = _el(0x1A45DFA3, _el(0x4282, b"webm")) + _enc_id(
+        0x1549A966) + b"\xff" + b"\x00" * 8
+    assert parse_mkv(bad) is None
