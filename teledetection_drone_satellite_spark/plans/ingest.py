@@ -9162,3 +9162,144 @@ def mkv_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_video int, video_px long, channels_sum long, "
         "codec_digest string",
     )
+
+
+@register(
+    "crawl_frontier_pipeline",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id AS i FROM documents WHERE doc_id < 120
+    ),
+    sm AS (
+        SELECT 'https://s' || CAST(i AS VARCHAR) || '.ex.com/p/'
+                   || CAST(u.x AS VARCHAR) AS url
+        FROM docs, LATERAL unnest(range(0, 3 + i % 5)) u(x)
+        WHERE i % 3 <> 0
+    ),
+    fd AS (
+        SELECT 'https://f' || CAST(i AS VARCHAR) || '.ex.com/post/'
+                   || CAST(u.x AS VARCHAR) AS url
+        FROM docs, LATERAL unnest(range(0, 2 + i % 6)) u(x)
+        WHERE u.x <> 3
+    ),
+    wx AS (
+        SELECT 'https://c'
+                   || CAST((i + p.x + 3 * u.x + 7) % 20 AS VARCHAR)
+                   || '.ex.com/x' || CAST(u.x AS VARCHAR) AS url
+        FROM docs,
+             LATERAL unnest(range(0, 1 + i % 4)) p(x),
+             LATERAL unnest(range(0, 2 + (i + p.x) % 4)) u(x)
+        WHERE u.x = 2
+    ),
+    wr AS (
+        SELECT 'https://c' || CAST(i % 20 AS VARCHAR)
+                   || '.ex.com/rel' || CAST(p.x AS VARCHAR) AS url
+        FROM docs, LATERAL unnest(range(0, 1 + i % 4)) p(x)
+        WHERE p.x <> 0
+    ),
+    fr AS (
+        SELECT DISTINCT url FROM (
+            SELECT url FROM sm UNION ALL SELECT url FROM fd
+            UNION ALL SELECT url FROM wx UNION ALL SELECT url FROM wr
+        )
+    )
+    SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           string_agg(substr(sha256(url), 1, 8), '' ORDER BY url)
+               AS url_digest
+    FROM fr GROUP BY host
+    """,
+    doc="Composed crawl-frontier flagship, graded (r13 — the "
+    "DISCOVERY counterpart of crawl_curation_pipeline: how the next "
+    "crawl round's URL list is actually assembled at 100 TB): per "
+    "doc ONE Arrow stage parses all three discovery channels "
+    "(sitemap urlset locs — index shards excluded, RSS/Atom entry "
+    "links, WAT outlinks) and applies the RFC 9309 robots gate "
+    "in-stage (global ruleset: Disallow /x, Allow /x2 longest-match "
+    "override, Disallow /post/3), emitting RAW messy URLs (uppercase "
+    "scheme/host, :443 default ports, utm_ tracking params). The "
+    "JVM side then canonicalizes at scan speed (url_canonicalize "
+    "rules), broadcast-ANTI-joins the already-crawled set (every "
+    "host's /rel0), deduplicates, and rolls up per host with an "
+    "ORDERED url digest. Only canonical URL strings ever shuffle — "
+    "decode and politeness stay map-side, the frontier join is "
+    "broadcast, the dedup is one exchange.",
+    tags=("ingest", "text", "curation"),
+)
+def crawl_frontier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.text import canonicalize_url
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    robots_txt = (b"User-agent: *\nDisallow: /x\nAllow: /x2\n"
+                  b"Disallow: /post/3\n")
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        from urllib.parse import urlsplit
+
+        from ..sources.feed import parse_feed, synth_feed
+        from ..sources.robots import parse_robots, robots_allowed
+        from ..sources.sitemap import parse_sitemap, synth_sitemap
+        from ..sources.wat import parse_wat, synth_wat
+
+        rules = parse_robots(robots_txt)
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                clean: "list[str]" = []
+                sm = parse_sitemap(synth_sitemap(i)[0])
+                if sm["kind"] == "urlset":
+                    clean.extend(e["loc"] for e in sm["entries"])
+                fe = parse_feed(synth_feed(i)[0])
+                clean.extend(e["link"] for e in fe["entries"])
+                for page in parse_wat(synth_wat(i)[0]):
+                    clean.extend(page["outlinks"])
+                for k, url in enumerate(clean):
+                    path = urlsplit(url).path
+                    if not robots_allowed(rules, "genericbot", path):
+                        continue  # politeness gate, in-stage
+                    # re-dirty the wire form: the canonicalizer's job
+                    if k % 3 == 0:
+                        messy = url.replace(
+                            "https://", "HTTPS://", 1).replace(
+                            ".ex.com/", ".EX.com:443/", 1)
+                    elif k % 3 == 1:
+                        messy = url + "?utm_source=feed&gclid=g1"
+                    else:
+                        messy = url + "#frag"
+                    rows.append((messy,))
+            yield pd.DataFrame(rows, columns=["raw_url"])
+
+    raw = ids.mapInPandas(gen, "raw_url string")
+    canon = raw.select(
+        canonicalize_url(F.col("raw_url")).alias("url"))
+    seen = spark.range(20).select(
+        F.concat(F.lit("https://c"), F.col("id").cast("string"),
+                 F.lit(".ex.com/rel0")).alias("url"))
+    frontier = (
+        canon.join(F.broadcast(seen), "url", "left_anti")
+        .distinct()
+    )
+    return (
+        frontier
+        .withColumn("host",
+                    F.regexp_extract("url", r"^https://([^/]+)/", 1))
+        .withColumn("url_sha",
+                    F.sha2(F.encode("url", "UTF-8"), 256).substr(1, 8))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.concat_ws("", F.array_sort(F.collect_list(
+                F.struct("url", "url_sha"))).getField("url_sha"))
+            .alias("url_digest"),
+        )
+    )
