@@ -460,3 +460,62 @@ def jwt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object(decoded, "$.sub").cast("long").alias("sub"),
         F.get_json_object(decoded, "$.exp").cast("long").alias("exp"),
     )
+
+
+@register(
+    "variant_json_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id * 3 % 97 AS BIGINT) AS v_int,
+           'tag-' || CAST(doc_id % 7 AS VARCHAR) AS v_str,
+           CAST(doc_id % 5 + 2 AS BIGINT) AS arr_len,
+           CAST((doc_id % 5 + 1) * (doc_id % 5) AS BIGINT) AS arr_last,
+           CAST(doc_id % 3 = 0 AS BOOLEAN) AS nested_flag,
+           CAST(NULL AS BIGINT) AS missing_key
+    FROM documents WHERE doc_id < 400
+    """,
+    doc="Spark 4 VariantType semi-structured access, graded (r13 — "
+    "the open-variant encoding is how a 100 TB lakehouse stores "
+    "heterogeneous JSON without schema-on-write; shredded access "
+    "beats string re-parsing per query): the plan builds nested "
+    "JSON (object + array + bool + decoy keys) from closed-form "
+    "expressions, converts ONCE with parse_json into a VariantValue, "
+    "and reads typed paths back with variant_get ($.k casts to "
+    "bigint, array indexing $.arr[n], nested $.obj.flag) plus "
+    "try_variant_get on a missing key (NULL, not error). The oracle "
+    "states every extracted value in closed form — an encoding, "
+    "path, or cast bug flips it. All JVM: parse_json and "
+    "variant_get are codegen expressions, zero Python.",
+    tags=("scalar", "relational"),
+)
+def variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 400)
+    )
+    did = F.col("doc_id")
+    arr_len = (did % 5 + 2).cast("int")
+    json_str = F.concat(
+        F.lit('{"k": '), (did * 3 % 97).cast("string"),
+        F.lit(', "tag": "tag-'), (did % 7).cast("string"),
+        F.lit('", "arr": ['),
+        F.concat_ws(",", F.transform(
+            F.sequence(F.lit(0), arr_len - 1),
+            lambda x: (x * (did % 5)).cast("string"))),
+        F.lit('], "obj": {"flag": '),
+        F.when(did % 3 == 0, "true").otherwise("false"),
+        F.lit(', "decoy": "zzz"}, "extra": [null, {"deep": 1}]}'),
+    )
+    v = d.select("doc_id", F.parse_json(json_str).alias("v"))
+    return v.select(
+        "doc_id",
+        F.variant_get("v", "$.k", "bigint").alias("v_int"),
+        F.variant_get("v", "$.tag", "string").alias("v_str"),
+        F.expr("CAST(array_size(variant_get(v, '$.arr', 'array<variant>')) AS BIGINT)")
+        .alias("arr_len"),
+        F.expr("variant_get(v, '$.arr[' || CAST(doc_id % 5 + 1 AS STRING) || ']', 'bigint')")
+        .alias("arr_last"),
+        F.variant_get("v", "$.obj.flag", "boolean").alias("nested_flag"),
+        F.try_variant_get("v", "$.nope", "bigint").alias("missing_key"),
+    )
