@@ -21,8 +21,10 @@ import zlib
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from teledetection_drone_satellite_spark.sources import (  # noqa: E402
-    aiff, arc, cdx, docx, epub, feed, gpx, html, ical, id3, las,
-    markdown, mbox, mkv, mp4, mpeg, netcdf, odt, ogg, pdf, pptx,
+    aiff, arc, cdx, difftext, docx, epub, feed, gpx, html, ical, id3,
+    las,
+    markdown, mbox, mkv, mp4, mpeg, netcdf, notebook, odt, ogg, pdf,
+    pptx,
     robots, rtf,
     shapefile, sitemap, sqlitefile,
     subtitles, vcard, warc, wat, xlsx,
@@ -141,6 +143,10 @@ DECODERS = {
     "wat": (lambda i: wat.synth_wat(i % 1000)[0], wat.parse_wat),
     "mp4": (lambda i: mp4.synth_mp4(i % 10000)[0], mp4.parse_mp4),
     "mkv": (lambda i: mkv.synth_mkv(i % 10000)[0], mkv.parse_mkv),
+    "notebook": (lambda i: notebook.synth_notebook(i % 10000)[0],
+                 notebook.parse_notebook),
+    "difftext": (lambda i: difftext.synth_diff(i % 10000)[0],
+                 difftext.parse_diff),
     "ogg": (lambda i: ogg.synth_ogg(i % 10000)[0], ogg.parse_ogg),
     "sqlite": (lambda i: sqlitefile.synth_sqlite(i % 500)[0],
                sqlitefile.parse_sqlite),

@@ -9303,3 +9303,206 @@ def crawl_frontier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("url_digest"),
         )
     )
+
+
+@register(
+    "notebook_cell_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 2 + doc_id % 4 AS n_code, 1 + doc_id % 3 AS n_md
+        FROM documents WHERE doc_id < 120
+    ),
+    code AS (
+        SELECT doc_id, CAST(c.i AS INT) AS ord,
+               'x' || CAST(c.i AS VARCHAR) || ' = '
+                   || CAST(doc_id AS VARCHAR) || ' + '
+                   || CAST(c.i AS VARCHAR) || chr(10) || 'print(x'
+                   || CAST(c.i AS VARCHAR) || ')' AS src,
+               CAST(c.i % 3 AS INT) AS n_out
+        FROM spec, LATERAL unnest(range(0, n_code)) c(i)
+    ),
+    md AS (
+        SELECT doc_id, CAST(n_code + m.i AS INT) AS ord,
+               '# Note ' || CAST(doc_id AS VARCHAR) || '-'
+                   || CAST(m.i AS VARCHAR) AS src,
+               0 AS n_out
+        FROM spec, LATERAL unnest(range(0, n_md)) m(i)
+    ),
+    rawcell AS (
+        SELECT doc_id, CAST(n_code + n_md AS INT) AS ord,
+               'decoy raw cell' AS src, 0 AS n_out
+        FROM spec
+    ),
+    cells AS (
+        SELECT * FROM code UNION ALL SELECT * FROM md
+        UNION ALL SELECT * FROM rawcell
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN src LIKE 'x%' THEN length(src)
+                        ELSE 0 END) AS BIGINT) AS code_chars,
+               CAST(sum(CASE WHEN src LIKE '# Note%' THEN length(src)
+                        ELSE 0 END) AS BIGINT) AS md_chars,
+               CAST(sum(n_out) AS BIGINT) AS outputs_total,
+               string_agg(substr(sha256(src), 1, 8), '' ORDER BY ord)
+                   AS src_digest
+        FROM cells GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(CASE WHEN s.doc_id % 2 = 0 THEN 4 ELSE 3 END AS INT)
+               AS nbformat,
+           CASE s.doc_id % 3 WHEN 0 THEN 'python' WHEN 1 THEN 'r'
+               ELSE 'julia' END AS language,
+           CAST(s.n_code AS INT) AS n_code,
+           CAST(s.n_md AS INT) AS n_md,
+           a.code_chars, a.md_chars, a.outputs_total, a.src_digest
+    FROM spec s JOIN agg a ON a.doc_id = s.doc_id
+    """,
+    doc="Jupyter notebook parsing, graded (r13 — notebooks are a "
+    "first-class code-LLM source; The Stack/StarCoder ingest them "
+    "with outputs stripped): per doc synth_notebook alternates "
+    "nbformat 4 (source in BOTH wire forms — plain string and "
+    "list-of-lines) and legacy v3 (cells under worksheets, code "
+    "under 'input'), with stream/execute_result outputs carrying "
+    "fat payloads that must be COUNTED but never leak into text, "
+    "and a raw-cell decoy. The oracle rebuilds every cell source in "
+    "SQL and states counts, char sums, output totals, and an "
+    "ORDERED source sha256 chain.",
+    tags=("ingest", "text", "corpus"),
+)
+def notebook_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.notebook import parse_notebook, synth_notebook
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_notebook(i)
+                got = parse_notebook(raw)
+                cells = got["cells"]
+                rows.append((
+                    i, got["nbformat"], got["language"],
+                    sum(1 for c in cells if c["type"] == "code"),
+                    sum(1 for c in cells if c["type"] == "markdown"),
+                    sum(len(c["source"]) for c in cells
+                        if c["type"] == "code"),
+                    sum(len(c["source"]) for c in cells
+                        if c["type"] == "markdown"),
+                    sum(c["n_outputs"] for c in cells),
+                    "".join(hashlib.sha256(c["source"].encode())
+                            .hexdigest()[:8] for c in cells),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "nbformat", "language", "n_code",
+                         "n_md", "code_chars", "md_chars",
+                         "outputs_total", "src_digest"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, nbformat int, language string, n_code int, "
+        "n_md int, code_chars long, md_chars long, outputs_total "
+        "long, src_digest string",
+    )
+
+
+@register(
+    "diff_patch_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 1 + doc_id % 3 AS n_files
+        FROM documents WHERE doc_id < 120
+    ),
+    fl AS (
+        SELECT doc_id, n_files, CAST(f.i AS INT) AS f,
+               'src/m' || CAST(doc_id AS VARCHAR) || '_'
+                   || CAST(f.i AS VARCHAR) || '.py' AS path,
+               1 + (doc_id + f.i) % 2 AS n_hunks
+        FROM spec, LATERAL unnest(range(0, n_files)) f(i)
+    ),
+    hk AS (
+        SELECT doc_id, f, path, n_hunks, CAST(h.i AS INT) AS h,
+               1 + (doc_id + f + h.i) % 3 AS adds,
+               (doc_id + h.i) % 2 AS dels
+        FROM fl, LATERAL unnest(range(0, n_hunks)) h(i)
+    )
+    SELECT doc_id,
+           CAST(count(DISTINCT f) AS INT) AS n_files,
+           CAST(count(*) AS INT) AS hunks_total,
+           CAST(sum(adds) AS BIGINT) AS add_total,
+           CAST(sum(dels) AS BIGINT) AS del_total,
+           CAST(max(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS INT)
+               AS n_renamed,
+           string_agg(CASE WHEN h = 0
+                      THEN substr(sha256(path), 1, 8) ELSE '' END,
+                      '' ORDER BY f, h) AS path_digest
+    FROM hk GROUP BY doc_id
+    """,
+    doc="Unified-diff parsing, graded (r13 — commit patches are a "
+    "first-class code-LLM training signal): per doc synth_diff "
+    "writes a git-shaped multi-file patch (diff --git headers, "
+    "index/mode metadata, a RENAME block, hunk headers with "
+    "lengths, and trailing no-newline markers) whose hunk bodies "
+    "the parser validates against the declared lengths. The oracle "
+    "states file/hunk counts, exact add/delete totals, the rename "
+    "flag, and an ORDERED new-path sha256 chain — a header, "
+    "length-accounting, or prefix bug flips it.",
+    tags=("ingest", "text", "corpus"),
+)
+def diff_patch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.difftext import parse_diff, synth_diff
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_diff(i)
+                got = parse_diff(raw)
+                rows.append((
+                    i, len(got),
+                    sum(f["n_hunks"] for f in got),
+                    sum(f["n_add"] for f in got),
+                    sum(f["n_del"] for f in got),
+                    sum(1 for f in got if f["renamed"]),
+                    "".join(hashlib.sha256(f["new"].encode())
+                            .hexdigest()[:8] for f in got),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_files", "hunks_total",
+                         "add_total", "del_total", "n_renamed",
+                         "path_digest"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_files int, hunks_total int, add_total long, "
+        "del_total long, n_renamed int, path_digest string",
+    )

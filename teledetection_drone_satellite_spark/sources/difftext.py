@@ -1,0 +1,182 @@
+"""Unified-diff parsing — pure stdlib, from the public GNU diffutils
+unified format and the git-diff extensions (git-scm.com/docs/diff-
+format).
+
+Commit diffs are a first-class code-LLM training signal (commit-
+message generation, code-review models, edit-sequence corpora all
+train on them); the curation-relevant read is: files touched, hunk
+structure, and add/delete/context line counts — with the git header
+forms (diff --git, rename from/to, new/deleted file, /dev/null)
+handled, since scraped patches are overwhelmingly git-shaped.
+
+Parsed surface per file block:
+
+  diff --git a/X b/Y            (optional; plain ---/+++ also valid)
+  rename from/to, new file mode, deleted file mode, index lines
+  --- a/old | /dev/null         +++ b/new | /dev/null
+  @@ -os[,ol] +ns[,nl] @@ ...   (lengths default to 1 when omitted)
+  ' ' context / '-' delete / '+' add / '\\ No newline at end of file'
+
+Refusals (None): undecodable UTF-8, a hunk header that does not
+parse, hunk body line counts that contradict the declared lengths, a
+body line with an unknown prefix, or no file blocks at all — the
+honest-fallback contract every decoder here shares.
+
+Reference parity: the reference declares generic document ingestion
+(/root/reference/shared/config/__init__.py:36-39); this is the
+code-corpus sibling of the text-extraction tier."""
+
+from __future__ import annotations
+
+import re
+
+_HUNK_RE = re.compile(
+    r"^@@ -(\d+)(?:,(\d+))? \+(\d+)(?:,(\d+))? @@")
+
+
+def synth_diff(doc_id: int) -> "tuple[bytes, dict]":
+    """Deterministic fixture plus expected stats.  Closed form
+    (mirrored by the diff_patch_stats oracle):
+
+        n_files = 1 + doc_id % 3
+        file f: path = src/m{doc_id}_{f}.py
+                n_hunks = 1 + (doc_id + f) % 2
+                hunk h:  adds = 1 + (doc_id + f + h) % 3
+                         dels = (doc_id + h) % 2
+                         ctx  = 2
+        file 0 is a git-header block; an f == 2 file is a RENAME
+        (old path src/old{doc_id}.py); every last hunk ends with the
+        '\\ No newline at end of file' marker."""
+    i = int(doc_id)
+    n_files = 1 + i % 3
+    out = []
+    exp_files = []
+    for f in range(n_files):
+        path = "src/m%d_%d.py" % (i, f)
+        old = "src/old%d.py" % i if f == 2 else path
+        out.append("diff --git a/%s b/%s" % (old, path))
+        if f == 2:
+            out.append("rename from %s" % old)
+            out.append("rename to %s" % path)
+        out.append("index 0000001..0000002 100644")
+        out.append("--- a/%s" % old)
+        out.append("+++ b/%s" % path)
+        n_hunks = 1 + (i + f) % 2
+        adds = dels = 0
+        pos_old = pos_new = 1
+        for h in range(n_hunks):
+            a = 1 + (i + f + h) % 3
+            d = (i + h) % 2
+            ctx = 2
+            out.append("@@ -%d,%d +%d,%d @@ def fn%d():"
+                       % (pos_old, ctx + d, pos_new, ctx + a, h))
+            out.append(" ctx line one")
+            for k in range(d):
+                out.append("-removed %d_%d_%d" % (i, h, k))
+            for k in range(a):
+                out.append("+added %d_%d_%d" % (i, h, k))
+            out.append(" ctx line two")
+            if h == n_hunks - 1:
+                out.append("\\ No newline at end of file")
+            adds += a
+            dels += d
+            pos_old += ctx + d + 5
+            pos_new += ctx + a + 5
+        exp_files.append({"old": old, "new": path,
+                          "n_hunks": n_hunks, "n_add": adds,
+                          "n_del": dels, "renamed": f == 2})
+    return ("\n".join(out) + "\n").encode(), {"files": exp_files}
+
+
+def parse_diff(content: bytes) -> "list[dict] | None":
+    """-> [{'old', 'new', 'n_hunks', 'n_add', 'n_del', 'n_ctx',
+    'renamed'}, ...] in patch order, or None per the module
+    docstring."""
+    try:
+        text = content.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    lines = text.splitlines()
+    files: "list[dict]" = []
+    cur: "dict | None" = None
+    want_old = want_new = 0
+    k = 0
+    n = len(lines)
+    while k < n:
+        line = lines[k]
+        if line.startswith("diff --git ") or line.startswith("--- "):
+            if want_old or want_new:
+                return None  # previous hunk under-filled
+            if line.startswith("diff --git "):
+                cur = {"old": None, "new": None, "n_hunks": 0,
+                       "n_add": 0, "n_del": 0, "n_ctx": 0,
+                       "renamed": False}
+                files.append(cur)
+                k += 1
+                continue
+            # '--- ' header: reuse the git block if it lacks paths yet
+            if cur is None or cur["old"] is not None:
+                cur = {"old": None, "new": None, "n_hunks": 0,
+                       "n_add": 0, "n_del": 0, "n_ctx": 0,
+                       "renamed": False}
+                files.append(cur)
+            cur["old"] = re.sub(r"^a/", "", line[4:].split("\t")[0])
+            k += 1
+            if k >= n or not lines[k].startswith("+++ "):
+                return None
+            cur["new"] = re.sub(r"^b/", "", lines[k][4:].split("\t")[0])
+            k += 1
+            continue
+        if cur is not None and line.startswith("rename from "):
+            cur["renamed"] = True
+            k += 1
+            continue
+        m = _HUNK_RE.match(line)
+        if m:
+            if cur is None or cur["new"] is None:
+                return None
+            if want_old or want_new:
+                return None
+            cur["n_hunks"] += 1
+            want_old = int(m.group(2)) if m.group(2) else 1
+            want_new = int(m.group(4)) if m.group(4) else 1
+            k += 1
+            continue
+        if want_old or want_new:
+            if line.startswith("+"):
+                cur["n_add"] += 1
+                want_new -= 1
+            elif line.startswith("-"):
+                cur["n_del"] += 1
+                want_old -= 1
+            elif line.startswith(" ") or line == "":
+                cur["n_ctx"] += 1
+                want_old -= 1
+                want_new -= 1
+            elif line.startswith("\\"):
+                k += 1
+                continue  # no-newline marker consumes nothing
+            else:
+                return None
+            if want_old < 0 or want_new < 0:
+                return None
+            k += 1
+            continue
+        # outside hunks: tolerate git metadata lines only
+        if cur is not None and (
+                line.startswith("index ")
+                or line.startswith("new file mode")
+                or line.startswith("deleted file mode")
+                or line.startswith("rename to ")
+                or line.startswith("similarity index")
+                or line.startswith("old mode")
+                or line.startswith("new mode")
+                or line.startswith("\\")):
+            k += 1
+            continue
+        return None
+    if want_old or want_new:
+        return None
+    if not files or any(f["new"] is None for f in files):
+        return None
+    return files

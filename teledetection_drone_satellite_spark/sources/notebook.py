@@ -1,0 +1,180 @@
+"""Jupyter notebook (.ipynb) parsing — pure stdlib JSON walking, from
+the public nbformat specification (nbformat.readthedocs.io; v4
+current, v3 the legacy form still common in scraped repositories).
+
+Notebooks are a first-class source for code-LLM corpora (The Stack,
+StarCoder include them); the curation-relevant read is: cell
+inventory, code/markdown text with outputs STRIPPED (outputs carry
+giant base64 images and leak execution artifacts into training
+text), and the kernel language.
+
+Parsed surface:
+
+  v4: top-level ``cells``; ``source`` as string OR list-of-lines
+      (both wire forms are legal and common); ``outputs`` counted,
+      never decoded; ``metadata.language_info.name`` or
+      ``kernelspec.language``.
+  v3: ``worksheets[].cells``; code cells use ``input`` instead of
+      ``source``; language at ``metadata.language``.
+
+Refusals (None): non-JSON, a JSON root that is not an object,
+nbformat outside {3, 4}, a cells/worksheets shape mismatch, a cell
+without a type, a source that is neither string nor list of strings
+— the honest-fallback contract every decoder here shares.
+
+Reference parity: the reference declares generic document ingestion
+(/root/reference/shared/config/__init__.py:36-39); this is the
+code-corpus sibling of the DOCX/PDF text tier."""
+
+from __future__ import annotations
+
+import json
+
+
+def synth_notebook(doc_id: int) -> "tuple[bytes, dict]":
+    """Deterministic fixture plus expected stats.  Closed form
+    (mirrored by the notebook_cell_stats oracle):
+
+        nbformat    = 4 when doc_id % 2 == 0 else 3
+        language    = python / r / julia cycling on doc_id % 3
+        n_code      = 2 + doc_id % 4
+        n_md        = 1 + doc_id % 3
+        code[c]     = 'x{c} = {doc_id} + {c}\\nprint(x{c})'
+                      (list-of-lines form when c % 2 == 1)
+        md[m]       = '# Note {doc_id}-{m}'
+        outputs     = code cell c carries c % 3 outputs (stream /
+                      execute_result alternating), all stripped
+
+    Decoys a sloppy parser trips over: a raw cell that counts as
+    neither code nor markdown; v4 source in BOTH wire forms; v3
+    hiding cells under worksheets with ``input``; an output whose
+    data blob would dwarf the source if leaked."""
+    i = int(doc_id)
+    v4 = i % 2 == 0
+    lang = ("python", "r", "julia")[i % 3]
+    n_code = 2 + i % 4
+    n_md = 1 + i % 3
+    cells = []
+    exp_cells = []
+    for c in range(n_code):
+        src = "x%d = %d + %d\nprint(x%d)" % (c, i, c, c)
+        outputs = []
+        for o in range(c % 3):
+            if o % 2 == 0:
+                outputs.append({"output_type": "stream",
+                                "name": "stdout",
+                                "text": ["big " * 50]})
+            else:
+                outputs.append({"output_type": "execute_result",
+                                "data": {"image/png": "A" * 400},
+                                "execution_count": c})
+        if v4:
+            wire_src = src.splitlines(keepends=True) if c % 2 else src
+            cells.append({"cell_type": "code", "source": wire_src,
+                          "metadata": {}, "execution_count": c,
+                          "outputs": outputs})
+        else:
+            cells.append({"cell_type": "code", "input": src,
+                          "language": lang, "outputs": outputs,
+                          "collapsed": False})
+        exp_cells.append({"type": "code", "source": src,
+                          "n_outputs": c % 3})
+    for m in range(n_md):
+        src = "# Note %d-%d" % (i, m)
+        wire_src = [src] if m % 2 else src
+        cells.append({"cell_type": "markdown", "source": wire_src,
+                      "metadata": {}})
+        exp_cells.append({"type": "markdown", "source": src,
+                          "n_outputs": 0})
+    cells.append({"cell_type": "raw", "source": "decoy raw cell",
+                  "metadata": {}})
+    exp_cells.append({"type": "raw", "source": "decoy raw cell",
+                      "n_outputs": 0})
+    if v4:
+        nb = {
+            "nbformat": 4, "nbformat_minor": 5,
+            "metadata": {
+                "kernelspec": {"name": "k", "language": lang},
+                "language_info": {"name": lang},
+            },
+            "cells": cells,
+        }
+    else:
+        nb = {
+            "nbformat": 3, "nbformat_minor": 0,
+            "metadata": {"language": lang, "name": "legacy"},
+            "worksheets": [{"cells": cells}],
+        }
+    return json.dumps(nb, separators=(",", ":")).encode(), {
+        "nbformat": 4 if v4 else 3,
+        "language": lang,
+        "cells": exp_cells,
+    }
+
+
+def _join_source(src) -> "str | None":
+    if isinstance(src, str):
+        return src
+    if isinstance(src, list) and all(isinstance(s, str) for s in src):
+        return "".join(src)
+    return None
+
+
+def parse_notebook(content: bytes) -> "dict | None":
+    """-> {'nbformat', 'language', 'cells': [{'type', 'source',
+    'n_outputs'}, ...]} in document order, outputs stripped, or None
+    per the module docstring."""
+    try:
+        nb = json.loads(content.decode("utf-8"))
+    except (UnicodeDecodeError, ValueError):
+        return None
+    if not isinstance(nb, dict):
+        return None
+    fmt = nb.get("nbformat")
+    if fmt not in (3, 4):
+        return None
+    meta = nb.get("metadata") or {}
+    if fmt == 4:
+        raw_cells = nb.get("cells")
+        language = (
+            (meta.get("language_info") or {}).get("name")
+            or (meta.get("kernelspec") or {}).get("language")
+        )
+    else:
+        sheets = nb.get("worksheets")
+        if not isinstance(sheets, list):
+            return None
+        raw_cells = []
+        for ws in sheets:
+            if not isinstance(ws, dict) or not isinstance(
+                    ws.get("cells"), list):
+                return None
+            raw_cells.extend(ws["cells"])
+        language = meta.get("language")
+    if not isinstance(raw_cells, list):
+        return None
+    cells = []
+    for cell in raw_cells:
+        if not isinstance(cell, dict):
+            return None
+        ctype = cell.get("cell_type")
+        if not isinstance(ctype, str):
+            return None
+        if fmt == 3 and ctype == "code":
+            src = _join_source(cell.get("input"))
+        else:
+            src = _join_source(cell.get("source"))
+        if src is None:
+            return None
+        outputs = cell.get("outputs", [])
+        cells.append({
+            "type": ctype,
+            "source": src,
+            "n_outputs": len(outputs) if isinstance(outputs, list)
+            else 0,
+        })
+    return {
+        "nbformat": fmt,
+        "language": language if isinstance(language, str) else None,
+        "cells": cells,
+    }

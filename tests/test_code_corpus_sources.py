@@ -1,0 +1,102 @@
+"""Code-corpus sources: notebooks (sources/notebook.py) and unified
+diffs (sources/difftext.py) — roundtrips, wire-form variants,
+refusals."""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.difftext import (
+    parse_diff,
+    synth_diff,
+)
+from teledetection_drone_satellite_spark.sources.notebook import (
+    parse_notebook,
+    synth_notebook,
+)
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_notebook_fuzz_roundtrip(doc_id):
+    raw, exp = synth_notebook(doc_id)
+    got = parse_notebook(raw)
+    assert got is not None
+    assert got["nbformat"] == exp["nbformat"]
+    assert got["language"] == exp["language"]
+    assert got["cells"] == exp["cells"]
+
+
+def test_notebook_wire_forms():
+    # v4, list-of-lines source with keepends
+    nb = {"nbformat": 4, "metadata": {},
+          "cells": [{"cell_type": "code",
+                     "source": ["a = 1\n", "b = 2"],
+                     "outputs": [{"output_type": "stream"}]}]}
+    got = parse_notebook(json.dumps(nb).encode())
+    assert got["cells"] == [
+        {"type": "code", "source": "a = 1\nb = 2", "n_outputs": 1}]
+    assert got["language"] is None
+    # v3 worksheets + input key
+    nb3 = {"nbformat": 3, "metadata": {"language": "python"},
+           "worksheets": [{"cells": [
+               {"cell_type": "code", "input": "x", "outputs": []}]}]}
+    got = parse_notebook(json.dumps(nb3).encode())
+    assert got["language"] == "python"
+    assert got["cells"][0]["source"] == "x"
+
+
+def test_notebook_refusals():
+    assert parse_notebook(b"\xff\xfe junk") is None
+    assert parse_notebook(b"[]") is None
+    assert parse_notebook(b'{"nbformat": 2, "cells": []}') is None
+    assert parse_notebook(
+        b'{"nbformat": 4, "cells": [{"source": "no type"}]}') is None
+    assert parse_notebook(
+        b'{"nbformat": 4, "cells": [{"cell_type": "code", '
+        b'"source": 42}]}') is None
+    assert parse_notebook(b'{"nbformat": 3, "worksheets": 1}') is None
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_diff_fuzz_roundtrip(doc_id):
+    raw, exp = synth_diff(doc_id)
+    got = parse_diff(raw)
+    assert got is not None
+    assert len(got) == len(exp["files"])
+    for g, e in zip(got, exp["files"]):
+        for k in e:
+            assert g[k] == e[k]
+
+
+def test_diff_plain_and_dev_null():
+    plain = (b"--- a/f.txt\n+++ b/f.txt\n"
+             b"@@ -1 +1,2 @@\n-old\n+new\n+more\n")
+    got = parse_diff(plain)
+    assert got == [{"old": "f.txt", "new": "f.txt", "n_hunks": 1,
+                    "n_add": 2, "n_del": 1, "n_ctx": 0,
+                    "renamed": False}]
+    newfile = (b"diff --git a/x b/x\nnew file mode 100644\n"
+               b"--- /dev/null\n+++ b/x\n@@ -0,0 +1 @@\n+hello\n")
+    got = parse_diff(newfile)
+    assert got[0]["old"] == "/dev/null" and got[0]["n_add"] == 1
+
+
+def test_diff_refusals():
+    assert parse_diff(b"just prose\n") is None
+    assert parse_diff(b"\xff\xfe\x00b") is None
+    # declared lengths contradict the body
+    assert parse_diff(
+        b"--- a/x\n+++ b/x\n@@ -1,3 +1,1 @@\n x\n") is None
+    # overfilled hunk (extra + line) refuses
+    assert parse_diff(
+        b"--- a/x\n+++ b/x\n@@ -1 +1 @@\n-a\n+b\n+c\n") is None
+    # unknown body prefix
+    assert parse_diff(
+        b"--- a/x\n+++ b/x\n@@ -1 +1 @@\n*weird\n") is None
