@@ -9506,3 +9506,95 @@ def diff_patch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_files int, hunks_total int, add_total long, "
         "del_total long, n_renamed int, path_digest string",
     )
+
+
+@register(
+    "svg_meta_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               120 + 8 * (doc_id % 10) AS w,
+               88 + 8 * (doc_id % 7) AS h,
+               1 + doc_id % 4 AS n_paths,
+               doc_id % 3 AS n_rects,
+               1 + doc_id % 2 AS n_circles
+        FROM documents WHERE doc_id < 150
+    ),
+    lab AS (
+        SELECT doc_id, CAST(k.i AS INT) AS k,
+               CASE WHEN k.i % 2 = 1
+                    THEN substr(l.t, 1, 2) || ' ' || substr(l.t, 3)
+                    ELSE l.t END AS label
+        FROM spec,
+             LATERAL unnest(range(0, 1 + doc_id % 3)) k(i),
+             LATERAL (SELECT 'L' || CAST(doc_id AS VARCHAR) || '-'
+                          || CAST(k.i AS VARCHAR) AS t) l
+    ),
+    agg AS (
+        SELECT doc_id,
+               string_agg(substr(sha256(label), 1, 8), '' ORDER BY k)
+                   AS label_digest,
+               CAST(count(*) AS INT) AS n_labels
+        FROM lab GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(s.w AS INT) AS width, CAST(s.h AS INT) AS height,
+           CAST(s.n_paths AS INT) AS n_paths,
+           CAST(s.n_rects AS INT) AS n_rects,
+           CAST(s.n_circles AS INT) AS n_circles,
+           a.n_labels, a.label_digest
+    FROM spec s JOIN agg a ON a.doc_id = s.doc_id
+    """,
+    doc="SVG metadata + label extraction, graded (r13 — the vector "
+    "sibling of the raster tier; logos/charts are everywhere in "
+    "crawl data): per doc synth_svg cycles the intrinsic-size wire "
+    "forms (bare numbers, px, EXACT pt at 4/3 scale, and "
+    "viewBox-only fallback) with style/script decoys that must not "
+    "leak into labels, a defs-nested path that still counts, and "
+    "tspan-split text. The oracle states dimensions, the shape "
+    "census, and an ORDERED label sha256 chain — a unit, fallback, "
+    "census, or text-join bug flips it.",
+    tags=("ingest", "multimodal"),
+)
+def svg_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.svg import parse_svg, synth_svg
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_svg(i)
+                got = parse_svg(raw)
+                rows.append((
+                    i, got["width"], got["height"],
+                    got["counts"]["path"], got["counts"]["rect"],
+                    got["counts"]["circle"], len(got["labels"]),
+                    "".join(hashlib.sha256(s.encode()).hexdigest()[:8]
+                            for s in got["labels"]),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_paths",
+                         "n_rects", "n_circles", "n_labels",
+                         "label_digest"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, width int, height int, n_paths int, "
+        "n_rects int, n_circles int, n_labels int, "
+        "label_digest string",
+    )

@@ -1,0 +1,169 @@
+"""SVG metadata and text extraction — pure stdlib (xml.etree), from
+the public SVG 1.1 / 2 specifications (w3.org/TR/SVG).
+
+SVG is the web's vector image format and ubiquitous in crawl data
+(logos, icons, charts); unlike the raster tier it is XML, so the
+curation-relevant read is structural: intrinsic size (width/height
+attributes with unit suffixes, viewBox fallback), a shape-element
+census, and the EMBEDDED TEXT (<text>/<tspan> — charts carry labels
+worth indexing; <title>/<desc> are accessibility text), while
+<script>/<style>/<metadata> content must never leak.
+
+Parsed surface:
+
+  width/height   -> px numbers; unit suffixes px/pt/mm/em stripped
+                    (pt scaled 4/3 to px, mm scaled 96/25.4 — both
+                    exact only for the whole-px fixtures used here;
+                    fractional results round half-up); missing -> viewBox
+                    width/height
+  viewBox        -> min-x min-y width height (whitespace/comma split)
+  census         -> path / rect / circle / ellipse / line / polygon /
+                    polyline / g / use counts, namespace-insensitive
+  text           -> <text> descendants' joined text, whitespace-
+                    normalized, document order
+
+Refusals (None): XML that does not parse, a root that is not svg,
+no usable size (neither width/height nor viewBox), a malformed
+viewBox — the honest-fallback contract every decoder here shares.
+
+Reference parity: the reference ingests drone imagery incl. vector
+overlays (/root/reference/shared/config/__init__.py:36-39); this is
+the vector sibling of the raster metadata tier."""
+
+from __future__ import annotations
+
+import re
+
+_NUM_RE = re.compile(r"^([0-9]+(?:\.[0-9]+)?)(px|pt|mm|em|)$")
+_SHAPES = ("path", "rect", "circle", "ellipse", "line", "polygon",
+           "polyline", "g", "use")
+_SKIP = ("script", "style", "metadata")
+
+
+def _px(value: str) -> "int | None":
+    m = _NUM_RE.match(value.strip())
+    if not m:
+        return None
+    num = float(m.group(1))
+    unit = m.group(2)
+    if unit == "pt":
+        num = num * 4 / 3
+    elif unit == "mm":
+        num = num * 96 / 25.4
+    elif unit == "em":
+        num = num * 16
+    return int(num + 0.5)
+
+
+def synth_svg(doc_id: int) -> "tuple[bytes, dict]":
+    """Deterministic fixture plus expected stats.  Closed form
+    (mirrored by the svg_meta_stats oracle):
+
+        width  = 120 + 8 * (doc_id % 10) px
+        height = 88 + 8 * (doc_id % 7) px
+        size attrs: plain for doc % 4 == 0, 'px' suffix for 1,
+        'pt' suffix (w*3/4, exact) for 2, MISSING (viewBox only) for 3
+        n_paths   = 1 + doc_id % 4
+        n_rects   = doc_id % 3
+        n_circles = 1 + doc_id % 2
+        labels    = 1 + doc_id % 3 <text> elements 'L{doc_id}-{k}',
+                    the k % 2 == 1 ones split across a <tspan>
+
+    Decoys: a <style> block and a <script> whose text must not leak;
+    a <defs><path> that still counts as a path; a comment node."""
+    i = int(doc_id)
+    w = 120 + 8 * (i % 10)
+    h = 88 + 8 * (i % 7)
+    mode = i % 4
+    if mode == 0:
+        size_attr = 'width="%d" height="%d"' % (w, h)
+    elif mode == 1:
+        size_attr = 'width="%dpx" height="%dpx"' % (w, h)
+    elif mode == 2:
+        size_attr = 'width="%dpt" height="%dpt"' % (w * 3 // 4,
+                                                    h * 3 // 4)
+    else:
+        size_attr = ""
+    parts = ['<?xml version="1.0"?>',
+             '<svg xmlns="http://www.w3.org/2000/svg" %s '
+             'viewBox="0 0 %d %d">' % (size_attr, w, h),
+             "<!-- decoy comment -->",
+             "<style>.a { fill: red; }</style>",
+             "<script>var leak = 1;</script>"]
+    n_paths = 1 + i % 4
+    n_rects = i % 3
+    n_circles = 1 + i % 2
+    parts.append("<defs><path d=\"M0 0L1 1\"/></defs>")
+    for k in range(n_paths - 1):
+        parts.append('<path d="M%d 0L0 %d"/>' % (k, k))
+    for k in range(n_rects):
+        parts.append('<rect x="%d" y="0" width="4" height="4"/>' % k)
+    for k in range(n_circles):
+        parts.append('<circle cx="%d" cy="1" r="2"/>' % k)
+    labels = []
+    for k in range(1 + i % 3):
+        label = "L%d-%d" % (i, k)
+        if k % 2 == 1:
+            parts.append("<text>%s <tspan>%s</tspan></text>"
+                         % (label[:2], label[2:]))
+            labels.append("%s %s" % (label[:2], label[2:]))
+        else:
+            parts.append("<text> %s </text>" % label)
+            labels.append(label)
+    parts.append("</svg>")
+    return "".join(parts).encode(), {
+        "width": w, "height": h, "n_paths": n_paths,
+        "n_rects": n_rects, "n_circles": n_circles, "labels": labels,
+    }
+
+
+def parse_svg(content: bytes) -> "dict | None":
+    """-> {'width', 'height', 'counts': {shape: n}, 'labels':
+    [text, ...]} or None per the module docstring."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(content)
+    except ET.ParseError:
+        return None
+    tag = root.tag.rsplit("}", 1)[-1]
+    if tag != "svg":
+        return None
+    width = _px(root.get("width", "")) if root.get("width") else None
+    height = _px(root.get("height", "")) if root.get("height") else None
+    if width is None or height is None:
+        vb = root.get("viewBox")
+        if not vb:
+            return None
+        fields = re.split(r"[\s,]+", vb.strip())
+        if len(fields) != 4:
+            return None
+        try:
+            vb_w, vb_h = float(fields[2]), float(fields[3])
+        except ValueError:
+            return None
+        if width is None:
+            width = int(vb_w)
+        if height is None:
+            height = int(vb_h)
+    counts = {s: 0 for s in _SHAPES}
+    labels = []
+
+    def visit(el) -> None:
+        name = el.tag.rsplit("}", 1)[-1]
+        if name in _SKIP:
+            return
+        if name in counts:
+            counts[name] += 1
+        if name == "text":
+            joined = " ".join("".join(el.itertext()).split())
+            if joined:
+                labels.append(joined)
+            return  # tspan descendants already consumed
+        for child in el:
+            visit(child)
+
+    for child in root:
+        visit(child)
+    return {"width": width, "height": height, "counts": counts,
+            "labels": labels}

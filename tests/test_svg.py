@@ -1,0 +1,63 @@
+"""SVG parsing (sources/svg.py): roundtrip fuzz, unit handling,
+viewBox fallback, leak decoys, refusals."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.svg import (
+    parse_svg,
+    synth_svg,
+)
+
+_NS = '<svg xmlns="http://www.w3.org/2000/svg"'
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    raw, exp = synth_svg(doc_id)
+    got = parse_svg(raw)
+    assert got is not None
+    assert got["width"] == exp["width"]
+    assert got["height"] == exp["height"]
+    assert got["counts"]["path"] == exp["n_paths"]
+    assert got["counts"]["rect"] == exp["n_rects"]
+    assert got["counts"]["circle"] == exp["n_circles"]
+    assert got["labels"] == exp["labels"]
+
+
+def test_units_and_viewbox():
+    got = parse_svg(
+        (_NS + ' width="30pt" height="96px"/>').encode())
+    assert got["width"] == 40 and got["height"] == 96
+    # viewBox fallback with comma separators
+    got = parse_svg(
+        (_NS + ' viewBox="0,0,200,100"/>').encode())
+    assert got["width"] == 200 and got["height"] == 100
+    # mm: 25.4mm -> 96px
+    got = parse_svg(
+        (_NS + ' width="25.4mm" height="2em"/>').encode())
+    assert got["width"] == 96 and got["height"] == 32
+
+
+def test_script_style_do_not_leak():
+    got = parse_svg(
+        (_NS + ' width="1" height="1">'
+         "<style>s</style><script>j</script>"
+         "<text>keep</text></svg>").encode())
+    assert got["labels"] == ["keep"]
+
+
+def test_refusals():
+    assert parse_svg(b"<html/>") is None
+    assert parse_svg(b"<svg") is None
+    # no size anywhere
+    assert parse_svg((_NS + "/>").encode()) is None
+    # malformed viewBox
+    assert parse_svg((_NS + ' viewBox="0 0 x"/>').encode()) is None
+    # garbage unit
+    assert parse_svg(
+        (_NS + ' width="10vw" height="5"/>').encode()) is None
