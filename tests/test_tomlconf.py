@@ -1,0 +1,52 @@
+"""TOML manifest extraction (sources/tomlconf.py): PEP 503/508/621
+rules, decoys, refusals."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.tomlconf import (
+    dep_name,
+    parse_pyproject,
+    synth_pyproject,
+)
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    raw, exp = synth_pyproject(doc_id)
+    got = parse_pyproject(raw)
+    assert got is not None
+    assert got["name"] == exp["name"]
+    assert got["version"] == exp["version"]
+    assert got["deps"] == exp["deps"]
+    assert len(got["extra_deps"]) == exp["n_extra"]
+    assert got["tools"] == sorted(exp["tools"])
+
+
+def test_dep_name_normalization():
+    assert dep_name("requests>=2.0") == "requests"
+    assert dep_name("My_Pkg.Name[extra]==1.0; os_name=='nt'") \
+        == "my-pkg-name"
+    assert dep_name("A") == "a"
+    assert dep_name("  flask ") == "flask"
+    assert dep_name("???") is None
+
+
+def test_tool_version_decoy_not_project_version():
+    raw = (b"[project]\nname = \"x\"\nversion = \"1.0\"\n"
+           b"dependencies = []\n[tool.black]\nversion = \"99\"\n")
+    got = parse_pyproject(raw)
+    assert got["version"] == "1.0" and got["tools"] == ["black"]
+
+
+def test_refusals():
+    assert parse_pyproject(b"\xff\xfe") is None
+    assert parse_pyproject(b"a = = b") is None
+    assert parse_pyproject(b"[project]\ndependencies = [3]") is None
+    assert parse_pyproject(
+        b"[project]\ndependencies = [\"???\"]") is None
+    assert parse_pyproject(b"project = 3") is None
