@@ -199,3 +199,28 @@ def haversine_km(lat1, lon1, lat2, lon2):
         * F.pow(F.sin(dlon / 2), 2)
     )
     return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))
+
+
+def zorder_key(x: Column, y: Column, bits: int = 10) -> Column:
+    """Morton / Z-order curve key — interleave the low ``bits`` of two
+    non-negative integer coordinates (x even positions, y odd).  THE
+    lakehouse data-clustering primitive (Delta/Iceberg OPTIMIZE
+    ZORDER): rows sorted or range-partitioned by this key keep
+    spatially-near records in the same file, so a bbox predicate
+    prunes most files at 100 TB instead of scanning all of them.
+
+    Built as an unrolled codegen expression (shiftright / bitwiseAND /
+    shiftleft / sum — no UDF, no shuffle); bit-exact, so the SQL
+    oracle states the same arithmetic."""
+    from pyspark.sql import functions as F
+
+    terms = []
+    for b in range(int(bits)):
+        xb = F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b)
+        yb = F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)),
+                         2 * b + 1)
+        terms.extend([xb, yb])
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("long")

