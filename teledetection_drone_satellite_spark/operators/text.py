@@ -1034,3 +1034,47 @@ def readability_metrics(df: DataFrame, text_col: str = "text",
         id_col, "n_words", "n_sentences", "n_syllables",
         "fre_milli", "fk_milli", band.alias("band"),
     )
+
+
+def hashed_linear_score(df: DataFrame, weights: "list[int]",
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Hashing-trick linear text classifier INFERENCE at scan speed —
+    the fastText-shaped quality/spam scorer every corpus pipeline
+    runs over 100 TB (Weinberger et al. 2009 feature hashing;
+    Joulin et al. 2016 fastText): tokens hash into a fixed bucket
+    space, the score is the sum of per-bucket integer weights, and
+    classification is a sign test.  NO model server, NO Python — the
+    whole forward pass is one codegen projection (regexp_extract_all
+    tokenize -> transform/element_at weight lookup -> aggregate sum),
+    so it runs inside the scan like any other filter.
+
+    The bucket hash is deliberately SQL-portable (documented here and
+    restated by the oracle): h(t) = (ascii(first) * 31 + len(t) * 7
+    + ascii(last)) mod n_buckets — a toy vs xxhash, but the
+    structure (bucketing, collision tolerance, weight lookup,
+    summation) is exactly the production shape; swapping in
+    F.xxhash64 changes one line.  Weights are INTEGERS: bit-exact
+    across engines and partitionings."""
+    n = len(weights)
+    t = F.col(text_col)
+    tokens = F.regexp_extract_all(F.lower(t), F.lit("[a-z]+"), 0)
+    warr = F.array(*[F.lit(int(w)) for w in weights])
+
+    def tok_weight(tok):
+        h = (
+            F.ascii(tok) * 31
+            + F.length(tok) * 7
+            + F.ascii(F.substring(tok, -1, 1))
+        ) % n
+        return F.element_at(warr, (h + 1).cast("int")).cast("long")
+
+    score = F.aggregate(
+        F.transform(tokens, tok_weight),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return df.select(
+        F.col(id_col),
+        F.size(tokens).alias("n_tokens"),
+        score.alias("score"),
+        (score > 0).alias("flagged"),
+    )

@@ -1081,3 +1081,43 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         expr.otherwise(F.lit(" ".join([units[5]] * 3))).alias("text"),
     )
     return text.readability_metrics(planted)
+
+
+@register(
+    "hashed_linear_score",
+    oracle="""
+    WITH d AS (SELECT doc_id, lower(text) AS lt FROM documents),
+    tk AS (
+        SELECT doc_id, u.tok
+        FROM d, LATERAL unnest(regexp_extract_all(lt, '[a-z]+')) u(tok)
+    ),
+    sc AS (
+        SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+               CAST(sum(
+                   ((ascii(tok) * 31 + length(tok) * 7
+                     + ascii(substr(tok, length(tok)))) % 64 * 37)
+                   % 21 - 10) AS BIGINT) AS score
+        FROM tk GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(sc.n_tokens, 0) AS n_tokens,
+           COALESCE(sc.score, 0) AS score,
+           COALESCE(sc.score, 0) > 0 AS flagged
+    FROM d LEFT JOIN sc USING (doc_id)
+    """,
+    doc="Hashing-trick linear classifier inference, graded (r13 — "
+    "the fastText-shaped quality/spam scorer corpus pipelines run "
+    "at scan speed; Weinberger 2009 / Joulin 2016): over the REAL "
+    "documents text, tokens bucket through a SQL-portable hash into "
+    "64 integer weights ((b*37)%21-10) and sum to a score + sign "
+    "label — the full forward pass as ONE codegen projection "
+    "(regexp_extract_all -> transform/element_at -> aggregate), no "
+    "UDF, no shuffle beyond none. The oracle restates tokenizer, "
+    "hash, weight table, and summation; a single token or collision "
+    "difference flips the exact integer score.",
+    tags=("text", "curation"),
+)
+def hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    weights = [(b * 37) % 21 - 10 for b in range(64)]
+    return text.hashed_linear_score(d, weights)

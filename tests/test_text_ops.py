@@ -351,3 +351,45 @@ def test_predict_lang_wide_script_shortcircuit(spark):
         "want", predict_lang_wide(F.col("text")).alias("got")).collect()
     for r in got:
         assert r.got == r.want, (r.want, r.got)
+
+
+def test_hashed_linear_score_reference(spark):
+    """Cross-check the codegen forward pass against an independent
+    Python implementation on hostile tokens (unicode, punctuation,
+    empty text)."""
+    from pyspark.sql import functions as F
+
+    from teledetection_drone_satellite_spark.operators.text import (
+        hashed_linear_score,
+    )
+
+    weights = [(b * 37) % 21 - 10 for b in range(64)]
+
+    def py_score(text):
+        import re
+
+        toks = re.findall(r"[a-z]+", text.lower())
+        s = 0
+        for t in toks:
+            h = (ord(t[0]) * 31 + len(t) * 7 + ord(t[-1])) % 64
+            s += weights[h]
+        return len(toks), s
+
+    texts = [
+        (0, "Hello, world! This is FINE."),
+        (1, ""),
+        (2, "éclair café 123 --- xyz"),
+        (3, "a " * 500),
+        (4, "The quick brown fox; the quick brown fox."),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           hashed_linear_score(df, weights).collect()}
+    for i, t in texts:
+        n, s = py_score(t)
+        assert got[i]["n_tokens"] == n, (i, got[i]["n_tokens"], n)
+        assert got[i]["score"] == s, (i, got[i]["score"], s)
+        assert got[i]["flagged"] == (s > 0)
+    plan = hashed_linear_score(df, weights) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
