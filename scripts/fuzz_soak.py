@@ -143,6 +143,7 @@ DECODERS = {
     "wat": (lambda i: wat.synth_wat(i % 1000)[0], wat.parse_wat),
     "mp4": (lambda i: mp4.synth_mp4(i % 10000)[0], mp4.parse_mp4),
     "mkv": (lambda i: mkv.synth_mkv(i % 10000)[0], mkv.parse_mkv),
+    "avif": (lambda i: mp4.synth_avif(i % 10000)[0], mp4.parse_avif),
     "notebook": (lambda i: notebook.synth_notebook(i % 10000)[0],
                  notebook.parse_notebook),
     "difftext": (lambda i: difftext.synth_diff(i % 10000)[0],

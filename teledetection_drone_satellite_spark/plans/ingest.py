@@ -9687,3 +9687,63 @@ def toml_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "string, n_deps int, n_extra int, n_tools int, "
         "dep_digest string",
     )
+
+
+@register(
+    "avif_meta_stats",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'avif' ELSE 'heic' END
+               AS brand,
+           CAST(256 + 8 * (doc_id % 16) AS INT) AS width,
+           CAST(192 + 8 * (doc_id % 12) AS INT) AS height,
+           CAST(3 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+               AS n_props,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 90 ELSE 0 END AS INT)
+               AS rotation
+    FROM documents WHERE doc_id < 150
+    """,
+    doc="AVIF/HEIC image metadata, graded (r13 — the fastest-growing "
+    "image format in web crawls; HEIF item properties per ISO/IEC "
+    "23008-12, reusing ONE BMFF box walker for video and images): "
+    "per doc synth_avif writes meta/iprp/ipco chains (FullBox "
+    "headers, ispe dimensions, pixi bit depths, an irot rotation "
+    "every third doc, an auxC property counted-not-parsed, free/mdat "
+    "decoys). The oracle states brand, exact dimensions, property "
+    "counts, and rotation.",
+    tags=("ingest", "multimodal"),
+)
+def avif_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.mp4 import parse_avif, synth_avif
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_avif(i)
+                got = parse_avif(raw)
+                rows.append((i, got["brand"], got["width"],
+                             got["height"], got["n_props"],
+                             got["rotation"]))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "brand", "width", "height",
+                         "n_props", "rotation"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, brand string, width int, height int, "
+        "n_props int, rotation int",
+    )

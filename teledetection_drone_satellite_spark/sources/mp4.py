@@ -298,3 +298,99 @@ def _parse_trak(buf: bytes, start: int, end: int) -> "dict | None":
         "duration_ms": duration * 1000 // timescale,
         "lang": _unpack_lang(lang & 0x7FFF),
     }
+
+
+# -------------------------------------------------- AVIF / HEIC (r13)
+# Same ISO-BMFF structure, image-flavored: metadata lives under
+# meta/iprp/ipco item-property boxes (ISO/IEC 23008-12 HEIF).
+
+
+def synth_avif(doc_id: int) -> "tuple[bytes, dict]":
+    """Deterministic AVIF/HEIC-shaped fixture plus expected stats.
+    Closed form (mirrored by the avif_meta_stats oracle):
+
+        brand  = avif when doc_id % 2 == 0 else heic
+        width  = 256 + 8 * (doc_id % 16)
+        height = 192 + 8 * (doc_id % 12)
+        n_props = 2 + (1 when doc_id % 3 == 0)   (ispe + pixi, plus
+                  an irot every third doc)
+        rotation = (doc_id % 3 == 0) * 90        (irot angle*90 ccw)
+
+    Decoys: a free box between ftyp and meta; an unknown property
+    box (auxC) inside ipco that must be counted but not parsed; the
+    mdat image payload that must never be touched."""
+    i = int(doc_id)
+    brand = b"avif" if i % 2 == 0 else b"heic"
+    w = 256 + 8 * (i % 16)
+    h = 192 + 8 * (i % 12)
+    ftyp = _box(b"ftyp", brand + struct.pack(">I", 0) + b"mif1" + brand)
+    ispe = _box(b"ispe", struct.pack(">BxxxII", 0, w, h))
+    pixi = _box(b"pixi", struct.pack(">BxxxBBBB", 0, 3, 8, 8, 8))
+    props = ispe + pixi
+    n_props = 2
+    rotation = 0
+    if i % 3 == 0:
+        props += _box(b"irot", bytes([1]))  # 90 deg ccw
+        n_props += 1
+        rotation = 90
+    props += _box(b"auxC", b"urn:decoy\x00")
+    n_props += 1
+    ipco = _box(b"ipco", props)
+    iprp = _box(b"iprp", ipco)
+    hdlr = _box(b"hdlr", b"\x00" * 8 + b"pict" + b"\x00" * 12 + b"\x00")
+    meta = _box(b"meta", b"\x00" * 4 + hdlr + iprp)
+    free = _box(b"free", b"\x00" * (3 + i % 11))
+    mdat = _box(b"mdat", bytes(64 + i % 100))
+    return ftyp + free + meta + mdat, {
+        "brand": brand.decode(), "width": w, "height": h,
+        "n_props": n_props, "rotation": rotation,
+    }
+
+
+def parse_avif(content: bytes) -> "dict | None":
+    """-> {'brand', 'width', 'height', 'n_props', 'rotation'} from the
+    HEIF item-property chain (meta -> iprp -> ipco; FullBox headers on
+    meta/ispe), or None on refusal.  Reuses the MP4 box walker — one
+    BMFF implementation for video AND images."""
+    try:
+        top = list(_walk(content, 0, len(content)))
+    except ValueError:
+        return None
+    if not top or top[0][0] != b"ftyp":
+        return None
+    fs = top[0][1]
+    brand = content[fs:fs + 4]
+    if brand not in (b"avif", b"heic", b"mif1", b"heix"):
+        return None
+    meta = next(((s, e) for t, s, e in top if t == b"meta"), None)
+    if meta is None:
+        return None
+    try:
+        # meta is a FullBox: skip version/flags
+        iprp = _first(content, meta[0] + 4, meta[1], b"iprp")
+        if iprp is None:
+            return None
+        ipco = _first(content, iprp[0], iprp[1], b"ipco")
+        if ipco is None:
+            return None
+        width = height = None
+        rotation = 0
+        n_props = 0
+        for t, s, e in _walk(content, ipco[0], ipco[1]):
+            n_props += 1
+            if t == b"ispe":
+                if e - s < 12:
+                    return None
+                width, height = struct.unpack_from(">II", content,
+                                                   s + 4)
+            elif t == b"irot":
+                if e - s < 1:
+                    return None
+                rotation = (content[s] & 0x03) * 90
+    except (ValueError, struct.error):
+        return None
+    if width is None or width == 0 or height == 0:
+        return None
+    return {"brand": brand.decode("ascii"), "width": int(width),
+            "height": int(height), "n_props": n_props,
+            "rotation": rotation}

@@ -71,3 +71,27 @@ def test_language_packing():
     assert parse_mp4(raw)["tracks"][0]["lang"] == "eng"
     raw, _ = synth_mp4(2)  # (2+0) % 3 == 2 -> fra
     assert parse_mp4(raw)["tracks"][0]["lang"] == "fra"
+
+
+def test_avif_roundtrip_and_refusals():
+    from teledetection_drone_satellite_spark.sources.mp4 import (
+        parse_avif,
+        synth_avif,
+    )
+
+    for i in list(range(16)) + [57, 9999]:
+        raw, exp = synth_avif(i)
+        assert parse_avif(raw) == exp, i
+    assert parse_avif(b"") is None
+    # video brand is not an image
+    raw, _ = synth_mp4(0)
+    assert parse_avif(raw) is None
+    # truncation inside meta refuses
+    raw, _ = synth_avif(2)
+    meta_at = raw.find(b"meta") - 4
+    assert parse_avif(raw[: meta_at + 20]) is None
+    # zero-width ispe refuses
+    bad = bytearray(synth_avif(0)[0])
+    at = bad.find(b"ispe") + 8
+    bad[at:at + 4] = b"\x00\x00\x00\x00"
+    assert parse_avif(bytes(bad)) is None
