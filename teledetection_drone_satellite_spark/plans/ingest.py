@@ -9747,3 +9747,67 @@ def avif_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, brand string, width int, height int, "
         "n_props int, rotation int",
     )
+
+
+@register(
+    "font_meta_stats",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'ttf' ELSE 'cff' END
+               AS flavor,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1000 ELSE 2048 END
+               AS INT) AS units_per_em,
+           CAST(100 + doc_id % 400 AS INT) AS n_glyphs,
+           'Font Family ' || CAST(doc_id AS VARCHAR) AS family,
+           CAST(-(doc_id % 200) AS INT) AS xmin,
+           CAST(-(doc_id % 150) AS INT) AS ymin,
+           CAST(1800 + doc_id % 300 AS INT) AS xmax,
+           CAST(1900 + doc_id % 250 AS INT) AS ymax
+    FROM documents WHERE doc_id < 150
+    """,
+    doc="TrueType/OpenType font metadata, graded (r13 — web fonts "
+    "are among the most common crawl binaries; the name table feeds "
+    "asset/license audits): per doc synth_font writes a TTF or OTTO "
+    "sfnt with a VERIFIED head magic, signed font bbox, maxp glyph "
+    "count, and a format-0 name table where a Mac-platform family "
+    "DECOY must lose to the Windows UTF-16BE record, plus copyright/"
+    "subfamily records and an unknown table. The oracle states "
+    "flavor, unitsPerEm, glyph counts, the decoded family, and the "
+    "exact bbox.",
+    tags=("ingest", "multimodal"),
+)
+def font_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.font import parse_font, synth_font
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_font(i)
+                got = parse_font(raw)
+                rows.append((i, got["flavor"], got["units_per_em"],
+                             got["n_glyphs"], got["family"],
+                             *got["bbox"]))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "flavor", "units_per_em",
+                         "n_glyphs", "family", "xmin", "ymin",
+                         "xmax", "ymax"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, flavor string, units_per_em int, n_glyphs int, "
+        "family string, xmin int, ymin int, xmax int, ymax int",
+    )

@@ -1,0 +1,190 @@
+"""TrueType / OpenType font metadata — pure stdlib, from the public
+sfnt specifications (Microsoft OpenType spec, Apple TrueType
+Reference Manual).
+
+Web fonts (.ttf/.otf, and woff-wrapped versions of the same tables)
+are among the most common binary assets in a crawl; corpus pipelines
+read their metadata for asset inventories and license audits (the
+name table carries family/license strings).  Header walk only — no
+glyph rasterization.
+
+Parsed surface:
+
+  offset table   -> sfntVersion (0x00010000 TrueType / 'OTTO' CFF),
+                    numTables, table directory (tag/offset/length,
+                    bounds-checked)
+  head           -> magicNumber 0x5F0F3CF5 VERIFIED, unitsPerEm,
+                    font bbox (xMin/yMin/xMax/yMax, signed)
+  maxp           -> numGlyphs
+  name           -> format 0 records; family = nameID 1, Windows
+                    platform-3 UTF-16BE preferred over Mac
+                    platform-1 ASCII; other nameIDs are decoys
+
+Refusals (None): unknown sfnt version, a table record pointing
+outside the file, missing head/maxp/name, a head without the magic,
+zero unitsPerEm, a name record overrunning the string store — the
+honest-fallback contract every decoder here shares.
+
+Reference parity: the reference declares generic binary-asset
+ingestion (/root/reference/shared/config/__init__.py:36-39); this is
+the font sibling of the image/audio metadata tier."""
+
+from __future__ import annotations
+
+import struct
+
+_HEAD_MAGIC = 0x5F0F3CF5
+
+
+def _table(tag: bytes, payload: bytes) -> "tuple[bytes, bytes]":
+    return tag, payload
+
+
+def synth_font(doc_id: int) -> "tuple[bytes, dict]":
+    """Deterministic fixture plus expected stats.  Closed form
+    (mirrored by the font_meta_stats oracle):
+
+        flavor       = ttf when doc_id % 2 == 0 else cff ('OTTO')
+        units_per_em = 1000 when doc_id % 3 == 0 else 2048
+        n_glyphs     = 100 + doc_id % 400
+        family       = 'Font Family {doc_id}'
+        bbox         = (-(doc_id % 200), -(doc_id % 150),
+                        1800 + doc_id % 300, 1900 + doc_id % 250)
+
+    Decoys: copyright (nameID 0) and subfamily (nameID 2) records; a
+    Mac-platform family record with a WRONG value ('MacDecoy') that
+    the Windows record must outrank; an unknown 'zzzz' table."""
+    i = int(doc_id)
+    ttf = i % 2 == 0
+    upem = 1000 if i % 3 == 0 else 2048
+    n_glyphs = 100 + i % 400
+    family = "Font Family %d" % i
+    bbox = (-(i % 200), -(i % 150), 1800 + i % 300, 1900 + i % 250)
+    head = struct.pack(
+        ">IIIIHHqqhhhhHHhhh",
+        0x00010000, 0, 0, _HEAD_MAGIC, 0, upem, 0, 0,
+        bbox[0], bbox[1], bbox[2], bbox[3], 0, 8, 2, 0, 0)
+    maxp = struct.pack(">IH", 0x00010000, n_glyphs) + b"\x00" * 26
+    # name table, format 0: copyright + family (mac decoy + win) +
+    # subfamily
+    win_family = family.encode("utf-16-be")
+    records = [
+        (1, 0, 0, 0, b"(c) synth"),          # mac copyright
+        (1, 0, 0, 1, b"MacDecoy"),           # mac family DECOY
+        (3, 1, 0x409, 1, win_family),        # windows family (wins)
+        (3, 1, 0x409, 2, "Regular".encode("utf-16-be")),
+    ]
+    store = bytearray()
+    recs = bytearray()
+    for plat, enc, lang, nid, val in records:
+        recs += struct.pack(">HHHHHH", plat, enc, lang, nid,
+                            len(val), len(store))
+        store += val
+    name = (struct.pack(">HHH", 0, len(records), 6 + 12 * len(records))
+            + bytes(recs) + bytes(store))
+    tables = [
+        _table(b"head", head),
+        _table(b"maxp", maxp),
+        _table(b"name", name),
+        _table(b"zzzz", bytes(7 + i % 13)),   # unknown table decoy
+    ]
+    n = len(tables)
+    version = b"\x00\x01\x00\x00" if ttf else b"OTTO"
+    # binary-search fields per spec (readers rarely check; write real)
+    entry_sel = n.bit_length() - 1
+    search = (1 << entry_sel) * 16
+    out = bytearray(version + struct.pack(">HHHH", n, search,
+                                          entry_sel, n * 16 - search))
+    offset = 12 + 16 * n
+    dirs = bytearray()
+    blobs = bytearray()
+    for tag, payload in tables:
+        dirs += struct.pack(">4sIII", tag, 0, offset, len(payload))
+        blobs += payload
+        pad = (-len(payload)) % 4
+        blobs += b"\x00" * pad
+        offset += len(payload) + pad
+    return bytes(out + dirs + blobs), {
+        "flavor": "ttf" if ttf else "cff",
+        "n_tables": n,
+        "units_per_em": upem,
+        "n_glyphs": n_glyphs,
+        "family": family,
+        "bbox": bbox,
+    }
+
+
+def parse_font(content: bytes) -> "dict | None":
+    """-> {'flavor', 'n_tables', 'units_per_em', 'n_glyphs',
+    'family', 'bbox': (xmin, ymin, xmax, ymax)} or None per the
+    module docstring."""
+    if len(content) < 12:
+        return None
+    version = content[:4]
+    if version == b"\x00\x01\x00\x00" or version == b"true":
+        flavor = "ttf"
+    elif version == b"OTTO":
+        flavor = "cff"
+    else:
+        return None
+    n_tables = struct.unpack_from(">H", content, 4)[0]
+    if 12 + 16 * n_tables > len(content):
+        return None
+    tables = {}
+    for k in range(n_tables):
+        tag, _csum, off, length = struct.unpack_from(
+            ">4sIII", content, 12 + 16 * k)
+        if off + length > len(content):
+            return None
+        tables[tag] = (off, length)
+    for need in (b"head", b"maxp", b"name"):
+        if need not in tables:
+            return None
+    off, length = tables[b"head"]
+    if length < 54:
+        return None
+    magic = struct.unpack_from(">I", content, off + 12)[0]
+    if magic != _HEAD_MAGIC:
+        return None
+    upem = struct.unpack_from(">H", content, off + 18)[0]
+    if upem == 0:
+        return None
+    bbox = struct.unpack_from(">hhhh", content, off + 36)
+    off, length = tables[b"maxp"]
+    if length < 6:
+        return None
+    n_glyphs = struct.unpack_from(">H", content, off + 4)[0]
+    off, length = tables[b"name"]
+    if length < 6:
+        return None
+    _fmt, count, str_off = struct.unpack_from(">HHH", content, off)
+    family = None
+    family_rank = -1
+    for k in range(count):
+        rec_at = off + 6 + 12 * k
+        if rec_at + 12 > off + length:
+            return None
+        plat, enc, _lang, nid, slen, soff = struct.unpack_from(
+            ">HHHHHH", content, rec_at)
+        if nid != 1:
+            continue
+        at = off + str_off + soff
+        if at + slen > off + length:
+            return None
+        raw = content[at:at + slen]
+        rank = 1 if plat == 3 else 0
+        if rank > family_rank:
+            family_rank = rank
+            if plat == 3:
+                try:
+                    family = raw.decode("utf-16-be")
+                except UnicodeDecodeError:
+                    return None
+            else:
+                family = raw.decode("latin-1")
+    if family is None:
+        return None
+    return {"flavor": flavor, "n_tables": n_tables,
+            "units_per_em": upem, "n_glyphs": n_glyphs,
+            "family": family,
+            "bbox": tuple(int(v) for v in bbox)}

@@ -1,0 +1,49 @@
+"""sfnt font parsing (sources/font.py): roundtrip fuzz, name-table
+platform ranking, refusals."""
+
+from __future__ import annotations
+
+import struct
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.font import (
+    parse_font,
+    synth_font,
+)
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    raw, exp = synth_font(doc_id)
+    assert parse_font(raw) == exp
+
+
+def test_windows_name_outranks_mac_decoy():
+    raw, exp = synth_font(4)
+    assert parse_font(raw)["family"] == exp["family"]
+    assert "MacDecoy" in raw.decode("latin-1")  # decoy really present
+
+
+def test_refusals():
+    assert parse_font(b"") is None
+    assert parse_font(b"wOFF" + bytes(40)) is None
+    raw, _ = synth_font(1)
+    # truncated directory
+    assert parse_font(raw[:20]) is None
+    # table record pointing outside the file
+    bad = bytearray(raw)
+    struct.pack_into(">I", bad, 12 + 8, 2**24)  # first table offset
+    assert parse_font(bytes(bad)) is None
+    # head magic flipped
+    bad = bytearray(raw)
+    head_off = struct.unpack_from(">I", raw, raw.find(b"head") + 8)[0]
+    bad[head_off + 12] ^= 0x01
+    assert parse_font(bytes(bad)) is None
+    # zero unitsPerEm
+    bad = bytearray(raw)
+    struct.pack_into(">H", bad, head_off + 18, 0)
+    assert parse_font(bytes(bad)) is None
