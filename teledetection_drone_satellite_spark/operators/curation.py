@@ -24,10 +24,9 @@ from .dedup import exact_dedup_key, ngram_jaccard_pairs
 from .pinning import pin_one_generation
 from .text import shingles
 
-# applicationId -> live pinned generation (see operators/pinning.py); edges and
-# labels pin through SEPARATE registries — one shared dict would release the
-# edge pin the moment the first label generation lands
-_CC_GEN_BY_APP: dict = {}
+# applicationId -> live pinned edge list (see operators/pinning.py).  Label
+# generations are NOT pinned through a registry — they localCheckpoint per
+# round (see connected_components docstring, r13 fix).
 _CC_EDGES_BY_APP: dict = {}
 
 
@@ -54,11 +53,22 @@ def connected_components(
     Convergence detection: labels are monotonically non-increasing (each round
     takes a min over a set containing the current label), so the label SUM is
     strictly decreasing until the fixed point — one scalar aggregate per round
-    replaces a join-based diff. Each generation is pinned (operators/pinning.py)
-    so the convergence probe and the next round's join read one materialization,
-    and lineage cannot grow unboundedly across rounds (the persisted blocks cut
-    recomputation; at 100 TB the equivalent is writing each generation to a
-    scratch table, which is the same discipline).
+    replaces a join-based diff.
+
+    Generation materialization (r13 fix): each round's labels are cut with an
+    EAGER ``localCheckpoint``, not cache-manager persist. Persist-per-round
+    plus unpersist-of-the-previous-round looked equivalent but was quietly
+    exponential: uncaching generation N-1 makes Spark's CacheManager recompile
+    (and DROP the materialized blocks of) every cache entry whose plan
+    references it — i.e. generation N — so every round recomputed the whole
+    label lineage from round 0 (measured: 0.9 s/round at round 2 growing to
+    121 s/round at round 10 on an 8-hop reply-chain graph; shallow dup-cluster
+    graphs converged before the doubling hurt, which is why it hid until the
+    email-threading query). localCheckpoint severs the plan at the RDD level,
+    so no cache entry ever references a previous generation; superseded
+    checkpoint blocks are released by the ContextCleaner when the driver drops
+    the reference. At 100 TB the equivalent is writing each generation to a
+    scratch table and reading the new one — the same discipline.
     """
     LAST_CC_STATS.clear()
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
@@ -73,7 +83,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    labels = pin_one_generation(labels, _CC_GEN_BY_APP)
+    labels = labels.localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for it in range(max_iter):
         msgs = sym.join(labels, sym["b"] == labels["node"]).select(
@@ -84,7 +94,7 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
-        labels = pin_one_generation(labels, _CC_GEN_BY_APP)
+        labels = labels.localCheckpoint(eager=True)
         new_sum = labels.agg(F.sum("component")).collect()[0][0]
         if new_sum == prev_sum:
             # rounds = propagation rounds run INCLUDING the fixed-point

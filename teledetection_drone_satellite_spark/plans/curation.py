@@ -1121,3 +1121,104 @@ def hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, ("documents",))["documents"]
     weights = [(b * 37) % 21 - 10 for b in range(64)]
     return text.hashed_linear_score(d, weights)
+
+
+@register(
+    "email_thread_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 4 + doc_id % 5 AS n, 1 + doc_id % 3 AS t
+        FROM documents WHERE doc_id < 100
+    ),
+    th AS (
+        SELECT doc_id, n, t, CAST(r.i AS INT) AS root,
+               ((n - r.i - 1) // t) + 1 AS sz
+        FROM spec, LATERAL unnest(range(0, LEAST(t, n))) r(i)
+    )
+    SELECT doc_id,
+           CAST(min(n) AS INT) AS n_msgs,
+           CAST(count(*) AS INT) AS n_threads,
+           CAST(max(sz) AS BIGINT) AS max_thread,
+           string_agg(CAST(root AS VARCHAR) || ':'
+                      || CAST(sz AS VARCHAR), ',' ORDER BY root)
+               AS thread_digest
+    FROM th GROUP BY doc_id
+    """,
+    doc="Email-thread reconstruction, graded (r13 — mailing-list "
+    "corpora are assembled per THREAD, not per message; threading is "
+    "the JWZ/RFC 5322 References graph): per doc a synthesized mbox "
+    "carries Message-ID/In-Reply-To headers forming 1-3 interleaved "
+    "reply chains; ONE Arrow stage parses archives and emits "
+    "(message, parent) edges with globally-unique node ids; the "
+    "DISTRIBUTED min-label connected-components operator "
+    "(operators/curation.connected_components — the same machinery "
+    "as near-dup clustering) assembles threads across the whole "
+    "corpus at once, self-edges keeping singleton roots alive. The "
+    "oracle states per-doc thread counts and an ORDERED root:size "
+    "chain from the closed-form chain structure.",
+    tags=("curation", "text", "corpus"),
+)
+def email_thread_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        from ..sources.mbox import parse_mbox, synth_mbox
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                n = 4 + i % 5
+                t = 1 + i % 3
+                msgs = []
+                for k in range(n):
+                    m = {"sender": "u%d@x" % k,
+                         "subject": "s%d" % (k % t),
+                         "body": "body %d %d" % (i, k),
+                         "mode": ("7bit", "qp", "b64")[k % 3],
+                         "msgid": "m%d-%d@x" % (i, k)}
+                    if k >= t:
+                        m["in_reply_to"] = "m%d-%d@x" % (i, k - t)
+                    msgs.append(m)
+                parsed = parse_mbox(synth_mbox(msgs))
+                for msg in parsed:
+                    mid = msg["msgid"]
+                    k = int(mid.split("-")[1].split("@")[0])
+                    node = i * 1000 + k
+                    rows.append((i, node, node))  # self-edge
+                    for ref in msg["refs"]:
+                        pk = int(ref.split("-")[1].split("@")[0])
+                        rows.append((i, node, i * 1000 + pk))
+            yield pd.DataFrame(rows, columns=["doc_id", "d1", "d2"])
+
+    edges = d.mapInPandas(gen, "doc_id long, d1 long, d2 long")
+    cc = curation.connected_components(edges, "d1", "d2")
+    per_thread = (
+        cc.groupBy("component")
+        .agg(F.count("*").alias("sz"))
+        .select(
+            (F.col("component") / 1000).cast("long").alias("doc_id"),
+            (F.col("component") % 1000).cast("int").alias("root"),
+            "sz",
+        )
+    )
+    return (
+        per_thread.groupBy("doc_id")
+        .agg(
+            F.sum("sz").cast("int").alias("n_msgs"),
+            F.count("*").cast("int").alias("n_threads"),
+            F.max("sz").alias("max_thread"),
+            F.concat_ws(",", F.array_sort(F.collect_list(
+                F.concat_ws(":", F.col("root").cast("string"),
+                            F.col("sz").cast("string")))))
+            .alias("thread_digest"),
+        )
+    )

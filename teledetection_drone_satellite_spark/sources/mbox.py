@@ -58,6 +58,14 @@ def synth_mbox(messages: "list[dict]") -> bytes:
             "Date: Thu, 1 Jan 2026 00:00:%02d +0000" % (n % 60),
             "MIME-Version: 1.0",
         ]
+        # r13 threading headers (optional keys — older callers unchanged)
+        if m.get("msgid"):
+            hdr.append("Message-ID: <%s>" % m["msgid"])
+        if m.get("in_reply_to"):
+            hdr.append("In-Reply-To: <%s>" % m["in_reply_to"])
+        if m.get("references"):
+            hdr.append("References: %s" % " ".join(
+                "<%s>" % r for r in m["references"]))
         if mode == "7bit":
             hdr += ['Content-Type: text/plain; charset="us-ascii"',
                     "Content-Transfer-Encoding: 7bit"]
@@ -150,10 +158,20 @@ def parse_mbox(content: bytes) -> "list[dict] | None":
             if cte in ("", "7bit", "8bit", "binary"):
                 body = _QUOTED_FROM.sub(
                     lambda m: m.group(1)[1:] + "From ", body)
+        refs = []
+        for field in ("References", "In-Reply-To"):
+            for mid in re.findall(r"<([^<>\s]+)>",
+                                  _header(msg, field) or ""):
+                if mid not in refs:
+                    refs.append(mid)
+        mid_m = re.search(r"<([^<>\s]+)>", _header(msg, "Message-ID")
+                          or "")
         out.append({
             "sender": _header(msg, "From"),
             "subject": _header(msg, "Subject"),
             "body": body.rstrip("\n"),
+            "msgid": mid_m.group(1) if mid_m else None,
+            "refs": refs,
         })
     return out if out else None
 
