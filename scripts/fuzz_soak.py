@@ -21,7 +21,8 @@ import zlib
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from teledetection_drone_satellite_spark.sources import (  # noqa: E402
-    aiff, arc, cdx, difftext, docx, epub, feed, font, gpx, html, ical,
+    aiff, arc, arrowipc, cdx, difftext, docx, epub, feed, font, gpx,
+    html, ical,
     id3,
     las,
     markdown, mbox, mkv, mp4, mpeg, netcdf, notebook, odt, ogg, pdf,
@@ -146,6 +147,8 @@ DECODERS = {
     "mkv": (lambda i: mkv.synth_mkv(i % 10000)[0], mkv.parse_mkv),
     "avif": (lambda i: mp4.synth_avif(i % 10000)[0], mp4.parse_avif),
     "font": (lambda i: font.synth_font(i % 10000)[0], font.parse_font),
+    "arrow": (lambda i: arrowipc.synth_arrow(i % 10000)[0],
+              arrowipc.parse_arrow),
     "notebook": (lambda i: notebook.synth_notebook(i % 10000)[0],
                  notebook.parse_notebook),
     "difftext": (lambda i: difftext.synth_diff(i % 10000)[0],

@@ -9811,3 +9811,95 @@ def font_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, flavor string, units_per_em int, n_glyphs int, "
         "family string, xmin int, ymin int, xmax int, ymax int",
     )
+
+
+@register(
+    "arrow_ipc_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 1 + doc_id % 3 AS n_batches
+        FROM documents WHERE doc_id < 150
+    ),
+    bt AS (
+        SELECT doc_id, n_batches, CAST(b.i AS INT) AS b,
+               10 + (doc_id + b.i) % 5 AS n
+        FROM spec, LATERAL unnest(range(0, n_batches)) b(i)
+    ),
+    tot AS (
+        SELECT doc_id, CAST(min(n_batches) AS INT) AS n_batches,
+               CAST(sum(n) AS BIGINT) AS n_rows
+        FROM bt GROUP BY doc_id
+    ),
+    rws AS (
+        SELECT t.doc_id, CAST(g.x AS BIGINT) AS g
+        FROM tot t, LATERAL unnest(range(0, t.n_rows)) g(x)
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(sum((doc_id + g) * 3) AS BIGINT) AS val_sum,
+               CAST(sum(CASE WHEN g % 3 = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_flagged,
+               CAST(sum(CASE WHEN g % 4 = 2 THEN 0 ELSE g * 2 END)
+                   AS BIGINT) AS maybe_sum,
+               CAST(sum(CASE WHEN g % 4 = 2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_nulls
+        FROM rws GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CASE WHEN t.doc_id % 2 = 0 THEN 'stream' ELSE 'file' END
+               AS layout,
+           t.n_batches, t.n_rows,
+           a.val_sum, a.n_flagged, a.maybe_sum, a.n_nulls
+    FROM tot t JOIN agg a ON a.doc_id = t.doc_id
+    """,
+    doc="Arrow IPC ingestion, graded (r13 — HuggingFace datasets' "
+    "on-disk cache IS Arrow; Feather V2 is the file layout): per doc "
+    "synth_arrow writes multi-batch IPC bytes alternating STREAM and "
+    "FILE ('ARROW1' footer) layouts with int64/utf8/bool/nullable "
+    "columns via pyarrow (the reference implementation — the graded "
+    "surface is the fan-out plumbing: layout sniff, batch iteration, "
+    "null handling). The oracle states batch/row counts, exact "
+    "column sums, flag counts, and null tallies.",
+    tags=("ingest", "corpus"),
+)
+def arrow_ipc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.arrowipc import parse_arrow, synth_arrow
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_arrow(i)
+                got = parse_arrow(raw)
+                rs = got["rows"]
+                rows.append((
+                    i, got["layout"], got["n_batches"], got["n_rows"],
+                    sum(r["val"] for r in rs),
+                    sum(1 for r in rs if r["flag"]),
+                    sum(r["maybe"] for r in rs
+                        if r["maybe"] is not None),
+                    sum(1 for r in rs if r["maybe"] is None),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "layout", "n_batches", "n_rows",
+                         "val_sum", "n_flagged", "maybe_sum",
+                         "n_nulls"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, layout string, n_batches int, n_rows long, "
+        "val_sum long, n_flagged long, maybe_sum long, n_nulls long",
+    )

@@ -1090,3 +1090,39 @@ def approx_quantile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("long").alias("n_rows"),
         band.alias("within_band"),
     )
+
+
+@register(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum,
+           CAST(grouping(o_orderpriority) * 2
+                + grouping(o_orderstatus) AS INT) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderstatus), ())
+    """,
+    doc="Explicit GROUPING SETS + grouping() ids (r13 — completes "
+    "the multi-dimensional aggregate family next to ROLLUP and "
+    "CUBE): three simultaneous groupings (priority x status, status "
+    "alone, grand total) in ONE pass with a grouping-id "
+    "disambiguator — at 100 TB one Expand+aggregate replaces three "
+    "scans. Money sums in integer cents (exact).",
+    tags=("relational",),
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents_sum,
+               CAST(grouping(o_orderpriority) * 2
+                    + grouping(o_orderstatus) AS INT) AS gid
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderstatus), ())
+    """)

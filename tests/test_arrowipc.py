@@ -1,0 +1,39 @@
+"""Arrow IPC ingestion (sources/arrowipc.py): both layouts, nulls,
+refusals."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.arrowipc import (
+    parse_arrow,
+    synth_arrow,
+)
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    raw, exp = synth_arrow(doc_id)
+    got = parse_arrow(raw)
+    assert got is not None
+    assert got["layout"] == ("stream" if doc_id % 2 == 0 else "file")
+    assert got["n_batches"] == exp["n_batches"]
+    assert got["n_rows"] == exp["n_rows"]
+    assert got["columns"] == ["k", "val", "name", "flag", "maybe"]
+    for g, row in enumerate(got["rows"]):
+        assert row["k"] == g
+        assert row["maybe"] == (None if g % 4 == 2 else g * 2)
+
+
+def test_refusals():
+    assert parse_arrow(b"") is None
+    assert parse_arrow(b"not arrow at all, truly") is None
+    assert parse_arrow(b"ARROW1" + b"\x00" * 20) is None
+    raw, _ = synth_arrow(0)
+    assert parse_arrow(raw[: len(raw) // 2]) is None
+    # file layout truncated before the footer
+    raw, _ = synth_arrow(1)
+    assert parse_arrow(raw[:-10]) is None
