@@ -25,8 +25,8 @@ from teledetection_drone_satellite_spark.sources import (  # noqa: E402
     html, ical,
     id3,
     las,
-    markdown, mbox, mkv, mp4, mpeg, netcdf, notebook, odt, ogg, pdf,
-    pptx,
+    markdown, mbox, mkv, mp4, mpeg, netcdf, notebook, odt, ogg, pbwire,
+    pdf, pptx,
     robots, rtf,
     shapefile, sitemap, sqlitefile, svg, tomlconf,
     subtitles, vcard, warc, wat, xlsx,
@@ -149,6 +149,8 @@ DECODERS = {
     "font": (lambda i: font.synth_font(i % 10000)[0], font.parse_font),
     "arrow": (lambda i: arrowipc.synth_arrow(i % 10000)[0],
               arrowipc.parse_arrow),
+    "pbwire": (lambda i: pbwire.synth_pb(i % 10000)[0],
+               pbwire.parse_pb),
     "notebook": (lambda i: notebook.synth_notebook(i % 10000)[0],
                  notebook.parse_notebook),
     "difftext": (lambda i: difftext.synth_diff(i % 10000)[0],

@@ -9903,3 +9903,89 @@ def arrow_ipc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, layout string, n_batches int, n_rows long, "
         "val_sum long, n_flagged long, maybe_sum long, n_nulls long",
     )
+
+
+@register(
+    "pb_wire_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 1 + doc_id % 3 AS n_children
+        FROM documents WHERE doc_id < 150
+    ),
+    ch AS (
+        SELECT doc_id, n_children, CAST(k.i AS INT) AS k,
+               10 + k.i AS v1, doc_id + k.i AS v2
+        FROM spec, LATERAL unnest(range(0, n_children)) k(i)
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(sum(v1) AS BIGINT) AS child_v1_sum,
+               CAST(sum(v2) AS BIGINT) AS child_v2_sum
+        FROM ch GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(6 + s.n_children - 1 AS INT) AS n_fields,
+           CAST(s.n_children AS INT) AS n_children,
+           CAST(s.doc_id * 7 % 1000 AS BIGINT) AS f1,
+           CAST(length('pb-' || CAST(s.doc_id AS VARCHAR)) AS INT)
+               AS f2_len,
+           CAST(s.doc_id * 11 AS BIGINT) AS f4,
+           CAST(300 + s.doc_id AS BIGINT) AS f5,
+           a.child_v1_sum, a.child_v2_sum
+    FROM spec s JOIN agg a ON a.doc_id = s.doc_id
+    """,
+    doc="Protobuf wire-format census, graded (r13 — telemetry/"
+    "TFRecord payloads are wire protobufs; the wheel is absent but "
+    "the encoding is a 2-page public spec): schema-lite field walk "
+    "(varint / fixed32 / fixed64 / length-delimited, multi-byte "
+    "tags for field 999, sub-message recursion ONLY by schema hint "
+    "so a varint-shaped bytes field cannot false-positive). The "
+    "oracle states field counts, every scalar value, and nested "
+    "child sums.",
+    tags=("ingest", "corpus"),
+)
+def pb_wire_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.pbwire import parse_pb, synth_pb
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_pb(i)
+                got = parse_pb(raw, message_fields={3})
+                by: dict = {}
+                for f in got:
+                    by.setdefault(f["field"], []).append(f["value"])
+                children = by.get(3, [])
+                rows.append((
+                    i, len(got), len(children),
+                    by[1][0], len(by[2][0]), by[4][0], by[5][0],
+                    sum(dict((f["field"], f["value"]) for f in c)[1]
+                        for c in children),
+                    sum(dict((f["field"], f["value"]) for f in c)[2]
+                        for c in children),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_fields", "n_children", "f1",
+                         "f2_len", "f4", "f5", "child_v1_sum",
+                         "child_v2_sum"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_fields int, n_children int, f1 long, "
+        "f2_len int, f4 long, f5 long, child_v1_sum long, "
+        "child_v2_sum long",
+    )

@@ -1,0 +1,152 @@
+"""Protobuf wire-format walking — pure stdlib, from the public
+Protocol Buffers encoding specification (protobuf.dev/programming-
+guides/encoding).
+
+Telemetry dumps, API logs, and ML example records (TFRecord payloads
+are protobufs) land in crawls as raw wire bytes.  The ``protobuf``
+wheel is absent here (BASELINE.md probe log), but the WIRE FORMAT is
+a 2-page public spec — and a schema-LITE walk (field numbers, wire
+types, varint values, nested messages by caller-supplied hint)
+covers the curation questions: which fields are present, how big,
+what integer values.  Full typed decode needs the schema registry a
+real deployment carries; that stays out of scope honestly.
+
+Parsed surface:
+
+  tag varint      -> field_number << 3 | wire_type
+  wire type 0     -> varint value (kept)
+  wire type 1     -> fixed64 (kept as unsigned)
+  wire type 5     -> fixed32 (kept as unsigned)
+  wire type 2     -> length-delimited; recursed as a sub-message ONLY
+                     for field numbers in ``message_fields`` (the
+                     schema hint), else kept as bytes
+  wire types 3/4  -> groups (deprecated since proto2): refused
+
+Refusals (None): truncated varint/payload, wire types 3/4/6/7, field
+number 0, a hinted sub-message that does not parse — the honest-
+fallback contract every decoder here shares.
+
+Reference parity: the reference's services speak protobuf-shaped
+telemetry internally (task queues, health payloads); this is the
+Spark-side field-census equivalent."""
+
+from __future__ import annotations
+
+import struct
+
+
+def _varint(buf: bytes, pos: int) -> "tuple[int, int]":
+    v = 0
+    shift = 0
+    while True:
+        if pos >= len(buf) or shift > 63:
+            raise ValueError("truncated/overlong varint")
+        b = buf[pos]
+        v |= (b & 0x7F) << shift
+        pos += 1
+        if not b & 0x80:
+            return v, pos
+        shift += 7
+
+
+def encode_varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def encode_field(fnum: int, wtype: int, payload) -> bytes:
+    tag = encode_varint(fnum << 3 | wtype)
+    if wtype == 0:
+        return tag + encode_varint(payload)
+    if wtype == 1:
+        return tag + struct.pack("<Q", payload)
+    if wtype == 5:
+        return tag + struct.pack("<I", payload)
+    if wtype == 2:
+        return tag + encode_varint(len(payload)) + payload
+    raise ValueError("unsupported wire type")
+
+
+def synth_pb(doc_id: int) -> "tuple[bytes, dict]":
+    """Deterministic fixture plus expected stats.  Closed form
+    (mirrored by the pb_wire_stats oracle):
+
+        field 1 (varint)  = doc_id * 7 % 1000
+        field 2 (bytes)   = 'pb-{doc_id}' utf8   (NOT a sub-message)
+        field 3 (message) repeated 1 + doc_id % 3 times; each child
+                 {1: varint 10 + k, 2: fixed32 doc_id + k}
+        field 4 (fixed64) = doc_id * 11
+        field 5 (varint, multi-byte) = 300 + doc_id
+
+    Decoys: the bytes field 2 deliberately LOOKS varint-shaped; an
+    unknown high field number 999 (varint 1) that must be counted
+    but needs a 2-byte tag."""
+    i = int(doc_id)
+    out = bytearray()
+    out += encode_field(1, 0, i * 7 % 1000)
+    out += encode_field(2, 2, ("pb-%d" % i).encode())
+    n_children = 1 + i % 3
+    for k in range(n_children):
+        child = encode_field(1, 0, 10 + k) + encode_field(2, 5, i + k)
+        out += encode_field(3, 2, bytes(child))
+    out += encode_field(4, 1, i * 11)
+    out += encode_field(5, 0, 300 + i)
+    out += encode_field(999, 0, 1)
+    return bytes(out), {"n_children": n_children}
+
+
+def parse_pb(content: bytes,
+             message_fields: "frozenset | set" = frozenset({3}),
+             ) -> "list[dict] | None":
+    """-> [{'field', 'wire', 'value'}, ...] in wire order; 'value' is
+    an int (types 0/1/5), bytes (type 2 unhinted), or a nested list
+    (type 2 hinted via ``message_fields``).  None per the module
+    docstring."""
+    try:
+        return _parse(content, frozenset(message_fields), depth=0)
+    except ValueError:
+        return None
+
+
+def _parse(buf: bytes, hints: frozenset, depth: int) -> "list[dict]":
+    if depth > 8:
+        raise ValueError("nesting too deep")
+    pos = 0
+    fields = []
+    while pos < len(buf):
+        tag, pos = _varint(buf, pos)
+        fnum = tag >> 3
+        wtype = tag & 0x07
+        if fnum == 0:
+            raise ValueError("field number 0")
+        if wtype == 0:
+            val, pos = _varint(buf, pos)
+        elif wtype == 1:
+            if pos + 8 > len(buf):
+                raise ValueError("truncated fixed64")
+            val = struct.unpack_from("<Q", buf, pos)[0]
+            pos += 8
+        elif wtype == 5:
+            if pos + 4 > len(buf):
+                raise ValueError("truncated fixed32")
+            val = struct.unpack_from("<I", buf, pos)[0]
+            pos += 4
+        elif wtype == 2:
+            ln, pos = _varint(buf, pos)
+            if pos + ln > len(buf):
+                raise ValueError("truncated payload")
+            raw = buf[pos:pos + ln]
+            pos += ln
+            val = _parse(raw, hints, depth + 1) if fnum in hints \
+                else raw
+        else:
+            raise ValueError("wire type %d unsupported" % wtype)
+        fields.append({"field": fnum, "wire": wtype, "value": val})
+    return fields

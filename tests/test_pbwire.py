@@ -1,0 +1,69 @@
+"""Protobuf wire walking (sources/pbwire.py): roundtrip fuzz, varint
+boundaries, schema-hint recursion, refusals."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.pbwire import (
+    encode_field,
+    encode_varint,
+    parse_pb,
+    synth_pb,
+)
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    raw, exp = synth_pb(doc_id)
+    got = parse_pb(raw)
+    assert got is not None
+    children = [f for f in got if f["field"] == 3]
+    assert len(children) == exp["n_children"]
+    for k, ch in enumerate(children):
+        sub = {f["field"]: f["value"] for f in ch["value"]}
+        assert sub == {1: 10 + k, 2: doc_id + k}
+
+
+@settings(max_examples=100, deadline=None)
+@given(v=st.integers(0, 2**63 - 1))
+def test_varint_roundtrip(v):
+    from teledetection_drone_satellite_spark.sources.pbwire import (
+        _varint,
+    )
+
+    enc = encode_varint(v)
+    got, pos = _varint(enc, 0)
+    assert got == v and pos == len(enc)
+
+
+def test_hint_controls_recursion():
+    inner = encode_field(1, 0, 5)
+    outer = encode_field(7, 2, inner)
+    # without hint: raw bytes
+    got = parse_pb(outer, message_fields=set())
+    assert got[0]["value"] == inner
+    # with hint: nested list
+    got = parse_pb(outer, message_fields={7})
+    assert got[0]["value"][0]["value"] == 5
+
+
+def test_refusals():
+    assert parse_pb(b"\x07") is None       # field number 0
+    assert parse_pb(b"\x0b") is None       # group start (wire 3)
+    assert parse_pb(b"\x0c") is None       # group end (wire 4)
+    assert parse_pb(b"\x08") is None       # varint value missing
+    assert parse_pb(b"\x12\x05ab") is None  # short payload
+    assert parse_pb(b"\x09\x01\x02") is None  # short fixed64
+    assert parse_pb(b"\x80" * 12) is None  # overlong varint
+    # hinted field whose payload is not a valid message
+    bad = encode_field(3, 2, b"\x0b")
+    assert parse_pb(bad, message_fields={3}) is None
+    # bomb guard: nesting depth
+    blob = encode_field(1, 0, 1)
+    for _ in range(12):
+        blob = encode_field(3, 2, blob)
+    assert parse_pb(blob, message_fields={3}) is None
