@@ -28,7 +28,7 @@ from teledetection_drone_satellite_spark.sources import (  # noqa: E402
     markdown, mbox, mkv, mp4, mpeg, netcdf, notebook, odt, ogg, pbwire,
     pdf, pptx,
     robots, rtf,
-    shapefile, sitemap, sqlitefile, svg, tomlconf,
+    shapefile, sitemap, sqlitefile, svg, tfrecord, tomlconf,
     subtitles, vcard, warc, wat, xlsx,
 )
 
@@ -151,6 +151,8 @@ DECODERS = {
               arrowipc.parse_arrow),
     "pbwire": (lambda i: pbwire.synth_pb(i % 10000)[0],
                pbwire.parse_pb),
+    "tfrecord": (lambda i: tfrecord.synth_tfrecord(i % 10000)[0],
+                 tfrecord.parse_tfrecord),
     "notebook": (lambda i: notebook.synth_notebook(i % 10000)[0],
                  notebook.parse_notebook),
     "difftext": (lambda i: difftext.synth_diff(i % 10000)[0],

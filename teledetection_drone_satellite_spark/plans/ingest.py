@@ -9989,3 +9989,83 @@ def pb_wire_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f2_len int, f4 long, f5 long, child_v1_sum long, "
         "child_v2_sum long",
     )
+
+
+@register(
+    "tfrecord_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 3 + doc_id % 4 AS n
+        FROM documents WHERE doc_id < 150
+    ),
+    rec AS (
+        SELECT doc_id, n, CAST(g.i AS INT) AS g,
+               (doc_id + g.i) % 10 AS label,
+               'ex-' || CAST(doc_id AS VARCHAR) || '-'
+                   || CAST(g.i AS VARCHAR) AS text,
+               g.i + 3 * g.i AS vec_sum_x2
+        FROM spec, LATERAL unnest(range(0, n)) g(i)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_records,
+           CAST(sum(g) AS BIGINT) AS id_sum,
+           CAST(sum(label) AS BIGINT) AS label_sum,
+           CAST(sum(vec_sum_x2) AS BIGINT) AS vec_sum_x2,
+           string_agg(substr(sha256(text), 1, 8), '' ORDER BY g)
+               AS text_digest
+    FROM rec GROUP BY doc_id
+    """,
+    doc="TFRecord / tf.Example ingestion, graded (r13 — the classic "
+    "ML training-data container, read WITHOUT TensorFlow: framing is "
+    "length + masked CRC32C per the public spec, both CRCs VERIFIED "
+    "against the Castagnoli polynomial; tf.Example is an ordinary "
+    "protobuf walked via sources/pbwire): per doc synth_tfrecord "
+    "writes records whose Int64List features alternate PACKED and "
+    "unpacked encodings (both legal), float32 lists exactly "
+    "representable (summed as 2x integers), and bytes features. The "
+    "oracle states record counts, exact id/label/vector sums, and "
+    "an ORDERED text sha256 chain.",
+    tags=("ingest", "corpus", "multimodal"),
+)
+def tfrecord_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.tfrecord import parse_tfrecord, synth_tfrecord
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_tfrecord(i)
+                got = parse_tfrecord(raw)
+                rows.append((
+                    i, len(got),
+                    sum(r["features"]["id"][0] for r in got),
+                    sum(r["features"]["label"][0] for r in got),
+                    int(round(sum(sum(r["features"]["vec"])
+                                  for r in got) * 2)),
+                    "".join(hashlib.sha256(r["features"]["text"][0])
+                            .hexdigest()[:8] for r in got),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_records", "id_sum", "label_sum",
+                         "vec_sum_x2", "text_digest"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_records int, id_sum long, label_sum long, "
+        "vec_sum_x2 long, text_digest string",
+    )

@@ -1,0 +1,198 @@
+"""TFRecord / tf.Example ingestion — pure stdlib on top of the wire
+walker (sources/pbwire.py), from the public TFRecord framing spec
+(github.com/tensorflow/tensorflow core/lib/io/record_writer docs) and
+the tf.Example proto (tensorflow/core/example/example.proto,
+feature.proto — both published).
+
+TFRecord is the classic ML training-data container; petabytes of
+vision/LLM corpora sit in it.  No TensorFlow exists here (and none is
+needed): the framing is length + masked CRC32C, and tf.Example is an
+ordinary protobuf —
+
+  frame:    u64le length, u32le masked_crc(length bytes),
+            payload, u32le masked_crc(payload)   [both VERIFIED]
+  mask:     ((crc >> 15) | (crc << 17)) + 0xa282ead8  (mod 2^32)
+  crc32c:   Castagnoli polynomial 0x82F63B78 (reflected),
+            init/final xor 0xFFFFFFFF
+  Example:  {1: Features{1: map<string, Feature>}}; map entries are
+            {1: key utf8, 2: Feature}; Feature is a oneof wrapper
+            {1: BytesList, 2: FloatList, 3: Int64List}, each with
+            repeated field 1 — int64/float lists arrive PACKED
+            (wire 2) or unpacked; both forms are read.
+
+Refusals (None): a CRC mismatch on length or payload, a truncated
+frame, an Example that does not parse, a Feature with an unknown
+oneof arm — the honest-fallback contract every decoder here shares.
+
+Reference parity: the reference declares dataset ingestion
+(/root/reference/shared/config/__init__.py:36-39); this is the
+training-shard sibling of the WebDataset tier."""
+
+from __future__ import annotations
+
+import struct
+
+from .pbwire import _parse, _varint, encode_field, encode_varint
+
+_CRC_TABLE = []
+for _b in range(256):
+    _r = _b
+    for _ in range(8):
+        _r = (_r >> 1) ^ 0x82F63B78 if _r & 1 else _r >> 1
+    _CRC_TABLE.append(_r)
+
+
+def crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for byte in data:
+        crc = (crc >> 8) ^ _CRC_TABLE[(crc ^ byte) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+def _mask(crc: int) -> int:
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def _frame(payload: bytes) -> bytes:
+    ln = struct.pack("<Q", len(payload))
+    return (ln + struct.pack("<I", _mask(crc32c(ln)))
+            + payload + struct.pack("<I", _mask(crc32c(payload))))
+
+
+def _feature_bytes(vals: "list[bytes]") -> bytes:
+    inner = b"".join(encode_field(1, 2, v) for v in vals)
+    return encode_field(1, 2, inner)
+
+
+def _feature_floats(vals: "list[float]") -> bytes:
+    packed = b"".join(struct.pack("<f", v) for v in vals)
+    inner = encode_field(1, 2, packed)  # packed repeated float
+    return encode_field(2, 2, inner)
+
+
+def _feature_ints(vals: "list[int]", packed: bool) -> bytes:
+    if packed:
+        body = b"".join(encode_varint(v) for v in vals)
+        inner = encode_field(1, 2, body)
+    else:
+        inner = b"".join(encode_field(1, 0, v) for v in vals)
+    return encode_field(3, 2, inner)
+
+
+def synth_tfrecord(doc_id: int) -> "tuple[bytes, dict]":
+    """Deterministic fixture plus expected stats.  Closed form
+    (mirrored by the tfrecord_stats oracle):
+
+        n_records = 3 + doc_id % 4; record g:
+          id    = int64 [g]            (packed for even g, unpacked
+                                        for odd — both legal)
+          label = int64 [(doc_id+g) % 10]
+          text  = bytes  'ex-{doc_id}-{g}'
+          vec   = float32 [g * 0.5, g * 1.5]  (exactly representable)
+    """
+    i = int(doc_id)
+    n = 3 + i % 4
+    out = bytearray()
+    for g in range(n):
+        entries = []
+        for key, feat in (
+            ("id", _feature_ints([g], packed=g % 2 == 0)),
+            ("label", _feature_ints([(i + g) % 10], packed=True)),
+            ("text", _feature_bytes([b"ex-%d-%d" % (i, g)])),
+            ("vec", _feature_floats([g * 0.5, g * 1.5])),
+        ):
+            entry = encode_field(1, 2, key.encode()) + encode_field(
+                2, 2, feat)
+            entries.append(encode_field(1, 2, entry))
+        # Features message body IS the concatenated map entries;
+        # Example.features (field 1) wraps it once
+        example = encode_field(1, 2, b"".join(entries))
+        out += _frame(bytes(example))
+    return bytes(out), {"n_records": n}
+
+
+def _ints_of(feature_body: bytes) -> "list[int]":
+    """Int64List payload -> values (packed or unpacked field 1)."""
+    vals = []
+    for f in _parse(feature_body, frozenset(), 0):
+        if f["field"] != 1:
+            raise ValueError("unknown Int64List field")
+        if f["wire"] == 0:
+            vals.append(f["value"])
+        elif f["wire"] == 2:
+            pos = 0
+            raw = f["value"]
+            while pos < len(raw):
+                v, pos = _varint(raw, pos)
+                vals.append(v)
+        else:
+            raise ValueError("bad Int64List wire type")
+    return vals
+
+
+def parse_tfrecord(content: bytes) -> "list[dict] | None":
+    """-> [{'features': {name: list}}, ...] per record in file order
+    (int64 lists as ints, float lists as floats, bytes lists as
+    bytes), or None per the module docstring."""
+    pos = 0
+    n = len(content)
+    records = []
+    while pos < n:
+        if pos + 12 > n:
+            return None
+        ln = struct.unpack_from("<Q", content, pos)[0]
+        len_crc = struct.unpack_from("<I", content, pos + 8)[0]
+        if _mask(crc32c(content[pos:pos + 8])) != len_crc:
+            return None
+        body_at = pos + 12
+        if body_at + ln + 4 > n:
+            return None
+        payload = content[body_at:body_at + ln]
+        data_crc = struct.unpack_from("<I", content, body_at + ln)[0]
+        if _mask(crc32c(payload)) != data_crc:
+            return None
+        pos = body_at + ln + 4
+        try:
+            example = _parse(payload, frozenset(), 0)
+            feats: "dict[str, list]" = {}
+            for f in example:
+                if f["field"] != 1 or f["wire"] != 2:
+                    continue
+                for ff in _parse(f["value"], frozenset(), 0):
+                    if ff["field"] != 1 or ff["wire"] != 2:
+                        raise ValueError("bad Features")
+                    entry = _parse(ff["value"], frozenset(), 0)
+                    key = None
+                    feat_raw = None
+                    for e in entry:
+                        if e["field"] == 1 and e["wire"] == 2:
+                            key = e["value"].decode("utf-8")
+                        elif e["field"] == 2 and e["wire"] == 2:
+                            feat_raw = e["value"]
+                    if key is None or feat_raw is None:
+                        raise ValueError("bad map entry")
+                    arm = _parse(feat_raw, frozenset(), 0)
+                    if len(arm) != 1 or arm[0]["wire"] != 2:
+                        raise ValueError("bad Feature oneof")
+                    body = arm[0]["value"]
+                    if arm[0]["field"] == 1:    # BytesList
+                        vals = [x["value"] for x in
+                                _parse(body, frozenset(), 0)]
+                    elif arm[0]["field"] == 2:  # FloatList (packed)
+                        inner = _parse(body, frozenset(), 0)
+                        raw = b"".join(
+                            x["value"] for x in inner
+                            if x["wire"] == 2)
+                        if len(raw) % 4:
+                            raise ValueError("bad float payload")
+                        vals = [struct.unpack_from("<f", raw, o)[0]
+                                for o in range(0, len(raw), 4)]
+                    elif arm[0]["field"] == 3:  # Int64List
+                        vals = _ints_of(body)
+                    else:
+                        raise ValueError("unknown Feature arm")
+                    feats[key] = vals
+            records.append({"features": feats})
+        except (ValueError, UnicodeDecodeError):
+            return None
+    return records

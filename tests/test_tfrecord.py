@@ -1,0 +1,57 @@
+"""TFRecord framing + tf.Example decode (sources/tfrecord.py):
+CRC32C conformance, packed/unpacked int64 lists, refusals."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.tfrecord import (
+    crc32c,
+    parse_tfrecord,
+    synth_tfrecord,
+)
+
+
+def test_crc32c_public_vectors():
+    # RFC 3720 / published Castagnoli vectors
+    assert crc32c(b"") == 0
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    raw, exp = synth_tfrecord(doc_id)
+    got = parse_tfrecord(raw)
+    assert got is not None
+    assert len(got) == exp["n_records"]
+    for g, rec in enumerate(got):
+        f = rec["features"]
+        assert f["id"] == [g]
+        assert f["label"] == [(doc_id + g) % 10]
+        assert f["text"] == [b"ex-%d-%d" % (doc_id, g)]
+        assert f["vec"] == [g * 0.5, g * 1.5]
+
+
+def test_refusals():
+    assert parse_tfrecord(b"short") is None
+    raw, _ = synth_tfrecord(5)
+    # flip a payload byte: data CRC catches it
+    bad = bytearray(raw)
+    bad[20] ^= 0x01
+    assert parse_tfrecord(bytes(bad)) is None
+    # flip a length byte: length CRC catches it
+    bad = bytearray(raw)
+    bad[0] ^= 0x01
+    assert parse_tfrecord(bytes(bad)) is None
+    # truncated final frame
+    assert parse_tfrecord(raw[:-2]) is None
+    # valid frame around a non-Example payload refuses
+    from teledetection_drone_satellite_spark.sources.tfrecord import (
+        _frame,
+    )
+
+    assert parse_tfrecord(_frame(b"\x0b")) is None
