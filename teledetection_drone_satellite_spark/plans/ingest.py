@@ -9753,6 +9753,8 @@ def avif_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "font_meta_stats",
     oracle="""
     SELECT doc_id,
+           CASE WHEN doc_id % 4 >= 2 THEN 'woff' ELSE 'sfnt' END
+               AS container,
            CASE WHEN doc_id % 2 = 0 THEN 'ttf' ELSE 'cff' END
                AS flavor,
            CAST(CASE WHEN doc_id % 3 = 0 THEN 1000 ELSE 2048 END
@@ -9765,7 +9767,7 @@ def avif_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(1900 + doc_id % 250 AS INT) AS ymax
     FROM documents WHERE doc_id < 150
     """,
-    doc="TrueType/OpenType font metadata, graded (r13 — web fonts "
+    doc="TrueType/OpenType/WOFF font metadata, graded (r13 — web fonts "
     "are among the most common crawl binaries; the name table feeds "
     "asset/license audits): per doc synth_font writes a TTF or OTTO "
     "sfnt with a VERIFIED head magic, signed font bbox, maxp glyph "
@@ -9781,7 +9783,12 @@ def font_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    from ..sources.font import parse_font, synth_font
+    from ..sources.font import (
+        parse_font,
+        parse_woff,
+        synth_font,
+        synth_woff,
+    )
 
     ids = (
         load(spark, sf_dir, ("documents",))["documents"]
@@ -9794,22 +9801,29 @@ def font_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for i in pdf_["doc_id"]:
                 i = int(i)
-                raw, _ = synth_font(i)
-                got = parse_font(raw)
-                rows.append((i, got["flavor"], got["units_per_em"],
-                             got["n_glyphs"], got["family"],
-                             *got["bbox"]))
+                if i % 4 >= 2:
+                    raw, _ = synth_woff(i)
+                    got = parse_woff(raw)
+                    container = "woff"
+                else:
+                    raw, _ = synth_font(i)
+                    got = parse_font(raw)
+                    container = "sfnt"
+                rows.append((i, container, got["flavor"],
+                             got["units_per_em"], got["n_glyphs"],
+                             got["family"], *got["bbox"]))
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "flavor", "units_per_em",
-                         "n_glyphs", "family", "xmin", "ymin",
-                         "xmax", "ymax"],
+                columns=["doc_id", "container", "flavor",
+                         "units_per_em", "n_glyphs", "family",
+                         "xmin", "ymin", "xmax", "ymax"],
             )
 
     return ids.mapInPandas(
         gen,
-        "doc_id long, flavor string, units_per_em int, n_glyphs int, "
-        "family string, xmin int, ymin int, xmax int, ymax int",
+        "doc_id long, container string, flavor string, "
+        "units_per_em int, n_glyphs int, family string, xmin int, "
+        "ymin int, xmax int, ymax int",
     )
 
 

@@ -188,3 +188,96 @@ def parse_font(content: bytes) -> "dict | None":
             "units_per_em": upem, "n_glyphs": n_glyphs,
             "family": family,
             "bbox": tuple(int(v) for v in bbox)}
+
+
+# ------------------------------------------------------------ WOFF 1
+# (W3C WOFF 1.0 spec: an sfnt re-container with per-table zlib)
+
+
+def synth_woff(doc_id: int) -> "tuple[bytes, dict]":
+    """WOFF-wrap the synth_font sfnt: same closed form as
+    synth_font's, delivered through the W3C WOFF 1.0 container
+    (per-table zlib where it helps, stored where it does not — both
+    paths exercised since tiny tables inflate)."""
+    import struct as _struct
+    import zlib
+
+    sfnt, exp = synth_font(doc_id)
+    n_tables = _struct.unpack_from(">H", sfnt, 4)[0]
+    flavor = sfnt[:4]
+    tables = []
+    for k in range(n_tables):
+        tag, csum, off, length = _struct.unpack_from(
+            ">4sIII", sfnt, 12 + 16 * k)
+        tables.append((tag, csum, sfnt[off:off + length]))
+    header_len = 44 + 20 * n_tables
+    offset = header_len
+    dirs = bytearray()
+    blobs = bytearray()
+    total_sfnt = 12 + 16 * n_tables
+    for tag, csum, data in tables:
+        comp = zlib.compress(data, 9)
+        wire = comp if len(comp) < len(data) else data
+        dirs += _struct.pack(">4sIIII", tag, offset, len(wire),
+                             len(data), csum)
+        blobs += wire
+        pad = (-len(wire)) % 4
+        blobs += b"\x00" * pad
+        offset += len(wire) + pad
+        total_sfnt += len(data) + ((-len(data)) % 4)
+    woff = (b"wOFF" + flavor
+            + _struct.pack(">IHHIHHIIIII",
+                           header_len + len(blobs), n_tables, 0,
+                           total_sfnt, 1, 0, 0, 0, 0, 0, 0)
+            + bytes(dirs) + bytes(blobs))
+    return woff, exp
+
+
+def parse_woff(content: bytes) -> "dict | None":
+    """WOFF 1.0 -> the same metadata dict as parse_font, by
+    reconstructing the sfnt (inflate tables whose compLength <
+    origLength, verify both length fields) and delegating.  Refuses
+    non-WOFF magic, a zlib stream that fails or inflates to the
+    wrong size, and directory entries outside the file."""
+    import struct as _struct
+    import zlib
+
+    if content[:4] != b"wOFF" or len(content) < 44:
+        return None
+    flavor = content[4:8]
+    n_tables = _struct.unpack_from(">H", content, 12)[0]
+    if 44 + 20 * n_tables > len(content):
+        return None
+    entries = []
+    for k in range(n_tables):
+        tag, off, comp_len, orig_len, csum = _struct.unpack_from(
+            ">4sIIII", content, 44 + 20 * k)
+        if off + comp_len > len(content) or comp_len > orig_len:
+            return None
+        wire = content[off:off + comp_len]
+        if comp_len < orig_len:
+            try:
+                data = zlib.decompress(wire)
+            except zlib.error:
+                return None
+            if len(data) != orig_len:
+                return None
+        else:
+            data = wire
+        entries.append((tag, csum, data))
+    # reassemble a plain sfnt and reuse the sfnt reader
+    n = len(entries)
+    entry_sel = max(n.bit_length() - 1, 0)
+    search = (1 << entry_sel) * 16
+    out = bytearray(flavor + _struct.pack(">HHHH", n, search,
+                                          entry_sel, n * 16 - search))
+    offset = 12 + 16 * n
+    dirs = bytearray()
+    blobs = bytearray()
+    for tag, csum, data in entries:
+        dirs += _struct.pack(">4sIII", tag, csum, offset, len(data))
+        blobs += data
+        pad = (-len(data)) % 4
+        blobs += b"\x00" * pad
+        offset += len(data) + pad
+    return parse_font(bytes(out + dirs + blobs))

@@ -47,3 +47,24 @@ def test_refusals():
     bad = bytearray(raw)
     struct.pack_into(">H", bad, head_off + 18, 0)
     assert parse_font(bytes(bad)) is None
+
+
+def test_woff_roundtrip_and_refusals():
+    import zlib
+
+    from teledetection_drone_satellite_spark.sources.font import (
+        parse_woff,
+        synth_woff,
+    )
+
+    for i in list(range(12)) + [57, 9999]:
+        raw, exp = synth_woff(i)
+        assert parse_woff(raw) == exp, i
+    assert parse_woff(b"") is None
+    assert parse_woff(b"wOF2" + bytes(60)) is None
+    raw, _ = synth_woff(3)
+    assert parse_woff(raw[:50]) is None
+    # compLength > origLength is illegal
+    bad = bytearray(raw)
+    struct.pack_into(">I", bad, 44 + 12, 0)  # origLength of table 0
+    assert parse_woff(bytes(bad)) is None
