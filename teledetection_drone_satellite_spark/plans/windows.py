@@ -495,3 +495,126 @@ def rolling_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("roll_n").alias("max_roll_n"),
         F.sum("roll_cents").alias("sum_roll_cents"),
     )
+
+
+@register(
+    "time_resample_interp",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, date_trunc('hour', ts) AS h, value
+        FROM events WHERE user_id < 20
+    ),
+    obs AS (SELECT user_id, h,
+                   CAST(round(max(value) * 100) AS BIGINT) AS c
+            FROM e GROUP BY 1, 2),
+    span AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+             FROM obs GROUP BY 1),
+    grid AS (SELECT user_id,
+                    unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                        AS slot
+             FROM span),
+    j AS (SELECT g.user_id, g.slot, o.c,
+                 CAST(epoch(g.slot) / 3600 AS BIGINT) AS t
+          FROM grid g LEFT JOIN obs o
+               ON o.user_id = g.user_id AND o.h = g.slot),
+    f AS (SELECT user_id, slot, c, t,
+                 last_value(CASE WHEN c IS NOT NULL THEN t END
+                            IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY slot
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS pt,
+                 last_value(c IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY slot
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS pc,
+                 first_value(CASE WHEN c IS NOT NULL THEN t END
+                             IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY slot
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                     AS nt,
+                 first_value(c IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY slot
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                     AS nc
+          FROM j),
+    v AS (SELECT user_id, slot, c,
+                 CASE WHEN c IS NOT NULL THEN c
+                      ELSE CAST(floor(
+                          (pc * (nt - t) + nc * (t - pt))
+                          / (nt - pt)) AS BIGINT)
+                 END AS ic
+          FROM f)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_slots,
+           CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_interp,
+           CAST(sum(ic) AS BIGINT) AS interp_cents_sum
+    FROM v GROUP BY user_id
+    """,
+    doc="Time-series resampling with LINEAR interpolation (r13 — the "
+    "gap-fill telemetry shape next to time_resample_ffill's "
+    "step-fill): per user the hourly grid carries prev/next observed "
+    "(value, time) pairs via IGNORE NULLS frames in one window pass "
+    "each direction; missing slots take floor((pc*(nt-t) + "
+    "nc*(t-pt)) / (nt-pt)) on integer CENTS and integer epoch-hours "
+    "— products stay far below 2^53, so the float floor is bit-safe "
+    "in both engines and the oracle states exact sums. Interior "
+    "gaps only by construction (the grid spans each user's own "
+    "observed extent). Two window passes, one per-user shuffle.",
+    tags=("window", "relational"),
+)
+def time_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load(spark, sf_dir, ("events",))["events"]
+        .filter(F.col("user_id") < 20)
+        .select("user_id", F.date_trunc("hour", "ts").alias("h"),
+                "value")
+    )
+    obs = e.groupBy("user_id", "h").agg(
+        F.round(F.max("value") * 100).cast("long").alias("c"))
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("slot"),
+        )
+    )
+    j = grid.join(
+        obs,
+        (grid["user_id"] == obs["user_id"]) & (grid["slot"] == obs["h"]),
+        "left",
+    ).select(
+        grid["user_id"], "slot", "c",
+        (F.unix_timestamp("slot") / 3600).cast("long").alias("t"),
+    )
+    wb = (Window.partitionBy("user_id").orderBy("slot")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy("user_id").orderBy("slot")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    t_obs = F.when(F.col("c").isNotNull(), F.col("t"))
+    f = (
+        j.withColumn("pt", F.last(t_obs, ignorenulls=True).over(wb))
+        .withColumn("pc", F.last("c", ignorenulls=True).over(wb))
+        .withColumn("nt", F.first(t_obs, ignorenulls=True).over(wf))
+        .withColumn("nc", F.first("c", ignorenulls=True).over(wf))
+    )
+    ic = F.when(F.col("c").isNotNull(), F.col("c")).otherwise(
+        F.floor(
+            (F.col("pc") * (F.col("nt") - F.col("t"))
+             + F.col("nc") * (F.col("t") - F.col("pt")))
+            / (F.col("nt") - F.col("pt"))
+        ).cast("long")
+    )
+    return (
+        f.withColumn("ic", ic)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_slots"),
+            F.sum(F.when(F.col("c").isNull(), 1).otherwise(0))
+            .alias("n_interp"),
+            F.sum("ic").alias("interp_cents_sum"),
+        )
+    )
