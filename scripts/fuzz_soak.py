@@ -148,6 +148,8 @@ DECODERS = {
     "avif": (lambda i: mp4.synth_avif(i % 10000)[0], mp4.parse_avif),
     "font": (lambda i: font.synth_font(i % 10000)[0], font.parse_font),
     "woff": (lambda i: font.synth_woff(i % 10000)[0], font.parse_woff),
+    "woff2": (lambda i: font.synth_woff2(i % 10000)[0],
+              font.parse_woff2),
     "arrow": (lambda i: arrowipc.synth_arrow(i % 10000)[0],
               arrowipc.parse_arrow),
     "pbwire": (lambda i: pbwire.synth_pb(i % 10000)[0],

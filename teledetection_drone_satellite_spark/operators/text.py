@@ -50,21 +50,16 @@ def marker_hits(text: Column, words: list[str]) -> Column:
 
 
 def predict_lang(text: Column) -> Column:
-    """Arg-max over per-language marker hit counts, ties broken by language code
-    (lexicographic — iteration order below is sorted). Pure expression: a CASE
-    chain Catalyst folds into one projection."""
+    """Arg-max over per-language marker hit counts, ties broken by
+    language code (lexicographic). Array form, not a nested WHEN
+    chain, for the same reason as _marker_argmax below (r13): the
+    chain duplicated every regexp_count per successive branch."""
     langs = sorted(LANG_MARKERS)
-    hits = {lang: marker_hits(text, LANG_MARKERS[lang]) for lang in langs}
-    best = None
-    for lang in langs:
-        if best is None:
-            best = F.lit(lang)
-            best_hits = hits[lang]
-        else:
-            cond = hits[lang] > best_hits
-            best = F.when(cond, F.lit(lang)).otherwise(best)
-            best_hits = F.when(cond, hits[lang]).otherwise(best_hits)
-    return best
+    hits = F.array(*[marker_hits(text, LANG_MARKERS[lang])
+                     for lang in langs])
+    idx = F.array_position(hits, F.array_max(hits))
+    return F.element_at(
+        F.array(*[F.lit(lang) for lang in langs]), idx.cast("int"))
 
 
 # r13 wide language-ID: script short-circuit + per-script marker argmax.
@@ -102,17 +97,24 @@ WIDE_SCRIPT_LANGS = (
 
 
 def _marker_argmax(text: Column, markers: "dict[str, list[str]]") -> Column:
-    """Arg-max over per-language marker hits, lexicographic tie-break
-    (same shape as predict_lang — one folded CASE projection)."""
+    """Arg-max over per-language marker hits, lexicographic tie-break.
+
+    Built as hits-ARRAY -> array_position(array_max) -> element_at,
+    NOT a nested WHEN chain: the chain form re-embeds every previous
+    language's regexp_count inside each successive condition, so the
+    expression tree (and the per-row regex evaluations — codegen does
+    no common-subexpression elimination across WHEN branches) doubles
+    per language; at 10 languages that was ~100x the regex work and
+    the dominant cost of text_language_id_wide (r13 bench). The array
+    form evaluates each language's regex exactly once per row.
+    array_position returns the FIRST index of the max and ``langs``
+    is sorted, so ties still break lexicographically."""
     langs = sorted(markers)
-    hits = {lang: marker_hits(text, markers[lang]) for lang in langs}
-    best = F.lit(langs[0])
-    best_hits = hits[langs[0]]
-    for lang in langs[1:]:
-        cond = hits[lang] > best_hits
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_hits = F.when(cond, hits[lang]).otherwise(best_hits)
-    return best
+    hits = F.array(*[marker_hits(text, markers[lang])
+                     for lang in langs])
+    idx = F.array_position(hits, F.array_max(hits))
+    return F.element_at(
+        F.array(*[F.lit(lang) for lang in langs]), idx.cast("int"))
 
 
 def predict_lang_wide(text: Column) -> Column:

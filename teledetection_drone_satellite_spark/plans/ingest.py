@@ -9753,8 +9753,8 @@ def avif_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "font_meta_stats",
     oracle="""
     SELECT doc_id,
-           CASE WHEN doc_id % 4 >= 2 THEN 'woff' ELSE 'sfnt' END
-               AS container,
+           CASE doc_id % 4 WHEN 2 THEN 'woff' WHEN 3 THEN 'woff2'
+               ELSE 'sfnt' END AS container,
            CASE WHEN doc_id % 2 = 0 THEN 'ttf' ELSE 'cff' END
                AS flavor,
            CAST(CASE WHEN doc_id % 3 = 0 THEN 1000 ELSE 2048 END
@@ -9786,8 +9786,10 @@ def font_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.font import (
         parse_font,
         parse_woff,
+        parse_woff2,
         synth_font,
         synth_woff,
+        synth_woff2,
     )
 
     ids = (
@@ -9801,10 +9803,14 @@ def font_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for i in pdf_["doc_id"]:
                 i = int(i)
-                if i % 4 >= 2:
+                if i % 4 == 2:
                     raw, _ = synth_woff(i)
                     got = parse_woff(raw)
                     container = "woff"
+                elif i % 4 == 3:
+                    raw, _ = synth_woff2(i)
+                    got = parse_woff2(raw)
+                    container = "woff2"
                 else:
                     raw, _ = synth_font(i)
                     got = parse_font(raw)

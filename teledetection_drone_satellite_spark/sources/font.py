@@ -281,3 +281,160 @@ def parse_woff(content: bytes) -> "dict | None":
         blobs += b"\x00" * pad
         offset += len(data) + pad
     return parse_font(bytes(out + dirs + blobs))
+
+
+# ------------------------------------------------------------ WOFF 2
+# (W3C WOFF 2.0: one brotli stream of concatenated tables; glyf/loca
+# transforms do not apply here — the metadata tables ship untouched)
+
+# Known-table tag registry, W3C WOFF2 §5.2 "Known Table Tags" (index
+# 0..62; 63 = arbitrary tag follows inline)
+_WOFF2_KNOWN = [
+    "cmap", "head", "hhea", "hmtx", "maxp", "name", "OS/2", "post",
+    "cvt ", "fpgm", "glyf", "loca", "prep", "CFF ", "VORG", "EBDT",
+    "EBLC", "gasp", "hdmx", "kern", "LTSH", "PCLT", "VDMX", "vhea",
+    "vmtx", "BASE", "GDEF", "GPOS", "GSUB", "EBSC", "JSTF", "MATH",
+    "CBDT", "CBLC", "COLR", "CPAL", "SVG ", "sbix", "acnt", "avar",
+    "bdat", "bloc", "bsln", "cvar", "fdsc", "feat", "fmtx", "fvar",
+    "gvar", "hsty", "just", "lcar", "mort", "morx", "opbd", "prop",
+    "trak", "Zapf", "Silf", "Glat", "Gloc", "Feat", "Sill",
+]
+
+
+def _b128(v: int) -> bytes:
+    """UIntBase128 encode (W3C WOFF2 §5.1)."""
+    out = bytearray()
+    started = False
+    for shift in (28, 21, 14, 7, 0):
+        b = (v >> shift) & 0x7F
+        if b or started or shift == 0:
+            out.append(b | (0x80 if shift else 0))
+            started = True
+    return bytes(out)
+
+
+def _read_b128(buf: bytes, pos: int) -> "tuple[int, int]":
+    v = 0
+    for k in range(5):
+        if pos >= len(buf):
+            raise ValueError("truncated UIntBase128")
+        b = buf[pos]
+        pos += 1
+        if k == 0 and b == 0x80:
+            raise ValueError("leading zero UIntBase128")
+        if v > 0x1FFFFFF:  # would overflow 32 bits after the shift
+            raise ValueError("UIntBase128 overflow")
+        v = (v << 7) | (b & 0x7F)
+        if not b & 0x80:
+            return v, pos
+    raise ValueError("UIntBase128 too long")
+
+
+def synth_woff2(doc_id: int) -> "tuple[bytes, dict]":
+    """WOFF2-wrap the synth_font sfnt (same closed form): known-index
+    directory entries where the registry covers the tag, the
+    arbitrary-tag form (flags 63) for the 'zzzz' decoy, one brotli
+    stream for all table data.  Raises RuntimeError when no brotli
+    encoder exists in the environment (probe log, BASELINE.md)."""
+    import struct as _struct
+
+    from .binary import brotli_compressor
+
+    comp = brotli_compressor()
+    if comp is None:
+        raise RuntimeError("woff2 fixture requested but no brotli")
+    sfnt, exp = synth_font(doc_id)
+    n_tables = _struct.unpack_from(">H", sfnt, 4)[0]
+    flavor = sfnt[:4]
+    dirs = bytearray()
+    data = bytearray()
+    total_sfnt = 12 + 16 * n_tables
+    for k in range(n_tables):
+        tag_b, _csum, off, length = _struct.unpack_from(
+            ">4sIII", sfnt, 12 + 16 * k)
+        tag = tag_b.decode("latin-1")
+        if tag in _WOFF2_KNOWN:
+            dirs.append(_WOFF2_KNOWN.index(tag))
+        else:
+            dirs.append(63)
+            dirs += tag_b
+        dirs += _b128(length)
+        data += sfnt[off:off + length]
+        total_sfnt += length + ((-length) % 4)
+    stream = comp(bytes(data))
+    header = (b"wOF2" + flavor
+              + _struct.pack(">IHHIIHHIIIII",
+                             48 + len(dirs) + len(stream), n_tables, 0,
+                             total_sfnt, len(stream), 1, 0,
+                             0, 0, 0, 0, 0))
+    return header + bytes(dirs) + stream, exp
+
+
+def parse_woff2(content: bytes) -> "dict | None":
+    """WOFF 2.0 -> the same metadata dict as parse_font by inflating
+    the single brotli stream and re-slicing per directory origLength
+    (transforms refused — glyf/loca never carry the metadata this
+    reader extracts).  None when no brotli decoder exists or per the
+    refusal contract."""
+    import struct as _struct
+
+    from .binary import DEFAULT_MAX_SIZE, brotli_decompressor
+
+    if content[:4] != b"wOF2" or len(content) < 48:
+        return None
+    dec = brotli_decompressor()
+    if dec is None:
+        return None  # no codec in this environment: refuse honestly
+    flavor = content[4:8]
+    n_tables = _struct.unpack_from(">H", content, 12)[0]
+    total_comp = _struct.unpack_from(">I", content, 20)[0]
+    pos = 48
+    entries = []
+    try:
+        for _ in range(n_tables):
+            if pos >= len(content):
+                return None
+            flags = content[pos]
+            pos += 1
+            known = flags & 0x3F
+            xform = flags >> 6
+            if known == 63:
+                tag = content[pos:pos + 4]
+                pos += 4
+            else:
+                tag = _WOFF2_KNOWN[known].encode("latin-1")
+            orig_len, pos = _read_b128(content, pos)
+            is_glyf_loca = tag in (b"glyf", b"loca")
+            transformed = (xform == 0) if is_glyf_loca else (xform != 0)
+            if transformed:
+                return None  # transform reconstruction out of scope
+            entries.append((tag, orig_len))
+    except ValueError:
+        return None
+    if pos + total_comp > len(content):
+        return None
+    try:
+        data = dec(content[pos:pos + total_comp], DEFAULT_MAX_SIZE)
+    except ValueError:
+        return None
+    if data is None or len(data) != sum(ln for _, ln in entries):
+        return None
+    # reassemble a plain sfnt and reuse the sfnt reader
+    n = len(entries)
+    entry_sel = max(n.bit_length() - 1, 0)
+    search = (1 << entry_sel) * 16
+    out = bytearray(flavor + _struct.pack(">HHHH", n, search,
+                                          entry_sel, n * 16 - search))
+    offset = 12 + 16 * n
+    dirs = bytearray()
+    blobs = bytearray()
+    at = 0
+    for tag, ln in entries:
+        chunk = data[at:at + ln]
+        at += ln
+        dirs += _struct.pack(">4sIII", tag, 0, offset, ln)
+        blobs += chunk
+        pad = (-ln) % 4
+        blobs += b"\x00" * pad
+        offset += ln + pad
+    return parse_font(bytes(out + dirs + blobs))

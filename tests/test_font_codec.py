@@ -68,3 +68,43 @@ def test_woff_roundtrip_and_refusals():
     bad = bytearray(raw)
     struct.pack_into(">I", bad, 44 + 12, 0)  # origLength of table 0
     assert parse_woff(bytes(bad)) is None
+
+
+def test_woff2_roundtrip_and_refusals():
+    from teledetection_drone_satellite_spark.sources.binary import (
+        brotli_compressor,
+    )
+    from teledetection_drone_satellite_spark.sources.font import (
+        parse_woff2,
+        synth_woff2,
+    )
+
+    if brotli_compressor() is None:
+        import pytest
+
+        pytest.skip("no brotli encoder in this environment")
+    for i in list(range(12)) + [57, 9999]:
+        raw, exp = synth_woff2(i)
+        assert parse_woff2(raw) == exp, i
+    assert parse_woff2(b"") is None
+    assert parse_woff2(b"wOFF" + bytes(60)) is None
+    raw, _ = synth_woff2(3)
+    # truncated directory / stream
+    assert parse_woff2(raw[:52]) is None
+    assert parse_woff2(raw[:-8]) is None
+    # corrupt an EARLY brotli stream byte (brotli has no CRC, so a
+    # tail flip may land in padding; an early flip breaks framing)
+    bad = bytearray(raw)
+    n_tables = 4
+    # stream starts after 48-byte header + directory; flip its 2nd byte
+    import struct as _struct
+
+    pos = 48
+    for _ in range(n_tables):
+        flags = bad[pos]
+        pos += 1 + (4 if (flags & 0x3F) == 63 else 0)
+        while bad[pos] & 0x80:
+            pos += 1
+        pos += 1
+    bad[pos + 1] ^= 0xFF
+    assert parse_woff2(bytes(bad)) is None
