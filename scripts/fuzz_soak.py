@@ -26,7 +26,7 @@ from teledetection_drone_satellite_spark.sources import (  # noqa: E402
     id3,
     las,
     markdown, mbox, mkv, mp4, mpeg, netcdf, notebook, odt, ogg, pbwire,
-    pdf, pptx,
+    pcap, pdf, pptx,
     robots, rtf,
     shapefile, sitemap, sqlitefile, svg, tfrecord, tomlconf,
     subtitles, vcard, warc, wat, xlsx,
@@ -156,6 +156,8 @@ DECODERS = {
                pbwire.parse_pb),
     "tfrecord": (lambda i: tfrecord.synth_tfrecord(i % 10000)[0],
                  tfrecord.parse_tfrecord),
+    "pcap": (lambda i: pcap.synth_pcap(i % 10000)[0],
+             pcap.parse_pcap),
     "notebook": (lambda i: notebook.synth_notebook(i % 10000)[0],
                  notebook.parse_notebook),
     "difftext": (lambda i: difftext.synth_diff(i % 10000)[0],

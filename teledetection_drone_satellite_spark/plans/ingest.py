@@ -10089,3 +10089,106 @@ def tfrecord_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_records int, id_sum long, label_sum long, "
         "vec_sum_x2 long, text_digest string",
     )
+
+
+@register(
+    "pcap_flow_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 5 + doc_id % 6 AS n_pkts
+        FROM documents WHERE doc_id < 120
+    ),
+    pkt AS (
+        SELECT doc_id, n_pkts, CAST(p.i AS INT) AS p,
+               (doc_id + p.i) % 2 = 0 AS is_tcp,
+               '10.0.' || CAST(doc_id % 20 AS VARCHAR) || '.'
+                   || CAST(p.i AS VARCHAR) AS src,
+               '10.1.' || CAST(doc_id % 7 AS VARCHAR) || '.'
+                   || CAST(p.i % 3 AS VARCHAR) AS dst,
+               CASE WHEN (doc_id + p.i) % 2 = 0 THEN 20 ELSE 8 END
+                   + 20 + (doc_id + p.i) % 30 AS l4_bytes
+        FROM spec, LATERAL unnest(range(0, n_pkts)) p(i)
+    ),
+    flows AS (
+        SELECT DISTINCT doc_id,
+               src || '>' || dst
+                   || CASE WHEN is_tcp THEN '/6' ELSE '/17' END
+                   AS flow
+        FROM pkt
+    ),
+    fagg AS (
+        SELECT doc_id, CAST(count(*) AS INT) AS n_flows,
+               string_agg(substr(sha256(flow), 1, 8), ''
+                          ORDER BY flow) AS flow_digest
+        FROM flows GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(s.n_pkts AS INT) AS n_ip,
+           CAST(1 AS INT) AS n_skipped,
+           CAST(sum(CASE WHEN k.is_tcp THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tcp,
+           CAST(sum(k.l4_bytes) AS BIGINT) AS l4_total,
+           min(f.n_flows) AS n_flows,
+           min(f.flow_digest) AS flow_digest
+    FROM spec s
+    JOIN pkt k ON k.doc_id = s.doc_id
+    JOIN fagg f ON f.doc_id = s.doc_id
+    GROUP BY s.doc_id, s.n_pkts
+    """,
+    doc="PCAP flow census, graded (r13 — network telemetry lands in "
+    "lakes as .pcap; the packet-level sibling of access_log_stats): "
+    "per doc synth_pcap writes a capture alternating BOTH byte "
+    "orders of the libpcap magic, Ethernet II frames with an ARP "
+    "decoy (counted-skipped, never parsed as IP), IPv4 headers whose "
+    "RFC 1071 checksum is VERIFIED and whose IHL carries option "
+    "words every third packet (the transport header moves), and "
+    "TCP/UDP ports. The oracle states packet/flow counts, TCP "
+    "shares, exact L4 byte totals, and an ORDERED distinct-flow "
+    "sha256 chain.",
+    tags=("ingest", "relational"),
+)
+def pcap_flow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.pcap import parse_pcap, synth_pcap
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_pcap(i)
+                got = parse_pcap(raw)
+                pkts = got["packets"]
+                flows = sorted({
+                    "%s>%s/%d" % (k["src"], k["dst"], k["proto"])
+                    for k in pkts})
+                rows.append((
+                    i, got["n_ip"], got["n_skipped"],
+                    sum(1 for k in pkts if k["proto"] == 6),
+                    sum(k["l4_bytes"] for k in pkts),
+                    len(flows),
+                    "".join(hashlib.sha256(fl.encode()).hexdigest()[:8]
+                            for fl in flows),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_ip", "n_skipped", "n_tcp",
+                         "l4_total", "n_flows", "flow_digest"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_ip int, n_skipped int, n_tcp long, "
+        "l4_total long, n_flows int, flow_digest string",
+    )

@@ -1,0 +1,187 @@
+"""PCAP packet-capture parsing — pure stdlib, from the public
+libpcap file format (the de-facto spec, documented in the
+pcap-savefile man page / IETF draft-ietf-opsawg-pcap) and the
+Ethernet II / IPv4 / TCP / UDP header layouts (RFC 791, 793, 768).
+
+Network telemetry lands in data lakes as .pcap blobs; the
+curation-relevant read is flow-level: who talked to whom, which
+protocol, how many packets/bytes — no payload reassembly.  The IPv4
+header checksum is VERIFIED (RFC 1071 ones-complement sum), so a
+corrupted capture refuses instead of producing wrong flows.
+
+Parsed surface:
+
+  global header  -> magic 0xa1b2c3d4 both byte orders (the reader
+                    must byte-swap), version 2.4, linktype 1
+                    (Ethernet II)
+  packet records -> ts_sec/ts_usec, incl_len <= orig_len <= snaplen
+  Ethernet       -> ethertype 0x0800 IPv4 decoded; others (ARP,
+                    IPv6 here) counted as skipped
+  IPv4           -> IHL honored (options skipped), total length
+                    bounds-checked, header checksum verified,
+                    protocol 6 TCP / 17 UDP -> ports
+
+Refusals (None): unknown magic, truncated record, an IPv4 packet
+whose checksum fails or whose lengths contradict the capture — the
+honest-fallback contract every decoder here shares.
+
+Reference parity: the reference's gateway logs request telemetry
+(services/api-gateway/middleware.py:68-95); this is the packet-level
+sibling of access_log_stats."""
+
+from __future__ import annotations
+
+import struct
+
+_MAGIC_LE = 0xA1B2C3D4
+
+
+def _ipv4_checksum(header: bytes) -> int:
+    """RFC 1071 ones-complement sum over the header with the checksum
+    field as written (for verification, compute with field zeroed)."""
+    if len(header) % 2:
+        header += b"\x00"
+    total = 0
+    for k in range(0, len(header), 2):
+        total += (header[k] << 8) | header[k + 1]
+    while total >> 16:
+        total = (total & 0xFFFF) + (total >> 16)
+    return (~total) & 0xFFFF
+
+
+def _ipv4(src: "tuple", dst: "tuple", proto: int,
+          payload: bytes) -> bytes:
+    total_len = 20 + len(payload)
+    hdr = bytearray(struct.pack(
+        ">BBHHHBBH4B4B", 0x45, 0, total_len, 0, 0, 64, proto, 0,
+        *src, *dst))
+    csum = _ipv4_checksum(bytes(hdr))
+    struct.pack_into(">H", hdr, 10, csum)
+    return bytes(hdr) + payload
+
+
+def synth_pcap(doc_id: int) -> "tuple[bytes, dict]":
+    """Deterministic fixture plus expected stats.  Closed form
+    (mirrored by the pcap_flow_stats oracle):
+
+        byte order   = little-endian when doc_id % 2 == 0 else BE
+        n_pkts       = 5 + doc_id % 6  IPv4 packets; packet p:
+          proto      = TCP when (doc_id + p) % 2 == 0 else UDP
+          src ip     = 10.0.{doc_id % 20}.{p}
+          dst ip     = 10.1.{doc_id % 7}.{p % 3}
+          ports      = 1000+p -> 80 (TCP) / 53 (UDP)
+          l4 payload = 20 + (doc_id + p) % 30 bytes
+          ts         = 1700000000 + doc_id, usec = 1000 * p
+
+    Decoys: one ARP frame (ethertype 0x0806) that must be counted as
+    skipped, never parsed as IP; an IPv4 header carrying two option
+    words (IHL 7) on every third packet — the transport header moves."""
+    i = int(doc_id)
+    le = i % 2 == 0
+    endian = "<" if le else ">"
+    out = bytearray(struct.pack(
+        endian + "IHHiIII", _MAGIC_LE, 2, 4, 0, 0, 65535, 1))
+    n_pkts = 5 + i % 6
+
+    def frame(ts_usec: int, ethertype: int, l3: bytes) -> bytes:
+        eth = (b"\x02\x00\x00\x00\x00\x01"
+               b"\x02\x00\x00\x00\x00\x02"
+               + struct.pack(">H", ethertype))
+        pkt = eth + l3
+        return struct.pack(endian + "IIII", 1700000000 + i, ts_usec,
+                           len(pkt), len(pkt)) + pkt
+
+    for p in range(n_pkts):
+        tcp = (i + p) % 2 == 0
+        plen = 20 + (i + p) % 30
+        if tcp:
+            l4 = struct.pack(">HHIIBBHHH", 1000 + p, 80, 0, 0,
+                             0x50, 0x18, 8192, 0, 0) + bytes(plen)
+        else:
+            l4 = struct.pack(">HHHH", 1000 + p, 53, 8 + plen, 0) \
+                + bytes(plen)
+        src = (10, 0, i % 20, p)
+        dst = (10, 1, i % 7, p % 3)
+        proto = 6 if tcp else 17
+        if p % 3 == 2:  # IHL 7: two option words
+            total_len = 28 + len(l4)
+            hdr = bytearray(struct.pack(
+                ">BBHHHBBH4B4B", 0x47, 0, total_len, 0, 0, 64,
+                proto, 0, *src, *dst) + b"\x01\x01\x01\x01" * 2)
+            csum = _ipv4_checksum(bytes(hdr))
+            struct.pack_into(">H", hdr, 10, csum)
+            l3 = bytes(hdr) + l4
+        else:
+            l3 = _ipv4(src, dst, proto, l4)
+        out += frame(1000 * p, 0x0800, l3)
+    # ARP decoy frame between the IP packets (after, simplest)
+    out += frame(999999, 0x0806, bytes(28))
+    return bytes(out), {"n_pkts": n_pkts}
+
+
+def parse_pcap(content: bytes) -> "dict | None":
+    """-> {'n_ip', 'n_skipped', 'packets': [{'ts_usec_total', 'src',
+    'dst', 'proto', 'sport', 'dport', 'l4_bytes'}, ...]} in capture
+    order, or None per the module docstring."""
+    if len(content) < 24:
+        return None
+    magic_raw = struct.unpack_from("<I", content, 0)[0]
+    if magic_raw == _MAGIC_LE:
+        endian = "<"
+    elif struct.unpack_from(">I", content, 0)[0] == _MAGIC_LE:
+        endian = ">"
+    else:
+        return None
+    ver_maj, ver_min, _tz, _sig, snaplen, linktype = struct.unpack_from(
+        endian + "HHiIII", content, 4)
+    if ver_maj != 2 or linktype != 1:
+        return None
+    pos = 24
+    n = len(content)
+    packets = []
+    n_ip = 0
+    n_skipped = 0
+    while pos < n:
+        if pos + 16 > n:
+            return None
+        ts_sec, ts_usec, incl, orig = struct.unpack_from(
+            endian + "IIII", content, pos)
+        pos += 16
+        if incl > orig or incl > snaplen or pos + incl > n:
+            return None
+        data = content[pos:pos + incl]
+        pos += incl
+        if len(data) < 14:
+            return None
+        ethertype = struct.unpack_from(">H", data, 12)[0]
+        if ethertype != 0x0800:
+            n_skipped += 1
+            continue
+        ip = data[14:]
+        if len(ip) < 20 or ip[0] >> 4 != 4:
+            return None
+        ihl = (ip[0] & 0x0F) * 4
+        if ihl < 20 or len(ip) < ihl:
+            return None
+        total_len = struct.unpack_from(">H", ip, 2)[0]
+        if total_len < ihl or total_len > len(ip):
+            return None
+        if _ipv4_checksum(ip[:ihl]) != 0:
+            return None  # RFC 1071: valid header sums to 0
+        proto = ip[9]
+        src = ".".join(str(b) for b in ip[12:16])
+        dst = ".".join(str(b) for b in ip[16:20])
+        l4 = ip[ihl:total_len]
+        sport = dport = 0
+        if proto in (6, 17):
+            if len(l4) < 4:
+                return None
+            sport, dport = struct.unpack_from(">HH", l4, 0)
+        n_ip += 1
+        packets.append({
+            "ts_usec_total": ts_sec * 1000000 + ts_usec,
+            "src": src, "dst": dst, "proto": proto,
+            "sport": sport, "dport": dport,
+            "l4_bytes": len(l4),
+        })
+    return {"n_ip": n_ip, "n_skipped": n_skipped, "packets": packets}

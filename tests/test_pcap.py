@@ -1,0 +1,62 @@
+"""PCAP parsing (sources/pcap.py): byte orders, checksum
+verification, IHL options, decoys, refusals."""
+
+from __future__ import annotations
+
+import struct
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.pcap import (
+    _ipv4_checksum,
+    parse_pcap,
+    synth_pcap,
+)
+
+
+def test_checksum_rfc1071_vector():
+    # The worked example from RFC 1071 §3 (0x0001,0xf203,0xf4f5,0xf6f7)
+    hdr = bytes([0x00, 0x01, 0xF2, 0x03, 0xF4, 0xF5, 0xF6, 0xF7])
+    assert _ipv4_checksum(hdr) == (~0xDDF2) & 0xFFFF
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    raw, exp = synth_pcap(doc_id)
+    got = parse_pcap(raw)
+    assert got is not None
+    assert got["n_ip"] == exp["n_pkts"]
+    assert got["n_skipped"] == 1
+    for p, pkt in enumerate(got["packets"]):
+        tcp = (doc_id + p) % 2 == 0
+        assert pkt["proto"] == (6 if tcp else 17)
+        assert pkt["dport"] == (80 if tcp else 53)
+
+
+def test_both_byte_orders():
+    raw_le, _ = synth_pcap(0)
+    raw_be, _ = synth_pcap(1)
+    assert struct.unpack_from("<I", raw_le, 0)[0] == 0xA1B2C3D4
+    assert struct.unpack_from(">I", raw_be, 0)[0] == 0xA1B2C3D4
+    assert parse_pcap(raw_le) is not None
+    assert parse_pcap(raw_be) is not None
+
+
+def test_refusals():
+    assert parse_pcap(b"") is None
+    assert parse_pcap(b"\x00" * 30) is None
+    raw, _ = synth_pcap(2)
+    # truncated packet record
+    assert parse_pcap(raw[: len(raw) - 5]) is None
+    # corrupt the IPv4 TTL: checksum verification refuses
+    bad = bytearray(raw)
+    at = raw.find(b"\x45\x00")
+    bad[at + 8] ^= 0x01
+    assert parse_pcap(bytes(bad)) is None
+    # incl_len > orig_len refuses
+    bad = bytearray(raw)
+    struct.pack_into("<I", bad, 24 + 8, 10_000)
+    assert parse_pcap(bytes(bad)) is None
