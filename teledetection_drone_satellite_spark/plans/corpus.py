@@ -707,3 +707,85 @@ def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_kept").cast("int").alias("n_kept"),
         F.substring(F.sha2(F.col("text"), 256), 1, 16).alias("out_sha"),
     )
+
+
+@register(
+    "unicode_nfc_stats",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               CASE doc_id % 4
+                   WHEN 0 THEN 'cafe' || chr(769) || ' man'
+                       || chr(771) || 'ana'
+                   WHEN 1 THEN chr(65) || chr(776) || 'rger '
+                       || chr(104) || chr(803)
+                   WHEN 2 THEN 'plain ascii text'
+                   ELSE chr(4352) || chr(4449) || chr(4520)
+               END AS raw
+        FROM documents WHERE doc_id < 200
+    ),
+    n AS (
+        SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM d
+    )
+    SELECT doc_id,
+           CAST(length(raw) AS INT) AS raw_cp,
+           CAST(length(norm) AS INT) AS norm_cp,
+           raw <> norm AS changed,
+           substr(sha256(norm), 1, 16) AS norm_digest
+    FROM n
+    """,
+    doc="Unicode NFC normalization, graded (r13 — the first text-"
+    "normalization step of every multilingual corpus pipeline: "
+    "decomposed sequences from PDF/OCR extractors must fold to the "
+    "composed forms the tokenizer was trained on): planted variants "
+    "cover combining acute/tilde/diaeresis/dot-below marks, a pure-"
+    "ASCII no-op, and Hangul Jamo L+V+T composition (three jamo -> "
+    "ONE precomposed syllable). Spark normalizes in an Arrow batch "
+    "(stdlib unicodedata — the JVM exposes no NFC expression); the "
+    "oracle is DuckDB's independent nfc_normalize, so the two "
+    "Unicode implementations must agree codepoint-for-codepoint "
+    "(both track the same UAX #15 tables).",
+    tags=("text", "corpus"),
+)
+def unicode_nfc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+    )
+    v = F.col("doc_id") % 4
+    raw = (
+        F.when(v == 0, F.lit("café mañana"))
+        .when(v == 1, F.lit("Ärger ḥ"))
+        .when(v == 2, F.lit("plain ascii text"))
+        .otherwise(F.lit("각"))
+    )
+    planted = d.select("doc_id", raw.alias("raw"))
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+        import unicodedata
+
+        for pdf_ in batches:
+            rows = []
+            for i, s in zip(pdf_["doc_id"], pdf_["raw"]):
+                norm = unicodedata.normalize("NFC", s)
+                rows.append((
+                    int(i), len(s), len(norm), s != norm,
+                    hashlib.sha256(norm.encode()).hexdigest()[:16],
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "raw_cp", "norm_cp", "changed",
+                         "norm_digest"],
+            )
+
+    return planted.mapInPandas(
+        gen,
+        "doc_id long, raw_cp int, norm_cp int, changed boolean, "
+        "norm_digest string",
+    )

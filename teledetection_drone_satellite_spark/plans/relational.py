@@ -1126,3 +1126,43 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                                 (o_orderstatus), ())
     """)
+
+
+@register(
+    "unpivot_order_metrics",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS cents,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS custs
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value
+    FROM base
+    UNION ALL
+    SELECT o_orderpriority, 'cents', cents FROM base
+    UNION ALL
+    SELECT o_orderpriority, 'custs', custs FROM base
+    """,
+    doc="Wide-to-long UNPIVOT/melt (r13 — the reshape every metrics "
+    "exporter needs: one row per (entity, metric, value) for "
+    "timeseries sinks): a per-priority rollup unpivots its three "
+    "measure columns through the native unpivot operator (Expand — "
+    "one pass, no self-union re-scan; the oracle spells the "
+    "equivalent UNION ALL). Money exact in rounded integer cents.",
+    tags=("relational",),
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    base = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .alias("cents"),
+        F.countDistinct("o_custkey").alias("custs"),
+    )
+    return base.unpivot(
+        ["o_orderpriority"], ["n_orders", "cents", "custs"],
+        "metric", "value",
+    )
