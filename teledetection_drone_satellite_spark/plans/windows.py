@@ -618,3 +618,61 @@ def time_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ic").alias("interp_cents_sum"),
         )
     )
+
+
+@register(
+    "activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        FROM events WHERE user_id < 40
+    ),
+    r AS (
+        SELECT user_id, d,
+               row_number() OVER (PARTITION BY user_id ORDER BY d)
+                   AS rn
+        FROM days
+    ),
+    isl AS (
+        SELECT user_id, d - CAST(rn AS INTEGER) AS anchor,
+               count(*) AS len,
+               min(d) AS first_d
+        FROM r GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest,
+           CAST(sum(len) AS BIGINT) AS active_days,
+           CAST(min(first_d) AS VARCHAR) AS first_day
+    FROM isl GROUP BY user_id
+    """,
+    doc="Gaps-and-islands activity streaks (r13 — the canonical "
+    "consecutive-runs reshape: distinct active days collapse to "
+    "streaks via the date - row_number() anchor, so consecutive "
+    "days share one anchor and a single groupBy yields run lengths; "
+    "no self-join, no iteration). Per-user rollup states streak "
+    "counts, the longest run, total active days, and the first "
+    "active day. Two per-user exchanges total (the window and the "
+    "anchor aggregation share partitioning).",
+    tags=("window", "relational"),
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load(spark, sf_dir, ("events",))["events"]
+        .filter(F.col("user_id") < 40)
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    r = e.withColumn("rn", F.row_number().over(w))
+    isl = (
+        r.withColumn("anchor", F.date_sub(F.col("d"), F.col("rn")))
+        .groupBy("user_id", "anchor")
+        .agg(F.count("*").alias("len"), F.min("d").alias("first_d"))
+    )
+    return isl.groupBy("user_id").agg(
+        F.count("*").alias("n_streaks"),
+        F.max("len").alias("longest"),
+        F.sum("len").alias("active_days"),
+        F.min("first_d").cast("string").alias("first_day"),
+    )
