@@ -676,3 +676,63 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("len").alias("active_days"),
         F.min("first_d").cast("string").alias("first_day"),
     )
+
+
+@register(
+    "robust_outliers_mad",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c
+        FROM events WHERE user_id < 40
+    ),
+    med AS (
+        SELECT user_id, median(c) AS m FROM e GROUP BY user_id
+    ),
+    dev AS (
+        SELECT e.user_id, e.c, abs(e.c - med.m) AS ad
+        FROM e JOIN med ON med.user_id = e.user_id
+    ),
+    mad AS (
+        SELECT user_id, median(ad) AS mad_c FROM dev GROUP BY user_id
+    )
+    SELECT d.user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN d.ad > 3 * mad.mad_c THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_outliers,
+           CAST(mad.mad_c * 2 AS BIGINT) AS mad_cents_x2
+    FROM dev d JOIN mad ON mad.user_id = d.user_id
+    GROUP BY d.user_id, mad.mad_c
+    """,
+    doc="Robust outlier detection via MAD (r13 — median absolute "
+    "deviation, the telemetry outlier screen that survives the very "
+    "outliers a stddev rule is poisoned by): per user the exact "
+    "median of integer cents (percentile 0.5 — interpolated halves "
+    "stay exact as 2x integers), absolute deviations, the exact MAD, "
+    "and the |x - med| > 3*MAD census. Two per-user aggregations "
+    "plus one broadcast-joined flag pass; everything integer-exact "
+    "(mad_cents_x2 states the doubled MAD so .5 interpolations "
+    "compare exactly).",
+    tags=("window", "relational"),
+)
+def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load(spark, sf_dir, ("events",))["events"]
+        .filter(F.col("user_id") < 40)
+        .select("user_id",
+                F.round(F.col("value") * 100).cast("long").alias("c"))
+    )
+    med = e.groupBy("user_id").agg(
+        F.expr("percentile(c, 0.5)").alias("m"))
+    dev = e.join(F.broadcast(med), "user_id").withColumn(
+        "ad", F.abs(F.col("c") - F.col("m")))
+    mad = dev.groupBy("user_id").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad_c"))
+    flagged = dev.join(F.broadcast(mad), "user_id")
+    return flagged.groupBy("user_id", "mad_c").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("ad") > 3 * F.col("mad_c"), 1)
+              .otherwise(0)).alias("n_outliers"),
+    ).select(
+        "user_id", "n_events", "n_outliers",
+        (F.col("mad_c") * 2).cast("long").alias("mad_cents_x2"),
+    )
