@@ -80,7 +80,7 @@ def test_zorder_key_matches_python_reference(spark):
            for y in (0, 2, 7, 512, 1023)]
     df = spark.createDataFrame(pts, "x long, y long")
     got = {(r["x"], r["y"]): r["z"] for r in df.select(
-        "x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")
+        "x", "y", zorder_key(F.col("x"), F.col("y"), bits=10).alias("z")
     ).collect()}
     for x, y in pts:
         assert got[(x, y)] == py_z(x, y), (x, y)
@@ -88,3 +88,25 @@ def test_zorder_key_matches_python_reference(spark):
     plan = df.select(zorder_key(F.col("x"), F.col("y")).alias("z")) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_geohash_published_vectors(spark):
+    from pyspark.sql import functions as F
+
+    from teledetection_drone_satellite_spark.operators.spatial import (
+        geohash_encode,
+    )
+
+    cases = [
+        (57.64911, 10.40744, "u4pruy"),    # the spec's worked example
+        (0.0, 0.0, "s00000"),
+        (-25.382708, -49.265506, "6gkzwg"),
+        (90.0, 180.0, "zzzzzz"),           # right-edge clamp
+        (-90.0, -180.0, "000000"),
+    ]
+    df = spark.createDataFrame(
+        [(la, lo) for la, lo, _ in cases], "lat double, lon double")
+    got = [r["g"] for r in df.select(
+        geohash_encode(F.col("lat"), F.col("lon"), 6).alias("g")
+    ).collect()]
+    assert got == [g for _, _, g in cases]
