@@ -86,8 +86,12 @@ def parse_arrow(content: bytes) -> "dict | None":
     import pyarrow as pa
     import pyarrow.ipc as ipc
 
-    layout = None
-    reader = None
+    # pa.lib.ArrowException is the base of ArrowInvalid / ArrowIOError
+    # / ArrowNotImplementedError / ArrowIndexError — a fuzzed footer
+    # can surface ANY of them (soak seed 20260825 found
+    # ArrowNotImplementedError via a bit-flipped type width), and
+    # batch materialization raises lazily, so the whole read is
+    # guarded, not just the open.
     try:
         if content[:6] == b"ARROW1":
             reader = ipc.open_file(io.BytesIO(content))
@@ -98,15 +102,15 @@ def parse_arrow(content: bytes) -> "dict | None":
             reader = ipc.open_stream(io.BytesIO(content))
             layout = "stream"
             batches = list(reader)
-    except (pa.ArrowInvalid, pa.ArrowIOError, OSError, ValueError):
+        if not batches:
+            return None
+        columns = batches[0].schema.names
+        rows = []
+        for rb in batches:
+            for row in rb.to_pylist():
+                rows.append(row)
+    except (pa.lib.ArrowException, OSError, ValueError):
         return None
-    if not batches:
-        return None
-    columns = batches[0].schema.names
-    rows = []
-    for rb in batches:
-        for row in rb.to_pylist():
-            rows.append(row)
     return {"layout": layout, "n_batches": len(batches),
             "n_rows": len(rows), "columns": list(columns),
             "rows": rows}

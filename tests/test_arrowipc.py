@@ -37,3 +37,18 @@ def test_refusals():
     # file layout truncated before the footer
     raw, _ = synth_arrow(1)
     assert parse_arrow(raw[:-10]) is None
+
+
+def test_soak_seed_20260825_regression():
+    """r13 soak-found crash: a bit-flipped type width in the FILE
+    footer made pyarrow raise ArrowNotImplementedError ('Integers
+    with less than 8 bits') — outside the original catch set. The
+    guard now spans the whole read with the base ArrowException."""
+    import random
+    import zlib
+
+    rnd = random.Random(zlib.crc32(b"arrow") * 1000003 + 20260825)
+    blob = bytearray(synth_arrow(20260825 % 10000)[0])
+    for _ in range(1 + rnd.randrange(10)):
+        blob[rnd.randrange(len(blob))] ^= 1 << rnd.randrange(8)
+    assert parse_arrow(bytes(blob)) is None
