@@ -91,3 +91,33 @@ def pagerank_fixed_point(
             .localCheckpoint(eager=False)  # cut per-iteration lineage
         )
     return ranks.select("node", F.col("_r").alias("rank"))
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list -> (node,
+    n_triangles).  The classic distributed shape (Suri & Vassilvitskii
+    2011): canonicalize each edge to (lo, hi), then ONE self-join
+    chain over ordered wedges — (a<b) joined with (b<c) gives the
+    wedge a-b-c, and a semi-join against (a<c) closes it; each
+    triangle is produced exactly once (a<b<c), then exploded to its
+    three corners for the per-node rollup.  Joins are hash equi-joins
+    on node keys; nothing quadratic in nodes, no driver-side state —
+    the same plan scales to host graphs with millions of nodes where
+    the skew lever is the standard high-degree-vertex split."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    wedges = e1.join(e2, e1["y"] == e2["y2"]).select("x", "y", "z")
+    closing = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tris = wedges.join(closing, ["x", "z"])  # a<b<c exactly once
+    corners = tris.select(
+        F.explode(F.array("x", "y", "z")).alias("node"))
+    return corners.groupBy("node").agg(
+        F.count("*").alias("n_triangles"))

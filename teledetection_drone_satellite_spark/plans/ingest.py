@@ -10192,3 +10192,84 @@ def pcap_flow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_ip int, n_skipped int, n_tcp long, "
         "l4_total long, n_flows int, flow_digest string",
     )
+
+
+@register(
+    "triangle_hosts",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id AS i FROM documents WHERE doc_id < 120
+    ),
+    pg AS (
+        SELECT i, CAST(p.x AS INT) AS p
+        FROM docs, LATERAL unnest(range(0, 1 + i % 4)) p(x)
+    ),
+    lk AS (
+        SELECT i, p, CAST(u.x AS INT) AS u
+        FROM pg, LATERAL unnest(range(0, 2 + (i + p) % 4)) u(x)
+    ),
+    edges AS (
+        SELECT DISTINCT i % 20 AS s, (i + p + 3 * u + 7) % 20 AS t
+        FROM lk WHERE i % 20 != (i + p + 3 * u + 7) % 20
+    ),
+    und AS (
+        SELECT DISTINCT LEAST(s, t) AS a, GREATEST(s, t) AS b
+        FROM edges
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (
+        SELECT x AS v FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    )
+    SELECT 'c' || CAST(v AS VARCHAR) || '.ex.com' AS host,
+           CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY v
+    """,
+    doc="Host-graph triangle counts, graded (r13 — the clustering-"
+    "coefficient primitive next to pagerank_hosts and the CC "
+    "operator; triangle density separates organic link neighborhoods "
+    "from link farms in crawl curation): WAT outlink edges "
+    "canonicalize to ordered (lo, hi) pairs and ONE ordered-wedge "
+    "join chain (Suri & Vassilvitskii 2011) emits each triangle "
+    "exactly once (a<b<c), exploded to corners for the per-host "
+    "rollup. Hash equi-joins only; the oracle restates the identical "
+    "3-way join over the closed-form edge set.",
+    tags=("curation", "relational"),
+)
+def triangle_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.graph import triangle_counts
+    from ..sources.wat import host_of, parse_wat, synth_wat
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_wat(i)
+                for page in parse_wat(raw):
+                    src = host_of(page["url"])
+                    for u in page["outlinks"]:
+                        dst = host_of(u)
+                        if dst != src:
+                            rows.append((src, dst))
+            yield pd.DataFrame(rows, columns=["src", "dst"])
+
+    edges = ids.mapInPandas(gen, "src string, dst string")
+    return triangle_counts(edges).select(
+        F.col("node").alias("host"), "n_triangles")

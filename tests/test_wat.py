@@ -165,3 +165,21 @@ def test_pagerank_self_loops_and_dupes_dropped(spark):
     # c has no in-links: rank == teleport base at every iteration
     assert got["c"] == base
     assert got["a"] > got["c"] and got["b"] > got["c"]
+
+
+@pytest.mark.usefixtures("spark")
+def test_triangle_counts_known_graph(spark):
+    """K4 minus an edge: triangles {1,2,3} and {1,2,4}; directed
+    duplicates and self-loops collapse first."""
+    from teledetection_drone_satellite_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    edges = spark.createDataFrame(
+        [("1", "2"), ("2", "1"), ("2", "3"), ("1", "3"), ("1", "4"),
+         ("2", "4"), ("3", "3")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["n_triangles"]
+           for r in triangle_counts(edges).collect()}
+    assert got == {"1": 2, "2": 2, "3": 1, "4": 1}
