@@ -67,6 +67,10 @@ def test_connected_components_rounds_are_join_plus_partial_agg(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3)], ["d1", "d2"])
     labels = curation.connected_components(edges)
     plan = _plan(labels)
-    # the returned generation is pinned — consumers read the materialized
-    # blocks, not a replay of every propagation round
-    assert "InMemoryTableScan" in plan
+    # r13 contract: the returned generation is an EAGER localCheckpoint
+    # (Scan ExistingRDD) — consumers read materialized checkpoint blocks
+    # and the plan cannot reference (or replay) any earlier round; the
+    # old persist-based pin ("InMemoryTableScan") was exponential, see
+    # connected_components docstring
+    assert "Scan ExistingRDD" in plan
+    assert "InMemoryTableScan" not in plan
