@@ -52,6 +52,11 @@ def pagerank_fixed_point(
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
+        # materialize ONCE: every iteration's contribution join (and
+        # the node seed, and outdeg) reads this — without the eager
+        # cut the upstream edge-producing plan (often an Arrow decode
+        # stage) re-executes per iteration materialization
+        .localCheckpoint(eager=True)
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -88,7 +93,10 @@ def pagerank_fixed_point(
                     )
                 ).cast("long").alias("_r"),
             )
-            .localCheckpoint(eager=False)  # cut per-iteration lineage
+            # EAGER: materialize this generation now — a lazy
+            # checkpoint defers to the final action, which then
+            # re-runs every earlier round's join once per generation
+            .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.col("_r").alias("rank"))
 
