@@ -21,8 +21,8 @@ import zlib
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from teledetection_drone_satellite_spark.sources import (  # noqa: E402
-    aiff, arc, arrowipc, cdx, difftext, docx, epub, feed, font, gpx,
-    html, ical,
+    aiff, arc, arfile, arrowipc, cdx, difftext, docx, epub, feed, font,
+    gpx, html, ical,
     id3,
     las,
     markdown, mbox, mkv, mp4, mpeg, netcdf, notebook, odt, ogg, pbwire,
@@ -158,6 +158,8 @@ DECODERS = {
                  tfrecord.parse_tfrecord),
     "pcap": (lambda i: pcap.synth_pcap(i % 10000)[0],
              pcap.parse_pcap),
+    "deb": (lambda i: arfile.synth_deb(i % 10000)[0],
+            arfile.parse_deb),
     "notebook": (lambda i: notebook.synth_notebook(i % 10000)[0],
                  notebook.parse_notebook),
     "difftext": (lambda i: difftext.synth_diff(i % 10000)[0],

@@ -10273,3 +10273,94 @@ def triangle_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = ids.mapInPandas(gen, "src string, dst string")
     return triangle_counts(edges).select(
         F.col("node").alias("host"), "n_triangles")
+
+
+@register(
+    "deb_package_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 1 + doc_id % 4 AS n_dep
+        FROM documents WHERE doc_id < 120
+    ),
+    dep AS (
+        SELECT doc_id, CAST(k.i AS INT) AS k,
+               'libdep' || CAST((doc_id + k.i) % 9 AS VARCHAR) AS name,
+               CASE WHEN k.i % 3 = 2 THEN 1 ELSE 0 END AS has_alt
+        FROM spec, LATERAL unnest(range(0, n_dep)) k(i)
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(count(*) + sum(has_alt) AS INT) AS n_depends,
+               substr(sha256(string_agg(name, ',' ORDER BY k)), 1, 16)
+                   AS dep_digest
+        FROM dep GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           'pkg' || CAST(s.doc_id AS VARCHAR) AS package,
+           '1.' || CAST(s.doc_id % 20 AS VARCHAR) || '-'
+               || CAST(1 + s.doc_id % 3 AS VARCHAR) AS version,
+           CASE s.doc_id % 3 WHEN 0 THEN 'amd64' WHEN 1 THEN 'arm64'
+               ELSE 'all' END AS arch,
+           CAST(100 + 17 * s.doc_id AS BIGINT) AS installed_kb,
+           a.n_depends, a.dep_digest,
+           CAST(64 + s.doc_id % 100 AS BIGINT) AS data_size
+    FROM spec s JOIN agg a ON a.doc_id = s.doc_id
+    """,
+    doc="Debian package metadata, graded (r13 — software packages "
+    "are a real crawl/mirror category; compliance pipelines read "
+    "control metadata without unpacking payloads): per doc synth_deb "
+    "writes a spec-shaped .deb (ar members with 2-byte alignment, "
+    "debian-binary 2.0, control.tar alternating gzip and XZ, a "
+    "conffiles decoy, a data member whose bytes are never parsed) "
+    "whose control file carries continuation-line descriptions and "
+    "Depends clauses in constraint/bare/alternative forms. The "
+    "oracle states package/version/arch, installed size, the "
+    "flattened dependency count, an ORDERED primary-dep digest, and "
+    "the opaque data size.",
+    tags=("ingest", "corpus"),
+)
+def deb_package_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.arfile import parse_deb, synth_deb
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_deb(i)
+                got = parse_deb(raw)
+                c = got["control"]
+                primary = [d for d in got["depends"]
+                           if d.startswith("libdep")]
+                rows.append((
+                    i, c["Package"], c["Version"], c["Architecture"],
+                    int(c["Installed-Size"]), len(got["depends"]),
+                    hashlib.sha256(
+                        ",".join(primary).encode()).hexdigest()[:16],
+                    got["data_size"],
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "package", "version", "arch",
+                         "installed_kb", "n_depends", "dep_digest",
+                         "data_size"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, package string, version string, arch string, "
+        "installed_kb long, n_depends int, dep_digest string, "
+        "data_size long",
+    )

@@ -1,0 +1,213 @@
+"""Unix ``ar`` archives and Debian ``.deb`` packages — pure stdlib,
+from the public ar(5) format (the common/GNU variant) and the deb(5)
+layout (an ar archive holding ``debian-binary``, ``control.tar.*``,
+``data.tar.*``).
+
+Software packages are a real crawl/dataset category (mirror dumps,
+vendored artifacts); compliance pipelines read the CONTROL metadata —
+package name, version, architecture, dependencies, installed size —
+without unpacking payloads.  The data member is never extracted here;
+only its member size is reported.
+
+Parsed surface:
+
+  ar global magic  '!<arch>\\n'; 60-byte member headers (name 16,
+                   mtime 12, uid 6, gid 6, mode 8, size 10,
+                   terminator '`\\n'), 2-byte alignment padding,
+                   GNU trailing-slash name convention stripped
+  .deb             first member 'debian-binary' with version '2.0';
+                   control.tar(.gz|.xz) -> 'control' file parsed as
+                   RFC 822-style fields with continuation lines;
+                   Depends split on commas, version constraints in
+                   parentheses stripped
+  Depends          'pkg (>= 1.2), other | alt' -> [pkg, other, alt]
+
+Refusals (None): bad magic, a malformed member header, a size
+overrunning the archive, a .deb without debian-binary 2.x or a
+control archive, an unparseable control file — the honest-fallback
+contract every decoder here shares.
+
+Reference parity: the reference declares generic binary ingestion
+(/root/reference/shared/config/__init__.py:36-39); this is the
+package sibling of the zip/tar fan-out (sources/binary.py)."""
+
+from __future__ import annotations
+
+import io
+import tarfile
+
+
+def _ar_member(name: str, data: bytes) -> bytes:
+    hdr = "%-16s%-12s%-6s%-6s%-8s%-10s" % (
+        name, "0", "0", "0", "100644", len(data))
+    out = hdr.encode("ascii") + b"`\n" + data
+    if len(data) % 2:
+        out += b"\n"  # 2-byte alignment
+    return out
+
+
+def parse_ar(content: bytes) -> "list[tuple[str, bytes]] | None":
+    """-> [(member name, payload), ...] in archive order, or None."""
+    if content[:8] != b"!<arch>\n":
+        return None
+    pos = 8
+    n = len(content)
+    out = []
+    while pos < n:
+        if pos + 60 > n:
+            return None
+        hdr = content[pos:pos + 60]
+        if hdr[58:60] != b"`\n":
+            return None
+        try:
+            name = hdr[0:16].decode("ascii").rstrip()
+            size = int(hdr[48:58].decode("ascii").strip())
+        except (UnicodeDecodeError, ValueError):
+            return None
+        if size < 0 or pos + 60 + size > n:
+            return None
+        if name.endswith("/") and len(name) > 1:
+            name = name[:-1]  # GNU convention
+        out.append((name, content[pos + 60:pos + 60 + size]))
+        pos += 60 + size + (size % 2)
+    return out
+
+
+def _parse_control(text: str) -> "dict[str, str] | None":
+    fields: "dict[str, str]" = {}
+    key = None
+    for line in text.splitlines():
+        if not line.strip():
+            continue
+        if line[:1] in (" ", "\t"):
+            if key is None:
+                return None
+            fields[key] += "\n" + line.strip()
+            continue
+        key, sep, value = line.partition(":")
+        if not sep or not key.strip():
+            return None
+        key = key.strip()
+        fields[key] = value.strip()
+    return fields or None
+
+
+def dep_names(depends: str) -> "list[str]":
+    """'a (>= 1.2), b | c' -> ['a', 'b', 'c'] (alternatives flattened,
+    version constraints stripped)."""
+    out = []
+    for clause in depends.split(","):
+        for alt in clause.split("|"):
+            name = alt.split("(")[0].strip()
+            if name:
+                out.append(name)
+    return out
+
+
+def parse_deb(content: bytes) -> "dict | None":
+    """-> {'format', 'control': {field: value}, 'depends': [name],
+    'data_member', 'data_size'} or None per the module docstring."""
+    members = parse_ar(content)
+    if not members or members[0][0] != "debian-binary":
+        return None
+    fmt = members[0][1].decode("ascii", "replace").strip()
+    if not fmt.startswith("2."):
+        return None
+    control = None
+    data_member = None
+    data_size = 0
+    for name, payload in members[1:]:
+        if name.startswith("control.tar"):
+            mode = "r:gz" if name.endswith(".gz") else (
+                "r:xz" if name.endswith(".xz") else "r:")
+            try:
+                with tarfile.open(fileobj=io.BytesIO(payload),
+                                  mode=mode) as tf:
+                    for m in tf.getmembers():
+                        if m.name.lstrip("./") == "control" and \
+                                m.isfile():
+                            control = _parse_control(
+                                tf.extractfile(m).read()
+                                .decode("utf-8"))
+            except (tarfile.TarError, OSError, UnicodeDecodeError):
+                return None
+        elif name.startswith("data.tar"):
+            data_member = name
+            data_size = len(payload)
+    if control is None or "Package" not in control:
+        return None
+    depends = dep_names(control.get("Depends", ""))
+    return {"format": fmt, "control": control, "depends": depends,
+            "data_member": data_member, "data_size": data_size}
+
+
+def synth_deb(doc_id: int) -> "tuple[bytes, dict]":
+    """Deterministic fixture plus expected stats.  Closed form
+    (mirrored by the deb_package_stats oracle):
+
+        package   = pkg{doc_id}
+        version   = 1.{doc_id % 20}-{1 + doc_id % 3}
+        arch      = amd64 / arm64 / all cycling on doc_id % 3
+        n_depends = 1 + doc_id % 4 (dep k = 'libdep{(doc_id+k) % 9}',
+                    wearing rotating constraint/alternative clothing)
+        installed = 100 + 17 * doc_id (KB)
+        control.tar gzipped for even docs, xz for odd; data.tar size
+        64 + doc_id % 100 bytes of opaque payload
+
+    Decoys: a multi-line Description with continuation lines; a
+    conffiles member in control.tar that must not shadow 'control';
+    an alternative 'x | y' dependency clause."""
+    import lzma
+    import zlib
+
+    i = int(doc_id)
+    n_dep = 1 + i % 4
+    deps = []
+    for k in range(n_dep):
+        base = "libdep%d" % ((i + k) % 9)
+        if k % 3 == 0:
+            deps.append("%s (>= 1.%d)" % (base, k))
+        elif k % 3 == 1:
+            deps.append(base)
+        else:
+            deps.append("%s | altpkg" % base)
+    control_text = (
+        "Package: pkg%d\n"
+        "Version: 1.%d-%d\n"
+        "Architecture: %s\n"
+        "Installed-Size: %d\n"
+        "Depends: %s\n"
+        "Description: synthetic package %d\n"
+        " a continuation line the parser must fold\n"
+        " .\n"
+        " another paragraph\n"
+        % (i, i % 20, 1 + i % 3, ("amd64", "arm64", "all")[i % 3],
+           100 + 17 * i, ", ".join(deps), i)
+    )
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in (("./control", control_text.encode()),
+                           ("./conffiles", b"/etc/pkg%d.conf\n" % i)):
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    tar_raw = buf.getvalue()
+    if i % 2 == 0:
+        ctrl_name = "control.tar.gz"
+        c = zlib.compressobj(6, zlib.DEFLATED, 31)
+        ctrl = c.compress(tar_raw) + c.flush()
+    else:
+        ctrl_name = "control.tar.xz"
+        ctrl = lzma.compress(tar_raw)
+    data_payload = bytes((i + j) % 256 for j in range(64 + i % 100))
+    deb = (b"!<arch>\n"
+           + _ar_member("debian-binary", b"2.0\n")
+           + _ar_member(ctrl_name, ctrl)
+           + _ar_member("data.tar.gz", data_payload))
+    # the data member is opaque here; only its size is read
+    n_alt = sum(1 for k in range(n_dep) if k % 3 == 2)
+    return deb, {
+        "package": "pkg%d" % i,
+        "n_depends": n_dep + n_alt,  # alternatives flatten
+        "data_size": len(data_payload),
+    }

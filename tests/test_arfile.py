@@ -1,0 +1,60 @@
+"""ar / .deb parsing (sources/arfile.py): roundtrip fuzz, alignment,
+control folding, refusals."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.arfile import (
+    _ar_member,
+    dep_names,
+    parse_ar,
+    parse_deb,
+    synth_deb,
+)
+
+
+@settings(max_examples=50, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    raw, exp = synth_deb(doc_id)
+    got = parse_deb(raw)
+    assert got is not None
+    assert got["control"]["Package"] == exp["package"]
+    assert len(got["depends"]) == exp["n_depends"]
+    assert got["data_size"] == exp["data_size"]
+
+
+def test_ar_alignment_and_gnu_names():
+    # odd-sized member forces the pad byte; GNU trailing slash strips
+    arch = (b"!<arch>\n" + _ar_member("odd", b"xyz")
+            + _ar_member("name/", b"ab"))
+    got = parse_ar(arch)
+    assert got == [("odd", b"xyz"), ("name", b"ab")]
+
+
+def test_dep_names():
+    assert dep_names("a (>= 1.2), b | c, d") == ["a", "b", "c", "d"]
+    assert dep_names("") == []
+    assert dep_names("x(>=1)") == ["x"]
+
+
+def test_refusals():
+    assert parse_ar(b"") is None
+    assert parse_ar(b"!<arch>\nshort") is None
+    assert parse_deb(b"!<arch>\n") is None
+    raw, _ = synth_deb(2)
+    # truncation inside a member
+    assert parse_deb(raw[:90]) is None
+    # wrong debian-binary version
+    bad = bytearray(raw)
+    at = raw.find(b"2.0\n")
+    bad[at] = ord("3")
+    assert parse_deb(bytes(bad)) is None
+    # corrupt control.tar.gz stream
+    bad = bytearray(raw)
+    at = raw.find(b"control.tar")
+    bad[at + 70] ^= 0xFF
+    assert parse_deb(bytes(bad)) is None
