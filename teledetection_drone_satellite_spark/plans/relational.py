@@ -1166,3 +1166,46 @@ def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderpriority"], ["n_orders", "cents", "custs"],
         "metric", "value",
     )
+
+
+@register(
+    "benford_first_digit",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_totalprice > 0
+    ),
+    fd AS (
+        SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT)
+            AS digit
+        FROM d
+    )
+    SELECT digit,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(floor(log10(1.0 + 1.0 / digit) * 1000000) AS BIGINT)
+               AS benford_ppm
+    FROM fd GROUP BY digit
+    """,
+    doc="Benford first-digit census (r13 — the classic forensic "
+    "screen for fabricated numeric columns; a synthetic-uniform "
+    "price column like TPC-H's visibly VIOLATES the log10(1+1/d) "
+    "law, which is exactly what the paired expected-ppm column lets "
+    "an analyst see): first digit via string head of exact integer "
+    "cents (no float log on the data path), expected Benford shares "
+    "as floor-ppm integers computed identically in both engines. "
+    "One map-side projection + one 9-group aggregate.",
+    tags=("relational",),
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, ("orders",))["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    fd = (
+        o.filter(F.col("o_totalprice") > 0)
+        .select(F.substring(cents.cast("string"), 1, 1).cast("int")
+                .alias("digit"))
+    )
+    return fd.groupBy("digit").agg(
+        F.count("*").alias("n"),
+        F.floor(F.log10(1.0 + 1.0 / F.col("digit")) * 1000000)
+        .cast("long").alias("benford_ppm"),
+    )
