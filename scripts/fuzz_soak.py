@@ -28,7 +28,7 @@ from teledetection_drone_satellite_spark.sources import (  # noqa: E402
     markdown, mbox, mkv, mp4, mpeg, netcdf, notebook, odt, ogg, pbwire,
     pcap, pdf, pptx,
     robots, rtf,
-    shapefile, sitemap, sqlitefile, svg, tfrecord, tomlconf,
+    shapefile, sitemap, sqlitefile, svg, tfrecord, tomlconf, torrent,
     subtitles, vcard, warc, wat, xlsx,
 )
 
@@ -160,6 +160,8 @@ DECODERS = {
              pcap.parse_pcap),
     "deb": (lambda i: arfile.synth_deb(i % 10000)[0],
             arfile.parse_deb),
+    "torrent": (lambda i: torrent.synth_torrent(i % 10000)[0],
+                torrent.parse_torrent),
     "notebook": (lambda i: notebook.synth_notebook(i % 10000)[0],
                  notebook.parse_notebook),
     "difftext": (lambda i: difftext.synth_diff(i % 10000)[0],

@@ -10364,3 +10364,81 @@ def deb_package_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "installed_kb long, n_depends int, dep_digest string, "
         "data_size long",
     )
+
+
+@register(
+    "torrent_meta_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               16384 * (1 << (doc_id % 3)) AS piece_length,
+               CASE WHEN doc_id % 2 = 0 THEN 1
+                    ELSE 1 + doc_id % 4 END AS n_files
+        FROM documents WHERE doc_id < 120
+    ),
+    tot AS (
+        SELECT s.doc_id, s.piece_length, s.n_files,
+               CASE WHEN s.doc_id % 2 = 0
+                    THEN 50000 + 977 * s.doc_id
+                    ELSE (SELECT sum(1000 + 37 * (s.doc_id + k.i))
+                          FROM unnest(range(0, s.n_files)) k(i))
+               END AS total_bytes
+        FROM spec s
+    )
+    SELECT doc_id,
+           'corpus-' || CAST(doc_id AS VARCHAR) AS name,
+           CAST(piece_length AS BIGINT) AS piece_length,
+           CAST((total_bytes + piece_length - 1) // piece_length
+               AS BIGINT) AS n_pieces,
+           CAST(n_files AS INT) AS n_files,
+           CAST(total_bytes AS BIGINT) AS total_bytes
+    FROM tot
+    """,
+    doc="BitTorrent metainfo parsing, graded (r13 — .torrent files "
+    "circulate in crawled mirror dumps; the infohash is the content "
+    "key P2P dedup joins on): strict canonical bencode (BEP 3 — "
+    "sorted dict keys ENFORCED, leading-zero integers and trailing "
+    "bytes refused) so the decoded info dict re-encodes bit-exactly "
+    "and the SHA-1 infohash is stable (round-trip asserted per row "
+    "in the Arrow stage); fixtures alternate single-file and "
+    "multi-file layouts. The oracle states name, piece geometry, "
+    "file counts, and exact byte totals.",
+    tags=("ingest", "corpus"),
+)
+def torrent_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.torrent import parse_torrent, synth_torrent
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_torrent(i)
+                got = parse_torrent(raw)
+                assert len(got["infohash"]) == 40
+                rows.append((
+                    i, got["name"], got["piece_length"],
+                    got["n_pieces"], got["n_files"],
+                    got["total_bytes"],
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "name", "piece_length",
+                         "n_pieces", "n_files", "total_bytes"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, name string, piece_length long, n_pieces long, "
+        "n_files int, total_bytes long",
+    )

@@ -1,0 +1,193 @@
+"""BitTorrent metainfo (.torrent) parsing — pure stdlib, from the
+public BEP 3 specification (bencoding + the metainfo dictionary).
+
+Torrent files circulate widely in crawled data and mirror dumps; the
+curation-relevant read is the metainfo surface — name, piece length,
+piece count, file inventory with sizes, tracker — plus the exact
+SHA-1 infohash (the content identifier dedup pipelines key on),
+which requires re-encoding the info dict CANONICALLY (bencode is
+bijective for sorted dicts, so decode->encode must round-trip
+byte-for-byte or the hash is wrong).
+
+Parsed surface (bencode): integers ``i...e`` (leading zeros and
+``-0`` refused per BEP 3), byte strings ``len:bytes``, lists
+``l...e``, dicts ``d...e`` with keys REQUIRED sorted (the canonical
+form, refused otherwise — real clients enforce this for infohash
+stability); metainfo: announce, info.name, info.piece length,
+info.pieces (20-byte multiple), single-file ``length`` or
+multi-file ``files`` lists.
+
+Refusals (None): malformed bencode, trailing garbage, unsorted or
+duplicate dict keys, a pieces blob that is not a multiple of 20, a
+metainfo without an info dict — the honest-fallback contract every
+decoder here shares.
+
+Reference parity: the reference declares generic binary ingestion
+(/root/reference/shared/config/__init__.py:36-39); this is the
+peer-distribution sibling of the package tier (arfile.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+
+def bencode(obj) -> bytes:
+    if isinstance(obj, int):
+        return b"i%de" % obj
+    if isinstance(obj, bytes):
+        return b"%d:%s" % (len(obj), obj)
+    if isinstance(obj, str):
+        return bencode(obj.encode())
+    if isinstance(obj, list):
+        return b"l" + b"".join(bencode(v) for v in obj) + b"e"
+    if isinstance(obj, dict):
+        out = b"d"
+        for k in sorted(obj):
+            kb = k if isinstance(k, bytes) else k.encode()
+            out += bencode(kb) + bencode(obj[k])
+        return out + b"e"
+    raise TypeError(type(obj))
+
+
+def _bdecode(buf: bytes, pos: int):
+    if pos >= len(buf):
+        raise ValueError("truncated")
+    c = buf[pos:pos + 1]
+    if c == b"i":
+        end = buf.index(b"e", pos)
+        body = buf[pos + 1:end]
+        if (body.startswith(b"0") and body != b"0") or \
+                body.startswith(b"-0") or not body:
+            raise ValueError("bad integer")
+        return int(body), end + 1
+    if c == b"l":
+        pos += 1
+        out = []
+        while buf[pos:pos + 1] != b"e":
+            v, pos = _bdecode(buf, pos)
+            out.append(v)
+        return out, pos + 1
+    if c == b"d":
+        pos += 1
+        out = {}
+        prev = None
+        while buf[pos:pos + 1] != b"e":
+            k, pos = _bdecode(buf, pos)
+            if not isinstance(k, bytes):
+                raise ValueError("non-string dict key")
+            if prev is not None and k <= prev:
+                raise ValueError("unsorted dict keys")
+            prev = k
+            v, pos = _bdecode(buf, pos)
+            out[k] = v
+        return out, pos + 1
+    if c.isdigit():
+        colon = buf.index(b":", pos)
+        ln = int(buf[pos:colon])
+        if ln < 0 or colon + 1 + ln > len(buf):
+            raise ValueError("bad string length")
+        return buf[colon + 1:colon + 1 + ln], colon + 1 + ln
+    raise ValueError("bad token")
+
+
+def bdecode(buf: bytes):
+    """Strict canonical bencode decode (sorted dict keys, no trailing
+    bytes); raises ValueError on refusal."""
+    v, pos = _bdecode(buf, 0)
+    if pos != len(buf):
+        raise ValueError("trailing garbage")
+    return v
+
+
+def synth_torrent(doc_id: int) -> "tuple[bytes, dict]":
+    """Deterministic fixture plus expected stats.  Closed form
+    (mirrored by the torrent_meta_stats oracle):
+
+        name         = corpus-{doc_id}
+        piece_length = 16384 << (doc_id % 3)
+        single-file (even doc): length = 50000 + 977 * doc_id
+        multi-file  (odd doc):  1 + doc_id % 4 files, file k length
+                                = 1000 + 37 * (doc_id + k)
+        n_pieces     = ceil(total / piece_length)"""
+    i = int(doc_id)
+    piece_length = 16384 << (i % 3)
+    if i % 2 == 0:
+        total = 50000 + 977 * i
+        extra = {b"length": total}
+        n_files = 1
+    else:
+        n_files = 1 + i % 4
+        files = [{b"length": 1000 + 37 * (i + k),
+                  b"path": [b"dir%d" % i, b"f%d.bin" % k]}
+                 for k in range(n_files)]
+        total = sum(f[b"length"] for f in files)
+        extra = {b"files": files}
+    n_pieces = -(-total // piece_length)
+    pieces = b"".join(
+        hashlib.sha1(b"piece%d-%d" % (i, p)).digest()
+        for p in range(n_pieces))
+    info = {b"name": b"corpus-%d" % i,
+            b"piece length": piece_length,
+            b"pieces": pieces, **extra}
+    meta = {b"announce": b"https://t%d.ex.com/announce" % (i % 9),
+            b"creation date": 1700000000 + i,
+            b"info": info}
+    return bencode(meta), {
+        "name": "corpus-%d" % i,
+        "piece_length": piece_length,
+        "n_pieces": n_pieces,
+        "n_files": n_files,
+        "total_bytes": total,
+    }
+
+
+def parse_torrent(content: bytes) -> "dict | None":
+    """-> {'name', 'announce', 'piece_length', 'n_pieces', 'n_files',
+    'total_bytes', 'infohash'} or None per the module docstring.
+    infohash = sha1 over the CANONICAL re-encoding of the info dict
+    (round-trips bit-exactly because decode enforces sorted keys)."""
+    try:
+        meta = bdecode(content)
+    except ValueError:
+        return None
+    if not isinstance(meta, dict):
+        return None
+    info = meta.get(b"info")
+    if not isinstance(info, dict):
+        return None
+    name = info.get(b"name")
+    piece_length = info.get(b"piece length")
+    pieces = info.get(b"pieces")
+    if not isinstance(name, bytes) or \
+            not isinstance(piece_length, int) or piece_length <= 0 \
+            or not isinstance(pieces, bytes) or len(pieces) % 20:
+        return None
+    if b"length" in info:
+        if not isinstance(info[b"length"], int):
+            return None
+        n_files = 1
+        total = info[b"length"]
+    elif b"files" in info:
+        files = info[b"files"]
+        if not isinstance(files, list) or not files:
+            return None
+        total = 0
+        for f in files:
+            if not isinstance(f, dict) or \
+                    not isinstance(f.get(b"length"), int):
+                return None
+            total += f[b"length"]
+        n_files = len(files)
+    else:
+        return None
+    announce = meta.get(b"announce", b"")
+    return {
+        "name": name.decode("utf-8", "replace"),
+        "announce": announce.decode("utf-8", "replace")
+        if isinstance(announce, bytes) else "",
+        "piece_length": piece_length,
+        "n_pieces": len(pieces) // 20,
+        "n_files": n_files,
+        "total_bytes": total,
+        "infohash": hashlib.sha1(bencode(info)).hexdigest(),
+    }

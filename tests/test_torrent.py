@@ -1,0 +1,61 @@
+"""Bencode / .torrent parsing (sources/torrent.py): canonical
+round-trip, infohash stability, refusals."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.torrent import (
+    bdecode,
+    bencode,
+    parse_torrent,
+    synth_torrent,
+)
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    raw, exp = synth_torrent(doc_id)
+    got = parse_torrent(raw)
+    assert got is not None
+    for k in exp:
+        assert got[k] == exp[k]
+    meta = bdecode(raw)
+    assert got["infohash"] == hashlib.sha1(
+        bencode(meta[b"info"])).hexdigest()
+
+
+def test_bencode_canonical_rules():
+    assert bdecode(b"i-42e") == -42
+    assert bdecode(b"le") == []
+    assert bdecode(b"d1:ai1e1:bi2ee") == {b"a": 1, b"b": 2}
+    for bad in (b"i01e", b"i-0e", b"ie", b"d1:bi1e1:ai2ee",
+                b"d1:ai1e1:ai2ee", b"5:ab", b"i1ex", b"lxe"):
+        try:
+            bdecode(bad)
+            raised = False
+        except ValueError:
+            raised = True
+        assert raised, bad
+
+
+def test_refusals():
+    assert parse_torrent(b"") is None
+    assert parse_torrent(b"d3:fooi1ee") is None
+    raw, _ = synth_torrent(4)
+    assert parse_torrent(raw[:-1]) is None
+    # pieces not a multiple of 20
+    bad = raw.replace(b"6:pieces" if b"6:pieces" in raw else b"pieces",
+                      b"6:pieces", 1)
+    meta = bdecode(raw)
+    meta[b"info"][b"pieces"] = b"\x00" * 19
+    assert parse_torrent(bencode(meta)) is None
+    # zero piece length
+    meta = bdecode(raw)
+    meta[b"info"][b"piece length"] = 0
+    assert parse_torrent(bencode(meta)) is None
