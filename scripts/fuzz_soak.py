@@ -21,8 +21,8 @@ import zlib
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from teledetection_drone_satellite_spark.sources import (  # noqa: E402
-    aiff, arc, arfile, arrowipc, cdx, difftext, docx, epub, feed, font,
-    gpx, html, ical,
+    aiff, arc, arfile, arrowipc, cdx, difftext, docx, elf, epub, feed,
+    font, gpx, html, ical,
     id3,
     las,
     markdown, mbox, mkv, mp4, mpeg, netcdf, notebook, odt, ogg, pbwire,
@@ -162,6 +162,7 @@ DECODERS = {
             arfile.parse_deb),
     "torrent": (lambda i: torrent.synth_torrent(i % 10000)[0],
                 torrent.parse_torrent),
+    "elf": (lambda i: elf.synth_elf(i % 10000)[0], elf.parse_elf),
     "notebook": (lambda i: notebook.synth_notebook(i % 10000)[0],
                  notebook.parse_notebook),
     "difftext": (lambda i: difftext.synth_diff(i % 10000)[0],

@@ -1,0 +1,180 @@
+"""ELF executable metadata — pure stdlib, from the public ELF
+specification (the gABI / elf(5): identification, header, section
+header table, .shstrtab name resolution).
+
+Compiled binaries show up throughout code corpora and crawled
+artifact stores; curation classifies them (architecture, link type,
+section census) without execution or disassembly — the binary
+sibling of the font/package tiers.  Both ELFCLASS32 and ELFCLASS64,
+both byte orders.
+
+Parsed surface:
+
+  e_ident        -> magic, class (32/64), data (LSB/MSB), version 1
+  header         -> e_type (REL/EXEC/DYN/CORE), e_machine (names for
+                    the common set, 'other' otherwise), e_entry
+  section table  -> e_shoff/e_shentsize/e_shnum/e_shstrndx walked and
+                    bounds-checked; names resolved through .shstrtab
+                    (NUL-terminated slices); per-section sizes
+
+Refusals (None): bad magic/class/data/version, a section table or
+shstrtab outside the file, an shstrndx out of range, a name offset
+past the string table — the honest-fallback contract every decoder
+here shares.
+
+Reference parity: the reference declares generic binary ingestion
+(/root/reference/shared/config/__init__.py:36-39)."""
+
+from __future__ import annotations
+
+import struct
+
+_MACHINES = {3: "x86", 40: "arm", 62: "x86_64", 183: "aarch64",
+             243: "riscv"}
+_TYPES = {1: "rel", 2: "exec", 3: "dyn", 4: "core"}
+
+
+def synth_elf(doc_id: int) -> "tuple[bytes, dict]":
+    """Deterministic fixture plus expected stats.  Closed form
+    (mirrored by the elf_meta_stats oracle):
+
+        bits      = 64 when doc_id % 2 == 0 else 32
+        endian    = little when doc_id % 3 != 0 else big
+        etype     = exec / dyn alternating on doc_id % 2
+        machine   = x86_64 / aarch64 / riscv / x86 on doc_id % 4
+        text_size = 256 + 16 * (doc_id % 32)
+        data_size = 64 + 8 * (doc_id % 16)
+        n_sections = 5 (NULL, .text, .data, .rodata, .shstrtab)"""
+    i = int(doc_id)
+    is64 = i % 2 == 0
+    le = i % 3 != 0
+    end = "<" if le else ">"
+    etype = 2 if i % 2 == 0 else 3
+    machine = (62, 183, 243, 3)[i % 4]
+    text_size = 256 + 16 * (i % 32)
+    data_size = 64 + 8 * (i % 16)
+    rodata_size = 32 + i % 24
+    shstrtab = b"\x00.text\x00.data\x00.rodata\x00.shstrtab\x00"
+    name_off = {".text": 1, ".data": 7, ".rodata": 13,
+                ".shstrtab": 21}
+    ehsize = 64 if is64 else 52
+    shentsize = 64 if is64 else 40
+    sections = [
+        ("", 0, 0),  # SHT_NULL
+        (".text", 1, text_size),
+        (".data", 1, data_size),
+        (".rodata", 1, rodata_size),
+        (".shstrtab", 3, len(shstrtab)),
+    ]
+    # layout: ehdr | payloads | shstrtab | section table
+    off = ehsize
+    offsets = []
+    for _name, _typ, size in sections:
+        offsets.append(off)
+        off += size
+    shoff = off
+    body = bytearray()
+    for (_n, _t, size) in sections[1:4]:
+        body += bytes((i + size) % 256 for _ in range(size))
+    body += shstrtab
+    sh = bytearray()
+    for (name, typ, size), s_off in zip(sections, offsets):
+        n_off = name_off.get(name, 0)
+        if is64:
+            sh += struct.pack(end + "IIQQQQIIQQ", n_off, typ, 0, 0,
+                              s_off if name else 0, size, 0, 0, 0, 0)
+        else:
+            sh += struct.pack(end + "IIIIIIIIII", n_off, typ, 0, 0,
+                              s_off if name else 0, size, 0, 0, 0, 0)
+    ident = (b"\x7fELF" + bytes([2 if is64 else 1, 1 if le else 2, 1])
+             + bytes(9))
+    entry = 0x400000 + 16 * i
+    if is64:
+        ehdr = ident + struct.pack(
+            end + "HHIQQQIHHHHHH", etype, machine, 1, entry, 0,
+            shoff, 0, ehsize, 0, 0, shentsize, len(sections),
+            len(sections) - 1)
+    else:
+        ehdr = ident + struct.pack(
+            end + "HHIIIIIHHHHHH", etype, machine, 1, entry, 0,
+            shoff, 0, ehsize, 0, 0, shentsize, len(sections),
+            len(sections) - 1)
+    raw = ehdr + bytes(body) + bytes(sh)
+    return raw, {
+        "bits": 64 if is64 else 32,
+        "endian": "little" if le else "big",
+        "etype": _TYPES[etype],
+        "machine": _MACHINES[machine],
+        "n_sections": len(sections),
+        "text_size": text_size,
+        "data_size": data_size,
+    }
+
+
+def parse_elf(content: bytes) -> "dict | None":
+    """-> {'bits', 'endian', 'etype', 'machine', 'n_sections',
+    'sections': [(name, size), ...]} or None per the module
+    docstring."""
+    if content[:4] != b"\x7fELF" or len(content) < 52:
+        return None
+    eclass, edata, ever = content[4], content[5], content[6]
+    if eclass not in (1, 2) or edata not in (1, 2) or ever != 1:
+        return None
+    is64 = eclass == 2
+    end = "<" if edata == 1 else ">"
+    try:
+        if is64:
+            if len(content) < 64:
+                return None
+            (etype, machine, _v, _entry, _phoff, shoff, _flags,
+             _ehsize, _phes, _phn, shentsize, shnum,
+             shstrndx) = struct.unpack_from(end + "HHIQQQIHHHHHH",
+                                            content, 16)
+        else:
+            (etype, machine, _v, _entry, _phoff, shoff, _flags,
+             _ehsize, _phes, _phn, shentsize, shnum,
+             shstrndx) = struct.unpack_from(end + "HHIIIIIHHHHHH",
+                                            content, 16)
+    except struct.error:
+        return None
+    if shnum == 0 or shstrndx >= shnum:
+        return None
+    if shoff + shentsize * shnum > len(content):
+        return None
+    min_ent = 64 if is64 else 40
+    if shentsize < min_ent:
+        return None
+    fmt = end + ("IIQQQQIIQQ" if is64 else "IIIIIIIIII")
+    raw_sections = []
+    for k in range(shnum):
+        try:
+            fields = struct.unpack_from(fmt, content,
+                                        shoff + k * shentsize)
+        except struct.error:
+            return None
+        raw_sections.append(
+            {"name_off": fields[0], "offset": fields[4],
+             "size": fields[5]})
+    strtab = raw_sections[shstrndx]
+    s_off, s_size = strtab["offset"], strtab["size"]
+    if s_off + s_size > len(content):
+        return None
+    table = content[s_off:s_off + s_size]
+    sections = []
+    for sec in raw_sections:
+        no = sec["name_off"]
+        if no >= len(table) and no != 0:
+            return None
+        endp = table.find(b"\x00", no)
+        if endp < 0:
+            return None
+        sections.append((table[no:endp].decode("latin-1"),
+                         int(sec["size"])))
+    return {
+        "bits": 64 if is64 else 32,
+        "endian": "little" if edata == 1 else "big",
+        "etype": _TYPES.get(etype, "other"),
+        "machine": _MACHINES.get(machine, "other"),
+        "n_sections": shnum,
+        "sections": sections,
+    }

@@ -1,0 +1,51 @@
+"""ELF metadata (sources/elf.py): both classes and byte orders,
+section name resolution, refusals."""
+
+from __future__ import annotations
+
+import struct
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.elf import (
+    parse_elf,
+    synth_elf,
+)
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    raw, exp = synth_elf(doc_id)
+    got = parse_elf(raw)
+    assert got is not None
+    for k in ("bits", "endian", "etype", "machine", "n_sections"):
+        assert got[k] == exp[k]
+    secs = dict(got["sections"])
+    assert secs[".text"] == exp["text_size"]
+    assert secs[".data"] == exp["data_size"]
+    assert secs[""] == 0  # the SHT_NULL section
+
+
+def test_refusals():
+    assert parse_elf(b"") is None
+    assert parse_elf(b"MZ\x90\x00" + bytes(60)) is None  # PE, not ELF
+    # bad class / version
+    raw, _ = synth_elf(0)
+    bad = bytearray(raw)
+    bad[4] = 3
+    assert parse_elf(bytes(bad)) is None
+    bad = bytearray(raw)
+    bad[6] = 2
+    assert parse_elf(bytes(bad)) is None
+    # section table past EOF
+    assert parse_elf(raw[:100]) is None
+    # shstrndx out of range
+    bad = bytearray(raw)
+    struct.pack_into("<H", bad, 62, 99)
+    assert parse_elf(bytes(bad)) is None
+    # big-endian variant parses (doc 3: 32-bit BE)
+    raw_be, exp = synth_elf(3)
+    assert parse_elf(raw_be)["endian"] == "big" == exp["endian"]
