@@ -150,8 +150,11 @@ DECODERS = {
     "woff": (lambda i: font.synth_woff(i % 10000)[0], font.parse_woff),
     "woff2": (lambda i: font.synth_woff2(i % 10000)[0],
               font.parse_woff2),
+    # untrusted-input contract: pyarrow C++ can std::terminate on
+    # hostile bytes (seed 141519) — soak the ISOLATED entrypoint,
+    # which is what a landing scan must use for .arrow blobs
     "arrow": (lambda i: arrowipc.synth_arrow(i % 10000)[0],
-              arrowipc.parse_arrow),
+              arrowipc.parse_arrow_isolated),
     "pbwire": (lambda i: pbwire.synth_pb(i % 10000)[0],
                pbwire.parse_pb),
     "tfrecord": (lambda i: tfrecord.synth_tfrecord(i % 10000)[0],

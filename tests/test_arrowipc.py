@@ -52,3 +52,26 @@ def test_soak_seed_20260825_regression():
     for _ in range(1 + rnd.randrange(10)):
         blob[rnd.randrange(len(blob))] ^= 1 << rnd.randrange(8)
     assert parse_arrow(bytes(blob)) is None
+
+
+def test_soak_seed_141519_native_abort_isolated():
+    """r13 soak-found NATIVE crash: a bit-flipped Feather footer makes
+    pyarrow's C++ throw std::length_error -> std::terminate, which no
+    in-process except can catch. The untrusted-input entrypoint
+    parse_arrow_isolated turns the child abort into a refusal."""
+    import random
+    import zlib
+
+    from teledetection_drone_satellite_spark.sources.arrowipc import (
+        parse_arrow_isolated,
+    )
+
+    rnd = random.Random(zlib.crc32(b"arrow") * 1000003 + 141519)
+    blob = bytearray(synth_arrow(141519 % 10000)[0])
+    for _ in range(1 + rnd.randrange(10)):
+        blob[rnd.randrange(len(blob))] ^= 1 << rnd.randrange(8)
+    assert parse_arrow_isolated(bytes(blob)) is None
+    # sane inputs still parse through the isolation boundary
+    raw, exp = synth_arrow(7)
+    got = parse_arrow_isolated(raw)
+    assert got is not None and got["n_rows"] == exp["n_rows"]
