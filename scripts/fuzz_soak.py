@@ -28,7 +28,8 @@ from teledetection_drone_satellite_spark.sources import (  # noqa: E402
     markdown, mbox, mkv, mp4, mpeg, netcdf, notebook, odt, ogg, pbwire,
     pcap, pdf, pptx,
     robots, rtf,
-    shapefile, sitemap, sqlitefile, svg, tfrecord, tomlconf, torrent,
+    rpmfile, shapefile, sitemap, sqlitefile, svg, tfrecord, tomlconf,
+    torrent,
     subtitles, vcard, warc, wat, xlsx,
 )
 
@@ -166,6 +167,8 @@ DECODERS = {
     "torrent": (lambda i: torrent.synth_torrent(i % 10000)[0],
                 torrent.parse_torrent),
     "elf": (lambda i: elf.synth_elf(i % 10000)[0], elf.parse_elf),
+    "rpm": (lambda i: rpmfile.synth_rpm(i % 10000)[0],
+            rpmfile.parse_rpm),
     "notebook": (lambda i: notebook.synth_notebook(i % 10000)[0],
                  notebook.parse_notebook),
     "difftext": (lambda i: difftext.synth_diff(i % 10000)[0],

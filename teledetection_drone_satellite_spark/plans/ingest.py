@@ -10509,3 +10509,88 @@ def elf_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "machine string, n_sections int, text_size long, "
         "data_size long",
     )
+
+
+@register(
+    "rpm_package_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 1 + doc_id % 4 AS n_req
+        FROM documents WHERE doc_id < 120
+    ),
+    req AS (
+        SELECT doc_id, CAST(k.i AS INT) AS k,
+               'librpm' || CAST((doc_id + k.i) % 7 AS VARCHAR) AS name
+        FROM spec, LATERAL unnest(range(0, n_req)) k(i)
+    ),
+    agg AS (
+        SELECT doc_id,
+               substr(sha256(string_agg(name, ',' ORDER BY k)), 1, 16)
+                   AS req_digest
+        FROM req GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           'rpmpkg' || CAST(s.doc_id AS VARCHAR) AS name,
+           '2.' || CAST(s.doc_id % 15 AS VARCHAR) AS version,
+           CAST(1 + s.doc_id % 5 AS VARCHAR) AS release,
+           CASE s.doc_id % 3 WHEN 0 THEN 'x86_64' WHEN 1 THEN 'aarch64'
+               ELSE 'noarch' END AS arch,
+           CASE s.doc_id % 3 WHEN 0 THEN 'MIT' WHEN 1 THEN 'GPLv2'
+               ELSE 'Apache-2.0' END AS license,
+           CAST(4096 + 311 * s.doc_id AS BIGINT) AS size,
+           CAST(s.n_req AS INT) AS n_requires,
+           a.req_digest
+    FROM spec s JOIN agg a ON a.doc_id = s.doc_id
+    """,
+    doc="RPM package metadata, graded (r13 — the Red Hat counterpart "
+    "of deb_package_stats, completing the package-compliance pair): "
+    "per doc synth_rpm writes lead + SIGNATURE header (store sizes "
+    "chosen to force NON-ZERO 8-byte alignment padding — the detail "
+    "naive readers miss) + main header with int32/string/i18n/"
+    "string-array tag types and private-tag decoys, payload opaque. "
+    "The oracle states name/version/release/arch/license, exact "
+    "size, and an ORDERED requires digest.",
+    tags=("ingest", "corpus"),
+)
+def rpm_package_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.rpmfile import parse_rpm, synth_rpm
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_rpm(i)
+                got = parse_rpm(raw)
+                rows.append((
+                    i, got["name"], got["version"], got["release"],
+                    got["arch"], got["license"], got["size"],
+                    len(got["requires"]),
+                    hashlib.sha256(",".join(got["requires"])
+                                   .encode()).hexdigest()[:16],
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "name", "version", "release",
+                         "arch", "license", "size", "n_requires",
+                         "req_digest"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, name string, version string, release string, "
+        "arch string, license string, size long, n_requires int, "
+        "req_digest string",
+    )

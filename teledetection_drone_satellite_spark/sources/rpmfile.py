@@ -1,0 +1,183 @@
+"""RPM package metadata — pure stdlib, from the public RPM file
+format (rpm.org "package format" documentation: lead, signature
+header, main header; the same tag-table layout librpm reads).
+
+The counterpart of the Debian tier (sources/arfile.py): mirror dumps
+and vendored artifacts on the Red Hat side.  Metadata only — the
+compressed cpio payload stays opaque.
+
+Parsed surface:
+
+  lead (96 B)     -> magic ED AB EE DB, version, type, name field
+  headers         -> magic 8E AD E8 01, nindex, hsize; index entries
+                     (tag, type, offset, count) into the store;
+                     the SIGNATURE header is skipped with 8-byte
+                     alignment padding (the detail naive readers
+                     miss), the MAIN header is decoded
+  tags            -> NAME 1000, VERSION 1001, RELEASE 1002,
+                     SUMMARY 1004 (I18N string), SIZE 1009 (int32),
+                     LICENSE 1014, ARCH 1022, REQUIRENAME 1049
+                     (string array)
+
+Types: 4 = int32 (big-endian, count-repeated), 6 = string
+(NUL-terminated), 8 = string array, 9 = I18N string.  Refusals
+(None): bad lead/header magic, an index entry whose offset/count
+overruns the store, a string without a NUL terminator, a missing
+NAME — the honest-fallback contract every decoder here shares."""
+
+from __future__ import annotations
+
+import struct
+
+_LEAD_MAGIC = b"\xed\xab\xee\xdb"
+_HDR_MAGIC = b"\x8e\xad\xe8\x01"
+
+NAME, VERSION, RELEASE, SUMMARY = 1000, 1001, 1002, 1004
+SIZE, LICENSE, ARCH, REQUIRENAME = 1009, 1014, 1022, 1049
+
+
+def _header(entries: "list[tuple[int, int, object]]") -> bytes:
+    """Assemble (tag, type, value) entries into an RPM header blob."""
+    store = bytearray()
+    index = bytearray()
+    for tag, typ, value in entries:
+        if typ == 4:  # int32 array
+            vals = value if isinstance(value, list) else [value]
+            while len(store) % 4:
+                store.append(0)
+            off = len(store)
+            for v in vals:
+                store += struct.pack(">i", v)
+            count = len(vals)
+        elif typ in (6, 9):  # string / i18n string
+            off = len(store)
+            store += value.encode() + b"\x00"
+            count = 1
+        elif typ == 8:  # string array
+            off = len(store)
+            for s in value:
+                store += s.encode() + b"\x00"
+            count = len(value)
+        else:
+            raise ValueError("unsupported tag type")
+        index += struct.pack(">iiii", tag, typ, off, count)
+    return (_HDR_MAGIC + b"\x00" * 4
+            + struct.pack(">ii", len(entries), len(store))
+            + bytes(index) + bytes(store))
+
+
+def synth_rpm(doc_id: int) -> "tuple[bytes, dict]":
+    """Deterministic fixture plus expected stats.  Closed form
+    (mirrored by the rpm_package_stats oracle):
+
+        name      = rpmpkg{doc_id}
+        version   = 2.{doc_id % 15}   release = {1 + doc_id % 5}
+        arch      = x86_64 / aarch64 / noarch on doc_id % 3
+        license   = MIT / GPLv2 / Apache-2.0 on doc_id % 3
+        size      = 4096 + 311 * doc_id
+        n_requires = 1 + doc_id % 4 ('librpm{(doc_id+k) % 7}')
+
+    Decoys: a signature header whose store length forces NON-ZERO
+    8-byte alignment padding before the main header; an unknown
+    private tag (61) in both headers; an opaque payload tail."""
+    i = int(doc_id)
+    requires = ["librpm%d" % ((i + k) % 7) for k in range(1 + i % 4)]
+    name = "rpmpkg%d" % i
+    lead = (_LEAD_MAGIC + bytes([3, 0]) + struct.pack(">hh", 0, 1)
+            + name.encode().ljust(66, b"\x00")[:66]
+            + struct.pack(">hh", 1, 5) + bytes(16))
+    sig = _header([
+        (61, 6, "sig-region"),
+        (1000, 4, 999 + i % 7),  # SIG_SIZE (different namespace)
+        (269, 6, "a" * (1 + i % 6)),  # SHA1 stand-in: varies padding
+    ])
+    pad = (-len(sig)) % 8  # signature header is 8-byte aligned
+    main = _header([
+        (61, 6, "main-region"),
+        (NAME, 6, name),
+        (VERSION, 6, "2.%d" % (i % 15)),
+        (RELEASE, 6, "%d" % (1 + i % 5)),
+        (SUMMARY, 9, "synthetic package %d" % i),
+        (SIZE, 4, 4096 + 311 * i),
+        (LICENSE, 6, ("MIT", "GPLv2", "Apache-2.0")[i % 3]),
+        (ARCH, 6, ("x86_64", "aarch64", "noarch")[i % 3]),
+        (REQUIRENAME, 8, requires),
+    ])
+    payload = bytes((i + j) % 256 for j in range(48 + i % 64))
+    raw = lead + sig + b"\x00" * pad + main + payload
+    return raw, {
+        "name": name,
+        "n_requires": len(requires),
+        "size": 4096 + 311 * i,
+    }
+
+
+def _parse_header(content: bytes, pos: int):
+    """-> (tags dict, end position) or raises ValueError."""
+    if content[pos:pos + 4] != _HDR_MAGIC:
+        raise ValueError("bad header magic")
+    nindex, hsize = struct.unpack_from(">ii", content, pos + 8)
+    if nindex < 0 or hsize < 0 or nindex > 10000:
+        raise ValueError("absurd header counts")
+    idx_at = pos + 16
+    store_at = idx_at + 16 * nindex
+    end = store_at + hsize
+    if end > len(content):
+        raise ValueError("header overruns file")
+    store = content[store_at:end]
+    tags: "dict[int, object]" = {}
+    for k in range(nindex):
+        tag, typ, off, count = struct.unpack_from(
+            ">iiii", content, idx_at + 16 * k)
+        if off < 0 or count < 0 or off > hsize:
+            raise ValueError("bad index entry")
+        if typ == 4:
+            if off + 4 * count > hsize:
+                raise ValueError("int32 overrun")
+            tags[tag] = [struct.unpack_from(">i", store, off + 4 * j)[0]
+                         for j in range(count)]
+        elif typ in (6, 9):
+            endp = store.find(b"\x00", off)
+            if endp < 0:
+                raise ValueError("unterminated string")
+            tags[tag] = store[off:endp].decode("utf-8", "replace")
+        elif typ == 8:
+            vals = []
+            at = off
+            for _ in range(count):
+                endp = store.find(b"\x00", at)
+                if endp < 0:
+                    raise ValueError("unterminated string array")
+                vals.append(store[at:endp].decode("utf-8", "replace"))
+                at = endp + 1
+            tags[tag] = vals
+        # other types: skipped (not needed for the metadata surface)
+    return tags, end
+
+
+def parse_rpm(content: bytes) -> "dict | None":
+    """-> {'name', 'version', 'release', 'arch', 'license', 'size',
+    'requires': [name, ...], 'summary'} or None per the module
+    docstring."""
+    if content[:4] != _LEAD_MAGIC or len(content) < 96:
+        return None
+    try:
+        _sig, pos = _parse_header(content, 96)
+        pos += (-pos) % 8  # alignment padding before the main header
+        main, _end = _parse_header(content, pos)
+    except (ValueError, struct.error):
+        return None
+    name = main.get(NAME)
+    if not isinstance(name, str):
+        return None
+    size = main.get(SIZE)
+    return {
+        "name": name,
+        "version": main.get(VERSION),
+        "release": main.get(RELEASE),
+        "arch": main.get(ARCH),
+        "license": main.get(LICENSE),
+        "size": size[0] if isinstance(size, list) and size else None,
+        "requires": main.get(REQUIRENAME, []),
+        "summary": main.get(SUMMARY),
+    }

@@ -58,3 +58,27 @@ def test_refusals():
     at = raw.find(b"control.tar")
     bad[at + 70] ^= 0xFF
     assert parse_deb(bytes(bad)) is None
+
+
+def test_rpm_roundtrip_and_refusals():
+    from teledetection_drone_satellite_spark.sources.rpmfile import (
+        parse_rpm,
+        synth_rpm,
+    )
+
+    for i in list(range(14)) + [57, 9999]:
+        raw, exp = synth_rpm(i)
+        got = parse_rpm(raw)
+        assert got["name"] == exp["name"], i
+        assert got["size"] == exp["size"]
+        assert len(got["requires"]) == exp["n_requires"]
+    assert parse_rpm(b"") is None
+    assert parse_rpm(b"\xed\xab\xee\xdb" + bytes(100)) is None
+    raw, _ = synth_rpm(5)
+    assert parse_rpm(raw[:150]) is None
+    # flip the main-header magic (after the aligned signature header)
+    bad = bytearray(raw)
+    at = raw.find(b"\x8e\xad\xe8\x01", 100)
+    at2 = raw.find(b"\x8e\xad\xe8\x01", at + 4)
+    bad[at2] ^= 0xFF
+    assert parse_rpm(bytes(bad)) is None
