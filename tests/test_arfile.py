@@ -76,9 +76,10 @@ def test_rpm_roundtrip_and_refusals():
     assert parse_rpm(b"\xed\xab\xee\xdb" + bytes(100)) is None
     raw, _ = synth_rpm(5)
     assert parse_rpm(raw[:150]) is None
-    # flip the main-header magic (after the aligned signature header)
+    # flip the main-header magic: the signature header sits at 96, so
+    # the next magic PAST it is the main header
     bad = bytearray(raw)
-    at = raw.find(b"\x8e\xad\xe8\x01", 100)
-    at2 = raw.find(b"\x8e\xad\xe8\x01", at + 4)
+    at2 = raw.find(b"\x8e\xad\xe8\x01", 100)
+    assert at2 > 96
     bad[at2] ^= 0xFF
     assert parse_rpm(bytes(bad)) is None
