@@ -167,6 +167,7 @@ DECODERS = {
     "torrent": (lambda i: torrent.synth_torrent(i % 10000)[0],
                 torrent.parse_torrent),
     "elf": (lambda i: elf.synth_elf(i % 10000)[0], elf.parse_elf),
+    "pe": (lambda i: elf.synth_pe(i % 10000)[0], elf.parse_pe),
     "rpm": (lambda i: rpmfile.synth_rpm(i % 10000)[0],
             rpmfile.parse_rpm),
     "notebook": (lambda i: notebook.synth_notebook(i % 10000)[0],

@@ -10594,3 +10594,62 @@ def rpm_package_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "arch string, license string, size long, n_requires int, "
         "req_digest string",
     )
+
+
+@register(
+    "pe_meta_stats",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'x86_64' WHEN 1 THEN 'x86'
+               ELSE 'aarch64' END AS machine,
+           CASE WHEN doc_id % 2 = 0 THEN 'pe32+' ELSE 'pe32' END
+               AS kind,
+           doc_id % 4 = 1 AS dll,
+           CAST(2 + doc_id % 3 AS INT) AS n_sections,
+           CAST(512 + 32 * (doc_id % 16) AS BIGINT) AS text_size
+    FROM documents WHERE doc_id < 120
+    """,
+    doc="Windows PE metadata, graded (r13 — the PE counterpart of "
+    "elf_meta_stats, closing the executable pair): MZ stub + "
+    "e_lfanew indirection, COFF header (machine, characteristics "
+    "incl. the DLL flag), PE32/PE32+ optional-header magic, section "
+    "table with virtual sizes. The oracle states machine, kind, DLL "
+    "flag, section counts, and exact .text size.",
+    tags=("ingest", "corpus"),
+)
+def pe_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.elf import parse_pe, synth_pe
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_pe(i)
+                got = parse_pe(raw)
+                rows.append((
+                    i, got["machine"], got["kind"], got["dll"],
+                    got["n_sections"],
+                    dict(got["sections"])[".text"],
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "machine", "kind", "dll",
+                         "n_sections", "text_size"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, machine string, kind string, dll boolean, "
+        "n_sections int, text_size long",
+    )

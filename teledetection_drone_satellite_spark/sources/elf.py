@@ -178,3 +178,97 @@ def parse_elf(content: bytes) -> "dict | None":
         "n_sections": shnum,
         "sections": sections,
     }
+
+
+# ------------------------------------------------------------- PE/COFF
+# (Microsoft PE format, public spec: MZ stub + 'PE\\0\\0' + COFF header
+# + optional header magic + section table)
+
+_PE_MACHINES = {0x014C: "x86", 0x8664: "x86_64", 0xAA64: "aarch64",
+                0x01C4: "armnt"}
+
+
+def synth_pe(doc_id: int) -> "tuple[bytes, dict]":
+    """Deterministic PE fixture plus expected stats.  Closed form
+    (mirrored by the pe_meta_stats oracle):
+
+        machine   = x86_64 / x86 / aarch64 on doc_id % 3
+        kind      = pe32+ when doc_id % 2 == 0 else pe32
+        dll       = doc_id % 4 == 1   (IMAGE_FILE_DLL characteristic)
+        n_sections = 2 + doc_id % 3   (.text, .data[, .rsrc])
+        text_size = 512 + 32 * (doc_id % 16)"""
+    i = int(doc_id)
+    machine = (0x8664, 0x014C, 0xAA64)[i % 3]
+    pe32plus = i % 2 == 0
+    dll = i % 4 == 1
+    n_sections = 2 + i % 3
+    text_size = 512 + 32 * (i % 16)
+    sizes = [text_size, 128 + 16 * (i % 8), 64 + i % 32][:n_sections]
+    names = [b".text", b".data", b".rsrc"][:n_sections]
+    e_lfanew = 0x80
+    dos = (b"MZ" + bytes(58) + struct.pack("<I", e_lfanew)
+           + bytes(e_lfanew - 64))
+    chars = 0x0002 | (0x2000 if dll else 0)
+    opt_magic = 0x20B if pe32plus else 0x10B
+    opt = struct.pack("<H", opt_magic) + bytes(94 if pe32plus else 92)
+    coff = struct.pack("<HHIIIHH", machine, n_sections, 1700000000 + i,
+                       0, 0, len(opt), chars)
+    sects = b""
+    off = 0x200
+    for name, size in zip(names, sizes):
+        sects += (name.ljust(8, b"\x00")
+                  + struct.pack("<IIIIIIHHI", size, 0x1000, size, off,
+                                0, 0, 0, 0, 0x60000020))
+        off += size
+    raw = dos + b"PE\x00\x00" + coff + opt + sects + bytes(
+        sum(sizes))
+    return raw, {
+        "machine": _PE_MACHINES[machine],
+        "kind": "pe32+" if pe32plus else "pe32",
+        "dll": dll,
+        "n_sections": n_sections,
+        "text_size": text_size,
+    }
+
+
+def parse_pe(content: bytes) -> "dict | None":
+    """-> {'machine', 'kind', 'dll', 'n_sections', 'sections':
+    [(name, size), ...]} or None (bad MZ/PE magic, absurd e_lfanew,
+    truncated COFF/optional/section headers, unknown optional-header
+    magic)."""
+    if content[:2] != b"MZ" or len(content) < 0x40:
+        return None
+    e_lfanew = struct.unpack_from("<I", content, 0x3C)[0]
+    if e_lfanew + 24 > len(content) or e_lfanew > 0x10000:
+        return None
+    if content[e_lfanew:e_lfanew + 4] != b"PE\x00\x00":
+        return None
+    machine, n_sections, _ts, _sym, _nsym, opt_size, chars = \
+        struct.unpack_from("<HHIIIHH", content, e_lfanew + 4)
+    opt_at = e_lfanew + 24
+    if opt_size < 2 or opt_at + opt_size > len(content):
+        return None
+    opt_magic = struct.unpack_from("<H", content, opt_at)[0]
+    if opt_magic == 0x20B:
+        kind = "pe32+"
+    elif opt_magic == 0x10B:
+        kind = "pe32"
+    else:
+        return None
+    sect_at = opt_at + opt_size
+    if sect_at + 40 * n_sections > len(content):
+        return None
+    sections = []
+    for k in range(n_sections):
+        at = sect_at + 40 * k
+        name = content[at:at + 8].rstrip(b"\x00").decode(
+            "latin-1", "replace")
+        vsize = struct.unpack_from("<I", content, at + 8)[0]
+        sections.append((name, int(vsize)))
+    return {
+        "machine": _PE_MACHINES.get(machine, "other"),
+        "kind": kind,
+        "dll": bool(chars & 0x2000),
+        "n_sections": n_sections,
+        "sections": sections,
+    }

@@ -49,3 +49,29 @@ def test_refusals():
     # big-endian variant parses (doc 3: 32-bit BE)
     raw_be, exp = synth_elf(3)
     assert parse_elf(raw_be)["endian"] == "big" == exp["endian"]
+
+
+def test_pe_roundtrip_and_refusals():
+    from teledetection_drone_satellite_spark.sources.elf import (
+        parse_pe,
+        synth_pe,
+    )
+
+    for i in list(range(14)) + [57, 9999]:
+        raw, exp = synth_pe(i)
+        got = parse_pe(raw)
+        for k in ("machine", "kind", "dll", "n_sections"):
+            assert got[k] == exp[k], (i, k)
+        assert dict(got["sections"])[".text"] == exp["text_size"]
+    assert parse_pe(b"") is None
+    assert parse_pe(b"MZ" + bytes(70)) is None   # no PE signature
+    raw, _ = synth_pe(4)
+    assert parse_pe(raw[:130]) is None           # truncated headers
+    # absurd e_lfanew refuses
+    bad = bytearray(raw)
+    struct.pack_into("<I", bad, 0x3C, 0x20000)
+    assert parse_pe(bytes(bad)) is None
+    # unknown optional magic refuses
+    bad = bytearray(raw)
+    struct.pack_into("<H", bad, 0x80 + 24, 0x999)
+    assert parse_pe(bytes(bad)) is None
