@@ -10653,3 +10653,108 @@ def pe_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, machine string, kind string, dll boolean, "
         "n_sections int, text_size long",
     )
+
+
+@register(
+    "media_inventory_pipeline",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, doc_id % 8 AS v
+        FROM documents WHERE doc_id < 160
+    )
+    SELECT CASE v WHEN 0 THEN 'video/mp4' WHEN 1 THEN 'video/webm'
+               WHEN 2 THEN 'audio/ogg' WHEN 3 THEN 'image/avif'
+               WHEN 4 THEN 'font/sfnt' WHEN 5 THEN 'application/elf'
+               WHEN 6 THEN 'application/vnd.debian.binary-package'
+               ELSE 'application/x-rpm' END AS mime,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE v
+               WHEN 0 THEN 1000 + 137 * doc_id
+               WHEN 1 THEN 500 + 93 * doc_id
+               WHEN 2 THEN 10 * (50 + 37 * doc_id)
+               WHEN 3 THEN (256 + 8 * (doc_id % 16))
+                    * (192 + 8 * (doc_id % 12))
+               WHEN 4 THEN 100 + doc_id % 400
+               WHEN 5 THEN 256 + 16 * (doc_id % 32)
+               WHEN 6 THEN 100 + 17 * doc_id
+               ELSE 4096 + 311 * doc_id END) AS BIGINT) AS metric_sum
+    FROM d GROUP BY v
+    """,
+    doc="Mixed-media landing-scan capstone, graded (r13 — the "
+    "DISPATCHER shape of a real binary landing zone: one Arrow stage "
+    "sniffs magic bytes and routes each blob to the right r13 "
+    "parser): docs cycle through eight synthesized binary types "
+    "(MP4, WebM, Ogg, AVIF, sfnt font, ELF, .deb, RPM) with NO type "
+    "hint — classification is purely ftyp-brand / EBML / OggS / "
+    "\\\\x7fELF / !<arch> / RPM-lead magic dispatch, then the "
+    "type-specific metadata extractor runs (duration, dimensions, "
+    "glyphs, sizes). The oracle states the per-MIME census and the "
+    "exact sum of each type's headline metric. Decode once, one "
+    "8-group aggregate; a mis-sniffed magic lands in the wrong "
+    "group and flips two rows.",
+    tags=("ingest", "multimodal", "corpus"),
+)
+def media_inventory_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 160)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        from ..sources import arfile, elf, mkv, mp4, ogg, rpmfile
+        from ..sources import font as fontmod
+
+        synths = (mp4.synth_mp4, mkv.synth_mkv, ogg.synth_ogg,
+                  mp4.synth_avif, fontmod.synth_font, elf.synth_elf,
+                  arfile.synth_deb, rpmfile.synth_rpm)
+
+        def classify_and_extract(blob: bytes):
+            """Magic dispatch — no type hint reaches this point."""
+            if blob[:4] == b"\x7fELF":
+                got = elf.parse_elf(blob)
+                return ("application/elf",
+                        dict(got["sections"])[".text"])
+            if blob[:8] == b"!<arch>\n":
+                got = arfile.parse_deb(blob)
+                return ("application/vnd.debian.binary-package",
+                        int(got["control"]["Installed-Size"]))
+            if blob[:4] == b"\xed\xab\xee\xdb":
+                got = rpmfile.parse_rpm(blob)
+                return ("application/x-rpm", got["size"])
+            if blob[:4] == b"OggS":
+                got = ogg.parse_ogg(blob)
+                return ("audio/ogg", got["duration_ms"])
+            if blob[:4] == b"\x1a\x45\xdf\xa3":
+                got = mkv.parse_mkv(blob)
+                return ("video/webm", got["duration_ms"])
+            if blob[4:8] == b"ftyp":
+                brand = blob[8:12]
+                if brand in (b"avif", b"heic"):
+                    got = mp4.parse_avif(blob)
+                    return ("image/avif", got["width"] * got["height"])
+                got = mp4.parse_mp4(blob)
+                return ("video/mp4", got["duration_ms"])
+            if blob[:4] in (b"\x00\x01\x00\x00", b"OTTO"):
+                got = fontmod.parse_font(blob)
+                return ("font/sfnt", got["n_glyphs"])
+            raise ValueError("unclassified blob")
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                blob, _ = synths[i % 8](i)
+                mime, metric = classify_and_extract(bytes(blob))
+                rows.append((mime, metric))
+            yield pd.DataFrame(rows, columns=["mime", "metric"])
+
+    inventory = ids.mapInPandas(gen, "mime string, metric long")
+    return inventory.groupBy("mime").agg(
+        F.count("*").alias("n_files"),
+        F.sum("metric").alias("metric_sum"),
+    )
