@@ -25,8 +25,8 @@ from teledetection_drone_satellite_spark.sources import (  # noqa: E402
     font, gpx, html, ical,
     id3,
     las,
-    markdown, mbox, mkv, mp4, mpeg, netcdf, notebook, odt, ogg, pbwire,
-    pcap, pdf, pptx,
+    markdown, mbox, midi, mkv, mp4, mpeg, netcdf, notebook, odt, ogg,
+    pbwire, pcap, pdf, pptx,
     robots, rtf,
     rpmfile, shapefile, sitemap, sqlitefile, svg, tfrecord, tomlconf,
     torrent,
@@ -168,6 +168,8 @@ DECODERS = {
                 torrent.parse_torrent),
     "elf": (lambda i: elf.synth_elf(i % 10000)[0], elf.parse_elf),
     "pe": (lambda i: elf.synth_pe(i % 10000)[0], elf.parse_pe),
+    "midi": (lambda i: midi.synth_midi(i % 10000)[0],
+             midi.parse_midi),
     "rpm": (lambda i: rpmfile.synth_rpm(i % 10000)[0],
             rpmfile.parse_rpm),
     "notebook": (lambda i: notebook.synth_notebook(i % 10000)[0],

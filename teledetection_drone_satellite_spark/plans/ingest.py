@@ -10758,3 +10758,81 @@ def media_inventory_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_files"),
         F.sum("metric").alias("metric_sum"),
     )
+
+
+@register(
+    "midi_meta_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS fmt,
+               CASE WHEN doc_id % 2 = 0 THEN 1
+                    ELSE 2 + doc_id % 3 END AS n_tracks,
+               500000 - 1000 * (doc_id % 200) AS tempo
+        FROM documents WHERE doc_id < 120
+    ),
+    trk AS (
+        SELECT doc_id, CAST(t.i AS INT) AS t,
+               4 + (doc_id + t.i) % 6 AS n_notes
+        FROM spec, LATERAL unnest(range(0, n_tracks)) t(i)
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(sum(n_notes) AS BIGINT) AS notes_total,
+               CAST(sum(120 + 240 * (n_notes - 1)) AS BIGINT)
+                   AS ticks_total
+        FROM trk GROUP BY doc_id
+    )
+    SELECT s.doc_id, CAST(s.fmt AS INT) AS fmt,
+           CAST(s.n_tracks AS INT) AS n_tracks,
+           CAST(480 AS INT) AS division,
+           CAST(s.tempo AS BIGINT) AS tempo,
+           a.notes_total, a.ticks_total
+    FROM spec s JOIN agg a ON a.doc_id = s.doc_id
+    """,
+    doc="Standard MIDI File metadata, graded (r13 — music-education "
+    "and game-asset dumps carry SMF; the parser trap is RUNNING "
+    "STATUS, which every second note pair in the fixtures omits the "
+    "status byte to exercise): MThd/MTrk walk, VLQ delta times "
+    "summed to exact tick lengths, tempo metas collected, text-meta "
+    "and sysex decoys skipped by length. The oracle states format, "
+    "track counts, division, tempo, and exact note/tick totals.",
+    tags=("ingest", "multimodal"),
+)
+def midi_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.midi import parse_midi, synth_midi
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_midi(i)
+                got = parse_midi(raw)
+                rows.append((
+                    i, got["format"], got["n_tracks"],
+                    got["division"], got["tempos"][0],
+                    sum(t["n_notes"] for t in got["tracks"]),
+                    sum(t["ticks"] for t in got["tracks"]),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "fmt", "n_tracks", "division",
+                         "tempo", "notes_total", "ticks_total"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, fmt int, n_tracks int, division int, "
+        "tempo long, notes_total long, ticks_total long",
+    )

@@ -1,0 +1,177 @@
+"""Standard MIDI File parsing — pure stdlib, from the public SMF
+specification (midi.org Standard MIDI Files 1.0: MThd/MTrk chunks,
+variable-length quantities, channel/meta/sysex events, running
+status).
+
+MIDI rides through crawls in music-education and game-asset dumps;
+the metadata read (tracks, note census, tempo map, tick duration)
+needs an event walk but zero synthesis.  The classic parser trap is
+RUNNING STATUS — a channel event may omit its status byte, inheriting
+the previous one — which the fixtures exercise deliberately.
+
+Parsed surface:
+
+  MThd           -> format (0/1), ntrks, division (ticks per quarter)
+  MTrk           -> length-delimited; events walked to End of Track:
+                    delta-time VLQs summed to the track's tick length;
+                    note-on (0x9n, velocity > 0) counted; tempo metas
+                    (FF 51 03) collected; sysex (F0/F7) and other
+                    metas skipped by length; running status honored
+
+Refusals (None): bad chunk magic, a VLQ or event overrunning its
+track, an unknown status without running state, a truncated meta, a
+track without End of Track — the honest-fallback contract every
+decoder here shares."""
+
+from __future__ import annotations
+
+import struct
+
+
+def _vlq(buf: bytes, pos: int) -> "tuple[int, int]":
+    v = 0
+    for _ in range(4):
+        if pos >= len(buf):
+            raise ValueError("truncated VLQ")
+        b = buf[pos]
+        pos += 1
+        v = (v << 7) | (b & 0x7F)
+        if not b & 0x80:
+            return v, pos
+    raise ValueError("overlong VLQ")
+
+
+def _enc_vlq(v: int) -> bytes:
+    out = [v & 0x7F]
+    v >>= 7
+    while v:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    return bytes(reversed(out))
+
+
+def synth_midi(doc_id: int) -> "tuple[bytes, dict]":
+    """Deterministic fixture plus expected stats.  Closed form
+    (mirrored by the midi_meta_stats oracle):
+
+        format    = 0 when doc_id % 2 == 0 else 1
+        n_tracks  = 1 when format 0 else 2 + doc_id % 3
+        division  = 480
+        per track t: n_notes = 4 + (doc_id + t) % 6, each note
+          on+off 120 ticks apart -> track ticks = 240 * n_notes
+        tempo     = 500000 - 1000 * (doc_id % 200) (one meta, track 0)
+
+    Running status is used for every second note pair; a text meta
+    and a sysex event are interleaved as skip decoys."""
+    i = int(doc_id)
+    fmt = 0 if i % 2 == 0 else 1
+    n_tracks = 1 if fmt == 0 else 2 + i % 3
+    division = 480
+    tempo = 500000 - 1000 * (i % 200)
+    chunks = bytearray(b"MThd" + struct.pack(">IHHH", 6, fmt,
+                                             n_tracks, division))
+    exp_tracks = []
+    for t in range(n_tracks):
+        ev = bytearray()
+        if t == 0:
+            ev += b"\x00\xff\x51\x03" + tempo.to_bytes(3, "big")
+            ev += b"\x00\xff\x01\x05synth"          # text meta decoy
+            ev += b"\x00\xf0\x03\x01\x02\xf7"       # sysex decoy
+        n_notes = 4 + (i + t) % 6
+        for k in range(n_notes):
+            note = 60 + (i + k) % 24
+            if k % 2 == 0:
+                ev += _enc_vlq(120 if k else 0)
+                ev += bytes([0x90 | (t % 16), note, 100])
+                ev += _enc_vlq(120) + bytes([0x80 | (t % 16), note, 0])
+            else:  # running status: reuse 0x9n, velocity-0 = note off
+                ev += _enc_vlq(120) + bytes([0x90 | (t % 16), note,
+                                             100])
+                ev += _enc_vlq(120) + bytes([note, 0])
+        ev += b"\x00\xff\x2f\x00"                   # end of track
+        chunks += b"MTrk" + struct.pack(">I", len(ev)) + bytes(ev)
+        # first note-on lands at delta 0, its off at +120; every
+        # later on/off pair adds 120 + 120
+        ticks = 120 + 240 * (n_notes - 1)
+        exp_tracks.append({"n_notes": n_notes, "ticks": ticks})
+    return bytes(chunks), {
+        "format": fmt, "n_tracks": n_tracks, "division": division,
+        "tempo": tempo, "tracks": exp_tracks,
+    }
+
+
+def parse_midi(content: bytes) -> "dict | None":
+    """-> {'format', 'n_tracks', 'division', 'tempos': [usec_per_q],
+    'tracks': [{'n_notes', 'ticks', 'n_events'}, ...]} or None per
+    the module docstring."""
+    if content[:4] != b"MThd" or len(content) < 14:
+        return None
+    hlen, fmt, ntrks, division = struct.unpack_from(">IHHH", content, 4)
+    if hlen != 6 or fmt > 2 or division == 0 or division & 0x8000:
+        return None
+    pos = 8 + hlen
+    tracks = []
+    tempos = []
+    try:
+        for _ in range(ntrks):
+            if content[pos:pos + 4] != b"MTrk":
+                return None
+            tlen = struct.unpack_from(">I", content, pos + 4)[0]
+            body = content[pos + 8:pos + 8 + tlen]
+            if len(body) != tlen:
+                return None
+            pos += 8 + tlen
+            at = 0
+            ticks = 0
+            n_notes = 0
+            n_events = 0
+            status = None
+            ended = False
+            while at < len(body):
+                delta, at = _vlq(body, at)
+                ticks += delta
+                if at >= len(body):
+                    raise ValueError("truncated event")
+                b0 = body[at]
+                if b0 >= 0x80:
+                    status = b0
+                    at += 1
+                elif status is None or status >= 0xF0:
+                    raise ValueError("data byte without status")
+                n_events += 1
+                if status == 0xFF:
+                    if at >= len(body):
+                        raise ValueError("truncated meta")
+                    mtype = body[at]
+                    mlen, at = _vlq(body, at + 1)
+                    if at + mlen > len(body):
+                        raise ValueError("meta overrun")
+                    if mtype == 0x51 and mlen == 3:
+                        tempos.append(int.from_bytes(
+                            body[at:at + 3], "big"))
+                    data_end = at + mlen
+                    at = data_end
+                    if mtype == 0x2F:
+                        ended = True
+                        break
+                elif status in (0xF0, 0xF7):
+                    slen, at = _vlq(body, at)
+                    if at + slen > len(body):
+                        raise ValueError("sysex overrun")
+                    at += slen
+                else:
+                    kind = status & 0xF0
+                    width = 1 if kind in (0xC0, 0xD0) else 2
+                    if at + width > len(body):
+                        raise ValueError("event overrun")
+                    if kind == 0x90 and body[at + 1] > 0:
+                        n_notes += 1
+                    at += width
+            if not ended:
+                return None
+            tracks.append({"n_notes": n_notes, "ticks": ticks,
+                           "n_events": n_events})
+    except (ValueError, struct.error):
+        return None
+    return {"format": fmt, "n_tracks": len(tracks),
+            "division": division, "tempos": tempos, "tracks": tracks}

@@ -1,0 +1,62 @@
+"""Standard MIDI File parsing (sources/midi.py): running status,
+VLQ boundaries, refusals."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.midi import (
+    _enc_vlq,
+    _vlq,
+    parse_midi,
+    synth_midi,
+)
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    raw, exp = synth_midi(doc_id)
+    got = parse_midi(raw)
+    assert got is not None
+    assert got["format"] == exp["format"]
+    assert got["n_tracks"] == exp["n_tracks"]
+    assert got["tempos"] == [exp["tempo"]]
+    for g, e in zip(got["tracks"], exp["tracks"]):
+        assert g["n_notes"] == e["n_notes"]
+        assert g["ticks"] == e["ticks"]
+
+
+@settings(max_examples=100, deadline=None)
+@given(v=st.integers(0, 0x0FFFFFFF))
+def test_vlq_roundtrip(v):
+    enc = _enc_vlq(v)
+    got, pos = _vlq(enc, 0)
+    assert got == v and pos == len(enc)
+
+
+def test_refusals():
+    assert parse_midi(b"") is None
+    assert parse_midi(b"RIFF" + bytes(20)) is None
+    raw, _ = synth_midi(2)
+    # truncated final track
+    assert parse_midi(raw[:-3]) is None
+    # SMPTE division (high bit) refused
+    bad = bytearray(raw)
+    bad[12] |= 0x80
+    assert parse_midi(bytes(bad)) is None
+    # data byte with no running status
+    bad_track = (b"MThd" + (6).to_bytes(4, "big")
+                 + (0).to_bytes(2, "big") + (1).to_bytes(2, "big")
+                 + (480).to_bytes(2, "big")
+                 + b"MTrk" + (3).to_bytes(4, "big") + b"\x00\x40\x40")
+    assert parse_midi(bad_track) is None
+    # missing End of Track
+    bad_track = (b"MThd" + (6).to_bytes(4, "big")
+                 + (0).to_bytes(2, "big") + (1).to_bytes(2, "big")
+                 + (480).to_bytes(2, "big")
+                 + b"MTrk" + (4).to_bytes(4, "big")
+                 + b"\x00\x90\x40\x40")
+    assert parse_midi(bad_track) is None
