@@ -10836,3 +10836,72 @@ def midi_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, fmt int, n_tracks int, division int, "
         "tempo long, notes_total long, ticks_total long",
     )
+
+
+@register(
+    "supply_chain_deps",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id FROM documents WHERE doc_id < 120
+    ),
+    deb AS (
+        SELECT doc_id, 'deb' AS eco,
+               'libdep' || CAST((doc_id + k.i) % 9 AS VARCHAR) AS dep
+        FROM docs, LATERAL unnest(range(0, 1 + doc_id % 4)) k(i)
+    ),
+    rpm AS (
+        SELECT doc_id, 'rpm' AS eco,
+               'librpm' || CAST((doc_id + k.i) % 7 AS VARCHAR) AS dep
+        FROM docs, LATERAL unnest(range(0, 1 + doc_id % 4)) k(i)
+    ),
+    allx AS (SELECT * FROM deb UNION ALL SELECT * FROM rpm)
+    SELECT eco, dep,
+           CAST(count(*) AS BIGINT) AS n_requires,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_packages
+    FROM allx GROUP BY eco, dep
+    """,
+    doc="Cross-ecosystem dependency census, graded (r13 — the "
+    "supply-chain rollup compliance teams run over mirror dumps: "
+    "which libraries does everything depend on): the .deb and RPM "
+    "parsers each extract their Requires/Depends lists in one Arrow "
+    "stage (alternatives flattened per the deb tier's rules, "
+    "primary names only), unioned and rolled up per (ecosystem, "
+    "library) with both total-requirement and distinct-package "
+    "counts. Only (eco, dep, doc) triples leave the decode stage.",
+    tags=("ingest", "corpus", "relational"),
+)
+def supply_chain_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        from ..sources.arfile import parse_deb, synth_deb
+        from ..sources.rpmfile import parse_rpm, synth_rpm
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                deb = parse_deb(synth_deb(i)[0])
+                for dep in deb["depends"]:
+                    if dep.startswith("libdep"):  # primary names
+                        rows.append((i, "deb", dep))
+                rpm = parse_rpm(synth_rpm(i)[0])
+                for dep in rpm["requires"]:
+                    rows.append((i, "rpm", dep))
+            yield pd.DataFrame(rows,
+                               columns=["doc_id", "eco", "dep"])
+
+    triples = ids.mapInPandas(
+        gen, "doc_id long, eco string, dep string")
+    return triples.groupBy("eco", "dep").agg(
+        F.count("*").alias("n_requires"),
+        F.countDistinct("doc_id").alias("n_packages"),
+    )
