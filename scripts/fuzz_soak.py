@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from teledetection_drone_satellite_spark.sources import (  # noqa: E402
     aiff, arc, arfile, arrowipc, cdx, difftext, docx, elf, epub, feed,
-    font, gpx, html, ical,
+    font, gpx, hls, html, ical,
     id3,
     las,
     markdown, mbox, midi, mkv, mp4, mpeg, netcdf, notebook, odt, ogg,
@@ -170,6 +170,8 @@ DECODERS = {
     "pe": (lambda i: elf.synth_pe(i % 10000)[0], elf.parse_pe),
     "midi": (lambda i: midi.synth_midi(i % 10000)[0],
              midi.parse_midi),
+    "hls": (lambda i: hls.synth_m3u8(i % 10000)[0],
+            hls.parse_m3u8),
     "rpm": (lambda i: rpmfile.synth_rpm(i % 10000)[0],
             rpmfile.parse_rpm),
     "notebook": (lambda i: notebook.synth_notebook(i % 10000)[0],

@@ -10905,3 +10905,83 @@ def supply_chain_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_requires"),
         F.countDistinct("doc_id").alias("n_packages"),
     )
+
+
+@register(
+    "hls_playlist_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'master' ELSE 'media'
+                   END AS kind,
+               CASE WHEN doc_id % 2 = 0 THEN 2 + doc_id % 4
+                    ELSE 4 + doc_id % 6 END AS n_items
+        FROM documents WHERE doc_id < 150
+    ),
+    master AS (
+        SELECT doc_id,
+               CAST(sum(400000 * (v.i + 1) + 1000 * doc_id)
+                   AS BIGINT) AS bw_sum
+        FROM spec, LATERAL unnest(range(0, n_items)) v(i)
+        WHERE kind = 'master' GROUP BY doc_id
+    ),
+    media AS (
+        SELECT doc_id,
+               CAST(sum(4000 + 100 * ((doc_id + s.i) % 10))
+                   AS BIGINT) AS total_ms
+        FROM spec, LATERAL unnest(range(0, n_items)) s(i)
+        WHERE kind = 'media' GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.kind, CAST(s.n_items AS INT) AS n_items,
+           COALESCE(md.total_ms, 0) AS total_ms,
+           COALESCE(ma.bw_sum, 0) AS bw_sum,
+           s.kind = 'media' AND s.doc_id % 3 <> 0 AS ended
+    FROM spec s
+    LEFT JOIN master ma ON ma.doc_id = s.doc_id
+    LEFT JOIN media md ON md.doc_id = s.doc_id
+    """,
+    doc="HLS playlist parsing, graded (r13 — M3U8 manifests are all "
+    "over crawled video pages; RFC 8216): master playlists with "
+    "attribute lists whose quoted CODECS values contain commas (the "
+    "classic attr-split trap) and per-variant bandwidth/resolution; "
+    "media playlists with decimal EXTINF durations summed as exact "
+    "milliseconds, the TARGETDURATION+1 bound enforced, and ENDLIST "
+    "presence. Mixing master and media tags refuses. The oracle "
+    "states kind, item counts, exact duration and bandwidth sums, "
+    "and liveness.",
+    tags=("ingest", "multimodal", "text"),
+)
+def hls_playlist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.hls import parse_m3u8, synth_m3u8
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                raw, _ = synth_m3u8(i)
+                got = parse_m3u8(raw)
+                rows.append((i, got["kind"], got["n_items"],
+                             got["total_ms"], got["bw_sum"],
+                             got["ended"]))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "kind", "n_items", "total_ms",
+                         "bw_sum", "ended"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, kind string, n_items int, total_ms long, "
+        "bw_sum long, ended boolean",
+    )

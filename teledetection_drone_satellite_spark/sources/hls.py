@@ -1,0 +1,159 @@
+"""HLS playlist (M3U8) parsing — pure stdlib, from the public HTTP
+Live Streaming specification (RFC 8216: media and master playlists).
+
+HLS manifests are everywhere in crawled video pages; the metadata
+read is delivery-level: variant ladder (bandwidths, resolutions) for
+master playlists, segment count and exact total duration for media
+playlists — no segment download.
+
+Parsed surface:
+
+  #EXTM3U             mandatory header
+  master playlists    #EXT-X-STREAM-INF: BANDWIDTH, RESOLUTION
+                      (attribute list parsing with quoted strings
+                      containing commas — the classic trap, e.g.
+                      CODECS="avc1.64001f,mp4a.40.2"), each followed
+                      by its variant URI line
+  media playlists     #EXT-X-TARGETDURATION, #EXTINF durations
+                      (decimal, summed exactly as milliseconds),
+                      segment URI lines, #EXT-X-ENDLIST presence
+
+Refusals (None): missing #EXTM3U, a STREAM-INF without a following
+URI, an EXTINF without a duration or exceeding TARGETDURATION+1, a
+playlist mixing master and media tags — the honest-fallback contract
+every decoder here shares."""
+
+from __future__ import annotations
+
+import re
+
+_ATTR_RE = re.compile(r'([A-Z0-9-]+)=("[^"]*"|[^,]*)')
+
+
+def _attrs(line: str) -> "dict[str, str]":
+    out = {}
+    for key, val in _ATTR_RE.findall(line):
+        out[key] = val.strip('"')
+    return out
+
+
+def synth_m3u8(doc_id: int) -> "tuple[bytes, dict]":
+    """Deterministic fixture plus expected stats.  Closed form
+    (mirrored by the hls_playlist_stats oracle):
+
+        kind      = master when doc_id % 2 == 0 else media
+        master:   n_variants = 2 + doc_id % 4, variant v:
+                  bandwidth = 400000 * (v + 1) + 1000 * doc_id,
+                  resolution = (640+320*v)x(360+180*v), a CODECS
+                  attribute whose quoted value contains a comma
+        media:    n_segments = 4 + doc_id % 6, segment s duration
+                  = (4000 + 100 * ((doc_id + s) % 10)) ms,
+                  ENDLIST present when doc_id % 3 != 0"""
+    i = int(doc_id)
+    lines = ["#EXTM3U"]
+    if i % 2 == 0:
+        n_var = 2 + i % 4
+        total_bw = 0
+        for v in range(n_var):
+            bw = 400000 * (v + 1) + 1000 * i
+            total_bw += bw
+            lines.append(
+                '#EXT-X-STREAM-INF:BANDWIDTH=%d,RESOLUTION=%dx%d,'
+                'CODECS="avc1.64001f,mp4a.40.2"'
+                % (bw, 640 + 320 * v, 360 + 180 * v))
+            lines.append("v%d/stream.m3u8" % v)
+        exp = {"kind": "master", "n_items": n_var,
+               "total_ms": 0, "bw_sum": total_bw, "ended": False}
+    else:
+        n_seg = 4 + i % 6
+        lines.append("#EXT-X-VERSION:3")
+        lines.append("#EXT-X-TARGETDURATION:6")
+        total_ms = 0
+        for s in range(n_seg):
+            ms = 4000 + 100 * ((i + s) % 10)
+            total_ms += ms
+            lines.append("#EXTINF:%.3f," % (ms / 1000.0))
+            lines.append("seg%05d.ts" % s)
+        ended = i % 3 != 0
+        if ended:
+            lines.append("#EXT-X-ENDLIST")
+        exp = {"kind": "media", "n_items": n_seg,
+               "total_ms": total_ms, "bw_sum": 0, "ended": ended}
+    return ("\n".join(lines) + "\n").encode(), exp
+
+
+def parse_m3u8(content: bytes) -> "dict | None":
+    """-> {'kind', 'n_items', 'total_ms', 'bw_sum', 'resolutions',
+    'ended'} or None per the module docstring."""
+    try:
+        text = content.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    lines = [ln.strip() for ln in text.splitlines() if ln.strip()]
+    if not lines or lines[0] != "#EXTM3U":
+        return None
+    variants = []
+    segments_ms = []
+    resolutions = []
+    ended = False
+    target = None
+    pending_inf = None
+    pending_stream = None
+    for ln in lines[1:]:
+        if ln.startswith("#EXT-X-STREAM-INF:"):
+            if segments_ms:
+                return None  # master tags inside a media playlist
+            a = _attrs(ln[len("#EXT-X-STREAM-INF:"):])
+            if "BANDWIDTH" not in a:
+                return None
+            pending_stream = a
+        elif ln.startswith("#EXTINF:"):
+            if variants:
+                return None  # media tags inside a master playlist
+            body = ln[len("#EXTINF:"):].split(",")[0]
+            try:
+                ms = int(round(float(body) * 1000))
+            except ValueError:
+                return None
+            if ms < 0:
+                return None
+            pending_inf = ms
+        elif ln.startswith("#EXT-X-TARGETDURATION:"):
+            try:
+                target = int(ln.split(":", 1)[1])
+            except ValueError:
+                return None
+        elif ln == "#EXT-X-ENDLIST":
+            ended = True
+        elif ln.startswith("#"):
+            continue  # other tags / comments
+        else:  # a URI line closes whichever tag is pending
+            if pending_stream is not None:
+                try:
+                    bw = int(pending_stream["BANDWIDTH"])
+                except ValueError:
+                    return None
+                variants.append(bw)
+                if "RESOLUTION" in pending_stream:
+                    resolutions.append(pending_stream["RESOLUTION"])
+                pending_stream = None
+            elif pending_inf is not None:
+                if target is not None and \
+                        pending_inf > (target + 1) * 1000:
+                    return None  # RFC 8216 §4.3.3.1 bound
+                segments_ms.append(pending_inf)
+                pending_inf = None
+            # bare URI without a tag: ignored (init sections etc.)
+    if pending_stream is not None or pending_inf is not None:
+        return None  # tag without its URI
+    if variants and segments_ms:
+        return None
+    if variants:
+        return {"kind": "master", "n_items": len(variants),
+                "total_ms": 0, "bw_sum": sum(variants),
+                "resolutions": resolutions, "ended": False}
+    if segments_ms:
+        return {"kind": "media", "n_items": len(segments_ms),
+                "total_ms": sum(segments_ms), "bw_sum": 0,
+                "resolutions": [], "ended": ended}
+    return None

@@ -1,0 +1,54 @@
+"""HLS playlist parsing (sources/hls.py): attr-list traps, duration
+bounds, mixing refusals."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.hls import (
+    parse_m3u8,
+    synth_m3u8,
+)
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    raw, exp = synth_m3u8(doc_id)
+    got = parse_m3u8(raw)
+    assert got is not None
+    for k in exp:
+        assert got[k] == exp[k]
+
+
+def test_quoted_comma_attr_trap():
+    raw = (b"#EXTM3U\n"
+           b'#EXT-X-STREAM-INF:BANDWIDTH=800000,'
+           b'CODECS="avc1.64001f,mp4a.40.2",RESOLUTION=1280x720\n'
+           b"hi.m3u8\n")
+    got = parse_m3u8(raw)
+    assert got["kind"] == "master" and got["bw_sum"] == 800000
+    assert got["resolutions"] == ["1280x720"]
+
+
+def test_refusals():
+    assert parse_m3u8(b"") is None
+    assert parse_m3u8(b"not a playlist") is None
+    assert parse_m3u8(b"#EXTM3U\n") is None  # neither kind
+    # STREAM-INF without URI
+    assert parse_m3u8(
+        b"#EXTM3U\n#EXT-X-STREAM-INF:BANDWIDTH=1\n") is None
+    # EXTINF without URI
+    assert parse_m3u8(b"#EXTM3U\n#EXTINF:4.0,\n") is None
+    # mixing master and media tags
+    assert parse_m3u8(
+        b"#EXTM3U\n#EXT-X-STREAM-INF:BANDWIDTH=1\nv.m3u8\n"
+        b"#EXTINF:4.0,\nseg.ts\n") is None
+    # duration exceeding TARGETDURATION + 1
+    assert parse_m3u8(
+        b"#EXTM3U\n#EXT-X-TARGETDURATION:4\n#EXTINF:9.0,\ns.ts\n"
+    ) is None
+    # garbage duration
+    assert parse_m3u8(b"#EXTM3U\n#EXTINF:abc,\ns.ts\n") is None
