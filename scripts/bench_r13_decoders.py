@@ -1,0 +1,75 @@
+"""Throughput + 10x-input scaling pins for the r13 decoder tier.
+
+Same methodology as scripts/bench_doc_extract.py (r12): each decoder
+parses N then 10N synthesized fixtures single-threaded; wall MB/s at
+N and the 10x wall RATIO are reported. A linear decoder scales at
+~10x wall for 10x input (ratio ~10); super-linear growth flags an
+accidental quadratic. The Arrow fan-out parallelism multiplies MB/s
+by the executor count at production scale — these numbers pin the
+PER-CORE cost.
+
+Usage: python scripts/bench_r13_decoders.py [N]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from teledetection_drone_satellite_spark.sources import (  # noqa: E402
+    arfile, arrowipc, difftext, elf, font, hls, midi, mkv, mp4,
+    notebook, ogg, pbwire, pcap, rpmfile, sqlitefile, svg, tfrecord,
+    tomlconf, torrent, wat,
+)
+
+CASES = {
+    "wat": (wat.synth_wat, wat.parse_wat),
+    "mp4": (mp4.synth_mp4, mp4.parse_mp4),
+    "avif": (mp4.synth_avif, mp4.parse_avif),
+    "mkv": (mkv.synth_mkv, mkv.parse_mkv),
+    "ogg": (ogg.synth_ogg, ogg.parse_ogg),
+    "sqlite": (sqlitefile.synth_sqlite, sqlitefile.parse_sqlite),
+    "notebook": (notebook.synth_notebook, notebook.parse_notebook),
+    "difftext": (difftext.synth_diff, difftext.parse_diff),
+    "toml": (tomlconf.synth_pyproject, tomlconf.parse_pyproject),
+    "svg": (svg.synth_svg, svg.parse_svg),
+    "font": (font.synth_font, font.parse_font),
+    "woff": (font.synth_woff, font.parse_woff),
+    "woff2": (font.synth_woff2, font.parse_woff2),
+    "arrow": (arrowipc.synth_arrow, arrowipc.parse_arrow),
+    "pbwire": (pbwire.synth_pb, pbwire.parse_pb),
+    "tfrecord": (tfrecord.synth_tfrecord, tfrecord.parse_tfrecord),
+    "pcap": (pcap.synth_pcap, pcap.parse_pcap),
+    "deb": (arfile.synth_deb, arfile.parse_deb),
+    "rpm": (rpmfile.synth_rpm, rpmfile.parse_rpm),
+    "torrent": (torrent.synth_torrent, torrent.parse_torrent),
+    "elf": (elf.synth_elf, elf.parse_elf),
+    "pe": (elf.synth_pe, elf.parse_pe),
+    "midi": (midi.synth_midi, midi.parse_midi),
+    "hls": (hls.synth_m3u8, hls.parse_m3u8),
+}
+
+
+def run(n: int) -> None:
+    print(f"{'decoder':<10} {'MB/s@N':>8} {'ratio10x':>9}  (N={n})")
+    for name, (synth, parse) in CASES.items():
+        fixtures = [synth(i)[0] for i in range(n)]
+        nbytes = sum(len(f) for f in fixtures)
+        t0 = time.time()
+        for f in fixtures:
+            assert parse(f) is not None
+        t1 = time.time() - t0
+        fixtures10 = [synth(i)[0] for i in range(10 * n)]
+        t0 = time.time()
+        for f in fixtures10:
+            assert parse(f) is not None
+        t10 = time.time() - t0
+        mbs = nbytes / max(t1, 1e-9) / 1e6
+        print(f"{name:<10} {mbs:>8.1f} {t10 / max(t1, 1e-9):>9.2f}")
+
+
+if __name__ == "__main__":
+    run(int(sys.argv[1]) if len(sys.argv) > 1 else 120)
