@@ -30,12 +30,23 @@ def group_webdataset(
     shard_col: str = "path",
     name_col: str = "member_path",
     content_col: str = "content",
+    ordinal_col: str = "member_index",
 ) -> DataFrame:
     """Member rows -> sample rows ``(shard, key, components
     map<ext, binary>, n_components)``.  Directory prefixes inside the
     tar are part of WebDataset keys ('a/b/000.jpg' -> key 'a/b/000'),
     per the spec; members with no extension or an empty key are
-    dropped (shard-level metadata files, error-marker rows)."""
+    dropped (shard-level metadata files, error-marker rows).
+
+    Duplicate extensions within a sample (legal in tar — a rewritten
+    000123.txt appended later in the shard) keep the LAST member by
+    ``ordinal_col`` (tar overwrite semantics), matching what
+    ``tar -x`` would leave on disk.  Without the dedup,
+    ``map_from_entries`` under the default
+    ``spark.sql.mapKeyDedupPolicy=EXCEPTION`` would fail the whole
+    job on one such sample.  The dedup happens INSIDE the single
+    (shard, key) aggregation via an indexed higher-order filter over
+    the ext-sorted member array — still exactly ONE shuffle."""
     base = F.element_at(F.split(F.col(name_col), "/"), -1)
     dirp = F.expr(
         f"substring({name_col}, 1, "
@@ -44,21 +55,41 @@ def group_webdataset(
     )
     stem = F.regexp_extract(base, r"^([^.]+)\.", 1)
     ext = F.regexp_extract(base, r"^[^.]+\.(.+)$", 1)
+    ordinal = (
+        F.col(ordinal_col).cast("long")
+        if ordinal_col in members.columns
+        else F.lit(0).cast("long")
+    )
     keyed = (
         members.select(
             F.col(shard_col).alias("shard"),
             F.concat(dirp, stem).alias("key"),
             ext.alias("ext"),
+            ordinal.alias("ord"),
             F.col(content_col).alias("content"),
         )
         .filter((F.col("key") != "") & (F.col("ext") != ""))
     )
+    # sort by (ext, ord); keep each ext's final entry — the indexed
+    # filter drops x when the next array slot holds the same ext
+    deduped = F.expr(
+        "filter(sorted, (x, i) -> i = size(sorted) - 1 "
+        "OR sorted[i + 1].ext <> x.ext)"
+    )
     return (
         keyed.groupBy("shard", "key")
         .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ext", "ord", "content"))
+            ).alias("sorted")
+        )
+        .withColumn("kept", deduped)
+        .select(
+            "shard",
+            "key",
             F.map_from_entries(
-                F.array_sort(F.collect_list(F.struct("ext", "content")))
+                F.expr("transform(kept, x -> struct(x.ext, x.content))")
             ).alias("components"),
-            F.count("*").alias("n_components"),
+            F.size("kept").alias("n_components"),
         )
     )

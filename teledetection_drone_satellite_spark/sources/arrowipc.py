@@ -116,11 +116,16 @@ def parse_arrow(content: bytes) -> "dict | None":
             "rows": rows}
 
 
-def _isolated_worker(q, blob) -> None:
+def _isolated_worker(conn, blob) -> None:
     try:
-        q.put(parse_arrow(blob))
+        conn.send(parse_arrow(blob))
     except BaseException:  # noqa: BLE001 — child reports, never raises
-        q.put(None)
+        try:
+            conn.send(None)
+        except BaseException:  # noqa: BLE001
+            pass
+    finally:
+        conn.close()
 
 
 def parse_arrow_isolated(content: bytes,
@@ -142,14 +147,28 @@ def parse_arrow_isolated(content: bytes,
     import multiprocessing as mp
 
     ctx = mp.get_context("fork")
-    q = ctx.SimpleQueue()
-    p = ctx.Process(target=_isolated_worker, args=(q, content))
+    # Pipe + poll-before-join: a SimpleQueue child blocks in put() once
+    # the parsed payload exceeds the OS pipe buffer (~64 KiB), so a
+    # parent that join()s first deadlocks and then falsely refuses
+    # VALID real-world-sized files.  Draining the payload under the
+    # deadline, THEN joining, keeps arbitrarily large valid results.
+    rx, tx = ctx.Pipe(duplex=False)
+    p = ctx.Process(target=_isolated_worker, args=(tx, content))
     p.start()
-    p.join(timeout_s)
+    tx.close()  # parent holds only the read end
+    result = None
+    try:
+        if rx.poll(timeout_s):
+            result = rx.recv()
+    except (EOFError, OSError):
+        result = None  # child died mid-send: refuse
+    finally:
+        rx.close()
+    p.join(5.0)
     if p.is_alive():
         p.kill()
         p.join()
-        return None
-    if p.exitcode != 0 or q.empty():
-        return None  # native crash or silent death: refuse
-    return q.get()
+        return None  # hung after (or instead of) sending: refuse
+    if p.exitcode != 0:
+        return None  # native crash: refuse even if bytes arrived
+    return result

@@ -118,7 +118,13 @@ def parse_sqlite(content: bytes) -> "dict | None":
         out: "list[tuple]" = []
         seen: "set[int]" = set()
 
-        def visit(pageno: int) -> None:
+        def visit(pageno: int, depth: int = 0) -> None:
+            # depth cap: a real table b-tree is <20 levels even at TB
+            # scale; a crafted chain of interior pages could otherwise
+            # drive recursion to n_pages and RecursionError past the
+            # ValueError/IndexError refusal net below
+            if depth > 64:
+                raise ValueError("b-tree too deep")
             if pageno < 1 or pageno > n_pages or pageno in seen:
                 raise ValueError("bad page pointer")
             seen.add(pageno)
@@ -134,9 +140,9 @@ def parse_sqlite(content: bytes) -> "dict | None":
                         "big")
                     child = int.from_bytes(
                         content[base + off:base + off + 4], "big")
-                    visit(child)
+                    visit(child, depth + 1)
                 right = int.from_bytes(content[hdr + 8:hdr + 12], "big")
-                visit(right)
+                visit(right, depth + 1)
             elif ptype == 0x0D:  # leaf table page
                 cell_arr = hdr + 8
                 for k in range(n_cells):

@@ -149,21 +149,24 @@ def parse_svg(content: bytes) -> "dict | None":
     counts = {s: 0 for s in _SHAPES}
     labels = []
 
-    def visit(el) -> None:
+    # Explicit-stack walk: recursion would RecursionError on a few
+    # thousand nested <g> in a ~20 KB crafted document, escaping the
+    # honest-fallback contract.  Children are pushed reversed so the
+    # visit order (and thus label order) matches the recursive
+    # document-order walk.
+    stack = list(reversed(list(root)))
+    while stack:
+        el = stack.pop()
         name = el.tag.rsplit("}", 1)[-1]
         if name in _SKIP:
-            return
+            continue
         if name in counts:
             counts[name] += 1
         if name == "text":
             joined = " ".join("".join(el.itertext()).split())
             if joined:
                 labels.append(joined)
-            return  # tspan descendants already consumed
-        for child in el:
-            visit(child)
-
-    for child in root:
-        visit(child)
+            continue  # tspan descendants already consumed
+        stack.extend(reversed(list(el)))
     return {"width": width, "height": height, "counts": counts,
             "labels": labels}

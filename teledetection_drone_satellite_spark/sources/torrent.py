@@ -29,6 +29,7 @@ peer-distribution sibling of the package tier (arfile.py)."""
 from __future__ import annotations
 
 import hashlib
+import re
 
 
 def bencode(obj) -> bytes:
@@ -49,22 +50,33 @@ def bencode(obj) -> bytes:
     raise TypeError(type(obj))
 
 
-def _bdecode(buf: bytes, pos: int):
+_MAX_DEPTH = 100  # nesting cap: ValueError (a refusal), never
+# RecursionError — which escapes the callers' except ValueError and
+# would kill a Spark task on a tiny crafted b'l'*N input.
+
+_INT_BODY = re.compile(rb"^-?(0|[1-9][0-9]*)$")
+
+
+def _bdecode(buf: bytes, pos: int, depth: int = 0):
+    if depth > _MAX_DEPTH:
+        raise ValueError("nesting too deep")
     if pos >= len(buf):
         raise ValueError("truncated")
     c = buf[pos:pos + 1]
     if c == b"i":
         end = buf.index(b"e", pos)
         body = buf[pos + 1:end]
-        if (body.startswith(b"0") and body != b"0") or \
-                body.startswith(b"-0") or not body:
+        # strict ASCII-digit form only: Python int() would accept
+        # b'i1_0e' / internal whitespace, yielding an infohash no
+        # real client computes for those bytes
+        if not _INT_BODY.match(body) or body == b"-0":
             raise ValueError("bad integer")
         return int(body), end + 1
     if c == b"l":
         pos += 1
         out = []
         while buf[pos:pos + 1] != b"e":
-            v, pos = _bdecode(buf, pos)
+            v, pos = _bdecode(buf, pos, depth + 1)
             out.append(v)
         return out, pos + 1
     if c == b"d":
@@ -72,13 +84,13 @@ def _bdecode(buf: bytes, pos: int):
         out = {}
         prev = None
         while buf[pos:pos + 1] != b"e":
-            k, pos = _bdecode(buf, pos)
+            k, pos = _bdecode(buf, pos, depth + 1)
             if not isinstance(k, bytes):
                 raise ValueError("non-string dict key")
             if prev is not None and k <= prev:
                 raise ValueError("unsorted dict keys")
             prev = k
-            v, pos = _bdecode(buf, pos)
+            v, pos = _bdecode(buf, pos, depth + 1)
             out[k] = v
         return out, pos + 1
     if c.isdigit():

@@ -75,3 +75,31 @@ def test_soak_seed_141519_native_abort_isolated():
     raw, exp = synth_arrow(7)
     got = parse_arrow_isolated(raw)
     assert got is not None and got["n_rows"] == exp["n_rows"]
+
+
+def test_isolated_large_valid_blob_not_dropped():
+    """ADVICE r13 (high): the SimpleQueue child deadlocked in put()
+    once the payload exceeded the OS pipe buffer (~64 KiB), so every
+    real-world-sized VALID file timed out to None. The Pipe +
+    poll-before-join entrypoint must return it, fast."""
+    import io
+    import time
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from teledetection_drone_satellite_spark.sources.arrowipc import (
+        parse_arrow_isolated,
+    )
+
+    tbl = pa.table({"a": list(range(50000)), "b": ["x" * 20] * 50000})
+    sink = io.BytesIO()
+    w = ipc.new_stream(sink, tbl.schema)
+    w.write_table(tbl)
+    w.close()
+    blob = sink.getvalue()
+    assert len(blob) > 1_000_000  # well past any pipe buffer
+    t0 = time.time()
+    got = parse_arrow_isolated(blob, timeout_s=30.0)
+    assert got is not None and got["n_rows"] == 50000
+    assert time.time() - t0 < 15.0  # no timeout-burn

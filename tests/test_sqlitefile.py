@@ -97,3 +97,37 @@ def test_internal_tables_excluded():
            ("INSERT INTO t VALUES (1)", ())]
     got = parse_sqlite(_db(ins))
     assert set(got["tables"]) == {"t"}
+
+
+def test_interior_chain_depth_refused():
+    """ADVICE r13: a crafted chain of interior pages could drive
+    visit() recursion to n_pages; depth >64 must refuse (None),
+    never RecursionError."""
+    import struct
+
+    from teledetection_drone_satellite_spark.sources.sqlitefile import (
+        parse_sqlite,
+    )
+
+    ps = 512
+    n_pages = 200
+    content = bytearray(ps * n_pages)
+    hdr = (b"SQLite format 3\x00" + struct.pack(">H", ps)
+           + bytes([1, 1, 0, 64, 32, 32]) + b"\x00" * 32
+           + struct.pack(">I", 0) + struct.pack(">I", 1))
+    content[:len(hdr)] = hdr
+
+    def interior(right):
+        return (bytes([0x05, 0, 0]) + struct.pack(">H", 0)
+                + struct.pack(">H", 0) + b"\x00"
+                + struct.pack(">I", right))
+
+    content[100:112] = interior(2)
+    for i in range(2, n_pages):
+        base = (i - 1) * ps
+        content[base:base + 12] = interior(i + 1)
+    base = (n_pages - 1) * ps
+    content[base:base + 8] = (bytes([0x0D, 0, 0])
+                              + struct.pack(">H", 0)
+                              + struct.pack(">H", 0) + b"\x00")
+    assert parse_sqlite(bytes(content)) is None

@@ -61,3 +61,19 @@ def test_refusals():
     # garbage unit
     assert parse_svg(
         (_NS + ' width="10vw" height="5"/>').encode()) is None
+
+
+def test_deep_nesting_no_recursionerror():
+    """ADVICE r13: ~3000 nested <g> in a 20 KB doc crashed the
+    recursive walk; the explicit-stack walk must parse it."""
+    doc = (_NS + ' width="10" height="10">').encode() \
+        + b"<g>" * 2900 + b"<rect/>" + b"</g>" * 2900 + b"</svg>"
+    got = parse_svg(doc)
+    assert got is not None and got["counts"]["rect"] == 1
+
+
+def test_stack_walk_preserves_document_order():
+    doc = (_NS + ' width="1" height="1">'
+           "<text>a</text><g><text>b</text></g><text>c</text>"
+           "</svg>").encode()
+    assert parse_svg(doc)["labels"] == ["a", "b", "c"]

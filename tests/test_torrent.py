@@ -59,3 +59,28 @@ def test_refusals():
     meta = bdecode(raw)
     meta[b"info"][b"piece length"] = 0
     assert parse_torrent(bencode(meta)) is None
+
+
+def test_nesting_bomb_is_valueerror_not_recursionerror():
+    """ADVICE r13: b'l'*3000 must refuse (ValueError inside bdecode,
+    None from parse_torrent), never RecursionError past the net."""
+    try:
+        bdecode(b"l" * 3000)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
+    assert parse_torrent(b"d4:infod4:name1:x" + b"l" * 3000) is None
+
+
+def test_integer_body_strict_ascii():
+    """ADVICE r13: Python int() accepts b'i1_0e' and whitespace —
+    bencode does not; such bytes would mint an infohash no real
+    client computes."""
+    for bad in (b"i1_0e", b"i 1e", b"i1 e", b"i+1e", b"i0x1e"):
+        try:
+            bdecode(bad)
+            raised = False
+        except ValueError:
+            raised = True
+        assert raised, bad

@@ -67,3 +67,25 @@ def test_grouping_plan_is_jvm_only(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+@pytest.mark.usefixtures("spark")
+def test_duplicate_extension_keeps_last_member(spark):
+    """ADVICE r13: a sample with two .txt members (legal in tar —
+    overwrite semantics) must not throw DUPLICATED_MAP_KEY; the
+    LAST member by member_index wins, like tar -x on disk."""
+    df = spark.createDataFrame(
+        [
+            ("s.tar", "000123.txt", 0, b"old"),
+            ("s.tar", "000123.jpg", 1, b"JPG"),
+            ("s.tar", "000123.txt", 2, b"new"),
+        ],
+        "path string, member_path string, member_index int, "
+        "content binary",
+    )
+    rows = group_webdataset(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_components == 2
+    assert bytes(r.components["txt"]) == b"new"
+    assert bytes(r.components["jpg"]) == b"JPG"
