@@ -10985,3 +10985,120 @@ def hls_playlist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, kind string, n_items int, total_ms long, "
         "bw_sum long, ended boolean",
     )
+
+
+@register(
+    "git_pack_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               3 + doc_id % 5 AS n,
+               least(doc_id % 4, 2 + doc_id % 5) AS chain,
+               length(CAST(doc_id AS VARCHAR)) AS d,
+               1 + doc_id % 3 AS n_commits
+        FROM documents WHERE doc_id < 150
+    ),
+    par AS (
+        SELECT *,
+               CASE WHEN n - 1 > chain THEN 1 ELSE 0 END AS ref_last
+        FROM spec
+    ),
+    bb AS (
+        SELECT doc_id,
+               CAST(sum(28 + d + (7 * doc_id + 13 * u.i) % 64)
+                    AS BIGINT) AS blob_bytes
+        FROM par, LATERAL unnest(range(0, n)) u(i)
+        GROUP BY doc_id
+    )
+    SELECT par.doc_id,
+           CAST(n + 1 + n_commits AS INT) AS n_objects,
+           CAST(n AS INT) AS n_blobs,
+           CAST(n_commits AS INT) AS n_commits,
+           CAST(chain + ref_last AS INT) AS n_delta,
+           CAST(greatest(chain, ref_last) AS INT) AS max_depth,
+           blob_bytes,
+           CAST(36 * n AS BIGINT) AS tree_bytes,
+           CAST(134 + d + (par.doc_id % 3) * (182 + d) AS BIGINT)
+               AS commit_bytes,
+           CAST(7 + d AS INT) AS loose_size,
+           TRUE AS all_resolved,
+           TRUE AS trailer_ok,
+           TRUE AS idx_ok
+    FROM par JOIN bb ON par.doc_id = bb.doc_id
+    """,
+    doc="Git packfile + loose-object decode, graded (r14 — the "
+    "code-corpus front door: real code corpora arrive as git repos, "
+    "i.e. .pack zlib streams with OFS/REF delta chains plus .idx "
+    "fanouts, not loose files). Per doc synth_pack builds a pack "
+    "with an OFS_DELTA chain (depth doc_id%4, capped by blob count), "
+    "a REF_DELTA on blob 0, one tree, a parent-linked commit chain, "
+    "a byte-exact idx v2 (pinned byte-identical to git index-pack "
+    "output in tests), and one loose object. parse_pack re-walks the "
+    "stream: trailer SHA-1, per-object raw CRC-32s vs the idx, "
+    "fanout/order checks, full delta resolution; the oracle states "
+    "the closed-form object census, per-type inflated byte sums, "
+    "delta counts and max chain depth, and all_resolved asserts the "
+    "resolved blob BYTES equal the source texts.",
+    tags=("ingest", "corpus", "code"),
+)
+def git_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.gitpack import parse_loose, parse_pack, synth_pack
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                pack, idx, loose, exp = synth_pack(i)
+                got = parse_pack(pack, idx)
+                lo = parse_loose(loose)
+                if got is None or lo is None:
+                    rows.append((i, -1, -1, -1, -1, -1, -1, -1, -1,
+                                 -1, False, False, False))
+                    continue
+                objs = got["objects"]
+                by_type: "dict[str, int]" = {}
+                size_by_type: "dict[str, int]" = {}
+                for o in objs:
+                    by_type[o["type"]] = by_type.get(o["type"], 0) + 1
+                    size_by_type[o["type"]] = (
+                        size_by_type.get(o["type"], 0) + o["size"])
+                resolved = sorted(
+                    o["body"] for o in objs if o["type"] == "blob")
+                rows.append(
+                    (i, got["n_objects"], by_type.get("blob", 0),
+                     by_type.get("commit", 0),
+                     sum(1 for o in objs if o["depth"] > 0),
+                     max(o["depth"] for o in objs),
+                     size_by_type.get("blob", 0),
+                     size_by_type.get("tree", 0),
+                     size_by_type.get("commit", 0),
+                     lo["size"],
+                     resolved == sorted(exp["blobs"]),
+                     got["trailer_ok"], got["idx_ok"] is True)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_objects", "n_blobs", "n_commits",
+                         "n_delta", "max_depth", "blob_bytes",
+                         "tree_bytes", "commit_bytes", "loose_size",
+                         "all_resolved", "trailer_ok", "idx_ok"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_objects int, n_blobs int, n_commits int, "
+        "n_delta int, max_depth int, blob_bytes long, tree_bytes long, "
+        "commit_bytes long, loose_size int, all_resolved boolean, "
+        "trailer_ok boolean, idx_ok boolean",
+    )

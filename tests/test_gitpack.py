@@ -1,0 +1,155 @@
+"""Git pack/loose decode (sources/gitpack.py): round-trip, delta
+resolution, idx verification, the real-git byte-identity pin, and
+hostile-input refusals."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import struct
+import subprocess
+import tempfile
+import zlib
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.gitpack import (
+    apply_delta,
+    build_idx,
+    build_pack,
+    make_delta,
+    parse_loose,
+    parse_pack,
+    sha1_obj,
+    synth_pack,
+    write_loose,
+)
+
+
+def test_sha1_matches_git_hash_object_convention():
+    # well-known id: empty blob
+    assert sha1_obj("blob", b"").hex() == \
+        "e69de29bb2d1d6434b8b29ae775ad8c2e48c5391"
+    # and the empty tree
+    assert sha1_obj("tree", b"").hex() == \
+        "4b825dc642cb6eb9a060e54bf8d69288fbee4904"
+
+
+def test_loose_roundtrip_and_refusals():
+    raw = write_loose("blob", b"hello\n")
+    got = parse_loose(raw)
+    assert got["type"] == "blob" and got["size"] == 6
+    assert got["sha"] == sha1_obj("blob", b"hello\n").hex()
+    assert parse_loose(b"not zlib") is None
+    assert parse_loose(zlib.compress(b"nonsense")) is None
+    assert parse_loose(zlib.compress(b"blob 99\x00short")) is None
+    assert parse_loose(zlib.compress(b"wibble 3\x00abc")) is None
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    pack, idx, loose, exp = synth_pack(doc_id)
+    got = parse_pack(pack, idx)
+    assert got is not None and got["trailer_ok"] and got["idx_ok"]
+    assert got["n_objects"] == exp["n_objects"]
+    blobs = sorted(o["body"] for o in got["objects"]
+                   if o["type"] == "blob")
+    assert blobs == sorted(exp["blobs"])
+    assert max(o["depth"] for o in got["objects"]) == exp["max_depth"]
+    assert sum(1 for o in got["objects"] if o["depth"] > 0) == \
+        exp["n_delta"]
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(a=st.binary(max_size=300), b=st.binary(max_size=300))
+def test_delta_roundtrip_arbitrary(a, b):
+    assert apply_delta(a, make_delta(a, b)) == b
+
+
+def test_delta_refusals():
+    d = make_delta(b"abc", b"abcdef")
+    assert apply_delta(b"abcd", d) is None  # wrong base size
+    assert apply_delta(b"abc", d[:-1]) is None  # truncated
+    assert apply_delta(b"abc", d + b"\x01x") is None  # over target
+    # opcode 0x00 is reserved
+    bad = bytes([3, 3]) + b"\x00"
+    assert apply_delta(b"abc", bad) is None
+
+
+@pytest.mark.skipif(shutil.which("git") is None,
+                    reason="git binary absent")
+def test_real_git_verify_pack_and_idx_byte_identity():
+    """The external pin: git verify-pack accepts every synth pack,
+    and git index-pack regenerates our idx BYTE-IDENTICALLY."""
+    for i in (0, 3, 7, 15, 42, 149):
+        pack, idx, _loose, exp = synth_pack(i)
+        with tempfile.TemporaryDirectory() as td:
+            pp = os.path.join(td, "p.pack")
+            with open(pp, "wb") as f:
+                f.write(pack)
+            r = subprocess.run(["git", "index-pack", pp],
+                               capture_output=True, text=True, cwd=td)
+            assert r.returncode == 0, r.stderr
+            with open(os.path.join(td, "p.idx"), "rb") as f:
+                assert f.read() == idx
+            r = subprocess.run(
+                ["git", "verify-pack", "-v", pp],
+                capture_output=True, text=True)
+            assert r.returncode == 0, r.stderr
+            typed = [ln for ln in r.stdout.splitlines()
+                     if len(ln.split()) >= 3
+                     and ln.split()[1] in ("commit", "tree", "blob")]
+            assert len(typed) == exp["n_objects"]
+
+
+def test_pack_refusals():
+    pack, idx, _l, _e = synth_pack(5)
+    assert parse_pack(b"") is None
+    assert parse_pack(b"PACK" + struct.pack(">II", 3, 0) + b"x" * 20) \
+        is None  # bad version
+    assert parse_pack(pack[:-1]) is None  # trailer truncated
+    flipped = bytearray(pack)
+    flipped[-1] ^= 1
+    assert parse_pack(bytes(flipped)) is None  # trailer mismatch
+    # count lies: one extra claimed object
+    lying = bytearray(pack)
+    lying[8:12] = struct.pack(
+        ">I", struct.unpack(">I", pack[8:12])[0] + 1)
+    body = bytes(lying[:-20])
+    assert parse_pack(body + hashlib.sha1(body).digest()) is None
+    # idx trailer flip -> idx_ok False, pack itself still parses
+    bad_idx = bytearray(idx)
+    bad_idx[-1] ^= 1
+    got = parse_pack(pack, bytes(bad_idx))
+    assert got is not None and got["idx_ok"] is False
+
+
+def test_dangling_ref_delta_refused():
+    delta = make_delta(b"base", b"target!")
+    pack = build_pack([(7, delta, b"\xaa" * 20)])
+    assert parse_pack(pack) is None
+
+
+def test_bitflip_fuzz_never_raises():
+    import random
+
+    rnd = random.Random(1405)
+    pack, idx, _l, _e = synth_pack(9)
+    for _ in range(300):
+        blob = bytearray(pack)
+        for _f in range(1 + rnd.randrange(8)):
+            blob[rnd.randrange(len(blob))] ^= 1 << rnd.randrange(8)
+        parse_pack(bytes(blob), idx)  # any return, no exception
+
+
+def test_build_idx_matches_check():
+    pack, _idx, _l, _e = synth_pack(23)
+    idx = build_idx(pack)
+    got = parse_pack(pack, idx)
+    assert got is not None and got["idx_ok"] is True
