@@ -11102,3 +11102,200 @@ def git_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "commit_bytes long, loose_size int, all_resolved boolean, "
         "trailer_ok boolean, idx_ok boolean",
     )
+
+
+@register(
+    "mpegts_segment_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               4 + doc_id % 5 AS nv,
+               CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 4 ELSE 0 END
+                   AS na
+        FROM documents WHERE doc_id < 150
+    )
+    SELECT doc_id,
+           CAST(2 + nv + na AS INT) AS n_packets,
+           CAST(CASE WHEN na > 0 THEN 2 ELSE 1 END AS INT) AS n_streams,
+           CAST(nv AS INT) AS n_video_pes,
+           CAST(na AS INT) AS n_audio_pes,
+           CAST(3003 * (nv - 1) AS BIGINT) AS video_span,
+           CAST(CASE WHEN na > 0 THEN 1920 * (na - 1) ELSE -1 END
+                AS BIGINT) AS audio_span,
+           CAST((nv + 1) // 2 AS INT) AS n_pcr,
+           CAST(300 * 3003 * 2 * ((nv + 1) // 2 - 1) AS BIGINT)
+               AS pcr_span,
+           CAST((nv + 1) // 2 AS INT) AS n_dts,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+               AS cc_gaps
+    FROM spec
+    """,
+    doc="MPEG-TS segment parsing, graded (r14 — the missing half of "
+    "the HLS tier: hls.py reads playlists, this reads the .ts "
+    "segments they point at; ISO 13818-1 header walk, no codec "
+    "payload decode). Per doc synth_ts writes PAT+PMT (MPEG-2 CRC-32 "
+    "verified — the 0x04C11DB7 unreflected table, public vector "
+    "pinned in tests), an H.264-typed video PES stream with "
+    "marker-interleaved 33-bit PTS/DTS, optional AAC audio, 27 MHz "
+    "PCR in adaptation fields, and a deliberate continuity-counter "
+    "gap on every third doc. The oracle states the closed-form "
+    "packet/stream/PES census, PTS and PCR spans, and the gap count.",
+    tags=("ingest", "multimodal"),
+)
+def mpegts_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.mpegts import AUDIO_PID, VIDEO_PID, parse_ts, synth_ts
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                blob, _ = synth_ts(i)
+                d = parse_ts(blob)
+                v = d["pes"][VIDEO_PID]
+                a = d["pes"].get(AUDIO_PID)
+                rows.append(
+                    (i, d["n_packets"], len(d["streams"]), v["n"],
+                     a["n"] if a else 0,
+                     v["pts_last"] - v["pts_first"],
+                     (a["pts_last"] - a["pts_first"]) if a else -1,
+                     d["n_pcr"],
+                     (d["pcr_last"] - d["pcr_first"])
+                     if d["n_pcr"] > 1 else 0,
+                     v["n_dts"], d["cc_gaps"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_packets", "n_streams",
+                         "n_video_pes", "n_audio_pes", "video_span",
+                         "audio_span", "n_pcr", "pcr_span", "n_dts",
+                         "cc_gaps"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_packets int, n_streams int, n_video_pes int, "
+        "n_audio_pes int, video_span long, audio_span long, n_pcr int, "
+        "pcr_span long, n_dts int, cc_gaps int",
+    )
+
+
+@register(
+    "hls_segment_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 3 + doc_id % 5 AS n_seg
+        FROM documents WHERE doc_id < 120
+    ),
+    seg AS (
+        SELECT doc_id, n_seg, CAST(u.i AS INT) AS s,
+               doc_id + 3 * CAST(u.i AS INT) AS seg_id,
+               4000 + 100 * ((doc_id + u.i) % 10) AS extinf_ms
+        FROM spec, LATERAL unnest(range(0, n_seg)) u(i)
+    ),
+    per AS (
+        SELECT doc_id, n_seg, s, extinf_ms,
+               4 + seg_id % 5 AS nv,
+               CASE WHEN seg_id % 2 = 0 THEN 3 + seg_id % 4 ELSE 0 END
+                   AS na,
+               CASE WHEN seg_id % 3 = 0 THEN 1 ELSE 0 END AS ccg
+        FROM seg
+    )
+    SELECT doc_id,
+           CAST(max(n_seg) AS INT) AS n_segments,
+           CAST(sum(extinf_ms) AS BIGINT) AS playlist_ms,
+           CAST(sum(2 + nv + na) AS BIGINT) AS total_packets,
+           CAST(sum(nv) AS BIGINT) AS total_video_pes,
+           CAST(sum(na) AS BIGINT) AS total_audio_pes,
+           CAST(sum(3003 * (nv - 1)) AS BIGINT) AS pts_span_sum,
+           CAST(sum(ccg) AS BIGINT) AS cc_gaps_total,
+           TRUE AS all_parsed
+    FROM per GROUP BY doc_id
+    """,
+    doc="HLS playlist -> segment composition, graded (r14 — the "
+    "video-pipeline twin of cdx_warc_slice: the playlist is the "
+    "index, the .ts segments are the selectively-fetched members). "
+    "Per doc a media playlist (RFC 8216 EXTINF durations) names "
+    "3..7 segments; each segment is a full synth_ts transport "
+    "stream keyed by doc_id + 3*s. The plan parses the playlist "
+    "(sources/hls.py), fans out to its named segments, and parses "
+    "each with sources/mpegts.py — packet census, PES counts, PTS "
+    "spans and continuity gaps summed per playlist; the oracle "
+    "states every sum in closed form over the same seg_id lattice.",
+    tags=("ingest", "multimodal", "pipeline"),
+)
+def hls_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.hls import parse_m3u8
+    from ..sources.mpegts import AUDIO_PID, VIDEO_PID, parse_ts, synth_ts
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 120)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                n_seg = 3 + i % 5
+                lines = ["#EXTM3U", "#EXT-X-VERSION:3",
+                         "#EXT-X-TARGETDURATION:6"]
+                for s in range(n_seg):
+                    ms = 4000 + 100 * ((i + s) % 10)
+                    lines.append("#EXTINF:%.3f," % (ms / 1000.0))
+                    lines.append("seg%05d.ts" % s)
+                lines.append("#EXT-X-ENDLIST")
+                pl = parse_m3u8(("\n".join(lines) + "\n").encode())
+                total_packets = total_v = total_a = 0
+                pts_span_sum = cc_gaps_total = 0
+                all_parsed = pl is not None and pl["kind"] == "media" \
+                    and len(pl["segments"]) == n_seg
+                if all_parsed:
+                    for s, (_uri, _ms) in enumerate(pl["segments"]):
+                        blob, _ = synth_ts(i + 3 * s)
+                        d = parse_ts(blob)
+                        if d is None:
+                            all_parsed = False
+                            break
+                        v = d["pes"][VIDEO_PID]
+                        a = d["pes"].get(AUDIO_PID)
+                        total_packets += d["n_packets"]
+                        total_v += v["n"]
+                        total_a += a["n"] if a else 0
+                        pts_span_sum += v["pts_last"] - v["pts_first"]
+                        cc_gaps_total += d["cc_gaps"]
+                rows.append((i, n_seg,
+                             pl["total_ms"] if pl else -1,
+                             total_packets, total_v, total_a,
+                             pts_span_sum, cc_gaps_total, all_parsed))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_segments", "playlist_ms",
+                         "total_packets", "total_video_pes",
+                         "total_audio_pes", "pts_span_sum",
+                         "cc_gaps_total", "all_parsed"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_segments int, playlist_ms long, "
+        "total_packets long, total_video_pes long, total_audio_pes "
+        "long, pts_span_sum long, cc_gaps_total long, "
+        "all_parsed boolean",
+    )

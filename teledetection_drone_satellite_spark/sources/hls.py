@@ -94,6 +94,7 @@ def parse_m3u8(content: bytes) -> "dict | None":
         return None
     variants = []
     segments_ms = []
+    segment_uris = []
     resolutions = []
     ended = False
     target = None
@@ -142,6 +143,7 @@ def parse_m3u8(content: bytes) -> "dict | None":
                         pending_inf > (target + 1) * 1000:
                     return None  # RFC 8216 §4.3.3.1 bound
                 segments_ms.append(pending_inf)
+                segment_uris.append(ln)
                 pending_inf = None
             # bare URI without a tag: ignored (init sections etc.)
     if pending_stream is not None or pending_inf is not None:
@@ -155,5 +157,6 @@ def parse_m3u8(content: bytes) -> "dict | None":
     if segments_ms:
         return {"kind": "media", "n_items": len(segments_ms),
                 "total_ms": sum(segments_ms), "bw_sum": 0,
-                "resolutions": [], "ended": ended}
+                "resolutions": [], "ended": ended,
+                "segments": list(zip(segment_uris, segments_ms))}
     return None

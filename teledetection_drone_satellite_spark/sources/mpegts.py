@@ -1,0 +1,350 @@
+"""MPEG transport stream (MPEG-TS) segment parsing — pure stdlib,
+from the public ISO/IEC 13818-1 packet/PSI/PES layout.
+
+The missing half of the HLS tier: hls.py parses the playlists but the
+``.ts`` segments they point at are 188-byte-packet transport streams.
+This walks them header-level (the C14 metadata contract — no video
+codec payload decode, which stays honestly env-blocked):
+
+  packets     0x47 sync, TEI/PUSI/PID, adaptation-field control,
+              4-bit continuity counter (per-PID gap census on
+              payload-bearing packets, the real-world corruption
+              signal);
+  adaptation  length + flags; PCR decoded as 33-bit base x 300 +
+              9-bit extension (27 MHz ticks);
+  PSI         pointer field, PAT (table 0x00: program -> PMT PID) and
+              PMT (table 0x02: PCR PID, elementary streams with
+              stream_type), both verified against the MPEG-2 CRC-32
+              (poly 0x04C11DB7, init all-ones, no reflection — NOT
+              zlib's CRC);
+  PES         00 00 01 start code, stream id, PTS/DTS from the
+              marker-bit-interleaved 33-bit 90 kHz encoding.
+
+Refusals (None): length not a multiple of 188, lost sync, a PSI
+section whose CRC fails or that overruns its packet, a PES packet
+missing its start code, PTS flag bits inconsistent with the header
+length, or no PAT/PMT — the honest-fallback contract every decoder
+here shares.
+
+Scale note: TS is the selective-read format par excellence — fixed
+188-byte cells mean byte offsets ARE packet indices, so a 100 TB
+video lake can range-slice segments without scanning (the same shape
+as cdx_warc_slice); per-segment decode stays partition-parallel.
+Reference parity: the reference declares video upload handling
+(/root/reference/services/file-service/main.py:75-169); this is the
+transport layer its HLS delivery would emit.
+"""
+
+from __future__ import annotations
+
+import struct
+
+PKT = 188
+
+_CRC_TABLE = []
+for _i in range(256):
+    _c = _i << 24
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x04C11DB7) if _c & 0x80000000 else (_c << 1)
+    _CRC_TABLE.append(_c & 0xFFFFFFFF)
+
+
+def crc32_mpeg(data: bytes) -> int:
+    """MPEG-2 / DVB PSI CRC-32: 0x04C11DB7, init 0xFFFFFFFF, no
+    reflection, no final xor."""
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _CRC_TABLE[(crc >> 24) ^ b]
+    return crc
+
+
+def _encode_pts(pts: int, tag: int) -> bytes:
+    """5-byte marker-interleaved 33-bit timestamp (tag 0x2 PTS-only,
+    0x3 PTS-of-pair, 0x1 DTS)."""
+    return bytes([
+        (tag << 4) | (((pts >> 30) & 0x07) << 1) | 1,
+        (pts >> 22) & 0xFF,
+        (((pts >> 15) & 0x7F) << 1) | 1,
+        (pts >> 7) & 0xFF,
+        ((pts & 0x7F) << 1) | 1,
+    ])
+
+
+def _decode_pts(b: bytes) -> "int | None":
+    if len(b) != 5 or not (b[0] & 1) or not (b[2] & 1) or not (b[4] & 1):
+        return None
+    return (((b[0] >> 1) & 0x07) << 30) | (b[1] << 22) \
+        | ((b[2] >> 1) << 15) | (b[3] << 7) | (b[4] >> 1)
+
+
+def _psi_section(table_id: int, body: bytes, tsid: int = 1) -> bytes:
+    """table header + body + CRC; section_length covers everything
+    after it through the CRC."""
+    length = 5 + len(body) + 4
+    sec = bytes([table_id, 0xB0 | (length >> 8), length & 0xFF,
+                 tsid >> 8, tsid & 0xFF, 0xC1, 0, 0]) + body
+    return sec + struct.pack(">I", crc32_mpeg(sec))
+
+
+def _packet(pid: int, cc: int, payload: bytes, pusi: bool,
+            pcr: "int | None" = None) -> bytes:
+    """One 188-byte packet; adaptation field carries PCR and/or pads
+    the payload to fill the cell."""
+    need_af = pcr is not None or len(payload) < PKT - 4
+    afc = 0x30 if need_af else 0x10
+    hdr = bytes([0x47, (0x40 if pusi else 0) | (pid >> 8), pid & 0xFF,
+                 afc | (cc & 0x0F)])
+    if not need_af:
+        if len(payload) != PKT - 4:
+            raise ValueError("payload must fill the cell")
+        return hdr + payload
+    af_body = b""
+    flags = 0
+    if pcr is not None:
+        flags |= 0x10
+        base, ext = divmod(pcr, 300)
+        af_body += bytes([
+            (base >> 25) & 0xFF, (base >> 17) & 0xFF,
+            (base >> 9) & 0xFF, (base >> 1) & 0xFF,
+            ((base & 1) << 7) | 0x7E | (ext >> 8), ext & 0xFF])
+    af_len = 1 + len(af_body)  # flags byte + body
+    pad = PKT - 4 - 1 - af_len - len(payload)
+    if pad < 0:
+        raise ValueError("payload too large")
+    af = bytes([af_len + pad, flags]) + af_body + b"\xff" * pad
+    return hdr + af + payload
+
+
+def _pes(stream_id: int, pts: int, data: bytes,
+         dts: "int | None" = None) -> bytes:
+    if dts is None:
+        flags2, hdlen = 0x80, 5
+        stamps = _encode_pts(pts, 0x2)
+    else:
+        flags2, hdlen = 0xC0, 10
+        stamps = _encode_pts(pts, 0x3) + _encode_pts(dts, 0x1)
+    body = bytes([0x80, flags2, hdlen]) + stamps + data
+    return b"\x00\x00\x01" + bytes([stream_id]) \
+        + struct.pack(">H", len(body)) + body
+
+
+# ---------------------------------------------------------------- parse
+
+def parse_ts(content: bytes) -> "dict | None":
+    """-> {'n_packets', 'programs': {prog: pmt_pid}, 'streams':
+    [(stream_type, pid)...] sorted, 'pcr_pid', 'n_pcr', 'pcr_first',
+    'pcr_last', 'pes': {pid: {'n', 'pts_first', 'pts_last',
+    'n_dts'}}, 'cc_gaps', 'null_packets'} or None."""
+    if not content or len(content) % PKT:
+        return None
+    n = len(content) // PKT
+    programs: "dict[int, int]" = {}
+    streams: "list[tuple[int, int]]" = []
+    pcr_pid: "int | None" = None
+    pmt_pids: "set[int]" = set()
+    es_pids: "set[int]" = set()
+    pes: "dict[int, dict]" = {}
+    last_cc: "dict[int, int]" = {}
+    cc_gaps = 0
+    n_pcr = 0
+    pcr_first = pcr_last = None
+    null_packets = 0
+    for k in range(n):
+        pkt = content[k * PKT:(k + 1) * PKT]
+        if pkt[0] != 0x47:
+            return None
+        if pkt[1] & 0x80:
+            return None  # transport_error_indicator
+        pusi = bool(pkt[1] & 0x40)
+        pid = ((pkt[1] & 0x1F) << 8) | pkt[2]
+        afc = (pkt[3] >> 4) & 0x3
+        cc = pkt[3] & 0x0F
+        if pid == 0x1FFF:
+            null_packets += 1
+            continue
+        pos = 4
+        if afc in (2, 3):  # adaptation field present
+            af_len = pkt[pos]
+            pos += 1
+            if af_len:
+                if pos + af_len > PKT:
+                    return None
+                flags = pkt[pos]
+                if flags & 0x10:  # PCR
+                    if af_len < 7:
+                        return None
+                    b = pkt[pos + 1:pos + 7]
+                    base = (b[0] << 25) | (b[1] << 17) | (b[2] << 9) \
+                        | (b[3] << 1) | (b[4] >> 7)
+                    ext = ((b[4] & 1) << 8) | b[5]
+                    pcr = base * 300 + ext
+                    n_pcr += 1
+                    if pcr_first is None:
+                        pcr_first = pcr
+                    pcr_last = pcr
+                pos += af_len
+        if afc in (1, 3):  # payload present: continuity counter applies
+            if pid in last_cc and cc != (last_cc[pid] + 1) % 16:
+                cc_gaps += 1
+            last_cc[pid] = cc
+        else:
+            continue
+        payload = pkt[pos:]
+        if pid == 0 and pusi:  # PAT
+            sec = _section(payload)
+            if sec is None or sec[0] != 0x00:
+                return None
+            body = sec[8:-4]
+            for e in range(0, len(body) - len(body) % 4, 4):
+                prog = (body[e] << 8) | body[e + 1]
+                ppid = ((body[e + 2] & 0x1F) << 8) | body[e + 3]
+                if prog != 0:
+                    programs[prog] = ppid
+                    pmt_pids.add(ppid)
+        elif pid in pmt_pids and pusi:  # PMT
+            sec = _section(payload)
+            if sec is None or sec[0] != 0x02:
+                return None
+            body = sec[8:-4]
+            if len(body) < 4:
+                return None
+            pcr_pid = ((body[0] & 0x1F) << 8) | body[1]
+            info_len = ((body[2] & 0x0F) << 8) | body[3]
+            e = 4 + info_len
+            while e + 5 <= len(body):
+                stype = body[e]
+                epid = ((body[e + 1] & 0x1F) << 8) | body[e + 2]
+                es_len = ((body[e + 3] & 0x0F) << 8) | body[e + 4]
+                pair = (stype, epid)
+                if pair not in streams:
+                    streams.append(pair)
+                es_pids.add(epid)
+                e += 5 + es_len
+        elif pid in es_pids and pusi:  # PES start
+            if payload[:3] != b"\x00\x00\x01" or len(payload) < 9:
+                return None
+            flags2 = payload[7]
+            hdlen = payload[8]
+            rec = pes.setdefault(
+                pid, {"n": 0, "pts_first": None, "pts_last": None,
+                      "n_dts": 0})
+            rec["n"] += 1
+            off = 9
+            if flags2 & 0x80:
+                if hdlen < 5 or off + 5 > len(payload):
+                    return None
+                pts = _decode_pts(payload[off:off + 5])
+                if pts is None:
+                    return None
+                if rec["pts_first"] is None:
+                    rec["pts_first"] = pts
+                rec["pts_last"] = pts
+                off += 5
+            if (flags2 >> 6) & 0x3 == 0x3:
+                if hdlen < 10 or off + 5 > len(payload):
+                    return None
+                if _decode_pts(payload[off:off + 5]) is None:
+                    return None
+                rec["n_dts"] += 1
+    if not programs or not streams:
+        return None
+    return {"n_packets": n, "programs": programs,
+            "streams": sorted(streams), "pcr_pid": pcr_pid,
+            "n_pcr": n_pcr, "pcr_first": pcr_first,
+            "pcr_last": pcr_last, "pes": pes, "cc_gaps": cc_gaps,
+            "null_packets": null_packets}
+
+
+def _section(payload: bytes) -> "bytes | None":
+    """Pointer-field skip + section slice + CRC check."""
+    if not payload:
+        return None
+    ptr = payload[0]
+    if 1 + ptr >= len(payload):
+        return None
+    sec = payload[1 + ptr:]
+    if len(sec) < 3:
+        return None
+    length = ((sec[1] & 0x0F) << 8) | sec[2]
+    total = 3 + length
+    if total > len(sec) or total < 12:
+        return None
+    sec = sec[:total]
+    if crc32_mpeg(sec[:-4]) != struct.unpack(">I", sec[-4:])[0]:
+        return None
+    return sec
+
+
+# ---------------------------------------------------------------- synth
+
+VIDEO_PID = 0x101
+AUDIO_PID = 0x102
+PMT_PID = 0x100
+
+
+def synth_ts(doc_id: int) -> "tuple[bytes, dict]":
+    """Deterministic fixture plus expected stats.  Closed form
+    (mirrored by the mpegts_segment_stats oracle):
+
+        n_video  = 4 + doc_id % 5 PES packets (H.264 stream type
+                   0x1B), PTS_v(j) = 90000 + 3000*doc_id + 3003*j,
+                   DTS on every even j
+        audio    present when doc_id % 2 == 0: 3 + doc_id % 4 PES
+                   (AAC 0x0F), PTS_a(j) = 90000 + 3000*doc_id+1920*j
+        PCR      on video packets with even j:
+                   27 MHz, 300 * (PTS_v(j) - 1800)
+        cc gap   one deliberate video-counter skip when
+                   doc_id % 3 == 0
+        packets  = 2 (PAT+PMT) + n_video + n_audio"""
+    i = int(doc_id)
+    n_video = 4 + i % 5
+    has_audio = i % 2 == 0
+    n_audio = (3 + i % 4) if has_audio else 0
+    out = bytearray()
+    pat_body = bytes([0x00, 0x01, 0xE0 | (PMT_PID >> 8), PMT_PID & 0xFF])
+    out += _packet(0, 0, _pad_section(b"\x00" + _psi_section(0x00, pat_body)),
+                   pusi=True)
+    es = bytes([0x1B, 0xE0 | (VIDEO_PID >> 8), VIDEO_PID & 0xFF,
+                0xF0, 0x00])
+    if has_audio:
+        es += bytes([0x0F, 0xE0 | (AUDIO_PID >> 8), AUDIO_PID & 0xFF,
+                     0xF0, 0x00])
+    pmt_body = bytes([0xE0 | (VIDEO_PID >> 8), VIDEO_PID & 0xFF,
+                      0xF0, 0x00]) + es
+    out += _packet(PMT_PID, 0, _pad_section(b"\x00" + _psi_section(0x02, pmt_body)),
+                   pusi=True)
+    cc_v = 0
+    for j in range(n_video):
+        pts = 90000 + 3000 * i + 3003 * j
+        pcr = 300 * (pts - 1800) if j % 2 == 0 else None
+        dts = pts - 1500 if j % 2 == 0 else None
+        pes = _pes(0xE0, pts, b"\x00\x00\x00\x01\x09\x10", dts=dts)
+        if i % 3 == 0 and j == 2:
+            cc_v = (cc_v + 1) % 16  # deliberate continuity gap
+        out += _packet(VIDEO_PID, cc_v, pes, pusi=True, pcr=pcr)
+        cc_v = (cc_v + 1) % 16
+    for j in range(n_audio):
+        pts = 90000 + 3000 * i + 1920 * j
+        pes = _pes(0xC0, pts, b"\xff\xf1\x00")
+        out += _packet(AUDIO_PID, j % 16, pes, pusi=True)
+    expected = {
+        "n_packets": 2 + n_video + n_audio,
+        "n_streams": 2 if has_audio else 1,
+        "n_video": n_video,
+        "n_audio": n_audio,
+        "video_span": 3003 * (n_video - 1),
+        "audio_span": 1920 * (n_audio - 1) if has_audio else -1,
+        "n_pcr": (n_video + 1) // 2,
+        "pcr_span": 300 * 3003 * 2 * (((n_video + 1) // 2) - 1),
+        "n_dts": (n_video + 1) // 2,
+        "cc_gaps": 1 if i % 3 == 0 else 0,
+    }
+    return bytes(out), expected
+
+
+def _pad_section(payload: bytes) -> bytes:
+    """PSI payload padded with 0xFF to fill a cell (the standard
+    section stuffing)."""
+    if len(payload) > PKT - 4:
+        raise ValueError("section too large for one packet")
+    return payload + b"\xff" * (PKT - 4 - len(payload))

@@ -1,0 +1,85 @@
+"""MPEG-TS segment parsing (sources/mpegts.py): packet walk, PSI
+CRC, PTS/PCR decode, continuity census, refusals."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.mpegts import (
+    AUDIO_PID,
+    VIDEO_PID,
+    _decode_pts,
+    _encode_pts,
+    crc32_mpeg,
+    parse_ts,
+    synth_ts,
+)
+
+
+def test_crc32_mpeg_public_vector():
+    # the standard unreflected 0x04C11DB7 check value
+    assert crc32_mpeg(b"123456789") == 0x0376E6E7
+    assert crc32_mpeg(b"") == 0xFFFFFFFF
+
+
+@settings(max_examples=80, deadline=None)
+@given(pts=st.integers(0, (1 << 33) - 1))
+def test_pts_roundtrip(pts):
+    assert _decode_pts(_encode_pts(pts, 0x2)) == pts
+    assert _decode_pts(_encode_pts(pts, 0x3)) == pts
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    blob, exp = synth_ts(doc_id)
+    assert len(blob) % 188 == 0
+    got = parse_ts(blob)
+    assert got is not None
+    assert got["n_packets"] == exp["n_packets"]
+    assert len(got["streams"]) == exp["n_streams"]
+    v = got["pes"][VIDEO_PID]
+    assert v["n"] == exp["n_video"]
+    assert v["pts_last"] - v["pts_first"] == exp["video_span"]
+    assert v["n_dts"] == exp["n_dts"]
+    if exp["n_audio"]:
+        a = got["pes"][AUDIO_PID]
+        assert a["n"] == exp["n_audio"]
+        assert a["pts_last"] - a["pts_first"] == exp["audio_span"]
+    assert got["n_pcr"] == exp["n_pcr"]
+    if got["n_pcr"] > 1:
+        assert got["pcr_last"] - got["pcr_first"] == exp["pcr_span"]
+    assert got["cc_gaps"] == exp["cc_gaps"]
+    assert got["pcr_pid"] == VIDEO_PID
+    assert got["programs"] == {1: 0x100}
+    assert got["streams"][0] == (0x0F, AUDIO_PID) if exp["n_audio"] \
+        else got["streams"][0] == (0x1B, VIDEO_PID)
+
+
+def test_refusals():
+    assert parse_ts(b"") is None
+    assert parse_ts(b"x" * 188) is None  # lost sync
+    blob, _ = synth_ts(3)
+    assert parse_ts(blob[:-1]) is None  # not a 188 multiple
+    # corrupt the PAT section -> CRC failure
+    bad = bytearray(blob)
+    bad[10] ^= 0xFF
+    assert parse_ts(bytes(bad)) is None
+    # transport_error_indicator set
+    tei = bytearray(blob)
+    tei[1] |= 0x80
+    assert parse_ts(bytes(tei)) is None
+
+
+def test_bitflip_fuzz_never_raises():
+    import random
+
+    rnd = random.Random(1414)
+    blob, _ = synth_ts(12)
+    for _ in range(300):
+        b = bytearray(blob)
+        for _f in range(1 + rnd.randrange(6)):
+            b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+        parse_ts(bytes(b))  # any return, never an exception
