@@ -11299,3 +11299,120 @@ def hls_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "long, pts_span_sum long, cc_gaps_total long, "
         "all_parsed boolean",
     )
+
+
+@register(
+    "tensor_artifact_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               (2 + doc_id % 3) * (3 + doc_id % 4) AS n,
+               1 + doc_id % 3 AS n_members,
+               2 + doc_id % 3 AS n_tensors
+        FROM documents WHERE doc_id < 150
+    ),
+    npz AS (
+        SELECT doc_id,
+               CAST(sum((1 + u.i) * (2 + (doc_id + u.i) % 3))
+                    AS BIGINT) AS npz_elems
+        FROM spec, LATERAL unnest(range(0, n_members)) u(i)
+        GROUP BY doc_id
+    ),
+    st AS (
+        SELECT doc_id,
+               CAST(sum((2 + u.i) * (3 + (doc_id + u.i) % 4))
+                    AS BIGINT) AS st_params,
+               CAST(sum((2 + u.i) * (3 + (doc_id + u.i) % 4)
+                        * list_extract([4, 2, 4, 1, 2],
+                                       CAST((doc_id + u.i) % 5 AS INT)
+                                       + 1)) AS BIGINT) AS st_payload
+        FROM spec, LATERAL unnest(range(0, n_tensors)) u(i)
+        GROUP BY doc_id
+    )
+    SELECT spec.doc_id,
+           list_extract(['<f4', '<f8', '<i4', '<i8', '|u1', '<f2'],
+                        CAST(spec.doc_id % 6 AS INT) + 1) AS npy_descr,
+           CAST(n AS INT) AS npy_n,
+           CAST(n * list_extract([4, 8, 4, 8, 1, 2],
+                                 CAST(spec.doc_id % 6 AS INT) + 1)
+                AS BIGINT) AS npy_bytes,
+           spec.doc_id % 2 = 1 AS npy_fortran,
+           CAST(n * (n - 1) // 2 AS BIGINT) AS npy_sum,
+           CAST(n_members AS INT) AS npz_members,
+           npz_elems,
+           CAST(n_tensors AS INT) AS st_tensors,
+           st_params,
+           st_payload,
+           TRUE AS st_contiguous,
+           spec.doc_id % 4 = 0 AS st_has_meta
+    FROM spec
+    JOIN npz ON spec.doc_id = npz.doc_id
+    JOIN st ON spec.doc_id = st.doc_id
+    """,
+    doc="Tensor artifact decode, graded (r14 — .npy/.npz and "
+    "safetensors, the ML dataset/model artifacts pervasive in "
+    "scraped data): parse_npy reads the NumPy format header with "
+    "literal_eval (object/structured dtypes REFUSED — the pickle "
+    "vector np.load carries), validates the data region "
+    "byte-for-byte against shape x itemsize, and the data grade "
+    "sums the actual element values (arange % 100 -> n(n-1)/2, "
+    "n<100); cross-pinned in tests against np.save/np.load both "
+    "directions. parse_npz fans a stdlib zip of members through the "
+    "same parser; parse_safetensors validates the JSON index "
+    "against the published layout — per-tensor offsets sized "
+    "exactly dtype*prod(shape), jointly contiguous over the data "
+    "region. The oracle states every census in closed form.",
+    tags=("ingest", "corpus", "multimodal"),
+)
+def tensor_artifact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.tensorfile import (
+        npy_int_sum,
+        parse_npy,
+        parse_npz,
+        parse_safetensors,
+        synth_tensors,
+    )
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                npy, npz, st, _ = synth_tensors(i)
+                p = parse_npy(npy)
+                z = parse_npz(npz)
+                s = parse_safetensors(st)
+                rows.append(
+                    (i, p["descr"], p["n_elems"], p["data_bytes"],
+                     p["fortran"], npy_int_sum(p),
+                     len(z["members"]),
+                     sum(m["n_elems"] for _n, m in z["members"]),
+                     len(s["tensors"]), s["n_params"],
+                     s["payload_bytes"], s["contiguous"],
+                     s["metadata"] is not None)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "npy_descr", "npy_n", "npy_bytes",
+                         "npy_fortran", "npy_sum", "npz_members",
+                         "npz_elems", "st_tensors", "st_params",
+                         "st_payload", "st_contiguous", "st_has_meta"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, npy_descr string, npy_n int, npy_bytes long, "
+        "npy_fortran boolean, npy_sum long, npz_members int, "
+        "npz_elems long, st_tensors int, st_params long, "
+        "st_payload long, st_contiguous boolean, st_has_meta boolean",
+    )

