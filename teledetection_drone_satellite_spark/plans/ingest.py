@@ -11416,3 +11416,97 @@ def tensor_artifact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "npz_elems long, st_tensors int, st_params long, "
         "st_payload long, st_contiguous boolean, st_has_meta boolean",
     )
+
+
+@register(
+    "avro_record_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 5 + doc_id % 6 AS n,
+               length(CAST(doc_id AS VARCHAR)) AS d
+        FROM documents WHERE doc_id < 150
+    ),
+    per AS (
+        SELECT doc_id, n, d,
+               CAST(u.i AS INT) AS r
+        FROM spec, LATERAL unnest(range(0, n)) u(i)
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(sum(r) AS BIGINT) AS id_sum,
+               CAST(sum(5 + d + length(CAST(r AS VARCHAR)))
+                    AS BIGINT) AS name_chars,
+               CAST(sum(CASE WHEN r % 2 = 0 THEN 1 ELSE 0 END)
+                    AS INT) AS n_flags,
+               CAST(sum(r % 3) AS BIGINT) AS n_tags,
+               CAST(sum(CASE WHEN r % 4 = 0 THEN 1 ELSE 0 END)
+                    AS INT) AS n_notes,
+               CAST(sum(r) AS BIGINT) AS score_x2_sum
+        FROM per GROUP BY doc_id
+    )
+    SELECT spec.doc_id,
+           CAST(n AS INT) AS n_records,
+           CAST((n + 3) // 4 AS INT) AS n_blocks,
+           CASE WHEN spec.doc_id % 2 = 1 THEN 'deflate' ELSE 'null' END
+               AS codec,
+           CAST(6 AS INT) AS n_fields,
+           id_sum, name_chars, n_flags, n_tags, n_notes, score_x2_sum
+    FROM spec JOIN agg ON spec.doc_id = agg.doc_id
+    """,
+    doc="Avro object-container decode, graded (r14 — the one "
+    "mainstream big-data interchange format missing from the "
+    "Parquet/ORC/Arrow/TFRecord tier). Per doc write_avro emits a "
+    "self-describing container — schema JSON + codec in the "
+    "metadata map, zigzag-varint blocks, per-doc sync markers "
+    "(verified on EVERY block; the splittability anchor) — cycling "
+    "null and raw-RFC-1951 deflate codecs; snappy refuses honestly "
+    "(no wheel). parse_avro schema-interprets the binary encoding "
+    "(records, unions, arrays, length-prefixed strings) and must "
+    "land each block exactly on its declared record count. The "
+    "oracle states the closed-form per-field census.",
+    tags=("ingest", "corpus"),
+)
+def avro_record_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.avro import parse_avro, synth_avro
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                blob, _ = synth_avro(i)
+                got = parse_avro(blob)
+                recs = got["records"]
+                rows.append(
+                    (i, got["n_records"], got["n_blocks"], got["codec"],
+                     len(got["schema"]["fields"]),
+                     sum(r["id"] for r in recs),
+                     sum(len(r["name"]) for r in recs),
+                     sum(1 for r in recs if r["flag"]),
+                     sum(len(r["tags"]) for r in recs),
+                     sum(1 for r in recs if r["note"] is not None),
+                     int(sum(r["score"] * 2 for r in recs)))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_records", "n_blocks", "codec",
+                         "n_fields", "id_sum", "name_chars", "n_flags",
+                         "n_tags", "n_notes", "score_x2_sum"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_records int, n_blocks int, codec string, "
+        "n_fields int, id_sum long, name_chars long, n_flags int, "
+        "n_tags long, n_notes int, score_x2_sum long",
+    )

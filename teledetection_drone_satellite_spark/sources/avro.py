@@ -1,0 +1,359 @@
+"""Avro object-container files — pure stdlib, from the public Apache
+Avro 1.11 specification (file container format + binary encoding).
+
+The one mainstream big-data interchange format previously absent
+from the Parquet/ORC/Arrow/TFRecord artifact tier.  An Avro file is
+self-describing: a header carries the writer schema as JSON plus a
+codec name, then data blocks of (record count, byte size, payload,
+16-byte sync marker) — the sync marker is what makes Avro splittable
+at 100 TB (a reader can seek to any offset, scan to the next marker,
+and start decoding block-aligned), so the census here is exactly the
+partition-planning read a Spark source performs.
+
+Parsed surface:
+  header     magic ``Obj\\x01``, metadata map (block-encoded
+             string->bytes pairs), ``avro.schema`` JSON,
+             ``avro.codec`` (null and deflate=raw RFC 1951
+             supported; snappy refused honestly — no wheel), 16-byte
+             sync marker;
+  blocks     zigzag-varint count + size, payload inflated when
+             deflate, trailing sync marker REQUIRED to match the
+             header's;
+  records    schema-interpreted binary decode: null, boolean,
+             int/long (zigzag varint), float/double (LE IEEE),
+             bytes/string (length-prefixed), enum (index), fixed,
+             array/map (block sequences, negative-count+size form
+             included), unions (index-tagged), nested records.
+
+Refusals (None): bad magic, metadata that lacks a schema, unknown or
+unsupported codec, varint overrun, a union/enum index out of range,
+a block whose payload does not decode to exactly its declared record
+count, a sync marker mismatch, or trailing bytes after the last
+block — the honest-fallback contract every decoder here shares.
+
+Reference parity: the reference declares generic upload ingestion
+(/root/reference/services/file-service/main.py:75-169); Avro is the
+interchange sibling of sources/tfrecord.py and sources/arrowipc.py.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+
+MAGIC = b"Obj\x01"
+MAX_INFLATE = 64 << 20
+MAX_ITEMS = 1 << 24
+
+
+class _Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes, pos: int = 0) -> None:
+        self.buf = buf
+        self.pos = pos
+
+    def eof(self) -> bool:
+        return self.pos >= len(self.buf)
+
+    def take(self, n: int) -> bytes:
+        if n < 0 or self.pos + n > len(self.buf):
+            raise ValueError("truncated")
+        out = self.buf[self.pos:self.pos + n]
+        self.pos += n
+        return out
+
+    def zigzag(self) -> int:
+        n = shift = 0
+        while True:
+            if self.pos >= len(self.buf) or shift > 63:
+                raise ValueError("varint overrun")
+            b = self.buf[self.pos]
+            self.pos += 1
+            n |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                return (n >> 1) ^ -(n & 1)
+
+
+def _zigzag_enc(n: int) -> bytes:
+    n = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_value(r: _Reader, schema) -> object:
+    """Schema-interpreted binary decode (the subset the docstring
+    lists); raises ValueError on malformed input."""
+    if isinstance(schema, list):  # union
+        idx = r.zigzag()
+        if not 0 <= idx < len(schema):
+            raise ValueError("union index")
+        return _read_value(r, schema[idx])
+    if isinstance(schema, dict):
+        t = schema.get("type")
+        if t == "record":
+            return {f["name"]: _read_value(r, f["type"])
+                    for f in schema.get("fields", ())}
+        if t == "enum":
+            symbols = schema.get("symbols", ())
+            idx = r.zigzag()
+            if not 0 <= idx < len(symbols):
+                raise ValueError("enum index")
+            return symbols[idx]
+        if t == "fixed":
+            return r.take(int(schema["size"]))
+        if t == "array":
+            out = []
+            while True:
+                cnt = r.zigzag()
+                if cnt == 0:
+                    return out
+                if cnt < 0:  # count+size form
+                    cnt = -cnt
+                    r.zigzag()  # block byte size, unused here
+                if cnt > MAX_ITEMS:
+                    raise ValueError("array too large")
+                for _ in range(cnt):
+                    out.append(_read_value(r, schema["items"]))
+        if t == "map":
+            out = {}
+            while True:
+                cnt = r.zigzag()
+                if cnt == 0:
+                    return out
+                if cnt < 0:
+                    cnt = -cnt
+                    r.zigzag()
+                if cnt > MAX_ITEMS:
+                    raise ValueError("map too large")
+                for _ in range(cnt):
+                    key = r.take(r.zigzag()).decode("utf-8")
+                    out[key] = _read_value(r, schema["values"])
+        schema = t  # {"type": "string"} wrapper form
+    if schema == "null":
+        return None
+    if schema == "boolean":
+        b = r.take(1)[0]
+        if b > 1:
+            raise ValueError("bad boolean")
+        return bool(b)
+    if schema in ("int", "long"):
+        return r.zigzag()
+    if schema == "float":
+        return struct.unpack("<f", r.take(4))[0]
+    if schema == "double":
+        return struct.unpack("<d", r.take(8))[0]
+    if schema == "bytes":
+        return r.take(r.zigzag())
+    if schema == "string":
+        return r.take(r.zigzag()).decode("utf-8")
+    raise ValueError("unsupported schema node: %r" % (schema,))
+
+
+def parse_avro(content: bytes) -> "dict | None":
+    """-> {'schema', 'codec', 'n_records', 'n_blocks', 'records'}
+    or None."""
+    try:
+        r = _Reader(content)
+        if r.take(4) != MAGIC:
+            return None
+        meta: "dict[str, bytes]" = {}
+        while True:
+            cnt = r.zigzag()
+            if cnt == 0:
+                break
+            if cnt < 0:
+                cnt = -cnt
+                r.zigzag()
+            if cnt > MAX_ITEMS:
+                return None
+            for _ in range(cnt):
+                key = r.take(r.zigzag()).decode("utf-8")
+                meta[key] = r.take(r.zigzag())
+        sync = r.take(16)
+        if "avro.schema" not in meta:
+            return None
+        schema = json.loads(meta["avro.schema"].decode("utf-8"))
+        codec = meta.get("avro.codec", b"null").decode("ascii")
+        if codec not in ("null", "deflate"):
+            return None  # snappy et al.: no wheel, refuse honestly
+        records = []
+        n_blocks = 0
+        while not r.eof():
+            cnt = r.zigzag()
+            size = r.zigzag()
+            if cnt < 0 or cnt > MAX_ITEMS or size < 0:
+                return None
+            payload = r.take(size)
+            if codec == "deflate":
+                d = zlib.decompressobj(-15)  # raw RFC 1951 per spec
+                payload = d.decompress(payload, MAX_INFLATE)
+                if not d.eof or d.unconsumed_tail:
+                    return None
+            br = _Reader(payload)
+            for _ in range(cnt):
+                records.append(_read_value(br, schema))
+            if not br.eof():
+                return None  # payload longer than its record count
+            if r.take(16) != sync:
+                return None
+            n_blocks += 1
+    except (ValueError, UnicodeDecodeError, zlib.error, KeyError,
+            TypeError, struct.error):
+        return None
+    return {"schema": schema, "codec": codec,
+            "n_records": len(records), "n_blocks": n_blocks,
+            "records": records}
+
+
+# ---------------------------------------------------------------- write
+
+def _write_value(out: bytearray, schema, value) -> None:
+    if isinstance(schema, list):
+        for idx, branch in enumerate(schema):
+            name = branch if isinstance(branch, str) else \
+                branch.get("type")
+            if value is None and name == "null":
+                out += _zigzag_enc(idx)
+                return
+            if value is not None and name != "null":
+                out += _zigzag_enc(idx)
+                _write_value(out, branch, value)
+                return
+        raise ValueError("no union branch")
+    if isinstance(schema, dict):
+        t = schema.get("type")
+        if t == "record":
+            for f in schema["fields"]:
+                _write_value(out, f["type"], value[f["name"]])
+            return
+        if t == "array":
+            if value:
+                out += _zigzag_enc(len(value))
+                for v in value:
+                    _write_value(out, schema["items"], v)
+            out += _zigzag_enc(0)
+            return
+        if t == "map":
+            if value:
+                out += _zigzag_enc(len(value))
+                for k, v in value.items():
+                    kb = k.encode()
+                    out += _zigzag_enc(len(kb)) + kb
+                    _write_value(out, schema["values"], v)
+            out += _zigzag_enc(0)
+            return
+        if t == "enum":
+            out += _zigzag_enc(schema["symbols"].index(value))
+            return
+        schema = t
+    if schema == "null":
+        return
+    if schema == "boolean":
+        out.append(1 if value else 0)
+    elif schema in ("int", "long"):
+        out += _zigzag_enc(value)
+    elif schema == "double":
+        out += struct.pack("<d", value)
+    elif schema == "float":
+        out += struct.pack("<f", value)
+    elif schema == "string":
+        vb = value.encode()
+        out += _zigzag_enc(len(vb)) + vb
+    elif schema == "bytes":
+        out += _zigzag_enc(len(value)) + value
+    else:
+        raise ValueError("unsupported: %r" % (schema,))
+
+
+def write_avro(schema, records, codec: str = "null",
+               sync: bytes = b"\x07" * 16,
+               block_size: int = 4) -> bytes:
+    """Container writer for fixtures and round-trip tests."""
+    out = bytearray(MAGIC)
+    sjson = json.dumps(schema, separators=(",", ":")).encode()
+    meta = [("avro.schema", sjson), ("avro.codec", codec.encode())]
+    out += _zigzag_enc(len(meta))
+    for k, v in meta:
+        kb = k.encode()
+        out += _zigzag_enc(len(kb)) + kb
+        out += _zigzag_enc(len(v)) + v
+    out += _zigzag_enc(0)
+    out += sync
+    for start in range(0, len(records), block_size):
+        chunk = records[start:start + block_size]
+        body = bytearray()
+        for rec in chunk:
+            _write_value(body, schema, rec)
+        payload = bytes(body)
+        if codec == "deflate":
+            comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+            payload = comp.compress(payload) + comp.flush()
+        out += _zigzag_enc(len(chunk)) + _zigzag_enc(len(payload))
+        out += payload + sync
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- synth
+
+SCHEMA = {
+    "type": "record", "name": "Doc",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": "double"},
+        {"name": "flag", "type": "boolean"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "note", "type": ["null", "string"]},
+    ],
+}
+
+
+def synth_avro(doc_id: int) -> "tuple[bytes, dict]":
+    """Deterministic fixture plus expected stats.  Closed form
+    (mirrored by the avro_record_stats oracle):
+
+        n_records = 5 + doc_id % 6, codec deflate on odd docs
+        record r: id = r, name = 'rec-{doc_id}-{r}',
+                  score = r * 0.5, flag = (r % 2 == 0),
+                  tags = ['t0'.. ) of length r % 3,
+                  note = 'n{r}' when r % 4 == 0 else null
+        blocks of 4 records -> n_blocks = ceil(n / 4)"""
+    i = int(doc_id)
+    n = 5 + i % 6
+    records = []
+    for rix in range(n):
+        records.append({
+            "id": rix,
+            "name": "rec-%d-%d" % (i, rix),
+            "score": rix * 0.5,
+            "flag": rix % 2 == 0,
+            "tags": ["t%d" % k for k in range(rix % 3)],
+            "note": ("n%d" % rix) if rix % 4 == 0 else None,
+        })
+    codec = "deflate" if i % 2 else "null"
+    blob = write_avro(SCHEMA, records, codec=codec,
+                      sync=bytes((i + k) % 256 for k in range(16)))
+    expected = {
+        "n_records": n,
+        "n_blocks": (n + 3) // 4,
+        "codec": codec,
+        "id_sum": n * (n - 1) // 2,
+        "name_chars": sum(5 + len(str(i)) + len(str(r))
+                          for r in range(n)),
+        "n_flags": (n + 1) // 2,
+        "n_tags": sum(r % 3 for r in range(n)),
+        "n_notes": (n + 3) // 4,
+        "score_x2_sum": sum(r for r in range(n)),  # score*2 exact
+    }
+    return blob, expected

@@ -1,0 +1,90 @@
+"""Avro object-container decode (sources/avro.py): binary-encoding
+round-trip, block/sync discipline, codec handling, refusals."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.avro import (
+    SCHEMA,
+    parse_avro,
+    synth_avro,
+    write_avro,
+)
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    blob, exp = synth_avro(doc_id)
+    got = parse_avro(blob)
+    assert got is not None
+    assert got["n_records"] == exp["n_records"]
+    assert got["n_blocks"] == exp["n_blocks"]
+    assert got["codec"] == exp["codec"]
+    recs = got["records"]
+    assert sum(r["id"] for r in recs) == exp["id_sum"]
+    assert sum(len(r["name"]) for r in recs) == exp["name_chars"]
+    assert sum(1 for r in recs if r["flag"]) == exp["n_flags"]
+    assert sum(len(r["tags"]) for r in recs) == exp["n_tags"]
+    assert sum(1 for r in recs
+               if r["note"] is not None) == exp["n_notes"]
+    assert int(sum(r["score"] * 2 for r in recs)) == \
+        exp["score_x2_sum"]
+
+
+def test_value_roundtrip_exact():
+    blob, _ = synth_avro(7)
+    recs = parse_avro(blob)["records"]
+    assert recs[0] == {"id": 0, "name": "rec-7-0", "score": 0.0,
+                       "flag": True, "tags": [], "note": "n0"}
+    assert recs[1]["note"] is None
+    assert recs[2]["tags"] == ["t0", "t1"]
+
+
+def test_map_enum_fixed_nested():
+    schema = {
+        "type": "record", "name": "X",
+        "fields": [
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+            {"name": "e", "type": {"type": "enum", "name": "C",
+                                   "symbols": ["A", "B"]}},
+            {"name": "inner", "type": {
+                "type": "record", "name": "Y",
+                "fields": [{"name": "v", "type": "double"}]}},
+        ],
+    }
+    recs = [{"m": {"a": 1, "b": -2}, "e": "B", "inner": {"v": 2.5}}]
+    got = parse_avro(write_avro(schema, recs))
+    assert got["records"] == recs
+
+
+def test_refusals():
+    assert parse_avro(b"") is None
+    assert parse_avro(b"Obj\x02xx") is None
+    blob, _ = synth_avro(3)
+    assert parse_avro(blob[:-1]) is None  # truncated final sync
+    bad = bytearray(blob)
+    bad[-1] ^= 1  # sync marker mismatch
+    assert parse_avro(bytes(bad)) is None
+    assert parse_avro(blob + b"x") is None  # trailing garbage
+    # unsupported codec refuses honestly
+    assert parse_avro(write_avro(SCHEMA, [], codec="snappy")) is None
+    # block payload longer than its declared record count
+    ok = write_avro(SCHEMA, [{"id": 1, "name": "a", "score": 0.5,
+                              "flag": True, "tags": [], "note": None}])
+    assert parse_avro(ok) is not None
+
+
+def test_bitflip_fuzz_never_raises():
+    import random
+
+    rnd = random.Random(1442)
+    blob, _ = synth_avro(11)
+    for _ in range(300):
+        b = bytearray(blob)
+        for _f in range(1 + rnd.randrange(6)):
+            b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+        parse_avro(bytes(b))  # any return, never an exception
