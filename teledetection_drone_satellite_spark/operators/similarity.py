@@ -912,7 +912,15 @@ def ivf_pq_topk(
     and persisted (one build-time shuffle, reused across calls).
     ``rerank="auto"`` scales as max(4k, ceil(candidates/40)) where
     candidates ~ n * n_probe / n_centroids — the r8-measured dilution rule
-    applied to the PRUNED population."""
+    applied to the PRUNED population.
+
+    ``n_probe`` may also be a tuple of probe depths: ONE code-table
+    scan then scores every depth (each vector's LUT gather is shared;
+    only the cell mask differs) and the result carries an extra
+    leading ``n_probe`` column.  This is the recall-verifier shape —
+    probed-vs-full-probe comparisons pay one scan instead of two —
+    and, at scale, the multi-tenant shape of serving tiered search
+    SLAs off one pass."""
     centroids, assigned = build_ivf_index(
         base, n_centroids=n_centroids, seed=seed, cache_key=cache_key
     )
@@ -920,18 +928,42 @@ def ivf_pq_topk(
         base, m=m, n_codes=n_codes, seed=seed, cache_key=cache_key
     )
     key = _index_cache_key(base, cache_key, (n_centroids, m, n_codes, seed, "ivfpq"))
-    cand = _index_cache_get(_IVFPQ_CACHE, key)
-    if cand is None:
+    cached = _index_cache_get(_IVFPQ_CACHE, key)
+    if cached is None:
         cand = codes_df.join(assigned.select("vec_id", "cell"), "vec_id").persist()
-        _index_cache_put(_IVFPQ_CACHE, key, cand)
+        n_base = cand.count()  # materializes the persisted candidate table
+        if n_base <= 100_000:
+            # adaptive layout: a tiny index does not get to pay one
+            # Python worker per shuffle partition on every search —
+            # re-persist coalesced.  At real scale (100 TB) n_base is
+            # far past the threshold and the partition-parallel layout
+            # stands; the count is cached so repeated searches (and
+            # the recall verifiers, which search twice) never re-count.
+            old = cand
+            cand = cand.coalesce(4).persist()
+            cand.count()
+            old.unpersist()
+        _index_cache_put(_IVFPQ_CACHE, key, (cand, n_base))
+    else:
+        cand, n_base = cached
 
     q_rows = _collect_queries(queries, max_queries)
+    multi = isinstance(n_probe, (tuple, list))
+    levels = sorted(set(int(p) for p in n_probe)) if multi else [int(n_probe)]
     if not q_rows:
-        return _empty_topk(base, "cosine" if rerank else "adc_score")
-    if rerank == "auto":
-        n_base = cand.count()  # materializes the persisted candidate table
-        est = max(1, (n_base * n_probe) // max(n_centroids, 1))
-        rerank = max(4 * int(k), -(-est // 40))
+        empty = _empty_topk(base, "cosine" if rerank else "adc_score")
+        return empty.withColumn("n_probe", F.lit(0)) if multi else empty
+
+    # per-level shortlist size: auto scales with the PRUNED population
+    keep_by_level: "dict[int, int]" = {}
+    for lv in levels:
+        if rerank == "auto":
+            est = max(1, (n_base * lv) // max(n_centroids, 1))
+            lv_rerank = max(4 * int(k), -(-est // 40))
+        else:
+            lv_rerank = int(rerank)
+        keep_by_level[lv] = max(int(k), lv_rerank) if lv_rerank else int(k)
+    do_rerank = rerank == "auto" or bool(rerank)
 
     mm_, nk, ss = codebooks.shape
     luts, qids, probe_sets = [], [], []
@@ -941,25 +973,27 @@ def ivf_pq_topk(
             np.stack([codebooks[j] @ qv[j * ss : (j + 1) * ss] for j in range(mm_)])
         )
         d = np.linalg.norm(centroids - qv, axis=1)
+        order = np.argsort(d, kind="stable")
         probe_sets.append(
-            np.sort(np.argsort(d, kind="stable")[:n_probe]).astype(np.int64)
+            {lv: np.sort(order[:lv]).astype(np.int64) for lv in levels}
         )
         qids.append(int(r["query_id"]))
     bstate = base.sparkSession.sparkContext.broadcast(
-        (np.array(qids, dtype=np.int64), np.stack(luts), probe_sets)
+        (np.array(qids, dtype=np.int64), np.stack(luts), probe_sets,
+         levels, keep_by_level)
     )
 
     out_schema = StructType(
         [
+            StructField("n_probe", LongType()),
             StructField("query_id", LongType()),
             StructField("vec_id", LongType()),
             StructField("adc_score", DoubleType()),
         ]
     )
-    keep = max(int(k), int(rerank))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        q_ids, q_luts, q_cells = bstate.value
+        q_ids, q_luts, q_cells, lvls, keep_of = bstate.value
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -969,50 +1003,76 @@ def ivf_pq_topk(
             frames = []
             col = np.arange(codes.shape[1])[None, :]
             for qi in range(len(q_ids)):
-                mask = np.isin(cells, q_cells[qi])
-                if not mask.any():
+                # widest probe first: its gathered scores cover every
+                # narrower level, so the LUT gather happens ONCE
+                wide = q_cells[qi][lvls[-1]]
+                wmask = np.isin(cells, wide)
+                if not wmask.any():
                     continue
-                sub = codes[mask]
-                scores = q_luts[qi][col, sub].sum(axis=1)
-                top = min(len(scores), keep)
-                part = np.argpartition(-scores, top - 1)[:top]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": q_ids[qi],
-                            "vec_id": ids[mask][part],
-                            "adc_score": scores[part],
-                        }
+                wscores = q_luts[qi][col, codes[wmask]].sum(axis=1)
+                wids = ids[wmask]
+                wcells = cells[wmask]
+                for lv in lvls:
+                    if lv == lvls[-1]:
+                        scores, sids = wscores, wids
+                    else:
+                        sub = np.isin(wcells, q_cells[qi][lv])
+                        if not sub.any():
+                            continue
+                        scores, sids = wscores[sub], wids[sub]
+                    top = min(len(scores), keep_of[lv])
+                    part = np.argpartition(-scores, top - 1)[:top]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "n_probe": lv,
+                                "query_id": q_ids[qi],
+                                "vec_id": sids[part],
+                                "adc_score": scores[part],
+                            }
+                        )
                     )
-                )
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    w_adc = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("vec_id"))
+    keep_expr = F.lit(keep_by_level[levels[0]])
+    for lv in levels[1:]:
+        keep_expr = F.when(
+            F.col("n_probe") == lv, F.lit(keep_by_level[lv])
+        ).otherwise(keep_expr)
+    w_adc = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.desc("adc_score"), F.asc("vec_id")
+    )
     adc = (
         cand.mapInPandas(score, out_schema)
         .withColumn("rank", F.row_number().over(w_adc))
-        .filter(F.col("rank") <= keep)
+        .filter(F.col("rank") <= keep_expr)
     )
-    if not rerank:
-        return adc.select(
-            "query_id", "vec_id", F.round("adc_score", 4).alias("adc_score"), "rank"
+    if not do_rerank:
+        out = adc.select(
+            "n_probe", "query_id", "vec_id",
+            F.round("adc_score", 4).alias("adc_score"), "rank",
         )
+        return out if multi else out.drop("n_probe")
     spark = base.sparkSession
     qdf = spark.createDataFrame(
         [(int(r["query_id"]), [float(x) for x in r["embedding"]]) for r in q_rows],
         "query_id long, q_embedding array<double>",
     )
-    shortlist = adc.select("query_id", "vec_id")
+    shortlist = adc.select("n_probe", "query_id", "vec_id")
     fetched = base.select("vec_id", "embedding").join(F.broadcast(shortlist), "vec_id")
     sim = cosine_expr(
         F.col("embedding").cast("array<double>"), F.col("q_embedding")
     ).alias("cosine")
-    w_exact = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
+    w_exact = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    out = (
         fetched.join(F.broadcast(qdf), "query_id")
-        .select("query_id", "vec_id", sim)
+        .select("n_probe", "query_id", "vec_id", sim)
         .withColumn("rank", F.row_number().over(w_exact))
         .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
+        .select("n_probe", "query_id", "vec_id",
+                F.round("cosine", 4).alias("cosine"), "rank")
     )
+    return out if multi else out.drop("n_probe")

@@ -443,8 +443,14 @@ def ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp = source_fingerprint(sf_dir, "embeddings")
     exact = similarity.brute_force_topk(e, queries, k=10).select("query_id", "vec_id")
-    probed = similarity.ivf_pq_topk(e, queries, k=10, n_probe=4, cache_key=(sf_dir, fp))
-    full = similarity.ivf_pq_topk(e, queries, k=10, n_probe=16, cache_key=(sf_dir, fp))
+    # ONE dual-probe search: the code-table scan and per-vector LUT
+    # gathers are shared between the probed-4 and full-probe levels
+    # (r14 — was two full searches; the scan is the verifier's cost)
+    both = similarity.ivf_pq_topk(
+        e, queries, k=10, n_probe=(4, 16), cache_key=(sf_dir, fp)
+    )
+    probed = both.filter(F.col("n_probe") == 4).drop("n_probe")
+    full = both.filter(F.col("n_probe") == 16).drop("n_probe")
     pinned4 = _pinned_recall(IVFPQ_RECALL_PINNED, sf_dir)
     pinned16 = _pinned_recall(IVFPQ_FULLPROBE_PINNED, sf_dir)
     c4 = _recall_counts(exact, probed, "p4")
