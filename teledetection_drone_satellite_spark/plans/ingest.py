@@ -11510,3 +11510,93 @@ def avro_record_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_fields int, id_sum long, name_chars long, n_flags int, "
         "n_tags long, n_notes int, score_x2_sum long",
     )
+
+
+@register(
+    "yaml_meta_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               1 + doc_id % 3 AS n_jobs,
+               2 + doc_id % 2 AS n_env,
+               2 + doc_id % 2 AS n_script,
+               doc_id % 4 AS n_flow,
+               1 + doc_id % 3 AS n_tags
+        FROM documents WHERE doc_id < 150
+    )
+    SELECT doc_id,
+           'pipeline-' || doc_id AS name,
+           CAST(doc_id AS BIGINT) AS build,
+           doc_id % 2 = 0 AS debug,
+           CAST(n_jobs AS INT) AS n_jobs,
+           CAST(10 * doc_id * n_jobs + n_jobs * (n_jobs - 1) // 2
+                AS BIGINT) AS job_id_sum,
+           CAST(n_env AS INT) AS n_env,
+           CAST(n_script AS INT) AS script_lines,
+           CAST(doc_id * n_flow + n_flow * (n_flow - 1) // 2
+                AS BIGINT) AS flow_sum,
+           'Post ' || doc_id AS fm_title,
+           doc_id % 3 = 0 AS fm_draft,
+           CAST(doc_id * 7 AS BIGINT) AS fm_weight,
+           CAST(n_tags AS INT) AS fm_tags
+    FROM spec
+    """,
+    doc="YAML-subset parsing, graded (r14 — Markdown front matter "
+    "and CI manifests, the manifest format code corpora actually "
+    "contain): a hand-rolled SAFE subset of YAML 1.2 — block "
+    "maps/lists by indentation, compact '- key: value' list maps, "
+    "quoted/plain scalars, flow lists, literal | and folded > block "
+    "scalars, comments — that REFUSES anchors/aliases (the "
+    "billion-laughs vector), tags (object construction), "
+    "directives, multi-doc streams, duplicate keys and tab indents. "
+    "Cross-pinned in tests against PyYAML safe_load on every "
+    "accepted fixture. The oracle states the closed-form manifest "
+    "and front-matter census.",
+    tags=("ingest", "corpus", "code"),
+)
+def yaml_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.yamlconf import front_matter, parse_yaml, synth_yaml
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                manifest, md, _ = synth_yaml(i)
+                doc = parse_yaml(manifest)
+                fm = front_matter(md)
+                rows.append(
+                    (i, doc["name"], doc["build"], doc["debug"],
+                     len(doc["jobs"]),
+                     sum(j["id"] for j in doc["jobs"]),
+                     len(doc["env"]),
+                     doc["script"].count("\n"),
+                     sum(doc["flow"]),
+                     fm["title"], fm["draft"], fm["weight"],
+                     len(fm["tags"]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "name", "build", "debug", "n_jobs",
+                         "job_id_sum", "n_env", "script_lines",
+                         "flow_sum", "fm_title", "fm_draft",
+                         "fm_weight", "fm_tags"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, name string, build long, debug boolean, "
+        "n_jobs int, job_id_sum long, n_env int, script_lines int, "
+        "flow_sum long, fm_title string, fm_draft boolean, "
+        "fm_weight long, fm_tags int",
+    )

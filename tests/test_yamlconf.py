@@ -1,0 +1,95 @@
+"""YAML-subset parser (sources/yamlconf.py): the PyYAML cross-pin,
+front matter, block scalars, and the refusal catalogue."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.yamlconf import (
+    census,
+    front_matter,
+    parse_yaml,
+    synth_yaml,
+)
+
+try:
+    import yaml as _pyyaml
+except ImportError:  # pragma: no cover
+    _pyyaml = None
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    manifest, md, exp = synth_yaml(doc_id)
+    doc = parse_yaml(manifest)
+    assert doc is not None
+    assert doc["build"] == exp["build"]
+    assert doc["debug"] == exp["debug"]
+    assert doc["retries"] is None
+    assert len(doc["jobs"]) == exp["n_jobs"]
+    assert doc["script"].count("\n") == exp["script_lines"]
+    assert doc["flow"] == [doc_id + k for k in range(exp["n_flow"])]
+    fm = front_matter(md)
+    assert fm["draft"] == exp["draft"]
+    assert fm["weight"] == exp["weight"]
+    assert len(fm["tags"]) == exp["n_tags"]
+
+
+@pytest.mark.skipif(_pyyaml is None, reason="PyYAML absent")
+def test_pyyaml_cross_pin():
+    """Everything this subset ACCEPTS must parse identically to
+    yaml.safe_load — the real engine for the format."""
+    for i in range(60):
+        manifest, _md, _exp = synth_yaml(i)
+        assert parse_yaml(manifest) == \
+            _pyyaml.safe_load(manifest.decode())
+    cases = [b"- 1\n- 2\n", b"a:\n  - x\n  - y\n", b"a: 'it''s'\n",
+             b"k: v # comment\n", b"empty: {}\n",
+             b"s: >\n  a\n  b\n\n  c\n", b"s: |-\n  x\n  y\n",
+             b"m:\n  n:\n    o: 3.5\n", b"b: ~\n",
+             b"x: \"quoted # not comment\"\n",
+             b"---\nk: v\n"]
+    for c in cases:
+        assert parse_yaml(c) == _pyyaml.safe_load(c.decode()), c
+
+
+def test_refusal_catalogue():
+    bad = [
+        b"a: &x 1\nb: *x\n",        # anchor/alias (billion laughs)
+        b"a: !!python/object 1\n",  # tag (object construction)
+        b"%YAML 1.2\na: 1\n",       # directive
+        b"a: 1\n---\nb: 2\n",       # multi-document
+        b"\ta: 1\n",                # tab indentation
+        b"a: 1\na: 2\n",            # duplicate key
+        b"a: [1, [2]]\n",           # nested flow
+        b"a: {b: 1}\n",             # non-empty flow map
+        b"\xff\xfe",                # not UTF-8
+    ]
+    for b in bad:
+        assert parse_yaml(b) is None, b
+
+
+def test_front_matter_contract():
+    assert front_matter(b"no fence\n") is None
+    assert front_matter(b"---\nk: v\n") is None  # unterminated
+    assert front_matter(b"---\n- a\n---\n") is None  # not a mapping
+    got = front_matter(b"---\nk: v\n---\nbody\n")
+    assert got == {"k": "v"}
+
+
+def test_census():
+    doc = parse_yaml(b"a: 1\nb:\n  - true\n  - x\nc: null\n")
+    got = census(doc)
+    assert got["n_keys"] == 3 and got["n_items"] == 2
+    assert got["n_int"] == 1 and got["n_bool"] == 1
+    assert got["n_str"] == 1 and got["n_null"] == 1
+    assert got["max_depth"] == 2
+
+
+def test_deep_nesting_refused_not_crash():
+    doc = b"".join(b"%sk%d:\n" % (b" " * (2 * d), d) for d in range(200))
+    assert parse_yaml(doc) is None  # depth cap -> refusal
