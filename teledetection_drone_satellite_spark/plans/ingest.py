@@ -11600,3 +11600,95 @@ def yaml_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flow_sum long, fm_title string, fm_draft boolean, "
         "fm_weight long, fm_tags int",
     )
+
+
+@register(
+    "aac_meta_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               doc_id % 3 AS prof_idx,
+               3 + doc_id % 8 AS sr_idx,
+               1 + doc_id % 2 AS channels,
+               6 + doc_id % 7 AS n,
+               doc_id % 5 = 0 AS crc,
+               doc_id % 4 = 1 AS mpeg2
+        FROM documents WHERE doc_id < 150
+    ),
+    fr AS (
+        SELECT doc_id,
+               CAST(sum(50 + (doc_id + u.i) % 40) AS BIGINT)
+                   AS payload_bytes
+        FROM spec, LATERAL unnest(range(0, n)) u(i)
+        GROUP BY doc_id
+    )
+    SELECT spec.doc_id,
+           list_extract(['Main', 'LC', 'SSR'],
+                        CAST(prof_idx AS INT) + 1) AS profile,
+           CAST(list_extract([48000, 44100, 32000, 24000, 22050,
+                              16000, 12000, 11025],
+                             CAST(spec.doc_id % 8 AS INT) + 1)
+                AS INT) AS sample_rate,
+           CAST(channels AS INT) AS channels,
+           mpeg2, crc,
+           CAST(n AS INT) AS n_frames,
+           payload_bytes,
+           CAST(n * 1024 * 1000 //
+                list_extract([48000, 44100, 32000, 24000, 22050,
+                              16000, 12000, 11025],
+                             CAST(spec.doc_id % 8 AS INT) + 1)
+                AS BIGINT) AS duration_ms
+    FROM spec JOIN fr ON spec.doc_id = fr.doc_id
+    """,
+    doc="AAC/ADTS frame-header metadata, graded (r14 — the other "
+    "ubiquitous scraped-audio framing next to MP3; ISO 13818-7 "
+    "syncword walk, header-level only). Per doc synth_adts writes a "
+    "frame stream cycling profile (Main/LC/SSR), the 14496-3 "
+    "sample-rate table (indices 3..10), mono/stereo, MPEG-2/4 ID, "
+    "CRC presence, and varying per-frame payload lengths; "
+    "decode_adts must land exactly on end-of-stream with every "
+    "frame agreeing on parameters. The oracle states the closed-"
+    "form frame census, payload byte sum, and 1024-samples-per-"
+    "frame integer-ms duration.",
+    tags=("ingest", "multimodal"),
+)
+def aac_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.mpeg import decode_adts, synth_adts
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                lens = [50 + (i + f) % 40 for f in range(6 + i % 7)]
+                blob = synth_adts(i % 3, 3 + i % 8, 1 + i % 2, lens,
+                                  crc=i % 5 == 0, mpeg2=i % 4 == 1)
+                d = decode_adts(blob)
+                rows.append(
+                    (i, d["profile"], d["sample_rate"], d["channels"],
+                     d["mpeg2"], d["crc"], d["n_frames"],
+                     d["payload_bytes"], d["duration_ms"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "profile", "sample_rate", "channels",
+                         "mpeg2", "crc", "n_frames", "payload_bytes",
+                         "duration_ms"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, profile string, sample_rate int, channels int, "
+        "mpeg2 boolean, crc boolean, n_frames int, payload_bytes long, "
+        "duration_ms long",
+    )

@@ -254,3 +254,93 @@ def decode_mp3(content: bytes) -> "dict | None":
         "id3v2": has_id3v2,
         "id3v1": has_id3v1,
     }
+
+
+# ------------------------------------------------------------- AAC/ADTS
+
+# ISO 14496-3 sampling_frequency_index table
+ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+              16000, 12000, 11025, 8000, 7350)
+ADTS_PROFILES = ("Main", "LC", "SSR", "LTP")
+
+
+def synth_adts(profile: int, sr_idx: int, channels: int,
+               payload_lens: "list[int]", crc: bool = False,
+               mpeg2: bool = False) -> bytes:
+    """Deterministic ADTS stream: one raw data block (1024 samples)
+    per frame; frame_length covers header + optional CRC + payload."""
+    out = bytearray()
+    for k, plen in enumerate(payload_lens):
+        hdrlen = 9 if crc else 7
+        flen = hdrlen + plen
+        h = bytearray(7)
+        h[0] = 0xFF
+        h[1] = 0xF0 | (0x08 if mpeg2 else 0) | (0 << 1) | (0 if crc else 1)
+        h[2] = (profile << 6) | (sr_idx << 2) | ((channels >> 2) & 1)
+        h[3] = ((channels & 3) << 6) | ((flen >> 11) & 3)
+        h[4] = (flen >> 3) & 0xFF
+        h[5] = ((flen & 7) << 5) | 0x1F  # buffer fullness high bits
+        h[6] = 0xFC  # fullness low | (blocks-1)=0
+        out += h
+        if crc:
+            out += b"\x00\x00"  # CRC placeholder (not validated)
+        out += bytes((k + j) % 251 for j in range(plen))
+    return bytes(out)
+
+
+def decode_adts(content: bytes) -> "dict | None":
+    """-> {'profile', 'sample_rate', 'channels', 'mpeg2', 'crc',
+    'n_frames', 'payload_bytes', 'duration_ms'} or None.
+
+    Header walk per ISO 13818-7 §6.2 / 14496-3: 12-bit syncword,
+    layer REQUIRED 00, 13-bit frame_length including the header,
+    1024 samples per raw data block.  Every frame must agree on
+    profile/rate/channels/CRC-presence, multi-block frames
+    (number_of_raw_data_blocks != 1) are refused (rare in practice,
+    honesty over guessing), and the walk must land exactly on
+    end-of-stream — a frame-length bug cannot pass."""
+    pos = 0
+    n = len(content)
+    params = None
+    n_frames = 0
+    payload_bytes = 0
+    while pos < n:
+        if n - pos < 7:
+            return None
+        h = content[pos:pos + 7]
+        if h[0] != 0xFF or (h[1] & 0xF0) != 0xF0:
+            return None
+        if (h[1] >> 1) & 0x3:
+            return None  # layer must be 00
+        mpeg2 = bool(h[1] & 0x08)
+        crc = not (h[1] & 1)
+        profile = (h[2] >> 6) & 0x3
+        sr_idx = (h[2] >> 2) & 0xF
+        if sr_idx >= len(ADTS_RATES):
+            return None
+        channels = ((h[2] & 1) << 2) | ((h[3] >> 6) & 0x3)
+        if channels == 0:
+            return None  # PCE-defined layout: refuse
+        flen = ((h[3] & 0x3) << 11) | (h[4] << 3) | ((h[5] >> 5) & 0x7)
+        blocks = (h[6] & 0x3) + 1
+        if blocks != 1:
+            return None
+        hdrlen = 9 if crc else 7
+        if flen < hdrlen or pos + flen > n:
+            return None
+        key = (mpeg2, crc, profile, sr_idx, channels)
+        if params is None:
+            params = key
+        elif params != key:
+            return None  # cross-frame disagreement
+        payload_bytes += flen - hdrlen
+        n_frames += 1
+        pos += flen
+    if params is None:
+        return None
+    mpeg2, crc, profile, sr_idx, channels = params
+    rate = ADTS_RATES[sr_idx]
+    return {"profile": ADTS_PROFILES[profile], "sample_rate": rate,
+            "channels": channels, "mpeg2": mpeg2, "crc": crc,
+            "n_frames": n_frames, "payload_bytes": payload_bytes,
+            "duration_ms": n_frames * 1024 * 1000 // rate}

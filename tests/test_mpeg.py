@@ -1,0 +1,64 @@
+
+
+# ------------------------------------------------------------- ADTS
+
+def test_adts_roundtrip_and_tables():
+    from teledetection_drone_satellite_spark.sources.mpeg import (
+        ADTS_PROFILES,
+        ADTS_RATES,
+        decode_adts,
+        synth_adts,
+    )
+
+    for i in range(60):
+        lens = [50 + (i + f) % 40 for f in range(6 + i % 7)]
+        blob = synth_adts(i % 3, 3 + i % 8, 1 + i % 2, lens,
+                          crc=i % 5 == 0, mpeg2=i % 4 == 1)
+        d = decode_adts(blob)
+        assert d is not None
+        assert d["profile"] == ADTS_PROFILES[i % 3]
+        assert d["sample_rate"] == ADTS_RATES[3 + i % 8]
+        assert d["channels"] == 1 + i % 2
+        assert d["crc"] == (i % 5 == 0)
+        assert d["mpeg2"] == (i % 4 == 1)
+        assert d["n_frames"] == len(lens)
+        assert d["payload_bytes"] == sum(lens)
+        assert d["duration_ms"] == \
+            len(lens) * 1024 * 1000 // ADTS_RATES[3 + i % 8]
+
+
+def test_adts_refusals():
+    from teledetection_drone_satellite_spark.sources.mpeg import (
+        decode_adts,
+        synth_adts,
+    )
+
+    assert decode_adts(b"") is None
+    assert decode_adts(b"\xff\xf1\x00\x00\x00\x00\x00") is None
+    blob = synth_adts(1, 4, 2, [60, 60])
+    assert decode_adts(blob[:-1]) is None  # truncated last frame
+    # cross-frame parameter disagreement
+    a = synth_adts(1, 4, 2, [60])
+    b = synth_adts(2, 4, 2, [60])
+    assert decode_adts(a + b) is None
+    # lost sync mid-stream
+    bad = bytearray(blob)
+    bad[len(blob) // 2] = 0x00
+    decode_adts(bytes(bad))  # refuses or parses, never raises
+
+
+def test_adts_bitflip_fuzz_never_raises():
+    import random
+
+    from teledetection_drone_satellite_spark.sources.mpeg import (
+        decode_adts,
+        synth_adts,
+    )
+
+    rnd = random.Random(1477)
+    blob = synth_adts(1, 5, 2, [55 + k for k in range(8)])
+    for _ in range(300):
+        b = bytearray(blob)
+        for _f in range(1 + rnd.randrange(6)):
+            b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+        decode_adts(bytes(b))
