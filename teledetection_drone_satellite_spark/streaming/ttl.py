@@ -170,8 +170,13 @@ def stream_session_ttl(
     each extra slice adds a full state-store snapshot/commit cycle per state
     partition for one more intermediate expiry checkpoint. The 4-slice replay
     (richer write->expire->rewrite interleavings) stays covered by
-    tests/test_streaming.py, which pins n_slices=4 explicitly."""
-    spark = stream_session(spark)
+    tests/test_streaming.py, which pins n_slices=4 explicitly.
+
+    State partitions: 32 (re-swept r14 on the current host: 8.67 s at
+    8 / 7.48 s at 16 / 6.49 s at 32, min-of-3 isolated — the r7-era
+    16-store optimum no longer holds here, and 32 is also the
+    measured 100x-key regime pin, so one value now serves both)."""
+    spark = stream_session(spark, n_partitions=32)
     path = materialize_time_slices(spark, sf_dir, n_slices)
     events = read_sliced_events(spark, path).select(
         "ts", "user_id", F.to_date(F.date_trunc("week", "ts")).alias("bucket_date")
