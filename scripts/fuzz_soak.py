@@ -21,16 +21,19 @@ import zlib
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from teledetection_drone_satellite_spark.sources import (  # noqa: E402
-    aiff, arc, arfile, arrowipc, cdx, difftext, docx, elf, epub, feed,
-    font, gpx, hls, html, ical,
+    aiff, arc, arfile, arrowipc, avro, cdx, difftext, docx, elf, epub,
+    feed,
+    font, gitpack, gpx, hls, html, ical,
     id3,
     las,
-    markdown, mbox, midi, mkv, mp4, mpeg, netcdf, notebook, odt, ogg,
+    markdown, mbox, midi, mkv, mp4, mpeg, mpegts, netcdf, notebook,
+    odt, ogg,
     pbwire, pcap, pdf, pptx,
     robots, rtf,
-    rpmfile, shapefile, sitemap, sqlitefile, svg, tfrecord, tomlconf,
+    rpmfile, shapefile, sitemap, sqlitefile, svg, tensorfile, tfrecord,
+    tomlconf,
     torrent,
-    subtitles, vcard, warc, wat, xlsx,
+    subtitles, vcard, warc, wat, xlsx, yamlconf,
 )
 
 
@@ -216,6 +219,28 @@ DECODERS = {
                   subtitles.parse_subtitles),
     "markdown": (lambda i: markdown.synth_markdown(i % 1000)[0].encode(),
                  markdown.extract_markdown_text),
+    # r14 tier
+    "gitpack": (lambda i: gitpack.synth_pack(i % 10000)[0],
+                gitpack.parse_pack),
+    "gitloose": (lambda i: gitpack.synth_pack(i % 10000)[2],
+                 gitpack.parse_loose),
+    "mpegts": (lambda i: mpegts.synth_ts(i % 10000)[0],
+               mpegts.parse_ts),
+    "npy": (lambda i: tensorfile.synth_tensors(i % 10000)[0],
+            tensorfile.parse_npy),
+    "npz": (lambda i: tensorfile.synth_tensors(i % 10000)[1],
+            tensorfile.parse_npz),
+    "safetensors": (lambda i: tensorfile.synth_tensors(i % 10000)[2],
+                    tensorfile.parse_safetensors),
+    "avro": (lambda i: avro.synth_avro(i % 10000)[0], avro.parse_avro),
+    "yaml": (lambda i: yamlconf.synth_yaml(i % 10000)[0],
+             yamlconf.parse_yaml),
+    "yaml_fm": (lambda i: yamlconf.synth_yaml(i % 10000)[1],
+                yamlconf.front_matter),
+    "adts": (lambda i: mpeg.synth_adts(
+        i % 3, 3 + i % 8, 1 + i % 2,
+        [50 + (i + f) % 40 for f in range(6 + i % 7)],
+        crc=i % 5 == 0, mpeg2=i % 4 == 1), mpeg.decode_adts),
 }
 
 

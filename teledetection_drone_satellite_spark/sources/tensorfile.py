@@ -149,7 +149,11 @@ def parse_npz(content: bytes) -> "dict | None":
             if parsed is None:
                 return None
             members.append((name[:-4], parsed))
-    except (zipfile.BadZipFile, OSError, ValueError, NotImplementedError):
+    except (zipfile.BadZipFile, OSError, ValueError,
+            NotImplementedError, zlib.error, EOFError):
+        # zlib.error: zipfile re-raises raw inflate failures from a
+        # corrupted DEFLATE member (soak seed 140825) — a refusal,
+        # not a crash
         return None
     return {"members": members}
 

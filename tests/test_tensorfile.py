@@ -123,3 +123,22 @@ def test_npz_refusals():
     with zipfile.ZipFile(buf, "w") as zf:
         zf.writestr("readme.txt", "hi")
     assert parse_npz(buf.getvalue()) is None
+
+
+def test_soak_seed_140825_corrupt_deflate_member():
+    """r14 soak-found crash: a bit-flipped DEFLATE member makes
+    zipfile re-raise a raw zlib.error from read() — must refuse."""
+    import random
+
+    from teledetection_drone_satellite_spark.sources.tensorfile import (
+        parse_npz,
+        synth_tensors,
+    )
+
+    rnd = random.Random(140825)
+    blob = bytearray(synth_tensors(0)[1])
+    for _trial in range(200):
+        b = bytearray(blob)
+        for _ in range(1 + rnd.randrange(8)):
+            b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+        parse_npz(bytes(b))  # any return, never an exception
