@@ -922,3 +922,69 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", n.cast("long").alias("n_occurrences"))
         .filter(F.col("n_occurrences") > 0)
     )
+
+
+@register(
+    "bloom_membership",
+    oracle="""
+    WITH members AS (SELECT DISTINCT c_custkey FROM customer),
+    n AS (SELECT count(*) AS n_members FROM members)
+    SELECT n_members,
+           n_members AS n_probed_members,
+           n_members AS n_probed_nonmembers,
+           CAST(0 AS BIGINT) AS false_negatives,
+           TRUE AS fp_band_ok
+    FROM n
+    """,
+    doc="Distributed Bloom filter membership, graded (r14 — the "
+    "sketch completing the HLL/GK/Misra-Gries family: the semi-join "
+    "pre-filter shape). Build: customer keys -> the set-bit table "
+    "via explode(k=8 x xxhash64) + distinct, shuffle bounded by "
+    "m = 16n bits regardless of input rows. Probe: every member key "
+    "plus an equal count of synthetic non-members (custkey + 10^9); "
+    "the bit table broadcasts, the probe side never shuffles. "
+    "Graded invariants: ZERO false negatives (every built key "
+    "probes positive — the Bloom guarantee, partitioning-"
+    "independent) and the non-member false-positive rate within "
+    "[0, 1%] (theory (1-exp(-k*n/m))^k = 5.5e-4 at these "
+    "parameters; the band is ~18x theory, two-sided at zero since "
+    "fp concentrates near 0 at fixture scale).",
+    tags=("sketch", "approx", "graded-invariant"),
+)
+def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_build, bloom_probe
+
+    c = load(spark, sf_dir, ("customer",))["customer"]
+    members = c.select("c_custkey").distinct()
+    n = members.count()
+    m_bits = max(64, 16 * n)
+    bits = bloom_build(members, "c_custkey", m_bits, k=8)
+    probe = members.select(
+        F.col("c_custkey").alias("key"), F.lit(True).alias("is_member")
+    ).unionAll(
+        members.select(
+            (F.col("c_custkey") + F.lit(1_000_000_000)).alias("key"),
+            F.lit(False).alias("is_member"),
+        )
+    )
+    got = bloom_probe(probe, "key", bits, m_bits, k=8).join(
+        probe, "key"
+    )
+    return got.agg(
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+        .alias("n_members_agg"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+        .alias("n_probed_members"),
+        F.sum(F.when(~F.col("is_member"), 1).otherwise(0))
+        .alias("n_probed_nonmembers"),
+        F.sum(F.when(F.col("is_member") & ~F.col("bloom_member"), 1)
+              .otherwise(0)).alias("false_negatives"),
+        ((F.sum(F.when(~F.col("is_member") & F.col("bloom_member"), 1)
+                .otherwise(0))
+          / F.sum(F.when(~F.col("is_member"), 1).otherwise(0)))
+         <= F.lit(0.01)).alias("fp_band_ok"),
+    ).select(
+        F.col("n_members_agg").alias("n_members"),
+        "n_probed_members", "n_probed_nonmembers",
+        "false_negatives", "fp_band_ok",
+    )

@@ -1,0 +1,62 @@
+"""Distributed Bloom filter (operators/bloom.py): the no-false-
+negative guarantee, FPR concentration, and band falsification."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from teledetection_drone_satellite_spark.operators.bloom import (
+    bloom_build,
+    bloom_probe,
+)
+
+
+@pytest.mark.usefixtures("spark")
+def test_no_false_negatives_any_partitioning(spark):
+    keys = spark.range(0, 500).select(F.col("id").alias("k"))
+    m = 16 * 500
+    for parts in (1, 7):
+        bits = bloom_build(keys.repartition(parts), "k", m, k=8)
+        got = bloom_probe(keys, "k", bits, m, k=8)
+        assert got.filter(~F.col("bloom_member")).count() == 0
+
+
+@pytest.mark.usefixtures("spark")
+def test_fp_rate_within_band(spark):
+    n = 1000
+    keys = spark.range(0, n).select(F.col("id").alias("k"))
+    m = 16 * n
+    bits = bloom_build(keys, "k", m, k=8)
+    non = spark.range(10_000_000, 10_000_000 + n).select(
+        F.col("id").alias("k"))
+    got = bloom_probe(non, "k", bits, m, k=8)
+    fp = got.filter(F.col("bloom_member")).count()
+    # theory: (1 - exp(-8*n/m))^8 = 5.5e-4 -> expect ~0.5 fp; the
+    # graded band is 1%
+    assert fp / n <= 0.01
+
+
+@pytest.mark.usefixtures("spark")
+def test_band_falsifies_on_saturated_filter(spark):
+    """A deliberately undersized filter (m = n bits) saturates and
+    the FPR band must FAIL — proves the invariant can falsify."""
+    n = 500
+    keys = spark.range(0, n).select(F.col("id").alias("k"))
+    m = n  # 1 bit/key: theory FPR ~ (1-e^-8)^8 ~ 1
+    bits = bloom_build(keys, "k", m, k=8)
+    non = spark.range(10_000_000, 10_000_000 + n).select(
+        F.col("id").alias("k"))
+    got = bloom_probe(non, "k", bits, m, k=8)
+    fp = got.filter(F.col("bloom_member")).count()
+    assert fp / n > 0.5  # saturated — the 1% band would reject
+
+
+@pytest.mark.usefixtures("spark")
+def test_bit_table_bounded_by_m(spark):
+    keys = spark.range(0, 10_000).select(F.col("id").alias("k"))
+    m = 256
+    bits = bloom_build(keys, "k", m, k=8)
+    rows = bits.collect()
+    assert len(rows) <= m
+    assert all(0 <= r.pos < m for r in rows)
