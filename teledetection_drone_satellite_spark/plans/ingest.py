@@ -11692,3 +11692,105 @@ def aac_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mpeg2 boolean, crc boolean, n_frames int, payload_bytes long, "
         "duration_ms long",
     )
+
+
+@register(
+    "parquet_footer_stats",
+    oracle="""
+    WITH cols(name, physical_type, ord) AS (
+        VALUES ('doc_id', 'INT64', 1), ('text', 'BYTE_ARRAY', 2),
+               ('lang', 'BYTE_ARRAY', 3), ('source', 'BYTE_ARRAY', 4),
+               ('n_chars', 'INT64', 5)
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(doc_id) AS BIGINT) AS c1,
+               CAST(count(text) AS BIGINT) AS c2,
+               CAST(count(lang) AS BIGINT) AS c3,
+               CAST(count(source) AS BIGINT) AS c4,
+               CAST(count(n_chars) AS BIGINT) AS c5
+        FROM documents
+    )
+    SELECT name, physical_type,
+           'SNAPPY' AS codec,
+           n AS num_values,
+           n - CASE ord WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c3
+                        WHEN 4 THEN c4 ELSE c5 END AS null_count,
+           TRUE AS rowgroups_ok,
+           TRUE AS offsets_ok
+    FROM cols, stats
+    """,
+    doc="Raw Parquet footer decode, graded (r14 — the query "
+    "planner's input made inspectable: a complete Thrift compact-"
+    "protocol reader over FileMetaData/SchemaElement/RowGroup/"
+    "ColumnMetaData/Statistics, touching only the footer tail the "
+    "way a 100 TB planner does). Runs on the driver's own "
+    "documents.parquet: per leaf column the oracle re-derives "
+    "num_values and null_count from the DATA via count(*) vs "
+    "count(col) — the footer's claims must equal what the engines "
+    "count — plus schema name/type constants, the writer codec, and "
+    "invariants (row-group num_rows sum to the file total; page "
+    "offsets strictly increase within each group). Field-by-field "
+    "cross-pin against DuckDB's independent parquet_metadata() "
+    "Thrift reader on every fixture table lives in "
+    "tests/test_parquetmeta.py.",
+    tags=("ingest", "sketch"),
+)
+def parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.parquetmeta import parse_parquet_footer
+
+    path_df = spark.createDataFrame(
+        [(sf_dir.rstrip("/") + "/documents.parquet",)], "path string"
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for path in pdf_["path"]:
+                with open(path, "rb") as f:
+                    buf = f.read()
+                got = parse_parquet_footer(buf)
+                if got is None:
+                    continue
+                rg_ok = sum(rg["num_rows"]
+                            for rg in got["row_groups"]) \
+                    == got["num_rows"]
+                off_ok = all(
+                    all(c2["data_page_offset"] > c1["data_page_offset"]
+                        for c1, c2 in zip(rg["columns"],
+                                          rg["columns"][1:]))
+                    for rg in got["row_groups"]
+                )
+                per_col: "dict[str, dict]" = {}
+                for rg in got["row_groups"]:
+                    for c in rg["columns"]:
+                        agg = per_col.setdefault(
+                            c["path"], {"num_values": 0,
+                                        "null_count": 0,
+                                        "codec": c["codec"]})
+                        agg["num_values"] += c["num_values"]
+                        agg["null_count"] += c["null_count"] or 0
+                for leaf in got["columns"]:
+                    agg = per_col.get(leaf["name"])
+                    rows.append(
+                        (leaf["name"], leaf["physical_type"],
+                         agg["codec"], agg["num_values"],
+                         agg["null_count"], rg_ok, off_ok)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["name", "physical_type", "codec",
+                         "num_values", "null_count", "rowgroups_ok",
+                         "offsets_ok"],
+            )
+
+    return path_df.mapInPandas(
+        gen,
+        "name string, physical_type string, codec string, "
+        "num_values long, null_count long, rowgroups_ok boolean, "
+        "offsets_ok boolean",
+    )

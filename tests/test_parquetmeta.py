@@ -1,0 +1,119 @@
+"""Raw Parquet footer decode (sources/parquetmeta.py): the DuckDB
+independent-Thrift-reader cross-pin on every fixture table, a
+Spark-written file (second writer), tail-only reads, refusals."""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import duckdb
+import pytest
+
+from teledetection_drone_satellite_spark.sources.parquetmeta import (
+    parse_parquet_footer,
+)
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+
+
+def _pin_against_duckdb(path: str) -> None:
+    with open(path, "rb") as f:
+        buf = f.read()
+    got = parse_parquet_footer(buf)
+    assert got is not None
+    con = duckdb.connect()
+    nr, nrg, created = con.sql(
+        "SELECT num_rows, num_row_groups, created_by "
+        f"FROM parquet_file_metadata('{path}')").fetchone()
+    assert got["num_rows"] == nr
+    assert got["n_row_groups"] == nrg
+    assert got["created_by"] == created
+    md = con.sql(
+        "SELECT row_group_id, path_in_schema, compression, num_values,"
+        " data_page_offset, total_compressed_size,"
+        " total_uncompressed_size, stats_null_count,"
+        " dictionary_page_offset"
+        f" FROM parquet_metadata('{path}')"
+        " ORDER BY row_group_id, column_id").fetchall()
+    ours = []
+    for gi, rg in enumerate(got["row_groups"]):
+        for c in rg["columns"]:
+            ours.append((gi, c["path"], c["codec"], c["num_values"],
+                         c["data_page_offset"],
+                         c["total_compressed_size"],
+                         c["total_uncompressed_size"],
+                         c["null_count"], c["dictionary_page_offset"]))
+    assert len(ours) == len(md)
+    for o, d in zip(ours, md):
+        assert o[0] == d[0]
+        # duckdb renders nested paths 'a, list, element'; ours 'a.list.element'
+        assert o[1].replace(".", ", ") == d[1] or o[1] == d[1]
+        assert o[2] == d[2]
+        assert o[3] == d[3]
+        assert o[4] == d[4]
+        assert o[5] == d[5]
+        assert o[6] == d[6]
+        assert (o[7] if o[7] is not None else None) == d[7]
+        assert o[8] == d[8]
+
+
+@pytest.mark.parametrize(
+    "table",
+    ["documents", "orders", "lineitem", "customer", "events",
+     "embeddings"],
+)
+def test_duckdb_cross_pin_fixture_tables(table):
+    _pin_against_duckdb(f"{SF}/{table}.parquet")
+
+
+@pytest.mark.usefixtures("spark")
+def test_spark_written_file_second_writer(spark, tmp_path):
+    """parquet-mr (Spark's writer) is a different implementation than
+    the arrow-cpp that wrote the fixtures — both must parse and pin."""
+    out = str(tmp_path / "t.parquet")
+    spark.range(0, 1000).selectExpr(
+        "id", "cast(id % 7 as string) AS s",
+        "CASE WHEN id % 3 = 0 THEN NULL ELSE id * 2 END AS n"
+    ).coalesce(1).write.mode("overwrite").parquet(out)
+    part = [p for p in os.listdir(out) if p.endswith(".parquet")][0]
+    path = os.path.join(out, part)
+    _pin_against_duckdb(path)
+    with open(path, "rb") as f:
+        got = parse_parquet_footer(f.read())
+    assert got["num_rows"] == 1000
+    nulls = sum(c["null_count"] or 0
+                for rg in got["row_groups"] for c in rg["columns"]
+                if c["path"] == "n")
+    assert nulls == sum(1 for i in range(1000) if i % 3 == 0)
+
+
+def test_tail_only_read():
+    path = f"{SF}/documents.parquet"
+    with open(path, "rb") as f:
+        buf = f.read()
+    flen = struct.unpack("<I", buf[-8:-4])[0]
+    assert parse_parquet_footer(buf[-(flen + 8):]) == \
+        parse_parquet_footer(buf)
+
+
+def test_refusals_and_fuzz():
+    assert parse_parquet_footer(b"") is None
+    assert parse_parquet_footer(b"PAR1") is None
+    assert parse_parquet_footer(b"x" * 100 + b"PAR2") is None
+    # footer length past the buffer
+    assert parse_parquet_footer(
+        struct.pack("<I", 9999) + b"PAR1") is None
+    path = f"{SF}/documents.parquet"
+    with open(path, "rb") as f:
+        buf = f.read()
+    flen = struct.unpack("<I", buf[-8:-4])[0]
+    tail = bytearray(buf[-(flen + 8):])
+    import random
+
+    rnd = random.Random(1499)
+    for _ in range(300):
+        b = bytearray(tail)
+        for _f in range(1 + rnd.randrange(6)):
+            b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+        parse_parquet_footer(bytes(b))  # never raises
