@@ -1,0 +1,86 @@
+"""Throughput + 10x-input scaling pins for the r14 decoder tier.
+
+Same methodology as scripts/bench_r13_decoders.py: each decoder
+parses N then 10N synthesized fixtures single-threaded; wall MB/s at
+N and the 10x wall RATIO are reported.  A linear decoder scales at
+~10x wall for 10x input (ratio ~10); super-linear growth flags an
+accidental quadratic.  The Arrow fan-out parallelism multiplies MB/s
+by the executor count at production scale — these numbers pin the
+PER-CORE cost.
+
+Usage: python scripts/bench_r14_decoders.py [N]
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from teledetection_drone_satellite_spark.sources import (  # noqa: E402
+    avro, gitpack, mpeg, mpegts, parquetmeta, tensorfile, yamlconf,
+)
+
+
+def _adts(i: int) -> bytes:
+    return mpeg.synth_adts(
+        i % 3, 3 + i % 8, 1 + i % 2,
+        [50 + (i + f) % 40 for f in range(6 + i % 7)],
+        crc=i % 5 == 0, mpeg2=i % 4 == 1)
+
+
+_PQ_TAIL = None
+
+
+def _pq_tail(_i: int) -> bytes:
+    global _PQ_TAIL
+    if _PQ_TAIL is None:
+        sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+        with open(sf + "/documents.parquet", "rb") as f:
+            buf = f.read()
+        flen = struct.unpack("<I", buf[-8:-4])[0]
+        _PQ_TAIL = buf[-(flen + 8):]
+    return _PQ_TAIL
+
+
+CASES = {
+    "gitpack": (lambda i: gitpack.synth_pack(i)[0], gitpack.parse_pack),
+    "gitloose": (lambda i: gitpack.synth_pack(i)[2],
+                 gitpack.parse_loose),
+    "mpegts": (lambda i: mpegts.synth_ts(i)[0], mpegts.parse_ts),
+    "npy": (lambda i: tensorfile.synth_tensors(i)[0],
+            tensorfile.parse_npy),
+    "npz": (lambda i: tensorfile.synth_tensors(i)[1],
+            tensorfile.parse_npz),
+    "safetensors": (lambda i: tensorfile.synth_tensors(i)[2],
+                    tensorfile.parse_safetensors),
+    "avro": (lambda i: avro.synth_avro(i)[0], avro.parse_avro),
+    "yaml": (lambda i: yamlconf.synth_yaml(i)[0], yamlconf.parse_yaml),
+    "adts": (_adts, mpeg.decode_adts),
+    "parquet_ftr": (_pq_tail, parquetmeta.parse_parquet_footer),
+}
+
+
+def run(n: int) -> None:
+    print(f"{'decoder':<12} {'MB/s@N':>8} {'ratio10x':>9}  (N={n})")
+    for name, (synth, parse) in CASES.items():
+        fixtures = [synth(i) for i in range(n)]
+        nbytes = sum(len(f) for f in fixtures)
+        t0 = time.time()
+        for f in fixtures:
+            assert parse(f) is not None
+        t1 = time.time() - t0
+        fixtures10 = [synth(i) for i in range(10 * n)]
+        t0 = time.time()
+        for f in fixtures10:
+            assert parse(f) is not None
+        t10 = time.time() - t0
+        mbs = nbytes / max(t1, 1e-9) / 1e6
+        print(f"{name:<12} {mbs:>8.1f} {t10 / max(t1, 1e-9):>9.2f}")
+
+
+if __name__ == "__main__":
+    run(int(sys.argv[1]) if len(sys.argv) > 1 else 120)
