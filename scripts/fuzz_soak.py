@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from teledetection_drone_satellite_spark.sources import (  # noqa: E402
     aiff, arc, arfile, arrowipc, avro, cdx, difftext, docx, elf, epub,
-    feed,
+    feed, lz4frame,
     font, gitpack, gpx, hls, html, ical,
     id3,
     las,
@@ -237,6 +237,10 @@ DECODERS = {
              yamlconf.parse_yaml),
     "yaml_fm": (lambda i: yamlconf.synth_yaml(i % 10000)[1],
                 yamlconf.front_matter),
+    "lz4": (lambda i: lz4frame.synth_lz4(i % 10000)[0],
+            lz4frame.parse_lz4_frame),
+    "lz4_pure": (lambda i: lz4frame.synth_lz4(i % 10000)[0],
+                 lambda b: lz4frame.parse_lz4_frame(b, pure=True)),
     "adts": (lambda i: mpeg.synth_adts(
         i % 3, 3 + i % 8, 1 + i % 2,
         [50 + (i + f) % 40 for f in range(6 + i % 7)],

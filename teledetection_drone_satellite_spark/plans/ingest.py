@@ -11794,3 +11794,87 @@ def parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "num_values long, null_count long, rowgroups_ok boolean, "
         "offsets_ok boolean",
     )
+
+
+@register(
+    "lz4_frame_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 8 + doc_id % 5 AS n_lines,
+               length(CAST(doc_id AS VARCHAR)) AS d
+        FROM documents WHERE doc_id < 150
+    ),
+    chars AS (
+        SELECT doc_id,
+               CAST(sum(29 + d + length(CAST(u.i AS VARCHAR)))
+                    AS BIGINT) AS payload_chars
+        FROM spec, LATERAL unnest(range(0, n_lines)) u(i)
+        GROUP BY doc_id
+    )
+    SELECT spec.doc_id,
+           payload_chars,
+           CAST(n_lines AS INT) AS n_lines,
+           CAST(1 AS INT) AS n_blocks,
+           spec.doc_id % 2 = 0 AS block_checksums,
+           spec.doc_id % 3 <> 0 AS size_declared,
+           TRUE AS content_checksum_ok,
+           TRUE AS decoders_agree
+    FROM spec JOIN chars ON spec.doc_id = chars.doc_id
+    """,
+    doc="LZ4 frame decode, graded (r14 — completing the codec tier "
+    "next to zlib/brotli/zstd; the default block codec of half the "
+    "data-lake world). Two independent decoders: the pure-Python "
+    "spec sequence decoder AND the public system liblz4 via ctypes, "
+    "cross-pinned byte-exact per doc (decoders_agree) and against "
+    "the real lz4 CLI in BOTH directions in tests. Frames cycle "
+    "block checksums and declared content size; the descriptor HC "
+    "byte, per-block xxh32 (implemented from the public xxHash "
+    "spec, published vectors pinned), and the trailing content "
+    "xxh32 are all verified. The oracle states the closed-form "
+    "decompressed census.",
+    tags=("ingest", "corpus"),
+)
+def lz4_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.lz4frame import parse_lz4_frame, synth_lz4
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                blob, _ = synth_lz4(i)
+                fast = parse_lz4_frame(blob)
+                pure = parse_lz4_frame(blob, pure=True)
+                rows.append(
+                    (i, len(fast["payload"]),
+                     fast["payload"].count(b"\n"),
+                     fast["n_blocks"], fast["block_checksums"],
+                     fast["content_size"] is not None,
+                     fast["content_checksum_ok"] is True,
+                     pure is not None
+                     and pure["payload"] == fast["payload"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "payload_chars", "n_lines",
+                         "n_blocks", "block_checksums",
+                         "size_declared", "content_checksum_ok",
+                         "decoders_agree"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, payload_chars long, n_lines int, n_blocks int, "
+        "block_checksums boolean, size_declared boolean, "
+        "content_checksum_ok boolean, decoders_agree boolean",
+    )

@@ -1,0 +1,126 @@
+"""LZ4 frame/block decode (sources/lz4frame.py): xxh32 public
+vectors, pure-vs-liblz4 byte identity, the real-CLI pin both
+directions, refusal catalogue."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.lz4frame import (
+    _lz4_decompress_ctypes,
+    compress_block,
+    decompress_block,
+    parse_lz4_frame,
+    synth_lz4,
+    write_lz4_frame,
+    xxh32,
+)
+
+
+def test_xxh32_published_vectors():
+    assert xxh32(b"") == 0x02CC5D05
+    assert xxh32(b"a") == 0x550D7456
+    assert xxh32(b"abc") == 0x32D153FF
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=st.binary(max_size=3000))
+def test_block_roundtrip_pure_and_ctypes(data):
+    comp = compress_block(data)
+    assert decompress_block(comp) == data
+    via_lib = _lz4_decompress_ctypes(comp, max(1, len(data)))
+    if via_lib is not None:  # library present on this host
+        assert via_lib == data
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    blob, exp = synth_lz4(doc_id)
+    for pure in (False, True):
+        got = parse_lz4_frame(blob, pure=pure)
+        assert got is not None
+        assert len(got["payload"]) == exp["payload_chars"]
+        assert got["payload"].count(b"\n") == exp["n_lines"]
+        assert got["n_blocks"] == exp["n_blocks"]
+        assert got["block_checksums"] == exp["block_checksums"]
+        assert (got["content_size"] is not None) == \
+            exp["size_declared"]
+
+
+@pytest.mark.skipif(shutil.which("lz4") is None,
+                    reason="lz4 CLI absent")
+def test_real_cli_pin_both_directions():
+    payload = (b"the quick brown fox jumps over the lazy dog\n" * 500
+               + bytes(range(256)) * 4)
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "x")
+        dst = os.path.join(td, "x.lz4")
+        with open(src, "wb") as f:
+            f.write(payload)
+        subprocess.run(["lz4", "-f", "-BX", src, dst],
+                       check=True, capture_output=True)
+        with open(dst, "rb") as f:
+            blob = f.read()
+        for pure in (False, True):
+            got = parse_lz4_frame(blob, pure=pure)
+            assert got is not None and got["payload"] == payload
+        ours = os.path.join(td, "y.lz4")
+        out = os.path.join(td, "y")
+        with open(ours, "wb") as f:
+            f.write(write_lz4_frame(payload, block_cksum=True))
+        subprocess.run(["lz4", "-d", "-f", ours, out],
+                       check=True, capture_output=True)
+        with open(out, "rb") as f:
+            assert f.read() == payload
+
+
+def test_multi_block_and_store_only():
+    payload = (b"z" * 100000) + os.urandom(5000)
+    blob = write_lz4_frame(payload, block_size=65536)
+    got = parse_lz4_frame(blob, pure=True)
+    assert got is not None and got["payload"] == payload
+    assert got["n_blocks"] == 2
+    stored = write_lz4_frame(payload, store_only=True)
+    got = parse_lz4_frame(stored)
+    assert got is not None and got["payload"] == payload
+
+
+def test_refusals():
+    assert parse_lz4_frame(b"") is None
+    assert parse_lz4_frame(b"\x04\x22\x4d\x18") is None  # truncated
+    blob, _ = synth_lz4(4)
+    bad = bytearray(blob)
+    bad[-1] ^= 1
+    assert parse_lz4_frame(bytes(bad)) is None  # content checksum
+    assert parse_lz4_frame(blob + b"x") is None  # trailing bytes
+    assert parse_lz4_frame(blob[:-5]) is None  # truncated
+    hdr = bytearray(blob)
+    hdr[6] ^= 0xFF  # descriptor HC byte
+    assert parse_lz4_frame(bytes(hdr)) is None
+    # malformed block: offset 0
+    assert decompress_block(b"\x11a\x00\x00") is None
+    # offset past output
+    assert decompress_block(b"\x11a\x05\x00") is None
+
+
+def test_bitflip_fuzz_never_raises():
+    import random
+
+    rnd = random.Random(1457)
+    blob, _ = synth_lz4(9)
+    for _ in range(400):
+        b = bytearray(blob)
+        for _f in range(1 + rnd.randrange(6)):
+            b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+        for pure in (False, True):
+            parse_lz4_frame(bytes(b), pure=pure)  # never raises
