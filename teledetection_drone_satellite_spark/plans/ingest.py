@@ -11878,3 +11878,81 @@ def lz4_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "block_checksums boolean, size_declared boolean, "
         "content_checksum_ok boolean, decoders_agree boolean",
     )
+
+
+@register(
+    "delta_log_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 2 + doc_id % 4 AS n
+        FROM documents WHERE doc_id < 150
+    )
+    SELECT doc_id,
+           CAST(n - 1 AS INT) AS version,
+           CAST(2 AS INT) AS n_active_files,
+           CAST(n - 1 AS INT) AS n_removed,
+           CAST(2000 + 97 * (2 * doc_id + 2 * n - 1) AS BIGINT)
+               AS total_bytes,
+           CAST(100 + (doc_id + n - 1) % 25 + (doc_id + n) % 25
+                AS BIGINT) AS total_records,
+           TRUE AS records_known,
+           doc_id % 2 = 1 AS partitioned,
+           CAST(3 AS INT) AS schema_fields,
+           CAST(n AS INT) AS n_commits
+    FROM spec
+    """,
+    doc="Delta Lake transaction-log replay, graded (r14 — the "
+    "lakehouse table format above the parquet-footer tier: a "
+    "snapshot is the REPLAY of versioned JSON commits, not a "
+    "directory listing). Per doc synth_delta_log writes a commit "
+    "chain (protocol + metaData + adds, then per version one add "
+    "and one remove — a compaction-shaped file churn); replay_log "
+    "enforces contiguous versions from 0, last-metaData-wins, "
+    "add-replaces / remove-tombstones semantics per PROTOCOL.md, "
+    "refuses reader versions it cannot honour, and extracts "
+    "numRecords from per-file stats — the data-skipping input. The "
+    "oracle states the closed-form surviving-file census: exactly "
+    "the last two adds survive the churn chain.",
+    tags=("ingest", "corpus"),
+)
+def delta_log_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.deltalog import replay_log, synth_delta_log
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                commits, _ = synth_delta_log(i)
+                got = replay_log(commits)
+                rows.append(
+                    (i, got["version"], got["n_active_files"],
+                     got["n_removed"], got["total_bytes"],
+                     got["total_records"], got["records_known"],
+                     got["partition_columns"] == ["ts"],
+                     len(got["schema_fields"]), got["n_commits"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "version", "n_active_files",
+                         "n_removed", "total_bytes", "total_records",
+                         "records_known", "partitioned",
+                         "schema_fields", "n_commits"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, version int, n_active_files int, n_removed int, "
+        "total_bytes long, total_records long, records_known boolean, "
+        "partitioned boolean, schema_fields int, n_commits int",
+    )

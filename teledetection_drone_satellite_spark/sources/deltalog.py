@@ -1,0 +1,236 @@
+"""Delta Lake transaction-log replay — pure stdlib, from the public
+Delta Lake protocol specification (github.com/delta-io/delta
+PROTOCOL.md): versioned JSON commit files under ``_delta_log/``,
+each a newline-delimited list of actions.
+
+Why it's here: the lakehouse table format IS the 100 TB read path —
+a Delta snapshot is not a directory listing but the REPLAY of the
+log (add/remove file actions, last-writer-wins metadata), and the
+per-file stats carried in ``add`` actions (numRecords, min/max) are
+what lets a planner skip data without touching it, exactly like the
+parquet footer tier (sources/parquetmeta.py) one level down.
+
+Parsed surface (actions, by key):
+  protocol    minReaderVersion / minWriterVersion — reader version
+              above 1 (column mapping, deletion vectors) refuses
+              honestly rather than misread;
+  metaData    id, schemaString (parsed: field names/types),
+              partitionColumns, format provider (parquet only);
+  add         path, partitionValues, size, dataChange, stats JSON
+              (numRecords extracted when present);
+  remove      path, deletionTimestamp — tombstones an earlier add;
+  commitInfo  ignored content-wise (counted);
+  cdc / domainMetadata and unknown actions: counted, skipped.
+
+Replay rules implemented per the spec: versions must be contiguous
+from 0 (a gap refuses — a reader must not silently skip a commit);
+within the replay the LAST metaData/protocol wins; an ``add`` for a
+path replaces any earlier add of that path; ``remove`` deletes it
+(late adds may resurrect).  The snapshot is the surviving add set.
+
+Refusals (None): non-contiguous versions, malformed JSON lines, an
+action object with none of the known keys AND no object shape, a
+protocol the reader cannot honour, metaData whose format is not
+parquet, schemaString that fails to parse — the honest-fallback
+contract every decoder here shares.
+"""
+
+from __future__ import annotations
+
+import json
+
+MAX_READER_VERSION = 1
+
+
+def parse_commit(content: bytes) -> "list[dict] | None":
+    """One commit file -> list of action dicts, or None."""
+    try:
+        text = content.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    actions = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            return None
+        if not isinstance(obj, dict) or not obj:
+            return None
+        actions.append(obj)
+    return actions
+
+
+def replay_log(commits: "list[tuple[int, bytes]]") -> "dict | None":
+    """[(version, commit_bytes)...] -> snapshot dict or None.
+
+    -> {'version', 'n_active_files', 'n_removed', 'total_bytes',
+    'total_records', 'records_known' (bool: every active file
+    carried numRecords), 'partition_columns', 'schema_fields':
+    [(name, type)...], 'n_commits', 'n_actions'}"""
+    if not commits:
+        return None
+    ordered = sorted(commits)
+    if ordered[0][0] != 0:
+        return None
+    if any(b[0] - a[0] != 1 for a, b in zip(ordered, ordered[1:])):
+        return None  # version gap: an unreadable table state
+    active: "dict[str, dict]" = {}
+    removed: "set[str]" = set()
+    meta = None
+    protocol_ok = True
+    n_actions = 0
+    for _version, blob in ordered:
+        actions = parse_commit(blob)
+        if actions is None:
+            return None
+        for act in actions:
+            n_actions += 1
+            if "protocol" in act:
+                p = act["protocol"]
+                if not isinstance(p, dict) or \
+                        p.get("minReaderVersion", 1) > MAX_READER_VERSION:
+                    protocol_ok = False
+            elif "metaData" in act:
+                meta = act["metaData"]
+            elif "add" in act:
+                a = act["add"]
+                if not isinstance(a, dict) or "path" not in a:
+                    return None
+                active[a["path"]] = a
+                removed.discard(a["path"])
+            elif "remove" in act:
+                r = act["remove"]
+                if not isinstance(r, dict) or "path" not in r:
+                    return None
+                if r["path"] in active:
+                    del active[r["path"]]
+                    removed.add(r["path"])
+            # commitInfo / cdc / unknown: counted, skipped
+    if not protocol_ok or meta is None:
+        return None
+    fmt = meta.get("format", {})
+    if isinstance(fmt, dict) and \
+            fmt.get("provider", "parquet") != "parquet":
+        return None
+    try:
+        schema = json.loads(meta["schemaString"])
+        fields = [(f["name"], f["type"]) for f in schema["fields"]]
+    except (KeyError, TypeError, ValueError):
+        return None
+    total_bytes = 0
+    total_records = 0
+    records_known = True
+    for a in active.values():
+        total_bytes += int(a.get("size", 0))
+        stats = a.get("stats")
+        n = None
+        if isinstance(stats, str):
+            try:
+                n = json.loads(stats).get("numRecords")
+            except ValueError:
+                n = None
+        if isinstance(n, int):
+            total_records += n
+        else:
+            records_known = False
+    return {
+        "version": ordered[-1][0],
+        "n_active_files": len(active),
+        "n_removed": len(removed),
+        "total_bytes": total_bytes,
+        "total_records": total_records,
+        "records_known": records_known,
+        "partition_columns": list(meta.get("partitionColumns", [])),
+        "schema_fields": fields,
+        "n_commits": len(ordered),
+        "n_actions": n_actions,
+    }
+
+
+# ---------------------------------------------------------------- synth
+
+_SCHEMA_STR = json.dumps({
+    "type": "struct",
+    "fields": [
+        {"name": "id", "type": "long", "nullable": False,
+         "metadata": {}},
+        {"name": "ts", "type": "timestamp", "nullable": True,
+         "metadata": {}},
+        {"name": "payload", "type": "string", "nullable": True,
+         "metadata": {}},
+    ],
+})
+
+
+def synth_delta_log(doc_id: int) -> "tuple[list[tuple[int, bytes]], dict]":
+    """Deterministic fixture plus expected stats.  Closed form
+    (mirrored by the delta_log_stats oracle):
+
+        n_versions = 2 + doc_id % 4
+        v0: protocol + metaData (partitioned by 'ts' on odd docs)
+            + 2 adds (files f0, f1)
+        each later v >= 1: adds file f{v+1} AND removes f{v-1}
+        file f{k}: size = 1000 + 97 * (doc_id + k),
+                   numRecords = 50 + (doc_id + k) % 25
+        active set after replay: {f_{n_versions-2}, f_{n_versions}}
+        minus ... (the chain leaves exactly the last add and the
+        never-removed second-newest; see expected computation)"""
+    i = int(doc_id)
+    n_versions = 2 + i % 4
+    part = ["ts"] if i % 2 == 1 else []
+
+    def add(k: int) -> dict:
+        return {"add": {
+            "path": "part-%05d.parquet" % k,
+            "partitionValues": {},
+            "size": 1000 + 97 * (i + k),
+            "modificationTime": 1700000000000 + k,
+            "dataChange": True,
+            "stats": json.dumps(
+                {"numRecords": 50 + (i + k) % 25}),
+        }}
+
+    commits: "list[tuple[int, bytes]]" = []
+    v0 = [
+        {"commitInfo": {"operation": "CREATE TABLE"}},
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "tbl-%d" % i,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _SCHEMA_STR,
+            "partitionColumns": part,
+            "configuration": {},
+            "createdTime": 1700000000000,
+        }},
+        add(0), add(1),
+    ]
+    commits.append(
+        (0, ("\n".join(json.dumps(a) for a in v0) + "\n").encode()))
+    live = {0, 1}
+    for v in range(1, n_versions):
+        acts = [
+            {"commitInfo": {"operation": "WRITE"}},
+            add(v + 1),
+            {"remove": {"path": "part-%05d.parquet" % (v - 1),
+                        "deletionTimestamp": 1700000001000 + v,
+                        "dataChange": True}},
+        ]
+        live.add(v + 1)
+        live.discard(v - 1)
+        commits.append(
+            (v, ("\n".join(json.dumps(a) for a in acts) + "\n")
+             .encode()))
+    expected = {
+        "version": n_versions - 1,
+        "n_active_files": len(live),
+        "n_removed": n_versions - 1,
+        "total_bytes": sum(1000 + 97 * (i + k) for k in live),
+        "total_records": sum(50 + (i + k) % 25 for k in live),
+        "partitioned": i % 2 == 1,
+        "n_commits": n_versions,
+        "live": sorted(live),
+    }
+    return commits, expected

@@ -1,0 +1,98 @@
+"""Delta Lake log replay (sources/deltalog.py): protocol replay
+rules, version contiguity, tombstone/resurrect semantics, refusals."""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.deltalog import (
+    parse_commit,
+    replay_log,
+    synth_delta_log,
+)
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    commits, exp = synth_delta_log(doc_id)
+    got = replay_log(commits)
+    assert got is not None
+    assert got["version"] == exp["version"]
+    assert got["n_active_files"] == exp["n_active_files"]
+    assert got["n_removed"] == exp["n_removed"]
+    assert got["total_bytes"] == exp["total_bytes"]
+    assert got["total_records"] == exp["total_records"]
+    assert got["records_known"] is True
+    assert (got["partition_columns"] == ["ts"]) == exp["partitioned"]
+
+
+def _mk(version, actions):
+    return (version,
+            ("\n".join(json.dumps(a) for a in actions) + "\n").encode())
+
+
+_META = {"metaData": {
+    "id": "t", "format": {"provider": "parquet"},
+    "schemaString": json.dumps(
+        {"type": "struct",
+         "fields": [{"name": "x", "type": "long", "nullable": True,
+                     "metadata": {}}]}),
+    "partitionColumns": []}}
+_PROTO = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+
+def _add(path, size=10, records=5):
+    return {"add": {"path": path, "size": size, "dataChange": True,
+                    "stats": json.dumps({"numRecords": records})}}
+
+
+def test_resurrect_after_remove():
+    commits = [
+        _mk(0, [_PROTO, _META, _add("a")]),
+        _mk(1, [{"remove": {"path": "a", "deletionTimestamp": 1}}]),
+        _mk(2, [_add("a", size=99, records=7)]),  # resurrect
+    ]
+    got = replay_log(commits)
+    assert got["n_active_files"] == 1
+    assert got["n_removed"] == 0  # the late add clears the tombstone
+    assert got["total_bytes"] == 99 and got["total_records"] == 7
+
+
+def test_add_replaces_same_path():
+    commits = [
+        _mk(0, [_PROTO, _META, _add("a", size=10), _add("a", size=20)]),
+    ]
+    got = replay_log(commits)
+    assert got["n_active_files"] == 1 and got["total_bytes"] == 20
+
+
+def test_missing_stats_flips_records_known():
+    commits = [_mk(0, [_PROTO, _META,
+                       {"add": {"path": "a", "size": 10,
+                                "dataChange": True}}])]
+    got = replay_log(commits)
+    assert got["records_known"] is False and got["total_records"] == 0
+
+
+def test_refusals():
+    assert replay_log([]) is None
+    commits, _ = synth_delta_log(5)
+    assert replay_log(commits[1:]) is None  # starts past 0
+    assert replay_log([commits[0], commits[2]]) is None  # gap
+    assert replay_log([(0, b"not json\n")]) is None
+    assert parse_commit(b"{}\n") is None  # empty action object
+    # reader version we cannot honour
+    commits = [_mk(0, [{"protocol": {"minReaderVersion": 3}}, _META,
+                       _add("a")])]
+    assert replay_log(commits) is None
+    # non-parquet provider
+    bad_meta = json.loads(json.dumps(_META))
+    bad_meta["metaData"]["format"]["provider"] = "orc"
+    assert replay_log([_mk(0, [_PROTO, bad_meta, _add("a")])]) is None
+    # no metaData anywhere
+    assert replay_log([_mk(0, [_PROTO, _add("a")])]) is None
