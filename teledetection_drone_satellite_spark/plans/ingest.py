@@ -11956,3 +11956,106 @@ def delta_log_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_bytes long, total_records long, records_known boolean, "
         "partitioned boolean, schema_fields int, n_commits int",
     )
+
+
+@register(
+    "iceberg_snapshot_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 1 + doc_id % 3 AS n_manifests
+        FROM documents WHERE doc_id < 150
+    ),
+    man AS (
+        SELECT doc_id, n_manifests, CAST(u.i AS INT) AS m,
+               2 + (doc_id + u.i) % 3 AS n_entries,
+               CASE WHEN (doc_id + u.i) % 2 = 0 THEN 1 ELSE 0 END
+                   AS has_deleted
+        FROM spec, LATERAL unnest(range(0, n_manifests)) u(i)
+    ),
+    ent AS (
+        SELECT doc_id, m, CAST(v.e AS INT) AS e,
+               40 + (doc_id + 3 * m + v.e) % 30 AS rc,
+               5000 + 211 * (doc_id + 5 * m + v.e) AS sz
+        FROM man, LATERAL unnest(range(0, n_entries)) v(e)
+    ),
+    agg AS (
+        SELECT ent.doc_id,
+               CAST(count(*) AS INT) AS n_live_files,
+               CAST(sum(rc) AS BIGINT) AS total_records,
+               CAST(sum(sz) AS BIGINT) AS total_bytes
+        FROM ent GROUP BY ent.doc_id
+    ),
+    dels AS (
+        SELECT doc_id, CAST(sum(has_deleted) AS INT)
+               AS n_deleted_entries
+        FROM man GROUP BY doc_id
+    )
+    SELECT spec.doc_id,
+           CAST(7000 + spec.doc_id AS BIGINT) AS snapshot_id,
+           CAST(n_manifests AS INT) AS n_manifests,
+           n_live_files, n_deleted_entries,
+           total_records, total_bytes,
+           TRUE AS counts_consistent,
+           spec.doc_id % 2 = 1 AS partitioned,
+           CAST(3 AS INT) AS schema_fields
+    FROM spec
+    JOIN agg ON spec.doc_id = agg.doc_id
+    JOIN dels ON spec.doc_id = dels.doc_id
+    """,
+    doc="Apache Iceberg snapshot resolution, graded (r14 — the "
+    "second lakehouse format next to Delta, and a COMPOSITION: the "
+    "manifest-list and manifest layers are Avro object containers "
+    "decoded by this repo's own sources/avro.py, cycling null and "
+    "deflate codecs with per-file sync markers). The planner walk "
+    "is modeled end-to-end: v2 table metadata JSON -> current "
+    "snapshot -> manifest list -> manifests -> live data files "
+    "(DELETED entries drop; the manifest-list's added/existing/"
+    "deleted counts are cross-checked against the actual entry "
+    "census, as is each manifest_length). The oracle states the "
+    "closed-form live-file census over the same manifest lattice.",
+    tags=("ingest", "corpus", "pipeline"),
+)
+def iceberg_snapshot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.iceberg import resolve_snapshot, synth_iceberg
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                metadata, files, _ = synth_iceberg(i)
+                got = resolve_snapshot(metadata, files)
+                rows.append(
+                    (i, got["snapshot_id"], got["n_manifests"],
+                     got["n_live_files"], got["n_deleted_entries"],
+                     got["total_records"], got["total_bytes"],
+                     got["counts_consistent"],
+                     got["partition_fields"] == ["ts_day"],
+                     len(got["fields"]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "snapshot_id", "n_manifests",
+                         "n_live_files", "n_deleted_entries",
+                         "total_records", "total_bytes",
+                         "counts_consistent", "partitioned",
+                         "schema_fields"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, snapshot_id long, n_manifests int, "
+        "n_live_files int, n_deleted_entries int, total_records long, "
+        "total_bytes long, counts_consistent boolean, "
+        "partitioned boolean, schema_fields int",
+    )

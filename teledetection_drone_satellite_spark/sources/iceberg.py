@@ -1,0 +1,281 @@
+"""Apache Iceberg snapshot resolution — pure stdlib on top of
+sources/avro.py, from the public Iceberg table spec
+(iceberg.apache.org/spec: table metadata JSON, manifest lists and
+manifests as Avro object containers).
+
+The second lakehouse format next to Delta (sources/deltalog.py),
+and deliberately a COMPOSITION: Iceberg's metadata tree is JSON at
+the root and Avro below, so the manifest-list and manifest layers
+here are decoded by this repo's own Avro container reader — two r14
+modules exercising each other.  The read path this models is the
+100 TB planner's: current-snapshot-id -> manifest list (one Avro
+file naming manifests with partition summaries) -> manifests (one
+row per data file with record counts and sizes) -> the live file
+set, all without touching a single data file.
+
+Parsed surface:
+  table metadata  format-version (1/2), table-uuid, current
+                  schema (fields by current-schema-id for v2, the
+                  inline schema for v1), partition-spec,
+                  snapshots + current-snapshot-id;
+  manifest list   Avro records: manifest_path, manifest_length,
+                  partition_spec_id, added/existing/deleted file
+                  counts;
+  manifest        Avro manifest_entry records: status
+                  (0 EXISTING / 1 ADDED / 2 DELETED), data_file
+                  struct (file_path, file_format, record_count,
+                  file_size_in_bytes) — DELETED entries drop out
+                  of the live set.
+
+Refusals (None): unsupported format-version, a current-snapshot-id
+naming no snapshot, a snapshot naming a missing manifest list, a
+manifest list naming a missing manifest, Avro layers that fail
+their container checks (sync markers etc. — see sources/avro.py),
+a non-parquet data file format, entries with unknown status — the
+honest-fallback contract every decoder here shares.
+"""
+
+from __future__ import annotations
+
+import json
+
+from .avro import parse_avro, write_avro
+
+MANIFEST_LIST_SCHEMA = {
+    "type": "record", "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "added_data_files_count", "type": "int"},
+        {"name": "existing_data_files_count", "type": "int"},
+        {"name": "deleted_data_files_count", "type": "int"},
+    ],
+}
+
+MANIFEST_SCHEMA = {
+    "type": "record", "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "data_file",
+            "fields": [
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+                {"name": "file_size_in_bytes", "type": "long"},
+            ],
+        }},
+    ],
+}
+
+
+def parse_table_metadata(content: bytes) -> "dict | None":
+    """vN.metadata.json -> {'format_version', 'table_uuid',
+    'fields': [(name, type)...], 'partition_fields',
+    'current_snapshot_id', 'snapshots': {id: manifest_list_path}}
+    or None."""
+    try:
+        meta = json.loads(content.decode("utf-8"))
+    except (UnicodeDecodeError, ValueError):
+        return None
+    if not isinstance(meta, dict):
+        return None
+    fv = meta.get("format-version")
+    if fv not in (1, 2):
+        return None
+    try:
+        if fv == 2:
+            sid = meta["current-schema-id"]
+            schema = next(s for s in meta["schemas"]
+                          if s.get("schema-id") == sid)
+        else:
+            schema = meta["schema"]
+        fields = [(f["name"], f["type"]) for f in schema["fields"]]
+        spec = meta.get("partition-specs")
+        if spec is not None:
+            spec_id = meta.get("default-spec-id", 0)
+            pspec = next(s for s in spec
+                         if s.get("spec-id") == spec_id)
+            part_fields = [f["name"] for f in pspec.get("fields", [])]
+        else:
+            part_fields = [f["name"]
+                           for f in meta.get("partition-spec", [])]
+        snaps = {}
+        for s in meta.get("snapshots", []):
+            snaps[int(s["snapshot-id"])] = s["manifest-list"]
+        cur = meta.get("current-snapshot-id")
+    except (KeyError, TypeError, StopIteration, ValueError):
+        return None
+    if cur is not None and cur != -1 and cur not in snaps:
+        return None
+    return {"format_version": fv,
+            "table_uuid": meta.get("table-uuid", ""),
+            "fields": fields, "partition_fields": part_fields,
+            "current_snapshot_id": cur, "snapshots": snaps}
+
+
+def resolve_snapshot(metadata_json: bytes,
+                     files: "dict[str, bytes]") -> "dict | None":
+    """The planner walk: metadata -> current snapshot -> manifest
+    list (Avro) -> manifests (Avro) -> live data files.
+
+    ``files`` maps path -> bytes for every manifest-list/manifest
+    the metadata names.  -> {'snapshot_id', 'n_manifests',
+    'n_live_files', 'n_deleted_entries', 'total_records',
+    'total_bytes', 'counts_consistent' (manifest-list counts vs
+    actual entry census), 'fields', 'partition_fields'} or None."""
+    meta = parse_table_metadata(metadata_json)
+    if meta is None:
+        return None
+    cur = meta["current_snapshot_id"]
+    if cur is None or cur == -1:
+        return None
+    ml_path = meta["snapshots"][cur]
+    if ml_path not in files:
+        return None
+    ml = parse_avro(files[ml_path])
+    if ml is None:
+        return None
+    n_live = n_deleted = 0
+    total_records = total_bytes = 0
+    consistent = True
+    for mf in ml["records"]:
+        path = mf.get("manifest_path")
+        if path not in files:
+            return None
+        if len(files[path]) != mf.get("manifest_length"):
+            consistent = False
+        man = parse_avro(files[path])
+        if man is None:
+            return None
+        added = existing = deleted = 0
+        for entry in man["records"]:
+            status = entry.get("status")
+            df = entry.get("data_file") or {}
+            if status == 1:
+                added += 1
+            elif status == 0:
+                existing += 1
+            elif status == 2:
+                deleted += 1
+                n_deleted += 1
+                continue
+            else:
+                return None
+            if df.get("file_format", "").upper() != "PARQUET":
+                return None
+            n_live += 1
+            total_records += int(df.get("record_count", 0))
+            total_bytes += int(df.get("file_size_in_bytes", 0))
+        if (added != mf.get("added_data_files_count")
+                or existing != mf.get("existing_data_files_count")
+                or deleted != mf.get("deleted_data_files_count")):
+            consistent = False
+    return {"snapshot_id": cur, "n_manifests": len(ml["records"]),
+            "n_live_files": n_live, "n_deleted_entries": n_deleted,
+            "total_records": total_records, "total_bytes": total_bytes,
+            "counts_consistent": consistent,
+            "fields": meta["fields"],
+            "partition_fields": meta["partition_fields"]}
+
+
+# ---------------------------------------------------------------- synth
+
+def synth_iceberg(doc_id: int) -> "tuple[bytes, dict, dict]":
+    """Deterministic fixture: (metadata_json, files, expected).
+
+    Closed form (mirrored by the iceberg_snapshot_stats oracle):
+        n_manifests = 1 + doc_id % 3; manifest m carries
+        2 + (doc_id + m) % 3 live entries (first ADDED, rest
+        EXISTING) and one DELETED entry when (doc_id + m) % 2 == 0;
+        live file (m, e): record_count = 40 + (doc_id + 3*m + e) % 30,
+        size = 5000 + 211 * (doc_id + 5*m + e);
+        partitioned by 'ts_day' on odd docs; v2 metadata."""
+    i = int(doc_id)
+    n_manifests = 1 + i % 3
+    files: "dict[str, bytes]" = {}
+    ml_records = []
+    exp_live = exp_deleted = 0
+    exp_records = exp_bytes = 0
+    for m in range(n_manifests):
+        n_entries = 2 + (i + m) % 3
+        has_deleted = (i + m) % 2 == 0
+        entries = []
+        for e in range(n_entries):
+            rc = 40 + (i + 3 * m + e) % 30
+            sz = 5000 + 211 * (i + 5 * m + e)
+            exp_live += 1
+            exp_records += rc
+            exp_bytes += sz
+            entries.append({
+                "status": 1 if e == 0 else 0,
+                "snapshot_id": 99 if e == 0 else None,
+                "data_file": {
+                    "file_path": "data/f-%d-%d-%d.parquet" % (i, m, e),
+                    "file_format": "PARQUET",
+                    "record_count": rc,
+                    "file_size_in_bytes": sz,
+                },
+            })
+        if has_deleted:
+            exp_deleted += 1
+            entries.append({
+                "status": 2, "snapshot_id": 99,
+                "data_file": {
+                    "file_path": "data/gone-%d-%d.parquet" % (i, m),
+                    "file_format": "PARQUET",
+                    "record_count": 1, "file_size_in_bytes": 1,
+                },
+            })
+        path = "metadata/m-%d-%d.avro" % (i, m)
+        blob = write_avro(MANIFEST_SCHEMA, entries,
+                          codec="deflate" if m % 2 else "null",
+                          sync=bytes((i + m + k) % 256
+                                     for k in range(16)))
+        files[path] = blob
+        ml_records.append({
+            "manifest_path": path,
+            "manifest_length": len(blob),
+            "partition_spec_id": 0,
+            "added_data_files_count": 1,
+            "existing_data_files_count": n_entries - 1,
+            "deleted_data_files_count": 1 if has_deleted else 0,
+        })
+    ml_path = "metadata/snap-%d.avro" % i
+    files[ml_path] = write_avro(
+        MANIFEST_LIST_SCHEMA, ml_records,
+        sync=bytes((7 * i + k) % 256 for k in range(16)))
+    part = [{"name": "ts_day", "transform": "day", "source-id": 2,
+             "field-id": 1000}] if i % 2 == 1 else []
+    metadata = json.dumps({
+        "format-version": 2,
+        "table-uuid": "0000-%d" % i,
+        "location": "s3://example/tbl",
+        "current-schema-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "id", "required": True, "type": "long"},
+            {"id": 2, "name": "ts", "required": False,
+             "type": "timestamptz"},
+            {"id": 3, "name": "payload", "required": False,
+             "type": "string"},
+        ]}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": part}],
+        "current-snapshot-id": 7000 + i,
+        "snapshots": [{"snapshot-id": 7000 + i,
+                       "timestamp-ms": 1700000000000,
+                       "manifest-list": ml_path,
+                       "summary": {"operation": "append"}}],
+    }).encode()
+    expected = {
+        "snapshot_id": 7000 + i,
+        "n_manifests": n_manifests,
+        "n_live_files": exp_live,
+        "n_deleted_entries": exp_deleted,
+        "total_records": exp_records,
+        "total_bytes": exp_bytes,
+        "partitioned": i % 2 == 1,
+    }
+    return metadata, files, expected

@@ -1,0 +1,89 @@
+"""Iceberg snapshot resolution (sources/iceberg.py): the metadata ->
+manifest-list -> manifest planner walk over this repo's own Avro
+layer, consistency cross-checks, refusals."""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.iceberg import (
+    parse_table_metadata,
+    resolve_snapshot,
+    synth_iceberg,
+)
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_synth_roundtrip(doc_id):
+    metadata, files, exp = synth_iceberg(doc_id)
+    got = resolve_snapshot(metadata, files)
+    assert got is not None
+    assert got["snapshot_id"] == exp["snapshot_id"]
+    assert got["n_manifests"] == exp["n_manifests"]
+    assert got["n_live_files"] == exp["n_live_files"]
+    assert got["n_deleted_entries"] == exp["n_deleted_entries"]
+    assert got["total_records"] == exp["total_records"]
+    assert got["total_bytes"] == exp["total_bytes"]
+    assert got["counts_consistent"] is True
+    assert (got["partition_fields"] == ["ts_day"]) == \
+        exp["partitioned"]
+
+
+def test_consistency_flags_flip_on_lying_counts():
+    metadata, files, _ = synth_iceberg(2)
+    # rebuild the manifest list with a lying added count
+    from teledetection_drone_satellite_spark.sources.avro import (
+        parse_avro,
+        write_avro,
+    )
+    from teledetection_drone_satellite_spark.sources.iceberg import (
+        MANIFEST_LIST_SCHEMA,
+    )
+
+    ml_path = [p for p in files if p.startswith("metadata/snap-")][0]
+    ml = parse_avro(files[ml_path])
+    recs = ml["records"]
+    recs[0]["added_data_files_count"] += 1
+    files = dict(files)
+    files[ml_path] = write_avro(MANIFEST_LIST_SCHEMA, recs)
+    got = resolve_snapshot(metadata, files)
+    assert got is not None and got["counts_consistent"] is False
+
+
+def test_refusals():
+    assert parse_table_metadata(b"junk") is None
+    assert parse_table_metadata(b'{"format-version": 3}') is None
+    metadata, files, _ = synth_iceberg(3)
+    m = json.loads(metadata)
+    m["current-snapshot-id"] = 424242  # dangling snapshot id
+    assert parse_table_metadata(json.dumps(m).encode()) is None
+    # missing manifest file
+    missing = dict(files)
+    missing.pop([p for p in missing
+                 if p.startswith("metadata/m-")][0])
+    assert resolve_snapshot(metadata, missing) is None
+    # corrupted Avro layer refuses through the container checks
+    bad = dict(files)
+    k = [p for p in bad if p.startswith("metadata/m-")][0]
+    bad[k] = bad[k][:-1]
+    assert resolve_snapshot(metadata, bad) is None
+    # non-parquet data file
+    from teledetection_drone_satellite_spark.sources.avro import (
+        parse_avro,
+        write_avro,
+    )
+    from teledetection_drone_satellite_spark.sources.iceberg import (
+        MANIFEST_SCHEMA,
+    )
+
+    orc = dict(files)
+    man = parse_avro(files[k])
+    recs = man["records"]
+    recs[0]["data_file"]["file_format"] = "ORC"
+    orc[k] = write_avro(MANIFEST_SCHEMA, recs)
+    assert resolve_snapshot(metadata, orc) is None
