@@ -12059,3 +12059,65 @@ def iceberg_snapshot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_bytes long, counts_consistent boolean, "
         "partitioned boolean, schema_fields int",
     )
+
+
+@register(
+    "orc_tail_stats",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS num_rows,
+           'ZLIB' AS compression,
+           'doc_id,text,lang,source,n_chars' AS field_names,
+           'LONG,STRING,STRING,STRING,LONG' AS leaf_kinds,
+           TRUE AS stripes_rows_match,
+           TRUE AS root_values_match,
+           FALSE AS has_null_any
+    FROM documents
+    """,
+    doc="Raw ORC tail decode, graded (r14 — completing the columnar-"
+    "metadata trio with parquet_footer_stats: PostScript + Footer "
+    "protobuf read by this repo's own generic wire decoder "
+    "(sources/pbwire.py), ZLIB chunk framing inflated with stdlib "
+    "raw deflate; SNAPPY/LZO footers refuse honestly). The file "
+    "parsed is written by a REAL engine: Spark's native ORC writer "
+    "over the documents table (fingerprint-cached shard, zlib "
+    "codec). The oracle re-derives num_rows from the data; the "
+    "footer's stripe row sums and root-statistics numberOfValues "
+    "must both equal it, schema names/kinds are pinned, and the "
+    "null census must be clean.",
+    tags=("ingest", "source"),
+)
+def orc_tail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import tempfile
+
+    from ..catalog import source_fingerprint
+    from ..sources.orcmeta import parse_orc_tail
+
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_orc_zlib_v1",
+        os.path.basename(os.path.normpath(sf_dir)),
+        f"documents_{source_fingerprint(sf_dir, 'documents')}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load(spark, sf_dir, ("documents",))["documents"].coalesce(
+            1).write.mode("overwrite").option(
+            "compression", "zlib").orc(path)
+    part = sorted(glob.glob(os.path.join(path, "*.orc")))[0]
+    with open(part, "rb") as f:
+        got = parse_orc_tail(f.read())
+    root_kind, names = got["types"][0]
+    leaf_kinds = ",".join(k for k, _n in got["types"][1:])
+    row = (
+        got["num_rows"], got["compression"], ",".join(names),
+        leaf_kinds,
+        sum(got["stripe_rows"]) == got["num_rows"],
+        got["root_values"] == got["num_rows"],
+        got["has_null_any"],
+    )
+    return spark.createDataFrame(
+        [row],
+        "num_rows long, compression string, field_names string, "
+        "leaf_kinds string, stripes_rows_match boolean, "
+        "root_values_match boolean, has_null_any boolean",
+    )

@@ -1,0 +1,94 @@
+"""Raw ORC tail decode (sources/orcmeta.py): the Spark-writer pin,
+chunk framing, codec honesty, refusals."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+
+from teledetection_drone_satellite_spark.sources.orcmeta import (
+    decompress_orc,
+    parse_orc_tail,
+)
+
+
+@pytest.fixture(scope="module")
+def orc_file(spark, tmp_path_factory):
+    td = tmp_path_factory.mktemp("orc")
+    out = str(td / "t")
+    spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .coalesce(1).write.mode("overwrite") \
+        .option("compression", "zlib").orc(out)
+    return glob.glob(out + "/*.orc")[0]
+
+
+def test_spark_written_file_pins(spark, orc_file):
+    with open(orc_file, "rb") as f:
+        buf = f.read()
+    got = parse_orc_tail(buf)
+    assert got is not None
+    assert got["num_rows"] == 500
+    assert got["compression"] == "ZLIB"
+    assert sum(got["stripe_rows"]) == 500
+    assert got["root_values"] == 500
+    assert got["has_null_any"] is False
+    assert got["types"][0] == (
+        "STRUCT", ["doc_id", "text", "lang", "source", "n_chars"])
+    assert [k for k, _n in got["types"][1:]] == \
+        ["LONG", "STRING", "STRING", "STRING", "LONG"]
+
+
+def test_default_zstd_codec_parses(spark, tmp_path):
+    """Spark 4's default ORC codec is ZSTD — decoded through the
+    public system-libzstd path shared with the archive tier."""
+    out = str(tmp_path / "z")
+    spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .limit(200).coalesce(1).write.mode("overwrite").orc(out)
+    part = glob.glob(out + "/*.orc")[0]
+    with open(part, "rb") as f:
+        got = parse_orc_tail(f.read())
+    assert got is not None
+    assert got["compression"] == "ZSTD" and got["num_rows"] == 200
+
+
+def test_snappy_footer_refuses_honestly(spark, tmp_path):
+    out = str(tmp_path / "s")
+    spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .limit(200).coalesce(1).write.mode("overwrite") \
+        .option("compression", "snappy").orc(out)
+    part = glob.glob(out + "/*.orc")[0]
+    with open(part, "rb") as f:
+        assert parse_orc_tail(f.read()) is None  # no snappy wheel
+
+
+def test_chunk_framing():
+    import zlib
+
+    payload = b"hello orc framing" * 10
+    comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+    data = comp.compress(payload) + comp.flush()
+    hdr = (len(data) << 1).to_bytes(3, "little")
+    assert decompress_orc(hdr + data, "ZLIB") == payload
+    # original (uncompressed) chunk
+    hdr = ((len(payload) << 1) | 1).to_bytes(3, "little")
+    assert decompress_orc(hdr + payload, "ZLIB") == payload
+    # overrunning header
+    assert decompress_orc(b"\xff\xff\xff" + b"x", "ZLIB") is None
+
+
+def test_refusals_and_fuzz(spark, orc_file):
+    assert parse_orc_tail(b"") is None
+    assert parse_orc_tail(b"\x00") is None
+    assert parse_orc_tail(b"junkjunkjunk\x05") is None
+    with open(orc_file, "rb") as f:
+        buf = f.read()
+    import random
+
+    rnd = random.Random(1470)
+    tail = bytearray(buf[-4096:])
+    for _ in range(300):
+        b = bytearray(tail)
+        for _f in range(1 + rnd.randrange(6)):
+            b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+        parse_orc_tail(bytes(b))  # never raises
