@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from teledetection_drone_satellite_spark.sources import (  # noqa: E402
     aiff, arc, arfile, arrowipc, avro, cdx, difftext, docx, elf, epub,
-    feed, lz4frame,
+    deltalog, feed, iceberg, lz4frame, parquetmeta,
     font, gitpack, gpx, hls, html, ical,
     id3,
     las,
@@ -241,6 +241,13 @@ DECODERS = {
             lz4frame.parse_lz4_frame),
     "lz4_pure": (lambda i: lz4frame.synth_lz4(i % 10000)[0],
                  lambda b: lz4frame.parse_lz4_frame(b, pure=True)),
+    "delta_commit": (lambda i: deltalog.synth_delta_log(
+        i % 10000)[0][0][1], deltalog.parse_commit),
+    "iceberg_meta": (lambda i: iceberg.synth_iceberg(i % 10000)[0],
+                     iceberg.parse_table_metadata),
+    "iceberg_manifest": (lambda i: sorted(
+        iceberg.synth_iceberg(i % 10000)[1].items())[0][1],
+        avro.parse_avro),
     "adts": (lambda i: mpeg.synth_adts(
         i % 3, 3 + i % 8, 1 + i % 2,
         [50 + (i + f) % 40 for f in range(6 + i % 7)],
