@@ -442,6 +442,24 @@ def explode_archives(files: DataFrame) -> DataFrame:
                             emit(path, "member", 0, inner)
                     else:
                         emit(path, "", -1, b"", "zstd_unsupported")
+                elif blob[:4] == b"\x04\x22\x4d\x18":
+                    # LZ4 frame magic: the dual-decoder lz4frame module
+                    # (system liblz4 fast path, pure-Python spec
+                    # fallback) — .tar.lz4 is a common dataset-dump
+                    # shape next to .tar.zst.
+                    from .lz4frame import parse_lz4_frame
+
+                    got = parse_lz4_frame(blob)
+                    if got is None or len(got["payload"]) > CAP:
+                        emit(path, "", -1, b"",
+                             "lz4_refused" if got is None
+                             else "DecompressionBomb")
+                        continue
+                    inner = got["payload"]
+                    if is_tar(inner):
+                        emit_tar(path, inner)
+                    else:
+                        emit(path, "member", 0, inner)
                 else:
                     emit(path, "", -1, blob)
             yield pd.DataFrame(out)

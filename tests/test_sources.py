@@ -380,3 +380,37 @@ def test_explode_archives_zip64_members(spark):
     assert len(rows) == 3
     for k in range(3):
         assert bytes(rows[k]["content"]) == b"zip64 payload %d" % k
+
+
+@pytest.mark.usefixtures("spark")
+def test_explode_archives_lz4(spark):
+    """r14: .lz4 and .tar.lz4 blobs decode through the dual-decoder
+    lz4frame module (system liblz4 fast path, pure-Python spec
+    fallback); malformed frames emit honest marker rows."""
+    import io
+    import tarfile
+
+    from teledetection_drone_satellite_spark.sources import binary
+    from teledetection_drone_satellite_spark.sources.lz4frame import (
+        write_lz4_frame,
+    )
+
+    single = write_lz4_frame(b"lz4 payload " * 30)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        ti = tarfile.TarInfo("inner/b.txt")
+        ti.size = 4
+        tf.addfile(ti, io.BytesIO(b"beta"))
+    tar_lz4 = write_lz4_frame(buf.getvalue())
+    garbage = b"\x04\x22\x4d\x18" + bytes(16)
+    df = spark.createDataFrame(
+        [("s", bytearray(single)), ("t", bytearray(tar_lz4)),
+         ("g", bytearray(garbage))],
+        "path string, content binary",
+    )
+    rows = {(r["path"], r["member_index"]): r
+            for r in binary.explode_archives(df).collect()}
+    assert bytes(rows[("s", 0)]["content"]) == b"lz4 payload " * 30
+    assert bytes(rows[("t", 0)]["content"]) == b"beta"
+    assert rows[("t", 0)]["member_path"] == "inner/b.txt"
+    assert rows[("g", -1)]["archive_error"] == "lz4_refused"
