@@ -63,53 +63,91 @@ def parse_commit(content: bytes) -> "list[dict] | None":
     return actions
 
 
-def replay_log(commits: "list[tuple[int, bytes]]") -> "dict | None":
+class _State:
+    __slots__ = ("active", "removed", "meta", "protocol_ok",
+                 "n_actions")
+
+    def __init__(self) -> None:
+        self.active: "dict[str, dict]" = {}
+        self.removed: "set[str]" = set()
+        self.meta = None
+        self.protocol_ok = True
+        self.n_actions = 0
+
+
+def _apply(state: "_State", actions: "list[dict]") -> bool:
+    """Apply one commit's (or a checkpoint's) actions; False on a
+    malformed action."""
+    for act in actions:
+        state.n_actions += 1
+        if "protocol" in act and act["protocol"] is not None:
+            p = act["protocol"]
+            if not isinstance(p, dict) or \
+                    p.get("minReaderVersion", 1) > MAX_READER_VERSION:
+                state.protocol_ok = False
+        elif "metaData" in act and act["metaData"] is not None:
+            state.meta = act["metaData"]
+        elif "add" in act and act["add"] is not None:
+            a = act["add"]
+            if not isinstance(a, dict) or "path" not in a:
+                return False
+            state.active[a["path"]] = a
+            state.removed.discard(a["path"])
+        elif "remove" in act and act["remove"] is not None:
+            r = act["remove"]
+            if not isinstance(r, dict) or "path" not in r:
+                return False
+            if r["path"] in state.active:
+                del state.active[r["path"]]
+                state.removed.add(r["path"])
+        # commitInfo / cdc / unknown: counted, skipped
+    return True
+
+
+def replay_log(commits: "list[tuple[int, bytes]]",
+               checkpoint: "tuple[int, list[dict]] | None" = None,
+               ) -> "dict | None":
     """[(version, commit_bytes)...] -> snapshot dict or None.
+
+    ``checkpoint`` is (checkpoint_version, reconciled_action_rows):
+    the _last_checkpoint entry path — the state seeds from the
+    checkpoint's actions and only commits AFTER that version replay
+    (they must be contiguous from checkpoint_version + 1).  Without
+    one, commits must be contiguous from 0.
 
     -> {'version', 'n_active_files', 'n_removed', 'total_bytes',
     'total_records', 'records_known' (bool: every active file
     carried numRecords), 'partition_columns', 'schema_fields':
     [(name, type)...], 'n_commits', 'n_actions'}"""
-    if not commits:
-        return None
-    ordered = sorted(commits)
-    if ordered[0][0] != 0:
-        return None
+    state = _State()
+    if checkpoint is not None:
+        cp_version, cp_actions = checkpoint
+        if not _apply(state, cp_actions):
+            return None
+        commits = [c for c in commits if c[0] > cp_version]
+        ordered = sorted(commits)
+        if ordered and ordered[0][0] != cp_version + 1:
+            return None
+        last_version = ordered[-1][0] if ordered else cp_version
+    else:
+        if not commits:
+            return None
+        ordered = sorted(commits)
+        if ordered[0][0] != 0:
+            return None
+        last_version = ordered[-1][0]
     if any(b[0] - a[0] != 1 for a, b in zip(ordered, ordered[1:])):
         return None  # version gap: an unreadable table state
-    active: "dict[str, dict]" = {}
-    removed: "set[str]" = set()
-    meta = None
-    protocol_ok = True
-    n_actions = 0
     for _version, blob in ordered:
         actions = parse_commit(blob)
         if actions is None:
             return None
-        for act in actions:
-            n_actions += 1
-            if "protocol" in act:
-                p = act["protocol"]
-                if not isinstance(p, dict) or \
-                        p.get("minReaderVersion", 1) > MAX_READER_VERSION:
-                    protocol_ok = False
-            elif "metaData" in act:
-                meta = act["metaData"]
-            elif "add" in act:
-                a = act["add"]
-                if not isinstance(a, dict) or "path" not in a:
-                    return None
-                active[a["path"]] = a
-                removed.discard(a["path"])
-            elif "remove" in act:
-                r = act["remove"]
-                if not isinstance(r, dict) or "path" not in r:
-                    return None
-                if r["path"] in active:
-                    del active[r["path"]]
-                    removed.add(r["path"])
-            # commitInfo / cdc / unknown: counted, skipped
-    if not protocol_ok or meta is None:
+        if not _apply(state, actions):
+            return None
+    active = state.active
+    removed = state.removed
+    meta = state.meta
+    if not state.protocol_ok or meta is None:
         return None
     fmt = meta.get("format", {})
     if isinstance(fmt, dict) and \
@@ -137,7 +175,7 @@ def replay_log(commits: "list[tuple[int, bytes]]") -> "dict | None":
         else:
             records_known = False
     return {
-        "version": ordered[-1][0],
+        "version": last_version,
         "n_active_files": len(active),
         "n_removed": len(removed),
         "total_bytes": total_bytes,
@@ -146,7 +184,7 @@ def replay_log(commits: "list[tuple[int, bytes]]") -> "dict | None":
         "partition_columns": list(meta.get("partitionColumns", [])),
         "schema_fields": fields,
         "n_commits": len(ordered),
-        "n_actions": n_actions,
+        "n_actions": state.n_actions,
     }
 
 
@@ -234,3 +272,30 @@ def synth_delta_log(doc_id: int) -> "tuple[list[tuple[int, bytes]], dict]":
         "live": sorted(live),
     }
     return commits, expected
+
+
+def checkpoint_actions(commits: "list[tuple[int, bytes]]",
+                       version: int) -> "list[dict] | None":
+    """Reconcile commits 0..version into checkpoint action rows (the
+    content a .checkpoint.parquet carries: one protocol, one
+    metaData, one add per live file — per PROTOCOL.md checkpoint
+    section). Tombstones are NOT carried (no vacuum horizon is
+    modeled), so a checkpoint-seeded replay reports only
+    post-checkpoint removes."""
+    prefix = [c for c in sorted(commits) if c[0] <= version]
+    if not prefix or prefix[0][0] != 0 or prefix[-1][0] != version:
+        return None
+    state = _State()
+    for _v, blob in prefix:
+        actions = parse_commit(blob)
+        if actions is None or not _apply(state, actions):
+            return None
+    if state.meta is None:
+        return None
+    rows: "list[dict]" = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": state.meta},
+    ]
+    for a in state.active.values():
+        rows.append({"add": a})
+    return rows

@@ -96,3 +96,58 @@ def test_refusals():
     assert replay_log([_mk(0, [_PROTO, bad_meta, _add("a")])]) is None
     # no metaData anywhere
     assert replay_log([_mk(0, [_PROTO, _add("a")])]) is None
+
+
+def test_checkpoint_equivalence_and_contiguity():
+    from teledetection_drone_satellite_spark.sources.deltalog import (
+        checkpoint_actions,
+    )
+
+    for i in (0, 3, 7, 11):
+        commits, exp = synth_delta_log(i)
+        full = replay_log(commits)
+        cp = (exp["n_commits"] - 1) // 2
+        cpa = checkpoint_actions(commits, cp)
+        seeded = replay_log(commits, checkpoint=(cp, cpa))
+        for k in ("version", "n_active_files", "total_bytes",
+                  "total_records", "schema_fields"):
+            assert seeded[k] == full[k], (i, k)
+        # a gap after the checkpoint refuses
+        if exp["n_commits"] - 1 > cp + 1:
+            gapped = [c for c in commits if c[0] != cp + 1]
+            assert replay_log(gapped, checkpoint=(cp, cpa)) is None
+
+
+def test_checkpoint_roundtrip_through_spark_parquet(spark, tmp_path):
+    """The checkpoint rows survive a REAL parquet round trip: written
+    as Spark structs (the on-disk checkpoint shape), read back, and
+    seeded — snapshot identical to the full JSON replay."""
+    from teledetection_drone_satellite_spark.sources.deltalog import (
+        checkpoint_actions,
+    )
+
+    commits, exp = synth_delta_log(6)
+    full = replay_log(commits)
+    cp = (exp["n_commits"] - 1) // 2
+    cpa = checkpoint_actions(commits, cp)
+    rows = [(json.dumps(a.get("protocol")) if "protocol" in a else None,
+             json.dumps(a.get("metaData")) if "metaData" in a else None,
+             json.dumps(a.get("add")) if "add" in a else None)
+            for a in cpa]
+    out = str(tmp_path / "cp")
+    spark.createDataFrame(
+        rows, "protocol string, metaData string, add string"
+    ).coalesce(1).write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).collect()
+    restored = []
+    for r in back:
+        if r.protocol is not None:
+            restored.append({"protocol": json.loads(r.protocol)})
+        if r.metaData is not None:
+            restored.append({"metaData": json.loads(r.metaData)})
+        if r.add is not None:
+            restored.append({"add": json.loads(r.add)})
+    seeded = replay_log(commits, checkpoint=(cp, restored))
+    for k in ("version", "n_active_files", "total_bytes",
+              "total_records", "schema_fields", "partition_columns"):
+        assert seeded[k] == full[k], k
