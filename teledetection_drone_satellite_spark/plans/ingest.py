@@ -12036,7 +12036,7 @@ def iceberg_snapshot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 metadata, files, _ = synth_iceberg(i)
                 got = resolve_snapshot(metadata, files)
                 rows.append(
-                    (i, got["snapshot_id"], got["n_manifests"],
+                    (i, got["snapshot_id"], got["n_data_manifests"],
                      got["n_live_files"], got["n_deleted_entries"],
                      got["total_records"], got["total_bytes"],
                      got["counts_consistent"],
@@ -12209,4 +12209,89 @@ def delta_checkpoint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_active_files int, n_removed_after_cp int, "
         "total_bytes long, total_records long, "
         "matches_full_replay boolean",
+    )
+
+
+@register(
+    "iceberg_deletes_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 1 + doc_id % 3 AS n_manifests
+        FROM documents WHERE doc_id < 150
+    ),
+    man AS (
+        SELECT doc_id, CAST(u.i AS INT) AS m,
+               2 + (doc_id + u.i) % 3 AS n_entries
+        FROM spec, LATERAL unnest(range(0, n_manifests)) u(i)
+    ),
+    ent AS (
+        SELECT doc_id,
+               40 + (doc_id + 3 * m + v.e) % 30 AS rc
+        FROM man, LATERAL unnest(range(0, n_entries)) v(e)
+    ),
+    agg AS (
+        SELECT doc_id, CAST(sum(rc) AS BIGINT) AS total_records
+        FROM ent GROUP BY doc_id
+    )
+    SELECT spec.doc_id,
+           CAST(CASE WHEN spec.doc_id % 2 = 0 THEN 1 ELSE 0 END
+                AS INT) AS n_delete_manifests,
+           CAST(CASE WHEN spec.doc_id % 2 = 0
+                     THEN 1 + spec.doc_id % 4 ELSE 0 END AS INT)
+               AS n_pos_deletes,
+           total_records,
+           total_records
+             - CASE WHEN spec.doc_id % 2 = 0
+                    THEN 1 + spec.doc_id % 4 ELSE 0 END
+               AS net_records,
+           TRUE AS counts_consistent
+    FROM spec JOIN agg ON spec.doc_id = agg.doc_id
+    """,
+    doc="Iceberg v2 positional deletes, graded (r14 — merge-on-read: "
+    "the manifest-list content field routes delete manifests whose "
+    "entries name positional-delete files, Avro (file_path, pos) "
+    "rows decoded by sources/avro.py). Every even doc carries one "
+    "delete file knocking 1..4 rows out of its first live data "
+    "file; deletes scoped to live paths dedupe, and net_records = "
+    "total - applied deletes is the number a merge-on-read scan "
+    "would return. The oracle states the arithmetic in closed form.",
+    tags=("ingest", "corpus", "pipeline"),
+)
+def iceberg_deletes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.iceberg import resolve_snapshot, synth_iceberg
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                metadata, files, _ = synth_iceberg(i)
+                got = resolve_snapshot(metadata, files)
+                rows.append(
+                    (i, got["n_delete_manifests"],
+                     got["n_pos_deletes"], got["total_records"],
+                     got["net_records"], got["counts_consistent"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_delete_manifests",
+                         "n_pos_deletes", "total_records",
+                         "net_records", "counts_consistent"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_delete_manifests int, n_pos_deletes int, "
+        "total_records long, net_records long, "
+        "counts_consistent boolean",
     )

@@ -25,7 +25,12 @@ Parsed surface:
                   (0 EXISTING / 1 ADDED / 2 DELETED), data_file
                   struct (file_path, file_format, record_count,
                   file_size_in_bytes) — DELETED entries drop out
-                  of the live set.
+                  of the live set;
+  v2 deletes      manifest-list ``content`` routes delete manifests
+                  (1) whose entries name positional-delete files
+                  (Avro (file_path, pos) rows here); deletes scoped
+                  to LIVE paths dedupe and knock net_records down —
+                  the merge-on-read arithmetic.
 
 Refusals (None): unsupported format-version, a current-snapshot-id
 naming no snapshot, a snapshot naming a missing manifest list, a
@@ -47,9 +52,18 @@ MANIFEST_LIST_SCHEMA = {
         {"name": "manifest_path", "type": "string"},
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},  # 0 data / 1 deletes (v2)
         {"name": "added_data_files_count", "type": "int"},
         {"name": "existing_data_files_count", "type": "int"},
         {"name": "deleted_data_files_count", "type": "int"},
+    ],
+}
+
+POS_DELETE_SCHEMA = {
+    "type": "record", "name": "pos_delete",
+    "fields": [
+        {"name": "file_path", "type": "string"},
+        {"name": "pos", "type": "long"},
     ],
 }
 
@@ -141,6 +155,9 @@ def resolve_snapshot(metadata_json: bytes,
     n_live = n_deleted = 0
     total_records = total_bytes = 0
     consistent = True
+    live_paths: "set[str]" = set()
+    delete_files: "list[dict]" = []
+    n_delete_manifests = 0
     for mf in ml["records"]:
         path = mf.get("manifest_path")
         if path not in files:
@@ -150,6 +167,11 @@ def resolve_snapshot(metadata_json: bytes,
         man = parse_avro(files[path])
         if man is None:
             return None
+        content = mf.get("content", 0)
+        if content not in (0, 1):
+            return None
+        if content == 1:
+            n_delete_manifests += 1
         added = existing = deleted = 0
         for entry in man["records"]:
             status = entry.get("status")
@@ -160,22 +182,49 @@ def resolve_snapshot(metadata_json: bytes,
                 existing += 1
             elif status == 2:
                 deleted += 1
-                n_deleted += 1
+                if content == 0:
+                    n_deleted += 1
                 continue
             else:
                 return None
+            if content == 1:
+                delete_files.append(df)
+                continue
             if df.get("file_format", "").upper() != "PARQUET":
                 return None
             n_live += 1
+            live_paths.add(df.get("file_path"))
             total_records += int(df.get("record_count", 0))
             total_bytes += int(df.get("file_size_in_bytes", 0))
         if (added != mf.get("added_data_files_count")
                 or existing != mf.get("existing_data_files_count")
                 or deleted != mf.get("deleted_data_files_count")):
             consistent = False
+    # v2 merge-on-read: positional delete files (Avro here) knock
+    # rows out of LIVE data files only; a delete row naming a dead
+    # or unknown path is ignored per the spec's scoping rules
+    n_pos_deletes = 0
+    seen_pos: "set[tuple[str, int]]" = set()
+    for df in delete_files:
+        dpath = df.get("file_path")
+        if dpath not in files:
+            return None
+        dd = parse_avro(files[dpath])
+        if dd is None:
+            return None
+        for row in dd["records"]:
+            key = (row.get("file_path"), row.get("pos"))
+            if key[0] in live_paths and key not in seen_pos:
+                seen_pos.add(key)
+                n_pos_deletes += 1
     return {"snapshot_id": cur, "n_manifests": len(ml["records"]),
+            "n_data_manifests": len(ml["records"]) - n_delete_manifests,
+            "n_delete_manifests": n_delete_manifests,
             "n_live_files": n_live, "n_deleted_entries": n_deleted,
-            "total_records": total_records, "total_bytes": total_bytes,
+            "total_records": total_records,
+            "n_pos_deletes": n_pos_deletes,
+            "net_records": total_records - n_pos_deletes,
+            "total_bytes": total_bytes,
             "counts_consistent": consistent,
             "fields": meta["fields"],
             "partition_fields": meta["partition_fields"]}
@@ -239,9 +288,40 @@ def synth_iceberg(doc_id: int) -> "tuple[bytes, dict, dict]":
             "manifest_path": path,
             "manifest_length": len(blob),
             "partition_spec_id": 0,
+            "content": 0,
             "added_data_files_count": 1,
             "existing_data_files_count": n_entries - 1,
             "deleted_data_files_count": 1 if has_deleted else 0,
+        })
+    # v2 merge-on-read: every even doc carries one delete manifest
+    # naming one positional-delete file that knocks rows out of the
+    # first live data file
+    n_pos = 0
+    if i % 2 == 0:
+        n_pos = 1 + i % 4
+        target = "data/f-%d-0-0.parquet" % i
+        del_rows = [{"file_path": target, "pos": k}
+                    for k in range(n_pos)]
+        dfile = "data/del-%d.avro" % i
+        files[dfile] = write_avro(
+            POS_DELETE_SCHEMA, del_rows,
+            sync=bytes((3 * i + k) % 256 for k in range(16)))
+        dman = "metadata/dm-%d.avro" % i
+        files[dman] = write_avro(MANIFEST_SCHEMA, [{
+            "status": 1, "snapshot_id": 99,
+            "data_file": {"file_path": dfile,
+                          "file_format": "AVRO",
+                          "record_count": n_pos,
+                          "file_size_in_bytes": len(files[dfile])},
+        }], sync=bytes((5 * i + k) % 256 for k in range(16)))
+        ml_records.append({
+            "manifest_path": dman,
+            "manifest_length": len(files[dman]),
+            "partition_spec_id": 0,
+            "content": 1,
+            "added_data_files_count": 1,
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
         })
     ml_path = "metadata/snap-%d.avro" % i
     files[ml_path] = write_avro(
@@ -271,11 +351,13 @@ def synth_iceberg(doc_id: int) -> "tuple[bytes, dict, dict]":
     }).encode()
     expected = {
         "snapshot_id": 7000 + i,
-        "n_manifests": n_manifests,
+        "n_manifests": n_manifests,  # DATA manifests
         "n_live_files": exp_live,
         "n_deleted_entries": exp_deleted,
         "total_records": exp_records,
         "total_bytes": exp_bytes,
+        "n_pos_deletes": n_pos,
+        "net_records": exp_records - n_pos,
         "partitioned": i % 2 == 1,
     }
     return metadata, files, expected

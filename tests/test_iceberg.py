@@ -24,11 +24,14 @@ def test_fuzz_synth_roundtrip(doc_id):
     got = resolve_snapshot(metadata, files)
     assert got is not None
     assert got["snapshot_id"] == exp["snapshot_id"]
-    assert got["n_manifests"] == exp["n_manifests"]
+    assert got["n_data_manifests"] == exp["n_manifests"]
+    assert got["n_delete_manifests"] == (1 if doc_id % 2 == 0 else 0)
     assert got["n_live_files"] == exp["n_live_files"]
     assert got["n_deleted_entries"] == exp["n_deleted_entries"]
     assert got["total_records"] == exp["total_records"]
     assert got["total_bytes"] == exp["total_bytes"]
+    assert got["n_pos_deletes"] == exp["n_pos_deletes"]
+    assert got["net_records"] == exp["net_records"]
     assert got["counts_consistent"] is True
     assert (got["partition_fields"] == ["ts_day"]) == \
         exp["partitioned"]
