@@ -21,8 +21,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from teledetection_drone_satellite_spark.sources import (  # noqa: E402
-    avro, gitpack, mpeg, mpegts, parquetmeta, tensorfile, yamlconf,
+    avro, deltalog, gitpack, lz4frame, mpeg, mpegts,
+    parquetmeta, tensorfile, yamlconf,
 )
+
+
+def _delta(i: int) -> bytes:
+    return b"".join(b for _v, b in deltalog.synth_delta_log(i)[0])
+
+
+def _delta_parse(buf: bytes):
+    # commits are newline-delimited JSON; parse as one stream
+    return deltalog.parse_commit(buf)
 
 
 def _adts(i: int) -> bytes:
@@ -61,6 +71,11 @@ CASES = {
     "yaml": (lambda i: yamlconf.synth_yaml(i)[0], yamlconf.parse_yaml),
     "adts": (_adts, mpeg.decode_adts),
     "parquet_ftr": (_pq_tail, parquetmeta.parse_parquet_footer),
+    "lz4_pure": (lambda i: lz4frame.synth_lz4(i)[0],
+                 lambda b: lz4frame.parse_lz4_frame(b, pure=True)),
+    "lz4_lib": (lambda i: lz4frame.synth_lz4(i)[0],
+                lz4frame.parse_lz4_frame),
+    "delta_log": (_delta, _delta_parse),
 }
 
 
