@@ -12295,3 +12295,86 @@ def iceberg_deletes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_records long, net_records long, "
         "counts_consistent boolean",
     )
+
+
+@register(
+    "git_pack_slice",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id,
+               3 + doc_id % 5 AS n,
+               least(doc_id % 4, 2 + doc_id % 5) AS chain
+        FROM documents WHERE doc_id < 150
+    ),
+    par AS (
+        SELECT doc_id,
+               greatest(chain,
+                        CASE WHEN n - 1 > chain THEN 1 ELSE 0 END)
+                   AS max_depth
+        FROM spec
+    )
+    SELECT doc_id,
+           CAST(2 AS INT) AS n_wanted,
+           CAST(max_depth + 2 AS INT) AS n_entries_touched,
+           TRUE AS selective,
+           TRUE AS blob_ok,
+           TRUE AS commit_ok
+    FROM par
+    """,
+    doc="Selective pack fetch, graded (r14 — the partial-clone shape, "
+    "the gitpack twin of cdx_warc_slice): read_objects resolves ONLY "
+    "two wanted ids per repo — the deepest delta-chained blob and "
+    "the head commit — via the idx offset table, inflating just "
+    "those entries plus the delta bases the chain needs; every "
+    "resolved id is recomputed and must match. The oracle states "
+    "the exact touched-entry count in closed form (chain depth + "
+    "base + commit) and that the read stayed sub-pack (selective).",
+    tags=("ingest", "corpus", "code"),
+)
+def git_pack_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.gitpack import parse_pack, read_objects, synth_pack
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                pack, idx, _loose, _exp = synth_pack(i)
+                full = parse_pack(pack, idx)
+                blobs = [o for o in full["objects"]
+                         if o["type"] == "blob"]
+                deepest = max(blobs, key=lambda o: o["depth"])
+                head = [o for o in full["objects"]
+                        if o["type"] == "commit"][-1]
+                wanted = [bytes.fromhex(deepest["sha"]),
+                          bytes.fromhex(head["sha"])]
+                got = read_objects(pack, idx, wanted)
+                rows.append(
+                    (i, len(wanted), got["n_entries_touched"],
+                     got["bytes_touched"] < len(pack),
+                     got["objects"][deepest["sha"]]
+                     == ("blob", deepest["body"]),
+                     got["objects"][head["sha"]]
+                     == ("commit", head["body"]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_wanted", "n_entries_touched",
+                         "selective", "blob_ok", "commit_ok"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_wanted int, n_entries_touched int, "
+        "selective boolean, blob_ok boolean, commit_ok boolean",
+    )

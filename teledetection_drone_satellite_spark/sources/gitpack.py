@@ -592,3 +592,125 @@ def synth_pack(doc_id: int) -> "tuple[bytes, bytes, bytes, dict]":
         "blobs": blobs,
     }
     return pack, idx, loose, expected
+
+
+# ------------------------------------------------------- selective fetch
+
+def parse_idx(idx: bytes) -> "dict[bytes, int] | None":
+    """idx v2 -> {sha20: pack_offset}, verifying magic, version,
+    fanout monotonicity, sha order, and the trailing idx SHA-1 (the
+    pack-trailer echo is checked against the pack in read_objects)."""
+    if len(idx) < 8 + 1024 + 40 or idx[:4] != b"\xfftOc":
+        return None
+    if struct.unpack(">I", idx[4:8])[0] != 2:
+        return None
+    if hashlib.sha1(idx[:-20]).digest() != idx[-20:]:
+        return None
+    fanout = struct.unpack(">256I", idx[8:8 + 1024])
+    if any(fanout[i] > fanout[i + 1] for i in range(255)):
+        return None
+    n = fanout[255]
+    need = 8 + 1024 + n * 28 + 40
+    if len(idx) < need:
+        return None
+    p = 8 + 1024
+    shas = [idx[p + 20 * k:p + 20 * k + 20] for k in range(n)]
+    if shas != sorted(shas):
+        return None
+    p += 20 * n + 4 * n  # skip CRCs
+    offs_raw = struct.unpack(">%dI" % n, idx[p:p + 4 * n])
+    p += 4 * n
+    n_large = sum(1 for o in offs_raw if o & 0x80000000)
+    large = struct.unpack(">%dQ" % n_large,
+                          idx[p:p + 8 * n_large]) if n_large else ()
+    out = {}
+    for sha, oraw in zip(shas, offs_raw):
+        off = large[oraw & 0x7FFFFFFF] if oraw & 0x80000000 else oraw
+        out[sha] = off
+    return out
+
+
+def read_objects(pack: bytes, idx: bytes,
+                 wanted: "list[bytes]") -> "dict | None":
+    """The partial-clone / selective-fetch shape (the gitpack twin of
+    cdx_warc_slice): resolve ONLY the wanted object ids — plus the
+    delta bases their chains need — without walking the rest of the
+    pack.  The idx provides sha -> offset; OFS bases resolve by
+    offset arithmetic, REF bases via the idx again.
+
+    -> {'objects': {sha_hex: (type, body)}, 'n_entries_touched',
+    'bytes_touched'} or None (unknown sha, bad idx, chain breaks).
+    Touched = distinct pack entries inflated, the selectivity
+    measure a 100 TB fetch is graded on."""
+    offsets = parse_idx(idx)
+    if offsets is None or idx[-40:-20] != pack[-20:]:
+        return None
+    if len(pack) < 32 or pack[:4] != b"PACK":
+        return None
+    body_end = len(pack) - 20
+    cache: "dict[int, tuple[str, bytes]]" = {}
+    touched: "dict[int, int]" = {}  # offset -> raw entry length
+
+    def load_at(off: int, depth: int) -> "tuple[str, bytes] | None":
+        if depth > MAX_CHAIN:
+            return None
+        if off in cache:
+            return cache[off]
+        got = _read_size_type(pack, off)
+        if got is None:
+            return None
+        otype, size, pos = got
+        base_off: "int | None" = None
+        base_sha: "bytes | None" = None
+        if otype == OFS_DELTA:
+            got2 = _read_ofs(pack, pos)
+            if got2 is None:
+                return None
+            rel, pos = got2
+            base_off = off - rel
+            if base_off < 12:
+                return None
+        elif otype == REF_DELTA:
+            if pos + 20 > body_end:
+                return None
+            base_sha = pack[pos:pos + 20]
+            pos += 20
+        elif otype not in OBJ_TYPES:
+            return None
+        got3 = _inflate_at(pack, pos, size)
+        if got3 is None:
+            return None
+        payload, end = got3
+        if end > body_end:
+            return None
+        touched[off] = end - off
+        if otype in OBJ_TYPES:
+            rec = (OBJ_TYPES[otype], payload)
+        else:
+            if base_sha is not None:
+                base_off = offsets.get(base_sha)
+                if base_off is None:
+                    return None
+            base = load_at(base_off, depth + 1)
+            if base is None:
+                return None
+            body = apply_delta(base[1], payload)
+            if body is None:
+                return None
+            rec = (base[0], body)
+        cache[off] = rec
+        return rec
+
+    out: "dict[str, tuple]" = {}
+    for sha in wanted:
+        off = offsets.get(sha)
+        if off is None:
+            return None
+        rec = load_at(off, 0)
+        if rec is None:
+            return None
+        if sha1_obj(rec[0], rec[1]) != sha:
+            return None  # id mismatch: corrupt pack or idx
+        out[sha.hex()] = rec
+    return {"objects": out, "n_entries_touched": len(touched),
+            "bytes_touched": sum(touched.values())}

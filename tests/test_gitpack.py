@@ -153,3 +153,33 @@ def test_build_idx_matches_check():
     idx = build_idx(pack)
     got = parse_pack(pack, idx)
     assert got is not None and got["idx_ok"] is True
+
+
+def test_selective_fetch_partial_clone_shape():
+    """read_objects resolves only the wanted ids + the delta bases
+    their chains need — never the whole pack."""
+    from teledetection_drone_satellite_spark.sources.gitpack import (
+        read_objects,
+    )
+
+    for i in (0, 3, 7, 15, 42):
+        pack, idx, _l, _e = synth_pack(i)
+        full = parse_pack(pack, idx)
+        blobs = [o for o in full["objects"] if o["type"] == "blob"]
+        deepest = max(blobs, key=lambda o: o["depth"])
+        head = [o for o in full["objects"]
+                if o["type"] == "commit"][-1]
+        got = read_objects(
+            pack, idx,
+            [bytes.fromhex(deepest["sha"]), bytes.fromhex(head["sha"])])
+        assert got is not None
+        assert got["objects"][deepest["sha"]][1] == deepest["body"]
+        assert got["objects"][head["sha"]][1] == head["body"]
+        assert got["n_entries_touched"] == deepest["depth"] + 2
+        assert got["bytes_touched"] < len(pack)
+        # unknown id refuses
+        assert read_objects(pack, idx, [b"\x00" * 20]) is None
+        # idx for a DIFFERENT pack refuses via the trailer echo
+        pack2, idx2, _l2, _e2 = synth_pack(i + 1)
+        assert read_objects(pack, idx2,
+                            [bytes.fromhex(head["sha"])]) is None
