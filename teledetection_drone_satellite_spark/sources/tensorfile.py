@@ -150,10 +150,11 @@ def parse_npz(content: bytes) -> "dict | None":
                 return None
             members.append((name[:-4], parsed))
     except (zipfile.BadZipFile, OSError, ValueError,
-            NotImplementedError, zlib.error, EOFError):
+            NotImplementedError, zlib.error, EOFError, RuntimeError):
         # zlib.error: zipfile re-raises raw inflate failures from a
-        # corrupted DEFLATE member (soak seed 140825) — a refusal,
-        # not a crash
+        # corrupted DEFLATE member (soak seed 140825); RuntimeError:
+        # zipfile's encrypted-member signal, reachable by one flipped
+        # flag bit (soak seed 816241) — refusals, not crashes
         return None
     return {"members": members}
 

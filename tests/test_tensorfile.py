@@ -142,3 +142,22 @@ def test_soak_seed_140825_corrupt_deflate_member():
         for _ in range(1 + rnd.randrange(8)):
             b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
         parse_npz(bytes(b))  # any return, never an exception
+
+
+def test_soak_seed_816241_encrypted_flag_member():
+    """r14 soak-found crash #2: one flipped general-purpose flag bit
+    makes zipfile raise RuntimeError ('encrypted, password required')
+    from read() — must refuse."""
+    import random
+    import zlib as _z
+
+    from teledetection_drone_satellite_spark.sources.tensorfile import (
+        parse_npz,
+        synth_tensors,
+    )
+
+    rnd = random.Random(_z.crc32(b"npz") * 1000003 + 816241)
+    blob = bytearray(synth_tensors(816241 % 10000)[1])
+    for _ in range(1 + rnd.randrange(10)):
+        blob[rnd.randrange(len(blob))] ^= 1 << rnd.randrange(8)
+    assert parse_npz(bytes(blob)) is None
