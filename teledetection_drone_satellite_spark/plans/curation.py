@@ -1222,3 +1222,85 @@ def email_thread_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("thread_digest"),
         )
     )
+
+
+@register(
+    "decontamination_bloom",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    contaminated AS (
+        SELECT DISTINCT sh.doc_id
+        FROM sh JOIN bench USING (shingle)
+        WHERE sh.doc_id % 50 != 0
+    ),
+    train AS (
+        SELECT count(*) AS n_train FROM documents WHERE doc_id % 50 != 0
+    )
+    SELECT n_train,
+           CAST((SELECT count(*) FROM contaminated) AS BIGINT)
+               AS n_contaminated_exact,
+           TRUE AS flagged_superset,
+           TRUE AS overflag_band_ok
+    FROM train
+    """,
+    doc="Bloom-prefiltered decontamination, graded (r14 — the shape "
+    "an exact n-gram join takes at 100 TB: the benchmark's shingle "
+    "set becomes a Bloom bit table (m = 32n, k = 16, 4 bytes per "
+    "shingle — operators/bloom.py) that broadcasts at a fraction of "
+    "the raw shingle set's size; training shingles probe map-side "
+    "and only bloom-positive docs reach the exact re-check). The "
+    "filter is sized for DOCUMENT-level false positives: a clean doc "
+    "probes hundreds of distinct shingles, so per-doc over-flag is "
+    "1-(1-p)^s — at p=(1-e^-0.5)^16 ~ 3e-7 that stays ~1e-4 even at "
+    "s~400 (the first cut, m=16n/k=8 with p=5.5e-4, over-flagged "
+    "~16% of clean docs and FAILED the band — kept as the design "
+    "note). Graded invariants: flagged_superset — every "
+    "EXACTLY-contaminated doc is bloom-flagged (zero false "
+    "negatives, the prefilter can never lose contamination) — and "
+    "clean-doc over-flag within [0, 2%]. The oracle restates the "
+    "exact-join contamination census the prefilter must dominate.",
+    tags=("curation", "corpus", "sketch"),
+)
+def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_build, bloom_probe
+    from ..operators.text import shingles
+
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    bench_sh = (
+        bench.select(F.explode(
+            shingles(F.split(F.col("text"), " "), 3)).alias("shingle"))
+        .distinct()
+    )
+    n_bench = bench_sh.count()
+    m_bits = max(64, 32 * n_bench)
+    bits = bloom_build(bench_sh, "shingle", m_bits, k=16)
+    train_sh = train.select(
+        "doc_id",
+        F.explode(shingles(F.split(F.col("text"), " "), 3))
+        .alias("shingle"),
+    )
+    probed = bloom_probe(
+        train_sh.select("shingle").distinct(), "shingle", bits,
+        m_bits, k=16)
+    flagged = (
+        train_sh.join(
+            probed.filter(F.col("bloom_member"))
+            .select(F.col("key").alias("shingle")),
+            "shingle")
+        .select("doc_id").distinct()
+    )
+    exact = curation.decontaminate(train, bench, n=3) \
+        .select("doc_id").distinct()
+    n_train = train.count()
+    n_exact = exact.count()
+    n_flagged = flagged.count()
+    n_missed = exact.join(flagged, "doc_id", "left_anti").count()
+    overflag = (n_flagged - n_exact) / max(1, n_train - n_exact)
+    return spark.createDataFrame(
+        [(n_train, n_exact, n_missed == 0, overflag <= 0.02)],
+        "n_train long, n_contaminated_exact long, "
+        "flagged_superset boolean, overflag_band_ok boolean",
+    )

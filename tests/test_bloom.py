@@ -60,3 +60,24 @@ def test_bit_table_bounded_by_m(spark):
     rows = bits.collect()
     assert len(rows) <= m
     assert all(0 <= r.pos < m for r in rows)
+
+
+@pytest.mark.usefixtures("spark")
+def test_doc_level_overflag_needs_k16_m32(spark):
+    """The decontamination sizing lesson: a clean doc probing s
+    shingles over-flags at 1-(1-p)^s, so the per-probe FPR must be
+    sized for s. At m=16n/k=8 (p~5.5e-4), 300 probes flag ~15% of
+    clean keys; at m=32n/k=16 (p~3e-7) effectively none."""
+    n = 2000
+    keys = spark.range(0, n).select(F.col("id").alias("k"))
+    non = spark.range(10_000_000, 10_000_000 + n).select(
+        F.col("id").alias("k"))
+    weak_bits = bloom_build(keys, "k", 16 * n, k=8)
+    weak_fp = bloom_probe(non, "k", weak_bits, 16 * n, k=8) \
+        .filter(F.col("bloom_member")).count()
+    strong_bits = bloom_build(keys, "k", 32 * n, k=16)
+    strong_fp = bloom_probe(non, "k", strong_bits, 32 * n, k=16) \
+        .filter(F.col("bloom_member")).count()
+    # per-probe: weak ~5.5e-4 (expect ~1 at n=2000), strong ~3e-7
+    assert strong_fp == 0
+    assert strong_fp <= weak_fp
