@@ -226,8 +226,16 @@ def incremental_dedup(
 
     union = corpus.select("doc_id", "text").unionByName(batch.select("doc_id", "text"))
     # the union has two leaf relations, so fan_out's single-scan contract
-    # rejects it — shape the parallelism here and tell the postings plan so
-    union = union.repartition(union.sparkSession.sparkContext.defaultParallelism)
+    # rejects it — shape the parallelism here and tell the postings plan so.
+    # Width follows the INPUT's split count (4x input partitions, floored
+    # at 8, capped at the cluster's parallelism): a KB-scale fixture union
+    # does not get to pay 32-partition exchanges on every postings stage
+    # (r14: 1.95 -> 1.61 s at sf0.1), while a 100 TB union whose scans
+    # carry thousands of splits still fans to every core.
+    sc = union.sparkSession.sparkContext
+    width = min(sc.defaultParallelism,
+                max(8, 4 * union.rdd.getNumPartitions()))
+    union = union.repartition(width)
     pairs = ngram_jaccard_pairs(
         union, threshold=threshold, n=n, max_df=max_df, pre_scaled=True
     )
