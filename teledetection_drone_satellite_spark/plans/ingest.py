@@ -12378,3 +12378,87 @@ def git_pack_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_wanted int, n_entries_touched int, "
         "selective boolean, blob_ok boolean, commit_ok boolean",
     )
+
+
+@register(
+    "zstd_dict_stats",
+    oracle="""
+    SELECT CAST(count(*) FILTER (doc_id % 5 = 0) AS BIGINT)
+               AS n_samples,
+           CAST(count(*) FILTER (doc_id % 5 != 0) AS BIGINT)
+               AS n_compressed,
+           TRUE AS dict_magic_ok,
+           TRUE AS all_roundtrip,
+           TRUE AS dict_dominates
+    FROM documents
+    """,
+    doc="Zstandard dictionary training + dictionary compression, "
+    "graded (r14 — the standard small-record trick at crawl scale: "
+    "one document carries too little history for the match finder, "
+    "so a ZDICT-trained dictionary ships as a broadcast artifact "
+    "and every record compresses against it; public system libzstd "
+    "via ctypes, the r12 codec precedent). Sample tier = every 5th "
+    "doc (bounded driver collect, the similarity-tier contract); "
+    "every other doc's 200-char head compresses WITH and WITHOUT "
+    "the dictionary inside one Arrow stage. Graded invariants, all "
+    "zstd-version-independent: the trained dictionary carries the "
+    "0xEC30A437 magic, every dict-compressed record round-trips "
+    "byte-exact, and the dictionary strictly dominates no-dict "
+    "compression on EVERY short record (it did, 400/400 at "
+    "sf0.01); byte sizes are deliberately never pinned.",
+    tags=("ingest", "corpus", "sketch"),
+)
+def zstd_dict_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.zstddict import (
+        DICT_MAGIC,
+        compress_with_dict,
+        decompress_with_dict,
+        train_dict,
+    )
+
+    d = load(spark, sf_dir, ("documents",))["documents"]
+    # bounded sample collect: eval-suite-sized by construction
+    samples = [
+        r["text"][:400].encode()
+        for r in d.filter(F.col("doc_id") % 5 == 0)
+        .select("text").collect()
+    ]
+    dictionary = train_dict(samples, 8192)
+    bdict = spark.sparkContext.broadcast(dictionary)
+    rest = d.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        dd = bdict.value
+        for pdf_ in batches:
+            rows = []
+            for _i, text in zip(pdf_["doc_id"], pdf_["text"]):
+                data = str(text)[:200].encode()
+                with_d = compress_with_dict(data, dd)
+                without = compress_with_dict(data, None)
+                # right-sized bound: the 64 MB default zeroes a
+                # buffer PER ROW (measured 40x slower at sf0.01)
+                back = decompress_with_dict(
+                    with_d, dd, max_out=max(1024, 4 * len(data))) \
+                    if with_d is not None else None
+                rows.append((back == data,
+                             with_d is not None and without is not None
+                             and len(with_d) < len(without)))
+            yield pd.DataFrame(rows, columns=["rt", "win"])
+
+    agg = rest.mapInPandas(gen, "rt boolean, win boolean").agg(
+        F.count("*").alias("n_compressed"),
+        F.min("rt").alias("all_roundtrip"),
+        F.min("win").alias("dict_dominates"),
+    )
+    return agg.select(
+        F.lit(len(samples)).cast("long").alias("n_samples"),
+        F.col("n_compressed").cast("long"),
+        F.lit(dictionary is not None
+              and dictionary[:4] == DICT_MAGIC).alias("dict_magic_ok"),
+        "all_roundtrip",
+        "dict_dominates",
+    )

@@ -1,0 +1,65 @@
+"""Zstd dictionary training/compression (sources/zstddict.py):
+round-trip identity, dictionary gain, magic, refusals."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from teledetection_drone_satellite_spark.sources.zstddict import (
+    DICT_MAGIC,
+    _lib,
+    compress_with_dict,
+    decompress_with_dict,
+    train_dict,
+)
+
+pytestmark = pytest.mark.skipif(_lib() is None,
+                                reason="system libzstd absent")
+
+
+def _samples():
+    return [("sample record %d alpha beta gamma delta %d\n"
+             % (i, i % 7)).encode() * 3 for i in range(50)]
+
+
+def test_train_magic_and_roundtrip():
+    d = train_dict(_samples(), 4096)
+    assert d is not None and d[:4] == DICT_MAGIC
+    for i in range(40):
+        data = ("short record %d alpha beta gamma" % i).encode()
+        blob = compress_with_dict(data, d)
+        assert blob is not None
+        assert decompress_with_dict(blob, d, max_out=4096) == data
+
+
+def test_dictionary_dominates_on_short_records():
+    d = train_dict(_samples(), 4096)
+    wins = total = 0
+    for i in range(60):
+        data = ("sample record %d alpha beta gamma delta %d"
+                % (i + 100, i % 7)).encode()
+        with_d = compress_with_dict(data, d)
+        without = compress_with_dict(data, None)
+        total += 1
+        wins += len(with_d) < len(without)
+    assert wins == total  # same distribution as training: always
+
+
+def test_dict_mismatch_and_garbage_refuse():
+    d = train_dict(_samples(), 4096)
+    data = b"short record 5 alpha beta gamma"
+    blob = compress_with_dict(data, d)
+    # wrong dictionary: the frame references a dict id -> error
+    d2 = train_dict([s + b"!" for s in _samples()], 4096)
+    assert decompress_with_dict(blob, d2, max_out=4096) is None
+    assert decompress_with_dict(b"garbage bytes", d,
+                                max_out=4096) is None
+    assert decompress_with_dict(os.urandom(64), None,
+                                max_out=4096) is None
+
+
+def test_too_few_samples_refuses():
+    assert train_dict([], 4096) is None
+    assert train_dict([b"x"], 4096) is None  # ZDICT wants many
