@@ -12462,3 +12462,100 @@ def zstd_dict_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "all_roundtrip",
         "dict_dominates",
     )
+
+
+@register(
+    "delta_compaction_plan",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 2 + doc_id % 4 AS n
+        FROM documents WHERE doc_id < 150
+    ),
+    sz AS (
+        SELECT doc_id,
+               1000 + 97 * (doc_id + n - 1) AS s1,
+               1000 + 97 * (doc_id + n) AS s2
+        FROM spec
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN s1 < 4096 THEN 1 ELSE 0 END
+                + CASE WHEN s2 < 4096 THEN 1 ELSE 0 END AS INT)
+               AS n_small,
+           CAST(CASE WHEN s1 < 4096 AND s2 < 4096 THEN 1 ELSE 0 END
+                AS INT) AS n_groups,
+           CAST(CASE WHEN s1 < 4096 AND s2 < 4096 THEN 2 ELSE 0 END
+                AS INT) AS files_removed,
+           CAST(CASE WHEN s1 < 4096 AND s2 < 4096 THEN 1 ELSE 0 END
+                AS INT) AS files_added,
+           CAST(CASE WHEN s1 < 4096 AND s2 < 4096 THEN s1 + s2
+                ELSE 0 END AS BIGINT) AS bytes_compacted,
+           CAST(CASE WHEN s1 < 4096 AND s2 < 4096 THEN 1 ELSE 2 END
+                AS INT) AS files_after
+    FROM sz
+    """,
+    doc="Delta small-file compaction planning, graded (r14 — the "
+    "OPTIMIZE maintenance shape: a lakehouse accumulates small "
+    "files from streaming/frequent commits, and the planner bins "
+    "everything under a size threshold into rewrite groups, "
+    "skipping singletons). Runs on the REPLAYED snapshot from "
+    "synth_delta_log (the live file set after the add/remove churn "
+    "chain); the 4 KB threshold genuinely bites per doc (file sizes "
+    "are 1000+97*(doc+k), so low ids compact and high ids do not — "
+    "the oracle states both branches in closed form).",
+    tags=("ingest", "corpus", "pipeline"),
+)
+def delta_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.deltalog import (
+        compaction_plan,
+        replay_log,
+        synth_delta_log,
+    )
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import json as _json
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                commits, _ = synth_delta_log(i)
+                # reconstruct the live add set the way a writer would
+                snap = replay_log(commits)
+                assert snap is not None
+                # re-derive active file dicts from the commit replay
+                from ..sources.deltalog import _State, _apply, parse_commit
+
+                st = _State()
+                for _v, blob in sorted(commits):
+                    _apply(st, parse_commit(blob))
+                plan = compaction_plan(
+                    [{"path": p, "size": a.get("size", 0)}
+                     for p, a in st.active.items()],
+                    small_threshold=4096, group_size=2)
+                rows.append(
+                    (i, plan["n_small"], plan["n_groups"],
+                     plan["files_removed"], plan["files_added"],
+                     plan["bytes_compacted"], plan["files_after"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_small", "n_groups",
+                         "files_removed", "files_added",
+                         "bytes_compacted", "files_after"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_small int, n_groups int, files_removed int, "
+        "files_added int, bytes_compacted long, files_after int",
+    )

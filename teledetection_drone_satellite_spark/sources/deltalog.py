@@ -299,3 +299,36 @@ def checkpoint_actions(commits: "list[tuple[int, bytes]]",
     for a in state.active.values():
         rows.append({"add": a})
     return rows
+
+
+def compaction_plan(snapshot_files: "list[dict]", small_threshold: int,
+                    group_size: int) -> dict:
+    """Small-file compaction planning (the OPTIMIZE maintenance op):
+    every active file under ``small_threshold`` bytes is grouped,
+    size-descending then path order, into batches of ``group_size``
+    that each become ONE rewritten file; singleton groups are skipped
+    (rewriting one small file buys nothing).  Returns the action
+    plan a writer would commit: {'n_small', 'n_groups',
+    'files_removed', 'files_added', 'bytes_compacted',
+    'files_after'} — deterministic, so the oracle can state it in
+    closed form."""
+    small = sorted(
+        (f for f in snapshot_files
+         if int(f.get("size", 0)) < small_threshold),
+        key=lambda f: (-int(f.get("size", 0)), f.get("path", "")),
+    )
+    n_small = len(small)
+    groups = [small[k:k + group_size]
+              for k in range(0, n_small, group_size)]
+    groups = [g for g in groups if len(g) >= 2]
+    files_removed = sum(len(g) for g in groups)
+    bytes_compacted = sum(int(f.get("size", 0))
+                          for g in groups for f in g)
+    return {
+        "n_small": n_small,
+        "n_groups": len(groups),
+        "files_removed": files_removed,
+        "files_added": len(groups),
+        "bytes_compacted": bytes_compacted,
+        "files_after": len(snapshot_files) - files_removed + len(groups),
+    }

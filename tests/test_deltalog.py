@@ -151,3 +151,26 @@ def test_checkpoint_roundtrip_through_spark_parquet(spark, tmp_path):
     for k in ("version", "n_active_files", "total_bytes",
               "total_records", "schema_fields", "partition_columns"):
         assert seeded[k] == full[k], k
+
+
+def test_compaction_plan_policy():
+    from teledetection_drone_satellite_spark.sources.deltalog import (
+        compaction_plan,
+    )
+
+    files = [{"path": "a", "size": 100}, {"path": "b", "size": 200},
+             {"path": "c", "size": 300}, {"path": "d", "size": 99999},
+             {"path": "e", "size": 400}]
+    plan = compaction_plan(files, small_threshold=4096, group_size=2)
+    # 4 small files -> 2 groups of 2; the big file untouched
+    assert plan["n_small"] == 4 and plan["n_groups"] == 2
+    assert plan["files_removed"] == 4 and plan["files_added"] == 2
+    assert plan["bytes_compacted"] == 1000
+    assert plan["files_after"] == 3
+    # singleton tail group skipped
+    plan = compaction_plan(files, small_threshold=4096, group_size=3)
+    assert plan["n_groups"] == 1 and plan["files_removed"] == 3
+    assert plan["files_after"] == 3  # 5 - 3 + 1
+    # nothing small
+    plan = compaction_plan(files, small_threshold=10, group_size=2)
+    assert plan["files_removed"] == 0 and plan["files_after"] == 5
