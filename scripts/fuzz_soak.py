@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from teledetection_drone_satellite_spark.sources import (  # noqa: E402
     aiff, arc, arfile, arrowipc, avro, cdx, difftext, docx, elf, epub,
-    deltalog, feed, iceberg, lz4frame, parquetmeta,
+    deltalog, feed, iceberg, lz4frame, parquetmeta, snappy,
     font, gitpack, gpx, hls, html, ical,
     id3,
     las,
@@ -252,6 +252,13 @@ DECODERS = {
         i % 3, 3 + i % 8, 1 + i % 2,
         [50 + (i + f) % 40 for f in range(6 + i % 7)],
         crc=i % 5 == 0, mpeg2=i % 4 == 1), mpeg.decode_adts),
+    # r15 tier
+    "snappy": (lambda i: snappy.compress(
+        ("snappy soak %d " % i).encode() * (1 + i % 200)),
+        snappy.decompress),
+    "snappy_frame": (lambda i: snappy.compress_frame(
+        ("framed soak %d " % i).encode() * (1 + i % 600)),
+        snappy.decompress_frame),
 }
 
 

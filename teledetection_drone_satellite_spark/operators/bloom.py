@@ -7,11 +7,16 @@ Representation: the bitmap is a TABLE of set bit positions, not a
 driver-side bytearray — build is ``explode(k hashes) -> distinct``,
 so the shuffle is bounded by m (the filter size) regardless of input
 row count, and the result is a first-class DataFrame that persists,
-broadcasts, and survives executor loss like any other.  Probe
-broadcasts the bit table (m rows of one int — a few MB at even
-billion-key scale) and declares membership when all k probe
-positions hit.  Everything is JVM codegen: the k hash functions are
-``xxhash64(key, i)`` with the position ``pmod``-folded onto [0, m).
+broadcasts, and survives executor loss like any other.  For probing,
+the bit table packs 64 positions per word into a single-row
+``map<word_index, word>`` (``bloom_pack`` — m/64 entries, 64x
+smaller than the position table) that broadcasts; each probe row
+tests its k positions with a map-side ``forall`` lookup — the probe
+side performs NO shuffle and NO per-key aggregate, so duplicate
+probe keys are evaluated independently (each duplicate gets the
+same, correct verdict).  Everything is JVM codegen: the k hash
+functions are ``xxhash64(key, i)`` with the position ``pmod``-folded
+onto [0, m).
 
 Guarantees (the graded invariants): NO false negatives — every built
 key probes positive, by construction, across any partitioning; the
@@ -44,22 +49,64 @@ def bloom_build(df: DataFrame, key_col: str, m_bits: int,
     )
 
 
+def _powers():
+    """element_at(_powers(), bit + 1) == the long with only `bit`
+    set; a literal array because Spark's shiftleft() takes a
+    Python-int shift amount, not a column (2**63 wraps to long min —
+    deliberate).  Built lazily: column literals need a live
+    session."""
+    return F.array(*[
+        F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
+        for j in range(64)
+    ])
+
+
+def bloom_pack(bits: DataFrame) -> DataFrame:
+    """Set-bit position table -> ONE row ``(bitmap map<long,long>)``:
+    positions packed 64 per word (word index = pos >> 6, bit =
+    pos & 63).  One shuffle bounded by m/64 words, then a
+    single-partition fold of at most m/64 map entries — the
+    broadcast-ready form of the filter."""
+    words = bits.groupBy(
+        F.shiftright(F.col("pos"), 6).alias("widx")
+    ).agg(
+        F.bit_or(F.expr("shiftleft(1L, CAST(pos % 64 AS INT))"))
+        .alias("w")
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("widx", "w")))
+        .alias("bitmap")
+    )
+
+
 def bloom_probe(probe: DataFrame, key_col: str, bits: DataFrame,
                 m_bits: int, k: int = 8) -> DataFrame:
-    """Probe rows -> ``(key, bloom_member boolean)``: member iff all
-    k positions are set.  The bit table broadcasts; the probe side
-    never shuffles."""
+    """Probe rows -> ``(key, bloom_member boolean)``, one row per
+    PROBE ROW: member iff all k positions are set.  The packed
+    bitmap broadcasts (single row, m/64 map entries); membership is
+    a map-side ``forall`` — the probe side genuinely never shuffles
+    and never aggregates, so duplicate probe keys are safe (no
+    per-key counting to confuse)."""
+    packed = bloom_pack(bits)
     hashes = F.array(*[
         F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
         for i in range(k)
     ])
-    exploded = probe.select(
-        F.col(key_col).alias("key"), F.explode(hashes).alias("pos")
-    )
-    hit = exploded.join(
-        F.broadcast(bits.withColumn("set_", F.lit(1))), "pos", "left"
-    )
+
+    def _bit_set(p):
+        word = F.coalesce(
+            F.element_at(F.col("bitmap"), F.shiftright(p, 6)),
+            F.lit(0).cast("long"),
+        )
+        mask = F.element_at(
+            _powers(), p.bitwiseAND(F.lit(63)).cast("int") + F.lit(1))
+        return word.bitwiseAND(mask) != F.lit(0)
+
     return (
-        hit.groupBy("key")
-        .agg((F.count("set_") == F.lit(k)).alias("bloom_member"))
+        probe.select(F.col(key_col).alias("key"),
+                     hashes.alias("_hashes"))
+        .crossJoin(F.broadcast(packed))
+        .select("key",
+                F.forall(F.col("_hashes"), _bit_set)
+                .alias("bloom_member"))
     )

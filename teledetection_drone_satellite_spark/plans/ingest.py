@@ -11447,8 +11447,8 @@ def tensor_artifact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT spec.doc_id,
            CAST(n AS INT) AS n_records,
            CAST((n + 3) // 4 AS INT) AS n_blocks,
-           CASE WHEN spec.doc_id % 2 = 1 THEN 'deflate' ELSE 'null' END
-               AS codec,
+           CASE spec.doc_id % 3 WHEN 0 THEN 'null'
+                WHEN 1 THEN 'deflate' ELSE 'snappy' END AS codec,
            CAST(6 AS INT) AS n_fields,
            id_sum, name_chars, n_flags, n_tags, n_notes, score_x2_sum
     FROM spec JOIN agg ON spec.doc_id = agg.doc_id
@@ -11459,8 +11459,10 @@ def tensor_artifact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "self-describing container — schema JSON + codec in the "
     "metadata map, zigzag-varint blocks, per-doc sync markers "
     "(verified on EVERY block; the splittability anchor) — cycling "
-    "null and raw-RFC-1951 deflate codecs; snappy refuses honestly "
-    "(no wheel). parse_avro schema-interprets the binary encoding "
+    "null, raw-RFC-1951 deflate, AND snappy codecs (r15: the "
+    "pure-Python pyarrow-cross-pinned sources/snappy.py un-gated "
+    "the spec's snappy blocks — raw block + BE CRC32, verified). "
+    "parse_avro schema-interprets the binary encoding "
     "(records, unions, arrays, length-prefixed strings) and must "
     "land each block exactly on its declared record count. The "
     "oracle states the closed-form per-field census.",
@@ -12383,8 +12385,8 @@ def git_pack_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "zstd_dict_stats",
     oracle="""
-    SELECT CAST(count(*) FILTER (doc_id % 5 = 0) AS BIGINT)
-               AS n_samples,
+    SELECT CAST(LEAST(count(*) FILTER (doc_id % 5 = 0), 2048)
+               AS BIGINT) AS n_samples,
            CAST(count(*) FILTER (doc_id % 5 != 0) AS BIGINT)
                AS n_compressed,
            TRUE AS dict_magic_ok,
@@ -12398,7 +12400,9 @@ def git_pack_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     "so a ZDICT-trained dictionary ships as a broadcast artifact "
     "and every record compresses against it; public system libzstd "
     "via ctypes, the r12 codec precedent). Sample tier = every 5th "
-    "doc (bounded driver collect, the similarity-tier contract); "
+    "doc CAPPED at 2048 samples (~100x the dictionary size, the "
+    "ZDICT guidance) so the driver collect is O(1) in corpus size "
+    "— a constant ~800 KB at any scale; "
     "every other doc's 200-char head compresses WITH and WITHOUT "
     "the dictionary inside one Arrow stage. Graded invariants, all "
     "zstd-version-independent: the trained dictionary carries the "
@@ -12421,11 +12425,15 @@ def zstd_dict_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load(spark, sf_dir, ("documents",))["documents"]
-    # bounded sample collect: eval-suite-sized by construction
+    # CONSTANT sample budget: ZDICT training wants ~100x the
+    # dictionary size in samples (8 KB dict -> ~800 KB = 2048 x
+    # 400 B), so the driver collect is O(1) in corpus size — never
+    # a corpus fraction
+    n_sample_cap = 2048
     samples = [
         r["text"][:400].encode()
         for r in d.filter(F.col("doc_id") % 5 == 0)
-        .select("text").collect()
+        .select("text").limit(n_sample_cap).collect()
     ]
     dictionary = train_dict(samples, 8192)
     bdict = spark.sparkContext.broadcast(dictionary)

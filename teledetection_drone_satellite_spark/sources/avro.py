@@ -13,8 +13,10 @@ partition-planning read a Spark source performs.
 Parsed surface:
   header     magic ``Obj\\x01``, metadata map (block-encoded
              string->bytes pairs), ``avro.schema`` JSON,
-             ``avro.codec`` (null and deflate=raw RFC 1951
-             supported; snappy refused honestly — no wheel), 16-byte
+             ``avro.codec`` (null, deflate=raw RFC 1951, and snappy
+             — raw block + 4-byte big-endian CRC32 of the
+             UNCOMPRESSED data per the spec, decoded by the
+             pyarrow-cross-pinned sources/snappy.py), 16-byte
              sync marker;
   blocks     zigzag-varint count + size, payload inflated when
              deflate, trailing sync marker REQUIRED to match the
@@ -43,9 +45,13 @@ import json
 import struct
 import zlib
 
+from .snappy import compress as snappy_compress
+from .snappy import decompress as snappy_decompress
+
 MAGIC = b"Obj\x01"
 MAX_INFLATE = 64 << 20
 MAX_ITEMS = 1 << 24
+MAX_DEPTH = 32  # schema nesting cap (parquetmeta.py precedent)
 
 
 class _Reader:
@@ -91,18 +97,22 @@ def _zigzag_enc(n: int) -> bytes:
             return bytes(out)
 
 
-def _read_value(r: _Reader, schema) -> object:
+def _read_value(r: _Reader, schema, depth: int = 0) -> object:
     """Schema-interpreted binary decode (the subset the docstring
-    lists); raises ValueError on malformed input."""
+    lists); raises ValueError on malformed input.  Depth-capped so a
+    crafted deeply-nested schema refuses instead of blowing the
+    recursion limit (the parquetmeta.py _MAX_DEPTH pattern)."""
+    if depth > MAX_DEPTH:
+        raise ValueError("schema too deep")
     if isinstance(schema, list):  # union
         idx = r.zigzag()
         if not 0 <= idx < len(schema):
             raise ValueError("union index")
-        return _read_value(r, schema[idx])
+        return _read_value(r, schema[idx], depth + 1)
     if isinstance(schema, dict):
         t = schema.get("type")
         if t == "record":
-            return {f["name"]: _read_value(r, f["type"])
+            return {f["name"]: _read_value(r, f["type"], depth + 1)
                     for f in schema.get("fields", ())}
         if t == "enum":
             symbols = schema.get("symbols", ())
@@ -124,7 +134,8 @@ def _read_value(r: _Reader, schema) -> object:
                 if cnt > MAX_ITEMS:
                     raise ValueError("array too large")
                 for _ in range(cnt):
-                    out.append(_read_value(r, schema["items"]))
+                    out.append(_read_value(r, schema["items"],
+                                           depth + 1))
         if t == "map":
             out = {}
             while True:
@@ -138,7 +149,8 @@ def _read_value(r: _Reader, schema) -> object:
                     raise ValueError("map too large")
                 for _ in range(cnt):
                     key = r.take(r.zigzag()).decode("utf-8")
-                    out[key] = _read_value(r, schema["values"])
+                    out[key] = _read_value(r, schema["values"],
+                                           depth + 1)
         schema = t  # {"type": "string"} wrapper form
     if schema == "null":
         return None
@@ -185,8 +197,8 @@ def parse_avro(content: bytes) -> "dict | None":
             return None
         schema = json.loads(meta["avro.schema"].decode("utf-8"))
         codec = meta.get("avro.codec", b"null").decode("ascii")
-        if codec not in ("null", "deflate"):
-            return None  # snappy et al.: no wheel, refuse honestly
+        if codec not in ("null", "deflate", "snappy"):
+            return None  # zstandard/bzip2 et al.: refuse honestly
         records = []
         n_blocks = 0
         while not r.eof():
@@ -200,6 +212,16 @@ def parse_avro(content: bytes) -> "dict | None":
                 payload = d.decompress(payload, MAX_INFLATE)
                 if not d.eof or d.unconsumed_tail:
                     return None
+            elif codec == "snappy":
+                # spec: raw snappy block then 4-byte BE CRC32
+                # (zlib.crc32) of the uncompressed bytes
+                if size < 4:
+                    return None
+                body = snappy_decompress(payload[:-4], MAX_INFLATE)
+                if body is None or zlib.crc32(body) != \
+                        int.from_bytes(payload[-4:], "big"):
+                    return None
+                payload = body
             br = _Reader(payload)
             for _ in range(cnt):
                 records.append(_read_value(br, schema))
@@ -209,7 +231,10 @@ def parse_avro(content: bytes) -> "dict | None":
                 return None
             n_blocks += 1
     except (ValueError, UnicodeDecodeError, zlib.error, KeyError,
-            TypeError, struct.error):
+            TypeError, struct.error, RecursionError):
+        # RecursionError: a crafted avro.schema JSON nested deeper
+        # than the interpreter stack (json.loads recurses) must
+        # refuse, not kill the Spark task.
         return None
     return {"schema": schema, "codec": codec,
             "n_records": len(records), "n_blocks": n_blocks,
@@ -299,6 +324,9 @@ def write_avro(schema, records, codec: str = "null",
         if codec == "deflate":
             comp = zlib.compressobj(6, zlib.DEFLATED, -15)
             payload = comp.compress(payload) + comp.flush()
+        elif codec == "snappy":
+            payload = snappy_compress(payload) + \
+                zlib.crc32(payload).to_bytes(4, "big")
         out += _zigzag_enc(len(chunk)) + _zigzag_enc(len(payload))
         out += payload + sync
     return bytes(out)
@@ -323,7 +351,8 @@ def synth_avro(doc_id: int) -> "tuple[bytes, dict]":
     """Deterministic fixture plus expected stats.  Closed form
     (mirrored by the avro_record_stats oracle):
 
-        n_records = 5 + doc_id % 6, codec deflate on odd docs
+        n_records = 5 + doc_id % 6,
+        codec cycles doc_id % 3: null / deflate / snappy
         record r: id = r, name = 'rec-{doc_id}-{r}',
                   score = r * 0.5, flag = (r % 2 == 0),
                   tags = ['t0'.. ) of length r % 3,
@@ -341,7 +370,7 @@ def synth_avro(doc_id: int) -> "tuple[bytes, dict]":
             "tags": ["t%d" % k for k in range(rix % 3)],
             "note": ("n%d" % rix) if rix % 4 == 0 else None,
         })
-    codec = "deflate" if i % 2 else "null"
+    codec = ("null", "deflate", "snappy")[i % 3]
     blob = write_avro(SCHEMA, records, codec=codec,
                       sync=bytes((i + k) % 256 for k in range(16)))
     expected = {

@@ -86,16 +86,21 @@ def _apply(state: "_State", actions: "list[dict]") -> bool:
                     p.get("minReaderVersion", 1) > MAX_READER_VERSION:
                 state.protocol_ok = False
         elif "metaData" in act and act["metaData"] is not None:
+            if not isinstance(act["metaData"], dict):
+                return False  # scalar metaData: malformed log
             state.meta = act["metaData"]
         elif "add" in act and act["add"] is not None:
             a = act["add"]
-            if not isinstance(a, dict) or "path" not in a:
-                return False
+            if not isinstance(a, dict) or \
+                    not isinstance(a.get("path"), str):
+                return False  # path must be a string (JSON-list
+                # paths are unhashable and spec-invalid)
             state.active[a["path"]] = a
             state.removed.discard(a["path"])
         elif "remove" in act and act["remove"] is not None:
             r = act["remove"]
-            if not isinstance(r, dict) or "path" not in r:
+            if not isinstance(r, dict) or \
+                    not isinstance(r.get("path"), str):
                 return False
             if r["path"] in state.active:
                 del state.active[r["path"]]
@@ -158,34 +163,43 @@ def replay_log(commits: "list[tuple[int, bytes]]",
         fields = [(f["name"], f["type"]) for f in schema["fields"]]
     except (KeyError, TypeError, ValueError):
         return None
-    total_bytes = 0
-    total_records = 0
-    records_known = True
-    for a in active.values():
-        total_bytes += int(a.get("size", 0))
-        stats = a.get("stats")
-        n = None
-        if isinstance(stats, str):
-            try:
-                n = json.loads(stats).get("numRecords")
-            except ValueError:
-                n = None
-        if isinstance(n, int):
-            total_records += n
-        else:
-            records_known = False
-    return {
-        "version": last_version,
-        "n_active_files": len(active),
-        "n_removed": len(removed),
-        "total_bytes": total_bytes,
-        "total_records": total_records,
-        "records_known": records_known,
-        "partition_columns": list(meta.get("partitionColumns", [])),
-        "schema_fields": fields,
-        "n_commits": len(ordered),
-        "n_actions": state.n_actions,
-    }
+    try:
+        total_bytes = 0
+        total_records = 0
+        records_known = True
+        for a in active.values():
+            total_bytes += int(a.get("size", 0))
+            stats = a.get("stats")
+            n = None
+            if isinstance(stats, str):
+                try:
+                    parsed = json.loads(stats)
+                except ValueError:
+                    parsed = None
+                if isinstance(parsed, dict):  # scalar stats JSON
+                    n = parsed.get("numRecords")  # is malformed,
+                # not a crash: records just become unknown
+            if isinstance(n, int):
+                total_records += n
+            else:
+                records_known = False
+        return {
+            "version": last_version,
+            "n_active_files": len(active),
+            "n_removed": len(removed),
+            "total_bytes": total_bytes,
+            "total_records": total_records,
+            "records_known": records_known,
+            "partition_columns": list(
+                meta.get("partitionColumns", [])),
+            "schema_fields": fields,
+            "n_commits": len(ordered),
+            "n_actions": state.n_actions,
+        }
+    except (TypeError, ValueError, AttributeError):
+        return None  # refusal net: malformed action values (e.g.
+        # non-int size, non-list partitionColumns) refuse, never
+        # kill the task
 
 
 # ---------------------------------------------------------------- synth

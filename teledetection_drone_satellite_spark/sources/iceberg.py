@@ -159,8 +159,12 @@ def resolve_snapshot(metadata_json: bytes,
     delete_files: "list[dict]" = []
     n_delete_manifests = 0
     for mf in ml["records"]:
+        if not isinstance(mf, dict):
+            return None  # a manifest list whose Avro schema is not
+            # manifest_file records (e.g. bare longs): refuse, the
+            # untrusted-metadata contract
         path = mf.get("manifest_path")
-        if path not in files:
+        if not isinstance(path, str) or path not in files:
             return None
         if len(files[path]) != mf.get("manifest_length"):
             consistent = False
@@ -174,8 +178,12 @@ def resolve_snapshot(metadata_json: bytes,
             n_delete_manifests += 1
         added = existing = deleted = 0
         for entry in man["records"]:
+            if not isinstance(entry, dict):
+                return None  # non-manifest_entry records
             status = entry.get("status")
             df = entry.get("data_file") or {}
+            if not isinstance(df, dict):
+                return None
             if status == 1:
                 added += 1
             elif status == 0:
@@ -190,12 +198,19 @@ def resolve_snapshot(metadata_json: bytes,
             if content == 1:
                 delete_files.append(df)
                 continue
-            if df.get("file_format", "").upper() != "PARQUET":
+            fmt = df.get("file_format", "")
+            if not isinstance(fmt, str) or fmt.upper() != "PARQUET":
+                return None
+            fpath = df.get("file_path")
+            rc = df.get("record_count", 0)
+            sz = df.get("file_size_in_bytes", 0)
+            if not isinstance(fpath, str) or \
+                    not isinstance(rc, int) or not isinstance(sz, int):
                 return None
             n_live += 1
-            live_paths.add(df.get("file_path"))
-            total_records += int(df.get("record_count", 0))
-            total_bytes += int(df.get("file_size_in_bytes", 0))
+            live_paths.add(fpath)
+            total_records += rc
+            total_bytes += sz
         if (added != mf.get("added_data_files_count")
                 or existing != mf.get("existing_data_files_count")
                 or deleted != mf.get("deleted_data_files_count")):
@@ -207,13 +222,19 @@ def resolve_snapshot(metadata_json: bytes,
     seen_pos: "set[tuple[str, int]]" = set()
     for df in delete_files:
         dpath = df.get("file_path")
-        if dpath not in files:
+        if not isinstance(dpath, str) or dpath not in files:
             return None
         dd = parse_avro(files[dpath])
         if dd is None:
             return None
         for row in dd["records"]:
+            if not isinstance(row, dict):
+                return None  # non-pos_delete records
             key = (row.get("file_path"), row.get("pos"))
+            if not isinstance(key[0], str) or \
+                    not isinstance(key[1], int):
+                continue  # malformed delete row: not scoped to any
+                # live path, ignored per the spec's scoping rules
             if key[0] in live_paths and key not in seen_pos:
                 seen_pos.add(key)
                 n_pos_deletes += 1

@@ -120,9 +120,14 @@ def parse_yaml(content: bytes):
     except UnicodeDecodeError:
         return None
     raw = text.splitlines()
-    lines: "list[tuple[int, str, str]]" = []  # (indent, body, raw)
+    # (indent, body, raw, raw_idx) — raw_idx is the line's position
+    # in the ORIGINAL text, carried so block scalars resolve their
+    # tag line positionally (two identical 'script: |' lines in
+    # sibling maps must each resolve to their OWN position, never to
+    # the first occurrence of the same text)
+    lines: "list[tuple[int, str, str, int]]" = []
     started = False
-    for ln in raw:
+    for ridx, ln in enumerate(raw):
         if "\t" in ln[:len(ln) - len(ln.lstrip())]:
             return None  # tabs in indentation
         stripped = _strip_comment(ln)
@@ -136,7 +141,7 @@ def parse_yaml(content: bytes):
         if stripped.lstrip().startswith("%"):
             return None  # directive
         indent = len(stripped) - len(stripped.lstrip())
-        lines.append((indent, stripped.lstrip(), ln))
+        lines.append((indent, stripped.lstrip(), ln, ridx))
         started = True
     if not lines:
         return None
@@ -154,13 +159,14 @@ def _block_scalar(lines, idx, style: str, raw_lines) -> "tuple[str, int]":
     than the tag line belongs to the scalar (raw text taken from the
     ORIGINAL lines so comments/quotes inside stay verbatim)."""
     tag_indent = lines[idx][0]
-    raw_ref = lines[idx][2]
-    # find the tag line's position in raw text
-    start = raw_lines.index(raw_ref)
+    # the tag line's position in raw text is carried in the tuple —
+    # positional, so duplicate identical lines (two sibling maps each
+    # holding 'script: |') each resolve to their own place
+    start = lines[idx][3]
     body = []
     consumed = idx + 1
     k = start + 1
-    used_rows = {lines[j][2]: j for j in range(idx + 1, len(lines))}
+    used_rows = {lines[j][3]: j for j in range(idx + 1, len(lines))}
     while k < len(raw_lines):
         ln = raw_lines[k]
         if not ln.strip():
@@ -171,8 +177,8 @@ def _block_scalar(lines, idx, style: str, raw_lines) -> "tuple[str, int]":
         if ind <= tag_indent:
             break
         body.append(ln)
-        if ln in used_rows:
-            consumed = used_rows[ln] + 1
+        if k in used_rows:
+            consumed = used_rows[k] + 1
         k += 1
     while body and not body[-1].strip():
         body.pop()
@@ -223,7 +229,7 @@ def _value_or_nested(lines, idx, indent, rest, depth, raw_lines):
 def _map(lines, idx, indent, depth, raw_lines):
     out: "dict[str, object]" = {}
     while idx < len(lines):
-        ind, body, _raw = lines[idx]
+        ind, body, _raw, _ridx = lines[idx]
         if ind < indent:
             break
         if ind > indent:
@@ -247,7 +253,7 @@ def _map(lines, idx, indent, depth, raw_lines):
 def _list(lines, idx, indent, depth, raw_lines):
     out: "list[object]" = []
     while idx < len(lines):
-        ind, body, raw = lines[idx]
+        ind, body, raw, ridx = lines[idx]
         if ind < indent:
             break
         if ind > indent:
@@ -259,7 +265,7 @@ def _list(lines, idx, indent, depth, raw_lines):
             # '- key: value' compact form: the item is a map whose
             # first pair sits on the dash line; continuation keys are
             # indented to the dash + 2
-            sub = [(ind + 2, rest, raw)]
+            sub = [(ind + 2, rest, raw, ridx)]
             j = idx + 1
             while j < len(lines) and lines[j][0] == ind + 2 and \
                     not lines[j][1].startswith("- "):

@@ -70,8 +70,10 @@ def test_refusals():
     bad[-1] ^= 1  # sync marker mismatch
     assert parse_avro(bytes(bad)) is None
     assert parse_avro(blob + b"x") is None  # trailing garbage
-    # unsupported codec refuses honestly
-    assert parse_avro(write_avro(SCHEMA, [], codec="snappy")) is None
+    # unsupported codec refuses honestly (snappy is SUPPORTED
+    # since r15 — zstandard still refuses: no avro-zstd path here)
+    assert parse_avro(write_avro(SCHEMA, [], codec="zstandard")) \
+        is None
     # block payload longer than its declared record count
     ok = write_avro(SCHEMA, [{"id": 1, "name": "a", "score": 0.5,
                               "flag": True, "tags": [], "note": None}])
@@ -88,3 +90,46 @@ def test_bitflip_fuzz_never_raises():
         for _f in range(1 + rnd.randrange(6)):
             b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
         parse_avro(bytes(b))  # any return, never an exception
+
+
+def test_deep_schema_refuses_not_crashes():
+    # a crafted avro.schema JSON nested deeper than the interpreter
+    # stack must refuse (None), never RecursionError the task
+    from teledetection_drone_satellite_spark.sources.avro import (
+        MAGIC, _zigzag_enc)
+
+    deep = ("[" * 50000 + "]" * 50000).encode()
+    blob = bytearray(MAGIC)
+    meta = [("avro.schema", deep), ("avro.codec", b"null")]
+    blob += _zigzag_enc(len(meta))
+    for k, v in meta:
+        kb = k.encode()
+        blob += _zigzag_enc(len(kb)) + kb
+        blob += _zigzag_enc(len(v)) + v
+    blob += _zigzag_enc(0) + b"\x00" * 16
+    assert parse_avro(bytes(blob)) is None
+    # deep schema-driven DATA recursion hits the depth cap
+    sch = "long"
+    for _ in range(64):
+        sch = {"type": "array", "items": sch}
+    deep_rec = 7
+    for _ in range(64):
+        deep_rec = [deep_rec]
+    assert parse_avro(write_avro(sch, [deep_rec])) is None
+
+
+def test_snappy_codec_roundtrip_and_crc():
+    import zlib as _zlib
+
+    recs = [{"id": k, "name": "s%d" % k, "score": k * 1.5,
+             "flag": k % 2 == 0, "tags": ["a"] * (k % 3),
+             "note": None} for k in range(9)]
+    blob = write_avro(SCHEMA, recs, codec="snappy")
+    got = parse_avro(blob)
+    assert got is not None and got["codec"] == "snappy"
+    assert got["records"] == recs
+    # corrupt the block CRC: must refuse (the spec's BE CRC32 of
+    # the UNCOMPRESSED bytes guards every snappy block)
+    bad = bytearray(blob)
+    bad[-17] ^= 1  # last byte before the trailing sync marker
+    assert parse_avro(bytes(bad)) is None

@@ -81,3 +81,30 @@ def test_doc_level_overflag_needs_k16_m32(spark):
     # per-probe: weak ~5.5e-4 (expect ~1 at n=2000), strong ~3e-7
     assert strong_fp == 0
     assert strong_fp <= weak_fp
+
+
+def test_duplicate_probe_keys_no_false_negative(spark):
+    # a duplicated member key must probe positive on EVERY duplicate
+    # row — the map-side forall has no per-key counting to confuse
+    n, m = 200, 200 * 16
+    keys = spark.range(n).selectExpr("id as k")
+    bits = bloom_build(keys, "k", m, k=8)
+    dup = keys.unionAll(keys).unionAll(keys.limit(50))
+    got = bloom_probe(dup, "k", bits, m, k=8)
+    assert got.count() == 2 * n + 50  # one row per probe ROW
+    assert got.filter(~F.col("bloom_member")).count() == 0
+
+
+def test_probe_plan_has_no_shuffle_after_broadcast(spark):
+    # the probe side's physical plan must contain no Exchange above
+    # the probe scan: pack aggregates happen on the build side only
+    n, m = 100, 100 * 16
+    keys = spark.range(n).selectExpr("id as k")
+    bits = bloom_build(keys, "k", m, k=8)
+    got = bloom_probe(keys, "k", bits, m, k=8)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the only exchanges allowed are on the bitmap-pack (build) side:
+    # probe rows flow scan -> project -> broadcast join, no
+    # HashAggregate keyed on probe keys
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" \
+        in plan

@@ -174,3 +174,44 @@ def test_compaction_plan_policy():
     # nothing small
     plan = compaction_plan(files, small_threshold=10, group_size=2)
     assert plan["files_removed"] == 0 and plan["files_after"] == 5
+
+
+def test_malformed_actions_refuse_not_crash():
+    import json as _json
+
+    def commit(actions):
+        return ("\n".join(_json.dumps(a) for a in actions) + "\n") \
+            .encode()
+
+    # scalar metaData
+    assert replay_log([(0, commit([{"metaData": "x"}]))]) is None
+    # unhashable add.path (JSON list)
+    meta = {"format": {"provider": "parquet"},
+            "schemaString": _json.dumps(
+                {"type": "struct",
+                 "fields": [{"name": "id", "type": "long"}]})}
+    assert replay_log([(0, commit([
+        {"protocol": {"minReaderVersion": 1}},
+        {"metaData": meta},
+        {"add": {"path": ["a", "b"], "size": 1}},
+    ]))]) is None
+    # non-string remove.path
+    assert replay_log([(0, commit([
+        {"protocol": {"minReaderVersion": 1}},
+        {"metaData": meta},
+        {"add": {"path": "p", "size": 1}},
+        {"remove": {"path": 5}},
+    ]))]) is None
+    # scalar stats JSON: records just become unknown, no crash
+    got = replay_log([(0, commit([
+        {"protocol": {"minReaderVersion": 1}},
+        {"metaData": meta},
+        {"add": {"path": "p", "size": 1, "stats": "5"}},
+    ]))])
+    assert got is not None and got["records_known"] is False
+    # non-int size refuses via the summarization net
+    assert replay_log([(0, commit([
+        {"protocol": {"minReaderVersion": 1}},
+        {"metaData": meta},
+        {"add": {"path": "p", "size": {"a": 1}}},
+    ]))]) is None

@@ -90,3 +90,39 @@ def test_refusals():
     recs[0]["data_file"]["file_format"] = "ORC"
     orc[k] = write_avro(MANIFEST_SCHEMA, recs)
     assert resolve_snapshot(metadata, orc) is None
+
+
+def test_non_record_avro_layers_refuse_not_crash():
+    from teledetection_drone_satellite_spark.sources.avro import (
+        write_avro)
+
+    mj, files, _ = synth_iceberg(4)
+    ml_path = next(p for p in files if p.startswith("metadata/snap"))
+    man_path = next(p for p in files if p.startswith("metadata/m-"))
+    # manifest list whose records are bare longs
+    bad = dict(files)
+    bad[ml_path] = write_avro("long", [1, 2, 3])
+    assert resolve_snapshot(mj, bad) is None
+    # manifest whose entries are bare longs
+    bad = dict(files)
+    bad[man_path] = write_avro("long", [1])
+    assert resolve_snapshot(mj, bad) is None
+    # non-string file_format (schema declares it long)
+    schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "data_file", "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "long"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ]}},
+        ]}
+    bad = dict(files)
+    bad[man_path] = write_avro(schema, [
+        {"status": 1, "snapshot_id": None,
+         "data_file": {"file_path": "x", "file_format": 9,
+                       "record_count": 1, "file_size_in_bytes": 1}}])
+    assert resolve_snapshot(mj, bad) is None

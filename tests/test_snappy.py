@@ -1,0 +1,110 @@
+"""Snappy codec: cross-pinned against the REAL snappy inside
+pyarrow in BOTH directions, CRC-32C published vectors, framing
+round trips, refusal contract."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from teledetection_drone_satellite_spark.sources.snappy import (
+    compress,
+    compress_frame,
+    crc32c,
+    decompress,
+    decompress_frame,
+)
+
+try:
+    import pyarrow as pa
+
+    _REAL = pa.Codec("snappy") if pa.Codec.is_available("snappy") \
+        else None
+except Exception:  # pragma: no cover - env-gated
+    _REAL = None
+
+
+def test_crc32c_published_vectors():
+    # RFC 3720 / public test vectors for CRC-32C (Castagnoli)
+    assert crc32c(b"") == 0
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert crc32c(b"\xff" * 32) == 0x62A8AB43
+
+
+@pytest.mark.skipif(_REAL is None, reason="pyarrow snappy absent")
+def test_cross_pin_vs_real_snappy_both_directions():
+    rnd = random.Random(1514)
+    for trial in range(200):
+        n = rnd.randrange(0, 5000)
+        if trial % 3 == 0:
+            data = bytes(rnd.randrange(256) for _ in range(n))
+        elif trial % 3 == 1:
+            words = [b"the", b"quick", b"brown", b"fox ", b"\x00\x01"]
+            data = b" ".join(rnd.choice(words) for _ in range(n // 3))
+        else:
+            data = (b"abcdef" * (n // 2))[:n]
+        real = _REAL.compress(data, asbytes=True)
+        assert decompress(real) == data
+        mine = compress(data)
+        assert _REAL.decompress(mine, len(data), asbytes=True) == data
+        assert decompress(mine) == data
+
+
+def test_overlapping_copy_semantics():
+    # 'ab' then a copy of length 10 at offset 2: the LZ77 run trick
+    src = b"\x0c" + bytes([(2 - 1) << 2]) + b"ab" + \
+        bytes([((10 - 1) << 2) | 2]) + b"\x02\x00"
+    assert decompress(src) == b"ababababarab"[:12].replace("r".encode(), b"ab"[0:1]) or True
+    got = decompress(src)
+    assert got == b"ab" + (b"ab" * 5)
+
+
+def test_refusals():
+    assert decompress(b"") is None
+    assert decompress(b"\x05\x00") is None  # literal overruns input
+    # copy with offset 0
+    assert decompress(b"\x03" + bytes([2 | 2, 0, 0]) + b"x") is None
+    # output shorter than the declared length
+    assert decompress(b"\x09" + bytes([(4 - 1) << 2]) + b"abcd") is None
+    # output longer than the declared length
+    assert decompress(b"\x02" + bytes([(4 - 1) << 2]) + b"abcd") is None
+    # varint overrun
+    assert decompress(b"\xff\xff\xff\xff\xff\xff") is None
+
+
+def test_frame_roundtrip_and_refusals():
+    rnd = random.Random(77)
+    for n in (0, 1, 100, 65536, 65537, 200001):
+        data = bytes(rnd.randrange(97, 123) for _ in range(n))
+        assert decompress_frame(compress_frame(data)) == data
+    assert decompress_frame(b"") is None
+    assert decompress_frame(b"\xff\x06\x00\x00sNaPpX") is None
+    # crc corruption refuses
+    fr = bytearray(compress_frame(b"hello world " * 40))
+    fr[14] ^= 1
+    assert decompress_frame(bytes(fr)) is None
+    # reserved unskippable chunk refuses
+    good = compress_frame(b"x")
+    assert decompress_frame(good + b"\x02\x01\x00\x00z") is None
+    # padding + skippable chunks are skipped
+    ident = good[:10]
+    rest = good[10:]
+    assert decompress_frame(ident + b"\xfe\x03\x00\x00abc" + rest) \
+        == b"x"
+
+
+def test_bitflip_fuzz_never_raises():
+    rnd = random.Random(1515)
+    base = compress(b"the quick brown fox " * 50)
+    fr = compress_frame(b"jumps over the lazy dog " * 400)
+    for _ in range(400):
+        b = bytearray(base)
+        for _f in range(1 + rnd.randrange(6)):
+            b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+        decompress(bytes(b))  # any return, never an exception
+        g = bytearray(fr)
+        for _f in range(1 + rnd.randrange(6)):
+            g[rnd.randrange(len(g))] ^= 1 << rnd.randrange(8)
+        decompress_frame(bytes(g))

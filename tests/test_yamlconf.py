@@ -93,3 +93,20 @@ def test_census():
 def test_deep_nesting_refused_not_crash():
     doc = b"".join(b"%sk%d:\n" % (b" " * (2 * d), d) for d in range(200))
     assert parse_yaml(doc) is None  # depth cap -> refusal
+
+
+def test_duplicate_block_scalar_tag_lines():
+    # two sibling maps each holding an IDENTICAL 'script: |' line (a
+    # normal CI-manifest shape) must each resolve their own body
+    doc = (b"jobs:\n"
+           b"  one:\n"
+           b"    script: |\n"
+           b"      echo a\n"
+           b"      echo b\n"
+           b"  two:\n"
+           b"    script: |\n"
+           b"      echo c\n")
+    got = parse_yaml(doc)
+    assert got == {"jobs": {
+        "one": {"script": "echo a\necho b\n"},
+        "two": {"script": "echo c\n"}}}
