@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from teledetection_drone_satellite_spark.sources import (  # noqa: E402
     aiff, arc, arfile, arrowipc, avro, cdx, difftext, docx, elf, epub,
-    deltalog, feed, iceberg, lz4frame, parquetmeta, snappy,
+    deltalog, feed, iceberg, lz4frame, parquetmeta, parquetpage, snappy,
     font, gitpack, gpx, hls, html, ical,
     id3,
     las,
@@ -259,7 +259,31 @@ DECODERS = {
     "snappy_frame": (lambda i: snappy.compress_frame(
         ("framed soak %d " % i).encode() * (1 + i % 600)),
         snappy.decompress_frame),
+    "parquet_page": (lambda i: _synth_parquet_bytes(i),
+                     parquetpage.read_columns),
 }
+
+
+def _synth_parquet_bytes(i: int) -> bytes:
+    """A small real-arrow parquet file (codec rotates) for the page
+    decoder's bit-flip soak."""
+    import io as _io
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    n = 50 + i % 100
+    tbl = _pa.table({
+        "a": _pa.array([None if k % 5 == 0 else (i + k) * 7
+                        for k in range(n)], _pa.int64()),
+        "s": _pa.array(["v%d" % ((i + k) % 17) for k in range(n)]),
+    })
+    sink = _io.BytesIO()
+    _pq.write_table(
+        tbl, sink,
+        compression=("none", "snappy", "gzip", "zstd")[i % 4],
+        data_page_version=("1.0", "2.0")[i % 2])
+    return sink.getvalue()
 
 
 

@@ -11799,6 +11799,98 @@ def parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "parquet_page_stats",
+    oracle="""
+    WITH cols(name, physical_type, ord) AS (
+        VALUES ('doc_id', 'INT64', 1), ('text', 'BYTE_ARRAY', 2),
+               ('lang', 'BYTE_ARRAY', 3), ('source', 'BYTE_ARRAY', 4),
+               ('n_chars', 'INT64', 5)
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(doc_id) AS BIGINT) AS p1,
+               CAST(count(text) AS BIGINT) AS p2,
+               CAST(count(lang) AS BIGINT) AS p3,
+               CAST(count(source) AS BIGINT) AS p4,
+               CAST(count(n_chars) AS BIGINT) AS p5,
+               CAST(sum(doc_id) AS BIGINT) AS s1,
+               CAST(sum(strlen(text)) AS BIGINT) AS l2,
+               CAST(sum(strlen(lang)) AS BIGINT) AS l3,
+               CAST(sum(strlen(source)) AS BIGINT) AS l4,
+               CAST(sum(n_chars) AS BIGINT) AS s5
+        FROM documents
+    )
+    SELECT name, physical_type,
+           n AS n_values,
+           n - CASE ord WHEN 1 THEN p1 WHEN 2 THEN p2 WHEN 3 THEN p3
+                        WHEN 4 THEN p4 ELSE p5 END AS n_nulls,
+           CASE ord WHEN 1 THEN s1 WHEN 5 THEN s5 END AS int_sum,
+           CASE ord WHEN 2 THEN l2 WHEN 3 THEN l3 WHEN 4 THEN l4
+               END AS byte_len_sum
+    FROM cols, stats
+    """,
+    doc="Raw Parquet DATA-PAGE decode, graded (r15 — the data half "
+    "of the repo's own primary format, completing the r14 footer "
+    "tier: sources/parquetpage.py walks PageHeader Thrift structs, "
+    "inflates SNAPPY page bodies through the r15 pure-Python snappy, "
+    "decodes RLE/bit-packed definition levels and "
+    "PLAIN/RLE_DICTIONARY values, and materializes every flat "
+    "column of the driver's own documents.parquet from raw bytes). "
+    "The oracle recomputes per-column value counts, null counts, "
+    "int sums, and byte-length sums from the DATA via DuckDB's own "
+    "reader — my decode of the bytes must aggregate to exactly what "
+    "an independent C++ reader sees. Cross-pins against pyarrow AND "
+    "DuckDB across 5 codecs x 2 page versions x dict/plain live in "
+    "tests/test_parquetpage.py.",
+    tags=("ingest", "sketch"),
+)
+def parquet_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.parquetpage import read_columns
+
+    path_df = spark.createDataFrame(
+        [(sf_dir.rstrip("/") + "/documents.parquet",)], "path string"
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for path in pdf_["path"]:
+                with open(path, "rb") as f:
+                    buf = f.read()
+                got = read_columns(buf)
+                if got is None:
+                    continue
+                types = {"doc_id": "INT64", "text": "BYTE_ARRAY",
+                         "lang": "BYTE_ARRAY", "source": "BYTE_ARRAY",
+                         "n_chars": "INT64"}
+                for name, vals in sorted(got["columns"].items()):
+                    present = [v for v in vals if v is not None]
+                    is_int = types.get(name) == "INT64"
+                    rows.append((
+                        name, types.get(name, "UNKNOWN"), len(vals),
+                        len(vals) - len(present),
+                        sum(present) if is_int else None,
+                        sum(len(v) for v in present)
+                        if not is_int else None,
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=["name", "physical_type", "n_values",
+                         "n_nulls", "int_sum", "byte_len_sum"],
+            )
+
+    return path_df.mapInPandas(
+        gen,
+        "name string, physical_type string, n_values long, "
+        "n_nulls long, int_sum long, byte_len_sum long",
+    )
+
+
+@register(
     "lz4_frame_stats",
     oracle="""
     WITH spec AS (

@@ -195,29 +195,42 @@ def parse_parquet_footer(buf: bytes) -> "dict | None":
         if not isinstance(schema, list) or not schema:
             return None
         # flatten the schema tree: root first, then depth-first
-        # children; leaves are elements with no num_children
+        # children; leaves are elements with no num_children.
+        # max_def/max_rep accumulate along the path (OPTIONAL=1 adds
+        # a definition level, REPEATED=2 adds both) — the page
+        # decoder's level arithmetic (sources/parquetpage.py)
         leaves = []
 
-        def walk(idx: int, prefix: str) -> int:
+        def walk(idx: int, prefix: str, max_def: int,
+                 max_rep: int) -> int:
             el = schema[idx]
             name = el.get(4, b"").decode("utf-8", "replace") \
                 if isinstance(el.get(4), bytes) else str(el.get(4))
             n_children = el.get(5, 0) or 0
             path = (prefix + "." + name).lstrip(".") if idx else ""
+            rep = el.get(3, 0) if idx else 0
+            if rep == 1:  # OPTIONAL
+                max_def += 1
+            elif rep == 2:  # REPEATED
+                max_def += 1
+                max_rep += 1
             if idx and not n_children:
                 t = el.get(1)
                 leaves.append({
                     "name": path,
                     "physical_type": PHYSICAL_TYPES[t]
                     if isinstance(t, int) and 0 <= t < 8 else "UNKNOWN",
+                    "max_def": max_def,
+                    "max_rep": max_rep,
+                    "type_length": el.get(2),
                 })
                 return idx + 1
             nxt = idx + 1
             for _ in range(n_children):
-                nxt = walk(nxt, path)
+                nxt = walk(nxt, path, max_def, max_rep)
             return nxt
 
-        walk(0, "")
+        walk(0, "", 0, 0)
         if not leaves:
             return None
         groups = []

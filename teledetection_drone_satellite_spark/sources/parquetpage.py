@@ -1,0 +1,457 @@
+"""Raw Parquet DATA-PAGE decode — pure stdlib over the footer tier
+(sources/parquetmeta.py), from the public Apache Parquet format
+specification (parquet-format: PageHeader Thrift structs, the
+RLE/bit-packed hybrid, PLAIN encoding, definition levels).
+
+Why: the footer reader locates every column chunk but nothing in
+this repo could decode the bytes it points at — the data half of
+the repo's own primary storage format.  This module completes the
+raw-Parquet tier: given a file (or just a column chunk's byte
+range, the selective-fetch shape), it walks page headers, inflates
+page bodies through the repo's codec tier, decodes definition
+levels, and materializes Python values with None for nulls — for
+FLAT columns (max_rep == 0), required or optional, which is the
+entire fixture surface and the dominant shape of analytics tables.
+Cross-pinned in tests against pyarrow AND DuckDB reading the same
+files (independent C++ readers), across five codecs, both data-page
+versions, dictionary and plain encodings, and every physical type.
+
+Parsed surface:
+  PageHeader          Thrift compact (the parquetmeta reader):
+                      type, compressed/uncompressed sizes,
+                      DataPageHeader (v1: num_values, encoding,
+                      level encodings), DataPageHeaderV2
+                      (num_nulls, level byte lengths, is_compressed),
+                      DictionaryPageHeader;
+  codecs              UNCOMPRESSED, SNAPPY (sources/snappy.py),
+                      GZIP (stdlib), ZSTD + BROTLI (system libs via
+                      sources/binary.py), LZ4_RAW
+                      (sources/lz4frame.py block decoder);
+  encodings           PLAIN (0) for all physical types (BOOLEAN
+                      bit-packed LSB-first, INT32/INT64/FLOAT/DOUBLE
+                      little-endian, BYTE_ARRAY length-prefixed,
+                      FIXED_LEN_BYTE_ARRAY, INT96 as raw 12 bytes),
+                      PLAIN_DICTIONARY (2) / RLE_DICTIONARY (8)
+                      (bit-width byte + RLE/bit-packed indices into
+                      the chunk's dictionary page), RLE (3) for
+                      booleans;
+  levels              v1: 4-byte-LE-length-prefixed RLE hybrid
+                      inside the (possibly compressed) body;
+                      v2: raw level runs BEFORE the value section,
+                      never compressed, lengths from the header.
+
+Refusals (None): repeated columns (max_rep > 0 — nested list/map
+assembly is out of scope by design), unknown/delta encodings, an
+unknown codec or one whose decode fails or misses the declared
+uncompressed size, level runs that decode to the wrong count, a
+dictionary index past the dictionary, pages that overrun the chunk,
+more or fewer values than the chunk's num_values — the
+honest-fallback contract every decoder here shares.
+
+Reference parity: the reference's whole workload is Postgres row
+storage (/root/reference/database/schemas/init.sql:11-163); this
+columnar restatement proves the repo can read its own primary
+format from bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from .lz4frame import decompress_block as _lz4_block
+from .parquetmeta import _R, _read_struct, parse_parquet_footer
+from .snappy import decompress as _snappy
+
+_PAGE_DATA = 0
+_PAGE_INDEX = 1
+_PAGE_DICT = 2
+_PAGE_DATA_V2 = 3
+
+_ENC_PLAIN = 0
+_ENC_PLAIN_DICT = 2
+_ENC_RLE = 3
+_ENC_RLE_DICT = 8
+
+MAX_PAGE = 256 << 20
+_MAX_VALUES = 1 << 28
+
+_zstd_fn = None
+_brotli_fn = None
+
+
+def _decompress(codec: str, data: bytes, want: int) -> "bytes | None":
+    """Inflate one page body to exactly ``want`` bytes, or None."""
+    global _zstd_fn, _brotli_fn
+    if want > MAX_PAGE:
+        return None
+    if codec == "UNCOMPRESSED":
+        out = data
+    elif codec == "SNAPPY":
+        out = _snappy(data, want)
+    elif codec == "GZIP":
+        try:
+            d = zlib.decompressobj(16 + 15)
+            out = d.decompress(data, want)
+            if d.unconsumed_tail:
+                return None
+        except zlib.error:
+            return None
+    elif codec == "ZSTD":
+        if _zstd_fn is None:
+            from .binary import zstd_decompressor
+            _zstd_fn = zstd_decompressor() or False
+        if not _zstd_fn:
+            return None
+        try:
+            out = _zstd_fn(data, want)
+        except Exception:
+            return None
+    elif codec == "BROTLI":
+        if _brotli_fn is None:
+            from .binary import brotli_decompressor
+            _brotli_fn = brotli_decompressor() or False
+        if not _brotli_fn:
+            return None
+        try:
+            out = _brotli_fn(data, want)
+        except Exception:
+            return None
+    elif codec == "LZ4_RAW":
+        out = _lz4_block(data, want)
+    else:
+        return None
+    if out is None or len(out) != want:
+        return None
+    return out
+
+
+def _rle_bp_hybrid(buf: bytes, bit_width: int,
+                   count: int) -> "list[int] | None":
+    """The RLE/bit-packed hybrid (spec Encodings.md): varint header,
+    LSB = bit-packed flag; decodes exactly ``count`` values (runs
+    may pad past count — padding is discarded per the spec)."""
+    if bit_width == 0:
+        return [0] * count
+    if bit_width > 32 or count > _MAX_VALUES:
+        return None
+    out: "list[int]" = []
+    pos = 0
+    n = len(buf)
+    byte_w = (bit_width + 7) // 8
+    mask = (1 << bit_width) - 1
+    while len(out) < count:
+        # varint run header
+        header = shift = 0
+        while True:
+            if pos >= n or shift > 35:
+                return None
+            b = buf[pos]
+            pos += 1
+            header |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        if header & 1:  # bit-packed: (header>>1) groups of 8 values
+            groups = header >> 1
+            nbytes = groups * bit_width
+            if groups > _MAX_VALUES or pos + nbytes > n:
+                return None
+            acc = int.from_bytes(buf[pos:pos + nbytes], "little")
+            pos += nbytes
+            for k in range(groups * 8):
+                out.append((acc >> (k * bit_width)) & mask)
+        else:  # RLE run
+            run = header >> 1
+            if run > _MAX_VALUES or pos + byte_w > n:
+                return None
+            val = int.from_bytes(buf[pos:pos + byte_w], "little")
+            pos += byte_w
+            out.extend([val] * run)
+    del out[count:]  # bit-packed groups pad to multiples of 8
+    return out
+
+
+def _plain_values(buf: bytes, ptype: str, count: int,
+                  type_length: "int | None") -> "list | None":
+    """PLAIN-encoded value section -> list (prefix of ``buf`` long
+    enough for ``count`` values; trailing bytes are the caller's)."""
+    if count > _MAX_VALUES:
+        return None
+    if ptype == "BOOLEAN":
+        need = (count + 7) // 8
+        if need > len(buf):
+            return None
+        return [bool((buf[k >> 3] >> (k & 7)) & 1)
+                for k in range(count)]
+    if ptype in ("INT32", "FLOAT"):
+        if 4 * count > len(buf):
+            return None
+        fmt = "<%d%s" % (count, "i" if ptype == "INT32" else "f")
+        return list(struct.unpack_from(fmt, buf, 0))
+    if ptype in ("INT64", "DOUBLE"):
+        if 8 * count > len(buf):
+            return None
+        fmt = "<%d%s" % (count, "q" if ptype == "INT64" else "d")
+        return list(struct.unpack_from(fmt, buf, 0))
+    if ptype == "INT96":
+        if 12 * count > len(buf):
+            return None
+        return [buf[12 * k:12 * k + 12] for k in range(count)]
+    if ptype == "BYTE_ARRAY":
+        out = []
+        pos = 0
+        for _ in range(count):
+            if pos + 4 > len(buf):
+                return None
+            ln = struct.unpack_from("<I", buf, pos)[0]
+            pos += 4
+            if pos + ln > len(buf):
+                return None
+            out.append(buf[pos:pos + ln])
+            pos += ln
+        return out
+    if ptype == "FIXED_LEN_BYTE_ARRAY":
+        tl = type_length or 0
+        if tl <= 0 or tl * count > len(buf):
+            return None
+        return [buf[tl * k:tl * (k + 1)] for k in range(count)]
+    return None
+
+
+def _plain_size(buf: bytes, ptype: str, count: int,
+                type_length: "int | None") -> "int | None":
+    """Byte length of ``count`` PLAIN values at the head of buf."""
+    if ptype == "BOOLEAN":
+        return (count + 7) // 8
+    if ptype in ("INT32", "FLOAT"):
+        return 4 * count
+    if ptype in ("INT64", "DOUBLE"):
+        return 8 * count
+    if ptype == "INT96":
+        return 12 * count
+    if ptype == "FIXED_LEN_BYTE_ARRAY":
+        return (type_length or 0) * count
+    # BYTE_ARRAY: walk
+    pos = 0
+    for _ in range(count):
+        if pos + 4 > len(buf):
+            return None
+        ln = struct.unpack_from("<I", buf, pos)[0]
+        pos += 4 + ln
+    return pos if pos <= len(buf) else None
+
+
+def _bit_width(v: int) -> int:
+    return max(v, 0).bit_length()
+
+
+def decode_column_chunk(buf: bytes, chunk: dict,
+                        leaf: dict) -> "list | None":
+    """One column chunk -> Python values (None for nulls) or None.
+
+    ``buf`` is the WHOLE file buffer (offsets in ``chunk`` are
+    absolute, the footer contract); ``chunk`` is a parquetmeta
+    row-group column dict; ``leaf`` the matching schema leaf.
+    Flat columns only (max_rep == 0)."""
+    try:
+        if leaf.get("max_rep", 0):
+            return None  # nested repetition: out of scope by design
+        max_def = leaf.get("max_def", 0)
+        ptype = leaf["physical_type"]
+        tlen = leaf.get("type_length")
+        codec = chunk["codec"]
+        want_total = chunk["num_values"]
+        if not isinstance(want_total, int) or want_total < 0 or \
+                want_total > _MAX_VALUES:
+            return None
+        start = chunk["data_page_offset"]
+        if chunk.get("dictionary_page_offset") is not None:
+            start = min(start, chunk["dictionary_page_offset"])
+        end = start + chunk["total_compressed_size"]
+        if start < 0 or end > len(buf):
+            return None
+        pos = start
+        dictionary: "list | None" = None
+        out: "list" = []
+        while pos < end and len(out) < want_total:
+            r = _R(buf, pos)
+            hdr = _read_struct(r)
+            body_start = r.pos
+            ptype_id = hdr.get(1)
+            comp_size = hdr.get(3)
+            unc_size = hdr.get(2)
+            if not isinstance(comp_size, int) or comp_size < 0 or \
+                    not isinstance(unc_size, int) or unc_size < 0 or \
+                    body_start + comp_size > end:
+                return None
+            body = buf[body_start:body_start + comp_size]
+            pos = body_start + comp_size
+            if ptype_id == _PAGE_DICT:
+                dh = hdr.get(7)
+                if not isinstance(dh, dict):
+                    return None
+                n_dict = dh.get(1)
+                enc = dh.get(2, _ENC_PLAIN)
+                if enc not in (_ENC_PLAIN, _ENC_PLAIN_DICT) or \
+                        not isinstance(n_dict, int) or n_dict < 0:
+                    return None
+                plain = _decompress(codec, body, unc_size)
+                if plain is None:
+                    return None
+                dictionary = _plain_values(plain, ptype, n_dict, tlen)
+                if dictionary is None:
+                    return None
+                continue
+            if ptype_id == _PAGE_DATA:
+                dph = hdr.get(5)
+                if not isinstance(dph, dict):
+                    return None
+                n_vals = dph.get(1)
+                enc = dph.get(2)
+                if not isinstance(n_vals, int) or n_vals < 0 or \
+                        n_vals > _MAX_VALUES or \
+                        (max_def > 0 and dph.get(3) != _ENC_RLE):
+                    return None  # BIT_PACKED def levels: deprecated
+                    # by the spec, refused honestly
+                plain = _decompress(codec, body, unc_size)
+                if plain is None:
+                    return None
+                ppos = 0
+                if max_def > 0:
+                    if ppos + 4 > len(plain):
+                        return None
+                    lvl_len = struct.unpack_from("<I", plain, ppos)[0]
+                    ppos += 4
+                    if ppos + lvl_len > len(plain):
+                        return None
+                    defs = _rle_bp_hybrid(
+                        plain[ppos:ppos + lvl_len],
+                        _bit_width(max_def), n_vals)
+                    ppos += lvl_len
+                    if defs is None:
+                        return None
+                else:
+                    defs = [0] * n_vals
+                n_present = sum(1 for d in defs if d == max_def)
+                vals = _decode_values(plain[ppos:], enc, ptype, tlen,
+                                      n_present, dictionary)
+            elif ptype_id == _PAGE_DATA_V2:
+                dph = hdr.get(8)
+                if not isinstance(dph, dict):
+                    return None
+                n_vals = dph.get(1)
+                n_nulls = dph.get(2, 0)
+                enc = dph.get(4)
+                dl_len = dph.get(5, 0)
+                rl_len = dph.get(6, 0)
+                compressed = dph.get(7, True)
+                if not isinstance(n_vals, int) or n_vals < 0 or \
+                        n_vals > _MAX_VALUES:
+                    return None
+                if not isinstance(dl_len, int) or dl_len < 0 or \
+                        not isinstance(rl_len, int) or rl_len != 0 \
+                        or rl_len + dl_len > len(body):
+                    return None  # rl_len > 0 on a flat column is
+                    # malformed (max_rep == 0 -> no rep levels)
+                levels = body[:rl_len + dl_len]  # never compressed
+                vals_raw = body[rl_len + dl_len:]
+                if compressed:
+                    vals_plain = _decompress(
+                        codec, vals_raw, unc_size - rl_len - dl_len)
+                    if vals_plain is None:
+                        return None
+                else:
+                    vals_plain = vals_raw
+                if max_def > 0:
+                    defs = _rle_bp_hybrid(
+                        levels[rl_len:], _bit_width(max_def), n_vals)
+                    if defs is None:
+                        return None
+                else:
+                    defs = [0] * n_vals
+                n_present = sum(1 for d in defs if d == max_def)
+                if isinstance(n_nulls, int) and \
+                        n_vals - n_present != n_nulls:
+                    return None
+                vals = _decode_values(vals_plain, enc, ptype, tlen,
+                                      n_present, dictionary)
+            elif ptype_id == _PAGE_INDEX:
+                continue  # index pages carry no values
+            else:
+                return None
+            if vals is None or len(vals) != n_present:
+                return None
+            it = iter(vals)
+            out.extend(next(it) if d == max_def else None
+                       for d in defs)
+        if len(out) != want_total:
+            return None
+        return out
+    except (ValueError, IndexError, KeyError, TypeError,
+            struct.error, OverflowError, RecursionError):
+        return None
+
+
+def _decode_values(plain: bytes, enc: int, ptype: str,
+                   tlen: "int | None", count: int,
+                   dictionary: "list | None") -> "list | None":
+    if enc == _ENC_PLAIN:
+        return _plain_values(plain, ptype, count, tlen)
+    if enc in (_ENC_PLAIN_DICT, _ENC_RLE_DICT):
+        if dictionary is None:
+            return None
+        if count == 0:
+            return []
+        if not plain:
+            return None
+        bw = plain[0]
+        idxs = _rle_bp_hybrid(plain[1:], bw, count)
+        if idxs is None:
+            return None
+        nd = len(dictionary)
+        if any(i >= nd for i in idxs):
+            return None
+        return [dictionary[i] for i in idxs]
+    if enc == _ENC_RLE and ptype == "BOOLEAN":
+        # RLE-encoded booleans: 4-byte LE length then the hybrid
+        if len(plain) < 4:
+            return None
+        ln = struct.unpack_from("<I", plain, 0)[0]
+        if 4 + ln > len(plain):
+            return None
+        bits = _rle_bp_hybrid(plain[4:4 + ln], 1, count)
+        return None if bits is None else [bool(b) for b in bits]
+    return None  # delta encodings: refused honestly
+
+
+def read_columns(buf: bytes,
+                 want: "list[str] | None" = None) -> "dict | None":
+    """Whole-file read: -> {'num_rows', 'columns': {path: [values]}}
+    or None.  ``want`` selects leaf paths (None = every flat leaf);
+    a wanted column that cannot decode refuses the whole read, an
+    unwanted nested column is skipped."""
+    footer = parse_parquet_footer(buf)
+    if footer is None:
+        return None
+    leaves = {leaf["name"]: leaf for leaf in footer["columns"]}
+    if want is None:
+        want = [n for n, leaf in leaves.items()
+                if not leaf.get("max_rep", 0)]
+    cols: "dict[str, list]" = {}
+    for name in want:
+        leaf = leaves.get(name)
+        if leaf is None:
+            return None
+        parts: "list" = []
+        for rg in footer["row_groups"]:
+            chunk = next((c for c in rg["columns"]
+                          if c["path"] == name), None)
+            if chunk is None:
+                return None
+            got = decode_column_chunk(buf, chunk, leaf)
+            if got is None:
+                return None
+            parts.extend(got)
+        cols[name] = parts
+    return {"num_rows": footer["num_rows"], "columns": cols}

@@ -1,0 +1,196 @@
+"""Parquet data-page decode (sources/parquetpage.py): cross-pinned
+against pyarrow AND DuckDB reading the same bytes (independent C++
+readers), across codecs, data-page versions, dictionary/plain
+encodings, every physical type, plus the driver's own testdata."""
+
+from __future__ import annotations
+
+import io
+import math
+import os
+import random
+
+import pytest
+
+from teledetection_drone_satellite_spark.sources.parquetpage import (
+    _rle_bp_hybrid,
+    decode_column_chunk,
+    read_columns,
+)
+
+pa = pytest.importorskip("pyarrow")
+pq = pytest.importorskip("pyarrow.parquet")
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _write(table, **kw) -> bytes:
+    sink = io.BytesIO()
+    pq.write_table(table, sink, **kw)
+    return sink.getvalue()
+
+
+def _check_against_arrow(buf: bytes, table, label: str) -> None:
+    got = read_columns(buf)
+    assert got is not None, label
+    assert got["num_rows"] == table.num_rows, label
+    assert set(got["columns"]) == set(table.column_names), label
+    for name in got["columns"]:
+        exp = [v.encode() if isinstance(v, str) else v
+               for v in table.column(name).to_pylist()]
+        mine = got["columns"][name]
+        assert len(mine) == len(exp), (label, name)
+        if any(isinstance(v, float) for v in exp if v is not None):
+            for a, b in zip(mine, exp):
+                assert (a is None) == (b is None)
+                assert a is None or math.isclose(a, b, rel_tol=1e-6) \
+                    or (math.isnan(a) and math.isnan(b))
+        else:
+            assert mine == exp, (label, name, mine[:5], exp[:5])
+
+
+def _table(n: int = 1500):
+    return pa.table({
+        "i64": pa.array(
+            [None if k % 7 == 0 else k * 1000003 for k in range(n)],
+            pa.int64()),
+        "i32": pa.array(
+            [None if k % 11 == 0 else (k % 5000) - 2500
+             for k in range(n)], pa.int32()),
+        "f64": pa.array(
+            [None if k % 13 == 0 else k * 0.37 for k in range(n)],
+            pa.float64()),
+        "f32": pa.array([k * 1.5 for k in range(n)], pa.float32()),
+        "s": pa.array(
+            [None if k % 17 == 0 else "str-%d" % (k % 300)
+             for k in range(n)], pa.string()),
+        "b": pa.array(
+            [None if k % 19 == 0 else k % 3 == 0 for k in range(n)],
+            pa.bool_()),
+        "flba": pa.array([("%016d" % k).encode() for k in range(n)],
+                         pa.binary(16)),
+    })
+
+
+@pytest.mark.parametrize("codec", ["none", "snappy", "gzip", "zstd",
+                                   "lz4", "brotli"])
+@pytest.mark.parametrize("dpv", ["1.0", "2.0"])
+@pytest.mark.parametrize("dict_on", [True, False])
+def test_cross_pin_vs_pyarrow(codec, dpv, dict_on):
+    tbl = _table()
+    buf = _write(tbl, compression=codec, data_page_version=dpv,
+                 use_dictionary=dict_on, row_group_size=600)
+    _check_against_arrow(
+        buf, tbl, f"codec={codec} v{dpv} dict={dict_on}")
+
+
+def test_cross_pin_vs_duckdb_writer():
+    duckdb = pytest.importorskip("duckdb")
+    import tempfile
+
+    con = duckdb.connect()
+    con.execute(
+        "create table t as select range as i, case when range % 7 = 0"
+        " then NULL else 'val-' || (range % 97) end as s,"
+        " CAST(range * 0.25 AS DOUBLE) as d, range % 3 = 0 as b"
+        " from range(5000)")
+    exp = con.execute("select * from t").fetchall()
+    for codec in ("uncompressed", "snappy", "gzip", "zstd"):
+        path = tempfile.mktemp(suffix=".parquet")
+        con.execute(
+            f"copy t to '{path}' (format parquet, compression {codec})")
+        got = read_columns(open(path, "rb").read())
+        os.unlink(path)
+        assert got is not None, codec
+        cols = got["columns"]
+        for k, (i, s, d, b) in enumerate(exp):
+            assert cols["i"][k] == i and cols["b"][k] == b
+            assert (cols["s"][k] is None and s is None) or \
+                cols["s"][k].decode() == s
+            assert math.isclose(cols["d"][k], d)
+
+
+def test_driver_testdata_tables_decode_byte_identical():
+    for t in ("documents", "orders", "lineitem", "region"):
+        path = f"{SF_DIR}/{t}.parquet"
+        buf = open(path, "rb").read()
+        got = read_columns(buf)
+        assert got is not None, t
+        ref = pq.read_table(path)
+        for name in got["columns"]:
+            f = ref.schema.field(name)
+            if pa.types.is_timestamp(f.type) or \
+                    pa.types.is_date(f.type):
+                continue  # temporal logical types: physical only
+            exp = [v.encode() if isinstance(v, str) else v
+                   for v in ref.column(name).to_pylist()]
+            mine = got["columns"][name]
+            if pa.types.is_floating(f.type):
+                assert all(
+                    (a is None) == (b is None) and
+                    (a is None or math.isclose(a, b, rel_tol=1e-6))
+                    for a, b in zip(mine, exp)), (t, name)
+            else:
+                assert mine == exp, (t, name)
+
+
+def test_nested_column_skipped_not_crashed():
+    # embeddings has a list<float> column: read_columns(None) skips
+    # it (max_rep > 0), an explicit want refuses
+    buf = open(f"{SF_DIR}/embeddings.parquet", "rb").read()
+    got = read_columns(buf)
+    assert got is not None
+    assert "vec_id" in got["columns"]
+    assert not any("element" in c for c in got["columns"])
+    assert read_columns(buf, want=["embedding.list.element"]) is None
+
+
+def test_delta_encoding_refused_honestly():
+    tbl = pa.table({"i64": pa.array(range(100), pa.int64())})
+    buf = _write(tbl, use_dictionary=False,
+                 column_encoding={"i64": "DELTA_BINARY_PACKED"})
+    assert read_columns(buf, want=["i64"]) is None
+
+
+def test_rle_bp_hybrid_exact():
+    # RLE run: header = count<<1, then bit-width bytes of value
+    assert _rle_bp_hybrid(bytes([10 << 1, 3]), 2, 10) == [3] * 10
+    # bit-packed: header = (groups<<1)|1; 8 values of width 1 = 0b10110100
+    got = _rle_bp_hybrid(bytes([(1 << 1) | 1, 0b10110100]), 1, 8)
+    assert got == [0, 0, 1, 0, 1, 1, 0, 1]
+    # padding past count is discarded
+    assert _rle_bp_hybrid(bytes([(1 << 1) | 1, 0xFF]), 1, 5) == [1] * 5
+    # truncated refuses
+    assert _rle_bp_hybrid(bytes([10 << 1]), 2, 10) is None
+
+
+def test_refusals_and_bitflip_fuzz():
+    tbl = _table(300)
+    buf = _write(tbl, compression="snappy", row_group_size=100)
+    assert read_columns(b"") is None
+    assert read_columns(buf[:50]) is None
+    assert read_columns(buf, want=["missing_col"]) is None
+    rnd = random.Random(1516)
+    for _ in range(150):
+        b = bytearray(buf)
+        for _f in range(1 + rnd.randrange(8)):
+            b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+        read_columns(bytes(b))  # any return, never an exception
+
+
+def test_selective_chunk_decode_touches_only_chunk_bytes():
+    # the selective-fetch shape: decode ONE chunk given only the
+    # footer metadata — the 100 TB read path never pulls the file
+    from teledetection_drone_satellite_spark.sources.parquetmeta \
+        import parse_parquet_footer
+
+    tbl = _table(1000)
+    buf = _write(tbl, compression="snappy", row_group_size=500)
+    footer = parse_parquet_footer(buf)
+    leaf = next(c for c in footer["columns"] if c["name"] == "i64")
+    rg = footer["row_groups"][1]
+    chunk = next(c for c in rg["columns"] if c["path"] == "i64")
+    vals = decode_column_chunk(buf, chunk, leaf)
+    exp = [None if k % 7 == 0 else k * 1000003
+           for k in range(500, 1000)]
+    assert vals == exp
