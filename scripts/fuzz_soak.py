@@ -261,6 +261,10 @@ DECODERS = {
         snappy.decompress_frame),
     "parquet_page": (lambda i: _synth_parquet_bytes(i),
                      parquetpage.read_columns),
+    "delta_dv": (lambda i: deltalog.encode_dv_bitmap(
+        {(i * 7 + k * 13) % (1 << 18) for k in range(i % 300)}
+        | ({(1 << 32) + i % 1000} if i % 3 == 0 else set())),
+        deltalog.parse_dv_bitmap),
 }
 
 

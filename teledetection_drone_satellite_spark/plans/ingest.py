@@ -12053,6 +12053,87 @@ def delta_log_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_dv_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 2 + doc_id % 3 AS n
+        FROM documents WHERE doc_id < 150
+    ),
+    f AS (
+        SELECT doc_id, n, CAST(u.k AS INT) AS k,
+               40 + (doc_id + u.k) % 20 AS nr,
+               CASE WHEN (doc_id + u.k) % 2 = 0
+                    THEN 1 + (doc_id + u.k) % 7 ELSE 0 END AS card,
+               CASE WHEN (doc_id + u.k) % 2 = 0 THEN 1 ELSE 0 END
+                   AS hasdv
+        FROM spec, LATERAL unnest(range(0, n)) u(k)
+    )
+    SELECT doc_id,
+           CAST(max(n) AS INT) AS n_active_files,
+           CAST(sum(nr) AS BIGINT) AS total_records,
+           CAST(sum(hasdv) AS INT) AS n_dv_files,
+           CAST(sum(card) AS BIGINT) AS dv_cardinality,
+           CAST(sum(nr) - sum(card) AS BIGINT) AS net_records,
+           TRUE AS dv_exact_ok
+    FROM f GROUP BY doc_id
+    """,
+    doc="Delta deletion vectors, graded (r15 — merge-on-read parity "
+    "with the Iceberg side: modern Delta soft-deletes rows via DV "
+    "sidecars, so net row counts require resolving them). Per doc "
+    "synth_delta_dv writes a reader-version-3 log whose adds carry "
+    "deletionVector descriptors in all three storage forms — inline "
+    "z85 (public ZeroMQ Z85, RFC-32-vector pinned), path, and "
+    "z85-UUID-derived relative file — over the PROTOCOL.md DV file "
+    "framing (version byte, BE size, RoaringBitmapArray bitmapData, "
+    "BE CRC-32) with the public portable roaring format beneath "
+    "(array/bitmap/run containers all decode; tests). resolve_dv "
+    "VERIFIES rather than trusts: CRC, sizeInBytes, and claimed "
+    "cardinality must match the decoded set, and every position "
+    "must lie inside its file's numRecords (dv_exact_ok). The "
+    "oracle states the closed-form merge-on-read arithmetic.",
+    tags=("ingest", "corpus"),
+)
+def delta_dv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.deltalog import snapshot_with_dvs, synth_delta_dv
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                commits, files, _ = synth_delta_dv(i)
+                got = snapshot_with_dvs(commits, files)
+                rows.append(
+                    (i, got["n_active_files"], got["total_records"],
+                     got["n_dv_files"], got["dv_cardinality"],
+                     got["net_records"], got["dv_exact_ok"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_active_files", "total_records",
+                         "n_dv_files", "dv_cardinality",
+                         "net_records", "dv_exact_ok"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_active_files int, total_records long, "
+        "n_dv_files int, dv_cardinality long, net_records long, "
+        "dv_exact_ok boolean",
+    )
+
+
+@register(
     "iceberg_snapshot_stats",
     oracle="""
     WITH spec AS (

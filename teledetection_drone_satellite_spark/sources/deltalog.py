@@ -38,8 +38,288 @@ contract every decoder here shares.
 from __future__ import annotations
 
 import json
+import struct
+import uuid as _uuid
+import zlib
 
 MAX_READER_VERSION = 1
+SUPPORTED_READER_FEATURES = {"deletionVectors"}
+
+# ------------------------------------------------------------- z85
+# ZeroMQ Z85 (the encoding PROTOCOL.md mandates for DV descriptors):
+# 4 bytes -> 5 chars, big-endian base 85 over this fixed alphabet
+_Z85_ALPHABET = ("0123456789abcdefghijklmnopqrstuvwxyz"
+                 "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#")
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_ALPHABET)}
+
+
+def z85_encode(data: bytes) -> str:
+    if len(data) % 4:
+        raise ValueError("z85 input must be 4-byte aligned")
+    out = []
+    for k in range(0, len(data), 4):
+        v = int.from_bytes(data[k:k + 4], "big")
+        chunk = []
+        for _ in range(5):
+            chunk.append(_Z85_ALPHABET[v % 85])
+            v //= 85
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def z85_decode(text: str) -> "bytes | None":
+    if len(text) % 5:
+        return None
+    out = bytearray()
+    for k in range(0, len(text), 5):
+        v = 0
+        for ch in text[k:k + 5]:
+            d = _Z85_INDEX.get(ch)
+            if d is None:
+                return None
+            v = v * 85 + d
+        if v > 0xFFFFFFFF:
+            return None
+        out += v.to_bytes(4, "big")
+    return bytes(out)
+
+
+# --------------------------------------------------- roaring bitmaps
+# RoaringBitmapArray per PROTOCOL.md deletion-vector format: LE magic
+# 1681511377, int64 LE bitmap count, then each 32-bit RoaringBitmap
+# in the public portable serialization (RoaringFormatSpec): cookie
+# 12346 (with run containers, +1 byte/8 containers run flags) or
+# 12347 (without), container keys+cardinalities, offsets, container
+# payloads (array / bitmap / run)
+_DV_MAGIC = 1681511377
+_COOKIE_WITH_RUNS = 12346  # SERIAL_COOKIE: run containers possible
+_COOKIE_NO_RUNS = 12347  # SERIAL_COOKIE_NO_RUNCONTAINER
+_NO_OFFSET_THRESHOLD = 4
+_MAX_DV_CARD = 1 << 24
+
+
+def _parse_roaring32(buf: bytes, pos: int) -> "tuple[set[int], int] | None":
+    """One portable 32-bit roaring bitmap at ``pos`` ->
+    (values, next_pos) or None — the public RoaringFormatSpec:
+    array / bitmap / run containers, both cookie forms."""
+    if pos + 8 > len(buf):
+        return None
+    cookie = struct.unpack_from("<H", buf, pos)[0]
+    if cookie == _COOKIE_NO_RUNS:
+        if struct.unpack_from("<H", buf, pos + 2)[0] != 0:
+            return None  # upper half of the 32-bit cookie must be 0
+        n_cont = struct.unpack_from("<I", buf, pos + 4)[0]
+        pos += 8
+        run_flags = b""
+        has_offsets = True
+    elif cookie == _COOKIE_WITH_RUNS:
+        n_cont = struct.unpack_from("<H", buf, pos + 2)[0] + 1
+        pos += 4
+        nfb = (n_cont + 7) // 8
+        if pos + nfb > len(buf):
+            return None
+        run_flags = buf[pos:pos + nfb]
+        pos += nfb
+        has_offsets = n_cont >= _NO_OFFSET_THRESHOLD
+    else:
+        return None
+    if n_cont > 1 << 16:
+        return None
+    keys: "list[int]" = []
+    cards: "list[int]" = []
+    for _ in range(n_cont):
+        if pos + 4 > len(buf):
+            return None
+        key, cm1 = struct.unpack_from("<HH", buf, pos)
+        keys.append(key)
+        cards.append(cm1 + 1)
+        pos += 4
+    if has_offsets:
+        if pos + 4 * n_cont > len(buf):
+            return None
+        pos += 4 * n_cont  # containers follow in order; skip
+    out: "set[int]" = set()
+    for k in range(n_cont):
+        base = keys[k] << 16
+        card = cards[k]
+        is_run = bool(run_flags) and \
+            bool(run_flags[k >> 3] & (1 << (k & 7)))
+        if is_run:
+            if pos + 2 > len(buf):
+                return None
+            n_runs = struct.unpack_from("<H", buf, pos)[0]
+            pos += 2
+            if pos + 4 * n_runs > len(buf):
+                return None
+            for _ in range(n_runs):
+                start, length = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                if length + 1 > 1 << 16:
+                    return None
+                out.update(base | v
+                           for v in range(start, start + length + 1))
+        elif card > 4096:  # bitmap container: 8 KiB
+            if pos + 8192 > len(buf):
+                return None
+            acc = int.from_bytes(buf[pos:pos + 8192], "little")
+            pos += 8192
+            while acc:
+                low = (acc & -acc).bit_length() - 1
+                out.add(base | low)
+                acc &= acc - 1
+        else:  # array container: sorted uint16 LE
+            if pos + 2 * card > len(buf):
+                return None
+            out.update(base | v for v in
+                       struct.unpack_from("<%dH" % card, buf, pos))
+            pos += 2 * card
+        if len(out) > _MAX_DV_CARD:
+            return None
+    return out, pos
+
+
+def parse_dv_bitmap(data: bytes) -> "set[int] | None":
+    """bitmapData (the RoaringBitmapArray serialization) -> the set
+    of deleted row positions, or None."""
+    try:
+        if len(data) < 12:
+            return None
+        magic = struct.unpack_from("<i", data, 0)[0]
+        if magic != _DV_MAGIC:
+            return None
+        n_maps = struct.unpack_from("<q", data, 4)[0]
+        if n_maps < 0 or n_maps > 1 << 20:
+            return None
+        pos = 12
+        out: "set[int]" = set()
+        for hi in range(n_maps):
+            got = _parse_roaring32(data, pos)
+            if got is None:
+                return None
+            vals, pos = got
+            for v in vals:
+                out.add((hi << 32) | v)
+            if len(out) > _MAX_DV_CARD:
+                return None
+        if pos != len(data):
+            return None
+        return out
+    except (ValueError, IndexError, struct.error, OverflowError):
+        return None
+
+
+def encode_dv_bitmap(positions: "set[int]") -> bytes:
+    """Writer for fixtures/round trips: array containers only (any
+    reader must handle them; run/bitmap containers are exercised by
+    dedicated tests)."""
+    by_hi: "dict[int, dict[int, list[int]]]" = {}
+    for p in sorted(positions):
+        hi, lo = p >> 32, p & 0xFFFFFFFF
+        by_hi.setdefault(hi, {}).setdefault(lo >> 16, []).append(
+            lo & 0xFFFF)
+    n_maps = (max(by_hi) + 1) if by_hi else 0
+    out = bytearray(struct.pack("<iq", _DV_MAGIC, n_maps))
+    for hi in range(n_maps):
+        conts = by_hi.get(hi, {})
+        keys = sorted(conts)
+        # no-run cookie form: u32 cookie, u32 container count,
+        # descriptive headers, offset headers, array payloads
+        out += struct.pack("<II", _COOKIE_NO_RUNS, len(keys))
+        for key in keys:
+            out += struct.pack("<HH", key, len(conts[key]) - 1)
+        run = 8 + 8 * len(keys)  # from this bitmap's start
+        for key in keys:
+            out += struct.pack("<I", run)
+            run += 2 * len(conts[key])
+        for key in keys:
+            out += struct.pack("<%dH" % len(conts[key]), *conts[key])
+    return bytes(out)
+
+
+def encode_dv_file(bitmaps: "list[bytes]") -> "tuple[bytes, list[int]]":
+    """DV FILE layout per PROTOCOL.md: version byte 1, then per DV
+    <int32 BE dataSize> <bitmapData> <int32 BE CRC-32 of bitmapData>.
+    -> (file_bytes, offsets) where offsets[k] points at DV k's
+    dataSize field (what the descriptor's ``offset`` carries)."""
+    out = bytearray(b"\x01")
+    offsets = []
+    for bm in bitmaps:
+        offsets.append(len(out))
+        out += struct.pack(">i", len(bm)) + bm
+        out += struct.pack(">I", zlib.crc32(bm))
+    return bytes(out), offsets
+
+
+def resolve_dv(desc: dict,
+               files: "dict[str, bytes] | None" = None,
+               ) -> "set[int] | None":
+    """A deletionVector descriptor -> deleted positions, or None.
+
+    storageType 'i': pathOrInlineDv is the z85 bitmapData inline.
+    storageType 'u': pathOrInlineDv is <optional prefix><20-char z85
+    UUID>; the file is ``<prefix>/deletion_vector_<uuid>.bin`` in
+    ``files`` (the caller's table root), framed per encode_dv_file.
+    storageType 'p': pathOrInlineDv is the path into ``files``.
+    CRC and sizeInBytes/cardinality claims are VERIFIED, not
+    trusted."""
+    try:
+        if not isinstance(desc, dict):
+            return None
+        st = desc.get("storageType")
+        ref = desc.get("pathOrInlineDv")
+        size = desc.get("sizeInBytes")
+        card = desc.get("cardinality")
+        if not isinstance(ref, str) or not isinstance(size, int) or \
+                not isinstance(card, int) or card < 0:
+            return None
+        if st == "i":
+            data = z85_decode(ref)
+            if data is None:
+                return None
+            # z85 pads to 4 bytes; sizeInBytes is the true length
+            if not size <= len(data) <= size + 3:
+                return None
+            bm = parse_dv_bitmap(data[:size])
+        elif st in ("u", "p"):
+            if files is None:
+                return None
+            if st == "u":
+                if len(ref) < 20:
+                    return None
+                prefix, tail = ref[:-20], ref[-20:]
+                raw = z85_decode(tail)
+                if raw is None or len(raw) != 16:
+                    return None
+                name = "deletion_vector_%s.bin" % _uuid.UUID(
+                    bytes=raw)
+                path = (prefix.rstrip("/") + "/" + name) if prefix \
+                    else name
+            else:
+                path = ref
+            blob = files.get(path)
+            if blob is None or not blob or blob[0] != 1:
+                return None
+            off = desc.get("offset", 1)
+            if not isinstance(off, int) or off < 1 or \
+                    off + 4 > len(blob):
+                return None
+            dsize = struct.unpack_from(">i", blob, off)[0]
+            if dsize != size or off + 4 + dsize + 4 > len(blob):
+                return None
+            data = blob[off + 4:off + 4 + dsize]
+            want_crc = struct.unpack_from(
+                ">I", blob, off + 4 + dsize)[0]
+            if zlib.crc32(data) != want_crc:
+                return None
+            bm = parse_dv_bitmap(data)
+        else:
+            return None
+        if bm is None or len(bm) != card:
+            return None  # cardinality claims are verified
+        return bm
+    except (ValueError, IndexError, KeyError, TypeError,
+            struct.error, OverflowError):
+        return None
 
 
 def parse_commit(content: bytes) -> "list[dict] | None":
@@ -82,9 +362,20 @@ def _apply(state: "_State", actions: "list[dict]") -> bool:
         state.n_actions += 1
         if "protocol" in act and act["protocol"] is not None:
             p = act["protocol"]
-            if not isinstance(p, dict) or \
-                    p.get("minReaderVersion", 1) > MAX_READER_VERSION:
+            if not isinstance(p, dict):
                 state.protocol_ok = False
+            else:
+                mrv = p.get("minReaderVersion", 1)
+                feats = p.get("readerFeatures")
+                if mrv > MAX_READER_VERSION and not (
+                        mrv == 3 and isinstance(feats, list)
+                        and set(feats) <= SUPPORTED_READER_FEATURES):
+                    # reader version 3 is table-features gated: we
+                    # honour it iff readerFeatures is PRESENT (the
+                    # spec requires it at v3) and every listed
+                    # feature is one we implement (deletionVectors
+                    # since r15)
+                    state.protocol_ok = False
         elif "metaData" in act and act["metaData"] is not None:
             if not isinstance(act["metaData"], dict):
                 return False  # scalar metaData: malformed log
@@ -313,6 +604,144 @@ def checkpoint_actions(commits: "list[tuple[int, bytes]]",
     for a in state.active.values():
         rows.append({"add": a})
     return rows
+
+
+def snapshot_with_dvs(commits: "list[tuple[int, bytes]]",
+                      files: "dict[str, bytes]") -> "dict | None":
+    """Merge-on-read over a DV-bearing log: replay, then resolve
+    every active file's deletionVector and do the net-records
+    arithmetic — the Delta twin of iceberg's positional deletes
+    (sources/iceberg.py resolve_snapshot).
+
+    -> replay fields + {'n_dv_files', 'dv_cardinality',
+    'net_records', 'dv_exact_ok'} where dv_exact_ok asserts the
+    FALSIFIABLE cross-check: every descriptor resolved, its decoded
+    set size equals its claimed cardinality (enforced inside
+    resolve_dv), and every deleted position lies inside the file's
+    own numRecords range."""
+    # re-run the raw replay for the active add set
+    state = _State()
+    ordered = sorted(commits)
+    if not ordered or ordered[0][0] != 0 or any(
+            b[0] - a[0] != 1 for a, b in zip(ordered, ordered[1:])):
+        return None
+    for _v, blob in ordered:
+        actions = parse_commit(blob)
+        if actions is None or not _apply(state, actions):
+            return None
+    snap = replay_log(commits)
+    if snap is None:
+        return None
+    n_dv = 0
+    dv_card = 0
+    exact_ok = True
+    for a in state.active.values():
+        desc = a.get("deletionVector")
+        if desc is None:
+            continue
+        n_dv += 1
+        got = resolve_dv(desc, files)
+        if got is None:
+            exact_ok = False
+            continue
+        dv_card += len(got)
+        stats = a.get("stats")
+        if isinstance(stats, str):
+            try:
+                nr = json.loads(stats).get("numRecords")
+            except ValueError:
+                nr = None
+            if isinstance(nr, int) and got and max(got) >= nr:
+                exact_ok = False  # a delete past the file's rows
+    snap = dict(snap)
+    snap["n_dv_files"] = n_dv
+    snap["dv_cardinality"] = dv_card
+    snap["net_records"] = snap["total_records"] - dv_card
+    snap["dv_exact_ok"] = exact_ok
+    return snap
+
+
+def synth_delta_dv(doc_id: int) -> "tuple[list[tuple[int, bytes]], dict, dict]":
+    """Deterministic DV fixture: (commits, files, expected).
+
+    Closed form (mirrored by the delta_dv_stats oracle):
+        n_files = 2 + doc_id % 3; file k numRecords = 40 +
+        (doc_id + k) % 20, size = 1000 + 97 * (doc_id + k);
+        a DV on file k iff (doc_id + k) % 2 == 0, cardinality =
+        1 + (doc_id + k) % 7, positions = (doc_id+k) % 30 .. +card;
+        storage form rotates k % 3: inline / path / uuid."""
+    i = int(doc_id)
+    n_files = 2 + i % 3
+    files: "dict[str, bytes]" = {}
+    adds = []
+    exp_records = exp_dv = exp_ndv = 0
+    for k in range(n_files):
+        nr = 40 + (i + k) % 20
+        exp_records += nr
+        add = {
+            "path": "part-%05d.parquet" % k,
+            "partitionValues": {},
+            "size": 1000 + 97 * (i + k),
+            "modificationTime": 1700000000000 + k,
+            "dataChange": True,
+            "stats": json.dumps({"numRecords": nr}),
+        }
+        if (i + k) % 2 == 0:
+            card = 1 + (i + k) % 7
+            base = (i + k) % 30
+            pos = set(range(base, base + card))
+            exp_dv += card
+            exp_ndv += 1
+            bm = encode_dv_bitmap(pos)
+            form = k % 3
+            if form == 0:  # inline
+                pad = bm + b"\x00" * ((4 - len(bm) % 4) % 4)
+                add["deletionVector"] = {
+                    "storageType": "i",
+                    "pathOrInlineDv": z85_encode(pad),
+                    "sizeInBytes": len(bm), "cardinality": card}
+            else:
+                blob, offs = encode_dv_file([bm])
+                if form == 1:  # absolute-ish path
+                    path = "dv/deletion_vector_%d_%d.bin" % (i, k)
+                    ref = path
+                    st = "p"
+                else:  # uuid-derived relative name
+                    u = _uuid.UUID(int=(i * 1000 + k) | (1 << 120))
+                    path = "pre/deletion_vector_%s.bin" % u
+                    ref = "pre/" + z85_encode(u.bytes)
+                    st = "u"
+                files[path] = blob
+                add["deletionVector"] = {
+                    "storageType": st, "pathOrInlineDv": ref,
+                    "offset": offs[0], "sizeInBytes": len(bm),
+                    "cardinality": card}
+        adds.append({"add": add})
+    v0 = [
+        {"commitInfo": {"operation": "WRITE"}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {
+            "id": "dvtbl-%d" % i,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _SCHEMA_STR,
+            "partitionColumns": [],
+            "configuration": {
+                "delta.enableDeletionVectors": "true"},
+            "createdTime": 1700000000000,
+        }},
+    ] + adds
+    commits = [(0, ("\n".join(json.dumps(a) for a in v0) + "\n")
+                .encode())]
+    expected = {
+        "n_active_files": n_files,
+        "total_records": exp_records,
+        "n_dv_files": exp_ndv,
+        "dv_cardinality": exp_dv,
+        "net_records": exp_records - exp_dv,
+    }
+    return commits, files, expected
 
 
 def compaction_plan(snapshot_files: "list[dict]", small_threshold: int,

@@ -215,3 +215,146 @@ def test_malformed_actions_refuse_not_crash():
         {"metaData": meta},
         {"add": {"path": "p", "size": {"a": 1}}},
     ]))]) is None
+
+
+# ------------------------------------------------------------- r15 DVs
+
+def test_z85_public_vector():
+    from teledetection_drone_satellite_spark.sources.deltalog import (
+        z85_decode, z85_encode)
+
+    v = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert z85_encode(v) == "HelloWorld"  # ZeroMQ RFC 32 vector
+    assert z85_decode("HelloWorld") == v
+    assert z85_decode("Hello") is not None
+    assert z85_decode("Hell") is None  # not 5-aligned
+    assert z85_decode("~~~~~") is None  # outside the alphabet
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_dv_snapshot(doc_id):
+    from teledetection_drone_satellite_spark.sources.deltalog import (
+        snapshot_with_dvs, synth_delta_dv)
+
+    commits, files, exp = synth_delta_dv(doc_id)
+    got = snapshot_with_dvs(commits, files)
+    assert got is not None
+    for k, v in exp.items():
+        assert got[k] == v, (doc_id, k)
+    assert got["dv_exact_ok"]
+
+
+def test_roaring_bitmap_and_run_containers():
+    import struct as _s
+
+    from teledetection_drone_satellite_spark.sources.deltalog import (
+        _COOKIE_WITH_RUNS, _DV_MAGIC, parse_dv_bitmap)
+
+    # bitmap container: cardinality > 4096 forces the 8 KiB form
+    from teledetection_drone_satellite_spark.sources.deltalog import (
+        _COOKIE_NO_RUNS)
+
+    vals = set(range(0, 10000, 2))  # 5000 values in key 0
+    bits = bytearray(8192)
+    for v in vals:
+        bits[v >> 3] |= 1 << (v & 7)
+    bm = _s.pack("<iq", _DV_MAGIC, 1)
+    bm += _s.pack("<II", _COOKIE_NO_RUNS, 1)
+    bm += _s.pack("<HH", 0, len(vals) - 1)
+    bm += _s.pack("<I", 16)
+    bm += bytes(bits)
+    assert parse_dv_bitmap(bm) == vals
+
+    # run container via the with-runs cookie (one container, flag on)
+    runs = [(10, 4), (100, 0)]  # 10..14 and 100
+    body = _s.pack("<HH", _COOKIE_WITH_RUNS, 0)  # n_cont - 1 = 0
+    body += bytes([1])  # run flag for container 0
+    card = sum(ln + 1 for _st, ln in runs)
+    body += _s.pack("<HH", 0, card - 1)
+    # < 4 containers with runs: no offset header
+    body += _s.pack("<H", len(runs))
+    for st_, ln in runs:
+        body += _s.pack("<HH", st_, ln)
+    bm2 = _s.pack("<iq", _DV_MAGIC, 1) + body
+    assert parse_dv_bitmap(bm2) == {10, 11, 12, 13, 14, 100}
+
+
+def test_dv_refusals():
+    from teledetection_drone_satellite_spark.sources.deltalog import (
+        encode_dv_bitmap, encode_dv_file, parse_dv_bitmap, resolve_dv,
+        z85_encode)
+
+    assert parse_dv_bitmap(b"") is None
+    assert parse_dv_bitmap(b"\x00" * 12) is None  # wrong magic
+    pos = {1, 2, 3, 70000}
+    bm = encode_dv_bitmap(pos)
+    assert parse_dv_bitmap(bm + b"x") is None  # trailing bytes
+    blob, offs = encode_dv_file([bm])
+    files = {"dv.bin": blob}
+    d = {"storageType": "p", "pathOrInlineDv": "dv.bin",
+         "offset": offs[0], "sizeInBytes": len(bm), "cardinality": 4}
+    assert resolve_dv(d, files) == pos
+    # CRC corruption refuses
+    bad = bytearray(blob)
+    bad[offs[0] + 4] ^= 1
+    assert resolve_dv(d, {"dv.bin": bytes(bad)}) is None
+    # cardinality over- and under-claims refuse
+    assert resolve_dv(d | {"cardinality": 3}, files) is None
+    assert resolve_dv(d | {"cardinality": 5}, files) is None
+    # sizeInBytes mismatch refuses
+    assert resolve_dv(d | {"sizeInBytes": len(bm) - 1}, files) is None
+    # unknown storage form refuses
+    assert resolve_dv(d | {"storageType": "x"}, files) is None
+    # inline z85 with a corrupted byte refuses (magic/structure)
+    pad = bm + b"\x00" * ((4 - len(bm) % 4) % 4)
+    di = {"storageType": "i",
+          "pathOrInlineDv": z85_encode(b"\x00\x00\x00\x00" + pad[4:]),
+          "sizeInBytes": len(bm), "cardinality": 4}
+    assert resolve_dv(di) is None
+
+
+def test_dv_bitflip_fuzz_never_raises():
+    import random as _r
+
+    from teledetection_drone_satellite_spark.sources.deltalog import (
+        parse_dv_bitmap, resolve_dv, synth_delta_dv)
+
+    rnd = _r.Random(1517)
+    commits, files, _ = synth_delta_dv(8)
+    blobs = list(files.values())
+    for _ in range(300):
+        for blob in blobs:
+            b = bytearray(blob)
+            for _f in range(1 + rnd.randrange(6)):
+                b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+            parse_dv_bitmap(bytes(b))  # never an exception
+
+
+def test_reader_v3_feature_gating():
+    # v3 + deletionVectors: readable; v3 + unknown feature or
+    # missing readerFeatures: refused
+    base = [{"metaData": {
+        "id": "t", "format": {"provider": "parquet"},
+        "schemaString": json.dumps(
+            {"type": "struct",
+             "fields": [{"name": "id", "type": "long"}]}),
+        "partitionColumns": []}},
+        {"add": {"path": "a", "size": 10, "dataChange": True,
+                 "stats": json.dumps({"numRecords": 5})}}]
+
+    def commit(proto):
+        acts = [{"protocol": proto}] + base
+        return [(0, ("\n".join(json.dumps(a) for a in acts) + "\n")
+                 .encode())]
+
+    ok = {"minReaderVersion": 3, "minWriterVersion": 7,
+          "readerFeatures": ["deletionVectors"],
+          "writerFeatures": ["deletionVectors"]}
+    assert replay_log(commit(ok)) is not None
+    assert replay_log(commit(
+        ok | {"readerFeatures": ["columnMapping"]})) is None
+    bad = dict(ok)
+    del bad["readerFeatures"]
+    assert replay_log(commit(bad)) is None
