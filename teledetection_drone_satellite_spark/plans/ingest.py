@@ -12473,6 +12473,88 @@ def iceberg_deletes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_eq_deletes_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 2 + doc_id % 3 AS n, 2 + doc_id % 5 AS card
+        FROM documents WHERE doc_id < 150
+    ),
+    f AS (
+        SELECT doc_id, 50 + (doc_id + u.k) % 20 AS rc
+        FROM spec, LATERAL unnest(range(0, n)) u(k)
+    ),
+    agg AS (
+        SELECT doc_id, CAST(sum(rc) AS BIGINT) AS total_records
+        FROM f GROUP BY doc_id
+    )
+    SELECT spec.doc_id,
+           CAST(spec.n AS INT) AS n_live_files,
+           total_records,
+           CAST(card AS INT) AS n_eq_deletes,
+           CAST(card - card // 3 AS INT) AS n_eq_applied,
+           total_records - (card - card // 3) AS net_records,
+           TRUE AS eq_exact
+    FROM spec JOIN agg ON spec.doc_id = agg.doc_id
+    """,
+    doc="Iceberg v2 EQUALITY deletes, graded (r15 — the other v2 "
+    "delete flavor: delete files name COLUMN VALUES via "
+    "equality_ids, not positions). synth_iceberg_eq writes data "
+    "files whose manifest entries carry per-column lower/upper "
+    "bounds (spec fields 125/128, 8-byte LE longs in k/v arrays) "
+    "and one equality-delete Avro file; resolve_snapshot routes "
+    "delete manifests by the entry's equality_ids, dedupes delete "
+    "rows, and decides hits against the live files' bounds — the "
+    "planner-level statement. Exactness contract (eq_exact): with "
+    "bounds on every live file and table-unique contiguous keys "
+    "(the synth invariant), a bounded value deletes exactly one "
+    "row, so net_records = total - hits is exact; a file lacking "
+    "bounds flips eq_exact false rather than pretending. One third "
+    "of delete rows (j%3==2) name out-of-range values and must NOT "
+    "apply. The oracle states the closed-form arithmetic.",
+    tags=("ingest", "corpus", "pipeline"),
+)
+def iceberg_eq_deletes_stats(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.iceberg import resolve_snapshot, synth_iceberg_eq
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                metadata, files, _ = synth_iceberg_eq(i)
+                got = resolve_snapshot(metadata, files)
+                rows.append(
+                    (i, got["n_live_files"], got["total_records"],
+                     got["n_eq_deletes"], got["n_eq_applied"],
+                     got["net_records"], got["eq_exact"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_live_files", "total_records",
+                         "n_eq_deletes", "n_eq_applied",
+                         "net_records", "eq_exact"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_live_files int, total_records long, "
+        "n_eq_deletes int, n_eq_applied int, net_records long, "
+        "eq_exact boolean",
+    )
+
+
+@register(
     "git_pack_slice",
     oracle="""
     WITH spec AS (

@@ -84,6 +84,42 @@ MANIFEST_SCHEMA = {
     ],
 }
 
+# r15: the extended manifest entry for v2 delete routing — data
+# files may carry per-column bounds (the spec's lower_bounds /
+# upper_bounds, map<field_id, bytes> modeled as k/v record arrays)
+# and delete files carry equality_ids (spec field 135)
+_KV = {"type": "record", "name": "bound_kv", "fields": [
+    {"name": "key", "type": "int"},
+    {"name": "value", "type": "bytes"},
+]}
+MANIFEST_SCHEMA_EXT = {
+    "type": "record", "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "data_file",
+            "fields": [
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+                {"name": "file_size_in_bytes", "type": "long"},
+                {"name": "equality_ids",
+                 "type": ["null", {"type": "array", "items": "int"}]},
+                {"name": "lower_bounds",
+                 "type": ["null", {"type": "array", "items": _KV}]},
+                {"name": "upper_bounds",
+                 "type": ["null", {"type": "array", "items": _KV}]},
+            ],
+        }},
+    ],
+}
+
+EQ_DELETE_SCHEMA = {
+    "type": "record", "name": "eq_delete",
+    "fields": [{"name": "id", "type": "long"}],
+}
+
 
 def parse_table_metadata(content: bytes) -> "dict | None":
     """vN.metadata.json -> {'format_version', 'table_uuid',
@@ -107,6 +143,8 @@ def parse_table_metadata(content: bytes) -> "dict | None":
         else:
             schema = meta["schema"]
         fields = [(f["name"], f["type"]) for f in schema["fields"]]
+        field_ids = {f["id"]: f["name"] for f in schema["fields"]
+                     if isinstance(f, dict) and "id" in f}
         spec = meta.get("partition-specs")
         if spec is not None:
             spec_id = meta.get("default-spec-id", 0)
@@ -126,7 +164,8 @@ def parse_table_metadata(content: bytes) -> "dict | None":
         return None
     return {"format_version": fv,
             "table_uuid": meta.get("table-uuid", ""),
-            "fields": fields, "partition_fields": part_fields,
+            "fields": fields, "field_ids": field_ids,
+            "partition_fields": part_fields,
             "current_snapshot_id": cur, "snapshots": snaps}
 
 
@@ -156,7 +195,9 @@ def resolve_snapshot(metadata_json: bytes,
     total_records = total_bytes = 0
     consistent = True
     live_paths: "set[str]" = set()
+    live_bounds: "dict[str, dict]" = {}  # path -> {fid: (lo, hi)}
     delete_files: "list[dict]" = []
+    eq_delete_files: "list[dict]" = []  # data_file dicts, content 2
     n_delete_manifests = 0
     for mf in ml["records"]:
         if not isinstance(mf, dict):
@@ -176,6 +217,9 @@ def resolve_snapshot(metadata_json: bytes,
             return None
         if content == 1:
             n_delete_manifests += 1
+        # (within a delete manifest, positional vs equality delete
+        # files are told apart by the entry's equality_ids — the
+        # spec's data_file content field 134/135 routing)
         added = existing = deleted = 0
         for entry in man["records"]:
             if not isinstance(entry, dict):
@@ -196,7 +240,10 @@ def resolve_snapshot(metadata_json: bytes,
             else:
                 return None
             if content == 1:
-                delete_files.append(df)
+                if df.get("equality_ids"):
+                    eq_delete_files.append(df)
+                else:
+                    delete_files.append(df)
                 continue
             fmt = df.get("file_format", "")
             if not isinstance(fmt, str) or fmt.upper() != "PARQUET":
@@ -209,6 +256,9 @@ def resolve_snapshot(metadata_json: bytes,
                 return None
             n_live += 1
             live_paths.add(fpath)
+            bounds = _decode_bounds(df)
+            if bounds is not None:
+                live_bounds[fpath] = bounds
             total_records += rc
             total_bytes += sz
         if (added != mf.get("added_data_files_count")
@@ -238,20 +288,219 @@ def resolve_snapshot(metadata_json: bytes,
             if key[0] in live_paths and key not in seen_pos:
                 seen_pos.add(key)
                 n_pos_deletes += 1
+    # v2 equality deletes: delete rows name COLUMN VALUES (spec
+    # equality_ids); whether a value hits is decided against the
+    # live files' column bounds — the planner-level statement.
+    # Exactness contract: when every live file carries bounds for
+    # every equality column AND key values are unique per table
+    # (the synth invariant, stated in the graded doc), a bounded
+    # value deletes exactly one row; a file lacking bounds makes
+    # eq_exact False (the planner cannot prune, only over-count).
+    n_eq_deletes = 0
+    n_eq_applied = 0
+    eq_exact = True
+    seen_eq: "set" = set()
+    for df in eq_delete_files:
+        dpath = df.get("file_path")
+        eq_ids = df.get("equality_ids")
+        if not isinstance(dpath, str) or dpath not in files or \
+                not isinstance(eq_ids, list):
+            return None
+        names = [meta["field_ids"].get(fid) for fid in eq_ids]
+        if any(n is None for n in names):
+            return None  # an equality id naming no schema field
+        dd = parse_avro(files[dpath])
+        if dd is None:
+            return None
+        for row in dd["records"]:
+            if not isinstance(row, dict):
+                return None
+            try:
+                key = tuple(row[n] for n in names)
+            except KeyError:
+                return None
+            full = (tuple(eq_ids), key)
+            if full in seen_eq:
+                continue  # duplicate delete rows dedupe
+            seen_eq.add(full)
+            n_eq_deletes += 1
+            hit = False
+            for path in live_paths:
+                bounds = live_bounds.get(path)
+                if bounds is None:
+                    hit = True
+                    eq_exact = False  # no bounds: cannot prune
+                    continue
+                ok = True
+                for fid, val in zip(eq_ids, key):
+                    rng = bounds.get(fid)
+                    if rng is None:
+                        eq_exact = False
+                    elif not isinstance(val, int) or \
+                            not rng[0] <= val <= rng[1]:
+                        ok = False
+                        break
+                if ok:
+                    hit = True
+            if hit:
+                n_eq_applied += 1
     return {"snapshot_id": cur, "n_manifests": len(ml["records"]),
             "n_data_manifests": len(ml["records"]) - n_delete_manifests,
             "n_delete_manifests": n_delete_manifests,
             "n_live_files": n_live, "n_deleted_entries": n_deleted,
             "total_records": total_records,
             "n_pos_deletes": n_pos_deletes,
-            "net_records": total_records - n_pos_deletes,
+            "n_eq_delete_files": len(eq_delete_files),
+            "n_eq_deletes": n_eq_deletes,
+            "n_eq_applied": n_eq_applied,
+            "eq_exact": eq_exact,
+            "net_records": total_records - n_pos_deletes
+            - n_eq_applied,
             "total_bytes": total_bytes,
             "counts_consistent": consistent,
             "fields": meta["fields"],
             "partition_fields": meta["partition_fields"]}
 
 
+def _decode_bounds(df: dict) -> "dict[int, tuple[int, int]] | None":
+    """lower_bounds/upper_bounds k/v arrays -> {field_id: (lo, hi)}
+    for 8-byte little-endian long bounds; None when absent."""
+    lo_arr = df.get("lower_bounds")
+    hi_arr = df.get("upper_bounds")
+    if not isinstance(lo_arr, list) or not isinstance(hi_arr, list):
+        return None
+    out: "dict[int, tuple[int, int]]" = {}
+    his: "dict[int, int]" = {}
+    for kv in hi_arr:
+        if isinstance(kv, dict) and isinstance(kv.get("key"), int) \
+                and isinstance(kv.get("value"), bytes) \
+                and len(kv["value"]) == 8:
+            his[kv["key"]] = int.from_bytes(
+                kv["value"], "little", signed=True)
+    for kv in lo_arr:
+        if isinstance(kv, dict) and isinstance(kv.get("key"), int) \
+                and isinstance(kv.get("value"), bytes) \
+                and len(kv["value"]) == 8 and kv["key"] in his:
+            out[kv["key"]] = (int.from_bytes(
+                kv["value"], "little", signed=True), his[kv["key"]])
+    return out or None
+
+
 # ---------------------------------------------------------------- synth
+
+def synth_iceberg_eq(doc_id: int) -> "tuple[bytes, dict, dict]":
+    """Equality-delete fixture: (metadata_json, files, expected).
+
+    Closed form (mirrored by the iceberg_eq_deletes_stats oracle):
+        n_files = 2 + doc_id % 3 data files in one manifest;
+        file k: record_count = 50 + (doc_id + k) % 20, ids occupy
+        [1000*k, 1000*k + rc) — UNIQUE and CONTIGUOUS, carried as
+        field-1 lower/upper bounds;
+        one equality-delete file (equality_ids = [1]) with
+        2 + doc_id % 5 rows; row j hits file j % n_files at offset
+        (doc_id + j) % rc when j % 3 != 2, else names the
+        out-of-range value 10**7 + j (a miss);
+        net_records = total - n_hits, exactly, by the uniqueness
+        invariant."""
+    i = int(doc_id)
+    n_files = 2 + i % 3
+    files: "dict[str, bytes]" = {}
+    entries = []
+    exp_records = 0
+    rcs = []
+    for k in range(n_files):
+        rc = 50 + (i + k) % 20
+        rcs.append(rc)
+        exp_records += rc
+        lo, hi = 1000 * k, 1000 * k + rc - 1
+        entries.append({
+            "status": 1 if k == 0 else 0,
+            "snapshot_id": 99 if k == 0 else None,
+            "data_file": {
+                "file_path": "data/eqf-%d-%d.parquet" % (i, k),
+                "file_format": "PARQUET",
+                "record_count": rc,
+                "file_size_in_bytes": 4000 + 131 * (i + k),
+                "equality_ids": None,
+                "lower_bounds": [{"key": 1, "value": lo.to_bytes(
+                    8, "little", signed=True)}],
+                "upper_bounds": [{"key": 1, "value": hi.to_bytes(
+                    8, "little", signed=True)}],
+            },
+        })
+    man = "metadata/eqm-%d.avro" % i
+    files[man] = write_avro(
+        MANIFEST_SCHEMA_EXT, entries,
+        codec=("null", "deflate", "snappy")[i % 3],
+        sync=bytes((i + 11 + k) % 256 for k in range(16)))
+    card = 2 + i % 5
+    del_rows = []
+    n_hits = 0
+    for j in range(card):
+        if j % 3 == 2:
+            val = 10 ** 7 + j  # outside every file's bounds
+        else:
+            k = j % n_files
+            val = 1000 * k + (i + j) % rcs[k]
+            n_hits += 1
+        del_rows.append({"id": val})
+    eqf = "data/eqdel-%d.avro" % i
+    files[eqf] = write_avro(
+        EQ_DELETE_SCHEMA, del_rows,
+        sync=bytes((13 * i + k) % 256 for k in range(16)))
+    eqman = "metadata/eqdm-%d.avro" % i
+    files[eqman] = write_avro(MANIFEST_SCHEMA_EXT, [{
+        "status": 1, "snapshot_id": 99,
+        "data_file": {"file_path": eqf, "file_format": "AVRO",
+                      "record_count": card,
+                      "file_size_in_bytes": len(files[eqf]),
+                      "equality_ids": [1],
+                      "lower_bounds": None, "upper_bounds": None},
+    }], sync=bytes((17 * i + k) % 256 for k in range(16)))
+    ml_path = "metadata/eqsnap-%d.avro" % i
+    files[ml_path] = write_avro(
+        MANIFEST_LIST_SCHEMA, [
+            {"manifest_path": man, "manifest_length": len(files[man]),
+             "partition_spec_id": 0, "content": 0,
+             "added_data_files_count": 1,
+             "existing_data_files_count": n_files - 1,
+             "deleted_data_files_count": 0},
+            {"manifest_path": eqman,
+             "manifest_length": len(files[eqman]),
+             "partition_spec_id": 0, "content": 1,
+             "added_data_files_count": 1,
+             "existing_data_files_count": 0,
+             "deleted_data_files_count": 0},
+        ], sync=bytes((19 * i + k) % 256 for k in range(16)))
+    metadata = json.dumps({
+        "format-version": 2,
+        "table-uuid": "eq-%d" % i,
+        "location": "s3://example/eqtbl",
+        "current-schema-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "id", "required": True, "type": "long"},
+            {"id": 2, "name": "payload", "required": False,
+             "type": "string"},
+        ]}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "current-snapshot-id": 8000 + i,
+        "snapshots": [{"snapshot-id": 8000 + i,
+                       "timestamp-ms": 1700000000000,
+                       "manifest-list": ml_path,
+                       "summary": {"operation": "overwrite"}}],
+    }).encode()
+    expected = {
+        "n_live_files": n_files,
+        "total_records": exp_records,
+        "n_eq_delete_files": 1,
+        "n_eq_deletes": card,
+        "n_eq_applied": n_hits,
+        "net_records": exp_records - n_hits,
+        "eq_exact": True,
+    }
+    return metadata, files, expected
+
 
 def synth_iceberg(doc_id: int) -> "tuple[bytes, dict, dict]":
     """Deterministic fixture: (metadata_json, files, expected).

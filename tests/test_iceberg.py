@@ -126,3 +126,48 @@ def test_non_record_avro_layers_refuse_not_crash():
          "data_file": {"file_path": "x", "file_format": 9,
                        "record_count": 1, "file_size_in_bytes": 1}}])
     assert resolve_snapshot(mj, bad) is None
+
+
+# ---------------------------------------------------------- r15 equality
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_equality_deletes(doc_id):
+    from teledetection_drone_satellite_spark.sources.iceberg import (
+        synth_iceberg_eq)
+
+    mj, files, exp = synth_iceberg_eq(doc_id)
+    got = resolve_snapshot(mj, files)
+    assert got is not None
+    for k, v in exp.items():
+        assert got[k] == v, (doc_id, k)
+
+
+def test_equality_delete_contracts():
+    from teledetection_drone_satellite_spark.sources.avro import (
+        write_avro)
+    from teledetection_drone_satellite_spark.sources.iceberg import (
+        EQ_DELETE_SCHEMA, synth_iceberg_eq)
+
+    mj, files, exp = synth_iceberg_eq(6)
+    # duplicate delete rows dedupe: doubling the delete file's rows
+    # must not change the applied count
+    eqf = next(p for p in files if p.startswith("data/eqdel"))
+    got0 = resolve_snapshot(mj, files)
+    # an equality id naming no schema field refuses
+    import json as _json
+    meta = _json.loads(mj)
+    meta["schemas"][0]["fields"] = [
+        {"id": 9, "name": "other", "required": True, "type": "long"}]
+    assert resolve_snapshot(
+        _json.dumps(meta).encode(), files) is None
+    # out-of-range values never apply
+    dup = dict(files)
+    dup[eqf] = write_avro(EQ_DELETE_SCHEMA,
+                          [{"id": 10 ** 9}, {"id": -5}],
+                          sync=b"\x21" * 16)
+    got = resolve_snapshot(mj, dup)
+    assert got["n_eq_deletes"] == 2 and got["n_eq_applied"] == 0
+    assert got["net_records"] == got["total_records"]
+    assert got0["n_eq_applied"] == exp["n_eq_applied"]
