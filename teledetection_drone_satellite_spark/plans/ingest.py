@@ -12555,6 +12555,201 @@ def iceberg_eq_deletes_stats(spark: SparkSession,
 
 
 @register(
+    "lake_prune_plan",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 3 + doc_id % 4 AS n,
+               doc_id % (3 + doc_id % 4) AS m
+        FROM documents WHERE doc_id < 150
+    )
+    SELECT doc_id,
+           CAST(n AS INT) AS n_files,
+           CAST(CASE WHEN m = n - 1 THEN 1 ELSE 2 END AS INT)
+               AS files_touched,
+           CAST(n - CASE WHEN m = n - 1 THEN 1 ELSE 2 END AS INT)
+               AS files_skipped,
+           CAST(4 * n AS INT) AS rg_total,
+           CAST(CASE WHEN m = n - 1 THEN 4 ELSE 5 END AS INT)
+               AS rg_touched,
+           CAST(50 * CASE WHEN m = n - 1 THEN 4 ELSE 5 END AS BIGINT)
+               AS rows_scanned,
+           TRUE AS prune_consistent
+    FROM spec
+    """,
+    doc="Stats-driven file pruning, graded (r15 — the capstone "
+    "composing the lakehouse tier into the 100 TB planner "
+    "demonstration): a Delta log replays to the active file set "
+    "(sources/deltalog.py active_files — a churn remove must NOT "
+    "count), per-file minValues/maxValues stats decide which files "
+    "a ts BETWEEN predicate touches (prune_files: skip only on "
+    "PROVEN disjointness), then within each touched file the RAW "
+    "PARQUET FOOTER's per-row-group min/max statistics "
+    "(sources/parquetmeta.py, real pyarrow-written bytes) prune at "
+    "row-group grain. prune_consistent is the falsifiable "
+    "cross-layer pin: the Delta stats and the parquet footer stats "
+    "are two INDEPENDENT statements of the same min/max and must "
+    "agree file-by-file, partition counts must reconcile, and every "
+    "touched row group must lie in a touched file. The oracle "
+    "states the exact touched set in closed form.",
+    tags=("ingest", "sketch", "pipeline"),
+)
+def lake_prune_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import io as _io
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        from ..sources.deltalog import active_files, prune_files
+        from ..sources.parquetmeta import parse_parquet_footer
+
+        def synth(i: int):
+            """(commits, file_bytes) — n files of 200 ts rows in 4
+            row groups, plus one add+remove churn file."""
+            n = 3 + i % 4
+            blobs: "dict[str, bytes]" = {}
+            acts = [
+                {"protocol": {"minReaderVersion": 1,
+                              "minWriterVersion": 2}},
+                {"metaData": {
+                    "id": "prune-%d" % i,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _json.dumps(
+                        {"type": "struct", "fields": [
+                            {"name": "ts", "type": "long",
+                             "nullable": False, "metadata": {}}]}),
+                    "partitionColumns": [], "configuration": {},
+                    "createdTime": 1700000000000}},
+            ]
+            for k in range(n):
+                ts0 = 1000 * k
+                tbl = _pa.table({"ts": _pa.array(
+                    range(ts0, ts0 + 200), _pa.int64())})
+                sink = _io.BytesIO()
+                _pq.write_table(tbl, sink, row_group_size=50,
+                                compression="snappy")
+                blob = sink.getvalue()
+                path = "part-%05d.parquet" % k
+                blobs[path] = blob
+                acts.append({"add": {
+                    "path": path, "partitionValues": {},
+                    "size": len(blob), "dataChange": True,
+                    "modificationTime": 1700000000000 + k,
+                    "stats": _json.dumps({
+                        "numRecords": 200,
+                        "minValues": {"ts": ts0},
+                        "maxValues": {"ts": ts0 + 199}})}})
+            # churn: an added-then-removed file must not be planned
+            acts.append({"add": {
+                "path": "gone.parquet", "partitionValues": {},
+                "size": 1, "dataChange": True,
+                "stats": _json.dumps({
+                    "numRecords": 1, "minValues": {"ts": -1},
+                    "maxValues": {"ts": -1}})}})
+            acts.append({"remove": {
+                "path": "gone.parquet",
+                "deletionTimestamp": 1700000001000,
+                "dataChange": True}})
+            commits = [(0, ("\n".join(
+                _json.dumps(a) for a in acts) + "\n").encode())]
+            return commits, blobs, n
+
+        def footer_rg_prune(blob: bytes, lo: int, hi: int):
+            """-> (rg_total, rg_touched, rows_scanned, fmin, fmax)
+            via the raw footer's per-chunk min/max."""
+            footer = parse_parquet_footer(blob)
+            if footer is None:
+                return None
+            rg_tot = rg_hit = 0
+            rows = 0
+            fmin = fmax = None
+            for rg in footer["row_groups"]:
+                chunk = rg["columns"][0]
+                mn = int.from_bytes(chunk["min_value"], "little",
+                                    signed=True)
+                mx = int.from_bytes(chunk["max_value"], "little",
+                                    signed=True)
+                fmin = mn if fmin is None else min(fmin, mn)
+                fmax = mx if fmax is None else max(fmax, mx)
+                rg_tot += 1
+                if not (mx < lo or mn > hi):
+                    rg_hit += 1
+                    rows += rg["num_rows"]
+            return rg_tot, rg_hit, rows, fmin, fmax
+
+        for pdf_ in batches:
+            rows_out = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                commits, blobs, n = synth(i)
+                adds = active_files(commits)
+                if adds is None:
+                    continue
+                m = i % n
+                lo, hi = 1000 * m + 25, 1000 * m + 1025
+                plan = prune_files(adds, "ts", lo, hi)
+                consistent = plan["stats_complete"] and \
+                    len(plan["touched"]) + len(plan["skipped"]) \
+                    == len(adds) == n
+                rg_total = rg_touched = 0
+                rows_scanned = 0
+                # row-group prune inside TOUCHED files; skipped
+                # files contribute their group count untouched
+                for a in plan["skipped"]:
+                    got = footer_rg_prune(blobs[a["path"]], lo, hi)
+                    if got is None:
+                        consistent = False
+                        continue
+                    rg_total += got[0]
+                    # a delta-skipped file must also be fully
+                    # footer-skipped: the cross-layer agreement
+                    if got[1] != 0:
+                        consistent = False
+                for a in plan["touched"]:
+                    got = footer_rg_prune(blobs[a["path"]], lo, hi)
+                    if got is None:
+                        consistent = False
+                        continue
+                    rg_tot, rg_hit, rws, fmin, fmax = got
+                    rg_total += rg_tot
+                    rg_touched += rg_hit
+                    rows_scanned += rws
+                    stats = _json.loads(a["stats"])
+                    if fmin != stats["minValues"]["ts"] or \
+                            fmax != stats["maxValues"]["ts"]:
+                        consistent = False  # the two stats layers
+                        # must state the same extremes
+                rows_out.append(
+                    (i, len(adds), len(plan["touched"]),
+                     len(plan["skipped"]), rg_total, rg_touched,
+                     rows_scanned, consistent))
+            yield pd.DataFrame(
+                rows_out,
+                columns=["doc_id", "n_files", "files_touched",
+                         "files_skipped", "rg_total", "rg_touched",
+                         "rows_scanned", "prune_consistent"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_files int, files_touched int, "
+        "files_skipped int, rg_total int, rg_touched int, "
+        "rows_scanned long, prune_consistent boolean",
+    )
+
+
+@register(
     "git_pack_slice",
     oracle="""
     WITH spec AS (

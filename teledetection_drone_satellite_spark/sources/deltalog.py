@@ -606,6 +606,61 @@ def checkpoint_actions(commits: "list[tuple[int, bytes]]",
     return rows
 
 
+def active_files(commits: "list[tuple[int, bytes]]",
+                 ) -> "list[dict] | None":
+    """Replay -> the surviving ``add`` dicts (stats JSON intact) —
+    the data-skipping planner's input: per-file minValues/maxValues
+    ride in each add's stats per PROTOCOL.md."""
+    ordered = sorted(commits)
+    if not ordered or ordered[0][0] != 0 or any(
+            b[0] - a[0] != 1 for a, b in zip(ordered, ordered[1:])):
+        return None
+    state = _State()
+    for _v, blob in ordered:
+        actions = parse_commit(blob)
+        if actions is None or not _apply(state, actions):
+            return None
+    if not state.protocol_ok:
+        return None
+    return list(state.active.values())
+
+
+def prune_files(adds: "list[dict]", col: str, lo: int,
+                hi: int) -> "dict | None":
+    """Delta data skipping: which active files can a
+    ``col BETWEEN lo AND hi`` predicate touch?  A file is SKIPPED
+    only when its stats PROVE no overlap ([min,max] disjoint from
+    [lo,hi]); missing stats conservatively touch.  ->
+    {'touched': [add...], 'skipped': [add...], 'stats_complete'}."""
+    touched: "list[dict]" = []
+    skipped: "list[dict]" = []
+    complete = True
+    for a in adds:
+        stats = a.get("stats")
+        fmin = fmax = None
+        if isinstance(stats, str):
+            try:
+                parsed = json.loads(stats)
+            except ValueError:
+                parsed = None
+            if isinstance(parsed, dict):
+                mv = parsed.get("minValues")
+                xv = parsed.get("maxValues")
+                if isinstance(mv, dict):
+                    fmin = mv.get(col)
+                if isinstance(xv, dict):
+                    fmax = xv.get(col)
+        if not isinstance(fmin, int) or not isinstance(fmax, int):
+            complete = False
+            touched.append(a)  # cannot prove: must touch
+        elif fmax < lo or fmin > hi:
+            skipped.append(a)
+        else:
+            touched.append(a)
+    return {"touched": touched, "skipped": skipped,
+            "stats_complete": complete}
+
+
 def snapshot_with_dvs(commits: "list[tuple[int, bytes]]",
                       files: "dict[str, bytes]") -> "dict | None":
     """Merge-on-read over a DV-bearing log: replay, then resolve

@@ -358,3 +358,47 @@ def test_reader_v3_feature_gating():
     bad = dict(ok)
     del bad["readerFeatures"]
     assert replay_log(commit(bad)) is None
+
+
+def test_active_files_and_prune():
+    from teledetection_drone_satellite_spark.sources.deltalog import (
+        active_files, prune_files)
+
+    def commit(acts):
+        return [(0, ("\n".join(json.dumps(a) for a in acts) + "\n")
+                 .encode())]
+
+    meta = {"metaData": {
+        "id": "t", "format": {"provider": "parquet"},
+        "schemaString": json.dumps(
+            {"type": "struct",
+             "fields": [{"name": "ts", "type": "long"}]}),
+        "partitionColumns": []}}
+
+    def add(path, mn, mx, with_stats=True):
+        a = {"path": path, "size": 10, "dataChange": True}
+        if with_stats:
+            a["stats"] = json.dumps({
+                "numRecords": 5, "minValues": {"ts": mn},
+                "maxValues": {"ts": mx}})
+        return {"add": a}
+
+    acts = [{"protocol": {"minReaderVersion": 1}}, meta,
+            add("a", 0, 99), add("b", 100, 199),
+            add("c", 500, 599, with_stats=False),
+            add("gone", -1, -1),
+            {"remove": {"path": "gone"}}]
+    adds = active_files(commit(acts))
+    assert adds is not None
+    assert sorted(a["path"] for a in adds) == ["a", "b", "c"]
+    plan = prune_files(adds, "ts", 150, 700)
+    assert sorted(a["path"] for a in plan["touched"]) == ["b", "c"]
+    assert [a["path"] for a in plan["skipped"]] == ["a"]
+    # c has no stats: it must touch AND flag incompleteness
+    assert plan["stats_complete"] is False
+    plan2 = prune_files([a for a in adds if a["path"] != "c"],
+                        "ts", 150, 700)
+    assert plan2["stats_complete"] is True
+    # disjoint on both sides skips
+    plan3 = prune_files(adds, "ts", 1000, 2000)
+    assert [a["path"] for a in plan3["touched"]] == ["c"]
