@@ -21,7 +21,8 @@ import zlib
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from teledetection_drone_satellite_spark.sources import (  # noqa: E402
-    aiff, arc, arfile, arrowipc, avro, cdx, difftext, docx, elf, epub,
+    aiff, arc, arfile, arrowipc, avro, binaryjson, cdx, difftext, docx,
+    elf, epub,
     deltalog, feed, iceberg, lz4frame, parquetmeta, parquetpage, snappy,
     font, gitpack, gpx, hls, html, ical,
     id3,
@@ -265,6 +266,13 @@ DECODERS = {
         {(i * 7 + k * 13) % (1 << 18) for k in range(i % 300)}
         | ({(1 << 32) + i % 1000} if i % 3 == 0 else set())),
         deltalog.parse_dv_bitmap),
+    "msgpack": (lambda i: binaryjson.encode_msgpack(
+        binaryjson.synth_doc(i % 10000)[0]),
+        binaryjson.parse_msgpack),
+    "cbor": (lambda i: binaryjson.encode_cbor(
+        binaryjson.synth_doc(i % 10000)[0],
+        indefinite_strings=i % 2 == 1),
+        binaryjson.parse_cbor),
 }
 
 

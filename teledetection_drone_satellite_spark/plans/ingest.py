@@ -12555,6 +12555,94 @@ def iceberg_eq_deletes_stats(spark: SparkSession,
 
 
 @register(
+    "binaryjson_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 1 + doc_id % 4 AS n
+        FROM documents WHERE doc_id < 150
+    )
+    SELECT doc_id,
+           CAST(n AS INT) AS n_events,
+           CAST(n * 100 * doc_id + n * (n - 1) // 2 AS BIGINT)
+               AS id_sum,
+           CAST((n + 1) // 2 AS INT) AS n_ok,
+           CAST(n * (n - 1) // 2 AS BIGINT) AS score_x4_sum,
+           CAST(n * (n - 1) // 2 AS BIGINT) AS payload_bytes,
+           CAST(doc_id % 3 AS INT) AS n_tags,
+           CAST(-doc_id - 1 AS BIGINT) AS neg,
+           TRUE AS cross_ok
+    FROM spec
+    """,
+    doc="MessagePack + CBOR decode, graded (r15 — the two binary-"
+    "JSON formats of scraped API payloads and ML metadata; no wheel "
+    "for either exists here, probed r15). sources/binaryjson.py "
+    "implements both from the public specs — msgpack's full fix/8/"
+    "16/32 surface incl. the timestamp extension, CBOR majors 0-7 "
+    "incl. float16, tags, and indefinite-length strings/arrays/maps "
+    "— pinned against 48 RFC 8949 Appendix A vectors and the "
+    "msgpack spec's worked examples in tests/test_binaryjson.py. "
+    "Per doc the same API-payload-shaped document encodes to BOTH "
+    "wires (CBOR with chunked indefinite strings on odd docs), "
+    "decodes back, and must census identically: cross_ok asserts "
+    "msgpack-decoded == CBOR-decoded == original. The oracle states "
+    "the closed-form census.",
+    tags=("ingest", "corpus"),
+)
+def binaryjson_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.binaryjson import (
+        encode_cbor,
+        encode_msgpack,
+        parse_cbor,
+        parse_msgpack,
+        synth_doc,
+    )
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                doc, _ = synth_doc(i)
+                mp = parse_msgpack(encode_msgpack(doc))
+                cb = parse_cbor(
+                    encode_cbor(doc, indefinite_strings=i % 2 == 1))
+                cross = mp == doc and cb is not None \
+                    and cb[0] == doc and cb[1] == []
+                ev = mp["events"]
+                rows.append(
+                    (i, len(ev),
+                     sum(e["id"] for e in ev),
+                     sum(1 for e in ev if e["ok"]),
+                     int(sum(e["score"] * 4 for e in ev)),
+                     sum(len(e["payload"]) for e in ev),
+                     len(mp["tags"]), mp["meta"]["neg"], cross)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_events", "id_sum", "n_ok",
+                         "score_x4_sum", "payload_bytes", "n_tags",
+                         "neg", "cross_ok"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_events int, id_sum long, n_ok int, "
+        "score_x4_sum long, payload_bytes long, n_tags int, "
+        "neg long, cross_ok boolean",
+    )
+
+
+@register(
     "lake_prune_plan",
     oracle="""
     WITH spec AS (

@@ -1,0 +1,521 @@
+"""MessagePack + CBOR decode — pure stdlib, from the public
+MessagePack specification (github.com/msgpack/msgpack/spec.md) and
+RFC 8949 (CBOR), pinned against the RFC's own Appendix A test
+vectors and the msgpack spec's worked examples in tests (no wheel
+for either exists in this container — probed r15).
+
+Why: the two binary-JSON formats pervasive in scraped API payloads,
+ML metadata sidecars, and IoT dumps — the compact siblings of
+sources/jsonl.py in the ingest tier.  Both decode to plain Python
+values so the same census/grading machinery applies.
+
+MessagePack surface: all one-byte fix forms (fixint both signs,
+fixstr/fixarray/fixmap), nil/bool, uint8-64, int8-64, float32/64,
+str8/16/32, bin8/16/32, array16/32, map16/32, ext/fixext (returned
+as (type, bytes) tuples — never interpreted; the timestamp ext -1
+IS decoded to (seconds, nanos) per the spec's timestamp extension).
+
+CBOR surface: major types 0-7 — unsigned/negative ints (incl. the
+8-byte forms), byte/text strings, arrays, maps, tags (the value is
+kept, the tag number reported in the census; tag 0/1 time values
+pass through undecoded), false/true/null/undefined, float16 (the
+IEEE 754 half-precision decode is spelled out), float32/64, and the
+INDEFINITE-length forms of strings/arrays/maps with the 0xff break.
+
+Refusals (None): truncated payloads, trailing bytes, reserved or
+never-used lead bytes (msgpack 0xc1; CBOR additional-info 28-30),
+nesting past MAX_DEPTH, collections past MAX_ITEMS, indefinite
+string chunks of the wrong type, map keys that are unhashable,
+duplicate map keys, a break byte outside an indefinite context —
+the honest-fallback contract every decoder here shares.
+
+Reference parity: the reference declares JSON request/response
+models throughout (/root/reference/services/task-service/
+main.py:64-112); these are the binary wire twins.
+"""
+
+from __future__ import annotations
+
+import struct
+
+MAX_DEPTH = 64
+MAX_ITEMS = 1 << 24
+MAX_BYTES = 256 << 20
+
+
+class _Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.pos = 0
+
+    def take(self, n: int) -> bytes:
+        if n < 0 or self.pos + n > len(self.buf):
+            raise ValueError("truncated")
+        out = self.buf[self.pos:self.pos + n]
+        self.pos += n
+        return out
+
+    def byte(self) -> int:
+        if self.pos >= len(self.buf):
+            raise ValueError("truncated")
+        b = self.buf[self.pos]
+        self.pos += 1
+        return b
+
+
+# ------------------------------------------------------------ msgpack
+
+def _mp_value(r: _Reader, depth: int):
+    if depth > MAX_DEPTH:
+        raise ValueError("too deep")
+    b = r.byte()
+    if b <= 0x7F:
+        return b
+    if b >= 0xE0:
+        return b - 0x100
+    if 0x80 <= b <= 0x8F:
+        return _mp_map(r, b & 0x0F, depth)
+    if 0x90 <= b <= 0x9F:
+        return [_mp_value(r, depth + 1) for _ in range(b & 0x0F)]
+    if 0xA0 <= b <= 0xBF:
+        return r.take(b & 0x1F).decode("utf-8")
+    if b == 0xC0:
+        return None
+    if b == 0xC1:
+        raise ValueError("0xc1 never used")
+    if b == 0xC2:
+        return False
+    if b == 0xC3:
+        return True
+    if b in (0xC4, 0xC5, 0xC6):  # bin8/16/32
+        n = int.from_bytes(r.take(1 << (b - 0xC4)), "big")
+        if n > MAX_BYTES:
+            raise ValueError("bin too large")
+        return r.take(n)
+    if b in (0xC7, 0xC8, 0xC9):  # ext8/16/32
+        n = int.from_bytes(r.take(1 << (b - 0xC7)), "big")
+        if n > MAX_BYTES:
+            raise ValueError("ext too large")
+        t = struct.unpack("b", r.take(1))[0]
+        return _mp_ext(t, r.take(n))
+    if b == 0xCA:
+        return struct.unpack(">f", r.take(4))[0]
+    if b == 0xCB:
+        return struct.unpack(">d", r.take(8))[0]
+    if b in (0xCC, 0xCD, 0xCE, 0xCF):  # uint8-64
+        return int.from_bytes(r.take(1 << (b - 0xCC)), "big")
+    if b in (0xD0, 0xD1, 0xD2, 0xD3):  # int8-64
+        return int.from_bytes(r.take(1 << (b - 0xD0)), "big",
+                              signed=True)
+    if b in (0xD4, 0xD5, 0xD6, 0xD7, 0xD8):  # fixext1/2/4/8/16
+        t = struct.unpack("b", r.take(1))[0]
+        return _mp_ext(t, r.take(1 << (b - 0xD4)))
+    if b in (0xD9, 0xDA, 0xDB):  # str8/16/32
+        n = int.from_bytes(r.take(1 << (b - 0xD9)), "big")
+        if n > MAX_BYTES:
+            raise ValueError("str too large")
+        return r.take(n).decode("utf-8")
+    if b in (0xDC, 0xDD):  # array16/32
+        n = int.from_bytes(r.take(2 << (b - 0xDC)), "big")
+        if n > MAX_ITEMS:
+            raise ValueError("array too large")
+        return [_mp_value(r, depth + 1) for _ in range(n)]
+    # map16/32 (0xDE, 0xDF)
+    n = int.from_bytes(r.take(2 << (b - 0xDE)), "big")
+    if n > MAX_ITEMS:
+        raise ValueError("map too large")
+    return _mp_map(r, n, depth)
+
+
+def _mp_map(r: _Reader, n: int, depth: int) -> dict:
+    out = {}
+    for _ in range(n):
+        k = _mp_value(r, depth + 1)
+        if isinstance(k, (dict, list)):
+            raise ValueError("unhashable map key")
+        if k in out:
+            raise ValueError("duplicate map key")
+        out[k] = _mp_value(r, depth + 1)
+    return out
+
+
+def _mp_ext(t: int, data: bytes):
+    if t == -1:  # the spec's timestamp extension
+        if len(data) == 4:
+            return ("timestamp", int.from_bytes(data, "big"), 0)
+        if len(data) == 8:
+            v = int.from_bytes(data, "big")
+            return ("timestamp", v & ((1 << 34) - 1), v >> 34)
+        if len(data) == 12:
+            nanos = int.from_bytes(data[:4], "big")
+            secs = int.from_bytes(data[4:], "big", signed=True)
+            return ("timestamp", secs, nanos)
+        raise ValueError("bad timestamp ext")
+    return ("ext", t, data)
+
+
+def parse_msgpack(content: bytes):
+    """One msgpack document -> Python value, or None (refusal;
+    trailing bytes refuse)."""
+    try:
+        r = _Reader(content)
+        out = _mp_value(r, 0)
+        if r.pos != len(r.buf):
+            return None
+        return out
+    except (ValueError, UnicodeDecodeError, struct.error,
+            OverflowError, RecursionError):
+        return None
+
+
+def encode_msgpack(value) -> bytes:
+    """Canonical-ish writer for fixtures and round trips."""
+    out = bytearray()
+    _mp_enc(out, value, 0)
+    return bytes(out)
+
+
+def _mp_enc(out: bytearray, v, depth: int) -> None:
+    if depth > MAX_DEPTH:
+        raise ValueError("too deep")
+    if v is None:
+        out.append(0xC0)
+    elif v is True:
+        out.append(0xC3)
+    elif v is False:
+        out.append(0xC2)
+    elif isinstance(v, int):
+        if 0 <= v <= 0x7F:
+            out.append(v)
+        elif -32 <= v < 0:
+            out.append(v & 0xFF)
+        elif 0 <= v <= 0xFF:
+            out += bytes([0xCC, v])
+        elif 0 <= v <= 0xFFFF:
+            out += b"\xcd" + v.to_bytes(2, "big")
+        elif 0 <= v <= 0xFFFFFFFF:
+            out += b"\xce" + v.to_bytes(4, "big")
+        elif v >= 0:
+            out += b"\xcf" + v.to_bytes(8, "big")
+        elif v >= -0x80:
+            out += b"\xd0" + v.to_bytes(1, "big", signed=True)
+        elif v >= -0x8000:
+            out += b"\xd1" + v.to_bytes(2, "big", signed=True)
+        elif v >= -0x80000000:
+            out += b"\xd2" + v.to_bytes(4, "big", signed=True)
+        else:
+            out += b"\xd3" + v.to_bytes(8, "big", signed=True)
+    elif isinstance(v, float):
+        out += b"\xcb" + struct.pack(">d", v)
+    elif isinstance(v, str):
+        vb = v.encode("utf-8")
+        if len(vb) <= 31:
+            out.append(0xA0 | len(vb))
+        elif len(vb) <= 0xFF:
+            out += bytes([0xD9, len(vb)])
+        else:
+            out += b"\xda" + len(vb).to_bytes(2, "big")
+        out += vb
+    elif isinstance(v, bytes):
+        if len(v) <= 0xFF:
+            out += bytes([0xC4, len(v)])
+        else:
+            out += b"\xc5" + len(v).to_bytes(2, "big")
+        out += v
+    elif isinstance(v, list):
+        if len(v) <= 15:
+            out.append(0x90 | len(v))
+        else:
+            out += b"\xdc" + len(v).to_bytes(2, "big")
+        for item in v:
+            _mp_enc(out, item, depth + 1)
+    elif isinstance(v, dict):
+        if len(v) <= 15:
+            out.append(0x80 | len(v))
+        else:
+            out += b"\xde" + len(v).to_bytes(2, "big")
+        for k, item in v.items():
+            _mp_enc(out, k, depth + 1)
+            _mp_enc(out, item, depth + 1)
+    else:
+        raise ValueError("unsupported: %r" % type(v))
+
+
+# --------------------------------------------------------------- cbor
+
+_BREAK = object()
+
+
+def _half_to_float(h: int) -> float:
+    """IEEE 754 half-precision per RFC 8949 appendix D."""
+    sign = -1.0 if h & 0x8000 else 1.0
+    exp = (h >> 10) & 0x1F
+    frac = h & 0x3FF
+    if exp == 0:
+        return sign * frac * 2.0 ** -24
+    if exp == 31:
+        return sign * (float("inf") if frac == 0 else float("nan"))
+    return sign * (1 + frac / 1024.0) * 2.0 ** (exp - 15)
+
+
+def _cbor_head(r: _Reader) -> "tuple[int, int | None]":
+    """-> (major, arg) where arg None means indefinite."""
+    b = r.byte()
+    major = b >> 5
+    info = b & 0x1F
+    if info < 24:
+        return major, info
+    if info == 24:
+        return major, r.byte()
+    if info == 25:
+        return major, int.from_bytes(r.take(2), "big")
+    if info == 26:
+        return major, int.from_bytes(r.take(4), "big")
+    if info == 27:
+        return major, int.from_bytes(r.take(8), "big")
+    if info == 31:
+        return major, None
+    raise ValueError("reserved additional info")
+
+
+def _cbor_value(r: _Reader, depth: int, tags: "list[int]"):
+    if depth > MAX_DEPTH:
+        raise ValueError("too deep")
+    start = r.pos
+    b = r.buf[r.pos] if r.pos < len(r.buf) else None
+    if b == 0xFF:
+        r.pos += 1
+        return _BREAK
+    major, arg = _cbor_head(r)
+    if major == 0:  # unsigned
+        if arg is None:
+            raise ValueError("indefinite int")
+        return arg
+    if major == 1:  # negative: -1 - arg
+        if arg is None:
+            raise ValueError("indefinite int")
+        return -1 - arg
+    if major in (2, 3):  # byte / text string
+        if arg is None:  # indefinite: definite chunks of same major
+            chunks = bytearray()
+            while True:
+                if r.pos < len(r.buf) and r.buf[r.pos] == 0xFF:
+                    r.pos += 1
+                    break
+                m2, a2 = _cbor_head(r)
+                if m2 != major or a2 is None:
+                    raise ValueError("bad indefinite chunk")
+                if a2 > MAX_BYTES:
+                    raise ValueError("string too large")
+                chunks += r.take(a2)
+            data = bytes(chunks)
+        else:
+            if arg > MAX_BYTES:
+                raise ValueError("string too large")
+            data = r.take(arg)
+        return data if major == 2 else data.decode("utf-8")
+    if major == 4:  # array
+        out = []
+        if arg is None:
+            while True:
+                v = _cbor_value(r, depth + 1, tags)
+                if v is _BREAK:
+                    return out
+                if len(out) >= MAX_ITEMS:
+                    raise ValueError("array too large")
+                out.append(v)
+        if arg > MAX_ITEMS:
+            raise ValueError("array too large")
+        for _ in range(arg):
+            v = _cbor_value(r, depth + 1, tags)
+            if v is _BREAK:
+                raise ValueError("break inside definite array")
+            out.append(v)
+        return out
+    if major == 5:  # map
+        out = {}
+
+        def put(k, v):
+            if isinstance(k, (dict, list)):
+                raise ValueError("unhashable map key")
+            if k in out:
+                raise ValueError("duplicate map key")
+            out[k] = v
+
+        if arg is None:
+            while True:
+                k = _cbor_value(r, depth + 1, tags)
+                if k is _BREAK:
+                    return out
+                v = _cbor_value(r, depth + 1, tags)
+                if v is _BREAK:
+                    raise ValueError("break as map value")
+                if len(out) >= MAX_ITEMS:
+                    raise ValueError("map too large")
+                put(k, v)
+        if arg > MAX_ITEMS:
+            raise ValueError("map too large")
+        for _ in range(arg):
+            k = _cbor_value(r, depth + 1, tags)
+            v = _cbor_value(r, depth + 1, tags)
+            if k is _BREAK or v is _BREAK:
+                raise ValueError("break inside definite map")
+            put(k, v)
+        return out
+    if major == 6:  # tag
+        if arg is None:
+            raise ValueError("indefinite tag")
+        tags.append(arg)
+        v = _cbor_value(r, depth + 1, tags)
+        if v is _BREAK:
+            raise ValueError("break after tag")
+        return v
+    # major 7: simple / floats
+    info = r.buf[start] & 0x1F
+    if info == 20:
+        return False
+    if info == 21:
+        return True
+    if info == 22:
+        return None
+    if info == 23:
+        return None  # undefined -> None (censused via tags? no: kept)
+    if info == 25:
+        return _half_to_float(arg)
+    if info == 26:
+        return struct.unpack(">f", struct.pack(">I", arg))[0]
+    if info == 27:
+        return struct.unpack(">d", struct.pack(">Q", arg))[0]
+    if info == 24:  # simple value 32..255
+        if arg is None or arg < 32:
+            raise ValueError("bad simple")
+        return ("simple", arg)
+    if info < 20:  # simple values 0..19
+        return ("simple", info)
+    raise ValueError("reserved simple")
+
+
+def parse_cbor(content: bytes) -> "tuple | None":
+    """One CBOR document -> (value, tags_seen) or None (refusal;
+    trailing bytes refuse)."""
+    try:
+        r = _Reader(content)
+        tags: "list[int]" = []
+        out = _cbor_value(r, 0, tags)
+        if out is _BREAK or r.pos != len(r.buf):
+            return None
+        return out, tags
+    except (ValueError, UnicodeDecodeError, struct.error,
+            OverflowError, RecursionError):
+        return None
+
+
+def encode_cbor(value, indefinite_strings: bool = False) -> bytes:
+    """Writer for fixtures and round trips (definite-length by
+    default; ``indefinite_strings`` exercises the chunked forms)."""
+    out = bytearray()
+    _cbor_enc(out, value, 0, indefinite_strings)
+    return bytes(out)
+
+
+def _cbor_head_enc(out: bytearray, major: int, n: int) -> None:
+    if n < 24:
+        out.append((major << 5) | n)
+    elif n <= 0xFF:
+        out.append((major << 5) | 24)
+        out.append(n)
+    elif n <= 0xFFFF:
+        out.append((major << 5) | 25)
+        out += n.to_bytes(2, "big")
+    elif n <= 0xFFFFFFFF:
+        out.append((major << 5) | 26)
+        out += n.to_bytes(4, "big")
+    else:
+        out.append((major << 5) | 27)
+        out += n.to_bytes(8, "big")
+
+
+def _cbor_enc(out: bytearray, v, depth: int, istr: bool) -> None:
+    if depth > MAX_DEPTH:
+        raise ValueError("too deep")
+    if v is None:
+        out.append(0xF6)
+    elif v is True:
+        out.append(0xF5)
+    elif v is False:
+        out.append(0xF4)
+    elif isinstance(v, int):
+        if v >= 0:
+            _cbor_head_enc(out, 0, v)
+        else:
+            _cbor_head_enc(out, 1, -1 - v)
+    elif isinstance(v, float):
+        out.append(0xFB)
+        out += struct.pack(">d", v)
+    elif isinstance(v, bytes):
+        _cbor_head_enc(out, 2, len(v))
+        out += v
+    elif isinstance(v, str):
+        vb = v.encode("utf-8")
+        if istr and len(vb) > 8:  # chunked indefinite form
+            out.append((3 << 5) | 31)
+            for k in range(0, len(vb), 8):
+                chunk = vb[k:k + 8]
+                _cbor_head_enc(out, 3, len(chunk))
+                out += chunk
+            out.append(0xFF)
+        else:
+            _cbor_head_enc(out, 3, len(vb))
+            out += vb
+    elif isinstance(v, list):
+        _cbor_head_enc(out, 4, len(v))
+        for item in v:
+            _cbor_enc(out, item, depth + 1, istr)
+    elif isinstance(v, dict):
+        _cbor_head_enc(out, 5, len(v))
+        for k, item in v.items():
+            _cbor_enc(out, k, depth + 1, istr)
+            _cbor_enc(out, item, depth + 1, istr)
+    else:
+        raise ValueError("unsupported: %r" % type(v))
+
+
+# ---------------------------------------------------------------- synth
+
+def synth_doc(doc_id: int) -> "tuple[dict, dict]":
+    """Deterministic API-payload-shaped document plus its census.
+    Closed form (mirrored by the binaryjson_stats oracle):
+
+        n_events = 1 + doc_id % 4; event e: {'id': 100*doc_id + e,
+        'kind': 'k{e % 3}', 'ok': e % 2 == 0, 'score': e * 0.25,
+        'payload': bytes of length e % 5}
+        top level: 'doc' int, 'name' str 'doc-{doc_id}',
+        'tags' list of doc_id % 3 strings, 'meta' {'v': 2,
+        'neg': -doc_id - 1}, 'none' null"""
+    i = int(doc_id)
+    n_events = 1 + i % 4
+    doc = {
+        "doc": i,
+        "name": "doc-%d" % i,
+        "none": None,
+        "tags": ["t%d" % k for k in range(i % 3)],
+        "meta": {"v": 2, "neg": -i - 1},
+        "events": [
+            {"id": 100 * i + e, "kind": "k%d" % (e % 3),
+             "ok": e % 2 == 0, "score": e * 0.25,
+             "payload": bytes((e + j) % 256 for j in range(e % 5))}
+            for e in range(n_events)
+        ],
+    }
+    census = {
+        "n_events": n_events,
+        "id_sum": sum(100 * i + e for e in range(n_events)),
+        "n_ok": (n_events + 1) // 2,
+        "score_x4_sum": sum(e for e in range(n_events)),
+        "payload_bytes": sum(e % 5 for e in range(n_events)),
+        "n_tags": i % 3,
+        "neg": -i - 1,
+    }
+    return doc, census

