@@ -175,6 +175,60 @@ def q_stream_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_session_ttl_jvm",
+    # Emission boundary measured empirically (engineered fixture,
+    # tests/test_streaming.py::test_ttl_jvm_append_boundary): append
+    # mode finalizes a session window when the final watermark
+    # REACHES its end (end <= wm, non-strict) — the OPPOSITE
+    # boundary of the Python timeout's strict firing, so the two
+    # oracles deliberately differ at the boundary.
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS bucket_date,
+               ts, event_id,
+               CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id, date_trunc('week', ts)
+                        ORDER BY ts, event_id)
+                         < INTERVAL {TTL_MINUTES_DEFAULT} MINUTE
+                    THEN 0 ELSE 1 END AS is_new
+        FROM events
+    ), sess AS (
+        SELECT user_id, bucket_date, ts,
+               sum(is_new) OVER (PARTITION BY user_id, bucket_date
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id, bucket_date, count(*) AS n_events,
+           max(ts) AS last_ts, true AS expired
+    FROM sess GROUP BY user_id, bucket_date, sid
+    HAVING epoch_ms(max(ts)) + {TTL_MINUTES_DEFAULT} * 60 * 1000
+           <= epoch_ms((SELECT max(ts) FROM events))
+    """,
+    doc="The r15 JVM restatement EXPERIMENT for TTL expiry (VERDICT "
+    "r14 task 8): native session_window (gap = TTL) in APPEND mode "
+    "— emission watermark-gated like the timeout firing, zero "
+    "Python in the loop. The measured verdict: it CANNOT replace "
+    "stream_session_ttl's SETEX semantics — session_window emits "
+    "one row per GAP-SESSION (8,306 rows at sf0.01) while the state "
+    "machine accumulates per KEY with splits only at batch "
+    "boundaries (724 rows), because event-time timeouts fire "
+    "against the between-batch watermark while gap-splitting is "
+    "row-level. So this is graded as its own query (the oracle "
+    "states gap-sessionization per (user, week) with the measured "
+    "non-strict emission boundary) and the Python machine stays "
+    "where its re-arm logic is irreducible. Timings in BASELINE.md "
+    "r15 notes.",
+    tags=("streaming", "state"),
+)
+def q_stream_session_ttl_jvm(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from ..streaming.ttl import stream_session_ttl_jvm
+
+    return stream_session_ttl_jvm(spark, sf_dir)
+
+
+@register(
     "stream_dedupe_events",
     oracle="""
     SELECT event_type, CAST(count(DISTINCT event_id % 997) AS BIGINT) AS n_unique

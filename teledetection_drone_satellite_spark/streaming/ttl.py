@@ -158,6 +158,45 @@ def _ttl_update_factory(ttl_minutes: int):
     return update
 
 
+def stream_session_ttl_jvm(
+    spark: SparkSession, sf_dir: str,
+    ttl_minutes: int = TTL_MINUTES_DEFAULT, n_slices: int = 2
+) -> DataFrame:
+    """The r15 JVM restatement EXPERIMENT (VERDICT r14 task 8):
+    TTL expiry as a native ``session_window`` (gap = TTL) in APPEND
+    mode — emission is watermark-gated exactly like the timeout
+    firing, and everything stays in JVM codegen + the streaming
+    session-merge state store (no Python in the loop).
+
+    What it can and cannot express (measured, not assumed —
+    tests/test_streaming.py pins the delta): append-mode
+    session_window emits one row PER GAP-SESSION, while the SETEX
+    state machine accumulates per KEY and a mid-batch gap larger
+    than TTL does NOT split it (timeouts only fire against the
+    between-batch watermark).  The two coincide only for keys with
+    a single session; at sf0.01 they genuinely differ, so this
+    variant is graded as its own query (its oracle states
+    gap-sessionization) rather than replacing stream_session_ttl —
+    the Python state machine stays where its per-key re-arm logic
+    is irreducible."""
+    spark = stream_session(spark, n_partitions=8)
+    path = materialize_time_slices(spark, sf_dir, n_slices)
+    events = read_sliced_events(spark, path).select(
+        "ts", "user_id",
+        F.to_date(F.date_trunc("week", "ts")).alias("bucket_date"))
+    gap = "%d minutes" % ttl_minutes
+    agg = (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", gap).alias("sw"),
+                 "user_id", "bucket_date")
+        .agg(F.count("*").alias("n_events"),
+             F.max("ts").alias("last_ts"))
+        .select("user_id", "bucket_date", "n_events", "last_ts",
+                F.lit(True).alias("expired"))
+    )
+    return _run_to_memory(agg, "append")
+
+
 def stream_session_ttl(
     spark: SparkSession, sf_dir: str, ttl_minutes: int = TTL_MINUTES_DEFAULT, n_slices: int = 2
 ) -> DataFrame:

@@ -407,3 +407,57 @@ def test_stream_interval_join_matches_batch_and_multibatch(spark, sf_dir):
     assert got1 == want
     got4 = sorted(stream_interval_join(spark, sf_dir, n_slices=4).collect())
     assert got4 == want
+
+
+def test_ttl_jvm_append_boundary(spark, tmp_path):
+    # r15: append-mode session_window finalizes a window when the
+    # final watermark REACHES its end (end <= wm, non-strict) — the
+    # opposite boundary of the Python timeout's strict firing; the
+    # stream_session_ttl_jvm oracle states exactly this
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 1, base),  # session end == final wm EXACTLY: must emit
+        (2, 2, base + dt.timedelta(minutes=120)),  # defines the wm
+        (3, 3, base - dt.timedelta(minutes=1)),  # strictly before
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp")
+    d = str(tmp_path / "bnd")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream
+        .schema("user_id long, event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "part-*").parquet(d)
+    )
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "120 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (agg.writeStream.format("memory").queryName("ttl_bnd")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted(r["user_id"]
+                 for r in spark.table("ttl_bnd").collect())
+    assert got == [1, 3]  # user 2's own session end > wm: held back
+
+
+def test_ttl_jvm_vs_python_semantic_delta(spark):
+    # r15 experiment verdict, pinned: the JVM session_window variant
+    # emits one row per GAP-SESSION, the SETEX state machine one per
+    # expired KEY — the JVM form must emit at least as many rows and
+    # agree on total event mass over expired keys' events
+    from teledetection_drone_satellite_spark.streaming.ttl import (
+        stream_session_ttl, stream_session_ttl_jvm)
+
+    sf_dir = "/root/testdata/sf0.001"
+    py = stream_session_ttl(spark, sf_dir).toPandas()
+    jvm = stream_session_ttl_jvm(spark, sf_dir).toPandas()
+    assert len(jvm) >= len(py)
+    # every python-expired key appears among the jvm sessions
+    py_keys = set(zip(py["user_id"], py["bucket_date"]))
+    jvm_keys = set(zip(jvm["user_id"], jvm["bucket_date"]))
+    assert py_keys <= jvm_keys
