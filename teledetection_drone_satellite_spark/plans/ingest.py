@@ -11891,6 +11891,115 @@ def parquet_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "parquet_delta_page_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 64 + doc_id % 100 AS n
+        FROM documents WHERE doc_id < 150
+    ),
+    v AS (
+        SELECT doc_id, n, CAST(u.k AS INT) AS k,
+               doc_id * 3 + u.k * 7 AS iv
+        FROM spec, LATERAL unnest(range(0, n)) u(k)
+    )
+    SELECT doc_id,
+           CAST(max(n) AS INT) AS n_values,
+           CAST(sum(CASE WHEN k % 5 != 0 THEN iv END) AS BIGINT)
+               AS int_sum,
+           CAST(sum(CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END) AS INT)
+               AS n_nulls,
+           CAST(sum(length('key-' || CAST(doc_id AS VARCHAR) || '-'
+                    || CAST(k % 40 AS VARCHAR))) AS BIGINT)
+               AS str_bytes,
+           CAST(sum(k) AS BIGINT) AS f64_x8_sum
+    FROM v GROUP BY doc_id
+    """,
+    doc="Parquet DELTA-family page decode, graded (r15 — the "
+    "parquet-mr v2 default encodings, over REAL pyarrow-written "
+    "bytes): per doc a table of 64 + doc_id %% 100 rows writes with "
+    "column_encoding DELTA_BINARY_PACKED (nullable int64, so the "
+    "deltas interleave with definition levels), DELTA_BYTE_ARRAY "
+    "(prefix-compressed strings), and BYTE_STREAM_SPLIT (float64), "
+    "codec rotating none/snappy/zstd and data-page version "
+    "rotating v1/v2; sources/parquetpage.py decodes the bytes back "
+    "and the oracle recomputes the census in closed form. The "
+    "block/miniblock width-wrap arithmetic and the omitted-"
+    "trailing-miniblock rule are pinned against pyarrow across "
+    "row-group splits in tests/test_parquetpage.py.",
+    tags=("ingest", "sketch"),
+)
+def parquet_delta_page_stats(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import io as _io
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        from ..sources.parquetpage import read_columns
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                n = 64 + i % 100
+                tbl = _pa.table({
+                    "iv": _pa.array(
+                        [None if k % 5 == 0 else i * 3 + k * 7
+                         for k in range(n)], _pa.int64()),
+                    "s": _pa.array(
+                        ["key-%d-%d" % (i, k % 40)
+                         for k in range(n)], _pa.string()),
+                    "f": _pa.array([k * 0.125 for k in range(n)],
+                                   _pa.float64()),
+                })
+                sink = _io.BytesIO()
+                _pq.write_table(
+                    tbl, sink, use_dictionary=False,
+                    column_encoding={
+                        "iv": "DELTA_BINARY_PACKED",
+                        "s": "DELTA_BYTE_ARRAY",
+                        "f": "BYTE_STREAM_SPLIT"},
+                    compression=("none", "snappy", "zstd")[i % 3],
+                    data_page_version=("1.0", "2.0")[i % 2],
+                    row_group_size=48)
+                got = read_columns(sink.getvalue())
+                if got is None:
+                    continue
+                iv = got["columns"]["iv"]
+                sv = got["columns"]["s"]
+                fv = got["columns"]["f"]
+                rows.append(
+                    (i, len(iv),
+                     sum(v for v in iv if v is not None),
+                     sum(1 for v in iv if v is None),
+                     sum(len(v) for v in sv),
+                     int(sum(v * 8 for v in fv)))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_values", "int_sum", "n_nulls",
+                         "str_bytes", "f64_x8_sum"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_values int, int_sum long, n_nulls int, "
+        "str_bytes long, f64_x8_sum long",
+    )
+
+
+@register(
     "lz4_frame_stats",
     oracle="""
     WITH spec AS (

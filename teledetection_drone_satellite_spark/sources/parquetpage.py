@@ -34,14 +34,20 @@ Parsed surface:
                       PLAIN_DICTIONARY (2) / RLE_DICTIONARY (8)
                       (bit-width byte + RLE/bit-packed indices into
                       the chunk's dictionary page), RLE (3) for
-                      booleans;
+                      booleans, and (r15, all pyarrow-cross-pinned)
+                      DELTA_BINARY_PACKED (5 — block/miniblock
+                      bit-packed deltas with width-wrap arithmetic),
+                      DELTA_LENGTH_BYTE_ARRAY (6),
+                      DELTA_BYTE_ARRAY (7 — prefix-compressed), and
+                      BYTE_STREAM_SPLIT (9 — byte-transposed
+                      floats/ints);
   levels              v1: 4-byte-LE-length-prefixed RLE hybrid
                       inside the (possibly compressed) body;
                       v2: raw level runs BEFORE the value section,
                       never compressed, lengths from the header.
 
 Refusals (None): repeated columns (max_rep > 0 — nested list/map
-assembly is out of scope by design), unknown/delta encodings, an
+assembly is out of scope by design), unknown encodings, an
 unknown codec or one whose decode fails or misses the declared
 uncompressed size, level runs that decode to the wrong count, a
 dictionary index past the dictionary, pages that overrun the chunk,
@@ -71,7 +77,11 @@ _PAGE_DATA_V2 = 3
 _ENC_PLAIN = 0
 _ENC_PLAIN_DICT = 2
 _ENC_RLE = 3
+_ENC_DELTA_BINARY = 5
+_ENC_DELTA_LENGTH_BA = 6
+_ENC_DELTA_BA = 7
 _ENC_RLE_DICT = 8
+_ENC_BYTE_STREAM_SPLIT = 9
 
 MAX_PAGE = 256 << 20
 _MAX_VALUES = 1 << 28
@@ -244,6 +254,134 @@ def _plain_size(buf: bytes, ptype: str, count: int,
 
 def _bit_width(v: int) -> int:
     return max(v, 0).bit_length()
+
+
+def _uvarint(buf: bytes, pos: int) -> "tuple[int, int]":
+    n = shift = 0
+    while True:
+        if pos >= len(buf) or shift > 63:
+            raise ValueError("varint overrun")
+        b = buf[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            return n, pos
+
+
+def _delta_binary_packed(buf: bytes, pos: int, bits: int,
+                         ) -> "tuple[list[int], int] | None":
+    """DELTA_BINARY_PACKED (spec Encodings.md): block header
+    (block size, miniblocks/block, count, first value), then per
+    block a zigzag min-delta, per-miniblock bit widths, bit-packed
+    delta payloads.  ``bits`` is the physical width (32/64) — the
+    spec requires wrap-around arithmetic at that width.  ->
+    (values, next_pos) or None."""
+    try:
+        block_size, pos = _uvarint(buf, pos)
+        n_mini, pos = _uvarint(buf, pos)
+        count, pos = _uvarint(buf, pos)
+        first, pos2 = _uvarint(buf, pos)
+        first = (first >> 1) ^ -(first & 1)  # zigzag
+        pos = pos2
+        if block_size <= 0 or block_size % 128 or n_mini <= 0 or \
+                block_size % n_mini or count > _MAX_VALUES:
+            return None
+        per_mini = block_size // n_mini
+        if per_mini % 32:
+            return None
+        mask = (1 << bits) - 1
+        sign = 1 << (bits - 1)
+        out = [first]
+        while len(out) < count:
+            md_raw, pos = _uvarint(buf, pos)
+            min_delta = (md_raw >> 1) ^ -(md_raw & 1)
+            if pos + n_mini > len(buf):
+                return None
+            widths = buf[pos:pos + n_mini]
+            pos += n_mini
+            for m in range(n_mini):
+                w = widths[m]
+                if w > bits:
+                    return None
+                if len(out) >= count:
+                    break  # spec: data for valueless trailing
+                    # miniblocks is omitted (widths still written)
+                nbytes = per_mini * w // 8
+                if pos + nbytes > len(buf):
+                    return None
+                acc = int.from_bytes(buf[pos:pos + nbytes], "little")
+                pos += nbytes
+                wmask = (1 << w) - 1
+                prev = out[-1]
+                room = count - len(out)
+                for k in range(min(per_mini, room)):
+                    d = (acc >> (k * w)) & wmask if w else 0
+                    prev = (prev + min_delta + d) & mask
+                    if prev & sign:  # wrap to signed
+                        prev -= 1 << bits
+                    out.append(prev)
+        del out[count:]
+        return out, pos
+    except (ValueError, IndexError, OverflowError):
+        return None
+
+
+def _delta_length_byte_array(buf: bytes, count: int,
+                             ) -> "list[bytes] | None":
+    got = _delta_binary_packed(buf, 0, 32)
+    if got is None:
+        return None
+    lengths, pos = got
+    if len(lengths) != count or any(ln < 0 for ln in lengths):
+        return None
+    out = []
+    for ln in lengths:
+        if pos + ln > len(buf):
+            return None
+        out.append(buf[pos:pos + ln])
+        pos += ln
+    return out
+
+
+def _delta_byte_array(buf: bytes, count: int) -> "list[bytes] | None":
+    got = _delta_binary_packed(buf, 0, 32)
+    if got is None:
+        return None
+    prefixes, pos = got
+    if len(prefixes) != count:
+        return None
+    suffixes = _delta_length_byte_array(buf[pos:], count)
+    if suffixes is None:
+        return None
+    out: "list[bytes]" = []
+    prev = b""
+    for pfx, sfx in zip(prefixes, suffixes):
+        if pfx < 0 or pfx > len(prev):
+            return None
+        prev = prev[:pfx] + sfx
+        out.append(prev)
+    return out
+
+
+def _byte_stream_split(buf: bytes, ptype: str, count: int,
+                       type_length: "int | None") -> "list | None":
+    width = {"FLOAT": 4, "DOUBLE": 8, "INT32": 4, "INT64": 8}.get(
+        ptype, type_length if ptype == "FIXED_LEN_BYTE_ARRAY" else 0)
+    if not width or len(buf) != width * count:
+        return None
+    streams = [buf[s * count:(s + 1) * count] for s in range(width)]
+    joined = [bytes(streams[s][k] for s in range(width))
+              for k in range(count)]
+    if ptype == "FLOAT":
+        return [struct.unpack("<f", b)[0] for b in joined]
+    if ptype == "DOUBLE":
+        return [struct.unpack("<d", b)[0] for b in joined]
+    if ptype == "INT32":
+        return [struct.unpack("<i", b)[0] for b in joined]
+    if ptype == "INT64":
+        return [struct.unpack("<q", b)[0] for b in joined]
+    return joined  # FIXED_LEN_BYTE_ARRAY
 
 
 def decode_column_chunk(buf: bytes, chunk: dict,
@@ -422,7 +560,22 @@ def _decode_values(plain: bytes, enc: int, ptype: str,
             return None
         bits = _rle_bp_hybrid(plain[4:4 + ln], 1, count)
         return None if bits is None else [bool(b) for b in bits]
-    return None  # delta encodings: refused honestly
+    if enc == _ENC_DELTA_BINARY and ptype in ("INT32", "INT64"):
+        if count == 0:
+            return []
+        got = _delta_binary_packed(
+            plain, 0, 32 if ptype == "INT32" else 64)
+        return None if got is None or len(got[0]) != count \
+            else got[0]
+    if enc == _ENC_DELTA_LENGTH_BA and ptype == "BYTE_ARRAY":
+        return [] if count == 0 else \
+            _delta_length_byte_array(plain, count)
+    if enc == _ENC_DELTA_BA and ptype in ("BYTE_ARRAY",
+                                          "FIXED_LEN_BYTE_ARRAY"):
+        return [] if count == 0 else _delta_byte_array(plain, count)
+    if enc == _ENC_BYTE_STREAM_SPLIT:
+        return _byte_stream_split(plain, ptype, count, tlen)
+    return None  # anything else: refused honestly
 
 
 def read_columns(buf: bytes,

@@ -145,11 +145,52 @@ def test_nested_column_skipped_not_crashed():
     assert read_columns(buf, want=["embedding.list.element"]) is None
 
 
-def test_delta_encoding_refused_honestly():
-    tbl = pa.table({"i64": pa.array(range(100), pa.int64())})
-    buf = _write(tbl, use_dictionary=False,
-                 column_encoding={"i64": "DELTA_BINARY_PACKED"})
-    assert read_columns(buf, want=["i64"]) is None
+@pytest.mark.parametrize("codec", ["none", "snappy", "zstd"])
+@pytest.mark.parametrize("dpv", ["1.0", "2.0"])
+def test_delta_and_bss_encodings_cross_pin(codec, dpv):
+    # r15: DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY /
+    # DELTA_BYTE_ARRAY / BYTE_STREAM_SPLIT vs real pyarrow streams
+    n = 3000
+    tbl = pa.table({
+        "i64": pa.array(
+            [None if k % 7 == 0
+             else (k * 1000003) % (1 << 40) - (1 << 39)
+             for k in range(n)], pa.int64()),
+        "i32": pa.array(
+            [None if k % 11 == 0 else (k % 5000) - 2500
+             for k in range(n)], pa.int32()),
+        "s": pa.array(
+            [None if k % 17 == 0
+             else "prefix-%06d-suffix%d" % (k % 500, k % 7)
+             for k in range(n)], pa.string()),
+        "f64": pa.array(
+            [None if k % 13 == 0 else k * 0.37 for k in range(n)],
+            pa.float64()),
+    })
+    for enc, cols in [
+        ({"i64": "DELTA_BINARY_PACKED",
+          "i32": "DELTA_BINARY_PACKED"}, ["i64", "i32"]),
+        ({"s": "DELTA_LENGTH_BYTE_ARRAY"}, ["s"]),
+        ({"s": "DELTA_BYTE_ARRAY"}, ["s"]),
+        ({"f64": "BYTE_STREAM_SPLIT"}, ["f64"]),
+    ]:
+        buf = _write(tbl.select(cols), use_dictionary=False,
+                     column_encoding=enc, compression=codec,
+                     data_page_version=dpv, row_group_size=700)
+        _check_against_arrow(buf, tbl.select(cols),
+                             f"{enc} {codec} v{dpv}")
+
+
+def test_delta_edge_sizes():
+    for nn in (1, 2, 31, 32, 33, 127, 128, 129, 513):
+        t2 = pa.table({"i": pa.array(range(nn), pa.int64()),
+                       "s": pa.array(["v%d" % k for k in range(nn)])})
+        buf = _write(t2, use_dictionary=False, column_encoding={
+            "i": "DELTA_BINARY_PACKED", "s": "DELTA_BYTE_ARRAY"})
+        got = read_columns(buf)
+        assert got["columns"]["i"] == list(range(nn)), nn
+        assert got["columns"]["s"] == [b"v%d" % k
+                                       for k in range(nn)], nn
 
 
 def test_rle_bp_hybrid_exact():
