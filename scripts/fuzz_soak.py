@@ -28,7 +28,7 @@ from teledetection_drone_satellite_spark.sources import (  # noqa: E402
     id3,
     las,
     markdown, mbox, midi, mkv, mp4, mpeg, mpegts, netcdf, notebook,
-    odt, ogg,
+    odt, ogg, orcdata,
     pbwire, pcap, pdf, pptx,
     robots, rtf,
     rpmfile, shapefile, sitemap, sqlitefile, svg, tensorfile, tfrecord,
@@ -273,7 +273,30 @@ DECODERS = {
         binaryjson.synth_doc(i % 10000)[0],
         indefinite_strings=i % 2 == 1),
         binaryjson.parse_cbor),
+    "orc_stripes": (lambda i: _synth_orc_bytes(i),
+                    orcdata.read_orc_columns),
 }
+
+
+def _synth_orc_bytes(i: int) -> bytes:
+    """A small real-writer ORC file (codec rotates) for the stripe
+    decoder's bit-flip soak."""
+    import io as _io
+
+    import pyarrow as _pa
+    import pyarrow.orc as _orc
+
+    n = 50 + i % 100
+    tbl = _pa.table({
+        "a": _pa.array([None if k % 5 == 0 else (i + k) * 7
+                        for k in range(n)], _pa.int64()),
+        "s": _pa.array(["v%d" % ((i + k) % 17) for k in range(n)]),
+    })
+    sink = _io.BytesIO()
+    _orc.write_table(
+        tbl, sink,
+        compression=("uncompressed", "zlib", "zstd")[i % 3])
+    return sink.getvalue()
 
 
 def _synth_parquet_bytes(i: int) -> bytes:

@@ -12000,6 +12000,116 @@ def parquet_delta_page_stats(spark: SparkSession,
 
 
 @register(
+    "orc_stripe_stats",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 64 + doc_id % 100 AS n
+        FROM documents WHERE doc_id < 150
+    ),
+    v AS (
+        SELECT doc_id, n, CAST(u.k AS INT) AS k,
+               doc_id * 3 + u.k * 7 AS iv
+        FROM spec, LATERAL unnest(range(0, n)) u(k)
+    )
+    SELECT doc_id,
+           CAST(max(n) AS INT) AS n_values,
+           CAST(sum(CASE WHEN k % 5 != 0 THEN iv END) AS BIGINT)
+               AS int_sum,
+           CAST(sum(CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END) AS INT)
+               AS n_nulls,
+           CAST(sum(2 * k) AS BIGINT) AS mono_sum,
+           CAST(sum(length('cat-' || CAST(doc_id AS VARCHAR) || '-'
+                    || CAST(k % 15 AS VARCHAR))) AS BIGINT)
+               AS str_bytes,
+           CAST(sum(CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END) AS INT)
+               AS bool_true,
+           CAST(sum(k) AS BIGINT) AS f64_x8_sum
+    FROM v GROUP BY doc_id
+    """,
+    doc="ORC STRIPE-DATA decode, graded (r15 — the ORC twin of "
+    "parquet_page_stats, completing the raw-ORC tier over the r14 "
+    "tail reader): per doc a table writes through the REAL ORC "
+    "writer (pyarrow.orc, codec rotating uncompressed/zlib/zstd) "
+    "and sources/orcdata.py decodes the stripes back — stripe "
+    "footers (protobuf), Byte-RLE/boolean-RLE PRESENT streams, "
+    "integer RLEv2 (all four sub-encodings, coverage PROVEN in "
+    "tests/test_orcdata.py via a trace hook), string dictionary and "
+    "direct encodings, IEEE doubles. The oracle recomputes the "
+    "census in closed form; nullable int64 exercises the PRESENT "
+    "interleave, the monotonic column the DELTA path, the repeating "
+    "strings the DICTIONARY_V2 path.",
+    tags=("ingest", "sketch"),
+)
+def orc_stripe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import io as _io
+
+        import pyarrow as _pa
+        import pyarrow.orc as _orc
+
+        from ..sources.orcdata import read_orc_columns
+
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                n = 64 + i % 100
+                tbl = _pa.table({
+                    "iv": _pa.array(
+                        [None if k % 5 == 0 else i * 3 + k * 7
+                         for k in range(n)], _pa.int64()),
+                    "mono": _pa.array([2 * k for k in range(n)],
+                                      _pa.int64()),
+                    "s": _pa.array(["cat-%d-%d" % (i, k % 15)
+                                    for k in range(n)]),
+                    "b": _pa.array([k % 3 == 0 for k in range(n)],
+                                   _pa.bool_()),
+                    "f": _pa.array([k * 0.125 for k in range(n)],
+                                   _pa.float64()),
+                })
+                sink = _io.BytesIO()
+                _orc.write_table(
+                    tbl, sink, compression=(
+                        "uncompressed", "zlib", "zstd")[i % 3])
+                got = read_orc_columns(sink.getvalue())
+                if got is None:
+                    continue
+                iv = got["columns"]["iv"]
+                rows.append(
+                    (i, len(iv),
+                     sum(v for v in iv if v is not None),
+                     sum(1 for v in iv if v is None),
+                     sum(got["columns"]["mono"]),
+                     sum(len(v) for v in got["columns"]["s"]),
+                     sum(1 for v in got["columns"]["b"] if v),
+                     int(sum(v * 8 for v in got["columns"]["f"])))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_values", "int_sum", "n_nulls",
+                         "mono_sum", "str_bytes", "bool_true",
+                         "f64_x8_sum"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_values int, int_sum long, n_nulls int, "
+        "mono_sum long, str_bytes long, bool_true int, "
+        "f64_x8_sum long",
+    )
+
+
+@register(
     "lz4_frame_stats",
     oracle="""
     WITH spec AS (

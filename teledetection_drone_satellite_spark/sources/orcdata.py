@@ -1,0 +1,464 @@
+"""Raw ORC STRIPE-DATA decode — pure stdlib over the tail reader
+(sources/orcmeta.py), from the public Apache ORC v1 specification
+(orc.apache.org/specification: stripe footers, stream layout,
+Byte-RLE, boolean RLE, integer RLE v2, string dictionaries).
+
+The ORC twin of sources/parquetpage.py, completing the raw-ORC tier
+the same way: the tail reader locates every stripe, this decodes
+the bytes the stripes hold.  Cross-pinned in tests against files
+written by the REAL ORC writer inside pyarrow (``pyarrow.orc``),
+across codecs and engineered value distributions that force every
+RLEv2 sub-encoding out of the writer.
+
+Decoded surface (flat structs of primitive columns):
+  stripe footer   protobuf: streams (kind/column/length, laid out
+                  in list order) + per-column encodings
+                  (DIRECT / DIRECT_V2 / DICTIONARY_V2);
+  Byte-RLE        control in [0,127] = run of (c+3) copies,
+                  [128,255] = (256-c) literals (TINYINT + the
+                  carrier of boolean RLE);
+  boolean RLE     Byte-RLE over bit-packed bytes, MSB first;
+  integer RLEv2   all four sub-encodings: SHORT_REPEAT, DIRECT
+                  (MSB-first bit packing, 5-bit width table),
+                  PATCHED_BASE (base + packed values + a patch
+                  list re-widening outliers), DELTA (fixed and
+                  variable, sign from the delta base) — signed
+                  streams zigzag;
+  columns         BOOLEAN, BYTE, SHORT/INT/LONG, FLOAT, DOUBLE
+                  (LE IEEE), STRING/BINARY in DIRECT_V2
+                  (DATA bytes + LENGTH RLEv2) and DICTIONARY_V2
+                  (RLEv2 indices + DICTIONARY_DATA + LENGTH), DATE
+                  (days, RLEv2 signed) — each honouring a PRESENT
+                  boolean stream when nulls exist.
+
+Refusals (None): nested/compound types when explicitly requested
+(LIST/MAP/STRUCT/UNION columns are skipped in whole-file reads),
+unknown stream or encoding kinds, RLE runs that overrun or come up
+short, dictionary indices past the dictionary, PRESENT cardinality
+that disagrees with the stripe row count, codec failures — the
+honest-fallback contract every decoder here shares.
+
+Reference parity: the reference's Postgres row storage
+(/root/reference/database/schemas/init.sql:11-163) restated over
+the second mainstream columnar format — with Parquet pages this
+makes both lake data planes readable from raw bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .orcmeta import decompress_orc, parse_orc_tail
+from .pbwire import parse_pb
+
+_MAX_VALUES = 1 << 28
+
+# stream kinds (spec)
+_S_PRESENT = 0
+_S_DATA = 1
+_S_LENGTH = 2
+_S_DICT_DATA = 3
+_S_SECONDARY = 5
+
+# column encodings
+_E_DIRECT = 0
+_E_DICTIONARY = 1
+_E_DIRECT_V2 = 2
+_E_DICTIONARY_V2 = 3
+
+# the 5-bit fixed-bit-size table (FixedBitSizes.decode)
+_FBS = list(range(1, 25)) + [26, 28, 30, 32, 40, 48, 56, 64]
+
+
+def _fields(buf: bytes) -> "dict[int, list] | None":
+    parsed = parse_pb(buf, message_fields=frozenset())
+    if parsed is None:
+        return None
+    out: "dict[int, list]" = {}
+    for f in parsed:
+        out.setdefault(f["field"], []).append(f["value"])
+    return out
+
+
+def _one(fd: "dict[int, list]", num: int, default=None):
+    vals = fd.get(num)
+    return vals[0] if vals else default
+
+
+# ----------------------------------------------------------- readers
+
+class _R:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.pos = 0
+
+    def eof(self) -> bool:
+        return self.pos >= len(self.buf)
+
+    def byte(self) -> int:
+        if self.pos >= len(self.buf):
+            raise ValueError("truncated")
+        b = self.buf[self.pos]
+        self.pos += 1
+        return b
+
+    def take(self, n: int) -> bytes:
+        if n < 0 or self.pos + n > len(self.buf):
+            raise ValueError("truncated")
+        out = self.buf[self.pos:self.pos + n]
+        self.pos += n
+        return out
+
+    def uvarint(self) -> int:
+        n = shift = 0
+        while True:
+            b = self.byte()
+            n |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                return n
+            if shift > 70:
+                raise ValueError("varint overrun")
+
+    def svarint(self) -> int:
+        n = self.uvarint()
+        return (n >> 1) ^ -(n & 1)
+
+
+def byte_rle(buf: bytes, count: int) -> "list[int] | None":
+    """ORC Byte-RLE -> exactly ``count`` byte values."""
+    try:
+        r = _R(buf)
+        out: "list[int]" = []
+        while len(out) < count:
+            c = r.byte()
+            if c < 128:  # run: c+3 copies of the next byte
+                out.extend([r.byte()] * (c + 3))
+            else:  # 256-c literals
+                out.extend(r.take(256 - c))
+        del out[count:]
+        return out
+    except ValueError:
+        return None
+
+
+def bool_rle(buf: bytes, count: int) -> "list[bool] | None":
+    """Boolean RLE: Byte-RLE bytes, bits MSB first."""
+    nbytes = (count + 7) // 8
+    raw = byte_rle(buf, nbytes)
+    if raw is None:
+        return None
+    return [bool((raw[k >> 3] >> (7 - (k & 7))) & 1)
+            for k in range(count)]
+
+
+def _read_bits_msb(r: _R, n: int, width: int) -> "list[int]":
+    """n values bit-packed MSB-first at ``width`` bits (readInts)."""
+    if width == 0:
+        return [0] * n
+    nbytes = (n * width + 7) // 8
+    raw = r.take(nbytes)
+    acc = int.from_bytes(raw, "big")
+    total = nbytes * 8
+    out = []
+    for k in range(n):
+        shift = total - (k + 1) * width
+        out.append((acc >> shift) & ((1 << width) - 1))
+    return out
+
+
+def _unzig(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def rle_v2(buf: bytes, count: int, signed: bool,
+           trace: "set[int] | None" = None) -> "list[int] | None":
+    """Integer RLE v2: all four sub-encodings, -> exactly ``count``
+    values.  ``trace`` (tests only) collects the sub-encoding codes
+    seen, so coverage of SHORT_REPEAT/DIRECT/PATCHED_BASE/DELTA is
+    provable rather than assumed."""
+    try:
+        r = _R(buf)
+        out: "list[int]" = []
+        while len(out) < count:
+            first = r.byte()
+            enc = (first >> 6) & 3
+            if trace is not None:
+                trace.add(enc)
+            if enc == 0:  # SHORT_REPEAT
+                width = ((first >> 3) & 7) + 1
+                run = (first & 7) + 3
+                val = int.from_bytes(r.take(width), "big")
+                if signed:
+                    val = _unzig(val)
+                out.extend([val] * run)
+            elif enc == 1:  # DIRECT
+                w = _FBS[(first >> 1) & 0x1F]
+                n = (((first & 1) << 8) | r.byte()) + 1
+                vals = _read_bits_msb(r, n, w)
+                out.extend(_unzig(v) for v in vals) if signed \
+                    else out.extend(vals)
+            elif enc == 2:  # PATCHED_BASE
+                w = _FBS[(first >> 1) & 0x1F]
+                n = (((first & 1) << 8) | r.byte()) + 1
+                third = r.byte()
+                bw = ((third >> 5) & 7) + 1
+                pw = _FBS[third & 0x1F]
+                fourth = r.byte()
+                pgw = ((fourth >> 5) & 7) + 1
+                pl = fourth & 0x1F
+                base = int.from_bytes(r.take(bw), "big")
+                msb = 1 << (bw * 8 - 1)
+                if base & msb:
+                    base = -(base & (msb - 1))
+                vals = _read_bits_msb(r, n, w)
+                cfb = pgw + pw
+                for cand in _FBS:
+                    if cand >= cfb:
+                        cfb = cand
+                        break
+                patches = _read_bits_msb(r, pl, cfb)
+                pos = 0
+                for p in patches:
+                    gap = p >> pw
+                    patch = p & ((1 << pw) - 1)
+                    pos += gap
+                    if patch == 0:
+                        continue  # gap-255 continuation marker
+                    if pos >= n:
+                        return None
+                    vals[pos] |= patch << w
+                out.extend(base + v for v in vals)
+            else:  # DELTA
+                wcode = (first >> 1) & 0x1F
+                w = 0 if wcode == 0 else _FBS[wcode]
+                n = (((first & 1) << 8) | r.byte()) + 1
+                base = r.svarint() if signed else r.uvarint()
+                delta_base = r.svarint()
+                vals = [base]
+                if n > 1:
+                    vals.append(base + delta_base)
+                if w and n > 2:
+                    deltas = _read_bits_msb(r, n - 2, w)
+                    sign = -1 if delta_base < 0 else 1
+                    prev = vals[-1]
+                    for d in deltas:
+                        prev += sign * d
+                        vals.append(prev)
+                elif n > 2:  # fixed-delta run
+                    prev = vals[-1]
+                    for _ in range(n - 2):
+                        prev += delta_base
+                        vals.append(prev)
+                out.extend(vals)
+            if len(out) > count + 512:
+                return None  # runaway run
+        del out[count:]
+        return out
+    except (ValueError, IndexError):
+        return None
+
+
+# ------------------------------------------------------------ stripes
+
+def parse_stripe_footer(buf: bytes, codec: str) -> "dict | None":
+    """Compressed stripe footer bytes -> {'streams': [(kind, column,
+    length)...], 'encodings': [(kind, dict_size)...]} or None."""
+    raw = decompress_orc(buf, codec)
+    if raw is None:
+        return None
+    fd = _fields(raw)
+    if fd is None:
+        return None
+    streams = []
+    for sb in fd.get(1, []):
+        if not isinstance(sb, bytes):
+            return None
+        sf = _fields(sb)
+        if sf is None:
+            return None
+        streams.append((_one(sf, 1, 0), _one(sf, 2, 0),
+                        _one(sf, 3, 0)))
+    encodings = []
+    for eb in fd.get(2, []):
+        if not isinstance(eb, bytes):
+            return None
+        ef = _fields(eb)
+        if ef is None:
+            return None
+        encodings.append((_one(ef, 1, 0), _one(ef, 2, 0)))
+    return {"streams": streams, "encodings": encodings}
+
+
+def _column_streams(footer: dict, buf: bytes, stripe: dict,
+                    codec: str) -> "dict | None":
+    """Locate + inflate each column's DATA-section streams ->
+    {(column, kind): bytes}.  Streams are laid out back to back in
+    list order starting at the stripe offset (index streams first)."""
+    pos = stripe["offset"]
+    out: "dict[tuple[int, int], bytes]" = {}
+    for kind, column, length in footer["streams"]:
+        if not all(isinstance(v, int) for v in (kind, column,
+                                                length)) or \
+                length < 0 or pos + length > len(buf):
+            return None
+        blob = buf[pos:pos + length]
+        pos += length
+        if kind in (_S_PRESENT, _S_DATA, _S_LENGTH, _S_DICT_DATA,
+                    _S_SECONDARY):
+            raw = decompress_orc(blob, codec)
+            if raw is None:
+                return None
+            out[(column, kind)] = raw
+    return out
+
+
+_INT_KINDS = ("SHORT", "INT", "LONG", "DATE")
+
+
+def _decode_column(kind: str, enc: int, dict_size: int,
+                   streams: dict, col: int,
+                   n_rows: int) -> "list | None":
+    present = None
+    if (col, _S_PRESENT) in streams:
+        present = bool_rle(streams[(col, _S_PRESENT)], n_rows)
+        if present is None:
+            return None
+    n_present = sum(present) if present is not None else n_rows
+    data = streams.get((col, _S_DATA), b"")
+    if kind in _INT_KINDS:
+        if enc != _E_DIRECT_V2:
+            return None  # RLEv1 (DIRECT) not emitted by modern
+            # writers; refused honestly
+        vals = rle_v2(data, n_present, signed=True)
+        if vals is None:
+            return None
+    elif kind == "BYTE":
+        vals = byte_rle(data, n_present)
+        if vals is None:
+            return None
+        vals = [v - 256 if v > 127 else v for v in vals]  # signed
+    elif kind == "BOOLEAN":
+        vals = bool_rle(data, n_present)
+        if vals is None:
+            return None
+    elif kind == "FLOAT":
+        if len(data) < 4 * n_present:
+            return None
+        vals = list(struct.unpack_from("<%df" % n_present, data, 0))
+    elif kind == "DOUBLE":
+        if len(data) < 8 * n_present:
+            return None
+        vals = list(struct.unpack_from("<%dd" % n_present, data, 0))
+    elif kind in ("STRING", "BINARY", "VARCHAR", "CHAR"):
+        if enc == _E_DICTIONARY_V2:
+            idxs = rle_v2(data, n_present, signed=False)
+            dict_blob = streams.get((col, _S_DICT_DATA), b"")
+            # the dictionary's entry count rides in the column
+            # encoding (dictionarySize); lengths are RLEv2 unsigned
+            lengths = rle_v2(streams.get((col, _S_LENGTH), b""),
+                             dict_size, signed=False)
+            if idxs is None or lengths is None:
+                return None
+            words = []
+            off = 0
+            for ln in lengths:
+                if ln < 0 or off + ln > len(dict_blob):
+                    return None
+                words.append(dict_blob[off:off + ln])
+                off += ln
+            if any(i >= len(words) for i in idxs):
+                return None
+            vals = [words[i] for i in idxs]
+        elif enc == _E_DIRECT_V2:
+            lengths = rle_v2(streams.get((col, _S_LENGTH), b""),
+                             n_present, signed=False)
+            if lengths is None:
+                return None
+            vals = []
+            off = 0
+            for ln in lengths:
+                if ln < 0 or off + ln > len(data):
+                    return None
+                vals.append(data[off:off + ln])
+                off += ln
+        else:
+            return None
+        if kind != "BINARY":
+            try:
+                vals = [v.decode("utf-8") for v in vals]
+            except UnicodeDecodeError:
+                return None
+    else:
+        return None  # TIMESTAMP/DECIMAL/compound: out of scope
+    if len(vals) != n_present:
+        return None
+    if present is None:
+        return vals
+    it = iter(vals)
+    return [next(it) if p else None for p in present]
+
+
+def read_orc_columns(buf: bytes,
+                     want: "list[str] | None" = None) -> "dict | None":
+    """Whole-file read: -> {'num_rows', 'columns': {name: [values]}}
+    or None.  Flat-struct files only; ``want`` selects columns
+    (None = every supported primitive leaf)."""
+    tail = parse_orc_tail(buf)
+    if tail is None:
+        return None
+    nodes = tail["type_nodes"]
+    if not nodes or nodes[0]["kind"] != "STRUCT":
+        return None
+    root = nodes[0]
+    if len(root["subtypes"]) != len(root["names"]):
+        return None
+    col_ids = {}
+    col_kinds = {}
+    for name, tid in zip(root["names"], root["subtypes"]):
+        if tid >= len(nodes):
+            return None
+        col_ids[name] = tid
+        col_kinds[name] = nodes[tid]["kind"]
+    supported = ("BOOLEAN", "BYTE", "SHORT", "INT", "LONG", "FLOAT",
+                 "DOUBLE", "STRING", "BINARY", "VARCHAR", "CHAR",
+                 "DATE")
+    if want is None:
+        want = [n for n in root["names"]
+                if col_kinds[n] in supported]
+    codec = tail["compression"]
+    cols: "dict[str, list]" = {n: [] for n in want}
+    for stripe in tail["stripes"]:
+        off = stripe.get("offset")
+        ilen = stripe.get("index_length", 0)
+        dlen = stripe.get("data_length", 0)
+        flen = stripe.get("footer_length", 0)
+        n_rows = stripe["num_rows"]
+        if not isinstance(off, int) or \
+                off + ilen + dlen + flen > len(buf):
+            return None
+        foot = parse_stripe_footer(
+            buf[off + ilen + dlen:off + ilen + dlen + flen], codec)
+        if foot is None:
+            return None
+        streams = _column_streams(foot, buf, stripe, codec)
+        if streams is None:
+            return None
+        for name in want:
+            cid = col_ids.get(name)
+            kind = col_kinds.get(name)
+            if cid is None or kind not in supported:
+                return None
+            if cid >= len(foot["encodings"]):
+                return None
+            enc, dict_size = foot["encodings"][cid]
+            got = _decode_column(kind, enc, dict_size or 0,
+                                 streams, cid, n_rows)
+            if got is None:
+                return None
+            cols[name].extend(got)
+    if any(len(v) != tail["num_rows"] for v in cols.values()):
+        return None
+    return {"num_rows": tail["num_rows"], "columns": cols}

@@ -160,6 +160,7 @@ def parse_orc_tail(buf: bytes) -> "dict | None":
         if not isinstance(num_rows, int):
             return None
         stripe_rows = []
+        stripes = []  # r15: byte layout for the stripe-data tier
         for sbuf in fd.get(3, []):
             if not isinstance(sbuf, bytes):
                 return None
@@ -170,7 +171,15 @@ def parse_orc_tail(buf: bytes) -> "dict | None":
             if not isinstance(nrows, int):
                 return None
             stripe_rows.append(nrows)
+            stripes.append({
+                "offset": _one(sf, 1),
+                "index_length": _one(sf, 2, 0),
+                "data_length": _one(sf, 3, 0),
+                "footer_length": _one(sf, 4, 0),
+                "num_rows": nrows,
+            })
         types = []
+        type_nodes = []  # r15: id-resolvable form for stripe decode
         for tbuf in fd.get(4, []):
             if not isinstance(tbuf, bytes):
                 return None
@@ -182,7 +191,29 @@ def parse_orc_tail(buf: bytes) -> "dict | None":
                 return None
             names = [v.decode("utf-8", "replace")
                      for v in tf.get(3, []) if isinstance(v, bytes)]
+            # subtypes is `repeated uint32 [packed]`: a writer may
+            # emit bare varints OR one packed length-delimited blob
+            subtypes = []
+            for v in tf.get(2, []):
+                if isinstance(v, int):
+                    subtypes.append(v)
+                elif isinstance(v, bytes):
+                    pos_ = 0
+                    while pos_ < len(v):
+                        n_ = shift_ = 0
+                        while True:
+                            if pos_ >= len(v) or shift_ > 63:
+                                return None
+                            b_ = v[pos_]
+                            pos_ += 1
+                            n_ |= (b_ & 0x7F) << shift_
+                            shift_ += 7
+                            if not b_ & 0x80:
+                                break
+                        subtypes.append(n_)
             types.append((KINDS[kind], names))
+            type_nodes.append({"kind": KINDS[kind], "names": names,
+                               "subtypes": subtypes})
         if not types:
             return None
         root_values = None
@@ -200,7 +231,8 @@ def parse_orc_tail(buf: bytes) -> "dict | None":
                 has_null_any = True
         return {"num_rows": num_rows, "compression": codec,
                 "n_stripes": len(stripe_rows),
-                "stripe_rows": stripe_rows, "types": types,
+                "stripe_rows": stripe_rows, "stripes": stripes,
+                "types": types, "type_nodes": type_nodes,
                 "root_values": root_values,
                 "has_null_any": has_null_any,
                 "writer_version": _one(ps, 6),

@@ -1,0 +1,151 @@
+"""ORC stripe-data decode (sources/orcdata.py): cross-pinned
+against files written by the REAL ORC writer inside pyarrow, across
+codecs/stripe sizes, with engineered distributions forcing every
+RLEv2 sub-encoding; refusal contract; bit-flip fuzz."""
+
+from __future__ import annotations
+
+import io
+import math
+import random
+
+import pytest
+
+from teledetection_drone_satellite_spark.sources.orcdata import (
+    bool_rle,
+    byte_rle,
+    read_orc_columns,
+    rle_v2,
+)
+
+pa = pytest.importorskip("pyarrow")
+orc = pytest.importorskip("pyarrow.orc")
+
+
+def _write(table, **kw) -> bytes:
+    sink = io.BytesIO()
+    orc.write_table(table, sink, **kw)
+    return sink.getvalue()
+
+
+def _table(n: int = 5000):
+    rnd = random.Random(7)
+    return pa.table({
+        "mono": pa.array(range(0, 3 * n, 3), pa.int64()),  # DELTA
+        "rand": pa.array([rnd.randrange(-1000, 1000)
+                          for _ in range(n)], pa.int64()),  # DIRECT
+        "const": pa.array([42] * n, pa.int64()),  # SHORT_REPEAT
+        "skew": pa.array([rnd.randrange(0, 64)
+                          if rnd.random() < 0.95
+                          else rnd.randrange(1 << 40)
+                          for k in range(n)],
+                         pa.int64()),  # PATCHED_BASE (probed: this
+        # sparse-outlier shape forces enc 2 out of the writer)
+        "nulls": pa.array([None if k % 7 == 0 else k * 11
+                           for k in range(n)], pa.int64()),
+        "s_dict": pa.array(["cat-%d" % (k % 20) for k in range(n)]),
+        "s_rand": pa.array(
+            [None if k % 13 == 0
+             else "u-%d-%d" % (rnd.randrange(10 ** 6), k)
+             for k in range(n)]),
+        "f64": pa.array([None if k % 11 == 0 else k * 0.37
+                         for k in range(n)], pa.float64()),
+        "f32": pa.array([k * 1.5 for k in range(n)], pa.float32()),
+        "b": pa.array([None if k % 19 == 0 else k % 3 == 0
+                       for k in range(n)], pa.bool_()),
+        "i32": pa.array([(k % 5000) - 2500 for k in range(n)],
+                        pa.int32()),
+        "bin": pa.array([("%07d" % k).encode() for k in range(n)],
+                        pa.binary()),
+    })
+
+
+@pytest.mark.parametrize("codec", ["uncompressed", "zlib", "zstd"])
+@pytest.mark.parametrize("ssize", [64 * 1024, 4 * 1024 * 1024])
+def test_cross_pin_vs_pyarrow_orc(codec, ssize):
+    tbl = _table()
+    buf = _write(tbl, compression=codec, stripe_size=ssize)
+    got = read_orc_columns(buf)
+    assert got is not None
+    assert got["num_rows"] == tbl.num_rows
+    assert set(got["columns"]) == set(tbl.column_names)
+    for name in got["columns"]:
+        exp = tbl.column(name).to_pylist()
+        mine = got["columns"][name]
+        if name.startswith("f"):
+            assert all(
+                (a is None) == (b is None) and
+                (a is None or math.isclose(a, b, rel_tol=1e-6))
+                for a, b in zip(mine, exp)), name
+        else:
+            assert mine == exp, (name, mine[:5], exp[:5])
+
+
+def test_all_four_rlev2_subencodings_exercised():
+    # prove — not assume — that the engineered columns force every
+    # sub-encoding out of the real writer
+    import teledetection_drone_satellite_spark.sources.orcdata as od
+
+    seen: "set[int]" = set()
+    orig = od.rle_v2
+
+    def traced(buf, count, signed, trace=None):
+        return orig(buf, count, signed, trace=seen)
+
+    od.rle_v2 = traced
+    try:
+        got = read_orc_columns(_write(_table()))
+    finally:
+        od.rle_v2 = orig
+    assert got is not None
+    assert seen == {0, 1, 2, 3}, seen  # SR / DIRECT / PATCHED / DELTA
+
+
+def test_byte_and_bool_rle():
+    # run form: control 0 = 3 copies
+    assert byte_rle(bytes([0, 7]), 3) == [7, 7, 7]
+    # literal form: control 0xFD = 3 literals
+    assert byte_rle(bytes([0xFD, 1, 2, 3]), 3) == [1, 2, 3]
+    # booleans: MSB first within each byte (0xFF = 1 literal byte)
+    assert bool_rle(bytes([0xFF, 0b10100000]), 3) == \
+        [True, False, True]
+    assert byte_rle(b"", 1) is None
+    # a literal run header promising more bytes than present refuses
+    assert byte_rle(bytes([0xFD, 1]), 1) is None
+
+
+def test_rlev2_handbuilt_runs():
+    # SHORT_REPEAT: width 1 byte, count 3+0, value 5
+    assert rle_v2(bytes([0x00, 5]), 3, False) == [5, 5, 5]
+    # DELTA fixed: header 0xC0|len bits, base 2, delta +3, n=4
+    # enc=3, width code 0, n-1=3 -> first=0xC0, second=3
+    got = rle_v2(bytes([0xC0, 3, 0x04, 0x06]), 4, True)
+    assert got == [2, 5, 8, 11], got
+    # truncated refuses
+    assert rle_v2(bytes([0x00]), 3, False) is None
+    assert rle_v2(b"", 1, False) is None
+
+
+def test_refusals_and_bitflip_fuzz():
+    tbl = _table(800)
+    buf = _write(tbl, compression="zlib")
+    assert read_orc_columns(b"") is None
+    assert read_orc_columns(buf[:100]) is None
+    assert read_orc_columns(buf, want=["missing"]) is None
+    rnd = random.Random(1519)
+    for _ in range(120):
+        b = bytearray(buf)
+        for _f in range(1 + rnd.randrange(8)):
+            b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+        read_orc_columns(bytes(b))  # any return, never an exception
+
+
+def test_nested_types_skipped():
+    tbl = pa.table({
+        "i": pa.array(range(50), pa.int64()),
+        "lst": pa.array([[1, 2]] * 50, pa.list_(pa.int64())),
+    })
+    buf = _write(tbl)
+    got = read_orc_columns(buf)
+    assert got is not None and list(got["columns"]) == ["i"]
+    assert read_orc_columns(buf, want=["lst"]) is None
