@@ -386,6 +386,78 @@ def _decode_bounds(df: dict) -> "dict[int, tuple[int, int]] | None":
     return out or None
 
 
+def scan_rows(metadata_json: bytes, files: "dict[str, bytes]",
+              ) -> "dict | None":
+    """MATERIALIZED merge-on-read (r15): walk the snapshot like
+    resolve_snapshot, but actually DECODE the live data files (raw
+    Parquet via sources/parquetpage.py) and apply positional
+    deletes at ROW level — the read a query engine performs, not
+    just the planner's counting.
+
+    -> {'columns': {name: [surviving values, file order]},
+    'n_surviving', 'n_deleted_rows', 'counts_match' (the
+    falsifiable cross-check: the materialized surviving-row count
+    equals the counting tier's net_records)} or None."""
+    from .parquetpage import read_columns
+
+    snap = resolve_snapshot(metadata_json, files)
+    if snap is None:
+        return None
+    try:
+        return _scan_rows_inner(metadata_json, files, snap,
+                                read_columns)
+    except (KeyError, TypeError, ValueError, IndexError,
+            AttributeError):
+        return None  # refusal net: resolve_snapshot validated the
+        # tree, but the re-walk stays crash-proof regardless
+
+
+def _scan_rows_inner(metadata_json, files, snap, read_columns):
+    meta = parse_table_metadata(metadata_json)
+    ml = parse_avro(files[meta["snapshots"][
+        meta["current_snapshot_id"]]])
+    # collect live data files (ordered) and pos-delete map
+    live: "list[str]" = []
+    deletes: "dict[str, set[int]]" = {}
+    pos_files: "list[str]" = []
+    for mf in ml["records"]:
+        man = parse_avro(files[mf["manifest_path"]])
+        for entry in man["records"]:
+            df = entry.get("data_file") or {}
+            if mf.get("content", 0) == 0:
+                if entry.get("status") in (0, 1):
+                    live.append(df["file_path"])
+            elif not df.get("equality_ids"):
+                pos_files.append(df["file_path"])
+    for dpath in pos_files:
+        dd = parse_avro(files[dpath])
+        if dd is None:
+            return None
+        for row in dd["records"]:
+            deletes.setdefault(row["file_path"], set()).add(
+                row["pos"])
+    cols: "dict[str, list]" = {}
+    n_surviving = 0
+    n_deleted_rows = 0
+    for path in live:
+        blob = files.get(path)
+        if blob is None:
+            return None
+        got = read_columns(blob)
+        if got is None:
+            return None
+        gone = deletes.get(path, set())
+        nrows = got["num_rows"]
+        keep = [k for k in range(nrows) if k not in gone]
+        n_deleted_rows += nrows - len(keep)
+        n_surviving += len(keep)
+        for name, vals in got["columns"].items():
+            cols.setdefault(name, []).extend(vals[k] for k in keep)
+    return {"columns": cols, "n_surviving": n_surviving,
+            "n_deleted_rows": n_deleted_rows,
+            "counts_match": n_surviving == snap["net_records"]}
+
+
 # ---------------------------------------------------------------- synth
 
 def synth_iceberg_eq(doc_id: int) -> "tuple[bytes, dict, dict]":

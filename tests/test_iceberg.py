@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -171,3 +173,80 @@ def test_equality_delete_contracts():
     assert got["n_eq_deletes"] == 2 and got["n_eq_applied"] == 0
     assert got["net_records"] == got["total_records"]
     assert got0["n_eq_applied"] == exp["n_eq_applied"]
+
+
+def test_scan_rows_materialized_merge_on_read():
+    # the cross-format capstone's library layer: real parquet data
+    # files + avro metadata, deletes applied at row level
+    import io
+
+    pa = pytest.importorskip("pyarrow")
+    pq = pytest.importorskip("pyarrow.parquet")
+    import json as _json
+
+    from teledetection_drone_satellite_spark.sources.avro import (
+        write_avro)
+    from teledetection_drone_satellite_spark.sources.iceberg import (
+        MANIFEST_LIST_SCHEMA, MANIFEST_SCHEMA, POS_DELETE_SCHEMA,
+        scan_rows)
+
+    files = {}
+    tbl = pa.table({"id": pa.array(range(10), pa.int64()),
+                    "val": pa.array([3 * v for v in range(10)],
+                                    pa.int64())})
+    sink = io.BytesIO()
+    pq.write_table(tbl, sink, compression="snappy")
+    files["d.parquet"] = sink.getvalue()
+    files["m.avro"] = write_avro(MANIFEST_SCHEMA, [{
+        "status": 1, "snapshot_id": 1,
+        "data_file": {"file_path": "d.parquet",
+                      "file_format": "PARQUET", "record_count": 10,
+                      "file_size_in_bytes":
+                      len(files["d.parquet"])}}])
+    files["del.avro"] = write_avro(
+        POS_DELETE_SCHEMA,
+        [{"file_path": "d.parquet", "pos": 2},
+         {"file_path": "d.parquet", "pos": 7}])
+    files["dm.avro"] = write_avro(MANIFEST_SCHEMA, [{
+        "status": 1, "snapshot_id": 1,
+        "data_file": {"file_path": "del.avro",
+                      "file_format": "AVRO", "record_count": 2,
+                      "file_size_in_bytes": len(files["del.avro"])}}])
+    files["ml.avro"] = write_avro(MANIFEST_LIST_SCHEMA, [
+        {"manifest_path": "m.avro",
+         "manifest_length": len(files["m.avro"]),
+         "partition_spec_id": 0, "content": 0,
+         "added_data_files_count": 1,
+         "existing_data_files_count": 0,
+         "deleted_data_files_count": 0},
+        {"manifest_path": "dm.avro",
+         "manifest_length": len(files["dm.avro"]),
+         "partition_spec_id": 0, "content": 1,
+         "added_data_files_count": 1,
+         "existing_data_files_count": 0,
+         "deleted_data_files_count": 0}])
+    meta = _json.dumps({
+        "format-version": 2, "table-uuid": "t",
+        "location": "s3://x", "current-schema-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "id", "required": True,
+             "type": "long"},
+            {"id": 2, "name": "val", "required": True,
+             "type": "long"}]}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "timestamp-ms": 0,
+                       "manifest-list": "ml.avro",
+                       "summary": {}}]}).encode()
+    got = scan_rows(meta, files)
+    assert got is not None
+    assert got["n_surviving"] == 8 and got["n_deleted_rows"] == 2
+    assert got["counts_match"]
+    assert got["columns"]["id"] == [0, 1, 3, 4, 5, 6, 8, 9]
+    assert got["columns"]["val"] == [3 * v for v in
+                                     (0, 1, 3, 4, 5, 6, 8, 9)]
+    # corrupting a data file refuses the whole scan
+    bad = dict(files)
+    bad["d.parquet"] = files["d.parquet"][:50]
+    assert scan_rows(meta, bad) is None
