@@ -1,0 +1,143 @@
+"""Throughput + 10x-input scaling pins for the r15 decoder tier.
+
+Same methodology as scripts/bench_r14_decoders.py: each decoder
+parses N then 10N fixtures single-threaded; wall MB/s at N and the
+10x wall RATIO are reported.  A linear decoder scales at ~10x wall
+for 10x input; super-linear growth flags an accidental quadratic.
+Fixtures for the parquet/orc data planes are written by the REAL
+engines (pyarrow), so the pins measure decode of real wire bytes.
+
+Usage: python scripts/bench_r15_decoders.py [N]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from teledetection_drone_satellite_spark.sources import (  # noqa: E402
+    binaryjson, deltalog, orcdata, parquetpage, snappy,
+)
+
+
+def _snappy_fix(i: int) -> bytes:
+    return snappy.compress(
+        (b"the quick brown fox %d " % i) * (20 + i % 40))
+
+
+def _snappy_frame_fix(i: int) -> bytes:
+    return snappy.compress_frame(
+        (b"framed jumps over %d " % i) * (60 + i % 80))
+
+
+_PQ_CACHE: "dict[int, bytes]" = {}
+
+
+def _parquet_fix(i: int) -> bytes:
+    if i not in _PQ_CACHE:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        n = 200 + i % 100
+        tbl = pa.table({
+            "a": pa.array([None if k % 5 == 0 else (i + k) * 7
+                           for k in range(n)], pa.int64()),
+            "s": pa.array(["v%d-%d" % (i % 17, k % 23)
+                           for k in range(n)]),
+            "f": pa.array([k * 0.25 for k in range(n)],
+                          pa.float64()),
+        })
+        sink = io.BytesIO()
+        pq.write_table(tbl, sink, compression="snappy")
+        _PQ_CACHE[i] = sink.getvalue()
+    return _PQ_CACHE[i]
+
+
+_PQD_CACHE: "dict[int, bytes]" = {}
+
+
+def _parquet_delta_fix(i: int) -> bytes:
+    if i not in _PQD_CACHE:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        n = 200 + i % 100
+        tbl = pa.table({
+            "a": pa.array([(i + k) * 7 for k in range(n)],
+                          pa.int64()),
+            "s": pa.array(["key-%d-%d" % (i, k % 40)
+                           for k in range(n)]),
+        })
+        sink = io.BytesIO()
+        pq.write_table(tbl, sink, use_dictionary=False,
+                       column_encoding={
+                           "a": "DELTA_BINARY_PACKED",
+                           "s": "DELTA_BYTE_ARRAY"})
+        _PQD_CACHE[i] = sink.getvalue()
+    return _PQD_CACHE[i]
+
+
+_ORC_CACHE: "dict[int, bytes]" = {}
+
+
+def _orc_fix(i: int) -> bytes:
+    if i not in _ORC_CACHE:
+        import pyarrow as pa
+        import pyarrow.orc as orc
+
+        n = 200 + i % 100
+        tbl = pa.table({
+            "a": pa.array([None if k % 5 == 0 else (i + k) * 7
+                           for k in range(n)], pa.int64()),
+            "s": pa.array(["v%d-%d" % (i % 17, k % 23)
+                           for k in range(n)]),
+        })
+        sink = io.BytesIO()
+        orc.write_table(tbl, sink, compression="zlib")
+        _ORC_CACHE[i] = sink.getvalue()
+    return _ORC_CACHE[i]
+
+
+def _dv_fix(i: int) -> bytes:
+    return deltalog.encode_dv_bitmap(
+        {(i * 7 + k * 13) % (1 << 20) for k in range(100 + i % 400)})
+
+
+CASES = {
+    "snappy": (_snappy_fix, snappy.decompress),
+    "snappy_frm": (_snappy_frame_fix, snappy.decompress_frame),
+    "pq_pages": (_parquet_fix, parquetpage.read_columns),
+    "pq_delta": (_parquet_delta_fix, parquetpage.read_columns),
+    "orc_stripe": (_orc_fix, orcdata.read_orc_columns),
+    "delta_dv": (_dv_fix, deltalog.parse_dv_bitmap),
+    "msgpack": (lambda i: binaryjson.encode_msgpack(
+        binaryjson.synth_doc(i)[0]), binaryjson.parse_msgpack),
+    "cbor": (lambda i: binaryjson.encode_cbor(
+        binaryjson.synth_doc(i)[0]), binaryjson.parse_cbor),
+}
+
+
+def run(n: int) -> None:
+    print(f"{'decoder':<12} {'MB/s@N':>8} {'ratio10x':>9}  (N={n})")
+    for name, (synth, parse) in CASES.items():
+        fixtures = [synth(i) for i in range(n)]
+        nbytes = sum(len(f) for f in fixtures)
+        t0 = time.time()
+        for f in fixtures:
+            assert parse(f) is not None
+        t1 = time.time() - t0
+        fixtures10 = [synth(i % n) for i in range(10 * n)]
+        t0 = time.time()
+        for f in fixtures10:
+            assert parse(f) is not None
+        t10 = time.time() - t0
+        mbs = nbytes / max(t1, 1e-9) / 1e6
+        print(f"{name:<12} {mbs:>8.1f} {t10 / max(t1, 1e-9):>9.2f}")
+
+
+if __name__ == "__main__":
+    run(int(sys.argv[1]) if len(sys.argv) > 1 else 120)

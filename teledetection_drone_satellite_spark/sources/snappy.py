@@ -60,21 +60,39 @@ FRAME_MAGIC = b"sNaPpY"
 _MAX_FRAME_UNCOMP = 65536
 _M32 = 0xFFFFFFFF
 
-# CRC-32C (Castagnoli), reflected polynomial — table built once
-_CRC32C_TABLE = []
+# CRC-32C (Castagnoli), reflected polynomial — slicing-by-8 tables
+# (the standard table-extension construction: table[k][b] is the CRC
+# of byte b followed by k zero bytes), built once
+_CRC32C_TABLES: "list[list[int]]" = [[0] * 256 for _ in range(8)]
 for _i in range(256):
     _c = _i
     for _ in range(8):
         _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
-    _CRC32C_TABLE.append(_c)
+    _CRC32C_TABLES[0][_i] = _c
+for _k in range(1, 8):
+    for _i in range(256):
+        _p = _CRC32C_TABLES[_k - 1][_i]
+        _CRC32C_TABLES[_k][_i] = \
+            _CRC32C_TABLES[0][_p & 0xFF] ^ (_p >> 8)
 
 
 def crc32c(data: bytes, crc: int = 0) -> int:
     """CRC-32C from the public Castagnoli polynomial (the framing
-    format's integrity check; pinned against published vectors)."""
+    format's integrity check; pinned against published vectors).
+    Slicing-by-8: eight table lookups advance eight input bytes."""
+    t0, t1, t2, t3, t4, t5, t6, t7 = _CRC32C_TABLES
     crc ^= _M32
-    for b in data:
-        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    n = len(data)
+    pos = 0
+    while pos + 8 <= n:
+        b0, b1, b2, b3, b4, b5, b6, b7 = data[pos:pos + 8]
+        crc ^= b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+        crc = (t7[crc & 0xFF] ^ t6[(crc >> 8) & 0xFF]
+               ^ t5[(crc >> 16) & 0xFF] ^ t4[(crc >> 24) & 0xFF]
+               ^ t3[b4] ^ t2[b5] ^ t1[b6] ^ t0[b7])
+        pos += 8
+    for b in data[pos:]:
+        crc = t0[(crc ^ b) & 0xFF] ^ (crc >> 8)
     return crc ^ _M32
 
 
