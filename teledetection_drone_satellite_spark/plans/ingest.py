@@ -12000,6 +12000,95 @@ def parquet_delta_page_stats(spark: SparkSession,
 
 
 @register(
+    "pyds_rawparquet_scan",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+           CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Spark 4 Python DataSource over the raw-parquet page "
+    "decoder, graded (r15 — the data-plane tier registered INTO the "
+    "engine): spark.dataSource.register(RawParquetDataSource) then "
+    "spark.read.format('rawparquet').load(documents.parquet); one "
+    "input partition per ROW GROUP, each partition object carrying "
+    "its columns' chunk byte ranges resolved once on the driver, so "
+    "executor tasks seek straight to their bytes (the selective-"
+    "fetch shape as a first-class source). Catalyst plans the "
+    "group-by on top like any other scan; the oracle reads the same "
+    "table through DuckDB's own reader. BYTE_ARRAY maps to string "
+    "via the footer's UTF8 converted_type.",
+    tags=("ingest", "sketch", "pipeline"),
+)
+def pyds_rawparquet_scan(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    from ..sources.pydatasource import RawParquetDataSource
+
+    spark.dataSource.register(RawParquetDataSource)
+    df = spark.read.format("rawparquet").load(
+        sf_dir.rstrip("/") + "/documents.parquet")
+    return (
+        df.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").alias("chars_sum"),
+             F.sum(F.length("text")).alias("text_bytes"))
+    )
+
+
+@register(
+    "pyds_raworc_scan",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           round(sum(value), 2) AS value_sum
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Spark 4 Python DataSource over the raw-ORC stripe decoder, "
+    "graded (r15): Spark's OWN Java ORC writer materializes the "
+    "events table as snappy ORC (once per sf dir, fingerprint-"
+    "keyed), then spark.read.format('raworc') decodes it back "
+    "through sources/orcdata.py — a true cross-engine pin (Java "
+    "writer, pure-Python reader) with one input partition per "
+    "STRIPE carrying its own byte range. The oracle reads the "
+    "original parquet through DuckDB. ORC SNAPPY/LZ4 framing was "
+    "un-gated this round by the pyarrow-cross-pinned "
+    "sources/snappy.py and the lz4frame block decoder.",
+    tags=("ingest", "sketch", "pipeline"),
+)
+def pyds_raworc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..catalog import source_fingerprint
+    from ..sources.pydatasource import RawOrcDataSource
+
+    fp = source_fingerprint(sf_dir, "events")
+    root = _os.path.join(_tempfile.gettempdir(),
+                         "spark_graft_orc_v1", fp)
+    done = _os.path.join(root, "_DONE")
+    if not _os.path.exists(done):
+        e = load(spark, sf_dir, ("events",))["events"].select(
+            "event_id", "user_id", "event_type", "value")
+        (e.coalesce(1).write.mode("overwrite")
+         .option("compression", "snappy").orc(root))
+        open(done, "w").close()
+    part = sorted(_glob.glob(root + "/part-*.orc"))[0]
+    spark.dataSource.register(RawOrcDataSource)
+    df = spark.read.format("raworc").load(part)
+    return (
+        df.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("event_id").alias("id_sum"),
+             F.round(F.sum("value"), 2).alias("value_sum"))
+    )
+
+
+@register(
     "iceberg_scan_pipeline",
     oracle="""
     WITH spec AS (

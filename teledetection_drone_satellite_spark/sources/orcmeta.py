@@ -115,8 +115,26 @@ def decompress_orc(buf: bytes, codec: str) -> "bytes | None":
             if got is None:
                 return None
             out += got
+        elif codec == "SNAPPY":
+            # r15: un-gated by the pure-Python pyarrow-cross-pinned
+            # sources/snappy.py (raw blocks inside the ORC framing)
+            from .snappy import decompress as _snappy_dec
+
+            got = _snappy_dec(chunk, MAX_INFLATE)
+            if got is None:
+                return None
+            out += got
+        elif codec == "LZ4":
+            # r15: raw LZ4 blocks inside the ORC framing, via the
+            # dual-decoder sources/lz4frame.py block path
+            from .lz4frame import decompress_block as _lz4_dec
+
+            got = _lz4_dec(chunk, MAX_INFLATE)
+            if got is None:
+                return None
+            out += got
         else:
-            return None  # SNAPPY/LZO: no wheel, refuse honestly
+            return None  # LZO: refuse honestly
         if len(out) > MAX_INFLATE:
             return None
     return bytes(out)

@@ -223,6 +223,9 @@ def parse_parquet_footer(buf: bytes) -> "dict | None":
                     "max_def": max_def,
                     "max_rep": max_rep,
                     "type_length": el.get(2),
+                    # converted_type (field 6): 0 == UTF8 — how a
+                    # reader knows a BYTE_ARRAY is a string
+                    "converted_type": el.get(6),
                 })
                 return idx + 1
             nxt = idx + 1

@@ -1,0 +1,88 @@
+"""Spark 4 Python DataSources (sources/pydatasource.py): registered
+scan equals the native readers row-for-row; partition grain = row
+group / stripe; corrupt partitions fail loudly."""
+
+from __future__ import annotations
+
+import glob
+import io
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from teledetection_drone_satellite_spark.sources.pydatasource import (
+    RawOrcDataSource,
+    RawParquetDataSource,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pa = pytest.importorskip("pyarrow")
+pq = pytest.importorskip("pyarrow.parquet")
+
+
+def test_rawparquet_equals_native(spark):
+    spark.dataSource.register(RawParquetDataSource)
+    path = SF_DIR + "/documents.parquet"
+    mine = spark.read.format("rawparquet").load(path)
+    ref = spark.read.parquet(path)
+    assert mine.schema["doc_id"].dataType.simpleString() == "bigint"
+    assert mine.schema["text"].dataType.simpleString() == "string"
+    a = sorted(mine.select("doc_id", "text", "n_chars").collect())
+    b = sorted(ref.select("doc_id", "text", "n_chars").collect())
+    assert a == b
+
+
+def test_rawparquet_partitions_per_row_group(spark, tmp_path):
+    # a 3-row-group file must scan as 3 input partitions
+    n = 900
+    tbl = pa.table({"i": pa.array(range(n), pa.int64())})
+    p = str(tmp_path / "rg.parquet")
+    pq.write_table(tbl, p, row_group_size=300)
+    spark.dataSource.register(RawParquetDataSource)
+    df = spark.read.format("rawparquet").load(p)
+    assert df.rdd.getNumPartitions() == 3
+    assert df.agg(F.sum("i")).collect()[0][0] == n * (n - 1) // 2
+
+
+def test_rawparquet_column_pruned_read(spark):
+    # selecting one column plans a reader over just that column
+    spark.dataSource.register(RawParquetDataSource)
+    path = SF_DIR + "/documents.parquet"
+    got = (spark.read.format("rawparquet").load(path)
+           .select("n_chars").agg(F.sum("n_chars")).collect())
+    ref = (spark.read.parquet(path)
+           .agg(F.sum("n_chars")).collect())
+    assert got[0][0] == ref[0][0]
+
+
+def test_raworc_equals_native_spark_writer(spark, tmp_path):
+    # Spark's OWN Java ORC writer -> pure-Python stripe decoder
+    d = str(tmp_path / "orc")
+    e = spark.read.parquet(SF_DIR + "/events.parquet").select(
+        "event_id", "user_id", "event_type", "value")
+    (e.coalesce(1).write.mode("overwrite")
+     .option("compression", "snappy").orc(d))
+    part = glob.glob(d + "/part-*.orc")[0]
+    spark.dataSource.register(RawOrcDataSource)
+    mine = spark.read.format("raworc").load(part)
+    a = sorted(mine.select("event_id", "event_type").collect())
+    b = sorted(e.select("event_id", "event_type").collect())
+    assert a == b
+
+
+def test_corrupt_partition_fails_loudly(spark, tmp_path):
+    # silent nulls would hide corruption; the task must FAIL
+    tbl = pa.table({"i": pa.array(range(100), pa.int64())})
+    p = str(tmp_path / "ok.parquet")
+    pq.write_table(tbl, p, compression="snappy")
+    buf = bytearray(open(p, "rb").read())
+    # corrupt a data byte well before the footer
+    buf[20] ^= 0xFF
+    bad = str(tmp_path / "bad.parquet")
+    open(bad, "wb").write(bytes(buf))
+    spark.dataSource.register(RawParquetDataSource)
+    df = spark.read.format("rawparquet").load(bad)
+    with pytest.raises(Exception):
+        df.collect()
