@@ -58,6 +58,10 @@ def get_spark(app_name: str = "teledetection-spark", cpus: str | None = None) ->
         # must be present here too so tests that read the raw fixture directly
         # don't depend on a catalog.load side effect having run first.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # r15: the rawparquet Python data source prunes row groups
+        # via pushFilters (footer min/max stats); Spark 4.1 gates
+        # Python-source pushdown behind this flag
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )

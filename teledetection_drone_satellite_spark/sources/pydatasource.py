@@ -117,30 +117,95 @@ class RawParquetDataSource(DataSource):
 
     def reader(self, schema) -> "RawParquetReader":
         path, footer = self._footer()
-        leaves = {leaf["name"]: leaf
-                  for leaf in self._flat_leaves(footer)}
-        want = [f.name for f in schema.fields]
+        return RawParquetReader(path, footer,
+                                self._flat_leaves(footer),
+                                [f.name for f in schema.fields])
+
+
+def _stat_int(raw: "bytes | None") -> "int | None":
+    """Footer chunk min/max statistic bytes -> signed LE int."""
+    if isinstance(raw, bytes) and len(raw) in (4, 8):
+        return int.from_bytes(raw, "little", signed=True)
+    return None
+
+
+class RawParquetReader(DataSourceReader):
+    def __init__(self, path: str, footer: dict, leaves: list,
+                 want: list):
+        self.path = path
+        self.footer = footer
+        self.leaves = {leaf["name"]: leaf for leaf in leaves}
+        self.want = want
+        # (name, op, value) predicates accepted by pushFilters —
+        # used for ROW-GROUP PRUNING against footer min/max stats
+        self.pushed: "list[tuple[str, str, int]]" = []
+
+    def pushFilters(self, filters):
+        """Accept int comparisons on INT32/INT64 leaves for
+        row-group pruning via the footer's chunk statistics.  Every
+        filter is ALSO returned (Spark re-evaluates row-level): the
+        pushdown is pruning-only, so correctness never depends on
+        the stats being tight."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {EqualTo: "=", GreaterThan: ">",
+               GreaterThanOrEqual: ">=", LessThan: "<",
+               LessThanOrEqual: "<="}
+        for f in filters:
+            op = ops.get(type(f))
+            if op and len(f.attribute) == 1 and \
+                    isinstance(f.value, int):
+                leaf = self.leaves.get(f.attribute[0])
+                if leaf is not None and leaf["physical_type"] in \
+                        ("INT32", "INT64"):
+                    self.pushed.append(
+                        (f.attribute[0], op, f.value))
+        return filters  # all re-evaluated row-level by Spark
+
+    def _rg_can_match(self, rg: dict) -> bool:
+        """False only when a pushed predicate PROVABLY excludes the
+        whole row group (missing stats keep the group)."""
+        for name, op, val in self.pushed:
+            chunk = next((c for c in rg["columns"]
+                          if c["path"] == name), None)
+            if chunk is None:
+                continue
+            lo = _stat_int(chunk.get("min_value"))
+            hi = _stat_int(chunk.get("max_value"))
+            if lo is None or hi is None:
+                continue
+            if (op == "=" and not lo <= val <= hi) or \
+                    (op == ">" and hi <= val) or \
+                    (op == ">=" and hi < val) or \
+                    (op == "<" and lo >= val) or \
+                    (op == "<=" and lo > val):
+                return False
+        return True
+
+    def partitions(self):
         parts = []
-        for rg in footer["row_groups"]:
+        for rg in self.footer["row_groups"]:
+            if not self._rg_can_match(rg):
+                continue  # pruned: no task, no bytes
             chunks = []
-            for name in want:
+            for name in self.want:
                 chunk = next((c for c in rg["columns"]
                               if c["path"] == name), None)
                 if chunk is None:
                     raise ValueError("column missing: %s" % name)
                 chunks.append(chunk)
             parts.append(_PqPartition(
-                path, [leaves[n] for n in want], chunks))
-        self._parts = parts
-        return RawParquetReader(parts)
-
-
-class RawParquetReader(DataSourceReader):
-    def __init__(self, parts: list):
-        self._parts = parts
-
-    def partitions(self):
-        return self._parts
+                self.path, [self.leaves[n] for n in self.want],
+                chunks))
+        if not parts:  # Spark requires >= 1 partition
+            parts.append(_PqPartition(self.path, [], []))
+        return parts
 
     def read(self, partition: _PqPartition):
         from .parquetpage import decode_column_chunk

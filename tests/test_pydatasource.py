@@ -86,3 +86,31 @@ def test_corrupt_partition_fails_loudly(spark, tmp_path):
     df = spark.read.format("rawparquet").load(bad)
     with pytest.raises(Exception):
         df.collect()
+
+
+def test_pushdown_prunes_row_groups(spark, tmp_path):
+    # r15: pushFilters + footer min/max stats drop whole row groups
+    # BEFORE any task launches; Spark still re-evaluates row-level
+    # (pruning-only pushdown, correctness never depends on stats)
+    n = 900
+    tbl = pa.table({"i": pa.array(range(n), pa.int64()),
+                    "s": pa.array(["v%d" % k for k in range(n)])})
+    p = str(tmp_path / "prune.parquet")
+    pq.write_table(tbl, p, row_group_size=300)
+    spark.dataSource.register(RawParquetDataSource)
+    df = spark.read.format("rawparquet").load(p)
+    assert df.rdd.getNumPartitions() == 3
+    filt = df.filter(F.col("i") > 650)
+    assert filt.rdd.getNumPartitions() == 1  # groups 0/1 pruned
+    assert filt.count() == n - 651
+    assert filt.agg(F.sum("i")).collect()[0][0] == \
+        sum(range(651, n))
+    # a filter excluding everything scans zero groups, zero rows
+    assert df.filter(F.col("i") > 10_000).count() == 0
+    # equality lands in exactly one group
+    eq = df.filter(F.col("i") == 450)
+    assert eq.rdd.getNumPartitions() == 1
+    assert eq.collect()[0]["s"] == "v450"
+    # string predicates are NOT pushed (returned to Spark) but must
+    # still evaluate correctly row-level
+    assert df.filter(F.col("s") == "v7").count() == 1
