@@ -12043,7 +12043,8 @@ def pyds_rawparquet_scan(spark: SparkSession,
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(event_id) AS BIGINT) AS id_sum,
-           round(sum(value), 2) AS value_sum
+           round(sum(value), 2) AS value_sum,
+           max(ts) AS last_ts
     FROM events
     GROUP BY event_type
     """,
@@ -12073,7 +12074,7 @@ def pyds_raworc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     done = _os.path.join(root, "_DONE")
     if not _os.path.exists(done):
         e = load(spark, sf_dir, ("events",))["events"].select(
-            "event_id", "user_id", "event_type", "value")
+            "event_id", "user_id", "event_type", "value", "ts")
         (e.coalesce(1).write.mode("overwrite")
          .option("compression", "snappy").orc(root))
         open(done, "w").close()
@@ -12084,7 +12085,8 @@ def pyds_raworc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.groupBy("event_type")
         .agg(F.count("*").alias("n_events"),
              F.sum("event_id").alias("id_sum"),
-             F.round(F.sum("value"), 2).alias("value_sum"))
+             F.round(F.sum("value"), 2).alias("value_sum"),
+             F.max("ts").alias("last_ts"))
     )
 
 

@@ -316,6 +316,8 @@ def _column_streams(footer: dict, buf: bytes, stripe: dict,
 
 
 _INT_KINDS = ("SHORT", "INT", "LONG", "DATE")
+# the ORC timestamp epoch: 2015-01-01 00:00:00 UTC as unix seconds
+_ORC_EPOCH = 1420070400
 
 
 def _decode_column(kind: str, enc: int, dict_size: int,
@@ -391,8 +393,51 @@ def _decode_column(kind: str, enc: int, dict_size: int,
                 vals = [v.decode("utf-8") for v in vals]
             except UnicodeDecodeError:
                 return None
+    elif kind in ("TIMESTAMP", "TIMESTAMP_INSTANT"):
+        # DATA = seconds RLEv2 signed from the 2015-01-01 00:00:00
+        # epoch; SECONDARY = nanos RLEv2 unsigned with the spec's
+        # trailing-zero packing (low 3 bits = removed zeros - 2).
+        # Values returned as epoch MICROS (int).
+        if enc != _E_DIRECT_V2:
+            return None
+        secs = rle_v2(data, n_present, signed=True)
+        nanos_enc = rle_v2(streams.get((col, _S_SECONDARY), b""),
+                           n_present, signed=False)
+        if secs is None or nanos_enc is None:
+            return None
+        vals = []
+        for s, ne in zip(secs, nanos_enc):
+            # spec examples: 1000 ns -> 1*8+2, 100000 -> 1*8+4, so
+            # nanos = mantissa * 10^(zeros+1).  The C++ writer
+            # (pyarrow) emits SIGNED encoded values for pre-epoch
+            # rows (seconds truncate toward zero, nanos negative) —
+            # interpret two's complement and shift arithmetically.
+            if ne >= 1 << 63:
+                ne -= 1 << 64
+            z = ne & 7
+            nanos = (ne >> 3) * (10 ** (z + 1)) if z else ne >> 3
+            if not -1_000_000_000 < nanos < 1_000_000_000:
+                return None
+            vals.append((s + _ORC_EPOCH) * 1_000_000
+                        + nanos // 1000)
+    elif kind == "DECIMAL":
+        # DATA = unbounded zigzag varints (mantissa); SECONDARY =
+        # per-value scale RLEv2 signed.  Returned as (mantissa,
+        # scale) tuples — exact, no float surprises.
+        if enc != _E_DIRECT_V2:
+            return None
+        scales = rle_v2(streams.get((col, _S_SECONDARY), b""),
+                        n_present, signed=True)
+        if scales is None:
+            return None
+        try:
+            r = _R(data)
+            mants = [r.svarint() for _ in range(n_present)]
+        except ValueError:
+            return None
+        vals = list(zip(mants, scales))
     else:
-        return None  # TIMESTAMP/DECIMAL/compound: out of scope
+        return None  # compound types: out of scope
     if len(vals) != n_present:
         return None
     if present is None:
@@ -424,7 +469,7 @@ def read_orc_columns(buf: bytes,
         col_kinds[name] = nodes[tid]["kind"]
     supported = ("BOOLEAN", "BYTE", "SHORT", "INT", "LONG", "FLOAT",
                  "DOUBLE", "STRING", "BINARY", "VARCHAR", "CHAR",
-                 "DATE")
+                 "DATE", "TIMESTAMP", "TIMESTAMP_INSTANT", "DECIMAL")
     if want is None:
         want = [n for n in root["names"]
                 if col_kinds[n] in supported]

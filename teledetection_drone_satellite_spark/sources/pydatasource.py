@@ -53,6 +53,7 @@ _ORC_SPARK_TYPES = {
     "INT": "int", "LONG": "long", "FLOAT": "float",
     "DOUBLE": "double", "STRING": "string", "VARCHAR": "string",
     "CHAR": "string", "BINARY": "binary", "DATE": "int",
+    "TIMESTAMP": "timestamp", "TIMESTAMP_INSTANT": "timestamp",
 }
 
 
@@ -336,6 +337,9 @@ class RawOrcReader(DataSourceReader):
                                   partition.codec)
         if streams is None:
             raise ValueError("stripe streams refused")
+        import datetime as _dt
+
+        epoch = _dt.datetime(1970, 1, 1)
         cols = []
         for _name, tid, kind in partition.cols:
             enc, dict_size = foot["encodings"][tid]
@@ -343,5 +347,10 @@ class RawOrcReader(DataSourceReader):
                                   streams, tid, st["num_rows"])
             if vals is None:
                 raise ValueError("column decode refused: %s" % _name)
+            if kind in ("TIMESTAMP", "TIMESTAMP_INSTANT"):
+                # orcdata yields epoch micros; Spark wants naive
+                # datetimes in the session zone (UTC here)
+                vals = [epoch + _dt.timedelta(microseconds=v)
+                        if v is not None else None for v in vals]
             cols.append(vals)
         yield from zip(*cols)

@@ -149,3 +149,52 @@ def test_nested_types_skipped():
     got = read_orc_columns(buf)
     assert got is not None and list(got["columns"]) == ["i"]
     assert read_orc_columns(buf, want=["lst"]) is None
+
+
+def test_timestamp_and_decimal_cross_pin():
+    # r15: TIMESTAMP incl. pre-2015/pre-1970 rows (the C++ writer's
+    # signed nano encodings + truncate-toward-zero seconds) and
+    # DECIMAL as exact (mantissa, scale) pairs — vs pyarrow.orc
+    import datetime
+    import decimal
+
+    base = datetime.datetime(2020, 3, 1, 12, 30, 45)
+    tss = [base + datetime.timedelta(
+        seconds=k, microseconds=(k * 137) % 1000000)
+        for k in range(500)]
+    tss += [datetime.datetime(2014, 12, 31, 23, 59, 59, 500000),
+            datetime.datetime(1969, 6, 1, 0, 0, 1, 250000),
+            datetime.datetime(1960, 1, 1, 0, 0, 0, 1),
+            datetime.datetime(2015, 1, 1, 0, 0, 0, 0),
+            datetime.datetime(1969, 12, 31, 23, 59, 59, 999999)]
+    n = len(tss)
+    decs = [decimal.Decimal(k - 100) / decimal.Decimal(100)
+            for k in range(500)] + [
+        decimal.Decimal("0.00"), decimal.Decimal("-123456.789012"),
+        decimal.Decimal("99999999.99"), decimal.Decimal("-0.01"),
+        decimal.Decimal("7")]
+    tbl = pa.table({
+        "ts": pa.array(tss, pa.timestamp("us")),
+        "d": pa.array(decs[:n], pa.decimal128(20, 6)),
+    })
+    epoch = datetime.datetime(1970, 1, 1)
+    exp_us = [((t - epoch).days * 86400 + (t - epoch).seconds)
+              * 1_000_000 + (t - epoch).microseconds for t in tss]
+    exp_d = [(int(v.scaleb(6)), 6) for v in decs[:n]]
+    for codec in ("uncompressed", "zlib", "zstd", "snappy"):
+        got = read_orc_columns(_write(tbl, compression=codec))
+        assert got is not None, codec
+        assert got["columns"]["ts"] == exp_us, codec
+        assert got["columns"]["d"] == exp_d, codec
+
+
+def test_snappy_and_lz4_framing():
+    # r15: ORC SNAPPY/LZ4 chunks un-gated by the in-repo codecs
+    tbl = _table(2000)
+    for codec in ("snappy", "lz4"):
+        got = read_orc_columns(_write(tbl, compression=codec))
+        assert got is not None, codec
+        assert got["columns"]["mono"] == \
+            tbl.column("mono").to_pylist(), codec
+        assert got["columns"]["s_dict"] == \
+            tbl.column("s_dict").to_pylist(), codec
