@@ -416,10 +416,11 @@ def _scan_rows_inner(metadata_json, files, snap, read_columns):
     meta = parse_table_metadata(metadata_json)
     ml = parse_avro(files[meta["snapshots"][
         meta["current_snapshot_id"]]])
-    # collect live data files (ordered) and pos-delete map
+    # collect live data files (ordered), pos-delete map, eq deletes
     live: "list[str]" = []
     deletes: "dict[str, set[int]]" = {}
     pos_files: "list[str]" = []
+    eq_files: "list[tuple[list, str]]" = []  # (eq_ids, path)
     for mf in ml["records"]:
         man = parse_avro(files[mf["manifest_path"]])
         for entry in man["records"]:
@@ -427,7 +428,10 @@ def _scan_rows_inner(metadata_json, files, snap, read_columns):
             if mf.get("content", 0) == 0:
                 if entry.get("status") in (0, 1):
                     live.append(df["file_path"])
-            elif not df.get("equality_ids"):
+            elif df.get("equality_ids"):
+                eq_files.append((df["equality_ids"],
+                                 df["file_path"]))
+            else:
                 pos_files.append(df["file_path"])
     for dpath in pos_files:
         dd = parse_avro(files[dpath])
@@ -436,9 +440,26 @@ def _scan_rows_inner(metadata_json, files, snap, read_columns):
         for row in dd["records"]:
             deletes.setdefault(row["file_path"], set()).add(
                 row["pos"])
+    # equality deletes applied at ROW level: value-tuple sets keyed
+    # by the (ordered) equality column names — the exact semantics,
+    # no bounds approximation here (bounds belong to the COUNTING
+    # tier; this is the materialized tier)
+    eq_sets: "dict[tuple, set[tuple]]" = {}
+    field_ids = meta["field_ids"]
+    for eq_ids, dpath in eq_files:
+        names = tuple(field_ids.get(fid) for fid in eq_ids)
+        if any(n is None for n in names):
+            return None
+        dd = parse_avro(files[dpath])
+        if dd is None:
+            return None
+        bucket = eq_sets.setdefault(names, set())
+        for row in dd["records"]:
+            bucket.add(tuple(row[n] for n in names))
     cols: "dict[str, list]" = {}
     n_surviving = 0
     n_deleted_rows = 0
+    n_eq_removed = 0
     for path in live:
         blob = files.get(path)
         if blob is None:
@@ -450,12 +471,25 @@ def _scan_rows_inner(metadata_json, files, snap, read_columns):
         nrows = got["num_rows"]
         keep = [k for k in range(nrows) if k not in gone]
         n_deleted_rows += nrows - len(keep)
+        for names, vals_set in eq_sets.items():
+            series = [got["columns"].get(n) for n in names]
+            if any(s is None for s in series):
+                return None
+            before = len(keep)
+            keep = [k for k in keep
+                    if tuple(s[k] for s in series) not in vals_set]
+            n_eq_removed += before - len(keep)
         n_surviving += len(keep)
         for name, vals in got["columns"].items():
             cols.setdefault(name, []).extend(vals[k] for k in keep)
+    # the counting tier's net_records uses bounds for equality
+    # deletes, so the cross-check is exact only when eq_exact held
+    counts_match = n_surviving == snap["net_records"] if \
+        snap["eq_exact"] else n_surviving <= snap["total_records"]
     return {"columns": cols, "n_surviving": n_surviving,
             "n_deleted_rows": n_deleted_rows,
-            "counts_match": n_surviving == snap["net_records"]}
+            "n_eq_removed": n_eq_removed,
+            "counts_match": counts_match}
 
 
 # ---------------------------------------------------------------- synth

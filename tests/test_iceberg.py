@@ -250,3 +250,47 @@ def test_scan_rows_materialized_merge_on_read():
     bad = dict(files)
     bad["d.parquet"] = files["d.parquet"][:50]
     assert scan_rows(meta, bad) is None
+
+    # r15: EQUALITY deletes applied at row level too — add an eq
+    # delete file removing ids 4 and 5 (and a miss, 999)
+    from teledetection_drone_satellite_spark.sources.iceberg import (
+        EQ_DELETE_SCHEMA, MANIFEST_SCHEMA_EXT)
+
+    files2 = dict(files)
+    files2["eqd.avro"] = write_avro(
+        EQ_DELETE_SCHEMA,
+        [{"id": 4}, {"id": 5}, {"id": 999}])
+    files2["eqm.avro"] = write_avro(MANIFEST_SCHEMA_EXT, [{
+        "status": 1, "snapshot_id": 1,
+        "data_file": {"file_path": "eqd.avro",
+                      "file_format": "AVRO", "record_count": 3,
+                      "file_size_in_bytes": len(files2["eqd.avro"]),
+                      "equality_ids": [1],
+                      "lower_bounds": None, "upper_bounds": None}}])
+    import json as _json2
+    ml_rows = [
+        {"manifest_path": "m.avro",
+         "manifest_length": len(files2["m.avro"]),
+         "partition_spec_id": 0, "content": 0,
+         "added_data_files_count": 1,
+         "existing_data_files_count": 0,
+         "deleted_data_files_count": 0},
+        {"manifest_path": "dm.avro",
+         "manifest_length": len(files2["dm.avro"]),
+         "partition_spec_id": 0, "content": 1,
+         "added_data_files_count": 1,
+         "existing_data_files_count": 0,
+         "deleted_data_files_count": 0},
+        {"manifest_path": "eqm.avro",
+         "manifest_length": len(files2["eqm.avro"]),
+         "partition_spec_id": 0, "content": 1,
+         "added_data_files_count": 1,
+         "existing_data_files_count": 0,
+         "deleted_data_files_count": 0}]
+    files2["ml.avro"] = write_avro(MANIFEST_LIST_SCHEMA, ml_rows)
+    got2 = scan_rows(meta, files2)
+    assert got2 is not None
+    # pos deletes removed rows 2 and 7; eq deletes remove ids 4, 5
+    assert got2["n_eq_removed"] == 2
+    assert got2["n_surviving"] == 6
+    assert got2["columns"]["id"] == [0, 1, 3, 6, 8, 9]
