@@ -1295,9 +1295,22 @@ def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = curation.decontaminate(train, bench, n=3) \
         .select("doc_id").distinct()
     n_train = train.count()
-    n_exact = exact.count()
-    n_flagged = flagged.count()
-    n_missed = exact.join(flagged, "doc_id", "left_anti").count()
+    # one agg pass over the exact/flagged outer join (r15: was four
+    # sequential driver counts — cosmetic, this is verification tier)
+    row = (
+        exact.withColumn("in_exact", F.lit(1))
+        .join(flagged.withColumn("in_flagged", F.lit(1)),
+              "doc_id", "full_outer")
+        .agg(F.sum("in_exact").alias("n_exact"),
+             F.sum("in_flagged").alias("n_flagged"),
+             F.sum(F.when(F.col("in_exact").isNotNull()
+                          & F.col("in_flagged").isNull(), 1)
+                   .otherwise(0)).alias("n_missed"))
+        .collect()[0]
+    )
+    n_exact = row["n_exact"] or 0
+    n_flagged = row["n_flagged"] or 0
+    n_missed = row["n_missed"] or 0
     overflag = (n_flagged - n_exact) / max(1, n_train - n_exact)
     return spark.createDataFrame(
         [(n_train, n_exact, n_missed == 0, overflag <= 0.02)],
