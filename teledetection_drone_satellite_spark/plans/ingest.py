@@ -12000,6 +12000,61 @@ def parquet_delta_page_stats(spark: SparkSession,
 
 
 @register(
+    "parquet_write_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(strlen(text)) AS BIGINT) AS text_bytes,
+           CAST(count(*) - count(text) AS BIGINT) AS text_nulls
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Pure-Python Parquet WRITE path, graded (r15 — the reverse "
+    "direction of the page-decode cross-pins): documents writes "
+    "through df.write.format('rawparquet') — hand-emitted Thrift "
+    "compact footers, PLAIN v1 pages, RLE definition levels, "
+    "chunk min/max statistics, snappy page bodies, one file per "
+    "Spark partition (sources/parquetwrite.py) — then SPARK'S OWN "
+    "JAVA READER reads those bytes back and aggregates; the oracle "
+    "reads the original table through DuckDB. Files this writer "
+    "emits are additionally pinned in tests against pyarrow, "
+    "DuckDB (including its view of the statistics), and this "
+    "repo's own decoder — four independent readers on the same "
+    "bytes.",
+    tags=("ingest", "sketch", "pipeline"),
+)
+def parquet_write_roundtrip(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..catalog import source_fingerprint
+    from ..sources.pydatasource import RawParquetDataSource
+
+    fp = source_fingerprint(sf_dir, "documents")
+    root = _os.path.join(_tempfile.gettempdir(),
+                         "spark_graft_rawpq_v1", fp)
+    done = _os.path.join(root, "_DONE")
+    spark.dataSource.register(RawParquetDataSource)
+    if not _os.path.exists(done):
+        d = load(spark, sf_dir, ("documents",))["documents"]
+        (d.repartition(4).write.format("rawparquet")
+         .option("path", root).option("compression", "snappy")
+         .mode("append").save())
+        open(done, "w").close()
+    back = spark.read.parquet(root)  # Spark's native Java reader
+    return (
+        back.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("doc_id").alias("id_sum"),
+             F.sum(F.length("text")).alias("text_bytes"),
+             F.sum(F.when(F.col("text").isNull(), 1).otherwise(0))
+             .alias("text_nulls"))
+    )
+
+
+@register(
     "pyds_rawparquet_scan",
     oracle="""
     SELECT lang,

@@ -40,7 +40,9 @@ import struct
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 _PQ_SPARK_TYPES = {
@@ -121,6 +123,14 @@ class RawParquetDataSource(DataSource):
         return RawParquetReader(path, footer,
                                 self._flat_leaves(footer),
                                 [f.name for f in schema.fields])
+
+    def writer(self, schema, overwrite: bool) -> "RawParquetWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("rawparquet requires a path")
+        return RawParquetWriter(path, schema,
+                                self.options.get("compression",
+                                                 "SNAPPY").upper())
 
 
 def _stat_int(raw: "bytes | None") -> "int | None":
@@ -236,6 +246,58 @@ class RawParquetReader(DataSourceReader):
                             else None for v in vals]
                 cols.append(vals)
         yield from zip(*cols)
+
+
+_SPARK_TO_PHYSICAL = {
+    "bigint": "INT64", "long": "INT64", "integer": "INT32",
+    "int": "INT32", "smallint": "INT32", "short": "INT32",
+    "tinyint": "INT32", "byte": "INT32", "double": "DOUBLE",
+    "float": "FLOAT", "boolean": "BOOLEAN", "string": "BYTE_ARRAY",
+    "binary": "BYTE_ARRAY",
+}
+
+
+class RawParquetWriter(DataSourceWriter):
+    """The write side (r15): ``df.write.format("rawparquet")
+    .option("path", dir).mode("append").save()`` emits ONE parquet
+    file per Spark partition through the pure-Python writer
+    (sources/parquetwrite.py) — files that pyarrow, DuckDB, Spark's
+    native reader, and this repo's own decoder all read back
+    identically (the tests' quadruple pin)."""
+
+    def __init__(self, path: str, schema, codec: str):
+        self.path = path
+        self.fields = [(f.name, f.dataType.simpleString())
+                       for f in schema.fields]
+        self.codec = codec
+        for name, t in self.fields:
+            if t not in _SPARK_TO_PHYSICAL:
+                raise ValueError("unsupported type for rawparquet: "
+                                 "%s %s" % (name, t))
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import os as _os
+        import uuid as _uuid
+
+        from .parquetwrite import write_parquet
+
+        names = [n for n, _t in self.fields]
+        data: "dict[str, list]" = {n: [] for n in names}
+        n_rows = 0
+        for row in iterator:
+            for k, n in enumerate(names):
+                data[n].append(row[k])
+            n_rows += 1
+        cols = {n: (_SPARK_TO_PHYSICAL[t], data[n])
+                for n, t in self.fields}
+        buf = write_parquet(cols, codec=self.codec)
+        if buf is None:
+            raise ValueError("rawparquet writer refused the batch")
+        _os.makedirs(self.path, exist_ok=True)
+        name = "part-%s.parquet" % _uuid.uuid4().hex[:12]
+        with open(_os.path.join(self.path, name), "wb") as f:
+            f.write(buf)
+        return WriterCommitMessage()
 
 
 class _OrcPartition(InputPartition):

@@ -1,0 +1,114 @@
+"""Pure-Python Parquet writer (sources/parquetwrite.py): the same
+bytes read back by FOUR independent readers — pyarrow, DuckDB
+(values AND statistics), this repo's own decoder, and (in
+test_pydatasource.py / the graded query) Spark's Java reader."""
+
+from __future__ import annotations
+
+import io
+import math
+
+import pytest
+
+from teledetection_drone_satellite_spark.sources.parquetpage import (
+    read_columns,
+)
+from teledetection_drone_satellite_spark.sources.parquetwrite import (
+    write_parquet,
+)
+
+pq = pytest.importorskip("pyarrow.parquet")
+duckdb = pytest.importorskip("duckdb")
+
+
+def _cols(n: int = 3000):
+    return {
+        "i64": ("INT64", [None if k % 7 == 0
+                          else k * 1000003 - (1 << 40)
+                          for k in range(n)]),
+        "i32": ("INT32", [(k % 5000) - 2500 for k in range(n)]),
+        "f64": ("DOUBLE", [None if k % 13 == 0 else k * 0.37
+                           for k in range(n)]),
+        "f32": ("FLOAT", [k * 1.5 for k in range(n)]),
+        "s": ("BYTE_ARRAY", [None if k % 17 == 0
+                             else "str-%d-%s" % (k % 300,
+                                                 "é" if k % 5 else "")
+                             for k in range(n)]),
+        "b": ("BOOLEAN", [None if k % 19 == 0 else k % 3 == 0
+                          for k in range(n)]),
+        "raw": ("BYTE_ARRAY", [bytes([k % 256, (k * 7) % 256])
+                               for k in range(n)]),
+    }
+
+
+@pytest.mark.parametrize("codec", ["UNCOMPRESSED", "SNAPPY", "GZIP"])
+@pytest.mark.parametrize("rgs", [3000, 700])
+def test_three_reader_cross_pin(codec, rgs, tmp_path):
+    n = 3000
+    cols = _cols(n)
+    buf = write_parquet(cols, codec=codec, row_group_size=rgs)
+    assert buf is not None
+    # reader 1: pyarrow — full value equality
+    tbl = pq.read_table(io.BytesIO(buf))
+    assert tbl.num_rows == n
+    for name, (ptype, exp) in cols.items():
+        got = tbl.column(name).to_pylist()
+        if ptype in ("DOUBLE", "FLOAT"):
+            assert all((a is None) == (b is None) and
+                       (a is None or math.isclose(a, b,
+                                                  rel_tol=1e-6))
+                       for a, b in zip(got, exp)), name
+        else:
+            assert got == exp, name
+    # reader 2: DuckDB — aggregates + its view of the statistics
+    p = str(tmp_path / ("w_%s_%d.parquet" % (codec, rgs)))
+    open(p, "wb").write(buf)
+    con = duckdb.connect()
+    cnt, s_i64, s_chars = con.execute(
+        "select count(*), sum(i64), sum(strlen(s)) "
+        "from read_parquet(?)", [p]).fetchone()
+    assert cnt == n
+    assert s_i64 == sum(v for v in cols["i64"][1] if v is not None)
+    assert s_chars == sum(len(v.encode())
+                          for v in cols["s"][1] if v is not None)
+    meta = dict(con.execute(
+        "select path_in_schema, sum(stats_null_count) "
+        "from parquet_metadata(?) group by 1", [p]).fetchall())
+    assert meta["i64"] == sum(1 for v in cols["i64"][1]
+                              if v is None)
+    assert meta["i32"] == 0
+    # reader 3: this repo's own decoder
+    mine = read_columns(buf)
+    assert mine is not None and mine["num_rows"] == n
+    assert mine["columns"]["i64"] == cols["i64"][1]
+    assert mine["columns"]["s"] == [
+        v.encode() if isinstance(v, str) else v
+        for v in cols["s"][1]]
+
+
+def test_statistics_prune_with_duckdb(tmp_path):
+    # DuckDB's zone-map pruning must be able to use MY statistics:
+    # a range filter on a sorted column reads fewer row groups
+    n = 9000
+    cols = {"k": ("INT64", list(range(n)))}
+    buf = write_parquet(cols, codec="SNAPPY", row_group_size=1000)
+    p = str(tmp_path / "sorted.parquet")
+    open(p, "wb").write(buf)
+    con = duckdb.connect()
+    got = con.execute(
+        "select count(*), min(k), max(k) from read_parquet(?) "
+        "where k between 2500 and 3499", [p]).fetchone()
+    assert got == (1000, 2500, 3499)
+
+
+def test_refusals_and_empties():
+    assert write_parquet({}) is None
+    assert write_parquet({"x": ("INT96", [1])}) is None
+    assert write_parquet({"x": ("INT64", [1]),
+                          "y": ("INT64", [1, 2])}) is None
+    assert write_parquet({"x": ("INT64", [1])}, codec="LZO") is None
+    # zero rows: a valid file with 0 row groups
+    buf = write_parquet({"x": ("INT64", [])})
+    assert buf is not None
+    tbl = pq.read_table(io.BytesIO(buf))
+    assert tbl.num_rows == 0 and tbl.column_names == ["x"]
