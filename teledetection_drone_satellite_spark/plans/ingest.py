@@ -12055,6 +12055,57 @@ def parquet_write_roundtrip(spark: SparkSession,
 
 
 @register(
+    "orc_write_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Pure-Python ORC WRITE path, graded (r15 — write symmetry "
+    "with parquet_write_roundtrip: both lake formats are now "
+    "writable AND readable from raw bytes in this repo). documents "
+    "writes through df.write.format('raworc') — hand-emitted "
+    "protobuf PostScript/Footer/StripeFooter, RLEv2 "
+    "(SHORT_REPEAT + DIRECT), Byte-RLE PRESENT streams, DIRECT_V2 "
+    "strings, ZLIB framing (sources/orcwrite.py) — then SPARK'S "
+    "OWN JAVA ORC READER reads those bytes back and aggregates; "
+    "the oracle reads the original table through DuckDB. The same "
+    "bytes are pinned in tests against pyarrow.orc and this repo's "
+    "own stripe decoder.",
+    tags=("ingest", "sketch", "pipeline"),
+)
+def orc_write_roundtrip(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..catalog import source_fingerprint
+    from ..sources.pydatasource import RawOrcDataSource
+
+    fp = source_fingerprint(sf_dir, "documents")
+    root = _os.path.join(_tempfile.gettempdir(),
+                         "spark_graft_raworc_v1", fp)
+    done = _os.path.join(root, "_DONE")
+    spark.dataSource.register(RawOrcDataSource)
+    if not _os.path.exists(done):
+        d = load(spark, sf_dir, ("documents",))["documents"]
+        (d.repartition(4).write.format("raworc")
+         .option("path", root).option("compression", "zlib")
+         .mode("append").save())
+        open(done, "w").close()
+    back = spark.read.orc(root)  # Spark's native Java ORC reader
+    return (
+        back.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("doc_id").alias("id_sum"),
+             F.sum(F.length("text")).alias("text_bytes"))
+    )
+
+
+@register(
     "pyds_rawparquet_scan",
     oracle="""
     SELECT lang,

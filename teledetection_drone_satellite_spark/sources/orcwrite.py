@@ -1,0 +1,308 @@
+"""Raw ORC WRITER — pure stdlib, from the public Apache ORC v1
+specification: protobuf PostScript/Footer/StripeFooter emitted by
+hand, integer RLEv2 (SHORT_REPEAT + DIRECT sub-encodings), Byte-RLE
+boolean/PRESENT streams, DIRECT_V2 strings, NONE/ZLIB compression
+framing.
+
+The ORC twin of sources/parquetwrite.py, completing write symmetry:
+with both writers, BOTH mainstream lake formats are writable AND
+readable from raw bytes in this repo, and every written file is
+verified by three independent readers in tests — pyarrow.orc,
+Spark's native Java ORC reader, and this repo's own stripe decoder
+(sources/orcdata.py).
+
+Scope (the honest contract): flat structs; column types LONG
+(int64), DOUBLE, STRING, BOOLEAN; required or nullable (PRESENT
+streams); one stripe per ``stripe_rows`` rows; codecs NONE and ZLIB.
+The RLEv2 emitter uses SHORT_REPEAT for runs and DIRECT otherwise —
+always spec-valid, never optimal, which is the right trade for a
+correctness-first writer (readers must accept every sub-encoding;
+writers may choose any).
+
+Reference parity: the write twin of the rows the reference persists
+via SQLAlchemy (/root/reference/services/file-service/main.py:
+130-169), landed in the second mainstream columnar format.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_FBS = list(range(1, 25)) + [26, 28, 30, 32, 40, 48, 56, 64]
+
+
+# ------------------------------------------------------------ protobuf
+
+def _pb_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _pb_field(fid: int, wire: int) -> bytes:
+    return _pb_varint((fid << 3) | wire)
+
+
+def _pb_uint(fid: int, v: int) -> bytes:
+    return _pb_field(fid, 0) + _pb_varint(v)
+
+
+def _pb_bytes(fid: int, v: bytes) -> bytes:
+    return _pb_field(fid, 2) + _pb_varint(len(v)) + v
+
+
+# ---------------------------------------------------------------- RLE
+
+def _zig(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def _closest_width(w: int) -> int:
+    for cand in _FBS:
+        if cand >= w:
+            return cand
+    return 64
+
+
+def _width_code(w: int) -> int:
+    return _FBS.index(w)
+
+
+def rle_v2_encode(values: "list[int]", signed: bool) -> bytes:
+    """SHORT_REPEAT for runs >= 3 (width <= 8 bytes, count <= 10),
+    DIRECT otherwise in groups of <= 512 — always spec-valid."""
+    enc = [(_zig(v) if signed else v) for v in values]
+    out = bytearray()
+    k = 0
+    n = len(enc)
+    while k < n:
+        v = enc[k]
+        run = 1
+        while k + run < n and enc[k + run] == v and run < 10:
+            run += 1
+        if run >= 3:
+            width = max(1, (v.bit_length() + 7) // 8)
+            out.append(((width - 1) << 3) | (run - 3))
+            out += v.to_bytes(width, "big")
+            k += run
+            continue
+        # DIRECT group: until the next run of >= 3 or 512 values
+        g0 = k
+        while k < n and k - g0 < 512:
+            v = enc[k]
+            run = 1
+            while k + run < n and enc[k + run] == v and run < 10:
+                run += 1
+            if run >= 3 and k > g0:
+                break
+            if run >= 3:
+                break  # starts with a run: let SHORT_REPEAT take it
+            k += run
+        if k == g0:  # group would be empty: force one value
+            k = g0 + 1
+        if k - g0 > 512:  # a straddling mini-run may overshoot the
+            k = g0 + 512  # 9-bit DIRECT length field: truncate
+        group = enc[g0:k]
+        w = _closest_width(max(1, max(x.bit_length() for x in group)))
+        header = 0x40 | (_width_code(w) << 1)
+        ln = len(group) - 1
+        out.append(header | (ln >> 8))
+        out.append(ln & 0xFF)
+        acc = 0
+        for x in group:
+            acc = (acc << w) | x
+        nbits = len(group) * w
+        nbytes = (nbits + 7) // 8
+        acc <<= nbytes * 8 - nbits
+        out += acc.to_bytes(nbytes, "big")
+    return bytes(out)
+
+
+def byte_rle_encode(data: bytes) -> bytes:
+    """Byte-RLE: runs of >= 3 as (count-3, byte), else literal
+    groups of <= 128."""
+    out = bytearray()
+    k = 0
+    n = len(data)
+    while k < n:
+        run = 1
+        while k + run < n and data[k + run] == data[k] and run < 130:
+            run += 1
+        if run >= 3:
+            out.append(run - 3)
+            out.append(data[k])
+            k += run
+            continue
+        g0 = k
+        while k < n and k - g0 < 128:
+            run = 1
+            while k + run < n and data[k + run] == data[k] and \
+                    run < 130:
+                run += 1
+            if run >= 3:
+                break
+            k += run
+        if k == g0:
+            k = g0 + 1
+        group = data[g0:k]
+        out.append(256 - len(group))
+        out += group
+    return bytes(out)
+
+
+def bool_rle_encode(bits: "list[bool]") -> bytes:
+    nbytes = (len(bits) + 7) // 8
+    raw = bytearray(nbytes)
+    for k, b in enumerate(bits):
+        if b:
+            raw[k >> 3] |= 1 << (7 - (k & 7))
+    return byte_rle_encode(bytes(raw))
+
+
+# -------------------------------------------------------------- frame
+
+def _frame(codec: str, data: bytes) -> bytes:
+    """ORC compression framing (3-byte chunk headers)."""
+    if codec == "NONE" or not data:
+        return data
+    out = bytearray()
+    block = 256 * 1024
+    for k in range(0, len(data), block):
+        chunk = data[k:k + block]
+        comp = zlib.compress(chunk, 6)[2:-4]  # raw deflate
+        if len(comp) < len(chunk):
+            hdr = (len(comp) << 1) | 0
+            out += hdr.to_bytes(3, "little") + comp
+        else:
+            hdr = (len(chunk) << 1) | 1
+            out += hdr.to_bytes(3, "little") + chunk
+    return bytes(out)
+
+
+# --------------------------------------------------------------- write
+
+_KIND_IDS = {"BOOLEAN": 0, "LONG": 4, "DOUBLE": 6, "STRING": 7}
+_S_PRESENT, _S_DATA, _S_LENGTH = 0, 1, 2
+
+
+def write_orc(columns: "dict[str, tuple[str, list]]",
+              codec: str = "ZLIB",
+              stripe_rows: int = 1 << 20) -> "bytes | None":
+    """``columns`` maps name -> (kind, values); values may contain
+    None (PRESENT streams).  -> complete file bytes or None."""
+    try:
+        names = list(columns)
+        if not names or codec not in ("NONE", "ZLIB"):
+            return None
+        n_rows = len(columns[names[0]][1])
+        if any(len(v) != n_rows for _k, v in columns.values()):
+            return None
+        for kind, _v in columns.values():
+            if kind not in _KIND_IDS:
+                return None
+        out = bytearray(b"ORC")
+        stripes_pb = []
+        start = 0
+        while start < n_rows:
+            end = min(start + stripe_rows, n_rows)
+            stripe_offset = len(out)
+            streams_pb = []
+            enc_pb = []
+            body = bytearray()
+            for cid, name in enumerate(names, start=1):
+                kind, vals = columns[name]
+                sl = vals[start:end]
+                present = [v for v in sl if v is not None]
+                has_nulls = len(present) != len(sl)
+                col_streams = []
+                if has_nulls:
+                    col_streams.append((_S_PRESENT, bool_rle_encode(
+                        [v is not None for v in sl])))
+                if kind == "LONG":
+                    col_streams.append((_S_DATA, rle_v2_encode(
+                        present, signed=True)))
+                elif kind == "DOUBLE":
+                    col_streams.append((_S_DATA, struct.pack(
+                        "<%dd" % len(present), *present)))
+                elif kind == "BOOLEAN":
+                    col_streams.append((_S_DATA, bool_rle_encode(
+                        [bool(v) for v in present])))
+                else:  # STRING, DIRECT_V2
+                    blobs = [v.encode("utf-8") for v in present]
+                    col_streams.append((_S_DATA, b"".join(blobs)))
+                    col_streams.append((_S_LENGTH, rle_v2_encode(
+                        [len(b) for b in blobs], signed=False)))
+                for skind, raw in col_streams:
+                    framed = _frame(codec, raw)
+                    streams_pb.append(_pb_bytes(1, (
+                        _pb_uint(1, skind) + _pb_uint(2, cid)
+                        + _pb_uint(3, len(framed)))))
+                    body += framed
+                enc_pb.append(_pb_bytes(2, _pb_uint(1, 2)))  # DIRECT_V2
+            # encodings ordered root-first, then each column
+            sf = b"".join(streams_pb)
+            sf += _pb_bytes(2, _pb_uint(1, 0))  # root: DIRECT
+            sf += b"".join(enc_pb)
+            sf_framed = _frame(codec, sf)
+            out += body + sf_framed
+            stripes_pb.append(_pb_bytes(3, (
+                _pb_uint(1, stripe_offset)
+                + _pb_uint(2, 0)  # indexLength: no index streams
+                + _pb_uint(3, len(body))
+                + _pb_uint(4, len(sf_framed))
+                + _pb_uint(5, end - start))))
+            start = end
+        # types: root struct + children
+        types_pb = bytearray()
+        root = _pb_uint(1, 12)  # STRUCT
+        for cid in range(1, len(names) + 1):
+            root += _pb_uint(2, cid)
+        for name in names:
+            root += _pb_bytes(3, name.encode())
+        types_pb += _pb_bytes(4, root)
+        for name in names:
+            kind, _v = columns[name]
+            types_pb += _pb_bytes(4, _pb_uint(1, _KIND_IDS[kind]))
+        # minimal column statistics: numberOfValues (+ hasNull)
+        stats_pb = bytearray()
+        stats_pb += _pb_bytes(7, _pb_uint(1, n_rows))
+        for name in names:
+            _kind, vals = columns[name]
+            n_present = sum(1 for v in vals if v is not None)
+            st = _pb_uint(1, n_present)
+            st += _pb_field(10, 0) + (b"\x01" if n_present != len(
+                vals) else b"\x00")
+            stats_pb += _pb_bytes(7, st)
+        footer = (
+            _pb_uint(1, 3)  # headerLength: the "ORC" magic
+            + _pb_uint(2, len(out))  # contentLength
+            + b"".join(stripes_pb)
+            + bytes(types_pb)
+            + _pb_uint(6, n_rows)
+            + bytes(stats_pb)
+            + _pb_uint(8, 0)  # rowIndexStride: no indexes
+        )
+        footer_framed = _frame(codec, footer)
+        out += footer_framed
+        ps = (
+            _pb_uint(1, len(footer_framed))
+            + _pb_uint(2, 0 if codec == "NONE" else 1)
+            + _pb_uint(3, 256 * 1024)
+            + _pb_field(4, 2) + _pb_varint(2) + _pb_varint(0)
+            + _pb_varint(12)  # version [0, 12]
+            + _pb_uint(5, 0)  # metadataLength
+            + _pb_uint(6, 1)  # writerVersion
+            + _pb_bytes(8000, b"ORC")
+        )
+        out += ps
+        out.append(len(ps))
+        return bytes(out)
+    except (ValueError, TypeError, struct.error, OverflowError):
+        return None

@@ -351,6 +351,14 @@ class RawOrcDataSource(DataSource):
         return ", ".join("`%s` %s" % (n, _ORC_SPARK_TYPES[k])
                          for n, _tid, k in cols)
 
+    def writer(self, schema, overwrite: bool) -> "RawOrcWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("raworc requires a path")
+        return RawOrcWriter(path, schema,
+                            self.options.get("compression",
+                                             "ZLIB").upper())
+
     def reader(self, schema) -> "RawOrcReader":
         path, tail = self._tail()
         by_name = {n: (tid, k) for n, tid, k in self._flat_cols(tail)}
@@ -364,6 +372,51 @@ class RawOrcDataSource(DataSource):
                                cols)
                  for stripe in tail["stripes"]]
         return RawOrcReader(parts)
+
+
+_SPARK_TO_ORC = {
+    "bigint": "LONG", "long": "LONG", "double": "DOUBLE",
+    "string": "STRING", "boolean": "BOOLEAN",
+}
+
+
+class RawOrcWriter(DataSourceWriter):
+    """Write side (r15): ``df.write.format("raworc")`` emits one ORC
+    file per Spark partition through sources/orcwrite.py — bytes
+    that pyarrow.orc, Spark's Java reader, and this repo's own
+    stripe decoder all read back identically."""
+
+    def __init__(self, path: str, schema, codec: str):
+        self.path = path
+        self.fields = [(f.name, f.dataType.simpleString())
+                       for f in schema.fields]
+        self.codec = codec
+        for name, t in self.fields:
+            if t not in _SPARK_TO_ORC:
+                raise ValueError("unsupported type for raworc: "
+                                 "%s %s" % (name, t))
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import os as _os
+        import uuid as _uuid
+
+        from .orcwrite import write_orc
+
+        names = [n for n, _t in self.fields]
+        data: "dict[str, list]" = {n: [] for n in names}
+        for row in iterator:
+            for k, n in enumerate(names):
+                data[n].append(row[k])
+        cols = {n: (_SPARK_TO_ORC[t], data[n])
+                for n, t in self.fields}
+        buf = write_orc(cols, codec=self.codec)
+        if buf is None:
+            raise ValueError("raworc writer refused the batch")
+        _os.makedirs(self.path, exist_ok=True)
+        name = "part-%s.orc" % _uuid.uuid4().hex[:12]
+        with open(_os.path.join(self.path, name), "wb") as f:
+            f.write(buf)
+        return WriterCommitMessage()
 
 
 class RawOrcReader(DataSourceReader):

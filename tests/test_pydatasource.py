@@ -134,3 +134,17 @@ def test_rawparquet_write_read_by_native_spark(spark, tmp_path):
     loop = spark.read.format("rawparquet").load(
         _glob.glob(out + "/part-*.parquet")[0])
     assert loop.count() > 0
+
+
+def test_raworc_write_read_by_native_spark(spark, tmp_path):
+    # r15 ORC write side: pure-Python files read back by Spark's
+    # Java ORC reader identically
+    d = spark.read.parquet(SF_DIR + "/documents.parquet")
+    out = str(tmp_path / "orcw")
+    spark.dataSource.register(RawOrcDataSource)
+    (d.repartition(3).write.format("raworc").option("path", out)
+     .option("compression", "zlib").mode("append").save())
+    back = spark.read.orc(out)
+    a = sorted(back.select("doc_id", "text", "n_chars").collect())
+    b = sorted(d.select("doc_id", "text", "n_chars").collect())
+    assert a == b
