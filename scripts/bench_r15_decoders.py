@@ -20,8 +20,33 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from teledetection_drone_satellite_spark.sources import (  # noqa: E402
-    binaryjson, deltalog, orcdata, parquetpage, snappy,
+    binaryjson, deltalog, orcdata, orcwrite, parquetpage,
+    parquetwrite, snappy,
 )
+
+
+def _pq_write_fix(i: int) -> bytes:
+    n = 200 + i % 100
+    out = parquetwrite.write_parquet({
+        "a": ("INT64", [None if k % 5 == 0 else (i + k) * 7
+                        for k in range(n)]),
+        "s": ("BYTE_ARRAY", ["v%d-%d" % (i % 17, k % 23)
+                             for k in range(n)]),
+    }, codec="SNAPPY")
+    assert out is not None
+    return out
+
+
+def _orc_write_fix(i: int) -> bytes:
+    n = 200 + i % 100
+    out = orcwrite.write_orc({
+        "a": ("LONG", [None if k % 5 == 0 else (i + k) * 7
+                       for k in range(n)]),
+        "s": ("STRING", ["v%d-%d" % (i % 17, k % 23)
+                         for k in range(n)]),
+    }, codec="ZLIB")
+    assert out is not None
+    return out
 
 
 def _snappy_fix(i: int) -> bytes:
@@ -118,6 +143,11 @@ CASES = {
         binaryjson.synth_doc(i)[0]), binaryjson.parse_msgpack),
     "cbor": (lambda i: binaryjson.encode_cbor(
         binaryjson.synth_doc(i)[0]), binaryjson.parse_cbor),
+    # own-writer outputs through the own readers: pins that files
+    # the r15 WRITERS emit decode linearly too (the write cost
+    # itself happens at fixture-build time, outside the timer)
+    "pq_write": (_pq_write_fix, parquetpage.read_columns),
+    "orc_write": (_orc_write_fix, orcdata.read_orc_columns),
 }
 
 
