@@ -52,14 +52,21 @@ def test_default_zstd_codec_parses(spark, tmp_path):
     assert got["compression"] == "ZSTD" and got["num_rows"] == 200
 
 
-def test_snappy_footer_refuses_honestly(spark, tmp_path):
+def test_snappy_footer_decodes_since_r15(spark, tmp_path):
+    # r14 refused SNAPPY footers honestly (no wheel); r15's
+    # pure-Python sources/snappy.py un-gated the framing — a
+    # Spark-written snappy ORC tail must now parse
     out = str(tmp_path / "s")
     spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
         .limit(200).coalesce(1).write.mode("overwrite") \
         .option("compression", "snappy").orc(out)
     part = glob.glob(out + "/*.orc")[0]
     with open(part, "rb") as f:
-        assert parse_orc_tail(f.read()) is None  # no snappy wheel
+        got = parse_orc_tail(f.read())
+    assert got is not None and got["num_rows"] == 200
+    assert got["compression"] == "SNAPPY"
+    # LZO stays honestly refused (decompress_orc returns None)
+    assert decompress_orc(b"\x06\x00\x00abc", "LZO") is None
 
 
 def test_chunk_framing():
