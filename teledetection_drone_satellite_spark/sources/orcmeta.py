@@ -247,9 +247,53 @@ def parse_orc_tail(buf: bytes) -> "dict | None":
                 root_values = _one(cf, 1)
             if _one(cf, 10, 0):
                 has_null_any = True
+        # r15: the METADATA section (between stripes and footer)
+        # carries per-stripe per-column statistics — the stripe-
+        # pruning input.  Absent or unreadable -> None per stripe
+        # (pruning keeps the stripe; correctness never depends on
+        # stats).  intStatistics min/max are protobuf sint64
+        # (zigzag).
+        stripe_stats: "list[dict | None]" = [None] * len(stripes)
+        mlen = _one(ps, 5, 0)
+        if isinstance(mlen, int) and mlen > 0:
+            meta_start = foot_end - flen - mlen
+            if meta_start >= 0:
+                mraw = decompress_orc(
+                    buf[meta_start:meta_start + mlen], codec)
+                md = _fields(mraw) if mraw is not None else None
+                if md is not None:
+                    parsed = []
+                    for sbuf in md.get(1, []):
+                        ss = _fields(sbuf) if isinstance(
+                            sbuf, bytes) else None
+                        if ss is None:
+                            parsed.append(None)
+                            continue
+                        per_col: "dict[int, tuple[int, int]]" = {}
+                        for cid, cbuf in enumerate(ss.get(1, [])):
+                            cf = _fields(cbuf) if isinstance(
+                                cbuf, bytes) else None
+                            if cf is None:
+                                continue
+                            ib = _one(cf, 2)
+                            if not isinstance(ib, bytes):
+                                continue
+                            intf = _fields(ib)
+                            if intf is None:
+                                continue
+                            mn, mx = _one(intf, 1), _one(intf, 2)
+                            if isinstance(mn, int) and \
+                                    isinstance(mx, int):
+                                per_col[cid] = (
+                                    (mn >> 1) ^ -(mn & 1),
+                                    (mx >> 1) ^ -(mx & 1))
+                        parsed.append(per_col)
+                    if len(parsed) == len(stripes):
+                        stripe_stats = parsed
         return {"num_rows": num_rows, "compression": codec,
                 "n_stripes": len(stripe_rows),
                 "stripe_rows": stripe_rows, "stripes": stripes,
+                "stripe_stats": stripe_stats,
                 "types": types, "type_nodes": type_nodes,
                 "root_values": root_values,
                 "has_null_any": has_null_any,

@@ -368,10 +368,7 @@ class RawOrcDataSource(DataSource):
                 raise ValueError("column missing: %s" % f.name)
             tid, kind = by_name[f.name]
             cols.append((f.name, tid, kind))
-        parts = [_OrcPartition(path, stripe, tail["compression"],
-                               cols)
-                 for stripe in tail["stripes"]]
-        return RawOrcReader(parts)
+        return RawOrcReader(path, tail, cols, by_name)
 
 
 _SPARK_TO_ORC = {
@@ -420,11 +417,74 @@ class RawOrcWriter(DataSourceWriter):
 
 
 class RawOrcReader(DataSourceReader):
-    def __init__(self, parts: list):
-        self._parts = parts
+    def __init__(self, path: str, tail: dict, cols: list,
+                 by_name: dict):
+        self.path = path
+        self.tail = tail
+        self.cols = cols
+        self.by_name = by_name
+        self.pushed: "list[tuple[int, str, int]]" = []
+
+    def pushFilters(self, filters):
+        """Accept int comparisons on integer columns for STRIPE
+        pruning via the metadata section's per-stripe statistics
+        (r15 — the ORC twin of the rawparquet row-group pruning;
+        pruning-only: every filter is returned for row-level
+        re-evaluation by Spark)."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {EqualTo: "=", GreaterThan: ">",
+               GreaterThanOrEqual: ">=", LessThan: "<",
+               LessThanOrEqual: "<="}
+        for f in filters:
+            op = ops.get(type(f))
+            if op and len(f.attribute) == 1 and \
+                    isinstance(f.value, int):
+                hit = self.by_name.get(f.attribute[0])
+                if hit is not None and hit[1] in (
+                        "LONG", "INT", "SHORT", "BYTE"):
+                    self.pushed.append((hit[0], op, f.value))
+        return filters
+
+    def _stripe_can_match(self, stats: "dict | None") -> bool:
+        if stats is None:
+            return True  # no statistics: cannot prune
+        for cid, op, val in self.pushed:
+            rng = stats.get(cid)
+            if rng is None:
+                continue
+            lo, hi = rng
+            if (op == "=" and not lo <= val <= hi) or \
+                    (op == ">" and hi <= val) or \
+                    (op == ">=" and hi < val) or \
+                    (op == "<" and lo >= val) or \
+                    (op == "<=" and lo > val):
+                return False
+        return True
 
     def partitions(self):
-        return self._parts
+        parts = []
+        stats = self.tail.get("stripe_stats") or \
+            [None] * len(self.tail["stripes"])
+        for stripe, st in zip(self.tail["stripes"], stats):
+            if not self._stripe_can_match(st):
+                continue  # pruned: no task, no bytes
+            parts.append(_OrcPartition(
+                self.path, stripe, self.tail["compression"],
+                self.cols))
+        if not parts:  # Spark requires >= 1 partition
+            empty = dict(self.tail["stripes"][0])
+            empty["num_rows"] = 0
+            parts.append(_OrcPartition(
+                self.path, empty, self.tail["compression"],
+                self.cols))
+        return parts
 
     def read(self, partition: _OrcPartition):
         from .orcdata import (

@@ -148,3 +148,33 @@ def test_raworc_write_read_by_native_spark(spark, tmp_path):
     a = sorted(back.select("doc_id", "text", "n_chars").collect())
     b = sorted(d.select("doc_id", "text", "n_chars").collect())
     assert a == b
+
+
+def test_raworc_pushdown_prunes_stripes(spark, tmp_path):
+    # r15: ORC stripe pruning via the metadata section's per-stripe
+    # statistics — the ORC twin of the parquet row-group pruning
+    import random as _r
+
+    orcmod = pytest.importorskip("pyarrow.orc")
+    rnd = _r.Random(5)
+    n = 200000
+    tbl = pa.table({
+        "k": pa.array(range(n), pa.int64()),
+        "r": pa.array([rnd.getrandbits(62) for _ in range(n)],
+                      pa.int64()),
+    })
+    p = str(tmp_path / "stripes.orc")
+    orcmod.write_table(tbl, p, compression="uncompressed",
+                       stripe_size=256 * 1024)
+    spark.dataSource.register(RawOrcDataSource)
+    df = spark.read.format("raworc").load(p)
+    full = df.rdd.getNumPartitions()
+    assert full > 10  # genuinely multi-stripe
+    filt = df.filter(F.col("k") >= n - 3000)
+    pruned = filt.rdd.getNumPartitions()
+    assert pruned < full // 4  # most stripes dropped pre-task
+    assert filt.count() == 3000
+    assert filt.agg(F.sum("k")).collect()[0][0] == \
+        sum(range(n - 3000, n))
+    # all-excluded: zero rows, single sentinel partition
+    assert df.filter(F.col("k") > 10 ** 12).count() == 0
