@@ -40,7 +40,6 @@ interchange sibling of sources/tfrecord.py and sources/arrowipc.py.
 
 from __future__ import annotations
 
-import io
 import json
 import struct
 import zlib

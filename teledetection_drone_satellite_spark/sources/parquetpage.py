@@ -229,29 +229,6 @@ def _plain_values(buf: bytes, ptype: str, count: int,
     return None
 
 
-def _plain_size(buf: bytes, ptype: str, count: int,
-                type_length: "int | None") -> "int | None":
-    """Byte length of ``count`` PLAIN values at the head of buf."""
-    if ptype == "BOOLEAN":
-        return (count + 7) // 8
-    if ptype in ("INT32", "FLOAT"):
-        return 4 * count
-    if ptype in ("INT64", "DOUBLE"):
-        return 8 * count
-    if ptype == "INT96":
-        return 12 * count
-    if ptype == "FIXED_LEN_BYTE_ARRAY":
-        return (type_length or 0) * count
-    # BYTE_ARRAY: walk
-    pos = 0
-    for _ in range(count):
-        if pos + 4 > len(buf):
-            return None
-        ln = struct.unpack_from("<I", buf, pos)[0]
-        pos += 4 + ln
-    return pos if pos <= len(buf) else None
-
-
 def _bit_width(v: int) -> int:
     return max(v, 0).bit_length()
 
