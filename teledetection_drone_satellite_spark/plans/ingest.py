@@ -12125,7 +12125,12 @@ def orc_write_roundtrip(spark: SparkSession,
     "fetch shape as a first-class source). Catalyst plans the "
     "group-by on top like any other scan; the oracle reads the same "
     "table through DuckDB's own reader. BYTE_ARRAY maps to string "
-    "via the footer's UTF8 converted_type.",
+    "via the footer's UTF8 converted_type. Row-group-pruning "
+    "pushdown is OPT-IN via .option('pushdown','true') (r16): Spark "
+    "4 refuses a reader that defines pushFilters when "
+    "spark.sql.python.filterPushdown.enabled is false (its "
+    "default), so the default reader class omits the method and "
+    "this query runs green under ANY session conf.",
     tags=("ingest", "sketch", "pipeline"),
 )
 def pyds_rawparquet_scan(spark: SparkSession,
@@ -12163,7 +12168,10 @@ def pyds_rawparquet_scan(spark: SparkSession,
     "STRIPE carrying its own byte range. The oracle reads the "
     "original parquet through DuckDB. ORC SNAPPY/LZ4 framing was "
     "un-gated this round by the pyarrow-cross-pinned "
-    "sources/snappy.py and the lz4frame block decoder.",
+    "sources/snappy.py and the lz4frame block decoder. Stripe-"
+    "pruning pushdown is OPT-IN via .option('pushdown','true') "
+    "(r16) so the default reader class omits pushFilters and runs "
+    "green under Spark's default session conf.",
     tags=("ingest", "sketch", "pipeline"),
 )
 def pyds_raworc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:

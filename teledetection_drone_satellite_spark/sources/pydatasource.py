@@ -120,9 +120,11 @@ class RawParquetDataSource(DataSource):
 
     def reader(self, schema) -> "RawParquetReader":
         path, footer = self._footer()
-        return RawParquetReader(path, footer,
-                                self._flat_leaves(footer),
-                                [f.name for f in schema.fields])
+        cls = (RawParquetPushdownReader
+               if _pushdown_requested(self.options)
+               else RawParquetReader)
+        return cls(path, footer, self._flat_leaves(footer),
+                   [f.name for f in schema.fields])
 
     def writer(self, schema, overwrite: bool) -> "RawParquetWriter":
         path = self.options.get("path")
@@ -140,7 +142,24 @@ def _stat_int(raw: "bytes | None") -> "int | None":
     return None
 
 
+def _pushdown_requested(options) -> bool:
+    """Filter pushdown is OPT-IN via .option("pushdown", "true").
+
+    Spark 4 hard-fails any Python DataSourceReader that merely
+    DEFINES pushFilters() when the session conf
+    spark.sql.python.filterPushdown.enabled is false (its default)
+    — the r15 driver-env crash.  So the default reader class does
+    not define the method at all and works under ANY session conf;
+    callers who want row-group/stripe pruning pass the option and
+    enable the conf."""
+    return str(options.get("pushdown", "false")).lower() == "true"
+
+
 class RawParquetReader(DataSourceReader):
+    """Base reader: no pushFilters attribute, safe under the Spark
+    default conf.  RawParquetPushdownReader adds the pruning-only
+    pushdown on top (option-gated, see _pushdown_requested)."""
+
     def __init__(self, path: str, footer: dict, leaves: list,
                  want: list):
         self.path = path
@@ -150,34 +169,6 @@ class RawParquetReader(DataSourceReader):
         # (name, op, value) predicates accepted by pushFilters —
         # used for ROW-GROUP PRUNING against footer min/max stats
         self.pushed: "list[tuple[str, str, int]]" = []
-
-    def pushFilters(self, filters):
-        """Accept int comparisons on INT32/INT64 leaves for
-        row-group pruning via the footer's chunk statistics.  Every
-        filter is ALSO returned (Spark re-evaluates row-level): the
-        pushdown is pruning-only, so correctness never depends on
-        the stats being tight."""
-        from pyspark.sql.datasource import (
-            EqualTo,
-            GreaterThan,
-            GreaterThanOrEqual,
-            LessThan,
-            LessThanOrEqual,
-        )
-
-        ops = {EqualTo: "=", GreaterThan: ">",
-               GreaterThanOrEqual: ">=", LessThan: "<",
-               LessThanOrEqual: "<="}
-        for f in filters:
-            op = ops.get(type(f))
-            if op and len(f.attribute) == 1 and \
-                    isinstance(f.value, int):
-                leaf = self.leaves.get(f.attribute[0])
-                if leaf is not None and leaf["physical_type"] in \
-                        ("INT32", "INT64"):
-                    self.pushed.append(
-                        (f.attribute[0], op, f.value))
-        return filters  # all re-evaluated row-level by Spark
 
     def _rg_can_match(self, rg: dict) -> bool:
         """False only when a pushed predicate PROVABLY excludes the
@@ -246,6 +237,40 @@ class RawParquetReader(DataSourceReader):
                             else None for v in vals]
                 cols.append(vals)
         yield from zip(*cols)
+
+
+class RawParquetPushdownReader(RawParquetReader):
+    """Row-group-pruning variant; requires the session conf
+    spark.sql.python.filterPushdown.enabled=true (Spark refuses the
+    class otherwise), hence option-gated."""
+
+    def pushFilters(self, filters):
+        """Accept int comparisons on INT32/INT64 leaves for
+        row-group pruning via the footer's chunk statistics.  Every
+        filter is ALSO returned (Spark re-evaluates row-level): the
+        pushdown is pruning-only, so correctness never depends on
+        the stats being tight."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {EqualTo: "=", GreaterThan: ">",
+               GreaterThanOrEqual: ">=", LessThan: "<",
+               LessThanOrEqual: "<="}
+        for f in filters:
+            op = ops.get(type(f))
+            if op and len(f.attribute) == 1 and \
+                    isinstance(f.value, int):
+                leaf = self.leaves.get(f.attribute[0])
+                if leaf is not None and leaf["physical_type"] in \
+                        ("INT32", "INT64"):
+                    self.pushed.append(
+                        (f.attribute[0], op, f.value))
+        return filters  # all re-evaluated row-level by Spark
 
 
 _SPARK_TO_PHYSICAL = {
@@ -368,7 +393,10 @@ class RawOrcDataSource(DataSource):
                 raise ValueError("column missing: %s" % f.name)
             tid, kind = by_name[f.name]
             cols.append((f.name, tid, kind))
-        return RawOrcReader(path, tail, cols, by_name)
+        cls = (RawOrcPushdownReader
+               if _pushdown_requested(self.options)
+               else RawOrcReader)
+        return cls(path, tail, cols, by_name)
 
 
 _SPARK_TO_ORC = {
@@ -417,6 +445,9 @@ class RawOrcWriter(DataSourceWriter):
 
 
 class RawOrcReader(DataSourceReader):
+    """Base reader: no pushFilters attribute, safe under the Spark
+    default conf (see _pushdown_requested)."""
+
     def __init__(self, path: str, tail: dict, cols: list,
                  by_name: dict):
         self.path = path
@@ -424,33 +455,6 @@ class RawOrcReader(DataSourceReader):
         self.cols = cols
         self.by_name = by_name
         self.pushed: "list[tuple[int, str, int]]" = []
-
-    def pushFilters(self, filters):
-        """Accept int comparisons on integer columns for STRIPE
-        pruning via the metadata section's per-stripe statistics
-        (r15 — the ORC twin of the rawparquet row-group pruning;
-        pruning-only: every filter is returned for row-level
-        re-evaluation by Spark)."""
-        from pyspark.sql.datasource import (
-            EqualTo,
-            GreaterThan,
-            GreaterThanOrEqual,
-            LessThan,
-            LessThanOrEqual,
-        )
-
-        ops = {EqualTo: "=", GreaterThan: ">",
-               GreaterThanOrEqual: ">=", LessThan: "<",
-               LessThanOrEqual: "<="}
-        for f in filters:
-            op = ops.get(type(f))
-            if op and len(f.attribute) == 1 and \
-                    isinstance(f.value, int):
-                hit = self.by_name.get(f.attribute[0])
-                if hit is not None and hit[1] in (
-                        "LONG", "INT", "SHORT", "BYTE"):
-                    self.pushed.append((hit[0], op, f.value))
-        return filters
 
     def _stripe_can_match(self, stats: "dict | None") -> bool:
         if stats is None:
@@ -478,9 +482,12 @@ class RawOrcReader(DataSourceReader):
             parts.append(_OrcPartition(
                 self.path, stripe, self.tail["compression"],
                 self.cols))
-        if not parts:  # Spark requires >= 1 partition
-            empty = dict(self.tail["stripes"][0])
-            empty["num_rows"] = 0
+        if not parts:  # Spark requires >= 1 partition — synthesize
+            # an empty stripe (works even for zero-stripe files,
+            # where tail["stripes"] is itself empty)
+            empty = {"offset": 0, "index_length": 0,
+                     "data_length": 0, "footer_length": 0,
+                     "num_rows": 0}
             parts.append(_OrcPartition(
                 self.path, empty, self.tail["compression"],
                 self.cols))
@@ -497,6 +504,8 @@ class RawOrcReader(DataSourceReader):
         off = st["offset"]
         total = st["index_length"] + st["data_length"] + \
             st["footer_length"]
+        if total == 0 or st["num_rows"] == 0:
+            return  # synthetic empty partition (all pruned / no stripes)
         with open(partition.path, "rb") as f:
             f.seek(off)
             blob = f.read(total)
@@ -529,3 +538,36 @@ class RawOrcReader(DataSourceReader):
                         if v is not None else None for v in vals]
             cols.append(vals)
         yield from zip(*cols)
+
+
+class RawOrcPushdownReader(RawOrcReader):
+    """Stripe-pruning variant; requires the session conf
+    spark.sql.python.filterPushdown.enabled=true (Spark refuses the
+    class otherwise), hence option-gated."""
+
+    def pushFilters(self, filters):
+        """Accept int comparisons on integer columns for STRIPE
+        pruning via the metadata section's per-stripe statistics
+        (r15 — the ORC twin of the rawparquet row-group pruning;
+        pruning-only: every filter is returned for row-level
+        re-evaluation by Spark)."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {EqualTo: "=", GreaterThan: ">",
+               GreaterThanOrEqual: ">=", LessThan: "<",
+               LessThanOrEqual: "<="}
+        for f in filters:
+            op = ops.get(type(f))
+            if op and len(f.attribute) == 1 and \
+                    isinstance(f.value, int):
+                hit = self.by_name.get(f.attribute[0])
+                if hit is not None and hit[1] in (
+                        "LONG", "INT", "SHORT", "BYTE"):
+                    self.pushed.append((hit[0], op, f.value))
+        return filters

@@ -98,7 +98,11 @@ def test_pushdown_prunes_row_groups(spark, tmp_path):
     p = str(tmp_path / "prune.parquet")
     pq.write_table(tbl, p, row_group_size=300)
     spark.dataSource.register(RawParquetDataSource)
-    df = spark.read.format("rawparquet").load(p)
+    # pushdown is OPT-IN (r16): the default reader class defines no
+    # pushFilters so it survives Spark's default conf; pruning needs
+    # both the option and filterPushdown.enabled=true (repo session)
+    df = (spark.read.format("rawparquet")
+          .option("pushdown", "true").load(p))
     assert df.rdd.getNumPartitions() == 3
     filt = df.filter(F.col("i") > 650)
     assert filt.rdd.getNumPartitions() == 1  # groups 0/1 pruned
@@ -167,7 +171,8 @@ def test_raworc_pushdown_prunes_stripes(spark, tmp_path):
     orcmod.write_table(tbl, p, compression="uncompressed",
                        stripe_size=256 * 1024)
     spark.dataSource.register(RawOrcDataSource)
-    df = spark.read.format("raworc").load(p)
+    df = (spark.read.format("raworc")
+          .option("pushdown", "true").load(p))
     full = df.rdd.getNumPartitions()
     assert full > 10  # genuinely multi-stripe
     filt = df.filter(F.col("k") >= n - 3000)
@@ -178,3 +183,42 @@ def test_raworc_pushdown_prunes_stripes(spark, tmp_path):
         sum(range(n - 3000, n))
     # all-excluded: zero rows, single sentinel partition
     assert df.filter(F.col("k") > 10 ** 12).count() == 0
+
+
+def test_graded_queries_under_spark_default_conf(spark):
+    # r15 driver failure regression: the driver grades queries in a
+    # session where spark.sql.python.filterPushdown.enabled is FALSE
+    # (Spark's default), and Spark 4 hard-fails any reader that even
+    # DEFINES pushFilters there.  Both graded pyds queries must run
+    # green with the conf off.
+    from teledetection_drone_satellite_spark.plans.ingest import (
+        pyds_rawparquet_scan,
+        pyds_raworc_scan,
+    )
+
+    key = "spark.sql.python.filterPushdown.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        rows = pyds_rawparquet_scan(spark, SF_DIR).collect()
+        assert sum(r["n_docs"] for r in rows) == \
+            spark.read.parquet(SF_DIR + "/documents.parquet").count()
+        orc_rows = pyds_raworc_scan(spark, SF_DIR).collect()
+        assert sum(r["n_events"] for r in orc_rows) == \
+            spark.read.parquet(SF_DIR + "/events.parquet").count()
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_raworc_zero_stripe_file_empty_scan(spark, tmp_path):
+    # ADVICE r15: a valid ORC file with ZERO stripes must plan an
+    # empty scan, not IndexError in partitions()
+    orcmod = pytest.importorskip("pyarrow.orc")
+    tbl = pa.table({"k": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.string())})
+    p = str(tmp_path / "empty.orc")
+    orcmod.write_table(tbl, p)
+    spark.dataSource.register(RawOrcDataSource)
+    df = spark.read.format("raworc").load(p)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["k", "s"]
