@@ -61,6 +61,31 @@ def _powers():
     ])
 
 
+def bloom_build_packed(df: DataFrame, key_col: str, m_bits: int,
+                       k: int = 8) -> DataFrame:
+    """Keys -> the packed one-row bitmap DIRECTLY (r16): explode the
+    k hash positions, groupBy word index with a map-side-partial
+    ``bit_or``, fold to the single-row map.  Strictly cheaper than
+    bloom_build + bloom_pack — one shuffle bounded by m/64 WORDS
+    (not m positions), no intermediate distinct.  Use this form when
+    the filter is built only to be probed; bloom_build remains the
+    public set-bit TABLE for callers that persist or inspect it."""
+    hashes = F.array(*[
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+        for i in range(k)
+    ])
+    words = (
+        df.select(F.explode(hashes).alias("pos"))
+        .groupBy(F.shiftright(F.col("pos"), 6).alias("widx"))
+        .agg(F.bit_or(F.expr("shiftleft(1L, CAST(pos % 64 AS INT))"))
+             .alias("w"))
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("widx", "w")))
+        .alias("bitmap")
+    )
+
+
 def bloom_pack(bits: DataFrame) -> DataFrame:
     """Set-bit position table -> ONE row ``(bitmap map<long,long>)``:
     positions packed 64 per word (word index = pos >> 6, bit =
@@ -81,13 +106,25 @@ def bloom_pack(bits: DataFrame) -> DataFrame:
 
 def bloom_probe(probe: DataFrame, key_col: str, bits: DataFrame,
                 m_bits: int, k: int = 8) -> DataFrame:
-    """Probe rows -> ``(key, bloom_member boolean)``, one row per
-    PROBE ROW: member iff all k positions are set.  The packed
+    """Probe rows -> ALL the caller's columns + ``bloom_member``
+    boolean, one row per PROBE ROW: member iff all k positions are
+    set.  Carrying the caller's columns through (r16 — it is a pure
+    projection, there is nothing to drop) means callers never
+    re-join the verdict back onto the probe frame.  The packed
     bitmap broadcasts (single row, m/64 map entries); membership is
     a map-side ``forall`` — the probe side genuinely never shuffles
     and never aggregates, so duplicate probe keys are safe (no
     per-key counting to confuse)."""
-    packed = bloom_pack(bits)
+    return bloom_probe_packed(probe, key_col, bloom_pack(bits),
+                              m_bits, k)
+
+
+def bloom_probe_packed(probe: DataFrame, key_col: str,
+                       packed: DataFrame, m_bits: int,
+                       k: int = 8) -> DataFrame:
+    """bloom_probe over an already-packed one-row bitmap (from
+    bloom_build_packed or bloom_pack) — same contract: all caller
+    columns + ``bloom_member``, map-side only."""
     hashes = F.array(*[
         F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
         for i in range(k)
@@ -103,10 +140,9 @@ def bloom_probe(probe: DataFrame, key_col: str, bits: DataFrame,
         return word.bitwiseAND(mask) != F.lit(0)
 
     return (
-        probe.select(F.col(key_col).alias("key"),
-                     hashes.alias("_hashes"))
+        probe.withColumn("_hashes", hashes)
         .crossJoin(F.broadcast(packed))
-        .select("key",
+        .select(*probe.columns,
                 F.forall(F.col("_hashes"), _bit_set)
                 .alias("bloom_member"))
     )

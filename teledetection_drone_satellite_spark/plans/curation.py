@@ -1263,7 +1263,7 @@ def email_thread_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("curation", "corpus", "sketch"),
 )
 def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.bloom import bloom_build, bloom_probe
+    from ..operators.bloom import bloom_build_packed, bloom_probe_packed
     from ..operators.text import shingles
 
     d = load(spark, sf_dir, ("documents",))["documents"]
@@ -1276,19 +1276,18 @@ def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_bench = bench_sh.count()
     m_bits = max(64, 32 * n_bench)
-    bits = bloom_build(bench_sh, "shingle", m_bits, k=16)
+    packed = bloom_build_packed(bench_sh, "shingle", m_bits, k=16)
     train_sh = train.select(
         "doc_id",
         F.explode(shingles(F.split(F.col("text"), " "), 3))
         .alias("shingle"),
     )
-    probed = bloom_probe(
-        train_sh.select("shingle").distinct(), "shingle", bits,
+    probed = bloom_probe_packed(
+        train_sh.select("shingle").distinct(), "shingle", packed,
         m_bits, k=16)
     flagged = (
         train_sh.join(
-            probed.filter(F.col("bloom_member"))
-            .select(F.col("key").alias("shingle")),
+            probed.filter(F.col("bloom_member")).select("shingle"),
             "shingle")
         .select("doc_id").distinct()
     )

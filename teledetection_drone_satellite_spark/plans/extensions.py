@@ -938,9 +938,10 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Distributed Bloom filter membership, graded (r14 — the "
     "sketch completing the HLL/GK/Misra-Gries family: the semi-join "
-    "pre-filter shape). Build: customer keys -> the set-bit table "
-    "via explode(k=8 x xxhash64) + distinct, shuffle bounded by "
-    "m = 16n bits regardless of input rows. Probe: every member key "
+    "pre-filter shape). Build (r16 fused form): customer keys -> "
+    "the packed bitmap directly via explode(k=8 x xxhash64) + "
+    "groupBy(word).bit_or — ONE shuffle bounded by m/64 words "
+    "regardless of input rows, map-side partial. Probe: every member key "
     "plus an equal count of synthetic non-members (custkey + 10^9); "
     "the bit table broadcasts, the probe side never shuffles. "
     "Graded invariants: ZERO false negatives (every built key "
@@ -952,13 +953,16 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sketch", "approx", "graded-invariant"),
 )
 def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.bloom import bloom_build, bloom_probe
+    from ..operators.bloom import bloom_build_packed, bloom_probe_packed
 
     c = load(spark, sf_dir, ("customer",))["customer"]
-    members = c.select("c_custkey").distinct()
+    # cache: members feeds the count, the build, and both probe
+    # union arms — without it the distinct-over-scan recomputes 4x
+    # (the r15 bench regression)
+    members = c.select("c_custkey").distinct().cache()
     n = members.count()
     m_bits = max(64, 16 * n)
-    bits = bloom_build(members, "c_custkey", m_bits, k=8)
+    packed = bloom_build_packed(members, "c_custkey", m_bits, k=8)
     probe = members.select(
         F.col("c_custkey").alias("key"), F.lit(True).alias("is_member")
     ).unionAll(
@@ -967,9 +971,8 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False).alias("is_member"),
         )
     )
-    got = bloom_probe(probe, "key", bits, m_bits, k=8).join(
-        probe, "key"
-    )
+    # bloom_probe carries is_member through (r16) — no rejoin
+    got = bloom_probe_packed(probe, "key", packed, m_bits, k=8)
     return got.agg(
         F.sum(F.when(F.col("is_member"), 1).otherwise(0))
         .alias("n_members_agg"),
