@@ -12205,6 +12205,102 @@ def pyds_raworc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "parquet_nested_stats",
+    oracle="""
+    WITH t AS (
+        SELECT lang,
+               CASE WHEN doc_id % 17 = 0 THEN NULL
+                    WHEN doc_id % 13 = 0 THEN []
+                    ELSE list_slice(string_split(text, ' '), 1,
+                                    CAST(1 + doc_id % 5 AS INT))
+               END AS tags
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN tags IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_tags,
+           CAST(sum(CASE WHEN tags IS NOT NULL AND len(tags) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_empty_tags,
+           CAST(sum(CASE WHEN tags IS NULL THEN 0 ELSE len(tags)
+                    END) AS BIGINT) AS n_tags,
+           CAST(sum(CASE WHEN tags IS NULL THEN 0 ELSE
+                    coalesce(list_sum(list_transform(tags,
+                        x -> strlen(x))), 0) END) AS BIGINT)
+               AS tag_chars
+    FROM t GROUP BY lang
+    """,
+    doc="NESTED (LIST) column decoded from raw Parquet bytes, "
+    "graded (r16 — the r15 verdict's top data-plane gap: the raw "
+    "tier was flat-only while the reference data model is full of "
+    "arrays, init.sql:31,61-62 tags TEXT[]/input_files UUID[]). "
+    "Spark's OWN Java writer materializes documents with a derived "
+    "array<string> tags column (null / empty / 1-5 word slices — "
+    "all three definition-level shapes) as multi-row-group snappy "
+    "parquet (once per sf dir, fingerprint-keyed); the rawparquet "
+    "Python DataSource then decodes it back through "
+    "parquetpage.decode_list_chunk — repetition+definition levels "
+    "assembled per the Dremel record-shredding model, records "
+    "spanning pages handled chunk-wide. The oracle recomputes the "
+    "same derivation in DuckDB SQL from the documents view. The "
+    "aggregate distinguishes NULL lists, EMPTY lists, and element "
+    "counts — the three cases the level arithmetic must not "
+    "conflate.",
+    tags=("ingest", "sketch", "pipeline"),
+)
+def parquet_nested_stats(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..catalog import source_fingerprint
+    from ..sources.pydatasource import RawParquetDataSource
+
+    fp = source_fingerprint(sf_dir, "documents")
+    root = _os.path.join(_tempfile.gettempdir(),
+                         "spark_graft_pqnested_v1", fp)
+    done = _os.path.join(root, "_DONE")
+    if not _os.path.exists(done):
+        d = load(spark, sf_dir, ("documents",))["documents"]
+        tags = (
+            F.when(F.col("doc_id") % 17 == 0,
+                   F.lit(None).cast("array<string>"))
+            .when(F.col("doc_id") % 13 == 0,
+                  F.array().cast("array<string>"))
+            .otherwise(F.slice(
+                F.split(F.col("text"), " "), 1,
+                (F.col("doc_id") % 5 + 1).cast("int")))
+        )
+        (d.select("doc_id", "lang", tags.alias("tags"))
+         .coalesce(1).write.mode("overwrite")
+         .option("compression", "snappy")
+         .option("parquet.block.size", str(256 * 1024))
+         .parquet(root))
+        open(done, "w").close()
+    part = sorted(_glob.glob(root + "/part-*.parquet"))[0]
+    spark.dataSource.register(RawParquetDataSource)
+    df = spark.read.format("rawparquet").load(part)
+    n_tags = F.when(F.col("tags").isNull(), 0) \
+        .otherwise(F.size("tags"))
+    tag_chars = F.when(F.col("tags").isNull(), 0).otherwise(
+        F.aggregate("tags", F.lit(0),
+                    lambda acc, x: acc + F.length(x)))
+    return (
+        df.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.when(F.col("tags").isNull(), 1).otherwise(0))
+             .alias("n_null_tags"),
+             F.sum(F.when(F.col("tags").isNotNull()
+                          & (F.size("tags") == 0), 1).otherwise(0))
+             .alias("n_empty_tags"),
+             F.sum(n_tags).cast("long").alias("n_tags"),
+             F.sum(tag_chars).cast("long").alias("tag_chars"))
+    )
+
+
+@register(
     "iceberg_scan_pipeline",
     oracle="""
     WITH spec AS (

@@ -222,6 +222,11 @@ def parse_parquet_footer(buf: bytes) -> "dict | None":
                     if isinstance(t, int) and 0 <= t < 8 else "UNKNOWN",
                     "max_def": max_def,
                     "max_rep": max_rep,
+                    # the LEAF's own repetition (0 REQUIRED /
+                    # 1 OPTIONAL / 2 REPEATED) — list assembly needs
+                    # it to tell "null element" from "empty list"
+                    # def levels (parquetpage.decode_list_chunk)
+                    "self_rep": rep,
                     "type_length": el.get(2),
                     # converted_type (field 6): 0 == UTF8 — how a
                     # reader knows a BYTE_ARRAY is a string

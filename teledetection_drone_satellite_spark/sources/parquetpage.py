@@ -11,7 +11,10 @@ range, the selective-fetch shape), it walks page headers, inflates
 page bodies through the repo's codec tier, decodes definition
 levels, and materializes Python values with None for nulls — for
 FLAT columns (max_rep == 0), required or optional, which is the
-entire fixture surface and the dominant shape of analytics tables.
+dominant shape of analytics tables, AND (r16) single-level LIST
+columns (max_rep == 1, the reference's array fields — see
+decode_list_chunk) assembled from repetition levels per the Dremel
+record-shredding model.
 Cross-pinned in tests against pyarrow AND DuckDB reading the same
 files (independent C++ readers), across five codecs, both data-page
 versions, dictionary and plain encodings, and every physical type.
@@ -46,8 +49,8 @@ Parsed surface:
                       v2: raw level runs BEFORE the value section,
                       never compressed, lengths from the header.
 
-Refusals (None): repeated columns (max_rep > 0 — nested list/map
-assembly is out of scope by design), unknown encodings, an
+Refusals (None): deeply nested columns (max_rep > 1; single-level
+lists decode via decode_list_chunk since r16), unknown encodings, an
 unknown codec or one whose decode fails or misses the declared
 uncompressed size, level runs that decode to the wrong count, a
 dictionary index past the dictionary, pages that overrun the chunk,
@@ -508,6 +511,212 @@ def decode_column_chunk(buf: bytes, chunk: dict,
         return None
 
 
+def decode_list_chunk(buf: bytes, chunk: dict,
+                      leaf: dict) -> "list | None":
+    """One LIST column chunk (max_rep == 1) -> ONE PYTHON LIST (or
+    None) PER RECORD, assembled from repetition + definition levels
+    per the Dremel record-shredding model (r16 — the nested half the
+    r15 tier refused; deeper nesting, max_rep > 1, stays refused).
+
+    Handles the standard 3-level list shape (optional group (LIST) /
+    repeated group list / optional-or-required element — what
+    Spark, pyarrow and DuckDB all write) and the legacy 2-level
+    shape (the leaf itself REPEATED).  Definition-level thresholds:
+    value at max_def; null element at max_def-1 when the element is
+    OPTIONAL; empty list one level below the element's entry level;
+    anything lower is a NULL list (or a null ancestor — surfaced the
+    same way).  Repetition: rep 0 starts a record, rep 1 appends to
+    the current one; a rep-1 entry without a live list, or with a
+    def level that cannot carry a list entry, is malformed ->
+    refused.  Values only exist at def == max_def, so every page's
+    value section decodes with the same n_present arithmetic as the
+    flat path; records MAY span page boundaries (levels accumulate
+    chunk-wide before assembly)."""
+    try:
+        if leaf.get("max_rep", 0) != 1:
+            return None
+        max_def = leaf.get("max_def", 0)
+        self_rep = leaf.get("self_rep", 0)
+        if self_rep == 2:       # legacy 2-level: repeated leaf
+            null_elem_def = None
+            empty_def = max_def - 1
+        elif self_rep == 1:     # 3-level, optional element
+            null_elem_def = max_def - 1
+            empty_def = max_def - 2
+        else:                   # 3-level, required element
+            null_elem_def = None
+            empty_def = max_def - 1
+        if empty_def < 0:
+            return None
+        ptype = leaf["physical_type"]
+        tlen = leaf.get("type_length")
+        codec = chunk["codec"]
+        want_total = chunk["num_values"]  # LEAF entries, not records
+        if not isinstance(want_total, int) or want_total < 0 or \
+                want_total > _MAX_VALUES:
+            return None
+        start = chunk["data_page_offset"]
+        if chunk.get("dictionary_page_offset") is not None:
+            start = min(start, chunk["dictionary_page_offset"])
+        end = start + chunk["total_compressed_size"]
+        if start < 0 or end > len(buf):
+            return None
+        pos = start
+        dictionary: "list | None" = None
+        reps: "list[int]" = []
+        defs: "list[int]" = []
+        values: "list" = []
+        dbw = _bit_width(max_def)
+        while pos < end and len(defs) < want_total:
+            r = _R(buf, pos)
+            hdr = _read_struct(r)
+            body_start = r.pos
+            ptype_id = hdr.get(1)
+            comp_size = hdr.get(3)
+            unc_size = hdr.get(2)
+            if not isinstance(comp_size, int) or comp_size < 0 or \
+                    not isinstance(unc_size, int) or unc_size < 0 or \
+                    body_start + comp_size > end:
+                return None
+            body = buf[body_start:body_start + comp_size]
+            pos = body_start + comp_size
+            if ptype_id == _PAGE_DICT:
+                dh = hdr.get(7)
+                if not isinstance(dh, dict):
+                    return None
+                n_dict = dh.get(1)
+                enc = dh.get(2, _ENC_PLAIN)
+                if enc not in (_ENC_PLAIN, _ENC_PLAIN_DICT) or \
+                        not isinstance(n_dict, int) or n_dict < 0:
+                    return None
+                plain = _decompress(codec, body, unc_size)
+                if plain is None:
+                    return None
+                dictionary = _plain_values(plain, ptype, n_dict, tlen)
+                if dictionary is None:
+                    return None
+                continue
+            if ptype_id == _PAGE_DATA:
+                dph = hdr.get(5)
+                if not isinstance(dph, dict):
+                    return None
+                n_vals = dph.get(1)
+                enc = dph.get(2)
+                # field 3 def-level encoding, field 4 rep-level
+                # encoding — both must be RLE (BIT_PACKED deprecated)
+                if not isinstance(n_vals, int) or n_vals < 0 or \
+                        n_vals > _MAX_VALUES or \
+                        dph.get(3) != _ENC_RLE or \
+                        dph.get(4) != _ENC_RLE:
+                    return None
+                plain = _decompress(codec, body, unc_size)
+                if plain is None:
+                    return None
+                ppos = 0
+                # repetition levels FIRST (length-prefixed hybrid)
+                if ppos + 4 > len(plain):
+                    return None
+                rl_len = struct.unpack_from("<I", plain, ppos)[0]
+                ppos += 4
+                if ppos + rl_len > len(plain):
+                    return None
+                page_reps = _rle_bp_hybrid(
+                    plain[ppos:ppos + rl_len], 1, n_vals)
+                ppos += rl_len
+                if page_reps is None:
+                    return None
+                if ppos + 4 > len(plain):
+                    return None
+                dl_len = struct.unpack_from("<I", plain, ppos)[0]
+                ppos += 4
+                if ppos + dl_len > len(plain):
+                    return None
+                page_defs = _rle_bp_hybrid(
+                    plain[ppos:ppos + dl_len], dbw, n_vals)
+                ppos += dl_len
+                if page_defs is None:
+                    return None
+                n_present = sum(1 for d in page_defs if d == max_def)
+                vals = _decode_values(plain[ppos:], enc, ptype, tlen,
+                                      n_present, dictionary)
+            elif ptype_id == _PAGE_DATA_V2:
+                dph = hdr.get(8)
+                if not isinstance(dph, dict):
+                    return None
+                n_vals = dph.get(1)
+                enc = dph.get(4)
+                dl_len = dph.get(5, 0)
+                rl_len = dph.get(6, 0)
+                compressed = dph.get(7, True)
+                if not isinstance(n_vals, int) or n_vals < 0 or \
+                        n_vals > _MAX_VALUES or \
+                        not isinstance(dl_len, int) or dl_len < 0 or \
+                        not isinstance(rl_len, int) or rl_len <= 0 \
+                        or rl_len + dl_len > len(body):
+                    return None  # rep levels are mandatory here
+                levels = body[:rl_len + dl_len]  # never compressed
+                vals_raw = body[rl_len + dl_len:]
+                if compressed:
+                    vals_plain = _decompress(
+                        codec, vals_raw, unc_size - rl_len - dl_len)
+                    if vals_plain is None:
+                        return None
+                else:
+                    vals_plain = vals_raw
+                page_reps = _rle_bp_hybrid(levels[:rl_len], 1, n_vals)
+                page_defs = _rle_bp_hybrid(levels[rl_len:], dbw,
+                                           n_vals)
+                if page_reps is None or page_defs is None:
+                    return None
+                n_present = sum(1 for d in page_defs if d == max_def)
+                vals = _decode_values(vals_plain, enc, ptype, tlen,
+                                      n_present, dictionary)
+            elif ptype_id == _PAGE_INDEX:
+                continue
+            else:
+                return None
+            if vals is None or len(vals) != n_present:
+                return None
+            reps.extend(page_reps)
+            defs.extend(page_defs)
+            values.extend(vals)
+        if len(defs) != want_total:
+            return None
+        # Dremel assembly: rep 0 opens a record, rep 1 continues it
+        records: "list" = []
+        it = iter(values)
+        for rep, d in zip(reps, defs):
+            if rep == 0:
+                if d == max_def:
+                    records.append([next(it)])
+                elif null_elem_def is not None and \
+                        d == null_elem_def:
+                    records.append([None])
+                elif d == empty_def:
+                    records.append([])
+                elif d < empty_def:
+                    records.append(None)
+                else:
+                    return None  # def between empty and element
+                    # levels with no meaning for this shape
+            else:
+                cur = records[-1] if records else None
+                if not isinstance(cur, list):
+                    return None  # continuation without a live list
+                if d == max_def:
+                    cur.append(next(it))
+                elif null_elem_def is not None and \
+                        d == null_elem_def:
+                    cur.append(None)
+                else:
+                    return None  # a rep-1 entry always carries an
+                    # element slot
+        return records
+    except (ValueError, IndexError, KeyError, TypeError,
+            struct.error, OverflowError, RecursionError):
+        return None
+
+
 def _decode_values(plain: bytes, enc: int, ptype: str,
                    tlen: "int | None", count: int,
                    dictionary: "list | None") -> "list | None":
@@ -555,31 +764,49 @@ def _decode_values(plain: bytes, enc: int, ptype: str,
     return None  # anything else: refused honestly
 
 
+def list_leaves(footer: dict) -> "dict[str, dict]":
+    """{top-level field name: leaf} for every single-level LIST
+    column (max_rep == 1) — the columns decode_list_chunk serves.
+    Deeper nesting (max_rep > 1) is excluded (still refused)."""
+    out = {}
+    for leaf in footer["columns"]:
+        if leaf.get("max_rep", 0) == 1:
+            out[leaf["name"].split(".", 1)[0]] = leaf
+    return out
+
+
 def read_columns(buf: bytes,
                  want: "list[str] | None" = None) -> "dict | None":
     """Whole-file read: -> {'num_rows', 'columns': {path: [values]}}
     or None.  ``want`` selects leaf paths (None = every flat leaf);
-    a wanted column that cannot decode refuses the whole read, an
-    unwanted nested column is skipped."""
+    a wanted name may also be a single-level LIST column's top-level
+    field name (r16 — served as one Python list/None per record via
+    decode_list_chunk).  A wanted column that cannot decode refuses
+    the whole read; an unwanted nested column is skipped."""
     footer = parse_parquet_footer(buf)
     if footer is None:
         return None
     leaves = {leaf["name"]: leaf for leaf in footer["columns"]}
+    lists = list_leaves(footer)
     if want is None:
         want = [n for n, leaf in leaves.items()
                 if not leaf.get("max_rep", 0)]
     cols: "dict[str, list]" = {}
     for name in want:
         leaf = leaves.get(name)
+        decode = decode_column_chunk
+        if leaf is None:
+            leaf = lists.get(name)
+            decode = decode_list_chunk
         if leaf is None:
             return None
         parts: "list" = []
         for rg in footer["row_groups"]:
             chunk = next((c for c in rg["columns"]
-                          if c["path"] == name), None)
+                          if c["path"] == leaf["name"]), None)
             if chunk is None:
                 return None
-            got = decode_column_chunk(buf, chunk, leaf)
+            got = decode(buf, chunk, leaf)
             if got is None:
                 return None
             parts.extend(got)

@@ -98,24 +98,33 @@ class RawParquetDataSource(DataSource):
         return path, footer
 
     @staticmethod
-    def _flat_leaves(footer) -> list:
-        return [leaf for leaf in footer["columns"]
-                if not leaf.get("max_rep", 0)]
+    def _fields(footer) -> "list[tuple[str, dict, bool]]":
+        """(column name, leaf, is_list) in footer order: flat leaves
+        by full path, single-level LIST columns (r16) by their
+        top-level field name; max_rep > 1 stays excluded."""
+        out = []
+        seen = set()
+        for leaf in footer["columns"]:
+            mr = leaf.get("max_rep", 0)
+            if mr == 0:
+                out.append((leaf["name"], leaf, False))
+            elif mr == 1:
+                top = leaf["name"].split(".", 1)[0]
+                if top not in seen:
+                    seen.add(top)
+                    out.append((top, leaf, True))
+        return out
 
     def schema(self) -> str:
         _path, footer = self._footer()
         parts = []
-        for leaf in self._flat_leaves(footer):
-            pt = leaf["physical_type"]
-            if pt in _PQ_SPARK_TYPES:
-                t = _PQ_SPARK_TYPES[pt]
-            elif pt == "BYTE_ARRAY" and leaf.get("converted_type") == 0:
-                t = "string"  # UTF8 converted type
-            else:
-                t = "binary"  # raw BYTE_ARRAY / FLBA / INT96
-            parts.append("`%s` %s" % (leaf["name"], t))
+        for name, leaf, is_list in self._fields(footer):
+            t = _pq_spark_type(leaf)
+            parts.append("`%s` %s" % (name,
+                                      "array<%s>" % t if is_list
+                                      else t))
         if not parts:
-            raise ValueError("no flat columns")
+            raise ValueError("no decodable columns")
         return ", ".join(parts)
 
     def reader(self, schema) -> "RawParquetReader":
@@ -123,7 +132,7 @@ class RawParquetDataSource(DataSource):
         cls = (RawParquetPushdownReader
                if _pushdown_requested(self.options)
                else RawParquetReader)
-        return cls(path, footer, self._flat_leaves(footer),
+        return cls(path, footer, self._fields(footer),
                    [f.name for f in schema.fields])
 
     def writer(self, schema, overwrite: bool) -> "RawParquetWriter":
@@ -140,6 +149,17 @@ def _stat_int(raw: "bytes | None") -> "int | None":
     if isinstance(raw, bytes) and len(raw) in (4, 8):
         return int.from_bytes(raw, "little", signed=True)
     return None
+
+
+def _pq_spark_type(leaf: dict) -> str:
+    """Parquet leaf -> Spark scalar type name (the element type for
+    LIST columns)."""
+    pt = leaf["physical_type"]
+    if pt in _PQ_SPARK_TYPES:
+        return _PQ_SPARK_TYPES[pt]
+    if pt == "BYTE_ARRAY" and leaf.get("converted_type") == 0:
+        return "string"  # UTF8 converted type
+    return "binary"  # raw BYTE_ARRAY / FLBA / INT96
 
 
 def _pushdown_requested(options) -> bool:
@@ -160,11 +180,13 @@ class RawParquetReader(DataSourceReader):
     default conf.  RawParquetPushdownReader adds the pruning-only
     pushdown on top (option-gated, see _pushdown_requested)."""
 
-    def __init__(self, path: str, footer: dict, leaves: list,
+    def __init__(self, path: str, footer: dict, fields: list,
                  want: list):
         self.path = path
         self.footer = footer
-        self.leaves = {leaf["name"]: leaf for leaf in leaves}
+        # name -> (leaf, is_list); see RawParquetDataSource._fields
+        self.fields = {name: (leaf, is_list)
+                       for name, leaf, is_list in fields}
         self.want = want
         # (name, op, value) predicates accepted by pushFilters —
         # used for ROW-GROUP PRUNING against footer min/max stats
@@ -195,27 +217,30 @@ class RawParquetReader(DataSourceReader):
         for rg in self.footer["row_groups"]:
             if not self._rg_can_match(rg):
                 continue  # pruned: no task, no bytes
+            entries = []
             chunks = []
             for name in self.want:
+                if name not in self.fields:
+                    raise ValueError("column missing: %s" % name)
+                leaf, is_list = self.fields[name]
                 chunk = next((c for c in rg["columns"]
-                              if c["path"] == name), None)
+                              if c["path"] == leaf["name"]), None)
                 if chunk is None:
                     raise ValueError("column missing: %s" % name)
+                entries.append((leaf, is_list))
                 chunks.append(chunk)
-            parts.append(_PqPartition(
-                self.path, [self.leaves[n] for n in self.want],
-                chunks))
+            parts.append(_PqPartition(self.path, entries, chunks))
         if not parts:  # Spark requires >= 1 partition
             parts.append(_PqPartition(self.path, [], []))
         return parts
 
     def read(self, partition: _PqPartition):
-        from .parquetpage import decode_column_chunk
+        from .parquetpage import decode_column_chunk, decode_list_chunk
 
         cols = []
         with open(partition.path, "rb") as f:
-            for leaf, chunk in zip(partition.leaves,
-                                   partition.chunks):
+            for (leaf, is_list), chunk in zip(partition.leaves,
+                                              partition.chunks):
                 start = chunk["data_page_offset"]
                 if chunk.get("dictionary_page_offset") is not None:
                     start = min(start,
@@ -226,15 +251,23 @@ class RawParquetReader(DataSourceReader):
                 rb["data_page_offset"] -= start
                 if rb.get("dictionary_page_offset") is not None:
                     rb["dictionary_page_offset"] -= start
-                vals = decode_column_chunk(blob, rb, leaf)
+                decode = decode_list_chunk if is_list \
+                    else decode_column_chunk
+                vals = decode(blob, rb, leaf)
                 if vals is None:
                     raise ValueError(
                         "chunk decode refused: %s in %s"
                         % (leaf["name"], partition.path))
                 if leaf["physical_type"] == "BYTE_ARRAY" and \
                         leaf.get("converted_type") == 0:
-                    vals = [v.decode("utf-8") if v is not None
-                            else None for v in vals]
+                    if is_list:
+                        vals = [[e.decode("utf-8")
+                                 if e is not None else None
+                                 for e in v] if v is not None
+                                else None for v in vals]
+                    else:
+                        vals = [v.decode("utf-8") if v is not None
+                                else None for v in vals]
                 cols.append(vals)
         yield from zip(*cols)
 
@@ -265,9 +298,9 @@ class RawParquetPushdownReader(RawParquetReader):
             op = ops.get(type(f))
             if op and len(f.attribute) == 1 and \
                     isinstance(f.value, int):
-                leaf = self.leaves.get(f.attribute[0])
-                if leaf is not None and leaf["physical_type"] in \
-                        ("INT32", "INT64"):
+                hit = self.fields.get(f.attribute[0])
+                if hit is not None and not hit[1] and \
+                        hit[0]["physical_type"] in ("INT32", "INT64"):
                     self.pushed.append(
                         (f.attribute[0], op, f.value))
         return filters  # all re-evaluated row-level by Spark

@@ -235,3 +235,129 @@ def test_selective_chunk_decode_touches_only_chunk_bytes():
     exp = [None if k % 7 == 0 else k * 1000003
            for k in range(500, 1000)]
     assert vals == exp
+
+
+# ---- r16: single-level LIST decode (decode_list_chunk) ----------------
+
+
+def _lists_tbl():
+    tags = [["a", "b"], [], None, ["c"], ["d", None, "e"],
+            ["long" * 40, ""], ["f"] * 9]
+    nums = [[1, 2, 3], None, [], [42], [0, -7, None], [9], []]
+    return tags, nums, pa.table({
+        "tags": pa.array(tags, pa.list_(pa.string())),
+        "nums": pa.array(nums, pa.list_(pa.int64())),
+    })
+
+
+@pytest.mark.parametrize("codec", ["none", "snappy", "zstd", "gzip"])
+@pytest.mark.parametrize("dpv", ["1.0", "2.0"])
+def test_list_decode_cross_pin_vs_pyarrow(codec, dpv):
+    tags, nums, tbl = _lists_tbl()
+    buf = _write(tbl, compression=codec, data_page_version=dpv)
+    got = read_columns(buf, want=["tags", "nums"])
+    assert got is not None, (codec, dpv)
+    mine_tags = [[e.decode() if e is not None else None for e in r]
+                 if r is not None else None
+                 for r in got["columns"]["tags"]]
+    assert mine_tags == tags, (codec, dpv)
+    assert got["columns"]["nums"] == nums, (codec, dpv)
+
+
+def test_list_decode_required_elements():
+    # non-nullable elements: max_def drops by one, the "null
+    # element" def level disappears — the threshold arithmetic must
+    # shift with it
+    tags = [["a"], [], None, ["b", "c"]]
+    arr = pa.array(tags, pa.list_(pa.field("element", pa.string(),
+                                           nullable=False)))
+    buf = _write(pa.table({"tags": arr}), compression="snappy")
+    got = read_columns(buf, want=["tags"])
+    assert got is not None
+    mine = [[e.decode() for e in r] if r is not None else None
+            for r in got["columns"]["tags"]]
+    assert mine == tags
+
+
+def test_list_decode_records_span_pages_and_row_groups():
+    rnd = random.Random(16)
+    tags = []
+    for i in range(4000):
+        if i % 19 == 0:
+            tags.append(None)
+        elif i % 13 == 0:
+            tags.append([])
+        else:
+            tags.append(["w%d" % rnd.randrange(50)
+                         for _ in range(rnd.randrange(1, 8))])
+    tbl = pa.table({"tags": pa.array(tags, pa.list_(pa.string()))})
+    buf = _write(tbl, compression="snappy", row_group_size=900,
+                 data_page_size=512)
+    got = read_columns(buf, want=["tags"])
+    assert got is not None
+    mine = [[e.decode() for e in r] if r is not None else None
+            for r in got["columns"]["tags"]]
+    assert mine == tags
+
+
+def test_list_decode_cross_pin_vs_duckdb_writer():
+    duckdb = pytest.importorskip("duckdb")
+    import tempfile
+
+    con = duckdb.connect()
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "lists.parquet")
+        con.execute(
+            "COPY (SELECT i, CASE WHEN i %% 7 = 0 THEN NULL "
+            "ELSE list_transform(range(0, i %% 5), "
+            "x -> 'v' || CAST(x + i AS VARCHAR)) END AS tags "
+            "FROM range(0, 500) t(i)) TO '%s' (FORMAT PARQUET, "
+            "COMPRESSION SNAPPY)" % p)
+        exp = con.execute(
+            "SELECT CASE WHEN i % 7 = 0 THEN NULL "
+            "ELSE list_transform(range(0, i % 5), "
+            "x -> 'v' || CAST(x + i AS VARCHAR)) END FROM "
+            "range(0, 500) t(i) ORDER BY i").fetchall()
+        buf = open(p, "rb").read()
+        got = read_columns(buf, want=["tags"])
+        assert got is not None
+        mine = [[e.decode() for e in r] if r is not None else None
+                for r in got["columns"]["tags"]]
+        assert mine == [r[0] for r in exp]
+
+
+def test_list_decode_real_embeddings_fixture():
+    # the driver's embeddings table: list<float> decoded from raw
+    # bytes must match pyarrow element-for-element
+    buf = open(f"{SF_DIR}/embeddings.parquet", "rb").read()
+    got = read_columns(buf, want=["vec_id", "embedding"])
+    assert got is not None
+    ref = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    exp = ref.column("embedding").to_pylist()
+    mine = got["columns"]["embedding"]
+    assert len(mine) == len(exp)
+    for a, b in zip(mine, exp):
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert len(a) == len(b)
+            assert all(math.isclose(x, y, rel_tol=1e-6)
+                       for x, y in zip(a, b))
+    assert got["columns"]["vec_id"] == ref.column("vec_id").to_pylist()
+
+
+def test_list_decode_refuses_deep_nesting_and_fuzz():
+    inner = pa.list_(pa.int64())
+    tbl = pa.table({"ll": pa.array([[[1, 2], [3]], [[4]]],
+                                   pa.list_(inner))})
+    buf = _write(tbl, compression="snappy")
+    # max_rep == 2: both the whole-file read and the chunk decode
+    # refuse (None), never crash
+    assert read_columns(buf, want=["ll"]) is None
+    tags, nums, tbl = _lists_tbl()
+    buf = _write(tbl, compression="snappy")
+    rnd = random.Random(1617)
+    for _ in range(120):
+        b = bytearray(buf)
+        for _f in range(1 + rnd.randrange(8)):
+            b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+        read_columns(bytes(b), want=["tags", "nums"])  # no raise

@@ -222,3 +222,50 @@ def test_raworc_zero_stripe_file_empty_scan(spark, tmp_path):
     df = spark.read.format("raworc").load(p)
     assert df.count() == 0
     assert [f.name for f in df.schema.fields] == ["k", "s"]
+
+
+def test_rawparquet_list_column_equals_native(spark, tmp_path):
+    # r16: Spark's OWN Java writer emits an array<string> column;
+    # the rawparquet source must decode it (Dremel assembly) and
+    # agree with Spark's native reader on every row, including NULL
+    # lists, empty lists, and null elements
+    out = str(tmp_path / "lists")
+    d = (spark.range(0, 400).select(
+        F.col("id"),
+        F.when(F.col("id") % 17 == 0,
+               F.lit(None).cast("array<string>"))
+        .when(F.col("id") % 13 == 0, F.array().cast("array<string>"))
+        .when(F.col("id") % 11 == 0,
+              F.array(F.lit("x"), F.lit(None), F.lit("y")))
+        .otherwise(F.array(F.concat(F.lit("v"), F.col("id")),
+                           F.lit("w"))).alias("tags")))
+    d.coalesce(1).write.mode("overwrite") \
+        .option("compression", "snappy").parquet(out)
+    part = glob.glob(out + "/part-*.parquet")[0]
+    spark.dataSource.register(RawParquetDataSource)
+    mine = spark.read.format("rawparquet").load(part)
+    assert mine.schema["tags"].dataType.simpleString() == \
+        "array<string>"
+    a = sorted(mine.collect(), key=lambda r: r["id"])
+    b = sorted(spark.read.parquet(part).collect(),
+               key=lambda r: r["id"])
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_rawparquet_list_int_column_and_embeddings(spark):
+    # the driver's embeddings fixture: list<float> through the
+    # registered source vs the native reader (row counts + a value
+    # aggregate; float sums compared rounded)
+    spark.dataSource.register(RawParquetDataSource)
+    path = SF_DIR + "/embeddings.parquet"
+    mine = (spark.read.format("rawparquet").load(path)
+            .select("vec_id", F.round(
+                F.aggregate("embedding", F.lit(0.0),
+                            lambda a, x: a + x), 3).alias("s")))
+    ref = (spark.read.parquet(path)
+           .select("vec_id", F.round(
+               F.aggregate("embedding", F.lit(0.0),
+                           lambda a, x: a + x.cast("double")), 3)
+               .alias("s")))
+    assert sorted(map(tuple, mine.collect())) == \
+        sorted(map(tuple, ref.collect()))
