@@ -12301,6 +12301,98 @@ def parquet_nested_stats(spark: SparkSession,
 
 
 @register(
+    "orc_nested_stats",
+    oracle="""
+    WITH t AS (
+        SELECT lang, n_chars % 1000 AS nc,
+               CASE WHEN doc_id % 17 = 0 THEN NULL
+                    WHEN doc_id % 13 = 0 THEN []
+                    ELSE list_slice(string_split(text, ' '), 1,
+                                    CAST(1 + doc_id % 5 AS INT))
+               END AS tags
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN tags IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_tags,
+           CAST(sum(CASE WHEN tags IS NULL THEN 0 ELSE len(tags)
+                    END) AS BIGINT) AS n_tags,
+           CAST(sum(CASE WHEN tags IS NULL THEN 0 ELSE
+                    coalesce(list_sum(list_transform(tags,
+                        x -> strlen(x))), 0) END) AS BIGINT)
+               AS tag_chars,
+           CAST(sum(nc) AS BIGINT) AS sum_nc
+    FROM t GROUP BY lang
+    """,
+    doc="ORC COMPOUND columns decoded from raw stripe bytes, graded "
+    "(r16 — the second lake format's version of the nested gap: "
+    "orcdata was flat-primitive-only). Spark's OWN Java ORC writer "
+    "materializes documents with a derived array<string> tags "
+    "column (null / empty / sliced — every PRESENT+LENGTH shape) "
+    "AND a struct<lang,nc> column as multi-stripe snappy ORC (once "
+    "per sf dir, fingerprint-keyed); the raworc Python DataSource "
+    "then decodes both back through orcdata._decode_node — "
+    "recursive STRUCT/LIST/MAP decode where a child's slot count "
+    "is its parent's PRESENT count and an element column's is the "
+    "sum of recorded lengths. The group-by key is read out of the "
+    "decoded STRUCT (meta.lang), the list stats out of the decoded "
+    "LIST; the oracle recomputes the derivation in DuckDB from the "
+    "documents view.",
+    tags=("ingest", "sketch", "pipeline"),
+)
+def orc_nested_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..catalog import source_fingerprint
+    from ..sources.pydatasource import RawOrcDataSource
+
+    fp = source_fingerprint(sf_dir, "documents")
+    root = _os.path.join(_tempfile.gettempdir(),
+                         "spark_graft_orcnested_v1", fp)
+    done = _os.path.join(root, "_DONE")
+    if not _os.path.exists(done):
+        d = load(spark, sf_dir, ("documents",))["documents"]
+        tags = (
+            F.when(F.col("doc_id") % 17 == 0,
+                   F.lit(None).cast("array<string>"))
+            .when(F.col("doc_id") % 13 == 0,
+                  F.array().cast("array<string>"))
+            .otherwise(F.slice(
+                F.split(F.col("text"), " "), 1,
+                (F.col("doc_id") % 5 + 1).cast("int")))
+        )
+        meta = F.struct(
+            F.col("lang").alias("lang"),
+            (F.col("n_chars") % 1000).cast("long").alias("nc"))
+        (d.select("doc_id", tags.alias("tags"), meta.alias("meta"))
+         .coalesce(1).write.mode("overwrite")
+         .option("compression", "snappy")
+         .option("orc.stripe.size", str(256 * 1024))
+         .orc(root))
+        open(done, "w").close()
+    part = sorted(_glob.glob(root + "/part-*.orc"))[0]
+    spark.dataSource.register(RawOrcDataSource)
+    df = spark.read.format("raworc").load(part)
+    n_tags = F.when(F.col("tags").isNull(), 0) \
+        .otherwise(F.size("tags"))
+    tag_chars = F.when(F.col("tags").isNull(), 0).otherwise(
+        F.aggregate("tags", F.lit(0),
+                    lambda acc, x: acc + F.length(x)))
+    return (
+        df.groupBy(F.col("meta.lang").alias("lang"))
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.when(F.col("tags").isNull(), 1).otherwise(0))
+             .alias("n_null_tags"),
+             F.sum(n_tags).cast("long").alias("n_tags"),
+             F.sum(tag_chars).cast("long").alias("tag_chars"),
+             F.sum(F.col("meta.nc")).alias("sum_nc"))
+    )
+
+
+@register(
     "iceberg_scan_pipeline",
     oracle="""
     WITH spec AS (

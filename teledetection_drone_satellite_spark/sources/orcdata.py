@@ -10,7 +10,10 @@ written by the REAL ORC writer inside pyarrow (``pyarrow.orc``),
 across codecs and engineered value distributions that force every
 RLEv2 sub-encoding out of the writer.
 
-Decoded surface (flat structs of primitive columns):
+Decoded surface (primitive columns; since r16 also compound
+columns — LIST / MAP / STRUCT, recursively, via _decode_node: a
+child's slot count is its parent's PRESENT count, a LIST/MAP
+element's is the sum of recorded lengths; UNION refuses):
   stripe footer   protobuf: streams (kind/column/length, laid out
                   in list order) + per-column encodings
                   (DIRECT / DIRECT_V2 / DICTIONARY_V2);
@@ -31,8 +34,7 @@ Decoded surface (flat structs of primitive columns):
                   (days, RLEv2 signed) — each honouring a PRESENT
                   boolean stream when nulls exist.
 
-Refusals (None): nested/compound types when explicitly requested
-(LIST/MAP/STRUCT/UNION columns are skipped in whole-file reads),
+Refusals (None): UNION columns and nesting deeper than 32 levels,
 unknown stream or encoding kinds, RLE runs that overrun or come up
 short, dictionary indices past the dictionary, PRESENT cardinality
 that disagrees with the stripe row count, codec failures — the
@@ -437,7 +439,101 @@ def _decode_column(kind: str, enc: int, dict_size: int,
             return None
         vals = list(zip(mants, scales))
     else:
-        return None  # compound types: out of scope
+        return None  # compound kinds route through _decode_node
+    if len(vals) != n_present:
+        return None
+    if present is None:
+        return vals
+    it = iter(vals)
+    return [next(it) if p else None for p in present]
+
+
+_PRIMITIVE_KINDS = ("BOOLEAN", "BYTE", "SHORT", "INT", "LONG",
+                    "FLOAT", "DOUBLE", "STRING", "BINARY", "VARCHAR",
+                    "CHAR", "DATE", "TIMESTAMP", "TIMESTAMP_INSTANT",
+                    "DECIMAL")
+
+
+def _decode_node(nodes: list, cid: int, encodings: list,
+                 streams: dict, n_vals: int,
+                 depth: int = 0) -> "list | None":
+    """Recursive column decode (r16 — compound types: STRUCT, LIST,
+    MAP; UNION refused).  ``n_vals`` is the column's slot count in
+    its PARENT context — per the ORC spec, children of a null
+    compound value are not recorded, so a child's slot count is its
+    parent's PRESENT count, and a LIST/MAP element column's slot
+    count is the sum of the recorded lengths.  Structs come back as
+    {field: value} dicts, lists as Python lists, maps as dicts."""
+    if depth > 32 or cid >= len(nodes) or cid >= len(encodings):
+        return None
+    node = nodes[cid]
+    kind = node["kind"]
+    if kind in _PRIMITIVE_KINDS:
+        enc, dict_size = encodings[cid]
+        return _decode_column(kind, enc, dict_size or 0, streams,
+                              cid, n_vals)
+    present = None
+    if (cid, _S_PRESENT) in streams:
+        present = bool_rle(streams[(cid, _S_PRESENT)], n_vals)
+        if present is None:
+            return None
+    n_present = sum(present) if present is not None else n_vals
+    if kind == "STRUCT":
+        names = node["names"]
+        if len(names) != len(node["subtypes"]):
+            return None
+        kids = []
+        for sub in node["subtypes"]:
+            got = _decode_node(nodes, sub, encodings, streams,
+                               n_present, depth + 1)
+            if got is None:
+                return None
+            kids.append(got)
+        vals = [dict(zip(names, t)) for t in zip(*kids)] if kids \
+            else [{} for _ in range(n_present)]
+    elif kind in ("LIST", "MAP"):
+        enc, _ds = encodings[cid]
+        if enc != _E_DIRECT_V2:
+            return None  # RLEv1 lengths: refused honestly
+        lengths = rle_v2(streams.get((cid, _S_LENGTH), b""),
+                         n_present, signed=False)
+        if lengths is None or any(
+                ln < 0 or ln > _MAX_VALUES for ln in lengths):
+            return None
+        total = sum(lengths)
+        if total > _MAX_VALUES:
+            return None
+        if kind == "LIST":
+            if len(node["subtypes"]) != 1:
+                return None
+            elems = _decode_node(nodes, node["subtypes"][0],
+                                 encodings, streams, total,
+                                 depth + 1)
+            if elems is None:
+                return None
+            vals = []
+            off = 0
+            for ln in lengths:
+                vals.append(elems[off:off + ln])
+                off += ln
+        else:
+            if len(node["subtypes"]) != 2:
+                return None
+            keys = _decode_node(nodes, node["subtypes"][0],
+                                encodings, streams, total, depth + 1)
+            mvals = _decode_node(nodes, node["subtypes"][1],
+                                 encodings, streams, total,
+                                 depth + 1)
+            if keys is None or mvals is None:
+                return None
+            vals = []
+            off = 0
+            for ln in lengths:
+                vals.append(dict(zip(keys[off:off + ln],
+                                     mvals[off:off + ln])))
+                off += ln
+    else:
+        return None  # UNION: refused honestly
     if len(vals) != n_present:
         return None
     if present is None:
@@ -449,8 +545,11 @@ def _decode_column(kind: str, enc: int, dict_size: int,
 def read_orc_columns(buf: bytes,
                      want: "list[str] | None" = None) -> "dict | None":
     """Whole-file read: -> {'num_rows', 'columns': {name: [values]}}
-    or None.  Flat-struct files only; ``want`` selects columns
-    (None = every supported primitive leaf)."""
+    or None.  ``want`` selects top-level columns (None = every
+    primitive leaf; compound columns — LIST, MAP, STRUCT, decoded
+    recursively since r16 — must be requested explicitly, and come
+    back as Python lists / dicts / {field: value} dicts; UNION
+    refuses)."""
     tail = parse_orc_tail(buf)
     if tail is None:
         return None
@@ -467,12 +566,10 @@ def read_orc_columns(buf: bytes,
             return None
         col_ids[name] = tid
         col_kinds[name] = nodes[tid]["kind"]
-    supported = ("BOOLEAN", "BYTE", "SHORT", "INT", "LONG", "FLOAT",
-                 "DOUBLE", "STRING", "BINARY", "VARCHAR", "CHAR",
-                 "DATE", "TIMESTAMP", "TIMESTAMP_INSTANT", "DECIMAL")
+    supported = _PRIMITIVE_KINDS + ("LIST", "MAP", "STRUCT")
     if want is None:
         want = [n for n in root["names"]
-                if col_kinds[n] in supported]
+                if col_kinds[n] in _PRIMITIVE_KINDS]
     codec = tail["compression"]
     cols: "dict[str, list]" = {n: [] for n in want}
     for stripe in tail["stripes"]:
@@ -498,9 +595,8 @@ def read_orc_columns(buf: bytes,
                 return None
             if cid >= len(foot["encodings"]):
                 return None
-            enc, dict_size = foot["encodings"][cid]
-            got = _decode_column(kind, enc, dict_size or 0,
-                                 streams, cid, n_rows)
+            got = _decode_node(nodes, cid, foot["encodings"],
+                               streams, n_rows)
             if got is None:
                 return None
             cols[name].extend(got)

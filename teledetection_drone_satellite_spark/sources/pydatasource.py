@@ -58,6 +58,46 @@ _ORC_SPARK_TYPES = {
     "TIMESTAMP": "timestamp", "TIMESTAMP_INSTANT": "timestamp",
 }
 
+# leaf kinds the decoder emits in Spark-ready Python form INSIDE
+# compound values (TIMESTAMP/DECIMAL/DATE need the driver-side
+# conversion the flat read path applies — excluded from compounds)
+_ORC_COMPOUND_LEAF = {
+    "BOOLEAN": "boolean", "BYTE": "byte", "SHORT": "short",
+    "INT": "int", "LONG": "long", "FLOAT": "float",
+    "DOUBLE": "double", "STRING": "string", "VARCHAR": "string",
+    "CHAR": "string", "BINARY": "binary",
+}
+
+
+def _orc_compound_type(nodes: list, tid: int,
+                       depth: int = 0) -> "str | None":
+    """ORC type node -> Spark DDL type string for compound columns
+    (r16), or None when the subtree is not exposable (UNION,
+    timestamp/decimal/date leaves, depth > 16)."""
+    if depth > 16 or tid >= len(nodes):
+        return None
+    node = nodes[tid]
+    k = node["kind"]
+    if k in _ORC_COMPOUND_LEAF:
+        return _ORC_COMPOUND_LEAF[k]
+    if k == "LIST" and len(node["subtypes"]) == 1:
+        t = _orc_compound_type(nodes, node["subtypes"][0], depth + 1)
+        return None if t is None else "array<%s>" % t
+    if k == "MAP" and len(node["subtypes"]) == 2:
+        kt = _orc_compound_type(nodes, node["subtypes"][0], depth + 1)
+        vt = _orc_compound_type(nodes, node["subtypes"][1], depth + 1)
+        return None if kt is None or vt is None \
+            else "map<%s,%s>" % (kt, vt)
+    if k == "STRUCT" and len(node["names"]) == len(node["subtypes"]):
+        parts = []
+        for nm, sub in zip(node["names"], node["subtypes"]):
+            t = _orc_compound_type(nodes, sub, depth + 1)
+            if t is None:
+                return None
+            parts.append("`%s`:%s" % (nm, t))
+        return "struct<%s>" % ",".join(parts)
+    return None
+
 
 def _read_footer_tail(path: str) -> bytes:
     with open(path, "rb") as f:
@@ -362,11 +402,12 @@ class _OrcPartition(InputPartition):
     """One ORC stripe: its byte range + the column routing."""
 
     def __init__(self, path: str, stripe: dict, codec: str,
-                 cols: list):
+                 cols: list, nodes: list):
         self.path = path
         self.stripe = stripe
         self.codec = codec
         self.cols = cols  # [(name, column_id, kind)...]
+        self.nodes = nodes  # type_nodes (compound decode routing)
 
 
 class RawOrcDataSource(DataSource):
@@ -391,23 +432,30 @@ class RawOrcDataSource(DataSource):
         return path, tail
 
     @staticmethod
-    def _flat_cols(tail) -> "list[tuple[str, int, str]]":
+    def _cols(tail) -> "list[tuple[str, int, str, str]]":
+        """(name, column id, kind, spark DDL type): primitive
+        top-level columns plus (r16) compound columns whose whole
+        subtree is exposable (_orc_compound_type)."""
         nodes = tail["type_nodes"]
         root = nodes[0]
         out = []
         for name, tid in zip(root["names"], root["subtypes"]):
             kind = nodes[tid]["kind"]
             if kind in _ORC_SPARK_TYPES:
-                out.append((name, tid, kind))
+                out.append((name, tid, kind, _ORC_SPARK_TYPES[kind]))
+            elif kind in ("LIST", "MAP", "STRUCT"):
+                t = _orc_compound_type(nodes, tid)
+                if t is not None:
+                    out.append((name, tid, kind, t))
         return out
 
     def schema(self) -> str:
         _path, tail = self._tail()
-        cols = self._flat_cols(tail)
+        cols = self._cols(tail)
         if not cols:
-            raise ValueError("no flat columns")
-        return ", ".join("`%s` %s" % (n, _ORC_SPARK_TYPES[k])
-                         for n, _tid, k in cols)
+            raise ValueError("no decodable columns")
+        return ", ".join("`%s` %s" % (n, t)
+                         for n, _tid, _k, t in cols)
 
     def writer(self, schema, overwrite: bool) -> "RawOrcWriter":
         path = self.options.get("path")
@@ -419,7 +467,8 @@ class RawOrcDataSource(DataSource):
 
     def reader(self, schema) -> "RawOrcReader":
         path, tail = self._tail()
-        by_name = {n: (tid, k) for n, tid, k in self._flat_cols(tail)}
+        by_name = {n: (tid, k)
+                   for n, tid, k, _t in self._cols(tail)}
         cols = []
         for f in schema.fields:
             if f.name not in by_name:
@@ -514,7 +563,7 @@ class RawOrcReader(DataSourceReader):
                 continue  # pruned: no task, no bytes
             parts.append(_OrcPartition(
                 self.path, stripe, self.tail["compression"],
-                self.cols))
+                self.cols, self.tail["type_nodes"]))
         if not parts:  # Spark requires >= 1 partition — synthesize
             # an empty stripe (works even for zero-stripe files,
             # where tail["stripes"] is itself empty)
@@ -523,13 +572,14 @@ class RawOrcReader(DataSourceReader):
                      "num_rows": 0}
             parts.append(_OrcPartition(
                 self.path, empty, self.tail["compression"],
-                self.cols))
+                self.cols, self.tail["type_nodes"]))
         return parts
 
     def read(self, partition: _OrcPartition):
         from .orcdata import (
             _column_streams,
             _decode_column,
+            _decode_node,
             parse_stripe_footer,
         )
 
@@ -559,9 +609,14 @@ class RawOrcReader(DataSourceReader):
         epoch = _dt.datetime(1970, 1, 1)
         cols = []
         for _name, tid, kind in partition.cols:
-            enc, dict_size = foot["encodings"][tid]
-            vals = _decode_column(kind, enc, dict_size or 0,
-                                  streams, tid, st["num_rows"])
+            if kind in ("LIST", "MAP", "STRUCT"):
+                vals = _decode_node(partition.nodes, tid,
+                                    foot["encodings"], streams,
+                                    st["num_rows"])
+            else:
+                enc, dict_size = foot["encodings"][tid]
+                vals = _decode_column(kind, enc, dict_size or 0,
+                                      streams, tid, st["num_rows"])
             if vals is None:
                 raise ValueError("column decode refused: %s" % _name)
             if kind in ("TIMESTAMP", "TIMESTAMP_INSTANT"):

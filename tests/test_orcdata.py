@@ -140,7 +140,9 @@ def test_refusals_and_bitflip_fuzz():
         read_orc_columns(bytes(b))  # any return, never an exception
 
 
-def test_nested_types_skipped():
+def test_nested_types_not_in_default_want_but_decodable():
+    # default want stays primitives-only (back-compat); compound
+    # columns decode when requested explicitly (r16)
     tbl = pa.table({
         "i": pa.array(range(50), pa.int64()),
         "lst": pa.array([[1, 2]] * 50, pa.list_(pa.int64())),
@@ -148,7 +150,9 @@ def test_nested_types_skipped():
     buf = _write(tbl)
     got = read_orc_columns(buf)
     assert got is not None and list(got["columns"]) == ["i"]
-    assert read_orc_columns(buf, want=["lst"]) is None
+    got = read_orc_columns(buf, want=["lst"])
+    assert got is not None
+    assert got["columns"]["lst"] == [[1, 2]] * 50
 
 
 def test_timestamp_and_decimal_cross_pin():
@@ -198,3 +202,73 @@ def test_snappy_and_lz4_framing():
             tbl.column("mono").to_pylist(), codec
         assert got["columns"]["s_dict"] == \
             tbl.column("s_dict").to_pylist(), codec
+
+
+# ---- r16: compound types (STRUCT / LIST / MAP via _decode_node) -------
+
+
+def _compound_tbl():
+    tags = [["a", "b"], [], None, ["c"], ["d", None, "e"],
+            ["f"] * 9]
+    maps = [{"x": 1, "y": 2}, {}, None, {"z": None}, {"k": 5},
+            {"a": 7, "b": 8}]
+    structs = [{"u": 1, "v": "p"}, None, {"u": None, "v": "q"},
+               {"u": 4, "v": None}, {"u": 5, "v": "r"},
+               {"u": 6, "v": "s"}]
+    nested = [[{"m": [1, 2]}], None, [], [{"m": None}],
+              [{"m": [3]}, {"m": []}], [{"m": [4, 5, 6]}]]
+    return tags, maps, structs, nested, pa.table({
+        "tags": pa.array(tags, pa.list_(pa.string())),
+        "mp": pa.array(maps, pa.map_(pa.string(), pa.int64())),
+        "st": pa.array(structs, pa.struct([("u", pa.int64()),
+                                           ("v", pa.string())])),
+        "nst": pa.array(nested, pa.list_(pa.struct(
+            [("m", pa.list_(pa.int64()))]))),
+        "flat": pa.array(range(6), pa.int64()),
+    })
+
+
+@pytest.mark.parametrize("codec",
+                         ["uncompressed", "snappy", "zlib", "zstd"])
+def test_compound_decode_cross_pin_vs_pyarrow(codec):
+    tags, maps, structs, nested, tbl = _compound_tbl()
+    buf = _write(tbl, compression=codec)
+    got = read_orc_columns(
+        buf, want=["tags", "mp", "st", "nst", "flat"])
+    assert got is not None, codec
+    assert got["columns"]["tags"] == tags, codec
+    assert got["columns"]["mp"] == maps, codec
+    assert got["columns"]["st"] == structs, codec
+    assert got["columns"]["nst"] == nested, codec
+    assert got["columns"]["flat"] == list(range(6))
+
+
+def test_compound_decode_multi_stripe_spanning():
+    import random as _r
+    rnd = _r.Random(16)
+    rows = []
+    for i in range(30000):
+        if i % 19 == 0:
+            rows.append(None)
+        else:
+            rows.append([rnd.randrange(100)
+                         for _ in range(rnd.randrange(4))])
+    tbl = pa.table({"v": pa.array(rows, pa.list_(pa.int64()))})
+    buf = _write(tbl, compression="snappy",
+                 stripe_size=64 * 1024)
+    got = read_orc_columns(buf, want=["v"])
+    assert got is not None
+    assert got["columns"]["v"] == rows
+
+
+def test_compound_decode_fuzz_never_raises():
+    import random as _r
+    _tags, _m, _s, _n, tbl = _compound_tbl()
+    buf = _write(tbl, compression="snappy")
+    rnd = _r.Random(1618)
+    for _ in range(120):
+        b = bytearray(buf)
+        for _f in range(1 + rnd.randrange(8)):
+            b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+        read_orc_columns(bytes(b),
+                         want=["tags", "mp", "st", "nst"])  # no raise

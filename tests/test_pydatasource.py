@@ -269,3 +269,41 @@ def test_rawparquet_list_int_column_and_embeddings(spark):
                .alias("s")))
     assert sorted(map(tuple, mine.collect())) == \
         sorted(map(tuple, ref.collect()))
+
+
+def test_raworc_compound_columns_equal_native(spark, tmp_path):
+    # r16: Spark's Java ORC writer emits array / map / struct
+    # columns; the raworc source decodes them recursively and must
+    # agree with Spark's native ORC reader row-for-row
+    out = str(tmp_path / "orc_nested")
+    d = (spark.range(0, 300).select(
+        F.col("id"),
+        F.when(F.col("id") % 17 == 0,
+               F.lit(None).cast("array<string>"))
+        .when(F.col("id") % 13 == 0, F.array().cast("array<string>"))
+        .otherwise(F.array(F.concat(F.lit("v"), F.col("id")),
+                           F.lit("w"))).alias("tags"),
+        F.create_map(F.lit("k"), F.col("id") % 5,
+                     F.lit("j"), F.col("id") % 3).alias("mp"),
+        F.struct((F.col("id") % 7).alias("u"),
+                 F.concat(F.lit("s"), F.col("id") % 4)
+                 .alias("v")).alias("st")))
+    d.coalesce(1).write.mode("overwrite") \
+        .option("compression", "snappy").orc(out)
+    part = glob.glob(out + "/part-*.orc")[0]
+    spark.dataSource.register(RawOrcDataSource)
+    mine = spark.read.format("raworc").load(part)
+    assert mine.schema["tags"].dataType.simpleString() == \
+        "array<string>"
+    assert mine.schema["mp"].dataType.simpleString() == \
+        "map<string,bigint>"
+    assert mine.schema["st"].dataType.simpleString() == \
+        "struct<u:bigint,v:string>"
+    a = sorted(mine.select("id", "tags", "st",
+                           F.map_entries("mp").alias("me"))
+               .collect(), key=lambda r: r["id"])
+    b = sorted(spark.read.orc(part)
+               .select("id", "tags", "st",
+                       F.map_entries("mp").alias("me"))
+               .collect(), key=lambda r: r["id"])
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
