@@ -703,9 +703,13 @@ def snapshot_with_dvs(commits: "list[tuple[int, bytes]]",
         stats = a.get("stats")
         if isinstance(stats, str):
             try:
-                nr = json.loads(stats).get("numRecords")
+                parsed = json.loads(stats)
             except ValueError:
-                nr = None
+                parsed = None
+            # stats may be any valid JSON value (e.g. a bare
+            # scalar) — only a dict carries numRecords
+            nr = parsed.get("numRecords") \
+                if isinstance(parsed, dict) else None
             if isinstance(nr, int) and got and max(got) >= nr:
                 exact_ok = False  # a delete past the file's rows
     snap = dict(snap)

@@ -207,6 +207,13 @@ def write_orc(columns: "dict[str, tuple[str, list]]",
         for kind, _v in columns.values():
             if kind not in _KIND_IDS:
                 return None
+            if kind == "LONG" and any(
+                    v is not None and not (
+                        -(1 << 63) <= v < 1 << 63) for v in _v):
+                return None  # outside int64: the RLEv2 encoders
+                # (SHORT_REPEAT width byte, DIRECT 64-bit packing)
+                # cannot represent it — refuse, never emit
+                # undecodable bytes
         out = bytearray(b"ORC")
         stripes_pb = []
         start = 0

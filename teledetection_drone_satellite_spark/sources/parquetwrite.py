@@ -158,8 +158,14 @@ def _plain(values: "list", ptype: str) -> bytes:
 
 
 def _minmax(values: "list", ptype: str) -> "tuple[bytes, bytes] | None":
-    """Per-chunk statistics as the spec's plain-encoded bytes."""
+    """Per-chunk statistics as the spec's plain-encoded bytes.
+    parquet-format requires OMITTING float stats when any value is
+    NaN (NaN-polluted min/max would mislead external readers'
+    predicate pruning) — return None in that case."""
     if not values:
+        return None
+    if ptype in ("FLOAT", "DOUBLE") and any(
+            isinstance(v, float) and v != v for v in values):
         return None
     lo, hi = min(values), max(values)
     if ptype in ("INT32", "INT64", "FLOAT", "DOUBLE", "BOOLEAN"):

@@ -402,3 +402,25 @@ def test_active_files_and_prune():
     # disjoint on both sides skips
     plan3 = prune_files(adds, "ts", 1000, 2000)
     assert [a["path"] for a in plan3["touched"]] == ["c"]
+
+
+def test_dv_snapshot_scalar_json_stats_no_crash():
+    # ADVICE r15: an add whose stats is a VALID JSON scalar (not a
+    # dict) must not AttributeError out of snapshot_with_dvs
+    import json as _json
+
+    from teledetection_drone_satellite_spark.sources.deltalog import (
+        snapshot_with_dvs, synth_delta_dv)
+
+    commits, files, _exp = synth_delta_dv(4)  # has DV-bearing adds
+    patched = []
+    for v, blob in commits:
+        lines = []
+        for ln in blob.decode().splitlines():
+            d = _json.loads(ln)
+            if "add" in d and d["add"].get("deletionVector"):
+                d["add"]["stats"] = "5"  # valid JSON, not a dict
+            lines.append(_json.dumps(d))
+        patched.append((v, "\n".join(lines).encode()))
+    got = snapshot_with_dvs(patched, files)
+    assert got is not None  # refusal-or-result, never a crash

@@ -92,3 +92,23 @@ def test_refusals():
     assert write_orc({"x": ("LONG", [1]),
                       "y": ("LONG", [1, 2])}) is None
     assert write_orc({"x": ("LONG", [1])}, codec="SNAPPY") is None
+
+
+def test_write_orc_refuses_out_of_int64_values():
+    # ADVICE r15: a LONG outside int64 would make the RLEv2
+    # SHORT_REPEAT width byte overflow into the sub-encoding bits
+    # (silently undecodable bytes) — write_orc must refuse instead
+    from teledetection_drone_satellite_spark.sources.orcwrite import (
+        write_orc)
+
+    assert write_orc({"v": ("LONG", [1, 2, 1 << 63])}) is None
+    assert write_orc({"v": ("LONG", [-(1 << 63) - 1, 0])}) is None
+    # the int64 boundary values themselves stay writable
+    buf = write_orc({"v": ("LONG",
+                           [(1 << 63) - 1, -(1 << 63), 0, 0, 0])})
+    assert buf is not None
+    import io
+    import pyarrow.orc as _po
+    got = _po.ORCFile(io.BytesIO(buf)).read()
+    assert got.column("v").to_pylist() == \
+        [(1 << 63) - 1, -(1 << 63), 0, 0, 0]

@@ -112,3 +112,31 @@ def test_refusals_and_empties():
     assert buf is not None
     tbl = pq.read_table(io.BytesIO(buf))
     assert tbl.num_rows == 0 and tbl.column_names == ["x"]
+
+
+def test_nan_float_stats_omitted():
+    # ADVICE r15: parquet-format requires omitting min/max stats
+    # when float values contain NaN (NaN-polluted stats mislead
+    # external readers' pruning)
+    from teledetection_drone_satellite_spark.sources.parquetmeta import (
+        parse_parquet_footer)
+    from teledetection_drone_satellite_spark.sources.parquetwrite import (
+        write_parquet)
+
+    nan = float("nan")
+    buf = write_parquet({"f": ("DOUBLE", [1.0, nan, 3.0]),
+                         "g": ("DOUBLE", [1.0, 2.0, 3.0])},
+                        codec="SNAPPY")
+    assert buf is not None
+    footer = parse_parquet_footer(buf)
+    chunks = {c["path"]: c for c in footer["row_groups"][0]["columns"]}
+    assert chunks["f"].get("min_value") is None
+    assert chunks["f"].get("max_value") is None
+    assert chunks["g"].get("min_value") is not None
+    # the NaN column still decodes fine (stats are advisory)
+    import io
+    import math
+    import pyarrow.parquet as _pq
+    got = _pq.read_table(io.BytesIO(buf))
+    vals = got.column("f").to_pylist()
+    assert vals[0] == 1.0 and math.isnan(vals[1]) and vals[2] == 3.0
