@@ -12010,18 +12010,20 @@ def parquet_delta_page_stats(spark: SparkSession,
     FROM documents
     GROUP BY lang
     """,
-    doc="Pure-Python Parquet WRITE path, graded (r15 — the reverse "
-    "direction of the page-decode cross-pins): documents writes "
+    doc="Pure-Python Parquet WRITE path, graded (r15; r16 adds "
+    "dictionary encoding + bounded pages): documents writes "
     "through df.write.format('rawparquet') — hand-emitted Thrift "
-    "compact footers, PLAIN v1 pages, RLE definition levels, "
-    "chunk min/max statistics, snappy page bodies, one file per "
-    "Spark partition (sources/parquetwrite.py) — then SPARK'S OWN "
-    "JAVA READER reads those bytes back and aggregates; the oracle "
-    "reads the original table through DuckDB. Files this writer "
-    "emits are additionally pinned in tests against pyarrow, "
-    "DuckDB (including its view of the statistics), and this "
-    "repo's own decoder — four independent readers on the same "
-    "bytes.",
+    "compact footers, v1 pages bounded by data_page_size, RLE "
+    "definition levels, chunk min/max statistics, snappy page "
+    "bodies, and (r16) a PLAIN dictionary page + RLE_DICTIONARY "
+    "data pages for repetitive string chunks (the lang column here "
+    "dictionary-encodes), one file per Spark partition "
+    "(sources/parquetwrite.py) — then SPARK'S OWN JAVA READER "
+    "reads those bytes back and aggregates; the oracle reads the "
+    "original table through DuckDB. Files this writer emits are "
+    "additionally pinned in tests against pyarrow, DuckDB "
+    "(including its view of the statistics), and this repo's own "
+    "decoder — four independent readers on the same bytes.",
     tags=("ingest", "sketch", "pipeline"),
 )
 def parquet_write_roundtrip(spark: SparkSession,
@@ -12034,7 +12036,8 @@ def parquet_write_roundtrip(spark: SparkSession,
 
     fp = source_fingerprint(sf_dir, "documents")
     root = _os.path.join(_tempfile.gettempdir(),
-                         "spark_graft_rawpq_v1", fp)
+                         "spark_graft_rawpq_v2", fp)  # v2: r16
+    # dictionary pages + page splitting (key bump re-materializes)
     done = _os.path.join(root, "_DONE")
     spark.dataSource.register(RawParquetDataSource)
     if not _os.path.exists(done):

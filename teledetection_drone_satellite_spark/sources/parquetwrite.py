@@ -18,10 +18,14 @@ Scope (the honest contract): FLAT schemas only; physical types
 BOOLEAN / INT32 / INT64 / FLOAT / DOUBLE / BYTE_ARRAY (UTF8
 converted type for strings); required or optional (nulls via
 definition levels); codecs UNCOMPRESSED, SNAPPY (sources/snappy.py)
-and GZIP (stdlib); one data page per column chunk per row group
-(row groups split by ``row_group_size``).  Dictionary/delta
-encodings are a read-side-only surface by design — PLAIN is what
-every reader must accept.
+and GZIP (stdlib); row groups split by ``row_group_size``, data
+pages bounded by ``data_page_size`` raw value bytes (r16 — bounded
+pages make reader-side page selectivity real on written files);
+repetitive BYTE_ARRAY chunks dictionary-encode (r16: PLAIN
+dictionary page + RLE_DICTIONARY data pages, chosen when the
+dictionary at most halves the value count — the dominant encoding
+for categorical corpus columns).  Delta encodings stay
+read-side-only by design.
 
 Reference parity: the reference persists rows through SQLAlchemy
 inserts (/root/reference/services/file-service/main.py:130-169);
@@ -114,23 +118,29 @@ class _W:
         return bytes(self.buf) + b"\x00"
 
 
-def _rle_levels(levels: "list[int]", bit_width: int) -> bytes:
-    """Definition levels as the RLE/bit-packed hybrid (RLE runs
-    only — always valid, optimal for the common all-set case),
-    4-byte-LE length prefixed per the v1 page layout."""
+def _rle_runs(values: "list[int]", bit_width: int) -> bytes:
+    """RLE/bit-packed hybrid body, RLE runs only (always spec-valid;
+    optimal for repetitive streams, which is when callers pick it)."""
     body = bytearray()
     k = 0
-    n = len(levels)
+    n = len(values)
     byte_w = (bit_width + 7) // 8
     while k < n:
-        v = levels[k]
+        v = values[k]
         run = 1
-        while k + run < n and levels[k + run] == v:
+        while k + run < n and values[k + run] == v:
             run += 1
         body += _varint(run << 1)
         body += v.to_bytes(byte_w, "little")
         k += run
-    return struct.pack("<I", len(body)) + bytes(body)
+    return bytes(body)
+
+
+def _rle_levels(levels: "list[int]", bit_width: int) -> bytes:
+    """Definition levels: the hybrid, 4-byte-LE length prefixed per
+    the v1 page layout."""
+    body = _rle_runs(levels, bit_width)
+    return struct.pack("<I", len(body)) + body
 
 
 def _plain(values: "list", ptype: str) -> bytes:
@@ -184,13 +194,49 @@ def _compress(codec: str, data: bytes) -> bytes:
     return data
 
 
+_FIXED_WIDTH = {"BOOLEAN": 1, "INT32": 4, "FLOAT": 4, "INT64": 8,
+                "DOUBLE": 8}
+
+
+def _page_ranges(sl: "list", ptype: str,
+                 limit: int) -> "list[tuple[int, int]]":
+    """Split a chunk's row slice into page ranges whose raw value
+    bytes stay under ``limit`` (>= 1 row per page) — the r16 page
+    splitting that makes the reader's page-level selectivity real
+    on written files."""
+    w = _FIXED_WIDTH.get(ptype)
+    ranges = []
+    cur = 0
+    cur_bytes = 0
+    for i, v in enumerate(sl):
+        if v is None:
+            b = 0
+        elif w is not None:
+            b = w
+        else:
+            b = 4 + len(v.encode("utf-8") if isinstance(v, str)
+                        else v)
+        if i > cur and cur_bytes + b > limit:
+            ranges.append((cur, i))
+            cur = i
+            cur_bytes = 0
+        cur_bytes += b
+    ranges.append((cur, len(sl)))
+    return ranges
+
+
 def write_parquet(columns: "dict[str, tuple[str, list]]",
                   codec: str = "SNAPPY",
-                  row_group_size: int = 1 << 20) -> "bytes | None":
+                  row_group_size: int = 1 << 20,
+                  data_page_size: int = 1 << 20) -> "bytes | None":
     """``columns`` maps name -> (physical_type, values) where values
     may contain None (the column becomes OPTIONAL with definition
     levels); BYTE_ARRAY str values carry the UTF8 converted type.
-    -> the complete file bytes, or None on an unsupported shape."""
+    Pages are bounded by ``data_page_size`` raw value bytes (r16),
+    and repetitive BYTE_ARRAY chunks dictionary-encode (PLAIN dict
+    page + RLE_DICTIONARY data pages) when the dictionary halves the
+    value count.  -> the complete file bytes, or None on an
+    unsupported shape."""
     try:
         names = list(columns)
         if not names or codec not in CODEC_IDS:
@@ -213,38 +259,86 @@ def write_parquet(columns: "dict[str, tuple[str, list]]",
                 sl = vals[start:end]
                 optional = any(v is None for v in vals)
                 present = [v for v in sl if v is not None]
-                is_str = ptype == "BYTE_ARRAY" and all(
-                    isinstance(v, str) for v in present)
-                page = bytearray()
-                if optional:
-                    page += _rle_levels(
-                        [0 if v is None else 1 for v in sl], 1)
-                page += _plain(present, ptype)
-                raw = bytes(page)
-                body = _compress(codec, raw)
-                hdr = _W()
-                hdr.i32(1, 0)  # DATA_PAGE
-                hdr.i32(2, len(raw))
-                hdr.i32(3, len(body))
-                dph = _W()
-                dph.i32(1, len(sl))
-                dph.i32(2, 0)  # PLAIN
-                dph.i32(3, 3)  # RLE def levels
-                dph.i32(4, 3)  # RLE rep levels (none present)
-                hdr.struct(5, dph.done())
-                page_bytes = hdr.done() + body
+                # dictionary decision (r16): strings whose distinct
+                # set at most halves the value count
+                use_dict = False
+                dvals: "list" = []
+                didx: "dict" = {}
+                if ptype == "BYTE_ARRAY" and present:
+                    for v in present:
+                        if v not in didx:
+                            didx[v] = len(dvals)
+                            dvals.append(v)
+                    use_dict = 2 * len(dvals) <= len(present)
                 offset = len(out)
-                out += page_bytes
+                dict_offset = None
+                total_unc = 0
+                total_comp = 0
+                if use_dict:
+                    dict_raw = _plain(dvals, ptype)
+                    dict_body = _compress(codec, dict_raw)
+                    hdr = _W()
+                    hdr.i32(1, 2)  # DICTIONARY_PAGE
+                    hdr.i32(2, len(dict_raw))
+                    hdr.i32(3, len(dict_body))
+                    dph = _W()
+                    dph.i32(1, len(dvals))
+                    dph.i32(2, 0)  # PLAIN dictionary values
+                    hdr.struct(7, dph.done())
+                    page_bytes = hdr.done() + dict_body
+                    dict_offset = len(out)
+                    out += page_bytes
+                    total_unc += len(page_bytes) - len(dict_body) \
+                        + len(dict_raw)
+                    total_comp += len(page_bytes)
+                data_offset = len(out)
+                for p0, p1 in _page_ranges(sl, ptype,
+                                           data_page_size):
+                    pg = sl[p0:p1]
+                    pg_present = [v for v in pg if v is not None]
+                    page = bytearray()
+                    if optional:
+                        page += _rle_levels(
+                            [0 if v is None else 1 for v in pg], 1)
+                    if use_dict:
+                        bw = max(1, (len(dvals) - 1).bit_length())
+                        idxs = [didx[v] for v in pg_present]
+                        page += bytes([bw]) + _rle_runs(idxs, bw)
+                        enc = 8  # RLE_DICTIONARY
+                    else:
+                        page += _plain(pg_present, ptype)
+                        enc = 0  # PLAIN
+                    raw = bytes(page)
+                    body = _compress(codec, raw)
+                    hdr = _W()
+                    hdr.i32(1, 0)  # DATA_PAGE
+                    hdr.i32(2, len(raw))
+                    hdr.i32(3, len(body))
+                    dph = _W()
+                    dph.i32(1, len(pg))
+                    dph.i32(2, enc)
+                    dph.i32(3, 3)  # RLE def levels
+                    dph.i32(4, 3)  # RLE rep levels (none present)
+                    hdr.struct(5, dph.done())
+                    page_bytes = hdr.done() + body
+                    out += page_bytes
+                    total_unc += len(page_bytes) - len(body) \
+                        + len(raw)
+                    total_comp += len(page_bytes)
                 md = _W()
                 md.i32(1, PHYSICAL[ptype])
-                md.list_(2, _T_I32, [_zigzag(0), _zigzag(3)])
+                encs = [_zigzag(8)] if use_dict else []
+                encs += [_zigzag(0), _zigzag(3)]
+                md.list_(2, _T_I32, encs)
                 md.list_(3, _T_BINARY, [
                     _varint(len(name.encode())) + name.encode()])
                 md.i32(4, CODEC_IDS[codec])
                 md.i64(5, len(sl))
-                md.i64(6, len(page_bytes) - len(body) + len(raw))
-                md.i64(7, len(page_bytes))
-                md.i64(9, offset)
+                md.i64(6, total_unc)
+                md.i64(7, total_comp)
+                md.i64(9, data_offset)
+                if dict_offset is not None:
+                    md.i64(11, dict_offset)
                 stats = _W()
                 stats.i64(3, len(sl) - len(present))
                 mm = _minmax(present, ptype)
@@ -255,8 +349,8 @@ def write_parquet(columns: "dict[str, tuple[str, list]]",
                 cc = _W()
                 cc.i64(2, offset)
                 cc.struct(3, md.done())
-                rg_cols.append((cc.done(), len(page_bytes)))
-                rg_bytes += len(page_bytes)
+                rg_cols.append((cc.done(), total_comp))
+                rg_bytes += total_comp
             rg = _W()
             rg.list_(1, _T_STRUCT, [c for c, _s in rg_cols])
             rg.i64(2, rg_bytes)

@@ -140,3 +140,69 @@ def test_nan_float_stats_omitted():
     got = _pq.read_table(io.BytesIO(buf))
     vals = got.column("f").to_pylist()
     assert vals[0] == 1.0 and math.isnan(vals[1]) and vals[2] == 3.0
+
+
+def test_dictionary_pages_and_page_splitting_four_readers(spark,
+                                                          tmp_path):
+    # r16: repetitive strings dictionary-encode (PLAIN dict page +
+    # RLE_DICTIONARY data pages) and pages split at data_page_size;
+    # verified by pyarrow, DuckDB, Spark's Java reader, and the
+    # repo's own decoder on the same bytes
+    import io
+    import math
+
+    import duckdb
+    import pyarrow.parquet as _pq
+
+    from teledetection_drone_satellite_spark.sources.parquetmeta \
+        import parse_parquet_footer
+    from teledetection_drone_satellite_spark.sources.parquetpage \
+        import read_columns
+    from teledetection_drone_satellite_spark.sources.parquetwrite \
+        import write_parquet
+
+    n = 20000
+    cats = [None if k % 13 == 0 else "cat-%d" % (k % 23)
+            for k in range(n)]
+    uniq = ["u-%d" % k for k in range(n)]  # stays PLAIN (no reuse)
+    ids = [k * 7 for k in range(n)]
+    buf = write_parquet(
+        {"cat": ("BYTE_ARRAY", cats), "u": ("BYTE_ARRAY", uniq),
+         "i": ("INT64", ids)},
+        codec="SNAPPY", data_page_size=4096)
+    assert buf is not None
+    footer = parse_parquet_footer(buf)
+    ch = {c["path"]: c
+          for c in footer["row_groups"][0]["columns"]}
+    assert ch["cat"]["dictionary_page_offset"] is not None
+    assert ch["u"]["dictionary_page_offset"] is None  # stays PLAIN
+    # 1) pyarrow
+    t = _pq.read_table(io.BytesIO(buf))
+    assert t.column("cat").to_pylist() == cats
+    assert t.column("u").to_pylist() == uniq
+    # multiple pages actually emitted (page splitting real)
+    pf = _pq.ParquetFile(io.BytesIO(buf))
+    assert pf.metadata.row_group(0).total_byte_size > 0
+    # 2) DuckDB (values + stats-driven pruning on the int column)
+    p = str(tmp_path / "dict.parquet")
+    open(p, "wb").write(buf)
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT cat, i FROM read_parquet('%s') ORDER BY i" % p
+    ).fetchall()
+    assert [g[0] for g in got] == cats
+    assert con.execute(
+        "SELECT count(*) FROM read_parquet('%s') WHERE i = 70"
+        % p).fetchone()[0] == 1
+    # 3) Spark's Java reader
+    rows = sorted(spark.read.parquet(p).collect(),
+                  key=lambda r: r["i"])
+    assert [r["cat"] for r in rows] == cats
+    assert [r["i"] for r in rows] == ids
+    # 4) the repo's own decoder (dict-page path on written bytes)
+    mine = read_columns(buf)
+    assert [v.decode() if v is not None else None
+            for v in mine["columns"]["cat"]] == cats
+    assert mine["columns"]["i"] == ids
+    assert not any(isinstance(v, float) and math.isnan(v)
+                   for v in mine["columns"]["i"])
