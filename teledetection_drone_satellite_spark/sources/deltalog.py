@@ -834,3 +834,108 @@ def compaction_plan(snapshot_files: "list[dict]", small_threshold: int,
         "bytes_compacted": bytes_compacted,
         "files_after": len(snapshot_files) - files_removed + len(groups),
     }
+
+
+# ---------------------------------------------------------------- write
+# r16: the WRITE side — commit a log over files the repo's own
+# parquet writer emits, so write -> replay -> prune closes the loop
+# entirely in-repo.  JSON commits only (checkpoints are a read-side
+# surface; the checkpoint parquet schema is nested, which the flat
+# pure-Python writer honestly does not emit).
+
+
+def delta_schema_string(fields: "list[tuple[str, str]]") -> str:
+    """[(name, delta primitive type)...] -> the metaData action's
+    schemaString JSON (PROTOCOL.md Schema Serialization Format)."""
+    return json.dumps({"type": "struct", "fields": [
+        {"name": n, "type": t, "nullable": True, "metadata": {}}
+        for n, t in fields]}, sort_keys=True)
+
+
+def delta_init_actions(table_id: str,
+                       fields: "list[tuple[str, str]]",
+                       partition_columns: "list[str]" = (),
+                       created_time: int = 0) -> "list[dict]":
+    """The protocol + metaData pair every table's commit 0 needs.
+    ``table_id`` and ``created_time`` are caller-supplied so the
+    emitted log is DETERMINISTIC (fingerprint-keyed fixtures hash
+    stably; no wall clock, no random uuid)."""
+    return [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": table_id,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": delta_schema_string(fields),
+            "partitionColumns": list(partition_columns),
+            "configuration": {},
+            "createdTime": created_time,
+        }},
+    ]
+
+
+def delta_add_action(path: str, size: int, num_records: int,
+                     min_values: "dict | None" = None,
+                     max_values: "dict | None" = None,
+                     modification_time: int = 0) -> dict:
+    """One add action with the stats JSON the pruning tier reads
+    (numRecords always; min/maxValues when the caller has them —
+    e.g. straight from the file's own footer statistics)."""
+    stats: "dict" = {"numRecords": int(num_records)}
+    if min_values:
+        stats["minValues"] = min_values
+    if max_values:
+        stats["maxValues"] = max_values
+    return {"add": {
+        "path": path,
+        "partitionValues": {},
+        "size": int(size),
+        "modificationTime": int(modification_time),
+        "dataChange": True,
+        "stats": json.dumps(stats, sort_keys=True),
+    }}
+
+
+def delta_remove_action(path: str,
+                        deletion_timestamp: int = 0) -> dict:
+    return {"remove": {
+        "path": path,
+        "deletionTimestamp": int(deletion_timestamp),
+        "dataChange": True,
+    }}
+
+
+def write_delta_commit(actions: "list[dict]") -> bytes:
+    """Action dicts -> NDJSON commit bytes (one action per line,
+    sorted keys — byte-deterministic for identical inputs)."""
+    return ("\n".join(json.dumps(a, sort_keys=True)
+                      for a in actions) + "\n").encode("utf-8")
+
+
+def commit_delta(table_dir: str, version: int,
+                 actions: "list[dict]") -> str:
+    """Write ``_delta_log/<version padded to 20>.json`` under
+    ``table_dir``; returns the commit file path."""
+    import os as _os
+
+    log_dir = _os.path.join(table_dir, "_delta_log")
+    _os.makedirs(log_dir, exist_ok=True)
+    p = _os.path.join(log_dir, "%020d.json" % version)
+    with open(p, "wb") as f:
+        f.write(write_delta_commit(actions))
+    return p
+
+
+def read_delta_commits(table_dir: str) -> "list[tuple[int, bytes]]":
+    """List a table's JSON commits back as replay_log input."""
+    import os as _os
+
+    log_dir = _os.path.join(table_dir, "_delta_log")
+    out = []
+    if not _os.path.isdir(log_dir):
+        return out
+    for name in sorted(_os.listdir(log_dir)):
+        if name.endswith(".json") and len(name) == 25 and \
+                name[:20].isdigit():
+            with open(_os.path.join(log_dir, name), "rb") as f:
+                out.append((int(name[:20]), f.read()))
+    return out

@@ -424,3 +424,93 @@ def test_dv_snapshot_scalar_json_stats_no_crash():
         patched.append((v, "\n".join(lines).encode()))
     got = snapshot_with_dvs(patched, files)
     assert got is not None  # refusal-or-result, never a crash
+
+
+# ---- r16: write side ---------------------------------------------------
+
+
+def test_delta_write_replay_loop(tmp_path):
+    # write data files with the repo's own parquet writer, commit a
+    # log over them with the repo's own log writer, replay with the
+    # repo's own reader, and cross-check the surviving rows via
+    # DuckDB reading the active parquet files
+    import duckdb
+
+    from teledetection_drone_satellite_spark.sources.deltalog import (
+        active_files,
+        commit_delta,
+        delta_add_action,
+        delta_init_actions,
+        delta_remove_action,
+        read_delta_commits,
+        replay_log,
+    )
+    from teledetection_drone_satellite_spark.sources.parquetwrite \
+        import write_parquet
+
+    import os
+
+    td = str(tmp_path / "tbl")
+    os.makedirs(td)
+    adds = []
+    total = 0
+    for k in range(3):
+        ids = list(range(k * 100, k * 100 + 50 + k))
+        vals = ["v%d" % (i % 9) for i in ids]
+        buf = write_parquet({"id": ("INT64", ids),
+                             "v": ("BYTE_ARRAY", vals)})
+        name = "part-%05d.parquet" % k
+        open(os.path.join(td, name), "wb").write(buf)
+        adds.append(delta_add_action(
+            name, len(buf), len(ids),
+            min_values={"id": ids[0]}, max_values={"id": ids[-1]}))
+        total += len(ids)
+    commit_delta(td, 0, delta_init_actions(
+        "t-1", [("id", "long"), ("v", "string")]) + adds)
+    commits = read_delta_commits(td)
+    snap = replay_log(commits)
+    assert snap is not None
+    assert snap["n_active_files"] == 3
+    assert snap["total_records"] == total
+    assert snap["records_known"]
+    assert snap["schema_fields"] == [("id", "long"), ("v", "string")]
+    # version 1: remove the middle file; replay must drop it
+    commit_delta(td, 1, [delta_remove_action("part-00001.parquet")])
+    commits = read_delta_commits(td)
+    snap = replay_log(commits)
+    assert snap["n_active_files"] == 2 and snap["n_removed"] == 1
+    assert snap["total_records"] == total - 51
+    paths = [os.path.join(td, a["path"])
+             for a in active_files(commits)]
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT count(*), sum(id) FROM read_parquet(%s)"
+        % repr(paths)).fetchone()
+    exp_ids = list(range(0, 50)) + list(range(200, 252))
+    assert got[0] == len(exp_ids) and got[1] == sum(exp_ids)
+
+
+def test_delta_write_commit_bytes_deterministic_and_pruneable(tmp_path):
+    from teledetection_drone_satellite_spark.sources.deltalog import (
+        active_files,
+        commit_delta,
+        delta_add_action,
+        delta_init_actions,
+        prune_files,
+        read_delta_commits,
+        write_delta_commit,
+    )
+
+    acts = delta_init_actions("t-2", [("id", "long")]) + [
+        delta_add_action("a.parquet", 10, 5,
+                         min_values={"id": 0}, max_values={"id": 4}),
+        delta_add_action("b.parquet", 10, 5,
+                         min_values={"id": 100},
+                         max_values={"id": 104})]
+    assert write_delta_commit(acts) == write_delta_commit(acts)
+    td = str(tmp_path / "t2")
+    commit_delta(td, 0, acts)
+    adds = active_files(read_delta_commits(td))
+    # the written stats feed the repo's own pruning tier
+    got = prune_files(adds, "id", 100, 104)
+    assert [a["path"] for a in got["touched"]] == ["b.parquet"]
