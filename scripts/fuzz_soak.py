@@ -275,7 +275,89 @@ DECODERS = {
         binaryjson.parse_cbor),
     "orc_stripes": (lambda i: _synth_orc_bytes(i),
                     orcdata.read_orc_columns),
+    # r16: the Python DataSource planning surface (schema resolution,
+    # pushFilters, partition planning, per-partition read) — the one
+    # r15 module the soak did not cover.  ValueError is its
+    # documented refusal channel (a Spark task must fail loudly on
+    # corruption, never yield silent nulls) -> mapped to None here.
+    "pyds_parquet_plan": (lambda i: _synth_parquet_bytes(i),
+                          lambda data: _pyds_parquet_plan(data)),
+    "pyds_orc_plan": (lambda i: _synth_orc_bytes(i),
+                      lambda data: _pyds_orc_plan(data)),
 }
+
+
+def _pyds_parquet_plan(data: bytes):
+    """Drive RawParquetDataSource's whole planning+read path over
+    possibly-corrupt bytes WITHOUT a Spark session: footer -> fields
+    -> pushdown reader -> pushFilters -> partitions -> read."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from teledetection_drone_satellite_spark.sources.pydatasource \
+        import RawParquetDataSource, RawParquetPushdownReader
+
+    fd, p = _tempfile.mkstemp(suffix=".parquet")
+    try:
+        with _os.fdopen(fd, "wb") as f:
+            f.write(data)
+        try:
+            ds = RawParquetDataSource(options={"path": p})
+            path, footer = ds._footer()
+            fields = ds._fields(footer)
+            if not fields:
+                return None
+            reader = RawParquetPushdownReader(
+                path, footer, fields, [n for n, _l, _il in fields])
+            reader.pushFilters([EqualTo(("a",), 3),
+                                GreaterThan(("a",), -10 ** 9)])
+            rows = 0
+            for part in reader.partitions():
+                for _row in reader.read(part):
+                    rows += 1
+            return rows
+        except ValueError:
+            return None
+    finally:
+        _os.unlink(p)
+
+
+def _pyds_orc_plan(data: bytes):
+    """The ORC twin: tail -> cols -> pushdown reader -> pushFilters
+    -> stripe partitions -> read."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from pyspark.sql.datasource import LessThan
+
+    from teledetection_drone_satellite_spark.sources.pydatasource \
+        import RawOrcDataSource, RawOrcPushdownReader
+
+    fd, p = _tempfile.mkstemp(suffix=".orc")
+    try:
+        with _os.fdopen(fd, "wb") as f:
+            f.write(data)
+        try:
+            ds = RawOrcDataSource(options={"path": p})
+            path, tail = ds._tail()
+            cols4 = ds._cols(tail)
+            if not cols4:
+                return None
+            cols = [(n, tid, k) for n, tid, k, _t in cols4]
+            by_name = {n: (tid, k) for n, tid, k, _t in cols4}
+            reader = RawOrcPushdownReader(path, tail, cols, by_name)
+            reader.pushFilters([LessThan(("a",), 10 ** 12)])
+            rows = 0
+            for part in reader.partitions():
+                for _row in reader.read(part):
+                    rows += 1
+            return rows
+        except ValueError:
+            return None
+    finally:
+        _os.unlink(p)
 
 
 def _synth_orc_bytes(i: int) -> bytes:

@@ -100,9 +100,18 @@ def _orc_compound_type(nodes: list, tid: int,
 
 
 def _read_footer_tail(path: str) -> bytes:
+    """Last footer_len+8 bytes of the file, or ValueError (the
+    documented refusal) when the trailer is truncated or its length
+    field points past the start — a corrupt length must not surface
+    as a bare OSError out of seek()."""
     with open(path, "rb") as f:
+        size = f.seek(0, 2)
+        if size < 12:
+            raise ValueError("not a parquet file: %s" % path)
         f.seek(-8, 2)
         flen = struct.unpack("<I", f.read(4))[0]
+        if flen + 8 > size:
+            raise ValueError("corrupt parquet trailer: %s" % path)
         f.seek(-(flen + 8), 2)
         return f.read(flen + 8)
 
@@ -282,15 +291,25 @@ class RawParquetReader(DataSourceReader):
             for (leaf, is_list), chunk in zip(partition.leaves,
                                               partition.chunks):
                 start = chunk["data_page_offset"]
-                if chunk.get("dictionary_page_offset") is not None:
-                    start = min(start,
-                                chunk["dictionary_page_offset"])
+                dpo = chunk.get("dictionary_page_offset")
+                size = chunk.get("total_compressed_size")
+                # a corrupt footer may carry non-int offsets; the
+                # refusal channel is ValueError, never a TypeError
+                # out of seek()
+                if not isinstance(start, int) or start < 0 or \
+                        not isinstance(size, int) or size < 0 or \
+                        not (dpo is None or isinstance(dpo, int)):
+                    raise ValueError(
+                        "corrupt chunk metadata: %s in %s"
+                        % (leaf["name"], partition.path))
+                if dpo is not None:
+                    start = min(start, dpo)
                 f.seek(start)
-                blob = f.read(chunk["total_compressed_size"])
+                blob = f.read(size)
                 rb = dict(chunk)
                 rb["data_page_offset"] -= start
-                if rb.get("dictionary_page_offset") is not None:
-                    rb["dictionary_page_offset"] -= start
+                if dpo is not None:
+                    rb["dictionary_page_offset"] = dpo - start
                 decode = decode_list_chunk if is_list \
                     else decode_column_chunk
                 vals = decode(blob, rb, leaf)
