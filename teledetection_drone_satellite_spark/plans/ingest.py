@@ -12058,6 +12058,90 @@ def parquet_write_roundtrip(spark: SparkSession,
 
 
 @register(
+    "parquet_nested_write_roundtrip",
+    oracle="""
+    WITH t AS (
+        SELECT lang,
+               CASE WHEN doc_id % 17 = 0 THEN NULL
+                    WHEN doc_id % 13 = 0 THEN []
+                    ELSE list_slice(string_split(text, ' '), 1,
+                                    CAST(1 + doc_id % 5 AS INT))
+               END AS tags
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN tags IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_tags,
+           CAST(sum(CASE WHEN tags IS NULL THEN 0 ELSE len(tags)
+                    END) AS BIGINT) AS n_tags,
+           CAST(sum(CASE WHEN tags IS NULL THEN 0 ELSE
+                    coalesce(list_sum(list_transform(tags,
+                        x -> strlen(x))), 0) END) AS BIGINT)
+               AS tag_chars
+    FROM t GROUP BY lang
+    """,
+    doc="NESTED (LIST) column WRITE from pure Python, graded (r16 — "
+    "the write-side twin of parquet_nested_stats, closing the "
+    "nested symmetry: the raw tier now reads AND writes arrays): "
+    "documents plus a derived array<string> tags column (null / "
+    "empty / sliced — all three definition-level shapes) writes "
+    "through df.write.format('rawparquet') — the pure-Python "
+    "writer emits the standard 3-level LIST shape with repetition "
+    "+ definition levels (sources/parquetwrite.py LIST<T>) — then "
+    "SPARK'S OWN JAVA READER reads those bytes back and "
+    "aggregates; the oracle recomputes the derivation in DuckDB "
+    "from the documents view. Files with list columns are "
+    "additionally pinned in tests against pyarrow, DuckDB, and the "
+    "repo's own Dremel-assembly decoder.",
+    tags=("ingest", "sketch", "pipeline"),
+)
+def parquet_nested_write_roundtrip(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..catalog import source_fingerprint
+    from ..sources.pydatasource import RawParquetDataSource
+
+    fp = source_fingerprint(sf_dir, "documents")
+    root = _os.path.join(_tempfile.gettempdir(),
+                         "spark_graft_pqnestedw_v1", fp)
+    done = _os.path.join(root, "_DONE")
+    spark.dataSource.register(RawParquetDataSource)
+    if not _os.path.exists(done):
+        d = load(spark, sf_dir, ("documents",))["documents"]
+        tags = (
+            F.when(F.col("doc_id") % 17 == 0,
+                   F.lit(None).cast("array<string>"))
+            .when(F.col("doc_id") % 13 == 0,
+                  F.array().cast("array<string>"))
+            .otherwise(F.slice(
+                F.split(F.col("text"), " "), 1,
+                (F.col("doc_id") % 5 + 1).cast("int")))
+        )
+        (d.select("doc_id", "lang", tags.alias("tags"))
+         .repartition(4).write.format("rawparquet")
+         .option("path", root).option("compression", "snappy")
+         .mode("append").save())
+        open(done, "w").close()
+    back = spark.read.parquet(root)  # Spark's native Java reader
+    n_tags = F.when(F.col("tags").isNull(), 0) \
+        .otherwise(F.size("tags"))
+    tag_chars = F.when(F.col("tags").isNull(), 0).otherwise(
+        F.aggregate("tags", F.lit(0),
+                    lambda acc, x: acc + F.length(x)))
+    return (
+        back.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.when(F.col("tags").isNull(), 1).otherwise(0))
+             .alias("n_null_tags"),
+             F.sum(n_tags).cast("long").alias("n_tags"),
+             F.sum(tag_chars).cast("long").alias("tag_chars"))
+    )
+
+
+@register(
     "delta_write_roundtrip",
     oracle="""
     SELECT lang,

@@ -225,6 +225,59 @@ def _page_ranges(sl: "list", ptype: str,
     return ranges
 
 
+def _list_levels(records: "list") -> "tuple[list, list, list]":
+    """Record slice of a LIST column -> (rep levels, def levels,
+    present element values) per the Dremel shredding the standard
+    3-level optional-element shape uses: def 0 = null list, 1 =
+    empty list, 2 = null element, 3 = element present; rep 0 opens
+    a record, rep 1 continues it."""
+    reps: "list[int]" = []
+    defs: "list[int]" = []
+    vals: "list" = []
+    for rec in records:
+        if rec is None:
+            reps.append(0)
+            defs.append(0)
+        elif not rec:
+            reps.append(0)
+            defs.append(1)
+        else:
+            for j, e in enumerate(rec):
+                reps.append(0 if j == 0 else 1)
+                if e is None:
+                    defs.append(2)
+                else:
+                    defs.append(3)
+                    vals.append(e)
+    return reps, defs, vals
+
+
+def _list_page_ranges(records: "list", elem_ptype: str,
+                      limit: int) -> "list[tuple[int, int]]":
+    """Page splitting for LIST columns at RECORD granularity."""
+    w = _FIXED_WIDTH.get(elem_ptype)
+    ranges = []
+    cur = 0
+    cur_bytes = 0
+    for i, rec in enumerate(records):
+        b = 2  # level entry floor
+        for e in rec or ():
+            if e is None:
+                b += 2
+            elif w is not None:
+                b += w
+            else:
+                b += 4 + len(e.encode("utf-8")
+                             if isinstance(e, str) else e)
+        if i > cur and cur_bytes + b > limit:
+            ranges.append((cur, i))
+            cur = i
+            cur_bytes = 0
+        cur_bytes += b
+    ranges.append((cur, len(records)))
+    return ranges
+
+
 def write_parquet(columns: "dict[str, tuple[str, list]]",
                   codec: str = "SNAPPY",
                   row_group_size: int = 1 << 20,
@@ -232,11 +285,15 @@ def write_parquet(columns: "dict[str, tuple[str, list]]",
     """``columns`` maps name -> (physical_type, values) where values
     may contain None (the column becomes OPTIONAL with definition
     levels); BYTE_ARRAY str values carry the UTF8 converted type.
-    Pages are bounded by ``data_page_size`` raw value bytes (r16),
-    and repetitive BYTE_ARRAY chunks dictionary-encode (PLAIN dict
-    page + RLE_DICTIONARY data pages) when the dictionary halves the
-    value count.  -> the complete file bytes, or None on an
-    unsupported shape."""
+    A physical type ``LIST<T>`` (r16) writes a single-level LIST
+    column in the standard 3-level shape (optional group (LIST) /
+    repeated group list / optional T element) with repetition +
+    definition levels — values are lists (or None) of elements (or
+    None).  Pages are bounded by ``data_page_size`` raw value bytes
+    (r16), and repetitive BYTE_ARRAY chunks dictionary-encode (PLAIN
+    dict page + RLE_DICTIONARY data pages) when the dictionary
+    halves the value count.  -> the complete file bytes, or None on
+    an unsupported shape."""
     try:
         names = list(columns)
         if not names or codec not in CODEC_IDS:
@@ -245,7 +302,10 @@ def write_parquet(columns: "dict[str, tuple[str, list]]",
         if any(len(v) != n_rows for _t, v in columns.values()):
             return None
         for ptype, _v in columns.values():
-            if ptype not in PHYSICAL:
+            if ptype.startswith("LIST<") and ptype.endswith(">"):
+                if ptype[5:-1] not in PHYSICAL:
+                    return None
+            elif ptype not in PHYSICAL:
                 return None
         out = bytearray(b"PAR1")
         row_groups = []
@@ -257,6 +317,52 @@ def write_parquet(columns: "dict[str, tuple[str, list]]",
             for name in names:
                 ptype, vals = columns[name]
                 sl = vals[start:end]
+                if ptype.startswith("LIST<"):
+                    elem = ptype[5:-1]
+                    offset = len(out)
+                    total_unc = 0
+                    total_comp = 0
+                    n_entries = 0
+                    for p0, p1 in _list_page_ranges(
+                            sl, elem, data_page_size):
+                        reps, defs, pvals = _list_levels(sl[p0:p1])
+                        raw = (_rle_levels(reps, 1)
+                               + _rle_levels(defs, 2)
+                               + _plain(pvals, elem))
+                        body = _compress(codec, raw)
+                        hdr = _W()
+                        hdr.i32(1, 0)  # DATA_PAGE
+                        hdr.i32(2, len(raw))
+                        hdr.i32(3, len(body))
+                        dph = _W()
+                        dph.i32(1, len(defs))
+                        dph.i32(2, 0)  # PLAIN
+                        dph.i32(3, 3)  # RLE def levels
+                        dph.i32(4, 3)  # RLE rep levels
+                        hdr.struct(5, dph.done())
+                        page_bytes = hdr.done() + body
+                        out += page_bytes
+                        total_unc += len(page_bytes) - len(body) \
+                            + len(raw)
+                        total_comp += len(page_bytes)
+                        n_entries += len(defs)
+                    md = _W()
+                    md.i32(1, PHYSICAL[elem])
+                    md.list_(2, _T_I32, [_zigzag(0), _zigzag(3)])
+                    path = [name.encode(), b"list", b"element"]
+                    md.list_(3, _T_BINARY, [
+                        _varint(len(p)) + p for p in path])
+                    md.i32(4, CODEC_IDS[codec])
+                    md.i64(5, n_entries)
+                    md.i64(6, total_unc)
+                    md.i64(7, total_comp)
+                    md.i64(9, offset)
+                    cc = _W()
+                    cc.i64(2, offset)
+                    cc.struct(3, md.done())
+                    rg_cols.append((cc.done(), total_comp))
+                    rg_bytes += total_comp
+                    continue
                 optional = any(v is None for v in vals)
                 present = [v for v in sl if v is not None]
                 # dictionary decision (r16): strings whose distinct
@@ -365,6 +471,32 @@ def write_parquet(columns: "dict[str, tuple[str, list]]",
         schema_elems.append(root.done())
         for name in names:
             ptype, vals = columns[name]
+            if ptype.startswith("LIST<"):
+                elem = ptype[5:-1]
+                # the standard 3-level shape: optional group (LIST)
+                # -> repeated group list -> optional element
+                g = _W()
+                g.i32(3, 1)  # OPTIONAL
+                g.binary(4, name.encode())
+                g.i32(5, 1)  # one child
+                g.i32(6, 3)  # converted type LIST
+                schema_elems.append(g.done())
+                lst = _W()
+                lst.i32(3, 2)  # REPEATED
+                lst.binary(4, b"list")
+                lst.i32(5, 1)
+                schema_elems.append(lst.done())
+                e = _W()
+                e.i32(1, PHYSICAL[elem])
+                e.i32(3, 1)  # OPTIONAL element
+                e.binary(4, b"element")
+                if elem == "BYTE_ARRAY" and all(
+                        isinstance(x, str) for v in vals
+                        if v is not None for x in v
+                        if x is not None):
+                    e.i32(6, 0)  # converted type UTF8
+                schema_elems.append(e.done())
+                continue
             el = _W()
             el.i32(1, PHYSICAL[ptype])
             el.i32(3, 1 if any(v is None for v in vals) else 0)

@@ -374,6 +374,17 @@ _SPARK_TO_PHYSICAL = {
 }
 
 
+def _spark_to_write_type(t: str) -> "str | None":
+    """Spark DDL type -> parquetwrite physical type; array<T> (r16)
+    maps to the writer's LIST<T> single-level list shape."""
+    if t in _SPARK_TO_PHYSICAL:
+        return _SPARK_TO_PHYSICAL[t]
+    if t.startswith("array<") and t.endswith(">"):
+        inner = _SPARK_TO_PHYSICAL.get(t[6:-1])
+        return None if inner is None else "LIST<%s>" % inner
+    return None
+
+
 class RawParquetWriter(DataSourceWriter):
     """The write side (r15): ``df.write.format("rawparquet")
     .option("path", dir).mode("append").save()`` emits ONE parquet
@@ -388,7 +399,7 @@ class RawParquetWriter(DataSourceWriter):
                        for f in schema.fields]
         self.codec = codec
         for name, t in self.fields:
-            if t not in _SPARK_TO_PHYSICAL:
+            if _spark_to_write_type(t) is None:
                 raise ValueError("unsupported type for rawparquet: "
                                  "%s %s" % (name, t))
 
@@ -399,13 +410,18 @@ class RawParquetWriter(DataSourceWriter):
         from .parquetwrite import write_parquet
 
         names = [n for n, _t in self.fields]
+        list_cols = {n for n, t in self.fields
+                     if t.startswith("array<")}
         data: "dict[str, list]" = {n: [] for n in names}
         n_rows = 0
         for row in iterator:
             for k, n in enumerate(names):
-                data[n].append(row[k])
+                v = row[k]
+                if n in list_cols and v is not None:
+                    v = list(v)  # Row arrays arrive as tuples
+                data[n].append(v)
             n_rows += 1
-        cols = {n: (_SPARK_TO_PHYSICAL[t], data[n])
+        cols = {n: (_spark_to_write_type(t), data[n])
                 for n, t in self.fields}
         buf = write_parquet(cols, codec=self.codec)
         if buf is None:

@@ -206,3 +206,69 @@ def test_dictionary_pages_and_page_splitting_four_readers(spark,
     assert mine["columns"]["i"] == ids
     assert not any(isinstance(v, float) and math.isnan(v)
                    for v in mine["columns"]["i"])
+
+
+def test_nested_list_write_three_readers():
+    # r16: LIST<T> write — standard 3-level shape, verified by
+    # pyarrow, DuckDB and the repo's own decoder on the same bytes
+    import io
+
+    import duckdb
+    import pyarrow.parquet as _pq
+
+    from teledetection_drone_satellite_spark.sources.parquetpage \
+        import read_columns
+    from teledetection_drone_satellite_spark.sources.parquetwrite \
+        import write_parquet
+
+    tags = [["a", "b"], [], None, ["c"], ["d", None, "e"],
+            ["f"] * 5, None, []]
+    nums = [[1, 2, 3], None, [], [42], [0, -7], [9], [5, 5], None]
+    ids = list(range(8))
+    for codec in ("UNCOMPRESSED", "SNAPPY", "GZIP"):
+        buf = write_parquet({"id": ("INT64", ids),
+                             "tags": ("LIST<BYTE_ARRAY>", tags),
+                             "nums": ("LIST<INT64>", nums)},
+                            codec=codec)
+        assert buf is not None, codec
+        t = _pq.read_table(io.BytesIO(buf))
+        assert t.column("tags").to_pylist() == tags, codec
+        assert t.column("nums").to_pylist() == nums, codec
+        mine = read_columns(buf, want=["id", "tags", "nums"])
+        got = [[x.decode() if x is not None else None for x in r]
+               if r is not None else None
+               for r in mine["columns"]["tags"]]
+        assert got == tags, codec
+        assert mine["columns"]["nums"] == nums, codec
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        p = td + "/l.parquet"
+        open(p, "wb").write(write_parquet(
+            {"tags": ("LIST<BYTE_ARRAY>", tags)}, codec="SNAPPY"))
+        got = duckdb.connect().execute(
+            "SELECT tags FROM read_parquet('%s')" % p).fetchall()
+        assert [g[0] for g in got] == tags
+
+
+def test_nested_list_write_page_and_rowgroup_splits():
+    import io
+
+    import pyarrow.parquet as _pq
+
+    from teledetection_drone_satellite_spark.sources.parquetpage \
+        import read_columns
+    from teledetection_drone_satellite_spark.sources.parquetwrite \
+        import write_parquet
+
+    big = [["w%d" % (i % 9)] * (i % 5) if i % 7 else None
+           for i in range(3000)]
+    buf = write_parquet({"tags": ("LIST<BYTE_ARRAY>", big)},
+                        codec="SNAPPY", data_page_size=2048,
+                        row_group_size=800)
+    assert buf is not None
+    assert _pq.read_table(io.BytesIO(buf)) \
+        .column("tags").to_pylist() == big
+    mine = read_columns(buf, want=["tags"])
+    got = [[x.decode() for x in r] if r is not None else None
+           for r in mine["columns"]["tags"]]
+    assert got == big

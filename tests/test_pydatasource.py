@@ -307,3 +307,30 @@ def test_raworc_compound_columns_equal_native(spark, tmp_path):
                        F.map_entries("mp").alias("me"))
                .collect(), key=lambda r: r["id"])
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_rawparquet_nested_write_read_by_native_spark(spark,
+                                                      tmp_path):
+    # r16 write symmetry: an array<string> column written through
+    # the pure-Python writer, read back by Spark's Java reader
+    out = str(tmp_path / "nw")
+    d = (spark.range(0, 300).select(
+        F.col("id"),
+        F.when(F.col("id") % 17 == 0,
+               F.lit(None).cast("array<string>"))
+        .when(F.col("id") % 13 == 0, F.array().cast("array<string>"))
+        .otherwise(F.array(F.concat(F.lit("v"), F.col("id")),
+                           F.lit("w"))).alias("tags")))
+    spark.dataSource.register(RawParquetDataSource)
+    (d.repartition(2).write.format("rawparquet").option("path", out)
+     .option("compression", "snappy").mode("append").save())
+    back = spark.read.parquet(out)
+    a = sorted(back.collect(), key=lambda r: r["id"])
+    b = sorted(d.collect(), key=lambda r: r["id"])
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # ...and by the repo's own source (write->read loop, both nested)
+    loop = (spark.read.format("rawparquet").load(
+        sorted(glob.glob(out + "/part-*.parquet"))[0]))
+    assert loop.schema["tags"].dataType.simpleString() == \
+        "array<string>"
+    assert loop.count() > 0
