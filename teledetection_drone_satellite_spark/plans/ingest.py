@@ -12401,6 +12401,73 @@ def pyds_raworc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pyds_stream_ingest",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Python DataSource STREAMING read, graded (r16 — the r15 "
+    "verdict's missing item 5: the raw sources feeding the "
+    "streaming tier without the Java reader): documents is sliced "
+    "doc_id %% 3 into three parquet files by Spark's OWN Java "
+    "writer (once per sf dir, fingerprint-keyed), then "
+    "spark.readStream.format('rawparquet').load(dir) treats the "
+    "directory as an append-only file universe — offset = files "
+    "consumed in sorted-name order, one input partition per new "
+    "file's ROW GROUP, each micro-batch decoding through the same "
+    "pure-Python page path as the batch scan "
+    "(sources/pydatasource.py RawParquetStreamReader). The drained "
+    "memory sink (complete mode) equals the batch aggregate the "
+    "oracle states over the documents view. Incremental arrival "
+    "(a file landing between processAllAvailable calls) is pinned "
+    "in tests/test_pydatasource.py.",
+    tags=("ingest", "streaming", "pipeline"),
+)
+def pyds_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from ..catalog import source_fingerprint
+    from ..sources.pydatasource import RawParquetDataSource
+
+    fp = source_fingerprint(sf_dir, "documents")
+    root = _os.path.join(_tempfile.gettempdir(),
+                         "spark_graft_pqstream_v1", fp)
+    done = _os.path.join(root, "_DONE")
+    if not _os.path.exists(done):
+        d = load(spark, sf_dir, ("documents",))["documents"]
+        for k in range(3):
+            sub = _os.path.join(root, "slice%d" % k)
+            (d.filter(F.col("doc_id") % 3 == k)
+             .select("doc_id", "lang", "n_chars")
+             .coalesce(1).write.mode("overwrite")
+             .option("compression", "snappy").parquet(sub))
+            src = sorted(_glob.glob(sub + "/part-*.parquet"))[0]
+            _os.replace(src, _os.path.join(
+                root, "arrival-%02d.parquet" % k))
+        open(done, "w").close()
+    spark.dataSource.register(RawParquetDataSource)
+    stream = spark.readStream.format("rawparquet").load(root)
+    agg = (
+        stream.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("doc_id").alias("id_sum"),
+             F.sum("n_chars").alias("chars_sum"))
+    )
+    name = "pyds_stream_%s" % _uuid.uuid4().hex[:12]
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
     "parquet_nested_stats",
     oracle="""
     WITH t AS (

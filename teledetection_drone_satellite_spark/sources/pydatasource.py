@@ -40,6 +40,7 @@ import struct
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -99,6 +100,22 @@ def _orc_compound_type(nodes: list, tid: int,
     return None
 
 
+def _pq_paths(path: str) -> "list[str]":
+    """A load path may be one parquet file or a DIRECTORY of them
+    (r16): directories expand to the sorted *.parquet listing —
+    the multi-file scan shape (and the streaming source's file
+    universe)."""
+    import glob as _glob
+    import os as _os
+
+    if _os.path.isdir(path):
+        out = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+        if not out:
+            raise ValueError("no parquet files under %s" % path)
+        return out
+    return [path]
+
+
 def _read_footer_tail(path: str) -> bytes:
     """Last footer_len+8 bytes of the file, or ValueError (the
     documented refusal) when the trailer is truncated or its length
@@ -141,9 +158,10 @@ class RawParquetDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("rawparquet requires a path")
-        footer = parse_parquet_footer(_read_footer_tail(path))
+        first = _pq_paths(path)[0]  # schema from the first file
+        footer = parse_parquet_footer(_read_footer_tail(first))
         if footer is None:
-            raise ValueError("not a parquet file: %s" % path)
+            raise ValueError("not a parquet file: %s" % first)
         return path, footer
 
     @staticmethod
@@ -183,6 +201,17 @@ class RawParquetDataSource(DataSource):
                else RawParquetReader)
         return cls(path, footer, self._fields(footer),
                    [f.name for f in schema.fields])
+
+    def streamReader(self, schema) -> "RawParquetStreamReader":
+        """spark.readStream.format("rawparquet").load(dir) — the
+        r16 streaming surface: the directory is an append-only file
+        universe, each micro-batch scans the newly arrived files'
+        row groups through the same pure-Python decode path."""
+        path, footer = self._footer()
+        batch = RawParquetReader(path, footer,
+                                 self._fields(footer),
+                                 [f.name for f in schema.fields])
+        return RawParquetStreamReader(batch)
 
     def writer(self, schema, overwrite: bool) -> "RawParquetWriter":
         path = self.options.get("path")
@@ -261,9 +290,18 @@ class RawParquetReader(DataSourceReader):
                 return False
         return True
 
-    def partitions(self):
+    def _file_partitions(self, fpath: str,
+                         footer: "dict | None") -> list:
+        """One file's row groups -> partitions (pruned by any pushed
+        predicates against the footer's chunk stats)."""
+        from .parquetmeta import parse_parquet_footer
+
+        if footer is None:
+            footer = parse_parquet_footer(_read_footer_tail(fpath))
+            if footer is None:
+                raise ValueError("not a parquet file: %s" % fpath)
         parts = []
-        for rg in self.footer["row_groups"]:
+        for rg in footer["row_groups"]:
             if not self._rg_can_match(rg):
                 continue  # pruned: no task, no bytes
             entries = []
@@ -278,57 +316,115 @@ class RawParquetReader(DataSourceReader):
                     raise ValueError("column missing: %s" % name)
                 entries.append((leaf, is_list))
                 chunks.append(chunk)
-            parts.append(_PqPartition(self.path, entries, chunks))
+            parts.append(_PqPartition(fpath, entries, chunks))
+        return parts
+
+    def partitions(self):
+        paths = _pq_paths(self.path)
+        parts = []
+        for k, fpath in enumerate(paths):
+            parts.extend(self._file_partitions(
+                fpath, self.footer if k == 0 else None))
         if not parts:  # Spark requires >= 1 partition
-            parts.append(_PqPartition(self.path, [], []))
+            parts.append(_PqPartition(paths[0], [], []))
         return parts
 
     def read(self, partition: _PqPartition):
-        from .parquetpage import decode_column_chunk, decode_list_chunk
+        return _read_pq_partition(partition)
 
-        cols = []
-        with open(partition.path, "rb") as f:
-            for (leaf, is_list), chunk in zip(partition.leaves,
-                                              partition.chunks):
-                start = chunk["data_page_offset"]
-                dpo = chunk.get("dictionary_page_offset")
-                size = chunk.get("total_compressed_size")
-                # a corrupt footer may carry non-int offsets; the
-                # refusal channel is ValueError, never a TypeError
-                # out of seek()
-                if not isinstance(start, int) or start < 0 or \
-                        not isinstance(size, int) or size < 0 or \
-                        not (dpo is None or isinstance(dpo, int)):
-                    raise ValueError(
-                        "corrupt chunk metadata: %s in %s"
-                        % (leaf["name"], partition.path))
-                if dpo is not None:
-                    start = min(start, dpo)
-                f.seek(start)
-                blob = f.read(size)
-                rb = dict(chunk)
-                rb["data_page_offset"] -= start
-                if dpo is not None:
-                    rb["dictionary_page_offset"] = dpo - start
-                decode = decode_list_chunk if is_list \
-                    else decode_column_chunk
-                vals = decode(blob, rb, leaf)
-                if vals is None:
-                    raise ValueError(
-                        "chunk decode refused: %s in %s"
-                        % (leaf["name"], partition.path))
-                if leaf["physical_type"] == "BYTE_ARRAY" and \
-                        leaf.get("converted_type") == 0:
-                    if is_list:
-                        vals = [[e.decode("utf-8")
-                                 if e is not None else None
-                                 for e in v] if v is not None
-                                else None for v in vals]
-                    else:
-                        vals = [v.decode("utf-8") if v is not None
-                                else None for v in vals]
-                cols.append(vals)
-        yield from zip(*cols)
+
+def _read_pq_partition(partition: _PqPartition):
+    """Decode one row-group partition -> row tuples (shared by the
+    batch reader and the r16 stream reader)."""
+    from .parquetpage import decode_column_chunk, decode_list_chunk
+
+    cols = []
+    with open(partition.path, "rb") as f:
+        for (leaf, is_list), chunk in zip(partition.leaves,
+                                          partition.chunks):
+            start = chunk["data_page_offset"]
+            dpo = chunk.get("dictionary_page_offset")
+            size = chunk.get("total_compressed_size")
+            # a corrupt footer may carry non-int offsets; the
+            # refusal channel is ValueError, never a TypeError
+            # out of seek()
+            if not isinstance(start, int) or start < 0 or \
+                    not isinstance(size, int) or size < 0 or \
+                    not (dpo is None or isinstance(dpo, int)):
+                raise ValueError(
+                    "corrupt chunk metadata: %s in %s"
+                    % (leaf["name"], partition.path))
+            if dpo is not None:
+                start = min(start, dpo)
+            f.seek(start)
+            blob = f.read(size)
+            rb = dict(chunk)
+            rb["data_page_offset"] -= start
+            if dpo is not None:
+                rb["dictionary_page_offset"] = dpo - start
+            decode = decode_list_chunk if is_list \
+                else decode_column_chunk
+            vals = decode(blob, rb, leaf)
+            if vals is None:
+                raise ValueError(
+                    "chunk decode refused: %s in %s"
+                    % (leaf["name"], partition.path))
+            if leaf["physical_type"] == "BYTE_ARRAY" and \
+                    leaf.get("converted_type") == 0:
+                if is_list:
+                    vals = [[e.decode("utf-8")
+                             if e is not None else None
+                             for e in v] if v is not None
+                            else None for v in vals]
+                else:
+                    vals = [v.decode("utf-8") if v is not None
+                            else None for v in vals]
+            cols.append(vals)
+    yield from zip(*cols)
+
+
+class RawParquetStreamReader(DataSourceStreamReader):
+    """Micro-batch streaming over a DIRECTORY of raw parquet files
+    (r16 — the Python DataSource streaming surface the r15 verdict
+    listed as missing).  The offset is the count of files consumed
+    in sorted-name order (an append-only arrival contract — the
+    same universe ordering Spark's own FileStreamSource relies on);
+    ``partitions(start, end)`` plans one input partition per NEW
+    file's ROW GROUP with driver-resolved byte ranges, and each
+    task decodes through the exact batch read path
+    (_read_pq_partition).  Offsets are JSON dicts, so checkpoint
+    recovery replays any (start, end] window deterministically."""
+
+    def __init__(self, batch: RawParquetReader):
+        self.batch = batch
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def latestOffset(self) -> dict:
+        return {"n": len(_pq_paths(self.batch.path))}
+
+    def partitions(self, start: dict, end: dict) -> list:
+        paths = _pq_paths(self.batch.path)
+        s, e = int(start["n"]), int(end["n"])
+        if not 0 <= s <= e <= len(paths):
+            raise ValueError(
+                "offset window [%d, %d) outside the %d-file "
+                "universe (files must arrive append-only)"
+                % (s, e, len(paths)))
+        parts = []
+        for fpath in paths[s:e]:
+            parts.extend(self.batch._file_partitions(fpath, None))
+        if not parts:  # Spark requires >= 1 partition per batch
+            parts.append(_PqPartition(paths[0] if paths
+                                      else self.batch.path, [], []))
+        return parts
+
+    def read(self, partition: _PqPartition):
+        return _read_pq_partition(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # files are immutable inputs; nothing to release
 
 
 class RawParquetPushdownReader(RawParquetReader):

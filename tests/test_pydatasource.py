@@ -334,3 +334,53 @@ def test_rawparquet_nested_write_read_by_native_spark(spark,
     assert loop.schema["tags"].dataType.simpleString() == \
         "array<string>"
     assert loop.count() > 0
+
+
+def test_rawparquet_stream_incremental_arrival(spark, tmp_path):
+    # r16 streaming surface: a directory as append-only file
+    # universe; a file landing between processAllAvailable calls is
+    # picked up as its own micro-batch (offset = files consumed)
+    d = str(tmp_path / "arrivals")
+    os.makedirs(d)
+
+    def mk(name, lo, hi):
+        tbl = pa.table({"i": pa.array(range(lo, hi), pa.int64())})
+        pq.write_table(tbl, os.path.join(d, name),
+                       compression="snappy", row_group_size=40)
+
+    mk("a.parquet", 0, 100)
+    spark.dataSource.register(RawParquetDataSource)
+    stream = spark.readStream.format("rawparquet").load(d)
+    q = (stream.writeStream.format("memory")
+         .queryName("pyds_arrivals").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "select count(*) c, sum(i) s from pyds_arrivals"
+        ).collect()[0]
+        assert (got.c, got.s) == (100, sum(range(100)))
+        mk("b.parquet", 100, 140)  # second arrival
+        q.processAllAvailable()
+        got = spark.sql(
+            "select count(*) c, sum(i) s from pyds_arrivals"
+        ).collect()[0]
+        assert (got.c, got.s) == (140, sum(range(140)))
+    finally:
+        q.stop()
+
+
+def test_rawparquet_batch_directory_scan(spark, tmp_path):
+    # r16: the batch source also accepts a DIRECTORY (sorted
+    # *.parquet universe) — partitions = every file's row groups
+    d = str(tmp_path / "multi")
+    os.makedirs(d)
+    for k in range(3):
+        tbl = pa.table({"i": pa.array(
+            range(k * 100, k * 100 + 100), pa.int64())})
+        pq.write_table(tbl, os.path.join(d, "f%d.parquet" % k),
+                       compression="snappy", row_group_size=50)
+    spark.dataSource.register(RawParquetDataSource)
+    df = spark.read.format("rawparquet").load(d)
+    assert df.rdd.getNumPartitions() == 6  # 3 files x 2 row groups
+    assert df.count() == 300
+    assert df.agg(F.sum("i")).collect()[0][0] == sum(range(300))
