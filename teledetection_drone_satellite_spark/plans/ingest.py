@@ -12249,6 +12249,115 @@ def delta_write_roundtrip(spark: SparkSession,
 
 
 @register(
+    "iceberg_write_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
+    FROM documents
+    WHERE doc_id % 4 <> 3
+    GROUP BY lang
+    """,
+    doc="Apache Iceberg WRITE side, graded (r16 — the Iceberg twin "
+    "of delta_write_roundtrip, completing the lake write story for "
+    "both formats): documents is sliced doc_id %% 4 into four "
+    "parquet files through the repo's OWN pure-Python writer, then "
+    "sources/iceberg.py COMMITS a v2 metadata tree over them — "
+    "manifest Avro (entries carrying footer-derived record counts "
+    "AND doc_id lower/upper bounds in the spec's 8-byte LE "
+    "single-value binary) + manifest list Avro + metadata JSON, "
+    "all through the repo's own Avro container writer; snapshot 1 "
+    "appends all four, snapshot 2 (current) re-states slices 0-2 "
+    "as EXISTING and tombstones slice 3 with a DELETED entry. "
+    "resolve_snapshot walks the tree back through the repo's Avro "
+    "reader (snapshot selection + tombstone arithmetic graded) and "
+    "Spark's Java reader scans exactly the live files; the oracle "
+    "restates the surviving rows.",
+    tags=("ingest", "sketch", "pipeline"),
+)
+def iceberg_write_roundtrip(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..catalog import source_fingerprint
+    from ..sources.iceberg import (
+        iceberg_data_entry,
+        read_iceberg_tree,
+        resolve_snapshot,
+        write_iceberg_table,
+    )
+    from ..sources.parquetmeta import parse_parquet_footer
+    from ..sources.pydatasource import RawParquetDataSource
+
+    fp = source_fingerprint(sf_dir, "documents")
+    root = _os.path.join(_tempfile.gettempdir(),
+                         "spark_graft_icebergw_v1", fp)
+    done = _os.path.join(root, "_DONE")
+    if not _os.path.exists(done):
+        d = load(spark, sf_dir, ("documents",))["documents"]
+        spark.dataSource.register(RawParquetDataSource)
+        _os.makedirs(_os.path.join(root, "data"), exist_ok=True)
+        infos = []
+        for k in range(4):
+            sub = _os.path.join(root, "slice%d" % k)
+            (d.filter(F.col("doc_id") % 4 == k).coalesce(1)
+             .write.format("rawparquet").option("path", sub)
+             .option("compression", "snappy")
+             .mode("append").save())
+            src = sorted(_glob.glob(sub + "/part-*.parquet"))[0]
+            rel = "data/part-%05d.parquet" % k
+            _os.replace(src, _os.path.join(root, rel))
+            with open(_os.path.join(root, rel), "rb") as f:
+                buf = f.read()
+            footer = parse_parquet_footer(buf)
+            chunk = next(c for c in footer["row_groups"][0]["columns"]
+                         if c["path"] == "doc_id")
+            lo = int.from_bytes(chunk["min_value"], "little",
+                                signed=True)
+            hi = int.from_bytes(chunk["max_value"], "little",
+                                signed=True)
+            infos.append((rel, len(buf), footer["num_rows"],
+                          (lo, hi)))
+        snap1 = [iceberg_data_entry(rel, sz, nr, status=1,
+                                    snapshot_id=1,
+                                    bounds={1: b})
+                 for rel, sz, nr, b in infos]
+        snap2 = [iceberg_data_entry(rel, sz, nr,
+                                    status=0 if k < 3 else 2,
+                                    snapshot_id=None if k < 3 else 2,
+                                    bounds={1: b})
+                 for k, (rel, sz, nr, b) in enumerate(infos)]
+        fields = [{"id": 1, "name": "doc_id", "required": True,
+                   "type": "long"},
+                  {"id": 2, "name": "lang", "required": False,
+                   "type": "string"},
+                  {"id": 3, "name": "text", "required": False,
+                   "type": "string"}]
+        write_iceberg_table(root, [(1, snap1), (2, snap2)], fields,
+                            table_uuid=fp)
+        open(done, "w").close()
+    mpath = sorted(_glob.glob(
+        _os.path.join(root, "metadata", "v*.metadata.json")))[-1]
+    mj, mfiles = read_iceberg_tree(mpath)
+    snap = resolve_snapshot(mj, mfiles)
+    if snap is None or snap["n_live_files"] != 3 or \
+            snap["snapshot_id"] != 2:
+        raise ValueError("iceberg replay of the written tree failed")
+    paths = sorted(_os.path.join(root, p)
+                   for p in snap["live_paths"])
+    back = spark.read.parquet(*paths)
+    return (
+        back.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("doc_id").alias("id_sum"),
+             F.sum(F.length("text")).alias("text_bytes"))
+    )
+
+
+@register(
     "orc_write_roundtrip",
     oracle="""
     SELECT lang,

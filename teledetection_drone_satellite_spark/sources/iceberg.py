@@ -358,6 +358,8 @@ def resolve_snapshot(metadata_json: bytes,
             - n_eq_applied,
             "total_bytes": total_bytes,
             "counts_consistent": consistent,
+            "live_paths": sorted(live_paths),  # r16: the planner's
+            # actual scan set (the write-roundtrip reads it back)
             "fields": meta["fields"],
             "partition_fields": meta["partition_fields"]}
 
@@ -737,3 +739,131 @@ def synth_iceberg(doc_id: int) -> "tuple[bytes, dict, dict]":
         "partitioned": i % 2 == 1,
     }
     return metadata, files, expected
+
+
+# ---------------------------------------------------------------- write
+# r16: the WRITE side — commit a snapshot tree (manifest Avro +
+# manifest-list Avro + metadata JSON) over files the repo's own
+# parquet writer emits, the Iceberg twin of the Delta write side
+# (sources/deltalog.py commit_delta).  Everything is deterministic:
+# sync markers derive from the snapshot id, the table uuid and
+# timestamps are caller-supplied — identical inputs produce
+# identical bytes.
+
+
+def iceberg_data_entry(path: str, size: int, records: int,
+                       status: int = 1,
+                       snapshot_id: "int | None" = None,
+                       bounds: "dict[int, tuple[int, int]] | None"
+                       = None) -> dict:
+    """One manifest entry over a parquet data file.  ``bounds`` maps
+    field id -> (lo, hi) longs, serialized as the spec's 8-byte LE
+    single-value binary — the shape _decode_bounds/prune reads."""
+    df = {"file_path": path, "file_format": "PARQUET",
+          "record_count": int(records),
+          "file_size_in_bytes": int(size),
+          "equality_ids": None,
+          "lower_bounds": None, "upper_bounds": None}
+    if bounds:
+        df["lower_bounds"] = [
+            {"key": k, "value": int(lo).to_bytes(8, "little",
+                                                 signed=True)}
+            for k, (lo, _hi) in sorted(bounds.items())]
+        df["upper_bounds"] = [
+            {"key": k, "value": int(hi).to_bytes(8, "little",
+                                                 signed=True)}
+            for k, (_lo, hi) in sorted(bounds.items())]
+    return {"status": int(status), "snapshot_id": snapshot_id,
+            "data_file": df}
+
+
+def write_iceberg_table(table_dir: str,
+                        snapshots: "list[tuple[int, list[dict]]]",
+                        fields: "list[dict]",
+                        table_uuid: str = "t-0",
+                        timestamp_ms: int = 0) -> str:
+    """Write a v2 table's metadata tree under ``table_dir``:
+    one manifest + manifest list per snapshot (each snapshot's entry
+    list is the COMPLETE table state — live entries status 0/1,
+    tombstones status 2, per the spec's manifest-list-as-state
+    model), then ``metadata/v<N>.metadata.json`` naming the last
+    snapshot current.  ``fields`` are Iceberg schema field dicts
+    ({'id', 'name', 'required', 'type'}).  Returns the metadata.json
+    path; resolve_snapshot + prune_data_files read the tree back
+    through sources/avro.py."""
+    import os as _os
+
+    meta_dir = _os.path.join(table_dir, "metadata")
+    _os.makedirs(meta_dir, exist_ok=True)
+    snaps_json = []
+    for snap_id, entries in snapshots:
+        sync_m = bytes((snap_id + k) % 256 for k in range(16))
+        man_rel = "metadata/m-%d.avro" % snap_id
+        blob = write_avro(MANIFEST_SCHEMA_EXT, entries,
+                          codec="deflate", sync=sync_m)
+        with open(_os.path.join(table_dir, man_rel), "wb") as f:
+            f.write(blob)
+        n_added = sum(1 for e in entries if e["status"] == 1)
+        n_exist = sum(1 for e in entries if e["status"] == 0)
+        n_del = sum(1 for e in entries if e["status"] == 2)
+        ml_rel = "metadata/snap-%d.avro" % snap_id
+        ml_blob = write_avro(MANIFEST_LIST_SCHEMA, [{
+            "manifest_path": man_rel,
+            "manifest_length": len(blob),
+            "partition_spec_id": 0,
+            "content": 0,
+            "added_data_files_count": n_added,
+            "existing_data_files_count": n_exist,
+            "deleted_data_files_count": n_del,
+        }], sync=bytes((snap_id + 7 + k) % 256 for k in range(16)))
+        with open(_os.path.join(table_dir, ml_rel), "wb") as f:
+            f.write(ml_blob)
+        snaps_json.append({"snapshot-id": snap_id,
+                           "timestamp-ms": timestamp_ms,
+                           "manifest-list": ml_rel,
+                           "summary": {"operation": "append"
+                                       if n_del == 0 else
+                                       "delete"}})
+    metadata = json.dumps({
+        "format-version": 2,
+        "table-uuid": table_uuid,
+        "location": table_dir,
+        "current-schema-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0,
+                     "fields": list(fields)}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "current-snapshot-id": snapshots[-1][0],
+        "snapshots": snaps_json,
+    }, sort_keys=True).encode("utf-8")
+    mpath = _os.path.join(meta_dir,
+                          "v%d.metadata.json" % len(snapshots))
+    with open(mpath, "wb") as f:
+        f.write(metadata)
+    return mpath
+
+
+def read_iceberg_tree(metadata_path: str) -> "tuple[bytes, dict]":
+    """Load a written table's (metadata_json, files) in the form
+    resolve_snapshot/scan consume: every manifest list and manifest
+    the metadata names, read from disk relative to the table dir."""
+    import os as _os
+
+    table_dir = _os.path.dirname(_os.path.dirname(metadata_path))
+    with open(metadata_path, "rb") as f:
+        metadata_json = f.read()
+    files: "dict[str, bytes]" = {}
+    meta = json.loads(metadata_json)
+    for snap in meta.get("snapshots", []):
+        ml_rel = snap["manifest-list"]
+        with open(_os.path.join(table_dir, ml_rel), "rb") as f:
+            files[ml_rel] = f.read()
+        ml = parse_avro(files[ml_rel])
+        if ml is None:
+            continue
+        for rec in ml["records"]:
+            mp = rec.get("manifest_path")
+            if isinstance(mp, str) and mp not in files:
+                with open(_os.path.join(table_dir, mp), "rb") as f:
+                    files[mp] = f.read()
+    return metadata_json, files

@@ -294,3 +294,72 @@ def test_scan_rows_materialized_merge_on_read():
     assert got2["n_eq_removed"] == 2
     assert got2["n_surviving"] == 6
     assert got2["columns"]["id"] == [0, 1, 3, 6, 8, 9]
+
+
+# ---- r16: write side ---------------------------------------------------
+
+
+def test_iceberg_write_resolve_loop(tmp_path):
+    # commit a two-snapshot tree (append, then delete-tombstone) and
+    # read it back through the repo's own Avro reader: snapshot
+    # selection, tombstone arithmetic, bounds round-trip
+    from teledetection_drone_satellite_spark.sources.iceberg import (
+        iceberg_data_entry,
+        read_iceberg_tree,
+        resolve_snapshot,
+        write_iceberg_table,
+    )
+
+    td = str(tmp_path / "tbl")
+    e1 = [iceberg_data_entry("data/a.parquet", 100, 10, status=1,
+                             snapshot_id=1, bounds={1: (0, 9)}),
+          iceberg_data_entry("data/b.parquet", 120, 12, status=1,
+                             snapshot_id=1, bounds={1: (10, 21)})]
+    e2 = [iceberg_data_entry("data/a.parquet", 100, 10, status=0,
+                             bounds={1: (0, 9)}),
+          iceberg_data_entry("data/b.parquet", 120, 12, status=2,
+                             snapshot_id=2)]
+    fields = [{"id": 1, "name": "id", "required": True,
+               "type": "long"}]
+    mp = write_iceberg_table(td, [(1, e1), (2, e2)], fields,
+                             table_uuid="u-1")
+    mj, files = read_iceberg_tree(mp)
+    snap = resolve_snapshot(mj, files)
+    assert snap is not None
+    assert snap["snapshot_id"] == 2
+    assert snap["n_live_files"] == 1
+    assert snap["n_deleted_entries"] == 1
+    assert snap["total_records"] == 10
+    assert snap["live_paths"] == ["data/a.parquet"]
+    assert snap["counts_consistent"]
+    assert snap["fields"] == [("id", "long")]
+    # determinism: identical inputs -> identical Avro bytes (the
+    # metadata JSON differs only in its location field)
+    td2 = str(tmp_path / "tbl2")
+    write_iceberg_table(td2, [(1, e1), (2, e2)], fields,
+                        table_uuid="u-1")
+    for rel in ("metadata/m-1.avro", "metadata/m-2.avro",
+                "metadata/snap-1.avro", "metadata/snap-2.avro"):
+        assert open(td + "/" + rel, "rb").read() == \
+            open(td2 + "/" + rel, "rb").read(), rel
+
+
+def test_iceberg_write_single_snapshot_all_live(tmp_path):
+    from teledetection_drone_satellite_spark.sources.iceberg import (
+        iceberg_data_entry,
+        read_iceberg_tree,
+        resolve_snapshot,
+        write_iceberg_table,
+    )
+
+    td = str(tmp_path / "one")
+    ents = [iceberg_data_entry("data/f%d.parquet" % k, 50 + k,
+                               5 + k, status=1, snapshot_id=9)
+            for k in range(5)]
+    mp = write_iceberg_table(
+        td, [(9, ents)],
+        [{"id": 1, "name": "x", "required": False, "type": "long"}])
+    snap = resolve_snapshot(*read_iceberg_tree(mp))
+    assert snap["n_live_files"] == 5
+    assert snap["total_records"] == sum(5 + k for k in range(5))
+    assert snap["total_bytes"] == sum(50 + k for k in range(5))
