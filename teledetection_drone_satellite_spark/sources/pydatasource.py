@@ -116,6 +116,20 @@ def _pq_paths(path: str) -> "list[str]":
     return [path]
 
 
+def _orc_paths(path: str) -> "list[str]":
+    """Directory -> sorted *.orc universe (r16, the ORC twin of
+    _pq_paths); a plain file passes through."""
+    import glob as _glob
+    import os as _os
+
+    if _os.path.isdir(path):
+        out = sorted(_glob.glob(_os.path.join(path, "*.orc")))
+        if not out:
+            raise ValueError("no orc files under %s" % path)
+        return out
+    return [path]
+
+
 def _read_footer_tail(path: str) -> bytes:
     """Last footer_len+8 bytes of the file, or ValueError (the
     documented refusal) when the trailer is truncated or its length
@@ -555,11 +569,12 @@ class RawOrcDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("raworc requires a path")
-        with open(path, "rb") as f:
+        first = _orc_paths(path)[0]  # schema from the first file
+        with open(first, "rb") as f:
             buf = f.read()
         tail = parse_orc_tail(buf)
         if tail is None:
-            raise ValueError("not an ORC file: %s" % path)
+            raise ValueError("not an ORC file: %s" % first)
         return path, tail
 
     @staticmethod
@@ -610,6 +625,13 @@ class RawOrcDataSource(DataSource):
                if _pushdown_requested(self.options)
                else RawOrcReader)
         return cls(path, tail, cols, by_name)
+
+    def streamReader(self, schema) -> "RawOrcStreamReader":
+        """spark.readStream.format("raworc").load(dir) — the ORC
+        twin of the rawparquet streaming surface (r16): append-only
+        file universe, one partition per new file's STRIPE."""
+        batch = self.reader(schema)
+        return RawOrcStreamReader(batch)
 
 
 _SPARK_TO_ORC = {
@@ -685,16 +707,34 @@ class RawOrcReader(DataSourceReader):
                 return False
         return True
 
-    def partitions(self):
+    def _file_partitions(self, fpath: str,
+                         tail: "dict | None") -> list:
+        """One file's stripes -> partitions (pruned by any pushed
+        predicates against the metadata stripe statistics)."""
+        from .orcmeta import parse_orc_tail
+
+        if tail is None:
+            with open(fpath, "rb") as f:
+                tail = parse_orc_tail(f.read())
+            if tail is None:
+                raise ValueError("not an ORC file: %s" % fpath)
         parts = []
-        stats = self.tail.get("stripe_stats") or \
-            [None] * len(self.tail["stripes"])
-        for stripe, st in zip(self.tail["stripes"], stats):
+        stats = tail.get("stripe_stats") or \
+            [None] * len(tail["stripes"])
+        for stripe, st in zip(tail["stripes"], stats):
             if not self._stripe_can_match(st):
                 continue  # pruned: no task, no bytes
             parts.append(_OrcPartition(
-                self.path, stripe, self.tail["compression"],
-                self.cols, self.tail["type_nodes"]))
+                fpath, stripe, tail["compression"],
+                self.cols, tail["type_nodes"]))
+        return parts
+
+    def partitions(self):
+        paths = _orc_paths(self.path)
+        parts = []
+        for k, fpath in enumerate(paths):
+            parts.extend(self._file_partitions(
+                fpath, self.tail if k == 0 else None))
         if not parts:  # Spark requires >= 1 partition — synthesize
             # an empty stripe (works even for zero-stripe files,
             # where tail["stripes"] is itself empty)
@@ -702,7 +742,7 @@ class RawOrcReader(DataSourceReader):
                      "data_length": 0, "footer_length": 0,
                      "num_rows": 0}
             parts.append(_OrcPartition(
-                self.path, empty, self.tail["compression"],
+                paths[0], empty, self.tail["compression"],
                 self.cols, self.tail["type_nodes"]))
         return parts
 
@@ -757,6 +797,48 @@ class RawOrcReader(DataSourceReader):
                         if v is not None else None for v in vals]
             cols.append(vals)
         yield from zip(*cols)
+
+
+class RawOrcStreamReader(DataSourceStreamReader):
+    """Micro-batch streaming over a directory of raw ORC files —
+    the r16 twin of RawParquetStreamReader: offset = files consumed
+    in sorted-name order, one input partition per new file's
+    STRIPE, the same pure-Python decode path as the batch scan."""
+
+    def __init__(self, batch: "RawOrcReader"):
+        self.batch = batch
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def latestOffset(self) -> dict:
+        return {"n": len(_orc_paths(self.batch.path))}
+
+    def partitions(self, start: dict, end: dict) -> list:
+        paths = _orc_paths(self.batch.path)
+        s, e = int(start["n"]), int(end["n"])
+        if not 0 <= s <= e <= len(paths):
+            raise ValueError(
+                "offset window [%d, %d) outside the %d-file "
+                "universe (files must arrive append-only)"
+                % (s, e, len(paths)))
+        parts = []
+        for fpath in paths[s:e]:
+            parts.extend(self.batch._file_partitions(fpath, None))
+        if not parts:
+            empty = {"offset": 0, "index_length": 0,
+                     "data_length": 0, "footer_length": 0,
+                     "num_rows": 0}
+            parts.append(_OrcPartition(
+                paths[0], empty, self.batch.tail["compression"],
+                self.batch.cols, self.batch.tail["type_nodes"]))
+        return parts
+
+    def read(self, partition: _OrcPartition):
+        return RawOrcReader.read(self.batch, partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # files are immutable inputs; nothing to release
 
 
 class RawOrcPushdownReader(RawOrcReader):

@@ -384,3 +384,40 @@ def test_rawparquet_batch_directory_scan(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 6  # 3 files x 2 row groups
     assert df.count() == 300
     assert df.agg(F.sum("i")).collect()[0][0] == sum(range(300))
+
+
+def test_raworc_stream_and_directory_scan(spark, tmp_path):
+    # r16: the ORC twins — directory batch scan (partitions = every
+    # file's stripes) and streaming incremental arrival
+    orcmod = pytest.importorskip("pyarrow.orc")
+    d = str(tmp_path / "orcdir")
+    os.makedirs(d)
+
+    def mk(name, lo, hi):
+        tbl = pa.table({"i": pa.array(range(lo, hi), pa.int64())})
+        orcmod.write_table(tbl, os.path.join(d, name),
+                           compression="zlib")
+
+    mk("a.orc", 0, 100)
+    mk("b.orc", 100, 160)
+    spark.dataSource.register(RawOrcDataSource)
+    df = spark.read.format("raworc").load(d)
+    assert df.count() == 160
+    assert df.agg(F.sum("i")).collect()[0][0] == sum(range(160))
+    stream = spark.readStream.format("raworc").load(d)
+    q = (stream.writeStream.format("memory")
+         .queryName("orc_arrivals").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "select count(*) c, sum(i) s from orc_arrivals"
+        ).collect()[0]
+        assert (got.c, got.s) == (160, sum(range(160)))
+        mk("c.orc", 160, 200)
+        q.processAllAvailable()
+        got = spark.sql(
+            "select count(*) c, sum(i) s from orc_arrivals"
+        ).collect()[0]
+        assert (got.c, got.s) == (200, sum(range(200)))
+    finally:
+        q.stop()
