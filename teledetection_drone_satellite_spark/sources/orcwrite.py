@@ -192,11 +192,45 @@ _KIND_IDS = {"BOOLEAN": 0, "LONG": 4, "DOUBLE": 6, "STRING": 7}
 _S_PRESENT, _S_DATA, _S_LENGTH = 0, 1, 2
 
 
+def _flat_streams(kind: str, sl: "list") -> "list[tuple[int, bytes]]":
+    """One primitive column slice -> its (stream kind, bytes) list
+    (PRESENT when nulls exist, then DATA [+ LENGTH for strings])."""
+    present = [v for v in sl if v is not None]
+    col_streams = []
+    if len(present) != len(sl):
+        col_streams.append((_S_PRESENT, bool_rle_encode(
+            [v is not None for v in sl])))
+    if kind == "LONG":
+        col_streams.append((_S_DATA, rle_v2_encode(
+            present, signed=True)))
+    elif kind == "DOUBLE":
+        col_streams.append((_S_DATA, struct.pack(
+            "<%dd" % len(present), *present)))
+    elif kind == "BOOLEAN":
+        col_streams.append((_S_DATA, bool_rle_encode(
+            [bool(v) for v in present])))
+    else:  # STRING, DIRECT_V2
+        blobs = [v.encode("utf-8") for v in present]
+        col_streams.append((_S_DATA, b"".join(blobs)))
+        col_streams.append((_S_LENGTH, rle_v2_encode(
+            [len(b) for b in blobs], signed=False)))
+    return col_streams
+
+
+def _long_fits(values) -> bool:
+    return all(v is None or -(1 << 63) <= v < 1 << 63
+               for v in values)
+
+
 def write_orc(columns: "dict[str, tuple[str, list]]",
               codec: str = "ZLIB",
               stripe_rows: int = 1 << 20) -> "bytes | None":
     """``columns`` maps name -> (kind, values); values may contain
-    None (PRESENT streams).  -> complete file bytes or None."""
+    None (PRESENT streams).  A kind ``LIST<K>`` (r16) writes a
+    single-level list column — PRESENT over rows + LENGTH RLEv2 on
+    the list node, the flattened elements on its child node — the
+    write twin of orcdata._decode_node's LIST path.  -> complete
+    file bytes or None."""
     try:
         names = list(columns)
         if not names or codec not in ("NONE", "ZLIB"):
@@ -204,16 +238,32 @@ def write_orc(columns: "dict[str, tuple[str, list]]",
         n_rows = len(columns[names[0]][1])
         if any(len(v) != n_rows for _k, v in columns.values()):
             return None
-        for kind, _v in columns.values():
-            if kind not in _KIND_IDS:
-                return None
-            if kind == "LONG" and any(
-                    v is not None and not (
-                        -(1 << 63) <= v < 1 << 63) for v in _v):
-                return None  # outside int64: the RLEv2 encoders
-                # (SHORT_REPEAT width byte, DIRECT 64-bit packing)
-                # cannot represent it — refuse, never emit
-                # undecodable bytes
+        # depth-first type-id assignment: root 0, then each
+        # top-level column's subtree
+        specs = []  # (name, kind, elem_kind|None, cid, elem_cid)
+        next_id = 1
+        for name in names:
+            kind, vals = columns[name]
+            if kind.startswith("LIST<") and kind.endswith(">"):
+                elem = kind[5:-1]
+                if elem not in _KIND_IDS:
+                    return None
+                if elem == "LONG" and not all(
+                        r is None or _long_fits(r) for r in vals):
+                    return None
+                specs.append((name, "LIST", elem, next_id,
+                              next_id + 1))
+                next_id += 2
+            else:
+                if kind not in _KIND_IDS:
+                    return None
+                if kind == "LONG" and not _long_fits(vals):
+                    return None  # outside int64: the RLEv2
+                    # encoders (SHORT_REPEAT width byte, DIRECT
+                    # 64-bit packing) cannot represent it — refuse,
+                    # never emit undecodable bytes
+                specs.append((name, kind, None, next_id, None))
+                next_id += 1
         out = bytearray(b"ORC")
         stripes_pb = []
         start = 0
@@ -221,42 +271,41 @@ def write_orc(columns: "dict[str, tuple[str, list]]",
             end = min(start + stripe_rows, n_rows)
             stripe_offset = len(out)
             streams_pb = []
-            enc_pb = []
+            enc_by_cid = {}
             body = bytearray()
-            for cid, name in enumerate(names, start=1):
-                kind, vals = columns[name]
-                sl = vals[start:end]
-                present = [v for v in sl if v is not None]
-                has_nulls = len(present) != len(sl)
-                col_streams = []
-                if has_nulls:
-                    col_streams.append((_S_PRESENT, bool_rle_encode(
-                        [v is not None for v in sl])))
-                if kind == "LONG":
-                    col_streams.append((_S_DATA, rle_v2_encode(
-                        present, signed=True)))
-                elif kind == "DOUBLE":
-                    col_streams.append((_S_DATA, struct.pack(
-                        "<%dd" % len(present), *present)))
-                elif kind == "BOOLEAN":
-                    col_streams.append((_S_DATA, bool_rle_encode(
-                        [bool(v) for v in present])))
-                else:  # STRING, DIRECT_V2
-                    blobs = [v.encode("utf-8") for v in present]
-                    col_streams.append((_S_DATA, b"".join(blobs)))
-                    col_streams.append((_S_LENGTH, rle_v2_encode(
-                        [len(b) for b in blobs], signed=False)))
+
+            def _emit(cid, col_streams):
+                nonlocal body
                 for skind, raw in col_streams:
                     framed = _frame(codec, raw)
                     streams_pb.append(_pb_bytes(1, (
                         _pb_uint(1, skind) + _pb_uint(2, cid)
                         + _pb_uint(3, len(framed)))))
                     body += framed
-                enc_pb.append(_pb_bytes(2, _pb_uint(1, 2)))  # DIRECT_V2
-            # encodings ordered root-first, then each column
+                enc_by_cid[cid] = _pb_bytes(2, _pb_uint(1, 2))
+
+            for name, kind, elem, cid, ecid in specs:
+                vals = columns[name][1]
+                sl = vals[start:end]
+                if kind != "LIST":
+                    _emit(cid, _flat_streams(kind, sl))
+                    continue
+                rows = [r for r in sl if r is not None]
+                col_streams = []
+                if len(rows) != len(sl):
+                    col_streams.append((
+                        _S_PRESENT, bool_rle_encode(
+                            [r is not None for r in sl])))
+                col_streams.append((_S_LENGTH, rle_v2_encode(
+                    [len(r) for r in rows], signed=False)))
+                _emit(cid, col_streams)
+                elems = [e for r in rows for e in r]
+                _emit(ecid, _flat_streams(elem, elems))
+            # encodings ordered by column id, root first
             sf = b"".join(streams_pb)
             sf += _pb_bytes(2, _pb_uint(1, 0))  # root: DIRECT
-            sf += b"".join(enc_pb)
+            for cid in sorted(enc_by_cid):
+                sf += enc_by_cid[cid]
             sf_framed = _frame(codec, sf)
             out += body + sf_framed
             stripes_pb.append(_pb_bytes(3, (
@@ -266,27 +315,44 @@ def write_orc(columns: "dict[str, tuple[str, list]]",
                 + _pb_uint(4, len(sf_framed))
                 + _pb_uint(5, end - start))))
             start = end
-        # types: root struct + children
+        # types: root struct + each column's subtree depth-first
         types_pb = bytearray()
         root = _pb_uint(1, 12)  # STRUCT
-        for cid in range(1, len(names) + 1):
+        for _name, _kind, _elem, cid, _ecid in specs:
             root += _pb_uint(2, cid)
         for name in names:
             root += _pb_bytes(3, name.encode())
         types_pb += _pb_bytes(4, root)
-        for name in names:
-            kind, _v = columns[name]
-            types_pb += _pb_bytes(4, _pb_uint(1, _KIND_IDS[kind]))
-        # minimal column statistics: numberOfValues (+ hasNull)
+        for _name, kind, elem, _cid, ecid in specs:
+            if kind == "LIST":
+                types_pb += _pb_bytes(4, _pb_uint(1, 10)
+                                      + _pb_uint(2, ecid))
+                types_pb += _pb_bytes(4, _pb_uint(1,
+                                                  _KIND_IDS[elem]))
+            else:
+                types_pb += _pb_bytes(4, _pb_uint(1,
+                                                  _KIND_IDS[kind]))
+        # minimal column statistics per node: numberOfValues
+        # (+ hasNull)
         stats_pb = bytearray()
         stats_pb += _pb_bytes(7, _pb_uint(1, n_rows))
-        for name in names:
-            _kind, vals = columns[name]
-            n_present = sum(1 for v in vals if v is not None)
+
+        def _stat(n_present, n_slots):
             st = _pb_uint(1, n_present)
-            st += _pb_field(10, 0) + (b"\x01" if n_present != len(
-                vals) else b"\x00")
-            stats_pb += _pb_bytes(7, st)
+            st += _pb_field(10, 0) + (b"\x01" if n_present != n_slots
+                                      else b"\x00")
+            return _pb_bytes(7, st)
+
+        for name, kind, _elem, _cid, _ecid in specs:
+            vals = columns[name][1]
+            n_present = sum(1 for v in vals if v is not None)
+            stats_pb += _stat(n_present, len(vals))
+            if kind == "LIST":
+                elems = [e for r in vals if r is not None
+                         for e in r]
+                stats_pb += _stat(
+                    sum(1 for e in elems if e is not None),
+                    len(elems))
         footer = (
             _pb_uint(1, 3)  # headerLength: the "ORC" magic
             + _pb_uint(2, len(out))  # contentLength

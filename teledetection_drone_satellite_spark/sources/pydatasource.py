@@ -640,6 +640,17 @@ _SPARK_TO_ORC = {
 }
 
 
+def _spark_to_orc_type(t: str) -> "str | None":
+    """Spark DDL type -> orcwrite kind; array<T> (r16) maps to the
+    writer's LIST<T> shape."""
+    if t in _SPARK_TO_ORC:
+        return _SPARK_TO_ORC[t]
+    if t.startswith("array<") and t.endswith(">"):
+        inner = _SPARK_TO_ORC.get(t[6:-1])
+        return None if inner is None else "LIST<%s>" % inner
+    return None
+
+
 class RawOrcWriter(DataSourceWriter):
     """Write side (r15): ``df.write.format("raworc")`` emits one ORC
     file per Spark partition through sources/orcwrite.py — bytes
@@ -652,7 +663,7 @@ class RawOrcWriter(DataSourceWriter):
                        for f in schema.fields]
         self.codec = codec
         for name, t in self.fields:
-            if t not in _SPARK_TO_ORC:
+            if _spark_to_orc_type(t) is None:
                 raise ValueError("unsupported type for raworc: "
                                  "%s %s" % (name, t))
 
@@ -663,11 +674,16 @@ class RawOrcWriter(DataSourceWriter):
         from .orcwrite import write_orc
 
         names = [n for n, _t in self.fields]
+        list_cols = {n for n, t in self.fields
+                     if t.startswith("array<")}
         data: "dict[str, list]" = {n: [] for n in names}
         for row in iterator:
             for k, n in enumerate(names):
-                data[n].append(row[k])
-        cols = {n: (_SPARK_TO_ORC[t], data[n])
+                v = row[k]
+                if n in list_cols and v is not None:
+                    v = list(v)  # Row arrays arrive as tuples
+                data[n].append(v)
+        cols = {n: (_spark_to_orc_type(t), data[n])
                 for n, t in self.fields}
         buf = write_orc(cols, codec=self.codec)
         if buf is None:

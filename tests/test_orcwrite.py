@@ -112,3 +112,64 @@ def test_write_orc_refuses_out_of_int64_values():
     got = _po.ORCFile(io.BytesIO(buf)).read()
     assert got.column("v").to_pylist() == \
         [(1 << 63) - 1, -(1 << 63), 0, 0, 0]
+
+
+def test_list_write_three_readers():
+    # r16: LIST<K> write — PRESENT + LENGTH on the list node,
+    # flattened elements on the child; pyarrow.orc + own decoder
+    import io
+
+    import pyarrow.orc as _po
+
+    from teledetection_drone_satellite_spark.sources.orcdata import (
+        read_orc_columns)
+    from teledetection_drone_satellite_spark.sources.orcwrite import (
+        write_orc)
+
+    tags = [["a", "b"], [], None, ["c"], ["d", None, "e"],
+            ["f"] * 5, None, []]
+    nums = [[1, 2, 3], None, [], [42], [0, -7], [9], [5, 5], None]
+    ids = list(range(8))
+    for codec in ("NONE", "ZLIB"):
+        buf = write_orc({"id": ("LONG", ids),
+                         "tags": ("LIST<STRING>", tags),
+                         "nums": ("LIST<LONG>", nums)}, codec=codec)
+        assert buf is not None, codec
+        t = _po.ORCFile(io.BytesIO(buf)).read()
+        assert t.column("tags").to_pylist() == tags, codec
+        assert t.column("nums").to_pylist() == nums, codec
+        mine = read_orc_columns(buf, want=["id", "tags", "nums"])
+        assert mine["columns"]["tags"] == tags, codec
+        assert mine["columns"]["nums"] == nums, codec
+    # multi-stripe spanning + element int64 refusal
+    big = [["w%d" % (i % 9)] * (i % 5) if i % 7 else None
+           for i in range(5000)]
+    buf = write_orc({"t": ("LIST<STRING>", big)}, codec="ZLIB",
+                    stripe_rows=700)
+    assert _po.ORCFile(io.BytesIO(buf)).read() \
+        .column("t").to_pylist() == big
+    assert read_orc_columns(buf, want=["t"])["columns"]["t"] == big
+    assert write_orc({"n": ("LIST<LONG>", [[1, 1 << 63]])}) is None
+
+
+def test_raworc_list_write_read_by_native_spark(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from teledetection_drone_satellite_spark.sources.pydatasource \
+        import RawOrcDataSource
+
+    out = str(tmp_path / "orclw")
+    d = (spark.range(0, 200).select(
+        F.col("id"),
+        F.when(F.col("id") % 17 == 0,
+               F.lit(None).cast("array<string>"))
+        .when(F.col("id") % 13 == 0, F.array().cast("array<string>"))
+        .otherwise(F.array(F.concat(F.lit("v"), F.col("id")),
+                           F.lit("w"))).alias("tags")))
+    spark.dataSource.register(RawOrcDataSource)
+    (d.repartition(2).write.format("raworc").option("path", out)
+     .option("compression", "zlib").mode("append").save())
+    back = spark.read.orc(out)
+    a = sorted(back.collect(), key=lambda r: r["id"])
+    b = sorted(d.collect(), key=lambda r: r["id"])
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
