@@ -766,12 +766,41 @@ def _decode_values(plain: bytes, enc: int, ptype: str,
 
 def list_leaves(footer: dict) -> "dict[str, dict]":
     """{top-level field name: leaf} for every single-level LIST
-    column (max_rep == 1) — the columns decode_list_chunk serves.
-    Deeper nesting (max_rep > 1) is excluded (still refused)."""
-    out = {}
+    column (max_rep == 1 with exactly ONE leaf under the top-level
+    name) — the columns decode_list_chunk serves.  MAP columns (two
+    leaves under one name — see map_leaves) and deeper nesting
+    (max_rep > 1) are excluded."""
+    by_top: "dict[str, list]" = {}
     for leaf in footer["columns"]:
         if leaf.get("max_rep", 0) == 1:
-            out[leaf["name"].split(".", 1)[0]] = leaf
+            by_top.setdefault(leaf["name"].split(".", 1)[0],
+                              []).append(leaf)
+    return {top: leaves[0] for top, leaves in by_top.items()
+            if len(leaves) == 1}
+
+
+def map_leaves(footer: dict) -> "dict[str, tuple[dict, dict]]":
+    """{top-level field name: (key leaf, value leaf)} for MAP
+    columns (r16): two max_rep-1 leaves under one top-level name
+    whose last path segments are key/value (the spec's 3-level
+    map shape ``optional group (MAP) / repeated group key_value /
+    key + value``)."""
+    by_top: "dict[str, list]" = {}
+    for leaf in footer["columns"]:
+        if leaf.get("max_rep", 0) == 1:
+            by_top.setdefault(leaf["name"].split(".", 1)[0],
+                              []).append(leaf)
+    out = {}
+    for top, leaves in by_top.items():
+        if len(leaves) != 2:
+            continue
+        key = next((lf for lf in leaves
+                    if lf["name"].rsplit(".", 1)[-1] == "key"), None)
+        val = next((lf for lf in leaves
+                    if lf["name"].rsplit(".", 1)[-1] == "value"),
+                   None)
+        if key is not None and val is not None:
+            out[top] = (key, val)
     return out
 
 

@@ -179,31 +179,45 @@ class RawParquetDataSource(DataSource):
         return path, footer
 
     @staticmethod
-    def _fields(footer) -> "list[tuple[str, dict, bool]]":
-        """(column name, leaf, is_list) in footer order: flat leaves
-        by full path, single-level LIST columns (r16) by their
-        top-level field name; max_rep > 1 stays excluded."""
+    def _fields(footer) -> "list[tuple[str, object, str]]":
+        """(column name, leaf(s), kind) in footer order: 'flat'
+        leaves by full path; single-level LIST columns by top-level
+        name ('list'); MAP columns (r16 — two max_rep-1 key/value
+        leaves under one name) as ('map', (key leaf, value leaf));
+        anything deeper stays excluded."""
+        from .parquetpage import list_leaves, map_leaves
+
+        lists = list_leaves(footer)
+        maps = map_leaves(footer)
         out = []
         seen = set()
         for leaf in footer["columns"]:
             mr = leaf.get("max_rep", 0)
             if mr == 0:
-                out.append((leaf["name"], leaf, False))
+                out.append((leaf["name"], leaf, "flat"))
             elif mr == 1:
                 top = leaf["name"].split(".", 1)[0]
-                if top not in seen:
-                    seen.add(top)
-                    out.append((top, leaf, True))
+                if top in seen:
+                    continue
+                seen.add(top)
+                if top in lists:
+                    out.append((top, lists[top], "list"))
+                elif top in maps:
+                    out.append((top, maps[top], "map"))
         return out
 
     def schema(self) -> str:
         _path, footer = self._footer()
         parts = []
-        for name, leaf, is_list in self._fields(footer):
-            t = _pq_spark_type(leaf)
-            parts.append("`%s` %s" % (name,
-                                      "array<%s>" % t if is_list
-                                      else t))
+        for name, leaf, kind in self._fields(footer):
+            if kind == "flat":
+                t = _pq_spark_type(leaf)
+            elif kind == "list":
+                t = "array<%s>" % _pq_spark_type(leaf)
+            else:
+                t = "map<%s,%s>" % (_pq_spark_type(leaf[0]),
+                                    _pq_spark_type(leaf[1]))
+            parts.append("`%s` %s" % (name, t))
         if not parts:
             raise ValueError("no decodable columns")
         return ", ".join(parts)
@@ -276,9 +290,9 @@ class RawParquetReader(DataSourceReader):
                  want: list):
         self.path = path
         self.footer = footer
-        # name -> (leaf, is_list); see RawParquetDataSource._fields
-        self.fields = {name: (leaf, is_list)
-                       for name, leaf, is_list in fields}
+        # name -> (leaf(s), kind); see RawParquetDataSource._fields
+        self.fields = {name: (leaf, kind)
+                       for name, leaf, kind in fields}
         self.want = want
         # (name, op, value) predicates accepted by pushFilters —
         # used for ROW-GROUP PRUNING against footer min/max stats
@@ -315,6 +329,15 @@ class RawParquetReader(DataSourceReader):
             if footer is None:
                 raise ValueError("not a parquet file: %s" % fpath)
         parts = []
+
+        def _chunk_for(rg, leaf):
+            chunk = next((c for c in rg["columns"]
+                          if c["path"] == leaf["name"]), None)
+            if chunk is None:
+                raise ValueError("column missing: %s"
+                                 % leaf["name"])
+            return chunk
+
         for rg in footer["row_groups"]:
             if not self._rg_can_match(rg):
                 continue  # pruned: no task, no bytes
@@ -323,13 +346,13 @@ class RawParquetReader(DataSourceReader):
             for name in self.want:
                 if name not in self.fields:
                     raise ValueError("column missing: %s" % name)
-                leaf, is_list = self.fields[name]
-                chunk = next((c for c in rg["columns"]
-                              if c["path"] == leaf["name"]), None)
-                if chunk is None:
-                    raise ValueError("column missing: %s" % name)
-                entries.append((leaf, is_list))
-                chunks.append(chunk)
+                leaf, kind = self.fields[name]
+                entries.append((leaf, kind))
+                if kind == "map":
+                    chunks.append((_chunk_for(rg, leaf[0]),
+                                   _chunk_for(rg, leaf[1])))
+                else:
+                    chunks.append(_chunk_for(rg, leaf))
             parts.append(_PqPartition(fpath, entries, chunks))
         return parts
 
@@ -347,52 +370,69 @@ class RawParquetReader(DataSourceReader):
         return _read_pq_partition(partition)
 
 
+def _decode_one_chunk(f, path: str, leaf: dict, chunk: dict,
+                      repeated: bool):
+    """Seek + decode one column chunk (flat or repeated) with UTF8
+    element conversion; ValueError is the refusal channel."""
+    from .parquetpage import decode_column_chunk, decode_list_chunk
+
+    start = chunk["data_page_offset"]
+    dpo = chunk.get("dictionary_page_offset")
+    size = chunk.get("total_compressed_size")
+    # a corrupt footer may carry non-int offsets; the refusal
+    # channel is ValueError, never a TypeError out of seek()
+    if not isinstance(start, int) or start < 0 or \
+            not isinstance(size, int) or size < 0 or \
+            not (dpo is None or isinstance(dpo, int)):
+        raise ValueError("corrupt chunk metadata: %s in %s"
+                         % (leaf["name"], path))
+    if dpo is not None:
+        start = min(start, dpo)
+    f.seek(start)
+    blob = f.read(size)
+    rb = dict(chunk)
+    rb["data_page_offset"] -= start
+    if dpo is not None:
+        rb["dictionary_page_offset"] = dpo - start
+    decode = decode_list_chunk if repeated else decode_column_chunk
+    vals = decode(blob, rb, leaf)
+    if vals is None:
+        raise ValueError("chunk decode refused: %s in %s"
+                         % (leaf["name"], path))
+    if leaf["physical_type"] == "BYTE_ARRAY" and \
+            leaf.get("converted_type") == 0:
+        if repeated:
+            vals = [[e.decode("utf-8") if e is not None else None
+                     for e in v] if v is not None else None
+                    for v in vals]
+        else:
+            vals = [v.decode("utf-8") if v is not None else None
+                    for v in vals]
+    return vals
+
+
 def _read_pq_partition(partition: _PqPartition):
     """Decode one row-group partition -> row tuples (shared by the
     batch reader and the r16 stream reader)."""
-    from .parquetpage import decode_column_chunk, decode_list_chunk
-
     cols = []
     with open(partition.path, "rb") as f:
-        for (leaf, is_list), chunk in zip(partition.leaves,
-                                          partition.chunks):
-            start = chunk["data_page_offset"]
-            dpo = chunk.get("dictionary_page_offset")
-            size = chunk.get("total_compressed_size")
-            # a corrupt footer may carry non-int offsets; the
-            # refusal channel is ValueError, never a TypeError
-            # out of seek()
-            if not isinstance(start, int) or start < 0 or \
-                    not isinstance(size, int) or size < 0 or \
-                    not (dpo is None or isinstance(dpo, int)):
-                raise ValueError(
-                    "corrupt chunk metadata: %s in %s"
-                    % (leaf["name"], partition.path))
-            if dpo is not None:
-                start = min(start, dpo)
-            f.seek(start)
-            blob = f.read(size)
-            rb = dict(chunk)
-            rb["data_page_offset"] -= start
-            if dpo is not None:
-                rb["dictionary_page_offset"] = dpo - start
-            decode = decode_list_chunk if is_list \
-                else decode_column_chunk
-            vals = decode(blob, rb, leaf)
-            if vals is None:
-                raise ValueError(
-                    "chunk decode refused: %s in %s"
-                    % (leaf["name"], partition.path))
-            if leaf["physical_type"] == "BYTE_ARRAY" and \
-                    leaf.get("converted_type") == 0:
-                if is_list:
-                    vals = [[e.decode("utf-8")
-                             if e is not None else None
-                             for e in v] if v is not None
-                            else None for v in vals]
-                else:
-                    vals = [v.decode("utf-8") if v is not None
-                            else None for v in vals]
+        for (leaf, kind), chunk in zip(partition.leaves,
+                                       partition.chunks):
+            if kind == "map":
+                keys = _decode_one_chunk(f, partition.path,
+                                         leaf[0], chunk[0], True)
+                mvals = _decode_one_chunk(f, partition.path,
+                                          leaf[1], chunk[1], True)
+                if len(keys) != len(mvals):
+                    raise ValueError(
+                        "map key/value record counts disagree in %s"
+                        % partition.path)
+                vals = [dict(zip(k, v))
+                        if k is not None and v is not None else None
+                        for k, v in zip(keys, mvals)]
+            else:
+                vals = _decode_one_chunk(f, partition.path, leaf,
+                                         chunk, kind == "list")
             cols.append(vals)
     yield from zip(*cols)
 
@@ -468,7 +508,7 @@ class RawParquetPushdownReader(RawParquetReader):
             if op and len(f.attribute) == 1 and \
                     isinstance(f.value, int):
                 hit = self.fields.get(f.attribute[0])
-                if hit is not None and not hit[1] and \
+                if hit is not None and hit[1] == "flat" and \
                         hit[0]["physical_type"] in ("INT32", "INT64"):
                     self.pushed.append(
                         (f.attribute[0], op, f.value))

@@ -421,3 +421,32 @@ def test_raworc_stream_and_directory_scan(spark, tmp_path):
         assert (got.c, got.s) == (200, sum(range(200)))
     finally:
         q.stop()
+
+
+def test_rawparquet_map_column_equals_native(spark, tmp_path):
+    # r16: a Parquet MAP column (two max_rep-1 key/value leaves
+    # under one name) exposed as map<k,v> — previously a map-shaped
+    # schema would have surfaced as an array of keys
+    out = str(tmp_path / "maps")
+    d = (spark.range(0, 200).select(
+        F.col("id"),
+        F.when(F.col("id") % 17 == 0,
+               F.lit(None).cast("map<string,bigint>"))
+        .when(F.col("id") % 13 == 0,
+              F.create_map().cast("map<string,bigint>"))
+        .otherwise(F.create_map(
+            F.lit("k"), F.col("id") % 5,
+            F.lit("j"), F.col("id") % 3)).alias("mp")))
+    d.coalesce(1).write.mode("overwrite") \
+        .option("compression", "snappy").parquet(out)
+    part = glob.glob(out + "/part-*.parquet")[0]
+    spark.dataSource.register(RawParquetDataSource)
+    mine = spark.read.format("rawparquet").load(part)
+    assert mine.schema["mp"].dataType.simpleString() == \
+        "map<string,bigint>"
+    a = sorted(mine.select("id", F.map_entries("mp").alias("me"))
+               .collect(), key=lambda r: r["id"])
+    b = sorted(spark.read.parquet(part)
+               .select("id", F.map_entries("mp").alias("me"))
+               .collect(), key=lambda r: r["id"])
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
