@@ -1,0 +1,186 @@
+"""Throughput + 10x-input scaling pins for the r16 nested tier.
+
+Same methodology as scripts/bench_r15_decoders.py: each decoder
+parses N then 10N fixtures single-threaded; wall MB/s at N and the
+10x wall RATIO are reported.  A linear decoder scales at ~10x wall
+for 10x input; super-linear growth flags an accidental quadratic.
+Fixtures for the READ rows are written by the REAL engines
+(pyarrow), so the pins measure decode of real wire bytes; the
+*_write rows read back files the r16 WRITERS emit (write cost lands
+at fixture-build time, outside the timer).
+
+Usage: python scripts/bench_r16_decoders.py [N]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from teledetection_drone_satellite_spark.sources import (  # noqa: E402
+    orcdata, orcwrite, parquetpage, parquetwrite,
+)
+
+
+def _tags(i: int, n: int) -> list:
+    return [None if (i + k) % 19 == 0 else
+            ["w%d" % ((i + k + j) % 9) for j in range((i + k) % 5)]
+            for k in range(n)]
+
+
+_PQL_CACHE: "dict[int, bytes]" = {}
+
+
+def _pq_list_fix(i: int) -> bytes:
+    if i not in _PQL_CACHE:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        n = 200 + i % 100
+        tbl = pa.table({
+            "tags": pa.array(_tags(i, n), pa.list_(pa.string())),
+            "a": pa.array([(i + k) * 7 for k in range(n)],
+                          pa.int64()),
+        })
+        sink = io.BytesIO()
+        pq.write_table(tbl, sink, compression="snappy")
+        _PQL_CACHE[i] = sink.getvalue()
+    return _PQL_CACHE[i]
+
+
+def _pq_list_read(buf: bytes):
+    return parquetpage.read_columns(buf, want=["tags", "a"])
+
+
+_PQM_CACHE: "dict[int, bytes]" = {}
+
+
+def _pq_map_fix(i: int) -> bytes:
+    if i not in _PQM_CACHE:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        n = 200 + i % 100
+        maps = [None if (i + k) % 19 == 0 else
+                {"k%d" % j: (i + k + j) % 100
+                 for j in range((i + k) % 4)}
+                for k in range(n)]
+        tbl = pa.table({"mp": pa.array(
+            maps, pa.map_(pa.string(), pa.int64()))})
+        sink = io.BytesIO()
+        pq.write_table(tbl, sink, compression="snappy")
+        _PQM_CACHE[i] = sink.getvalue()
+    return _PQM_CACHE[i]
+
+
+def _pq_map_read(buf: bytes):
+    footer = parquetpage.parse_parquet_footer(buf)
+    if footer is None:
+        return None
+    pair = parquetpage.map_leaves(footer).get("mp")
+    if pair is None:
+        return None
+    out = []
+    for leaf in pair:
+        chunk = next(c for c in footer["row_groups"][0]["columns"]
+                     if c["path"] == leaf["name"])
+        got = parquetpage.decode_list_chunk(buf, chunk, leaf)
+        if got is None:
+            return None
+        out.append(got)
+    return out
+
+
+_ORCC_CACHE: "dict[int, bytes]" = {}
+
+
+def _orc_compound_fix(i: int) -> bytes:
+    if i not in _ORCC_CACHE:
+        import pyarrow as pa
+        import pyarrow.orc as orc
+
+        n = 200 + i % 100
+        tbl = pa.table({
+            "tags": pa.array(_tags(i, n), pa.list_(pa.string())),
+            "st": pa.array(
+                [None if (i + k) % 23 == 0 else
+                 {"u": (i + k) % 50, "v": "s%d" % ((i + k) % 7)}
+                 for k in range(n)],
+                pa.struct([("u", pa.int64()), ("v", pa.string())])),
+        })
+        sink = io.BytesIO()
+        orc.write_table(tbl, sink, compression="zlib")
+        _ORCC_CACHE[i] = sink.getvalue()
+    return _ORCC_CACHE[i]
+
+
+def _orc_compound_read(buf: bytes):
+    return orcdata.read_orc_columns(buf, want=["tags", "st"])
+
+
+def _pq_list_write_fix(i: int) -> bytes:
+    n = 200 + i % 100
+    out = parquetwrite.write_parquet({
+        "tags": ("LIST<BYTE_ARRAY>", _tags(i, n)),
+        "a": ("INT64", [(i + k) * 7 for k in range(n)]),
+    }, codec="SNAPPY")
+    assert out is not None
+    return out
+
+
+def _orc_list_write_fix(i: int) -> bytes:
+    n = 200 + i % 100
+    out = orcwrite.write_orc({
+        "tags": ("LIST<STRING>", _tags(i, n)),
+        "a": ("LONG", [(i + k) * 7 for k in range(n)]),
+    }, codec="ZLIB")
+    assert out is not None
+    return out
+
+
+def _pq_dict_write_fix(i: int) -> bytes:
+    n = 400 + i % 100
+    out = parquetwrite.write_parquet({
+        "cat": ("BYTE_ARRAY",
+                ["cat-%d" % ((i + k) % 23) for k in range(n)]),
+    }, codec="SNAPPY", data_page_size=4096)
+    assert out is not None
+    return out
+
+
+CASES = {
+    "pq_list": (_pq_list_fix, _pq_list_read),
+    "pq_map": (_pq_map_fix, _pq_map_read),
+    "orc_comp": (_orc_compound_fix, _orc_compound_read),
+    "pq_list_wr": (_pq_list_write_fix, _pq_list_read),
+    "orc_list_wr": (_orc_list_write_fix,
+                    lambda b: orcdata.read_orc_columns(
+                        b, want=["tags", "a"])),
+    "pq_dict_wr": (_pq_dict_write_fix, parquetpage.read_columns),
+}
+
+
+def run(n: int) -> None:
+    print(f"{'decoder':<12} {'MB/s@N':>8} {'ratio10x':>9}  (N={n})")
+    for name, (synth, parse) in CASES.items():
+        fixtures = [synth(i) for i in range(n)]
+        nbytes = sum(len(f) for f in fixtures)
+        t0 = time.time()
+        for f in fixtures:
+            assert parse(f) is not None
+        t1 = time.time() - t0
+        fixtures10 = [synth(i % n) for i in range(10 * n)]
+        t0 = time.time()
+        for f in fixtures10:
+            assert parse(f) is not None
+        t10 = time.time() - t0
+        mbs = nbytes / max(t1, 1e-9) / 1e6
+        print(f"{name:<12} {mbs:>8.1f} {t10 / max(t1, 1e-9):>9.2f}")
+
+
+if __name__ == "__main__":
+    run(int(sys.argv[1]) if len(sys.argv) > 1 else 120)
