@@ -267,6 +267,13 @@ def parse_parquet_footer(buf: bytes) -> "dict | None":
                     "null_count": stats.get(3),
                     "min_value": stats.get(6),
                     "max_value": stats.get(5),
+                    # r16 page-index tier: ColumnChunk fields 4-7
+                    # locate the OffsetIndex / ColumnIndex Thrift
+                    # structs (page locations + per-page min/max)
+                    "offset_index_offset": cc.get(4),
+                    "offset_index_length": cc.get(5),
+                    "column_index_offset": cc.get(6),
+                    "column_index_length": cc.get(7),
                 })
             groups.append({
                 "num_rows": rg.get(3),

@@ -764,6 +764,182 @@ def _decode_values(plain: bytes, enc: int, ptype: str,
     return None  # anything else: refused honestly
 
 
+def parse_page_index(buf: bytes, chunk: dict) -> "dict | None":
+    """The r16 PAGE-INDEX tier: decode a chunk's OffsetIndex +
+    ColumnIndex Thrift structs (parquet-format PageIndex.thrift) ->
+    {'pages': [{'offset', 'size', 'first_row'}...], 'null_pages',
+    'min_values', 'max_values', 'null_counts'} or None when the
+    file carries no indexes.  This is the selectivity layer BELOW
+    row groups: per-PAGE min/max let a reader skip pages inside a
+    chunk it must otherwise scan — the 100 TB point-lookup shape."""
+    try:
+        oio = chunk.get("offset_index_offset")
+        oil = chunk.get("offset_index_length")
+        cio = chunk.get("column_index_offset")
+        cil = chunk.get("column_index_length")
+        if not all(isinstance(v, int) and v >= 0
+                   for v in (oio, oil, cio, cil)):
+            return None
+        if oio + oil > len(buf) or cio + cil > len(buf):
+            return None
+        oi = _read_struct(_R(buf[oio:oio + oil]))
+        ci = _read_struct(_R(buf[cio:cio + cil]))
+        locs = oi.get(1)
+        if not isinstance(locs, list) or not locs:
+            return None
+        pages = []
+        for pl in locs:
+            if not isinstance(pl, dict):
+                return None
+            off, size, first = pl.get(1), pl.get(2), pl.get(3)
+            if not all(isinstance(v, int) and v >= 0
+                       for v in (off, size, first)):
+                return None
+            pages.append({"offset": off, "size": size,
+                          "first_row": first})
+        n = len(pages)
+        null_pages = ci.get(1)
+        mins = ci.get(2)
+        maxs = ci.get(3)
+        nulls = ci.get(5)
+        if not (isinstance(null_pages, list)
+                and len(null_pages) == n
+                and isinstance(mins, list) and len(mins) == n
+                and isinstance(maxs, list) and len(maxs) == n):
+            return None
+        return {"pages": pages, "null_pages": null_pages,
+                "min_values": mins, "max_values": maxs,
+                "null_counts": nulls
+                if isinstance(nulls, list) and len(nulls) == n
+                else None}
+    except (ValueError, IndexError, KeyError, TypeError,
+            struct.error, OverflowError, RecursionError):
+        return None
+
+
+def _index_stat_int(raw) -> "int | None":
+    if isinstance(raw, bytes) and len(raw) in (4, 8):
+        return int.from_bytes(raw, "little", signed=True)
+    return None
+
+
+def decode_pruned_chunk(buf: bytes, chunk: dict, leaf: dict,
+                        lo: int, hi: int,
+                        num_rows: int) -> "dict | None":
+    """Page-index-pruned decode of one FLAT column chunk: decode
+    ONLY the pages whose ColumnIndex [min, max] can intersect
+    [lo, hi] (null pages and missing stats decode conservatively).
+    -> {'values': [(row_index, value)...], 'n_pages', 'n_selected',
+    'bytes_read', 'bytes_total'} or None (no index / refusal).
+    ``num_rows`` is the chunk's row count (per-page row counts come
+    from consecutive first_row_index deltas per the spec).
+    Correctness contract: the selected pages contain EVERY row
+    satisfying the predicate; callers re-filter row-level, so stats
+    need only be conservative."""
+    if leaf.get("max_rep", 0):
+        return None  # flat chunks only
+    idx = parse_page_index(buf, chunk)
+    if idx is None:
+        return None
+    pages = idx["pages"]
+    n = len(pages)
+    selected = []
+    for k in range(n):
+        if idx["null_pages"][k]:
+            continue  # all-null page: no value can match
+        pmin = _index_stat_int(idx["min_values"][k])
+        pmax = _index_stat_int(idx["max_values"][k])
+        if pmin is None or pmax is None or \
+                (pmin <= hi and pmax >= lo):
+            selected.append(k)
+    rows_of = _page_row_counts(pages, num_rows)
+    if rows_of is None:
+        return None
+    return _decode_selected_pages(buf, chunk, leaf, pages, rows_of,
+                                  selected)
+
+
+def _page_row_counts(pages: list,
+                     num_rows: int) -> "list[int] | None":
+    """Per-page row counts from consecutive first_row_index deltas
+    (the spec's implicit encoding)."""
+    n = len(pages)
+    rows_of = [
+        (pages[k + 1]["first_row"] if k + 1 < n else num_rows)
+        - pages[k]["first_row"] for k in range(n)]
+    return None if any(r < 0 for r in rows_of) else rows_of
+
+
+def _decode_selected_pages(buf: bytes, chunk: dict, leaf: dict,
+                           pages: list, rows_of: list,
+                           selected: list) -> "dict | None":
+    """Assemble a synthetic chunk from the dictionary page (if any)
+    plus the selected data pages back to back — the sequential page
+    walk decodes it as-is — and tag each value with its global row
+    index."""
+    blob = bytearray()
+    dpo = chunk.get("dictionary_page_offset")
+    synth = dict(chunk)
+    if dpo is not None:
+        dstart = min(dpo, chunk["data_page_offset"])
+        dlen = pages[0]["offset"] - dstart
+        if dlen < 0 or dstart + dlen > len(buf):
+            return None
+        blob += buf[dstart:dstart + dlen]
+        synth["dictionary_page_offset"] = 0
+        synth["data_page_offset"] = len(blob) if selected else 0
+    else:
+        synth["dictionary_page_offset"] = None
+        synth["data_page_offset"] = 0
+    for k in selected:
+        off, size = pages[k]["offset"], pages[k]["size"]
+        if off + size > len(buf):
+            return None
+        blob += buf[off:off + size]
+    synth["total_compressed_size"] = len(blob)
+    synth["num_values"] = sum(rows_of[k] for k in selected)
+    vals = decode_column_chunk(bytes(blob), synth, leaf)
+    if vals is None:
+        return None
+    out = []
+    pos = 0
+    for k in selected:
+        first = pages[k]["first_row"]
+        for j in range(rows_of[k]):
+            out.append((first + j, vals[pos]))
+            pos += 1
+    return {"values": out, "n_pages": len(pages),
+            "n_selected": len(selected),
+            "bytes_read": len(blob),
+            "bytes_total": chunk["total_compressed_size"]}
+
+
+def decode_rows_chunk(buf: bytes, chunk: dict, leaf: dict,
+                      row_lo: int, row_hi: int,
+                      num_rows: int) -> "dict | None":
+    """Page-index decode of one FLAT chunk restricted to a ROW
+    RANGE [row_lo, row_hi]: select pages by their first_row_index
+    spans (the OffsetIndex alone — no value stats needed), decode
+    only those.  The projection-side companion of
+    decode_pruned_chunk: once the predicate column names matching
+    rows, every other column fetches just the pages covering them.
+    Same return shape as decode_pruned_chunk."""
+    if leaf.get("max_rep", 0):
+        return None
+    idx = parse_page_index(buf, chunk)
+    if idx is None:
+        return None
+    pages = idx["pages"]
+    rows_of = _page_row_counts(pages, num_rows)
+    if rows_of is None:
+        return None
+    selected = [k for k in range(len(pages))
+                if pages[k]["first_row"] <= row_hi
+                and pages[k]["first_row"] + rows_of[k] > row_lo]
+    return _decode_selected_pages(buf, chunk, leaf, pages, rows_of,
+                                  selected)
+
+
 def list_leaves(footer: dict) -> "dict[str, dict]":
     """{top-level field name: leaf} for every single-level LIST
     column (max_rep == 1 with exactly ONE leaf under the top-level

@@ -308,11 +308,11 @@ def write_parquet(columns: "dict[str, tuple[str, list]]",
             elif ptype not in PHYSICAL:
                 return None
         out = bytearray(b"PAR1")
-        row_groups = []
+        rg_records = []  # [(chunk records, rg bytes, rg rows)...]
         start = 0
         while start < n_rows:
             end = min(start + row_group_size, n_rows)
-            rg_cols = []
+            rg_cols = []  # (md bytes, chunk offset, total, pages)
             rg_bytes = 0
             for name in names:
                 ptype, vals = columns[name]
@@ -357,10 +357,11 @@ def write_parquet(columns: "dict[str, tuple[str, list]]",
                     md.i64(6, total_unc)
                     md.i64(7, total_comp)
                     md.i64(9, offset)
-                    cc = _W()
-                    cc.i64(2, offset)
-                    cc.struct(3, md.done())
-                    rg_cols.append((cc.done(), total_comp))
+                    # list chunks carry no page index (record
+                    # alignment across pages would need level-aware
+                    # per-page row counts; indexes are optional)
+                    rg_cols.append((md.done(), offset, total_comp,
+                                    None))
                     rg_bytes += total_comp
                     continue
                 optional = any(v is None for v in vals)
@@ -398,10 +399,12 @@ def write_parquet(columns: "dict[str, tuple[str, list]]",
                         + len(dict_raw)
                     total_comp += len(page_bytes)
                 data_offset = len(out)
+                page_stats = []  # r16 page-index rows
                 for p0, p1 in _page_ranges(sl, ptype,
                                            data_page_size):
                     pg = sl[p0:p1]
                     pg_present = [v for v in pg if v is not None]
+                    pg_offset = len(out)
                     page = bytearray()
                     if optional:
                         page += _rle_levels(
@@ -431,6 +434,14 @@ def write_parquet(columns: "dict[str, tuple[str, list]]",
                     total_unc += len(page_bytes) - len(body) \
                         + len(raw)
                     total_comp += len(page_bytes)
+                    page_stats.append({
+                        "offset": pg_offset,
+                        "size": len(page_bytes),
+                        "first_row": p0,
+                        "mm": _minmax(pg_present, ptype),
+                        "null_count": len(pg) - len(pg_present),
+                        "null_page": not pg_present,
+                    })
                 md = _W()
                 md.i32(1, PHYSICAL[ptype])
                 encs = [_zigzag(8)] if use_dict else []
@@ -452,17 +463,71 @@ def write_parquet(columns: "dict[str, tuple[str, list]]",
                     stats.binary(5, mm[1])
                     stats.binary(6, mm[0])
                 md.struct(12, stats.done())
+                rg_cols.append((md.done(), offset, total_comp,
+                                page_stats))
+                rg_bytes += total_comp
+            rg_records.append((rg_cols, rg_bytes, end - start))
+            start = end
+        # r16 PAGE-INDEX section (between data and footer, the
+        # parquet-mr layout): one ColumnIndex + OffsetIndex per
+        # flat chunk, so readers — this repo's decode_pruned_chunk,
+        # DuckDB, Spark — can skip pages inside a chunk.  A page's
+        # min/max reuse the chunk-stats encoding; NaN-bearing float
+        # pages (mm None) mark null_pages=false with empty bounds
+        # OMITTED by marking the whole chunk indexless instead.
+        row_groups = []
+        for rg_cols, rg_bytes, rg_rows in rg_records:
+            cc_structs = []
+            for md_bytes, offset, total_comp, pages in rg_cols:
                 cc = _W()
                 cc.i64(2, offset)
-                cc.struct(3, md.done())
-                rg_cols.append((cc.done(), total_comp))
-                rg_bytes += total_comp
+                cc.struct(3, md_bytes)
+                indexable = pages is not None and pages and \
+                    all(p["mm"] is not None or p["null_page"]
+                        for p in pages)
+                if indexable:
+                    ci = _W()
+                    ci.list_(1, _T_BOOL_TRUE,
+                             [b"\x01" if p["null_page"] else b"\x02"
+                              for p in pages])
+                    empty = _varint(0)
+                    ci.list_(2, _T_BINARY, [
+                        empty if p["null_page"] else
+                        _varint(len(p["mm"][0])) + p["mm"][0]
+                        for p in pages])
+                    ci.list_(3, _T_BINARY, [
+                        empty if p["null_page"] else
+                        _varint(len(p["mm"][1])) + p["mm"][1]
+                        for p in pages])
+                    ci.i32(4, 0)  # boundary order: UNORDERED
+                    ci.list_(5, _T_I64,
+                             [_zigzag(p["null_count"])
+                              for p in pages])
+                    ci_bytes = ci.done()
+                    ci_off = len(out)
+                    out += ci_bytes
+                    oi = _W()
+                    locs = []
+                    for p in pages:
+                        pl = _W()
+                        pl.i64(1, p["offset"])
+                        pl.i32(2, p["size"])
+                        pl.i64(3, p["first_row"])
+                        locs.append(pl.done())
+                    oi.list_(1, _T_STRUCT, locs)
+                    oi_bytes = oi.done()
+                    oi_off = len(out)
+                    out += oi_bytes
+                    cc.i64(4, oi_off)
+                    cc.i32(5, len(oi_bytes))
+                    cc.i64(6, ci_off)
+                    cc.i32(7, len(ci_bytes))
+                cc_structs.append(cc.done())
             rg = _W()
-            rg.list_(1, _T_STRUCT, [c for c, _s in rg_cols])
+            rg.list_(1, _T_STRUCT, cc_structs)
             rg.i64(2, rg_bytes)
-            rg.i64(3, end - start)
+            rg.i64(3, rg_rows)
             row_groups.append(rg.done())
-            start = end
         # schema: root + one element per column
         schema_elems = []
         root = _W()

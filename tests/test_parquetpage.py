@@ -361,3 +361,103 @@ def test_list_decode_refuses_deep_nesting_and_fuzz():
         for _f in range(1 + rnd.randrange(8)):
             b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
         read_columns(bytes(b), want=["tags", "nums"])  # no raise
+
+
+# ---- r16: page-index tier (ColumnIndex / OffsetIndex) ------------------
+
+
+def _page_index_file(use_dictionary=False):
+    n = 10000
+    tbl = pa.table({
+        "i": pa.array(range(n), pa.int64()),
+        "s": pa.array(["c%d" % (k % 7) for k in range(n)]),
+        "nul": pa.array([None if k < 5000 else k for k in range(n)],
+                        pa.int64()),
+    })
+    return n, _write(tbl, compression="snappy",
+                     data_page_size=2048, write_page_index=True,
+                     use_dictionary=use_dictionary)
+
+
+@pytest.mark.parametrize("use_dict", [False, True])
+def test_page_index_pruned_decode_vs_pyarrow(use_dict):
+    from teledetection_drone_satellite_spark.sources.parquetmeta \
+        import parse_parquet_footer
+    from teledetection_drone_satellite_spark.sources.parquetpage \
+        import decode_pruned_chunk, decode_rows_chunk
+
+    n, buf = _page_index_file(use_dict)
+    f = parse_parquet_footer(buf)
+    rg = f["row_groups"][0]
+    leaves = {lf["name"]: lf for lf in f["columns"]}
+    chunks = {c["path"]: c for c in rg["columns"]}
+    got = decode_pruned_chunk(buf, chunks["i"], leaves["i"],
+                              4000, 4100, rg["num_rows"])
+    assert got is not None
+    hits = [(r, v) for r, v in got["values"] if 4000 <= v <= 4100]
+    assert [v for _r, v in hits] == list(range(4000, 4101))
+    assert all(r == v for r, v in hits)
+    assert got["n_selected"] < got["n_pages"]
+    assert got["bytes_read"] < got["bytes_total"]
+    # projection-side: fetch the string column only for those rows
+    gs = decode_rows_chunk(buf, chunks["s"], leaves["s"],
+                           hits[0][0], hits[-1][0], rg["num_rows"])
+    smap = dict(gs["values"])
+    assert all(smap[r].decode() == "c%d" % (r % 7)
+               for r, _v in hits)
+    assert gs["n_selected"] < gs["n_pages"]
+    # all-excluded predicate: zero pages, zero values
+    g0 = decode_pruned_chunk(buf, chunks["i"], leaves["i"],
+                             10 ** 9, 2 * 10 ** 9, rg["num_rows"])
+    assert g0["n_selected"] == 0 and g0["values"] == []
+    # null pages never match a value predicate
+    gn = decode_pruned_chunk(buf, chunks["nul"], leaves["nul"],
+                             0, 100, rg["num_rows"])
+    assert gn is not None
+    assert all(v is None or 0 <= v <= 100
+               for _r, v in gn["values"]) or True  # conservative
+    assert not any(v is not None and 0 <= v <= 100
+                   for _r, v in gn["values"])
+
+
+def test_page_index_absent_refuses():
+    from teledetection_drone_satellite_spark.sources.parquetmeta \
+        import parse_parquet_footer
+    from teledetection_drone_satellite_spark.sources.parquetpage \
+        import decode_pruned_chunk, parse_page_index
+
+    tbl = pa.table({"i": pa.array(range(100), pa.int64())})
+    buf = _write(tbl, write_page_index=False)
+    f = parse_parquet_footer(buf)
+    chunk = f["row_groups"][0]["columns"][0]
+    leaf = f["columns"][0]
+    assert parse_page_index(buf, chunk) is None
+    assert decode_pruned_chunk(buf, chunk, leaf, 0, 10,
+                               f["row_groups"][0]["num_rows"]) \
+        is None
+
+
+def test_page_index_bitflip_fuzz():
+    from teledetection_drone_satellite_spark.sources.parquetmeta \
+        import parse_parquet_footer
+    from teledetection_drone_satellite_spark.sources.parquetpage \
+        import decode_pruned_chunk
+
+    _n, buf = _page_index_file()
+    rnd = random.Random(1620)
+    for _ in range(100):
+        b = bytearray(buf)
+        for _f in range(1 + rnd.randrange(8)):
+            b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+        bb = bytes(b)
+        f = parse_parquet_footer(bb)
+        if f is None or not f["row_groups"]:
+            continue
+        rg = f["row_groups"][0]
+        chunk = rg["columns"][0] if rg["columns"] else None
+        leaf = f["columns"][0] if f["columns"] else None
+        if chunk is None or leaf is None or \
+                not isinstance(rg.get("num_rows"), int):
+            continue
+        decode_pruned_chunk(bb, chunk, leaf, 0, 1000,
+                            rg["num_rows"])  # any return, no raise

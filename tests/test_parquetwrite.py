@@ -272,3 +272,66 @@ def test_nested_list_write_page_and_rowgroup_splits():
     got = [[x.decode() for x in r] if r is not None else None
            for r in mine["columns"]["tags"]]
     assert got == big
+
+
+def test_written_page_indexes_prune_and_external_readers(tmp_path):
+    # r16: the writer emits ColumnIndex/OffsetIndex per flat chunk;
+    # the repo's own page-pruned decode uses them, and pyarrow +
+    # DuckDB accept the files (pyarrow surfaces has_column_index)
+    import io
+
+    import duckdb
+    import pyarrow.parquet as _pq
+
+    from teledetection_drone_satellite_spark.sources.parquetmeta \
+        import parse_parquet_footer
+    from teledetection_drone_satellite_spark.sources.parquetpage \
+        import decode_pruned_chunk, parse_page_index
+    from teledetection_drone_satellite_spark.sources.parquetwrite \
+        import write_parquet
+
+    n = 20000
+    ids = list(range(n))
+    buf = write_parquet(
+        {"i": ("INT64", ids),
+         "c": ("BYTE_ARRAY", ["cat-%d" % (k % 23)
+                              for k in range(n)]),
+         "f": ("DOUBLE", [None if k % 9 == 0 else k * 0.5
+                          for k in range(n)])},
+        codec="SNAPPY", data_page_size=4096)
+    assert buf is not None
+    f = parse_parquet_footer(buf)
+    rg = f["row_groups"][0]
+    chunks = {c["path"]: c for c in rg["columns"]}
+    leaves = {lf["name"]: lf for lf in f["columns"]}
+    idx = parse_page_index(buf, chunks["i"])
+    assert idx is not None and len(idx["pages"]) > 10
+    got = decode_pruned_chunk(buf, chunks["i"], leaves["i"],
+                              9000, 9100, rg["num_rows"])
+    hits = [v for _r, v in got["values"] if 9000 <= v <= 9100]
+    assert hits == list(range(9000, 9101))
+    assert got["n_selected"] * 3 < got["n_pages"]
+    # dict-encoded string chunk carries an index too
+    assert parse_page_index(buf, chunks["c"]) is not None
+    # external readers
+    t = _pq.read_table(io.BytesIO(buf))
+    assert t.column("i").to_pylist() == ids
+    pf = _pq.ParquetFile(io.BytesIO(buf))
+    assert pf.metadata.row_group(0).column(0).has_column_index
+    assert pf.metadata.row_group(0).column(0).has_offset_index
+    p = str(tmp_path / "pidx.parquet")
+    open(p, "wb").write(buf)
+    got = duckdb.connect().execute(
+        "SELECT count(*), sum(i) FROM read_parquet('%s') "
+        "WHERE i BETWEEN 9000 AND 9100" % p).fetchone()
+    assert got == (101, sum(range(9000, 9101)))
+    # NaN-bearing float pages: the chunk is marked indexless
+    # (parquet-format forbids NaN bounds) — honest omission
+    buf2 = write_parquet(
+        {"f": ("DOUBLE", [float("nan"), 1.0, 2.0] * 100)},
+        codec="SNAPPY", data_page_size=512)
+    f2 = parse_parquet_footer(buf2)
+    c2 = f2["row_groups"][0]["columns"][0]
+    assert parse_page_index(buf2, c2) is None
+    import pyarrow.parquet as _pq2
+    assert _pq2.read_table(io.BytesIO(buf2)).num_rows == 300
