@@ -284,7 +284,53 @@ DECODERS = {
                           lambda data: _pyds_parquet_plan(data)),
     "pyds_orc_plan": (lambda i: _synth_orc_bytes(i),
                       lambda data: _pyds_orc_plan(data)),
+    # r16: page-index pruned decode (ColumnIndex/OffsetIndex walk +
+    # synthetic-chunk assembly) over real indexed files
+    "pq_page_prune": (lambda i: _synth_parquet_indexed(i),
+                      lambda data: _pq_page_prune(data)),
 }
+
+
+def _synth_parquet_indexed(i: int) -> bytes:
+    import io as _io
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    n = 300 + i % 200
+    tbl = _pa.table({
+        "a": _pa.array([None if k % 9 == 0 else (i + k) * 3
+                        for k in range(n)], _pa.int64()),
+        "s": _pa.array(["v%d" % ((i + k) % 13) for k in range(n)]),
+    })
+    sink = _io.BytesIO()
+    _pq.write_table(tbl, sink, compression="snappy",
+                    data_page_size=512, write_page_index=True,
+                    use_dictionary=i % 2 == 0)
+    return sink.getvalue()
+
+
+def _pq_page_prune(data: bytes):
+    from teledetection_drone_satellite_spark.sources.parquetmeta \
+        import parse_parquet_footer
+    from teledetection_drone_satellite_spark.sources.parquetpage \
+        import decode_pruned_chunk, decode_rows_chunk
+
+    footer = parse_parquet_footer(data)
+    if footer is None or not footer["row_groups"] or \
+            not footer["columns"]:
+        return None
+    rg = footer["row_groups"][0]
+    if not isinstance(rg.get("num_rows"), int) or \
+            rg["num_rows"] < 0 or not rg["columns"]:
+        return None
+    leaf = footer["columns"][0]
+    chunk = rg["columns"][0]
+    got = decode_pruned_chunk(data, chunk, leaf, 0, 500,
+                              rg["num_rows"])
+    rows = decode_rows_chunk(data, chunk, leaf, 5, 50,
+                             rg["num_rows"])
+    return None if got is None and rows is None else (got, rows)
 
 
 def _pyds_parquet_plan(data: bytes):

@@ -877,8 +877,14 @@ def _decode_selected_pages(buf: bytes, chunk: dict, leaf: dict,
     plus the selected data pages back to back — the sequential page
     walk decodes it as-is — and tag each value with its global row
     index."""
-    blob = bytearray()
     dpo = chunk.get("dictionary_page_offset")
+    # a corrupt footer may carry non-int offsets/sizes (soak find)
+    if not isinstance(chunk.get("data_page_offset"), int) or \
+            not isinstance(chunk.get("total_compressed_size"),
+                           int) or \
+            not (dpo is None or isinstance(dpo, int)):
+        return None
+    blob = bytearray()
     synth = dict(chunk)
     if dpo is not None:
         dstart = min(dpo, chunk["data_page_offset"])
