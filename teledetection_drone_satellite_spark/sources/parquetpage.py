@@ -946,35 +946,39 @@ def decode_rows_chunk(buf: bytes, chunk: dict, leaf: dict,
                                   selected)
 
 
-def list_leaves(footer: dict) -> "dict[str, dict]":
-    """{top-level field name: leaf} for every single-level LIST
-    column (max_rep == 1 with exactly ONE leaf under the top-level
-    name) — the columns decode_list_chunk serves.  MAP columns (two
-    leaves under one name — see map_leaves) and deeper nesting
-    (max_rep > 1) are excluded."""
+def _nested_by_top(footer: dict) -> "dict[str, list]":
+    """Every repeated-path leaf (max_rep >= 1) grouped by top-level
+    field name — classification must see the WHOLE subtree, or a
+    map<k, array<v>> would pass for a list of its keys."""
     by_top: "dict[str, list]" = {}
     for leaf in footer["columns"]:
-        if leaf.get("max_rep", 0) == 1:
+        if leaf.get("max_rep", 0) >= 1:
             by_top.setdefault(leaf["name"].split(".", 1)[0],
                               []).append(leaf)
-    return {top: leaves[0] for top, leaves in by_top.items()
-            if len(leaves) == 1}
+    return by_top
+
+
+def list_leaves(footer: dict) -> "dict[str, dict]":
+    """{top-level field name: leaf} for every single-level LIST
+    column (exactly ONE nested leaf under the top-level name, at
+    max_rep == 1) — the columns decode_list_chunk serves.  MAP
+    columns (see map_leaves) and any subtree containing deeper
+    nesting are excluded."""
+    return {top: leaves[0]
+            for top, leaves in _nested_by_top(footer).items()
+            if len(leaves) == 1 and leaves[0]["max_rep"] == 1}
 
 
 def map_leaves(footer: dict) -> "dict[str, tuple[dict, dict]]":
     """{top-level field name: (key leaf, value leaf)} for MAP
-    columns (r16): two max_rep-1 leaves under one top-level name
-    whose last path segments are key/value (the spec's 3-level
-    map shape ``optional group (MAP) / repeated group key_value /
-    key + value``)."""
-    by_top: "dict[str, list]" = {}
-    for leaf in footer["columns"]:
-        if leaf.get("max_rep", 0) == 1:
-            by_top.setdefault(leaf["name"].split(".", 1)[0],
-                              []).append(leaf)
+    columns (r16): exactly two nested leaves under one top-level
+    name, both at max_rep 1, whose last path segments are key/value
+    (the spec's 3-level map shape ``optional group (MAP) / repeated
+    group key_value / key + value``)."""
     out = {}
-    for top, leaves in by_top.items():
-        if len(leaves) != 2:
+    for top, leaves in _nested_by_top(footer).items():
+        if len(leaves) != 2 or any(
+                lf["max_rep"] != 1 for lf in leaves):
             continue
         key = next((lf for lf in leaves
                     if lf["name"].rsplit(".", 1)[-1] == "key"), None)

@@ -461,3 +461,26 @@ def test_page_index_bitflip_fuzz():
             continue
         decode_pruned_chunk(bb, chunk, leaf, 0, 1000,
                             rg["num_rows"])  # any return, no raise
+
+
+def test_nested_classification_excludes_deep_subtrees():
+    # a map<k, array<v>> must NOT pass for a list of its keys, and
+    # a list<list<v>> must not classify at all
+    from teledetection_drone_satellite_spark.sources.parquetmeta \
+        import parse_parquet_footer
+    from teledetection_drone_satellite_spark.sources.parquetpage \
+        import list_leaves, map_leaves
+
+    tbl = pa.table({
+        "simple": pa.array([[1, 2]], pa.list_(pa.int64())),
+        "deepmap": pa.array([{"k": [1, 2]}],
+                            pa.map_(pa.string(),
+                                    pa.list_(pa.int64()))),
+        "okmap": pa.array([{"k": 1}],
+                          pa.map_(pa.string(), pa.int64())),
+        "deeplist": pa.array([[[1]]],
+                             pa.list_(pa.list_(pa.int64()))),
+    })
+    f = parse_parquet_footer(_write(tbl))
+    assert sorted(list_leaves(f)) == ["simple"]
+    assert sorted(map_leaves(f)) == ["okmap"]
