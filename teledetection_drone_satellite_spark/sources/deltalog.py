@@ -939,3 +939,44 @@ def read_delta_commits(table_dir: str) -> "list[tuple[int, bytes]]":
             with open(_os.path.join(log_dir, name), "rb") as f:
                 out.append((int(name[:20]), f.read()))
     return out
+
+
+def delta_add_with_dv(path: str, size: int, num_records: int,
+                      deleted_positions: "set[int]",
+                      modification_time: int = 0) -> dict:
+    """r16 merge-on-read WRITE: an add action carrying an INLINE
+    deletion vector over the given row positions (storageType 'i',
+    Z85-encoded per PROTOCOL.md — the self-contained form that needs
+    no side file).  Together with delta_init_actions (which the
+    caller must upgrade to reader version 3 + readerFeatures
+    ['deletionVectors'] when any add carries a DV), write ->
+    snapshot_with_dvs closes the DV loop in-repo."""
+    act = delta_add_action(path, size, num_records,
+                           modification_time=modification_time)
+    if deleted_positions:
+        bm = encode_dv_bitmap(set(deleted_positions))
+        pad = bm + b"\x00" * ((4 - len(bm) % 4) % 4)
+        act["add"]["deletionVector"] = {
+            "storageType": "i",
+            "pathOrInlineDv": z85_encode(pad),
+            "sizeInBytes": len(bm),
+            "cardinality": len(deleted_positions),
+        }
+    return act
+
+
+def delta_dv_protocol_actions(table_id: str,
+                              fields: "list[tuple[str, str]]",
+                              created_time: int = 0) -> "list[dict]":
+    """delta_init_actions' DV-capable variant: protocol v3/v7 with
+    the deletionVectors reader/writer features, plus the table
+    configuration flag, per PROTOCOL.md."""
+    acts = delta_init_actions(table_id, fields,
+                              created_time=created_time)
+    acts[0] = {"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"]}}
+    acts[1]["metaData"]["configuration"] = {
+        "delta.enableDeletionVectors": "true"}
+    return acts

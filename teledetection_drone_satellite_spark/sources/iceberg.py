@@ -796,7 +796,13 @@ def write_iceberg_table(table_dir: str,
     meta_dir = _os.path.join(table_dir, "metadata")
     _os.makedirs(meta_dir, exist_ok=True)
     snaps_json = []
-    for snap_id, entries in snapshots:
+    for snap in snapshots:
+        # (snap_id, entries) or (snap_id, entries, pos_deletes)
+        # where pos_deletes = [{'file_path', 'pos'}...] — r16
+        # merge-on-read write: the rows land in an Avro delete file
+        # under a content-1 delete manifest
+        snap_id, entries = snap[0], snap[1]
+        pos_deletes = snap[2] if len(snap) > 2 else None
         sync_m = bytes((snap_id + k) % 256 for k in range(16))
         man_rel = "metadata/m-%d.avro" % snap_id
         blob = write_avro(MANIFEST_SCHEMA_EXT, entries,
@@ -806,8 +812,7 @@ def write_iceberg_table(table_dir: str,
         n_added = sum(1 for e in entries if e["status"] == 1)
         n_exist = sum(1 for e in entries if e["status"] == 0)
         n_del = sum(1 for e in entries if e["status"] == 2)
-        ml_rel = "metadata/snap-%d.avro" % snap_id
-        ml_blob = write_avro(MANIFEST_LIST_SCHEMA, [{
+        ml_records = [{
             "manifest_path": man_rel,
             "manifest_length": len(blob),
             "partition_spec_id": 0,
@@ -815,7 +820,48 @@ def write_iceberg_table(table_dir: str,
             "added_data_files_count": n_added,
             "existing_data_files_count": n_exist,
             "deleted_data_files_count": n_del,
-        }], sync=bytes((snap_id + 7 + k) % 256 for k in range(16)))
+        }]
+        if pos_deletes:
+            del_rel = "data/del-%d.avro" % snap_id
+            _os.makedirs(_os.path.join(table_dir, "data"),
+                         exist_ok=True)
+            del_blob = write_avro(
+                POS_DELETE_SCHEMA, list(pos_deletes),
+                sync=bytes((snap_id + 3 + k) % 256
+                           for k in range(16)))
+            with open(_os.path.join(table_dir, del_rel),
+                      "wb") as f:
+                f.write(del_blob)
+            dman_rel = "metadata/dm-%d.avro" % snap_id
+            dman = write_avro(MANIFEST_SCHEMA_EXT, [{
+                "status": 1, "snapshot_id": snap_id,
+                "data_file": {
+                    "file_path": del_rel,
+                    "file_format": "AVRO",
+                    "record_count": len(pos_deletes),
+                    "file_size_in_bytes": len(del_blob),
+                    "equality_ids": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                }}], codec="deflate",
+                sync=bytes((snap_id + 5 + k) % 256
+                           for k in range(16)))
+            with open(_os.path.join(table_dir, dman_rel),
+                      "wb") as f:
+                f.write(dman)
+            ml_records.append({
+                "manifest_path": dman_rel,
+                "manifest_length": len(dman),
+                "partition_spec_id": 0,
+                "content": 1,
+                "added_data_files_count": 1,
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+            })
+        ml_rel = "metadata/snap-%d.avro" % snap_id
+        ml_blob = write_avro(
+            MANIFEST_LIST_SCHEMA, ml_records,
+            sync=bytes((snap_id + 7 + k) % 256 for k in range(16)))
         with open(_os.path.join(table_dir, ml_rel), "wb") as f:
             f.write(ml_blob)
         snaps_json.append({"snapshot-id": snap_id,
@@ -866,4 +912,15 @@ def read_iceberg_tree(metadata_path: str) -> "tuple[bytes, dict]":
             if isinstance(mp, str) and mp not in files:
                 with open(_os.path.join(table_dir, mp), "rb") as f:
                     files[mp] = f.read()
+            if rec.get("content") == 1 and isinstance(mp, str):
+                # delete manifests name Avro delete FILES the
+                # resolver must also see (r16 pos-delete write)
+                man = parse_avro(files[mp])
+                for e in (man or {"records": []})["records"]:
+                    df = e.get("data_file") or {}
+                    dp = df.get("file_path")
+                    if isinstance(dp, str) and dp not in files:
+                        with open(_os.path.join(table_dir, dp),
+                                  "rb") as f:
+                            files[dp] = f.read()
     return metadata_json, files

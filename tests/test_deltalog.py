@@ -514,3 +514,37 @@ def test_delta_write_commit_bytes_deterministic_and_pruneable(tmp_path):
     # the written stats feed the repo's own pruning tier
     got = prune_files(adds, "id", 100, 104)
     assert [a["path"] for a in got["touched"]] == ["b.parquet"]
+
+
+def test_delta_dv_write_merge_on_read_loop(tmp_path):
+    # r16: WRITE an inline-DV-bearing log, replay it with the
+    # merge-on-read resolver — net records arithmetic in-repo both
+    # directions
+    from teledetection_drone_satellite_spark.sources.deltalog import (
+        commit_delta,
+        delta_add_with_dv,
+        delta_dv_protocol_actions,
+        read_delta_commits,
+        snapshot_with_dvs,
+    )
+
+    td = str(tmp_path / "dvt")
+    acts = delta_dv_protocol_actions("t-dv", [("id", "long")])
+    acts += [delta_add_with_dv("a.parquet", 100, 50, {3, 7, 11}),
+             delta_add_with_dv("b.parquet", 120, 60, set()),
+             delta_add_with_dv("c.parquet", 90, 40,
+                               set(range(0, 40, 2)))]
+    commit_delta(td, 0, acts)
+    snap = snapshot_with_dvs(read_delta_commits(td), {})
+    assert snap is not None
+    assert snap["n_dv_files"] == 2
+    assert snap["dv_cardinality"] == 3 + 20
+    assert snap["net_records"] == 150 - 23
+    assert snap["dv_exact_ok"]
+    # a DV past the file's numRecords is CAUGHT (falsifiable)
+    td2 = str(tmp_path / "dvbad")
+    acts2 = delta_dv_protocol_actions("t-bad", [("id", "long")])
+    acts2 += [delta_add_with_dv("a.parquet", 100, 10, {99})]
+    commit_delta(td2, 0, acts2)
+    snap2 = snapshot_with_dvs(read_delta_commits(td2), {})
+    assert snap2 is not None and not snap2["dv_exact_ok"]

@@ -363,3 +363,33 @@ def test_iceberg_write_single_snapshot_all_live(tmp_path):
     assert snap["n_live_files"] == 5
     assert snap["total_records"] == sum(5 + k for k in range(5))
     assert snap["total_bytes"] == sum(50 + k for k in range(5))
+
+
+def test_iceberg_write_positional_deletes_loop(tmp_path):
+    # r16: write a snapshot carrying an Avro positional-delete file
+    # under a content-1 delete manifest; the resolver applies the
+    # merge-on-read arithmetic on the way back
+    from teledetection_drone_satellite_spark.sources.iceberg import (
+        iceberg_data_entry,
+        read_iceberg_tree,
+        resolve_snapshot,
+        write_iceberg_table,
+    )
+
+    td = str(tmp_path / "posdel")
+    ents = [iceberg_data_entry("data/a.parquet", 100, 10,
+                               status=1, snapshot_id=1),
+            iceberg_data_entry("data/b.parquet", 120, 12,
+                               status=1, snapshot_id=1)]
+    dels = [{"file_path": "data/a.parquet", "pos": k}
+            for k in (0, 3, 5)]
+    mp = write_iceberg_table(
+        td, [(1, ents, dels)],
+        [{"id": 1, "name": "id", "required": True,
+          "type": "long"}])
+    snap = resolve_snapshot(*read_iceberg_tree(mp))
+    assert snap is not None
+    assert snap["n_live_files"] == 2
+    assert snap["n_delete_manifests"] == 1
+    assert snap["n_pos_deletes"] == 3
+    assert snap["net_records"] == 22 - 3
