@@ -12540,10 +12540,10 @@ def pyds_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob as _glob
     import os as _os
     import tempfile as _tempfile
-    import uuid as _uuid
 
     from ..catalog import source_fingerprint
     from ..sources.pydatasource import RawParquetDataSource
+    from ..streaming.windows import _run_to_memory
 
     fp = source_fingerprint(sf_dir, "documents")
     root = _os.path.join(_tempfile.gettempdir(),
@@ -12569,11 +12569,9 @@ def pyds_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("doc_id").alias("id_sum"),
              F.sum("n_chars").alias("chars_sum"))
     )
-    name = "pyds_stream_%s" % _uuid.uuid4().hex[:12]
-    q = (agg.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
-    return spark.table(name)
+    # the shared drain helper also records the progress trail the
+    # plan audit's streaming branch reads (state rows/commits)
+    return _run_to_memory(agg, "complete")
 
 
 @register(
