@@ -623,9 +623,14 @@ class RawOrcDataSource(DataSource):
         top-level columns plus (r16) compound columns whose whole
         subtree is exposable (_orc_compound_type)."""
         nodes = tail["type_nodes"]
+        if not nodes:
+            raise ValueError("empty ORC type tree")
         root = nodes[0]
         out = []
         for name, tid in zip(root["names"], root["subtypes"]):
+            if not isinstance(tid, int) or tid >= len(nodes):
+                raise ValueError("corrupt ORC type tree: subtype "
+                                 "%r out of range" % (tid,))
             kind = nodes[tid]["kind"]
             if kind in _ORC_SPARK_TYPES:
                 out.append((name, tid, kind, _ORC_SPARK_TYPES[kind]))
@@ -811,6 +816,15 @@ class RawOrcReader(DataSourceReader):
         )
 
         st = partition.stripe
+        # a corrupt tail may carry non-int stripe fields (soak
+        # find); the refusal channel is ValueError, never a
+        # TypeError out of seek()
+        if not all(isinstance(st.get(k), int) and st.get(k) >= 0
+                   for k in ("offset", "index_length",
+                             "data_length", "footer_length",
+                             "num_rows")):
+            raise ValueError("corrupt stripe metadata in %s"
+                             % partition.path)
         off = st["offset"]
         total = st["index_length"] + st["data_length"] + \
             st["footer_length"]
@@ -836,6 +850,10 @@ class RawOrcReader(DataSourceReader):
         epoch = _dt.datetime(1970, 1, 1)
         cols = []
         for _name, tid, kind in partition.cols:
+            if tid >= len(foot["encodings"]):
+                raise ValueError(
+                    "stripe footer encodings truncated in %s"
+                    % partition.path)
             if kind in ("LIST", "MAP", "STRUCT"):
                 vals = _decode_node(partition.nodes, tid,
                                     foot["encodings"], streams,
