@@ -12791,6 +12791,66 @@ def parquet_page_prune_stats(spark: SparkSession,
 
 
 @register(
+    "pyds_page_prune_scan",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum
+    FROM documents
+    WHERE doc_id BETWEEN 100 AND 149
+    GROUP BY lang
+    """,
+    doc="Page-level pushdown THROUGH the registered DataSource, "
+    "graded (r16 — parquet_page_prune_stats drives the decoders "
+    "directly; this grades the same machinery as Catalyst sees it): "
+    "a FRESH load with .option('pushdown','true') + a doc_id range "
+    "filter — Spark pushes the predicates, the reader prunes row "
+    "groups via footer stats AND, inside each surviving task, "
+    "decodes only the predicate column's matching PAGES "
+    "(ColumnIndex) plus the other columns' pages covering the "
+    "matching row span (OffsetIndex), over an mmap so only touched "
+    "ranges hit disk. Pruning-only: rows emit at page granularity "
+    "and Spark re-evaluates the filter row-level. Sets the runtime "
+    "conf spark.sql.python.filterPushdown.enabled=true (a session "
+    "conf Spark 4 requires for any pushFilters-bearing reader; "
+    "harmless to other queries). The fixture is the "
+    "parquet_page_prune_stats file (Spark-written, small pages, "
+    "page indexes).",
+    tags=("ingest", "sketch", "pipeline"),
+)
+def pyds_page_prune_scan(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..catalog import source_fingerprint
+    from ..sources.pydatasource import RawParquetDataSource
+
+    # share parquet_page_prune_stats' fixture (write it if this
+    # query is graded first)
+    fp = source_fingerprint(sf_dir, "documents")
+    root = _os.path.join(_tempfile.gettempdir(),
+                         "spark_graft_pqpidx_v1", fp)
+    if not _os.path.exists(_os.path.join(root, "_DONE")):
+        parquet_page_prune_stats(spark, sf_dir)
+    part = sorted(_glob.glob(root + "/part-*.parquet"))[0]
+    spark.conf.set("spark.sql.python.filterPushdown.enabled",
+                   "true")
+    spark.dataSource.register(RawParquetDataSource)
+    df = (spark.read.format("rawparquet")
+          .option("pushdown", "true").load(part))
+    return (
+        df.filter((F.col("doc_id") >= 100) & (F.col("doc_id") <= 149))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("doc_id").alias("id_sum"),
+             F.sum("n_chars").alias("chars_sum"))
+    )
+
+
+@register(
     "parquet_map_stats",
     oracle="""
     WITH t AS (
