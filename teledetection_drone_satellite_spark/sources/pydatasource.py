@@ -515,8 +515,15 @@ def _read_pq_partition_pruned(partition: _PqPartition):
                                 if v is not None else None)
                             for r, v in vals.items()}
                 colmaps.append(vals)
-            return iter([tuple(cm[r] for cm in colmaps)
-                         for r in pred_rows])
+            try:
+                return iter([tuple(cm[r] for cm in colmaps)
+                             for r in pred_rows])
+            except KeyError:
+                # per-column OffsetIndexes disagree on row layout —
+                # corrupt indexes; refuse on the documented channel
+                raise ValueError(
+                    "page indexes disagree across columns in %s"
+                    % partition.path)
         finally:
             buf.close()
 
