@@ -797,12 +797,14 @@ def write_iceberg_table(table_dir: str,
     _os.makedirs(meta_dir, exist_ok=True)
     snaps_json = []
     for snap in snapshots:
-        # (snap_id, entries) or (snap_id, entries, pos_deletes)
-        # where pos_deletes = [{'file_path', 'pos'}...] — r16
-        # merge-on-read write: the rows land in an Avro delete file
-        # under a content-1 delete manifest
+        # (snap_id, entries[, pos_deletes[, eq_deletes]]) where
+        # pos_deletes = [{'file_path', 'pos'}...] and eq_deletes =
+        # (equality_ids, avro_schema, rows) — r16 merge-on-read
+        # write: the rows land in Avro delete files under content-1
+        # delete manifests
         snap_id, entries = snap[0], snap[1]
         pos_deletes = snap[2] if len(snap) > 2 else None
+        eq_deletes = snap[3] if len(snap) > 3 else None
         sync_m = bytes((snap_id + k) % 256 for k in range(16))
         man_rel = "metadata/m-%d.avro" % snap_id
         blob = write_avro(MANIFEST_SCHEMA_EXT, entries,
@@ -852,6 +854,44 @@ def write_iceberg_table(table_dir: str,
             ml_records.append({
                 "manifest_path": dman_rel,
                 "manifest_length": len(dman),
+                "partition_spec_id": 0,
+                "content": 1,
+                "added_data_files_count": 1,
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+            })
+        if eq_deletes:
+            eq_ids, eq_schema, eq_rows = eq_deletes
+            eqf_rel = "data/eqdel-%d.avro" % snap_id
+            _os.makedirs(_os.path.join(table_dir, "data"),
+                         exist_ok=True)
+            eq_blob = write_avro(
+                eq_schema, list(eq_rows),
+                sync=bytes((snap_id + 9 + k) % 256
+                           for k in range(16)))
+            with open(_os.path.join(table_dir, eqf_rel),
+                      "wb") as f:
+                f.write(eq_blob)
+            eman_rel = "metadata/em-%d.avro" % snap_id
+            eman = write_avro(MANIFEST_SCHEMA_EXT, [{
+                "status": 1, "snapshot_id": snap_id,
+                "data_file": {
+                    "file_path": eqf_rel,
+                    "file_format": "AVRO",
+                    "record_count": len(eq_rows),
+                    "file_size_in_bytes": len(eq_blob),
+                    "equality_ids": list(eq_ids),
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                }}], codec="deflate",
+                sync=bytes((snap_id + 11 + k) % 256
+                           for k in range(16)))
+            with open(_os.path.join(table_dir, eman_rel),
+                      "wb") as f:
+                f.write(eman)
+            ml_records.append({
+                "manifest_path": eman_rel,
+                "manifest_length": len(eman),
                 "partition_spec_id": 0,
                 "content": 1,
                 "added_data_files_count": 1,

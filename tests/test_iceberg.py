@@ -393,3 +393,36 @@ def test_iceberg_write_positional_deletes_loop(tmp_path):
     assert snap["n_delete_manifests"] == 1
     assert snap["n_pos_deletes"] == 3
     assert snap["net_records"] == 22 - 3
+
+
+def test_iceberg_write_equality_deletes_loop(tmp_path):
+    # r16: write an equality-delete file (equality_ids on the
+    # manifest entry) and resolve it back — the bounds-based
+    # planner arithmetic applies only in-range values
+    from teledetection_drone_satellite_spark.sources.iceberg import (
+        EQ_DELETE_SCHEMA,
+        iceberg_data_entry,
+        read_iceberg_tree,
+        resolve_snapshot,
+        write_iceberg_table,
+    )
+
+    td = str(tmp_path / "eqw")
+    ents = [iceberg_data_entry("data/a.parquet", 100, 10, status=1,
+                               snapshot_id=1, bounds={1: (0, 9)}),
+            iceberg_data_entry("data/b.parquet", 120, 12, status=1,
+                               snapshot_id=1,
+                               bounds={1: (100, 111)})]
+    eq = ([1], EQ_DELETE_SCHEMA,
+          [{"id": 5}, {"id": 105}, {"id": 999}])
+    mp = write_iceberg_table(
+        td, [(1, ents, None, eq)],
+        [{"id": 1, "name": "id", "required": True,
+          "type": "long"}])
+    snap = resolve_snapshot(*read_iceberg_tree(mp))
+    assert snap is not None
+    assert snap["n_eq_delete_files"] == 1
+    assert snap["n_eq_deletes"] == 3
+    assert snap["n_eq_applied"] == 2  # 999 is out of every bound
+    assert snap["net_records"] == 22 - 2
+    assert snap["eq_exact"]
