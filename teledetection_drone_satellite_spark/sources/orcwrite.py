@@ -240,7 +240,7 @@ def write_orc(columns: "dict[str, tuple[str, list]]",
             return None
         # depth-first type-id assignment: root 0, then each
         # top-level column's subtree
-        specs = []  # (name, kind, elem_kind|None, cid, elem_cid)
+        specs = []  # (name, kind, payload, cid, child_cid)
         next_id = 1
         for name in names:
             kind, vals = columns[name]
@@ -254,6 +254,26 @@ def write_orc(columns: "dict[str, tuple[str, list]]",
                 specs.append((name, "LIST", elem, next_id,
                               next_id + 1))
                 next_id += 2
+            elif kind.startswith("STRUCT<") and kind.endswith(">"):
+                # flat struct of primitives: STRUCT<u:LONG,v:STRING>
+                fields = []
+                for part in kind[7:-1].split(","):
+                    if ":" not in part:
+                        return None
+                    fn, fk = part.split(":", 1)
+                    if fk not in _KIND_IDS:
+                        return None
+                    fields.append((fn, fk))
+                if not fields:
+                    return None
+                for fn, fk in fields:
+                    if fk == "LONG" and not _long_fits(
+                            [r.get(fn) for r in vals
+                             if r is not None]):
+                        return None
+                specs.append((name, "STRUCT", fields, next_id,
+                              next_id + 1))
+                next_id += 1 + len(fields)
             else:
                 if kind not in _KIND_IDS:
                     return None
@@ -274,7 +294,10 @@ def write_orc(columns: "dict[str, tuple[str, list]]",
             enc_by_cid = {}
             body = bytearray()
 
-            def _emit(cid, col_streams):
+            def _emit(cid, col_streams, enc=2):
+                # enc: 2 DIRECT_V2 (default); STRUCT nodes carry no
+                # value streams and must declare DIRECT (0) — the
+                # C++ reader rejects DIRECT_V2 on a struct
                 nonlocal body
                 for skind, raw in col_streams:
                     framed = _frame(codec, raw)
@@ -282,25 +305,36 @@ def write_orc(columns: "dict[str, tuple[str, list]]",
                         _pb_uint(1, skind) + _pb_uint(2, cid)
                         + _pb_uint(3, len(framed)))))
                     body += framed
-                enc_by_cid[cid] = _pb_bytes(2, _pb_uint(1, 2))
+                enc_by_cid[cid] = _pb_bytes(2, _pb_uint(1, enc))
 
-            for name, kind, elem, cid, ecid in specs:
+            for name, kind, payload, cid, ccid in specs:
                 vals = columns[name][1]
                 sl = vals[start:end]
-                if kind != "LIST":
+                if kind == "LIST":
+                    rows = [r for r in sl if r is not None]
+                    col_streams = []
+                    if len(rows) != len(sl):
+                        col_streams.append((
+                            _S_PRESENT, bool_rle_encode(
+                                [r is not None for r in sl])))
+                    col_streams.append((_S_LENGTH, rle_v2_encode(
+                        [len(r) for r in rows], signed=False)))
+                    _emit(cid, col_streams)
+                    elems = [e for r in rows for e in r]
+                    _emit(ccid, _flat_streams(payload, elems))
+                elif kind == "STRUCT":
+                    rows = [r for r in sl if r is not None]
+                    col_streams = []
+                    if len(rows) != len(sl):
+                        col_streams.append((
+                            _S_PRESENT, bool_rle_encode(
+                                [r is not None for r in sl])))
+                    _emit(cid, col_streams, enc=0)
+                    for j, (fn, fk) in enumerate(payload):
+                        _emit(ccid + j, _flat_streams(
+                            fk, [r.get(fn) for r in rows]))
+                else:
                     _emit(cid, _flat_streams(kind, sl))
-                    continue
-                rows = [r for r in sl if r is not None]
-                col_streams = []
-                if len(rows) != len(sl):
-                    col_streams.append((
-                        _S_PRESENT, bool_rle_encode(
-                            [r is not None for r in sl])))
-                col_streams.append((_S_LENGTH, rle_v2_encode(
-                    [len(r) for r in rows], signed=False)))
-                _emit(cid, col_streams)
-                elems = [e for r in rows for e in r]
-                _emit(ecid, _flat_streams(elem, elems))
             # encodings ordered by column id, root first
             sf = b"".join(streams_pb)
             sf += _pb_bytes(2, _pb_uint(1, 0))  # root: DIRECT
@@ -318,17 +352,27 @@ def write_orc(columns: "dict[str, tuple[str, list]]",
         # types: root struct + each column's subtree depth-first
         types_pb = bytearray()
         root = _pb_uint(1, 12)  # STRUCT
-        for _name, _kind, _elem, cid, _ecid in specs:
+        for _name, _kind, _payload, cid, _ccid in specs:
             root += _pb_uint(2, cid)
         for name in names:
             root += _pb_bytes(3, name.encode())
         types_pb += _pb_bytes(4, root)
-        for _name, kind, elem, _cid, ecid in specs:
+        for _name, kind, payload, _cid, ccid in specs:
             if kind == "LIST":
                 types_pb += _pb_bytes(4, _pb_uint(1, 10)
-                                      + _pb_uint(2, ecid))
+                                      + _pb_uint(2, ccid))
                 types_pb += _pb_bytes(4, _pb_uint(1,
-                                                  _KIND_IDS[elem]))
+                                                  _KIND_IDS[payload]))
+            elif kind == "STRUCT":
+                node = _pb_uint(1, 12)
+                for j in range(len(payload)):
+                    node += _pb_uint(2, ccid + j)
+                for fn, _fk in payload:
+                    node += _pb_bytes(3, fn.encode())
+                types_pb += _pb_bytes(4, node)
+                for _fn, fk in payload:
+                    types_pb += _pb_bytes(4, _pb_uint(1,
+                                                      _KIND_IDS[fk]))
             else:
                 types_pb += _pb_bytes(4, _pb_uint(1,
                                                   _KIND_IDS[kind]))
@@ -343,7 +387,7 @@ def write_orc(columns: "dict[str, tuple[str, list]]",
                                       else b"\x00")
             return _pb_bytes(7, st)
 
-        for name, kind, _elem, _cid, _ecid in specs:
+        for name, kind, payload, _cid, _ccid in specs:
             vals = columns[name][1]
             n_present = sum(1 for v in vals if v is not None)
             stats_pb += _stat(n_present, len(vals))
@@ -353,6 +397,13 @@ def write_orc(columns: "dict[str, tuple[str, list]]",
                 stats_pb += _stat(
                     sum(1 for e in elems if e is not None),
                     len(elems))
+            elif kind == "STRUCT":
+                rows = [r for r in vals if r is not None]
+                for fn, _fk in payload:
+                    fv = [r.get(fn) for r in rows]
+                    stats_pb += _stat(
+                        sum(1 for v in fv if v is not None),
+                        len(fv))
         footer = (
             _pb_uint(1, 3)  # headerLength: the "ORC" magic
             + _pb_uint(2, len(out))  # contentLength

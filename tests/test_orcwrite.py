@@ -173,3 +173,43 @@ def test_raworc_list_write_read_by_native_spark(spark, tmp_path):
     a = sorted(back.collect(), key=lambda r: r["id"])
     b = sorted(d.collect(), key=lambda r: r["id"])
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_struct_write_three_readers():
+    # r16: flat STRUCT<...> write — PRESENT on the struct node
+    # (encoding DIRECT, which the C++ reader requires on structs),
+    # children over the present rows; pyarrow.orc + own decoder
+    import io
+
+    import pyarrow.orc as _po
+
+    from teledetection_drone_satellite_spark.sources.orcdata import (
+        read_orc_columns)
+    from teledetection_drone_satellite_spark.sources.orcwrite import (
+        write_orc)
+
+    structs = [{"u": 1, "v": "p"}, None, {"u": None, "v": "q"},
+               {"u": 4, "v": None}, {"u": 5, "v": "r"},
+               {"u": 6, "v": "s"}]
+    ids = list(range(6))
+    for codec in ("NONE", "ZLIB"):
+        buf = write_orc({"id": ("LONG", ids),
+                         "st": ("STRUCT<u:LONG,v:STRING>", structs)},
+                        codec=codec)
+        assert buf is not None, codec
+        t = _po.ORCFile(io.BytesIO(buf)).read()
+        assert t.column("st").to_pylist() == structs, codec
+        mine = read_orc_columns(buf, want=["id", "st"])
+        assert mine["columns"]["st"] == structs, codec
+    big = [None if i % 13 == 0 else {"u": i % 7, "v": "s%d" % (i % 5)}
+           for i in range(4000)]
+    buf = write_orc({"st": ("STRUCT<u:LONG,v:STRING>", big)},
+                    codec="ZLIB", stripe_rows=600)
+    assert _po.ORCFile(io.BytesIO(buf)).read() \
+        .column("st").to_pylist() == big
+    assert read_orc_columns(buf, want=["st"])["columns"]["st"] == big
+    # int64 guard reaches struct fields; malformed specs refuse
+    assert write_orc({"st": ("STRUCT<u:LONG>", [{"u": 1 << 63}])}) \
+        is None
+    assert write_orc({"st": ("STRUCT<>", [None])}) is None
+    assert write_orc({"st": ("STRUCT<u>", [None])}) is None
