@@ -248,6 +248,12 @@ def write_orc(columns: "dict[str, tuple[str, list]]",
                 elem = kind[5:-1]
                 if elem not in _KIND_IDS:
                     return None
+                # a str/bytes record would silently shred into its
+                # characters — records must be real sequences
+                if any(r is not None
+                       and not isinstance(r, (list, tuple))
+                       for r in vals):
+                    return None
                 if elem == "LONG" and not all(
                         r is None or _long_fits(r) for r in vals):
                     return None
@@ -428,5 +434,7 @@ def write_orc(columns: "dict[str, tuple[str, list]]",
         out += ps
         out.append(len(ps))
         return bytes(out)
-    except (ValueError, TypeError, struct.error, OverflowError):
+    except (ValueError, TypeError, AttributeError, struct.error,
+            OverflowError):
+        # AttributeError: a STRUCT column fed non-dict values
         return None

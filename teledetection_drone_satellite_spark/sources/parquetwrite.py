@@ -305,6 +305,12 @@ def write_parquet(columns: "dict[str, tuple[str, list]]",
             if ptype.startswith("LIST<") and ptype.endswith(">"):
                 if ptype[5:-1] not in PHYSICAL:
                     return None
+                # a str/bytes record would silently shred into its
+                # characters — records must be real sequences
+                if any(v is not None
+                       and not isinstance(v, (list, tuple))
+                       for v in _v):
+                    return None
             elif ptype not in PHYSICAL:
                 return None
         out = bytearray(b"PAR1")
