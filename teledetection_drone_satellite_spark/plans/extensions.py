@@ -975,9 +975,7 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = bloom_probe_packed(probe, "key", packed, m_bits, k=8)
     return got.agg(
         F.sum(F.when(F.col("is_member"), 1).otherwise(0))
-        .alias("n_members_agg"),
-        F.sum(F.when(F.col("is_member"), 1).otherwise(0))
-        .alias("n_probed_members"),
+        .alias("n_members"),
         F.sum(F.when(~F.col("is_member"), 1).otherwise(0))
         .alias("n_probed_nonmembers"),
         F.sum(F.when(F.col("is_member") & ~F.col("bloom_member"), 1)
@@ -987,7 +985,9 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
           / F.sum(F.when(~F.col("is_member"), 1).otherwise(0)))
          <= F.lit(0.01)).alias("fp_band_ok"),
     ).select(
-        F.col("n_members_agg").alias("n_members"),
-        "n_probed_members", "n_probed_nonmembers",
-        "false_negatives", "fp_band_ok",
+        "n_members",
+        # member probe count == member count by construction (the
+        # probe frame's True arm IS the member set)
+        F.col("n_members").alias("n_probed_members"),
+        "n_probed_nonmembers", "false_negatives", "fp_band_ok",
     )

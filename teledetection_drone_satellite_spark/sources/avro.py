@@ -259,7 +259,22 @@ def _write_value(out: bytearray, schema, value) -> None:
         t = schema.get("type")
         if t == "record":
             for f in schema["fields"]:
-                _write_value(out, f["type"], value[f["name"]])
+                if f["name"] in value:
+                    v = value[f["name"]]
+                else:
+                    # a missing key writes null when the field is
+                    # NULLABLE (union with "null") — so schema
+                    # evolution (r17: data_file.partition) never
+                    # breaks existing record-building callers;
+                    # required fields still KeyError loudly
+                    ft = f["type"]
+                    if not (isinstance(ft, list) and any(
+                            (b if isinstance(b, str)
+                             else b.get("type")) == "null"
+                            for b in ft)):
+                        raise KeyError(f["name"])
+                    v = None
+                _write_value(out, f["type"], v)
             return
         if t == "array":
             if value:

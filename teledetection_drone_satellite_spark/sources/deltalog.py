@@ -661,6 +661,43 @@ def prune_files(adds: "list[dict]", col: str, lo: int,
             "stats_complete": complete}
 
 
+def prune_partitions(adds: "list[dict]",
+                     equals: "dict[str, str]") -> dict:
+    """Delta PARTITION pruning (r17 — the static-pruning twin of
+    prune_files' stats skipping): which active files can a
+    conjunction of ``col = value`` equality predicates on partition
+    columns touch?  A file is SKIPPED only when its partitionValues
+    PROVE a mismatch (the key is present with a different value);
+    a missing key touches conservatively — partition values are
+    log metadata, so at 100 TB this is the planner step that turns
+    a date-scoped query into a scan of one partition's files
+    without reading a single data byte.  ->
+    {'touched': [add...], 'skipped': [add...],
+    'partitions_complete' (every file carried every queried key)}.
+    Values compare as strings per PROTOCOL.md's partition-value
+    serialization."""
+    touched: "list[dict]" = []
+    skipped: "list[dict]" = []
+    complete = True
+    for a in adds:
+        pv = a.get("partitionValues")
+        if not isinstance(pv, dict):
+            complete = False
+            touched.append(a)  # cannot prove: must touch
+            continue
+        skip = False
+        for k, v in equals.items():
+            got = pv.get(k)
+            if got is None:
+                complete = False
+            elif str(got) != str(v):
+                skip = True
+                break
+        (skipped if skip else touched).append(a)
+    return {"touched": touched, "skipped": skipped,
+            "partitions_complete": complete}
+
+
 def snapshot_with_dvs(commits: "list[tuple[int, bytes]]",
                       files: "dict[str, bytes]") -> "dict | None":
     """Merge-on-read over a DV-bearing log: replay, then resolve
@@ -876,10 +913,15 @@ def delta_init_actions(table_id: str,
 def delta_add_action(path: str, size: int, num_records: int,
                      min_values: "dict | None" = None,
                      max_values: "dict | None" = None,
-                     modification_time: int = 0) -> dict:
+                     modification_time: int = 0,
+                     partition_values: "dict | None" = None) -> dict:
     """One add action with the stats JSON the pruning tier reads
     (numRecords always; min/maxValues when the caller has them —
-    e.g. straight from the file's own footer statistics)."""
+    e.g. straight from the file's own footer statistics).
+    ``partition_values`` (r17) is the PROTOCOL.md partitionValues
+    map for partitioned tables — string-keyed, string-valued (Delta
+    serializes every partition value as a string); the metaData's
+    partitionColumns must name the same columns."""
     stats: "dict" = {"numRecords": int(num_records)}
     if min_values:
         stats["minValues"] = min_values
@@ -887,7 +929,8 @@ def delta_add_action(path: str, size: int, num_records: int,
         stats["maxValues"] = max_values
     return {"add": {
         "path": path,
-        "partitionValues": {},
+        "partitionValues": {str(k): str(v) for k, v in
+                            (partition_values or {}).items()},
         "size": int(size),
         "modificationTime": int(modification_time),
         "dataChange": True,

@@ -92,6 +92,16 @@ _KV = {"type": "record", "name": "bound_kv", "fields": [
     {"name": "key", "type": "int"},
     {"name": "value", "type": "bytes"},
 ]}
+# r17: partition values ride the manifest entry (spec data_file
+# field 102).  The spec types field 102 as a struct shaped by the
+# partition spec; this repo's writer/reader pair models it as a
+# (name, string-value) k/v array — the identity-transform case —
+# since both ends are in-repo (Spark reads back the resolved
+# parquet paths, never these Avro manifests).
+_PART_KV = {"type": "record", "name": "part_kv", "fields": [
+    {"name": "name", "type": "string"},
+    {"name": "value", "type": "string"},
+]}
 MANIFEST_SCHEMA_EXT = {
     "type": "record", "name": "manifest_entry",
     "fields": [
@@ -102,6 +112,9 @@ MANIFEST_SCHEMA_EXT = {
             "fields": [
                 {"name": "file_path", "type": "string"},
                 {"name": "file_format", "type": "string"},
+                {"name": "partition",
+                 "type": ["null",
+                          {"type": "array", "items": _PART_KV}]},
                 {"name": "record_count", "type": "long"},
                 {"name": "file_size_in_bytes", "type": "long"},
                 {"name": "equality_ids",
@@ -196,6 +209,7 @@ def resolve_snapshot(metadata_json: bytes,
     consistent = True
     live_paths: "set[str]" = set()
     live_bounds: "dict[str, dict]" = {}  # path -> {fid: (lo, hi)}
+    live_partitions: "dict[str, dict]" = {}  # path -> {name: value}
     delete_files: "list[dict]" = []
     eq_delete_files: "list[dict]" = []  # data_file dicts, content 2
     n_delete_manifests = 0
@@ -259,6 +273,14 @@ def resolve_snapshot(metadata_json: bytes,
             bounds = _decode_bounds(df)
             if bounds is not None:
                 live_bounds[fpath] = bounds
+            pkv = df.get("partition")
+            if isinstance(pkv, list):
+                pvals = {e["name"]: e["value"] for e in pkv
+                         if isinstance(e, dict)
+                         and isinstance(e.get("name"), str)
+                         and isinstance(e.get("value"), str)}
+                if pvals:
+                    live_partitions[fpath] = pvals
             total_records += rc
             total_bytes += sz
         if (added != mf.get("added_data_files_count")
@@ -360,6 +382,8 @@ def resolve_snapshot(metadata_json: bytes,
             "counts_consistent": consistent,
             "live_paths": sorted(live_paths),  # r16: the planner's
             # actual scan set (the write-roundtrip reads it back)
+            "live_partitions": live_partitions,  # r17: path ->
+            # {partition field: value} for partition-pruned scans
             "fields": meta["fields"],
             "partition_fields": meta["partition_fields"]}
 
@@ -386,6 +410,40 @@ def _decode_bounds(df: dict) -> "dict[int, tuple[int, int]] | None":
             out[kv["key"]] = (int.from_bytes(
                 kv["value"], "little", signed=True), his[kv["key"]])
     return out or None
+
+
+def prune_partitions(snap: dict,
+                     equals: "dict[str, str]") -> dict:
+    """Iceberg partition pruning (r17 — the Iceberg twin of
+    deltalog.prune_partitions): which of a resolved snapshot's live
+    files can a conjunction of identity-partition equality
+    predicates touch?  A file is SKIPPED only when its manifest
+    partition values PROVE a mismatch; a file lacking a queried
+    key touches conservatively.  The decision needs only the
+    manifest tree — zero data bytes — which is exactly the
+    planner's first cut at 100 TB.  -> {'touched': [path...],
+    'skipped': [path...], 'partitions_complete'}."""
+    parts = snap.get("live_partitions") or {}
+    touched: "list[str]" = []
+    skipped: "list[str]" = []
+    complete = True
+    for path in snap.get("live_paths", []):
+        pvals = parts.get(path)
+        if not isinstance(pvals, dict):
+            complete = False
+            touched.append(path)  # cannot prove: must touch
+            continue
+        skip = False
+        for k, v in equals.items():
+            got = pvals.get(k)
+            if got is None:
+                complete = False
+            elif str(got) != str(v):
+                skip = True
+                break
+        (skipped if skip else touched).append(path)
+    return {"touched": touched, "skipped": skipped,
+            "partitions_complete": complete}
 
 
 def scan_rows(metadata_json: bytes, files: "dict[str, bytes]",
@@ -527,6 +585,7 @@ def synth_iceberg_eq(doc_id: int) -> "tuple[bytes, dict, dict]":
             "data_file": {
                 "file_path": "data/eqf-%d-%d.parquet" % (i, k),
                 "file_format": "PARQUET",
+                "partition": None,
                 "record_count": rc,
                 "file_size_in_bytes": 4000 + 131 * (i + k),
                 "equality_ids": None,
@@ -560,6 +619,7 @@ def synth_iceberg_eq(doc_id: int) -> "tuple[bytes, dict, dict]":
     files[eqman] = write_avro(MANIFEST_SCHEMA_EXT, [{
         "status": 1, "snapshot_id": 99,
         "data_file": {"file_path": eqf, "file_format": "AVRO",
+                      "partition": None,
                       "record_count": card,
                       "file_size_in_bytes": len(files[eqf]),
                       "equality_ids": [1],
@@ -755,11 +815,20 @@ def iceberg_data_entry(path: str, size: int, records: int,
                        status: int = 1,
                        snapshot_id: "int | None" = None,
                        bounds: "dict[int, tuple[int, int]] | None"
+                       = None,
+                       partition: "dict[str, str] | None"
                        = None) -> dict:
     """One manifest entry over a parquet data file.  ``bounds`` maps
     field id -> (lo, hi) longs, serialized as the spec's 8-byte LE
-    single-value binary — the shape _decode_bounds/prune reads."""
+    single-value binary — the shape _decode_bounds/prune reads.
+    ``partition`` (r17) maps partition field name -> string value
+    (identity transforms), serialized as the _PART_KV array the
+    resolver reads back into live_partitions."""
     df = {"file_path": path, "file_format": "PARQUET",
+          "partition": (
+              [{"name": str(k), "value": str(v)}
+               for k, v in sorted(partition.items())]
+              if partition else None),
           "record_count": int(records),
           "file_size_in_bytes": int(size),
           "equality_ids": None,
@@ -781,16 +850,22 @@ def write_iceberg_table(table_dir: str,
                         snapshots: "list[tuple[int, list[dict]]]",
                         fields: "list[dict]",
                         table_uuid: str = "t-0",
-                        timestamp_ms: int = 0) -> str:
+                        timestamp_ms: int = 0,
+                        partition_spec_fields:
+                        "list[dict] | None" = None) -> str:
     """Write a v2 table's metadata tree under ``table_dir``:
     one manifest + manifest list per snapshot (each snapshot's entry
     list is the COMPLETE table state — live entries status 0/1,
     tombstones status 2, per the spec's manifest-list-as-state
     model), then ``metadata/v<N>.metadata.json`` naming the last
     snapshot current.  ``fields`` are Iceberg schema field dicts
-    ({'id', 'name', 'required', 'type'}).  Returns the metadata.json
-    path; resolve_snapshot + prune_data_files read the tree back
-    through sources/avro.py."""
+    ({'id', 'name', 'required', 'type'}).
+    ``partition_spec_fields`` (r17) are spec partition-field dicts
+    ({'name', 'transform', 'source-id', 'field-id'}) emitted as
+    partition spec 0 — identity transforms paired with per-entry
+    partition values from iceberg_data_entry(partition=...).
+    Returns the metadata.json path; resolve_snapshot +
+    prune_data_files read the tree back through sources/avro.py."""
     import os as _os
 
     meta_dir = _os.path.join(table_dir, "metadata")
@@ -840,6 +915,7 @@ def write_iceberg_table(table_dir: str,
                 "data_file": {
                     "file_path": del_rel,
                     "file_format": "AVRO",
+                    "partition": None,
                     "record_count": len(pos_deletes),
                     "file_size_in_bytes": len(del_blob),
                     "equality_ids": None,
@@ -878,6 +954,7 @@ def write_iceberg_table(table_dir: str,
                 "data_file": {
                     "file_path": eqf_rel,
                     "file_format": "AVRO",
+                    "partition": None,
                     "record_count": len(eq_rows),
                     "file_size_in_bytes": len(eq_blob),
                     "equality_ids": list(eq_ids),
@@ -918,7 +995,8 @@ def write_iceberg_table(table_dir: str,
         "schemas": [{"type": "struct", "schema-id": 0,
                      "fields": list(fields)}],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "partition-specs": [{"spec-id": 0, "fields":
+                             list(partition_spec_fields or [])}],
         "current-snapshot-id": snapshots[-1][0],
         "snapshots": snaps_json,
     }, sort_keys=True).encode("utf-8")

@@ -817,8 +817,14 @@ def parse_page_index(buf: bytes, chunk: dict) -> "dict | None":
         return None
 
 
-def _index_stat_int(raw) -> "int | None":
-    if isinstance(raw, bytes) and len(raw) in (4, 8):
+def _index_stat_int(raw, width: int) -> "int | None":
+    """Decode one ColumnIndex min/max stat as a little-endian signed
+    int — ONLY at the exact byte width of the leaf's physical type
+    (4 for INT32, 8 for INT64).  Interpreting FLOAT/DOUBLE bit
+    patterns or 4/8-byte BYTE_ARRAY prefixes as ints would order
+    wrongly and make pruning non-conservative (r17 advice fix), so
+    callers must gate on physical type before calling."""
+    if isinstance(raw, bytes) and len(raw) == width:
         return int.from_bytes(raw, "little", signed=True)
     return None
 
@@ -838,6 +844,15 @@ def decode_pruned_chunk(buf: bytes, chunk: dict, leaf: dict,
     need only be conservative."""
     if leaf.get("max_rep", 0):
         return None  # flat chunks only
+    # the [lo, hi] intersect test below reads stats as little-endian
+    # signed ints — only valid for INT32/INT64 physical types (FLOAT/
+    # DOUBLE bit patterns invert ordering for negatives; BYTE_ARRAY
+    # stats are truncated value prefixes), so refuse anything else
+    # rather than prune non-conservatively (r17 advice fix)
+    ptype = leaf.get("physical_type")
+    if ptype not in ("INT32", "INT64"):
+        return None
+    width = 4 if ptype == "INT32" else 8
     idx = parse_page_index(buf, chunk)
     if idx is None:
         return None
@@ -847,8 +862,8 @@ def decode_pruned_chunk(buf: bytes, chunk: dict, leaf: dict,
     for k in range(n):
         if idx["null_pages"][k]:
             continue  # all-null page: no value can match
-        pmin = _index_stat_int(idx["min_values"][k])
-        pmax = _index_stat_int(idx["max_values"][k])
+        pmin = _index_stat_int(idx["min_values"][k], width)
+        pmax = _index_stat_int(idx["max_values"][k], width)
         if pmin is None or pmax is None or \
                 (pmin <= hi and pmax >= lo):
             selected.append(k)

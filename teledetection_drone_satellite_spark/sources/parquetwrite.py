@@ -14,7 +14,8 @@ backs the ``rawparquet`` Python DataSource's write side, so
 ``df.write.format("rawparquet")`` emits one file per Spark
 partition through pure Python.
 
-Scope (the honest contract): FLAT schemas only; physical types
+Scope (the honest contract): flat columns plus single-level
+LIST<primitive> columns (the 3-level list shape, r16); physical types
 BOOLEAN / INT32 / INT64 / FLOAT / DOUBLE / BYTE_ARRAY (UTF8
 converted type for strings); required or optional (nulls via
 definition levels); codecs UNCOMPRESSED, SNAPPY (sources/snappy.py)

@@ -129,6 +129,32 @@ def _pq_paths(path: str) -> "list[str]":
     return [path]
 
 
+def _basename(p: str) -> str:
+    import os as _os
+
+    return _os.path.basename(p)
+
+
+def _check_universe_order(paths: "list[str]", s: int,
+                          last: "str | None") -> None:
+    """Streaming offsets count files in sorted-name order; a file
+    that later lands with a name sorting BEFORE already-consumed
+    files would silently shift paths[s:e] (re-emitting old rows,
+    skipping the newest file).  The offset therefore records the
+    last consumed basename; any mismatch means the universe
+    reordered under us — raise instead of mis-windowing (r17 advice
+    fix).  ``last`` is None for initial offsets and for checkpoints
+    written before this field existed (those get the weaker
+    count-only check, same as r16)."""
+    if last is not None and s > 0 and \
+            _basename(paths[s - 1]) != last:
+        raise ValueError(
+            "streaming file universe reordered: offset expected "
+            "%r at position %d but found %r — files must arrive "
+            "with names sorting after all consumed files"
+            % (last, s - 1, _basename(paths[s - 1])))
+
+
 def _orc_paths(path: str) -> "list[str]":
     """Directory -> sorted *.orc universe (r16, the ORC twin of
     _pq_paths); a plain file passes through."""
@@ -575,10 +601,12 @@ class RawParquetStreamReader(DataSourceStreamReader):
         self.batch = batch
 
     def initialOffset(self) -> dict:
-        return {"n": 0}
+        return {"n": 0, "last": None}
 
     def latestOffset(self) -> dict:
-        return {"n": len(_pq_paths(self.batch.path))}
+        paths = _pq_paths(self.batch.path)
+        return {"n": len(paths),
+                "last": _basename(paths[-1]) if paths else None}
 
     def partitions(self, start: dict, end: dict) -> list:
         paths = _pq_paths(self.batch.path)
@@ -588,6 +616,7 @@ class RawParquetStreamReader(DataSourceStreamReader):
                 "offset window [%d, %d) outside the %d-file "
                 "universe (files must arrive append-only)"
                 % (s, e, len(paths)))
+        _check_universe_order(paths, s, start.get("last"))
         parts = []
         for fpath in paths[s:e]:
             parts.extend(self.batch._file_partitions(fpath, None))
@@ -872,12 +901,17 @@ class RawOrcReader(DataSourceReader):
         self.tail = tail
         self.cols = cols
         self.by_name = by_name
-        self.pushed: "list[tuple[int, str, int]]" = []
+        # (column NAME, op, value) — resolved to per-file column
+        # ids inside _file_partitions (r17)
+        self.pushed: "list[tuple[str, str, int]]" = []
 
-    def _stripe_can_match(self, stats: "dict | None") -> bool:
+    @staticmethod
+    def _stripe_can_match(stats: "dict | None",
+                          pushed: "list[tuple[int, str, int]]"
+                          ) -> bool:
         if stats is None:
             return True  # no statistics: cannot prune
-        for cid, op, val in self.pushed:
+        for cid, op, val in pushed:
             rng = stats.get(cid)
             if rng is None:
                 continue
@@ -893,7 +927,11 @@ class RawOrcReader(DataSourceReader):
     def _file_partitions(self, fpath: str,
                          tail: "dict | None") -> list:
         """One file's stripes -> partitions (pruned by any pushed
-        predicates against the metadata stripe statistics)."""
+        predicates against the metadata stripe statistics).  Column
+        ids are re-resolved from EACH file's own type tree (r17
+        advice fix): a directory mixing ORC files whose same-named
+        columns sit at different column ids would otherwise decode
+        the wrong column's streams silently."""
         from .orcmeta import parse_orc_tail
 
         if tail is None:
@@ -901,15 +939,37 @@ class RawOrcReader(DataSourceReader):
                 tail = parse_orc_tail(f.read())
             if tail is None:
                 raise ValueError("not an ORC file: %s" % fpath)
+        by_name = {n: (tid, k) for n, tid, k, _t
+                   in RawOrcDataSource._cols(tail)}
+        cols = []
+        for name, _tid, kind in self.cols:
+            hit = by_name.get(name)
+            if hit is None:
+                raise ValueError(
+                    "column %r missing from %s (heterogeneous ORC "
+                    "directory)" % (name, fpath))
+            if hit[1] != kind:
+                raise ValueError(
+                    "column %r is %s in %s but %s in the schema "
+                    "file (heterogeneous ORC directory)"
+                    % (name, hit[1], fpath, kind))
+            cols.append((name, hit[0], kind))
+        # pushed predicates are name-keyed (r17) so stripe-stat
+        # pruning resolves to THIS file's column ids too
+        pushed = []
+        for pname, op, val in self.pushed:
+            hit = by_name.get(pname)
+            if hit is not None:
+                pushed.append((hit[0], op, val))
         parts = []
         stats = tail.get("stripe_stats") or \
             [None] * len(tail["stripes"])
         for stripe, st in zip(tail["stripes"], stats):
-            if not self._stripe_can_match(st):
+            if not self._stripe_can_match(st, pushed):
                 continue  # pruned: no task, no bytes
             parts.append(_OrcPartition(
                 fpath, stripe, tail["compression"],
-                self.cols, tail["type_nodes"]))
+                cols, tail["type_nodes"]))
         return parts
 
     def partitions(self):
@@ -1005,10 +1065,12 @@ class RawOrcStreamReader(DataSourceStreamReader):
         self.batch = batch
 
     def initialOffset(self) -> dict:
-        return {"n": 0}
+        return {"n": 0, "last": None}
 
     def latestOffset(self) -> dict:
-        return {"n": len(_orc_paths(self.batch.path))}
+        paths = _orc_paths(self.batch.path)
+        return {"n": len(paths),
+                "last": _basename(paths[-1]) if paths else None}
 
     def partitions(self, start: dict, end: dict) -> list:
         paths = _orc_paths(self.batch.path)
@@ -1018,6 +1080,7 @@ class RawOrcStreamReader(DataSourceStreamReader):
                 "offset window [%d, %d) outside the %d-file "
                 "universe (files must arrive append-only)"
                 % (s, e, len(paths)))
+        _check_universe_order(paths, s, start.get("last"))
         parts = []
         for fpath in paths[s:e]:
             parts.extend(self.batch._file_partitions(fpath, None))
@@ -1066,5 +1129,5 @@ class RawOrcPushdownReader(RawOrcReader):
                 hit = self.by_name.get(f.attribute[0])
                 if hit is not None and hit[1] in (
                         "LONG", "INT", "SHORT", "BYTE"):
-                    self.pushed.append((hit[0], op, f.value))
+                    self.pushed.append((f.attribute[0], op, f.value))
         return filters

@@ -108,3 +108,22 @@ def test_probe_plan_has_no_shuffle_after_broadcast(spark):
     # HashAggregate keyed on probe keys
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" \
         in plan
+
+
+def test_bloom_member_is_real_boolean_never_null(spark):
+    # a key whose probed words are ALL absent from the packed map
+    # must read bloom_member=False, not NULL — consumers negating
+    # the column (~bloom_member) would silently drop null rows (r17)
+    n, m = 4, 1 << 14  # tiny member set, big sparse bitmap
+    keys = spark.range(n).selectExpr("id as k")
+    bits = bloom_build(keys, "k", m, k=8)
+    far = spark.range(5_000_000, 5_000_200).selectExpr("id as k")
+    rows = bloom_probe(far, "k", bits, m, k=8).collect()
+    assert all(r.bloom_member in (True, False) for r in rows)
+    assert any(r.bloom_member is False for r in rows)
+    # the negation keeps every non-member row
+    neg = bloom_probe(far, "k", bits, m, k=8) \
+        .filter(~F.col("bloom_member")).count()
+    pos = bloom_probe(far, "k", bits, m, k=8) \
+        .filter(F.col("bloom_member")).count()
+    assert neg + pos == 200

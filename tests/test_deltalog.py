@@ -548,3 +548,53 @@ def test_delta_dv_write_merge_on_read_loop(tmp_path):
     commit_delta(td2, 0, acts2)
     snap2 = snapshot_with_dvs(read_delta_commits(td2), {})
     assert snap2 is not None and not snap2["dv_exact_ok"]
+
+
+def test_delta_partitioned_write_prune(tmp_path):
+    # r17: partitioned table WRITE — partitionValues on adds +
+    # partitionColumns in metaData, then partition pruning resolves
+    # the one touched file without reading any data bytes
+    from teledetection_drone_satellite_spark.sources.deltalog import (
+        active_files,
+        commit_delta,
+        delta_add_action,
+        delta_init_actions,
+        prune_partitions,
+        read_delta_commits,
+        replay_log,
+    )
+
+    td = str(tmp_path / "ptbl")
+    acts = delta_init_actions("t-part", [("id", "long"),
+                                         ("lang", "string")],
+                              partition_columns=["lang"])
+    for k, lang in enumerate(("en", "fr", "de")):
+        acts.append(delta_add_action(
+            "lang=%s/part-0.parquet" % lang, 100 + k, 10 + k,
+            partition_values={"lang": lang}))
+    commit_delta(td, 0, acts)
+    commits = read_delta_commits(td)
+    snap = replay_log(commits)
+    assert snap is not None
+    assert snap["partition_columns"] == ["lang"]
+    adds = active_files(commits)
+    got = prune_partitions(adds, {"lang": "fr"})
+    assert [a["path"] for a in got["touched"]] == \
+        ["lang=fr/part-0.parquet"]
+    assert len(got["skipped"]) == 2
+    assert got["partitions_complete"]
+    # a file lacking the queried key touches conservatively
+    # (prune_partitions consumes the INNER add dicts, the shape
+    # active_files returns — hence the ["add"] unwrap here)
+    adds2 = adds + [delta_add_action("nopart.parquet", 5, 1)["add"]]
+    got2 = prune_partitions(adds2, {"lang": "fr"})
+    assert len(got2["touched"]) == 2
+    assert not got2["partitions_complete"]
+    # conjunction: two keys both must mismatch-prove to skip
+    adds3 = [delta_add_action(
+        "lang=en/y=2024/p.parquet", 1, 1,
+        partition_values={"lang": "en", "y": "2024"})["add"]]
+    assert prune_partitions(
+        adds3, {"lang": "en", "y": "2025"})["skipped"]
+    assert prune_partitions(
+        adds3, {"lang": "en", "y": "2024"})["touched"]

@@ -426,3 +426,52 @@ def test_iceberg_write_equality_deletes_loop(tmp_path):
     assert snap["n_eq_applied"] == 2  # 999 is out of every bound
     assert snap["net_records"] == 22 - 2
     assert snap["eq_exact"]
+
+
+def test_iceberg_partitioned_write_prune(tmp_path):
+    # r17: identity partition spec + per-entry partition values,
+    # resolved into live_partitions and pruned metadata-only
+    from teledetection_drone_satellite_spark.sources.iceberg import (
+        iceberg_data_entry,
+        prune_partitions,
+        read_iceberg_tree,
+        resolve_snapshot,
+        write_iceberg_table,
+    )
+
+    td = str(tmp_path / "icepart")
+    entries = [iceberg_data_entry(
+        "data/lang=%s/f.parquet" % lang, 100 + k, 10 + k,
+        status=1, snapshot_id=1, partition={"lang": lang})
+        for k, lang in enumerate(("en", "fr", "de"))]
+    # one unpartitioned entry: must touch conservatively
+    entries.append(iceberg_data_entry("data/old.parquet", 50, 5,
+                                      status=1, snapshot_id=1))
+    fields = [{"id": 1, "name": "id", "required": True,
+               "type": "long"},
+              {"id": 2, "name": "lang", "required": False,
+               "type": "string"}]
+    mp = write_iceberg_table(
+        td, [(1, entries)], fields, table_uuid="pt",
+        partition_spec_fields=[{
+            "name": "lang", "transform": "identity",
+            "source-id": 2, "field-id": 1000}])
+    mj, files = read_iceberg_tree(mp)
+    snap = resolve_snapshot(mj, files)
+    assert snap is not None
+    assert snap["partition_fields"] == ["lang"]
+    assert snap["n_live_files"] == 4
+    assert snap["live_partitions"]["data/lang=fr/f.parquet"] == \
+        {"lang": "fr"}
+    got = prune_partitions(snap, {"lang": "fr"})
+    assert sorted(got["touched"]) == \
+        ["data/lang=fr/f.parquet", "data/old.parquet"]
+    assert len(got["skipped"]) == 2
+    assert not got["partitions_complete"]
+    # all-partitioned table prunes exactly
+    snap2 = dict(snap)
+    snap2["live_paths"] = [p for p in snap["live_paths"]
+                           if p != "data/old.parquet"]
+    got2 = prune_partitions(snap2, {"lang": "fr"})
+    assert got2["touched"] == ["data/lang=fr/f.parquet"]
+    assert got2["partitions_complete"]

@@ -484,3 +484,34 @@ def test_nested_classification_excludes_deep_subtrees():
     f = parse_parquet_footer(_write(tbl))
     assert sorted(list_leaves(f)) == ["simple"]
     assert sorted(map_leaves(f)) == ["okmap"]
+
+
+def test_pruned_decode_refuses_non_int_physical_types():
+    # ColumnIndex stats for FLOAT/DOUBLE are IEEE bit patterns and
+    # BYTE_ARRAY stats are value prefixes — reading them as
+    # little-endian ints orders wrongly, so the pruned decoder must
+    # REFUSE (None) rather than prune non-conservatively (r17)
+    from teledetection_drone_satellite_spark.sources.parquetmeta \
+        import parse_parquet_footer
+    from teledetection_drone_satellite_spark.sources.parquetpage \
+        import decode_pruned_chunk
+
+    n = 4000
+    tbl = pa.table({
+        "d": pa.array([k - 2000.0 for k in range(n)], pa.float64()),
+        "f": pa.array([float(k) for k in range(n)], pa.float32()),
+        "s": pa.array(["s%05d" % k for k in range(n)]),
+        "i": pa.array(range(n), pa.int64()),
+    })
+    buf = _write(tbl, data_page_size=1024, write_page_index=True)
+    f = parse_parquet_footer(buf)
+    rg = f["row_groups"][0]
+    leaves = {lf["name"]: lf for lf in f["columns"]}
+    chunks = {c["path"]: c for c in rg["columns"]}
+    for col in ("d", "f", "s"):
+        assert decode_pruned_chunk(buf, chunks[col], leaves[col],
+                                   0, 10, rg["num_rows"]) is None
+    # the INT64 column still prunes
+    got = decode_pruned_chunk(buf, chunks["i"], leaves["i"],
+                              100, 110, rg["num_rows"])
+    assert got is not None and got["n_selected"] < got["n_pages"]

@@ -554,3 +554,75 @@ def test_page_level_pushdown_correct_per_query_loads(spark,
 
     assert mk2().filter(F.col("i") == 7777).count() == 1
     assert mk2().count() == n
+
+
+def test_stream_offset_detects_universe_reorder(tmp_path):
+    # a file landing with a name that sorts BEFORE consumed files
+    # must raise, not silently re-window (r17 advice fix)
+    from teledetection_drone_satellite_spark.sources.pydatasource \
+        import RawParquetStreamReader
+
+    d = str(tmp_path / "stream")
+    os.makedirs(d)
+    for name in ("b.parquet", "c.parquet"):
+        pq.write_table(pa.table({"i": pa.array([1], pa.int64())}),
+                       os.path.join(d, name))
+    ds = RawParquetDataSource({"path": d})
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("i", LongType())])
+    sr = ds.streamReader(schema)
+    off = sr.latestOffset()
+    assert off == {"n": 2, "last": "c.parquet"}
+    # consume both, then a file arrives sorting FIRST
+    pq.write_table(pa.table({"i": pa.array([2], pa.int64())}),
+                   os.path.join(d, "a.parquet"))
+    with pytest.raises(ValueError, match="reordered"):
+        sr.partitions(off, sr.latestOffset())
+    # append-only arrival still works
+    pq.write_table(pa.table({"i": pa.array([3], pa.int64())}),
+                   os.path.join(d, "d.parquet"))
+    os.remove(os.path.join(d, "a.parquet"))
+    parts = sr.partitions(off, sr.latestOffset())
+    assert len(parts) == 1  # just d.parquet's one row group
+    # legacy offsets (no "last") keep working — count-only check
+    parts = sr.partitions({"n": 2}, {"n": 3})
+    assert len(parts) == 1
+
+
+def test_raworc_directory_heterogeneous_column_ids(spark, tmp_path):
+    # two ORC files where the same-named column sits at DIFFERENT
+    # column ids: the reader must re-resolve ids per file (r17)
+    import pyarrow.orc as pa_orc
+
+    d = str(tmp_path / "orcdir")
+    os.makedirs(d)
+    t1 = pa.table({"a": pa.array([1, 2], pa.int64()),
+                   "b": pa.array([10, 20], pa.int64())})
+    t2 = pa.table({"b": pa.array([30, 40], pa.int64()),
+                   "a": pa.array([3, 4], pa.int64())})
+    pa_orc.write_table(t1, os.path.join(d, "f1.orc"))
+    pa_orc.write_table(t2, os.path.join(d, "f2.orc"))
+    spark.dataSource.register(RawOrcDataSource)
+    got = sorted(spark.read.format("raworc").load(d)
+                 .select("a", "b").collect())
+    assert [(r.a, r.b) for r in got] == \
+        [(1, 10), (2, 20), (3, 30), (4, 40)]
+
+
+def test_raworc_directory_missing_column_raises(spark, tmp_path):
+    import pyarrow.orc as pa_orc
+
+    d = str(tmp_path / "orcmiss")
+    os.makedirs(d)
+    pa_orc.write_table(
+        pa.table({"a": pa.array([1], pa.int64()),
+                  "b": pa.array([2], pa.int64())}),
+        os.path.join(d, "f1.orc"))
+    pa_orc.write_table(
+        pa.table({"a": pa.array([3], pa.int64())}),
+        os.path.join(d, "f2.orc"))
+    spark.dataSource.register(RawOrcDataSource)
+    with pytest.raises(Exception, match="missing|heterogeneous"):
+        spark.read.format("raworc").load(d).select("a", "b") \
+            .collect()
