@@ -288,7 +288,81 @@ DECODERS = {
     # synthetic-chunk assembly) over real indexed files
     "pq_page_prune": (lambda i: _synth_parquet_indexed(i),
                       lambda data: _pq_page_prune(data)),
+    # r17: generic Dremel assembly — struct reassembly zip +
+    # max_rep-2 nested decode + the DataSource plan over them
+    "pq_struct_decode": (lambda i: _synth_parquet_nested(i),
+                         lambda data: _pq_struct_decode(data)),
 }
+
+
+def _synth_parquet_nested(i: int) -> bytes:
+    import io as _io
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    n = 40 + i % 60
+    sdata = [None if k % 11 == 0 else
+             {"a": None if k % 7 == 0 else k * 3,
+              "b": "s%d" % k,
+              "inner": None if k % 3 == 0 else {"x": k + i}}
+             for k in range(n)]
+    ls = [None if k % 13 == 0 else [] if k % 9 == 0 else
+          [{"u": k, "w": "w%d" % k},
+           None if k % 5 == 0 else {"u": None, "w": None}]
+          for k in range(n)]
+    ll = [None if k % 17 == 0 else
+          [["e%d" % k] * (k % 3), None if k % 6 == 0 else []]
+          for k in range(n)]
+    tbl = _pa.table({
+        "s": _pa.array(sdata, _pa.struct(
+            [("a", _pa.int64()), ("b", _pa.string()),
+             ("inner", _pa.struct([("x", _pa.int64())]))])),
+        "ls": _pa.array(ls, _pa.list_(_pa.struct(
+            [("u", _pa.int64()), ("w", _pa.string())]))),
+        "ll": _pa.array(ll, _pa.list_(_pa.list_(_pa.string()))),
+    })
+    sink = _io.BytesIO()
+    _pq.write_table(tbl, sink, compression="snappy",
+                    data_page_size=256,
+                    use_dictionary=i % 2 == 0)
+    return sink.getvalue()
+
+
+def _pq_struct_decode(data: bytes):
+    from teledetection_drone_satellite_spark.sources.parquetmeta \
+        import parse_parquet_footer
+    from teledetection_drone_satellite_spark.sources.parquetpage \
+        import decode_nested_chunk, decode_struct_chunks
+
+    footer = parse_parquet_footer(data)
+    if footer is None or not footer["row_groups"] or \
+            not footer["columns"]:
+        return None
+    rg = footer["row_groups"][0]
+    chunks = {}
+    for c in rg.get("columns", []):
+        if not isinstance(c, dict) or \
+                not isinstance(c.get("path"), str):
+            return None
+        chunks[c["path"]] = c
+    out = []
+    for top in ("s", "ls"):
+        group = [lf for lf in footer["columns"]
+                 if isinstance(lf.get("name"), str)
+                 and lf["name"].split(".")[0] == top
+                 and lf["name"] in chunks]
+        if group:
+            out.append(decode_struct_chunks(
+                [(data, chunks[lf["name"]], lf) for lf in group]))
+    deep = [lf for lf in footer["columns"]
+            if isinstance(lf.get("name"), str)
+            and lf["name"].split(".")[0] == "ll"
+            and lf["name"] in chunks]
+    for lf in deep:
+        out.append(decode_nested_chunk(data, chunks[lf["name"]],
+                                       lf))
+    return out or None
 
 
 def _synth_parquet_indexed(i: int) -> bytes:

@@ -202,7 +202,7 @@ def parse_parquet_footer(buf: bytes) -> "dict | None":
         leaves = []
 
         def walk(idx: int, prefix: str, max_def: int,
-                 max_rep: int) -> int:
+                 max_rep: int, path_nodes: list) -> int:
             el = schema[idx]
             name = el.get(4, b"").decode("utf-8", "replace") \
                 if isinstance(el.get(4), bytes) else str(el.get(4))
@@ -214,6 +214,17 @@ def parse_parquet_footer(buf: bytes) -> "dict | None":
             elif rep == 2:  # REPEATED
                 max_def += 1
                 max_rep += 1
+            if idx:
+                # per-node path record (r17 — the generic Dremel
+                # assembler's input: every node's repetition type +
+                # CUMULATIVE def/rep levels + converted type, root
+                # excluded, leaf included)
+                path_nodes = path_nodes + [{
+                    "name": name, "rep": rep, "def": max_def,
+                    "rep_lvl": max_rep,
+                    "converted": el.get(6),
+                    "is_leaf": not n_children,
+                }]
             if idx and not n_children:
                 t = el.get(1)
                 leaves.append({
@@ -231,14 +242,15 @@ def parse_parquet_footer(buf: bytes) -> "dict | None":
                     # converted_type (field 6): 0 == UTF8 — how a
                     # reader knows a BYTE_ARRAY is a string
                     "converted_type": el.get(6),
+                    "path_nodes": path_nodes,
                 })
                 return idx + 1
             nxt = idx + 1
             for _ in range(n_children):
-                nxt = walk(nxt, path, max_def, max_rep)
+                nxt = walk(nxt, path, max_def, max_rep, path_nodes)
             return nxt
 
-        walk(0, "", 0, 0)
+        walk(0, "", 0, 0, [])
         if not leaves:
             return None
         groups = []

@@ -717,6 +717,440 @@ def decode_list_chunk(buf: bytes, chunk: dict,
         return None
 
 
+def _decode_chunk_levels(buf: bytes, chunk: dict,
+                         leaf: dict) -> "tuple | None":
+    """Generic page walk for ONE column chunk at ANY nesting depth
+    (r17): -> (reps, defs, values) chunk-wide, or None.  The level
+    sections decode with bit widths from the leaf's max_rep/max_def
+    (decode_list_chunk's walk hardcoded rep width 1); assembly is
+    the caller's job (assemble_records).  Values exist only at
+    def == max_def — the same n_present arithmetic as the flat
+    path; records may span pages, hence chunk-wide accumulation."""
+    try:
+        max_rep = leaf.get("max_rep", 0)
+        max_def = leaf.get("max_def", 0)
+        ptype = leaf["physical_type"]
+        tlen = leaf.get("type_length")
+        codec = chunk["codec"]
+        want_total = chunk["num_values"]
+        if not isinstance(want_total, int) or want_total < 0 or \
+                want_total > _MAX_VALUES:
+            return None
+        start = chunk["data_page_offset"]
+        if chunk.get("dictionary_page_offset") is not None:
+            start = min(start, chunk["dictionary_page_offset"])
+        end = start + chunk["total_compressed_size"]
+        if start < 0 or end > len(buf):
+            return None
+        pos = start
+        dictionary: "list | None" = None
+        reps: "list[int]" = []
+        defs: "list[int]" = []
+        values: "list" = []
+        rbw = _bit_width(max_rep)
+        dbw = _bit_width(max_def)
+        while pos < end and len(defs) < want_total:
+            r = _R(buf, pos)
+            hdr = _read_struct(r)
+            body_start = r.pos
+            ptype_id = hdr.get(1)
+            comp_size = hdr.get(3)
+            unc_size = hdr.get(2)
+            if not isinstance(comp_size, int) or comp_size < 0 or \
+                    not isinstance(unc_size, int) or unc_size < 0 \
+                    or body_start + comp_size > end:
+                return None
+            body = buf[body_start:body_start + comp_size]
+            pos = body_start + comp_size
+            if ptype_id == _PAGE_DICT:
+                dh = hdr.get(7)
+                if not isinstance(dh, dict):
+                    return None
+                n_dict = dh.get(1)
+                enc = dh.get(2, _ENC_PLAIN)
+                if enc not in (_ENC_PLAIN, _ENC_PLAIN_DICT) or \
+                        not isinstance(n_dict, int) or n_dict < 0:
+                    return None
+                plain = _decompress(codec, body, unc_size)
+                if plain is None:
+                    return None
+                dictionary = _plain_values(plain, ptype, n_dict,
+                                           tlen)
+                if dictionary is None:
+                    return None
+                continue
+            if ptype_id == _PAGE_DATA:
+                dph = hdr.get(5)
+                if not isinstance(dph, dict):
+                    return None
+                n_vals = dph.get(1)
+                enc = dph.get(2)
+                if not isinstance(n_vals, int) or n_vals < 0 or \
+                        n_vals > _MAX_VALUES or \
+                        (max_def > 0 and dph.get(3) != _ENC_RLE) or \
+                        (max_rep > 0 and dph.get(4) != _ENC_RLE):
+                    return None  # BIT_PACKED levels: deprecated
+                plain = _decompress(codec, body, unc_size)
+                if plain is None:
+                    return None
+                ppos = 0
+                if max_rep > 0:
+                    if ppos + 4 > len(plain):
+                        return None
+                    rl_len = struct.unpack_from("<I", plain, ppos)[0]
+                    ppos += 4
+                    if ppos + rl_len > len(plain):
+                        return None
+                    page_reps = _rle_bp_hybrid(
+                        plain[ppos:ppos + rl_len], rbw, n_vals)
+                    ppos += rl_len
+                    if page_reps is None:
+                        return None
+                else:
+                    page_reps = [0] * n_vals
+                if max_def > 0:
+                    if ppos + 4 > len(plain):
+                        return None
+                    dl_len = struct.unpack_from("<I", plain, ppos)[0]
+                    ppos += 4
+                    if ppos + dl_len > len(plain):
+                        return None
+                    page_defs = _rle_bp_hybrid(
+                        plain[ppos:ppos + dl_len], dbw, n_vals)
+                    ppos += dl_len
+                    if page_defs is None:
+                        return None
+                else:
+                    page_defs = [0] * n_vals
+                n_present = sum(1 for d in page_defs
+                                if d == max_def)
+                vals = _decode_values(plain[ppos:], enc, ptype,
+                                      tlen, n_present, dictionary)
+            elif ptype_id == _PAGE_DATA_V2:
+                dph = hdr.get(8)
+                if not isinstance(dph, dict):
+                    return None
+                n_vals = dph.get(1)
+                enc = dph.get(4)
+                dl_len = dph.get(5, 0)
+                rl_len = dph.get(6, 0)
+                compressed = dph.get(7, True)
+                if not isinstance(n_vals, int) or n_vals < 0 or \
+                        n_vals > _MAX_VALUES or \
+                        not isinstance(dl_len, int) or dl_len < 0 \
+                        or not isinstance(rl_len, int) or \
+                        rl_len < 0 or \
+                        (max_rep > 0) != (rl_len > 0) or \
+                        rl_len + dl_len > len(body):
+                    return None
+                levels = body[:rl_len + dl_len]  # never compressed
+                vals_raw = body[rl_len + dl_len:]
+                if compressed:
+                    vals_plain = _decompress(
+                        codec, vals_raw, unc_size - rl_len - dl_len)
+                    if vals_plain is None:
+                        return None
+                else:
+                    vals_plain = vals_raw
+                page_reps = (_rle_bp_hybrid(levels[:rl_len], rbw,
+                                            n_vals)
+                             if max_rep > 0 else [0] * n_vals)
+                page_defs = (_rle_bp_hybrid(levels[rl_len:], dbw,
+                                            n_vals)
+                             if max_def > 0 else [0] * n_vals)
+                if page_reps is None or page_defs is None:
+                    return None
+                n_present = sum(1 for d in page_defs
+                                if d == max_def)
+                vals = _decode_values(vals_plain, enc, ptype, tlen,
+                                      n_present, dictionary)
+            elif ptype_id == _PAGE_INDEX:
+                continue
+            else:
+                return None
+            if vals is None or len(vals) != n_present:
+                return None
+            reps.extend(page_reps)
+            defs.extend(page_defs)
+            values.extend(vals)
+        if len(defs) != want_total:
+            return None
+        return reps, defs, values
+    except (ValueError, IndexError, KeyError, TypeError,
+            struct.error, OverflowError, RecursionError):
+        return None
+
+
+def assemble_records(reps: "list[int]", defs: "list[int]",
+                     values: "list", nodes: "list[dict]",
+                     tagged: bool = False) -> "list | None":
+    """GENERIC Dremel record assembly for one leaf column (r17 —
+    the depth-general replacement for decode_list_chunk's
+    shape-specialized assembly; max_rep > 1 works).  ``nodes`` is
+    the leaf's ``path_nodes`` from parse_parquet_footer: every
+    non-root schema node along the path with its repetition type
+    and CUMULATIVE def/rep levels.
+
+    The uniform level semantics (Dremel / parquet-format
+    LogicalTypes.md): each def-adding node (OPTIONAL or REPEATED)
+    consumes one definition level in path order, so a definition
+    level d says exactly the first d def-adding nodes are defined.
+    A repetition level r says the entry continues the record's
+    list at repeated level r (r == 0 starts a new record) and
+    opens fresh lists at every deeper repeated level its d
+    defines.  Each entry lands ONE terminal at its deepest defined
+    repeated level: the leaf value at d == max_def; an EMPTY LIST
+    when the first undefined node is REPEATED (a defined list
+    wrapper with no entries); None otherwise (a null list, null
+    element, or null ancestor — surfaced uniformly).
+
+    With tagged=True, terminals at the deepest repeated level
+    (kd == max_rep) become (def, value) pairs instead — the struct
+    zipper's input (zip_struct_records) — while structural levels
+    above stay plain lists/None/[]."""
+    try:
+        if not nodes:
+            return None
+        dnodes = [n for n in nodes if n.get("rep") in (1, 2)]
+        max_def = nodes[-1]["def"]
+        max_rep = nodes[-1]["rep_lvl"]
+        rep_defs = [n["def"] for n in dnodes if n["rep"] == 2]
+        if len(dnodes) != max_def or len(rep_defs) != max_rep:
+            return None
+        records: "list" = []
+        stack: "list" = [None] * (max_rep + 1)
+        it = iter(values)
+
+        def terminal(d: int, kd: int):
+            if d == max_def:
+                v = next(it)
+                return (d, v) if tagged and kd == max_rep else v
+            if tagged and kd == max_rep:
+                return (d, None)
+            return [] if dnodes[d]["rep"] == 2 else None
+
+        for r, d in zip(reps, defs):
+            if not 0 <= d <= max_def or not 0 <= r <= max_rep:
+                return None
+            kd = 0
+            for rd in rep_defs:
+                if d >= rd:
+                    kd += 1
+                else:
+                    break
+            if r > kd or (r > 0 and not records):
+                return None
+            if r == 0:
+                stack = [None] * (max_rep + 1)
+                if kd == 0:
+                    records.append(terminal(d, 0))
+                    continue
+                new: "list" = []
+                records.append(new)
+                stack[1] = new
+                start = 2
+            else:
+                if stack[r] is None:
+                    return None
+                start = r + 1
+            for k in range(start, kd + 1):
+                new = []
+                stack[k - 1].append(new)
+                stack[k] = new
+            stack[kd].append(terminal(d, kd))
+        return records
+    except (StopIteration, ValueError, IndexError, KeyError,
+            TypeError, RecursionError):
+        return None
+
+
+def decode_nested_chunk(buf: bytes, chunk: dict,
+                        leaf: dict) -> "list | None":
+    """One column chunk at ANY repetition depth (max_rep >= 1) ->
+    one nested Python value per record (r17): lists nest at each
+    repeated node (list<list<T>> and deeper), None at null levels,
+    [] for empties.  Requires the leaf's path_nodes (always present
+    on parse_parquet_footer leaves).  For max_rep == 1 this agrees
+    with decode_list_chunk value-for-value (differentially pinned
+    in tests)."""
+    if leaf.get("max_rep", 0) < 1 or not leaf.get("path_nodes"):
+        return None
+    levels = _decode_chunk_levels(buf, chunk, leaf)
+    if levels is None:
+        return None
+    return assemble_records(*levels, leaf["path_nodes"])
+
+
+def _utf8_leaf(leaf: dict) -> bool:
+    return leaf["physical_type"] == "BYTE_ARRAY" and \
+        leaf.get("converted_type") == 0
+
+
+def _group_tree(leaves: "list[dict]",
+                prefix_len: int) -> "dict | None":
+    """Leaf suffix paths (path_nodes after the shared structural
+    prefix) -> the nested group tree the struct zipper walks:
+    {'def': group def level or None (required), 'children':
+    {name: subtree}, 'leaf': leaf index or None}.  Field order is
+    footer (schema) order."""
+    root: "dict" = {"def": None, "children": {}, "leaf": None}
+    for ix, lf in enumerate(leaves):
+        suffix = lf["path_nodes"][prefix_len:]
+        if not suffix:
+            return None  # a leaf AT the prefix: not a group member
+        cur = root
+        for node in suffix:
+            if node["rep"] == 2:
+                return None  # repeated below the divergence point:
+                # ragged shapes (list inside struct) are out of scope
+            nxt = cur["children"].get(node["name"])
+            if nxt is None:
+                nxt = {"def": node["def"] if node["rep"] == 1
+                       else None,
+                       "children": {}, "leaf": None}
+                cur["children"][node["name"]] = nxt
+            cur = nxt
+        if cur["leaf"] is not None or cur["children"]:
+            return None  # duplicate leaf path / leaf-group clash
+        cur["leaf"] = ix
+    return root
+
+
+def _tree_leaf_ixs(tree: dict) -> "list[int]":
+    if tree["leaf"] is not None:
+        return [tree["leaf"]]
+    out: "list[int]" = []
+    for sub in tree["children"].values():
+        out.extend(_tree_leaf_ixs(sub))
+    return out
+
+
+def zip_struct_records(tagged_by_leaf: "list[list]",
+                       leaves: "list[dict]") -> "list | None":
+    """STRUCT reassembly from dotted leaves (r17 — the group
+    reassembly ORC has had since r16, orcdata.py:457): the tagged
+    skeletons of every leaf under one top-level group column zip
+    into one Python value per record — dicts for structs (None
+    when the whole group is undefined at a position), lists at
+    shared repeated levels (list-of-struct), None/[] as usual.
+
+    Preconditions (refused otherwise): every leaf shares the same
+    structural prefix — all REPEATED nodes common to all paths —
+    and no repeated nodes below the divergence point (a list
+    INSIDE the struct would make skeletons ragged).  Definition
+    levels do the struct-vs-field nullness split: at a terminal
+    position the group at def g is present iff any member leaf's
+    def >= g."""
+    if not leaves or len(tagged_by_leaf) != len(leaves):
+        return None
+    # shared structural prefix: longest common (name, rep, def) run
+    paths = [lf.get("path_nodes") or [] for lf in leaves]
+    if any(not p for p in paths):
+        return None
+    prefix_len = 0
+    # the prefix may never swallow a whole leaf path (a group needs
+    # at least one suffix node per member)
+    for ix in range(min(len(p) for p in paths) - 1):
+        n0 = paths[0][ix]
+        if all(p[ix]["name"] == n0["name"]
+               and p[ix]["rep"] == n0["rep"]
+               and p[ix]["def"] == n0["def"] for p in paths):
+            prefix_len = ix + 1
+        else:
+            break
+    if prefix_len == 0:
+        return None
+    # every repeated node must live in the shared prefix
+    max_rep = leaves[0]["max_rep"]
+    if any(lf["max_rep"] != max_rep for lf in leaves):
+        return None
+    if sum(1 for n in paths[0][:prefix_len]
+           if n["rep"] == 2) != max_rep:
+        return None
+    tree = _group_tree(leaves, prefix_len)
+    if tree is None:
+        return None
+    # the group's own def: the last def-adding prefix node BELOW
+    # which the struct fields hang (group undefined => None)
+    group_def = max((n["def"] for n in paths[0][:prefix_len]
+                     if n["rep"] in (1, 2)), default=0)
+
+    def build(node: dict, dvs: "list"):
+        ix = node["leaf"]
+        if ix is not None:
+            d, v = dvs[ix]
+            if v is not None and _utf8_leaf(leaves[ix]):
+                v = v.decode("utf-8")
+            return v if d == leaves[ix]["max_def"] else None
+        g = node["def"]
+        if g is not None and all(
+                dvs[k][0] < g for k in _tree_leaf_ixs(node)):
+            return None
+        return {name: build(sub, dvs)
+                for name, sub in node["children"].items()}
+
+    def zipn(slots: "list"):
+        first = slots[0]
+        if isinstance(first, tuple):
+            if not all(isinstance(s, tuple) for s in slots):
+                return _REFUSE
+            if all(s[0] < group_def for s in slots):
+                return None  # group undefined at this position
+            return build(tree, slots)
+        if isinstance(first, list):
+            if not all(isinstance(s, list) and len(s) == len(first)
+                       for s in slots):
+                return _REFUSE
+            out = []
+            for k in range(len(first)):
+                v = zipn([s[k] for s in slots])
+                if v is _REFUSE:
+                    return _REFUSE
+                out.append(v)
+            return out
+        if all(s is None for s in slots):
+            return None
+        return _REFUSE  # structurally inconsistent skeletons
+
+    n_rec = len(tagged_by_leaf[0])
+    if any(len(t) != n_rec for t in tagged_by_leaf):
+        return None
+    records = []
+    for k in range(n_rec):
+        v = zipn([t[k] for t in tagged_by_leaf])
+        if v is _REFUSE:
+            return None
+        records.append(v)
+    return records
+
+
+_REFUSE = object()
+
+
+def decode_struct_chunks(parts: "list[tuple[bytes, dict, dict]]",
+                         ) -> "list | None":
+    """[(buf, chunk, leaf)...] for EVERY leaf of one top-level
+    struct (or list-of-struct) column -> one Python value per
+    record, or None.  Each leaf's chunk decodes independently
+    (callers fetch each chunk's own byte range — the selective
+    I/O contract), tagged skeletons zip via zip_struct_records."""
+    tagged = []
+    leaves = []
+    for buf, chunk, leaf in parts:
+        if not leaf.get("path_nodes"):
+            return None
+        levels = _decode_chunk_levels(buf, chunk, leaf)
+        if levels is None:
+            return None
+        t = assemble_records(*levels, leaf["path_nodes"],
+                             tagged=True)
+        if t is None:
+            return None
+        tagged.append(t)
+        leaves.append(leaf)
+    return zip_struct_records(tagged, leaves)
+
+
 def _decode_values(plain: bytes, enc: int, ptype: str,
                    tlen: "int | None", count: int,
                    dictionary: "list | None") -> "list | None":

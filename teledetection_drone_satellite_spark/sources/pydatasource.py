@@ -48,6 +48,7 @@ query engine rather than beside it.
 
 from __future__ import annotations
 
+import re
 import struct
 
 from pyspark.sql.datasource import (
@@ -224,28 +225,46 @@ class RawParquetDataSource(DataSource):
     def _fields(footer) -> "list[tuple[str, object, str]]":
         """(column name, leaf(s), kind) in footer order: 'flat'
         leaves by full path; single-level LIST columns by top-level
-        name ('list'); MAP columns (r16 — two max_rep-1 key/value
-        leaves under one name) as ('map', (key leaf, value leaf));
-        anything deeper stays excluded."""
+        name ('list'); MAP columns (r16) as ('map', (key leaf,
+        value leaf)); r17 adds 'struct' (dotted max_rep-0 leaves
+        reassembled into one struct column), 'structlist'
+        (list-of-struct: max_rep-1 leaves diverging below the
+        element group) and 'nested' (a pure list-of-list chain at
+        max_rep >= 2).  Shapes outside these (maps of lists, lists
+        inside structs, ...) stay excluded — the honest-refusal
+        contract."""
         from .parquetpage import list_leaves, map_leaves
 
         lists = list_leaves(footer)
         maps = map_leaves(footer)
+        by_top: "dict[str, list]" = {}
+        for leaf in footer["columns"]:
+            if "." in leaf["name"] or leaf.get("max_rep", 0):
+                by_top.setdefault(leaf["name"].split(".", 1)[0],
+                                  []).append(leaf)
         out = []
         seen = set()
         for leaf in footer["columns"]:
             mr = leaf.get("max_rep", 0)
-            if mr == 0:
+            if mr == 0 and "." not in leaf["name"]:
                 out.append((leaf["name"], leaf, "flat"))
-            elif mr == 1:
-                top = leaf["name"].split(".", 1)[0]
-                if top in seen:
-                    continue
-                seen.add(top)
-                if top in lists:
-                    out.append((top, lists[top], "list"))
-                elif top in maps:
-                    out.append((top, maps[top], "map"))
+                continue
+            top = leaf["name"].split(".", 1)[0]
+            if top in seen:
+                continue
+            seen.add(top)
+            group = by_top[top]
+            if top in lists and _is_plain_list(lists[top]):
+                out.append((top, lists[top], "list"))
+            elif top in maps:
+                out.append((top, maps[top], "map"))
+            elif len(group) == 1 and group[0]["max_rep"] >= 2 and \
+                    _is_plain_list(group[0]):
+                out.append((top, group[0], "nested"))
+            else:
+                kind = _struct_kind(group)
+                if kind is not None:
+                    out.append((top, group, kind))
         return out
 
     def schema(self) -> str:
@@ -256,6 +275,13 @@ class RawParquetDataSource(DataSource):
                 t = _pq_spark_type(leaf)
             elif kind == "list":
                 t = "array<%s>" % _pq_spark_type(leaf)
+            elif kind == "nested":
+                mr = leaf["max_rep"]
+                t = "array<" * mr + _pq_spark_type(leaf) + ">" * mr
+            elif kind == "struct":
+                t = _struct_ddl(leaf)
+            elif kind == "structlist":
+                t = "array<%s>" % _struct_ddl(leaf)
             else:
                 t = "map<%s,%s>" % (_pq_spark_type(leaf[0]),
                                     _pq_spark_type(leaf[1]))
@@ -297,6 +323,111 @@ def _stat_int(raw: "bytes | None") -> "int | None":
     if isinstance(raw, bytes) and len(raw) in (4, 8):
         return int.from_bytes(raw, "little", signed=True)
     return None
+
+
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def _is_plain_list(leaf: dict) -> bool:
+    """True when the leaf's path is a PURE list chain: at most one
+    node (the element leaf) after the last repeated node, and no
+    MAP annotations — the shapes array<T> / array<array<...>> that
+    decode_nested_chunk serves whole.  A leaf below a further group
+    (list-of-struct's single-field case) is NOT plain: it belongs
+    to structlist reassembly."""
+    nodes = leaf.get("path_nodes") or []
+    if not nodes or any(n.get("converted") in (1, 2)
+                        for n in nodes):
+        return False
+    last_rep = max((ix for ix, n in enumerate(nodes)
+                    if n["rep"] == 2), default=None)
+    return last_rep is not None and len(nodes) - 1 - last_rep <= 1
+
+
+def _struct_prefix_len(group: "list[dict]") -> int:
+    """Longest shared (name, rep, def) path-node prefix across the
+    group's leaves, capped so no whole leaf path is swallowed."""
+    paths = [lf.get("path_nodes") or [] for lf in group]
+    if any(not p for p in paths):
+        return 0
+    plen = 0
+    for ix in range(min(len(p) for p in paths) - 1):
+        n0 = paths[0][ix]
+        if all(p[ix]["name"] == n0["name"]
+               and p[ix]["rep"] == n0["rep"]
+               and p[ix]["def"] == n0["def"] for p in paths):
+            plen = ix + 1
+        else:
+            break
+    return plen
+
+
+def _struct_kind(group: "list[dict]") -> "str | None":
+    """Classify a top-level group's leaves as 'struct' (max_rep 0,
+    dotted leaves reassembled into one struct column) or
+    'structlist' (max_rep 1, divergence below the list element
+    group); None refuses — mixed repetition depths (a list inside
+    a struct), MAP annotations, repeated nodes below the shared
+    prefix, or non-identifier field names."""
+    mr = group[0].get("max_rep", 0)
+    if any(lf.get("max_rep", 0) != mr for lf in group) or mr > 1:
+        return None
+    plen = _struct_prefix_len(group)
+    if plen == 0:
+        return None
+    prefix = group[0]["path_nodes"][:plen]
+    if sum(1 for n in prefix if n["rep"] == 2) != mr:
+        return None  # a repeated node outside the shared prefix
+    if any(n.get("converted") in (1, 2) for n in prefix):
+        return None  # MAP shapes route through map_leaves only
+    names = set()
+    for lf in group:
+        segs = [n["name"] for n in lf["path_nodes"][plen:]]
+        if not segs or any(not _IDENT.match(s) for s in segs):
+            return None
+        if lf["name"] in names:
+            return None
+        names.add(lf["name"])
+    if _suffix_tree(group, plen) is None:
+        return None
+    return "struct" if mr == 0 else "structlist"
+
+
+def _suffix_tree(group: "list[dict]",
+                 prefix_len: int) -> "dict | None":
+    """Leaf paths below the shared prefix -> {segment: subtree or
+    leaf dict} in footer (schema) order; None on leaf/group
+    clashes."""
+    root: "dict" = {}
+    for lf in group:
+        segs = [n["name"] for n in lf["path_nodes"][prefix_len:]]
+        cur = root
+        for s in segs[:-1]:
+            nxt = cur.setdefault(s, {})
+            if not isinstance(nxt, dict) or "physical_type" in nxt:
+                return None
+            cur = nxt
+        if segs[-1] in cur:
+            return None
+        cur[segs[-1]] = lf
+    return root
+
+
+def _struct_ddl(group: "list[dict]") -> str:
+    """The struct<...> Spark DDL for a classified struct /
+    structlist group (classification already validated names)."""
+    tree = _suffix_tree(group, _struct_prefix_len(group))
+
+    def render(t: dict) -> str:
+        parts = []
+        for name, v in t.items():
+            if isinstance(v, dict) and "physical_type" not in v:
+                parts.append("%s:struct<%s>" % (name, render(v)))
+            else:
+                parts.append("%s:%s" % (name, _pq_spark_type(v)))
+        return ",".join(parts)
+
+    return "struct<%s>" % render(tree)
 
 
 def _pq_spark_type(leaf: dict) -> str:
@@ -393,6 +524,9 @@ class RawParquetReader(DataSourceReader):
                 if kind == "map":
                     chunks.append((_chunk_for(rg, leaf[0]),
                                    _chunk_for(rg, leaf[1])))
+                elif kind in ("struct", "structlist"):
+                    chunks.append(tuple(_chunk_for(rg, lf)
+                                        for lf in leaf))
                 else:
                     chunks.append(_chunk_for(rg, leaf))
             parts.append(_PqPartition(fpath, entries, chunks,
@@ -413,17 +547,15 @@ class RawParquetReader(DataSourceReader):
         return _read_pq_partition(partition)
 
 
-def _decode_one_chunk(f, path: str, leaf: dict, chunk: dict,
-                      repeated: bool):
-    """Seek + decode one column chunk (flat or repeated) with UTF8
-    element conversion; ValueError is the refusal channel."""
-    from .parquetpage import decode_column_chunk, decode_list_chunk
-
+def _fetch_chunk(f, path: str, leaf: dict,
+                 chunk: dict) -> "tuple[bytes, dict]":
+    """Seek + read one chunk's byte range; returns (blob, chunk
+    rebased to blob offsets).  ValueError is the refusal channel —
+    a corrupt footer may carry non-int offsets and must not surface
+    as a TypeError out of seek()."""
     start = chunk["data_page_offset"]
     dpo = chunk.get("dictionary_page_offset")
     size = chunk.get("total_compressed_size")
-    # a corrupt footer may carry non-int offsets; the refusal
-    # channel is ValueError, never a TypeError out of seek()
     if not isinstance(start, int) or start < 0 or \
             not isinstance(size, int) or size < 0 or \
             not (dpo is None or isinstance(dpo, int)):
@@ -437,14 +569,42 @@ def _decode_one_chunk(f, path: str, leaf: dict, chunk: dict,
     rb["data_page_offset"] -= start
     if dpo is not None:
         rb["dictionary_page_offset"] = dpo - start
-    decode = decode_list_chunk if repeated else decode_column_chunk
+    return blob, rb
+
+
+def _deep_utf8(v):
+    """UTF8-decode every bytes element inside arbitrarily nested
+    lists (r17 — the 'nested' kind's string conversion)."""
+    if v is None:
+        return None
+    if isinstance(v, list):
+        return [_deep_utf8(e) for e in v]
+    return v.decode("utf-8")
+
+
+def _decode_one_chunk(f, path: str, leaf: dict, chunk: dict,
+                      repeated: bool, nested: bool = False):
+    """Seek + decode one column chunk (flat, repeated, or r17
+    deep-nested) with UTF8 element conversion; ValueError is the
+    refusal channel."""
+    from .parquetpage import (
+        decode_column_chunk,
+        decode_list_chunk,
+        decode_nested_chunk,
+    )
+
+    blob, rb = _fetch_chunk(f, path, leaf, chunk)
+    decode = decode_nested_chunk if nested else \
+        decode_list_chunk if repeated else decode_column_chunk
     vals = decode(blob, rb, leaf)
     if vals is None:
         raise ValueError("chunk decode refused: %s in %s"
                          % (leaf["name"], path))
     if leaf["physical_type"] == "BYTE_ARRAY" and \
             leaf.get("converted_type") == 0:
-        if repeated:
+        if nested:
+            vals = [_deep_utf8(v) for v in vals]
+        elif repeated:
             vals = [[e.decode("utf-8") if e is not None else None
                      for e in v] if v is not None else None
                     for v in vals]
@@ -578,9 +738,23 @@ def _read_pq_partition(partition: _PqPartition):
                 vals = [dict(zip(k, v))
                         if k is not None and v is not None else None
                         for k, v in zip(keys, mvals)]
+            elif kind in ("struct", "structlist"):
+                from .parquetpage import decode_struct_chunks
+
+                parts = []
+                for lf, ck in zip(leaf, chunk):
+                    blob, rb = _fetch_chunk(f, partition.path,
+                                            lf, ck)
+                    parts.append((blob, rb, lf))
+                vals = decode_struct_chunks(parts)
+                if vals is None:
+                    raise ValueError(
+                        "struct reassembly refused: %s in %s"
+                        % (leaf[0]["name"], partition.path))
             else:
                 vals = _decode_one_chunk(f, partition.path, leaf,
-                                         chunk, kind == "list")
+                                         chunk, kind == "list",
+                                         nested=(kind == "nested"))
             cols.append(vals)
     yield from zip(*cols)
 

@@ -515,3 +515,124 @@ def test_pruned_decode_refuses_non_int_physical_types():
     got = decode_pruned_chunk(buf, chunks["i"], leaves["i"],
                               100, 110, rg["num_rows"])
     assert got is not None and got["n_selected"] < got["n_pages"]
+
+
+def _nested_leaves_chunks(buf):
+    from teledetection_drone_satellite_spark.sources.parquetmeta \
+        import parse_parquet_footer
+
+    f = parse_parquet_footer(buf)
+    return (f,
+            {lf["name"]: lf for lf in f["columns"]},
+            {c["path"]: c for c in f["row_groups"][0]["columns"]})
+
+
+def test_decode_nested_chunk_deep_lists():
+    # r17: max_rep > 1 — list<list<T>> with every def-level shape
+    from teledetection_drone_satellite_spark.sources.parquetpage \
+        import decode_nested_chunk
+
+    data = [None, [], [[1, 2], [3]], [None, []], [[None, 4]],
+            [[5], [], None], [[6, None, 7], [8]]]
+    tbl = pa.table({"ll": pa.array(
+        data, pa.list_(pa.list_(pa.int64())))})
+    for comp in ("none", "snappy", "gzip"):
+        buf = _write(tbl, compression=comp)
+        _f, leaves, chunks = _nested_leaves_chunks(buf)
+        leaf = next(iter(leaves.values()))
+        assert leaf["max_rep"] == 2
+        got = decode_nested_chunk(buf, chunks[leaf["name"]], leaf)
+        assert got == data
+    # 3 levels deep
+    d3 = [None, [[[1], []], None], [], [[[2, None]]]]
+    buf3 = _write(pa.table({"x": pa.array(
+        d3, pa.list_(pa.list_(pa.list_(pa.int64()))))}))
+    _f, leaves, chunks = _nested_leaves_chunks(buf3)
+    leaf = next(iter(leaves.values()))
+    assert leaf["max_rep"] == 3
+    assert decode_nested_chunk(buf3, chunks[leaf["name"]],
+                               leaf) == d3
+
+
+def test_decode_nested_chunk_differential_vs_list_chunk():
+    # at max_rep == 1 the generic assembler must agree value-for-
+    # value with the specialized r16 list decoder on every shape
+    import random as _random
+
+    from teledetection_drone_satellite_spark.sources.parquetpage \
+        import decode_list_chunk, decode_nested_chunk
+
+    rnd = _random.Random(17)
+    data = []
+    for _ in range(500):
+        roll = rnd.random()
+        if roll < 0.1:
+            data.append(None)
+        elif roll < 0.2:
+            data.append([])
+        else:
+            data.append([None if rnd.random() < 0.2
+                         else rnd.randrange(1000)
+                         for _ in range(rnd.randrange(1, 6))])
+    tbl = pa.table({"l": pa.array(data, pa.list_(pa.int64()))})
+    buf = _write(tbl, data_page_size=512)  # records span pages
+    _f, leaves, chunks = _nested_leaves_chunks(buf)
+    leaf = next(iter(leaves.values()))
+    a = decode_nested_chunk(buf, chunks[leaf["name"]], leaf)
+    b = decode_list_chunk(buf, chunks[leaf["name"]], leaf)
+    assert a == b == data
+
+
+def test_decode_struct_chunks_shapes():
+    # r17 STRUCT reassembly: flat struct, struct-in-struct,
+    # list-of-struct — nullness split between struct and fields
+    from teledetection_drone_satellite_spark.sources.parquetpage \
+        import decode_struct_chunks
+
+    sdata = [{"a": 1, "b": "x"}, None, {"a": None, "b": "y"},
+             {"a": 3, "b": None}, {"a": None, "b": None}]
+    ssdata = [{"c": 1, "inner": {"x": 2.5}}, {"c": 2, "inner": None},
+              None, {"c": None, "inner": {"x": None}},
+              {"c": 5, "inner": {"x": 0.5}}]
+    lsdata = [None, [], [{"u": 1, "w": "p"}, None],
+              [{"u": None, "w": None}], [{"u": 9, "w": "q"}]]
+    tbl = pa.table({
+        "s": pa.array(sdata, pa.struct(
+            [("a", pa.int64()), ("b", pa.string())])),
+        "n": pa.array(ssdata, pa.struct(
+            [("c", pa.int64()),
+             ("inner", pa.struct([("x", pa.float64())]))])),
+        "ls": pa.array(lsdata, pa.list_(pa.struct(
+            [("u", pa.int64()), ("w", pa.string())]))),
+    })
+    buf = _write(tbl, data_page_size=256)
+    _f, leaves, chunks = _nested_leaves_chunks(buf)
+    for top, want in (("s", sdata), ("n", ssdata), ("ls", lsdata)):
+        group = [lf for name, lf in leaves.items()
+                 if name.split(".")[0] == top]
+        got = decode_struct_chunks(
+            [(buf, chunks[lf["name"]], lf) for lf in group])
+        assert got == want, top
+
+
+def test_decode_struct_chunks_refusals():
+    # ragged shapes (a list INSIDE the struct) refuse rather than
+    # mis-zip; so do leaves from different groups
+    from teledetection_drone_satellite_spark.sources.parquetpage \
+        import decode_struct_chunks
+
+    tbl = pa.table({
+        "s": pa.array([{"a": 1, "tags": ["x"]}], pa.struct(
+            [("a", pa.int64()),
+             ("tags", pa.list_(pa.string()))])),
+        "t": pa.array([{"b": 2}], pa.struct([("b", pa.int64())])),
+    })
+    buf = _write(tbl)
+    _f, leaves, chunks = _nested_leaves_chunks(buf)
+    s_group = [lf for n, lf in leaves.items()
+               if n.split(".")[0] == "s"]
+    assert decode_struct_chunks(
+        [(buf, chunks[lf["name"]], lf) for lf in s_group]) is None
+    mixed = [leaves["s.a"], leaves["t.b"]]
+    assert decode_struct_chunks(
+        [(buf, chunks[lf["name"]], lf) for lf in mixed]) is None

@@ -626,3 +626,68 @@ def test_raworc_directory_missing_column_raises(spark, tmp_path):
     with pytest.raises(Exception, match="missing|heterogeneous"):
         spark.read.format("raworc").load(d).select("a", "b") \
             .collect()
+
+
+def test_rawparquet_struct_and_deep_columns_equal_native(
+        spark, tmp_path):
+    # r17: struct, struct-in-struct, list-of-struct, list-of-list
+    # through the registered DataSource vs Spark's native reader,
+    # on a SPARK-written multi-row-group file
+    p = str(tmp_path / "structs")
+    n = 600
+    df = spark.range(n).selectExpr(
+        "id",
+        "CASE WHEN id % 11 = 0 THEN NULL ELSE named_struct("
+        "  'a', CASE WHEN id % 7 = 0 THEN CAST(NULL AS LONG) "
+        "       ELSE id * 2 END,"
+        "  'b', CASE WHEN id % 5 = 0 THEN CAST(NULL AS STRING) "
+        "       ELSE concat('s', id) END,"
+        "  'inner', CASE WHEN id % 3 = 0 THEN NULL ELSE "
+        "    named_struct('x', CAST(id AS DOUBLE) / 4) END"
+        ") END AS s",
+        "CASE WHEN id % 13 = 0 THEN NULL "
+        "WHEN id % 9 = 0 THEN array() "
+        "ELSE array(named_struct('u', id, 'w', concat('w', id)), "
+        "           named_struct('u', id + 1, "
+        "                        'w', CAST(NULL AS STRING))) "
+        "END AS ls",
+        "CASE WHEN id % 17 = 0 THEN NULL "
+        "WHEN id % 15 = 0 THEN array(array()) "
+        "ELSE array(array(id, id + 1), array(id * 3)) END AS ll",
+    )
+    (df.coalesce(1).write.mode("overwrite")
+     .option("parquet.block.size", str(64 * 1024)).parquet(p))
+    part = sorted(glob.glob(p + "/part-*.parquet"))[0]
+    spark.dataSource.register(RawParquetDataSource)
+    mine = spark.read.format("rawparquet").load(part)
+    ref = spark.read.parquet(part)
+    assert mine.schema == ref.schema
+    a = sorted(mine.collect(), key=lambda r: r.id)
+    b = sorted(ref.collect(), key=lambda r: r.id)
+    assert a == b
+    # multi-row-group partitioning: rewrite through pyarrow with a
+    # small row_group_size and scan again
+    t = pq.read_table(part)
+    p2 = str(tmp_path / "rg.parquet")
+    pq.write_table(t, p2, row_group_size=150)
+    mine2 = spark.read.format("rawparquet").load(p2)
+    assert mine2.rdd.getNumPartitions() == 4
+    assert sorted(mine2.collect(), key=lambda r: r.id) == b
+
+
+def test_rawparquet_struct_column_pruned_projection(spark,
+                                                    tmp_path):
+    # selecting only the struct column plans a reader over just its
+    # leaves; selecting a flat column skips the struct's chunks
+    p = str(tmp_path / "sp.parquet")
+    tbl = pa.table({
+        "i": pa.array(range(50), pa.int64()),
+        "s": pa.array([{"a": k, "b": "x%d" % k} for k in range(50)],
+                      pa.struct([("a", pa.int64()),
+                                 ("b", pa.string())])),
+    })
+    pq.write_table(tbl, p)
+    spark.dataSource.register(RawParquetDataSource)
+    got = (spark.read.format("rawparquet").load(p)
+           .select("s.a").agg(F.sum("a")).collect())
+    assert got[0][0] == 50 * 49 // 2
