@@ -13315,6 +13315,129 @@ def pyds_page_prune_scan(spark: SparkSession,
 
 
 @register(
+    "orc_rowindex_prune_stats",
+    oracle="""
+    WITH t AS (
+        SELECT d.lang, d.n_chars, d.doc_id * 16 + r.r AS key
+        FROM documents d, (SELECT unnest(range(16)) AS r) r
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(key) AS BIGINT) AS key_sum,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+           TRUE AS groups_pruned,
+           TRUE AS window_covers
+    FROM t
+    WHERE key BETWEEN 1600 AND 2399
+    GROUP BY lang
+    """,
+    doc="ORC ROW_INDEX row-group pruning, graded (r17 — the "
+    "in-stripe twin of the r16 Parquet page-index tier, the r16 "
+    "verdict's #3): Spark's OWN Java ORC writer materializes "
+    "documents replicated x16 (key = doc_id*16 + r, so the file "
+    "spans many 1024-row groups at every sf), ordered by key with "
+    "orc.row.index.stride=1024; the raworc DataSource scans it "
+    "with pushdown — stripes prune via metadata stats AND, inside "
+    "each surviving stripe task, the per-1024-row RowIndexEntry "
+    "statistics (orcdata.parse_row_index: positions + "
+    "intStatistics per column per stride) window which row groups "
+    "EMIT rows (pruning-only; Spark re-evaluates the filter "
+    "row-level). The graded booleans are falsifiable claims from "
+    "the direct index walk: fewer row groups selected than exist, "
+    "and every selected group's stats really intersect the "
+    "predicate range. The oracle restates the replication and row "
+    "arithmetic from the documents view.",
+    tags=("ingest", "sketch", "pipeline"),
+)
+def orc_rowindex_prune_stats(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..catalog import source_fingerprint
+    from ..sources.orcdata import (
+        parse_row_index,
+        parse_stripe_footer,
+        rowgroups_can_match,
+    )
+    from ..sources.orcmeta import parse_orc_tail
+    from ..sources.pydatasource import RawOrcDataSource
+
+    fp = source_fingerprint(sf_dir, "documents")
+    root = _os.path.join(_tempfile.gettempdir(),
+                         "spark_graft_orcridx_v2", fp)
+    done = _os.path.join(root, "_DONE")
+    if not _os.path.exists(done):
+        d = load(spark, sf_dir, ("documents",))["documents"]
+        rep = d.select(
+            "lang", "n_chars",
+            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("r"),
+            F.col("doc_id"))
+        (rep.select(
+            (F.col("doc_id") * 16 + F.col("r")).alias("key"),
+            "lang", "n_chars")
+         .orderBy("key").coalesce(1)
+         .write.mode("overwrite")
+         .option("compression", "zlib")
+         .option("orc.row.index.stride", "1024").orc(root))
+        open(done, "w").close()
+    part = sorted(_glob.glob(root + "/part-*.orc"))[0]
+    with open(part, "rb") as f:
+        buf = f.read()
+    tail = parse_orc_tail(buf)
+    stride = tail["row_index_stride"]
+    if not isinstance(stride, int) or stride <= 0:
+        raise ValueError("ORC file carries no row index stride")
+    lo, hi = 1600, 2399
+    # key's column id in the type tree (root struct children start
+    # at 1, key is the first field)
+    doc_cid = tail["type_nodes"][0]["subtypes"][0]
+    groups_total = groups_sel = 0
+    covers = True
+    for st in tail["stripes"]:
+        foot = parse_stripe_footer(
+            buf[st["offset"] + st["index_length"]
+                + st["data_length"]:
+                st["offset"] + st["index_length"]
+                + st["data_length"] + st["footer_length"]],
+            tail["compression"])
+        if foot is None:
+            raise ValueError("stripe footer refused")
+        ridx = parse_row_index(foot, buf, st,
+                               tail["compression"], {doc_cid})
+        if ridx is None or doc_cid not in ridx:
+            raise ValueError("ROW_INDEX missing on doc_id")
+        keep = rowgroups_can_match(ridx[doc_cid], stride,
+                                   st["num_rows"], lo, hi)
+        if keep is None:
+            raise ValueError("row index entry count mismatch")
+        groups_total += len(keep)
+        groups_sel += sum(keep)
+        # coverage: every selected group's stats really intersect
+        for e, k in zip(ridx[doc_cid], keep):
+            if k and e["min"] is not None and \
+                    (e["min"] > hi or e["max"] < lo):
+                covers = False
+    groups_pruned = groups_sel < groups_total
+    window_covers = covers and groups_sel >= 1
+    spark.conf.set("spark.sql.python.filterPushdown.enabled",
+                   "true")
+    spark.dataSource.register(RawOrcDataSource)
+    df = (spark.read.format("raworc")
+          .option("pushdown", "true").load(part))
+    return (
+        df.filter((F.col("key") >= lo) & (F.col("key") <= hi))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum("key").alias("key_sum"),
+             F.sum("n_chars").alias("chars_sum"))
+        .withColumn("groups_pruned", F.lit(bool(groups_pruned)))
+        .withColumn("window_covers", F.lit(bool(window_covers)))
+    )
+
+
+@register(
     "parquet_map_stats",
     oracle="""
     WITH t AS (

@@ -61,6 +61,7 @@ _S_DATA = 1
 _S_LENGTH = 2
 _S_DICT_DATA = 3
 _S_SECONDARY = 5
+_S_ROW_INDEX = 6
 
 # column encodings
 _E_DIRECT = 0
@@ -314,6 +315,115 @@ def _column_streams(footer: dict, buf: bytes, stripe: dict,
             if raw is None:
                 return None
             out[(column, kind)] = raw
+    return out
+
+
+def parse_row_index(footer: dict, buf: bytes, stripe: dict,
+                    codec: str,
+                    cols: "set[int] | None" = None,
+                    ) -> "dict[int, list] | None":
+    """Stripe INDEX-region ROW_INDEX streams (r17 — the in-stripe
+    pruning tier: one RowIndexEntry per row_index_stride rows, per
+    column) -> {column id: [{'positions', 'n_values', 'has_null',
+    'min', 'max'}...]} or None.  ``positions`` are the spec's
+    stream-seek offsets (compressed chunk start / decompressed
+    offset / run position) — exposed for completeness; min/max are
+    intStatistics (sint64 zigzag), None for non-int columns.
+    ``cols`` restricts parsing to the named column ids.  Absent or
+    unreadable indexes refuse (None); callers must treat that as
+    'cannot prune', never as empty."""
+    try:
+        pos = stripe["offset"]
+        out: "dict[int, list]" = {}
+        for kind, column, length in footer["streams"]:
+            if not all(isinstance(v, int) for v in
+                       (kind, column, length)) or length < 0 or \
+                    pos + length > len(buf):
+                return None
+            blob = buf[pos:pos + length]
+            pos += length
+            if kind != _S_ROW_INDEX or \
+                    (cols is not None and column not in cols):
+                continue
+            raw = decompress_orc(blob, codec)
+            if raw is None:
+                return None
+            fd = _fields(raw)
+            if fd is None:
+                return None
+            entries = []
+            for eb in fd.get(1, []):
+                ef = _fields(eb) if isinstance(eb, bytes) else None
+                if ef is None:
+                    return None
+                positions: "list[int]" = []
+                for v in ef.get(1, []):
+                    # repeated uint64 [packed]: bare varints or one
+                    # length-delimited packed blob
+                    if isinstance(v, int):
+                        positions.append(v)
+                    elif isinstance(v, bytes):
+                        p_ = 0
+                        while p_ < len(v):
+                            n_ = shift_ = 0
+                            while True:
+                                if p_ >= len(v) or shift_ > 70:
+                                    return None
+                                b_ = v[p_]
+                                p_ += 1
+                                n_ |= (b_ & 0x7F) << shift_
+                                shift_ += 7
+                                if not b_ & 0x80:
+                                    break
+                            positions.append(n_)
+                entry = {"positions": positions, "n_values": None,
+                         "has_null": False, "min": None,
+                         "max": None}
+                sb = _one(ef, 2)
+                if isinstance(sb, bytes):
+                    sf = _fields(sb)
+                    if sf is not None:
+                        nv = _one(sf, 1)
+                        if isinstance(nv, int):
+                            entry["n_values"] = nv
+                        entry["has_null"] = bool(_one(sf, 10, 0))
+                        ib = _one(sf, 2)
+                        intf = _fields(ib) if isinstance(
+                            ib, bytes) else None
+                        if intf is not None:
+                            mn, mx = _one(intf, 1), _one(intf, 2)
+                            if isinstance(mn, int):
+                                entry["min"] = (mn >> 1) ^ -(mn & 1)
+                            if isinstance(mx, int):
+                                entry["max"] = (mx >> 1) ^ -(mx & 1)
+                entries.append(entry)
+            out[column] = entries
+        return out or None
+    except (ValueError, IndexError, TypeError, KeyError,
+            OverflowError):
+        return None
+
+
+def rowgroups_can_match(entries: "list[dict]", stride: int,
+                        num_rows: int, lo: int,
+                        hi: int) -> "list[bool] | None":
+    """Which of a stripe's row groups can a ``col BETWEEN lo AND
+    hi`` predicate touch, per its ROW_INDEX entries?  A group is
+    skipped only when its stats PROVE no overlap; missing stats
+    keep it.  None when the entry count disagrees with the stripe
+    row count (a corrupt index must not prune)."""
+    if stride <= 0 or num_rows < 0:
+        return None
+    n_groups = max(1, -(-num_rows // stride))
+    if len(entries) != n_groups:
+        return None
+    out = []
+    for e in entries:
+        mn, mx = e.get("min"), e.get("max")
+        out.append(mn is None or mx is None or
+                   not isinstance(mn, int) or
+                   not isinstance(mx, int) or
+                   (mn <= hi and mx >= lo))
     return out
 
 

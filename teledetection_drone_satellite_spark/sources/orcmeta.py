@@ -298,6 +298,10 @@ def parse_orc_tail(buf: bytes) -> "dict | None":
                 "root_values": root_values,
                 "has_null_any": has_null_any,
                 "writer_version": _one(ps, 6),
+                # Footer field 8 (r17): rows per ROW_INDEX entry —
+                # the in-stripe row-group grain orcdata's
+                # parse_row_index prunes at (0 = no row index)
+                "row_index_stride": _one(fd, 8, 0),
                 "content_length": _one(fd, 2)}
     except (ValueError, IndexError, TypeError):
         return None

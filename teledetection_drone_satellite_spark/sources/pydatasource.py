@@ -909,15 +909,21 @@ class RawParquetWriter(DataSourceWriter):
 
 
 class _OrcPartition(InputPartition):
-    """One ORC stripe: its byte range + the column routing."""
+    """One ORC stripe: its byte range + the column routing.
+    ``pushed`` (r17) carries the file-resolved (column id, op,
+    value) predicates for ROW_INDEX row-group windowing inside the
+    task; ``stride`` is the footer's rowIndexStride."""
 
     def __init__(self, path: str, stripe: dict, codec: str,
-                 cols: list, nodes: list):
+                 cols: list, nodes: list,
+                 pushed: "list | None" = None, stride: int = 0):
         self.path = path
         self.stripe = stripe
         self.codec = codec
         self.cols = cols  # [(name, column_id, kind)...]
         self.nodes = nodes  # type_nodes (compound decode routing)
+        self.pushed = pushed or []
+        self.stride = stride
 
 
 class RawOrcDataSource(DataSource):
@@ -1138,12 +1144,14 @@ class RawOrcReader(DataSourceReader):
         parts = []
         stats = tail.get("stripe_stats") or \
             [None] * len(tail["stripes"])
+        stride = tail.get("row_index_stride") or 0
         for stripe, st in zip(tail["stripes"], stats):
             if not self._stripe_can_match(st, pushed):
                 continue  # pruned: no task, no bytes
             parts.append(_OrcPartition(
                 fpath, stripe, tail["compression"],
-                cols, tail["type_nodes"]))
+                cols, tail["type_nodes"], pushed,
+                stride if isinstance(stride, int) else 0))
         return parts
 
     def partitions(self):
@@ -1226,7 +1234,59 @@ class RawOrcReader(DataSourceReader):
                 vals = [epoch + _dt.timedelta(microseconds=v)
                         if v is not None else None for v in vals]
             cols.append(vals)
-        yield from zip(*cols)
+        keep = _orc_rowgroup_window(partition, foot, blob, rebased)
+        if keep is None:
+            yield from zip(*cols)
+        else:
+            stride = partition.stride
+            for ix, row in enumerate(zip(*cols)):
+                if keep[ix // stride]:
+                    yield row
+
+
+def _orc_rowgroup_window(partition: "_OrcPartition", foot: dict,
+                         blob: bytes,
+                         rebased: dict) -> "list[bool] | None":
+    """ROW_INDEX row-group windowing inside a stripe task (r17 —
+    the in-stripe twin of the r16 Parquet page-index tier): when
+    pushed predicates constrain indexed columns, only the row
+    groups whose per-stride statistics can match EMIT rows; Spark
+    re-evaluates the predicate row-level, so the selection need
+    only be conservative (a group is dropped only when its stats
+    PROVE no overlap).  Returns None to emit every row (no pushed
+    predicates / no index / nothing pruned — the fallback is
+    always the full stripe), else one bool per row group.
+
+    Scale note: the decode is stripe-grain today — the windowing
+    saves Python row materialization and everything downstream,
+    not stream bytes; the parsed ``positions`` are the seek
+    offsets a stream-skipping decode would use."""
+    if not partition.pushed or partition.stride <= 0:
+        return None
+    from .orcdata import parse_row_index, rowgroups_can_match
+
+    ranges = _pushed_ranges(partition.pushed)
+    ridx = parse_row_index(foot, blob, rebased, partition.codec,
+                           set(ranges))
+    if ridx is None:
+        return None
+    num_rows = rebased.get("num_rows")
+    if not isinstance(num_rows, int) or num_rows <= 0:
+        return None
+    keep = None
+    for cid, (lo, hi) in ranges.items():
+        entries = ridx.get(cid)
+        if entries is None:
+            continue
+        k = rowgroups_can_match(entries, partition.stride,
+                                num_rows, lo, hi)
+        if k is None:
+            continue  # corrupt index: cannot prune on this column
+        keep = k if keep is None else \
+            [a and b for a, b in zip(keep, k)]
+    if keep is None or all(keep):
+        return None
+    return keep
 
 
 class RawOrcStreamReader(DataSourceStreamReader):

@@ -272,3 +272,70 @@ def test_compound_decode_fuzz_never_raises():
             b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
         read_orc_columns(bytes(b),
                          want=["tags", "mp", "st", "nst"])  # no raise
+
+
+def test_row_index_parse_and_prune():
+    # r17 ROW_INDEX: per-1024-row entries parse with positions +
+    # int min/max; rowgroups_can_match prunes conservatively
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    from teledetection_drone_satellite_spark.sources.orcdata import (
+        parse_row_index,
+        parse_stripe_footer,
+        rowgroups_can_match,
+    )
+    from teledetection_drone_satellite_spark.sources.orcmeta import (
+        parse_orc_tail,
+    )
+
+    sink = io.BytesIO()
+    n = 20000
+    tbl = pa.table({
+        "a": pa.array(range(n), pa.int64()),
+        "s": pa.array(["x%d" % (k % 7) for k in range(n)]),
+    })
+    orc.write_table(tbl, sink, row_index_stride=1000,
+                    compression="zlib")
+    buf = sink.getvalue()
+    tail = parse_orc_tail(buf)
+    assert tail["row_index_stride"] == 1000
+    st = tail["stripes"][0]
+    foot = parse_stripe_footer(
+        buf[st["offset"] + st["index_length"] + st["data_length"]:
+            st["offset"] + st["index_length"] + st["data_length"]
+            + st["footer_length"]], tail["compression"])
+    ridx = parse_row_index(foot, buf, st, tail["compression"])
+    assert ridx is not None and 1 in ridx
+    entries = ridx[1]
+    n_groups = -(-st["num_rows"] // 1000)
+    assert len(entries) == n_groups
+    # contiguous sorted ints: entry g covers [g*1000, g*1000+999]
+    for g, e in enumerate(entries):
+        assert e["min"] == g * 1000
+        assert e["max"] == min((g + 1) * 1000, st["num_rows"]) - 1
+        assert e["n_values"] == min(1000, st["num_rows"] - g * 1000)
+        assert isinstance(e["positions"], list)
+    keep = rowgroups_can_match(entries, 1000, st["num_rows"],
+                               2500, 3200)
+    assert keep == [g in (2, 3) for g in range(n_groups)]
+    # entry-count mismatch refuses (a corrupt index must not prune)
+    assert rowgroups_can_match(entries[:-1], 1000, st["num_rows"],
+                               0, 1) is None
+    # cols filter restricts parsing
+    only = parse_row_index(foot, buf, st, tail["compression"], {1})
+    assert set(only.keys()) == {1}
+
+
+def test_row_index_missing_stats_keep_group():
+    from teledetection_drone_satellite_spark.sources.orcdata import (
+        rowgroups_can_match,
+    )
+
+    entries = [{"min": None, "max": None},
+               {"min": 0, "max": 10},
+               {"min": 100, "max": 200}]
+    keep = rowgroups_can_match(entries, 10, 30, 50, 60)
+    assert keep == [True, False, False]

@@ -691,3 +691,56 @@ def test_rawparquet_struct_column_pruned_projection(spark,
     got = (spark.read.format("rawparquet").load(p)
            .select("s.a").agg(F.sum("a")).collect())
     assert got[0][0] == 50 * 49 // 2
+
+
+def test_raworc_rowindex_windowing(spark, tmp_path):
+    # r17: ROW_INDEX windowing inside a stripe task — with pushdown,
+    # only the matching row groups' rows EMIT (the reader yields
+    # ~2 groups of 1000 instead of the whole 50k-row stripe), and
+    # the Spark-visible result equals the native reader's
+    import pyarrow.orc as pa_orc
+
+    from pyspark.sql.datasource import (
+        GreaterThanOrEqual,
+        LessThanOrEqual,
+    )
+
+    from teledetection_drone_satellite_spark.sources.pydatasource \
+        import RawOrcPushdownReader
+
+    p = str(tmp_path / "ridx.orc")
+    n = 50000
+    tbl = pa.table({
+        "a": pa.array(range(n), pa.int64()),
+        "s": pa.array(["x%d" % (k % 7) for k in range(n)]),
+    })
+    pa_orc.write_table(tbl, p, row_index_stride=1000,
+                       compression="zlib")
+    ds = RawOrcDataSource({"path": p, "pushdown": "true"})
+    path, tail = ds._tail()
+    cols4 = ds._cols(tail)
+    cols = [(nm, tid, k) for nm, tid, k, _t in cols4]
+    by_name = {nm: (tid, k) for nm, tid, k, _t in cols4}
+    r = RawOrcPushdownReader(path, tail, cols, by_name)
+    r.pushFilters([GreaterThanOrEqual(("a",), 2500),
+                   LessThanOrEqual(("a",), 3200)])
+    rows = [row for part in r.partitions()
+            for row in r.read(part)]
+    assert len(rows) == 2000  # groups 2 and 3 only
+    assert all(2000 <= row[0] < 4000 for row in rows)
+    # the Spark-level scan (re-filtered) equals the native reader
+    spark.conf.set("spark.sql.python.filterPushdown.enabled",
+                   "true")
+    spark.dataSource.register(RawOrcDataSource)
+    mine = (spark.read.format("raworc").option("pushdown", "true")
+            .load(p)
+            .filter((F.col("a") >= 2500) & (F.col("a") <= 3200))
+            .agg(F.count("*"), F.sum("a")).collect()[0])
+    ref = (spark.read.orc(p)
+           .filter((F.col("a") >= 2500) & (F.col("a") <= 3200))
+           .agg(F.count("*"), F.sum("a")).collect()[0])
+    assert tuple(mine) == tuple(ref) == (701, sum(range(2500, 3201)))
+    # without pushed predicates the full stripe emits
+    r2 = RawOrcPushdownReader(path, tail, cols, by_name)
+    assert sum(1 for part in r2.partitions()
+               for _ in r2.read(part)) == n
