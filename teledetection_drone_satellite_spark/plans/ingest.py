@@ -13438,6 +13438,137 @@ def orc_rowindex_prune_stats(spark: SparkSession,
 
 
 @register(
+    "parquet_bloom_point_lookup",
+    oracle="""
+    WITH t AS (
+        SELECT d.n_chars, d.doc_id * 16 + r.r AS rid,
+               (d.doc_id * 16 + r.r) * 2654435761 % 9999991 AS key
+        FROM documents d, (SELECT unnest(range(16)) AS r) r
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(sum(rid) AS BIGINT) AS rid_sum,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+           TRUE AS blooms_present,
+           TRUE AS groups_bloom_pruned
+    FROM t WHERE key = 2862935
+    """,
+    doc="Parquet SPLIT-BLOCK BLOOM FILTER pruning, graded (r17 — "
+    "the r16 verdict's #4, the pruning tier for point lookups on "
+    "high-cardinality UNSORTED keys, exactly where min/max stats "
+    "span everything and prune nothing): documents replicated x16 "
+    "with key = rid*2654435761 %% 9999991 (Knuth multiplicative — "
+    "unsorted, near-unique) is written by Spark's OWN parquet-mr "
+    "writer with parquet.bloom.filter.enabled#key across multiple "
+    "small row groups; the rawparquet pushdown reader hashes the "
+    "EqualTo value with the repo's from-spec XXH64 (JVM-"
+    "differential-pinned), reads ONLY each group's bloom header + "
+    "bitset bytes, and plans tasks for just the bloom-positive "
+    "groups (sbbf_might_contain: upper-32 block select, 8 salted "
+    "bits — zero false negatives by construction). The graded "
+    "booleans are measured from the direct walk: every row group "
+    "carries a bloom, stats alone prune NOTHING, and the bloom "
+    "prunes groups. The oracle restates the lookup arithmetic.",
+    tags=("ingest", "sketch", "pipeline"),
+)
+def parquet_bloom_point_lookup(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..catalog import source_fingerprint
+    from ..sources.parquetmeta import parse_parquet_footer
+    from ..sources.parquetpage import (
+        bloom_value_hash,
+        parse_bloom_header,
+        sbbf_might_contain,
+    )
+    from ..sources.pydatasource import RawParquetDataSource
+
+    fp = source_fingerprint(sf_dir, "documents")
+    root = _os.path.join(_tempfile.gettempdir(),
+                         "spark_graft_pqbloom_v1", fp)
+    done = _os.path.join(root, "_DONE")
+    if not _os.path.exists(done):
+        d = load(spark, sf_dir, ("documents",))["documents"]
+        rep = d.select(
+            "doc_id", "n_chars",
+            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("r"))
+        rep = rep.select(
+            (F.col("doc_id") * 16 + F.col("r")).alias("rid"),
+            "n_chars")
+        rep = rep.select(
+            (F.col("rid") * F.lit(2654435761) % 9999991)
+            .alias("key"), "rid", "n_chars")
+        hc = spark._jsc.hadoopConfiguration()
+        saved = {k: hc.get(k) for k in
+                 ("parquet.bloom.filter.enabled#key",
+                  "parquet.bloom.filter.expected.ndv#key",
+                  "parquet.block.size",
+                  "parquet.page.size.row.check.min")}
+        try:
+            hc.set("parquet.bloom.filter.enabled#key", "true")
+            hc.set("parquet.bloom.filter.expected.ndv#key",
+                   "20000")
+            hc.setInt("parquet.block.size", 24 * 1024)
+            hc.setInt("parquet.page.size.row.check.min", 50)
+            (rep.coalesce(1).write.mode("overwrite")
+             .option("compression", "snappy").parquet(root))
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    hc.unset(k)
+                else:
+                    hc.set(k, v)
+        open(done, "w").close()
+    part = sorted(_glob.glob(root + "/part-*.parquet"))[0]
+    with open(part, "rb") as f:
+        buf = f.read()
+    footer = parse_parquet_footer(buf)
+    target = 2862935
+    h = bloom_value_hash(target, "INT64")
+    blooms_present = len(footer["row_groups"]) > 1
+    stats_prune_none = True
+    survivors = 0
+    for rg in footer["row_groups"]:
+        chunk = next(c for c in rg["columns"]
+                     if c["path"] == "key")
+        bh = parse_bloom_header(buf, chunk)
+        if bh is None:
+            blooms_present = False
+            survivors += 1
+            continue
+        lo = int.from_bytes(chunk["min_value"], "little",
+                            signed=True)
+        hi = int.from_bytes(chunk["max_value"], "little",
+                            signed=True)
+        if not lo <= target <= hi:
+            stats_prune_none = False  # stats COULD prune: the
+            # fixture failed its unsorted-key premise
+        bitset = buf[bh["bitset_offset"]:
+                     bh["bitset_offset"] + bh["num_bytes"]]
+        if sbbf_might_contain(bitset, h):
+            survivors += 1
+    groups_bloom_pruned = (blooms_present and stats_prune_none
+                           and 1 <= survivors
+                           < len(footer["row_groups"]))
+    spark.conf.set("spark.sql.python.filterPushdown.enabled",
+                   "true")
+    spark.dataSource.register(RawParquetDataSource)
+    df = (spark.read.format("rawparquet")
+          .option("pushdown", "true").load(part))
+    return (
+        df.filter(F.col("key") == target)
+        .agg(F.count("*").alias("n_hits"),
+             F.sum("rid").alias("rid_sum"),
+             F.sum("n_chars").alias("chars_sum"))
+        .withColumn("blooms_present", F.lit(bool(blooms_present)))
+        .withColumn("groups_bloom_pruned",
+                    F.lit(bool(groups_bloom_pruned)))
+    )
+
+
+@register(
     "parquet_map_stats",
     oracle="""
     WITH t AS (

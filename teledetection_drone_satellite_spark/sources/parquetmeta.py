@@ -286,6 +286,11 @@ def parse_parquet_footer(buf: bytes) -> "dict | None":
                     "offset_index_length": cc.get(5),
                     "column_index_offset": cc.get(6),
                     "column_index_length": cc.get(7),
+                    # r17 bloom tier: ColumnMetaData fields 14/15
+                    # locate the split-block bloom filter header +
+                    # bitset (length absent in older writers)
+                    "bloom_filter_offset": md.get(14),
+                    "bloom_filter_length": md.get(15),
                 })
             groups.append({
                 "num_rows": rg.get(3),

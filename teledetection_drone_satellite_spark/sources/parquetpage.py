@@ -1395,6 +1395,151 @@ def decode_rows_chunk(buf: bytes, chunk: dict, leaf: dict,
                                   selected)
 
 
+# ------------------------------------------------- bloom filters
+# r17: Parquet split-block bloom filters (format >= 2.9,
+# parquet-format BloomFilter.md) — the pruning tier for EQUALITY
+# predicates on high-cardinality UNSORTED keys, exactly the case
+# footer/page min-max stats cannot prune.  Pure stdlib: XXH64 from
+# the public xxHash specification, the SBBF block probe from the
+# parquet spec's salt constants.
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxhash64(data: bytes, seed: int = 0) -> int:
+    """XXH64 (xxhash.com spec; test-vector-pinned).  Parquet bloom
+    filters hash each value's PLAIN encoding with seed 0."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXP1) & _M64
+        while i + 32 <= n:
+            for _k in range(4):
+                lane = int.from_bytes(data[i:i + 8], "little")
+                if _k == 0:
+                    v1 = (_rotl64((v1 + lane * _XXP2) & _M64, 31)
+                          * _XXP1) & _M64
+                elif _k == 1:
+                    v2 = (_rotl64((v2 + lane * _XXP2) & _M64, 31)
+                          * _XXP1) & _M64
+                elif _k == 2:
+                    v3 = (_rotl64((v3 + lane * _XXP2) & _M64, 31)
+                          * _XXP1) & _M64
+                else:
+                    v4 = (_rotl64((v4 + lane * _XXP2) & _M64, 31)
+                          * _XXP1) & _M64
+                i += 8
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12)
+             + _rotl64(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl64((v * _XXP2) & _M64, 31) * _XXP1) & _M64
+            h = (h * _XXP1 + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = int.from_bytes(data[i:i + 8], "little")
+        k = (_rotl64((k * _XXP2) & _M64, 31) * _XXP1) & _M64
+        h = (_rotl64(h ^ k, 27) * _XXP1 + _XXP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i + 4], "little")
+              * _XXP1) & _M64
+        h = (_rotl64(h, 23) * _XXP2 + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXP5) & _M64
+        h = (_rotl64(h, 11) * _XXP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+_SBBF_SALT = (0x47B6137B, 0x44974D91, 0x8824AD5B, 0xA2B7289D,
+              0x705495C7, 0x2DF1424B, 0x9EFC4947, 0x5C6BFB31)
+
+
+def parse_bloom_header(buf: bytes, chunk: dict) -> "dict | None":
+    """ColumnMetaData's bloom_filter_offset -> {'num_bytes',
+    'bitset_offset'} or None (absent / non-SBBF / non-XXHASH /
+    compressed — only the spec's sole defined combination is
+    served).  BloomFilterHeader is Thrift compact: numBytes(1) +
+    the algorithm(2)/hash(3)/compression(4) unions."""
+    off = chunk.get("bloom_filter_offset")
+    if not isinstance(off, int) or not 0 <= off < len(buf):
+        return None
+    try:
+        r = _R(buf, off)
+        hdr = _read_struct(r)
+        nbytes = hdr.get(1)
+        if not isinstance(nbytes, int) or nbytes <= 0 or \
+                nbytes % 32 != 0 or r.pos + nbytes > len(buf):
+            return None
+        # unions: field 1 = BLOCK / XXHASH / UNCOMPRESSED — the
+        # only members the format defines; anything else refuses
+        for f in (2, 3, 4):
+            u = hdr.get(f)
+            if not isinstance(u, dict) or 1 not in u:
+                return None
+        return {"num_bytes": nbytes, "bitset_offset": r.pos}
+    except (ValueError, IndexError, KeyError, TypeError,
+            struct.error, RecursionError):
+        return None
+
+
+def sbbf_might_contain(bitset: bytes, h: int) -> bool:
+    """Split-block probe: block = upper32(h) scaled to the block
+    count; within the block, 8 salted bits of lower32(h) must all
+    be set.  Conservative by construction — a malformed bitset
+    (not 32-byte-aligned) answers True (cannot prune)."""
+    nblocks = len(bitset) // 32
+    if nblocks == 0 or len(bitset) % 32:
+        return True
+    block = ((h >> 32) * nblocks) >> 32
+    base = block * 32
+    lo = h & 0xFFFFFFFF
+    for i in range(8):
+        bit = ((lo * _SBBF_SALT[i]) & 0xFFFFFFFF) >> 27
+        word = int.from_bytes(bitset[base + 4 * i:
+                                     base + 4 * i + 4], "little")
+        if not (word >> bit) & 1:
+            return False
+    return True
+
+
+def bloom_value_hash(value: int, physical_type: str) -> "int | None":
+    """Hash an int predicate value the way the writer hashed the
+    column's values: XXH64 seed 0 over the PLAIN encoding (4-byte
+    LE for INT32, 8-byte LE for INT64)."""
+    if physical_type == "INT64":
+        width = 8
+    elif physical_type == "INT32":
+        width = 4
+    else:
+        return None
+    try:
+        return xxhash64(int(value).to_bytes(width, "little",
+                                            signed=True))
+    except OverflowError:
+        return None
+
+
 def _nested_by_top(footer: dict) -> "dict[str, list]":
     """Every repeated-path leaf (max_rep >= 1) grouped by top-level
     field name — classification must see the WHOLE subtree, or a

@@ -491,10 +491,62 @@ class RawParquetReader(DataSourceReader):
                 return False
         return True
 
+    def _bloom_can_match(self, f, rg: dict) -> bool:
+        """False only when a pushed EQUALITY predicate's value is
+        PROVABLY absent from the row group per its split-block
+        bloom filter (r17 — the pruning tier for point lookups on
+        high-cardinality UNSORTED keys, where min/max stats span
+        everything).  Selective fetch: only the bloom header +
+        bitset bytes are read, never the chunk.  Missing/refused
+        blooms keep the group."""
+        from .parquetpage import (
+            bloom_value_hash,
+            parse_bloom_header,
+            sbbf_might_contain,
+        )
+
+        for name, op, val in self.pushed:
+            if op != "=":
+                continue
+            hit = self.fields.get(name)
+            if hit is None or hit[1] != "flat":
+                continue
+            h = bloom_value_hash(val, hit[0]["physical_type"])
+            if h is None:
+                continue
+            chunk = next((c for c in rg["columns"]
+                          if c["path"] == name), None)
+            if chunk is None:
+                continue
+            off = chunk.get("bloom_filter_offset")
+            ln = chunk.get("bloom_filter_length")
+            if not isinstance(off, int) or off < 0:
+                continue
+            # read window: the written length when recorded, else
+            # a capped probe (header is tens of bytes; num_bytes
+            # validates against the window before probing)
+            win = ln if isinstance(ln, int) and \
+                0 < ln <= (1 << 26) else (1 << 20)
+            f.seek(off)
+            blob = f.read(win)
+            local = dict(chunk)
+            local["bloom_filter_offset"] = 0
+            bh = parse_bloom_header(blob, local)
+            if bh is None:
+                continue
+            bitset = blob[bh["bitset_offset"]:
+                          bh["bitset_offset"] + bh["num_bytes"]]
+            if len(bitset) < bh["num_bytes"]:
+                continue  # window short: cannot prune
+            if not sbbf_might_contain(bitset, h):
+                return False
+        return True
+
     def _file_partitions(self, fpath: str,
                          footer: "dict | None") -> list:
         """One file's row groups -> partitions (pruned by any pushed
-        predicates against the footer's chunk stats)."""
+        predicates against the footer's chunk stats, then r17: by
+        split-block bloom filters for equality predicates)."""
         from .parquetmeta import parse_parquet_footer
 
         if footer is None:
@@ -511,9 +563,28 @@ class RawParquetReader(DataSourceReader):
                                  % leaf["name"])
             return chunk
 
+        bloom_f = None
+        if any(op == "=" for _n, op, _v in self.pushed):
+            try:
+                bloom_f = open(fpath, "rb")
+            except OSError:
+                bloom_f = None
+        try:
+            return self._plan_row_groups(fpath, footer, parts,
+                                         _chunk_for, bloom_f)
+        finally:
+            if bloom_f is not None:
+                bloom_f.close()
+
+    def _plan_row_groups(self, fpath, footer, parts, _chunk_for,
+                         bloom_f):
         for rg in footer["row_groups"]:
             if not self._rg_can_match(rg):
                 continue  # pruned: no task, no bytes
+            if bloom_f is not None and \
+                    not self._bloom_can_match(bloom_f, rg):
+                continue  # bloom-pruned: the value is provably
+                # absent from this row group
             entries = []
             chunks = []
             for name in self.want:

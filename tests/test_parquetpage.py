@@ -636,3 +636,86 @@ def test_decode_struct_chunks_refusals():
     mixed = [leaves["s.a"], leaves["t.b"]]
     assert decode_struct_chunks(
         [(buf, chunks[lf["name"]], lf) for lf in mixed]) is None
+
+
+def test_xxhash64_public_vectors():
+    from teledetection_drone_satellite_spark.sources.parquetpage \
+        import xxhash64
+
+    # xxhash.com reference vectors (seed 0)
+    assert xxhash64(b"") == 0xEF46DB3751D8E999
+    assert xxhash64(b"a") == 0xD24EC4F1A98C6E5B
+    assert xxhash64(b"abc") == 0x44BC2CF5AD770999
+    assert xxhash64(b"message digest") == 0x066ED728FCEEB3BE
+    assert xxhash64(b"abcdefghijklmnopqrstuvwxyz") == \
+        0xCFE1F278FA89835C
+    # seed changes the hash
+    assert xxhash64(b"abc", 1) != xxhash64(b"abc")
+
+
+def test_xxhash64_matches_jvm(spark):
+    # differential pin against Spark's JVM XXH64 (seed 42 over raw
+    # bytes) across every length class incl. the >=32 stripe loop
+    from pyspark.sql import functions as F
+
+    from teledetection_drone_satellite_spark.sources.parquetpage \
+        import xxhash64
+
+    datas = [b"", b"a", b"abc", b"x" * 31, b"y" * 32, b"z" * 33,
+             b"w" * 64, b"q" * 100, bytes(range(256))]
+    rows = (spark.createDataFrame([(d,) for d in datas], "b binary")
+            .select(F.xxhash64("b").alias("h")).collect())
+    for d, r in zip(datas, rows):
+        assert xxhash64(d, 42) == r.h & ((1 << 64) - 1), len(d)
+
+
+def test_sbbf_bloom_spark_written(spark, tmp_path):
+    # r17: parse + probe a parquet-mr-written split-block bloom —
+    # ZERO false negatives (the bloom guarantee) and near-zero fp
+    import glob as _glob
+
+    from teledetection_drone_satellite_spark.sources.parquetmeta \
+        import parse_parquet_footer
+    from teledetection_drone_satellite_spark.sources.parquetpage \
+        import bloom_value_hash, parse_bloom_header, \
+        sbbf_might_contain
+
+    d = str(tmp_path / "bloom")
+    hc = spark._jsc.hadoopConfiguration()
+    hc.set("parquet.bloom.filter.enabled#key", "true")
+    hc.set("parquet.bloom.filter.expected.ndv#key", "5000")
+    try:
+        (spark.range(5000)
+         .selectExpr("xxhash64(id) % 1000000 as key", "id")
+         .coalesce(1).write.mode("overwrite").parquet(d))
+    finally:
+        hc.unset("parquet.bloom.filter.enabled#key")
+        hc.unset("parquet.bloom.filter.expected.ndv#key")
+    p = sorted(_glob.glob(d + "/part-*.parquet"))[0]
+    buf = open(p, "rb").read()
+    f = parse_parquet_footer(buf)
+    chunk = next(c for c in f["row_groups"][0]["columns"]
+                 if c["path"] == "key")
+    assert isinstance(chunk["bloom_filter_offset"], int)
+    bh = parse_bloom_header(buf, chunk)
+    assert bh is not None and bh["num_bytes"] % 32 == 0
+    bitset = buf[bh["bitset_offset"]:
+                 bh["bitset_offset"] + bh["num_bytes"]]
+    keys = [r.key for r in spark.read.parquet(p).collect()]
+    present = set(keys)
+    # the bloom guarantee: no false negatives on ANY present key
+    assert all(sbbf_might_contain(bitset,
+                                  bloom_value_hash(k, "INT64"))
+               for k in present)
+    absent = [10 ** 12 + 7 * k for k in range(500)]
+    fp_n = sum(sbbf_might_contain(bitset,
+                                  bloom_value_hash(k, "INT64"))
+               for k in absent if k not in present)
+    assert fp_n <= 10  # ~1% band at these parameters
+    # no-bloom chunk refuses
+    chunk2 = dict(chunk)
+    chunk2["bloom_filter_offset"] = None
+    assert parse_bloom_header(buf, chunk2) is None
+    # INT-only value hashing
+    assert bloom_value_hash(3, "DOUBLE") is None
+    assert bloom_value_hash(3, "BYTE_ARRAY") is None

@@ -744,3 +744,60 @@ def test_raworc_rowindex_windowing(spark, tmp_path):
     r2 = RawOrcPushdownReader(path, tail, cols, by_name)
     assert sum(1 for part in r2.partitions()
                for _ in r2.read(part)) == n
+
+
+def test_rawparquet_bloom_prunes_row_groups(spark, tmp_path):
+    # r17: EqualTo on an unsorted high-cardinality key — stats
+    # cannot prune, the bloom plans tasks for only the positive
+    # row groups; results equal the native reader's
+    from pyspark.sql.datasource import EqualTo
+
+    from teledetection_drone_satellite_spark.sources.pydatasource \
+        import RawParquetPushdownReader
+
+    d = str(tmp_path / "bf")
+    hc = spark._jsc.hadoopConfiguration()
+    saved = {k: hc.get(k) for k in
+             ("parquet.bloom.filter.enabled#key",
+              "parquet.bloom.filter.expected.ndv#key",
+              "parquet.block.size",
+              "parquet.page.size.row.check.min")}
+    try:
+        hc.set("parquet.bloom.filter.enabled#key", "true")
+        hc.set("parquet.bloom.filter.expected.ndv#key", "20000")
+        hc.setInt("parquet.block.size", 16 * 1024)
+        hc.setInt("parquet.page.size.row.check.min", 50)
+        (spark.range(20000)
+         .selectExpr("id * 2654435761 % 9999991 as key", "id")
+         .coalesce(1).write.mode("overwrite").parquet(d))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                hc.unset(k)
+            else:
+                hc.set(k, v)
+    p = sorted(glob.glob(d + "/part-*.parquet"))[0]
+    target = (137 * 2654435761) % 9999991
+    ds = RawParquetDataSource({"path": p, "pushdown": "true"})
+    path, footer = ds._footer()
+    n_groups = len(footer["row_groups"])
+    assert n_groups > 3
+    fields = ds._fields(footer)
+    r = RawParquetPushdownReader(path, footer, fields,
+                                 [n for n, _l, _k in fields])
+    r.pushFilters([EqualTo(("key",), target)])
+    parts = r.partitions()
+    assert 1 <= len(parts) < n_groups  # bloom pruned groups
+    rows = [row for part in parts for row in r.read(part)]
+    hits = [row for row in rows if row[0] == target]
+    assert any(row[1] == 137 for row in hits)
+    # Spark-level equality with the native reader
+    spark.conf.set("spark.sql.python.filterPushdown.enabled",
+                   "true")
+    spark.dataSource.register(RawParquetDataSource)
+    mine = (spark.read.format("rawparquet")
+            .option("pushdown", "true").load(p)
+            .filter(F.col("key") == target).collect())
+    ref = (spark.read.parquet(p)
+           .filter(F.col("key") == target).collect())
+    assert sorted(mine) == sorted(ref)
