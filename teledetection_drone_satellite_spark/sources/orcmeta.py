@@ -269,24 +269,43 @@ def parse_orc_tail(buf: bytes) -> "dict | None":
                         if ss is None:
                             parsed.append(None)
                             continue
-                        per_col: "dict[int, tuple[int, int]]" = {}
+                        per_col: "dict[int, tuple]" = {}
                         for cid, cbuf in enumerate(ss.get(1, [])):
                             cf = _fields(cbuf) if isinstance(
                                 cbuf, bytes) else None
                             if cf is None:
                                 continue
                             ib = _one(cf, 2)
-                            if not isinstance(ib, bytes):
+                            if isinstance(ib, bytes):
+                                intf = _fields(ib)
+                                if intf is None:
+                                    continue
+                                mn, mx = _one(intf, 1), \
+                                    _one(intf, 2)
+                                if isinstance(mn, int) and \
+                                        isinstance(mx, int):
+                                    per_col[cid] = (
+                                        (mn >> 1) ^ -(mn & 1),
+                                        (mx >> 1) ^ -(mx & 1))
                                 continue
-                            intf = _fields(ib)
-                            if intf is None:
-                                continue
-                            mn, mx = _one(intf, 1), _one(intf, 2)
-                            if isinstance(mn, int) and \
-                                    isinstance(mx, int):
-                                per_col[cid] = (
-                                    (mn >> 1) ^ -(mn & 1),
-                                    (mx >> 1) ^ -(mx & 1))
+                            # r17: stringStatistics (field 4;
+                            # 3 is doubleStatistics) — min(1)/
+                            # max(2) UTF-8 — the string-predicate
+                            # stripe-pruning input
+                            sb2 = _one(cf, 4)
+                            if isinstance(sb2, bytes):
+                                strf = _fields(sb2)
+                                if strf is None:
+                                    continue
+                                mn, mx = _one(strf, 1), \
+                                    _one(strf, 2)
+                                if isinstance(mn, bytes) and \
+                                        isinstance(mx, bytes):
+                                    per_col[cid] = (
+                                        mn.decode("utf-8",
+                                                  "replace"),
+                                        mx.decode("utf-8",
+                                                  "replace"))
                         parsed.append(per_col)
                     if len(parsed) == len(stripes):
                         stripe_stats = parsed

@@ -1523,10 +1523,17 @@ def sbbf_might_contain(bitset: bytes, h: int) -> bool:
     return True
 
 
-def bloom_value_hash(value: int, physical_type: str) -> "int | None":
-    """Hash an int predicate value the way the writer hashed the
+def bloom_value_hash(value, physical_type: str) -> "int | None":
+    """Hash a predicate value the way the writer hashed the
     column's values: XXH64 seed 0 over the PLAIN encoding (4-byte
-    LE for INT32, 8-byte LE for INT64)."""
+    LE for INT32, 8-byte LE for INT64, raw value bytes for
+    BYTE_ARRAY — r17 string support)."""
+    if isinstance(value, str):
+        if physical_type != "BYTE_ARRAY":
+            return None
+        return xxhash64(value.encode("utf-8"))
+    if not isinstance(value, int) or isinstance(value, bool):
+        return None
     if physical_type == "INT64":
         width = 8
     elif physical_type == "INT32":

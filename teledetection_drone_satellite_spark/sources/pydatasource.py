@@ -473,16 +473,29 @@ class RawParquetReader(DataSourceReader):
 
     def _rg_can_match(self, rg: dict) -> bool:
         """False only when a pushed predicate PROVABLY excludes the
-        whole row group (missing stats keep the group)."""
+        whole row group (missing stats keep the group).  Int
+        predicates compare against INT32/INT64 stats; r17 adds
+        string predicates against BYTE_ARRAY stats compared as
+        UTF-8 bytes (footer truncation, when a writer applies it,
+        keeps min a prefix-lower-bound and increments max — both
+        directions stay conservative)."""
         for name, op, val in self.pushed:
             chunk = next((c for c in rg["columns"]
                           if c["path"] == name), None)
             if chunk is None:
                 continue
-            lo = _stat_int(chunk.get("min_value"))
-            hi = _stat_int(chunk.get("max_value"))
-            if lo is None or hi is None:
-                continue
+            if isinstance(val, str):
+                lo = chunk.get("min_value")
+                hi = chunk.get("max_value")
+                if not isinstance(lo, bytes) or \
+                        not isinstance(hi, bytes):
+                    continue
+                val = val.encode("utf-8")
+            else:
+                lo = _stat_int(chunk.get("min_value"))
+                hi = _stat_int(chunk.get("max_value"))
+                if lo is None or hi is None:
+                    continue
             if (op == "=" and not lo <= val <= hi) or \
                     (op == ">" and hi <= val) or \
                     (op == ">=" and hi < val) or \
@@ -687,9 +700,14 @@ def _decode_one_chunk(f, path: str, leaf: dict, chunk: dict,
 
 def _pushed_ranges(pushed: list) -> "dict[str, tuple[int, int]]":
     """Pushed (name, op, value) predicates -> {name: [lo, hi]}
-    intersection per column."""
+    intersection per column.  INT predicates only — the page-index
+    and row-index walks compare little-endian int stats; string
+    predicates prune at the row-group/stripe grain instead
+    (_rg_can_match / _stripe_can_match)."""
     out: "dict[str, list[int]]" = {}
     for name, op, val in pushed:
+        if not isinstance(val, int) or isinstance(val, bool):
+            continue
         lo, hi = out.setdefault(name, [-(1 << 63), (1 << 63) - 1])
         if op == "=":
             lo, hi = max(lo, val), min(hi, val)
@@ -883,11 +901,14 @@ class RawParquetPushdownReader(RawParquetReader):
     class otherwise), hence option-gated."""
 
     def pushFilters(self, filters):
-        """Accept int comparisons on INT32/INT64 leaves for
-        row-group pruning via the footer's chunk statistics.  Every
-        filter is ALSO returned (Spark re-evaluates row-level): the
-        pushdown is pruning-only, so correctness never depends on
-        the stats being tight."""
+        """Accept int comparisons on INT32/INT64 leaves and (r17)
+        string comparisons on UTF8 BYTE_ARRAY leaves for row-group
+        pruning via the footer's chunk statistics (plus bloom
+        probes for equality).  Every filter is ALSO returned
+        (Spark re-evaluates row-level): the pushdown is
+        pruning-only, so correctness never depends on the stats
+        being tight.  Unsupported value/column types are simply
+        not pushed — the scan stays a full scan, never an error."""
         from pyspark.sql.datasource import (
             EqualTo,
             GreaterThan,
@@ -901,13 +922,20 @@ class RawParquetPushdownReader(RawParquetReader):
                LessThanOrEqual: "<="}
         for f in filters:
             op = ops.get(type(f))
-            if op and len(f.attribute) == 1 and \
-                    isinstance(f.value, int):
-                hit = self.fields.get(f.attribute[0])
-                if hit is not None and hit[1] == "flat" and \
-                        hit[0]["physical_type"] in ("INT32", "INT64"):
-                    self.pushed.append(
-                        (f.attribute[0], op, f.value))
+            if not op or len(f.attribute) != 1:
+                continue
+            hit = self.fields.get(f.attribute[0])
+            if hit is None or hit[1] != "flat":
+                continue
+            pt = hit[0]["physical_type"]
+            if isinstance(f.value, bool):
+                continue  # bool is an int subclass; not stats-typed
+            if isinstance(f.value, int) and \
+                    pt in ("INT32", "INT64"):
+                self.pushed.append((f.attribute[0], op, f.value))
+            elif isinstance(f.value, str) and pt == "BYTE_ARRAY" \
+                    and hit[0].get("converted_type") == 0:
+                self.pushed.append((f.attribute[0], op, f.value))
         return filters  # all re-evaluated row-level by Spark
 
 
@@ -1158,7 +1186,7 @@ class RawOrcReader(DataSourceReader):
 
     @staticmethod
     def _stripe_can_match(stats: "dict | None",
-                          pushed: "list[tuple[int, str, int]]"
+                          pushed: "list[tuple[int, str, object]]"
                           ) -> bool:
         if stats is None:
             return True  # no statistics: cannot prune
@@ -1167,6 +1195,11 @@ class RawOrcReader(DataSourceReader):
             if rng is None:
                 continue
             lo, hi = rng
+            # stats and predicate must be the SAME type (int vs
+            # str — r17 string stats) or the stripe is kept
+            if not (isinstance(lo, type(val))
+                    and isinstance(hi, type(val))):
+                continue
             if (op == "=" and not lo <= val <= hi) or \
                     (op == ">" and hi <= val) or \
                     (op == ">=" and hi < val) or \
@@ -1336,7 +1369,27 @@ def _orc_rowgroup_window(partition: "_OrcPartition", foot: dict,
         return None
     from .orcdata import parse_row_index, rowgroups_can_match
 
-    ranges = _pushed_ranges(partition.pushed)
+    ranges: "dict[int, list]" = {
+        k: [v[0], v[1]]
+        for k, v in _pushed_ranges(partition.pushed).items()}
+    # r17: string predicates get their own [lo, hi] (None =
+    # unbounded); mixed-type constraints on one column drop it
+    for cid, op, val in partition.pushed:
+        if not isinstance(val, str):
+            continue
+        cur = ranges.setdefault(cid, [None, None])
+        if any(isinstance(b, int) for b in cur):
+            ranges.pop(cid, None)
+            continue
+        lo, hi = cur
+        if op in ("=", ">", ">="):
+            # '>' keeps val itself as the bound: conservative
+            lo = val if lo is None or val > lo else lo
+        if op in ("=", "<", "<="):
+            hi = val if hi is None or val < hi else hi
+        ranges[cid] = [lo, hi]
+    if not ranges:
+        return None
     ridx = parse_row_index(foot, blob, rebased, partition.codec,
                            set(ranges))
     if ridx is None:
@@ -1411,11 +1464,13 @@ class RawOrcPushdownReader(RawOrcReader):
     class otherwise), hence option-gated."""
 
     def pushFilters(self, filters):
-        """Accept int comparisons on integer columns for STRIPE
-        pruning via the metadata section's per-stripe statistics
-        (r15 — the ORC twin of the rawparquet row-group pruning;
-        pruning-only: every filter is returned for row-level
-        re-evaluation by Spark)."""
+        """Accept int comparisons on integer columns and (r17)
+        string comparisons on STRING/VARCHAR/CHAR columns for
+        STRIPE pruning via the metadata section's per-stripe
+        statistics, plus ROW_INDEX row-group windowing inside
+        surviving stripes (pruning-only: every filter is returned
+        for row-level re-evaluation by Spark; unsupported types
+        are simply not pushed)."""
         from pyspark.sql.datasource import (
             EqualTo,
             GreaterThan,
@@ -1429,10 +1484,15 @@ class RawOrcPushdownReader(RawOrcReader):
                LessThanOrEqual: "<="}
         for f in filters:
             op = ops.get(type(f))
-            if op and len(f.attribute) == 1 and \
-                    isinstance(f.value, int):
-                hit = self.by_name.get(f.attribute[0])
-                if hit is not None and hit[1] in (
-                        "LONG", "INT", "SHORT", "BYTE"):
-                    self.pushed.append((f.attribute[0], op, f.value))
+            if not op or len(f.attribute) != 1:
+                continue
+            hit = self.by_name.get(f.attribute[0])
+            if hit is None or isinstance(f.value, bool):
+                continue
+            if isinstance(f.value, int) and hit[1] in (
+                    "LONG", "INT", "SHORT", "BYTE"):
+                self.pushed.append((f.attribute[0], op, f.value))
+            elif isinstance(f.value, str) and hit[1] in (
+                    "STRING", "VARCHAR", "CHAR"):
+                self.pushed.append((f.attribute[0], op, f.value))
         return filters

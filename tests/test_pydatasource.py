@@ -801,3 +801,91 @@ def test_rawparquet_bloom_prunes_row_groups(spark, tmp_path):
     ref = (spark.read.parquet(p)
            .filter(F.col("key") == target).collect())
     assert sorted(mine) == sorted(ref)
+
+
+def test_string_pushdown_prunes_parquet_row_groups(spark,
+                                                   tmp_path):
+    # r17: lang-equality predicate prunes row groups via BYTE_ARRAY
+    # min/max stats compared as UTF-8 bytes
+    from pyspark.sql.datasource import EqualTo
+
+    from teledetection_drone_satellite_spark.sources.pydatasource \
+        import RawParquetPushdownReader
+
+    p = str(tmp_path / "s.parquet")
+    langs = ["de"] * 1000 + ["en"] * 1000 + ["es"] * 1000 + \
+        ["fr"] * 1000
+    tbl = pa.table({"lang": pa.array(langs),
+                    "v": pa.array(range(4000), pa.int64())})
+    pq.write_table(tbl, p, row_group_size=1000)
+    ds = RawParquetDataSource({"path": p, "pushdown": "true"})
+    path, footer = ds._footer()
+    fields = ds._fields(footer)
+    r = RawParquetPushdownReader(path, footer, fields,
+                                 [n for n, _l, _k in fields])
+    r.pushFilters([EqualTo(("lang",), "en")])
+    parts = r.partitions()
+    assert len(parts) == 1  # of 4 row groups
+    rows = [row for part in parts for row in r.read(part)]
+    assert len(rows) == 1000 and all(x[0] == "en" for x in rows)
+    # unsupported predicate value types are NOT pushed: the scan
+    # stays a full scan, never an error
+    r2 = RawParquetPushdownReader(path, footer, fields,
+                                  [n for n, _l, _k in fields])
+    r2.pushFilters([EqualTo(("v",), 1.5),
+                    EqualTo(("lang",), b"en"),
+                    EqualTo(("v",), True),
+                    EqualTo(("lang",), None)])
+    assert r2.pushed == []
+    assert len(r2.partitions()) == 4
+    rows2 = sum(1 for part in r2.partitions()
+                for _ in r2.read(part))
+    assert rows2 == 4000
+
+
+def test_string_pushdown_prunes_orc(spark, tmp_path):
+    # r17 ORC twin: stringStatistics stripe pruning + ROW_INDEX
+    # string row-group windowing, native-reader-pinned
+    import pyarrow.orc as pa_orc
+
+    from pyspark.sql.datasource import EqualTo
+
+    from teledetection_drone_satellite_spark.sources.pydatasource \
+        import RawOrcPushdownReader
+
+    p = str(tmp_path / "s.orc")
+    langs = ["de"] * 1000 + ["en"] * 1000 + ["es"] * 1000 + \
+        ["fr"] * 1000
+    tbl = pa.table({"lang": pa.array(langs),
+                    "v": pa.array(range(4000), pa.int64())})
+    pa_orc.write_table(tbl, p, row_index_stride=1000,
+                       compression="zlib")
+    ds = RawOrcDataSource({"path": p, "pushdown": "true"})
+    path, tail = ds._tail()
+    cols4 = ds._cols(tail)
+    cols = [(nm, tid, k) for nm, tid, k, _t in cols4]
+    by_name = {nm: (tid, k) for nm, tid, k, _t in cols4}
+    r = RawOrcPushdownReader(path, tail, cols, by_name)
+    r.pushFilters([EqualTo(("lang",), "en")])
+    rows = [row for part in r.partitions()
+            for row in r.read(part)]
+    assert len(rows) == 1000  # windowed: one 1000-row group
+    assert all(x[0] == "en" for x in rows)
+    # Spark-level equality with the native reader
+    spark.conf.set("spark.sql.python.filterPushdown.enabled",
+                   "true")
+    spark.dataSource.register(RawOrcDataSource)
+    mine = (spark.read.format("raworc").option("pushdown", "true")
+            .load(p).filter(F.col("lang") == "en")
+            .agg(F.count("*"), F.sum("v")).collect()[0])
+    ref = (spark.read.orc(p).filter(F.col("lang") == "en")
+           .agg(F.count("*"), F.sum("v")).collect()[0])
+    assert tuple(mine) == tuple(ref) == (1000,
+                                         sum(range(1000, 2000)))
+    # unsupported types: not pushed, full scan
+    r2 = RawOrcPushdownReader(path, tail, cols, by_name)
+    r2.pushFilters([EqualTo(("lang",), 3.5),
+                    EqualTo(("v",), "x")])
+    assert r2.pushed == []
+    assert sum(1 for part in r2.partitions()
+               for _ in r2.read(part)) == 4000
