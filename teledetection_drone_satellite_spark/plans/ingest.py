@@ -12582,6 +12582,270 @@ def iceberg_partitioned_write_roundtrip(spark: SparkSession,
 
 
 @register(
+    "delta_checkpoint_write_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           TRUE AS seeded_matches_full,
+           TRUE AS checkpoint_complete
+    FROM documents WHERE lang <> 'zh' GROUP BY lang
+    """,
+    doc="Delta CHECKPOINT WRITE + _last_checkpoint, graded (r17 — "
+    "the r16 verdict's #6, closing the read-side checkpoint loop "
+    "in-repo): over a 3-commit partitioned table whose data files "
+    "the repo's own parquet writer emitted, checkpoint_actions "
+    "reconciles commits 0..1, checkpoint_rows_from_actions shapes "
+    "them into the PROTOCOL.md checkpoint schema (one action "
+    "column per type, one action per row; partitionValues map "
+    "intact), Spark's native writer materializes "
+    "_delta_log/<v>.checkpoint.parquet (the nested map/struct "
+    "schema the pure-Python writer honestly does not emit), and "
+    "write_last_checkpoint drops the pointer. The graded loop "
+    "reads the pointer back, loads the checkpoint parquet, "
+    "converts rows back to actions, and proves the CHECKPOINT-"
+    "SEEDED replay (only commits after v1) equals the full replay "
+    "on version, active files, records, and partition columns — "
+    "plus checkpoint_complete: the row count equals the "
+    "_last_checkpoint size field. The scan reads the surviving "
+    "files; the oracle restates them (lang <> 'zh').",
+    tags=("ingest", "sketch", "pipeline"),
+)
+def delta_checkpoint_write_roundtrip(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..catalog import source_fingerprint
+    from ..sources.deltalog import (
+        CHECKPOINT_SCHEMA_DDL,
+        actions_from_checkpoint_rows,
+        active_files,
+        checkpoint_actions,
+        checkpoint_path,
+        checkpoint_rows_from_actions,
+        commit_delta,
+        delta_add_action,
+        delta_init_actions,
+        delta_remove_action,
+        read_delta_commits,
+        read_last_checkpoint,
+        replay_log,
+        write_last_checkpoint,
+    )
+    from ..sources.parquetmeta import parse_parquet_footer
+    from ..sources.pydatasource import RawParquetDataSource
+
+    fp = source_fingerprint(sf_dir, "documents")
+    root = _os.path.join(_tempfile.gettempdir(),
+                         "spark_graft_deltacp_v1", fp)
+    done = _os.path.join(root, "_DONE")
+    if not _os.path.exists(done):
+        d = load(spark, sf_dir, ("documents",))["documents"]
+        spark.dataSource.register(RawParquetDataSource)
+        langs = sorted(r[0] for r in
+                       d.select("lang").distinct().collect())
+        adds = {}
+        for lang in langs:
+            sub = _os.path.join(root, "slice_%s" % lang)
+            (d.filter(F.col("lang") == lang).coalesce(1)
+             .write.format("rawparquet").option("path", sub)
+             .option("compression", "snappy")
+             .mode("append").save())
+            src = sorted(_glob.glob(sub + "/part-*.parquet"))[0]
+            rel = "lang=%s/part-00000.parquet" % lang
+            _os.makedirs(_os.path.join(root, "lang=%s" % lang),
+                         exist_ok=True)
+            dst = _os.path.join(root, rel)
+            _os.replace(src, dst)
+            with open(dst, "rb") as f:
+                footer = parse_parquet_footer(f.read())
+            adds[lang] = delta_add_action(
+                rel, _os.path.getsize(dst), footer["num_rows"],
+                partition_values={"lang": lang})
+        fields = [("doc_id", "long"), ("text", "string"),
+                  ("lang", "string"), ("source", "string"),
+                  ("n_chars", "long")]
+        first, later = langs[:3], langs[3:]
+        commit_delta(root, 0, delta_init_actions(
+            fp, fields, partition_columns=["lang"])
+            + [adds[lg] for lg in first])
+        commit_delta(root, 1, [adds[lg] for lg in later])
+        commit_delta(root, 2, [delta_remove_action(
+            "lang=zh/part-00000.parquet")])
+        # checkpoint at version 1 through Spark's native writer
+        cpa = checkpoint_actions(
+            read_delta_commits(root), 1)
+        rows = checkpoint_rows_from_actions(cpa)
+        tmp = _os.path.join(root, "_cp_tmp")
+        (spark.createDataFrame(rows, CHECKPOINT_SCHEMA_DDL)
+         .coalesce(1).write.mode("overwrite").parquet(tmp))
+        src = sorted(_glob.glob(tmp + "/part-*.parquet"))[0]
+        _os.replace(src, checkpoint_path(root, 1))
+        write_last_checkpoint(root, 1, len(rows))
+        open(done, "w").close()
+    lc = read_last_checkpoint(root)
+    if lc is None or lc["version"] != 1:
+        raise ValueError("_last_checkpoint missing or wrong")
+    cp_rows = spark.read.parquet(
+        checkpoint_path(root, lc["version"])).collect()
+    cp_actions = actions_from_checkpoint_rows(cp_rows)
+    if cp_actions is None:
+        raise ValueError("checkpoint rows failed to convert")
+    checkpoint_complete = (lc["size"] == len(cp_actions))
+    commits = read_delta_commits(root)
+    tail = [c for c in commits if c[0] > lc["version"]]
+    seeded = replay_log(tail,
+                        checkpoint=(lc["version"], cp_actions))
+    full = replay_log(commits)
+    if seeded is None or full is None:
+        raise ValueError("replay failed")
+    seeded_matches_full = all(
+        seeded[k] == full[k] for k in
+        ("version", "n_active_files", "total_records",
+         "total_bytes", "partition_columns"))
+    paths = [_os.path.join(root, a["path"])
+             for a in active_files(commits)]
+    back = spark.read.parquet(*paths)
+    return (
+        back.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("doc_id").alias("id_sum"))
+        .withColumn("seeded_matches_full",
+                    F.lit(bool(seeded_matches_full)))
+        .withColumn("checkpoint_complete",
+                    F.lit(bool(checkpoint_complete)))
+    )
+
+
+@register(
+    "delta_compaction_execute",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           TRUE AS rows_preserved,
+           TRUE AS files_reduced,
+           TRUE AS plan_matches
+    FROM documents GROUP BY lang
+    """,
+    doc="EXECUTED small-file compaction (r17 — the r16 verdict's "
+    "#7: delta_compaction_plan only PLANNED the OPTIMIZE; this "
+    "runs it): a 12-small-file partioned-write Delta table (every "
+    "file from the repo's own parquet writer) is compacted by "
+    "compaction_groups' deterministic grouping — each group's "
+    "files are read back by Spark, rewritten as ONE file through "
+    "the same pure-Python writer, and committed as remove+add "
+    "actions in a new log version. Graded invariants measured "
+    "from the two replays: the logical row count is IDENTICAL "
+    "before and after (records_known on both sides — stats ride "
+    "every add), the active file count drops 12 -> 3, and the "
+    "post-state matches compaction_plan's closed-form files_after "
+    "arithmetic. The scan reads the post-compaction survivors; "
+    "the oracle restates all documents.",
+    tags=("ingest", "sketch", "pipeline"),
+)
+def delta_compaction_execute(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..catalog import source_fingerprint
+    from ..sources.deltalog import (
+        active_files,
+        commit_delta,
+        compaction_groups,
+        compaction_plan,
+        delta_add_action,
+        delta_init_actions,
+        delta_remove_action,
+        read_delta_commits,
+        replay_log,
+    )
+    from ..sources.parquetmeta import parse_parquet_footer
+    from ..sources.pydatasource import RawParquetDataSource
+
+    fp = source_fingerprint(sf_dir, "documents")
+    root = _os.path.join(_tempfile.gettempdir(),
+                         "spark_graft_deltacompact_v1", fp)
+    done = _os.path.join(root, "_DONE")
+    threshold, group_size = 1 << 30, 4
+
+    def _write_one(df, rel):
+        sub = _os.path.join(root, "_w_tmp")
+        (df.coalesce(1).write.format("rawparquet")
+         .option("path", sub).option("compression", "snappy")
+         .mode("append").save())
+        src = sorted(_glob.glob(sub + "/part-*.parquet"))[0]
+        dst = _os.path.join(root, rel)
+        _os.replace(src, dst)
+        for leftover in _glob.glob(sub + "/part-*.parquet"):
+            _os.remove(leftover)
+        with open(dst, "rb") as f:
+            footer = parse_parquet_footer(f.read())
+        return delta_add_action(rel, _os.path.getsize(dst),
+                                footer["num_rows"])
+
+    if not _os.path.exists(done):
+        d = load(spark, sf_dir, ("documents",))["documents"]
+        spark.dataSource.register(RawParquetDataSource)
+        fields = [("doc_id", "long"), ("text", "string"),
+                  ("lang", "string"), ("source", "string"),
+                  ("n_chars", "long")]
+        adds = [_write_one(d.filter(F.col("doc_id") % 12 == k),
+                           "part-%05d.parquet" % k)
+                for k in range(12)]
+        commit_delta(root, 0,
+                     delta_init_actions(fp, fields) + adds)
+        # EXECUTE the compaction: rewrite each planned group as
+        # one file through the repo's own writer, commit
+        # remove+add in version 1
+        act0 = active_files(read_delta_commits(root))
+        acts = []
+        for gix, group in enumerate(compaction_groups(
+                act0, threshold, group_size)):
+            paths = [_os.path.join(root, a["path"])
+                     for a in group]
+            merged = spark.read.parquet(*paths)
+            acts.append(_write_one(
+                merged.select("doc_id", "text", "lang",
+                              "source", "n_chars"),
+                "compact-%05d.parquet" % gix))
+            acts.extend(delta_remove_action(a["path"])
+                        for a in group)
+        commit_delta(root, 1, acts)
+        open(done, "w").close()
+    commits = read_delta_commits(root)
+    before = replay_log([c for c in commits if c[0] == 0])
+    after = replay_log(commits)
+    if before is None or after is None:
+        raise ValueError("compaction replay failed")
+    rows_preserved = (before["records_known"]
+                      and after["records_known"]
+                      and before["total_records"]
+                      == after["total_records"])
+    files_reduced = after["n_active_files"] \
+        < before["n_active_files"]
+    plan = compaction_plan(
+        active_files([c for c in commits if c[0] == 0]),
+        threshold, group_size)
+    plan_matches = plan["files_after"] == after["n_active_files"]
+    paths = [_os.path.join(root, a["path"])
+             for a in active_files(commits)]
+    back = spark.read.parquet(*paths)
+    return (
+        back.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("doc_id").alias("id_sum"))
+        .withColumn("rows_preserved", F.lit(bool(rows_preserved)))
+        .withColumn("files_reduced", F.lit(bool(files_reduced)))
+        .withColumn("plan_matches", F.lit(bool(plan_matches)))
+    )
+
+
+@register(
     "orc_write_roundtrip",
     oracle="""
     SELECT lang,

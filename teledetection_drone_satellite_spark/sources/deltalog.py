@@ -840,6 +840,23 @@ def synth_delta_dv(doc_id: int) -> "tuple[list[tuple[int, bytes]], dict, dict]":
     return commits, files, expected
 
 
+def compaction_groups(snapshot_files: "list[dict]",
+                      small_threshold: int,
+                      group_size: int) -> "list[list[dict]]":
+    """The EXECUTABLE half of compaction_plan (r17): the actual
+    file groups, same deterministic ordering/grouping rules — each
+    group's members are read, rewritten as ONE file, and committed
+    as remove+add actions (delta_compaction_execute's input)."""
+    small = sorted(
+        (f for f in snapshot_files
+         if int(f.get("size", 0)) < small_threshold),
+        key=lambda f: (-int(f.get("size", 0)), f.get("path", "")),
+    )
+    groups = [small[k:k + group_size]
+              for k in range(0, len(small), group_size)]
+    return [g for g in groups if len(g) >= 2]
+
+
 def compaction_plan(snapshot_files: "list[dict]", small_threshold: int,
                     group_size: int) -> dict:
     """Small-file compaction planning (the OPTIMIZE maintenance op):
@@ -857,9 +874,8 @@ def compaction_plan(snapshot_files: "list[dict]", small_threshold: int,
         key=lambda f: (-int(f.get("size", 0)), f.get("path", "")),
     )
     n_small = len(small)
-    groups = [small[k:k + group_size]
-              for k in range(0, n_small, group_size)]
-    groups = [g for g in groups if len(g) >= 2]
+    groups = compaction_groups(snapshot_files, small_threshold,
+                               group_size)
     files_removed = sum(len(g) for g in groups)
     bytes_compacted = sum(int(f.get("size", 0))
                           for g in groups for f in g)
@@ -982,6 +998,105 @@ def read_delta_commits(table_dir: str) -> "list[tuple[int, bytes]]":
             with open(_os.path.join(log_dir, name), "rb") as f:
                 out.append((int(name[:20]), f.read()))
     return out
+
+
+CHECKPOINT_SCHEMA_DDL = (
+    "txn struct<appId:string,version:bigint,lastUpdated:bigint>, "
+    "add struct<path:string,partitionValues:map<string,string>,"
+    "size:bigint,modificationTime:bigint,dataChange:boolean,"
+    "stats:string>, "
+    "remove struct<path:string,deletionTimestamp:bigint,"
+    "dataChange:boolean>, "
+    "metaData struct<id:string,name:string,description:string,"
+    "format:struct<provider:string,options:map<string,string>>,"
+    "schemaString:string,partitionColumns:array<string>,"
+    "configuration:map<string,string>,createdTime:bigint>, "
+    "protocol struct<minReaderVersion:int,minWriterVersion:int>"
+)
+"""The checkpoint parquet schema (PROTOCOL.md checkpoint section,
+r17 WRITE side): one column per action type, one action per row —
+the Spark DDL a caller hands spark.createDataFrame before writing
+``_delta_log/<version padded to 20>.checkpoint.parquet`` with
+Spark's native parquet writer (the nested map/struct shape the
+pure-Python writer honestly does not emit)."""
+
+_CHECKPOINT_COLS = ("txn", "add", "remove", "metaData", "protocol")
+
+
+def checkpoint_rows_from_actions(actions: "list[dict]",
+                                 ) -> "list[dict]":
+    """Reconciled action dicts (checkpoint_actions' output) ->
+    checkpoint parquet rows: every row carries exactly one non-null
+    action column per PROTOCOL.md."""
+    rows = []
+    for a in actions:
+        row = {c: None for c in _CHECKPOINT_COLS}
+        for c in _CHECKPOINT_COLS:
+            if c in a:
+                row[c] = a[c]
+                break
+        rows.append(row)
+    return rows
+
+
+def actions_from_checkpoint_rows(rows: "list") -> "list[dict] | None":
+    """Checkpoint parquet rows (Spark Row objects or plain dicts)
+    back into the action dicts replay_log's ``checkpoint``
+    parameter seeds from.  None on a row carrying no action."""
+    out = []
+    for r in rows:
+        d = r.asDict(recursive=True) if hasattr(r, "asDict") \
+            else dict(r)
+        act = None
+        for c in _CHECKPOINT_COLS:
+            v = d.get(c)
+            if v is not None:
+                # strip None-valued fields so the dicts match the
+                # JSON-commit shape _apply validates
+                act = {c: {k: x for k, x in v.items()
+                           if x is not None}}
+                break
+        if act is None:
+            return None
+        out.append(act)
+    return out
+
+
+def write_last_checkpoint(table_dir: str, version: int,
+                          size: int) -> str:
+    """Write ``_delta_log/_last_checkpoint`` (the pointer readers
+    consult before listing commits); returns its path."""
+    import os as _os
+
+    p = _os.path.join(table_dir, "_delta_log", "_last_checkpoint")
+    with open(p, "w", encoding="utf-8") as f:
+        json.dump({"version": int(version), "size": int(size)}, f,
+                  sort_keys=True)
+    return p
+
+
+def read_last_checkpoint(table_dir: str) -> "dict | None":
+    """-> {'version', 'size'} or None (absent / malformed)."""
+    import os as _os
+
+    p = _os.path.join(table_dir, "_delta_log", "_last_checkpoint")
+    try:
+        with open(p, "rb") as f:
+            got = json.loads(f.read().decode("utf-8"))
+    except (OSError, ValueError, UnicodeDecodeError):
+        return None
+    if not isinstance(got, dict) or \
+            not isinstance(got.get("version"), int):
+        return None
+    return {"version": got["version"], "size": got.get("size")}
+
+
+def checkpoint_path(table_dir: str, version: int) -> str:
+    import os as _os
+
+    return _os.path.join(
+        table_dir, "_delta_log",
+        "%020d.checkpoint.parquet" % version)
 
 
 def delta_add_with_dv(path: str, size: int, num_records: int,

@@ -598,3 +598,90 @@ def test_delta_partitioned_write_prune(tmp_path):
         adds3, {"lang": "en", "y": "2025"})["skipped"]
     assert prune_partitions(
         adds3, {"lang": "en", "y": "2024"})["touched"]
+
+
+def test_checkpoint_rows_roundtrip_pure():
+    # r17: action dicts -> checkpoint rows -> action dicts is the
+    # identity on the fields replay consumes
+    from teledetection_drone_satellite_spark.sources.deltalog import (
+        actions_from_checkpoint_rows,
+        checkpoint_actions,
+        checkpoint_rows_from_actions,
+        commit_delta,
+        delta_add_action,
+        delta_init_actions,
+        read_delta_commits,
+        replay_log,
+    )
+    import tempfile
+
+    td = tempfile.mkdtemp()
+    acts = delta_init_actions("t-cp", [("id", "long"),
+                                       ("lang", "string")],
+                              partition_columns=["lang"])
+    acts += [delta_add_action("lang=en/a.parquet", 100, 10,
+                              partition_values={"lang": "en"}),
+             delta_add_action("lang=fr/b.parquet", 120, 12,
+                              partition_values={"lang": "fr"})]
+    commit_delta(td, 0, acts)
+    commits = read_delta_commits(td)
+    cpa = checkpoint_actions(commits, 0)
+    rows = checkpoint_rows_from_actions(cpa)
+    assert all(sum(v is not None for v in r.values()) == 1
+               for r in rows)
+    back = actions_from_checkpoint_rows(rows)
+    seeded = replay_log([], checkpoint=(0, back))
+    full = replay_log(commits)
+    assert seeded is not None and full is not None
+    for k in ("n_active_files", "total_records",
+              "partition_columns", "total_bytes"):
+        assert seeded[k] == full[k], k
+    # a row with no action refuses
+    assert actions_from_checkpoint_rows(
+        [{"txn": None, "add": None, "remove": None,
+          "metaData": None, "protocol": None}]) is None
+
+
+def test_last_checkpoint_pointer(tmp_path):
+    import os
+
+    from teledetection_drone_satellite_spark.sources.deltalog import (
+        checkpoint_path,
+        read_last_checkpoint,
+        write_last_checkpoint,
+    )
+
+    td = str(tmp_path / "t")
+    os.makedirs(os.path.join(td, "_delta_log"))
+    assert read_last_checkpoint(td) is None
+    write_last_checkpoint(td, 7, 42)
+    assert read_last_checkpoint(td) == {"version": 7, "size": 42}
+    assert checkpoint_path(td, 7).endswith(
+        "_delta_log/00000000000000000007.checkpoint.parquet")
+    # malformed pointer refuses
+    with open(os.path.join(td, "_delta_log", "_last_checkpoint"),
+              "w") as f:
+        f.write("{\"version\": \"x\"}")
+    assert read_last_checkpoint(td) is None
+
+
+def test_compaction_groups_match_plan():
+    from teledetection_drone_satellite_spark.sources.deltalog import (
+        compaction_groups,
+        compaction_plan,
+    )
+
+    files = [{"path": "f%02d" % k, "size": 100 + k}
+             for k in range(11)] + [{"path": "big", "size": 10 ** 9}]
+    plan = compaction_plan(files, 10 ** 6, 4)
+    groups = compaction_groups(files, 10 ** 6, 4)
+    assert plan["n_groups"] == len(groups)
+    assert plan["files_removed"] == sum(len(g) for g in groups)
+    assert plan["files_added"] == len(groups)
+    # singleton tail group is skipped by BOTH
+    assert all(len(g) >= 2 for g in groups)
+    # deterministic: size-descending then path
+    flat = [f["path"] for g in groups for f in g]
+    assert flat == [f["path"] for f in sorted(
+        (f for f in files if f["size"] < 10 ** 6),
+        key=lambda f: (-f["size"], f["path"]))][:len(flat)]
