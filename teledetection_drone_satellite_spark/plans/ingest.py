@@ -13920,6 +13920,123 @@ def pyds_string_prune_scan(spark: SparkSession,
 
 
 @register(
+    "orc_bloom_point_lookup",
+    oracle="""
+    WITH t AS (
+        SELECT d.n_chars, d.doc_id * 16 + r.r AS rid,
+               (d.doc_id * 16 + r.r) * 2654435761 % 9999991 AS key
+        FROM documents d, (SELECT unnest(range(16)) AS r) r
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(sum(rid) AS BIGINT) AS rid_sum,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+           TRUE AS blooms_present,
+           TRUE AS groups_bloom_pruned
+    FROM t WHERE key = 2862935
+    """,
+    doc="ORC BLOOM_FILTER_UTF8 row-group pruning, graded (r17 — "
+    "the ORC twin of parquet_bloom_point_lookup, composing with "
+    "the ROW_INDEX tier: blooms live per 1024-row group in the "
+    "index region): the same x16-replicated unsorted Knuth key is "
+    "written by Spark's OWN ORC writer with "
+    "orc.bloom.filter.columns=key; the raworc pushdown task hashes "
+    "the EqualTo value with ORC's exact hashes — Thomas Wang "
+    "64-bit mix in SIGNED arithmetic for ints (the logical-shift "
+    "transcription provably misses keys 0/-1/... — caught by the "
+    "differential pin) and the Hive 64-bit Murmur3 for strings — "
+    "probes each row group's bitset, and EMITS only bloom-positive "
+    "groups. Graded booleans from the direct index walk: every "
+    "group carries a bloom and the probe prunes groups. The "
+    "oracle restates the lookup arithmetic.",
+    tags=("ingest", "sketch", "pipeline"),
+)
+def orc_bloom_point_lookup(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..catalog import source_fingerprint
+    from ..sources.orcdata import (
+        orc_bloom_might_contain,
+        orc_long_hash,
+        parse_bloom_filters,
+        parse_stripe_footer,
+    )
+    from ..sources.orcmeta import parse_orc_tail
+    from ..sources.pydatasource import RawOrcDataSource
+
+    fp = source_fingerprint(sf_dir, "documents")
+    root = _os.path.join(_tempfile.gettempdir(),
+                         "spark_graft_orcbloom_v1", fp)
+    done = _os.path.join(root, "_DONE")
+    if not _os.path.exists(done):
+        d = load(spark, sf_dir, ("documents",))["documents"]
+        rep = d.select(
+            "doc_id", "n_chars",
+            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("r"))
+        rep = rep.select(
+            (F.col("doc_id") * 16 + F.col("r")).alias("rid"),
+            "n_chars")
+        rep = rep.select(
+            (F.col("rid") * F.lit(2654435761) % 9999991)
+            .alias("key"), "rid", "n_chars")
+        (rep.coalesce(1).write.mode("overwrite")
+         .option("compression", "zlib")
+         .option("orc.row.index.stride", "1024")
+         .option("orc.bloom.filter.columns", "key")
+         .option("orc.bloom.filter.fpp", "0.01").orc(root))
+        open(done, "w").close()
+    part = sorted(_glob.glob(root + "/part-*.orc"))[0]
+    with open(part, "rb") as f:
+        buf = f.read()
+    tail = parse_orc_tail(buf)
+    stride = tail["row_index_stride"]
+    target = 2862935
+    key_cid = tail["type_nodes"][0]["subtypes"][0]
+    h = orc_long_hash(target)
+    blooms_present = True
+    groups_total = survivors = 0
+    for st in tail["stripes"]:
+        foot = parse_stripe_footer(
+            buf[st["offset"] + st["index_length"]
+                + st["data_length"]:
+                st["offset"] + st["index_length"]
+                + st["data_length"] + st["footer_length"]],
+            tail["compression"])
+        blooms = parse_bloom_filters(foot, buf, st,
+                                     tail["compression"],
+                                     {key_cid})
+        n_groups = max(1, -(-st["num_rows"] // stride))
+        filters = (blooms or {}).get(key_cid)
+        if not filters or len(filters) != n_groups:
+            blooms_present = False
+            survivors += n_groups
+            groups_total += n_groups
+            continue
+        groups_total += n_groups
+        survivors += sum(
+            orc_bloom_might_contain(bits, nh, h)
+            for nh, bits in filters)
+    groups_bloom_pruned = (blooms_present
+                           and 1 <= survivors < groups_total)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled",
+                   "true")
+    spark.dataSource.register(RawOrcDataSource)
+    df = (spark.read.format("raworc")
+          .option("pushdown", "true").load(part))
+    return (
+        df.filter(F.col("key") == target)
+        .agg(F.count("*").alias("n_hits"),
+             F.sum("rid").alias("rid_sum"),
+             F.sum("n_chars").alias("chars_sum"))
+        .withColumn("blooms_present", F.lit(bool(blooms_present)))
+        .withColumn("groups_bloom_pruned",
+                    F.lit(bool(groups_bloom_pruned)))
+    )
+
+
+@register(
     "parquet_map_stats",
     oracle="""
     WITH t AS (

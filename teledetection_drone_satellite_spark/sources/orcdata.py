@@ -448,6 +448,164 @@ def rowgroups_can_match(entries: "list[dict]", stride: int,
     return out
 
 
+# ------------------------------------------------- bloom filters
+# r17: ORC BLOOM_FILTER_UTF8 streams (spec stream kind 8) — one
+# BloomFilter per ROW GROUP per column, the equality-predicate twin
+# of the ROW_INDEX stats windowing.  Hashes from the public ORC
+# implementation (empirically pinned against pyarrow's C++ writer:
+# zero false negatives across ints incl. 0 and negatives, strings
+# incl. empty, in tests):
+#   integers  Thomas Wang 64-bit mix with SIGNED (arithmetic-shift)
+#             semantics — the C++ writer's int64 arithmetic, which
+#             diverges from a logical-shift transcription exactly
+#             for keys whose mix goes negative (0, -1, ... — the
+#             falsifying values the differential pin found);
+#   strings   the Hive/ORC 64-bit Murmur3 (single-lane hash64 with
+#             R1=31/R2=27/M=5/N1, seed 104729) over UTF-8 bytes —
+#             NOT the x64_128 first half.
+# Probe: h1/h2 = low/high int32 of the hash; k Kirsch-Mitzenmacher
+# combined hashes, C++'s `if (combined < 0) combined = ~combined`.
+
+_M64 = (1 << 64) - 1
+_S_BLOOM_UTF8 = 8
+
+
+def _s64(x: int) -> int:
+    x &= _M64
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def _s32(x: int) -> int:
+    x &= 0xFFFFFFFF
+    return x - (1 << 32) if x >= (1 << 31) else x
+
+
+def orc_long_hash(v: int) -> int:
+    """ORC's getLongHash (Wang 64-bit mix, signed arithmetic)."""
+    key = _s64(v)
+    key = _s64((~key) + (key << 21))
+    key = _s64(key ^ (key >> 24))
+    key = _s64(key + (key << 3) + (key << 8))
+    key = _s64(key ^ (key >> 14))
+    key = _s64(key + (key << 2) + (key << 4))
+    key = _s64(key ^ (key >> 28))
+    key = _s64(key + (key << 31))
+    return key & _M64
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | ((x & _M64) >> (64 - r))) & _M64
+
+
+def orc_murmur3_64(data: bytes, seed: int = 104729) -> int:
+    """The Hive/ORC dedicated 64-bit Murmur3 (hash64)."""
+    c1, c2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
+    h = seed & _M64
+    nblocks = len(data) >> 3
+    for i in range(nblocks):
+        k = int.from_bytes(data[i * 8:i * 8 + 8], "little")
+        k = (k * c1) & _M64
+        k = _rotl64(k, 31)
+        k = (k * c2) & _M64
+        h ^= k
+        h = (_rotl64(h, 27) * 5 + 0x52DCE729) & _M64
+    k1 = 0
+    tail = data[nblocks * 8:]
+    for i in range(len(tail) - 1, -1, -1):
+        k1 ^= tail[i] << (8 * i)
+    if tail:
+        k1 = (k1 * c1) & _M64
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * c2) & _M64
+        h ^= k1
+    h ^= len(data)
+    h ^= h >> 33
+    h = (h * 0xFF51AFD7ED558CCD) & _M64
+    h ^= h >> 33
+    h = (h * 0xC4CEB9FE1A85EC53) & _M64
+    h ^= h >> 33
+    return h
+
+
+def orc_bloom_value_hash(value, kind: str) -> "int | None":
+    """Predicate value -> the 64-bit hash the writer used, by
+    column kind; None when the (value, kind) pair is unhashable
+    (the caller then cannot prune on it)."""
+    if isinstance(value, bool):
+        return None
+    if isinstance(value, int) and kind in ("BYTE", "SHORT", "INT",
+                                           "LONG", "DATE"):
+        return orc_long_hash(value)
+    if isinstance(value, str) and kind in ("STRING", "VARCHAR",
+                                           "CHAR"):
+        return orc_murmur3_64(value.encode("utf-8"))
+    return None
+
+
+def orc_bloom_might_contain(bitset: bytes, num_hash: int,
+                            h64: int) -> bool:
+    """One row group's utf8bitset probe; malformed inputs answer
+    True (cannot prune)."""
+    nbits = len(bitset) * 8
+    if nbits == 0 or not isinstance(num_hash, int) or \
+            not 0 < num_hash <= 64:
+        return True
+    h1 = _s32(h64)
+    h2 = _s32(h64 >> 32)
+    for i in range(1, num_hash + 1):
+        c = _s32(h1 + i * h2)
+        if c < 0:
+            c = (~c) & 0xFFFFFFFF
+        pos = c % nbits
+        if not (bitset[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
+
+def parse_bloom_filters(footer: dict, buf: bytes, stripe: dict,
+                        codec: str,
+                        cols: "set[int] | None" = None,
+                        ) -> "dict[int, list] | None":
+    """Stripe BLOOM_FILTER_UTF8 streams -> {column id:
+    [(numHashFunctions, utf8bitset bytes) per row group]} or None.
+    Walks the stream list like parse_row_index; only the requested
+    columns' streams inflate."""
+    try:
+        pos = stripe["offset"]
+        out: "dict[int, list]" = {}
+        for kind, column, length in footer["streams"]:
+            if not all(isinstance(v, int) for v in
+                       (kind, column, length)) or length < 0 or \
+                    pos + length > len(buf):
+                return None
+            blob = buf[pos:pos + length]
+            pos += length
+            if kind != _S_BLOOM_UTF8 or \
+                    (cols is not None and column not in cols):
+                continue
+            raw = decompress_orc(blob, codec)
+            if raw is None:
+                return None
+            fd = _fields(raw)
+            if fd is None:
+                return None
+            filters = []
+            for fb in fd.get(1, []):
+                bf = _fields(fb) if isinstance(fb, bytes) else None
+                if bf is None:
+                    return None
+                nh = _one(bf, 1)
+                bits = _one(bf, 3)
+                filters.append((
+                    nh if isinstance(nh, int) else 0,
+                    bits if isinstance(bits, bytes) else b""))
+            out[column] = filters
+        return out or None
+    except (ValueError, IndexError, TypeError, KeyError,
+            OverflowError):
+        return None
+
+
 _INT_KINDS = ("SHORT", "INT", "LONG", "DATE")
 # the ORC timestamp epoch: 2015-01-01 00:00:00 UTC as unix seconds
 _ORC_EPOCH = 1420070400

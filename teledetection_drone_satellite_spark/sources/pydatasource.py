@@ -1015,7 +1015,8 @@ class _OrcPartition(InputPartition):
 
     def __init__(self, path: str, stripe: dict, codec: str,
                  cols: list, nodes: list,
-                 pushed: "list | None" = None, stride: int = 0):
+                 pushed: "list | None" = None, stride: int = 0,
+                 pushed_kinds: "dict | None" = None):
         self.path = path
         self.stripe = stripe
         self.codec = codec
@@ -1023,6 +1024,9 @@ class _OrcPartition(InputPartition):
         self.nodes = nodes  # type_nodes (compound decode routing)
         self.pushed = pushed or []
         self.stride = stride
+        # column id -> ORC type kind for the pushed columns (r17 —
+        # the bloom probe hashes by kind)
+        self.pushed_kinds = pushed_kinds or {}
 
 
 class RawOrcDataSource(DataSource):
@@ -1241,10 +1245,12 @@ class RawOrcReader(DataSourceReader):
         # pushed predicates are name-keyed (r17) so stripe-stat
         # pruning resolves to THIS file's column ids too
         pushed = []
+        pushed_kinds = {}
         for pname, op, val in self.pushed:
             hit = by_name.get(pname)
             if hit is not None:
                 pushed.append((hit[0], op, val))
+                pushed_kinds[hit[0]] = hit[1]
         parts = []
         stats = tail.get("stripe_stats") or \
             [None] * len(tail["stripes"])
@@ -1255,7 +1261,8 @@ class RawOrcReader(DataSourceReader):
             parts.append(_OrcPartition(
                 fpath, stripe, tail["compression"],
                 cols, tail["type_nodes"], pushed,
-                stride if isinstance(stride, int) else 0))
+                stride if isinstance(stride, int) else 0,
+                pushed_kinds))
         return parts
 
     def partitions(self):
@@ -1390,24 +1397,50 @@ def _orc_rowgroup_window(partition: "_OrcPartition", foot: dict,
         ranges[cid] = [lo, hi]
     if not ranges:
         return None
-    ridx = parse_row_index(foot, blob, rebased, partition.codec,
-                           set(ranges))
-    if ridx is None:
-        return None
     num_rows = rebased.get("num_rows")
     if not isinstance(num_rows, int) or num_rows <= 0:
         return None
+    n_groups = max(1, -(-num_rows // partition.stride))
     keep = None
-    for cid, (lo, hi) in ranges.items():
-        entries = ridx.get(cid)
-        if entries is None:
-            continue
-        k = rowgroups_can_match(entries, partition.stride,
-                                num_rows, lo, hi)
-        if k is None:
-            continue  # corrupt index: cannot prune on this column
-        keep = k if keep is None else \
-            [a and b for a, b in zip(keep, k)]
+    ridx = parse_row_index(foot, blob, rebased, partition.codec,
+                           set(ranges))
+    if ridx is not None:
+        for cid, (lo, hi) in ranges.items():
+            entries = ridx.get(cid)
+            if entries is None:
+                continue
+            k = rowgroups_can_match(entries, partition.stride,
+                                    num_rows, lo, hi)
+            if k is None:
+                continue  # corrupt index: cannot prune here
+            keep = k if keep is None else \
+                [a and b for a, b in zip(keep, k)]
+    # r17: BLOOM_FILTER_UTF8 — equality predicates probe each row
+    # group's bloom (the case stats can't prune: unsorted keys)
+    from .orcdata import (
+        orc_bloom_might_contain,
+        orc_bloom_value_hash,
+        parse_bloom_filters,
+    )
+
+    eqs = [(cid, val) for cid, op, val in partition.pushed
+           if op == "="]
+    if eqs:
+        blooms = parse_bloom_filters(foot, blob, rebased,
+                                     partition.codec,
+                                     {cid for cid, _v in eqs})
+        for cid, val in eqs:
+            filters = (blooms or {}).get(cid)
+            if not filters or len(filters) != n_groups:
+                continue  # no bloom / miscounted: cannot prune
+            h = orc_bloom_value_hash(
+                val, partition.pushed_kinds.get(cid, ""))
+            if h is None:
+                continue
+            k = [orc_bloom_might_contain(bits, nh, h)
+                 for nh, bits in filters]
+            keep = k if keep is None else \
+                [a and b for a, b in zip(keep, k)]
     if keep is None or all(keep):
         return None
     return keep

@@ -339,3 +339,71 @@ def test_row_index_missing_stats_keep_group():
                {"min": 100, "max": 200}]
     keep = rowgroups_can_match(entries, 10, 30, 50, 60)
     assert keep == [True, False, False]
+
+
+def test_orc_bloom_hashes_and_probe():
+    # r17: the exact writer hashes — Wang mix in SIGNED arithmetic
+    # for ints (0/-1 are the falsifying keys for a logical-shift
+    # transcription), Hive 64-bit Murmur3 for strings — pinned
+    # against pyarrow's C++ ORC writer: ZERO false negatives
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    from teledetection_drone_satellite_spark.sources.orcdata import (
+        orc_bloom_might_contain,
+        orc_bloom_value_hash,
+        parse_bloom_filters,
+        parse_stripe_footer,
+    )
+    from teledetection_drone_satellite_spark.sources.orcmeta import (
+        parse_orc_tail,
+    )
+
+    ivals = [0, -1, -7, 5, 123456789, -999999999999] + \
+        [(v * 2654435761) % 9999991 for v in range(500)]
+    svals = ["", "x", "alpha", "a-longer-string-over-16-bytes!"] + \
+        ["key-%d" % v for v in range(500)]
+    sink = io.BytesIO()
+    tbl = pa.table({"k": pa.array(ivals, pa.int64()),
+                    "s": pa.array(svals + [None] *
+                                  (len(ivals) - len(svals)))})
+    orc.write_table(tbl, sink, row_index_stride=10000,
+                    compression="zlib",
+                    bloom_filter_columns=[1, 2],
+                    bloom_filter_fpp=0.01)
+    buf = sink.getvalue()
+    tail = parse_orc_tail(buf)
+    st = tail["stripes"][0]
+    foot = parse_stripe_footer(
+        buf[st["offset"] + st["index_length"] + st["data_length"]:
+            st["offset"] + st["index_length"] + st["data_length"]
+            + st["footer_length"]], tail["compression"])
+    blooms = parse_bloom_filters(foot, buf, st,
+                                 tail["compression"])
+    assert set(blooms) == {1, 2}
+    nh_i, bits_i = blooms[1][0]
+    for v in ivals:
+        h = orc_bloom_value_hash(v, "LONG")
+        assert orc_bloom_might_contain(bits_i, nh_i, h), v
+    nh_s, bits_s = blooms[2][0]
+    for v in svals:
+        h = orc_bloom_value_hash(v, "STRING")
+        assert orc_bloom_might_contain(bits_s, nh_s, h), v
+    # near-zero false positives
+    fp_i = sum(orc_bloom_might_contain(
+        bits_i, nh_i, orc_bloom_value_hash(10 ** 12 + k, "LONG"))
+        for k in range(300))
+    fp_s = sum(orc_bloom_might_contain(
+        bits_s, nh_s, orc_bloom_value_hash("nope-%d" % k,
+                                           "STRING"))
+        for k in range(300))
+    assert fp_i <= 12 and fp_s <= 12
+    # unhashable pairs refuse (caller keeps the group)
+    assert orc_bloom_value_hash(True, "LONG") is None
+    assert orc_bloom_value_hash(1.5, "DOUBLE") is None
+    assert orc_bloom_value_hash("x", "LONG") is None
+    # malformed bitsets answer True
+    assert orc_bloom_might_contain(b"", 7, 123)
+    assert orc_bloom_might_contain(bits_i, 0, 123)

@@ -889,3 +889,51 @@ def test_string_pushdown_prunes_orc(spark, tmp_path):
     assert r2.pushed == []
     assert sum(1 for part in r2.partitions()
                for _ in r2.read(part)) == 4000
+
+
+def test_raworc_bloom_windowing(spark, tmp_path):
+    # r17: ORC bloom equality windowing — unsorted key, only the
+    # bloom-positive row group emits; string twin too
+    import pyarrow.orc as pa_orc
+
+    from pyspark.sql.datasource import EqualTo
+
+    from teledetection_drone_satellite_spark.sources.pydatasource \
+        import RawOrcPushdownReader
+
+    p = str(tmp_path / "ob.orc")
+    n = 20000
+    keys = [(v * 2654435761) % 9999991 for v in range(n)]
+    tbl = pa.table({"key": pa.array(keys, pa.int64()),
+                    "s": pa.array(["v%d" % v for v in range(n)])})
+    pa_orc.write_table(tbl, p, row_index_stride=1000,
+                       compression="zlib",
+                       bloom_filter_columns=[1, 2],
+                       bloom_filter_fpp=0.01)
+    target = keys[4711]
+    ds = RawOrcDataSource({"path": p, "pushdown": "true"})
+    path, tail = ds._tail()
+    cols4 = ds._cols(tail)
+    cols = [(nm, tid, k) for nm, tid, k, _t in cols4]
+    by_name = {nm: (tid, k) for nm, tid, k, _t in cols4}
+    r = RawOrcPushdownReader(path, tail, cols, by_name)
+    r.pushFilters([EqualTo(("key",), target)])
+    rows = [row for part in r.partitions()
+            for row in r.read(part)]
+    assert len(rows) < n // 4  # bloom windowed
+    assert any(x[0] == target for x in rows)
+    r2 = RawOrcPushdownReader(path, tail, cols, by_name)
+    r2.pushFilters([EqualTo(("s",), "v4711")])
+    rows2 = [row for part in r2.partitions()
+             for row in r2.read(part)]
+    assert len(rows2) < n // 4
+    assert any(x[1] == "v4711" for x in rows2)
+    # Spark-level equality with the native reader
+    spark.conf.set("spark.sql.python.filterPushdown.enabled",
+                   "true")
+    spark.dataSource.register(RawOrcDataSource)
+    mine = (spark.read.format("raworc").option("pushdown", "true")
+            .load(p).filter(F.col("key") == target).collect())
+    ref = spark.read.orc(p).filter(
+        F.col("key") == target).collect()
+    assert sorted(mine) == sorted(ref) and len(mine) >= 1
