@@ -12846,6 +12846,138 @@ def delta_compaction_execute(spark: SparkSession,
 
 
 @register(
+    "delta_time_travel",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           TRUE AS v0_is_prefix,
+           TRUE AS current_differs
+    FROM documents GROUP BY lang
+    """,
+    doc="Delta TIME TRAVEL, graded (r17): over the checkpoint "
+    "fixture's 3-commit table (v0 adds three lang partitions, v1 "
+    "adds the remaining two, v2 removes lang=zh), "
+    "replay_at_version pins each historical state — the read a "
+    "'VERSION AS OF' query plans. Graded: the v1 snapshot (all "
+    "five partitions live) is scanned and must restate the FULL "
+    "documents table even though the CURRENT version no longer "
+    "contains lang=zh (current_differs measures exactly that); "
+    "v0's file set must be a strict prefix of v1's "
+    "(v0_is_prefix). A version that never existed refuses rather "
+    "than clamping. The oracle restates all documents.",
+    tags=("ingest", "sketch", "pipeline"),
+)
+def delta_time_travel(spark: SparkSession,
+                      sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..catalog import source_fingerprint
+    from ..sources.deltalog import (
+        active_files_at_version,
+        read_delta_commits,
+        replay_at_version,
+        replay_log,
+    )
+
+    fp = source_fingerprint(sf_dir, "documents")
+    root = _os.path.join(_tempfile.gettempdir(),
+                         "spark_graft_deltacp_v1", fp)
+    if not _os.path.exists(_os.path.join(root, "_DONE")):
+        delta_checkpoint_write_roundtrip(spark, sf_dir)
+    commits = read_delta_commits(root)
+    at0 = replay_at_version(commits, 0)
+    at1 = replay_at_version(commits, 1)
+    cur = replay_log(commits)
+    if at0 is None or at1 is None or cur is None:
+        raise ValueError("time-travel replay failed")
+    if replay_at_version(commits, 99) is not None:
+        raise ValueError("nonexistent version must refuse")
+    f0 = {a["path"] for a in active_files_at_version(commits, 0)}
+    f1 = {a["path"] for a in active_files_at_version(commits, 1)}
+    v0_is_prefix = f0 < f1 and at0["n_active_files"] == 3
+    current_differs = (cur["n_active_files"]
+                       == at1["n_active_files"] - 1)
+    back = spark.read.parquet(*[_os.path.join(root, p)
+                                for p in sorted(f1)])
+    return (
+        back.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("doc_id").alias("id_sum"))
+        .withColumn("v0_is_prefix", F.lit(bool(v0_is_prefix)))
+        .withColumn("current_differs",
+                    F.lit(bool(current_differs)))
+    )
+
+
+@register(
+    "iceberg_time_travel",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           TRUE AS historical_full,
+           TRUE AS current_differs
+    FROM documents GROUP BY lang
+    """,
+    doc="Apache Iceberg TIME TRAVEL, graded (r17 — the Iceberg "
+    "twin of delta_time_travel): the write-roundtrip fixture's "
+    "metadata keeps BOTH snapshots (1 = all four slices appended, "
+    "2 = slice 3 tombstoned), so resolve_snapshot(snapshot_id=1) "
+    "pins the historical state — Iceberg's 'FOR SYSTEM_VERSION AS "
+    "OF'. Graded: the snapshot-1 file set scans to the FULL "
+    "documents table while the current snapshot holds one file "
+    "fewer (current_differs); an id naming no snapshot refuses. "
+    "The oracle restates all documents.",
+    tags=("ingest", "sketch", "pipeline"),
+)
+def iceberg_time_travel(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..catalog import source_fingerprint
+    from ..sources.iceberg import (
+        read_iceberg_tree,
+        resolve_snapshot,
+    )
+
+    fp = source_fingerprint(sf_dir, "documents")
+    root = _os.path.join(_tempfile.gettempdir(),
+                         "spark_graft_icebergw_v1", fp)
+    if not _os.path.exists(_os.path.join(root, "_DONE")):
+        iceberg_write_roundtrip(spark, sf_dir)
+    mpath = sorted(_glob.glob(
+        _os.path.join(root, "metadata", "v*.metadata.json")))[-1]
+    mj, mfiles = read_iceberg_tree(mpath)
+    hist = resolve_snapshot(mj, mfiles, snapshot_id=1)
+    cur = resolve_snapshot(mj, mfiles)
+    if hist is None or cur is None:
+        raise ValueError("time-travel resolve failed")
+    if resolve_snapshot(mj, mfiles, snapshot_id=99) is not None:
+        raise ValueError("nonexistent snapshot must refuse")
+    historical_full = (hist["snapshot_id"] == 1
+                       and hist["n_live_files"] == 4)
+    current_differs = (cur["snapshot_id"] == 2
+                       and cur["n_live_files"]
+                       == hist["n_live_files"] - 1)
+    back = spark.read.parquet(*[_os.path.join(root, p)
+                                for p in hist["live_paths"]])
+    return (
+        back.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("doc_id").alias("id_sum"))
+        .withColumn("historical_full",
+                    F.lit(bool(historical_full)))
+        .withColumn("current_differs",
+                    F.lit(bool(current_differs)))
+    )
+
+
+@register(
     "orc_write_roundtrip",
     oracle="""
     SELECT lang,

@@ -661,6 +661,28 @@ def prune_files(adds: "list[dict]", col: str, lo: int,
             "stats_complete": complete}
 
 
+def replay_at_version(commits: "list[tuple[int, bytes]]",
+                      version: int) -> "dict | None":
+    """Delta TIME TRAVEL (r17): the snapshot as of ``version`` —
+    replay only the commits up to and including it.  Refused when
+    the version does not exist (no silent clamp to the nearest
+    one: a pinned read must see exactly the state it names)."""
+    sub = [c for c in sorted(commits) if c[0] <= version]
+    if not sub or sub[-1][0] != version:
+        return None
+    return replay_log(sub)
+
+
+def active_files_at_version(commits: "list[tuple[int, bytes]]",
+                            version: int) -> "list[dict] | None":
+    """The surviving add dicts as of ``version`` (time-travel twin
+    of active_files)."""
+    sub = [c for c in sorted(commits) if c[0] <= version]
+    if not sub or sub[-1][0] != version:
+        return None
+    return active_files(sub)
+
+
 def prune_partitions(adds: "list[dict]",
                      equals: "dict[str, str]") -> dict:
     """Delta PARTITION pruning (r17 — the static-pruning twin of

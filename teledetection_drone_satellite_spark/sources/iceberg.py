@@ -183,20 +183,27 @@ def parse_table_metadata(content: bytes) -> "dict | None":
 
 
 def resolve_snapshot(metadata_json: bytes,
-                     files: "dict[str, bytes]") -> "dict | None":
+                     files: "dict[str, bytes]",
+                     snapshot_id: "int | None" = None,
+                     ) -> "dict | None":
     """The planner walk: metadata -> current snapshot -> manifest
     list (Avro) -> manifests (Avro) -> live data files.
 
     ``files`` maps path -> bytes for every manifest-list/manifest
-    the metadata names.  -> {'snapshot_id', 'n_manifests',
-    'n_live_files', 'n_deleted_entries', 'total_records',
-    'total_bytes', 'counts_consistent' (manifest-list counts vs
-    actual entry census), 'fields', 'partition_fields'} or None."""
+    the metadata names.  ``snapshot_id`` (r17) selects a HISTORICAL
+    snapshot instead of the current one — Iceberg time travel: the
+    metadata's snapshot list keeps every reachable snapshot, so a
+    reader pins any of them by id (refused when the id names no
+    snapshot).  -> {'snapshot_id', 'n_manifests', 'n_live_files',
+    'n_deleted_entries', 'total_records', 'total_bytes',
+    'counts_consistent' (manifest-list counts vs actual entry
+    census), 'fields', 'partition_fields'} or None."""
     meta = parse_table_metadata(metadata_json)
     if meta is None:
         return None
-    cur = meta["current_snapshot_id"]
-    if cur is None or cur == -1:
+    cur = meta["current_snapshot_id"] if snapshot_id is None \
+        else snapshot_id
+    if cur is None or cur == -1 or cur not in meta["snapshots"]:
         return None
     ml_path = meta["snapshots"][cur]
     if ml_path not in files:

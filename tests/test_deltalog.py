@@ -685,3 +685,31 @@ def test_compaction_groups_match_plan():
     assert flat == [f["path"] for f in sorted(
         (f for f in files if f["size"] < 10 ** 6),
         key=lambda f: (-f["size"], f["path"]))][:len(flat)]
+
+
+def test_replay_at_version_time_travel(tmp_path):
+    from teledetection_drone_satellite_spark.sources.deltalog import (
+        active_files_at_version,
+        commit_delta,
+        delta_add_action,
+        delta_init_actions,
+        delta_remove_action,
+        read_delta_commits,
+        replay_at_version,
+    )
+
+    td = str(tmp_path / "tt")
+    commit_delta(td, 0, delta_init_actions(
+        "t-tt", [("id", "long")])
+        + [delta_add_action("a.parquet", 10, 1)])
+    commit_delta(td, 1, [delta_add_action("b.parquet", 20, 2)])
+    commit_delta(td, 2, [delta_remove_action("a.parquet")])
+    commits = read_delta_commits(td)
+    assert replay_at_version(commits, 0)["n_active_files"] == 1
+    assert replay_at_version(commits, 1)["n_active_files"] == 2
+    assert replay_at_version(commits, 2)["n_active_files"] == 1
+    # a version that never existed refuses — no silent clamp
+    assert replay_at_version(commits, 3) is None
+    assert replay_at_version(commits, -1) is None
+    assert [a["path"] for a in
+            active_files_at_version(commits, 2)] == ["b.parquet"]

@@ -475,3 +475,20 @@ def test_iceberg_partitioned_write_prune(tmp_path):
     got2 = prune_partitions(snap2, {"lang": "fr"})
     assert got2["touched"] == ["data/lang=fr/f.parquet"]
     assert got2["partitions_complete"]
+
+
+def test_resolve_snapshot_time_travel():
+    from teledetection_drone_satellite_spark.sources.iceberg import (
+        resolve_snapshot,
+        synth_iceberg,
+    )
+
+    mj, files, expected = synth_iceberg(3)
+    cur = resolve_snapshot(mj, files)
+    assert cur is not None
+    # pinning the current id explicitly equals the default
+    same = resolve_snapshot(mj, files,
+                            snapshot_id=cur["snapshot_id"])
+    assert same == cur
+    # an id naming no snapshot refuses
+    assert resolve_snapshot(mj, files, snapshot_id=10 ** 9) is None
