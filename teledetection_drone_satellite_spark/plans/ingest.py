@@ -14169,6 +14169,99 @@ def orc_bloom_point_lookup(spark: SparkSession,
 
 
 @register(
+    "pyds_hive_partitioned_scan",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+           TRUE AS files_pruned
+    FROM documents WHERE lang = 'es' GROUP BY lang
+    """,
+    doc="HIVE-PARTITIONED directory scan through the registered "
+    "DataSource, graded (r17 — the read-side complement of the "
+    "partitioned lake writes: every real 100 TB table lands as "
+    "key=value directories): documents is written one file per "
+    "lang into lang=<v>/ dirs through the repo's own parquet "
+    "writer WITHOUT the lang column (hive layout stores partition "
+    "values in paths, not data); "
+    ".option('hivePartitions','true') discovers the layout "
+    "recursively, refuses ragged key sets and key/data-column "
+    "collisions, surfaces lang as a string column materialized "
+    "per task, and a pushed lang='es' equality statically prunes "
+    "FILES — the pruned file is never even opened (the graded "
+    "boolean counts planned tasks from the direct reader drive: "
+    "1 of |langs|). The oracle restates the partition's rows.",
+    tags=("ingest", "sketch", "pipeline"),
+)
+def pyds_hive_partitioned_scan(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import tempfile as _tempfile
+
+    from pyspark.sql.datasource import EqualTo
+
+    from ..catalog import source_fingerprint
+    from ..sources.pydatasource import (
+        RawParquetDataSource,
+        RawParquetPushdownReader,
+    )
+
+    fp = source_fingerprint(sf_dir, "documents")
+    root = _os.path.join(_tempfile.gettempdir(),
+                         "spark_graft_pqhive_v1", fp)
+    done = _os.path.join(root, "_DONE")
+    if not _os.path.exists(done):
+        d = load(spark, sf_dir, ("documents",))["documents"]
+        spark.dataSource.register(RawParquetDataSource)
+        langs = sorted(r[0] for r in
+                       d.select("lang").distinct().collect())
+        for lang in langs:
+            sub = _os.path.join(root, "_slice_%s" % lang)
+            (d.filter(F.col("lang") == lang)
+             .select("doc_id", "n_chars").coalesce(1)
+             .write.format("rawparquet").option("path", sub)
+             .option("compression", "snappy")
+             .mode("append").save())
+            src = sorted(_glob.glob(sub + "/part-*.parquet"))[0]
+            dstdir = _os.path.join(root, "lang=%s" % lang)
+            _os.makedirs(dstdir, exist_ok=True)
+            _os.replace(src, _os.path.join(dstdir,
+                                           "part-00000.parquet"))
+            _os.rmdir(sub)
+        open(done, "w").close()
+    # direct planner drive for the falsifiable pruning boolean
+    ds = RawParquetDataSource({"path": root,
+                               "hivePartitions": "true",
+                               "pushdown": "true"})
+    hive, keys = ds._hive()
+    footer = ds._hive_footer(hive)
+    fields = ds._fields(footer)
+    rdr = RawParquetPushdownReader(
+        root, footer, fields,
+        [n for n, _l, _k in fields] + keys,
+        hive=hive, part_keys=keys)
+    rdr.pushFilters([EqualTo(("lang",), "es")])
+    n_tasks = len(rdr.partitions())
+    files_pruned = 1 <= n_tasks < len(hive)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled",
+                   "true")
+    spark.dataSource.register(RawParquetDataSource)
+    df = (spark.read.format("rawparquet")
+          .option("hivePartitions", "true")
+          .option("pushdown", "true").load(root))
+    return (
+        df.filter(F.col("lang") == "es")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("doc_id").alias("id_sum"),
+             F.sum("n_chars").alias("chars_sum"))
+        .withColumn("files_pruned", F.lit(bool(files_pruned)))
+    )
+
+
+@register(
     "parquet_map_stats",
     oracle="""
     WITH t AS (

@@ -136,6 +136,45 @@ def _basename(p: str) -> str:
     return _os.path.basename(p)
 
 
+def _pq_hive_paths(path: str) -> "list[tuple[str, dict]]":
+    """Recursive hive-layout discovery (r17): walk ``path`` for
+    *.parquet files, reading ``key=value`` directory segments as
+    partition values (always strings — the layout carries no type).
+    Every file must agree on the partition KEY SET (a ragged layout
+    is a corrupt table -> ValueError).  Returns sorted
+    [(file path, {key: value})...]."""
+    import os as _os
+
+    out: "list[tuple[str, dict]]" = []
+    keysets: "set[tuple]" = set()
+    for dirpath, dirnames, filenames in _os.walk(path):
+        dirnames.sort()
+        rel = _os.path.relpath(dirpath, path)
+        pvals: "dict[str, str]" = {}
+        ok = True
+        if rel != ".":
+            for seg in rel.split(_os.sep):
+                if seg.count("=") != 1 or seg.startswith("="):
+                    ok = False  # non-hive dir (scratch/tmp): skip
+                    break
+                k, v = seg.split("=", 1)
+                pvals[k] = v
+        if not ok:
+            continue
+        for name in sorted(filenames):
+            if name.endswith(".parquet"):
+                out.append((_os.path.join(dirpath, name),
+                            dict(pvals)))
+                keysets.add(tuple(sorted(pvals)))
+    if not out:
+        raise ValueError("no parquet files under %s" % path)
+    if len(keysets) > 1:
+        raise ValueError(
+            "ragged hive layout under %s: partition key sets %s"
+            % (path, sorted(keysets)))
+    return sorted(out)
+
+
 def _check_universe_order(paths: "list[str]", s: int,
                           last: "str | None") -> None:
     """Streaming offsets count files in sorted-name order; a file
@@ -267,9 +306,40 @@ class RawParquetDataSource(DataSource):
                     out.append((top, group, kind))
         return out
 
+    def _hive(self) -> "tuple[list, list] | None":
+        """(discovered [(path, pvals)...], partition keys) when
+        .option('hivePartitions', 'true'), else None."""
+        if str(self.options.get("hivePartitions",
+                                "false")).lower() != "true":
+            return None
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("rawparquet requires a path")
+        hive = _pq_hive_paths(path)
+        keys = sorted(hive[0][1])
+        if not keys:
+            raise ValueError(
+                "hivePartitions=true but no key=value directories "
+                "under %s" % path)
+        return hive, keys
+
+    def _hive_footer(self, hive):
+        from .parquetmeta import parse_parquet_footer
+
+        first = hive[0][0]
+        footer = parse_parquet_footer(_read_footer_tail(first))
+        if footer is None:
+            raise ValueError("not a parquet file: %s" % first)
+        return footer
+
     def schema(self) -> str:
-        _path, footer = self._footer()
+        hive = self._hive()
+        if hive is None:
+            _path, footer = self._footer()
+        else:
+            footer = self._hive_footer(hive[0])
         parts = []
+        data_names = set()
         for name, leaf, kind in self._fields(footer):
             if kind == "flat":
                 t = _pq_spark_type(leaf)
@@ -286,23 +356,47 @@ class RawParquetDataSource(DataSource):
                 t = "map<%s,%s>" % (_pq_spark_type(leaf[0]),
                                     _pq_spark_type(leaf[1]))
             parts.append("`%s` %s" % (name, t))
+            data_names.add(name)
+        if hive is not None:
+            # partition columns append as strings (the hive layout
+            # carries no type); a key shadowing a data column is a
+            # corrupt table, refused
+            for k in hive[1]:
+                if k in data_names:
+                    raise ValueError(
+                        "partition key %r collides with a data "
+                        "column" % k)
+                parts.append("`%s` string" % k)
         if not parts:
             raise ValueError("no decodable columns")
         return ", ".join(parts)
 
     def reader(self, schema) -> "RawParquetReader":
-        path, footer = self._footer()
+        hive = self._hive()
         cls = (RawParquetPushdownReader
                if _pushdown_requested(self.options)
                else RawParquetReader)
-        return cls(path, footer, self._fields(footer),
-                   [f.name for f in schema.fields])
+        if hive is None:
+            path, footer = self._footer()
+            return cls(path, footer, self._fields(footer),
+                       [f.name for f in schema.fields])
+        footer = self._hive_footer(hive[0])
+        return cls(self.options["path"], footer,
+                   self._fields(footer),
+                   [f.name for f in schema.fields],
+                   hive=hive[0], part_keys=hive[1])
 
     def streamReader(self, schema) -> "RawParquetStreamReader":
         """spark.readStream.format("rawparquet").load(dir) — the
         r16 streaming surface: the directory is an append-only file
         universe, each micro-batch scans the newly arrived files'
-        row groups through the same pure-Python decode path."""
+        row groups through the same pure-Python decode path.
+        (Flat directories only: hivePartitions is a batch surface.)"""
+        if self._hive() is not None:
+            raise ValueError(
+                "hivePartitions is not supported for streaming "
+                "reads (the offset contract is a flat sorted-name "
+                "file universe)")
         path, footer = self._footer()
         batch = RawParquetReader(path, footer,
                                  self._fields(footer),
@@ -460,7 +554,8 @@ class RawParquetReader(DataSourceReader):
     pushdown on top (option-gated, see _pushdown_requested)."""
 
     def __init__(self, path: str, footer: dict, fields: list,
-                 want: list):
+                 want: list, hive: "list | None" = None,
+                 part_keys: "list[str] | None" = None):
         self.path = path
         self.footer = footer
         # name -> (leaf(s), kind); see RawParquetDataSource._fields
@@ -469,7 +564,11 @@ class RawParquetReader(DataSourceReader):
         self.want = want
         # (name, op, value) predicates accepted by pushFilters —
         # used for ROW-GROUP PRUNING against footer min/max stats
+        # (and r17: FILE pruning on hive partition values)
         self.pushed: "list[tuple[str, str, int]]" = []
+        # r17 hive layout: [(file path, {key: value})...] + keys
+        self.hive = hive
+        self.part_keys = part_keys or []
 
     def _rg_can_match(self, rg: dict) -> bool:
         """False only when a pushed predicate PROVABLY excludes the
@@ -556,7 +655,8 @@ class RawParquetReader(DataSourceReader):
         return True
 
     def _file_partitions(self, fpath: str,
-                         footer: "dict | None") -> list:
+                         footer: "dict | None",
+                         pvals: "dict | None" = None) -> list:
         """One file's row groups -> partitions (pruned by any pushed
         predicates against the footer's chunk stats, then r17: by
         split-block bloom filters for equality predicates)."""
@@ -584,13 +684,14 @@ class RawParquetReader(DataSourceReader):
                 bloom_f = None
         try:
             return self._plan_row_groups(fpath, footer, parts,
-                                         _chunk_for, bloom_f)
+                                         _chunk_for, bloom_f,
+                                         pvals or {})
         finally:
             if bloom_f is not None:
                 bloom_f.close()
 
     def _plan_row_groups(self, fpath, footer, parts, _chunk_for,
-                         bloom_f):
+                         bloom_f, pvals):
         for rg in footer["row_groups"]:
             if not self._rg_can_match(rg):
                 continue  # pruned: no task, no bytes
@@ -601,23 +702,55 @@ class RawParquetReader(DataSourceReader):
             entries = []
             chunks = []
             for name in self.want:
-                if name not in self.fields:
-                    raise ValueError("column missing: %s" % name)
-                leaf, kind = self.fields[name]
-                entries.append((leaf, kind))
-                if kind == "map":
-                    chunks.append((_chunk_for(rg, leaf[0]),
-                                   _chunk_for(rg, leaf[1])))
-                elif kind in ("struct", "structlist"):
-                    chunks.append(tuple(_chunk_for(rg, lf)
-                                        for lf in leaf))
+                if name in self.fields:
+                    leaf, kind = self.fields[name]
+                    entries.append((leaf, kind))
+                    if kind == "map":
+                        chunks.append((_chunk_for(rg, leaf[0]),
+                                       _chunk_for(rg, leaf[1])))
+                    elif kind in ("struct", "structlist"):
+                        chunks.append(tuple(_chunk_for(rg, lf)
+                                            for lf in leaf))
+                    else:
+                        chunks.append(_chunk_for(rg, leaf))
+                elif name in pvals:
+                    # r17 hive partition column: a constant per
+                    # task, materialized row-count-wide at read
+                    entries.append((name, "part"))
+                    chunks.append((pvals[name], rg["num_rows"]))
                 else:
-                    chunks.append(_chunk_for(rg, leaf))
+                    raise ValueError("column missing: %s" % name)
             parts.append(_PqPartition(fpath, entries, chunks,
                                       self.pushed))
         return parts
 
+    def _hive_file_can_match(self, pvals: dict) -> bool:
+        """FILE-level static partition pruning (r17): skip a hive
+        file whose partition values PROVABLY violate a pushed
+        predicate (string compare — the layout's value type)."""
+        for name, op, val in self.pushed:
+            got = pvals.get(name)
+            if got is None or not isinstance(val, str):
+                continue
+            if (op == "=" and got != val) or \
+                    (op == ">" and got <= val) or \
+                    (op == ">=" and got < val) or \
+                    (op == "<" and got >= val) or \
+                    (op == "<=" and got > val):
+                return False
+        return True
+
     def partitions(self):
+        if self.hive is not None:
+            parts = []
+            for fpath, pvals in self.hive:
+                if not self._hive_file_can_match(pvals):
+                    continue  # statically pruned: file never opens
+                parts.extend(self._file_partitions(fpath, None,
+                                                   pvals))
+            if not parts:
+                parts.append(_PqPartition(self.hive[0][0], [], []))
+            return parts
         paths = _pq_paths(self.path)
         parts = []
         for k, fpath in enumerate(paths):
@@ -827,6 +960,14 @@ def _read_pq_partition(partition: _PqPartition):
                 vals = [dict(zip(k, v))
                         if k is not None and v is not None else None
                         for k, v in zip(keys, mvals)]
+            elif kind == "part":
+                # r17 hive partition column: (value, row count)
+                value, n_rows = chunk
+                if not isinstance(n_rows, int) or n_rows < 0:
+                    raise ValueError(
+                        "corrupt row count for partition column "
+                        "%s in %s" % (leaf, partition.path))
+                vals = [value] * n_rows
             elif kind in ("struct", "structlist"):
                 from .parquetpage import decode_struct_chunks
 
@@ -904,9 +1045,10 @@ class RawParquetPushdownReader(RawParquetReader):
         """Accept int comparisons on INT32/INT64 leaves and (r17)
         string comparisons on UTF8 BYTE_ARRAY leaves for row-group
         pruning via the footer's chunk statistics (plus bloom
-        probes for equality).  Every filter is ALSO returned
-        (Spark re-evaluates row-level): the pushdown is
-        pruning-only, so correctness never depends on the stats
+        probes for equality), and string comparisons on hive
+        PARTITION columns for static FILE pruning.  Every filter is
+        ALSO returned (Spark re-evaluates row-level): the pushdown
+        is pruning-only, so correctness never depends on the stats
         being tight.  Unsupported value/column types are simply
         not pushed — the scan stays a full scan, never an error."""
         from pyspark.sql.datasource import (
@@ -924,18 +1066,23 @@ class RawParquetPushdownReader(RawParquetReader):
             op = ops.get(type(f))
             if not op or len(f.attribute) != 1:
                 continue
-            hit = self.fields.get(f.attribute[0])
+            name = f.attribute[0]
+            if isinstance(f.value, bool):
+                continue  # bool is an int subclass; not stats-typed
+            if isinstance(f.value, str) and name in self.part_keys:
+                # hive partition column: file-level static pruning
+                self.pushed.append((name, op, f.value))
+                continue
+            hit = self.fields.get(name)
             if hit is None or hit[1] != "flat":
                 continue
             pt = hit[0]["physical_type"]
-            if isinstance(f.value, bool):
-                continue  # bool is an int subclass; not stats-typed
             if isinstance(f.value, int) and \
                     pt in ("INT32", "INT64"):
-                self.pushed.append((f.attribute[0], op, f.value))
+                self.pushed.append((name, op, f.value))
             elif isinstance(f.value, str) and pt == "BYTE_ARRAY" \
                     and hit[0].get("converted_type") == 0:
-                self.pushed.append((f.attribute[0], op, f.value))
+                self.pushed.append((name, op, f.value))
         return filters  # all re-evaluated row-level by Spark
 
 
