@@ -136,13 +136,14 @@ def _basename(p: str) -> str:
     return _os.path.basename(p)
 
 
-def _pq_hive_paths(path: str) -> "list[tuple[str, dict]]":
+def _hive_layout(path: str,
+                 suffix: str) -> "list[tuple[str, dict]]":
     """Recursive hive-layout discovery (r17): walk ``path`` for
-    *.parquet files, reading ``key=value`` directory segments as
-    partition values (always strings — the layout carries no type).
-    Every file must agree on the partition KEY SET (a ragged layout
-    is a corrupt table -> ValueError).  Returns sorted
-    [(file path, {key: value})...]."""
+    ``*{suffix}`` files, reading ``key=value`` directory segments
+    as partition values (always strings — the layout carries no
+    type).  Every file must agree on the partition KEY SET (a
+    ragged layout is a corrupt table -> ValueError).  Returns
+    sorted [(file path, {key: value})...]."""
     import os as _os
 
     out: "list[tuple[str, dict]]" = []
@@ -162,17 +163,21 @@ def _pq_hive_paths(path: str) -> "list[tuple[str, dict]]":
         if not ok:
             continue
         for name in sorted(filenames):
-            if name.endswith(".parquet"):
+            if name.endswith(suffix):
                 out.append((_os.path.join(dirpath, name),
                             dict(pvals)))
                 keysets.add(tuple(sorted(pvals)))
     if not out:
-        raise ValueError("no parquet files under %s" % path)
+        raise ValueError("no %s files under %s" % (suffix, path))
     if len(keysets) > 1:
         raise ValueError(
             "ragged hive layout under %s: partition key sets %s"
             % (path, sorted(keysets)))
     return sorted(out)
+
+
+def _pq_hive_paths(path: str) -> "list[tuple[str, dict]]":
+    return _hive_layout(path, ".parquet")
 
 
 def _check_universe_order(paths: "list[str]", s: int,
@@ -1221,13 +1226,51 @@ class RawOrcDataSource(DataSource):
                     out.append((name, tid, kind, t))
         return out
 
+    def _hive(self) -> "tuple[list, list] | None":
+        """(discovered [(path, pvals)...], partition keys) when
+        .option('hivePartitions', 'true') — the ORC twin of the
+        rawparquet hive surface (r17)."""
+        if str(self.options.get("hivePartitions",
+                                "false")).lower() != "true":
+            return None
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("raworc requires a path")
+        hive = _hive_layout(path, ".orc")
+        keys = sorted(hive[0][1])
+        if not keys:
+            raise ValueError(
+                "hivePartitions=true but no key=value directories "
+                "under %s" % path)
+        return hive, keys
+
+    def _hive_tail(self, hive):
+        from .orcmeta import parse_orc_tail
+
+        first = hive[0][0]
+        with open(first, "rb") as f:
+            tail = parse_orc_tail(f.read())
+        if tail is None:
+            raise ValueError("not an ORC file: %s" % first)
+        return tail
+
     def schema(self) -> str:
-        _path, tail = self._tail()
+        hive = self._hive()
+        tail = self._hive_tail(hive[0]) if hive is not None \
+            else self._tail()[1]
         cols = self._cols(tail)
         if not cols:
             raise ValueError("no decodable columns")
-        return ", ".join("`%s` %s" % (n, t)
-                         for n, _tid, _k, t in cols)
+        parts = ["`%s` %s" % (n, t) for n, _tid, _k, t in cols]
+        if hive is not None:
+            data_names = {n for n, _tid, _k, _t in cols}
+            for k in hive[1]:
+                if k in data_names:
+                    raise ValueError(
+                        "partition key %r collides with a data "
+                        "column" % k)
+                parts.append("`%s` string" % k)
+        return ", ".join(parts)
 
     def writer(self, schema, overwrite: bool) -> "RawOrcWriter":
         path = self.options.get("path")
@@ -1238,24 +1281,43 @@ class RawOrcDataSource(DataSource):
                                              "ZLIB").upper())
 
     def reader(self, schema) -> "RawOrcReader":
-        path, tail = self._tail()
+        hive = self._hive()
+        if hive is None:
+            path, tail = self._tail()
+            part_keys = []
+        else:
+            path = self.options["path"]
+            tail = self._hive_tail(hive[0])
+            part_keys = hive[1]
         by_name = {n: (tid, k)
                    for n, tid, k, _t in self._cols(tail)}
         cols = []
         for f in schema.fields:
-            if f.name not in by_name:
+            if f.name in by_name:
+                tid, kind = by_name[f.name]
+                cols.append((f.name, tid, kind))
+            elif f.name in part_keys:
+                # value injected per file in _file_partitions
+                cols.append((f.name, None, "PART"))
+            else:
                 raise ValueError("column missing: %s" % f.name)
-            tid, kind = by_name[f.name]
-            cols.append((f.name, tid, kind))
         cls = (RawOrcPushdownReader
                if _pushdown_requested(self.options)
                else RawOrcReader)
-        return cls(path, tail, cols, by_name)
+        return cls(path, tail, cols, by_name,
+                   hive=None if hive is None else hive[0],
+                   part_keys=part_keys)
 
     def streamReader(self, schema) -> "RawOrcStreamReader":
         """spark.readStream.format("raworc").load(dir) — the ORC
         twin of the rawparquet streaming surface (r16): append-only
-        file universe, one partition per new file's STRIPE."""
+        file universe, one partition per new file's STRIPE.  (Flat
+        directories only: hivePartitions is a batch surface.)"""
+        if self._hive() is not None:
+            raise ValueError(
+                "hivePartitions is not supported for streaming "
+                "reads (the offset contract is a flat sorted-name "
+                "file universe)")
         batch = self.reader(schema)
         return RawOrcStreamReader(batch)
 
@@ -1326,7 +1388,8 @@ class RawOrcReader(DataSourceReader):
     default conf (see _pushdown_requested)."""
 
     def __init__(self, path: str, tail: dict, cols: list,
-                 by_name: dict):
+                 by_name: dict, hive: "list | None" = None,
+                 part_keys: "list[str] | None" = None):
         self.path = path
         self.tail = tail
         self.cols = cols
@@ -1334,6 +1397,9 @@ class RawOrcReader(DataSourceReader):
         # (column NAME, op, value) — resolved to per-file column
         # ids inside _file_partitions (r17)
         self.pushed: "list[tuple[str, str, int]]" = []
+        # r17 hive layout: [(file path, {key: value})...] + keys
+        self.hive = hive
+        self.part_keys = part_keys or []
 
     @staticmethod
     def _stripe_can_match(stats: "dict | None",
@@ -1360,7 +1426,8 @@ class RawOrcReader(DataSourceReader):
         return True
 
     def _file_partitions(self, fpath: str,
-                         tail: "dict | None") -> list:
+                         tail: "dict | None",
+                         pvals: "dict | None" = None) -> list:
         """One file's stripes -> partitions (pruned by any pushed
         predicates against the metadata stripe statistics).  Column
         ids are re-resolved from EACH file's own type tree (r17
@@ -1376,8 +1443,18 @@ class RawOrcReader(DataSourceReader):
                 raise ValueError("not an ORC file: %s" % fpath)
         by_name = {n: (tid, k) for n, tid, k, _t
                    in RawOrcDataSource._cols(tail)}
+        pvals = pvals or {}
         cols = []
         for name, _tid, kind in self.cols:
+            if kind == "PART":
+                # r17 hive partition column: the per-file value
+                # rides the tid slot; read() materializes it
+                if name not in pvals:
+                    raise ValueError(
+                        "partition value missing for %r in %s"
+                        % (name, fpath))
+                cols.append((name, pvals[name], "PART"))
+                continue
             hit = by_name.get(name)
             if hit is None:
                 raise ValueError(
@@ -1412,9 +1489,39 @@ class RawOrcReader(DataSourceReader):
                 pushed_kinds))
         return parts
 
+    def _hive_file_can_match(self, pvals: dict) -> bool:
+        """FILE-level static partition pruning (r17, the ORC twin
+        of the rawparquet hive pruning)."""
+        for name, op, val in self.pushed:
+            got = pvals.get(name)
+            if got is None or not isinstance(val, str):
+                continue
+            if (op == "=" and got != val) or \
+                    (op == ">" and got <= val) or \
+                    (op == ">=" and got < val) or \
+                    (op == "<" and got >= val) or \
+                    (op == "<=" and got > val):
+                return False
+        return True
+
     def partitions(self):
-        paths = _orc_paths(self.path)
         parts = []
+        if self.hive is not None:
+            for fpath, pvals in self.hive:
+                if not self._hive_file_can_match(pvals):
+                    continue  # statically pruned: never opened
+                parts.extend(self._file_partitions(fpath, None,
+                                                   pvals))
+            if not parts:
+                empty = {"offset": 0, "index_length": 0,
+                         "data_length": 0, "footer_length": 0,
+                         "num_rows": 0}
+                parts.append(_OrcPartition(
+                    self.hive[0][0], empty,
+                    self.tail["compression"], [],
+                    self.tail["type_nodes"]))
+            return parts
+        paths = _orc_paths(self.path)
         for k, fpath in enumerate(paths):
             parts.extend(self._file_partitions(
                 fpath, self.tail if k == 0 else None))
@@ -1472,6 +1579,10 @@ class RawOrcReader(DataSourceReader):
         epoch = _dt.datetime(1970, 1, 1)
         cols = []
         for _name, tid, kind in partition.cols:
+            if kind == "PART":
+                # r17 hive partition column: tid slot = the value
+                cols.append([tid] * st["num_rows"])
+                continue
             if tid >= len(foot["encodings"]):
                 raise ValueError(
                     "stripe footer encodings truncated in %s"
@@ -1664,15 +1775,21 @@ class RawOrcPushdownReader(RawOrcReader):
                LessThanOrEqual: "<="}
         for f in filters:
             op = ops.get(type(f))
-            if not op or len(f.attribute) != 1:
+            if not op or len(f.attribute) != 1 or \
+                    isinstance(f.value, bool):
                 continue
-            hit = self.by_name.get(f.attribute[0])
-            if hit is None or isinstance(f.value, bool):
+            name = f.attribute[0]
+            if isinstance(f.value, str) and name in self.part_keys:
+                # r17 hive partition column: static file pruning
+                self.pushed.append((name, op, f.value))
+                continue
+            hit = self.by_name.get(name)
+            if hit is None:
                 continue
             if isinstance(f.value, int) and hit[1] in (
                     "LONG", "INT", "SHORT", "BYTE"):
-                self.pushed.append((f.attribute[0], op, f.value))
+                self.pushed.append((name, op, f.value))
             elif isinstance(f.value, str) and hit[1] in (
                     "STRING", "VARCHAR", "CHAR"):
-                self.pushed.append((f.attribute[0], op, f.value))
+                self.pushed.append((name, op, f.value))
         return filters

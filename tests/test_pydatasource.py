@@ -1005,3 +1005,43 @@ def test_hive_partitioned_refusals(spark, tmp_path):
     with pytest.raises(ValueError,
                        match="not supported for streaming"):
         ds.streamReader(None)
+
+
+def test_orc_hive_partitioned_scan(spark, tmp_path):
+    # r17: the ORC twin of the hive surface — discovery, string
+    # partition columns, static file pruning, native equality
+    import pyarrow.orc as pa_orc
+
+    d = str(tmp_path / "orchive")
+    for lang in ("de", "en", "fr"):
+        sub = os.path.join(d, "lang=%s" % lang)
+        os.makedirs(sub)
+        n0 = {"de": 0, "en": 1000, "fr": 2000}[lang]
+        pa_orc.write_table(
+            pa.table({"v": pa.array(range(n0, n0 + 100),
+                                    pa.int64())}),
+            os.path.join(sub, "part-0.orc"), compression="zlib")
+    spark.dataSource.register(RawOrcDataSource)
+    df = (spark.read.format("raworc")
+          .option("hivePartitions", "true").load(d))
+    assert [f.name for f in df.schema.fields] == ["v", "lang"]
+    got = sorted(tuple(r) for r in df.groupBy("lang")
+                 .agg(F.count("*"), F.min("v")).collect())
+    ref = sorted((r["lang"], r[1], r[2])
+                 for r in spark.read.orc(d).groupBy("lang")
+                 .agg(F.count("*"), F.min("v")).collect())
+    assert got == ref
+    spark.conf.set("spark.sql.python.filterPushdown.enabled",
+                   "true")
+    df2 = (spark.read.format("raworc")
+           .option("hivePartitions", "true")
+           .option("pushdown", "true").load(d)
+           .filter(F.col("lang") == "en"))
+    assert df2.rdd.getNumPartitions() == 1
+    assert df2.agg(F.sum("v")).collect()[0][0] == \
+        sum(range(1000, 1100))
+    # streaming over a hive layout refuses
+    ds = RawOrcDataSource({"path": d, "hivePartitions": "true"})
+    with pytest.raises(ValueError,
+                       match="not supported for streaming"):
+        ds.streamReader(None)
