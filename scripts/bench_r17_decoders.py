@@ -1,0 +1,276 @@
+"""Throughput + 10x-input scaling pins for the r17 tier.
+
+Same methodology as scripts/bench_r15/16_decoders.py: each decoder
+parses N then 10N fixtures single-threaded; wall MB/s at N and the
+10x wall RATIO are reported.  A linear decoder scales at ~10x wall
+for 10x input; super-linear growth flags an accidental quadratic.
+Fixtures are written by the REAL engines (pyarrow), so the pins
+measure decode of real wire bytes.
+
+Cases: struct reassembly (tagged Dremel zip), deep (max_rep 2)
+nested lists, SBBF bloom header+probe, ORC ROW_INDEX parse +
+row-group selection, ORC bloom parse + probe, XXH64 over 64 KiB.
+
+Usage: python scripts/bench_r17_decoders.py [N]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from teledetection_drone_satellite_spark.sources import (  # noqa: E402
+    orcdata, parquetmeta, parquetpage,
+)
+
+_CACHE: "dict[tuple, bytes]" = {}
+
+
+def _pq_struct_fix(i: int) -> bytes:
+    key = ("struct", i)
+    if key not in _CACHE:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        n = 200 + i % 100
+        sdata = [None if (i + k) % 11 == 0 else
+                 {"a": None if (i + k) % 7 == 0 else (i + k) * 3,
+                  "b": "s%d" % ((i + k) % 9),
+                  "inner": None if (i + k) % 3 == 0 else
+                  {"x": i + k}}
+                 for k in range(n)]
+        ls = [None if (i + k) % 13 == 0 else
+              [{"u": i + k, "w": "w%d" % ((i + k) % 5)}]
+              * ((i + k) % 3)
+              for k in range(n)]
+        tbl = pa.table({
+            "s": pa.array(sdata, pa.struct(
+                [("a", pa.int64()), ("b", pa.string()),
+                 ("inner", pa.struct([("x", pa.int64())]))])),
+            "ls": pa.array(ls, pa.list_(pa.struct(
+                [("u", pa.int64()), ("w", pa.string())]))),
+        })
+        sink = io.BytesIO()
+        pq.write_table(tbl, sink, compression="snappy")
+        _CACHE[key] = sink.getvalue()
+    return _CACHE[key]
+
+
+def _pq_struct_read(buf: bytes):
+    footer = parquetmeta.parse_parquet_footer(buf)
+    if footer is None:
+        return None
+    chunks = {c["path"]: c
+              for c in footer["row_groups"][0]["columns"]}
+    out = []
+    for top in ("s", "ls"):
+        group = [lf for lf in footer["columns"]
+                 if lf["name"].split(".")[0] == top]
+        got = parquetpage.decode_struct_chunks(
+            [(buf, chunks[lf["name"]], lf) for lf in group])
+        if got is None:
+            return None
+        out.append(got)
+    return out
+
+
+def _pq_deep_fix(i: int) -> bytes:
+    key = ("deep", i)
+    if key not in _CACHE:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        n = 200 + i % 100
+        ll = [None if (i + k) % 17 == 0 else
+              [["e%d" % ((i + k + j) % 7)
+                for j in range((i + k) % 4)]
+               for _ in range(1 + (i + k) % 2)]
+              for k in range(n)]
+        tbl = pa.table({"ll": pa.array(
+            ll, pa.list_(pa.list_(pa.string())))})
+        sink = io.BytesIO()
+        pq.write_table(tbl, sink, compression="snappy")
+        _CACHE[key] = sink.getvalue()
+    return _CACHE[key]
+
+
+def _pq_deep_read(buf: bytes):
+    footer = parquetmeta.parse_parquet_footer(buf)
+    if footer is None:
+        return None
+    leaf = footer["columns"][0]
+    chunk = footer["row_groups"][0]["columns"][0]
+    return parquetpage.decode_nested_chunk(buf, chunk, leaf)
+
+
+def _pq_bloom_fix(i: int) -> bytes:
+    # the smallest SBBF-bearing file Spark writes is heavyweight to
+    # synth per-i; reuse pyarrow... pyarrow cannot write blooms, so
+    # this case measures header parse + probe over a HAND-BUILT
+    # filter in the spec layout (Thrift header + bitset)
+    key = ("sbbf", i)
+    if key not in _CACHE:
+        import struct as _struct
+
+        nbytes = 2048
+        bitset = bytearray(nbytes)
+        for k in range(400):
+            h = parquetpage.xxhash64(
+                ((i * 1000 + k) % (1 << 31)).to_bytes(
+                    8, "little", signed=True))
+            nblocks = nbytes // 32
+            block = ((h >> 32) * nblocks) >> 32
+            lo = h & 0xFFFFFFFF
+            for s in range(8):
+                bit = ((lo * parquetpage._SBBF_SALT[s])
+                       & 0xFFFFFFFF) >> 27
+                off = block * 32 + 4 * s
+                w = int.from_bytes(bitset[off:off + 4], "little")
+                w |= 1 << bit
+                bitset[off:off + 4] = w.to_bytes(4, "little")
+        # compact-protocol header: numBytes(i32) + 3 unions (each a
+        # struct holding one empty struct at field 1) + stop
+        union = b"\x1c" + b"\x1c\x00" + b"\x00"
+        hdr = (b"\x15" + _varint_zz(nbytes)
+               + union      # algorithm: BLOCK
+               + union      # hash: XXHASH
+               + union      # compression: UNCOMPRESSED
+               + b"\x00")
+        _CACHE[key] = hdr + bytes(bitset)
+    return _CACHE[key]
+
+
+def _varint_zz(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _pq_bloom_read(buf: bytes):
+    bh = parquetpage.parse_bloom_header(
+        buf, {"bloom_filter_offset": 0})
+    if bh is None:
+        return None
+    bits = buf[bh["bitset_offset"]:
+               bh["bitset_offset"] + bh["num_bytes"]]
+    hits = 0
+    for k in range(400):
+        h = parquetpage.bloom_value_hash(k * 7919, "INT64")
+        hits += parquetpage.sbbf_might_contain(bits, h)
+    return hits + 1  # truthy
+
+
+def _orc_ridx_fix(i: int) -> bytes:
+    key = ("ridx", i)
+    if key not in _CACHE:
+        import pyarrow as pa
+        import pyarrow.orc as orc
+
+        n = 4000 + (i % 5) * 1000
+        tbl = pa.table({
+            "a": pa.array([(i + k) for k in range(n)], pa.int64()),
+            "s": pa.array(["x%d" % ((i + k) % 13)
+                           for k in range(n)]),
+        })
+        sink = io.BytesIO()
+        orc.write_table(tbl, sink, row_index_stride=1000,
+                        compression="zlib",
+                        bloom_filter_columns=[1, 2],
+                        bloom_filter_fpp=0.01)
+        _CACHE[key] = sink.getvalue()
+    return _CACHE[key]
+
+
+def _orc_ridx_read(buf: bytes):
+    tail = parse_orc_tail(buf)
+    if tail is None:
+        return None
+    st = tail["stripes"][0]
+    foot = orcdata.parse_stripe_footer(
+        buf[st["offset"] + st["index_length"] + st["data_length"]:
+            st["offset"] + st["index_length"] + st["data_length"]
+            + st["footer_length"]], tail["compression"])
+    ridx = orcdata.parse_row_index(foot, buf, st,
+                                   tail["compression"])
+    if ridx is None:
+        return None
+    keep = orcdata.rowgroups_can_match(
+        ridx[1], tail["row_index_stride"], st["num_rows"],
+        100, 300)
+    return keep
+
+
+def _orc_bloom_read(buf: bytes):
+    tail = parse_orc_tail(buf)
+    if tail is None:
+        return None
+    st = tail["stripes"][0]
+    foot = orcdata.parse_stripe_footer(
+        buf[st["offset"] + st["index_length"] + st["data_length"]:
+            st["offset"] + st["index_length"] + st["data_length"]
+            + st["footer_length"]], tail["compression"])
+    blooms = orcdata.parse_bloom_filters(foot, buf, st,
+                                         tail["compression"])
+    if blooms is None:
+        return None
+    hits = 0
+    for k in range(100):
+        h = orcdata.orc_long_hash(k * 104729)
+        for nh, bits in blooms[1]:
+            hits += orcdata.orc_bloom_might_contain(bits, nh, h)
+    return hits + 1
+
+
+def _xxh_fix(i: int) -> bytes:
+    return bytes((i + k) % 256 for k in range(64 * 1024))
+
+
+def _xxh_read(buf: bytes):
+    return parquetpage.xxhash64(buf) + 1
+
+
+from teledetection_drone_satellite_spark.sources.orcmeta import (  # noqa: E402,E501
+    parse_orc_tail,
+)
+
+CASES = {
+    "pq_struct": (_pq_struct_fix, _pq_struct_read),
+    "pq_deep": (_pq_deep_fix, _pq_deep_read),
+    "sbbf_probe": (_pq_bloom_fix, _pq_bloom_read),
+    "orc_ridx": (_orc_ridx_fix, _orc_ridx_read),
+    "orc_bloom": (_orc_ridx_fix, _orc_bloom_read),
+    "xxh64_64k": (_xxh_fix, _xxh_read),
+}
+
+
+def run(n: int) -> None:
+    print(f"{'decoder':<12} {'MB/s@N':>8} {'ratio10x':>9}  (N={n})")
+    for name, (synth, parse) in CASES.items():
+        fixtures = [synth(i) for i in range(n)]
+        nbytes = sum(len(f) for f in fixtures)
+        t0 = time.time()
+        for f in fixtures:
+            assert parse(f) is not None
+        t1 = time.time() - t0
+        fixtures10 = [synth(i % n) for i in range(10 * n)]
+        t0 = time.time()
+        for f in fixtures10:
+            assert parse(f) is not None
+        t10 = time.time() - t0
+        mbs = nbytes / max(t1, 1e-9) / 1e6
+        print(f"{name:<12} {mbs:>8.1f} {t10 / max(t1, 1e-9):>9.2f}")
+
+
+if __name__ == "__main__":
+    run(int(sys.argv[1]) if len(sys.argv) > 1 else 60)
