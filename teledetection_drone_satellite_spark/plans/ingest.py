@@ -13531,6 +13531,77 @@ def parquet_deep_nested_stats(spark: SparkSession,
 
 
 @register(
+    "parquet_struct_write_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_meta,
+           CAST(sum(CASE WHEN doc_id % 11 = 0 OR doc_id % 7 = 0
+                    THEN 0 ELSE n_chars END) AS BIGINT) AS nc_sum,
+           CAST(sum(CASE WHEN doc_id % 11 = 0 OR doc_id % 5 = 0
+                    THEN 0 ELSE strlen(source) END) AS BIGINT)
+               AS src_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="STRUCT column WRITE through the pure-Python parquet "
+    "writer, graded (r17 — write symmetry with the r17 struct READ "
+    "tier: both directions of the group shape are now in-repo): "
+    "documents writes a meta = struct(nc nullable-long, src "
+    "nullable-string) column via df.write.format('rawparquet') — "
+    "one chunk per dotted leaf, definition levels 0/1/2 splitting "
+    "null-struct from null-field, hand-emitted Thrift group "
+    "schema — and SPARK'S OWN JAVA READER reads those bytes back "
+    "and aggregates. The same bytes are pinned in tests against "
+    "pyarrow, DuckDB, and this repo's own decode_struct_chunks "
+    "(the quadruple pin). The oracle restates the derivation from "
+    "the documents view.",
+    tags=("ingest", "sketch", "pipeline"),
+)
+def parquet_struct_write_roundtrip(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..catalog import source_fingerprint
+    from ..sources.pydatasource import RawParquetDataSource
+
+    fp = source_fingerprint(sf_dir, "documents")
+    root = _os.path.join(_tempfile.gettempdir(),
+                         "spark_graft_pqstructw_v1", fp)
+    done = _os.path.join(root, "_DONE")
+    if not _os.path.exists(done):
+        d = load(spark, sf_dir, ("documents",))["documents"]
+        spark.dataSource.register(RawParquetDataSource)
+        nc = F.when(F.col("doc_id") % 7 == 0,
+                    F.lit(None).cast("long")) \
+            .otherwise(F.col("n_chars"))
+        src = F.when(F.col("doc_id") % 5 == 0,
+                     F.lit(None).cast("string")) \
+            .otherwise(F.col("source"))
+        meta = F.when(F.col("doc_id") % 11 == 0,
+                      F.lit(None)
+                      .cast("struct<nc:bigint,src:string>")) \
+            .otherwise(F.struct(nc.alias("nc"), src.alias("src")))
+        (d.select("lang", meta.alias("meta"))
+         .repartition(4).write.format("rawparquet")
+         .option("path", root).option("compression", "snappy")
+         .mode("append").save())
+        open(done, "w").close()
+    back = spark.read.parquet(root)  # Spark's native Java reader
+    return (
+        back.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.when(F.col("meta").isNull(), 1).otherwise(0))
+             .alias("n_null_meta"),
+             F.coalesce(F.sum("meta.nc"), F.lit(0))
+             .alias("nc_sum"),
+             F.coalesce(F.sum(F.length("meta.src")), F.lit(0))
+             .alias("src_chars"))
+    )
+
+
+@register(
     "parquet_page_prune_stats",
     oracle="""
     SELECT lang,

@@ -14,8 +14,10 @@ backs the ``rawparquet`` Python DataSource's write side, so
 ``df.write.format("rawparquet")`` emits one file per Spark
 partition through pure Python.
 
-Scope (the honest contract): flat columns plus single-level
-LIST<primitive> columns (the 3-level list shape, r16); physical types
+Scope (the honest contract): flat columns, single-level
+LIST<primitive> columns (the 3-level list shape, r16), and
+STRUCT<primitives> columns (r17 — one chunk per dotted leaf,
+definition levels splitting null-struct from null-field); physical types
 BOOLEAN / INT32 / INT64 / FLOAT / DOUBLE / BYTE_ARRAY (UTF8
 converted type for strings); required or optional (nulls via
 definition levels); codecs UNCOMPRESSED, SNAPPY (sources/snappy.py)
@@ -279,6 +281,84 @@ def _list_page_ranges(records: "list", elem_ptype: str,
     return ranges
 
 
+def _struct_fields(ptype: str) -> "list[tuple[str, str]] | None":
+    """'STRUCT<a:INT64,b:BYTE_ARRAY>' -> [(name, physical)...] or
+    None on any unknown member type / malformed spec."""
+    if not (ptype.startswith("STRUCT<") and ptype.endswith(">")):
+        return None
+    out = []
+    for part in ptype[7:-1].split(","):
+        if ":" not in part:
+            return None
+        fn, ft = part.split(":", 1)
+        if not fn or ft not in PHYSICAL:
+            return None
+        out.append((fn, ft))
+    return out or None
+
+
+def _write_struct_chunks(out: bytearray, name: str,
+                         fields: "list[tuple[str, str]]",
+                         sl: "list", codec: str,
+                         data_page_size: int) -> "list":
+    """STRUCT<primitives> column chunks (r17 — the write half of
+    decode_struct_chunks): one chunk per dotted leaf, definition
+    levels 0 = null struct / 1 = null field / 2 = value (optional
+    group + optional leaf), no repetition.  Returns the rg_cols
+    entries [(md bytes, offset, total_comp, None)...]."""
+    chunks = []
+    for fname, ftype in fields:
+        fvals = [None if rec is None else rec.get(fname)
+                 for rec in sl]
+        defs_all = [0 if rec is None else
+                    (1 if rec.get(fname) is None else 2)
+                    for rec in sl]
+        offset = len(out)
+        total_unc = total_comp = 0
+        for p0, p1 in _page_ranges(fvals, ftype, data_page_size):
+            pg_defs = defs_all[p0:p1]
+            pg_present = [v for v in fvals[p0:p1]
+                          if v is not None]
+            raw = _rle_levels(pg_defs, 2) + _plain(pg_present,
+                                                   ftype)
+            body = _compress(codec, raw)
+            hdr = _W()
+            hdr.i32(1, 0)  # DATA_PAGE
+            hdr.i32(2, len(raw))
+            hdr.i32(3, len(body))
+            dph = _W()
+            dph.i32(1, len(pg_defs))
+            dph.i32(2, 0)  # PLAIN
+            dph.i32(3, 3)  # RLE def levels
+            dph.i32(4, 3)  # RLE rep levels (none present)
+            hdr.struct(5, dph.done())
+            page_bytes = hdr.done() + body
+            out += page_bytes
+            total_unc += len(page_bytes) - len(body) + len(raw)
+            total_comp += len(page_bytes)
+        md = _W()
+        md.i32(1, PHYSICAL[ftype])
+        md.list_(2, _T_I32, [_zigzag(0), _zigzag(3)])
+        path = [name.encode(), fname.encode()]
+        md.list_(3, _T_BINARY, [_varint(len(p)) + p
+                                for p in path])
+        md.i32(4, CODEC_IDS[codec])
+        md.i64(5, len(sl))
+        md.i64(6, total_unc)
+        md.i64(7, total_comp)
+        md.i64(9, offset)
+        present = [v for v in fvals if v is not None]
+        stats = _W()
+        stats.i64(3, len(sl) - len(present))
+        mm = _minmax(present, ftype)
+        if mm is not None:
+            stats.binary(5, mm[1])
+            stats.binary(6, mm[0])
+        md.struct(12, stats.done())
+        chunks.append((md.done(), offset, total_comp, None))
+    return chunks
+
+
 def write_parquet(columns: "dict[str, tuple[str, list]]",
                   codec: str = "SNAPPY",
                   row_group_size: int = 1 << 20,
@@ -310,6 +390,17 @@ def write_parquet(columns: "dict[str, tuple[str, list]]",
                 # characters — records must be real sequences
                 if any(v is not None
                        and not isinstance(v, (list, tuple))
+                       for v in _v):
+                    return None
+            elif ptype.startswith("STRUCT<"):
+                fields = _struct_fields(ptype)
+                if fields is None:
+                    return None
+                fnames = {f for f, _t in fields}
+                # records must be dicts whose keys the spec names
+                if any(v is not None
+                       and (not isinstance(v, dict)
+                            or not set(v) <= fnames)
                        for v in _v):
                     return None
             elif ptype not in PHYSICAL:
@@ -370,6 +461,13 @@ def write_parquet(columns: "dict[str, tuple[str, list]]",
                     rg_cols.append((md.done(), offset, total_comp,
                                     None))
                     rg_bytes += total_comp
+                    continue
+                if ptype.startswith("STRUCT<"):
+                    new = _write_struct_chunks(
+                        out, name, _struct_fields(ptype), sl,
+                        codec, data_page_size)
+                    rg_cols.extend(new)
+                    rg_bytes += sum(c[2] for c in new)
                     continue
                 optional = any(v is None for v in vals)
                 present = [v for v in sl if v is not None]
@@ -568,6 +666,25 @@ def write_parquet(columns: "dict[str, tuple[str, list]]",
                         if x is not None):
                     e.i32(6, 0)  # converted type UTF8
                 schema_elems.append(e.done())
+                continue
+            if ptype.startswith("STRUCT<"):
+                fields = _struct_fields(ptype)
+                g = _W()
+                g.i32(3, 1)  # OPTIONAL group (plain struct)
+                g.binary(4, name.encode())
+                g.i32(5, len(fields))
+                schema_elems.append(g.done())
+                for fname, ftype in fields:
+                    e = _W()
+                    e.i32(1, PHYSICAL[ftype])
+                    e.i32(3, 1)  # OPTIONAL field
+                    e.binary(4, fname.encode())
+                    if ftype == "BYTE_ARRAY" and all(
+                            isinstance(v.get(fname), str)
+                            for v in vals if v is not None
+                            if v.get(fname) is not None):
+                        e.i32(6, 0)  # converted type UTF8
+                    schema_elems.append(e.done())
                 continue
             el = _W()
             el.i32(1, PHYSICAL[ptype])

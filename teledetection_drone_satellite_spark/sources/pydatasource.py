@@ -1102,12 +1102,27 @@ _SPARK_TO_PHYSICAL = {
 
 def _spark_to_write_type(t: str) -> "str | None":
     """Spark DDL type -> parquetwrite physical type; array<T> (r16)
-    maps to the writer's LIST<T> single-level list shape."""
+    maps to the writer's LIST<T> single-level list shape,
+    struct<primitives> (r17) to STRUCT<name:PHYS,...>."""
     if t in _SPARK_TO_PHYSICAL:
         return _SPARK_TO_PHYSICAL[t]
     if t.startswith("array<") and t.endswith(">"):
         inner = _SPARK_TO_PHYSICAL.get(t[6:-1])
         return None if inner is None else "LIST<%s>" % inner
+    if t.startswith("struct<") and t.endswith(">"):
+        body = t[7:-1]
+        if "<" in body:
+            return None  # nested compounds stay read-side-only
+        parts = []
+        for member in body.split(","):
+            if ":" not in member:
+                return None
+            fn, ft = member.split(":", 1)
+            phys = _SPARK_TO_PHYSICAL.get(ft)
+            if phys is None or not fn:
+                return None
+            parts.append("%s:%s" % (fn, phys))
+        return "STRUCT<%s>" % ",".join(parts)
     return None
 
 
@@ -1138,6 +1153,8 @@ class RawParquetWriter(DataSourceWriter):
         names = [n for n, _t in self.fields]
         list_cols = {n for n, t in self.fields
                      if t.startswith("array<")}
+        struct_cols = {n for n, t in self.fields
+                       if t.startswith("struct<")}
         data: "dict[str, list]" = {n: [] for n in names}
         n_rows = 0
         for row in iterator:
@@ -1145,6 +1162,10 @@ class RawParquetWriter(DataSourceWriter):
                 v = row[k]
                 if n in list_cols and v is not None:
                     v = list(v)  # Row arrays arrive as tuples
+                elif n in struct_cols and v is not None:
+                    # Row structs -> plain dicts (r17)
+                    v = v.asDict() if hasattr(v, "asDict") \
+                        else dict(v)
                 data[n].append(v)
             n_rows += 1
         cols = {n: (_spark_to_write_type(t), data[n])

@@ -335,3 +335,52 @@ def test_written_page_indexes_prune_and_external_readers(tmp_path):
     assert parse_page_index(buf2, c2) is None
     import pyarrow.parquet as _pq2
     assert _pq2.read_table(io.BytesIO(buf2)).num_rows == 300
+
+
+def test_struct_write_quadruple_pin(tmp_path):
+    # r17: STRUCT<primitives> write — pyarrow, DuckDB, and the
+    # repo's own struct decoder all read the same bytes back
+    import io
+
+    import duckdb
+
+    from teledetection_drone_satellite_spark.sources.parquetmeta \
+        import parse_parquet_footer
+    from teledetection_drone_satellite_spark.sources.parquetpage \
+        import decode_struct_chunks
+    from teledetection_drone_satellite_spark.sources.parquetwrite \
+        import write_parquet
+
+    sdata = [{"a": 1, "b": "x"}, None, {"a": None, "b": "yy"},
+             {"a": 3, "b": None}, {"a": 7}, {}]
+    want = [{"a": 1, "b": "x"}, None, {"a": None, "b": "yy"},
+            {"a": 3, "b": None}, {"a": 7, "b": None},
+            {"a": None, "b": None}]
+    for codec in ("UNCOMPRESSED", "SNAPPY", "GZIP"):
+        buf = write_parquet({
+            "id": ("INT64", list(range(6))),
+            "s": ("STRUCT<a:INT64,b:BYTE_ARRAY>", sdata),
+        }, codec=codec)
+        assert buf is not None
+        f = parse_parquet_footer(buf)
+        chunks = {c["path"]: c
+                  for c in f["row_groups"][0]["columns"]}
+        group = [lf for lf in f["columns"]
+                 if lf["name"].startswith("s.")]
+        got = decode_struct_chunks(
+            [(buf, chunks[lf["name"]], lf) for lf in group])
+        assert got == want, codec
+        t = pq.read_table(io.BytesIO(buf))
+        assert t.column("s").to_pylist() == want
+        p = str(tmp_path / ("s_%s.parquet" % codec))
+        open(p, "wb").write(buf)
+        rows = duckdb.sql(
+            "SELECT s FROM read_parquet('%s')" % p).fetchall()
+        assert [r[0] for r in rows] == want
+    # refusals: non-dict records, unknown keys, unknown field type
+    assert write_parquet({"s": ("STRUCT<a:INT64>", [1])}) is None
+    assert write_parquet({"s": ("STRUCT<a:INT64>",
+                                [{"zz": 1}])}) is None
+    assert write_parquet({"s": ("STRUCT<a:NOPE>",
+                                [{"a": 1}])}) is None
+    assert write_parquet({"s": ("STRUCT<>", [{}])}) is None
