@@ -13602,6 +13602,80 @@ def parquet_struct_write_roundtrip(spark: SparkSession,
 
 
 @register(
+    "parquet_map_write_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_maps,
+           CAST(sum(CASE WHEN doc_id % 17 = 0 OR doc_id % 13 = 0
+                    THEN 0 ELSE 2 END) AS BIGINT) AS n_entries,
+           CAST(sum(CASE WHEN doc_id % 17 = 0 OR doc_id % 13 = 0
+                    THEN 0 ELSE doc_id +
+                    (CASE WHEN doc_id % 3 = 0 THEN 0
+                          ELSE n_chars END) END) AS BIGINT)
+               AS val_sum
+    FROM documents GROUP BY lang
+    """,
+    doc="MAP column WRITE through the pure-Python parquet writer, "
+    "graded (r17 — completing write symmetry: flat, LIST, STRUCT "
+    "and MAP now all write AND read from raw bytes in-repo): "
+    "documents writes a map<string,bigint> column (null / empty / "
+    "two entries, one possibly null-valued) via "
+    "df.write.format('rawparquet') — the spec's 3-level map shape "
+    "as two leaf chunks (required key at def 2, optional value at "
+    "def 3) sharing record-aligned page ranges — and SPARK'S OWN "
+    "JAVA READER aggregates the bytes back. The same bytes are "
+    "pinned in tests against pyarrow, DuckDB and the repo's own "
+    "map zip. The oracle restates the derivation.",
+    tags=("ingest", "sketch", "pipeline"),
+)
+def parquet_map_write_roundtrip(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..catalog import source_fingerprint
+    from ..sources.pydatasource import RawParquetDataSource
+
+    fp = source_fingerprint(sf_dir, "documents")
+    root = _os.path.join(_tempfile.gettempdir(),
+                         "spark_graft_pqmapw_v1", fp)
+    done = _os.path.join(root, "_DONE")
+    if not _os.path.exists(done):
+        d = load(spark, sf_dir, ("documents",))["documents"]
+        spark.dataSource.register(RawParquetDataSource)
+        v2 = F.when(F.col("doc_id") % 3 == 0,
+                    F.lit(None).cast("long")) \
+            .otherwise(F.col("n_chars"))
+        mp = F.when(F.col("doc_id") % 17 == 0,
+                    F.lit(None).cast("map<string,bigint>")) \
+            .when(F.col("doc_id") % 13 == 0,
+                  F.create_map().cast("map<string,bigint>")) \
+            .otherwise(F.create_map(
+                F.lit("k1"), F.col("doc_id"), F.lit("k2"), v2))
+        (d.select("lang", mp.alias("m"))
+         .repartition(4).write.format("rawparquet")
+         .option("path", root).option("compression", "snappy")
+         .mode("append").save())
+        open(done, "w").close()
+    back = spark.read.parquet(root)  # Spark's native Java reader
+    vals_sum = F.when(F.col("m").isNull(), 0).otherwise(
+        F.aggregate(F.map_values("m"), F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.coalesce(x, F.lit(0))))
+    return (
+        back.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.when(F.col("m").isNull(), 1).otherwise(0))
+             .alias("n_null_maps"),
+             F.sum(F.when(F.col("m").isNull(), 0)
+                   .otherwise(F.size("m"))).cast("long")
+             .alias("n_entries"),
+             F.sum(vals_sum).cast("long").alias("val_sum"))
+    )
+
+
+@register(
     "parquet_page_prune_stats",
     oracle="""
     SELECT lang,

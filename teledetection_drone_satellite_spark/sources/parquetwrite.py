@@ -15,9 +15,11 @@ backs the ``rawparquet`` Python DataSource's write side, so
 partition through pure Python.
 
 Scope (the honest contract): flat columns, single-level
-LIST<primitive> columns (the 3-level list shape, r16), and
+LIST<primitive> columns (the 3-level list shape, r16),
 STRUCT<primitives> columns (r17 — one chunk per dotted leaf,
-definition levels splitting null-struct from null-field); physical types
+definition levels splitting null-struct from null-field), and
+MAP<K,V> columns (r17 — the spec's 3-level map shape, two leaves
+sharing record-aligned pages); physical types
 BOOLEAN / INT32 / INT64 / FLOAT / DOUBLE / BYTE_ARRAY (UTF8
 converted type for strings); required or optional (nulls via
 definition levels); codecs UNCOMPRESSED, SNAPPY (sources/snappy.py)
@@ -281,6 +283,107 @@ def _list_page_ranges(records: "list", elem_ptype: str,
     return ranges
 
 
+def _map_types(ptype: str) -> "tuple[str, str] | None":
+    """'MAP<BYTE_ARRAY,INT64>' -> (key physical, value physical)
+    or None."""
+    if not (ptype.startswith("MAP<") and ptype.endswith(">")):
+        return None
+    body = ptype[4:-1]
+    if body.count(",") != 1:
+        return None
+    kt, vt = body.split(",")
+    if kt not in PHYSICAL or vt not in PHYSICAL:
+        return None
+    return kt, vt
+
+
+def _map_levels(records: "list") -> "tuple[list, list, list, list, list]":
+    """Record slice of a MAP column -> (rep levels, key defs,
+    value defs, keys, present values) per the spec's 3-level map
+    shape (optional group (MAP) / repeated key_value / required
+    key + optional value): key def 0 = null map, 1 = empty map,
+    2 = entry; value def additionally 2 = null value, 3 = value."""
+    reps: "list[int]" = []
+    kdefs: "list[int]" = []
+    vdefs: "list[int]" = []
+    keys: "list" = []
+    vals: "list" = []
+    for rec in records:
+        if rec is None:
+            reps.append(0)
+            kdefs.append(0)
+            vdefs.append(0)
+        elif not rec:
+            reps.append(0)
+            kdefs.append(1)
+            vdefs.append(1)
+        else:
+            for j, (k, v) in enumerate(rec.items()):
+                reps.append(0 if j == 0 else 1)
+                kdefs.append(2)
+                keys.append(k)
+                if v is None:
+                    vdefs.append(2)
+                else:
+                    vdefs.append(3)
+                    vals.append(v)
+    return reps, kdefs, vdefs, keys, vals
+
+
+def _write_map_chunks(out: bytearray, name: str, kt: str, vt: str,
+                      sl: "list", codec: str,
+                      data_page_size: int) -> "list":
+    """MAP<K,V> column chunks (r17 — the write half of the r16 MAP
+    read): two leaves (key_value.key, key_value.value) sharing the
+    repetition structure, page ranges computed once at record
+    granularity so entries align across both chunks."""
+    ranges = _list_page_ranges(
+        [None if r is None else list(r) for r in sl], kt,
+        data_page_size)
+    chunks = []
+    for leaf_ix, (lname, ptype, max_def) in enumerate(
+            ((b"key", kt, 2), (b"value", vt, 3))):
+        offset = len(out)
+        total_unc = total_comp = 0
+        n_entries = 0
+        for p0, p1 in ranges:
+            reps, kdefs, vdefs, keys, vals = _map_levels(sl[p0:p1])
+            defs = kdefs if leaf_ix == 0 else vdefs
+            pvals = keys if leaf_ix == 0 else vals
+            raw = (_rle_levels(reps, 1)
+                   + _rle_levels(defs, 2)
+                   + _plain(pvals, ptype))
+            body = _compress(codec, raw)
+            hdr = _W()
+            hdr.i32(1, 0)  # DATA_PAGE
+            hdr.i32(2, len(raw))
+            hdr.i32(3, len(body))
+            dph = _W()
+            dph.i32(1, len(defs))
+            dph.i32(2, 0)  # PLAIN
+            dph.i32(3, 3)  # RLE def levels
+            dph.i32(4, 3)  # RLE rep levels
+            hdr.struct(5, dph.done())
+            page_bytes = hdr.done() + body
+            out += page_bytes
+            total_unc += len(page_bytes) - len(body) + len(raw)
+            total_comp += len(page_bytes)
+            n_entries += len(defs)
+        md = _W()
+        md.i32(1, PHYSICAL[ptype])
+        md.list_(2, _T_I32, [_zigzag(0), _zigzag(3)])
+        path = [name.encode(), b"key_value", lname]
+        md.list_(3, _T_BINARY, [_varint(len(p)) + p
+                                for p in path])
+        md.i32(4, CODEC_IDS[codec])
+        md.i64(5, n_entries)
+        md.i64(6, total_unc)
+        md.i64(7, total_comp)
+        md.i64(9, offset)
+        chunks.append((md.done(), offset, total_comp, None))
+    return chunks
+
+
 def _struct_fields(ptype: str) -> "list[tuple[str, str]] | None":
     """'STRUCT<a:INT64,b:BYTE_ARRAY>' -> [(name, physical)...] or
     None on any unknown member type / malformed spec."""
@@ -403,6 +506,15 @@ def write_parquet(columns: "dict[str, tuple[str, list]]",
                             or not set(v) <= fnames)
                        for v in _v):
                     return None
+            elif ptype.startswith("MAP<"):
+                if _map_types(ptype) is None:
+                    return None
+                # records are dicts; keys REQUIRED (never None)
+                if any(v is not None
+                       and (not isinstance(v, dict)
+                            or any(k is None for k in v))
+                       for v in _v):
+                    return None
             elif ptype not in PHYSICAL:
                 return None
         out = bytearray(b"PAR1")
@@ -466,6 +578,14 @@ def write_parquet(columns: "dict[str, tuple[str, list]]",
                     new = _write_struct_chunks(
                         out, name, _struct_fields(ptype), sl,
                         codec, data_page_size)
+                    rg_cols.extend(new)
+                    rg_bytes += sum(c[2] for c in new)
+                    continue
+                if ptype.startswith("MAP<"):
+                    kt, vt = _map_types(ptype)
+                    new = _write_map_chunks(
+                        out, name, kt, vt, sl, codec,
+                        data_page_size)
                     rg_cols.extend(new)
                     rg_bytes += sum(c[2] for c in new)
                     continue
@@ -666,6 +786,41 @@ def write_parquet(columns: "dict[str, tuple[str, list]]",
                         if x is not None):
                     e.i32(6, 0)  # converted type UTF8
                 schema_elems.append(e.done())
+                continue
+            if ptype.startswith("MAP<"):
+                kt, vt = _map_types(ptype)
+                # optional group (MAP) -> repeated key_value ->
+                # required key + optional value (the spec shape)
+                g = _W()
+                g.i32(3, 1)  # OPTIONAL
+                g.binary(4, name.encode())
+                g.i32(5, 1)
+                g.i32(6, 1)  # converted type MAP
+                schema_elems.append(g.done())
+                kv = _W()
+                kv.i32(3, 2)  # REPEATED
+                kv.binary(4, b"key_value")
+                kv.i32(5, 2)
+                schema_elems.append(kv.done())
+                ke = _W()
+                ke.i32(1, PHYSICAL[kt])
+                ke.i32(3, 0)  # REQUIRED key
+                ke.binary(4, b"key")
+                if kt == "BYTE_ARRAY" and all(
+                        isinstance(k, str) for v in vals
+                        if v is not None for k in v):
+                    ke.i32(6, 0)  # UTF8
+                schema_elems.append(ke.done())
+                ve = _W()
+                ve.i32(1, PHYSICAL[vt])
+                ve.i32(3, 1)  # OPTIONAL value
+                ve.binary(4, b"value")
+                if vt == "BYTE_ARRAY" and all(
+                        isinstance(x, str) for v in vals
+                        if v is not None for x in v.values()
+                        if x is not None):
+                    ve.i32(6, 0)  # UTF8
+                schema_elems.append(ve.done())
                 continue
             if ptype.startswith("STRUCT<"):
                 fields = _struct_fields(ptype)

@@ -1123,6 +1123,15 @@ def _spark_to_write_type(t: str) -> "str | None":
                 return None
             parts.append("%s:%s" % (fn, phys))
         return "STRUCT<%s>" % ",".join(parts)
+    if t.startswith("map<") and t.endswith(">"):
+        body = t[4:-1]
+        if "<" in body or body.count(",") != 1:
+            return None
+        kt, vt = body.split(",")
+        kp = _SPARK_TO_PHYSICAL.get(kt)
+        vp = _SPARK_TO_PHYSICAL.get(vt)
+        return None if kp is None or vp is None \
+            else "MAP<%s,%s>" % (kp, vp)
     return None
 
 

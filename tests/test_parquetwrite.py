@@ -384,3 +384,57 @@ def test_struct_write_quadruple_pin(tmp_path):
     assert write_parquet({"s": ("STRUCT<a:NOPE>",
                                 [{"a": 1}])}) is None
     assert write_parquet({"s": ("STRUCT<>", [{}])}) is None
+
+
+def test_map_write_triple_pin(tmp_path):
+    # r17: MAP<K,V> write — own map zip, pyarrow, DuckDB on the
+    # same bytes; null map / empty map / null value shapes
+    import io
+
+    import duckdb
+
+    from teledetection_drone_satellite_spark.sources.parquetmeta \
+        import parse_parquet_footer
+    from teledetection_drone_satellite_spark.sources.parquetpage \
+        import decode_list_chunk, map_leaves
+    from teledetection_drone_satellite_spark.sources.parquetwrite \
+        import write_parquet
+
+    mdata = [{"a": 1, "b": 2}, None, {}, {"x": None, "y": 5},
+             {"zz": 9}]
+    for codec in ("UNCOMPRESSED", "SNAPPY", "GZIP"):
+        buf = write_parquet({
+            "id": ("INT64", list(range(5))),
+            "m": ("MAP<BYTE_ARRAY,INT64>", mdata),
+        }, codec=codec)
+        assert buf is not None
+        f = parse_parquet_footer(buf)
+        pair = map_leaves(f)["m"]
+        chunks = {c["path"]: c
+                  for c in f["row_groups"][0]["columns"]}
+        keys = decode_list_chunk(buf, chunks[pair[0]["name"]],
+                                 pair[0])
+        vals = decode_list_chunk(buf, chunks[pair[1]["name"]],
+                                 pair[1])
+        got = [dict(zip((k.decode() for k in ks), vs))
+               if ks is not None else None
+               for ks, vs in zip(keys, vals)]
+        assert got == mdata, codec
+        t = pq.read_table(io.BytesIO(buf))
+        assert [dict(x) if x is not None else None
+                for x in t.column("m").to_pylist()] == mdata
+        p = str(tmp_path / ("m_%s.parquet" % codec))
+        open(p, "wb").write(buf)
+        rows = duckdb.sql(
+            "SELECT map_keys(m), map_values(m) "
+            "FROM read_parquet('%s')" % p).fetchall()
+        got_d = [dict(zip(ks, vs)) if ks is not None else None
+                 for ks, vs in rows]
+        assert got_d == mdata
+    # refusals: None keys, non-dict records, unknown types
+    assert write_parquet({"m": ("MAP<BYTE_ARRAY,INT64>",
+                                [{None: 1}])}) is None
+    assert write_parquet({"m": ("MAP<BYTE_ARRAY,INT64>",
+                                [[1, 2]])}) is None
+    assert write_parquet({"m": ("MAP<NOPE,INT64>",
+                                [{}])}) is None
