@@ -13676,6 +13676,80 @@ def parquet_map_write_roundtrip(spark: SparkSession,
 
 
 @register(
+    "orc_compound_write_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_maps,
+           CAST(sum(CASE WHEN doc_id % 17 = 0 OR doc_id % 13 = 0
+                    THEN 0 ELSE doc_id +
+                    (CASE WHEN doc_id % 3 = 0 THEN 0
+                          ELSE n_chars END) END) AS BIGINT)
+               AS val_sum,
+           CAST(sum(CASE WHEN doc_id % 11 = 0 THEN 0
+                    ELSE doc_id END) AS BIGINT) AS u_sum
+    FROM documents GROUP BY lang
+    """,
+    doc="ORC MAP + STRUCT WRITE through the pure-Python writer, "
+    "graded (r17 — the ORC twin of parquet_map_write_roundtrip, "
+    "finishing compound write symmetry in BOTH formats): documents "
+    "writes a map<string,bigint> column (null / empty / two "
+    "entries, one possibly null-valued: MAP node PRESENT+LENGTH "
+    "over flattened key/value children) and a struct column via "
+    "df.write.format('raworc'), and SPARK'S OWN JAVA ORC READER "
+    "aggregates the bytes back. The same shapes are pinned in "
+    "tests against pyarrow.orc and the repo's own stripe decoder. "
+    "The oracle restates the derivation.",
+    tags=("ingest", "sketch", "pipeline"),
+)
+def orc_compound_write_roundtrip(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..catalog import source_fingerprint
+    from ..sources.pydatasource import RawOrcDataSource
+
+    fp = source_fingerprint(sf_dir, "documents")
+    root = _os.path.join(_tempfile.gettempdir(),
+                         "spark_graft_orccw_v1", fp)
+    done = _os.path.join(root, "_DONE")
+    if not _os.path.exists(done):
+        d = load(spark, sf_dir, ("documents",))["documents"]
+        spark.dataSource.register(RawOrcDataSource)
+        v2 = F.when(F.col("doc_id") % 3 == 0,
+                    F.lit(None).cast("long")) \
+            .otherwise(F.col("n_chars"))
+        mp = F.when(F.col("doc_id") % 17 == 0,
+                    F.lit(None).cast("map<string,bigint>")) \
+            .when(F.col("doc_id") % 13 == 0,
+                  F.create_map().cast("map<string,bigint>")) \
+            .otherwise(F.create_map(
+                F.lit("k1"), F.col("doc_id"), F.lit("k2"), v2))
+        st = F.when(F.col("doc_id") % 11 == 0,
+                    F.lit(None).cast("struct<u:bigint>")) \
+            .otherwise(F.struct(F.col("doc_id").alias("u")))
+        (d.select("lang", mp.alias("m"), st.alias("s"))
+         .repartition(4).write.format("raworc")
+         .option("path", root).option("compression", "zlib")
+         .mode("append").save())
+        open(done, "w").close()
+    back = spark.read.orc(root)  # Spark's native Java reader
+    vals_sum = F.when(F.col("m").isNull(), 0).otherwise(
+        F.aggregate(F.map_values("m"), F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.coalesce(x, F.lit(0))))
+    return (
+        back.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.when(F.col("m").isNull(), 1).otherwise(0))
+             .alias("n_null_maps"),
+             F.sum(vals_sum).cast("long").alias("val_sum"),
+             F.coalesce(F.sum("s.u"), F.lit(0)).alias("u_sum"))
+    )
+
+
+@register(
     "parquet_page_prune_stats",
     oracle="""
     SELECT lang,

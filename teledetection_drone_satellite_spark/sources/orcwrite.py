@@ -260,6 +260,32 @@ def write_orc(columns: "dict[str, tuple[str, list]]",
                 specs.append((name, "LIST", elem, next_id,
                               next_id + 1))
                 next_id += 2
+            elif kind.startswith("MAP<") and kind.endswith(">"):
+                # MAP<K,V> (r17): MAP node (PRESENT + LENGTH) over
+                # flattened key/value children — the write twin of
+                # orcdata._decode_node's MAP path
+                body_t = kind[4:-1]
+                if body_t.count(",") != 1:
+                    return None
+                kt, vt = body_t.split(",")
+                if kt not in _KIND_IDS or vt not in _KIND_IDS:
+                    return None
+                if any(r is not None
+                       and (not isinstance(r, dict)
+                            or any(k is None for k in r))
+                       for r in vals):
+                    return None
+                if kt == "LONG" and not _long_fits(
+                        [k for r in vals if r is not None
+                         for k in r]):
+                    return None
+                if vt == "LONG" and not _long_fits(
+                        [v for r in vals if r is not None
+                         for v in r.values() if v is not None]):
+                    return None
+                specs.append((name, "MAP", (kt, vt), next_id,
+                              next_id + 1))
+                next_id += 3
             elif kind.startswith("STRUCT<") and kind.endswith(">"):
                 # flat struct of primitives: STRUCT<u:LONG,v:STRING>
                 fields = []
@@ -328,6 +354,21 @@ def write_orc(columns: "dict[str, tuple[str, list]]",
                     _emit(cid, col_streams)
                     elems = [e for r in rows for e in r]
                     _emit(ccid, _flat_streams(payload, elems))
+                elif kind == "MAP":
+                    rows = [r for r in sl if r is not None]
+                    col_streams = []
+                    if len(rows) != len(sl):
+                        col_streams.append((
+                            _S_PRESENT, bool_rle_encode(
+                                [r is not None for r in sl])))
+                    col_streams.append((_S_LENGTH, rle_v2_encode(
+                        [len(r) for r in rows], signed=False)))
+                    _emit(cid, col_streams)
+                    kt, vt = payload
+                    _emit(ccid, _flat_streams(
+                        kt, [k for r in rows for k in r]))
+                    _emit(ccid + 1, _flat_streams(
+                        vt, [v for r in rows for v in r.values()]))
                 elif kind == "STRUCT":
                     rows = [r for r in sl if r is not None]
                     col_streams = []
@@ -369,6 +410,14 @@ def write_orc(columns: "dict[str, tuple[str, list]]",
                                       + _pb_uint(2, ccid))
                 types_pb += _pb_bytes(4, _pb_uint(1,
                                                   _KIND_IDS[payload]))
+            elif kind == "MAP":
+                types_pb += _pb_bytes(4, _pb_uint(1, 11)
+                                      + _pb_uint(2, ccid)
+                                      + _pb_uint(2, ccid + 1))
+                types_pb += _pb_bytes(4, _pb_uint(
+                    1, _KIND_IDS[payload[0]]))
+                types_pb += _pb_bytes(4, _pb_uint(
+                    1, _KIND_IDS[payload[1]]))
             elif kind == "STRUCT":
                 node = _pb_uint(1, 12)
                 for j in range(len(payload)):
@@ -403,6 +452,15 @@ def write_orc(columns: "dict[str, tuple[str, list]]",
                 stats_pb += _stat(
                     sum(1 for e in elems if e is not None),
                     len(elems))
+            elif kind == "MAP":
+                keys = [k for r in vals if r is not None
+                        for k in r]
+                mvals = [v for r in vals if r is not None
+                         for v in r.values()]
+                stats_pb += _stat(len(keys), len(keys))
+                stats_pb += _stat(
+                    sum(1 for v in mvals if v is not None),
+                    len(mvals))
             elif kind == "STRUCT":
                 rows = [r for r in vals if r is not None]
                 for fn, _fk in payload:

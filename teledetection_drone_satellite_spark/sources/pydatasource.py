@@ -1360,12 +1360,36 @@ _SPARK_TO_ORC = {
 
 def _spark_to_orc_type(t: str) -> "str | None":
     """Spark DDL type -> orcwrite kind; array<T> (r16) maps to the
-    writer's LIST<T> shape."""
+    writer's LIST<T> shape, struct<primitives> and
+    map<primitive,primitive> (r17) to STRUCT<...> / MAP<K,V>."""
     if t in _SPARK_TO_ORC:
         return _SPARK_TO_ORC[t]
     if t.startswith("array<") and t.endswith(">"):
         inner = _SPARK_TO_ORC.get(t[6:-1])
         return None if inner is None else "LIST<%s>" % inner
+    if t.startswith("struct<") and t.endswith(">"):
+        body = t[7:-1]
+        if "<" in body:
+            return None
+        parts = []
+        for member in body.split(","):
+            if ":" not in member:
+                return None
+            fn, ft = member.split(":", 1)
+            k = _SPARK_TO_ORC.get(ft)
+            if k is None or not fn:
+                return None
+            parts.append("%s:%s" % (fn, k))
+        return "STRUCT<%s>" % ",".join(parts)
+    if t.startswith("map<") and t.endswith(">"):
+        body = t[4:-1]
+        if "<" in body or body.count(",") != 1:
+            return None
+        kt, vt = body.split(",")
+        kk = _SPARK_TO_ORC.get(kt)
+        vk = _SPARK_TO_ORC.get(vt)
+        return None if kk is None or vk is None \
+            else "MAP<%s,%s>" % (kk, vk)
     return None
 
 
@@ -1394,12 +1418,17 @@ class RawOrcWriter(DataSourceWriter):
         names = [n for n, _t in self.fields]
         list_cols = {n for n, t in self.fields
                      if t.startswith("array<")}
+        struct_cols = {n for n, t in self.fields
+                       if t.startswith("struct<")}
         data: "dict[str, list]" = {n: [] for n in names}
         for row in iterator:
             for k, n in enumerate(names):
                 v = row[k]
                 if n in list_cols and v is not None:
                     v = list(v)  # Row arrays arrive as tuples
+                elif n in struct_cols and v is not None:
+                    v = v.asDict() if hasattr(v, "asDict") \
+                        else dict(v)  # Row structs -> dicts (r17)
                 data[n].append(v)
         cols = {n: (_spark_to_orc_type(t), data[n])
                 for n, t in self.fields}

@@ -213,3 +213,38 @@ def test_struct_write_three_readers():
         is None
     assert write_orc({"st": ("STRUCT<>", [None])}) is None
     assert write_orc({"st": ("STRUCT<u>", [None])}) is None
+
+
+def test_map_write_cross_pins():
+    # r17: MAP<K,V> write — pyarrow.orc and the repo's own decoder
+    # agree on the bytes; null map / empty / null value shapes
+    import io
+
+    from teledetection_drone_satellite_spark.sources.orcdata import (
+        read_orc_columns,
+    )
+    from teledetection_drone_satellite_spark.sources.orcwrite import (
+        write_orc,
+    )
+
+    mdata = [{"a": 1, "b": 2}, None, {}, {"x": None, "y": 5},
+             {"zz": 9}]
+    for codec in ("NONE", "ZLIB"):
+        buf = write_orc({
+            "id": ("LONG", list(range(5))),
+            "m": ("MAP<STRING,LONG>", mdata),
+        }, codec=codec)
+        assert buf is not None
+        got = read_orc_columns(buf, want=["m", "id"])
+        assert got["columns"]["m"] == mdata, codec
+        pa_orc = pytest.importorskip("pyarrow.orc")
+        t = pa_orc.read_table(io.BytesIO(buf))
+        assert [dict(x) if x is not None else None
+                for x in t.column("m").to_pylist()] == mdata
+    # refusals: None keys, non-dicts, unknown member kinds
+    assert write_orc({"m": ("MAP<STRING,LONG>",
+                            [{None: 1}])}) is None
+    assert write_orc({"m": ("MAP<STRING,LONG>", [[1]])}) is None
+    assert write_orc({"m": ("MAP<NOPE,LONG>", [{}])}) is None
+    assert write_orc({"m": ("MAP<STRING,LONG>",
+                            [{"a": 1 << 70}])}) is None
