@@ -412,9 +412,11 @@ class RawParquetDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("rawparquet requires a path")
-        return RawParquetWriter(path, schema,
-                                self.options.get("compression",
-                                                 "SNAPPY").upper())
+        pb = self.options.get("partitionBy", "")
+        return RawParquetWriter(
+            path, schema,
+            self.options.get("compression", "SNAPPY").upper(),
+            [k.strip() for k in pb.split(",") if k.strip()])
 
 
 def _stat_int(raw: "bytes | None") -> "int | None":
@@ -1141,14 +1143,37 @@ class RawParquetWriter(DataSourceWriter):
     file per Spark partition through the pure-Python writer
     (sources/parquetwrite.py) — files that pyarrow, DuckDB, Spark's
     native reader, and this repo's own decoder all read back
-    identically (the tests' quadruple pin)."""
+    identically (the tests' quadruple pin).
 
-    def __init__(self, path: str, schema, codec: str):
+    ``.option("partitionBy", "k1,k2")`` (r17) writes the HIVE
+    layout: each task splits its rows by the named columns' values
+    and emits one file per distinct combination under
+    k1=<v>/k2=<v>/ directories, the partition columns dropped from
+    the data files (they live in the paths) — exactly the layout
+    .option('hivePartitions','true') discovers and statically
+    prunes on read.  Partition columns must be strings (the layout
+    carries no type) and non-null."""
+
+    def __init__(self, path: str, schema, codec: str,
+                 partition_by: "list[str] | None" = None):
         self.path = path
         self.fields = [(f.name, f.dataType.simpleString())
                        for f in schema.fields]
         self.codec = codec
+        self.partition_by = partition_by or []
+        fnames = {n for n, _t in self.fields}
+        for k in self.partition_by:
+            if k not in fnames:
+                raise ValueError(
+                    "partitionBy column missing: %s" % k)
+            t = dict(self.fields)[k]
+            if t != "string":
+                raise ValueError(
+                    "partitionBy column %s must be string "
+                    "(hive paths carry no type), got %s" % (k, t))
         for name, t in self.fields:
+            if name in self.partition_by:
+                continue
             if _spark_to_write_type(t) is None:
                 raise ValueError("unsupported type for rawparquet: "
                                  "%s %s" % (name, t))
@@ -1164,10 +1189,26 @@ class RawParquetWriter(DataSourceWriter):
                      if t.startswith("array<")}
         struct_cols = {n for n, t in self.fields
                        if t.startswith("struct<")}
-        data: "dict[str, list]" = {n: [] for n in names}
-        n_rows = 0
+        pb = self.partition_by
+        pix = [names.index(k) for k in pb]
+        data_fields = [(n, t) for n, t in self.fields
+                       if n not in pb]
+        # one row bucket per distinct partition-value combination
+        buckets: "dict[tuple, dict[str, list]]" = {}
         for row in iterator:
+            key = tuple(row[ix] for ix in pix)
+            if pb and any(v is None or not isinstance(v, str)
+                          for v in key):
+                raise ValueError(
+                    "partitionBy values must be non-null strings, "
+                    "got %r" % (key,))
+            bucket = buckets.get(key)
+            if bucket is None:
+                bucket = buckets[key] = {n: [] for n, _t
+                                         in data_fields}
             for k, n in enumerate(names):
+                if n in pb:
+                    continue
                 v = row[k]
                 if n in list_cols and v is not None:
                     v = list(v)  # Row arrays arrive as tuples
@@ -1175,17 +1216,23 @@ class RawParquetWriter(DataSourceWriter):
                     # Row structs -> plain dicts (r17)
                     v = v.asDict() if hasattr(v, "asDict") \
                         else dict(v)
-                data[n].append(v)
-            n_rows += 1
-        cols = {n: (_spark_to_write_type(t), data[n])
-                for n, t in self.fields}
-        buf = write_parquet(cols, codec=self.codec)
-        if buf is None:
-            raise ValueError("rawparquet writer refused the batch")
-        _os.makedirs(self.path, exist_ok=True)
-        name = "part-%s.parquet" % _uuid.uuid4().hex[:12]
-        with open(_os.path.join(self.path, name), "wb") as f:
-            f.write(buf)
+                bucket[n].append(v)
+        if not buckets and not pb:
+            buckets[()] = {n: [] for n, _t in data_fields}
+        for key, bucket in buckets.items():
+            cols = {n: (_spark_to_write_type(t), bucket[n])
+                    for n, t in data_fields}
+            buf = write_parquet(cols, codec=self.codec)
+            if buf is None:
+                raise ValueError(
+                    "rawparquet writer refused the batch")
+            sub = self.path
+            for k, v in zip(pb, key):
+                sub = _os.path.join(sub, "%s=%s" % (k, v))
+            _os.makedirs(sub, exist_ok=True)
+            name = "part-%s.parquet" % _uuid.uuid4().hex[:12]
+            with open(_os.path.join(sub, name), "wb") as f:
+                f.write(buf)
         return WriterCommitMessage()
 
 

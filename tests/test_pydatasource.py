@@ -1045,3 +1045,46 @@ def test_orc_hive_partitioned_scan(spark, tmp_path):
     with pytest.raises(ValueError,
                        match="not supported for streaming"):
         ds.streamReader(None)
+
+
+def test_hive_partitioned_write(spark, tmp_path):
+    # r17: partitionBy writes the hive layout; the hive scan, Spark
+    # native discovery, and static pruning all read it back
+    d = str(tmp_path / "hw")
+    spark.dataSource.register(RawParquetDataSource)
+    df = spark.range(600).selectExpr(
+        "id",
+        "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'fr' "
+        "ELSE 'de' END AS lang")
+    (df.repartition(3).write.format("rawparquet")
+     .option("path", d).option("partitionBy", "lang")
+     .option("compression", "snappy").mode("append").save())
+    assert sorted(os.path.basename(p)
+                  for p in glob.glob(d + "/*")) == \
+        ["lang=de", "lang=en", "lang=fr"]
+    # partition column is NOT in the data files
+    part = sorted(glob.glob(d + "/lang=en/part-*.parquet"))[0]
+    assert [f.name for f in spark.read.parquet(part).schema
+            .fields] == ["id"]
+    back = (spark.read.format("rawparquet")
+            .option("hivePartitions", "true").load(d))
+    got = sorted(tuple(r) for r in back.groupBy("lang")
+                 .agg(F.count("*"), F.sum("id")).collect())
+    ref = sorted(tuple(r) for r in df.groupBy("lang")
+                 .agg(F.count("*"), F.sum("id")).collect())
+    assert got == ref
+    nat = sorted((r["lang"], r[1], r[2])
+                 for r in spark.read.parquet(d).groupBy("lang")
+                 .agg(F.count("*"), F.sum("id")).collect())
+    assert nat == ref
+    # refusals: non-string / missing partition column
+    with pytest.raises(Exception, match="must be string"):
+        (spark.range(3).selectExpr("id", "id AS k")
+         .write.format("rawparquet")
+         .option("path", str(tmp_path / "x1"))
+         .option("partitionBy", "k").mode("append").save())
+    with pytest.raises(Exception, match="missing"):
+        (spark.range(3).selectExpr("id")
+         .write.format("rawparquet")
+         .option("path", str(tmp_path / "x2"))
+         .option("partitionBy", "nope").mode("append").save())
