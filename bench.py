@@ -45,6 +45,22 @@ HEADLINE = [
 LINE_BUDGET = 1800
 
 
+def _host_yardstick() -> float:
+    """Single-core pure-Python loop seconds (min of 3) — a host-speed
+    anchor recorded in every bench line (r17): cross-round bench
+    totals are only comparable when this figure matches, because the
+    registry's Python-worker tail scales with effective core speed
+    and the box is a shared tenant whose neighbors we cannot see."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        s = 0
+        for i in range(5_000_000):
+            s += i
+        best = min(best, time.time() - t0)
+    return round(best * 4, 3)  # normalized to the 20M-iteration scale
+
+
 def _compact_line(total: float, timings: dict[str, float], sf: str) -> str:
     """The stdout JSON line: headline queries first, then the slowest others,
     greedily packed under LINE_BUDGET; the rest are summarized by count."""
@@ -58,6 +74,7 @@ def _compact_line(total: float, timings: dict[str, float], sf: str) -> str:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
+        "host_loop_s": _host_yardstick(),
         "detail": "BENCH_DETAIL.json",
         "queries": {},
     }
