@@ -719,3 +719,69 @@ def test_sbbf_bloom_spark_written(spark, tmp_path):
     # INT-only value hashing
     assert bloom_value_hash(3, "DOUBLE") is None
     assert bloom_value_hash(3, "BYTE_ARRAY") is None
+
+
+def test_struct_nested_randomized_differential_vs_pyarrow():
+    # r17 hardening: 25 randomized shape trials (nullable structs,
+    # struct-in-struct, list-of-struct with null elements,
+    # list-of-list, random codecs/page sizes/dict toggle) must
+    # match pyarrow value-for-value
+    import random as _random
+
+    from teledetection_drone_satellite_spark.sources.parquetmeta \
+        import parse_parquet_footer
+    from teledetection_drone_satellite_spark.sources.parquetpage \
+        import decode_nested_chunk, decode_struct_chunks
+
+    rnd = _random.Random(20260817)
+    for _trial in range(25):
+        n = rnd.randrange(1, 80)
+        sdata = [None if rnd.random() < 0.15 else {
+            "a": None if rnd.random() < 0.3
+            else rnd.randrange(-10**6, 10**6),
+            "inner": None if rnd.random() < 0.4
+            else {"x": rnd.randrange(100)},
+        } for _ in range(n)]
+        ls = []
+        for _ in range(n):
+            roll = rnd.random()
+            if roll < 0.12:
+                ls.append(None)
+            elif roll < 0.24:
+                ls.append([])
+            else:
+                ls.append([None if rnd.random() < 0.15 else
+                           {"u": rnd.randrange(1000)}
+                           for _ in range(rnd.randrange(1, 5))])
+        ll = [None if rnd.random() < 0.1 else
+              [None if rnd.random() < 0.15 else
+               [rnd.randrange(100)
+                for _ in range(rnd.randrange(0, 4))]
+               for _ in range(rnd.randrange(0, 4))]
+              for _ in range(n)]
+        tbl = pa.table({
+            "s": pa.array(sdata, pa.struct(
+                [("a", pa.int64()),
+                 ("inner", pa.struct([("x", pa.int64())]))])),
+            "ls": pa.array(ls, pa.list_(pa.struct(
+                [("u", pa.int64())]))),
+            "ll": pa.array(ll, pa.list_(pa.list_(pa.int64()))),
+        })
+        buf = _write(tbl,
+                     compression=rnd.choice(["none", "snappy"]),
+                     data_page_size=rnd.choice([256, 1 << 20]),
+                     use_dictionary=rnd.random() < 0.5)
+        f = parse_parquet_footer(buf)
+        chunks = {c["path"]: c
+                  for c in f["row_groups"][0]["columns"]}
+        for top in ("s", "ls"):
+            group = [lf for lf in f["columns"]
+                     if lf["name"].split(".")[0] == top]
+            got = decode_struct_chunks(
+                [(buf, chunks[lf["name"]], lf) for lf in group])
+            assert got == tbl.column(top).to_pylist()
+        leaf = next(lf for lf in f["columns"]
+                    if lf["name"].split(".")[0] == "ll")
+        assert decode_nested_chunk(
+            buf, chunks[leaf["name"]], leaf) == \
+            tbl.column("ll").to_pylist()
