@@ -14548,6 +14548,94 @@ def pyds_hive_write_roundtrip(spark: SparkSession,
 
 
 @register(
+    "raworc_hive_partitioned_scan",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+           TRUE AS files_pruned
+    FROM documents WHERE lang = 'fr' GROUP BY lang
+    """,
+    doc="HIVE-PARTITIONED directory scan through the raworc "
+    "DataSource, graded (r17 — the ORC twin of "
+    "pyds_hive_partitioned_scan): documents is written one "
+    "pure-Python ORC file per lang into lang=<v>/ dirs WITHOUT "
+    "the lang column; .option('hivePartitions','true') discovers "
+    "the layout, surfaces lang as a string column materialized per "
+    "stripe task, and a pushed lang='fr' equality statically "
+    "prunes FILES — the graded boolean counts planned tasks from "
+    "the direct reader drive (1 of |langs|). The oracle restates "
+    "the partition's rows.",
+    tags=("ingest", "sketch", "pipeline"),
+)
+def raworc_hive_partitioned_scan(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    import glob as _glob
+    import os as _os
+    import tempfile as _tempfile
+
+    from pyspark.sql.datasource import EqualTo
+
+    from ..catalog import source_fingerprint
+    from ..sources.pydatasource import (
+        RawOrcDataSource,
+        RawOrcPushdownReader,
+    )
+
+    fp = source_fingerprint(sf_dir, "documents")
+    root = _os.path.join(_tempfile.gettempdir(),
+                         "spark_graft_orchive_v1", fp)
+    done = _os.path.join(root, "_DONE")
+    if not _os.path.exists(done):
+        d = load(spark, sf_dir, ("documents",))["documents"]
+        spark.dataSource.register(RawOrcDataSource)
+        langs = sorted(r[0] for r in
+                       d.select("lang").distinct().collect())
+        for lang in langs:
+            sub = _os.path.join(root, "_slice_%s" % lang)
+            (d.filter(F.col("lang") == lang)
+             .select("doc_id", "n_chars").coalesce(1)
+             .write.format("raworc").option("path", sub)
+             .option("compression", "zlib")
+             .mode("append").save())
+            src = sorted(_glob.glob(sub + "/part-*.orc"))[0]
+            dstdir = _os.path.join(root, "lang=%s" % lang)
+            _os.makedirs(dstdir, exist_ok=True)
+            _os.replace(src, _os.path.join(dstdir,
+                                           "part-00000.orc"))
+            _os.rmdir(sub)
+        open(done, "w").close()
+    ds = RawOrcDataSource({"path": root,
+                           "hivePartitions": "true",
+                           "pushdown": "true"})
+    hive, keys = ds._hive()
+    tail = ds._hive_tail(hive)
+    by_name = {n: (tid, k) for n, tid, k, _t in ds._cols(tail)}
+    cols = [(n, tid, k) for n, (tid, k) in by_name.items()]
+    cols += [(k, None, "PART") for k in keys]
+    rdr = RawOrcPushdownReader(root, tail, cols, by_name,
+                               hive=hive, part_keys=keys)
+    rdr.pushFilters([EqualTo(("lang",), "fr")])
+    n_tasks = len(rdr.partitions())
+    files_pruned = 1 <= n_tasks < len(hive)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled",
+                   "true")
+    spark.dataSource.register(RawOrcDataSource)
+    df = (spark.read.format("raworc")
+          .option("hivePartitions", "true")
+          .option("pushdown", "true").load(root))
+    return (
+        df.filter(F.col("lang") == "fr")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("doc_id").alias("id_sum"),
+             F.sum("n_chars").alias("chars_sum"))
+        .withColumn("files_pruned", F.lit(bool(files_pruned)))
+    )
+
+
+@register(
     "parquet_map_stats",
     oracle="""
     WITH t AS (
@@ -15289,6 +15377,82 @@ def delta_log_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, version int, n_active_files int, n_removed int, "
         "total_bytes long, total_records long, records_known boolean, "
         "partitioned boolean, schema_fields int, n_commits int",
+    )
+
+
+@register(
+    "delta_vacuum_plan",
+    oracle="""
+    WITH spec AS (
+        SELECT doc_id, 2 + doc_id % 4 AS n
+        FROM documents WHERE doc_id < 150
+    )
+    SELECT doc_id,
+           CAST(n - 1 AS INT) AS n_tombstones,
+           CAST(least(n - 1, 2) AS INT) AS n_deletable,
+           CAST(n - 1 - least(n - 1, 2) AS INT) AS retained_recent,
+           CAST(0 AS INT) AS retained_readded,
+           TRUE AS disjoint_from_active
+    FROM spec
+    """,
+    doc="Delta VACUUM planning, graded (r17 — completing the "
+    "maintenance family next to OPTIMIZE/compaction): over each "
+    "doc's synth_delta_log commit chain (removes stamped "
+    "deletionTimestamp 1700000001000+v), vacuum_plan at horizon "
+    "...+2 selects EXACTLY the tombstones at or before the horizon "
+    "whose paths are not re-added (an add after a remove must "
+    "survive; missing timestamps retain conservatively). The "
+    "graded boolean proves the deletable set is disjoint from the "
+    "replayed active set — the invariant that makes the delete "
+    "safe. The oracle states the closed form: min(n_versions-1, 2) "
+    "tombstones fall inside the horizon.",
+    tags=("ingest", "corpus"),
+)
+def delta_vacuum_plan(spark: SparkSession,
+                      sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..sources.deltalog import (
+        active_files,
+        synth_delta_log,
+        vacuum_plan,
+    )
+
+    ids = (
+        load(spark, sf_dir, ("documents",))["documents"]
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]",
+            ) -> "Iterator[pd.DataFrame]":
+        for pdf_ in batches:
+            rows = []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                commits, _ = synth_delta_log(i)
+                got = vacuum_plan(commits, 1700000001000 + 2)
+                act = {a["path"] for a in active_files(commits)}
+                disjoint = not (set(got["deletable"]) & act)
+                rows.append((i, got["n_tombstones"],
+                             got["n_deletable"],
+                             got["retained_recent"],
+                             got["retained_readded"],
+                             bool(disjoint)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_tombstones", "n_deletable",
+                         "retained_recent", "retained_readded",
+                         "disjoint_from_active"],
+            )
+
+    return ids.mapInPandas(
+        gen,
+        "doc_id long, n_tombstones int, n_deletable int, "
+        "retained_recent int, retained_readded int, "
+        "disjoint_from_active boolean",
     )
 
 

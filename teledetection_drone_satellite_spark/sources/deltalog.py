@@ -862,6 +862,49 @@ def synth_delta_dv(doc_id: int) -> "tuple[list[tuple[int, bytes]], dict, dict]":
     return commits, files, expected
 
 
+def vacuum_plan(commits: "list[tuple[int, bytes]]",
+                horizon_ts: int) -> "dict | None":
+    """VACUUM planning (r17 — the maintenance op completing the
+    OPTIMIZE family): which tombstoned files are safe to DELETE at
+    ``horizon_ts``?  A remove action's file is deletable when its
+    deletionTimestamp is at or before the horizon AND the path is
+    not in the current active set (a re-added path must survive —
+    the add wins).  Missing/malformed deletionTimestamps retain
+    conservatively.  -> {'n_tombstones', 'deletable': [paths...],
+    'n_deletable', 'n_retained', 'retained_recent',
+    'retained_readded'} or None on an unreadable log."""
+    ordered = sorted(commits)
+    if not ordered or ordered[0][0] != 0 or any(
+            b[0] - a[0] != 1 for a, b in zip(ordered, ordered[1:])):
+        return None
+    state = _State()
+    removes: "dict[str, object]" = {}
+    for _v, blob in ordered:
+        actions = parse_commit(blob)
+        if actions is None or not _apply(state, actions):
+            return None
+        for act in actions:
+            r = act.get("remove")
+            if isinstance(r, dict) and \
+                    isinstance(r.get("path"), str):
+                removes[r["path"]] = r.get("deletionTimestamp")
+    deletable = []
+    retained_recent = retained_readded = 0
+    for path, ts in sorted(removes.items()):
+        if path in state.active:
+            retained_readded += 1  # re-added after the remove
+        elif isinstance(ts, int) and ts <= horizon_ts:
+            deletable.append(path)
+        else:
+            retained_recent += 1
+    return {"n_tombstones": len(removes),
+            "deletable": deletable,
+            "n_deletable": len(deletable),
+            "n_retained": retained_recent + retained_readded,
+            "retained_recent": retained_recent,
+            "retained_readded": retained_readded}
+
+
 def compaction_groups(snapshot_files: "list[dict]",
                       small_threshold: int,
                       group_size: int) -> "list[list[dict]]":

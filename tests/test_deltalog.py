@@ -713,3 +713,53 @@ def test_replay_at_version_time_travel(tmp_path):
     assert replay_at_version(commits, -1) is None
     assert [a["path"] for a in
             active_files_at_version(commits, 2)] == ["b.parquet"]
+
+
+def test_vacuum_plan_horizon_and_readds(tmp_path):
+    from teledetection_drone_satellite_spark.sources.deltalog import (
+        commit_delta,
+        delta_add_action,
+        delta_init_actions,
+        read_delta_commits,
+        vacuum_plan,
+    )
+
+    td = str(tmp_path / "vac")
+    commit_delta(td, 0, delta_init_actions(
+        "t-vac", [("id", "long")])
+        + [delta_add_action("a.parquet", 10, 1),
+           delta_add_action("b.parquet", 10, 1),
+           delta_add_action("c.parquet", 10, 1)])
+    commit_delta(td, 1, [
+        {"remove": {"path": "a.parquet",
+                    "deletionTimestamp": 100,
+                    "dataChange": True}},
+        {"remove": {"path": "b.parquet",
+                    "deletionTimestamp": 500,
+                    "dataChange": True}},
+        {"remove": {"path": "c.parquet",
+                    "deletionTimestamp": 100,
+                    "dataChange": True}},
+    ])
+    # c is RE-ADDED after its remove: the add wins, never deletable
+    commit_delta(td, 2, [delta_add_action("c.parquet", 12, 1)])
+    commits = read_delta_commits(td)
+    got = vacuum_plan(commits, 200)
+    assert got["n_tombstones"] == 3
+    assert got["deletable"] == ["a.parquet"]  # b too recent
+    assert got["retained_recent"] == 1
+    assert got["retained_readded"] == 1
+    # horizon covers everything except the re-add
+    got2 = vacuum_plan(commits, 10 ** 6)
+    assert sorted(got2["deletable"]) == ["a.parquet", "b.parquet"]
+    assert got2["retained_readded"] == 1
+    # malformed timestamp retains conservatively
+    commit_delta(td, 3, [
+        {"remove": {"path": "b.parquet",
+                    "deletionTimestamp": "nope",
+                    "dataChange": True}}])
+    got3 = vacuum_plan(read_delta_commits(td), 10 ** 6)
+    assert "b.parquet" not in got3["deletable"]
+    # version gap refuses
+    assert vacuum_plan([c for c in commits if c[0] != 1],
+                       10 ** 6) is None
