@@ -1,0 +1,37 @@
+"""Capture .explain("formatted") for registry queries (r17 plan evidence).
+
+Usage: python scripts/explain_query.py OUTDIR SUFFIX query [query ...]
+Writes OUTDIR/<query>_<SUFFIX>.txt for each query.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from teledetection_drone_satellite_spark import plans  # noqa: E402
+from teledetection_drone_satellite_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    outdir, suffix = sys.argv[1], sys.argv[2]
+    names = sys.argv[3:]
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("explain-query")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(outdir, exist_ok=True)
+    for name in names:
+        df = plans.REGISTRY[name].fn(spark, sf)
+        txt = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        path = os.path.join(outdir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(txt)
+        print(f"wrote {path} ({len(txt)} bytes)", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Isolated per-query timing harness (optimization round r17, guide §1).
+
+Replicates bench.py methodology (shared tuned session, collect() the result)
+for a SUBSET of queries: warmup query first, then for each named query N
+samples; prints min/median plus the Spark job count per run so a change in
+job structure (fused actions, removed passes) is visible next to the seconds.
+
+Usage: python scripts/time_query.py [--sf DIR] [--n 3] query [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from teledetection_drone_satellite_spark import plans  # noqa: E402
+from teledetection_drone_satellite_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--n", type=int, default=3)
+    ap.add_argument("queries", nargs="+")
+    args = ap.parse_args()
+
+    spark = get_spark("time-query")
+    spark.sparkContext.setLogLevel("ERROR")
+    plans.REGISTRY["point_lookup_pk"].fn(spark, args.sf).collect()  # warmup
+
+    tracker = spark.sparkContext.statusTracker()
+    out = {}
+    for name in args.queries:
+        q = plans.REGISTRY[name]
+        samples = []
+        jobs_before = len(tracker.getJobIdsForGroup() or [])
+        for i in range(args.n):
+            spark.sparkContext.setJobDescription(f"{name}#{i}")
+            j0 = tracker.getJobIdsForGroup()
+            t0 = time.time()
+            q.fn(spark, args.sf).collect()
+            dt = time.time() - t0
+            j1 = tracker.getJobIdsForGroup()
+            samples.append(round(dt, 3))
+        spark.sparkContext.setJobDescription(None)
+        n_jobs = len(j1 or []) - len(j0 or [])
+        samples_sorted = sorted(samples)
+        out[name] = {
+            "min": samples_sorted[0],
+            "med": samples_sorted[len(samples_sorted) // 2],
+            "all": samples,
+            "jobs_last_run": n_jobs,
+        }
+        print(f"{name}: min={out[name]['min']} med={out[name]['med']} "
+              f"jobs={n_jobs} all={samples}", file=sys.stderr, flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -78,23 +78,37 @@ def connected_components(
     # reads it, and the upstream pair-producing plan (a full dedup pass) must
     # execute exactly once, not once per round
     sym = pin_one_generation(sym, _CC_EDGES_BY_APP)
+
+    def _hop(lbl: DataFrame) -> DataFrame:
+        msgs = sym.join(lbl, sym["b"] == lbl["node"]).select(
+            F.col("a").alias("node"), "component"
+        )
+        return (
+            lbl.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    labels = labels.localCheckpoint(eager=True)
+    # r17 perf: ONE job per round instead of two — the generation cut is a
+    # LAZY localCheckpoint whose first (and only) materialization is the
+    # convergence-sum action itself; the checkpoint blocks persist at job
+    # end exactly as with eager=True, so later rounds still read the cut,
+    # never the lineage (guide §1.2/§2.4: same passes, half the
+    # job-scheduling floors).  One hop per round, deliberately: a fused
+    # 2-hop round embeds the inner hop's join+agg subtree TWICE in the
+    # round plan (each hop references its input twice — message join and
+    # union), and whether the duplicated exchanges are reused is up to AQE
+    # stage reuse; measured on the bench graphs the fusion was a wash at
+    # best, so the round structure stays identical to the 1-hop baseline.
+    labels = labels.localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for it in range(max_iter):
-        msgs = sym.join(labels, sym["b"] == labels["node"]).select(
-            F.col("a").alias("node"), "component"
-        )
-        labels = (
-            labels.unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-        )
-        labels = labels.localCheckpoint(eager=True)
+        labels = _hop(labels).localCheckpoint(eager=False)
         new_sum = labels.agg(F.sum("component")).collect()[0][0]
         if new_sum == prev_sum:
             # rounds = propagation rounds run INCLUDING the fixed-point

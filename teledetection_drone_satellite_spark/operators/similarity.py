@@ -141,8 +141,17 @@ def brute_force_topk(
     )
 
 
-def cosine_near_dup_pairs(df: DataFrame, threshold: float, n_blocks: int = 8) -> DataFrame:
+def cosine_near_dup_pairs(
+    df: DataFrame, threshold: float, n_blocks: int = 8, round_cosine: bool = True
+) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= threshold, v1 < v2), exact.
+
+    ``round_cosine=False`` keeps the raw float64 cosine (skips the display
+    rounding to 4 digits) so a caller can re-apply a STRICTER threshold on
+    the emitted value and get exactly the pair set a pass at that stricter
+    threshold would produce — the same matmul computes the value either
+    way, so membership is bit-identical (r17: lets the graded verifiers run
+    one widened pass instead of two full block-matmul passes).
 
     Block-pair plan — the distributed form of exact all-pairs, nothing on the
     driver: vectors are hashed into `n_blocks` blocks; each vector is routed to
@@ -204,11 +213,10 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float, n_blocks: int = 8) ->
             {"v1": np.minimum(x, y), "v2": np.maximum(x, y), "cosine": sims[ii, jj]}
         )
 
-    return (
-        routed.groupBy("b1", "b2")
-        .applyInPandas(block_pairs, out_schema)
-        .select("v1", "v2", F.round("cosine", 4).alias("cosine"))
-    )
+    pairs = routed.groupBy("b1", "b2").applyInPandas(block_pairs, out_schema)
+    if not round_cosine:
+        return pairs.select("v1", "v2", "cosine")
+    return pairs.select("v1", "v2", F.round("cosine", 4).alias("cosine"))
 
 
 def _sign_lsh_signature(dim: int, n_planes: int, seed: int):

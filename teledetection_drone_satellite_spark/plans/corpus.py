@@ -18,7 +18,6 @@ from .extensions import (
     RECALL_BAND,
     RECALL_FLOOR,
     _pinned_recall,
-    _recall_counts,
 )
 from .registry import register
 
@@ -449,15 +448,27 @@ def ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = similarity.ivf_pq_topk(
         e, queries, k=10, n_probe=(4, 16), cache_key=(sf_dir, fp)
     )
-    probed = both.filter(F.col("n_probe") == 4).drop("n_probe")
-    full = both.filter(F.col("n_probe") == 16).drop("n_probe")
+    # r17 perf: the previous shape consumed `exact` THREE times (c4, c16,
+    # nq) — three brute-force scoring passes — and `both` twice (one
+    # filtered copy per probe level), re-running the dual-probe search.
+    # Pivot `both` to per-pair hit flags in one pass (each level's top-k is
+    # unique on (query_id, vec_id), so max(when(...)) is exact presence),
+    # then ONE left join onto ONE consumption of exact and ONE aggregate
+    # (guide §2.4). n_exact_p4 == n_exact_p16 == count(*) of exact.
+    bh = both.groupBy("query_id", "vec_id").agg(
+        F.max(F.when(F.col("n_probe") == 4, 1)).alias("hit4"),
+        F.max(F.when(F.col("n_probe") == 16, 1)).alias("hit16"),
+    )
     pinned4 = _pinned_recall(IVFPQ_RECALL_PINNED, sf_dir)
     pinned16 = _pinned_recall(IVFPQ_FULLPROBE_PINNED, sf_dir)
-    c4 = _recall_counts(exact, probed, "p4")
-    c16 = _recall_counts(exact, full, "p16")
-    nq = exact.agg(F.count_distinct("query_id").alias("n_queries"))
-    r4 = F.col("n_hit_p4") / F.col("n_exact_p4")
-    r16 = F.col("n_hit_p16") / F.col("n_exact_p16")
+    agg = exact.join(bh, ["query_id", "vec_id"], "left").agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_exact"),
+        F.coalesce(F.sum("hit4"), F.lit(0)).alias("n_hit_p4"),
+        F.coalesce(F.sum("hit16"), F.lit(0)).alias("n_hit_p16"),
+    )
+    r4 = F.col("n_hit_p4") / F.col("n_exact")
+    r16 = F.col("n_hit_p16") / F.col("n_exact")
     if pinned4 is None:
         band_ok = r4 >= F.lit(RECALL_FLOOR)
     else:
@@ -465,11 +476,7 @@ def ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     mono_ok = r16 >= r4
     if pinned16 is not None:
         mono_ok = mono_ok & (F.abs(r16 - F.lit(pinned16)) <= F.lit(RECALL_BAND))
-    return (
-        nq.crossJoin(c4)
-        .crossJoin(c16)
-        .select("n_queries", (band_ok & mono_ok).alias("recall_ok"))
-    )
+    return agg.select("n_queries", (band_ok & mono_ok).alias("recall_ok"))
 
 
 # --- Leakage-safe train/test split -----------------------------------------------------
@@ -629,32 +636,51 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semdedup_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, ("embeddings",))["embeddings"]
     fp = source_fingerprint(sf_dir, "embeddings")
-    exact = similarity.cosine_near_dup_pairs(e, threshold=0.45).select("v1", "v2")
-    sem = (
-        similarity.semantic_dup_pairs(e, threshold=0.45, cache_key=(sf_dir, fp))
-        .select("v1", "v2")
-        .withColumn("hit", F.lit(1))
-    )
     # subset is checked against an epsilon-WIDENED exact set: both sides
     # compute cosine in float64 but with different summation orders (cell
     # matmul vs block matmul), so a pair whose true cosine sits within one
     # ulp of the threshold could pass one and fail the other — widening by
     # 1e-9 makes subset_ok immune to that last-bit disagreement while still
     # catching any real off-threshold emission.
-    exact_eps = similarity.cosine_near_dup_pairs(e, threshold=0.45 - 1e-9).select(
-        "v1", "v2"
+    #
+    # r17 perf: ONE widened block-matmul pass instead of two (guide §2.4
+    # duplicated-subtree smell — the previous shape ran cosine_near_dup_pairs
+    # at 0.45 AND at 0.45-1e-9, two full O(n^2 d) passes). The raw float64
+    # cosine is kept so the UN-widened membership is recovered exactly: the
+    # same matmul computes the value, so `cosine >= 0.45` here selects
+    # bit-identically the pairs a 0.45-threshold pass would emit. One
+    # full-outer join + one aggregate then replaces the left-join agg +
+    # left_anti agg + crossJoin, consuming the sem subtree once.
+    eps_pairs = similarity.cosine_near_dup_pairs(
+        e, threshold=0.45 - 1e-9, round_cosine=False
+    ).select(
+        "v1",
+        "v2",
+        F.when(F.col("cosine") >= 0.45, F.lit(1)).alias("ex"),
+        F.lit(1).alias("eps"),
     )
-    joined = exact.join(sem, ["v1", "v2"], "left").agg(
-        F.count("*").alias("n_exact"),
-        F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
+    sem = (
+        similarity.semantic_dup_pairs(e, threshold=0.45, cache_key=(sf_dir, fp))
+        .select("v1", "v2", F.lit(1).alias("ap"))
     )
-    outside = sem.join(exact_eps, ["v1", "v2"], "left_anti").agg(
-        F.count("*").alias("n_outside")
-    )
-    return joined.crossJoin(outside).select(
-        "n_exact",
-        (F.col("n_outside") == 0).alias("subset_ok"),
-        (F.col("n_hit") >= 0.5 * F.col("n_exact")).alias("coverage_ok"),
+    return (
+        eps_pairs.join(sem, ["v1", "v2"], "full_outer")
+        .agg(
+            F.coalesce(F.sum("ex"), F.lit(0)).alias("n_exact"),
+            F.coalesce(
+                F.sum(F.when((F.col("ex") == 1) & F.col("ap").isNotNull(), 1)),
+                F.lit(0),
+            ).alias("n_hit"),
+            F.coalesce(
+                F.sum(F.when(F.col("eps").isNull() & F.col("ap").isNotNull(), 1)),
+                F.lit(0),
+            ).alias("n_outside"),
+        )
+        .select(
+            "n_exact",
+            (F.col("n_outside") == 0).alias("subset_ok"),
+            (F.col("n_hit") >= 0.5 * F.col("n_exact")).alias("coverage_ok"),
+        )
     )
 
 

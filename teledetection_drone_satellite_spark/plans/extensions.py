@@ -643,16 +643,26 @@ def dedup_simhash_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2")
     )
     n_docs = d.agg(F.count("*").alias("n_docs"))
-    n_miss = brute.join(banded, ["d1", "d2"], "left_anti").agg(F.count("*").alias("n_miss"))
-    n_extra = banded.join(brute, ["d1", "d2"], "left_anti").agg(F.count("*").alias("n_extra"))
-    return (
-        n_docs.crossJoin(n_miss)
-        .crossJoin(n_extra)
-        .select(
-            "n_docs",
-            (F.col("n_miss") == 0).alias("complete_ok"),
-            (F.col("n_extra") == 0).alias("exact_ok"),
+    # r17 perf: ONE full-outer join + ONE aggregate. The previous shape
+    # (left_anti agg per direction) consumed BOTH pair subtrees twice, so
+    # the explicitly-quadratic brute popcount join and the banded pipeline
+    # each executed twice per run (guide §2.4 duplicated-subtree smell).
+    # A full-outer row with a null banded side is a brute-only pair (miss);
+    # a null brute side is a banded-only pair (extra) — identical counts to
+    # the two left_antis, including multiplicity (left_anti preserves
+    # left-side duplicates; so does the outer join's unmatched side).
+    cmp = (
+        brute.withColumn("br", F.lit(1))
+        .join(banded.withColumn("bd", F.lit(1)), ["d1", "d2"], "full_outer")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("bd").isNull(), 1)), F.lit(0)).alias("n_miss"),
+            F.coalesce(F.sum(F.when(F.col("br").isNull(), 1)), F.lit(0)).alias("n_extra"),
         )
+    )
+    return n_docs.crossJoin(cmp).select(
+        "n_docs",
+        (F.col("n_miss") == 0).alias("complete_ok"),
+        (F.col("n_extra") == 0).alias("exact_ok"),
     )
 
 
@@ -674,20 +684,41 @@ def dedup_simhash_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, ("embeddings",))["embeddings"]
-    exact = similarity.cosine_near_dup_pairs(e, threshold=0.45).select("v1", "v2")
-    approx = similarity.lsh_bucketed_pairs(e, threshold=0.45, band_bits=4).select("v1", "v2")
-    hits = approx.withColumn("hit", F.lit(1))
-    joined = exact.join(hits, ["v1", "v2"], "left").agg(
-        F.count("*").alias("n_exact"),
-        F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
+    exact = (
+        similarity.cosine_near_dup_pairs(e, threshold=0.45)
+        .select("v1", "v2", F.lit(1).alias("ex"))
     )
-    outside = approx.join(exact, ["v1", "v2"], "left_anti").agg(
-        F.count("*").alias("n_outside")
+    approx = (
+        similarity.lsh_bucketed_pairs(e, threshold=0.45, band_bits=4)
+        .select("v1", "v2", F.lit(1).alias("ap"))
     )
-    return joined.crossJoin(outside).select(
-        "n_exact",
-        (F.col("n_outside") == 0).alias("subset_ok"),
-        (F.col("n_hit") >= 0.75 * F.col("n_exact")).alias("recall_ok"),
+    # r17 perf: ONE full-outer join + ONE aggregate. The previous shape
+    # (left-join agg for recall + separate left_anti agg for subset-ness,
+    # crossJoined) consumed each pair set TWICE, so the exact block-pair
+    # matmul and the whole LSH band pipeline executed twice per run
+    # (guide §2.4 duplicated-subtree smell; measured 72 s combined vs
+    # 25 s for one pass of each side on the same host window). Both sides
+    # are unique on (v1, v2), so the outer join preserves exact counts:
+    # n_exact = exact rows, n_hit = rows present in both, n_outside =
+    # approx rows with no exact partner.
+    return (
+        exact.join(approx, ["v1", "v2"], "full_outer")
+        .agg(
+            F.coalesce(F.sum("ex"), F.lit(0)).alias("n_exact"),
+            F.coalesce(
+                F.sum(F.when(F.col("ex").isNotNull() & F.col("ap").isNotNull(), 1)),
+                F.lit(0),
+            ).alias("n_hit"),
+            F.coalesce(
+                F.sum(F.when(F.col("ex").isNull() & F.col("ap").isNotNull(), 1)),
+                F.lit(0),
+            ).alias("n_outside"),
+        )
+        .select(
+            "n_exact",
+            (F.col("n_outside") == 0).alias("subset_ok"),
+            (F.col("n_hit") >= 0.75 * F.col("n_exact")).alias("recall_ok"),
+        )
     )
 
 
@@ -706,19 +737,6 @@ def _pinned_recall(pins: dict, sf_dir: str) -> "float | None":
     import os
 
     return pins.get(os.path.basename(os.path.normpath(sf_dir)))
-
-
-def _recall_counts(exact: DataFrame, approx: DataFrame, name: str) -> DataFrame:
-    """(n_exact, n_hit) of `approx` against `exact` over (query_id, vec_id).
-
-    Every query contributes exactly k exact rows, so the micro-average
-    n_hit/n_exact equals the per-query mean recall@k.
-    """
-    hits = approx.select("query_id", "vec_id").withColumn("hit", F.lit(1))
-    return exact.join(hits, ["query_id", "vec_id"], "left").agg(
-        F.count("*").alias(f"n_exact_{name}"),
-        F.coalesce(F.sum("hit"), F.lit(0)).alias(f"n_hit_{name}"),
-    )
 
 
 @register(
@@ -753,23 +771,39 @@ def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp = (source_fingerprint(sf_dir, "embeddings"),)
     exact = similarity.brute_force_topk(e, queries, k=10).select("query_id", "vec_id")
-    probed = similarity.ivf_topk(e, queries, k=10, n_probe=4, cache_key=(sf_dir, *fp))
-    full = similarity.ivf_topk(e, queries, k=10, n_probe=16, cache_key=(sf_dir, *fp))
+    # r17 perf: chain both hit joins onto ONE consumption of the exact
+    # subtree and aggregate once (guide §2.4): the previous shape consumed
+    # `exact` THREE times (c4, c16, nq), so the brute-force scoring pass
+    # executed three times per run. Each topk side is unique on
+    # (query_id, vec_id), so the left joins never multiply exact rows and
+    # count(*) / countDistinct are unchanged; n_exact_p4 == n_exact_p16 ==
+    # count(*) of exact, as before.
+    probed = (
+        similarity.ivf_topk(e, queries, k=10, n_probe=4, cache_key=(sf_dir, *fp))
+        .select("query_id", "vec_id", F.lit(1).alias("hit4"))
+    )
+    full = (
+        similarity.ivf_topk(e, queries, k=10, n_probe=16, cache_key=(sf_dir, *fp))
+        .select("query_id", "vec_id", F.lit(1).alias("hit16"))
+    )
     pinned = _pinned_recall(IVF_RECALL_PINNED, sf_dir)
-    c4 = _recall_counts(exact, probed, "p4")
-    c16 = _recall_counts(exact, full, "p16")
-    nq = exact.agg(F.countDistinct("query_id").alias("n_queries"))
-    r4 = F.col("n_hit_p4") / F.col("n_exact_p4")
+    agg = (
+        exact.join(probed, ["query_id", "vec_id"], "left")
+        .join(full, ["query_id", "vec_id"], "left")
+        .agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count("*").alias("n_exact"),
+            F.coalesce(F.sum("hit4"), F.lit(0)).alias("n_hit_p4"),
+            F.coalesce(F.sum("hit16"), F.lit(0)).alias("n_hit_p16"),
+        )
+    )
+    r4 = F.col("n_hit_p4") / F.col("n_exact")
     if pinned is None:
         band_ok = r4 >= F.lit(RECALL_FLOOR)
     else:
         band_ok = F.abs(r4 - F.lit(pinned)) <= F.lit(RECALL_BAND)
-    full_ok = F.col("n_hit_p16") >= F.col("n_exact_p16") - 2
-    return (
-        nq.crossJoin(c4)
-        .crossJoin(c16)
-        .select("n_queries", (band_ok & full_ok).alias("recall_ok"))
-    )
+    full_ok = F.col("n_hit_p16") >= F.col("n_exact") - 2
+    return agg.select("n_queries", (band_ok & full_ok).alias("recall_ok"))
 
 
 @register(

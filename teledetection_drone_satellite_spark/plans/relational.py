@@ -1018,8 +1018,20 @@ def levenshtein_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_distinct_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, ("lineitem",))["lineitem"]
     rsd = 0.02
-    agg = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("exact_nd"),
+    # r17 perf: distinct-first, then aggregate. The fused
+    # countDistinct+approx_count_distinct form triggers Spark's
+    # mixed-distinct rewrite, which computes partial_approx_count_distinct
+    # keyed by (l_returnflag, l_orderkey) — one 408-word HLL buffer PER
+    # DISTINCT KEY (~600k groups x 3.3 KB) shipped through the exchange
+    # (plans/r17/approx_distinct_band_before.txt, Results [412]). Feeding
+    # the HLL the already-distinct keys is value-identical (HLL registers
+    # are a max over hashed values; duplicates never move them) and keeps
+    # the sketch buffer per FLAG, not per key: 412-col exchange -> 2 cols.
+    distinct_keys = li.select("l_returnflag", "l_orderkey").distinct()
+    agg = distinct_keys.groupBy("l_returnflag").agg(
+        # count(col), not count(*): countDistinct ignores NULL keys, and a
+        # NULL orderkey would survive the distinct as its own (flag, NULL) row
+        F.count("l_orderkey").alias("exact_nd"),
         F.approx_count_distinct("l_orderkey", rsd).alias("_est"),
     )
     band = (

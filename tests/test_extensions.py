@@ -203,6 +203,24 @@ def test_cosine_near_dup_symmetric_threshold(embeddings):
     assert all(r["cosine"] >= 0.4 for r in pairs)
 
 
+def test_widened_raw_pass_recovers_stricter_membership(embeddings):
+    """r17 contract for round_cosine=False: ONE widened pass whose raw cosine
+    is re-filtered at a stricter threshold must yield exactly the pair set a
+    direct pass at that stricter threshold emits (the fusion semdedup's
+    verifier relies on — same matmul, so the value is bit-identical)."""
+    direct = {
+        (r["v1"], r["v2"])
+        for r in similarity.cosine_near_dup_pairs(embeddings, threshold=0.45).collect()
+    }
+    widened = similarity.cosine_near_dup_pairs(
+        embeddings, threshold=0.45 - 1e-9, round_cosine=False
+    ).collect()
+    refiltered = {(r["v1"], r["v2"]) for r in widened if r["cosine"] >= 0.45}
+    assert refiltered == direct
+    # and the widened set is a superset (possibly equal) of the strict set
+    assert {(r["v1"], r["v2"]) for r in widened} >= direct
+
+
 def test_block_pair_exact_matches_naive(embeddings):
     """The distributed block-pair plan must find EXACTLY the pairs a naive
     driver-side all-pairs matmul finds (the plan it replaced)."""
