@@ -93,10 +93,14 @@ def pagerank_fixed_point(
                     )
                 ).cast("long").alias("_r"),
             )
-            # EAGER: materialize this generation now — a lazy
-            # checkpoint defers to the final action, which then
-            # re-runs every earlier round's join once per generation
-            .localCheckpoint(eager=True)
+            # r17: LAZY generation cut — the consumer's one action
+            # materializes the whole fixed-iteration chain in a single
+            # job (each generation's blocks persist as its stages
+            # compute, so nothing re-runs), instead of paying one
+            # scheduled job per iteration. The lineage still truncates
+            # at every generation, so the plan handed to later
+            # consumers stays shallow exactly as with eager=True.
+            .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.col("_r").alias("rank"))
 

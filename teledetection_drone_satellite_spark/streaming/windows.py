@@ -141,13 +141,25 @@ def _run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
     scoped to it; the sink table registers in that same session's catalog."""
     spark_ = result.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
+    writer = (
         result.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .start()
     )
+    # Optional checkpoint root for the bounded replay (state store + offset/
+    # commit logs). Unset -> Spark's per-query temp dir under java.io.tmpdir,
+    # exactly as before. A deployment with a fast scratch device (tmpfs,
+    # NVMe) points this at it; an unbounded production stream would instead
+    # use a DURABLE checkpointLocation — this knob only shapes the
+    # availableNow replay harness, never result content (each run still gets
+    # a fresh unique dir, so no state survives across runs).
+    ckpt_root = os.environ.get("SPARK_GRAFT_STREAM_CHECKPOINT_ROOT")
+    if ckpt_root:
+        writer = writer.option(
+            "checkpointLocation", os.path.join(ckpt_root, name)
+        )
+    q = writer.start()
     q.awaitTermination()
     RECENT_STREAM_RUNS.append((name, _progress_summary(q)))
     del RECENT_STREAM_RUNS[:-_RECENT_MAX]

@@ -137,3 +137,31 @@ def test_hash_r6_known_properties():
     assert len(a) == 32 and a == pc.hash_r6(b"", b"saltsalt")
     assert a != pc.hash_r6(b"", b"SALTSALT")
     assert a != pc.hash_r6(b"x", b"saltsalt")
+
+
+def test_aes_cbc_evp_matches_pure_python():
+    """r17: the libcrypto EVP fast path must be byte-identical to the pure
+    T-table reference on both directions, every supported key size, padded
+    and raw, across deterministic pseudo-random vectors (including the
+    pad=False multi-block shape hash_r6 drives)."""
+    import random
+
+    rng = random.Random(20260817)
+    for keylen in (16, 24, 32):
+        for trial in range(6):
+            key = bytes(rng.randrange(256) for _ in range(keylen))
+            iv = bytes(rng.randrange(256) for _ in range(16))
+            for nbytes, pad in ((0, True), (1, True), (48, True), (317, True),
+                                (16, False), (4096, False)):
+                data = bytes(rng.randrange(256) for _ in range(nbytes))
+                ct = pc.aes_cbc_encrypt(data, key, iv, pad=pad)
+                # force the pure path by disabling the EVP handle
+                saved = pc._EVP_STATE
+                pc._EVP_STATE = []
+                try:
+                    ct_pure = pc.aes_cbc_encrypt(data, key, iv, pad=pad)
+                    assert ct == ct_pure
+                    assert pc.aes_cbc_decrypt(ct, key, iv, pad=pad) == data
+                finally:
+                    pc._EVP_STATE = saved
+                assert pc.aes_cbc_decrypt(ct, key, iv, pad=pad) == data
