@@ -199,7 +199,14 @@ def bpe_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges = text.train_bpe({r["w"]: r["count"] for r in wc}, n_merges=50)
     first_merge = merges[0][0] + merges[0][1] if merges else ""
-    enc = text.bpe_encode(d, merges)
+    # r17: fan_out — per-word Python BPE over the whole corpus is the heavy
+    # kernel here and the small documents fixture scans as ONE partition;
+    # without the spread the encode serializes on a single core (fan_out
+    # import stays in catalog to keep the operator generic for multi-leaf
+    # callers).
+    from ..catalog import fan_out
+
+    enc = text.bpe_encode(fan_out(d), merges)
     return (
         d.select("doc_id", "source")
         .join(enc, "doc_id")

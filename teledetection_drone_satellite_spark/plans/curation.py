@@ -1168,6 +1168,11 @@ def email_thread_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .filter(F.col("doc_id") < 100)
     )
+    # r17: spread the mbox synth+parse edge generator (MIME decode per
+    # message is ms/row Python and the input scans as one partition)
+    from ..catalog import fan_out
+
+    d = fan_out(d)
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         from ..sources.mbox import parse_mbox, synth_mbox

@@ -8421,6 +8421,10 @@ def wat_link_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 120)
     )
 
+    # r17: measured fan_out here and REVERTED it — this query's per-row WAT
+    # work is light enough that the round-robin exchange + 32-way Arrow
+    # batching cost ~0.15 s more than single-partition execution saves
+    # (min-of-4 A/B; the _docs_as_assets light-regime rationale holds).
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import hashlib
 
@@ -8576,6 +8580,9 @@ def pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .filter(F.col("doc_id") < 120)
     )
+    # r17: fan_out — WAT synth + JSON envelope parse is ms/row of Python,
+    # serialized on one scan partition without it (see anim_webp_frame_stats).
+    ids = fan_out(ids)
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf_ in batches:
@@ -9271,6 +9278,9 @@ def crawl_frontier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .filter(F.col("doc_id") < 120)
     )
+    # r17: fan_out — sitemap/feed/WAT synth + parse + robots filtering is
+    # ms/row of Python, serialized on one scan partition without it.
+    ids = fan_out(ids)
 
     robots_txt = (b"User-agent: *\nDisallow: /x\nAllow: /x2\n"
                   b"Disallow: /post/3\n")
@@ -10289,6 +10299,10 @@ def triangle_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 120)
     )
 
+    # r17: measured fan_out here and REVERTED it — this query's per-row WAT
+    # work is light enough that the round-robin exchange + 32-way Arrow
+    # batching cost ~0.15 s more than single-partition execution saves
+    # (min-of-4 A/B; the _docs_as_assets light-regime rationale holds).
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf_ in batches:
             rows = []
