@@ -9024,9 +9024,11 @@ def webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .filter(F.col("doc_id") < 100)
     )
-    # r17: fan_out — tar member synth + archive explode is ms/row of Python,
-    # serialized on one scan partition without it (see anim_webp_frame_stats).
-    ids = fan_out(ids)
+    # r17: fan_out measured here and REVERTED — isolated min-of-4 was parity
+    # (1.92 -> 1.83 s) and the interleaved bench read worse; the tar synth is
+    # closer to the light regime than its wall time suggested (the cost is in
+    # the downstream explode_archives stage, which already follows the
+    # exploded rows' own partitioning).
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import io
@@ -13228,17 +13230,37 @@ def pyds_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             _os.replace(src, _os.path.join(
                 root, "arrival-%02d.parquet" % k))
         open(done, "w").close()
+    # r17: drain with the measured JVM-agg state-partition count (4 —
+    # windows.py: commit-dominated streams pay one state-store
+    # snapshot/commit per partition per micro-batch; this agg has 5
+    # groups, so 32 stores were 87% empty commits × 3 batches). Same
+    # values in any partitioning; env override flips a high-key
+    # deployment exactly as for the other streams. A stream_session
+    # clone is UNUSABLE here (unlike the parquet-reading streams):
+    # Python DataSource name lookup at load() is per-session while the
+    # register-time existence check is shared, so a clone can neither
+    # see the parent's 'rawparquet' nor re-register it (measured:
+    # DATA_SOURCE_NOT_FOUND / DATA_SOURCE_ALREADY_EXISTS). availableNow
+    # + awaitTermination fully drains inside _run_to_memory, so a
+    # scoped save/restore of the parent conf cannot leak into any
+    # other query.
     spark.dataSource.register(RawParquetDataSource)
-    stream = spark.readStream.format("rawparquet").load(root)
-    agg = (
-        stream.groupBy("lang")
-        .agg(F.count("*").alias("n_docs"),
-             F.sum("doc_id").alias("id_sum"),
-             F.sum("n_chars").alias("chars_sum"))
-    )
-    # the shared drain helper also records the progress trail the
-    # plan audit's streaming branch reads (state rows/commits)
-    return _run_to_memory(agg, "complete")
+    n_state = _os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n_state)
+    try:
+        stream = spark.readStream.format("rawparquet").load(root)
+        agg = (
+            stream.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("doc_id").alias("id_sum"),
+                 F.sum("n_chars").alias("chars_sum"))
+        )
+        # the shared drain helper also records the progress trail the
+        # plan audit's streaming branch reads (state rows/commits)
+        return _run_to_memory(agg, "complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @register(
