@@ -79,7 +79,8 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return dfs
 
 
-def fan_out(df: DataFrame, min_fill: float = 0.5) -> DataFrame:
+def fan_out(df: DataFrame, min_fill: float = 0.5, approx_rows: int | None = None,
+            rows_per_task: int = 8) -> DataFrame:
     """Repartition a narrow input up to cluster parallelism for CPU-heavy operators.
 
     Small parquet files scan as one partition (size < maxPartitionBytes), which
@@ -88,6 +89,16 @@ def fan_out(df: DataFrame, min_fill: float = 0.5) -> DataFrame:
     pre-split and this is a no-op (the partition count already exceeds the
     threshold) — the round-robin shuffle only pays for itself when upstream
     parallelism is a small fraction of the cores available.
+
+    ``approx_rows`` caps the fan-out width at ceil(approx_rows / rows_per_task)
+    so a SMALL input (tens of rows of ms-per-row work) is not sharded into
+    near-empty tasks: each mapInPandas task pays a Python-worker handshake and,
+    on a contended host, a straggler-latency lottery PER TASK, so 60 rows split
+    32 ways across several chained Python stages reads as the max of ~96 task
+    latencies. Measured on anim_webp_frame_stats (60 rows, 3 Python stages):
+    min/med 8.1/16.3 s at width 32 vs 1.3/1.5 s at width 8 in the same window
+    (un-fanned: 4.3/5.6). At production scale inputs arrive pre-split, the
+    width cap exceeds cluster parallelism, and both knobs are no-ops.
 
     Contract: call this on a SINGLE-relation plan (one table scan), directly
     after the scan. ``inputFiles()`` counts files across the WHOLE plan, so on
@@ -106,6 +117,8 @@ def fan_out(df: DataFrame, min_fill: float = 0.5) -> DataFrame:
             "leaf relations — apply fan_out to each input BEFORE joining/unioning"
         )
     target = df.sparkSession.sparkContext.defaultParallelism
+    if approx_rows is not None:
+        target = min(target, max(1, -(-int(approx_rows) // max(1, rows_per_task))))
     # Plan-metadata heuristic, NOT df.rdd.getNumPartitions(): the RDD conversion
     # forces a full driver-side physical planning pass per call and breaks
     # whole-stage pipelining into the repartition. inputFiles() reads the scan

@@ -1172,7 +1172,7 @@ def email_thread_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # message is ms/row Python and the input scans as one partition)
     from ..catalog import fan_out
 
-    d = fan_out(d)
+    d = fan_out(d, approx_rows=100)
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         from ..sources.mbox import parse_mbox, synth_mbox

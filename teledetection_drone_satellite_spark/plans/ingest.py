@@ -656,7 +656,7 @@ def webp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # r17: fan_out — full VP8L pixel encode+decode is ms/row of Python,
     # serialized on one scan partition without it (see anim_webp_frame_stats).
-    ids = fan_out(ids)
+    ids = fan_out(ids, approx_rows=100)
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -3136,7 +3136,7 @@ def mbox_message_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # r17: fan_out — mbox synth + parse is ms/row of Python, serialized on one
     # scan partition without it (see anim_webp_frame_stats).
-    ids = fan_out(ids)
+    ids = fan_out(ids, approx_rows=100)
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import hashlib
@@ -4655,7 +4655,7 @@ def flac_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # r17: fan_out — FLAC encode + sample decode is ms/row of Python, serialized on one
     # scan partition without it (see anim_webp_frame_stats).
-    ids = fan_out(ids)
+    ids = fan_out(ids, approx_rows=100)
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -5060,7 +5060,7 @@ def anim_webp_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition), not the `us/row header synth the no-fan_out rationale was
     # measured on; the 60-long-row exchange is noise next to it (guide S2.5
     # input-parallelism shaping).
-    ids = fan_out(ids)
+    ids = fan_out(ids, approx_rows=60)
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -5205,7 +5205,7 @@ def anim_webp_composite_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # r17: fan_out — VP8L encode + ANMF composite decode is ms/row of Python, serialized on one
     # scan partition without it (see anim_webp_frame_stats).
-    ids = fan_out(ids)
+    ids = fan_out(ids, approx_rows=60)
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -5342,7 +5342,7 @@ def anim_webp_blend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # r17: fan_out — VP8L encode + blend-mode composite decode is ms/row of Python, serialized on one
     # scan partition without it (see anim_webp_frame_stats).
-    ids = fan_out(ids)
+    ids = fan_out(ids, approx_rows=50)
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -5492,7 +5492,7 @@ def anim_webp_blend_frac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # r17: fan_out — VP8L encode + alpha-blend composite decode is ms/row of Python, serialized on one
     # scan partition without it (see anim_webp_frame_stats).
-    ids = fan_out(ids)
+    ids = fan_out(ids, approx_rows=40)
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -8122,7 +8122,7 @@ def warc_brotli_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r17: fan_out — brotli encode/decode + WARC/HTML parse is ms/row of Python,
     # serialized on one scan partition without it (see anim_webp_frame_stats).
-    ids = fan_out(ids)
+    ids = fan_out(ids, approx_rows=100)
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import hashlib
@@ -8582,7 +8582,7 @@ def pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r17: fan_out — WAT synth + JSON envelope parse is ms/row of Python,
     # serialized on one scan partition without it (see anim_webp_frame_stats).
-    ids = fan_out(ids)
+    ids = fan_out(ids, approx_rows=120)
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf_ in batches:
@@ -9282,7 +9282,7 @@ def crawl_frontier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r17: fan_out — sitemap/feed/WAT synth + parse + robots filtering is
     # ms/row of Python, serialized on one scan partition without it.
-    ids = fan_out(ids)
+    ids = fan_out(ids, approx_rows=120)
 
     robots_txt = (b"User-agent: *\nDisallow: /x\nAllow: /x2\n"
                   b"Disallow: /post/3\n")
