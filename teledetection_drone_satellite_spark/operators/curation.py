@@ -50,6 +50,21 @@ def connected_components(
     pathological chain graphs at the cost of rewriting the edge set each round;
     dup graphs don't have such chains, so the cheaper-per-round form wins here.
 
+    Chain acceleration (r17): from round 2 onward each hop is followed by ONE
+    label pointer-jump — ``component <- component[component]`` via a self-join
+    of the label table on (component = node) — which doubles the propagated
+    distance per round (hop advances 1, jump doubles), so a depth-d chain
+    converges in O(log d) rounds instead of d (an 8-deep reply-thread chain:
+    8 rounds -> 4, measured on email_thread_stats). Correctness: every
+    component value is a node id present in the label table (labels are seeded
+    from all nodes and only ever take mins over existing labels), the jump is
+    monotone non-increasing like the hop, and the sum-based fixed-point test
+    still terminates exactly at convergence — an unchanged sum means hop AND
+    jump were both identities, and a hop identity IS the CC fixed point.
+    Deferred past round 1 so shallow dup-cluster graphs (diameter 1-2, the
+    common case, converged by round 2) never pay the extra self-join exchange
+    in their propagation round.
+
     Convergence detection: labels are monotonically non-increasing (each round
     takes a min over a set containing the current label), so the label SUM is
     strictly decreasing until the fixed point — one scalar aggregate per round
@@ -105,10 +120,21 @@ def connected_components(
     # union), and whether the duplicated exchanges are reused is up to AQE
     # stage reuse; measured on the bench graphs the fusion was a wash at
     # best, so the round structure stays identical to the 1-hop baseline.
+    def _jump(lbl: DataFrame) -> DataFrame:
+        parent = lbl.select(
+            F.col("node").alias("p_node"), F.col("component").alias("p_comp")
+        )
+        return lbl.join(parent, lbl["component"] == parent["p_node"]).select(
+            "node", F.col("p_comp").alias("component")
+        )
+
     labels = labels.localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for it in range(max_iter):
-        labels = _hop(labels).localCheckpoint(eager=False)
+        nxt = _hop(labels)
+        if it >= 1:
+            nxt = _jump(nxt)
+        labels = nxt.localCheckpoint(eager=False)
         new_sum = labels.agg(F.sum("component")).collect()[0][0]
         if new_sum == prev_sum:
             # rounds = propagation rounds run INCLUDING the fixed-point

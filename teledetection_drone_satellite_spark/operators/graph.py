@@ -62,6 +62,11 @@ def pagerank_fixed_point(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        # r17: cut ONCE — the node seed and every iteration's left join read
+        # this; without the cut each generation's plan re-runs the
+        # union+distinct exchange over the edge checkpoint (one extra shuffle
+        # per iteration). The count below is the materializing action.
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()  # bounded: one scalar (node-set cardinality)
     if n == 0:
@@ -69,8 +74,10 @@ def pagerank_fixed_point(
     init = scale // n
     base = (100 - damping_pct) * init // 100
     outdeg = edges.groupBy("src").agg(F.count("*").alias("_d"))
-    # contributions reuse this join input every iteration
-    contrib_src = edges.join(outdeg, "src")
+    # contributions reuse this join input every iteration; cut it lazily so
+    # the outdeg aggregation + join execute once (materialized by the first
+    # generation's stages), not once per iteration plan (r17)
+    contrib_src = edges.join(outdeg, "src").localCheckpoint(eager=False)
     ranks = nodes.withColumn("_r", F.lit(init).cast("long"))
     for _ in range(int(iterations)):
         sums = (

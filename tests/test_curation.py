@@ -35,6 +35,18 @@ def test_cc_single_edge(spark):
     assert got == {3: 3, 7: 3}
 
 
+def test_cc_deep_chain_logarithmic_rounds(spark):
+    # r17 pointer-jump acceleration: a 24-deep path must converge in
+    # O(log d) propagation rounds (hop advances 1, jump doubles -> ~6
+    # incl. confirmation), not the ~24 the plain hop loop needed. Pins
+    # both the result and the round count so a regression to linear
+    # rounds fails loudly instead of just running slower.
+    edges = spark.createDataFrame([(i, i + 1) for i in range(24)], ["d1", "d2"])
+    got = {r["node"]: r["component"] for r in curation.connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(25)}
+    assert curation.LAST_CC_STATS["rounds"] <= 7
+
+
 def test_cc_max_iter_raises(spark):
     # a 6-node chain needs ~5 propagation rounds; max_iter=1 must fail loudly,
     # never return partially-propagated labels
