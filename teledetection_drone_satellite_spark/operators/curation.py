@@ -264,7 +264,17 @@ def incremental_dedup(
     bkeys = batch.select("doc_id", exact_dedup_key(F.col("text")).alias("content_key"))
     exact = bkeys.join(ckeys, "content_key", "left").select("doc_id", "exact_match")
 
-    union = corpus.select("doc_id", "text").unionByName(batch.select("doc_id", "text"))
+    # r17: tag each side INTO the postings structs and let the pair generator
+    # emit cross-side pairs only — within-corpus and within-batch pairs are
+    # never materialized, never aggregated, and the two broadcast orientation
+    # joins the old shape needed to discard them are gone (guide §1.2: don't
+    # compute things you throw away).
+    union = (
+        corpus.select("doc_id", "text").withColumn("is_batch", F.lit(False))
+        .unionByName(
+            batch.select("doc_id", "text").withColumn("is_batch", F.lit(True))
+        )
+    )
     # the union has two leaf relations, so fan_out's single-scan contract
     # rejects it — shape the parallelism here and tell the postings plan so.
     # Width follows the INPUT's split count (4x input partitions, floored
@@ -277,21 +287,14 @@ def incremental_dedup(
                 max(8, 4 * union.rdd.getNumPartitions()))
     union = union.repartition(width)
     pairs = ngram_jaccard_pairs(
-        union, threshold=threshold, n=n, max_df=max_df, pre_scaled=True
+        union, threshold=threshold, n=n, max_df=max_df, pre_scaled=True,
+        side_col="is_batch",
     )
-    b_ids = batch.select(F.col("doc_id").alias("bid"))
-    # orient pairs: keep those with EXACTLY one side in the batch
-    oriented = (
-        pairs.join(F.broadcast(b_ids).withColumnRenamed("bid", "b1"),
-                   F.col("d1") == F.col("b1"), "left")
-        .join(F.broadcast(b_ids).withColumnRenamed("bid", "b2"),
-              F.col("d2") == F.col("b2"), "left")
-        .filter(F.col("b1").isNull() != F.col("b2").isNull())
-        .select(
-            F.when(F.col("b1").isNotNull(), F.col("d1")).otherwise(F.col("d2")).alias("bdoc"),
-            F.when(F.col("b1").isNotNull(), F.col("d2")).otherwise(F.col("d1")).alias("cdoc"),
-            "jaccard",
-        )
+    # cross-side by construction; orient by the carried side flags
+    oriented = pairs.select(
+        F.when(F.col("s1"), F.col("d1")).otherwise(F.col("d2")).alias("bdoc"),
+        F.when(F.col("s1"), F.col("d2")).otherwise(F.col("d1")).alias("cdoc"),
+        "jaccard",
     )
     from pyspark.sql.window import Window
 

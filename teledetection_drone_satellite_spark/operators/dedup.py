@@ -58,7 +58,8 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
-                        max_df: int = 1000, pre_scaled: bool = False) -> DataFrame:
+                        max_df: int = 1000, pre_scaled: bool = False,
+                        side_col: str | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (d1 < d2, jaccard >= threshold).
 
     Postings-list plan — one explode, two shuffles total:
@@ -70,40 +71,71 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
          higher-order functions (no self-join of the exploded index), then one
          groupBy (d1,d2) counts the intersection. Sizes ride along inside the
          postings structs, so no join back against a per-doc size table.
+
+    ``side_col`` (r17): name of a BOOLEAN column on ``df`` partitioning the
+    docs into two sides; when set, only CROSS-side pairs are generated inside
+    each postings list and the output carries ``s1``/``s2`` (d1's/d2's side).
+    For the incremental-admission shape (new batch vs accumulated corpus)
+    this skips materializing and aggregating every within-corpus and
+    within-batch pair — at scale the corpus×corpus volume dwarfs the wanted
+    cross terms, and the caller previously paid two broadcast joins plus a
+    filter just to throw them away after the intersection aggregate.
     """
     words = F.split(F.col("text"), " ")
     # pre_scaled: the caller already shaped parallelism (e.g. a multi-relation
     # union, which fan_out's single-scan contract rejects); skip the internal fan-out
     base = df if pre_scaled else fan_out(df)
+    d_fields = [F.col("doc_id").alias("id"), F.size("sh").alias("n")]
+    if side_col is not None:
+        d_fields.append(F.col(side_col).alias("s"))
     docs = base.select(
-        F.col("doc_id"), shingles(words, n).alias("sh")
+        F.col("doc_id"), shingles(words, n).alias("sh"),
+        *([F.col(side_col)] if side_col is not None else []),
     ).filter(F.size("sh") > 0)
     postings = (
         docs.select(
-            F.struct(F.col("doc_id").alias("id"), F.size("sh").alias("n")).alias("d"),
+            F.struct(*d_fields).alias("d"),
             F.explode("sh").alias("shingle"),
         )
         .groupBy("shingle")
         .agg(F.collect_list("d").alias("ds"))
         .filter((F.size("ds") >= 2) & (F.size("ds") <= max_df))
     )
+
     # all ordered pairs within a postings list; ordering by id value, not list
     # position, so the result is invariant to collect_list's arrival order
+    def _mate_pred(a, b):
+        keep = b["id"] > a["id"]
+        if side_col is not None:
+            keep = keep & (b["s"] != a["s"])
+        return keep
+
+    def _pair_struct(a, b):
+        fields = [
+            a["id"].alias("d1"), b["id"].alias("d2"),
+            a["n"].alias("n1"), b["n"].alias("n2"),
+        ]
+        if side_col is not None:
+            fields += [a["s"].alias("s1"), b["s"].alias("s2")]
+        return F.struct(*fields)
+
     pair_arrays = F.flatten(
         F.transform(
             F.col("ds"),
             lambda a: F.transform(
-                F.filter(F.col("ds"), lambda b: b["id"] > a["id"]),
-                lambda b: F.struct(
-                    a["id"].alias("d1"), b["id"].alias("d2"),
-                    a["n"].alias("n1"), b["n"].alias("n2"),
-                ),
+                F.filter(F.col("ds"), lambda b: _mate_pred(a, b)),
+                lambda b: _pair_struct(a, b),
             ),
         )
     )
+    group_keys = ["p.d1", "p.d2", "p.n1", "p.n2"]
+    side_out: list = []
+    if side_col is not None:
+        group_keys += ["p.s1", "p.s2"]
+        side_out = ["s1", "s2"]
     inter = (
         postings.select(F.explode(pair_arrays).alias("p"))
-        .groupBy("p.d1", "p.d2", "p.n1", "p.n2")
+        .groupBy(*group_keys)
         .agg(F.count("*").alias("inter"))
     )
     return (
@@ -112,7 +144,7 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
             F.round(F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")), 6),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("d1", "d2", "jaccard")
+        .select("d1", "d2", "jaccard", *side_out)
     )
 
 

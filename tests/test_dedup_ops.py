@@ -25,3 +25,32 @@ def test_paragraph_dedup(spark):
     assert got[3].text == "delta"
     # doc 4: 'alpha' lost to doc 0; empty para not counted
     assert got[4].n_paras == 2 and got[4].text == "epsilon"
+
+
+def test_ngram_jaccard_pairs_side_col_cross_only(spark):
+    # r17 incremental-dedup path: with side_col set, only CROSS-side pairs
+    # come out (within-side near-dups are never generated), each carrying its
+    # endpoints' side flags; without side_col the same input yields the
+    # within-side pair too and no side columns (public contract unchanged).
+    from pyspark.sql import functions as F
+
+    from teledetection_drone_satellite_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (1, "a b c d e f", False),   # corpus
+        (2, "a b c d e f", False),   # corpus near-dup of 1 (within-side)
+        (10, "a b c d e zz", True),  # batch near-dup of 1 and 2 (cross)
+        (11, "q r s t u v", True),   # batch, unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_batch boolean")
+    cross = ngram_jaccard_pairs(
+        df, threshold=0.5, n=3, pre_scaled=True, side_col="is_batch"
+    ).collect()
+    got = {(r.d1, r.d2): (r.s1, r.s2) for r in cross}
+    assert got == {(1, 10): (False, True), (2, 10): (False, True)}
+
+    plain = ngram_jaccard_pairs(df, threshold=0.5, n=3, pre_scaled=True)
+    assert set(plain.columns) == {"d1", "d2", "jaccard"}
+    assert {(r.d1, r.d2) for r in plain.collect()} == {(1, 2), (1, 10), (2, 10)}
