@@ -37,14 +37,34 @@ def load(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = FIXTURE_TAB
 
     The explicit schema doubles as a contract check: a column drift in the test data
     surfaces as an analysis error, not silent nulls.
+
+    r17 perf: the RESOLVED PLAN for each (sf_dir, table) is memoized per
+    session, keyed on the file's (size, mtime_ns) fingerprint. Building
+    ``spark.read.parquet(path)`` costs ~150-500 ms per call on this host
+    (driver-side file-index construction + footer schema inference through
+    py4j) and the registry pays it for every table of every query — the
+    single largest component of the measured ~0.3-0.5 s per-query floor.
+    A warehouse engine resolves a table's schema ONCE in its catalog; this
+    memo is that catalog. NO DATA is cached: the stored object is a lazy
+    DataFrame plan, every action still scans the parquet bytes, and a
+    fixture rewrite (new size/mtime_ns) misses the memo and re-resolves.
+    The memo lives on the session object itself, so a different session
+    (the grading driver's own, a stream_session clone) resolves its own
+    plans and conf scoping is never crossed.
     """
     # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader rejects
     # (PARQUET_TYPE_ILLEGAL); read nanos as long and convert below. Set here (not in
     # the session factory) because the grading driver owns its own SparkSession.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    cache: dict = spark.__dict__.setdefault("_graft_table_plans", {})
     out: dict[str, DataFrame] = {}
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
+        fp = source_fingerprint(sf_dir, name)
+        hit = cache.get((sf_dir, name))
+        if hit is not None and hit[0] == fp:
+            out[name] = hit[1]
+            continue
         # Schema asserted after read (parquet is self-describing; passing the schema
         # to the reader would silently null-fill mismatches instead of failing).
         df = spark.read.parquet(path)
@@ -67,6 +87,7 @@ def load(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = FIXTURE_TAB
         want = {f.name for f in expected.fields}
         if not want <= got:
             raise ValueError(f"table {name}: missing columns {want - got} in {path}")
+        cache[(sf_dir, name)] = (fp, df)
         out[name] = df
     return out
 
