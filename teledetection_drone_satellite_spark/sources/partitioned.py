@@ -59,5 +59,18 @@ def materialize_date_partitioned(
 def read_date_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Plain parquet read of the partitioned layout — the partition column comes
     back from directory names, and filters on it become PartitionFilters (pruned
-    at file listing, before any I/O)."""
-    return spark.read.parquet(path)
+    at file listing, before any I/O).
+
+    The resolved plan is memoized per (session, path): the layout path embeds
+    the SOURCE fingerprint (date_partitioned_path), so an identical path can
+    never serve different data — a fixture rewrite produces a new directory
+    and a memo miss. Resolution of a many-directory partitioned layout is the
+    expensive driver-side listing the r17 catalog memo eliminates for the
+    flat tables (catalog.py load docstring); no data is cached."""
+    cache: dict = spark.__dict__.setdefault("_graft_table_plans", {})
+    hit = cache.get(("__layout__", path))
+    if hit is not None:
+        return hit[1]
+    df = spark.read.parquet(path)
+    cache[("__layout__", path)] = ("layout", df)
+    return df
