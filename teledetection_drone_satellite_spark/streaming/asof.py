@@ -165,6 +165,32 @@ def stream_asof_enrich(
             F.col("value").alias("p_val"),
         )
         .withWatermark("p_ts", "0 seconds")
+        # r17 perf: drop the sentinel rows AFTER the watermark operator.
+        # EventTimeWatermarkExec collects max event time from every row it
+        # processes, so the right-side watermark still advances past every
+        # click timestamp (the sentinels' only job), but the ~95% non-purchase
+        # rows no longer enter the interval join, whose state must retain
+        # right rows until the LEFT watermark passes ts + lookback — with a
+        # 3650-day lookback that meant buffering and re-listing the ENTIRE
+        # sentinel stream in the key=-1 state partition for the whole drain.
+        # Join output is unchanged: key -1 never matches a click, and the
+        # right side of a left-outer join emits no unmatched rows. The filter
+        # must STAY above the watermark operator: PushPredicateThroughNonJoin
+        # pushes any deterministic predicate that does not reference the
+        # event-time column below EventTimeWatermark, which would starve the
+        # watermark back to purchase timestamps and hang the tail clicks'
+        # null emissions forever (pinned by tests/test_streaming.py::
+        # test_stream_asof_tail_click_after_last_purchase_emits). Hence the
+        # predicate is phrased THROUGH p_ts — `WHEN p_ts IS NOT NULL THEN
+        # p_uid >= 0 ELSE true` is semantically `p_uid >= 0` (ts is never
+        # null) but references the watermark attribute, which that rule
+        # refuses to push. (A `| rand() > 2` nondeterminism guard does NOT
+        # survive Spark 4.1: the impossible comparison constant-folds and
+        # the remainder gets pushed — measured, not assumed.)
+        .filter(
+            F.when(F.col("p_ts").isNotNull(), F.col("p_uid") >= F.lit(0))
+            .otherwise(F.lit(True))
+        )
     )
     joined = clicks.join(
         rhs,
