@@ -50,20 +50,25 @@ def connected_components(
     pathological chain graphs at the cost of rewriting the edge set each round;
     dup graphs don't have such chains, so the cheaper-per-round form wins here.
 
-    Chain acceleration (r17): from round 2 onward each hop is followed by ONE
-    label pointer-jump — ``component <- component[component]`` via a self-join
-    of the label table on (component = node) — which doubles the propagated
-    distance per round (hop advances 1, jump doubles), so a depth-d chain
-    converges in O(log d) rounds instead of d (an 8-deep reply-thread chain:
-    8 rounds -> 4, measured on email_thread_stats). Correctness: every
-    component value is a node id present in the label table (labels are seeded
-    from all nodes and only ever take mins over existing labels), the jump is
-    monotone non-increasing like the hop, and the sum-based fixed-point test
-    still terminates exactly at convergence — an unchanged sum means hop AND
-    jump were both identities, and a hop identity IS the CC fixed point.
-    Deferred past round 1 so shallow dup-cluster graphs (diameter 1-2, the
-    common case, converged by round 2) never pay the extra self-join exchange
-    in their propagation round.
+    Chain acceleration (r17, gate fixed r18): from round 3 onward each hop is
+    followed by ONE label pointer-jump — ``component <- component[component]``
+    via a self-join of the label table on (component = node) — which doubles
+    the propagated distance per round (hop advances 1, jump doubles), so a
+    depth-d chain converges in O(log d) rounds instead of d (an 8-deep
+    reply-thread chain: 8 rounds -> 5; a 24-deep chain: 24 -> 6, pinned by
+    test). Correctness: every component value is a node id present in the
+    label table (labels are seeded from all nodes and only ever take mins
+    over existing labels), the jump is monotone non-increasing like the hop,
+    and the sum-based fixed-point test still terminates exactly at
+    convergence — an unchanged sum means hop AND jump were both identities,
+    and a hop identity IS the CC fixed point. The jump is gated on
+    ``it >= 2`` (round 3+): shallow dup-cluster graphs (diameter 1-2, the
+    common case) converge at round 2, so with this gate they NEVER pay the
+    jump's extra self-join exchange — the r17 gate (``it >= 1``) made the
+    convergence round of every 2-round graph pay it, which is exactly the
+    round the fixed-point confirmation re-executes (dup_cluster_assign /
+    dup_cluster_representatives / leakage_safe_split all regressed on the
+    driver's 32-core leg while the deep-chain consumer improved).
 
     Convergence detection: labels are monotonically non-increasing (each round
     takes a min over a set containing the current label), so the label SUM is
@@ -132,7 +137,7 @@ def connected_components(
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for it in range(max_iter):
         nxt = _hop(labels)
-        if it >= 1:
+        if it >= 2:
             nxt = _jump(nxt)
         labels = nxt.localCheckpoint(eager=False)
         new_sum = labels.agg(F.sum("component")).collect()[0][0]

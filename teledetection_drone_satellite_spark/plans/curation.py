@@ -1163,16 +1163,17 @@ def email_thread_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
+    k = 100  # one constant feeds the id filter AND the fan_out width cap (ADVICE r18)
     d = (
         load(spark, sf_dir, ("documents",))["documents"]
         .select("doc_id")
-        .filter(F.col("doc_id") < 100)
+        .filter(F.col("doc_id") < k)
     )
     # r17: spread the mbox synth+parse edge generator (MIME decode per
     # message is ms/row Python and the input scans as one partition)
     from ..catalog import fan_out
 
-    d = fan_out(d, approx_rows=100)
+    d = fan_out(d, approx_rows=k)
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         from ..sources.mbox import parse_mbox, synth_mbox

@@ -648,15 +648,16 @@ def webp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    k = 100  # one constant feeds the id filter AND the fan_out width cap (ADVICE r18)
     ids = (
         load(spark, sf_dir, ("documents",))["documents"]
         .select("doc_id")
-        .filter(F.col("doc_id") < 100)
+        .filter(F.col("doc_id") < k)
     )
 
     # r17: fan_out — full VP8L pixel encode+decode is ms/row of Python,
     # serialized on one scan partition without it (see anim_webp_frame_stats).
-    ids = fan_out(ids, approx_rows=100)
+    ids = fan_out(ids, approx_rows=k)
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -3127,16 +3128,17 @@ def mbox_message_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.mbox import parse_mbox, synth_mbox
 
+    k = 100  # one constant feeds the id filter AND the fan_out width cap (ADVICE r18)
     ids = (
         load(spark, sf_dir, ("documents",))["documents"]
         .select("doc_id")
-        .filter(F.col("doc_id") < 100)
+        .filter(F.col("doc_id") < k)
     )
     modes = ("7bit", "qp", "b64", "multipart")
 
     # r17: fan_out — mbox synth + parse is ms/row of Python, serialized on one
     # scan partition without it (see anim_webp_frame_stats).
-    ids = fan_out(ids, approx_rows=100)
+    ids = fan_out(ids, approx_rows=k)
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import hashlib
@@ -4642,10 +4644,11 @@ def flac_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources import flac as flaccodec
 
+    k = 100  # one constant feeds the id filter AND the fan_out width cap (ADVICE r18)
     ids = (
         load(spark, sf_dir, ("documents",))["documents"]
         .select("doc_id")
-        .filter(F.col("doc_id") < 100)
+        .filter(F.col("doc_id") < k)
     )
     rates = (8000, 16000, 22050, 44100, 48000)
     modes = ("independent", "left_side", "right_side", "mid_side")
@@ -4655,7 +4658,7 @@ def flac_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # r17: fan_out — FLAC encode + sample decode is ms/row of Python, serialized on one
     # scan partition without it (see anim_webp_frame_stats).
-    ids = fan_out(ids, approx_rows=100)
+    ids = fan_out(ids, approx_rows=k)
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -5049,10 +5052,11 @@ def anim_webp_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    k = 60  # one constant feeds the id filter AND the fan_out width cap (ADVICE r18)
     ids = (
         load(spark, sf_dir, ("documents",))["documents"]
         .select("doc_id")
-        .filter(F.col("doc_id") < 60)
+        .filter(F.col("doc_id") < k)
     )
 
     # r17: fan_out DOES pay here — full VP8L encode + demux + pixel decode
@@ -5060,7 +5064,7 @@ def anim_webp_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition), not the `us/row header synth the no-fan_out rationale was
     # measured on; the 60-long-row exchange is noise next to it (guide S2.5
     # input-parallelism shaping).
-    ids = fan_out(ids, approx_rows=60)
+    ids = fan_out(ids, approx_rows=k)
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -5197,15 +5201,16 @@ def anim_webp_composite_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    k = 60  # one constant feeds the id filter AND the fan_out width cap (ADVICE r18)
     ids = (
         load(spark, sf_dir, ("documents",))["documents"]
         .select("doc_id")
-        .filter(F.col("doc_id") < 60)
+        .filter(F.col("doc_id") < k)
     )
 
     # r17: fan_out — VP8L encode + ANMF composite decode is ms/row of Python, serialized on one
     # scan partition without it (see anim_webp_frame_stats).
-    ids = fan_out(ids, approx_rows=60)
+    ids = fan_out(ids, approx_rows=k)
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -5334,15 +5339,16 @@ def anim_webp_blend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    k = 50  # one constant feeds the id filter AND the fan_out width cap (ADVICE r18)
     ids = (
         load(spark, sf_dir, ("documents",))["documents"]
         .select("doc_id")
-        .filter(F.col("doc_id") < 50)
+        .filter(F.col("doc_id") < k)
     )
 
     # r17: fan_out — VP8L encode + blend-mode composite decode is ms/row of Python, serialized on one
     # scan partition without it (see anim_webp_frame_stats).
-    ids = fan_out(ids, approx_rows=50)
+    ids = fan_out(ids, approx_rows=k)
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -5484,15 +5490,16 @@ def anim_webp_blend_frac_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    k = 40  # one constant feeds the id filter AND the fan_out width cap (ADVICE r18)
     ids = (
         load(spark, sf_dir, ("documents",))["documents"]
         .select("doc_id")
-        .filter(F.col("doc_id") < 40)
+        .filter(F.col("doc_id") < k)
     )
 
     # r17: fan_out — VP8L encode + alpha-blend composite decode is ms/row of Python, serialized on one
     # scan partition without it (see anim_webp_frame_stats).
-    ids = fan_out(ids, approx_rows=40)
+    ids = fan_out(ids, approx_rows=k)
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -8115,14 +8122,15 @@ def warc_brotli_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.html import extract_html_text, synth_html
     from ..sources.warc import parse_warc, synth_warc
 
+    k = 100  # one constant feeds the id filter AND the fan_out width cap (ADVICE r18)
     ids = (
         load(spark, sf_dir, ("documents",))["documents"]
         .select("doc_id")
-        .filter(F.col("doc_id") < 100)
+        .filter(F.col("doc_id") < k)
     )
     # r17: fan_out — brotli encode/decode + WARC/HTML parse is ms/row of Python,
     # serialized on one scan partition without it (see anim_webp_frame_stats).
-    ids = fan_out(ids, approx_rows=100)
+    ids = fan_out(ids, approx_rows=k)
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import hashlib
@@ -8575,14 +8583,15 @@ def pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank_fixed_point
     from ..sources.wat import host_of, parse_wat, synth_wat
 
+    k = 120  # one constant feeds the id filter AND the fan_out width cap (ADVICE r18)
     ids = (
         load(spark, sf_dir, ("documents",))["documents"]
         .select("doc_id")
-        .filter(F.col("doc_id") < 120)
+        .filter(F.col("doc_id") < k)
     )
     # r17: fan_out — WAT synth + JSON envelope parse is ms/row of Python,
     # serialized on one scan partition without it (see anim_webp_frame_stats).
-    ids = fan_out(ids, approx_rows=120)
+    ids = fan_out(ids, approx_rows=k)
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf_ in batches:
@@ -9275,14 +9284,15 @@ def crawl_frontier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.text import canonicalize_url
 
+    k = 120  # one constant feeds the id filter AND the fan_out width cap (ADVICE r18)
     ids = (
         load(spark, sf_dir, ("documents",))["documents"]
         .select("doc_id")
-        .filter(F.col("doc_id") < 120)
+        .filter(F.col("doc_id") < k)
     )
     # r17: fan_out — sitemap/feed/WAT synth + parse + robots filtering is
     # ms/row of Python, serialized on one scan partition without it.
-    ids = fan_out(ids, approx_rows=120)
+    ids = fan_out(ids, approx_rows=k)
 
     robots_txt = (b"User-agent: *\nDisallow: /x\nAllow: /x2\n"
                   b"Disallow: /post/3\n")

@@ -66,11 +66,26 @@ def read_date_partitioned(spark: SparkSession, path: str) -> DataFrame:
     never serve different data — a fixture rewrite produces a new directory
     and a memo miss. Resolution of a many-directory partitioned layout is the
     expensive driver-side listing the r17 catalog memo eliminates for the
-    flat tables (catalog.py load docstring); no data is cached."""
+    flat tables (catalog.py load docstring); no data is cached.
+
+    r18 (ADVICE): a hit is re-validated against the layout's own _SUCCESS
+    marker (size, mtime_ns) — the path key protects against SOURCE drift but
+    not against the derived directory itself being rewritten or cleaned up
+    mid-session, which would leave the cached plan's snapshotted file index
+    pointing at deleted files. Same staleness discipline as catalog.load."""
     cache: dict = spark.__dict__.setdefault("_graft_table_plans", {})
+
+    def _layout_fp() -> str:
+        try:
+            st = os.stat(os.path.join(path, "_SUCCESS"))
+            return f"{st.st_size}_{st.st_mtime_ns}"
+        except OSError:
+            return "nolayout"
+
+    fp = _layout_fp()
     hit = cache.get(("__layout__", path))
-    if hit is not None:
+    if hit is not None and hit[0] == fp:
         return hit[1]
     df = spark.read.parquet(path)
-    cache[("__layout__", path)] = ("layout", df)
+    cache[("__layout__", path)] = (fp, df)
     return df

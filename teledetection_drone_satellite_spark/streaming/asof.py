@@ -187,10 +187,22 @@ def stream_asof_enrich(
         # refuses to push. (A `| rand() > 2` nondeterminism guard does NOT
         # survive Spark 4.1: the impossible comparison constant-folds and
         # the remainder gets pushed — measured, not assumed.)
-        .filter(
-            F.when(F.col("p_ts").isNotNull(), F.col("p_uid") >= F.lit(0))
-            .otherwise(F.lit(True))
-        )
+        # PRECONDITION (asserted below): p_ts must be NULLABLE in the plan.
+        # If a future change tightens it to non-nullable, NullPropagation
+        # folds isNotNull(p_ts) to true, the predicate simplifies to
+        # p_uid >= 0 (no watermark reference), gets pushed below
+        # EventTimeWatermark, and tail clicks' null emissions stop (the
+        # tail-click test catches it; this assert names the cause at the
+        # code site instead).
+    )
+    assert rhs.schema["p_ts"].nullable, (
+        "stream_asof_enrich sentinel filter requires a nullable p_ts: the "
+        "isNotNull guard is what stops the optimizer pushing the filter "
+        "below the watermark operator (see comment above)"
+    )
+    rhs = rhs.filter(
+        F.when(F.col("p_ts").isNotNull(), F.col("p_uid") >= F.lit(0))
+        .otherwise(F.lit(True))
     )
     joined = clicks.join(
         rhs,
