@@ -1,0 +1,65 @@
+"""Profile the per-query floor (r18, VERDICT item 2): split each invocation
+into fn() plan construction (Python/py4j), analysis+optimization (JVM,
+measured via queryExecution phases), and execution+collect.
+
+Usage: python scripts/profile_floor.py [--sf DIR] [--n 3] query [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from teledetection_drone_satellite_spark import plans  # noqa: E402
+from teledetection_drone_satellite_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--n", type=int, default=3)
+    ap.add_argument("queries", nargs="+")
+    args = ap.parse_args()
+
+    spark = get_spark("profile-floor")
+    spark.sparkContext.setLogLevel("ERROR")
+    plans.REGISTRY["point_lookup_pk"].fn(spark, args.sf).collect()  # warmup
+
+    out = {}
+    for name in args.queries:
+        q = plans.REGISTRY[name]
+        best = None
+        for _ in range(args.n):
+            t0 = time.time()
+            df = q.fn(spark, args.sf)
+            t1 = time.time()
+            # force analysis + optimization separately (same work collect would do)
+            qe = df._jdf.queryExecution()
+            qe.analyzed()
+            t2 = time.time()
+            qe.optimizedPlan()
+            qe.executedPlan()
+            t3 = time.time()
+            df.collect()
+            t4 = time.time()
+            sample = {
+                "fn": round(t1 - t0, 4),
+                "analyze": round(t2 - t1, 4),
+                "optimize": round(t3 - t2, 4),
+                "exec_collect": round(t4 - t3, 4),
+                "total": round(t4 - t0, 4),
+            }
+            if best is None or sample["total"] < best["total"]:
+                best = sample
+        out[name] = best
+        print(f"{name}: {best}", file=sys.stderr, flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""Dump per-micro-batch durationMs breakdown for streaming queries (r18).
+
+Runs each named streaming registry query once and prints, per micro-batch,
+the durationMs phases (addBatch, getBatch, queryPlanning, walCommit,
+commitOffsets, triggerExecution) plus state-operator commit times — the
+evidence VERDICT r17 item 5 asks for (decide state-partition pins from
+commit counts/durations, not wall noise).
+
+Usage: python scripts/stream_progress.py [--sf DIR] query [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from teledetection_drone_satellite_spark import plans  # noqa: E402
+from teledetection_drone_satellite_spark.session import get_spark  # noqa: E402
+from teledetection_drone_satellite_spark.streaming import windows as W  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("queries", nargs="+")
+    args = ap.parse_args()
+
+    spark = get_spark("stream-progress")
+    spark.sparkContext.setLogLevel("ERROR")
+    plans.REGISTRY["point_lookup_pk"].fn(spark, args.sf).collect()  # warmup
+
+    out = {}
+    for name in args.queries:
+        # reach the raw progress objects: re-run and read the active session's
+        # streams listener via RECENT_STREAM_RUNS' sibling — we need durations,
+        # so capture from the StreamingQuery itself by monkey-watching
+        # _run_to_memory's return. Simplest: run fn, then fetch the LAST
+        # query's recentProgress from the clone's streams.
+        t0 = time.time()
+        df = plans.REGISTRY[name].fn(spark, args.sf)
+        n = df.count()
+        wall = time.time() - t0
+        sink, summary = W.RECENT_STREAM_RUNS[-1]
+        # recentProgress persists on the (terminated) query object; find it via
+        # the sink session's streams is gone post-termination, so re-derive the
+        # durations from the summary we extended (see _progress_summary).
+        out[name] = {
+            "wall": round(wall, 3),
+            "rows": n,
+            "summary": summary,
+        }
+        print(f"{name}: wall={wall:.3f} {json.dumps(summary)}", file=sys.stderr, flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

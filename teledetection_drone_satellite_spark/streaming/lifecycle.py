@@ -60,19 +60,26 @@ def _update(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterable[pd
     else:
         first_us, last_us, n, last_type, last_id = None, None, 0, None, -1
 
+    import numpy as np
+
     for pdf in pdfs:
-        if pdf.empty:
+        if len(pdf) == 0:
             continue
-        ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
+        # r18 (guide §4.2): numpy max/argmax over the raw datetime64 values
+        # replaces the per-call pandas frame+sort (this body runs once per
+        # key per batch). Same (ts, event_id) tie-break as the sort: the
+        # winner is max ts, then max event_id among its ties.
+        ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+        eid = pdf["event_id"].values
         n += len(pdf)
         bmin = int(ts_us.min())
         first_us = bmin if first_us is None else min(first_us, bmin)
-        # latest by (ts, event_id) — deterministic under ties, matching the batch twin
-        order = pd.DataFrame({"us": ts_us, "eid": pdf["event_id"]}).sort_values(["us", "eid"])
-        tail = order.iloc[-1]
-        if last_us is None or (int(tail.us), int(tail.eid)) > (last_us, last_id):
-            last_us, last_id = int(tail.us), int(tail.eid)
-            last_type = pdf.loc[order.index[-1], "event_type"]
+        mx = ts_us.max()
+        ties = np.flatnonzero(ts_us == mx)
+        i = int(ties[eid[ties].argmax()])
+        if last_us is None or (int(mx), int(eid[i])) > (last_us, last_id):
+            last_us, last_id = int(mx), int(eid[i])
+            last_type = pdf["event_type"].iloc[i]
 
     state.update((first_us, last_us, n, last_type, last_id))
     yield pd.DataFrame(

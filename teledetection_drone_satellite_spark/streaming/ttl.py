@@ -127,6 +127,18 @@ def materialize_time_slices(spark: SparkSession, sf_dir: str, n_slices: int = 4)
 def _ttl_update_factory(ttl_minutes: int):
     ttl_us = ttl_minutes * 60 * 1_000_000
 
+    # r18 (guide §4.2): the handler body runs once PER KEY PER BATCH — at
+    # sf0.1 that is ~16k invocations — so its constant factors are task time.
+    # The numpy max over the raw datetime64 values replaces the pandas
+    # astype-Series path (0.13 -> 0.005 ms/call measured), and expiry rows
+    # are built from typed numpy arrays instead of per-value pandas boxing
+    # (0.29 -> 0.20 ms/call). Resolution-safe: the datetime64[us] cast
+    # truncates ns exactly like the old `// 1000` for the positive epoch
+    # range the fixtures use. Measured context: the applyInPandasWithState
+    # group protocol itself costs ~13 ms/key-call (JVM Arrow framing +
+    # state round trip; instrumented r18) — the body is what WE control.
+    import numpy as np
+
     def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         user_id, bucket_date = key
         if state.hasTimedOut:
@@ -134,21 +146,21 @@ def _ttl_update_factory(ttl_minutes: int):
             state.remove()  # SETEX expiry: the key is GONE, state stays bounded
             yield pd.DataFrame(
                 {
-                    "user_id": [user_id],
+                    "user_id": np.array([user_id], dtype=np.int64),
                     "bucket_date": [bucket_date],
-                    "n_events": [n],
-                    "last_ts": [pd.Timestamp(last_us, unit="us")],
-                    "expired": [True],
+                    "n_events": np.array([n], dtype=np.int64),
+                    "last_ts": np.array([last_us], dtype="datetime64[us]"),
+                    "expired": np.ones(1, dtype=bool),
                 }
             )
             return
         n, last_us = state.get if state.exists else (0, 0)
         for pdf in pdfs:
-            if pdf.empty:
+            if len(pdf) == 0:
                 continue
-            ts_us = pdf["ts"].astype("int64") // 1000
             n += len(pdf)
-            last_us = max(last_us, int(ts_us.max()))
+            bmax = pdf["ts"].values.max()
+            last_us = max(last_us, int(bmax.astype("datetime64[us]").astype("int64")))
         state.update((n, last_us))
         # re-arm: key dies TTL after its latest write (SETEX semantics)
         state.setTimeoutTimestamp(last_us // 1000 + ttl_us // 1000)

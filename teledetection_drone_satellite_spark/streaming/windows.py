@@ -119,6 +119,19 @@ def _progress_summary(q) -> dict:
     total state updates, and the state-store partition count."""
     progresses = [p for p in q.recentProgress if p]
     ops = [op for p in progresses for op in p.get("stateOperators", [])]
+    # per-phase driver-side durations summed across micro-batches (r18): the
+    # evidence that separates state-store commit cost from batch planning and
+    # source listing when deciding state-partition pins — wall noise cannot.
+    durations: dict = {}
+    for p in progresses:
+        for phase, ms in (p.get("durationMs") or {}).items():
+            durations[phase] = durations.get(phase, 0) + int(ms)
+    commit_ms = sum(
+        int(op.get("allUpdatesTimeMs", 0))
+        + int(op.get("allRemovalsTimeMs", 0))
+        + int(op.get("commitTimeMs", 0))
+        for op in ops
+    )
     return {
         "micro_batches": len(progresses),
         "input_rows": sum(int(p.get("numInputRows", 0)) for p in progresses),
@@ -132,6 +145,8 @@ def _progress_summary(q) -> dict:
             (int(op.get("numShufflePartitions", 0)) for op in ops), default=0
         ),
         "has_state": bool(ops),
+        "durations_ms": durations,
+        "state_commit_ms": commit_ms,
     }
 
 
