@@ -92,10 +92,18 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float, n: int = 3,
         F.col("doc_id"), shingles(words, n).alias("sh"),
         *([F.col(side_col)] if side_col is not None else []),
     ).filter(F.size("sh") > 0)
+    # r18 (guide §2.3 narrower types, the duplicated_spans discipline): the
+    # postings exchange ships an 8-byte xxhash64 digest per (doc, gram), not
+    # the ~25-byte gram string — the intersection COUNT only needs grams to
+    # group identically, which any injective-in-practice digest provides
+    # (collision odds ~ distinct_grams^2 / 2^64; the full-registry oracle
+    # sweeps verify exact equality on the committed fixtures at both scales).
+    # The hash is computed in the same JVM projection as the explode, so no
+    # extra pass — only thinner shuffle rows.
     postings = (
         docs.select(
             F.struct(*d_fields).alias("d"),
-            F.explode("sh").alias("shingle"),
+            F.explode(F.transform("sh", lambda g: F.xxhash64(g))).alias("shingle"),
         )
         .groupBy("shingle")
         .agg(F.collect_list("d").alias("ds"))

@@ -219,15 +219,25 @@ def cosine_near_dup_pairs(
     return pairs.select("v1", "v2", F.round("cosine", 4).alias("cosine"))
 
 
-def _sign_lsh_signature(dim: int, n_planes: int, seed: int):
+def _sign_lsh_signature(n_planes: int, seed: int):
     """Vectorized pandas UDF body: pack sign(x . hyperplane) bits into int64 words.
     Hyperplanes are a seeded standard-normal matrix — regenerated identically in
-    every worker from (dim, n_planes, seed); nothing is shipped."""
+    every worker from (dim, n_planes, seed); nothing is shipped.
+
+    r18: the dim comes from each batch's own rows (mat.shape[1]) instead of a
+    caller-supplied value — every batch of a schema-enforced embedding column
+    has the same dim, and the seeded rng generates identical planes for it in
+    every worker, so signatures are unchanged; this removes the driver-side
+    `select(size(embedding)).first()` JOB each lsh_bucketed_pairs call paid
+    just to learn the dimension (guide §5: the driver should do no data work).
+    """
 
     def sig(emb: pd.Series) -> pd.Series:
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((dim, n_planes))
         mat = np.array(emb.tolist(), dtype=np.float64)
+        if mat.size == 0:
+            return pd.Series(np.zeros(len(mat), dtype=np.int64))
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((mat.shape[1], n_planes))
         bits = (mat @ planes) > 0  # (n, n_planes)
         word = np.zeros(len(mat), dtype=np.uint64)
         for b in range(n_planes):
@@ -281,8 +291,7 @@ def lsh_bucketed_pairs(
     if n_planes % band_bits != 0 or n_planes > 64:
         raise ValueError("n_planes must be <=64 and divisible by band_bits")
     n_bands = n_planes // band_bits
-    dim = df.select(F.size("embedding").alias("d")).first()["d"]
-    sig_udf = pandas_udf(_sign_lsh_signature(dim, n_planes, seed), "long")
+    sig_udf = pandas_udf(_sign_lsh_signature(n_planes, seed), "long")
 
     base = df.select("vec_id", "embedding")
     sigs = fan_out(base).select("vec_id", sig_udf(F.col("embedding")).alias("sig"))

@@ -143,11 +143,16 @@ def stream_asof_enrich(
     result is identical to what the chained streaming agg emits
     continuously in production, just without the watermark tail-latency.
 
-    8 state partitions: JVM-only symmetric-hash join state, no per-key
-    Python anywhere (the r9 sweep's 100x-key cost center, removed)."""
+    4 state partitions (r18, was 8): JVM-only symmetric-hash join state, no
+    per-key Python anywhere (the r9 sweep's 100x-key cost center, removed).
+    The interval join runs four state stores per partition, each paying a
+    fixed snapshot/commit per micro-batch; r18 progress instrumentation:
+    state_commit task-time 101.9 s at 8 stores vs 53.5 s at 4 in the same
+    window (stream_interval_join shows the same 2-4x; dumps in plans/r18/).
+    Env-overridable for high-throughput regimes."""
     from pyspark.sql.window import Window
 
-    s = stream_session(spark, n_partitions=8)
+    s = stream_session(spark, n_partitions=4)
     path = materialize_time_slices(s, sf_dir, n_slices)
     base = read_sliced_events(s, path)
     clicks = (

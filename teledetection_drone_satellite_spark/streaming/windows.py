@@ -39,9 +39,26 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirroring catalog.py:38) and convert only when the nanos path is in play.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    probe = (
-        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).schema
-    )
+    # r18: the footer probe is a driver-side file-index + schema-inference
+    # batch read (~150-500 ms on this host) and was paid by EVERY streaming
+    # query. Memoize the probed schema keyed on the source fingerprint
+    # (catalog.load staleness discipline — a fixture rewrite misses and
+    # re-probes). The memo lives on the shared SparkContext, not the session:
+    # every streaming query runs on a fresh stream_session CLONE, and the
+    # probed StructType is a pure Python value with no session affinity.
+    # Schema-only: no data, no file index survives in the memo.
+    from ..catalog import source_fingerprint
+
+    cache: dict = spark.sparkContext.__dict__.setdefault("_graft_probe_schemas", {})
+    fp = source_fingerprint(sf_dir, "events")
+    hit = cache.get(sf_dir)
+    if hit is not None and hit[0] == fp:
+        probe = hit[1]
+    else:
+        probe = (
+            spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).schema
+        )
+        cache[sf_dir] = (fp, probe)
     nanos = probe["ts"].dataType.simpleString() == "bigint"
     raw = (
         spark.readStream.schema(_events_raw(LongType() if nanos else probe["ts"].dataType))
@@ -217,8 +234,13 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_late_data_policy(spark: SparkSession, sf_dir: str, watermark: str = "15 minutes") -> DataFrame:
     """Late-data policy demonstration: append mode + watermark — only windows the
     watermark has passed are emitted (closed); the tail windows stay open. The
-    difference vs complete mode IS the late-data contract."""
-    events = read_events_stream(stream_session(spark), sf_dir)
+    difference vs complete mode IS the late-data contract.
+
+    4 state partitions (r18, was the 16 default): JVM-only window agg,
+    commit-dominated — state_commit task-time 20.5 s at 8 stores vs 6.9 s
+    at 4 in one window (progress evidence in plans/r18/); same class as
+    stream_tumbling_hourly's existing pin. Env-overridable."""
+    events = read_events_stream(stream_session(spark, n_partitions=4), sf_dir)
     agg = (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"))
@@ -271,8 +293,17 @@ def stream_interval_join(
     8 state partitions: JVM-only symmetric-hash join state.
     ``n_slices`` > 1 replays time-ordered slices one file per micro-batch
     (tests assert multi-batch equivalence: join state carries matches
-    across the watermark advancing mid-stream)."""
-    s = stream_session(spark, n_partitions=8)
+    across the watermark advancing mid-stream).
+
+    4 state partitions (r18, was 8): the symmetric-hash join runs FOUR
+    state stores per partition (left/right x keyToNumValues/
+    keyWithIndexToValue) and each store pays a fixed snapshot/commit per
+    micro-batch; the r17 4-vs-8 sweep read wall as noise, but the r18
+    progress instrumentation separates it: state_commit task-time 30.3 s
+    at 8 stores vs 7.0 s at 4 in one window (2x-4x, reproduced across
+    three windows including a degraded one: 100.1 vs 65.9), addBatch
+    6.1 -> 3.8 s. Env-overridable for high-throughput regimes."""
+    s = stream_session(spark, n_partitions=4)
     if n_slices > 1:
         from .ttl import materialize_time_slices, read_sliced_events
 
