@@ -199,10 +199,17 @@ def duplicated_spans(df: DataFrame, window: int = 40, text_col: str = "text",
         ),
     ).otherwise(F.expr("array()").cast("array<bigint>"))
     win = fan_out(df).select(F.col(id_col), F.explode(hashes).alias("wh"))
+    # "appears in >1 document" needs only MEMBERSHIP, not the distinct count:
+    # min(id) != max(id) is the identical predicate, and it compiles to ONE
+    # exchange with map-side partial min/max — count_distinct triggers
+    # Spark's distinct-aggregate rewrite, which dedups (wh, id) through an
+    # EXTRA exchange of the full digest stream first (r18, guide §2.4;
+    # plans/r18/substring_dup_spans_{before,after}.txt: 2 Exchange -> 1 on
+    # the widest shuffle of this plan).
     dup = (
         win.groupBy("wh")
-        .agg(F.count_distinct(id_col).alias("nd"))
-        .filter(F.col("nd") > 1)
+        .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
         .select("wh", F.lit(1).alias("dup"))
     )
     per = (

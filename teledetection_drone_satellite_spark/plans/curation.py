@@ -1275,9 +1275,24 @@ def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, ("documents",))["documents"]
     bench = d.filter(F.col("doc_id") % 50 == 0)
     train = d.filter(F.col("doc_id") % 50 != 0)
+    # r18 (guide §2.3, the duplicated_spans discipline): every exchange in
+    # this plan — the bench distinct, the training-shingle distinct, the
+    # in_bench broadcast, the per-doc join — needs grams only to COMPARE
+    # EQUAL, so they all ride an 8-byte xxhash64 digest computed in the same
+    # JVM projection as the explode, never the ~25-byte gram string. The
+    # bloom filter builds over and probes the digests (its k hash functions
+    # are xxhash64(key, i) — any key type). Collision odds ~ grams^2/2^64;
+    # the full-registry oracle sweeps verify exact equality at both scales.
+    def _sh_digest(side):
+        return F.explode(
+            F.transform(
+                shingles(F.split(F.col("text"), " "), 3),
+                lambda g: F.xxhash64(g),
+            )
+        )
+
     bench_sh = (
-        bench.select(F.explode(
-            shingles(F.split(F.col("text"), " "), 3)).alias("shingle"))
+        bench.select(_sh_digest("bench").alias("shingle"))
         .distinct()
         # consumed 3x (count, bloom build, in_bench broadcast): cut the
         # lineage lazily — the count below is the materializing action
@@ -1288,8 +1303,7 @@ def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = bloom_build_packed(bench_sh, "shingle", m_bits, k=16)
     train_sh = train.select(
         "doc_id",
-        F.explode(shingles(F.split(F.col("text"), " "), 3))
-        .alias("shingle"),
+        _sh_digest("train").alias("shingle"),
     )
     # r17 perf: ONE pass over the training shingles serves BOTH the bloom
     # flag and the exact contamination census (guide §2.4 — the previous
