@@ -1331,21 +1331,30 @@ def decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.when(F.col("bloom_member"), 1).otherwise(0)).alias("flagged"),
              F.max(F.coalesce(F.col("in_bench"), F.lit(0))).alias("exact"))
     )
-    n_train = train.count()
-    row = (
-        per_doc.agg(
-            F.sum("exact").alias("n_exact"),
-            F.sum("flagged").alias("n_flagged"),
-            F.sum(F.when((F.col("exact") == 1) & (F.col("flagged") == 0), 1)
-                  .otherwise(0)).alias("n_missed"))
-        .collect()[0]
+    # r18: the final row is built IN-PLAN — the old shape collected the
+    # census scalars to the driver, ran a SEPARATE train.count() job, did
+    # the band arithmetic in Python and createDataFrame'd the answer (two
+    # extra jobs + a driver round trip per invocation; guide §5 — the
+    # driver should do no data work). The crossJoin sides are both 1-row
+    # aggregates; all values and the emitted schema are byte-identical.
+    census = per_doc.agg(
+        F.coalesce(F.sum("exact"), F.lit(0)).alias("n_exact"),
+        F.coalesce(F.sum("flagged"), F.lit(0)).alias("n_flagged"),
+        F.coalesce(
+            F.sum(F.when((F.col("exact") == 1) & (F.col("flagged") == 0), 1)),
+            F.lit(0),
+        ).alias("n_missed"),
     )
-    n_exact = row["n_exact"] or 0
-    n_flagged = row["n_flagged"] or 0
-    n_missed = row["n_missed"] or 0
-    overflag = (n_flagged - n_exact) / max(1, n_train - n_exact)
-    return spark.createDataFrame(
-        [(n_train, n_exact, n_missed == 0, overflag <= 0.02)],
-        "n_train long, n_contaminated_exact long, "
-        "flagged_superset boolean, overflag_band_ok boolean",
+    n_train_agg = train.agg(F.count("*").alias("n_train"))
+    overflag = (F.col("n_flagged") - F.col("n_exact")) / F.greatest(
+        F.lit(1).cast("long"), F.col("n_train") - F.col("n_exact")
+    )
+    return (
+        n_train_agg.crossJoin(census)
+        .select(
+            F.col("n_train").cast("long").alias("n_train"),
+            F.col("n_exact").cast("long").alias("n_contaminated_exact"),
+            (F.col("n_missed") == 0).alias("flagged_superset"),
+            (overflag <= 0.02).alias("overflag_band_ok"),
+        )
     )

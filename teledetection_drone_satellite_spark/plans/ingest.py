@@ -13256,6 +13256,16 @@ def pyds_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # other query.
     spark.dataSource.register(RawParquetDataSource)
     n_state = _os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4")
+    # r18 (VERDICT watch item): the save/restore mutates the SHARED
+    # session's shuffle partitions for the drain's duration — safe only
+    # while no other streaming query is active on this session to plan
+    # with the temporary value. Assert that precondition instead of
+    # assuming it, so a future concurrent caller fails loudly here.
+    assert not spark.streams.active, (
+        "pyds_stream_ingest scopes spark.sql.shuffle.partitions on the "
+        "shared session; another active streaming query would plan with "
+        "the temporary value"
+    )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n_state)
     try:
