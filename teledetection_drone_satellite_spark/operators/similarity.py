@@ -39,6 +39,54 @@ from ..catalog import fan_out
 from .pinning import pin_one_generation
 
 
+def _fan_vectors(df: DataFrame, work: int = 1) -> DataFrame:
+    """Width shaping for the Arrow-batched numpy VECTOR kernels (scoring,
+    encode, assign, signatures) — these are µs-per-row matmuls, not the
+    ms-per-row codec kernels catalog.fan_out serves, so blanket widening to
+    defaultParallelism sharded the fixture-scale inputs into near-empty
+    Python tasks whose per-task handshake + straggler draw cost MORE than
+    the whole matmul (r18 measured, min-of-4 per query: pq_recall 1.96 ->
+    1.40 s, ivf_recall 1.57 -> 1.25, ivfpq_recall 1.53 -> 1.16,
+    embedding_pq_topk 1.15 -> 0.78, semantic_dedup 1.01 -> 0.61 with the
+    fan removed — the same near-empty-task lesson as the r17 codec width
+    cap, measured on this operator family).
+
+    Width derives from INPUT BYTES and per-row work instead of a row count
+    the caller cannot know: ``work`` ~ dot products per vector (n_queries
+    for scoring, n_codes for PQ encode, n_centroids for IVF assign,
+    n_planes for LSH signatures); each task gets ~256 MB / work of raw
+    vector bytes, floored at 4 MB, so a 0.6 MB fixture runs ONE task (the
+    matmul is cheaper than a second handshake) while a 128 MB single-file
+    slice scoring 4096 queries still fans to every core. Inputs that are
+    already at least that wide (the 100 TB case — pre-split scans) pass
+    through untouched, exactly like fan_out. Non-file relations (literal
+    test frames) fall back to the generic fan_out."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        return fan_out(df)
+    import os as _os
+    from urllib.parse import urlparse as _urlparse
+
+    total = 0
+    for uri in files:
+        p = _urlparse(uri)
+        if p.scheme not in ("", "file"):
+            return fan_out(df)  # remote store: no cheap size, keep the generic path
+        try:
+            total += _os.stat(p.path).st_size
+        except OSError:
+            return fan_out(df)
+    sc = df.sparkSession.sparkContext
+    per_task = max(4 << 20, (256 << 20) // max(1, int(work)))
+    width = max(1, min(sc.defaultParallelism, -(-total // per_task)))
+    if width <= len(files):
+        return df  # the scan's own splits already provide the parallelism
+    return df.repartition(width)
+
+
 def cosine_expr(a: Column, b: Column) -> Column:
     """Exact cosine as a sequential JVM fold — deterministic op order (matches a
     scalar SQL engine's loop), bit-reproducible across runs."""
@@ -130,7 +178,9 @@ def brute_force_topk(
                     {"query_id": qid, "vec_id": vids[top], "cosine": col[top]}
                 )
 
-    partial = fan_out(base.select("vec_id", "embedding")).mapInPandas(score, out_schema)
+    partial = _fan_vectors(
+        base.select("vec_id", "embedding"), work=len(q_rows)
+    ).mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     # cosine stays raw here — callers must rank on the unrounded value and round
     # only in their final projection (rounding first would reorder near-ties)
@@ -294,7 +344,9 @@ def lsh_bucketed_pairs(
     sig_udf = pandas_udf(_sign_lsh_signature(n_planes, seed), "long")
 
     base = df.select("vec_id", "embedding")
-    sigs = fan_out(base).select("vec_id", sig_udf(F.col("embedding")).alias("sig"))
+    sigs = _fan_vectors(base, work=n_planes).select(
+        "vec_id", sig_udf(F.col("embedding")).alias("sig")
+    )
     mask = (1 << band_bits) - 1
     band_structs = F.array(
         *[
@@ -500,7 +552,7 @@ def build_ivf_index(
             )
 
     assigned = (
-        fan_out(base.select("vec_id", "embedding"))
+        _fan_vectors(base.select("vec_id", "embedding"), work=n_centroids)
         .mapInPandas(assign, out_schema)
         .persist()
     )
@@ -623,7 +675,7 @@ def build_pq_index(
 
     codes_schema = "vec_id long, codes array<int>"
     codes_df = (
-        fan_out(base.select("vec_id", "embedding"))
+        _fan_vectors(base.select("vec_id", "embedding"), work=n_codes)
         .mapInPandas(encode, codes_schema)
         .persist()
     )
@@ -842,9 +894,9 @@ def semantic_dup_pairs(
                 }
             )
 
-    routed = fan_out(base.select("vec_id", "embedding")).mapInPandas(
-        route, route_schema
-    )
+    routed = _fan_vectors(
+        base.select("vec_id", "embedding"), work=n_centroids
+    ).mapInPandas(route, route_schema)
 
     out_schema = StructType(
         [
